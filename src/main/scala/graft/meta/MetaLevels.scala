@@ -1,0 +1,107 @@
+package graft.meta
+
+import org.apache.spark.sql.types._
+
+/**
+ * Metadata granularity levels and their fixed output schemas.
+ *
+ * The data model (field names, types, nesting, nullability quirks such as
+ * `page_content: array<byte>` rather than `binary`) mirrors the reference
+ * engine's five-level metadata table model
+ * (reference: src/main/scala/com/github/sadikovi/metadata/MetadataLevel.scala:15-105)
+ * so queries written against the reference run unchanged here.
+ */
+sealed abstract class MetaLevel(val levelName: String) extends Serializable {
+  def schema: StructType
+  override def toString: String = levelName
+}
+
+object MetaLevel {
+  /** Shared statistics struct used by the column and page levels. */
+  val statsType: StructType = StructType(Seq(
+    StructField("null_count", LongType),
+    StructField("distinct_count", LongType),
+    StructField("min", BinaryType),
+    StructField("max", BinaryType),
+    StructField("min_value", BinaryType),
+    StructField("max_value", BinaryType)))
+
+  /** Generic file-system level: one row per file, no format decoding. */
+  case object FsFile extends MetaLevel("file") {
+    override val schema: StructType = StructType(Seq(
+      StructField("filepath", StringType),
+      StructField("filename", StringType),
+      StructField("size", LongType),
+      StructField("mtime", LongType),
+      StructField("partition", MapType(StringType, StringType))))
+  }
+
+  /** Parquet file level: file-system columns + footer summary. */
+  case object ParquetFile extends MetaLevel("parquet-file") {
+    override val schema: StructType = FsFile.schema
+      .add("metadata_size", LongType)
+      .add("schema", StringType)
+      .add("num_rows", LongType)
+      .add("num_row_groups", IntegerType)
+      .add("created_by", StringType)
+      .add("key_value_metadata", MapType(StringType, StringType))
+  }
+
+  /** One row per (file x row group). */
+  case object ParquetRowGroup extends MetaLevel("parquet-rowgroup") {
+    override val schema: StructType = StructType(Seq(
+      StructField("row_group_id", IntegerType),
+      StructField("file_offset", LongType),
+      StructField("total_compressed_size", LongType),
+      StructField("total_uncompressed_size", LongType),
+      StructField("num_rows", LongType),
+      StructField("num_columns", IntegerType),
+      StructField("filepath", StringType)))
+  }
+
+  /** One row per (file x row group x column chunk). */
+  case object ParquetColumn extends MetaLevel("parquet-column") {
+    override val schema: StructType = StructType(Seq(
+      StructField("row_group_id", IntegerType),
+      StructField("column_id", IntegerType),
+      StructField("file_offset", LongType),
+      StructField("total_compressed_size", LongType),
+      StructField("total_uncompressed_size", LongType),
+      StructField("path", StringType),
+      StructField("type", StringType),
+      StructField("encodings", ArrayType(StringType)),
+      StructField("compression", StringType),
+      StructField("num_values", LongType),
+      StructField("statistics", statsType),
+      StructField("data_page_offset", LongType),
+      StructField("dictionary_page_offset", LongType),
+      StructField("index_page_offset", LongType),
+      StructField("offset_index_offset", LongType),
+      StructField("offset_index_length", IntegerType),
+      StructField("column_index_offset", LongType),
+      StructField("column_index_length", IntegerType),
+      StructField("filepath", StringType)))
+  }
+
+  /** One row per physical page (incl. dictionary pages). */
+  case object ParquetPage extends MetaLevel("parquet-page") {
+    override val schema: StructType = StructType(Seq(
+      StructField("row_group_id", IntegerType),
+      StructField("column_id", IntegerType),
+      StructField("page_id", IntegerType),
+      StructField("page_type", StringType),
+      StructField("page_header_offset", LongType),
+      StructField("page_header_size", IntegerType),
+      StructField("page_compressed_size", IntegerType),
+      StructField("page_uncompressed_size", IntegerType),
+      StructField("crc", IntegerType),
+      StructField("num_values", IntegerType),
+      StructField("encoding", StringType),
+      StructField("definition_level_encoding", StringType),
+      StructField("repetition_level_encoding", StringType),
+      StructField("statistics", statsType),
+      // array<byte> (not binary) for reference schema fidelity
+      StructField("page_content", ArrayType(ByteType)),
+      StructField("filepath", StringType)))
+  }
+}

@@ -1,0 +1,226 @@
+package graft.meta
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * `spark.read.format("metadata")` — file-system and Parquet physical metadata
+ * exposed as DataFrames at four granularities (file / rowgroup / column /
+ * page). Options, levels, defaults, and error text are compatible with the
+ * reference engine's user surface
+ * (reference: src/main/scala/com/github/sadikovi/metadata/DefaultSource.scala:99-150),
+ * but this is a DataSource V2 implementation: it gets column pruning
+ * (`SupportsPushDownRequiredColumns`), size-weighted input partition packing,
+ * and deterministic reader cleanup via `PartitionReader.close` for free.
+ */
+class MetadataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "metadata"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MetaTable.resolve(options.asScala.toMap).schema()
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    MetaTable.resolve(properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object MetadataSource {
+  val MAX_PARTS = "maxparts"
+  val MAX_PARTS_DEFAULT = 200
+  val BUFFER_SIZE = "buffersize"
+  val BUFFER_SIZE_DEFAULT: Int = 128 * 1024 * 1024
+  val PAGE_CONTENT = "pagecontent"
+  val SOURCE = "source"
+  val LEVEL = "level"
+
+  val SOURCES = Seq("file", "parquet")
+  val LEVELS = Seq("file", "rowgroup", "column", "page")
+
+  /** Map a validated (source, level) pair onto a [[MetaLevel]]. */
+  def levelFor(source: String, level: String): MetaLevel = (source, level) match {
+    case ("file", "file") => MetaLevel.FsFile
+    case ("parquet", "file") => MetaLevel.ParquetFile
+    case ("parquet", "rowgroup") => MetaLevel.ParquetRowGroup
+    case ("parquet", "column") => MetaLevel.ParquetColumn
+    case ("parquet", "page") => MetaLevel.ParquetPage
+    case (s, l) =>
+      throw new IllegalArgumentException(s"Source '$s' does not support '$l' level")
+  }
+}
+
+/** One listed file with its stringified partition values. */
+case class FileSlice(
+    path: String,
+    name: String,
+    size: Long,
+    mtime: Long,
+    partition: Map[String, String])
+
+/**
+ * Resolved metadata table: options parsed, files listed, source inferred.
+ * All of this happens once on the driver; executors only ever see
+ * [[FileSlice]]s and a serialized Hadoop conf.
+ */
+class MetaTable(
+    val level: MetaLevel,
+    val files: Seq[FileSlice],
+    val maxParts: Int,
+    val bufferSize: Int,
+    val pageContent: Boolean,
+    @transient val spark: SparkSession) extends Table with SupportsRead {
+
+  override def name(): String = s"metadata(${level.levelName})"
+  override def schema(): StructType = level.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MetaScanBuilder(this)
+}
+
+object MetaTable {
+  import MetadataSource._
+
+  def resolve(options: Map[String, String]): MetaTable = {
+    val opts = options.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val spark = SparkSession.active
+    val hadoopConf = spark.sessionState.newHadoopConf()
+
+    val rootPath = {
+      val p = new Path(opts.getOrElse("path",
+        throw new IllegalArgumentException("Path is not provided")))
+      p.getFileSystem(hadoopConf).makeQualified(p)
+    }
+    val maxParts = opts.get(MAX_PARTS).map(_.toInt).getOrElse(MAX_PARTS_DEFAULT)
+    val bufferSize = opts.get(BUFFER_SIZE).map(_.toInt).getOrElse(BUFFER_SIZE_DEFAULT)
+    require(bufferSize > 0, s"Unsupported buffer size value $bufferSize")
+    val pageContent = opts.get(PAGE_CONTENT).exists(_.trim.toBoolean)
+
+    // Recursive listing + Hive partition discovery, shared across relations
+    // via the session file-status cache.
+    val index = new InMemoryFileIndex(
+      spark, Seq(rootPath), opts, None, FileStatusCache.getOrCreate(spark))
+    val partSchema = index.partitionSchema
+    val files = index.listFiles(Nil, Nil).flatMap { dir =>
+      // Stringify partition values once, on the driver, through the external
+      // Scala representation so dates/timestamps render in their canonical
+      // java.sql form (e.g. "2020-02-02 01:02:03.0"), not as internal micros.
+      val partMap = partSchema.zipWithIndex.map { case (f, i) =>
+        val v = CatalystTypeConverters.convertToScala(
+          dir.values.get(i, f.dataType), f.dataType)
+        f.name -> (if (v == null) "null" else v.toString)
+      }.toMap
+      dir.files.map { st =>
+        FileSlice(st.getPath.toString, st.getPath.getName, st.getLen,
+          st.getModificationTime, partMap)
+      }
+    }
+
+    val source = opts.get(SOURCE).map(_.toLowerCase(java.util.Locale.ROOT)) match {
+      case Some(s) =>
+        require(SOURCES.contains(s),
+          s"Invalid source: $s, expected one of ${SOURCES.mkString("[", ", ", "]")}")
+        s
+      case None =>
+        // Assume homogeneous input: sniff the first file's magic bytes
+        val isParquet = files.headOption.exists { f =>
+          val p = new Path(f.path)
+          Footers.isParquet(p.getFileSystem(hadoopConf), p)
+        }
+        if (isParquet) "parquet" else "file"
+    }
+
+    val level = opts.getOrElse(LEVEL, "file").toLowerCase(java.util.Locale.ROOT)
+    require(LEVELS.contains(level),
+      s"Invalid level: $level, expected one of ${LEVELS.mkString("[", ", ", "]")}")
+
+    new MetaTable(MetadataSource.levelFor(source, level), files,
+      maxParts, bufferSize, pageContent, spark)
+  }
+}
+
+/** Scan builder with required-column pruning. */
+class MetaScanBuilder(table: MetaTable)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = table.schema()
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  override def build(): Scan = new MetaScan(table, required)
+}
+
+/** A group of files read by one task. */
+case class FilesPartition(files: Array[FileSlice]) extends InputPartition
+
+class MetaScan(table: MetaTable, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"metadata(level=${table.level.levelName}, files=${table.files.length}, " +
+      s"columns=[${required.fieldNames.mkString(",")}])"
+
+  /**
+   * Pack files into at most `maxparts` partitions, balanced by file size
+   * (greedy largest-first into the lightest bin) so one task doesn't end up
+   * with all the big files when page-scanning a skewed table.
+   */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = table.files
+    if (files.isEmpty) return Array.empty
+    val n = math.max(1, math.min(files.length, table.maxParts))
+    val bins = Array.fill(n)(Vector.newBuilder[FileSlice])
+    val weights = new Array[Long](n)
+    files.sortBy(-_.size).foreach { f =>
+      var best = 0
+      var i = 1
+      while (i < n) {
+        if (weights(i) < weights(best)) best = i
+        i += 1
+      }
+      bins(best) += f
+      weights(best) += math.max(f.size, 1L)
+    }
+    bins.iterator
+      .map(b => FilesPartition(b.result().toArray))
+      .filter(_.files.nonEmpty)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableHadoopConf(table.spark.sessionState.newHadoopConf())
+    MetaReaderFactory(table.level, required, conf, table.bufferSize, table.pageContent)
+  }
+}
+
+case class MetaReaderFactory(
+    level: MetaLevel,
+    required: StructType,
+    conf: SerializableHadoopConf,
+    bufferSize: Int,
+    pageContent: Boolean) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val files = partition.asInstanceOf[FilesPartition].files
+    new MetaPartitionReader(files, level, required, conf.value, bufferSize, pageContent)
+  }
+}

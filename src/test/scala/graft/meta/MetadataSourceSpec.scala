@@ -1,0 +1,152 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MetadataSourceSpec extends SparkSpec {
+  private val lineitem = sf("0.001") + "/lineitem.parquet"
+
+  private def meta(path: String, opts: (String, String)*): DataFrame = {
+    var r = spark.read.format("metadata")
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    r.load(path)
+  }
+
+  test("file level over a single parquet file") {
+    val df = meta(lineitem, "source" -> "file")
+    assert(df.schema === MetaLevel.FsFile.schema)
+    val rows = df.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("filename") === "lineitem.parquet")
+    assert(rows.head.getAs[Long]("size") > 0)
+  }
+
+  test("parquet file level matches actual row count") {
+    val expected = spark.read.parquet(lineitem).count()
+    val df = meta(lineitem, "level" -> "file")
+    assert(df.schema === MetaLevel.ParquetFile.schema)
+    val row = df.collect().head
+    assert(row.getAs[Long]("num_rows") === expected)
+    assert(row.getAs[Int]("num_row_groups") >= 1)
+    assert(row.getAs[Long]("metadata_size") > 0)
+    assert(row.getAs[String]("schema").startsWith("message"))
+    assert(row.getAs[String]("created_by") != null)
+  }
+
+  test("rowgroup level num_rows sums to file num_rows") {
+    val fileRows = meta(lineitem, "level" -> "file")
+      .select("num_rows", "num_row_groups").collect().head
+    val rg = meta(lineitem, "level" -> "rowgroup")
+    assert(rg.schema === MetaLevel.ParquetRowGroup.schema)
+    assert(rg.count() === fileRows.getInt(1).toLong)
+    val summed = rg.agg(sum("num_rows")).collect().head.getLong(0)
+    assert(summed === fileRows.getLong(0))
+  }
+
+  test("column level multiplicity and sizes are consistent with rowgroups") {
+    val rgs = meta(lineitem, "level" -> "rowgroup")
+      .select("row_group_id", "num_columns", "total_compressed_size")
+      .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val cols = meta(lineitem, "level" -> "column")
+    assert(cols.schema === MetaLevel.ParquetColumn.schema)
+    val byRg = cols.groupBy("row_group_id")
+      .agg(count("*").as("n"), sum("total_compressed_size").as("sz"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byRg.keySet === rgs.keySet)
+    byRg.foreach { case (id, (n, sz)) =>
+      assert(n === rgs(id)._1.toLong)
+      assert(sz === rgs(id)._2)
+    }
+    // every chunk carries a type/path/codec and positive num_values
+    assert(cols.filter(col("path").isNull || col("type").isNull ||
+      col("compression").isNull || col("num_values") <= 0).count() === 0)
+  }
+
+  test("page level bytes sum exactly to chunk compressed size") {
+    val chunks = meta(lineitem, "level" -> "column")
+      .select("row_group_id", "column_id", "total_compressed_size")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val pages = meta(lineitem, "level" -> "page")
+    assert(pages.schema === MetaLevel.ParquetPage.schema)
+    val byChunk = pages.groupBy("row_group_id", "column_id")
+      .agg(sum(col("page_header_size") + col("page_compressed_size")).as("bytes"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(byChunk === chunks)
+    // page ids restart at 0 per chunk
+    val firstIds = pages.groupBy("row_group_id", "column_id")
+      .agg(min("page_id").as("first")).select("first").distinct().collect()
+    assert(firstIds.map(_.getInt(0)).toSeq === Seq(0))
+  }
+
+  test("page content gated by option and sized exactly") {
+    val off = meta(lineitem, "level" -> "page")
+    assert(off.filter(col("page_content").isNotNull).count() === 0)
+    val on = meta(lineitem, "level" -> "page", "pagecontent" -> "true")
+      .filter(col("page_content").isNotNull)
+      .select(size(col("page_content")).as("n"), col("page_compressed_size"))
+    assert(on.count() > 0)
+    assert(on.filter(col("n") =!= col("page_compressed_size")).count() === 0)
+  }
+
+  test("partitioned table surfaces stringified partition values") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    spark.range(0, 100, 1, 2)
+      .withColumn("p", (col("id") % 2).cast("int"))
+      .withColumn("s", concat(lit("v"), col("id") % 3))
+      .write.mode("overwrite").partitionBy("p", "s").parquet(dir)
+    val df = meta(dir, "level" -> "file")
+    val parts = df.select("partition").collect().map(_.getAs[Map[String, String]](0))
+    assert(parts.nonEmpty)
+    assert(parts.forall(m => m.keySet === Set("p", "s")))
+    assert(parts.forall(m => Set("0", "1").contains(m("p"))))
+    assert(parts.forall(m => m("s").startsWith("v")))
+    // rowgroup totals across many files still sum to the table count
+    val total = meta(dir, "level" -> "rowgroup")
+      .agg(sum("num_rows")).collect().head.getLong(0)
+    assert(total === 100L)
+  }
+
+  test("non-parquet files fall back to file source") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    spark.range(0, 10).write.mode("overwrite").json(dir)
+    val df = meta(dir)
+    assert(df.schema === MetaLevel.FsFile.schema)
+    assert(df.count() > 0)
+  }
+
+  test("invalid option combinations produce reference-compatible errors") {
+    def messageOf(t: Throwable): String = {
+      var cause: Throwable = t
+      while (cause.getCause != null && !cause.getMessage.contains("level") &&
+        !cause.getMessage.contains("source")) cause = cause.getCause
+      cause.getMessage
+    }
+    val e1 = intercept[Exception](meta(lineitem, "source" -> "json").collect())
+    assert(messageOf(e1).contains("Invalid source: json, expected one of [file, parquet]"))
+    val e2 = intercept[Exception](meta(lineitem, "level" -> "pages").collect())
+    assert(messageOf(e2).contains("Invalid level: pages, expected one of [file, rowgroup, column, page]"))
+    val e3 = intercept[Exception](
+      meta(lineitem, "source" -> "file", "level" -> "rowgroup").collect())
+    assert(messageOf(e3).contains("Source 'file' does not support 'rowgroup' level"))
+  }
+
+  test("column pruning reaches the scan") {
+    val df = meta(lineitem, "level" -> "column").select("path", "num_values")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("path") && !plan.toLowerCase.contains("statistics"))
+    assert(df.collect().length > 0)
+  }
+
+  test("maxparts caps input partitions") {
+    val dir = Files.createTempDirectory("graft_many").toString
+    spark.range(0, 100, 1, 10).write.mode("overwrite").parquet(dir)
+    val df = meta(dir, "level" -> "file", "maxparts" -> "3")
+    assert(df.rdd.getNumPartitions <= 3)
+    val all = meta(dir, "level" -> "file")
+    assert(all.count() === df.count())
+  }
+}
