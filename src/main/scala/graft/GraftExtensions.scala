@@ -21,14 +21,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(clazz: Class[_], name: String): ExpressionInfo =
     new ExpressionInfo(clazz.getName, name)
 
+  private def binary(name: String)(build: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { args =>
+    if (args.length != 2) {
+      throw new IllegalArgumentException(
+        s"Function $name requires exactly 2 arguments, got ${args.length}")
+    }
+    build(args(0), args(1))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info(classOf[CosineSimilarity], "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      binary("cosine_sim")(CosineSimilarity)))
     ext.injectFunction((
       FunctionIdentifier("dot_f"),
       info(classOf[DotProductF], "dot_f"),
-      (args: Seq[Expression]) => DotProductF(args(0), args(1))))
+      binary("dot_f")(DotProductF)))
   }
 }

@@ -1,10 +1,28 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, ExpressionDescription}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Shared analysis-time type check: both inputs must be `array<float>`. */
+private[functions] trait FloatVectorPair { self: BinaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
+}
 
 /**
  * Native Catalyst expression: cosine similarity between two FLOAT vectors,
@@ -15,16 +33,15 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
  * rows stay inside a single generated loop.
  *
  * Null/empty/zero-norm semantics: null if either input is null; 0.0 if either
- * vector has zero norm; inputs must have equal length (shorter length wins —
- * extra trailing elements on one side are ignored, mirroring `zip_with`).
+ * vector has zero norm. Lengths are truncated to the shorter input (extra
+ * trailing elements on the longer side are ignored), and null elements are
+ * read as 0.0 — callers should pass equal-length, non-null-element vectors.
  */
 @ExpressionDescription(
   usage = "_FUNC_(a, b) - cosine similarity of two float vectors, in double precision.")
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with FloatVectorPair {
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
@@ -79,16 +96,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /**
  * Dot product of two FLOAT vectors in double precision — same fused-loop,
- * codegen-friendly shape as [[CosineSimilarity]]. Used by the IVF search
- * path where norms are precomputed once per vector.
+ * codegen-friendly shape and null/length semantics as [[CosineSimilarity]].
+ * Useful when norms are precomputed once per vector (normalized embeddings).
  */
 @ExpressionDescription(
   usage = "_FUNC_(a, b) - dot product of two float vectors, in double precision.")
 case class DotProductF(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with FloatVectorPair {
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f"
 

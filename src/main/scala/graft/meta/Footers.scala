@@ -85,8 +85,11 @@ object Footers {
     val in = fs.open(path)
     try {
       val head = new Array[Byte](4)
-      val n = in.read(head, 0, 4)
-      n == 4 && java.util.Arrays.equals(head, MAGIC)
+      // readFully: a plain read may legally return <4 bytes mid-stream
+      in.readFully(head)
+      java.util.Arrays.equals(head, MAGIC)
+    } catch {
+      case _: java.io.EOFException => false // shorter than the magic
     } finally {
       in.close()
     }
@@ -110,7 +113,9 @@ object Footers {
       val footerLen =
         (four(0) & 0xff) | ((four(1) & 0xff) << 8) |
         ((four(2) & 0xff) << 16) | ((four(3) & 0xff) << 24)
-      if (fileLen < footerLen + TAIL_LEN) {
+      // A corrupt length >2GB decodes negative; treat it as EOF/corrupt too
+      // (footerLen is promoted to Long so the comparison cannot overflow).
+      if (footerLen < 0 || fileLen < footerLen.toLong + TAIL_LEN) {
         throw new RuntimeException(
           s"EOF when reading Parquet metadata for $path, file $fileLen, metadata $footerLen")
       }

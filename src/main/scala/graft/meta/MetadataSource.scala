@@ -30,14 +30,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class MetadataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "metadata"
 
+  // Spark calls inferSchema then getTable on the same provider instance with
+  // the same options; cache the resolved table so file listing, partition
+  // stringification, and the magic-byte sniff run once per spark.read.
+  private var cached: (Map[String, String], MetaTable) = null
+
+  private def resolve(options: Map[String, String]): MetaTable = synchronized {
+    if (cached == null || cached._1 != options) {
+      cached = (options, MetaTable.resolve(options))
+    }
+    cached._2
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    MetaTable.resolve(options.asScala.toMap).schema()
+    resolve(options.asScala.toMap).schema()
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    MetaTable.resolve(properties.asScala.toMap)
+    resolve(properties.asScala.toMap)
 
   override def supportsExternalMetadata(): Boolean = false
 }
