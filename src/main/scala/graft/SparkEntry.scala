@@ -1,13 +1,621 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/**
+ * Driver contract: the full query inventory with DuckDB oracles.
+ *
+ * Conventions that keep the oracle hash-compare deterministic:
+ *  - every computed column is aliased identically in Spark and SQL;
+ *  - integer outputs are cast to BIGINT on both sides;
+ *  - double aggregates go through exact DECIMAL sums (order-independent)
+ *    and only then cast to DOUBLE, so partition order cannot change a bit;
+ *  - ANN/similarity queries emit integer ranks, not raw float scores;
+ *  - all ratio-style doubles are exact small-integer rationals, identical
+ *    in any IEEE-754 engine.
+ *
+ * The oracle SQL for metadata queries uses DuckDB's
+ * `parquet_metadata`/`parquet_file_metadata`/`read_blob` table functions on
+ * the sf0.01 files (the scale the driver verifies at).
+ */
 object SparkEntry {
+
+  /** sf dir the driver's DuckDB verification runs at. */
+  private val OracleSf = "/root/testdata/sf0.01"
+
+  private def pq(dir: String, table: String): String = s"$dir/$table.parquet"
+
+  private def meta(s: SparkSession, path: String, level: String,
+      opts: Map[String, String] = Map.empty): DataFrame = {
+    val r = s.read.format("metadata").option("level", level)
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load(path)
+  }
+
+  /** Exact, order-independent sum of a double column: decimal-accumulated,
+    * surfaced as DOUBLE. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(28,6)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    meta(spark, pq("/root/testdata/sf0.001", "lineitem"), "rowgroup")
+
+  // ---------------------------------------------------------------------
+  // Query inventory
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- metadata datasource: the five levels --------------------------
+    "meta_file_level" -> ((s, dir) =>
+      meta(s, pq(dir, "lineitem"), "file", Map("source" -> "file"))
+        .select(col("filename"), col("size"))),
+
+    "meta_parquet_file_level" -> ((s, dir) =>
+      meta(s, pq(dir, "lineitem"), "file")
+        .select(col("filename"), col("num_rows"),
+          col("num_row_groups").cast("long").as("num_row_groups"),
+          col("created_by"))),
+
+    "meta_rowgroup_level" -> ((s, dir) =>
+      meta(s, pq(dir, "lineitem"), "rowgroup")
+        .select(col("row_group_id").cast("long").as("row_group_id"),
+          col("num_rows"),
+          col("num_columns").cast("long").as("num_columns"),
+          col("total_compressed_size"),
+          col("total_uncompressed_size"))),
+
+    "meta_column_level" -> ((s, dir) =>
+      meta(s, pq(dir, "lineitem"), "column")
+        .select(col("row_group_id").cast("long").as("row_group_id"),
+          col("column_id").cast("long").as("column_id"),
+          col("path"), col("type"), col("compression"),
+          array_join(col("encodings"), ", ").as("encodings"),
+          col("num_values"),
+          col("total_compressed_size"),
+          col("total_uncompressed_size"),
+          col("data_page_offset"),
+          col("dictionary_page_offset"))),
+
+    // Full page-level scan (no DuckDB page-metadata equivalent -> rows-only
+    // check); page byte accounting is oracle-checked by meta_page_bytes.
+    "meta_page_level" -> ((s, dir) =>
+      meta(s, pq(dir, "lineitem"), "page")
+        .select(col("row_group_id"), col("column_id"), col("page_id"),
+          col("page_type"), col("page_header_offset"), col("page_header_size"),
+          col("page_compressed_size"), col("num_values"), col("encoding"))),
+
+    // Page-level bytes roll exactly up to the column-chunk compressed size.
+    "meta_page_bytes" -> ((s, dir) =>
+      meta(s, pq(dir, "lineitem"), "page")
+        .groupBy(col("row_group_id").cast("long").as("row_group_id"),
+          col("column_id").cast("long").as("column_id"))
+        .agg(sum(col("page_header_size").cast("long") +
+          col("page_compressed_size").cast("long")).as("total_compressed_size"))),
+
+    // Level-to-level join on filepath: parquet-file footer totals vs the
+    // rowgroup-level sum — the cross-level consistency query.
+    "meta_join" -> ((s, dir) => {
+      val f = meta(s, pq(dir, "lineitem"), "file")
+        .select(col("filepath"), col("filename"), col("num_rows"))
+      val rg = meta(s, pq(dir, "lineitem"), "rowgroup")
+        .groupBy(col("filepath"))
+        .agg(sum(col("num_rows")).as("rg_rows"),
+          count(lit(1)).as("n_row_groups"))
+      f.join(rg, "filepath")
+        .select(col("filename"), col("num_rows"), col("rg_rows"), col("n_row_groups"))
+    }),
+
+    // Filter + aggregate over the column level (delegated-capability demo).
+    "meta_filter_agg" -> ((s, dir) =>
+      meta(s, pq(dir, "lineitem"), "column")
+        .filter(col("type") === "INT64")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("num_values")).as("n_values"))),
+
+    // Whole-directory scan: one footer row per table file.
+    "meta_multifile" -> ((s, dir) =>
+      meta(s, dir, "file")
+        .select(col("filename"), col("num_rows"),
+          col("num_row_groups").cast("long").as("num_row_groups"))),
+
+    // Metadata joined against the data it describes.
+    "meta_vs_data" -> ((s, dir) => {
+      val metaRows = meta(s, pq(dir, "orders"), "rowgroup")
+        .agg(sum(col("num_rows")).as("meta_rows"))
+      val dataRows = s.read.parquet(pq(dir, "orders"))
+        .agg(count(lit(1)).as("data_rows"))
+      metaRows.crossJoin(dataRows)
+    }),
+
+    // ----- delegated relational capabilities (Catalyst-native plans) -----
+    "q1_agg" -> ((s, dir) => {
+      val l = s.read.parquet(pq(dir, "lineitem"))
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price"), col("sum_disc_price"), col("count_order"))
+    }),
+
+    "q3_topk" -> ((s, dir) => {
+      val c = s.read.parquet(pq(dir, "customer")).filter(col("c_mktsegment") === "BUILDING")
+      val o = s.read.parquet(pq(dir, "orders"))
+      val l = s.read.parquet(pq(dir, "lineitem"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_join" -> ((s, dir) => {
+      val n = s.read.parquet(pq(dir, "nation"))
+      val c = s.read.parquet(pq(dir, "customer"))
+      val o = s.read.parquet(pq(dir, "orders"))
+      val l = s.read.parquet(pq(dir, "lineitem"))
+      val su = s.read.parquet(pq(dir, "supplier"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
+    "win_rank" -> ((s, dir) => {
+      val o = s.read.parquet(pq(dir, "orders"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn").cast("long").as("rn"), col("o_orderkey"))
+    }),
+
+    "win_sessions" -> ((s, dir) => {
+      // events.ts is TIMESTAMP(NANOS), which Spark's Parquet reader rejects;
+      // read it as raw nanos and do exact integer gap arithmetic.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(pq(dir, "events"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > 1800L * 1000000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    "cube_rollup" -> ((s, dir) =>
+      s.read.parquet(pq(dir, "orders"))
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("n_orders"), col("total_price"))),
+
+    "set_except" -> ((s, dir) => {
+      val c = s.read.parquet(pq(dir, "customer")).select(col("c_custkey").as("k"))
+      val o = s.read.parquet(pq(dir, "orders")).select(col("o_custkey").as("k"))
+      c.except(o).agg(count(lit(1)).as("n_customers_without_orders"))
+    }),
+
+    "distinct_agg" -> ((s, dir) => {
+      val su = s.read.parquet(pq(dir, "supplier"))
+      val n = s.read.parquet(pq(dir, "nation"))
+      su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(countDistinct(col("s_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ----- LLM-data-pipeline: dedup ------------------------------------
+    // Exact dedup over a corpus with planted duplicate texts: one
+    // hash-aggregate on the text key.
+    "dedup_exact" -> ((s, dir) => {
+      val corpus = plantedCorpus(s, dir)
+      Dedup.exact(corpus, col("text"), col("doc_id"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("n_copies")).as("n_total"),
+          sum(col("rep_id")).as("rep_id_sum"))
+    }),
+
+    // MinHash + banded-LSH near-dup detection, verified by exact token-set
+    // equality. Identical token sets -> identical signatures -> guaranteed
+    // LSH recall at J=1, so the candidate-join result equals the oracle's
+    // exact all-pairs answer while the plan stays a bucketed equi-join.
+    "dedup_minhash" -> ((s, dir) => {
+      val corpus = plantedCorpus(s, dir)
+        .withColumn("ws", TextOps.tokenSet(col("text")))
+      val sigs = Dedup.minhashSignatures(corpus, col("doc_id"), col("ws"))
+      // 4 bands x 16 rows: candidate threshold (1/4)^(1/16) ~= 0.92, so the
+      // bucket join stays sparse on vocabulary-dense corpora while recall at
+      // J=1 (identical sets -> identical signatures) remains exactly 1.
+      val pairs = Dedup.candidatePairs(Dedup.lshBands(sigs, bands = 4, rowsPerBand = 16))
+      val sets = corpus.select(col("doc_id"), col("ws"))
+      pairs
+        .join(sets.select(col("doc_id").as("a_id"), col("ws").as("ws_a")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("ws").as("ws_b")), "b_id")
+        .filter(col("ws_a") === col("ws_b"))
+        .agg(count(lit(1)).as("dup_pairs"),
+          coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_sum"))
+    }),
+
+    // SimHash dedup: 64-bit signature equi-join, verified by text equality.
+    "dedup_simhash" -> ((s, dir) => {
+      val corpus = plantedCorpus(s, dir)
+        .withColumn("ws", TextOps.tokenSet(col("text")))
+      val sh = Dedup.simhash64(corpus, col("doc_id"), col("ws"))
+      val withText = sh.join(corpus.select(col("doc_id").as("sh_id"), col("text")), "sh_id")
+      val l = withText.select(col("sh_id").as("a_id"), col("simhash").as("h_a"), col("text").as("t_a"))
+      val r = withText.select(col("sh_id").as("b_id"), col("simhash").as("h_b"), col("text").as("t_b"))
+      l.join(r, col("h_a") === col("h_b") && col("a_id") < col("b_id"))
+        .filter(col("t_a") === col("t_b"))
+        .agg(count(lit(1)).as("dup_pairs"),
+          coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_sum"))
+    }),
+
+    // Word-bigram Jaccard similarity over a bounded pair set.
+    "ngram_jaccard" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), sort_array(array_distinct(TextOps.wordNgrams(col("text"), 2))).as("ng"))
+      val a = d.select(col("doc_id").as("a_id"), col("ng").as("ng_a"))
+      val b = d.select(col("doc_id").as("b_id"), col("ng").as("ng_b"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          floor(Dedup.jaccard(col("ng_a"), col("ng_b")) * 1000000.0d).as("j_micro"))
+        .filter(col("j_micro") >= 100000L)
+    }),
+
+    // ----- LLM-data-pipeline: text analysis ----------------------------
+    "text_tokens" -> ((s, dir) =>
+      s.read.parquet(pq(dir, "documents"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))),
+
+    "text_quality" -> ((s, dir) =>
+      s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          floor(TextOps.qualityScore(col("text")) * 1000000.0d).as("q_micro"))),
+
+    "text_langid" -> ((s, dir) =>
+      s.read.parquet(pq(dir, "documents"))
+        .select(TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // ----- LLM-data-pipeline: similarity search ------------------------
+    // Exact brute-force cosine top-3 (integer ranks; the scores order the
+    // rows but are not emitted, keeping the hash compare float-free).
+    "ann_cosine_topk" -> ((s, dir) => {
+      val e = s.read.parquet(pq(dir, "embeddings"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", queries, "q_id", "q_vec", 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
+    // Bucketed LSH ANN (equi-join on sign-pattern buckets; plan-shape
+    // guarded by a test — no oracle since recall is approximate).
+    "ann_lsh" -> ((s, dir) => {
+      val e = s.read.parquet(pq(dir, "embeddings"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(e, "vec_id", "embedding", queries, "q_id", "q_vec",
+        dim = 64, numPlanes = 8, k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
+    // ----- LLM-data-pipeline: multimodal columns -----------------------
+    "mm_features" -> ((s, dir) => {
+      val media = s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id").as("media_id"), lit("text/plain").as("kind"),
+          col("text").cast("binary").as("bytes"))
+      Multimodal.extractFeaturesSql(media)
+        .select(col("media_id"), col("byte_size").cast("long").as("byte_size"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("checksum"))
+    })
+  )
+
+  /** Documents plus planted duplicates (doc_id < 50 re-inserted shifted by
+    * 100000) so dedup answers are non-trivial on a dup-free corpus. */
+  private def plantedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") < 50).select(col("doc_id") + 100000L, col("text")))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------
+
+  private val lineitemPq = s"$OracleSf/lineitem.parquet"
+
+  /** Shared corpus-with-planted-duplicates CTE (mirrors plantedCorpus). */
+  private val corpusCte =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "meta_file_level" ->
+      s"""SELECT parse_filename(filename) AS filename, CAST(size AS BIGINT) AS size
+         |FROM read_blob('$lineitemPq')""".stripMargin,
+
+    "meta_parquet_file_level" ->
+      s"""SELECT parse_filename(file_name) AS filename, num_rows,
+         |  CAST(num_row_groups AS BIGINT) AS num_row_groups, created_by
+         |FROM parquet_file_metadata('$lineitemPq')""".stripMargin,
+
+    "meta_rowgroup_level" ->
+      s"""SELECT CAST(row_group_id AS BIGINT) AS row_group_id,
+         |  CAST(min(row_group_num_rows) AS BIGINT) AS num_rows,
+         |  CAST(min(row_group_num_columns) AS BIGINT) AS num_columns,
+         |  CAST(sum(total_compressed_size) AS BIGINT) AS total_compressed_size,
+         |  CAST(min(row_group_bytes) AS BIGINT) AS total_uncompressed_size
+         |FROM parquet_metadata('$lineitemPq')
+         |GROUP BY row_group_id""".stripMargin,
+
+    "meta_column_level" ->
+      s"""SELECT CAST(row_group_id AS BIGINT) AS row_group_id,
+         |  CAST(column_id AS BIGINT) AS column_id,
+         |  path_in_schema AS path, type, compression, encodings,
+         |  CAST(num_values AS BIGINT) AS num_values,
+         |  CAST(total_compressed_size AS BIGINT) AS total_compressed_size,
+         |  CAST(total_uncompressed_size AS BIGINT) AS total_uncompressed_size,
+         |  CAST(data_page_offset AS BIGINT) AS data_page_offset,
+         |  CAST(dictionary_page_offset AS BIGINT) AS dictionary_page_offset
+         |FROM parquet_metadata('$lineitemPq')""".stripMargin,
+
+    "meta_page_bytes" ->
+      s"""SELECT CAST(row_group_id AS BIGINT) AS row_group_id,
+         |  CAST(column_id AS BIGINT) AS column_id,
+         |  CAST(total_compressed_size AS BIGINT) AS total_compressed_size
+         |FROM parquet_metadata('$lineitemPq')""".stripMargin,
+
+    "meta_join" ->
+      s"""WITH rg AS (
+         |  SELECT DISTINCT row_group_id, row_group_num_rows
+         |  FROM parquet_metadata('$lineitemPq'))
+         |SELECT parse_filename(f.file_name) AS filename, f.num_rows,
+         |  (SELECT CAST(sum(row_group_num_rows) AS BIGINT) FROM rg) AS rg_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM rg) AS n_row_groups
+         |FROM parquet_file_metadata('$lineitemPq') f""".stripMargin,
+
+    "meta_filter_agg" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(num_values) AS BIGINT) AS n_values
+         |FROM parquet_metadata('$lineitemPq')
+         |WHERE type = 'INT64'""".stripMargin,
+
+    "meta_multifile" ->
+      s"""SELECT parse_filename(file_name) AS filename, num_rows,
+         |  CAST(num_row_groups AS BIGINT) AS num_row_groups
+         |FROM parquet_file_metadata('$OracleSf/*.parquet')""".stripMargin,
+
+    "meta_vs_data" ->
+      s"""SELECT (SELECT CAST(sum(mx) AS BIGINT) FROM (
+         |    SELECT min(row_group_num_rows) AS mx
+         |    FROM parquet_metadata('$OracleSf/orders.parquet')
+         |    GROUP BY row_group_id)) AS meta_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS data_rows""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "win_rank" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "win_sessions" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM events))
+        |GROUP BY user_id""".stripMargin,
+
+    "cube_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "set_except" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_customers_without_orders FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  EXCEPT
+        |  SELECT o_custkey AS k FROM orders)""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT n_name,
+        |  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "dedup_exact" ->
+      s"""$corpusCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_unique,
+         |  CAST(sum(n_copies) AS BIGINT) AS n_total,
+         |  CAST(sum(rep_id) AS BIGINT) AS rep_id_sum
+         |FROM (
+         |  SELECT text, min(doc_id) AS rep_id, count(*) AS n_copies
+         |  FROM corpus GROUP BY text)""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""$corpusCte,
+         |sets AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws
+         |  FROM corpus)
+         |SELECT CAST(count(*) AS BIGINT) AS dup_pairs,
+         |  CAST(coalesce(sum(a.doc_id + b.doc_id), 0) AS BIGINT) AS id_sum
+         |FROM sets a JOIN sets b ON a.ws = b.ws AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""$corpusCte
+         |SELECT CAST(count(*) AS BIGINT) AS dup_pairs,
+         |  CAST(coalesce(sum(a.doc_id + b.doc_id), 0) AS BIGINT) AS id_sum
+         |FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+
+    "ngram_jaccard" ->
+      """WITH ng AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(
+        |      list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i + 1]))) AS ng
+        |  FROM (
+        |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |    FROM documents WHERE doc_id < 40))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(floor(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.ng, b.ng))) * 1000000) AS BIGINT) AS j_micro
+        |FROM ng a JOIN ng b ON a.doc_id < b.doc_id
+        |WHERE CAST(floor(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.ng, b.ng))) * 1000000) AS BIGINT) >= 100000""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents
+        |GROUP BY lang""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(floor((
+        |    least(CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DOUBLE) / 64.0, 1.0) * 0.4
+        |    + CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+        |        AND CAST(length(text) AS DOUBLE) / len(list_filter(string_split(text, ' '), t -> t <> '')) BETWEEN 3.0 AND 10.0
+        |      THEN 1.0 ELSE 0.5 END * 0.3
+        |    + CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text) END * 0.3
+        |  ) * 1000000) AS BIGINT) AS q_micro
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "text_langid" ->
+      """WITH scored AS (
+        |  SELECT
+        |    len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+        |      t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+        |    len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+        |      t -> list_contains(['the','a','of','and','to'], t))) AS s_en,
+        |    len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+        |      t -> list_contains(['el','la','de','y','que'], t))) AS s_es,
+        |    len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+        |      t -> list_contains(['le','la','de','et','les'], t))) AS s_fr,
+        |    len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+        |      t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+        |  FROM documents)
+        |SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs FROM (
+        |  SELECT CASE
+        |    WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |    WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |    WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS pred_lang
+        |  FROM scored)
+        |GROUP BY pred_lang""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents WHERE doc_id < 100""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |  FROM embeddings WHERE vec_id < 10)
+        |SELECT q_id AS query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+        |FROM (
+        |  SELECT q.q_id, e.vec_id,
+        |    row_number() OVER (PARTITION BY q.q_id
+        |      ORDER BY list_cosine_similarity(q.q_vec, CAST(e.embedding AS DOUBLE[])) DESC,
+        |        e.vec_id) AS rank
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.q_id)
+        |WHERE rank <= 3""".stripMargin,
+
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+        |  CAST(64 + octet_length(encode(text)) % 576 AS BIGINT) AS width,
+        |  CAST(64 + octet_length(encode(text)) % 416 AS BIGINT) AS height,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(list_filter(string_split(substring(text, 1, 64), ''), c -> c <> ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
+        |FROM documents WHERE doc_id < 50""".stripMargin
+  )
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale document corpora.
+ *
+ * Everything is expressed as shuffles on *bounded-cardinality keys*
+ * (document id, band hash) so the plans survive a 100x scale-up:
+ *
+ *  - exact dedup: one hash-aggregate on the dedup key (map-side partial
+ *    aggregation kicks in for free);
+ *  - MinHash/LSH near-dup: signature build is a single explode + one
+ *    hash-aggregate by doc id (64 `min` aggregates, all partially
+ *    aggregated map-side); candidate generation is a *bucketed equi-join*
+ *    on band hashes — never an all-pairs product;
+ *  - SimHash: same explode/aggregate shape with 64 signed-bit sums, and
+ *    candidate pairs come from an equi-join on the 64-bit signature.
+ *
+ * All hash math is plain column arithmetic (xxhash64 + affine permutations
+ * mod a Mersenne prime), codegen-friendly, no UDFs.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: keep one representative row per key (the smallest id),
+   * with the duplicate count. One shuffle on the dedup key.
+   */
+  def exact(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(id).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /**
+   * MinHash signatures over a token-set column: one row per id with
+   * `sig: array<long>` of length `numPerms`.
+   *
+   * Plan shape: explode(tokens) -> hash -> single groupBy(id) carrying
+   * `numPerms` `min(...)` aggregates. Partial (map-side) aggregation keeps
+   * the shuffle at one row per (id, partition), independent of token count.
+   *
+   * The permutation family is seeded hashing — `xxhash64(p, token)` — which
+   * is overflow-free under ANSI arithmetic (an affine `a*h+b mod P` family
+   * would overflow 64-bit products) and gives 64 independent hash functions.
+   */
+  def minhashSignatures(
+      df: DataFrame,
+      id: Column,
+      tokenSet: Column,
+      numPerms: Int = 64): DataFrame = {
+    val exploded = df.select(id.as("mh_id"), explode(tokenSet).as("tok"))
+    val mins = (0 until numPerms).map { p =>
+      min(xxhash64(lit(p), col("tok"))).as(s"m$p")
+    }
+    exploded
+      .groupBy(col("mh_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("mh_id"), array((0 until numPerms).map(p => col(s"m$p")): _*).as("sig"))
+  }
+
+  /**
+   * LSH banding: one row per (id, band) with a 64-bit band hash. Ids sharing
+   * any band hash are near-dup candidates. `bands * rowsPerBand` must equal
+   * the signature length.
+   */
+  def lshBands(sigDf: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: slots: _*).as("bh"))
+    }
+    sigDf
+      .select(col("mh_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("mh_id"), col("bk.band").as("band"), col("bk.bh").as("band_hash"))
+  }
+
+  /**
+   * Candidate near-duplicate pairs (a < b) from banded signatures: a bucketed
+   * self-equi-join on (band, band_hash) — shuffle-partitioned by band hash,
+   * never a cartesian product.
+   */
+  def candidatePairs(bandsDf: DataFrame): DataFrame = {
+    val l = bandsDf.select(col("band").as("band_l"), col("band_hash").as("bh_l"), col("mh_id").as("a_id"))
+    val r = bandsDf.select(col("band").as("band_r"), col("band_hash").as("bh_r"), col("mh_id").as("b_id"))
+    l.join(r, col("band_l") === col("band_r") && col("bh_l") === col("bh_r") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /**
+   * SimHash (64-bit) over a token column: per bit, sum +/-1 contributions of
+   * each token's hash bit, then assemble the sign bits. Same scalable
+   * explode + single-aggregate shape as [[minhashSignatures]].
+   */
+  def simhash64(df: DataFrame, id: Column, tokenSet: Column): DataFrame = {
+    val exploded = df
+      .select(id.as("sh_id"), explode(tokenSet).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"s$b")
+    }
+    val assembled = (0 until 64)
+      .map(b => when(col(s"s$b") >= 0L, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    exploded
+      .groupBy(col("sh_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("sh_id"), assembled.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact Jaccard similarity of two array columns (distinct semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0.0d, 0.0d).otherwise(inter / uni)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CosineSimilarity, DotProductF}
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two plans:
+ *
+ *  - [[bruteForceTopK]]: exact scoring of a (small, broadcast) query set
+ *    against the full corpus — a broadcast nested-loop whose cost is
+ *    O(|queries| * |corpus|) but with *zero shuffle of the corpus*; the
+ *    corpus is scanned once in place and only top-k rows per query survive.
+ *    This is the right plan when |queries| is small (the usual ANN probe
+ *    shape) even at 100 TB corpus scale.
+ *
+ *  - [[lshTopK]]: random-hyperplane LSH — both sides are bucketed by the
+ *    sign pattern of `numPlanes` fixed hyperplanes and candidates come from
+ *    an *equi-join on the bucket id*, so the plan is shuffle-partitioned by
+ *    bucket and never degenerates into a cartesian product (asserted by a
+ *    plan-shape test). Scoring within buckets uses the same exact kernel.
+ *
+ * Scoring uses the native codegen'd Catalyst expressions
+ * [[graft.functions.CosineSimilarity]] / [[graft.functions.DotProductF]]
+ * (double accumulation, fused single pass).
+ */
+object Similarity {
+
+  /** Cosine similarity column over two `array<float>` columns. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Dot product column over two `array<float>` columns. */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /**
+   * Exact top-k neighbours of each query vector. `queries` must be small
+   * (it is broadcast). Returns (query_id, rank, neighbor_id, score).
+   */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries), col(corpusId) =!= col(queryId))
+      .withColumn("score", cosine(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("score").desc, col(corpusId))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col("rank"),
+        col(corpusId).as("neighbor_id"), col("score"))
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplane component `j`-th plane, `i`-th
+   * dimension: integer values in [-3, 3] from a fixed affine formula, so any
+   * engine reproduces the same planes without sharing state.
+   */
+  def hyperplaneComponent(i: Column, j: Int): Column =
+    pmod(i * 31 + lit(j * 17 + 7), lit(7)).cast("double") - 3.0d
+
+  /**
+   * Sign-pattern LSH bucket id of a vector: bit `j` is the sign of the dot
+   * product with fixed hyperplane `j`. Plain column arithmetic (no UDF).
+   */
+  def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { j =>
+      val dotJ = aggregate(
+        sequence(lit(0), lit(dim - 1)),
+        lit(0.0d),
+        (acc, i) => acc + element_at(vec, i + 1).cast("double") * hyperplaneComponent(i, j))
+      when(dotJ >= 0.0d, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * Bucketed approximate top-k: candidates limited to corpus rows whose LSH
+   * bucket matches the query's bucket, joined on the bucket id (equi-join —
+   * no cartesian product), then exact-scored and ranked within each query.
+   */
+  def lshTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      dim: Int,
+      numPlanes: Int,
+      k: Int): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col(corpusVec), dim, numPlanes))
+    val qb = queries.withColumn("bucket", lshBucket(col(queryVec), dim, numPlanes))
+    val scored = cb
+      .join(qb.withColumnRenamed("bucket", "qbucket"),
+        col("bucket") === col("qbucket") && col(corpusId) =!= col(queryId))
+      .withColumn("score", cosine(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("score").desc, col(corpusId))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col("rank"),
+        col(corpusId).as("neighbor_id"), col("score"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale document pipelines, built entirely
+ * from codegen'd built-in functions (no UDFs) so they stay inside whole-stage
+ * codegen and scale linearly with partition count: every transform here is a
+ * narrow per-row projection — zero shuffles introduced.
+ *
+ * The reference engine delegates all scalar computation to the host engine
+ * (reference: src/main/scala/com/github/sadikovi/metadata/MetadataFileFormat.scala
+ * produces plain rows and lets Spark evaluate expressions); these operators
+ * extend that same philosophy to the text-pipeline domain.
+ */
+object TextOps {
+
+  /** Prime modulus for the rolling fingerprint (fits products in a Long). */
+  val FingerprintMod: Long = 1000000007L
+
+  /** Whitespace tokens with empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Distinct, sorted token set — the unit for set-based similarity. */
+  def tokenSet(text: Column): Column =
+    sort_array(array_distinct(tokens(text)))
+
+  /** Number of non-empty whitespace tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * Adjacent word n-grams (n >= 2) joined with single spaces,
+   * e.g. n=2 over "a b c" -> ["a b", "b c"].
+   */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // Guard: sequence(1, 0) would count DOWN in Spark, so short docs need an
+    // explicit empty result.
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+  }
+
+  /**
+   * Deterministic rolling document fingerprint: polynomial hash of the
+   * character codepoints, `acc = (acc * 31 + code) mod 1e9+7`. Pure
+   * arithmetic so any engine (and the DuckDB oracle) reproduces it exactly.
+   */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(filter(split(text, ""), c => c =!= ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 31L + c, lit(FingerprintMod)))
+
+  /** Fraction of characters surviving removal of `dropClass`, e.g. the
+    * alphabetic ratio for `dropClass = "[^a-zA-Z ]"`. Exact small-int ratio. */
+  private def keepRatio(text: Column, dropClass: String): Column = {
+    val total = length(text)
+    when(total === 0, 0.0d).otherwise(
+      length(regexp_replace(text, dropClass, "")).cast("double") / total.cast("double"))
+  }
+
+  /**
+   * Heuristic document quality score in [0, 1]: blends token count,
+   * mean token length, and alphabetic-character ratio. All terms are exact
+   * rationals of integer counts, so the score is bit-reproducible.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val meanTokLen = when(nTok === 0.0d, 0.0d).otherwise(nChar / nTok)
+    val alphaRatio = keepRatio(text, "[^a-zA-Z ]")
+    val lengthTerm = least(nTok / lit(64.0d), lit(1.0d))
+    val tokLenTerm = when(meanTokLen >= 3.0d && meanTokLen <= 10.0d, 1.0d).otherwise(0.5d)
+    lengthTerm * lit(0.4d) + tokLenTerm * lit(0.3d) + alphaRatio * lit(0.3d)
+  }
+
+  /**
+   * Stopword lists for the n-gram/stopword language-ID heuristic. Tiny fixed
+   * lists keep the heuristic expressible in plain SQL (oracle parity) while
+   * demonstrating the real pipeline shape: per-language token-overlap scores
+   * plus a deterministic argmax.
+   */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Tokens-in-list count for one language. */
+  def stopwordScore(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_).cast("string")): _*)))
+
+  /**
+   * Predicted language: the first language (in alphabetical order) achieving
+   * the maximum stopword-overlap score. Deterministic tie-break makes the
+   * prediction oracle-reproducible.
+   */
+  def langId(text: Column): Column = {
+    val scores = StopwordLists.map { case (lang, words) => lang -> stopwordScore(text, words) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), rest) =>
+      when(s === maxScore, lit(lang)).otherwise(rest)
+    }
+  }
+}
