@@ -1,0 +1,29 @@
+package graft
+
+import graft.SparkSpec
+
+/** Driver-contract smoke: every registered query runs and every oracle key
+  * has a query. Runs at sf0.001 to keep the suite fast. */
+class EntrySpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
+  }
+
+  test("every registered query executes and returns rows at sf0.001") {
+    val dir = sf("0.001")
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        if (fn(spark, dir).count() >= 0) None else Some(name -> "negative count")
+      } catch {
+        case e: Throwable => Some(name -> e.toString.take(200))
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

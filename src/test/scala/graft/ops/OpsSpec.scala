@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit specs for the LLM-data-pipeline operators. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "dog lazy the over jumps fox brown quick the"), // same word set as 0
+    (3L, "completely different text about spark engines"),
+    (4L, "the quick brown fox jumps over energetic dogs")) // near-dup of 0
+    .toDF("doc_id", "text")
+
+  // ----- dedup ----------------------------------------------------------
+
+  test("exact dedup keeps the smallest id per key with counts") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("identical token sets produce identical minhash signatures") {
+    val corpus = docs.withColumn("ws", graft.ops.TextOps.tokenSet(col("text")))
+    val sigs = Dedup.minhashSignatures(corpus, col("doc_id"), col("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) === sigs(1L)) // identical text
+    assert(sigs(0L) === sigs(2L)) // permuted words, same set
+    assert(sigs(0L) !== sigs(3L))
+    assert(sigs.values.head.length === 64)
+  }
+
+  test("LSH banding surfaces duplicate pairs as candidates") {
+    val corpus = docs.withColumn("ws", graft.ops.TextOps.tokenSet(col("text")))
+    val sigs = Dedup.minhashSignatures(corpus, col("doc_id"), col("ws"))
+    val pairs = Dedup.candidatePairs(Dedup.lshBands(sigs, bands = 4, rowsPerBand = 16))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash is equal for identical sets and close for near-dups") {
+    val corpus = docs.withColumn("ws", graft.ops.TextOps.tokenSet(col("text")))
+    val sh = Dedup.simhash64(corpus, col("doc_id"), col("ws"))
+    val hams = sh.as("a").join(sh.as("b"), col("a.sh_id") < col("b.sh_id"))
+      .select(col("a.sh_id"), col("b.sh_id"),
+        Dedup.hamming64(col("a.simhash"), col("b.simhash")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(hams((0L, 1L)) === 0)
+    assert(hams((0L, 2L)) === 0)
+    assert(hams((0L, 4L)) < hams((0L, 3L))) // near-dup closer than unrelated
+  }
+
+  test("jaccard over word sets") {
+    val j = docs.filter(col("doc_id").isin(0L, 2L))
+      .withColumn("ws", TextOps.tokenSet(col("text")))
+      .agg(collect_list(col("ws")).as("l"))
+      .select(Dedup.jaccard(element_at(col("l"), 1), element_at(col("l"), 2)))
+      .collect().head.getDouble(0)
+    assert(j === 1.0d)
+  }
+
+  // ----- text -----------------------------------------------------------
+
+  test("token count ignores repeated separators") {
+    val out = Seq("a  b   c", "", "single").toDF("text")
+      .select(TextOps.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(out.toSeq === Seq(3, 0, 1))
+  }
+
+  test("word ngrams guard short documents") {
+    val out = Seq("one", "one two", "one two three").toDF("text")
+      .select(TextOps.wordNgrams(col("text"), 2)).collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq.empty)
+    assert(out(1) === Seq("one two"))
+    assert(out(2) === Seq("one two", "two three"))
+  }
+
+  test("fingerprint matches the closed-form polynomial") {
+    val fp = Seq("abc").toDF("text")
+      .select(TextOps.fingerprint(col("text"))).collect().head.getLong(0)
+    // ((0*31+97)*31+98)*31+99 mod 1e9+7
+    val expected = ((97L * 31 + 98) * 31 + 99) % 1000000007L
+    assert(fp === expected)
+  }
+
+  test("langid picks the dominant stopword language deterministically") {
+    val out = Seq(
+      "the cat and the hat of a dog",
+      "el perro y la casa de que",
+      "xyzzy plugh").toDF("text")
+      .select(TextOps.langId(col("text"))).collect().map(_.getString(0))
+    assert(out(0) === "en")
+    assert(out(1) === "es")
+    assert(out(2) === "de") // zero scores tie -> first language in order
+  }
+
+  test("quality score stays within [0,1]") {
+    val bounds = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select(TextOps.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).collect().head
+    assert(bounds.getDouble(0) >= 0.0d && bounds.getDouble(1) <= 1.0d)
+  }
+
+  // ----- similarity -----------------------------------------------------
+
+  test("brute-force top-k ranks an exact duplicate vector first") {
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+    // plant an exact copy of vec 0 under id 9999
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") === 0).select(lit(9999L).as("vec_id"),
+        col("embedding"), col("label")))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, "q_id", "q_vec", 1)
+      .collect().head
+    assert(top.getAs[Long]("neighbor_id") === 9999L)
+    assert(math.abs(top.getAs[Double]("score") - 1.0d) < 1e-12)
+  }
+
+  test("LSH top-k plan is a bucketed join, not a cartesian product") {
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q, "q_id", "q_vec",
+      dim = 64, numPlanes = 8, k = 3)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    // and it still finds self-bucket neighbours
+    assert(lsh.count() > 0)
+  }
+
+  test("cosine expression agrees with a reference computation") {
+    val rows = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = rows.select(Similarity.cosine(col("a"), col("b"))).collect().head.getDouble(0)
+    val expected = {
+      val dot = 1.0 * 4 + 2.0 * 5 + 3.0 * 6
+      dot / (math.sqrt(1.0 + 4 + 9) * math.sqrt(16.0 + 25 + 36))
+    }
+    assert(math.abs(got - expected) < 1e-15)
+  }
+
+  // ----- multimodal -----------------------------------------------------
+
+  test("typed mapPartitions decode agrees with the SQL variant") {
+    val df = Seq((1L, "hello world"), (2L, "a" * 100)).toDF("media_id", "text")
+      .select(col("media_id"), lit("text/plain").as("kind"),
+        col("text").cast("binary").as("bytes"))
+    val typed = Multimodal.extractFeatures(
+        df.as[MediaRecord](Multimodal.mediaRecordEnc))
+      .collect().map(f => f.media_id -> ((f.byte_size, f.width, f.height, f.checksum))).toMap
+    val viaSql = Multimodal.extractFeaturesSql(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(typed === viaSql)
+  }
+}
