@@ -5,6 +5,7 @@ import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.PartitionReader
 import org.apache.spark.sql.types.StructType
 
@@ -18,6 +19,14 @@ import org.apache.spark.sql.types.StructType
  * (everything was captured during driver-side listing); parquet levels read
  * the footer once per file, and the page level additionally streams page
  * headers through a single buffered forward-seek stream per file.
+ *
+ * Hot-path shape: field resolution happens ONCE per reader — each level
+ * precomputes an array of extractor lambdas aligned with the pruned schema,
+ * plus one Catalyst converter per field — so producing a row is a tight
+ * loop over arrays with no per-row string matching and no external-Row
+ * round trip. At page level (the only level whose row count explodes with
+ * data volume) this is the difference between millions of rows x 16 string
+ * comparisons and a plain indexed loop.
  */
 class MetaPartitionReader(
     files: Array[FileSlice],
@@ -27,20 +36,36 @@ class MetaPartitionReader(
     bufferSize: Int,
     pageContent: Boolean) extends PartitionReader[InternalRow] {
 
-  private val toCatalyst = CatalystTypeConverters.createToCatalystConverter(required)
   private val fieldNames = required.fieldNames
   private val wantContent = pageContent && fieldNames.contains("page_content")
+
+  /** One Catalyst converter per pruned field (nulls pass through). */
+  private val fieldConverters: Array[Any => Any] =
+    required.fields.map(f => CatalystTypeConverters.createToCatalystConverter(f.dataType))
+
+  /** Extractor: (file, level-specific record) -> raw external value. */
+  private type Ex[T] = (FileSlice, T) => Any
+
+  private def toInternal[T](ex: Array[Ex[T]], f: FileSlice, t: T): InternalRow = {
+    val arr = new Array[Any](ex.length)
+    var i = 0
+    while (i < ex.length) {
+      arr(i) = fieldConverters(i)(ex(i)(f, t))
+      i += 1
+    }
+    new GenericInternalRow(arr)
+  }
 
   // The page walker keeps one open stream per in-flight file; track it so
   // close() releases it even when the scan stops early (e.g. a LIMIT).
   private var openStream: ForwardSeekStream = null
 
-  private val rows: Iterator[Row] = files.iterator.flatMap(fileRows)
+  private val rows: Iterator[InternalRow] = files.iterator.flatMap(fileRows)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     if (rows.hasNext) {
-      current = toCatalyst(rows.next()).asInstanceOf[InternalRow]
+      current = rows.next()
       true
     } else false
   }
@@ -61,107 +86,127 @@ class MetaPartitionReader(
     case None => null
   }
 
+  /**
+   * The `statistics` struct must be built to the PRUNED nested schema:
+   * Catalyst's nested-schema pruning can narrow it (e.g. to just
+   * `null_count`), and `CatalystTypeConverters`' struct converter indexes
+   * its per-field converters by the incoming Row's width — a full 6-field
+   * row under a narrowed schema throws ArrayIndexOutOfBounds.
+   */
+  private lazy val statsFieldEx: Array[StatsInfo => Any] =
+    required.find(_.name == "statistics") match {
+      case Some(f) => f.dataType.asInstanceOf[StructType].fieldNames.map[StatsInfo => Any] {
+        case "null_count" => st => orNull(st.nullCount)
+        case "distinct_count" => st => orNull(st.distinctCount)
+        case "min" => st => orNull(st.min)
+        case "max" => st => orNull(st.max)
+        case "min_value" => st => orNull(st.minValue)
+        case "max_value" => st => orNull(st.maxValue)
+      }
+      case None => Array.empty
+    }
+
   private def statsRow(s: Option[StatsInfo]): Any = s match {
-    case Some(st) => Row(orNull(st.nullCount), orNull(st.distinctCount),
-      orNull(st.min), orNull(st.max), orNull(st.minValue), orNull(st.maxValue))
+    case Some(st) => Row.fromSeq(statsFieldEx.toSeq.map(_(st)))
     case None => null
   }
 
-  private def fileRows(f: FileSlice): Iterator[Row] = level match {
+  // ---- per-level extractor tables (resolved once per reader) -------------
+
+  private lazy val fsFileEx: Array[Ex[Unit]] = fieldNames.map[Ex[Unit]] {
+    case "filepath" => (f, _) => f.path
+    case "filename" => (f, _) => f.name
+    case "size" => (f, _) => f.size
+    case "mtime" => (f, _) => f.mtime
+    case "partition" => (f, _) => f.partition
+  }
+
+  private lazy val pqFileEx: Array[Ex[FooterInfo]] = fieldNames.map[Ex[FooterInfo]] {
+    case "filepath" => (f, _) => f.path
+    case "filename" => (f, _) => f.name
+    case "size" => (f, _) => f.size
+    case "mtime" => (f, _) => f.mtime
+    case "partition" => (f, _) => f.partition
+    case "metadata_size" => (_, ft) => ft.footerBytes
+    case "schema" => (_, ft) => ft.schemaString
+    case "num_rows" => (_, ft) => ft.numRows
+    case "num_row_groups" => (_, ft) => ft.rowGroups.length
+    case "created_by" => (_, ft) => orNull(ft.createdBy)
+    case "key_value_metadata" => (_, ft) => orNull(ft.keyValue)
+  }
+
+  private lazy val rowGroupEx: Array[Ex[RowGroupInfo]] = fieldNames.map[Ex[RowGroupInfo]] {
+    case "row_group_id" => (_, rg) => rg.id
+    case "file_offset" => (_, rg) => rg.startOffset
+    case "total_compressed_size" => (_, rg) => rg.totalCompressedSize
+    case "total_uncompressed_size" => (_, rg) => rg.totalUncompressedSize
+    case "num_rows" => (_, rg) => rg.numRows
+    case "num_columns" => (_, rg) => rg.columns.length
+    case "filepath" => (f, _) => f.path
+  }
+
+  private lazy val chunkEx: Array[Ex[ChunkInfo]] = fieldNames.map[Ex[ChunkInfo]] {
+    case "row_group_id" => (_, c) => c.rowGroupId
+    case "column_id" => (_, c) => c.columnId
+    case "file_offset" => (_, c) => c.startOffset
+    case "total_compressed_size" => (_, c) => c.totalCompressedSize
+    case "total_uncompressed_size" => (_, c) => c.totalUncompressedSize
+    case "path" => (_, c) => orNull(c.path)
+    case "type" => (_, c) => orNull(c.physicalType)
+    case "encodings" => (_, c) => orNull(c.encodings)
+    case "compression" => (_, c) => orNull(c.codec)
+    case "num_values" => (_, c) => c.numValues
+    case "statistics" => (_, c) => statsRow(c.stats)
+    case "data_page_offset" => (_, c) => orNull(c.dataPageOffset)
+    case "dictionary_page_offset" => (_, c) => orNull(c.dictionaryPageOffset)
+    case "index_page_offset" => (_, c) => orNull(c.indexPageOffset)
+    case "offset_index_offset" => (_, c) => orNull(c.offsetIndexOffset)
+    case "offset_index_length" => (_, c) => orNull(c.offsetIndexLength)
+    case "column_index_offset" => (_, c) => orNull(c.columnIndexOffset)
+    case "column_index_length" => (_, c) => orNull(c.columnIndexLength)
+    case "filepath" => (f, _) => f.path
+  }
+
+  private lazy val pageEx: Array[Ex[PageInfo]] = fieldNames.map[Ex[PageInfo]] {
+    case "row_group_id" => (_, p) => p.rowGroupId
+    case "column_id" => (_, p) => p.columnId
+    case "page_id" => (_, p) => p.pageId
+    case "page_type" => (_, p) => p.pageType
+    case "page_header_offset" => (_, p) => p.headerOffset
+    case "page_header_size" => (_, p) => p.headerSize
+    case "page_compressed_size" => (_, p) => p.compressedSize
+    case "page_uncompressed_size" => (_, p) => p.uncompressedSize
+    case "crc" => (_, p) => orNull(p.crc)
+    case "num_values" => (_, p) => orNull(p.numValues)
+    case "encoding" => (_, p) => orNull(p.encoding)
+    case "definition_level_encoding" => (_, p) => orNull(p.defLevelEncoding)
+    case "repetition_level_encoding" => (_, p) => orNull(p.repLevelEncoding)
+    case "statistics" => (_, p) => statsRow(p.stats)
+    case "page_content" => (_, p) => orNull(p.content)
+    case "filepath" => (f, _) => f.path
+  }
+
+  private def fileRows(f: FileSlice): Iterator[InternalRow] = level match {
     case MetaLevel.FsFile =>
-      Iterator.single(project {
-        case "filepath" => f.path
-        case "filename" => f.name
-        case "size" => f.size
-        case "mtime" => f.mtime
-        case "partition" => f.partition
-      })
+      Iterator.single(toInternal(fsFileEx, f, ()))
 
     case MetaLevel.ParquetFile =>
-      val footer = readFooter(f)
-      Iterator.single(project {
-        case "filepath" => f.path
-        case "filename" => f.name
-        case "size" => f.size
-        case "mtime" => f.mtime
-        case "partition" => f.partition
-        case "metadata_size" => footer.footerBytes
-        case "schema" => footer.schemaString
-        case "num_rows" => footer.numRows
-        case "num_row_groups" => footer.rowGroups.length
-        case "created_by" => orNull(footer.createdBy)
-        case "key_value_metadata" => orNull(footer.keyValue)
-      })
+      Iterator.single(toInternal(pqFileEx, f, readFooter(f)))
 
     case MetaLevel.ParquetRowGroup =>
-      readFooter(f).rowGroups.iterator.map { rg =>
-        project {
-          case "row_group_id" => rg.id
-          case "file_offset" => rg.startOffset
-          case "total_compressed_size" => rg.totalCompressedSize
-          case "total_uncompressed_size" => rg.totalUncompressedSize
-          case "num_rows" => rg.numRows
-          case "num_columns" => rg.columns.length
-          case "filepath" => f.path
-        }
-      }
+      readFooter(f).rowGroups.iterator.map(toInternal(rowGroupEx, f, _))
 
     case MetaLevel.ParquetColumn =>
-      readFooter(f).chunks.iterator.map { c =>
-        project {
-          case "row_group_id" => c.rowGroupId
-          case "column_id" => c.columnId
-          case "file_offset" => c.startOffset
-          case "total_compressed_size" => c.totalCompressedSize
-          case "total_uncompressed_size" => c.totalUncompressedSize
-          case "path" => orNull(c.path)
-          case "type" => orNull(c.physicalType)
-          case "encodings" => orNull(c.encodings)
-          case "compression" => orNull(c.codec)
-          case "num_values" => c.numValues
-          case "statistics" => statsRow(c.stats)
-          case "data_page_offset" => orNull(c.dataPageOffset)
-          case "dictionary_page_offset" => orNull(c.dictionaryPageOffset)
-          case "index_page_offset" => orNull(c.indexPageOffset)
-          case "offset_index_offset" => orNull(c.offsetIndexOffset)
-          case "offset_index_length" => orNull(c.offsetIndexLength)
-          case "column_index_offset" => orNull(c.columnIndexOffset)
-          case "column_index_length" => orNull(c.columnIndexLength)
-          case "filepath" => f.path
-        }
-      }
+      readFooter(f).chunks.iterator.map(toInternal(chunkEx, f, _))
 
     case MetaLevel.ParquetPage =>
       val footer = readFooter(f)
       val path = new Path(f.path)
       closeStream()
       openStream = new ForwardSeekStream(path.getFileSystem(conf).open(path), bufferSize)
-      PageScan.pages(footer.chunks, openStream, wantContent).map { p =>
-        project {
-          case "row_group_id" => p.rowGroupId
-          case "column_id" => p.columnId
-          case "page_id" => p.pageId
-          case "page_type" => p.pageType
-          case "page_header_offset" => p.headerOffset
-          case "page_header_size" => p.headerSize
-          case "page_compressed_size" => p.compressedSize
-          case "page_uncompressed_size" => p.uncompressedSize
-          case "crc" => orNull(p.crc)
-          case "num_values" => orNull(p.numValues)
-          case "encoding" => orNull(p.encoding)
-          case "definition_level_encoding" => orNull(p.defLevelEncoding)
-          case "repetition_level_encoding" => orNull(p.repLevelEncoding)
-          case "statistics" => statsRow(p.stats)
-          case "page_content" => orNull(p.content)
-          case "filepath" => f.path
-        }
-      }
+      PageScan.pages(footer.chunks, openStream, wantContent).map(toInternal(pageEx, f, _))
   }
 
   private def readFooter(f: FileSlice): FooterInfo =
     Footers.read(new Path(f.path), conf, Some(f.size))
-
-  /** Build a row holding exactly the pruned columns, in required order. */
-  private def project(value: PartialFunction[String, Any]): Row =
-    Row.fromSeq(fieldNames.toSeq.map(value))
 }

@@ -149,4 +149,19 @@ class MetadataSourceSpec extends SparkSpec {
     val all = meta(dir, "level" -> "file")
     assert(all.count() === df.count())
   }
+
+  test("nested pruning of the statistics struct survives the scan") {
+    // Catalyst narrows statistics to the selected sub-fields; the reader must
+    // emit rows matching the pruned nested schema (regression: a full 6-field
+    // stats row under a 1-field pruned struct threw ArrayIndexOutOfBounds).
+    val one = meta(lineitem, "level" -> "column")
+      .select(col("statistics.null_count"))
+    assert(one.collect().forall(!_.isNullAt(0)))
+    val two = meta(lineitem, "level" -> "page")
+      .select(col("statistics.null_count"), col("statistics.max_value"))
+    assert(two.count() > 0)
+    // full struct still works
+    val full = meta(lineitem, "level" -> "column").select(col("statistics"))
+    assert(full.collect().forall(_.getStruct(0).length === 6))
+  }
 }
