@@ -294,6 +294,16 @@ object SparkEntry {
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
           floor(TextOps.qualityScore(col("text")) * 1000000.0d).as("q_micro"))),
 
+    // BPE-ish subword tokenization: letter runs, digit runs, or single
+    // non-space symbols — the pre-tokenization regex family BPE vocabularies
+    // are trained over.
+    "text_bpe_tokens" -> ((s, dir) =>
+      s.read.parquet(pq(dir, "documents"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(regexp_extract_all(col("text"),
+            lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long")).as("n_subwords"))),
+
     "text_langid" -> ((s, dir) =>
       s.read.parquet(pq(dir, "documents"))
         .select(TextOps.langId(col("text")).as("pred_lang"))
@@ -304,6 +314,25 @@ object SparkEntry {
       s.read.parquet(pq(dir, "documents"))
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // Embedding-cosine near-dup: plant exact-duplicate vectors, bucket both
+    // sides with sign-pattern LSH (identical vectors share a bucket, so
+    // recall at cos=1 is exact), then verify candidates with the exact
+    // cosine kernel. Random 64-dim embeddings have pairwise cosine far
+    // below the 0.99 threshold, so the answer is exactly the planted set.
+    "dedup_embedding" -> ((s, dir) => {
+      val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val corpus = e.union(
+        e.filter(col("vec_id") < 25).select(col("vec_id") + 100000L, col("embedding")))
+      val b = corpus.withColumn("bucket", Similarity.lshBucket(col("embedding"), 64, 16))
+      val l = b.select(col("vec_id").as("a_id"), col("embedding").as("v_a"), col("bucket"))
+      val r = b.select(col("vec_id").as("b_id"), col("embedding").as("v_b"), col("bucket"))
+      l.join(r, Seq("bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(Similarity.cosine(col("v_a"), col("v_b")) > 0.99d)
+        .agg(count(lit(1)).as("dup_pairs"),
+          coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_sum"))
+    }),
 
     // ----- LLM-data-pipeline: similarity search ------------------------
     // Exact brute-force cosine top-3 (integer ranks; the scores order the
@@ -591,6 +620,23 @@ object SparkEntry {
         |        c -> CAST(unicode(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents WHERE doc_id < 100""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 25)
+        |SELECT CAST(count(*) AS BIGINT) AS dup_pairs,
+        |  CAST(coalesce(sum(a.vec_id + b.vec_id), 0) AS BIGINT) AS id_sum
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])) > 0.99""".stripMargin,
+
+    "text_bpe_tokens" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS n_subwords
+        |FROM documents
+        |GROUP BY source""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/**
+ * Streaming specs: each pipeline runs over a real `readStream` file source
+ * into a memory sink with Trigger.AvailableNow, proving the streaming
+ * wiring (watermarks, session windows, stateful dedup) — not just the
+ * batch-equivalent transform.
+ */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private lazy val eventsDf = Seq(
+    (1L, ts(0), 1.0),
+    (1L, ts(5), 2.0),   // same session as minute 0 (gap 10m)
+    (1L, ts(40), 3.0),  // new session
+    (2L, ts(0), 4.0),
+    (2L, ts(45), 5.0),  // new session
+    (2L, ts(46), 6.0)).toDF("user_id", "ts", "value")
+
+  /** Write events as parquet, stream them through `f`, return the sink.
+    * Aggregations need `complete`/`update` mode here: in a single
+    * AvailableNow batch the watermark never closes a window, so `append`
+    * would emit nothing. */
+  private def runStream(name: String, mode: String = "append")(
+      f: DataFrame => DataFrame): DataFrame = {
+    val dir = Files.createTempDirectory(s"graft_stream_$name").toString
+    eventsDf.coalesce(1).write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(eventsDf.schema).parquet(dir)
+    val q = f(src).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory(s"ckpt_$name").toString)
+      .start()
+    q.awaitTermination(60000)
+    spark.table(name)
+  }
+
+  test("streaming sessionization groups events by gap windows") {
+    val sessions = runStream("sessions", "complete") { src =>
+      StreamOps.sessionize(src, "ts", "user_id", "10 minutes")
+    }.collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    // user 1: [0,5] then [40]; user 2: [0] then [45,46]
+    assert(sessions.toSet === Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0), (2L, 2L, 11.0)))
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val deduped = runStream("dedup") { src =>
+      StreamOps.dedupStream(src, "ts", Seq("user_id"), "2 hours")
+    }
+    assert(deduped.select("user_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("windowed counts bucket all events") {
+    val counts = runStream("wincounts", "complete") { src =>
+      StreamOps.windowedCounts(src, "ts", "30 minutes", "30 minutes")
+    }.collect().map(_.getLong(1))
+    assert(counts.sum === 6L)
+  }
+
+  test("stateful running totals accumulate per user") {
+    val totals = runStream("totals", "update") { src =>
+      StreamOps.runningTotals(src.as[UserEvent](StreamOps.userEventEnc)).toDF()
+    }.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(totals(1L) === ((3L, 6.0)))
+    assert(totals(2L) === ((3L, 15.0)))
+  }
+
+  test("sessionize is batch/stream agnostic (same answer on spark.read)") {
+    val batch = StreamOps.sessionize(eventsDf, "ts", "user_id", "10 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(batch.toSet === Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0), (2L, 2L, 11.0)))
+  }
+}
