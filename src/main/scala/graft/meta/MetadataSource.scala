@@ -10,10 +10,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -169,27 +169,48 @@ object MetaTable {
   }
 }
 
-/** Scan builder with required-column pruning. */
+/** Scan builder with required-column pruning and file-pruning filter
+  * pushdown: filters over the per-file attributes are used to drop whole
+  * files at planning time (before any executor I/O). Every filter is also
+  * returned as residual, so Spark re-applies it post-scan — pruning is a
+  * pure I/O optimization and can never change results. */
 class MetaScanBuilder(table: MetaTable)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = table.schema()
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
   }
 
-  override def build(): Scan = new MetaScan(table, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val attrs = FilePruning.evaluableAttrs(table.level)
+    pushed = filters.filter(FilePruning.canEvaluate(_, attrs))
+    filters // all residual: the source prunes files, Spark verifies rows
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new MetaScan(table, required, pushed)
 }
 
 /** A group of files read by one task. */
 case class FilesPartition(files: Array[FileSlice]) extends InputPartition
 
-class MetaScan(table: MetaTable, required: StructType) extends Scan with Batch {
+class MetaScan(table: MetaTable, required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Files surviving the pushed-filter pruning. */
+  private lazy val prunedFiles: Seq[FileSlice] =
+    if (pushed.isEmpty) table.files
+    else table.files.filter(FilePruning.keep(pushed.toSeq, _))
+
   override def description(): String =
-    s"metadata(level=${table.level.levelName}, files=${table.files.length}, " +
-      s"columns=[${required.fieldNames.mkString(",")}])"
+    s"metadata(level=${table.level.levelName}, files=${prunedFiles.length}/${table.files.length}, " +
+      s"columns=[${required.fieldNames.mkString(",")}]" +
+      (if (pushed.nonEmpty) s", pushed=[${pushed.mkString(",")}]" else "") + ")"
 
   /**
    * Pack files into at most `maxparts` partitions, balanced by file size
@@ -197,7 +218,7 @@ class MetaScan(table: MetaTable, required: StructType) extends Scan with Batch {
    * with all the big files when page-scanning a skewed table.
    */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = table.files
+    val files = prunedFiles
     if (files.isEmpty) return Array.empty
     val n = math.max(1, math.min(files.length, table.maxParts))
     val bins = Array.fill(n)(Vector.newBuilder[FileSlice])

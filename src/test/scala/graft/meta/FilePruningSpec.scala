@@ -1,0 +1,81 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+import graft.SparkSpec
+
+/** Pushed-filter file pruning: driver drops whole files before executor I/O. */
+class FilePruningSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_prune").toString
+    // 4 files with distinct names
+    spark.range(0, 100, 1, 4).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def meta(level: String): DataFrame =
+    spark.read.format("metadata").option("level", level).load(dir)
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+
+  private def scannedFiles(df: DataFrame): Int =
+    scanOf(df).inputPartitions.map(_.asInstanceOf[FilesPartition].files.length).sum
+
+  test("filename filter prunes files at planning time") {
+    val all = meta("file")
+    val totalFiles = scannedFiles(all)
+    assert(totalFiles >= 4)
+    val names = all.select("filename").collect().map(_.getString(0)).filter(_.endsWith(".parquet"))
+    val one = meta("file").filter(col("filename") === names.head)
+    assert(scannedFiles(one) === 1)
+    assert(one.count() === 1)
+  }
+
+  test("filepath prefix filter prunes deeper levels before footer reads") {
+    val somePath = meta("file").select("filepath").collect()
+      .map(_.getString(0)).filter(_.endsWith(".parquet")).head
+    val rg = meta("rowgroup").filter(col("filepath") === somePath)
+    assert(scannedFiles(rg) === 1)
+    assert(rg.count() >= 1)
+    val pages = meta("page").filter(col("filepath").startsWith(somePath))
+    assert(scannedFiles(pages) === 1)
+  }
+
+  test("non-file predicates do not prune (and still answer correctly)") {
+    val rg = meta("rowgroup").filter(col("num_rows") > 0)
+    assert(scannedFiles(rg) === scannedFiles(meta("rowgroup")))
+    assert(rg.agg(sum("num_rows")).collect().head.getLong(0) === 100L)
+  }
+
+  test("size/mtime range filters prune at file level") {
+    val huge = meta("file").filter(col("size") > Long.MaxValue / 2)
+    assert(scannedFiles(huge) === 0)
+    assert(huge.count() === 0)
+    val nonEmpty = meta("file").filter(col("size") > 0L && col("mtime") > 0L)
+    assert(nonEmpty.count() === meta("file").count())
+  }
+
+  test("three-valued evaluation is sound") {
+    val f = FileSlice("file:/a/b.parquet", "b.parquet", 10L, 1000L, Map.empty)
+    assert(FilePruning.eval(EqualTo("filename", "b.parquet"), f) === Some(true))
+    assert(FilePruning.eval(EqualTo("size", 11L), f) === Some(false))
+    assert(FilePruning.eval(GreaterThan("size", 5), f) === Some(true))
+    assert(FilePruning.eval(StringStartsWith("filepath", "file:/a"), f) === Some(true))
+    assert(FilePruning.eval(EqualTo("num_rows", 1L), f) === None)
+    // unknown inside NOT must stay unknown, not flip to false
+    assert(FilePruning.eval(Not(EqualTo("num_rows", 1L)), f) === None)
+    assert(FilePruning.eval(
+      And(EqualTo("filename", "b.parquet"), EqualTo("num_rows", 1L)), f) === None)
+    assert(FilePruning.eval(
+      Or(EqualTo("filename", "b.parquet"), EqualTo("num_rows", 1L)), f) === Some(true))
+    assert(FilePruning.eval(In("size", Array(9L, 10L)), f) === Some(true))
+    assert(FilePruning.eval(IsNotNull("filepath"), f) === Some(true))
+  }
+}
