@@ -252,6 +252,20 @@ object SparkEntry {
           coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_sum"))
     }),
 
+    // Duplicate-cluster statistics: identical-token-set groups with sizes
+    // and representatives — one hash-aggregate on the set key.
+    "dedup_clusters" -> ((s, dir) => {
+      val corpus = plantedCorpus(s, dir)
+        .withColumn("ws", TextOps.tokenSet(col("text")))
+      corpus.groupBy(col("ws"))
+        .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("rep_id"))
+        .filter(col("cluster_size") > 1)
+        .agg(count(lit(1)).as("n_clusters"),
+          coalesce(sum(col("cluster_size")), lit(0L)).as("n_dup_docs"),
+          coalesce(max(col("cluster_size")), lit(0L)).as("max_cluster"),
+          coalesce(sum(col("rep_id")), lit(0L)).as("rep_sum"))
+    }),
+
     // SimHash dedup: 64-bit signature equi-join, verified by text equality.
     "dedup_simhash" -> ((s, dir) => {
       val corpus = plantedCorpus(s, dir)
@@ -545,6 +559,19 @@ object SparkEntry {
          |SELECT CAST(count(*) AS BIGINT) AS dup_pairs,
          |  CAST(coalesce(sum(a.doc_id + b.doc_id), 0) AS BIGINT) AS id_sum
          |FROM sets a JOIN sets b ON a.ws = b.ws AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""$corpusCte,
+         |clusters AS (
+         |  SELECT list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws,
+         |    count(*) AS cluster_size, min(doc_id) AS rep_id
+         |  FROM corpus GROUP BY 1
+         |  HAVING count(*) > 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(coalesce(sum(cluster_size), 0) AS BIGINT) AS n_dup_docs,
+         |  CAST(coalesce(max(cluster_size), 0) AS BIGINT) AS max_cluster,
+         |  CAST(coalesce(sum(rep_id), 0) AS BIGINT) AS rep_sum
+         |FROM clusters""".stripMargin,
 
     "dedup_simhash" ->
       s"""$corpusCte

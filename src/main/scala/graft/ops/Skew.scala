@@ -1,0 +1,27 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-mitigation utilities. AQE's skew-join handling covers sort-merge
+ * joins at runtime; explicit salting remains the tool of choice when a few
+ * hot keys dominate a shuffle (the classic power-law key problem at
+ * 100 TB) and the small side is too large to broadcast.
+ */
+object Skew {
+
+  /**
+   * Salted inner equi-join: the big (skewed) side scatters each row into
+   * one of `salts` sub-keys; the other side is replicated across all salt
+   * values. Shuffle load for a hot key spreads over `salts` reducers at the
+   * cost of replicating the right side `salts` times — choose
+   * `salts ~ hottest-key-rows / average-key-rows`.
+   */
+  def saltedJoin(big: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive: $salts")
+    val salted = big.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val replicated = right.withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

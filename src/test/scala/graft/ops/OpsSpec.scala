@@ -65,6 +65,17 @@ class OpsSpec extends SparkSpec {
     assert(j === 1.0d)
   }
 
+  test("salted join equals the plain join") {
+    val big = (1 to 1000).map(i => (i % 3, i)).toDF("k", "v") // key skew on 3 keys
+    val small = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+    val plain = big.join(small, "k").select("k", "v", "name")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8).select("k", "v", "name")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted === plain)
+    assert(salted.size === 1000)
+  }
+
   // ----- text -----------------------------------------------------------
 
   test("token count ignores repeated separators") {
