@@ -238,16 +238,22 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => {
       val corpus = plantedCorpus(s, dir)
         .withColumn("ws", TextOps.tokenSet(col("text")))
-      val sigs = Dedup.minhashSignatures(corpus, col("doc_id"), col("ws"))
       // 4 bands x 16 rows: candidate threshold (1/4)^(1/16) ~= 0.92, so the
       // bucket join stays sparse on vocabulary-dense corpora while recall at
       // J=1 (identical sets -> identical signatures) remains exactly 1.
-      val pairs = Dedup.candidatePairs(Dedup.lshBands(sigs, bands = 4, rowsPerBand = 16))
-      val sets = corpus.select(col("doc_id"), col("ws"))
-      pairs
-        .join(sets.select(col("doc_id").as("a_id"), col("ws").as("ws_a")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"), col("ws").as("ws_b")), "b_id")
-        .filter(col("ws_a") === col("ws_b"))
+      // The token set rides the band shuffle (carry) and joins as an extra
+      // equi-key, so verification costs no extra join or corpus recompute.
+      val sigs = Dedup.minhashSignatures(corpus, col("doc_id"), col("ws"),
+        carry = Seq(col("ws")))
+      val bands = Dedup.lshBands(sigs, bands = 4, rowsPerBand = 16)
+      val l = bands.select(col("band").as("band_l"), col("band_hash").as("bh_l"),
+        col("mh_id").as("a_id"), col("ws").as("ws_l"))
+      val r = bands.select(col("band").as("band_r"), col("band_hash").as("bh_r"),
+        col("mh_id").as("b_id"), col("ws").as("ws_r"))
+      l.join(r, col("band_l") === col("band_r") && col("bh_l") === col("bh_r") &&
+          col("ws_l") === col("ws_r") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .distinct()
         .agg(count(lit(1)).as("dup_pairs"),
           coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_sum"))
     }),

@@ -35,42 +35,45 @@ object Dedup {
    * MinHash signatures over a token-set column: one row per id with
    * `sig: array<long>` of length `numPerms`.
    *
-   * Plan shape: explode(tokens) -> hash -> single groupBy(id) carrying
-   * `numPerms` `min(...)` aggregates. Partial (map-side) aggregation keeps
-   * the shuffle at one row per (id, partition), independent of token count.
+   * Plan shape: a NARROW per-row projection — the token set already lives
+   * in the row, so each permutation's min is computed with nested
+   * higher-order functions (no explode, no aggregation, no shuffle).
+   * Signature cost is `numPerms * |tokens|` hash evaluations inside one
+   * codegen'd projection; the stage scales embarrassingly with partitions.
    *
    * The permutation family is seeded hashing — `xxhash64(p, token)` — which
    * is overflow-free under ANSI arithmetic (an affine `a*h+b mod P` family
-   * would overflow 64-bit products) and gives 64 independent hash functions.
+   * would overflow 64-bit products) and gives `numPerms` independent hash
+   * functions.
    */
   def minhashSignatures(
       df: DataFrame,
       id: Column,
       tokenSet: Column,
-      numPerms: Int = 64): DataFrame = {
-    val exploded = df.select(id.as("mh_id"), explode(tokenSet).as("tok"))
-    val mins = (0 until numPerms).map { p =>
-      min(xxhash64(lit(p), col("tok"))).as(s"m$p")
-    }
-    exploded
-      .groupBy(col("mh_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("mh_id"), array((0 until numPerms).map(p => col(s"m$p")): _*).as("sig"))
-  }
+      numPerms: Int = 64,
+      carry: Seq[Column] = Nil): DataFrame =
+    df.select(
+      (id.as("mh_id") +: carry) :+
+        transform(
+          sequence(lit(0), lit(numPerms - 1)),
+          p => array_min(transform(tokenSet, t => xxhash64(p, t)))).as("sig"): _*)
 
   /**
    * LSH banding: one row per (id, band) with a 64-bit band hash. Ids sharing
    * any band hash are near-dup candidates. `bands * rowsPerBand` must equal
-   * the signature length.
+   * the signature length. Columns other than `sig` (e.g. a carried token
+   * set) are preserved, so verification data can ride the band shuffle
+   * instead of being re-joined afterwards.
    */
   def lshBands(sigDf: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: slots: _*).as("bh"))
     }
+    val carry = sigDf.columns.filterNot(_ == "sig").map(col)
     sigDf
-      .select(col("mh_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("mh_id"), col("bk.band").as("band"), col("bk.bh").as("band_hash"))
+      .select(carry :+ explode(array(bandCols: _*)).as("bk"): _*)
+      .select(carry :+ col("bk.band").as("band") :+ col("bk.bh").as("band_hash"): _*)
   }
 
   /**
@@ -89,23 +92,21 @@ object Dedup {
 
   /**
    * SimHash (64-bit) over a token column: per bit, sum +/-1 contributions of
-   * each token's hash bit, then assemble the sign bits. Same scalable
-   * explode + single-aggregate shape as [[minhashSignatures]].
+   * each token's hash bit, then assemble the sign bits. Like
+   * [[minhashSignatures]], a narrow per-row projection — each bit's signed
+   * sum folds over the in-row token set, no shuffle introduced.
    */
   def simhash64(df: DataFrame, id: Column, tokenSet: Column): DataFrame = {
-    val exploded = df
-      .select(id.as("sh_id"), explode(tokenSet).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"s$b")
-    }
-    val assembled = (0 until 64)
-      .map(b => when(col(s"s$b") >= 0L, lit(1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    exploded
-      .groupBy(col("sh_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("sh_id"), assembled.as("simhash"))
+    // hash every token ONCE, then fold 64 cheap bit-sums over the array
+    val withHashes = df.select(id.as("sh_id"), transform(tokenSet, t => xxhash64(t)).as("__hs"))
+    val assembled = (0 until 64).map { b =>
+      val bitSum = aggregate(
+        col("__hs"),
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(bitSum >= 0L, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    withHashes.select(col("sh_id"), assembled.as("simhash"))
   }
 
   /** Hamming distance between two 64-bit signatures. */
