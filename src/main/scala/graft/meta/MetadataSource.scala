@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -175,9 +175,11 @@ object MetaTable {
   * returned as residual, so Spark re-applies it post-scan — pruning is a
   * pure I/O optimization and can never change results. */
 class MetaScanBuilder(table: MetaTable)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
   private var required: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
@@ -191,26 +193,64 @@ class MetaScanBuilder(table: MetaTable)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new MetaScan(table, required, pushed)
+  /** LIMIT n caps the planned files at the file levels, where each file
+    * yields exactly one row — `limit(10)` over a million-file table plans
+    * 10 files instead of all of them. Deeper levels can produce zero rows
+    * per file (an empty parquet file has no row groups), so capping files
+    * there could under-produce; they decline the pushdown. */
+  override def pushLimit(n: Int): Boolean = table.level match {
+    case MetaLevel.FsFile | MetaLevel.ParquetFile =>
+      limit = Some(n)
+      false // keep Spark's limit on top (pruning is still exact, this is belt+braces)
+    case _ => false
+  }
+
+  override def build(): Scan = new MetaScan(table, required, pushed, limit)
 }
 
 /** A group of files read by one task. */
 case class FilesPartition(files: Array[FileSlice]) extends InputPartition
 
-class MetaScan(table: MetaTable, required: StructType, pushed: Array[Filter])
-    extends Scan with Batch {
+class MetaScan(
+    table: MetaTable,
+    required: StructType,
+    pushed: Array[Filter],
+    limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Files surviving the pushed-filter pruning. */
-  private lazy val prunedFiles: Seq[FileSlice] =
-    if (pushed.isEmpty) table.files
-    else table.files.filter(FilePruning.keep(pushed.toSeq, _))
+  /** Files surviving pushed-filter pruning and the (file-level) limit. */
+  private lazy val prunedFiles: Seq[FileSlice] = {
+    val filtered =
+      if (pushed.isEmpty) table.files
+      else table.files.filter(FilePruning.keep(pushed.toSeq, _))
+    limit.fold(filtered)(filtered.take)
+  }
+
+  /**
+   * Exact statistics at the file levels (row count == surviving file
+   * count), so Catalyst can see that a metadata DataFrame is small and
+   * choose a broadcast join when the user joins metadata against data.
+   * Deeper levels report unknown (footer reads would be needed).
+   */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val known = table.level match {
+      case MetaLevel.FsFile | MetaLevel.ParquetFile => Some(prunedFiles.length.toLong)
+      case _ => None
+    }
+    override def numRows(): java.util.OptionalLong =
+      known.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
+    override def sizeInBytes(): java.util.OptionalLong =
+      known.map(n => java.util.OptionalLong.of(n * required.defaultSize))
+        .getOrElse(java.util.OptionalLong.empty)
+  }
 
   override def description(): String =
     s"metadata(level=${table.level.levelName}, files=${prunedFiles.length}/${table.files.length}, " +
       s"columns=[${required.fieldNames.mkString(",")}]" +
-      (if (pushed.nonEmpty) s", pushed=[${pushed.mkString(",")}]" else "") + ")"
+      (if (pushed.nonEmpty) s", pushed=[${pushed.mkString(",")}]" else "") +
+      limit.fold("")(n => s", limit=$n") + ")"
 
   /**
    * Pack files into at most `maxparts` partitions, balanced by file size

@@ -62,6 +62,26 @@ class FilePruningSpec extends SparkSpec {
     assert(nonEmpty.count() === meta("file").count())
   }
 
+  test("limit pushdown caps planned files at file levels only") {
+    val limited = meta("file").limit(2)
+    assert(scannedFiles(limited) === 2)
+    assert(limited.count() === 2)
+    // deeper levels decline the pushdown (files can yield zero rows)
+    val rg = meta("rowgroup").limit(2)
+    assert(scannedFiles(rg) === scannedFiles(meta("rowgroup")))
+    assert(rg.count() === 2)
+  }
+
+  test("file-level scans report exact statistics") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scan = scanOf(meta("file")).scan.asInstanceOf[MetaScan]
+    val stats = scan.estimateStatistics()
+    assert(stats.numRows.getAsLong === meta("file").count())
+    assert(stats.sizeInBytes.isPresent)
+    val deep = scanOf(meta("column")).scan.asInstanceOf[MetaScan].estimateStatistics()
+    assert(!deep.numRows.isPresent)
+  }
+
   test("three-valued evaluation is sound") {
     val f = FileSlice("file:/a/b.parquet", "b.parquet", 10L, 1000L, Map.empty)
     assert(FilePruning.eval(EqualTo("filename", "b.parquet"), f) === Some(true))
