@@ -376,6 +376,18 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
+    // IVF ANN: deterministic coarse quantizer + nprobe cell search (no
+    // oracle — approximate recall; plan shape guarded by a test).
+    "ann_ivf" -> ((s, dir) => {
+      val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val centroids = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 16, iters = 2)
+      Similarity.ivfTopK(e, "vec_id", "embedding", queries, "q_id", "q_vec",
+        centroids, nprobe = 4, k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
     // ----- LLM-data-pipeline: multimodal columns -----------------------
     "mm_features" -> ((s, dir) => {
       val media = s.read.parquet(pq(dir, "documents"))

@@ -85,6 +85,89 @@ object Similarity {
       when(dotJ >= 0.0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Squared L2 distance via the fused dot kernel. */
+  def sqDist(a: Column, b: Column): Column =
+    dot(a, a) - dot(a, b) * 2.0d + dot(b, b)
+
+  /**
+   * IVF coarse quantizer: k centroids seeded from the k smallest-id vectors
+   * (deterministic) and refined with `iters` Lloyd iterations. Assignment is
+   * a broadcast of the k centroids + one `min_by` aggregate — no window, no
+   * shuffle of the corpus beyond the per-id aggregate; the per-dimension
+   * mean is a (centroid, dimension)-keyed aggregate.
+   */
+  def ivfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    var centroids = corpus
+      .orderBy(col(idCol)).limit(k)
+      .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
+        col(vecCol).as("centroid"))
+    for (_ <- 0 until iters) {
+      centroids = assignCells(corpus, idCol, vecCol, centroids)
+        .select(col("centroid_id"), posexplode(col(vecCol)))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(col("centroid_id"),
+          transform(col("dims"), d => d.getField("m").cast("float")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: broadcast the (small) centroid table and
+    * take the per-row argmin with a deterministic tie-break. */
+  def assignCells(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val d = sqDist(col(vecCol), col("centroid"))
+    corpus.crossJoin(broadcast(centroids))
+      .groupBy(col(idCol), col(vecCol))
+      .agg(min_by(col("centroid_id"), struct(d, col("centroid_id"))).as("centroid_id"))
+  }
+
+  /**
+   * IVF approximate top-k: corpus rows are searched only in the `nprobe`
+   * cells nearest to each query, via an equi-join on the cell id. The
+   * inverted-file shape — partition by cell, probe few cells — is the plan
+   * that survives a 100x corpus scale-up (cells shard the shuffle key
+   * space; probes touch a fixed fraction of the data).
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      centroids: DataFrame,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val cells = assignCells(corpus, corpusId, corpusVec, centroids)
+    val probeW = Window.partitionBy(col(queryId))
+      .orderBy(sqDist(col(queryVec), col("centroid")), col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col(queryId), col(queryVec), col("centroid_id"))
+    val scored = cells
+      .join(probes, Seq("centroid_id"))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("score", cosine(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("score").desc, col(corpusId))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId).as("query_id"), col("rank"),
+        col(corpusId).as("neighbor_id"), col("score"))
+  }
+
   /**
    * Bucketed approximate top-k: candidates limited to corpus rows whose LSH
    * bucket matches the query's bucket, joined on the bucket id (equi-join —

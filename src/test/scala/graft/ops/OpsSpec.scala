@@ -147,6 +147,25 @@ class OpsSpec extends SparkSpec {
     assert(lsh.count() > 0)
   }
 
+  test("IVF finds an exact duplicate vector in its own cell") {
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") === 7).select(lit(9999L).as("vec_id"), col("embedding")))
+    val q = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 8, iters = 2)
+    assert(centroids.count() === 8)
+    val top = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, "q_id", "q_vec",
+      centroids, nprobe = 2, k = 1).collect().head
+    // identical vector lands in the same cell -> always found, rank 1
+    assert(top.getAs[Long]("neighbor_id") === 9999L)
+    val plan = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, "q_id", "q_vec",
+      centroids, nprobe = 2, k = 1).queryExecution.executedPlan.toString
+    // the corpus-side search join is an equi-join on the cell id
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("cosine expression agrees with a reference computation") {
     val rows = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
