@@ -183,8 +183,10 @@ object SparkEntry {
     }),
 
     "win_sessions" -> ((s, dir) => {
-      // events.ts is TIMESTAMP(NANOS), which Spark's Parquet reader rejects;
-      // read it as raw nanos and do exact integer gap arithmetic.
+      // events.ts is TIMESTAMP(NANOS), which Spark's Parquet reader rejects
+      // outright; this session-wide conf is the documented escape hatch and
+      // is strictly enabling (it only affects NANOS columns, which are
+      // otherwise unreadable). Read the raw nanos, do exact integer gaps.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val e = s.read.parquet(pq(dir, "events"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -382,7 +384,7 @@ object SparkEntry {
       val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val centroids = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 16, iters = 2)
+      val centroids = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 16, iters = 1)
       Similarity.ivfTopK(e, "vec_id", "embedding", queries, "q_id", "q_vec",
         centroids, nprobe = 4, k = 3)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))

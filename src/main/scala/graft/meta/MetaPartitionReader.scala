@@ -203,7 +203,11 @@ class MetaPartitionReader(
       val footer = readFooter(f)
       val path = new Path(f.path)
       closeStream()
-      openStream = new ForwardSeekStream(path.getFileSystem(conf).open(path), bufferSize)
+      // Cap the read-ahead buffer at the file size: the default 128 MB is
+      // sized for row groups, and allocating it per small file would churn
+      // gigabytes across a many-file scan (32 tasks x 128 MB otherwise).
+      val cap = math.min(bufferSize.toLong, math.max(f.size, 1L)).toInt
+      openStream = new ForwardSeekStream(path.getFileSystem(conf).open(path), cap)
       PageScan.pages(footer.chunks, openStream, wantContent).map(toInternal(pageEx, f, _))
   }
 

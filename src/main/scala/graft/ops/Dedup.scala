@@ -65,7 +65,10 @@ object Dedup {
    * set) are preserved, so verification data can ride the band shuffle
    * instead of being re-joined afterwards.
    */
-  def lshBands(sigDf: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshBands(sigDf: DataFrame, bands: Int, rowsPerBand: Int,
+      numPerms: Int = 64): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0 && bands * rowsPerBand == numPerms,
+      s"bands ($bands) * rowsPerBand ($rowsPerBand) must equal the signature length ($numPerms)")
     val bandCols = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(lit(b) +: slots: _*).as("bh"))

@@ -37,17 +37,16 @@ object Multimodal {
   /**
    * STUB DECODER: deterministic fake feature extraction. A real
    * implementation would hand `bytes` to an image/audio codec here; this
-   * fake derives "dimensions" and a checksum from the payload arithmetic so
-   * results are reproducible and oracle-checkable.
+   * fake derives "dimensions" from the byte size and a checksum from the
+   * codepoints of the first 64 characters of the UTF-8 decode, so the
+   * typed path, the SQL-column path, and the DuckDB oracle all compute the
+   * identical value for any valid-UTF-8 payload (including multibyte).
    */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.bytes.length
+    val prefix = new String(r.bytes, java.nio.charset.StandardCharsets.UTF_8).take(64)
     var crc = 0L
-    var i = 0
-    while (i < math.min(n, 64)) {
-      crc = (crc * 31 + (r.bytes(i) & 0xff)) % 1000000007L
-      i += 1
-    }
+    prefix.codePoints().forEach(c => crc = (crc * 31 + c) % 1000000007L)
     MediaFeatures(r.media_id, r.kind, n, 64 + n % 576, 64 + n % 416, crc)
   }
 
@@ -69,9 +68,11 @@ object Multimodal {
    */
   def extractFeaturesSql(df: DataFrame): DataFrame = {
     val n = length(col("bytes"))
-    val prefix = substring(col("bytes"), 1, 64)
+    // decode FIRST, then take 64 characters — slicing raw bytes could split
+    // a multibyte codepoint and diverge from decodeStub
+    val prefix = substring(col("bytes").cast("string"), 1, 64)
     val crc = aggregate(
-      transform(filter(split(prefix.cast("string"), ""), c => c =!= ""),
+      transform(filter(split(prefix, ""), c => c =!= ""),
         c => ascii(c).cast("long")),
       lit(0L),
       (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))

@@ -65,23 +65,31 @@ object Similarity {
   }
 
   /**
-   * Deterministic pseudo-random hyperplane component `j`-th plane, `i`-th
-   * dimension: integer values in [-3, 3] from a fixed affine formula, so any
-   * engine reproduces the same planes without sharing state.
+   * Deterministic pseudo-random hyperplane for plane `j`: integer components
+   * in [-3, 3] derived from a fixed hash of (dimension, plane), so every
+   * plane is independent. (A plain affine formula mod 7 is degenerate —
+   * plane j+7 would repeat plane j bit-for-bit — and hashing per ROW would
+   * cost dim x planes hash calls per record; the plane is a CONSTANT, so it
+   * is computed once here and embedded as a literal array.)
    */
-  def hyperplaneComponent(i: Column, j: Int): Column =
-    pmod(i * 31 + lit(j * 17 + 7), lit(7)).cast("double") - 3.0d
+  def hyperplane(j: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash((i, j))
+      (((h % 7) + 7) % 7 - 3).toDouble
+    }
 
   /**
    * Sign-pattern LSH bucket id of a vector: bit `j` is the sign of the dot
-   * product with fixed hyperplane `j`. Plain column arithmetic (no UDF).
+   * product with fixed hyperplane `j`. Plain column arithmetic over literal
+   * plane arrays (no UDF, no per-row hashing).
    */
   def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column =
     (0 until numPlanes).map { j =>
+      val hp = typedLit(hyperplane(j, dim))
       val dotJ = aggregate(
         sequence(lit(0), lit(dim - 1)),
         lit(0.0d),
-        (acc, i) => acc + element_at(vec, i + 1).cast("double") * hyperplaneComponent(i, j))
+        (acc, i) => acc + element_at(vec, i + 1).cast("double") * element_at(hp, i + 1))
       when(dotJ >= 0.0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -107,14 +115,20 @@ object Similarity {
       .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
         col(vecCol).as("centroid"))
     for (_ <- 0 until iters) {
-      centroids = assignCells(corpus, idCol, vecCol, centroids)
+      val means = assignCells(corpus, idCol, vecCol, centroids)
         .select(col("centroid_id"), posexplode(col(vecCol)))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .groupBy(col("centroid_id"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
         .select(col("centroid_id"),
-          transform(col("dims"), d => d.getField("m").cast("float")).as("centroid"))
+          transform(col("dims"), d => d.getField("m").cast("float")).as("new_centroid"))
+      // A cell that attracted no rows keeps its previous centroid instead of
+      // vanishing, so the quantizer always has exactly k cells.
+      centroids = centroids
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
     }
     centroids
   }

@@ -40,12 +40,13 @@ object StreamOps {
       tsCol: String,
       userCol: String,
       gap: String,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      valueCol: String = "value"): DataFrame = {
     val withWm =
       if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
     withWm
       .groupBy(session_window(col(tsCol), gap), col(userCol))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("value_sum"))
       .select(col(userCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("value_sum"))
   }

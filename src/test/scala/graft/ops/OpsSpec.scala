@@ -180,7 +180,10 @@ class OpsSpec extends SparkSpec {
   // ----- multimodal -----------------------------------------------------
 
   test("typed mapPartitions decode agrees with the SQL variant") {
-    val df = Seq((1L, "hello world"), (2L, "a" * 100)).toDF("media_id", "text")
+    // includes multibyte payloads: the checksum is over the UTF-8 decode's
+    // first 64 characters, so byte-slicing bugs would diverge here
+    val df = Seq((1L, "hello world"), (2L, "a" * 100),
+      (3L, "café Ünïcøde 你好 " * 10)).toDF("media_id", "text")
       .select(col("media_id"), lit("text/plain").as("kind"),
         col("text").cast("binary").as("bytes"))
     val typed = Multimodal.extractFeatures(
