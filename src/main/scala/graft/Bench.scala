@@ -12,6 +12,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: exercise codegen, shuffle, parquet and window paths
+    // once so the first timed query measures steady state, not JVM/JIT and
+    // classloading warmup (worth several seconds on the first query).
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.range(0, 100000, 1, 8)
+        .withColumn("g", pmod(col("id"), lit(64)))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("g")).orderBy(col("id"))))
+        .groupBy(col("g")).agg(sum(col("id")), count(lit(1)), max(col("rn")))
+        .collect()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+    } catch { case _: Throwable => () }
     // A failed query must be visible as an error, not recorded as a timing
     // (a broken query would otherwise read as a fast one).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
