@@ -29,7 +29,7 @@ import org.apache.spark.sql.types.StructType
  * comparisons and a plain indexed loop.
  */
 class MetaPartitionReader(
-    files: Array[FileSlice],
+    spans: Array[FileSpan],
     level: MetaLevel,
     required: StructType,
     conf: Configuration,
@@ -60,7 +60,7 @@ class MetaPartitionReader(
   // close() releases it even when the scan stops early (e.g. a LIMIT).
   private var openStream: ForwardSeekStream = null
 
-  private val rows: Iterator[InternalRow] = files.iterator.flatMap(fileRows)
+  private val rows: Iterator[InternalRow] = spans.iterator.flatMap(spanRows)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -186,29 +186,41 @@ class MetaPartitionReader(
     case "filepath" => (f, _) => f.path
   }
 
-  private def fileRows(f: FileSlice): Iterator[InternalRow] = level match {
-    case MetaLevel.FsFile =>
-      Iterator.single(toInternal(fsFileEx, f, ()))
+  private def spanRows(span: FileSpan): Iterator[InternalRow] = {
+    val f = span.file
+    level match {
+      case MetaLevel.FsFile =>
+        Iterator.single(toInternal(fsFileEx, f, ()))
 
-    case MetaLevel.ParquetFile =>
-      Iterator.single(toInternal(pqFileEx, f, readFooter(f)))
+      case MetaLevel.ParquetFile =>
+        Iterator.single(toInternal(pqFileEx, f, readFooter(f)))
 
-    case MetaLevel.ParquetRowGroup =>
-      readFooter(f).rowGroups.iterator.map(toInternal(rowGroupEx, f, _))
+      case MetaLevel.ParquetRowGroup =>
+        readFooter(f).rowGroups.iterator.map(toInternal(rowGroupEx, f, _))
 
-    case MetaLevel.ParquetColumn =>
-      readFooter(f).chunks.iterator.map(toInternal(chunkEx, f, _))
+      case MetaLevel.ParquetColumn =>
+        readFooter(f).chunks.iterator.map(toInternal(chunkEx, f, _))
 
-    case MetaLevel.ParquetPage =>
-      val footer = readFooter(f)
-      val path = new Path(f.path)
-      closeStream()
-      // Cap the read-ahead buffer at the file size: the default 128 MB is
-      // sized for row groups, and allocating it per small file would churn
-      // gigabytes across a many-file scan (32 tasks x 128 MB otherwise).
-      val cap = math.min(bufferSize.toLong, math.max(f.size, 1L)).toInt
-      openStream = new ForwardSeekStream(path.getFileSystem(conf).open(path), cap)
-      PageScan.pages(footer.chunks, openStream, wantContent).map(toInternal(pageEx, f, _))
+      case MetaLevel.ParquetPage =>
+        val footer = readFooter(f)
+        // Only the column chunks whose start offset falls inside this span:
+        // a chunk belongs to exactly one span, so a split file is walked
+        // disjointly and completely across its spans.
+        val chunks = footer.chunks.filter(c =>
+          c.startOffset >= span.lo && c.startOffset < span.hi)
+        if (chunks.isEmpty) {
+          Iterator.empty
+        } else {
+          val path = new Path(f.path)
+          closeStream()
+          // Cap the read-ahead buffer at the file size: the default 128 MB
+          // is sized for row groups, and allocating it per small file would
+          // churn gigabytes across a many-file scan.
+          val cap = math.min(bufferSize.toLong, math.max(f.size, 1L)).toInt
+          openStream = new ForwardSeekStream(path.getFileSystem(conf).open(path), cap)
+          PageScan.pages(chunks, openStream, wantContent).map(toInternal(pageEx, f, _))
+        }
+    }
   }
 
   private def readFooter(f: FileSlice): FooterInfo =

@@ -62,6 +62,8 @@ object MetadataSource {
   val PAGE_CONTENT = "pagecontent"
   val SOURCE = "source"
   val LEVEL = "level"
+  val SPAN_BYTES = "spanbytes"
+  val SPAN_BYTES_DEFAULT: Long = 128L * 1024 * 1024
 
   val SOURCES = Seq("file", "parquet")
   val LEVELS = Seq("file", "rowgroup", "column", "page")
@@ -97,6 +99,7 @@ class MetaTable(
     val maxParts: Int,
     val bufferSize: Int,
     val pageContent: Boolean,
+    val spanBytes: Long,
     @transient val spark: SparkSession) extends Table with SupportsRead {
 
   override def name(): String = s"metadata(${level.levelName})"
@@ -125,6 +128,8 @@ object MetaTable {
     val bufferSize = opts.get(BUFFER_SIZE).map(_.toInt).getOrElse(BUFFER_SIZE_DEFAULT)
     require(bufferSize > 0, s"Unsupported buffer size value $bufferSize")
     val pageContent = opts.get(PAGE_CONTENT).exists(_.trim.toBoolean)
+    val spanBytes = opts.get(SPAN_BYTES).map(_.toLong).getOrElse(SPAN_BYTES_DEFAULT)
+    require(spanBytes > 0, s"Unsupported span bytes value $spanBytes")
 
     // Recursive listing + Hive partition discovery, shared across relations
     // via the session file-status cache.
@@ -165,7 +170,7 @@ object MetaTable {
       s"Invalid level: $level, expected one of ${LEVELS.mkString("[", ", ", "]")}")
 
     new MetaTable(MetadataSource.levelFor(source, level), files,
-      maxParts, bufferSize, pageContent, spark)
+      maxParts, bufferSize, pageContent, spanBytes, spark)
   }
 }
 
@@ -208,8 +213,20 @@ class MetaScanBuilder(table: MetaTable)
   override def build(): Scan = new MetaScan(table, required, pushed, limit)
 }
 
-/** A group of files read by one task. */
-case class FilesPartition(files: Array[FileSlice]) extends InputPartition
+/**
+ * A unit of scan work: one file, restricted to column chunks whose start
+ * offset falls in `[lo, hi)`. Non-page levels always use the full span —
+ * their only per-file work is the footer decode. Page-level scans split
+ * large files into multiple spans so a single huge parquet file
+ * parallelizes across tasks: each task re-reads the (cheap) footer and
+ * walks only its own chunks.
+ */
+case class FileSpan(file: FileSlice, lo: Long, hi: Long) {
+  def length: Long = math.min(hi, math.max(file.size, 1L)) - lo
+}
+
+/** A group of file spans read by one task. */
+case class FilesPartition(spans: Array[FileSpan]) extends InputPartition
 
 class MetaScan(
     table: MetaTable,
@@ -253,29 +270,43 @@ class MetaScan(
       limit.fold("")(n => s", limit=$n") + ")"
 
   /**
-   * Pack files into at most `maxparts` partitions, balanced by file size
-   * (greedy largest-first into the lightest bin) so one task doesn't end up
-   * with all the big files when page-scanning a skewed table.
+   * Pack scan units into at most `maxparts` partitions, balanced by span
+   * size (greedy largest-first into the lightest bin) so one task doesn't
+   * end up with all the big work when page-scanning a skewed table.
+   *
+   * Page level additionally splits each file into `spanbytes`-sized byte
+   * spans, so the page walk of one huge file parallelizes across tasks
+   * instead of serializing into a single partition.
    */
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = prunedFiles
-    if (files.isEmpty) return Array.empty
-    val n = math.max(1, math.min(files.length, table.maxParts))
-    val bins = Array.fill(n)(Vector.newBuilder[FileSlice])
+    val units: Seq[FileSpan] = prunedFiles.flatMap { f =>
+      if (table.level == MetaLevel.ParquetPage && f.size > table.spanBytes) {
+        val nSpans = ((f.size + table.spanBytes - 1) / table.spanBytes).toInt
+        (0 until nSpans).map { s =>
+          FileSpan(f, s.toLong * table.spanBytes,
+            if (s == nSpans - 1) Long.MaxValue else (s + 1).toLong * table.spanBytes)
+        }
+      } else {
+        Seq(FileSpan(f, 0L, Long.MaxValue))
+      }
+    }
+    if (units.isEmpty) return Array.empty
+    val n = math.max(1, math.min(units.length, table.maxParts))
+    val bins = Array.fill(n)(Vector.newBuilder[FileSpan])
     val weights = new Array[Long](n)
-    files.sortBy(-_.size).foreach { f =>
+    units.sortBy(-_.length).foreach { u =>
       var best = 0
       var i = 1
       while (i < n) {
         if (weights(i) < weights(best)) best = i
         i += 1
       }
-      bins(best) += f
-      weights(best) += math.max(f.size, 1L)
+      bins(best) += u
+      weights(best) += math.max(u.length, 1L)
     }
     bins.iterator
       .map(b => FilesPartition(b.result().toArray))
-      .filter(_.files.nonEmpty)
+      .filter(_.spans.nonEmpty)
       .toArray[InputPartition]
   }
 
@@ -293,7 +324,7 @@ case class MetaReaderFactory(
     pageContent: Boolean) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val files = partition.asInstanceOf[FilesPartition].files
-    new MetaPartitionReader(files, level, required, conf.value, bufferSize, pageContent)
+    val spans = partition.asInstanceOf[FilesPartition].spans
+    new MetaPartitionReader(spans, level, required, conf.value, bufferSize, pageContent)
   }
 }

@@ -26,7 +26,7 @@ class FilePruningSpec extends SparkSpec {
     df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
 
   private def scannedFiles(df: DataFrame): Int =
-    scanOf(df).inputPartitions.map(_.asInstanceOf[FilesPartition].files.length).sum
+    scanOf(df).inputPartitions.map(_.asInstanceOf[FilesPartition].spans.length).sum
 
   test("filename filter prunes files at planning time") {
     val all = meta("file")

@@ -150,6 +150,20 @@ class MetadataSourceSpec extends SparkSpec {
     assert(all.count() === df.count())
   }
 
+  test("page level splits large files into byte spans with identical results") {
+    // force tiny spans so even the small test file splits into many units
+    val whole = meta(lineitem, "level" -> "page")
+      .select("row_group_id", "column_id", "page_id", "page_header_offset", "page_compressed_size")
+      .collect().map(_.toSeq).toSet
+    val split = meta(lineitem, "level" -> "page", "spanbytes" -> "4096")
+    val parts = split.rdd.getNumPartitions
+    assert(parts > 1, s"expected multiple span partitions, got $parts")
+    val splitRows = split
+      .select("row_group_id", "column_id", "page_id", "page_header_offset", "page_compressed_size")
+      .collect().map(_.toSeq).toSet
+    assert(splitRows === whole)
+  }
+
   test("nested pruning of the statistics struct survives the scan") {
     // Catalyst narrows statistics to the selected sub-fields; the reader must
     // emit rows matching the pruned nested schema (regression: a full 6-field
