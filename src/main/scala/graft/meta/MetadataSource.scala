@@ -10,11 +10,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /**
@@ -181,10 +182,11 @@ object MetaTable {
   * pure I/O optimization and can never change results. */
 class MetaScanBuilder(table: MetaTable)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var required: StructType = table.schema()
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var countStar: Boolean = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
@@ -210,7 +212,63 @@ class MetaScanBuilder(table: MetaTable)
     case _ => false
   }
 
-  override def build(): Scan = new MetaScan(table, required, pushed, limit)
+  /**
+   * Complete COUNT(*) pushdown at the file levels, where the row count is
+   * exactly the surviving-file count: `df.count()` over a million-file
+   * listing answers from the driver without shipping one row to executors.
+   * Only offered when every pushed filter is fully decidable driver-side
+   * (an undecidable residual would make the count an over-estimate).
+   */
+  private def countPushable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
+      (table.level == MetaLevel.FsFile || table.level == MetaLevel.ParquetFile) &&
+      limit.isEmpty &&
+      pushed.forall(f =>
+        table.files.forall(FilePruning.eval(f, _).isDefined))
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = countPushable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    countStar = countPushable(agg)
+    countStar
+  }
+
+  override def build(): Scan =
+    if (countStar) new MetaCountScan(table, pushed)
+    else new MetaScan(table, required, pushed, limit)
+}
+
+/** Single-row COUNT(*) result computed entirely from the driver listing. */
+class MetaCountScan(table: MetaTable, pushed: Array[Filter]) extends Scan with Batch {
+  private lazy val n: Long =
+    (if (pushed.isEmpty) table.files
+     else table.files.filter(FilePruning.keep(pushed.toSeq, _))).length.toLong
+
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"metadata(level=${table.level.levelName}, pushed-count=$n)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CountPartition(n))
+  override def createReaderFactory(): PartitionReaderFactory = CountReaderFactory
+}
+
+case class CountPartition(n: Long) extends InputPartition
+
+object CountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val n = partition.asInstanceOf[CountPartition].n
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](n))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /**

@@ -82,6 +82,22 @@ class FilePruningSpec extends SparkSpec {
     assert(!deep.numRows.isPresent)
   }
 
+  test("count(*) is answered from the driver listing at file levels") {
+    val counted = meta("file").count()
+    assert(counted === meta("file").collect().length.toLong)
+    // the executed plan contains the pushed-count scan, not a row scan
+    val agg = meta("file").groupBy().count()
+    agg.collect()
+    assert(agg.queryExecution.executedPlan.toString.contains("pushed-count"))
+    // filtered count still pushes when the filter is fully decidable
+    val some = meta("file").filter(col("size") > 0L).count()
+    assert(some === counted)
+    // non-decidable filters fall back to the ordinary scan
+    val deep = meta("rowgroup").groupBy().count()
+    assert(deep.collect().head.getLong(0) === meta("rowgroup").collect().length.toLong)
+    assert(!deep.queryExecution.executedPlan.toString.contains("pushed-count"))
+  }
+
   test("three-valued evaluation is sound") {
     val f = FileSlice("file:/a/b.parquet", "b.parquet", 10L, 1000L, Map.empty)
     assert(FilePruning.eval(EqualTo("filename", "b.parquet"), f) === Some(true))
