@@ -356,6 +356,23 @@ object SparkEntry {
           coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_sum"))
     }),
 
+    // Composed cleaning pipeline: exact-dedup to representatives, drop
+    // low-quality docs, aggregate corpus statistics — the full
+    // training-data-cleaning shape in a single declarative plan (one
+    // dedup shuffle + one final aggregate).
+    "pipeline_clean" -> ((s, dir) => {
+      val reps = plantedCorpus(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      reps
+        .withColumn("q_micro", floor(TextOps.qualityScore(col("text")) * 1000000.0d))
+        .filter(col("q_micro") >= 800000L)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          coalesce(sum(col("q_micro")), lit(0L)).as("q_micro_sum"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+    }),
+
     // ----- LLM-data-pipeline: similarity search ------------------------
     // Exact brute-force cosine top-3 (integer ranks; the scores order the
     // rows but are not emitted, keeping the hash compare float-free).
@@ -684,6 +701,26 @@ object SparkEntry {
         |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS n_subwords
         |FROM documents
         |GROUP BY source""".stripMargin,
+
+    "pipeline_clean" ->
+      s"""$corpusCte,
+         |reps AS (SELECT text, min(doc_id) AS doc_id FROM corpus GROUP BY text),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    CAST(floor((
+         |      least(CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DOUBLE) / 64.0, 1.0) * 0.4
+         |      + CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+         |          AND CAST(length(text) AS DOUBLE) / len(list_filter(string_split(text, ' '), t -> t <> '')) BETWEEN 3.0 AND 10.0
+         |        THEN 1.0 ELSE 0.5 END * 0.3
+         |      + CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text) END * 0.3
+         |    ) * 1000000) AS BIGINT) AS q_micro
+         |  FROM reps)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sum(q_micro), 0) AS BIGINT) AS q_micro_sum,
+         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+         |FROM scored WHERE q_micro >= 800000""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (
