@@ -34,7 +34,8 @@ class MetaPartitionReader(
     required: StructType,
     conf: Configuration,
     bufferSize: Int,
-    pageContent: Boolean) extends PartitionReader[InternalRow] {
+    pageContent: Boolean,
+    ignoreCorrupt: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val fieldNames = required.fieldNames
   private val wantContent = pageContent && fieldNames.contains("page_content")
@@ -60,7 +61,48 @@ class MetaPartitionReader(
   // close() releases it even when the scan stops early (e.g. a LIMIT).
   private var openStream: ForwardSeekStream = null
 
-  private val rows: Iterator[InternalRow] = spans.iterator.flatMap(spanRows)
+  // Cumulative remote-I/O counters across this task's files (plus the live
+  // stream's), surfaced as DSv2 custom metrics in the scan node.
+  private var doneReads: Long = 0L
+  private var doneSeeks: Long = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val liveReads = if (openStream != null) openStream.underlyingReads else 0L
+    val liveSeeks = if (openStream != null) openStream.underlyingSeeks else 0L
+    Array(
+      TaskMetricValue("graftRemoteReads", doneReads + liveReads),
+      TaskMetricValue("graftRemoteSeeks", doneSeeks + liveSeeks))
+  }
+
+  private val rows: Iterator[InternalRow] =
+    if (!ignoreCorrupt) {
+      spans.iterator.flatMap(spanRows)
+    } else {
+      // With ignorecorrupt=true, one undecodable file skips (with a warning)
+      // instead of failing the whole scan — at large file counts a single
+      // truncated upload must not kill the query. The guard wraps the whole
+      // per-span iterator: page-walk errors mid-file drop that file's
+      // remaining pages only.
+      spans.iterator.flatMap { sp =>
+        try {
+          val it = spanRows(sp)
+          new Iterator[InternalRow] {
+            private var failed = false
+            override def hasNext: Boolean = !failed && {
+              try it.hasNext
+              catch { case e: Exception => warnCorrupt(sp, e); failed = true; false }
+            }
+            override def next(): InternalRow = it.next()
+          }
+        } catch {
+          case e: Exception => warnCorrupt(sp, e); Iterator.empty
+        }
+      }
+    }
+
+  private def warnCorrupt(span: FileSpan, e: Exception): Unit =
+    System.err.println(
+      s"[metadata] skipping corrupt file ${span.file.path}: ${e.getMessage}")
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -76,6 +118,8 @@ class MetaPartitionReader(
 
   private def closeStream(): Unit = {
     if (openStream != null) {
+      doneReads += openStream.underlyingReads
+      doneSeeks += openStream.underlyingSeeks
       openStream.close()
       openStream = null
     }

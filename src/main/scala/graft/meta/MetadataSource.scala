@@ -65,6 +65,7 @@ object MetadataSource {
   val LEVEL = "level"
   val SPAN_BYTES = "spanbytes"
   val SPAN_BYTES_DEFAULT: Long = 128L * 1024 * 1024
+  val IGNORE_CORRUPT = "ignorecorrupt"
 
   val SOURCES = Seq("file", "parquet")
   val LEVELS = Seq("file", "rowgroup", "column", "page")
@@ -101,6 +102,7 @@ class MetaTable(
     val bufferSize: Int,
     val pageContent: Boolean,
     val spanBytes: Long,
+    val ignoreCorrupt: Boolean,
     @transient val spark: SparkSession) extends Table with SupportsRead {
 
   override def name(): String = s"metadata(${level.levelName})"
@@ -131,6 +133,7 @@ object MetaTable {
     val pageContent = opts.get(PAGE_CONTENT).exists(_.trim.toBoolean)
     val spanBytes = opts.get(SPAN_BYTES).map(_.toLong).getOrElse(SPAN_BYTES_DEFAULT)
     require(spanBytes > 0, s"Unsupported span bytes value $spanBytes")
+    val ignoreCorrupt = opts.get(IGNORE_CORRUPT).exists(_.trim.toBoolean)
 
     // Recursive listing + Hive partition discovery, shared across relations
     // via the session file-status cache.
@@ -171,7 +174,7 @@ object MetaTable {
       s"Invalid level: $level, expected one of ${LEVELS.mkString("[", ", ", "]")}")
 
     new MetaTable(MetadataSource.levelFor(source, level), files,
-      maxParts, bufferSize, pageContent, spanBytes, spark)
+      maxParts, bufferSize, pageContent, spanBytes, ignoreCorrupt, spark)
   }
 }
 
@@ -327,6 +330,9 @@ class MetaScan(
       (if (pushed.nonEmpty) s", pushed=[${pushed.mkString(",")}]" else "") +
       limit.fold("")(n => s", limit=$n") + ")"
 
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    MetaMetrics.supported
+
   /**
    * Pack scan units into at most `maxparts` partitions, balanced by span
    * size (greedy largest-first into the lightest bin) so one task doesn't
@@ -370,7 +376,8 @@ class MetaScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(table.spark.sessionState.newHadoopConf())
-    MetaReaderFactory(table.level, required, conf, table.bufferSize, table.pageContent)
+    MetaReaderFactory(table.level, required, conf, table.bufferSize, table.pageContent,
+      table.ignoreCorrupt)
   }
 }
 
@@ -379,10 +386,12 @@ case class MetaReaderFactory(
     required: StructType,
     conf: SerializableHadoopConf,
     bufferSize: Int,
-    pageContent: Boolean) extends PartitionReaderFactory {
+    pageContent: Boolean,
+    ignoreCorrupt: Boolean) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val spans = partition.asInstanceOf[FilesPartition].spans
-    new MetaPartitionReader(spans, level, required, conf.value, bufferSize, pageContent)
+    new MetaPartitionReader(spans, level, required, conf.value, bufferSize, pageContent,
+      ignoreCorrupt)
   }
 }

@@ -150,6 +150,21 @@ class MetadataSourceSpec extends SparkSpec {
     assert(all.count() === df.count())
   }
 
+  test("ignorecorrupt skips undecodable files instead of failing the scan") {
+    val dir = Files.createTempDirectory("graft_corrupt").toString
+    spark.range(0, 10).coalesce(1).write.mode("overwrite").parquet(dir)
+    // plant a file that passes the magic sniff but has a truncated footer
+    Files.write(java.nio.file.Paths.get(dir, "bad.parquet"),
+      "PAR1this-is-not-a-footer".getBytes)
+    val strict = meta(dir, "level" -> "rowgroup", "source" -> "parquet")
+    intercept[org.apache.spark.SparkException](strict.count())
+    val lenient = meta(dir, "level" -> "rowgroup", "source" -> "parquet",
+      "ignorecorrupt" -> "true")
+    assert(lenient.agg(sum("num_rows")).collect().head.getLong(0) === 10L)
+    // file level never decodes footers, so the bad file still lists there
+    assert(meta(dir, "level" -> "file", "source" -> "file").count() === 2L)
+  }
+
   test("page level splits large files into byte spans with identical results") {
     // force tiny spans so even the small test file splits into many units
     val whole = meta(lineitem, "level" -> "page")
@@ -162,6 +177,28 @@ class MetadataSourceSpec extends SparkSpec {
       .select("row_group_id", "column_id", "page_id", "page_header_offset", "page_compressed_size")
       .collect().map(_.toSeq).toSet
     assert(splitRows === whole)
+  }
+
+  test("page reader reports remote I/O custom metrics") {
+    val p = new org.apache.hadoop.fs.Path(lineitem)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    val slice = FileSlice(st.getPath.toString, st.getPath.getName, st.getLen,
+      st.getModificationTime, Map.empty)
+    val reader = new MetaPartitionReader(
+      Array(FileSpan(slice, 0L, Long.MaxValue)), MetaLevel.ParquetPage,
+      MetaLevel.ParquetPage.schema, spark.sessionState.newHadoopConf(),
+      1 << 20, false)
+    var n = 0
+    while (reader.next()) n += 1
+    assert(n > 0)
+    val m = reader.currentMetricsValues().map(x => x.name -> x.value).toMap
+    assert(m("graftRemoteReads") > 0L)
+    assert(m.contains("graftRemoteSeeks"))
+    reader.close()
+    // totals survive stream close
+    val after = reader.currentMetricsValues().map(x => x.name -> x.value).toMap
+    assert(after("graftRemoteReads") === m("graftRemoteReads"))
   }
 
   test("nested pruning of the statistics struct survives the scan") {
