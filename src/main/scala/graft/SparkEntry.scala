@@ -207,6 +207,21 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
           col("n_orders"), col("total_price"))),
 
+    "q_percentiles" -> ((s, dir) =>
+      s.read.parquet(pq(dir, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, array(0.5, 0.9))").getItem(0).as("p50"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9))").getItem(1).as("p90"),
+          count(lit(1)).as("n"))),
+
+    "semi_join" -> ((s, dir) => {
+      val c = s.read.parquet(pq(dir, "customer"))
+      val o = s.read.parquet(pq(dir, "orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_customers_with_orders"))
+    }),
+
     "set_except" -> ((s, dir) => {
       val c = s.read.parquet(pq(dir, "customer")).select(col("c_custkey").as("k"))
       val o = s.read.parquet(pq(dir, "orders")).select(col("o_custkey").as("k"))
@@ -564,6 +579,19 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "semi_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_customers_with_orders
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
 
     "set_except" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_customers_without_orders FROM (
