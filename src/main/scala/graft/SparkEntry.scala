@@ -347,6 +347,12 @@ object SparkEntry {
         .groupBy(col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))),
 
+    "text_langid_ngram" -> ((s, dir) =>
+      s.read.parquet(pq(dir, "documents"))
+        .select(TextOps.langIdNgram(col("text")).as("pred_lang"))
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     "text_fingerprint" -> ((s, dir) =>
       s.read.parquet(pq(dir, "documents"))
         .filter(col("doc_id") < 100)
@@ -694,6 +700,29 @@ object SparkEntry {
         |    len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
         |      t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
         |  FROM documents)
+        |SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs FROM (
+        |  SELECT CASE
+        |    WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |    WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |    WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS pred_lang
+        |  FROM scored)
+        |GROUP BY pred_lang""".stripMargin,
+
+    "text_langid_ngram" ->
+      """WITH tri AS (
+        |  SELECT CASE WHEN length(text) < 3 THEN []::VARCHAR[]
+        |    ELSE list_transform(range(1, length(text) - 1), i -> substr(text, i, 3)) END AS tg
+        |  FROM documents),
+        |scored AS (
+        |  SELECT
+        |    len(list_filter(tg, t -> list_contains(['der','ein','sch','ich','und','die'], t))) AS s_de,
+        |    len(list_filter(tg, t -> list_contains(['the','ing','ion','and','he '], t))) AS s_en,
+        |    len(list_filter(tg, t -> list_contains(['de ','la ','que','os ','ión'], t))) AS s_es,
+        |    len(list_filter(tg, t -> list_contains(['le ','ent','les','de ','eur'], t))) AS s_fr,
+        |    len(list_filter(tg, t -> list_contains(['的','是','了'], t))) AS s_zh
+        |  FROM tri)
         |SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs FROM (
         |  SELECT CASE
         |    WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'

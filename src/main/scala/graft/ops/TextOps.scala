@@ -100,8 +100,38 @@ object TextOps {
    * the maximum stopword-overlap score. Deterministic tie-break makes the
    * prediction oracle-reproducible.
    */
-  def langId(text: Column): Column = {
-    val scores = StopwordLists.map { case (lang, words) => lang -> stopwordScore(text, words) }
+  def langId(text: Column): Column =
+    argmaxLang(StopwordLists.map { case (lang, words) => lang -> stopwordScore(text, words) })
+
+  /** Character n-grams (sliding substrings of length n). */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
+  /**
+   * Distinctive character trigrams per language, the classic n-gram-profile
+   * language-ID signal (small fixed profiles keep the heuristic exactly
+   * reproducible in plain SQL).
+   */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ein", "sch", "ich", "und", "die"),
+    "en" -> Seq("the", "ing", "ion", "and", "he "),
+    "es" -> Seq("de ", "la ", "que", "os ", "ión"),
+    "fr" -> Seq("le ", "ent", "les", "de ", "eur"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Count of the text's trigrams present in one profile (with multiplicity). */
+  def trigramScore(text: Column, profile: Seq[String]): Column =
+    size(filter(charNgrams(text, 3), t => t.isin(profile.map(lit(_).cast("string")): _*)))
+
+  /** N-gram-profile language ID with the same deterministic argmax. */
+  def langIdNgram(text: Column): Column =
+    argmaxLang(TrigramProfiles.map { case (lang, p) => lang -> trigramScore(text, p) })
+
+  /** First language (in list order) achieving the maximum score. */
+  private def argmaxLang(scores: Seq[(String, Column)]): Column = {
     val maxScore = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((lang, s), rest) =>
       when(s === maxScore, lit(lang)).otherwise(rest)

@@ -111,6 +111,23 @@ class OpsSpec extends SparkSpec {
     assert(out(2) === "de") // zero scores tie -> first language in order
   }
 
+  test("char ngrams slide over the text and guard short inputs") {
+    val out = Seq("abcd", "ab", "").toDF("text")
+      .select(TextOps.charNgrams(col("text"), 3)).collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("abc", "bcd"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq.empty)
+  }
+
+  test("ngram langid picks the dominant trigram profile") {
+    val out = Seq(
+      "the thing and the motion",
+      "der einige schwer und dich").toDF("text")
+      .select(TextOps.langIdNgram(col("text"))).collect().map(_.getString(0))
+    assert(out(0) === "en")
+    assert(out(1) === "de")
+  }
+
   test("quality score stays within [0,1]") {
     val bounds = spark.read.parquet(sf("0.001") + "/documents.parquet")
       .select(TextOps.qualityScore(col("text")).as("q"))
