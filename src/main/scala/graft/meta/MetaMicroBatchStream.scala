@@ -1,0 +1,95 @@
+package graft.meta
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Offset for the streaming metadata source: the maximum `(mtime, path)` key
+ * observed so far, ordered lexicographically. Append-only semantics: a
+ * micro-batch consists of every listed file whose key is greater than the
+ * previous offset.
+ */
+case class FileKeyOffset(mtime: Long, path: String) extends Offset {
+  override def json(): String =
+    s"""{"mtime":$mtime,"path":${graft.Json.str(path)}}"""
+
+  def lessThan(o: FileKeyOffset): Boolean =
+    mtime < o.mtime || (mtime == o.mtime && path < o.path)
+}
+
+object FileKeyOffset {
+  val Initial: FileKeyOffset = FileKeyOffset(Long.MinValue, "")
+
+  def of(f: FileSlice): FileKeyOffset = FileKeyOffset(f.mtime, f.path)
+
+  /** Parse the controlled json() form back (inverse of Json.str escaping). */
+  def fromJson(s: String): FileKeyOffset = {
+    val mtime = s.split("\"mtime\":")(1).takeWhile(c => c == '-' || c.isDigit).toLong
+    val raw = s.substring(s.indexOf("\"path\":") + 8, s.lastIndexOf("\"}"))
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      raw(i) match {
+        case '\\' if i + 1 < raw.length =>
+          raw(i + 1) match {
+            case 'n' => sb += '\n'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'u' => sb += Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar; i += 6
+            case c => sb += c; i += 2
+          }
+        case c => sb += c; i += 1
+      }
+    }
+    FileKeyOffset(mtime, sb.toString)
+  }
+}
+
+/**
+ * Streaming metadata source: `spark.readStream.format("metadata")` watches
+ * the root path and emits each level's rows for NEWLY ARRIVED files every
+ * micro-batch. Each `latestOffset` re-lists the path (bypassing the
+ * file-status cache); a batch is the files whose `(mtime, path)` key falls
+ * in `(start, end]`, planned with the same span-splitting and size-balanced
+ * packing as the batch scan.
+ *
+ * Semantics are append-only, like a log-less file stream: a file that
+ * arrives with a key at or below the committed offset (backdated mtime) is
+ * not replayed, and rewriting an existing file re-emits it under its new
+ * mtime. Exactly the trade-off of monitoring a growing table directory.
+ */
+class MetaMicroBatchStream(table: MetaTable, required: StructType) extends MicroBatchStream {
+
+  private def listing(): Seq[FileSlice] =
+    MetaTable.listSlices(table.spark, table.rootPath, table.options, fresh = true)
+
+  override def initialOffset(): Offset = FileKeyOffset.Initial
+
+  override def latestOffset(): Offset = {
+    val files = listing()
+    if (files.isEmpty) FileKeyOffset.Initial
+    else files.map(FileKeyOffset.of).maxBy(o => (o.mtime, o.path))
+  }
+
+  override def deserializeOffset(json: String): Offset = FileKeyOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[FileKeyOffset]
+    val hi = end.asInstanceOf[FileKeyOffset]
+    val batch = listing().filter { f =>
+      val k = FileKeyOffset.of(f)
+      lo.lessThan(k) && !hi.lessThan(k)
+    }
+    MetaScan.pack(MetaScan.spanify(batch, table.level, table.spanBytes), table.maxParts)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableHadoopConf(table.spark.sessionState.newHadoopConf())
+    MetaReaderFactory(table.level, required, conf, table.bufferSize, table.pageContent,
+      table.ignoreCorrupt)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -103,12 +103,14 @@ class MetaTable(
     val pageContent: Boolean,
     val spanBytes: Long,
     val ignoreCorrupt: Boolean,
+    val rootPath: Path,
+    val options: Map[String, String],
     @transient val spark: SparkSession) extends Table with SupportsRead {
 
   override def name(): String = s"metadata(${level.levelName})"
   override def schema(): StructType = level.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MetaScanBuilder(this)
@@ -135,25 +137,7 @@ object MetaTable {
     require(spanBytes > 0, s"Unsupported span bytes value $spanBytes")
     val ignoreCorrupt = opts.get(IGNORE_CORRUPT).exists(_.trim.toBoolean)
 
-    // Recursive listing + Hive partition discovery, shared across relations
-    // via the session file-status cache.
-    val index = new InMemoryFileIndex(
-      spark, Seq(rootPath), opts, None, FileStatusCache.getOrCreate(spark))
-    val partSchema = index.partitionSchema
-    val files = index.listFiles(Nil, Nil).flatMap { dir =>
-      // Stringify partition values once, on the driver, through the external
-      // Scala representation so dates/timestamps render in their canonical
-      // java.sql form (e.g. "2020-02-02 01:02:03.0"), not as internal micros.
-      val partMap = partSchema.zipWithIndex.map { case (f, i) =>
-        val v = CatalystTypeConverters.convertToScala(
-          dir.values.get(i, f.dataType), f.dataType)
-        f.name -> (if (v == null) "null" else v.toString)
-      }.toMap
-      dir.files.map { st =>
-        FileSlice(st.getPath.toString, st.getPath.getName, st.getLen,
-          st.getModificationTime, partMap)
-      }
-    }
+    val files = listSlices(spark, rootPath, opts, fresh = false)
 
     val source = opts.get(SOURCE).map(_.toLowerCase(java.util.Locale.ROOT)) match {
       case Some(s) =>
@@ -174,7 +158,38 @@ object MetaTable {
       s"Invalid level: $level, expected one of ${LEVELS.mkString("[", ", ", "]")}")
 
     new MetaTable(MetadataSource.levelFor(source, level), files,
-      maxParts, bufferSize, pageContent, spanBytes, ignoreCorrupt, spark)
+      maxParts, bufferSize, pageContent, spanBytes, ignoreCorrupt, rootPath, opts, spark)
+  }
+
+  /**
+   * Recursive listing + Hive partition discovery. Batch reads share the
+   * session file-status cache; streaming listings pass `fresh = true` so
+   * newly arrived files are visible every micro-batch.
+   */
+  def listSlices(
+      spark: SparkSession,
+      rootPath: Path,
+      opts: Map[String, String],
+      fresh: Boolean): Seq[FileSlice] = {
+    val cache =
+      if (fresh) org.apache.spark.sql.execution.datasources.NoopCache
+      else FileStatusCache.getOrCreate(spark)
+    val index = new InMemoryFileIndex(spark, Seq(rootPath), opts, None, cache)
+    val partSchema = index.partitionSchema
+    index.listFiles(Nil, Nil).flatMap { dir =>
+      // Stringify partition values once, on the driver, through the external
+      // Scala representation so dates/timestamps render in their canonical
+      // java.sql form (e.g. "2020-02-02 01:02:03.0"), not as internal micros.
+      val partMap = partSchema.zipWithIndex.map { case (f, i) =>
+        val v = CatalystTypeConverters.convertToScala(
+          dir.values.get(i, f.dataType), f.dataType)
+        f.name -> (if (v == null) "null" else v.toString)
+      }.toMap
+      dir.files.map { st =>
+        FileSlice(st.getPath.toString, st.getPath.getName, st.getLen,
+          st.getModificationTime, partMap)
+      }
+    }
   }
 }
 
@@ -333,6 +348,10 @@ class MetaScan(
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     MetaMetrics.supported
 
+  override def toMicroBatchStream(checkpointLocation: String): 
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MetaMicroBatchStream(table, required)
+
   /**
    * Pack scan units into at most `maxparts` partitions, balanced by span
    * size (greedy largest-first into the lightest bin) so one task doesn't
@@ -342,20 +361,35 @@ class MetaScan(
    * spans, so the page walk of one huge file parallelizes across tasks
    * instead of serializing into a single partition.
    */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val units: Seq[FileSpan] = prunedFiles.flatMap { f =>
-      if (table.level == MetaLevel.ParquetPage && f.size > table.spanBytes) {
-        val nSpans = ((f.size + table.spanBytes - 1) / table.spanBytes).toInt
+  override def planInputPartitions(): Array[InputPartition] =
+    MetaScan.pack(MetaScan.spanify(prunedFiles, table.level, table.spanBytes), table.maxParts)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableHadoopConf(table.spark.sessionState.newHadoopConf())
+    MetaReaderFactory(table.level, required, conf, table.bufferSize, table.pageContent,
+      table.ignoreCorrupt)
+  }
+}
+
+object MetaScan {
+  /** Page level splits big files into byte spans; other levels scan whole. */
+  def spanify(files: Seq[FileSlice], level: MetaLevel, spanBytes: Long): Seq[FileSpan] =
+    files.flatMap { f =>
+      if (level == MetaLevel.ParquetPage && f.size > spanBytes) {
+        val nSpans = ((f.size + spanBytes - 1) / spanBytes).toInt
         (0 until nSpans).map { s =>
-          FileSpan(f, s.toLong * table.spanBytes,
-            if (s == nSpans - 1) Long.MaxValue else (s + 1).toLong * table.spanBytes)
+          FileSpan(f, s.toLong * spanBytes,
+            if (s == nSpans - 1) Long.MaxValue else (s + 1).toLong * spanBytes)
         }
       } else {
         Seq(FileSpan(f, 0L, Long.MaxValue))
       }
     }
+
+  /** Greedy size-balanced packing into at most maxParts partitions. */
+  def pack(units: Seq[FileSpan], maxParts: Int): Array[InputPartition] = {
     if (units.isEmpty) return Array.empty
-    val n = math.max(1, math.min(units.length, table.maxParts))
+    val n = math.max(1, math.min(units.length, maxParts))
     val bins = Array.fill(n)(Vector.newBuilder[FileSpan])
     val weights = new Array[Long](n)
     units.sortBy(-_.length).foreach { u =>
@@ -372,12 +406,6 @@ class MetaScan(
       .map(b => FilesPartition(b.result().toArray))
       .filter(_.spans.nonEmpty)
       .toArray[InputPartition]
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val conf = new SerializableHadoopConf(table.spark.sessionState.newHadoopConf())
-    MetaReaderFactory(table.level, required, conf, table.bufferSize, table.pageContent,
-      table.ignoreCorrupt)
   }
 }
 
