@@ -405,6 +405,21 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
+    // Cross-modal: exact ANN neighbours joined back to document metadata
+    // (embeddings.vec_id aligns with documents.doc_id in the testdata) —
+    // the retrieve-then-enrich shape of a RAG/curation pipeline.
+    "ann_join_meta" -> ((s, dir) => {
+      val e = s.read.parquet(pq(dir, "embeddings"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val top = Similarity.bruteForceTopK(e, "vec_id", "embedding", queries, "q_id", "q_vec", 3)
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("source"))
+      top.join(broadcast(docs), col("neighbor_id") === col("doc_id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("lang"), col("source"))
+    }),
+
     // Bucketed LSH ANN (equi-join on sign-pattern buckets; plan-shape
     // guarded by a test — no oracle since recall is approximate).
     "ann_lsh" -> ((s, dir) => {
@@ -792,6 +807,23 @@ object SparkEntry {
         |  FROM embeddings e CROSS JOIN q
         |  WHERE e.vec_id <> q.q_id)
         |WHERE rank <= 3""".stripMargin,
+
+    "ann_join_meta" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT q_id AS query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id
+        |  FROM (
+        |    SELECT q.q_id, e.vec_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.q_vec, CAST(e.embedding AS DOUBLE[])) DESC,
+        |          e.vec_id) AS rank
+        |    FROM embeddings e CROSS JOIN q
+        |    WHERE e.vec_id <> q.q_id)
+        |  WHERE rank <= 3)
+        |SELECT query_id, rank, neighbor_id, d.lang, d.source
+        |FROM top JOIN documents d ON neighbor_id = d.doc_id""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id AS media_id,
