@@ -736,7 +736,7 @@ object SparkEntry {
         |    len(list_filter(tg, t -> list_contains(['the','ing','ion','and','he '], t))) AS s_en,
         |    len(list_filter(tg, t -> list_contains(['de ','la ','que','os ','ión'], t))) AS s_es,
         |    len(list_filter(tg, t -> list_contains(['le ','ent','les','de ','eur'], t))) AS s_fr,
-        |    len(list_filter(tg, t -> list_contains(['的','是','了'], t))) AS s_zh
+        |    len(list_filter(tg, t -> list_contains(['我们的','是一个','不知道'], t))) AS s_zh
         |  FROM tri)
         |SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs FROM (
         |  SELECT CASE

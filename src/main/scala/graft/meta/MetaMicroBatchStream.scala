@@ -64,12 +64,28 @@ class MetaMicroBatchStream(table: MetaTable, required: StructType) extends Micro
   private def listing(): Seq[FileSlice] =
     MetaTable.listSlices(table.spark, table.rootPath, table.options, fresh = true)
 
+  // The listing observed by the last latestOffset(), reused by the
+  // subsequent planInputPartitions so a batch is planned from the exact
+  // snapshot that produced its end offset (and the directory is listed once
+  // per trigger, not twice). A checkpoint-recovered replay after a restart
+  // has no snapshot and re-lists — the documented append-only caveat.
+  @volatile private var lastSnapshot: (FileKeyOffset, Seq[FileSlice]) = null
+
+  // Offsets must never move backwards: a transiently empty or lagging
+  // listing (object-store eventual consistency, compaction windows) would
+  // otherwise rewind and re-emit the whole directory.
+  @volatile private var highWater: FileKeyOffset = FileKeyOffset.Initial
+
   override def initialOffset(): Offset = FileKeyOffset.Initial
 
   override def latestOffset(): Offset = {
     val files = listing()
-    if (files.isEmpty) FileKeyOffset.Initial
-    else files.map(FileKeyOffset.of).maxBy(o => (o.mtime, o.path))
+    val maxKey =
+      if (files.isEmpty) FileKeyOffset.Initial
+      else files.map(FileKeyOffset.of).maxBy(o => (o.mtime, o.path))
+    if (highWater.lessThan(maxKey)) highWater = maxKey
+    lastSnapshot = (highWater, files)
+    highWater
   }
 
   override def deserializeOffset(json: String): Offset = FileKeyOffset.fromJson(json)
@@ -77,7 +93,9 @@ class MetaMicroBatchStream(table: MetaTable, required: StructType) extends Micro
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[FileKeyOffset]
     val hi = end.asInstanceOf[FileKeyOffset]
-    val batch = listing().filter { f =>
+    val snap = lastSnapshot
+    val files = if (snap != null && snap._1 == hi) snap._2 else listing()
+    val batch = files.filter { f =>
       val k = FileKeyOffset.of(f)
       lo.lessThan(k) && !hi.lessThan(k)
     }

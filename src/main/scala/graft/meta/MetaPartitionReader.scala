@@ -86,13 +86,27 @@ class MetaPartitionReader(
       spans.iterator.flatMap { sp =>
         try {
           val it = spanRows(sp)
+          // Prefetch wrapper: page-level I/O and Thrift decoding happen in
+          // the underlying next(), not hasNext, so BOTH must be guarded.
           new Iterator[InternalRow] {
-            private var failed = false
-            override def hasNext: Boolean = !failed && {
-              try it.hasNext
-              catch { case e: Exception => warnCorrupt(sp, e); failed = true; false }
+            private var pending: InternalRow = _
+            private var done = false
+            private def advance(): Unit =
+              try {
+                if (it.hasNext) pending = it.next() else done = true
+              } catch {
+                case e: Exception => warnCorrupt(sp, e); pending = null; done = true
+              }
+            override def hasNext: Boolean = {
+              if (pending == null && !done) advance()
+              pending != null
             }
-            override def next(): InternalRow = it.next()
+            override def next(): InternalRow = {
+              if (!hasNext) throw new NoSuchElementException
+              val r = pending
+              pending = null
+              r
+            }
           }
         } catch {
           case e: Exception => warnCorrupt(sp, e); Iterator.empty

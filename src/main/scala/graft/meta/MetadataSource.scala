@@ -212,8 +212,17 @@ class MetaScanBuilder(table: MetaTable)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val attrs = FilePruning.evaluableAttrs(table.level)
-    pushed = filters.filter(FilePruning.canEvaluate(_, attrs))
-    filters // all residual: the source prunes files, Spark verifies rows
+    // A filter decidable for EVERY listed file is handled EXACTLY by file
+    // pruning — its columns are constant across a file's rows — so it is
+    // claimed (not re-evaluated post-scan), which both removes a redundant
+    // Filter node and makes aggregate pushdown reachable for filtered
+    // counts. Anything not fully decidable stays residual for Spark.
+    val (claimed, residual) = filters.partition { f =>
+      FilePruning.canEvaluate(f, attrs) &&
+        table.files.forall(FilePruning.eval(f, _).isDefined)
+    }
+    pushed = claimed
+    residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -234,17 +243,15 @@ class MetaScanBuilder(table: MetaTable)
    * Complete COUNT(*) pushdown at the file levels, where the row count is
    * exactly the surviving-file count: `df.count()` over a million-file
    * listing answers from the driver without shipping one row to executors.
-   * Only offered when every pushed filter is fully decidable driver-side
-   * (an undecidable residual would make the count an over-estimate).
+   * Pushed filters are safe by construction — pushFilters only claims
+   * filters fully decidable against the driver listing.
    */
   private def countPushable(agg: Aggregation): Boolean =
     agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
       (table.level == MetaLevel.FsFile || table.level == MetaLevel.ParquetFile) &&
-      limit.isEmpty &&
-      pushed.forall(f =>
-        table.files.forall(FilePruning.eval(f, _).isDefined))
+      limit.isEmpty
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = countPushable(agg)
 
@@ -376,7 +383,11 @@ object MetaScan {
   def spanify(files: Seq[FileSlice], level: MetaLevel, spanBytes: Long): Seq[FileSpan] =
     files.flatMap { f =>
       if (level == MetaLevel.ParquetPage && f.size > spanBytes) {
-        val nSpans = ((f.size + spanBytes - 1) / spanBytes).toInt
+        // Cap the span count: a tiny spanbytes on a huge file must not
+        // overflow the Int conversion (which would silently drop the file);
+        // the final span always extends to MaxValue so coverage is complete
+        // even when capped.
+        val nSpans = math.min((f.size + spanBytes - 1) / spanBytes, 1L << 20).toInt
         (0 until nSpans).map { s =>
           FileSpan(f, s.toLong * spanBytes,
             if (s == nSpans - 1) Long.MaxValue else (s + 1).toLong * spanBytes)

@@ -120,7 +120,8 @@ object TextOps {
     "en" -> Seq("the", "ing", "ion", "and", "he "),
     "es" -> Seq("de ", "la ", "que", "os ", "ión"),
     "fr" -> Seq("le ", "ent", "les", "de ", "eur"),
-    "zh" -> Seq("的", "是", "了"))
+    // profile entries must be length-3 to ever match a trigram
+    "zh" -> Seq("我们的", "是一个", "不知道"))
 
   /** Count of the text's trigrams present in one profile (with multiplicity). */
   def trigramScore(text: Column, profile: Seq[String]): Column =

@@ -90,8 +90,10 @@ class FilePruningSpec extends SparkSpec {
     agg.collect()
     assert(agg.queryExecution.executedPlan.toString.contains("pushed-count"))
     // filtered count still pushes when the filter is fully decidable
-    val some = meta("file").filter(col("size") > 0L).count()
-    assert(some === counted)
+    val filteredAgg = meta("file").filter(col("size") > 0L).groupBy().count()
+    assert(filteredAgg.collect().head.getLong(0) === counted)
+    assert(filteredAgg.queryExecution.executedPlan.toString.contains("pushed-count"),
+      filteredAgg.queryExecution.executedPlan.toString)
     // non-decidable filters fall back to the ordinary scan
     val deep = meta("rowgroup").groupBy().count()
     assert(deep.collect().head.getLong(0) === meta("rowgroup").collect().length.toLong)

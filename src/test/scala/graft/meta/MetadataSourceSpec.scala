@@ -165,6 +165,25 @@ class MetadataSourceSpec extends SparkSpec {
     assert(meta(dir, "level" -> "file", "source" -> "file").count() === 2L)
   }
 
+  test("ignorecorrupt covers mid-file page corruption (valid footer, bad pages)") {
+    val dir = Files.createTempDirectory("graft_midcorrupt").toString
+    spark.range(0, 100).coalesce(1).write.mode("overwrite").parquet(dir)
+    val good = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(_.toString.endsWith(".parquet")).findFirst.get
+    // copy with the page bytes clobbered but the footer intact: the footer
+    // decodes fine, and corruption only surfaces inside the page walk
+    val bytes = java.nio.file.Files.readAllBytes(good)
+    java.util.Arrays.fill(bytes, 4, math.min(64, bytes.length - 64), 0xFF.toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad_pages.parquet"), bytes)
+    val lenient = meta(dir, "level" -> "page", "source" -> "parquet",
+      "ignorecorrupt" -> "true")
+    // must complete and still return the good file's pages
+    val byFile = lenient.groupBy("filepath").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFile.keys.exists(_.endsWith(good.getFileName.toString)))
+    assert(byFile.values.forall(_ > 0))
+  }
+
   test("page level splits large files into byte spans with identical results") {
     // force tiny spans so even the small test file splits into many units
     val whole = meta(lineitem, "level" -> "page")
