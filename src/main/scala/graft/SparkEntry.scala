@@ -131,6 +131,20 @@ object SparkEntry {
       metaRows.crossJoin(dataRows)
     }),
 
+    // One-row table health report: file/rowgroup/byte totals and the
+    // overall compression ratio, the at-a-glance summary a table owner
+    // asks for first.
+    "meta_report" -> ((s, dir) => {
+      val cols = meta(s, pq(dir, "lineitem"), "column")
+      cols.agg(
+        countDistinct(col("row_group_id")).as("n_row_groups"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("total_compressed_size")).as("compressed_bytes"),
+        sum(col("total_uncompressed_size")).as("uncompressed_bytes"),
+        floor(sum(col("total_uncompressed_size")).cast("double") /
+          sum(col("total_compressed_size")).cast("double") * 10000.0d).as("ratio_x10k"))
+    }),
+
     // ----- delegated relational capabilities (Catalyst-native plans) -----
     "q1_agg" -> ((s, dir) => {
       val l = s.read.parquet(pq(dir, "lineitem"))
@@ -539,6 +553,15 @@ object SparkEntry {
          |    FROM parquet_metadata('$OracleSf/orders.parquet')
          |    GROUP BY row_group_id)) AS meta_rows,
          |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS data_rows""".stripMargin,
+
+    "meta_report" ->
+      s"""SELECT CAST(count(DISTINCT row_group_id) AS BIGINT) AS n_row_groups,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes,
+         |  CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes,
+         |  CAST(floor(CAST(sum(total_uncompressed_size) AS DOUBLE)
+         |    / sum(total_compressed_size) * 10000) AS BIGINT) AS ratio_x10k
+         |FROM parquet_metadata('$lineitemPq')""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
