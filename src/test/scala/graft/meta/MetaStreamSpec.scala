@@ -55,6 +55,29 @@ class MetaStreamSpec extends SparkSpec {
       s"expected only the new file, got $newOnes (all: $second)")
   }
 
+  test("spanify caps span count but still covers the whole file") {
+    val huge = FileSlice("file:/x/huge.parquet", "huge.parquet", 3L * 1024 * 1024 * 1024, 0L, Map.empty)
+    val spans = MetaScan.spanify(Seq(huge), MetaLevel.ParquetPage, spanBytes = 1L)
+    assert(spans.length === (1 << 20)) // capped, not overflowed to zero
+    assert(spans.head.lo === 0L)
+    assert(spans.last.hi === Long.MaxValue) // final span covers the tail
+    // non-page levels never split
+    assert(MetaScan.spanify(Seq(huge), MetaLevel.ParquetColumn, 1L).length === 1)
+  }
+
+  test("latestOffset never rewinds when the listing shrinks") {
+    val dir = Files.createTempDirectory("graft_stream_mono").toString
+    spark.range(0, 5).coalesce(1).write.mode("overwrite").parquet(dir)
+    val table = MetaTable.resolve(Map("path" -> dir, "level" -> "file", "source" -> "parquet"))
+    val stream = new MetaMicroBatchStream(table, table.schema())
+    val first = stream.latestOffset().asInstanceOf[FileKeyOffset]
+    assert(FileKeyOffset.Initial.lessThan(first))
+    // empty the directory: a transiently empty listing must not rewind
+    Files.list(Paths.get(dir)).forEach(p => Files.delete(p))
+    val second = stream.latestOffset().asInstanceOf[FileKeyOffset]
+    assert(second === first)
+  }
+
   test("streaming rowgroup level decodes footers of new files") {
     val dir = Files.createTempDirectory("graft_meta_stream_rg").toString
     val ckpt = Files.createTempDirectory("graft_meta_ckpt_rg").toString

@@ -44,6 +44,12 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("lshBands rejects a banding that does not tile the signature") {
+    val corpus = docs.withColumn("ws", TextOps.tokenSet(col("text")))
+    val sigs = Dedup.minhashSignatures(corpus, col("doc_id"), col("ws"))
+    intercept[IllegalArgumentException](Dedup.lshBands(sigs, bands = 4, rowsPerBand = 20))
+  }
+
   test("simhash is equal for identical sets and close for near-dups") {
     val corpus = docs.withColumn("ws", graft.ops.TextOps.tokenSet(col("text")))
     val sh = Dedup.simhash64(corpus, col("doc_id"), col("ws"))
