@@ -105,7 +105,7 @@ class MetaMicroBatchStream(table: MetaTable, required: StructType) extends Micro
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(table.spark.sessionState.newHadoopConf())
     MetaReaderFactory(table.level, required, conf, table.bufferSize, table.pageContent,
-      table.ignoreCorrupt)
+      table.ignoreCorrupt, table.footerCache)
   }
 
   override def commit(end: Offset): Unit = ()

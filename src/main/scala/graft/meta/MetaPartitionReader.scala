@@ -35,7 +35,8 @@ class MetaPartitionReader(
     conf: Configuration,
     bufferSize: Int,
     pageContent: Boolean,
-    ignoreCorrupt: Boolean = false) extends PartitionReader[InternalRow] {
+    ignoreCorrupt: Boolean = false,
+    footerCache: Boolean = true) extends PartitionReader[InternalRow] {
 
   private val fieldNames = required.fieldNames
   private val wantContent = pageContent && fieldNames.contains("page_content")
@@ -282,5 +283,5 @@ class MetaPartitionReader(
   }
 
   private def readFooter(f: FileSlice): FooterInfo =
-    Footers.read(new Path(f.path), conf, Some(f.size))
+    FooterCache.get(f, conf, footerCache)
 }

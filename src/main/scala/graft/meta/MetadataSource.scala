@@ -66,6 +66,7 @@ object MetadataSource {
   val SPAN_BYTES = "spanbytes"
   val SPAN_BYTES_DEFAULT: Long = 128L * 1024 * 1024
   val IGNORE_CORRUPT = "ignorecorrupt"
+  val FOOTER_CACHE = "footercache"
 
   val SOURCES = Seq("file", "parquet")
   val LEVELS = Seq("file", "rowgroup", "column", "page")
@@ -103,6 +104,7 @@ class MetaTable(
     val pageContent: Boolean,
     val spanBytes: Long,
     val ignoreCorrupt: Boolean,
+    val footerCache: Boolean,
     val rootPath: Path,
     val options: Map[String, String],
     @transient val spark: SparkSession) extends Table with SupportsRead {
@@ -136,6 +138,7 @@ object MetaTable {
     val spanBytes = opts.get(SPAN_BYTES).map(_.toLong).getOrElse(SPAN_BYTES_DEFAULT)
     require(spanBytes > 0, s"Unsupported span bytes value $spanBytes")
     val ignoreCorrupt = opts.get(IGNORE_CORRUPT).exists(_.trim.toBoolean)
+    val footerCache = opts.get(FOOTER_CACHE).forall(_.trim.toBoolean)
 
     val files = listSlices(spark, rootPath, opts, fresh = false)
 
@@ -158,7 +161,7 @@ object MetaTable {
       s"Invalid level: $level, expected one of ${LEVELS.mkString("[", ", ", "]")}")
 
     new MetaTable(MetadataSource.levelFor(source, level), files,
-      maxParts, bufferSize, pageContent, spanBytes, ignoreCorrupt, rootPath, opts, spark)
+      maxParts, bufferSize, pageContent, spanBytes, ignoreCorrupt, footerCache, rootPath, opts, spark)
   }
 
   /**
@@ -374,7 +377,7 @@ class MetaScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(table.spark.sessionState.newHadoopConf())
     MetaReaderFactory(table.level, required, conf, table.bufferSize, table.pageContent,
-      table.ignoreCorrupt)
+      table.ignoreCorrupt, table.footerCache)
   }
 }
 
@@ -426,11 +429,12 @@ case class MetaReaderFactory(
     conf: SerializableHadoopConf,
     bufferSize: Int,
     pageContent: Boolean,
-    ignoreCorrupt: Boolean) extends PartitionReaderFactory {
+    ignoreCorrupt: Boolean,
+    footerCache: Boolean) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val spans = partition.asInstanceOf[FilesPartition].spans
     new MetaPartitionReader(spans, level, required, conf.value, bufferSize, pageContent,
-      ignoreCorrupt)
+      ignoreCorrupt, footerCache)
   }
 }

@@ -198,6 +198,31 @@ class MetadataSourceSpec extends SparkSpec {
     assert(splitRows === whole)
   }
 
+  test("footer cache is keyed by (path,size,mtime) and disableable") {
+    FooterCache.clear()
+    val rg1 = meta(lineitem, "level" -> "rowgroup").agg(sum("num_rows")).collect().head.getLong(0)
+    assert(FooterCache.entries === 1)
+    // repeat query served from cache, same answer
+    val rg2 = meta(lineitem, "level" -> "rowgroup").agg(sum("num_rows")).collect().head.getLong(0)
+    assert(rg1 === rg2)
+    assert(FooterCache.entries === 1)
+    // disabled: no new entries appear
+    FooterCache.clear()
+    meta(lineitem, "level" -> "column", "footercache" -> "false").collect()
+    assert(FooterCache.entries === 0)
+    // rewritten file (different mtime/size) gets a fresh entry
+    val dir = java.nio.file.Files.createTempDirectory("graft_fcache").toString
+    spark.range(0, 10).coalesce(1).write.mode("overwrite").parquet(dir)
+    FooterCache.clear()
+    meta(dir, "level" -> "rowgroup").collect()
+    val before = FooterCache.entries
+    Thread.sleep(1100) // ensure a distinct mtime second
+    spark.range(0, 20).coalesce(1).write.mode("overwrite").parquet(dir)
+    val n = meta(dir, "level" -> "rowgroup").agg(sum("num_rows")).collect().head.getLong(0)
+    assert(n === 20L)
+    assert(FooterCache.entries >= before)
+  }
+
   test("page reader reports remote I/O custom metrics") {
     val p = new org.apache.hadoop.fs.Path(lineitem)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
