@@ -213,6 +213,30 @@ object SparkEntry {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // Correlated subquery (Catalyst decorrelates to an aggregate + join):
+    // orders priced above 1.5x their customer's average. The comparison is
+    // cross-multiplied in exact decimals, so no division order-dependence.
+    "q_corr_subquery" -> ((s, dir) => {
+      s.read.parquet(pq(dir, "orders")).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT CAST(count(*) AS LONG) AS n_above
+        FROM orders_v o
+        WHERE (SELECT count(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey) *
+            CAST(o.o_totalprice AS DECIMAL(28,6)) * 2 >
+          (SELECT sum(CAST(i.o_totalprice AS DECIMAL(28,6)))
+           FROM orders_v i WHERE i.o_custkey = o.o_custkey) * 3""")
+    }),
+
+    // Moving-frame window: trailing-3 revenue per supplier over ship dates.
+    "win_moving" -> ((s, dir) => {
+      val l = s.read.parquet(pq(dir, "lineitem")).filter(col("l_suppkey") < 20)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-2, 0)
+      l.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          sum(col("l_extendedprice").cast("decimal(28,6)")).over(w).cast("double").as("trailing_rev"))
+    }),
+
     "cube_rollup" -> ((s, dir) =>
       s.read.parquet(pq(dir, "orders"))
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -615,6 +639,22 @@ object SparkEntry {
         |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |    FROM events))
         |GROUP BY user_id""".stripMargin,
+
+    "q_corr_subquery" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_above
+        |FROM orders o
+        |WHERE (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) *
+        |    CAST(o.o_totalprice AS DECIMAL(28,6)) * 2 >
+        |  (SELECT sum(CAST(i.o_totalprice AS DECIMAL(28,6)))
+        |   FROM orders i WHERE i.o_custkey = o.o_custkey) * 3""".stripMargin,
+
+    "win_moving" ->
+      """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_rev
+        |FROM lineitem WHERE l_suppkey < 20""".stripMargin,
 
     "cube_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
