@@ -387,7 +387,9 @@ object SparkEntry {
 
     "text_langid_ngram" -> ((s, dir) =>
       s.read.parquet(pq(dir, "documents"))
-        .select(TextOps.langIdNgram(col("text")).as("pred_lang"))
+        // materialize trigrams once per row; the five profile scores share it
+        .select(TextOps.charNgrams(col("text"), 3).as("tg"))
+        .select(TextOps.langIdNgramOn(col("tg")).as("pred_lang"))
         .groupBy(col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))),
 

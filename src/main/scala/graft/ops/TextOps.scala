@@ -123,13 +123,26 @@ object TextOps {
     // profile entries must be length-3 to ever match a trigram
     "zh" -> Seq("我们的", "是一个", "不知道"))
 
+  /** Count of the trigram-array elements present in one profile. */
+  def trigramScoreOn(trigrams: Column, profile: Seq[String]): Column =
+    size(filter(trigrams, t => t.isin(profile.map(lit(_).cast("string")): _*)))
+
   /** Count of the text's trigrams present in one profile (with multiplicity). */
   def trigramScore(text: Column, profile: Seq[String]): Column =
-    size(filter(charNgrams(text, 3), t => t.isin(profile.map(lit(_).cast("string")): _*)))
+    trigramScoreOn(charNgrams(text, 3), profile)
 
-  /** N-gram-profile language ID with the same deterministic argmax. */
-  def langIdNgram(text: Column): Column =
-    argmaxLang(TrigramProfiles.map { case (lang, p) => lang -> trigramScore(text, p) })
+  /**
+   * N-gram-profile language ID over a PRE-MATERIALIZED trigram column.
+   * Building the trigram array is the expensive part (interpreted substring
+   * generation); callers must compute it once per row — e.g.
+   * `df.select(charNgrams(col("text"), 3).as("tg")).select(langIdNgramOn(col("tg")))`
+   * — instead of letting each of the five profile scores regenerate it.
+   */
+  def langIdNgramOn(trigrams: Column): Column =
+    argmaxLang(TrigramProfiles.map { case (lang, p) => lang -> trigramScoreOn(trigrams, p) })
+
+  /** Convenience single-column form; for hot paths prefer [[langIdNgramOn]]. */
+  def langIdNgram(text: Column): Column = langIdNgramOn(charNgrams(text, 3))
 
   /** First language (in list order) achieving the maximum score. */
   private def argmaxLang(scores: Seq[(String, Column)]): Column = {
