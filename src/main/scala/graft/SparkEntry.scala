@@ -381,7 +381,8 @@ object SparkEntry {
 
     "text_langid" -> ((s, dir) =>
       s.read.parquet(pq(dir, "documents"))
-        .select(TextOps.langId(col("text")).as("pred_lang"))
+        .select(TextOps.tokens(col("text")).as("toks"))
+        .select(TextOps.langIdOn(col("toks")).as("pred_lang"))
         .groupBy(col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))),
 

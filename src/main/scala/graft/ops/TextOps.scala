@@ -91,17 +91,25 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "les"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
+  /** Tokens-in-list count against a pre-materialized token array. */
+  def stopwordScoreOn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_).cast("string")): _*)))
+
   /** Tokens-in-list count for one language. */
   def stopwordScore(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words.map(lit(_).cast("string")): _*)))
+    stopwordScoreOn(tokens(text), words)
+
+  /** Language ID over a PRE-MATERIALIZED token column — compute `tokens`
+    * once per row; five per-language scores share the array. */
+  def langIdOn(toks: Column): Column =
+    argmaxLang(StopwordLists.map { case (lang, words) => lang -> stopwordScoreOn(toks, words) })
 
   /**
    * Predicted language: the first language (in alphabetical order) achieving
    * the maximum stopword-overlap score. Deterministic tie-break makes the
-   * prediction oracle-reproducible.
+   * prediction oracle-reproducible. For hot paths prefer [[langIdOn]].
    */
-  def langId(text: Column): Column =
-    argmaxLang(StopwordLists.map { case (lang, words) => lang -> stopwordScore(text, words) })
+  def langId(text: Column): Column = langIdOn(tokens(text))
 
   /** Character n-grams (sliding substrings of length n). */
   def charNgrams(text: Column, n: Int): Column =
