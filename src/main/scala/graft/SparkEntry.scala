@@ -301,14 +301,7 @@ object SparkEntry {
       val sigs = Dedup.minhashSignatures(corpus, col("doc_id"), col("ws"),
         carry = Seq(col("ws")))
       val bands = Dedup.lshBands(sigs, bands = 4, rowsPerBand = 16)
-      val l = bands.select(col("band").as("band_l"), col("band_hash").as("bh_l"),
-        col("mh_id").as("a_id"), col("ws").as("ws_l"))
-      val r = bands.select(col("band").as("band_r"), col("band_hash").as("bh_r"),
-        col("mh_id").as("b_id"), col("ws").as("ws_r"))
-      l.join(r, col("band_l") === col("band_r") && col("bh_l") === col("bh_r") &&
-          col("ws_l") === col("ws_r") && col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"))
-        .distinct()
+      Dedup.candidatePairs(bands, extraKeys = Seq("ws"))
         .agg(count(lit(1)).as("dup_pairs"),
           coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_sum"))
     }),

@@ -56,7 +56,15 @@ object FilePruning {
     case LessThan(a, v) => attr(a, f).flatMap(x => cmp(x, v)).map(_ < 0)
     case LessThanOrEqual(a, v) => attr(a, f).flatMap(x => cmp(x, v)).map(_ <= 0)
     case In(a, vs) =>
-      attr(a, f).map(x => vs.exists(v => cmp(x, v).contains(0)))
+      // SQL three-valued IN: a match is true; no match is only FALSE when
+      // every element compared definitively (a null/incomparable element
+      // makes a non-match UNKNOWN, so Not(In(...)) stays unclaimed-correct)
+      attr(a, f).flatMap { x =>
+        val cmps = vs.toSeq.map(v => if (v == null) None else cmp(x, v))
+        if (cmps.exists(_.contains(0))) Some(true)
+        else if (cmps.forall(_.isDefined)) Some(false)
+        else None
+      }
     case StringStartsWith(a, p) =>
       attr(a, f).collect { case s: String => s.startsWith(p) }
     case StringEndsWith(a, p) =>

@@ -76,13 +76,27 @@ class MetaMicroBatchStream(table: MetaTable, required: StructType) extends Micro
   // otherwise rewind and re-emit the whole directory.
   @volatile private var highWater: FileKeyOffset = FileKeyOffset.Initial
 
+  /**
+   * Settle lag: the newest mtime granule is only emitted once the wall
+   * clock has passed it by this much, closing the race where two files
+   * share an mtime and a listing lands between their creations (the later
+   * same-mtime file would otherwise be below the committed offset forever).
+   * On an immediately consistent filesystem, once `now > mtime + lag`, every
+   * file with that mtime already exists and is listed. Tunable via the
+   * `streamlagms` option (tests use 0).
+   */
+  private val lagMs: Long =
+    table.options.get("streamlagms").map(_.toLong).getOrElse(2000L)
+
   override def initialOffset(): Offset = FileKeyOffset.Initial
 
   override def latestOffset(): Offset = {
     val files = listing()
+    val cutoff = System.currentTimeMillis() - lagMs
+    val settled = files.filter(_.mtime <= cutoff)
     val maxKey =
-      if (files.isEmpty) FileKeyOffset.Initial
-      else files.map(FileKeyOffset.of).maxBy(o => (o.mtime, o.path))
+      if (settled.isEmpty) FileKeyOffset.Initial
+      else settled.map(FileKeyOffset.of).maxBy(o => (o.mtime, o.path))
     if (highWater.lessThan(maxKey)) highWater = maxKey
     lastSnapshot = (highWater, files)
     highWater

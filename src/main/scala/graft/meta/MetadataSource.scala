@@ -236,9 +236,14 @@ class MetaScanBuilder(table: MetaTable)
     * per file (an empty parquet file has no row groups), so capping files
     * there could under-produce; they decline the pushdown. */
   override def pushLimit(n: Int): Boolean = table.level match {
-    case MetaLevel.FsFile | MetaLevel.ParquetFile =>
+    // With ignorecorrupt, the parquet-file level may SKIP files at decode
+    // time, so capping the listing at n files could under-produce; decline.
+    case MetaLevel.FsFile =>
       limit = Some(n)
       false // keep Spark's limit on top (pruning is still exact, this is belt+braces)
+    case MetaLevel.ParquetFile if !table.ignoreCorrupt =>
+      limit = Some(n)
+      false
     case _ => false
   }
 
@@ -253,7 +258,8 @@ class MetaScanBuilder(table: MetaTable)
     agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
-      (table.level == MetaLevel.FsFile || table.level == MetaLevel.ParquetFile) &&
+      (table.level == MetaLevel.FsFile ||
+        (table.level == MetaLevel.ParquetFile && !table.ignoreCorrupt)) &&
       limit.isEmpty
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = countPushable(agg)

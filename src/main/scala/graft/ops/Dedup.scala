@@ -84,11 +84,13 @@ object Dedup {
    * self-equi-join on (band, band_hash) — shuffle-partitioned by band hash,
    * never a cartesian product.
    */
-  def candidatePairs(bandsDf: DataFrame): DataFrame = {
-    val l = bandsDf.select(col("band").as("band_l"), col("band_hash").as("bh_l"), col("mh_id").as("a_id"))
-    val r = bandsDf.select(col("band").as("band_r"), col("band_hash").as("bh_r"), col("mh_id").as("b_id"))
-    l.join(r, col("band_l") === col("band_r") && col("bh_l") === col("bh_r") &&
-        col("a_id") < col("b_id"))
+  def candidatePairs(bandsDf: DataFrame, extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = Seq("band", "band_hash") ++ extraKeys
+    val l = bandsDf.select((keys.map(k => col(k).as(s"${k}_l")) :+ col("mh_id").as("a_id")): _*)
+    val r = bandsDf.select((keys.map(k => col(k).as(s"${k}_r")) :+ col("mh_id").as("b_id")): _*)
+    val cond = keys.map(k => col(s"${k}_l") === col(s"${k}_r"))
+      .reduce(_ && _) && col("a_id") < col("b_id")
+    l.join(r, cond)
       .select(col("a_id"), col("b_id"))
       .distinct()
   }

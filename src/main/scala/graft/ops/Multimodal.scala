@@ -44,9 +44,11 @@ object Multimodal {
    */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.bytes.length
-    val prefix = new String(r.bytes, java.nio.charset.StandardCharsets.UTF_8).take(64)
+    // truncate by CODEPOINTS (matching SQL substring semantics), not UTF-16
+    // units — .take(64) would split surrogate pairs on non-BMP payloads
+    val decoded = new String(r.bytes, java.nio.charset.StandardCharsets.UTF_8)
     var crc = 0L
-    prefix.codePoints().forEach(c => crc = (crc * 31 + c) % 1000000007L)
+    decoded.codePoints().limit(64).forEach(c => crc = (crc * 31 + c) % 1000000007L)
     MediaFeatures(r.media_id, r.kind, n, 64 + n % 576, 64 + n % 416, crc)
   }
 

@@ -29,7 +29,8 @@ class MetaStreamSpec extends SparkSpec {
     // incremental restart is exactly what this test exercises
     def runOnce(): Seq[String] = {
       val src = spark.readStream.format("metadata")
-        .option("level", "file").option("source", "parquet").load(dir)
+        .option("level", "file").option("source", "parquet")
+        .option("streamlagms", "0").load(dir)
       val q = src.select("filename").writeStream.format("parquet")
         .outputMode("append").trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt).option("path", out).start()
@@ -46,8 +47,9 @@ class MetaStreamSpec extends SparkSpec {
     Files.copy(
       Files.list(Paths.get(dir)).filter(_.toString.endsWith(".parquet")).findFirst.get,
       extra)
-    val newMtime = System.currentTimeMillis() + 5000
-    extra.toFile.setLastModified(newMtime)
+    // strictly later than the first wave, but NOT in the future — the
+    // settle-lag cutoff would (correctly) hold back a future mtime
+    extra.toFile.setLastModified(System.currentTimeMillis())
 
     val second = runOnce()
     val newOnes = second.diff(first)
@@ -68,7 +70,8 @@ class MetaStreamSpec extends SparkSpec {
   test("latestOffset never rewinds when the listing shrinks") {
     val dir = Files.createTempDirectory("graft_stream_mono").toString
     spark.range(0, 5).coalesce(1).write.mode("overwrite").parquet(dir)
-    val table = MetaTable.resolve(Map("path" -> dir, "level" -> "file", "source" -> "parquet"))
+    val table = MetaTable.resolve(Map("path" -> dir, "level" -> "file",
+      "source" -> "parquet", "streamlagms" -> "0"))
     val stream = new MetaMicroBatchStream(table, table.schema())
     val first = stream.latestOffset().asInstanceOf[FileKeyOffset]
     assert(FileKeyOffset.Initial.lessThan(first))
@@ -83,7 +86,8 @@ class MetaStreamSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("graft_meta_ckpt_rg").toString
     spark.range(0, 50).coalesce(1).write.mode("overwrite").parquet(dir)
     val src = spark.readStream.format("metadata")
-      .option("level", "rowgroup").option("source", "parquet").load(dir)
+      .option("level", "rowgroup").option("source", "parquet")
+      .option("streamlagms", "0").load(dir)
     val q = src.writeStream.format("memory").queryName("meta_stream_rg")
       .outputMode("append").trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt).start()

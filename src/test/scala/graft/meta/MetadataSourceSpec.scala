@@ -165,6 +165,23 @@ class MetadataSourceSpec extends SparkSpec {
     assert(meta(dir, "level" -> "file", "source" -> "file").count() === 2L)
   }
 
+  test("count and limit pushdowns decline under ignorecorrupt at the parquet-file level") {
+    val dir = Files.createTempDirectory("graft_corrupt_count").toString
+    spark.range(0, 10).coalesce(1).write.mode("overwrite").parquet(dir)
+    Files.write(java.nio.file.Paths.get(dir, "bad.parquet"),
+      "PAR1this-is-not-a-footer".getBytes)
+    val lenient = meta(dir, "level" -> "file", "source" -> "parquet",
+      "ignorecorrupt" -> "true")
+    // the corrupt file is skipped at decode time, so count must come from
+    // the scan, not the driver listing (which would say one more)
+    val rows = lenient.collect().length.toLong
+    assert(lenient.count() === rows)
+    assert(lenient.limit(2).count() <= rows)
+    // fs file level never decodes: pushdown stays exact there
+    val fs = meta(dir, "level" -> "file", "source" -> "file", "ignorecorrupt" -> "true")
+    assert(fs.count() === 2L)
+  }
+
   test("ignorecorrupt covers mid-file page corruption (valid footer, bad pages)") {
     val dir = Files.createTempDirectory("graft_midcorrupt").toString
     spark.range(0, 100).coalesce(1).write.mode("overwrite").parquet(dir)

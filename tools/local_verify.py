@@ -7,6 +7,7 @@ columns by name and rows by value, and diff. Usage:
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -33,6 +34,11 @@ def canon(rows, cols):
 
 
 def main(sf_dir, out_dir):
+    if "sf0.01" not in sf_dir:
+        print(f"WARNING: metadata oracles hardcode sf0.01 paths; comparing a "
+              f"{sf_dir} Verify run against them would be cross-scale garbage.")
+        if os.environ.get("ALLOW_SCALE_MISMATCH") != "1":
+            return 2
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
