@@ -1,7 +1,7 @@
 package graft.meta
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -59,7 +59,8 @@ object FileKeyOffset {
  * not replayed, and rewriting an existing file re-emits it under its new
  * mtime. Exactly the trade-off of monitoring a growing table directory.
  */
-class MetaMicroBatchStream(table: MetaTable, required: StructType) extends MicroBatchStream {
+class MetaMicroBatchStream(table: MetaTable, required: StructType)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def listing(): Seq[FileSlice] =
     MetaTable.listSlices(table.spark, table.rootPath, table.options, fresh = true)
@@ -88,9 +89,51 @@ class MetaMicroBatchStream(table: MetaTable, required: StructType) extends Micro
   private val lagMs: Long =
     table.options.get("streamlagms").map(_.toLong).getOrElse(2000L)
 
+  /** Per-trigger file cap (backfill pacing), like maxFilesPerTrigger. */
+  private val maxFilesPerTrigger: Option[Int] =
+    table.options.get("maxfilespertrigger").map(_.toInt)
+
+  /** Fixed end target once Trigger.AvailableNow prepares the run. */
+  @volatile private var availableNowTarget: FileKeyOffset = null
+
   override def initialOffset(): Offset = FileKeyOffset.Initial
 
-  override def latestOffset(): Offset = {
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    // Snapshot the end of the run: AvailableNow drains everything settled
+    // at start time across (possibly rate-limited) batches, then stops.
+    availableNowTarget = advanceHighWater()
+  }
+
+  override def reportLatestOffset(): Offset = highWater
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target =
+      if (availableNowTarget != null) availableNowTarget else advanceHighWater()
+    limit match {
+      case m: ReadMaxFiles =>
+        // cap the batch at the first maxFiles keys past start
+        val lo = start.asInstanceOf[FileKeyOffset]
+        val snap = lastSnapshot
+        val files = if (snap != null) snap._2 else listing()
+        val pending = files
+          .map(FileKeyOffset.of)
+          .filter(k => lo.lessThan(k) && !target.lessThan(k))
+          .sortBy(k => (k.mtime, k.path))
+        if (pending.isEmpty) target
+        else pending.take(m.maxFiles).lastOption.getOrElse(target)
+      case _ => target
+    }
+  }
+
+  /** List, advance the monotonic high-water mark, snapshot the listing. */
+  private def advanceHighWater(): FileKeyOffset = {
     val files = listing()
     val cutoff = System.currentTimeMillis() - lagMs
     val settled = files.filter(_.mtime <= cutoff)
@@ -108,7 +151,9 @@ class MetaMicroBatchStream(table: MetaTable, required: StructType) extends Micro
     val lo = start.asInstanceOf[FileKeyOffset]
     val hi = end.asInstanceOf[FileKeyOffset]
     val snap = lastSnapshot
-    val files = if (snap != null && snap._1 == hi) snap._2 else listing()
+    // reuse the trigger's snapshot whenever it covers this batch's end
+    // (rate-limited batches end below the snapshot's high-water mark)
+    val files = if (snap != null && !snap._1.lessThan(hi)) snap._2 else listing()
     val batch = files.filter { f =>
       val k = FileKeyOffset.of(f)
       lo.lessThan(k) && !hi.lessThan(k)

@@ -73,12 +73,33 @@ class MetaStreamSpec extends SparkSpec {
     val table = MetaTable.resolve(Map("path" -> dir, "level" -> "file",
       "source" -> "parquet", "streamlagms" -> "0"))
     val stream = new MetaMicroBatchStream(table, table.schema())
-    val first = stream.latestOffset().asInstanceOf[FileKeyOffset]
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val all = ReadLimit.allAvailable()
+    val first = stream.latestOffset(FileKeyOffset.Initial, all).asInstanceOf[FileKeyOffset]
     assert(FileKeyOffset.Initial.lessThan(first))
     // empty the directory: a transiently empty listing must not rewind
     Files.list(Paths.get(dir)).forEach(p => Files.delete(p))
-    val second = stream.latestOffset().asInstanceOf[FileKeyOffset]
+    val second = stream.latestOffset(first, all).asInstanceOf[FileKeyOffset]
     assert(second === first)
+  }
+
+  test("maxfilespertrigger paces the backfill across batches") {
+    val dir = Files.createTempDirectory("graft_stream_paced").toString
+    val ckpt = Files.createTempDirectory("graft_paced_ckpt").toString
+    val out = Files.createTempDirectory("graft_paced_out").toString
+    spark.range(0, 40, 1, 4).write.mode("overwrite").parquet(dir) // 4 files
+    val src = spark.readStream.format("metadata")
+      .option("level", "file").option("source", "parquet")
+      .option("streamlagms", "0").option("maxfilespertrigger", "1").load(dir)
+    val q = src.select("filename").writeStream.format("parquet")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).option("path", out).start()
+    q.awaitTermination(120000)
+    q.stop()
+    // all 4 files drained (across 4 rate-limited batches), none duplicated
+    val names = spark.read.parquet(out).collect().map(_.getString(0)).sorted
+    assert(names.length === 4, names.mkString(","))
+    assert(names.distinct.length === 4)
   }
 
   test("streaming rowgroup level decodes footers of new files") {
