@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProductF}
+import graft.functions.{CosineSimilarity, DotProductF, JaccardSorted}
 
 /**
  * Session extensions for the graft engine: registers the native vector
@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_f"),
       info(classOf[DotProductF], "dot_f"),
       binary("dot_f")(DotProductF)))
+    ext.injectFunction((
+      FunctionIdentifier("jaccard_sorted"),
+      info(classOf[JaccardSorted], "jaccard_sorted"),
+      binary("jaccard_sorted")(JaccardSorted)))
   }
 }

@@ -343,7 +343,7 @@ object SparkEntry {
       val b = d.select(col("doc_id").as("b_id"), col("ng").as("ng_b"))
       a.join(b, col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          floor(Dedup.jaccard(col("ng_a"), col("ng_b")) * 1000000.0d).as("j_micro"))
+          floor(Dedup.jaccardSorted(col("ng_a"), col("ng_b")) * 1000000.0d).as("j_micro"))
         .filter(col("j_micro") >= 100000L)
     }),
 

@@ -123,4 +123,17 @@ object Dedup {
     val uni = size(array_union(a, b)).cast("double")
     when(uni === 0.0d, 0.0d).otherwise(inter / uni)
   }
+
+  /**
+   * Jaccard over SORTED DISTINCT string arrays via the fused native
+   * expression [[graft.functions.JaccardSorted]] — one merge pass, no
+   * intermediate arrays, whole-stage codegen. Use when inputs come from
+   * `TextOps.tokenSet` / sorted n-gram sets (they always do in this
+   * library); falls back to [[jaccard]] for arbitrary arrays.
+   */
+  def jaccardSorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.JaccardSorted(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 }

@@ -62,6 +62,23 @@ class OpsSpec extends SparkSpec {
     assert(hams((0L, 4L)) < hams((0L, 3L))) // near-dup closer than unrelated
   }
 
+  test("fused sorted jaccard agrees with the array_intersect formulation") {
+    val pairs = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        TextOps.tokenSet(col("a.text")).as("sa"),
+        TextOps.tokenSet(col("b.text")).as("sb"))
+    val both = pairs.select(
+      Dedup.jaccard(col("sa"), col("sb")).as("generic"),
+      Dedup.jaccardSorted(col("sa"), col("sb")).as("fused")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    // empty/empty edge
+    val z = Seq(("", "")).toDF("x", "y")
+      .select(Dedup.jaccardSorted(TextOps.tokenSet(col("x")), TextOps.tokenSet(col("y"))))
+      .collect().head.getDouble(0)
+    assert(z === 0.0d)
+  }
+
   test("jaccard over word sets") {
     val j = docs.filter(col("doc_id").isin(0L, 2L))
       .withColumn("ws", TextOps.tokenSet(col("text")))
