@@ -27,10 +27,16 @@ object Bench {
     } catch { case _: Throwable => () }
     // A failed query must be visible as an error, not recorded as a timing
     // (a broken query would otherwise read as a fast one).
+    //
+    // Action: count the PHYSICAL plan's rows via queryExecution.toRdd, not
+    // df.count() — under count() Catalyst prunes unreferenced projections,
+    // so a pure-select query (fingerprints, quality scores, feature
+    // extraction) would be timed with the very expression under benchmark
+    // optimized away. toRdd executes the plan exactly as written.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val outcome =
-        try { fn(spark, sfDir).count(); None }
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
         catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, outcome)
     }

@@ -320,16 +320,29 @@ object SparkEntry {
           coalesce(sum(col("rep_id")), lit(0L)).as("rep_sum"))
     }),
 
-    // SimHash dedup: 64-bit signature equi-join, verified by text equality.
+    // SimHash dedup: 64-bit signature equi-join. The self-join carries only
+    // (id, simhash, xxhash64(text)) — three longs per row, not the document
+    // text — and the (rare) signature+hash-equal candidates are re-verified
+    // for EXACT text equality by fetching both texts through broadcast joins
+    // of the tiny pair set against the corpus. No false positives (exact
+    // final check), no false negatives (equal texts always hash equal), and
+    // the wide column never rides a shuffle.
     "dedup_simhash" -> ((s, dir) => {
       val corpus = plantedCorpus(s, dir)
         .withColumn("ws", TextOps.tokenSet(col("text")))
       val sh = Dedup.simhash64(corpus, col("doc_id"), col("ws"))
-      val withText = sh.join(corpus.select(col("doc_id").as("sh_id"), col("text")), "sh_id")
-      val l = withText.select(col("sh_id").as("a_id"), col("simhash").as("h_a"), col("text").as("t_a"))
-      val r = withText.select(col("sh_id").as("b_id"), col("simhash").as("h_b"), col("text").as("t_b"))
-      l.join(r, col("h_a") === col("h_b") && col("a_id") < col("b_id"))
-        .filter(col("t_a") === col("t_b"))
+      val keyed = sh.join(
+        corpus.select(col("doc_id").as("sh_id"), xxhash64(col("text")).as("th")), "sh_id")
+      val l = keyed.select(col("sh_id").as("a_id"), col("simhash").as("h_a"), col("th").as("th_a"))
+      val r = keyed.select(col("sh_id").as("b_id"), col("simhash").as("h_b"), col("th").as("th_b"))
+      val pairs = l.join(r,
+        col("h_a") === col("h_b") && col("th_a") === col("th_b") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+      val texts = corpus.select(col("doc_id"), col("text"))
+      val withA = texts.join(broadcast(pairs), col("doc_id") === col("a_id"))
+        .select(col("a_id"), col("b_id"), col("text").as("t_a"))
+      texts.join(broadcast(withA), col("doc_id") === col("b_id"))
+        .filter(col("text") === col("t_a"))
         .agg(count(lit(1)).as("dup_pairs"),
           coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_sum"))
     }),
@@ -454,26 +467,40 @@ object SparkEntry {
           col("neighbor_id"), col("lang"), col("source"))
     }),
 
-    // Bucketed LSH ANN (equi-join on sign-pattern buckets; plan-shape
-    // guarded by a test — no oracle since recall is approximate).
+    // Bucketed LSH ANN with an exact-recall oracle: plant one exact
+    // duplicate per query vector (id + 100000). Identical vectors share
+    // every hyperplane sign, hence the LSH bucket, and cosine 1.0 beats any
+    // non-identical random 64-dim vector by a wide margin — so rank 1 of
+    // each query is provably its planted copy and the rank-1 slice is a
+    // deterministic, DuckDB-checkable integer result. The plan is still the
+    // full approximate index (bucket equi-join + bounded top-k at k=3).
     "ann_lsh" -> ((s, dir) => {
-      val e = s.read.parquet(pq(dir, "embeddings"))
+      val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val corpus = e.union(
+        e.filter(col("vec_id") < 10).select(col("vec_id") + 100000L, col("embedding")))
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.lshTopK(e, "vec_id", "embedding", queries, "q_id", "q_vec",
+      Similarity.lshTopK(corpus, "vec_id", "embedding", queries, "q_id", "q_vec",
         dim = 64, numPlanes = 8, k = 3)
+        .filter(col("rank") === 1)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
-    // IVF ANN: deterministic coarse quantizer + nprobe cell search (no
-    // oracle — approximate recall; plan shape guarded by a test).
+    // IVF ANN with the same planted-duplicate exact-recall oracle: an
+    // identical vector maps to the same nearest cell as its query, and the
+    // query's rank-1 probe is that very cell, so the copy is always searched
+    // and always wins rank 1. Centroids are a deterministic driver-side
+    // quantizer; cell assignment is a codegen'd narrow projection.
     "ann_ivf" -> ((s, dir) => {
       val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val corpus = e.union(
+        e.filter(col("vec_id") < 10).select(col("vec_id") + 100000L, col("embedding")))
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val centroids = Similarity.ivfCentroids(e, "vec_id", "embedding", k = 16, iters = 1)
-      Similarity.ivfTopK(e, "vec_id", "embedding", queries, "q_id", "q_vec",
+      val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 16, iters = 1)
+      Similarity.ivfTopK(corpus, "vec_id", "embedding", queries, "q_id", "q_vec",
         centroids, nprobe = 4, k = 3)
+        .filter(col("rank") === 1)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
@@ -883,6 +910,19 @@ object SparkEntry {
         |  WHERE rank <= 3)
         |SELECT query_id, rank, neighbor_id, d.lang, d.source
         |FROM top JOIN documents d ON neighbor_id = d.doc_id""".stripMargin,
+
+    // Planted-duplicate exact recall: rank 1 of query q is provably its
+    // exact copy at id q + 100000 (see the query comments), so the oracle
+    // is a closed-form integer relation.
+    "ann_lsh" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id AS media_id,

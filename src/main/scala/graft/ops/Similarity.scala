@@ -1,29 +1,38 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CosineSimilarity, DotProductF}
+import graft.functions.{CosineSimilarity, DotProductF, NearestCell, NearestCells, TopKByScore}
 
 /**
  * Similarity search over an embedding column (`array<float>`).
  *
- * Two plans:
+ * Three plans, all built to survive a 100x corpus scale-up:
  *
  *  - [[bruteForceTopK]]: exact scoring of a (small, broadcast) query set
  *    against the full corpus — a broadcast nested-loop whose cost is
  *    O(|queries| * |corpus|) but with *zero shuffle of the corpus*; the
- *    corpus is scanned once in place and only top-k rows per query survive.
- *    This is the right plan when |queries| is small (the usual ANN probe
- *    shape) even at 100 TB corpus scale.
+ *    corpus is scanned once in place and only top-k rows per query survive
+ *    the bounded top-k aggregation.
  *
  *  - [[lshTopK]]: random-hyperplane LSH — both sides are bucketed by the
  *    sign pattern of `numPlanes` fixed hyperplanes and candidates come from
  *    an *equi-join on the bucket id*, so the plan is shuffle-partitioned by
  *    bucket and never degenerates into a cartesian product (asserted by a
  *    plan-shape test). Scoring within buckets uses the same exact kernel.
+ *
+ *  - [[ivfTopK]]: IVF — a driver-resident coarse quantizer (k x dim floats,
+ *    trivially small) assigns corpus rows to cells with the codegen'd
+ *    [[graft.functions.NearestCell]] narrow projection (no join, no shuffle,
+ *    no quantizer recomputation), and each query probes its `nprobe` nearest
+ *    cells through an equi-join on the cell id.
+ *
+ * Ranking in all three uses [[graft.functions.TopKByScore]], a bounded-heap
+ * aggregate whose partial stage truncates to k entries per query per mapper:
+ * shuffle volume is `mappers x queries x k` rows, never the full scored
+ * candidate set, and no per-query single-reducer sort exists anywhere.
  *
  * Scoring uses the native codegen'd Catalyst expressions
  * [[graft.functions.CosineSimilarity]] / [[graft.functions.DotProductF]]
@@ -41,6 +50,37 @@ object Similarity {
     ColumnBridge.column(
       DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Bounded top-k aggregate column: best-first `array<struct<score,id>>`. */
+  def topKAgg(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKByScore(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+
+  /** Nearest-centroid index (squared L2) as a codegen'd narrow projection. */
+  def nearestCell(vec: Column, centroids: Array[Array[Float]]): Column =
+    ColumnBridge.column(NearestCell(ColumnBridge.expression(vec), centroids))
+
+  /** The `nprobe` nearest centroid indices, ascending by distance. */
+  def nearestCells(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(vec), centroids, nprobe))
+
+  /**
+   * Rank scored candidates into per-query top-k via the bounded-heap
+   * aggregate: one hash aggregate keyed by query id (map-side partial
+   * buffers hold <= k entries), then an explode of `|queries| x k` rows.
+   * Emits (query_id, rank, neighbor_id, score), rank starting at 1,
+   * deterministic under any partitioning (score desc, id asc).
+   */
+  private def rankTopK(
+      scored: DataFrame, queryId: String, corpusId: String, k: Int): DataFrame =
+    scored
+      .groupBy(col(queryId).as("query_id"))
+      .agg(topKAgg(col("score"), col(corpusId).cast("long"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col").getField("id").as("neighbor_id"),
+        col("col").getField("score").as("score"))
+
   /**
    * Exact top-k neighbours of each query vector. `queries` must be small
    * (it is broadcast). Returns (query_id, rank, neighbor_id, score).
@@ -56,12 +96,7 @@ object Similarity {
     val scored = corpus
       .join(broadcast(queries), col(corpusId) =!= col(queryId))
       .withColumn("score", cosine(col(queryVec), col(corpusVec)))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("score").desc, col(corpusId))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col("rank"),
-        col(corpusId).as("neighbor_id"), col("score"))
+    rankTopK(scored, queryId, corpusId, k)
   }
 
   /**
@@ -93,65 +128,53 @@ object Similarity {
       when(dotJ >= 0.0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Squared L2 distance via the fused dot kernel. */
-  def sqDist(a: Column, b: Column): Column =
-    dot(a, a) - dot(a, b) * 2.0d + dot(b, b)
-
   /**
-   * IVF coarse quantizer: k centroids seeded from the k smallest-id vectors
-   * (deterministic) and refined with `iters` Lloyd iterations. Assignment is
-   * a broadcast of the k centroids + one `min_by` aggregate — no window, no
-   * shuffle of the corpus beyond the per-id aggregate; the per-dimension
-   * mean is a (centroid, dimension)-keyed aggregate.
+   * IVF coarse quantizer, computed to the DRIVER: k centroids seeded from
+   * the k smallest-id vectors (deterministic) and refined with `iters`
+   * Lloyd iterations. Each iteration is one narrow [[nearestCell]]
+   * projection over the corpus plus one (cell, dimension)-keyed partial
+   * aggregate of k x dim rows collected back — the centroid matrix is tiny
+   * by construction, so holding it driver-side costs nothing and buys the
+   * IVF search plan freedom from quantizer lineage: no caching, no
+   * recomputation, no windows, no joins to build cell ids.
+   *
+   * A cell that attracts no rows keeps its previous centroid, so the
+   * quantizer always has exactly k cells.
    */
   def ivfCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): DataFrame = {
-    var centroids = corpus
+      iters: Int): Array[Array[Float]] = {
+    var cents: Array[Array[Float]] = corpus
+      .select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(k)
-      .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
-        col(vecCol).as("centroid"))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
     for (_ <- 0 until iters) {
-      val means = assignCells(corpus, idCol, vecCol, centroids)
-        .select(col("centroid_id"), posexplode(col(vecCol)))
-        .groupBy(col("centroid_id"), col("pos"))
+      val means = corpus
+        .select(nearestCell(col(vecCol), cents).as("cell"), posexplode(col(vecCol)))
+        .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
-        .select(col("centroid_id"),
-          transform(col("dims"), d => d.getField("m").cast("float")).as("new_centroid"))
-      // A cell that attracted no rows keeps its previous centroid instead of
-      // vanishing, so the quantizer always has exactly k cells.
-      centroids = centroids
-        .join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"),
-          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      cents = cents.zipWithIndex.map { case (old, j) => means.getOrElse(j, old) }
     }
-    centroids
-  }
-
-  /** Nearest-centroid assignment: broadcast the (small) centroid table and
-    * take the per-row argmin with a deterministic tie-break. */
-  def assignCells(
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val d = sqDist(col(vecCol), col("centroid"))
-    corpus.crossJoin(broadcast(centroids))
-      .groupBy(col(idCol), col(vecCol))
-      .agg(min_by(col("centroid_id"), struct(d, col("centroid_id"))).as("centroid_id"))
+    cents
   }
 
   /**
    * IVF approximate top-k: corpus rows are searched only in the `nprobe`
-   * cells nearest to each query, via an equi-join on the cell id. The
-   * inverted-file shape — partition by cell, probe few cells — is the plan
-   * that survives a 100x corpus scale-up (cells shard the shuffle key
-   * space; probes touch a fixed fraction of the data).
+   * cells nearest to each query, via an equi-join on the cell id. Cell
+   * assignment on BOTH sides is a narrow projection against the constant
+   * centroid matrix; the (small) exploded probe list is broadcast, so the
+   * corpus is never shuffled — the inverted-file shape that survives a 100x
+   * corpus scale-up. (With a large query set, drop the broadcast hint and
+   * the same plan becomes a shuffle equi-join partitioned by cell id.)
    */
   def ivfTopK(
       corpus: DataFrame,
@@ -160,32 +183,24 @@ object Similarity {
       queries: DataFrame,
       queryId: String,
       queryVec: String,
-      centroids: DataFrame,
+      centroids: Array[Array[Float]],
       nprobe: Int,
       k: Int): DataFrame = {
-    val cells = assignCells(corpus, corpusId, corpusVec, centroids)
-    val probeW = Window.partitionBy(col(queryId))
-      .orderBy(sqDist(col(queryVec), col("centroid")), col("centroid_id"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("probe_rank", row_number().over(probeW))
-      .filter(col("probe_rank") <= nprobe)
-      .select(col(queryId), col(queryVec), col("centroid_id"))
+    val cells = corpus.withColumn("cell", nearestCell(col(corpusVec), centroids))
+    val probes = queries.select(col(queryId), col(queryVec),
+      explode(nearestCells(col(queryVec), centroids, nprobe)).as("cell"))
     val scored = cells
-      .join(probes, Seq("centroid_id"))
+      .join(broadcast(probes), Seq("cell"))
       .filter(col(corpusId) =!= col(queryId))
       .withColumn("score", cosine(col(queryVec), col(corpusVec)))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("score").desc, col(corpusId))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col("rank"),
-        col(corpusId).as("neighbor_id"), col("score"))
+    rankTopK(scored, queryId, corpusId, k)
   }
 
   /**
    * Bucketed approximate top-k: candidates limited to corpus rows whose LSH
    * bucket matches the query's bucket, joined on the bucket id (equi-join —
-   * no cartesian product), then exact-scored and ranked within each query.
+   * no cartesian product), then exact-scored and ranked per query with the
+   * bounded top-k aggregate.
    */
   def lshTopK(
       corpus: DataFrame,
@@ -200,14 +215,9 @@ object Similarity {
     val cb = corpus.withColumn("bucket", lshBucket(col(corpusVec), dim, numPlanes))
     val qb = queries.withColumn("bucket", lshBucket(col(queryVec), dim, numPlanes))
     val scored = cb
-      .join(qb.withColumnRenamed("bucket", "qbucket"),
+      .join(broadcast(qb.withColumnRenamed("bucket", "qbucket")),
         col("bucket") === col("qbucket") && col(corpusId) =!= col(queryId))
       .withColumn("score", cosine(col(queryVec), col(corpusVec)))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("score").desc, col(corpusId))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId).as("query_id"), col("rank"),
-        col(corpusId).as("neighbor_id"), col("score"))
+    rankTopK(scored, queryId, corpusId, k)
   }
 }

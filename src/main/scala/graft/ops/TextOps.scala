@@ -2,6 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.CountIn
 
 /**
  * Text-analysis operators for large-scale document pipelines, built entirely
@@ -91,9 +94,12 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "les"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  /** Tokens-in-list count against a pre-materialized token array. */
+  /** Tokens-in-list count against a pre-materialized token array: one fused
+    * codegen pass ([[graft.functions.CountIn]]) — the interpreted
+    * `size(filter(toks, isin))` HOF formulation costs an allocation and an
+    * interpreted lambda per element per profile. */
   def stopwordScoreOn(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit(_).cast("string")): _*)))
+    ColumnBridge.column(CountIn(ColumnBridge.expression(toks), words))
 
   /** Tokens-in-list count for one language. */
   def stopwordScore(text: Column, words: Seq[String]): Column =
@@ -131,9 +137,10 @@ object TextOps {
     // profile entries must be length-3 to ever match a trigram
     "zh" -> Seq("我们的", "是一个", "不知道"))
 
-  /** Count of the trigram-array elements present in one profile. */
+  /** Count of the trigram-array elements present in one profile (fused
+    * codegen membership pass, see [[stopwordScoreOn]]). */
   def trigramScoreOn(trigrams: Column, profile: Seq[String]): Column =
-    size(filter(trigrams, t => t.isin(profile.map(lit(_).cast("string")): _*)))
+    ColumnBridge.column(CountIn(ColumnBridge.expression(trigrams), profile))
 
   /** Count of the text's trigrams present in one profile (with multiplicity). */
   def trigramScore(text: Column, profile: Seq[String]): Column =

@@ -195,7 +195,7 @@ class OpsSpec extends SparkSpec {
     val q = emb.filter(col("vec_id") === 7)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 8, iters = 2)
-    assert(centroids.count() === 8)
+    assert(centroids.length === 8)
     val top = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, "q_id", "q_vec",
       centroids, nprobe = 2, k = 1).collect().head
     // identical vector lands in the same cell -> always found, rank 1

@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.SparkSpec
+import graft.functions.{CountIn, NearestCell, NearestCells, TopKHeap}
+
+/** Specs for the round-3 scale-path expressions: the bounded top-k
+  * aggregate, the constant-centroid argmin projections, and the fused
+  * set-membership counter. */
+class TopKFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----- TopKByScore ----------------------------------------------------
+
+  test("bounded top-k agrees with the window row_number formulation") {
+    // deterministic synthetic scores with ties: score = id % 7
+    val df = spark.range(0, 1000, 1, 8)
+      .select(pmod(col("id"), lit(97)).as("q"),
+        (col("id") % 7).cast("double").as("score"), col("id"))
+    val viaAgg = df.groupBy(col("q").as("query_id"))
+      .agg(Similarity.topKAgg(col("score"), col("id"), 3).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col").getField("id").as("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("q")).orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("q"), col("rn"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("top-k heap truncates at k and merges deterministically") {
+    // inserting in any order yields the same best-first result
+    val entries = (0 until 100).map(i => ((i * 37 % 100).toDouble, i.toLong))
+    val expected = entries.sortBy { case (s, id) => (-s, id) }.take(5)
+    for (seed <- Seq(1, 7, 42)) {
+      val shuffled = new scala.util.Random(seed).shuffle(entries)
+      val (l, r) = shuffled.splitAt(50)
+      val h1 = new TopKHeap(5)
+      val h2 = new TopKHeap(5)
+      l.foreach { case (s, id) => h1.insert(s, id) }
+      r.foreach { case (s, id) => h2.insert(s, id) }
+      h1.mergeFrom(h2)
+      assert(h1.size === 5)
+      assert(h1.sortedBestFirst().toSeq === expected)
+    }
+  }
+
+  test("top-k heap ties break toward the smaller id") {
+    val h = new TopKHeap(2)
+    Seq((1.0, 30L), (1.0, 10L), (1.0, 20L)).foreach { case (s, id) => h.insert(s, id) }
+    assert(h.sortedBestFirst().toSeq === Seq((1.0, 10L), (1.0, 20L)))
+  }
+
+  test("ANN ranking plans contain no window and no per-query global sort") {
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val plans = Seq(
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "q_id", "q_vec", 3),
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, "q_id", "q_vec", 64, 8, 3),
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, "q_id", "q_vec", cents, 2, 3))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach { p =>
+      // ranking is the bounded-heap aggregate, never a window (whose
+      // partition-by-query shape serializes each query's full candidate
+      // set onto one reducer) and never a global sort of candidates
+      assert(p.contains("top_k_by_score"), p)
+      assert(!p.contains("Window"), p)
+      assert(!p.toLowerCase.contains("sortexec"), p)
+    }
+  }
+
+  // ----- NearestCell / NearestCells -------------------------------------
+
+  test("nearest cell picks the argmin with smallest-index tie-break") {
+    val cents = Array(Array(0.0f, 0.0f), Array(1.0f, 1.0f), Array(0.0f, 0.0f))
+    val out = Seq(
+      (0L, Array(0.1f, 0.1f)),   // nearest: centroid 0 (tie with 2 -> 0)
+      (1L, Array(0.9f, 0.9f)),   // nearest: centroid 1
+      (2L, Array(0.5f, 0.5f)))   // exact tie 0/1/2 -> 0
+      .toDF("id", "v")
+      .select(col("id"), Similarity.nearestCell(col("v"), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(0L -> 0, 1L -> 1, 2L -> 0))
+  }
+
+  test("nearest cells orders probes by distance with index tie-break") {
+    val cents = Array(Array(0.0f), Array(10.0f), Array(4.0f), Array(6.0f))
+    val out = Seq(Tuple1(Array(5.0f))).toDF("v")
+      .select(Similarity.nearestCells(col("v"), cents, 3))
+      .collect().head.getSeq[Int](0)
+    // distances: c0=25, c1=25, c2=1, c3=1 -> order (2, 3, 0)
+    assert(out === Seq(2, 3, 0))
+  }
+
+  test("codegen and interpreted nearest-cell agree on real embeddings") {
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val expr = ColumnBridge.expression(Similarity.nearestCell(col("embedding"), cents))
+    val viaPlan = emb.select(col("vec_id"),
+        Similarity.nearestCell(col("embedding"), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // interpreted path: evaluate the expression row by row
+    val nc = NearestCell(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType), true),
+      cents)
+    val rows = emb.select(col("embedding"), col("vec_id")).queryExecution.toRdd
+      .map(r => (r.getLong(1), nc.eval(r).asInstanceOf[Int])).collect().toMap
+    assert(rows === viaPlan)
+    assert(expr.dataType === org.apache.spark.sql.types.IntegerType)
+  }
+
+  // ----- CountIn --------------------------------------------------------
+
+  test("count_in matches the interpreted isin-filter formulation") {
+    val docs = Seq(
+      "the cat and the hat of a dog",
+      "el perro y la casa de que",
+      "", "the the the").toDF("text")
+      .select(TextOps.tokens(col("text")).as("toks"))
+    val words = Seq("the", "a", "of", "and", "to")
+    val fused = docs.select(
+      ColumnBridge.column(CountIn(ColumnBridge.expression(col("toks")), words)))
+      .collect().map(_.getInt(0)).toSeq
+    val interpreted = docs.select(
+      size(filter(col("toks"), t => t.isin(words.map(lit): _*))))
+      .collect().map(_.getInt(0)).toSeq
+    assert(fused === interpreted)
+    assert(fused === Seq(5, 0, 0, 3))
+  }
+
+  test("count_in counts multiplicity and tolerates null elements") {
+    val out = Seq(Tuple1(Seq(Some("x"), None, Some("x"), Some("y"))))
+      .toDF("arr")
+      .select(ColumnBridge.column(CountIn(
+        ColumnBridge.expression(col("arr")), Seq("x", "z"))))
+      .collect().head.getInt(0)
+    assert(out === 2)
+  }
+
+  test("langid over the corpus is unchanged by the fused scorer") {
+    // pin the aggregate result the CORRECTNESS gate checks, computed on the
+    // sf0.001 corpus with the pre-fusion interpreted scorer
+    val viaFused = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select(TextOps.charNgrams(col("text"), 3).as("tg"))
+      .select(TextOps.langIdNgramOn(col("tg")).as("pred_lang"))
+      .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaInterpreted = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select(TextOps.charNgrams(col("text"), 3).as("tg"))
+      .select({
+        val scores = TextOps.TrigramProfiles.map { case (lang, p) =>
+          lang -> size(filter(col("tg"), t => t.isin(p.map(lit): _*)))
+        }
+        val maxScore = greatest(scores.map(_._2): _*)
+        scores.foldRight(lit("und")) { case ((lang, s), rest) =>
+          when(s === maxScore, lit(lang)).otherwise(rest)
+        }.as("pred_lang")
+      })
+      .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaFused === viaInterpreted)
+  }
+}
