@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CosineSimilarity, DotProductF, NearestCell, NearestCells, TopKByScore}
+import graft.functions.{CosineSimilarity, DotProductF, NearestCell, NearestCells, TopKByScore, VectorSumF}
 
 /**
  * Similarity search over an embedding column (`array<float>`).
@@ -63,6 +63,10 @@ object Similarity {
   /** The `nprobe` nearest centroid indices, ascending by distance. */
   def nearestCells(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(vec), centroids, nprobe))
+
+  /** Element-wise vector sum aggregate (double accumulation, one pass). */
+  def vectorSumAgg(vec: Column): Column =
+    ColumnBridge.column(VectorSumF(ColumnBridge.expression(vec)).toAggregateExpression())
 
   /**
    * Rank scored candidates into per-query top-k via the bounded-heap
@@ -153,15 +157,18 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](1).toArray)
     for (_ <- 0 until iters) {
+      // one pass, no explode: per-cell element-wise sums fold each vector
+      // into a dim-sized buffer ([[graft.functions.VectorSumF]]); the
+      // posexplode + avg formulation would multiply row count by dim first
       val means = corpus
-        .select(nearestCell(col(vecCol), cents).as("cell"), posexplode(col(vecCol)))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .select(nearestCell(col(vecCol), cents).as("cell"), col(vecCol))
+        .groupBy(col("cell"))
+        .agg(vectorSumAgg(col(vecCol)).as("vs"), count(lit(1)).as("n"))
         .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
-        }
+        .map { r =>
+          val n = r.getLong(2).toDouble
+          r.getInt(0) -> r.getSeq[Double](1).map(s => (s / n).toFloat).toArray
+        }.toMap
       cents = cents.zipWithIndex.map { case (old, j) => means.getOrElse(j, old) }
     }
     cents

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.CountIn
+import graft.functions.{CharNgramsExpr, CountIn}
 
 /**
  * Text-analysis operators for large-scale document pipelines, built entirely
@@ -117,12 +117,12 @@ object TextOps {
    */
   def langId(text: Column): Column = langIdOn(tokens(text))
 
-  /** Character n-grams (sliding substrings of length n). */
+  /** Character n-grams (sliding substrings of length n), via the fused
+    * one-pass codegen expression [[graft.functions.CharNgramsExpr]] — the
+    * `transform(sequence, substr)` formulation re-walks the string per
+    * position (O(chars^2)) under an interpreted lambda. */
   def charNgrams(text: Column, n: Int): Column =
-    when(length(text) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n))))
+    ColumnBridge.column(CharNgramsExpr(ColumnBridge.expression(text), n))
 
   /**
    * Distinctive character trigrams per language, the classic n-gram-profile

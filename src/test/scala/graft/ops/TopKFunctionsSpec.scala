@@ -119,6 +119,52 @@ class TopKFunctionsSpec extends SparkSpec {
     assert(expr.dataType === org.apache.spark.sql.types.IntegerType)
   }
 
+  // ----- VectorSumF -----------------------------------------------------
+
+  test("vector sum aggregate matches the posexplode-avg formulation") {
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+      .select((col("vec_id") % 5).as("g"), col("embedding"))
+    val viaAgg = emb.groupBy(col("g"))
+      .agg(Similarity.vectorSumAgg(col("embedding")).as("vs"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(_ / r.getLong(2)).toVector).toMap
+    val viaExplode = emb.select(col("g"), posexplode(col("embedding")))
+      .groupBy(col("g"), col("pos")).agg(avg(col("col")).as("m"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (g, rows) => g -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toVector }
+    assert(viaAgg.keySet === viaExplode.keySet)
+    viaAgg.foreach { case (g, v) =>
+      v.zip(viaExplode(g)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  // ----- CharNgramsExpr -------------------------------------------------
+
+  test("fused char ngrams match the transform-substr formulation on real docs") {
+    // includes zh documents: multibyte UTF-8 must slice on codepoints
+    val docs = spark.read.parquet(sf("0.001") + "/documents.parquet")
+    val viaTransform = docs.select(col("doc_id"),
+        when(length(col("text")) < 3, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), length(col("text")) - 2),
+            i => col("text").substr(i, lit(3)))).as("tg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaFused = docs.select(col("doc_id"), TextOps.charNgrams(col("text"), 3).as("tg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaFused === viaTransform)
+  }
+
+  test("fused char ngrams edge cases") {
+    val out = Seq("abcd", "ab", "", "你好世界").toDF("text")
+      .select(TextOps.charNgrams(col("text"), 3)).collect().map(_.getSeq[String](0))
+    assert(out(0) === Seq("abc", "bcd"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq.empty)
+    assert(out(3) === Seq("你好世", "好世界"))
+  }
+
   // ----- CountIn --------------------------------------------------------
 
   test("count_in matches the interpreted isin-filter formulation") {
