@@ -15,9 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * (sorted + distinct, e.g. via `sort_array(array_distinct(...))`) is what
  * the dedup pipelines already produce.
  *
- * Null semantics: null if either input is null; null elements are not
- * expected (the producing expressions cannot emit them) but compare as
- * smallest if present. Empty/empty yields 0.0.
+ * Null semantics: null if either input is null. Null ELEMENTS are not
+ * supported — the producing expressions (`sort_array(array_distinct(...))`
+ * over split/transform output) cannot emit them, and an array containing
+ * one fails the merge pass. Empty/empty yields 0.0.
  */
 @ExpressionDescription(
   usage = "_FUNC_(a, b) - Jaccard similarity of two sorted distinct string arrays.")

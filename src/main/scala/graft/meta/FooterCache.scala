@@ -15,6 +15,16 @@ import org.apache.hadoop.fs.Path
  * The reference engine deliberately re-reads footers every query; this is a
  * strict improvement enabled by default and disabled with
  * `.option("footercache", "false")` (e.g. for measuring raw decode cost).
+ *
+ * Coherence window: the key cannot distinguish a file REWRITTEN IN PLACE
+ * with identical byte size within one mtime granule (coarse-mtime
+ * filesystems report second granularity), so such a rewrite can serve the
+ * stale decoded footer until eviction. That combination — same path, same
+ * size, same mtime, different bytes — does not occur under the append-only
+ * table layouts this source targets; callers who rewrite in place can
+ * `.option("footercache", "false")` or call [[invalidate]]. A content
+ * fingerprint (etag/checksum) would close the window exactly, but Hadoop's
+ * `FileStatus` does not carry one portably.
  */
 object FooterCache {
   private val MaxEntries = 256
@@ -38,6 +48,12 @@ object FooterCache {
       cache.synchronized(cache.put(key, footer))
       footer
     }
+  }
+
+  /** Drop every cached footer for `path` (any size/mtime): the escape hatch
+    * for in-place rewrites inside the mtime coherence window. */
+  def invalidate(path: String): Unit = cache.synchronized {
+    cache.keySet.removeIf(_.path == path)
   }
 
   /** Test hook. */

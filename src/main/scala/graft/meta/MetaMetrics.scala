@@ -19,11 +19,20 @@ class RemoteSeeksMetric extends CustomSumMetric {
   override def description(): String = "underlying storage seek calls"
 }
 
+/** Files skipped under `ignorecorrupt=true`: at large file counts a skip
+  * logged per executor is easy to lose; the aggregated scan-node count is
+  * not. */
+class SkippedFilesMetric extends CustomSumMetric {
+  override def name(): String = "graftSkippedFiles"
+  override def description(): String = "corrupt files skipped (ignorecorrupt)"
+}
+
 case class TaskMetricValue(metricName: String, metricValue: Long) extends CustomTaskMetric {
   override def name(): String = metricName
   override def value(): Long = metricValue
 }
 
 object MetaMetrics {
-  def supported: Array[CustomMetric] = Array(new RemoteReadsMetric, new RemoteSeeksMetric)
+  def supported: Array[CustomMetric] =
+    Array(new RemoteReadsMetric, new RemoteSeeksMetric, new SkippedFilesMetric)
 }

@@ -3,6 +3,7 @@ package graft.meta
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -36,7 +37,7 @@ class MetaPartitionReader(
     bufferSize: Int,
     pageContent: Boolean,
     ignoreCorrupt: Boolean = false,
-    footerCache: Boolean = true) extends PartitionReader[InternalRow] {
+    footerCache: Boolean = true) extends PartitionReader[InternalRow] with Logging {
 
   private val fieldNames = required.fieldNames
   private val wantContent = pageContent && fieldNames.contains("page_content")
@@ -72,7 +73,8 @@ class MetaPartitionReader(
     val liveSeeks = if (openStream != null) openStream.underlyingSeeks else 0L
     Array(
       TaskMetricValue("graftRemoteReads", doneReads + liveReads),
-      TaskMetricValue("graftRemoteSeeks", doneSeeks + liveSeeks))
+      TaskMetricValue("graftRemoteSeeks", doneSeeks + liveSeeks),
+      TaskMetricValue("graftSkippedFiles", skippedFiles))
   }
 
   private val rows: Iterator[InternalRow] =
@@ -115,9 +117,15 @@ class MetaPartitionReader(
       }
     }
 
-  private def warnCorrupt(span: FileSpan, e: Exception): Unit =
-    System.err.println(
-      s"[metadata] skipping corrupt file ${span.file.path}: ${e.getMessage}")
+  // Counted (not only logged): skips surface in the scan node's
+  // `graftSkippedFiles` metric, where a million-file scan that quietly
+  // dropped 1% of its inputs is visible at a glance.
+  private var skippedFiles: Long = 0L
+
+  private def warnCorrupt(span: FileSpan, e: Exception): Unit = {
+    skippedFiles += 1
+    logWarning(s"metadata scan skipping corrupt file ${span.file.path}: ${e.getMessage}")
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean = {

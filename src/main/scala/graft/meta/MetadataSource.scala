@@ -67,6 +67,7 @@ object MetadataSource {
   val SPAN_BYTES_DEFAULT: Long = 128L * 1024 * 1024
   val IGNORE_CORRUPT = "ignorecorrupt"
   val FOOTER_CACHE = "footercache"
+  val COUNT_PUSHDOWN = "countpushdown"
 
   val SOURCES = Seq("file", "parquet")
   val LEVELS = Seq("file", "rowgroup", "column", "page")
@@ -105,6 +106,7 @@ class MetaTable(
     val spanBytes: Long,
     val ignoreCorrupt: Boolean,
     val footerCache: Boolean,
+    val countPushdown: Boolean,
     val rootPath: Path,
     val options: Map[String, String],
     @transient val spark: SparkSession) extends Table with SupportsRead {
@@ -139,6 +141,7 @@ object MetaTable {
     require(spanBytes > 0, s"Unsupported span bytes value $spanBytes")
     val ignoreCorrupt = opts.get(IGNORE_CORRUPT).exists(_.trim.toBoolean)
     val footerCache = opts.get(FOOTER_CACHE).forall(_.trim.toBoolean)
+    val countPushdown = opts.get(COUNT_PUSHDOWN).forall(_.trim.toBoolean)
 
     val files = listSlices(spark, rootPath, opts, fresh = false)
 
@@ -161,7 +164,8 @@ object MetaTable {
       s"Invalid level: $level, expected one of ${LEVELS.mkString("[", ", ", "]")}")
 
     new MetaTable(MetadataSource.levelFor(source, level), files,
-      maxParts, bufferSize, pageContent, spanBytes, ignoreCorrupt, footerCache, rootPath, opts, spark)
+      maxParts, bufferSize, pageContent, spanBytes, ignoreCorrupt, footerCache,
+      countPushdown, rootPath, opts, spark)
   }
 
   /**
@@ -253,9 +257,21 @@ class MetaScanBuilder(table: MetaTable)
    * listing answers from the driver without shipping one row to executors.
    * Pushed filters are safe by construction — pushFilters only claims
    * filters fully decidable against the driver listing.
+   *
+   * Documented divergence (ParquetFile level, ignorecorrupt=false): the
+   * pushed count answers from the listing WITHOUT decoding footers, so if
+   * the directory contains an undecodable .parquet file, `count()` succeeds
+   * (counting the corrupt file) where `collect()` on the same DataFrame
+   * throws. Values never diverge — only error behavior does: the count the
+   * scan WOULD produce if it succeeded is the same number. Sniffing or
+   * decoding every footer driver-side to close this gap would cost one
+   * read per file and defeat the zero-I/O point of the pushdown; callers
+   * who need scan-exact error semantics can disable it with
+   * `.option("countpushdown", "false")`.
    */
   private def countPushable(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
+    table.countPushdown &&
+      agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
       (table.level == MetaLevel.FsFile ||

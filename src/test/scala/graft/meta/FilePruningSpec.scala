@@ -19,8 +19,11 @@ class FilePruningSpec extends SparkSpec {
     d
   }
 
-  private def meta(level: String): DataFrame =
-    spark.read.format("metadata").option("level", level).load(dir)
+  private def meta(level: String, opts: (String, String)*): DataFrame = {
+    var r = spark.read.format("metadata").option("level", level)
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    r.load(dir)
+  }
 
   private def scanOf(df: DataFrame): BatchScanExec =
     df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
@@ -98,6 +101,13 @@ class FilePruningSpec extends SparkSpec {
     val deep = meta("rowgroup").groupBy().count()
     assert(deep.collect().head.getLong(0) === meta("rowgroup").collect().length.toLong)
     assert(!deep.queryExecution.executedPlan.toString.contains("pushed-count"))
+    // countpushdown=false forces the ordinary scan (scan-exact error
+    // semantics: a corrupt file then throws on count() as it would on
+    // collect() — the documented ParquetFile-level divergence escape hatch)
+    val off = meta("file", "countpushdown" -> "false").groupBy().count()
+    assert(off.collect().head.getLong(0) === counted)
+    assert(!off.queryExecution.executedPlan.toString.contains("pushed-count"),
+      off.queryExecution.executedPlan.toString)
   }
 
   test("three-valued evaluation is sound") {

@@ -64,4 +64,26 @@ class FixtureRegressionSpec extends SparkSpec {
     assert(withContent.nonEmpty)
     withContent.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
+
+  test("page content bytes are byte-exact against an independent positioned read") {
+    // reference pins exact raw page bytes (DefaultSourceSuite.scala:268-300);
+    // here every page's content must equal the bytes at
+    // page_header_offset + page_header_size read straight from the file,
+    // independently of the scan's buffered-stream path.
+    val rows = meta("page", "pagecontent" -> "true")
+      .select(col("page_header_offset"), col("page_header_size"),
+        col("page_compressed_size"), col("page_content"))
+      .collect()
+    assert(rows.nonEmpty)
+    val path = java.nio.file.Paths.get(new java.net.URI(fixture))
+    val fileBytes = java.nio.file.Files.readAllBytes(path)
+    rows.foreach { r =>
+      val start = r.getLong(0) + r.getInt(1)
+      val len = r.getInt(2)
+      val expected = java.util.Arrays.copyOfRange(fileBytes, start.toInt, start.toInt + len)
+      val got = r.getSeq[Byte](3).toArray
+      assert(java.util.Arrays.equals(got, expected),
+        s"page content mismatch at offset $start len $len")
+    }
+  }
 }

@@ -57,6 +57,56 @@ class MetaStreamSpec extends SparkSpec {
       s"expected only the new file, got $newOnes (all: $second)")
   }
 
+  test("restart from checkpoint never re-emits at or below the committed offset") {
+    // the documented append-only caveat (MetaMicroBatchStream snapshot
+    // comment): after a restart recovers the committed offset from the
+    // checkpoint, files whose (mtime, path) key is at or below it must not
+    // be replayed — including a file that ARRIVES backdated after the first
+    // run — while strictly-later arrivals still flow.
+    val dir = Files.createTempDirectory("graft_stream_ckpt").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt_c").toString
+    val out = Files.createTempDirectory("graft_stream_ckpt_o").toString
+    spark.range(0, 10).coalesce(1).write.mode("overwrite").parquet(dir)
+
+    def runOnce(): Seq[String] = {
+      val src = spark.readStream.format("metadata")
+        .option("level", "file").option("source", "parquet")
+        .option("streamlagms", "0").load(dir)
+      val q = src.select("filename").writeStream.format("parquet")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).option("path", out).start()
+      q.awaitTermination(60000)
+      q.stop()
+      spark.read.parquet(out).collect().map(_.getString(0)).toSeq
+    }
+
+    val first = runOnce()
+    val dataFile = Files.list(Paths.get(dir))
+      .filter(_.toString.endsWith(".parquet")).findFirst.get
+    val committedMtime = dataFile.toFile.lastModified()
+
+    // an identical restart with nothing new emits nothing
+    val idle = runOnce()
+    assert(idle.sorted === first.sorted,
+      s"restart with no new files re-emitted: ${idle.diff(first)}")
+
+    // a BACKDATED arrival (key below the committed offset) is not replayed
+    val backdated = Paths.get(dir, "aa_backdated.parquet")
+    Files.copy(dataFile, backdated)
+    assert(backdated.toFile.setLastModified(committedMtime - 60000L))
+    val afterBackdate = runOnce()
+    assert(afterBackdate.sorted === first.sorted,
+      s"backdated file was replayed: ${afterBackdate.diff(first)}")
+
+    // a strictly later arrival still flows, exactly once
+    val fresh = Paths.get(dir, "zz_fresh.parquet")
+    Files.copy(dataFile, fresh)
+    assert(fresh.toFile.setLastModified(System.currentTimeMillis()))
+    val afterFresh = runOnce()
+    assert(afterFresh.diff(first) === Seq("zz_fresh.parquet"),
+      s"expected exactly the fresh file, got ${afterFresh.diff(first)}")
+  }
+
   test("spanify caps span count but still covers the whole file") {
     val huge = FileSlice("file:/x/huge.parquet", "huge.parquet", 3L * 1024 * 1024 * 1024, 0L, Map.empty)
     val spans = MetaScan.spanify(Seq(huge), MetaLevel.ParquetPage, spanBytes = 1L)

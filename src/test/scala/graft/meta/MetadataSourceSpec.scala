@@ -240,6 +240,18 @@ class MetadataSourceSpec extends SparkSpec {
     assert(FooterCache.entries >= before)
   }
 
+  test("footer cache invalidate drops entries for a path") {
+    FooterCache.clear()
+    meta(lineitem, "level" -> "rowgroup").collect()
+    assert(FooterCache.entries === 1)
+    // the escape hatch for in-place rewrites within one mtime granule
+    FooterCache.invalidate(new org.apache.hadoop.fs.Path(lineitem)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(new org.apache.hadoop.fs.Path(lineitem)).toString)
+    assert(FooterCache.entries === 0)
+    FooterCache.clear()
+  }
+
   test("page reader reports remote I/O custom metrics") {
     val p = new org.apache.hadoop.fs.Path(lineitem)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
