@@ -2,6 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.{MinHashSig, SimHash64F}
 
 /**
  * Deduplication operators for large-scale document corpora.
@@ -36,15 +39,13 @@ object Dedup {
    * `sig: array<long>` of length `numPerms`.
    *
    * Plan shape: a NARROW per-row projection — the token set already lives
-   * in the row, so each permutation's min is computed with nested
-   * higher-order functions (no explode, no aggregation, no shuffle).
-   * Signature cost is `numPerms * |tokens|` hash evaluations inside one
-   * codegen'd projection; the stage scales embarrassingly with partitions.
-   *
-   * The permutation family is seeded hashing — `xxhash64(p, token)` — which
-   * is overflow-free under ANSI arithmetic (an affine `a*h+b mod P` family
-   * would overflow 64-bit products) and gives `numPerms` independent hash
-   * functions.
+   * in the row, so the whole signature is computed by the fused codegen
+   * expression [[graft.functions.MinHashSig]] (no explode, no aggregation,
+   * no shuffle): each token is hashed ONCE and the `numPerms` permutation
+   * values derive from that base hash with a 3-op integer finalizer. The
+   * nested-HOF formulation this replaces hashed every token's bytes
+   * `numPerms` times under interpreted lambdas. The stage scales
+   * embarrassingly with partitions.
    */
   def minhashSignatures(
       df: DataFrame,
@@ -54,9 +55,8 @@ object Dedup {
       carry: Seq[Column] = Nil): DataFrame =
     df.select(
       (id.as("mh_id") +: carry) :+
-        transform(
-          sequence(lit(0), lit(numPerms - 1)),
-          p => array_min(transform(tokenSet, t => xxhash64(p, t)))).as("sig"): _*)
+        ColumnBridge.column(
+          MinHashSig(ColumnBridge.expression(tokenSet), numPerms)).as("sig"): _*)
 
   /**
    * LSH banding: one row per (id, band) with a 64-bit band hash. Ids sharing
@@ -97,22 +97,15 @@ object Dedup {
 
   /**
    * SimHash (64-bit) over a token column: per bit, sum +/-1 contributions of
-   * each token's hash bit, then assemble the sign bits. Like
-   * [[minhashSignatures]], a narrow per-row projection — each bit's signed
-   * sum folds over the in-row token set, no shuffle introduced.
+   * each token's hash bit, then assemble the sign bits — all 64 counters in
+   * one fused pass ([[graft.functions.SimHash64F]]). Like
+   * [[minhashSignatures]], a narrow per-row projection, no shuffle
+   * introduced; the folded-HOF formulation this replaces walked the hash
+   * array 64 times under interpreted lambdas.
    */
-  def simhash64(df: DataFrame, id: Column, tokenSet: Column): DataFrame = {
-    // hash every token ONCE, then fold 64 cheap bit-sums over the array
-    val withHashes = df.select(id.as("sh_id"), transform(tokenSet, t => xxhash64(t)).as("__hs"))
-    val assembled = (0 until 64).map { b =>
-      val bitSum = aggregate(
-        col("__hs"),
-        lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(bitSum >= 0L, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    withHashes.select(col("sh_id"), assembled.as("simhash"))
-  }
+  def simhash64(df: DataFrame, id: Column, tokenSet: Column): DataFrame =
+    df.select(id.as("sh_id"),
+      ColumnBridge.column(SimHash64F(ColumnBridge.expression(tokenSet))).as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CosineSimilarity, DotProductF, NearestCell, NearestCells, TopKByScore, VectorSumF}
+import graft.functions.{CosineSimilarity, DotProductF, LshBucketF, NearestCell, NearestCells, TopKByScore, VectorSumF}
 
 /**
  * Similarity search over an embedding column (`array<float>`).
@@ -119,18 +119,14 @@ object Similarity {
 
   /**
    * Sign-pattern LSH bucket id of a vector: bit `j` is the sign of the dot
-   * product with fixed hyperplane `j`. Plain column arithmetic over literal
-   * plane arrays (no UDF, no per-row hashing).
+   * product with fixed hyperplane `j`, all planes fused into one codegen
+   * pass over the vector ([[graft.functions.LshBucketF]]) — the
+   * per-plane `aggregate` HOF formulation re-walked the vector under an
+   * interpreted lambda once per plane.
    */
   def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column =
-    (0 until numPlanes).map { j =>
-      val hp = typedLit(hyperplane(j, dim))
-      val dotJ = aggregate(
-        sequence(lit(0), lit(dim - 1)),
-        lit(0.0d),
-        (acc, i) => acc + element_at(vec, i + 1).cast("double") * element_at(hp, i + 1))
-      when(dotJ >= 0.0d, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    ColumnBridge.column(LshBucketF(ColumnBridge.expression(vec),
+      Array.tabulate(numPlanes)(j => hyperplane(j, dim))))
 
   /**
    * IVF coarse quantizer, computed to the DRIVER: k centroids seeded from

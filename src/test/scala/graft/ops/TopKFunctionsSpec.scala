@@ -165,6 +165,44 @@ class TopKFunctionsSpec extends SparkSpec {
     assert(out(3) === Seq("你好世", "好世界"))
   }
 
+  // ----- hash sketches --------------------------------------------------
+
+  test("fused minhash keeps the signature invariants") {
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "d c b a"), // same set, different order
+      (2L, "a b c e"),                  // near set
+      (3L, ""))                         // empty
+      .toDF("doc_id", "text").withColumn("ws", TextOps.tokenSet(col("text")))
+    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) !== sigs(2L))
+    // near sets share a large fraction of mins (Pr[share] = Jaccard = 3/5)
+    val shared = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(shared > 8, s"only $shared/64 mins shared for J=0.6 sets")
+    assert(sigs(0L).length === 64)
+    assert(sigs(3L).forall(_ == null)) // empty set -> all-null signature
+  }
+
+  test("fused lsh bucket is bit-identical to the column-arithmetic formulation") {
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+    def oldBucket(vec: org.apache.spark.sql.Column, dim: Int, numPlanes: Int) =
+      (0 until numPlanes).map { j =>
+        val hp = typedLit(Similarity.hyperplane(j, dim))
+        val dotJ = aggregate(
+          sequence(lit(0), lit(dim - 1)),
+          lit(0.0d),
+          (acc, i) => acc + element_at(vec, i + 1).cast("double") * element_at(hp, i + 1))
+        when(dotJ >= 0.0d, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val both = emb.select(
+      Similarity.lshBucket(col("embedding"), 64, 16).as("fused"),
+      oldBucket(col("embedding"), 64, 16).as("old"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   // ----- CountIn --------------------------------------------------------
 
   test("count_in matches the interpreted isin-filter formulation") {
