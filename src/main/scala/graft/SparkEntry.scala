@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Decontam, Dedup, Multimodal, Similarity, TextOps}
 
 /**
  * Driver contract: the full query inventory with DuckDB oracles.
@@ -440,6 +440,34 @@ object SparkEntry {
           coalesce(sum(col("q_micro")), lit(0L)).as("q_micro_sum"),
           coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
     }),
+
+    // Benchmark decontamination: corpus docs sharing any word 8-gram with
+    // the benchmark set (docs 0-19), with planted contamination (benchmark
+    // texts re-inserted at id + 200000). Bloom prefilter (narrow, no
+    // corpus shuffle, no false negatives) + exact shingle-join verification
+    // -> the answer is exact and DuckDB-checkable.
+    "decontam" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") < 20)
+      val corpus = d.filter(col("doc_id") >= 20)
+        .union(bench.select(col("doc_id") + 200000L, col("text")))
+      Decontam.contaminatedIds(corpus, "doc_id", "text", bench, "text", n = 8)
+        .agg(count(lit(1)).as("n_contaminated"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+    }),
+
+    // Repetition-based quality filter (the Gopher-style duplicate-n-gram
+    // fraction): 1 - distinct/total over word bigrams, exact micro-units.
+    "text_repetition" -> ((s, dir) =>
+      s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), {
+          val ng = TextOps.wordNgrams(col("text"), 2)
+          when(size(ng) === 0, lit(0L)).otherwise(
+            floor((lit(1.0d) -
+              size(array_distinct(ng)).cast("double") / size(ng).cast("double")) *
+              1000000.0d)).as("rep_micro")
+        })),
 
     // ----- LLM-data-pipeline: similarity search ------------------------
     // Exact brute-force cosine top-3 (integer ranks; the scores order the
@@ -879,6 +907,41 @@ object SparkEntry {
          |  CAST(coalesce(sum(q_micro), 0) AS BIGINT) AS q_micro_sum,
          |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
          |FROM scored WHERE q_micro >= 800000""".stripMargin,
+
+    "decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 6),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |      t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS ng
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(ng) AS g FROM grams WHERE doc_id < 20),
+        |corpus AS (
+        |  SELECT doc_id, ng FROM grams WHERE doc_id >= 20
+        |  UNION ALL
+        |  SELECT doc_id + 200000, ng FROM grams WHERE doc_id < 20),
+        |bad AS (
+        |  SELECT DISTINCT c.doc_id
+        |  FROM (SELECT doc_id, unnest(ng) AS g FROM corpus) c
+        |  JOIN bench USING (g))
+        |SELECT CAST(count(*) AS BIGINT) AS n_contaminated,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+        |FROM bad""".stripMargin,
+
+    "text_repetition" ->
+      """WITH ng AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS ng
+        |  FROM (
+        |    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |    FROM documents WHERE doc_id < 50))
+        |SELECT doc_id,
+        |  CASE WHEN len(ng) = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor((1.0 - CAST(len(list_distinct(ng)) AS DOUBLE) / len(ng))
+        |      * 1000000) AS BIGINT) END AS rep_micro
+        |FROM ng""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (
