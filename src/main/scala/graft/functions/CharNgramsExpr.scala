@@ -50,12 +50,16 @@ object CharNgramsExpr {
 
   /** Shared by eval and generated code: one O(bytes) pass over the UTF-8
     * encoding. A byte starts a codepoint iff it is not a continuation byte
-    * (`10xxxxxx`), which is exactly how UTF8String counts characters. */
+    * (`10xxxxxx`), which is exactly how UTF8String counts characters.
+    * Sized by BYTE length (an upper bound on starts), not `numChars()`:
+    * on malformed UTF-8 (parquet does not validate) a truncated multi-byte
+    * sequence makes numChars() undercount the continuation-scan's starts,
+    * and sizing by it would walk off the array. */
   def compute(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
     val total = bytes.length
     // codepoint start offsets, plus a sentinel end offset
-    val starts = new Array[Int](s.numChars() + 1)
+    val starts = new Array[Int](total + 1)
     var chars = 0
     var i = 0
     while (i < total) {

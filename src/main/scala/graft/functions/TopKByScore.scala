@@ -139,6 +139,10 @@ final class TopKHeap(k: Int) {
     s1 < s2 || (s1 == s2 && id1 > id2)
 
   def insert(s: Double, id: Long): Unit = {
+    // NaN never ranks: every `worse` comparison against NaN is false, so a
+    // NaN admitted under capacity would reach the root and then block all
+    // later inserts. A NaN score is "no similarity" — not a candidate.
+    if (s.isNaN) return
     if (n < k) {
       scores(n) = s
       ids(n) = id

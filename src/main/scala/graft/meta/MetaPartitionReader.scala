@@ -74,7 +74,7 @@ class MetaPartitionReader(
     Array(
       TaskMetricValue("graftRemoteReads", doneReads + liveReads),
       TaskMetricValue("graftRemoteSeeks", doneSeeks + liveSeeks),
-      TaskMetricValue("graftSkippedFiles", skippedFiles))
+      TaskMetricValue("graftSkippedFiles", skippedPaths.size.toLong))
   }
 
   private val rows: Iterator[InternalRow] =
@@ -119,12 +119,16 @@ class MetaPartitionReader(
 
   // Counted (not only logged): skips surface in the scan node's
   // `graftSkippedFiles` metric, where a million-file scan that quietly
-  // dropped 1% of its inputs is visible at a glance.
-  private var skippedFiles: Long = 0L
+  // dropped 1% of its inputs is visible at a glance. Deduplicated by PATH —
+  // a corrupt file split into many page-level byte spans fails once per
+  // span, and counting spans would inflate the per-file signal the metric
+  // promises. The set is bounded by this task's file count.
+  private val skippedPaths = new scala.collection.mutable.HashSet[String]
 
   private def warnCorrupt(span: FileSpan, e: Exception): Unit = {
-    skippedFiles += 1
-    logWarning(s"metadata scan skipping corrupt file ${span.file.path}: ${e.getMessage}")
+    if (skippedPaths.add(span.file.path)) {
+      logWarning(s"metadata scan skipping corrupt file ${span.file.path}: ${e.getMessage}")
+    }
   }
   private var current: InternalRow = _
 

@@ -35,18 +35,26 @@ object Decontam {
   def shingles(text: Column, n: Int): Column =
     array_distinct(TextOps.wordNgrams(text, n))
 
-  /** Driver-side Bloom filter over the benchmark's distinct shingles. */
-  def benchmarkBloom(bench: DataFrame, textCol: String, n: Int,
-      fpp: Double = 1e-4): BloomFilter = {
-    val grams = bench
+  /** The benchmark's distinct shingles, collected to the driver (the
+    * benchmark is the small side by definition — megabytes of eval sets
+    * against a corpus of terabytes). */
+  def collectShingles(bench: DataFrame, textCol: String, n: Int): Array[String] =
+    bench
       .select(explode(shingles(col(textCol), n)).as("ng"))
       .distinct()
       .collect()
       .map(_.getString(0))
+
+  private def bloomOf(grams: Array[String], fpp: Double): BloomFilter = {
     val bloom = BloomFilter.create(math.max(grams.length.toLong, 1L), fpp)
     grams.foreach(g => bloom.putBinary(g.getBytes("UTF-8")))
     bloom
   }
+
+  /** Driver-side Bloom filter over the benchmark's distinct shingles. */
+  def benchmarkBloom(bench: DataFrame, textCol: String, n: Int,
+      fpp: Double = 1e-4): BloomFilter =
+    bloomOf(collectShingles(bench, textCol, n), fpp)
 
   /** Prefilter column: true iff any shingle might be in the Bloom. */
   def anyInBloom(shingleArr: Column, bloom: BloomFilter): Column =
@@ -64,10 +72,13 @@ object Decontam {
       bench: DataFrame,
       benchTextCol: String,
       n: Int): DataFrame = {
-    val bloom = benchmarkBloom(bench, benchTextCol, n)
-    val benchGrams = bench
-      .select(explode(shingles(col(benchTextCol), n)).as("ng"))
-      .distinct()
+    // one job over the benchmark: the collected gram array feeds BOTH the
+    // Bloom filter and the exact-verify relation (no distributed recompute)
+    val grams = collectShingles(bench, benchTextCol, n)
+    val bloom = bloomOf(grams, 1e-4)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val benchGrams = grams.toSeq.toDF("ng")
     corpus
       .select(col(idCol), shingles(col(textCol), n).as("__ng"))
       .filter(anyInBloom(col("__ng"), bloom))

@@ -147,7 +147,12 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int): Array[Array[Float]] = {
-    var cents: Array[Array[Float]] = corpus
+    // null vectors cannot seed or attract a cell (nearestCell(null) is a
+    // null group whose key would NPE the driver-side collect); drop them
+    // here — the search side already drops them naturally, since a null
+    // cell id never matches the probe equi-join
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+    var cents: Array[Array[Float]] = vecs
       .select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(k)
       .collect()
@@ -156,7 +161,7 @@ object Similarity {
       // one pass, no explode: per-cell element-wise sums fold each vector
       // into a dim-sized buffer ([[graft.functions.VectorSumF]]); the
       // posexplode + avg formulation would multiply row count by dim first
-      val means = corpus
+      val means = vecs
         .select(nearestCell(col(vecCol), cents).as("cell"), col(vecCol))
         .groupBy(col("cell"))
         .agg(vectorSumAgg(col(vecCol)).as("vs"), count(lit(1)).as("n"))

@@ -56,6 +56,17 @@ class TopKFunctionsSpec extends SparkSpec {
     assert(h.sortedBestFirst().toSeq === Seq((1.0, 10L), (1.0, 20L)))
   }
 
+  test("top-k heap never admits NaN scores") {
+    // a NaN at the root would block every later insert (all comparisons
+    // against NaN are false) — NaN must be rejected at the door
+    val h = new TopKHeap(2)
+    h.insert(Double.NaN, 1L)
+    h.insert(0.5, 2L)
+    h.insert(Double.NaN, 3L)
+    h.insert(0.9, 4L)
+    assert(h.sortedBestFirst().toSeq === Seq((0.9, 4L), (0.5, 2L)))
+  }
+
   test("ANN ranking plans contain no window and no per-query global sort") {
     val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
@@ -73,7 +84,8 @@ class TopKFunctionsSpec extends SparkSpec {
       // set onto one reducer) and never a global sort of candidates
       assert(p.contains("top_k_by_score"), p)
       assert(!p.contains("Window"), p)
-      assert(!p.toLowerCase.contains("sortexec"), p)
+      // SortExec prints as "Sort [ordering...]" in plan strings
+      assert(!p.contains("Sort ["), p)
     }
   }
 
@@ -163,6 +175,27 @@ class TopKFunctionsSpec extends SparkSpec {
     assert(out(1) === Seq.empty)
     assert(out(2) === Seq.empty)
     assert(out(3) === Seq("你好世", "好世界"))
+  }
+
+  test("fused char ngrams survive malformed UTF-8 bytes") {
+    // a truncated multi-byte lead (0xE4 not followed by continuations):
+    // parquet does not validate UTF-8, so the slicer must not crash
+    import org.apache.spark.unsafe.types.UTF8String
+    val bad = UTF8String.fromBytes(Array(0xE4.toByte, 0x41.toByte, 0x42.toByte, 0x43.toByte))
+    val res = graft.functions.CharNgramsExpr.compute(bad, 3)
+    assert(res.numElements() === 2) // 4 codepoint starts -> 2 trigrams
+  }
+
+  test("ivf centroids tolerate null vectors in the corpus") {
+    val rows = Seq(
+      (0L, Some(Array(0.0f, 0.0f))),
+      (1L, Some(Array(1.0f, 1.0f))),
+      (2L, None: Option[Array[Float]]),
+      (3L, Some(Array(2.0f, 2.0f))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(rows, "vec_id", "embedding", k = 2, iters = 1)
+    assert(cents.length === 2)
+    assert(cents.forall(_ != null))
   }
 
   // ----- hash sketches --------------------------------------------------
