@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Decontam, Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Decontam, Dedup, Multimodal, Packing, Similarity, TextOps}
 
 /**
  * Driver contract: the full query inventory with DuckDB oracles.
@@ -469,6 +469,17 @@ object SparkEntry {
               1000000.0d)).as("rep_micro")
         })),
 
+    // Training-sequence packing: concat documents per source in doc_id
+    // order, cut every 4096 tokens; per-sequence doc/token stats. One
+    // window cumsum partitioned by the shard key (see Packing scaladoc).
+    "pack_sequences" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+        .select(col("source"), col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.sequenceStats(d, col("source"), col("doc_id"), col("n_tok"), budget = 4096L)
+        .select(col("source"), col("seq_id").cast("long").as("seq_id"),
+          col("n_docs"), col("n_tokens"))
+    }),
+
     // ----- LLM-data-pipeline: similarity search ------------------------
     // Exact brute-force cosine top-3 (integer ranks; the scores order the
     // rows but are not emitted, keeping the hash compare float-free).
@@ -907,6 +918,23 @@ object SparkEntry {
          |  CAST(coalesce(sum(q_micro), 0) AS BIGINT) AS q_micro_sum,
          |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
          |FROM scored WHERE q_micro >= 800000""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(floor(CAST(coalesce(sum(n_tok) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |      / 4096.0) AS BIGINT) AS seq_id
+        |  FROM toks)
+        |SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM packed
+        |GROUP BY source, seq_id""".stripMargin,
 
     "decontam" ->
       """WITH toks AS (

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sequence packing and deterministic sampling. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----- packing --------------------------------------------------------
+
+  test("sequence packing cuts at the token budget in order") {
+    val docs = Seq(
+      ("a", 1L, 30L), ("a", 2L, 50L), ("a", 3L, 40L), ("a", 4L, 10L),
+      ("b", 1L, 150L), ("b", 2L, 10L))
+      .toDF("shard", "id", "n_tok")
+    val packed = Packing.packSequences(docs, col("shard"), col("id"), col("n_tok"), budget = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // shard a: cum-before 0, 30, 80, 120 -> seqs 0, 0, 0, 1
+    assert(packed(("a", 1L)) === 0L)
+    assert(packed(("a", 2L)) === 0L)
+    assert(packed(("a", 3L)) === 0L)
+    assert(packed(("a", 4L)) === 1L)
+    // shard b: cum-before 0, 150 -> seqs 0, 1 (oversized doc occupies seq 0 alone)
+    assert(packed(("b", 1L)) === 0L)
+    assert(packed(("b", 2L)) === 1L)
+  }
+
+  test("sequence stats conserve documents and tokens") {
+    val docs = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select(col("source"), col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    val stats = Packing.sequenceStats(docs, col("source"), col("doc_id"), col("n_tok"), 1024L)
+    val (docsOut, toksOut) = stats.agg(sum("n_docs"), sum("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val (docsIn, toksIn) = docs.agg(count(lit(1)), sum("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(docsOut === docsIn)
+    assert(toksOut === toksIn)
+    // every sequence except possibly the last per shard starts under budget:
+    // a doc lands in seq s iff its preceding cumsum is in [s*B, (s+1)*B)
+    val bad = stats.filter(col("seq_id") < 0).count()
+    assert(bad === 0)
+  }
+
+  // ----- sampling -------------------------------------------------------
+
+  test("hash sample is deterministic and approximately sized") {
+    val df = spark.range(0, 20000).toDF("id")
+    val a = Sampling.hashSample(df, col("id"), 0.25).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df, col("id"), 0.25).collect().map(_.getLong(0)).toSet
+    assert(a === b) // pure function of the key
+    assert(math.abs(a.size / 20000.0 - 0.25) < 0.02)
+    // repartitioning must not change the selection (df.sample would)
+    val c = Sampling.hashSample(df.repartition(13), col("id"), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(c === a)
+  }
+
+  test("hash bands of one seed are disjoint and exhaustive") {
+    val df = spark.range(0, 5000).toDF("id")
+    val lo = Sampling.hashBand(df, col("id"), 0.0, 0.7).collect().map(_.getLong(0)).toSet
+    val hi = Sampling.hashBand(df, col("id"), 0.7, 1.0).collect().map(_.getLong(0)).toSet
+    assert(lo.intersect(hi).isEmpty)
+    assert(lo.size + hi.size === 5000)
+  }
+
+  test("different seeds draw independent samples") {
+    val df = spark.range(0, 20000).toDF("id")
+    val s1 = Sampling.hashSample(df, col("id"), 0.5, seed = 1L).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(df, col("id"), 0.5, seed = 2L).collect().map(_.getLong(0)).toSet
+    val overlap = s1.intersect(s2).size.toDouble / 20000.0
+    assert(math.abs(overlap - 0.25) < 0.02, s"overlap $overlap should be ~0.25")
+  }
+}
