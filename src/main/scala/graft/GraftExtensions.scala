@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProductF, JaccardSorted}
+import graft.functions.{CharNgramsExpr, CosineSimilarity, DotProductF, JaccardSorted, MinHashSig, SimHash64F}
 
 /**
  * Session extensions for the graft engine: registers the native vector
@@ -30,6 +31,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     build(args(0), args(1))
   }
 
+  /** Second argument must be a foldable INT literal (e.g. the n-gram
+    * width); constants are baked into the expression at resolution time. */
+  private def withIntLit(name: String)(build: (Expression, Int) => Expression)
+      : Seq[Expression] => Expression = { args =>
+    if (args.length != 2) {
+      throw new IllegalArgumentException(
+        s"Function $name requires exactly 2 arguments, got ${args.length}")
+    }
+    args(1) match {
+      case Literal(v: Int, IntegerType) => build(args(0), v)
+      case other => throw new IllegalArgumentException(
+        s"Function $name requires a literal INT second argument, got $other")
+    }
+  }
+
+  private def unary(name: String)(build: Expression => Expression)
+      : Seq[Expression] => Expression = { args =>
+    if (args.length != 1) {
+      throw new IllegalArgumentException(
+        s"Function $name requires exactly 1 argument, got ${args.length}")
+    }
+    build(args(0))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
@@ -43,5 +68,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaccard_sorted"),
       info(classOf[JaccardSorted], "jaccard_sorted"),
       binary("jaccard_sorted")(JaccardSorted)))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      info(classOf[CharNgramsExpr], "char_ngrams"),
+      withIntLit("char_ngrams")(CharNgramsExpr)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      info(classOf[MinHashSig], "minhash_sig"),
+      withIntLit("minhash_sig")(MinHashSig)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info(classOf[SimHash64F], "simhash64"),
+      unary("simhash64")(SimHash64F)))
   }
 }

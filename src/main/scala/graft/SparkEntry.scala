@@ -296,12 +296,21 @@ object SparkEntry {
       // 4 bands x 16 rows: candidate threshold (1/4)^(1/16) ~= 0.92, so the
       // bucket join stays sparse on vocabulary-dense corpora while recall at
       // J=1 (identical sets -> identical signatures) remains exactly 1.
-      // The token set rides the band shuffle (carry) and joins as an extra
-      // equi-key, so verification costs no extra join or corpus recompute.
-      val sigs = Dedup.minhashSignatures(corpus, col("doc_id"), col("ws"),
-        carry = Seq(col("ws")))
+      // Only a 64-bit hash of the token set rides the band shuffle (three
+      // longs per band row, not the set itself); the candidate pairs are
+      // tiny by construction, so EXACT set equality is re-verified by
+      // broadcasting them back against the corpus — same result, a
+      // fraction of the shuffle bytes.
+      val withH = corpus.withColumn("wsh", xxhash64(col("ws")))
+      val sigs = Dedup.minhashSignatures(withH, col("doc_id"), col("ws"),
+        carry = Seq(col("wsh")))
       val bands = Dedup.lshBands(sigs, bands = 4, rowsPerBand = 16)
-      Dedup.candidatePairs(bands, extraKeys = Seq("ws"))
+      val pairs = Dedup.candidatePairs(bands, extraKeys = Seq("wsh"))
+      val sets = corpus.select(col("doc_id"), col("ws"))
+      val withA = sets.join(broadcast(pairs), col("doc_id") === col("a_id"))
+        .select(col("a_id"), col("b_id"), col("ws").as("ws_a"))
+      sets.join(broadcast(withA), col("doc_id") === col("b_id"))
+        .filter(col("ws") === col("ws_a"))
         .agg(count(lit(1)).as("dup_pairs"),
           coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_sum"))
     }),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{CharNgramsExpr, CountIn}
+import graft.functions.{CharNgramsExpr, CountIn, WordNgramsF}
 
 /**
  * Text-analysis operators for large-scale document pipelines, built entirely
@@ -35,17 +35,16 @@ object TextOps {
 
   /**
    * Adjacent word n-grams (n >= 2) joined with single spaces,
-   * e.g. n=2 over "a b c" -> ["a b", "b c"].
+   * e.g. n=2 over "a b c" -> ["a b", "b c"]. One fused pass over the
+   * tokenized array ([[graft.functions.WordNgramsF]]); the
+   * transform+element_at formulation re-derived the token array inside
+   * every interpreted lambda position.
    */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // Guard: sequence(1, 0) would count DOWN in Spark, so short docs need an
-    // explicit empty result.
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-  }
+  def wordNgrams(text: Column, n: Int): Column = wordNgramsOn(tokens(text), n)
+
+  /** Word n-grams over a PRE-MATERIALIZED token array column. */
+  def wordNgramsOn(toks: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramsF(ColumnBridge.expression(toks), n))
 
   /**
    * Deterministic rolling document fingerprint: polynomial hash of the

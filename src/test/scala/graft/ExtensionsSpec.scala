@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+
+/** SQL surface registered by [[GraftExtensions]]. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("vector and sketch functions are callable from SQL") {
+    val row = spark.sql("""
+      SELECT
+        cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                   array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cs,
+        dot_f(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d,
+        jaccard_sorted(array('a', 'b'), array('b', 'c')) AS j,
+        size(char_ngrams('abcd', 3)) AS ncg,
+        size(minhash_sig(array('x', 'y'), 64)) AS nmh,
+        simhash64(array('x', 'y')) AS sh
+    """).collect().head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.getDouble(1) === 6.0)
+    assert(math.abs(row.getDouble(2) - 1.0 / 3.0) < 1e-12)
+    assert(row.getInt(3) === 2)
+    assert(row.getInt(4) === 64)
+    // any 64-bit value is fine; the point is it resolves and evaluates
+    row.getLong(5)
+  }
+
+  test("sql functions validate arity and literal arguments") {
+    intercept[Exception](spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)))").collect())
+    // non-literal n for char_ngrams is rejected at resolution
+    intercept[Exception](
+      spark.sql("SELECT char_ngrams('ab', CAST(rand() * 3 AS INT))").collect())
+    // wrong input type fails analysis
+    intercept[AnalysisException](
+      spark.sql("SELECT simhash64('not an array')").collect())
+  }
+}
