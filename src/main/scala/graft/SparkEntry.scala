@@ -306,13 +306,7 @@ object SparkEntry {
         carry = Seq(col("wsh")))
       val bands = Dedup.lshBands(sigs, bands = 4, rowsPerBand = 16)
       val pairs = Dedup.candidatePairs(bands, extraKeys = Seq("wsh"))
-      val sets = corpus.select(col("doc_id"), col("ws"))
-      val withA = sets.join(broadcast(pairs), col("doc_id") === col("a_id"))
-        .select(col("a_id"), col("b_id"), col("ws").as("ws_a"))
-      sets.join(broadcast(withA), col("doc_id") === col("b_id"))
-        .filter(col("ws") === col("ws_a"))
-        .agg(count(lit(1)).as("dup_pairs"),
-          coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_sum"))
+      exactPairAgg(corpus.select(col("doc_id"), col("ws")), "doc_id", "ws", pairs)
     }),
 
     // Duplicate-cluster statistics: identical-token-set groups with sizes
@@ -347,13 +341,7 @@ object SparkEntry {
       val pairs = l.join(r,
         col("h_a") === col("h_b") && col("th_a") === col("th_b") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"))
-      val texts = corpus.select(col("doc_id"), col("text"))
-      val withA = texts.join(broadcast(pairs), col("doc_id") === col("a_id"))
-        .select(col("a_id"), col("b_id"), col("text").as("t_a"))
-      texts.join(broadcast(withA), col("doc_id") === col("b_id"))
-        .filter(col("text") === col("t_a"))
-        .agg(count(lit(1)).as("dup_pairs"),
-          coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_sum"))
+      exactPairAgg(corpus.select(col("doc_id"), col("text")), "doc_id", "text", pairs)
     }),
 
     // Word-bigram Jaccard similarity over a bounded pair set.
@@ -564,6 +552,25 @@ object SparkEntry {
           col("height").cast("long").as("height"), col("checksum"))
     })
   )
+
+  /**
+   * Exact-pair verification shared by the hash-prefiltered dedup queries:
+   * the (tiny, broadcast) candidate-pair set fetches `valueName` for both
+   * sides from `values`, keeps only pairs whose values are EXACTLY equal,
+   * and aggregates to (dup_pairs, id_sum). Hash prefilters upstream can
+   * therefore never introduce false positives, and the wide value column
+   * never rides a shuffle.
+   */
+  private def exactPairAgg(
+      values: DataFrame, idName: String, valueName: String,
+      pairs: DataFrame): DataFrame = {
+    val withA = values.join(broadcast(pairs), col(idName) === col("a_id"))
+      .select(col("a_id"), col("b_id"), col(valueName).as("__v_a"))
+    values.join(broadcast(withA), col(idName) === col("b_id"))
+      .filter(col(valueName) === col("__v_a"))
+      .agg(count(lit(1)).as("dup_pairs"),
+        coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_sum"))
+  }
 
   /** Documents plus planted duplicates (doc_id < 50 re-inserted shifted by
     * 100000) so dedup answers are non-trivial on a dup-free corpus. */
@@ -935,10 +942,10 @@ object SparkEntry {
         |  FROM documents),
         |packed AS (
         |  SELECT source, doc_id, n_tok,
-        |    CAST(floor(CAST(coalesce(sum(n_tok) OVER (
+        |    CAST(coalesce(sum(n_tok) OVER (
         |      PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
-        |      / 4096.0) AS BIGINT) AS seq_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 4096 AS BIGINT) AS seq_id
         |  FROM toks)
         |SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens

@@ -61,9 +61,11 @@ object WordNgramsF {
       i += 1
     }
     val out = new Array[Any](total - n + 1)
+    // concatWs only reads the varargs array, so one window buffer refilled
+    // per position avoids an allocation per n-gram on the hot path
+    val window = new Array[UTF8String](n)
     var j = 0
     while (j < out.length) {
-      val window = new Array[UTF8String](n)
       System.arraycopy(toks, j, window, 0, n)
       out(j) = UTF8String.concatWs(Space, window: _*)
       j += 1

@@ -35,8 +35,12 @@ object Packing {
     require(budget > 0, s"sequence token budget must be positive, got $budget")
     val w = Window.partitionBy(shard).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("seq_id",
-      floor(coalesce(sum(tokens).over(w), lit(0L)).cast("double") / budget.toDouble))
+    // exact long division (`div`), not floor over a double cast: a shard
+    // whose running token count passes 2^53 would round in double and can
+    // misassign a boundary document by one sequence
+    df.withColumn("__cum_before", coalesce(sum(tokens).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"__cum_before div ${budget}L"))
+      .drop("__cum_before")
   }
 
   /** Per-(shard, sequence) statistics: document and token counts. */

@@ -24,10 +24,12 @@ object Sampling {
   def bucket(key: Column, seed: Long): Column =
     pmod(xxhash64(lit(seed), key), lit(Buckets))
 
-  /** Keep approximately `fraction` of rows, deterministically by key. */
+  /** Keep approximately `fraction` of rows, deterministically by key —
+    * exactly the `[0, fraction)` band, so a sample and the bands of the
+    * same seed compose without overlap by construction. */
   def hashSample(df: DataFrame, key: Column, fraction: Double, seed: Long = 42L): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
-    df.filter(bucket(key, seed) < (fraction * Buckets).toLong)
+    hashBand(df, key, 0.0, fraction, seed)
   }
 
   /** Keep rows whose bucket falls in `[lo, hi)` of the unit interval —
