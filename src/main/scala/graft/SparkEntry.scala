@@ -344,6 +344,38 @@ object SparkEntry {
       exactPairAgg(corpus.select(col("doc_id"), col("text")), "doc_id", "text", pairs)
     }),
 
+    // Cross-corpus dedup: scrub an incoming corpus B against reference
+    // corpus A (the new-crawl-vs-already-trained shape). B = 30 exact
+    // copies of A docs (shifted ids) + 20 A docs made unique by a
+    // per-doc suffix token. Banded cross-equi-join candidates (hash-only
+    // carry), broadcast exact token-set verification -> the 30 copies,
+    // exactly, DuckDB-checkable.
+    "dedup_cross" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      val b = d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+        .union(d.filter(col("doc_id") >= 30 && col("doc_id") < 50)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" uniquesuffix"), col("doc_id").cast("string")).as("text")))
+      def bands(df: DataFrame): DataFrame = {
+        val c = df.withColumn("ws", TextOps.tokenSet(col("text")))
+          .withColumn("wsh", xxhash64(col("ws")))
+        Dedup.lshBands(
+          Dedup.minhashSignatures(c, col("doc_id"), col("ws"), carry = Seq(col("wsh"))),
+          bands = 4, rowsPerBand = 16)
+      }
+      val pairs = Dedup.crossCandidatePairs(bands(d), bands(b), extraKeys = Seq("wsh"))
+      val va = d.select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws"))
+      val vb = b.select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws"))
+      val withA = va.join(broadcast(pairs), col("doc_id") === col("a_id"))
+        .select(col("a_id"), col("b_id"), col("ws").as("ws_a"))
+      vb.join(broadcast(withA), col("doc_id") === col("b_id"))
+        .filter(col("ws") === col("ws_a"))
+        .select(col("b_id")).distinct()
+        .agg(count(lit(1)).as("n_dup_docs"),
+          coalesce(sum(col("b_id")), lit(0L)).as("id_sum"))
+    }),
+
     // Word-bigram Jaccard similarity over a bounded pair set.
     "ngram_jaccard" -> ((s, dir) => {
       val d = s.read.parquet(pq(dir, "documents"))
@@ -805,6 +837,25 @@ object SparkEntry {
          |SELECT CAST(count(*) AS BIGINT) AS dup_pairs,
          |  CAST(coalesce(sum(a.doc_id + b.doc_id), 0) AS BIGINT) AS id_sum
          |FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dedup_cross" ->
+      """WITH sets AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id + 300000 AS doc_id, ws FROM sets WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT s.doc_id + 300000,
+        |    list_sort(list_distinct(list_filter(
+        |      string_split(d.text || ' uniquesuffix' || CAST(s.doc_id AS VARCHAR), ' '),
+        |      t -> t <> '')))
+        |  FROM sets s JOIN documents d USING (doc_id)
+        |  WHERE s.doc_id >= 30 AND s.doc_id < 50),
+        |bad AS (SELECT DISTINCT b.doc_id FROM b JOIN sets a ON b.ws = a.ws)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dup_docs,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+        |FROM bad""".stripMargin,
 
     "ngram_jaccard" ->
       """WITH ng AS (

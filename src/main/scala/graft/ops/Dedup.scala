@@ -96,6 +96,25 @@ object Dedup {
   }
 
   /**
+   * CROSS-corpus candidate pairs: ids from `bandsA` x ids from `bandsB`
+   * sharing any band bucket — the asymmetric dedup shape (scrub corpus B
+   * against reference corpus A, e.g. new crawl vs. already-trained data).
+   * Same bucketed equi-join as [[candidatePairs]], partitioned by band
+   * hash; both sides shuffle once on the band key, never all-pairs.
+   */
+  def crossCandidatePairs(
+      bandsA: DataFrame, bandsB: DataFrame,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = Seq("band", "band_hash") ++ extraKeys
+    val l = bandsA.select((keys.map(k => col(k).as(s"${k}_l")) :+ col("mh_id").as("a_id")): _*)
+    val r = bandsB.select((keys.map(k => col(k).as(s"${k}_r")) :+ col("mh_id").as("b_id")): _*)
+    val cond = keys.map(k => col(s"${k}_l") === col(s"${k}_r")).reduce(_ && _)
+    l.join(r, cond)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /**
    * SimHash (64-bit) over a token column: per bit, sum +/-1 contributions of
    * each token's hash bit, then assemble the sign bits — all 64 counters in
    * one fused pass ([[graft.functions.SimHash64F]]). Like

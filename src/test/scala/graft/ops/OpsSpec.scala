@@ -44,6 +44,23 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("cross-corpus banding finds duplicates across frames, not within") {
+    val a = docs.withColumn("ws", TextOps.tokenSet(col("text")))
+    val b = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // dup of a:0/1/2
+      (101L, "no overlap with anything in the other corpus at all"))
+      .toDF("doc_id", "text").withColumn("ws", TextOps.tokenSet(col("text")))
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(Dedup.minhashSignatures(df, col("doc_id"), col("ws")), 4, 16)
+    val pairs = Dedup.crossCandidatePairs(bands(a), bands(b))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)))
+    assert(pairs.contains((1L, 100L)))
+    assert(pairs.contains((2L, 100L)))
+    // within-corpus pairs (0,1) etc. must NOT appear — it is a cross join
+    assert(pairs.forall { case (x, y) => x < 100L && y >= 100L })
+  }
+
   test("lshBands rejects a banding that does not tile the signature") {
     val corpus = docs.withColumn("ws", TextOps.tokenSet(col("text")))
     val sigs = Dedup.minhashSignatures(corpus, col("doc_id"), col("ws"))
