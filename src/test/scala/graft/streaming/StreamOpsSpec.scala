@@ -47,6 +47,47 @@ class StreamOpsSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("text-pipeline transforms produce identical rows on batch and stream") {
+    // the narrow pipeline ops (quality gate, language ID, fingerprint,
+    // Bloom decontamination prefilter) are pure projections/filters, so
+    // the SAME function runs on spark.read and spark.readStream — the
+    // backfill/incremental parity a production pipeline needs
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Decontam, TextOps}
+    val docs = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") < 10)
+    val bloom = Decontam.benchmarkBloom(bench, "text", n = 8)
+    val pipeline: DataFrame => DataFrame = df => df
+      .withColumn("q_micro", floor(TextOps.qualityScore(col("text")) * 1000000.0d))
+      .filter(col("q_micro") >= 500000L)
+      .withColumn("lang", TextOps.langIdNgramOn(TextOps.charNgrams(col("text"), 3)))
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .withColumn("flagged", Decontam.anyInBloom(Decontam.shingles(col("text"), 8), bloom))
+      .select("doc_id", "q_micro", "lang", "fp", "flagged")
+
+    val dir = Files.createTempDirectory("graft_stream_docs").toString
+    docs.coalesce(2).write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = pipeline(src).writeStream
+      .format("memory").queryName("stream_pipeline").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_docs").toString)
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("stream_pipeline").collect().map(_.toSeq).toSet
+    val batch = pipeline(spark.read.parquet(dir)).collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the planted benchmark docs flag themselves (self-overlap), unless too
+    // short to shingle
+    val flaggedIds = spark.table("stream_pipeline")
+      .filter(col("flagged")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val longBench = pipeline(bench).filter(col("flagged"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(longBench.subsetOf(flaggedIds))
+  }
+
   test("streaming sessionization groups events by gap windows") {
     val sessions = runStream("sessions", "complete") { src =>
       StreamOps.sessionize(src, "ts", "user_id", "10 minutes")
