@@ -434,6 +434,16 @@ object SparkEntry {
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    // Vocabulary building: corpus-wide token frequencies, top 20 with a
+    // deterministic tie-break. Explode + map-side-partial hash aggregate +
+    // TakeOrdered — the BPE/vocab-training preparation scan.
+    "text_vocab" -> ((s, dir) =>
+      s.read.parquet(pq(dir, "documents"))
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)),
+
     // Embedding-cosine near-dup: plant exact-duplicate vectors, bucket both
     // sides with sign-pattern LSH (identical vectors share a bucket, so
     // recall at cos=1 is exact), then verify candidates with the exact
@@ -948,6 +958,15 @@ object SparkEntry {
         |        c -> CAST(unicode(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents WHERE doc_id < 100""".stripMargin,
+
+    "text_vocab" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
 
     "dedup_embedding" ->
       """WITH corpus AS (
