@@ -25,6 +25,20 @@ class ExtensionsSpec extends SparkSpec {
     row.getLong(5)
   }
 
+  test("metadata source is usable from pure SQL via CREATE TABLE ... USING") {
+    spark.sql("DROP TABLE IF EXISTS meta_rg_ddl")
+    spark.sql(s"""
+      CREATE TABLE meta_rg_ddl USING metadata
+      OPTIONS (path '${sf("0.001")}/lineitem.parquet', level 'rowgroup')""")
+    try {
+      val rows = spark.sql("SELECT sum(num_rows) FROM meta_rg_ddl").collect()
+      val expected = spark.read.parquet(sf("0.001") + "/lineitem.parquet").count()
+      assert(rows.head.getLong(0) === expected)
+    } finally {
+      spark.sql("DROP TABLE meta_rg_ddl")
+    }
+  }
+
   test("sql functions validate arity and literal arguments") {
     intercept[Exception](spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)))").collect())
     // non-literal n for char_ngrams is rejected at resolution
