@@ -88,6 +88,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(longBench.subsetOf(flaggedIds))
   }
 
+  test("streaming ANN: a query-vector stream ranks against the static corpus") {
+    // stream-static join + the bounded top-k aggregate in update mode: the
+    // retrieval shape of a live embedding service. The static corpus is
+    // scanned per micro-batch; per-query state is the k-entry heap.
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val dir = Files.createTempDirectory("graft_stream_ann").toString
+    queries.coalesce(1).write.mode("overwrite").parquet(dir)
+    val qStream = spark.readStream.schema(queries.schema).parquet(dir)
+    val ranked = qStream.join(emb, col("vec_id") =!= col("q_id"))
+      .withColumn("score", Similarity.cosine(col("q_vec"), col("embedding")))
+      .groupBy(col("q_id"))
+      .agg(Similarity.topKAgg(col("score"), col("vec_id"), 3).as("top"))
+    val q = ranked.writeStream
+      .format("memory").queryName("ann_stream").outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_ann").toString)
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ann_stream")
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 15) // 5 queries x k=3
+  }
+
   test("streaming sessionization groups events by gap windows") {
     val sessions = runStream("sessions", "complete") { src =>
       StreamOps.sessionize(src, "ts", "user_id", "10 minutes")
