@@ -84,16 +84,8 @@ object Dedup {
    * self-equi-join on (band, band_hash) — shuffle-partitioned by band hash,
    * never a cartesian product.
    */
-  def candidatePairs(bandsDf: DataFrame, extraKeys: Seq[String] = Nil): DataFrame = {
-    val keys = Seq("band", "band_hash") ++ extraKeys
-    val l = bandsDf.select((keys.map(k => col(k).as(s"${k}_l")) :+ col("mh_id").as("a_id")): _*)
-    val r = bandsDf.select((keys.map(k => col(k).as(s"${k}_r")) :+ col("mh_id").as("b_id")): _*)
-    val cond = keys.map(k => col(s"${k}_l") === col(s"${k}_r"))
-      .reduce(_ && _) && col("a_id") < col("b_id")
-    l.join(r, cond)
-      .select(col("a_id"), col("b_id"))
-      .distinct()
-  }
+  def candidatePairs(bandsDf: DataFrame, extraKeys: Seq[String] = Nil): DataFrame =
+    bandedPairJoin(bandsDf, bandsDf, extraKeys, ordered = true)
 
   /**
    * CROSS-corpus candidate pairs: ids from `bandsA` x ids from `bandsB`
@@ -104,11 +96,19 @@ object Dedup {
    */
   def crossCandidatePairs(
       bandsA: DataFrame, bandsB: DataFrame,
-      extraKeys: Seq[String] = Nil): DataFrame = {
+      extraKeys: Seq[String] = Nil): DataFrame =
+    bandedPairJoin(bandsA, bandsB, extraKeys, ordered = false)
+
+  /** Shared banded equi-join body; `ordered` adds the a < b self-join
+    * constraint that prevents mirror/self pairs within one corpus. */
+  private def bandedPairJoin(
+      bandsA: DataFrame, bandsB: DataFrame,
+      extraKeys: Seq[String], ordered: Boolean): DataFrame = {
     val keys = Seq("band", "band_hash") ++ extraKeys
     val l = bandsA.select((keys.map(k => col(k).as(s"${k}_l")) :+ col("mh_id").as("a_id")): _*)
     val r = bandsB.select((keys.map(k => col(k).as(s"${k}_r")) :+ col("mh_id").as("b_id")): _*)
-    val cond = keys.map(k => col(s"${k}_l") === col(s"${k}_r")).reduce(_ && _)
+    val eq = keys.map(k => col(s"${k}_l") === col(s"${k}_r")).reduce(_ && _)
+    val cond = if (ordered) eq && col("a_id") < col("b_id") else eq
     l.join(r, cond)
       .select(col("a_id"), col("b_id"))
       .distinct()
