@@ -15,6 +15,14 @@ class EntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
 
+  test("every query has an oracle except the documented page-level exemption") {
+    // meta_page_level has no DuckDB page-metadata equivalent; its byte
+    // accounting is oracle-checked via meta_page_bytes and a byte-exact
+    // page_content golden. Nothing else may silently skip the gate.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing === Set("meta_page_level"), s"queries without oracles: $missing")
+  }
+
   test("every registered query executes and returns rows at sf0.001") {
     val dir = sf("0.001")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -236,6 +236,13 @@ class OpsSpec extends SparkSpec {
 
   // ----- multimodal -----------------------------------------------------
 
+  test("frame sampling keeps every stride-th media row") {
+    val media = (0L until 20L).map(i => (i, s"frame$i")).toDF("media_id", "payload")
+    val kept = Multimodal.sampleFrames(media, "media_id", stride = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 4L, 8L, 12L, 16L))
+  }
+
   test("typed mapPartitions decode agrees with the SQL variant") {
     // includes multibyte payloads: the checksum is over the UTF-8 decode's
     // first 64 characters, so byte-slicing bugs would diverge here
