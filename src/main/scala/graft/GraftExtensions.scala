@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharNgramsExpr, CosineSimilarity, DotProductF, JaccardSorted, MinHashSig, SimHash64F}
+import graft.functions.{CharNgramsExpr, CosineSimilarity, DotProductF, JaccardSorted, L2Normalize, MinHashSig, SimHash64F}
 
 /**
  * Session extensions for the graft engine: registers the native vector
@@ -80,5 +80,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info(classOf[SimHash64F], "simhash64"),
       unary("simhash64")(SimHash64F)))
+    ext.injectFunction((
+      FunctionIdentifier("l2_normalize"),
+      info(classOf[L2Normalize], "l2_normalize"),
+      unary("l2_normalize")(L2Normalize)))
   }
 }

@@ -95,6 +95,60 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 /**
+ * L2-normalize a FLOAT vector (unit Euclidean norm), double-precision
+ * accumulation, one fused pass. The standard embedding preprocessing step:
+ * over normalized vectors, cosine similarity reduces to [[DotProductF]]
+ * (one multiply-add per element instead of three), so normalize once at
+ * ingest and score with the cheaper kernel forever after. A zero-norm
+ * vector normalizes to itself (no NaNs enter the pipeline).
+ */
+@ExpressionDescription(
+  usage = "_FUNC_(a) - the float vector scaled to unit L2 norm.")
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "l2_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    L2Normalize.compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.L2Normalize.compute($v);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): L2Normalize = copy(child = newChild)
+}
+
+object L2Normalize {
+  def compute(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      ss += x * x
+      i += 1
+    }
+    val out = new Array[Any](n)
+    val inv = if (ss == 0.0) 1.0 else 1.0 / math.sqrt(ss)
+    i = 0
+    while (i < n) {
+      out(i) = (v.getFloat(i) * inv).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
  * Dot product of two FLOAT vectors in double precision — same fused-loop,
  * codegen-friendly shape and null/length semantics as [[CosineSimilarity]].
  * Useful when norms are precomputed once per vector (normalized embeddings).

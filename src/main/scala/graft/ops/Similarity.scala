@@ -50,6 +50,12 @@ object Similarity {
     ColumnBridge.column(
       DotProductF(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Unit-L2-norm projection of an `array<float>` column: normalize once
+    * at ingest, then score with the cheaper [[dot]] kernel (cosine ==
+    * dot over normalized vectors). */
+  def l2Normalize(vec: Column): Column =
+    ColumnBridge.column(graft.functions.L2Normalize(ColumnBridge.expression(vec)))
+
   /** Bounded top-k aggregate column: best-first `array<struct<score,id>>`. */
   def topKAgg(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(

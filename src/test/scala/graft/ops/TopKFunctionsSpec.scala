@@ -198,6 +198,32 @@ class TopKFunctionsSpec extends SparkSpec {
     assert(cents.forall(_ != null))
   }
 
+  // ----- L2 normalization -----------------------------------------------
+
+  test("dot over l2-normalized vectors equals cosine over the originals") {
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+      Similarity.l2Normalize(col("embedding")).as("na"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+      Similarity.l2Normalize(col("embedding")).as("nb"))
+    val rows = a.join(b, col("a_id") < col("b_id"))
+      .select(Similarity.cosine(col("va"), col("vb")).as("c"),
+        Similarity.dot(col("na"), col("nb")).as("d"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6))
+    // normalized vectors have unit norm; zero vector passes through
+    val norms = emb.select(Similarity.dot(
+      Similarity.l2Normalize(col("embedding")), Similarity.l2Normalize(col("embedding"))))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n => assert(math.abs(n - 1.0) < 1e-6))
+    val z = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("v")
+      .select(Similarity.l2Normalize(col("v"))).collect().head.getSeq[Float](0)
+    assert(z === Seq(0.0f, 0.0f))
+  }
+
   // ----- hash sketches --------------------------------------------------
 
   test("fused minhash keeps the signature invariants") {
