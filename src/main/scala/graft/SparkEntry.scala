@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.meta.MetaPrune
 import graft.ops.{Decontam, Dedup, Multimodal, Packing, Similarity, TextOps}
 
 /**
@@ -144,6 +145,16 @@ object SparkEntry {
         floor(sum(col("total_uncompressed_size")).cast("double") /
           sum(col("total_compressed_size")).cast("double") * 10000.0d).as("ratio_x10k"))
     }),
+
+    // Stats-driven pruned data scan: footer min/max statistics select the
+    // files a range predicate needs (MetaPrune), then the predicate runs
+    // on the survivors — metadata accelerating the data it describes. The
+    // result must equal the plain filtered scan (pruning is sound).
+    "meta_prune_scan" -> ((s, dir) =>
+      MetaPrune.readPruned(s, pq(dir, "lineitem"), "l_orderkey", 100L, 500L)
+        .filter(col("l_orderkey") >= 100L && col("l_orderkey") <= 500L)
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"))),
 
     // ----- delegated relational capabilities (Catalyst-native plans) -----
     "q1_agg" -> ((s, dir) => {
@@ -706,6 +717,12 @@ object SparkEntry {
          |  CAST(floor(CAST(sum(total_uncompressed_size) AS DOUBLE)
          |    / sum(total_compressed_size) * 10000) AS BIGINT) AS ratio_x10k
          |FROM parquet_metadata('$lineitemPq')""".stripMargin,
+
+    "meta_prune_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 500""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,64 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Stats-driven data-file pruning: footer min/max statistics select the
+  * files a range predicate needs; the pruned read is sound (equal rows)
+  * and actually skips files. */
+class MetaPruneSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_metaprune").toString
+    // 4 files with disjoint, sorted id ranges: [0,25), [25,50), [50,75), [75,100)
+    spark.range(0, 100).withColumn("part", col("id") / 25)
+      .repartitionByRange(4, col("part"))
+      .drop("part")
+      .sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("decodeLong reads plain little-endian int32/int64 stats") {
+    assert(MetaPrune.decodeLong(Array[Byte](7, 0, 0, 0), "INT32") === Some(7L))
+    assert(MetaPrune.decodeLong(Array[Byte](-1, -1, -1, -1), "INT32") === Some(-1L))
+    assert(MetaPrune.decodeLong(Array[Byte](1, 0, 0, 0, 0, 0, 0, 0), "INT64") === Some(1L))
+    assert(MetaPrune.decodeLong(Array[Byte](1, 2), "INT64") === None) // short
+    assert(MetaPrune.decodeLong(Array[Byte](1, 2, 3, 4), "BYTE_ARRAY") === None)
+  }
+
+  test("range pruning selects only the files whose stats admit the range") {
+    val all = spark.read.format("metadata").option("level", "file")
+      .load(dir).count()
+    assert(all === 4)
+    val hit = MetaPrune.filesInRange(spark, dir, "id", 30, 40)
+    assert(hit.length === 1, s"expected 1 file for [30,40], got $hit")
+    val spanning = MetaPrune.filesInRange(spark, dir, "id", 20, 60)
+    assert(spanning.length === 3, s"expected 3 files for [20,60], got $spanning")
+    val none = MetaPrune.filesInRange(spark, dir, "id", 1000, 2000)
+    assert(none.isEmpty)
+  }
+
+  test("pruned read plus predicate equals the full scan plus predicate") {
+    val full = spark.read.parquet(dir)
+      .filter(col("id") >= 30 && col("id") <= 40)
+      .collect().map(_.getLong(0)).toSet
+    val pruned = MetaPrune.readPruned(spark, dir, "id", 30, 40)
+      .filter(col("id") >= 30 && col("id") <= 40)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned === full)
+    assert(full === (30L to 40L).toSet)
+    // empty range keeps the schema
+    val empty = MetaPrune.readPruned(spark, dir, "id", 1000, 2000)
+    assert(empty.schema.fieldNames.contains("id"))
+    assert(empty.count() === 0)
+  }
+
+  test("a column absent from the footers keeps every file (soundness)") {
+    val kept = MetaPrune.filesInRange(spark, dir, "no_such_column", 0, 1)
+    assert(kept.length === 4)
+  }
+}
