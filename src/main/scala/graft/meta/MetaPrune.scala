@@ -37,9 +37,20 @@ object MetaPrune {
       case _ => None
     }
 
+  /** Whether a reconstructed parquet schema string declares ANY unsigned
+    * integer column. Signed decoding of unsigned stats is unsound (an
+    * unsigned max can read as a negative signed value and wrongly exclude
+    * a file), and the pinned column-level schema exposes only the physical
+    * type — so any unsigned declaration disables pruning for that file.
+    * Covers both parquet-mr renderings: legacy converted types (`UINT_32`)
+    * and logical annotations (`INTEGER(32,false)`). */
+  private[meta] def hasUnsigned(schema: String): Boolean =
+    schema.contains("UINT_") || raw"INTEGER\(\d+,\s*false\)".r.findFirstIn(schema).isDefined
+
   /**
    * Data-file paths under `path` whose chunk statistics for `column` admit
-   * values in `[lo, hi]` (plus files where that cannot be ruled out).
+   * values in `[lo, hi]` (plus files where that cannot be ruled out:
+   * missing stats, absent column, or an unsigned schema).
    */
   def filesInRange(
       spark: SparkSession, path: String, column: String,
@@ -57,19 +68,24 @@ object MetaPrune {
         (r.getString(0), mn, mx)
       }
     val byFile = chunks.groupBy(_._1)
+    // One parquet-file-level pass serves both soundness guards: the full
+    // file list (schema drift — a file lacking the column is kept) and the
+    // schema string (unsigned columns disable pruning for that file). The
+    // footers were just decoded by the column scan, so with the default
+    // footer cache this pass is memory lookups, not re-reads.
+    val fileSchemas = spark.read.format("metadata").option("level", "file")
+      .load(path).select(col("filepath"), col("schema")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
     val withColumn = byFile.collect {
       case (file, cs) =>
-        val admits = cs.exists {
+        val unsignedRisk = fileSchemas.get(file).flatten.forall(hasUnsigned)
+        val admits = unsignedRisk || cs.exists {
           case (_, Some(mn), Some(mx)) => mx >= lo && mn <= hi
           case _ => true // missing stats: cannot rule the chunk out
         }
         file -> admits
     }
-    // files listed under the path but lacking the column entirely are kept
-    // by listing the file level (schema drift must not silently drop data)
-    val allFiles = spark.read.format("metadata").option("level", "file")
-      .load(path).select(col("filepath")).collect().map(_.getString(0))
-    val noColumn = allFiles.filterNot(byFile.contains)
+    val noColumn = fileSchemas.keys.filterNot(byFile.contains)
     (withColumn.collect { case (f, true) => f } ++ noColumn).toSeq.sorted
   }
 
@@ -84,7 +100,19 @@ object MetaPrune {
       // preserve schema with an empty relation over the full listing
       spark.read.parquet(path).limit(0)
     } else {
-      spark.read.parquet(files: _*)
+      // basePath keeps Hive partition-column discovery working when leaf
+      // files are listed explicitly — both branches and the full scan must
+      // agree on schema. Only directories are legal basePaths; a
+      // single-file root has no partition columns to preserve.
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val reader =
+        if (fs.getFileStatus(fs.makeQualified(p)).isDirectory) {
+          spark.read.option("basePath", path)
+        } else {
+          spark.read
+        }
+      reader.parquet(files: _*)
     }
   }
 }

@@ -14,7 +14,9 @@ class ExtensionsSpec extends SparkSpec {
         jaccard_sorted(array('a', 'b'), array('b', 'c')) AS j,
         size(char_ngrams('abcd', 3)) AS ncg,
         size(minhash_sig(array('x', 'y'), 64)) AS nmh,
-        simhash64(array('x', 'y')) AS sh
+        simhash64(array('x', 'y')) AS sh,
+        dot_f(l2_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))),
+              l2_normalize(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))) AS unit
     """).collect().head
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
     assert(row.getDouble(1) === 6.0)
@@ -23,6 +25,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getInt(4) === 64)
     // any 64-bit value is fine; the point is it resolves and evaluates
     row.getLong(5)
+    assert(math.abs(row.getDouble(6) - 1.0) < 1e-6)
   }
 
   test("metadata source is usable from pure SQL via CREATE TABLE ... USING") {

@@ -61,4 +61,26 @@ class MetaPruneSpec extends SparkSpec {
     val kept = MetaPrune.filesInRange(spark, dir, "no_such_column", 0, 1)
     assert(kept.length === 4)
   }
+
+  test("unsigned schema declarations disable pruning (soundness)") {
+    assert(MetaPrune.hasUnsigned("optional int32 x (UINT_32);"))
+    assert(MetaPrune.hasUnsigned("optional int64 x (INTEGER(64,false));"))
+    assert(MetaPrune.hasUnsigned("required int32 y (INTEGER(32, false));"))
+    assert(!MetaPrune.hasUnsigned("optional int32 x (INTEGER(32,true));"))
+    assert(!MetaPrune.hasUnsigned("optional int64 x; optional binary t (STRING);"))
+  }
+
+  test("pruned read preserves Hive partition columns") {
+    val d = Files.createTempDirectory("graft_metaprune_part").toString
+    spark.range(0, 40)
+      .withColumn("ds", when(col("id") < 20, "a").otherwise("b"))
+      .write.partitionBy("ds").mode("overwrite").parquet(d)
+    val pruned = MetaPrune.readPruned(spark, d, "id", 0, 100)
+    assert(pruned.schema.fieldNames.contains("ds"))
+    val full = spark.read.parquet(d)
+      .select("id", "ds").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = pruned.select("id", "ds").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === full)
+  }
 }
