@@ -225,13 +225,59 @@ object Similarity {
       queryVec: String,
       dim: Int,
       numPlanes: Int,
-      k: Int): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(col(corpusVec), dim, numPlanes))
-    val qb = queries.withColumn("bucket", lshBucket(col(queryVec), dim, numPlanes))
-    val scored = cb
-      .join(broadcast(qb.withColumnRenamed("bucket", "qbucket")),
-        col("bucket") === col("qbucket") && col(corpusId) =!= col(queryId))
-      .withColumn("score", cosine(col(queryVec), col(corpusVec)))
+      k: Int): DataFrame =
+    lshTopKMulti(corpus, corpusId, corpusVec, queries, queryId, queryVec,
+      dim, numPlanes, k, tables = 1)
+
+  /**
+   * Multi-table LSH top-k: `tables` INDEPENDENT hyperplane sets, candidates
+   * from the union of per-table bucket matches — the textbook recall dial.
+   * One table at P planes finds a neighbor with probability `p(theta)^P`
+   * (per-plane agreement p shrinks with angle); L tables lift that to
+   * `1 - (1 - p^P)^L` while each table's buckets stay sparse, so recall
+   * rises without the candidate explosion of simply using fewer planes.
+   *
+   * Plan shape: both sides compute all L bucket ids in one projection and
+   * explode to (table, bucket) keys — an equi-join on the composite key
+   * (never cartesian), duplicates across tables dropped on the candidate
+   * pair key before scoring, then the bounded top-k aggregate. Corpus cost
+   * is L bucket rows per record; candidate volume is the union, typically
+   * a hair above one table's.
+   */
+  def lshTopKMulti(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      dim: Int,
+      numPlanes: Int,
+      k: Int,
+      tables: Int): DataFrame = {
+    require(tables > 0, s"lsh requires tables > 0, got $tables")
+    def withBuckets(df: DataFrame, vec: String): DataFrame = {
+      // table t uses plane indices [t*numPlanes, (t+1)*numPlanes) — fully
+      // independent hyperplane sets from the same deterministic family
+      val buckets = array((0 until tables).map { t =>
+        ColumnBridge.column(graft.functions.LshBucketF(
+          ColumnBridge.expression(col(vec)),
+          Array.tabulate(numPlanes)(j => hyperplane(t * numPlanes + j, dim))))
+      }: _*)
+      df.select(col("*"), posexplode(buckets).as(Seq("table", "bucket")))
+    }
+    val cb = withBuckets(corpus, corpusVec)
+    val qb = withBuckets(queries, queryVec)
+      .withColumnRenamed("table", "qtable").withColumnRenamed("bucket", "qbucket")
+    val joined = cb
+      .join(broadcast(qb),
+        col("table") === col("qtable") && col("bucket") === col("qbucket") &&
+          col(corpusId) =!= col(queryId))
+    // a pair found by several tables must rank once, not L times; with one
+    // table no duplicates exist and the dedupe shuffle is skipped entirely
+    val candidates =
+      if (tables > 1) joined.dropDuplicates(queryId, corpusId) else joined
+    val scored = candidates.withColumn("score", cosine(col(queryVec), col(corpusVec)))
     rankTopK(scored, queryId, corpusId, k)
   }
 }

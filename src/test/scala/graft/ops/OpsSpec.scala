@@ -204,6 +204,38 @@ class OpsSpec extends SparkSpec {
     assert(lsh.count() > 0)
   }
 
+  test("multi-table LSH recall dominates single-table and keeps exact duplicates") {
+    val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") === 3).select(lit(9999L).as("vec_id"), col("embedding")))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val truth = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, "q_id", "q_vec", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(tables: Int): Double = {
+      val got = Similarity.lshTopKMulti(corpus, "vec_id", "embedding", q, "q_id", "q_vec",
+          dim = 64, numPlanes = 6, k = 5, tables = tables)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val single = recall(1)
+    val multi = recall(6)
+    assert(multi >= single, s"multi-table recall $multi below single-table $single")
+    assert(multi > 0.0)
+    // the exact duplicate of query 3 is always found at rank 1 (identical
+    // vector -> same bucket in EVERY table), and never ranked twice even
+    // though several tables surface the same candidate pair
+    val top = Similarity.lshTopKMulti(corpus, "vec_id", "embedding",
+        q.filter(col("q_id") === 3), "q_id", "q_vec", 64, 6, 5, tables = 6)
+      .collect().sortBy(_.getInt(1))
+    assert(top.head.getLong(2) === 9999L)
+    val ids = top.map(_.getLong(2))
+    assert(ids.distinct.length === ids.length, s"duplicate neighbors ranked: ${ids.toSeq}")
+  }
+
   test("IVF finds an exact duplicate vector in its own cell") {
     val emb = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
