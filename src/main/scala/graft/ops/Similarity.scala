@@ -256,27 +256,33 @@ object Similarity {
       k: Int,
       tables: Int): DataFrame = {
     require(tables > 0, s"lsh requires tables > 0, got $tables")
-    def withBuckets(df: DataFrame, vec: String): DataFrame = {
-      // table t uses plane indices [t*numPlanes, (t+1)*numPlanes) — fully
-      // independent hyperplane sets from the same deterministic family
-      val buckets = array((0 until tables).map { t =>
-        ColumnBridge.column(graft.functions.LshBucketF(
-          ColumnBridge.expression(col(vec)),
-          Array.tabulate(numPlanes)(j => hyperplane(t * numPlanes + j, dim))))
-      }: _*)
-      df.select(col("*"), posexplode(buckets).as(Seq("table", "bucket")))
+    // table t uses plane indices [t*numPlanes, (t+1)*numPlanes) — fully
+    // independent hyperplane sets from the same deterministic family
+    def tableBucket(vec: String, t: Int): Column =
+      ColumnBridge.column(graft.functions.LshBucketF(
+        ColumnBridge.expression(col(vec)),
+        Array.tabulate(numPlanes)(j => hyperplane(t * numPlanes + j, dim))))
+    val candidates = if (tables == 1) {
+      // single table: plain bucket column, no per-row explode (a Generate
+      // node copies every corpus row even for a 1-element array — measured
+      // ~2x on the narrow scan) and no cross-table duplicates to drop
+      corpus.withColumn("bucket", tableBucket(corpusVec, 0))
+        .join(broadcast(
+          queries.withColumn("qbucket", tableBucket(queryVec, 0))),
+          col("bucket") === col("qbucket") && col(corpusId) =!= col(queryId))
+    } else {
+      def withBuckets(df: DataFrame, vec: String): DataFrame =
+        df.select(col("*"), posexplode(
+          array((0 until tables).map(t => tableBucket(vec, t)): _*))
+          .as(Seq("table", "bucket")))
+      // a pair found by several tables must rank once, not L times
+      withBuckets(corpus, corpusVec)
+        .join(broadcast(withBuckets(queries, queryVec)
+          .withColumnRenamed("table", "qtable").withColumnRenamed("bucket", "qbucket")),
+          col("table") === col("qtable") && col("bucket") === col("qbucket") &&
+            col(corpusId) =!= col(queryId))
+        .dropDuplicates(queryId, corpusId)
     }
-    val cb = withBuckets(corpus, corpusVec)
-    val qb = withBuckets(queries, queryVec)
-      .withColumnRenamed("table", "qtable").withColumnRenamed("bucket", "qbucket")
-    val joined = cb
-      .join(broadcast(qb),
-        col("table") === col("qtable") && col("bucket") === col("qbucket") &&
-          col(corpusId) =!= col(queryId))
-    // a pair found by several tables must rank once, not L times; with one
-    // table no duplicates exist and the dedupe shuffle is skipped entirely
-    val candidates =
-      if (tables > 1) joined.dropDuplicates(queryId, corpusId) else joined
     val scored = candidates.withColumn("score", cosine(col(queryVec), col(corpusVec)))
     rankTopK(scored, queryId, corpusId, k)
   }
