@@ -445,6 +445,27 @@ object SparkEntry {
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    // Keyword extraction: each document's 3 most DISTINCTIVE tokens — high
+    // term frequency, low document frequency (the exact-integer tf-idf
+    // ordering: tf desc, df asc, token asc). Document frequency is one
+    // corpus-wide aggregate (map-side partial, vocabulary-sized result);
+    // per-doc ranking windows over the 30 selected docs only.
+    "text_keywords" -> ((s, dir) => {
+      val toks = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val docFreq = toks.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val tf = toks.filter(col("doc_id") < 30)
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("token"))
+      tf.join(docFreq, "token")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("token"), col("tf"), col("df"))
+    }),
+
     // Vocabulary building: corpus-wide token frequencies, top 20 with a
     // deterministic tie-break. Explode + map-side-partial hash aggregate +
     // TakeOrdered — the BPE/vocab-training preparation scan.
@@ -975,6 +996,23 @@ object SparkEntry {
         |        c -> CAST(unicode(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents WHERE doc_id < 100""".stripMargin,
+
+    "text_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |df AS (
+        |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM toks GROUP BY token),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE doc_id < 30 GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rank
+        |  FROM tf JOIN df USING (token))
+        |WHERE rank <= 3""".stripMargin,
 
     "text_vocab" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n
