@@ -44,6 +44,18 @@ case class AnyInBloom(child: Expression, bloom: BloomFilter)
       s"${ev.value} = graft.functions.AnyInBloom.anyMightContain($arr, $ref);")
   }
 
+  // Case-class equality would delegate to BloomFilterImpl.equals — a full
+  // bit-array compare on every semanticEquals/canonicalization probe. The
+  // filter is a driver-built constant shared by reference within a plan, so
+  // identity equality is both cheap and sufficient for CSE; two distinct
+  // instances are conservatively unequal (never incorrect, only un-deduped).
+  override def equals(other: Any): Boolean = other match {
+    case that: AnyInBloom => child == that.child && (bloom eq that.bloom)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + System.identityHashCode(bloom)
+
   override protected def withNewChildInternal(newChild: Expression): AnyInBloom =
     copy(child = newChild)
 }

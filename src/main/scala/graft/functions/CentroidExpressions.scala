@@ -17,6 +17,22 @@ private[functions] trait FloatVectorInput { self: UnaryExpression =>
 }
 
 /**
+ * Value-based equality/hash for constant matrices embedded as expression
+ * fields. Case-class equality on a raw `Array` field is reference identity,
+ * so two structurally identical expressions would never be
+ * `semanticEquals`/canonicalized equal — defeating common-subexpression
+ * elimination and exchange reuse. Arrays-of-arrays erase to `Object[]`, so
+ * `java.util.Arrays.deep*` applies to both `float[][]` and `double[][]`.
+ */
+private[functions] object ConstMatrix {
+  def equal(a: Array[_], b: Array[_]): Boolean =
+    java.util.Arrays.deepEquals(
+      a.asInstanceOf[Array[AnyRef]], b.asInstanceOf[Array[AnyRef]])
+  def hash(a: Array[_]): Int =
+    java.util.Arrays.deepHashCode(a.asInstanceOf[Array[AnyRef]])
+}
+
+/**
  * Index of the nearest centroid (squared L2) among a CONSTANT centroid set
  * embedded in the expression — the IVF coarse-quantizer assignment as a pure
  * narrow projection. The centroid matrix is driver-resident (k x dim floats,
@@ -91,6 +107,13 @@ case class NearestCell(child: Expression, centroids: Array[Array[Float]])
     })
   }
 
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCell =>
+      child == that.child && ConstMatrix.equal(centroids, that.centroids)
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode() + ConstMatrix.hash(centroids)
+
   override protected def withNewChildInternal(newChild: Expression): NearestCell =
     copy(child = newChild)
 }
@@ -134,6 +157,15 @@ case class NearestCells(child: Expression, centroids: Array[Array[Float]], nprob
       .map { case (_, j) => j: Any }
     new GenericArrayData(probes)
   }
+
+  override def equals(other: Any): Boolean = other match {
+    case that: NearestCells =>
+      child == that.child && nprobe == that.nprobe &&
+        ConstMatrix.equal(centroids, that.centroids)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (31 * child.hashCode() + nprobe) * 31 + ConstMatrix.hash(centroids)
 
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
     copy(child = newChild)

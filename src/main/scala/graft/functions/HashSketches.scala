@@ -184,6 +184,13 @@ case class LshBucketF(child: Expression, planes: Array[Array[Double]])
       s"${ev.value} = graft.functions.LshBucketF.compute($v, $ref);")
   }
 
+  override def equals(other: Any): Boolean = other match {
+    case that: LshBucketF =>
+      child == that.child && ConstMatrix.equal(planes, that.planes)
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode() + ConstMatrix.hash(planes)
+
   override protected def withNewChildInternal(newChild: Expression): LshBucketF =
     copy(child = newChild)
 }

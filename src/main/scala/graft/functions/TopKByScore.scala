@@ -192,10 +192,20 @@ final class TopKHeap(k: Int) {
     val ti = ids(i); ids(i) = ids(j); ids(j) = ti
   }
 
-  /** Kept entries ordered best-first (score desc, id asc). */
+  /** Kept entries ordered best-first (score desc, id asc), using the SAME
+    * comparator as [[worse]] (score equality via `==`, then id) — a
+    * TotalOrdering sort would distinguish -0.0 from 0.0 where insert/evict
+    * and Spark's double ordering treat them as equal, letting a -0.0/0.0
+    * score tie violate the documented determinism. NaN never reaches the
+    * heap (rejected at [[insert]]), so `==` comparisons are total here. */
   def sortedBestFirst(): Array[(Double, Long)] = {
     val out = Array.tabulate(n)(i => (scores(i), ids(i)))
-    out.sortInPlace()(Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long))
+    out.sortInPlace()(new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int =
+        if (worse(a._1, a._2, b._1, b._2)) 1
+        else if (worse(b._1, b._2, a._1, a._2)) -1
+        else 0
+    })
     out
   }
 }

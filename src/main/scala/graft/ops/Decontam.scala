@@ -71,11 +71,12 @@ object Decontam {
       textCol: String,
       bench: DataFrame,
       benchTextCol: String,
-      n: Int): DataFrame = {
+      n: Int,
+      fpp: Double = 1e-4): DataFrame = {
     // one job over the benchmark: the collected gram array feeds BOTH the
     // Bloom filter and the exact-verify relation (no distributed recompute)
     val grams = collectShingles(bench, benchTextCol, n)
-    val bloom = bloomOf(grams, 1e-4)
+    val bloom = bloomOf(grams, fpp)
     val spark = corpus.sparkSession
     import spark.implicits._
     val benchGrams = grams.toSeq.toDF("ng")
@@ -95,8 +96,9 @@ object Decontam {
       textCol: String,
       bench: DataFrame,
       benchTextCol: String,
-      n: Int): DataFrame = {
-    val bad = contaminatedIds(corpus, idCol, textCol, bench, benchTextCol, n)
+      n: Int,
+      fpp: Double = 1e-4): DataFrame = {
+    val bad = contaminatedIds(corpus, idCol, textCol, bench, benchTextCol, n, fpp)
       .withColumnRenamed(idCol, "__bad_id")
     corpus.join(bad, col(idCol) === col("__bad_id"), "left_anti")
   }

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 import graft.functions.{CosineSimilarity, DotProductF, LshBucketF, NearestCell, NearestCells, TopKByScore, VectorSumF}
 
@@ -80,9 +81,18 @@ object Similarity {
    * buffers hold <= k entries), then an explode of `|queries| x k` rows.
    * Emits (query_id, rank, neighbor_id, score), rank starting at 1,
    * deterministic under any partitioning (score desc, id asc).
+   *
+   * The corpus id must be an integral column (the heap stores ids as
+   * longs); a widening cast is applied, but non-integral ids are rejected
+   * eagerly — a silent cast would null out e.g. string UUIDs and return
+   * empty results instead of failing.
    */
   private def rankTopK(
-      scored: DataFrame, queryId: String, corpusId: String, k: Int): DataFrame =
+      scored: DataFrame, queryId: String, corpusId: String, k: Int): DataFrame = {
+    val idType = scored.schema(corpusId).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"top-k ranking requires an integral corpus id column, got " +
+        s"'$corpusId': ${idType.simpleString}")
     scored
       .groupBy(col(queryId).as("query_id"))
       .agg(topKAgg(col("score"), col(corpusId).cast("long"), k).as("top"))
@@ -90,6 +100,7 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col").getField("id").as("neighbor_id"),
         col("col").getField("score").as("score"))
+  }
 
   /**
    * Exact top-k neighbours of each query vector. `queries` must be small

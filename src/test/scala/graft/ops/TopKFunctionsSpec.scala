@@ -313,4 +313,42 @@ class TopKFunctionsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaFused === viaInterpreted)
   }
+
+  // ----- round-4 advice regressions --------------------------------------
+
+  test("top-k heap output order treats -0.0 and 0.0 as equal scores") {
+    // insert/evict compare scores with ==, which equates -0.0 and 0.0; the
+    // final sort must use the same comparator or a -0.0/0.0 tie can emit
+    // ids out of the documented 'score desc, id asc' order
+    val h = new TopKHeap(3)
+    Seq((0.0, 20L), (-0.0, 10L), (1.0, 5L)).foreach { case (s, id) => h.insert(s, id) }
+    val out = h.sortedBestFirst().toSeq
+    assert(out.map(_._2) === Seq(5L, 10L, 20L))
+  }
+
+  test("ANN top-k rejects non-integral id columns instead of nulling them") {
+    val corpus = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.0f, 1.0f)))
+      .toDF("doc", "v")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("qid", "qv")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(corpus, "doc", "v", queries, "qid", "qv", k = 1)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("constant-matrix expressions compare by value, enabling CSE") {
+    import graft.functions.LshBucketF
+    val child = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType), true)
+    def cents = Array(Array(1.0f, 2.0f), Array(3.0f, 4.0f))  // fresh arrays each call
+    assert(NearestCell(child, cents) === NearestCell(child, cents))
+    assert(NearestCell(child, cents).semanticEquals(NearestCell(child, cents)))
+    assert(NearestCell(child, cents).hashCode === NearestCell(child, cents).hashCode)
+    assert(NearestCells(child, cents, 2) === NearestCells(child, cents, 2))
+    assert(NearestCells(child, cents, 2) !== NearestCells(child, cents, 1))
+    def planes = Array(Array(1.0, -1.0), Array(-1.0, 1.0))
+    assert(LshBucketF(child, planes) === LshBucketF(child, planes))
+    assert(NearestCell(child, cents) !==
+      NearestCell(child, Array(Array(9.0f, 9.0f), Array(3.0f, 4.0f))))
+  }
 }
