@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Decontam, Dedup, Multimodal, Packing, Similarity, TextOps}
+import graft.ops.{ConnectedComponents, Decontam, Dedup, Multimodal, Packing, Similarity, TextOps}
 
 /**
  * Driver contract: the full query inventory with DuckDB oracles.
@@ -385,6 +385,40 @@ object SparkEntry {
         .select(col("b_id")).distinct()
         .agg(count(lit(1)).as("n_dup_docs"),
           coalesce(sum(col("b_id")), lit(0L)).as("id_sum"))
+    }),
+
+    // Transitive duplicate clustering: near-dup pairs only say "a ~ b";
+    // the group a pipeline keeps ONE representative of is a connected
+    // component of the duplicate graph (a~b, b~c => {a,b,c}). Edges are
+    // exact-duplicate pairs (token-set-hash equi-join, exact verification
+    // by broadcasting the tiny candidate set — only longs ride the
+    // shuffle) plus a chain relation (doc_id -> doc_id+1 within runs of
+    // five) that forces MULTI-HOP transitivity, which pairwise dedup
+    // queries never exercise. Components via alternating large-star/
+    // small-star — O(log n) rounds regardless of component diameter.
+    "dedup_cc" -> ((s, dir) => {
+      val corpus = plantedCorpus(s, dir)
+        .withColumn("ws", TextOps.tokenSet(col("text")))
+      val hashes = corpus.select(col("doc_id"), xxhash64(col("ws")).as("wsh"))
+      val cand = hashes.select(col("doc_id").as("a_id"), col("wsh").as("h_a"))
+        .join(hashes.select(col("doc_id").as("b_id"), col("wsh").as("h_b")),
+          col("h_a") === col("h_b") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+      val sets = corpus.select(col("doc_id"), col("ws"))
+      val withA = sets.join(broadcast(cand), col("doc_id") === col("a_id"))
+        .select(col("a_id"), col("b_id"), col("ws").as("ws_a"))
+      val dupEdges = sets.join(broadcast(withA), col("doc_id") === col("b_id"))
+        .filter(col("ws") === col("ws_a"))
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val chainEdges = corpus
+        .filter(col("doc_id") < 299 && col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1L).as("dst"))
+      val cc = ConnectedComponents.run(dupEdges.union(chainEdges), "src", "dst")
+      cc.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+        .agg(count(lit(1)).as("n_components"),
+          coalesce(sum(col("csize")), lit(0L)).as("n_nodes"),
+          coalesce(max(col("csize")), lit(0L)).as("max_size"),
+          coalesce(sum(col("component")), lit(0L)).as("comp_id_sum"))
     }),
 
     // Word-bigram Jaccard similarity over a bounded pair set.
@@ -904,6 +938,40 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_dup_docs,
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
         |FROM bad""".stripMargin,
+
+    // components via min-reachable-node: the recursive CTE enumerates
+    // (node, reachable node) pairs with UNION dedup — exact on the small
+    // components this graph has, and engine-agnostic
+    "dedup_cc" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+        |),
+        |sets AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws
+        |  FROM corpus),
+        |dup_edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sets a JOIN sets b ON a.ws = b.ws AND a.doc_id < b.doc_id),
+        |chain_edges AS (
+        |  SELECT doc_id AS src, doc_id + 1 AS dst FROM corpus
+        |  WHERE doc_id < 299 AND doc_id % 5 <> 4),
+        |edges AS (SELECT src, dst FROM dup_edges UNION SELECT src, dst FROM chain_edges),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges),
+        |reach(node, comp) AS (
+        |  SELECT src AS node, src AS comp FROM sym
+        |  UNION
+        |  SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.node
+        |),
+        |cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+        |comps AS (SELECT component, count(*) AS csize FROM cc GROUP BY component)
+        |SELECT CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(coalesce(sum(csize), 0) AS BIGINT) AS n_nodes,
+        |  CAST(coalesce(max(csize), 0) AS BIGINT) AS max_size,
+        |  CAST(coalesce(sum(component), 0) AS BIGINT) AS comp_id_sum
+        |FROM comps""".stripMargin,
 
     "ngram_jaccard" ->
       """WITH ng AS (
