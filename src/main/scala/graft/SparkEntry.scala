@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{ConnectedComponents, Decontam, Dedup, Multimodal, Packing, Similarity, TextOps}
+import graft.ops.{ConnectedComponents, Decontam, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /**
  * Driver contract: the full query inventory with DuckDB oracles.
@@ -478,6 +478,68 @@ object SparkEntry {
       s.read.parquet(pq(dir, "documents"))
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // PII scrub: plant synthetic PII deterministically (an email on every
+    // 7th doc, an IPv4 + phone on every 11th), redact with the shared
+    // Java/RE2-compatible patterns, and account for every removed
+    // character. The redaction is a narrow regexp projection; the
+    // accounting is one map-side-combining hash aggregate on lang.
+    "text_redact" -> ((s, dir) => {
+      val planted = s.read.parquet(pq(dir, "documents"))
+        .withColumn("t1",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com now")))
+            .otherwise(col("text")))
+        .withColumn("text2",
+          when(col("doc_id") % 11 === 0,
+            concat(col("t1"), lit(" via 10.0.3.77 call 555-867-5309")))
+            .otherwise(col("t1")))
+      planted
+        .select(col("lang"), col("text2"),
+          TextOps.redactPii(col("text2")).as("red"))
+        .groupBy(col("lang"))
+        .agg(
+          count(when(col("red") =!= col("text2"), 1)).as("n_redacted_docs"),
+          coalesce(sum((length(col("text2")) - length(col("red"))).cast("long")),
+            lit(0L)).as("chars_removed"),
+          coalesce(sum(regexp_count(col("text2"), lit(TextOps.EmailRe)).cast("long")),
+            lit(0L)).as("n_emails"),
+          coalesce(sum(regexp_count(col("text2"), lit(TextOps.Ipv4Re)).cast("long")),
+            lit(0L)).as("n_ips"),
+          coalesce(sum(regexp_count(col("text2"), lit(TextOps.PhoneRe)).cast("long")),
+            lit(0L)).as("n_phones"))
+    }),
+
+    // Weighted dataset mixture: deterministic per-source sampling rates
+    // (80% web / 50% books / 20% code) as a narrow key-hash filter — the
+    // training-mix composition step; reproducible under repartitioning,
+    // retries and backfills because the kept set is a pure function of
+    // (source, key).
+    "mix_sample" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+        .withColumn("source",
+          when(col("doc_id") % 3 === 0, lit("web"))
+            .when(col("doc_id") % 3 === 1, lit("books"))
+            .otherwise(lit("code")))
+      Sampling.mixture(d, col("source"), col("doc_id"),
+          Map("web" -> 80, "books" -> 50, "code" -> 20))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+    }),
+
+    // Per-group quota: at most 25 docs per language, picked by descending
+    // deterministic hash with id tie-break — domain/language capping via
+    // the bounded top-k heap aggregate, so no per-group window sort and
+    // shuffle volume of at most mappers x groups x 25 rows.
+    "quota_sample" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      Sampling.quotaPerGroup(d, col("lang"), col("doc_id"), 25)
+        .groupBy(col("group").as("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          coalesce(sum(col("id")), lit(0L)).as("id_sum"))
+    }),
 
     // Keyword extraction: each document's 3 most DISTINCTIVE tokens — high
     // term frequency, low document frequency (the exact-integer tf-idf
@@ -1064,6 +1126,66 @@ object SparkEntry {
         |        c -> CAST(unicode(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents WHERE doc_id < 100""".stripMargin,
+
+    "text_redact" ->
+      """WITH p1 AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |      ELSE text END AS t1
+        |  FROM documents),
+        |p2 AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN t1 || ' via 10.0.3.77 call 555-867-5309'
+        |      ELSE t1 END AS text2
+        |  FROM p1),
+        |red AS (
+        |  SELECT lang, text2,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text2,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS red
+        |  FROM p2)
+        |SELECT lang,
+        |  CAST(count(*) FILTER (WHERE red <> text2) AS BIGINT) AS n_redacted_docs,
+        |  CAST(coalesce(sum(length(text2) - length(red)), 0) AS BIGINT) AS chars_removed,
+        |  CAST(coalesce(sum(len(regexp_extract_all(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))), 0) AS BIGINT) AS n_emails,
+        |  CAST(coalesce(sum(len(regexp_extract_all(text2,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))), 0) AS BIGINT) AS n_ips,
+        |  CAST(coalesce(sum(len(regexp_extract_all(text2,
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))), 0) AS BIGINT) AS n_phones
+        |FROM red GROUP BY lang""".stripMargin,
+
+    "mix_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code' END AS source,
+        |    ((doc_id % 1000003) * 2654435761 + 104729) % 1000003 AS hv
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM m
+        |  WHERE hv % 100 <
+        |    CASE source WHEN 'web' THEN 80 WHEN 'books' THEN 50 ELSE 20 END)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY source""".stripMargin,
+
+    "quota_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ((doc_id % 1000003) * 2654435761 + 104729) % 1000003 % 100 AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv DESC, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+        |FROM r WHERE rn <= 25 GROUP BY lang""".stripMargin,
 
     "text_keywords" ->
       """WITH toks AS (

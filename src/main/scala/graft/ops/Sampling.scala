@@ -41,4 +41,46 @@ object Sampling {
     val b = bucket(key, seed)
     df.filter(b >= (lo * Buckets).toLong && b < (hi * Buckets).toLong)
   }
+
+  /** Deterministic percentage bucket in [0, 100) from an ARITHMETIC hash of
+    * an integral key. Weaker mixing than [[bucket]]'s xxhash64 but exactly
+    * reproducible in plain SQL by any engine (the oracle path); the inner
+    * `pmod` keeps the multiply overflow-safe under ANSI for any long key. */
+  def arithBucket(key: Column): Column =
+    pmod(pmod(key, lit(1000003L)) * lit(2654435761L) + lit(104729L),
+      lit(1000003L)) % 100
+
+  /**
+   * Weighted dataset mixture: keep each row with its SOURCE's percentage
+   * weight, deterministically by key — the "80% web, 50% books, 20% code"
+   * recipe that composes a training mix from heterogeneous corpora. A
+   * narrow filter (no shuffle, no RNG): a row is kept iff its key's bucket
+   * falls below the weight of its source; re-running, repartitioning, or
+   * backfilling selects the SAME rows. Sources missing from `weights` are
+   * dropped (null weight never compares true).
+   */
+  def mixture(df: DataFrame, source: Column, key: Column,
+      weights: Map[String, Int]): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 100),
+      s"mixture weights must be percentages in [0,100], got $weights")
+    val wmap = map(weights.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.filter(arithBucket(key) < element_at(wmap, source))
+  }
+
+  /**
+   * Per-group quota: keep at most `n` rows per group, chosen by descending
+   * deterministic-hash score with id tie-break — bounded, reproducible
+   * "random N per domain" capping. Uses the bounded top-k heap aggregate
+   * ([[graft.functions.TopKByScore]]), so the shuffle carries at most
+   * `mappers x groups x n` rows and no per-group window sort exists: the
+   * plan that survives a group with 10^9 rows. Returns (group, id).
+   */
+  def quotaPerGroup(df: DataFrame, group: Column, id: Column, n: Int): DataFrame =
+    df.select(group.as("group"), id.as("id"))
+      .groupBy(col("group"))
+      .agg(Similarity.topKAgg(
+        arithBucket(col("id")).cast("double"), col("id"), n).as("top"))
+      .select(col("group"), explode(col("top")).as("e"))
+      .select(col("group"), col("e.id").as("id"))
 }

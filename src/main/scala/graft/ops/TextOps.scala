@@ -57,6 +57,31 @@ object TextOps {
       lit(0L),
       (acc, c) => pmod(acc * 31L + c, lit(FingerprintMod)))
 
+  // ----- PII redaction ----------------------------------------------------
+  // Patterns are deliberately restricted to the syntax Java regex and RE2
+  // (DuckDB) interpret identically — character classes, bounded repeats,
+  // \b — so the oracle reproduces the redaction byte-for-byte. Replacement
+  // order is fixed (email, IPv4, phone) and mirrored in the SQL.
+
+  /** Email address pattern (pragmatic, not RFC 5322). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** North-American-style phone number: 3-3-4 digits with -, . or space. */
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  /** Dotted-quad IPv4 literal (no octet range check — redaction recall
+    * beats precision for PII). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Text with emails, IPv4 literals and phone numbers replaced by typed
+    * placeholders — the PII scrub pass of a training-data pipeline, as a
+    * narrow codegen'd projection (regexp_replace): no shuffle, linear per
+    * row, trivially parallel at any corpus size. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Fraction of characters surviving removal of `dropClass`, e.g. the
     * alphabetic ratio for `dropClass = "[^a-zA-Z ]"`. Exact small-int ratio. */
   private def keepRatio(text: Column, dropClass: String): Column = {

@@ -72,4 +72,60 @@ class CorpusOpsSpec extends SparkSpec {
     val overlap = s1.intersect(s2).size.toDouble / 20000.0
     assert(math.abs(overlap - 0.25) < 0.02, s"overlap $overlap should be ~0.25")
   }
+
+  test("mixture keeps per-source rates and drops unknown sources") {
+    val df = spark.range(0, 9000)
+      .select(col("id"), element_at(
+        array(lit("web"), lit("books"), lit("junk")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).as("source"))
+    val kept = Sampling.mixture(df, col("source"), col("id"),
+      Map("web" -> 80, "books" -> 20))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("junk")) // unweighted source never passes
+    assert(math.abs(kept("web") / 3000.0 - 0.80) < 0.05)
+    assert(math.abs(kept("books") / 3000.0 - 0.20) < 0.05)
+    // deterministic: repartitioning selects the same rows
+    val a = Sampling.mixture(df, col("source"), col("id"), Map("web" -> 80))
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixture(df.repartition(17), col("source"), col("id"), Map("web" -> 80))
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      Sampling.mixture(df, col("source"), col("id"), Map("web" -> 101))
+    }
+  }
+
+  test("per-group quota matches the sort-based selection") {
+    val df = spark.range(0, 2000)
+      .select(col("id"), pmod(col("id"), lit(7)).as("g"))
+    val viaQuota = Sampling.quotaPerGroup(df, col("g"), col("id"), 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle: full sort by (bucket desc, id asc), take 12 per group
+    val scored = df.select(col("g"), col("id"),
+      Sampling.arithBucket(col("id")).as("hv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaSort = scored.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case (_, id, hv) => (-hv, id) }.take(12).toSeq
+    }.map { case (g, id, _) => (g, id) }.toSet
+    assert(viaQuota === viaSort)
+    assert(viaQuota.groupBy(_._1).forall(_._2.size == 12))
+  }
+
+  test("pii redaction replaces emails, ips and phones and nothing else") {
+    val rows = Seq(
+      (1L, "write to alice.smith+x@sub.example.org today"),
+      (2L, "server at 10.0.3.77 answered"),
+      (3L, "call 555-867-5309 or 555.867.5309 now"),
+      (4L, "no pii here, just 12345 and a.b"),
+      (5L, "mixed bob@x.io at 192.168.1.1 call 123-456-7890"))
+      .toDF("id", "t")
+      .select(col("id"), TextOps.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) === "write to <EMAIL> today")
+    assert(rows(2L) === "server at <IP> answered")
+    assert(rows(3L) === "call <PHONE> or <PHONE> now")
+    assert(rows(4L) === "no pii here, just 12345 and a.b")
+    assert(rows(5L) === "mixed <EMAIL> at <IP> call <PHONE>")
+  }
 }
