@@ -83,6 +83,42 @@ object MetaLevel {
       StructField("filepath", StringType)))
   }
 
+  /**
+   * One row per (file x row group x column x data page) from the Parquet
+   * PAGE INDEX (ColumnIndex thrift struct) — per-page min/max/null stats
+   * readable WITHOUT touching page data. A post-reference extension: the
+   * page index postdates the reference engine's data model (its column
+   * level only exposes the index offsets, reference:
+   * src/main/scala/com/github/sadikovi/metadata/MetadataLevel.scala:48-77);
+   * this level decodes what those offsets point at. Files written without
+   * a page index contribute zero rows.
+   */
+  case object ParquetColumnIndex extends MetaLevel("parquet-columnindex") {
+    override val schema: StructType = StructType(Seq(
+      StructField("row_group_id", IntegerType),
+      StructField("column_id", IntegerType),
+      StructField("page_id", IntegerType),
+      StructField("null_page", BooleanType),
+      StructField("min_value", BinaryType),
+      StructField("max_value", BinaryType),
+      StructField("null_count", LongType),
+      StructField("boundary_order", StringType),
+      StructField("filepath", StringType)))
+  }
+
+  /** One row per (file x row group x column x data page) from the Parquet
+    * OffsetIndex: page location and row coverage without page-header I/O. */
+  case object ParquetOffsetIndex extends MetaLevel("parquet-offsetindex") {
+    override val schema: StructType = StructType(Seq(
+      StructField("row_group_id", IntegerType),
+      StructField("column_id", IntegerType),
+      StructField("page_id", IntegerType),
+      StructField("offset", LongType),
+      StructField("compressed_page_size", IntegerType),
+      StructField("first_row_index", LongType),
+      StructField("filepath", StringType)))
+  }
+
   /** One row per physical page (incl. dictionary pages). */
   case object ParquetPage extends MetaLevel("parquet-page") {
     override val schema: StructType = StructType(Seq(

@@ -257,6 +257,41 @@ class MetaPartitionReader(
     case "filepath" => (f, _) => f.path
   }
 
+  private lazy val colIndexEx: Array[Ex[ColumnIndexInfo]] = fieldNames.map[Ex[ColumnIndexInfo]] {
+    case "row_group_id" => (_, e) => e.rowGroupId
+    case "column_id" => (_, e) => e.columnId
+    case "page_id" => (_, e) => e.pageId
+    case "null_page" => (_, e) => e.nullPage
+    case "min_value" => (_, e) => orNull(e.minValue)
+    case "max_value" => (_, e) => orNull(e.maxValue)
+    case "null_count" => (_, e) => orNull(e.nullCount)
+    case "boundary_order" => (_, e) => e.boundaryOrder
+    case "filepath" => (f, _) => f.path
+  }
+
+  private lazy val offIndexEx: Array[Ex[OffsetIndexInfo]] = fieldNames.map[Ex[OffsetIndexInfo]] {
+    case "row_group_id" => (_, e) => e.rowGroupId
+    case "column_id" => (_, e) => e.columnId
+    case "page_id" => (_, e) => e.pageId
+    case "offset" => (_, e) => e.offset
+    case "compressed_page_size" => (_, e) => e.compressedPageSize
+    case "first_row_index" => (_, e) => e.firstRowIndex
+    case "filepath" => (f, _) => f.path
+  }
+
+  /** One buffered forward stream over the (tiny, footer-adjacent) index
+    * region of a file — the page-index levels never touch page data. */
+  private def indexStream(f: FileSlice): ForwardSeekStream = {
+    val path = new Path(f.path)
+    closeStream()
+    // index blobs are KB-scale: a small read-ahead buffer is plenty and a
+    // 128 MB default would churn allocation across many-file scans
+    val cap = math.min(math.min(bufferSize.toLong, 1L << 20),
+      math.max(f.size, 1L)).toInt
+    openStream = new ForwardSeekStream(path.getFileSystem(conf).open(path), cap)
+    openStream
+  }
+
   private def spanRows(span: FileSpan): Iterator[InternalRow] = {
     val f = span.file
     level match {
@@ -271,6 +306,18 @@ class MetaPartitionReader(
 
       case MetaLevel.ParquetColumn =>
         readFooter(f).chunks.iterator.map(toInternal(chunkEx, f, _))
+
+      case MetaLevel.ParquetColumnIndex =>
+        val chunks = readFooter(f).chunks
+        if (!chunks.exists(_.columnIndexOffset.isDefined)) Iterator.empty
+        else PageIndexes.columnIndexes(chunks, indexStream(f))
+          .map(toInternal(colIndexEx, f, _))
+
+      case MetaLevel.ParquetOffsetIndex =>
+        val chunks = readFooter(f).chunks
+        if (!chunks.exists(_.offsetIndexOffset.isDefined)) Iterator.empty
+        else PageIndexes.offsetIndexes(chunks, indexStream(f))
+          .map(toInternal(offIndexEx, f, _))
 
       case MetaLevel.ParquetPage =>
         val footer = readFooter(f)

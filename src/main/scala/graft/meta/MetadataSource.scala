@@ -70,7 +70,7 @@ object MetadataSource {
   val COUNT_PUSHDOWN = "countpushdown"
 
   val SOURCES = Seq("file", "parquet")
-  val LEVELS = Seq("file", "rowgroup", "column", "page")
+  val LEVELS = Seq("file", "rowgroup", "column", "page", "columnindex", "offsetindex")
 
   /** Map a validated (source, level) pair onto a [[MetaLevel]]. */
   def levelFor(source: String, level: String): MetaLevel = (source, level) match {
@@ -79,6 +79,8 @@ object MetadataSource {
     case ("parquet", "rowgroup") => MetaLevel.ParquetRowGroup
     case ("parquet", "column") => MetaLevel.ParquetColumn
     case ("parquet", "page") => MetaLevel.ParquetPage
+    case ("parquet", "columnindex") => MetaLevel.ParquetColumnIndex
+    case ("parquet", "offsetindex") => MetaLevel.ParquetOffsetIndex
     case (s, l) =>
       throw new IllegalArgumentException(s"Source '$s' does not support '$l' level")
   }
