@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharNgramsExpr, CosineSimilarity, DotProductF, JaccardSorted, L2Normalize, MinHashSig, SimHash64F}
+import graft.functions.{CharNgramsExpr, CosineSimilarity, DotProductF, JaccardSorted, L2Normalize, MinHashSig, SimHash64F, TopKByScore, WordNgramsF}
 
 /**
  * Session extensions for the graft engine: registers the native vector
@@ -84,5 +84,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_normalize"),
       info(classOf[L2Normalize], "l2_normalize"),
       unary("l2_normalize")(L2Normalize)))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      info(classOf[WordNgramsF], "word_ngrams"),
+      withIntLit("word_ngrams")(WordNgramsF)))
+    // aggregate: the analyzer wraps a returned AggregateFunction into an
+    // AggregateExpression, so SQL `top_k_by_score(score, id, 5)` works in
+    // GROUP BY queries like any builtin aggregate
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by_score"),
+      info(classOf[TopKByScore], "top_k_by_score"),
+      { args =>
+        if (args.length != 3) {
+          throw new IllegalArgumentException(
+            s"Function top_k_by_score requires exactly 3 arguments, got ${args.length}")
+        }
+        args(2) match {
+          case Literal(k: Int, IntegerType) => TopKByScore(args(0), args(1), k)
+          case other => throw new IllegalArgumentException(
+            s"Function top_k_by_score requires a literal INT third argument, got $other")
+        }
+      }))
   }
 }

@@ -51,4 +51,23 @@ class ExtensionsSpec extends SparkSpec {
     intercept[AnalysisException](
       spark.sql("SELECT simhash64('not an array')").collect())
   }
+
+  test("word_ngrams and the top-k aggregate work from SQL") {
+    val ng = spark.sql("SELECT word_ngrams(array('a','b','c'), 2) AS ng")
+      .collect().head.getSeq[String](0)
+    assert(ng === Seq("a b", "b c"))
+    // grouped top-k straight from SQL: best 2 per group, score desc, id asc
+    val rows = spark.sql("""
+      SELECT g, top_k_by_score(CAST(id % 5 AS DOUBLE), id, 2) AS top
+      FROM (SELECT id, id % 3 AS g FROM range(0, 30))
+      GROUP BY g ORDER BY g""").collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val top = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(top.length === 2)
+      assert(top.head.getDouble(0) >= top.last.getDouble(0))
+    }
+    intercept[Exception](
+      spark.sql("SELECT top_k_by_score(CAST(1.0 AS DOUBLE), 1L)").collect())
+  }
 }
