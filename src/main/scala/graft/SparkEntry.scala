@@ -397,20 +397,23 @@ object SparkEntry {
     // queries never exercise. Components via alternating large-star/
     // small-star — O(log n) rounds regardless of component diameter.
     "dedup_cc" -> ((s, dir) => {
-      val corpus = plantedCorpus(s, dir)
-        .withColumn("ws", TextOps.tokenSet(col("text")))
-      val hashes = corpus.select(col("doc_id"), xxhash64(col("ws")).as("wsh"))
+      // Tokenize ONCE: the set column is consumed by three separate scans
+      // (hash self-join plus two verification joins); without the eager
+      // checkpoint each scan would re-run the tokenizer over the corpus.
+      val sets = plantedCorpus(s, dir)
+        .select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws"))
+        .localCheckpoint(true)
+      val hashes = sets.select(col("doc_id"), xxhash64(col("ws")).as("wsh"))
       val cand = hashes.select(col("doc_id").as("a_id"), col("wsh").as("h_a"))
         .join(hashes.select(col("doc_id").as("b_id"), col("wsh").as("h_b")),
           col("h_a") === col("h_b") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"))
-      val sets = corpus.select(col("doc_id"), col("ws"))
       val withA = sets.join(broadcast(cand), col("doc_id") === col("a_id"))
         .select(col("a_id"), col("b_id"), col("ws").as("ws_a"))
       val dupEdges = sets.join(broadcast(withA), col("doc_id") === col("b_id"))
         .filter(col("ws") === col("ws_a"))
         .select(col("a_id").as("src"), col("b_id").as("dst"))
-      val chainEdges = corpus
+      val chainEdges = sets
         .filter(col("doc_id") < 299 && col("doc_id") % 5 =!= 4)
         .select(col("doc_id").as("src"), (col("doc_id") + 1L).as("dst"))
       val cc = ConnectedComponents.run(dupEdges.union(chainEdges), "src", "dst")

@@ -76,7 +76,7 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var fp = fingerprint(e)
-    var converged = nodes.isEmpty // an edgeless graph is already done
+    var converged = fp._1 == 0L // an edgeless graph is already done
     var iters = 0
     while (!converged && iters < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
@@ -118,11 +118,13 @@ object ConnectedComponents {
     val mins = sym.groupBy(col("src").as("u"))
       .agg(min(col("dst")).as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
+    // No distinct here: duplicates cannot change smallStar's groupBy-min,
+    // and its terminal distinct removes them — dropping the dedup saves one
+    // shuffle per round at a bounded (per-neighborhood) duplication factor.
     sym.join(mins, col("src") === col("u"))
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** Connect every neighbor v <= u, and u itself, to min(N≤(u) ∪ {u}). */
