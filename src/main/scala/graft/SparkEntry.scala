@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{ConnectedComponents, Decontam, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.ops.{Clustering, ConnectedComponents, Decontam, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /**
  * Driver contract: the full query inventory with DuckDB oracles.
@@ -424,6 +424,19 @@ object SparkEntry {
           coalesce(sum(col("component")), lit(0L)).as("comp_id_sum"))
     }),
 
+    // Reproducible corpus clustering: grid-quantized Lloyd k-means
+    // (exact-integer arithmetic end to end, so labels are bit-stable
+    // across engines and run orders — the oracle replays the identical
+    // iterations in SQL). Assignment is a codegen narrow projection
+    // against driver-resident centroids; each Lloyd update is one
+    // map-side-combinable k-row aggregate. Zero corpus shuffles.
+    "cluster_kmeans" -> ((s, dir) => {
+      val e = s.read.parquet(pq(dir, "embeddings"))
+      Clustering.kmeansGridAssign(e, "vec_id", "embedding", k = 8, iters = 2)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("csize"), sum(col("id")).as("id_sum"))
+    }),
+
     // Word-bigram Jaccard similarity over a bounded pair set.
     "ngram_jaccard" -> ((s, dir) => {
       val d = s.read.parquet(pq(dir, "documents"))
@@ -766,6 +779,51 @@ object SparkEntry {
       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
       |)""".stripMargin
 
+  /**
+   * Unrolled SQL replay of [[graft.ops.Clustering.kmeansGridAssign]]:
+   * grid quantization (`round(x*1000)` of an exact <=34-bit double product
+   * — no half-way case can exist), squared-L2 argmin with ties to the
+   * lower seed id (`ORDER BY list_distance, j` — sqrt is injective on the
+   * exact integer distances, so the ordering matches the engine's squared
+   * comparison), exact-integer Lloyd means with truncating division
+   * (`CAST(sum AS BIGINT) // n` == Java long division for these values),
+   * empty cells keeping the previous centroid (LEFT JOIN + coalesce).
+   */
+  private def kmeansOracleSql(dim: Int, k: Int, iters: Int): String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, sv,
+         |    (SELECT j FROM $cents ORDER BY list_distance(v.sv, $cents.c), j LIMIT 1) AS cell
+         |  FROM v)""".stripMargin
+    def means(name: String, a: String) =
+      s"""$name AS (
+         |  SELECT cell, t.p AS p, CAST(sum(sv[t.p+1]) AS BIGINT) // count(*) AS comp
+         |  FROM $a CROSS JOIN range($dim) t(p)
+         |  GROUP BY cell, t.p)""".stripMargin
+    def nextc(name: String, prev: String, m: String) =
+      s"""$name AS (
+         |  SELECT $prev.j AS j,
+         |    list(CAST(coalesce(m.comp, $prev.c[t.p+1]) AS DOUBLE) ORDER BY t.p) AS c
+         |  FROM $prev CROSS JOIN range($dim) t(p)
+         |  LEFT JOIN $m m ON m.cell = $prev.j AND m.p = t.p
+         |  GROUP BY $prev.j)""".stripMargin
+    val rounds = (0 until iters).map { i =>
+      // a_i assigns against c_i, whose means m_i yield c_{i+1}
+      s"""${assign(s"a$i", s"c$i")},
+         |${means(s"m$i", s"a$i")},
+         |${nextc(s"c${i + 1}", s"c$i", s"m$i")},""".stripMargin
+    }.mkString("\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, [CAST(round(CAST(x AS DOUBLE)*1000) AS DOUBLE) for x in embedding] AS sv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |c0 AS (SELECT vec_id AS j, sv AS c FROM v WHERE vec_id < $k),
+       |$rounds
+       |${assign(s"a$iters", s"c$iters")}
+       |SELECT cell AS cluster, count(*) AS csize,
+       |  CAST(sum(vec_id) AS BIGINT) AS id_sum
+       |FROM a$iters GROUP BY cell""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "meta_file_level" ->
       s"""SELECT parse_filename(filename) AS filename, CAST(size AS BIGINT) AS size
@@ -1037,6 +1095,12 @@ object SparkEntry {
         |  CAST(coalesce(max(csize), 0) AS BIGINT) AS max_size,
         |  CAST(coalesce(sum(component), 0) AS BIGINT) AS comp_id_sum
         |FROM comps""".stripMargin,
+
+    // replays the EXACT grid-quantized Lloyd iterations of
+    // Clustering.kmeansGridAssign: every step is exact-integer arithmetic
+    // (see the unroller's scaladoc), so the SQL reproduces the identical
+    // labels — a genuine cross-engine k-means oracle
+    "cluster_kmeans" -> kmeansOracleSql(dim = 64, k = 8, iters = 2),
 
     "ngram_jaccard" ->
       """WITH ng AS (

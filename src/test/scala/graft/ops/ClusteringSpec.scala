@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class ClusteringSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("vec", ArrayType(FloatType))))
+
+  private def df(rows: (Long, Seq[Float])*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v) => Row(i, v) }, 2),
+      schema)
+
+  test("two well-separated blobs converge to their exact integer means") {
+    // blob A around (0, 0), blob B around (10, 10); seeds are the two
+    // smallest ids — one inside each blob after the first Lloyd update
+    val data = df(
+      0L -> Seq(0.001f, 0.002f), 1L -> Seq(10.0f, 10.0f),
+      2L -> Seq(0.004f, -0.001f), 3L -> Seq(-0.002f, 0.003f),
+      4L -> Seq(10.002f, 9.999f), 5L -> Seq(9.998f, 10.001f))
+    val out = Clustering.kmeansGridAssign(data, "id", "vec", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 0L, 2L -> 0L, 3L -> 0L, 1L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("a cell that attracts no rows keeps its previous centroid") {
+    // duplicate seeds: round 1 ties every row to cell 0, so cell 1 is
+    // empty and must RETAIN its seed (0,0). The outlier drags cell 0's
+    // mean away, and in round 2 the origin rows can only return to cell 1
+    // because the empty cell kept a live centroid.
+    val data = df(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(0.0f, 0.0f), 2L -> Seq(10.0f, 10.0f))
+    val out = Clustering.kmeansGridAssign(data, "id", "vec", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 1L, 1L -> 1L, 2L -> 0L))
+  }
+
+  test("null vectors are dropped, not assigned") {
+    val data = df(0L -> Seq(1.0f, 2.0f), 1L -> null, 2L -> Seq(1.1f, 2.1f))
+    val out = Clustering.kmeansGridAssign(data, "id", "vec", k = 1, iters = 1)
+    assert(out.select(col("id")).collect().map(_.getLong(0)).sorted === Array(0L, 2L))
+  }
+
+  test("assignment is stable under repartitioning (order-independent math)") {
+    val e = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+    val a = Clustering.kmeansGridAssign(e, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Clustering.kmeansGridAssign(e.repartition(7), "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.values.toSet.size > 1, "expected more than one non-empty cluster")
+  }
+
+  test("grid scaling is an exact integer-valued projection") {
+    val v = df(0L -> Seq(0.1234567f, -0.9998f))
+      .select(Clustering.gridScale(col("vec"), 1000).as("sv"))
+      .collect()(0).getSeq[Float](0)
+    assert(v === Seq(123.0f, -1000.0f))
+    assert(v.forall(x => x == math.rint(x)))
+  }
+}
