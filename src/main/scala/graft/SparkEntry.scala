@@ -424,6 +424,16 @@ object SparkEntry {
           coalesce(sum(col("component")), lit(0L)).as("comp_id_sum"))
     }),
 
+    // Substring-level dedup signal (the suffix-array pass of exact
+    // training-data dedup, re-expressed shuffle-native): per document, the
+    // count of word 8-gram spans occurring more than once in the corpus.
+    // The corpus-wide occurrence count aggregates 8-byte span hashes; span
+    // STRINGS only re-group inside the tiny >1-occurrence candidate set
+    // (exact despite hashing — collisions die in the string re-group).
+    "span_dedup" -> ((s, dir) =>
+      Dedup.duplicatedSpanStats(plantedCorpus(s, dir), "doc_id", "text", n = 8)
+        .filter(col("n_dup_spans") > 0)),
+
     // Reproducible corpus clustering: grid-quantized Lloyd k-means
     // (exact-integer arithmetic end to end, so labels are bit-stable
     // across engines and run orders — the oracle replays the identical
@@ -1095,6 +1105,23 @@ object SparkEntry {
         |  CAST(coalesce(max(csize), 0) AS BIGINT) AS max_size,
         |  CAST(coalesce(sum(component), 0) AS BIGINT) AS comp_id_sum
         |FROM comps""".stripMargin,
+
+    "span_dedup" ->
+      s"""$corpusCte,
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+         |  FROM corpus),
+         |spans AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+         |      t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS g
+         |  FROM toks),
+         |occ AS (SELECT g, count(*) AS occ FROM spans GROUP BY g),
+         |ds AS (
+         |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(coalesce(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_spans
+         |  FROM spans s JOIN occ o USING (g) GROUP BY s.doc_id)
+         |SELECT doc_id, n_spans, n_dup_spans FROM ds WHERE n_dup_spans > 0""".stripMargin,
 
     // replays the EXACT grid-quantized Lloyd iterations of
     // Clustering.kmeansGridAssign: every step is exact-integer arithmetic

@@ -148,4 +148,40 @@ object Dedup {
       graft.functions.JaccardSorted(
         org.apache.spark.sql.graft.ColumnBridge.expression(a),
         org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /**
+   * Substring-level duplication statistics: for every document, how many of
+   * its word `n`-gram spans occur MORE THAN ONCE anywhere in the corpus
+   * (including within the same document). This is the shuffle-native
+   * approximation of exact-substring training-data dedup (the signal a
+   * suffix-array pass computes single-node): a span seen twice is memorized
+   * text a pipeline clips or down-weights.
+   *
+   * Returns (id, n_spans, n_dup_spans) for documents with at least one
+   * span. Exact despite hashing: the heavy corpus-wide occurrence count
+   * groups 8-byte span HASHES (never the span strings), and only rows whose
+   * hash group exceeds one — true duplicates plus the vanishing set of
+   * collisions — re-group by the full string for exact occurrence counts.
+   * Shuffle volume at scale: one aggregate of (hash) pairs, one narrow
+   * hash-keyed join, one string aggregate over the small candidate set.
+   */
+  def duplicatedSpanStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val spans = df.select(col(idCol).as("sd_id"),
+        explode(TextOps.wordNgrams(col(textCol), n)).as("g"))
+      .withColumn("h", xxhash64(col("g")))
+    val dupHashes = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("hc")).filter(col("hc") > 1).select(col("h"))
+    val cand = spans.join(dupHashes, Seq("h"))
+    val occ = cand.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+    val dupPositions = cand.join(occ, Seq("g")).filter(col("occ") > 1)
+      .groupBy(col("sd_id")).agg(count(lit(1)).as("n_dup_spans"))
+    spans.groupBy(col("sd_id")).agg(count(lit(1)).as("n_spans"))
+      .join(dupPositions, Seq("sd_id"), "left")
+      .select(col("sd_id").as(idCol), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
 }

@@ -128,4 +128,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows(4L) === "no pii here, just 12345 and a.b")
     assert(rows(5L) === "mixed <EMAIL> at <IP> call <PHONE>")
   }
+
+  // ----- substring-level dedup ------------------------------------------
+
+  test("duplicated span stats count cross-doc and within-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d"),     // spans: "a b" "b c" "c d"
+      (2L, "c d e"),       // spans: "c d" "d e" — shares "c d" with doc 1
+      (3L, "x y x y x"),   // every bigram span repeats within the doc
+      (4L, "q r")          // one unique span, no duplication
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((3L, 1L)), 2L -> ((2L, 1L)), 3L -> ((4L, 4L)), 4L -> ((1L, 0L))))
+  }
+
+  test("documents shorter than the span width produce no span row") {
+    val docs = Seq((1L, "only three words"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(docs, "doc_id", "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(2L))
+  }
 }
