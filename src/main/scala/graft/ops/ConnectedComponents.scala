@@ -79,6 +79,12 @@ object ConnectedComponents {
     var converged = fp._1 == 0L // an edgeless graph is already done
     var iters = 0
     while (!converged && iters < maxIter) {
+      // one star pair per materialization. Batching two pairs per
+      // checkpoint was measured SLOWER (7.4s vs 4.3s on the dedup_cc
+      // graph): each star references its input twice (the symmetrizing
+      // union), so an unmaterialized chain re-evaluates the previous
+      // round's subtree — materializing per pair keeps every subtree
+      // evaluated exactly once.
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val nextFp = fingerprint(next)
       converged = nextFp == fp
