@@ -424,6 +424,17 @@ object SparkEntry {
           coalesce(sum(col("component")), lit(0L)).as("comp_id_sum"))
     }),
 
+    // Deterministic global shuffle for training export: shard by an
+    // engine-portable arithmetic hash, order by (hash, id) within shard —
+    // a reproducible pseudo-random layout with parallelism = shard count
+    // (no unpartitioned window, no zipWithIndex, no RNG).
+    "shard_order" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"))
+      Packing.shardAndOrder(d, col("doc_id"),
+          Sampling.arithHash(col("doc_id")), nShards = 8)
+        .select(col("doc_id"), col("shard"), col("shuffle_pos"))
+    }),
+
     // Substring-level dedup signal (the suffix-array pass of exact
     // training-data dedup, re-expressed shuffle-native): per document, the
     // count of word 8-gram spans occurring more than once in the corpus.
@@ -1105,6 +1116,15 @@ object SparkEntry {
         |  CAST(coalesce(max(csize), 0) AS BIGINT) AS max_size,
         |  CAST(coalesce(sum(component), 0) AS BIGINT) AS comp_id_sum
         |FROM comps""".stripMargin,
+
+    "shard_order" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 1000003) * 2654435761 + 104729) % 1000003 AS hv
+        |  FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS shuffle_pos
+        |FROM h""".stripMargin,
 
     "span_dedup" ->
       s"""$corpusCte,

@@ -53,4 +53,32 @@ object Packing {
     packSequences(df.withColumn("__tok", tokens), shard, order, col("__tok"), budget)
       .groupBy(shard, col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+
+  /**
+   * Deterministic global shuffle for training export: each row gets a
+   * `(shard, shuffle_pos)` — shard = `hash % nShards`, position = rank of
+   * `(hash, id)` within the shard. A data loader reading shards in
+   * position order sees a reproducible pseudo-random document order;
+   * re-running, repartitioning, or backfilling yields the SAME layout
+   * because position is a pure function of the key set (no RNG, no
+   * zipWithIndex, no driver state).
+   *
+   * Scale shape: one shuffle keyed by shard plus an in-shard sort — an
+   * exporter sizes `nShards` in the thousands, so parallelism equals shard
+   * count and no global single-reducer sort exists anywhere (a global
+   * `row_number` over an unpartitioned window would be exactly that).
+   */
+  def shardAndOrder(
+      df: DataFrame,
+      id: Column,
+      hash: Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.withColumn("__h", hash)
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("shuffle_pos",
+        (row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__h"), id)) - 1).cast("long"))
+      .drop("__h")
+  }
 }

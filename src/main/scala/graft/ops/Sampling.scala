@@ -42,13 +42,16 @@ object Sampling {
     df.filter(b >= (lo * Buckets).toLong && b < (hi * Buckets).toLong)
   }
 
-  /** Deterministic percentage bucket in [0, 100) from an ARITHMETIC hash of
-    * an integral key. Weaker mixing than [[bucket]]'s xxhash64 but exactly
-    * reproducible in plain SQL by any engine (the oracle path); the inner
-    * `pmod` keeps the multiply overflow-safe under ANSI for any long key. */
-  def arithBucket(key: Column): Column =
+  /** ARITHMETIC hash of an integral key in [0, 1000003). Weaker mixing than
+    * xxhash64 but exactly reproducible in plain SQL by any engine (the
+    * oracle path); the inner `pmod` keeps the multiply overflow-safe under
+    * ANSI for any long key. */
+  def arithHash(key: Column): Column =
     pmod(pmod(key, lit(1000003L)) * lit(2654435761L) + lit(104729L),
-      lit(1000003L)) % 100
+      lit(1000003L))
+
+  /** Deterministic percentage bucket in [0, 100) from [[arithHash]]. */
+  def arithBucket(key: Column): Column = arithHash(key) % 100
 
   /**
    * Weighted dataset mixture: keep each row with its SOURCE's percentage

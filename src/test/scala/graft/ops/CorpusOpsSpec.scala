@@ -129,6 +129,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows(5L) === "mixed <EMAIL> at <IP> call <PHONE>")
   }
 
+  // ----- deterministic shard + order ------------------------------------
+
+  test("shardAndOrder gives dense 0-based positions per shard, stable under repartition") {
+    val ids = (0L until 100L).toDF("id")
+    val out = Packing.shardAndOrder(ids, col("id"), Sampling.arithHash(col("id")), 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // dense positions within each shard
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted === (0L until g.length.toLong).toArray)
+    }
+    // pure function of the key set: identical layout after repartition
+    val again = Packing.shardAndOrder(ids.repartition(7), col("id"),
+      Sampling.arithHash(col("id")), 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(_._1) === again.sortBy(_._1))
+    assert(rows.map(_._2).distinct.length === 4)
+  }
+
   // ----- substring-level dedup ------------------------------------------
 
   test("duplicated span stats count cross-doc and within-doc repeats") {
