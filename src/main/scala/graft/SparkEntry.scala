@@ -424,6 +424,36 @@ object SparkEntry {
           coalesce(sum(col("component")), lit(0L)).as("comp_id_sum"))
     }),
 
+    // Tokenizer coverage: out-of-vocabulary fraction per document against
+    // the corpus top-16 vocabulary (the synthetic corpus has 31 distinct
+    // tokens, so a larger cut would cover everything). The vocabulary is
+    // one token-keyed aggregate collected to the driver (constant-size);
+    // scoring is then a fused codegen membership pass (`count_in`) — a
+    // narrow projection, no join, no second shuffle of the corpus.
+    "text_oov" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      val vocab = d.select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(16)
+        .collect().map(_.getString(0)).toSeq
+      d.filter(col("doc_id") < 50)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) > 0)
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          TextOps.stopwordScoreOn(col("t"), vocab).cast("long").as("known"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("((n_tokens - known) * 1000000L) div n_tokens").as("oov_micro"))
+    }),
+
+    // Corpus report card: doc counts and exact char statistics rolled up
+    // over (source, lang) — integer-exact means in micro-units, so any
+    // engine reproduces them bit-for-bit.
+    "corpus_report" -> ((s, dir) =>
+      s.read.parquet(pq(dir, "documents"))
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
+        .withColumn("mean_chars_micro", expr("(chars_sum * 1000000L) div n_docs"))),
+
     // Deterministic global shuffle for training export: shard by an
     // engine-portable arithmetic hash, order by (hash, id) within shard —
     // a reproducible pseudo-random layout with parallelism = shard count
@@ -1116,6 +1146,30 @@ object SparkEntry {
         |  CAST(coalesce(max(csize), 0) AS BIGINT) AS max_size,
         |  CAST(coalesce(sum(component), 0) AS BIGINT) AS comp_id_sum
         |FROM comps""".stripMargin,
+
+    "text_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(t) AS w FROM toks)
+        |  GROUP BY w ORDER BY count(*) DESC, w LIMIT 16),
+        |per AS (
+        |  SELECT s.doc_id, count(*) AS n,
+        |    sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS known
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks WHERE doc_id < 50) s
+        |  LEFT JOIN vocab v USING (w)
+        |  GROUP BY s.doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST((n - known) * 1000000 // n AS BIGINT) AS oov_micro
+        |FROM per""".stripMargin,
+
+    "corpus_report" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(CAST(sum(n_chars) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS mean_chars_micro
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
 
     "shard_order" ->
       """WITH h AS (
