@@ -10,6 +10,17 @@ case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 /** Running per-user aggregate maintained by the stateful operator. */
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+/** A finished session emitted by [[StreamOps.closedSessions]]. */
+case class ClosedSession(
+    user_id: Long,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    n_events: Long,
+    value_sum: Double)
+
+/** State held per user between micro-batches: the one open session. */
+case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
+
 /**
  * Structured Streaming operators for the event-pipeline side of the engine.
  *
@@ -101,4 +112,67 @@ object StreamOps {
           state.update(updated)
           updated
       }
+
+  /**
+   * Closed-session emitter via `flatMapGroupsWithState` — the
+   * zero-or-more-rows-per-group stateful shape `mapGroupsWithState` cannot
+   * express. A session CLOSES (and is emitted exactly once) when a later
+   * event of the same user arrives more than `gapMs` after it, or when the
+   * event-time watermark passes `last + gapMs` (the timeout path), so
+   * downstream consumers see only finished sessions, in append mode.
+   *
+   * State per user is ONE open session (four longs/doubles) regardless of
+   * history; the per-invocation sort buffers only the user's slice of the
+   * current micro-batch. On a batch Dataset the same code emits the
+   * sessions closed by a successor event; trailing open sessions have no
+   * watermark to close them there (use [[sessionize]] for batch totals).
+   */
+  def closedSessions(
+      events: Dataset[UserEvent],
+      gapMs: Long,
+      watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    implicit val openEnc: Encoder[OpenSession] = Encoders.product[OpenSession]
+    implicit val closedEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    // plain Boolean for the executor closure — capturing the Dataset
+    // itself would drag the whole plan into task serialization
+    val streaming = events.isStreaming
+    val withWm =
+      if (streaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          def emit(s: OpenSession) = ClosedSession(userId,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            s.n, s.sum)
+          if (state.hasTimedOut) {
+            val done = emit(state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val evs = batch.toIndexedSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(OpenSession(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += emit(s)
+                  open = Some(OpenSession(t, t, 1L, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              if (streaming) state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

@@ -158,4 +158,46 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
     assert(batch.toSet === Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0), (2L, 2L, 11.0)))
   }
+
+  test("closedSessions emits finished sessions only, recovering state across runs") {
+    // Run 1: user 1 events at minutes 0,5,40 — the (0,5) session closes
+    // when minute 40 arrives IN the same batch; (40) stays open in state.
+    // User 2: (0) closes when 45 arrives; (45,46) stays open.
+    val dir = Files.createTempDirectory("graft_stream_fmgws").toString
+    val ckpt = Files.createTempDirectory("ckpt_fmgws").toString
+    // parquet sink, not memory: the memory sink cannot recover from a
+    // checkpoint, and run 2 exercises exactly that recovery
+    val outDir = Files.createTempDirectory("out_fmgws").toString
+    eventsDf.coalesce(1).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(eventsDf.schema).parquet(dir)
+      val q = StreamOps.closedSessions(
+          src.as[UserEvent](StreamOps.userEventEnc), gapMs = 10 * 60 * 1000L)
+        .toDF()
+        .writeStream.format("parquet").outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .start()
+      q.awaitTermination(60000)
+    }
+    def sink(): Set[(Long, Long, Double)] = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+    runOnce()
+    assert(sink() === Set((1L, 2L, 3.0), (2L, 1L, 4.0)))
+
+    // Run 2 (same checkpoint): a minute-80 event for user 1 arrives — the
+    // open (40) session restored from state must close and emit.
+    Seq((1L, Timestamp.valueOf("2024-01-01 11:20:00"), 9.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    assert(sink().contains((1L, 1L, 3.0)), s"open session not closed: ${sink()}")
+  }
+
+  test("closedSessions on a batch dataset closes successor-bounded sessions") {
+    val closed = StreamOps.closedSessions(
+        eventsDf.as[UserEvent](StreamOps.userEventEnc), gapMs = 10 * 60 * 1000L)
+      .collect().map(c => (c.user_id, c.n_events, c.value_sum)).toSet
+    assert(closed === Set((1L, 2L, 3.0), (2L, 1L, 4.0)))
+  }
 }
