@@ -839,6 +839,14 @@ object SparkEntry {
    * comparison), exact-integer Lloyd means with truncating division
    * (`CAST(sum AS BIGINT) // n` == Java long division for these values),
    * empty cells keeping the previous centroid (LEFT JOIN + coalesce).
+   *
+   * Fixture contract (pinned by ClusteringSpec "the k-means oracle's seed
+   * contract holds on the oracle fixture"): the SQL seeds with
+   * `WHERE vec_id < k` and labels clusters by seed vec_id, while the
+   * engine seeds with the k smallest non-null-vector ids and labels by
+   * seed RANK. These coincide iff vec_ids 0..k-1 exist with non-null
+   * embeddings — true of the driver's testdata; the spec fails loudly if
+   * the fixture ever changes shape instead of letting the gate mismatch.
    */
   private def kmeansOracleSql(dim: Int, k: Int, iters: Int): String = {
     def assign(name: String, cents: String) =

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.storage.StorageLevel
 
 /**
@@ -63,15 +64,18 @@ object ConnectedComponents {
       srcCol: String,
       dstCol: String,
       maxIter: Int = 25): DataFrame = {
-    var e = edges
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(true)
+    var e = e0
     // all nodes, captured BEFORE contraction rewrites the edge set (roots
-    // and nodes whose edges collapse away must still be labeled)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    // and nodes whose edges collapse away must still be labeled). Lazy:
+    // first materialized by the final join — which is why e0's checkpoint
+    // must stay alive until then (see the freeing discipline below).
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -88,13 +92,21 @@ object ConnectedComponents {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val nextFp = fingerprint(next)
       converged = nextFp == fp
-      e.unpersist()
+      // Dataset.unpersist would be a silent no-op here: checkpoint blocks
+      // are not CacheManager entries, they must be freed through the RDD.
+      // e0 is exempt — the still-lazy `nodes` reads it at the final join.
+      if (e ne e0) ColumnBridge.freeLocalCheckpoint(e)
       e = next
       fp = nextFp
       iters += 1
     }
-    if (!converged) {
+    def freeAll(): Unit = {
+      if (e ne e0) ColumnBridge.freeLocalCheckpoint(e)
+      ColumnBridge.freeLocalCheckpoint(e0)
       nodes.unpersist()
+    }
+    if (!converged) {
+      freeAll()
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds")
     }
@@ -104,7 +116,8 @@ object ConnectedComponents {
         Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
       .localCheckpoint(true)
-    nodes.unpersist()
+    // `out` is eagerly checkpointed, so every input block can now be freed
+    freeAll()
     out
   }
 

@@ -170,9 +170,14 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
+    // materialize the exploded span relation ONCE: four downstream scans
+    // (hash counts, two candidate joins, per-doc totals) would otherwise
+    // each re-run tokenization + n-gram shingling over the whole corpus —
+    // the dominant cost of the query
     val spans = df.select(col(idCol).as("sd_id"),
         explode(TextOps.wordNgrams(col(textCol), n)).as("g"))
       .withColumn("h", xxhash64(col("g")))
+      .localCheckpoint(true)
     val dupHashes = spans.groupBy(col("h"))
       .agg(count(lit(1)).as("hc")).filter(col("hc") > 1).select(col("h"))
     val cand = spans.join(dupHashes, Seq("h"))

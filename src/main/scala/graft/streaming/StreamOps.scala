@@ -159,7 +159,12 @@ object StreamOps {
               val t = e.ts.getTime
               open match {
                 case Some(s) if t - s.last <= gapMs =>
-                  open = Some(OpenSession(s.start, t, s.n + 1, s.sum + e.value))
+                  // a late-but-in-watermark event may precede the open
+                  // session's bounds — extend, never regress, them (a
+                  // plain `last = t` would shrink session_end and corrupt
+                  // every later gap decision)
+                  open = Some(OpenSession(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed += emit(s)
                   open = Some(OpenSession(t, t, 1L, e.value))
@@ -169,7 +174,13 @@ object StreamOps {
             }
             open.foreach { s =>
               state.update(s)
-              if (streaming) state.setTimeoutTimestamp(s.last + gapMs)
+              // clamp to the watermark: Spark rejects timeout timestamps
+              // at-or-before the current watermark, and a straggler group
+              // whose newest event is older than (watermark - gap) would
+              // otherwise kill the query; the clamped session closes on
+              // the next watermark advance instead
+              if (streaming) state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }

@@ -57,6 +57,18 @@ class ClusteringSpec extends SparkSpec {
     assert(a.values.toSet.size > 1, "expected more than one non-empty cluster")
   }
 
+  test("the k-means oracle's seed contract holds on the oracle fixture") {
+    // the cluster_kmeans DuckDB oracle seeds WHERE vec_id < 8 and labels
+    // by vec_id; the engine seeds by the 8 smallest non-null ids and
+    // labels by rank — equivalent ONLY if vec_ids 0..7 exist non-null at
+    // the sf the driver verifies at. Fail here, loudly, if that moves.
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val seeds = e.filter(col("vec_id") < 8 && col("embedding").isNotNull)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    assert(seeds === (0L until 8L).toArray,
+      "cluster_kmeans oracle assumes vec_ids 0..7 with non-null embeddings")
+  }
+
   test("grid scaling is an exact integer-valued projection") {
     val v = df(0L -> Seq(0.1234567f, -0.9998f))
       .select(Clustering.gridScale(col("vec"), 1000).as("sv"))

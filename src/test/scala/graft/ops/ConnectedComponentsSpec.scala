@@ -66,4 +66,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     val star = (0L until 20L).filter(_ != 5L).map(i => (50L, i * 7 % 100))
     assert(runCC(star) === unionFind(star))
   }
+
+  test("run frees every intermediate checkpoint (no storage leak)") {
+    // a chain forces several rounds, i.e. several intermediate
+    // checkpoints; after run, only the RETURNED labeling (caller-owned)
+    // may remain in storage — Dataset.unpersist alone would leave one
+    // pinned edge set per round (it never reaches checkpoint blocks)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val out = ConnectedComponents.run(chain.toDF("a", "b"), "a", "b")
+    assert(out.count() === 65)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"leaked ${added.size} persistent RDDs")
+  }
 }

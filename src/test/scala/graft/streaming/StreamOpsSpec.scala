@@ -194,6 +194,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(sink().contains((1L, 1L, 3.0)), s"open session not closed: ${sink()}")
   }
 
+  test("closedSessions survives a straggler older than watermark - gap") {
+    // Run 1 seeds state; run 2 advances the watermark well past run 1's
+    // events; run 3 delivers a straggler for user 2. Before the timeout
+    // clamp, setTimeoutTimestamp(straggler + gap) < watermark threw an
+    // IllegalArgumentException and killed the query; the fix clamps to the
+    // watermark (and the merge branch must never REGRESS session bounds).
+    val dir = Files.createTempDirectory("graft_stream_straggler").toString
+    val ckpt = Files.createTempDirectory("ckpt_straggler").toString
+    val outDir = Files.createTempDirectory("out_straggler").toString
+    def addEvents(rows: (Long, String, Double)*): Unit =
+      rows.map { case (u, t, v) => (u, Timestamp.valueOf(t), v) }
+        .toDF("user_id", "ts", "value").coalesce(1).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(eventsDf.schema).parquet(dir)
+      val q = StreamOps.closedSessions(
+          src.as[UserEvent](StreamOps.userEventEnc), gapMs = 10 * 60 * 1000L)
+        .toDF()
+        .writeStream.format("parquet").outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .start()
+      q.awaitTermination(60000)
+    }
+    addEvents((2L, "2024-01-01 10:45:00", 5.0), (2L, "2024-01-01 10:46:00", 6.0))
+    runOnce() // open session (45,46) in state; watermark -> 09:46
+    addEvents((2L, "2024-01-01 12:30:00", 7.0))
+    runOnce() // closes (45,46); open (12:30); watermark -> 11:30
+    addEvents((2L, "2024-01-01 10:50:00", 8.0)) // straggler < watermark - gap
+    runOnce() // must not throw
+    val sessions = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+    assert(sessions.contains((2L, 2L, 11.0)), s"expected (45,46) closed: $sessions")
+  }
+
   test("closedSessions on a batch dataset closes successor-bounded sessions") {
     val closed = StreamOps.closedSessions(
         eventsDf.as[UserEvent](StreamOps.userEventEnc), gapMs = 10 * 60 * 1000L)
