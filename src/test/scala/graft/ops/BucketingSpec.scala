@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plan-shape proof that bucketing removes the join shuffle entirely. */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a same-bucket-count join runs with zero exchanges and matching rows") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (0L until 1000L).map(i => (i % 97, i)).toDF("k", "v")
+      val dims = (0L until 97L).map(i => (i, s"dim_$i")).toDF("k", "name")
+      Bucketing.writeBucketed(facts, "k", 8, "graft_bkt_facts")
+      Bucketing.writeBucketed(dims, "k", 8, "graft_bkt_dims")
+      val joined = spark.table("graft_bkt_facts")
+        .join(spark.table("graft_bkt_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() === 1000L)
+      // same answer as the shuffling join over the raw frames
+      val expected = facts.join(dims, "k").agg(sum(col("v"))).collect()(0).getLong(0)
+      assert(joined.agg(sum(col("v"))).collect()(0).getLong(0) === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_dims")
+    }
+  }
+
+  test("a bucket-count mismatch falls back to shuffling (the caveat the API documents)") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (0L until 100L).map(i => (i % 11, i)).toDF("k", "v")
+      Bucketing.writeBucketed(a, "k", 8, "graft_bkt_a")
+      Bucketing.writeBucketed(a, "k", 4, "graft_bkt_b")
+      val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"), "mismatched bucket counts cannot co-locate")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+}
