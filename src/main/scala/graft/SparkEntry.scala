@@ -398,11 +398,12 @@ object SparkEntry {
     // small-star — O(log n) rounds regardless of component diameter.
     "dedup_cc" -> ((s, dir) => {
       // Tokenize ONCE: the set column is consumed by three separate scans
-      // (hash self-join plus two verification joins); without the eager
-      // checkpoint each scan would re-run the tokenizer over the corpus.
+      // (hash self-join plus two verification joins); without the
+      // materialization each scan would re-run the tokenizer over the
+      // corpus. persist keeps it lineage-backed and freeable.
       val sets = plantedCorpus(s, dir)
         .select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hashes = sets.select(col("doc_id"), xxhash64(col("ws")).as("wsh"))
       val cand = hashes.select(col("doc_id").as("a_id"), col("wsh").as("h_a"))
         .join(hashes.select(col("doc_id").as("b_id"), col("wsh").as("h_b")),

@@ -7,8 +7,11 @@ import org.apache.spark.sql.DataFrame
  *
  * A join between two tables bucketed into the same number of buckets on
  * the join key needs NO exchange — each task reads bucket i of both sides
- * and joins locally; with `sortBy` the sort-merge join also skips its
- * per-task sort. For a fact table joined repeatedly on the same key (the
+ * and joins locally. (The sort-merge join still sorts WITHIN each task:
+ * Spark 3+ ignores write-side `sortBy` order on read unless the legacy
+ * `bucketedTableScan.outputOrdering` flag is set — the in-task sort of one
+ * bucket is cheap; the cross-cluster exchange is what bucketing removes.)
+ * For a fact table joined repeatedly on the same key (the
  * "enrich every batch by customer_id" pattern), bucketing converts every
  * future join's corpus-sized shuffle into a one-time write-side cost —
  * at 100 TB that is the difference between re-shuffling the lake per query
@@ -22,9 +25,16 @@ import org.apache.spark.sql.DataFrame
  */
 object Bucketing {
 
-  /** Write `df` as a bucketed + bucket-sorted managed parquet table. */
+  /** Write `df` as a bucketed + bucket-sorted managed parquet table.
+    *
+    * The repartition on the bucket key is load-bearing: without it every
+    * input task writes its own file per bucket it touches — up to
+    * tasks x buckets files, a small-file storm at fact-table scale, and
+    * the single-file-per-bucket layout is also what the (opt-in legacy)
+    * read-side sort-order reuse requires. */
   def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String): Unit =
-    df.write.mode("overwrite")
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")

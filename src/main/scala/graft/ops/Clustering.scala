@@ -62,10 +62,12 @@ object Clustering {
       iters: Int,
       scale: Int = 1000): DataFrame = {
     require(k > 0 && iters >= 0, "k must be positive and iters non-negative")
-    // quantize once; the grid column is scanned (1 + iters) times
+    // quantize once; the grid column is scanned (1 + iters) times.
+    // persist, not checkpoint: lineage-backed (executor loss recomputes)
+    // and freeable by the caller once the assignment is consumed
     val sv = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), gridScale(col(vecCol), scale).as("sv"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Float]] = sv
       .orderBy(col("id")).limit(k)
       .collect()

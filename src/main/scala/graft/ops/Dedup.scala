@@ -173,11 +173,13 @@ object Dedup {
     // materialize the exploded span relation ONCE: four downstream scans
     // (hash counts, two candidate joins, per-doc totals) would otherwise
     // each re-run tokenization + n-gram shingling over the whole corpus —
-    // the dominant cost of the query
+    // the dominant cost of the query. persist (not localCheckpoint): it
+    // stays lineage-backed (an executor loss recomputes instead of
+    // failing), CacheManager-managed (the caller CAN free it), and lazy
     val spans = df.select(col(idCol).as("sd_id"),
         explode(TextOps.wordNgrams(col(textCol), n)).as("g"))
       .withColumn("h", xxhash64(col("g")))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupHashes = spans.groupBy(col("h"))
       .agg(count(lit(1)).as("hc")).filter(col("hc") > 1).select(col("h"))
     val cand = spans.join(dupHashes, Seq("h"))

@@ -152,37 +152,38 @@ object StreamOps {
             state.remove()
             Iterator.single(done)
           } else {
-            val evs = batch.toIndexedSeq.sortBy(_.ts.getTime)
-            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var open = state.getOption
-            evs.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t - s.last <= gapMs =>
-                  // a late-but-in-watermark event may precede the open
-                  // session's bounds — extend, never regress, them (a
-                  // plain `last = t` would shrink session_end and corrupt
-                  // every later gap decision)
-                  open = Some(OpenSession(math.min(s.start, t),
-                    math.max(s.last, t), s.n + 1, s.sum + e.value))
-                case Some(s) =>
-                  closed += emit(s)
-                  open = Some(OpenSession(t, t, 1L, e.value))
-                case None =>
-                  open = Some(OpenSession(t, t, 1L, e.value))
-              }
+            // batch semantics per invocation: sweep the SORTED union of
+            // the open session and this batch's events, merging neighbors
+            // within the gap. Every resulting session except the latest is
+            // finished (something later superseded it) and emits; the
+            // latest stays open. A signed `t - last <= gap` merge against
+            // only the open session would wrongly swallow an out-of-order
+            // event arbitrarily EARLIER than the session (bridging a
+            // silence longer than the gap); the sweep instead emits such
+            // an event as its own earlier, already-superseded session —
+            // exactly what sorting the whole group in batch mode yields.
+            val protos = (state.getOption.toSeq ++
+              batch.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+              .sortBy(s => (s.start, s.last))
+            val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+            protos.foreach { p =>
+              if (merged.nonEmpty && p.start - merged.last.last <= gapMs) {
+                val c = merged.remove(merged.length - 1)
+                merged += OpenSession(c.start, math.max(c.last, p.last),
+                  c.n + p.n, c.sum + p.sum)
+              } else merged += p
             }
-            open.foreach { s =>
+            merged.lastOption.foreach { s =>
               state.update(s)
-              // clamp to the watermark: Spark rejects timeout timestamps
-              // at-or-before the current watermark, and a straggler group
-              // whose newest event is older than (watermark - gap) would
-              // otherwise kill the query; the clamped session closes on
-              // the next watermark advance instead
+              // defensive clamp: Spark rejects timeout timestamps at or
+              // before the watermark. With EventTimeTimeout Spark already
+              // drops sub-watermark input rows before this function, so
+              // surviving events keep `last + gap` above the watermark —
+              // the clamp only matters if that filtering contract changes
               if (streaming) state.setTimeoutTimestamp(
                 math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
-            closed.iterator
+            merged.dropRight(1).iterator.map(emit)
           }
       }
   }

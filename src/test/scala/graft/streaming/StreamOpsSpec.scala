@@ -194,15 +194,18 @@ class StreamOpsSpec extends SparkSpec {
     assert(sink().contains((1L, 1L, 3.0)), s"open session not closed: ${sink()}")
   }
 
-  test("closedSessions survives a straggler older than watermark - gap") {
-    // Run 1 seeds state; run 2 advances the watermark well past run 1's
-    // events; run 3 delivers a straggler for user 2. Before the timeout
-    // clamp, setTimeoutTimestamp(straggler + gap) < watermark threw an
-    // IllegalArgumentException and killed the query; the fix clamps to the
-    // watermark (and the merge branch must never REGRESS session bounds).
-    val dir = Files.createTempDirectory("graft_stream_straggler").toString
-    val ckpt = Files.createTempDirectory("ckpt_straggler").toString
-    val outDir = Files.createTempDirectory("out_straggler").toString
+  test("closedSessions does not swallow an out-of-order event into a later session") {
+    // Run 1 leaves an open session at 12:30. Run 2 delivers an
+    // out-of-order event at 11:40 — ABOVE the watermark (Spark drops
+    // sub-watermark rows before flatMapGroupsWithState under
+    // EventTimeTimeout), but 50 minutes BEFORE the open session with a
+    // 10-minute gap. A signed `t - last <= gap` merge guard would fuse
+    // them into one session bridging the 50-minute silence; the sorted
+    // sweep must instead emit {11:40} as its own superseded session and
+    // keep (12:30) open.
+    val dir = Files.createTempDirectory("graft_stream_ooo").toString
+    val ckpt = Files.createTempDirectory("ckpt_ooo").toString
+    val outDir = Files.createTempDirectory("out_ooo").toString
     def addEvents(rows: (Long, String, Double)*): Unit =
       rows.map { case (u, t, v) => (u, Timestamp.valueOf(t), v) }
         .toDF("user_id", "ts", "value").coalesce(1).write.mode("append").parquet(dir)
@@ -218,15 +221,14 @@ class StreamOpsSpec extends SparkSpec {
         .start()
       q.awaitTermination(60000)
     }
-    addEvents((2L, "2024-01-01 10:45:00", 5.0), (2L, "2024-01-01 10:46:00", 6.0))
-    runOnce() // open session (45,46) in state; watermark -> 09:46
     addEvents((2L, "2024-01-01 12:30:00", 7.0))
-    runOnce() // closes (45,46); open (12:30); watermark -> 11:30
-    addEvents((2L, "2024-01-01 10:50:00", 8.0)) // straggler < watermark - gap
-    runOnce() // must not throw
+    runOnce() // open (12:30) in state; watermark -> 11:30
+    addEvents((2L, "2024-01-01 11:40:00", 8.0)) // out-of-order, above watermark
+    runOnce()
     val sessions = spark.read.parquet(outDir).collect()
       .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
-    assert(sessions.contains((2L, 2L, 11.0)), s"expected (45,46) closed: $sessions")
+    assert(sessions === Set((2L, 1L, 8.0)),
+      s"the 11:40 event must close alone, not merge forward: $sessions")
   }
 
   test("closedSessions on a batch dataset closes successor-bounded sessions") {
