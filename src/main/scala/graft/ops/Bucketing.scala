@@ -25,6 +25,27 @@ import org.apache.spark.sql.DataFrame
  */
 object Bucketing {
 
+  /**
+   * Write `df` as parquet with files sized toward `targetBytes` each —
+   * the output-compaction step every large pipeline needs (a 100 TB job
+   * with default parallelism writes millions of KB-sized files that then
+   * throttle every downstream listing and scan).
+   *
+   * File count comes from the PLANNED input size (the optimizer's
+   * `sizeInBytes` statistic, which for file sources is the real on-disk
+   * footprint scaled by filter estimates) divided by the target,
+   * `repartition`ed exactly. Parquet compression usually beats the
+   * source's, so files land under target — the right side to err on. The
+   * estimate costs no extra Spark job (vs sampling rows) and no shuffle
+   * beyond the one the compaction itself requires.
+   */
+  def writeSized(df: DataFrame, path: String, targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val planned = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (planned / targetBytes).toLong.max(1L).min(Int.MaxValue.toLong).toInt
+    df.repartition(parts).write.mode("overwrite").parquet(path)
+  }
+
   /** Write `df` as a bucketed + bucket-sorted managed parquet table.
     *
     * The repartition on the bucket key is load-bearing: without it every

@@ -34,6 +34,18 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("writeSized compacts many input partitions into size-targeted files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized").toString
+    // 200 input partitions of a ~2.9 MB table; target 1 MB per file
+    val src = spark.read.parquet(sf("0.1") + "/orders.parquet").repartition(200)
+    Bucketing.writeSized(src, s"$dir/out", targetBytes = 1L << 20)
+    val files = new java.io.File(s"$dir/out").listFiles
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length < 20, s"expected few compacted files, got ${files.length}")
+    assert(files.length >= 1)
+    assert(spark.read.parquet(s"$dir/out").count() === src.count())
+  }
+
   test("a bucket-count mismatch falls back to shuffling (the caveat the API documents)") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
