@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Clustering, ConnectedComponents, Decontam, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.ops.{Clustering, ConnectedComponents, Decontam, Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps}
 
 /**
  * Driver contract: the full query inventory with DuckDB oracles.
@@ -423,6 +423,17 @@ object SparkEntry {
           coalesce(sum(col("csize")), lit(0L)).as("n_nodes"),
           coalesce(max(col("csize")), lit(0L)).as("max_size"),
           coalesce(sum(col("component")), lit(0L)).as("comp_id_sum"))
+    }),
+
+    // Mergeable distinct-count sketch (KMV bottom-k): per language, the 8
+    // smallest distinct arithmetic hashes of doc_id, the k-th minimum, and
+    // the integer-exact cardinality estimate. Bounded-heap aggregation —
+    // the sketch, not the key set, is what shuffles.
+    "kmv_distinct" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      Sketches.kmvEstimateMicro(
+          Sketches.kmvSketch(d, col("lang"), Sampling.arithHash(col("doc_id")), k = 8), k = 8)
+        .withColumnRenamed("g", "lang")
     }),
 
     // Tokenizer coverage: out-of-vocabulary fraction per document against
@@ -1155,6 +1166,22 @@ object SparkEntry {
         |  CAST(coalesce(max(csize), 0) AS BIGINT) AS max_size,
         |  CAST(coalesce(sum(component), 0) AS BIGINT) AS comp_id_sum
         |FROM comps""".stripMargin,
+
+    "kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang AS g,
+        |    ((doc_id % 1000003) * 2654435761 + 104729) % 1000003 AS h
+        |  FROM documents),
+        |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+        |s AS (
+        |  SELECT g AS lang,
+        |    CAST(least(count(*), 8) AS BIGINT) AS n_sketch,
+        |    CAST(coalesce(max(CASE WHEN rn = 8 THEN h END), 0) AS BIGINT) AS kth_min
+        |  FROM r GROUP BY g)
+        |SELECT lang, n_sketch, kth_min,
+        |  CAST(CASE WHEN n_sketch < 8 THEN n_sketch * 1000000
+        |    ELSE 7000021000000 // kth_min END AS BIGINT) AS est_micro
+        |FROM s""".stripMargin,
 
     "text_oov" ->
       """WITH toks AS (
