@@ -129,6 +129,56 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /**
+   * Near-duplicate pairs within Hamming distance `maxDist` of each other's
+   * 64-bit simhash — the standard simhash NEAR-dup retrieval (exact
+   * signature equality only catches identical token multisets).
+   *
+   * Scale shape is the pigeonhole banding of Manku-Jain-Sarma (WWW'07,
+   * "Detecting Near-Duplicates for Web Crawling"): split the 64 bits into
+   * `maxDist + 1` disjoint blocks; two signatures within `maxDist` flipped
+   * bits MUST agree exactly on at least one block (pigeonhole — `maxDist`
+   * flips cannot touch all `maxDist + 1` blocks), so candidates come from
+   * an equi-join on (block id, block bits) and the exact `hamming <= d`
+   * residual filter runs only on the candidate set. Never an all-pairs
+   * product; shuffle volume is `rows x (maxDist + 1)` three-long rows.
+   * Guaranteed recall (no false negatives) because the pigeonhole bound is
+   * exact, and no false positives because the residual check is exact.
+   *
+   * Input: (sh_id, simhash) as produced by [[simhash64]]. Output: candidate
+   * (a_id, b_id) pairs, a < b, each exactly once.
+   */
+  def simhashHammingPairs(sh: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64), got $maxDist")
+    val nBlocks = maxDist + 1
+    // block b covers bits [b*width, b*width + widthOf(b)); the first
+    // (64 mod nBlocks) blocks take one extra bit so all 64 are covered
+    val base = 64 / nBlocks
+    val extra = 64 % nBlocks
+    def widthOf(b: Int): Int = if (b < extra) base + 1 else base
+    val offsets = (0 until nBlocks).scanLeft(0)(_ + widthOf(_))
+    val blockCols = (0 until nBlocks).map { b =>
+      val bits =
+        if (widthOf(b) == 64) col("simhash")
+        else shiftrightunsigned(col("simhash"), offsets(b))
+          .bitwiseAND(lit((1L << widthOf(b)) - 1L))
+      struct(lit(b).as("blk"), bits.as("bits"))
+    }
+    val banded = sh
+      .select(col("sh_id"), col("simhash"), explode(array(blockCols: _*)).as("bk"))
+      .select(col("sh_id"), col("simhash"),
+        col("bk.blk").as("blk"), col("bk.bits").as("bits"))
+    val l = banded.select(col("blk").as("blk_l"), col("bits").as("bits_l"),
+      col("sh_id").as("a_id"), col("simhash").as("h_a"))
+    val r = banded.select(col("blk").as("blk_r"), col("bits").as("bits_r"),
+      col("sh_id").as("b_id"), col("simhash").as("h_b"))
+    l.join(r, col("blk_l") === col("blk_r") && col("bits_l") === col("bits_r") &&
+        col("a_id") < col("b_id") &&
+        hamming64(col("h_a"), col("h_b")) <= maxDist)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
   /** Exact Jaccard similarity of two array columns (distinct semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

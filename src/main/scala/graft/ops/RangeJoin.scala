@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Range (interval-containment) join: pair every point with every interval
+ * that contains it, WITHOUT an equi-key. The declarative formulation
+ * (`p BETWEEN s AND e` with no equality conjunct) gives Catalyst nothing
+ * to hash on, so it plans a broadcast-nested-loop / cartesian — quadratic
+ * and the canonical non-equi scale-killer.
+ *
+ * This operator manufactures the missing equi-key by BINNING the domain:
+ * each interval replicates onto every fixed-width bin it overlaps
+ * (`sequence(s div w, e div w)`), each point keys by its own bin
+ * (`p div w`), and a plain hash equi-join on the bin id plus the exact
+ * `BETWEEN` residual filter recovers precisely the true pairs.
+ *
+ * Each qualifying (point, interval) pair is emitted EXACTLY once with no
+ * dedup pass: the pair can only meet in the point's own bin, and
+ * containment implies the interval covers that bin
+ * (`s <= p <= e  =>  s div w <= p div w <= e div w`).
+ *
+ * Cost at scale: points shuffle once (one bin row each); intervals
+ * shuffle `span/w + 1` rows each — `w` dials replication against
+ * per-bin join fan-in. Skewed bins (rush-hour timestamps) respond to the
+ * standard salting pattern ([[Skew.saltedJoin]]) since this is a plain
+ * equi-join underneath. The reference engine has no join operators at all
+ * (delegates to its host; reference: src/main/scala/com/github/sadikovi/
+ * metadata/DefaultSource.scala), and Spark has no native range join — a
+ * composed operator per the extension contract.
+ */
+object RangeJoin {
+
+  /**
+   * Join `points` to `intervals` on `startCol <= pointCol <= endCol`
+   * (inclusive both ends). All columns of both inputs survive; non-key
+   * column names must not collide. Intervals with `end < start` or a null
+   * endpoint match nothing (dropped, mirroring `BETWEEN` semantics — and
+   * guarding Spark's `sequence`, which COUNTS DOWN on a reversed range
+   * instead of returning empty). Domain columns must be integral (`div`
+   * bin arithmetic is exact); both engines' truncating division agrees on
+   * the non-negative domain and on negatives alike (Spark `div` == Java
+   * long division == DuckDB `//` toward zero).
+   */
+  def pointInInterval(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val collisions = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(collisions.isEmpty,
+      s"range join: colliding column names ${collisions.mkString(", ")}")
+    // exact integral division: `a div w` (floor(a / w) in doubles silently
+    // loses precision above 2^53 — nanosecond epochs live there)
+    def binOf(c: String) = expr(s"CAST(`$c` AS BIGINT) div CAST($binWidth AS BIGINT)")
+    val iv = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .withColumn("__bin", explode(sequence(binOf(startCol), binOf(endCol))))
+    val p = points
+      .filter(col(pointCol).isNotNull)
+      .withColumn("__bin", binOf(pointCol))
+    p.join(iv, Seq("__bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/**
+ * As-of (temporal) join: for every left row, the single most recent right
+ * row with `right.ts <= left.ts` on the same key — the
+ * price-at-trade-time / last-touch-attribution operator. The reference
+ * engine delegates all join algebra to its host (reference:
+ * src/main/scala/com/github/sadikovi/metadata/DefaultSource.scala exposes a
+ * plain BaseRelation), and Spark itself has no ASOF join, so this is a
+ * composed-operator implementation per the extension contract.
+ *
+ * Plan shape — the merge formulation, NOT a range join: tag both inputs,
+ * union them, and run ONE window pass ordered by (ts, side) per key where
+ * `last(right_payload, ignoreNulls)` carries the latest right row forward
+ * onto each left row. Cost at scale:
+ *
+ *  - one shuffle of each input, keyed by the join key (identical to what
+ *    any keyed join would pay), one in-partition sort — no range-bin
+ *    explosion, no per-(left-row) probe join, never a cartesian;
+ *  - state per window frame is a single struct (the running latest right
+ *    row), so memory is O(1) per key regardless of per-key row count;
+ *  - the inequality-join formulation Catalyst would pick for the naive
+ *    `l.ts >= r.ts` condition is a broadcast-nested-loop over every
+ *    (left, right) pair per key — quadratic per key; this is linear.
+ *
+ * A key whose combined row count dwarfs the rest serializes its own
+ * window (inherent to per-key ordered semantics); the standard mitigation
+ * is time-range salting with boundary carry-over, which callers can layer
+ * on because the operator is a pure DataFrame transform.
+ */
+object TemporalJoin {
+
+  /**
+   * Backward as-of join (inner): left rows keep their columns; the matched
+   * right row contributes its timestamp plus payload columns. Left rows
+   * with no right row at-or-before their timestamp are dropped.
+   *
+   * Semantics and contracts:
+   *  - match is INCLUSIVE (`right.ts == left.ts` matches, right sorts
+   *    before left at equal timestamps);
+   *  - `tolerance`, if set, drops matches older than
+   *    `left.ts - tolerance` (both timestamps must be integral for exact
+   *    arithmetic — enforced eagerly, like the top-k id contract);
+   *  - the right side must be unique per (keys, ts): with two right rows
+   *    on the same key and timestamp the "latest" row is ill-defined.
+   *    Pre-aggregate the right side (the query inventory does) — this is
+   *    the same determinism contract DuckDB's ASOF JOIN imposes;
+   *  - non-key column names must not collide across the two inputs.
+   */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    val integral: Set[Any] = Set(ByteType, ShortType, IntegerType, LongType)
+    if (tolerance.isDefined) {
+      require(integral(left.schema(leftTs).dataType) &&
+        integral(right.schema(rightTs).dataType),
+        "as-of tolerance requires integral timestamp columns " +
+          s"(got ${left.schema(leftTs).dataType.simpleString} / " +
+          s"${right.schema(rightTs).dataType.simpleString})")
+    }
+    val leftPayload = left.columns.filterNot(c => keys.contains(c) || c == leftTs)
+    val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    val collisions = leftPayload.toSet.intersect(rightPayload.toSet + rightTs)
+    require(collisions.isEmpty,
+      s"as-of join: colliding non-key column names ${collisions.mkString(", ")}")
+
+    val rStruct = struct(col(rightTs) +: rightPayload.map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+        rStruct.as("__r"), lit(null).cast(structTypeOf(left, leftPayload)).as("__l")): _*)
+    val l = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(structTypeOf(right, rightTs +: rightPayload)).as("__r"),
+        struct(leftPayload.map(col): _*).as("__l")): _*)
+
+    // right rows sort before left rows at equal ts => inclusive match
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = r.unionByName(l)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__m").isNotNull)
+    val withinTol = tolerance match {
+      case Some(t) => matched.filter(col("__m").getField(rightTs) >= col("__ts") - lit(t))
+      case None => matched
+    }
+    withinTol.select(
+      keys.map(col) ++
+        Seq(col("__ts").as(leftTs)) ++
+        leftPayload.map(c => col("__l").getField(c).as(c)) ++
+        Seq(col("__m").getField(rightTs).as(rightTs)) ++
+        rightPayload.map(c => col("__m").getField(c).as(c)): _*)
+  }
+
+  private def structTypeOf(df: DataFrame, cols: Seq[String]): String =
+    org.apache.spark.sql.types.StructType(
+      cols.map(c => df.schema(c))).sql
+}
