@@ -76,10 +76,22 @@ object Layout {
       df: DataFrame, colA: String, colB: String,
       path: String, numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    df.withColumn("__z", zvalue2(col(colA), col(colB)))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    // zvalue2 only interleaves the low 31 bits; a value outside [0, 2^31)
+    // (epoch-millis timestamps, negatives) would wrap silently and destroy
+    // the monotonicity the clustering depends on — fail loudly instead and
+    // point at the fix (rank/bucket the column into the domain first).
+    def inDomain(c: String): Column =
+      when(col(c).isNull || col(c).cast("long") < 0 ||
+          col(c).cast("long") > 0x7FFFFFFFL,
+        raise_error(concat(
+          lit(s"z-order: column '$c' value "), col(c).cast("string"),
+          lit(" outside [0, 2^31); rank or bucket it into the domain first"))))
+        .otherwise(col(c))
+    val z = RangeJoin.freshName("__z", df.columns.toSet)
+    df.withColumn(z, zvalue2(inDomain(colA), inDomain(colB)))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
       .write.mode("overwrite").parquet(path)
   }
 }

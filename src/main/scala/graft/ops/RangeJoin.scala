@@ -49,23 +49,43 @@ object RangeJoin {
       intervals: DataFrame,
       startCol: String,
       endCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long,
+      maxBinsPerInterval: Long = 1L << 20): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     val collisions = points.columns.toSet.intersect(intervals.columns.toSet)
     require(collisions.isEmpty,
       s"range join: colliding column names ${collisions.mkString(", ")}")
+    // the working column must not shadow (and silently destroy) a real one
+    val bin = freshName("__bin", points.columns.toSet ++ intervals.columns)
     // exact integral division: `a div w` (floor(a / w) in doubles silently
     // loses precision above 2^53 — nanosecond epochs live there)
     def binOf(c: String) = expr(s"CAST(`$c` AS BIGINT) div CAST($binWidth AS BIGINT)")
+    // A span/binWidth ratio past the cap would otherwise surface as an
+    // opaque array-length/OOM failure deep inside `sequence`; fail with a
+    // range-join-specific message naming the dial to turn instead.
+    val nBins = binOf(endCol) - binOf(startCol) + lit(1L)
+    val bins = when(nBins > lit(maxBinsPerInterval),
+      raise_error(concat(
+        lit("range join: an interval overlaps "), nBins.cast("string"),
+        lit(s" bins (cap $maxBinsPerInterval); increase binWidth or raise maxBinsPerInterval"))))
+      .otherwise(sequence(binOf(startCol), binOf(endCol)))
     val iv = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
         col(startCol) <= col(endCol))
-      .withColumn("__bin", explode(sequence(binOf(startCol), binOf(endCol))))
+      .withColumn(bin, explode(bins))
     val p = points
       .filter(col(pointCol).isNotNull)
-      .withColumn("__bin", binOf(pointCol))
-    p.join(iv, Seq("__bin"))
+      .withColumn(bin, binOf(pointCol))
+    p.join(iv, Seq(bin))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
-      .drop("__bin")
+      .drop(bin)
   }
+
+  /** A column name not present in `taken` (appends a numeric suffix). */
+  private[ops] def freshName(base: String, taken: Set[String]): String =
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(!taken(_)).get
 }

@@ -70,9 +70,14 @@ object TemporalJoin {
     }
     val leftPayload = left.columns.filterNot(c => keys.contains(c) || c == leftTs)
     val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
-    val collisions = leftPayload.toSet.intersect(rightPayload.toSet + rightTs)
+    // Both timestamps appear in the output, so leftTs participates in the
+    // collision contract like any other surviving column (leftTs == rightTs
+    // would otherwise emit two same-named columns and poison every
+    // downstream reference). Callers alias one side first.
+    val collisions = (leftPayload.toSet + leftTs).intersect(rightPayload.toSet + rightTs)
     require(collisions.isEmpty,
-      s"as-of join: colliding non-key column names ${collisions.mkString(", ")}")
+      s"as-of join: colliding non-key column names ${collisions.mkString(", ")}; " +
+        "alias the columns of one input before joining")
 
     val rStruct = struct(col(rightTs) +: rightPayload.map(col): _*)
     val r = right.select(
@@ -91,7 +96,14 @@ object TemporalJoin {
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1 && col("__m").isNotNull)
     val withinTol = tolerance match {
-      case Some(t) => matched.filter(col("__m").getField(rightTs) >= col("__ts") - lit(t))
+      // The window established __m.ts <= __ts, so the gap is non-negative —
+      // but `__ts - __m.ts` can still overflow when the operands straddle
+      // Long.MIN/MAX (ANSI mode throws). try_subtract nulls on overflow,
+      // and a gap too wide to represent is certainly wider than any
+      // tolerance, so null-drops-row is exactly the wanted semantics.
+      case Some(t) =>
+        matched.filter(
+          try_subtract(col("__ts"), col("__m").getField(rightTs)) <= lit(t))
       case None => matched
     }
     withinTol.select(

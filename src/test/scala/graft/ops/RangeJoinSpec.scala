@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def points: DataFrame =
+    Seq((1L, 0L), (2L, 10L), (3L, 15L), (4L, 99L), (5L, 100L), (6L, -7L))
+      .toDF("p_id", "p")
+
+  private def intervals: DataFrame =
+    Seq(
+      (10L, 0L, 10L),    // spans bins 0..1 at width 10
+      (11L, 10L, 10L),   // degenerate single-point interval
+      (12L, -20L, 200L), // spans everything incl. negative domain
+      (13L, 16L, 98L),   // contains nothing
+      (14L, 50L, 40L),   // reversed: matches nothing
+      (15L, 5L, 15L)
+    ).toDF("iv_id", "s", "e")
+
+  /** Ground truth by brute force (the quadratic plan this op replaces). */
+  private def naive: Set[(Long, Long)] =
+    points.join(intervals, col("p") >= col("s") && col("p") <= col("e"))
+      .select("p_id", "iv_id").as[(Long, Long)].collect().toSet
+
+  test("binned equi-join equals the naive non-equi join, each pair once") {
+    for (w <- Seq(1L, 7L, 10L, 1000L)) {
+      val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", w)
+        .select("p_id", "iv_id").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"duplicate pairs at binWidth=$w")
+      assert(got.toSet === naive, s"wrong pairs at binWidth=$w")
+    }
+  }
+
+  test("null endpoints match nothing (BETWEEN semantics)") {
+    val iv = Seq((1L, Some(0L), Option.empty[Long]), (2L, Option.empty[Long], Some(10L)))
+      .toDF("iv_id", "s", "e")
+    assert(RangeJoin.pointInInterval(points, "p", iv, "s", "e", 10L).count() === 0)
+  }
+
+  test("all columns of both inputs survive") {
+    val out = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", 10L)
+    assert(out.columns.sorted === Array("e", "iv_id", "p", "p_id", "s"))
+  }
+
+  test("a user column named __bin survives untouched") {
+    val p2 = points.withColumn("__bin", col("p_id") * 100)
+    val out = RangeJoin.pointInInterval(p2, "p", intervals, "s", "e", 10L)
+    assert(out.columns.contains("__bin"))
+    assert(out.select("p_id", "__bin").as[(Long, Long)].collect()
+      .forall { case (id, b) => b == id * 100 })
+    assert(out.select("p_id", "iv_id").as[(Long, Long)].collect().toSet === naive)
+  }
+
+  test("colliding column names across inputs are rejected") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(
+        points.withColumnRenamed("p_id", "iv_id"), "p", intervals, "s", "e", 10L)
+    }
+  }
+
+  test("interval overlapping more bins than the cap fails with a named dial") {
+    // raise_error surfaces as SparkRuntimeException driver-side (folded
+    // local relation) or wrapped in SparkException from a task — accept
+    // either, require the message to name the dial
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "p", intervals, "s", "e",
+        binWidth = 1L, maxBinsPerInterval = 4L).count()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("binWidth"))
+  }
+}

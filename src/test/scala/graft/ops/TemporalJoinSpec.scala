@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class TemporalJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // trades (left): want the prevailing quote at-or-before each trade
+  private def trades: DataFrame =
+    Seq(
+      ("A", 10L, 100),
+      ("A", 20L, 200),
+      ("A", 25L, 250), // between quotes: matches the 20 quote
+      ("B", 10L, 999), // before B's first quote: dropped (inner)
+      ("B", 50L, 500)
+    ).toDF("sym", "t_ts", "qty")
+
+  private def quotes: DataFrame =
+    Seq(
+      ("A", 10L, 1.0), // equal-ts: INCLUSIVE match for trade ("A", 10)
+      ("A", 20L, 2.0),
+      ("B", 30L, 3.0)
+    ).toDF("sym", "q_ts", "px")
+
+  test("backward as-of: latest right row at-or-before, inclusive, inner") {
+    val out = TemporalJoin.asofBackward(trades, quotes, Seq("sym"), "t_ts", "q_ts")
+      .select("sym", "t_ts", "qty", "q_ts", "px")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(out === Set(
+      ("A", 10L, 100, 10L, 1.0), // equal timestamp matches
+      ("A", 20L, 200, 20L, 2.0),
+      ("A", 25L, 250, 20L, 2.0), // carries latest, not first
+      ("B", 50L, 500, 30L, 3.0)
+      // ("B", 10) has no quote at-or-before: dropped
+    ))
+  }
+
+  test("tolerance drops matches older than left.ts - tolerance, boundary kept") {
+    val out = TemporalJoin.asofBackward(
+      trades, quotes, Seq("sym"), "t_ts", "q_ts", tolerance = Some(5L))
+      .select("sym", "t_ts").as[(String, Long)].collect().toSet
+    // ("A",25) matched the 20 quote: gap 5 == tolerance => kept
+    // ("B",50) matched the 30 quote: gap 20 > 5 => dropped
+    assert(out === Set(("A", 10L), ("A", 20L), ("A", 25L)))
+  }
+
+  test("tolerance gap that overflows Long drops the row instead of throwing") {
+    val l = Seq(("k", Long.MaxValue, 1)).toDF("k", "lts", "lv")
+    val r = Seq(("k", -10L, 2.0)).toDF("k", "rts", "rv")
+    // gap = MaxValue - (-10) overflows; the row is certainly out of any
+    // tolerance, so it must be DROPPED (ANSI subtraction would throw here)
+    val out = TemporalJoin.asofBackward(l, r, Seq("k"), "lts", "rts", Some(100L))
+    assert(out.count() === 0)
+    // sanity: same shape in-range still matches
+    val l2 = Seq(("k", Long.MinValue + 5, 1)).toDF("k", "lts", "lv")
+    val r2 = Seq(("k", Long.MinValue, 2.0)).toDF("k", "rts", "rv")
+    assert(TemporalJoin.asofBackward(l2, r2, Seq("k"), "lts", "rts", Some(5L)).count() === 1)
+  }
+
+  test("identical timestamp column names are rejected, not silently duplicated") {
+    val l = Seq(("k", 1L, 1)).toDF("k", "ts", "lv")
+    val r = Seq(("k", 1L, 2.0)).toDF("k", "ts", "rv")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoin.asofBackward(l, r, Seq("k"), "ts", "ts")
+    }
+    assert(e.getMessage.contains("ts"))
+  }
+
+  test("payload column colliding with the other side's timestamp is rejected") {
+    val l = Seq(("k", 1L, 1)).toDF("k", "lts", "rts") // payload 'rts' collides
+    val r = Seq(("k", 1L, 2.0)).toDF("k", "rts", "rv")
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofBackward(l, r, Seq("k"), "lts", "rts")
+    }
+  }
+
+  test("tolerance on non-integral timestamps is rejected eagerly") {
+    val l = Seq(("k", 1.5, 1)).toDF("k", "lts", "lv")
+    val r = Seq(("k", 1.0, 2.0)).toDF("k", "rts", "rv")
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofBackward(l, r, Seq("k"), "lts", "rts", Some(1L))
+    }
+  }
+}
