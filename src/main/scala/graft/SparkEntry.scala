@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Clustering, ConnectedComponents, Decontam, Dedup, Multimodal, Packing, Sampling, Similarity, Sketches, TextOps}
+import graft.ops.{Clustering, ConnectedComponents, Decontam, Dedup, Layout, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, TemporalJoin, TextOps}
 
 /**
  * Driver contract: the full query inventory with DuckDB oracles.
@@ -799,6 +799,76 @@ object SparkEntry {
         .select(col("media_id"), col("byte_size").cast("long").as("byte_size"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("checksum"))
+    }),
+
+    // ----- Composed join / layout operators -----------------------------
+
+    // Backward as-of join: each event of a low-id user picks that user's
+    // most recent order at-or-before the event (price-at-trade-time shape).
+    // Timestamps become exact epoch MICROS on both engines: DuckDB's
+    // TIMESTAMP truncates the nano-precision events.ts to micros, so the
+    // Spark side truncates identically (`ts div 1000`; exact — and order
+    // timestamps are micro-aligned, so no match can flip). The right side
+    // pre-aggregates to one row per (user, ts) — the determinism contract
+    // DuckDB's native ASOF JOIN (the oracle) imposes too.
+    "asof_join" -> ((s, dir) => {
+      // see win_sessions for why nanosAsLong is required for events.ts
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(pq(dir, "events"))
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), expr("ts div 1000").as("e_ts"), col("event_id"))
+      val ord = s.read.parquet(pq(dir, "orders"))
+        .groupBy(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_ts"))
+        .agg(max(col("o_orderkey")).as("o_key"))
+      TemporalJoin.asofBackward(ev, ord, Seq("user_id"), "e_ts", "o_ts")
+        .select(col("user_id"), col("e_ts"), col("event_id"), col("o_ts"), col("o_key"))
+    }),
+
+    // Range (point-in-interval) join with no equi-key: shipments that fell
+    // inside an order's 30-day fulfilment window. The binned equi-join
+    // replaces the broadcast-nested-loop cartesian Catalyst plans for a
+    // bare BETWEEN; one day per bin, exact nano arithmetic on both engines.
+    "range_join" -> ((s, dir) => {
+      val day = 86400L * 1000000000L
+      val pts = s.read.parquet(pq(dir, "lineitem"))
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (unix_micros(col("l_shipdate").cast("timestamp")) * 1000L).as("ship_ns"))
+      val ivs = s.read.parquet(pq(dir, "orders"))
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("iv_order"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(30L * 86400L * 1000000000L))
+      RangeJoin.pointInInterval(pts, "ship_ns", ivs, "w_start", "w_end", day)
+        .groupBy(col("iv_order"))
+        .agg(count(lit(1)).as("n_ship"),
+          sum(col("l_linenumber").cast("long")).as("ln_sum"))
+    }),
+
+    // Z-order clustering key as a first-class expression: Morton-interleave
+    // (o_custkey, o_orderkey) and roll up per z-range bucket — the exact
+    // integer bit math the layout writer sorts by ([[Layout.writeZOrdered]];
+    // per-file stats-tightening is asserted in LayoutSpec), replayed
+    // verbatim by the DuckDB oracle via [[Layout.zvalue2Sql]].
+    "zorder_key" -> ((s, dir) => {
+      s.read.parquet(pq(dir, "orders"))
+        .select(Layout.zvalue2(col("o_custkey"), col("o_orderkey")).as("z"))
+        .withColumn("zbucket", expr(s"z div ${1L << 22}"))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"), min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+    }),
+
+    // SimHash NEAR-dup retrieval (Hamming distance <= 3) via pigeonhole
+    // banding — the retrieval dedup_simhash's equality join cannot do.
+    // Planted exact copies have distance 0, and banding has guaranteed
+    // recall at d <= maxDist, so the planted pair set is an exact oracle.
+    "dedup_simhash_near" -> ((s, dir) => {
+      val corpus = plantedCorpus(s, dir).withColumn("ws", TextOps.tokenSet(col("text")))
+      val sh = Dedup.simhash64(corpus, col("doc_id"), col("ws"))
+      Dedup.simhashHammingPairs(sh, 3)
+        .filter(col("a_id") < 50 && col("b_id") === col("a_id") + 100000L)
+        .select(col("a_id"), col("b_id"))
     })
   )
 
@@ -1560,6 +1630,39 @@ object SparkEntry {
         |      list_transform(list_filter(string_split(substring(text, 1, 64), ''), c -> c <> ''),
         |        c -> CAST(unicode(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "asof_join" ->
+      """SELECT e.user_id, e.e_ts, e.event_id, o.o_ts, o.o_key
+        |FROM (SELECT user_id, epoch_us(ts) AS e_ts, event_id
+        |      FROM events WHERE user_id < 30) e
+        |ASOF JOIN (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS o_ts,
+        |             max(o_orderkey) AS o_key
+        |           FROM orders GROUP BY 1, 2) o
+        |ON e.user_id = o.user_id AND e.e_ts >= o.o_ts""".stripMargin,
+
+    "range_join" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber, epoch_ns(l_shipdate) AS ship_ns
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |ivs AS (
+        |  SELECT o_orderkey AS iv_order, epoch_ns(o_orderdate) AS w_start,
+        |    epoch_ns(o_orderdate) + CAST(2592000000000000 AS BIGINT) AS w_end
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT iv_order, CAST(count(*) AS BIGINT) AS n_ship,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS ln_sum
+        |FROM pts JOIN ivs ON ship_ns BETWEEN w_start AND w_end
+        |GROUP BY iv_order""".stripMargin,
+
+    "zorder_key" ->
+      s"""WITH z AS (
+         |  SELECT ${Layout.zvalue2Sql("o_custkey", "o_orderkey")} AS z FROM orders)
+         |SELECT z // ${1L << 22} AS zbucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(z) AS min_z, max(z) AS max_z
+         |FROM z GROUP BY 1""".stripMargin,
+
+    "dedup_simhash_near" ->
+      """SELECT doc_id AS a_id, doc_id + 100000 AS b_id
         |FROM documents WHERE doc_id < 50""".stripMargin
   )
 }
