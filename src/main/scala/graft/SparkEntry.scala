@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Clustering, ConnectedComponents, Decontam, Dedup, Layout, Multimodal, Packing, RangeJoin, Sampling, Similarity, Sketches, TemporalJoin, TextOps}
+import graft.ops.{Clustering, ConnectedComponents, Decontam, Dedup, Layout, Multimodal, Packing, RangeJoin, Relevance, Sampling, Similarity, Sketches, TemporalJoin, TextOps}
 
 /**
  * Driver contract: the full query inventory with DuckDB oracles.
@@ -859,6 +859,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("z")).as("min_z"), max(col("z")).as("max_z"))
     }),
 
+    // Corpus term statistics — the IDF-table / stopword-list / vocabulary
+    // builder: two keyed aggregations with map-side partials, exact counts.
+    "text_term_stats" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      Relevance.termStats(d, col("doc_id"), TextOps.tokens(col("text")))
+        .orderBy(col("df").desc, col("token"))
+        .limit(20)
+    }),
+
+    // BM25 retrieval for one literal query: per-term dfs inlined driver-side
+    // so scoring is a narrow codegen projection (CountIn term frequencies),
+    // then the bounded-heap top-k. k1=1.0 / b=0.5 / ratio idf keep every
+    // constant and operation IEEE-exact on both engines, so the DuckDB
+    // oracle replays the score bit-identically (ln differs in the last ulp
+    // across libm implementations; the ratio idf never does).
+    "text_bm25" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      Relevance.bm25TopK(d, "doc_id", TextOps.tokens(col("text")),
+        Seq("window", "merge", "spark"), k = 15, k1 = 1.0, b = 0.5, logIdf = false)
+        .select(col("rank"), col("doc_id"),
+          floor(col("score") * lit(1000000.0d)).cast("long").as("score_micro"))
+    }),
+
     // SimHash NEAR-dup retrieval (Hamming distance <= 3) via pigeonhole
     // banding — the retrieval dedup_simhash's equality join cannot do.
     // Planted exact copies have distance 0, and banding has guaranteed
@@ -1663,6 +1686,44 @@ object SparkEntry {
 
     "dedup_simhash_near" ->
       """SELECT doc_id AS a_id, doc_id + 100000 AS b_id
-        |FROM documents WHERE doc_id < 50""".stripMargin
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "text_term_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |pt AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+        |SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+        |FROM pt GROUP BY token
+        |ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "text_bm25" -> {
+      // one BM25 term, written to the letter of Relevance.bm25TopK's
+      // IEEE operation order (ratio idf, k1=1.0, b=0.5)
+      def term(t: String): String =
+        s"""((s.n + 1.0) / (f.df_$t + 1.0)) *
+           |  ((CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) * 2.0) /
+           |   (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) +
+           |    1.0 * (0.5 + 0.5 * (CAST(len(toks) AS DOUBLE) / s.avglen))))""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avglen FROM d),
+         |f AS (SELECT
+         |  (SELECT count(*) FROM d WHERE list_contains(toks, 'window')) AS df_window,
+         |  (SELECT count(*) FROM d WHERE list_contains(toks, 'merge')) AS df_merge,
+         |  (SELECT count(*) FROM d WHERE list_contains(toks, 'spark')) AS df_spark),
+         |scored AS (
+         |  SELECT doc_id,
+         |    ${term("window")}
+         |  + ${term("merge")}
+         |  + ${term("spark")} AS score
+         |  FROM d, s, f),
+         |top AS (SELECT doc_id, score FROM scored WHERE score > 0.0
+         |        ORDER BY score DESC, doc_id LIMIT 15)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, CAST(floor(score * 1000000.0) AS BIGINT) AS score_micro
+         |FROM top""".stripMargin
+    }
   )
 }

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+import graft.functions.CountIn
+
+/**
+ * TF-IDF / BM25 relevance scoring over a tokenized corpus — the retrieval
+ * half of a training-data pipeline (quality-weighted sampling, targeted
+ * corpus slicing, decontamination triage). The reference engine has no text
+ * scoring at all (it is a metadata explorer; reference:
+ * src/main/scala/com/github/sadikovi/metadata/README.md scope), so this is
+ * an extension operator in the same composed-DataFrame style as [[Dedup]].
+ *
+ * Scale shape:
+ *  - [[termStats]] is the corpus-wide IDF-table builder: one explode and
+ *    two keyed aggregations, both with map-side partial aggregation — a
+ *    document's tokens are contiguous within a partition, so the first
+ *    (token, doc) aggregate collapses locally before the shuffle.
+ *  - [[bm25TopK]] scores one literal query: the per-term document
+ *    frequencies (a handful of longs) are collected driver-side and
+ *    inlined, making scoring a pure NARROW projection — term frequencies
+ *    via the fused codegen [[graft.functions.CountIn]] (interpreted HOFs
+ *    never enter whole-stage codegen), zero corpus shuffle — followed by
+ *    the bounded-heap top-k aggregate ([[graft.functions.TopKByScore]]):
+ *    partial buffers hold <= k rows, so the single final reducer merges
+ *    `partitions x k` rows, never the corpus.
+ */
+object Relevance {
+
+  /**
+   * Corpus term statistics `(token, df, tf_total)`: document frequency
+   * (distinct documents containing the token) and total occurrence count.
+   * This is the artifact an IDF table, a stopword list, or a vocabulary
+   * cut is derived from.
+   */
+  def termStats(docs: DataFrame, id: Column, tokens: Column): DataFrame =
+    docs.select(id.as("__doc"), explode(tokens).as("token"))
+      .groupBy(col("token"), col("__doc"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"), sum(col("tf")).as("tf_total"))
+
+  /**
+   * Top-k documents for one literal query under a BM25-family score:
+   *
+   *   score(d) = sum over query terms t of
+   *     idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * len(d)/avgLen))
+   *
+   * with `idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)` (the standard
+   * Robertson-Sparck Jones form) when `logIdf`, else the plain ratio
+   * `(N+1)/(df+1)` — monotone in the same direction and built from IEEE
+   * ops both engines round identically, which makes results replayable
+   * bit-exactly by a SQL oracle (`ln` differs in the last ulp across
+   * libm implementations; the ratio never does).
+   *
+   * Output: (rank, doc_id, score) — rank from 1 by (score desc, id asc);
+   * documents matching no term (score 0) are not retrieved. Corpus
+   * scalars (N, total length) and the per-term dfs are two tiny driver
+   * actions over aggregates, then everything is narrow.
+   */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      tokens: Column,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      logIdf: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK requires at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    val idType = docs.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"bm25TopK requires an integral id column, got '$idCol': ${idType.simpleString}")
+
+    val toks = tokens.as("__toks")
+    val base = docs.select(col(idCol), toks).filter(col("__toks").isNotNull)
+    val scalars = base.agg(
+      count(lit(1)).as("n"), sum(size(col("__toks")).cast("long")).as("total")).head()
+    val n = scalars.getLong(0)
+    require(n > 0, "bm25TopK requires a non-empty corpus")
+    val avgLen = scalars.getLong(1).toDouble / n.toDouble
+
+    val dfs: Map[String, Long] = base
+      .select(explode(array_distinct(col("__toks"))).as("t"))
+      .filter(col("t").isin(queryTerms: _*))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    def tf(t: String): Column =
+      ColumnBridge.column(CountIn(ColumnBridge.expression(col("__toks")), Seq(t)))
+        .cast("double")
+
+    // fixed left-to-right association so a SQL oracle can replay the
+    // identical IEEE operation sequence
+    val score = queryTerms.map { t =>
+      val df = dfs.getOrElse(t, 0L)
+      val idf =
+        if (logIdf) math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        else (n + 1.0) / (df + 1.0)
+      val tfc = tf(t)
+      lit(idf) * ((tfc * lit(k1 + 1.0)) /
+        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * (size(col("__toks")).cast("double") / lit(avgLen)))))
+    }.reduceLeft(_ + _)
+
+    base.select(col(idCol), score.as("score"))
+      .filter(col("score") > 0.0d)
+      .agg(Similarity.topKAgg(col("score"), col(idCol).cast("long"), k).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col").getField("id").as("doc_id"),
+        col("col").getField("score").as("score"))
+  }
+}

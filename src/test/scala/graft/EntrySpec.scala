@@ -34,4 +34,22 @@ class EntrySpec extends SparkSpec {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("range_join never degrades to a nested-loop or cartesian plan") {
+    // the operator exists to give Catalyst an equi-key where a bare
+    // BETWEEN has none; a BNLJ here is the quadratic plan it replaces
+    val plan = SparkEntry.queries("range_join")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), "range_join planned a BNLJ")
+    assert(!plan.contains("Cartesian"), "range_join planned a cartesian")
+  }
+
+  test("asof_join is the merge formulation: one window pass, no join") {
+    // one shuffle per input keyed by the equi-key, a single window per
+    // key, and NO join operator of any kind — per-key cost stays linear
+    val plan = SparkEntry.queries("asof_join")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).length === 1, s"expected 1 window:\n$plan")
+    assert(!plan.contains("Join"), "asof_join must not plan a join")
+  }
 }
