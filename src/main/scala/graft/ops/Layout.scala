@@ -70,7 +70,9 @@ object Layout {
    * two given columns across `numFiles` range partitions. The payoff is
    * measured by reading the written footers' min/max stats (LayoutSpec:
    * per-file ranges of BOTH columns tighten vs. the natural layout, which
-   * is what file-level pruning consumes).
+   * is what file-level pruning consumes). Values must be non-null and in
+   * [0, 2^31) — anything else fails the write loudly rather than silently
+   * degrading the clustering.
    */
   def writeZOrdered(
       df: DataFrame, colA: String, colB: String,
@@ -80,11 +82,16 @@ object Layout {
     // (epoch-millis timestamps, negatives) would wrap silently and destroy
     // the monotonicity the clustering depends on — fail loudly instead and
     // point at the fix (rank/bucket the column into the domain first).
+    // Nulls fail too (they have no z-order position; coalesce them to a
+    // sentinel first if they are expected) — via coalesce in the MESSAGE as
+    // well, since concat is null-intolerant and would otherwise raise with
+    // a null message that names neither the operator nor the column.
     def inDomain(c: String): Column =
       when(col(c).isNull || col(c).cast("long") < 0 ||
           col(c).cast("long") > 0x7FFFFFFFL,
         raise_error(concat(
-          lit(s"z-order: column '$c' value "), col(c).cast("string"),
+          lit(s"z-order: column '$c' value "),
+          coalesce(col(c).cast("string"), lit("NULL")),
           lit(" outside [0, 2^31); rank or bucket it into the domain first"))))
         .otherwise(col(c))
     val z = RangeJoin.freshName("__z", df.columns.toSet)

@@ -54,7 +54,10 @@ object RangeJoin {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(maxBinsPerInterval > 0,
       s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
-    val collisions = points.columns.toSet.intersect(intervals.columns.toSet)
+    // case-insensitive: Spark's default resolution would make "P_ID" vs
+    // "p_id" ambiguous downstream even though the exact strings differ
+    val collisions = points.columns.map(_.toLowerCase).toSet
+      .intersect(intervals.columns.map(_.toLowerCase).toSet)
     require(collisions.isEmpty,
       s"range join: colliding column names ${collisions.mkString(", ")}")
     // the working column must not shadow (and silently destroy) a real one
@@ -64,11 +67,15 @@ object RangeJoin {
     def binOf(c: String) = expr(s"CAST(`$c` AS BIGINT) div CAST($binWidth AS BIGINT)")
     // A span/binWidth ratio past the cap would otherwise surface as an
     // opaque array-length/OOM failure deep inside `sequence`; fail with a
-    // range-join-specific message naming the dial to turn instead.
-    val nBins = binOf(endCol) - binOf(startCol) + lit(1L)
-    val bins = when(nBins > lit(maxBinsPerInterval),
+    // range-join-specific message naming the dial to turn instead. The
+    // guard arithmetic itself must not ANSI-overflow (a near-full-domain
+    // span at binWidth=1 does): try_subtract nulls on overflow, and an
+    // unrepresentable span is certainly over any cap.
+    val span = try_subtract(binOf(endCol), binOf(startCol))
+    val bins = when(span.isNull || span > lit(maxBinsPerInterval - 1L),
       raise_error(concat(
-        lit("range join: an interval overlaps "), nBins.cast("string"),
+        lit("range join: an interval overlaps "),
+        coalesce(try_add(span, lit(1L)).cast("string"), lit("> 2^63")),
         lit(s" bins (cap $maxBinsPerInterval); increase binWidth or raise maxBinsPerInterval"))))
       .otherwise(sequence(binOf(startCol), binOf(endCol)))
     val iv = intervals
@@ -83,9 +90,14 @@ object RangeJoin {
       .drop(bin)
   }
 
-  /** A column name not present in `taken` (appends a numeric suffix). */
-  private[ops] def freshName(base: String, taken: Set[String]): String =
+  /** A column name not present in `taken` (appends a numeric suffix).
+    * Comparison is case-insensitive: Spark resolves column references
+    * case-insensitively by default, so `withColumn("__bin", ...)` would
+    * silently REPLACE a user column named `__Bin`. */
+  private[ops] def freshName(base: String, taken: Set[String]): String = {
+    val lower = taken.map(_.toLowerCase)
     Iterator.from(0)
       .map(i => if (i == 0) base else s"$base$i")
-      .find(!taken(_)).get
+      .find(n => !lower(n.toLowerCase)).get
+  }
 }

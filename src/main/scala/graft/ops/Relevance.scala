@@ -59,8 +59,8 @@ object Relevance {
    *
    * Output: (rank, doc_id, score) — rank from 1 by (score desc, id asc);
    * documents matching no term (score 0) are not retrieved. Corpus
-   * scalars (N, total length) and the per-term dfs are two tiny driver
-   * actions over aggregates, then everything is narrow.
+   * scalars (N, total length) and the per-term dfs ride ONE aggregate
+   * job (conditional counts), then everything is narrow.
    */
   def bm25TopK(
       docs: DataFrame,
@@ -79,17 +79,20 @@ object Relevance {
 
     val toks = tokens.as("__toks")
     val base = docs.select(col(idCol), toks).filter(col("__toks").isNotNull)
-    val scalars = base.agg(
-      count(lit(1)).as("n"), sum(size(col("__toks")).cast("long")).as("total")).head()
-    val n = scalars.getLong(0)
+    // ONE aggregate job carries every driver-side statistic: N, total
+    // length, and each term's document frequency (a conditional count per
+    // term) — a second corpus scan + tokenization pass would buy nothing.
+    val aggs = Seq(
+      count(lit(1)),
+      sum(size(col("__toks")).cast("long"))) ++
+      queryTerms.map(t =>
+        sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L)))
+    val stats = base.agg(aggs.head, aggs.tail: _*).head()
+    val n = stats.getLong(0)
     require(n > 0, "bm25TopK requires a non-empty corpus")
-    val avgLen = scalars.getLong(1).toDouble / n.toDouble
-
-    val dfs: Map[String, Long] = base
-      .select(explode(array_distinct(col("__toks"))).as("t"))
-      .filter(col("t").isin(queryTerms: _*))
-      .groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avgLen = stats.getLong(1).toDouble / n.toDouble
+    val dfs: Map[String, Long] =
+      queryTerms.zipWithIndex.map { case (t, i) => t -> stats.getLong(2 + i) }.toMap
 
     def tf(t: String): Column =
       ColumnBridge.column(CountIn(ColumnBridge.expression(col("__toks")), Seq(t)))

@@ -50,6 +50,8 @@ object TemporalJoin {
    *    on the same key and timestamp the "latest" row is ill-defined.
    *    Pre-aggregate the right side (the query inventory does) — this is
    *    the same determinism contract DuckDB's ASOF JOIN imposes;
+   *  - rows with a null timestamp (either side) match nothing and are
+   *    dropped, mirroring DuckDB's ASOF JOIN;
    *  - non-key column names must not collide across the two inputs.
    */
   def asofBackward(
@@ -79,39 +81,49 @@ object TemporalJoin {
       s"as-of join: colliding non-key column names ${collisions.mkString(", ")}; " +
         "alias the columns of one input before joining")
 
+    // working columns must not shadow (or ambiguate against) user columns
+    val taken = keys.toSet ++ left.columns ++ right.columns
+    val Seq(cTs, cSide, cR, cL, cM) =
+      Seq("__ts", "__side", "__r", "__l", "__m").map(RangeJoin.freshName(_, taken))
+
+    // A null timestamp cannot order against anything: such rows match
+    // nothing (and nothing matches through them) — the same rows DuckDB's
+    // ASOF JOIN drops. Without this, nulls sort FIRST in the window and a
+    // null-ts right row would be carried onto left rows that have no real
+    // at-or-before match.
     val rStruct = struct(col(rightTs) +: rightPayload.map(col): _*)
-    val r = right.select(
-      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
-        rStruct.as("__r"), lit(null).cast(structTypeOf(left, leftPayload)).as("__l")): _*)
-    val l = left.select(
-      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
-        lit(null).cast(structTypeOf(right, rightTs +: rightPayload)).as("__r"),
-        struct(leftPayload.map(col): _*).as("__l")): _*)
+    val r = right.filter(col(rightTs).isNotNull).select(
+      keys.map(col) ++ Seq(col(rightTs).as(cTs), lit(0).as(cSide),
+        rStruct.as(cR), lit(null).cast(structTypeOf(left, leftPayload)).as(cL)): _*)
+    val l = left.filter(col(leftTs).isNotNull).select(
+      keys.map(col) ++ Seq(col(leftTs).as(cTs), lit(1).as(cSide),
+        lit(null).cast(structTypeOf(right, rightTs +: rightPayload)).as(cR),
+        struct(leftPayload.map(col): _*).as(cL)): _*)
 
     // right rows sort before left rows at equal ts => inclusive match
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col(cTs), col(cSide))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = r.unionByName(l)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1 && col("__m").isNotNull)
+      .withColumn(cM, last(col(cR), ignoreNulls = true).over(w))
+      .filter(col(cSide) === 1 && col(cM).isNotNull)
     val withinTol = tolerance match {
-      // The window established __m.ts <= __ts, so the gap is non-negative —
-      // but `__ts - __m.ts` can still overflow when the operands straddle
+      // The window established m.ts <= ts, so the gap is non-negative —
+      // but `ts - m.ts` can still overflow when the operands straddle
       // Long.MIN/MAX (ANSI mode throws). try_subtract nulls on overflow,
       // and a gap too wide to represent is certainly wider than any
       // tolerance, so null-drops-row is exactly the wanted semantics.
       case Some(t) =>
         matched.filter(
-          try_subtract(col("__ts"), col("__m").getField(rightTs)) <= lit(t))
+          try_subtract(col(cTs), col(cM).getField(rightTs)) <= lit(t))
       case None => matched
     }
     withinTol.select(
       keys.map(col) ++
-        Seq(col("__ts").as(leftTs)) ++
-        leftPayload.map(c => col("__l").getField(c).as(c)) ++
-        Seq(col("__m").getField(rightTs).as(rightTs)) ++
-        rightPayload.map(c => col("__m").getField(c).as(c)): _*)
+        Seq(col(cTs).as(leftTs)) ++
+        leftPayload.map(c => col(cL).getField(c).as(c)) ++
+        Seq(col(cM).getField(rightTs).as(rightTs)) ++
+        rightPayload.map(c => col(cM).getField(c).as(c)): _*)
   }
 
   private def structTypeOf(df: DataFrame, cols: Seq[String]): String =

@@ -8,6 +8,12 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
 
   def sf(dir: String): String = s"/root/testdata/sf$dir"
+
+  /** All messages down an exception's cause chain (raise_error surfaces
+    * driver-side or task-wrapped depending on plan folding). */
+  def causeMessages(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
 }
 
 object SparkSpec {

@@ -84,13 +84,20 @@ class LayoutSpec extends SparkSpec {
     val e = intercept[Exception] {
       Layout.writeZOrdered(bad, "x", "y", dir, numFiles = 2)
     }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(_.getMessage).mkString("\n")
-    assert(msgs.contains("z-order"))
+    assert(causeMessages(e).contains("z-order"))
     val neg = Seq((-1L, 1L)).toDF("x", "y")
     intercept[Exception] {
       Layout.writeZOrdered(neg, "x", "y", dir, numFiles = 2)
     }
+    // null values must also raise WITH the operator-naming message (concat
+    // over a null cast would otherwise produce a null message)
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("x", "y")
+    val ne = intercept[Exception] {
+      Layout.writeZOrdered(withNull, "x", "y", dir, numFiles = 1)
+    }
+    assert(causeMessages(ne).contains("z-order"),
+      s"null input lost the z-order message: ${causeMessages(ne).take(300)}")
   }
 
   test("a user column named __z survives the write") {

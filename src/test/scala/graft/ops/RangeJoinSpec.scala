@@ -64,15 +64,27 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("interval overlapping more bins than the cap fails with a named dial") {
-    // raise_error surfaces as SparkRuntimeException driver-side (folded
-    // local relation) or wrapped in SparkException from a task — accept
-    // either, require the message to name the dial
     val e = intercept[Exception] {
       RangeJoin.pointInInterval(points, "p", intervals, "s", "e",
         binWidth = 1L, maxBinsPerInterval = 4L).count()
     }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
-      .map(_.getMessage).mkString("\n")
-    assert(msgs.contains("binWidth"))
+    assert(causeMessages(e).contains("binWidth"))
+  }
+
+  test("a near-full-domain span still fails with the named dial, not ANSI overflow") {
+    val iv = Seq((1L, Long.MinValue + 10L, Long.MaxValue - 10L)).toDF("iv_id", "s", "e")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "p", iv, "s", "e", binWidth = 1L).count()
+    }
+    assert(causeMessages(e).contains("binWidth"),
+      s"expected the range-join cap message, got: ${causeMessages(e).take(300)}")
+  }
+
+  test("working-column collision detection is case-insensitive like Spark resolution") {
+    val p2 = points.withColumn("__Bin", col("p_id") * 100)
+    val out = RangeJoin.pointInInterval(p2, "p", intervals, "s", "e", 10L)
+    assert(out.columns.contains("__Bin"))
+    assert(out.select("p_id", "__Bin").as[(Long, Long)].collect()
+      .forall { case (id, b) => b == id * 100 })
   }
 }

@@ -61,6 +61,28 @@ class TemporalJoinSpec extends SparkSpec {
     assert(TemporalJoin.asofBackward(l2, r2, Seq("k"), "lts", "rts", Some(5L)).count() === 1)
   }
 
+  test("null timestamps match nothing on either side (ASOF drop semantics)") {
+    val l = Seq(("A", Some(10L), 1), ("A", Option.empty[Long], 2)).toDF("k", "lts", "lv")
+    val r = Seq(("A", Some(5L), 1.0), ("A", Option.empty[Long], 9.9)).toDF("k", "rts", "rv")
+    val out = TemporalJoin.asofBackward(l, r, Seq("k"), "lts", "rts")
+      .select("lv", "rv").as[(Int, Double)].collect().toSet
+    // the null-ts right row must NOT be carried onto anything, and the
+    // null-ts left row must not match
+    assert(out === Set((1, 1.0)))
+    // a left row BEFORE any real right row is dropped even when a null-ts
+    // right row exists (nulls would otherwise sort first and "match")
+    val l2 = Seq(("A", 3L, 1)).toDF("k", "lts", "lv")
+    assert(TemporalJoin.asofBackward(l2, r, Seq("k"), "lts", "rts").count() === 0)
+  }
+
+  test("a join key named like a working column survives") {
+    val l = Seq(("A", 10L, 1)).toDF("__m", "lts", "lv")
+    val r = Seq(("A", 5L, 2.0)).toDF("__m", "rts", "rv")
+    val out = TemporalJoin.asofBackward(l, r, Seq("__m"), "lts", "rts")
+    assert(out.columns.toSet === Set("__m", "lts", "lv", "rts", "rv"))
+    assert(out.select("__m").as[String].head() === "A")
+  }
+
   test("identical timestamp column names are rejected, not silently duplicated") {
     val l = Seq(("k", 1L, 1)).toDF("k", "ts", "lv")
     val r = Seq(("k", 1L, 2.0)).toDF("k", "ts", "rv")
