@@ -846,6 +846,44 @@ object SparkEntry {
           sum(col("l_linenumber").cast("long")).as("ln_sum"))
     }),
 
+    // Forward as-of join: time-to-first-shipment — each order picks the
+    // EARLIEST shipment date at-or-after its order date (same merge
+    // formulation, mirrored frame). Right side pre-aggregated per
+    // (order, ship date) for the uniqueness contract.
+    "asof_fwd" -> ((s, dir) => {
+      val ord = s.read.parquet(pq(dir, "orders"))
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_ts"))
+      val ship = s.read.parquet(pq(dir, "lineitem"))
+        .groupBy(col("l_orderkey").as("o_orderkey"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_ts"))
+        .agg(count(lit(1)).as("n_items"),
+          max(col("l_linenumber")).cast("long").as("max_line"))
+      TemporalJoin.asofForward(ord, ship, Seq("o_orderkey"), "o_ts", "ship_ts")
+        .select(col("o_orderkey"), col("o_ts"), col("ship_ts"),
+          col("n_items"), col("max_line"))
+    }),
+
+    // Interval-overlap join with no equi-key: 30-day fulfilment windows of
+    // two disjoint order subsets that overlap in time. Both sides bin onto
+    // days; the pair survives only in the first shared bin, so each
+    // overlapping pair is emitted exactly once with no dedup pass.
+    "interval_join" -> ((s, dir) => {
+      val d30 = 30L * 86400L * 1000000L // micros
+      def wins(m: Long, k: String, s0: String, e0: String) =
+        s.read.parquet(pq(dir, "orders"))
+          .filter(col("o_orderkey") % 100 === m)
+          .select(col("o_orderkey").as(k),
+            unix_micros(col("o_orderdate").cast("timestamp")).as(s0))
+          .withColumn(e0, col(s0) + lit(d30))
+      val a = wins(0, "a_key", "a_s", "a_e")
+      val b = wins(50, "b_key", "b_s", "b_e")
+      RangeJoin.intervalOverlap(a, "a_s", "a_e", b, "b_s", "b_e", 86400L * 1000000L)
+        .groupBy(col("a_key"))
+        .agg(count(lit(1)).as("n_overlap"), sum(col("b_key")).as("bkey_sum"))
+    }),
+
     // Z-order clustering key as a first-class expression: Morton-interleave
     // (o_custkey, o_orderkey) and roll up per z-range bucket — the exact
     // integer bit math the layout writer sorts by ([[Layout.writeZOrdered]];
@@ -1676,6 +1714,30 @@ object SparkEntry {
         |  CAST(sum(l_linenumber) AS BIGINT) AS ln_sum
         |FROM pts JOIN ivs ON ship_ns BETWEEN w_start AND w_end
         |GROUP BY iv_order""".stripMargin,
+
+    "asof_fwd" ->
+      """SELECT o.o_orderkey, o.o_ts, s.ship_ts, s.n_items, s.max_line
+        |FROM (SELECT o_orderkey, epoch_us(o_orderdate) AS o_ts
+        |      FROM orders WHERE o_orderkey % 20 = 0) o
+        |ASOF JOIN (SELECT l_orderkey AS o_orderkey, epoch_us(l_shipdate) AS ship_ts,
+        |             CAST(count(*) AS BIGINT) AS n_items,
+        |             CAST(max(l_linenumber) AS BIGINT) AS max_line
+        |           FROM lineitem GROUP BY 1, 2) s
+        |ON o.o_orderkey = s.o_orderkey AND o.o_ts <= s.ship_ts""".stripMargin,
+
+    "interval_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_key, epoch_us(o_orderdate) AS a_s,
+        |    epoch_us(o_orderdate) + CAST(2592000000000 AS BIGINT) AS a_e
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS b_key, epoch_us(o_orderdate) AS b_s,
+        |    epoch_us(o_orderdate) + CAST(2592000000000 AS BIGINT) AS b_e
+        |  FROM orders WHERE o_orderkey % 100 = 50)
+        |SELECT a_key, CAST(count(*) AS BIGINT) AS n_overlap,
+        |  CAST(sum(b_key) AS BIGINT) AS bkey_sum
+        |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+        |GROUP BY a_key""".stripMargin,
 
     "zorder_key" ->
       s"""WITH z AS (

@@ -90,6 +90,59 @@ object RangeJoin {
       .drop(bin)
   }
 
+  /**
+   * Interval-overlap join: pair every `a` interval with every `b` interval
+   * it overlaps (`a.start <= b.end AND b.start <= a.end`, inclusive), with
+   * no equi-key — the session-vs-outage / span-vs-span shape. Both sides
+   * replicate onto their overlapped bins and hash-join on the bin id; a
+   * pair that shares several bins is emitted EXACTLY once with no dedup
+   * pass, by keeping only the join row in the FIRST bin both intervals
+   * cover (`bin == greatest(binOf(a.start), binOf(b.start))` — overlap
+   * guarantees both cover that bin, so exactly one surviving row exists).
+   * Invalid intervals (null endpoint or end < start) match nothing; the
+   * same bins-per-interval cap as [[pointInInterval]] applies to both
+   * sides.
+   */
+  def intervalOverlap(
+      a: DataFrame,
+      aStart: String,
+      aEnd: String,
+      b: DataFrame,
+      bStart: String,
+      bEnd: String,
+      binWidth: Long,
+      maxBinsPerInterval: Long = 1L << 20): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
+    val collisions = a.columns.map(_.toLowerCase).toSet
+      .intersect(b.columns.map(_.toLowerCase).toSet)
+    require(collisions.isEmpty,
+      s"interval join: colliding column names ${collisions.mkString(", ")}")
+    val taken = a.columns.toSet ++ b.columns
+    val binA = freshName("__bin_a", taken)
+    val binB = freshName("__bin_b", taken)
+
+    def binOf(c: String) = expr(s"CAST(`$c` AS BIGINT) div CAST($binWidth AS BIGINT)")
+    def binned(df: DataFrame, s: String, e: String, out: String): DataFrame = {
+      val span = try_subtract(binOf(e), binOf(s))
+      val bins = when(span.isNull || span > lit(maxBinsPerInterval - 1L),
+        raise_error(concat(
+          lit("interval join: an interval overlaps "),
+          coalesce(try_add(span, lit(1L)).cast("string"), lit("> 2^63")),
+          lit(s" bins (cap $maxBinsPerInterval); increase binWidth or raise maxBinsPerInterval"))))
+        .otherwise(sequence(binOf(s), binOf(e)))
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+        .withColumn(out, explode(bins))
+    }
+
+    binned(a, aStart, aEnd, binA)
+      .join(binned(b, bStart, bEnd, binB), col(binA) === col(binB))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col(binA) === greatest(binOf(aStart), binOf(bStart)))
+      .drop(binA, binB)
+  }
+
   /** A column name not present in `taken` (appends a numeric suffix).
     * Comparison is case-insensitive: Spark resolves column references
     * case-insensitively by default, so `withColumn("__bin", ...)` would

@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /**
  * As-of (temporal) join: for every left row, the single most recent right
- * row with `right.ts <= left.ts` on the same key — the
+ * row with `right.ts <= left.ts` on the same key (backward; the forward
+ * mirror takes the earliest right row at-or-after) — the
  * price-at-trade-time / last-touch-attribution operator. The reference
  * engine delegates all join algebra to its host (reference:
  * src/main/scala/com/github/sadikovi/metadata/DefaultSource.scala exposes a
@@ -60,7 +61,35 @@ object TemporalJoin {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame =
+    asofImpl(left, right, keys, leftTs, rightTs, tolerance, backward = true)
+
+  /**
+   * Forward as-of join (inner): for every left row, the single EARLIEST
+   * right row with `right.ts >= left.ts` on the same key — time-to-first-
+   * event after a trigger (first shipment after an order, first response
+   * after a page). Same contracts as [[asofBackward]], mirrored:
+   * inclusive at equal timestamps, `tolerance` drops matches later than
+   * `left.ts + tolerance`, null timestamps match nothing, the right side
+   * must be unique per (keys, ts).
+   */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Option[Long] = None): DataFrame =
+    asofImpl(left, right, keys, leftTs, rightTs, tolerance, backward = false)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Option[Long],
+      backward: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one equi-key")
     val integral: Set[Any] = Set(ByteType, ShortType, IntegerType, LongType)
     if (tolerance.isDefined) {
@@ -91,31 +120,45 @@ object TemporalJoin {
     // ASOF JOIN drops. Without this, nulls sort FIRST in the window and a
     // null-ts right row would be carried onto left rows that have no real
     // at-or-before match.
+    // In BOTH directions the right row must sit on the frame side of the
+    // left row at equal timestamps (inclusive match): backward scans the
+    // preceding frame with `last`, so right sorts BEFORE left (side 0 < 1);
+    // forward scans the following frame with `first`, so right sorts AFTER
+    // left (side 1 > 0).
+    val rightSide = if (backward) 0 else 1
     val rStruct = struct(col(rightTs) +: rightPayload.map(col): _*)
     val r = right.filter(col(rightTs).isNotNull).select(
-      keys.map(col) ++ Seq(col(rightTs).as(cTs), lit(0).as(cSide),
+      keys.map(col) ++ Seq(col(rightTs).as(cTs), lit(rightSide).as(cSide),
         rStruct.as(cR), lit(null).cast(structTypeOf(left, leftPayload)).as(cL)): _*)
     val l = left.filter(col(leftTs).isNotNull).select(
-      keys.map(col) ++ Seq(col(leftTs).as(cTs), lit(1).as(cSide),
+      keys.map(col) ++ Seq(col(leftTs).as(cTs), lit(1 - rightSide).as(cSide),
         lit(null).cast(structTypeOf(right, rightTs +: rightPayload)).as(cR),
         struct(leftPayload.map(col): _*).as(cL)): _*)
 
-    // right rows sort before left rows at equal ts => inclusive match
-    val w = Window.partitionBy(keys.map(col): _*)
+    val wBase = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(cTs), col(cSide))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried =
+      if (backward)
+        last(col(cR), ignoreNulls = true)
+          .over(wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        first(col(cR), ignoreNulls = true)
+          .over(wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing))
     val matched = r.unionByName(l)
-      .withColumn(cM, last(col(cR), ignoreNulls = true).over(w))
-      .filter(col(cSide) === 1 && col(cM).isNotNull)
+      .withColumn(cM, carried)
+      .filter(col(cSide) === lit(1 - rightSide) && col(cM).isNotNull)
     val withinTol = tolerance match {
-      // The window established m.ts <= ts, so the gap is non-negative —
-      // but `ts - m.ts` can still overflow when the operands straddle
-      // Long.MIN/MAX (ANSI mode throws). try_subtract nulls on overflow,
-      // and a gap too wide to represent is certainly wider than any
-      // tolerance, so null-drops-row is exactly the wanted semantics.
+      // The window established the gap is non-negative in the scan
+      // direction — but the subtraction can still overflow when the
+      // operands straddle Long.MIN/MAX (ANSI mode throws). try_subtract
+      // nulls on overflow, and a gap too wide to represent is certainly
+      // wider than any tolerance, so null-drops-row is exactly the wanted
+      // semantics.
       case Some(t) =>
-        matched.filter(
-          try_subtract(col(cTs), col(cM).getField(rightTs)) <= lit(t))
+        val gap =
+          if (backward) try_subtract(col(cTs), col(cM).getField(rightTs))
+          else try_subtract(col(cM).getField(rightTs), col(cTs))
+        matched.filter(gap <= lit(t))
       case None => matched
     }
     withinTol.select(

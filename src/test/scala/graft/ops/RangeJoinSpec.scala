@@ -56,6 +56,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.select("p_id", "iv_id").as[(Long, Long)].collect().toSet === naive)
   }
 
+  private def ivsA: DataFrame =
+    Seq((1L, 0L, 10L), (2L, 5L, 25L), (3L, 40L, 45L), (4L, -30L, -10L))
+      .toDF("a_id", "a_s", "a_e")
+
+  private def ivsB: DataFrame =
+    Seq((10L, 8L, 12L), (11L, 26L, 39L), (12L, -15L, 2L), (13L, 50L, 40L))
+      .toDF("b_id", "b_s", "b_e")
+
+  test("interval overlap equals the naive non-equi join, each pair once") {
+    val naiveOverlap = ivsA.join(ivsB,
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(naiveOverlap.nonEmpty) // the fixture must actually overlap
+    for (w <- Seq(1L, 3L, 7L, 100L)) {
+      val got = RangeJoin.intervalOverlap(ivsA, "a_s", "a_e", ivsB, "b_s", "b_e", w)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"duplicate pairs at binWidth=$w")
+      assert(got.toSet === naiveOverlap, s"wrong pairs at binWidth=$w")
+    }
+  }
+
+  test("interval overlap drops invalid intervals and keeps all columns") {
+    val out = RangeJoin.intervalOverlap(ivsA, "a_s", "a_e", ivsB, "b_s", "b_e", 5L)
+    assert(out.columns.sorted === Array("a_e", "a_id", "a_s", "b_e", "b_id", "b_s"))
+    // b 13 is reversed: participates in nothing even though a 3 overlaps [40,50]
+    assert(out.filter(col("b_id") === 13L).count() === 0)
+  }
+
   test("colliding column names across inputs are rejected") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(

@@ -83,6 +83,33 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out.select("__m").as[String].head() === "A")
   }
 
+  test("forward as-of: earliest right row at-or-after, inclusive, inner") {
+    val out = TemporalJoin.asofForward(trades, quotes, Seq("sym"), "t_ts", "q_ts")
+      .select("sym", "t_ts", "q_ts", "px")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out === Set(
+      ("A", 10L, 10L, 1.0), // equal timestamp matches (inclusive)
+      ("A", 20L, 20L, 2.0),
+      ("B", 10L, 30L, 3.0)
+      // ("A", 25) and ("B", 50) have no quote at-or-after: dropped
+    ))
+  }
+
+  test("forward tolerance drops matches later than left.ts + tolerance") {
+    val out = TemporalJoin.asofForward(
+      trades, quotes, Seq("sym"), "t_ts", "q_ts", tolerance = Some(5L))
+      .select("sym", "t_ts").as[(String, Long)].collect().toSet
+    // ("B",10) -> quote at 30: gap 20 > 5 => dropped
+    assert(out === Set(("A", 10L), ("A", 20L)))
+  }
+
+  test("forward tolerance gap that overflows Long drops the row") {
+    val l = Seq(("k", Long.MinValue, 1)).toDF("k", "lts", "lv")
+    val r = Seq(("k", 10L, 2.0)).toDF("k", "rts", "rv")
+    assert(TemporalJoin.asofForward(l, r, Seq("k"), "lts", "rts", Some(100L)).count() === 0)
+  }
+
   test("identical timestamp column names are rejected, not silently duplicated") {
     val l = Seq(("k", 1L, 1)).toDF("k", "ts", "lv")
     val r = Seq(("k", 1L, 2.0)).toDF("k", "ts", "rv")
