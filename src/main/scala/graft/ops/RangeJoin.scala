@@ -62,29 +62,11 @@ object RangeJoin {
       s"range join: colliding column names ${collisions.mkString(", ")}")
     // the working column must not shadow (and silently destroy) a real one
     val bin = freshName("__bin", points.columns.toSet ++ intervals.columns)
-    // exact integral division: `a div w` (floor(a / w) in doubles silently
-    // loses precision above 2^53 — nanosecond epochs live there)
-    def binOf(c: String) = expr(s"CAST(`$c` AS BIGINT) div CAST($binWidth AS BIGINT)")
-    // A span/binWidth ratio past the cap would otherwise surface as an
-    // opaque array-length/OOM failure deep inside `sequence`; fail with a
-    // range-join-specific message naming the dial to turn instead. The
-    // guard arithmetic itself must not ANSI-overflow (a near-full-domain
-    // span at binWidth=1 does): try_subtract nulls on overflow, and an
-    // unrepresentable span is certainly over any cap.
-    val span = try_subtract(binOf(endCol), binOf(startCol))
-    val bins = when(span.isNull || span > lit(maxBinsPerInterval - 1L),
-      raise_error(concat(
-        lit("range join: an interval overlaps "),
-        coalesce(try_add(span, lit(1L)).cast("string"), lit("> 2^63")),
-        lit(s" bins (cap $maxBinsPerInterval); increase binWidth or raise maxBinsPerInterval"))))
-      .otherwise(sequence(binOf(startCol), binOf(endCol)))
-    val iv = intervals
-      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
-        col(startCol) <= col(endCol))
-      .withColumn(bin, explode(bins))
+    val iv = binExplode(intervals, startCol, endCol, bin,
+      binWidth, maxBinsPerInterval, "range join")
     val p = points
       .filter(col(pointCol).isNotNull)
-      .withColumn(bin, binOf(pointCol))
+      .withColumn(bin, binOf(pointCol, binWidth))
     p.join(iv, Seq(bin))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop(bin)
@@ -123,24 +105,43 @@ object RangeJoin {
     val binA = freshName("__bin_a", taken)
     val binB = freshName("__bin_b", taken)
 
-    def binOf(c: String) = expr(s"CAST(`$c` AS BIGINT) div CAST($binWidth AS BIGINT)")
-    def binned(df: DataFrame, s: String, e: String, out: String): DataFrame = {
-      val span = try_subtract(binOf(e), binOf(s))
-      val bins = when(span.isNull || span > lit(maxBinsPerInterval - 1L),
-        raise_error(concat(
-          lit("interval join: an interval overlaps "),
-          coalesce(try_add(span, lit(1L)).cast("string"), lit("> 2^63")),
-          lit(s" bins (cap $maxBinsPerInterval); increase binWidth or raise maxBinsPerInterval"))))
-        .otherwise(sequence(binOf(s), binOf(e)))
-      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
-        .withColumn(out, explode(bins))
-    }
-
-    binned(a, aStart, aEnd, binA)
-      .join(binned(b, bStart, bEnd, binB), col(binA) === col(binB))
+    binExplode(a, aStart, aEnd, binA, binWidth, maxBinsPerInterval, "interval join")
+      .join(binExplode(b, bStart, bEnd, binB, binWidth, maxBinsPerInterval, "interval join"),
+        col(binA) === col(binB))
       .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
-      .filter(col(binA) === greatest(binOf(aStart), binOf(bStart)))
+      .filter(col(binA) === greatest(binOf(aStart, binWidth), binOf(bStart, binWidth)))
       .drop(binA, binB)
+  }
+
+  /** Exact integral bin id: `c div w` (floor in doubles silently loses
+    * precision above 2^53 — nanosecond epochs live there). */
+  private def binOf(c: String, binWidth: Long) =
+    expr(s"CAST(`$c` AS BIGINT) div CAST($binWidth AS BIGINT)")
+
+  /**
+   * Valid intervals of `df` exploded onto every bin they overlap, as
+   * working column `out`. Null endpoints and reversed intervals are
+   * dropped (BETWEEN semantics — and Spark's `sequence` COUNTS DOWN on a
+   * reversed range instead of returning empty). A span/binWidth ratio
+   * past the cap fails with an operator-specific message naming the dial
+   * — not the opaque array-length/OOM failure `sequence` would raise —
+   * and the guard arithmetic itself cannot ANSI-overflow (a
+   * near-full-domain span at binWidth=1 does): try_subtract nulls on
+   * overflow, and an unrepresentable span is certainly over any cap.
+   */
+  private def binExplode(
+      df: DataFrame, startCol: String, endCol: String, out: String,
+      binWidth: Long, maxBinsPerInterval: Long, label: String): DataFrame = {
+    val span = try_subtract(binOf(endCol, binWidth), binOf(startCol, binWidth))
+    val bins = when(span.isNull || span > lit(maxBinsPerInterval - 1L),
+      raise_error(concat(
+        lit(s"$label: an interval overlaps "),
+        coalesce(try_add(span, lit(1L)).cast("string"), lit("> 2^63")),
+        lit(s" bins (cap $maxBinsPerInterval); increase binWidth or raise maxBinsPerInterval"))))
+      .otherwise(sequence(binOf(startCol, binWidth), binOf(endCol, binWidth)))
+    df.filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .withColumn(out, explode(bins))
   }
 
   /** A column name not present in `taken` (appends a numeric suffix).

@@ -120,33 +120,29 @@ object TemporalJoin {
     // ASOF JOIN drops. Without this, nulls sort FIRST in the window and a
     // null-ts right row would be carried onto left rows that have no real
     // at-or-before match.
-    // In BOTH directions the right row must sit on the frame side of the
-    // left row at equal timestamps (inclusive match): backward scans the
-    // preceding frame with `last`, so right sorts BEFORE left (side 0 < 1);
-    // forward scans the following frame with `first`, so right sorts AFTER
-    // left (side 1 > 0).
-    val rightSide = if (backward) 0 else 1
     val rStruct = struct(col(rightTs) +: rightPayload.map(col): _*)
     val r = right.filter(col(rightTs).isNotNull).select(
-      keys.map(col) ++ Seq(col(rightTs).as(cTs), lit(rightSide).as(cSide),
+      keys.map(col) ++ Seq(col(rightTs).as(cTs), lit(0).as(cSide),
         rStruct.as(cR), lit(null).cast(structTypeOf(left, leftPayload)).as(cL)): _*)
     val l = left.filter(col(leftTs).isNotNull).select(
-      keys.map(col) ++ Seq(col(leftTs).as(cTs), lit(1 - rightSide).as(cSide),
+      keys.map(col) ++ Seq(col(leftTs).as(cTs), lit(1).as(cSide),
         lit(null).cast(structTypeOf(right, rightTs +: rightPayload)).as(cR),
         struct(leftPayload.map(col): _*).as(cL)): _*)
 
-    val wBase = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(cTs), col(cSide))
-    val carried =
-      if (backward)
-        last(col(cR), ignoreNulls = true)
-          .over(wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      else
-        first(col(cR), ignoreNulls = true)
-          .over(wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    // BOTH directions scan the GROWING preceding frame with `last` — Spark
+    // evaluates unboundedPreceding..currentRow incrementally (O(1) per
+    // row), while a currentRow..unboundedFollowing frame re-aggregates the
+    // partition suffix for every row (O(n^2) per key). Forward simply
+    // orders time DESCENDING: the nearest preceding row in that order is
+    // the earliest at-or-after. In both orders the right row sorts before
+    // the left at equal timestamps (side 0 < 1) => inclusive match.
+    val tsOrder = if (backward) col(cTs).asc else col(cTs).desc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(tsOrder, col(cSide))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = r.unionByName(l)
-      .withColumn(cM, carried)
-      .filter(col(cSide) === lit(1 - rightSide) && col(cM).isNotNull)
+      .withColumn(cM, last(col(cR), ignoreNulls = true).over(w))
+      .filter(col(cSide) === 1 && col(cM).isNotNull)
     val withinTol = tolerance match {
       // The window established the gap is non-negative in the scan
       // direction — but the subtraction can still overflow when the

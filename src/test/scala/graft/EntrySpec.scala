@@ -44,6 +44,13 @@ class EntrySpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), "range_join planned a cartesian")
   }
 
+  test("interval_join never degrades to a nested-loop or cartesian plan") {
+    val plan = SparkEntry.queries("interval_join")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), "interval_join planned a BNLJ")
+    assert(!plan.contains("Cartesian"), "interval_join planned a cartesian")
+  }
+
   test("asof_join is the merge formulation: one window pass, no join") {
     // one shuffle per input keyed by the equi-key, a single window per
     // key, and NO join operator of any kind — per-key cost stays linear

@@ -110,6 +110,41 @@ class TemporalJoinSpec extends SparkSpec {
     assert(TemporalJoin.asofForward(l, r, Seq("k"), "lts", "rts", Some(100L)).count() === 0)
   }
 
+  test("forward: null timestamps match nothing on either side") {
+    val l = Seq(("A", Some(10L), 1), ("A", Option.empty[Long], 2)).toDF("k", "lts", "lv")
+    val r = Seq(("A", Some(20L), 1.0), ("A", Option.empty[Long], 9.9)).toDF("k", "rts", "rv")
+    val out = TemporalJoin.asofForward(l, r, Seq("k"), "lts", "rts")
+      .select("lv", "rv").as[(Int, Double)].collect().toSet
+    assert(out === Set((1, 1.0)))
+    // a left row AFTER every real right row must not "match" the null-ts row
+    val l2 = Seq(("A", 30L, 1)).toDF("k", "lts", "lv")
+    assert(TemporalJoin.asofForward(l2, r, Seq("k"), "lts", "rts").count() === 0)
+  }
+
+  test("empty left payload (key + timestamp only) works in both directions") {
+    val l = Seq(("A", 10L), ("A", 25L)).toDF("k", "lts")
+    val r = Seq(("A", 5L, 1.0), ("A", 20L, 2.0)).toDF("k", "rts", "rv")
+    val back = TemporalJoin.asofBackward(l, r, Seq("k"), "lts", "rts")
+      .select("lts", "rv").as[(Long, Double)].collect().toSet
+    assert(back === Set((10L, 1.0), (25L, 2.0)))
+    val fwd = TemporalJoin.asofForward(l, r, Seq("k"), "lts", "rts")
+      .select("lts", "rv").as[(Long, Double)].collect().toSet
+    assert(fwd === Set((10L, 2.0)))
+  }
+
+  test("forward mirrors backward under time negation") {
+    // structural check that the descending-order formulation IS forward:
+    // forward(t) == backward(-t) on negation-safe timestamps
+    val l = trades.withColumn("t_ts", -col("t_ts"))
+    val r = quotes.withColumn("q_ts", -col("q_ts"))
+    val viaBackward = TemporalJoin.asofBackward(l, r, Seq("sym"), "t_ts", "q_ts")
+      .select(col("sym"), (-col("t_ts")).as("t_ts"), (-col("q_ts")).as("q_ts"))
+      .as[(String, Long, Long)].collect().toSet
+    val direct = TemporalJoin.asofForward(trades, quotes, Seq("sym"), "t_ts", "q_ts")
+      .select("sym", "t_ts", "q_ts").as[(String, Long, Long)].collect().toSet
+    assert(direct === viaBackward)
+  }
+
   test("identical timestamp column names are rejected, not silently duplicated") {
     val l = Seq(("k", 1L, 1)).toDF("k", "ts", "lv")
     val r = Seq(("k", 1L, 2.0)).toDF("k", "ts", "rv")
