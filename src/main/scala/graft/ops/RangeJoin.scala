@@ -148,7 +148,7 @@ object RangeJoin {
     * Comparison is case-insensitive: Spark resolves column references
     * case-insensitively by default, so `withColumn("__bin", ...)` would
     * silently REPLACE a user column named `__Bin`. */
-  private[ops] def freshName(base: String, taken: Set[String]): String = {
+  private[graft] def freshName(base: String, taken: Set[String]): String = {
     val lower = taken.map(_.toLowerCase)
     Iterator.from(0)
       .map(i => if (i == 0) base else s"$base$i")

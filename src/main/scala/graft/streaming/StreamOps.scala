@@ -187,4 +187,54 @@ object StreamOps {
           }
       }
   }
+
+  /**
+   * Streaming as-of enrichment: attach to every event the latest row of a
+   * STATIC dimension table at-or-before the event's timestamp on the same
+   * key — price-at-event-time against a slowly-changing dimension, as a
+   * STATELESS streaming transform.
+   *
+   * The batch as-of ([[graft.ops.TemporalJoin.asofBackward]]) needs a
+   * per-key ordered window, which streaming append mode cannot run. Here
+   * the dimension side is static and bounded by contract, so its history
+   * folds into one sorted array per key (struct ordering sorts by the
+   * leading ts field), the stream joins it by plain equi-key — a
+   * stream-static broadcast join, stateless and supported in append mode —
+   * and the at-or-before lookup is an array scan per event. Left
+   * semantics: events with no dimension row at-or-before keep nulls.
+   *
+   * Per-event cost is O(|key's history|) via the `filter` HOF; dimension
+   * tables are small by contract (they ride a broadcast), so this is
+   * bounded. The same code path runs identically on a batch frame — the
+   * backfill/incremental parity contract of this module — and the parity
+   * spec pins it against `TemporalJoin.asofBackward`.
+   */
+  def enrichAsOf(
+      events: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      eventTs: String,
+      dimTs: String): DataFrame = {
+    require(keys.nonEmpty, "as-of enrichment requires at least one equi-key")
+    val payload = dim.columns.filterNot(c => keys.contains(c) || c == dimTs)
+    val taken = events.columns.toSet ++ dim.columns
+    val arr = graft.ops.RangeJoin.freshName("__dim_hist", taken)
+    val collisions = events.columns.map(_.toLowerCase).toSet
+      .intersect((payload :+ dimTs).map(_.toLowerCase).toSet)
+    require(collisions.isEmpty,
+      s"as-of enrichment: colliding column names ${collisions.mkString(", ")}")
+
+    val hist = dim.filter(col(dimTs).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(dimTs) +: payload.map(col): _*))).as(arr))
+    val joined = events.join(broadcast(hist), keys, "left")
+    // latest at-or-before: last element of the <= prefix. element_at is
+    // 1-based and ANSI-throws out of bounds, so guard on the prefix size.
+    val prefix = filter(col(arr), s => s.getField(dimTs) <= col(eventTs))
+    val hit = when(size(prefix) > 0, element_at(prefix, size(prefix)))
+    payload.foldLeft(
+      joined.withColumn(dimTs, hit.getField(dimTs))) {
+      case (df, c) => df.withColumn(c, hit.getField(c))
+    }.drop(arr)
+  }
 }

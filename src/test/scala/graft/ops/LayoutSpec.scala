@@ -78,6 +78,30 @@ class LayoutSpec extends SparkSpec {
     assert(sx < zx, "x-only sort remains the tightest on x alone")
   }
 
+  test("z-ordered files are prunable by footer stats on BOTH dimensions") {
+    // the end-to-end skipping story: writeZOrdered tightens footer min/max
+    // (write side), MetaPrune consumes exactly those stats (read side) —
+    // a narrow range filter on EITHER column must skip most files
+    import graft.meta.MetaPrune
+    val dim = 64
+    val rows = for (x <- 0 until dim; y <- 0 until dim) yield (x.toLong, y.toLong)
+    val df = new scala.util.Random(7).shuffle(rows).toDF("x", "y").repartition(8)
+    val zDir = Files.createTempDirectory("graft-zprune").toString
+    Layout.writeZOrdered(df, "x", "y", zDir, numFiles = 16)
+
+    for (c <- Seq("x", "y")) {
+      val hit = MetaPrune.filesInRange(spark, zDir, c, 3, 6).length
+      assert(hit < 16, s"range filter on $c should prune z-ordered files (hit $hit/16)")
+      // and the pruned read stays exact
+      val full = spark.read.parquet(zDir)
+        .filter(col(c) >= 3 && col(c) <= 6).count()
+      val pruned = MetaPrune.readPruned(spark, zDir, c, 3, 6)
+        .filter(col(c) >= 3 && col(c) <= 6).count()
+      assert(pruned === full)
+      assert(full === 4L * dim)
+    }
+  }
+
   test("out-of-domain values fail loudly instead of wrapping") {
     val dir = Files.createTempDirectory("graft-zdomain").toString
     val bad = Seq((1L << 31, 1L), (1L, 2L)).toDF("x", "y")

@@ -237,4 +237,58 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(c => (c.user_id, c.n_events, c.value_sum)).toSet
     assert(closed === Set((1L, 2L, 3.0), (2L, 1L, 4.0)))
   }
+
+  private lazy val priceDim = Seq(
+    (1L, 0L, 10.0),
+    (1L, 20L, 11.0),
+    (2L, 5L, 20.0)).toDF("user_id", "price_ts", "price")
+
+  private lazy val tickEvents = Seq(
+    (1L, 0L, "a"),   // equal ts: inclusive match at price 10.0
+    (1L, 25L, "b"),  // between updates: carries price 11.0
+    (2L, 3L, "c"),   // before user 2's first price: nulls (left semantics)
+    (3L, 9L, "d")    // unknown key: nulls
+  ).toDF("user_id", "ev_ts", "tag")
+
+  test("enrichAsOf matches the batch as-of join where matches exist, keeps misses") {
+    val got = StreamOps.enrichAsOf(tickEvents, priceDim, Seq("user_id"), "ev_ts", "price_ts")
+      .select("user_id", "ev_ts", "tag", "price_ts", "price")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(got === Set(
+      (1L, 0L, "a", Some(0L), Some(10.0)),
+      (1L, 25L, "b", Some(20L), Some(11.0)),
+      (2L, 3L, "c", None, None),
+      (3L, 9L, "d", None, None)))
+    // parity: the matched subset equals TemporalJoin.asofBackward (inner)
+    import graft.ops.TemporalJoin
+    val inner = TemporalJoin.asofBackward(
+        tickEvents, priceDim, Seq("user_id"), "ev_ts", "price_ts")
+      .select("user_id", "ev_ts", "tag", "price_ts", "price")
+      .as[(Long, Long, String, Long, Double)].collect().toSet
+    val matched = got.collect { case (u, e, t, Some(p), Some(v)) => (u, e, t, p, v) }
+    assert(matched === inner)
+  }
+
+  test("enrichAsOf runs as a STATELESS streaming transform in append mode") {
+    val dir = Files.createTempDirectory("graft_stream_asof").toString
+    tickEvents.coalesce(1).write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(tickEvents.schema).parquet(dir)
+    val q = StreamOps.enrichAsOf(src, priceDim, Seq("user_id"), "ev_ts", "price_ts")
+      .writeStream.format("memory").queryName("asof_enrich")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_asof").toString)
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("asof_enrich")
+      .select("user_id", "ev_ts", "price").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(got === Set(
+      (1L, 0L, Some(10.0)), (1L, 25L, Some(11.0)),
+      (2L, 3L, None), (3L, 9L, None)))
+  }
 }
