@@ -51,8 +51,10 @@ object TemporalJoin {
    *    on the same key and timestamp the "latest" row is ill-defined.
    *    Pre-aggregate the right side (the query inventory does) — this is
    *    the same determinism contract DuckDB's ASOF JOIN imposes;
-   *  - rows with a null timestamp (either side) match nothing and are
-   *    dropped, mirroring DuckDB's ASOF JOIN;
+   *  - rows with a null timestamp OR a null equi-key (either side) match
+   *    nothing and are dropped — SQL join equality semantics, mirroring
+   *    DuckDB's ASOF JOIN (a key-partitioned window would instead group
+   *    null keys together and "match" through them);
    *  - non-key column names must not collide across the two inputs.
    */
   def asofBackward(
@@ -99,13 +101,20 @@ object TemporalJoin {
           s"(got ${left.schema(leftTs).dataType.simpleString} / " +
           s"${right.schema(rightTs).dataType.simpleString})")
     }
-    val leftPayload = left.columns.filterNot(c => keys.contains(c) || c == leftTs)
-    val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    // case-insensitive classification: Spark resolves column references
+    // case-insensitively by default, so an exact-case comparison would
+    // let a miscased key ride along as payload and duplicate struct fields
+    def sameName(a: String, b: String) = a.equalsIgnoreCase(b)
+    val leftPayload = left.columns
+      .filterNot(c => keys.exists(sameName(c, _)) || sameName(c, leftTs))
+    val rightPayload = right.columns
+      .filterNot(c => keys.exists(sameName(c, _)) || sameName(c, rightTs))
     // Both timestamps appear in the output, so leftTs participates in the
     // collision contract like any other surviving column (leftTs == rightTs
     // would otherwise emit two same-named columns and poison every
     // downstream reference). Callers alias one side first.
-    val collisions = (leftPayload.toSet + leftTs).intersect(rightPayload.toSet + rightTs)
+    val collisions = (leftPayload.toSet + leftTs).map(_.toLowerCase)
+      .intersect((rightPayload.toSet + rightTs).map(_.toLowerCase))
     require(collisions.isEmpty,
       s"as-of join: colliding non-key column names ${collisions.mkString(", ")}; " +
         "alias the columns of one input before joining")
@@ -120,11 +129,14 @@ object TemporalJoin {
     // ASOF JOIN drops. Without this, nulls sort FIRST in the window and a
     // null-ts right row would be carried onto left rows that have no real
     // at-or-before match.
+    // null keys match nothing (SQL join equality; the window would
+    // otherwise group them together), null timestamps order nothing
+    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
     val rStruct = struct(col(rightTs) +: rightPayload.map(col): _*)
-    val r = right.filter(col(rightTs).isNotNull).select(
+    val r = right.filter(col(rightTs).isNotNull && keysNotNull).select(
       keys.map(col) ++ Seq(col(rightTs).as(cTs), lit(0).as(cSide),
         rStruct.as(cR), lit(null).cast(structTypeOf(left, leftPayload)).as(cL)): _*)
-    val l = left.filter(col(leftTs).isNotNull).select(
+    val l = left.filter(col(leftTs).isNotNull && keysNotNull).select(
       keys.map(col) ++ Seq(col(leftTs).as(cTs), lit(1).as(cSide),
         lit(null).cast(structTypeOf(right, rightTs +: rightPayload)).as(cR),
         struct(leftPayload.map(col): _*).as(cL)): _*)

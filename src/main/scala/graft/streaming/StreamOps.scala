@@ -207,7 +207,11 @@ object StreamOps {
    * tables are small by contract (they ride a broadcast), so this is
    * bounded. The same code path runs identically on a batch frame — the
    * backfill/incremental parity contract of this module — and the parity
-   * spec pins it against `TemporalJoin.asofBackward`.
+   * spec pins it against `TemporalJoin.asofBackward`. Shared contracts
+   * with the batch operator: the dimension must be unique per (keys, ts)
+   * (ties resolve deterministically by full-struct order here, but the
+   * result is ill-defined — pre-aggregate), and null keys match nothing
+   * (SQL join equality on both paths).
    */
   def enrichAsOf(
       events: DataFrame,
@@ -216,9 +220,12 @@ object StreamOps {
       eventTs: String,
       dimTs: String): DataFrame = {
     require(keys.nonEmpty, "as-of enrichment requires at least one equi-key")
-    val payload = dim.columns.filterNot(c => keys.contains(c) || c == dimTs)
+    // case-insensitive classification, matching Spark's default resolution
+    val payload = dim.columns.filterNot(c =>
+      keys.exists(c.equalsIgnoreCase) || c.equalsIgnoreCase(dimTs))
     val taken = events.columns.toSet ++ dim.columns
     val arr = graft.ops.RangeJoin.freshName("__dim_hist", taken)
+    val hitCol = graft.ops.RangeJoin.freshName("__dim_hit", taken + arr)
     val collisions = events.columns.map(_.toLowerCase).toSet
       .intersect((payload :+ dimTs).map(_.toLowerCase).toSet)
     require(collisions.isEmpty,
@@ -230,11 +237,13 @@ object StreamOps {
     val joined = events.join(broadcast(hist), keys, "left")
     // latest at-or-before: last element of the <= prefix. element_at is
     // 1-based and ANSI-throws out of bounds, so guard on the prefix size.
+    // Materialize the hit struct ONCE: the filter HOF evaluates interpreted
+    // per element, and inlining it into every output column would re-scan
+    // the history ~3x per payload column per event.
     val prefix = filter(col(arr), s => s.getField(dimTs) <= col(eventTs))
     val hit = when(size(prefix) > 0, element_at(prefix, size(prefix)))
-    payload.foldLeft(
-      joined.withColumn(dimTs, hit.getField(dimTs))) {
-      case (df, c) => df.withColumn(c, hit.getField(c))
-    }.drop(arr)
+    (dimTs +: payload).foldLeft(joined.withColumn(hitCol, hit)) {
+      case (df, c) => df.withColumn(c, col(hitCol).getField(c))
+    }.drop(arr, hitCol)
   }
 }

@@ -75,6 +75,18 @@ class TemporalJoinSpec extends SparkSpec {
     assert(TemporalJoin.asofBackward(l2, r, Seq("k"), "lts", "rts").count() === 0)
   }
 
+  test("null equi-keys match nothing on either side (SQL join equality)") {
+    val l = Seq((Some("A"), 10L, 1), (Option.empty[String], 10L, 2)).toDF("k", "lts", "lv")
+    val r = Seq((Some("A"), 5L, 1.0), (Option.empty[String], 5L, 9.9)).toDF("k", "rts", "rv")
+    for (dir <- Seq(false, true)) {
+      val out = if (dir) TemporalJoin.asofForward(
+          l, r.withColumn("rts", col("rts") + 10L), Seq("k"), "lts", "rts")
+        else TemporalJoin.asofBackward(l, r, Seq("k"), "lts", "rts")
+      val rows = out.select("lv", "rv").as[(Int, Double)].collect().toSet
+      assert(rows === Set((1, 1.0)), s"forward=$dir: null keys must not match")
+    }
+  }
+
   test("a join key named like a working column survives") {
     val l = Seq(("A", 10L, 1)).toDF("__m", "lts", "lv")
     val r = Seq(("A", 5L, 2.0)).toDF("__m", "rts", "rv")

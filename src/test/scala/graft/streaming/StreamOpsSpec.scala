@@ -273,6 +273,17 @@ class StreamOpsSpec extends SparkSpec {
     assert(matched === inner)
   }
 
+  test("enrichAsOf: null keys match nothing, mirroring the batch operator") {
+    val dim = Seq((Option.empty[Long], 0L, 5.0), (Some(1L), 0L, 10.0))
+      .toDF("user_id", "price_ts", "price")
+    val ev = Seq((Option.empty[Long], 5L, "x"), (Some(1L), 5L, "y"))
+      .toDF("user_id", "ev_ts", "tag")
+    val got = StreamOps.enrichAsOf(ev, dim, Seq("user_id"), "ev_ts", "price_ts")
+      .select("tag", "price").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSet
+    assert(got === Set(("x", None), ("y", Some(10.0))))
+  }
+
   test("enrichAsOf runs as a STATELESS streaming transform in append mode") {
     val dir = Files.createTempDirectory("graft_stream_asof").toString
     tickEvents.coalesce(1).write.mode("overwrite").parquet(dir)
