@@ -77,6 +77,26 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap matches the naive join on random interval sets") {
+    val rnd = new scala.util.Random(99)
+    for (round <- 0 until 10) {
+      // small domain incl. negatives forces boundary hits and bin straddling
+      def gen(n: Int, ids: Range) = ids.take(n).map { i =>
+        val s = rnd.nextInt(60) - 30L
+        (i.toLong, s, s + rnd.nextInt(15))
+      }
+      val ga = gen(12, 0 until 12).toDF("a_id", "a_s", "a_e")
+      val gb = gen(12, 100 until 112).toDF("b_id", "b_s", "b_e")
+      val naive = ga.join(gb, col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val w = Seq(1L, 4L, 9L)(round % 3)
+      val got = RangeJoin.intervalOverlap(ga, "a_s", "a_e", gb, "b_s", "b_e", w)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"dup pairs round $round w=$w")
+      assert(got.toSet === naive, s"mismatch round $round w=$w")
+    }
+  }
+
   test("interval overlap drops invalid intervals and keeps all columns") {
     val out = RangeJoin.intervalOverlap(ivsA, "a_s", "a_e", ivsB, "b_s", "b_e", 5L)
     assert(out.columns.sorted === Array("a_e", "a_id", "a_s", "b_e", "b_id", "b_s"))
