@@ -897,6 +897,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("z")).as("min_z"), max(col("z")).as("max_z"))
     }),
 
+    // Context-window chunking with stride overlap (RAG splitting / long-doc
+    // training): chunk i covers tokens [i*stride, i*stride+size), short
+    // tail kept. Narrow projection + posexplode; exact integer chunk count.
+    "text_chunks" -> ((s, dir) => {
+      val chunkSize = 40
+      val chunkStride = 30
+      s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(TextOps.chunkTokens(TextOps.tokens(col("text")), chunkSize, chunkStride))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(col("chunk")).cast("long").as("n_toks"),
+          element_at(col("chunk"), 1).as("head_tok"),
+          element_at(col("chunk"), size(col("chunk"))).as("tail_tok"))
+    }),
+
     // Corpus term statistics — the IDF-table / stopword-list / vocabulary
     // builder: two keyed aggregations with map-side partials, exact counts.
     "text_term_stats" -> ((s, dir) => {
@@ -1749,6 +1766,22 @@ object SparkEntry {
     "dedup_simhash_near" ->
       """SELECT doc_id AS a_id, doc_id + 100000 AS b_id
         |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "text_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id < 50),
+        |n AS (SELECT doc_id, toks, (len(toks) + 29) // 30 AS n_chunks FROM d),
+        |c AS (
+        |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id
+        |  FROM n WHERE n_chunks > 0),
+        |s AS (
+        |  SELECT doc_id, chunk_id,
+        |    toks[(chunk_id * 30 + 1):least(chunk_id * 30 + 40, len(toks))] AS chunk
+        |  FROM c)
+        |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_toks,
+        |  chunk[1] AS head_tok, chunk[len(chunk)] AS tail_tok
+        |FROM s""".stripMargin,
 
     "text_term_stats" ->
       """WITH tok AS (

@@ -47,6 +47,33 @@ object TextOps {
     ColumnBridge.column(WordNgramsF(ColumnBridge.expression(toks), n))
 
   /**
+   * Overlapping token chunks for context-window pipelines (RAG splitting,
+   * long-document training with stride): chunk i covers tokens
+   * `[i*stride, i*stride + size)`, chunks start while `i*stride < len`,
+   * the tail chunk may be short. `stride < size` gives overlap,
+   * `stride == size` is disjoint chunking. Returns an array of token-array
+   * chunks (posexplode at the call site for (chunk_id, chunk) rows) — a
+   * narrow projection built from builtin expressions, engine-portable:
+   * chunk count is the exact integer `(len + stride - 1) div stride`.
+   */
+  def chunkTokens(toks: Column, size: Int, stride: Int): Column = {
+    require(size > 0, s"chunk size must be positive, got $size")
+    require(stride > 0, s"chunk stride must be positive, got $stride")
+    // exact ceil(len/stride): floor-div in doubles is exact below 2^53 and
+    // array sizes are ints; Column `/` on longs would be double division
+    // anyway, so make the floor explicit
+    val sz = org.apache.spark.sql.functions.size(toks).cast("long")
+    val n = floor((sz + lit(stride - 1L)).cast("double") / lit(stride.toDouble)).cast("long")
+    // sequence(0, -1) COUNTS DOWN instead of returning empty, so clamp the
+    // end and filter the phantom chunk back out for empty inputs (the
+    // filter keeps the element type generic, unlike a cast)
+    val chunks = transform(
+      sequence(lit(0L), greatest(n - lit(1L), lit(0L))),
+      i => slice(toks, (i * lit(stride.toLong) + lit(1L)).cast("int"), lit(size)))
+    filter(chunks, _ => n > 0L)
+  }
+
+  /**
    * Deterministic rolling document fingerprint: polynomial hash of the
    * character codepoints, `acc = (acc * 31 + code) mod 1e9+7`. Pure
    * arithmetic so any engine (and the DuckDB oracle) reproduces it exactly.

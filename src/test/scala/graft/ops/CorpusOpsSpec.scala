@@ -1,4 +1,5 @@
 package graft.ops
+// (chunking cases at the bottom of this suite)
 
 import org.apache.spark.sql.functions._
 
@@ -167,5 +168,34 @@ class CorpusOpsSpec extends SparkSpec {
     val out = Dedup.duplicatedSpanStats(docs, "doc_id", "text", n = 4)
       .collect().map(_.getLong(0)).toSet
     assert(out === Set(2L))
+  }
+
+  test("chunkTokens covers every token with stride overlap, short tail kept") {
+    val toks = (1 to 10).map(i => s"t$i")
+    val df = Seq(Tuple1(toks)).toDF("toks")
+    val chunks = df.select(TextOps.chunkTokens(col("toks"), size = 4, stride = 3).as("c"))
+      .selectExpr("c").as[Seq[Seq[String]]].head()
+    // offsets 0,3,6,9 while < 10; last chunk is the short tail
+    assert(chunks === Seq(
+      Seq("t1", "t2", "t3", "t4"),
+      Seq("t4", "t5", "t6", "t7"),
+      Seq("t7", "t8", "t9", "t10"),
+      Seq("t10")))
+    // disjoint chunking when stride == size
+    val disjoint = df.select(TextOps.chunkTokens(col("toks"), 5, 5).as("c"))
+      .as[Seq[Seq[String]]].head()
+    assert(disjoint === Seq((1 to 5).map(i => s"t$i"), (6 to 10).map(i => s"t$i")))
+  }
+
+  test("chunkTokens yields no chunks for empty or null input") {
+    val df = Seq((1L, Seq.empty[String]), (2L, null)).toDF("id", "toks")
+    val out = df.select(col("id"), TextOps.chunkTokens(col("toks"), 4, 3).as("c"))
+      .collect().map(r =>
+        r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[_]]))
+      .toMap
+    assert(out(1L).exists(_.isEmpty))
+    assert(out(2L).forall(_.isEmpty)) // null tokens: no chunks (empty or null ok)
+    intercept[IllegalArgumentException] { TextOps.chunkTokens(col("toks"), 0, 3) }
+    intercept[IllegalArgumentException] { TextOps.chunkTokens(col("toks"), 4, 0) }
   }
 }
