@@ -905,8 +905,11 @@ object SparkEntry {
       val chunkStride = 30
       s.read.parquet(pq(dir, "documents"))
         .filter(col("doc_id") < 50)
+        // materialize tokens ONCE: chunkTokens' interpreted lambdas would
+        // re-derive an embedded tokenizer expression per chunk
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          posexplode(TextOps.chunkTokens(TextOps.tokens(col("text")), chunkSize, chunkStride))
+          posexplode(TextOps.chunkTokens(col("toks"), chunkSize, chunkStride))
             .as(Seq("chunk_id", "chunk")))
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
           size(col("chunk")).cast("long").as("n_toks"),
@@ -1771,7 +1774,11 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
         |  FROM documents WHERE doc_id < 50),
-        |n AS (SELECT doc_id, toks, (len(toks) + 29) // 30 AS n_chunks FROM d),
+        |n AS (SELECT doc_id, toks,
+        |        CASE WHEN len(toks) = 0 THEN 0
+        |             WHEN len(toks) <= 40 THEN 1
+        |             ELSE (len(toks) - 40 + 29) // 30 + 1 END AS n_chunks
+        |      FROM d),
         |c AS (
         |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id
         |  FROM n WHERE n_chunks > 0),

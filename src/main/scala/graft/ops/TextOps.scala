@@ -48,22 +48,32 @@ object TextOps {
 
   /**
    * Overlapping token chunks for context-window pipelines (RAG splitting,
-   * long-document training with stride): chunk i covers tokens
-   * `[i*stride, i*stride + size)`, chunks start while `i*stride < len`,
-   * the tail chunk may be short. `stride < size` gives overlap,
-   * `stride == size` is disjoint chunking. Returns an array of token-array
-   * chunks (posexplode at the call site for (chunk_id, chunk) rows) — a
-   * narrow projection built from builtin expressions, engine-portable:
-   * chunk count is the exact integer `(len + stride - 1) div stride`.
+   * long-document training with stride): chunk i starts at token
+   * `i*stride` and takes up to `size` tokens; chunking STOPS once a chunk
+   * reaches the end of the document (a further chunk would be a strict
+   * subset of the previous one — duplicate content for the index/training
+   * set). `stride < size` gives overlap, `stride == size` is disjoint.
+   * Returns an array of token-array chunks (posexplode at the call site
+   * for (chunk_id, chunk) rows) — a narrow projection built from builtin
+   * expressions with an exact integer chunk count:
+   * `len == 0 -> 0; len <= size -> 1; else ceil((len-size)/stride) + 1`.
+   *
+   * `toks` should be a PRE-MATERIALIZED column (select the token array
+   * first): the transform/filter lambdas here are interpreted and re-derive
+   * an embedded tokenizer expression once per chunk.
    */
   def chunkTokens(toks: Column, size: Int, stride: Int): Column = {
     require(size > 0, s"chunk size must be positive, got $size")
     require(stride > 0, s"chunk stride must be positive, got $stride")
-    // exact ceil(len/stride): floor-div in doubles is exact below 2^53 and
-    // array sizes are ints; Column `/` on longs would be double division
-    // anyway, so make the floor explicit
+    // exact ceil((len-size)/stride)+1: floor-div in doubles is exact below
+    // 2^53 and array sizes are ints; Column `/` on longs would be double
+    // division anyway, so make the floor explicit
     val sz = org.apache.spark.sql.functions.size(toks).cast("long")
-    val n = floor((sz + lit(stride - 1L)).cast("double") / lit(stride.toDouble)).cast("long")
+    val n = when(sz === 0L, lit(0L))
+      .when(sz <= lit(size.toLong), lit(1L))
+      .otherwise(floor(
+        (sz - lit(size.toLong) + lit(stride - 1L)).cast("double") / lit(stride.toDouble))
+        .cast("long") + lit(1L))
     // sequence(0, -1) COUNTS DOWN instead of returning empty, so clamp the
     // end and filter the phantom chunk back out for empty inputs (the
     // filter keeps the element type generic, unlike a cast)

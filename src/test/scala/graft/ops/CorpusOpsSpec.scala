@@ -1,5 +1,4 @@
 package graft.ops
-// (chunking cases at the bottom of this suite)
 
 import org.apache.spark.sql.functions._
 
@@ -170,21 +169,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out === Set(2L))
   }
 
-  test("chunkTokens covers every token with stride overlap, short tail kept") {
+  test("chunkTokens covers every token with stride overlap, stops at the end") {
     val toks = (1 to 10).map(i => s"t$i")
     val df = Seq(Tuple1(toks)).toDF("toks")
     val chunks = df.select(TextOps.chunkTokens(col("toks"), size = 4, stride = 3).as("c"))
       .selectExpr("c").as[Seq[Seq[String]]].head()
-    // offsets 0,3,6,9 while < 10; last chunk is the short tail
+    // starts 0,3,6: chunk 2 reaches token 10, so no redundant [t10] tail
+    // (it would be a strict subset of chunk 2 — duplicate content)
     assert(chunks === Seq(
       Seq("t1", "t2", "t3", "t4"),
       Seq("t4", "t5", "t6", "t7"),
-      Seq("t7", "t8", "t9", "t10"),
-      Seq("t10")))
+      Seq("t7", "t8", "t9", "t10")))
     // disjoint chunking when stride == size
     val disjoint = df.select(TextOps.chunkTokens(col("toks"), 5, 5).as("c"))
       .as[Seq[Seq[String]]].head()
     assert(disjoint === Seq((1 to 5).map(i => s"t$i"), (6 to 10).map(i => s"t$i")))
+    // a doc no longer than size is one whole chunk
+    val short = df.select(TextOps.chunkTokens(col("toks"), 10, 3).as("c"))
+      .as[Seq[Seq[String]]].head()
+    assert(short === Seq(toks))
+    // short tail past the overlap still gets its own chunk (new content)
+    val tail = Seq(Tuple1((1 to 12).map(i => s"t$i")))
+      .toDF("toks")
+      .select(TextOps.chunkTokens(col("toks"), 4, 3).as("c"))
+      .as[Seq[Seq[String]]].head()
+    // starts 0,3,6,9 — chunk at 9 holds t10..t12, t12 appears nowhere else
+    assert(tail.last === Seq("t10", "t11", "t12"))
+    assert(tail.length === 4)
   }
 
   test("chunkTokens yields no chunks for empty or null input") {
