@@ -100,11 +100,16 @@ object Dedup {
     bandedPairJoin(bandsA, bandsB, extraKeys, ordered = false)
 
   /** Shared banded equi-join body; `ordered` adds the a < b self-join
-    * constraint that prevents mirror/self pairs within one corpus. */
+    * constraint that prevents mirror/self pairs within one corpus.
+    * Joins on `band_hash` ALONE: the band index is hashed into the band
+    * hash (`lshBands` seeds `xxhash64` with it), so adding `band` to the
+    * key buys nothing except defeating single-column layouts (the
+    * [[writeBandStore]] bucketing). A cross-band 64-bit collision can only
+    * ADD a candidate, and candidates are exact-verified downstream. */
   private def bandedPairJoin(
       bandsA: DataFrame, bandsB: DataFrame,
       extraKeys: Seq[String], ordered: Boolean): DataFrame = {
-    val keys = Seq("band", "band_hash") ++ extraKeys
+    val keys = Seq("band_hash") ++ extraKeys
     val l = bandsA.select((keys.map(k => col(k).as(s"${k}_l")) :+ col("mh_id").as("a_id")): _*)
     val r = bandsB.select((keys.map(k => col(k).as(s"${k}_r")) :+ col("mh_id").as("b_id")): _*)
     val eq = keys.map(k => col(s"${k}_l") === col(s"${k}_r")).reduce(_ && _)
@@ -112,6 +117,44 @@ object Dedup {
     l.join(r, cond)
       .select(col("a_id"), col("b_id"))
       .distinct()
+  }
+
+  /**
+   * Persist a reference corpus's LSH bands as a parquet table BUCKETED by
+   * band hash — the incremental-dedup layout: signatures for the
+   * already-ingested 100 TB are computed and laid out ONCE, and every
+   * future increment scrubs against them via [[scrubAgainstBandStore]]
+   * with zero shuffle on the store side (the bucketed scan reports its
+   * hash partitioning; only the increment's bands exchange —
+   * plan-asserted in DedupStoreSpec). `numPerms`/`bands` must match
+   * between write and scrub (a mismatch silently yields wrong candidate
+   * sets — the store carries its geometry nowhere); keep them in one
+   * config point.
+   */
+  def writeBandStore(
+      docs: DataFrame, id: Column, tokenSet: Column, table: String,
+      buckets: Int, numPerms: Int = 64, bands: Int = 16): Unit = {
+    val banded = lshBands(
+      minhashSignatures(docs, id, tokenSet, numPerms),
+      bands, numPerms / bands, numPerms)
+    Bucketing.writeBucketed(banded, "band_hash", buckets, table)
+  }
+
+  /**
+   * Candidate pairs (store_id, new_id) between the persisted reference
+   * bands of [[writeBandStore]] and an incoming increment: the increment
+   * is banded with the SAME geometry and cross-joined on (band, band_hash).
+   * Exact verification downstream is the caller's usual broadcast re-check
+   * (candidates are tiny relative to either corpus).
+   */
+  def scrubAgainstBandStore(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      newDocs: DataFrame, id: Column, tokenSet: Column,
+      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    val bandsB = lshBands(
+      minhashSignatures(newDocs, id, tokenSet, numPerms),
+      bands, numPerms / bands, numPerms)
+    crossCandidatePairs(spark.table(table), bandsB)
   }
 
   /**
