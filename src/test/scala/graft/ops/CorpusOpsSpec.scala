@@ -198,6 +198,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(tail.length === 4)
   }
 
+  test("chunkTokens matches a brute-force reference on random lengths and geometries") {
+    val rnd = new scala.util.Random(5)
+    def reference(len: Int, size: Int, stride: Int): Seq[Seq[String]] = {
+      val toks = (1 to len).map(i => s"t$i")
+      if (len == 0) Seq.empty
+      else {
+        val n = if (len <= size) 1 else (len - size + stride - 1) / stride + 1
+        (0 until n).map(i => toks.slice(i * stride, math.min(i * stride + size, len)))
+      }
+    }
+    for (_ <- 0 until 25) {
+      val len = rnd.nextInt(30)
+      val size = rnd.nextInt(8) + 1
+      val stride = rnd.nextInt(8) + 1
+      val got = Seq(Tuple1((1 to len).map(i => s"t$i")))
+        .toDF("toks")
+        .select(TextOps.chunkTokens(col("toks"), size, stride).as("c"))
+        .as[Seq[Seq[String]]].head()
+      assert(got === reference(len, size, stride),
+        s"len=$len size=$size stride=$stride")
+    }
+  }
+
   test("chunkTokens yields no chunks for empty or null input") {
     val df = Seq((1L, Seq.empty[String]), (2L, null)).toDF("id", "toks")
     val out = df.select(col("id"), TextOps.chunkTokens(col("toks"), 4, 3).as("c"))

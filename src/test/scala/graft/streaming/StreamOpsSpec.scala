@@ -284,6 +284,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(got === Set(("x", None), ("y", Some(10.0))))
   }
 
+  test("enrichAsOf matches asofBackward on random keyed data (matched subset)") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(77)
+    for (round <- 0 until 8) {
+      val dim = Seq.fill(15)((rnd.nextInt(3).toLong, rnd.nextInt(12).toLong, rnd.nextLong()))
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq // unique per (key, ts)
+        .toDF("user_id", "price_ts", "price")
+      val ev = Seq.fill(20)((rnd.nextInt(4).toLong, rnd.nextInt(12).toLong, rnd.nextLong()))
+        .toDF("user_id", "ev_ts", "tag")
+      val enriched = StreamOps.enrichAsOf(ev, dim, Seq("user_id"), "ev_ts", "price_ts")
+        .filter(col("price_ts").isNotNull)
+        .select("user_id", "ev_ts", "tag", "price_ts", "price")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val inner = graft.ops.TemporalJoin.asofBackward(
+          ev, dim, Seq("user_id"), "ev_ts", "price_ts")
+        .select("user_id", "ev_ts", "tag", "price_ts", "price")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      // multiset comparison: duplicate events must enrich once each
+      assert(enriched.sorted.toSeq === inner.sorted.toSeq, s"round $round")
+    }
+  }
+
   test("enrichAsOf runs as a STATELESS streaming transform in append mode") {
     val dir = Files.createTempDirectory("graft_stream_asof").toString
     tickEvents.coalesce(1).write.mode("overwrite").parquet(dir)
