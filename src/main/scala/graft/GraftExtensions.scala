@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{CharNgramsExpr, CosineSimilarity, DotProductF, JaccardSorted, L2Normalize, MinHashSig, SimHash64F, TopKByScore, WordNgramsF}
+import graft.ops.Layout
 
 /**
  * Session extensions for the graft engine: registers the native vector
@@ -88,6 +89,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_ngrams"),
       info(classOf[WordNgramsF], "word_ngrams"),
       withIntLit("word_ngrams")(WordNgramsF)))
+    // composed BUILTIN trees (not custom expressions): the Column-level
+    // helpers expand into pure builtin bit arithmetic, so the SQL surface
+    // rebuilds the identical tree at catalyst level (Column->Expression
+    // bridging mid-analysis would leave unresolved function nodes)
+    def spreadExpr(e: Expression): Expression = {
+      import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, ShiftLeft}
+      import org.apache.spark.sql.types.LongType
+      val masked = BitwiseAnd(Cast(e, LongType), Literal(0x7FFFFFFFL))
+      Layout.steps.foldLeft(masked: Expression) { case (x, (s, m)) =>
+        BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(s))), Literal(m))
+      }
+    }
+    ext.injectFunction((
+      FunctionIdentifier("zvalue2"),
+      info(Layout.getClass, "zvalue2"),
+      binary("zvalue2") { (a, b) =>
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseOr, ShiftLeft}
+        BitwiseOr(spreadExpr(a), ShiftLeft(spreadExpr(b), Literal(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hamming64"),
+      info(graft.ops.Dedup.getClass, "hamming64"),
+      binary("hamming64") { (a, b) =>
+        import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor}
+        BitwiseCount(BitwiseXor(a, b))
+      }))
     // aggregate: the analyzer wraps a returned AggregateFunction into an
     // AggregateExpression, so SQL `top_k_by_score(score, id, 5)` works in
     // GROUP BY queries like any builtin aggregate

@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Canonical 2-D Morton bit-spread steps: after masking to 31 bits,
-    * each (shift, mask) round doubles the gap until bit i sits at bit 2i. */
-  private val steps: Seq[(Int, Long)] = Seq(
+    * each (shift, mask) round doubles the gap until bit i sits at bit 2i.
+    * (private[graft]: the SQL registration re-roots the same tree at
+    * catalyst Expression level.) */
+  private[graft] val steps: Seq[(Int, Long)] = Seq(
     16 -> 0x0000FFFF0000FFFFL,
     8 -> 0x00FF00FF00FF00FFL,
     4 -> 0x0F0F0F0F0F0F0F0FL,

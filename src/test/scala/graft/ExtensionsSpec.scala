@@ -70,4 +70,14 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception](
       spark.sql("SELECT top_k_by_score(CAST(1.0 AS DOUBLE), 1L)").collect())
   }
+
+  test("zvalue2 and hamming64 composed trees work from SQL") {
+    val r = spark.sql(
+      "SELECT zvalue2(3L, 5L) AS z, hamming64(0L, 7L) AS h, hamming64(-1L, 0L) AS h2")
+      .collect()(0)
+    assert(r.getLong(0) === 39L) // interleave(0b11, 0b101) = 0b100111
+    assert(r.getInt(1) === 3)
+    assert(r.getInt(2) === 64)
+    intercept[Exception](spark.sql("SELECT zvalue2(1L)").collect())
+  }
 }
