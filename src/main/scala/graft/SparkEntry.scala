@@ -620,6 +620,45 @@ object SparkEntry {
           coalesce(sum(col("id")), lit(0L)).as("id_sum"))
     }),
 
+    // Deterministic train/val/test carving: disjoint, exhaustive hash bands
+    // (80/10/10) as a narrow CASE projection — every row lands in exactly
+    // one split, stable under repartitioning/retries/backfills, no
+    // train-eval leakage by construction.
+    "sample_split" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      d.withColumn("split", Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+    }),
+
+    // Histogram-sketch quantiles: the quantile plan that survives 100 TB —
+    // one narrow integer-bin projection + one (group, bin) counter
+    // aggregate (shuffle carries at most groups x nbins rows, never the
+    // values), vs q_percentiles' exact per-group percentile over the data.
+    // Emits exact-integer quantile upper bounds (within one bin width).
+    "quantile_hist" -> ((s, dir) => {
+      val l = s.read.parquet(pq(dir, "lineitem"))
+      val hist = Sketches.histogram(l, col("l_returnflag"), col("l_extendedprice"),
+        width = 5000L, nbins = 24)
+      Sketches.histQuantilesMicro(hist, width = 5000L,
+          Seq("p50_ub" -> 500000L, "p90_ub" -> 900000L, "p99_ub" -> 990000L))
+        .withColumnRenamed("g", "l_returnflag")
+    }),
+
+    // Bottom-k overlap sketch: Jaccard/containment estimate between the
+    // customer key set and the order-customer key set from two constant-
+    // size KMV sketches — join-cardinality profiling without moving either
+    // key set; everything integer-exact and hash-pinned.
+    "kmv_overlap" -> ((s, dir) => {
+      val c = s.read.parquet(pq(dir, "customer"))
+      val o = s.read.parquet(pq(dir, "orders"))
+      Sketches.kmvOverlap(
+        c, Sampling.arithHash(col("c_custkey")),
+        o, Sampling.arithHash(col("o_custkey")), k = 16)
+    }),
+
     // Keyword extraction: each document's 3 most DISTINCTIVE tokens — high
     // term frequency, low document frequency (the exact-integer tf-idf
     // ordering: tf desc, df asc, token asc). Document frequency is one
@@ -735,6 +774,20 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.bruteForceTopK(e, "vec_id", "embedding", queries, "q_id", "q_vec", 3)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
+    // Int8-quantized exact ANN: the memory/bandwidth scale path (4x smaller
+    // corpus, integer multiply-adds). Fixed power-of-two scale keeps scores
+    // comparable across rows AND integer-exact, so unlike the float-scored
+    // ANN queries this one hash-pins the raw scores, not just ranks.
+    "ann_quantized" -> ((s, dir) => {
+      val e = s.read.parquet(pq(dir, "embeddings"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.quantizedTopK(e, "vec_id", "embedding", queries, "q_id", "q_vec",
+          scale = 64, k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("score").cast("long").as("score"))
     }),
 
     // Cross-modal: exact ANN neighbours joined back to document metadata
@@ -1529,6 +1582,51 @@ object SparkEntry {
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
         |FROM kept GROUP BY source""".stripMargin,
 
+    "sample_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 1000003) * 2654435761 + 104729) % 1000003 % 100 AS hv
+        |  FROM documents)
+        |SELECT CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "quantile_hist" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    least(greatest(CAST(floor(l_extendedprice) AS BIGINT), 0) // 5000, 23) AS bin
+        |  FROM lineitem),
+        |h AS (SELECT g, bin, count(*) AS cnt FROM b GROUP BY g, bin),
+        |c AS (
+        |  SELECT g, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY g) AS n
+        |  FROM h)
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum * 1000000 >= n * 500000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p50_ub,
+        |  CAST(min(CASE WHEN cum * 1000000 >= n * 900000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p90_ub,
+        |  CAST(min(CASE WHEN cum * 1000000 >= n * 990000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p99_ub
+        |FROM c GROUP BY g""".stripMargin,
+
+    "kmv_overlap" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT ((c_custkey % 1000003) * 2654435761 + 104729) % 1000003 AS h
+        |  FROM customer),
+        |hb AS (
+        |  SELECT DISTINCT ((o_custkey % 1000003) * 2654435761 + 104729) % 1000003 AS h
+        |  FROM orders),
+        |a AS (SELECT list_sort(list(h)) AS ka FROM (SELECT h FROM ha ORDER BY h LIMIT 16)),
+        |b AS (SELECT list_sort(list(h)) AS kb FROM (SELECT h FROM hb ORDER BY h LIMIT 16)),
+        |m AS (SELECT ka, kb, (list_sort(list_distinct(ka || kb)))[1:16] AS mk FROM a, b)
+        |SELECT CAST(len(ka) AS BIGINT) AS n_a, CAST(len(kb) AS BIGINT) AS n_b,
+        |  CAST(len(list_intersect(list_intersect(mk, ka), kb)) AS BIGINT) AS inter_k,
+        |  CAST(CASE WHEN len(mk) < 16 THEN len(mk) * 1000000
+        |    ELSE 15000045000000 // mk[16] END AS BIGINT) AS union_est_micro,
+        |  CAST(len(list_intersect(list_intersect(mk, ka), kb)) * 1000000 // len(mk) AS BIGINT)
+        |    AS jaccard_micro
+        |FROM m""".stripMargin,
+
     "quota_sample" ->
       """WITH h AS (
         |  SELECT lang, doc_id,
@@ -1670,6 +1768,27 @@ object SparkEntry {
         |  FROM embeddings e CROSS JOIN q
         |  WHERE e.vec_id <> q.q_id)
         |WHERE rank <= 3""".stripMargin,
+
+    // Quantized scores are exact integers: the oracle replays the same
+    // floor/clamp fixed-point arithmetic and integer dot product, and the
+    // hash compare pins scores, not just ranks.
+    "ann_quantized" ->
+      """WITH qv AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> greatest(least(CAST(floor(x * 64) AS BIGINT), 127), -128)) AS q8
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, q8 AS qq FROM qv WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_sum(list_transform(list_zip(e.q8, q.qq), x -> x[1] * x[2])) AS score
+        |  FROM qv e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+        |  FROM s)
+        |SELECT q_id AS query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neighbor_id,
+        |  CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "ann_join_meta" ->
       """WITH q AS (

@@ -86,4 +86,27 @@ object Sampling {
         arithBucket(col("id")).cast("double"), col("id"), n).as("top"))
       .select(col("group"), explode(col("top")).as("e"))
       .select(col("group"), col("e.id").as("id"))
+
+  /**
+   * Deterministic named-split assignment (train/val/test carving): maps the
+   * row's [[arithBucket]] percentage to the split whose cumulative band it
+   * falls in. `splits` are ordered (name, percent) pairs summing to exactly
+   * 100, so every row gets exactly one split and the bands are disjoint and
+   * exhaustive BY CONSTRUCTION — no sampling-twice bugs, no leakage between
+   * train and eval, stable under repartitioning, retries, and backfills. A
+   * narrow codegen'd CASE projection: no shuffle, no RNG state.
+   */
+  def splitColumn(key: Column, splits: Seq[(String, Int)]): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0),
+      s"splits must be non-negative percents, got $splits")
+    require(splits.map(_._2).sum == 100,
+      s"split percents must sum to 100, got ${splits.map(_._2).sum} in $splits")
+    val b = arithBucket(key)
+    val bounds = splits.map(_._2).scanLeft(0)(_ + _).tail // cumulative upper bounds
+    // first-match-wins CASE chain over ascending cumulative bounds
+    splits.init.zip(bounds.init).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), ub)) =>
+        when(b < ub, lit(name)).otherwise(acc)
+      }
+  }
 }

@@ -120,6 +120,44 @@ object Similarity {
     rankTopK(scored, queryId, corpusId, k)
   }
 
+  /** Fixed-point int8 quantization column ([[graft.functions.QuantizeFixedPoint]]). */
+  def quantizeI8(vec: Column, scale: Int): Column =
+    ColumnBridge.column(
+      graft.functions.QuantizeFixedPoint(ColumnBridge.expression(vec), scale))
+
+  /** Exact integer dot product column over two `array<int>` columns. */
+  def dotI(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      graft.functions.DotProductI(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /**
+   * Exact top-k by QUANTIZED integer dot product: both sides are reduced to
+   * int8 fixed-point vectors once ([[quantizeI8]], a narrow codegen
+   * projection — at scale, quantize at ingest and persist the int8 column
+   * to cut corpus bytes 4x), then scored with the integer kernel
+   * [[dotI]] inside the same broadcast corpus scan + bounded top-k shape
+   * as [[bruteForceTopK]]: zero corpus shuffle, `mappers x queries x k`
+   * shuffle rows. Scores are exact integers — fully hash-checkable by an
+   * independent engine, no float tolerance. Returns (query_id, rank,
+   * neighbor_id, score), score being the integer dot as a double.
+   */
+  def quantizedTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      scale: Int,
+      k: Int): DataFrame = {
+    val qc = corpus.select(col(corpusId), quantizeI8(col(corpusVec), scale).as("__qc"))
+    val qq = queries.select(col(queryId), quantizeI8(col(queryVec), scale).as("__qq"))
+    val scored = qc
+      .join(broadcast(qq), col(corpusId) =!= col(queryId))
+      .withColumn("score", dotI(col("__qc"), col("__qq")).cast("double"))
+    rankTopK(scored, queryId, corpusId, k)
+  }
+
   /**
    * Deterministic pseudo-random hyperplane for plane `j`: integer components
    * in [-3, 3] derived from a fixed hash of (dimension, plane), so every

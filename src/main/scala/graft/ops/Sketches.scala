@@ -53,4 +53,84 @@ object Sketches {
       .withColumn("est_micro",
         when(col("n_sketch") < k, col("n_sketch") * lit(1000000L))
           .otherwise(expr(s"${(k - 1).toLong * ArithHashModulus * 1000000L}L div kth_min")))
+
+  /**
+   * Bottom-k OVERLAP sketch between two key sets — the join-cardinality /
+   * corpus-contamination profiler. Because a KMV sketch is a uniform sample
+   * of the hashed key space, the bottom-k of the UNION is itself a KMV
+   * sketch, and the fraction of its members present in both input sketches
+   * estimates the Jaccard similarity |A∩B| / |A∪B| (Beyer et al., SIGMOD'07
+   * "On synopses for distinct-value estimation under multiset operations").
+   *
+   * Each side is one distinct + bounded-heap aggregate (shuffle carries at
+   * most `mappers x k` rows per side — at 100 TB the key sets never move);
+   * the merge is a 1x1 join on two k-element arrays. With [[Sampling
+   * .arithHash]] inputs everything is integer arithmetic: the oracle
+   * reproduces the sketch contents, the union estimate, and the Jaccard
+   * estimate bit-for-bit.
+   *
+   * Returns one row: (n_a, n_b, inter_k, union_est_micro, jaccard_micro).
+   */
+  def kmvOverlap(a: DataFrame, hashedA: Column, b: DataFrame, hashedB: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val sa = kmvSketch(a, lit(0), hashedA, k).select(col("kmv").as("ka"))
+    val sb = kmvSketch(b, lit(0), hashedB, k).select(col("kmv").as("kb"))
+    sa.crossJoin(sb) // 1x1: two single-row sketch frames
+      .withColumn("mk", slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, k))
+      .select(
+        size(col("ka")).cast("long").as("n_a"),
+        size(col("kb")).cast("long").as("n_b"),
+        size(array_intersect(array_intersect(col("mk"), col("ka")), col("kb")))
+          .cast("long").as("inter_k"),
+        size(col("mk")).cast("long").as("n_mk"),
+        when(size(col("mk")) >= k, element_at(col("mk"), k)).otherwise(lit(0L)).as("kth"))
+      .select(col("n_a"), col("n_b"), col("inter_k"),
+        when(col("n_mk") < k, col("n_mk") * lit(1000000L))
+          .otherwise(expr(s"${(k - 1).toLong * ArithHashModulus * 1000000L}L div kth"))
+          .as("union_est_micro"),
+        expr("(inter_k * 1000000L) div n_mk").as("jaccard_micro"))
+  }
+
+  /**
+   * Fixed-width histogram sketch: `(g, bin, cnt)` where
+   * `bin = clamp(floor(value) div width, 0, nbins-1)` — ONE map-side-
+   * combined hash aggregate over a narrow integer projection, the quantile
+   * path that scales where an exact per-group sort ([[expr percentile]])
+   * does not: at 100 TB the shuffle carries at most `groups x nbins`
+   * counter rows, never the values. Integer binning (floor then integer
+   * div) keeps the sketch engine-portable and bit-exact.
+   */
+  def histogram(df: DataFrame, group: Column, value: Column,
+      width: Long, nbins: Int): DataFrame = {
+    require(width > 0 && nbins > 0, s"width/nbins must be positive, got $width/$nbins")
+    df.select(group.as("g"), value.as("v"))
+      .select(col("g"),
+        expr(s"least(greatest(floor(v), 0L) div ${width}L, ${(nbins - 1).toLong}L)").as("bin"))
+      .groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Quantile UPPER BOUNDS from a [[histogram]]: for each requested quantile
+   * `q` (in micro-units), the upper edge `(bin+1) * width` of the first bin
+   * whose cumulative count reaches `q * n` — guaranteed within one bin
+   * width above the exact quantile. The windows here run over the
+   * POST-AGGREGATION sketch (`groups x nbins` rows, constant-size), not the
+   * data, so the single-reducer-window concern does not apply.
+   */
+  def histQuantilesMicro(hist: DataFrame, width: Long,
+      quantiles: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantiles.nonEmpty, "need at least one quantile")
+    val c = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.partitionBy("g").orderBy("bin")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("g")))
+    val aggs = quantiles.map { case (name, qm) =>
+      min(when(col("cum") * lit(1000000L) >= col("n") * lit(qm),
+        (col("bin") + 1) * lit(width))).as(name)
+    }
+    c.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), aggs: _*)
+  }
 }

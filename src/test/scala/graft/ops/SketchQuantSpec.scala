@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for split carving, histogram quantiles, KMV overlap, and the
+  * int8-quantized similarity path. */
+class SketchQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----- deterministic split carving -----------------------------------
+
+  test("splitColumn bands are disjoint, exhaustive, and deterministic") {
+    val ids = (0L until 1000L).toDF("id")
+    val out = ids.withColumn("split", Sampling.splitColumn(col("id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 1000L) // every row in exactly one split
+    assert(counts.keySet === Set("train", "val", "test"))
+    // roughly proportional (hash is uniform-ish over 1000 keys)
+    assert(counts("train") > 700L && counts("train") < 900L)
+    // pure function of key: a second evaluation matches row-for-row
+    val again = ids.withColumn("split", Sampling.splitColumn(col("id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+    assert(out.except(again).count() === 0L && again.except(out).count() === 0L)
+    // split agrees with the hash band it is defined by
+    val cross = out.withColumn("b", Sampling.arithBucket(col("id")))
+      .filter(
+        (col("b") < 80 && col("split") =!= "train") ||
+        (col("b") >= 80 && col("b") < 90 && col("split") =!= "val") ||
+        (col("b") >= 90 && col("split") =!= "test"))
+    assert(cross.count() === 0L)
+  }
+
+  test("splitColumn rejects percents that do not sum to 100") {
+    val e = intercept[IllegalArgumentException] {
+      Sampling.splitColumn(col("id"), Seq("a" -> 50, "b" -> 40))
+    }
+    assert(e.getMessage.contains("sum to 100"))
+  }
+
+  // ----- histogram-sketch quantiles ------------------------------------
+
+  test("histogram quantile upper bounds bracket the exact quantiles") {
+    val values = (1 to 500).map(i => ("g", (i * 7 % 1000).toDouble)) ++
+      (1 to 300).map(i => ("h", (i * 13 % 2000).toDouble))
+    val df = values.toDF("g", "v")
+    val width = 100L
+    val hist = Sketches.histogram(df, col("g"), col("v"), width, nbins = 24)
+    val out = Sketches.histQuantilesMicro(hist, width,
+        Seq("p50_ub" -> 500000L, "p90_ub" -> 900000L))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for ((g, vals) <- values.groupBy(_._1)) {
+      val sorted = vals.map(_._2).sorted
+      val (n, p50ub, p90ub) = out(g)
+      assert(n === sorted.length.toLong)
+      def exact(q: Double) = sorted((q * (sorted.length - 1)).toInt)
+      // upper bound: at or above the exact quantile, within one bin width
+      assert(p50ub >= exact(0.5) && p50ub <= exact(0.5) + width)
+      assert(p90ub >= exact(0.9) && p90ub <= exact(0.9) + width)
+      assert(p50ub <= p90ub)
+    }
+  }
+
+  test("histogram clamps values outside [0, nbins*width) into edge bins") {
+    val df = Seq(("g", -50.0), ("g", 1e9), ("g", 150.0)).toDF("g", "v")
+    val bins = Sketches.histogram(df, col("g"), col("v"), width = 100L, nbins = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(bins === Map(0L -> 1L, 3L -> 1L, 1L -> 1L))
+  }
+
+  // ----- KMV overlap sketch --------------------------------------------
+
+  test("kmvOverlap of a set with itself estimates Jaccard 1") {
+    val a = (0L until 200L).toDF("k")
+    val out = Sketches.kmvOverlap(a, Sampling.arithHash(col("k")),
+        a, Sampling.arithHash(col("k")), k = 16).collect().head
+    assert(out.getAs[Long]("n_a") === 16L)
+    assert(out.getAs[Long]("inter_k") === 16L)
+    assert(out.getAs[Long]("jaccard_micro") === 1000000L)
+  }
+
+  test("kmvOverlap of disjoint sets estimates Jaccard 0 and exact small unions") {
+    val a = (0L until 5L).toDF("k")
+    val b = (1000L until 1005L).toDF("k")
+    val out = Sketches.kmvOverlap(a, Sampling.arithHash(col("k")),
+        b, Sampling.arithHash(col("k")), k = 16).collect().head
+    assert(out.getAs[Long]("n_a") === 5L)
+    assert(out.getAs[Long]("n_b") === 5L)
+    assert(out.getAs[Long]("inter_k") === 0L)
+    assert(out.getAs[Long]("jaccard_micro") === 0L)
+    // union has 10 distinct keys < k: sketch is exact
+    assert(out.getAs[Long]("union_est_micro") === 10000000L)
+  }
+
+  test("kmvOverlap estimates a planted 50% overlap within sketch error") {
+    // |A| = |B| = 400, |A∩B| = 200 → true J = 200/600 ≈ 0.333
+    val a = (0L until 400L).toDF("k")
+    val b = (200L until 600L).toDF("k")
+    val out = Sketches.kmvOverlap(a, Sampling.arithHash(col("k")),
+        b, Sampling.arithHash(col("k")), k = 64).collect().head
+    val j = out.getAs[Long]("jaccard_micro") / 1e6
+    assert(j > 0.15 && j < 0.55, s"jaccard estimate $j far from 1/3")
+    val u = out.getAs[Long]("union_est_micro") / 1e6
+    assert(u > 300 && u < 1200, s"union estimate $u far from 600")
+  }
+
+  // ----- int8 quantized similarity -------------------------------------
+
+  test("quantizeI8 floors, scales, and clamps") {
+    val df = Seq(Tuple1(Array(0.51f, -0.26f, 0.99f, 5.0f, -5.0f))).toDF("v")
+    val q = df.select(Similarity.quantizeI8(col("v"), 64).as("q"))
+      .collect().head.getSeq[Int](0)
+    assert(q === Seq(32, -17, 63, 127, -128))
+  }
+
+  test("dotI computes the exact integer dot product") {
+    val df = Seq((Array(1, -2, 3), Array(4, 5, -6))).toDF("a", "b")
+    val d = df.select(Similarity.dotI(col("a"), col("b"))).collect().head.getLong(0)
+    assert(d === (4 - 10 - 18).toLong)
+  }
+
+  test("quantizedTopK recalls a planted exact duplicate at rank 1") {
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 50L).map(i => (i, unit()))
+    // plant exact duplicates of vectors 0..4 at ids 1000..1004
+    val corpus = (base ++ (0L until 5L).map(i => (i + 1000L, base(i.toInt)._2)))
+      .toDF("vec_id", "embedding")
+    val queries = base.take(5).map { case (i, v) => (i, v) }
+      .toDF("q_id", "q_vec")
+    val top = Similarity.quantizedTopK(corpus, "vec_id", "embedding",
+        queries, "q_id", "q_vec", scale = 64, k = 3)
+    val rank1 = top.filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    for (q <- 0L until 5L) assert(rank1(q) === q + 1000L,
+      s"query $q rank-1 neighbour should be its planted duplicate")
+    // k rows per query, ranks dense 1..k
+    val perQuery = top.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQuery.forall(_ === 3L))
+  }
+}
