@@ -647,6 +647,27 @@ object SparkEntry {
         .withColumnRenamed("g", "l_returnflag")
     }),
 
+    // Misra-Gries heavy hitters per language: constant executor memory per
+    // group no matter the vocabulary size. capacity=64 exceeds the
+    // synthetic corpus's distinct-token count, so the sketch is provably
+    // eviction-free here: exact counts, count_lb == count_ub, any merge
+    // order — the deterministic regime the gate can hash-pin (the eviction
+    // regime's error bound is spec-asserted instead).
+    "heavy_hitters" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      val toks = d.select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      Sketches.heavyHitters(toks, col("lang"), col("token"), capacity = 64)
+        .withColumnRenamed("g", "lang")
+    }),
+
+    // Deterministic weighted sampling without replacement (priority
+    // sampling, hash-derived draws): 20 documents weighted by length —
+    // integer-exact priorities, bounded-heap selection, no global sort.
+    "weighted_sample" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      Sampling.weightedPriority(d, col("doc_id"), length(col("text")), n = 20)
+    }),
+
     // Bottom-k overlap sketch: Jaccard/containment estimate between the
     // customer key set and the order-customer key set from two constant-
     // size KMV sketches — join-cardinality profiling without moving either
@@ -1608,6 +1629,30 @@ object SparkEntry {
         |  CAST(min(CASE WHEN cum * 1000000 >= n * 900000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p90_ub,
         |  CAST(min(CASE WHEN cum * 1000000 >= n * 990000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p99_ub
         |FROM c GROUP BY g""".stripMargin,
+
+    // capacity exceeds the distinct-token count, so the sketch holds exact
+    // counts and both bounds equal the true count (see the query comment).
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents)
+        |SELECT lang, token AS item,
+        |  CAST(count(*) AS BIGINT) AS count_lb,
+        |  CAST(count(*) AS BIGINT) AS count_ub
+        |FROM toks GROUP BY lang, token""".stripMargin,
+
+    "weighted_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |    (length(text) * 1000003) //
+        |      (((doc_id % 1000003) * 2654435761 + 104729) % 1000003 + 1) AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT id, priority,
+        |    row_number() OVER (ORDER BY priority DESC, id) AS rank
+        |  FROM p)
+        |SELECT CAST(rank AS BIGINT) AS rank, id, CAST(priority AS BIGINT) AS priority
+        |FROM r WHERE rank <= 20""".stripMargin,
 
     "kmv_overlap" ->
       """WITH ha AS (

@@ -88,6 +88,29 @@ object Sampling {
       .select(col("group"), col("e.id").as("id"))
 
   /**
+   * Deterministic weighted sampling without replacement: keep the `n` rows
+   * with the highest integer PRIORITY `w * 1000003 div (arithHash(key)+1)`
+   * — a row's chance of surviving scales with its weight (the
+   * priority-sampling scheme of Duffield-Lund-Thorup, CACM'07, with the
+   * uniform draw replaced by the deterministic key hash), yet the selected
+   * set is a pure function of (key, weight): reproducible across runs,
+   * engines, and partitionings, and exactly replayable in plain SQL.
+   * Selection is one bounded-heap top-n aggregate — no global sort, no
+   * shuffle of the losers. Integer-exact for |w| < 2^43. Returns
+   * (rank, id, priority), rank 1..n by (priority desc, id asc).
+   */
+  def weightedPriority(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame =
+    df.select(key.as("id"), weight.cast("long").as("w"))
+      .withColumn("h", arithHash(col("id")))
+      .select(col("id"), expr("(w * 1000003L) div (h + 1L)").as("priority"))
+      .agg(Similarity.topKAgg(col("priority").cast("double"), col("id"), n).as("top"))
+      .select(posexplode(col("top")))
+      // priorities are integers < 2^53: the heap's double score is exact,
+      // so the priority is recovered from the sketch, not re-scanned
+      .select((col("pos") + 1).cast("long").as("rank"), col("col.id").as("id"),
+        col("col.score").cast("long").as("priority"))
+
+  /**
    * Deterministic named-split assignment (train/val/test carving): maps the
    * row's [[arithBucket]] percentage to the split whose cumulative band it
    * falls in. `splits` are ordered (name, percent) pairs summing to exactly

@@ -92,6 +92,30 @@ object Sketches {
         expr("(inter_k * 1000000L) div n_mk").as("jaccard_micro"))
   }
 
+  /** Misra-Gries heavy-hitters aggregate column ([[graft.functions.FreqSketch]]):
+    * `array<struct<item, count_lb, count_ub>>`, at most `capacity` entries. */
+  def freqSketchAgg(item: Column, capacity: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.FreqSketch(
+        org.apache.spark.sql.graft.ColumnBridge.expression(item), capacity)
+        .toAggregateExpression())
+
+  /**
+   * Per-group heavy hitters: `(g, item, count_lb, count_ub)` — constant
+   * executor memory per group regardless of distinct-item cardinality (the
+   * `groupBy(item).count()` it replaces is itself the scale hazard when the
+   * item space is huge: URLs, n-grams, user ids). Partial sketches are
+   * bounded and map-side combined; see [[graft.functions.FreqSketch]] for
+   * the exact error-bound contract carried in (count_lb, count_ub).
+   */
+  def heavyHitters(df: DataFrame, group: Column, item: Column,
+      capacity: Int): DataFrame =
+    df.groupBy(group.as("g"))
+      .agg(freqSketchAgg(item, capacity).as("sk"))
+      .select(col("g"), explode(col("sk")).as("e"))
+      .select(col("g"), col("e.item").as("item"),
+        col("e.count_lb").as("count_lb"), col("e.count_ub").as("count_ub"))
+
   /**
    * Fixed-width histogram sketch: `(g, bin, cnt)` where
    * `bin = clamp(floor(value) div width, 0, nbins-1)` — ONE map-side-

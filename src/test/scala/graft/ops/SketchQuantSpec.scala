@@ -107,6 +107,58 @@ class SketchQuantSpec extends SparkSpec {
     assert(u > 300 && u < 1200, s"union estimate $u far from 600")
   }
 
+  // ----- Misra-Gries heavy hitters -------------------------------------
+
+  test("freq_sketch with capacity >= distinct items is exact in any merge order") {
+    val rows = (0 until 300).map(i => ("g", s"tok${i % 7}"))
+    val df = rows.toDF("g", "item").repartition(7) // force partial merges
+    val out = Sketches.heavyHitters(df, col("g"), col("item"), capacity = 16)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val truth = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(out.length === 7)
+    for ((item, lb, ub) <- out) {
+      assert(lb === truth(item), s"$item lower bound")
+      assert(ub === truth(item), s"$item upper bound (no eviction => no error)")
+    }
+  }
+
+  test("freq_sketch under eviction keeps guaranteed-heavy items within certified bounds") {
+    // 1000 occurrences of 'hot' + 900 distinct singletons; capacity 8.
+    // n = 1900, err <= n/(cap+1) = 211 < 1000, so 'hot' MUST survive and
+    // its bounds must bracket the true count.
+    val rows = (0 until 1000).map(_ => ("g", "hot")) ++
+      (0 until 900).map(i => ("g", s"rare$i"))
+    val df = scala.util.Random.shuffle(rows).toDF("g", "item").repartition(5)
+    val out = Sketches.heavyHitters(df, col("g"), col("item"), capacity = 8)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length <= 8)
+    val hot = out.find(_._1 === "hot")
+    assert(hot.isDefined, "guaranteed-heavy item evicted — MG bound violated")
+    val (_, lb, ub) = hot.get
+    assert(lb <= 1000L && 1000L <= ub, s"bounds [$lb,$ub] exclude true count 1000")
+    assert(ub - lb <= 1900L / 9 + 1, s"certified error ${ub - lb} above n/(c+1)")
+    // bounds are sound for every kept item
+    val truth = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    for ((item, l, u) <- out) assert(l <= truth(item) && truth(item) <= u, item)
+  }
+
+  // ----- weighted priority sampling ------------------------------------
+
+  test("weightedPriority selects the true top-n by integer priority") {
+    val rows = (0L until 500L).map(i => (i, 1L + (i * 37 % 1000)))
+    val df = rows.toDF("id", "w")
+    val out = Sampling.weightedPriority(df, col("id"), col("w"), n = 25)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force replay of the priority formula
+    def h(k: Long) = ((k % 1000003L) * 2654435761L + 104729L) % 1000003L
+    val expect = rows.map { case (i, w) => (i, w * 1000003L / (h(i) + 1L)) }
+      .sortBy { case (i, p) => (-p, i) }.take(25)
+    assert(out.map(_._2).toSeq === expect.map(_._1))
+    assert(out.map(_._3).toSeq === expect.map(_._2))
+    assert(out.map(_._1).toSeq === (1L to 25L))
+  }
+
   // ----- int8 quantized similarity -------------------------------------
 
   test("quantizeI8 floors, scales, and clamps") {
