@@ -115,6 +115,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor}
         BitwiseCount(BitwiseXor(a, b))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("quantize_i8"),
+      info(classOf[graft.functions.QuantizeFixedPoint], "quantize_i8"),
+      withIntLit("quantize_i8")(graft.functions.QuantizeFixedPoint)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_i"),
+      info(classOf[graft.functions.DotProductI], "dot_i"),
+      binary("dot_i")(graft.functions.DotProductI)))
+    ext.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      info(classOf[graft.functions.FreqSketch], "freq_sketch"),
+      withIntLit("freq_sketch") { (item, cap) =>
+        graft.functions.FreqSketch(item, cap)
+      }))
     // aggregate: the analyzer wraps a returned AggregateFunction into an
     // AggregateExpression, so SQL `top_k_by_score(score, id, 5)` works in
     // GROUP BY queries like any builtin aggregate

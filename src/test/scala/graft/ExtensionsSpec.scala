@@ -28,6 +28,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(6) - 1.0) < 1e-6)
   }
 
+  test("quantization and heavy-hitter functions are callable from SQL") {
+    val row = spark.sql("""
+      SELECT
+        quantize_i8(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT), CAST(9.0 AS FLOAT)), 64) AS q,
+        dot_i(array(1, 2, 3), array(4, 5, 6)) AS d
+    """).collect().head
+    assert(row.getSeq[Int](0) === Seq(32, -16, 127))
+    assert(row.getLong(1) === 32L)
+    val hh = spark.sql("""
+      SELECT freq_sketch(item, 8) AS sk FROM VALUES ('a'), ('a'), ('b') AS t(item)
+    """).collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.map(r => (r.getString(0), r.getLong(1))) === Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("metadata source is usable from pure SQL via CREATE TABLE ... USING") {
     spark.sql("DROP TABLE IF EXISTS meta_rg_ddl")
     spark.sql(s"""
