@@ -863,6 +863,24 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
+    // The composed 100 TB recipe — IVF probing (candidate cut) + int8
+    // scoring (byte cut) — under the same planted-duplicate exact-recall
+    // oracle: an identical vector shares its query's nearest cell AND its
+    // quantized representation, so its integer self-dot beats any
+    // non-identical unit vector's cross-dot by the cosine margin.
+    "ann_ivf_quantized" -> ((s, dir) => {
+      val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val corpus = e.union(
+        e.filter(col("vec_id") < 10).select(col("vec_id") + 100000L, col("embedding")))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 16, iters = 1)
+      Similarity.ivfQuantizedTopK(corpus, "vec_id", "embedding", queries, "q_id", "q_vec",
+        centroids, nprobe = 4, scale = 64, k = 3)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
     // ----- LLM-data-pipeline: multimodal columns -----------------------
     "mm_features" -> ((s, dir) => {
       val media = s.read.parquet(pq(dir, "documents"))
@@ -1861,6 +1879,11 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "ann_ivf_quantized" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
         |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

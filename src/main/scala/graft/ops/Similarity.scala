@@ -260,6 +260,40 @@ object Similarity {
   }
 
   /**
+   * The 100 TB ANN recipe, composed: IVF cell probing cuts the candidate
+   * set ~(cells/nprobe)x, int8 fixed-point scoring cuts candidate bytes 4x
+   * and replaces float multiplies with integer ones. Cell assignment still
+   * argmins against FLOAT centroids (a narrow projection), but the float
+   * vector is dropped before the join: only `(id, cell, int8 vec)` flows
+   * into the probe equi-join, which is exactly the compressed posting-list
+   * layout a persisted IVF index would hold. Same bounded top-k ranking;
+   * integer scores, so results stay engine-checkable.
+   */
+  def ivfQuantizedTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      centroids: Array[Array[Float]],
+      nprobe: Int,
+      scale: Int,
+      k: Int): DataFrame = {
+    val cells = corpus.select(col(corpusId),
+      nearestCell(col(corpusVec), centroids).as("cell"),
+      quantizeI8(col(corpusVec), scale).as("__qc"))
+    val probes = queries.select(col(queryId),
+      quantizeI8(col(queryVec), scale).as("__qq"),
+      explode(nearestCells(col(queryVec), centroids, nprobe)).as("cell"))
+    val scored = cells
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col(corpusId) =!= col(queryId))
+      .withColumn("score", dotI(col("__qc"), col("__qq")).cast("double"))
+    rankTopK(scored, queryId, corpusId, k)
+  }
+
+  /**
    * Bucketed approximate top-k: candidates limited to corpus rows whose LSH
    * bucket matches the query's bucket, joined on the bucket id (equi-join —
    * no cartesian product), then exact-scored and ranked per query with the

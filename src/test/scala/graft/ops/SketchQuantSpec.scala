@@ -174,6 +174,26 @@ class SketchQuantSpec extends SparkSpec {
     assert(d === (4 - 10 - 18).toLong)
   }
 
+  test("ivfQuantizedTopK recalls planted duplicates through probed cells") {
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Float] = {
+      val v = Array.fill(32)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 60L).map(i => (i, unit()))
+    val corpus = (base ++ (0L until 5L).map(i => (i + 1000L, base(i.toInt)._2)))
+      .toDF("vec_id", "embedding")
+    val queries = base.take(5).toDF("q_id", "q_vec")
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 8, iters = 1)
+    val top = Similarity.ivfQuantizedTopK(corpus, "vec_id", "embedding",
+      queries, "q_id", "q_vec", cents, nprobe = 2, scale = 64, k = 3)
+    val rank1 = top.filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    for (q <- 0L until 5L) assert(rank1(q) === q + 1000L,
+      s"query $q rank-1 neighbour should be its planted duplicate")
+  }
+
   test("quantizedTopK recalls a planted exact duplicate at rank 1") {
     val rnd = new scala.util.Random(7)
     def unit(): Array[Float] = {
