@@ -21,6 +21,16 @@ case class ClosedSession(
 /** State held per user between micro-batches: the one open session. */
 case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
 
+/** One (group, item) observation for streaming frequency sketching. */
+case class ItemEvent(group: String, item: String)
+
+/** Misra-Gries sketch state per group: bounded counters + exact total
+  * decrement (the certified count error). */
+case class HhState(counts: Map[String, Long], err: Long)
+
+/** One sketch entry emitted per trigger by [[StreamOps.streamingHeavyHitters]]. */
+case class HhEntry(group: String, item: String, count_lb: Long, count_ub: Long)
+
 /**
  * Structured Streaming operators for the event-pipeline side of the engine.
  *
@@ -245,5 +255,53 @@ object StreamOps {
     (dimTs +: payload).foldLeft(joined.withColumn(hitCol, hit)) {
       case (df, c) => df.withColumn(c, col(hitCol).getField(c))
     }.drop(arr, hitCol)
+  }
+
+  /**
+   * Streaming heavy hitters: the Misra-Gries bounded-counter sketch (same
+   * algorithm and certified-bound contract as the batch
+   * [[graft.functions.FreqSketch]]) carried as `flatMapGroupsWithState`
+   * state — per-group state is AT MOST `capacity` counters FOREVER, no
+   * matter how many distinct items the stream ever produces. That bound is
+   * what makes frequent-item tracking on an unbounded stream legal at all:
+   * a `groupBy(item).count()` stream grows state with the distinct-item
+   * count and a watermark would evict exactly the long-lived hot items the
+   * question is about.
+   *
+   * Emits the group's full sketch each trigger (Update-mode output): item
+   * with certified bounds `count_lb <= true <= count_ub`, where `count_ub -
+   * count_lb = n_decremented <= n/(capacity+1)`. Runs identically on a
+   * batch Dataset (one "trigger" over empty state) — the backfill/live
+   * parity path.
+   */
+  def streamingHeavyHitters(
+      events: Dataset[ItemEvent],
+      capacity: Int): Dataset[HhEntry] = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    implicit val stEnc: Encoder[HhState] = Encoders.product[HhState]
+    implicit val outEnc: Encoder[HhEntry] = Encoders.product[HhEntry]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    events.groupByKey(_.group)
+      .flatMapGroupsWithState[HhState, HhEntry](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (group: String, batch: Iterator[ItemEvent], state: GroupState[HhState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          var err = state.getOption.map(_.err).getOrElse(0L)
+          batch.foreach { e =>
+            counts.get(e.item) match {
+              case Some(c) => counts = counts.updated(e.item, c + 1L)
+              case None if counts.size < capacity => counts = counts.updated(e.item, 1L)
+              case None =>
+                // MG decrement-all: the arriving item and every counter
+                // each give up one occurrence; zeros free their slots
+                counts = counts.collect { case (k, v) if v > 1L => k -> (v - 1L) }
+                err += 1L
+            }
+          }
+          state.update(HhState(counts, err))
+          counts.toSeq.sortBy { case (k, v) => (-v, k) }
+            .map { case (k, v) => HhEntry(group, k, v, v + err) }.iterator
+      }
   }
 }

@@ -324,4 +324,79 @@ class StreamOpsSpec extends SparkSpec {
       (1L, 0L, Some(10.0)), (1L, 25L, Some(11.0)),
       (2L, 3L, None), (3L, 9L, None)))
   }
+
+  test("streamingHeavyHitters accumulates exact counts across runs (no eviction)") {
+    val dir = Files.createTempDirectory("graft_stream_hh").toString
+    val ckpt = Files.createTempDirectory("ckpt_hh").toString
+    val outDir = Files.createTempDirectory("out_hh").toString
+    def tokens(rows: (String, String)*): Unit =
+      rows.toDF("group", "item").coalesce(1).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("group", "string").add("item", "string")
+      val src = spark.readStream.schema(schema).parquet(dir)
+      implicit val ev: org.apache.spark.sql.Encoder[ItemEvent] =
+        org.apache.spark.sql.Encoders.product[ItemEvent]
+      // foreachBatch parquet append: the file sink is Append-only and the
+      // memory sink cannot recover a checkpoint; this sink supports both
+      // Update output and run-2 state recovery
+      val q = StreamOps.streamingHeavyHitters(src.as[ItemEvent], capacity = 8)
+        .toDF()
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir): Unit
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination(60000)
+    }
+    tokens(("g", "a"), ("g", "a"), ("g", "b"), ("h", "x"))
+    runOnce()
+    // Run 2 (same checkpoint): counters restored from state keep counting
+    tokens(("g", "a"), ("g", "b"), ("g", "c"))
+    runOnce()
+    // latest snapshot per (group, item): under capacity there is no
+    // eviction, so bounds collapse to exact cumulative counts
+    val last = spark.read.parquet(outDir).groupBy("group", "item")
+      .agg(org.apache.spark.sql.functions.max("count_lb").as("lb"),
+        org.apache.spark.sql.functions.max("count_ub").as("ub"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(last(("g", "a")) === ((3L, 3L)))
+    assert(last(("g", "b")) === ((2L, 2L)))
+    assert(last(("g", "c")) === ((1L, 1L)))
+    assert(last(("h", "x")) === ((1L, 1L)))
+  }
+
+  test("streamingHeavyHitters keeps per-group state bounded under eviction") {
+    // 30 distinct singletons + a hot item through a capacity-4 sketch, in
+    // ONE batch: state and every emitted snapshot hold <= 4 items, the hot
+    // item survives with sound certified bounds.
+    val rows = (0 until 30).map(i => ("g", s"rare$i")) ++
+      (0 until 40).map(_ => ("g", "hot"))
+    val dir = Files.createTempDirectory("graft_stream_hh2").toString
+    scala.util.Random.shuffle(rows).toDF("group", "item")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("group", "string").add("item", "string")
+    val src = spark.readStream.schema(schema).parquet(dir)
+    implicit val ev: org.apache.spark.sql.Encoder[ItemEvent] =
+      org.apache.spark.sql.Encoders.product[ItemEvent]
+    val q = StreamOps.streamingHeavyHitters(src.as[ItemEvent], capacity = 4)
+      .toDF()
+      .writeStream.format("memory").queryName("hh_evict")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_hh2").toString)
+      .start()
+    q.awaitTermination(60000)
+    val snap = spark.table("hh_evict").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(snap.length <= 4, s"sketch exceeded capacity: ${snap.toSeq}")
+    val hot = snap.find(_._1 === "hot")
+    assert(hot.isDefined, "guaranteed-heavy item evicted")
+    assert(hot.get._2 <= 40L && 40L <= hot.get._3,
+      s"bounds ${hot.get} exclude true count 40")
+  }
 }
