@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Clustering, ConnectedComponents, Decontam, Dedup, Layout, Multimodal, Packing, RangeJoin, Relevance, Sampling, Similarity, Sketches, TemporalJoin, TextOps}
+import graft.ops.{Clustering, ConnectedComponents, Decontam, Dedup, Layout, Multimodal, Packing, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, TemporalJoin, TextOps}
 
 /**
  * Driver contract: the full query inventory with DuckDB oracles.
@@ -646,6 +646,15 @@ object SparkEntry {
           Seq("p50_ub" -> 500000L, "p90_ub" -> 900000L, "p99_ub" -> 990000L))
         .withColumnRenamed("g", "l_returnflag")
     }),
+
+    // One-pass table profile: every per-column statistic of 6 mixed-type
+    // lineitem columns from ONE scan and ONE aggregate (map-side partials;
+    // the per-column pivot runs on the 1-row result). Decimal-exact sums
+    // make even the double columns' profile hash-pinnable.
+    "profile_table" -> ((s, dir) =>
+      Profile.profile(s.read.parquet(pq(dir, "lineitem")),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_shipdate", "l_linestatus"))),
 
     // Misra-Gries heavy hitters per language: constant executor memory per
     // group no matter the vocabulary size. capacity=64 exceeds the
@@ -1647,6 +1656,41 @@ object SparkEntry {
         |  CAST(min(CASE WHEN cum * 1000000 >= n * 900000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p90_ub,
         |  CAST(min(CASE WHEN cum * 1000000 >= n * 990000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p99_ub
         |FROM c GROUP BY g""".stripMargin,
+
+    "profile_table" ->
+      """WITH p AS (
+        |  SELECT 'l_orderkey' AS "column", count(*) AS n, count(*) - count(l_orderkey) AS n_null,
+        |    CAST(CAST(min(l_orderkey) AS DECIMAL(28,6)) AS VARCHAR) AS min_s,
+        |    CAST(CAST(max(l_orderkey) AS DECIMAL(28,6)) AS VARCHAR) AS max_s,
+        |    CAST(sum(CAST(l_orderkey AS DECIMAL(28,6))) AS DOUBLE) AS sum_d
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |    CAST(CAST(min(l_quantity) AS DECIMAL(28,6)) AS VARCHAR),
+        |    CAST(CAST(max(l_quantity) AS DECIMAL(28,6)) AS VARCHAR),
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+        |    CAST(CAST(min(l_extendedprice) AS DECIMAL(28,6)) AS VARCHAR),
+        |    CAST(CAST(max(l_extendedprice) AS DECIMAL(28,6)) AS VARCHAR),
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |    min(l_returnflag), max(l_returnflag), NULL
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+        |    CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR), NULL
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+        |    min(l_linestatus), max(l_linestatus), NULL
+        |  FROM lineitem)
+        |SELECT "column", CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+        |  min_s, max_s, CAST(sum_d AS DOUBLE) AS sum_d
+        |FROM p""".stripMargin,
 
     // capacity exceeds the distinct-token count, so the sketch holds exact
     // counts and both bounds equal the true count (see the query comment).
