@@ -39,24 +39,28 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile requires at least one column")
     val schema = df.schema
-    val aggs: Seq[Column] = cols.flatMap { name =>
+    // one struct of aggregates per column: pure Column construction, no SQL
+    // string round-trip, so any legal column name (spaces, quotes, dots)
+    // profiles fine
+    val perCol: Seq[Column] = cols.map { name =>
       val dt = schema(name).dataType
-      val c = col(name)
-      Seq(
-        count(lit(1)).as(s"__n_$name"),
-        (count(lit(1)) - count(c)).as(s"__nulls_$name"),
-        render(min(c), dt).as(s"__min_$name"),
-        render(max(c), dt).as(s"__max_$name"),
+      // backtick-quote so a dotted name profiles the top-level column it
+      // names rather than being parsed as a nested-field path
+      val c = col(s"`${name.replace("`", "``")}`")
+      struct(
+        lit(name).as("column"),
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(c)).as("n_null"),
+        render(min(c), dt).as("min_s"),
+        render(max(c), dt).as("max_s"),
         (if (isNumeric(dt)) sum(c.cast(DecimalType(28, 6))).cast("double")
-         else lit(null).cast("double")).as(s"__sum_$name"))
+         else lit(null).cast("double")).as("sum_d"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    // pivot the 1-row aggregate into one row per column: stack is evaluated
-    // on a single row, so this costs nothing regardless of table size
-    val stackArgs = cols.map { name =>
-      s"'$name', __n_$name, __nulls_$name, __min_$name, __max_$name, __sum_$name"
-    }.mkString(", ")
-    one.select(expr(
-      s"stack(${cols.length}, $stackArgs) AS (column, n, n_null, min_s, max_s, sum_d)"))
+    // pivot the 1-row aggregate into one row per column: the explode runs
+    // on a single row, so it costs nothing regardless of table size
+    df.agg(array(perCol: _*).as("__p"))
+      .select(explode(col("__p")).as("e"))
+      .select(col("e.column"), col("e.n"), col("e.n_null"),
+        col("e.min_s"), col("e.max_s"), col("e.sum_d"))
   }
 }

@@ -96,11 +96,22 @@ object Sampling {
    * set is a pure function of (key, weight): reproducible across runs,
    * engines, and partitionings, and exactly replayable in plain SQL.
    * Selection is one bounded-heap top-n aggregate — no global sort, no
-   * shuffle of the losers. Integer-exact for |w| < 2^43. Returns
-   * (rank, id, priority), rank 1..n by (priority desc, id asc).
+   * shuffle of the losers. Returns (rank, id, priority), rank 1..n by
+   * (priority desc, id asc).
+   *
+   * Weight domain: |w| < 2^32, ENFORCED at runtime with a loud error. The
+   * bound keeps `w * modulus` (a) overflow-free and (b) below 2^53, so the
+   * heap's double score carries the integer priority EXACTLY — a silently
+   * rounded priority would pick different rows than the documented
+   * plain-SQL replay.
    */
   def weightedPriority(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame =
     df.select(key.as("id"), weight.cast("long").as("w"))
+      .withColumn("w",
+        when(abs(col("w")) >= lit(1L << 32), expr(
+          "raise_error(concat('weightedPriority: |weight| must be < 2^32 for exact " +
+            "double-carried priorities, got ', CAST(w AS STRING)))"))
+          .otherwise(col("w")))
       .withColumn("h", arithHash(col("id")))
       .select(col("id"), expr("(w * 1000003L) div (h + 1L)").as("priority"))
       .agg(Similarity.topKAgg(col("priority").cast("double"), col("id"), n).as("top"))

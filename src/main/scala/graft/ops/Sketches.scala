@@ -45,14 +45,20 @@ object Sketches {
    * `(k-1) * modulus * 1e6 div kth_min` — all integer arithmetic, so any
    * engine reproduces the same number bit-for-bit.
    */
+  /** Bottom-k cardinality estimate in micro-units from a sketch's size and
+    * k-th minimum: exact `n * 1e6` when not full, else `(k-1) * modulus *
+    * 1e6 div kth` — shared by the per-group and overlap paths so the
+    * estimator has exactly one definition. */
+  private def estMicroExpr(nSketchCol: String, kthMinCol: String, k: Int): Column =
+    expr(s"CASE WHEN $nSketchCol < $k THEN $nSketchCol * 1000000L " +
+      s"ELSE ${(k - 1).toLong * ArithHashModulus * 1000000L}L div $kthMinCol END")
+
   def kmvEstimateMicro(df: DataFrame, k: Int): DataFrame =
     df.select(col("g"),
         size(col("kmv")).cast("long").as("n_sketch"),
         when(size(col("kmv")) >= k, element_at(col("kmv"), k))
           .otherwise(lit(0L)).as("kth_min"))
-      .withColumn("est_micro",
-        when(col("n_sketch") < k, col("n_sketch") * lit(1000000L))
-          .otherwise(expr(s"${(k - 1).toLong * ArithHashModulus * 1000000L}L div kth_min")))
+      .withColumn("est_micro", estMicroExpr("n_sketch", "kth_min", k))
 
   /**
    * Bottom-k OVERLAP sketch between two key sets — the join-cardinality /
@@ -74,9 +80,13 @@ object Sketches {
   def kmvOverlap(a: DataFrame, hashedA: Column, b: DataFrame, hashedB: Column,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val sa = kmvSketch(a, lit(0), hashedA, k).select(col("kmv").as("ka"))
-    val sb = kmvSketch(b, lit(0), hashedB, k).select(col("kmv").as("kb"))
-    sa.crossJoin(sb) // 1x1: two single-row sketch frames
+    // first+coalesce re-aggregation guarantees exactly ONE row per side
+    // even when an input is empty (groupBy over nothing yields no rows,
+    // which would make the result frame empty instead of all-zero)
+    def oneRow(df: DataFrame, hashed: Column, as: String): DataFrame =
+      kmvSketch(df, lit(0), hashed, k)
+        .agg(coalesce(first(col("kmv")), array().cast("array<long>")).as(as))
+    oneRow(a, hashedA, "ka").crossJoin(oneRow(b, hashedB, "kb")) // 1x1
       .withColumn("mk", slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, k))
       .select(
         size(col("ka")).cast("long").as("n_a"),
@@ -86,10 +96,9 @@ object Sketches {
         size(col("mk")).cast("long").as("n_mk"),
         when(size(col("mk")) >= k, element_at(col("mk"), k)).otherwise(lit(0L)).as("kth"))
       .select(col("n_a"), col("n_b"), col("inter_k"),
-        when(col("n_mk") < k, col("n_mk") * lit(1000000L))
-          .otherwise(expr(s"${(k - 1).toLong * ArithHashModulus * 1000000L}L div kth"))
-          .as("union_est_micro"),
-        expr("(inter_k * 1000000L) div n_mk").as("jaccard_micro"))
+        estMicroExpr("n_mk", "kth", k).as("union_est_micro"),
+        when(col("n_mk") === 0L, lit(0L))
+          .otherwise(expr("(inter_k * 1000000L) div n_mk")).as("jaccard_micro"))
   }
 
   /** Misra-Gries heavy-hitters aggregate column ([[graft.functions.FreqSketch]]):
@@ -124,11 +133,17 @@ object Sketches {
    * does not: at 100 TB the shuffle carries at most `groups x nbins`
    * counter rows, never the values. Integer binning (floor then integer
    * div) keeps the sketch engine-portable and bit-exact.
+   *
+   * NULL values are EXCLUDED (they have no bin; a null row would otherwise
+   * sort nulls-first into every cumulative count in [[histQuantilesMicro]]
+   * and skew each quantile downward — and engines disagree on null
+   * ordering). Count nulls separately ([[Profile.profile]]) if needed.
    */
   def histogram(df: DataFrame, group: Column, value: Column,
       width: Long, nbins: Int): DataFrame = {
     require(width > 0 && nbins > 0, s"width/nbins must be positive, got $width/$nbins")
     df.select(group.as("g"), value.as("v"))
+      .filter(col("v").isNotNull)
       .select(col("g"),
         expr(s"least(greatest(floor(v), 0L) div ${width}L, ${(nbins - 1).toLong}L)").as("bin"))
       .groupBy(col("g"), col("bin"))

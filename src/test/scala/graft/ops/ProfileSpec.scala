@@ -35,4 +35,12 @@ class ProfileSpec extends SparkSpec {
   test("profile rejects unknown columns eagerly") {
     intercept[IllegalArgumentException](Profile.profile(df, Seq("nope")))
   }
+
+  test("profile handles column names with spaces, dots, and quotes") {
+    val weird = df.withColumnRenamed("k", "a b")
+      .withColumnRenamed("v", "it's.v")
+    val out = Profile.profile(weird, Seq("a b", "it's.v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a b" -> 4L, "it's.v" -> 4L))
+  }
 }

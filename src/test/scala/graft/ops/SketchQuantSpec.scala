@@ -71,6 +71,40 @@ class SketchQuantSpec extends SparkSpec {
     assert(bins === Map(0L -> 1L, 3L -> 1L, 1L -> 1L))
   }
 
+  test("histogram excludes null values from bins and quantile counts") {
+    val df = Seq[(String, java.lang.Double)](
+      ("g", 50.0), ("g", 150.0), ("g", null), ("g", null), ("g", null))
+      .toDF("g", "v")
+    val hist = Sketches.histogram(df, col("g"), col("v"), width = 100L, nbins = 4)
+    assert(hist.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      === Map(0L -> 1L, 1L -> 1L))
+    val q = Sketches.histQuantilesMicro(hist, 100L, Seq("p50_ub" -> 500000L))
+      .collect().head
+    assert(q.getLong(1) === 2L, "n must count only non-null values")
+    assert(q.getLong(2) === 100L, "p50 over {50,150} is in bin 0")
+  }
+
+  test("kmvOverlap returns one all-zero-style row when an input is empty") {
+    val a = (0L until 5L).toDF("k")
+    val empty = spark.emptyDataFrame.withColumn("k", lit(0L)).filter(lit(false))
+    val out = Sketches.kmvOverlap(a, Sampling.arithHash(col("k")),
+        empty, Sampling.arithHash(col("k")), k = 16).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_a") === 5L)
+    assert(out.head.getAs[Long]("n_b") === 0L)
+    assert(out.head.getAs[Long]("inter_k") === 0L)
+    assert(out.head.getAs[Long]("jaccard_micro") === 0L)
+    assert(out.head.getAs[Long]("union_est_micro") === 5000000L)
+  }
+
+  test("weightedPriority rejects weights outside the exact-double domain loudly") {
+    val df = Seq((1L, 1L << 33)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedPriority(df, col("id"), col("w"), 1).collect()
+    }
+    assert(causeMessages(e).contains("weightedPriority"), causeMessages(e))
+  }
+
   // ----- KMV overlap sketch --------------------------------------------
 
   test("kmvOverlap of a set with itself estimates Jaccard 1") {
