@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Clustering, ConnectedComponents, Decontam, Dedup, Layout, Multimodal, Packing, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, TemporalJoin, TextOps}
+import graft.ops.{Clustering, ConnectedComponents, Decontam, Dedup, Layout, Multimodal, Packing, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, TemporalJoin, TextOps}
 
 /**
  * Driver contract: the full query inventory with DuckDB oracles.
@@ -645,6 +645,23 @@ object SparkEntry {
       Sketches.histQuantilesMicro(hist, width = 5000L,
           Seq("p50_ub" -> 500000L, "p90_ub" -> 900000L, "p99_ub" -> 990000L))
         .withColumnRenamed("g", "l_returnflag")
+    }),
+
+    // Salted skew join: the hot-key mitigation produces EXACTLY the same
+    // rows as the plain equi-join it replaces (the oracle is the plain
+    // join), while spreading each hot key across 8 sub-keys — proven here
+    // by aggregate equality on a join whose left side is artificially
+    // skewed onto one customer.
+    "skew_join" -> ((s, dir) => {
+      val o = s.read.parquet(pq(dir, "orders"))
+        .withColumn("cust", when(col("o_orderkey") % 3 === 0, lit(1L))
+          .otherwise(col("o_custkey"))) // hot key: ~1/3 of rows on cust 1
+        .select(col("cust"), col("o_totalprice"))
+      val c = s.read.parquet(pq(dir, "customer"))
+        .select(col("c_custkey").as("cust"), col("c_mktsegment"))
+      Skew.saltedJoin(o, c, "cust", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
     }),
 
     // One-pass table profile: every per-column statistic of 6 mixed-type
@@ -1656,6 +1673,18 @@ object SparkEntry {
         |  CAST(min(CASE WHEN cum * 1000000 >= n * 900000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p90_ub,
         |  CAST(min(CASE WHEN cum * 1000000 >= n * 990000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p99_ub
         |FROM c GROUP BY g""".stripMargin,
+
+    // the salted join must equal the PLAIN join it replaces — the oracle
+    // is the unsalted formulation
+    "skew_join" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE o_custkey END AS cust,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS price_sum
+        |FROM o JOIN customer ON cust = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "profile_table" ->
       """WITH p AS (
