@@ -919,6 +919,18 @@ object SparkEntry {
           col("height").cast("long").as("height"), col("checksum"))
     }),
 
+    // Frame sampling over media rows: every 4th frame by deterministic id
+    // stride — a narrow filter, no shuffle; the video-pipeline shape.
+    "mm_frames" -> ((s, dir) => {
+      val media = s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"))
+      Multimodal.sampleFrames(media, "media_id", stride = 4)
+        .agg(count(lit(1)).as("n_frames"),
+          coalesce(sum(col("media_id")), lit(0L)).as("id_sum"),
+          coalesce(sum(length(col("bytes")).cast("long")), lit(0L)).as("byte_sum"))
+    }),
+
     // ----- Composed join / layout operators -----------------------------
 
     // Backward as-of join: each event of a low-id user picks that user's
@@ -1972,6 +1984,12 @@ object SparkEntry {
         |        c -> CAST(unicode(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
         |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "mm_frames" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum,
+        |  CAST(coalesce(sum(octet_length(encode(text))), 0) AS BIGINT) AS byte_sum
+        |FROM documents WHERE doc_id < 100 AND doc_id % 4 = 0""".stripMargin,
 
     "asof_join" ->
       """SELECT e.user_id, e.e_ts, e.event_id, o.o_ts, o.o_key
