@@ -68,9 +68,11 @@ object Sketches {
    * estimates the Jaccard similarity |A∩B| / |A∪B| (Beyer et al., SIGMOD'07
    * "On synopses for distinct-value estimation under multiset operations").
    *
-   * Each side is one distinct + bounded-heap aggregate (shuffle carries at
-   * most `mappers x k` rows per side — at 100 TB the key sets never move);
-   * the merge is a 1x1 join on two k-element arrays. With [[Sampling
+   * Each side is one distinct + bounded-heap aggregate: the distinct stage
+   * map-side-dedups and shuffles HASH VALUES only, bounded by the hash
+   * modulus (~1M longs = megabytes, regardless of key-set size), and the
+   * heap stage shuffles `mappers x k` rows — at 100 TB the key sets
+   * themselves never move. The merge is a 1x1 join on two k-element arrays. With [[Sampling
    * .arithHash]] inputs everything is integer arithmetic: the oracle
    * reproduces the sketch contents, the union estimate, and the Jaccard
    * estimate bit-for-bit.
