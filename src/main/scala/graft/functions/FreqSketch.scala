@@ -83,7 +83,9 @@ case class FreqSketch(
   }
 
   override def serialize(buffer: FreqBuffer): Array[Byte] = {
-    val entries = buffer.sortedEntries()
+    // unordered: deserialization rebuilds a HashMap, so sorting here would
+    // be O(capacity log capacity) work discarded on every partial shuffle
+    val entries = buffer.entries()
     var bytes = 4 + 8 + 4 // size, err, capacity echo
     entries.foreach { case (item, _) => bytes += 4 + item.numBytes() + 8 }
     val bb = ByteBuffer.allocate(bytes)
@@ -200,9 +202,8 @@ final class FreqBuffer(val capacity: Int) {
     }
   }
 
-  /** Entries ordered (count desc, item asc) — deterministic for a given
-    * counter state. */
-  def sortedEntries(): Array[(UTF8String, Long)] = {
+  /** Entries in map order — for serialization, where order is irrelevant. */
+  def entries(): Array[(UTF8String, Long)] = {
     val out = new Array[(UTF8String, Long)](counts.size())
     var i = 0
     val it = counts.entrySet().iterator()
@@ -211,6 +212,13 @@ final class FreqBuffer(val capacity: Int) {
       out(i) = (e.getKey, e.getValue.longValue())
       i += 1
     }
+    out
+  }
+
+  /** Entries ordered (count desc, item asc) — deterministic for a given
+    * counter state. */
+  def sortedEntries(): Array[(UTF8String, Long)] = {
+    val out = entries()
     out.sortInPlace()(new Ordering[(UTF8String, Long)] {
       def compare(a: (UTF8String, Long), b: (UTF8String, Long)): Int = {
         val c = java.lang.Long.compare(b._2, a._2)

@@ -26,6 +26,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
 case class QuantizeFixedPoint(child: Expression, scale: Int)
     extends UnaryExpression {
 
+  require(scale > 0,
+    s"quantize_i8 requires a positive scale, got $scale (scale 0 quantizes " +
+      "every vector to zeros; negative scales invert scores)")
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "quantize_i8"
 

@@ -14,10 +14,14 @@ import org.apache.spark.sql.types._
  * (a driver-side `stack`, free). Profiling N columns costs the same scan
  * as profiling one — never N passes.
  *
- * Engine-portable exactness: numeric sums accumulate in DECIMAL(28,6)
+ * Numeric domain: |x| < 10^32 (DECIMAL(38,6) headroom); values beyond it
+ * overflow the exact accumulator and fail loudly under ANSI rather than
+ * profiling wrong.
+ *
+ * Engine-portable exactness: numeric sums accumulate in DECIMAL(38,6)
  * (order-independent, unlike double summation, so the result is
  * bit-identical under any partitioning or engine) and min/max render
- * through DECIMAL(28,6)/date→string casts that Spark and DuckDB print
+ * through DECIMAL(38,6)/date→string casts that Spark and DuckDB print
  * identically — the gate hash-pins the full profile.
  *
  * Output: (column, n, n_null, min_s, max_s, sum_d) — min/max as strings
@@ -31,10 +35,10 @@ object Profile {
     case _ => false
   }
 
-  /** Render a min/max value engine-portably: numerics via DECIMAL(28,6),
+  /** Render a min/max value engine-portably: numerics via DECIMAL(38,6),
     * everything else via a plain string cast. */
   private def render(c: Column, dt: DataType): Column =
-    if (isNumeric(dt)) c.cast(DecimalType(28, 6)).cast("string") else c.cast("string")
+    if (isNumeric(dt)) c.cast(DecimalType(38, 6)).cast("string") else c.cast("string")
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile requires at least one column")
@@ -53,7 +57,7 @@ object Profile {
         (count(lit(1)) - count(c)).as("n_null"),
         render(min(c), dt).as("min_s"),
         render(max(c), dt).as("max_s"),
-        (if (isNumeric(dt)) sum(c.cast(DecimalType(28, 6))).cast("double")
+        (if (isNumeric(dt)) sum(c.cast(DecimalType(38, 6))).cast("double")
          else lit(null).cast("double")).as("sum_d"))
     }
     // pivot the 1-row aggregate into one row per column: the explode runs

@@ -99,16 +99,22 @@ object Sampling {
    * shuffle of the losers. Returns (rank, id, priority), rank 1..n by
    * (priority desc, id asc).
    *
-   * Weight domain: |w| < 2^32, ENFORCED at runtime with a loud error. The
-   * bound keeps `w * modulus` (a) overflow-free and (b) below 2^53, so the
-   * heap's double score carries the integer priority EXACTLY — a silently
-   * rounded priority would pick different rows than the documented
-   * plain-SQL replay.
+   * Weight domain: an INTEGRAL column (fractional weights are rejected at
+   * plan time — a silent cast would truncate quality scores in (0,1) to 0
+   * and degenerate the sample to the id tie-break) with |w| < 2^32,
+   * enforced at runtime with a loud error. The bound keeps `w * modulus`
+   * (a) overflow-free and (b) below 2^53, so the heap's double score
+   * carries the integer priority EXACTLY — a silently rounded priority
+   * would pick different rows than the documented plain-SQL replay.
    */
-  def weightedPriority(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame =
+  def weightedPriority(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame = {
+    val wType = df.select(weight).schema.head.dataType
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(wType.simpleString),
+      s"weightedPriority requires an integral weight column, got ${wType.simpleString}; " +
+        "scale fractional scores to integers first (e.g. micro-units)")
     df.select(key.as("id"), weight.cast("long").as("w"))
       .withColumn("w",
-        when(abs(col("w")) >= lit(1L << 32), expr(
+        when(col("w") <= lit(-(1L << 32)) || col("w") >= lit(1L << 32), expr(
           "raise_error(concat('weightedPriority: |weight| must be < 2^32 for exact " +
             "double-carried priorities, got ', CAST(w AS STRING)))"))
           .otherwise(col("w")))
@@ -120,6 +126,7 @@ object Sampling {
       // so the priority is recovered from the sketch, not re-scanned
       .select((col("pos") + 1).cast("long").as("rank"), col("col.id").as("id"),
         col("col.score").cast("long").as("priority"))
+  }
 
   /**
    * Deterministic named-split assignment (train/val/test carving): maps the

@@ -154,16 +154,23 @@ object Sketches {
 
   /**
    * Quantile UPPER BOUNDS from a [[histogram]]: for each requested quantile
-   * `q` (in micro-units), the upper edge `(bin+1) * width` of the first bin
-   * whose cumulative count reaches `q * n` — guaranteed within one bin
-   * width above the exact quantile. The windows here run over the
-   * POST-AGGREGATION sketch (`groups x nbins` rows, constant-size), not the
-   * data, so the single-reducer-window concern does not apply.
+   * `q` (in micro-units, in (0, 1e6]), the upper edge `(bin+1) * width` of
+   * the first bin whose cumulative count reaches `q * n` — within one bin
+   * width above the exact quantile FOR VALUES INSIDE THE HISTOGRAM DOMAIN
+   * `[0, nbins*width)`. Values clamped into the edge bins report the domain
+   * cap (`nbins*width`) / floor (`width`) instead of their true magnitude —
+   * the standard fixed-histogram contract: size the domain to the data
+   * (check the edge-bin mass) or read an edge-bin answer as "at or beyond
+   * the cap". The windows here run over the POST-AGGREGATION sketch
+   * (`groups x nbins` rows, constant-size), not the data, so the
+   * single-reducer-window concern does not apply.
    */
   def histQuantilesMicro(hist: DataFrame, width: Long,
       quantiles: Seq[(String, Long)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.forall { case (_, qm) => qm > 0L && qm <= 1000000L },
+      s"quantiles must be micro-units in (0, 1000000], got $quantiles")
     val c = hist
       .withColumn("cum", sum(col("cnt")).over(Window.partitionBy("g").orderBy("bin")))
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy("g")))

@@ -97,6 +97,27 @@ class SketchQuantSpec extends SparkSpec {
     assert(out.head.getAs[Long]("union_est_micro") === 5000000L)
   }
 
+  test("weightedPriority rejects fractional weight columns at plan time") {
+    val df = Seq((1L, 0.8), (2L, 0.3)).toDF("id", "score")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedPriority(df, col("id"), col("score"), 1)
+    }
+    assert(e.getMessage.contains("integral weight column"))
+  }
+
+  test("quantizeI8 rejects non-positive scales") {
+    intercept[IllegalArgumentException](Similarity.quantizeI8(col("v"), 0))
+    intercept[IllegalArgumentException](Similarity.quantizeI8(col("v"), -64))
+  }
+
+  test("histQuantilesMicro rejects out-of-domain quantiles") {
+    val hist = Seq(("g", 0L, 10L)).toDF("g", "bin", "cnt")
+    intercept[IllegalArgumentException](
+      Sketches.histQuantilesMicro(hist, 100L, Seq("p" -> 9500000L)))
+    intercept[IllegalArgumentException](
+      Sketches.histQuantilesMicro(hist, 100L, Seq("p" -> 0L)))
+  }
+
   test("weightedPriority rejects weights outside the exact-double domain loudly") {
     val df = Seq((1L, 1L << 33)).toDF("id", "w")
     val e = intercept[Exception] {
