@@ -156,6 +156,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           dsum(col("l_quantity")).as("sum_qty"))),
 
+    // End-to-end export audit: write a Hive-partitioned training export
+    // (one file per partition via repartition-by-key), then build its
+    // MANIFEST — files, rows, bytes per partition — from OUR OWN metadata
+    // source scanning the freshly written footers; the oracle re-derives
+    // the same manifest by reading the data files with an independent
+    // engine. The close-the-loop shape every 100 TB export needs: the
+    // audit costs footer reads, not a data rescan.
+    "export_manifest" -> ((s, dir) => {
+      val out = "/tmp/graft_export_manifest"
+      s.read.parquet(pq(dir, "documents"))
+        .repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      meta(s, out, "rowgroup")
+        .withColumn("lang",
+          regexp_extract(col("filepath"), "lang=([^/]+)", 1))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("filepath")).as("n_files"),
+          sum(col("num_rows")).as("n_rows"))
+    }),
+
     // ----- delegated relational capabilities (Catalyst-native plans) -----
     "q1_agg" -> ((s, dir) => {
       val l = s.read.parquet(pq(dir, "lineitem"))
@@ -1984,6 +2004,18 @@ object SparkEntry {
         |        c -> CAST(unicode(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
         |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // independent re-derivation of the manifest from the written files
+    // (hive partitioning + per-file row counts); the path is the fixed
+    // export location the query writes (same-machine oracle, like the
+    // meta_* oracles' fixed sf0.01 paths)
+    "export_manifest" ->
+      """SELECT CAST(lang AS VARCHAR) AS lang,
+        |  CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM read_parquet('/tmp/graft_export_manifest/*/*.parquet',
+        |  hive_partitioning = 1, filename = 1)
+        |GROUP BY lang""".stripMargin,
 
     "mm_frames" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_frames,
