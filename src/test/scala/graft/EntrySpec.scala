@@ -51,6 +51,30 @@ class EntrySpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), "interval_join planned a cartesian")
   }
 
+  test("heavy_hitters aggregates bounded sketches, not exploded token rows") {
+    // the partial freq_sketch must run BEFORE the exchange (map-side), so
+    // only capacity-bounded buffers cross the shuffle
+    val plan = SparkEntry.queries("heavy_hitters")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_freq_sketch"), s"no map-side partial sketch:\n$plan")
+  }
+
+  test("weighted_sample plans a bounded heap, not a global sort") {
+    val plan = SparkEntry.queries("weighted_sample")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_by_score"), s"no partial top-k:\n$plan")
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("Sort "),
+      s"weighted_sample planned a sort:\n$plan")
+  }
+
+  test("quantized ANN scores int8 vectors through the codegen kernels") {
+    val plan = SparkEntry.queries("ann_quantized")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("quantize_i8") && plan.contains("dot_i"),
+      s"quantized path missing its kernels:\n$plan")
+    assert(plan.contains("partial_top_k_by_score"), "ranking must be the bounded heap")
+  }
+
   test("asof_join is the merge formulation: one window pass, no join") {
     // one shuffle per input keyed by the equi-key, a single window per
     // key, and NO join operator of any kind — per-key cost stays linear
