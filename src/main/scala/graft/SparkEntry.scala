@@ -793,6 +793,27 @@ object SparkEntry {
           coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
     }),
 
+    // The full composition flagship: one DAG through the pipeline stages —
+    // exact dedup (representative = min id, carrying its lang via min_by)
+    // -> quality gate -> deterministic train/val/test carve -> per-(lang,
+    // split) doc/token rollup. Every stage is individually oracle-proven;
+    // this pins their COMPOSITION end to end. Plan: one dedup shuffle, the
+    // rest narrow until the final small rollup.
+    "pipeline_train" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      val reps = d.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), expr("min_by(lang, doc_id)").as("lang"))
+      reps
+        .withColumn("q_micro", floor(TextOps.qualityScore(col("text")) * 1000000.0d))
+        .filter(col("q_micro") >= 800000L)
+        .withColumn("split", Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+    }),
+
     // Benchmark decontamination: corpus docs sharing any word 8-gram with
     // the benchmark set (docs 0-19), with planted contamination (benchmark
     // texts re-inserted at id + 200000). Bloom prefilter (narrow, no
@@ -1870,6 +1891,32 @@ object SparkEntry {
          |  CAST(coalesce(sum(q_micro), 0) AS BIGINT) AS q_micro_sum,
          |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
          |FROM scored WHERE q_micro >= 800000""".stripMargin,
+
+    "pipeline_train" ->
+      """WITH reps AS (
+        |  SELECT text, min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang
+        |  FROM documents GROUP BY text),
+        |scored AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(floor((
+        |      least(CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DOUBLE) / 64.0, 1.0) * 0.4
+        |      + CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+        |          AND CAST(length(text) AS DOUBLE) / len(list_filter(string_split(text, ' '), t -> t <> '')) BETWEEN 3.0 AND 10.0
+        |        THEN 1.0 ELSE 0.5 END * 0.3
+        |      + CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text) END * 0.3
+        |    ) * 1000000) AS BIGINT) AS q_micro
+        |  FROM reps),
+        |kept AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN ((doc_id % 1000003) * 2654435761 + 104729) % 1000003 % 100 < 80 THEN 'train'
+        |      WHEN ((doc_id % 1000003) * 2654435761 + 104729) % 1000003 % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM scored WHERE q_micro >= 800000)
+        |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY lang, split""".stripMargin,
 
     "pack_sequences" ->
       """WITH toks AS (
