@@ -19,7 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
  * hash-pins quantized scores as integers (no float tolerance needed).
  *
  * Null in, null out; null elements read as 0.0 (callers should pass
- * non-null-element vectors).
+ * non-null-element vectors). Non-finite elements clamp deterministically
+ * (NaN -> 0, +Inf -> 127, -Inf -> -128) on the JVM, whereas a plain-SQL
+ * replay of floor-and-cast errors on them — sanitize non-finite
+ * embeddings upstream if oracle parity matters.
  */
 @ExpressionDescription(
   usage = "_FUNC_(v, scale) - int8-clamped fixed-point quantization floor(x*scale) of a float vector.")

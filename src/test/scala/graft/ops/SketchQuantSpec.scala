@@ -105,6 +105,14 @@ class SketchQuantSpec extends SparkSpec {
     assert(e.getMessage.contains("integral weight column"))
   }
 
+  test("quantizeI8 clamps non-finite elements deterministically") {
+    val df = Seq(Tuple1(Array(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity)))
+      .toDF("v")
+    val q = df.select(Similarity.quantizeI8(col("v"), 64).as("q"))
+      .collect().head.getSeq[Int](0)
+    assert(q === Seq(0, 127, -128))
+  }
+
   test("quantizeI8 rejects non-positive scales") {
     intercept[IllegalArgumentException](Similarity.quantizeI8(col("v"), 0))
     intercept[IllegalArgumentException](Similarity.quantizeI8(col("v"), -64))
