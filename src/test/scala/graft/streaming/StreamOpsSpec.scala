@@ -325,6 +325,32 @@ class StreamOpsSpec extends SparkSpec {
       (2L, 3L, None), (3L, 9L, None)))
   }
 
+  test("histogram sketch runs unchanged on a stream (backfill/live parity)") {
+    // Sketches.histogram is select/filter/groupBy-count — engine-agnostic,
+    // so the 100 TB backfill and its streaming tail share one code path.
+    import graft.ops.Sketches
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(("g", 50.0), ("g", 150.0), ("g", 450.0), ("h", 10.0))
+    val dir = Files.createTempDirectory("graft_stream_hist").toString
+    rows.toDF("g", "v").coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("g", "string").add("v", "double")
+    val src = spark.readStream.schema(schema).parquet(dir)
+    val q = Sketches.histogram(src, col("g"), col("v"), width = 100L, nbins = 4)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_hist").toString)
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("hist_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Sketches.histogram(rows.toDF("g", "v"), col("g"), col("v"), 100L, 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(batch === Set(("g", 0L, 1L), ("g", 1L, 1L), ("g", 3L, 1L), ("h", 0L, 1L)))
+  }
+
   test("streamingHeavyHitters accumulates exact counts across runs (no eviction)") {
     val dir = Files.createTempDirectory("graft_stream_hh").toString
     val ckpt = Files.createTempDirectory("ckpt_hh").toString
