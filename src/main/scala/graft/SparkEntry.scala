@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Clustering, ConnectedComponents, Decontam, Dedup, Layout, Multimodal, Packing, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, TemporalJoin, TextOps}
+import graft.ops.{Bpe, Clustering, ConnectedComponents, Decontam, Dedup, Layout, Multimodal, Packing, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, TemporalJoin, TextOps}
 
 /**
  * Driver contract: the full query inventory with DuckDB oracles.
@@ -665,6 +665,19 @@ object SparkEntry {
       Sketches.histQuantilesMicro(hist, width = 5000L,
           Seq("p50_ub" -> 500000L, "p90_ub" -> 900000L, "p99_ub" -> 990000L))
         .withColumnRenamed("g", "l_returnflag")
+    }),
+
+    // BPE tokenizer induction, round-1 statistics: the corpus-wide
+    // adjacent-pair counts every merge decision is made from — a narrow
+    // zip-of-shifted-slices projection + one map-side-combined aggregate
+    // (shuffle = distinct-pair vocabulary, never the corpus). The greedy
+    // merge LOOP is spec-tested against a sequential reference
+    // implementation (BpeSpec); this query pins its decision input.
+    "bpe_pairs" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      Bpe.pairCounts(d, TextOps.tokens(col("text")))
+        .orderBy(col("cnt").desc, col("left"), col("right"))
+        .limit(20)
     }),
 
     // Salted skew join: the hot-key mitigation produces EXACTLY the same
@@ -1726,6 +1739,19 @@ object SparkEntry {
         |  CAST(min(CASE WHEN cum * 1000000 >= n * 900000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p90_ub,
         |  CAST(min(CASE WHEN cum * 1000000 >= n * 990000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p99_ub
         |FROM c GROUP BY g""".stripMargin,
+
+    "bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |u AS (
+        |  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+        |  FROM t WHERE len(t) >= 2),
+        |c AS (
+        |  SELECT z[1] AS "left", z[2] AS "right", CAST(count(*) AS BIGINT) AS cnt
+        |  FROM u GROUP BY 1, 2)
+        |SELECT "left", "right", cnt FROM c
+        |ORDER BY cnt DESC, "left", "right" LIMIT 20""".stripMargin,
 
     // the salted join must equal the PLAIN join it replaces — the oracle
     // is the unsalted formulation
