@@ -44,8 +44,9 @@ object ShuffleAudit {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    val queries = SparkEntry.queries
     wanted.foreach { name =>
-      SparkEntry.queries.get(name) match {
+      queries.get(name) match {
         case None => System.err.println(s"[audit] unknown query: $name")
         case Some(fn) =>
           shuffleWrite.reset(); input.reset()

@@ -164,7 +164,10 @@ object SparkEntry {
     // engine. The close-the-loop shape every 100 TB export needs: the
     // audit costs footer reads, not a data rescan.
     "export_manifest" -> ((s, dir) => {
-      val out = "/tmp/graft_export_manifest"
+      // path keyed by scale dir so a bench/audit run at another sf cannot
+      // overwrite the export the (sf0.01-pinned) oracle reads
+      val out = "/tmp/graft_export_manifest_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       s.read.parquet(pq(dir, "documents"))
         .repartition(col("lang"))
         .write.mode("overwrite").partitionBy("lang").parquet(out)
@@ -2086,7 +2089,7 @@ object SparkEntry {
       """SELECT CAST(lang AS VARCHAR) AS lang,
         |  CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
         |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM read_parquet('/tmp/graft_export_manifest/*/*.parquet',
+        |FROM read_parquet('/tmp/graft_export_manifest_sf0.01/*/*.parquet',
         |  hive_partitioning = 1, filename = 1)
         |GROUP BY lang""".stripMargin,
 

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /**
  * Distributed BPE (byte-pair-encoding) merge training — tokenizer
@@ -16,11 +17,10 @@ import org.apache.spark.sql.functions._
  *     the corpus;
  *  2. a driver-side argmax over that (tiny) pair table, deterministic
  *     tie-break (count desc, then pair lexicographically);
- *  3. a broadcast-free narrow re-tokenization ([[mergePair]]): the merge
- *     is a constant folded into the expression, applied greedily
- *     left-to-right per row — exactly the reference semantics of
- *     sequential BPE, reproduced with a fold so partitioning cannot
- *     change results.
+ *  3. a narrow re-tokenization ([[mergePair]]): the merge rides in the
+ *     codegen expression as a constant, applied greedily left-to-right
+ *     per row in one linear pass — exactly the reference semantics of
+ *     sequential BPE, so partitioning cannot change results.
  *
  * N merges = N linear passes, the same asymptotics as a single-node BPE
  * trainer per merge, but each pass is the full cluster scanning in place.
@@ -42,30 +42,25 @@ object Bpe {
       .agg(count(lit(1)).as("cnt"))
 
   /** Greedy left-to-right merge of every adjacent (left, right) occurrence
-    * into a single `left + " " + right` symbol — a fold over the token
-    * array, so "a a a" under merge (a,a) becomes ["a a", "a"] exactly as
-    * sequential BPE does, independent of partitioning. */
-  def mergePair(toks: Column, left: String, right: String): Column = {
-    val merged = lit(left + " " + right)
-    aggregate(
-      toks,
-      array().cast("array<string>"),
-      (acc, x) =>
-        when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(left) && x === lit(right),
-          concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
-          .otherwise(concat(acc, array(x))))
-  }
+    * into a single `left + " " + right` symbol: one linear codegen pass
+    * ([[graft.functions.ApplyBpeMerges]]), so "a a a" under merge (a,a)
+    * becomes ["a a", "a"] exactly as sequential BPE does, independent of
+    * partitioning. */
+  def mergePair(toks: Column, left: String, right: String): Column =
+    applyMerges(toks, Seq((left, right)))
 
   /**
    * Train `nMerges` BPE merges: returns the ordered merge list. Each round
    * re-counts pairs over the corpus with all previous merges applied —
-   * the intermediate corpus is materialized per round (localCheckpoint) so
-   * round k does not re-run rounds 1..k-1's transforms.
+   * the intermediate corpus is materialized per round (eager
+   * localCheckpoint, previous round's blocks freed through the RDD:
+   * `Dataset.unpersist` is a silent no-op for checkpoints) so round k
+   * does not re-run rounds 1..k-1's transforms and retains exactly one
+   * corpus copy at a time.
    */
   def train(df: DataFrame, toks: Column, nMerges: Int): Seq[(String, String)] = {
     require(nMerges >= 0, s"nMerges must be non-negative, got $nMerges")
-    var cur = df.select(toks.as("t")).localCheckpoint()
+    var cur = df.select(toks.as("t")).localCheckpoint(true)
     val merges = Seq.newBuilder[(String, String)]
     var i = 0
     var exhausted = false
@@ -78,15 +73,22 @@ object Bpe {
       } else {
         val (l, r) = (top.head.getString(0), top.head.getString(1))
         merges += ((l, r))
-        cur = cur.select(mergePair(col("t"), l, r).as("t")).localCheckpoint()
+        val next = cur.select(mergePair(col("t"), l, r).as("t")).localCheckpoint(true)
+        ColumnBridge.freeLocalCheckpoint(cur)
+        cur = next
       }
       i += 1
     }
+    ColumnBridge.freeLocalCheckpoint(cur)
     merges.result()
   }
 
   /** Apply an ordered merge list to a token-array column (the "tokenize
-    * with a trained vocabulary" path): merges fold in training order. */
+    * with a trained vocabulary" path): the WHOLE list rides in ONE codegen
+    * expression as a constant table — per row O(merges x tokens) in a flat
+    * JVM loop, no per-merge expression nesting, so a trained vocabulary of
+    * thousands of merges stays analyzable and fast. */
   def applyMerges(toks: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(toks) { case (c, (l, r)) => mergePair(c, l, r) }
+    ColumnBridge.column(graft.functions.ApplyBpeMerges(
+      ColumnBridge.expression(toks), merges))
 }
