@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Bpe, Clustering, ConnectedComponents, Decontam, Dedup, Layout, Multimodal, Packing, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, TemporalJoin, TextOps}
+import graft.ops.{Bpe, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Multimodal, Packing, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, TemporalJoin, TextOps}
 
 /**
  * Driver contract: the full query inventory with DuckDB oracles.
@@ -681,6 +681,20 @@ object SparkEntry {
       Bpe.pairCounts(d, TextOps.tokens(col("text")))
         .orderBy(col("cnt").desc, col("left"), col("right"))
         .limit(20)
+    }),
+
+    // Distribution-drift monitor: per-day event-type distributions and
+    // the integer L1 distance between consecutive days — the upstream-
+    // source-changed alarm, computed from one counter aggregate (shuffle
+    // = days x types rows, never the events), exact micro-units.
+    "drift_l1" -> ((s, dir) => {
+      // see win_sessions for why nanosAsLong is required for events.ts;
+      // day index = nanos since 2024-01-01 UTC div 86400e9, exact integers
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(pq(dir, "events"))
+        .withColumn("day", expr("(ts - 1704067200000000000L) div 86400000000000L"))
+      Drift.l1Drift(Drift.categoricalShares(e, col("day"), col("event_type")))
+        .select(col("w").as("day"), col("l1_micro"))
     }),
 
     // Salted skew join: the hot-key mitigation produces EXACTLY the same
@@ -1742,6 +1756,26 @@ object SparkEntry {
         |  CAST(min(CASE WHEN cum * 1000000 >= n * 900000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p90_ub,
         |  CAST(min(CASE WHEN cum * 1000000 >= n * 990000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p99_ub
         |FROM c GROUP BY g""".stripMargin,
+
+    "drift_l1" ->
+      """WITH c AS (
+        |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS w,
+        |    event_type AS cat, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT w, cat, cnt * 1000000 // sum(cnt) OVER (PARTITION BY w) AS sh
+        |  FROM c),
+        |p AS (
+        |  SELECT coalesce(a.w, b.w) AS w,
+        |    coalesce(a.sh, 0) AS sa, coalesce(b.sh, 0) AS sb
+        |  FROM s a
+        |  FULL JOIN (SELECT w + 1 AS w, cat, sh FROM s) b
+        |    ON a.w = b.w AND a.cat = b.cat),
+        |d AS (SELECT DISTINCT w FROM s)
+        |SELECT p.w AS day, CAST(sum(abs(sa - sb)) AS BIGINT) AS l1_micro
+        |FROM p
+        |WHERE p.w IN (SELECT w FROM d) AND p.w - 1 IN (SELECT w FROM d)
+        |GROUP BY p.w""".stripMargin,
 
     "bpe_pairs" ->
       """WITH t AS (

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distribution-drift monitoring — the data-quality watchdog every
+ * long-running ingestion pipeline needs: per window (day, batch, crawl
+ * snapshot), the categorical distribution of a column, and the L1
+ * distance between consecutive windows' distributions. A drift spike is
+ * the canonical early warning that an upstream source changed (new
+ * scraper, schema rot, a dropped partner feed) before it poisons a
+ * training mix.
+ *
+ * Scale shape: ONE map-side-combined count aggregate over the data
+ * (shuffle = windows x categories counter rows, never the events);
+ * shares, the consecutive-window join, and the distance fold all run on
+ * that tiny aggregate. Integer micro-shares (`cnt * 1e6 div total`) keep
+ * the whole report engine-exact — drift numbers are hash-pinnable, not
+ * float-fuzzy.
+ */
+object Drift {
+
+  /** Per-window categorical counts and integer micro-shares:
+    * `(w, cat, cnt, share_micro)`. The window over the POST-AGGREGATION
+    * counts (windows x categories rows) computes totals — not a window
+    * over the data. */
+  def categoricalShares(df: DataFrame, window: Column, category: Column): DataFrame =
+    df.select(window.as("w"), category.as("cat"))
+      .groupBy(col("w"), col("cat"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("share_micro",
+        expr("cnt * 1000000L div " +
+          "(sum(cnt) OVER (PARTITION BY w))"))
+
+  /**
+   * L1 drift between each window and its predecessor `w - 1`:
+   * `(w, l1_micro)` for every window PRESENT in the data that has a
+   * predecessor window present. Categories missing on either side count
+   * with share 0 (a category appearing or vanishing IS drift). L1 ranges
+   * [0, 2e6] micro-units: 0 = identical distributions, 2e6 = disjoint.
+   */
+  def l1Drift(shares: DataFrame): DataFrame = {
+    val a = shares.select(col("w"), col("cat"), col("share_micro").as("sa"))
+    val b = shares.select((col("w") + 1).as("w"), col("cat"), col("share_micro").as("sb"))
+    val days = shares.select(col("w")).distinct()
+    val prevDays = days.select((col("w") + 1).as("w"))
+    a.join(b, Seq("w", "cat"), "full_outer")
+      .groupBy(col("w"))
+      .agg(sum(abs(coalesce(col("sa"), lit(0L)) - coalesce(col("sb"), lit(0L))))
+        .as("l1_micro"))
+      // keep only windows that exist AND whose predecessor exists: the
+      // full-outer join also manufactures w rows for the first window
+      // (nothing to compare against) and for the phantom window after the
+      // last (predecessor side only)
+      .join(days, Seq("w"), "left_semi")
+      .join(prevDays, Seq("w"), "left_semi")
+  }
+}

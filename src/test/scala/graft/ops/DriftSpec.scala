@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical consecutive distributions have zero drift") {
+    val df = Seq((0L, "a"), (0L, "a"), (0L, "b"), (1L, "a"), (1L, "a"), (1L, "b"))
+      .toDF("w", "cat")
+    val out = Drift.l1Drift(Drift.categoricalShares(df, col("w"), col("cat")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L))
+  }
+
+  test("disjoint consecutive distributions have maximal drift 2e6") {
+    val df = Seq((0L, "a"), (0L, "a"), (1L, "b"), (1L, "c"))
+      .toDF("w", "cat")
+    val out = Drift.l1Drift(Drift.categoricalShares(df, col("w"), col("cat")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2000000L))
+  }
+
+  test("partial shift computes the exact integer L1 and skips gap windows") {
+    // day 0: a=3/4, b=1/4; day 1: a=1/4, b=3/4 -> L1 = 2 * 500000 = 1e6.
+    // day 3 exists but day 2 does not: no drift row for 3 (and none for 2).
+    val df = Seq(
+      (0L, "a"), (0L, "a"), (0L, "a"), (0L, "b"),
+      (1L, "a"), (1L, "b"), (1L, "b"), (1L, "b"),
+      (3L, "a"))
+      .toDF("w", "cat")
+    val out = Drift.l1Drift(Drift.categoricalShares(df, col("w"), col("cat")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1000000L))
+  }
+
+  test("shares are integer micro-units that sum to <= 1e6 per window") {
+    val df = Seq((0L, "a"), (0L, "b"), (0L, "c")).toDF("w", "cat")
+    val shares = Drift.categoricalShares(df, col("w"), col("cat"))
+      .collect().map(_.getAs[Long]("share_micro"))
+    assert(shares.forall(_ === 333333L)) // 1000000 div 3, integer division
+  }
+}
