@@ -692,7 +692,11 @@ object SparkEntry {
       // day index = nanos since 2024-01-01 UTC div 86400e9, exact integers
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val e = s.read.parquet(pq(dir, "events"))
-        .withColumn("day", expr("(ts - 1704067200000000000L) div 86400000000000L"))
+        // FLOOR division (div truncates toward zero): a pre-epoch event
+        // must land in day -1, matching the oracle's calendar datediff
+        .withColumn("day", expr(
+          "(ts - 1704067200000000000L - pmod(ts - 1704067200000000000L, " +
+            "86400000000000L)) div 86400000000000L"))
       Drift.l1Drift(Drift.categoricalShares(e, col("day"), col("event_type")))
         .select(col("w").as("day"), col("l1_micro"))
     }),
@@ -1770,7 +1774,7 @@ object SparkEntry {
         |    coalesce(a.sh, 0) AS sa, coalesce(b.sh, 0) AS sb
         |  FROM s a
         |  FULL JOIN (SELECT w + 1 AS w, cat, sh FROM s) b
-        |    ON a.w = b.w AND a.cat = b.cat),
+        |    ON a.w = b.w AND a.cat IS NOT DISTINCT FROM b.cat),
         |d AS (SELECT DISTINCT w FROM s)
         |SELECT p.w AS day, CAST(sum(abs(sa - sb)) AS BIGINT) AS l1_micro
         |FROM p

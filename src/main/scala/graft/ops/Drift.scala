@@ -43,10 +43,14 @@ object Drift {
    */
   def l1Drift(shares: DataFrame): DataFrame = {
     val a = shares.select(col("w"), col("cat"), col("share_micro").as("sa"))
-    val b = shares.select((col("w") + 1).as("w"), col("cat"), col("share_micro").as("sb"))
+    val b = shares.select((col("w") + 1).as("wb"), col("cat").as("catb"),
+      col("share_micro").as("sb"))
     val days = shares.select(col("w")).distinct()
     val prevDays = days.select((col("w") + 1).as("w"))
-    a.join(b, Seq("w", "cat"), "full_outer")
+    // cat compares NULL-SAFELY: a null category is a legitimate stable
+    // category, not appear+vanish phantom drift every window
+    a.join(b, col("w") === col("wb") && (col("cat") <=> col("catb")), "full_outer")
+      .select(coalesce(col("w"), col("wb")).as("w"), col("sa"), col("sb"))
       .groupBy(col("w"))
       .agg(sum(abs(coalesce(col("sa"), lit(0L)) - coalesce(col("sb"), lit(0L))))
         .as("l1_micro"))

@@ -36,6 +36,14 @@ class DriftSpec extends SparkSpec {
     assert(out === Map(1L -> 1000000L))
   }
 
+  test("a stable null category contributes zero drift (null-safe matching)") {
+    val df = Seq[(Long, String)]((0L, null), (0L, "a"), (1L, null), (1L, "a"))
+      .toDF("w", "cat")
+    val out = Drift.l1Drift(Drift.categoricalShares(df, col("w"), col("cat")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L))
+  }
+
   test("shares are integer micro-units that sum to <= 1e6 per window") {
     val df = Seq((0L, "a"), (0L, "b"), (0L, "c")).toDF("w", "cat")
     val shares = Drift.categoricalShares(df, col("w"), col("cat"))
