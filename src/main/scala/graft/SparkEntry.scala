@@ -701,6 +701,19 @@ object SparkEntry {
         .select(col("w").as("day"), col("l1_micro"))
     }),
 
+    // Numeric drift: the same consecutive-day L1 over fixed-width value
+    // bins of events.value — the value-distribution-shifted alarm, same
+    // constant-size counter-aggregate plan as the categorical monitor.
+    "drift_hist" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(pq(dir, "events"))
+        .withColumn("day", expr(
+          "(ts - 1704067200000000000L - pmod(ts - 1704067200000000000L, " +
+            "86400000000000L)) div 86400000000000L"))
+      Drift.histL1Drift(e, col("day"), col("value"), width = 10L, nbins = 12)
+        .select(col("w").as("day"), col("l1_micro"))
+    }),
+
     // Salted skew join: the hot-key mitigation produces EXACTLY the same
     // rows as the plain equi-join it replaces (the oracle is the plain
     // join), while spreading each hot key across 8 sub-keys — proven here
@@ -1760,6 +1773,27 @@ object SparkEntry {
         |  CAST(min(CASE WHEN cum * 1000000 >= n * 900000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p90_ub,
         |  CAST(min(CASE WHEN cum * 1000000 >= n * 990000 THEN (bin + 1) * 5000 END) AS BIGINT) AS p99_ub
         |FROM c GROUP BY g""".stripMargin,
+
+    "drift_hist" ->
+      """WITH c AS (
+        |  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS w,
+        |    least(greatest(CAST(floor(value) AS BIGINT), 0) // 10, 11) AS cat,
+        |    count(*) AS cnt
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |s AS (
+        |  SELECT w, cat, cnt * 1000000 // sum(cnt) OVER (PARTITION BY w) AS sh
+        |  FROM c),
+        |p AS (
+        |  SELECT coalesce(a.w, b.w) AS w,
+        |    coalesce(a.sh, 0) AS sa, coalesce(b.sh, 0) AS sb
+        |  FROM s a
+        |  FULL JOIN (SELECT w + 1 AS w, cat, sh FROM s) b
+        |    ON a.w = b.w AND a.cat IS NOT DISTINCT FROM b.cat),
+        |d AS (SELECT DISTINCT w FROM s)
+        |SELECT p.w AS day, CAST(sum(abs(sa - sb)) AS BIGINT) AS l1_micro
+        |FROM p
+        |WHERE p.w IN (SELECT w FROM d) AND p.w - 1 IN (SELECT w FROM d)
+        |GROUP BY p.w""".stripMargin,
 
     "drift_l1" ->
       """WITH c AS (

@@ -61,4 +61,22 @@ object Drift {
       .join(days, Seq("w"), "left_semi")
       .join(prevDays, Seq("w"), "left_semi")
   }
+
+  /**
+   * NUMERIC drift: the same consecutive-window L1, over fixed-width
+   * histogram bins of a value column ([[Sketches.histogram]] binning:
+   * `clamp(floor(v) div width, 0, nbins-1)`, nulls excluded) — detects a
+   * value-distribution shift (prices jump, lengths collapse, a sensor
+   * saturates) with the identical constant-size plan: one (window, bin)
+   * counter aggregate over the data, everything else on the tiny sketch.
+   */
+  def histL1Drift(df: DataFrame, window: Column, value: Column,
+      width: Long, nbins: Int): DataFrame = {
+    require(width > 0 && nbins > 0, s"width/nbins must be positive, got $width/$nbins")
+    val binned = df.select(window.as("__w"), value.as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("__w"),
+        expr(s"least(greatest(floor(v), 0L) div ${width}L, ${(nbins - 1).toLong}L)").as("bin"))
+    l1Drift(categoricalShares(binned, col("__w"), col("bin")))
+  }
 }

@@ -44,6 +44,16 @@ class DriftSpec extends SparkSpec {
     assert(out === Map(1L -> 0L))
   }
 
+  test("histL1Drift detects a shifted numeric distribution and ignores a stable one") {
+    // window 0 and 1: same values -> zero drift; window 2: all mass moves
+    // two bins up -> maximal drift
+    val df = Seq((0L, 5.0), (0L, 15.0), (1L, 5.0), (1L, 15.0), (2L, 25.0), (2L, 35.0))
+      .toDF("w", "v")
+    val out = Drift.histL1Drift(df, col("w"), col("v"), width = 10L, nbins = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 2000000L))
+  }
+
   test("shares are integer micro-units that sum to <= 1e6 per window") {
     val df = Seq((0L, "a"), (0L, "b"), (0L, "c")).toDF("w", "cat")
     val shares = Drift.categoricalShares(df, col("w"), col("cat"))
