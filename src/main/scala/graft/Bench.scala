@@ -46,7 +46,11 @@ object Bench {
       Json.str(k) + ":" + Json.str(e)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // 1-minute system load average: totals on a shared box are only
+    // comparable load-for-load, so the artifact carries its own context
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(2)
   }

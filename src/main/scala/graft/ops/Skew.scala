@@ -17,10 +17,16 @@ object Skew {
    * values. Shuffle load for a hot key spreads over `salts` reducers at the
    * cost of replicating the right side `salts` times — choose
    * `salts ~ hottest-key-rows / average-key-rows`.
+   *
+   * The salt is a deterministic hash of the big side's full row (xxhash64
+   * over all columns), not a positional counter: task retries and
+   * fetch-failure recomputes land every row on the same salt value, so the
+   * shuffle layout — not just the result set — is stable across replays.
    */
   def saltedJoin(big: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive: $salts")
-    val salted = big.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))
     val replicated = right.withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }

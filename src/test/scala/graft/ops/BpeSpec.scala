@@ -79,4 +79,95 @@ class BpeSpec extends SparkSpec {
     val merges = Bpe.train(tiny, TextOps.tokens(col("text")), 10)
     assert(merges === Seq(("a", "b"))) // one merge exhausts the only pair
   }
+
+  // ----- word-frequency formulation (Sennrich learn_bpe) ----------------
+
+  /** Deterministic synthetic word corpus: `n` distinct words over a small
+    * alphabet with varying lengths and weights 1..4. */
+  private def syntheticVocab(n: Int): Seq[(String, Long)] = {
+    val alpha = "abcdef"
+    (0 until n).map { i =>
+      var h = i * 2654435761L + 17
+      val len = 8 + (math.abs(h) % 9).toInt
+      val sb = new StringBuilder
+      for (_ <- 0 until len) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        sb += alpha(((h >>> 33) % alpha.length).toInt)
+      }
+      (sb.result(), 1L + (i % 4))
+    }
+  }
+
+  test("trainWeighted equals the sequential reference on the expanded corpus") {
+    val vocab = syntheticVocab(40)
+    // weights = row repetition: expand each word `w` times into its own row
+    val expanded = vocab.flatMap { case (word, w) =>
+      Seq.fill(w.toInt)(word.map(_.toString).toList)
+    }.toList
+    val expect = refTrain(expanded, 64)
+    val got = Bpe.trainWeighted(
+      vocab.map { case (word, w) => (word.map(_.toString): IndexedSeq[String], w) }, 64)
+    assert(got === expect)
+    assert(got.length === 64) // corpus is rich enough that training never exhausts
+  }
+
+  test("trainWeighted is independent of vocabulary ordering") {
+    val vocab = syntheticVocab(40)
+      .map { case (word, w) => (word.map(_.toString): IndexedSeq[String], w) }
+    assert(Bpe.trainWeighted(vocab.reverse, 48) === Bpe.trainWeighted(vocab, 48))
+  }
+
+  test("trainOnWords equals sequential BPE over one row per word occurrence") {
+    val rows = corpus ++ Seq("low new wide wide", "newest lowest")
+    val df2 = rows.map(Tuple1(_)).toDF("text")
+    val expanded = rows.flatMap(_.split(" +").filter(_.nonEmpty))
+      .map(_.map(_.toString).toList).toList
+    val expect = refTrain(expanded, 12)
+    val got = Bpe.trainOnWords(df2, col("text"), 12)
+    assert(got === expect)
+  }
+
+  test("trainOnWords runs O(1) Spark jobs regardless of merge count") {
+    val vocab = syntheticVocab(200)
+    val df2 = vocab.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .grouped(50).map(ws => Tuple1(ws.mkString(" "))).toSeq.toDF("text")
+
+    def jobsDuring(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      // listener events are posted asynchronously and the bus-drain API is
+      // private; a settle sleep is accurate enough for a job-count assert
+      try { body; Thread.sleep(1500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      jobs.get()
+    }
+
+    var few: Seq[(String, String)] = null
+    var many: Seq[(String, String)] = null
+    val jobsFew = jobsDuring { few = Bpe.trainOnWords(df2, col("text"), 8) }
+    val jobsMany = jobsDuring { many = Bpe.trainOnWords(df2, col("text"), 300) }
+    assert(many.length === 300) // the corpus genuinely supports 300 merges
+    assert(many.take(8) === few) // greedy prefix property
+    // the merge loop is driver-side: job count does not grow with merges
+    assert(jobsMany === jobsFew)
+    assert(jobsMany <= 4) // the single word-count aggregate (plus AQE stages)
+  }
+
+  test("trainWeighted stops when pairs are exhausted") {
+    val vocab = Seq((IndexedSeq("a", "b"), 3L), (IndexedSeq("c"), 5L))
+    val got = Bpe.trainWeighted(vocab, 10)
+    assert(got === Seq(("a", "b")))
+  }
+
+  test("trainOnWords enforces the driver vocabulary cap") {
+    val err = intercept[IllegalArgumentException] {
+      Bpe.trainOnWords(df, col("text"), 4, maxVocab = 3)
+    }
+    assert(err.getMessage.contains("maxVocab"))
+  }
 }

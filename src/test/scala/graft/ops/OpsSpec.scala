@@ -116,6 +116,22 @@ class OpsSpec extends SparkSpec {
     assert(salted.size === 1000)
   }
 
+  test("salted join output and salt assignment are deterministic under repartitioning") {
+    val big = (1 to 500).map(i => (i % 3, i)).toDF("k", "v")
+    val small = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+    def run(b: org.apache.spark.sql.DataFrame): Seq[(Int, Int, String)] =
+      Skew.saltedJoin(b, small, "k", salts = 8).select("k", "v", "name")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    // same rows, different physical layout: the hash salt is a pure
+    // function of row values, so the multiset AND assignment match exactly
+    assert(run(big.repartition(13)) === run(big.coalesce(1)))
+    // salts actually spread a hot key across sub-keys (load is split)
+    val spread = big.withColumn("__salt",
+        pmod(xxhash64(col("k"), col("v")), lit(8L)))
+      .filter(col("k") === 0).select("__salt").distinct().count()
+    assert(spread > 1)
+  }
+
   // ----- text -----------------------------------------------------------
 
   test("token count ignores repeated separators") {
