@@ -1,9 +1,8 @@
 package graft.meta
 
-import java.nio.{ByteBuffer, ByteOrder}
-
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /**
  * Stats-driven data-file pruning: the metadata source put to work on the
@@ -27,15 +26,11 @@ import org.apache.spark.sql.functions._
  */
 object MetaPrune {
 
-  /** Decode a plain-encoded signed integer statistic. */
+  /** Decode a plain-encoded signed integer statistic (driver-side view of
+    * the [[graft.functions.PlainStatLong]] executor expression). */
   private[meta] def decodeLong(bytes: Array[Byte], parquetType: String): Option[Long] =
-    parquetType match {
-      case "INT32" if bytes.length >= 4 =>
-        Some(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getInt.toLong)
-      case "INT64" if bytes.length >= 8 =>
-        Some(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong)
-      case _ => None
-    }
+    Option(graft.functions.PlainStatLong.compute(bytes,
+      org.apache.spark.unsafe.types.UTF8String.fromString(parquetType))).map(_.longValue())
 
   /** Whether a reconstructed parquet schema string declares ANY unsigned
     * integer column. Signed decoding of unsigned stats is unsound (an
@@ -55,38 +50,39 @@ object MetaPrune {
   def filesInRange(
       spark: SparkSession, path: String, column: String,
       lo: Long, hi: Long): Seq[String] = {
-    val chunks = spark.read.format("metadata").option("level", "column")
+    // Per-chunk range evaluation runs EXECUTOR-side (codegen
+    // PlainStatLong decode + one boolean per chunk), then collapses to one
+    // row per file with a map-side-combined max: the driver receives
+    // surviving file paths only — never chunk stat bytes or schema
+    // strings, which at a million-file table would be GBs of driver heap.
+    val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatLong(
+      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val chunkAdmits = spark.read.format("metadata").option("level", "column")
       .load(path)
       .filter(col("path") === column)
-      .select(col("filepath"), col("type"),
-        col("statistics.min_value").as("mn"), col("statistics.max_value").as("mx"))
-      .collect()
-      .map { r =>
-        val tpe = r.getString(1)
-        val mn = Option(r.getAs[Array[Byte]]("mn")).flatMap(decodeLong(_, tpe))
-        val mx = Option(r.getAs[Array[Byte]]("mx")).flatMap(decodeLong(_, tpe))
-        (r.getString(0), mn, mx)
-      }
-    val byFile = chunks.groupBy(_._1)
+      .select(col("filepath"),
+        decode(col("statistics.min_value")).as("mn"),
+        decode(col("statistics.max_value")).as("mx"))
+      // missing/undecodable stats: cannot rule the chunk out
+      .select(col("filepath"), (col("mn").isNull || col("mx").isNull ||
+        (col("mx") >= lo && col("mn") <= hi)).as("adm"))
+      .groupBy(col("filepath")).agg(max(col("adm")).as("adm"))
     // One parquet-file-level pass serves both soundness guards: the full
-    // file list (schema drift — a file lacking the column is kept) and the
-    // schema string (unsigned columns disable pruning for that file). The
-    // footers were just decoded by the column scan, so with the default
-    // footer cache this pass is memory lookups, not re-reads.
-    val fileSchemas = spark.read.format("metadata").option("level", "file")
-      .load(path).select(col("filepath"), col("schema")).collect()
-      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
-    val withColumn = byFile.collect {
-      case (file, cs) =>
-        val unsignedRisk = fileSchemas.get(file).flatten.forall(hasUnsigned)
-        val admits = unsignedRisk || cs.exists {
-          case (_, Some(mn), Some(mx)) => mx >= lo && mn <= hi
-          case _ => true // missing stats: cannot rule the chunk out
-        }
-        file -> admits
-    }
-    val noColumn = fileSchemas.keys.filterNot(byFile.contains)
-    (withColumn.collect { case (f, true) => f } ++ noColumn).toSeq.sorted
+    // file list (schema drift — a file lacking the column is kept, via the
+    // left join's null `adm`) and the unsigned check (signed decoding of
+    // unsigned stats is unsound, so any unsigned declaration — or a
+    // missing schema — keeps the file). The footers were just decoded by
+    // the column scan, so with the default footer cache this pass is
+    // memory lookups, not re-reads.
+    val unsignedRisk = col("schema").isNull ||
+      col("schema").contains("UINT_") ||
+      col("schema").rlike("INTEGER\\(\\d+,\\s*false\\)")
+    spark.read.format("metadata").option("level", "file")
+      .load(path).select(col("filepath"), unsignedRisk.as("risk"))
+      .join(chunkAdmits, Seq("filepath"), "left")
+      .filter(col("risk") || col("adm").isNull || col("adm"))
+      .select(col("filepath"))
+      .collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** Read only the files a range predicate on `column` can touch. The

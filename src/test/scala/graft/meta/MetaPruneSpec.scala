@@ -30,6 +30,23 @@ class MetaPruneSpec extends SparkSpec {
     assert(MetaPrune.decodeLong(Array[Byte](1, 2, 3, 4), "BYTE_ARRAY") === None)
   }
 
+  test("PlainStatLong codegen expression matches the driver-side decode") {
+    import spark.implicits._
+    val rows = Seq(
+      (Array[Byte](7, 0, 0, 0), "INT32"),
+      (Array[Byte](-1, -1, -1, -1), "INT32"),
+      (Array[Byte](1, 0, 0, 0, 0, 0, 0, 0), "INT64"),
+      (Array[Byte](1, 2), "INT64"),
+      (Array[Byte](1, 2, 3, 4), "BYTE_ARRAY"),
+      (null.asInstanceOf[Array[Byte]], "INT32"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val out = rows.toDF("b", "t")
+      .select(ColumnBridge.column(graft.functions.PlainStatLong(
+        ColumnBridge.expression(col("b")), ColumnBridge.expression(col("t")))))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out.toSeq === Seq(Some(7L), Some(-1L), Some(1L), None, None, None))
+  }
+
   test("range pruning selects only the files whose stats admit the range") {
     val all = spark.read.format("metadata").option("level", "file")
       .load(dir).count()
