@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Bpe, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Multimodal, Packing, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, TemporalJoin, TextOps}
+import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Multimodal, Packing, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, TemporalJoin, TextOps}
+import org.apache.spark.sql.graft.ColumnBridge
 
 /**
  * Driver contract: the full query inventory with DuckDB oracles.
@@ -177,6 +178,52 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(countDistinct(col("filepath")).as("n_files"),
           sum(col("num_rows")).as("n_rows"))
+    }),
+
+    // Bucketed-layout join: both sides written ONCE as parquet tables
+    // bucketed on the join key (Bucketing.writeBucketed), then joined with
+    // NO exchange on either side (plan-asserted in BucketingSpec) — the
+    // write-once/never-reshuffle fact-table layout. The oracle recomputes
+    // the same join from the raw tables, pinning that the bucketed
+    // round-trip loses and alters nothing.
+    "bucketed_join" -> ((s, dir) => {
+      val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val ct = "graft_bucketed_customer_" + suffix
+      val ot = "graft_bucketed_orders_" + suffix
+      Bucketing.writeBucketed(s.read.parquet(pq(dir, "customer")),
+        "c_custkey", buckets = 8, table = ct)
+      Bucketing.writeBucketed(s.read.parquet(pq(dir, "orders"))
+        .withColumnRenamed("o_custkey", "c_custkey"),
+        "c_custkey", buckets = 8, table = ot)
+      s.table(ot).join(s.table(ct), Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // Page-index read-back vs the data it indexes: write a file with a
+    // pinned page layout (exactly 1000 rows per page — the row-count limit
+    // is checked per record by parquet-mr, unlike the approximate byte
+    // threshold), then reconstruct each page's [min,max] from the
+    // COLUMN INDEX only (codegen PlainStatLong decode of the raw stat
+    // bytes). The oracle derives the same spans by scanning the DATA with
+    // an independent engine — the index is pinned against the rows it
+    // promises to describe, byte-decoded, never trusted.
+    "meta_page_index" -> ((s, dir) => {
+      val out = "/tmp/graft_pageindex_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.range(0, 20000, 1, 1)
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "1000")
+        .parquet(out)
+      val statLong = (c: Column) => ColumnBridge.column(
+        graft.functions.PlainStatLong(ColumnBridge.expression(c),
+          ColumnBridge.expression(lit("INT64"))))
+      meta(s, out, "columnindex")
+        .filter(col("column_id") === 0 && !col("null_page"))
+        .select(col("page_id").cast("long").as("page"),
+          statLong(col("min_value")).as("min_id"),
+          statLong(col("max_value")).as("max_id"))
     }),
 
     // ----- delegated relational capabilities (Catalyst-native plans) -----
@@ -401,6 +448,37 @@ object SparkEntry {
       val pairs = Dedup.crossCandidatePairs(bands(d), bands(b), extraKeys = Seq("wsh"))
       val va = d.select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws"))
       val vb = b.select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws"))
+      val withA = va.join(broadcast(pairs), col("doc_id") === col("a_id"))
+        .select(col("a_id"), col("b_id"), col("ws").as("ws_a"))
+      vb.join(broadcast(withA), col("doc_id") === col("b_id"))
+        .filter(col("ws") === col("ws_a"))
+        .select(col("b_id")).distinct()
+        .agg(count(lit(1)).as("n_dup_docs"),
+          coalesce(sum(col("b_id")), lit(0L)).as("id_sum"))
+    }),
+
+    // Incremental dedup against a PERSISTED band store: the reference
+    // corpus's LSH bands are written once as a parquet table bucketed by
+    // band hash (zero store-side shuffle on every future scrub,
+    // plan-asserted in DedupStoreSpec), then an increment with planted
+    // exact copies (docs <20, +400000) and near-miss edits (20..39,
+    // unique suffix) scrubs against it. Candidates exact-verify by
+    // token-set equality over the broadcast candidate set.
+    "dedup_store_scrub" -> ((s, dir) => {
+      val tbl = "graft_band_store_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      Dedup.writeBandStore(d, col("doc_id"), TextOps.tokenSet(col("text")),
+        tbl, buckets = 8)
+      val inc = d.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("text"))
+        .union(d.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(col("text"), lit(" storesuffix"), col("doc_id").cast("string")).as("text")))
+      val pairs = Dedup.scrubAgainstBandStore(s, tbl, inc,
+        col("doc_id"), TextOps.tokenSet(col("text")))
+      val va = d.select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws"))
+      val vb = inc.select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws"))
       val withA = va.join(broadcast(pairs), col("doc_id") === col("a_id"))
         .select(col("a_id"), col("b_id"), col("ws").as("ws_a"))
       vb.join(broadcast(withA), col("doc_id") === col("b_id"))
@@ -959,6 +1037,23 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
+    // Multi-table LSH (the recall dial): 4 independent hyperplane sets,
+    // candidates from the union of per-table bucket matches. The planted
+    // duplicate is an identical vector, so it shares the query's bucket in
+    // EVERY table — always a candidate, always rank 1 at cosine 1; extra
+    // tables only ADD candidates, never lose the duplicate.
+    "ann_lsh_multi" -> ((s, dir) => {
+      val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val corpus = e.union(
+        e.filter(col("vec_id") < 10).select(col("vec_id") + 100000L, col("embedding")))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopKMulti(corpus, "vec_id", "embedding", queries, "q_id", "q_vec",
+        dim = 64, numPlanes = 8, k = 3, tables = 4)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
     // IVF ANN with the same planted-duplicate exact-recall oracle: an
     // identical vector maps to the same nearest cell as its query, and the
     // query's rank-1 probe is that very cell, so the copy is always searched
@@ -1497,6 +1592,25 @@ object SparkEntry {
         |      t -> t <> '')))
         |  FROM sets s JOIN documents d USING (doc_id)
         |  WHERE s.doc_id >= 30 AND s.doc_id < 50),
+        |bad AS (SELECT DISTINCT b.doc_id FROM b JOIN sets a ON b.ws = a.ws)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dup_docs,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+        |FROM bad""".stripMargin,
+
+    "dedup_store_scrub" ->
+      """WITH sets AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id + 400000 AS doc_id, ws FROM sets WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT s.doc_id + 400000,
+        |    list_sort(list_distinct(list_filter(
+        |      string_split(d.text || ' storesuffix' || CAST(s.doc_id AS VARCHAR), ' '),
+        |      t -> t <> '')))
+        |  FROM sets s JOIN documents d USING (doc_id)
+        |  WHERE s.doc_id >= 20 AND s.doc_id < 40),
         |bad AS (SELECT DISTINCT b.doc_id FROM b JOIN sets a ON b.ws = a.ws)
         |SELECT CAST(count(*) AS BIGINT) AS n_dup_docs,
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
@@ -2131,6 +2245,11 @@ object SparkEntry {
         |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    "ann_lsh_multi" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     "ann_ivf" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
         |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
@@ -2164,6 +2283,23 @@ object SparkEntry {
         |FROM read_parquet('/tmp/graft_export_manifest_sf0.01/*/*.parquet',
         |  hive_partitioning = 1, filename = 1)
         |GROUP BY lang""".stripMargin,
+
+    "bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // the DATA recomputes what the PAGE INDEX promises: the query writes
+    // ids 0..19999 at exactly 1000 rows per page, so page p must span
+    // [1000p, 1000p+999] — derived here by scanning the written rows with
+    // an independent engine (same-machine fixed sf0.01 path, like the
+    // export_manifest oracle)
+    "meta_page_index" ->
+      """SELECT CAST(id // 1000 AS BIGINT) AS page,
+        |  CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+        |FROM read_parquet('/tmp/graft_pageindex_sf0.01/*.parquet')
+        |GROUP BY 1""".stripMargin,
 
     "mm_frames" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_frames,
