@@ -177,6 +177,113 @@ object TemporalJoin {
         rightPayload.map(c => col(cM).getField(c).as(c)): _*)
   }
 
+  /**
+   * Time-range-salted backward as-of join — the dominant-key mitigation
+   * the scale audit names. A key whose row count dwarfs the rest
+   * serializes its whole window under [[asofBackward]]; here time is cut
+   * into integral buckets of `bucketWidth` (`ts div width` — exact, and
+   * monotone, so `bucket(r) < bucket(l)` implies `r.ts <= l.ts`), the
+   * bucket id joins the equi-key, and each (key, bucket) windows
+   * independently — the hot key's work spreads over `span/width` tasks.
+   *
+   * Boundary carry: a left row's true match may precede its bucket. Per
+   * (key, bucket), the LATEST right row is pre-aggregated (one row per
+   * key x bucket — counter-row scale), a running `last` over the bucket
+   * spine (left AND right buckets, so empty-on-the-right buckets still
+   * receive a carry) injects that boundary row into every later bucket,
+   * and the within-bucket as-of then sees exactly the candidates the
+   * global one would: in-bucket rows, or the carried global-latest
+   * earlier row. Results are EXACTLY [[asofBackward]]'s (property-tested
+   * across widths), `tolerance` included.
+   *
+   * Cost: carry volume is one right row per (key, active bucket) —
+   * `bucketWidth` dials salt spread against carry replication. Both
+   * timestamp columns must be integral (exact `div`; same contract as
+   * `tolerance`).
+   */
+  def asofBackwardSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      bucketWidth: Long,
+      tolerance: Option[Long] = None): DataFrame =
+    asofSaltedImpl(left, right, keys, leftTs, rightTs, bucketWidth, tolerance,
+      backward = true)
+
+  /** Forward mirror of [[asofBackwardSalted]]: carries each bucket's
+    * EARLIEST right row backward onto earlier buckets (monotonicity gives
+    * `bucket(r) > bucket(l)` implies `r.ts >= l.ts`). */
+  def asofForwardSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      bucketWidth: Long,
+      tolerance: Option[Long] = None): DataFrame =
+    asofSaltedImpl(left, right, keys, leftTs, rightTs, bucketWidth, tolerance,
+      backward = false)
+
+  private def asofSaltedImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      bucketWidth: Long,
+      tolerance: Option[Long],
+      backward: Boolean): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val integral: Set[Any] = Set(ByteType, ShortType, IntegerType, LongType)
+    require(integral(left.schema(leftTs).dataType) &&
+      integral(right.schema(rightTs).dataType),
+      "salted as-of requires integral timestamp columns " +
+        s"(got ${left.schema(leftTs).dataType.simpleString} / " +
+        s"${right.schema(rightTs).dataType.simpleString})")
+
+    val taken = keys.toSet ++ left.columns ++ right.columns
+    val bCol = RangeJoin.freshName("__bucket", taken)
+    val rowCol = RangeJoin.freshName("__rrow", taken + bCol)
+    def bucketOf(ts: String) =
+      expr(s"CAST(`$ts` AS BIGINT) div CAST($bucketWidth AS BIGINT)")
+    val keyCols = (keys :+ bCol).map(col)
+    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+
+    val lB = left.withColumn(bCol, bucketOf(leftTs))
+    val rB = right.filter(col(rightTs).isNotNull && keysNotNull)
+      .withColumn(bCol, bucketOf(rightTs))
+    // per (key, bucket): the boundary-relevant right row. Unique by the
+    // right side's (keys, ts) uniqueness contract.
+    val pickRow = struct(right.columns.map(col): _*)
+    val summary = rB.groupBy(keyCols: _*).agg(
+      (if (backward) max_by(pickRow, col(rightTs))
+       else min_by(pickRow, col(rightTs))).as(rowCol))
+    // bucket spine: every (key, bucket) either side occupies, so a bucket
+    // with left rows but no right rows still receives its carry
+    val spine = lB.filter(col(leftTs).isNotNull && keysNotNull)
+      .select(keyCols: _*).distinct()
+      .unionByName(summary.select(keyCols: _*)).distinct()
+    // running boundary row over STRICTLY-prior buckets (window rows are
+    // per-(key,bucket) aggregates — counter-row scale, not the hot key's
+    // row volume)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(if (backward) col(bCol).asc else col(bCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nonKey = right.columns.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
+    val carry = spine.join(summary, keys :+ bCol, "left")
+      .select(keyCols :+ last(col(rowCol), ignoreNulls = true).over(w).as(rowCol): _*)
+      .filter(col(rowCol).isNotNull)
+      .select(keyCols ++ nonKey.map(c => col(rowCol).getField(c).as(c)): _*)
+    // a carried row's ts sits in an earlier (later, forward) bucket than
+    // every in-bucket row, so per-(keys,bucket,ts) uniqueness is preserved
+    val rAug = rB.select(rB.columns.map(col): _*).unionByName(carry)
+    asofImpl(lB, rAug, keys :+ bCol, leftTs, rightTs, tolerance, backward)
+      .drop(bCol)
+  }
+
   private def structTypeOf(df: DataFrame, cols: Seq[String]): String =
     org.apache.spark.sql.types.StructType(
       cols.map(c => df.schema(c))).sql

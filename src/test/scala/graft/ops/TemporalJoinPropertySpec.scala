@@ -59,4 +59,56 @@ class TemporalJoinPropertySpec extends SparkSpec {
         s"forward mismatch, round $round tol $tol")
     }
   }
+
+  test("time-range-salted as-of equals the unsalted join at every bucket width") {
+    val rnd = new Random(5678)
+    for (round <- 0 until 8) {
+      // dominant key: ~70% of rows on k0 (the salting target), timestamps
+      // spanning negative values to stress the truncating `div` bucketing
+      def genSkewed(n: Int, unique: Boolean): Seq[(String, Long, Long)] = {
+        val raw = Seq.fill(n)((
+          if (rnd.nextInt(10) < 7) "k0" else s"k${1 + rnd.nextInt(2)}",
+          (rnd.nextInt(60) - 30).toLong, rnd.nextLong()))
+        if (unique) raw.groupBy(r => (r._1, r._2)).values.map(_.head).toSeq else raw
+      }
+      val left = genSkewed(60, unique = false)
+      val right = genSkewed(40, unique = true)
+      val tol = if (round % 2 == 0) Some(rnd.nextInt(10).toLong) else None
+      val l = left.toDF("k", "lts", "lv")
+      val r = right.toDF("k", "rts", "rv")
+      def run(dir: Boolean, width: Option[Long]) = {
+        val out = (dir, width) match {
+          case (false, None) => TemporalJoin.asofBackward(l, r, Seq("k"), "lts", "rts", tol)
+          case (true, None) => TemporalJoin.asofForward(l, r, Seq("k"), "lts", "rts", tol)
+          case (false, Some(bw)) =>
+            TemporalJoin.asofBackwardSalted(l, r, Seq("k"), "lts", "rts", bw, tol)
+          case (true, Some(bw)) =>
+            TemporalJoin.asofForwardSalted(l, r, Seq("k"), "lts", "rts", bw, tol)
+        }
+        out.select("k", "lts", "lv", "rts", "rv")
+          .as[(String, Long, Long, Long, Long)].collect().toSet
+      }
+      for (dir <- Seq(false, true); width <- Seq(1L, 3L, 7L, 1000L)) {
+        assert(run(dir, Some(width)) === run(dir, None),
+          s"salted(width=$width, dir=${if (dir) "fwd" else "bwd"}) " +
+            s"differs from unsalted, round $round tol $tol")
+      }
+      // and the unsalted side is itself pinned to the brute-force reference
+      assert(run(dir = false, None) === refBackward(left, right, tol))
+      assert(run(dir = true, None) === refForward(left, right, tol))
+    }
+  }
+
+  test("salted as-of spreads a hot key across bucket sub-windows") {
+    val l = (0 until 200).map(i => ("hot", i.toLong, i.toLong)).toDF("k", "lts", "lv")
+    val r = (0 until 50).map(i => ("hot", (i * 4).toLong, i.toLong)).toDF("k", "rts", "rv")
+    val out = TemporalJoin.asofBackwardSalted(l, r, Seq("k"), "lts", "rts", bucketWidth = 25L)
+    assert(out.count() === 200)
+    // the merge window partitions by (key, bucket), not key alone: the
+    // plan's window spec must carry two partition expressions
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition"), plan.take(500))
+    val spec = plan.linesIterator.find(_.contains("windowspecdefinition")).get
+    assert(spec.contains("__bucket"), spec)
+  }
 }
