@@ -31,6 +31,19 @@ object SparkEntry {
 
   private def pq(dir: String, table: String): String = s"$dir/$table.parquet"
 
+  /** Make `name` writable as a managed table: drop any registration AND
+    * delete an orphaned warehouse location (the metastore is per-session
+    * in-memory, so a table written by a previous JVM leaves its directory
+    * behind while the new session has no table to overwrite through). */
+  private def freshTable(s: SparkSession, name: String): String = {
+    s.sql(s"DROP TABLE IF EXISTS `$name`")
+    val p = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    name
+  }
+
   private def meta(s: SparkSession, path: String, level: String,
       opts: Map[String, String] = Map.empty): DataFrame = {
     val r = s.read.format("metadata").option("level", level)
@@ -188,8 +201,8 @@ object SparkEntry {
     // round-trip loses and alters nothing.
     "bucketed_join" -> ((s, dir) => {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val ct = "graft_bucketed_customer_" + suffix
-      val ot = "graft_bucketed_orders_" + suffix
+      val ct = freshTable(s, "graft_bucketed_customer_" + suffix)
+      val ot = freshTable(s, "graft_bucketed_orders_" + suffix)
       Bucketing.writeBucketed(s.read.parquet(pq(dir, "customer")),
         "c_custkey", buckets = 8, table = ct)
       Bucketing.writeBucketed(s.read.parquet(pq(dir, "orders"))
@@ -465,8 +478,8 @@ object SparkEntry {
     // unique suffix) scrubs against it. Candidates exact-verify by
     // token-set equality over the broadcast candidate set.
     "dedup_store_scrub" -> ((s, dir) => {
-      val tbl = "graft_band_store_" +
-        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = freshTable(s, "graft_band_store_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_"))
       val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
       Dedup.writeBandStore(d, col("doc_id"), TextOps.tokenSet(col("text")),
         tbl, buckets = 8)
@@ -829,6 +842,37 @@ object SparkEntry {
       val toks = d.select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
       Sketches.heavyHitters(toks, col("lang"), col("token"), capacity = 64)
         .withColumnRenamed("g", "lang")
+    }),
+
+    // The SAME heavy-hitter question answered by the STREAMING operator:
+    // token events replayed through Trigger.AvailableNow into the
+    // Misra-Gries flatMapGroupsWithState sketch (bounded state per group
+    // forever), landed in a memory sink. In the eviction-free regime the
+    // stream's final sketch must equal the batch exact counts — batch
+    // parity as an oracle row, not just a spec. Update-mode emissions
+    // accumulate one row per (group, item) per trigger and counts only
+    // grow here, so max() per key is the final sketch no matter how
+    // AvailableNow batched the replay.
+    "stream_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val staging = "/tmp/graft_stream_hh_" + suffix
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("lang").as("group"), explode(TextOps.tokens(col("text"))).as("item"))
+        .write.mode("overwrite").parquet(staging)
+      val events = s.readStream.schema("group STRING, item STRING")
+        .parquet(staging).as[graft.streaming.ItemEvent]
+      val sink = "graft_stream_hh_sink_" + suffix
+      graft.streaming.StreamOps.streamingHeavyHitters(events, capacity = 64)
+        .writeStream.format("memory").queryName(sink).outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_hh_ckpt").toString)
+        .start().awaitTermination()
+      s.table(sink)
+        .groupBy(col("group").as("lang"), col("item"))
+        .agg(max(col("count_lb")).as("count_lb"),
+          max(col("count_ub")).as("count_ub"))
     }),
 
     // Deterministic weighted sampling without replacement (priority
@@ -1992,6 +2036,17 @@ object SparkEntry {
     // capacity exceeds the distinct-token count, so the sketch holds exact
     // counts and both bounds equal the true count (see the query comment).
     "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents)
+        |SELECT lang, token AS item,
+        |  CAST(count(*) AS BIGINT) AS count_lb,
+        |  CAST(count(*) AS BIGINT) AS count_ub
+        |FROM toks GROUP BY lang, token""".stripMargin,
+
+    // the streaming sketch must land on the batch exact counts (the
+    // eviction-free Misra-Gries regime) — identical oracle by design
+    "stream_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
         |  FROM documents)
