@@ -1297,6 +1297,23 @@ object SparkEntry {
           floor(col("score") * lit(1000000.0d)).cast("long").as("score_micro"))
     }),
 
+    // Batch BM25 retrieval — the termStats JOIN formulation: three query
+    // term-sets scored in ONE corpus pass (postings restricted to the
+    // broadcast query vocabulary before the tf aggregate), per-term
+    // micro-floored scores (order-independent sums — bit-exact SQL
+    // replay), bounded-heap top-5 per query.
+    "bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(pq(dir, "documents"))
+      val q = Seq(
+        (0L, "window"), (0L, "merge"), (0L, "spark"),
+        (1L, "hash"), (1L, "join"), (1L, "shuffle"),
+        (2L, "parquet"), (2L, "footer"), (2L, "metadata"), (2L, "stream"))
+        .toDF("q_id", "term")
+      Relevance.bm25BatchTopK(d, "doc_id", TextOps.tokens(col("text")),
+        q, "q_id", "term", k = 5, k1 = 1.0, b = 0.5, logIdf = false)
+    }),
+
     // SimHash NEAR-dup retrieval (Hamming distance <= 3) via pigeonhole
     // banding — the retrieval dedup_simhash's equality join cannot do.
     // Planted exact copies have distance 0, and banding has guaranteed
@@ -2447,6 +2464,44 @@ object SparkEntry {
         |SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
         |FROM pt GROUP BY token
         |ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    // the join-formulation BM25 replayed relationally: same IEEE ratio-idf
+    // operation order as text_bm25's oracle, with the per-term
+    // micro-floor BEFORE the per-(query, doc) sum mirroring the Spark
+    // side's order-independent aggregation
+    "bm25_batch" ->
+      """WITH q(q_id, term) AS (VALUES
+        |    (0, 'window'), (0, 'merge'), (0, 'spark'),
+        |    (1, 'hash'), (1, 'join'), (1, 'shuffle'),
+        |    (2, 'parquet'), (2, 'footer'), (2, 'metadata'), (2, 'stream')),
+        |d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT count(*) AS n,
+        |        CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avglen FROM d),
+        |p AS (
+        |  SELECT u.token, d.doc_id, CAST(count(*) AS DOUBLE) AS tf,
+        |    any_value(CAST(len(d.toks) AS DOUBLE)) AS dl
+        |  FROM d, unnest(d.toks) AS u(token)
+        |  WHERE u.token IN (SELECT term FROM q)
+        |  GROUP BY 1, 2),
+        |f AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+        |scored AS (
+        |  SELECT q.q_id, p.doc_id,
+        |    CAST(sum(CAST(floor(
+        |      ((s.n + 1.0) / (f.df + 1.0)) *
+        |      ((p.tf * (1.0 + 1.0)) /
+        |       (p.tf + 1.0 * ((1.0 - 0.5) + 0.5 * (p.dl / s.avglen))))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM p JOIN f USING (token) JOIN q ON p.token = q.term, s
+        |  GROUP BY 1, 2)
+        |SELECT CAST(q_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+        |  doc_id, score_micro
+        |FROM (SELECT q_id, doc_id, score_micro,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY score_micro DESC, doc_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin,
 
     "text_bm25" -> {
       // one BM25 term, written to the letter of Relevance.bm25TopK's

@@ -118,4 +118,90 @@ object Relevance {
         col("col").getField("id").as("doc_id"),
         col("col").getField("score").as("score"))
   }
+
+  /**
+   * Batch BM25 retrieval — the termStats JOIN formulation, for query SETS
+   * (the eval/mining shape: thousands of queries scored in one pass) and
+   * for wide queries, where [[bm25TopK]]'s one-codegen-column-per-term
+   * expression stops scaling past hundreds of terms.
+   *
+   * Plan at 100 TB: the corpus explodes ONCE into postings restricted to
+   * the (broadcast) query vocabulary — the token stream is filtered
+   * BEFORE the tf aggregate, so the posting shuffle carries
+   * (matching doc, term) pairs, never the full token stream; document
+   * frequencies are a vocabulary-sized aggregate OVER those postings (no
+   * second corpus pass); scoring joins broadcast (vocab-sized) df and
+   * query tables; ranking is the bounded-heap top-k per query
+   * (mappers x queries x k rows, no window).
+   *
+   * Determinism contract: per-term scores are floored to integer MICROS
+   * before the per-(query, doc) sum, so the aggregate is order-independent
+   * and replayable bit-exactly by a SQL oracle — at 1e-6 score resolution,
+   * which is the one semantic difference from [[bm25TopK]] (which sums
+   * doubles in fixed term order then floors once). Same IEEE-identical
+   * ratio-idf option, same (score desc, id asc) tie-break. Duplicate
+   * (query, term) rows are collapsed (terms score once per query).
+   */
+  def bm25BatchTopK(
+      docs: DataFrame,
+      idCol: String,
+      tokens: Column,
+      queries: DataFrame,
+      queryIdCol: String,
+      termCol: String,
+      k: Int,
+      k1: Double = 1.0,
+      b: Double = 0.5,
+      logIdf: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(docs.schema(idCol).dataType),
+      s"bm25BatchTopK requires an integral doc id column, got '$idCol': " +
+        docs.schema(idCol).dataType.simpleString)
+    require(integral.contains(queries.schema(queryIdCol).dataType),
+      s"bm25BatchTopK requires an integral query id column, got '$queryIdCol': " +
+        queries.schema(queryIdCol).dataType.simpleString)
+
+    val base = docs.select(col(idCol).as("__doc"), tokens.as("__toks"))
+      .filter(col("__toks").isNotNull)
+    val stats = base.agg(count(lit(1)),
+      sum(size(col("__toks")).cast("long"))).head()
+    val n = stats.getLong(0)
+    require(n > 0, "bm25BatchTopK requires a non-empty corpus")
+    val avgLen = stats.getLong(1).toDouble / n.toDouble
+
+    val q = queries.select(col(queryIdCol).cast("long").as("__q"),
+      col(termCol).as("token")).dropDuplicates("__q", "token")
+    val vocab = q.select(col("token")).distinct()
+    val postings = base
+      .select(col("__doc"), size(col("__toks")).cast("double").as("__dl"),
+        explode(col("__toks")).as("token"))
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy(col("token"), col("__doc"))
+      .agg(count(lit(1)).cast("double").as("__tf"), first(col("__dl")).as("__dl"))
+    val dfs = postings.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("__df"))
+
+    val dfD = col("__df").cast("double")
+    val idf =
+      if (logIdf) log((lit(n.toDouble) - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+      else lit(n + 1.0) / (dfD + lit(1.0))
+    val termScore = idf * ((col("__tf") * lit(k1 + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl") / lit(avgLen)))))
+
+    postings
+      .join(broadcast(dfs), Seq("token"))
+      .join(broadcast(q), Seq("token"))
+      .select(col("__q"), col("__doc"),
+        floor(termScore * lit(1000000.0d)).cast("long").as("__m"))
+      .groupBy(col("__q"), col("__doc"))
+      .agg(sum(col("__m")).as("__sm"))
+      .groupBy(col("__q").as("query_id"))
+      .agg(Similarity.topKAgg(col("__sm").cast("double"), col("__doc").cast("long"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col").getField("id").as("doc_id"),
+        col("col").getField("score").cast("long").as("score_micro"))
+  }
 }

@@ -76,4 +76,77 @@ class RelevanceSpec extends SparkSpec {
         "sid", toks, Seq("cat"), k = 5)
     }
   }
+
+  // ----- batch (join-formulation) BM25 ----------------------------------
+
+  /** In-memory replay of bm25BatchTopK's exact formula: ratio idf,
+    * per-term micro-floor, integer sum, (score desc, id asc) top-k. */
+  private def refBatch(
+      docs: Seq[(Long, String)], queries: Seq[(Long, String)],
+      k: Int, k1: Double, b: Double): Set[(Long, Long, Long, Long)] = {
+    val tokd = docs.map { case (id, t) => id -> t.split(" ").toSeq.filter(_.nonEmpty) }
+    val n = tokd.size
+    val avgLen = tokd.map(_._2.size).sum.toDouble / n.toDouble
+    val byQ = queries.distinct.groupBy(_._1)
+    byQ.flatMap { case (qid, terms) =>
+      val scored = tokd.flatMap { case (doc, ts) =>
+        val micros = terms.map(_._2).distinct.flatMap { term =>
+          val tf = ts.count(_ == term).toDouble
+          if (tf == 0.0) None
+          else {
+            val df = tokd.count(_._2.contains(term)).toLong
+            val idf = (n + 1.0) / (df.toDouble + 1.0)
+            val s = idf * ((tf * (k1 + 1.0)) /
+              (tf + k1 * ((1.0 - b) + b * (ts.size.toDouble / avgLen))))
+            Some(math.floor(s * 1000000.0d).toLong)
+          }
+        }
+        if (micros.isEmpty) None else Some(doc -> micros.sum)
+      }
+      scored.sortBy { case (doc, m) => (-m, doc) }.take(k).zipWithIndex
+        .map { case ((doc, m), i) => (qid, (i + 1).toLong, doc, m) }
+    }.toSet
+  }
+
+  test("bm25BatchTopK matches the in-memory reference formula exactly") {
+    val docsSeq = Seq(
+      (1L, "cat dog cat"), (2L, "dog fish"), (3L, "cat cat cat whale"),
+      (4L, "bird"), (5L, "dog dog cat fish whale bird"))
+    val qSeq = Seq((10L, "cat"), (10L, "dog"), (20L, "fish"), (20L, "bird"),
+      (20L, "nosuchterm"), (30L, "nosuchterm"))
+    val got = Relevance.bm25BatchTopK(
+        docsSeq.toDF("doc_id", "text"), "doc_id", toks,
+        qSeq.toDF("q_id", "term"), "q_id", "term", k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === refBatch(docsSeq, qSeq, k = 3, k1 = 1.0, b = 0.5))
+    // query 30's only term is absent from the corpus: retrieves nothing
+    assert(!got.exists(_._1 == 30L))
+  }
+
+  test("bm25BatchTopK queries are independent and duplicate terms collapse") {
+    val docsSeq = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "cat whale"))
+    val d = docsSeq.toDF("doc_id", "text")
+    val together = Relevance.bm25BatchTopK(d, "doc_id", toks,
+        Seq((0L, "cat"), (1L, "dog"), (1L, "dog")).toDF("q_id", "term"),
+        "q_id", "term", k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val alone = (Relevance.bm25BatchTopK(d, "doc_id", toks,
+        Seq((0L, "cat")).toDF("q_id", "term"), "q_id", "term", k = 5)
+      .as[(Long, Long, Long, Long)].collect() ++
+      Relevance.bm25BatchTopK(d, "doc_id", toks,
+        Seq((1L, "dog")).toDF("q_id", "term"), "q_id", "term", k = 5)
+      .as[(Long, Long, Long, Long)].collect()).toSet
+    assert(together === alone)
+  }
+
+  test("bm25BatchTopK single-term ranking agrees with bm25TopK") {
+    val batch = Relevance.bm25BatchTopK(corpus, "doc_id", toks,
+        Seq((0L, "cat")).toDF("q_id", "term"), "q_id", "term",
+        k = 10, k1 = 1.2, b = 0.75, logIdf = true)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toList
+    val narrow = Relevance.bm25TopK(corpus, "doc_id", toks, Seq("cat"),
+        k = 10, k1 = 1.2, b = 0.75, logIdf = true)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toList
+    assert(batch === narrow)
+  }
 }
