@@ -39,8 +39,14 @@ object MetaPrune {
     * type — so any unsigned declaration disables pruning for that file.
     * Covers both parquet-mr renderings: legacy converted types (`UINT_32`)
     * and logical annotations (`INTEGER(32,false)`). */
+  /** The two parquet-mr unsigned renderings, shared by the driver-side
+    * [[hasUnsigned]] and the executor-side Column guard in [[filesInRange]]
+    * — ONE definition, so the spec that pins one pins both. */
+  private[meta] val UnsignedSubstring = "UINT_"
+  private[meta] val UnsignedRegex = "INTEGER\\(\\d+,\\s*false\\)"
+
   private[meta] def hasUnsigned(schema: String): Boolean =
-    schema.contains("UINT_") || raw"INTEGER\(\d+,\s*false\)".r.findFirstIn(schema).isDefined
+    schema.contains(UnsignedSubstring) || UnsignedRegex.r.findFirstIn(schema).isDefined
 
   /**
    * Data-file paths under `path` whose chunk statistics for `column` admit
@@ -75,8 +81,8 @@ object MetaPrune {
     // the column scan, so with the default footer cache this pass is
     // memory lookups, not re-reads.
     val unsignedRisk = col("schema").isNull ||
-      col("schema").contains("UINT_") ||
-      col("schema").rlike("INTEGER\\(\\d+,\\s*false\\)")
+      col("schema").contains(UnsignedSubstring) ||
+      col("schema").rlike(UnsignedRegex)
     spark.read.format("metadata").option("level", "file")
       .load(path).select(col("filepath"), unsignedRisk.as("risk"))
       .join(chunkAdmits, Seq("filepath"), "left")

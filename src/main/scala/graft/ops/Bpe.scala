@@ -106,11 +106,27 @@ object Bpe {
   }
 
   /** Corpus word frequencies for [[trainOnWords]]: whitespace words of
-    * `text`, one `(word, w)` row per distinct word — vocabulary-sized. */
+    * `text` (the same [[TextOps.tokens]] tokenizer every other corpus
+    * operator and oracle replays — one definition to keep in sync), one
+    * `(word, w)` row per distinct word — vocabulary-sized. */
   def wordCounts(df: DataFrame, text: Column): DataFrame =
-    df.select(explode(split(text, " +")).as("word"))
-      .filter(length(col("word")) > 0)
+    df.select(explode(TextOps.tokens(text)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("w"))
+
+  /** A word as code-point symbols (NOT UTF-16 code units: a char-level
+    * split would halve supplementary characters — emoji, CJK extension
+    * planes — into unpaired surrogates, and merges would then learn and
+    * emit malformed strings). */
+  private[ops] def codePointSymbols(word: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
 
   /**
    * Full-scale tokenizer induction: ONE distributed pass aggregates the
@@ -119,7 +135,7 @@ object Bpe {
    * that weighted table with incrementally-maintained pair statistics —
    * zero additional Spark jobs regardless of `nMerges`, which is what a
    * 32k-merge production vocabulary needs. Words are split into
-   * single-character symbols (pairs never cross word boundaries —
+   * code-point symbols (pairs never cross word boundaries —
    * standard BPE pre-tokenization), so the result equals sequential BPE
    * over one row per word occurrence.
    *
@@ -134,7 +150,7 @@ object Bpe {
         "pre-filter the corpus or raise the cap")
     trainWeighted(
       vocab.iterator.map(r =>
-        (r.getString(0).map(_.toString): IndexedSeq[String], r.getLong(1))).toSeq,
+        (codePointSymbols(r.getString(0)), r.getLong(1))).toSeq,
       nMerges)
   }
 

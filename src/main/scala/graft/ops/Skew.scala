@@ -22,6 +22,14 @@ object Skew {
    * over all columns), not a positional counter: task retries and
    * fetch-failure recomputes land every row on the same salt value, so the
    * shuffle layout — not just the result set — is stable across replays.
+   *
+   * Entropy contract: spreading relies on the hot key's rows DIFFERING in
+   * some non-key column (the usual case — events carry timestamps, ids,
+   * payloads). A big side consisting of exact duplicate rows hashes every
+   * copy to one salt; deduplicate-with-count first (`groupBy(all).count`),
+   * which is the better plan for duplicate-heavy data anyway. Column types
+   * must be hashable (xxhash64 rejects MapType — project maps away or
+   * hash `map_entries` yourself before salting).
    */
   def saltedJoin(big: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive: $salts")

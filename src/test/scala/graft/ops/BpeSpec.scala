@@ -164,6 +164,26 @@ class BpeSpec extends SparkSpec {
     assert(got === Seq(("a", "b")))
   }
 
+  test("trainOnWords splits supplementary characters as code points, not surrogates") {
+    // U+1D54F (MATHEMATICAL DOUBLE-STRUCK X) is two UTF-16 chars; a
+    // char-level split would learn merges over unpaired surrogates
+    val x = new String(Character.toChars(0x1D54F))
+    val w = s"a${x}b"
+    assert(Bpe.codePointSymbols(w) === IndexedSeq("a", x, "b"))
+    val df2 = Seq.fill(3)(Tuple1(s"$w $w")).toDF("text")
+    val merges = Bpe.trainOnWords(df2, col("text"), 2)
+    // most frequent pair is (a, X) (ties broken lexicographically after
+    // count): every learned symbol must be a well-formed string
+    assert(merges.nonEmpty)
+    merges.flatMap(m => Seq(m._1, m._2)).foreach { sym =>
+      sym.split(" ").foreach { part =>
+        assert(!part.exists(c => Character.isSurrogate(c) &&
+          part.length == 1), s"unpaired surrogate symbol in $sym")
+      }
+    }
+    assert(merges.head._2 === x || merges.head._1 === x)
+  }
+
   test("trainOnWords enforces the driver vocabulary cap") {
     val err = intercept[IllegalArgumentException] {
       Bpe.trainOnWords(df, col("text"), 4, maxVocab = 3)
