@@ -1137,6 +1137,27 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
+    // PERSISTED IVF index: the corpus is cell-assigned + int8-quantized
+    // once and written bucketed by cell (plus a self-describing geometry
+    // table), then the query batch probes the store — the write-once ANN
+    // layout. Same planted-duplicate closed-form oracle: an identical
+    // vector shares its query's nearest cell and wins the integer dot.
+    "ann_ivf_store" -> ((s, dir) => {
+      val tbl = freshTable(s, "graft_ivf_store_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_"))
+      freshTable(s, tbl + "_centroids")
+      val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val corpus = e.union(
+        e.filter(col("vec_id") < 10).select(col("vec_id") + 100000L, col("embedding")))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.writeIvfStore(corpus, "vec_id", "embedding", tbl,
+        k = 16, iters = 1, scale = 64, buckets = 8)
+      Similarity.searchIvfStore(s, tbl, queries, "q_id", "q_vec", nprobe = 4, k = 3)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
     // ----- LLM-data-pipeline: multimodal columns -----------------------
     "mm_features" -> ((s, dir) => {
       val media = s.read.parquet(pq(dir, "documents"))
@@ -2331,6 +2352,11 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "ann_ivf_quantized" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "ann_ivf_store" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
         |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

@@ -294,6 +294,73 @@ object Similarity {
   }
 
   /**
+   * Persist an IVF-quantized ANN index: the corpus is cell-assigned and
+   * int8-quantized ONCE and written as a parquet table BUCKETED by cell id
+   * (columns `id, cell, qvec`), alongside a `<table>_centroids` table
+   * carrying the quantizer geometry (cell centroids + fixed-point scale) —
+   * the index is self-describing, so writer and searcher cannot drift on
+   * geometry the way a config-kept contract could. This is the write-once
+   * layout a 100 TB corpus wants: quantization and cell assignment are
+   * paid at ingest, and every future query batch probes the bucketed
+   * layout with ZERO corpus-side work beyond the probed cells' scan
+   * ([[searchIvfStore]]; plan-asserted shuffle-free on the store side).
+   * Returns the centroids for callers that also search directly.
+   */
+  def writeIvfStore(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      k: Int,
+      iters: Int,
+      scale: Int,
+      buckets: Int = 16): Array[Array[Float]] = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, k, iters)
+    val cells = corpus.select(col(idCol).as("id"),
+      nearestCell(col(vecCol), centroids).as("cell"),
+      quantizeI8(col(vecCol), scale).as("qvec"))
+    Bucketing.writeBucketed(cells, "cell", buckets, table)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, scale) }
+      .toDF("cell", "centroid", "scale")
+      .write.mode("overwrite").format("parquet").saveAsTable(table + "_centroids")
+    centroids
+  }
+
+  /**
+   * Query batch against a persisted [[writeIvfStore]] index: geometry is
+   * read back from `<table>_centroids` (k x dim floats — driver-resident
+   * like every quantizer here), probes explode onto their `nprobe`
+   * nearest cells and BROADCAST onto the bucketed store scan — the store
+   * side never exchanges; integer dot scores, bounded-heap top-k. Query
+   * ids must not collide with stored ids (self-matches are excluded by
+   * id, the same contract as [[ivfQuantizedTopK]]).
+   */
+  def searchIvfStore(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val geo = spark.table(table + "_centroids").orderBy(col("cell")).collect()
+    require(geo.nonEmpty, s"empty or missing centroid table: ${table}_centroids")
+    val centroids = geo.map(_.getSeq[Float](1).toArray)
+    val scale = geo.head.getInt(2)
+    val probes = queries.select(col(queryId),
+      quantizeI8(col(queryVec), scale).as("__qq"),
+      explode(nearestCells(col(queryVec), centroids, nprobe)).as("cell"))
+    val scored = spark.table(table)
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col(queryId))
+      .withColumn("score", dotI(col("qvec"), col("__qq")).cast("double"))
+    rankTopK(scored, queryId, "id", k)
+  }
+
+  /**
    * Bucketed approximate top-k: candidates limited to corpus rows whose LSH
    * bucket matches the query's bucket, joined on the bucket id (equi-join —
    * no cartesian product), then exact-scored and ranked per query with the

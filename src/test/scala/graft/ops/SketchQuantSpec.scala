@@ -257,6 +257,37 @@ class SketchQuantSpec extends SparkSpec {
       s"query $q rank-1 neighbour should be its planted duplicate")
   }
 
+  test("persisted IVF store search equals the direct quantized IVF search") {
+    val rnd = new scala.util.Random(23)
+    def unit(): Array[Float] = {
+      val v = Array.fill(32)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 60L).map(i => (i, unit()))
+    val corpus = (base ++ (0L until 5L).map(i => (i + 1000L, base(i.toInt)._2)))
+      .toDF("vec_id", "embedding")
+    val queries = base.take(5).toDF("q_id", "q_vec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_spec")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_spec_centroids")
+    val cents = Similarity.writeIvfStore(corpus, "vec_id", "embedding",
+      "graft_ivf_spec", k = 8, iters = 1, scale = 64, buckets = 4)
+    val fromStore = Similarity.searchIvfStore(spark, "graft_ivf_spec",
+      queries, "q_id", "q_vec", nprobe = 2, k = 3)
+    val direct = Similarity.ivfQuantizedTopK(corpus, "vec_id", "embedding",
+      queries, "q_id", "q_vec", cents, nprobe = 2, scale = 64, k = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "score")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(fromStore) === rows(direct))
+    // the store side must not exchange: probes broadcast onto the bucketed
+    // scan, so the only shuffle in the whole plan is the top-k aggregate
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected only the ranking exchange:\n$plan")
+  }
+
   test("quantizedTopK recalls a planted exact duplicate at rank 1") {
     val rnd = new scala.util.Random(7)
     def unit(): Array[Float] = {
