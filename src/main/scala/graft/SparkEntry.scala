@@ -863,15 +863,17 @@ object SparkEntry {
       val events = s.readStream.schema("group STRING, item STRING")
         .parquet(staging).as[graft.streaming.ItemEvent]
       val sink = "graft_stream_hh_sink_" + suffix
-      // fixed checkpoint path, cleared per run: stale state would
-      // double-count the replay, and per-run temp dirs would accumulate
-      val ckpt = new java.io.File("/tmp/graft_stream_hh_ckpt_" + suffix)
-      org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
-      graft.streaming.StreamOps.streamingHeavyHitters(events, capacity = 64)
-        .writeStream.format("memory").queryName(sink).outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt.toString)
-        .start().awaitTermination()
+      // private per-run checkpoint (no cross-process sharing to race on),
+      // deleted after the replay completes: the memory-sink contents
+      // outlive it, and the next run replays from scratch anyway
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_hh_ckpt").toFile
+      try {
+        graft.streaming.StreamOps.streamingHeavyHitters(events, capacity = 64)
+          .writeStream.format("memory").queryName(sink).outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt.toString)
+          .start().awaitTermination()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
       s.table(sink)
         .groupBy(col("group").as("lang"), col("item"))
         .agg(max(col("count_lb")).as("count_lb"),

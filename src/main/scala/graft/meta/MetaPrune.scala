@@ -32,19 +32,19 @@ object MetaPrune {
     Option(graft.functions.PlainStatLong.compute(bytes,
       org.apache.spark.unsafe.types.UTF8String.fromString(parquetType))).map(_.longValue())
 
+  /** The two parquet-mr unsigned renderings — legacy converted types
+    * (`UINT_32`) and logical annotations (`INTEGER(32,false)`) — shared by
+    * the driver-side [[hasUnsigned]] and the executor-side Column guard in
+    * [[filesInRange]]: ONE definition, so the spec that pins one pins
+    * both. */
+  private[meta] val UnsignedSubstring = "UINT_"
+  private[meta] val UnsignedRegex = "INTEGER\\(\\d+,\\s*false\\)"
+
   /** Whether a reconstructed parquet schema string declares ANY unsigned
     * integer column. Signed decoding of unsigned stats is unsound (an
     * unsigned max can read as a negative signed value and wrongly exclude
     * a file), and the pinned column-level schema exposes only the physical
-    * type — so any unsigned declaration disables pruning for that file.
-    * Covers both parquet-mr renderings: legacy converted types (`UINT_32`)
-    * and logical annotations (`INTEGER(32,false)`). */
-  /** The two parquet-mr unsigned renderings, shared by the driver-side
-    * [[hasUnsigned]] and the executor-side Column guard in [[filesInRange]]
-    * — ONE definition, so the spec that pins one pins both. */
-  private[meta] val UnsignedSubstring = "UINT_"
-  private[meta] val UnsignedRegex = "INTEGER\\(\\d+,\\s*false\\)"
-
+    * type — so any unsigned declaration disables pruning for that file. */
   private[meta] def hasUnsigned(schema: String): Boolean =
     schema.contains(UnsignedSubstring) || UnsignedRegex.r.findFirstIn(schema).isDefined
 

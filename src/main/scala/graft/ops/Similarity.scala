@@ -283,9 +283,26 @@ object Similarity {
     val cells = corpus.select(col(corpusId),
       nearestCell(col(corpusVec), centroids).as("cell"),
       quantizeI8(col(corpusVec), scale).as("__qc"))
-    val probes = queries.select(col(queryId),
+    val probes = quantizedProbes(queries, queryId, queryVec, centroids, nprobe, scale)
+    rankQuantizedCells(cells, corpusId, probes, queryId, k)
+  }
+
+  /** Exploded quantized probe rows `(queryId, __qq, cell)` — the shared
+    * query side of [[ivfQuantizedTopK]] and [[searchIvfStore]]. */
+  private def quantizedProbes(
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: Array[Array[Float]], nprobe: Int, scale: Int): DataFrame =
+    queries.select(col(queryId),
       quantizeI8(col(queryVec), scale).as("__qq"),
       explode(nearestCells(col(queryVec), centroids, nprobe)).as("cell"))
+
+  /** Shared scoring/ranking body: broadcast probe equi-join on the cell id
+    * over `(corpusId, cell, __qc)` rows, integer dot, bounded-heap top-k.
+    * One body by construction, so the direct and store-backed paths cannot
+    * drift on the self-match filter or tie-break. */
+  private def rankQuantizedCells(
+      cells: DataFrame, corpusId: String,
+      probes: DataFrame, queryId: String, k: Int): DataFrame = {
     val scored = cells
       .join(broadcast(probes), Seq("cell"))
       .filter(col(corpusId) =!= col(queryId))
@@ -301,10 +318,12 @@ object Similarity {
    * the index is self-describing, so writer and searcher cannot drift on
    * geometry the way a config-kept contract could. This is the write-once
    * layout a 100 TB corpus wants: quantization and cell assignment are
-   * paid at ingest, and every future query batch probes the bucketed
-   * layout with ZERO corpus-side work beyond the probed cells' scan
-   * ([[searchIvfStore]]; plan-asserted shuffle-free on the store side).
-   * Returns the centroids for callers that also search directly.
+   * paid at ingest, and every future query batch reads only the probed
+   * cells' buckets — [[searchIvfStore]] pushes the probed cell ids into
+   * the scan as a literal `IN` filter, which is what drives bucket-file
+   * pruning and row-group skipping (plan-asserted, along with the
+   * store side never exchanging). Returns the centroids for callers
+   * that also search directly.
    */
   def writeIvfStore(
       corpus: DataFrame,
@@ -332,11 +351,17 @@ object Similarity {
   /**
    * Query batch against a persisted [[writeIvfStore]] index: geometry is
    * read back from `<table>_centroids` (k x dim floats — driver-resident
-   * like every quantizer here), probes explode onto their `nprobe`
-   * nearest cells and BROADCAST onto the bucketed store scan — the store
-   * side never exchanges; integer dot scores, bounded-heap top-k. Query
-   * ids must not collide with stored ids (self-matches are excluded by
-   * id, the same contract as [[ivfQuantizedTopK]]).
+   * like every quantizer here), and the UNION of probed cell ids (at most
+   * queries x nprobe values, tiny by the broadcast-queries contract) is
+   * pushed into the store scan as a static `IN` filter — which is what
+   * actually restricts I/O: Spark prunes bucket files from literal
+   * filters on the bucketing column and skips row groups from footer
+   * min/max (a broadcast join alone would scan every bucket; bucket
+   * co-location only pays in shuffle joins). Probes then broadcast onto
+   * the pruned scan — the store side never exchanges; integer dot scores,
+   * bounded-heap top-k; self-matches excluded by id, the same contract as
+   * [[ivfQuantizedTopK]]. The query id column must not be named
+   * `id`/`cell`/`qvec`/`__qq`/`__qc` (the store schema + working columns).
    */
   def searchIvfStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -346,18 +371,21 @@ object Similarity {
       queryVec: String,
       nprobe: Int,
       k: Int): DataFrame = {
+    val reserved = Set("id", "cell", "qvec", "__qq", "__qc", "score")
+    require(!reserved.contains(queryId),
+      s"query id column '$queryId' collides with the store schema or a " +
+        s"working column (${reserved.mkString(", ")}); alias it first")
     val geo = spark.table(table + "_centroids").orderBy(col("cell")).collect()
     require(geo.nonEmpty, s"empty or missing centroid table: ${table}_centroids")
     val centroids = geo.map(_.getSeq[Float](1).toArray)
     val scale = geo.head.getInt(2)
-    val probes = queries.select(col(queryId),
-      quantizeI8(col(queryVec), scale).as("__qq"),
-      explode(nearestCells(col(queryVec), centroids, nprobe)).as("cell"))
-    val scored = spark.table(table)
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("id") =!= col(queryId))
-      .withColumn("score", dotI(col("qvec"), col("__qq")).cast("double"))
-    rankTopK(scored, queryId, "id", k)
+    val probes = quantizedProbes(queries, queryId, queryVec, centroids, nprobe, scale)
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val store = spark.table(table)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("id"), col("cell"), col("qvec").as("__qc"))
+    rankQuantizedCells(store, "id", probes, queryId, k)
   }
 
   /**

@@ -268,8 +268,15 @@ class SketchQuantSpec extends SparkSpec {
     val corpus = (base ++ (0L until 5L).map(i => (i + 1000L, base(i.toInt)._2)))
       .toDF("vec_id", "embedding")
     val queries = base.take(5).toDF("q_id", "q_vec")
-    spark.sql("DROP TABLE IF EXISTS graft_ivf_spec")
-    spark.sql("DROP TABLE IF EXISTS graft_ivf_spec_centroids")
+    for (t <- Seq("graft_ivf_spec", "graft_ivf_spec_centroids")) {
+      // drop the registration AND any orphaned location from a prior JVM
+      // (the per-session metastore forgets tables; the directory survives)
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val cents = Similarity.writeIvfStore(corpus, "vec_id", "embedding",
       "graft_ivf_spec", k = 8, iters = 1, scale = 64, buckets = 4)
     val fromStore = Similarity.searchIvfStore(spark, "graft_ivf_spec",
@@ -286,6 +293,20 @@ class SketchQuantSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
     assert(exchanges <= 1, s"expected only the ranking exchange:\n$plan")
+    // and the probed-cell IN filter is PUSHED into the store scan — the
+    // literal filter is what drives bucket pruning + row-group skipping
+    // (a broadcast join alone would scan every bucket)
+    assert(plan.contains("PushedFilters: [In(cell"),
+      s"probed cells must reach the scan as a pushed IN filter:\n$plan")
+  }
+
+  test("searchIvfStore rejects query id columns that collide with the store schema") {
+    val err = intercept[IllegalArgumentException] {
+      Similarity.searchIvfStore(spark, "graft_ivf_spec",
+        Seq((1L, Array.fill(32)(0.1f))).toDF("id", "q_vec"),
+        "id", "q_vec", nprobe = 1, k = 1)
+    }
+    assert(err.getMessage.contains("collides"))
   }
 
   test("quantizedTopK recalls a planted exact duplicate at rank 1") {
