@@ -141,6 +141,31 @@ object Dedup {
   }
 
   /**
+   * Absorb an increment into an existing [[writeBandStore]] table — the
+   * step after scrubbing that grows the reference corpus, completing the
+   * incremental loop (write once, scrub every increment, absorb the
+   * survivors). The increment is banded with the same geometry and
+   * APPENDED with the table's bucket spec, so the bucketed layout — and
+   * every future scrub's zero-store-side-shuffle plan — is preserved
+   * (spec-asserted). `buckets`/`numPerms`/`bands` must match the original
+   * write: like the geometry, the bucket spec lives with the caller's one
+   * config point (Spark rejects a mismatched bucket count loudly).
+   */
+  def appendToBandStore(
+      docs: DataFrame, id: Column, tokenSet: Column, table: String,
+      buckets: Int, numPerms: Int = 64, bands: Int = 16): Unit = {
+    val banded = lshBands(
+      minhashSignatures(docs, id, tokenSet, numPerms),
+      bands, numPerms / bands, numPerms)
+    banded.repartition(buckets, col("band_hash"))
+      .write.mode("append")
+      .bucketBy(buckets, "band_hash")
+      .sortBy("band_hash")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /**
    * Candidate pairs (store_id, new_id) between the persisted reference
    * bands of [[writeBandStore]] and an incoming increment: the increment
    * is banded with the SAME geometry and cross-joined on (band, band_hash).

@@ -62,4 +62,40 @@ class DedupStoreSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_band_store")
     }
   }
+
+  test("absorbed increments are scrubbed against without breaking the bucket layout") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // drop any orphaned location from a prior JVM before writing
+      spark.sql("DROP TABLE IF EXISTS graft_band_store_app")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "graft_band_store_app")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+
+      Dedup.writeBandStore(corpusA, col("doc_id"), col("ws"),
+        "graft_band_store_app", buckets = 8)
+      Dedup.appendToBandStore(corpusB, col("doc_id"), col("ws"),
+        "graft_band_store_app", buckets = 8)
+      // a third increment duplicating one ORIGINAL doc and one ABSORBED doc
+      val inc = corpusA.filter(col("doc_id") === 5)
+        .select(lit(900005L).as("doc_id"), col("ws"))
+        .union(corpusB.filter(col("doc_id") === 500010L)
+          .select(lit(910010L).as("doc_id"), col("ws")))
+      val scrub = Dedup.scrubAgainstBandStore(spark, "graft_band_store_app",
+        inc, col("doc_id"), col("ws"))
+      val got = scrub.as[(Long, Long)].collect().toSet
+      assert(got.contains((5L, 900005L)), s"original store rows must match: $got")
+      assert(got.contains((500010L, 910010L)), s"appended rows must match: $got")
+      // the grown store still reads its bucket layout, no store-side shuffle
+      val plan = scrub.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"bucketed scan lost:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(band_hash_l"),
+        s"store side must not shuffle after append:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_band_store_app")
+    }
+  }
 }
