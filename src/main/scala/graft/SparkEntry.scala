@@ -193,6 +193,21 @@ object SparkEntry {
           sum(col("num_rows")).as("n_rows"))
     }),
 
+    // Size-targeted output compaction audited from its own footers: the
+    // planned-stats sizing (no sampling job, no extra shuffle) writes the
+    // documents table toward 256 KB files; the manifest — file count and
+    // total rows — is then read from OUR metadata source and the oracle
+    // re-derives it from the written files with an independent engine.
+    "sized_write" -> ((s, dir) => {
+      val out = "/tmp/graft_sized_write_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      Bucketing.writeSized(s.read.parquet(pq(dir, "documents")), out,
+        targetBytes = 256L << 10)
+      meta(s, out, "rowgroup")
+        .agg(countDistinct(col("filepath")).as("n_files"),
+          sum(col("num_rows")).as("n_rows"))
+    }),
+
     // Bucketed-layout join: both sides written ONCE as parquet tables
     // bucketed on the join key (Bucketing.writeBucketed), then joined with
     // NO exchange on either side (plan-asserted in BucketingSpec) — the
@@ -2386,6 +2401,13 @@ object SparkEntry {
         |FROM read_parquet('/tmp/graft_export_manifest_sf0.01/*/*.parquet',
         |  hive_partitioning = 1, filename = 1)
         |GROUP BY lang""".stripMargin,
+
+    // independent re-derivation of the compaction manifest from the
+    // written files themselves (same-machine fixed sf0.01 path)
+    "sized_write" ->
+      """SELECT CAST(count(DISTINCT filename) AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM read_parquet('/tmp/graft_sized_write_sf0.01/*.parquet', filename = 1)""".stripMargin,
 
     "bucketed_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
