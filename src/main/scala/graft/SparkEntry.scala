@@ -1223,6 +1223,39 @@ object SparkEntry {
         .select(col("user_id"), col("e_ts"), col("event_id"), col("o_ts"), col("o_key"))
     }),
 
+    // The as-of enrichment running as a STREAM: the same event subset
+    // replayed through Trigger.AvailableNow and enriched stream-static
+    // against the (broadcast, sorted-history) dimension — stateless, so
+    // append mode needs no watermark and the replay must equal the batch
+    // left as-of exactly. Unmatched events survive with null dims (LEFT
+    // semantics — the streaming enrich never drops events).
+    "stream_asof_enrich" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val staging = "/tmp/graft_stream_asof_" + suffix
+      s.read.parquet(pq(dir, "events"))
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), expr("ts div 1000").as("e_ts"), col("event_id"))
+        .write.mode("overwrite").parquet(staging)
+      val ord = s.read.parquet(pq(dir, "orders"))
+        .groupBy(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_ts"))
+        .agg(max(col("o_orderkey")).as("o_key"))
+      val stream = s.readStream.schema(s.read.parquet(staging).schema).parquet(staging)
+      val sink = "graft_stream_asof_sink_" + suffix
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt").toFile
+      try {
+        graft.streaming.StreamOps.enrichAsOf(stream, ord,
+            Seq("user_id"), "e_ts", "o_ts")
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt.toString)
+          .start().awaitTermination()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+      s.table(sink)
+        .select(col("user_id"), col("e_ts"), col("event_id"), col("o_ts"), col("o_key"))
+    }),
+
     // Range (point-in-interval) join with no equi-key: shipments that fell
     // inside an order's 30-day fulfilment window. The binned equi-join
     // replaces the broadcast-nested-loop cartesian Catalyst plans for a
@@ -2437,6 +2470,17 @@ object SparkEntry {
         |FROM (SELECT user_id, epoch_us(ts) AS e_ts, event_id
         |      FROM events WHERE user_id < 30) e
         |ASOF JOIN (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS o_ts,
+        |             max(o_orderkey) AS o_key
+        |           FROM orders GROUP BY 1, 2) o
+        |ON e.user_id = o.user_id AND e.e_ts >= o.o_ts""".stripMargin,
+
+    // the streaming replay must land on the batch LEFT as-of exactly
+    // (stateless stream-static enrichment, AvailableNow)
+    "stream_asof_enrich" ->
+      """SELECT e.user_id, e.e_ts, e.event_id, o.o_ts, o.o_key
+        |FROM (SELECT user_id, epoch_us(ts) AS e_ts, event_id
+        |      FROM events WHERE user_id < 30) e
+        |ASOF LEFT JOIN (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS o_ts,
         |             max(o_orderkey) AS o_key
         |           FROM orders GROUP BY 1, 2) o
         |ON e.user_id = o.user_id AND e.e_ts >= o.o_ts""".stripMargin,
