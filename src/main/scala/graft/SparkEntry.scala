@@ -1237,7 +1237,11 @@ object SparkEntry {
         .filter(col("user_id") < 30)
         .select(col("user_id"), expr("ts div 1000").as("e_ts"), col("event_id"))
         .write.mode("overwrite").parquet(staging)
+      // dim keys outside the staged events' key set are unreachable under
+      // the left equi-join — filter them BEFORE the history aggregate so
+      // the per-batch broadcast carries only matchable keys
       val ord = s.read.parquet(pq(dir, "orders"))
+        .filter(col("o_custkey") < 30)
         .groupBy(col("o_custkey").as("user_id"),
           unix_micros(col("o_orderdate").cast("timestamp")).as("o_ts"))
         .agg(max(col("o_orderkey")).as("o_key"))

@@ -52,10 +52,13 @@ object Bucketing {
     * input task writes its own file per bucket it touches — up to
     * tasks x buckets files, a small-file storm at fact-table scale, and
     * the single-file-per-bucket layout is also what the (opt-in legacy)
-    * read-side sort-order reuse requires. */
-  def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String): Unit =
+    * read-side sort-order reuse requires. `mode` extends the same layout
+    * body to appends (one file per bucket PER WRITE) so initial writes
+    * and increments cannot drift. */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String,
+      mode: String = "overwrite"): Unit =
     df.repartition(buckets, org.apache.spark.sql.functions.col(key))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")

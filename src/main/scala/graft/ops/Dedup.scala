@@ -154,15 +154,16 @@ object Dedup {
   def appendToBandStore(
       docs: DataFrame, id: Column, tokenSet: Column, table: String,
       buckets: Int, numPerms: Int = 64, bands: Int = 16): Unit = {
+    // append-mode saveAsTable silently CREATES a missing table — a typo'd
+    // name would fabricate a divergent second store whose documents every
+    // future scrub of the real one misses; absorbing into nothing is an
+    // error, not a write
+    require(docs.sparkSession.catalog.tableExists(table),
+      s"band store '$table' does not exist; write it with writeBandStore first")
     val banded = lshBands(
       minhashSignatures(docs, id, tokenSet, numPerms),
       bands, numPerms / bands, numPerms)
-    banded.repartition(buckets, col("band_hash"))
-      .write.mode("append")
-      .bucketBy(buckets, "band_hash")
-      .sortBy("band_hash")
-      .format("parquet")
-      .saveAsTable(table)
+    Bucketing.writeBucketed(banded, "band_hash", buckets, table, mode = "append")
   }
 
   /**

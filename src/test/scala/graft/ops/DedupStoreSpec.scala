@@ -88,6 +88,15 @@ class DedupStoreSpec extends SparkSpec {
       val got = scrub.as[(Long, Long)].collect().toSet
       assert(got.contains((5L, 900005L)), s"original store rows must match: $got")
       assert(got.contains((500010L, 910010L)), s"appended rows must match: $got")
+      // FULL equality with a direct recompute over A union B: an append
+      // that banded with drifted geometry or corrupted hashes would add
+      // or lose candidates that the planted contains() checks miss
+      val grown = corpusA.unionByName(corpusB)
+      val direct = Dedup.crossCandidatePairs(
+        Dedup.lshBands(Dedup.minhashSignatures(grown, col("doc_id"), col("ws")), 16, 4),
+        Dedup.lshBands(Dedup.minhashSignatures(inc, col("doc_id"), col("ws")), 16, 4))
+        .as[(Long, Long)].collect().toSet
+      assert(got === direct)
       // the grown store still reads its bucket layout, no store-side shuffle
       val plan = scrub.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), s"bucketed scan lost:\n$plan")
