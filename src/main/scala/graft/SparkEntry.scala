@@ -982,6 +982,46 @@ object SparkEntry {
           coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
     }),
 
+    // The INGEST composition — the daily-crawl loop at 100 TB: scrub an
+    // increment against the PERSISTED reference band store, exact-verify
+    // candidates by token-set equality, drop confirmed duplicates, ABSORB
+    // the survivors into the store (bucket-spec-preserving append), and
+    // audit the grown store from the table itself. Every stage is
+    // individually proven (dedup_store_scrub, the append spec); this pins
+    // the loop end to end, including the store's post-absorb row count
+    // ((ref + survivors) x 16 band rows).
+    "pipeline_ingest" -> ((s, dir) => {
+      val tbl = freshTable(s, "graft_ingest_store_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_"))
+      val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      val ref = d.filter(col("doc_id") >= 50)
+      Dedup.writeBandStore(ref, col("doc_id"), TextOps.tokenSet(col("text")),
+        tbl, buckets = 8)
+      // increment: docs <70 re-labeled — 50..69 are literal store members
+      // (guaranteed duplicates); <50 are novel unless their text happens
+      // to repeat a stored doc's (the oracle recomputes exactly that)
+      val inc = d.filter(col("doc_id") < 70)
+        .select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+      val pairs = Dedup.scrubAgainstBandStore(s, tbl, inc,
+        col("doc_id"), TextOps.tokenSet(col("text")))
+      val vRef = ref.select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws"))
+      val vInc = inc.select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws"))
+      val withA = vRef.join(broadcast(pairs), col("doc_id") === col("a_id"))
+        .select(col("a_id"), col("b_id"), col("ws").as("ws_a"))
+      val dupIds = vInc.join(broadcast(withA), col("doc_id") === col("b_id"))
+        .filter(col("ws") === col("ws_a"))
+        .select(col("b_id")).distinct()
+      val survivors = inc.join(broadcast(dupIds),
+        col("doc_id") === col("b_id"), "left_anti")
+      Dedup.appendToBandStore(survivors, col("doc_id"),
+        TextOps.tokenSet(col("text")), tbl, buckets = 8)
+      dupIds.agg(count(lit(1)).as("n_dups"),
+          coalesce(sum(col("b_id")), lit(0L)).as("dup_id_sum"))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("surv_id_sum")))
+        .crossJoin(s.table(tbl).agg(count(lit(1)).as("store_band_rows")))
+    }),
+
     // The full composition flagship: one DAG through the pipeline stages —
     // exact dedup (representative = min id, carrying its lang via min_by)
     // -> quality gate -> deterministic train/val/test carve -> per-(lang,
@@ -1754,6 +1794,29 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_dup_docs,
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
         |FROM bad""".stripMargin,
+
+    // the ingest loop's semantics in closed form: duplicates are exactly
+    // the increment docs whose token set equals some reference doc's
+    // (equal sets => equal minhash signatures => every band matches, so
+    // LSH candidate generation is guaranteed-recall for the exact-verify
+    // filter); the store row count is (ref + survivors) x 16 bands
+    "pipeline_ingest" ->
+      """WITH sets AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws
+        |  FROM documents),
+        |ref AS (SELECT doc_id, ws FROM sets WHERE doc_id >= 50),
+        |inc AS (SELECT doc_id + 600000 AS doc_id, ws FROM sets WHERE doc_id < 70),
+        |dups AS (SELECT DISTINCT i.doc_id FROM inc i JOIN ref r ON i.ws = r.ws),
+        |surv AS (SELECT doc_id FROM inc
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM dups))
+        |SELECT
+        |  CAST((SELECT count(*) FROM dups) AS BIGINT) AS n_dups,
+        |  CAST(coalesce((SELECT sum(doc_id) FROM dups), 0) AS BIGINT) AS dup_id_sum,
+        |  CAST((SELECT count(*) FROM surv) AS BIGINT) AS n_survivors,
+        |  CAST(coalesce((SELECT sum(doc_id) FROM surv), 0) AS BIGINT) AS surv_id_sum,
+        |  CAST(((SELECT count(*) FROM ref) + (SELECT count(*) FROM surv)) * 16
+        |    AS BIGINT) AS store_band_rows""".stripMargin,
 
     // components via min-reachable-node: the recursive CTE enumerates
     // (node, reachable node) pairs with UNION dedup — exact on the small
