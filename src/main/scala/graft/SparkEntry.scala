@@ -1300,6 +1300,54 @@ object SparkEntry {
         .select(col("user_id"), col("e_ts"), col("event_id"), col("o_ts"), col("o_key"))
     }),
 
+    // STREAMING ingest loop: the continuous form of pipeline_ingest. The
+    // reference corpus is persisted once as a band store + doc store pair;
+    // the increment then arrives as a FILE STREAM processed one file per
+    // micro-batch (foreachBatch), each batch scrubbed against the store
+    // and its survivors absorbed before the next batch runs. The increment
+    // is pre-deduplicated on its token sets, which makes the final store
+    // state independent of micro-batch boundaries (the split-invariance
+    // contract on StreamOps.ingestIncrements); the oracle recomputes that
+    // same fixpoint in closed form.
+    "stream_ingest" -> ((s, dir) => {
+      val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val band = freshTable(s, "graft_si_band_" + suffix)
+      val docs = freshTable(s, "graft_si_docs_" + suffix)
+      val log = freshTable(s, "graft_si_log_" + suffix)
+      val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      val ref = d.filter(col("doc_id") >= 50)
+      Dedup.writeBandStore(ref, col("doc_id"), TextOps.tokenSet(col("text")),
+        band, buckets = 8)
+      Dedup.writeDocStore(ref, col("doc_id"), TextOps.tokenSet(col("text")), docs)
+      // increment: docs <70 relabeled, PRE-DEDUPED on token set (smallest
+      // id wins; min_by carries a representative text) per the
+      // split-invariance contract
+      val inc = d.filter(col("doc_id") < 70)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("text"),
+          TextOps.tokenSet(col("text")).as("ws"))
+        .groupBy(col("ws"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("text"), col("doc_id")).as("text"))
+        .select(col("doc_id"), col("text"))
+      val staging = "/tmp/graft_stream_ingest_" + suffix
+      inc.repartition(4).write.mode("overwrite").parquet(staging)
+      val stream = s.readStream.schema(s.read.parquet(staging).schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toFile
+      try {
+        graft.streaming.StreamOps.ingestIncrements(stream,
+          col("doc_id"), TextOps.tokenSet(col("text")),
+          band, docs, log, buckets = 8, ckpt.toString).awaitTermination()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+      val surv = s.table(docs).filter(col("doc_id") >= 700000L)
+      s.read.parquet(staging)
+        .agg(count(lit(1)).as("n_inc"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("inc_id_sum"))
+        .crossJoin(surv.agg(count(lit(1)).as("n_survivors"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("surv_id_sum")))
+        .crossJoin(s.table(band).agg(count(lit(1)).as("store_band_rows")))
+    }),
+
     // Range (point-in-interval) join with no equi-key: shipments that fell
     // inside an order's 30-day fulfilment window. The binned equi-join
     // replaces the broadcast-nested-loop cartesian Catalyst plans for a
@@ -1813,6 +1861,28 @@ object SparkEntry {
         |SELECT
         |  CAST((SELECT count(*) FROM dups) AS BIGINT) AS n_dups,
         |  CAST(coalesce((SELECT sum(doc_id) FROM dups), 0) AS BIGINT) AS dup_id_sum,
+        |  CAST((SELECT count(*) FROM surv) AS BIGINT) AS n_survivors,
+        |  CAST(coalesce((SELECT sum(doc_id) FROM surv), 0) AS BIGINT) AS surv_id_sum,
+        |  CAST(((SELECT count(*) FROM ref) + (SELECT count(*) FROM surv)) * 16
+        |    AS BIGINT) AS store_band_rows""".stripMargin,
+
+    // the streaming loop's fixpoint in closed form: the increment is
+    // intra-deduped (min id per token set), so batch boundaries cannot
+    // change the outcome — each doc survives iff its set is absent from
+    // the reference, regardless of what was absorbed before it
+    "stream_ingest" ->
+      """WITH sets AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws
+        |  FROM documents),
+        |ref AS (SELECT doc_id, ws FROM sets WHERE doc_id >= 50),
+        |inc AS (SELECT min(doc_id + 700000) AS doc_id, ws FROM sets
+        |        WHERE doc_id < 70 GROUP BY ws),
+        |surv AS (SELECT i.doc_id FROM inc i
+        |         WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.ws = i.ws))
+        |SELECT
+        |  CAST((SELECT count(*) FROM inc) AS BIGINT) AS n_inc,
+        |  CAST(coalesce((SELECT sum(doc_id) FROM inc), 0) AS BIGINT) AS inc_id_sum,
         |  CAST((SELECT count(*) FROM surv) AS BIGINT) AS n_survivors,
         |  CAST(coalesce((SELECT sum(doc_id) FROM surv), 0) AS BIGINT) AS surv_id_sum,
         |  CAST(((SELECT count(*) FROM ref) + (SELECT count(*) FROM surv)) * 16

@@ -184,6 +184,66 @@ object Dedup {
   }
 
   /**
+   * Companion DOCUMENT store for a [[writeBandStore]] table: one row per
+   * ingested document, `(doc_id, ws)` with the token set the bands were
+   * built from. The band store alone only DETECTS candidates; exact
+   * verification needs the stored documents' token sets, and re-reading
+   * the original corpus for them on every increment defeats the point of
+   * an incremental store. Plain parquet table, no layout requirement:
+   * every read of it is driven by a broadcast of the tiny candidate id
+   * set, never a store-sided shuffle.
+   */
+  def writeDocStore(docs: DataFrame, id: Column, tokenSet: Column,
+      table: String): Unit =
+    docs.select(id.as("doc_id"), tokenSet.as("ws"))
+      .write.format("parquet").saveAsTable(table)
+
+  /**
+   * Ids in `docs` that are EXACT duplicates (token-set equality) of a
+   * document already in the store pair: LSH candidates from the bucketed
+   * band store, exact-verified against the doc store's token sets. Equal
+   * sets yield equal minhash signatures and hence agree on every band, so
+   * candidate generation is guaranteed-recall for this verify and the
+   * result is exactly set-equality semantics — the LSH layer only cuts
+   * the comparison count. Only candidate pairs are broadcast; neither the
+   * store nor the increment shuffles values.
+   */
+  def dupsAgainstStore(
+      spark: org.apache.spark.sql.SparkSession,
+      bandStore: String, docStore: String,
+      docs: DataFrame, id: Column, tokenSet: Column,
+      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    val b = docs.select(id.as("doc_id"), tokenSet.as("ws"))
+    val pairs = scrubAgainstBandStore(spark, bandStore, b,
+      col("doc_id"), col("ws"), numPerms, bands)
+    val withA = spark.table(docStore)
+      .join(broadcast(pairs), col("doc_id") === col("a_id"))
+      .select(col("b_id"), col("ws").as("ws_a"))
+    b.join(broadcast(withA), col("doc_id") === col("b_id"))
+      .filter(col("ws") === col("ws_a"))
+      .select(col("doc_id"))
+      .distinct()
+  }
+
+  /**
+   * Absorb an increment into BOTH halves of the store pair — bands via the
+   * bucket-spec-preserving [[appendToBandStore]], documents appended to the
+   * [[writeDocStore]] table — keeping the two views of "what has been
+   * ingested" in lockstep. Same existence guard as the band append: a
+   * typo'd doc-store name must not fabricate a divergent second store.
+   */
+  def absorbIntoStore(
+      docs: DataFrame, id: Column, tokenSet: Column,
+      bandStore: String, docStore: String, buckets: Int,
+      numPerms: Int = 64, bands: Int = 16): Unit = {
+    require(docs.sparkSession.catalog.tableExists(docStore),
+      s"doc store '$docStore' does not exist; write it with writeDocStore first")
+    appendToBandStore(docs, id, tokenSet, bandStore, buckets, numPerms, bands)
+    docs.select(id.as("doc_id"), tokenSet.as("ws"))
+      .write.mode("append").format("parquet").saveAsTable(docStore)
+  }
+
+  /**
    * SimHash (64-bit) over a token column: per bit, sum +/-1 contributions of
    * each token's hash bit, then assemble the sign bits — all 64 counters in
    * one fused pass ([[graft.functions.SimHash64F]]). Like

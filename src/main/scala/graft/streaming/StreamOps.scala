@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -303,5 +303,83 @@ object StreamOps {
           counts.toSeq.sortBy { case (k, v) => (-v, k) }
             .map { case (k, v) => HhEntry(group, k, v, v + err) }.iterator
       }
+  }
+
+  /**
+   * Streaming ingest loop over a persisted dedup store pair
+   * ([[graft.ops.Dedup.writeBandStore]] + [[graft.ops.Dedup.writeDocStore]]):
+   * every micro-batch is scrubbed against the store (LSH candidates from
+   * the bucketed band table, exact token-set verification against the doc
+   * table), confirmed duplicates are dropped, and the survivors are
+   * ABSORBED into both halves — so each batch deduplicates against
+   * everything ingested before it. This is the continuous form of the
+   * daily scrub-and-absorb loop: the 100 TB reference corpus is laid out
+   * once and never reshuffled; per trigger only the (small) batch's bands
+   * exchange and only candidate ids broadcast.
+   *
+   * Exactly-once boundary: `foreachBatch` replays a batch after a failure
+   * (at-least-once side effects). A committed-batch log table closes the
+   * common replay path — a batch id already in the log is skipped
+   * wholesale. The residual window is a crash BETWEEN the store appends
+   * and the log append, which would double-absorb that one batch's
+   * survivors on restart; doc-store ids are unique by contract, so the
+   * condition is detectable (and repairable) offline — the standard
+   * compromise for a non-transactional pair of sinks.
+   *
+   * Split-invariance contract: the final store state is independent of
+   * micro-batch boundaries IFF the in-flight increment has no
+   * intra-increment duplicates. Each batch dedups against the store then
+   * absorbs: a duplicate pair straddling batches is caught, one inside a
+   * single batch is not (same intra-increment semantics as the batch
+   * loop). Pre-dedup the increment on the token set for deterministic
+   * replay parity — asserted in StreamIngestSpec.
+   */
+  def ingestIncrements(
+      stream: DataFrame, id: Column, tokenSet: Column,
+      bandStore: String, docStore: String, logTable: String,
+      buckets: Int, checkpoint: String,
+      numPerms: Int = 64, bands: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestBatch(batch.toDF(), id, tokenSet, bandStore, docStore,
+          logTable, buckets, batchId, numPerms, bands)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /**
+   * One ingest step — the `foreachBatch` body, exposed for direct batch
+   * use and for testing the replay guard without a streaming harness.
+   * Skips wholesale if `batchId` is already in the log table (see
+   * [[ingestIncrements]] for the exactly-once discussion).
+   */
+  def ingestBatch(
+      batch: DataFrame, id: Column, tokenSet: Column,
+      bandStore: String, docStore: String, logTable: String,
+      buckets: Int, batchId: Long,
+      numPerms: Int = 64, bands: Int = 16): Unit = {
+    val s = batch.sparkSession
+    if (!s.catalog.tableExists(logTable))
+      s.createDataFrame(Seq.empty[Tuple1[Long]]).toDF("batch_id")
+        .write.format("parquet").saveAsTable(logTable)
+    if (s.table(logTable).filter(col("batch_id") === batchId).isEmpty) {
+      // tokenize once: the set column feeds the scrub's signature build,
+      // the exact verify, and the absorb append
+      val b = batch.select(id.as("doc_id"), tokenSet.as("ws"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dups = graft.ops.Dedup.dupsAgainstStore(s, bandStore, docStore,
+          b, col("doc_id"), col("ws"), numPerms, bands)
+          .withColumnRenamed("doc_id", "dup_id")
+        val survivors = b.join(broadcast(dups),
+          col("doc_id") === col("dup_id"), "left_anti")
+        graft.ops.Dedup.absorbIntoStore(survivors, col("doc_id"), col("ws"),
+          bandStore, docStore, buckets, numPerms, bands)
+      } finally b.unpersist()
+      s.createDataFrame(Seq(Tuple1(batchId))).toDF("batch_id")
+        .write.mode("append").format("parquet").saveAsTable(logTable)
+    }
   }
 }
