@@ -1215,6 +1215,30 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
+    // IVF store ABSORB: the index is written from the base corpus only,
+    // then an increment of exact copies (+200000) is absorbed with the
+    // store's own persisted geometry — searching afterwards must rank each
+    // absorbed copy at 1 (the original self-match is excluded by id), i.e.
+    // appended rows are probed through the same pruned bucketed scan as
+    // the initial write. The embedding-side mirror of the band-store
+    // absorb loop.
+    "ann_ivf_absorb" -> ((s, dir) => {
+      val tbl = freshTable(s, "graft_ivf_absorb_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_"))
+      freshTable(s, tbl + "_centroids")
+      val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      Similarity.writeIvfStore(e, "vec_id", "embedding", tbl,
+        k = 16, iters = 1, scale = 64, buckets = 8)
+      val inc = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      Similarity.appendToIvfStore(s, tbl, inc, "vec_id", "embedding", buckets = 8)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.searchIvfStore(s, tbl, queries, "q_id", "q_vec", nprobe = 4, k = 3)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
     // ----- LLM-data-pipeline: multimodal columns -----------------------
     "mm_features" -> ((s, dir) => {
       val media = s.read.parquet(pq(dir, "documents"))
@@ -2546,6 +2570,13 @@ object SparkEntry {
     "ann_ivf_store" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
         |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // absorbed exact copies must be found at rank 1 through the grown
+    // store (closed-form planted recall, same contract as ann_ivf_store)
+    "ann_ivf_absorb" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        |  CAST(vec_id + 200000 AS BIGINT) AS neighbor_id
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "mm_features" ->

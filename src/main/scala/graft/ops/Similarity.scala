@@ -349,6 +349,39 @@ object Similarity {
   }
 
   /**
+   * Absorb new vectors into a persisted [[writeIvfStore]] index: the
+   * increment is cell-assigned and int8-quantized with the STORE'S OWN
+   * geometry (read back from `<table>_centroids`) and appended with the
+   * bucket spec preserved, so future [[searchIvfStore]] probes see old and
+   * new rows through one pruned bucketed scan — the embedding-side absorb
+   * step of the ingest loop. Centroids are deliberately NOT retrained:
+   * IVF ingest keeps the quantizer fixed (cell assignment must agree with
+   * what is already laid out; retraining would strand existing rows in
+   * stale cells). Re-index when the vector distribution drifts materially
+   * — the drift monitors are that signal. `buckets` must match the
+   * original write, same caller-kept contract as the band store (Spark
+   * rejects a mismatched bucket count loudly).
+   */
+  def appendToIvfStore(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      buckets: Int = 16): Unit = {
+    require(spark.catalog.tableExists(table),
+      s"IVF store '$table' does not exist; write it with writeIvfStore first")
+    val geo = spark.table(table + "_centroids").orderBy(col("cell")).collect()
+    require(geo.nonEmpty, s"empty or missing centroid table: ${table}_centroids")
+    val centroids = geo.map(_.getSeq[Float](1).toArray)
+    val scale = geo.head.getInt(2)
+    val cells = vecs.select(col(idCol).as("id"),
+      nearestCell(col(vecCol), centroids).as("cell"),
+      quantizeI8(col(vecCol), scale).as("qvec"))
+    Bucketing.writeBucketed(cells, "cell", buckets, table, mode = "append")
+  }
+
+  /**
    * Query batch against a persisted [[writeIvfStore]] index: geometry is
    * read back from `<table>_centroids` (k x dim floats — driver-resident
    * like every quantizer here), and the UNION of probed cell ids (at most

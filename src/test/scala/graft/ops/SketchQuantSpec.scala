@@ -300,6 +300,62 @@ class SketchQuantSpec extends SparkSpec {
       s"probed cells must reach the scan as a pushed IN filter:\n$plan")
   }
 
+  test("absorbed increment is searched identically to the direct grown-corpus search") {
+    val rnd = new scala.util.Random(31)
+    def unit(): Array[Float] = {
+      val v = Array.fill(32)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 60L).map(i => (i, unit()))
+    val inc = (0L until 5L).map(i => (i + 2000L, base(i.toInt)._2))
+    for (t <- Seq("graft_ivf_abs", "graft_ivf_abs_centroids")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    // train + write on the BASE corpus only, then absorb the increment
+    // with the store's persisted geometry
+    val cents = Similarity.writeIvfStore(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", "graft_ivf_abs", k = 8, iters = 1, scale = 64,
+      buckets = 4)
+    Similarity.appendToIvfStore(spark, "graft_ivf_abs",
+      inc.toDF("vec_id", "embedding"), "vec_id", "embedding", buckets = 4)
+    val queries = base.take(5).toDF("q_id", "q_vec")
+    val fromStore = Similarity.searchIvfStore(spark, "graft_ivf_abs",
+      queries, "q_id", "q_vec", nprobe = 2, k = 3)
+    // the reference: the grown corpus searched directly under the SAME
+    // (base-trained) geometry — exactly what an append must be equivalent to
+    val direct = Similarity.ivfQuantizedTopK(
+      (base ++ inc).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      queries, "q_id", "q_vec", cents, nprobe = 2, scale = 64, k = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "score")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(fromStore) === rows(direct))
+    // absorbed duplicates surface at rank 1 (self-match excluded by id)
+    val rank1 = fromStore.filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    for (q <- 0L until 5L) assert(rank1(q) === q + 2000L)
+    // the grown store still prunes + avoids store-side exchange
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(cell"),
+      s"probed-cell pushdown lost after absorb:\n$plan")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected only the ranking exchange:\n$plan")
+  }
+
+  test("appendToIvfStore refuses a missing store") {
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfStore(spark, "graft_ivf_nope",
+        Seq((1L, Array.fill(32)(0.1f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", buckets = 4)
+    }
+    assert(err.getMessage.contains("does not exist"))
+  }
+
   test("searchIvfStore rejects query id columns that collide with the store schema") {
     val err = intercept[IllegalArgumentException] {
       Similarity.searchIvfStore(spark, "graft_ivf_spec",
