@@ -1022,6 +1022,43 @@ object SparkEntry {
         .crossJoin(s.table(tbl).agg(count(lit(1)).as("store_band_rows")))
     }),
 
+    // Band-store COMPACTION: every absorb lays down one file per bucket,
+    // so a store that has taken N increments carries N x buckets files —
+    // the small-file storm relocated inside the store. compactBucketed
+    // rewrites it to one file per bucket through a same-bucket-spec
+    // staging table + catalog swap. The audit composes two subsystems:
+    // file counts before/after come from OUR metadata source over the
+    // store's own directory (the export_manifest pattern), and semantic
+    // preservation is pinned by scrubbing the absorbed increment against
+    // the compacted store — every literal member must still surface as
+    // its own (ref, relabeled) candidate pair.
+    "store_compact" -> ((s, dir) => {
+      val tbl = freshTable(s, "graft_compact_store_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_"))
+      freshTable(s, tbl + "__compacting")
+      val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      val ref = d.filter(col("doc_id") >= 50)
+      Dedup.writeBandStore(ref, col("doc_id"), TextOps.tokenSet(col("text")),
+        tbl, buckets = 8)
+      val inc = d.filter(col("doc_id") < 70)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+      Dedup.appendToBandStore(inc, col("doc_id"), TextOps.tokenSet(col("text")),
+        tbl, buckets = 8)
+      def loc: String = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location.toString
+      val filesBefore = meta(s, loc, "file").count()
+      Bucketing.compactBucketed(s, tbl, "band_hash", buckets = 8)
+      val filesAfter = meta(s, loc, "file").count()
+      val pairs = Dedup.scrubAgainstBandStore(s, tbl, inc,
+        col("doc_id"), TextOps.tokenSet(col("text")))
+      pairs.filter(col("b_id") >= 900050L && col("a_id") === col("b_id") - 900000L)
+        .agg(count(lit(1)).as("n_literal_pairs"))
+        .crossJoin(s.table(tbl).agg(count(lit(1)).as("store_rows")))
+        .select(lit(filesBefore).as("n_files_before"),
+          lit(filesAfter).as("n_files_after"),
+          col("store_rows"), col("n_literal_pairs"))
+    }),
+
     // The full composition flagship: one DAG through the pipeline stages —
     // exact dedup (representative = min id, carrying its lang via min_by)
     // -> quality gate -> deterministic train/val/test carve -> per-(lang,
@@ -1889,6 +1926,20 @@ object SparkEntry {
         |  CAST(coalesce((SELECT sum(doc_id) FROM surv), 0) AS BIGINT) AS surv_id_sum,
         |  CAST(((SELECT count(*) FROM ref) + (SELECT count(*) FROM surv)) * 16
         |    AS BIGINT) AS store_band_rows""".stripMargin,
+
+    // layout closed form: one file per bucket per write (the repartition
+    // in writeBucketed aligns with the bucket hash), so write + absorb =
+    // 2 x 8 files, compaction = 8; rows conserve; every literal store
+    // member must still pair with its relabeled copy post-compact
+    // (identical token set => identical signature => every band matches)
+    "store_compact" ->
+      """SELECT CAST(16 AS BIGINT) AS n_files_before,
+        |  CAST(8 AS BIGINT) AS n_files_after,
+        |  CAST(((SELECT count(*) FROM documents WHERE doc_id >= 50)
+        |       + (SELECT count(*) FROM documents WHERE doc_id < 70)) * 16
+        |    AS BIGINT) AS store_rows,
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 70)
+        |    AS BIGINT) AS n_literal_pairs""".stripMargin,
 
     // the streaming loop's fixpoint in closed form: the increment is
     // intra-deduped (min id per token set), so batch boundaries cannot

@@ -63,4 +63,49 @@ object Bucketing {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /**
+   * Compact a [[writeBucketed]] table back to one file per bucket. Every
+   * append lays down one file per bucket per write, so a store absorbing
+   * daily increments accumulates `writes x buckets` files — at the
+   * million-increment scale that is the small-file storm again, now
+   * inside the store (listing cost, per-file open cost, tiny row groups).
+   * Compaction rewrites the table through a staging table with the SAME
+   * bucket spec (layout contract preserved — scrubs/joins stay
+   * exchange-free, spec-asserted), then swaps it in via catalog rename.
+   *
+   * Spark cannot overwrite a table from a plan that reads it, hence the
+   * staging + rename rather than an in-place rewrite. The swap is two
+   * catalog operations (DROP + RENAME), not atomic: a crash between them
+   * loses the NAME while both data directories survive — re-running the
+   * rename (or the whole compaction) repairs it, and the staging name is
+   * deterministic so the repair is mechanical. Same non-transactional-
+   * catalog compromise as the ingest loop's store/log pair, documented
+   * over hidden.
+   */
+  def compactBucketed(spark: org.apache.spark.sql.SparkSession,
+      table: String, key: String, buckets: Int): Unit = {
+    require(spark.catalog.tableExists(table),
+      s"cannot compact missing table '$table'")
+    val staging = table + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    // Force the BUCKETED scan for the rewrite. The optimizer elides the
+    // writeBucketed repartition either way (the table's bucket spec
+    // already satisfies the hash distribution), but by default the
+    // planner also downgrades the read to a plain size-packed file scan
+    // (nothing downstream "exploits" the partitioning), leaving each
+    // write task a mix of buckets — one file per (task, bucket), i.e. a
+    // compaction that doesn't compact. With the bucketed scan forced,
+    // each task reads exactly one bucket's file set and writes its one
+    // replacement file: the whole rewrite is NARROW — zero exchange,
+    // which is also the right plan at store scale (I/O-bound rewrite,
+    // no reshuffle of a corpus-sized table).
+    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(auto)
+    spark.conf.set(auto, "false")
+    try writeBucketed(spark.table(table), key, buckets, staging)
+    finally spark.conf.set(auto, prev)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
 }

@@ -34,6 +34,54 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("compactBucketed collapses append files to one per bucket, layout intact") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val names = Seq("graft_bkt_cpt", "graft_bkt_cpt__compacting", "graft_bkt_cpt_dim")
+    try {
+      names.foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS `$n`")
+        val p = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), n)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val facts = (0L until 500L).map(i => (i % 97, i)).toDF("k", "v")
+      Bucketing.writeBucketed(facts, "k", 4, "graft_bkt_cpt")
+      // three appends: 4 initial + 3 x 4 append files
+      for (w <- 1 to 3)
+        Bucketing.writeBucketed(
+          (0L until 100L).map(i => (i % 97, 10000L * w + i)).toDF("k", "v"),
+          "k", 4, "graft_bkt_cpt", mode = "append")
+      assert(spark.table("graft_bkt_cpt").inputFiles.length === 16)
+      val rowsBefore = spark.table("graft_bkt_cpt")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      Bucketing.compactBucketed(spark, "graft_bkt_cpt", "k", 4)
+
+      assert(spark.table("graft_bkt_cpt").inputFiles.length === 4)
+      val rowsAfter = spark.table("graft_bkt_cpt")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rowsAfter === rowsBefore)
+      // the compacted table still joins without an exchange on its side
+      val dims = (0L until 97L).map(i => (i, s"d_$i")).toDF("k", "name")
+      Bucketing.writeBucketed(dims, "k", 4, "graft_bkt_cpt_dim")
+      val plan = spark.table("graft_bkt_cpt")
+        .join(spark.table("graft_bkt_cpt_dim"), "k")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"compacted table lost its bucket layout:\n$plan")
+      // refuses a missing table rather than fabricating one
+      val err = intercept[IllegalArgumentException] {
+        Bucketing.compactBucketed(spark, "graft_bkt_nope", "k", 4)
+      }
+      assert(err.getMessage.contains("missing table"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+    }
+  }
+
   test("writeSized compacts many input partitions into size-targeted files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sized").toString
     // 200 input partitions of a ~2.9 MB table; target 1 MB per file
