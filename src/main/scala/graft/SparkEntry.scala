@@ -1059,6 +1059,64 @@ object SparkEntry {
           col("store_rows"), col("n_literal_pairs"))
     }),
 
+    // CROSS-MODAL ingest: one increment carrying text AND its embedding
+    // under a shared id, deduplicated on the text side (scrub against the
+    // band/doc store pair via dupsAgainstStore — the doc store supplies
+    // the verification token sets, no raw-corpus re-read), then ABSORBED
+    // on both sides: surviving texts into the dedup store pair, surviving
+    // embeddings into the IVF index under its persisted geometry. The
+    // retrieval proof closes the loop: probing the grown index with the
+    // ORIGINALS of queries 0..9 must hit the absorbed copy at rank 1
+    // exactly when the query's text survived the scrub — the dedup
+    // decision and the index contents agree, per modality, per id.
+    "pipeline_crossmodal" -> ((s, dir) => {
+      val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val band = freshTable(s, "graft_xm_band_" + suffix)
+      val docs = freshTable(s, "graft_xm_docs_" + suffix)
+      val ivf = freshTable(s, "graft_xm_ivf_" + suffix)
+      freshTable(s, ivf + "_centroids")
+      val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val ref = d.filter(col("doc_id") >= 50)
+      Dedup.writeBandStore(ref, col("doc_id"), TextOps.tokenSet(col("text")),
+        band, buckets = 8)
+      Dedup.writeDocStore(ref, col("doc_id"), TextOps.tokenSet(col("text")), docs)
+      Similarity.writeIvfStore(e.filter(col("vec_id") >= 50), "vec_id", "embedding",
+        ivf, k = 16, iters = 1, scale = 64, buckets = 8)
+      val inc = d.filter(col("doc_id") < 70)
+        .select((col("doc_id") + 950000L).as("doc_id"), col("text"))
+      val incE = e.filter(col("vec_id") < 70)
+        .select((col("vec_id") + 950000L).as("vec_id"), col("embedding"))
+      val dups = Dedup.dupsAgainstStore(s, band, docs, inc,
+        col("doc_id"), TextOps.tokenSet(col("text")))
+        .withColumnRenamed("doc_id", "dup_id")
+      // materialize BEFORE absorbing: the scrub reads the stores lazily,
+      // so any post-absorb re-evaluation would re-scrub against the GROWN
+      // store, where every survivor matches its own absorbed copy and the
+      // anti-join collapses to empty. localCheckpoint (eager) pins the
+      // decision — batch-sized storage, the increment by contract.
+      val survivors = inc.join(broadcast(dups),
+        col("doc_id") === col("dup_id"), "left_anti")
+        .localCheckpoint()
+      Dedup.absorbIntoStore(survivors, col("doc_id"), TextOps.tokenSet(col("text")),
+        band, docs, buckets = 8)
+      val survE = incE.join(
+        broadcast(survivors.select(col("doc_id").as("vec_id"))),
+        Seq("vec_id"), "left_semi")
+      Similarity.appendToIvfStore(s, ivf, survE, "vec_id", "embedding", buckets = 8)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val hits = Similarity.searchIvfStore(s, ivf, queries, "q_id", "q_vec",
+          nprobe = 4, k = 1)
+        .filter(col("rank") === 1 && col("neighbor_id") === col("query_id") + 950000L)
+      survivors.agg(count(lit(1)).as("n_survivors"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("surv_id_sum"))
+        .crossJoin(s.table(band).agg(count(lit(1)).as("store_band_rows")))
+        .crossJoin(s.table(docs).agg(count(lit(1)).as("doc_store_rows")))
+        .crossJoin(s.table(ivf).agg(count(lit(1)).as("ivf_rows")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_rank1_hits")))
+    }),
+
     // The full composition flagship: one DAG through the pipeline stages —
     // exact dedup (representative = min id, carrying its lang via min_by)
     // -> quality gate -> deterministic train/val/test carve -> per-(lang,
@@ -1940,6 +1998,33 @@ object SparkEntry {
         |    AS BIGINT) AS store_rows,
         |  CAST((SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 70)
         |    AS BIGINT) AS n_literal_pairs""".stripMargin,
+
+    // cross-modal closed form: text-side dedup decides both stores, so
+    // every count derives from token-set equality vs the reference; the
+    // retrieval hits are exactly the queries whose text survived (their
+    // exact-copy embeddings were absorbed; dup'd queries' were not, and
+    // a dropped embedding cannot be found)
+    "pipeline_crossmodal" ->
+      """WITH sets AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws
+        |  FROM documents),
+        |ref AS (SELECT doc_id, ws FROM sets WHERE doc_id >= 50),
+        |inc AS (SELECT doc_id + 950000 AS doc_id, doc_id AS orig, ws FROM sets
+        |        WHERE doc_id < 70),
+        |dups AS (SELECT DISTINCT i.doc_id FROM inc i JOIN ref r ON i.ws = r.ws),
+        |surv AS (SELECT doc_id, orig FROM inc
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM dups))
+        |SELECT
+        |  CAST((SELECT count(*) FROM surv) AS BIGINT) AS n_survivors,
+        |  CAST(coalesce((SELECT sum(doc_id) FROM surv), 0) AS BIGINT) AS surv_id_sum,
+        |  CAST(((SELECT count(*) FROM ref) + (SELECT count(*) FROM surv)) * 16
+        |    AS BIGINT) AS store_band_rows,
+        |  CAST(((SELECT count(*) FROM ref) + (SELECT count(*) FROM surv))
+        |    AS BIGINT) AS doc_store_rows,
+        |  CAST(((SELECT count(*) FROM embeddings WHERE vec_id >= 50)
+        |       + (SELECT count(*) FROM surv)) AS BIGINT) AS ivf_rows,
+        |  CAST((SELECT count(*) FROM surv WHERE orig < 10) AS BIGINT) AS n_rank1_hits""".stripMargin,
 
     // the streaming loop's fixpoint in closed form: the increment is
     // intra-deduped (min id per token set), so batch boundaries cannot

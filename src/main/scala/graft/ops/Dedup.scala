@@ -238,6 +238,15 @@ object Dedup {
       numPerms: Int = 64, bands: Int = 16): Unit = {
     require(docs.sparkSession.catalog.tableExists(docStore),
       s"doc store '$docStore' does not exist; write it with writeDocStore first")
+    // The band-before-doc order is LOAD-BEARING when `docs` derives from a
+    // [[dupsAgainstStore]] scrub of these same stores (the survivors
+    // pattern): the second write re-evaluates `docs`, re-scrubbing against
+    // a half-grown store. With bands first, the re-scrub's new self-pairs
+    // fail verification (their ids are not in the doc store yet) and the
+    // survivor set is stable; doc-first would verify those self-pairs and
+    // collapse the set to empty mid-absorb. Callers that read the
+    // survivors again AFTER absorbing must still pin them (localCheckpoint)
+    // — after both writes, any re-evaluation sees the fully grown store.
     appendToBandStore(docs, id, tokenSet, bandStore, buckets, numPerms, bands)
     docs.select(id.as("doc_id"), tokenSet.as("ws"))
       .write.mode("append").format("parquet").saveAsTable(docStore)
