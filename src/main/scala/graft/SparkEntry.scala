@@ -1419,6 +1419,45 @@ object SparkEntry {
         .select(col("user_id"), col("e_ts"), col("event_id"), col("o_ts"), col("o_key"))
     }),
 
+    // STREAMING gap sessionization through the custom-state operator:
+    // closedSessions (flatMapGroupsWithState, O(1) state per user) replays
+    // the events table via AvailableNow; the oracle recomputes the same
+    // sessions relationally (gaps-and-islands). Staged as ONE file so the
+    // run is a single batch: every emitted session is successor-closed
+    // (= all but each user's last island — watermark timeouts, spec-covered
+    // separately, are kept out of reach by a huge delay so the emitted set
+    // is closed-form). Values are staged integer-valued (floor(v*100)) so
+    // the double session sums are bit-stable on both engines.
+    "stream_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val staging = "/tmp/graft_stream_sess_" + suffix
+      s.read.parquet(pq(dir, "events"))
+        .filter(col("user_id") < 20)
+        .select(col("user_id"),
+          timestamp_millis(expr("ts div 1000000")).as("ts"),
+          floor(col("value") * 100).cast("double").as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val sink = "graft_stream_sess_sink_" + suffix
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toFile
+      try {
+        import s.implicits._
+        graft.streaming.StreamOps.closedSessions(
+            s.readStream.schema(s.read.parquet(staging).schema).parquet(staging)
+              .as[graft.streaming.UserEvent],
+            gapMs = 6L * 3600 * 1000, watermark = "2400 hours")
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt.toString)
+          .start().awaitTermination()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+      s.table(sink).select(col("user_id"),
+        unix_millis(col("session_start")).as("s_start"),
+        unix_millis(col("session_end")).as("s_end"),
+        col("n_events"),
+        col("value_sum").cast("long").as("v_sum"))
+    }),
+
     // STREAMING ingest loop: the continuous form of pipeline_ingest. The
     // reference corpus is persisted once as a band store + doc store pair;
     // the increment then arrives as a FILE STREAM processed one file per
@@ -2025,6 +2064,36 @@ object SparkEntry {
         |  CAST(((SELECT count(*) FROM embeddings WHERE vec_id >= 50)
         |       + (SELECT count(*) FROM surv)) AS BIGINT) AS ivf_rows,
         |  CAST((SELECT count(*) FROM surv WHERE orig < 10) AS BIGINT) AS n_rank1_hits""".stripMargin,
+
+    // gaps-and-islands replay of successor-closed sessions: an island
+    // breaks where the gap to the previous event exceeds 6h; each user's
+    // LAST island is still open (no successor) and must not appear. The
+    // nanosecond ts maps to ms identically on both engines (DuckDB's
+    // parquet read truncates ns->us, then //1000: floor-of-floor equals
+    // floor(ns/1e6) for these positive timestamps).
+    "stream_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS ms, floor(value * 100) AS v
+        |  FROM events WHERE user_id < 20),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+        |                   OR ms - lag(ms) OVER w > 21600000 THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |islands AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, island, min(ms) AS s_start, max(ms) AS s_end,
+        |    count(*) AS n_events, sum(v) AS v_sum
+        |  FROM islands GROUP BY user_id, island)
+        |SELECT user_id, CAST(s_start AS BIGINT) AS s_start,
+        |  CAST(s_end AS BIGINT) AS s_end,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(v_sum AS BIGINT) AS v_sum
+        |FROM sess
+        |WHERE island < (SELECT max(island) FROM sess s2
+        |                WHERE s2.user_id = sess.user_id)""".stripMargin,
 
     // the streaming loop's fixpoint in closed form: the increment is
     // intra-deduped (min id per token set), so batch boundaries cannot
