@@ -1458,6 +1458,60 @@ object SparkEntry {
         col("value_sum").cast("long").as("v_sum"))
     }),
 
+    // STREAMING sliding-window counts in COMPLETE mode: every (30 min
+    // window, 10 min slide) bucket's event count, replayed AvailableNow —
+    // complete mode re-emits the full aggregate each trigger, so the final
+    // memory-sink table equals the batch group-by no matter how the input
+    // splits into batches. The oracle explodes each event into its three
+    // containing windows (window = 3 x slide, epoch-aligned).
+    "stream_window_counts" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val staging = "/tmp/graft_stream_win_" + suffix
+      s.read.parquet(pq(dir, "events"))
+        .select(timestamp_millis(expr("ts div 1000000")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val sink = "graft_stream_win_sink_" + suffix
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_win_ckpt").toFile
+      try {
+        graft.streaming.StreamOps.windowedCounts(
+            s.readStream.schema(s.read.parquet(staging).schema).parquet(staging),
+            "ts", "30 minutes", "10 minutes", watermark = "2400 hours")
+          .writeStream.format("memory").queryName(sink).outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt.toString)
+          .start().awaitTermination()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+      s.table(sink)
+        .select(unix_millis(col("window_start")).as("window_start"), col("n_events"))
+    }),
+
+    // STREAMING within-watermark dedup: dropDuplicatesWithinWatermark over
+    // (user_id, event_type) emits each key once; projecting the keys makes
+    // the emitted SET closed-form (payload of the surviving row is
+    // arrival-order-dependent and deliberately not part of the contract).
+    "stream_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val staging = "/tmp/graft_stream_dedup_" + suffix
+      s.read.parquet(pq(dir, "events"))
+        .select(col("user_id"), col("event_type"),
+          timestamp_millis(expr("ts div 1000000")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val sink = "graft_stream_dedup_sink_" + suffix
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toFile
+      try {
+        graft.streaming.StreamOps.dedupStream(
+            s.readStream.schema(s.read.parquet(staging).schema).parquet(staging),
+            "ts", Seq("user_id", "event_type"), watermark = "2400 hours")
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt.toString)
+          .start().awaitTermination()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+      s.table(sink).select(col("user_id"), col("event_type"))
+    }),
+
     // STREAMING ingest loop: the continuous form of pipeline_ingest. The
     // reference corpus is persisted once as a band store + doc store pair;
     // the increment then arrives as a FILE STREAM processed one file per
@@ -2064,6 +2118,22 @@ object SparkEntry {
         |  CAST(((SELECT count(*) FROM embeddings WHERE vec_id >= 50)
         |       + (SELECT count(*) FROM surv)) AS BIGINT) AS ivf_rows,
         |  CAST((SELECT count(*) FROM surv WHERE orig < 10) AS BIGINT) AS n_rank1_hits""".stripMargin,
+
+    // each event lives in exactly three epoch-aligned 10-minute-slide
+    // windows of 30 minutes; explode and count
+    "stream_window_counts" ->
+      """WITH ev AS (
+        |  SELECT (epoch_us(ts) // 1000) AS ms FROM events),
+        |exploded AS (
+        |  SELECT ((ms // 600000) - k.k) * 600000 AS window_start
+        |  FROM ev, (SELECT unnest([0, 1, 2]) AS k) k)
+        |SELECT CAST(window_start AS BIGINT) AS window_start,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM exploded GROUP BY window_start""".stripMargin,
+
+    // the emitted key set is every distinct key, exactly once
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
 
     // gaps-and-islands replay of successor-closed sessions: an island
     // breaks where the gap to the previous event exceeds 6h; each user's
