@@ -1002,21 +1002,22 @@ object SparkEntry {
       // to repeat a stored doc's (the oracle recomputes exactly that)
       val inc = d.filter(col("doc_id") < 70)
         .select((col("doc_id") + 600000L).as("doc_id"), col("text"))
-      val pairs = Dedup.scrubAgainstBandStore(s, tbl, inc,
-        col("doc_id"), TextOps.tokenSet(col("text")))
-      val vRef = ref.select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws"))
-      val vInc = inc.select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws"))
-      val withA = vRef.join(broadcast(pairs), col("doc_id") === col("a_id"))
-        .select(col("a_id"), col("b_id"), col("ws").as("ws_a"))
-      val dupIds = vInc.join(broadcast(withA), col("doc_id") === col("b_id"))
-        .filter(col("ws") === col("ws_a"))
-        .select(col("b_id")).distinct()
+      // ONE shared verify body (dupsVerifiedBy), with the verification
+      // token sets sourced from the RAW reference corpus; the decision is
+      // pinned (localCheckpoint) so the append and both audit aggregates
+      // reuse a single scrub run — unpinned, the post-append aggregates
+      // would re-scrub against the grown store
+      val dupIds = Dedup.dupsVerifiedBy(s, tbl,
+          ref.select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws")),
+          inc, col("doc_id"), TextOps.tokenSet(col("text")))
+        .withColumnRenamed("doc_id", "dup_id")
+        .localCheckpoint()
       val survivors = inc.join(broadcast(dupIds),
-        col("doc_id") === col("b_id"), "left_anti")
+        col("doc_id") === col("dup_id"), "left_anti")
       Dedup.appendToBandStore(survivors, col("doc_id"),
         TextOps.tokenSet(col("text")), tbl, buckets = 8)
       dupIds.agg(count(lit(1)).as("n_dups"),
-          coalesce(sum(col("b_id")), lit(0L)).as("dup_id_sum"))
+          coalesce(sum(col("dup_id")), lit(0L)).as("dup_id_sum"))
         .crossJoin(survivors.agg(count(lit(1)).as("n_survivors"),
           coalesce(sum(col("doc_id")), lit(0L)).as("surv_id_sum")))
         .crossJoin(s.table(tbl).agg(count(lit(1)).as("store_band_rows")))

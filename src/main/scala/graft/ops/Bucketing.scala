@@ -89,6 +89,14 @@ object Bucketing {
       s"cannot compact missing table '$table'")
     val staging = table + "__compacting"
     spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    // a crashed prior compaction leaves the staging DIRECTORY behind with
+    // no catalog entry (the metastore here is per-session); saveAsTable
+    // refuses an existing managed location, so clear it — this is what
+    // makes "re-run the compaction" a complete repair
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), staging.toLowerCase)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     // Force the BUCKETED scan for the rewrite. The optimizer elides the
     // writeBucketed repartition either way (the table's bucket spec
     // already satisfies the hash distribution), but by default the

@@ -195,8 +195,11 @@ object Dedup {
    */
   def writeDocStore(docs: DataFrame, id: Column, tokenSet: Column,
       table: String): Unit =
+    // overwrite, like writeBandStore: a pair REBUILD must replace both
+    // halves — erroring here after the band half was already overwritten
+    // would leave bands and token sets describing different corpora
     docs.select(id.as("doc_id"), tokenSet.as("ws"))
-      .write.format("parquet").saveAsTable(table)
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
 
   /**
    * Ids in `docs` that are EXACT duplicates (token-set equality) of a
@@ -212,11 +215,25 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       bandStore: String, docStore: String,
       docs: DataFrame, id: Column, tokenSet: Column,
+      numPerms: Int = 64, bands: Int = 16): DataFrame =
+    dupsVerifiedBy(spark, bandStore, spark.table(docStore),
+      docs, id, tokenSet, numPerms, bands)
+
+  /**
+   * [[dupsAgainstStore]] with the verification token sets supplied by an
+   * arbitrary `(doc_id, ws)` frame instead of the doc store — for callers
+   * that verify against the raw reference corpus (one verify body either
+   * way, so the broadcast placement and distinct contract cannot drift).
+   */
+  def dupsVerifiedBy(
+      spark: org.apache.spark.sql.SparkSession,
+      bandStore: String, verify: DataFrame,
+      docs: DataFrame, id: Column, tokenSet: Column,
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
     val b = docs.select(id.as("doc_id"), tokenSet.as("ws"))
     val pairs = scrubAgainstBandStore(spark, bandStore, b,
       col("doc_id"), col("ws"), numPerms, bands)
-    val withA = spark.table(docStore)
+    val withA = verify
       .join(broadcast(pairs), col("doc_id") === col("a_id"))
       .select(col("b_id"), col("ws").as("ws_a"))
     b.join(broadcast(withA), col("doc_id") === col("b_id"))
@@ -238,18 +255,19 @@ object Dedup {
       numPerms: Int = 64, bands: Int = 16): Unit = {
     require(docs.sparkSession.catalog.tableExists(docStore),
       s"doc store '$docStore' does not exist; write it with writeDocStore first")
-    // The band-before-doc order is LOAD-BEARING when `docs` derives from a
+    // Pin the rows BEFORE the two appends: `docs` usually derives from a
     // [[dupsAgainstStore]] scrub of these same stores (the survivors
-    // pattern): the second write re-evaluates `docs`, re-scrubbing against
-    // a half-grown store. With bands first, the re-scrub's new self-pairs
-    // fail verification (their ids are not in the doc store yet) and the
-    // survivor set is stable; doc-first would verify those self-pairs and
-    // collapse the set to empty mid-absorb. Callers that read the
-    // survivors again AFTER absorbing must still pin them (localCheckpoint)
-    // — after both writes, any re-evaluation sees the fully grown store.
-    appendToBandStore(docs, id, tokenSet, bandStore, buckets, numPerms, bands)
-    docs.select(id.as("doc_id"), tokenSet.as("ws"))
-      .write.mode("append").format("parquet").saveAsTable(docStore)
+    // pattern), and a lazy re-evaluation during the second write would
+    // re-scrub against a half-grown store — every survivor then matches
+    // its own absorbed bands and the set collapses mid-absorb. The eager
+    // localCheckpoint makes the absorb decision immutable (batch-sized
+    // storage, the increment by contract) and computes the scrub once
+    // instead of once per write. Callers that read the survivors again
+    // AFTER absorbing need their own pin for the same reason.
+    val pinned = docs.select(id.as("doc_id"), tokenSet.as("ws")).localCheckpoint()
+    appendToBandStore(pinned, col("doc_id"), col("ws"), bandStore,
+      buckets, numPerms, bands)
+    pinned.write.mode("append").format("parquet").saveAsTable(docStore)
   }
 
   /**

@@ -371,14 +371,22 @@ object Similarity {
       buckets: Int = 16): Unit = {
     require(spark.catalog.tableExists(table),
       s"IVF store '$table' does not exist; write it with writeIvfStore first")
-    val geo = spark.table(table + "_centroids").orderBy(col("cell")).collect()
-    require(geo.nonEmpty, s"empty or missing centroid table: ${table}_centroids")
-    val centroids = geo.map(_.getSeq[Float](1).toArray)
-    val scale = geo.head.getInt(2)
+    val (centroids, scale) = readIvfGeometry(spark, table)
     val cells = vecs.select(col(idCol).as("id"),
       nearestCell(col(vecCol), centroids).as("cell"),
       quantizeI8(col(vecCol), scale).as("qvec"))
     Bucketing.writeBucketed(cells, "cell", buckets, table, mode = "append")
+  }
+
+  /** Decode the persisted quantizer geometry of a [[writeIvfStore]] index —
+    * the ONE read-back of the centroid-table schema, shared by append and
+    * search so writer and reader cannot drift on the layout. */
+  private def readIvfGeometry(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): (Array[Array[Float]], Int) = {
+    val geo = spark.table(table + "_centroids").orderBy(col("cell")).collect()
+    require(geo.nonEmpty, s"empty or missing centroid table: ${table}_centroids")
+    (geo.map(_.getSeq[Float](1).toArray), geo.head.getInt(2))
   }
 
   /**
@@ -408,10 +416,7 @@ object Similarity {
     require(!reserved.contains(queryId),
       s"query id column '$queryId' collides with the store schema or a " +
         s"working column (${reserved.mkString(", ")}); alias it first")
-    val geo = spark.table(table + "_centroids").orderBy(col("cell")).collect()
-    require(geo.nonEmpty, s"empty or missing centroid table: ${table}_centroids")
-    val centroids = geo.map(_.getSeq[Float](1).toArray)
-    val scale = geo.head.getInt(2)
+    val (centroids, scale) = readIvfGeometry(spark, table)
     val probes = quantizedProbes(queries, queryId, queryVec, centroids, nprobe, scale)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
