@@ -1459,6 +1459,42 @@ object SparkEntry {
         col("value_sum").cast("long").as("v_sum"))
     }),
 
+    // STREAMING running totals through the mapGroupsWithState escape
+    // hatch, replayed over FOUR micro-batches (one file per trigger) so
+    // the state genuinely carries across triggers. Update mode emits one
+    // row per (user, trigger-seen); n_events is strictly increasing per
+    // user, so max_by picks each user's final state — which must equal
+    // the plain batch group-by. Values staged integer-valued for
+    // bit-stable double accumulation.
+    "stream_running_totals" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val staging = "/tmp/graft_stream_rt_" + suffix
+      s.read.parquet(pq(dir, "events"))
+        .filter(col("user_id") < 20)
+        .select(col("user_id"),
+          timestamp_millis(expr("ts div 1000000")).as("ts"),
+          floor(col("value") * 100).cast("double").as("value"))
+        .repartition(4).write.mode("overwrite").parquet(staging)
+      val sink = "graft_stream_rt_sink_" + suffix
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rt_ckpt").toFile
+      try {
+        import s.implicits._
+        graft.streaming.StreamOps.runningTotals(
+            s.readStream.schema(s.read.parquet(staging).schema)
+              .option("maxFilesPerTrigger", "1").parquet(staging)
+              .as[graft.streaming.UserEvent])
+          .toDF()
+          .writeStream.format("memory").queryName(sink).outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt.toString)
+          .start().awaitTermination()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+      s.table(sink).groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("total_value"), col("n_events")).cast("long").as("v_sum"))
+    }),
+
     // STREAMING sliding-window counts in COMPLETE mode: every (30 min
     // window, 10 min slide) bucket's event count, replayed AvailableNow —
     // complete mode re-emits the full aggregate each trigger, so the final
@@ -2119,6 +2155,12 @@ object SparkEntry {
         |  CAST(((SELECT count(*) FROM embeddings WHERE vec_id >= 50)
         |       + (SELECT count(*) FROM surv)) AS BIGINT) AS ivf_rows,
         |  CAST((SELECT count(*) FROM surv WHERE orig < 10) AS BIGINT) AS n_rank1_hits""".stripMargin,
+
+    // each user's final emitted state must equal the batch group-by
+    "stream_running_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(floor(value * 100)) AS BIGINT) AS v_sum
+        |FROM events WHERE user_id < 20 GROUP BY user_id""".stripMargin,
 
     // each event lives in exactly three epoch-aligned 10-minute-slide
     // windows of 30 minutes; explode and count

@@ -76,6 +76,19 @@ class BucketingSpec extends SparkSpec {
         Bucketing.compactBucketed(spark, "graft_bkt_nope", "k", 4)
       }
       assert(err.getMessage.contains("missing table"))
+      // crash repair: an orphaned staging DIRECTORY (data on disk, no
+      // catalog entry — what a crash between write and swap leaves with
+      // this per-session metastore) must not block a re-run
+      val orphan = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "graft_bkt_cpt__compacting")
+      val ofs = orphan.getFileSystem(spark.sessionState.newHadoopConf())
+      ofs.mkdirs(orphan)
+      val marker = new org.apache.hadoop.fs.Path(orphan, "leftover.parquet")
+      ofs.create(marker).close()
+      Bucketing.compactBucketed(spark, "graft_bkt_cpt", "k", 4)
+      assert(spark.table("graft_bkt_cpt").inputFiles.length === 4)
+      assert(spark.table("graft_bkt_cpt")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === rowsBefore)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
