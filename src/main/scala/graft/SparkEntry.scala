@@ -1383,6 +1383,24 @@ object SparkEntry {
         .select(col("user_id"), col("e_ts"), col("event_id"), col("o_ts"), col("o_key"))
     }),
 
+    // Nearest as-of join: each event picks the order closest in time in
+    // EITHER direction (ties to the earlier row — backward bias). The
+    // oracle is a per-row argmin via LATERAL; the operator is the same
+    // linear merge shape as the directional as-ofs (one shuffle, two
+    // growing-frame window passes sharing the exchange, no join operator).
+    "asof_nearest" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(pq(dir, "events"))
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), expr("ts div 1000").as("e_ts"), col("event_id"))
+      val ord = s.read.parquet(pq(dir, "orders"))
+        .groupBy(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_ts"))
+        .agg(max(col("o_orderkey")).as("o_key"))
+      TemporalJoin.asofNearest(ev, ord, Seq("user_id"), "e_ts", "o_ts")
+        .select(col("user_id"), col("e_ts"), col("event_id"), col("o_ts"), col("o_key"))
+    }),
+
     // The as-of enrichment running as a STREAM: the same event subset
     // replayed through Trigger.AvailableNow and enriched stream-static
     // against the (broadcast, sorted-history) dimension — stateless, so
@@ -2959,6 +2977,21 @@ object SparkEntry {
         |             max(o_orderkey) AS o_key
         |           FROM orders GROUP BY 1, 2) o
         |ON e.user_id = o.user_id AND e.e_ts >= o.o_ts""".stripMargin,
+
+    // per-row argmin over |e_ts - o_ts|, earlier order on ties (backward
+    // bias) — the relational definition of direction='nearest'
+    "asof_nearest" ->
+      """SELECT e.user_id, e.e_ts, e.event_id, o.o_ts, o.o_key
+        |FROM (SELECT user_id, epoch_us(ts) AS e_ts, event_id
+        |      FROM events WHERE user_id < 30) e
+        |JOIN LATERAL (
+        |  SELECT o_ts, o_key
+        |  FROM (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS o_ts,
+        |          max(o_orderkey) AS o_key
+        |        FROM orders GROUP BY 1, 2) o
+        |  WHERE o.user_id = e.user_id
+        |  ORDER BY abs(e.e_ts - o.o_ts), o.o_ts
+        |  LIMIT 1) o ON true""".stripMargin,
 
     // the streaming replay must land on the batch LEFT as-of exactly
     // (stateless stream-static enrichment, AvailableNow)

@@ -84,6 +84,105 @@ object TemporalJoin {
       tolerance: Option[Long] = None): DataFrame =
     asofImpl(left, right, keys, leftTs, rightTs, tolerance, backward = false)
 
+  /**
+   * Nearest as-of join (inner): for every left row, the single right row
+   * with minimal |left.ts - right.ts| on the same key; the EARLIER row
+   * wins a distance tie (backward bias, matching pandas `merge_asof`
+   * `direction='nearest'`). `tolerance` drops matches farther than
+   * `tolerance` in EITHER direction. Both timestamp columns must be
+   * integral — the distance comparison is exact long arithmetic (the
+   * same contract `tolerance` and the salted variants already carry).
+   * Null keys/timestamps match nothing; the right side must be unique
+   * per (keys, ts), as in both directional joins.
+   *
+   * Same merge shape as [[asofBackward]]/[[asofForward]]: ONE shuffle on
+   * the keys, then TWO in-partition window passes over the union — an
+   * ascending growing frame finds the at-or-before candidate and a
+   * descending one the at-or-after; the exchange is reused between them
+   * (identical partitioning), only the second in-partition sort is extra,
+   * and both frames are O(1)/row. Never a join operator, so the per-key
+   * cost stays linear like the directional forms.
+   */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    val integral: Set[Any] = Set(ByteType, ShortType, IntegerType, LongType)
+    require(integral(left.schema(leftTs).dataType) &&
+      integral(right.schema(rightTs).dataType),
+      "nearest as-of requires integral timestamp columns " +
+        s"(got ${left.schema(leftTs).dataType.simpleString} / " +
+        s"${right.schema(rightTs).dataType.simpleString})")
+    def sameName(a: String, b: String) = a.equalsIgnoreCase(b)
+    val leftPayload = left.columns
+      .filterNot(c => keys.exists(sameName(c, _)) || sameName(c, leftTs))
+    val rightPayload = right.columns
+      .filterNot(c => keys.exists(sameName(c, _)) || sameName(c, rightTs))
+    val collisions = (leftPayload.toSet + leftTs).map(_.toLowerCase)
+      .intersect((rightPayload.toSet + rightTs).map(_.toLowerCase))
+    require(collisions.isEmpty,
+      s"as-of join: colliding non-key column names ${collisions.mkString(", ")}; " +
+        "alias the columns of one input before joining")
+
+    val taken = keys.toSet ++ left.columns ++ right.columns
+    val Seq(cTs, cSide, cR, cL, cB, cF, cM) =
+      Seq("__ts", "__side", "__r", "__l", "__b", "__f", "__m")
+        .map(RangeJoin.freshName(_, taken))
+    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val rStruct = struct(col(rightTs) +: rightPayload.map(col): _*)
+    val r = right.filter(col(rightTs).isNotNull && keysNotNull).select(
+      keys.map(col) ++ Seq(col(rightTs).as(cTs), lit(0).as(cSide),
+        rStruct.as(cR), lit(null).cast(structTypeOf(left, leftPayload)).as(cL)): _*)
+    val l = left.filter(col(leftTs).isNotNull && keysNotNull).select(
+      keys.map(col) ++ Seq(col(leftTs).as(cTs), lit(1).as(cSide),
+        lit(null).cast(structTypeOf(right, rightTs +: rightPayload)).as(cR),
+        struct(leftPayload.map(col): _*).as(cL)): _*)
+
+    // both orders put the right row first at equal timestamps (side 0 < 1)
+    // => both candidates are INCLUSIVE at ties, like the directional forms
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(cTs).asc, col(cSide))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(cTs).desc, col(cSide))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val both = r.unionByName(l)
+      .withColumn(cB, last(col(cR), ignoreNulls = true).over(wB))
+      .withColumn(cF, last(col(cR), ignoreNulls = true).over(wF))
+      .filter(col(cSide) === 1)
+    // gaps are non-negative by construction; try_subtract nulls on
+    // overflow, and a gap too wide to represent is certainly not the
+    // nearest (nor within any tolerance) — null loses every comparison
+    // below, which is exactly the wanted semantics
+    val gated = tolerance match {
+      case Some(t) => both
+        .withColumn(cB,
+          when(try_subtract(col(cTs), col(cB).getField(rightTs)) <= lit(t), col(cB)))
+        .withColumn(cF,
+          when(try_subtract(col(cF).getField(rightTs), col(cTs)) <= lit(t), col(cF)))
+      case None => both
+    }
+    // distances against the (possibly tolerance-nulled) candidates: a
+    // nulled candidate has a null distance and loses; ties go backward
+    val dBack = try_subtract(col(cTs), col(cB).getField(rightTs))
+    val dFwd = try_subtract(col(cF).getField(rightTs), col(cTs))
+    val pickBack = col(cB).isNotNull && (col(cF).isNull ||
+      (dBack.isNotNull && (dFwd.isNull || dBack <= dFwd)))
+    gated
+      .withColumn(cM, when(pickBack, col(cB)).otherwise(col(cF)))
+      .filter(col(cM).isNotNull)
+      .select(
+        keys.map(col) ++
+          Seq(col(cTs).as(leftTs)) ++
+          leftPayload.map(c => col(cL).getField(c).as(c)) ++
+          Seq(col(cM).getField(rightTs).as(rightTs)) ++
+          rightPayload.map(c => col(cM).getField(c).as(c)): _*)
+  }
+
   private def asofImpl(
       left: DataFrame,
       right: DataFrame,

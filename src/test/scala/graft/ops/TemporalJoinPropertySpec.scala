@@ -60,6 +60,44 @@ class TemporalJoinPropertySpec extends SparkSpec {
     }
   }
 
+  private def refNearest(
+      left: Seq[(String, Long, Long)],
+      right: Seq[(String, Long, Long)],
+      tol: Option[Long]): Set[(String, Long, Long, Long, Long)] =
+    left.flatMap { case (k, lts, lv) =>
+      right.filter(r => r._1 == k && tol.forall(t => math.abs(lts - r._2) <= t))
+        // min distance, then earlier ts (backward bias on ties)
+        .sortBy(r => (math.abs(lts - r._2), r._2)).headOption
+        .map { case (_, rts, rv) => (k, lts, lv, rts, rv) }
+    }.toSet
+
+  test("nearest direction matches the brute-force argmin on random streams") {
+    val rnd = new Random(4321)
+    for (round <- 0 until 20) {
+      val left = gen(rnd, 30, unique = false)
+      val right = gen(rnd, 25, unique = true)
+      val tol = if (round % 3 == 0) Some(rnd.nextInt(8).toLong) else None
+      val out = TemporalJoin.asofNearest(
+          left.toDF("k", "lts", "lv"), right.toDF("k", "rts", "rv"),
+          Seq("k"), "lts", "rts", tol)
+        .select("k", "lts", "lv", "rts", "rv")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(out === refNearest(left, right, tol),
+        s"nearest mismatch, round $round tol $tol")
+    }
+  }
+
+  test("nearest plans one exchange, two windows, no join operator") {
+    val l = Seq(("a", 1L, 1L)).toDF("k", "lts", "lv")
+    val r = Seq(("a", 2L, 2L)).toDF("k", "rts", "rv")
+    val plan = TemporalJoin.asofNearest(l, r, Seq("k"), "lts", "rts")
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).length === 2, s"expected 2 windows:\n$plan")
+    assert(!plan.contains("Join"), s"nearest must not plan a join:\n$plan")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(plan).length === 1,
+      s"the two window passes must share one exchange:\n$plan")
+  }
+
   test("time-range-salted as-of equals the unsalted join at every bucket width") {
     val rnd = new Random(5678)
     for (round <- 0 until 8) {
