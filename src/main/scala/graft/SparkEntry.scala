@@ -1060,6 +1060,25 @@ object SparkEntry {
           col("store_rows"), col("n_literal_pairs"))
     }),
 
+    // Duplicate PROVENANCE: for each increment doc dropped as a duplicate,
+    // WHICH stored document it collided with (smallest matching store id)
+    // — the audit view the drop path's distinct() discards; per-row
+    // output, not an aggregate, so the pairing itself is hash-pinned.
+    "dedup_provenance" -> ((s, dir) => {
+      val band = freshTable(s, "graft_prov_band_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_"))
+      val docs = freshTable(s, band + "_docs")
+      val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      val ref = d.filter(col("doc_id") >= 50)
+      Dedup.writeBandStore(ref, col("doc_id"), TextOps.tokenSet(col("text")),
+        band, buckets = 8)
+      Dedup.writeDocStore(ref, col("doc_id"), TextOps.tokenSet(col("text")), docs)
+      val inc = d.filter(col("doc_id") < 70)
+        .select((col("doc_id") + 850000L).as("doc_id"), col("text"))
+      Dedup.dupProvenance(s, band, docs, inc,
+        col("doc_id"), TextOps.tokenSet(col("text")))
+    }),
+
     // CROSS-MODAL ingest: one increment carrying text AND its embedding
     // under a shared id, deduplicated on the text side (scrub against the
     // band/doc store pair via dupsAgainstStore — the doc store supplies
@@ -2146,6 +2165,18 @@ object SparkEntry {
         |    AS BIGINT) AS store_rows,
         |  CAST((SELECT count(*) FROM documents WHERE doc_id >= 50 AND doc_id < 70)
         |    AS BIGINT) AS n_literal_pairs""".stripMargin,
+
+    // every duplicate paired with the smallest token-set-equal store id
+    "dedup_provenance" ->
+      """WITH sets AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws
+        |  FROM documents),
+        |ref AS (SELECT doc_id, ws FROM sets WHERE doc_id >= 50),
+        |inc AS (SELECT doc_id + 850000 AS doc_id, ws FROM sets WHERE doc_id < 70)
+        |SELECT i.doc_id, CAST(min(r.doc_id) AS BIGINT) AS matched_id
+        |FROM inc i JOIN ref r ON i.ws = r.ws
+        |GROUP BY i.doc_id""".stripMargin,
 
     // cross-modal closed form: text-side dedup decides both stores, so
     // every count derives from token-set equality vs the reference; the

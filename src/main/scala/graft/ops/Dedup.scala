@@ -229,17 +229,45 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       bandStore: String, verify: DataFrame,
       docs: DataFrame, id: Column, tokenSet: Column,
-      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+      numPerms: Int = 64, bands: Int = 16): DataFrame =
+    verifiedPairs(spark, bandStore, verify, docs, id, tokenSet, numPerms, bands)
+      .select(col("doc_id"))
+      .distinct()
+
+  /**
+   * Provenance variant of [[dupsAgainstStore]]: for every duplicate id,
+   * the SMALLEST store doc id whose token set it equals — the "what did
+   * this collide with" row a pipeline debugging session wants (the
+   * `distinct()` in the drop path discards exactly that). Same plan
+   * shape; the group-by runs on the tiny verified pair set.
+   */
+  def dupProvenance(
+      spark: org.apache.spark.sql.SparkSession,
+      bandStore: String, docStore: String,
+      docs: DataFrame, id: Column, tokenSet: Column,
+      numPerms: Int = 64, bands: Int = 16): DataFrame =
+    verifiedPairs(spark, bandStore, spark.table(docStore),
+      docs, id, tokenSet, numPerms, bands)
+      .groupBy(col("doc_id"))
+      .agg(min(col("a_id")).as("matched_id"))
+
+  /** Exact-verified (a_id = store/verify side, doc_id = increment side)
+    * pairs — the one candidate-verification body behind both the drop
+    * path and the provenance view. */
+  private def verifiedPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      bandStore: String, verify: DataFrame,
+      docs: DataFrame, id: Column, tokenSet: Column,
+      numPerms: Int, bands: Int): DataFrame = {
     val b = docs.select(id.as("doc_id"), tokenSet.as("ws"))
     val pairs = scrubAgainstBandStore(spark, bandStore, b,
       col("doc_id"), col("ws"), numPerms, bands)
     val withA = verify
       .join(broadcast(pairs), col("doc_id") === col("a_id"))
-      .select(col("b_id"), col("ws").as("ws_a"))
+      .select(col("a_id"), col("b_id"), col("ws").as("ws_a"))
     b.join(broadcast(withA), col("doc_id") === col("b_id"))
       .filter(col("ws") === col("ws_a"))
-      .select(col("doc_id"))
-      .distinct()
+      .select(col("a_id"), col("doc_id"))
   }
 
   /**
