@@ -348,39 +348,95 @@ object TemporalJoin {
     val rowCol = RangeJoin.freshName("__rrow", taken + bCol)
     def bucketOf(ts: String) =
       expr(s"CAST(`$ts` AS BIGINT) div CAST($bucketWidth AS BIGINT)")
-    val keyCols = (keys :+ bCol).map(col)
     val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
 
     val lB = left.withColumn(bCol, bucketOf(leftTs))
     val rB = right.filter(col(rightTs).isNotNull && keysNotNull)
       .withColumn(bCol, bucketOf(rightTs))
-    // per (key, bucket): the boundary-relevant right row. Unique by the
-    // right side's (keys, ts) uniqueness contract.
-    val pickRow = struct(right.columns.map(col): _*)
-    val summary = rB.groupBy(keyCols: _*).agg(
-      (if (backward) max_by(pickRow, col(rightTs))
-       else min_by(pickRow, col(rightTs))).as(rowCol))
-    // bucket spine: every (key, bucket) either side occupies, so a bucket
-    // with left rows but no right rows still receives its carry
-    val spine = lB.filter(col(leftTs).isNotNull && keysNotNull)
-      .select(keyCols: _*).distinct()
-      .unionByName(summary.select(keyCols: _*)).distinct()
-    // running boundary row over STRICTLY-prior buckets (window rows are
-    // per-(key,bucket) aggregates — counter-row scale, not the hot key's
-    // row volume)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(if (backward) col(bCol).asc else col(bCol).desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val nonKey = right.columns.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
-    val carry = spine.join(summary, keys :+ bCol, "left")
-      .select(keyCols :+ last(col(rowCol), ignoreNulls = true).over(w).as(rowCol): _*)
-      .filter(col(rowCol).isNotNull)
-      .select(keyCols ++ nonKey.map(c => col(rowCol).getField(c).as(c)): _*)
+    val carry = boundaryCarry(lB, rB, right, keys, bCol, rowCol,
+      leftTs, rightTs, backward)
     // a carried row's ts sits in an earlier (later, forward) bucket than
     // every in-bucket row, so per-(keys,bucket,ts) uniqueness is preserved
     val rAug = rB.select(rB.columns.map(col): _*).unionByName(carry)
     asofImpl(lB, rAug, keys :+ bCol, leftTs, rightTs, tolerance, backward)
       .drop(bCol)
+  }
+
+  /**
+   * Time-range-salted NEAREST as-of — [[asofNearest]] with the
+   * [[asofBackwardSalted]] dominant-key mitigation. Boundary carries are
+   * injected in BOTH directions (latest strictly-prior right and earliest
+   * strictly-later right per (key, bucket)), which is exactly the
+   * candidate set the global argmin needs: any right row beyond a carry
+   * in its direction is farther than the carry, so it can never be the
+   * nearest. Results are EXACTLY [[asofNearest]]'s (property-tested
+   * across widths), tolerance included; both carries land in foreign
+   * buckets' groups with out-of-bucket timestamps, so the per-(keys +
+   * bucket, ts) uniqueness contract is preserved.
+   */
+  def asofNearestSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      bucketWidth: Long,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val integral: Set[Any] = Set(ByteType, ShortType, IntegerType, LongType)
+    require(integral(left.schema(leftTs).dataType) &&
+      integral(right.schema(rightTs).dataType),
+      "salted as-of requires integral timestamp columns " +
+        s"(got ${left.schema(leftTs).dataType.simpleString} / " +
+        s"${right.schema(rightTs).dataType.simpleString})")
+    val taken = keys.toSet ++ left.columns ++ right.columns
+    val bCol = RangeJoin.freshName("__bucket", taken)
+    val rowCol = RangeJoin.freshName("__rrow", taken + bCol)
+    def bucketOf(ts: String) =
+      expr(s"CAST(`$ts` AS BIGINT) div CAST($bucketWidth AS BIGINT)")
+    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val lB = left.withColumn(bCol, bucketOf(leftTs))
+    val rB = right.filter(col(rightTs).isNotNull && keysNotNull)
+      .withColumn(bCol, bucketOf(rightTs))
+    val carryBack = boundaryCarry(lB, rB, right, keys, bCol, rowCol,
+      leftTs, rightTs, backward = true)
+    val carryFwd = boundaryCarry(lB, rB, right, keys, bCol, rowCol,
+      leftTs, rightTs, backward = false)
+    val rAug = rB.select(rB.columns.map(col): _*)
+      .unionByName(carryBack).unionByName(carryFwd)
+    asofNearest(lB, rAug, keys :+ bCol, leftTs, rightTs, tolerance)
+      .drop(bCol)
+  }
+
+  /** Per-(key, bucket) boundary carry: the latest (earliest, when
+    * `backward` is false) right row of any STRICTLY earlier (later)
+    * bucket, materialized for every bucket on the spine — left AND right
+    * buckets, so a bucket with no right rows still receives its carry.
+    * Window rows are per-(key, bucket) aggregates: counter-row scale,
+    * never the hot key's row volume. */
+  private def boundaryCarry(
+      lB: DataFrame, rB: DataFrame, right: DataFrame, keys: Seq[String],
+      bCol: String, rowCol: String, leftTs: String, rightTs: String,
+      backward: Boolean): DataFrame = {
+    val keyCols = (keys :+ bCol).map(col)
+    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    // unique per (keys, ts) by the right side's uniqueness contract
+    val pickRow = struct(right.columns.map(col): _*)
+    val summary = rB.groupBy(keyCols: _*).agg(
+      (if (backward) max_by(pickRow, col(rightTs))
+       else min_by(pickRow, col(rightTs))).as(rowCol))
+    val spine = lB.filter(col(leftTs).isNotNull && keysNotNull)
+      .select(keyCols: _*).distinct()
+      .unionByName(summary.select(keyCols: _*)).distinct()
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(if (backward) col(bCol).asc else col(bCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nonKey = right.columns.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
+    spine.join(summary, keys :+ bCol, "left")
+      .select(keyCols :+ last(col(rowCol), ignoreNulls = true).over(w).as(rowCol): _*)
+      .filter(col(rowCol).isNotNull)
+      .select(keyCols ++ nonKey.map(c => col(rowCol).getField(c).as(c)): _*)
   }
 
   private def structTypeOf(df: DataFrame, cols: Seq[String]): String =

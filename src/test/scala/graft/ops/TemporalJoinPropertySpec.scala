@@ -134,6 +134,19 @@ class TemporalJoinPropertySpec extends SparkSpec {
       // and the unsalted side is itself pinned to the brute-force reference
       assert(run(dir = false, None) === refBackward(left, right, tol))
       assert(run(dir = true, None) === refForward(left, right, tol))
+
+      // nearest: salted (dual boundary carry) == unsalted == brute force
+      def runNearest(width: Option[Long]) = (width match {
+        case None => TemporalJoin.asofNearest(l, r, Seq("k"), "lts", "rts", tol)
+        case Some(bw) =>
+          TemporalJoin.asofNearestSalted(l, r, Seq("k"), "lts", "rts", bw, tol)
+      }).select("k", "lts", "lv", "rts", "rv")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      for (width <- Seq(1L, 3L, 7L, 1000L)) {
+        assert(runNearest(Some(width)) === runNearest(None),
+          s"salted nearest (width=$width) differs, round $round tol $tol")
+      }
+      assert(runNearest(None) === refNearest(left, right, tol))
     }
   }
 
