@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -111,36 +111,15 @@ object TemporalJoin {
       rightTs: String,
       tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one equi-key")
-    val integral: Set[Any] = Set(ByteType, ShortType, IntegerType, LongType)
     require(integral(left.schema(leftTs).dataType) &&
       integral(right.schema(rightTs).dataType),
       "nearest as-of requires integral timestamp columns " +
         s"(got ${left.schema(leftTs).dataType.simpleString} / " +
         s"${right.schema(rightTs).dataType.simpleString})")
-    def sameName(a: String, b: String) = a.equalsIgnoreCase(b)
-    val leftPayload = left.columns
-      .filterNot(c => keys.exists(sameName(c, _)) || sameName(c, leftTs))
-    val rightPayload = right.columns
-      .filterNot(c => keys.exists(sameName(c, _)) || sameName(c, rightTs))
-    val collisions = (leftPayload.toSet + leftTs).map(_.toLowerCase)
-      .intersect((rightPayload.toSet + rightTs).map(_.toLowerCase))
-    require(collisions.isEmpty,
-      s"as-of join: colliding non-key column names ${collisions.mkString(", ")}; " +
-        "alias the columns of one input before joining")
-
-    val taken = keys.toSet ++ left.columns ++ right.columns
-    val Seq(cTs, cSide, cR, cL, cB, cF, cM) =
-      Seq("__ts", "__side", "__r", "__l", "__b", "__f", "__m")
-        .map(RangeJoin.freshName(_, taken))
-    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
-    val rStruct = struct(col(rightTs) +: rightPayload.map(col): _*)
-    val r = right.filter(col(rightTs).isNotNull && keysNotNull).select(
-      keys.map(col) ++ Seq(col(rightTs).as(cTs), lit(0).as(cSide),
-        rStruct.as(cR), lit(null).cast(structTypeOf(left, leftPayload)).as(cL)): _*)
-    val l = left.filter(col(leftTs).isNotNull && keysNotNull).select(
-      keys.map(col) ++ Seq(col(leftTs).as(cTs), lit(1).as(cSide),
-        lit(null).cast(structTypeOf(right, rightTs +: rightPayload)).as(cR),
-        struct(leftPayload.map(col): _*).as(cL)): _*)
+    val tu = tagAndUnion(left, right, keys, leftTs, rightTs)
+    import tu.{union, cTs, cSide, cR, cL, taken}
+    val Seq(cB, cF, cM) =
+      Seq("__b", "__f", "__m").map(RangeJoin.freshName(_, taken))
 
     // both orders put the right row first at equal timestamps (side 0 < 1)
     // => both candidates are INCLUSIVE at ties, like the directional forms
@@ -150,56 +129,58 @@ object TemporalJoin {
     val wF = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(cTs).desc, col(cSide))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val both = r.unionByName(l)
+    val both = union
       .withColumn(cB, last(col(cR), ignoreNulls = true).over(wB))
       .withColumn(cF, last(col(cR), ignoreNulls = true).over(wF))
       .filter(col(cSide) === 1)
-    // gaps are non-negative by construction; try_subtract nulls on
-    // overflow, and a gap too wide to represent is certainly not the
-    // nearest (nor within any tolerance) — null loses every comparison
-    // below, which is exactly the wanted semantics
+    // gaps are non-negative by construction; longGap widens to long first
+    // (exact for every admitted type) and nulls only a genuine long
+    // overflow, which is wider than any tolerance — null loses every
+    // comparison below, which is exactly the wanted semantics
     val gated = tolerance match {
       case Some(t) => both
         .withColumn(cB,
-          when(try_subtract(col(cTs), col(cB).getField(rightTs)) <= lit(t), col(cB)))
+          when(longGap(col(cTs), col(cB).getField(rightTs)) <= lit(t), col(cB)))
         .withColumn(cF,
-          when(try_subtract(col(cF).getField(rightTs), col(cTs)) <= lit(t), col(cF)))
+          when(longGap(col(cF).getField(rightTs), col(cTs)) <= lit(t), col(cF)))
       case None => both
     }
     // distances against the (possibly tolerance-nulled) candidates: a
     // nulled candidate has a null distance and loses; ties go backward
-    val dBack = try_subtract(col(cTs), col(cB).getField(rightTs))
-    val dFwd = try_subtract(col(cF).getField(rightTs), col(cTs))
+    val dBack = longGap(col(cTs), col(cB).getField(rightTs))
+    val dFwd = longGap(col(cF).getField(rightTs), col(cTs))
     val pickBack = col(cB).isNotNull && (col(cF).isNull ||
       (dBack.isNotNull && (dFwd.isNull || dBack <= dFwd)))
-    gated
-      .withColumn(cM, when(pickBack, col(cB)).otherwise(col(cF)))
-      .filter(col(cM).isNotNull)
-      .select(
-        keys.map(col) ++
-          Seq(col(cTs).as(leftTs)) ++
-          leftPayload.map(c => col(cL).getField(c).as(c)) ++
-          Seq(col(cM).getField(rightTs).as(rightTs)) ++
-          rightPayload.map(c => col(cM).getField(c).as(c)): _*)
+    finishSelect(
+      gated.withColumn(cM, when(pickBack, col(cB)).otherwise(col(cF)))
+        .filter(col(cM).isNotNull),
+      tu, cM)
   }
 
-  private def asofImpl(
-      left: DataFrame,
-      right: DataFrame,
-      keys: Seq[String],
-      leftTs: String,
-      rightTs: String,
-      tolerance: Option[Long],
-      backward: Boolean): DataFrame = {
-    require(keys.nonEmpty, "as-of join requires at least one equi-key")
-    val integral: Set[Any] = Set(ByteType, ShortType, IntegerType, LongType)
-    if (tolerance.isDefined) {
-      require(integral(left.schema(leftTs).dataType) &&
-        integral(right.schema(rightTs).dataType),
-        "as-of tolerance requires integral timestamp columns " +
-          s"(got ${left.schema(leftTs).dataType.simpleString} / " +
-          s"${right.schema(rightTs).dataType.simpleString})")
-    }
+  private val integral: Set[Any] = Set(ByteType, ShortType, IntegerType, LongType)
+
+  /** Exact timestamp gap in long arithmetic. Sub-long integral operands are
+    * widened BEFORE subtracting — at the native width a gap like
+    * `Int.MaxValue - Int.MinValue` overflows int and try_subtract would
+    * null (dropping an in-tolerance match); widened, overflow is only
+    * possible when both sides are genuine longs straddling Long.MIN/MAX,
+    * where the true gap exceeds any long tolerance and null-drops-row is
+    * exactly the wanted semantics. */
+  private def longGap(a: Column, b: Column): Column =
+    try_subtract(a.cast(LongType), b.cast(LongType))
+
+  /** Shared merge-formulation scaffolding: payload classification, the
+    * collision contract, fresh working names, and the tagged union of both
+    * inputs (right rows carry their payload struct in `cR`, left rows
+    * theirs in `cL`; null keys/timestamps are dropped on both sides). */
+  private case class TaggedUnion(
+      union: DataFrame, keys: Seq[String], leftTs: String, rightTs: String,
+      leftPayload: Seq[String], rightPayload: Seq[String],
+      cTs: String, cSide: String, cR: String, cL: String, taken: Set[String])
+
+  private def tagAndUnion(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): TaggedUnion = {
     // case-insensitive classification: Spark resolves column references
     // case-insensitively by default, so an exact-case comparison would
     // let a miscased key ride along as payload and duplicate struct fields
@@ -220,16 +201,15 @@ object TemporalJoin {
 
     // working columns must not shadow (or ambiguate against) user columns
     val taken = keys.toSet ++ left.columns ++ right.columns
-    val Seq(cTs, cSide, cR, cL, cM) =
-      Seq("__ts", "__side", "__r", "__l", "__m").map(RangeJoin.freshName(_, taken))
+    val Seq(cTs, cSide, cR, cL) =
+      Seq("__ts", "__side", "__r", "__l").map(RangeJoin.freshName(_, taken))
 
     // A null timestamp cannot order against anything: such rows match
     // nothing (and nothing matches through them) — the same rows DuckDB's
     // ASOF JOIN drops. Without this, nulls sort FIRST in the window and a
     // null-ts right row would be carried onto left rows that have no real
-    // at-or-before match.
-    // null keys match nothing (SQL join equality; the window would
-    // otherwise group them together), null timestamps order nothing
+    // at-or-before match. Null keys match nothing (SQL join equality; the
+    // window would otherwise group them together).
     val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
     val rStruct = struct(col(rightTs) +: rightPayload.map(col): _*)
     val r = right.filter(col(rightTs).isNotNull && keysNotNull).select(
@@ -239,6 +219,39 @@ object TemporalJoin {
       keys.map(col) ++ Seq(col(leftTs).as(cTs), lit(1).as(cSide),
         lit(null).cast(structTypeOf(right, rightTs +: rightPayload)).as(cR),
         struct(leftPayload.map(col): _*).as(cL)): _*)
+    TaggedUnion(r.unionByName(l), keys, leftTs, rightTs,
+      leftPayload, rightPayload, cTs, cSide, cR, cL, taken)
+  }
+
+  /** Shared output projection: keys, left timestamp + payload, then the
+    * matched right row's timestamp + payload pulled out of `cM`. */
+  private def finishSelect(matched: DataFrame, tu: TaggedUnion, cM: String): DataFrame =
+    matched.select(
+      tu.keys.map(col) ++
+        Seq(col(tu.cTs).as(tu.leftTs)) ++
+        tu.leftPayload.map(c => col(tu.cL).getField(c).as(c)) ++
+        Seq(col(cM).getField(tu.rightTs).as(tu.rightTs)) ++
+        tu.rightPayload.map(c => col(cM).getField(c).as(c)): _*)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      tolerance: Option[Long],
+      backward: Boolean): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    if (tolerance.isDefined) {
+      require(integral(left.schema(leftTs).dataType) &&
+        integral(right.schema(rightTs).dataType),
+        "as-of tolerance requires integral timestamp columns " +
+          s"(got ${left.schema(leftTs).dataType.simpleString} / " +
+          s"${right.schema(rightTs).dataType.simpleString})")
+    }
+    val tu = tagAndUnion(left, right, keys, leftTs, rightTs)
+    import tu.{union, cTs, cSide, cR, cL, taken}
+    val cM = RangeJoin.freshName("__m", taken)
 
     // BOTH directions scan the GROWING preceding frame with `last` — Spark
     // evaluates unboundedPreceding..currentRow incrementally (O(1) per
@@ -251,29 +264,22 @@ object TemporalJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(tsOrder, col(cSide))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = r.unionByName(l)
+    val matched = union
       .withColumn(cM, last(col(cR), ignoreNulls = true).over(w))
       .filter(col(cSide) === 1 && col(cM).isNotNull)
     val withinTol = tolerance match {
       // The window established the gap is non-negative in the scan
-      // direction — but the subtraction can still overflow when the
-      // operands straddle Long.MIN/MAX (ANSI mode throws). try_subtract
-      // nulls on overflow, and a gap too wide to represent is certainly
-      // wider than any tolerance, so null-drops-row is exactly the wanted
-      // semantics.
+      // direction; longGap widens to long (exact for every admitted type)
+      // and nulls only a genuine long overflow — wider than any tolerance,
+      // so null-drops-row is exactly the wanted semantics.
       case Some(t) =>
         val gap =
-          if (backward) try_subtract(col(cTs), col(cM).getField(rightTs))
-          else try_subtract(col(cM).getField(rightTs), col(cTs))
+          if (backward) longGap(col(cTs), col(cM).getField(rightTs))
+          else longGap(col(cM).getField(rightTs), col(cTs))
         matched.filter(gap <= lit(t))
       case None => matched
     }
-    withinTol.select(
-      keys.map(col) ++
-        Seq(col(cTs).as(leftTs)) ++
-        leftPayload.map(c => col(cL).getField(c).as(c)) ++
-        Seq(col(cM).getField(rightTs).as(rightTs)) ++
-        rightPayload.map(c => col(cM).getField(c).as(c)): _*)
+    finishSelect(withinTol, tu, cM)
   }
 
   /**
@@ -334,32 +340,42 @@ object TemporalJoin {
       bucketWidth: Long,
       tolerance: Option[Long],
       backward: Boolean): DataFrame = {
+    val (lB, rB, bCol, taken) =
+      bucketed(left, right, keys, leftTs, rightTs, bucketWidth)
+    val carry = boundaryCarry(lB, rB, right, keys, bCol, taken,
+      leftTs, rightTs, Seq(backward))
+    // a carried row's ts sits in an earlier (later, forward) bucket than
+    // every in-bucket row, so per-(keys,bucket,ts) uniqueness is preserved
+    val rAug = rB.unionByName(carry)
+    asofImpl(lB, rAug, keys :+ bCol, leftTs, rightTs, tolerance, backward)
+      .drop(bCol)
+  }
+
+  /** Shared salted prolog: contracts, the fresh bucket column, and both
+    * inputs tagged with their time bucket (`ts div width` — exact and
+    * monotone over the admitted integral types, so bucket order implies
+    * timestamp order). Returns the tagged frames, the bucket column name,
+    * and the taken-name set including it. */
+  private def bucketed(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, bucketWidth: Long)
+      : (DataFrame, DataFrame, String, Set[String]) = {
     require(keys.nonEmpty, "as-of join requires at least one equi-key")
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val integral: Set[Any] = Set(ByteType, ShortType, IntegerType, LongType)
     require(integral(left.schema(leftTs).dataType) &&
       integral(right.schema(rightTs).dataType),
       "salted as-of requires integral timestamp columns " +
         s"(got ${left.schema(leftTs).dataType.simpleString} / " +
         s"${right.schema(rightTs).dataType.simpleString})")
-
     val taken = keys.toSet ++ left.columns ++ right.columns
     val bCol = RangeJoin.freshName("__bucket", taken)
-    val rowCol = RangeJoin.freshName("__rrow", taken + bCol)
     def bucketOf(ts: String) =
       expr(s"CAST(`$ts` AS BIGINT) div CAST($bucketWidth AS BIGINT)")
     val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
-
     val lB = left.withColumn(bCol, bucketOf(leftTs))
     val rB = right.filter(col(rightTs).isNotNull && keysNotNull)
       .withColumn(bCol, bucketOf(rightTs))
-    val carry = boundaryCarry(lB, rB, right, keys, bCol, rowCol,
-      leftTs, rightTs, backward)
-    // a carried row's ts sits in an earlier (later, forward) bucket than
-    // every in-bucket row, so per-(keys,bucket,ts) uniqueness is preserved
-    val rAug = rB.select(rB.columns.map(col): _*).unionByName(carry)
-    asofImpl(lB, rAug, keys :+ bCol, leftTs, rightTs, tolerance, backward)
-      .drop(bCol)
+    (lB, rB, bCol, taken + bCol)
   }
 
   /**
@@ -382,61 +398,57 @@ object TemporalJoin {
       rightTs: String,
       bucketWidth: Long,
       tolerance: Option[Long] = None): DataFrame = {
-    require(keys.nonEmpty, "as-of join requires at least one equi-key")
-    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val integral: Set[Any] = Set(ByteType, ShortType, IntegerType, LongType)
-    require(integral(left.schema(leftTs).dataType) &&
-      integral(right.schema(rightTs).dataType),
-      "salted as-of requires integral timestamp columns " +
-        s"(got ${left.schema(leftTs).dataType.simpleString} / " +
-        s"${right.schema(rightTs).dataType.simpleString})")
-    val taken = keys.toSet ++ left.columns ++ right.columns
-    val bCol = RangeJoin.freshName("__bucket", taken)
-    val rowCol = RangeJoin.freshName("__rrow", taken + bCol)
-    def bucketOf(ts: String) =
-      expr(s"CAST(`$ts` AS BIGINT) div CAST($bucketWidth AS BIGINT)")
-    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
-    val lB = left.withColumn(bCol, bucketOf(leftTs))
-    val rB = right.filter(col(rightTs).isNotNull && keysNotNull)
-      .withColumn(bCol, bucketOf(rightTs))
-    val carryBack = boundaryCarry(lB, rB, right, keys, bCol, rowCol,
-      leftTs, rightTs, backward = true)
-    val carryFwd = boundaryCarry(lB, rB, right, keys, bCol, rowCol,
-      leftTs, rightTs, backward = false)
-    val rAug = rB.select(rB.columns.map(col): _*)
-      .unionByName(carryBack).unionByName(carryFwd)
+    val (lB, rB, bCol, taken) =
+      bucketed(left, right, keys, leftTs, rightTs, bucketWidth)
+    val carries = boundaryCarry(lB, rB, right, keys, bCol, taken,
+      leftTs, rightTs, Seq(true, false))
+    val rAug = rB.unionByName(carries)
     asofNearest(lB, rAug, keys :+ bCol, leftTs, rightTs, tolerance)
       .drop(bCol)
   }
 
-  /** Per-(key, bucket) boundary carry: the latest (earliest, when
-    * `backward` is false) right row of any STRICTLY earlier (later)
-    * bucket, materialized for every bucket on the spine — left AND right
+  /** Per-(key, bucket) boundary carry, unioned over the requested
+    * `directions` (true = backward: the latest right row of any STRICTLY
+    * earlier bucket; false = forward: the earliest of any strictly later
+    * one), materialized for every bucket on the spine — left AND right
     * buckets, so a bucket with no right rows still receives its carry.
-    * Window rows are per-(key, bucket) aggregates: counter-row scale,
-    * never the hot key's row volume. */
+    *
+    * ONE summary aggregate computes both directions' boundary rows and ONE
+    * spine serves both window passes, so the full-input scans (the right
+    * aggregate, the left distinct) are paid once regardless of how many
+    * directions are asked for — the identical subtrees collapse to a
+    * single exchange under Spark's ReuseExchange. Window rows are
+    * per-(key, bucket) aggregates: counter-row scale, never the hot key's
+    * row volume. */
   private def boundaryCarry(
       lB: DataFrame, rB: DataFrame, right: DataFrame, keys: Seq[String],
-      bCol: String, rowCol: String, leftTs: String, rightTs: String,
-      backward: Boolean): DataFrame = {
+      bCol: String, taken: Set[String], leftTs: String, rightTs: String,
+      directions: Seq[Boolean]): DataFrame = {
+    val rowColB = RangeJoin.freshName("__rrow_b", taken)
+    val rowColF = RangeJoin.freshName("__rrow_f", taken + rowColB)
+    def rowCol(backward: Boolean) = if (backward) rowColB else rowColF
     val keyCols = (keys :+ bCol).map(col)
     val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
     // unique per (keys, ts) by the right side's uniqueness contract
     val pickRow = struct(right.columns.map(col): _*)
     val summary = rB.groupBy(keyCols: _*).agg(
-      (if (backward) max_by(pickRow, col(rightTs))
-       else min_by(pickRow, col(rightTs))).as(rowCol))
+      max_by(pickRow, col(rightTs)).as(rowColB),
+      min_by(pickRow, col(rightTs)).as(rowColF))
     val spine = lB.filter(col(leftTs).isNotNull && keysNotNull)
       .select(keyCols: _*).distinct()
       .unionByName(summary.select(keyCols: _*)).distinct()
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(if (backward) col(bCol).asc else col(bCol).desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val joined = spine.join(summary, keys :+ bCol, "left")
     val nonKey = right.columns.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
-    spine.join(summary, keys :+ bCol, "left")
-      .select(keyCols :+ last(col(rowCol), ignoreNulls = true).over(w).as(rowCol): _*)
-      .filter(col(rowCol).isNotNull)
-      .select(keyCols ++ nonKey.map(c => col(rowCol).getField(c).as(c)): _*)
+    directions.map { backward =>
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(if (backward) col(bCol).asc else col(bCol).desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rc = rowCol(backward)
+      joined
+        .select(keyCols :+ last(col(rc), ignoreNulls = true).over(w).as(rc): _*)
+        .filter(col(rc).isNotNull)
+        .select(keyCols ++ nonKey.map(c => col(rc).getField(c).as(c)): _*)
+    }.reduce(_ unionByName _)
   }
 
   private def structTypeOf(df: DataFrame, cols: Seq[String]): String =

@@ -61,6 +61,27 @@ class TemporalJoinSpec extends SparkSpec {
     assert(TemporalJoin.asofBackward(l2, r2, Seq("k"), "lts", "rts", Some(5L)).count() === 1)
   }
 
+  test("int timestamps whose gap overflows int still match within a long tolerance") {
+    // int epoch-second columns: true gap 4e9 fits a long tolerance but
+    // overflows int-width subtraction — the gap must be computed at long
+    // width, or these in-tolerance rows silently vanish
+    val l = Seq(("k", 2000000000, 1)).toDF("k", "lts", "lv")
+    val r = Seq(("k", -2000000000, 2.0)).toDF("k", "rts", "rv")
+    val tol = Some(5000000000L)
+    assert(TemporalJoin.asofBackward(l, r, Seq("k"), "lts", "rts", tol).count() === 1)
+    assert(TemporalJoin.asofForward(r.toDF("k", "lts", "lv2"),
+      l.toDF("k", "rts", "rv2"), Seq("k"), "lts", "rts", tol).count() === 1)
+    val near = TemporalJoin.asofNearest(l, r, Seq("k"), "lts", "rts", tol)
+    assert(near.count() === 1)
+    // and the nearest pick itself must compare int candidates at long width:
+    // candidates at -2e9 (gap 4e9, overflows int) and 2100000000 (gap 1e8)
+    val r2 = Seq(("k", -2000000000, 2.0), ("k", 2100000000L.toInt, 3.0))
+      .toDF("k", "rts", "rv")
+    val picked = TemporalJoin.asofNearest(l, r2, Seq("k"), "lts", "rts")
+      .select("rv").as[Double].collect()
+    assert(picked.toSeq === Seq(3.0))
+  }
+
   test("null timestamps match nothing on either side (ASOF drop semantics)") {
     val l = Seq(("A", Some(10L), 1), ("A", Option.empty[Long], 2)).toDF("k", "lts", "lv")
     val r = Seq(("A", Some(5L), 1.0), ("A", Option.empty[Long], 9.9)).toDF("k", "rts", "rv")
