@@ -762,6 +762,18 @@ object SparkEntry {
           coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
     }),
 
+    // Token-budget carve: "exactly N training tokens" as a deterministic
+    // pseudo-random prefix. The plan is the 100 TB shape: a counter-scale
+    // bucket ledger + ONE driver row, narrow filter for whole buckets, a
+    // keyed window only over the single crossing bucket — never a global
+    // sort or corpus-wide running total (the oracle's window IS that
+    // non-scalable formulation, which is the point of the comparison).
+    "budget_carve" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      Sampling.budgetCarve(d, col("doc_id"), col("n_chars"), 75000L)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // Histogram-sketch quantiles: the quantile plan that survives 100 TB —
     // one narrow integer-bin projection + one (group, bin) counter
     // aggregate (shuffle carries at most groups x nbins rows, never the
@@ -2533,6 +2545,16 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
         |FROM b GROUP BY 1""".stripMargin,
+
+    "budget_carve" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    SUM(n_chars) OVER (
+        |      ORDER BY ((doc_id % 1000003) * 2654435761 + 104729) % 1000003,
+        |               doc_id) AS cum
+        |  FROM documents)
+        |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM c WHERE cum <= 75000""".stripMargin,
 
     "quantile_hist" ->
       """WITH b AS (

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -126,6 +127,65 @@ object Sampling {
       // so the priority is recovered from the sketch, not re-scanned
       .select((col("pos") + 1).cast("long").as("rank"), col("col.id").as("id"),
         col("col.score").cast("long").as("priority"))
+  }
+
+  /**
+   * Token-budget carve: the deterministic pseudo-random PREFIX of the
+   * corpus whose cumulative cost stays within `budget` — "carve exactly N
+   * training tokens" as a reproducible set, not a fraction. Semantically
+   * the kept rows are exactly
+   * `SUM(cost) OVER (ORDER BY arithHash(key), key) <= budget`
+   * (plain-SQL replayable, like every sampler here), but that window is a
+   * global sort plus a single-partition running total — a non-starter at
+   * corpus scale. The plan instead exploits that the order's FIRST
+   * component is the hash bucket, so the budget boundary cuts the bucket
+   * axis at one point:
+   *
+   *  1. bucket ledger: `groupBy(arithHash(key)).agg(sum(cost))` — counter
+   *     scale (at most 1,000,003 rows REGARDLESS of corpus size), with a
+   *     running total over those ledger rows only;
+   *  2. ONE row to the driver: the first bucket whose running total
+   *     exceeds the budget (none = the whole corpus fits), carrying the
+   *     budget remainder left for it;
+   *  3. buckets strictly before the crossing keep ALL rows — a narrow
+   *     codegen'd filter, no shuffle, no per-row window; buckets after
+   *     keep none;
+   *  4. only the crossing bucket's rows (~1/1,000,003 of the corpus) pay
+   *     a keyed window cumsum to split at the remainder.
+   *
+   * Contracts: `cost` must be non-negative (a negative cost breaks prefix
+   * monotonicity — rows after it could re-enter the budget); rows with a
+   * null key or cost are dropped eagerly (they can neither order nor
+   * account); `key` unique per row (the id tie-break contract every
+   * sampler here shares).
+   */
+  def budgetCarve(df: DataFrame, key: Column, cost: Column, budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget must be non-negative, got $budget")
+    val taken = df.columns.toSet
+    val hCol = RangeJoin.freshName("__h", taken)
+    val sCol = RangeJoin.freshName("__s", taken + hCol)
+    val cumCol = RangeJoin.freshName("__cum", taken + hCol + sCol)
+    val rows = df.filter(key.isNotNull && cost.isNotNull)
+      .withColumn(hCol, arithHash(key))
+    val ledger = rows.groupBy(col(hCol)).agg(sum(cost.cast("long")).as(sCol))
+      .withColumn(cumCol, sum(col(sCol)).over(Window.orderBy(col(hCol))))
+    // the single crossing bucket (TakeOrdered over ledger rows): its id and
+    // the budget left after every bucket strictly before it
+    val cross = ledger.filter(col(cumCol) > lit(budget))
+      .orderBy(col(hCol)).limit(1)
+      .select(col(hCol), (lit(budget) - (col(cumCol) - col(sCol))).as(sCol))
+      .collect()
+    if (cross.isEmpty) rows.drop(hCol) // whole corpus fits the budget
+    else {
+      val (hStar, remainder) = (cross(0).getLong(0), cross(0).getLong(1))
+      val kept = rows.filter(col(hCol) < lit(hStar))
+      val w = Window.partitionBy(col(hCol)).orderBy(key)
+      val boundary = rows.filter(col(hCol) === lit(hStar))
+        .withColumn(cumCol, sum(cost.cast("long")).over(w))
+        .filter(col(cumCol) <= lit(remainder))
+        .drop(cumCol)
+      kept.unionByName(boundary).drop(hCol)
+    }
   }
 
   /**

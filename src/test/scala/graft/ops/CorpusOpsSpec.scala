@@ -112,6 +112,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaQuota.groupBy(_._1).forall(_._2.size == 12))
   }
 
+  test("budget carve equals the global windowed prefix at every budget") {
+    val df = spark.range(0, 500)
+      .select(col("id"), (pmod(col("id") * 37, lit(19)) + 1).as("cost"))
+    // brute-force reference: cumulative cost in (arithHash(id), id) order
+    val scored = df.select(col("id"), col("cost"),
+      Sampling.arithHash(col("id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, _, h) => (h, id) }
+    val cum = scored.scanLeft(0L)(_ + _._2).tail
+    val total = cum.last
+    for (budget <- Seq(0L, 1L, total / 100, total / 3, total - 1, total, total + 7)) {
+      val want = scored.zip(cum).takeWhile(_._2 <= budget).map(_._1._1).toSet
+      val got = Sampling.budgetCarve(df, col("id"), col("cost"), budget)
+        .select("id").as[Long].collect().toSet
+      assert(got === want, s"budget=$budget")
+    }
+  }
+
+  test("budget carve is stable under repartitioning and keeps original columns") {
+    val df = spark.range(0, 300).select(col("id"),
+      (pmod(col("id"), lit(11)) + 1).as("cost"), lit("x").as("tag"))
+    val a = Sampling.budgetCarve(df, col("id"), col("cost"), 700L)
+    assert(a.columns.toSeq === Seq("id", "cost", "tag"))
+    val b = Sampling.budgetCarve(df.repartition(13), col("id"), col("cost"), 700L)
+    assert(a.select("id").as[Long].collect().toSet ===
+      b.select("id").as[Long].collect().toSet)
+    // null keys/costs are dropped, not carried into the prefix
+    val withNulls = df.unionByName(spark.sql(
+      "SELECT CAST(9999 AS BIGINT) id, CAST(NULL AS BIGINT) cost, 'x' tag " +
+        "UNION ALL SELECT CAST(NULL AS BIGINT), CAST(5 AS BIGINT), 'x'"))
+    val c = Sampling.budgetCarve(withNulls, col("id"), col("cost"), 700L)
+    assert(c.select("id").as[Long].collect().toSet ===
+      a.select("id").as[Long].collect().toSet)
+  }
+
   test("pii redaction replaces emails, ips and phones and nothing else") {
     val rows = Seq(
       (1L, "write to alice.smith+x@sub.example.org today"),
