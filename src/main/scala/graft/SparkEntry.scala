@@ -774,6 +774,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // Budgeted mixture: absolute per-source token budgets (mix_sample's
+    // rates say 80%; this says "exactly 40k chars of src2") — budgets that
+    // exceed a source keep it whole, sources without a budget drop, and
+    // only each source's single crossing hash-bucket pays a row-level
+    // window. Aggregated per source for an order-free compare.
+    "budget_mixture" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      Sampling.budgetCarvePerGroup(d, col("source"), col("doc_id"), col("n_chars"),
+          Map("src0" -> 100000L, "src1" -> 4000L, "src2" -> 40000L, "src3" -> 12000L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_kept"))
+    }),
+
     // Histogram-sketch quantiles: the quantile plan that survives 100 TB —
     // one narrow integer-bin projection + one (group, bin) counter
     // aggregate (shuffle carries at most groups x nbins rows, never the
@@ -2555,6 +2569,22 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM c WHERE cum <= 75000""".stripMargin,
+
+    "budget_mixture" ->
+      """WITH b AS (
+        |  SELECT source AS src, budget FROM (VALUES
+        |    ('src0', 100000), ('src1', 4000), ('src2', 40000), ('src3', 12000))
+        |    AS v(source, budget)),
+        |c AS (
+        |  SELECT d.source, d.doc_id, d.n_chars, b.budget,
+        |    SUM(d.n_chars) OVER (PARTITION BY d.source
+        |      ORDER BY ((d.doc_id % 1000003) * 2654435761 + 104729) % 1000003,
+        |               d.doc_id) AS cum
+        |  FROM documents d JOIN b ON d.source = b.src)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM c WHERE cum <= budget GROUP BY source""".stripMargin,
 
     "quantile_hist" ->
       """WITH b AS (

@@ -189,6 +189,64 @@ object Sampling {
   }
 
   /**
+   * Budgeted mixture carve — [[budgetCarve]] per group: "exactly 30B web
+   * tokens, 5B code tokens" as absolute per-source budgets, where
+   * [[mixture]] expresses only relative rates. Kept rows per group are
+   * exactly the group's deterministic pseudo-random prefix
+   * `SUM(cost) OVER (PARTITION BY group ORDER BY arithHash(key), key)
+   * <= budget(group)`; groups absent from `budgets` are dropped (null
+   * budget never compares true — the [[mixture]] contract).
+   *
+   * Same scale shape as [[budgetCarve]], with the driver round-trip
+   * replaced by a broadcast: the (group, bucket) ledger is counter scale,
+   * each group's single crossing bucket (one row per group, none when the
+   * whole group fits) broadcast-joins back onto the corpus, whole buckets
+   * pass a narrow filter, and ONLY crossing-bucket rows (~1/1,000,003 of
+   * each group) pay a keyed window cumsum. A dominant group costs ledger
+   * rows, never a corpus-sized window partition. Contracts as
+   * [[budgetCarve]]: non-negative costs, null key/cost/group rows dropped,
+   * unique keys.
+   */
+  def budgetCarvePerGroup(df: DataFrame, group: Column, key: Column,
+      cost: Column, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0L),
+      s"budgets must be non-negative, got $budgets")
+    val taken = df.columns.toSet
+    val Seq(gCol, hCol, sCol, cumCol, bCol, hsCol, remCol) =
+      Seq("__g", "__h", "__s", "__cum", "__budget", "__hstar", "__rem")
+        .map(RangeJoin.freshName(_, taken))
+    val budgetOf = map(budgets.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val rows = df.filter(key.isNotNull && cost.isNotNull && group.isNotNull)
+      .withColumn(gCol, group)
+      .withColumn(bCol, element_at(budgetOf, group))
+      .filter(col(bCol).isNotNull)
+      .withColumn(hCol, arithHash(key))
+    // counter-scale ledger: at most |groups| x 1,000,003 rows
+    val ledger = rows.groupBy(col(gCol), col(bCol), col(hCol))
+      .agg(sum(cost.cast("long")).as(sCol))
+      .withColumn(cumCol,
+        sum(col(sCol)).over(Window.partitionBy(col(gCol)).orderBy(col(hCol))))
+    // each group's first over-budget bucket + the budget left for it;
+    // groups that fit entirely produce no row (left join keeps them whole)
+    val crossing = ledger.filter(col(cumCol) > col(bCol))
+      .groupBy(col(gCol)).agg(
+        min_by(struct(col(hCol).as(hsCol),
+          (col(bCol) - (col(cumCol) - col(sCol))).as(remCol)), col(hCol)).as(sCol))
+      .select(col(gCol), col(sCol).getField(hsCol).as(hsCol),
+        col(sCol).getField(remCol).as(remCol))
+    val joined = rows.join(broadcast(crossing), Seq(gCol), "left")
+    val whole = joined.filter(col(hsCol).isNull || col(hCol) < col(hsCol))
+    val w = Window.partitionBy(col(gCol), col(hCol)).orderBy(key)
+    val boundary = joined.filter(col(hCol) === col(hsCol))
+      .withColumn(cumCol, sum(cost.cast("long")).over(w))
+      .filter(col(cumCol) <= col(remCol))
+      .drop(cumCol)
+    whole.unionByName(boundary)
+      .drop(gCol, bCol, hCol, hsCol, remCol)
+  }
+
+  /**
    * Deterministic named-split assignment (train/val/test carving): maps the
    * row's [[arithBucket]] percentage to the split whose cumulative band it
    * falls in. `splits` are ordered (name, percent) pairs summing to exactly

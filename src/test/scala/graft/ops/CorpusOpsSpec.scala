@@ -147,6 +147,36 @@ class CorpusOpsSpec extends SparkSpec {
       a.select("id").as[Long].collect().toSet)
   }
 
+  test("per-group budget carve equals per-group windowed prefixes; unknown groups drop") {
+    val df = spark.range(0, 600).select(col("id"),
+      element_at(array(lit("web"), lit("code"), lit("books")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).as("src"),
+      (pmod(col("id") * 13, lit(23)) + 1).as("cost"))
+    // books is missing from the budgets: dropped entirely; web's budget
+    // exceeds its total: kept whole; code crosses mid-bucket
+    val budgets = Map("web" -> 1000000L, "code" -> 900L)
+    val got = Sampling.budgetCarvePerGroup(df, col("src"), col("id"), col("cost"), budgets)
+    assert(got.columns.toSeq === Seq("id", "src", "cost"))
+    val gotIds = got.select("id").as[Long].collect().toSet
+    val scored = df.select(col("id"), col("src"), col("cost"),
+      Sampling.arithHash(col("id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = scored.groupBy(_._2).collect {
+      case (g, rows) if budgets.contains(g) =>
+        val ordered = rows.sortBy { case (id, _, _, h) => (h, id) }
+        val cum = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(cum).takeWhile(_._2 <= budgets(g)).map(_._1._1)
+    }.flatten.toSet
+    assert(gotIds === want)
+    // web kept whole, books absent
+    val bySrc = got.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("web") === 200L && !bySrc.contains("books"))
+    // stable under repartition
+    val again = Sampling.budgetCarvePerGroup(
+      df.repartition(17), col("src"), col("id"), col("cost"), budgets)
+    assert(again.select("id").as[Long].collect().toSet === gotIds)
+  }
+
   test("pii redaction replaces emails, ips and phones and nothing else") {
     val rows = Seq(
       (1L, "write to alice.smith+x@sub.example.org today"),
