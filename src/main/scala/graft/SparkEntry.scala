@@ -774,6 +774,31 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // Streaming budget gate: per-source budgets fill ACROSS increments
+    // (arrival-order priority, remaining-budget state carried between
+    // batches); driven here as the deterministic three-batch direct loop
+    // the streaming wrapper replays. src2's budget exceeds its totals
+    // (never gated), src0/src1/src3 close mid-stream, 16 sources have no
+    // budget and never pass.
+    "stream_budget_gate" -> ((s, dir) => {
+      val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val out = freshTable(s, "graft_bg_out_" + suffix)
+      val state = freshTable(s, "graft_bg_state_" + suffix)
+      val log = freshTable(s, "graft_bg_log_" + suffix)
+      val d = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val budgets = Map("src0" -> 5000L, "src1" -> 3000L,
+        "src2" -> 100000L, "src3" -> 9000L)
+      for (b <- 0 until 3)
+        graft.streaming.StreamOps.budgetGateBatch(
+          d.filter(pmod(col("doc_id"), lit(3)) === b),
+          col("source"), col("doc_id"), col("n_chars"), budgets,
+          out, state, log, b.toLong)
+      s.table(out).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_kept"))
+    }),
+
     // Budgeted mixture: absolute per-source token budgets (mix_sample's
     // rates say 80%; this says "exactly 40k chars of src2") — budgets that
     // exceed a source keep it whole, sources without a budget drop, and
@@ -1278,6 +1303,26 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.lshTopK(corpus, "vec_id", "embedding", queries, "q_id", "q_vec",
         dim = 64, numPlanes = 8, k = 3)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
+    // Random-projection ANN: deterministic ±1 JL projection 64 -> 8 dims
+    // (random_project codegen expression, 8x byte cut), then exact cosine
+    // ranking in the PROJECTED space. The planted duplicate projects
+    // identically (pure function of the vector) so it must stay rank-1;
+    // a degenerate projection (e.g. a collapsed sign matrix) sends every
+    // pair to cosine 1 and the tie-break hands rank 1 to the wrong id —
+    // the oracle is load-bearing for the projection itself.
+    "ann_project" -> ((s, dir) => {
+      val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val corpus = e.union(
+          e.filter(col("vec_id") < 10).select(col("vec_id") + 100000L, col("embedding")))
+        .select(col("vec_id"), Similarity.randomProject(col("embedding"), 8).as("pvec"))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          Similarity.randomProject(col("embedding"), 8).as("q_pvec"))
+      Similarity.bruteForceTopK(corpus, "vec_id", "pvec", queries, "q_id", "q_pvec", 3)
         .filter(col("rank") === 1)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
@@ -2570,6 +2615,34 @@ object SparkEntry {
         |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM c WHERE cum <= 75000""".stripMargin,
 
+    "stream_budget_gate" ->
+      """WITH b AS (
+        |  SELECT src, budget FROM (VALUES
+        |    ('src0', 5000), ('src1', 3000), ('src2', 100000), ('src3', 9000))
+        |    AS v(src, budget)),
+        |c AS (
+        |  SELECT d.source, d.doc_id, d.n_chars, d.doc_id % 3 AS batch, bb.budget,
+        |    SUM(d.n_chars) OVER (PARTITION BY d.source, d.doc_id % 3
+        |      ORDER BY ((d.doc_id % 1000003) * 2654435761 + 104729) % 1000003,
+        |               d.doc_id) AS cum
+        |  FROM documents d JOIN b bb ON d.source = bb.src),
+        |s0 AS (SELECT src, budget, coalesce((SELECT max(cum) FROM c
+        |         WHERE c.source = b.src AND batch = 0 AND cum <= b.budget), 0) AS c0
+        |       FROM b),
+        |s1 AS (SELECT src, budget, c0, coalesce((SELECT max(cum) FROM c
+        |         WHERE c.source = s0.src AND batch = 1
+        |           AND cum <= s0.budget - s0.c0), 0) AS c1
+        |       FROM s0),
+        |kept AS (
+        |  SELECT c.source, c.doc_id, c.n_chars FROM c JOIN s1 ON c.source = s1.src
+        |  WHERE (batch = 0 AND cum <= s1.budget)
+        |     OR (batch = 1 AND cum <= s1.budget - s1.c0)
+        |     OR (batch = 2 AND cum <= s1.budget - s1.c0 - s1.c1))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM kept GROUP BY source""".stripMargin,
+
     "budget_mixture" ->
       """WITH b AS (
         |  SELECT source AS src, budget FROM (VALUES
@@ -2972,6 +3045,11 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "ann_lsh_multi" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "ann_project" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
         |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

@@ -125,6 +125,13 @@ object Similarity {
     ColumnBridge.column(
       graft.functions.QuantizeFixedPoint(ColumnBridge.expression(vec), scale))
 
+  /** Deterministic ±1 random projection to k dims
+    * ([[graft.functions.RandomProject]]) — the dimensionality cut that
+    * composes with [[quantizeI8]]'s byte cut. */
+  def randomProject(vec: Column, k: Int): Column =
+    ColumnBridge.column(
+      graft.functions.RandomProject(ColumnBridge.expression(vec), k))
+
   /** Exact integer dot product column over two `array<int>` columns. */
   def dotI(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -350,6 +350,90 @@ object StreamOps {
       .start()
 
   /**
+   * Streaming budget gate — the streaming form of
+   * [[graft.ops.Sampling.budgetCarvePerGroup]]: each source ingests until
+   * its ABSOLUTE token budget fills, then the gate closes for it. Every
+   * micro-batch is carved against the budgets REMAINING after all prior
+   * batches (consumed state persisted in `stateTable`), kept rows append
+   * to `outTable`, and the committed-batch log makes foreachBatch replays
+   * no-ops — the capped-crawl ingest loop.
+   *
+   * Semantics: priority is arrival order ACROSS batches (first batch
+   * drinks first — the point of a streaming quota); WITHIN a batch the
+   * kept set is budgetCarvePerGroup's deterministic pseudo-random prefix,
+   * so a replayed batch keeps identical rows. A doc dropped by the gate
+   * consumes nothing. Groups without a budget drop; a group whose budget
+   * fills mid-batch is cut at the batch's crossing bucket and stays
+   * closed (remaining budget 0) for every later batch.
+   *
+   * Scale: consumed state is one row PER SOURCE (driver-held during the
+   * batch — counter scale by contract, like the IVF centroids); the
+   * per-batch carve costs the batch's ledger, never the accumulated
+   * corpus. Exactly-once boundary: same non-transactional compromise as
+   * [[ingestIncrements]] — the log closes the replay path; a crash
+   * between the out/state writes and the log append is detectable from
+   * out-table batch recounts.
+   */
+  def budgetGate(
+      stream: DataFrame, group: Column, key: Column, cost: Column,
+      budgets: Map[String, Long],
+      outTable: String, stateTable: String, logTable: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        budgetGateBatch(batch.toDF(), group, key, cost, budgets,
+          outTable, stateTable, logTable, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /**
+   * One budget-gate step — the `foreachBatch` body, exposed for direct
+   * batch use (a nightly increment is just a one-batch stream) and for
+   * deterministic-order testing. Skips wholesale if `batchId` is already
+   * in the log table.
+   */
+  def budgetGateBatch(
+      batch: DataFrame, group: Column, key: Column, cost: Column,
+      budgets: Map[String, Long],
+      outTable: String, stateTable: String, logTable: String,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (!s.catalog.tableExists(logTable))
+      s.createDataFrame(Seq.empty[Tuple1[Long]]).toDF("batch_id")
+        .write.format("parquet").saveAsTable(logTable)
+    if (s.table(logTable).filter(col("batch_id") === batchId).isEmpty) {
+      // per-source consumed state: counter scale, held on the driver for
+      // the duration of the batch
+      val consumed: Map[String, Long] =
+        if (s.catalog.tableExists(stateTable))
+          s.table(stateTable).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        else Map.empty
+      val remaining = budgets.map { case (g, b) =>
+        g -> math.max(0L, b - consumed.getOrElse(g, 0L))
+      }
+      val kept = graft.ops.Sampling
+        .budgetCarvePerGroup(batch, group, key, cost, remaining)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        kept.write.mode("append").format("parquet").saveAsTable(outTable)
+        val drank = kept.groupBy(group.as("g"))
+          .agg(sum(cost.cast("long")).as("c")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val newState = (consumed.keySet ++ drank.keySet).toSeq.sorted
+          .map(g => (g, consumed.getOrElse(g, 0L) + drank.getOrElse(g, 0L)))
+        s.createDataFrame(newState).toDF("g", "consumed")
+          .write.mode("overwrite").format("parquet").saveAsTable(stateTable)
+      } finally kept.unpersist()
+      s.createDataFrame(Seq(Tuple1(batchId))).toDF("batch_id")
+        .write.mode("append").format("parquet").saveAsTable(logTable)
+    }
+  }
+
+  /**
    * One ingest step — the `foreachBatch` body, exposed for direct batch
    * use and for testing the replay guard without a streaming harness.
    * Skips wholesale if `batchId` is already in the log table (see

@@ -113,6 +113,49 @@ class SketchQuantSpec extends SparkSpec {
     assert(q === Seq(0, 127, -128))
   }
 
+  test("randomProject matches a driver-side replay of the sign formula") {
+    val vecs = (0 until 20).map { r =>
+      (r.toLong, Array.tabulate(12)(i => ((r * 31 + i * 7) % 17 - 8).toFloat))
+    }
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), Similarity.randomProject(col("v"), 5).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val want = Array.tabulate(5) { j =>
+        v.indices.map { i =>
+          graft.functions.RandomProject.sign(j, i).toDouble * v(i)
+        }.sum.toFloat
+      }
+      assert(got(id).toSeq === want.toSeq, s"id=$id")
+    }
+    // identical vectors project identically — the projection is a pure
+    // function of the vector, so planted-copy recall oracles carry over
+    assert(got(0L) === vecs.toDF("id", "v")
+      .select(Similarity.randomProject(col("v"), 5).as("p"))
+      .limit(1).collect()(0).getSeq[Float](0))
+  }
+
+  test("randomProject keeps a planted duplicate rank-1 under projected cosine") {
+    val dim = 32
+    def mixed(r: Int, i: Int): Float =
+      ((r.toLong * 73856093L + i.toLong * 19349663L + 104729L) % 1000003L
+        * 2654435761L % 1000003L % 61L - 30L).toFloat
+    val corpus = (0 until 200).map { r =>
+      (r.toLong, Array.tabulate(dim)(i => mixed(r, i)))
+    }
+    val dupOf = 123L
+    val query = corpus(dupOf.toInt)._2.clone()
+    val projected = corpus.toDF("id", "v")
+      .select(col("id"), Similarity.randomProject(col("v"), 8).as("p"))
+    val q = Seq((999L, query)).toDF("qid", "qv")
+      .select(col("qid"), Similarity.randomProject(col("qv"), 8).as("qp"))
+    val top = projected.crossJoin(q)
+      .withColumn("score", Similarity.cosine(col("p"), col("qp")))
+      .orderBy(col("score").desc, col("id")).limit(1)
+      .select("id").as[Long].collect()
+    assert(top.toSeq === Seq(dupOf))
+  }
+
   test("quantizeI8 rejects non-positive scales") {
     intercept[IllegalArgumentException](Similarity.quantizeI8(col("v"), 0))
     intercept[IllegalArgumentException](Similarity.quantizeI8(col("v"), -64))
