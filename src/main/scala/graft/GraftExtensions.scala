@@ -124,6 +124,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[graft.functions.DotProductI], "dot_i"),
       binary("dot_i")(graft.functions.DotProductI)))
     ext.injectFunction((
+      FunctionIdentifier("random_project"),
+      info(classOf[graft.functions.RandomProject], "random_project"),
+      withIntLit("random_project")(graft.functions.RandomProject)))
+    ext.injectFunction((
       FunctionIdentifier("freq_sketch"),
       info(classOf[graft.functions.FreqSketch], "freq_sketch"),
       withIntLit("freq_sketch") { (item, cap) =>

@@ -67,9 +67,33 @@ object Sampling {
       weights: Map[String, Int]): DataFrame = {
     require(weights.values.forall(w => w >= 0 && w <= 100),
       s"mixture weights must be percentages in [0,100], got $weights")
-    val wmap = map(weights.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    df.filter(arithBucket(key) < element_at(wmap, source))
+    df.filter(arithBucket(key) < element_at(litMap(weights), source))
+  }
+
+  /** Literal map in sorted key order (stable plans regardless of the
+    * input map's iteration order); `element_at` lookups yield null for
+    * missing keys, which never compares true — the drop-unknown-sources
+    * semantics [[mixture]] and [[budgetCarvePerGroup]] share. */
+  private def litMap[T](m: Map[String, T]): Column =
+    map(m.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  /** The carve cost contract, enforced: integral at plan time (a silent
+    * fractional cast would truncate sub-1 costs to 0 and report the whole
+    * corpus as within budget — same loud rejection as
+    * [[weightedPriority]]'s weights) and non-negative at runtime (a
+    * negative cost breaks prefix monotonicity, so the crossing-bucket
+    * selection would silently diverge from the documented windowed-prefix
+    * semantics). */
+  private def guardedCost(df: DataFrame, cost: Column): Column = {
+    val cType = df.select(cost).schema.head.dataType
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(cType.simpleString),
+      s"budget carve requires an integral cost column, got ${cType.simpleString}; " +
+        "scale fractional costs to integers first (e.g. micro-units)")
+    val c = cost.cast("long")
+    when(c < 0L, raise_error(concat(
+        lit("budget carve: negative cost "), c.cast("string"),
+        lit(" breaks prefix monotonicity"))))
+      .otherwise(c)
   }
 
   /**
@@ -161,13 +185,14 @@ object Sampling {
    */
   def budgetCarve(df: DataFrame, key: Column, cost: Column, budget: Long): DataFrame = {
     require(budget >= 0L, s"budget must be non-negative, got $budget")
+    val costL = guardedCost(df, cost)
     val taken = df.columns.toSet
     val hCol = RangeJoin.freshName("__h", taken)
     val sCol = RangeJoin.freshName("__s", taken + hCol)
     val cumCol = RangeJoin.freshName("__cum", taken + hCol + sCol)
     val rows = df.filter(key.isNotNull && cost.isNotNull)
       .withColumn(hCol, arithHash(key))
-    val ledger = rows.groupBy(col(hCol)).agg(sum(cost.cast("long")).as(sCol))
+    val ledger = rows.groupBy(col(hCol)).agg(sum(costL).as(sCol))
       .withColumn(cumCol, sum(col(sCol)).over(Window.orderBy(col(hCol))))
     // the single crossing bucket (TakeOrdered over ledger rows): its id and
     // the budget left after every bucket strictly before it
@@ -181,7 +206,7 @@ object Sampling {
       val kept = rows.filter(col(hCol) < lit(hStar))
       val w = Window.partitionBy(col(hCol)).orderBy(key)
       val boundary = rows.filter(col(hCol) === lit(hStar))
-        .withColumn(cumCol, sum(cost.cast("long")).over(w))
+        .withColumn(cumCol, sum(costL).over(w))
         .filter(col(cumCol) <= lit(remainder))
         .drop(cumCol)
       kept.unionByName(boundary).drop(hCol)
@@ -211,20 +236,19 @@ object Sampling {
       cost: Column, budgets: Map[String, Long]): DataFrame = {
     require(budgets.values.forall(_ >= 0L),
       s"budgets must be non-negative, got $budgets")
+    val costL = guardedCost(df, cost)
     val taken = df.columns.toSet
     val Seq(gCol, hCol, sCol, cumCol, bCol, hsCol, remCol) =
       Seq("__g", "__h", "__s", "__cum", "__budget", "__hstar", "__rem")
         .map(RangeJoin.freshName(_, taken))
-    val budgetOf = map(budgets.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     val rows = df.filter(key.isNotNull && cost.isNotNull && group.isNotNull)
       .withColumn(gCol, group)
-      .withColumn(bCol, element_at(budgetOf, group))
+      .withColumn(bCol, element_at(litMap(budgets), group))
       .filter(col(bCol).isNotNull)
       .withColumn(hCol, arithHash(key))
     // counter-scale ledger: at most |groups| x 1,000,003 rows
     val ledger = rows.groupBy(col(gCol), col(bCol), col(hCol))
-      .agg(sum(cost.cast("long")).as(sCol))
+      .agg(sum(costL).as(sCol))
       .withColumn(cumCol,
         sum(col(sCol)).over(Window.partitionBy(col(gCol)).orderBy(col(hCol))))
     // each group's first over-budget bucket + the budget left for it;
@@ -239,7 +263,7 @@ object Sampling {
     val whole = joined.filter(col(hsCol).isNull || col(hCol) < col(hsCol))
     val w = Window.partitionBy(col(gCol), col(hCol)).orderBy(key)
     val boundary = joined.filter(col(hCol) === col(hsCol))
-      .withColumn(cumCol, sum(cost.cast("long")).over(w))
+      .withColumn(cumCol, sum(costL).over(w))
       .filter(col(cumCol) <= col(remCol))
       .drop(cumCol)
     whole.unionByName(boundary)

@@ -369,10 +369,19 @@ object StreamOps {
    * Scale: consumed state is one row PER SOURCE (driver-held during the
    * batch — counter scale by contract, like the IVF centroids); the
    * per-batch carve costs the batch's ledger, never the accumulated
-   * corpus. Exactly-once boundary: same non-transactional compromise as
-   * [[ingestIncrements]] — the log closes the replay path; a crash
-   * between the out/state writes and the log append is detectable from
-   * out-table batch recounts.
+   * corpus; once EVERY gate is closed a batch skips straight to the log
+   * append — the steady state of a capped crawl costs no shuffle at all.
+   *
+   * Exactly-once boundary: same non-transactional compromise as
+   * [[ingestIncrements]] — the log closes the replay path. Out rows carry
+   * their `batch_id`, so the residual crash window (between the out/state
+   * writes and the log append) is detectable offline as duplicate rows
+   * within one batch_id, and repairable: a replayed half-committed batch
+   * re-appends a subset of its own original rows verbatim (the carve is
+   * deterministic and a reduced remaining budget only shortens the
+   * prefix), so `SELECT DISTINCT` restores the true kept set and the
+   * state table rebuilds from the deduplicated out table's per-source
+   * sums.
    */
   def budgetGate(
       stream: DataFrame, group: Column, key: Column, cost: Column,
@@ -415,19 +424,25 @@ object StreamOps {
       val remaining = budgets.map { case (g, b) =>
         g -> math.max(0L, b - consumed.getOrElse(g, 0L))
       }
-      val kept = graft.ops.Sampling
-        .budgetCarvePerGroup(batch, group, key, cost, remaining)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        kept.write.mode("append").format("parquet").saveAsTable(outTable)
-        val drank = kept.groupBy(group.as("g"))
-          .agg(sum(cost.cast("long")).as("c")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val newState = (consumed.keySet ++ drank.keySet).toSeq.sorted
-          .map(g => (g, consumed.getOrElse(g, 0L) + drank.getOrElse(g, 0L)))
-        s.createDataFrame(newState).toDF("g", "consumed")
-          .write.mode("overwrite").format("parquet").saveAsTable(stateTable)
-      } finally kept.unpersist()
+      // every gate closed: nothing can pass — skip the carve, the (empty)
+      // append, and the no-op state rewrite; just commit the batch
+      val active = remaining.filter(_._2 > 0L)
+      if (active.nonEmpty) {
+        val kept = graft.ops.Sampling
+          .budgetCarvePerGroup(batch, group, key, cost, active)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          kept.withColumn("batch_id", lit(batchId))
+            .write.mode("append").format("parquet").saveAsTable(outTable)
+          val drank = kept.groupBy(group.as("g"))
+            .agg(sum(cost.cast("long")).as("c")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val newState = (consumed.keySet ++ drank.keySet).toSeq.sorted
+            .map(g => (g, consumed.getOrElse(g, 0L) + drank.getOrElse(g, 0L)))
+          s.createDataFrame(newState).toDF("g", "consumed")
+            .write.mode("overwrite").format("parquet").saveAsTable(stateTable)
+        } finally kept.unpersist()
+      }
       s.createDataFrame(Seq(Tuple1(batchId))).toDF("batch_id")
         .write.mode("append").format("parquet").saveAsTable(logTable)
     }

@@ -14,6 +14,17 @@ trait SparkSpec extends AnyFunSuite {
   def causeMessages(e: Throwable): String =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(_.getMessage).mkString("\n")
+
+  /** Drop a managed table and its warehouse directory — a clean slate for
+    * table-writing tests. */
+  def freshTable(name: String): String = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+    name
+  }
 }
 
 object SparkSpec {

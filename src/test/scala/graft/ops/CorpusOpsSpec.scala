@@ -177,6 +177,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again.select("id").as[Long].collect().toSet === gotIds)
   }
 
+  test("budget carve rejects fractional costs at plan time, negative costs loudly") {
+    val frac = spark.range(0, 10).select(col("id"), (col("id") * 0.5).as("cost"))
+    val e1 = intercept[IllegalArgumentException](
+      Sampling.budgetCarve(frac, col("id"), col("cost"), 100L))
+    assert(e1.getMessage.contains("integral cost column"))
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.budgetCarvePerGroup(frac.withColumn("g", lit("a")),
+        col("g"), col("id"), col("cost"), Map("a" -> 100L)))
+    assert(e2.getMessage.contains("integral cost column"))
+    val neg = spark.range(0, 10).select(col("id"), (lit(5L) - col("id")).as("cost"))
+    val e3 = intercept[Exception](
+      Sampling.budgetCarve(neg, col("id"), col("cost"), 100L).collect())
+    assert(causeMessages(e3).contains("negative cost"))
+  }
+
   test("pii redaction replaces emails, ips and phones and nothing else") {
     val rows = Seq(
       (1L, "write to alice.smith+x@sub.example.org today"),

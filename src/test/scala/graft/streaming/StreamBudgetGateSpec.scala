@@ -16,15 +16,6 @@ import graft.ops.Sampling
 class StreamBudgetGateSpec extends SparkSpec {
   import spark.implicits._
 
-  private def fresh(name: String): String = {
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    val p = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
-    name
-  }
-
   // three deterministic increments over two sources; costs 1..23
   private def inc(b: Int) = spark.range(b * 100, b * 100 + 100)
     .select(col("id"),
@@ -54,7 +45,7 @@ class StreamBudgetGateSpec extends SparkSpec {
 
   test("batch body: budgets fill across batches, match the sequential reference") {
     val (out, state, log) =
-      (fresh("bg_out_a"), fresh("bg_state_a"), fresh("bg_log_a"))
+      (freshTable("bg_out_a"), freshTable("bg_state_a"), freshTable("bg_log_a"))
     for (b <- 0 until 3)
       StreamOps.budgetGateBatch(inc(b), col("src"), col("id"), col("cost"),
         budgets, out, state, log, b.toLong)
@@ -68,11 +59,14 @@ class StreamBudgetGateSpec extends SparkSpec {
     // state table carries exactly what was drunk
     val st = spark.table(state).as[(String, Long)].collect().toMap
     assert(st === spent)
+    // out rows carry their batch id (the crash-repair handle)
+    assert(spark.table(out).select("batch_id").distinct()
+      .as[Long].collect().toSet === Set(0L, 1L, 2L))
   }
 
   test("filled gate stays closed; replayed batch is a no-op") {
     val (out, state, log) =
-      (fresh("bg_out_b"), fresh("bg_state_b"), fresh("bg_log_b"))
+      (freshTable("bg_out_b"), freshTable("bg_state_b"), freshTable("bg_log_b"))
     // batch 0 alone exceeds code's budget; batch 1 must add no code rows
     val tight = Map("code" -> 300L)
     StreamOps.budgetGateBatch(inc(0), col("src"), col("id"), col("cost"),
@@ -96,7 +90,7 @@ class StreamBudgetGateSpec extends SparkSpec {
 
   test("readStream end-to-end equals the direct batch loop") {
     val (out, state, log) =
-      (fresh("bg_out_c"), fresh("bg_state_c"), fresh("bg_log_c"))
+      (freshTable("bg_out_c"), freshTable("bg_state_c"), freshTable("bg_log_c"))
     val staging = Files.createTempDirectory("graft_bg_staging").toFile
     val ckpt = Files.createTempDirectory("graft_bg_ckpt").toFile
     try {

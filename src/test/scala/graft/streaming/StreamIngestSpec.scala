@@ -17,15 +17,6 @@ import graft.ops.{Dedup, TextOps}
 class StreamIngestSpec extends SparkSpec {
   import spark.implicits._
 
-  private def fresh(name: String): String = {
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    val p = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) fs.delete(p, true)
-    name
-  }
-
   private def docs = spark.read.parquet(sf("0.001") + "/documents.parquet")
     .select(col("doc_id"), col("text"))
 
@@ -66,7 +57,7 @@ class StreamIngestSpec extends SparkSpec {
     increment.repartition(4).write.mode("overwrite").parquet(staging)
     val names @ Seq(b1, d1, l1, b2, d2, l2) = Seq(
       "graft_si_band1", "graft_si_docs1", "graft_si_log1",
-      "graft_si_band2", "graft_si_docs2", "graft_si_log2").map(fresh)
+      "graft_si_band2", "graft_si_docs2", "graft_si_log2").map(freshTable)
     try {
       writePair(b1, d1); writePair(b2, d2)
       runIngest(b1, d1, l1, staging, oneFilePerTrigger = true)
@@ -103,7 +94,7 @@ class StreamIngestSpec extends SparkSpec {
 
   test("committed-batch log makes a replayed batch a no-op; cross-batch dups caught") {
     val names @ Seq(band, doc, log) =
-      Seq("graft_si_band3", "graft_si_docs3", "graft_si_log3").map(fresh)
+      Seq("graft_si_band3", "graft_si_docs3", "graft_si_log3").map(freshTable)
     try {
       writePair(band, doc)
       val a = docs.filter(col("doc_id") === 3)
