@@ -774,6 +774,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // Quality-mass (top-p) carve: the longest documents covering 80% of
+    // each source's total chars — the relative-mass counterpart of the
+    // budget carves, with the crossing-bucket plan laid along the MASS
+    // axis (per-(source, mass-bin) counter ledger; only crossing-bin rows
+    // pay a window; never a per-group sort of the corpus).
+    "mass_carve" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      Sampling.massCarve(d, col("source"), col("doc_id"), col("n_chars"),
+          permille = 800, binWidth = 64L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_kept"))
+    }),
+
     // Streaming budget gate: per-source budgets fill ACROSS increments
     // (arrival-order priority, remaining-budget state carried between
     // batches); driven here as the deterministic three-batch direct loop
@@ -2614,6 +2628,18 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
         |FROM c WHERE cum <= 75000""".stripMargin,
+
+    "mass_carve" ->
+      """WITH t AS (SELECT source, sum(n_chars) AS tot FROM documents GROUP BY source),
+        |c AS (
+        |  SELECT d.source, d.doc_id, d.n_chars, t.tot,
+        |    SUM(d.n_chars) OVER (PARTITION BY d.source
+        |      ORDER BY d.n_chars DESC, d.doc_id) AS cum
+        |  FROM documents d JOIN t ON d.source = t.source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM c WHERE cum <= tot * 800 // 1000 GROUP BY source""".stripMargin,
 
     "stream_budget_gate" ->
       """WITH b AS (

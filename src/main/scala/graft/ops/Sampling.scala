@@ -70,6 +70,72 @@ object Sampling {
     df.filter(arithBucket(key) < element_at(litMap(weights), source))
   }
 
+  /**
+   * Quality-mass (top-p / nucleus) carve: per group, keep the HIGHEST-mass
+   * rows until `permille`/1000 of the group's total mass is covered — the
+   * relative counterpart of [[budgetCarvePerGroup]]'s absolute budgets
+   * ("the best docs making up 80% of each source's quality mass", "the
+   * longest docs holding 90% of the chars"). Kept rows per group are
+   * exactly `SUM(mass) OVER (PARTITION BY group ORDER BY mass DESC, key)
+   * <= (total_mass(group) * permille) div 1000` — plain-SQL replayable,
+   * exact integer arithmetic throughout.
+   *
+   * Scale shape: the same crossing-bucket plan as the budget carves, with
+   * the bucket axis laid along MASS instead of a hash — `mass div
+   * binWidth`, descending. The (group, bin) ledger is counter scale (mass
+   * range / binWidth rows per group), group totals and the per-group
+   * crossing bin come from that ledger alone, whole bins above the
+   * crossing pass a narrow filter, and only crossing-bin rows (~one bin's
+   * worth per group) pay a keyed window — never a per-group sort of the
+   * data. A group's rows never serialize through one window partition, so
+   * a dominant group costs ledger rows only.
+   *
+   * Contracts: `mass` integral and non-negative (enforced like the budget
+   * carves' cost — fractional mass would silently truncate, negative mass
+   * breaks both the total and the prefix); null key/mass/group rows drop;
+   * keys unique. `binWidth` trades ledger size against crossing-bin
+   * volume, exactly like the salted as-of's bucket width.
+   */
+  def massCarve(df: DataFrame, group: Column, key: Column, mass: Column,
+      permille: Int, binWidth: Long = 64L): DataFrame = {
+    require(permille >= 0 && permille <= 1000,
+      s"permille must be in [0, 1000], got $permille")
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val massL = guardedCost(df, mass)
+    val taken = df.columns.toSet
+    val Seq(gCol, mCol, bCol, sCol, cumCol, totCol, bsCol, remCol) =
+      Seq("__g", "__m", "__bin", "__s", "__cum", "__tot", "__bstar", "__rem")
+        .map(RangeJoin.freshName(_, taken))
+    val rows = df.filter(key.isNotNull && mass.isNotNull && group.isNotNull)
+      .withColumn(gCol, group)
+      .withColumn(mCol, massL)
+      .withColumn(bCol, expr(s"`$mCol` div $binWidth"))
+    // (group, mass-bin) ledger: counter scale; cum runs DOWN the mass axis
+    val wG = Window.partitionBy(col(gCol))
+    val ledger = rows.groupBy(col(gCol), col(bCol)).agg(sum(col(mCol)).as(sCol))
+      .withColumn(cumCol,
+        sum(col(sCol)).over(Window.partitionBy(col(gCol)).orderBy(col(bCol).desc)))
+      .withColumn(totCol, sum(col(sCol)).over(wG))
+    val thr = expr(s"`$totCol` * $permille div 1000")
+    // first bin (descending) whose running mass exceeds the group's
+    // target; groups fully covered produce no row (left join keeps whole)
+    val crossing = ledger.filter(col(cumCol) > thr)
+      .groupBy(col(gCol)).agg(
+        max_by(struct(col(bCol).as(bsCol),
+          (thr - (col(cumCol) - col(sCol))).as(remCol)), col(bCol)).as(sCol))
+      .select(col(gCol), col(sCol).getField(bsCol).as(bsCol),
+        col(sCol).getField(remCol).as(remCol))
+    val joined = rows.join(broadcast(crossing), Seq(gCol), "left")
+    val whole = joined.filter(col(bsCol).isNull || col(bCol) > col(bsCol))
+    val w = Window.partitionBy(col(gCol), col(bCol))
+      .orderBy(col(mCol).desc, key)
+    val boundary = joined.filter(col(bCol) === col(bsCol))
+      .withColumn(cumCol, sum(col(mCol)).over(w))
+      .filter(col(cumCol) <= col(remCol))
+      .drop(cumCol)
+    whole.unionByName(boundary).drop(gCol, mCol, bCol, bsCol, remCol)
+  }
+
   /** Literal map in sorted key order (stable plans regardless of the
     * input map's iteration order); `element_at` lookups yield null for
     * missing keys, which never compares true — the drop-unknown-sources

@@ -177,6 +177,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again.select("id").as[Long].collect().toSet === gotIds)
   }
 
+  test("mass carve equals per-group (mass desc, id) prefixes at every permille and width") {
+    val df = spark.range(0, 400).select(col("id"),
+      element_at(array(lit("a"), lit("b")), (pmod(col("id"), lit(2)) + 1).cast("int")).as("g"),
+      (pmod(col("id") * 211, lit(997)) + 1).as("m"))
+    val scored = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    for (permille <- Seq(0, 250, 800, 1000); width <- Seq(1L, 64L, 100000L)) {
+      val want = scored.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        val ordered = rows.sortBy { case (id, _, m) => (-m, id) }
+        val thr = ordered.map(_._3).sum * permille / 1000
+        val cum = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(cum).takeWhile(_._2 <= thr).map(_._1._1).toSeq
+      }.toSet
+      val got = Sampling.massCarve(df, col("g"), col("id"), col("m"), permille, width)
+        .select("id").as[Long].collect().toSet
+      assert(got === want, s"permille=$permille width=$width")
+    }
+    // permille 1000 keeps everything; columns survive untouched
+    val all = Sampling.massCarve(df, col("g"), col("id"), col("m"), 1000)
+    assert(all.count() === 400 && all.columns.toSeq === Seq("id", "g", "m"))
+  }
+
   test("budget carve rejects fractional costs at plan time, negative costs loudly") {
     val frac = spark.range(0, 10).select(col("id"), (col("id") * 0.5).as("cost"))
     val e1 = intercept[IllegalArgumentException](
