@@ -101,7 +101,7 @@ object Sampling {
     require(permille >= 0 && permille <= 1000,
       s"permille must be in [0, 1000], got $permille")
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val massL = guardedCost(df, mass)
+    val massL = guardedCost(df, mass, api = "mass carve", param = "mass")
     val taken = df.columns.toSet
     val Seq(gCol, mCol, bCol, sCol, cumCol, totCol, bsCol, remCol) =
       Seq("__g", "__m", "__bin", "__s", "__cum", "__tot", "__bstar", "__rem")
@@ -111,29 +111,23 @@ object Sampling {
       .withColumn(mCol, massL)
       .withColumn(bCol, expr(s"`$mCol` div $binWidth"))
     // (group, mass-bin) ledger: counter scale; cum runs DOWN the mass axis
-    val wG = Window.partitionBy(col(gCol))
     val ledger = rows.groupBy(col(gCol), col(bCol)).agg(sum(col(mCol)).as(sCol))
       .withColumn(cumCol,
         sum(col(sCol)).over(Window.partitionBy(col(gCol)).orderBy(col(bCol).desc)))
-      .withColumn(totCol, sum(col(sCol)).over(wG))
-    val thr = expr(s"`$totCol` * $permille div 1000")
-    // first bin (descending) whose running mass exceeds the group's
-    // target; groups fully covered produce no row (left join keeps whole)
-    val crossing = ledger.filter(col(cumCol) > thr)
-      .groupBy(col(gCol)).agg(
-        max_by(struct(col(bCol).as(bsCol),
-          (thr - (col(cumCol) - col(sCol))).as(remCol)), col(bCol)).as(sCol))
-      .select(col(gCol), col(sCol).getField(bsCol).as(bsCol),
-        col(sCol).getField(remCol).as(remCol))
-    val joined = rows.join(broadcast(crossing), Seq(gCol), "left")
-    val whole = joined.filter(col(bsCol).isNull || col(bCol) > col(bsCol))
-    val w = Window.partitionBy(col(gCol), col(bCol))
-      .orderBy(col(mCol).desc, key)
-    val boundary = joined.filter(col(bCol) === col(bsCol))
-      .withColumn(cumCol, sum(col(mCol)).over(w))
-      .filter(col(cumCol) <= col(remCol))
-      .drop(cumCol)
-    whole.unionByName(boundary).drop(gCol, mCol, bCol, bsCol, remCol)
+      .withColumn(totCol, sum(col(sCol)).over(Window.partitionBy(col(gCol))))
+    // floor(tot * permille / 1000) decomposed so tot*permille never forms:
+    // tot = 1000q + r gives q*permille + floor(r*permille/1000), with
+    // q*permille <= tot and r*permille < 10^6 — exact for ANY long total,
+    // where the naive product wraps past ~9.2e15 total mass at permille
+    // 1000 (the DuckDB replay computes the product in HUGEINT and needs
+    // no decomposition)
+    val thr = expr(s"(`$totCol` div 1000) * $permille" +
+      s" + (`$totCol` % 1000) * $permille div 1000")
+    carveByCrossing(rows, ledger, thr,
+      gCol = gCol, bktCol = bCol, sCol = sCol, cumCol = cumCol,
+      bsCol = bsCol, remCol = remCol, descending = true,
+      measure = col(mCol), withinOrder = Seq(col(mCol).desc, key),
+      dropCols = Seq(gCol, mCol, bCol, bsCol, remCol))
   }
 
   /** Literal map in sorted key order (stable plans regardless of the
@@ -143,21 +137,22 @@ object Sampling {
   private def litMap[T](m: Map[String, T]): Column =
     map(m.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
 
-  /** The carve cost contract, enforced: integral at plan time (a silent
-    * fractional cast would truncate sub-1 costs to 0 and report the whole
-    * corpus as within budget — same loud rejection as
+  /** The carve cost/mass contract, enforced: integral at plan time (a
+    * silent fractional cast would truncate sub-1 costs to 0 and report the
+    * whole corpus as within budget — same loud rejection as
     * [[weightedPriority]]'s weights) and non-negative at runtime (a
     * negative cost breaks prefix monotonicity, so the crossing-bucket
     * selection would silently diverge from the documented windowed-prefix
-    * semantics). */
-  private def guardedCost(df: DataFrame, cost: Column): Column = {
+    * semantics). `api`/`param` name the calling operator in the errors. */
+  private def guardedCost(df: DataFrame, cost: Column,
+      api: String = "budget carve", param: String = "cost"): Column = {
     val cType = df.select(cost).schema.head.dataType
     require(Seq("tinyint", "smallint", "int", "bigint").contains(cType.simpleString),
-      s"budget carve requires an integral cost column, got ${cType.simpleString}; " +
-        "scale fractional costs to integers first (e.g. micro-units)")
+      s"$api requires an integral $param column, got ${cType.simpleString}; " +
+        s"scale fractional ${param}s to integers first (e.g. micro-units)")
     val c = cost.cast("long")
     when(c < 0L, raise_error(concat(
-        lit("budget carve: negative cost "), c.cast("string"),
+        lit(s"$api: negative $param "), c.cast("string"),
         lit(" breaks prefix monotonicity"))))
       .otherwise(c)
   }
@@ -317,23 +312,50 @@ object Sampling {
       .agg(sum(costL).as(sCol))
       .withColumn(cumCol,
         sum(col(sCol)).over(Window.partitionBy(col(gCol)).orderBy(col(hCol))))
-    // each group's first over-budget bucket + the budget left for it;
-    // groups that fit entirely produce no row (left join keeps them whole)
-    val crossing = ledger.filter(col(cumCol) > col(bCol))
+    carveByCrossing(rows, ledger, thr = col(bCol),
+      gCol = gCol, bktCol = hCol, sCol = sCol, cumCol = cumCol,
+      bsCol = hsCol, remCol = remCol, descending = false,
+      measure = costL, withinOrder = Seq(key),
+      dropCols = Seq(gCol, bCol, hCol, hsCol, remCol))
+  }
+
+  /**
+   * Shared crossing-bucket carve tail: given the corpus tagged with its
+   * group and bucket, and the counter-scale ledger carrying per-bucket
+   * sums (`sCol`), the group-running total (`cumCol`, accumulated in
+   * bucket order — ascending or descending per `descending`), and a
+   * per-group threshold column (`thr`, evaluable against ledger rows),
+   * keep each group's prefix: whole buckets strictly inside the crossing
+   * via a narrow filter, crossing-bucket rows via a keyed window against
+   * the threshold remainder, groups with no crossing row kept whole
+   * (left join). The broadcast crossing table is one row per group.
+   */
+  private def carveByCrossing(
+      rows: DataFrame, ledger: DataFrame, thr: Column,
+      gCol: String, bktCol: String, sCol: String, cumCol: String,
+      bsCol: String, remCol: String, descending: Boolean,
+      measure: Column, withinOrder: Seq[Column],
+      dropCols: Seq[String]): DataFrame = {
+    // each group's first over-threshold bucket (in scan order) + the
+    // threshold remainder left for it
+    val pick = struct(col(bktCol).as(bsCol),
+      (thr - (col(cumCol) - col(sCol))).as(remCol))
+    val crossing = ledger.filter(col(cumCol) > thr)
       .groupBy(col(gCol)).agg(
-        min_by(struct(col(hCol).as(hsCol),
-          (col(bCol) - (col(cumCol) - col(sCol))).as(remCol)), col(hCol)).as(sCol))
-      .select(col(gCol), col(sCol).getField(hsCol).as(hsCol),
+        (if (descending) max_by(pick, col(bktCol))
+         else min_by(pick, col(bktCol))).as(sCol))
+      .select(col(gCol), col(sCol).getField(bsCol).as(bsCol),
         col(sCol).getField(remCol).as(remCol))
     val joined = rows.join(broadcast(crossing), Seq(gCol), "left")
-    val whole = joined.filter(col(hsCol).isNull || col(hCol) < col(hsCol))
-    val w = Window.partitionBy(col(gCol), col(hCol)).orderBy(key)
-    val boundary = joined.filter(col(hCol) === col(hsCol))
-      .withColumn(cumCol, sum(costL).over(w))
+    val inside =
+      if (descending) col(bktCol) > col(bsCol) else col(bktCol) < col(bsCol)
+    val whole = joined.filter(col(bsCol).isNull || inside)
+    val w = Window.partitionBy(col(gCol), col(bktCol)).orderBy(withinOrder: _*)
+    val boundary = joined.filter(col(bktCol) === col(bsCol))
+      .withColumn(cumCol, sum(measure).over(w))
       .filter(col(cumCol) <= col(remCol))
       .drop(cumCol)
-    whole.unionByName(boundary)
-      .drop(gCol, bCol, hCol, hsCol, remCol)
+    whole.unionByName(boundary).drop(dropCols: _*)
   }
 
   /**

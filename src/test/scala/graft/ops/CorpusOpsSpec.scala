@@ -198,6 +198,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(all.count() === 400 && all.columns.toSeq === Seq("id", "g", "m"))
   }
 
+  test("mass carve threshold is exact when total*permille would overflow long") {
+    // 12 rows of ~1e15 mass: tot ~1.2e16, tot*997 wraps past Long.MaxValue
+    // — the decomposed threshold must still equal the BigInt floor
+    val df = spark.range(0, 12).select(col("id"), lit("g").as("g"),
+      (lit(1000000000000000L) + col("id") * 7919L).as("m"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+    val ordered = rows.sortBy { case (id, m) => (-m, id) }
+    val thr = ordered.map(v => BigInt(v._2)).sum * 997 / 1000
+    val cum = ordered.scanLeft(BigInt(0))(_ + _._2).tail
+    val want = ordered.zip(cum).takeWhile(_._2 <= thr).map(_._1._1).toSet
+    val got = Sampling.massCarve(df, col("g"), col("id"), col("m"), 997)
+      .select("id").as[Long].collect().toSet
+    assert(want.nonEmpty && want.size < 12)
+    assert(got === want)
+  }
+
   test("budget carve rejects fractional costs at plan time, negative costs loudly") {
     val frac = spark.range(0, 10).select(col("id"), (col("id") * 0.5).as("cost"))
     val e1 = intercept[IllegalArgumentException](
