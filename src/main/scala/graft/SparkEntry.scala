@@ -642,6 +642,35 @@ object SparkEntry {
         .filter(col("j_micro") >= 100000L)
     }),
 
+    // Containment near-dup: the ASYMMETRIC |A∩B|/|A| over word-bigram sets,
+    // catching excerpt-in-page duplication that symmetric Jaccard
+    // structurally misses. Planted: for each doc < 20, its 30-token prefix
+    // as a new doc (id+100000) — a contiguous token slice, so every planted
+    // bigram occurs in the source: containment exactly 1.0 while Jaccard
+    // stays far below any dedup threshold (both reported to pin the
+    // asymmetry). Pairing is over a bounded id set like ngram_jaccard; the
+    // corpus-scale path reuses the MinHash band store for candidates and
+    // this containment verify in place of the Jaccard verify.
+    "ngram_containment" -> ((s, dir) => {
+      val toks = s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val corpus = toks.union(
+        toks.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 100000L).as("doc_id"), slice(col("toks"), 1, 30).as("toks")))
+      val ng = corpus
+        .select(col("doc_id"),
+          sort_array(array_distinct(TextOps.wordNgramsOn(col("toks"), 2))).as("ng"))
+        .filter(size(col("ng")) > 0)
+      val a = ng.select(col("doc_id").as("a_id"), col("ng").as("ng_a"))
+      val b = ng.select(col("doc_id").as("b_id"), col("ng").as("ng_b"))
+      a.join(b, col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          floor(Dedup.containment(col("ng_a"), col("ng_b")) * 1000000.0d).as("c_micro"),
+          floor(Dedup.jaccardSorted(col("ng_a"), col("ng_b")) * 1000000.0d).as("j_micro"))
+        .filter(col("c_micro") >= 900000L)
+    }),
+
     // ----- LLM-data-pipeline: text analysis ----------------------------
     "text_tokens" -> ((s, dir) =>
       s.read.parquet(pq(dir, "documents"))
@@ -1028,6 +1057,26 @@ object SparkEntry {
         .filter(Similarity.cosine(col("v_a"), col("v_b")) > 0.99d)
         .agg(count(lit(1)).as("dup_pairs"),
           coalesce(sum(col("a_id") + col("b_id")), lit(0L)).as("id_sum"))
+    }),
+
+    // Semantic dedup (the SemDeDup shape): k-means partitions the corpus,
+    // near-dup pairs are found only WITHIN a cluster (the quadratic stage
+    // confined to (cluster, LSH-bucket) cells — k grows with n at 100 TB
+    // so cluster size stays bounded), and each semantic group keeps its
+    // min-id representative. Planted exact duplicates land in their
+    // source's cluster (identical quantized vector) and bucket (identical
+    // sign pattern), so the drop set is exactly the planted ids;
+    // per-cluster stats pin both the assignment and the drop rule.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val corpus = e.union(
+        e.filter(col("vec_id") < 25).select(col("vec_id") + 100000L, col("embedding")))
+      Clustering.semanticDedup(corpus, "vec_id", "embedding",
+          k = 8, iters = 2, dim = 64, numPlanes = 16, threshold = 0.99d)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(!col("is_dup"), col("id")).otherwise(0L)).as("keep_id_sum"))
     }),
 
     // Composed cleaning pipeline: exact-dedup to representatives, drop
@@ -1922,10 +1971,14 @@ object SparkEntry {
    * embeddings — true of the driver's testdata; the spec fails loudly if
    * the fixture ever changes shape instead of letting the gate mismatch.
    */
-  private def kmeansOracleSql(dim: Int, k: Int, iters: Int): String = {
+  /** The WITH-chain replaying [[graft.ops.Clustering.kmeansGridAssign]] in
+    * DuckDB SQL over `corpusSql` (any query yielding vec_id, embedding);
+    * ends with CTE `a$iters` holding (vec_id, embedding, sv, cell) — the
+    * caller appends its own final SELECT (and any extra CTEs). */
+  private def kmeansAssignCtes(dim: Int, k: Int, iters: Int, corpusSql: String): String = {
     def assign(name: String, cents: String) =
       s"""$name AS (
-         |  SELECT vec_id, sv,
+         |  SELECT vec_id, embedding, sv,
          |    (SELECT j FROM $cents ORDER BY list_distance(v.sv, $cents.c), j LIMIT 1) AS cell
          |  FROM v)""".stripMargin
     def means(name: String, a: String) =
@@ -1946,16 +1999,47 @@ object SparkEntry {
          |${means(s"m$i", s"a$i")},
          |${nextc(s"c${i + 1}", s"c$i", s"m$i")},""".stripMargin
     }.mkString("\n")
-    s"""WITH v AS (
-       |  SELECT vec_id, [CAST(round(CAST(x AS DOUBLE)*1000) AS DOUBLE) for x in embedding] AS sv
-       |  FROM embeddings WHERE embedding IS NOT NULL),
+    s"""WITH corpus AS ($corpusSql),
+       |v AS (
+       |  SELECT vec_id, embedding,
+       |    [CAST(round(CAST(x AS DOUBLE)*1000) AS DOUBLE) for x in embedding] AS sv
+       |  FROM corpus WHERE embedding IS NOT NULL),
        |c0 AS (SELECT vec_id AS j, sv AS c FROM v WHERE vec_id < $k),
        |$rounds
-       |${assign(s"a$iters", s"c$iters")}
+       |${assign(s"a$iters", s"c$iters")}""".stripMargin
+  }
+
+  private def kmeansOracleSql(dim: Int, k: Int, iters: Int): String =
+    s"""${kmeansAssignCtes(dim, k, iters, "SELECT vec_id, embedding FROM embeddings")}
        |SELECT cell AS cluster, count(*) AS csize,
        |  CAST(sum(vec_id) AS BIGINT) AS id_sum
        |FROM a$iters GROUP BY cell""".stripMargin
-  }
+
+  /** Replays [[graft.ops.Clustering.semanticDedup]]: the k-means chain over
+    * the planted corpus, then within-cluster cosine pairs and the min-id
+    * dominance drop rule. Joins on the cluster alone (no LSH bucket): a
+    * same-cluster pair above the threshold that differs in bucket would
+    * diverge, but planted exact duplicates share buckets by construction
+    * and random pairs sit far below the threshold — the same recall
+    * contract dedup_embedding's oracle pins. */
+  private def semanticDedupOracleSql(
+      dim: Int, k: Int, iters: Int, plantLt: Int, threshold: Double): String =
+    s"""${kmeansAssignCtes(dim, k, iters,
+      s"""SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < $plantLt""".stripMargin)},
+       |pairs AS (
+       |  SELECT y.vec_id AS b_id
+       |  FROM a$iters x JOIN a$iters y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |    CAST(y.embedding AS DOUBLE[])) > $threshold),
+       |dropped AS (SELECT DISTINCT b_id FROM pairs)
+       |SELECT cell AS cluster, count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN d.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(sum(CASE WHEN d.b_id IS NULL THEN a.vec_id ELSE 0 END) AS BIGINT) AS keep_id_sum
+       |FROM a$iters a LEFT JOIN dropped d ON a.vec_id = d.b_id
+       |GROUP BY cell""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "meta_file_level" ->
@@ -2470,6 +2554,9 @@ object SparkEntry {
     // labels — a genuine cross-engine k-means oracle
     "cluster_kmeans" -> kmeansOracleSql(dim = 64, k = 8, iters = 2),
 
+    "dedup_semantic" ->
+      semanticDedupOracleSql(dim = 64, k = 8, iters = 2, plantLt = 25, threshold = 0.99d),
+
     "ngram_jaccard" ->
       """WITH ng AS (
         |  SELECT doc_id,
@@ -2485,6 +2572,29 @@ object SparkEntry {
         |FROM ng a JOIN ng b ON a.doc_id < b.doc_id
         |WHERE CAST(floor(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.ng, b.ng))) * 1000000) AS BIGINT) >= 100000""".stripMargin,
+
+    "ngram_containment" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id < 40),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM t0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, toks[1:30] FROM t0 WHERE doc_id < 20),
+        |ng AS (
+        |  SELECT doc_id, list_sort(list_distinct(
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1]))) AS ng
+        |  FROM corpus),
+        |nz AS (SELECT * FROM ng WHERE len(ng) > 0)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(floor(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+        |    / len(a.ng) * 1000000) AS BIGINT) AS c_micro,
+        |  CAST(floor(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.ng, b.ng))) * 1000000) AS BIGINT) AS j_micro
+        |FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
+        |WHERE CAST(floor(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+        |    / len(a.ng) * 1000000) AS BIGINT) >= 900000""".stripMargin,
 
     "text_tokens" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

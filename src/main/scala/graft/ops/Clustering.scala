@@ -60,13 +60,18 @@ object Clustering {
       vecCol: String,
       k: Int,
       iters: Int,
-      scale: Int = 1000): DataFrame = {
+      scale: Int = 1000,
+      keepVec: Boolean = false): DataFrame = {
     require(k > 0 && iters >= 0, "k must be positive and iters non-negative")
     // quantize once; the grid column is scanned (1 + iters) times.
     // persist, not checkpoint: lineage-backed (executor loss recomputes)
-    // and freeable by the caller once the assignment is consumed
+    // and freeable by the caller once the assignment is consumed.
+    // keepVec threads the ORIGINAL vector through to the output so callers
+    // that verify candidates at full precision (semanticDedup) don't pay a
+    // corpus-wide join back onto the assignment
+    val passthrough = if (keepVec) Seq(col(vecCol).as("v")) else Nil
     val sv = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), gridScale(col(vecCol), scale).as("sv"))
+      .select(col(idCol).as("id") +: gridScale(col(vecCol), scale).as("sv") +: passthrough: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Float]] = sv
       .orderBy(col("id")).limit(k)
@@ -88,7 +93,60 @@ object Clustering {
       }.toMap
       cents = cents.zipWithIndex.map { case (old, j) => upd.getOrElse(j, old) }
     }
-    sv.select(col("id"),
-      Similarity.nearestCell(col("sv"), cents).cast("long").as("cluster"))
+    sv.select(col("id") +: Similarity.nearestCell(col("sv"), cents)
+      .cast("long").as("cluster") +: passthrough.map(_ => col("v")): _*)
+  }
+
+  /**
+   * Semantic deduplication (the SemDeDup shape): partition the corpus with
+   * reproducible k-means, then find near-duplicate pairs ONLY within a
+   * cluster, and drop every vector that has a same-cluster neighbor with
+   * cosine above `threshold` and a SMALLER id (so each semantic group keeps
+   * its min-id representative; the rule is a deterministic dominance
+   * relation, not an order-dependent greedy pass).
+   *
+   * Scale shape — this is why it beats corpus-wide near-dup at 100 TB:
+   * the quadratic candidate stage is confined to (cluster, LSH-bucket)
+   * cells, so pair count is sum over cells of c_i^2 instead of n^2 / the
+   * LSH-bucket global join of [[graft.SparkEntry]]'s dedup_embedding. `k`
+   * scales with corpus size to keep expected cluster size bounded (SemDeDup
+   * uses k ~ n / 10^4); assignment itself never shuffles the corpus (the
+   * centroid matrix is a codegen constant). The within-cluster pair join
+   * shuffles each row once on (cluster, bucket).
+   *
+   * Recall: exact duplicates (cosine = 1) always share both the k-means
+   * cell (identical quantized vectors) and the LSH bucket (identical sign
+   * patterns), so recall at cosine = 1 is exact; sub-1.0 near-dups are
+   * subject to the usual LSH/cluster-boundary misses — inherent to the
+   * method, which trades bounded recall for sub-quadratic cost.
+   *
+   * Returns (id, cluster, is_dup): every input row with its cluster and
+   * whether the dominance rule drops it.
+   */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      dim: Int,
+      numPlanes: Int,
+      threshold: Double): DataFrame = {
+    val assigned = kmeansGridAssign(corpus, idCol, vecCol, k, iters, keepVec = true)
+      .withColumn("bucket", Similarity.lshBucket(col("v"), dim, numPlanes))
+    val l = assigned.select(col("cluster"), col("bucket"),
+      col("id").as("a_id"), col("v").as("v_a"))
+    val r = assigned.select(col("cluster"), col("bucket"),
+      col("id").as("b_id"), col("v").as("v_b"))
+    val dropped = l.join(r, Seq("cluster", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(Similarity.cosine(col("v_a"), col("v_b")) > threshold)
+      .select(col("b_id").as("id"))
+      .distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.select(col("id"), col("cluster"))
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 }

@@ -363,6 +363,21 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * ASYMMETRIC set containment `|a ∩ b| / |a|` of two array columns
+   * (distinct semantics): how much of `a` lives inside `b`. The signal
+   * symmetric Jaccard structurally misses — a 30-token excerpt embedded in
+   * a 3000-token page has Jaccard ~1% but containment 1.0, and excerpt/
+   * quote/boilerplate duplication is exactly what a training-data pass
+   * must catch (the reason dedup literature reports containment alongside
+   * resemblance since Broder's original shingling work). Empty `a` → 0.
+   */
+  def containment(a: Column, b: Column): Column = {
+    val na = size(a).cast("double")
+    when(na === 0.0d, 0.0d)
+      .otherwise(size(array_intersect(a, b)).cast("double") / na)
+  }
+
   /** Exact Jaccard similarity of two array columns (distinct semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -69,6 +69,47 @@ class ClusteringSpec extends SparkSpec {
       "cluster_kmeans oracle assumes vec_ids 0..7 with non-null embeddings")
   }
 
+  test("semanticDedup drops planted exact duplicates, keeps min-id reps") {
+    val e = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.union(
+      e.filter(col("vec_id") < 5).select(col("vec_id") + 100000L, col("embedding")))
+    val out = Clustering.semanticDedup(corpus, "vec_id", "embedding",
+        k = 4, iters = 2, dim = 64, numPlanes = 16, threshold = 0.99d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val n = e.count()
+    assert(out.length === n + 5)
+    // exactly the planted copies are dropped; every original survives
+    assert(out.filter(_._3).map(_._1).sorted === (100000L until 100005L).toArray)
+    // a planted copy shares its source's cluster (identical quantized vector)
+    val byId = out.map(t => t._1 -> t._2).toMap
+    for (i <- 0L until 5L) assert(byId(i + 100000L) === byId(i))
+  }
+
+  test("semanticDedup drop rule is smaller-id dominance, not closure-greedy") {
+    // chain: cos(v0,v1) ≈ cos(v1,v2) ≈ 0.9925 > τ but cos(v0,v2) ≈ 0.970 < τ.
+    // Dominance drops anything with a smaller-id near neighbor → {1, 2}
+    // (2 falls to the already-dropped 1); a keep-one-per-component rule
+    // would give the same set here, but a greedy pass that skips pairs
+    // whose smaller side was itself dropped would keep 2 — this pins the
+    // declarative rule. k=1 and a single plane keep cluster/bucket shared.
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val data = df(0L -> at(0), 1L -> at(7), 2L -> at(14))
+    val out = Clustering.semanticDedup(data, "id", "vec",
+        k = 1, iters = 0, dim = 2, numPlanes = 1, threshold = 0.99d)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(0L -> false, 1L -> true, 2L -> true))
+  }
+
+  test("semanticDedup with no near-dups drops nothing") {
+    val e = spark.read.parquet(sf("0.001") + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val out = Clustering.semanticDedup(e, "vec_id", "embedding",
+      k = 4, iters = 1, dim = 64, numPlanes = 16, threshold = 0.99d)
+    assert(out.filter(col("is_dup")).count() === 0L)
+  }
+
   test("grid scaling is an exact integer-valued projection") {
     val v = df(0L -> Seq(0.1234567f, -0.9998f))
       .select(Clustering.gridScale(col("vec"), 1000).as("sv"))

@@ -79,6 +79,21 @@ class OpsSpec extends SparkSpec {
     assert(hams((0L, 4L)) < hams((0L, 3L))) // near-dup closer than unrelated
   }
 
+  test("containment is asymmetric: excerpt fully contained, page is not") {
+    import spark.implicits._
+    val c = Seq(
+      (Seq("a b", "b c"), Seq("a b", "b c", "c d", "d e")), // excerpt ⊂ page
+      (Seq.empty[String], Seq("a b")))                      // empty side → 0
+      .toDF("ex", "page")
+      .select(
+        Dedup.containment(col("ex"), col("page")).as("fwd"),
+        Dedup.containment(col("page"), col("ex")).as("rev"))
+      .collect()
+    assert(c(0).getDouble(0) === 1.0d) // all excerpt bigrams in the page
+    assert(c(0).getDouble(1) === 0.5d) // only half the page's in the excerpt
+    assert(c(1).getDouble(0) === 0.0d)
+  }
+
   test("fused sorted jaccard agrees with the array_intersect formulation") {
     val pairs = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(
