@@ -586,6 +586,21 @@ object SparkEntry {
           expr("((n_tokens - known) * 1000000L) div n_tokens").as("oov_micro"))
     }),
 
+    // Statistical LM quality filter (the CCNet/RedPajama perplexity-filter
+    // shape in exact integers): a bigram count LM trained on the held-out
+    // reference split (doc_id >= 50) scores the evaluation split — average
+    // training-corpus occurrence of each doc's bigrams plus its OOV count.
+    // The LM is vocabulary-sized; scoring is one exploded equi-join
+    // against it and a per-doc re-aggregate.
+    "text_lm_score" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      Relevance.ngramFamiliarity(
+          d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+          col("doc_id"), col("text"), n = 2)
+        .select(col("id").as("doc_id"), col("n_ngrams"),
+          col("oov_ngrams"), col("fam_micro"))
+    }),
+
     // Corpus report card: doc counts and exact char statistics rolled up
     // over (source, lang) — integer-exact means in micro-units, so any
     // engine reproduces them bit-for-bit.
@@ -594,6 +609,34 @@ object SparkEntry {
         .rollup(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
         .withColumn("mean_chars_micro", expr("(chars_sum * 1000000L) div n_docs"))),
+
+    // Snapshot delta between two corpus versions — the daily-crawl
+    // incremental audit: which documents were added, removed, changed, or
+    // carried over, as one full-outer id join with a content compare. The
+    // "new" crawl is simulated in-query (drop ids ≡ 0 mod 17, rewrite text
+    // for ids ≡ 0 mod 13, add fresh ids) so both engines derive the same
+    // pair of versions. At 100 TB both sides live in id-bucketed stores
+    // (the bucketed_join layout) and the compare runs on stored content
+    // digests — zero-exchange, no text movement; the plan shape is the
+    // same single keyed join.
+    "corpus_diff" -> ((s, dir) => {
+      val old = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      val nw = old.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .union(old.filter(col("doc_id") < 30)
+          .select(col("doc_id") + 1000000L, col("text")))
+      old.select(col("doc_id"), col("text").as("t_old"))
+        .join(nw.select(col("doc_id"), col("text").as("t_new")), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("t_old").isNull, "added")
+            .when(col("t_new").isNull, "removed")
+            .when(col("t_old") =!= col("t_new"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
 
     // Deterministic global shuffle for training export: shard by an
     // engine-portable arithmetic hash, order by (hash, id) within shard —
@@ -1498,6 +1541,27 @@ object SparkEntry {
         .select(col("media_id"), col("byte_size").cast("long").as("byte_size"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("checksum"))
+    }),
+
+    // Binary content dedup — the image/audio exact-dedup pass: group
+    // opaque payloads by their SHA-256 digest, surface every duplicate
+    // family with its representative (min id). The shuffle moves only
+    // (digest, id) pairs — 40 bytes a row regardless of payload size; the
+    // payload itself never leaves its scan partition. Payloads are
+    // synthesized from text (the established stub — the container has no
+    // media libs) with copies planted under shifted ids.
+    "mm_dedup" -> ((s, dir) => {
+      val media = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("bytes"))
+      val corpus = media.union(
+        media.filter(col("media_id") < 30)
+          .select(col("media_id") + 1000000L, col("bytes")))
+      corpus
+        .select(col("media_id"), sha2(col("bytes"), 256).as("digest"))
+        .groupBy(col("digest"))
+        .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keep_id"),
+          sum(col("media_id")).as("id_sum"))
+        .filter(col("n_copies") > 1)
     }),
 
     // Frame sampling over media rows: every 4th frame by deterministic id
@@ -2521,6 +2585,58 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
         |  CAST(CAST(sum(n_chars) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS mean_chars_micro
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS ng
+        |  FROM toks),
+        |lm AS (
+        |  SELECT ng, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ng WHERE doc_id >= 50 GROUP BY ng),
+        |sc AS (
+        |  SELECT n.doc_id, count(*) AS n_ngrams,
+        |    sum(CASE WHEN lm.cnt IS NULL THEN 1 ELSE 0 END) AS oov,
+        |    sum(coalesce(lm.cnt, 0)) AS fam
+        |  FROM ng n LEFT JOIN lm ON n.ng = lm.ng
+        |  WHERE n.doc_id < 50 GROUP BY n.doc_id)
+        |SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+        |  CAST(oov AS BIGINT) AS oov_ngrams,
+        |  CAST(fam * 1000000 // n_ngrams AS BIGINT) AS fam_micro
+        |FROM sc""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |nw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM old WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM old WHERE doc_id < 30),
+        |st AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |      WHEN n.doc_id IS NULL THEN 'removed'
+        |      WHEN o.text <> n.text THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM st GROUP BY status""".stripMargin,
+
+    "mm_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30)
+        |SELECT sha256(text) AS digest,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(min(media_id) AS BIGINT) AS keep_id,
+        |  CAST(sum(media_id) AS BIGINT) AS id_sum
+        |FROM corpus GROUP BY digest HAVING count(*) > 1""".stripMargin,
 
     "shard_order" ->
       """WITH h AS (

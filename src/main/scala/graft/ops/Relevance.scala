@@ -204,4 +204,47 @@ object Relevance {
         col("col").getField("id").as("doc_id"),
         col("col").getField("score").cast("long").as("score_micro"))
   }
+
+  /**
+   * N-gram language-model familiarity — the CCNet-style statistical
+   * quality filter: train an n-gram count LM on a reference corpus, score
+   * each evaluation document by how familiar its n-gram sequence is, and
+   * gate the crawl on the score (low familiarity = gibberish, boilerplate,
+   * wrong-language or machine-generated text; the perplexity filter of
+   * CCNet/RedPajama re-expressed in exact integer arithmetic so the score
+   * is bit-identical across engines — counts and integer division instead
+   * of float log-probabilities, same ordering signal).
+   *
+   * Returns `(id, n_ngrams, oov_ngrams, fam_micro)` per evaluation
+   * document with at least one n-gram: the n-gram count, how many were
+   * never seen in training, and `floor(1e6 * sum(train_count) / n_ngrams)`
+   * — the average training-corpus occurrence count of the document's
+   * n-grams, micro-scaled by exact long division.
+   *
+   * Scale shape: the LM is vocabulary-sized (Heaps' law — ~1e5..1e8 rows
+   * against a 1e11-row corpus), built with one explode + map-side-partial
+   * aggregate; scoring is an equi-join of exploded eval n-grams against it
+   * (broadcast when the vocabulary cut fits, shuffle on the n-gram
+   * otherwise) and one per-document re-aggregate. `fam_sum * 1e6` stays
+   * below 2^63 for any corpus where a document's summed counts are under
+   * ~9e12 — enforce with a vocabulary count cap if training counts can
+   * exceed it.
+   */
+  def ngramFamiliarity(
+      train: DataFrame,
+      eval: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 2): DataFrame = {
+    val lm = train.select(explode(TextOps.wordNgrams(text, n)).as("ng"))
+      .groupBy(col("ng")).agg(count(lit(1)).as("cnt"))
+    eval.select(id.as("id"), explode(TextOps.wordNgrams(text, n)).as("ng"))
+      .join(lm, Seq("ng"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("oov_ngrams"),
+        coalesce(sum(col("cnt")), lit(0L)).as("fam_sum"))
+      .select(col("id"), col("n_ngrams"), col("oov_ngrams"),
+        expr("fam_sum * 1000000 DIV n_ngrams").as("fam_micro"))
+  }
 }

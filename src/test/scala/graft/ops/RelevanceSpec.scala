@@ -25,6 +25,24 @@ class RelevanceSpec extends SparkSpec {
       ("whale", 1L, 1L), ("bird", 1L, 1L)))
   }
 
+  test("ngramFamiliarity: exact counts, OOV bigrams, integer micro-average") {
+    val train = Seq(
+      (10L, "the cat sat"),     // bigrams: "the cat", "cat sat"
+      (11L, "the cat ran"),     // bigrams: "the cat", "cat ran"
+      (12L, "the cat sat")      // duplicates doc 10's bigrams
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "the cat sat"),      // "the cat"=3, "cat sat"=2 → avg 2.5
+      (2L, "a cat sat quietly"),// "a cat"=0(oov), "cat sat"=2, "sat quietly"=0(oov)
+      (3L, "zz")                // no bigrams → absent from output
+    ).toDF("doc_id", "text")
+    val got = Relevance.ngramFamiliarity(train, eval, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 0L, 2500000L),   // (3+2)*1e6 div 2
+      (2L, 3L, 2L, 666666L)))   // (0+2+0)*1e6 div 3, floor
+  }
+
   test("bm25TopK ranks by term frequency within a term and skips non-matches") {
     val top = Relevance.bm25TopK(corpus, "doc_id", toks, Seq("cat"), k = 10)
       .select("rank", "doc_id").as[(Long, Long)].collect().toList
