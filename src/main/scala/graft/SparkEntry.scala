@@ -926,6 +926,42 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Full tokenizer-induction pin: the ordered merge list trainOnWords
+    // learns (one corpus aggregate + driver loop over the vocabulary-sized
+    // word-frequency table). The oracle replays every round in SQL —
+    // weighted pair counts, the (cnt desc, left, right) argmax, and the
+    // greedy left-to-right merge via non-overlapping string replace over
+    // bracket-delimited symbols (exact because replace() scans left to
+    // right and never matches inside a bracketed symbol).
+    "bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(pq(dir, "documents"))
+      Bpe.trainOnWords(d, col("text"), nMerges = 8)
+        .zipWithIndex.map { case ((l, r), i) => (i + 1L, l, r) }
+        .toDF("rank", "left", "right")
+    }),
+
+    // Tokenize-with-trained-vocabulary accounting — the token-budget
+    // primitive every mixture/packing stage consumes: train 8 merges, then
+    // encode the evaluation docs (per-word greedy merge application as ONE
+    // codegen expression with the constant merge table inlined — a narrow
+    // projection, zero extra shuffles beyond the per-doc re-aggregate).
+    // The oracle needs no encode replay: applying merges in rank order to
+    // a raw word reproduces the training-time progressive state, so each
+    // word's encoding IS its row in the replay's final vocabulary table.
+    "bpe_encode" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      val merges = Bpe.trainOnWords(d, col("text"), nMerges = 8)
+      d.filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+        .select(col("doc_id"),
+          size(Bpe.applyMerges(
+            regexp_extract_all(col("word"), lit("."), lit(0)), merges)).as("n_sym"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sym").cast("long")).as("n_bpe_tokens"))
+    }),
+
     // Distribution-drift monitor: per-day event-type distributions and
     // the integer L1 distance between consecutive days — the upstream-
     // source-changed alarm, computed from one counter aggregate (shuffle
@@ -2073,6 +2109,55 @@ object SparkEntry {
        |${assign(s"a$iters", s"c$iters")}""".stripMargin
   }
 
+  /** Unrolled SQL replay of [[graft.ops.Bpe.trainOnWords]]: word-frequency
+    * base, then per round weighted adjacent-pair counts, the
+    * (cnt desc, left, right) argmax, and greedy left-to-right merge
+    * application via non-overlapping `replace` over bracket-delimited
+    * symbols. Ends with CTEs `b0..b${iters-1}` (the chosen pairs) and
+    * `v$iters` (the fully-merged vocabulary — each word's row is exactly
+    * its encoding under the trained merge list). ASCII corpus assumed:
+    * the argmax tie-break compares strings, and UTF-16 (engine) vs UTF-8
+    * (DuckDB) orders agree only below U+0080 — BpeSpec pins the fixture. */
+  private def bpeTrainCtes(iters: Int): String = {
+    val rounds = (0 until iters).map { i =>
+      s"""p$i AS (
+         |  SELECT q.pr.l AS l, q.pr.r AS r, sum(q.w) AS cnt FROM (
+         |    SELECT w, unnest(list_transform(range(1, len(s)),
+         |      j -> struct_pack(l := s[j], r := s[j+1]))) AS pr
+         |    FROM v$i) q GROUP BY q.pr.l, q.pr.r),
+         |b$i AS (SELECT l, r FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |v${i + 1} AS (
+         |  SELECT word, w,
+         |    string_split(replace('⟨' || array_to_string(s, '⟩⟨') || '⟩',
+         |      '⟨' || b.l || '⟩⟨' || b.r || '⟩',
+         |      '⟨' || b.l || ' ' || b.r || '⟩')[2:-2], '⟩⟨') AS s
+         |  FROM v$i CROSS JOIN b$i b),""".stripMargin
+    }.mkString("\n")
+    s"""WITH w0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+       |    FROM documents) GROUP BY word),
+       |v0 AS (SELECT word, w, regexp_extract_all(word, '.') AS s FROM w0),
+       |$rounds
+       |z_ AS (SELECT 1)""".stripMargin
+  }
+
+  private def bpeMergesOracleSql(iters: Int): String =
+    s"""${bpeTrainCtes(iters)}
+       |${(0 until iters).map(i =>
+      s"""SELECT CAST(${i + 1} AS BIGINT) AS rank, l AS "left", r AS "right" FROM b$i""")
+      .mkString("\nUNION ALL\n")}""".stripMargin
+
+  private def bpeEncodeOracleSql(iters: Int): String =
+    s"""${bpeTrainCtes(iters)}
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(v.s)) AS BIGINT) AS n_bpe_tokens
+       |FROM (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+       |  FROM documents WHERE doc_id < 50) d
+       |JOIN v$iters v USING (word)
+       |GROUP BY d.doc_id""".stripMargin
+
   private def kmeansOracleSql(dim: Int, k: Int, iters: Int): String =
     s"""${kmeansAssignCtes(dim, k, iters, "SELECT vec_id, embedding FROM embeddings")}
        |SELECT cell AS cluster, count(*) AS csize,
@@ -2981,6 +3066,10 @@ object SparkEntry {
         |  FROM u GROUP BY 1, 2)
         |SELECT "left", "right", cnt FROM c
         |ORDER BY cnt DESC, "left", "right" LIMIT 20""".stripMargin,
+
+    "bpe_merges" -> bpeMergesOracleSql(8),
+
+    "bpe_encode" -> bpeEncodeOracleSql(8),
 
     // the salted join must equal the PLAIN join it replaces — the oracle
     // is the unsalted formulation

@@ -184,6 +184,34 @@ class BpeSpec extends SparkSpec {
     assert(merges.head._2 === x || merges.head._1 === x)
   }
 
+  test("encoding a seen word equals its progressive training-time state") {
+    // the bpe_encode oracle relies on this: applying the trained merges in
+    // rank order to a RAW word reproduces the word's final state in the
+    // training replay, so encode needs no separate SQL simulation. Pin it
+    // by re-running the training merges over the word-frequency table and
+    // comparing against applyMerges on raw code-point symbols.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.trainOnWords(docs, col("text"), nMerges = 8)
+    val words = Bpe.wordCounts(docs, col("text"))
+      .orderBy(col("w").desc).limit(50).collect().map(_.getString(0))
+    // sequential progressive state: replay each merge greedily in order
+    def progressive(w: String): Seq[String] =
+      merges.foldLeft(Bpe.codePointSymbols(w): Seq[String]) { case (s, (l, r)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (t <- s) {
+          if (out.nonEmpty && out.last == l && t == r)
+            out(out.length - 1) = l + " " + r
+          else out += t
+        }
+        out.toSeq
+      }
+    val enc = Seq(words.toSeq).flatten.toDF("word")
+      .select(col("word"),
+        Bpe.applyMerges(regexp_extract_all(col("word"), lit("."), lit(0)), merges).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach(w => assert(enc(w) === progressive(w), s"word '$w'"))
+  }
+
   test("trainOnWords enforces the driver vocabulary cap") {
     val err = intercept[IllegalArgumentException] {
       Bpe.trainOnWords(df, col("text"), 4, maxVocab = 3)
