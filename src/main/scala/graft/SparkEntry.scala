@@ -980,6 +980,46 @@ object SparkEntry {
         .select(col("w").as("day"), col("l1_micro"))
     }),
 
+    // Ordered conversion funnel (view → click → purchase) with first-touch
+    // anchoring: stage k+1 is the user's earliest qualifying event
+    // STRICTLY AFTER their stage-k anchor, ordered by (ts, event_id) so
+    // ties are deterministic. Three user-keyed min-struct aggregates (all
+    // map-side combinable) and two users-sized equi-joins — the corpus
+    // shuffles once per stage on user_id, anchors are one struct per user.
+    "event_funnel" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(pq(dir, "events"))
+        .select(col("user_id"), col("event_type"),
+          struct(col("ts"), col("event_id")).as("k"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("k")).as("s1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("k") > col("s1"))
+        .groupBy(col("user_id")).agg(min(col("k")).as("s2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("k") > col("s2"))
+        .groupBy(col("user_id")).agg(min(col("k")).as("s3"))
+      v.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"), col("n_users"))
+        .union(c.agg(count(lit(1)).as("n_users")).select(lit(2L).as("stage"), col("n_users")))
+        .union(p.agg(count(lit(1)).as("n_users")).select(lit(3L).as("stage"), col("n_users")))
+    }),
+
+    // Cohort retention: users grouped by first-active day, counted on each
+    // later active day offset — two keyed aggregates (distinct user-days,
+    // then per-user min) and one users-sized join; the classic product-
+    // analytics table from one pass over the event log.
+    "event_retention" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(pq(dir, "events")).withColumn("day", expr(
+        "(ts - 1704067200000000000L - pmod(ts - 1704067200000000000L, " +
+          "86400000000000L)) div 86400000000000L"))
+      val ud = e.select(col("user_id"), col("day")).distinct()
+      val fd = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ud.join(fd, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Numeric drift: the same consecutive-day L1 over fixed-width value
     // bins of events.value — the value-distribution-shifted alarm, same
     // constant-size counter-aggregate plan as the categorical monitor.
@@ -1386,6 +1426,28 @@ object SparkEntry {
       val d = s.read.parquet(pq(dir, "documents"))
         .select(col("source"), col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
       Packing.sequenceStats(d, col("source"), col("doc_id"), col("n_tok"), budget = 4096L)
+        .select(col("source"), col("seq_id").cast("long").as("seq_id"),
+          col("n_docs"), col("n_tokens"))
+    }),
+
+    // The full pre-training tokenize-and-pack composition: induce the
+    // tokenizer (one corpus aggregate + driver merge loop), encode every
+    // document with the trained vocabulary (narrow codegen constant-table
+    // pass), pack the REAL token counts into fixed-budget context windows
+    // per source. This is the pipeline a 100 TB corpus runs nightly; the
+    // only corpus shuffles are the per-doc count re-aggregate and the one
+    // shard-keyed window packing needs anyway.
+    "pipeline_tokenize" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      val merges = Bpe.trainOnWords(d, col("text"), nMerges = 8)
+      val toks = d
+        .select(col("source"), col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+        .select(col("source"), col("doc_id"),
+          size(Bpe.applyMerges(
+            regexp_extract_all(col("word"), lit("."), lit(0)), merges)).as("n_sym"))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(sum(col("n_sym").cast("long")).as("n_tok"))
+      Packing.sequenceStats(toks, col("source"), col("doc_id"), col("n_tok"), budget = 2048L)
         .select(col("source"), col("seq_id").cast("long").as("seq_id"),
           col("n_docs"), col("n_tokens"))
     }),
@@ -3070,6 +3132,58 @@ object SparkEntry {
     "bpe_merges" -> bpeMergesOracleSql(8),
 
     "bpe_encode" -> bpeEncodeOracleSql(8),
+
+    "pipeline_tokenize" ->
+      s"""${bpeTrainCtes(8)},
+         |cnt AS (
+         |  SELECT d.source, d.doc_id, CAST(sum(len(v.s)) AS BIGINT) AS n_tok
+         |  FROM (
+         |    SELECT source, doc_id,
+         |      unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+         |    FROM documents) d
+         |  JOIN v8 v USING (word)
+         |  GROUP BY d.source, d.doc_id),
+         |packed AS (
+         |  SELECT source, doc_id, n_tok,
+         |    CAST(coalesce(sum(n_tok) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // 2048 AS BIGINT) AS seq_id
+         |  FROM cnt)
+         |SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM packed
+         |GROUP BY source, seq_id""".stripMargin,
+
+    "event_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, {'t': ts, 'i': event_id} AS k FROM events),
+        |v AS (
+        |  SELECT user_id, min(k) AS s1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.k) AS s2 FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.k > v.s1 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.k) AS s3 FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.k > c.s2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM p""".stripMargin,
+
+    "event_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |fd AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+        |SELECT CAST(fd.cohort_day AS BIGINT) AS cohort_day,
+        |  CAST(ud.day - fd.cohort_day AS BIGINT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ud JOIN fd ON ud.user_id = fd.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // the salted join must equal the PLAIN join it replaces — the oracle
     // is the unsalted formulation
