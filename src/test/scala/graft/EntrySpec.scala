@@ -51,6 +51,20 @@ class EntrySpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), "interval_join planned a cartesian")
   }
 
+  test("dedup_semantic's pair stage is an equi-join, never a cartesian") {
+    val plan = SparkEntry.queries("dedup_semantic")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), "dedup_semantic planned a BNLJ")
+    assert(!plan.contains("Cartesian"), "dedup_semantic planned a cartesian")
+  }
+
+  test("event_funnel joins on user_id, never a nested loop") {
+    val plan = SparkEntry.queries("event_funnel")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), "event_funnel planned a BNLJ")
+    assert(!plan.contains("Cartesian"), "event_funnel planned a cartesian")
+  }
+
   test("heavy_hitters aggregates bounded sketches, not exploded token rows") {
     // the partial freq_sketch must run BEFORE the exchange (map-side), so
     // only capacity-bounded buffers cross the shuffle
