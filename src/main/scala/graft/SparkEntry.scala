@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Multimodal, Packing, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, TemporalJoin, TextOps}
+import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, Multimodal, Packing, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, TemporalJoin, TextOps}
 import org.apache.spark.sql.graft.ColumnBridge
 
 /**
@@ -793,6 +793,32 @@ object SparkEntry {
             lit(0L)).as("n_ips"),
           coalesce(sum(regexp_count(col("text2"), lit(TextOps.PhoneRe)).cast("long")),
             lit(0L)).as("n_phones"))
+    }),
+
+    // CCNet-style line-level boilerplate removal: lines repeated across
+    // many pages (navigation menus, copyright footers — planted here on
+    // every 3rd/4th doc) are deleted in place, preserving document order.
+    // Counting shuffles 8-byte line hashes only (map-side combined); the
+    // exact string threshold is re-applied to the small candidate set, and
+    // removal is a broadcast join — no corpus shuffle anywhere. Carrying
+    // `source` inside the group key keeps the rebuild single-aggregate.
+    "line_dedup" -> ((s, dir) => {
+      val planted = s.read.parquet(pq(dir, "documents"))
+        .withColumn("t1",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("shared navigation header menu\n"), col("text")))
+            .otherwise(col("text")))
+        .withColumn("text2",
+          when(col("doc_id") % 4 === 0,
+            concat(col("t1"), lit("\ncopyright footer all rights reserved")))
+            .otherwise(col("t1")))
+      Lines.removeBoilerplate(planted,
+          struct(col("doc_id"), col("source")), col("text2"), minCount = 100L)
+        .groupBy(col("id.source").as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_lines_kept")).as("lines_kept"),
+          sum(col("n_lines_removed")).as("lines_removed"),
+          sum(length(col("clean_text")).cast("long")).as("chars_after"))
     }),
 
     // Weighted dataset mixture: deterministic per-source sampling rates
@@ -2971,6 +2997,36 @@ object SparkEntry {
         |  CAST(coalesce(sum(len(regexp_extract_all(text2,
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))), 0) AS BIGINT) AS n_phones
         |FROM red GROUP BY lang""".stripMargin,
+
+    "line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'shared navigation header menu' || chr(10) ELSE '' END
+        |    || text
+        |    || CASE WHEN doc_id % 4 = 0
+        |      THEN chr(10) || 'copyright footer all rights reserved' ELSE '' END AS text2
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(text2, chr(10))) AS line,
+        |    generate_subscripts(string_split(text2, chr(10)), 1) AS line_no
+        |  FROM planted),
+        |freq AS (
+        |  SELECT line AS fline FROM lines GROUP BY line HAVING count(*) >= 100),
+        |cleaned AS (
+        |  SELECT doc_id, any_value(source) AS source,
+        |    coalesce(string_agg(CASE WHEN fline IS NULL THEN line END,
+        |      chr(10) ORDER BY line_no), '') AS clean_text,
+        |    count(CASE WHEN fline IS NULL THEN 1 END) AS kept,
+        |    count(fline) AS removed
+        |  FROM lines l LEFT JOIN freq f ON l.line = f.fline
+        |  GROUP BY doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(kept) AS BIGINT) AS lines_kept,
+        |  CAST(sum(removed) AS BIGINT) AS lines_removed,
+        |  CAST(sum(length(clean_text)) AS BIGINT) AS chars_after
+        |FROM cleaned GROUP BY source""".stripMargin,
 
     "mix_sample" ->
       """WITH m AS (
