@@ -795,6 +795,26 @@ object SparkEntry {
             lit(0L)).as("n_phones"))
     }),
 
+    // Quality-aware dedup: of each near-identical family, keep the BEST-
+    // scoring document rather than the first-crawled one. Families are
+    // keyed by a 6-token prefix; every doc<60 gets a degraded copy (digit
+    // noise + symbol spam lowers the alphabetic ratio), and the argmax
+    // rides the one cluster-key aggregate as a (score, -id) struct max —
+    // bounded state per group, ties to the smallest id.
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      val corpus = d.union(d.filter(col("doc_id") < 60)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" 1234 !!!! ####")).as("text")))
+      val scored = corpus.select(col("doc_id"),
+        array_join(slice(TextOps.tokens(col("text")), 1, 6), " ").as("pfx"),
+        floor(TextOps.qualityScore(col("text")) * 1000000.0d).as("q_micro"))
+      Dedup.keepBest(scored, col("pfx"), col("doc_id"), col("q_micro"))
+        .filter(col("n_copies") > 1)
+        .select(col("dedup_key"), col("n_copies"),
+          col("best_score").as("best_q_micro"), col("rep_id"))
+    }),
+
     // CCNet-style line-level boilerplate removal: lines repeated across
     // many pages (navigation menus, copyright footers — planted here on
     // every 3rd/4th doc) are deleted in place, preserving document order.
@@ -1610,6 +1630,27 @@ object SparkEntry {
       val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 16, iters = 1)
       Similarity.ivfQuantizedTopK(corpus, "vec_id", "embedding", queries, "q_id", "q_vec",
         centroids, nprobe = 4, scale = 64, k = 3)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
+    // Two-stage retrieval: the compressed index RETRIEVES (IVF probing +
+    // int8 integer dots build a k'=10 shortlist), the exact float kernel
+    // ORDERS (broadcast shortlist joins fetch candidate vectors in place —
+    // no corpus shuffle — and exact cosine re-ranks). The planted duplicate
+    // survives stage one (shares its query's cell and quantized codes) and
+    // wins stage two at cosine 1 — same closed-form oracle.
+    "ann_rerank" -> ((s, dir) => {
+      val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val corpus = e.union(
+        e.filter(col("vec_id") < 10).select(col("vec_id") + 100000L, col("embedding")))
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 16, iters = 1)
+      val shortlist = Similarity.ivfQuantizedTopK(corpus, "vec_id", "embedding",
+        queries, "q_id", "q_vec", centroids, nprobe = 4, scale = 64, k = 10)
+      Similarity.rerankExact(corpus, "vec_id", "embedding",
+          queries, "q_id", "q_vec", shortlist, k = 3)
         .filter(col("rank") === 1)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
@@ -2998,6 +3039,34 @@ object SparkEntry {
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))), 0) AS BIGINT) AS n_phones
         |FROM red GROUP BY lang""".stripMargin,
 
+    "dedup_keep_best" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text || ' 1234 !!!! ####'
+        |  FROM documents WHERE doc_id < 60),
+        |scored AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(
+        |      list_filter(string_split(text, ' '), t -> t <> ''), 1, 6), ' ') AS pfx,
+        |    CAST(floor((
+        |      least(CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DOUBLE) / 64.0, 1.0) * 0.4
+        |      + CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+        |          AND CAST(length(text) AS DOUBLE) / len(list_filter(string_split(text, ' '), t -> t <> '')) BETWEEN 3.0 AND 10.0
+        |        THEN 1.0 ELSE 0.5 END * 0.3
+        |      + CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE) / length(text) END * 0.3
+        |    ) * 1000000) AS BIGINT) AS q_micro
+        |  FROM corpus),
+        |ranked AS (
+        |  SELECT pfx, doc_id, q_micro,
+        |    row_number() OVER (PARTITION BY pfx ORDER BY q_micro DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY pfx) AS n_copies
+        |  FROM scored)
+        |SELECT pfx AS dedup_key, CAST(n_copies AS BIGINT) AS n_copies,
+        |  q_micro AS best_q_micro, doc_id AS rep_id
+        |FROM ranked WHERE rn = 1 AND n_copies > 1""".stripMargin,
+
     "line_dedup" ->
       """WITH planted AS (
         |  SELECT doc_id, source,
@@ -3575,6 +3644,11 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "ann_ivf_quantized" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "ann_rerank" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
         |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

@@ -35,6 +35,27 @@ object Dedup {
       .agg(min(id).as("rep_id"), count(lit(1)).as("n_copies"))
 
   /**
+   * Quality-aware dedup: keep the BEST-scoring row per cluster instead of
+   * the smallest id — the representative-selection policy real pipelines
+   * want (of N near-identical crawls of a page, train on the cleanest one,
+   * not the first-crawled one). Ties break to the smallest id, so the
+   * choice is deterministic under any partitioning.
+   *
+   * Same scale shape as [[exact]]: one hash-aggregate on the cluster key.
+   * The argmax rides the shuffle as a single `max` over a (score, -id)
+   * struct — struct ordering is lexicographic, so map-side partial
+   * aggregation applies and per-group state is one struct regardless of
+   * cluster size. `id` must be a non-negative long (the tie-break negates
+   * it); `score` any ordered numeric column.
+   */
+  def keepBest(df: DataFrame, key: Column, id: Column, score: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(count(lit(1)).as("n_copies"),
+        max(struct(score.as("s"), (-id).as("neg_id"))).as("b"))
+      .select(col("dedup_key"), col("n_copies"),
+        col("b.s").as("best_score"), (-col("b.neg_id")).as("rep_id"))
+
+  /**
    * MinHash signatures over a token-set column: one row per id with
    * `sig: array<long>` of length `numPerms`.
    *

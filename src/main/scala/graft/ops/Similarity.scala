@@ -166,6 +166,39 @@ object Similarity {
   }
 
   /**
+   * Two-stage retrieval, stage two: re-score a candidate SHORTLIST exactly
+   * in float and re-rank — the production recipe where a compressed index
+   * (IVF cells, int8 dots, LSH buckets) RETRIEVES and the exact kernel
+   * ORDERS. `shortlist` is any (query_id, neighbor_id) frame (typically a
+   * stage-one top-k' with k' > k); it is queries x k' rows — tiny by
+   * construction — so BOTH joins here broadcast: the corpus is scanned once
+   * in place to fetch candidate float vectors (no corpus shuffle), queries
+   * ride in by id, and ranking is the same bounded-heap aggregate as every
+   * other ANN path. Returns (query_id, rank, neighbor_id, score).
+   *
+   * Recall composes: stage two never drops a candidate the shortlist
+   * surfaced, so a planted duplicate retrieved by stage one keeps rank 1
+   * under the exact scores.
+   */
+  def rerankExact(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      shortlist: DataFrame,
+      k: Int): DataFrame = {
+    val pairs = shortlist.select(
+      col("query_id").as("__rr_q"), col("neighbor_id").as("__rr_n"))
+    val scored = corpus
+      .join(broadcast(pairs), col(corpusId) === col("__rr_n"))
+      .join(broadcast(queries), col("__rr_q") === col(queryId))
+      .withColumn("score", cosine(col(queryVec), col(corpusVec)))
+    rankTopK(scored, queryId, corpusId, k)
+  }
+
+  /**
    * Deterministic pseudo-random hyperplane for plane `j`: integer components
    * in [-3, 3] derived from a fixed hash of (dimension, plane), so every
    * plane is independent. (A plain affine formula mod 7 is degenerate —

@@ -24,6 +24,21 @@ class OpsSpec extends SparkSpec {
     assert(out === Map(0L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("keepBest keeps the max-score row per key, ties to the smallest id") {
+    val rows = Seq(
+      (10L, "a", 5L), (11L, "a", 9L), (12L, "a", 9L), // best score 9, tie -> 11
+      (20L, "b", 3L),                                 // singleton
+      (31L, "c", 7L), (30L, "c", 7L))                 // all tied -> 30
+      .toDF("id", "k", "q")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.keepBest(df, col("k"), col("id"), col("q"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expect = Map("a" -> ((3L, 9L, 11L)), "b" -> ((1L, 3L, 20L)), "c" -> ((2L, 7L, 30L)))
+    assert(run(rows) === expect)
+    // partial aggregation must not change the argmax: force many partitions
+    assert(run(rows.repartition(7)) === expect)
+  }
+
   test("identical token sets produce identical minhash signatures") {
     val corpus = docs.withColumn("ws", graft.ops.TextOps.tokenSet(col("text")))
     val sigs = Dedup.minhashSignatures(corpus, col("doc_id"), col("ws"))

@@ -156,6 +156,30 @@ class SketchQuantSpec extends SparkSpec {
     assert(top.toSeq === Seq(dupOf))
   }
 
+  test("rerankExact over a true-top-k' shortlist equals brute force, with no corpus shuffle join") {
+    // deterministic small corpus: 40 unit-ish vectors + 3 queries
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (((i * 7 + d * 13) % 17) - 8).toFloat / 8f))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(3).map { case (i, v) => (i, v) }.toDF("q_id", "q_vec")
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "q_id", "q_vec", 3)
+      .select("query_id", "rank", "neighbor_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // shortlist = brute-force top-10: contains the true top-3, so the exact
+    // rerank must reproduce brute-force top-3 exactly
+    val shortlist = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "q_id", "q_vec", 10)
+    val rr = Similarity.rerankExact(corpus, "vec_id", "embedding",
+      queries, "q_id", "q_vec", shortlist, 3)
+    val got = rr.select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === brute)
+    val plan = rr.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"rerank joins must broadcast the shortlist, not shuffle the corpus:\n$plan")
+  }
+
   test("quantizeI8 rejects non-positive scales") {
     intercept[IllegalArgumentException](Similarity.quantizeI8(col("v"), 0))
     intercept[IllegalArgumentException](Similarity.quantizeI8(col("v"), -64))
