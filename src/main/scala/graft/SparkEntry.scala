@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, Multimodal, Packing, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, TemporalJoin, TextOps}
+import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, TemporalJoin, TextOps}
 import org.apache.spark.sql.graft.ColumnBridge
 
 /**
@@ -554,6 +554,23 @@ object SparkEntry {
           coalesce(sum(col("component")), lit(0L)).as("comp_id_sum"))
     }),
 
+    // Graph centrality for corpus quality weighting: exact-integer
+    // PageRank over the symmetrized customer-supplier trade graph (the
+    // web-pipeline shape: rank the link graph, weight documents by their
+    // page's centrality). Fixed-point long arithmetic end to end, so three
+    // distributed iterations are bit-identical to the oracle's unrolled
+    // SQL replay — no float summation order anywhere.
+    "pagerank" -> ((s, dir) => {
+      val o = s.read.parquet(pq(dir, "orders")).select(col("o_orderkey"), col("o_custkey"))
+      val l = s.read.parquet(pq(dir, "lineitem")).select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      val edges = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+      PageRank.run(edges, "src", "dst", iters = 3)
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+
     // Mergeable distinct-count sketch (KMV bottom-k): per language, the 8
     // smallest distinct arithmetic hashes of doc_id, the k-th minimum, and
     // the integer-exact cardinality estimate. Bounded-heap aggregation —
@@ -881,6 +898,25 @@ object SparkEntry {
           Seq("train" -> 80, "val" -> 10, "test" -> 10)))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+    }),
+
+    // Leakage-FREE split: duplicate families must not straddle train/eval
+    // (a train-side copy of an eval doc is benchmark contamination), so the
+    // split key is the family REPRESENTATIVE, not the document — every
+    // member of a family inherits the same band and co-travels by
+    // construction. Families are exact token-set groups via one keyed
+    // window min; the split itself stays the narrow hash-band CASE.
+    "group_split" -> ((s, dir) => {
+      val c = plantedCorpus(s, dir)
+        .select(col("doc_id"), TextOps.tokenSet(col("text")).as("ws"))
+      c.withColumn("rep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("ws"))))
+        .withColumn("split", Sampling.splitColumn(col("rep_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep_id")).as("n_families"),
           coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
     }),
 
@@ -2764,6 +2800,33 @@ object SparkEntry {
         |  CAST(coalesce(sum(component), 0) AS BIGINT) AS comp_id_sum
         |FROM comps""".stripMargin,
 
+    "pagerank" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS d
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT s, d FROM cs UNION ALL SELECT d, s FROM cs),
+        |nodes AS (SELECT DISTINCT s AS node FROM e),
+        |deg AS (SELECT s, count(*) AS outdeg FROM e GROUP BY s),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.d AS node, sum(r0.rank // deg.outdeg) AS m
+        |       FROM e JOIN r0 ON e.s = r0.node JOIN deg ON e.s = deg.s GROUP BY e.d),
+        |r1 AS (SELECT nodes.node, 1000000000000 * 15 // 100 // n
+        |         + (85 * coalesce(c1.m, 0)) // 100 AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
+        |c2 AS (SELECT e.d AS node, sum(r1.rank // deg.outdeg) AS m
+        |       FROM e JOIN r1 ON e.s = r1.node JOIN deg ON e.s = deg.s GROUP BY e.d),
+        |r2 AS (SELECT nodes.node, 1000000000000 * 15 // 100 // n
+        |         + (85 * coalesce(c2.m, 0)) // 100 AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
+        |c3 AS (SELECT e.d AS node, sum(r2.rank // deg.outdeg) AS m
+        |       FROM e JOIN r2 ON e.s = r2.node JOIN deg ON e.s = deg.s GROUP BY e.d),
+        |r3 AS (SELECT nodes.node, 1000000000000 * 15 // 100 // n
+        |         + (85 * coalesce(c3.m, 0)) // 100 AS rank
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+        |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
     "kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT lang AS g,
@@ -3120,6 +3183,24 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
         |FROM b GROUP BY 1""".stripMargin,
+
+    "group_split" ->
+      s"""$corpusCte,
+         |sets AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws
+         |  FROM corpus),
+         |fam AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY ws) AS rep_id FROM sets),
+         |sp AS (
+         |  SELECT doc_id, rep_id,
+         |    ((rep_id % 1000003) * 2654435761 + 104729) % 1000003 % 100 AS hv
+         |  FROM fam)
+         |SELECT CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT rep_id) AS BIGINT) AS n_families,
+         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+         |FROM sp GROUP BY 1""".stripMargin,
 
     "budget_carve" ->
       """WITH c AS (
