@@ -750,6 +750,32 @@ object SparkEntry {
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
           floor(TextOps.qualityScore(col("text")) * 1000000.0d).as("q_micro"))),
 
+    // Gopher-style quality-rule audit: five integer-exact keep/drop rules
+    // evaluated as one narrow bitmask projection, rolled up per source with
+    // per-rule failure counts — the WHY of every dropped document, which is
+    // what threshold tuning actually needs. Planted failures: every 17th
+    // doc becomes pure repetition (no stopwords, 1 distinct token), every
+    // 13th gets a digit/symbol tail (alphabetic-ratio hit on short docs).
+    "quality_rules" -> ((s, dir) => {
+      val planted = s.read.parquet(pq(dir, "documents"))
+        .withColumn("t1",
+          when(col("doc_id") % 17 === 0, repeat(lit("zz "), 40)).otherwise(col("text")))
+        .withColumn("text2",
+          when(col("doc_id") % 13 === 0,
+            concat(col("t1"),
+              lit(" 0123456789 #### $$$$ %%%% ^^^^ &&&& 1111 2222 3333 4444 5555")))
+            .otherwise(col("t1")))
+      planted.select(col("source"), TextOps.qualityFlags(col("text2")).as("flags"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("flags") === 0, 1)).as("n_kept"),
+          count(when(col("flags").bitwiseAND(lit(1L)) =!= 0L, 1)).as("n_wordcount"),
+          count(when(col("flags").bitwiseAND(lit(2L)) =!= 0L, 1)).as("n_wordlen"),
+          count(when(col("flags").bitwiseAND(lit(4L)) =!= 0L, 1)).as("n_alpha"),
+          count(when(col("flags").bitwiseAND(lit(8L)) =!= 0L, 1)).as("n_nostop"),
+          count(when(col("flags").bitwiseAND(lit(16L)) =!= 0L, 1)).as("n_repetitive"))
+    }),
+
     // BPE-ish subword tokenization: letter runs, digit runs, or single
     // non-space symbols — the pre-tokenization regex family BPE vocabularies
     // are trained over.
@@ -3068,6 +3094,44 @@ object SparkEntry {
         |        c -> CAST(unicode(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
         |FROM documents WHERE doc_id < 100""".stripMargin,
+
+    "quality_rules" ->
+      """WITH p1 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 17 = 0 THEN repeat('zz ', 40) ELSE text END AS t1
+        |  FROM documents),
+        |p2 AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN t1 || ' 0123456789 #### $$$$ %%%% ^^^^ &&&& 1111 2222 3333 4444 5555'
+        |      ELSE t1 END AS text2
+        |  FROM p1),
+        |m AS (
+        |  SELECT source,
+        |    len(list_filter(string_split(text2, ' '), t -> t <> '')) AS ntok,
+        |    length(text2) AS nchar,
+        |    length(replace(text2, ' ', '')) AS wchars,
+        |    length(regexp_replace(text2, '[^a-zA-Z]', '', 'g')) AS alpha,
+        |    len(list_distinct(list_filter(string_split(text2, ' '), t -> t <> ''))) AS ndist,
+        |    len(list_filter(string_split(text2, ' '),
+        |      t -> list_contains(['the', 'a', 'of', 'and', 'to'], t))) AS stop
+        |  FROM p2),
+        |f AS (
+        |  SELECT source,
+        |    CASE WHEN ntok < 8 OR ntok > 1024 THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN wchars < ntok * 2 OR wchars > ntok * 12 THEN 1 ELSE 0 END AS f2,
+        |    CASE WHEN alpha * 10 < nchar * 6 THEN 1 ELSE 0 END AS f4,
+        |    CASE WHEN stop = 0 THEN 1 ELSE 0 END AS f8,
+        |    CASE WHEN ndist * 10 < ntok * 3 THEN 1 ELSE 0 END AS f16
+        |  FROM m)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN f1 + f2 + f4 + f8 + f16 = 0 THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(f1) AS BIGINT) AS n_wordcount,
+        |  CAST(sum(f2) AS BIGINT) AS n_wordlen,
+        |  CAST(sum(f4) AS BIGINT) AS n_alpha,
+        |  CAST(sum(f8) AS BIGINT) AS n_nostop,
+        |  CAST(sum(f16) AS BIGINT) AS n_repetitive
+        |FROM f GROUP BY source""".stripMargin,
 
     "text_redact" ->
       """WITH p1 AS (

@@ -143,6 +143,40 @@ object TextOps {
   }
 
   /**
+   * Gopher-style document-quality rule flags (Rae et al. 2021, "Scaling
+   * Language Models: ... Gopher", table A1 — simplified to rules exactly
+   * expressible in integer arithmetic). Returns a bitmask; 0 = keep. The
+   * mask, not just a boolean, is the useful artifact: pipelines audit WHY
+   * documents were dropped, per source, before tuning thresholds.
+   *
+   *   bit 1  — word count outside [8, 1024]
+   *   bit 2  — mean word length outside [2, 12]
+   *   bit 4  — alphabetic-character ratio below 0.6
+   *   bit 8  — no English stopword present (junk/non-language signal)
+   *   bit 16 — distinct-token ratio below 0.3 (repetitive content)
+   *
+   * Every threshold is evaluated as a cross-multiplied integer comparison
+   * (e.g. `10*alpha >= 6*chars`, never a float division), so the verdict
+   * is bit-reproducible in any engine. Narrow projection, no shuffle.
+   */
+  def qualityFlags(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nChar = length(text).cast("long")
+    // token chars = all chars minus separators (tokens come from a
+    // single-space split, so this is exact)
+    val wordChars = length(regexp_replace(text, " ", "")).cast("long")
+    val alphaChars = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
+    val stop = stopwordScoreOn(toks, StopwordLists.toMap.apply("en"))
+    when(nTok < 8L || nTok > 1024L, 1L).otherwise(0L) +
+      when(wordChars < nTok * 2L || wordChars > nTok * 12L, 2L).otherwise(0L) +
+      when(alphaChars * 10L < nChar * 6L, 4L).otherwise(0L) +
+      when(stop === 0, 8L).otherwise(0L) +
+      when(nDist * 10L < nTok * 3L, 16L).otherwise(0L)
+  }
+
+  /**
    * Stopword lists for the n-gram/stopword language-ID heuristic. Tiny fixed
    * lists keep the heuristic expressible in plain SQL (oracle parity) while
    * demonstrating the real pipeline shape: per-language token-overlap scores

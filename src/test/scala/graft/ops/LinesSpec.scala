@@ -64,6 +64,24 @@ class LinesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$plan")
   }
 
+  test("qualityFlags sets exactly the bits each planted defect trips") {
+    val cases = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today fine", 0L), // clean
+      (2L, "too short", 1L + 8L),                    // <8 words, no stopword
+      (3L, "the " + Seq.fill(30)("zz").mkString(" "), 16L), // repetitive, has stopword
+      (4L, "the 00 11 22 33 44 55 66 77 88 99", 4L), // digits kill alpha ratio
+      (5L, "the extraordinarily incomprehensible characteristically " +
+        "internationalization multidimensionality discombobulated " +
+        "electroencephalography catastrophically", 2L)) // mean word len > 12
+      .toDF("id", "text", "expect")
+    val got = cases.select(col("id"), col("expect"),
+        TextOps.qualityFlags(col("text")).as("flags"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.foreach { case (id, (expect, flags)) =>
+      assert(flags === expect, s"doc $id: expected mask $expect, got $flags")
+    }
+  }
+
   test("results are stable under repartitioning") {
     val a = Lines.removeBoilerplate(corpus, col("doc_id"), col("text"), 3)
       .orderBy("id").collect().toSeq
