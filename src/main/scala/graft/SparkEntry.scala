@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, TemporalJoin, TextOps}
+import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, TemporalJoin, TextOps}
 import org.apache.spark.sql.graft.ColumnBridge
 
 /**
@@ -2155,6 +2155,18 @@ object SparkEntry {
           element_at(col("chunk"), size(col("chunk"))).as("tail_tok"))
     }),
 
+    // Sparse all-pairs similarity: inverted-index posting self-join over
+    // word bigrams with a df-cap (Bayardo-style frequent-term pruning).
+    // Per-term join fanout is bounded by maxDf^2 and pair partials by
+    // maxDf x kept postings — linear in the corpus for a fixed cap, never
+    // the O(n^2) brute force. Exact integer tf inner products; top-20 by
+    // (dot desc, ids) is a total order, physically TakeOrderedAndProject.
+    "sparse_pairs" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      SparseSim.topPairs(d, col("doc_id"), TextOps.wordNgrams(col("text"), 2),
+        maxDf = 20L, k = 20)
+    }),
+
     // Corpus term statistics — the IDF-table / stopword-list / vocabulary
     // builder: two keyed aggregations with map-side partials, exact counts.
     "text_term_stats" -> ((s, dir) => {
@@ -3966,6 +3978,25 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_toks,
         |  chunk[1] AS head_tok, chunk[len(chunk)] AS tail_tok
         |FROM s""".stripMargin,
+
+    "sparse_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS term
+        |  FROM tok),
+        |pt AS (SELECT term, doc_id, count(*) AS tf FROM ng GROUP BY 1, 2),
+        |keep AS (SELECT term FROM pt GROUP BY term HAVING count(*) <= 20),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    sum(a.tf * b.tf) AS dot, count(*) AS shared_terms
+        |  FROM pt a JOIN keep USING (term) JOIN pt b USING (term)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+        |  CAST(shared_terms AS BIGINT) AS shared_terms
+        |FROM pr ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin,
 
     "text_term_stats" ->
       """WITH tok AS (
