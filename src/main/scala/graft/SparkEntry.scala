@@ -902,6 +902,25 @@ object SparkEntry {
           coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
     }),
 
+    // Temperature-scaled mixture (alpha = 1/2): keep probability
+    // proportional to sqrt(source size) — the multilingual/low-resource
+    // flattening recipe. Weights are EXACT integer sqrts of the per-source
+    // counts (one counter-scale aggregate, BigInt permille arithmetic
+    // driver-side), then a zero-shuffle arithHash gate over the corpus;
+    // the skewed 60/30/10 source split makes the flattening visible
+    // (small sources keep a higher rate than large ones).
+    "temp_mixture" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+        .withColumn("src",
+          when(col("doc_id") % 10 < 6, lit("web"))
+            .when(col("doc_id") % 10 < 9, lit("books"))
+            .otherwise(lit("code")))
+      Sampling.temperatureMixture(d, col("src"), col("doc_id"), 250L)
+        .groupBy(col("src").as("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+    }),
+
     // Per-group quota: at most 25 docs per language, picked by descending
     // deterministic hash with id tie-break — domain/language capping via
     // the bounded top-k heap aggregate, so no per-group window sort and
@@ -3246,6 +3265,31 @@ object SparkEntry {
         |  SELECT * FROM m
         |  WHERE hv % 100 <
         |    CASE source WHEN 'web' THEN 80 WHEN 'books' THEN 50 ELSE 20 END)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+        |FROM kept GROUP BY source""".stripMargin,
+
+    "temp_mixture" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 6 THEN 'web'
+        |         WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END AS source,
+        |    ((doc_id % 1000003) * 2654435761 + 104729) % 1000003 % 1000 AS hv
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n FROM m GROUP BY 1),
+        |w AS (
+        |  SELECT source, n,
+        |    CASE WHEN (x + 1) * (x + 1) <= n THEN x + 1
+        |         WHEN x * x > n THEN x - 1 ELSE x END AS w
+        |  FROM (SELECT source, n,
+        |          CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS x FROM c)),
+        |p AS (
+        |  SELECT source,
+        |    least(1000, (1000::HUGEINT * 250 * w) // ((SELECT sum(w) FROM w) * n)) AS permille
+        |  FROM w),
+        |kept AS (
+        |  SELECT m.source, m.doc_id FROM m JOIN p USING (source)
+        |  WHERE m.hv < p.permille)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
         |FROM kept GROUP BY source""".stripMargin,

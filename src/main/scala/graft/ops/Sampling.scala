@@ -71,6 +71,59 @@ object Sampling {
   }
 
   /**
+   * Per-source keep-permilles for a temperature-scaled mixture
+   * (alpha = 1/2): sampling probability proportional to
+   * `count(source)^alpha` — the standard multilingual/low-resource
+   * up-weighting recipe (large sources are flattened toward small ones)
+   * with the exponent fixed at 1/2 so every weight is an EXACT integer
+   * (integer sqrt of the source count; a general `pow` is not correctly
+   * rounded and would not replay across engines). Expected kept rows
+   * total ~`targetRows`, allocated proportionally to sqrt(count):
+   * `permille_s = min(1000, (1000 * targetRows * isqrt(n_s)) div
+   * (sum_w * n_s))` — floor semantics, so a source whose allocation
+   * rounds below 1/1000 of its rows drops out VISIBLY here (permille 0)
+   * rather than silently oversampling.
+   *
+   * One aggregate job collects one row per source (counter scale — source
+   * cardinality is small by the same contract as [[mixture]]'s weights
+   * map); the arithmetic is driver-side BigInt, exact at any corpus size
+   * and any target (the in-plan Long product `1000 * targetRows * w`
+   * would overflow at ~10^19). A SQL oracle replays it with 128-bit
+   * integer division.
+   */
+  def temperaturePermilles(df: DataFrame, source: Column,
+      targetRows: Long): Map[String, Int] = {
+    require(targetRows >= 0, s"targetRows must be non-negative, got $targetRows")
+    def bigIsqrt(n: BigInt): BigInt = {
+      var x = BigInt(math.floor(math.sqrt(n.toDouble)).toLong)
+      while ((x + 1) * (x + 1) <= n) x += 1
+      while (x * x > n) x -= 1
+      x
+    }
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> BigInt(r.getLong(1))).toMap
+    val ws = counts.map { case (s, n) => s -> bigIsqrt(n) }
+    val sw = ws.values.sum
+    counts.map { case (s, n) =>
+      val p = (BigInt(1000) * targetRows * ws(s)) / (sw * n)
+      s -> p.min(1000).toInt
+    }
+  }
+
+  /**
+   * Temperature-scaled mixture (alpha = 1/2): [[temperaturePermilles]]
+   * inlined into a NARROW deterministic [[arithHash]] gate — zero joins,
+   * zero shuffles on the corpus; re-running, repartitioning, or
+   * backfilling keeps the SAME rows.
+   */
+  def temperatureMixture(df: DataFrame, source: Column, key: Column,
+      targetRows: Long): DataFrame = {
+    val perm = temperaturePermilles(df, source, targetRows)
+    if (perm.isEmpty) df.filter(lit(false))
+    else df.filter(arithHash(key) % 1000 < element_at(litMap(perm), source))
+  }
+
+  /**
    * Quality-mass (top-p / nucleus) carve: per group, keep the HIGHEST-mass
    * rows until `permille`/1000 of the group's total mass is covered — the
    * relative counterpart of [[budgetCarvePerGroup]]'s absolute budgets

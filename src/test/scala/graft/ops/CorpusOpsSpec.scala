@@ -96,6 +96,55 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("temperature permilles match exact BigInt arithmetic on skewed sources") {
+    // 6000 web / 3000 books / 1000 code; target 5000 of 10000
+    val df = spark.range(0, 10000)
+      .select(col("id"), when(col("id") % 10 < 6, "web")
+        .when(col("id") % 10 < 9, "books").otherwise("code").as("source"))
+    val perm = Sampling.temperaturePermilles(df, col("source"), 5000L)
+    def expect(n: Long, sw: Long, w: Long) =
+      math.min(1000L, 1000L * 5000L * w / (sw * n)).toInt
+    // isqrt: 6000->77, 3000->54, 1000->31; sum 162
+    assert(perm === Map(
+      "web" -> expect(6000, 162, 77),
+      "books" -> expect(3000, 162, 54),
+      "code" -> expect(1000, 162, 31)))
+    // alpha=1/2 flattens: keep RATE must increase as source size decreases
+    assert(perm("web") < perm("books") && perm("books") < perm("code"))
+  }
+
+  test("temperature mixture is deterministic and hits per-source allocations") {
+    val df = spark.range(0, 10000)
+      .select(col("id"), when(col("id") % 10 < 6, "web")
+        .when(col("id") % 10 < 9, "books").otherwise("code").as("source"))
+    val perm = Sampling.temperaturePermilles(df, col("source"), 5000L)
+    val kept = Sampling.temperatureMixture(df, col("source"), col("id"), 5000L)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = Map("web" -> 6000L, "books" -> 3000L, "code" -> 1000L)
+    sizes.foreach { case (s, n) =>
+      assert(math.abs(bySrc(s).toDouble / n - perm(s) / 1000.0) < 0.03,
+        s"$s kept ${bySrc(s)} of $n vs permille ${perm(s)}")
+    }
+    // pure function of the key: repartitioning selects the SAME rows
+    val a = kept.collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMixture(df.repartition(17), col("source"),
+      col("id"), 5000L).collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("temperature mixture drops a source only when its allocation rounds to zero") {
+    val df = spark.range(0, 4000)
+      .select(col("id"), when(col("id") < 3996, "big").otherwise("tiny").as("source"))
+    // target so small that big's permille floors to 0 but tiny's stays > 0:
+    // w(big)=63, w(tiny)=2, sw=65; big: 1000*T*63/(65*3996) -> 0 for T<5
+    val perm = Sampling.temperaturePermilles(df, col("source"), 4L)
+    assert(perm("big") === 0)
+    assert(perm("tiny") > 0)
+    val kept = Sampling.temperatureMixture(df, col("source"), col("id"), 4L)
+    assert(kept.filter(col("source") === "big").count() === 0L)
+  }
+
   test("per-group quota matches the sort-based selection") {
     val df = spark.range(0, 2000)
       .select(col("id"), pmod(col("id"), lit(7)).as("g"))
