@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, TemporalJoin, TextOps}
+import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, SubstrSearch, TemporalJoin, TextOps}
 import org.apache.spark.sql.graft.ColumnBridge
 
 /**
@@ -2186,6 +2186,18 @@ object SparkEntry {
         maxDf = 20L, k = 20)
     }),
 
+    // Substring retrieval via a char q-gram inverted index: candidates
+    // must contain EVERY q-gram of the pattern (zero false negatives),
+    // then an exact contains() verify removes gram coincidences — the
+    // candidates-then-verify contract, here over an index whose persisted
+    // form ([[SubstrSearch.writeGramIndex]]) is gram-bucket-pruned at
+    // probe time. Result equals the plain contains() scan, found without
+    // one.
+    "substr_search" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      SubstrSearch.search(d, "doc_id", "text", "fast merge", q = 8)
+    }),
+
     // Corpus term statistics — the IDF-table / stopword-list / vocabulary
     // builder: two keyed aggregations with map-side partials, exact counts.
     "text_term_stats" -> ((s, dir) => {
@@ -4041,6 +4053,11 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
         |  CAST(shared_terms AS BIGINT) AS shared_terms
         |FROM pr ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    "substr_search" ->
+      """SELECT doc_id,
+        |  CAST((length(text) - length(replace(text, 'fast merge', ''))) // 10 AS BIGINT) AS n_occ
+        |FROM documents WHERE contains(text, 'fast merge')""".stripMargin,
 
     "text_term_stats" ->
       """WITH tok AS (
