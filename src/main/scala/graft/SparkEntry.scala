@@ -31,6 +31,29 @@ object SparkEntry {
 
   private def pq(dir: String, table: String): String = s"$dir/$table.parquet"
 
+  /**
+   * The events table with `ts` normalized to epoch NANOSECONDS as a long,
+   * whichever way the generator wrote it:
+   *  - parquet TIMESTAMP(NANOS) is unreadable by Spark except as raw int64
+   *    via `spark.sql.legacy.parquet.nanosAsLong` (strictly enabling — the
+   *    flag only affects NANOS columns) — those longs ARE epoch nanos;
+   *  - parquet TIMESTAMP(MICROS) reads as a timestamp type and is
+   *    converted exactly (`unix_micros * 1000`; the cast pins NTZ wall
+   *    time to the session's UTC, matching DuckDB's naive-as-UTC
+   *    `epoch_us`/`epoch_ns` on the oracle side).
+   * Every event query does exact integer gap/day arithmetic on these
+   * nanos, identically across both on-disk flavors.
+   */
+  private def eventsNs(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = s.read.parquet(pq(dir, "events"))
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => e
+      case _ => e.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
+
   /** Make `name` writable as a managed table: drop any registration AND
     * delete an orphaned warehouse location (the metastore is per-session
     * in-memory, so a table written by a previous JVM leaves its directory
@@ -306,12 +329,8 @@ object SparkEntry {
     }),
 
     "win_sessions" -> ((s, dir) => {
-      // events.ts is TIMESTAMP(NANOS), which Spark's Parquet reader rejects
-      // outright; this session-wide conf is the documented escape hatch and
-      // is strictly enabling (it only affects NANOS columns, which are
-      // otherwise unreadable). Read the raw nanos, do exact integer gaps.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(pq(dir, "events"))
+      // exact integer gap arithmetic over eventsNs's epoch-nanos ts
+      val e = eventsNs(s, dir)
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_session",
@@ -1098,10 +1117,9 @@ object SparkEntry {
     // source-changed alarm, computed from one counter aggregate (shuffle
     // = days x types rows, never the events), exact micro-units.
     "drift_l1" -> ((s, dir) => {
-      // see win_sessions for why nanosAsLong is required for events.ts;
+      // see eventsNs for the ts normalization;
       // day index = nanos since 2024-01-01 UTC div 86400e9, exact integers
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(pq(dir, "events"))
+      val e = eventsNs(s, dir)
         // FLOOR division (div truncates toward zero): a pre-epoch event
         // must land in day -1, matching the oracle's calendar datediff
         .withColumn("day", expr(
@@ -1118,8 +1136,7 @@ object SparkEntry {
     // map-side combinable) and two users-sized equi-joins — the corpus
     // shuffles once per stage on user_id, anchors are one struct per user.
     "event_funnel" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(pq(dir, "events"))
+      val e = eventsNs(s, dir)
         .select(col("user_id"), col("event_type"),
           struct(col("ts"), col("event_id")).as("k"))
       val v = e.filter(col("event_type") === "view")
@@ -1140,8 +1157,7 @@ object SparkEntry {
     // then per-user min) and one users-sized join; the classic product-
     // analytics table from one pass over the event log.
     "event_retention" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(pq(dir, "events")).withColumn("day", expr(
+      val e = eventsNs(s, dir).withColumn("day", expr(
         "(ts - 1704067200000000000L - pmod(ts - 1704067200000000000L, " +
           "86400000000000L)) div 86400000000000L"))
       val ud = e.select(col("user_id"), col("day")).distinct()
@@ -1155,8 +1171,7 @@ object SparkEntry {
     // bins of events.value — the value-distribution-shifted alarm, same
     // constant-size counter-aggregate plan as the categorical monitor.
     "drift_hist" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(pq(dir, "events"))
+      val e = eventsNs(s, dir)
         .withColumn("day", expr(
           "(ts - 1704067200000000000L - pmod(ts - 1704067200000000000L, " +
             "86400000000000L)) div 86400000000000L"))
@@ -1837,9 +1852,7 @@ object SparkEntry {
     // pre-aggregates to one row per (user, ts) — the determinism contract
     // DuckDB's native ASOF JOIN (the oracle) imposes too.
     "asof_join" -> ((s, dir) => {
-      // see win_sessions for why nanosAsLong is required for events.ts
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(pq(dir, "events"))
+      val ev = eventsNs(s, dir)
         .filter(col("user_id") < 30)
         .select(col("user_id"), expr("ts div 1000").as("e_ts"), col("event_id"))
       val ord = s.read.parquet(pq(dir, "orders"))
@@ -1856,8 +1869,7 @@ object SparkEntry {
     // linear merge shape as the directional as-ofs (one shuffle, two
     // growing-frame window passes sharing the exchange, no join operator).
     "asof_nearest" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(pq(dir, "events"))
+      val ev = eventsNs(s, dir)
         .filter(col("user_id") < 30)
         .select(col("user_id"), expr("ts div 1000").as("e_ts"), col("event_id"))
       val ord = s.read.parquet(pq(dir, "orders"))
@@ -1875,10 +1887,9 @@ object SparkEntry {
     // left as-of exactly. Unmatched events survive with null dims (LEFT
     // semantics — the streaming enrich never drops events).
     "stream_asof_enrich" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val staging = "/tmp/graft_stream_asof_" + suffix
-      s.read.parquet(pq(dir, "events"))
+      eventsNs(s, dir)
         .filter(col("user_id") < 30)
         .select(col("user_id"), expr("ts div 1000").as("e_ts"), col("event_id"))
         .write.mode("overwrite").parquet(staging)
@@ -1915,10 +1926,9 @@ object SparkEntry {
     // is closed-form). Values are staged integer-valued (floor(v*100)) so
     // the double session sums are bit-stable on both engines.
     "stream_sessions" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val staging = "/tmp/graft_stream_sess_" + suffix
-      s.read.parquet(pq(dir, "events"))
+      eventsNs(s, dir)
         .filter(col("user_id") < 20)
         .select(col("user_id"),
           timestamp_millis(expr("ts div 1000000")).as("ts"),
@@ -1952,10 +1962,9 @@ object SparkEntry {
     // the plain batch group-by. Values staged integer-valued for
     // bit-stable double accumulation.
     "stream_running_totals" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val staging = "/tmp/graft_stream_rt_" + suffix
-      s.read.parquet(pq(dir, "events"))
+      eventsNs(s, dir)
         .filter(col("user_id") < 20)
         .select(col("user_id"),
           timestamp_millis(expr("ts div 1000000")).as("ts"),
@@ -1987,10 +1996,9 @@ object SparkEntry {
     // splits into batches. The oracle explodes each event into its three
     // containing windows (window = 3 x slide, epoch-aligned).
     "stream_window_counts" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val staging = "/tmp/graft_stream_win_" + suffix
-      s.read.parquet(pq(dir, "events"))
+      eventsNs(s, dir)
         .select(timestamp_millis(expr("ts div 1000000")).as("ts"))
         .coalesce(1).write.mode("overwrite").parquet(staging)
       val sink = "graft_stream_win_sink_" + suffix
@@ -2013,10 +2021,9 @@ object SparkEntry {
     // the emitted SET closed-form (payload of the surviving row is
     // arrival-order-dependent and deliberately not part of the contract).
     "stream_dedup" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val staging = "/tmp/graft_stream_dedup_" + suffix
-      s.read.parquet(pq(dir, "events"))
+      eventsNs(s, dir)
         .select(col("user_id"), col("event_type"),
           timestamp_millis(expr("ts div 1000000")).as("ts"))
         .coalesce(1).write.mode("overwrite").parquet(staging)
