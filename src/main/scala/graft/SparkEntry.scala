@@ -2193,6 +2193,24 @@ object SparkEntry {
         maxDf = 20L, k = 20)
     }),
 
+    // Content-defined chunking dedup: chunk boundaries from a rolling
+    // 16-codepoint window hash (divisor 32), so a 2-char inserted prefix
+    // ('zq' planted copies) re-synchronizes to identical chunks after the
+    // first boundary — the shifted-duplicate case fixed-stride spans
+    // structurally miss. Pairs = docs sharing >= 2 distinct chunks of
+    // >= 20 chars; the oracle replays the SAME window hash
+    // position-parallel in SQL (the rolling and direct forms are the same
+    // mathematical function).
+    "cdc_dedup" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      val corpus = d.filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+        .union(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("zq"), col("text")).as("text")))
+      Dedup.cdcSharedPairs(corpus, col("doc_id"), col("text"),
+        window = 16, divisor = 32, minChunkLen = 20, minShared = 2)
+    }),
+
     // Substring retrieval via a char q-gram inverted index: candidates
     // must contain EVERY q-gram of the pattern (zero false negatives),
     // then an exact contains() verify removes gram coincidences — the
@@ -4060,6 +4078,38 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
         |  CAST(shared_terms AS BIGINT) AS shared_terms
         |FROM pr ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    "cdc_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, 'zq' || text AS text
+        |  FROM documents WHERE doc_id < 50),
+        |codes AS (
+        |  SELECT doc_id, text,
+        |    list_transform(range(1, length(text) + 1), i -> unicode(text[i:i])) AS cs
+        |  FROM corpus),
+        |cuts AS (
+        |  SELECT doc_id, text,
+        |    list_filter(range(16, length(text) + 1),
+        |      p -> list_reduce(cs[p-15:p], (a, c) -> (a * 31 + c) % 1000003) % 32 = 0) AS cut
+        |  FROM codes),
+        |bounds AS (
+        |  SELECT doc_id, text,
+        |    list_concat(list_concat([CAST(0 AS BIGINT)], cut),
+        |      CASE WHEN len(cut) > 0 AND cut[-1] = length(text)
+        |           THEN CAST([] AS BIGINT[]) ELSE [CAST(length(text) AS BIGINT)] END) AS b
+        |  FROM cuts),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(b)), k -> text[b[k]+1 : b[k+1]]))) AS chunk
+        |  FROM bounds),
+        |keep AS (SELECT doc_id, chunk FROM chunks WHERE length(chunk) >= 20),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM keep a JOIN keep b USING (chunk) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 2""".stripMargin,
 
     "substr_search" ->
       """SELECT doc_id,

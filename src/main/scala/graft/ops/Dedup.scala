@@ -461,4 +461,50 @@ object Dedup {
       .select(col("sd_id").as(idCol), col("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
   }
+
+  /**
+   * Content-defined chunks of a text column
+   * ([[graft.functions.CdcChunksExpr]]): boundaries where the rolling
+   * `window`-codepoint polynomial hash divides by `divisor` — a function
+   * of local CONTENT, not position. A duplicate with an inserted prefix
+   * or an internal patch re-synchronizes to identical chunks at the next
+   * unchanged window, which fixed-stride spans ([[duplicatedSpanStats]]'s
+   * word n-grams) structurally cannot do for sub-token shifts. One narrow
+   * codegen pass; expected chunk length ~ `divisor` characters.
+   */
+  def cdcChunks(text: Column, window: Int = 16, divisor: Int = 32): Column =
+    ColumnBridge.column(graft.functions.CdcChunksExpr(
+      ColumnBridge.expression(text), window, divisor))
+
+  /**
+   * Shifted/patched-duplicate pairs by shared content-defined chunks:
+   * documents sharing at least `minShared` distinct chunks of at least
+   * `minChunkLen` characters. The chunk relation (a NARROW
+   * scan→chunk→explode projection) self-joins as an equi-join on the
+   * chunk, so only documents sharing a chunk ever pair; `minChunkLen`
+   * keeps incidental
+   * short chunks out of the candidate space the same way [[SparseSim]]'s
+   * df-cap bounds frequent terms. Pair fanout is sum over chunks of
+   * df^2 — true duplication concentrates it, which is the signal; run
+   * [[exact]] dedup first so identical documents don't pay it here.
+   * Chunks join as exact strings (hash-carry would trade the oracle's
+   * exactness; at corpus scale swap in `xxhash64(chunk)` for the carry
+   * and verify survivors exactly, the [[Decontam]] contract).
+   */
+  def cdcSharedPairs(df: DataFrame, id: Column, text: Column,
+      window: Int = 16, divisor: Int = 32, minChunkLen: Int = 20,
+      minShared: Int = 2): DataFrame = {
+    require(minChunkLen >= 1, s"minChunkLen must be >= 1, got $minChunkLen")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val chunks = df.select(id.as("doc"),
+        explode(array_distinct(cdcChunks(text, window, divisor))).as("chunk"))
+      .filter(length(col("chunk")) >= minChunkLen)
+    val a = chunks.select(col("chunk"), col("doc").as("doc_a"))
+    val b = chunks.select(col("chunk"), col("doc").as("doc_b"))
+    a.join(b, "chunk")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }
