@@ -83,10 +83,10 @@ object CdcChunksExpr {
     }
     starts(n) = str.length
 
-    // 31^(window-1) mod Mod, for removing the outgoing character
-    var powW1 = 1L
+    // 31^window mod Mod, for removing the outgoing character
+    var powW = 1L
     var k = 0
-    while (k < window - 1) { powW1 = powW1 * 31L % Mod; k += 1 }
+    while (k < window) { powW = powW * 31L % Mod; k += 1 }
 
     val chunks = new java.util.ArrayList[Any]()
     var prevCut = 0 // codepoint index after the last cut
@@ -98,7 +98,7 @@ object CdcChunksExpr {
       // keeping the invariant h = H(i) over the last min(i+1, window) chars
       h = (h * 31L + codes(i)) % Mod
       if (i >= window) {
-        h = (h - codes(i - window) % Mod * (powW1 * 31L % Mod)) % Mod
+        h = (h - codes(i - window) % Mod * powW) % Mod
         if (h < 0) h += Mod
       }
       if (i >= window - 1 && h % divisor == 0) {

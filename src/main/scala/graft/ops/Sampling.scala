@@ -100,8 +100,12 @@ object Sampling {
       while (x * x > n) x -= 1
       x
     }
+    // null sources are excluded: a null map key is rejected by the map
+    // literal at runtime, and element_at(map, null) drops the row in the
+    // gate anyway — same semantics as [[mixture]]'s missing-source drop
     val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> BigInt(r.getLong(1))).toMap
+      .collect().flatMap(r =>
+        Option(r.getString(0)).map(_ -> BigInt(r.getLong(1)))).toMap
     val ws = counts.map { case (s, n) => s -> bigIsqrt(n) }
     val sw = ws.values.sum
     counts.map { case (s, n) =>

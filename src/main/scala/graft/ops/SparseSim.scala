@@ -99,10 +99,14 @@ object SparseSim {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     postings(docs, id, terms)
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .agg(
-        sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("kept_terms"),
-        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("dropped_terms"),
-        sum(when(col("df") <= maxDf, col("df")).otherwise(0L)).as("kept_postings"),
-        sum(when(col("df") > maxDf, col("df")).otherwise(0L)).as("dropped_postings"))
+      .agg( // coalesce: an empty vocabulary audits as zeros, not nulls
+        coalesce(sum(when(col("df") <= maxDf, 1L).otherwise(0L)), lit(0L))
+          .as("kept_terms"),
+        coalesce(sum(when(col("df") > maxDf, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_terms"),
+        coalesce(sum(when(col("df") <= maxDf, col("df")).otherwise(0L)), lit(0L))
+          .as("kept_postings"),
+        coalesce(sum(when(col("df") > maxDf, col("df")).otherwise(0L)), lit(0L))
+          .as("dropped_postings"))
   }
 }

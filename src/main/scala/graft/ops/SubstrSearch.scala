@@ -50,13 +50,18 @@ object SubstrSearch {
       table: String, buckets: Int): Unit =
     Bucketing.writeBucketed(gramPostings(docs, id, text, q), "gram", buckets, table)
 
-  /** The pattern's distinct q-grams (driver-side; the pattern is a literal). */
+  /** The pattern's distinct q-grams (driver-side; the pattern is a
+    * literal). Windows slide over CODEPOINTS, matching the codepoint-based
+    * index grams ([[graft.functions.CharNgramsExpr]]) — UTF-16-unit
+    * windows would split surrogate pairs and produce grams that cannot
+    * exist in the index (silent false negatives for non-BMP patterns). */
   private def patternGrams(pattern: String, q: Int): Seq[String] = {
     require(q >= 2, s"q must be >= 2, got $q")
-    require(pattern.length >= q,
-      s"pattern must be at least q=$q chars, got ${pattern.length}; " +
+    val cps = pattern.codePoints().toArray
+    require(cps.length >= q,
+      s"pattern must be at least q=$q chars, got ${cps.length}; " +
         "a shorter pattern needs a plain contains() scan")
-    pattern.sliding(q).toSeq.distinct
+    (0 to cps.length - q).map(i => new String(cps, i, q)).distinct
   }
 
   /** Candidate doc ids from a posting table: documents containing EVERY
@@ -79,9 +84,11 @@ object SubstrSearch {
     docs.join(broadcast(cand), docs(idCol) === cand("doc"), "left_semi")
       .filter(col(textCol).contains(pattern))
       .select(col(idCol),
+        // length() counts codepoints, so the divisor must too — the
+        // UTF-16 unit count overcounts non-BMP characters
         ((length(col(textCol)) -
           length(replace(col(textCol), lit(pattern), lit("")))) /
-          lit(pattern.length)).cast("long").as("n_occ"))
+          lit(pattern.codePointCount(0, pattern.length))).cast("long").as("n_occ"))
 
   /** Ad-hoc search: build the posting table and probe it in one plan.
     * Result is EXACTLY the plain `contains` filter (verified), found
