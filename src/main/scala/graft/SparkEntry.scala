@@ -2193,6 +2193,17 @@ object SparkEntry {
         maxDf = 20L, k = 20)
     }),
 
+    // Character-collision (Rényi-2) repetitiveness: the log-free entropy
+    // proxy — exact integer micro-units, one narrow codegen pass — ranking
+    // the most degenerate (padding/separator-spam) documents first. The
+    // quality-filter companion to text_quality's ratio features.
+    "text_diversity" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      d.select(col("doc_id"), TextOps.charCollisionMicro(col("text")).as("coll_micro"))
+        .orderBy(col("coll_micro").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Content-defined chunking dedup: chunk boundaries from a rolling
     // 16-codepoint window hash (divisor 32), so a 2-char inserted prefix
     // ('zq' planted copies) re-synchronizes to identical chunks after the
@@ -4078,6 +4089,17 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
         |  CAST(shared_terms AS BIGINT) AS shared_terms
         |FROM pr ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    "text_diversity" ->
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1), i -> unicode(text[i:i]))) AS c
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM codes GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(k * k) AS sq, sum(k) AS n FROM cnt GROUP BY 1)
+        |SELECT doc_id, CAST((1000000::HUGEINT * sq) // (n * n) AS BIGINT) AS coll_micro
+        |FROM agg WHERE n > 0
+        |ORDER BY coll_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     "cdc_dedup" ->
       """WITH corpus AS (

@@ -219,6 +219,16 @@ object TextOps {
   def charNgrams(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgramsExpr(ColumnBridge.expression(text), n))
 
+  /** Character collision probability in exact micro-units
+    * ([[graft.functions.CollisionScoreExpr]]): `floor(1e6 * sum(c_i^2) /
+    * n^2)` over codepoint counts — the log-free (Rényi-2) repetitiveness
+    * signal: natural prose sits low, single-character padding and
+    * separator spam drive it toward 1e6. One narrow codegen pass; exact
+    * integers, so any engine replays it bit-for-bit. */
+  def charCollisionMicro(text: Column): Column =
+    ColumnBridge.column(graft.functions.CollisionScoreExpr(
+      ColumnBridge.expression(text)))
+
   /**
    * Distinctive character trigrams per language, the classic n-gram-profile
    * language-ID signal (small fixed profiles keep the heuristic exactly
