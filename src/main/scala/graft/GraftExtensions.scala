@@ -133,6 +133,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       withIntLit("freq_sketch") { (item, cap) =>
         graft.functions.FreqSketch(item, cap)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("char_collision_micro"),
+      info(classOf[graft.functions.CollisionScoreExpr], "char_collision_micro"),
+      unary("char_collision_micro")(graft.functions.CollisionScoreExpr)))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      info(classOf[graft.functions.CdcChunksExpr], "cdc_chunks"),
+      { args =>
+        if (args.length != 3) {
+          throw new IllegalArgumentException(
+            s"Function cdc_chunks requires exactly 3 arguments, got ${args.length}")
+        }
+        (args(1), args(2)) match {
+          case (Literal(w: Int, IntegerType), Literal(d: Int, IntegerType)) =>
+            graft.functions.CdcChunksExpr(args(0), w, d)
+          case other => throw new IllegalArgumentException(
+            s"Function cdc_chunks requires literal INT window/divisor arguments, got $other")
+        }
+      }))
     // aggregate: the analyzer wraps a returned AggregateFunction into an
     // AggregateExpression, so SQL `top_k_by_score(score, id, 5)` works in
     // GROUP BY queries like any builtin aggregate

@@ -56,6 +56,21 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("cdc_chunks and char_collision_micro are callable from SQL") {
+    val row = spark.sql("""
+      SELECT
+        char_collision_micro('aaaa') AS degenerate,
+        char_collision_micro('abcd') AS uniform,
+        cdc_chunks('short', 16, 32) AS whole
+      """).collect()(0)
+    assert(row.getLong(0) === 1000000L)
+    assert(row.getLong(1) === 250000L)
+    assert(row.getSeq[String](2) === Seq("short")) // no full window -> one chunk
+    // non-literal window is rejected at resolution
+    intercept[Exception](
+      spark.sql("SELECT cdc_chunks('ab', CAST(rand() * 3 AS INT), 32)").collect())
+  }
+
   test("sql functions validate arity and literal arguments") {
     intercept[Exception](spark.sql("SELECT cosine_sim(array(CAST(1.0 AS FLOAT)))").collect())
     // non-literal n for char_ngrams is rejected at resolution
