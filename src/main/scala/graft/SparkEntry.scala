@@ -2193,6 +2193,23 @@ object SparkEntry {
         maxDf = 20L, k = 20)
     }),
 
+    // Winsorization through the histogram sketch: per-returnflag 5%/95%
+    // quantile bounds from a counter-scale aggregate (never a sort of the
+    // data), broadcast back, then a narrow clamp — the outlier-clipping
+    // feature-pipeline step. Clip counts and the exact decimal sum of the
+    // clipped column pin the whole construction.
+    "winsorize_clip" -> ((s, dir) => {
+      val l = s.read.parquet(pq(dir, "lineitem"))
+      Sketches.winsorize(l, col("l_returnflag"), col("l_quantity"),
+          width = 2L, nbins = 32, loMicro = 50000L, hiMicro = 950000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("clipped") > col("l_quantity"), 1L).otherwise(0L)).as("n_raised"),
+          sum(when(col("clipped") < col("l_quantity"), 1L).otherwise(0L)).as("n_lowered"),
+          max(col("lo_bound")).as("lo_bound"), max(col("hi_bound")).as("hi_bound"),
+          dsum(col("clipped")).as("sum_clipped"))
+    }),
+
     // Character-collision (Rényi-2) repetitiveness: the log-free entropy
     // proxy — exact integer micro-units, one narrow codegen pass — ranking
     // the most degenerate (padding/separator-spam) documents first. The
@@ -4089,6 +4106,35 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
         |  CAST(shared_terms AS BIGINT) AS shared_terms
         |FROM pr ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    "winsorize_clip" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS g,
+        |    least(greatest(CAST(floor(l_quantity) AS BIGINT), 0) // 2, 31) AS bin,
+        |    count(*) AS cnt
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+        |c AS (
+        |  SELECT g, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY g) AS n
+        |  FROM h),
+        |b AS (
+        |  SELECT g,
+        |    min(CASE WHEN cum * 1000000 >= n * 50000 THEN (bin + 1) * 2 END) AS lo_bound,
+        |    min(CASE WHEN cum * 1000000 >= n * 950000 THEN (bin + 1) * 2 END) AS hi_bound
+        |  FROM c GROUP BY g),
+        |clipped AS (
+        |  SELECT l.l_returnflag, l.l_quantity,
+        |    b.lo_bound, b.hi_bound,
+        |    least(greatest(l.l_quantity, b.lo_bound), b.hi_bound) AS clipped
+        |  FROM lineitem l JOIN b ON l.l_returnflag = b.g)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN clipped > l_quantity THEN 1 ELSE 0 END) AS BIGINT) AS n_raised,
+        |  CAST(sum(CASE WHEN clipped < l_quantity THEN 1 ELSE 0 END) AS BIGINT) AS n_lowered,
+        |  CAST(max(lo_bound) AS BIGINT) AS lo_bound,
+        |  CAST(max(hi_bound) AS BIGINT) AS hi_bound,
+        |  CAST(sum(CAST(clipped AS DECIMAL(28,6))) AS DOUBLE) AS sum_clipped
+        |FROM clipped GROUP BY l_returnflag""".stripMargin,
 
     "text_diversity" ->
       """WITH codes AS (

@@ -181,4 +181,30 @@ object Sketches {
     c.groupBy(col("g"))
       .agg(max(col("n")).as("n"), aggs: _*)
   }
+
+  /**
+   * Winsorization (quantile clipping) through the [[histogram]] sketch:
+   * clamp `value` into the per-group `[lo, hi]` where lo/hi are the
+   * histogram-quantile upper bounds at `loMicro`/`hiMicro`
+   * ([[histQuantilesMicro]]'s one-bin-width resolution and domain-cap
+   * contract apply) — the outlier-clipping step of a feature pipeline
+   * without ever sorting the data: the sketch is one counter-scale
+   * aggregate (`groups x nbins` rows), the bounds broadcast back, and the
+   * clip is a narrow projection. Appends `clipped`, `lo_bound`,
+   * `hi_bound`; null values stay null (no bound substitution); a group
+   * whose values are all null gets null bounds and passes values through.
+   */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+      width: Long, nbins: Int, loMicro: Long, hiMicro: Long): DataFrame = {
+    require(loMicro > 0L && loMicro <= hiMicro && hiMicro <= 1000000L,
+      s"need 0 < loMicro <= hiMicro <= 1e6, got $loMicro/$hiMicro")
+    val bounds = histQuantilesMicro(histogram(df, group, value, width, nbins),
+        width, Seq("lo_bound" -> loMicro, "hi_bound" -> hiMicro))
+      .select(col("g").as("__wg"), col("lo_bound"), col("hi_bound"))
+    df.join(broadcast(bounds), group === col("__wg"), "left")
+      .withColumn("clipped",
+        when(value.isNull, lit(null))
+          .otherwise(least(greatest(value, col("lo_bound")), col("hi_bound"))))
+      .drop("__wg")
+  }
 }

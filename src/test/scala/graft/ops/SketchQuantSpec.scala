@@ -64,6 +64,43 @@ class SketchQuantSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clips to the sketch bounds and matches a driver replay") {
+    val values = (1 to 500).map(i => ("g", (i * 7 % 1000).toDouble)) ++
+      (1 to 300).map(i => ("h", (i * 13 % 2000).toDouble))
+    val df = values.toDF("grp", "v")
+    val width = 100L
+    val out = Sketches.winsorize(df, col("grp"), col("v"), width, nbins = 24,
+        loMicro = 50000L, hiMicro = 950000L)
+      .select(col("grp"), col("v"), col("clipped"), col("lo_bound"), col("hi_bound"))
+      .collect()
+    // bounds replay: first bin whose cumulative count reaches q*n
+    val bounds = values.groupBy(_._1).map { case (g, vs) =>
+      val bins = vs.map(_._2).map(v => math.min(math.max(v.toLong, 0L) / width, 23L))
+      val counts = bins.groupBy(identity).view.mapValues(_.size.toLong)
+      val n = bins.size.toLong
+      def ub(qMicro: Long): Long = (0L to 23L)
+        .find(b => counts.filterKeys(_ <= b).values.sum * 1000000L >= n * qMicro)
+        .map(b => (b + 1) * width).get
+      g -> ((ub(50000L), ub(950000L)))
+    }
+    for (r <- out) {
+      val (lo, hi) = bounds(r.getString(0))
+      assert((r.getLong(3), r.getLong(4)) === ((lo, hi)))
+      val expect = math.min(math.max(r.getDouble(1), lo.toDouble), hi.toDouble)
+      assert(r.getDouble(2) === expect)
+    }
+    // every clipped value is inside the bounds
+    assert(out.forall(r => r.getDouble(2) >= r.getLong(3) && r.getDouble(2) <= r.getLong(4)))
+  }
+
+  test("winsorize passes nulls through and keeps row count") {
+    val df = Seq(("g", Some(1.0)), ("g", None), ("g", Some(9.0)), ("g", Some(5.0)),
+      ("g", Some(5.0)), ("g", Some(5.0))).toDF("grp", "v")
+    val out = Sketches.winsorize(df, col("grp"), col("v"), 1L, 16, 100000L, 900000L)
+    assert(out.count() === 6L)
+    assert(out.filter(col("v").isNull && col("clipped").isNotNull).count() === 0L)
+  }
+
   test("histogram clamps values outside [0, nbins*width) into edge bins") {
     val df = Seq(("g", -50.0), ("g", 1e9), ("g", 150.0)).toDF("g", "v")
     val bins = Sketches.histogram(df, col("g"), col("v"), width = 100L, nbins = 4)
