@@ -2193,6 +2193,37 @@ object SparkEntry {
         maxDf = 20L, k = 20)
     }),
 
+    // Schema-evolution diff from FOOTERS: stage an evolved snapshot
+    // (added column, removed column, int64->int32 narrowing), then diff
+    // the two layouts through the metadata source's column level —
+    // added/removed/type_changed/unchanged per column plus value counts,
+    // at footer-read cost (no data scan on either side). The oracle
+    // re-derives the same diff from DuckDB's parquet_metadata.
+    "meta_schema_diff" -> ((s, dir) => {
+      val out = "/tmp/graft_schema_diff_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "orders"))
+        .withColumn("o_priority_rank", (col("o_orderkey") % 5).cast("int"))
+        .withColumn("o_custkey", col("o_custkey").cast("int"))
+        .drop("o_orderpriority")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      def side(path: String, t: String, n: String) =
+        meta(s, path, "column")
+          .groupBy(col("path").as("col_name"))
+          .agg(max(col("type")).as(t), sum(col("num_values")).as(n))
+      side(pq(dir, "orders"), "type_before", "n_before")
+        .join(side(out, "type_after", "n_after"), Seq("col_name"), "full_outer")
+        .select(col("col_name"),
+          when(col("type_before").isNull, lit("added"))
+            .when(col("type_after").isNull, lit("removed"))
+            .when(col("type_before") =!= col("type_after"), lit("type_changed"))
+            .otherwise(lit("unchanged")).as("status"),
+          coalesce(col("type_before"), lit("-")).as("type_before"),
+          coalesce(col("type_after"), lit("-")).as("type_after"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+    }),
+
     // Winsorization through the histogram sketch: per-returnflag 5%/95%
     // quantile bounds from a counter-scale aggregate (never a sort of the
     // data), broadcast back, then a narrow clamp — the outlier-clipping
@@ -4106,6 +4137,26 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
         |  CAST(shared_terms AS BIGINT) AS shared_terms
         |FROM pr ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    "meta_schema_diff" ->
+      """WITH before AS (
+        |  SELECT path_in_schema AS col_name, max(type) AS type_before,
+        |    sum(num_values) AS n_before
+        |  FROM parquet_metadata('/root/testdata/sf0.01/orders.parquet') GROUP BY 1),
+        |after AS (
+        |  SELECT path_in_schema AS col_name, max(type) AS type_after,
+        |    sum(num_values) AS n_after
+        |  FROM parquet_metadata('/tmp/graft_schema_diff_sf0.01/*.parquet') GROUP BY 1)
+        |SELECT col_name,
+        |  CASE WHEN b.type_before IS NULL THEN 'added'
+        |       WHEN a.type_after IS NULL THEN 'removed'
+        |       WHEN b.type_before <> a.type_after THEN 'type_changed'
+        |       ELSE 'unchanged' END AS status,
+        |  coalesce(b.type_before, '-') AS type_before,
+        |  coalesce(a.type_after, '-') AS type_after,
+        |  CAST(coalesce(b.n_before, 0) AS BIGINT) AS n_before,
+        |  CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
+        |FROM before b FULL OUTER JOIN after a USING (col_name)""".stripMargin,
 
     "winsorize_clip" ->
       """WITH h AS (
