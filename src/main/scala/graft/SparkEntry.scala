@@ -2193,6 +2193,27 @@ object SparkEntry {
         maxDf = 20L, k = 20)
     }),
 
+    // Per-source redundancy report: what fraction of each source's
+    // distinct-bigram postings also appear in at least one OTHER document
+    // — the "how templated is this source" dashboard row that decides
+    // where dedup budget goes. One posting shuffle (the inverted-index
+    // build, corpus-token-sized once), a term-keyed window for df on that
+    // same partitioning, then a counter-scale per-source aggregate; exact
+    // integer micro-units.
+    "corpus_redundancy" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      val p = d.select(col("source"), col("doc_id"),
+        explode(array_distinct(TextOps.wordNgrams(col("text"), 2))).as("g"))
+      val withDf = p.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("g"))))
+      withDf.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_postings"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("shared_micro",
+          expr("n_shared * 1000000L div n_postings"))
+    }),
+
     // Schema-evolution diff from FOOTERS: stage an evolved snapshot
     // (added column, removed column, int64->int32 narrowing), then diff
     // the two layouts through the metadata source's column level —
@@ -4137,6 +4158,26 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
         |  CAST(shared_terms AS BIGINT) AS shared_terms
         |FROM pr ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    "corpus_redundancy" ->
+      """WITH ng AS (
+        |  SELECT source, doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1]))) AS g
+        |  FROM (
+        |    SELECT source, doc_id,
+        |      list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |    FROM documents)),
+        |withdf AS (
+        |  SELECT source, doc_id, g,
+        |    count(*) OVER (PARTITION BY g) AS df
+        |  FROM ng)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_postings,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS shared_micro
+        |FROM withdf GROUP BY source""".stripMargin,
 
     "meta_schema_diff" ->
       """WITH before AS (
