@@ -1772,6 +1772,38 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
+    // FILTERED vector search against the persisted IVF store: the store
+    // carries a label attribute (writeIvfStore extras) and the probe
+    // PRE-filters on it in-scan, so top-k is computed among matching rows
+    // only. Two exact duplicates are planted per query — one with the
+    // target label (+100000), one with a decoy label (+200000). Under a
+    // post-filter the decoy would crowd the shortlist; under the correct
+    // pre-filter rank 1 is provably the matching-label copy and the decoy
+    // cannot appear at all — which is exactly what the closed-form oracle
+    // pins.
+    "ann_filtered" -> ((s, dir) => {
+      val tbl = freshTable(s, "graft_ivf_filtered_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_"))
+      freshTable(s, tbl + "_centroids")
+      val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val base = e.withColumn("lab", pmod(col("vec_id"), lit(7L)).cast("int"))
+      val dupGood = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+          lit(5).as("lab"))
+      val dupDecoy = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"),
+          lit(999).as("lab"))
+      val corpus = base.union(dupGood).union(dupDecoy)
+      val queries = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.writeIvfStore(corpus, "vec_id", "embedding", tbl,
+        k = 16, iters = 1, scale = 64, buckets = 8, extras = Seq("lab"))
+      Similarity.searchIvfStore(s, tbl, queries, "q_id", "q_vec",
+          nprobe = 4, k = 3, storeFilter = Some(col("lab") === 5))
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
     // IVF store ABSORB: the index is written from the base corpus only,
     // then an increment of exact copies (+200000) is absorbed with the
     // store's own persisted geometry — searching afterwards must rank each
@@ -3972,6 +4004,14 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "ann_ivf_store" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // pre-filtered store search: rank 1 must be the matching-label copy
+    // (+100000); the cosine-identical decoy (+200000, wrong label) cannot
+    // appear because the filter runs BEFORE ranking (closed-form recall)
+    "ann_filtered" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
         |  CAST(vec_id + 100000 AS BIGINT) AS neighbor_id
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

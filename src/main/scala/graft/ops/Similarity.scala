@@ -373,11 +373,20 @@ object Similarity {
       k: Int,
       iters: Int,
       scale: Int,
-      buckets: Int = 16): Array[Array[Float]] = {
+      buckets: Int = 16,
+      extras: Seq[String] = Nil): Array[Array[Float]] = {
+    val reserved = Set("id", "cell", "qvec", "__qq", "__qc", "score")
+    require(extras.forall(!reserved.contains(_)),
+      s"extra columns collide with the store schema (${reserved.mkString(", ")})")
     val centroids = ivfCentroids(corpus, idCol, vecCol, k, iters)
-    val cells = corpus.select(col(idCol).as("id"),
-      nearestCell(col(vecCol), centroids).as("cell"),
-      quantizeI8(col(vecCol), scale).as("qvec"))
+    // `extras` ride along in the store row (label, source, timestamp...)
+    // so probes can PRE-filter on them in-scan — filtered vector search;
+    // an absorb into an extras-carrying store must supply the same extras
+    // (Spark rejects the schema mismatch loudly)
+    val cells = corpus.select(col(idCol).as("id") +:
+      nearestCell(col(vecCol), centroids).as("cell") +:
+      quantizeI8(col(vecCol), scale).as("qvec") +:
+      extras.map(col): _*)
     Bucketing.writeBucketed(cells, "cell", buckets, table)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -451,7 +460,8 @@ object Similarity {
       queryId: String,
       queryVec: String,
       nprobe: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      storeFilter: Option[Column] = None): DataFrame = {
     val reserved = Set("id", "cell", "qvec", "__qq", "__qc", "score")
     require(!reserved.contains(queryId),
       s"query id column '$queryId' collides with the store schema or a " +
@@ -460,8 +470,13 @@ object Similarity {
     val probes = quantizedProbes(queries, queryId, queryVec, centroids, nprobe, scale)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
-    val store = spark.table(table)
+    // storeFilter is a PRE-filter over stored extras (see writeIvfStore):
+    // top-k is computed among matching rows only — not a post-filter that
+    // silently returns fewer than k — and the predicate reaches the
+    // parquet scan next to the cell IN-list (row-group skipping applies)
+    val store0 = spark.table(table)
       .filter(col("cell").isin(probedCells: _*))
+    val store = storeFilter.fold(store0)(store0.filter)
       .select(col("id"), col("cell"), col("qvec").as("__qc"))
     rankQuantizedCells(store, "id", probes, queryId, k)
   }

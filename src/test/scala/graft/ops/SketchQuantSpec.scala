@@ -460,6 +460,53 @@ class SketchQuantSpec extends SparkSpec {
     assert(err.getMessage.contains("does not exist"))
   }
 
+  test("filtered store search pre-filters: decoy duplicates never rank") {
+    val rnd = new scala.util.Random(29)
+    def unit(): Array[Float] = {
+      val v = Array.fill(32)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 60L).map(i => (i, unit(), (i % 3).toInt))
+    // per query: one exact copy with the target label, one with a decoy
+    val planted = (0L until 5L).flatMap { i =>
+      Seq((i + 1000L, base(i.toInt)._2, 7), (i + 2000L, base(i.toInt)._2, 999))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding", "lab")
+    val queries = base.take(5).map(t => (t._1, t._2)).toDF("q_id", "q_vec")
+    val tbl = freshTable("graft_ivf_filt_spec")
+    freshTable("graft_ivf_filt_spec_centroids")
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", tbl,
+      k = 8, iters = 1, scale = 64, buckets = 4, extras = Seq("lab"))
+    val out = Similarity.searchIvfStore(spark, tbl, queries, "q_id", "q_vec",
+      nprobe = 2, k = 3, storeFilter = Some(col("lab") === 7))
+    out.collect() // finalize AQE
+    val neighbors = out.select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // rank 1 per query = its target-label copy; the decoy never appears
+    for (q <- 0L until 5L) {
+      assert(neighbors.contains((q, 1, q + 1000L)),
+        s"query $q should find its label-7 copy at rank 1: ${neighbors.toSeq}")
+    }
+    assert(!neighbors.exists(_._3 >= 2000L),
+      s"decoy-label duplicates must be pre-filtered away: ${neighbors.toSeq}")
+    // only label-7 rows competed at all (planted copies are the whole set)
+    assert(neighbors.forall(_._3 >= 1000L))
+    // the label predicate reaches the store scan next to the cell IN-list
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(lab,7)"),
+      s"store filter must push to the parquet scan:\n$plan")
+  }
+
+  test("writeIvfStore rejects extras colliding with the store schema") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 0.0f), 3)).toDF("vec_id", "embedding", "cell")
+    intercept[IllegalArgumentException] {
+      Similarity.writeIvfStore(df, "vec_id", "embedding", "graft_never_written",
+        k = 2, iters = 1, scale = 64, extras = Seq("cell"))
+    }
+  }
+
   test("searchIvfStore rejects query id columns that collide with the store schema") {
     val err = intercept[IllegalArgumentException] {
       Similarity.searchIvfStore(spark, "graft_ivf_spec",
