@@ -1112,6 +1112,26 @@ object SparkEntry {
           sum(col("n_sym").cast("long")).as("n_bpe_tokens"))
     }),
 
+    // Tokenizer fertility per domain: chars-per-BPE-token in exact micro
+    // units for each source — the tokenizer-QA table that shows which
+    // domains a trained vocabulary serves poorly (low chars/token = more
+    // tokens per char = more compute per char). Same trained merges and
+    // narrow codegen encode as bpe_encode; one counter-scale aggregate.
+    "bpe_efficiency" -> ((s, dir) => {
+      val d = s.read.parquet(pq(dir, "documents"))
+      val merges = Bpe.trainOnWords(d, col("text"), nMerges = 8)
+      d.select(col("source"), explode(TextOps.tokens(col("text"))).as("word"))
+        .select(col("source"), length(col("word")).cast("long").as("nc"),
+          size(Bpe.applyMerges(
+            regexp_extract_all(col("word"), lit("."), lit(0)), merges))
+            .cast("long").as("ns"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"), sum(col("nc")).as("n_chars"),
+          sum(col("ns")).as("n_bpe_tokens"))
+        .withColumn("chars_per_tok_micro",
+          expr("n_chars * 1000000L div n_bpe_tokens"))
+    }),
+
     // Distribution-drift monitor: per-day event-type distributions and
     // the integer L1 distance between consecutive days — the upstream-
     // source-changed alarm, computed from one counter aggregate (shuffle
@@ -3611,6 +3631,20 @@ object SparkEntry {
     "bpe_merges" -> bpeMergesOracleSql(8),
 
     "bpe_encode" -> bpeEncodeOracleSql(8),
+
+    "bpe_efficiency" ->
+      s"""${bpeTrainCtes(8)}
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+         |  CAST(sum(len(v.s)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(length(d.word)) * 1000000 // sum(len(v.s)) AS BIGINT) AS chars_per_tok_micro
+         |FROM (
+         |  SELECT source,
+         |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+         |  FROM documents) d
+         |JOIN v8 v USING (word)
+         |GROUP BY d.source""".stripMargin,
 
     "pipeline_tokenize" ->
       s"""${bpeTrainCtes(8)},
