@@ -1112,6 +1112,19 @@ object SparkEntry {
           sum(col("n_sym").cast("long")).as("n_bpe_tokens"))
     }),
 
+    // EMBEDDING drift per label between two snapshot halves (even/odd
+    // vec_id): exact cross-multiplied L1 between mean quantized vectors —
+    // division-free integers end to end, the re-index-the-vector-store
+    // alarm. One dim-sized-buffer aggregate per side; only groups x dim
+    // sums reach the driver.
+    "drift_vector" -> ((s, dir) => {
+      val e = s.read.parquet(pq(dir, "embeddings"))
+      Drift.vectorDriftI8(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        col("label"), col("embedding"), scale = 64)
+    }),
+
     // Tokenizer fertility per domain: chars-per-BPE-token in exact micro
     // units for each source — the tokenizer-QA table that shows which
     // domains a trained vocabulary serves poorly (low chars/token = more
@@ -3631,6 +3644,30 @@ object SparkEntry {
     "bpe_merges" -> bpeMergesOracleSql(8),
 
     "bpe_encode" -> bpeEncodeOracleSql(8),
+
+    "drift_vector" ->
+      """WITH qv AS (
+        |  SELECT vec_id, CAST(label AS VARCHAR) AS g,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> greatest(least(CAST(floor(x * 64) AS BIGINT), 127), -128)) AS q8
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT g, vec_id % 2 = 0 AS is_a, i, q8[i] AS qd
+        |  FROM qv, unnest(range(1, len(q8) + 1)) AS r(i)),
+        |sums AS (
+        |  SELECT g, i,
+        |    sum(CASE WHEN is_a THEN qd ELSE 0 END) AS sa,
+        |    sum(CASE WHEN NOT is_a THEN qd ELSE 0 END) AS sb
+        |  FROM dims GROUP BY 1, 2),
+        |cnts AS (
+        |  SELECT g,
+        |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+        |  FROM qv GROUP BY 1)
+        |SELECT g, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(sum(abs(sa * nb - sb * na)) AS BIGINT) AS l1_cross
+        |FROM sums JOIN cnts USING (g)
+        |GROUP BY g, na, nb""".stripMargin,
 
     "bpe_efficiency" ->
       s"""${bpeTrainCtes(8)}

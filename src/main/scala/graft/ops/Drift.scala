@@ -79,4 +79,56 @@ object Drift {
         expr(s"least(greatest(floor(v), 0L) div ${width}L, ${(nbins - 1).toLong}L)").as("bin"))
     l1Drift(categoricalShares(binned, col("__w"), col("bin")))
   }
+
+  /**
+   * EMBEDDING drift between two corpus snapshots, per group — the signal
+   * the IVF-store contract names for "re-index when the vector
+   * distribution drifts" ([[Similarity.appendToIvfStore]]): the exact
+   * integer cross-multiplied L1 distance between the groups' mean
+   * quantized vectors,
+   *   `l1_cross(g) = sum_d | sa_d * n_b - sb_d * n_a |`
+   * (the L1 of the mean difference scaled by `n_a * n_b` — division-free,
+   * so no rounding anywhere). Output `(g, n_a, n_b, l1_cross)`; a group
+   * missing from one side drifts 0 by this metric (its other side's mean
+   * times n=0) and still appears, so side-only groups are visible.
+   *
+   * Exactness chain: int8 quantization ([[Similarity.quantizeI8]], SQL-
+   * replayable floor/clamp) -> element sums in double
+   * ([[Similarity.vectorSumAgg]] — int8 values are integer-valued, so the
+   * double accumulation is exact below 2^53, i.e. to ~7e13 rows/group) ->
+   * BigInt cross-products driver-side. The per-side aggregate is ONE pass
+   * folding each vector into a dim-sized buffer; only `groups x dim`
+   * sums reach the driver (the same counter-scale collect as the k-means
+   * centroids). Result must fit a long — loud failure otherwise.
+   */
+  def vectorDriftI8(a: DataFrame, b: DataFrame, group: Column, vec: Column,
+      scale: Int): DataFrame = {
+    def side(df: DataFrame): Map[String, (IndexedSeq[Long], Long)] =
+      df.select(group.cast("string").as("g"),
+          Similarity.quantizeI8(vec, scale).cast("array<float>").as("q"))
+        .groupBy(col("g"))
+        .agg(Similarity.vectorSumAgg(col("q")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getSeq[Double](1).map(_.toLong).toIndexedSeq, r.getLong(2))))
+        .toMap
+    val sa = side(a)
+    val sb = side(b)
+    val rows = (sa.keySet ++ sb.keySet).toSeq.sorted.map { g =>
+      val (va, na) = sa.getOrElse(g, (IndexedSeq.empty[Long], 0L))
+      val (vb, nb) = sb.getOrElse(g, (IndexedSeq.empty[Long], 0L))
+      val dim = math.max(va.length, vb.length)
+      val l1 = (0 until dim).map { d =>
+        (BigInt(va.applyOrElse(d, (_: Int) => 0L)) * nb -
+          BigInt(vb.applyOrElse(d, (_: Int) => 0L)) * na).abs
+      }.sum
+      require(l1.isValidLong,
+        s"l1_cross for group '$g' exceeds Long range; compare means directly " +
+          "at this population size")
+      (g, na, nb, l1.toLong)
+    }
+    val spark = a.sparkSession
+    import spark.implicits._
+    rows.toDF("g", "n_a", "n_b", "l1_cross")
+  }
 }

@@ -60,4 +60,36 @@ class DriftSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("share_micro"))
     assert(shares.forall(_ === 333333L)) // 1000000 div 3, integer division
   }
+
+  test("vector drift is zero for identical snapshots, exact for a planted shift") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // group "same": identical vectors both sides -> l1_cross 0
+    // group "shifted": side A all (1.0, 0.0), side B all (0.0, 1.0)
+    //   quantized at 64: A sums (2*64, 0), B sums (3*0, 3*64)
+    //   l1 = |128*3 - 0*2| + |0*3 - 192*2| = 384 + 384 = 768
+    val a = Seq(
+      ("same", Array(0.5f, 0.5f)), ("same", Array(0.25f, 0.75f)),
+      ("shifted", Array(1.0f, 0.0f)), ("shifted", Array(1.0f, 0.0f)))
+      .toDF("g0", "v")
+    val b = Seq(
+      ("same", Array(0.5f, 0.5f)), ("same", Array(0.25f, 0.75f)),
+      ("shifted", Array(0.0f, 1.0f)), ("shifted", Array(0.0f, 1.0f)),
+      ("shifted", Array(0.0f, 1.0f)))
+      .toDF("g0", "v")
+    val out = Drift.vectorDriftI8(a, b, col("g0"), col("v"), scale = 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("same") === ((2L, 2L, 0L)))
+    assert(out("shifted") === ((2L, 3L, 768L)))
+  }
+
+  test("vector drift reports side-only groups with zero cross-metric") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = Seq(("only_a", Array(1.0f, 0.0f))).toDF("g0", "v")
+    val b = Seq(("only_b", Array(0.0f, 1.0f))).toDF("g0", "v")
+    val out = Drift.vectorDriftI8(a, b, col("g0"), col("v"), scale = 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map("only_a" -> ((1L, 0L, 0L)), "only_b" -> ((0L, 1L, 0L))))
+  }
 }
