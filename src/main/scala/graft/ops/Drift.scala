@@ -103,8 +103,12 @@ object Drift {
    */
   def vectorDriftI8(a: DataFrame, b: DataFrame, group: Column, vec: Column,
       scale: Int): DataFrame = {
+    // null vectors are excluded on BOTH legs of the ratio: vectorSumAgg
+    // skips them, so counting them in n would silently shrink the mean
+    // (the same hazard ivfCentroids filters at its collect)
     def side(df: DataFrame): Map[String, (IndexedSeq[Long], Long)] =
-      df.select(group.cast("string").as("g"),
+      df.filter(vec.isNotNull)
+        .select(group.cast("string").as("g"),
           Similarity.quantizeI8(vec, scale).cast("array<float>").as("q"))
         .groupBy(col("g"))
         .agg(Similarity.vectorSumAgg(col("q")).as("s"), count(lit(1)).as("n"))

@@ -71,6 +71,11 @@ object Similarity {
   def nearestCells(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     ColumnBridge.column(NearestCells(ColumnBridge.expression(vec), centroids, nprobe))
 
+  /** Store schema + working column names of the persisted IVF index —
+    * the one collision contract shared by [[writeIvfStore]] (extras),
+    * [[appendToIvfStore]] (extras) and [[searchIvfStore]] (query id). */
+  private val StoreReserved = Set("id", "cell", "qvec", "__qq", "__qc", "score")
+
   /** Element-wise vector sum aggregate (double accumulation, one pass). */
   def vectorSumAgg(vec: Column): Column =
     ColumnBridge.column(VectorSumF(ColumnBridge.expression(vec)).toAggregateExpression())
@@ -375,9 +380,8 @@ object Similarity {
       scale: Int,
       buckets: Int = 16,
       extras: Seq[String] = Nil): Array[Array[Float]] = {
-    val reserved = Set("id", "cell", "qvec", "__qq", "__qc", "score")
-    require(extras.forall(!reserved.contains(_)),
-      s"extra columns collide with the store schema (${reserved.mkString(", ")})")
+    require(extras.forall(!StoreReserved.contains(_)),
+      s"extra columns collide with the store schema (${StoreReserved.mkString(", ")})")
     val centroids = ivfCentroids(corpus, idCol, vecCol, k, iters)
     // `extras` ride along in the store row (label, source, timestamp...)
     // so probes can PRE-filter on them in-scan — filtered vector search;
@@ -409,7 +413,9 @@ object Similarity {
    * stale cells). Re-index when the vector distribution drifts materially
    * — the drift monitors are that signal. `buckets` must match the
    * original write, same caller-kept contract as the band store (Spark
-   * rejects a mismatched bucket count loudly).
+   * rejects a mismatched bucket count loudly). A store written with
+   * [[writeIvfStore]] `extras` must be absorbed with the SAME `extras`
+   * (Spark rejects the schema mismatch loudly otherwise).
    */
   def appendToIvfStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -417,13 +423,17 @@ object Similarity {
       vecs: DataFrame,
       idCol: String,
       vecCol: String,
-      buckets: Int = 16): Unit = {
+      buckets: Int = 16,
+      extras: Seq[String] = Nil): Unit = {
     require(spark.catalog.tableExists(table),
       s"IVF store '$table' does not exist; write it with writeIvfStore first")
+    require(extras.forall(!StoreReserved.contains(_)),
+      s"extra columns collide with the store schema (${StoreReserved.mkString(", ")})")
     val (centroids, scale) = readIvfGeometry(spark, table)
-    val cells = vecs.select(col(idCol).as("id"),
-      nearestCell(col(vecCol), centroids).as("cell"),
-      quantizeI8(col(vecCol), scale).as("qvec"))
+    val cells = vecs.select(col(idCol).as("id") +:
+      nearestCell(col(vecCol), centroids).as("cell") +:
+      quantizeI8(col(vecCol), scale).as("qvec") +:
+      extras.map(col): _*)
     Bucketing.writeBucketed(cells, "cell", buckets, table, mode = "append")
   }
 
@@ -462,10 +472,9 @@ object Similarity {
       nprobe: Int,
       k: Int,
       storeFilter: Option[Column] = None): DataFrame = {
-    val reserved = Set("id", "cell", "qvec", "__qq", "__qc", "score")
-    require(!reserved.contains(queryId),
+    require(!StoreReserved.contains(queryId),
       s"query id column '$queryId' collides with the store schema or a " +
-        s"working column (${reserved.mkString(", ")}); alias it first")
+        s"working column (${StoreReserved.mkString(", ")}); alias it first")
     val (centroids, scale) = readIvfGeometry(spark, table)
     val probes = quantizedProbes(queries, queryId, queryVec, centroids, nprobe, scale)
     val probedCells = probes.select(col("cell")).distinct()
