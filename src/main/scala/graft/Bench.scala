@@ -50,7 +50,27 @@ object Bench {
     // comparable load-for-load, so the artifact carries its own context
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // The per-round artifact keeps only the TAIL of this process's output,
+    // so anything that must survive truncation has to print LAST. Two
+    // measures: (1) the complete per-query record is also written to a
+    // committed file (path overridable for per-round naming); (2) the final
+    // stdout line is a compact, self-contained summary — total, load, error
+    // count, and only the top-10 slowest queries — small enough that no
+    // reasonable tail capture can cut it.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCHFULL", "BENCHFULL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"benchfull write failed: $e")
+    }
+    println(fullLine)
+    val top10 = results.sortBy(-_._2).take(10)
+      .map { case (k, v, _) => Json.str(k) + ":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"nQueries":${results.size},"nErrors":${results.count(_._3.isDefined)},"queries":$top10,"full":${Json.str(fullPath)},"sf":"$sfDir"}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(2)
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.meta.MetaPrune
-import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, SubstrSearch, TemporalJoin, TextOps}
+import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, MediaRecord, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, SubstrSearch, TemporalJoin, TextOps}
 import org.apache.spark.sql.graft.ColumnBridge
 
 /**
@@ -192,6 +192,66 @@ object SparkEntry {
         .filter(col("l_orderkey") >= 100L && col("l_orderkey") <= 500L)
         .agg(count(lit(1)).as("n_rows"),
           dsum(col("l_quantity")).as("sum_qty"))),
+
+    // DATE-typed pruning: lay orders out date-clustered (range partition by
+    // order date -> each file covers a narrow date span, the layout any
+    // time-series table converges to), then answer a two-month window by
+    // opening only the files whose INT32 epoch-day footer stats admit it.
+    // The oracle recomputes the window from ALL written files with an
+    // independent engine — equality proves pruning dropped no rows; the
+    // MetaPruneSpec proves it drops files.
+    "meta_prune_date" -> ((s, dir) => {
+      val out = "/tmp/graft_prune_date_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "orders"))
+        .select(to_date(col("o_orderdate")).as("od"), col("o_orderkey"))
+        .repartitionByRange(6, col("od"))
+        .write.mode("overwrite").parquet(out)
+      val lo = java.time.LocalDate.parse("1996-03-01")
+      val hi = java.time.LocalDate.parse("1996-08-31")
+      MetaPrune.readPrunedDate(s, out, "od", lo, hi)
+        .filter(col("od") >= lit(java.sql.Date.valueOf(lo)) &&
+          col("od") <= lit(java.sql.Date.valueOf(hi)))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("o_orderkey")), lit(0L)).as("key_sum"))
+    }),
+
+    // String-prefix pruning over the typed BINARY min/max stats (unsigned
+    // lexicographic byte order on both the parquet and the Spark side —
+    // the whole admit check is built-in binary comparisons, no decode
+    // expression). Prefix "src1" covers src1 and src10..src19, exercising
+    // the [prefix, nextPrefix) upper bound.
+    "meta_prune_prefix" -> ((s, dir) => {
+      val out = "/tmp/graft_prune_prefix_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), col("source"))
+        .repartitionByRange(5, col("source"))
+        .write.mode("overwrite").parquet(out)
+      MetaPrune.readPrunedPrefix(s, out, "source", "src1")
+        .filter(col("source").startsWith("src1"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+    }),
+
+    // DECIMAL pruning: prices as DECIMAL(20,2) force the
+    // FIXED_LEN_BYTE_ARRAY physical encoding (precision > 18), whose stats
+    // are big-endian two's complement — the PlainStatUnscaled decode path;
+    // bounds are unscaled at the declared scale (1000.00 -> 100000).
+    "meta_prune_decimal" -> ((s, dir) => {
+      val out = "/tmp/graft_prune_decimal_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "lineitem"))
+        .select(col("l_orderkey"),
+          col("l_extendedprice").cast("decimal(20,2)").as("price"))
+        .repartitionByRange(6, col("price"))
+        .write.mode("overwrite").parquet(out)
+      MetaPrune.readPrunedUnscaled(s, out, "price", 100000L, 500000L)
+        .filter(col("price") >= lit(BigDecimal("1000.00")) &&
+          col("price") <= lit(BigDecimal("5000.00")))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("l_orderkey")), lit(0L)).as("key_sum"))
+    }),
 
     // End-to-end export audit: write a Hive-partitioned training export
     // (one file per partition via repartition-by-key), then build its
@@ -1862,15 +1922,29 @@ object SparkEntry {
     }),
 
     // ----- LLM-data-pipeline: multimodal columns -----------------------
+    // REAL image decode: each documents row becomes a genuine PNG or JPEG
+    // payload (JDK ImageIO fixture encoder, dimensions closed-form in
+    // doc_id), and the query recovers width/height by parsing the PNG IHDR
+    // / JPEG SOF container headers executor-side — no pixel decode, the
+    // 100 TB-appropriate kernel. The oracle re-derives the dimensions from
+    // the same closed form, so a header-parse bug (endianness, offset,
+    // marker walk) breaks the hash match. Fixture generation is a narrow
+    // typed map; extraction is the mapPartitions batch-decode contract.
     "mm_features" -> ((s, dir) => {
+      import s.implicits._
       val media = s.read.parquet(pq(dir, "documents"))
-        .filter(col("doc_id") < 50)
-        .select(col("doc_id").as("media_id"), lit("text/plain").as("kind"),
-          col("text").cast("binary").as("bytes"))
-      Multimodal.extractFeaturesSql(media)
-        .select(col("media_id"), col("byte_size").cast("long").as("byte_size"),
+        .filter(col("doc_id") < 50).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 16 + (id % 37).toInt
+          val h = 16 + (id % 23).toInt
+          val fmt = if (id % 2 == 0) "png" else "jpeg"
+          MediaRecord(id, s"image/$fmt", Multimodal.encodeFixture(fmt, w, h, id))
+        }(Multimodal.mediaRecordEnc)
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"),
           col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"), col("checksum"))
+          col("height").cast("long").as("height"),
+          (col("width") * col("height")).cast("long").as("n_pixels"))
     }),
 
     // Binary content dedup — the image/audio exact-dedup pass: group
@@ -2676,6 +2750,27 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 100 AND 500""".stripMargin,
 
+    // independent recomputation over ALL the written fixture files — any
+    // file wrongly pruned by the date-stats path breaks n_rows/key_sum
+    // (same-machine fixed sf0.01 path, like the export_manifest oracle)
+    "meta_prune_date" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS key_sum
+        |FROM read_parquet('/tmp/graft_prune_date_sf0.01/*.parquet')
+        |WHERE od BETWEEN DATE '1996-03-01' AND DATE '1996-08-31'""".stripMargin,
+
+    "meta_prune_prefix" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+        |FROM read_parquet('/tmp/graft_prune_prefix_sf0.01/*.parquet')
+        |WHERE starts_with(source, 'src1')""".stripMargin,
+
+    "meta_prune_decimal" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) AS key_sum
+        |FROM read_parquet('/tmp/graft_prune_decimal_sf0.01/*.parquet')
+        |WHERE price BETWEEN 1000.00 AND 5000.00""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
@@ -3459,6 +3554,11 @@ object SparkEntry {
         |    ((doc_id % 1000003) * 2654435761 + 104729) % 1000003 % 1000 AS hv
         |  FROM documents),
         |c AS (SELECT source, count(*) AS n FROM m GROUP BY 1),
+        |-- isqrt via one correction step around floor(sqrt(n::DOUBLE)):
+        |-- exact only while n < 2^52, where the double sqrt is within one
+        |-- step of the true root. The Scala side loops to exactness at any
+        |-- n; beyond 2^52 rows/source this oracle (not the engine) would
+        |-- need an iterative isqrt.
         |w AS (
         |  SELECT source, n,
         |    CASE WHEN (x + 1) * (x + 1) <= n THEN x + 1
@@ -4094,16 +4194,15 @@ object SparkEntry {
         |  CAST(vec_id + 200000 AS BIGINT) AS neighbor_id
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    // the query encodes each row as a real PNG/JPEG with these exact
+    // closed-form dimensions and then parses them back off the container
+    // headers; the oracle recomputes the closed form independently
     "mm_features" ->
       """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
-        |  CAST(64 + octet_length(encode(text)) % 576 AS BIGINT) AS width,
-        |  CAST(64 + octet_length(encode(text)) % 416 AS BIGINT) AS height,
-        |  list_reduce(
-        |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(list_filter(string_split(substring(text, 1, 64), ''), c -> c <> ''),
-        |        c -> CAST(unicode(c) AS BIGINT))),
-        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS checksum
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS kind,
+        |  CAST(16 + doc_id % 37 AS BIGINT) AS width,
+        |  CAST(16 + doc_id % 23 AS BIGINT) AS height,
+        |  CAST((16 + doc_id % 37) * (16 + doc_id % 23) AS BIGINT) AS n_pixels
         |FROM documents WHERE doc_id < 50""".stripMargin,
 
     // independent re-derivation of the manifest from the written files

@@ -68,3 +68,84 @@ object PlainStatLong {
         ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong)
     } else null
 }
+
+/**
+ * Decode a parquet statistic to a DECIMAL's unscaled value as LONG,
+ * covering every physical encoding parquet uses for decimals (format spec
+ * `logical_types.md`): INT32/INT64 carry the unscaled value little-endian
+ * (same bytes as [[PlainStatLong]]); FIXED_LEN_BYTE_ARRAY and BINARY carry
+ * it BIG-endian two's complement. Wide byte arrays still decode when the
+ * value itself fits a long (leading bytes are pure sign extension — the
+ * overwhelmingly common case for real-world decimal data in a wide
+ * physical type); a genuinely >64-bit value yields null, which pruning
+ * treats as "cannot rule the chunk out" — sound, never lossy.
+ */
+@ExpressionDescription(
+  usage = "_FUNC_(bytes, type) - parquet decimal statistic's unscaled value as LONG, else NULL.")
+case class PlainStatUnscaled(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "plain_stat_unscaled"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, string) arguments, got " +
+          s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
+
+  override def nullSafeEval(bytes: Any, tpe: Any): Any =
+    PlainStatUnscaled.compute(
+      bytes.asInstanceOf[Array[Byte]], tpe.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("decoded")
+    nullSafeCodeGen(ctx, ev, (b, t) => s"""
+      java.lang.Long $tmp = graft.functions.PlainStatUnscaled.compute($b, $t);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.longValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PlainStatUnscaled =
+    copy(left = newLeft, right = newRight)
+}
+
+object PlainStatUnscaled {
+  private val FLBA = UTF8String.fromString("FIXED_LEN_BYTE_ARRAY")
+  // the column level renders physical types as the Thrift enum names:
+  // variable-length binary is BYTE_ARRAY, not parquet-mr's "BINARY"
+  private val BINARY = UTF8String.fromString("BYTE_ARRAY")
+
+  /** Big-endian two's complement to Long; null when empty or the value
+    * truly needs more than 64 bits (leading bytes beyond 8 must be sign
+    * extension of what follows). */
+  private[graft] def bigEndianLong(b: Array[Byte]): java.lang.Long = {
+    val n = b.length
+    if (n == 0) return null
+    val sign: Byte = if ((b(0) & 0x80) != 0) -1 else 0
+    var i = 0
+    while (i < n - 8) {
+      if (b(i) != sign) return null // magnitude exceeds 64 bits
+      i += 1
+    }
+    // when n > 8 the retained window must still open with the sign bit the
+    // dropped bytes promised, else the value needs a 65th bit
+    if (n > 8 && ((b(n - 8) & 0x80) != 0) != (sign == -1)) return null
+    var v: Long = sign // seeds 0... or 1... so short arrays sign-extend
+    i = math.max(0, n - 8)
+    while (i < n) {
+      v = (v << 8) | (b(i) & 0xFFL)
+      i += 1
+    }
+    java.lang.Long.valueOf(v)
+  }
+
+  def compute(bytes: Array[Byte], tpe: UTF8String): java.lang.Long =
+    if (tpe.equals(FLBA) || tpe.equals(BINARY)) bigEndianLong(bytes)
+    else PlainStatLong.compute(bytes, tpe)
+}

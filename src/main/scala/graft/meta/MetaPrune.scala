@@ -49,29 +49,22 @@ object MetaPrune {
     schema.contains(UnsignedSubstring) || UnsignedRegex.r.findFirstIn(schema).isDefined
 
   /**
-   * Data-file paths under `path` whose chunk statistics for `column` admit
-   * values in `[lo, hi]` (plus files where that cannot be ruled out:
-   * missing stats, absent column, or an unsigned schema).
+   * Shared survivor pass: evaluate `chunkAdmits` (a boolean expression
+   * over the column-level metadata row — `statistics.*`, `type`) on every
+   * chunk of `column` EXECUTOR-side, collapse to one boolean per file with
+   * a map-side-combined max, and keep a file when any chunk admits, when
+   * the column is absent, or when the schema declares unsigned integers.
+   * The driver receives surviving file paths only — never chunk stat bytes
+   * or schema strings, which at a million-file table would be GBs of
+   * driver heap.
    */
-  def filesInRange(
+  private def survivingFiles(
       spark: SparkSession, path: String, column: String,
-      lo: Long, hi: Long): Seq[String] = {
-    // Per-chunk range evaluation runs EXECUTOR-side (codegen
-    // PlainStatLong decode + one boolean per chunk), then collapses to one
-    // row per file with a map-side-combined max: the driver receives
-    // surviving file paths only — never chunk stat bytes or schema
-    // strings, which at a million-file table would be GBs of driver heap.
-    val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatLong(
-      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
-    val chunkAdmits = spark.read.format("metadata").option("level", "column")
+      chunkAdmits: Column): Seq[String] = {
+    val perFile = spark.read.format("metadata").option("level", "column")
       .load(path)
       .filter(col("path") === column)
-      .select(col("filepath"),
-        decode(col("statistics.min_value")).as("mn"),
-        decode(col("statistics.max_value")).as("mx"))
-      // missing/undecodable stats: cannot rule the chunk out
-      .select(col("filepath"), (col("mn").isNull || col("mx").isNull ||
-        (col("mx") >= lo && col("mn") <= hi)).as("adm"))
+      .select(col("filepath"), chunkAdmits.as("adm"))
       .groupBy(col("filepath")).agg(max(col("adm")).as("adm"))
     // One parquet-file-level pass serves both soundness guards: the full
     // file list (schema drift — a file lacking the column is kept, via the
@@ -85,10 +78,105 @@ object MetaPrune {
       col("schema").rlike(UnsignedRegex)
     spark.read.format("metadata").option("level", "file")
       .load(path).select(col("filepath"), unsignedRisk.as("risk"))
-      .join(chunkAdmits, Seq("filepath"), "left")
+      .join(perFile, Seq("filepath"), "left")
       .filter(col("risk") || col("adm").isNull || col("adm"))
       .select(col("filepath"))
       .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /**
+   * Data-file paths under `path` whose chunk statistics for `column` admit
+   * values in `[lo, hi]` (plus files where that cannot be ruled out:
+   * missing stats, absent column, or an unsigned schema).
+   */
+  def filesInRange(
+      spark: SparkSession, path: String, column: String,
+      lo: Long, hi: Long): Seq[String] = {
+    val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatLong(
+      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val mn = decode(col("statistics.min_value"))
+    val mx = decode(col("statistics.max_value"))
+    // missing/undecodable stats: cannot rule the chunk out
+    survivingFiles(spark, path, column,
+      mn.isNull || mx.isNull || (mx >= lo && mn <= hi))
+  }
+
+  /**
+   * [[filesInRange]] for a DATE column: parquet stores DATE as INT32
+   * days-since-epoch (format spec `logical_types.md`), and the epoch-day
+   * mapping is monotone, so date bounds prune through exactly the signed
+   * integer machinery — the first predicate a real user writes, at zero
+   * extra decode cost.
+   */
+  def filesInDateRange(
+      spark: SparkSession, path: String, column: String,
+      lo: java.time.LocalDate, hi: java.time.LocalDate): Seq[String] =
+    filesInRange(spark, path, column, lo.toEpochDay, hi.toEpochDay)
+
+  /**
+   * [[filesInRange]] for a DECIMAL column, bounds given as UNSCALED values
+   * at the column's declared scale (e.g. scale 2: 12.34 -> 1234): decimals
+   * ride INT32/INT64 little-endian or FIXED_LEN_BYTE_ARRAY/BINARY
+   * big-endian two's complement depending on precision, and
+   * [[graft.functions.PlainStatUnscaled]] decodes all four; a value too
+   * wide for a long decodes null and keeps the file (sound).
+   */
+  def filesInUnscaledRange(
+      spark: SparkSession, path: String, column: String,
+      loUnscaled: Long, hiUnscaled: Long): Seq[String] = {
+    val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatUnscaled(
+      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val mn = decode(col("statistics.min_value"))
+    val mx = decode(col("statistics.max_value"))
+    survivingFiles(spark, path, column,
+      mn.isNull || mx.isNull || (mx >= loUnscaled && mn <= hiUnscaled))
+  }
+
+  /**
+   * Data-file paths whose chunk statistics for a string/binary `column`
+   * admit a value in `[lo, hiExclusive)` under unsigned lexicographic byte
+   * order — the order parquet's typed `min_value`/`max_value` use for
+   * UTF8/BINARY columns, and the order Spark's own BinaryType comparison
+   * implements, so the whole check is built-in codegen comparisons on the
+   * raw stat bytes: no decode expression at all. `hiExclusive = None`
+   * means unbounded above. Chunks whose physical type is not BYTE_ARRAY
+   * (the Thrift enum rendering the column level pins) are kept (a string
+   * predicate against a non-string column is evidence of nothing);
+   * writer-truncated stats stay sound because truncation only ever widens
+   * the [min, max] the writer publishes.
+   */
+  def filesInStringRange(
+      spark: SparkSession, path: String, column: String,
+      lo: Array[Byte], hiExclusive: Option[Array[Byte]]): Seq[String] = {
+    val mn = col("statistics.min_value")
+    val mx = col("statistics.max_value")
+    val upper = hiExclusive.map(h => mn < lit(h)).getOrElse(lit(true))
+    survivingFiles(spark, path, column,
+      col("type") =!= "BYTE_ARRAY" || mn.isNull || mx.isNull ||
+        (mx >= lit(lo) && upper))
+  }
+
+  /** The least byte string strictly greater than every string with prefix
+    * `p`: strip trailing 0xFF bytes, increment the last remaining one;
+    * all-0xFF prefixes have no upper bound. */
+  private[meta] def nextPrefix(p: Array[Byte]): Option[Array[Byte]] = {
+    var n = p.length
+    while (n > 0 && p(n - 1) == 0xFF.toByte) n -= 1
+    if (n == 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, n)
+      out(n - 1) = (out(n - 1) + 1).toByte
+      Some(out)
+    }
+  }
+
+  /** Data-file paths that may hold a string starting with `prefix` —
+    * the byte range `[prefix, nextPrefix(prefix))`. */
+  def filesWithPrefix(
+      spark: SparkSession, path: String, column: String,
+      prefix: String): Seq[String] = {
+    val p = prefix.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    filesInStringRange(spark, path, column, p, nextPrefix(p))
   }
 
   /** Read only the files a range predicate on `column` can touch. The
@@ -96,8 +184,31 @@ object MetaPrune {
     * additionally pushes it into the surviving files' row groups. */
   def readPruned(
       spark: SparkSession, path: String, column: String,
-      lo: Long, hi: Long): DataFrame = {
-    val files = filesInRange(spark, path, column, lo, hi)
+      lo: Long, hi: Long): DataFrame =
+    readFiles(spark, path, filesInRange(spark, path, column, lo, hi))
+
+  /** [[readPruned]] for a DATE column (epoch-day INT32 stats). */
+  def readPrunedDate(
+      spark: SparkSession, path: String, column: String,
+      lo: java.time.LocalDate, hi: java.time.LocalDate): DataFrame =
+    readFiles(spark, path, filesInDateRange(spark, path, column, lo, hi))
+
+  /** [[readPruned]] for a DECIMAL column, bounds unscaled at the column's
+    * declared scale. */
+  def readPrunedUnscaled(
+      spark: SparkSession, path: String, column: String,
+      loUnscaled: Long, hiUnscaled: Long): DataFrame =
+    readFiles(spark, path,
+      filesInUnscaledRange(spark, path, column, loUnscaled, hiUnscaled))
+
+  /** [[readPruned]] for a string prefix predicate on a UTF8/BINARY column. */
+  def readPrunedPrefix(
+      spark: SparkSession, path: String, column: String,
+      prefix: String): DataFrame =
+    readFiles(spark, path, filesWithPrefix(spark, path, column, prefix))
+
+  private def readFiles(
+      spark: SparkSession, path: String, files: Seq[String]): DataFrame = {
     if (files.isEmpty) {
       // preserve schema with an empty relation over the full listing
       spark.read.parquet(path).limit(0)

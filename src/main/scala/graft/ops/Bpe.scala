@@ -141,13 +141,32 @@ object Bpe {
    *
    * `maxVocab` guards the driver collect: training fails fast rather than
    * OOM if the distinct-word count exceeds it.
+   *
+   * `minCount` bounds the collect by the USED vocabulary instead of the
+   * raw distinct-word count — the web-scale lever. At 100 TB the raw
+   * distinct-"word" count (typos, URLs, code identifiers) blows through
+   * any driver cap, but its tail is overwhelmingly hapax/near-hapax:
+   * dropping words with corpus count < minCount before collecting is the
+   * standard rare-word prefilter (Sennrich's own `learn_bpe` exposes the
+   * same threshold as `--min-frequency`; SentencePiece prunes identically).
+   * Approximation contract: a pair's count computed on the filtered table
+   * underestimates its true count by at most (minCount - 1) x (distinct
+   * dropped words containing the pair) x (occurrences within the word), so
+   * a merge decision can only flip where the winning margin is below the
+   * dropped mass — for Zipf-shaped corpora the head pairs that BPE
+   * actually selects carry counts orders of magnitude above it. With the
+   * default minCount = 1 nothing is dropped and the result is exactly
+   * sequential BPE.
    */
   def trainOnWords(df: DataFrame, text: Column, nMerges: Int,
-      maxVocab: Int = 4 << 20): Seq[(String, String)] = {
-    val vocab = wordCounts(df, text).limit(maxVocab + 1).collect()
+      maxVocab: Int = 4 << 20, minCount: Long = 1L): Seq[(String, String)] = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val vocab = wordCounts(df, text)
+      .filter(col("w") >= minCount)
+      .limit(maxVocab + 1).collect()
     require(vocab.length <= maxVocab,
-      s"distinct-word vocabulary exceeds maxVocab=$maxVocab; " +
-        "pre-filter the corpus or raise the cap")
+      s"distinct-word vocabulary (count >= $minCount) exceeds " +
+        s"maxVocab=$maxVocab; raise minCount or the cap")
     trainWeighted(
       vocab.iterator.map(r =>
         (codePointSymbols(r.getString(0)), r.getLong(1))).toSeq,

@@ -105,9 +105,11 @@ object Drift {
       scale: Int): DataFrame = {
     // null vectors are excluded on BOTH legs of the ratio: vectorSumAgg
     // skips them, so counting them in n would silently shrink the mean
-    // (the same hazard ivfCentroids filters at its collect)
+    // (the same hazard ivfCentroids filters at its collect). Null GROUPS
+    // are excluded too: a null label would surface as a null String key
+    // and break the driver-side sorted merge of the two key sets.
     def side(df: DataFrame): Map[String, (IndexedSeq[Long], Long)] =
-      df.filter(vec.isNotNull)
+      df.filter(vec.isNotNull && group.isNotNull)
         .select(group.cast("string").as("g"),
           Similarity.quantizeI8(vec, scale).cast("array<float>").as("q"))
         .groupBy(col("g"))

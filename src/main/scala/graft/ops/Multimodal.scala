@@ -21,28 +21,79 @@ case class MediaFeatures(
  * Multimodal-column plumbing: schema, partition-friendly batch decode, and
  * feature extraction over opaque `binary` payloads.
  *
- * The *decode kernel* is a STUB — a deterministic fake standing in for a real
- * image/audio decoder (the codec libraries are not available in this
- * environment). Everything around it is the real Spark shape a production
- * pipeline needs: a typed `Dataset[MediaRecord]`, `mapPartitions` batch
- * execution (one decoder init per partition, not per row — the same batching
- * contract a Pandas-UDF / `mapInPandas` decoder relies on), and narrow
- * per-row output so no shuffle is introduced.
+ * The image kernel is REAL: PNG and JPEG dimensions are parsed straight off
+ * the container headers (PNG IHDR chunk / JPEG SOF frame header) in pure
+ * JVM code — the scale-appropriate decode for dimension extraction, since a
+ * 100 TB media lake must not pay a full pixel decode to learn that an image
+ * is 4032x3024. Non-image payloads fall back to a deterministic byte-math
+ * fake (documented on [[decodeOpaque]]). Around the kernel is the Spark
+ * shape a production pipeline needs: a typed `Dataset[MediaRecord]`,
+ * `mapPartitions` batch execution (one decoder init per partition, not per
+ * row — the same batching contract a Pandas-UDF / `mapInPandas` decoder
+ * relies on), and narrow per-row output so no shuffle is introduced.
  */
 object Multimodal {
 
   implicit val mediaRecordEnc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
   implicit val mediaFeaturesEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
 
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
   /**
-   * STUB DECODER: deterministic fake feature extraction. A real
-   * implementation would hand `bytes` to an image/audio codec here; this
-   * fake derives "dimensions" from the byte size and a checksum from the
-   * codepoints of the first 64 characters of the UTF-8 decode, so the
-   * typed path, the SQL-column path, and the DuckDB oracle all compute the
-   * identical value for any valid-UTF-8 payload (including multibyte).
+   * Real image dimension decode from container headers, no pixel decode:
+   *  - PNG: the IHDR chunk is REQUIRED to be first (PNG spec §11.2.2), so
+   *    width/height are the two big-endian u32s at fixed offsets 16/20
+   *    after the 8-byte signature + 4-byte length + "IHDR" tag;
+   *  - JPEG: walk the marker stream from SOI to the first SOF frame header
+   *    (C0-CF minus C4/C8/CC which are not frames); the frame's
+   *    height/width are the big-endian u16s after the 1-byte precision.
+   * Returns `(width, height, format)`; `None` for anything that is not a
+   * well-formed PNG/JPEG prefix — truncated headers are a parse failure,
+   * never a garbage dimension.
    */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
+  def decodeImageDims(b: Array[Byte]): Option[(Int, Int, String)] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (b.length >= 24 && b.startsWith(PngSig) &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      Some((be32(16), be32(20), "png"))
+    } else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      var res: Option[(Int, Int, String)] = None
+      var done = false
+      while (!done && i + 1 < b.length) {
+        if (u8(i) != 0xFF) done = true // marker stream out of sync: not a JPEG we trust
+        else {
+          val m = u8(i + 1)
+          if (m == 0xFF) i += 1 // fill byte
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2 // standalone marker
+          else if (i + 3 >= b.length) done = true // truncated before segment length
+          else {
+            val len = be16(i + 2)
+            if (len < 2) done = true
+            else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+              // SOFn: len(2) precision(1) height(2) width(2) ...
+              if (i + 9 <= b.length) res = Some((be16(i + 7), be16(i + 5), "jpeg"))
+              done = true
+            } else i += 2 + len
+          }
+        }
+      }
+      res
+    } else None
+  }
+
+  /**
+   * Fallback for payloads that are not a recognized image container: a
+   * deterministic byte-math fake ("dimensions" from the byte size, checksum
+   * from the codepoints of the first 64 characters of the UTF-8 decode) so
+   * the typed path, the SQL-column path, and the DuckDB oracle all compute
+   * the identical value for any valid-UTF-8 payload (including multibyte).
+   * A real audio/video probe would slot in exactly here.
+   */
+  def decodeOpaque(r: MediaRecord): MediaFeatures = {
     val n = r.bytes.length
     // truncate by CODEPOINTS (matching SQL substring semantics), not UTF-16
     // units — .take(64) would split surrogate pairs on non-BMP payloads
@@ -52,21 +103,57 @@ object Multimodal {
     MediaFeatures(r.media_id, r.kind, n, 64 + n % 576, 64 + n % 416, crc)
   }
 
+  /** One payload through the kernel: real header dimensions when the bytes
+    * are a PNG/JPEG, [[decodeOpaque]] byte-math otherwise; byte_size and
+    * checksum semantics are identical on both branches. */
+  def decode(r: MediaRecord): MediaFeatures =
+    decodeImageDims(r.bytes) match {
+      case Some((w, h, _)) => decodeOpaque(r).copy(width = w, height = h)
+      case None => decodeOpaque(r)
+    }
+
   /**
-   * Batch feature extraction: `mapPartitions` so a real decoder would be
+   * Batch feature extraction: `mapPartitions` so a heavier decoder would be
    * initialised once per partition and fed a streaming batch of payloads.
    */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] =
     ds.mapPartitions { batch =>
       // (real pipeline: initialise codec/session here, once per partition)
-      batch.map(decodeStub)
+      batch.map(decode)
     }
 
   /**
-   * Pure-column variant of the same fake feature math over a DataFrame with
-   * (media_id, kind, bytes) — used by the oracle-checked query since it is
-   * SQL-expressible. Checksum covers the first 64 bytes, matching
-   * [[decodeStub]].
+   * Deterministic image fixture encoder (tests + closed-form oracles): a
+   * real `w x h` PNG or JPEG produced by the JDK's own `javax.imageio`
+   * writers, pixels filled from `seed` so payload bytes are stable across
+   * runs. This is fixture GENERATION, not the operator under test — the
+   * oracle checks [[extractFeatures]]'s decoded dimensions against the
+   * closed form the fixture was built with.
+   */
+  def encodeFixture(format: String, w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(format == "png" || format == "jpeg", s"unsupported fixture format $format")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((seed * 31 + x) * 31 + y) % 0x1000000).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, out)
+    require(ok, s"no JDK ImageIO writer for $format")
+    out.toByteArray
+  }
+
+  /**
+   * Pure-column variant of the OPAQUE-payload feature math over a DataFrame
+   * with (media_id, kind, bytes) — SQL-expressible, so specs can pin the
+   * typed fallback path against it. Checksum covers the first 64 characters,
+   * matching [[decodeOpaque]].
    */
   def extractFeaturesSql(df: DataFrame): DataFrame = {
     val n = length(col("bytes"))

@@ -102,8 +102,12 @@ object Sampling {
     }
     // null sources are excluded: a null map key is rejected by the map
     // literal at runtime, and element_at(map, null) drops the row in the
-    // gate anyway — same semantics as [[mixture]]'s missing-source drop
-    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+    // gate anyway — same semantics as [[mixture]]'s missing-source drop.
+    // The cast to string makes a non-string source column (an int shard
+    // id, a date) legal: the collected keys are read as strings, and
+    // [[temperatureMixture]] casts identically on its gate side.
+    val counts = df.groupBy(source.cast("string").as("__src"))
+      .agg(count(lit(1)).as("__n"))
       .collect().flatMap(r =>
         Option(r.getString(0)).map(_ -> BigInt(r.getLong(1)))).toMap
     val ws = counts.map { case (s, n) => s -> bigIsqrt(n) }
@@ -124,7 +128,8 @@ object Sampling {
       targetRows: Long): DataFrame = {
     val perm = temperaturePermilles(df, source, targetRows)
     if (perm.isEmpty) df.filter(lit(false))
-    else df.filter(arithHash(key) % 1000 < element_at(litMap(perm), source))
+    else df.filter(arithHash(key) % 1000 <
+      element_at(litMap(perm), source.cast("string")))
   }
 
   /**

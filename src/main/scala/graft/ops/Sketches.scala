@@ -198,6 +198,14 @@ object Sketches {
       width: Long, nbins: Int, loMicro: Long, hiMicro: Long): DataFrame = {
     require(loMicro > 0L && loMicro <= hiMicro && hiMicro <= 1000000L,
       s"need 0 < loMicro <= hiMicro <= 1e6, got $loMicro/$hiMicro")
+    // appended/join columns must not collide with the input's — fail with
+    // a targeted message instead of Catalyst's ambiguous-reference error
+    // (the same contract Similarity's store writers enforce)
+    val reserved = Seq("clipped", "lo_bound", "hi_bound", "__wg")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"winsorize reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before calling")
     val bounds = histQuantilesMicro(histogram(df, group, value, width, nbins),
         width, Seq("lo_bound" -> loMicro, "hi_bound" -> hiMicro))
       .select(col("g").as("__wg"), col("lo_bound"), col("hi_bound"))

@@ -87,6 +87,95 @@ class MetaPruneSpec extends SparkSpec {
     assert(!MetaPrune.hasUnsigned("optional int64 x; optional binary t (STRING);"))
   }
 
+  // ----- typed statistics: dates, decimals, string prefixes -------------
+
+  test("bigEndianLong decodes two's complement of any width, null on overflow") {
+    import graft.functions.PlainStatUnscaled.{bigEndianLong => be}
+    assert(be(Array[Byte](0x07)) === 7L)
+    assert(be(Array[Byte](-1)) === -1L)
+    assert(be(Array[Byte](0x01, 0x00)) === 256L)
+    assert(be(Array[Byte](-1, -1)) === -1L)
+    // FLBA(9) decimal with sign-extension leading byte (the real shape)
+    assert(be(Array[Byte](0, 0, 0, 0, 0, 0, 0, 0x01, 0x00)) === 256L)
+    assert(be(Array[Byte](-1, -1, -1, -1, -1, -1, -1, -1, 0x00)) === -256L)
+    // genuinely 65-bit magnitude: leading byte is data, not sign extension
+    assert(be(Array[Byte](0x01, 0, 0, 0, 0, 0, 0, 0, 0)) === null)
+    // 8-byte window opening with the wrong sign bit after positive padding
+    assert(be(Array[Byte](0x00, -0x80, 0, 0, 0, 0, 0, 0, 0)) === null)
+    assert(be(Array.empty[Byte]) === null)
+  }
+
+  test("date pruning opens only the files whose epoch-day stats admit the window") {
+    val d = Files.createTempDirectory("graft_metaprune_date").toString
+    import spark.implicits._
+    val start = java.time.LocalDate.of(2020, 1, 1)
+    (0 until 360).map(i => java.sql.Date.valueOf(start.plusDays(i.toLong)))
+      .toDF("d")
+      .repartitionByRange(4, col("d"))
+      .write.mode("overwrite").parquet(d)
+    val lo = java.time.LocalDate.of(2020, 7, 1)
+    val hi = java.time.LocalDate.of(2020, 7, 31)
+    val hit = MetaPrune.filesInDateRange(spark, d, "d", lo, hi)
+    assert(hit.nonEmpty && hit.length < 4, s"expected a strict file subset, got $hit")
+    val full = spark.read.parquet(d)
+      .filter(col("d").between(lit(java.sql.Date.valueOf(lo)), lit(java.sql.Date.valueOf(hi))))
+      .collect().map(_.getDate(0).toString).toSet
+    val pruned = MetaPrune.readPrunedDate(spark, d, "d", lo, hi)
+      .filter(col("d").between(lit(java.sql.Date.valueOf(lo)), lit(java.sql.Date.valueOf(hi))))
+      .collect().map(_.getDate(0).toString).toSet
+    assert(pruned === full)
+    assert(full.size === 31)
+  }
+
+  test("decimal pruning decodes FLBA big-endian stats (precision > 18)") {
+    val d = Files.createTempDirectory("graft_metaprune_dec").toString
+    // price = id + 0.25 as DECIMAL(20,2) -> FIXED_LEN_BYTE_ARRAY(9) physical
+    spark.range(0, 100)
+      .select(col("id"), (col("id").cast("decimal(18,2)") + lit(BigDecimal("0.25")))
+        .cast("decimal(20,2)").as("price"))
+      .repartitionByRange(4, col("price"))
+      .write.mode("overwrite").parquet(d)
+    // [25.00, 50.00] -> unscaled [2500, 5000]
+    val hit = MetaPrune.filesInUnscaledRange(spark, d, "price", 2500L, 5000L)
+    assert(hit.nonEmpty && hit.length < 4, s"expected a strict file subset, got $hit")
+    val pred = col("price").between(lit(BigDecimal("25.00")), lit(BigDecimal("50.00")))
+    val full = spark.read.parquet(d).filter(pred)
+      .collect().map(_.getLong(0)).toSet
+    val pruned = MetaPrune.readPrunedUnscaled(spark, d, "price", 2500L, 5000L)
+      .filter(pred).collect().map(_.getLong(0)).toSet
+    assert(pruned === full)
+    assert(full === (25L to 49L).toSet) // 49.25 in range, 50.25 out
+  }
+
+  test("nextPrefix strips trailing 0xFF and bumps the last byte") {
+    def np(s: Array[Byte]) = MetaPrune.nextPrefix(s)
+    assert(np(Array[Byte]('a')).map(_.toSeq) === Some(Seq[Byte]('b')))
+    assert(np(Array[Byte]('a', 'z')).map(_.toSeq) === Some(Seq[Byte]('a', '{')))
+    assert(np(Array[Byte]('a', -1)).map(_.toSeq) === Some(Seq[Byte]('b')))
+    assert(np(Array[Byte](-1, -1)) === None) // no upper bound exists
+  }
+
+  test("string-prefix pruning opens only the files whose byte stats admit the prefix") {
+    val d = Files.createTempDirectory("graft_metaprune_str").toString
+    import spark.implicits._
+    // keys k0_0..k9_99 range-partitioned by key: each file a narrow byte span
+    (0 until 100).map(i => (i.toLong, s"k${i % 10}_$i")).toDF("id", "k")
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(d)
+    val hit = MetaPrune.filesWithPrefix(spark, d, "k", "k3")
+    assert(hit.nonEmpty && hit.length < 4, s"expected a strict file subset, got $hit")
+    val full = spark.read.parquet(d).filter(col("k").startsWith("k3"))
+      .collect().map(_.getLong(0)).toSet
+    val pruned = MetaPrune.readPrunedPrefix(spark, d, "k", "k3")
+      .filter(col("k").startsWith("k3")).collect().map(_.getLong(0)).toSet
+    assert(pruned === full)
+    assert(full === (0 until 100).filter(_ % 10 == 3).map(_.toLong).toSet)
+    // a prefix past every key prunes everything
+    assert(MetaPrune.filesWithPrefix(spark, d, "k", "z").isEmpty)
+    // a numeric column offers no string evidence: all files kept (sound)
+    assert(MetaPrune.filesWithPrefix(spark, d, "id", "k3").length === 4)
+  }
+
   test("pruned read preserves Hive partition columns") {
     val d = Files.createTempDirectory("graft_metaprune_part").toString
     spark.range(0, 40)

@@ -218,4 +218,28 @@ class BpeSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("maxVocab"))
   }
+
+  test("minCount prefilter trains under a cap the raw vocabulary exceeds") {
+    // head: a handful of words frequent enough to drive every merge;
+    // tail: hundreds of hapax "words" (the web-scale typo/URL tail) that
+    // would blow a small maxVocab if collected
+    val head = Seq("lower" -> 40L, "newest" -> 30L, "widest" -> 20L,
+      "low" -> 25L, "new" -> 15L)
+    val tail = (0 until 400).map(i => s"hapax$i" -> 1L)
+    val rows = (head ++ tail).flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+    val df2 = rows.grouped(25).map(ws => Tuple1(ws.mkString(" "))).toSeq.toDF("text")
+
+    // raw distinct count (405) exceeds the cap -> loud failure without the filter
+    val err = intercept[IllegalArgumentException] {
+      Bpe.trainOnWords(df2, col("text"), 6, maxVocab = 64)
+    }
+    assert(err.getMessage.contains("maxVocab"))
+
+    // with minCount=2 the collected vocabulary is just the head and fits
+    val got = Bpe.trainOnWords(df2, col("text"), 6, maxVocab = 64, minCount = 2L)
+    // result equals sequential BPE over the corpus restricted to kept words
+    val expanded = head.flatMap { case (w, n) =>
+      Seq.fill(n.toInt)(w.map(_.toString).toList) }.toList
+    assert(got === refTrain(expanded, 6))
+  }
 }

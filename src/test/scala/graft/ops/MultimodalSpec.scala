@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The image kernel: container-header dimension decode must agree with a
+  * full pixel decode (`ImageIO.read`) on real JDK-encoded fixtures, refuse
+  * malformed/truncated payloads, and ride the typed mapPartitions path. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PNG header decode equals ImageIO full decode on JDK-written fixtures") {
+    for ((w, h) <- Seq((1, 1), (16, 23), (640, 480), (37, 211))) {
+      val bytes = Multimodal.encodeFixture("png", w, h, seed = w * 1000L + h)
+      assert(Multimodal.decodeImageDims(bytes) === Some((w, h, "png")))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert((img.getWidth, img.getHeight) === ((w, h)))
+    }
+  }
+
+  test("JPEG header decode equals ImageIO full decode on JDK-written fixtures") {
+    for ((w, h) <- Seq((1, 1), (16, 23), (640, 480), (37, 211))) {
+      val bytes = Multimodal.encodeFixture("jpeg", w, h, seed = w * 1000L + h)
+      assert(Multimodal.decodeImageDims(bytes) === Some((w, h, "jpeg")))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert((img.getWidth, img.getHeight) === ((w, h)))
+    }
+  }
+
+  test("malformed and truncated payloads are a parse failure, never garbage dims") {
+    assert(Multimodal.decodeImageDims(Array.empty[Byte]) === None)
+    assert(Multimodal.decodeImageDims("plain text".getBytes("UTF-8")) === None)
+    val png = Multimodal.encodeFixture("png", 32, 32, seed = 7L)
+    assert(Multimodal.decodeImageDims(png.take(20)) === None) // cut inside IHDR
+    val jpg = Multimodal.encodeFixture("jpeg", 32, 32, seed = 7L)
+    assert(Multimodal.decodeImageDims(jpg.take(4)) === None) // SOI only
+    // corrupt the marker stream right after SOI: walk must bail, not scan on
+    val broken = jpg.clone(); broken(2) = 0x00
+    assert(Multimodal.decodeImageDims(broken) === None)
+  }
+
+  test("typed extractFeatures uses real header dims for images, byte-math for opaque") {
+    val png = Multimodal.encodeFixture("png", 48, 31, seed = 1L)
+    val jpg = Multimodal.encodeFixture("jpeg", 19, 64, seed = 2L)
+    val txt = "just some text".getBytes("UTF-8")
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "image/png", png),
+      MediaRecord(2L, "image/jpeg", jpg),
+      MediaRecord(3L, "text/plain", txt)))(Multimodal.mediaRecordEnc)
+    val got = Multimodal.extractFeatures(ds).collect()
+      .map(f => f.media_id -> ((f.width, f.height, f.byte_size))).toMap
+    assert(got(1L) === ((48, 31, png.length)))
+    assert(got(2L) === ((19, 64, jpg.length)))
+    // opaque fallback: the documented byte-size math
+    assert(got(3L) === ((64 + txt.length % 576, 64 + txt.length % 416, txt.length)))
+  }
+
+  test("mm_features fixture dimensions round-trip through the distributed path") {
+    val ds = spark.range(0, 20).as[Long]
+      .map { id =>
+        val fmt = if (id % 2 == 0) "png" else "jpeg"
+        MediaRecord(id, s"image/$fmt",
+          Multimodal.encodeFixture(fmt, 16 + (id % 37).toInt, 16 + (id % 23).toInt, id))
+      }(Multimodal.mediaRecordEnc)
+    val bad = Multimodal.extractFeatures(ds).toDF()
+      .filter(col("width") =!= (lit(16) + pmod(col("media_id"), lit(37))).cast("int") ||
+        col("height") =!= (lit(16) + pmod(col("media_id"), lit(23))).cast("int"))
+      .count()
+    assert(bad === 0L)
+  }
+}
