@@ -135,6 +135,45 @@ object SparkEntry {
         .agg(sum(col("page_header_size").cast("long") +
           col("page_compressed_size").cast("long")).as("total_compressed_size"))),
 
+    // Page-level VALUE accounting: per column chunk, the data pages' header
+    // num_values must sum to the chunk's footer num_values — the partial
+    // oracle DuckDB CAN check for the page walk (it has no page function,
+    // but parquet_metadata knows every chunk's value count). Together with
+    // meta_page_bytes this pins the page iterator's counts as well as its
+    // byte spans against an independent engine.
+    "meta_page_rollup" -> ((s, dir) =>
+      meta(s, pq(dir, "lineitem"), "page")
+        .filter(col("page_type").startsWith("DATA_PAGE"))
+        .groupBy(col("row_group_id").cast("long").as("row_group_id"),
+          col("column_id").cast("long").as("column_id"))
+        .agg(sum(col("num_values").cast("long")).as("n_values"))),
+
+    // Page-walk vs OffsetIndex cross-check on a pinned-layout fixture
+    // (20000 rows at exactly 1000 rows/page): the number of data pages the
+    // physical page iterator finds and the number of pages the decoded
+    // OffsetIndex promises must BOTH equal the closed form the oracle
+    // derives from the row-group row count. A missing offset index or a
+    // drifting page walk each break the hash, independently.
+    "meta_page_oi_match" -> ((s, dir) => {
+      val out = "/tmp/graft_pageoi_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.range(0, 20000, 1, 1)
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "1000")
+        .parquet(out)
+      val pages = meta(s, out, "page")
+        .filter(col("page_type").startsWith("DATA_PAGE"))
+        .groupBy(col("row_group_id"), col("column_id"))
+        .agg(count(lit(1)).as("n_pages"))
+      val oi = meta(s, out, "offsetindex")
+        .groupBy(col("row_group_id"), col("column_id"))
+        .agg(count(lit(1)).as("n_oi_pages"))
+      pages.join(oi, Seq("row_group_id", "column_id"), "full")
+        .select(col("row_group_id").cast("long").as("row_group_id"),
+          col("column_id").cast("long").as("column_id"),
+          col("n_pages"), col("n_oi_pages"))
+    }),
+
     // Level-to-level join on filepath: parquet-file footer totals vs the
     // rowgroup-level sum — the cross-level consistency query.
     "meta_join" -> ((s, dir) => {
@@ -1025,6 +1064,25 @@ object SparkEntry {
           coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
     }),
 
+    // xxhash64 hash-band carving: the bucket values cannot be replayed by
+    // another engine (the hash is Spark's), but the CONTRACT is closed-form
+    // and that is what the oracle checks — bands of one seed are exactly
+    // disjoint and exactly exhaustive. Carving [0,.1)/[.1,.37)/[.37,.62)/
+    // [.62,1) and unioning back must hit every document exactly once: an
+    // off-by-one at any band edge double-counts (n_in_bands) or drops
+    // (n_distinct) a row; both totals must equal the table count.
+    "hash_bands" -> ((s, dir) => {
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val cuts = Seq(0.0, 0.1, 0.37, 0.62, 1.0)
+      val banded = cuts.sliding(2).toSeq.map { c =>
+        Sampling.hashBand(docs, col("doc_id"), c.head, c.last)
+          .select(col("doc_id"))
+      }.reduce(_.unionAll(_))
+      banded.agg(count(lit(1)).as("n_in_bands"),
+          countDistinct(col("doc_id")).as("n_distinct"))
+        .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+    }),
+
     // Leakage-FREE split: duplicate families must not straddle train/eval
     // (a train-side copy of an eval doc is benchmark contamination), so the
     // split key is the family REPRESENTATIVE, not the document — every
@@ -1865,6 +1923,48 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
+    // Drift-triggered RE-INDEX, composed end to end: IVF ingest keeps the
+    // quantizer fixed (appendToIvfStore's documented contract), so the
+    // lifecycle needs a monitor that says WHEN to rebuild. Here the
+    // increment is a genuinely shifted distribution (negated vectors —
+    // norms preserved, every cell wrong), vectorDriftI8 measures the
+    // cross-multiplied mean-L1 between base and increment, and the
+    // threshold crossing drives the decision branch that retrains the
+    // quantizer on base+increment and rebuilds the store. Proof the
+    // rebuilt index serves the NEW distribution: each query is an exact
+    // copy of a drifted vector and must find it at rank 1 (closed form);
+    // under the stale base geometry the drifted rows would sit in
+    // arbitrary cells. The emitted `reindexed` flag pins the decision
+    // itself — if the monitor failed to cross, the oracle breaks.
+    "ann_reindex_on_drift" -> ((s, dir) => {
+      val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = freshTable(s, "graft_ivf_reindex_" + suffix)
+      freshTable(s, tbl + "_centroids")
+      val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
+      val drifted = e.select((col("vec_id") + 300000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+      // the store as it existed before the increment arrived
+      Similarity.writeIvfStore(e, "vec_id", "embedding", tbl,
+        k = 16, iters = 1, scale = 64, buckets = 8)
+      // monitor: quantized mean-vector drift, base vs increment
+      val drift = Drift.vectorDriftI8(e, drifted, lit("all"), col("embedding"),
+        scale = 64).collect().head
+      val (nA, l1) = (drift.getLong(1), drift.getLong(3))
+      // threshold: mean gap beyond one quantization step per row pair
+      val reindex = l1 > nA
+      if (reindex) {
+        freshTable(s, tbl)
+        freshTable(s, tbl + "_centroids")
+        Similarity.writeIvfStore(e.unionByName(drifted), "vec_id", "embedding",
+          tbl, k = 16, iters = 1, scale = 64, buckets = 8)
+      }
+      val queries = drifted.filter(col("vec_id") < 300010L)
+        .select((col("vec_id") - 300000L).as("q_id"), col("embedding").as("q_vec"))
+      Similarity.searchIvfStore(s, tbl, queries, "q_id", "q_vec", nprobe = 4, k = 3)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), lit(reindex).as("reindexed"), col("neighbor_id"))
+    }),
+
     // FILTERED vector search against the persisted IVF store: the store
     // carries a label attribute (writeIvfStore extras) and the probe
     // PRE-filters on it in-scan, so top-k is computed among matching rows
@@ -2091,6 +2191,64 @@ object SparkEntry {
         unix_millis(col("session_end")).as("s_end"),
         col("n_events"),
         col("value_sum").cast("long").as("v_sum"))
+    }),
+
+    // The closedSessions TIMEOUT path, end-to-end: unlike stream_sessions
+    // (successor-closed sessions only — each user's last island stays open
+    // in state), this run pushes the event-time watermark past every open
+    // session with far-future sentinel events across TWO AvailableNow runs
+    // sharing one checkpoint (run 2 restores run 1's state, so the timeout
+    // fires on RECOVERED state — the production restart shape). The
+    // emitted set is then ALL islands per user, and the oracle is the full
+    // gaps-and-islands recompute with no last-island exclusion. Parquet
+    // sink: the memory sink cannot resume from a checkpoint.
+    "stream_sessions_final" -> ((s, dir) => {
+      val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val staging = "/tmp/graft_stream_sessf_" + suffix
+      val outDir = "/tmp/graft_stream_sessf_out_" + suffix
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+      val ev = eventsNs(s, dir).filter(col("user_id") < 20)
+        .select(col("user_id"),
+          timestamp_millis(expr("ts div 1000000")).as("ts"),
+          floor(col("value") * 100).cast("double").as("value"))
+      def sentinel(ms: Long) = s.range(1).select(lit(9999L).as("user_id"),
+        timestamp_millis(lit(ms)).as("ts"), lit(0.0d).as("value"))
+      val far = 4102444800000L // 2100-01-01, beyond every staged event
+      // run 1: one file -> one batch; sessions build, nothing times out
+      // (the watermark only moves at batch end)
+      ev.unionByName(sentinel(far)).coalesce(1)
+        .write.mode("append").parquet(staging)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sessf_ckpt").toFile
+      def runOnce(): Unit = {
+        import s.implicits._
+        graft.streaming.StreamOps.closedSessions(
+            s.readStream.schema(s.read.parquet(staging).schema).parquet(staging)
+              .as[graft.streaming.UserEvent],
+            gapMs = 6L * 3600 * 1000, watermark = "0 seconds")
+          .toDF()
+          .writeStream.format("parquet").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt.toString)
+          .option("path", outDir)
+          .start().awaitTermination()
+      }
+      try {
+        runOnce()
+        // run 2: the recovered watermark (= the first sentinel) now
+        // exceeds every real session's last+gap, so they ALL time out;
+        // the second sentinel (> gap later) successor-closes the first
+        // sentinel's own session so user 9999 leaves clean state too
+        sentinel(far + 13L * 3600 * 1000).coalesce(1)
+          .write.mode("append").parquet(staging)
+        runOnce()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+      s.read.parquet(outDir).filter(col("user_id") < 20)
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("s_start"),
+          unix_millis(col("session_end")).as("s_end"),
+          col("n_events"),
+          col("value_sum").cast("long").as("v_sum"))
     }),
 
     // STREAMING running totals through the mapGroupsWithState escape
@@ -2382,6 +2540,50 @@ object SparkEntry {
           coalesce(col("type_after"), lit("-")).as("type_after"),
           coalesce(col("n_before"), lit(0L)).as("n_before"),
           coalesce(col("n_after"), lit(0L)).as("n_after"))
+    }),
+
+    // LOGICAL-type-aware schema diff: the column-level diff above compares
+    // physical types, which cannot see a DECIMAL scale change riding the
+    // same INT64 — exactly the drift that silently corrupts downstream
+    // arithmetic. The file level's reconstructed schema string carries the
+    // full logical annotations, so this diff parses each side's column
+    // declarations (repetition dropped, physical + annotation kept) and
+    // classifies per column. The fixture evolves: price DECIMAL(18,2) ->
+    // DECIMAL(18,4) (logical-ONLY change, same physical), flag removed,
+    // qty added; the oracle pins the declarations closed-form from the
+    // construction. Footer cost only — no data pages touched.
+    "meta_schema_diff_logical" -> ((s, dir) => {
+      val base = "/tmp/graft_schema_logical_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val l = s.read.parquet(pq(dir, "lineitem"))
+      l.select(col("l_orderkey"),
+          to_date(col("l_shipdate")).as("ship"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"),
+          col("l_returnflag").as("flag"))
+        .coalesce(1).write.mode("overwrite").parquet(base + "_v1")
+      l.select(col("l_orderkey"),
+          to_date(col("l_shipdate")).as("ship"),
+          col("l_extendedprice").cast("decimal(18,4)").as("price"),
+          col("l_linenumber").as("qty"))
+        .coalesce(1).write.mode("overwrite").parquet(base + "_v2")
+      def decls(path: String, side: String) =
+        meta(s, path, "file")
+          .select(explode(split(col("schema"), "\n")).as("line"))
+          .select(trim(regexp_replace(col("line"), ";\\s*$", "")).as("line"))
+          .filter(col("line").rlike("^(optional|required|repeated) "))
+          .select(split(col("line"), " ").as("t"))
+          .select(element_at(col("t"), 3).as("col_name"),
+            trim(concat_ws(" ", element_at(col("t"), 2),
+              array_join(slice(col("t"), 4, 100), " "))).as("decl_" + side))
+      decls(base + "_v1", "before")
+        .join(decls(base + "_v2", "after"), Seq("col_name"), "full_outer")
+        .select(col("col_name"),
+          when(col("decl_before").isNull, lit("added"))
+            .when(col("decl_after").isNull, lit("removed"))
+            .when(col("decl_before") =!= col("decl_after"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"),
+          coalesce(col("decl_before"), lit("-")).as("decl_before"),
+          coalesce(col("decl_after"), lit("-")).as("decl_after"))
     }),
 
     // Winsorization through the histogram sketch: per-returnflag 5%/95%
@@ -2707,6 +2909,22 @@ object SparkEntry {
          |  CAST(column_id AS BIGINT) AS column_id,
          |  CAST(total_compressed_size AS BIGINT) AS total_compressed_size
          |FROM parquet_metadata('$lineitemPq')""".stripMargin,
+
+    // the chunk's footer value count is what the data pages must sum to
+    "meta_page_rollup" ->
+      s"""SELECT CAST(row_group_id AS BIGINT) AS row_group_id,
+         |  CAST(column_id AS BIGINT) AS column_id,
+         |  CAST(num_values AS BIGINT) AS n_values
+         |FROM parquet_metadata('$lineitemPq')""".stripMargin,
+
+    // closed form for the pinned 1000-rows/page fixture: both the physical
+    // page walk and the decoded OffsetIndex must land on ceil(rows/1000)
+    "meta_page_oi_match" ->
+      """SELECT CAST(row_group_id AS BIGINT) AS row_group_id,
+        |  CAST(column_id AS BIGINT) AS column_id,
+        |  CAST((row_group_num_rows + 999) // 1000 AS BIGINT) AS n_pages,
+        |  CAST((row_group_num_rows + 999) // 1000 AS BIGINT) AS n_oi_pages
+        |FROM parquet_metadata('/tmp/graft_pageoi_sf0.01/*.parquet')""".stripMargin,
 
     "meta_join" ->
       s"""WITH rg AS (
@@ -3077,6 +3295,30 @@ object SparkEntry {
         |FROM sess
         |WHERE island < (SELECT max(island) FROM sess s2
         |                WHERE s2.user_id = sess.user_id)""".stripMargin,
+
+    // the timeout-path run emits EVERY island (the sentinel watermark push
+    // closes each user's trailing session), so the recompute keeps them all
+    "stream_sessions_final" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS ms, floor(value * 100) AS v
+        |  FROM events WHERE user_id < 20),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+        |                   OR ms - lag(ms) OVER w > 21600000 THEN 1 ELSE 0 END AS brk
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |islands AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, island, min(ms) AS s_start, max(ms) AS s_end,
+        |    count(*) AS n_events, sum(v) AS v_sum
+        |  FROM islands GROUP BY user_id, island)
+        |SELECT user_id, CAST(s_start AS BIGINT) AS s_start,
+        |  CAST(s_end AS BIGINT) AS s_end,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(v_sum AS BIGINT) AS v_sum
+        |FROM sess""".stripMargin,
 
     // the streaming loop's fixpoint in closed form: the increment is
     // intra-deduped (min id per token set), so batch boundaries cannot
@@ -3575,6 +3817,15 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
         |FROM kept GROUP BY source""".stripMargin,
+
+    // the band partition contract in closed form: exhaustive (every row in
+    // exactly one band) and disjoint (no row twice), so all three counts
+    // are the plain table count
+    "hash_bands" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_in_bands,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents""".stripMargin,
 
     "sample_split" ->
       """WITH b AS (
@@ -4194,6 +4445,13 @@ object SparkEntry {
         |  CAST(vec_id + 200000 AS BIGINT) AS neighbor_id
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    // the monitor MUST fire (the increment is a genuine distribution
+    // shift) and the rebuilt index must serve the drifted copies at rank 1
+    "ann_reindex_on_drift" ->
+      """SELECT vec_id AS query_id, true AS reindexed,
+        |  CAST(vec_id + 300000 AS BIGINT) AS neighbor_id
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     // the query encodes each row as a real PNG/JPEG with these exact
     // closed-form dimensions and then parses them back off the container
     // headers; the oracle recomputes the closed form independently
@@ -4408,6 +4666,19 @@ object SparkEntry {
         |  CAST(coalesce(b.n_before, 0) AS BIGINT) AS n_before,
         |  CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
         |FROM before b FULL OUTER JOIN after a USING (col_name)""".stripMargin,
+
+    // the fixtures' parquet declarations are pinned by construction
+    // (mm_features-style closed form): DATE annotates int32, DECIMAL(18,x)
+    // rides int64 — so the scale bump 2->4 is a LOGICAL-only change the
+    // physical diff above cannot see, and it must classify as 'changed'
+    "meta_schema_diff_logical" ->
+      """SELECT * FROM (VALUES
+        |  ('l_orderkey', 'unchanged', 'int64', 'int64'),
+        |  ('ship', 'unchanged', 'int32 (DATE)', 'int32 (DATE)'),
+        |  ('price', 'changed', 'int64 (DECIMAL(18,2))', 'int64 (DECIMAL(18,4))'),
+        |  ('flag', 'removed', 'binary (STRING)', '-'),
+        |  ('qty', 'added', '-', 'int32'))
+        |AS t(col_name, status, decl_before, decl_after)""".stripMargin,
 
     "winsorize_clip" ->
       """WITH h AS (
