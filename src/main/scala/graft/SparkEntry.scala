@@ -292,6 +292,81 @@ object SparkEntry {
           coalesce(sum(col("l_orderkey")), lit(0L)).as("key_sum"))
     }),
 
+    // Bloom-filter decode proven against the data it guards: write the
+    // documents keys with split-block bloom filters, then probe EVERY
+    // value actually present in each file through that file's decoded
+    // bitset — the filter's no-false-negative guarantee makes the hit
+    // count a closed form the oracle recomputes from the data alone
+    // (n_hits == n_probes == distinct (file, value) pairs). Probes are one
+    // codegen pass (SbbfHash -> SbbfMightContain), no driver loop.
+    "meta_bloom_probe" -> ((s, dir) => {
+      val out = "/tmp/graft_bloom_probe_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), col("source"))
+        .repartition(4, col("doc_id"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", "50000")
+        .option("parquet.bloom.filter.enabled#source", "true")
+        .option("parquet.bloom.filter.expected.ndv#source", "64")
+        // parquet-mr skips blooms for fully dictionary-encoded chunks
+        // (the dictionary is already an exact filter): disable dictionary
+        // so every chunk carries one
+        .option("parquet.enable.dictionary#doc_id", "false")
+        .option("parquet.enable.dictionary#source", "false")
+        .parquet(out)
+      val fname = (c: Column) => regexp_extract(c, "[^/]+$", 0)
+      val hash = (c: Column) => ColumnBridge.column(graft.functions.SbbfHash(
+        ColumnBridge.expression(c)))
+      val probe = (b: Column, h: Column) => ColumnBridge.column(
+        graft.functions.SbbfMightContain(
+          ColumnBridge.expression(b), ColumnBridge.expression(h)))
+      val blooms = meta(s, out, "bloomfilter")
+        .select(fname(col("filepath")).as("fname"), col("path"), col("bitset"))
+      val data = s.read.parquet(out)
+        .select(fname(input_file_name()).as("fname"), col("doc_id"), col("source"))
+      val probes = data
+        .select(col("fname"), lit("doc_id").as("colname"), hash(col("doc_id")).as("h"))
+        .union(data.select(col("fname"), lit("source").as("colname"),
+          hash(col("source")).as("h")))
+        .distinct()
+      // a multi-rowgroup file carries one bloom per row group; a value
+      // present in the FILE must hit in at least one of them
+      probes.join(blooms,
+          probes("fname") === blooms("fname") && probes("colname") === blooms("path"))
+        .groupBy(probes("fname"), col("colname"), col("h"))
+        .agg(max(probe(col("bitset"), col("h"))).as("hit"))
+        .groupBy(col("colname"))
+        .agg(countDistinct(col("fname")).as("n_files"),
+          count(lit(1)).as("n_probes"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+    }),
+
+    // Bloom-accelerated point lookup: a hash-scattered layout (every
+    // file's [min, max] spans every probe, so footer stats prune NOTHING)
+    // where certain-absence bitset probes still open only the files that
+    // may hold the key — the selective point read a 100 TB table actually
+    // serves. The oracle recomputes the lookup over ALL written files;
+    // equality proves bloom pruning dropped no rows (BloomFilterSpec
+    // proves it drops files).
+    "bloom_prune_scan" -> ((s, dir) => {
+      val out = "/tmp/graft_bloom_prune_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .repartition(6, col("doc_id"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", "50000")
+        .option("parquet.enable.dictionary#doc_id", "false")
+        .parquet(out)
+      MetaPrune.readPrunedEqLong(s, out, "doc_id", 4321L)
+        .filter(col("doc_id") === 4321L)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"))
+    }),
+
     // End-to-end export audit: write a Hive-partitioned training export
     // (one file per partition via repartition-by-key), then build its
     // MANIFEST — files, rows, bytes per partition — from OUR OWN metadata
@@ -2988,6 +3063,32 @@ object SparkEntry {
         |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) AS key_sum
         |FROM read_parquet('/tmp/graft_prune_decimal_sf0.01/*.parquet')
         |WHERE price BETWEEN 1000.00 AND 5000.00""".stripMargin,
+
+    // the bloom no-false-negative closed form: every distinct
+    // (file, value) pair present in the data MUST probe true through the
+    // decoded bitset, so n_hits == n_probes == the data-side distinct
+    // count DuckDB computes without ever seeing a bloom filter
+    "meta_bloom_probe" ->
+      """SELECT colname,
+        |  CAST(count(DISTINCT fname) AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(count(*) AS BIGINT) AS n_hits
+        |FROM (
+        |  SELECT 'doc_id' AS colname, filename AS fname, CAST(doc_id AS VARCHAR) AS v
+        |  FROM read_parquet('/tmp/graft_bloom_probe_sf0.01/*.parquet', filename=true)
+        |  GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT 'source' AS colname, filename AS fname, source AS v
+        |  FROM read_parquet('/tmp/graft_bloom_probe_sf0.01/*.parquet', filename=true)
+        |  GROUP BY 1, 2, 3
+        |)
+        |GROUP BY colname""".stripMargin,
+
+    "bloom_prune_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_sum
+        |FROM read_parquet('/tmp/graft_bloom_prune_sf0.01/*.parquet')
+        |WHERE doc_id = 4321""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -39,7 +39,9 @@ case class ChunkInfo(
     offsetIndexOffset: Option[Long],
     offsetIndexLength: Option[Int],
     columnIndexOffset: Option[Long],
-    columnIndexLength: Option[Int])
+    columnIndexLength: Option[Int],
+    bloomFilterOffset: Option[Long],
+    bloomFilterLength: Option[Int])
 
 /** Decoded row-group metadata. */
 case class RowGroupInfo(
@@ -192,7 +194,13 @@ object Footers {
       offsetIndexOffset = if (cc.isSetOffset_index_offset) Some(cc.getOffset_index_offset) else None,
       offsetIndexLength = if (cc.isSetOffset_index_length) Some(cc.getOffset_index_length) else None,
       columnIndexOffset = if (cc.isSetColumn_index_offset) Some(cc.getColumn_index_offset) else None,
-      columnIndexLength = if (cc.isSetColumn_index_length) Some(cc.getColumn_index_length) else None)
+      columnIndexLength = if (cc.isSetColumn_index_length) Some(cc.getColumn_index_length) else None,
+      bloomFilterOffset = meta.flatMap { m =>
+        if (m.isSetBloom_filter_offset) Some(m.getBloom_filter_offset) else None
+      },
+      bloomFilterLength = meta.flatMap { m =>
+        if (m.isSetBloom_filter_length) Some(m.getBloom_filter_length) else None
+      })
   }
 
   def decodeStats(s: Statistics): StatsInfo = StatsInfo(

@@ -119,6 +119,31 @@ object MetaLevel {
       StructField("filepath", StringType)))
   }
 
+  /**
+   * One row per (file x row group x column) BLOOM FILTER: the thrift
+   * header fields plus the raw split-block bitset, probeable with
+   * [[graft.functions.SbbfMightContain]] without any page I/O. A
+   * post-reference extension like the page-index levels: bloom filters
+   * postdate the reference's data model. Chunks written without one
+   * (the writer default, and parquet-mr's choice for fully
+   * dictionary-encoded chunks) contribute zero rows.
+   */
+  case object ParquetBloomFilter extends MetaLevel("parquet-bloomfilter") {
+    override val schema: StructType = StructType(Seq(
+      StructField("row_group_id", IntegerType),
+      StructField("column_id", IntegerType),
+      StructField("path", StringType),
+      StructField("type", StringType),
+      StructField("bloom_offset", LongType),
+      StructField("header_size", IntegerType),
+      StructField("num_bytes", IntegerType),
+      StructField("algorithm", StringType),
+      StructField("hash", StringType),
+      StructField("compression", StringType),
+      StructField("bitset", BinaryType),
+      StructField("filepath", StringType)))
+  }
+
   /** One row per physical page (incl. dictionary pages). */
   case object ParquetPage extends MetaLevel("parquet-page") {
     override val schema: StructType = StructType(Seq(

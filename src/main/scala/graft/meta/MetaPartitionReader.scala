@@ -279,6 +279,21 @@ class MetaPartitionReader(
     case "filepath" => (f, _) => f.path
   }
 
+  private lazy val bloomEx: Array[Ex[BloomFilterInfo]] = fieldNames.map[Ex[BloomFilterInfo]] {
+    case "row_group_id" => (_, e) => e.rowGroupId
+    case "column_id" => (_, e) => e.columnId
+    case "path" => (_, e) => orNull(e.path)
+    case "type" => (_, e) => orNull(e.physicalType)
+    case "bloom_offset" => (_, e) => e.offset
+    case "header_size" => (_, e) => e.headerSize
+    case "num_bytes" => (_, e) => e.numBytes
+    case "algorithm" => (_, e) => e.algorithm
+    case "hash" => (_, e) => e.hashAlgo
+    case "compression" => (_, e) => e.compression
+    case "bitset" => (_, e) => e.bitset
+    case "filepath" => (f, _) => f.path
+  }
+
   /** One buffered forward stream over the (tiny, footer-adjacent) index
     * region of a file — the page-index levels never touch page data. */
   private def indexStream(f: FileSlice): ForwardSeekStream = {
@@ -318,6 +333,13 @@ class MetaPartitionReader(
         if (!chunks.exists(_.offsetIndexOffset.isDefined)) Iterator.empty
         else PageIndexes.offsetIndexes(chunks, indexStream(f))
           .map(toInternal(offIndexEx, f, _))
+
+      case MetaLevel.ParquetBloomFilter =>
+        val chunks = readFooter(f).chunks
+        if (!chunks.exists(_.bloomFilterOffset.isDefined)) Iterator.empty
+        else BloomFilters.bloomFilters(chunks, indexStream(f),
+            wantBitset = fieldNames.contains("bitset"))
+          .map(toInternal(bloomEx, f, _))
 
       case MetaLevel.ParquetPage =>
         val footer = readFooter(f)

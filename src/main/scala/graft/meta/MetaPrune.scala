@@ -179,6 +179,89 @@ object MetaPrune {
     filesInStringRange(spark, path, column, p, nextPrefix(p))
   }
 
+  /**
+   * Data-file paths whose BLOOM FILTERS for `column` may contain the
+   * probe value hashed as `hash` — certain absence (the split-block
+   * filter's no-false-negative guarantee) drops the file; everything
+   * else keeps it. Soundness guards, each of which KEEPS a file:
+   * a chunk whose physical type differs from `physType` (the hash is an
+   * encoding of a typed plain value — a mismatched type is evidence of
+   * nothing), a non-BLOCK/non-XXHASH/compressed filter (unprobeable), a
+   * row group without a filter (writers default them off and skip fully
+   * dictionary-encoded chunks), an absent column, and a file with no
+   * filters at all. Probes run EXECUTOR-side via the codegen
+   * [[graft.functions.SbbfMightContain]] over the `bloomfilter`
+   * metadata level; like the stat pruning, the driver sees surviving
+   * paths only — never bitsets.
+   */
+  private def filesMayContainHash(
+      spark: SparkSession, path: String, column: String,
+      hash: Long, physType: String): Seq[String] = {
+    val meta = (level: String) => spark.read.format("metadata")
+      .option("level", level).load(path)
+    val probe = ColumnBridge.column(graft.functions.SbbfMightContain(
+      ColumnBridge.expression(col("bitset")), ColumnBridge.expression(lit(hash))))
+    val bloomAdmits = meta("bloomfilter")
+      .filter(col("path") === column)
+      .select(col("filepath"),
+        (col("type").isNull || col("type") =!= physType ||
+          col("algorithm") =!= "BLOCK" || col("hash") =!= "XXHASH" ||
+          col("compression") =!= "UNCOMPRESSED" ||
+          col("bitset").isNull || probe).as("adm"))
+      .groupBy(col("filepath"))
+      .agg(max(col("adm")).as("adm"), count(lit(1)).as("n_bloom"))
+    // chunk count per file: a row group missing its filter (n_bloom <
+    // n_chunks) is unjudgeable, so the file stays
+    val chunkCounts = meta("column")
+      .filter(col("path") === column)
+      .groupBy(col("filepath")).agg(count(lit(1)).as("n_chunks"))
+    meta("file").select(col("filepath"))
+      .join(chunkCounts, Seq("filepath"), "left")
+      .join(bloomAdmits, Seq("filepath"), "left")
+      .filter(col("n_chunks").isNull || col("n_bloom").isNull ||
+        col("n_bloom") < col("n_chunks") || col("adm"))
+      .select(col("filepath"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** [[filesMayContainHash]] for an INT64 probe value. */
+  def filesMayContainLong(
+      spark: SparkSession, path: String, column: String, value: Long): Seq[String] =
+    filesMayContainHash(spark, path, column, Sbbf.hashLong(value), "INT64")
+
+  /** [[filesMayContainHash]] for a UTF8 string probe value. */
+  def filesMayContainString(
+      spark: SparkSession, path: String, column: String, value: String): Seq[String] =
+    filesMayContainHash(spark, path, column,
+      Sbbf.hashBytes(value.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      "BYTE_ARRAY")
+
+  /**
+   * Read only the files a point-lookup `column = value` can touch, pruned
+   * by BOTH footer min/max statistics and bloom filters — each list is
+   * independently sound, so their intersection is. The complementary
+   * strengths: range-clustered layouts prune on stats, hash-scattered
+   * layouts (where every file's [min, max] spans the probe) prune on
+   * blooms — the case selective point reads at 100 TB actually hit.
+   */
+  def readPrunedEqLong(
+      spark: SparkSession, path: String, column: String, value: Long): DataFrame = {
+    val byStats = filesInRange(spark, path, column, value, value).toSet
+    val byBloom = filesMayContainLong(spark, path, column, value).toSet
+    readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
+  }
+
+  /** [[readPrunedEqLong]] for a string probe: stats prune on the closed
+    * byte range `[v, v + 0x00)` (the smallest byte string above `v`),
+    * blooms on the UTF8 hash. */
+  def readPrunedEqString(
+      spark: SparkSession, path: String, column: String, value: String): DataFrame = {
+    val v = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val byStats = filesInStringRange(spark, path, column, v, Some(v :+ 0.toByte)).toSet
+    val byBloom = filesMayContainString(spark, path, column, value).toSet
+    readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
+  }
+
   /** Read only the files a range predicate on `column` can touch. The
     * predicate itself is NOT applied — callers compose it, and Catalyst
     * additionally pushes it into the surviving files' row groups. */

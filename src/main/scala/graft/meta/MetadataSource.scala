@@ -70,7 +70,8 @@ object MetadataSource {
   val COUNT_PUSHDOWN = "countpushdown"
 
   val SOURCES = Seq("file", "parquet")
-  val LEVELS = Seq("file", "rowgroup", "column", "page", "columnindex", "offsetindex")
+  val LEVELS =
+    Seq("file", "rowgroup", "column", "page", "columnindex", "offsetindex", "bloomfilter")
 
   /** Map a validated (source, level) pair onto a [[MetaLevel]]. */
   def levelFor(source: String, level: String): MetaLevel = (source, level) match {
@@ -81,6 +82,7 @@ object MetadataSource {
     case ("parquet", "page") => MetaLevel.ParquetPage
     case ("parquet", "columnindex") => MetaLevel.ParquetColumnIndex
     case ("parquet", "offsetindex") => MetaLevel.ParquetOffsetIndex
+    case ("parquet", "bloomfilter") => MetaLevel.ParquetBloomFilter
     case (s, l) =>
       throw new IllegalArgumentException(s"Source '$s' does not support '$l' level")
   }

@@ -1,0 +1,162 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Split-block bloom filter decode + probe: bit-parity with parquet-mr's
+  * own implementation, the no-false-negative guarantee on real written
+  * files, and sound point-lookup file pruning built on both. */
+class BloomFilterSpec extends SparkSpec {
+
+  /** documents-like fixture: 4 hash-scattered files (every file spans the
+    * full id range, so min/max stats cannot prune a point probe), bloom
+    * filters on both the INT64 id and the UTF8 tag column. Dictionary
+    * encoding is disabled for the filtered columns: parquet-mr skips the
+    * bloom filter for fully dictionary-encoded chunks (the dictionary
+    * already is an exact filter), which is exactly the case the
+    * missing-filter soundness guard covers — tested separately below. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_bloom").toString
+    spark.range(0, 2000)
+      .withColumn("tag", concat(lit("tag"), (col("id") % 500).cast("string")))
+      .repartition(4, col("id")) // hash-scatter: all files cover [0, 2000)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#id", "true")
+      .option("parquet.bloom.filter.expected.ndv#id", "600")
+      .option("parquet.bloom.filter.enabled#tag", "true")
+      .option("parquet.bloom.filter.expected.ndv#tag", "600")
+      .option("parquet.enable.dictionary#id", "false")
+      .option("parquet.enable.dictionary#tag", "false")
+      .parquet(d)
+    d
+  }
+
+  private lazy val plainDir: String = {
+    val d = Files.createTempDirectory("graft_bloom_plain").toString
+    spark.range(0, 100).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("Sbbf probe is bit-exact against parquet-mr's BlockSplitBloomFilter") {
+    val filter = new BlockSplitBloomFilter(1024)
+    val rnd = new scala.util.Random(42)
+    val inserted = Array.fill(300)(rnd.nextLong())
+    inserted.foreach(filter.insertHash)
+    val out = new java.io.ByteArrayOutputStream()
+    filter.writeTo(out)
+    val bitset = out.toByteArray
+    assert(bitset.length === filter.getBitsetSize)
+    // every inserted hash hits through our probe
+    inserted.foreach(h => assert(Sbbf.mightContain(bitset, h)))
+    // exact parity (INCLUDING false positives) on random probes
+    var misses = 0
+    (0 until 20000).foreach { _ =>
+      val h = rnd.nextLong()
+      val ours = Sbbf.mightContain(bitset, h)
+      assert(ours === filter.findHash(h), s"parity break on hash $h")
+      if (!ours) misses += 1
+    }
+    assert(misses > 0, "probe never returned certain-absence")
+  }
+
+  test("value hashing matches parquet-mr for longs and strings") {
+    val filter = new BlockSplitBloomFilter(64)
+    Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue).foreach { v =>
+      assert(Sbbf.hashLong(v) === filter.hash(v))
+    }
+    Seq("", "a", "tag17", "éléphant").foreach { s =>
+      assert(Sbbf.hashBytes(s.getBytes("UTF-8")) ===
+        filter.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+    }
+  }
+
+  test("bloomfilter level decodes headers and bitsets from written files") {
+    val rows = spark.read.format("metadata").option("level", "bloomfilter")
+      .load(dir)
+      .select("filepath", "path", "type", "algorithm", "hash", "compression",
+        "num_bytes", "header_size", "bitset")
+      .collect()
+    assert(rows.nonEmpty, "no bloom filters decoded")
+    val byCol = rows.groupBy(_.getString(1))
+    assert(byCol.keySet === Set("id", "tag"))
+    rows.foreach { r =>
+      assert(r.getString(3) === "BLOCK")
+      assert(r.getString(4) === "XXHASH")
+      assert(r.getString(5) === "UNCOMPRESSED")
+      assert(r.getInt(6) > 0)
+      assert(r.getInt(7) > 0)
+      assert(r.getAs[Array[Byte]](8).length === r.getInt(6))
+      assert(r.getInt(6) % 32 === 0, "bitset not block-aligned")
+    }
+    // id chunks are INT64, tag chunks BYTE_ARRAY
+    assert(byCol("id").forall(_.getString(2) === "INT64"))
+    assert(byCol("tag").forall(_.getString(2) === "BYTE_ARRAY"))
+  }
+
+  test("no false negatives: every value present in a file probes true") {
+    // key by file NAME: input_file_name renders file:///, the metadata
+    // source file:/ — same files, different URI normalizations
+    val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    val blooms = spark.read.format("metadata").option("level", "bloomfilter")
+      .load(dir).filter(col("path") === "id")
+      .select("filepath", "bitset").collect()
+      .map(r => base(r.getString(0)) -> r.getAs[Array[Byte]](1)).toMap
+    assert(blooms.size === 4)
+    val present = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("id")).collect()
+      .map(r => (base(r.getString(0)), r.getLong(1)))
+    assert(present.length === 2000)
+    present.foreach { case (f, v) =>
+      assert(Sbbf.mightContain(blooms(f), Sbbf.hashLong(v)),
+        s"false negative for id=$v in $f")
+    }
+  }
+
+  test("point-lookup pruning drops files and stays sound") {
+    // stats cannot prune a hash-scattered layout; blooms can
+    val byStats = MetaPrune.filesInRange(spark, dir, "id", 1234L, 1234L)
+    assert(byStats.length === 4, "hash-scatter premise broken: stats pruned")
+    val byBloom = MetaPrune.filesMayContainLong(spark, dir, "id", 1234L)
+    assert(byBloom.length < 4, "bloom pruning dropped nothing")
+    val pruned = MetaPrune.readPrunedEqLong(spark, dir, "id", 1234L)
+      .filter(col("id") === 1234L).count()
+    assert(pruned === 1L)
+    // absent probe value: certain absence everywhere is legal (0 files)
+    val absent = MetaPrune.readPrunedEqLong(spark, dir, "id", 999999L)
+      .filter(col("id") === 999999L).count()
+    assert(absent === 0L)
+  }
+
+  test("string point-lookup pruning is sound on the tag column") {
+    val full = spark.read.parquet(dir)
+      .filter(col("tag") === "tag17").agg(sum("id")).collect()(0).getLong(0)
+    val pruned = MetaPrune.readPrunedEqString(spark, dir, "tag", "tag17")
+      .filter(col("tag") === "tag17").agg(sum("id")).collect()(0).getLong(0)
+    assert(pruned === full)
+  }
+
+  test("files without bloom filters are kept, never pruned") {
+    val rows = spark.read.format("metadata").option("level", "bloomfilter")
+      .load(plainDir).count()
+    assert(rows === 0L)
+    val kept = MetaPrune.filesMayContainLong(spark, plainDir, "id", 12345L)
+    val all = spark.read.format("metadata").option("level", "file")
+      .load(plainDir).count()
+    assert(kept.length.toLong === all)
+  }
+
+  test("header-only projection skips bitset reads") {
+    val noBitset = spark.read.format("metadata").option("level", "bloomfilter")
+      .load(dir).select("filepath", "path", "num_bytes").collect()
+    assert(noBitset.nonEmpty)
+    val withBitset = spark.read.format("metadata").option("level", "bloomfilter")
+      .load(dir).select("filepath", "path", "num_bytes", "bitset").collect()
+    assert(noBitset.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet ===
+      withBitset.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet)
+  }
+}

@@ -129,7 +129,8 @@ class MetadataSourceSpec extends SparkSpec {
     assert(messageOf(e1).contains("Invalid source: json, expected one of [file, parquet]"))
     val e2 = intercept[Exception](meta(lineitem, "level" -> "pages").collect())
     assert(messageOf(e2).contains(
-      "Invalid level: pages, expected one of [file, rowgroup, column, page, columnindex, offsetindex]"))
+      "Invalid level: pages, expected one of " +
+        "[file, rowgroup, column, page, columnindex, offsetindex, bloomfilter]"))
     val e3 = intercept[Exception](
       meta(lineitem, "source" -> "file", "level" -> "rowgroup").collect())
     assert(messageOf(e3).contains("Source 'file' does not support 'rowgroup' level"))
