@@ -367,6 +367,37 @@ object SparkEntry {
           coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"))
     }),
 
+    // Key-value metadata surfaced as rows: the footer's application
+    // annotations (pyarrow writes 'pandas' + 'ARROW:schema' here, Spark
+    // writes its row-schema JSON) exploded from the parquet-file level's
+    // map — compared byte-for-byte against DuckDB's independent
+    // parquet_kv_metadata() decode of the same footer.
+    "meta_kv" -> ((s, dir) =>
+      meta(s, pq(dir, "documents"), "file")
+        .select(explode(col("key_value_metadata")))
+        .select(col("key"), col("value"))),
+
+    // Dictionary pages decoded to their VALUE LISTS: for a fully
+    // dictionary-encoded column every row group's dictionary page IS its
+    // distinct-value list, so the union of decoded entries must equal the
+    // data-side DISTINCT the oracle computes without ever parsing a page.
+    // Proves the page-content byte walk AND the PLAIN BYTE_ARRAY layout
+    // decode (<u32 LE length><bytes>), not just page accounting.
+    "meta_dict" -> ((s, dir) => {
+      val out = "/tmp/graft_dict_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents")).select(col("source"))
+        .repartition(3)
+        // uncompressed so page_content is the PLAIN payload itself
+        .write.mode("overwrite").option("compression", "none").parquet(out)
+      val dicts = meta(s, out, "page", Map("pagecontent" -> "true"))
+        .filter(col("page_type") === "DICTIONARY_PAGE")
+        .select(col("page_content"))
+      dicts.select(explode(ColumnBridge.column(graft.functions.PlainDictStrings(
+          ColumnBridge.expression(col("page_content"))))).as("v"))
+        .distinct()
+    }),
+
     // End-to-end export audit: write a Hive-partitioned training export
     // (one file per partition via repartition-by-key), then build its
     // MANIFEST — files, rows, bytes per partition — from OUR OWN metadata
@@ -3089,6 +3120,19 @@ object SparkEntry {
         |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_sum
         |FROM read_parquet('/tmp/graft_bloom_prune_sf0.01/*.parquet')
         |WHERE doc_id = 4321""".stripMargin,
+
+    "meta_kv" ->
+      s"""SELECT decode(key) AS key, decode(value) AS value
+         |FROM parquet_kv_metadata('$OracleSf/documents.parquet')""".stripMargin,
+
+    // the data-side distinct IS the dictionary contract: every row
+    // group's dictionary page holds exactly its distinct values when no
+    // plain fallback occurred (source has ~tens of values, far under any
+    // fallback threshold), and a decode bug in the <u32 LE len><bytes>
+    // walk breaks the set equality
+    "meta_dict" ->
+      """SELECT DISTINCT source AS v
+        |FROM read_parquet('/tmp/graft_dict_sf0.01/*.parquet')""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
