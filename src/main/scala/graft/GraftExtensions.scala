@@ -152,6 +152,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"Function cdc_chunks requires literal INT window/divisor arguments, got $other")
         }
       }))
+    ext.injectFunction((
+      FunctionIdentifier("sbbf_hash"),
+      info(classOf[graft.functions.SbbfHash], "sbbf_hash"),
+      unary("sbbf_hash")(graft.functions.SbbfHash)))
+    ext.injectFunction((
+      FunctionIdentifier("sbbf_might_contain"),
+      info(classOf[graft.functions.SbbfMightContain], "sbbf_might_contain"),
+      binary("sbbf_might_contain")(graft.functions.SbbfMightContain)))
+    ext.injectFunction((
+      FunctionIdentifier("plain_dict_strings"),
+      info(classOf[graft.functions.PlainDictStrings], "plain_dict_strings"),
+      unary("plain_dict_strings")(graft.functions.PlainDictStrings)))
     // aggregate: the analyzer wraps a returned AggregateFunction into an
     // AggregateExpression, so SQL `top_k_by_score(score, id, 5)` works in
     // GROUP BY queries like any builtin aggregate

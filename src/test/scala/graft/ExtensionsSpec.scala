@@ -42,6 +42,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(hh.map(r => (r.getString(0), r.getLong(1))) === Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("bloom probe and dictionary decode functions are callable from SQL") {
+    // an all-zero bitset certainly contains nothing; hashes must agree
+    // with the driver-side Sbbf implementations
+    val row = spark.sql("""
+      SELECT
+        sbbf_hash(CAST(42 AS BIGINT)) AS hl,
+        sbbf_hash('tag17') AS hs,
+        sbbf_might_contain(CAST(repeat(CHAR(0), 32) AS BINARY),
+                           sbbf_hash(CAST(42 AS BIGINT))) AS zero_hit,
+        plain_dict_strings(CAST(CONCAT(CHAR(1), CHAR(0), CHAR(0), CHAR(0), 'a')
+                           AS BINARY)) AS dict
+    """).collect().head
+    assert(row.getLong(0) === graft.meta.Sbbf.hashLong(42L))
+    assert(row.getLong(1) === graft.meta.Sbbf.hashBytes("tag17".getBytes("UTF-8")))
+    assert(!row.getBoolean(2))
+    assert(row.getSeq[String](3) === Seq("a"))
+  }
+
   test("metadata source is usable from pure SQL via CREATE TABLE ... USING") {
     spark.sql("DROP TABLE IF EXISTS meta_rg_ddl")
     spark.sql(s"""
