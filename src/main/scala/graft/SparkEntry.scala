@@ -174,6 +174,26 @@ object SparkEntry {
           col("n_pages"), col("n_oi_pages"))
     }),
 
+    // Page-granular skip report: on the pinned sorted 1000-rows/page
+    // layout, the ColumnIndex+OffsetIndex composition must find exactly
+    // the pages a range predicate touches — the oracle re-derives needed
+    // pages and covered rows from the DATA (id div 1000 IS the page id on
+    // this layout), so a min/max decode bug or a row-span bug each break
+    // a different column. The report itself reads zero data pages: it is
+    // the row-level I/O bound a page-index-aware 100 TB reader gets.
+    "meta_page_skip" -> ((s, dir) => {
+      val out = "/tmp/graft_pageskip_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.range(0, 20000, 1, 1)
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "1000")
+        .parquet(out)
+      MetaPrune.pageSkipReport(s, out, "id", 3500L, 7200L)
+        .select(col("row_group_id").cast("long").as("row_group_id"),
+          col("n_pages_total"), col("n_pages_needed"),
+          col("rows_total"), col("rows_covered"))
+    }),
+
     // Level-to-level join on filepath: parquet-file footer totals vs the
     // rowgroup-level sum — the cross-level consistency query.
     "meta_join" -> ((s, dir) => {
@@ -3031,6 +3051,20 @@ object SparkEntry {
         |  CAST((row_group_num_rows + 999) // 1000 AS BIGINT) AS n_pages,
         |  CAST((row_group_num_rows + 999) // 1000 AS BIGINT) AS n_oi_pages
         |FROM parquet_metadata('/tmp/graft_pageoi_sf0.01/*.parquet')""".stripMargin,
+
+    // pages re-derived from the data itself: on the sorted pinned layout
+    // id // 1000 is the page id, so needed pages / covered rows are plain
+    // aggregates over the rows the predicate matches
+    "meta_page_skip" ->
+      """WITH d AS (SELECT id FROM read_parquet('/tmp/graft_pageskip_sf0.01/*.parquet')),
+        |  needed AS (SELECT DISTINCT id // 1000 AS pg FROM d
+        |             WHERE id BETWEEN 3500 AND 7200)
+        |SELECT CAST(0 AS BIGINT) AS row_group_id,
+        |  (SELECT CAST(count(DISTINCT id // 1000) AS BIGINT) FROM d) AS n_pages_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM needed) AS n_pages_needed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d) AS rows_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d
+        |   WHERE id // 1000 IN (SELECT pg FROM needed)) AS rows_covered""".stripMargin,
 
     "meta_join" ->
       s"""WITH rg AS (

@@ -262,6 +262,61 @@ object MetaPrune {
     readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
   }
 
+  /**
+   * PAGE-granular skip report for a range predicate on an INT32/INT64
+   * `column`: from the decoded ColumnIndex (per-page min/max) and
+   * OffsetIndex (per-page row spans), how many pages — and how many rows —
+   * a page-index-aware reader would actually touch for `[lo, hi]`. Pure
+   * metadata: no data page is ever read, and all decoding runs
+   * executor-side over the index levels; per-chunk page counts are
+   * thousands at most, so the per-chunk window is bounded.
+   *
+   * Skip decisions are sound the same way file pruning is: a page is
+   * skippable only on POSITIVE evidence — a null page (no values can
+   * match a value range) or decoded stats that exclude the range;
+   * missing/undecodable stats keep the page. One row per
+   * (file, row group): total pages, needed pages, total rows, rows
+   * covered by needed pages — the row-level I/O bound a 100 TB selective
+   * scan cares about.
+   */
+  def pageSkipReport(
+      spark: SparkSession, path: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val meta = (level: String) => spark.read.format("metadata")
+      .option("level", level).load(path)
+    val key = Seq("filepath", "row_group_id", "column_id")
+    val colIds = meta("column").filter(col("path") === column)
+      .select(col("filepath"), col("row_group_id"), col("column_id"), col("type"))
+    val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatLong(
+      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val mn = decode(col("min_value"))
+    val mx = decode(col("max_value"))
+    val needed = when(col("null_page"), lit(false))
+      .otherwise(mn.isNull || mx.isNull || (mx >= lo && mn <= hi))
+    val ci = meta("columnindex")
+      .join(colIds, key)
+      .select(col("filepath"), col("row_group_id"), col("column_id"),
+        col("page_id"), needed.as("needed"))
+    // per-page row span: next page's first row (or the row group's row
+    // count for the last page) minus this page's first row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key.map(col): _*).orderBy(col("page_id"))
+    val spans = meta("offsetindex")
+      .select(col("filepath"), col("row_group_id"), col("column_id"),
+        col("page_id"), col("first_row_index"))
+      .join(meta("rowgroup").select(col("filepath"), col("row_group_id"),
+        col("num_rows")), Seq("filepath", "row_group_id"))
+      .withColumn("page_rows",
+        coalesce(lead(col("first_row_index"), 1).over(w), col("num_rows")) -
+          col("first_row_index"))
+    ci.join(spans, key :+ "page_id", "left")
+      .groupBy(col("filepath"), col("row_group_id"))
+      .agg(count(lit(1)).as("n_pages_total"),
+        sum(when(col("needed"), 1L).otherwise(0L)).as("n_pages_needed"),
+        sum(col("page_rows")).as("rows_total"),
+        sum(when(col("needed"), col("page_rows")).otherwise(0L)).as("rows_covered"))
+  }
+
   /** Read only the files a range predicate on `column` can touch. The
     * predicate itself is NOT applied — callers compose it, and Catalyst
     * additionally pushes it into the surviving files' row groups. */

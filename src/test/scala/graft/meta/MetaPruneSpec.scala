@@ -176,6 +176,29 @@ class MetaPruneSpec extends SparkSpec {
     assert(MetaPrune.filesWithPrefix(spark, d, "id", "k3").length === 4)
   }
 
+  test("pageSkipReport counts exactly the pages a range touches") {
+    val d = Files.createTempDirectory("graft_pageskip").toString
+    // sorted single-partition layout at exactly 100 rows/page
+    spark.range(0, 1000, 1, 1)
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", "100")
+      .parquet(d)
+    def report(lo: Long, hi: Long): (Long, Long, Long, Long) = {
+      val r = MetaPrune.pageSkipReport(spark, d, "id", lo, hi).collect()
+      assert(r.length === 1)
+      (r(0).getAs[Long]("n_pages_total"), r(0).getAs[Long]("n_pages_needed"),
+        r(0).getAs[Long]("rows_total"), r(0).getAs[Long]("rows_covered"))
+    }
+    // [250, 449] lives in pages 2..4 (the 449 boundary is inclusive)
+    assert(report(250, 449) === ((10L, 3L, 1000L, 300L)))
+    // a range past every value touches nothing
+    assert(report(5000, 6000) === ((10L, 0L, 1000L, 0L)))
+    // the full domain touches every page
+    assert(report(0, 999) === ((10L, 10L, 1000L, 1000L)))
+    // an absent column yields no rows rather than a wrong report
+    assert(MetaPrune.pageSkipReport(spark, d, "nope", 0, 10).count() === 0L)
+  }
+
   test("pruned read preserves Hive partition columns") {
     val d = Files.createTempDirectory("graft_metaprune_part").toString
     spark.range(0, 40)
