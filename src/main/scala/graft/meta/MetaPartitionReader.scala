@@ -37,7 +37,9 @@ class MetaPartitionReader(
     bufferSize: Int,
     pageContent: Boolean,
     ignoreCorrupt: Boolean = false,
-    footerCache: Boolean = true) extends PartitionReader[InternalRow] with Logging {
+    footerCache: Boolean = true,
+    bloomPathHint: Option[Set[String]] = None)
+    extends PartitionReader[InternalRow] with Logging {
 
   private val fieldNames = required.fieldNames
   private val wantContent = pageContent && fieldNames.contains("page_content")
@@ -335,7 +337,12 @@ class MetaPartitionReader(
           .map(toInternal(offIndexEx, f, _))
 
       case MetaLevel.ParquetBloomFilter =>
-        val chunks = readFooter(f).chunks
+        // The advisory path hint drops chunks BEFORE any bitset I/O; it
+        // only ever skips rows the (still-residual) path predicate would
+        // drop anyway — a chunk without path metadata cannot satisfy a
+        // path equality, so it is skippable under a hint too.
+        val chunks = readFooter(f).chunks.filter(c =>
+          bloomPathHint.forall(h => c.path.exists(h.contains)))
         if (!chunks.exists(_.bloomFilterOffset.isDefined)) Iterator.empty
         else BloomFilters.bloomFilters(chunks, indexStream(f),
             wantBitset = fieldNames.contains("bitset"))

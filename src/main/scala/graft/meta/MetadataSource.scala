@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -216,6 +216,7 @@ class MetaScanBuilder(table: MetaTable)
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var countStar: Boolean = false
+  private var pathHint: Option[Set[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
@@ -233,6 +234,20 @@ class MetaScanBuilder(table: MetaTable)
         table.files.forall(FilePruning.eval(f, _).isDefined)
     }
     pushed = claimed
+    // Advisory hint, NOT a claim: at the bloomfilter level a `path = 'c'`
+    // / `path IN (...)` predicate lets the reader skip non-matching
+    // chunks BEFORE any bitset I/O (the common probe reads one column of
+    // a table that blooms many). The filter stays residual — Spark still
+    // applies it — so skipping is exact: only rows the filter would drop
+    // anyway are skipped (a null path never satisfies these predicates).
+    if (table.level == MetaLevel.ParquetBloomFilter) {
+      val sets = residual.collect {
+        case EqualTo("path", v: String) => Set(v)
+        case EqualNullSafe("path", v: String) => Set(v)
+        case In("path", vs) => vs.collect { case s: String => s }.toSet
+      }
+      if (sets.nonEmpty) pathHint = Some(sets.reduce(_ intersect _))
+    }
     residual
   }
 
@@ -291,7 +306,7 @@ class MetaScanBuilder(table: MetaTable)
 
   override def build(): Scan =
     if (countStar) new MetaCountScan(table, pushed)
-    else new MetaScan(table, required, pushed, limit)
+    else new MetaScan(table, required, pushed, limit, pathHint)
 }
 
 /** Single-row COUNT(*) result computed entirely from the driver listing. */
@@ -344,7 +359,8 @@ class MetaScan(
     table: MetaTable,
     required: StructType,
     pushed: Array[Filter],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    pathHint: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -379,6 +395,7 @@ class MetaScan(
     s"metadata(level=${table.level.levelName}, files=${prunedFiles.length}/${table.files.length}, " +
       s"columns=[${required.fieldNames.mkString(",")}]" +
       (if (pushed.nonEmpty) s", pushed=[${pushed.mkString(",")}]" else "") +
+      pathHint.fold("")(h => s", bloompaths=[${h.toSeq.sorted.mkString(",")}]") +
       limit.fold("")(n => s", limit=$n") + ")"
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -403,7 +420,7 @@ class MetaScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(table.spark.sessionState.newHadoopConf())
     MetaReaderFactory(table.level, required, conf, table.bufferSize, table.pageContent,
-      table.ignoreCorrupt, table.footerCache)
+      table.ignoreCorrupt, table.footerCache, pathHint)
   }
 }
 
@@ -456,11 +473,12 @@ case class MetaReaderFactory(
     bufferSize: Int,
     pageContent: Boolean,
     ignoreCorrupt: Boolean,
-    footerCache: Boolean) extends PartitionReaderFactory {
+    footerCache: Boolean,
+    pathHint: Option[Set[String]] = None) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val spans = partition.asInstanceOf[FilesPartition].spans
     new MetaPartitionReader(spans, level, required, conf.value, bufferSize, pageContent,
-      ignoreCorrupt, footerCache)
+      ignoreCorrupt, footerCache, pathHint)
   }
 }

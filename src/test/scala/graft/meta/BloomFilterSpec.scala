@@ -150,6 +150,44 @@ class BloomFilterSpec extends SparkSpec {
     assert(kept.length.toLong === all)
   }
 
+  test("path predicate becomes an advisory chunk-skip hint in the plan") {
+    val df = spark.read.format("metadata").option("level", "bloomfilter")
+      .load(dir).filter(col("path") === "id")
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("bloompaths=[id]"), s"hint missing from plan:\n$desc")
+    // the hint only skips rows the residual filter drops anyway
+    val hinted = df.select("filepath", "num_bytes").collect().toSet
+    val unhinted = spark.read.format("metadata").option("level", "bloomfilter")
+      .load(dir).select("filepath", "path", "num_bytes")
+      .collect().filter(_.getString(1) == "id")
+      .map(r => org.apache.spark.sql.Row(r.getString(0), r.getInt(2))).toSet
+    assert(hinted === unhinted)
+  }
+
+  test("corrupt bloom region: fails by default, skipped under ignorecorrupt") {
+    val d = Files.createTempDirectory("graft_bloom_corrupt").toString
+    spark.range(0, 500).coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#id", "true")
+      .option("parquet.enable.dictionary#id", "false")
+      .parquet(d)
+    val off = spark.read.format("metadata").option("level", "bloomfilter")
+      .load(d).select("bloom_offset").collect()(0).getLong(0)
+    val file = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val raf = new java.io.RandomAccessFile(file, "rw")
+    try {
+      raf.seek(off)
+      raf.write(Array.fill[Byte](16)(-1)) // garbage over the thrift header
+    } finally raf.close()
+    // the footer cache still holds the pre-corruption decode; a fresh
+    // uncached read must hit the broken bloom region
+    val fresh = () => spark.read.format("metadata").option("level", "bloomfilter")
+      .option("footercache", "false")
+    intercept[Exception](fresh().load(d).collect())
+    val skipped = fresh().option("ignorecorrupt", "true").load(d).collect()
+    assert(skipped.isEmpty) // the one corrupt file contributed nothing
+  }
+
   test("header-only projection skips bitset reads") {
     val noBitset = spark.read.format("metadata").option("level", "bloomfilter")
       .load(dir).select("filepath", "path", "num_bytes").collect()
