@@ -164,6 +164,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("plain_dict_strings"),
       info(classOf[graft.functions.PlainDictStrings], "plain_dict_strings"),
       unary("plain_dict_strings")(graft.functions.PlainDictStrings)))
+    ext.injectFunction((
+      FunctionIdentifier("plain_int64_sum"),
+      info(classOf[graft.functions.PlainInt64Sum], "plain_int64_sum"),
+      unary("plain_int64_sum")(graft.functions.PlainInt64Sum)))
     // aggregate: the analyzer wraps a returned AggregateFunction into an
     // AggregateExpression, so SQL `top_k_by_score(score, id, 5)` works in
     // GROUP BY queries like any builtin aggregate

@@ -194,6 +194,34 @@ object SparkEntry {
           col("rows_total"), col("rows_covered"))
     }),
 
+    // Data-page PAYLOAD decode proven against the data: on an
+    // uncompressed, dictionary-free layout a REQUIRED int64 column's
+    // PLAIN data page is nothing but values back to back, so summing the
+    // decoded page bytes (wrap-around long addition) must reproduce the
+    // engine-independent sum of the column, and the payload byte count
+    // must reproduce the row count — the strongest content check the
+    // page walk can get: every byte of every data page accounted for by
+    // value, not just by size.
+    "meta_page_values" -> ((s, dir) => {
+      val out = "/tmp/graft_pagevals_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.range(0, 20000, 1, 1)
+        .write.mode("overwrite")
+        .option("compression", "none")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.page.row.count.limit", "1000")
+        .parquet(out)
+      val pageSum = ColumnBridge.column(graft.functions.PlainInt64Sum(
+        ColumnBridge.expression(col("page_content"))))
+      meta(s, out, "page", Map("pagecontent" -> "true"))
+        .filter(col("page_type").startsWith("DATA_PAGE") &&
+          col("encoding") === "PLAIN")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(pageSum).as("value_sum"),
+          sum(size(col("page_content")).cast("long") / lit(8L)).cast("long")
+            .as("n_values"))
+    }),
+
     // Level-to-level join on filepath: parquet-file footer totals vs the
     // rowgroup-level sum — the cross-level consistency query.
     "meta_join" -> ((s, dir) => {
@@ -3065,6 +3093,14 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM d) AS rows_total,
         |  (SELECT CAST(count(*) AS BIGINT) FROM d
         |   WHERE id // 1000 IN (SELECT pg FROM needed)) AS rows_covered""".stripMargin,
+
+    // everything re-derived from the data: page count from the pinned
+    // 1000-rows/page layout, value sum and row count from the column
+    "meta_page_values" ->
+      """SELECT CAST(count(DISTINCT id // 1000) AS BIGINT) AS n_pages,
+        |  CAST(sum(id) AS BIGINT) AS value_sum,
+        |  CAST(count(*) AS BIGINT) AS n_values
+        |FROM read_parquet('/tmp/graft_pagevals_sf0.01/*.parquet')""".stripMargin,
 
     "meta_join" ->
       s"""WITH rg AS (

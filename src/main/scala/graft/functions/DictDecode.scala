@@ -52,11 +52,8 @@ case class PlainDictStrings(child: Expression) extends UnaryExpression {
 
 object PlainDictStrings {
   def compute(v: Any): ArrayData = {
-    val bytes: Array[Byte] = v match {
-      case b: Array[Byte] => b
-      case a: ArrayData => a.toByteArray()
-      case _ => return null
-    }
+    val bytes: Array[Byte] = DecodeBytes.of(v)
+    if (bytes == null) return null
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var i = 0
     while (i < bytes.length) {
@@ -70,5 +67,75 @@ object PlainDictStrings {
       i += len
     }
     new GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** Shared input normalization for the page-payload decodes: the page level
+  * renders content as `array<byte>` (reference fidelity), tests and other
+  * callers hand in plain `binary`. */
+private[functions] object DecodeBytes {
+  def of(v: Any): Array[Byte] = v match {
+    case b: Array[Byte] => b
+    case a: ArrayData => a.toByteArray()
+    case _ => null
+  }
+}
+
+/**
+ * Sum the values of a PLAIN-encoded INT64 page payload (the raw
+ * `page_content` bytes of an uncompressed data page for a REQUIRED int64
+ * column: no level bytes, just 8-byte little-endian values back to back).
+ * A payload whose length is not a multiple of 8 yields null — a truncated
+ * or non-PLAIN payload must stay distinguishable from a zero sum.
+ *
+ * Exists so the page walk's CONTENT can be proven against the data it
+ * encodes: summed per page and rolled up, the decoded values must equal
+ * the engine-independent aggregate of the column itself (wrap-around
+ * long addition on both sides).
+ */
+@ExpressionDescription(
+  usage = "_FUNC_(bytes) - sum of a PLAIN INT64 page payload's values, NULL if malformed.")
+case class PlainInt64Sum(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "plain_int64_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary or array<byte> argument, got ${t.simpleString(10)}")
+  }
+
+  override def nullSafeEval(v: Any): Any = PlainInt64Sum.compute(v)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("decoded")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      java.lang.Long $tmp = graft.functions.PlainInt64Sum.compute($v);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.longValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlainInt64Sum =
+    copy(child = newChild)
+}
+
+object PlainInt64Sum {
+  def compute(v: Any): java.lang.Long = {
+    val bytes = DecodeBytes.of(v)
+    if (bytes == null || bytes.length % 8 != 0) return null
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      sum +=
+        (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24) |
+        ((bytes(i + 4) & 0xffL) << 32) | ((bytes(i + 5) & 0xffL) << 40) |
+        ((bytes(i + 6) & 0xffL) << 48) | ((bytes(i + 7) & 0xffL) << 56)
+      i += 8
+    }
+    java.lang.Long.valueOf(sum)
   }
 }

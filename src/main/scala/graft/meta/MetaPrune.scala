@@ -229,6 +229,13 @@ object MetaPrune {
       spark: SparkSession, path: String, column: String, value: Long): Seq[String] =
     filesMayContainHash(spark, path, column, Sbbf.hashLong(value), "INT64")
 
+  /** [[filesMayContainHash]] for an INT32 probe value (parquet hashes
+    * the 4-byte little-endian plain encoding — a different hash than the
+    * same value as INT64, which is why the physical-type guard exists). */
+  def filesMayContainInt(
+      spark: SparkSession, path: String, column: String, value: Int): Seq[String] =
+    filesMayContainHash(spark, path, column, Sbbf.hashInt(value), "INT32")
+
   /** [[filesMayContainHash]] for a UTF8 string probe value. */
   def filesMayContainString(
       spark: SparkSession, path: String, column: String, value: String): Seq[String] =

@@ -52,12 +52,14 @@ class ExtensionsSpec extends SparkSpec {
         sbbf_might_contain(CAST(repeat(CHAR(0), 32) AS BINARY),
                            sbbf_hash(CAST(42 AS BIGINT))) AS zero_hit,
         plain_dict_strings(CAST(CONCAT(CHAR(1), CHAR(0), CHAR(0), CHAR(0), 'a')
-                           AS BINARY)) AS dict
+                           AS BINARY)) AS dict,
+        plain_int64_sum(CAST(CONCAT(CHAR(7), repeat(CHAR(0), 7)) AS BINARY)) AS psum
     """).collect().head
     assert(row.getLong(0) === graft.meta.Sbbf.hashLong(42L))
     assert(row.getLong(1) === graft.meta.Sbbf.hashBytes("tag17".getBytes("UTF-8")))
     assert(!row.getBoolean(2))
     assert(row.getSeq[String](3) === Seq("a"))
+    assert(row.getLong(4) === 7L)
   }
 
   test("metadata source is usable from pure SQL via CREATE TABLE ... USING") {

@@ -40,6 +40,17 @@ class DictDecodeSpec extends SparkSpec {
     assert(PlainDictStrings.compute(Array[Byte](-1, -1, -1, -1)) == null)
   }
 
+  test("plain int64 payload sum: round trip, wrap-around, malformed") {
+    val bb = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(5L).putLong(-2L).putLong(Long.MaxValue)
+    val expect = 5L + -2L + Long.MaxValue // wrap-around, same as the oracle's BIGINT
+    assert(PlainInt64Sum.compute(bb.array()) === java.lang.Long.valueOf(expect))
+    assert(PlainInt64Sum.compute(Array.emptyByteArray) === java.lang.Long.valueOf(0L))
+    // not a multiple of 8: must be null, not a partial sum
+    assert(PlainInt64Sum.compute(Array[Byte](1, 2, 3)) == null)
+  }
+
   test("codegen expression matches driver compute on binary and array<byte>") {
     import spark.implicits._
     val payload = enc("x", "yy", "zzz")

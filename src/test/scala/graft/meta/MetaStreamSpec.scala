@@ -57,6 +57,45 @@ class MetaStreamSpec extends SparkSpec {
       s"expected only the new file, got $newOnes (all: $second)")
   }
 
+  test("streaming bloomfilter level emits bloom rows for newly arrived files") {
+    val dir = Files.createTempDirectory("graft_bloom_stream").toString
+    val ckpt = Files.createTempDirectory("graft_bloom_stream_c").toString
+    val out = Files.createTempDirectory("graft_bloom_stream_o").toString
+    def writeWave(path: String): Unit =
+      spark.range(0, 300).coalesce(1).write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.enable.dictionary#id", "false")
+        .parquet(path)
+    writeWave(dir)
+
+    def runOnce(): Seq[(String, String)] = {
+      val src = spark.readStream.format("metadata")
+        .option("level", "bloomfilter").option("source", "parquet")
+        .option("streamlagms", "0").load(dir)
+      val q = src.select("filepath", "path").writeStream.format("parquet")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).option("path", out).start()
+      q.awaitTermination(60000)
+      q.stop()
+      spark.read.parquet(out).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    }
+
+    val first = runOnce()
+    assert(first.nonEmpty && first.forall(_._2 == "id"),
+      s"expected bloom rows for 'id', got $first")
+
+    val extra = Paths.get(dir, "zz_wave2.parquet")
+    Files.copy(
+      Files.list(Paths.get(dir)).filter(_.toString.endsWith(".parquet")).findFirst.get,
+      extra)
+    extra.toFile.setLastModified(System.currentTimeMillis())
+    val second = runOnce()
+    val newOnes = second.diff(first)
+    assert(newOnes.map(_._1).forall(_.endsWith("zz_wave2.parquet")) && newOnes.nonEmpty,
+      s"expected only the new file's bloom rows, got $newOnes")
+  }
+
   test("restart from checkpoint never re-emits at or below the committed offset") {
     // the documented append-only caveat (MetaMicroBatchStream snapshot
     // comment): after a restart recovers the committed offset from the
