@@ -446,6 +446,30 @@ object SparkEntry {
         .distinct()
     }),
 
+    // Batch point lookup (the fetch-these-N-keys shape): an IN-list over
+    // a hash-scattered layout prunes through ONE metadata pass whose
+    // per-chunk check is a builtin EXISTS over the codegen bloom probe —
+    // N probes per bitset, no join, no per-value rescan. The oracle
+    // recomputes the IN-list aggregate over all written files; equality
+    // proves no key's file was dropped.
+    "bloom_prune_in" -> ((s, dir) => {
+      val out = "/tmp/graft_bloom_in_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), col("n_chars"))
+        .repartition(6, col("doc_id"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", "50000")
+        .option("parquet.enable.dictionary#doc_id", "false")
+        .parquet(out)
+      val keys = Seq(101L, 4321L, 7777L, 12345L)
+      MetaPrune.readPrunedInLong(s, out, "doc_id", keys)
+        .filter(col("doc_id").isin(keys: _*))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"))
+    }),
+
     // End-to-end export audit: write a Hive-partitioned training export
     // (one file per partition via repartition-by-key), then build its
     // MANIFEST — files, rows, bytes per partition — from OUR OWN metadata
@@ -3190,6 +3214,12 @@ object SparkEntry {
         |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_sum
         |FROM read_parquet('/tmp/graft_bloom_prune_sf0.01/*.parquet')
         |WHERE doc_id = 4321""".stripMargin,
+
+    "bloom_prune_in" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_sum
+        |FROM read_parquet('/tmp/graft_bloom_in_sf0.01/*.parquet')
+        |WHERE doc_id IN (101, 4321, 7777, 12345)""".stripMargin,
 
     "meta_kv" ->
       s"""SELECT decode(key) AS key, decode(value) AS value

@@ -244,6 +244,67 @@ object MetaPrune {
       "BYTE_ARRAY")
 
   /**
+   * Data-file paths whose bloom filters may contain ANY of `values` —
+   * the batch point-lookup shape (fetch these N keys). ONE metadata
+   * pass whatever N is: the probe hashes ride along as an array literal
+   * and the per-chunk check is the builtin higher-order EXISTS over the
+   * codegen single-hash probe, so per chunk it is N 8-word probes, no
+   * join, no second scan. Same soundness guards as the single-value
+   * form ([[filesMayContainHash]]).
+   */
+  def filesMayContainAnyLong(
+      spark: SparkSession, path: String, column: String,
+      values: Seq[Long]): Seq[String] = {
+    require(values.nonEmpty, "empty probe set: nothing can match")
+    val hashes = typedLit(values.map(Sbbf.hashLong))
+    val probeAny = exists(hashes, h => ColumnBridge.column(
+      graft.functions.SbbfMightContain(
+        ColumnBridge.expression(col("bitset")), ColumnBridge.expression(h))))
+    val meta = (level: String) => spark.read.format("metadata")
+      .option("level", level).load(path)
+    val bloomAdmits = meta("bloomfilter")
+      .filter(col("path") === column)
+      .select(col("filepath"),
+        (col("type").isNull || col("type") =!= "INT64" ||
+          col("algorithm") =!= "BLOCK" || col("hash") =!= "XXHASH" ||
+          col("compression") =!= "UNCOMPRESSED" ||
+          col("bitset").isNull || probeAny).as("adm"))
+      .groupBy(col("filepath"))
+      .agg(max(col("adm")).as("adm"), count(lit(1)).as("n_bloom"))
+    val chunkCounts = meta("column")
+      .filter(col("path") === column)
+      .groupBy(col("filepath")).agg(count(lit(1)).as("n_chunks"))
+    meta("file").select(col("filepath"))
+      .join(chunkCounts, Seq("filepath"), "left")
+      .join(bloomAdmits, Seq("filepath"), "left")
+      .filter(col("n_chunks").isNull || col("n_bloom").isNull ||
+        col("n_bloom") < col("n_chunks") || col("adm"))
+      .select(col("filepath"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /**
+   * Read only the files an IN-list lookup `column IN (values)` can touch:
+   * stats admit a file when ANY probe value falls inside a chunk's
+   * [min, max] (one metadata pass, EXISTS over the value array), blooms
+   * when any probe hash may be present — the two sound lists intersect.
+   */
+  def readPrunedInLong(
+      spark: SparkSession, path: String, column: String,
+      values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "empty probe set: nothing can match")
+    val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatLong(
+      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val mn = decode(col("statistics.min_value"))
+    val mx = decode(col("statistics.max_value"))
+    val anyInRange = exists(typedLit(values), v => mx >= v && mn <= v)
+    val byStats = survivingFiles(spark, path, column,
+      mn.isNull || mx.isNull || anyInRange).toSet
+    val byBloom = filesMayContainAnyLong(spark, path, column, values).toSet
+    readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
+  }
+
+  /**
    * Read only the files a point-lookup `column = value` can touch, pruned
    * by BOTH footer min/max statistics and bloom filters — each list is
    * independently sound, so their intersection is. The complementary

@@ -132,6 +132,24 @@ class BloomFilterSpec extends SparkSpec {
     assert(absent === 0L)
   }
 
+  test("IN-list batch lookup prunes in one metadata pass and stays sound") {
+    val vals = Seq(10L, 777L, 1500L)
+    val byBloom = MetaPrune.filesMayContainAnyLong(spark, dir, "id", vals)
+    assert(byBloom.nonEmpty && byBloom.length <= 4)
+    val got = MetaPrune.readPrunedInLong(spark, dir, "id", vals)
+      .filter(col("id").isin(vals: _*)).collect().map(_.getLong(0)).toSet
+    assert(got === vals.toSet)
+    // every probe absent: certain absence everywhere is legal (0 files)
+    val absent = MetaPrune.readPrunedInLong(spark, dir, "id", Seq(99999L, 88888L))
+      .filter(col("id").isin(99999L, 88888L)).count()
+    assert(absent === 0L)
+    // a batch spread across every file keeps every file (sound, no loss)
+    val wide = (0L until 4L).map(_ * 500L + 3L)
+    val wideRows = MetaPrune.readPrunedInLong(spark, dir, "id", wide)
+      .filter(col("id").isin(wide: _*)).count()
+    assert(wideRows === wide.length.toLong)
+  }
+
   test("string point-lookup pruning is sound on the tag column") {
     val full = spark.read.parquet(dir)
       .filter(col("tag") === "tag17").agg(sum("id")).collect()(0).getLong(0)
