@@ -2225,6 +2225,30 @@ object SparkEntry {
           (col("width") * col("height")).cast("long").as("n_pixels"))
     }),
 
+    // REAL pixel-path resize: encode a known-dimension PNG per row (some
+    // within bounds, some not), run the full decode -> bilinear rescale ->
+    // PNG re-encode kernel batched over partitions, then recover the
+    // OUTPUT dimensions by parsing the re-encoded container headers. The
+    // oracle reproduces the integer shrink arithmetic from doc_id alone
+    // (ow = greatest(1, w*24 // greatest(w,h)), passthrough when already
+    // within bounds) — a rescale rounding bug, a swapped axis, or a
+    // corrupted re-encode each break the hash.
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 40).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 12 + (id * 7 % 60).toInt
+          val h = 10 + (id * 5 % 45).toInt
+          MediaRecord(id, "image/png", Multimodal.encodeFixture("png", w, h, id))
+        }(Multimodal.mediaRecordEnc)
+      Multimodal.extractFeatures(Multimodal.resizeImages(media, maxDim = 24))
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("out_w"),
+          col("height").cast("long").as("out_h"))
+    }),
+
     // Binary content dedup — the image/audio exact-dedup pass: group
     // opaque payloads by their SHA-256 digest, surface every duplicate
     // family with its representative (min id). The shuffle moves only
@@ -4743,6 +4767,21 @@ object SparkEntry {
         |  CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
         |FROM read_parquet('/tmp/graft_pageindex_sf0.01/*.parquet')
         |GROUP BY 1""".stripMargin,
+
+    // the integer shrink arithmetic reproduced from doc_id alone:
+    // fixture dims w=12+(id*7)%60, h=10+(id*5)%45; longer side capped at
+    // 24 with floor scaling, passthrough when already within bounds
+    "mm_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS media_id,
+        |    12 + (doc_id * 7) % 60 AS w, 10 + (doc_id * 5) % 45 AS h
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT media_id,
+        |  CAST(CASE WHEN greatest(w, h) <= 24 THEN w
+        |    ELSE greatest(1, w * 24 // greatest(w, h)) END AS BIGINT) AS out_w,
+        |  CAST(CASE WHEN greatest(w, h) <= 24 THEN h
+        |    ELSE greatest(1, h * 24 // greatest(w, h)) END AS BIGINT) AS out_h
+        |FROM dims""".stripMargin,
 
     "mm_frames" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_frames,

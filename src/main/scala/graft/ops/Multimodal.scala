@@ -123,6 +123,57 @@ object Multimodal {
     }
 
   /**
+   * REAL image resize (full pixel decode -> bilinear rescale -> PNG
+   * re-encode, all JDK `javax.imageio`/`java.awt`): shrink so the longer
+   * side is at most `maxDim`, preserving aspect by integer floor
+   * (`ow = max(1, w*maxDim/max(w,h))` — the closed form oracles
+   * reproduce). Payloads already within bounds pass through untouched
+   * (bytes AND container format preserved); payloads that do not decode
+   * as images pass through untouched too — resize transforms what it can
+   * prove is an image and never corrupts what it cannot.
+   */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val mx = math.max(w, h)
+      if (mx <= maxDim) Some(bytes)
+      else {
+        val ow = math.max(1, w * maxDim / mx)
+        val oh = math.max(1, h * maxDim / mx)
+        val out = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, ow, oh, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    }
+  }
+
+  /** Batch resize: `mapPartitions` like [[extractFeatures]] (decoder state
+    * once per partition, narrow output, no shuffle). Shrunken payloads
+    * re-encode as PNG (kind "png"); in-bounds and non-image payloads pass
+    * through with their original bytes and kind. */
+  def resizeImages(ds: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] =
+    ds.mapPartitions { batch =>
+      batch.map { r =>
+        resizeImage(r.bytes, maxDim) match {
+          case Some(b) if !(b eq r.bytes) => MediaRecord(r.media_id, "png", b)
+          case _ => r
+        }
+      }
+    }
+
+  /**
    * Deterministic image fixture encoder (tests + closed-form oracles): a
    * real `w x h` PNG or JPEG produced by the JDK's own `javax.imageio`
    * writers, pixels filled from `seed` so payload bytes are stable across

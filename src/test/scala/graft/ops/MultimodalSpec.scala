@@ -56,6 +56,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) === ((64 + txt.length % 576, 64 + txt.length % 416, txt.length)))
   }
 
+  test("resize shrinks the longer side to maxDim with floor aspect, full pixel path") {
+    for ((w, h) <- Seq((100, 40), (40, 100), (33, 33), (7, 200))) {
+      val in = Multimodal.encodeFixture("png", w, h, seed = 3L)
+      val out = Multimodal.resizeImage(in, maxDim = 24).get
+      val mx = math.max(w, h)
+      val expect = (math.max(1, w * 24 / mx), math.max(1, h * 24 / mx))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+      assert((img.getWidth, img.getHeight) === expect, s"for ${(w, h)}")
+    }
+  }
+
+  test("resize passes through in-bounds images and non-image payloads untouched") {
+    val small = Multimodal.encodeFixture("jpeg", 20, 10, seed = 4L)
+    assert(Multimodal.resizeImage(small, maxDim = 24).get eq small) // same bytes, same container
+    assert(Multimodal.resizeImage("not an image".getBytes("UTF-8"), 24) === None)
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "image/png", Multimodal.encodeFixture("png", 90, 30, 5L)),
+      MediaRecord(2L, "image/jpeg", small),
+      MediaRecord(3L, "text/plain", "opaque".getBytes("UTF-8"))))(Multimodal.mediaRecordEnc)
+    val got = Multimodal.resizeImages(ds, maxDim = 24).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(Multimodal.decodeImageDims(got(1L).bytes).map(d => (d._1, d._2)) === Some((24, 8)))
+    assert(got(1L).kind === "png") // re-encoded
+    assert(got(2L).kind === "image/jpeg" &&
+      java.util.Arrays.equals(got(2L).bytes, small)) // passthrough
+    assert(got(3L).kind === "text/plain" &&
+      new String(got(3L).bytes, "UTF-8") === "opaque")
+  }
+
   test("mm_features fixture dimensions round-trip through the distributed path") {
     val ds = spark.range(0, 20).as[Long]
       .map { id =>
