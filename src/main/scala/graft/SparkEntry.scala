@@ -2249,6 +2249,56 @@ object SparkEntry {
           col("height").cast("long").as("out_h"))
     }),
 
+    // Image near-dup via perceptual hash: dHash-64 every payload through
+    // the REAL pixel path (decode -> 9x8 grayscale -> gradient bits),
+    // group by hash — identical pixels hash identically whatever the
+    // container bytes say, which is exactly what byte-level dedup
+    // (mm_dedup) cannot see. Exact pixel copies are planted under
+    // shifted ids; the oracle predicts the resulting families from the
+    // plant alone (the spec pins that the 30 distinct base images do NOT
+    // collide, so families are exactly the planted pairs).
+    "mm_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val mk = (id: Long) => Multimodal.encodeNoiseFixture(
+        24 + (id % 13).toInt, 18 + (id % 11).toInt, id * 97 + 5)
+      val media = s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 30).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val base = MediaRecord(id, "image/png", mk(id))
+          if (id < 10) Seq(base, MediaRecord(id + 1000L, "image/png", mk(id)))
+          else Seq(base)
+        }(Multimodal.mediaRecordEnc)
+      media.map(r => (r.media_id, Multimodal.dHash64(r.bytes).get))
+        .toDF("media_id", "phash")
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keep_id"),
+          sum(col("media_id")).as("id_sum"))
+        .filter(col("n_copies") > 1)
+        .select(col("keep_id"), col("n_copies"), col("id_sum"))
+    }),
+
+    // REAL WAV audio probe: RIFF/WAVE chunk walk recovers sample rate,
+    // channels and frame count without touching a sample; the exact
+    // integer duration (frames * 1e6 / rate) is re-derived by the oracle
+    // from the fixture arithmetic alone. The encoder side is validated
+    // against the JDK's independent javax.sound parser in specs.
+    "mm_audio_probe" -> ((s, dir) => {
+      import s.implicits._
+      val media = s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 40).select(col("doc_id")).as[Long]
+        .map { id =>
+          MediaRecord(id, "audio/wav", Multimodal.encodeWavFixture(
+            rate = 8000 + 1000 * (id % 4).toInt,
+            channels = 1 + (id % 2).toInt,
+            nFrames = 500 + id.toInt * 3,
+            seed = id))
+        }(Multimodal.mediaRecordEnc)
+      media.map { r =>
+        val w = Multimodal.decodeWavInfo(r.bytes).get
+        (r.media_id, w.sampleRate.toLong, w.channels.toLong, w.nFrames, w.durationMicros)
+      }.toDF("media_id", "sample_rate", "channels", "n_frames", "dur_us")
+    }),
+
     // Binary content dedup — the image/audio exact-dedup pass: group
     // opaque payloads by their SHA-256 digest, surface every duplicate
     // family with its representative (min id). The shuffle moves only
@@ -4767,6 +4817,24 @@ object SparkEntry {
         |  CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
         |FROM read_parquet('/tmp/graft_pageindex_sf0.01/*.parquet')
         |GROUP BY 1""".stripMargin,
+
+    // families predicted from the plant: ids < 10 get one exact pixel
+    // copy at id+1000; distinct bases don't collide (spec-pinned)
+    "mm_phash_dedup" ->
+      """SELECT doc_id AS keep_id, CAST(2 AS BIGINT) AS n_copies,
+        |  CAST(doc_id * 2 + 1000 AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id < 10""".stripMargin,
+
+    // fixture arithmetic replayed: rate 8000+1000*(id%4), channels
+    // 1+id%2, frames 500+3*id, exact integer microsecond duration
+    "mm_audio_probe" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 + 1000 * (doc_id % 4) AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(500 + doc_id * 3 AS BIGINT) AS n_frames,
+        |  CAST((500 + doc_id * 3) * 1000000 // (8000 + 1000 * (doc_id % 4))
+        |    AS BIGINT) AS dur_us
+        |FROM documents WHERE doc_id < 40""".stripMargin,
 
     // the integer shrink arithmetic reproduced from doc_id alone:
     // fixture dims w=12+(id*7)%60, h=10+(id*5)%45; longer side capped at

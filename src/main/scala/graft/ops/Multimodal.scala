@@ -174,6 +174,118 @@ object Multimodal {
     }
 
   /**
+   * 64-bit difference hash (dHash) of an image — the standard perceptual
+   * fingerprint for image near-dup: full pixel decode, bilinear shrink to
+   * a 9x8 grayscale grid, one bit per horizontal gradient
+   * (`gray(x+1,y) > gray(x,y)`). Identical pixels hash identically
+   * regardless of container encoding; small edits flip few bits, so
+   * Hamming distance over these longs plugs straight into the existing
+   * simhash-style banded retrieval. `None` for payloads that do not
+   * decode as images.
+   */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val grid = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = grid.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+      g.dispose()
+      val raster = grid.getRaster
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (raster.getSample(x + 1, y, 0) > raster.getSample(x, y, 0)) {
+            hash |= 1L << (y * 8 + x)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Decoded WAV (RIFF PCM) stream parameters. */
+  case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int, nFrames: Long) {
+    /** Exact integer duration in microseconds (`frames * 1e6 / rate`). */
+    def durationMicros: Long = nFrames * 1000000L / sampleRate
+  }
+
+  /**
+   * REAL WAV (RIFF/WAVE PCM) header probe: walk the chunk list for `fmt `
+   * and `data`, all little-endian per the RIFF spec — sample rate,
+   * channels, bit depth and frame count without touching a sample. `None`
+   * for anything that is not a well-formed PCM WAV prefix (wrong magic,
+   * truncated chunk, zero-size frame). The decode side of the audio story
+   * whose encode side ([[encodeWavFixture]]) is validated against the
+   * JDK's own independent `javax.sound.sampled` parser in specs.
+   */
+  def decodeWavInfo(b: Array[Byte]): Option[WavInfo] = {
+    def le16(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    def le32(i: Int): Long =
+      (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+        ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+    def tag(i: Int, t: String): Boolean =
+      i + 4 <= b.length && t.indices.forall(k => b(i + k) == t(k).toByte)
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var rate, channels, bits = -1
+    var dataBytes = -1L
+    var i = 12
+    while (i + 8 <= b.length && (rate < 0 || dataBytes < 0)) {
+      val size = le32(i + 4)
+      if (tag(i, "fmt ") && i + 24 <= b.length) {
+        channels = le16(i + 10)
+        rate = le32(i + 12).toInt
+        bits = le16(i + 22)
+      } else if (tag(i, "data")) {
+        dataBytes = size
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+      if (size < 0 || i < 0) return None // corrupt size: stop, don't loop
+    }
+    if (rate <= 0 || channels <= 0 || bits <= 0 || dataBytes < 0) None
+    else {
+      val frameBytes = channels * (bits / 8)
+      if (frameBytes <= 0) None
+      else Some(WavInfo(rate, channels, bits, dataBytes / frameBytes))
+    }
+  }
+
+  /** Deterministic PCM WAV fixture encoder (tests + closed-form oracles):
+    * a standard 44-byte RIFF header + `seed`-derived 16-bit samples. */
+  def encodeWavFixture(rate: Int, channels: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val bits = 16
+    val dataBytes = nFrames * channels * (bits / 8)
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(rate)
+      .putInt(rate * channels * (bits / 8)) // byte rate
+      .putShort((channels * (bits / 8)).toShort) // block align
+      .putShort(bits.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var k = 0
+    while (k < nFrames * channels) {
+      bb.putShort((((seed * 31 + k) % 65536) - 32768).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /**
    * Deterministic image fixture encoder (tests + closed-form oracles): a
    * real `w x h` PNG or JPEG produced by the JDK's own `javax.imageio`
    * writers, pixels filled from `seed` so payload bytes are stable across
@@ -197,6 +309,29 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     val ok = javax.imageio.ImageIO.write(img, format, out)
     require(ok, s"no JDK ImageIO writer for $format")
+    out.toByteArray
+  }
+
+  /** Noise-pixel PNG fixture (tests + oracles needing DISTINCT perceptual
+    * hashes): integer-scrambled pixels, so downsampled gradient signs are
+    * effectively random per seed — unlike [[encodeFixture]]'s smooth
+    * pattern, whose dHashes can collide across seeds by construction. */
+  def encodeNoiseFixture(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = x * 0x9E3779B1 + y * 0x85EBCA77 + seed.toInt * 0xC2B2AE3D
+        val p = (v ^ (v >>> 13)) * 0x27D4EB2F
+        img.setRGB(x, y, p & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }
 

@@ -85,6 +85,43 @@ class MultimodalSpec extends SparkSpec {
       new String(got(3L).bytes, "UTF-8") === "opaque")
   }
 
+  test("dHash: identical pixels hash identically, distinct bases do not collide") {
+    // the mm_phash_dedup fixture family: 30 bases must be collision-free
+    val mk = (id: Long) => Multimodal.encodeNoiseFixture(
+      24 + (id % 13).toInt, 18 + (id % 11).toInt, id * 97 + 5)
+    val hashes = (0L until 30L).map(id => Multimodal.dHash64(mk(id)).get)
+    assert(hashes.distinct.length === 30, "base fixtures collide — oracle premise broken")
+    // re-encoding the same pixels yields the same hash (container-independent)
+    assert(Multimodal.dHash64(mk(3L)) === Multimodal.dHash64(mk(3L)))
+    // a resized copy stays NEAR (small Hamming distance): the retrieval premise
+    val big = Multimodal.encodeFixture("png", 96, 72, 42L)
+    val small = Multimodal.resizeImage(big, 48).get
+    val d = java.lang.Long.bitCount(
+      Multimodal.dHash64(big).get ^ Multimodal.dHash64(small).get)
+    assert(d <= 16, s"resized copy drifted $d bits")
+    assert(Multimodal.dHash64("not an image".getBytes("UTF-8")) === None)
+  }
+
+  test("WAV probe round-trips the fixture and agrees with the JDK's own parser") {
+    for ((rate, ch, frames) <- Seq((8000, 1, 500), (11025, 2, 999), (44100, 2, 1))) {
+      val bytes = Multimodal.encodeWavFixture(rate, ch, frames, seed = 7L)
+      val info = Multimodal.decodeWavInfo(bytes).get
+      assert(info === Multimodal.WavInfo(rate, ch, 16, frames.toLong))
+      assert(info.durationMicros === frames.toLong * 1000000L / rate)
+      // independent JDK parse of the same bytes
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(in.getFormat.getSampleRate.toInt === rate)
+      assert(in.getFormat.getChannels === ch)
+      assert(in.getFrameLength === frames.toLong)
+      in.close()
+    }
+    assert(Multimodal.decodeWavInfo("RIFFjunk".getBytes("US-ASCII")) === None)
+    assert(Multimodal.decodeWavInfo(
+      Multimodal.encodeWavFixture(8000, 1, 100, 1L).take(30)) === None)
+    assert(Multimodal.decodeWavInfo("plain text".getBytes("UTF-8")) === None)
+  }
+
   test("mm_features fixture dimensions round-trip through the distributed path") {
     val ds = spark.range(0, 20).as[Long]
       .map { id =>
