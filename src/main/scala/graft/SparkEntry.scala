@@ -2277,6 +2277,40 @@ object SparkEntry {
         .select(col("keep_id"), col("n_copies"), col("id_sum"))
     }),
 
+    // Image NEAR-dup retrieval end to end: pattern fixtures make the
+    // perceptual hash bit-exact controllable, near copies are planted at
+    // EXACTLY 3 flipped bits, and the banded Hamming retrieval
+    // (pigeonhole guarantee at d <= 3) must find exactly the planted
+    // pairs — the same machinery that serves text simhash, proven on the
+    // real image pixel path. Base patterns are splitmix-scrambled, so no
+    // accidental base pair sits within the distance (spec-pinned).
+    "mm_phash_near" -> ((s, dir) => {
+      import s.implicits._
+      val mix = (z0: Long) => { // splitmix64 finalizer
+        var z = z0 + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val flips = (id: Long) =>
+        (1L << (id % 64).toInt) | (1L << ((id + 21) % 64).toInt) |
+          (1L << ((id + 43) % 64).toInt)
+      val media = s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 30).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val base = (id, Multimodal.encodePatternFixture(mix(id)))
+          if (id < 10) Seq(base,
+            (id + 1000L, Multimodal.encodePatternFixture(mix(id) ^ flips(id))))
+          else Seq(base)
+        }
+      val hashed = media.map { case (id, bytes) =>
+          (id, Multimodal.dHash64(bytes).get)
+        }.toDF("doc_id", "phash")
+      graft.ops.Dedup.simhashHammingPairs(
+          hashed.select(col("doc_id").as("sh_id"), col("phash").as("simhash")), 3)
+        .select(col("a_id"), col("b_id"))
+    }),
+
     // REAL WAV audio probe: RIFF/WAVE chunk walk recovers sample rate,
     // channels and frame count without touching a sample; the exact
     // integer duration (frames * 1e6 / rate) is re-derived by the oracle
@@ -4817,6 +4851,13 @@ object SparkEntry {
         |  CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
         |FROM read_parquet('/tmp/graft_pageindex_sf0.01/*.parquet')
         |GROUP BY 1""".stripMargin,
+
+    // pairs predicted from the plant: each id < 10 has a copy at id+1000
+    // flipped at exactly 3 hash bits (within the d=3 recall guarantee);
+    // base patterns are splitmix-scrambled and pairwise far (spec-pinned)
+    "mm_phash_near" ->
+      """SELECT doc_id AS a_id, CAST(doc_id + 1000 AS BIGINT) AS b_id
+        |FROM documents WHERE doc_id < 10""".stripMargin,
 
     // families predicted from the plant: ids < 10 get one exact pixel
     // copy at id+1000; distinct bases don't collide (spec-pinned)

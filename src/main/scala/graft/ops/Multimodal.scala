@@ -312,6 +312,37 @@ object Multimodal {
     out.toByteArray
   }
 
+  /**
+   * 9x8 PNG whose dHash is `bits` BY CONSTRUCTION (tests + oracles that
+   * need bit-exact perceptual-hash control): each row walks gray values
+   * +-10 so `gray(x+1) > gray(x)` holds exactly where the corresponding
+   * bit is set; at 9x8 the hash's grayscale downsample is the identity,
+   * and equal-channel RGB -> gray conversion is monotone, so the gradient
+   * signs — hence every hash bit — survive untouched. Planting a copy
+   * with `bits ^ flips` yields a pair at EXACTLY popcount(flips) Hamming
+   * distance: the closed-form near-dup plant.
+   */
+  def encodePatternFixture(bits: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var v = 128
+      var x = 0
+      while (x < 9) {
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        if (x < 8) {
+          v = if (((bits >>> (y * 8 + x)) & 1L) == 1L) v + 10 else v - 10
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Noise-pixel PNG fixture (tests + oracles needing DISTINCT perceptual
     * hashes): integer-scrambled pixels, so downsampled gradient signs are
     * effectively random per seed — unlike [[encodeFixture]]'s smooth

@@ -102,6 +102,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash64("not an image".getBytes("UTF-8")) === None)
   }
 
+  test("pattern fixture controls the perceptual hash bit-for-bit") {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    for (bits <- Seq(0L, -1L, 0x5555555555555555L, mix(1L), mix(2L), mix(12345L))) {
+      assert(Multimodal.dHash64(Multimodal.encodePatternFixture(bits)) === Some(bits),
+        f"pattern $bits%016x did not round-trip")
+    }
+    // the mm_phash_near oracle premise: 30 scrambled bases pairwise FAR
+    // (> 2*3 bits, so a base can never pair with a base or with another
+    // base's 3-bit-flipped copy), while each planted copy is EXACTLY 3 away
+    val bases = (0L until 30L).map(mix)
+    for (i <- bases.indices; j <- i + 1 until bases.length) {
+      assert(java.lang.Long.bitCount(bases(i) ^ bases(j)) > 6,
+        s"bases $i and $j too close — oracle premise broken")
+    }
+    val flips = (id: Long) =>
+      (1L << (id % 64).toInt) | (1L << ((id + 21) % 64).toInt) |
+        (1L << ((id + 43) % 64).toInt)
+    (0L until 10L).foreach(id =>
+      assert(java.lang.Long.bitCount(flips(id)) === 3))
+  }
+
   test("WAV probe round-trips the fixture and agrees with the JDK's own parser") {
     for ((rate, ch, frames) <- Seq((8000, 1, 500), (11025, 2, 999), (44100, 2, 1))) {
       val bytes = Multimodal.encodeWavFixture(rate, ch, frames, seed = 7L)
