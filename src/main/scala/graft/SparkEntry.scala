@@ -415,6 +415,33 @@ object SparkEntry {
           coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"))
     }),
 
+    // Size statistics (parquet-format 2.10) proven against the data: the
+    // footer's unencoded BYTE_ARRAY payload bytes — the logical string
+    // volume, independent of encoding/compression choices — must equal
+    // the engine-independent sum of octet lengths over the column
+    // itself, per string column. n_nulls sums the level-0
+    // definition-histogram counts where a writer emits them (parquet-mr
+    // omits histograms for flat schemas, so here the sum must land on
+    // the same 0 the oracle derives from the null-free corpus).
+    // (fixture re-written by Spark: the pyarrow-written testdata predates
+    // SizeStatistics, which a pre-2.10 writer simply omits — itself
+    // covered by the zero-rows contract in MetadataSourceSpec)
+    "meta_size_stats" -> ((s, dir) => {
+      val out = "/tmp/graft_sizestats_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .coalesce(2)
+        .write.mode("overwrite").parquet(out)
+      meta(s, out, "sizestats")
+        .filter(col("type") === "BYTE_ARRAY")
+        .groupBy(col("path"))
+        .agg(sum(col("unencoded_byte_array_bytes")).as("unenc_bytes"),
+          sum(col("num_values")).as("n_values"),
+          sum(coalesce(element_at(col("definition_level_histogram"), 1), lit(0L)))
+            .as("n_nulls"))
+    }),
+
     // Key-value metadata surfaced as rows: the footer's application
     // annotations (pyarrow writes 'pandas' + 'ARROW:schema' here, Spark
     // writes its row-schema JSON) exploded from the parquet-file level's
@@ -3328,6 +3355,26 @@ object SparkEntry {
         |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_sum
         |FROM read_parquet('/tmp/graft_bloom_in_sf0.01/*.parquet')
         |WHERE doc_id IN (101, 4321, 7777, 12345)""".stripMargin,
+
+    // the logical string volume re-derived from the data: unencoded
+    // BYTE_ARRAY bytes == sum of octet lengths, value counts include
+    // nulls, level-0 histogram counts are exactly the null count
+    "meta_size_stats" ->
+      """SELECT 'lang' AS path,
+        |  CAST(sum(octet_length(encode(lang))) AS BIGINT) AS unenc_bytes,
+        |  CAST(count(*) AS BIGINT) AS n_values,
+        |  CAST(count(*) - count(lang) AS BIGINT) AS n_nulls
+        |FROM read_parquet('/tmp/graft_sizestats_sf0.01/*.parquet')
+        |UNION ALL
+        |SELECT 'source',
+        |  CAST(sum(octet_length(encode(source))) AS BIGINT),
+        |  CAST(count(*) AS BIGINT), CAST(count(*) - count(source) AS BIGINT)
+        |FROM read_parquet('/tmp/graft_sizestats_sf0.01/*.parquet')
+        |UNION ALL
+        |SELECT 'text',
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT),
+        |  CAST(count(*) AS BIGINT), CAST(count(*) - count(text) AS BIGINT)
+        |FROM read_parquet('/tmp/graft_sizestats_sf0.01/*.parquet')""".stripMargin,
 
     "meta_kv" ->
       s"""SELECT decode(key) AS key, decode(value) AS value

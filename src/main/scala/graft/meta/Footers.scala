@@ -20,6 +20,13 @@ case class StatsInfo(
     minValue: Option[Array[Byte]],
     maxValue: Option[Array[Byte]])
 
+/** Decoded Thrift `SizeStatistics` (parquet-format 2.10+): logical data
+  * sizes that survive encoding/compression choices. */
+case class SizeStatsInfo(
+    unencodedByteArrayDataBytes: Option[Long],
+    repetitionLevelHistogram: Option[Seq[Long]],
+    definitionLevelHistogram: Option[Seq[Long]])
+
 /** Decoded column-chunk metadata for one (row group, column) pair. */
 case class ChunkInfo(
     rowGroupId: Int,
@@ -41,7 +48,8 @@ case class ChunkInfo(
     columnIndexOffset: Option[Long],
     columnIndexLength: Option[Int],
     bloomFilterOffset: Option[Long],
-    bloomFilterLength: Option[Int])
+    bloomFilterLength: Option[Int],
+    sizeStats: Option[SizeStatsInfo])
 
 /** Decoded row-group metadata. */
 case class RowGroupInfo(
@@ -200,6 +208,23 @@ object Footers {
       },
       bloomFilterLength = meta.flatMap { m =>
         if (m.isSetBloom_filter_length) Some(m.getBloom_filter_length) else None
+      },
+      sizeStats = meta.flatMap { m =>
+        if (!m.isSetSize_statistics) None
+        else {
+          val ss = m.getSize_statistics
+          Some(SizeStatsInfo(
+            unencodedByteArrayDataBytes =
+              if (ss.isSetUnencoded_byte_array_data_bytes) {
+                Some(ss.getUnencoded_byte_array_data_bytes)
+              } else None,
+            repetitionLevelHistogram =
+              Option(ss.getRepetition_level_histogram)
+                .map(_.asScala.toSeq.map(_.longValue())),
+            definitionLevelHistogram =
+              Option(ss.getDefinition_level_histogram)
+                .map(_.asScala.toSeq.map(_.longValue()))))
+        }
       })
   }
 

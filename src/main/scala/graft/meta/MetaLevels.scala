@@ -144,6 +144,28 @@ object MetaLevel {
       StructField("filepath", StringType)))
   }
 
+  /**
+   * One row per (file x row group x column) SIZE STATISTICS (thrift
+   * `SizeStatistics`, parquet-format 2.10+): the logical data sizes that
+   * survive encoding/compression choices — unencoded BYTE_ARRAY payload
+   * bytes (memory sizing for scans) and the repetition/definition level
+   * histograms (nullability and nesting shape without reading a value).
+   * A post-reference extension; chunks written by pre-2.10 writers
+   * contribute zero rows.
+   */
+  case object ParquetSizeStats extends MetaLevel("parquet-sizestats") {
+    override val schema: StructType = StructType(Seq(
+      StructField("row_group_id", IntegerType),
+      StructField("column_id", IntegerType),
+      StructField("path", StringType),
+      StructField("type", StringType),
+      StructField("num_values", LongType),
+      StructField("unencoded_byte_array_bytes", LongType),
+      StructField("repetition_level_histogram", ArrayType(LongType, containsNull = false)),
+      StructField("definition_level_histogram", ArrayType(LongType, containsNull = false)),
+      StructField("filepath", StringType)))
+  }
+
   /** One row per physical page (incl. dictionary pages). */
   case object ParquetPage extends MetaLevel("parquet-page") {
     override val schema: StructType = StructType(Seq(

@@ -296,6 +296,21 @@ class MetaPartitionReader(
     case "filepath" => (f, _) => f.path
   }
 
+  private lazy val sizeStatsEx: Array[Ex[ChunkInfo]] = fieldNames.map[Ex[ChunkInfo]] {
+    case "row_group_id" => (_, c) => c.rowGroupId
+    case "column_id" => (_, c) => c.columnId
+    case "path" => (_, c) => orNull(c.path)
+    case "type" => (_, c) => orNull(c.physicalType)
+    case "num_values" => (_, c) => c.numValues
+    case "unencoded_byte_array_bytes" => (_, c) =>
+      orNull(c.sizeStats.flatMap(_.unencodedByteArrayDataBytes))
+    case "repetition_level_histogram" => (_, c) =>
+      orNull(c.sizeStats.flatMap(_.repetitionLevelHistogram))
+    case "definition_level_histogram" => (_, c) =>
+      orNull(c.sizeStats.flatMap(_.definitionLevelHistogram))
+    case "filepath" => (f, _) => f.path
+  }
+
   /** One buffered forward stream over the (tiny, footer-adjacent) index
     * region of a file — the page-index levels never touch page data. */
   private def indexStream(f: FileSlice): ForwardSeekStream = {
@@ -335,6 +350,10 @@ class MetaPartitionReader(
         if (!chunks.exists(_.offsetIndexOffset.isDefined)) Iterator.empty
         else PageIndexes.offsetIndexes(chunks, indexStream(f))
           .map(toInternal(offIndexEx, f, _))
+
+      case MetaLevel.ParquetSizeStats =>
+        readFooter(f).chunks.iterator.filter(_.sizeStats.isDefined)
+          .map(toInternal(sizeStatsEx, f, _))
 
       case MetaLevel.ParquetBloomFilter =>
         // The advisory path hint drops chunks BEFORE any bitset I/O; it

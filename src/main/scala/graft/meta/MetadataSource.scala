@@ -70,8 +70,8 @@ object MetadataSource {
   val COUNT_PUSHDOWN = "countpushdown"
 
   val SOURCES = Seq("file", "parquet")
-  val LEVELS =
-    Seq("file", "rowgroup", "column", "page", "columnindex", "offsetindex", "bloomfilter")
+  val LEVELS = Seq("file", "rowgroup", "column", "page",
+    "columnindex", "offsetindex", "bloomfilter", "sizestats")
 
   /** Map a validated (source, level) pair onto a [[MetaLevel]]. */
   def levelFor(source: String, level: String): MetaLevel = (source, level) match {
@@ -83,6 +83,7 @@ object MetadataSource {
     case ("parquet", "columnindex") => MetaLevel.ParquetColumnIndex
     case ("parquet", "offsetindex") => MetaLevel.ParquetOffsetIndex
     case ("parquet", "bloomfilter") => MetaLevel.ParquetBloomFilter
+    case ("parquet", "sizestats") => MetaLevel.ParquetSizeStats
     case (s, l) =>
       throw new IllegalArgumentException(s"Source '$s' does not support '$l' level")
   }

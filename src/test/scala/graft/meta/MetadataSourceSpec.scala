@@ -118,6 +118,32 @@ class MetadataSourceSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("sizestats level: exact unencoded bytes on modern writers, zero rows on old") {
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("graft_sizestats").toString
+    spark.range(0, 200)
+      .select(col("id"), concat(lit("v"), col("id")).as("s"),
+        when(col("id") % 5 === 0, null).otherwise(concat(lit("n"), col("id"))).as("opt"))
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    val rows = spark.read.format("metadata").option("level", "sizestats").load(d)
+      .select("path", "type", "num_values", "unencoded_byte_array_bytes",
+        "definition_level_histogram")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val data = spark.read.parquet(d)
+    val expectS = data.agg(sum(length(col("s")))).collect()(0).getLong(0)
+    val expectOpt = data.agg(sum(length(col("opt")))).collect()(0).getLong(0)
+    assert(rows("s").getLong(3) === expectS)
+    assert(rows("opt").getLong(3) === expectOpt)
+    // parquet-mr omits the level histograms for flat schemas (max levels
+    // <= 1: null counts already live in Statistics) — pin the omission so
+    // a writer change is visible, and the nullable rendering with it
+    assert(rows("opt").isNullAt(4) && rows("s").isNullAt(4))
+    assert(rows("opt").getLong(2) === 200L) // num_values includes nulls
+    // pre-SizeStatistics writers (the pyarrow testdata): zero rows, no error
+    assert(spark.read.format("metadata").option("level", "sizestats")
+      .load(sf("0.001") + "/documents.parquet").count() === 0L)
+  }
+
   test("invalid option combinations produce reference-compatible errors") {
     def messageOf(t: Throwable): String = {
       var cause: Throwable = t
@@ -130,7 +156,7 @@ class MetadataSourceSpec extends SparkSpec {
     val e2 = intercept[Exception](meta(lineitem, "level" -> "pages").collect())
     assert(messageOf(e2).contains(
       "Invalid level: pages, expected one of " +
-        "[file, rowgroup, column, page, columnindex, offsetindex, bloomfilter]"))
+        "[file, rowgroup, column, page, columnindex, offsetindex, bloomfilter, sizestats]"))
     val e3 = intercept[Exception](
       meta(lineitem, "source" -> "file", "level" -> "rowgroup").collect())
     assert(messageOf(e3).contains("Source 'file' does not support 'rowgroup' level"))
