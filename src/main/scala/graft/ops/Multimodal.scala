@@ -241,6 +241,9 @@ object Multimodal {
     var i = 12
     while (i + 8 <= b.length && (rate < 0 || dataBytes < 0)) {
       val size = le32(i + 4)
+      // le32 is unsigned (never negative); a size in the Int-overflow
+      // zone would stall or reverse the walk below — corrupt, stop
+      if (size > Int.MaxValue - 16L) return None
       if (tag(i, "fmt ") && i + 24 <= b.length) {
         channels = le16(i + 10)
         rate = le32(i + 12).toInt
@@ -250,7 +253,6 @@ object Multimodal {
       }
       // chunks are word-aligned: odd sizes carry a pad byte
       i += 8 + size.toInt + (size.toInt & 1)
-      if (size < 0 || i < 0) return None // corrupt size: stop, don't loop
     }
     if (rate <= 0 || channels <= 0 || bits <= 0 || dataBytes < 0) None
     else {

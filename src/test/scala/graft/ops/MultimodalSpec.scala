@@ -143,6 +143,10 @@ class MultimodalSpec extends SparkSpec {
       in.close()
     }
     assert(Multimodal.decodeWavInfo("RIFFjunk".getBytes("US-ASCII")) === None)
+    // a chunk size in the u32 Int-overflow zone must terminate, not loop
+    val evil = Multimodal.encodeWavFixture(8000, 1, 4, 1L)
+    evil(16) = -1; evil(17) = -1; evil(18) = -1; evil(19) = -1 // fmt size = 0xFFFFFFFF
+    assert(Multimodal.decodeWavInfo(evil) === None)
     assert(Multimodal.decodeWavInfo(
       Multimodal.encodeWavFixture(8000, 1, 100, 1L).take(30)) === None)
     assert(Multimodal.decodeWavInfo("plain text".getBytes("UTF-8")) === None)
