@@ -254,9 +254,22 @@ object MetaPrune {
    */
   def filesMayContainAnyLong(
       spark: SparkSession, path: String, column: String,
-      values: Seq[Long]): Seq[String] = {
-    require(values.nonEmpty, "empty probe set: nothing can match")
-    val hashes = typedLit(values.map(Sbbf.hashLong))
+      values: Seq[Long]): Seq[String] =
+    filesMayContainAnyHash(spark, path, column, values.map(Sbbf.hashLong), "INT64")
+
+  /** [[filesMayContainAnyLong]] for UTF8 string probe values. */
+  def filesMayContainAnyString(
+      spark: SparkSession, path: String, column: String,
+      values: Seq[String]): Seq[String] =
+    filesMayContainAnyHash(spark, path, column,
+      values.map(v => Sbbf.hashBytes(
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8))), "BYTE_ARRAY")
+
+  private def filesMayContainAnyHash(
+      spark: SparkSession, path: String, column: String,
+      hashSeq: Seq[Long], physType: String): Seq[String] = {
+    require(hashSeq.nonEmpty, "empty probe set: nothing can match")
+    val hashes = typedLit(hashSeq)
     val probeAny = exists(hashes, h => ColumnBridge.column(
       graft.functions.SbbfMightContain(
         ColumnBridge.expression(col("bitset")), ColumnBridge.expression(h))))
@@ -265,7 +278,7 @@ object MetaPrune {
     val bloomAdmits = meta("bloomfilter")
       .filter(col("path") === column)
       .select(col("filepath"),
-        (col("type").isNull || col("type") =!= "INT64" ||
+        (col("type").isNull || col("type") =!= physType ||
           col("algorithm") =!= "BLOCK" || col("hash") =!= "XXHASH" ||
           col("compression") =!= "UNCOMPRESSED" ||
           col("bitset").isNull || probeAny).as("adm"))
@@ -301,6 +314,25 @@ object MetaPrune {
     val byStats = survivingFiles(spark, path, column,
       mn.isNull || mx.isNull || anyInRange).toSet
     val byBloom = filesMayContainAnyLong(spark, path, column, values).toSet
+    readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
+  }
+
+  /** [[readPrunedInLong]] for string values: stats compare the probe
+    * bytes against the raw BYTE_ARRAY min/max under the same unsigned
+    * lexicographic order as [[filesInStringRange]] (no decode
+    * expression), blooms probe the UTF8 hashes — one metadata pass each,
+    * EXISTS over the value/hash array. */
+  def readPrunedInString(
+      spark: SparkSession, path: String, column: String,
+      values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "empty probe set: nothing can match")
+    val bytes = values.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val mn = col("statistics.min_value")
+    val mx = col("statistics.max_value")
+    val anyInRange = exists(typedLit(bytes), v => mx >= v && mn <= v)
+    val byStats = survivingFiles(spark, path, column,
+      col("type") =!= "BYTE_ARRAY" || mn.isNull || mx.isNull || anyInRange).toSet
+    val byBloom = filesMayContainAnyString(spark, path, column, values).toSet
     readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
   }
 

@@ -35,6 +35,13 @@ class EntrySpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("meta_bloom_probe joins probes to bloom rows hash-wise, never nested-loop") {
+    val plan = SparkEntry.queries("meta_bloom_probe")(spark, sf("0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), "bloom probe planned a BNLJ")
+    assert(!plan.contains("Cartesian"), "bloom probe planned a cartesian")
+  }
+
   test("range_join never degrades to a nested-loop or cartesian plan") {
     // the operator exists to give Catalyst an equi-key where a bare
     // BETWEEN has none; a BNLJ here is the quadratic plan it replaces

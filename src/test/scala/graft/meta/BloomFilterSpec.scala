@@ -150,6 +150,20 @@ class BloomFilterSpec extends SparkSpec {
     assert(wideRows === wide.length.toLong)
   }
 
+  test("string IN-list batch lookup prunes and stays sound") {
+    val vals = Seq("tag17", "tag303", "tagnope")
+    val byBloom = MetaPrune.filesMayContainAnyString(spark, dir, "tag", vals)
+    assert(byBloom.nonEmpty && byBloom.length <= 4)
+    val full = spark.read.parquet(dir)
+      .filter(col("tag").isin(vals: _*)).agg(sum("id")).collect()(0).getLong(0)
+    val pruned = MetaPrune.readPrunedInString(spark, dir, "tag", vals)
+      .filter(col("tag").isin(vals: _*)).agg(sum("id")).collect()(0).getLong(0)
+    assert(pruned === full)
+    // an all-absent batch may legally prune everything
+    assert(MetaPrune.readPrunedInString(spark, dir, "tag", Seq("zzz", "yyy"))
+      .filter(col("tag").isin("zzz", "yyy")).count() === 0L)
+  }
+
   test("string point-lookup pruning is sound on the tag column") {
     val full = spark.read.parquet(dir)
       .filter(col("tag") === "tag17").agg(sum("id")).collect()(0).getLong(0)
