@@ -45,7 +45,8 @@ object BloomFilters {
     * `pagecontent` discipline. */
   def bloomFilters(
       chunks: Seq[ChunkInfo], in: ForwardSeekStream,
-      wantBitset: Boolean = true): Iterator[BloomFilterInfo] = {
+      wantBitset: Boolean = true,
+      fileLen: Long = Long.MaxValue): Iterator[BloomFilterInfo] = {
     val withBloom = chunks.filter(_.bloomFilterOffset.isDefined)
       .sortBy(_.bloomFilterOffset.get)
     withBloom.iterator.map { c =>
@@ -54,9 +55,19 @@ object BloomFilters {
       val header = Util.readBloomFilterHeader(in)
       val headerSize = (in.getPos - off).toInt
       val numBytes = header.getNumBytes
-      if (numBytes < 0) {
+      // Bound the claimed bitset size BEFORE allocating: an adversarial
+      // header can claim up to Int.MaxValue (~2 GB per chunk). The footer's
+      // bloom_filter_length (header + bitset, format ≥ 2.10) is the exact
+      // budget when present; the bytes remaining in the file bound it
+      // always — either violation is a corrupt header, not an OOM.
+      val budget = c.bloomFilterLength match {
+        case Some(len) => math.min(len.toLong - headerSize, fileLen - in.getPos)
+        case None => fileLen - in.getPos
+      }
+      if (numBytes < 0 || numBytes > budget) {
         throw new RuntimeException(
-          s"Corrupt bloom filter header at offset $off: numBytes $numBytes")
+          s"Corrupt bloom filter header at offset $off: numBytes $numBytes" +
+            s" exceeds available bytes ($budget)")
       }
       val bitset = if (!wantBitset) {
         in.seek(in.getPos + numBytes) // lazy: costs nothing until next read

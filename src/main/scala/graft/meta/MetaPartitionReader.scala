@@ -364,7 +364,7 @@ class MetaPartitionReader(
           bloomPathHint.forall(h => c.path.exists(h.contains)))
         if (!chunks.exists(_.bloomFilterOffset.isDefined)) Iterator.empty
         else BloomFilters.bloomFilters(chunks, indexStream(f),
-            wantBitset = fieldNames.contains("bitset"))
+            wantBitset = fieldNames.contains("bitset"), fileLen = f.size)
           .map(toInternal(bloomEx, f, _))
 
       case MetaLevel.ParquetPage =>

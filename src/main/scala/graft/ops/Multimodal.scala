@@ -238,21 +238,26 @@ object Multimodal {
     if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
     var rate, channels, bits = -1
     var dataBytes = -1L
-    var i = 12
+    // Long cursor: le32 sizes are unsigned 32-bit, so an Int cursor could
+    // wrap negative on a crafted size near Int.MaxValue even after a range
+    // check; in Long arithmetic the walk is monotone and the loop guard
+    // simply fails once the cursor passes the buffer end.
+    var i = 12L
     while (i + 8 <= b.length && (rate < 0 || dataBytes < 0)) {
-      val size = le32(i + 4)
-      // le32 is unsigned (never negative); a size in the Int-overflow
-      // zone would stall or reverse the walk below — corrupt, stop
+      val at = i.toInt // safe: i + 8 <= b.length <= Int.MaxValue here
+      val size = le32(at + 4)
+      // sizes in the u32 Int-overflow zone are corrupt, not a real chunk;
+      // the Long cursor makes them mechanically safe, this keeps them None
       if (size > Int.MaxValue - 16L) return None
-      if (tag(i, "fmt ") && i + 24 <= b.length) {
-        channels = le16(i + 10)
-        rate = le32(i + 12).toInt
-        bits = le16(i + 22)
-      } else if (tag(i, "data")) {
+      if (tag(at, "fmt ") && i + 24 <= b.length) {
+        channels = le16(at + 10)
+        rate = le32(at + 12).toInt
+        bits = le16(at + 22)
+      } else if (tag(at, "data")) {
         dataBytes = size
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      i += 8L + size + (size & 1L)
     }
     if (rate <= 0 || channels <= 0 || bits <= 0 || dataBytes < 0) None
     else {

@@ -64,15 +64,63 @@ class BloomFilterSpec extends SparkSpec {
     assert(misses > 0, "probe never returned certain-absence")
   }
 
-  test("value hashing matches parquet-mr for longs and strings") {
+  test("value hashing matches parquet-mr for longs, ints and strings") {
     val filter = new BlockSplitBloomFilter(64)
     Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue).foreach { v =>
       assert(Sbbf.hashLong(v) === filter.hash(v))
+    }
+    Seq(0, 1, -1, 42, Int.MaxValue, Int.MinValue).foreach { v =>
+      assert(Sbbf.hashInt(v) === filter.hash(v), s"INT32 hash parity on $v")
     }
     Seq("", "a", "tag17", "éléphant").foreach { s =>
       assert(Sbbf.hashBytes(s.getBytes("UTF-8")) ===
         filter.hash(org.apache.parquet.io.api.Binary.fromString(s)))
     }
+  }
+
+  test("a header claiming a huge bitset fails before allocating") {
+    import org.apache.parquet.format.{BloomFilterAlgorithm, BloomFilterCompression,
+      BloomFilterHash, BloomFilterHeader, SplitBlockAlgorithm, Uncompressed, XxHash}
+    def headerBytes(numBytes: Int): Array[Byte] = {
+      val h = new BloomFilterHeader(numBytes,
+        BloomFilterAlgorithm.BLOCK(new SplitBlockAlgorithm()),
+        BloomFilterHash.XXHASH(new XxHash()),
+        BloomFilterCompression.UNCOMPRESSED(new Uncompressed()))
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.parquet.format.Util.writeBloomFilterHeader(h, out)
+      out.toByteArray
+    }
+    def chunk(len: Option[Int]): ChunkInfo = ChunkInfo(
+      rowGroupId = 0, columnId = 0, startOffset = 0L,
+      totalCompressedSize = 0L, totalUncompressedSize = 0L,
+      path = Some("id"), physicalType = Some("INT64"), encodings = None,
+      codec = None, numValues = 0L, stats = None, dataPageOffset = None,
+      dictionaryPageOffset = None, indexPageOffset = None,
+      offsetIndexOffset = None, offsetIndexLength = None,
+      columnIndexOffset = None, columnIndexLength = None,
+      bloomFilterOffset = Some(0L), bloomFilterLength = len, sizeStats = None)
+    // claims ~2 GB in a tiny "file": must throw on the bound, not allocate
+    val big = headerBytes(Int.MaxValue - 100)
+    val e1 = intercept[RuntimeException] {
+      BloomFilters.bloomFilters(Seq(chunk(None)),
+        new ForwardSeekStream(new SeekableBytes(big), 64),
+        fileLen = big.length.toLong).toList
+    }
+    assert(e1.getMessage.contains("exceeds available"))
+    // footer's bloom_filter_length budget also caps a lying header
+    val lie = headerBytes(4096) ++ new Array[Byte](64) // only 64 real bytes
+    val e2 = intercept[RuntimeException] {
+      BloomFilters.bloomFilters(Seq(chunk(Some(headerBytes(4096).length + 64))),
+        new ForwardSeekStream(new SeekableBytes(lie), 64),
+        fileLen = Long.MaxValue).toList
+    }
+    assert(e2.getMessage.contains("exceeds available"))
+    // a truthful header within both budgets still decodes
+    val okBytes = headerBytes(64) ++ Array.tabulate[Byte](64)(_.toByte)
+    val ok = BloomFilters.bloomFilters(Seq(chunk(Some(okBytes.length))),
+      new ForwardSeekStream(new SeekableBytes(okBytes), 64),
+      fileLen = okBytes.length.toLong).toList
+    assert(ok.head.bitset.length === 64)
   }
 
   test("bloomfilter level decodes headers and bitsets from written files") {

@@ -147,6 +147,17 @@ class MultimodalSpec extends SparkSpec {
     val evil = Multimodal.encodeWavFixture(8000, 1, 4, 1L)
     evil(16) = -1; evil(17) = -1; evil(18) = -1; evil(19) = -1 // fmt size = 0xFFFFFFFF
     assert(Multimodal.decodeWavInfo(evil) === None)
+    // size just UNDER the old Int.MaxValue-16 guard: an Int cursor would
+    // wrap negative here (i += 8 + size + pad) and index out of bounds;
+    // the Long cursor must walk off the end and return None instead
+    val evil2 = Multimodal.encodeWavFixture(8000, 1, 4, 1L)
+    evil2(16) = 0xEF.toByte; evil2(17) = -1; evil2(18) = -1; evil2(19) = 0x7F // 0x7FFFFFEF
+    assert(Multimodal.decodeWavInfo(evil2) === None)
+    // same band on the data chunk: data terminates the walk, so this is
+    // the prefix-probe path — must not throw, reports the claimed size
+    val evil3 = Multimodal.encodeWavFixture(8000, 1, 4, 1L)
+    evil3(40) = 0xEF.toByte; evil3(41) = -1; evil3(42) = -1; evil3(43) = 0x7F
+    assert(Multimodal.decodeWavInfo(evil3).get.nFrames === 0x7FFFFFEFL / 2)
     assert(Multimodal.decodeWavInfo(
       Multimodal.encodeWavFixture(8000, 1, 100, 1L).take(30)) === None)
     assert(Multimodal.decodeWavInfo("plain text".getBytes("UTF-8")) === None)
