@@ -497,6 +497,53 @@ object SparkEntry {
           coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"))
     }),
 
+    // INT32 bloom point lookup: same hash-scattered shape as
+    // bloom_prune_scan but the key is a 4-byte physical type, whose plain
+    // encoding hashes DIFFERENTLY than the same value as INT64 — this is
+    // the type-parity path (Sbbf.hashInt, bit-pinned against parquet-mr in
+    // BloomFilterSpec) exercised end-to-end through written files.
+    "bloom_prune_int" -> ((s, dir) => {
+      val out = "/tmp/graft_bloom_int_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id").cast("int").as("k"), col("n_chars"))
+        .repartition(6, col("k"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", "50000")
+        .option("parquet.enable.dictionary#k", "false")
+        .parquet(out)
+      val keys = Seq(202, 4321, 9876)
+      MetaPrune.readPrunedInInt(s, out, "k", keys)
+        .filter(col("k").isin(keys: _*))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"))
+    }),
+
+    // DOUBLE bloom point lookup: floating-point probes carry two hazards
+    // integer ones do not — NaN bounds in stats (kept via an explicit
+    // guard) and ±0.0 hashing as two distinct plain encodings (a zero
+    // probe checks both). The probe values are exact binary fractions so
+    // the oracle's literal comparison is bit-identical.
+    "bloom_prune_double" -> ((s, dir) => {
+      val out = "/tmp/graft_bloom_dbl_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select((col("doc_id") * lit(0.25d)).as("v"), col("n_chars"),
+          col("doc_id"))
+        .repartition(6, col("doc_id")).drop("doc_id")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#v", "true")
+        .option("parquet.bloom.filter.expected.ndv#v", "50000")
+        .option("parquet.enable.dictionary#v", "false")
+        .parquet(out)
+      val vals = Seq(50.5d, 1080.25d, 2469.0d)
+      MetaPrune.readPrunedInDouble(s, out, "v", vals)
+        .filter(col("v").isin(vals: _*))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"))
+    }),
+
     // End-to-end export audit: write a Hive-partitioned training export
     // (one file per partition via repartition-by-key), then build its
     // MANIFEST — files, rows, bytes per partition — from OUR OWN metadata
@@ -3355,6 +3402,18 @@ object SparkEntry {
         |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_sum
         |FROM read_parquet('/tmp/graft_bloom_in_sf0.01/*.parquet')
         |WHERE doc_id IN (101, 4321, 7777, 12345)""".stripMargin,
+
+    "bloom_prune_int" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_sum
+        |FROM read_parquet('/tmp/graft_bloom_int_sf0.01/*.parquet')
+        |WHERE k IN (202, 4321, 9876)""".stripMargin,
+
+    "bloom_prune_double" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_sum
+        |FROM read_parquet('/tmp/graft_bloom_dbl_sf0.01/*.parquet')
+        |WHERE v IN (50.5, 1080.25, 2469.0)""".stripMargin,
 
     // the logical string volume re-derived from the data: unencoded
     // BYTE_ARRAY bytes == sum of octet lengths, value counts include

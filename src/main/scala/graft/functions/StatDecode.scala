@@ -5,7 +5,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -66,6 +66,62 @@ object PlainStatLong {
     } else if (tpe.equals(INT64) && bytes.length >= 8) {
       java.lang.Long.valueOf(
         ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong)
+    } else null
+}
+
+/**
+ * Decode a parquet plain-encoded floating-point statistic (DOUBLE: 8-byte
+ * little-endian IEEE 754; FLOAT: 4-byte, widened losslessly) to a DOUBLE.
+ * Null for other types, short buffers, or null inputs — same "cannot
+ * decode keeps the file" contract as [[PlainStatLong]]. NaN decodes as
+ * NaN rather than null so the pruning layer can apply its own explicit
+ * NaN guard (a NaN bound is evidence of nothing either way).
+ */
+@ExpressionDescription(
+  usage = "_FUNC_(bytes, type) - little-endian FLOAT/DOUBLE plain statistic as DOUBLE, else NULL.")
+case class PlainStatDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "plain_stat_double"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, string) arguments, got " +
+          s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
+
+  override def nullSafeEval(bytes: Any, tpe: Any): Any =
+    PlainStatDouble.compute(bytes.asInstanceOf[Array[Byte]], tpe.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("decoded")
+    nullSafeCodeGen(ctx, ev, (b, t) => s"""
+      java.lang.Double $tmp = graft.functions.PlainStatDouble.compute($b, $t);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PlainStatDouble =
+    copy(left = newLeft, right = newRight)
+}
+
+object PlainStatDouble {
+  private val FLOAT = UTF8String.fromString("FLOAT")
+  private val DOUBLE = UTF8String.fromString("DOUBLE")
+
+  def compute(bytes: Array[Byte], tpe: UTF8String): java.lang.Double =
+    if (tpe.equals(DOUBLE) && bytes.length >= 8) {
+      java.lang.Double.valueOf(
+        ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getDouble)
+    } else if (tpe.equals(FLOAT) && bytes.length >= 4) {
+      java.lang.Double.valueOf(
+        ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat.toDouble)
     } else null
 }
 

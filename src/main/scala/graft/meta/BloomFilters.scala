@@ -144,6 +144,26 @@ object Sbbf {
     xx.hashByteBuffer(bb)
   }
 
+  /** xxhash64 of a plain-encoded DOUBLE value (8 bytes little-endian
+    * IEEE 754). NOTE: +0.0 and -0.0 are DIFFERENT bit patterns and hash
+    * differently even though SQL equality treats them as equal — callers
+    * probing for zero must probe both (see [[MetaPrune]]). */
+  def hashDouble(v: Double): Long = {
+    val bb = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putDouble(v).flip()
+    xx.hashByteBuffer(bb)
+  }
+
+  /** xxhash64 of a plain-encoded FLOAT value (4 bytes little-endian
+    * IEEE 754); the same ±0.0 caveat as [[hashDouble]]. */
+  def hashFloat(v: Float): Long = {
+    val bb = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putFloat(v).flip()
+    xx.hashByteBuffer(bb)
+  }
+
   /** xxhash64 of a BYTE_ARRAY value (UTF-8 bytes for strings). */
   def hashBytes(v: Array[Byte]): Long = xx.hashBytes(v)
 

@@ -133,6 +133,26 @@ object MetaPrune {
   }
 
   /**
+   * [[filesInRange]] for a FLOAT/DOUBLE column. Floating-point stats need
+   * two extra soundness guards integer stats do not: a NaN bound keeps the
+   * file (NaN compares false against everything, which would otherwise
+   * silently drop it), and ±0.0 needs no care — Spark's comparisons treat
+   * them as equal, matching the format spec's advice that writers widen
+   * zero bounds to both signs.
+   */
+  def filesInDoubleRange(
+      spark: SparkSession, path: String, column: String,
+      lo: Double, hi: Double): Seq[String] = {
+    val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatDouble(
+      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val mn = decode(col("statistics.min_value"))
+    val mx = decode(col("statistics.max_value"))
+    survivingFiles(spark, path, column,
+      mn.isNull || mx.isNull || isnan(mn) || isnan(mx) ||
+        (mx >= lo && mn <= hi))
+  }
+
+  /**
    * Data-file paths whose chunk statistics for a string/binary `column`
    * admit a value in `[lo, hiExclusive)` under unsigned lexicographic byte
    * order — the order parquet's typed `min_value`/`max_value` use for
@@ -236,6 +256,37 @@ object MetaPrune {
       spark: SparkSession, path: String, column: String, value: Int): Seq[String] =
     filesMayContainHash(spark, path, column, Sbbf.hashInt(value), "INT32")
 
+  /** [[filesMayContainHash]] for a DOUBLE probe value. SQL equality treats
+    * +0.0 and -0.0 as the same value but their plain encodings hash
+    * differently, so a zero probe checks BOTH bit patterns — a file whose
+    * writer saw only -0.0 must survive a `= 0.0` lookup. A NaN probe keeps
+    * every file (NaN = NaN is not an equality any bloom can witness). */
+  def filesMayContainDouble(
+      spark: SparkSession, path: String, column: String, value: Double): Seq[String] =
+    if (value.isNaN) {
+      spark.read.format("metadata").option("level", "file").load(path)
+        .select(col("filepath")).collect().map(_.getString(0)).toSeq.sorted
+    } else if (value == 0.0d) {
+      filesMayContainAnyHash(spark, path, column,
+        Seq(Sbbf.hashDouble(0.0d), Sbbf.hashDouble(-0.0d)), "DOUBLE")
+    } else {
+      filesMayContainHash(spark, path, column, Sbbf.hashDouble(value), "DOUBLE")
+    }
+
+  /** [[filesMayContainDouble]] for a FLOAT column (4-byte plain hashing —
+    * a different hash than the same value as DOUBLE). */
+  def filesMayContainFloat(
+      spark: SparkSession, path: String, column: String, value: Float): Seq[String] =
+    if (value.isNaN) {
+      spark.read.format("metadata").option("level", "file").load(path)
+        .select(col("filepath")).collect().map(_.getString(0)).toSeq.sorted
+    } else if (value == 0.0f) {
+      filesMayContainAnyHash(spark, path, column,
+        Seq(Sbbf.hashFloat(0.0f), Sbbf.hashFloat(-0.0f)), "FLOAT")
+    } else {
+      filesMayContainHash(spark, path, column, Sbbf.hashFloat(value), "FLOAT")
+    }
+
   /** [[filesMayContainHash]] for a UTF8 string probe value. */
   def filesMayContainString(
       spark: SparkSession, path: String, column: String, value: String): Seq[String] =
@@ -256,6 +307,30 @@ object MetaPrune {
       spark: SparkSession, path: String, column: String,
       values: Seq[Long]): Seq[String] =
     filesMayContainAnyHash(spark, path, column, values.map(Sbbf.hashLong), "INT64")
+
+  /** [[filesMayContainAnyLong]] for INT32 probe values (4-byte plain
+    * hashing — a different hash than the same values as INT64). */
+  def filesMayContainAnyInt(
+      spark: SparkSession, path: String, column: String,
+      values: Seq[Int]): Seq[String] =
+    filesMayContainAnyHash(spark, path, column, values.map(Sbbf.hashInt), "INT32")
+
+  /** [[filesMayContainAnyLong]] for DOUBLE probe values; a zero probe
+    * expands to both ±0.0 bit patterns, NaN probes keep every file
+    * (see [[filesMayContainDouble]]). */
+  def filesMayContainAnyDouble(
+      spark: SparkSession, path: String, column: String,
+      values: Seq[Double]): Seq[String] =
+    if (values.exists(_.isNaN)) {
+      spark.read.format("metadata").option("level", "file").load(path)
+        .select(col("filepath")).collect().map(_.getString(0)).toSeq.sorted
+    } else {
+      val hashes = values.flatMap { v =>
+        if (v == 0.0d) Seq(Sbbf.hashDouble(0.0d), Sbbf.hashDouble(-0.0d))
+        else Seq(Sbbf.hashDouble(v))
+      }
+      filesMayContainAnyHash(spark, path, column, hashes, "DOUBLE")
+    }
 
   /** [[filesMayContainAnyLong]] for UTF8 string probe values. */
   def filesMayContainAnyString(
@@ -348,6 +423,62 @@ object MetaPrune {
       spark: SparkSession, path: String, column: String, value: Long): DataFrame = {
     val byStats = filesInRange(spark, path, column, value, value).toSet
     val byBloom = filesMayContainLong(spark, path, column, value).toSet
+    readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
+  }
+
+  /** [[readPrunedEqLong]] for an INT32 column: the stats side reuses the
+    * signed-integer decode (INT32 stats are 4-byte little-endian, already
+    * handled), the bloom side hashes the 4-byte plain encoding. */
+  def readPrunedEqInt(
+      spark: SparkSession, path: String, column: String, value: Int): DataFrame = {
+    val byStats = filesInRange(spark, path, column, value.toLong, value.toLong).toSet
+    val byBloom = filesMayContainInt(spark, path, column, value).toSet
+    readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
+  }
+
+  /** [[readPrunedInLong]] for INT32 probe values. */
+  def readPrunedInInt(
+      spark: SparkSession, path: String, column: String,
+      values: Seq[Int]): DataFrame = {
+    require(values.nonEmpty, "empty probe set: nothing can match")
+    val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatLong(
+      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val mn = decode(col("statistics.min_value"))
+    val mx = decode(col("statistics.max_value"))
+    val anyInRange = exists(typedLit(values.map(_.toLong)), v => mx >= v && mn <= v)
+    val byStats = survivingFiles(spark, path, column,
+      mn.isNull || mx.isNull || anyInRange).toSet
+    val byBloom = filesMayContainAnyInt(spark, path, column, values).toSet
+    readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
+  }
+
+  /** [[readPrunedEqLong]] for a DOUBLE column: FP stats pruning with the
+    * NaN guard ([[filesInDoubleRange]]) intersected with the ±0.0-aware
+    * bloom probe ([[filesMayContainDouble]]). A NaN probe value degrades
+    * to the full listing (no filter can witness `= NaN`, which SQL
+    * equality never satisfies anyway). */
+  def readPrunedEqDouble(
+      spark: SparkSession, path: String, column: String, value: Double): DataFrame = {
+    val byStats =
+      if (value.isNaN) filesMayContainDouble(spark, path, column, value).toSet
+      else filesInDoubleRange(spark, path, column, value, value).toSet
+    val byBloom = filesMayContainDouble(spark, path, column, value).toSet
+    readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
+  }
+
+  /** [[readPrunedInLong]] for DOUBLE probe values. */
+  def readPrunedInDouble(
+      spark: SparkSession, path: String, column: String,
+      values: Seq[Double]): DataFrame = {
+    require(values.nonEmpty, "empty probe set: nothing can match")
+    val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatDouble(
+      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val mn = decode(col("statistics.min_value"))
+    val mx = decode(col("statistics.max_value"))
+    val anyInRange = exists(typedLit(values), v => mx >= v && mn <= v)
+    val byStats = survivingFiles(spark, path, column,
+      mn.isNull || mx.isNull || isnan(mn) || isnan(mx) || anyInRange).toSet
+    val byBloom = filesMayContainAnyDouble(spark, path, column, values).toSet
     readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
   }
 

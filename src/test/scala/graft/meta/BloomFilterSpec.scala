@@ -76,6 +76,75 @@ class BloomFilterSpec extends SparkSpec {
       assert(Sbbf.hashBytes(s.getBytes("UTF-8")) ===
         filter.hash(org.apache.parquet.io.api.Binary.fromString(s)))
     }
+    Seq(0.0d, -0.0d, 1.5d, -273.15d, Double.MaxValue, Double.MinPositiveValue,
+      Double.NegativeInfinity, Double.NaN).foreach { v =>
+      assert(Sbbf.hashDouble(v) === filter.hash(v), s"DOUBLE hash parity on $v")
+    }
+    Seq(0.0f, -0.0f, 2.5f, Float.MaxValue, Float.NaN).foreach { v =>
+      assert(Sbbf.hashFloat(v) === filter.hash(v), s"FLOAT hash parity on $v")
+    }
+    // ±0.0 are distinct plain encodings: the probes MUST differ, which is
+    // exactly why the zero-probe expansion in MetaPrune exists
+    assert(Sbbf.hashDouble(0.0d) !== Sbbf.hashDouble(-0.0d))
+    assert(Sbbf.hashFloat(0.0f) !== Sbbf.hashFloat(-0.0f))
+  }
+
+  /** INT32 sibling of the INT64 fixture: same hash-scatter, id as INT32
+    * plus a quarter-step DOUBLE derived from it, blooms on both. */
+  private lazy val dir32: String = {
+    val d = Files.createTempDirectory("graft_bloom32").toString
+    spark.range(0, 2000)
+      .select(col("id").cast("int").as("k"),
+        // -0.0 rows: prove a `= 0.0` probe keeps the file that has only
+        // negative zero (distinct plain encoding, equal SQL value)
+        when(col("id") === 7L, lit(-0.0d))
+          .otherwise(col("id") * lit(0.25d)).as("v"),
+        col("id").as("payload"))
+      .repartition(4, col("k"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "600")
+      .option("parquet.bloom.filter.enabled#v", "true")
+      .option("parquet.bloom.filter.expected.ndv#v", "600")
+      .option("parquet.enable.dictionary#k", "false")
+      .option("parquet.enable.dictionary#v", "false")
+      .parquet(d)
+    d
+  }
+
+  test("INT32 point-lookup pruning drops files and stays sound") {
+    assert(MetaPrune.filesInRange(spark, dir32, "k", 1234L, 1234L).length === 4,
+      "hash-scatter premise broken: stats pruned")
+    val byBloom = MetaPrune.filesMayContainInt(spark, dir32, "k", 1234)
+    assert(byBloom.length < 4, "bloom pruning dropped nothing")
+    assert(MetaPrune.readPrunedEqInt(spark, dir32, "k", 1234)
+      .filter(col("k") === 1234).count() === 1L)
+    assert(MetaPrune.readPrunedEqInt(spark, dir32, "k", 999999)
+      .filter(col("k") === 999999).count() === 0L)
+    // IN-list: every probed key survives
+    val keys = Seq(3, 777, 1500)
+    val got = MetaPrune.readPrunedInInt(spark, dir32, "k", keys)
+      .filter(col("k").isin(keys: _*)).collect().map(_.getInt(0)).toSet
+    assert(got === keys.toSet)
+  }
+
+  test("DOUBLE point-lookup pruning stays sound including negative zero") {
+    val byBloom = MetaPrune.filesMayContainDouble(spark, dir32, "v", 308.5d)
+    assert(byBloom.length < 4, "bloom pruning dropped nothing")
+    assert(MetaPrune.readPrunedEqDouble(spark, dir32, "v", 308.5d)
+      .filter(col("v") === 308.5d).count() === 1L) // id 1234
+    assert(MetaPrune.readPrunedEqDouble(spark, dir32, "v", 1.0e9d)
+      .filter(col("v") === 1.0e9d).count() === 0L)
+    // the -0.0 row answers a +0.0 equality (ids 0 and 7 both equal 0.0)
+    assert(MetaPrune.readPrunedEqDouble(spark, dir32, "v", 0.0d)
+      .filter(col("v") === 0.0d).count() === 2L)
+    // IN-list with a zero among the probes
+    val vals = Seq(0.0d, 308.5d, 499.75d)
+    assert(MetaPrune.readPrunedInDouble(spark, dir32, "v", vals)
+      .filter(col("v").isin(vals: _*)).count() === 4L)
+    // NaN probe degrades to the full listing, never drops a file
+    assert(MetaPrune.filesMayContainDouble(spark, dir32, "v", Double.NaN)
+      .length === 4)
   }
 
   test("a header claiming a huge bitset fails before allocating") {
