@@ -79,6 +79,25 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(28,6)")).cast("double")
 
+  /**
+   * Run a STREAMING replay under a small `spark.sql.shuffle.partitions`
+   * (restored afterwards). Stateful streaming cost at replay scale is
+   * dominated by the state store: every trigger commits one delta file
+   * PER STATE PARTITION to the checkpoint, so 32 partitions of toy state
+   * pay 32 filesystem commits a trigger for kilobytes of actual state.
+   * Eight partitions cut that 4x while leaving results identical — state
+   * keys hash to partitions, and every stream contract here is
+   * partition-independent. (On a real cluster the state would be sized to
+   * executors via this same knob; the point is it is a KNOB, not a plan
+   * property.) Results are unaffected; only checkpoint-commit fan-out is.
+   */
+  private def withStreamShuffle[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     meta(spark, pq("/root/testdata/sf0.001", "lineitem"), "rowgroup")
@@ -1386,7 +1405,7 @@ object SparkEntry {
     // the streaming wrapper replays. src2's budget exceeds its totals
     // (never gated), src0/src1/src3 close mid-stream, 16 sources have no
     // budget and never pass.
-    "stream_budget_gate" -> ((s, dir) => {
+    "stream_budget_gate" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val out = freshTable(s, "graft_bg_out_" + suffix)
       val state = freshTable(s, "graft_bg_state_" + suffix)
@@ -1630,7 +1649,7 @@ object SparkEntry {
     // accumulate one row per (group, item) per trigger and counts only
     // grow here, so max() per key is the final sketch no matter how
     // AvailableNow batched the replay.
-    "stream_heavy_hitters" -> ((s, dir) => {
+    "stream_heavy_hitters" -> ((s, dir) => withStreamShuffle(s) {
       import s.implicits._
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val staging = "/tmp/graft_stream_hh_" + suffix
@@ -2485,7 +2504,7 @@ object SparkEntry {
     // append mode needs no watermark and the replay must equal the batch
     // left as-of exactly. Unmatched events survive with null dims (LEFT
     // semantics — the streaming enrich never drops events).
-    "stream_asof_enrich" -> ((s, dir) => {
+    "stream_asof_enrich" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val staging = "/tmp/graft_stream_asof_" + suffix
       eventsNs(s, dir)
@@ -2524,7 +2543,7 @@ object SparkEntry {
     // separately, are kept out of reach by a huge delay so the emitted set
     // is closed-form). Values are staged integer-valued (floor(v*100)) so
     // the double session sums are bit-stable on both engines.
-    "stream_sessions" -> ((s, dir) => {
+    "stream_sessions" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val staging = "/tmp/graft_stream_sess_" + suffix
       eventsNs(s, dir)
@@ -2562,7 +2581,7 @@ object SparkEntry {
     // emitted set is then ALL islands per user, and the oracle is the full
     // gaps-and-islands recompute with no last-island exclusion. Parquet
     // sink: the memory sink cannot resume from a checkpoint.
-    "stream_sessions_final" -> ((s, dir) => {
+    "stream_sessions_final" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val staging = "/tmp/graft_stream_sessf_" + suffix
       val outDir = "/tmp/graft_stream_sessf_out_" + suffix
@@ -2618,7 +2637,7 @@ object SparkEntry {
     // user, so max_by picks each user's final state — which must equal
     // the plain batch group-by. Values staged integer-valued for
     // bit-stable double accumulation.
-    "stream_running_totals" -> ((s, dir) => {
+    "stream_running_totals" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val staging = "/tmp/graft_stream_rt_" + suffix
       eventsNs(s, dir)
@@ -2652,7 +2671,7 @@ object SparkEntry {
     // memory-sink table equals the batch group-by no matter how the input
     // splits into batches. The oracle explodes each event into its three
     // containing windows (window = 3 x slide, epoch-aligned).
-    "stream_window_counts" -> ((s, dir) => {
+    "stream_window_counts" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val staging = "/tmp/graft_stream_win_" + suffix
       eventsNs(s, dir)
@@ -2677,7 +2696,7 @@ object SparkEntry {
     // (user_id, event_type) emits each key once; projecting the keys makes
     // the emitted SET closed-form (payload of the surviving row is
     // arrival-order-dependent and deliberately not part of the contract).
-    "stream_dedup" -> ((s, dir) => {
+    "stream_dedup" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val staging = "/tmp/graft_stream_dedup_" + suffix
       eventsNs(s, dir)
@@ -2707,7 +2726,7 @@ object SparkEntry {
     // state independent of micro-batch boundaries (the split-invariance
     // contract on StreamOps.ingestIncrements); the oracle recomputes that
     // same fixpoint in closed form.
-    "stream_ingest" -> ((s, dir) => {
+    "stream_ingest" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
       val band = freshTable(s, "graft_si_band_" + suffix)
       val docs = freshTable(s, "graft_si_docs_" + suffix)
