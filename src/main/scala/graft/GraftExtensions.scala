@@ -168,6 +168,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("plain_int64_sum"),
       info(classOf[graft.functions.PlainInt64Sum], "plain_int64_sum"),
       unary("plain_int64_sum")(graft.functions.PlainInt64Sum)))
+    ext.injectFunction((
+      FunctionIdentifier("bytes_crc32"),
+      info(classOf[graft.functions.BytesCrc32], "bytes_crc32"),
+      unary("bytes_crc32")(graft.functions.BytesCrc32)))
+    ext.injectFunction((
+      FunctionIdentifier("plain_stat_long"),
+      info(classOf[graft.functions.PlainStatLong], "plain_stat_long"),
+      binary("plain_stat_long")(graft.functions.PlainStatLong)))
+    ext.injectFunction((
+      FunctionIdentifier("plain_stat_double"),
+      info(classOf[graft.functions.PlainStatDouble], "plain_stat_double"),
+      binary("plain_stat_double")(graft.functions.PlainStatDouble)))
+    ext.injectFunction((
+      FunctionIdentifier("dict_indexes"),
+      info(classOf[graft.functions.DictIndexes], "dict_indexes"),
+      { args =>
+        if (args.length != 3) {
+          throw new IllegalArgumentException(
+            s"Function dict_indexes requires exactly 3 arguments, got ${args.length}")
+        }
+        graft.functions.DictIndexes(args(0), args(1), args(2))
+      }))
     // aggregate: the analyzer wraps a returned AggregateFunction into an
     // AggregateExpression, so SQL `top_k_by_score(score, id, 5)` works in
     // GROUP BY queries like any builtin aggregate

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.meta.MetaPrune
+import graft.meta.{FooterEdit, MetaPrune}
 import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, MediaRecord, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, SubstrSearch, TemporalJoin, TextOps}
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -239,6 +239,145 @@ object SparkEntry {
           sum(pageSum).as("value_sum"),
           sum(size(col("page_content")).cast("long") / lit(8L)).cast("long")
             .as("n_values"))
+    }),
+
+    // Sorting-column declarations audited against the data. parquet-mr
+    // 1.16 has NO writer API for RowGroup.sorting_columns, so the sorted
+    // export is finished by FooterEdit: a pure thrift-footer rewrite that
+    // declares the sort post-write (data bytes untouched — spec-pinned).
+    // The rowgroup level then surfaces the declaration next to each row
+    // group's independent min/max stats, and `monotone` re-derives actual
+    // sortedness from those stats; DuckDB's own parquet_metadata decode
+    // must agree on every row — declaration, bounds, and monotonicity.
+    "meta_sorting" -> ((s, dir) => {
+      val out = "/tmp/graft_sorting_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "orders"))
+        .select(col("o_orderkey").as("k"), col("o_custkey"))
+        .repartition(1).sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .option("parquet.block.size", "65536")
+        .parquet(out)
+      FooterEdit.declareSortingColumnsDir(out,
+        Seq(graft.meta.SortingColumnInfo(0, descending = false, nullsFirst = false)))
+      val noCache = Map("footercache" -> "false") // footer was just rewritten
+      val rg = meta(s, out, "rowgroup", noCache)
+        .select(col("filepath"), col("row_group_id"),
+          explode(col("sorting_columns")).as("sc"))
+      val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatLong(
+        ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+      val stats = meta(s, out, "column", noCache)
+        .filter(col("path") === "k")
+        .select(col("filepath"), col("row_group_id"),
+          decode(col("statistics.min_value")).as("rg_min"),
+          decode(col("statistics.max_value")).as("rg_max"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("filepath")).orderBy(col("row_group_id"))
+      rg.join(stats, Seq("filepath", "row_group_id"))
+        .withColumn("monotone",
+          coalesce(col("rg_min") > lag(col("rg_max"), 1).over(w), lit(true)))
+        .select(col("row_group_id"), col("sc.column_idx").as("sc_idx"),
+          col("sc.descending").as("sc_desc"),
+          col("sc.nulls_first").as("sc_nulls_first"),
+          col("rg_min"), col("rg_max"), col("monotone"))
+    }),
+
+    // Footer encoding stats as a layout audit: per-(page type, encoding)
+    // page counts, decoded from ColumnMetaData.encoding_stats without any
+    // page I/O, proven against the deterministic page layout the 500-row
+    // page limit induces (the per-chunk counts are additionally pinned
+    // equal to the physical page walk in FooterEditSpec). The audit that
+    // answers "is this column actually dictionary-encoded?" from footers
+    // alone — at 100 TB the difference between a metadata scan and
+    // re-reading every chunk.
+    "meta_encoding_stats" -> ((s, dir) => {
+      val out = "/tmp/graft_encstats_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents")).select(col("source"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "500")
+        .parquet(out)
+      meta(s, out, "column")
+        .select(explode(col("encoding_stats")).as("es"))
+        .groupBy(col("es.page_type").as("page_type"),
+          col("es.encoding").as("encoding"))
+        .agg(sum(col("es.count")).cast("long").as("n_pages"))
+    }),
+
+    // Page CRC audit: parquet headers carry an optional CRC-32 over each
+    // page's binary data exactly as written (compressed bytes, header
+    // excluded), which parquet-mr populates by default — so recomputing
+    // java.util.zip.CRC32 over page_content and comparing against the
+    // decoded header field is a FULL data-integrity scan at metadata
+    // cost, the audit storage teams run after migrations. Closed form:
+    // every page carries a crc and every crc verifies (page count derived
+    // from the deterministic 1000-row page layout). The snappy-compressed
+    // default layout is deliberate — it proves the checksum covers the
+    // compressed representation. Detection of actual corruption is
+    // spec-pinned (PageCrcSpec flips a byte and the mismatch surfaces).
+    "meta_page_crc" -> ((s, dir) => {
+      val out = "/tmp/graft_pagecrc_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.range(0, 20000, 1, 1)
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.page.row.count.limit", "1000")
+        .parquet(out)
+      val crcOk = ColumnBridge.column(graft.functions.BytesCrc32(
+          ColumnBridge.expression(col("page_content")))) ===
+        col("crc").cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+      meta(s, out, "page", Map("pagecontent" -> "true"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(when(col("crc").isNotNull, 1L).otherwise(0L)).as("n_with_crc"),
+          sum(when(col("crc").isNotNull && crcOk, 1L).otherwise(0L))
+            .as("n_verified"))
+    }),
+
+    // Dictionary-INDEXED data pages decoded to full value sequences — the
+    // layout parquet-mr writes by default for low-cardinality columns
+    // (RLE/bit-packed dictionary indexes after a definition-level block),
+    // where meta_page_values pinned a deliberately dictionary-free one.
+    // Per row group, the DICTIONARY_PAGE decodes to the value list
+    // (PlainDictStrings) and each DATA_PAGE's payload walks
+    // def-levels + hybrid index runs (DictIndexes, bit-parity-pinned
+    // against parquet-mr's encoder in RleDecodeSpec); composed, the
+    // per-value COUNTS must equal the group-by DuckDB computes from the
+    // data — including the NULL group, derived as header num_values
+    // minus decoded indexes. Every data page byte accounted for by value.
+    "meta_dict_values" -> ((s, dir) => {
+      val out = "/tmp/graft_dictvals_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("source")).as("v"))
+        .coalesce(2)
+        .write.mode("overwrite")
+        .option("compression", "none")
+        .option("parquet.page.row.count.limit", "500")
+        .parquet(out)
+      val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
+        .filter(col("column_id") === 1) // (doc_id, v) => v is column 1
+      val dictEx = ColumnBridge.column(graft.functions.PlainDictStrings(
+        ColumnBridge.expression(col("page_content"))))
+      val idxEx = ColumnBridge.column(graft.functions.DictIndexes(
+        ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(lit(1)),
+        ColumnBridge.expression(col("num_values"))))
+      val dicts = pages.filter(col("page_type") === "DICTIONARY_PAGE")
+        .select(col("filepath"), col("row_group_id"), dictEx.as("dict"))
+      val data = pages.filter(col("page_type").startsWith("DATA_PAGE") &&
+          col("encoding").isin("PLAIN_DICTIONARY", "RLE_DICTIONARY"))
+        .select(col("filepath"), col("row_group_id"),
+          idxEx.as("idx"), col("num_values"))
+      val vals = data.join(dicts, Seq("filepath", "row_group_id"))
+        .select(explode(expr("transform(idx, i -> element_at(dict, i + 1))")).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      val nulls = data
+        .agg((sum(col("num_values")) - sum(size(col("idx")))).cast("long").as("n"))
+        .select(lit(null).cast("string").as("v"), col("n"))
+      vals.unionByName(nulls)
     }),
 
     // Level-to-level join on filepath: parquet-file footer totals vs the
@@ -3326,6 +3465,38 @@ object SparkEntry {
         |  CAST(sum(id) AS BIGINT) AS value_sum,
         |  CAST(count(*) AS BIGINT) AS n_values
         |FROM read_parquet('/tmp/graft_pagevals_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_dict_values" ->
+      """SELECT v, CAST(count(*) AS BIGINT) AS n
+        |FROM read_parquet('/tmp/graft_dictvals_sf0.01/*.parquet')
+        |GROUP BY v""".stripMargin,
+
+    "meta_sorting" ->
+      """SELECT CAST(row_group_id AS INT) AS row_group_id,
+        |  0 AS sc_idx, FALSE AS sc_desc, FALSE AS sc_nulls_first,
+        |  CAST(stats_min_value AS BIGINT) AS rg_min,
+        |  CAST(stats_max_value AS BIGINT) AS rg_max,
+        |  coalesce(CAST(stats_min_value AS BIGINT) >
+        |    lag(CAST(stats_max_value AS BIGINT))
+        |      OVER (PARTITION BY file_name ORDER BY row_group_id), TRUE)
+        |    AS monotone
+        |FROM parquet_metadata('/tmp/graft_sorting_sf0.01/*.parquet')
+        |WHERE path_in_schema = 'k'""".stripMargin,
+
+    "meta_encoding_stats" ->
+      """SELECT 'DICTIONARY_PAGE' AS page_type,
+        |  'PLAIN_DICTIONARY' AS encoding, CAST(1 AS BIGINT) AS n_pages
+        |UNION ALL
+        |SELECT 'DATA_PAGE', 'PLAIN_DICTIONARY',
+        |  CAST(count(DISTINCT rn // 500) AS BIGINT)
+        |FROM (SELECT row_number() OVER () - 1 AS rn
+        |  FROM read_parquet('/tmp/graft_encstats_sf0.01/*.parquet'))""".stripMargin,
+
+    "meta_page_crc" ->
+      """SELECT CAST(count(DISTINCT id // 1000) AS BIGINT) AS n_pages,
+        |  CAST(count(DISTINCT id // 1000) AS BIGINT) AS n_with_crc,
+        |  CAST(count(DISTINCT id // 1000) AS BIGINT) AS n_verified
+        |FROM read_parquet('/tmp/graft_pagecrc_sf0.01/*.parquet')""".stripMargin,
 
     "meta_join" ->
       s"""WITH rg AS (

@@ -1,0 +1,102 @@
+package graft.meta
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, File, RandomAccessFile}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.parquet.format.{SortingColumn, Util}
+
+/**
+ * In-place parquet FOOTER editing for metadata only the footer carries.
+ *
+ * The concrete itch: `RowGroup.sorting_columns` — the format's declaration
+ * that a row group's rows are sorted — has NO writer API in parquet-mr
+ * 1.16 (Spark cannot set it at all), yet layout-aware readers key on it.
+ * A parquet file is `[PAR1][data][footer thrift][u32 LE length][PAR1]`,
+ * so declaring sort metadata after a sorted write is a pure footer
+ * rewrite: decode the thrift tail, set the field, serialize, patch the
+ * tail in place. Data pages are never touched — byte-identical before the
+ * footer start, which the spec pins.
+ *
+ * Local-file tool by design (the post-write step of a sorted export);
+ * object stores would rewrite-on-copy instead. The Hadoop local
+ * filesystem's `.file.crc` sidecar is refreshed for the new bytes so
+ * checksum-verified re-reads keep working.
+ */
+object FooterEdit {
+  private val MAGIC = Array[Byte]('P', 'A', 'R', '1')
+
+  /** Declare `specs` as the sort order of EVERY row group of a local
+    * parquet file (the caller asserts the data is actually sorted — this
+    * writes the declaration, it cannot conjure sortedness). */
+  def declareSortingColumns(file: File, specs: Seq[SortingColumnInfo]): Unit = {
+    require(specs.nonEmpty, "empty sorting declaration")
+    val raf = new RandomAccessFile(file, "rw")
+    try {
+      val len = raf.length()
+      require(len >= 12, s"not a parquet file (too short): $file")
+      val tail = new Array[Byte](8)
+      raf.seek(len - 8)
+      raf.readFully(tail)
+      require(java.util.Arrays.equals(tail.drop(4), MAGIC),
+        s"not a parquet file (bad magic): $file")
+      val footerLen =
+        (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+        ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+      require(footerLen > 0 && footerLen <= len - 12,
+        s"corrupt footer length $footerLen in $file")
+      val footerStart = len - 8 - footerLen
+      val footer = new Array[Byte](footerLen)
+      raf.seek(footerStart)
+      raf.readFully(footer)
+      val md = Util.readFileMetaData(new ByteArrayInputStream(footer))
+      md.getRow_groups.asScala.foreach { rg =>
+        require(specs.forall(s => s.columnIdx >= 0 &&
+          s.columnIdx < rg.getColumnsSize),
+          s"sorting column index out of range for $file")
+        rg.setSorting_columns(specs.map(s =>
+          new SortingColumn(s.columnIdx, s.descending, s.nullsFirst)).asJava)
+      }
+      val out = new ByteArrayOutputStream()
+      Util.writeFileMetaData(md, out)
+      val newFooter = out.toByteArray
+      raf.seek(footerStart)
+      raf.write(newFooter)
+      raf.write(Array[Byte](
+        (newFooter.length & 0xff).toByte, ((newFooter.length >> 8) & 0xff).toByte,
+        ((newFooter.length >> 16) & 0xff).toByte, ((newFooter.length >> 24) & 0xff).toByte))
+      raf.write(MAGIC)
+      raf.setLength(footerStart + newFooter.length + 8)
+    } finally raf.close()
+    refreshCrcSidecar(file)
+  }
+
+  /** [[declareSortingColumns]] over every `.parquet` file under `dir`. */
+  def declareSortingColumnsDir(dir: String, specs: Seq[SortingColumnInfo]): Unit = {
+    val files = new File(dir).listFiles()
+    require(files != null, s"not a directory: $dir")
+    files.filter(_.getName.endsWith(".parquet"))
+      .foreach(declareSortingColumns(_, specs))
+  }
+
+  /** Recompute the Hadoop local-fs checksum sidecar (`.name.crc`) so
+    * checksum-verified reads survive the rewrite; files written without a
+    * sidecar are left without one. */
+  private def refreshCrcSidecar(file: File): Unit = {
+    val sidecar = new File(file.getParentFile, "." + file.getName + ".crc")
+    if (!sidecar.exists()) return
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val localFs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val p = new org.apache.hadoop.fs.Path(file.getAbsolutePath)
+    // bytesPerChecksum must match the original sidecar's header
+    sidecar.delete()
+    val src = p
+    val tmp = new org.apache.hadoop.fs.Path(
+      file.getParent, file.getName + ".crctmp")
+    // round-trip through the checksummed fs: copy to tmp (writes a fresh
+    // sidecar), then move both back over the original
+    org.apache.hadoop.fs.FileUtil.copy(localFs, src, localFs, tmp, false, conf)
+    localFs.delete(src, false)
+    localFs.rename(tmp, src)
+  }
+}

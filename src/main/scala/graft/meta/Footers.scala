@@ -27,6 +27,21 @@ case class SizeStatsInfo(
     repetitionLevelHistogram: Option[Seq[Long]],
     definitionLevelHistogram: Option[Seq[Long]])
 
+/** Decoded Thrift `SortingColumn`: a writer's declaration that a row
+  * group's rows are sorted by this column (by schema ordinal). */
+case class SortingColumnInfo(
+    columnIdx: Int,
+    descending: Boolean,
+    nullsFirst: Boolean)
+
+/** Decoded Thrift `PageEncodingStats`: how many pages of one type use one
+  * encoding inside a column chunk — the footer-resident layout audit
+  * (is this chunk dictionary-encoded? did it fall back to PLAIN?). */
+case class PageEncodingStat(
+    pageType: String,
+    encoding: String,
+    count: Int)
+
 /** Decoded column-chunk metadata for one (row group, column) pair. */
 case class ChunkInfo(
     rowGroupId: Int,
@@ -49,7 +64,8 @@ case class ChunkInfo(
     columnIndexLength: Option[Int],
     bloomFilterOffset: Option[Long],
     bloomFilterLength: Option[Int],
-    sizeStats: Option[SizeStatsInfo])
+    sizeStats: Option[SizeStatsInfo],
+    encodingStats: Option[Seq[PageEncodingStat]])
 
 /** Decoded row-group metadata. */
 case class RowGroupInfo(
@@ -58,7 +74,8 @@ case class RowGroupInfo(
     totalCompressedSize: Long,
     totalUncompressedSize: Long,
     numRows: Long,
-    columns: Seq[ChunkInfo])
+    columns: Seq[ChunkInfo],
+    sortingColumns: Option[Seq[SortingColumnInfo]])
 
 /** Fully decoded Parquet footer. */
 case class FooterInfo(
@@ -169,7 +186,11 @@ object Footers {
       totalCompressedSize = cols.map(_.totalCompressedSize).sum,
       totalUncompressedSize = rg.getTotal_byte_size,
       numRows = rg.getNum_rows,
-      columns = cols)
+      columns = cols,
+      sortingColumns =
+        if (!rg.isSetSorting_columns) None
+        else Some(rg.getSorting_columns.asScala.toSeq.map(sc =>
+          SortingColumnInfo(sc.getColumn_idx, sc.isDescending, sc.isNulls_first))))
   }
 
   private def decodeChunk(cc: ColumnChunk, columnId: Int, rowGroupId: Int): ChunkInfo = {
@@ -225,6 +246,12 @@ object Footers {
               Option(ss.getDefinition_level_histogram)
                 .map(_.asScala.toSeq.map(_.longValue()))))
         }
+      },
+      encodingStats = meta.flatMap { m =>
+        if (!m.isSetEncoding_stats) None
+        else Some(m.getEncoding_stats.asScala.toSeq.map(es =>
+          PageEncodingStat(es.getPage_type.toString,
+            es.getEncoding.toString, es.getCount)))
       })
   }
 

@@ -47,7 +47,23 @@ object MetaLevel {
       .add("key_value_metadata", MapType(StringType, StringType))
   }
 
-  /** One row per (file x row group). */
+  /** Thrift `SortingColumn` rendered as a struct: the writer's declaration
+    * that a row group's rows are sorted by the schema ordinal. */
+  val sortingColumnType: StructType = StructType(Seq(
+    StructField("column_idx", IntegerType, nullable = false),
+    StructField("descending", BooleanType, nullable = false),
+    StructField("nulls_first", BooleanType, nullable = false)))
+
+  /** Thrift `PageEncodingStats` rendered as a struct: page count per
+    * (page type, encoding) inside a chunk. */
+  val pageEncodingStatType: StructType = StructType(Seq(
+    StructField("page_type", StringType, nullable = false),
+    StructField("encoding", StringType, nullable = false),
+    StructField("count", IntegerType, nullable = false)))
+
+  /** One row per (file x row group). `sorting_columns` (a post-reference
+    * addition, appended so reference queries run unchanged) surfaces the
+    * writer's sort declaration — null when the writer declared none. */
   case object ParquetRowGroup extends MetaLevel("parquet-rowgroup") {
     override val schema: StructType = StructType(Seq(
       StructField("row_group_id", IntegerType),
@@ -56,6 +72,7 @@ object MetaLevel {
       StructField("total_uncompressed_size", LongType),
       StructField("num_rows", LongType),
       StructField("num_columns", IntegerType),
+      StructField("sorting_columns", ArrayType(sortingColumnType, containsNull = false)),
       StructField("filepath", StringType)))
   }
 
@@ -80,6 +97,10 @@ object MetaLevel {
       StructField("offset_index_length", IntegerType),
       StructField("column_index_offset", LongType),
       StructField("column_index_length", IntegerType),
+      // post-reference addition (appended; reference queries unchanged):
+      // per-(page type, encoding) page counts from the footer — the audit
+      // of whether a chunk is dictionary-encoded or fell back to PLAIN
+      StructField("encoding_stats", ArrayType(pageEncodingStatType, containsNull = false)),
       StructField("filepath", StringType)))
   }
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.PartitionReader
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, StructType}
 
 /**
  * Executor-side row production for every metadata level.
@@ -184,6 +184,41 @@ class MetaPartitionReader(
     case None => null
   }
 
+  // array<struct> fields are built to the PRUNED element schema for the
+  // same reason statsRow is: nested-schema pruning can narrow the struct,
+  // and the converters index by the incoming Row's width.
+  private lazy val sortingFieldEx: Array[SortingColumnInfo => Any] =
+    required.find(_.name == "sorting_columns") match {
+      case Some(f) => f.dataType.asInstanceOf[ArrayType].elementType
+        .asInstanceOf[StructType].fieldNames.map[SortingColumnInfo => Any] {
+          case "column_idx" => sc => sc.columnIdx
+          case "descending" => sc => sc.descending
+          case "nulls_first" => sc => sc.nullsFirst
+        }
+      case None => Array.empty
+    }
+
+  private def sortingRows(v: Option[Seq[SortingColumnInfo]]): Any = v match {
+    case Some(scs) => scs.map(sc => Row.fromSeq(sortingFieldEx.toSeq.map(_(sc))))
+    case None => null
+  }
+
+  private lazy val encStatFieldEx: Array[PageEncodingStat => Any] =
+    required.find(_.name == "encoding_stats") match {
+      case Some(f) => f.dataType.asInstanceOf[ArrayType].elementType
+        .asInstanceOf[StructType].fieldNames.map[PageEncodingStat => Any] {
+          case "page_type" => es => es.pageType
+          case "encoding" => es => es.encoding
+          case "count" => es => es.count
+        }
+      case None => Array.empty
+    }
+
+  private def encStatRows(v: Option[Seq[PageEncodingStat]]): Any = v match {
+    case Some(ess) => ess.map(es => Row.fromSeq(encStatFieldEx.toSeq.map(_(es))))
+    case None => null
+  }
+
   // ---- per-level extractor tables (resolved once per reader) -------------
 
   private lazy val fsFileEx: Array[Ex[Unit]] = fieldNames.map[Ex[Unit]] {
@@ -215,6 +250,7 @@ class MetaPartitionReader(
     case "total_uncompressed_size" => (_, rg) => rg.totalUncompressedSize
     case "num_rows" => (_, rg) => rg.numRows
     case "num_columns" => (_, rg) => rg.columns.length
+    case "sorting_columns" => (_, rg) => sortingRows(rg.sortingColumns)
     case "filepath" => (f, _) => f.path
   }
 
@@ -237,6 +273,7 @@ class MetaPartitionReader(
     case "offset_index_length" => (_, c) => orNull(c.offsetIndexLength)
     case "column_index_offset" => (_, c) => orNull(c.columnIndexOffset)
     case "column_index_length" => (_, c) => orNull(c.columnIndexLength)
+    case "encoding_stats" => (_, c) => encStatRows(c.encodingStats)
     case "filepath" => (f, _) => f.path
   }
 

@@ -167,7 +167,8 @@ class BloomFilterSpec extends SparkSpec {
       dictionaryPageOffset = None, indexPageOffset = None,
       offsetIndexOffset = None, offsetIndexLength = None,
       columnIndexOffset = None, columnIndexLength = None,
-      bloomFilterOffset = Some(0L), bloomFilterLength = len, sizeStats = None)
+      bloomFilterOffset = Some(0L), bloomFilterLength = len, sizeStats = None,
+      encodingStats = None)
     // claims ~2 GB in a tiny "file": must throw on the bound, not allocate
     val big = headerBytes(Int.MaxValue - 100)
     val e1 = intercept[RuntimeException] {
