@@ -241,6 +241,42 @@ object SparkEntry {
             .as("n_values"))
     }),
 
+    // MULTI-column pruned read: `date BETWEEN ... AND id <= ...` where
+    // NEITHER predicate alone prunes a file but the conjunction does —
+    // evaluated per ROW GROUP (strictly stronger than intersecting
+    // per-column file sets; MultiPruneSpec proves the single-column sets
+    // both keep everything while the pair halves the scan). The grid
+    // layout needs exact row-group boundaries, which RowGroupWriter pins;
+    // the oracle recomputes the aggregate over ALL files — equality
+    // proves per-row-group conjunction dropped no qualifying row.
+    "meta_prune_multi" -> ((s, dir) => {
+      val out = "/tmp/graft_multiprune_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val od = new java.io.File(out)
+      od.mkdirs()
+      od.listFiles().foreach(_.delete())
+      val jan = java.time.LocalDate.of(2024, 1, 1)
+      val feb = java.time.LocalDate.of(2024, 2, 1)
+      def days(base: java.time.LocalDate, i: Int): Int =
+        (base.toEpochDay + (i % 28)).toInt
+      val janLow = (0 until 1000).map(i => (days(jan, i), i.toLong))
+      val febHigh = (0 until 1000).map(i => (days(feb, i), 1000L + i))
+      val janHigh = (0 until 1000).map(i => (days(jan, i), 1000L + i))
+      val febLow = (0 until 1000).map(i => (days(feb, i), i.toLong))
+      graft.meta.RowGroupWriter.writeDateLongFile(
+        s"$out/fileA.parquet", janLow ++ febHigh, 1000)
+      graft.meta.RowGroupWriter.writeDateLongFile(
+        s"$out/fileB.parquet", janHigh ++ febLow, 1000)
+      MetaPrune.readPrunedWhere(s, out, Seq(
+          graft.meta.DateRangePred("od", feb, java.time.LocalDate.of(2024, 2, 29)),
+          graft.meta.LongRangePred("k", 0L, 999L)))
+        .filter(col("od").between(
+            java.sql.Date.valueOf("2024-02-01"), java.sql.Date.valueOf("2024-02-29")) &&
+          col("k") <= 999L)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("k")), lit(0L)).as("k_sum"))
+    }),
+
     // Sorting-column declarations audited against the data. parquet-mr
     // 1.16 has NO writer API for RowGroup.sorting_columns, so the sorted
     // export is finished by FooterEdit: a pure thrift-footer rewrite that
@@ -3470,6 +3506,13 @@ object SparkEntry {
       """SELECT v, CAST(count(*) AS BIGINT) AS n
         |FROM read_parquet('/tmp/graft_dictvals_sf0.01/*.parquet')
         |GROUP BY v""".stripMargin,
+
+    "meta_prune_multi" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(k), 0) AS BIGINT) AS k_sum
+        |FROM read_parquet('/tmp/graft_multiprune_sf0.01/*.parquet')
+        |WHERE od BETWEEN DATE '2024-02-01' AND DATE '2024-02-29'
+        |  AND k BETWEEN 0 AND 999""".stripMargin,
 
     "meta_sorting" ->
       """SELECT CAST(row_group_id AS INT) AS row_group_id,

@@ -5,6 +5,25 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
 /**
+ * One single-column predicate of a multi-column pruned read
+ * ([[MetaPrune.readPrunedWhere]]): the declarative form from which both
+ * the per-row-group stats check and (for equalities) the per-file bloom
+ * probe are derived.
+ */
+sealed trait PrunePred { def column: String }
+/** `column BETWEEN lo AND hi` over an INT32/INT64 column. */
+case class LongRangePred(column: String, lo: Long, hi: Long) extends PrunePred
+/** `column BETWEEN lo AND hi` over a DATE column (INT32 epoch days). */
+case class DateRangePred(column: String,
+    lo: java.time.LocalDate, hi: java.time.LocalDate) extends PrunePred
+/** `column BETWEEN lo AND hi` over a FLOAT/DOUBLE column (NaN-safe). */
+case class DoubleRangePred(column: String, lo: Double, hi: Double) extends PrunePred
+/** `column = value` over an INT64 column (stats range + bloom probe). */
+case class EqLongPred(column: String, value: Long) extends PrunePred
+/** `column = value` over a UTF8 column (stats byte range + bloom probe). */
+case class EqStringPred(column: String, value: String) extends PrunePred
+
+/**
  * Stats-driven data-file pruning: the metadata source put to work on the
  * DATA it describes. A numeric range predicate is evaluated against every
  * column chunk's `min_value`/`max_value` statistics (read from footers
@@ -491,6 +510,86 @@ object MetaPrune {
     val byStats = filesInStringRange(spark, path, column, v, Some(v :+ 0.toByte)).toSet
     val byBloom = filesMayContainString(spark, path, column, value).toSet
     readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
+  }
+
+  /** The per-chunk admit expression (over a column-level metadata row) a
+    * predicate induces — missing/undecodable stats always admit. */
+  private def chunkAdmit(p: PrunePred): Column = {
+    val decodeL = (c: Column) => ColumnBridge.column(graft.functions.PlainStatLong(
+      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val decodeD = (c: Column) => ColumnBridge.column(graft.functions.PlainStatDouble(
+      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val mnB = col("statistics.min_value")
+    val mxB = col("statistics.max_value")
+    p match {
+      case LongRangePred(_, lo, hi) =>
+        val (mn, mx) = (decodeL(mnB), decodeL(mxB))
+        mn.isNull || mx.isNull || (mx >= lo && mn <= hi)
+      case DateRangePred(_, lo, hi) =>
+        val (mn, mx) = (decodeL(mnB), decodeL(mxB))
+        mn.isNull || mx.isNull || (mx >= lo.toEpochDay && mn <= hi.toEpochDay)
+      case DoubleRangePred(_, lo, hi) =>
+        val (mn, mx) = (decodeD(mnB), decodeD(mxB))
+        mn.isNull || mx.isNull || isnan(mn) || isnan(mx) ||
+          (mx >= lo && mn <= hi)
+      case EqLongPred(_, v) =>
+        val (mn, mx) = (decodeL(mnB), decodeL(mxB))
+        mn.isNull || mx.isNull || (mx >= v && mn <= v)
+      case EqStringPred(_, v) =>
+        val vb = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        col("type") =!= "BYTE_ARRAY" || mnB.isNull || mxB.isNull ||
+          (mxB >= lit(vb) && mnB < lit(vb :+ 0.toByte))
+    }
+  }
+
+  /**
+   * Read only the files the CONJUNCTION of `preds` can touch — the
+   * multi-column lookup (`date BETWEEN ... AND id = ...`) a real selective
+   * read is. The conjunction is evaluated per ROW GROUP, which is strictly
+   * stronger than intersecting per-column FILE sets: a file whose row
+   * group 0 matches the date range and row group 1 matches the id range —
+   * but no single row group matches both — survives every single-column
+   * prune yet is dropped here. Equality predicates additionally intersect
+   * their (independently sound) per-file bloom survivor sets.
+   *
+   * Soundness composes: each per-row-group admit is conservative (missing
+   * stats or an undecodable value admits), a file missing ANY predicate
+   * column drops out of the row-group join and is kept via the left-join
+   * null, and an unsigned-integer schema keeps the file exactly as in
+   * [[filesInRange]]. One metadata pass per predicate over footers the
+   * first pass already cached — at a million files the driver still only
+   * ever sees surviving paths.
+   */
+  def readPrunedWhere(
+      spark: SparkSession, path: String, preds: Seq[PrunePred]): DataFrame = {
+    require(preds.nonEmpty, "empty predicate list: nothing to prune on")
+    val meta = (level: String) => spark.read.format("metadata")
+      .option("level", level).load(path)
+    val admits = preds.zipWithIndex.map { case (p, i) =>
+      meta("column").filter(col("path") === p.column)
+        .groupBy(col("filepath"), col("row_group_id"))
+        .agg(max(chunkAdmit(p)).as(s"adm_$i"))
+    }
+    val joined = admits.reduce((a, b) => a.join(b, Seq("filepath", "row_group_id")))
+    val conj = preds.indices.map(i => col(s"adm_$i")).reduce(_ && _)
+    val perFile = joined.groupBy(col("filepath")).agg(max(conj).as("adm"))
+    val unsignedRisk = col("schema").isNull ||
+      col("schema").contains(UnsignedSubstring) ||
+      col("schema").rlike(UnsignedRegex)
+    val byStats = meta("file")
+      .select(col("filepath"), unsignedRisk.as("risk"))
+      .join(perFile, Seq("filepath"), "left")
+      .filter(col("risk") || col("adm").isNull || col("adm"))
+      .select(col("filepath"))
+      .collect().map(_.getString(0)).toSet
+    val withBloom = preds.foldLeft(byStats) {
+      case (acc, EqLongPred(c, v)) =>
+        acc.intersect(filesMayContainLong(spark, path, c, v).toSet)
+      case (acc, EqStringPred(c, v)) =>
+        acc.intersect(filesMayContainString(spark, path, c, v).toSet)
+      case (acc, _) => acc
+    }
+    readFiles(spark, path, withBloom.toSeq.sorted)
   }
 
   /**

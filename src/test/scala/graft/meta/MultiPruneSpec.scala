@@ -1,0 +1,100 @@
+package graft.meta
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Multi-column pruning: the conjunction evaluated per ROW GROUP drops a
+ * file that EVERY single-column prune keeps. Layout (row groups exact via
+ * [[RowGroupWriter]]):
+ *
+ *   fileA: rg0 = (Jan dates, k in [0,1000)),  rg1 = (Feb, k in [1000,2000))
+ *   fileB: rg0 = (Jan, k in [1000,2000)),     rg1 = (Feb, k in [0,1000))
+ *
+ * `od in Feb` admits rg1 of both files; `k < 1000` admits a row group of
+ * both files; only fileB has a single row group matching BOTH.
+ */
+class MultiPruneSpec extends SparkSpec {
+
+  private val jan = LocalDate.of(2024, 1, 1)
+  private val feb = LocalDate.of(2024, 2, 1)
+
+  private def days(base: LocalDate, i: Int): Int =
+    (base.toEpochDay + (i % 28)).toInt
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_multiprune").toString
+    val janLow = (0 until 1000).map(i => (days(jan, i), i.toLong))
+    val febHigh = (0 until 1000).map(i => (days(feb, i), 1000L + i))
+    val janHigh = (0 until 1000).map(i => (days(jan, i), 1000L + i))
+    val febLow = (0 until 1000).map(i => (days(feb, i), i.toLong))
+    RowGroupWriter.writeDateLongFile(s"$d/fileA.parquet", janLow ++ febHigh, 1000)
+    RowGroupWriter.writeDateLongFile(s"$d/fileB.parquet", janHigh ++ febLow, 1000)
+    d
+  }
+
+  private val predDate = DateRangePred("od", feb, LocalDate.of(2024, 2, 29))
+  private val predK = LongRangePred("k", 0L, 999L)
+
+  test("row groups land exactly where declared") {
+    val rgs = spark.read.format("metadata").option("level", "rowgroup")
+      .load(dir).select(col("filepath"), col("row_group_id"), col("num_rows"))
+      .collect()
+    assert(rgs.length === 4)
+    assert(rgs.forall(_.getLong(2) === 1000L))
+  }
+
+  test("each single-column predicate keeps both files") {
+    assert(MetaPrune.filesInDateRange(spark, dir, "od",
+      predDate.lo, predDate.hi).length === 2)
+    assert(MetaPrune.filesInRange(spark, dir, "k",
+      predK.lo, predK.hi).length === 2)
+  }
+
+  test("the conjunction prunes to one file and stays exact") {
+    val pruned = MetaPrune.readPrunedWhere(spark, dir, Seq(predDate, predK))
+    // plan-level proof: only fileB is scanned
+    val scanned = pruned.inputFiles.toSeq
+    assert(scanned.length === 1 && scanned.head.contains("fileB"),
+      s"expected only fileB scanned, got $scanned")
+    val predicate = col("od").between(
+        java.sql.Date.valueOf("2024-02-01"), java.sql.Date.valueOf("2024-02-29")) &&
+      col("k") <= 999L
+    val got = pruned.filter(predicate)
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("ksum")).collect()(0)
+    val want = spark.read.parquet(dir).filter(predicate)
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("ksum")).collect()(0)
+    assert(got === want)
+    assert(got.getLong(0) === 1000L)
+  }
+
+  test("a missing predicate column keeps every file (sound)") {
+    val pruned = MetaPrune.readPrunedWhere(spark, dir,
+      Seq(predDate, LongRangePred("no_such_column", 0L, 1L)))
+    assert(pruned.inputFiles.length === 2)
+  }
+
+  test("an equality predicate composes bloom pruning per file") {
+    // same grid, long column bloom-enabled, hash-scattered key
+    val d = Files.createTempDirectory("graft_multiprune_eq").toString
+    spark.range(0, 2000)
+      .select(col("id").as("k"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (col("id") % 50).cast("int")).as("od"))
+      .repartition(4, col("k"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "600")
+      .option("parquet.enable.dictionary#k", "false")
+      .parquet(d)
+    val pruned = MetaPrune.readPrunedWhere(spark, d,
+      Seq(DateRangePred("od", LocalDate.of(2024, 1, 1), LocalDate.of(2024, 3, 1)),
+        EqLongPred("k", 1234L)))
+    assert(pruned.inputFiles.length < 4, "bloom side of the conjunction pruned nothing")
+    assert(pruned.filter(col("k") === 1234L).count() === 1L)
+  }
+}
