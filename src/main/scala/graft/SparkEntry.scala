@@ -2601,6 +2601,31 @@ object SparkEntry {
       }.toDF("media_id", "sample_rate", "channels", "n_frames", "dur_us")
     }),
 
+    // The WAV probe generalized across containers: the same per-id audio
+    // parameters synthesized into THREE container formats — WAV through
+    // our encoder, AIFF and AU through the JDK's independent
+    // javax.sound writer — and every one decoded back by the unified
+    // big/little-endian header walk (decodeAudioInfo: RIFF chunk walk,
+    // IFF COMM with its 80-bit extended sample rate, .snd fixed header).
+    // The oracle reproduces all 3x parameters from doc_id arithmetic.
+    "mm_audio_formats" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 30).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          Seq("wav", "aiff", "au").map { c =>
+            val a = Multimodal.decodeAudioInfo(Multimodal.encodeAudioFixture(c,
+              rate = 8000 + 1000 * (id % 4).toInt,
+              channels = 1 + (id % 2).toInt,
+              nFrames = 400 + id.toInt * 3, seed = id)).get
+            (id, a.container, a.sampleRate.toLong, a.channels.toLong,
+              a.nFrames, a.durationMicros)
+          }
+        }
+        .toDF("media_id", "container", "sample_rate", "channels",
+          "n_frames", "dur_us")
+    }),
+
     // Binary content dedup — the image/audio exact-dedup pass: group
     // opaque payloads by their SHA-256 digest, surface every duplicate
     // family with its representative (min id). The shuffle moves only
@@ -5215,6 +5240,16 @@ object SparkEntry {
         |  CAST((500 + doc_id * 3) * 1000000 // (8000 + 1000 * (doc_id % 4))
         |    AS BIGINT) AS dur_us
         |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "mm_audio_formats" ->
+      """SELECT doc_id AS media_id, c.container,
+        |  CAST(8000 + 1000 * (doc_id % 4) AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(400 + doc_id * 3 AS BIGINT) AS n_frames,
+        |  CAST((400 + doc_id * 3) * 1000000 // (8000 + 1000 * (doc_id % 4))
+        |    AS BIGINT) AS dur_us
+        |FROM documents, (VALUES ('wav'), ('aiff'), ('au')) c(container)
+        |WHERE doc_id < 30""".stripMargin,
 
     // the integer shrink arithmetic reproduced from doc_id alone:
     // fixture dims w=12+(id*7)%60, h=10+(id*5)%45; longer side capped at

@@ -267,6 +267,138 @@ object Multimodal {
     }
   }
 
+  /** Decoded audio stream parameters with their container format —
+    * the union shape [[decodeAudioInfo]] returns for WAV/AIFF/AU. */
+  case class AudioInfo(
+      container: String, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nFrames: Long) {
+    def durationMicros: Long = nFrames * 1000000L / sampleRate
+  }
+
+  /**
+   * REAL AIFF (big-endian IFF) header probe: `FORM`/`AIFF` magic, then a
+   * chunk walk for `COMM` — channels, frame count, sample width, and the
+   * 80-bit extended-precision sample rate the format insists on. The same
+   * Long-cursor discipline as the WAV walk (chunk sizes are unsigned
+   * 32-bit big-endian; a crafted size must walk off the end, not wrap).
+   */
+  def decodeAiffInfo(b: Array[Byte]): Option[AudioInfo] = {
+    def be16(i: Int): Int = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    def be32(i: Int): Long =
+      ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    def tag(i: Int, t: String): Boolean =
+      i + 4 <= b.length && t.indices.forall(k => b(i + k) == t(k).toByte)
+    if (b.length < 12 || !tag(0, "FORM") || !tag(8, "AIFF")) return None
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val at = i.toInt
+      val size = be32(at + 4)
+      if (size > Int.MaxValue - 16L) return None // corrupt, same as WAV
+      if (tag(at, "COMM") && size >= 18 && i + 8 + 18 <= b.length) {
+        val channels = be16(at + 8)
+        val nFrames = be32(at + 10) // unsigned u32 frame count
+        val bits = be16(at + 14)
+        // 80-bit extended float: 2-byte sign+exponent, 64-bit mantissa;
+        // value = mantissa * 2^(exp - 16383 - 63) — exact for real rates
+        val se = be16(at + 16)
+        val mantissa = (be32(at + 18) << 32) | be32(at + 22)
+        if ((se & 0x8000) != 0) return None // negative rate
+        val exp = (se & 0x7FFF) - 16383 - 63
+        // the mantissa is UNSIGNED 64-bit and its integer bit is set for
+        // every normalized value, so the signed Long reads negative —
+        // split high/low to widen losslessly into a double (rates are
+        // small integers; 53 bits of precision is plenty)
+        val mD = (mantissa >>> 11).toDouble * 2048.0 + (mantissa & 0x7FF).toDouble
+        val rate = math.round(mD * math.pow(2.0, exp))
+        if (rate <= 0 || rate > Int.MaxValue || channels <= 0 || bits <= 0) return None
+        return Some(AudioInfo("aiff", rate.toInt, channels, bits, nFrames))
+      }
+      i += 8L + size + (size & 1L) // IFF chunks are word-aligned
+    }
+    None
+  }
+
+  /**
+   * REAL AU (Sun/NeXT `.snd`) header probe: a fixed 24-byte big-endian
+   * header — data offset/size, encoding code, rate, channels. Frame count
+   * derives from the data size for the linear-PCM encodings; an unknown
+   * size (the streaming sentinel 0xFFFFFFFF) falls back to the bytes
+   * actually present past the declared offset.
+   */
+  def decodeAuInfo(b: Array[Byte]): Option[AudioInfo] = {
+    def be32(i: Int): Long =
+      ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    if (b.length < 24) return None
+    if (!(b(0) == '.'.toByte && b(1) == 's'.toByte &&
+        b(2) == 'n'.toByte && b(3) == 'd'.toByte)) return None
+    val dataOffset = be32(4)
+    val dataSize = be32(8)
+    val encoding = be32(12)
+    val rate = be32(16)
+    val channels = be32(20)
+    // linear PCM widths by encoding code; μ-law (1) is 8-bit samples
+    val bits = encoding match {
+      case 1L | 2L => 8
+      case 3L => 16
+      case 4L => 24
+      case 5L => 32
+      case _ => return None
+    }
+    if (rate <= 0 || rate > Int.MaxValue || channels <= 0 ||
+        channels > 64 || dataOffset < 24 || dataOffset > b.length) return None
+    val payload =
+      if (dataSize == 0xFFFFFFFFL) b.length - dataOffset else dataSize
+    val frameBytes = channels * (bits / 8)
+    Some(AudioInfo("au", rate.toInt, channels.toInt, bits, payload / frameBytes))
+  }
+
+  /** Container dispatch over the three probes: WAV (RIFF), AIFF (FORM),
+    * AU (.snd) — `None` for anything else, never garbage. */
+  def decodeAudioInfo(b: Array[Byte]): Option[AudioInfo] = {
+    if (b == null || b.length < 4) return None
+    if (b(0) == 'R'.toByte && b(1) == 'I'.toByte) {
+      decodeWavInfo(b).map(w =>
+        AudioInfo("wav", w.sampleRate, w.channels, w.bitsPerSample, w.nFrames))
+    } else if (b(0) == 'F'.toByte && b(1) == 'O'.toByte) {
+      decodeAiffInfo(b)
+    } else if (b(0) == '.'.toByte && b(1) == 's'.toByte) {
+      decodeAuInfo(b)
+    } else None
+  }
+
+  /** Deterministic audio fixture in any of the three probed containers:
+    * WAV through our own encoder; AIFF and AU through the JDK's
+    * INDEPENDENT javax.sound writer (so decode parity against it is a
+    * cross-implementation check, not a round trip). 16-bit PCM,
+    * `seed`-derived samples. */
+  def encodeAudioFixture(
+      container: String, rate: Int, channels: Int,
+      nFrames: Int, seed: Long): Array[Byte] = container match {
+    case "wav" => encodeWavFixture(rate, channels, nFrames, seed)
+    case "aiff" | "au" =>
+      val bits = 16
+      val pcm = java.nio.ByteBuffer.allocate(nFrames * channels * 2)
+      var k = 0
+      while (k < nFrames * channels) {
+        pcm.putShort((((seed * 31 + k) % 65536) - 32768).toShort)
+        k += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rate.toFloat, bits, channels, true, true) // signed, big-endian
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm.array()), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      val tpe =
+        if (container == "aiff") javax.sound.sampled.AudioFileFormat.Type.AIFF
+        else javax.sound.sampled.AudioFileFormat.Type.AU
+      javax.sound.sampled.AudioSystem.write(in, tpe, out)
+      out.toByteArray
+    case other =>
+      throw new IllegalArgumentException(s"unknown audio container: $other")
+  }
+
   /** Deterministic PCM WAV fixture encoder (tests + closed-form oracles):
     * a standard 44-byte RIFF header + `seed`-derived 16-bit samples. */
   def encodeWavFixture(rate: Int, channels: Int, nFrames: Int, seed: Long): Array[Byte] = {

@@ -163,6 +163,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWavInfo("plain text".getBytes("UTF-8")) === None)
   }
 
+  test("AIFF and AU probes agree with the JDK writer that produced the bytes") {
+    for ((rate, ch, frames) <- Seq((8000, 1, 500), (22050, 2, 999), (44100, 1, 1));
+         container <- Seq("aiff", "au")) {
+      val bytes = Multimodal.encodeAudioFixture(container, rate, ch, frames, seed = 9L)
+      val info = Multimodal.decodeAudioInfo(bytes).get
+      assert(info.container === container)
+      assert(info.sampleRate === rate, s"$container rate")
+      assert(info.channels === ch)
+      assert(info.bitsPerSample === 16)
+      assert(info.nFrames === frames.toLong, s"$container frames")
+      // independent JDK re-parse of the same bytes agrees
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(in.getFormat.getSampleRate.toInt === rate)
+      assert(in.getFormat.getChannels === ch)
+      assert(in.getFrameLength === frames.toLong)
+      in.close()
+    }
+    // the dispatch also routes WAV through the unified shape
+    val w = Multimodal.decodeAudioInfo(
+      Multimodal.encodeWavFixture(8000, 1, 100, 1L)).get
+    assert(w.container === "wav" && w.nFrames === 100L)
+    // malformed: wrong magic, truncated AIFF, truncated AU header
+    assert(Multimodal.decodeAudioInfo("garbage!".getBytes("US-ASCII")) === None)
+    assert(Multimodal.decodeAudioInfo(
+      Multimodal.encodeAudioFixture("aiff", 8000, 1, 100, 1L).take(20)) === None)
+    assert(Multimodal.decodeAudioInfo(
+      Multimodal.encodeAudioFixture("au", 8000, 1, 100, 1L).take(16)) === None)
+    // adversarial AIFF chunk size just under the guard: must walk off the
+    // end (Long cursor), not wrap and index negative
+    val evilA = Multimodal.encodeAudioFixture("aiff", 8000, 1, 4, 1L)
+    // first chunk after FORM/AIFF starts at 12; mangle its TAG (so the
+    // walk must skip it) and its size field (the overflow band)
+    evilA(12) = 'X'
+    evilA(16) = 0x7F; evilA(17) = -1; evilA(18) = -1; evilA(19) = 0xEF.toByte
+    assert(Multimodal.decodeAudioInfo(evilA) === None)
+  }
+
   test("mm_features fixture dimensions round-trip through the distributed path") {
     val ds = spark.range(0, 20).as[Long]
       .map { id =>
