@@ -181,6 +181,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[graft.functions.PlainStatDouble], "plain_stat_double"),
       binary("plain_stat_double")(graft.functions.PlainStatDouble)))
     ext.injectFunction((
+      FunctionIdentifier("page_inflate"),
+      info(classOf[graft.functions.PageInflate], "page_inflate"),
+      { args =>
+        if (args.length != 3) {
+          throw new IllegalArgumentException(
+            s"Function page_inflate requires exactly 3 arguments, got ${args.length}")
+        }
+        graft.functions.PageInflate(args(0), args(1), args(2))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("dict_indexes"),
       info(classOf[graft.functions.DictIndexes], "dict_indexes"),
       { args =>

@@ -370,17 +370,19 @@ object SparkEntry {
             .as("n_verified"))
     }),
 
-    // Dictionary-INDEXED data pages decoded to full value sequences — the
-    // layout parquet-mr writes by default for low-cardinality columns
-    // (RLE/bit-packed dictionary indexes after a definition-level block),
-    // where meta_page_values pinned a deliberately dictionary-free one.
-    // Per row group, the DICTIONARY_PAGE decodes to the value list
-    // (PlainDictStrings) and each DATA_PAGE's payload walks
-    // def-levels + hybrid index runs (DictIndexes, bit-parity-pinned
-    // against parquet-mr's encoder in RleDecodeSpec); composed, the
-    // per-value COUNTS must equal the group-by DuckDB computes from the
-    // data — including the NULL group, derived as header num_values
-    // minus decoded indexes. Every data page byte accounted for by value.
+    // Dictionary-INDEXED data pages decoded to full value sequences on
+    // the TRUE DEFAULT layout — snappy-compressed, dictionary-encoded,
+    // exactly what `df.write.parquet(...)` produces — where
+    // meta_page_values pinned a deliberately dictionary-free uncompressed
+    // one. Per page: PageInflate (codec from the chunk's footer entry,
+    // size from the page header) recovers the raw payload, the
+    // DICTIONARY_PAGE decodes to the value list (PlainDictStrings), each
+    // DATA_PAGE walks def-levels + RLE/bit-packed index runs
+    // (DictIndexes, bit-parity-pinned against parquet-mr's encoder);
+    // composed, the per-value COUNTS must equal the group-by DuckDB
+    // computes from the data — including the NULL group, derived as
+    // header num_values minus decoded indexes. Every data page byte
+    // accounted for by value, through real compression.
     "meta_dict_values" -> ((s, dir) => {
       val out = "/tmp/graft_dictvals_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
@@ -390,20 +392,28 @@ object SparkEntry {
             .otherwise(col("source")).as("v"))
         .coalesce(2)
         .write.mode("overwrite")
-        .option("compression", "none")
         .option("parquet.page.row.count.limit", "500")
         .parquet(out)
       val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
         .filter(col("column_id") === 1) // (doc_id, v) => v is column 1
-      val dictEx = ColumnBridge.column(graft.functions.PlainDictStrings(
-        ColumnBridge.expression(col("page_content"))))
-      val idxEx = ColumnBridge.column(graft.functions.DictIndexes(
+      val codecs = meta(s, out, "column")
+        .select(col("filepath"), col("row_group_id"), col("column_id"),
+          col("compression"))
+      val joined = pages.join(codecs,
+        Seq("filepath", "row_group_id", "column_id"))
+      val raw = ColumnBridge.column(graft.functions.PageInflate(
         ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(col("compression")),
+        ColumnBridge.expression(col("page_uncompressed_size"))))
+      val dictEx = ColumnBridge.column(graft.functions.PlainDictStrings(
+        ColumnBridge.expression(raw)))
+      val idxEx = ColumnBridge.column(graft.functions.DictIndexes(
+        ColumnBridge.expression(raw),
         ColumnBridge.expression(lit(1)),
         ColumnBridge.expression(col("num_values"))))
-      val dicts = pages.filter(col("page_type") === "DICTIONARY_PAGE")
+      val dicts = joined.filter(col("page_type") === "DICTIONARY_PAGE")
         .select(col("filepath"), col("row_group_id"), dictEx.as("dict"))
-      val data = pages.filter(col("page_type").startsWith("DATA_PAGE") &&
+      val data = joined.filter(col("page_type").startsWith("DATA_PAGE") &&
           col("encoding").isin("PLAIN_DICTIONARY", "RLE_DICTIONARY"))
         .select(col("filepath"), col("row_group_id"),
           idxEx.as("idx"), col("num_values"))
