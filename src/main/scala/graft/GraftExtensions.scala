@@ -191,6 +191,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.PageInflate(args(0), args(1), args(2))
       }))
     ext.injectFunction((
+      FunctionIdentifier("delta_int_sum"),
+      info(classOf[graft.functions.DeltaIntSum], "delta_int_sum"),
+      binary("delta_int_sum")(graft.functions.DeltaIntSum)))
+    ext.injectFunction((
+      FunctionIdentifier("page_values_v2"),
+      info(classOf[graft.functions.PageValuesV2], "page_values_v2"),
+      { args =>
+        if (args.length != 4) {
+          throw new IllegalArgumentException(
+            s"Function page_values_v2 requires exactly 4 arguments, got ${args.length}")
+        }
+        graft.functions.PageValuesV2(args(0), args(1), args(2), args(3))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("dict_indexes"),
       info(classOf[graft.functions.DictIndexes], "dict_indexes"),
       { args =>

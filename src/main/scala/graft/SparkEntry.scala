@@ -341,6 +341,103 @@ object SparkEntry {
         .agg(sum(col("es.count")).cast("long").as("n_pages"))
     }),
 
+    // V2 data pages, integer half: the v2 writer's DEFAULT encoding for
+    // int columns is DELTA_BINARY_PACKED (block/miniblock bit-packed
+    // deltas — a different format from v1's PLAIN entirely), and v2
+    // pages compress ONLY the values region behind the uncompressed
+    // level block. PageValuesV2 (levels sliced by the header's byte
+    // lengths, codec applied per the is_compressed flag) + DeltaIntSum
+    // (bit-parity-pinned against parquet-mr's own delta writers,
+    // 32/64-bit modular arithmetic per physical type) roll per-page sums
+    // up to the engine-independent column sum.
+    "meta_delta_values" -> ((s, dir) => {
+      val out = "/tmp/graft_deltavals_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.range(0, 20000, 1, 1)
+        .write.mode("overwrite")
+        .option("parquet.writer.version", "v2")
+        .option("parquet.page.row.count.limit", "1000")
+        .parquet(out)
+      val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
+      val codecs = meta(s, out, "column")
+        .select(col("filepath"), col("row_group_id"), col("column_id"),
+          col("compression"), col("type"))
+      val joined = pages.join(codecs,
+        Seq("filepath", "row_group_id", "column_id"))
+      val levelBytes = col("def_levels_byte_length") + col("rep_levels_byte_length")
+      val region = ColumnBridge.column(graft.functions.PageValuesV2(
+        ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(levelBytes.cast("int")),
+        ColumnBridge.expression(when(col("values_compressed"),
+          col("compression")).otherwise(lit("UNCOMPRESSED"))),
+        ColumnBridge.expression(
+          (col("page_uncompressed_size") - levelBytes).cast("int"))))
+      val pageSum = ColumnBridge.column(graft.functions.DeltaIntSum(
+        ColumnBridge.expression(region), ColumnBridge.expression(col("type"))))
+      joined
+        .filter(col("page_type") === "DATA_PAGE_V2" &&
+          col("encoding") === "DELTA_BINARY_PACKED")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(pageSum).as("value_sum"),
+          sum(col("num_values")).cast("long").as("n_values"))
+    }),
+
+    // V2 data pages, dictionary half: the same value-counts contract as
+    // meta_dict_values but through the v2 layout — RLE_DICTIONARY index
+    // runs with NO level prefix (levels sit uncompressed ahead of the
+    // values region), non-null counts straight from the v2 header's
+    // num_nulls field, which also derives the NULL group.
+    "meta_dict_values_v2" -> ((s, dir) => {
+      val out = "/tmp/graft_dictvals2_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("v"))
+        .coalesce(2)
+        .write.mode("overwrite")
+        .option("parquet.writer.version", "v2")
+        .option("parquet.page.row.count.limit", "500")
+        .parquet(out)
+      val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
+        .filter(col("column_id") === 1)
+      val codecs = meta(s, out, "column")
+        .select(col("filepath"), col("row_group_id"), col("column_id"),
+          col("compression"))
+      val joined = pages.join(codecs,
+        Seq("filepath", "row_group_id", "column_id"))
+      val levelBytes = col("def_levels_byte_length") + col("rep_levels_byte_length")
+      val region = ColumnBridge.column(graft.functions.PageValuesV2(
+        ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(levelBytes.cast("int")),
+        ColumnBridge.expression(when(col("values_compressed"),
+          col("compression")).otherwise(lit("UNCOMPRESSED"))),
+        ColumnBridge.expression(
+          (col("page_uncompressed_size") - levelBytes).cast("int"))))
+      val dictEx = ColumnBridge.column(graft.functions.PlainDictStrings(
+        ColumnBridge.expression(ColumnBridge.column(graft.functions.PageInflate(
+          ColumnBridge.expression(col("page_content")),
+          ColumnBridge.expression(col("compression")),
+          ColumnBridge.expression(col("page_uncompressed_size")))))))
+      val idxEx = ColumnBridge.column(graft.functions.DictIndexes(
+        ColumnBridge.expression(region),
+        ColumnBridge.expression(lit(0)),
+        ColumnBridge.expression((col("num_values") - col("num_nulls")).cast("int"))))
+      val dicts = joined.filter(col("page_type") === "DICTIONARY_PAGE")
+        .select(col("filepath"), col("row_group_id"), dictEx.as("dict"))
+      val data = joined.filter(col("page_type") === "DATA_PAGE_V2" &&
+          col("encoding") === "RLE_DICTIONARY")
+        .select(col("filepath"), col("row_group_id"),
+          idxEx.as("idx"), col("num_nulls"))
+      val vals = data.join(dicts, Seq("filepath", "row_group_id"))
+        .select(explode(expr("transform(idx, i -> element_at(dict, i + 1))")).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      val nulls = data
+        .agg(sum(col("num_nulls")).cast("long").as("n"))
+        .select(lit(null).cast("string").as("v"), col("n"))
+      vals.unionByName(nulls)
+    }),
+
     // Page CRC audit: parquet headers carry an optional CRC-32 over each
     // page's binary data exactly as written (compressed bytes, header
     // excluded), which parquet-mr populates by default — so recomputing
@@ -3569,6 +3666,17 @@ object SparkEntry {
         |  CAST(count(DISTINCT rn // 500) AS BIGINT)
         |FROM (SELECT row_number() OVER () - 1 AS rn
         |  FROM read_parquet('/tmp/graft_encstats_sf0.01/*.parquet'))""".stripMargin,
+
+    "meta_delta_values" ->
+      """SELECT CAST(count(DISTINCT id // 1000) AS BIGINT) AS n_pages,
+        |  CAST(sum(id) AS BIGINT) AS value_sum,
+        |  CAST(count(*) AS BIGINT) AS n_values
+        |FROM read_parquet('/tmp/graft_deltavals_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_dict_values_v2" ->
+      """SELECT v, CAST(count(*) AS BIGINT) AS n
+        |FROM read_parquet('/tmp/graft_dictvals2_sf0.01/*.parquet')
+        |GROUP BY v""".stripMargin,
 
     "meta_page_crc" ->
       """SELECT CAST(count(DISTINCT id // 1000) AS BIGINT) AS n_pages,

@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, LongType}
+
+/**
+ * DELTA_BINARY_PACKED decoder (format spec `Encodings.md`, "Delta
+ * Encoding") — the v2 writer's DEFAULT encoding for INT32/INT64 columns:
+ *
+ *   header: <block size> <miniblocks per block> <total count>
+ *           <first value: zigzag varlong>
+ *   block:  <min delta: zigzag varlong> <bit width per miniblock: 1 byte
+ *           each> <miniblocks: LSB-first bit-packed (delta - min delta)>
+ *
+ * Arithmetic is MODULAR 64-bit by specification (deltas may overflow),
+ * so plain wrapping Long addition is the correct reconstruction. INT32
+ * streams use the same format with 32-bit zigzag headers that widen
+ * losslessly — one decoder serves both physical types.
+ */
+object DeltaBp {
+
+  /** Decode a full DELTA_BINARY_PACKED stream to its values; null on any
+    * malformation (truncated varint, bad widths, short miniblocks).
+    * `wrap32 = true` for INT32 physical columns: their modular arithmetic
+    * is 32-BIT (the writer wraps deltas at int width), so each
+    * reconstructed value truncates to int before the next step —
+    * accumulating in 64-bit would silently drift after the first wrap. */
+  def decodeLongs(bytes: Array[Byte], wrap32: Boolean = false): Array[Long] = {
+    if (bytes == null) return null
+    var pos = 0
+    var failed = false
+    def varULong(): Long = {
+      var v = 0L
+      var shift = 0
+      var more = true
+      while (more && !failed) {
+        if (pos >= bytes.length || shift > 63) { failed = true; return 0L }
+        val b = bytes(pos)
+        pos += 1
+        v |= (b & 0x7FL) << shift
+        shift += 7
+        more = (b & 0x80) != 0
+      }
+      v
+    }
+    def zigzag(): Long = {
+      val u = varULong()
+      (u >>> 1) ^ -(u & 1L)
+    }
+    val blockSize = varULong()
+    val numMiniblocks = varULong()
+    val totalCount = varULong()
+    val firstValue = zigzag()
+    if (failed || blockSize <= 0 || numMiniblocks <= 0 ||
+        blockSize % numMiniblocks != 0 || totalCount < 0 ||
+        totalCount > Int.MaxValue || blockSize > (1 << 24)) return null
+    val perMini = (blockSize / numMiniblocks).toInt
+    if (perMini % 8 != 0) return null // spec: miniblock size is a multiple of 8
+    val n = totalCount.toInt
+    val out = new Array[Long](n)
+    if (n == 0) return out
+    var prev = if (wrap32) firstValue.toInt.toLong else firstValue
+    out(0) = prev
+    var decoded = 1
+    while (decoded < n) {
+      val minDelta = zigzag()
+      if (failed) return null
+      val widths = new Array[Int](numMiniblocks.toInt)
+      var m = 0
+      while (m < widths.length) {
+        if (pos >= bytes.length) return null
+        widths(m) = bytes(pos) & 0xFF
+        pos += 1
+        if (widths(m) > 64) return null
+        m += 1
+      }
+      m = 0
+      while (m < widths.length && decoded < n) {
+        val w = widths(m)
+        val miniBytes = perMini * w / 8
+        if (pos + miniBytes > bytes.length) return null
+        var i = 0
+        while (i < perMini && decoded < n) {
+          var delta = 0L
+          var bit = 0
+          val base = i * w
+          while (bit < w) {
+            val gb = base + bit
+            if ((bytes(pos + (gb >> 3)) & (1 << (gb & 7))) != 0) delta |= 1L << bit
+            bit += 1
+          }
+          prev = prev + minDelta + delta // modular by spec
+          if (wrap32) prev = prev.toInt.toLong
+          out(decoded) = prev
+          decoded += 1
+          i += 1
+        }
+        pos += miniBytes
+        m += 1
+      }
+    }
+    out
+  }
+}
+
+/**
+ * Sum of a DELTA_BINARY_PACKED values region (wrap-around long addition —
+ * the same order-independent modular invariant [[PlainInt64Sum]] uses for
+ * PLAIN pages), null if malformed. The second argument is the chunk's
+ * physical type string: INT32 streams reconstruct under 32-bit modular
+ * arithmetic (the writer wraps deltas at int width), INT64 under 64-bit;
+ * other types are null. With [[PageValuesV2]] extracting the region, v2
+ * integer pages get the same every-byte-accounted-for-by-value oracle
+ * the v1 PLAIN layout has.
+ */
+@ExpressionDescription(
+  usage = "_FUNC_(bytes, type) - sum of a DELTA_BINARY_PACKED region's values, NULL if malformed.")
+case class DeltaIntSum(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "delta_int_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType | ArrayType(ByteType, _), org.apache.spark.sql.types.StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, string) arguments, got " +
+          s"(${a.simpleString(10)}, ${b.simpleString(10)})")
+    }
+
+  override def nullSafeEval(v: Any, tpe: Any): Any =
+    DeltaIntSum.compute(v, tpe.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("decoded")
+    nullSafeCodeGen(ctx, ev, (v, t) => s"""
+      java.lang.Long $tmp = graft.functions.DeltaIntSum.compute($v, $t);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.longValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DeltaIntSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object DeltaIntSum {
+  private val INT32 = org.apache.spark.unsafe.types.UTF8String.fromString("INT32")
+  private val INT64 = org.apache.spark.unsafe.types.UTF8String.fromString("INT64")
+
+  def compute(v: Any, tpe: org.apache.spark.unsafe.types.UTF8String): java.lang.Long = {
+    if (tpe == null) return null
+    val wrap32 =
+      if (tpe.equals(INT32)) true
+      else if (tpe.equals(INT64)) false
+      else return null
+    val vals = DeltaBp.decodeLongs(DecodeBytes.of(v), wrap32)
+    if (vals == null) return null
+    var s = 0L
+    var i = 0
+    while (i < vals.length) { s += vals(i); i += 1 }
+    java.lang.Long.valueOf(s)
+  }
+}

@@ -57,6 +57,64 @@ case class PageInflate(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/**
+ * Extract a v2 data page's VALUES region: `DataPageHeaderV2` stores the
+ * repetition+definition levels UNCOMPRESSED at the front of the payload
+ * (their byte lengths are header fields) and compresses only what
+ * follows — so the decodable values bytes are
+ * `inflate(content[levelBytes..], codec, uncompressed_size - levelBytes)`.
+ * Pass `codec = 'UNCOMPRESSED'` when the header's `is_compressed` flag is
+ * false. Composes with [[DeltaInt64Sum]] (v2 integer pages) and
+ * [[DictIndexes]] with `max_def = 0` and `num_values - num_nulls` (v2
+ * dictionary-indexed pages: the index run carries no level prefix).
+ */
+@ExpressionDescription(
+  usage = "_FUNC_(bytes, level_bytes, codec, values_size) - v2 page values region, NULL if malformed.")
+case class PageValuesV2(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "page_values_v2"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (BinaryType | ArrayType(ByteType, _), IntegerType, StringType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int, string, int) arguments, got " +
+          s"(${a.simpleString(10)}, ${b.simpleString(10)}, " +
+          s"${c.simpleString(10)}, ${d.simpleString(10)})")
+    }
+
+  override def nullSafeEval(bytes: Any, levelBytes: Any, codec: Any, size: Any): Any =
+    PageValuesV2.compute(bytes, levelBytes.asInstanceOf[Int],
+      codec.asInstanceOf[UTF8String], size.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("region")
+    nullSafeCodeGen(ctx, ev, (b, l, c, s) => s"""
+      byte[] $tmp = graft.functions.PageValuesV2.compute($b, (int) $l, $c, (int) $s);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): PageValuesV2 =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object PageValuesV2 {
+  def compute(v: Any, levelBytes: Int, codec: UTF8String, size: Int): Array[Byte] = {
+    val bytes = DecodeBytes.of(v)
+    if (bytes == null || levelBytes < 0 || levelBytes > bytes.length) return null
+    val region = java.util.Arrays.copyOfRange(bytes, levelBytes, bytes.length)
+    PageInflate.compute(region, codec, size)
+  }
+}
+
 object PageInflate {
   // sanity bound: parquet pages are ~1 MB by configuration; 256 MB is far
   // past any real page and still far below an executor heap

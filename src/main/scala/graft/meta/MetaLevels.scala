@@ -206,6 +206,13 @@ object MetaLevel {
       StructField("statistics", statsType),
       // array<byte> (not binary) for reference schema fidelity
       StructField("page_content", ArrayType(ByteType)),
+      // post-reference additions (appended; reference queries unchanged):
+      // DataPageHeaderV2's null count, level-region byte lengths, and
+      // values-compression flag — null for v1 and dictionary pages
+      StructField("num_nulls", IntegerType),
+      StructField("def_levels_byte_length", IntegerType),
+      StructField("rep_levels_byte_length", IntegerType),
+      StructField("values_compressed", BooleanType),
       StructField("filepath", StringType)))
   }
 }

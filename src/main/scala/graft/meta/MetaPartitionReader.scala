@@ -293,6 +293,10 @@ class MetaPartitionReader(
     case "repetition_level_encoding" => (_, p) => orNull(p.repLevelEncoding)
     case "statistics" => (_, p) => statsRow(p.stats)
     case "page_content" => (_, p) => orNull(p.content)
+    case "num_nulls" => (_, p) => orNull(p.numNulls)
+    case "def_levels_byte_length" => (_, p) => orNull(p.defLevelBytes)
+    case "rep_levels_byte_length" => (_, p) => orNull(p.repLevelBytes)
+    case "values_compressed" => (_, p) => orNull(p.valuesCompressed)
     case "filepath" => (f, _) => f.path
   }
 

@@ -2,7 +2,10 @@ package graft.meta
 
 import org.apache.parquet.format.{Encoding, PageHeader, Util}
 
-/** Decoded header of one physical page. */
+/** Decoded header of one physical page. The four trailing fields are
+  * v2-only (`DataPageHeaderV2` places levels uncompressed ahead of a
+  * separately compressed values region and counts nulls in the header);
+  * they are None for v1 and dictionary pages. */
 case class PageInfo(
     rowGroupId: Int,
     columnId: Int,
@@ -18,7 +21,11 @@ case class PageInfo(
     defLevelEncoding: Option[String],
     repLevelEncoding: Option[String],
     stats: Option[StatsInfo],
-    content: Option[Array[Byte]])
+    content: Option[Array[Byte]],
+    numNulls: Option[Int] = None,
+    defLevelBytes: Option[Int] = None,
+    repLevelBytes: Option[Int] = None,
+    valuesCompressed: Option[Boolean] = None)
 
 /**
  * Streaming page-header walk over a Parquet file.
@@ -107,6 +114,12 @@ object PageScan {
       stats = data.flatMap(d => if (d.isSetStatistics) Some(d.getStatistics) else None)
         .orElse(dataV2.flatMap(d => if (d.isSetStatistics) Some(d.getStatistics) else None))
         .map(Footers.decodeStats),
-      content = content)
+      content = content,
+      numNulls = dataV2.map(_.getNum_nulls.toInt),
+      defLevelBytes = dataV2.map(_.getDefinition_levels_byte_length),
+      repLevelBytes = dataV2.map(_.getRepetition_levels_byte_length),
+      // thrift default is true; isSet distinguishes "explicit false"
+      valuesCompressed = dataV2.map(d =>
+        if (d.isSetIs_compressed) d.isIs_compressed else true))
   }
 }
