@@ -191,6 +191,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.PageInflate(args(0), args(1), args(2))
       }))
     ext.injectFunction((
+      FunctionIdentifier("delta_strings"),
+      info(classOf[graft.functions.DeltaStringsExpr], "delta_strings"),
+      binary("delta_strings")(graft.functions.DeltaStringsExpr)))
+    ext.injectFunction((
       FunctionIdentifier("delta_int_sum"),
       info(classOf[graft.functions.DeltaIntSum], "delta_int_sum"),
       binary("delta_int_sum")(graft.functions.DeltaIntSum)))

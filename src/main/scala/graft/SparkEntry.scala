@@ -438,6 +438,55 @@ object SparkEntry {
       vals.unionByName(nulls)
     }),
 
+    // V2 data pages, dictionary-OVERFLOW half: a high-cardinality string
+    // column makes the v2 writer fall back to DELTA_BYTE_ARRAY
+    // (front-coded prefixes + delta-length suffixes) — the one string
+    // layout the dictionary path cannot cover. DeltaStringsExpr decodes
+    // it (bit-parity-pinned against parquet-mr's own writer in
+    // DeltaDecodeSpec); the decoded multiset's count/distinct/char-mass/
+    // extrema must equal DuckDB's over the data. With this, every string
+    // encoding a v1/v2 parquet-mr writer emits reconstructs from
+    // page_content.
+    "meta_v2_strings" -> ((s, dir) => {
+      val out = "/tmp/graft_v2strings_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("uniq_"), col("doc_id"), lit("_"),
+              col("source"))).as("v"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.writer.version", "v2")
+        .option("parquet.page.row.count.limit", "400")
+        .parquet(out)
+      val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
+        .filter(col("column_id") === 1)
+      val codecs = meta(s, out, "column")
+        .select(col("filepath"), col("row_group_id"), col("column_id"),
+          col("compression"))
+      val joined = pages.join(codecs,
+        Seq("filepath", "row_group_id", "column_id"))
+      val levelBytes = col("def_levels_byte_length") + col("rep_levels_byte_length")
+      val region = ColumnBridge.column(graft.functions.PageValuesV2(
+        ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(levelBytes.cast("int")),
+        ColumnBridge.expression(when(col("values_compressed"),
+          col("compression")).otherwise(lit("UNCOMPRESSED"))),
+        ColumnBridge.expression(
+          (col("page_uncompressed_size") - levelBytes).cast("int"))))
+      val strings = ColumnBridge.column(graft.functions.DeltaStringsExpr(
+        ColumnBridge.expression(region),
+        ColumnBridge.expression(col("encoding"))))
+      joined.filter(col("page_type") === "DATA_PAGE_V2" &&
+          col("encoding") === "DELTA_BYTE_ARRAY")
+        .select(explode(strings).as("v"))
+        .agg(count(lit(1)).as("n_values"),
+          countDistinct(col("v")).as("n_distinct"),
+          sum(length(col("v"))).cast("long").as("char_mass"),
+          min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+    }),
+
     // Page CRC audit: parquet headers carry an optional CRC-32 over each
     // page's binary data exactly as written (compressed bytes, header
     // excluded), which parquet-mr populates by default — so recomputing
@@ -3677,6 +3726,14 @@ object SparkEntry {
       """SELECT v, CAST(count(*) AS BIGINT) AS n
         |FROM read_parquet('/tmp/graft_dictvals2_sf0.01/*.parquet')
         |GROUP BY v""".stripMargin,
+
+    "meta_v2_strings" ->
+      """SELECT CAST(count(v) AS BIGINT) AS n_values,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+        |  CAST(sum(length(v)) AS BIGINT) AS char_mass,
+        |  min(v) AS v_min, max(v) AS v_max
+        |FROM read_parquet('/tmp/graft_v2strings_sf0.01/*.parquet')
+        |WHERE v IS NOT NULL""".stripMargin,
 
     "meta_page_crc" ->
       """SELECT CAST(count(DISTINCT id // 1000) AS BIGINT) AS n_pages,

@@ -27,9 +27,21 @@ object DeltaBp {
     * is 32-BIT (the writer wraps deltas at int width), so each
     * reconstructed value truncates to int before the next step —
     * accumulating in 64-bit would silently drift after the first wrap. */
-  def decodeLongs(bytes: Array[Byte], wrap32: Boolean = false): Array[Long] = {
-    if (bytes == null) return null
-    var pos = 0
+  def decodeLongs(bytes: Array[Byte], wrap32: Boolean = false): Array[Long] =
+    decodeLongsFrom(bytes, 0, wrap32) match {
+      case null => null
+      case (vals, _) => vals
+    }
+
+  /**
+   * [[decodeLongs]] from an offset, also returning the position PAST the
+   * delta stream — the composition hook for DELTA_LENGTH_BYTE_ARRAY /
+   * DELTA_BYTE_ARRAY, whose payloads embed delta streams as prefixes.
+   */
+  def decodeLongsFrom(
+      bytes: Array[Byte], start: Int, wrap32: Boolean): (Array[Long], Int) = {
+    if (bytes == null || start < 0 || start > bytes.length) return null
+    var pos = start
     var failed = false
     def varULong(): Long = {
       var v = 0L
@@ -60,7 +72,7 @@ object DeltaBp {
     if (perMini % 8 != 0) return null // spec: miniblock size is a multiple of 8
     val n = totalCount.toInt
     val out = new Array[Long](n)
-    if (n == 0) return out
+    if (n == 0) return (out, pos)
     var prev = if (wrap32) firstValue.toInt.toLong else firstValue
     out(0) = prev
     var decoded = 1
@@ -101,7 +113,131 @@ object DeltaBp {
         m += 1
       }
     }
-    out
+    (out, pos)
+  }
+
+  /**
+   * DELTA_LENGTH_BYTE_ARRAY: a DELTA_BINARY_PACKED int32 stream of value
+   * lengths followed by the concatenated value bytes. Null on
+   * malformation (bad delta stream, negative length, payload overrun).
+   */
+  def decodeDeltaLengthByteArray(bytes: Array[Byte]): Array[Array[Byte]] = {
+    decodeLongsFrom(bytes, 0, wrap32 = true) match {
+      case null => null
+      case (lengths, pos) =>
+        val out = new Array[Array[Byte]](lengths.length)
+        var p = pos
+        var i = 0
+        while (i < lengths.length) {
+          val len = lengths(i)
+          if (len < 0 || len > bytes.length - p) return null
+          out(i) = java.util.Arrays.copyOfRange(bytes, p, p + len.toInt)
+          p += len.toInt
+          i += 1
+        }
+        out
+    }
+  }
+
+  /**
+   * DELTA_BYTE_ARRAY (incremental/front-coded strings — the v2 writer's
+   * fallback when the dictionary overflows): a DELTA_BINARY_PACKED int32
+   * stream of shared-prefix lengths, then a DELTA_LENGTH_BYTE_ARRAY of
+   * suffixes; `value[i] = value[i-1][0, prefixLen[i]) ++ suffix[i]`.
+   */
+  def decodeDeltaByteArray(bytes: Array[Byte]): Array[Array[Byte]] = {
+    decodeLongsFrom(bytes, 0, wrap32 = true) match {
+      case null => null
+      case (prefixLens, pos) =>
+        val suffixes = decodeDeltaLengthByteArray(
+          java.util.Arrays.copyOfRange(bytes, pos, bytes.length))
+        if (suffixes == null || suffixes.length != prefixLens.length) return null
+        val out = new Array[Array[Byte]](prefixLens.length)
+        var i = 0
+        while (i < out.length) {
+          val plen = prefixLens(i)
+          if (plen < 0) return null
+          if (i == 0) {
+            if (plen != 0) return null // nothing to share a prefix with
+            out(0) = suffixes(0)
+          } else {
+            if (plen > out(i - 1).length) return null
+            val v = new Array[Byte](plen.toInt + suffixes(i).length)
+            System.arraycopy(out(i - 1), 0, v, 0, plen.toInt)
+            System.arraycopy(suffixes(i), 0, v, plen.toInt, suffixes(i).length)
+            out(i) = v
+          }
+          i += 1
+        }
+        out
+    }
+  }
+}
+
+/**
+ * Decode a v2 byte-array values region to its string list, by encoding:
+ * `DELTA_BYTE_ARRAY` (front-coded — the v2 writer's dictionary-overflow
+ * fallback) or `DELTA_LENGTH_BYTE_ARRAY` (delta-packed lengths +
+ * concatenated bytes). Null on malformation or other encodings — with
+ * this, every string layout a v1/v2 parquet-mr writer produces
+ * (PLAIN, PLAIN_DICTIONARY, RLE_DICTIONARY, DELTA_*) decodes from
+ * `page_content`.
+ */
+@ExpressionDescription(
+  usage = "_FUNC_(bytes, encoding) - v2 DELTA_(LENGTH_)BYTE_ARRAY values as array<string>.")
+case class DeltaStringsExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "delta_strings"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType | ArrayType(ByteType, _), org.apache.spark.sql.types.StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, string) arguments, got " +
+          s"(${a.simpleString(10)}, ${b.simpleString(10)})")
+    }
+
+  override def nullSafeEval(v: Any, enc: Any): Any =
+    DeltaStringsExpr.compute(v, enc.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("decoded")
+    nullSafeCodeGen(ctx, ev, (v, e) => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+        graft.functions.DeltaStringsExpr.compute($v, $e);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DeltaStringsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DeltaStringsExpr {
+  private val DBA =
+    org.apache.spark.unsafe.types.UTF8String.fromString("DELTA_BYTE_ARRAY")
+  private val DLBA =
+    org.apache.spark.unsafe.types.UTF8String.fromString("DELTA_LENGTH_BYTE_ARRAY")
+
+  def compute(v: Any,
+      enc: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (enc == null) return null
+    val bytes = DecodeBytes.of(v)
+    val decoded =
+      if (enc.equals(DBA)) DeltaBp.decodeDeltaByteArray(bytes)
+      else if (enc.equals(DLBA)) DeltaBp.decodeDeltaLengthByteArray(bytes)
+      else return null
+    if (decoded == null) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      decoded.map(b => org.apache.spark.unsafe.types.UTF8String.fromBytes(b))
+        .toArray[Any])
   }
 }
 

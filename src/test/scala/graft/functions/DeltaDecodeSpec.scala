@@ -67,6 +67,79 @@ class DeltaDecodeSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("BYTE_ARRAY")) == null)
   }
 
+  test("delta byte-array decode is bit-parity with parquet-mr's writers") {
+    import org.apache.parquet.io.api.Binary
+    val cases: Seq[Seq[String]] = Seq(
+      Seq("a"),
+      Seq("", "", ""),
+      (0 until 800).map(i => s"unique_string_value_${i}_suffix"), // shared prefixes
+      (0 until 300).map(i => scala.util.Random.javaRandomToRandom(
+        new java.util.Random(i)).nextString(i % 40)),
+      Seq("abc", "abd", "ab", "abcdef", "x", ""))
+    for (vals <- cases) {
+      val w = new org.apache.parquet.column.values.deltastrings.DeltaByteArrayWriter(
+        1 << 10, 1 << 16, new HeapByteBufferAllocator())
+      vals.foreach(s => w.writeBytes(Binary.fromString(s)))
+      val got = DeltaBp.decodeDeltaByteArray(w.getBytes.toByteArray)
+      assert(got != null, s"DELTA_BYTE_ARRAY decode failed for ${vals.take(3)}")
+      assert(got.map(new String(_, "UTF-8")).toSeq === vals)
+
+      val lw = new org.apache.parquet.column.values.deltalengthbytearray
+        .DeltaLengthByteArrayValuesWriter(1 << 10, 1 << 16, new HeapByteBufferAllocator())
+      vals.foreach(s => lw.writeBytes(Binary.fromString(s)))
+      val lgot = DeltaBp.decodeDeltaLengthByteArray(lw.getBytes.toByteArray)
+      assert(lgot != null)
+      assert(lgot.map(new String(_, "UTF-8")).toSeq === vals)
+    }
+    // malformed: truncated payload, junk
+    val w = new org.apache.parquet.column.values.deltastrings.DeltaByteArrayWriter(
+      1 << 10, 1 << 16, new HeapByteBufferAllocator())
+    Seq("aaa", "aab").foreach(s => w.writeBytes(Binary.fromString(s)))
+    val good = w.getBytes.toByteArray
+    assert(DeltaBp.decodeDeltaByteArray(good.dropRight(1)) == null)
+    assert(DeltaBp.decodeDeltaByteArray(Array[Byte](-1, -1, -1)) == null)
+  }
+
+  test("v2 DELTA_BYTE_ARRAY pages reconstruct a high-cardinality column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2dba").toString
+    spark.range(0, 6000)
+      .select(when(col("id") % 11 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("unique_value_"), col("id"), lit("_tail"))).as("s"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.writer.version", "v2")
+      .option("parquet.page.row.count.limit", "900")
+      .parquet(dir)
+    val pages = spark.read.format("metadata").option("level", "page")
+      .option("pagecontent", "true").load(dir)
+    val codecs = spark.read.format("metadata").option("level", "column").load(dir)
+      .select(col("filepath"), col("row_group_id"), col("column_id"),
+        col("compression"))
+    val joined = pages.join(codecs, Seq("filepath", "row_group_id", "column_id"))
+    val levelBytes = col("def_levels_byte_length") + col("rep_levels_byte_length")
+    val region = ColumnBridge.column(PageValuesV2(
+      ColumnBridge.expression(col("page_content")),
+      ColumnBridge.expression(levelBytes.cast("int")),
+      ColumnBridge.expression(when(col("values_compressed"),
+        col("compression")).otherwise(lit("UNCOMPRESSED"))),
+      ColumnBridge.expression((col("page_uncompressed_size") - levelBytes).cast("int"))))
+    val strings = ColumnBridge.column(DeltaStringsExpr(
+      ColumnBridge.expression(region),
+      ColumnBridge.expression(col("encoding"))))
+    val dba = joined.filter(col("page_type") === "DATA_PAGE_V2" &&
+      col("encoding") === "DELTA_BYTE_ARRAY")
+    assert(dba.count() > 0, "premise broken: no DELTA_BYTE_ARRAY pages")
+    val got = dba.select(explode(strings).as("s"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("d"),
+        sum(length(col("s"))).as("chars"), min(col("s")).as("mn"), max(col("s")).as("mx"))
+      .collect()(0)
+    val want = spark.read.parquet(dir).filter(col("s").isNotNull)
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("d"),
+        sum(length(col("s"))).as("chars"), min(col("s")).as("mn"), max(col("s")).as("mx"))
+      .collect()(0)
+    assert(got === want)
+  }
+
   test("v2 data pages reconstruct values: delta ints and dict strings") {
     val dir = java.nio.file.Files.createTempDirectory("graft_v2").toString
     spark.range(0, 5000)
