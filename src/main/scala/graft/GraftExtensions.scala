@@ -191,6 +191,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.PageInflate(args(0), args(1), args(2))
       }))
     ext.injectFunction((
+      FunctionIdentifier("bool_true_count"),
+      info(classOf[graft.functions.BoolTrueCount], "bool_true_count"),
+      { args =>
+        if (args.length != 4) {
+          throw new IllegalArgumentException(
+            s"Function bool_true_count requires exactly 4 arguments, got ${args.length}")
+        }
+        graft.functions.BoolTrueCount(args(0), args(1), args(2), args(3))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("plain_fp_stats"),
+      info(classOf[graft.functions.PlainFpStats], "plain_fp_stats"),
+      { args =>
+        if (args.length != 4) {
+          throw new IllegalArgumentException(
+            s"Function plain_fp_stats requires exactly 4 arguments, got ${args.length}")
+        }
+        graft.functions.PlainFpStats(args(0), args(1), args(2), args(3))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("delta_strings"),
       info(classOf[graft.functions.DeltaStringsExpr], "delta_strings"),
       binary("delta_strings")(graft.functions.DeltaStringsExpr)))

@@ -487,6 +487,72 @@ object SparkEntry {
           min(col("v")).as("v_min"), max(col("v")).as("v_max"))
     }),
 
+    // BOOLEAN page decode: v1 PLAIN packs booleans one bit per value
+    // LSB-first behind the definition-level block — BoolTrueCount walks
+    // levels (null-aware) and counts set bits; rolled up, the TRUE count
+    // and total value count must equal the data's. Through real snappy
+    // compression via PageInflate; the v2 RLE boolean form is spec-pinned
+    // (PhysicalDecodeSpec runs both writer versions).
+    "meta_bool_values" -> ((s, dir) => {
+      val out = "/tmp/graft_boolvals_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, lit(null).cast("boolean"))
+            .otherwise(col("doc_id") % 3 === 0).as("b"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "400")
+        .parquet(out)
+      val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
+        .filter(col("column_id") === 1 && col("page_type").startsWith("DATA_PAGE"))
+      val payload = ColumnBridge.column(graft.functions.PageInflate(
+        ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(lit("SNAPPY")),
+        ColumnBridge.expression(col("page_uncompressed_size"))))
+      val trues = ColumnBridge.column(graft.functions.BoolTrueCount(
+        ColumnBridge.expression(payload),
+        ColumnBridge.expression(lit(1)),
+        ColumnBridge.expression(col("num_values")),
+        ColumnBridge.expression(col("encoding"))))
+      pages.agg(sum(trues).as("n_true"),
+        sum(col("num_values")).cast("long").as("n_values"))
+    }),
+
+    // FLOAT/DOUBLE page decode: PLAIN FP pages are 4/8-byte little-endian
+    // IEEE values behind the level block; count/min/max are the
+    // order-INDEPENDENT invariants a floating decode can check exactly
+    // (a floating sum would be order-dependent). PlainFpStats decodes
+    // per page; the global roll-up must equal DuckDB's count/min/max of
+    // the column. Values avoid zeros so ±0.0 rendering cannot diverge.
+    "meta_fp_values" -> ((s, dir) => {
+      val out = "/tmp/graft_fpvals_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 0, lit(null).cast("double"))
+            .otherwise(col("doc_id") * 0.25 + 0.125).as("v"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "400")
+        .parquet(out)
+      val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
+        .filter(col("column_id") === 1 &&
+          col("page_type").startsWith("DATA_PAGE") && col("encoding") === "PLAIN")
+      val payload = ColumnBridge.column(graft.functions.PageInflate(
+        ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(lit("SNAPPY")),
+        ColumnBridge.expression(col("page_uncompressed_size"))))
+      val st = ColumnBridge.column(graft.functions.PlainFpStats(
+        ColumnBridge.expression(payload),
+        ColumnBridge.expression(lit(1)),
+        ColumnBridge.expression(col("num_values")),
+        ColumnBridge.expression(lit("DOUBLE"))))
+      pages.select(st.as("st"))
+        .agg(sum(col("st.n")).cast("long").as("n_values"),
+          min(col("st.mn")).as("v_min"), max(col("st.mx")).as("v_max"))
+    }),
+
     // Page CRC audit: parquet headers carry an optional CRC-32 over each
     // page's binary data exactly as written (compressed bytes, header
     // excluded), which parquet-mr populates by default — so recomputing
@@ -3734,6 +3800,16 @@ object SparkEntry {
         |  min(v) AS v_min, max(v) AS v_max
         |FROM read_parquet('/tmp/graft_v2strings_sf0.01/*.parquet')
         |WHERE v IS NOT NULL""".stripMargin,
+
+    "meta_bool_values" ->
+      """SELECT CAST(count(*) FILTER (WHERE b) AS BIGINT) AS n_true,
+        |  CAST(count(*) AS BIGINT) AS n_values
+        |FROM read_parquet('/tmp/graft_boolvals_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_fp_values" ->
+      """SELECT CAST(count(v) AS BIGINT) AS n_values,
+        |  min(v) AS v_min, max(v) AS v_max
+        |FROM read_parquet('/tmp/graft_fpvals_sf0.01/*.parquet')""".stripMargin,
 
     "meta_page_crc" ->
       """SELECT CAST(count(DISTINCT id // 1000) AS BIGINT) AS n_pages,

@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, GenericInternalRow, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Count the TRUE values of a BOOLEAN data page payload. v1 PLAIN packs
+ * booleans one bit per value LSB-first after the definition-level block;
+ * the v2 writer encodes them as an RLE region (u32 LE length prefix +
+ * the same hybrid runs levels use, bit width 1). Null for malformed
+ * payloads or other encodings — with the integer, string, and FP
+ * decodes this closes the common physical types' value reconstruction.
+ */
+@ExpressionDescription(
+  usage = "_FUNC_(bytes, max_def, num_values, encoding) - TRUE count of a BOOLEAN page, NULL if malformed.")
+case class BoolTrueCount(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bool_true_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (BinaryType | ArrayType(ByteType, _), IntegerType, IntegerType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int, int, string) arguments, got " +
+          s"(${a.simpleString(10)}, ${b.simpleString(10)}, " +
+          s"${c.simpleString(10)}, ${d.simpleString(10)})")
+    }
+
+  override def nullSafeEval(bytes: Any, maxDef: Any, numValues: Any, enc: Any): Any =
+    BoolTrueCount.compute(bytes, maxDef.asInstanceOf[Int],
+      numValues.asInstanceOf[Int], enc.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("count")
+    nullSafeCodeGen(ctx, ev, (b, d, n, e) => s"""
+      java.lang.Long $tmp = graft.functions.BoolTrueCount.compute($b, (int) $d, (int) $n, $e);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp.longValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): BoolTrueCount =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object BoolTrueCount {
+  private val PLAIN = UTF8String.fromString("PLAIN")
+  private val RLE = UTF8String.fromString("RLE")
+
+  def compute(v: Any, maxDef: Int, numValues: Int, enc: UTF8String): java.lang.Long = {
+    val bytes = DecodeBytes.of(v)
+    if (bytes == null || enc == null || numValues < 0) return null
+    val region = DictIndexes.v1ValuesRegion(bytes, maxDef, numValues)
+    if (region == null) return null
+    val (pos, nonNull) = region
+    if (nonNull == 0) return java.lang.Long.valueOf(0L)
+    if (enc.equals(PLAIN)) {
+      // one bit per value, LSB-first
+      if (pos + (nonNull + 7) / 8 > bytes.length) return null
+      var c = 0L
+      var i = 0
+      while (i < nonNull) {
+        val gb = i
+        if ((bytes(pos + (gb >> 3)) & (1 << (gb & 7))) != 0) c += 1
+        i += 1
+      }
+      java.lang.Long.valueOf(c)
+    } else if (enc.equals(RLE)) {
+      // u32 LE length prefix + hybrid runs at bit width 1
+      if (pos + 4 > bytes.length) return null
+      val len =
+        (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+        ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
+      if (len < 0 || pos + 4 + len > bytes.length) return null
+      val vals = RleBp.decode(bytes, pos + 4, pos + 4 + len, 1, nonNull)
+      if (vals == null) return null
+      var c = 0L
+      var i = 0
+      while (i < nonNull) { if (vals(i) != 0) c += 1; i += 1 }
+      java.lang.Long.valueOf(c)
+    } else null
+  }
+}
+
+/**
+ * Order-independent statistics of a PLAIN FLOAT/DOUBLE data page payload:
+ * non-null value count, minimum, and maximum (IEEE comparisons with NaN
+ * excluded from the extrema, matching SQL aggregate semantics). PLAIN FP
+ * is 4/8-byte little-endian values after the definition-level block —
+ * count/min/max are the FP invariants an engine-independent oracle can
+ * check exactly, where a floating SUM would be order-dependent.
+ */
+@ExpressionDescription(
+  usage = "_FUNC_(bytes, max_def, num_values, type) - (n, min, max) of a PLAIN FP page, NULL if malformed.")
+case class PlainFpStats(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("mn", DoubleType, nullable = true),
+    StructField("mx", DoubleType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "plain_fp_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (BinaryType | ArrayType(ByteType, _), IntegerType, IntegerType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int, int, string) arguments, got " +
+          s"(${a.simpleString(10)}, ${b.simpleString(10)}, " +
+          s"${c.simpleString(10)}, ${d.simpleString(10)})")
+    }
+
+  override def nullSafeEval(bytes: Any, maxDef: Any, numValues: Any, tpe: Any): Any =
+    PlainFpStats.compute(bytes, maxDef.asInstanceOf[Int],
+      numValues.asInstanceOf[Int], tpe.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("stats")
+    nullSafeCodeGen(ctx, ev, (b, d, n, t) => s"""
+      InternalRow $tmp = graft.functions.PlainFpStats.compute($b, (int) $d, (int) $n, $t);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): PlainFpStats =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object PlainFpStats {
+  private val FLOAT = UTF8String.fromString("FLOAT")
+  private val DOUBLE = UTF8String.fromString("DOUBLE")
+
+  def compute(v: Any, maxDef: Int, numValues: Int, tpe: UTF8String): InternalRow = {
+    val bytes = DecodeBytes.of(v)
+    if (bytes == null || tpe == null || numValues < 0) return null
+    val width =
+      if (tpe.equals(DOUBLE)) 8
+      else if (tpe.equals(FLOAT)) 4
+      else return null
+    val region = DictIndexes.v1ValuesRegion(bytes, maxDef, numValues)
+    if (region == null) return null
+    val (pos, nonNull) = region
+    if (pos + nonNull.toLong * width > bytes.length) return null
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var seen = false
+    var i = 0
+    while (i < nonNull) {
+      val base = pos + i * width
+      val d =
+        if (width == 8) {
+          java.lang.Double.longBitsToDouble(
+            (bytes(base) & 0xffL) | ((bytes(base + 1) & 0xffL) << 8) |
+            ((bytes(base + 2) & 0xffL) << 16) | ((bytes(base + 3) & 0xffL) << 24) |
+            ((bytes(base + 4) & 0xffL) << 32) | ((bytes(base + 5) & 0xffL) << 40) |
+            ((bytes(base + 6) & 0xffL) << 48) | ((bytes(base + 7) & 0xffL) << 56))
+        } else {
+          java.lang.Float.intBitsToFloat(
+            (bytes(base) & 0xff) | ((bytes(base + 1) & 0xff) << 8) |
+            ((bytes(base + 2) & 0xff) << 16) | ((bytes(base + 3) & 0xff) << 24)).toDouble
+        }
+      if (!d.isNaN) {
+        if (d < mn) mn = d
+        if (d > mx) mx = d
+        seen = true
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nonNull.toLong,
+      if (seen) mn else null, if (seen) mx else null))
+  }
+}

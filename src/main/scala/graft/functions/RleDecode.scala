@@ -152,31 +152,44 @@ object DictIndexes {
   private def levelWidth(maxLevel: Int): Int =
     32 - Integer.numberOfLeadingZeros(maxLevel)
 
+  /**
+   * Walk a v1 payload's definition-level block (u32 LE byte length +
+   * hybrid runs) and return `(values region start, non-null count)`, or
+   * null on malformation. `maxDef = 0` (required column) is a no-op walk.
+   * Shared by every v1 payload decode ([[DictIndexes]],
+   * [[BoolTrueCount]], [[PlainFpStats]]).
+   */
+  private[functions] def v1ValuesRegion(
+      bytes: Array[Byte], maxDef: Int, numValues: Int): (Int, Int) = {
+    if (bytes == null || maxDef < 0 || maxDef > 1 || numValues < 0) return null
+    if (maxDef == 0) return (0, numValues)
+    var pos = 0
+    if (pos + 4 > bytes.length) return null
+    val defLen =
+      (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
+      ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
+    pos += 4
+    if (defLen < 0 || pos + defLen > bytes.length) return null
+    val defs = RleBp.decode(bytes, pos, pos + defLen,
+      levelWidth(maxDef), numValues)
+    if (defs == null) return null
+    pos += defLen
+    var nonNull = 0
+    var i = 0
+    while (i < numValues) {
+      if (defs(i) == maxDef) nonNull += 1
+      i += 1
+    }
+    (pos, nonNull)
+  }
+
   def compute(v: Any, maxDef: Int, numValues: Int): ArrayData = {
     val bytes = DecodeBytes.of(v)
-    if (bytes == null || maxDef < 0 || maxDef > 1 || numValues < 0) return null
+    if (bytes == null || numValues < 0) return null
     if (numValues == 0) return new GenericArrayData(Array.empty[Any])
-    var pos = 0
-    var nonNull = numValues
-    if (maxDef > 0) {
-      // v1 definition levels: u32 LE byte length, then the hybrid runs
-      if (pos + 4 > bytes.length) return null
-      val defLen =
-        (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
-        ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
-      pos += 4
-      if (defLen < 0 || pos + defLen > bytes.length) return null
-      val defs = RleBp.decode(bytes, pos, pos + defLen,
-        levelWidth(maxDef), numValues)
-      if (defs == null) return null
-      pos += defLen
-      nonNull = 0
-      var i = 0
-      while (i < numValues) {
-        if (defs(i) == maxDef) nonNull += 1
-        i += 1
-      }
-    }
+    val region = v1ValuesRegion(bytes, maxDef, numValues)
+    if (region == null) return null
+    var (pos, nonNull) = region
     // index run: 1-byte bit width, hybrid runs to the end of the payload
     if (pos >= bytes.length && nonNull > 0) return null
     if (nonNull == 0) return new GenericArrayData(Array.empty[Any])
