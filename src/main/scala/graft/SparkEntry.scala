@@ -487,6 +487,29 @@ object SparkEntry {
           min(col("v")).as("v_min"), max(col("v")).as("v_max"))
     }),
 
+    // MULTI-column page-skip report: the row-range INTERSECTION a
+    // page-index-aware reader applies to a conjunction (parquet-mr's
+    // ColumnIndexFilter semantics). Pages of different columns do not
+    // align, so per predicate the needed pages induce row ranges and a
+    // row must fall in EVERY union — computed with an event sweep, zero
+    // data pages read. The ascending/descending two-column layout makes
+    // the conjunction's coverage strictly smaller than either predicate
+    // alone; the oracle re-derives it from the data as the page-set
+    // INTERSECT under the pinned 1000-row page layout.
+    "meta_page_skip_multi" -> ((s, dir) => {
+      val out = "/tmp/graft_pageskip2_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.range(0, 20000, 1, 1)
+        .select(col("id").as("a"), (lit(19999L) - col("id")).as("b"))
+        .write.mode("overwrite")
+        .option("parquet.page.row.count.limit", "1000")
+        .parquet(out)
+      MetaPrune.pageSkipReportMulti(s, out,
+          Seq(("a", 3500L, 7200L), ("b", 15000L, 17999L)))
+        .select(col("row_group_id").cast("long").as("row_group_id"),
+          col("rows_total"), col("rows_covered"))
+    }),
+
     // BOOLEAN page decode: v1 PLAIN packs booleans one bit per value
     // LSB-first behind the definition-level block — BoolTrueCount walks
     // levels (null-aware) and counts set bits; rolled up, the TRUE count
@@ -3800,6 +3823,19 @@ object SparkEntry {
         |  min(v) AS v_min, max(v) AS v_max
         |FROM read_parquet('/tmp/graft_v2strings_sf0.01/*.parquet')
         |WHERE v IS NOT NULL""".stripMargin,
+
+    "meta_page_skip_multi" ->
+      """SELECT CAST(0 AS BIGINT) AS row_group_id,
+        |  CAST(count(*) AS BIGINT) AS rows_total,
+        |  CAST(1000 * (SELECT count(*) FROM (
+        |    SELECT DISTINCT a // 1000 AS p
+        |    FROM read_parquet('/tmp/graft_pageskip2_sf0.01/*.parquet')
+        |    WHERE a BETWEEN 3500 AND 7200
+        |    INTERSECT
+        |    SELECT DISTINCT a // 1000
+        |    FROM read_parquet('/tmp/graft_pageskip2_sf0.01/*.parquet')
+        |    WHERE b BETWEEN 15000 AND 17999)) AS BIGINT) AS rows_covered
+        |FROM read_parquet('/tmp/graft_pageskip2_sf0.01/*.parquet')""".stripMargin,
 
     "meta_bool_values" ->
       """SELECT CAST(count(*) FILTER (WHERE b) AS BIGINT) AS n_true,

@@ -609,7 +609,12 @@ object MetaPrune {
    * covered by needed pages — the row-level I/O bound a 100 TB selective
    * scan cares about.
    */
-  def pageSkipReport(
+  /** Per-page spans with their range-predicate admit flag for one column:
+    * `(filepath, row_group_id, page_id, needed, first_row_index,
+    * page_rows)` — the shared body of the single- and multi-column page
+    * skip reports. Skips stay sound: a page is skippable only on POSITIVE
+    * evidence (a null page, or decoded stats excluding the range). */
+  private def neededPageSpans(
       spark: SparkSession, path: String, column: String,
       lo: Long, hi: Long): DataFrame = {
     val meta = (level: String) => spark.read.format("metadata")
@@ -640,11 +645,82 @@ object MetaPrune {
         coalesce(lead(col("first_row_index"), 1).over(w), col("num_rows")) -
           col("first_row_index"))
     ci.join(spans, key :+ "page_id", "left")
+      .select(col("filepath"), col("row_group_id"), col("page_id"),
+        col("needed"), col("first_row_index"), col("page_rows"))
+  }
+
+  def pageSkipReport(
+      spark: SparkSession, path: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    neededPageSpans(spark, path, column, lo, hi)
       .groupBy(col("filepath"), col("row_group_id"))
       .agg(count(lit(1)).as("n_pages_total"),
         sum(when(col("needed"), 1L).otherwise(0L)).as("n_pages_needed"),
         sum(col("page_rows")).as("rows_total"),
         sum(when(col("needed"), col("page_rows")).otherwise(0L)).as("rows_covered"))
+  }
+
+  /**
+   * MULTI-column page-skip report: the row-range INTERSECTION semantics a
+   * page-index-aware reader (parquet-mr's ColumnIndexFilter) applies to a
+   * conjunction `colA in [..] AND colB in [..]`. Pages of different
+   * columns do not align, so the conjunction happens at ROW granularity:
+   * per predicate, the needed pages induce a union of row ranges; a row
+   * must fall in EVERY predicate's union to need reading — computed with
+   * an event sweep (+1 at each needed page's first row, -1 past it, net
+   * deltas per position, segments where the running count equals the
+   * predicate count are covered). One row per (file, row group):
+   * `rows_total`, `rows_covered` — the row-level I/O bound of the
+   * conjunctive read. Soundness: a predicate column with NO page index in
+   * a row group contributes its full row span (missing evidence cannot
+   * shrink the estimate); per-page skips need positive evidence as in
+   * [[pageSkipReport]].
+   */
+  def pageSkipReportMulti(
+      spark: SparkSession, path: String,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "empty predicate list")
+    val meta = (level: String) => spark.read.format("metadata")
+      .option("level", level).load(path)
+    val rgs = meta("rowgroup")
+      .select(col("filepath"), col("row_group_id"), col("num_rows"))
+    val perPred = preds.zipWithIndex.map { case ((c, lo, hi), i) =>
+      val ranges = neededPageSpans(spark, path, c, lo, hi)
+        .filter(col("needed"))
+        .select(col("filepath"), col("row_group_id"),
+          col("first_row_index").as("lo"),
+          (col("first_row_index") + col("page_rows")).as("hi"))
+      // a row group this predicate has NO index rows for: full span
+      // (missing evidence keeps every row needed — sound)
+      val present = neededPageSpans(spark, path, c, lo, hi)
+        .select(col("filepath"), col("row_group_id")).distinct()
+      val absent = rgs.join(present, Seq("filepath", "row_group_id"), "left_anti")
+        .select(col("filepath"), col("row_group_id"),
+          lit(0L).as("lo"), col("num_rows").as("hi"))
+      ranges.unionByName(absent).withColumn("pred", lit(i))
+    }
+    val events = perPred.reduce(_ unionByName _)
+      .select(col("filepath"), col("row_group_id"),
+        explode(array(
+          struct(col("lo").as("pos"), lit(1L).as("delta")),
+          struct(col("hi").as("pos"), lit(-1L).as("delta")))).as("e"))
+      .select(col("filepath"), col("row_group_id"),
+        col("e.pos").as("pos"), col("e.delta").as("delta"))
+      // net out same-position deltas so adjacent pages do not dip coverage
+      .groupBy(col("filepath"), col("row_group_id"), col("pos"))
+      .agg(sum(col("delta")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("filepath"), col("row_group_id")).orderBy(col("pos"))
+    val covered = events
+      .withColumn("running", sum(col("d")).over(w))
+      .withColumn("seg", coalesce(lead(col("pos"), 1).over(w), col("pos")) - col("pos"))
+      .filter(col("running") === preds.length)
+      .groupBy(col("filepath"), col("row_group_id"))
+      .agg(sum(col("seg")).as("rows_covered"))
+    rgs.join(covered, Seq("filepath", "row_group_id"), "left")
+      .select(col("filepath"), col("row_group_id"),
+        col("num_rows").as("rows_total"),
+        coalesce(col("rows_covered"), lit(0L)).as("rows_covered"))
   }
 
   /** Read only the files a range predicate on `column` can touch. The

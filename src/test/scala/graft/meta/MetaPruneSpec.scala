@@ -199,6 +199,39 @@ class MetaPruneSpec extends SparkSpec {
     assert(MetaPrune.pageSkipReport(spark, d, "nope", 0, 10).count() === 0L)
   }
 
+  test("pageSkipReportMulti intersects row ranges across predicate columns") {
+    val d = Files.createTempDirectory("graft_pageskip_multi").toString
+    // a ascends, b descends: their needed pages for overlapping value
+    // ranges sit in DIFFERENT row regions, so the conjunction's covered
+    // rows are the intersection — strictly smaller than either alone
+    spark.range(0, 20000, 1, 1)
+      .select(col("id").as("a"), (lit(19999L) - col("id")).as("b"))
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", "1000")
+      .parquet(d)
+    // a in [3500,7200]  -> pages over rows [3000, 8000)     (5000 rows)
+    // b in [15000,17999] -> a-rows [2000,4999] -> [2000, 5000) (3000 rows)
+    // conjunction                               -> [3000, 5000) (2000 rows)
+    val multi = MetaPrune.pageSkipReportMulti(spark, d,
+      Seq(("a", 3500L, 7200L), ("b", 15000L, 17999L))).collect()
+    assert(multi.length === 1)
+    assert(multi(0).getAs[Long]("rows_total") === 20000L)
+    assert(multi(0).getAs[Long]("rows_covered") === 2000L)
+    // single-predicate multi == the single-column report
+    val single = MetaPrune.pageSkipReportMulti(spark, d,
+      Seq(("a", 3500L, 7200L))).collect()(0)
+    assert(single.getAs[Long]("rows_covered") === 5000L)
+    // disjoint row regions: zero rows to read
+    val none = MetaPrune.pageSkipReportMulti(spark, d,
+      Seq(("a", 3500L, 7200L), ("b", 500L, 900L))).collect()(0)
+    assert(none.getAs[Long]("rows_covered") === 0L)
+    // an unindexed predicate column contributes its FULL span (sound):
+    // the conjunction degrades to the other predicate's coverage
+    val missing = MetaPrune.pageSkipReportMulti(spark, d,
+      Seq(("a", 3500L, 7200L), ("no_such", 0L, 1L))).collect()(0)
+    assert(missing.getAs[Long]("rows_covered") === 5000L)
+  }
+
   test("pruned read preserves Hive partition columns") {
     val d = Files.createTempDirectory("graft_metaprune_part").toString
     spark.range(0, 40)
