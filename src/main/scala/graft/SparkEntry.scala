@@ -487,6 +487,24 @@ object SparkEntry {
           min(col("v")).as("v_min"), max(col("v")).as("v_max"))
     }),
 
+    // Post-write provenance stamping: merge pipeline metadata into an
+    // export's key-value footer entries via the footer editor (parquet-mr
+    // has no after-the-fact API), then prove BOTH that the stamps landed
+    // and that the writer's original keys survived — via DuckDB's
+    // independent parquet_kv_metadata decode of the EDITED footer.
+    "meta_kv_stamp" -> ((s, dir) => {
+      val out = "/tmp/graft_kvstamp_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), col("source"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      FooterEdit.setKeyValueDir(out, Map(
+        "graft.pipeline" -> "round9", "graft.snapshot" -> "2026-08-14"))
+      meta(s, out, "file", Map("footercache" -> "false"))
+        .select(explode(col("key_value_metadata")))
+        .select(col("key"), col("value"))
+    }),
+
     // MULTI-column page-skip report: the row-range INTERSECTION a
     // page-index-aware reader applies to a conjunction (parquet-mr's
     // ColumnIndexFilter semantics). Pages of different columns do not
@@ -3823,6 +3841,10 @@ object SparkEntry {
         |  min(v) AS v_min, max(v) AS v_max
         |FROM read_parquet('/tmp/graft_v2strings_sf0.01/*.parquet')
         |WHERE v IS NOT NULL""".stripMargin,
+
+    "meta_kv_stamp" ->
+      """SELECT decode(key) AS key, decode(value) AS value
+        |FROM parquet_kv_metadata('/tmp/graft_kvstamp_sf0.01/*.parquet')""".stripMargin,
 
     "meta_page_skip_multi" ->
       """SELECT CAST(0 AS BIGINT) AS row_group_id,

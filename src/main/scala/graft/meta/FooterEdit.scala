@@ -26,11 +26,10 @@ import org.apache.parquet.format.{SortingColumn, Util}
 object FooterEdit {
   private val MAGIC = Array[Byte]('P', 'A', 'R', '1')
 
-  /** Declare `specs` as the sort order of EVERY row group of a local
-    * parquet file (the caller asserts the data is actually sorted — this
-    * writes the declaration, it cannot conjure sortedness). */
-  def declareSortingColumns(file: File, specs: Seq[SortingColumnInfo]): Unit = {
-    require(specs.nonEmpty, "empty sorting declaration")
+  /** Shared footer rewrite: decode the thrift tail, apply `edit`, patch
+    * the tail in place, refresh the checksum sidecar. */
+  private def rewriteFooter(file: File)(
+      edit: org.apache.parquet.format.FileMetaData => Unit): Unit = {
     val raf = new RandomAccessFile(file, "rw")
     try {
       val len = raf.length()
@@ -50,13 +49,7 @@ object FooterEdit {
       raf.seek(footerStart)
       raf.readFully(footer)
       val md = Util.readFileMetaData(new ByteArrayInputStream(footer))
-      md.getRow_groups.asScala.foreach { rg =>
-        require(specs.forall(s => s.columnIdx >= 0 &&
-          s.columnIdx < rg.getColumnsSize),
-          s"sorting column index out of range for $file")
-        rg.setSorting_columns(specs.map(s =>
-          new SortingColumn(s.columnIdx, s.descending, s.nullsFirst)).asJava)
-      }
+      edit(md)
       val out = new ByteArrayOutputStream()
       Util.writeFileMetaData(md, out)
       val newFooter = out.toByteArray
@@ -69,6 +62,52 @@ object FooterEdit {
       raf.setLength(footerStart + newFooter.length + 8)
     } finally raf.close()
     refreshCrcSidecar(file)
+  }
+
+  /** Declare `specs` as the sort order of EVERY row group of a local
+    * parquet file (the caller asserts the data is actually sorted — this
+    * writes the declaration, it cannot conjure sortedness). */
+  def declareSortingColumns(file: File, specs: Seq[SortingColumnInfo]): Unit = {
+    require(specs.nonEmpty, "empty sorting declaration")
+    rewriteFooter(file) { md =>
+      md.getRow_groups.asScala.foreach { rg =>
+        require(specs.forall(s => s.columnIdx >= 0 &&
+          s.columnIdx < rg.getColumnsSize),
+          s"sorting column index out of range for $file")
+        rg.setSorting_columns(specs.map(s =>
+          new SortingColumn(s.columnIdx, s.descending, s.nullsFirst)).asJava)
+      }
+    }
+  }
+
+  /**
+   * Merge `entries` into a file's key-value footer metadata (existing
+   * keys overwritten, others preserved) — post-write provenance stamping
+   * (pipeline version, snapshot id, audit state) without touching a data
+   * byte, for the same reason sorting declarations need the footer
+   * editor: parquet-mr offers no after-the-fact metadata API.
+   */
+  def setKeyValue(file: File, entries: Map[String, String]): Unit = {
+    require(entries.nonEmpty, "empty key-value entries")
+    rewriteFooter(file) { md =>
+      val existing =
+        if (md.isSetKey_value_metadata) md.getKey_value_metadata.asScala.toSeq
+        else Seq.empty
+      val kept = existing.filterNot(p => entries.contains(p.getKey))
+      val added = entries.toSeq.sortBy(_._1).map { case (k, v) =>
+        val p = new org.apache.parquet.format.KeyValue(k)
+        p.setValue(v)
+        p
+      }
+      md.setKey_value_metadata((kept ++ added).asJava)
+    }
+  }
+
+  /** [[setKeyValue]] over every `.parquet` file under `dir`. */
+  def setKeyValueDir(dir: String, entries: Map[String, String]): Unit = {
+    val files = new File(dir).listFiles()
+    require(files != null, s"not a directory: $dir")
+    files.filter(_.getName.endsWith(".parquet")).foreach(setKeyValue(_, entries))
   }
 
   /** [[declareSortingColumns]] over every `.parquet` file under `dir`. */

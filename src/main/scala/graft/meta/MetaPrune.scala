@@ -20,6 +20,10 @@ case class DateRangePred(column: String,
 case class DoubleRangePred(column: String, lo: Double, hi: Double) extends PrunePred
 /** `column = value` over an INT64 column (stats range + bloom probe). */
 case class EqLongPred(column: String, value: Long) extends PrunePred
+/** `column = value` over an INT32 column (4-byte plain bloom hashing). */
+case class EqIntPred(column: String, value: Int) extends PrunePred
+/** `column = value` over a DOUBLE column (±0.0-aware bloom probe). */
+case class EqDoublePred(column: String, value: Double) extends PrunePred
 /** `column = value` over a UTF8 column (stats byte range + bloom probe). */
 case class EqStringPred(column: String, value: String) extends PrunePred
 
@@ -535,6 +539,14 @@ object MetaPrune {
       case EqLongPred(_, v) =>
         val (mn, mx) = (decodeL(mnB), decodeL(mxB))
         mn.isNull || mx.isNull || (mx >= v && mn <= v)
+      case EqIntPred(_, v) =>
+        val (mn, mx) = (decodeL(mnB), decodeL(mxB))
+        mn.isNull || mx.isNull || (mx >= v.toLong && mn <= v.toLong)
+      case EqDoublePred(_, v) =>
+        val (mn, mx) = (decodeD(mnB), decodeD(mxB))
+        if (v.isNaN) lit(true) // no stat can witness a NaN equality
+        else mn.isNull || mx.isNull || isnan(mn) || isnan(mx) ||
+          (mx >= v && mn <= v)
       case EqStringPred(_, v) =>
         val vb = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         col("type") =!= "BYTE_ARRAY" || mnB.isNull || mxB.isNull ||
@@ -585,6 +597,10 @@ object MetaPrune {
     val withBloom = preds.foldLeft(byStats) {
       case (acc, EqLongPred(c, v)) =>
         acc.intersect(filesMayContainLong(spark, path, c, v).toSet)
+      case (acc, EqIntPred(c, v)) =>
+        acc.intersect(filesMayContainInt(spark, path, c, v).toSet)
+      case (acc, EqDoublePred(c, v)) =>
+        acc.intersect(filesMayContainDouble(spark, path, c, v).toSet)
       case (acc, EqStringPred(c, v)) =>
         acc.intersect(filesMayContainString(spark, path, c, v).toSet)
       case (acc, _) => acc

@@ -77,6 +77,37 @@ class FooterEditSpec extends SparkSpec {
     }
   }
 
+  test("key-value stamping merges entries and preserves data + prior keys") {
+    val d = Files.createTempDirectory("graft_fedit_kv").toString
+    spark.range(0, 500).coalesce(1).write.mode("overwrite").parquet(d)
+    val before = spark.read.format("metadata").option("level", "file")
+      .option("footercache", "false").load(d)
+      .select(col("key_value_metadata")).collect()(0)
+      .getMap[String, String](0)
+    assert(before.nonEmpty, "Spark should have written its schema key")
+
+    FooterEdit.setKeyValueDir(d, Map(
+      "graft.pipeline" -> "r9", "graft.snapshot" -> "2026-08-14"))
+    val after = spark.read.format("metadata").option("level", "file")
+      .option("footercache", "false").load(d)
+      .select(col("key_value_metadata")).collect()(0)
+      .getMap[String, String](0)
+    assert(after.get("graft.pipeline").contains("r9"))
+    assert(after.get("graft.snapshot").contains("2026-08-14"))
+    // prior keys preserved
+    before.keys.foreach(k => assert(after.contains(k), s"lost prior key $k"))
+    // data intact through the checksummed read path
+    assert(spark.read.parquet(d).count() === 500L)
+    // overwrite semantics: re-stamp replaces, does not duplicate
+    FooterEdit.setKeyValueDir(d, Map("graft.pipeline" -> "r9b"))
+    val again = spark.read.format("metadata").option("level", "file")
+      .option("footercache", "false").load(d)
+      .select(col("key_value_metadata")).collect()(0)
+      .getMap[String, String](0)
+    assert(again.get("graft.pipeline").contains("r9b"))
+    assert(again.get("graft.snapshot").contains("2026-08-14"))
+  }
+
   test("encoding_stats audit dictionary usage per chunk") {
     val d = Files.createTempDirectory("graft_encstats").toString
     spark.range(0, 5000)

@@ -78,6 +78,38 @@ class MultiPruneSpec extends SparkSpec {
     assert(pruned.inputFiles.length === 2)
   }
 
+  test("INT32 and DOUBLE equality predicates prune through the conjunction") {
+    val d = Files.createTempDirectory("graft_multiprune_eq32").toString
+    spark.range(0, 2000)
+      .select(col("id").cast("int").as("k"),
+        (col("id") * lit(0.25d)).as("v"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (col("id") % 50).cast("int")).as("od"))
+      .repartition(4, col("k"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "600")
+      .option("parquet.bloom.filter.enabled#v", "true")
+      .option("parquet.bloom.filter.expected.ndv#v", "600")
+      .option("parquet.enable.dictionary#k", "false")
+      .option("parquet.enable.dictionary#v", "false")
+      .parquet(d)
+    val dateAll = DateRangePred("od",
+      LocalDate.of(2024, 1, 1), LocalDate.of(2024, 3, 1))
+    val prunedI = MetaPrune.readPrunedWhere(spark, d,
+      Seq(dateAll, EqIntPred("k", 1234)))
+    assert(prunedI.inputFiles.length < 4, "INT32 bloom side pruned nothing")
+    assert(prunedI.filter(col("k") === 1234).count() === 1L)
+    val prunedD = MetaPrune.readPrunedWhere(spark, d,
+      Seq(dateAll, EqDoublePred("v", 308.5d)))
+    assert(prunedD.inputFiles.length < 4, "DOUBLE bloom side pruned nothing")
+    assert(prunedD.filter(col("v") === 308.5d).count() === 1L)
+    // NaN equality keeps every file and matches nothing (SQL semantics)
+    val prunedN = MetaPrune.readPrunedWhere(spark, d,
+      Seq(EqDoublePred("v", Double.NaN)))
+    assert(prunedN.inputFiles.length === 4)
+  }
+
   test("an equality predicate composes bloom pruning per file") {
     // same grid, long column bloom-enabled, hash-scattered key
     val d = Files.createTempDirectory("graft_multiprune_eq").toString
