@@ -132,7 +132,14 @@ object PageInflate {
     try {
       val out =
         if (codec.equals(UNCOMPRESSED)) bytes
-        else if (codec.equals(SNAPPY)) org.xerial.snappy.Snappy.uncompress(bytes)
+        else if (codec.equals(SNAPPY)) {
+          // check the stream's declared length BEFORE uncompress: the
+          // codec allocates it, and a crafted varint claiming gigabytes
+          // would otherwise defeat the page cap (and OOM past the
+          // Exception handler) — the other codecs are bounded by `size`
+          if (org.xerial.snappy.Snappy.uncompressedLength(bytes) != size) return null
+          org.xerial.snappy.Snappy.uncompress(bytes)
+        }
         else if (codec.equals(ZSTD)) com.github.luben.zstd.Zstd.decompress(bytes, size)
         else if (codec.equals(GZIP)) {
           val in = new java.util.zip.GZIPInputStream(

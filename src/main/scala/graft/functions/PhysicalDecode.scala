@@ -65,8 +65,9 @@ object BoolTrueCount {
     val (pos, nonNull) = region
     if (nonNull == 0) return java.lang.Long.valueOf(0L)
     if (enc.equals(PLAIN)) {
-      // one bit per value, LSB-first
-      if (pos + (nonNull + 7) / 8 > bytes.length) return null
+      // one bit per value, LSB-first; Long arithmetic so an adversarial
+      // header count cannot wrap the bound check
+      if (pos + (nonNull.toLong + 7L) / 8L > bytes.length) return null
       var c = 0L
       var i = 0
       while (i < nonNull) {

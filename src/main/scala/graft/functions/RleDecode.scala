@@ -132,11 +132,17 @@ case class DictIndexes(first: Expression, second: Expression, third: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tmp = ctx.freshName("decoded")
+    // the LongType num_values form must range-check BEFORE the int cast,
+    // exactly as the interpreted path does — a bare (int) cast would
+    // silently truncate and diverge from interpreted null
     nullSafeCodeGen(ctx, ev, (b, d, n) => s"""
-      org.apache.spark.sql.catalyst.util.ArrayData $tmp =
-        graft.functions.DictIndexes.compute($b, $d, (int) $n);
-      if ($tmp == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = $tmp; }
+      if ($n < 0L || $n > ${Int.MaxValue}L) { ${ev.isNull} = true; }
+      else {
+        org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+          graft.functions.DictIndexes.compute($b, $d, (int) $n);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp; }
+      }
     """)
   }
 

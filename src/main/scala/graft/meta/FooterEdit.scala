@@ -22,6 +22,13 @@ import org.apache.parquet.format.{SortingColumn, Util}
  * object stores would rewrite-on-copy instead. The Hadoop local
  * filesystem's `.file.crc` sidecar is refreshed for the new bytes so
  * checksum-verified re-reads keep working.
+ *
+ * CAVEAT — pinned-version thrift round-trip: the footer is decoded and
+ * re-serialized through the compiled parquet-format structs (1.16), so a
+ * footer field added by a NEWER format revision than these structs know
+ * would be dropped by the rewrite (thrift skips unknown fields on read).
+ * Fine for files this pipeline wrote (same parquet-mr), but do not point
+ * the editor at files from a writer newer than the linked parquet jars.
  */
 object FooterEdit {
   private val MAGIC = Array[Byte]('P', 'A', 'R', '1')

@@ -701,11 +701,26 @@ object MetaPrune {
     val rgs = meta("rowgroup")
       .select(col("filepath"), col("row_group_id"), col("num_rows"))
     val perPred = preds.zipWithIndex.map { case ((c, lo, hi), i) =>
-      val ranges = neededPageSpans(spark, path, c, lo, hi)
-        .filter(col("needed"))
+      // a needed page WITHOUT an offset-index span (column index present,
+      // offset index absent — spec-legal) must widen this predicate's
+      // contribution for its row group to the FULL span: a null range
+      // would net to zero coverage and silently SHRINK the estimate, the
+      // one direction a sound report cannot err. The substitution is one
+      // full range per affected row group (distinct), preserving the
+      // per-predicate disjointness the event sweep relies on.
+      val needed = neededPageSpans(spark, path, c, lo, hi).filter(col("needed"))
+      val unspanned = needed.filter(col("first_row_index").isNull)
+        .select(col("filepath"), col("row_group_id")).distinct()
+        .withColumn("full_span", lit(true))
+      val ranges = needed
+        .join(unspanned, Seq("filepath", "row_group_id"), "left")
+        .join(rgs, Seq("filepath", "row_group_id"))
         .select(col("filepath"), col("row_group_id"),
-          col("first_row_index").as("lo"),
-          (col("first_row_index") + col("page_rows")).as("hi"))
+          when(col("full_span"), lit(0L))
+            .otherwise(col("first_row_index")).as("lo"),
+          when(col("full_span"), col("num_rows"))
+            .otherwise(col("first_row_index") + col("page_rows")).as("hi"))
+        .distinct()
       // a row group this predicate has NO index rows for: full span
       // (missing evidence keeps every row needed — sound)
       val present = neededPageSpans(spark, path, c, lo, hi)

@@ -76,5 +76,11 @@ class PageInflateSpec extends SparkSpec {
     assert(PageInflate.compute("abc".getBytes, u("UNCOMPRESSED"), 2) == null)
     // absurd declared size
     assert(PageInflate.compute(good, u("SNAPPY"), Int.MaxValue) == null)
+    // a crafted snappy stream whose varint header claims ~2 GB must be
+    // rejected BEFORE allocation (the declared length is checked against
+    // the contract size first) — and must not OOM the executor
+    val evil = Array[Byte](0xF6.toByte, 0xFF.toByte, 0xFF.toByte,
+      0xFF.toByte, 0x07, 1, 2, 3) // varint 0x7FFFFFF6 ~ 2 GB
+    assert(PageInflate.compute(evil, u("SNAPPY"), 1000) == null)
   }
 }

@@ -21,6 +21,9 @@ class PhysicalDecodeSpec extends SparkSpec {
       java.lang.Long.valueOf(3L))
     // truncated payload
     assert(BoolTrueCount.compute(Array.emptyByteArray, 0, 8, u("PLAIN")) == null)
+    // an adversarial header count near Int.MaxValue must not wrap the
+    // bounds check into passing (Long arithmetic) — null, not AIOOBE
+    assert(BoolTrueCount.compute(Array[Byte](0x4D), 0, Int.MaxValue, u("PLAIN")) == null)
     // unknown encoding
     assert(BoolTrueCount.compute(Array[Byte](0x4D), 0, 8, u("DELTA")) == null)
     // PLAIN doubles: 1.5, -2.5

@@ -124,6 +124,16 @@ class RleDecodeSpec extends SparkSpec {
     assert(got.toIntArray().toSeq === Seq(0, 1, 2, 3, 2, 1))
     // malformed: truncated def-level length prefix under max_def 1
     assert(DictIndexes.compute(Array[Byte](1, 0), 1, 4) == null)
+    // LongType num_values past Int range: the CODEGEN path must null out
+    // like the interpreted path, not truncate through an (int) cast
+    import spark.implicits._
+    val overflowRow = Seq(Tuple1(payload)).toDF("b")
+      .select(ColumnBridge.column(DictIndexes(
+        ColumnBridge.expression(col("b")),
+        ColumnBridge.expression(lit(0)),
+        ColumnBridge.expression(lit(4294967296L)))).as("i"))
+      .collect()(0)
+    assert(overflowRow.isNullAt(0), "codegen truncated a Long num_values")
     // zero values: empty indexes whatever the payload
     assert(DictIndexes.compute(Array.emptyByteArray, 1, 0).numElements() === 0)
   }
