@@ -51,6 +51,18 @@ class EntrySpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), "range_join planned a cartesian")
   }
 
+  test("multi-column prune and page-skip plans stay key-wise, never nested-loop") {
+    // every join inside pageSkipReportMulti / readPrunedWhere is on
+    // (filepath, row_group_id[, column_id]) keys over metadata-scale rows;
+    // a BNLJ or cartesian would mean the conjunction machinery regressed
+    for (q <- Seq("meta_prune_multi", "meta_page_skip_multi")) {
+      val plan = SparkEntry.queries(q)(spark, sf("0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop"), s"$q planned a BNLJ")
+      assert(!plan.contains("Cartesian"), s"$q planned a cartesian")
+    }
+  }
+
   test("interval_join never degrades to a nested-loop or cartesian plan") {
     val plan = SparkEntry.queries("interval_join")(spark, sf("0.001"))
       .queryExecution.executedPlan.toString
