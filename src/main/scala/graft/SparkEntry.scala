@@ -296,26 +296,9 @@ object SparkEntry {
         .parquet(out)
       FooterEdit.declareSortingColumnsDir(out,
         Seq(graft.meta.SortingColumnInfo(0, descending = false, nullsFirst = false)))
-      val noCache = Map("footercache" -> "false") // footer was just rewritten
-      val rg = meta(s, out, "rowgroup", noCache)
-        .select(col("filepath"), col("row_group_id"),
-          explode(col("sorting_columns")).as("sc"))
-      val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatLong(
-        ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
-      val stats = meta(s, out, "column", noCache)
-        .filter(col("path") === "k")
-        .select(col("filepath"), col("row_group_id"),
-          decode(col("statistics.min_value")).as("rg_min"),
-          decode(col("statistics.max_value")).as("rg_max"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("filepath")).orderBy(col("row_group_id"))
-      rg.join(stats, Seq("filepath", "row_group_id"))
-        .withColumn("monotone",
-          coalesce(col("rg_min") > lag(col("rg_max"), 1).over(w), lit(true)))
-        .select(col("row_group_id"), col("sc.column_idx").as("sc_idx"),
-          col("sc.descending").as("sc_desc"),
-          col("sc.nulls_first").as("sc_nulls_first"),
-          col("rg_min"), col("rg_max"), col("monotone"))
+      MetaPrune.sortAudit(s, out, "k")
+        .select(col("row_group_id"), col("sc_idx"), col("sc_desc"),
+          col("sc_nulls_first"), col("rg_min"), col("rg_max"), col("monotone"))
     }),
 
     // Footer encoding stats as a layout audit: per-(page type, encoding)

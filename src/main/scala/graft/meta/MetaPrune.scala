@@ -754,6 +754,44 @@ object MetaPrune {
         coalesce(col("rows_covered"), lit(0L)).as("rows_covered"))
   }
 
+  /**
+   * Sortedness AUDIT for `column`: one row per (file, row group, declared
+   * sorting column) pairing the writer's `sorting_columns` declaration
+   * (surfaced by the rowgroup level; see [[FooterEdit]] for declaring it
+   * post-write) with the row group's independent min/max statistics and a
+   * stats-derived `monotone` flag (strictly increasing bounds across row
+   * groups within a file). The layout question a Z-order/prune claim
+   * rests on — "is this table actually sorted the way its metadata
+   * says?" — answered at footer-read cost. Row groups without a
+   * declaration contribute no rows; callers comparing against the full
+   * rowgroup count detect undeclared files.
+   */
+  def sortAudit(
+      spark: SparkSession, path: String, column: String): DataFrame = {
+    val meta = (level: String) => spark.read.format("metadata")
+      .option("level", level).option("footercache", "false").load(path)
+    val rg = meta("rowgroup")
+      .select(col("filepath"), col("row_group_id"),
+        explode(col("sorting_columns")).as("sc"))
+    val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatLong(
+      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val stats = meta("column")
+      .filter(col("path") === column)
+      .select(col("filepath"), col("row_group_id"),
+        decode(col("statistics.min_value")).as("rg_min"),
+        decode(col("statistics.max_value")).as("rg_max"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("filepath")).orderBy(col("row_group_id"))
+    rg.join(stats, Seq("filepath", "row_group_id"))
+      .withColumn("monotone",
+        coalesce(col("rg_min") > lag(col("rg_max"), 1).over(w), lit(true)))
+      .select(col("filepath"), col("row_group_id"),
+        col("sc.column_idx").as("sc_idx"),
+        col("sc.descending").as("sc_desc"),
+        col("sc.nulls_first").as("sc_nulls_first"),
+        col("rg_min"), col("rg_max"), col("monotone"))
+  }
+
   /** Read only the files a range predicate on `column` can touch. The
     * predicate itself is NOT applied — callers compose it, and Catalyst
     * additionally pushes it into the surviving files' row groups. */
