@@ -211,6 +211,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.PlainFpStats(args(0), args(1), args(2), args(3))
       }))
     ext.injectFunction((
+      FunctionIdentifier("bss_fp_stats"),
+      info(classOf[graft.functions.BssFpStats], "bss_fp_stats"),
+      { args =>
+        if (args.length != 4) {
+          throw new IllegalArgumentException(
+            s"Function bss_fp_stats requires exactly 4 arguments, got ${args.length}")
+        }
+        graft.functions.BssFpStats(args(0), args(1), args(2), args(3))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("delta_strings"),
       info(classOf[graft.functions.DeltaStringsExpr], "delta_strings"),
       binary("delta_strings")(graft.functions.DeltaStringsExpr)))

@@ -577,6 +577,36 @@ object SparkEntry {
           min(col("st.mn")).as("v_min"), max(col("st.mx")).as("v_max"))
     }),
 
+    // BYTE_STREAM_SPLIT page decode: the FP encoding that stores byte
+    // plane j of every value contiguously (compresses similar floats).
+    // parquet-mr 1.16 exposes it only through the writer BUILDER (no
+    // Spark option), and Spark's vectorized reader cannot materialize
+    // such columns at all — while this metadata-level decode (and DuckDB,
+    // which oracles it) can: the transposed read reconstructs the same
+    // (count, min, max) invariants PLAIN pages pin.
+    "meta_bss_values" -> ((s, dir) => {
+      val out = "/tmp/graft_bssvals_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val od = new java.io.File(out)
+      od.mkdirs()
+      od.listFiles().foreach(_.delete())
+      graft.meta.RowGroupWriter.writeDoubleFile(s"$out/f.parquet",
+        (0 until 5000).map(i =>
+          if (i % 9 == 0) None else Some(i * 0.25 + 0.125)),
+        byteStreamSplit = true)
+      val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
+        .filter(col("page_type").startsWith("DATA_PAGE") &&
+          col("encoding") === "BYTE_STREAM_SPLIT")
+      val st = ColumnBridge.column(graft.functions.BssFpStats(
+        ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(lit(1)),
+        ColumnBridge.expression(col("num_values")),
+        ColumnBridge.expression(lit("DOUBLE"))))
+      pages.select(st.as("st"))
+        .agg(sum(col("st.n")).cast("long").as("n_values"),
+          min(col("st.mn")).as("v_min"), max(col("st.mx")).as("v_max"))
+    }),
+
     // Page CRC audit: parquet headers carry an optional CRC-32 over each
     // page's binary data exactly as written (compressed bytes, header
     // excluded), which parquet-mr populates by default — so recomputing
@@ -3841,6 +3871,11 @@ object SparkEntry {
         |    FROM read_parquet('/tmp/graft_pageskip2_sf0.01/*.parquet')
         |    WHERE b BETWEEN 15000 AND 17999)) AS BIGINT) AS rows_covered
         |FROM read_parquet('/tmp/graft_pageskip2_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_bss_values" ->
+      """SELECT CAST(count(v) AS BIGINT) AS n_values,
+        |  min(v) AS v_min, max(v) AS v_max
+        |FROM read_parquet('/tmp/graft_bssvals_sf0.01/*.parquet')""".stripMargin,
 
     "meta_bool_values" ->
       """SELECT CAST(count(*) FILTER (WHERE b) AS BIGINT) AS n_true,

@@ -143,8 +143,38 @@ case class PlainFpStats(
 }
 
 object PlainFpStats {
-  private val FLOAT = UTF8String.fromString("FLOAT")
-  private val DOUBLE = UTF8String.fromString("DOUBLE")
+  private[functions] val FLOAT = UTF8String.fromString("FLOAT")
+  private[functions] val DOUBLE = UTF8String.fromString("DOUBLE")
+
+  /** Fold (n, min, max) over `nonNull` FP values whose byte `j` of value
+    * `i` sits at `byteAt(i, j)` — shared by the contiguous PLAIN layout
+    * and BYTE_STREAM_SPLIT's transposed byte planes. */
+  private[functions] def fold(
+      nonNull: Int, width: Int)(byteAt: (Int, Int) => Int): InternalRow = {
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var seen = false
+    var i = 0
+    while (i < nonNull) {
+      var bits = 0L
+      var j = 0
+      while (j < width) {
+        bits |= (byteAt(i, j) & 0xffL) << (8 * j)
+        j += 1
+      }
+      val d =
+        if (width == 8) java.lang.Double.longBitsToDouble(bits)
+        else java.lang.Float.intBitsToFloat(bits.toInt).toDouble
+      if (!d.isNaN) {
+        if (d < mn) mn = d
+        if (d > mx) mx = d
+        seen = true
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nonNull.toLong,
+      if (seen) mn else null, if (seen) mx else null))
+  }
 
   def compute(v: Any, maxDef: Int, numValues: Int, tpe: UTF8String): InternalRow = {
     val bytes = DecodeBytes.of(v)
@@ -157,32 +187,69 @@ object PlainFpStats {
     if (region == null) return null
     val (pos, nonNull) = region
     if (pos + nonNull.toLong * width > bytes.length) return null
-    var mn = Double.PositiveInfinity
-    var mx = Double.NegativeInfinity
-    var seen = false
-    var i = 0
-    while (i < nonNull) {
-      val base = pos + i * width
-      val d =
-        if (width == 8) {
-          java.lang.Double.longBitsToDouble(
-            (bytes(base) & 0xffL) | ((bytes(base + 1) & 0xffL) << 8) |
-            ((bytes(base + 2) & 0xffL) << 16) | ((bytes(base + 3) & 0xffL) << 24) |
-            ((bytes(base + 4) & 0xffL) << 32) | ((bytes(base + 5) & 0xffL) << 40) |
-            ((bytes(base + 6) & 0xffL) << 48) | ((bytes(base + 7) & 0xffL) << 56))
-        } else {
-          java.lang.Float.intBitsToFloat(
-            (bytes(base) & 0xff) | ((bytes(base + 1) & 0xff) << 8) |
-            ((bytes(base + 2) & 0xff) << 16) | ((bytes(base + 3) & 0xff) << 24)).toDouble
-        }
-      if (!d.isNaN) {
-        if (d < mn) mn = d
-        if (d > mx) mx = d
-        seen = true
-      }
-      i += 1
+    fold(nonNull, width)((i, j) => bytes(pos + i * width + j))
+  }
+}
+
+/**
+ * [[PlainFpStats]] for BYTE_STREAM_SPLIT pages: the encoding stores byte
+ * plane `j` of every value contiguously (`payload[j * n + i]` holds byte
+ * `j` of value `i`) so similar FP values compress well — the decode is a
+ * transposed read of exactly the same bits. Same (n, min, max) contract.
+ */
+@ExpressionDescription(
+  usage = "_FUNC_(bytes, max_def, num_values, type) - (n, min, max) of a BYTE_STREAM_SPLIT FP page, NULL if malformed.")
+case class BssFpStats(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("mn", DoubleType, nullable = true),
+    StructField("mx", DoubleType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "bss_fp_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (BinaryType | ArrayType(ByteType, _), IntegerType, IntegerType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int, int, string) arguments, got " +
+          s"(${a.simpleString(10)}, ${b.simpleString(10)}, " +
+          s"${c.simpleString(10)}, ${d.simpleString(10)})")
     }
-    new GenericInternalRow(Array[Any](nonNull.toLong,
-      if (seen) mn else null, if (seen) mx else null))
+
+  override def nullSafeEval(bytes: Any, maxDef: Any, numValues: Any, tpe: Any): Any =
+    BssFpStats.compute(bytes, maxDef.asInstanceOf[Int],
+      numValues.asInstanceOf[Int], tpe.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("stats")
+    nullSafeCodeGen(ctx, ev, (b, d, n, t) => s"""
+      InternalRow $tmp = graft.functions.BssFpStats.compute($b, (int) $d, (int) $n, $t);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): BssFpStats =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object BssFpStats {
+  def compute(v: Any, maxDef: Int, numValues: Int, tpe: UTF8String): InternalRow = {
+    val bytes = DecodeBytes.of(v)
+    if (bytes == null || tpe == null || numValues < 0) return null
+    val width =
+      if (tpe.equals(PlainFpStats.DOUBLE)) 8
+      else if (tpe.equals(PlainFpStats.FLOAT)) 4
+      else return null
+    val region = DictIndexes.v1ValuesRegion(bytes, maxDef, numValues)
+    if (region == null) return null
+    val (pos, nonNull) = region
+    if (pos + nonNull.toLong * width > bytes.length) return null
+    PlainFpStats.fold(nonNull, width)((i, j) => bytes(pos + j * nonNull + i))
   }
 }

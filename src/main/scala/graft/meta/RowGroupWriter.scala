@@ -35,4 +35,27 @@ object RowGroupWriter {
       }
     } finally writer.close()
   }
+
+  /** Write an optional-double column (None = null), optionally under
+    * BYTE_STREAM_SPLIT — the FP encoding parquet-mr 1.16 only exposes
+    * through the writer builder, never through Spark's options. */
+  def writeDoubleFile(
+      file: String, values: Seq[Option[Double]],
+      byteStreamSplit: Boolean): Unit = {
+    val schema = MessageTypeParser.parseMessageType(
+      "message m { optional double v; }")
+    val writer = ExampleParquetWriter.builder(new Path(file))
+      .withType(schema)
+      .withDictionaryEncoding(false)
+      .withByteStreamSplitEncoding(byteStreamSplit)
+      .build()
+    try {
+      val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+      values.foreach { v =>
+        val g = gf.newGroup()
+        v.foreach(g.append("v", _))
+        writer.write(g)
+      }
+    } finally writer.close()
+  }
 }
