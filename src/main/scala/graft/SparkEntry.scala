@@ -3820,10 +3820,19 @@ object SparkEntry {
         |  0 AS sc_idx, FALSE AS sc_desc, FALSE AS sc_nulls_first,
         |  CAST(stats_min_value AS BIGINT) AS rg_min,
         |  CAST(stats_max_value AS BIGINT) AS rg_max,
-        |  coalesce(CAST(stats_min_value AS BIGINT) >
-        |    lag(CAST(stats_max_value AS BIGINT))
-        |      OVER (PARTITION BY file_name ORDER BY row_group_id), TRUE)
-        |    AS monotone
+        |  CASE
+        |    WHEN stats_min_value IS NULL OR stats_max_value IS NULL
+        |      THEN NULL
+        |    WHEN row_number()
+        |      OVER (PARTITION BY file_name ORDER BY row_group_id) = 1
+        |      THEN TRUE
+        |    WHEN lag(CAST(stats_max_value AS BIGINT))
+        |      OVER (PARTITION BY file_name ORDER BY row_group_id) IS NULL
+        |      THEN NULL
+        |    ELSE CAST(stats_min_value AS BIGINT) >=
+        |      lag(CAST(stats_max_value AS BIGINT))
+        |        OVER (PARTITION BY file_name ORDER BY row_group_id)
+        |  END AS monotone
         |FROM parquet_metadata('/tmp/graft_sorting_sf0.01/*.parquet')
         |WHERE path_in_schema = 'k'""".stripMargin,
 

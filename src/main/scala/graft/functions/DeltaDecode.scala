@@ -65,9 +65,13 @@ object DeltaBp {
     val numMiniblocks = varULong()
     val totalCount = varULong()
     val firstValue = zigzag()
+    // totalCount is untrusted header data and sizes the output allocation
+    // up front — cap it at the same plausibility bound as RleBp.MaxDecoded
+    // (here 2^25 values = a 256 MB long array) so a crafted stream cannot
+    // force a multi-GB allocation before payload validation
     if (failed || blockSize <= 0 || numMiniblocks <= 0 ||
         blockSize % numMiniblocks != 0 || totalCount < 0 ||
-        totalCount > Int.MaxValue || blockSize > (1 << 24)) return null
+        totalCount > (1L << 25) || blockSize > (1 << 24)) return null
     val perMini = (blockSize / numMiniblocks).toInt
     if (perMini % 8 != 0) return null // spec: miniblock size is a multiple of 8
     val n = totalCount.toInt

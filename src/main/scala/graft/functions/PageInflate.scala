@@ -142,16 +142,25 @@ object PageInflate {
         }
         else if (codec.equals(ZSTD)) com.github.luben.zstd.Zstd.decompress(bytes, size)
         else if (codec.equals(GZIP)) {
+          // bound the inflate loop by the DECLARED size, not MAX_PAGE: a
+          // gzip bomb with a small declared size must stop buffering the
+          // moment it exceeds its contract (one chunk past `size` at
+          // most), not after wasting up to 256 MB on data the final
+          // length check would reject anyway
           val in = new java.util.zip.GZIPInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val buf = new java.io.ByteArrayOutputStream(size)
-          val chunk = new Array[Byte](8192)
-          var n = in.read(chunk)
-          var total = 0
-          while (n > 0 && total <= MAX_PAGE) {
-            buf.write(chunk, 0, n); total += n; n = in.read(chunk)
+          try {
+            val buf = new java.io.ByteArrayOutputStream(size)
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            var total = 0
+            while (n > 0 && total <= size) {
+              buf.write(chunk, 0, n); total += n; n = in.read(chunk)
+            }
+            buf.toByteArray
+          } finally {
+            in.close()
           }
-          buf.toByteArray
         } else if (codec.equals(LZ4_RAW)) {
           net.jpountz.lz4.LZ4Factory.fastestInstance()
             .safeDecompressor().decompress(bytes, size)

@@ -19,17 +19,30 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, In
 object RleBp {
 
   /**
+   * Plausibility cap on decoded value counts: counts come from untrusted
+   * page headers, and the output array is allocated up front — without a
+   * bound a crafted header claiming `Int.MaxValue` values forces a multi-GB
+   * allocation before any byte of the payload is validated (the same class
+   * of hardening as [[PageInflate]]'s 256 MB page cap and its snappy
+   * declared-length pre-check). 2^26 values (a 256 MB int array) is far
+   * past any page a real writer produces — parquet-mr's default page is
+   * 1 MB and its default page row-count limit is 20 000.
+   */
+  val MaxDecoded: Int = 1 << 26
+
+  /**
    * Decode up to `maxCount` fixed-width values from `bytes[start, end)`.
    * Returns null on any malformation (truncated varint, run overrunning
-   * the region, negative header) — callers must keep "cannot decode"
-   * distinguishable from decoded zeros. Extra trailing values inside the
-   * final bit-packed group (padding up to a multiple of 8) are discarded.
+   * the region, negative header, count past [[MaxDecoded]]) — callers must
+   * keep "cannot decode" distinguishable from decoded zeros. Extra
+   * trailing values inside the final bit-packed group (padding up to a
+   * multiple of 8) are discarded.
    */
   def decode(
       bytes: Array[Byte], start: Int, end: Int,
       bitWidth: Int, maxCount: Int): Array[Int] = {
     if (bytes == null || start < 0 || end > bytes.length || bitWidth < 0 ||
-        bitWidth > 31 || maxCount < 0) return null
+        bitWidth > 31 || maxCount < 0 || maxCount > MaxDecoded) return null
     val out = new Array[Int](maxCount)
     var n = 0
     var pos = start

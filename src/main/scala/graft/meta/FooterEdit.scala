@@ -127,22 +127,34 @@ object FooterEdit {
 
   /** Recompute the Hadoop local-fs checksum sidecar (`.name.crc`) so
     * checksum-verified reads survive the rewrite; files written without a
-    * sidecar are left without one. */
+    * sidecar are left without one. Crash-safe: the data file is never
+    * deleted — the fresh copy is renamed OVER it atomically, so a crash
+    * at any point leaves the (already-rewritten) file in place, at worst
+    * without a sidecar (the stale one must go first regardless: the
+    * checksummed read the copy performs would reject it). */
   private def refreshCrcSidecar(file: File): Unit = {
     val sidecar = new File(file.getParentFile, "." + file.getName + ".crc")
     if (!sidecar.exists()) return
     val conf = new org.apache.hadoop.conf.Configuration()
     val localFs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
-    val p = new org.apache.hadoop.fs.Path(file.getAbsolutePath)
-    // bytesPerChecksum must match the original sidecar's header
+    // the stale sidecar no longer matches the rewritten bytes; remove it
+    // so the checksummed copy below reads the data file cleanly
     sidecar.delete()
-    val src = p
-    val tmp = new org.apache.hadoop.fs.Path(
-      file.getParent, file.getName + ".crctmp")
-    // round-trip through the checksummed fs: copy to tmp (writes a fresh
-    // sidecar), then move both back over the original
+    val src = new org.apache.hadoop.fs.Path(file.getAbsolutePath)
+    val tmpFile = new File(file.getParentFile, file.getName + ".crctmp")
+    val tmp = new org.apache.hadoop.fs.Path(tmpFile.getAbsolutePath)
+    // round-trip through the checksummed fs: the copy to tmp writes a
+    // fresh `.name.crctmp.crc` sidecar for byte-identical content
     org.apache.hadoop.fs.FileUtil.copy(localFs, src, localFs, tmp, false, conf)
-    localFs.delete(src, false)
-    localFs.rename(tmp, src)
+    val tmpCrc = new File(file.getParentFile, "." + tmpFile.getName + ".crc")
+    // same-directory atomic renames, sidecar first: between the two moves
+    // the data file still exists and its new sidecar already matches it
+    // (tmp is a byte-identical copy)
+    java.nio.file.Files.move(tmpCrc.toPath, sidecar.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(tmpFile.toPath, file.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 }

@@ -759,12 +759,21 @@ object MetaPrune {
    * sorting column) pairing the writer's `sorting_columns` declaration
    * (surfaced by the rowgroup level; see [[FooterEdit]] for declaring it
    * post-write) with the row group's independent min/max statistics and a
-   * stats-derived `monotone` flag (strictly increasing bounds across row
-   * groups within a file). The layout question a Z-order/prune claim
-   * rests on — "is this table actually sorted the way its metadata
+   * stats-derived `monotone` verdict. The layout question a Z-order/prune
+   * claim rests on — "is this table actually sorted the way its metadata
    * says?" — answered at footer-read cost. Row groups without a
    * declaration contribute no rows; callers comparing against the full
    * rowgroup count detect undeclared files.
+   *
+   * `monotone` is three-state: TRUE when the group's bounds are
+   * consistent with the declared order relative to the previous group
+   * (direction taken from the declaration's `descending` flag; the
+   * comparison is non-strict, so duplicate keys spanning a row-group
+   * boundary still audit as sorted), FALSE when the bounds contradict it,
+   * and NULL when either side of the comparison failed to decode —
+   * missing or undecodable statistics are "no evidence", never silently
+   * reported as sorted. The first row group of a file is vacuously TRUE
+   * (when its own bounds decode).
    */
   def sortAudit(
       spark: SparkSession, path: String, column: String): DataFrame = {
@@ -780,11 +789,27 @@ object MetaPrune {
       .select(col("filepath"), col("row_group_id"),
         decode(col("statistics.min_value")).as("rg_min"),
         decode(col("statistics.max_value")).as("rg_max"))
+    // partition the neighbour comparison by declared sorting column too:
+    // a multi-column declaration explodes to several rows per row group,
+    // and a window keyed on filepath alone would lag across those ties
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("filepath")).orderBy(col("row_group_id"))
+      .partitionBy(col("filepath"), col("sc.column_idx"))
+      .orderBy(col("row_group_id"))
     rg.join(stats, Seq("filepath", "row_group_id"))
+      .withColumn("prev_min", lag(col("rg_min"), 1).over(w))
+      .withColumn("prev_max", lag(col("rg_max"), 1).over(w))
+      .withColumn("has_prev",
+        lag(col("row_group_id"), 1).over(w).isNotNull)
       .withColumn("monotone",
-        coalesce(col("rg_min") > lag(col("rg_max"), 1).over(w), lit(true)))
+        when(col("rg_min").isNull || col("rg_max").isNull,
+          lit(null).cast("boolean"))
+          .when(!col("has_prev"), lit(true))
+          .when(col("sc.descending"),
+            when(col("prev_min").isNull, lit(null).cast("boolean"))
+              .otherwise(col("rg_max") <= col("prev_min")))
+          .otherwise(
+            when(col("prev_max").isNull, lit(null).cast("boolean"))
+              .otherwise(col("rg_min") >= col("prev_max"))))
       .select(col("filepath"), col("row_group_id"),
         col("sc.column_idx").as("sc_idx"),
         col("sc.descending").as("sc_desc"),

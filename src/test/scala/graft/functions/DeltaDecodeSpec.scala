@@ -65,6 +65,15 @@ class DeltaDecodeSpec extends SparkSpec {
       java.lang.Long.valueOf((0L until 100L).sum))
     assert(DeltaIntSum.compute(good,
       org.apache.spark.unsafe.types.UTF8String.fromString("BYTE_ARRAY")) == null)
+    // a crafted header claiming 2^26 values (past the 2^25 allocation
+    // cap) must be rejected BEFORE the output array is allocated — the
+    // count is untrusted page data, not a size to trust
+    val evil = Array[Byte](
+      0x80.toByte, 0x01,                            // blockSize = 128
+      0x04,                                         // 4 miniblocks
+      0x80.toByte, 0x80.toByte, 0x80.toByte, 0x20,  // totalCount = 2^26
+      0x00)                                         // firstValue = 0
+    assert(DeltaBp.decodeLongs(evil) == null)
   }
 
   test("delta byte-array decode is bit-parity with parquet-mr's writers") {

@@ -82,5 +82,20 @@ class PageInflateSpec extends SparkSpec {
     val evil = Array[Byte](0xF6.toByte, 0xFF.toByte, 0xFF.toByte,
       0xFF.toByte, 0x07, 1, 2, 3) // varint 0x7FFFFFF6 ~ 2 GB
     assert(PageInflate.compute(evil, u("SNAPPY"), 1000) == null)
+    // a gzip stream inflating far past its declared size must stop
+    // buffering once the declaration is exceeded (one read chunk of
+    // slack), not fill 256 MB before the final length check — a 32 MB
+    // zero bomb with a 100-byte claim is rejected as null
+    val bombSrc = new Array[Byte](32 << 20)
+    val bombBuf = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bombBuf)
+    gz.write(bombSrc); gz.close()
+    assert(PageInflate.compute(bombBuf.toByteArray, u("GZIP"), 100) == null)
+    // and an honest gzip declaration still inflates
+    val okBuf = new java.io.ByteArrayOutputStream()
+    val gz2 = new java.util.zip.GZIPOutputStream(okBuf)
+    gz2.write("hello page".getBytes("UTF-8")); gz2.close()
+    assert(PageInflate.compute(okBuf.toByteArray, u("GZIP"), 10).toSeq ===
+      "hello page".getBytes("UTF-8").toSeq)
   }
 }

@@ -137,4 +137,19 @@ class RleDecodeSpec extends SparkSpec {
     // zero values: empty indexes whatever the payload
     assert(DictIndexes.compute(Array.emptyByteArray, 1, 0).numElements() === 0)
   }
+
+  test("counts past the allocation cap are rejected before allocating") {
+    // num_values comes from an untrusted page header; a claim of
+    // Int.MaxValue values must fail fast instead of allocating a multi-GB
+    // array and OOMing the executor
+    val tiny = encodeHybrid(1, Seq(0, 1, 0, 1))
+    assert(RleBp.decode(tiny, 0, tiny.length, 1, Int.MaxValue) == null)
+    assert(RleBp.decode(tiny, 0, tiny.length, 1, RleBp.MaxDecoded + 1) == null)
+    // at the cap itself the decode proceeds (and then fails on the short
+    // payload, not on the count)
+    assert(RleBp.decode(tiny, 0, tiny.length, 1, 4) != null)
+    // the cap propagates through the v1 payload walk
+    val payload = Array[Byte](2) ++ encodeHybrid(2, Seq(0, 1, 2, 3))
+    assert(DictIndexes.compute(payload, 0, Int.MaxValue) == null)
+  }
 }

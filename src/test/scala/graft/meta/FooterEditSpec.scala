@@ -59,6 +59,53 @@ class FooterEditSpec extends SparkSpec {
     assert(stats.nonEmpty)
   }
 
+  test("sortAudit: direction-aware, duplicate-tolerant, null on no evidence") {
+    def monotone(r: org.apache.spark.sql.Row): Option[Boolean] = {
+      val i = r.fieldIndex("monotone")
+      if (r.isNullAt(i)) None else Some(r.getBoolean(i))
+    }
+    // DESCENDING data over several row groups, declared descending
+    val d = Files.createTempDirectory("graft_audit_desc").toString
+    spark.range(0, 60000)
+      .select((lit(60000L) - col("id")).as("k"),
+        (col("id") % 97).cast("string").as("s"))
+      .repartition(1).sortWithinPartitions(col("k").desc)
+      .write.mode("overwrite").option("parquet.block.size", "65536").parquet(d)
+    FooterEdit.declareSortingColumnsDir(d,
+      Seq(SortingColumnInfo(0, descending = true, nullsFirst = false)))
+    val desc = MetaPrune.sortAudit(spark, d, "k").collect()
+    assert(desc.length > 1, "fixture must span multiple row groups")
+    assert(desc.forall(monotone(_) === Some(true)),
+      "descending declaration over descending data must audit true")
+    // the SAME data re-declared ascending: every non-first group is a
+    // contradiction the audit must report as FALSE (direction matters)
+    FooterEdit.declareSortingColumnsDir(d,
+      Seq(SortingColumnInfo(0, descending = false, nullsFirst = false)))
+    val wrong = MetaPrune.sortAudit(spark, d, "k").collect()
+      .sortBy(_.getInt(1))
+    assert(monotone(wrong.head) === Some(true), "first group is vacuous")
+    assert(wrong.tail.forall(monotone(_) === Some(false)))
+    // a STRING column's stats don't decode through the INT64 stat walk:
+    // the verdict is NULL ("no evidence"), never a silent TRUE
+    val noEv = MetaPrune.sortAudit(spark, d, "s").collect()
+    assert(noEv.nonEmpty)
+    assert(noEv.forall(monotone(_).isEmpty),
+      "undecodable stats must yield a NULL verdict")
+    // duplicate keys spanning row-group boundaries: non-strict compare
+    // keeps a genuinely sorted constant column auditing TRUE
+    val d2 = Files.createTempDirectory("graft_audit_dup").toString
+    spark.range(0, 60000)
+      .select(lit(7L).as("k"), col("id").as("p"))
+      .repartition(1)
+      .write.mode("overwrite").option("parquet.block.size", "65536").parquet(d2)
+    FooterEdit.declareSortingColumnsDir(d2,
+      Seq(SortingColumnInfo(0, descending = false, nullsFirst = false)))
+    val dup = MetaPrune.sortAudit(spark, d2, "k").collect()
+    assert(dup.length > 1, "fixture must span multiple row groups")
+    assert(dup.forall(monotone(_) === Some(true)),
+      "boundary-spanning duplicates are still sorted")
+  }
+
   test("out-of-range column index and non-parquet files are rejected") {
     val d = Files.createTempDirectory("graft_fedit_bad").toString
     spark.range(0, 100).coalesce(1).write.mode("overwrite").parquet(d)
