@@ -169,6 +169,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[graft.functions.PlainInt64Sum], "plain_int64_sum"),
       unary("plain_int64_sum")(graft.functions.PlainInt64Sum)))
     ext.injectFunction((
+      FunctionIdentifier("plain_int64_longs"),
+      info(classOf[graft.functions.PlainInt64Longs], "plain_int64_longs"),
+      unary("plain_int64_longs")(graft.functions.PlainInt64Longs)))
+    ext.injectFunction((
       FunctionIdentifier("bytes_crc32"),
       info(classOf[graft.functions.BytesCrc32], "bytes_crc32"),
       unary("bytes_crc32")(graft.functions.BytesCrc32)))
@@ -237,6 +241,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"Function page_values_v2 requires exactly 4 arguments, got ${args.length}")
         }
         graft.functions.PageValuesV2(args(0), args(1), args(2), args(3))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("page_levels"),
+      info(classOf[graft.functions.PageLevels], "page_levels"),
+      { args =>
+        if (args.length != 4) {
+          throw new IllegalArgumentException(
+            s"Function page_levels requires exactly 4 arguments, got ${args.length}")
+        }
+        graft.functions.PageLevels(args(0), args(1), args(2), args(3))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("page_levels_v2"),
+      info(classOf[graft.functions.PageLevelsV2], "page_levels_v2"),
+      { args =>
+        if (args.length != 6) {
+          throw new IllegalArgumentException(
+            s"Function page_levels_v2 requires exactly 6 arguments, got ${args.length}")
+        }
+        graft.functions.PageLevelsV2(args(0), args(1), args(2), args(3),
+          args(4), args(5))
       }))
     ext.injectFunction((
       FunctionIdentifier("dict_indexes"),

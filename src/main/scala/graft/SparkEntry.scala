@@ -365,6 +365,60 @@ object SparkEntry {
           sum(col("num_values")).cast("long").as("n_values"))
     }),
 
+    // NESTED (repetition-level) page decode — the LLM-pipeline default
+    // layout: an `array<long>` column with nulls at BOTH levels (null
+    // arrays, empty arrays, null elements) reconstructs from raw page
+    // bytes alone. page_levels walks the repetition+definition blocks
+    // (rep==0 counts records — v1 headers carry no row count; the
+    // def-level histogram separates null array / empty array / null
+    // element / present element), and the values tail after values_off
+    // feeds the SAME flat decoders every other query uses. Per-page
+    // record counts, list-slot counts, element counts, and the element
+    // sum must equal DuckDB's len()/list_sum() over the data itself.
+    "meta_nested_values" -> ((s, dir) => {
+      val out = "/tmp/graft_nestedvals_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, lit(null))
+            .when(col("doc_id") % 11 === 1, array().cast("array<long>"))
+            .otherwise(transform(sequence(lit(0L), col("doc_id") % 7),
+              i => when((col("doc_id") + i) % 13 === 0, lit(null))
+                .otherwise(col("doc_id") * 1000003L + i))).as("vals"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.page.row.count.limit", "500")
+        .parquet(out)
+      val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
+      val codecs = meta(s, out, "column")
+        .select(col("filepath"), col("row_group_id"), col("column_id"),
+          col("compression"))
+      val joined = pages.join(codecs,
+          Seq("filepath", "row_group_id", "column_id"))
+        .filter(col("column_id") === 1 && col("page_type") === "DATA_PAGE")
+      val infl = ColumnBridge.column(graft.functions.PageInflate(
+        ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(col("compression")),
+        ColumnBridge.expression(col("page_uncompressed_size"))))
+      val staged = joined.withColumn("infl", infl)
+        .withColumn("lv", ColumnBridge.column(graft.functions.PageLevels(
+          ColumnBridge.expression(col("infl")),
+          ColumnBridge.expression(lit(1)),
+          ColumnBridge.expression(lit(3)),
+          ColumnBridge.expression(col("num_values")))))
+      val tail = col("infl").substr(col("lv.values_off") + 1,
+        length(col("infl")) - col("lv.values_off"))
+      val pageSum = ColumnBridge.column(graft.functions.PlainInt64Sum(
+        ColumnBridge.expression(tail)))
+      staged.agg(
+        sum(col("lv.n_records")).cast("long").as("n_rows"),
+        sum(col("lv.def_counts").getItem(2) + col("lv.def_counts").getItem(3))
+          .cast("long").as("n_slots"),
+        sum(col("lv.def_counts").getItem(3)).cast("long").as("n_elems"),
+        sum(pageSum).cast("long").as("val_sum"))
+    }),
+
     // V2 data pages, dictionary half: the same value-counts contract as
     // meta_dict_values but through the v2 layout — RLE_DICTIONARY index
     // runs with NO level prefix (levels sit uncompressed ahead of the
@@ -3850,6 +3904,14 @@ object SparkEntry {
         |  CAST(sum(id) AS BIGINT) AS value_sum,
         |  CAST(count(*) AS BIGINT) AS n_values
         |FROM read_parquet('/tmp/graft_deltavals_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_nested_values" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(len(vals)), 0) AS BIGINT) AS n_slots,
+        |  CAST(coalesce(sum(len(list_filter(vals, x -> x IS NOT NULL))), 0)
+        |    AS BIGINT) AS n_elems,
+        |  CAST(coalesce(sum(list_sum(vals)), 0) AS BIGINT) AS val_sum
+        |FROM read_parquet('/tmp/graft_nestedvals_sf0.01/*.parquet')""".stripMargin,
 
     "meta_dict_values_v2" ->
       """SELECT v, CAST(count(*) AS BIGINT) AS n

@@ -93,6 +93,63 @@ private[functions] object DecodeBytes {
  * the engine-independent aggregate of the column itself (wrap-around
  * long addition on both sides).
  */
+/**
+ * Decode a PLAIN INT64 payload into its value LIST — the INT64 sibling of
+ * [[PlainDictStrings]] for dictionary pages (a fully dictionary-encoded
+ * INT64 column's dictionary page is exactly this layout), and the
+ * composition hook that reconstructs dict-encoded values:
+ * `transform(dict_indexes(...), i -> element_at(plain_int64_longs(dict),
+ * i + 1))`. Null if the payload is not a whole number of 8-byte values.
+ */
+@ExpressionDescription(
+  usage = "_FUNC_(bytes) - PLAIN INT64 payload as array<bigint>, NULL if malformed.")
+case class PlainInt64Longs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "plain_int64_longs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | ArrayType(ByteType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary or array<byte> argument, got ${t.simpleString(10)}")
+  }
+
+  override def nullSafeEval(v: Any): Any = PlainInt64Longs.compute(v)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("decoded")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+        graft.functions.PlainInt64Longs.compute($v);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlainInt64Longs =
+    copy(child = newChild)
+}
+
+object PlainInt64Longs {
+  def compute(v: Any): ArrayData = {
+    val bytes = DecodeBytes.of(v)
+    if (bytes == null || bytes.length % 8 != 0) return null
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < bytes.length) {
+      out(i / 8) =
+        (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+        ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24) |
+        ((bytes(i + 4) & 0xffL) << 32) | ((bytes(i + 5) & 0xffL) << 40) |
+        ((bytes(i + 6) & 0xffL) << 48) | ((bytes(i + 7) & 0xffL) << 56)
+      i += 8
+    }
+    new GenericArrayData(out.map(java.lang.Long.valueOf).toArray[Any])
+  }
+}
+
 @ExpressionDescription(
   usage = "_FUNC_(bytes) - sum of a PLAIN INT64 page payload's values, NULL if malformed.")
 case class PlainInt64Sum(child: Expression) extends UnaryExpression {
