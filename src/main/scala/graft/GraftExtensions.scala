@@ -243,6 +243,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.PageValuesV2(args(0), args(1), args(2), args(3))
       }))
     ext.injectFunction((
+      FunctionIdentifier("plain_flba_sum"),
+      info(classOf[graft.functions.PlainFlbaSum], "plain_flba_sum"),
+      { args =>
+        if (args.length != 4) {
+          throw new IllegalArgumentException(
+            s"Function plain_flba_sum requires exactly 4 arguments, got ${args.length}")
+        }
+        graft.functions.PlainFlbaSum(args(0), args(1), args(2), args(3))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("page_levels"),
       info(classOf[graft.functions.PageLevels], "page_levels"),
       { args =>

@@ -365,6 +365,46 @@ object SparkEntry {
           sum(col("num_values")).cast("long").as("n_values"))
     }),
 
+    // FIXED_LEN_BYTE_ARRAY payload decode — the physical type Spark
+    // writes for decimals with precision > 18 (here decimal(20,2) →
+    // 9-byte big-endian unscaled values). Per-page (n, unscaled sum)
+    // through the same level walk as every v1 decode, rolled up and
+    // proven against DuckDB's exact decimal arithmetic over the data;
+    // nulls exercise the definition-level path. Closes the last payload
+    // gap in the physical-type decode matrix.
+    "meta_flba_values" -> ((s, dir) => {
+      val out = "/tmp/graft_flbavals_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "lineitem"))
+        .select(when(col("l_orderkey") % 13 === 0, lit(null))
+          .otherwise(col("l_extendedprice").cast("decimal(20,2)")).as("price"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.page.row.count.limit", "2000")
+        .parquet(out)
+      val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
+      val codecs = meta(s, out, "column")
+        .select(col("filepath"), col("row_group_id"), col("column_id"),
+          col("compression"))
+      val joined = pages.join(codecs,
+          Seq("filepath", "row_group_id", "column_id"))
+        .filter(col("page_type") === "DATA_PAGE")
+      val infl = ColumnBridge.column(graft.functions.PageInflate(
+        ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(col("compression")),
+        ColumnBridge.expression(col("page_uncompressed_size"))))
+      // decimal(20,_) → FLBA type_length 9 (minimum bytes for 20 digits)
+      val flba = ColumnBridge.column(graft.functions.PlainFlbaSum(
+        ColumnBridge.expression(infl),
+        ColumnBridge.expression(lit(1)),
+        ColumnBridge.expression(col("num_values")),
+        ColumnBridge.expression(lit(9))))
+      joined.select(flba.as("fs"))
+        .agg(sum(col("fs.n")).cast("long").as("n_values"),
+          sum(col("fs.usum")).cast("long").as("usum"))
+    }),
+
     // NESTED (repetition-level) page decode — the LLM-pipeline default
     // layout: an `array<long>` column with nulls at BOTH levels (null
     // arrays, empty arrays, null elements) reconstructs from raw page
@@ -3904,6 +3944,11 @@ object SparkEntry {
         |  CAST(sum(id) AS BIGINT) AS value_sum,
         |  CAST(count(*) AS BIGINT) AS n_values
         |FROM read_parquet('/tmp/graft_deltavals_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_flba_values" ->
+      """SELECT CAST(count(price) AS BIGINT) AS n_values,
+        |  CAST(coalesce(sum(price * 100), 0) AS BIGINT) AS usum
+        |FROM read_parquet('/tmp/graft_flbavals_sf0.01/*.parquet')""".stripMargin,
 
     "meta_nested_values" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

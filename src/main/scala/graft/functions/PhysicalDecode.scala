@@ -238,6 +238,83 @@ case class BssFpStats(
     copy(first = f, second = s, third = t, fourth = q)
 }
 
+/**
+ * Decode a PLAIN FIXED_LEN_BYTE_ARRAY page payload's values as DECIMAL
+ * unscaled sums: each value is `type_length` bytes of BIG-endian two's
+ * complement (format spec `logical_types.md` — the physical type Spark
+ * writes for decimals with precision > 18), summed with the same
+ * [[PlainStatUnscaled]] window logic the stats decode uses, so wide
+ * physical types still decode while a genuinely >64-bit value nulls the
+ * page out ("cannot decode", never a wrong sum). Returns
+ * `struct(n, usum)` — non-null value count and unscaled sum. A
+ * dictionary page of an FLBA column is the same layout with no level
+ * block: pass `max_def = 0`. Closes the physical-type decode matrix's
+ * last payload gap (BOOLEAN/INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY all
+ * have decoders; INT96 is stats-recognized separately).
+ */
+@ExpressionDescription(
+  usage = "_FUNC_(bytes, max_def, num_values, type_length) - (n, usum) of a PLAIN FLBA page, NULL if malformed.")
+case class PlainFlbaSum(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("usum", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "plain_flba_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (BinaryType | ArrayType(ByteType, _), IntegerType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int, int, int) arguments, got " +
+          s"(${a.simpleString(10)}, ${b.simpleString(10)}, " +
+          s"${c.simpleString(10)}, ${d.simpleString(10)})")
+    }
+
+  override def nullSafeEval(bytes: Any, maxDef: Any, numValues: Any, typeLen: Any): Any =
+    PlainFlbaSum.compute(bytes, maxDef.asInstanceOf[Int],
+      numValues.asInstanceOf[Int], typeLen.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("flba")
+    nullSafeCodeGen(ctx, ev, (b, d, n, w) => s"""
+      InternalRow $tmp = graft.functions.PlainFlbaSum.compute($b, (int) $d, (int) $n, (int) $w);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): PlainFlbaSum =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+object PlainFlbaSum {
+  def compute(v: Any, maxDef: Int, numValues: Int, typeLen: Int): InternalRow = {
+    val bytes = DecodeBytes.of(v)
+    if (bytes == null || numValues < 0 || typeLen <= 0 ||
+        typeLen > 64) return null
+    val region = DictIndexes.v1ValuesRegion(bytes, maxDef, numValues)
+    if (region == null) return null
+    val (pos, nonNull) = region
+    if (pos + nonNull.toLong * typeLen > bytes.length) return null
+    var sum = 0L
+    var i = 0
+    while (i < nonNull) {
+      val u = PlainStatUnscaled.bigEndianLong(
+        java.util.Arrays.copyOfRange(bytes, pos + i * typeLen,
+          pos + (i + 1) * typeLen))
+      if (u == null) return null // value exceeds 64 bits: refuse, don't lie
+      sum += u.longValue()
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nonNull.toLong, sum))
+  }
+}
+
 object BssFpStats {
   def compute(v: Any, maxDef: Int, numValues: Int, tpe: UTF8String): InternalRow = {
     val bytes = DecodeBytes.of(v)

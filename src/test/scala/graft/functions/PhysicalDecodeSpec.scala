@@ -134,6 +134,77 @@ class PhysicalDecodeSpec extends SparkSpec {
     assert(got.getDouble(2) === vals2.max)
   }
 
+  test("PLAIN FLBA pages sum decimal unscaled values; >64-bit refuses") {
+    // hand-built: three 3-byte big-endian values 1, -2, 300 (max_def 0)
+    def be3(v: Int): Array[Byte] =
+      Array[Byte]((v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val payload = be3(1) ++ be3(-2) ++ be3(300)
+    val got = PlainFlbaSum.compute(payload, 0, 3, 3)
+    assert(got != null)
+    assert(got.getLong(0) === 3L && got.getLong(1) === 299L)
+    // width mismatch with the region length is a malformation
+    assert(PlainFlbaSum.compute(payload, 0, 3, 4) == null)
+    assert(PlainFlbaSum.compute(payload, 0, 4, 3) == null)
+    // a genuinely >64-bit value refuses rather than wraps: 9 bytes with a
+    // non-sign-extension leading byte
+    val wide = Array[Byte](0x01, 0x80.toByte, 0, 0, 0, 0, 0, 0, 0)
+    assert(PlainFlbaSum.compute(wide, 0, 1, 9) == null)
+    // but pure sign-extension leading bytes still decode
+    val ext = Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 42)
+    val g2 = PlainFlbaSum.compute(ext, 0, 1, 9)
+    assert(g2 != null && g2.getLong(1) === 42L)
+
+    // real file: decimal(20,2) column (FLBA width 9) with nulls — data
+    // pages AND the dictionary page (max_def 0) decode to the data's sum
+    val dir = java.nio.file.Files.createTempDirectory("graft_flba").toString
+    spark.range(0, 5000)
+      .select(when(col("id") % 13 === 0, lit(null))
+        .otherwise((col("id") % 700).cast("decimal(20,2)")).as("price"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.enable.dictionary", "false")
+      .option("parquet.page.row.count.limit", "1000")
+      .option("compression", "none")
+      .parquet(dir)
+    val truth = spark.read.parquet(dir)
+      .agg(sum(col("price") * 100).cast("long"), count(col("price")))
+      .collect()(0)
+    spark.read.format("metadata").option("level", "page")
+      .option("pagecontent", "true").load(dir)
+      .createOrReplaceTempView("flba_pages")
+    val got2 = spark.sql(
+      """SELECT sum(fs.usum), sum(fs.n), count(*)
+        |FROM (SELECT plain_flba_sum(page_content, 1, num_values, 9) AS fs
+        |  FROM flba_pages WHERE page_type = 'DATA_PAGE')""".stripMargin)
+      .collect()(0)
+    assert(!got2.isNullAt(0), "FLBA page decode failed")
+    assert(got2.getLong(0) === truth.getLong(0), "unscaled sum")
+    assert(got2.getLong(1) === truth.getLong(1), "non-null count")
+    assert(got2.getLong(2) > 1, "fixture must span multiple pages")
+
+    // dictionary-encoded variant: the FLBA dictionary page is the same
+    // PLAIN layout with no level block. parquet-mr's v1 writer never
+    // dictionary-encodes FLBA — only the v2 writer does
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_flba_dict").toString
+    spark.range(0, 2000)
+      .select((col("id") % 23).cast("decimal(20,2)").as("price"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.writer.version", "PARQUET_2_0")
+      .option("compression", "none")
+      .parquet(dir2)
+    spark.read.format("metadata").option("level", "page")
+      .option("pagecontent", "true").load(dir2)
+      .createOrReplaceTempView("flba_dict_pages")
+    val dict = spark.sql(
+      """SELECT fs.n, fs.usum FROM (
+        |  SELECT plain_flba_sum(page_content, 0, num_values, 9) AS fs
+        |  FROM flba_dict_pages WHERE page_type = 'DICTIONARY_PAGE')""".stripMargin)
+      .collect()(0)
+    assert(!dict.isNullAt(0), "FLBA dictionary page decode failed")
+    assert(dict.getLong(0) === 23L, "dictionary cardinality")
+    assert(dict.getLong(1) === (0L until 23L).map(_ * 100).sum,
+      "dictionary unscaled sum")
+  }
+
   test("PLAIN double and float pages reconstruct count/min/max") {
     val d = java.nio.file.Files.createTempDirectory("graft_fp").toString
     spark.range(0, 5000)
