@@ -243,6 +243,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.PageValuesV2(args(0), args(1), args(2), args(3))
       }))
     ext.injectFunction((
+      FunctionIdentifier("plain_int96_stats"),
+      info(classOf[graft.functions.PlainInt96Stats], "plain_int96_stats"),
+      { args =>
+        if (args.length != 3) {
+          throw new IllegalArgumentException(
+            s"Function plain_int96_stats requires exactly 3 arguments, got ${args.length}")
+        }
+        graft.functions.PlainInt96Stats(args(0), args(1), args(2))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("plain_flba_sum"),
       info(classOf[graft.functions.PlainFlbaSum], "plain_flba_sum"),
       { args =>

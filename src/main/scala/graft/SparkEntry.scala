@@ -365,6 +365,57 @@ object SparkEntry {
           sum(col("num_values")).cast("long").as("n_values"))
     }),
 
+    // INT96 legacy-timestamp decode — the 12-byte nanos+julian layout
+    // pre-Spark-3 lakes are full of. Spark's own reader still consumes
+    // INT96 but its writer needs the legacy conf, so the fixture writes
+    // the events timestamps through outputTimestampType=INT96; per-page
+    // (n, min, max) as epoch micros roll up to DuckDB's native INT96
+    // read of the same file. Stats cannot oracle this (the format
+    // deprecates INT96 statistics and writers omit them) — the payload
+    // decode is the only audit path, which is exactly why it exists.
+    "meta_int96_values" -> ((s, dir) => {
+      val out = "/tmp/graft_int96vals_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val prev = s.conf.getOption("spark.sql.parquet.outputTimestampType")
+      s.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      try {
+        // the raw events ts infers as TIMESTAMP_NTZ (always INT64); only
+        // the LTZ timestamp type routes through the INT96 legacy layout
+        s.read.parquet(pq(dir, "events"))
+          .select(when(col("event_id") % 17 === 0, lit(null))
+            .otherwise(col("ts").cast("timestamp")).as("ts"))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("parquet.enable.dictionary", "false")
+          .option("parquet.page.row.count.limit", "2000")
+          .parquet(out)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.sql.parquet.outputTimestampType", v)
+          case None => s.conf.unset("spark.sql.parquet.outputTimestampType")
+        }
+      }
+      val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
+      val codecs = meta(s, out, "column")
+        .select(col("filepath"), col("row_group_id"), col("column_id"),
+          col("compression"), col("type"))
+      val joined = pages.join(codecs,
+          Seq("filepath", "row_group_id", "column_id"))
+        .filter(col("page_type") === "DATA_PAGE" && col("type") === "INT96")
+      val infl = ColumnBridge.column(graft.functions.PageInflate(
+        ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(col("compression")),
+        ColumnBridge.expression(col("page_uncompressed_size"))))
+      val i96 = ColumnBridge.column(graft.functions.PlainInt96Stats(
+        ColumnBridge.expression(infl),
+        ColumnBridge.expression(lit(1)),
+        ColumnBridge.expression(col("num_values"))))
+      joined.select(i96.as("st"))
+        .agg(sum(col("st.n")).cast("long").as("n_values"),
+          min(col("st.mn")).cast("long").as("min_micros"),
+          max(col("st.mx")).cast("long").as("max_micros"))
+    }),
+
     // FIXED_LEN_BYTE_ARRAY payload decode — the physical type Spark
     // writes for decimals with precision > 18 (here decimal(20,2) →
     // 9-byte big-endian unscaled values). Per-page (n, unscaled sum)
@@ -3944,6 +3995,12 @@ object SparkEntry {
         |  CAST(sum(id) AS BIGINT) AS value_sum,
         |  CAST(count(*) AS BIGINT) AS n_values
         |FROM read_parquet('/tmp/graft_deltavals_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_int96_values" ->
+      """SELECT CAST(count(ts) AS BIGINT) AS n_values,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS min_micros,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) AS max_micros
+        |FROM read_parquet('/tmp/graft_int96vals_sf0.01/*.parquet')""".stripMargin,
 
     "meta_flba_values" ->
       """SELECT CAST(count(price) AS BIGINT) AS n_values,

@@ -315,6 +315,96 @@ object PlainFlbaSum {
   }
 }
 
+/**
+ * Decode a PLAIN INT96 page payload — the LEGACY timestamp layout
+ * pre-Spark-3 writers produced (and Spark still emits under
+ * `spark.sql.parquet.outputTimestampType=INT96`): each value is 12
+ * bytes, a little-endian int64 of nanoseconds-within-day followed by a
+ * little-endian int32 Julian day number. Returns `struct(n, mn, mx)`
+ * with the extrema as MICROSECONDS since the Unix epoch (Julian day
+ * 2440588), the representation both Spark and DuckDB agree on — count
+ * and extrema are the exact, order-independent invariants (a sum of
+ * timestamps means nothing). INT96 column statistics are deprecated by
+ * the format (the byte order makes them unordered) and modern writers
+ * omit them, so the payload decode IS the only audit path for legacy
+ * lakes.
+ */
+@ExpressionDescription(
+  usage = "_FUNC_(bytes, max_def, num_values) - (n, mn, mx) of a PLAIN INT96 page as epoch micros, NULL if malformed.")
+case class PlainInt96Stats(
+    first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("mn", LongType, nullable = true),
+    StructField("mx", LongType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "plain_int96_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType | ArrayType(ByteType, _), IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int, int) arguments, got " +
+          s"(${a.simpleString(10)}, ${b.simpleString(10)}, ${c.simpleString(10)})")
+    }
+
+  override def nullSafeEval(bytes: Any, maxDef: Any, numValues: Any): Any =
+    PlainInt96Stats.compute(bytes, maxDef.asInstanceOf[Int],
+      numValues.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("i96")
+    nullSafeCodeGen(ctx, ev, (b, d, n) => s"""
+      InternalRow $tmp = graft.functions.PlainInt96Stats.compute($b, (int) $d, (int) $n);
+      if ($tmp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $tmp; }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PlainInt96Stats =
+    copy(first = f, second = s, third = t)
+}
+
+object PlainInt96Stats {
+  /** Julian day number of 1970-01-01. */
+  private val JulianEpochDay = 2440588L
+
+  /** One INT96 value at `off` → microseconds since the Unix epoch. */
+  private[functions] def epochMicrosAt(bytes: Array[Byte], off: Int): Long = {
+    var nanos = 0L
+    var i = 0
+    while (i < 8) { nanos |= (bytes(off + i) & 0xffL) << (8 * i); i += 1 }
+    var jd = 0
+    i = 0
+    while (i < 4) { jd |= (bytes(off + 8 + i) & 0xff) << (8 * i); i += 1 }
+    (jd - JulianEpochDay) * 86400000000L + nanos / 1000L
+  }
+
+  def compute(v: Any, maxDef: Int, numValues: Int): InternalRow = {
+    val bytes = DecodeBytes.of(v)
+    if (bytes == null || numValues < 0) return null
+    val region = DictIndexes.v1ValuesRegion(bytes, maxDef, numValues)
+    if (region == null) return null
+    val (pos, nonNull) = region
+    if (pos + nonNull.toLong * 12L > bytes.length) return null
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var i = 0
+    while (i < nonNull) {
+      val t = epochMicrosAt(bytes, pos + i * 12)
+      if (t < mn) mn = t
+      if (t > mx) mx = t
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nonNull.toLong,
+      if (nonNull == 0) null else mn, if (nonNull == 0) null else mx))
+  }
+}
+
 object BssFpStats {
   def compute(v: Any, maxDef: Int, numValues: Int, tpe: UTF8String): InternalRow = {
     val bytes = DecodeBytes.of(v)

@@ -205,6 +205,63 @@ class PhysicalDecodeSpec extends SparkSpec {
       "dictionary unscaled sum")
   }
 
+  test("PLAIN INT96 legacy timestamps decode to epoch-micro extrema") {
+    // hand-built: nanos-within-day little-endian int64 + julian day
+    // little-endian int32; julian 2440588 = 1970-01-01
+    def i96(julian: Int, nanos: Long): Array[Byte] =
+      (0 until 8).map(i => (nanos >> (8 * i)).toByte).toArray ++
+        (0 until 4).map(i => (julian >> (8 * i)).toByte)
+    val payload = i96(2440588, 1000L) ++ i96(2440589, 0L)
+    val got = PlainInt96Stats.compute(payload, 0, 2)
+    assert(got != null)
+    assert(got.getLong(0) === 2L)
+    assert(got.getLong(1) === 1L)            // 1 micro past epoch
+    assert(got.getLong(2) === 86400000000L)  // 1970-01-02 00:00:00
+    // truncated payload refuses
+    assert(PlainInt96Stats.compute(payload.take(23), 0, 2) == null)
+
+    // real file through Spark's legacy INT96 writer, nulls included;
+    // totals must equal what Spark's own reader returns
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    val dir = java.nio.file.Files.createTempDirectory("graft_i96").toString
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      spark.range(0, 5000)
+        .select(when(col("id") % 17 === 0, lit(null))
+          .otherwise(timestamp_micros(col("id") * 1000001L)).as("ts"))
+        .coalesce(1).write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.page.row.count.limit", "1200")
+        .option("compression", "none")
+        .parquet(dir)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
+    val truth = spark.read.parquet(dir)
+      .agg(count(col("ts")), unix_micros(min(col("ts"))),
+        unix_micros(max(col("ts")))).collect()(0)
+    spark.read.format("metadata").option("level", "page")
+      .option("pagecontent", "true").load(dir)
+      .createOrReplaceTempView("i96_pages")
+    // the fixture really is the legacy physical type
+    val tpe = spark.read.format("metadata").option("level", "column")
+      .load(dir).select(col("type")).collect()(0).getString(0)
+    assert(tpe === "INT96", s"fixture must be INT96, got $tpe")
+    val got2 = spark.sql(
+      """SELECT sum(st.n), min(st.mn), max(st.mx), count(*)
+        |FROM (SELECT plain_int96_stats(page_content, 1, num_values) AS st
+        |  FROM i96_pages WHERE page_type = 'DATA_PAGE')""".stripMargin)
+      .collect()(0)
+    assert(!got2.isNullAt(0), "INT96 page decode failed")
+    assert(got2.getLong(0) === truth.getLong(0), "non-null count")
+    assert(got2.getLong(1) === truth.getLong(1), "min epoch micros")
+    assert(got2.getLong(2) === truth.getLong(2), "max epoch micros")
+    assert(got2.getLong(3) > 1, "fixture must span multiple pages")
+  }
+
   test("PLAIN double and float pages reconstruct count/min/max") {
     val d = java.nio.file.Files.createTempDirectory("graft_fp").toString
     spark.range(0, 5000)
