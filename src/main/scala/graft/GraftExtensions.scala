@@ -243,6 +243,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.PageValuesV2(args(0), args(1), args(2), args(3))
       }))
     ext.injectFunction((
+      FunctionIdentifier("page_decode"),
+      info(classOf[graft.functions.PageDecodeExpr], "page_decode"),
+      { args =>
+        if (args.length != 12) {
+          throw new IllegalArgumentException(
+            s"Function page_decode requires exactly 12 arguments, got ${args.length}")
+        }
+        graft.functions.PageDecodeExpr(args)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("plain_int96_stats"),
       info(classOf[graft.functions.PlainInt96Stats], "plain_int96_stats"),
       { args =>

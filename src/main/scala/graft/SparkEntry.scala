@@ -365,6 +365,92 @@ object SparkEntry {
           sum(col("num_values")).cast("long").as("n_values"))
     }),
 
+    // THE unified decode entry point over a genuinely MIXED table: one
+    // directory holding a v1-written file (PLAIN int64 + dict-encoded
+    // strings + PLAIN fp) and a v2-written file (DELTA_BINARY_PACKED +
+    // RLE_DICTIONARY + PLAIN fp), every page of every column decoded
+    // through the single page_decode dispatcher — no per-encoding
+    // recipes. Per-column counts, the int column's exact sum across BOTH
+    // encodings, dictionary cardinalities, FP extrema, and the number of
+    // distinct decode routes all pinned against DuckDB over the same
+    // files.
+    "meta_values_any" -> ((s, dir) => {
+      val out = "/tmp/graft_valsany_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id").as("k"),
+          when(col("doc_id") % 19 === 0, lit(null))
+            .otherwise(col("lang")).as("lang"),
+          when(col("doc_id") % 23 === 0, lit(null))
+            .otherwise(col("n_chars").cast("double") * 1.5).as("price"))
+      def writeHalf(parity: Int, version: String, dest: String): Unit =
+        base.filter(col("k") % 2 === parity).coalesce(1)
+          .write.mode("overwrite")
+          .option("parquet.writer.version", version)
+          // per-column dictionary control: k and price stay
+          // value-encoded (v1 PLAIN / v2 DELTA+PLAIN); lang dictionary-
+          // encodes in both
+          .option("parquet.enable.dictionary#k", "false")
+          .option("parquet.enable.dictionary#price", "false")
+          .option("parquet.page.row.count.limit", "1000")
+          .parquet(dest)
+      writeHalf(0, "PARQUET_1_0", out + "_v1")
+      writeHalf(1, "PARQUET_2_0", out + "_v2")
+      // fuse the halves into one table directory with pinned file names
+      val outF = new java.io.File(out)
+      if (outF.exists()) outF.listFiles().foreach(_.delete())
+      outF.mkdirs()
+      for ((src, name) <- Seq(out + "_v1" -> "v1.parquet", out + "_v2" -> "v2.parquet")) {
+        val part = new java.io.File(src).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          new java.io.File(outF, name).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
+      val cols = meta(s, out, "column")
+        .select(col("filepath"), col("row_group_id"), col("column_id"),
+          col("path"), col("type"), col("compression"))
+      val joined = pages.join(cols,
+        Seq("filepath", "row_group_id", "column_id"))
+      // v2 data pages flag whether their values region is compressed at
+      // all; everything else (v1 pages, dictionary pages) uses the chunk
+      // codec for the whole payload
+      val codecEff = when(col("page_type") === "DATA_PAGE_V2" &&
+          !coalesce(col("values_compressed"), lit(true)),
+        lit("UNCOMPRESSED")).otherwise(col("compression"))
+      val pd = ColumnBridge.column(graft.functions.PageDecodeExpr(Seq(
+        ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(col("page_type")),
+        ColumnBridge.expression(col("encoding")),
+        ColumnBridge.expression(codecEff),
+        ColumnBridge.expression(col("page_uncompressed_size")),
+        ColumnBridge.expression(col("rep_levels_byte_length")),
+        ColumnBridge.expression(col("def_levels_byte_length")),
+        ColumnBridge.expression(lit(0)),
+        ColumnBridge.expression(lit(1)),
+        ColumnBridge.expression(col("num_values")),
+        ColumnBridge.expression(col("type")),
+        ColumnBridge.expression(lit(0)))))
+      val isData = col("page_type").startsWith("DATA_PAGE")
+      joined.select(col("path"), col("page_type"), pd.as("pd"))
+        .agg(
+          sum(when(col("path") === "k" && isData, col("pd.n")))
+            .cast("long").as("k_n"),
+          sum(when(col("path") === "k" && isData, col("pd.lsum")))
+            .cast("long").as("k_sum"),
+          sum(when(col("path") === "lang" && isData, col("pd.n")))
+            .cast("long").as("lang_n"),
+          sum(when(col("path") === "lang" &&
+              col("page_type") === "DICTIONARY_PAGE", col("pd.n")))
+            .cast("long").as("lang_dict"),
+          sum(when(col("path") === "price" && isData, col("pd.n")))
+            .cast("long").as("price_n"),
+          min(when(col("path") === "price", col("pd.dmn"))).as("price_mn"),
+          max(when(col("path") === "price", col("pd.dmx"))).as("price_mx"),
+          count_distinct(col("pd.kind")).cast("long").as("n_kinds"))
+    }),
+
     // INT96 legacy-timestamp decode — the 12-byte nanos+julian layout
     // pre-Spark-3 lakes are full of. Spark's own reader still consumes
     // INT96 but its writer needs the legacy conf, so the fixture writes
@@ -3995,6 +4081,21 @@ object SparkEntry {
         |  CAST(sum(id) AS BIGINT) AS value_sum,
         |  CAST(count(*) AS BIGINT) AS n_values
         |FROM read_parquet('/tmp/graft_deltavals_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_values_any" ->
+      """SELECT CAST(count(k) AS BIGINT) AS k_n,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(count(lang) AS BIGINT) AS lang_n,
+        |  CAST((SELECT count(DISTINCT lang)
+        |      FROM read_parquet('/tmp/graft_valsany_sf0.01/v1.parquet'))
+        |    + (SELECT count(DISTINCT lang)
+        |      FROM read_parquet('/tmp/graft_valsany_sf0.01/v2.parquet'))
+        |    AS BIGINT) AS lang_dict,
+        |  CAST(count(price) AS BIGINT) AS price_n,
+        |  min(price) AS price_mn,
+        |  max(price) AS price_mx,
+        |  CAST(5 AS BIGINT) AS n_kinds
+        |FROM read_parquet('/tmp/graft_valsany_sf0.01/*.parquet')""".stripMargin,
 
     "meta_int96_values" ->
       """SELECT CAST(count(ts) AS BIGINT) AS n_values,

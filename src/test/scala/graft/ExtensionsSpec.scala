@@ -120,6 +120,50 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT top_k_by_score(CAST(1.0 AS DOUBLE), 1L)").collect())
   }
 
+  test("page_decode and the level walks are callable from SQL") {
+    import org.apache.spark.sql.functions._
+    // one v1 file, two differently-encoded columns, decoded through the
+    // ONE dispatcher in pure SQL — kind strings prove the routing
+    val d = java.nio.file.Files.createTempDirectory("graft_pd_sql").toString
+    spark.range(0, 3000)
+      .select(col("id").as("k"), (col("id") % 7).cast("string").as("s"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.enable.dictionary#k", "false")
+      .option("compression", "none")
+      .parquet(d)
+    spark.read.format("metadata").option("level", "page")
+      .option("pagecontent", "true").load(d).createOrReplaceTempView("pd_pages")
+    spark.read.format("metadata").option("level", "column").load(d)
+      .createOrReplaceTempView("pd_cols")
+    // k comes from a non-null range → REQUIRED (max_def 0); the derived
+    // string is optional (max_def 1) — the caller supplies schema facts
+    val rows = spark.sql(
+      """SELECT t.path, t.page_type, t.pd.kind, t.pd.n, t.pd.lsum
+        |FROM (SELECT path, page_type, page_decode(page_content, page_type,
+        |    encoding, 'UNCOMPRESSED', page_uncompressed_size,
+        |    rep_levels_byte_length, def_levels_byte_length, 0,
+        |    CASE WHEN path = 'k' THEN 0 ELSE 1 END,
+        |    num_values, type, 0) AS pd
+        |  FROM pd_pages JOIN (SELECT filepath, row_group_id, column_id,
+        |      path, type FROM pd_cols) c
+        |    USING (filepath, row_group_id, column_id)) t
+        |""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    val byKind = rows.groupBy(_.getString(2))
+    assert(byKind.contains("PLAIN_INT64"), s"kinds: ${byKind.keys}")
+    assert(byKind.contains("DICT_IDX"))
+    assert(byKind.contains("DICT_STRINGS"))
+    // the PLAIN int column's page sums reconstruct the data exactly
+    val kSum = rows.filter(_.getString(2) == "PLAIN_INT64")
+      .map(_.getLong(4)).sum
+    assert(kSum === (0L until 3000L).sum)
+    // arity is validated
+    intercept[Exception](spark.sql("SELECT page_decode(X'00')").collect())
+    // page_levels / page_levels_v2 are SQL-registered too
+    intercept[Exception](spark.sql("SELECT page_levels(X'00')").collect())
+    intercept[Exception](spark.sql("SELECT page_levels_v2(X'00')").collect())
+  }
+
   test("zvalue2 and hamming64 composed trees work from SQL") {
     val r = spark.sql(
       "SELECT zvalue2(3L, 5L) AS z, hamming64(0L, 7L) AS h, hamming64(-1L, 0L) AS h2")
