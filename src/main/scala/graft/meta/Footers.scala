@@ -105,7 +105,16 @@ case class FooterInfo(
  */
 object Footers {
   private val MAGIC = Array[Byte]('P', 'A', 'R', '1')
+  // Parquet Modular Encryption, encrypted-footer mode: the file starts
+  // and ends with PARE and the footer thrift is ciphertext. CLASSIFY it
+  // (a dedicated exception with a clear message, skippable under
+  // `ignorecorrupt`) instead of surfacing an opaque thrift decode error.
+  private val MAGIC_ENCRYPTED = Array[Byte]('P', 'A', 'R', 'E')
   private val TAIL_LEN = 8 // 4-byte footer length + 4-byte magic
+
+  /** A structurally valid but ENCRYPTED parquet file — not corrupt, just
+    * unreadable without keys. */
+  final class EncryptedParquetException(msg: String) extends RuntimeException(msg)
 
   /** True if the file starts with the Parquet magic bytes. */
   def isParquet(fs: FileSystem, path: Path): Boolean = {
@@ -131,6 +140,12 @@ object Footers {
       val four = new Array[Byte](4)
       in.readFully(four)
       if (!java.util.Arrays.equals(four, MAGIC)) {
+        if (java.util.Arrays.equals(four, MAGIC_ENCRYPTED)) {
+          throw new EncryptedParquetException(
+            s"$path is an ENCRYPTED Parquet file (PARE magic, encrypted " +
+              "footer mode); its footer cannot be decoded without " +
+              "decryption keys. Use ignorecorrupt=true to skip it.")
+        }
         throw new RuntimeException(
           s"$path is invalid Parquet file, magic: ${java.util.Arrays.toString(four)}")
       }

@@ -129,7 +129,12 @@ class MetaPartitionReader(
 
   private def warnCorrupt(span: FileSpan, e: Exception): Unit = {
     if (skippedPaths.add(span.file.path)) {
-      logWarning(s"metadata scan skipping corrupt file ${span.file.path}: ${e.getMessage}")
+      // encrypted files are a CLASSIFICATION, not corruption — say so
+      val label = e match {
+        case _: Footers.EncryptedParquetException => "encrypted"
+        case _ => "corrupt"
+      }
+      logWarning(s"metadata scan skipping $label file ${span.file.path}: ${e.getMessage}")
     }
   }
   private var current: InternalRow = _

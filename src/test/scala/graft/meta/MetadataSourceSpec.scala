@@ -193,6 +193,32 @@ class MetadataSourceSpec extends SparkSpec {
     assert(meta(dir, "level" -> "file", "source" -> "file").count() === 2L)
   }
 
+  test("encrypted parquet (PARE magic) classifies, not a thrift error") {
+    val dir = Files.createTempDirectory("graft_encrypted").toString
+    spark.range(0, 10).coalesce(1).write.mode("overwrite").parquet(dir)
+    // synthetic encrypted-footer-mode file: PARE head + ciphertext + PARE
+    // tail (real encrypted footers are thrift ciphertext — any bytes do)
+    Files.write(java.nio.file.Paths.get(dir, "enc.parquet"),
+      ("PARE" + "x" * 64 + "   " + "PARE").getBytes("ISO-8859-1"))
+    // direct footer read: the dedicated classification, with a clear
+    // message, not an opaque thrift decode failure
+    val conf = spark.sessionState.newHadoopConf()
+    val e = intercept[Footers.EncryptedParquetException](
+      Footers.read(new org.apache.hadoop.fs.Path(dir, "enc.parquet"), conf))
+    assert(e.getMessage.contains("ENCRYPTED"))
+    assert(e.getMessage.contains("PARE"))
+    // strict scan: loud failure carrying the classification
+    val strict = meta(dir, "level" -> "rowgroup", "source" -> "parquet")
+    val scanErr = intercept[org.apache.spark.SparkException](strict.count())
+    assert(causeMessages(scanErr).contains("ENCRYPTED"))
+    // lenient scan: the encrypted file skips, the good file survives
+    val lenient = meta(dir, "level" -> "rowgroup", "source" -> "parquet",
+      "ignorecorrupt" -> "true")
+    assert(lenient.agg(sum("num_rows")).collect().head.getLong(0) === 10L)
+    // file level never decodes footers: the mixed directory lists fully
+    assert(meta(dir, "level" -> "file", "source" -> "file").count() === 2L)
+  }
+
   test("count and limit pushdowns decline under ignorecorrupt at the parquet-file level") {
     val dir = Files.createTempDirectory("graft_corrupt_count").toString
     spark.range(0, 10).coalesce(1).write.mode("overwrite").parquet(dir)

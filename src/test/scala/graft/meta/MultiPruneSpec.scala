@@ -129,4 +129,63 @@ class MultiPruneSpec extends SparkSpec {
     assert(pruned.inputFiles.length < 4, "bloom side of the conjunction pruned nothing")
     assert(pruned.filter(col("k") === 1234L).count() === 1L)
   }
+
+  /** Rows the real reader emitted for `df`, from the scan node's own
+    * numOutputRows metric after execution — page-index skipping happens
+    * inside the reader, so emitted rows ARE the touched-row ground truth
+    * (record-level filtering is off by default; the residual filter sits
+    * ABOVE the scan). */
+  private def scanEmittedRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scan in plan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("page-skip report is EXTERNALLY validated by Spark's own reader") {
+    val dir = Files.createTempDirectory("graft_skipvalid").toString
+    // pinned layout: sorted key, 1000-row pages, page indexes on (the
+    // parquet-mr default) — the reader's ColumnIndexFilter and our report
+    // read the same offset index, so their row accounting must agree
+    spark.range(0, 100000)
+      .select(col("id").as("k"), (col("id") % 97).as("v"))
+      .repartition(1).sortWithinPartitions("k")
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit", "1000")
+      .parquet(dir)
+    val (lo, hi) = (20000L, 23999L)
+    val rep = MetaPrune.pageSkipReport(spark, dir, "k", lo, hi).collect()
+    val predicted = rep.map(_.getAs[Long]("rows_covered")).sum
+    val total = rep.map(_.getAs[Long]("rows_total")).sum
+    assert(total === 100000L)
+    assert(predicted < total, "pinned layout must predict real skipping")
+    assert(predicted >= hi - lo + 1, "prediction cannot undercut the matches")
+    val emitted = scanEmittedRows(
+      spark.read.parquet(dir).filter(col("k") >= lo && col("k") <= hi)
+        .select(col("v")))
+    // the reader cannot touch fewer rows than match, and our report is an
+    // upper bound on what it touches
+    assert(emitted >= hi - lo + 1)
+    assert(emitted <= predicted,
+      s"reader touched $emitted rows but the report predicted only $predicted")
+    // on this pinned layout the bound is TIGHT: same index, same ranges
+    assert(emitted === predicted,
+      s"report ($predicted) and reader ($emitted) disagree on the pinned layout")
+
+    // conjunction: the multi-column report against the reader's own
+    // row-range intersection of both pushed predicates
+    val repM = MetaPrune.pageSkipReportMulti(spark, dir,
+      Seq(("k", lo, hi), ("v", 0L, 30L))).collect()
+    val predictedM = repM.map(_.getAs[Long]("rows_covered")).sum
+    assert(predictedM <= predicted, "adding a predicate cannot widen coverage")
+    val emittedM = scanEmittedRows(
+      spark.read.parquet(dir)
+        .filter(col("k") >= lo && col("k") <= hi &&
+          col("v") >= 0L && col("v") <= 30L)
+        .select(col("v")))
+    assert(emittedM <= predictedM,
+      s"reader touched $emittedM rows but the multi report predicted $predictedM")
+  }
 }
