@@ -1221,6 +1221,34 @@ object SparkEntry {
           coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"))
     }),
 
+    // DECIMAL (FLBA) bloom point lookup: decimal ids with precision > 18
+    // live as 9-byte big-endian unscaled values, and parquet hashes that
+    // exact fixed-width encoding — the finance-shaped selective lookup.
+    // Hash-scattered layout defeats min/max stats, so surviving files
+    // come from the bloom side (Sbbf.hashUnscaled, bit-pinned against
+    // parquet-mr in BloomFilterSpec) through written files end-to-end.
+    "bloom_prune_decimal" -> ((s, dir) => {
+      val out = "/tmp/graft_bloom_dec_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select((col("doc_id").cast("decimal(18,2)") +
+            lit(java.math.BigDecimal.valueOf(0.25)))
+          .cast("decimal(20,2)").as("k"), col("n_chars"), col("doc_id"))
+        .repartition(6, col("doc_id")).drop("doc_id")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", "50000")
+        .parquet(out)
+      val ids = Seq(202L, 4321L, 9876L)
+      val unscaled = ids.map(_ * 100 + 25) // decimal(20,2): value * 100
+      val probes = ids.map(i => java.math.BigDecimal.valueOf(i).add(
+        java.math.BigDecimal.valueOf(0.25)))
+      MetaPrune.readPrunedInDecimal(s, out, "k", unscaled, 9)
+        .filter(col("k").isin(probes: _*))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("chars_sum"))
+    }),
+
     // DOUBLE bloom point lookup: floating-point probes carry two hazards
     // integer ones do not — NaN bounds in stats (kept via an explicit
     // guard) and ±0.0 hashing as two distinct plain encodings (a zero
@@ -4267,6 +4295,12 @@ object SparkEntry {
         |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_sum
         |FROM read_parquet('/tmp/graft_bloom_int_sf0.01/*.parquet')
         |WHERE k IN (202, 4321, 9876)""".stripMargin,
+
+    "bloom_prune_decimal" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_sum
+        |FROM read_parquet('/tmp/graft_bloom_dec_sf0.01/*.parquet')
+        |WHERE k IN (202.25, 4321.25, 9876.25)""".stripMargin,
 
     "bloom_prune_double" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -167,6 +167,26 @@ object Sbbf {
   /** xxhash64 of a BYTE_ARRAY value (UTF-8 bytes for strings). */
   def hashBytes(v: Array[Byte]): Long = xx.hashBytes(v)
 
+  /** xxhash64 of a FIXED_LEN_BYTE_ARRAY decimal value: the unscaled
+    * value as `typeLen` BIG-endian two's complement bytes — exactly the
+    * fixed-width encoding the writer stores and hashes (point lookups on
+    * decimal ids are the finance-shaped bloom use case). `typeLen` past 8
+    * pads with sign extension; a value that would not fit `typeLen`
+    * bytes cannot have been written by a correct writer, so callers
+    * should size probes from the column's declared precision. */
+  def hashUnscaled(unscaled: Long, typeLen: Int): Long = {
+    require(typeLen > 0 && typeLen <= 64, s"implausible type_length $typeLen")
+    val b = new Array[Byte](typeLen)
+    val sign: Byte = if (unscaled < 0) -1 else 0
+    var i = 0
+    while (i < typeLen) {
+      b(typeLen - 1 - i) =
+        if (i < 8) ((unscaled >> (8 * i)) & 0xffL).toByte else sign
+      i += 1
+    }
+    xx.hashBytes(b)
+  }
+
   /** True when the bitset MAY contain the hashed value; false is certain
     * absence (the guarantee pruning relies on: no false negatives). */
   def mightContain(bitset: Array[Byte], hash: Long): Boolean = {

@@ -296,6 +296,18 @@ object MetaPrune {
       filesMayContainHash(spark, path, column, Sbbf.hashDouble(value), "DOUBLE")
     }
 
+  /** [[filesMayContainHash]] for a DECIMAL stored as
+    * FIXED_LEN_BYTE_ARRAY (precision > 18): probes the unscaled value's
+    * `typeLen` big-endian bytes, the exact fixed-width encoding the
+    * writer hashed. Same soundness guards as the other types — wrong
+    * physical type, missing filter, or unknown algorithm keeps the
+    * file. */
+  def filesMayContainDecimal(
+      spark: SparkSession, path: String, column: String,
+      unscaled: Long, typeLen: Int): Seq[String] =
+    filesMayContainHash(spark, path, column,
+      Sbbf.hashUnscaled(unscaled, typeLen), "FIXED_LEN_BYTE_ARRAY")
+
   /** [[filesMayContainDouble]] for a FLOAT column (4-byte plain hashing —
     * a different hash than the same value as DOUBLE). */
   def filesMayContainFloat(
@@ -412,6 +424,37 @@ object MetaPrune {
     val byStats = survivingFiles(spark, path, column,
       mn.isNull || mx.isNull || anyInRange).toSet
     val byBloom = filesMayContainAnyLong(spark, path, column, values).toSet
+    readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
+  }
+
+  /** [[filesMayContainAnyLong]] for DECIMAL/FLBA unscaled probes (see
+    * [[filesMayContainDecimal]] for the encoding contract). */
+  def filesMayContainAnyDecimal(
+      spark: SparkSession, path: String, column: String,
+      values: Seq[Long], typeLen: Int): Seq[String] =
+    filesMayContainAnyHash(spark, path, column,
+      values.map(Sbbf.hashUnscaled(_, typeLen)), "FIXED_LEN_BYTE_ARRAY")
+
+  /** [[readPrunedInLong]] for a DECIMAL column stored as
+    * FIXED_LEN_BYTE_ARRAY: stats decode through the big-endian unscaled
+    * window ([[graft.functions.PlainStatUnscaled]] — null for >64-bit
+    * values, which soundly keeps the file), blooms hash the fixed-width
+    * encoding. Hash-scattered decimal-id layouts — where every file's
+    * [min, max] spans every probe — prune on the bloom side, the
+    * finance-shaped selective-lookup case. */
+  def readPrunedInDecimal(
+      spark: SparkSession, path: String, column: String,
+      unscaled: Seq[Long], typeLen: Int): DataFrame = {
+    require(unscaled.nonEmpty, "empty probe set: nothing can match")
+    val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatUnscaled(
+      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val mn = decode(col("statistics.min_value"))
+    val mx = decode(col("statistics.max_value"))
+    val anyInRange = exists(typedLit(unscaled), v => mx >= v && mn <= v)
+    val byStats = survivingFiles(spark, path, column,
+      mn.isNull || mx.isNull || anyInRange).toSet
+    val byBloom =
+      filesMayContainAnyDecimal(spark, path, column, unscaled, typeLen).toSet
     readFiles(spark, path, byStats.intersect(byBloom).toSeq.sorted)
   }
 

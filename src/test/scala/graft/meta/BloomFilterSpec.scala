@@ -87,6 +87,49 @@ class BloomFilterSpec extends SparkSpec {
     // exactly why the zero-probe expansion in MetaPrune exists
     assert(Sbbf.hashDouble(0.0d) !== Sbbf.hashDouble(-0.0d))
     assert(Sbbf.hashFloat(0.0f) !== Sbbf.hashFloat(-0.0f))
+    // DECIMAL/FLBA: the unscaled value's fixed-width big-endian bytes
+    // hash exactly like parquet-mr's Binary hashing of the same encoding
+    for (typeLen <- Seq(9, 16);
+        v <- Seq(0L, 1L, -1L, 20225L, Long.MaxValue, Long.MinValue)) {
+      val be = new Array[Byte](typeLen)
+      val sign: Byte = if (v < 0) -1 else 0
+      java.util.Arrays.fill(be, sign)
+      for (i <- 0 until 8) be(typeLen - 1 - i) = ((v >> (8 * i)) & 0xffL).toByte
+      assert(Sbbf.hashUnscaled(v, typeLen) ===
+        filter.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(be)),
+        s"FLBA hash parity on $v width $typeLen")
+    }
+  }
+
+  test("decimal (FLBA) blooms prune hash-scattered files end-to-end") {
+    import org.apache.spark.sql.functions._
+    val d = Files.createTempDirectory("graft_bloom_dec").toString
+    spark.range(0, 20000)
+      .select((col("id").cast("decimal(18,2)") +
+          lit(java.math.BigDecimal.valueOf(0.25)))
+        .cast("decimal(20,2)").as("k"), col("id"))
+      .repartition(6, col("id")).drop("id")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "20000")
+      .parquet(d)
+    val all = spark.read.parquet(d).inputFiles.length
+    assert(all === 6)
+    // a present value keeps its file(s); an absent one prunes hard (the
+    // hash-scattered layout makes min/max useless — blooms do the work)
+    val present = MetaPrune.filesMayContainDecimal(spark, d, "k", 123L * 100 + 25, 9)
+    assert(present.nonEmpty)
+    val absent = MetaPrune.filesMayContainDecimal(spark, d, "k", 999999L * 100 + 25, 9)
+    assert(absent.length < all, "bloom pruned nothing for an absent decimal")
+    // end-to-end: the pruned read still returns exactly the matching rows
+    val got = MetaPrune.readPrunedInDecimal(spark, d, "k",
+        Seq(123L * 100 + 25, 4567L * 100 + 25), 9)
+      .filter(col("k").isin(java.math.BigDecimal.valueOf(123.25),
+        java.math.BigDecimal.valueOf(4567.25)))
+      .count()
+    assert(got === 2L)
+    assert(MetaPrune.readPrunedInDecimal(spark, d, "k",
+      Seq(999999L * 100 + 25), 9).inputFiles.length < all)
   }
 
   /** INT32 sibling of the INT64 fixture: same hash-scatter, id as INT32
