@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.meta.{FooterEdit, MetaPrune}
+import graft.meta.{FooterEdit, MetaPrune, MetaValues}
 import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, MediaRecord, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, SubstrSearch, TemporalJoin, TextOps}
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -449,6 +449,56 @@ object SparkEntry {
           min(when(col("path") === "price", col("pd.dmn"))).as("price_mn"),
           max(when(col("path") === "price", col("pd.dmx"))).as("price_mx"),
           count_distinct(col("pd.kind")).cast("long").as("n_kinds"))
+    }),
+
+    // ZERO-KNOWLEDGE whole-table decode: MetaValues.decodePages derives
+    // every schema fact (max rep/def levels, physical types, FLBA
+    // widths) from each file's OWN footer schema string via parquet's
+    // MessageTypeParser — the caller supplies only the path. One fixture,
+    // five shapes (PLAIN int64, dict strings, FLBA decimal, NESTED
+    // array<long>, PLAIN fp), every per-column invariant recomputed by
+    // DuckDB from the data alone.
+    "meta_decode_table" -> ((s, dir) => {
+      val out = "/tmp/graft_decodetable_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id").as("k"),
+          col("lang").as("s"),
+          when(col("doc_id") % 23 === 0, lit(null))
+            .otherwise(col("n_chars").cast("decimal(20,2)")).as("price"),
+          when(col("doc_id") % 11 === 0, lit(null))
+            .otherwise(transform(sequence(lit(0L), col("doc_id") % 5),
+              i => col("doc_id") * 31L + i)).as("vals"),
+          when(col("doc_id") % 13 === 0, lit(null))
+            .otherwise(col("n_chars").cast("double") * 0.5).as("p"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary#k", "false")
+        .option("parquet.enable.dictionary#vals.list.element", "false")
+        .option("parquet.enable.dictionary#p", "false")
+        .option("parquet.page.row.count.limit", "1500")
+        .parquet(out)
+      MetaValues.decodePages(s, out)
+        .filter(col("page_type").startsWith("DATA_PAGE"))
+        .agg(
+          sum(when(col("path") === "k", col("decoded.n")))
+            .cast("long").as("k_n"),
+          sum(when(col("path") === "k", col("decoded.lsum")))
+            .cast("long").as("k_sum"),
+          sum(when(col("path") === "s", col("decoded.n")))
+            .cast("long").as("s_n"),
+          sum(when(col("path") === "price", col("decoded.n")))
+            .cast("long").as("price_n"),
+          sum(when(col("path") === "price", col("decoded.lsum")))
+            .cast("long").as("price_usum"),
+          sum(when(col("path") === "vals.list.element", col("decoded.n")))
+            .cast("long").as("vals_elems"),
+          sum(when(col("path") === "vals.list.element", col("decoded.lsum")))
+            .cast("long").as("vals_sum"),
+          sum(when(col("path") === "p", col("decoded.n")))
+            .cast("long").as("p_n"),
+          min(when(col("path") === "p", col("decoded.dmn"))).as("p_mn"),
+          max(when(col("path") === "p", col("decoded.dmx"))).as("p_mx"))
     }),
 
     // INT96 legacy-timestamp decode — the 12-byte nanos+julian layout
@@ -4124,6 +4174,19 @@ object SparkEntry {
         |  max(price) AS price_mx,
         |  CAST(5 AS BIGINT) AS n_kinds
         |FROM read_parquet('/tmp/graft_valsany_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_decode_table" ->
+      """SELECT CAST(count(k) AS BIGINT) AS k_n,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(count(s) AS BIGINT) AS s_n,
+        |  CAST(count(price) AS BIGINT) AS price_n,
+        |  CAST(coalesce(sum(price * 100), 0) AS BIGINT) AS price_usum,
+        |  CAST(coalesce(sum(len(vals)), 0) AS BIGINT) AS vals_elems,
+        |  CAST(coalesce(sum(list_sum(vals)), 0) AS BIGINT) AS vals_sum,
+        |  CAST(count(p) AS BIGINT) AS p_n,
+        |  min(p) AS p_mn,
+        |  max(p) AS p_mx
+        |FROM read_parquet('/tmp/graft_decodetable_sf0.01/*.parquet')""".stripMargin,
 
     "meta_int96_values" ->
       """SELECT CAST(count(ts) AS BIGINT) AS n_values,

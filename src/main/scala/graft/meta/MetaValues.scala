@@ -1,0 +1,117 @@
+package graft.meta
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/**
+ * ZERO-KNOWLEDGE whole-table page decode: `decodePages(spark, path)`
+ * returns one row per page with the unified
+ * [[graft.functions.PageDecodeExpr]] result attached — WITHOUT the
+ * caller supplying any schema facts. The facts the dispatcher needs
+ * (max repetition/definition level per leaf, physical type, FLBA type
+ * length) are derived from the footer's own schema string through
+ * parquet's `MessageTypeParser` → `ColumnDescriptor`, the same
+ * computation parquet-mr's reader performs — per FILE, executor-side,
+ * so schema drift across a directory resolves per file instead of
+ * assuming one global schema.
+ *
+ * This is the last step from "decode recipe book" to API: the
+ * `meta_*_values` queries hand-compose (encoding × type) expressions
+ * with literal level facts; `decodePages` needs only the path.
+ * Everything stays a declarative plan — three metadata scans (file,
+ * column, page levels) joined on their natural keys, the facts
+ * derivation a typed `flatMap` over the (filepath, schema) pairs
+ * (metadata-scale: one row per file), and the dispatch a single codegen
+ * expression. No driver-side collection anywhere; at a million files
+ * the facts side is still a broadcast-sized DataFrame.
+ */
+object MetaValues {
+
+  /** Schema facts for every LEAF column of a parquet schema string (the
+    * `schema` field the parquet-file level surfaces): dot-joined path,
+    * max repetition level, max definition level, physical type named as
+    * the Thrift enum (BYTE_ARRAY, not parquet-mr's BINARY), and the
+    * FLBA type length (0 otherwise). Malformed schema strings yield an
+    * empty list — their files' pages stay undecoded (null result), the
+    * same refusal contract as the dispatcher itself. */
+  def schemaFacts(schema: String): Seq[(String, Int, Int, String, Int)] = {
+    if (schema == null) return Seq.empty
+    try {
+      val mt = org.apache.parquet.schema.MessageTypeParser.parseMessageType(schema)
+      import scala.jdk.CollectionConverters._
+      mt.getColumns.asScala.toSeq.map { cd =>
+        val pt = cd.getPrimitiveType
+        val name = pt.getPrimitiveTypeName.name() match {
+          case "BINARY" => "BYTE_ARRAY" // thrift enum name, as the column level renders it
+          case other => other
+        }
+        val typeLen =
+          if (name == "FIXED_LEN_BYTE_ARRAY") pt.getTypeLength else 0
+        (cd.getPath.mkString("."), cd.getMaxRepetitionLevel,
+          cd.getMaxDefinitionLevel, name, typeLen)
+      }
+    } catch {
+      case _: Exception => Seq.empty
+    }
+  }
+
+  /** One row per (file, leaf column) of schema facts, derived from each
+    * file's OWN footer schema (executor-side; resilient to schema drift
+    * across the directory). */
+  def schemaFactsDf(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    // level "file" over a parquet source IS the parquet-file level (the
+    // one carrying the footer `schema` string)
+    spark.read.format("metadata")
+      .option("level", "file").option("source", "parquet").load(path)
+      .select(col("filepath"), col("schema"))
+      .as[(String, String)]
+      .flatMap { case (fp, schema) =>
+        schemaFacts(schema).map { case (p, mr, md, t, tl) => (fp, p, mr, md, tl) }
+      }
+      .toDF("filepath", "path", "max_rep", "max_def", "type_len")
+  }
+
+  /**
+   * Every page of every column of `path`, decoded: the page level's rows
+   * plus `path`, `type`, and a `decoded` struct
+   * `(kind, n, lsum, lmn, lmx, dmn, dmx)` (see
+   * [[graft.functions.PageDecode]]). `decoded` is null exactly where the
+   * dispatcher refuses — malformed payloads, unroutable combinations,
+   * or a file whose schema failed to parse.
+   */
+  def decodePages(spark: SparkSession, path: String): DataFrame = {
+    val pages = spark.read.format("metadata").option("level", "page")
+      .option("pagecontent", "true").load(path)
+    val cols = spark.read.format("metadata").option("level", "column").load(path)
+      .select(col("filepath"), col("row_group_id"), col("column_id"),
+        col("path"), col("type"), col("compression"))
+    val facts = schemaFactsDf(spark, path)
+    // v2 data pages flag whether their values region is compressed at
+    // all; v1 and dictionary pages compress the whole payload with the
+    // chunk codec
+    val codecEff = when(col("page_type") === "DATA_PAGE_V2" &&
+        !coalesce(col("values_compressed"), lit(true)),
+      lit("UNCOMPRESSED")).otherwise(col("compression"))
+    val joined = pages
+      .join(cols, Seq("filepath", "row_group_id", "column_id"))
+      .join(facts, Seq("filepath", "path"), "left")
+    val pd = ColumnBridge.column(graft.functions.PageDecodeExpr(Seq(
+      ColumnBridge.expression(col("page_content")),
+      ColumnBridge.expression(col("page_type")),
+      ColumnBridge.expression(col("encoding")),
+      ColumnBridge.expression(codecEff),
+      ColumnBridge.expression(col("page_uncompressed_size")),
+      ColumnBridge.expression(col("rep_levels_byte_length")),
+      ColumnBridge.expression(col("def_levels_byte_length")),
+      ColumnBridge.expression(col("max_rep")),
+      ColumnBridge.expression(col("max_def")),
+      ColumnBridge.expression(col("num_values")),
+      ColumnBridge.expression(col("type")),
+      ColumnBridge.expression(col("type_len")))))
+    joined.select(col("filepath"), col("row_group_id"), col("column_id"),
+      col("path"), col("type"), col("page_id"), col("page_type"),
+      col("encoding"), col("num_values"), pd.as("decoded"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Zero-knowledge whole-table page decode: schema facts derive from the
+ * footer's own schema string (parquet's MessageTypeParser — the same
+ * levels the writer used), and decodePages reconstructs a mixed table's
+ * per-column invariants with NO caller-supplied schema knowledge.
+ */
+class MetaValuesSpec extends SparkSpec {
+
+  test("schemaFacts derives levels, physical types and FLBA widths") {
+    val schema =
+      """message spark_schema {
+        |  required int64 k;
+        |  optional binary s (STRING);
+        |  optional fixed_len_byte_array(9) price (DECIMAL(20,2));
+        |  optional group vals (LIST) {
+        |    repeated group list {
+        |      optional int64 element;
+        |    }
+        |  }
+        |  optional int96 ts;
+        |}""".stripMargin
+    val facts = MetaValues.schemaFacts(schema).map(f => f._1 -> f).toMap
+    assert(facts("k") === ("k", 0, 0, "INT64", 0))
+    assert(facts("s") === ("s", 0, 1, "BYTE_ARRAY", 0)) // thrift name, not BINARY
+    assert(facts("price") === ("price", 0, 1, "FIXED_LEN_BYTE_ARRAY", 9))
+    assert(facts("vals.list.element") === ("vals.list.element", 1, 3, "INT64", 0))
+    assert(facts("ts") === ("ts", 0, 1, "INT96", 0))
+    // malformed schema refuses into emptiness, not an exception
+    assert(MetaValues.schemaFacts("message {").isEmpty)
+    assert(MetaValues.schemaFacts(null).isEmpty)
+  }
+
+  test("decodePages reconstructs a mixed table with zero schema input") {
+    val d = Files.createTempDirectory("graft_metavalues").toString
+    // one write, five shapes: required int64 (PLAIN via per-column dict
+    // off), dict strings, FLBA decimal, nested array<long>, nullable fp
+    spark.range(0, 6000)
+      .select(col("id").as("k"),
+        (col("id") % 7).cast("string").as("s"),
+        when(col("id") % 23 === 0, lit(null))
+          .otherwise((col("id") % 997).cast("decimal(20,2)")).as("price"),
+        when(col("id") % 11 === 0, lit(null))
+          .otherwise(transform(sequence(lit(0L), col("id") % 5),
+            i => col("id") * 31L + i)).as("vals"),
+        when(col("id") % 13 === 0, lit(null))
+          .otherwise((col("id") * 0.5).cast("double")).as("p"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.enable.dictionary#k", "false")
+      .option("parquet.enable.dictionary#vals.list.element", "false")
+      .option("parquet.page.row.count.limit", "1500")
+      .parquet(d)
+
+    val decoded = MetaValues.decodePages(spark, d).cache()
+    val dataPages = decoded.filter(col("page_type").startsWith("DATA_PAGE"))
+
+    // every data page of every column decodes — no refusals anywhere
+    assert(decoded.count() > 0)
+    assert(dataPages.filter(col("decoded").isNull).count() === 0,
+      "zero-knowledge decode refused a page")
+
+    val truth = spark.read.parquet(d).agg(
+      count(col("k")), sum(col("k")),
+      count(col("s")),
+      count(col("price")), sum(col("price") * 100).cast("long"),
+      sum(size(col("vals"))), sum(aggregate(col("vals"), lit(0L), _ + _)),
+      count(col("p")), min(col("p")), max(col("p"))).collect()(0)
+
+    def agg2(path: String, c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+      dataPages.filter(col("path") === path).agg(c).collect()(0)
+
+    // per-column invariants equal the data, schema facts all derived
+    assert(agg2("k", sum(col("decoded.n"))).getLong(0) === truth.getLong(0))
+    assert(agg2("k", sum(col("decoded.lsum"))).getLong(0) === truth.getLong(1))
+    assert(agg2("s", sum(col("decoded.n"))).getLong(0) === truth.getLong(2))
+    assert(agg2("price", sum(col("decoded.n"))).getLong(0) === truth.getLong(3))
+    assert(agg2("price", sum(col("decoded.lsum"))).getLong(0) === truth.getLong(4))
+    // nested: n is the NON-NULL element count == total elements here
+    assert(agg2("vals.list.element", sum(col("decoded.n"))).getLong(0) ===
+      truth.getLong(5))
+    assert(agg2("vals.list.element", sum(col("decoded.lsum"))).getLong(0) ===
+      truth.getLong(6))
+    assert(agg2("p", sum(col("decoded.n"))).getLong(0) === truth.getLong(7))
+    assert(agg2("p", min(col("decoded.dmn"))).getDouble(0) === truth.getDouble(8))
+    assert(agg2("p", max(col("decoded.dmx"))).getDouble(0) === truth.getDouble(9))
+
+    // the routes actually taken span the matrix
+    val kinds = dataPages.select(col("decoded.kind")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds.contains("PLAIN_INT64"))
+    assert(kinds.contains("DICT_IDX"))
+    assert(kinds.contains("PLAIN_FLBA"))
+    assert(kinds.contains("PLAIN_FP"))
+    decoded.unpersist()
+  }
+
+  test("schema drift across files resolves per file") {
+    val d = Files.createTempDirectory("graft_metavalues_drift").toString
+    // two files, DIFFERENT schemas in one directory
+    spark.range(0, 1000).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.enable.dictionary", "false").parquet(d + "_a")
+    spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") % 3).cast("string").as("s"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.enable.dictionary#k", "false").parquet(d + "_b")
+    new java.io.File(d).mkdirs()
+    for ((src, name) <- Seq(d + "_a" -> "a.parquet", d + "_b" -> "b.parquet")) {
+      val part = new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(d, name).toPath)
+    }
+    val decoded = MetaValues.decodePages(spark, d)
+      .filter(col("page_type").startsWith("DATA_PAGE"))
+    // both files' k columns decode under their own schemas
+    val kSum = decoded.filter(col("path") === "k")
+      .agg(sum(col("decoded.lsum"))).collect()(0).getLong(0)
+    assert(kSum === 2L * (0L until 1000L).sum)
+    assert(decoded.filter(col("decoded").isNull).count() === 0)
+  }
+}
