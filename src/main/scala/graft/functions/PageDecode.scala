@@ -131,6 +131,7 @@ object PageDecode {
   private val DELTA_BYTE_ARRAY = UTF8String.fromString("DELTA_BYTE_ARRAY")
   private val DELTA_LENGTH_BYTE_ARRAY = UTF8String.fromString("DELTA_LENGTH_BYTE_ARRAY")
   private val BYTE_STREAM_SPLIT = UTF8String.fromString("BYTE_STREAM_SPLIT")
+  private val RLE = UTF8String.fromString("RLE")
   private val BOOLEAN = UTF8String.fromString("BOOLEAN")
   private val INT32 = UTF8String.fromString("INT32")
   private val INT64 = UTF8String.fromString("INT64")
@@ -256,6 +257,11 @@ object PageDecode {
         decodeValues(region, physType, nn.toInt, typeLen, bss = false, "PLAIN_")
       } else if (encoding.equals(BYTE_STREAM_SPLIT)) {
         decodeValues(region, physType, nn.toInt, typeLen, bss = true, "")
+      } else if (encoding.equals(RLE) && physType.equals(BOOLEAN)) {
+        // RLE-encoded booleans (u32-length-prefixed hybrid runs)
+        val c = BoolTrueCount.compute(region, 0, nn.toInt, encoding)
+        if (c == null) return null
+        row("RLE_BOOL", nn, c)
       } else null
     } else if (pageType.equals(DATA_PAGE_V2)) {
       val walk = LevelWalk.walkV2(bytes, repLen, defLen, maxRep, maxDef, numValues)
@@ -283,6 +289,12 @@ object PageDecode {
         decodeValues(region, physType, nn.toInt, typeLen, bss = false, "PLAIN_")
       } else if (encoding.equals(BYTE_STREAM_SPLIT)) {
         decodeValues(region, physType, nn.toInt, typeLen, bss = true, "")
+      } else if (encoding.equals(RLE) && physType.equals(BOOLEAN)) {
+        // the v2 writer's boolean encoding: u32-length-prefixed hybrid
+        // runs in the (extracted) values region
+        val c = BoolTrueCount.compute(region, 0, nn.toInt, encoding)
+        if (c == null) return null
+        row("RLE_BOOL", nn, c)
       } else null
     } else null
   }

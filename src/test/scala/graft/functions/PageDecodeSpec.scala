@@ -43,6 +43,44 @@ class PageDecodeSpec extends SparkSpec {
       u("INT64"), null) == null)
   }
 
+  test("INT32 and v2 RLE-boolean routes decode through the dispatcher") {
+    // PLAIN INT32, required column: 4-byte LE values, signed sum
+    val i32 = Seq(7, -3, 1000).flatMap(v =>
+      (0 until 4).map(k => (v >> (8 * k)).toByte)).toArray
+    val got = PageDecode.compute(i32, u("DATA_PAGE"), u("PLAIN"),
+      u("UNCOMPRESSED"), i(i32.length), null, null, i(0), i(0), i(3),
+      u("INT32"), null)
+    assert(got != null && got.getUTF8String(0).toString === "PLAIN_INT32")
+    assert(got.getLong(1) === 3L && got.getLong(2) === 1004L)
+
+    // real v2 file with a boolean column: the v2 writer RLE-encodes it
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pd_bool").toString
+    spark.range(0, 4000)
+      .select(when(col("id") % 7 === 0, lit(null))
+        .otherwise(col("id") % 3 === 0).as("b"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.writer.version", "PARQUET_2_0")
+      .option("compression", "none")
+      .parquet(dir)
+    spark.read.format("metadata").option("level", "page")
+      .option("pagecontent", "true").load(dir).createOrReplaceTempView("pdb")
+    val r = spark.sql(
+      """SELECT t.pd.kind, t.pd.n, t.pd.lsum
+        |FROM (SELECT page_decode(page_content, page_type, encoding,
+        |    'UNCOMPRESSED', page_uncompressed_size, rep_levels_byte_length,
+        |    def_levels_byte_length, 0, 1, num_values, 'BOOLEAN', 0) AS pd
+        |  FROM pdb WHERE page_type = 'DATA_PAGE_V2') t""".stripMargin)
+      .collect()
+    assert(r.nonEmpty && !r(0).isNullAt(0), "v2 RLE boolean refused")
+    assert(r.map(_.getString(0)).toSet === Set("RLE_BOOL"))
+    val truth = spark.read.parquet(dir)
+      .agg(count(col("b")), sum(when(col("b"), 1L).otherwise(0L)))
+      .collect()(0)
+    assert(r.map(_.getLong(1)).sum === truth.getLong(0), "non-null count")
+    assert(r.map(_.getLong(2)).sum === truth.getLong(1), "TRUE count")
+  }
+
   test("interpreted eval agrees with the codegen path") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_pd_parity").toString
