@@ -451,6 +451,35 @@ object SparkEntry {
           count_distinct(col("pd.kind")).cast("long").as("n_kinds"))
     }),
 
+    // TOKEN ACCOUNTING AT FOOTER COST: how many documents, list slots,
+    // and non-null tokens a nested array<long> corpus holds — from the
+    // footer's SizeStatistics level histograms joined with footer-derived
+    // schema facts. ZERO page I/O (the page-walk equivalent reads every
+    // data page; at 100 TB that difference IS the feature). DuckDB
+    // recomputes every count from the data itself.
+    "meta_token_accounting" -> ((s, dir) => {
+      val out = "/tmp/graft_tokacct_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, lit(null))
+            .when(col("doc_id") % 11 === 1, array().cast("array<long>"))
+            .otherwise(transform(sequence(lit(0L), col("doc_id") % 7),
+              i => when((col("doc_id") + i) % 13 === 0, lit(null))
+                .otherwise(col("doc_id") * 31L + i))).as("tokens"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", "131072")
+        .parquet(out)
+      MetaValues.leafAccounting(s, out)
+        .filter(col("path") === "tokens.list.element")
+        .agg(sum(col("n_records")).cast("long").as("n_rows"),
+          sum(element_at(col("definition_level_histogram"), 3) +
+            element_at(col("definition_level_histogram"), 4))
+            .cast("long").as("n_slots"),
+          sum(col("n_leaf_values")).cast("long").as("n_tokens"))
+    }),
+
     // ZERO-KNOWLEDGE whole-table decode: MetaValues.decodePages derives
     // every schema fact (max rep/def levels, physical types, FLBA
     // widths) from each file's OWN footer schema string via parquet's
@@ -4174,6 +4203,13 @@ object SparkEntry {
         |  max(price) AS price_mx,
         |  CAST(5 AS BIGINT) AS n_kinds
         |FROM read_parquet('/tmp/graft_valsany_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_token_accounting" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(len(tokens)), 0) AS BIGINT) AS n_slots,
+        |  CAST(coalesce(sum(len(list_filter(tokens, x -> x IS NOT NULL))), 0)
+        |    AS BIGINT) AS n_tokens
+        |FROM read_parquet('/tmp/graft_tokacct_sf0.01/*.parquet')""".stripMargin,
 
     "meta_decode_table" ->
       """SELECT CAST(count(k) AS BIGINT) AS k_n,

@@ -74,6 +74,46 @@ object MetaValues {
   }
 
   /**
+   * TOKEN ACCOUNTING AT FOOTER COST: per (file, leaf column) element
+   * counts for nested columns — records, total entries, and non-null
+   * leaf values — from the footer's SizeStatistics level histograms
+   * (parquet-format 2.10; written by default since parquet-mr 1.16)
+   * joined with the footer-derived schema facts. ZERO page I/O: for a
+   * 100 TB corpus of `array<long>` token columns this answers "how many
+   * tokens, how many per file" from footers alone, where the page-walk
+   * equivalent ([[decodePages]]) would read every data page. Chunks
+   * written without size statistics surface null counts ("no evidence"),
+   * never zeros — callers fall back to the page walk for those files.
+   *
+   * Columns: `filepath, path, max_rep, max_def, n_entries` (all level
+   * pairs incl. nulls), `n_records` (repetition-0 count; = entries for
+   * flat columns), `n_leaf_values` (entries at the maximum definition
+   * level — the non-null leaves), and the raw
+   * `definition_level_histogram` for shape-specific composition (e.g.
+   * list SLOTS for Spark's 3-level optional-element lists are
+   * `hist[2] + hist[3]`).
+   */
+  def leafAccounting(spark: SparkSession, path: String): DataFrame = {
+    val ss = spark.read.format("metadata").option("level", "sizestats").load(path)
+    val facts = schemaFactsDf(spark, path)
+    ss.join(facts, Seq("filepath", "path"))
+      .select(col("filepath"), col("path"), col("max_rep"), col("max_def"),
+        col("num_values").as("n_entries"),
+        when(col("max_rep") > 0,
+          element_at(col("repetition_level_histogram"), 1))
+          .otherwise(col("num_values")).as("n_records"),
+        // a REQUIRED flat column (max_def 0) cannot hold nulls, so its
+        // leaf count is num_values even when the writer omits the
+        // (trivial) histogram; otherwise a missing histogram is missing
+        // evidence and stays null
+        when(col("max_def") === 0, col("num_values"))
+          .otherwise(
+            element_at(col("definition_level_histogram"), col("max_def") + 1))
+          .as("n_leaf_values"),
+        col("definition_level_histogram"))
+  }
+
+  /**
    * Every page of every column of `path`, decoded: the page level's rows
    * plus `path`, `type`, and a `decoded` struct
    * `(kind, n, lsum, lmn, lmx, dmn, dmx)` (see

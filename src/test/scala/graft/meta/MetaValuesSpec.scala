@@ -101,6 +101,42 @@ class MetaValuesSpec extends SparkSpec {
     decoded.unpersist()
   }
 
+  test("leafAccounting counts tokens from footers alone") {
+    val d = Files.createTempDirectory("graft_leafacct").toString
+    spark.range(0, 5000)
+      .select(col("id").as("k"),
+        when(col("id") % 9 === 0, lit(null))
+          .otherwise(transform(sequence(lit(0L), col("id") % 6),
+            i => when((col("id") + i) % 10 === 0, lit(null))
+              .otherwise(col("id") + i))).as("tokens"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", "131072")
+      .parquet(d)
+    val acc = MetaValues.leafAccounting(spark, d).cache()
+    // flat required column: records == entries == leaf values
+    val flat = acc.filter(col("path") === "k")
+      .agg(sum(col("n_entries")), sum(col("n_records")),
+        sum(col("n_leaf_values"))).collect()(0)
+    assert(flat.getLong(0) === 5000L)
+    assert(flat.getLong(1) === 5000L && flat.getLong(2) === 5000L)
+    // nested leaf: every count equals the data, no page was ever read
+    val truth = spark.read.parquet(d)
+      .agg(count(lit(1)),
+        coalesce(sum(size(filter(col("tokens"), _.isNotNull))), lit(0L)),
+        coalesce(sum(size(col("tokens"))), lit(0L))).collect()(0)
+    val nested = acc.filter(col("path") === "tokens.list.element")
+      .agg(sum(col("n_records")), sum(col("n_leaf_values")),
+        sum(element_at(col("definition_level_histogram"), 3) +
+          element_at(col("definition_level_histogram"), 4))).collect()(0)
+    assert(nested.getLong(0) === truth.getLong(0), "records")
+    assert(nested.getLong(1) === truth.getLong(1), "non-null tokens")
+    assert(nested.getLong(2) === truth.getLong(2), "list slots")
+    // multiple row groups so per-chunk histograms actually aggregate
+    assert(acc.filter(col("path") === "k").count() > 1,
+      "fixture must span multiple row groups")
+    acc.unpersist()
+  }
+
   test("schema drift across files resolves per file") {
     val d = Files.createTempDirectory("graft_metavalues_drift").toString
     // two files, DIFFERENT schemas in one directory
