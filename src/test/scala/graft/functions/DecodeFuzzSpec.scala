@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Adversarial-input property: the ENTIRE page-decode surface — level
+ * walks, per-type decoders, and the unified dispatcher — must REFUSE
+ * (null) arbitrary garbage, never throw and never allocate its way into
+ * an OOM. Page bytes are untrusted input the moment `pagecontent=true`
+ * reads foreign files; this is the contract every example-based spec
+ * relies on, checked over random payloads and adversarially-random
+ * header fields.
+ */
+class DecodeFuzzSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genBytes: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 512).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127))
+      .map(_.map(_.toByte).toArray))
+
+  // adversarial ints: boundary values mixed with small plausible ones
+  private val genInt: Gen[Int] = Gen.oneOf(
+    Gen.chooseNum(-4, 64), Gen.oneOf(Int.MaxValue, Int.MinValue, 1 << 30))
+
+  test("level walks never throw on arbitrary bytes") {
+    check(Prop.forAll(genBytes, genInt, genInt, genInt) { (b, mr, md, n) =>
+      LevelWalk.walkV1(b, mr, md, n); true
+    })
+    check(Prop.forAll(genBytes, genInt, genInt, genInt, genInt, genInt) {
+      (b, rl, dl, mr, md, n) => LevelWalk.walkV2(b, rl, dl, mr, md, n); true
+    })
+  }
+
+  test("per-type decoders never throw on arbitrary bytes") {
+    val types = Seq("BOOLEAN", "INT32", "INT64", "INT96", "FLOAT", "DOUBLE",
+      "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY", "JUNK").map(UTF8String.fromString)
+    val genType = Gen.oneOf(types)
+    check(Prop.forAll(genBytes, genInt, genInt) { (b, md, n) =>
+      DictIndexes.compute(b, md, n); true
+    })
+    check(Prop.forAll(genBytes, genInt, genInt, genType) { (b, md, n, t) =>
+      PlainFpStats.compute(b, md, n, t)
+      BssFpStats.compute(b, md, n, t)
+      BoolTrueCount.compute(b, md, n, t); true
+    })
+    check(Prop.forAll(genBytes, genInt, genInt, genInt) { (b, md, n, w) =>
+      PlainFlbaSum.compute(b, md, n, w); true
+    })
+    check(Prop.forAll(genBytes, genInt, genInt) { (b, md, n) =>
+      PlainInt96Stats.compute(b, md, n); true
+    })
+    check(Prop.forAll(genBytes) { b =>
+      PlainInt64Longs.compute(b)
+      PlainInt64Sum.compute(b)
+      PlainDictStrings.compute(b)
+      DeltaBp.decodeLongs(b)
+      DeltaBp.decodeDeltaByteArray(b)
+      DeltaBp.decodeDeltaLengthByteArray(b); true
+    })
+  }
+
+  test("the unified dispatcher never throws on adversarial headers") {
+    val pageTypes = Seq("DATA_PAGE", "DATA_PAGE_V2", "DICTIONARY_PAGE",
+      "INDEX_PAGE", "???").map(UTF8String.fromString)
+    val encodings = Seq("PLAIN", "PLAIN_DICTIONARY", "RLE_DICTIONARY",
+      "DELTA_BINARY_PACKED", "DELTA_BYTE_ARRAY", "DELTA_LENGTH_BYTE_ARRAY",
+      "BYTE_STREAM_SPLIT", "RLE", "JUNK").map(UTF8String.fromString)
+    val codecs = Seq("UNCOMPRESSED", "SNAPPY", "ZSTD", "GZIP", "LZ4_RAW",
+      "BROTLI").map(UTF8String.fromString)
+    val types = Seq("BOOLEAN", "INT32", "INT64", "INT96", "FLOAT", "DOUBLE",
+      "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY").map(UTF8String.fromString)
+    def boxed(g: Gen[Int]): Gen[java.lang.Integer] =
+      Gen.oneOf(g.map(java.lang.Integer.valueOf),
+        Gen.const(null: java.lang.Integer))
+    check(Prop.forAll(genBytes, Gen.oneOf(pageTypes), Gen.oneOf(encodings),
+      Gen.oneOf(codecs), boxed(genInt), boxed(genInt), boxed(genInt),
+      boxed(genInt)) { (b, pt, enc, codec, usize, rl, dl, n) =>
+      PageDecode.compute(b, pt, enc, codec, usize, rl, dl,
+        java.lang.Integer.valueOf(0), java.lang.Integer.valueOf(1), n,
+        types(b.length % types.length), java.lang.Integer.valueOf(9))
+      true
+    })
+  }
+}
