@@ -451,6 +451,59 @@ object SparkEntry {
           count_distinct(col("pd.kind")).cast("long").as("n_kinds"))
     }),
 
+    // STREAMING token accounting: the metadata STREAMING source at the
+    // sizestats level watches an arrival directory — each micro-batch
+    // accounts only the newly arrived files' footers (stream-static join
+    // with the schema facts), appending per-chunk counts to a running
+    // ledger. Two arrival waves with a checkpointed restart between them
+    // prove exactly-once accounting; the ledger's totals equal DuckDB
+    // over everything that ever arrived. Still zero page I/O — a live
+    // corpus's token census at footer cost.
+    "stream_token_accounting" -> ((s, dir) => withStreamShuffle(s) {
+      val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val src = "/tmp/graft_stracct_src_" + suffix
+      val out = "/tmp/graft_stracct_out_" + suffix
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stracct_ckpt").toFile
+      for (p <- Seq(src, out)) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      }
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, lit(null))
+            .otherwise(transform(sequence(lit(0L), col("doc_id") % 7),
+              i => when((col("doc_id") + i) % 13 === 0, lit(null))
+                .otherwise(col("doc_id") * 31L + i))).as("tokens"))
+      def arrive(wave: DataFrame): Unit =
+        wave.coalesce(1).write.mode("append").parquet(src)
+      def runOnce(): Unit = {
+        val stream = s.readStream.format("metadata")
+          .option("level", "sizestats").option("source", "parquet")
+          .option("streamlagms", "0").load(src)
+        val acc = MetaValues.leafAccountingOf(stream,
+          MetaValues.schemaFactsDf(s, src))
+          .filter(col("path") === "tokens.list.element")
+          .select(col("filepath"), col("n_records"), col("n_leaf_values"),
+            (element_at(col("definition_level_histogram"), 3) +
+              element_at(col("definition_level_histogram"), 4)).as("n_slots"))
+        val q = acc.writeStream.format("parquet").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt.toString)
+          .option("path", out).start()
+        q.awaitTermination(120000)
+        q.stop()
+      }
+      try {
+        arrive(docs.filter(col("doc_id") % 2 === 0))
+        runOnce()
+        arrive(docs.filter(col("doc_id") % 2 === 1))
+        runOnce()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+      s.read.parquet(out)
+        .agg(sum(col("n_records")).cast("long").as("n_rows"),
+          sum(col("n_slots")).cast("long").as("n_slots"),
+          sum(col("n_leaf_values")).cast("long").as("n_tokens"))
+    }),
+
     // TOKEN ACCOUNTING AT FOOTER COST: how many documents, list slots,
     // and non-null tokens a nested array<long> corpus holds — from the
     // footer's SizeStatistics level histograms joined with footer-derived
@@ -4203,6 +4256,13 @@ object SparkEntry {
         |  max(price) AS price_mx,
         |  CAST(5 AS BIGINT) AS n_kinds
         |FROM read_parquet('/tmp/graft_valsany_sf0.01/*.parquet')""".stripMargin,
+
+    "stream_token_accounting" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(len(tokens)), 0) AS BIGINT) AS n_slots,
+        |  CAST(coalesce(sum(len(list_filter(tokens, x -> x IS NOT NULL))), 0)
+        |    AS BIGINT) AS n_tokens
+        |FROM read_parquet('/tmp/graft_stracct_src_sf0.01/*.parquet')""".stripMargin,
 
     "meta_token_accounting" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

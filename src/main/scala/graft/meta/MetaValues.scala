@@ -93,10 +93,18 @@ object MetaValues {
    * list SLOTS for Spark's 3-level optional-element lists are
    * `hist[2] + hist[3]`).
    */
-  def leafAccounting(spark: SparkSession, path: String): DataFrame = {
-    val ss = spark.read.format("metadata").option("level", "sizestats").load(path)
-    val facts = schemaFactsDf(spark, path)
-    ss.join(facts, Seq("filepath", "path"))
+  def leafAccounting(spark: SparkSession, path: String): DataFrame =
+    leafAccountingOf(
+      spark.read.format("metadata").option("level", "sizestats").load(path),
+      schemaFactsDf(spark, path))
+
+  /** [[leafAccounting]] over an EXISTING sizestats-level DataFrame — in
+    * particular a STREAMING one (`readStream.format("metadata")
+    * .option("level", "sizestats")`), where each micro-batch's newly
+    * arrived files account incrementally; the facts side is the static
+    * build-side of a stream-static join. */
+  def leafAccountingOf(sizestats: DataFrame, facts: DataFrame): DataFrame = {
+    sizestats.join(facts, Seq("filepath", "path"))
       .select(col("filepath"), col("path"), col("max_rep"), col("max_def"),
         col("num_values").as("n_entries"),
         when(col("max_rep") > 0,
