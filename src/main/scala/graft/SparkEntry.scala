@@ -3293,6 +3293,30 @@ object SparkEntry {
           "n_frames", "dur_us")
     }),
 
+    // VIDEO container probe — MP4/ISO-BMFF box walk (ftyp check, moov →
+    // mvhd timescale/duration, per-trak tkhd 16.16 presentation dims;
+    // zero-dim audio tracks coexist as real muxers write them). Every
+    // parameter doc_id arithmetic, so DuckDB recomputes the whole table
+    // in closed form; frame/codec decode stays behind the documented
+    // stub boundary — container metadata IS the Spark-side contract.
+    "mm_video_probe" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(pq(dir, "documents"))
+        .filter(col("doc_id") < 40).select(col("doc_id")).as[Long]
+        .map { id =>
+          val v = Multimodal.decodeMp4Info(Multimodal.encodeMp4Fixture(
+            timescale = 1000 * (1 + (id % 3).toInt),
+            durationTicks = 4000L + id * 7L,
+            w = 320 + 16 * (id % 5).toInt,
+            h = 180 + 9 * (id % 5).toInt,
+            nTracks = 1 + (id % 3).toInt, seed = id)).get
+          (id, v.container, v.timescale, v.durationTicks, v.durationMicros,
+            v.nTracks.toLong, v.width.toLong, v.height.toLong)
+        }
+        .toDF("media_id", "container", "timescale", "dur_ticks", "dur_us",
+          "n_tracks", "width", "height")
+    }),
+
     // Binary content dedup — the image/audio exact-dedup pass: group
     // opaque payloads by their SHA-256 digest, surface every duplicate
     // family with its representative (min id). The shuffle moves only
@@ -6033,6 +6057,17 @@ object SparkEntry {
         |  CAST(500 + doc_id * 3 AS BIGINT) AS n_frames,
         |  CAST((500 + doc_id * 3) * 1000000 // (8000 + 1000 * (doc_id % 4))
         |    AS BIGINT) AS dur_us
+        |FROM documents WHERE doc_id < 40""".stripMargin,
+
+    "mm_video_probe" ->
+      """SELECT doc_id AS media_id, 'mp4' AS container,
+        |  CAST(1000 * (1 + doc_id % 3) AS BIGINT) AS timescale,
+        |  CAST(4000 + doc_id * 7 AS BIGINT) AS dur_ticks,
+        |  CAST((4000 + doc_id * 7) * 1000000
+        |    // (1000 * (1 + doc_id % 3)) AS BIGINT) AS dur_us,
+        |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+        |  CAST(320 + 16 * (doc_id % 5) AS BIGINT) AS width,
+        |  CAST(180 + 9 * (doc_id % 5) AS BIGINT) AS height
         |FROM documents WHERE doc_id < 40""".stripMargin,
 
     "mm_audio_formats" ->

@@ -534,4 +534,143 @@ object Multimodal {
     * for video pipelines, as a filter on a deterministic row index. */
   def sampleFrames(df: DataFrame, idCol: String, stride: Int): DataFrame =
     df.filter(pmod(col(idCol), lit(stride)) === 0)
+
+  case class VideoInfo(
+      container: String, timescale: Long, durationTicks: Long,
+      nTracks: Int, width: Int, height: Int) {
+    def durationMicros: Long =
+      if (timescale > 0) durationTicks * 1000000L / timescale else 0L
+  }
+
+  /**
+   * REAL MP4 / ISO-BMFF header probe: a top-level box walk (`[u32
+   * size][4cc]`, `size == 1` → 64-bit largesize, `size == 0` → to EOF)
+   * requiring `ftyp`, then inside `moov` the movie header `mvhd`
+   * (version 0 and 1 layouts: timescale + duration) and each `trak`'s
+   * `tkhd` (16.16 fixed-point presentation width/height — the video
+   * track is the one with nonzero dimensions). The same Long-cursor
+   * overflow discipline as the audio walks: a crafted box size must
+   * refuse, never wrap or over-read. Frame/codec details live deeper
+   * (stsd) and are NOT probed — container metadata is the Spark-side
+   * contract; frame decode stays behind the documented stub boundary.
+   */
+  def decodeMp4Info(b: Array[Byte]): Option[VideoInfo] = {
+    if (b == null || b.length < 16) return None
+    def be16(i: Int): Int = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    def be32(i: Int): Long =
+      ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int): String =
+      new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
+    // walk boxes in [start, end); f receives (type, payloadStart, payloadEnd)
+    def walk(start: Long, end: Long)(f: (String, Long, Long) => Unit): Boolean = {
+      var i = start
+      while (i + 8 <= end) {
+        val at = i.toInt
+        var size = be32(at)
+        var hdr = 8L
+        if (size == 1L) {
+          if (i + 16 > end) return false
+          size = be64(at + 8)
+          hdr = 16L
+        } else if (size == 0L) {
+          size = end - i
+        }
+        if (size < hdr || size > end - i) return false // crafted size: refuse
+        f(fourcc(at + 4), i + hdr, i + size)
+        i += size
+      }
+      i == end
+    }
+    var sawFtyp = false
+    var timescale = -1L
+    var duration = -1L
+    var tracks = 0
+    var w = 0
+    var h = 0
+    val ok = walk(0L, b.length.toLong) { (tpe, ps, pe) =>
+      if (tpe == "ftyp") sawFtyp = true
+      else if (tpe == "moov") {
+        walk(ps, pe) { (t2, qs, qe) =>
+          val q = qs.toInt
+          if (t2 == "mvhd" && qe - qs >= 4) {
+            val v = b(q) & 0xFF
+            if (v == 0 && qe - qs >= 20) {
+              timescale = be32(q + 12); duration = be32(q + 16)
+            } else if (v == 1 && qe - qs >= 32) {
+              timescale = be32(q + 20); duration = be64(q + 24)
+            }
+          } else if (t2 == "trak") {
+            tracks += 1
+            walk(qs, qe) { (t3, rs, re) =>
+              val r = rs.toInt
+              if (t3 == "tkhd" && re - rs >= 4) {
+                val v = b(r) & 0xFF
+                val (wOff, hOff) = if (v == 1) (88, 92) else (76, 80)
+                if (re - rs >= hOff + 4) {
+                  val tw = be16(r + wOff) // integer part of 16.16 fixed
+                  val th = be16(r + hOff)
+                  if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    if (!ok || !sawFtyp || timescale <= 0 || duration < 0) None
+    else Some(VideoInfo("mp4", timescale, duration, tracks, w, h))
+  }
+
+  /** Deterministic MP4 fixture encoder (tests + closed-form oracles):
+    * `ftyp` + `moov(mvhd + nTracks x trak(tkhd))` + a seed-derived
+    * `mdat`. The video track (index 0) carries the 16.16 fixed-point
+    * dimensions; audio-shaped tracks carry zero dims, as real muxers
+    * write them. */
+  def encodeMp4Fixture(
+      timescale: Int, durationTicks: Long, w: Int, h: Int,
+      nTracks: Int, seed: Long): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      "isomiso2".getBytes("US-ASCII")) // major brand + one compatible
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100) // v0 mvhd payload
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(0).putInt(0) // creation, modification
+      bb.putInt(timescale).putInt(durationTicks.toInt)
+      bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume
+      bb.put(new Array[Byte](8 + 36 + 24)) // reserved + matrix + predefines
+      bb.putInt(nTracks + 1) // next_track_ID
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val traks = (0 until nTracks).map { t =>
+      val bb = java.nio.ByteBuffer.allocate(84) // v0 tkhd payload
+      bb.putInt(0x00000007) // version 0, flags: enabled|in-movie|in-preview
+      bb.putInt(0).putInt(0) // creation, modification
+      bb.putInt(t + 1) // track_ID
+      bb.putInt(0) // reserved
+      bb.putInt(durationTicks.toInt)
+      bb.put(new Array[Byte](8)) // reserved
+      bb.putShort(0).putShort(0) // layer, alternate_group
+      bb.putShort(if (t == 0) 0 else 0x0100.toShort).putShort(0) // volume
+      bb.put(new Array[Byte](36)) // identity matrix slot (zeros suffice)
+      // 16.16 fixed-point presentation size; only the video track has one
+      bb.putInt(if (t == 0) w << 16 else 0)
+      bb.putInt(if (t == 0) h << 16 else 0)
+      box("trak", box("tkhd", bb.array()))
+    }
+    val payload = new Array[Byte](32)
+    var k = 0
+    while (k < payload.length) {
+      payload(k) = ((seed * 131 + k) & 0xFF).toByte
+      k += 1
+    }
+    ftyp ++ box("moov", box("mvhd", mvhd) ++ traks.flatten.toArray) ++
+      box("mdat", payload)
+  }
 }

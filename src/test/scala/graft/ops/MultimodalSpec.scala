@@ -201,6 +201,67 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudioInfo(evilA) === None)
   }
 
+  test("MP4 probe: box walk, v0/v1 layouts, largesize, malformed refusal") {
+    // closed-form fixture: 2 tracks (video 640x360 + audio with zero
+    // dims, as real muxers write), timescale 90000, 3s duration
+    val b = Multimodal.encodeMp4Fixture(
+      timescale = 90000, durationTicks = 270000L, w = 640, h = 360,
+      nTracks = 2, seed = 7L)
+    val got = Multimodal.decodeMp4Info(b).get
+    assert(got.container === "mp4")
+    assert(got.timescale === 90000L && got.durationTicks === 270000L)
+    assert(got.durationMicros === 3000000L)
+    assert(got.nTracks === 2)
+    assert(got.width === 640 && got.height === 360)
+
+    // v1 mvhd + v1 tkhd, hand-built (64-bit duration, wide offsets)
+    def box(tpe: String, p: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + p.length)
+      bb.putInt(8 + p.length).put(tpe.getBytes("US-ASCII")).put(p)
+      bb.array()
+    }
+    val mvhd1 = {
+      val bb = java.nio.ByteBuffer.allocate(112)
+      bb.putInt(0x01000000) // version 1
+      bb.putLong(0L).putLong(0L) // creation, modification
+      bb.putInt(1000).putLong(4500L) // timescale, 64-bit duration
+      java.util.Arrays.copyOf(bb.array(), 112)
+    }
+    val tkhd1 = {
+      val bb = java.nio.ByteBuffer.allocate(96)
+      bb.putInt(0x01000007)
+      bb.putLong(0L).putLong(0L).putInt(1).putInt(0).putLong(4500L)
+      bb.position(88)
+      bb.putInt(320 << 16).putInt(200 << 16)
+      java.util.Arrays.copyOf(bb.array(), 96)
+    }
+    val v1 = box("ftyp", "isom".getBytes) ++
+      box("moov", box("mvhd", mvhd1) ++ box("trak", box("tkhd", tkhd1)))
+    val g1 = Multimodal.decodeMp4Info(v1).get
+    assert(g1.timescale === 1000L && g1.durationTicks === 4500L)
+    assert(g1.durationMicros === 4500000L)
+    assert(g1.width === 320 && g1.height === 200)
+
+    // 64-bit largesize header on the mdat box still walks cleanly
+    val mdatLarge = {
+      val bb = java.nio.ByteBuffer.allocate(16 + 4)
+      bb.putInt(1).put("mdat".getBytes).putLong(20L).putInt(0xDEADBEEF)
+      bb.array()
+    }
+    assert(Multimodal.decodeMp4Info(
+      Multimodal.encodeMp4Fixture(1000, 100L, 64, 48, 1, 1L) ++ mdatLarge)
+      .get.width === 64)
+
+    // malformed: truncation, crafted size, missing ftyp all REFUSE
+    assert(Multimodal.decodeMp4Info(b.take(b.length - 3)).isEmpty)
+    val crafted = b.clone()
+    crafted(0) = 0x7F // first box claims ~2GB
+    assert(Multimodal.decodeMp4Info(crafted).isEmpty)
+    assert(Multimodal.decodeMp4Info(b.drop(16)).isEmpty) // no ftyp
+    assert(Multimodal.decodeMp4Info(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeMp4Info("RIFF....WAVE".getBytes).isEmpty)
+  }
+
   test("mm_features fixture dimensions round-trip through the distributed path") {
     val ds = spark.range(0, 20).as[Long]
       .map { id =>
