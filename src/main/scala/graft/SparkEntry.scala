@@ -3303,15 +3303,23 @@ object SparkEntry {
       import s.implicits._
       s.read.parquet(pq(dir, "documents"))
         .filter(col("doc_id") < 40).select(col("doc_id")).as[Long]
-        .map { id =>
-          val v = Multimodal.decodeMp4Info(Multimodal.encodeMp4Fixture(
-            timescale = 1000 * (1 + (id % 3).toInt),
-            durationTicks = 4000L + id * 7L,
-            w = 320 + 16 * (id % 5).toInt,
-            h = 180 + 9 * (id % 5).toInt,
-            nTracks = 1 + (id % 3).toInt, seed = id)).get
-          (id, v.container, v.timescale, v.durationTicks, v.durationMicros,
-            v.nTracks.toLong, v.width.toLong, v.height.toLong)
+        .flatMap { id =>
+          val dur = 4000L + id * 7L
+          val (w, h) = (320 + 16 * (id % 5).toInt, 180 + 9 * (id % 5).toInt)
+          val nT = 1 + (id % 3).toInt
+          Seq("mp4", "mkv", "webm").map { c =>
+            val bytes = c match {
+              case "mp4" => Multimodal.encodeMp4Fixture(
+                1000 * (1 + (id % 3).toInt), dur, w, h, nT, id)
+              case "mkv" => Multimodal.encodeMkvFixture(
+                "matroska", 1000000L, dur, w, h, nT)
+              case "webm" => Multimodal.encodeMkvFixture(
+                "webm", 1000000L, dur, w, h, nT)
+            }
+            val v = Multimodal.decodeVideoInfo(bytes).get
+            (id, v.container, v.timescale, v.durationTicks, v.durationMicros,
+              v.nTracks.toLong, v.width.toLong, v.height.toLong)
+          }
         }
         .toDF("media_id", "container", "timescale", "dur_ticks", "dur_us",
           "n_tracks", "width", "height")
@@ -6060,15 +6068,18 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 40""".stripMargin,
 
     "mm_video_probe" ->
-      """SELECT doc_id AS media_id, 'mp4' AS container,
-        |  CAST(1000 * (1 + doc_id % 3) AS BIGINT) AS timescale,
+      """SELECT doc_id AS media_id, c.container,
+        |  CAST(CASE WHEN c.container = 'mp4'
+        |    THEN 1000 * (1 + doc_id % 3) ELSE 1000 END AS BIGINT) AS timescale,
         |  CAST(4000 + doc_id * 7 AS BIGINT) AS dur_ticks,
         |  CAST((4000 + doc_id * 7) * 1000000
-        |    // (1000 * (1 + doc_id % 3)) AS BIGINT) AS dur_us,
+        |    // (CASE WHEN c.container = 'mp4'
+        |      THEN 1000 * (1 + doc_id % 3) ELSE 1000 END) AS BIGINT) AS dur_us,
         |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
         |  CAST(320 + 16 * (doc_id % 5) AS BIGINT) AS width,
         |  CAST(180 + 9 * (doc_id % 5) AS BIGINT) AS height
-        |FROM documents WHERE doc_id < 40""".stripMargin,
+        |FROM documents, (VALUES ('mp4'), ('mkv'), ('webm')) c(container)
+        |WHERE doc_id < 40""".stripMargin,
 
     "mm_audio_formats" ->
       """SELECT doc_id AS media_id, c.container,

@@ -623,6 +623,153 @@ object Multimodal {
     else Some(VideoInfo("mp4", timescale, duration, tracks, w, h))
   }
 
+  /**
+   * REAL Matroska/WebM (EBML) header probe: varint-ID/varint-size
+   * element walk — EBML header (DocType distinguishes `webm` from
+   * `matroska`), then Segment → Info (TimestampScale in ns/tick,
+   * default 1 ms; Duration as a 4- or 8-byte float of ticks) and
+   * Segment → Tracks → TrackEntry → Video (PixelWidth/PixelHeight).
+   * Surfaced through the same [[VideoInfo]] shape as MP4 with
+   * `timescale` normalized to ticks-per-second, so `durationMicros`
+   * means the same thing across containers. Unknown-size elements
+   * (streaming Matroska writes the Segment that way) walk to the end of
+   * the buffer; crafted sizes refuse.
+   */
+  def decodeMkvInfo(b: Array[Byte]): Option[VideoInfo] = {
+    if (b == null || b.length < 8) return None
+    // EBML varint: leading zeros of the first byte give the width; IDs
+    // keep the marker bit, sizes strip it. Returns (value, nextPos) or
+    // null on malformation.
+    def varint(i: Long, end: Long, keepMarker: Boolean): (Long, Long) = {
+      if (i >= end) return null
+      val first = b(i.toInt) & 0xFF
+      if (first == 0) return null
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (i + len > end) return null
+      var v: Long =
+        if (keepMarker) first.toLong
+        else first & ((1 << (8 - len)) - 1)
+      var k = 1
+      while (k < len) {
+        v = (v << 8) | (b((i + k).toInt) & 0xFFL)
+        k += 1
+      }
+      (v, i + len)
+    }
+    def uintAt(i: Long, n: Long): Long = {
+      var v = 0L
+      var k = 0L
+      while (k < n) { v = (v << 8) | (b((i + k).toInt) & 0xFFL); k += 1 }
+      v
+    }
+    var docType = "matroska"
+    var scaleNs = 1000000L // EBML default: 1 ms per tick
+    var durationTicks = -1L
+    var tracks = 0
+    var w = 0
+    var h = 0
+    var sawSegment = false
+    // recursive element walk; f returns true to DESCEND into the element
+    def walk(start: Long, end: Long, depth: Int)(
+        f: (Long, Long, Long) => Boolean): Boolean = {
+      if (depth > 8) return false
+      var i = start
+      while (i < end) {
+        val id = varint(i, end, keepMarker = true)
+        if (id == null) return false
+        val sz = varint(id._2, end, keepMarker = false)
+        if (sz == null) return false
+        val unknown = sz._1 == (1L << (7 * (sz._2 - id._2))) - 1 // all-ones size
+        val pEnd = if (unknown) end else sz._2 + sz._1
+        if (pEnd < sz._2 || pEnd > end) return false
+        if (f(id._1, sz._2, pEnd)) {
+          if (!walk(sz._2, pEnd, depth + 1)(f)) return false
+        }
+        i = pEnd
+      }
+      true
+    }
+    val ok = walk(0L, b.length.toLong, 0) { (id, ps, pe) =>
+      id match {
+        case 0x1A45DFA3L => true // EBML header: descend for DocType
+        case 0x4282L => // DocType
+          docType = new String(b, ps.toInt, (pe - ps).toInt, "US-ASCII"); false
+        case 0x18538067L => sawSegment = true; true // Segment
+        case 0x1549A966L => true // Info
+        case 0x2AD7B1L => scaleNs = uintAt(ps, pe - ps); false // TimestampScale
+        case 0x4489L => // Duration: 4- or 8-byte float of ticks
+          val n = pe - ps
+          val d =
+            if (n == 4) java.lang.Float.intBitsToFloat(uintAt(ps, 4).toInt).toDouble
+            else if (n == 8) java.lang.Double.longBitsToDouble(uintAt(ps, 8))
+            else -1.0
+          if (d >= 0) durationTicks = math.round(d)
+          false
+        case 0x1654AE6BL => true // Tracks
+        case 0xAEL => tracks += 1; true // TrackEntry
+        case 0xE0L => true // Video settings
+        case 0xB0L => w = math.max(w, uintAt(ps, pe - ps).toInt); false
+        case 0xBAL => h = math.max(h, uintAt(ps, pe - ps).toInt); false
+        case _ => false
+      }
+    }
+    if (!ok || !sawSegment || scaleNs <= 0 || durationTicks < 0) None
+    else Some(VideoInfo(
+      if (docType == "webm") "webm" else "mkv",
+      1000000000L / scaleNs, durationTicks, tracks, w, h))
+  }
+
+  /** Container dispatch over the video probes: MP4 (`ftyp` after the
+    * first box header) and Matroska/WebM (EBML magic) — `None` for
+    * anything else, never garbage. The video sibling of
+    * [[decodeAudioInfo]]. */
+  def decodeVideoInfo(b: Array[Byte]): Option[VideoInfo] = {
+    if (b == null || b.length < 8) return None
+    if (b(4) == 'f'.toByte && b(5) == 't'.toByte && b(6) == 'y'.toByte &&
+        b(7) == 'p'.toByte) {
+      decodeMp4Info(b)
+    } else if ((b(0) & 0xFF) == 0x1A && (b(1) & 0xFF) == 0x45 &&
+        (b(2) & 0xFF) == 0xDF && (b(3) & 0xFF) == 0xA3) {
+      decodeMkvInfo(b)
+    } else None
+  }
+
+  /** Deterministic Matroska/WebM fixture encoder (tests + closed-form
+    * oracles): EBML header with the requested DocType, Segment with
+    * Info (TimestampScale + float Duration) and one video TrackEntry. */
+  def encodeMkvFixture(
+      docType: String, scaleNs: Long, durationTicks: Long,
+      w: Int, h: Int, nTracks: Int): Array[Byte] = {
+    def sizeVarint(n: Int): Array[Byte] = {
+      require(n < (1 << 14) - 1, "fixture sizes fit two varint bytes")
+      Array((0x40 | (n >> 8)).toByte, (n & 0xFF).toByte)
+    }
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      (1 to n).map(k => ((id >> (8 * (n - k))) & 0xFF).toByte).toArray
+    }
+    def el(id: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ sizeVarint(payload.length) ++ payload
+    def uintBytes(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      (1 to n).map(k => ((v >> (8 * (n - k))) & 0xFF).toByte).toArray
+    }
+    val header = el(0x1A45DFA3L,
+      el(0x4282L, docType.getBytes("US-ASCII")))
+    val dur = java.nio.ByteBuffer.allocate(8)
+      .putDouble(durationTicks.toDouble).array()
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uintBytes(scaleNs)) ++ el(0x4489L, dur))
+    val trackEntries = (0 until nTracks).map { t =>
+      val video =
+        if (t == 0) el(0xE0L, el(0xB0L, uintBytes(w)) ++ el(0xBAL, uintBytes(h)))
+        else Array.emptyByteArray
+      el(0xAEL, el(0x83L, uintBytes(if (t == 0) 1L else 2L)) ++ video)
+    }
+    val tracksEl = el(0x1654AE6BL, trackEntries.flatten.toArray)
+    header ++ el(0x18538067L, info ++ tracksEl)
+  }
+
   /** Deterministic MP4 fixture encoder (tests + closed-form oracles):
     * `ftyp` + `moov(mvhd + nTracks x trak(tkhd))` + a seed-derived
     * `mdat`. The video track (index 0) carries the 16.16 fixed-point

@@ -262,6 +262,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMp4Info("RIFF....WAVE".getBytes).isEmpty)
   }
 
+  test("Matroska/WebM probe: EBML walk, doctype split, malformed refusal") {
+    val b = Multimodal.encodeMkvFixture("matroska", 1000000L, 4500L, 640, 360, 2)
+    val got = Multimodal.decodeMkvInfo(b).get
+    assert(got.container === "mkv")
+    assert(got.timescale === 1000L) // 1 ms/tick default → 1000 ticks/s
+    assert(got.durationTicks === 4500L && got.durationMicros === 4500000L)
+    assert(got.nTracks === 2 && got.width === 640 && got.height === 360)
+    // webm doctype surfaces as its own container name
+    val wb = Multimodal.encodeMkvFixture("webm", 1000000L, 100L, 320, 200, 1)
+    assert(Multimodal.decodeMkvInfo(wb).get.container === "webm")
+    // a non-default timestamp scale renormalizes ticks-per-second
+    val ns = Multimodal.encodeMkvFixture("matroska", 500000L, 1000L, 64, 48, 1)
+    val gn = Multimodal.decodeMkvInfo(ns).get
+    assert(gn.timescale === 2000L && gn.durationMicros === 500000L)
+    // the unified dispatch routes all three containers
+    assert(Multimodal.decodeVideoInfo(b).get.container === "mkv")
+    assert(Multimodal.decodeVideoInfo(wb).get.container === "webm")
+    assert(Multimodal.decodeVideoInfo(
+      Multimodal.encodeMp4Fixture(1000, 100L, 64, 48, 1, 1L)).get.container === "mp4")
+    assert(Multimodal.decodeVideoInfo("RIFFxxxxWAVE".getBytes).isEmpty)
+    // malformed: truncation and a crafted element size refuse
+    assert(Multimodal.decodeMkvInfo(b.take(b.length - 2)).isEmpty)
+    val crafted = b.clone()
+    crafted(5) = 0x41 // EBML header's size varint inflated past the buffer
+    assert(Multimodal.decodeMkvInfo(crafted).isEmpty)
+    assert(Multimodal.decodeMkvInfo(Array[Byte](0x1A, 0x45, 0xDF.toByte)).isEmpty)
+  }
+
   test("mm_features fixture dimensions round-trip through the distributed path") {
     val ds = spark.range(0, 20).as[Long]
       .map { id =>
