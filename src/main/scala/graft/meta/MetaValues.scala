@@ -158,8 +158,16 @@ object MetaValues {
       ColumnBridge.expression(col("num_values")),
       ColumnBridge.expression(col("type")),
       ColumnBridge.expression(col("type_len")))))
+    // integrity for free: the header CRC (parquet-mr writes it by
+    // default) recomputed over the stored page bytes; null when the
+    // writer omitted the field ("no evidence"), boolean otherwise
+    val crcOk = when(col("crc").isNull, lit(null).cast("boolean"))
+      .otherwise(ColumnBridge.column(graft.functions.BytesCrc32(
+        ColumnBridge.expression(col("page_content")))) ===
+        col("crc").cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
     joined.select(col("filepath"), col("row_group_id"), col("column_id"),
       col("path"), col("type"), col("page_id"), col("page_type"),
-      col("encoding"), col("num_values"), pd.as("decoded"))
+      col("encoding"), col("num_values"), pd.as("decoded"),
+      crcOk.as("crc_ok"))
   }
 }

@@ -137,6 +137,40 @@ class MetaValuesSpec extends SparkSpec {
     acc.unpersist()
   }
 
+  test("real-world impala file and CRC audit through the zero-knowledge path") {
+    // the 2009-era impala fixture: snappy, wrong thrift file_offset,
+    // INT32/INT64/BOOLEAN/FLOAT/DOUBLE/BYTE_ARRAY columns — decodePages
+    // must walk it without exceptions, decode what it can, refuse the
+    // rest, and report CRCs as "no evidence" (the writer predates them)
+    val fixture = getClass.getResource("/alltypes_plain.snappy.parquet").toString
+    val dec = MetaValues.decodePages(spark, fixture).cache()
+    assert(dec.count() > 0)
+    val kinds = dec.filter(col("decoded").isNotNull)
+      .select(col("decoded.kind")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds.nonEmpty, "nothing decoded from the real-world file")
+    // whatever decoded must be RIGHT: INT32 id column sum vs Spark's read
+    val idTruth = spark.read.parquet(fixture)
+      .agg(sum(col("id"))).collect()(0).getLong(0)
+    val idPages = dec.filter(col("path") === "id" &&
+        col("page_type").startsWith("DATA_PAGE") && col("decoded").isNotNull)
+      .agg(sum(col("decoded.lsum"))).collect()(0)
+    if (!idPages.isNullAt(0)) {
+      assert(idPages.getLong(0) === idTruth, "impala id column decode")
+    }
+    assert(dec.filter(col("crc_ok").isNotNull).count() === 0,
+      "a 2009 writer cannot have page CRCs")
+    dec.unpersist()
+
+    // modern Spark files carry CRCs: every page must verify TRUE
+    val d = Files.createTempDirectory("graft_zk_crc").toString
+    spark.range(0, 2000).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    val crc = MetaValues.decodePages(spark, d).select(col("crc_ok")).collect()
+    assert(crc.nonEmpty && crc.forall(r => !r.isNullAt(0) && r.getBoolean(0)),
+      "modern pages must CRC-verify")
+  }
+
   test("schema drift across files resolves per file") {
     val d = Files.createTempDirectory("graft_metavalues_drift").toString
     // two files, DIFFERENT schemas in one directory
