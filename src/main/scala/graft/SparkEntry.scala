@@ -451,6 +451,49 @@ object SparkEntry {
           count_distinct(col("pd.kind")).cast("long").as("n_kinds"))
     }),
 
+    // ORC metadata tier — the second major columnar format a lake audit
+    // meets, same shape as the parquet tier: file level (tail summary —
+    // rows, stripes, codec, versions, schema) with the source INFERRED
+    // from the ORC magic. DuckDB cannot read ORC, so the oracle
+    // recomputes every output in closed form from the SOURCE parquet
+    // data the fixture was written from — file count from the
+    // repartition, row totals from the data, codec/version from the
+    // writer contract (Spark 4 writes ZSTD, ORC file version 0.12).
+    "meta_orc_file" -> ((s, dir) => {
+      val out = "/tmp/graft_orcfile_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(2)
+        .write.mode("overwrite").orc(out)
+      meta(s, out, "file") // source inferred from the ORC magic
+        .agg(count(lit(1)).cast("long").as("n_files"),
+          sum(col("num_rows")).cast("long").as("total_rows"),
+          count_distinct(col("compression")).cast("long").as("n_codecs"),
+          max(col("compression")).as("codec"),
+          max(col("file_version")).as("file_version"))
+    }),
+
+    // ORC stripe level: the sub-file unit in the parquet row group's
+    // role. Stripe counts depend on the writer's memory estimates, so
+    // the oracle pins the INVARIANTS that do not: per-file stripe rows
+    // roll up to the data's count, and the first stripe of every file
+    // starts at offset 3 — directly past the "ORC" magic.
+    "meta_orc_stripe" -> ((s, dir) => {
+      val out = "/tmp/graft_orcstripe_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "lineitem"))
+        .select(col("l_orderkey"), col("l_quantity"))
+        .repartition(2)
+        .write.mode("overwrite")
+        .option("orc.stripe.size", "65536")
+        .orc(out)
+      meta(s, out, "stripe")
+        .agg(count_distinct(col("filepath")).cast("long").as("n_files"),
+          sum(col("num_rows")).cast("long").as("total_rows"),
+          min(col("offset")).cast("long").as("first_offset"))
+    }),
+
     // STREAMING token accounting: the metadata STREAMING source at the
     // sizestats level watches an arrival directory — each micro-batch
     // accounts only the newly arrived files' footers (stream-static join
@@ -4288,6 +4331,20 @@ object SparkEntry {
         |  max(price) AS price_mx,
         |  CAST(5 AS BIGINT) AS n_kinds
         |FROM read_parquet('/tmp/graft_valsany_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_orc_file" ->
+      """SELECT CAST(2 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS total_rows,
+        |  CAST(1 AS BIGINT) AS n_codecs,
+        |  'ZSTD' AS codec,
+        |  '0.12' AS file_version
+        |FROM documents""".stripMargin,
+
+    "meta_orc_stripe" ->
+      """SELECT CAST(2 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS total_rows,
+        |  CAST(3 AS BIGINT) AS first_offset
+        |FROM lineitem""".stripMargin,
 
     "stream_token_accounting" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

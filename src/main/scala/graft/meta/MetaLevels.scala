@@ -187,6 +187,35 @@ object MetaLevel {
       StructField("filepath", StringType)))
   }
 
+  /** ORC file level: file-system columns + file-tail summary — the ORC
+    * sibling of [[ParquetFile]] for the second major columnar format a
+    * lake audit meets. */
+  case object OrcFile extends MetaLevel("orc-file") {
+    override val schema: StructType = FsFile.schema
+      .add("num_rows", LongType)
+      .add("num_stripes", IntegerType)
+      .add("compression", StringType)
+      .add("compression_block_size", IntegerType)
+      .add("file_version", StringType)
+      .add("writer_version", StringType)
+      .add("schema", StringType)
+      .add("user_metadata", MapType(StringType, StringType))
+  }
+
+  /** One row per ORC stripe — the sub-file unit playing the parquet
+    * row group's role (offset + index/data/footer section lengths +
+    * row count). */
+  case object OrcStripe extends MetaLevel("orc-stripe") {
+    override val schema: StructType = StructType(Seq(
+      StructField("stripe_id", IntegerType),
+      StructField("offset", LongType),
+      StructField("index_length", LongType),
+      StructField("data_length", LongType),
+      StructField("footer_length", LongType),
+      StructField("num_rows", LongType),
+      StructField("filepath", StringType)))
+  }
+
   /** One row per physical page (incl. dictionary pages). */
   case object ParquetPage extends MetaLevel("parquet-page") {
     override val schema: StructType = StructType(Seq(

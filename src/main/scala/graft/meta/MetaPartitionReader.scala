@@ -370,11 +370,45 @@ class MetaPartitionReader(
     openStream
   }
 
+  private lazy val orcFileEx: Array[Ex[OrcInfo]] = fieldNames.map[Ex[OrcInfo]] {
+    case "filepath" => (f, _) => f.path
+    case "filename" => (f, _) => f.name
+    case "size" => (f, _) => f.size
+    case "mtime" => (f, _) => f.mtime
+    case "partition" => (f, _) => f.partition
+    case "num_rows" => (_, o) => o.numRows
+    case "num_stripes" => (_, o) => o.numStripes
+    case "compression" => (_, o) => o.compression
+    case "compression_block_size" => (_, o) => o.compressionBlockSize
+    case "file_version" => (_, o) => o.fileVersion
+    case "writer_version" => (_, o) => o.writerVersion
+    case "schema" => (_, o) => o.schemaString
+    case "user_metadata" => (_, o) => orNull(o.userMetadata)
+  }
+
+  private lazy val orcStripeEx: Array[Ex[OrcStripeInfo]] = fieldNames.map[Ex[OrcStripeInfo]] {
+    case "stripe_id" => (_, s) => s.id
+    case "offset" => (_, s) => s.offset
+    case "index_length" => (_, s) => s.indexLength
+    case "data_length" => (_, s) => s.dataLength
+    case "footer_length" => (_, s) => s.footerLength
+    case "num_rows" => (_, s) => s.numRows
+    case "filepath" => (f, _) => f.path
+  }
+
   private def spanRows(span: FileSpan): Iterator[InternalRow] = {
     val f = span.file
     level match {
       case MetaLevel.FsFile =>
         Iterator.single(toInternal(fsFileEx, f, ()))
+
+      case MetaLevel.OrcFile =>
+        Iterator.single(toInternal(orcFileEx, f,
+          OrcMeta.read(new Path(f.path), conf)))
+
+      case MetaLevel.OrcStripe =>
+        OrcMeta.read(new Path(f.path), conf).stripes.iterator
+          .map(toInternal(orcStripeEx, f, _))
 
       case MetaLevel.ParquetFile =>
         Iterator.single(toInternal(pqFileEx, f, readFooter(f)))

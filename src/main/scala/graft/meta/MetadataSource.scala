@@ -69,9 +69,9 @@ object MetadataSource {
   val FOOTER_CACHE = "footercache"
   val COUNT_PUSHDOWN = "countpushdown"
 
-  val SOURCES = Seq("file", "parquet")
+  val SOURCES = Seq("file", "parquet", "orc")
   val LEVELS = Seq("file", "rowgroup", "column", "page",
-    "columnindex", "offsetindex", "bloomfilter", "sizestats")
+    "columnindex", "offsetindex", "bloomfilter", "sizestats", "stripe")
 
   /** Map a validated (source, level) pair onto a [[MetaLevel]]. */
   def levelFor(source: String, level: String): MetaLevel = (source, level) match {
@@ -84,6 +84,8 @@ object MetadataSource {
     case ("parquet", "offsetindex") => MetaLevel.ParquetOffsetIndex
     case ("parquet", "bloomfilter") => MetaLevel.ParquetBloomFilter
     case ("parquet", "sizestats") => MetaLevel.ParquetSizeStats
+    case ("orc", "file") => MetaLevel.OrcFile
+    case ("orc", "stripe") => MetaLevel.OrcStripe
     case (s, l) =>
       throw new IllegalArgumentException(s"Source '$s' does not support '$l' level")
   }
@@ -157,11 +159,14 @@ object MetaTable {
         s
       case None =>
         // Assume homogeneous input: sniff the first file's magic bytes
-        val isParquet = files.headOption.exists { f =>
+        // (PAR1 → parquet, ORC → orc, anything else → file)
+        files.headOption.map { f =>
           val p = new Path(f.path)
-          Footers.isParquet(p.getFileSystem(hadoopConf), p)
-        }
-        if (isParquet) "parquet" else "file"
+          val fs = p.getFileSystem(hadoopConf)
+          if (Footers.isParquet(fs, p)) "parquet"
+          else if (OrcMeta.isOrc(fs, p)) "orc"
+          else "file"
+        }.getOrElse("file")
     }
 
     val level = opts.getOrElse(LEVEL, "file").toLowerCase(java.util.Locale.ROOT)
@@ -265,7 +270,7 @@ class MetaScanBuilder(table: MetaTable)
     case MetaLevel.FsFile =>
       limit = Some(n)
       false // keep Spark's limit on top (pruning is still exact, this is belt+braces)
-    case MetaLevel.ParquetFile if !table.ignoreCorrupt =>
+    case MetaLevel.ParquetFile | MetaLevel.OrcFile if !table.ignoreCorrupt =>
       limit = Some(n)
       false
     case _ => false
@@ -295,7 +300,8 @@ class MetaScanBuilder(table: MetaTable)
       agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
       (table.level == MetaLevel.FsFile ||
-        (table.level == MetaLevel.ParquetFile && !table.ignoreCorrupt)) &&
+        ((table.level == MetaLevel.ParquetFile ||
+          table.level == MetaLevel.OrcFile) && !table.ignoreCorrupt)) &&
       limit.isEmpty
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = countPushable(agg)
@@ -382,7 +388,8 @@ class MetaScan(
    */
   override def estimateStatistics(): Statistics = new Statistics {
     private val known = table.level match {
-      case MetaLevel.FsFile | MetaLevel.ParquetFile => Some(prunedFiles.length.toLong)
+      case MetaLevel.FsFile | MetaLevel.ParquetFile | MetaLevel.OrcFile =>
+        Some(prunedFiles.length.toLong)
       case _ => None
     }
     override def numRows(): java.util.OptionalLong =

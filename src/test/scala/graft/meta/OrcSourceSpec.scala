@@ -1,0 +1,128 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * The `orc` source tier: file and stripe levels decode real
+ * Spark-written ORC, source inference sniffs the ORC magic, the
+ * validation matrix rejects wrong (source, level) pairs with
+ * reference-style errors, and ignorecorrupt skips undecodable files.
+ */
+class OrcSourceSpec extends SparkSpec {
+
+  private def meta(path: String, opts: (String, String)*) = {
+    val r = spark.read.format("metadata")
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load(path)
+  }
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_orc").toString
+    spark.range(0, 50000)
+      .select(col("id").as("k"), (col("id") % 5).cast("string").as("s"))
+      .repartition(2)
+      .write.mode("overwrite")
+      .option("orc.stripe.size", "65536")
+      .orc(d)
+    d
+  }
+
+  test("orc file level: inferred source, tail summary equals the data") {
+    val df = meta(dir) // NO source option: the ORC magic must infer
+    assert(df.schema === MetaLevel.OrcFile.schema)
+    val rows = df.collect()
+    assert(rows.length === 2)
+    val total = df.agg(sum("num_rows")).collect()(0).getLong(0)
+    assert(total === 50000L)
+    df.select("compression", "schema", "num_stripes").collect().foreach { r =>
+      assert(r.getString(0).nonEmpty)
+      assert(r.getString(1).contains("k:bigint"))
+      assert(r.getInt(2) >= 1)
+    }
+  }
+
+  test("orc stripe level: physical layout is consistent and complete") {
+    val stripes = meta(dir, "level" -> "stripe")
+    assert(stripes.schema === MetaLevel.OrcStripe.schema)
+    // stripes per file roll up to the file row counts
+    val perFile = stripes.groupBy("filepath")
+      .agg(count(lit(1)).as("n"), sum("num_rows").as("rows"))
+      .collect()
+    assert(perFile.length === 2)
+    perFile.foreach { r =>
+      assert(r.getLong(2) === 25000L, "stripes must roll up to the file rows")
+      assert(r.getLong(1) > 1, "small stripe size must produce several stripes")
+    }
+    // physical consistency: first stripe at offset 3 (past the magic),
+    // stripes contiguous (next offset = offset + all three section
+    // lengths), all strictly inside the file
+    val byFile = stripes
+      .select("filepath", "stripe_id", "offset", "index_length",
+        "data_length", "footer_length")
+      .collect()
+      .groupBy(_.getString(0))
+    val sizes = meta(dir).select("filepath", "size").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byFile.foreach { case (fp, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.head.getLong(2) === 3L, "first stripe starts past the magic")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(2) + a.getLong(3) + a.getLong(4) + a.getLong(5)
+            === b.getLong(2), "stripes must be contiguous")
+        case _ => ()
+      }
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) + last.getLong(4) +
+        last.getLong(5) < sizes(fp), "stripes end before the file tail")
+    }
+  }
+
+  test("validation matrix and explicit source override") {
+    val e1 = intercept[IllegalArgumentException](
+      meta(dir, "source" -> "orc", "level" -> "page").collect())
+    assert(e1.getMessage.contains("Source 'orc' does not support 'page' level"))
+    val e2 = intercept[IllegalArgumentException](
+      meta(dir, "source" -> "parquet", "level" -> "stripe").collect())
+    assert(e2.getMessage.contains("Source 'parquet' does not support 'stripe' level"))
+    val e3 = intercept[IllegalArgumentException](
+      meta(dir, "source" -> "file", "level" -> "stripe").collect())
+    assert(e3.getMessage.contains("Source 'file' does not support 'stripe' level"))
+    // explicit source=file over an orc dir still lists plainly
+    assert(meta(dir, "source" -> "file").count() === 2L)
+  }
+
+  test("ignorecorrupt skips an undecodable orc file") {
+    val d = Files.createTempDirectory("graft_orc_corrupt").toString
+    spark.range(0, 100).coalesce(1).write.mode("overwrite").orc(d)
+    Files.write(java.nio.file.Paths.get(d, "bad.orc"),
+      "ORCnot-actually-an-orc-file".getBytes)
+    val strict = meta(d, "level" -> "stripe", "source" -> "orc")
+    intercept[org.apache.spark.SparkException](strict.count())
+    val lenient = meta(d, "level" -> "stripe", "source" -> "orc",
+      "ignorecorrupt" -> "true")
+    assert(lenient.agg(sum("num_rows")).collect()(0).getLong(0) === 100L)
+  }
+
+  test("orc file level streams newly arrived files") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Files.createTempDirectory("graft_orc_stream").toString
+    val ckpt = Files.createTempDirectory("graft_orc_stream_ck").toString
+    val out = Files.createTempDirectory("graft_orc_stream_out").toString
+    spark.range(0, 500).coalesce(1).write.mode("overwrite").orc(d)
+    val src = spark.readStream.format("metadata")
+      .option("level", "file").option("source", "orc")
+      .option("streamlagms", "0").load(d)
+    val q = src.select("filename", "num_rows").writeStream.format("parquet")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).option("path", out).start()
+    q.awaitTermination(60000)
+    q.stop()
+    val got = spark.read.parquet(out).agg(sum("num_rows")).collect()(0)
+    assert(got.getLong(0) === 500L)
+  }
+}
