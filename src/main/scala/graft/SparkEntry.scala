@@ -494,6 +494,29 @@ object SparkEntry {
           min(col("offset")).cast("long").as("first_offset"))
     }),
 
+    // ORC column statistics — typed footer min/max/sum per column,
+    // CROSS-FORMAT checked: the stats ORC's writer computed must equal
+    // what DuckDB computes from the SOURCE parquet data the fixture was
+    // written from. Integer sums are exact on both sides; the double
+    // column pins min/max only (an fp sum is accumulation-order
+    // dependent — the same discipline as the parquet FP decodes).
+    "meta_orc_column" -> ((s, dir) => {
+      val out = "/tmp/graft_orccol_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "lineitem"))
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("double").as("qty"),
+          col("l_returnflag"))
+        .coalesce(1)
+        .write.mode("overwrite").orc(out)
+      meta(s, out, "column")
+        .filter(col("path").isin("l_orderkey", "qty", "l_returnflag"))
+        .select(col("path"), col("num_values"), col("has_null"),
+          col("min_long"), col("max_long"), col("sum_long"),
+          col("min_double"), col("max_double"),
+          col("min_string"), col("max_string"))
+    }),
+
     // STREAMING token accounting: the metadata STREAMING source at the
     // sizestats level watches an arrival directory — each micro-batch
     // accounts only the newly arrived files' footers (stream-static join
@@ -4331,6 +4354,25 @@ object SparkEntry {
         |  max(price) AS price_mx,
         |  CAST(5 AS BIGINT) AS n_kinds
         |FROM read_parquet('/tmp/graft_valsany_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_orc_column" ->
+      """SELECT 'l_orderkey' AS path, CAST(count(*) AS BIGINT) AS num_values,
+        |  FALSE AS has_null,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_long,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_long,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_long,
+        |  CAST(NULL AS DOUBLE) AS min_double, CAST(NULL AS DOUBLE) AS max_double,
+        |  CAST(NULL AS VARCHAR) AS min_string, CAST(NULL AS VARCHAR) AS max_string
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'qty', CAST(count(*) AS BIGINT), FALSE, NULL, NULL, NULL,
+        |  min(CAST(l_quantity AS DOUBLE)), max(CAST(l_quantity AS DOUBLE)),
+        |  NULL, NULL
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', CAST(count(*) AS BIGINT), FALSE, NULL, NULL,
+        |  NULL, NULL, NULL, min(l_returnflag), max(l_returnflag)
+        |FROM lineitem""".stripMargin,
 
     "meta_orc_file" ->
       """SELECT CAST(2 AS BIGINT) AS n_files,

@@ -202,6 +202,28 @@ object MetaLevel {
       .add("user_metadata", MapType(StringType, StringType))
   }
 
+  /** One row per ORC schema column: the file-footer column statistics
+    * (typed min/max/sum slots, null where the type doesn't carry them) —
+    * the ORC sibling of [[ParquetColumn]]'s statistics struct, flattened
+    * because ORC types their stats where parquet stores raw bytes. */
+  case object OrcColumn extends MetaLevel("orc-column") {
+    override val schema: StructType = StructType(Seq(
+      StructField("column_id", IntegerType),
+      StructField("path", StringType),
+      StructField("type", StringType),
+      StructField("num_values", LongType),
+      StructField("has_null", BooleanType),
+      StructField("min_long", LongType),
+      StructField("max_long", LongType),
+      StructField("sum_long", LongType),
+      StructField("min_double", DoubleType),
+      StructField("max_double", DoubleType),
+      StructField("sum_double", DoubleType),
+      StructField("min_string", StringType),
+      StructField("max_string", StringType),
+      StructField("filepath", StringType)))
+  }
+
   /** One row per ORC stripe — the sub-file unit playing the parquet
     * row group's role (offset + index/data/footer section lengths +
     * row count). */

@@ -386,6 +386,23 @@ class MetaPartitionReader(
     case "user_metadata" => (_, o) => orNull(o.userMetadata)
   }
 
+  private lazy val orcColumnEx: Array[Ex[OrcColumnInfo]] = fieldNames.map[Ex[OrcColumnInfo]] {
+    case "column_id" => (_, c) => c.columnId
+    case "path" => (_, c) => c.path
+    case "type" => (_, c) => c.typeName
+    case "num_values" => (_, c) => c.numValues
+    case "has_null" => (_, c) => c.hasNull
+    case "min_long" => (_, c) => orNull(c.minLong)
+    case "max_long" => (_, c) => orNull(c.maxLong)
+    case "sum_long" => (_, c) => orNull(c.sumLong)
+    case "min_double" => (_, c) => orNull(c.minDouble)
+    case "max_double" => (_, c) => orNull(c.maxDouble)
+    case "sum_double" => (_, c) => orNull(c.sumDouble)
+    case "min_string" => (_, c) => orNull(c.minString)
+    case "max_string" => (_, c) => orNull(c.maxString)
+    case "filepath" => (f, _) => f.path
+  }
+
   private lazy val orcStripeEx: Array[Ex[OrcStripeInfo]] = fieldNames.map[Ex[OrcStripeInfo]] {
     case "stripe_id" => (_, s) => s.id
     case "offset" => (_, s) => s.offset
@@ -409,6 +426,10 @@ class MetaPartitionReader(
       case MetaLevel.OrcStripe =>
         OrcMeta.read(new Path(f.path), conf).stripes.iterator
           .map(toInternal(orcStripeEx, f, _))
+
+      case MetaLevel.OrcColumn =>
+        OrcMeta.read(new Path(f.path), conf).columns.iterator
+          .map(toInternal(orcColumnEx, f, _))
 
       case MetaLevel.ParquetFile =>
         Iterator.single(toInternal(pqFileEx, f, readFooter(f)))

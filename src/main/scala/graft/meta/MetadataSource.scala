@@ -86,6 +86,7 @@ object MetadataSource {
     case ("parquet", "sizestats") => MetaLevel.ParquetSizeStats
     case ("orc", "file") => MetaLevel.OrcFile
     case ("orc", "stripe") => MetaLevel.OrcStripe
+    case ("orc", "column") => MetaLevel.OrcColumn
     case (s, l) =>
       throw new IllegalArgumentException(s"Source '$s' does not support '$l' level")
   }

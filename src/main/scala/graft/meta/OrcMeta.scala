@@ -8,6 +8,18 @@ case class OrcStripeInfo(
     id: Int, offset: Long, indexLength: Long, dataLength: Long,
     footerLength: Long, numRows: Long)
 
+/** One leaf column's footer statistics: typed min/max/sum slots are
+  * null when the column's type doesn't carry them. */
+case class OrcColumnInfo(
+    columnId: Int,
+    path: String,
+    typeName: String,
+    numValues: Long,
+    hasNull: Boolean,
+    minLong: Option[Long], maxLong: Option[Long], sumLong: Option[Long],
+    minDouble: Option[Double], maxDouble: Option[Double], sumDouble: Option[Double],
+    minString: Option[String], maxString: Option[String])
+
 /** Decoded ORC file tail (postscript + footer + metadata). */
 case class OrcInfo(
     numRows: Long,
@@ -18,7 +30,8 @@ case class OrcInfo(
     writerVersion: String,
     schemaString: String,
     userMetadata: Option[Map[String, String]],
-    stripes: Seq[OrcStripeInfo])
+    stripes: Seq[OrcStripeInfo],
+    columns: Seq[OrcColumnInfo])
 
 /**
  * ORC file-tail decode for the metadata source's `orc` tier — the ORC
@@ -57,6 +70,43 @@ object OrcMeta {
         case (s, i) => OrcStripeInfo(i, s.getOffset, s.getIndexLength,
           s.getDataLength, s.getFooterLength, s.getNumberOfRows)
       }
+      // file-footer column statistics, one per schema column id; paths
+      // come from the TypeDescription walk (dotted like the parquet tier)
+      val schema = reader.getSchema
+      val paths = {
+        val out = scala.collection.mutable.Map.empty[Int, (String, String)]
+        def visit(t: org.apache.orc.TypeDescription, prefix: String): Unit = {
+          out(t.getId) = (if (prefix.isEmpty) "<root>" else prefix,
+            t.getCategory.getName)
+          val kids = Option(t.getChildren).map(_.asScala.toSeq).getOrElse(Seq.empty)
+          val names =
+            if (t.getCategory == org.apache.orc.TypeDescription.Category.STRUCT)
+              t.getFieldNames.asScala.toSeq
+            else kids.indices.map(i => s"_child$i")
+          kids.zip(names).foreach { case (k, n) =>
+            visit(k, if (prefix.isEmpty) n else s"$prefix.$n")
+          }
+        }
+        visit(schema, "")
+        out.toMap
+      }
+      val columns = reader.getStatistics.zipWithIndex.map { case (st, id) =>
+        val (path, tpe) = paths.getOrElse(id, (s"<col$id>", "unknown"))
+        val base = OrcColumnInfo(id, path, tpe, st.getNumberOfValues,
+          st.hasNull, None, None, None, None, None, None, None, None)
+        st match {
+          case i: org.apache.orc.IntegerColumnStatistics =>
+            base.copy(minLong = Some(i.getMinimum), maxLong = Some(i.getMaximum),
+              sumLong = if (i.isSumDefined) Some(i.getSum) else None)
+          case d: org.apache.orc.DoubleColumnStatistics =>
+            base.copy(minDouble = Some(d.getMinimum),
+              maxDouble = Some(d.getMaximum), sumDouble = Some(d.getSum))
+          case s: org.apache.orc.StringColumnStatistics =>
+            base.copy(minString = Option(s.getMinimum),
+              maxString = Option(s.getMaximum))
+          case _ => base
+        }
+      }.toSeq
       val keys = reader.getMetadataKeys.asScala.toSeq
       val userMeta =
         if (keys.isEmpty) None
@@ -75,7 +125,8 @@ object OrcMeta {
         writerVersion = String.valueOf(reader.getWriterVersion),
         schemaString = reader.getSchema.toString,
         userMetadata = userMeta,
-        stripes = stripes)
+        stripes = stripes,
+        columns = columns)
     } finally {
       reader.close()
     }

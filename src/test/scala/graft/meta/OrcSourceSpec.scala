@@ -82,6 +82,30 @@ class OrcSourceSpec extends SparkSpec {
     }
   }
 
+  test("orc column level: typed footer stats equal the data") {
+    val cols = meta(dir, "level" -> "column")
+    assert(cols.schema === MetaLevel.OrcColumn.schema)
+    val truth = spark.read.orc(dir)
+      .agg(min(col("k")), max(col("k")), sum(col("k")),
+        min(col("s")), max(col("s")), count(lit(1))).collect()(0)
+    // two files: roll the per-file stats up before comparing
+    val kRow = cols.filter(col("path") === "k")
+      .agg(min("min_long"), max("max_long"), sum("sum_long"),
+        sum("num_values")).collect()(0)
+    assert(kRow.getLong(0) === truth.getLong(0), "min")
+    assert(kRow.getLong(1) === truth.getLong(1), "max")
+    assert(kRow.getLong(2) === truth.getLong(2), "sum")
+    assert(kRow.getLong(3) === truth.getLong(5), "non-null count")
+    val sRow = cols.filter(col("path") === "s")
+      .agg(min("min_string"), max("max_string")).collect()(0)
+    assert(sRow.getString(0) === truth.getString(3))
+    assert(sRow.getString(1) === truth.getString(4))
+    // typed slots stay null where inapplicable
+    assert(cols.filter(col("path") === "s" && col("min_long").isNotNull)
+      .count() === 0)
+    assert(cols.filter(col("has_null")).count() === 0)
+  }
+
   test("validation matrix and explicit source override") {
     val e1 = intercept[IllegalArgumentException](
       meta(dir, "source" -> "orc", "level" -> "page").collect())
