@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.meta.{FooterEdit, MetaPrune, MetaValues}
+import graft.meta.{FooterEdit, MetaPrune, MetaValues, OrcPrune}
 import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, MediaRecord, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, SubstrSearch, TemporalJoin, TextOps}
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -515,6 +515,25 @@ object SparkEntry {
           col("min_long"), col("max_long"), col("sum_long"),
           col("min_double"), col("max_double"),
           col("min_string"), col("max_string"))
+    }),
+
+    // ORC stats-driven file pruning — the parquet prune story replayed
+    // cross-format: a range-clustered ORC layout, footer min/max decide
+    // the surviving files, a normal spark.read.orc over those paths, and
+    // the filtered result still equals DuckDB over the SOURCE parquet
+    // data. The pruned file set is strictly smaller than the layout
+    // (range-partitioned: most files cannot hold the probe range).
+    "orc_prune_scan" -> ((s, dir) => {
+      val out = "/tmp/graft_orcprune_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "lineitem"))
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+        .repartitionByRange(6, col("k"))
+        .write.mode("overwrite").orc(out)
+      OrcPrune.readPrunedLong(s, out, "k", 1000L, 4999L)
+        .filter(col("k").between(1000L, 4999L))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("k")), lit(0L)).as("k_sum"))
     }),
 
     // STREAMING token accounting: the metadata STREAMING source at the
@@ -4354,6 +4373,12 @@ object SparkEntry {
         |  max(price) AS price_mx,
         |  CAST(5 AS BIGINT) AS n_kinds
         |FROM read_parquet('/tmp/graft_valsany_sf0.01/*.parquet')""".stripMargin,
+
+    "orc_prune_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) AS k_sum
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 4999""".stripMargin,
 
     "meta_orc_column" ->
       """SELECT 'l_orderkey' AS path, CAST(count(*) AS BIGINT) AS num_values,

@@ -106,6 +106,28 @@ class OrcSourceSpec extends SparkSpec {
     assert(cols.filter(col("has_null")).count() === 0)
   }
 
+  test("orc stats pruning drops certain-impossible files, keeps the rest") {
+    val d = Files.createTempDirectory("graft_orc_prune").toString
+    spark.range(0, 60000).select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(6, col("k"))
+      .write.mode("overwrite").orc(d)
+    val all = spark.read.orc(d).inputFiles.length
+    assert(all === 6)
+    val kept = OrcPrune.filesInRange(spark, d, "k", 10000L, 14999L)
+    assert(kept.nonEmpty && kept.length < all,
+      s"range-clustered layout must prune, kept ${kept.length}/$all")
+    // the pruned read is EXACT under the composed predicate
+    val got = OrcPrune.readPrunedLong(spark, d, "k", 10000L, 14999L)
+      .filter(col("k").between(10000L, 14999L)).count()
+    assert(got === 5000L)
+    // a missing column keeps every file (sound)
+    assert(OrcPrune.filesInRange(spark, d, "no_such_column", 0L, 1L)
+      .length === all)
+    // a disjoint range prunes everything
+    assert(OrcPrune.readPrunedLong(spark, d, "k", 900000L, 900001L)
+      .count() === 0L)
+  }
+
   test("validation matrix and explicit source override") {
     val e1 = intercept[IllegalArgumentException](
       meta(dir, "source" -> "orc", "level" -> "page").collect())
