@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.meta.{FooterEdit, MetaPrune, MetaValues, OrcPrune}
+import graft.meta.{AvroMeta, FooterEdit, MetaPrune, MetaValues, OrcPrune}
 import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, MediaRecord, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, SubstrSearch, TemporalJoin, TextOps}
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -515,6 +515,41 @@ object SparkEntry {
           col("min_long"), col("max_long"), col("sum_long"),
           col("min_double"), col("max_double"),
           col("min_string"), col("max_string"))
+    }),
+
+    // AVRO metadata tier — the third lake format: Avro has NO footer, so
+    // row counts come from the hand-rolled block walk (count/size varint
+    // pairs, sync verification), decoded from containers avro's OWN
+    // DataFileWriter produced (cross-implementation, not a round trip).
+    // The oracle recomputes in closed form from the source data: file
+    // count from the parity split, row totals from documents, two
+    // distinct codecs by construction, and the file-level totals must
+    // agree with the block-level rollup.
+    "meta_avro_file" -> ((s, dir) => {
+      val out = "/tmp/graft_avrofile_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val outF = new java.io.File(out)
+      if (outF.exists()) outF.listFiles().foreach(_.delete())
+      outF.mkdirs()
+      // fixture-bounded driver-side write through avro's own writer (500
+      // rows at the correctness SF) — the decode under test is ours
+      val rows = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), col("lang")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq.sortBy(_._1)
+      val (even, odd) = rows.partition(_._1 % 2 == 0)
+      AvroMeta.writeFixture(new java.io.File(outF, "even.avro"), even,
+        syncInterval = 1024)
+      AvroMeta.writeFixture(new java.io.File(outF, "odd.avro"), odd,
+        codec = "deflate", syncInterval = 1024)
+      val files = meta(s, out, "file")
+        .agg(count(lit(1)).cast("long").as("n_files"),
+          sum(col("num_rows")).cast("long").as("total_rows"),
+          count_distinct(col("codec")).cast("long").as("n_codecs"))
+      val blocks = meta(s, out, "block")
+        .agg(sum(col("num_rows")).cast("long").as("block_rows"))
+      files.crossJoin(blocks)
+        .select(col("n_files"), col("total_rows"), col("n_codecs"),
+          (col("block_rows") === col("total_rows")).as("blocks_agree"))
     }),
 
     // ORC stats-driven file pruning — the parquet prune story replayed
@@ -4373,6 +4408,13 @@ object SparkEntry {
         |  max(price) AS price_mx,
         |  CAST(5 AS BIGINT) AS n_kinds
         |FROM read_parquet('/tmp/graft_valsany_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_avro_file" ->
+      """SELECT CAST(2 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS total_rows,
+        |  CAST(2 AS BIGINT) AS n_codecs,
+        |  TRUE AS blocks_agree
+        |FROM documents""".stripMargin,
 
     "orc_prune_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

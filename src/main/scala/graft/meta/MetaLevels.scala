@@ -238,6 +238,30 @@ object MetaLevel {
       StructField("filepath", StringType)))
   }
 
+  /** Avro file level: file-system columns + object-container header
+    * summary plus the block-walk totals (Avro has no footer — row
+    * counts come from walking the block headers). */
+  case object AvroFile extends MetaLevel("avro-file") {
+    override val schema: StructType = FsFile.schema
+      .add("num_rows", LongType)
+      .add("num_blocks", IntegerType)
+      .add("codec", StringType)
+      .add("data_bytes", LongType)
+      .add("schema", StringType)
+      .add("metadata", MapType(StringType, StringType))
+  }
+
+  /** One row per Avro data block: offset, row count, compressed data
+    * size — the sub-file unit in the row group / stripe role. */
+  case object AvroBlock extends MetaLevel("avro-block") {
+    override val schema: StructType = StructType(Seq(
+      StructField("block_id", IntegerType),
+      StructField("offset", LongType),
+      StructField("num_rows", LongType),
+      StructField("data_size", LongType),
+      StructField("filepath", StringType)))
+  }
+
   /** One row per physical page (incl. dictionary pages). */
   case object ParquetPage extends MetaLevel("parquet-page") {
     override val schema: StructType = StructType(Seq(

@@ -386,6 +386,28 @@ class MetaPartitionReader(
     case "user_metadata" => (_, o) => orNull(o.userMetadata)
   }
 
+  private lazy val avroFileEx: Array[Ex[AvroInfo]] = fieldNames.map[Ex[AvroInfo]] {
+    case "filepath" => (f, _) => f.path
+    case "filename" => (f, _) => f.name
+    case "size" => (f, _) => f.size
+    case "mtime" => (f, _) => f.mtime
+    case "partition" => (f, _) => f.partition
+    case "num_rows" => (_, a) => a.numRows
+    case "num_blocks" => (_, a) => a.numBlocks
+    case "codec" => (_, a) => a.codec
+    case "data_bytes" => (_, a) => a.dataBytes
+    case "schema" => (_, a) => a.schemaJson
+    case "metadata" => (_, a) => a.metadata
+  }
+
+  private lazy val avroBlockEx: Array[Ex[AvroBlockInfo]] = fieldNames.map[Ex[AvroBlockInfo]] {
+    case "block_id" => (_, b) => b.id
+    case "offset" => (_, b) => b.offset
+    case "num_rows" => (_, b) => b.count
+    case "data_size" => (_, b) => b.dataSize
+    case "filepath" => (f, _) => f.path
+  }
+
   private lazy val orcColumnEx: Array[Ex[OrcColumnInfo]] = fieldNames.map[Ex[OrcColumnInfo]] {
     case "column_id" => (_, c) => c.columnId
     case "path" => (_, c) => c.path
@@ -430,6 +452,14 @@ class MetaPartitionReader(
       case MetaLevel.OrcColumn =>
         OrcMeta.read(new Path(f.path), conf).columns.iterator
           .map(toInternal(orcColumnEx, f, _))
+
+      case MetaLevel.AvroFile =>
+        Iterator.single(toInternal(avroFileEx, f,
+          AvroMeta.read(new Path(f.path), conf, Some(f.size))))
+
+      case MetaLevel.AvroBlock =>
+        AvroMeta.read(new Path(f.path), conf, Some(f.size)).blocks.iterator
+          .map(toInternal(avroBlockEx, f, _))
 
       case MetaLevel.ParquetFile =>
         Iterator.single(toInternal(pqFileEx, f, readFooter(f)))

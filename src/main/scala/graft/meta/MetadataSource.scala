@@ -69,9 +69,10 @@ object MetadataSource {
   val FOOTER_CACHE = "footercache"
   val COUNT_PUSHDOWN = "countpushdown"
 
-  val SOURCES = Seq("file", "parquet", "orc")
+  val SOURCES = Seq("file", "parquet", "orc", "avro")
   val LEVELS = Seq("file", "rowgroup", "column", "page",
-    "columnindex", "offsetindex", "bloomfilter", "sizestats", "stripe")
+    "columnindex", "offsetindex", "bloomfilter", "sizestats", "stripe",
+    "block")
 
   /** Map a validated (source, level) pair onto a [[MetaLevel]]. */
   def levelFor(source: String, level: String): MetaLevel = (source, level) match {
@@ -87,6 +88,8 @@ object MetadataSource {
     case ("orc", "file") => MetaLevel.OrcFile
     case ("orc", "stripe") => MetaLevel.OrcStripe
     case ("orc", "column") => MetaLevel.OrcColumn
+    case ("avro", "file") => MetaLevel.AvroFile
+    case ("avro", "block") => MetaLevel.AvroBlock
     case (s, l) =>
       throw new IllegalArgumentException(s"Source '$s' does not support '$l' level")
   }
@@ -166,6 +169,7 @@ object MetaTable {
           val fs = p.getFileSystem(hadoopConf)
           if (Footers.isParquet(fs, p)) "parquet"
           else if (OrcMeta.isOrc(fs, p)) "orc"
+          else if (AvroMeta.isAvro(fs, p)) "avro"
           else "file"
         }.getOrElse("file")
     }
@@ -271,7 +275,8 @@ class MetaScanBuilder(table: MetaTable)
     case MetaLevel.FsFile =>
       limit = Some(n)
       false // keep Spark's limit on top (pruning is still exact, this is belt+braces)
-    case MetaLevel.ParquetFile | MetaLevel.OrcFile if !table.ignoreCorrupt =>
+    case MetaLevel.ParquetFile | MetaLevel.OrcFile | MetaLevel.AvroFile
+        if !table.ignoreCorrupt =>
       limit = Some(n)
       false
     case _ => false
@@ -302,7 +307,8 @@ class MetaScanBuilder(table: MetaTable)
       agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
       (table.level == MetaLevel.FsFile ||
         ((table.level == MetaLevel.ParquetFile ||
-          table.level == MetaLevel.OrcFile) && !table.ignoreCorrupt)) &&
+          table.level == MetaLevel.OrcFile ||
+          table.level == MetaLevel.AvroFile) && !table.ignoreCorrupt)) &&
       limit.isEmpty
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = countPushable(agg)
@@ -389,7 +395,8 @@ class MetaScan(
    */
   override def estimateStatistics(): Statistics = new Statistics {
     private val known = table.level match {
-      case MetaLevel.FsFile | MetaLevel.ParquetFile | MetaLevel.OrcFile =>
+      case MetaLevel.FsFile | MetaLevel.ParquetFile | MetaLevel.OrcFile |
+          MetaLevel.AvroFile =>
         Some(prunedFiles.length.toLong)
       case _ => None
     }

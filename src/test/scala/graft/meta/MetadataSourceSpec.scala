@@ -152,11 +152,13 @@ class MetadataSourceSpec extends SparkSpec {
       cause.getMessage
     }
     val e1 = intercept[Exception](meta(lineitem, "source" -> "json").collect())
-    assert(messageOf(e1).contains("Invalid source: json, expected one of [file, parquet]"))
+    assert(messageOf(e1).contains(
+      "Invalid source: json, expected one of [file, parquet, orc, avro]"))
     val e2 = intercept[Exception](meta(lineitem, "level" -> "pages").collect())
     assert(messageOf(e2).contains(
       "Invalid level: pages, expected one of " +
-        "[file, rowgroup, column, page, columnindex, offsetindex, bloomfilter, sizestats]"))
+        "[file, rowgroup, column, page, columnindex, offsetindex, " +
+        "bloomfilter, sizestats, stripe, block]"))
     val e3 = intercept[Exception](
       meta(lineitem, "source" -> "file", "level" -> "rowgroup").collect())
     assert(messageOf(e3).contains("Source 'file' does not support 'rowgroup' level"))
