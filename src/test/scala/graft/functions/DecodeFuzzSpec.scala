@@ -66,6 +66,37 @@ class DecodeFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("container probes never throw on arbitrary bytes") {
+    // video walks refuse garbage with None; magic-prefixed garbage is the
+    // adversarial case (the walk actually runs)
+    val mp4Prefix = Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p')
+    val ebmlPrefix = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte)
+    check(Prop.forAll(genBytes) { b =>
+      graft.ops.Multimodal.decodeVideoInfo(b)
+      graft.ops.Multimodal.decodeMp4Info(mp4Prefix ++ b)
+      graft.ops.Multimodal.decodeMkvInfo(ebmlPrefix ++ b)
+      graft.ops.Multimodal.decodeAudioInfo(b)
+      true
+    })
+    // the avro block walk throws a classified RuntimeException (the
+    // ignorecorrupt contract), never an index/NPE-style error
+    val avroPrefix = Array[Byte]('O', 'b', 'j', 1)
+    check(Prop.forAll(genBytes) { b =>
+      val tmp = java.io.File.createTempFile("fuzz_avro", ".avro")
+      try {
+        java.nio.file.Files.write(tmp.toPath, avroPrefix ++ b)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        try {
+          graft.meta.AvroMeta.read(
+            new org.apache.hadoop.fs.Path(tmp.getAbsolutePath), conf)
+          true
+        } catch {
+          case _: RuntimeException => true // classified refusal
+        }
+      } finally tmp.delete()
+    })
+  }
+
   test("the unified dispatcher never throws on adversarial headers") {
     val pageTypes = Seq("DATA_PAGE", "DATA_PAGE_V2", "DICTIONARY_PAGE",
       "INDEX_PAGE", "???").map(UTF8String.fromString)
