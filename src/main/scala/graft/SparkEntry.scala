@@ -517,6 +517,45 @@ object SparkEntry {
           col("min_string"), col("max_string"))
     }),
 
+    // MIXED-DIRECTORY lake census: parquet + ORC + Avro files side by
+    // side in ONE directory — the case a homogeneity-sniffing scan
+    // cannot serve. Each format's scan runs under ignorecorrupt so
+    // foreign files skip at their 4-byte magic check; every file
+    // censuses under exactly the format that accepts it. Oracle
+    // recomputes the three (files, rows) pairs in closed form from the
+    // source data and the fixture's parity splits.
+    "meta_lake_census" -> ((s, dir) => {
+      val out = "/tmp/graft_lakecensus_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val outF = new java.io.File(out)
+      if (outF.exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(outF)
+      }
+      outF.mkdirs()
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), col("lang"))
+      // parquet third: doc_id % 3 == 0, one file copied into the mix
+      docs.filter(col("doc_id") % 3 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(out + "_pq")
+      // orc third: % 3 == 1
+      docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+        .write.mode("overwrite").orc(out + "_orc")
+      for ((src, name) <- Seq(out + "_pq" -> "part.parquet",
+          out + "_orc" -> "part.orc")) {
+        val part = new java.io.File(src).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".orc")).head
+        java.nio.file.Files.copy(part.toPath,
+          new java.io.File(outF, name).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      // avro third: % 3 == 2, via avro's own writer
+      val avroRows = docs.filter(col("doc_id") % 3 === 2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq.sortBy(_._1)
+      AvroMeta.writeFixture(new java.io.File(outF, "part.avro"), avroRows)
+      MetaValues.lakeCensus(s, out)
+        .select(col("format"), col("n_files"), col("total_rows"))
+    }),
+
     // AVRO metadata tier — the third lake format: Avro has NO footer, so
     // row counts come from the hand-rolled block walk (count/size varint
     // pairs, sync verification), decoded from containers avro's OWN
@@ -4408,6 +4447,19 @@ object SparkEntry {
         |  max(price) AS price_mx,
         |  CAST(5 AS BIGINT) AS n_kinds
         |FROM read_parquet('/tmp/graft_valsany_sf0.01/*.parquet')""".stripMargin,
+
+    "meta_lake_census" ->
+      """SELECT 'parquet' AS format, CAST(1 AS BIGINT) AS n_files,
+        |  CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS total_rows
+        |FROM documents
+        |UNION ALL
+        |SELECT 'orc', CAST(1 AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE doc_id % 3 = 1) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'avro', CAST(1 AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE doc_id % 3 = 2) AS BIGINT)
+        |FROM documents""".stripMargin,
 
     "meta_avro_file" ->
       """SELECT CAST(2 AS BIGINT) AS n_files,

@@ -171,6 +171,31 @@ class MetaValuesSpec extends SparkSpec {
       "modern pages must CRC-verify")
   }
 
+  test("lakeCensus audits a mixed directory, junk counted nowhere") {
+    val d = Files.createTempDirectory("graft_census").toString
+    spark.range(0, 1000).select(col("id")).coalesce(1)
+      .write.mode("overwrite").parquet(d + "_pq")
+    spark.range(0, 700).select(col("id")).coalesce(1)
+      .write.mode("overwrite").orc(d + "_orc")
+    val mixed = new java.io.File(d)
+    for ((src, ext) <- Seq(d + "_pq" -> ".parquet", d + "_orc" -> ".orc")) {
+      val part = new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(ext)).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(mixed, "part" + ext).toPath)
+    }
+    AvroMeta.writeFixture(new java.io.File(mixed, "part.avro"),
+      (0L until 300L).map(i => i -> "x"))
+    Files.write(java.nio.file.Paths.get(d, "junk.txt"), "not a table".getBytes)
+    val census = MetaValues.lakeCensus(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(census("parquet") === ((1L, 1000L)))
+    assert(census("orc") === ((1L, 700L)))
+    assert(census("avro") === ((1L, 300L)))
+    // the junk file appears under NO format (each decode refused it)
+    assert(census.values.map(_._1).sum === 3L)
+  }
+
   test("schema drift across files resolves per file") {
     val d = Files.createTempDirectory("graft_metavalues_drift").toString
     // two files, DIFFERENT schemas in one directory
