@@ -556,6 +556,40 @@ object SparkEntry {
         .select(col("format"), col("n_files"), col("total_rows"))
     }),
 
+    // ORC stripe-skip report — the ORC sibling of the parquet page-skip
+    // report, from per-stripe statistics in the file tail (the structure
+    // ORC's own pushdown consults; the spec additionally pins the report
+    // against Spark's real ORC reader metrics). The oracle checks the
+    // invariants the layout fixes: totals equal the data, a sorted
+    // layout skips stripes, coverage never undercuts the matches.
+    "orc_stripe_skip" -> ((s, dir) => {
+      val out = "/tmp/graft_orcskip_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "lineitem"))
+        .select(col("l_orderkey").as("k"),
+          concat(col("l_returnflag"), lit("_pad_"), col("l_partkey"),
+            col("l_shipdate").cast("string")).as("pad"))
+        .repartition(1).sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .option("orc.stripe.size", "65536")
+        .orc(out)
+      val (lo, hi) = (1000L, 4999L)
+      val rep = OrcPrune.stripeSkipReport(s, out, "k", lo, hi)
+        .agg(sum(col("rows_total")).as("rt"),
+          sum(col("rows_covered")).as("rc"),
+          sum(col("n_stripes_total")).as("st"),
+          sum(col("n_stripes_needed")).as("sn"))
+      val matches = s.read.orc(out)
+        .filter(col("k").between(lo, hi))
+        .agg(count(lit(1)).as("m"))
+      rep.crossJoin(matches)
+        .select(col("rt").cast("long").as("total_rows"),
+          (col("rc") < col("rt")).as("skipped_rows"),
+          (col("sn") < col("st")).as("skipped_stripes"),
+          (col("rc") >= col("m")).as("sound"),
+          col("m").cast("long").as("n_matches"))
+    }),
+
     // AVRO metadata tier — the third lake format: Avro has NO footer, so
     // row counts come from the hand-rolled block walk (count/size varint
     // pairs, sync verification), decoded from containers avro's OWN
@@ -4447,6 +4481,13 @@ object SparkEntry {
         |  max(price) AS price_mx,
         |  CAST(5 AS BIGINT) AS n_kinds
         |FROM read_parquet('/tmp/graft_valsany_sf0.01/*.parquet')""".stripMargin,
+
+    "orc_stripe_skip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |  TRUE AS skipped_rows, TRUE AS skipped_stripes, TRUE AS sound,
+        |  CAST(count(*) FILTER (WHERE l_orderkey BETWEEN 1000 AND 4999)
+        |    AS BIGINT) AS n_matches
+        |FROM lineitem""".stripMargin,
 
     "meta_lake_census" ->
       """SELECT 'parquet' AS format, CAST(1 AS BIGINT) AS n_files,

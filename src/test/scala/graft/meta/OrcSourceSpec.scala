@@ -128,6 +128,45 @@ class OrcSourceSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("stripe-skip report is EXTERNALLY validated by Spark's ORC reader") {
+    val d = Files.createTempDirectory("graft_orc_skip").toString
+    // the stripe flush is driven by buffered memory: a fat string column
+    // forces several stripes where two long columns would buffer whole
+    spark.range(0, 120000).select(col("id").as("k"), (col("id") % 13).as("v"),
+        concat(lit("pad_"), col("id"), lit("x" * 64)).as("pad"))
+      .repartition(1).sortWithinPartitions("k")
+      .write.mode("overwrite")
+      .option("orc.stripe.size", "65536")
+      .orc(d)
+    val (lo, hi) = (30000L, 39999L)
+    val rep = OrcPrune.stripeSkipReport(spark, d, "k", lo, hi).collect()
+    val predicted = rep.map(_.getAs[Long]("rows_covered")).sum
+    val total = rep.map(_.getAs[Long]("rows_total")).sum
+    val stripesNeeded = rep.map(_.getAs[Int]("n_stripes_needed")).sum
+    val stripesTotal = rep.map(_.getAs[Int]("n_stripes_total")).sum
+    assert(total === 120000L)
+    assert(predicted < total, "sorted layout must predict stripe skipping")
+    assert(stripesNeeded < stripesTotal)
+    assert(predicted >= hi - lo + 1, "prediction cannot undercut the matches")
+    // ground truth: Spark's own ORC reader with pushdown (stripe +
+    // row-group granular) cannot touch more rows than we predict, nor
+    // fewer than match
+    val q = spark.read.orc(d).filter(col("k") >= lo && col("k") <= hi)
+      .select(col("v"))
+    q.collect()
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val emitted = scans.map(_.metrics("numOutputRows").value).sum
+    assert(emitted >= hi - lo + 1)
+    assert(emitted <= predicted,
+      s"reader touched $emitted rows but the report predicted only $predicted")
+    // missing column: every stripe stays needed (sound)
+    val soundRep = OrcPrune.stripeSkipReport(spark, d, "nope", lo, hi).collect()
+    assert(soundRep.map(_.getAs[Long]("rows_covered")).sum === total)
+  }
+
   test("validation matrix and explicit source override") {
     val e1 = intercept[IllegalArgumentException](
       meta(dir, "source" -> "orc", "level" -> "page").collect())
