@@ -171,6 +171,34 @@ class MetaValuesSpec extends SparkSpec {
       "modern pages must CRC-verify")
   }
 
+  test("v2 nested pages decode through the zero-knowledge path") {
+    val d = Files.createTempDirectory("graft_zk_v2nested").toString
+    spark.range(0, 4000)
+      .select(col("id").as("k"),
+        when(col("id") % 9 === 0, lit(null))
+          .otherwise(transform(sequence(lit(0L), col("id") % 4),
+            i => col("id") * 3L + i)).as("vals"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.writer.version", "PARQUET_2_0")
+      .option("parquet.enable.dictionary", "false")
+      .option("parquet.page.row.count.limit", "900")
+      .parquet(d)
+    val dec = MetaValues.decodePages(spark, d)
+      .filter(col("page_type") === "DATA_PAGE_V2")
+    assert(dec.filter(col("decoded").isNull).count() === 0,
+      "v2 nested decode refused a page")
+    val truth = spark.read.parquet(d)
+      .agg(coalesce(sum(aggregate(col("vals"), lit(0L), _ + _)), lit(0L)),
+        coalesce(sum(size(col("vals"))), lit(0L))).collect()(0)
+    val got = dec.filter(col("path") === "vals.list.element")
+      .agg(sum(col("decoded.lsum")), sum(col("decoded.n"))).collect()(0)
+    assert(got.getLong(0) === truth.getLong(0), "v2 nested element sum")
+    assert(got.getLong(1) === truth.getLong(1), "v2 nested element count")
+    val kinds = dec.select(col("decoded.kind")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds.contains("DELTA_INT"), s"expected DELTA route, got $kinds")
+  }
+
   test("lakeCensus audits a mixed directory, junk counted nowhere") {
     val d = Files.createTempDirectory("graft_census").toString
     spark.range(0, 1000).select(col("id")).coalesce(1)
