@@ -101,6 +101,10 @@ object AvroMeta {
           shift += 7
           b = u8()
         }
+        // the final byte needs the same guard as the loop: an 11-byte
+        // varint reaches shift 70 here, and the JVM's shift-mod-64 would
+        // silently fold it into garbage instead of the refusal contract
+        if (shift > 63) throw new RuntimeException(s"$path: varint overflow")
         v |= (b & 0x7FL) << shift
         (v >>> 1) ^ -(v & 1L)
       }

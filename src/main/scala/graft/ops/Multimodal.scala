@@ -589,10 +589,14 @@ object Multimodal {
     var tracks = 0
     var w = 0
     var h = 0
+    // interior walks must propagate failure too: a crafted size INSIDE
+    // moov/trak stops that inner walk, and without this flag the probe
+    // would return Some(...) built from the partial parse
+    var badInner = false
     val ok = walk(0L, b.length.toLong) { (tpe, ps, pe) =>
       if (tpe == "ftyp") sawFtyp = true
       else if (tpe == "moov") {
-        walk(ps, pe) { (t2, qs, qe) =>
+        val innerOk = walk(ps, pe) { (t2, qs, qe) =>
           val q = qs.toInt
           if (t2 == "mvhd" && qe - qs >= 4) {
             val v = b(q) & 0xFF
@@ -603,7 +607,7 @@ object Multimodal {
             }
           } else if (t2 == "trak") {
             tracks += 1
-            walk(qs, qe) { (t3, rs, re) =>
+            if (!walk(qs, qe) { (t3, rs, re) =>
               val r = rs.toInt
               if (t3 == "tkhd" && re - rs >= 4) {
                 val v = b(r) & 0xFF
@@ -614,12 +618,13 @@ object Multimodal {
                   if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
                 }
               }
-            }
+            }) badInner = true
           }
         }
+        if (!innerOk) badInner = true
       }
     }
-    if (!ok || !sawFtyp || timescale <= 0 || duration < 0) None
+    if (!ok || badInner || !sawFtyp || timescale <= 0 || duration < 0) None
     else Some(VideoInfo("mp4", timescale, duration, tracks, w, h))
   }
 
@@ -713,7 +718,13 @@ object Multimodal {
         case _ => false
       }
     }
-    if (!ok || !sawSegment || scaleNs <= 0 || durationTicks < 0) None
+    // `timescale` is ticks-per-second across containers; a TimestampScale
+    // that doesn't divide 1e9 ns (spec-legal but exotic — real muxers
+    // write 1 ms) would make integer division lie about durations, and a
+    // scale above 1e9 would yield timescale 0. Both REFUSE rather than
+    // surface a wrong number — the same contract as crafted sizes.
+    if (!ok || !sawSegment || scaleNs <= 0 || durationTicks < 0 ||
+        scaleNs > 1000000000L || 1000000000L % scaleNs != 0) None
     else Some(VideoInfo(
       if (docType == "webm") "webm" else "mkv",
       1000000000L / scaleNs, durationTicks, tracks, w, h))

@@ -89,6 +89,19 @@ class AvroSourceSpec extends SparkSpec {
     val lenient = meta(d, "source" -> "avro", "level" -> "block",
       "ignorecorrupt" -> "true")
     assert(lenient.agg(sum("num_rows")).collect()(0).getLong(0) === 100L)
+    // an 11-byte varint (shift reaches 70 on the FINAL byte) must refuse
+    // with the classified overflow, not silently wrap shift mod 64
+    val evil = new java.io.ByteArrayOutputStream()
+    evil.write(Array[Byte]('O', 'b', 'j', 1))
+    (0 until 10).foreach(_ => evil.write(0xFF)) // 10 continuation bytes
+    evil.write(0x01) // final byte lands at shift 70
+    val evilPath = java.nio.file.Paths.get(d, "evil.avro")
+    Files.write(evilPath, evil.toByteArray)
+    val ex = intercept[RuntimeException](AvroMeta.read(
+      new org.apache.hadoop.fs.Path(evilPath.toString),
+      spark.sessionState.newHadoopConf()))
+    assert(ex.getMessage.contains("varint overflow"))
+    Files.delete(evilPath) // keep the lenient-count fixture stable
     // streaming arrival at the avro file level
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = Files.createTempDirectory("graft_avro_ck").toString

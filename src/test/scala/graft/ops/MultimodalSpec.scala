@@ -290,6 +290,57 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMkvInfo(Array[Byte](0x1A, 0x45, 0xDF.toByte)).isEmpty)
   }
 
+  test("video probes refuse interior malformation and lossy timescales") {
+    def box(tpe: String, p: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + p.length)
+      bb.putInt(8 + p.length).put(tpe.getBytes("US-ASCII")).put(p)
+      bb.array()
+    }
+    val mvhd0 = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(1000).putInt(4500)
+      java.util.Arrays.copyOf(bb.array(), 100)
+    }
+    // a crafted box size INSIDE moov (after a valid mvhd): the interior
+    // walk fails, and the probe must refuse even though the TOP-level
+    // walk and the mvhd parse both succeeded
+    val evilInner = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.putInt(0x7FFFFFFF).put("free".getBytes).putInt(0)
+      bb.array()
+    }
+    val craftedMoov = box("ftyp", "isom".getBytes) ++
+      box("moov", box("mvhd", mvhd0) ++ evilInner)
+    assert(Multimodal.decodeMp4Info(craftedMoov).isEmpty)
+    // same inside a trak: tkhd parses, then a crafted sibling refuses
+    val tkhd0 = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.position(76)
+      bb.putInt(320 << 16).putInt(200 << 16)
+      java.util.Arrays.copyOf(bb.array(), 84)
+    }
+    val craftedTrak = box("ftyp", "isom".getBytes) ++
+      box("moov", box("mvhd", mvhd0) ++
+        box("trak", box("tkhd", tkhd0) ++ evilInner))
+    assert(Multimodal.decodeMp4Info(craftedTrak).isEmpty)
+    // the well-formed twin of the same layout parses fine (the refusal
+    // above is the crafted size, not the shape)
+    val clean = box("ftyp", "isom".getBytes) ++
+      box("moov", box("mvhd", mvhd0) ++ box("trak", box("tkhd", tkhd0)))
+    assert(Multimodal.decodeMp4Info(clean).get.width === 320)
+
+    // MKV: a TimestampScale that doesn't divide 1e9 ns would make the
+    // integer ticks-per-second lie about durations — refuse, don't round
+    val lossy = Multimodal.encodeMkvFixture("matroska", 41666667L, 100L, 64, 48, 1)
+    assert(Multimodal.decodeMkvInfo(lossy).isEmpty)
+    // and a scale above 1e9 would yield timescale 0 — refuse too
+    val huge = Multimodal.encodeMkvFixture("matroska", 2000000000L, 100L, 64, 48, 1)
+    assert(Multimodal.decodeMkvInfo(huge).isEmpty)
+    // exact divisors keep working
+    val fine = Multimodal.encodeMkvFixture("matroska", 100000L, 100L, 64, 48, 1)
+    assert(Multimodal.decodeMkvInfo(fine).get.timescale === 10000L)
+  }
+
   test("mm_features fixture dimensions round-trip through the distributed path") {
     val ds = spark.range(0, 20).as[Long]
       .map { id =>
