@@ -1026,6 +1026,104 @@ object SparkEntry {
           min(col("v")).as("v_min"), max(col("v")).as("v_max"))
     }),
 
+    // PLAIN BYTE_ARRAY payload statistics — the dictionary-OVERFLOW v1
+    // case: unique strings blow through a deliberately small dictionary
+    // page mid-write, so parquet-mr keeps the already-flushed
+    // dictionary-encoded pages AND falls back to PLAIN for the rest —
+    // one chunk, both string layouts. The audit reconstructs every value
+    // (dict pages via index→entry join, PLAIN pages via the level walk +
+    // PlainDictStrings over the values tail) and pins count/byte-mass/
+    // length-extrema against DuckDB's read of the same file; the unified
+    // dispatcher's new string invariants (lsum = payload byte mass,
+    // lmn/lmx = length extrema) must agree with the reconstruction.
+    "meta_plain_strings" -> ((s, dir) => {
+      val out = "/tmp/graft_plainstrings_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      // low-cardinality head, unique tail: the dictionary must COMPRESS
+      // at the first page flush (all-unique values fail parquet-mr's
+      // compression-satisfying check and fall back before any dict page
+      // exists) and then OVERFLOW mid-chunk on the unique tail
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+            .when(col("doc_id") < 150, col("lang"))
+            .otherwise(concat(lit("uniq_"), col("doc_id"), lit("_"),
+              col("source"))).as("v"))
+        .sort(col("doc_id")).coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.dictionary.page.size", "1024")
+        .option("parquet.page.row.count.limit", "100")
+        .parquet(out)
+      val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
+        .filter(col("column_id") === 1)
+      val codecs = meta(s, out, "column")
+        .select(col("filepath"), col("row_group_id"), col("column_id"),
+          col("compression"))
+      val joined = pages.join(codecs,
+        Seq("filepath", "row_group_id", "column_id"))
+      val raw = ColumnBridge.column(graft.functions.PageInflate(
+        ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(col("compression")),
+        ColumnBridge.expression(col("page_uncompressed_size"))))
+      // dictionary page entries (includes the never-referenced tail the
+      // writer buffered past the overflow point — reconstruction only
+      // touches entries the indices actually name)
+      val dictEx = ColumnBridge.column(graft.functions.PlainDictStrings(
+        ColumnBridge.expression(raw)))
+      val idxEx = ColumnBridge.column(graft.functions.DictIndexes(
+        ColumnBridge.expression(raw),
+        ColumnBridge.expression(lit(1)),
+        ColumnBridge.expression(col("num_values"))))
+      // PLAIN fallback pages: def-level walk finds the values tail
+      val lv = ColumnBridge.column(graft.functions.PageLevels(
+        ColumnBridge.expression(raw),
+        ColumnBridge.expression(lit(0)),
+        ColumnBridge.expression(lit(1)),
+        ColumnBridge.expression(col("num_values"))))
+      val staged = joined.withColumn("raw", raw)
+      val dicts = staged.filter(col("page_type") === "DICTIONARY_PAGE")
+        .select(col("filepath"), col("row_group_id"), dictEx.as("dict"))
+      val dictVals = staged
+        .filter(col("page_type") === "DATA_PAGE" &&
+          col("encoding").isin("PLAIN_DICTIONARY", "RLE_DICTIONARY"))
+        .select(col("filepath"), col("row_group_id"), idxEx.as("idx"))
+        .join(dicts, Seq("filepath", "row_group_id"))
+        .select(explode(expr("transform(idx, i -> element_at(dict, i + 1))")).as("v"))
+      val plainVals = staged
+        .filter(col("page_type") === "DATA_PAGE" && col("encoding") === "PLAIN")
+        .withColumn("lv", lv)
+        .select(explode(ColumnBridge.column(graft.functions.PlainDictStrings(
+          ColumnBridge.expression(col("raw").substr(col("lv.values_off") + 1,
+            length(col("raw")) - col("lv.values_off")))))).as("v"))
+      val recon = dictVals.unionByName(plainVals)
+        .agg(count(lit(1)).cast("long").as("n_values"),
+          sum(octet_length(col("v"))).cast("long").as("byte_mass"),
+          min(octet_length(col("v"))).cast("long").as("len_mn"),
+          max(octet_length(col("v"))).cast("long").as("len_mx"))
+      // the unified dispatcher over the same pages: PLAIN_STRINGS mass
+      // must equal the PLAIN reconstruction's, and both layouts must
+      // actually occur (the fixture really overflowed)
+      val disp = MetaValues.decodePages(s, out)
+        .filter(col("path") === "v")
+        .agg(
+          sum(when(col("decoded.kind") === "PLAIN_STRINGS", col("decoded.lsum")))
+            .cast("long").as("d_plain_mass"),
+          min(when(col("decoded.kind") === "PLAIN_STRINGS", col("decoded.lmn")))
+            .cast("long").as("d_plain_mn"),
+          sum(when(col("decoded.kind") === "PLAIN_STRINGS", lit(1))
+            .otherwise(lit(0))).as("n_plain_pages"),
+          sum(when(col("decoded.kind") === "DICT_IDX", lit(1))
+            .otherwise(lit(0))).as("n_dict_pages"))
+      val plainMass = plainVals
+        .agg(sum(octet_length(col("v"))).cast("long").as("p_mass"),
+          min(octet_length(col("v"))).cast("long").as("p_mn"))
+      recon.crossJoin(disp).crossJoin(plainMass)
+        .select(col("n_values"), col("byte_mass"), col("len_mn"), col("len_mx"),
+          (col("n_plain_pages") > 0 && col("n_dict_pages") > 0).as("both_layouts"),
+          (col("d_plain_mass") === col("p_mass") &&
+            col("d_plain_mn") === col("p_mn")).as("dispatcher_agrees"))
+    }),
+
     // Post-write provenance stamping: merge pipeline metadata into an
     // export's key-value footer entries via the footer editor (parquet-mr
     // has no after-the-fact API), then prove BOTH that the stamps landed
@@ -4606,6 +4704,14 @@ object SparkEntry {
         |  min(v) AS v_min, max(v) AS v_max
         |FROM read_parquet('/tmp/graft_v2strings_sf0.01/*.parquet')
         |WHERE v IS NOT NULL""".stripMargin,
+
+    "meta_plain_strings" ->
+      """SELECT CAST(count(v) AS BIGINT) AS n_values,
+        |  CAST(sum(strlen(v)) AS BIGINT) AS byte_mass,
+        |  CAST(min(strlen(v)) AS BIGINT) AS len_mn,
+        |  CAST(max(strlen(v)) AS BIGINT) AS len_mx,
+        |  TRUE AS both_layouts, TRUE AS dispatcher_agrees
+        |FROM read_parquet('/tmp/graft_plainstrings_sf0.01/*.parquet')""".stripMargin,
 
     "meta_kv_stamp" ->
       """SELECT decode(key) AS key, decode(value) AS value

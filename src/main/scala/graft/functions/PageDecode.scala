@@ -23,8 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * `kind` names the route taken; `n` is the decoded NON-NULL value count;
  * the remaining fields carry the type's order-independent invariants:
- * `lsum` for integer/decimal-unscaled sums and boolean true counts,
- * `lmn`/`lmx` for INT96 epoch-micro extrema, `dmn`/`dmx` for FP extrema
+ * `lsum` for integer/decimal-unscaled sums and boolean true counts
+ * (for string routes: total payload BYTE mass), `lmn`/`lmx` for INT96
+ * epoch-micro extrema (for string routes: min/max value byte length),
+ * `dmn`/`dmx` for FP extrema
  * (sums of floats are order-dependent; extrema are exact). Dictionary
  * DATA pages decode to their index count (`DICT_IDX`) — reconstruction
  * composes with the same dispatcher's decode of the DICTIONARY_PAGE row.
@@ -148,6 +150,31 @@ object PageDecode {
     new GenericInternalRow(Array[Any](UTF8String.fromString(kind), n,
       lsum, lmn, lmx, dmn, dmx))
 
+  /** Order-independent invariants over a decoded string array, surfaced
+    * through the numeric slots: `lsum` = total payload BYTE mass (the
+    * page-level sibling of SizeStatistics' unencoded_byte_array_bytes),
+    * `lmn`/`lmx` = min/max value byte length. Value-level extrema stay a
+    * composition job (explode the decoder's array) — the struct cannot
+    * carry strings. */
+  private def stringStats(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData, kind: String): InternalRow = {
+    val n = arr.numElements()
+    var mass = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var i = 0
+    while (i < n) {
+      val len = arr.getUTF8String(i).numBytes.toLong
+      mass += len
+      if (len < mn) mn = len
+      if (len > mx) mx = len
+      i += 1
+    }
+    row(kind, n.toLong, mass,
+      if (n == 0) null else java.lang.Long.valueOf(mn),
+      if (n == 0) null else java.lang.Long.valueOf(mx))
+  }
+
   private def i32SumLE(bytes: Array[Byte], off: Int, n: Int): java.lang.Long = {
     if (off + n.toLong * 4 > bytes.length) return null
     var s = 0L
@@ -213,7 +240,7 @@ object PageDecode {
     } else if (physType.equals(BYTE_ARRAY)) {
       val arr = PlainDictStrings.compute(region)
       if (arr == null || arr.numElements() != nn) return null
-      row(kindPrefix + "STRINGS", nn.toLong)
+      stringStats(arr, kindPrefix + "STRINGS")
     } else null
   }
 
@@ -284,7 +311,7 @@ object PageDecode {
           encoding.equals(DELTA_LENGTH_BYTE_ARRAY)) {
         val arr = DeltaStringsExpr.compute(region, encoding)
         if (arr == null || arr.numElements() != nn) return null
-        row("DELTA_STRINGS", nn)
+        stringStats(arr, "DELTA_STRINGS")
       } else if (encoding.equals(PLAIN)) {
         decodeValues(region, physType, nn.toInt, typeLen, bss = false, "PLAIN_")
       } else if (encoding.equals(BYTE_STREAM_SPLIT)) {
