@@ -20,7 +20,7 @@ object FilePruning {
   /** Columns evaluable per level: file-level scans expose all four file
     * attributes; deeper levels only carry `filepath`. */
   def evaluableAttrs(level: MetaLevel): Set[String] = level match {
-    case MetaLevel.FsFile | MetaLevel.ParquetFile =>
+    case MetaLevel.FsFile | MetaLevel.ParquetFile | MetaLevel.AnyFile =>
       Set("filepath", "filename", "size", "mtime")
     case _ => Set("filepath")
   }

@@ -131,6 +131,33 @@ object Footers {
     }
   }
 
+  /**
+   * Classify a file by its leading magic with ONE 4-byte read:
+   * `"parquet"` (PAR1, or the PARE encrypted-footer variant — still a
+   * parquet file, just unreadable without keys), `"orc"`, `"avro"`, or
+   * `"other"` for anything shorter or unrecognized. The single probe
+   * behind both the homogeneous-source inference and the `source=any`
+   * mixed-lake level — one read where three per-format `isX` probes
+   * would each open the file.
+   */
+  def sniffFormat(fs: FileSystem, path: Path): String = {
+    val in = fs.open(path)
+    try {
+      val head = new Array[Byte](4)
+      try in.readFully(head) catch {
+        case _: java.io.EOFException => return "other"
+      }
+      if (java.util.Arrays.equals(head, MAGIC) ||
+          java.util.Arrays.equals(head, MAGIC_ENCRYPTED)) "parquet"
+      else if (head(0) == 'O' && head(1) == 'R' && head(2) == 'C') "orc"
+      else if (head(0) == 'O' && head(1) == 'b' && head(2) == 'j' &&
+          head(3) == 1) "avro"
+      else "other"
+    } finally {
+      in.close()
+    }
+  }
+
   /** Read and fully decode the footer of one Parquet file. */
   def read(path: Path, conf: Configuration, knownSize: Option[Long] = None): FooterInfo = {
     val fs = path.getFileSystem(conf)

@@ -262,6 +262,22 @@ object MetaLevel {
       StructField("filepath", StringType)))
   }
 
+  /**
+   * Mixed-lake file level (`source=any`): one row per file, classified
+   * by ONE magic-byte probe — `format` is `parquet`/`orc`/`avro`/`other`
+   * — with `num_rows` decoded through the matching format's reader
+   * (footer / tail / block walk). Foreign files census as `other` with
+   * null rows instead of failing a homogeneity sniff; encrypted parquet
+   * (PARE) classifies as `parquet` with null rows ("no evidence", the
+   * footer is ciphertext). The one-scan answer to "what is actually in
+   * this bucket" that the per-source file levels need three scans for.
+   */
+  case object AnyFile extends MetaLevel("any-file") {
+    override val schema: StructType = FsFile.schema
+      .add("format", StringType)
+      .add("num_rows", LongType)
+  }
+
   /** One row per physical page (incl. dictionary pages). */
   case object ParquetPage extends MetaLevel("parquet-page") {
     override val schema: StructType = StructType(Seq(

@@ -370,6 +370,18 @@ class MetaPartitionReader(
     openStream
   }
 
+  /** (format, Option(num_rows)) for the mixed-lake `any` file level. */
+  private lazy val anyFileEx: Array[Ex[(String, Option[Long])]] =
+    fieldNames.map[Ex[(String, Option[Long])]] {
+      case "filepath" => (f, _) => f.path
+      case "filename" => (f, _) => f.name
+      case "size" => (f, _) => f.size
+      case "mtime" => (f, _) => f.mtime
+      case "partition" => (f, _) => f.partition
+      case "format" => (_, a) => a._1
+      case "num_rows" => (_, a) => orNull(a._2)
+    }
+
   private lazy val orcFileEx: Array[Ex[OrcInfo]] = fieldNames.map[Ex[OrcInfo]] {
     case "filepath" => (f, _) => f.path
     case "filename" => (f, _) => f.name
@@ -440,6 +452,25 @@ class MetaPartitionReader(
     level match {
       case MetaLevel.FsFile =>
         Iterator.single(toInternal(fsFileEx, f, ()))
+
+      case MetaLevel.AnyFile =>
+        val path = new Path(f.path)
+        val fmt = Footers.sniffFormat(path.getFileSystem(conf), path)
+        // rows decode only when the column survived pruning — a
+        // format-only census pays one 4-byte probe per file, no footers
+        val rows: Option[Long] =
+          if (!fieldNames.contains("num_rows")) None
+          else fmt match {
+            case "parquet" =>
+              // encrypted footers (PARE) classify with null rows instead
+              // of failing a census over an otherwise-healthy lake
+              try Some(readFooter(f).numRows)
+              catch { case _: Footers.EncryptedParquetException => None }
+            case "orc" => Some(OrcMeta.read(path, conf).numRows)
+            case "avro" => Some(AvroMeta.read(path, conf, Some(f.size)).numRows)
+            case _ => None
+          }
+        Iterator.single(toInternal(anyFileEx, f, (fmt, rows)))
 
       case MetaLevel.OrcFile =>
         Iterator.single(toInternal(orcFileEx, f,

@@ -125,26 +125,24 @@ object MetaValues {
    * MIXED-DIRECTORY lake census: one DataFrame of per-format file and
    * row totals for a directory holding parquet, ORC, and Avro files
    * SIDE BY SIDE — the case the per-source scans' homogeneity sniff
-   * cannot serve. Three metadata scans, one per format, each under
-   * `ignorecorrupt=true` so foreign files skip at their magic check
-   * (a 4-byte read) instead of failing the scan; a file therefore
-   * censuses under exactly the one format whose decode accepts it.
-   * Output: `(format, n_files, total_rows, total_bytes)` — the
-   * "what is actually in this bucket" answer at metadata cost.
+   * cannot serve. ONE `source=any` scan: one listing, one 4-byte magic
+   * probe per file, each file's rows decoded through exactly the format
+   * its magic names (the former three-scan version listed the directory
+   * three times and probed every file three times). Unrecognized files
+   * census as `other` with null rows — present in the answer, counted
+   * under no real format. `ignorecorrupt=true` so one truncated upload
+   * skips instead of killing the audit. Output:
+   * `(format, n_files, total_rows, total_bytes)` — the "what is
+   * actually in this bucket" answer at metadata cost.
    */
-  def lakeCensus(spark: SparkSession, path: String): DataFrame = {
-    def one(src: String): DataFrame =
-      spark.read.format("metadata")
-        .option("source", src).option("level", "file")
-        .option("ignorecorrupt", "true").load(path)
-        .select(lit(src).as("format"), col("filepath"),
-          col("num_rows"), col("size"))
-    one("parquet").unionByName(one("orc")).unionByName(one("avro"))
+  def lakeCensus(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("metadata")
+      .option("source", "any").option("level", "file")
+      .option("ignorecorrupt", "true").load(path)
       .groupBy(col("format"))
       .agg(count(lit(1)).cast("long").as("n_files"),
         sum(col("num_rows")).cast("long").as("total_rows"),
         sum(col("size")).cast("long").as("total_bytes"))
-  }
 
   /**
    * Every page of every column of `path`, decoded: the page level's rows

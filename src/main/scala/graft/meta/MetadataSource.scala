@@ -69,7 +69,7 @@ object MetadataSource {
   val FOOTER_CACHE = "footercache"
   val COUNT_PUSHDOWN = "countpushdown"
 
-  val SOURCES = Seq("file", "parquet", "orc", "avro")
+  val SOURCES = Seq("file", "parquet", "orc", "avro", "any")
   val LEVELS = Seq("file", "rowgroup", "column", "page",
     "columnindex", "offsetindex", "bloomfilter", "sizestats", "stripe",
     "block")
@@ -90,6 +90,7 @@ object MetadataSource {
     case ("orc", "column") => MetaLevel.OrcColumn
     case ("avro", "file") => MetaLevel.AvroFile
     case ("avro", "block") => MetaLevel.AvroBlock
+    case ("any", "file") => MetaLevel.AnyFile
     case (s, l) =>
       throw new IllegalArgumentException(s"Source '$s' does not support '$l' level")
   }
@@ -163,14 +164,14 @@ object MetaTable {
         s
       case None =>
         // Assume homogeneous input: sniff the first file's magic bytes
-        // (PAR1 → parquet, ORC → orc, anything else → file)
+        // with one 4-byte read (PAR1/PARE → parquet, ORC → orc,
+        // Obj\1 → avro, anything else → file)
         files.headOption.map { f =>
           val p = new Path(f.path)
-          val fs = p.getFileSystem(hadoopConf)
-          if (Footers.isParquet(fs, p)) "parquet"
-          else if (OrcMeta.isOrc(fs, p)) "orc"
-          else if (AvroMeta.isAvro(fs, p)) "avro"
-          else "file"
+          Footers.sniffFormat(p.getFileSystem(hadoopConf), p) match {
+            case "other" => "file"
+            case fmt => fmt
+          }
         }.getOrElse("file")
     }
 
@@ -275,8 +276,8 @@ class MetaScanBuilder(table: MetaTable)
     case MetaLevel.FsFile =>
       limit = Some(n)
       false // keep Spark's limit on top (pruning is still exact, this is belt+braces)
-    case MetaLevel.ParquetFile | MetaLevel.OrcFile | MetaLevel.AvroFile
-        if !table.ignoreCorrupt =>
+    case MetaLevel.ParquetFile | MetaLevel.OrcFile | MetaLevel.AvroFile |
+        MetaLevel.AnyFile if !table.ignoreCorrupt =>
       limit = Some(n)
       false
     case _ => false
@@ -308,7 +309,8 @@ class MetaScanBuilder(table: MetaTable)
       (table.level == MetaLevel.FsFile ||
         ((table.level == MetaLevel.ParquetFile ||
           table.level == MetaLevel.OrcFile ||
-          table.level == MetaLevel.AvroFile) && !table.ignoreCorrupt)) &&
+          table.level == MetaLevel.AvroFile ||
+          table.level == MetaLevel.AnyFile) && !table.ignoreCorrupt)) &&
       limit.isEmpty
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = countPushable(agg)
@@ -396,7 +398,7 @@ class MetaScan(
   override def estimateStatistics(): Statistics = new Statistics {
     private val known = table.level match {
       case MetaLevel.FsFile | MetaLevel.ParquetFile | MetaLevel.OrcFile |
-          MetaLevel.AvroFile =>
+          MetaLevel.AvroFile | MetaLevel.AnyFile =>
         Some(prunedFiles.length.toLong)
       case _ => None
     }

@@ -216,12 +216,21 @@ class MetaValuesSpec extends SparkSpec {
       (0L until 300L).map(i => i -> "x"))
     Files.write(java.nio.file.Paths.get(d, "junk.txt"), "not a table".getBytes)
     val census = MetaValues.lakeCensus(spark, d).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
     assert(census("parquet") === ((1L, 1000L)))
     assert(census("orc") === ((1L, 700L)))
     assert(census("avro") === ((1L, 300L)))
-    // the junk file appears under NO format (each decode refused it)
-    assert(census.values.map(_._1).sum === 3L)
+    // the junk file appears under NO real format: it censuses as `other`
+    // with null rows (present in the answer, counted nowhere that matters)
+    assert(census("other") === ((1L, -1L)))
+    assert(census.size === 4)
+    // ONE-SCAN claim: the census plan holds exactly one metadata
+    // BatchScan (the three-scan version unioned three listings)
+    val plan = MetaValues.lakeCensus(spark, d)
+      .queryExecution.executedPlan.toString
+    assert("metadata\\(level=any-file".r.findAllIn(plan).length === 1)
+    assert(!plan.contains("Union"))
   }
 
   test("schema drift across files resolves per file") {
