@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.meta.{AvroMeta, FooterEdit, MetaPrune, MetaValues, OrcPrune}
+import graft.meta.{AvroMeta, DeltaMeta, FooterEdit, MetaPrune, MetaValues, OrcPrune}
 import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, MediaRecord, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, SubstrSearch, TemporalJoin, TextOps}
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -554,6 +554,54 @@ object SparkEntry {
       AvroMeta.writeFixture(new java.io.File(outF, "part.avro"), avroRows)
       MetaValues.lakeCensus(s, out)
         .select(col("format"), col("n_files"), col("total_rows"))
+    }),
+
+    // DELTA LAKE metadata tier, log level: one row per _delta_log
+    // segment of a hand-written (public-protocol) fixture table —
+    // 5 JSON commits + a parquet checkpoint at v2. Commit action counts
+    // come from the line-keyed JSON decode; checkpoint counts come AT
+    // FOOTER COST from the checkpoint parquet's own null-count
+    // statistics. The oracle is a REAL cross-engine check: DuckDB parses
+    // the same JSON (read_json_auto) and checkpoint (read_parquet)
+    // independently.
+    "meta_delta_snapshot" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      meta(s, out, "snapshot", Map("source" -> "delta"))
+        .select(col("version"), col("kind"), col("n_add"), col("n_remove"),
+          col("operation"), col("op_timestamp"))
+    }),
+
+    // DELTA LAKE live-files audit: snapshot reconstruction (checkpoint
+    // parquet + JSON tail, reconciled per path by max_by(action,
+    // version) — map-side combinable, no window sort) COMPOSED with the
+    // parquet metadata tier over the same directory. Only
+    // current-snapshot files audit as live; the two removed-but-present
+    // files (vacuum-pending) surface as dead with their footer rows — a
+    // raw directory census would silently count them as data. The
+    // oracle replays the same log in DuckDB SQL (arg_max over the
+    // unioned actions) and reads the same footers.
+    "meta_delta_live" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val live = DeltaMeta.snapshotFiles(s, out)
+        .select(col("abs_path"), col("num_records"))
+      val footers = meta(s, out, "file", Map("source" -> "parquet"))
+        .select(col("filepath"), col("num_rows"))
+      footers.join(live, footers("filepath") === live("abs_path"), "left")
+        .agg(
+          sum(when(col("abs_path").isNotNull, lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_live"),
+          sum(when(col("abs_path").isNotNull, col("num_records")))
+            .cast("long").as("live_rows"),
+          sum(when(col("abs_path").isNotNull, col("num_rows")))
+            .cast("long").as("footer_rows"),
+          sum(when(col("abs_path").isNull, lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_dead"),
+          sum(when(col("abs_path").isNull, col("num_rows")))
+            .cast("long").as("dead_rows"))
     }),
 
     // ORC stripe-skip report — the ORC sibling of the parquet page-skip
@@ -4599,6 +4647,70 @@ object SparkEntry {
         |SELECT 'avro', CAST(1 AS BIGINT),
         |  CAST(count(*) FILTER (WHERE doc_id % 3 = 2) AS BIGINT)
         |FROM documents""".stripMargin,
+
+    "meta_delta_snapshot" ->
+      """SELECT version, kind, n_add, n_remove, operation, op_timestamp FROM (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    'commit' AS kind,
+        |    CAST(count(add) AS BIGINT) AS n_add,
+        |    CAST(count(remove) AS BIGINT) AS n_remove,
+        |    max(commitInfo.operation) AS operation,
+        |    CAST(max(commitInfo.timestamp) AS BIGINT) AS op_timestamp
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  GROUP BY 1
+        |  UNION ALL
+        |  SELECT 2, 'checkpoint',
+        |    (SELECT CAST(count(add) AS BIGINT) FROM
+        |      read_parquet('/tmp/graft_delta_sf0.01/_delta_log/*.checkpoint.parquet')),
+        |    (SELECT CAST(count(remove) AS BIGINT) FROM
+        |      read_parquet('/tmp/graft_delta_sf0.01/_delta_log/*.checkpoint.parquet')),
+        |    NULL, NULL
+        |)""".stripMargin,
+
+    "meta_delta_live" ->
+      """WITH tail AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    add.path AS apath, remove.path AS rpath, add.stats AS stats
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |    AS BIGINT) > 2
+        |),
+        |ckpt AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, add.path AS apath,
+        |    remove.path AS rpath, add.stats AS stats
+        |  FROM read_parquet('/tmp/graft_delta_sf0.01/_delta_log/*.checkpoint.parquet')
+        |  WHERE add.path IS NOT NULL OR remove.path IS NOT NULL
+        |),
+        |actions AS (
+        |  SELECT coalesce(apath, rpath) AS path, version,
+        |    apath IS NOT NULL AS is_add, stats
+        |  FROM (SELECT * FROM tail UNION ALL SELECT * FROM ckpt)
+        |),
+        |latest AS (
+        |  SELECT path, arg_max(is_add, version) AS live,
+        |    arg_max(stats, version) AS stats
+        |  FROM actions GROUP BY path
+        |),
+        |live AS (
+        |  SELECT path, CAST(json_extract(stats, '$.numRecords') AS BIGINT) AS nrec
+        |  FROM latest WHERE live
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(sum(nrec) AS BIGINT) AS live_rows,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT)
+        |    FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/*.parquet') m
+        |    JOIN live l ON parse_filename(m.file_name) = l.path) AS footer_rows,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |    FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/*.parquet') m
+        |    WHERE parse_filename(m.file_name) NOT IN (SELECT path FROM live)) AS n_dead,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT)
+        |    FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/*.parquet') m
+        |    WHERE parse_filename(m.file_name) NOT IN (SELECT path FROM live)) AS dead_rows
+        |FROM live""".stripMargin,
 
     "meta_avro_file" ->
       """SELECT CAST(2 AS BIGINT) AS n_files,

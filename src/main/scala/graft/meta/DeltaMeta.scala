@@ -1,0 +1,405 @@
+package graft.meta
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One decoded Delta log segment (a JSON commit or a checkpoint part). */
+case class DeltaLogInfo(
+    version: Long,
+    kind: String, // "commit" | "checkpoint"
+    nAdd: Option[Long],
+    nRemove: Option[Long],
+    hasProtocol: Boolean,
+    hasMetadata: Boolean,
+    operation: Option[String],
+    opTimestamp: Option[Long])
+
+/**
+ * Delta Lake metadata tier — the table-format layer ABOVE the raw parquet
+ * files the rest of the `meta` package audits. Everything here is decoded
+ * against the PUBLIC Delta transaction-log protocol (the `_delta_log`
+ * directory of 20-digit zero-padded JSON commits, parquet checkpoints,
+ * and a `_last_checkpoint` pointer; each commit line carries exactly one
+ * of `add`/`remove`/`metaData`/`protocol`/`commitInfo`/`txn`):
+ *
+ *  - the `source=delta` / `level=snapshot` datasource level lists the LOG
+ *    (not the data files) and emits one row per segment, with action
+ *    counts decoded per segment executor-side — JSON commits by a
+ *    line-keyed parse, checkpoint parts AT FOOTER COST from the
+ *    checkpoint parquet's own column statistics (non-null `add.path`
+ *    entries = num_values − null_count; zero page I/O);
+ *  - [[snapshotFiles]] reconstructs the LIVE file list as a declarative
+ *    plan: distributed parquet read of the latest checkpoint + JSON read
+ *    of the commit tail, reconciled by a map-side-combinable
+ *    `max_by(action, version)` per path — no window sort, no driver-side
+ *    log replay, so a checkpoint with millions of `add` entries scales
+ *    like any parquet scan;
+ *  - composing [[snapshotFiles]] with the parquet file level audits only
+ *    files in the CURRENT snapshot and surfaces vacuum-pending files a
+ *    raw directory scan would miscount (see `meta_delta_live`).
+ *
+ * The reference engine stops at the raw-file layer (its source sniff is
+ * parquet-vs-file only, reference:
+ * src/main/scala/com/github/sadikovi/metadata/DefaultSource.scala:70-81);
+ * this tier extends the same five-level model upward to the table format
+ * real lakes actually serve queries from.
+ */
+object DeltaMeta {
+
+  private val CommitRe = "^(\\d{20})\\.json$".r
+  private val CkptRe = "^(\\d{20})\\.checkpoint(?:\\..+)?\\.parquet$".r
+
+  /** True if `root` has a `_delta_log` child directory. */
+  def isDeltaTable(fs: FileSystem, root: Path): Boolean =
+    try fs.getFileStatus(new Path(root, "_delta_log")).isDirectory
+    catch { case _: java.io.IOException => false }
+
+  /** Version encoded in a log segment's file name, or None for foreign
+    * files (`_last_checkpoint`, `.crc` sidecars, temp files). */
+  def segmentVersion(name: String): Option[(Long, String)] = name match {
+    case CommitRe(v) => Some(v.toLong -> "commit")
+    case CkptRe(v) => Some(v.toLong -> "checkpoint")
+    case _ => None
+  }
+
+  /**
+   * List the `_delta_log` segments of a Delta table as [[FileSlice]]s —
+   * the delta counterpart of the generic recursive listing (which hides
+   * underscore-prefixed paths, exactly so DATA scans never see the log).
+   * One `listStatus` call; foreign names are dropped here so the reader
+   * only ever sees decodable segments. Sorted by (version, name) so
+   * multi-part checkpoints group deterministically.
+   */
+  def listLogSlices(root: Path, conf: Configuration): Seq[FileSlice] = {
+    val fs = root.getFileSystem(conf)
+    val logDir = new Path(root, "_delta_log")
+    if (!isDeltaTable(fs, root)) {
+      throw new IllegalArgumentException(
+        s"$root is not a Delta table: no _delta_log directory")
+    }
+    fs.listStatus(logDir).toSeq
+      .flatMap { st =>
+        segmentVersion(st.getPath.getName).map { case (v, _) =>
+          (v, FileSlice(st.getPath.toString, st.getPath.getName, st.getLen,
+            st.getModificationTime, Map.empty))
+        }
+      }
+      .sortBy { case (v, f) => (v, f.name) }
+      .map(_._2)
+  }
+
+  /** Decode one log segment into its [[DeltaLogInfo]] row. */
+  def readSegment(path: Path, conf: Configuration, knownSize: Option[Long] = None): DeltaLogInfo =
+    segmentVersion(path.getName) match {
+      case Some((v, "commit")) => readCommit(path, conf, v)
+      case Some((v, "checkpoint")) => readCheckpoint(path, conf, v, knownSize)
+      case _ => throw new RuntimeException(
+        s"$path is not a Delta log segment (expected <version>.json or <version>.checkpoint*.parquet)")
+    }
+
+  /** JSON commit: one action object per line; count the action keys and
+    * lift `commitInfo.operation`/`timestamp`. Malformed JSON refuses
+    * (classified), it never yields partial counts. */
+  private def readCommit(path: Path, conf: Configuration, version: Long): DeltaLogInfo = {
+    val fs = path.getFileSystem(conf)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(path)
+    try {
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      var nAdd = 0L
+      var nRemove = 0L
+      var hasProtocol = false
+      var hasMetadata = false
+      var operation: Option[String] = None
+      var opTs: Option[Long] = None
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.trim.nonEmpty) {
+          val node =
+            try mapper.readTree(line)
+            catch {
+              case e: Exception => throw new RuntimeException(
+                s"$path: malformed Delta commit line: ${e.getMessage}")
+            }
+          if (node.has("add")) nAdd += 1
+          if (node.has("remove")) nRemove += 1
+          if (node.has("protocol")) hasProtocol = true
+          if (node.has("metaData")) hasMetadata = true
+          if (node.has("commitInfo")) {
+            val ci = node.get("commitInfo")
+            if (ci.has("operation")) operation = Some(ci.get("operation").asText)
+            if (ci.has("timestamp")) opTs = Some(ci.get("timestamp").asLong)
+          }
+        }
+        line = reader.readLine()
+      }
+      DeltaLogInfo(version, "commit", Some(nAdd), Some(nRemove),
+        hasProtocol, hasMetadata, operation, opTs)
+    } finally {
+      in.close()
+    }
+  }
+
+  /** Non-null leaf count for `leaf` from a parquet footer's own column
+    * statistics: `num_values − null_count` summed over chunks. None when
+    * any chunk lacks a null count (no evidence ≠ zero). */
+  private def footerNonNull(footer: FooterInfo, leaf: String): Option[Long] = {
+    val chunks = footer.chunks.filter(_.path.contains(leaf))
+    if (chunks.isEmpty) return Some(0L)
+    val counts = chunks.map(c => c.stats.flatMap(_.nullCount).map(c.numValues - _))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
+  /** Checkpoint part: action counts AT FOOTER COST — the checkpoint is a
+    * parquet file whose `add`/`remove`/... columns are null except on
+    * their action's rows, so per-leaf null counts in the footer ARE the
+    * action counts. Zero data-page I/O. */
+  private def readCheckpoint(
+      path: Path, conf: Configuration, version: Long,
+      knownSize: Option[Long]): DeltaLogInfo = {
+    val footer = Footers.read(path, conf, knownSize)
+    DeltaLogInfo(version, "checkpoint",
+      footerNonNull(footer, "add.path"),
+      footerNonNull(footer, "remove.path"),
+      footerNonNull(footer, "protocol.minReaderVersion").exists(_ > 0),
+      footerNonNull(footer, "metaData.id").exists(_ > 0),
+      None, None)
+  }
+
+  // ---------------------------------------------------------------------
+  // Snapshot reconstruction (live files)
+  // ---------------------------------------------------------------------
+
+  /** The `add` struct subset the replay needs (a projection of the
+    * protocol's add action; unknown writer fields are simply not read). */
+  private val addType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("stats", StringType)))
+
+  private val removeType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("deletionTimestamp", LongType),
+    StructField("dataChange", BooleanType)))
+
+  private val logSchema = StructType(Seq(
+    StructField("add", addType),
+    StructField("remove", removeType)))
+
+  /**
+   * The LIVE file list of a Delta table as a DataFrame:
+   * `(path, abs_path, version, size, mod_time, partition_values,
+   * num_records, stats)` — one row per file in the current snapshot.
+   *
+   * Plan shape: distributed parquet scan of the latest checkpoint parts
+   * (tagged with the checkpoint version) unioned with a schema-pinned
+   * JSON scan of the newer commits (each tagged with its version from
+   * the file name), reconciled per path by `max_by(action, version)` —
+   * an aggregate with map-side partial combine, NOT a window sort. Only
+   * paths whose winning action is an `add` survive. Driver work is one
+   * log listing; everything else is executors.
+   */
+  def snapshotFiles(spark: SparkSession, table: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val segments = listLogSlices(root, conf)
+      .flatMap(f => segmentVersion(f.name).map { case (v, k) => (v, k, f.path) })
+    val ckptVersion = segments.collect { case (v, "checkpoint", _) => v }
+      .maxOption.getOrElse(-1L)
+    val ckptPaths = segments.collect {
+      case (v, "checkpoint", p) if v == ckptVersion => p
+    }
+    val tailPaths = segments.collect {
+      case (v, "commit", p) if v > ckptVersion => p
+    }
+
+    val acts = {
+      val tail =
+        if (tailPaths.isEmpty) None
+        else Some(spark.read.schema(logSchema).json(tailPaths: _*)
+          .withColumn("version",
+            regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long")))
+      val ckpt =
+        if (ckptPaths.isEmpty) None
+        else Some(spark.read.parquet(ckptPaths: _*)
+          // re-project the pinned action subset field by field
+          // (checkpoints carry protocol/metaData/txn columns and
+          // writer-specific add fields the replay doesn't need; a struct
+          // cast would demand exact arity)
+          .select(
+            when(col("add").isNotNull, struct(
+              col("add.path").as("path"),
+              col("add.partitionValues").as("partitionValues"),
+              col("add.size").as("size"),
+              col("add.modificationTime").as("modificationTime"),
+              col("add.dataChange").as("dataChange"),
+              col("add.stats").as("stats"))).as("add"),
+            when(col("remove").isNotNull, struct(
+              col("remove.path").as("path"),
+              col("remove.deletionTimestamp").as("deletionTimestamp"),
+              col("remove.dataChange").as("dataChange"))).as("remove"))
+          .withColumn("version", lit(ckptVersion)))
+      (tail, ckpt) match {
+        case (Some(t), Some(c)) => c.unionByName(t)
+        case (Some(t), None) => t
+        case (None, Some(c)) => c
+        case (None, None) =>
+          throw new IllegalArgumentException(s"$table: empty _delta_log")
+      }
+    }
+
+    acts
+      .select(coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("version"), col("add"))
+      .filter(col("path").isNotNull)
+      .groupBy(col("path"))
+      .agg(max_by(struct(col("add"), col("version")), col("version")).as("w"))
+      .filter(col("w.add").isNotNull) // latest action is an add → live
+      .select(col("path"),
+        // protocol: `path` is a URI-encoded path relative to the root
+        concat(lit(root.toString + "/"), url_decode(col("path"))).as("abs_path"),
+        col("w.version").as("version"),
+        col("w.add.size").as("size"),
+        col("w.add.modificationTime").as("mod_time"),
+        col("w.add.partitionValues").as("partition_values"),
+        get_json_object(col("w.add.stats"), "$.numRecords").cast("long")
+          .as("num_records"),
+        col("w.add.stats").as("stats"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic fixture writer (tests + oracle queries)
+  // ---------------------------------------------------------------------
+
+  /** JSON-escape nothing fancy: fixture paths/operations are plain. */
+  private def jstr(s: String): String = "\"" + s + "\""
+
+  /**
+   * Hand-write a Delta table against the PUBLIC protocol (the AvroMeta
+   * writeFixture pattern: our reader must then agree with DuckDB's
+   * independent read of the same JSON/parquet): `nFiles` data parquet
+   * slices of `rows`, committed across five versions with a checkpoint
+   * at v2 and two vacuum-pending removed files —
+   *
+   *   v0: protocol + metaData + add f0, f1       (JSON)
+   *   v1: add f2, f3                             (JSON)
+   *   v2: remove f1, add f4                      (JSON)
+   *   --- checkpoint.parquet at v2 + _last_checkpoint
+   *   v3: remove f2, add f5                      (JSON)
+   *   v4: add f6                                 (JSON)
+   *
+   * Live at v4: f0, f3, f4, f5, f6 (5 files); f1, f2 remain ON DISK
+   * (vacuum-pending) — the case a raw directory census miscounts.
+   * Every `add.stats` carries the real `numRecords` so the stats-vs-
+   * footer audit is exact. Returns the per-file row counts.
+   */
+  def writeFixtureTable(spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    root.mkdirs()
+    val logDir = new java.io.File(root, "_delta_log")
+    logDir.mkdirs()
+
+    // seven disjoint slices of the docs table, written as f0..f6.parquet
+    val n = 7
+    val counts = (0 until n).map { i =>
+      val slice = docs.filter(pmod(col("doc_id"), lit(n)) === i)
+        .select(col("doc_id"), col("lang"))
+      val tmp = dir + s"_slice$i"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(root, s"f$i.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      s"f$i.parquet" -> slice.count()
+    }.toMap
+
+    val ts0 = 1700000000000L
+    def addJson(f: String, v: Long): String = {
+      val size = new java.io.File(root, f).length()
+      s"""{"add":{"path":${jstr(f)},"partitionValues":{},"size":$size,""" +
+        s""""modificationTime":${ts0 + v * 1000},"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":${counts(f)}}"}}"""
+    }
+    def removeJson(f: String, v: Long): String =
+      s"""{"remove":{"path":${jstr(f)},"deletionTimestamp":${ts0 + v * 1000},"dataChange":true}}"""
+    def commitInfo(v: Long, op: String): String =
+      s"""{"commitInfo":{"timestamp":${ts0 + v * 1000},"operation":${jstr(op)}}}"""
+    def writeCommit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(logDir, f"$v%020d.json").toPath,
+        lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    writeCommit(0, Seq(
+      commitInfo(0, "WRITE"),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"graft-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"{}","partitionColumns":[],"configuration":{},"createdTime":$ts0}}""",
+      addJson("f0.parquet", 0), addJson("f1.parquet", 0)))
+    writeCommit(1, Seq(commitInfo(1, "WRITE"),
+      addJson("f2.parquet", 1), addJson("f3.parquet", 1)))
+    writeCommit(2, Seq(commitInfo(2, "MERGE"),
+      removeJson("f1.parquet", 2), addJson("f4.parquet", 2)))
+
+    // checkpoint at v2: reconciled state — live adds f0,f2,f3,f4 + the
+    // f1 remove tombstone + protocol + metaData rows, one action a row
+    {
+      import spark.implicits._
+      val adds = Seq("f0.parquet", "f2.parquet", "f3.parquet", "f4.parquet")
+      val addRows = adds.map { f =>
+        (f, Map.empty[String, String], new java.io.File(root, f).length(),
+          ts0, true, s"""{"numRecords":${counts(f)}}""")
+      }
+      val addDf = addRows
+        .toDF("path", "partitionValues", "size", "modificationTime",
+          "dataChange", "stats")
+        .select(struct(col("path"), col("partitionValues"), col("size"),
+          col("modificationTime"), col("dataChange"), col("stats")).as("add"))
+        .withColumn("remove", lit(null).cast(removeType))
+        .withColumn("protocol", lit(null).cast(
+          "struct<minReaderVersion:int,minWriterVersion:int>"))
+        .withColumn("metaData", lit(null).cast("struct<id:string>"))
+      val removeDf = Seq(("f1.parquet", ts0 + 2000, true))
+        .toDF("path", "deletionTimestamp", "dataChange")
+        .select(lit(null).cast(addType).as("add"),
+          struct(col("path"), col("deletionTimestamp"), col("dataChange")).as("remove"))
+        .withColumn("protocol", lit(null).cast(
+          "struct<minReaderVersion:int,minWriterVersion:int>"))
+        .withColumn("metaData", lit(null).cast("struct<id:string>"))
+      val headerDf = spark.range(1)
+        .select(lit(null).cast(addType).as("add"),
+          lit(null).cast(removeType).as("remove"),
+          struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"),
+          struct(lit("graft-fixture").as("id")).as("metaData"))
+      val tmp = dir + "_ckpt"
+      addDf.unionByName(removeDf).unionByName(headerDf)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(logDir, f"${2L}%020d.checkpoint.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      java.nio.file.Files.write(new java.io.File(logDir, "_last_checkpoint").toPath,
+        """{"version":2,"size":6}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+    writeCommit(3, Seq(commitInfo(3, "DELETE"),
+      removeJson("f2.parquet", 3), addJson("f5.parquet", 3)))
+    writeCommit(4, Seq(commitInfo(4, "WRITE"), addJson("f6.parquet", 4)))
+    counts
+  }
+}

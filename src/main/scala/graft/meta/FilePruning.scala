@@ -20,7 +20,8 @@ object FilePruning {
   /** Columns evaluable per level: file-level scans expose all four file
     * attributes; deeper levels only carry `filepath`. */
   def evaluableAttrs(level: MetaLevel): Set[String] = level match {
-    case MetaLevel.FsFile | MetaLevel.ParquetFile | MetaLevel.AnyFile =>
+    case MetaLevel.FsFile | MetaLevel.ParquetFile | MetaLevel.AnyFile |
+        MetaLevel.DeltaSnapshot =>
       Set("filepath", "filename", "size", "mtime")
     case _ => Set("filepath")
   }

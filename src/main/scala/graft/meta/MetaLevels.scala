@@ -263,6 +263,33 @@ object MetaLevel {
   }
 
   /**
+   * Delta Lake TRANSACTION-LOG level (`source=delta`,
+   * `level=snapshot`): one row per `_delta_log` segment — JSON commits
+   * and checkpoint parts — with per-segment action counts. Commit
+   * counts come from a line-keyed JSON parse; checkpoint counts come AT
+   * FOOTER COST from the checkpoint parquet's own column statistics
+   * (non-null `add.path` = num_values − null_count), zero data-page
+   * I/O. `operation`/`op_timestamp` lift `commitInfo` (null for
+   * checkpoints and commits without one); `n_add`/`n_remove` are null
+   * only when a checkpoint footer lacks null counts (no evidence).
+   */
+  case object DeltaSnapshot extends MetaLevel("delta-snapshot") {
+    override val schema: StructType = StructType(Seq(
+      StructField("version", LongType),
+      StructField("kind", StringType),
+      StructField("filename", StringType),
+      StructField("size", LongType),
+      StructField("mtime", LongType),
+      StructField("n_add", LongType),
+      StructField("n_remove", LongType),
+      StructField("has_protocol", BooleanType),
+      StructField("has_metadata", BooleanType),
+      StructField("operation", StringType),
+      StructField("op_timestamp", LongType),
+      StructField("filepath", StringType)))
+  }
+
+  /**
    * Mixed-lake file level (`source=any`): one row per file, classified
    * by ONE magic-byte probe — `format` is `parquet`/`orc`/`avro`/`other`
    * — with `num_rows` decoded through the matching format's reader

@@ -63,7 +63,14 @@ class MetaMicroBatchStream(table: MetaTable, required: StructType)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def listing(): Seq[FileSlice] =
-    MetaTable.listSlices(table.spark, table.rootPath, table.options, fresh = true)
+    if (table.level == MetaLevel.DeltaSnapshot) {
+      // a delta COMMIT stream: each micro-batch is the newly arrived
+      // log segments (the log is append-only by protocol)
+      DeltaMeta.listLogSlices(table.rootPath,
+        table.spark.sessionState.newHadoopConf())
+    } else {
+      MetaTable.listSlices(table.spark, table.rootPath, table.options, fresh = true)
+    }
 
   // The listing observed by the last latestOffset(), reused by the
   // subsequent planInputPartitions so a batch is planned from the exact

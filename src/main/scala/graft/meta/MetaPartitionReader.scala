@@ -370,6 +370,22 @@ class MetaPartitionReader(
     openStream
   }
 
+  private lazy val deltaSnapshotEx: Array[Ex[DeltaLogInfo]] =
+    fieldNames.map[Ex[DeltaLogInfo]] {
+      case "version" => (_, d) => d.version
+      case "kind" => (_, d) => d.kind
+      case "filename" => (f, _) => f.name
+      case "size" => (f, _) => f.size
+      case "mtime" => (f, _) => f.mtime
+      case "n_add" => (_, d) => orNull(d.nAdd)
+      case "n_remove" => (_, d) => orNull(d.nRemove)
+      case "has_protocol" => (_, d) => d.hasProtocol
+      case "has_metadata" => (_, d) => d.hasMetadata
+      case "operation" => (_, d) => orNull(d.operation)
+      case "op_timestamp" => (_, d) => orNull(d.opTimestamp)
+      case "filepath" => (f, _) => f.path
+    }
+
   /** (format, Option(num_rows)) for the mixed-lake `any` file level. */
   private lazy val anyFileEx: Array[Ex[(String, Option[Long])]] =
     fieldNames.map[Ex[(String, Option[Long])]] {
@@ -452,6 +468,10 @@ class MetaPartitionReader(
     level match {
       case MetaLevel.FsFile =>
         Iterator.single(toInternal(fsFileEx, f, ()))
+
+      case MetaLevel.DeltaSnapshot =>
+        Iterator.single(toInternal(deltaSnapshotEx, f,
+          DeltaMeta.readSegment(new Path(f.path), conf, Some(f.size))))
 
       case MetaLevel.AnyFile =>
         val path = new Path(f.path)

@@ -69,10 +69,10 @@ object MetadataSource {
   val FOOTER_CACHE = "footercache"
   val COUNT_PUSHDOWN = "countpushdown"
 
-  val SOURCES = Seq("file", "parquet", "orc", "avro", "any")
+  val SOURCES = Seq("file", "parquet", "orc", "avro", "any", "delta")
   val LEVELS = Seq("file", "rowgroup", "column", "page",
     "columnindex", "offsetindex", "bloomfilter", "sizestats", "stripe",
-    "block")
+    "block", "snapshot")
 
   /** Map a validated (source, level) pair onto a [[MetaLevel]]. */
   def levelFor(source: String, level: String): MetaLevel = (source, level) match {
@@ -91,6 +91,7 @@ object MetadataSource {
     case ("avro", "file") => MetaLevel.AvroFile
     case ("avro", "block") => MetaLevel.AvroBlock
     case ("any", "file") => MetaLevel.AnyFile
+    case ("delta", "snapshot") => MetaLevel.DeltaSnapshot
     case (s, l) =>
       throw new IllegalArgumentException(s"Source '$s' does not support '$l' level")
   }
@@ -155,14 +156,25 @@ object MetaTable {
     val footerCache = opts.get(FOOTER_CACHE).forall(_.trim.toBoolean)
     val countPushdown = opts.get(COUNT_PUSHDOWN).forall(_.trim.toBoolean)
 
-    val files = listSlices(spark, rootPath, opts, fresh = false)
+    val explicitSource = opts.get(SOURCE).map(_.toLowerCase(java.util.Locale.ROOT))
+    explicitSource.foreach { s =>
+      require(SOURCES.contains(s),
+        s"Invalid source: $s, expected one of ${SOURCES.mkString("[", ", ", "]")}")
+    }
+    // Delta tables are detected STRUCTURALLY (a `_delta_log` child dir),
+    // not by file magic: the log — not the data files — is what the
+    // snapshot level lists, so the listing itself branches on it.
+    val isDelta = explicitSource.contains("delta") ||
+      (explicitSource.isEmpty &&
+        DeltaMeta.isDeltaTable(rootPath.getFileSystem(hadoopConf), rootPath))
 
-    val source = opts.get(SOURCE).map(_.toLowerCase(java.util.Locale.ROOT)) match {
-      case Some(s) =>
-        require(SOURCES.contains(s),
-          s"Invalid source: $s, expected one of ${SOURCES.mkString("[", ", ", "]")}")
-        s
-      case None =>
+    val files =
+      if (isDelta) DeltaMeta.listLogSlices(rootPath, hadoopConf)
+      else listSlices(spark, rootPath, opts, fresh = false)
+
+    val source =
+      if (isDelta) "delta"
+      else explicitSource.getOrElse {
         // Assume homogeneous input: sniff the first file's magic bytes
         // with one 4-byte read (PAR1/PARE → parquet, ORC → orc,
         // Obj\1 → avro, anything else → file)
@@ -173,9 +185,12 @@ object MetaTable {
             case fmt => fmt
           }
         }.getOrElse("file")
-    }
+      }
 
-    val level = opts.getOrElse(LEVEL, "file").toLowerCase(java.util.Locale.ROOT)
+    // delta's only level is the snapshot; defaulting to it keeps
+    // `spark.read.format("metadata").load(table)` meaningful there
+    val level = opts.getOrElse(LEVEL, if (source == "delta") "snapshot" else "file")
+      .toLowerCase(java.util.Locale.ROOT)
     require(LEVELS.contains(level),
       s"Invalid level: $level, expected one of ${LEVELS.mkString("[", ", ", "]")}")
 
@@ -277,7 +292,7 @@ class MetaScanBuilder(table: MetaTable)
       limit = Some(n)
       false // keep Spark's limit on top (pruning is still exact, this is belt+braces)
     case MetaLevel.ParquetFile | MetaLevel.OrcFile | MetaLevel.AvroFile |
-        MetaLevel.AnyFile if !table.ignoreCorrupt =>
+        MetaLevel.AnyFile | MetaLevel.DeltaSnapshot if !table.ignoreCorrupt =>
       limit = Some(n)
       false
     case _ => false
@@ -310,7 +325,8 @@ class MetaScanBuilder(table: MetaTable)
         ((table.level == MetaLevel.ParquetFile ||
           table.level == MetaLevel.OrcFile ||
           table.level == MetaLevel.AvroFile ||
-          table.level == MetaLevel.AnyFile) && !table.ignoreCorrupt)) &&
+          table.level == MetaLevel.AnyFile ||
+          table.level == MetaLevel.DeltaSnapshot) && !table.ignoreCorrupt)) &&
       limit.isEmpty
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = countPushable(agg)
@@ -398,7 +414,7 @@ class MetaScan(
   override def estimateStatistics(): Statistics = new Statistics {
     private val known = table.level match {
       case MetaLevel.FsFile | MetaLevel.ParquetFile | MetaLevel.OrcFile |
-          MetaLevel.AvroFile | MetaLevel.AnyFile =>
+          MetaLevel.AvroFile | MetaLevel.AnyFile | MetaLevel.DeltaSnapshot =>
         Some(prunedFiles.length.toLong)
       case _ => None
     }

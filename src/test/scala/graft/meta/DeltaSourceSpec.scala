@@ -1,0 +1,146 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * The Delta Lake metadata tier: the `source=delta` snapshot level over a
+ * hand-written (public-protocol) log, live-file reconstruction across
+ * checkpoint + JSON-tail mixtures, the vacuum-pending composition with
+ * the parquet tier, and the commit stream.
+ */
+class DeltaSourceSpec extends SparkSpec {
+
+  private def meta(path: String, opts: (String, String)*) = {
+    val r = spark.read.format("metadata")
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load(path)
+  }
+
+  private lazy val docs = spark.range(0, 700)
+    .select(col("id").as("doc_id"), (col("id") % 5).cast("string").as("lang"))
+
+  private lazy val table: String = {
+    val d = Files.createTempDirectory("graft_delta").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    d
+  }
+
+  test("snapshot level: per-segment action counts, checkpoint at footer cost") {
+    val rows = meta(table, "source" -> "delta", "level" -> "snapshot")
+      .orderBy("version", "kind").collect()
+    assert(rows.length === 6) // 5 commits + 1 checkpoint part
+    val byKey = rows.map(r =>
+      (r.getAs[Long]("version"), r.getAs[String]("kind")) -> r).toMap
+    assert(byKey((0L, "commit")).getAs[Long]("n_add") === 2L)
+    assert(byKey((0L, "commit")).getAs[Boolean]("has_protocol"))
+    assert(byKey((0L, "commit")).getAs[Boolean]("has_metadata"))
+    assert(byKey((0L, "commit")).getAs[String]("operation") === "WRITE")
+    assert(byKey((2L, "commit")).getAs[Long]("n_remove") === 1L)
+    assert(byKey((2L, "commit")).getAs[String]("operation") === "MERGE")
+    // the checkpoint's counts decode from its parquet FOOTER statistics
+    val ckpt = byKey((2L, "checkpoint"))
+    assert(ckpt.getAs[Long]("n_add") === 4L)
+    assert(ckpt.getAs[Long]("n_remove") === 1L)
+    assert(ckpt.getAs[Boolean]("has_protocol"))
+    assert(ckpt.isNullAt(ckpt.fieldIndex("operation")))
+    // a delta table INFERS (no source option) by its _delta_log
+    assert(meta(table).count() === 6L)
+  }
+
+  test("live reconstruction: checkpoint + tail, last action per path wins") {
+    val live = DeltaMeta.snapshotFiles(spark, table)
+      .select("path", "version", "num_records").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // f1 removed at v2 (tombstone in checkpoint), f2 removed at v3 (tail)
+    assert(live.keySet === Set("f0.parquet", "f3.parquet", "f4.parquet",
+      "f5.parquet", "f6.parquet"))
+    // winners carry the version of their winning add
+    assert(live("f5.parquet")._1 === 3L)
+    assert(live("f6.parquet")._1 === 4L)
+    // stats numRecords equals the data written
+    val total = live.values.map(_._2).sum
+    val expected = docs.filter(pmod(col("doc_id"), lit(7)).isin(0, 3, 4, 5, 6)).count()
+    assert(total === expected)
+  }
+
+  test("checkpoint-free table replays from JSON alone") {
+    val d = Files.createTempDirectory("graft_delta_nockpt").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    // drop the checkpoint + pointer: the replay must fall back to v0..v4
+    val log = new java.io.File(d, "_delta_log")
+    log.listFiles().filter(f => f.getName.contains("checkpoint") ||
+      f.getName == "_last_checkpoint").foreach(_.delete())
+    val live = DeltaMeta.snapshotFiles(spark, d)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(live === Set("f0.parquet", "f3.parquet", "f4.parquet",
+      "f5.parquet", "f6.parquet"))
+    // and the snapshot level now shows 5 commit segments
+    assert(meta(d, "source" -> "delta").count() === 5L)
+  }
+
+  test("vacuum-pending files: live audit vs raw directory census") {
+    val live = DeltaMeta.snapshotFiles(spark, table).select(col("abs_path"))
+    val footers = meta(table, "source" -> "parquet", "level" -> "file")
+      .select(col("filepath"), col("num_rows"))
+    // the raw parquet census sees 7 files; only 5 are in the snapshot
+    assert(footers.count() === 7L)
+    val dead = footers.join(live, footers("filepath") === live("abs_path"),
+      "left_anti")
+    assert(dead.count() === 2L)
+    // dead rows are REAL rows on disk — exactly what a raw census
+    // would overcount
+    val deadRows = dead.agg(sum("num_rows")).collect()(0).getLong(0)
+    val expected = docs.filter(pmod(col("doc_id"), lit(7)).isin(1, 2)).count()
+    assert(deadRows === expected)
+  }
+
+  test("validation matrix and foreign-file refusal") {
+    val e1 = intercept[Exception](
+      meta(table, "source" -> "delta", "level" -> "rowgroup").collect())
+    def msg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && !c.getMessage.contains("level")) c = c.getCause
+      c.getMessage
+    }
+    assert(msg(e1).contains("Source 'delta' does not support 'rowgroup' level"))
+    // a non-delta directory refuses the delta source with a clear message
+    val plain = Files.createTempDirectory("graft_notdelta").toString
+    spark.range(3).write.mode("overwrite").parquet(plain)
+    val e2 = intercept[Exception](
+      meta(plain, "source" -> "delta").collect())
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      c.getMessage
+    }
+    assert(rootMsg(e2).contains("not a Delta table"))
+    // _last_checkpoint and .crc sidecars never surface as segments
+    val names = meta(table, "source" -> "delta")
+      .select("filename").collect().map(_.getString(0))
+    assert(!names.exists(_.startsWith("_")))
+  }
+
+  test("commit stream: new log segments arrive as micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Files.createTempDirectory("graft_delta_stream").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    val ckpt = Files.createTempDirectory("graft_delta_ck").toString
+    val out = Files.createTempDirectory("graft_delta_out").toString
+    val src = spark.readStream.format("metadata")
+      .option("source", "delta").option("level", "snapshot")
+      .option("streamlagms", "0").load(d)
+    val q = src.select("version", "kind", "n_add", "n_remove")
+      .writeStream.format("parquet").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).option("path", out).start()
+    q.awaitTermination(60000)
+    q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 6L)
+    assert(got.agg(sum("n_add")).collect()(0).getLong(0) === 11L)
+  }
+}
