@@ -556,6 +556,121 @@ object SparkEntry {
         .select(col("format"), col("n_files"), col("total_rows"))
     }),
 
+    // ORC ROW-GROUP INDEX level — the per-10k-row (here stride 1000)
+    // statistics ORC's reader consults for its finest-grain skipping.
+    // Invariants pinned against the data AND across levels: the one
+    // column's entry row counts roll up to the table, entry min/max
+    // bounds reconstruct the global extrema (long and double slots),
+    // and per stripe the entry count is exactly ceil(rows/stride)
+    // (cross-checked against the stripe level — robust to however many
+    // stripes the memory-driven flush produced).
+    "meta_orc_rowindex" -> ((s, dir) => {
+      val out = "/tmp/graft_orcri_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "lineitem"))
+        .select(col("l_orderkey").as("k"),
+          col("l_extendedprice").cast("double").as("price"))
+        .repartition(1).sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .option("orc.row.index.stride", "1000")
+        .orc(out)
+      val idx = meta(s, out, "rowindex", Map("source" -> "orc"))
+      val kAgg = idx.filter(col("path") === "k").agg(
+        sum(col("num_rows")).cast("long").as("rows_rollup"),
+        min(col("min_long")).cast("long").as("k_min"),
+        max(col("max_long")).cast("long").as("k_max"))
+      val pAgg = idx.filter(col("path") === "price").agg(
+        min(col("min_double")).as("price_mn"),
+        max(col("max_double")).as("price_mx"))
+      val perStripe = idx.filter(col("path") === "k")
+        .groupBy(col("filepath"), col("stripe_id"))
+        .agg(count(lit(1)).as("n"), sum(col("num_rows")).as("r"))
+      val stripes = meta(s, out, "stripe", Map("source" -> "orc"))
+        .select(col("filepath"), col("stripe_id"),
+          col("num_rows").as("stripe_rows"))
+      val agree = perStripe.join(stripes, Seq("filepath", "stripe_id"))
+        .agg(min(col("n") === ceil(col("stripe_rows") / lit(1000.0)) &&
+          col("r") === col("stripe_rows")).as("stripes_agree"))
+      kAgg.crossJoin(pAgg).crossJoin(agree)
+    }),
+
+    // ORC row-group skip report — the row-index sibling of
+    // orc_stripe_skip, one granularity finer, and EXTERNALLY validated
+    // in-query: the ORC reader's own scan under the same pushed range
+    // must output exactly the rows our report says a row-group-skipping
+    // reader decodes (`reader_agrees`). Declarative report (groupBy over
+    // the rowindex level), soundness = covered rows bound the true
+    // match count from above.
+    "orc_rowindex_skip" -> ((s, dir) => {
+      val out = "/tmp/graft_orcriskip_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "lineitem"))
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("q"))
+        .repartition(1).sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .option("orc.row.index.stride", "1000")
+        .orc(out)
+      val (lo, hi) = (1000L, 4999L)
+      val rep = OrcPrune.rowIndexSkipReport(s, out, "k", lo, hi)
+        .agg(sum(col("rows_total")).as("rt"), sum(col("rows_covered")).as("rc"),
+          sum(col("n_groups_total")).as("gt"),
+          sum(col("n_groups_needed")).as("gn"))
+      // external validation: run the real read with the pushed filter
+      // and take the scan's output-row metric
+      val probe = s.read.orc(out).filter(col("k").between(lo, hi))
+      probe.collect()
+      val scanRows = probe.queryExecution.executedPlan.collectLeaves()
+        .head.metrics("numOutputRows").value
+      val matches = s.read.orc(out).filter(col("k").between(lo, hi))
+        .agg(count(lit(1)).as("m"))
+      rep.crossJoin(matches).select(
+        col("rt").cast("long").as("total_rows"),
+        (col("gn") < col("gt")).as("skipped_groups"),
+        (col("rc") >= col("m")).as("sound"),
+        (col("rc") === lit(scanRows)).as("reader_agrees"),
+        col("m").cast("long").as("n_matches"))
+    }),
+
+    // ORC BLOOM-FILTER skip report: for a point/IN probe on an UNSORTED
+    // high-cardinality column (whose per-group min/max admit nearly
+    // everything), the per-row-group bloom streams are what actually
+    // skips. Admission = stats ∧ bloom, mirroring the reader's own SARG
+    // evaluation — and EXTERNALLY validated in-query: the ORC reader's
+    // scan under the same IN filter must output exactly the rows our
+    // report covers. Blooms have no false negatives, so covered rows
+    // bound the true matches from above (`sound`).
+    "orc_bloom_skip" -> ((s, dir) => {
+      val out = "/tmp/graft_orcbloom_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "lineitem"))
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("pk"))
+        .repartition(1).sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .option("orc.row.index.stride", "1000")
+        .option("orc.bloom.filter.columns", "pk")
+        .orc(out)
+      // deterministic probes: the column's own extrema plus one value
+      // that cannot exist — DuckDB recomputes the same set
+      val ext = s.read.orc(out).agg(min(col("pk")), max(col("pk"))).collect()(0)
+      val probes = Seq(ext.getLong(0), ext.getLong(1), -1L)
+      val rep = OrcPrune.bloomSkipReport(s, out, "pk", probes)
+        .agg(sum(col("rows_total")).as("rt"), sum(col("rows_covered")).as("rc"),
+          sum(col("n_groups_total")).as("gt"),
+          sum(col("n_groups_needed")).as("gn"))
+      val probe = s.read.orc(out).filter(col("pk").isin(probes: _*))
+      probe.collect()
+      val scanRows = probe.queryExecution.executedPlan.collectLeaves()
+        .head.metrics("numOutputRows").value
+      val matches = s.read.orc(out).filter(col("pk").isin(probes: _*))
+        .agg(count(lit(1)).as("m"))
+      rep.crossJoin(matches).select(
+        col("rt").cast("long").as("total_rows"),
+        (col("gn") < col("gt")).as("skipped_groups"),
+        (col("rc") >= col("m")).as("sound"),
+        (col("rc") === lit(scanRows)).as("reader_agrees"),
+        col("m").cast("long").as("n_matches"))
+    }),
+
     // DELTA LAKE metadata tier, log level: one row per _delta_log
     // segment of a hand-written (public-protocol) fixture table —
     // 5 JSON commits + a parquet checkpoint at v2. Commit action counts
@@ -4647,6 +4762,31 @@ object SparkEntry {
         |SELECT 'avro', CAST(1 AS BIGINT),
         |  CAST(count(*) FILTER (WHERE doc_id % 3 = 2) AS BIGINT)
         |FROM documents""".stripMargin,
+
+    "meta_orc_rowindex" ->
+      """SELECT CAST(count(*) AS BIGINT) AS rows_rollup,
+        |  CAST(min(l_orderkey) AS BIGINT) AS k_min,
+        |  CAST(max(l_orderkey) AS BIGINT) AS k_max,
+        |  min(CAST(l_extendedprice AS DOUBLE)) AS price_mn,
+        |  max(CAST(l_extendedprice AS DOUBLE)) AS price_mx,
+        |  TRUE AS stripes_agree
+        |FROM lineitem""".stripMargin,
+
+    "orc_rowindex_skip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |  TRUE AS skipped_groups, TRUE AS sound, TRUE AS reader_agrees,
+        |  CAST(count(*) FILTER (WHERE l_orderkey BETWEEN 1000 AND 4999)
+        |    AS BIGINT) AS n_matches
+        |FROM lineitem""".stripMargin,
+
+    "orc_bloom_skip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |  TRUE AS skipped_groups, TRUE AS sound, TRUE AS reader_agrees,
+        |  CAST(count(*) FILTER (WHERE l_partkey IN (
+        |    (SELECT min(l_partkey) FROM lineitem),
+        |    (SELECT max(l_partkey) FROM lineitem), -1))
+        |    AS BIGINT) AS n_matches
+        |FROM lineitem""".stripMargin,
 
     "meta_delta_snapshot" ->
       """SELECT version, kind, n_add, n_remove, operation, op_timestamp FROM (

@@ -224,6 +224,32 @@ object MetaLevel {
       StructField("filepath", StringType)))
   }
 
+  /**
+   * One row per ORC (stripe × column × ROW GROUP of
+   * `orc.row.index.stride` rows, default 10k): the row-group index
+   * statistics ORC's own reader consults for its finest-grain skipping
+   * — the ORC sibling of [[ParquetColumnIndex]]. Typed min/max slots
+   * like [[OrcColumn]]; files written with the index disabled
+   * contribute zero rows.
+   */
+  case object OrcRowIndex extends MetaLevel("orc-rowindex") {
+    override val schema: StructType = StructType(Seq(
+      StructField("stripe_id", IntegerType),
+      StructField("column_id", IntegerType),
+      StructField("path", StringType),
+      StructField("entry_id", IntegerType),
+      StructField("num_rows", LongType),
+      StructField("num_values", LongType),
+      StructField("has_null", BooleanType),
+      StructField("min_long", LongType),
+      StructField("max_long", LongType),
+      StructField("min_double", DoubleType),
+      StructField("max_double", DoubleType),
+      StructField("min_string", StringType),
+      StructField("max_string", StringType),
+      StructField("filepath", StringType)))
+  }
+
   /** One row per ORC stripe — the sub-file unit playing the parquet
     * row group's role (offset + index/data/footer section lengths +
     * row count). */

@@ -453,6 +453,24 @@ class MetaPartitionReader(
     case "filepath" => (f, _) => f.path
   }
 
+  private lazy val orcRowIndexEx: Array[Ex[OrcRowIndexInfo]] =
+    fieldNames.map[Ex[OrcRowIndexInfo]] {
+      case "stripe_id" => (_, r) => r.stripeId
+      case "column_id" => (_, r) => r.columnId
+      case "path" => (_, r) => r.path
+      case "entry_id" => (_, r) => r.entryId
+      case "num_rows" => (_, r) => r.numRows
+      case "num_values" => (_, r) => r.numValues
+      case "has_null" => (_, r) => r.hasNull
+      case "min_long" => (_, r) => orNull(r.minLong)
+      case "max_long" => (_, r) => orNull(r.maxLong)
+      case "min_double" => (_, r) => orNull(r.minDouble)
+      case "max_double" => (_, r) => orNull(r.maxDouble)
+      case "min_string" => (_, r) => orNull(r.minString)
+      case "max_string" => (_, r) => orNull(r.maxString)
+      case "filepath" => (f, _) => f.path
+    }
+
   private lazy val orcStripeEx: Array[Ex[OrcStripeInfo]] = fieldNames.map[Ex[OrcStripeInfo]] {
     case "stripe_id" => (_, s) => s.id
     case "offset" => (_, s) => s.offset
@@ -503,6 +521,10 @@ class MetaPartitionReader(
       case MetaLevel.OrcColumn =>
         OrcMeta.read(new Path(f.path), conf).columns.iterator
           .map(toInternal(orcColumnEx, f, _))
+
+      case MetaLevel.OrcRowIndex =>
+        OrcMeta.readRowIndexes(new Path(f.path), conf).iterator
+          .map(toInternal(orcRowIndexEx, f, _))
 
       case MetaLevel.AvroFile =>
         Iterator.single(toInternal(avroFileEx, f,

@@ -72,7 +72,7 @@ object MetadataSource {
   val SOURCES = Seq("file", "parquet", "orc", "avro", "any", "delta")
   val LEVELS = Seq("file", "rowgroup", "column", "page",
     "columnindex", "offsetindex", "bloomfilter", "sizestats", "stripe",
-    "block", "snapshot")
+    "block", "snapshot", "rowindex")
 
   /** Map a validated (source, level) pair onto a [[MetaLevel]]. */
   def levelFor(source: String, level: String): MetaLevel = (source, level) match {
@@ -88,6 +88,7 @@ object MetadataSource {
     case ("orc", "file") => MetaLevel.OrcFile
     case ("orc", "stripe") => MetaLevel.OrcStripe
     case ("orc", "column") => MetaLevel.OrcColumn
+    case ("orc", "rowindex") => MetaLevel.OrcRowIndex
     case ("avro", "file") => MetaLevel.AvroFile
     case ("avro", "block") => MetaLevel.AvroBlock
     case ("any", "file") => MetaLevel.AnyFile

@@ -158,7 +158,7 @@ class MetadataSourceSpec extends SparkSpec {
     assert(messageOf(e2).contains(
       "Invalid level: pages, expected one of " +
         "[file, rowgroup, column, page, columnindex, offsetindex, " +
-        "bloomfilter, sizestats, stripe, block, snapshot]"))
+        "bloomfilter, sizestats, stripe, block, snapshot, rowindex]"))
     val e3 = intercept[Exception](
       meta(lineitem, "source" -> "file", "level" -> "rowgroup").collect())
     assert(messageOf(e3).contains("Source 'file' does not support 'rowgroup' level"))

@@ -167,6 +167,79 @@ class OrcSourceSpec extends SparkSpec {
     assert(soundRep.map(_.getAs[Long]("rows_covered")).sum === total)
   }
 
+  test("rowindex level: per-group stats roll up and bound the data") {
+    val d = Files.createTempDirectory("graft_orc_ri").toString
+    spark.range(0, 7500)
+      .select(col("id").as("k"),
+        when(col("id") % 10 === 0, lit(null)).otherwise(col("id") * 2).as("v"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("orc.row.index.stride", "1000")
+      .orc(d)
+    val idx = meta(d, "source" -> "orc", "level" -> "rowindex")
+      .filter(col("path") === "k").orderBy("stripe_id", "entry_id").collect()
+    // ceil(7500/1000) = 8 groups per stripe-sum; single small stripe
+    assert(idx.map(_.getAs[Long]("num_rows")).sum === 7500L)
+    assert(idx.last.getAs[Long]("num_rows") === 500L) // partial last group
+    // sorted column: entry bounds tile the range monotonically
+    assert(idx.head.getAs[Long]("min_long") === 0L)
+    assert(idx.map(_.getAs[Long]("max_long")).max === 7499L)
+    val mins = idx.map(_.getAs[Long]("min_long"))
+    assert(mins.sameElements(mins.sorted))
+    // the nullable column's entries SEE their nulls
+    val vIdx = meta(d, "source" -> "orc", "level" -> "rowindex")
+      .filter(col("path") === "v").collect()
+    assert(vIdx.forall(_.getAs[Boolean]("has_null")))
+    assert(vIdx.map(_.getAs[Long]("num_values")).sum === 6750L)
+    // a file written WITHOUT the row index yields zero entries
+    val noIdx = Files.createTempDirectory("graft_orc_nori").toString
+    spark.range(100).coalesce(1).write.mode("overwrite")
+      .option("orc.row.index.stride", "0").orc(noIdx)
+    assert(meta(noIdx, "source" -> "orc", "level" -> "rowindex").count() === 0L)
+  }
+
+  test("row-group skip and bloom reports match the reader's own skipping") {
+    val d = Files.createTempDirectory("graft_orc_skip").toString
+    // sorted key for the stats report; pseudo-random high-card column
+    // with blooms for the bloom report
+    spark.range(0, 20000)
+      .select(col("id").as("k"),
+        ((col("id") * 2654435761L) % 1000003L).as("pk"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("orc.row.index.stride", "1000")
+      .option("orc.bloom.filter.columns", "pk")
+      .orc(d)
+    // stats report: range covering 3 of 20 groups
+    val rep = OrcPrune.rowIndexSkipReport(spark, d, "k", 5000L, 7999L)
+      .collect()(0)
+    assert(rep.getAs[Long]("n_groups_total") === 20L)
+    assert(rep.getAs[Long]("n_groups_needed") === 3L)
+    assert(rep.getAs[Long]("rows_covered") === 3000L)
+    // external validation: the reader's scan outputs exactly the
+    // covered rows under the same pushed range
+    val probe = spark.read.orc(d).filter(col("k").between(5000, 7999))
+    probe.collect()
+    val scanRows = probe.queryExecution.executedPlan.collectLeaves()
+      .head.metrics("numOutputRows").value
+    assert(scanRows === 3000L)
+    // bloom report: two present probes + one absent; unsorted pk means
+    // stats admit almost everything — blooms must do the skipping
+    val pks = spark.read.orc(d)
+      .agg(min(col("pk")), max(col("pk"))).collect()(0)
+    val probes = Seq(pks.getLong(0), pks.getLong(1), -7L)
+    val brep = OrcPrune.bloomSkipReport(spark, d, "pk", probes).collect()(0)
+    assert(brep.getAs[Long]("n_groups_needed") < brep.getAs[Long]("n_groups_total"))
+    val bProbe = spark.read.orc(d).filter(col("pk").isin(probes: _*))
+    bProbe.collect()
+    val bScanRows = bProbe.queryExecution.executedPlan.collectLeaves()
+      .head.metrics("numOutputRows").value
+    assert(bScanRows === brep.getAs[Long]("rows_covered"))
+    // soundness: covered rows bound the true matches from above
+    val m = spark.read.orc(d).filter(col("pk").isin(probes: _*)).count()
+    assert(brep.getAs[Long]("rows_covered") >= m && m >= 2L)
+  }
+
   test("validation matrix and explicit source override") {
     val e1 = intercept[IllegalArgumentException](
       meta(dir, "source" -> "orc", "level" -> "page").collect())
