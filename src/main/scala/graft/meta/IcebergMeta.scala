@@ -1,0 +1,390 @@
+package graft.meta
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One snapshot entry of an Iceberg table-metadata file. */
+case class IcebergSnapshotInfo(
+    snapshotId: Long,
+    timestampMs: Long,
+    manifestList: String,
+    operation: Option[String],
+    isCurrent: Boolean)
+
+/** Decoded Iceberg table-metadata JSON. */
+case class IcebergTableInfo(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[IcebergSnapshotInfo])
+
+/** One manifest-list entry: a pointer to one manifest file. */
+case class IcebergManifestInfo(
+    manifestPath: String,
+    manifestLength: Long,
+    addedFiles: Option[Long],
+    existingFiles: Option[Long],
+    deletedFiles: Option[Long])
+
+/** One manifest entry: one data file with its census numbers.
+  * `status`: 0 existing, 1 added, 2 deleted (the spec's enum). */
+case class IcebergFileEntry(
+    status: Int,
+    filePath: String,
+    fileFormat: String,
+    recordCount: Long,
+    fileSizeBytes: Long)
+
+/**
+ * Iceberg metadata tier — the second table format above the raw-file
+ * layer, decoded against the PUBLIC Iceberg table spec: a `metadata/`
+ * directory of versioned `*.metadata.json` table-metadata files (plus a
+ * `version-hint.text` pointer for filesystem tables), per-snapshot
+ * manifest LISTS (Avro), and manifests (Avro) whose entries each
+ * describe one data file with its record/byte counts. Census questions
+ * ("how many live files/rows in the current snapshot") answer from the
+ * manifest chain WITHOUT touching a data file — and compose with the
+ * parquet tier to cross-check manifest record counts against the files'
+ * own footers.
+ *
+ * Decode reuse mirrors the ORC tier's: the Avro containers are read
+ * through the avro library Spark already ships (`DataFileReader`,
+ * field access BY NAME so real manifests' extra fields pass through),
+ * the JSON through Jackson. [[currentFiles]] distributes the manifest
+ * walk — one task per manifest — so a snapshot with thousands of
+ * manifests scales like any other scan; only the (small) metadata JSON
+ * and manifest list are read at the driver.
+ */
+object IcebergMeta {
+
+  /** True if `root` looks like a filesystem Iceberg table (a
+    * version-hint pointer or any `*.metadata.json` under `metadata/`). */
+  def isIcebergTable(fs: FileSystem, root: Path): Boolean =
+    try {
+      val meta = new Path(root, "metadata")
+      fs.getFileStatus(meta).isDirectory &&
+        (fs.exists(new Path(meta, "version-hint.text")) ||
+          fs.listStatus(meta).exists(_.getPath.getName.endsWith(".metadata.json")))
+    } catch { case _: java.io.IOException => false }
+
+  /** List the table's `*.metadata.json` files under `metadata/` as
+    * [[FileSlice]]s — the iceberg counterpart of the delta log listing
+    * (the snapshot level lists table METADATA, not data files). */
+  def listMetadataSlices(root: Path, conf: Configuration): Seq[FileSlice] = {
+    val fs = root.getFileSystem(conf)
+    if (!isIcebergTable(fs, root)) {
+      throw new IllegalArgumentException(
+        s"$root is not an Iceberg table: no metadata/*.metadata.json")
+    }
+    fs.listStatus(new Path(root, "metadata")).toSeq
+      .filter(_.getPath.getName.endsWith(".metadata.json"))
+      .sortBy(_.getPath.getName)
+      .map(st => FileSlice(st.getPath.toString, st.getPath.getName,
+        st.getLen, st.getModificationTime, Map.empty))
+  }
+
+  /** The table's CURRENT metadata file: via `version-hint.text` when
+    * present (the spec's filesystem-table pointer), else the
+    * lexicographically-latest `*.metadata.json`. */
+  def currentMetadataFile(fs: FileSystem, root: Path): Path = {
+    val meta = new Path(root, "metadata")
+    val hint = new Path(meta, "version-hint.text")
+    if (fs.exists(hint)) {
+      val in = fs.open(hint)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      val p = new Path(meta, s"v$v.metadata.json")
+      if (fs.exists(p)) return p
+    }
+    val candidates = fs.listStatus(meta)
+      .filter(_.getPath.getName.endsWith(".metadata.json"))
+      .map(_.getPath).sortBy(_.getName)
+    if (candidates.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$root is not an Iceberg table: no metadata/*.metadata.json")
+    }
+    candidates.last
+  }
+
+  /** Decode one table-metadata JSON file. */
+  def readTableMetadata(file: Path, conf: Configuration): IcebergTableInfo = {
+    val fs = file.getFileSystem(conf)
+    val in = fs.open(file)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val current =
+      if (node.has("current-snapshot-id") &&
+          node.get("current-snapshot-id").asLong() != -1L)
+        Some(node.get("current-snapshot-id").asLong())
+      else None
+    import scala.jdk.CollectionConverters._
+    val snaps = Option(node.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty).map { s =>
+        IcebergSnapshotInfo(
+          snapshotId = s.get("snapshot-id").asLong(),
+          timestampMs = s.get("timestamp-ms").asLong(),
+          manifestList = s.get("manifest-list").asText(),
+          operation = Option(s.get("summary"))
+            .flatMap(su => Option(su.get("operation"))).map(_.asText()),
+          isCurrent = current.contains(s.get("snapshot-id").asLong()))
+      }
+    IcebergTableInfo(
+      formatVersion = node.get("format-version").asInt(),
+      tableUuid = Option(node.get("table-uuid")).map(_.asText()).getOrElse(""),
+      location = Option(node.get("location")).map(_.asText()).getOrElse(""),
+      currentSnapshotId = current,
+      snapshots = snaps)
+  }
+
+  private def openAvro(file: Path, conf: Configuration): org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord] = {
+    val fs = file.getFileSystem(conf)
+    val len = fs.getFileStatus(file).getLen
+    val in = fs.open(file)
+    val seekable = new org.apache.avro.file.SeekableInput {
+      override def read(b: Array[Byte], off: Int, l: Int): Int = in.read(b, off, l)
+      override def seek(p: Long): Unit = in.seek(p)
+      override def tell(): Long = in.getPos
+      override def length(): Long = len
+      override def close(): Unit = in.close()
+    }
+    new org.apache.avro.file.DataFileReader(seekable,
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+  }
+
+  private def str(v: AnyRef): String = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case s => s.toString
+  }
+
+  private def optLong(r: org.apache.avro.generic.GenericRecord, name: String): Option[Long] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name)).map(_.asInstanceOf[Number].longValue())
+
+  /** Decode a manifest LIST (one entry per manifest of a snapshot). */
+  def readManifestList(file: Path, conf: Configuration): Seq[IcebergManifestInfo] = {
+    val reader = openAvro(file, conf)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[IcebergManifestInfo]
+      while (reader.hasNext) {
+        val r = reader.next()
+        out += IcebergManifestInfo(
+          manifestPath = str(r.get("manifest_path")),
+          manifestLength = r.get("manifest_length").asInstanceOf[Number].longValue(),
+          addedFiles = optLong(r, "added_files_count")
+            .orElse(optLong(r, "added_data_files_count")),
+          existingFiles = optLong(r, "existing_files_count")
+            .orElse(optLong(r, "existing_data_files_count")),
+          deletedFiles = optLong(r, "deleted_files_count")
+            .orElse(optLong(r, "deleted_data_files_count")))
+      }
+      out.toSeq
+    } finally {
+      reader.close()
+    }
+  }
+
+  /** Decode a MANIFEST (one entry per data file). */
+  def readManifest(file: Path, conf: Configuration): Seq[IcebergFileEntry] = {
+    val reader = openAvro(file, conf)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[IcebergFileEntry]
+      while (reader.hasNext) {
+        val r = reader.next()
+        val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        out += IcebergFileEntry(
+          status = r.get("status").asInstanceOf[Number].intValue(),
+          filePath = str(df.get("file_path")),
+          fileFormat = str(df.get("file_format")),
+          recordCount = df.get("record_count").asInstanceOf[Number].longValue(),
+          fileSizeBytes = df.get("file_size_in_bytes").asInstanceOf[Number].longValue())
+      }
+      out.toSeq
+    } finally {
+      reader.close()
+    }
+  }
+
+  /**
+   * Data-file entries of the table's CURRENT snapshot as a DataFrame:
+   * `(status, file_path, file_format, record_count, file_size_bytes,
+   * manifest_path)`. Live files are `status != 2` (the spec's DELETED).
+   * Driver work: one metadata JSON + one manifest list (both small);
+   * the per-manifest decode fans out as a typed flatMap over the
+   * manifest paths — one task per manifest, the scale unit of a big
+   * snapshot.
+   */
+  def currentFiles(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    val info = readTableMetadata(currentMetadataFile(fs, root), hconf)
+    val current = info.snapshots.find(_.isCurrent).getOrElse(
+      throw new IllegalArgumentException(s"$table: no current snapshot"))
+    val manifests = readManifestList(
+      resolve(root, current.manifestList), hconf)
+      .map(m => resolve(root, m.manifestPath).toString)
+    val conf = new SerializableHadoopConf(hconf)
+    manifests.toDS()
+      .flatMap { mp =>
+        readManifest(new Path(mp), conf.value)
+          .map(e => (e.status, e.filePath, e.fileFormat, e.recordCount,
+            e.fileSizeBytes, mp))
+      }
+      .toDF("status", "file_path", "file_format", "record_count",
+        "file_size_bytes", "manifest_path")
+  }
+
+  /** Spec paths are absolute URIs of the writing environment; fixture
+    * and relocated tables resolve relative to the table root. */
+  private def resolve(root: Path, p: String): Path = {
+    val raw = new Path(p)
+    if (raw.isAbsolute && p.contains("://")) raw
+    else if (p.startsWith("/")) raw
+    else new Path(root, p)
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic fixture writer (tests + oracle queries)
+  // ---------------------------------------------------------------------
+
+  private def avroSchema(json: String): org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(json)
+
+  private val manifestListSchema = avroSchema(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"added_files_count","type":"int"},
+      |{"name":"existing_files_count","type":"int"},
+      |{"name":"deleted_files_count","type":"int"},
+      |{"name":"added_rows_count","type":"long"}]}""".stripMargin)
+
+  private val manifestSchema = avroSchema(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  private def writeAvro(
+      file: java.io.File, schema: org.apache.avro.Schema,
+      rows: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    try {
+      w.create(schema, file)
+      rows.foreach(w.append)
+    } finally {
+      w.close()
+    }
+  }
+
+  /**
+   * Hand-write a filesystem Iceberg table against the PUBLIC spec:
+   * six parquet slices of `docs` under `data/`, TWO snapshots —
+   * snap 1 (append f0..f2) and the CURRENT snap 2 whose manifest list
+   * points at two manifests: m1 (f0..f2 existing) and m2 (f3,f4 added +
+   * f5 DELETED — written, then removed in snap 2, still on disk). The
+   * metadata JSON carries both snapshots + `current-snapshot-id`;
+   * `version-hint.text` points at it. Live at snap 2: f0..f4 (5 files).
+   * Returns the per-file row counts.
+   */
+  def writeFixtureTable(spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+
+    val n = 6
+    val counts = (0 until n).map { i =>
+      val slice = docs.filter(pmod(col("doc_id"), lit(n)) === i)
+        .select(col("doc_id"), col("lang"))
+      val tmp = dir + s"_slice$i"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dataDir, s"f$i.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      s"f$i.parquet" -> slice.count()
+    }.toMap
+
+    def entry(status: Int, f: String): org.apache.avro.generic.GenericRecord = {
+      val df = new org.apache.avro.generic.GenericData.Record(
+        manifestSchema.getField("data_file").schema())
+      df.put("file_path", s"data/$f")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(f))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
+      val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
+      e.put("status", status)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    // snap 1: one manifest, f0..f2 added
+    writeAvro(new java.io.File(metaDir, "m0.avro"), manifestSchema,
+      Seq(entry(1, "f0.parquet"), entry(1, "f1.parquet"), entry(1, "f2.parquet")))
+    // snap 2: m1 carries f0..f2 as existing; m2 adds f3,f4 and DELETES f5
+    writeAvro(new java.io.File(metaDir, "m1.avro"), manifestSchema,
+      Seq(entry(0, "f0.parquet"), entry(0, "f1.parquet"), entry(0, "f2.parquet")))
+    writeAvro(new java.io.File(metaDir, "m2.avro"), manifestSchema,
+      Seq(entry(1, "f3.parquet"), entry(1, "f4.parquet"), entry(2, "f5.parquet")))
+
+    def mlEntry(path: String, added: Int, existing: Int, deleted: Int,
+        rows: Long): org.apache.avro.generic.GenericRecord = {
+      val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
+      r.put("manifest_path", s"metadata/$path")
+      r.put("manifest_length", new java.io.File(metaDir, path).length())
+      r.put("partition_spec_id", 0)
+      r.put("added_files_count", added)
+      r.put("existing_files_count", existing)
+      r.put("deleted_files_count", deleted)
+      r.put("added_rows_count", rows)
+      r
+    }
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
+      Seq(mlEntry("m0.avro", 3, 0, 0,
+        counts("f0.parquet") + counts("f1.parquet") + counts("f2.parquet"))))
+    writeAvro(new java.io.File(metaDir, "snap-2.avro"), manifestListSchema,
+      Seq(mlEntry("m1.avro", 0, 3, 0, 0L),
+        mlEntry("m2.avro", 2, 0, 1,
+          counts("f3.parquet") + counts("f4.parquet"))))
+
+    val ts0 = 1700000000000L
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-fixture",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":2,
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":$ts0,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}},
+         |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
+         | "manifest-list":"metadata/snap-2.avro",
+         | "summary":{"operation":"overwrite"}}]}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+}

@@ -316,6 +316,26 @@ object MetaLevel {
   }
 
   /**
+   * Iceberg TABLE-METADATA level (`source=iceberg`, `level=snapshot`):
+   * one row per snapshot of each `*.metadata.json` file — id,
+   * commit timestamp, manifest-list pointer, summary operation, and
+   * whether it is the file's `current-snapshot-id`. The listing is the
+   * metadata directory, not the data files; manifest-level census runs
+   * through [[IcebergMeta.currentFiles]].
+   */
+  case object IcebergSnapshot extends MetaLevel("iceberg-snapshot") {
+    override val schema: StructType = StructType(Seq(
+      StructField("snapshot_id", LongType),
+      StructField("timestamp_ms", LongType),
+      StructField("manifest_list", StringType),
+      StructField("operation", StringType),
+      StructField("is_current", BooleanType),
+      StructField("format_version", IntegerType),
+      StructField("filename", StringType),
+      StructField("filepath", StringType)))
+  }
+
+  /**
    * Mixed-lake file level (`source=any`): one row per file, classified
    * by ONE magic-byte probe — `format` is `parquet`/`orc`/`avro`/`other`
    * — with `num_rows` decoded through the matching format's reader

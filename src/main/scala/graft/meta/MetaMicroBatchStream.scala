@@ -68,6 +68,9 @@ class MetaMicroBatchStream(table: MetaTable, required: StructType)
       // log segments (the log is append-only by protocol)
       DeltaMeta.listLogSlices(table.rootPath,
         table.spark.sessionState.newHadoopConf())
+    } else if (table.level == MetaLevel.IcebergSnapshot) {
+      IcebergMeta.listMetadataSlices(table.rootPath,
+        table.spark.sessionState.newHadoopConf())
     } else {
       MetaTable.listSlices(table.spark, table.rootPath, table.options, fresh = true)
     }

@@ -386,6 +386,18 @@ class MetaPartitionReader(
       case "filepath" => (f, _) => f.path
     }
 
+  private lazy val icebergSnapshotEx: Array[Ex[(IcebergTableInfo, IcebergSnapshotInfo)]] =
+    fieldNames.map[Ex[(IcebergTableInfo, IcebergSnapshotInfo)]] {
+      case "snapshot_id" => (_, t) => t._2.snapshotId
+      case "timestamp_ms" => (_, t) => t._2.timestampMs
+      case "manifest_list" => (_, t) => t._2.manifestList
+      case "operation" => (_, t) => orNull(t._2.operation)
+      case "is_current" => (_, t) => t._2.isCurrent
+      case "format_version" => (_, t) => t._1.formatVersion
+      case "filename" => (f, _) => f.name
+      case "filepath" => (f, _) => f.path
+    }
+
   /** (format, Option(num_rows)) for the mixed-lake `any` file level. */
   private lazy val anyFileEx: Array[Ex[(String, Option[Long])]] =
     fieldNames.map[Ex[(String, Option[Long])]] {
@@ -490,6 +502,10 @@ class MetaPartitionReader(
       case MetaLevel.DeltaSnapshot =>
         Iterator.single(toInternal(deltaSnapshotEx, f,
           DeltaMeta.readSegment(new Path(f.path), conf, Some(f.size))))
+
+      case MetaLevel.IcebergSnapshot =>
+        val info = IcebergMeta.readTableMetadata(new Path(f.path), conf)
+        info.snapshots.iterator.map(s => toInternal(icebergSnapshotEx, f, (info, s)))
 
       case MetaLevel.AnyFile =>
         val path = new Path(f.path)

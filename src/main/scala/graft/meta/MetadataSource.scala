@@ -69,7 +69,7 @@ object MetadataSource {
   val FOOTER_CACHE = "footercache"
   val COUNT_PUSHDOWN = "countpushdown"
 
-  val SOURCES = Seq("file", "parquet", "orc", "avro", "any", "delta")
+  val SOURCES = Seq("file", "parquet", "orc", "avro", "any", "delta", "iceberg")
   val LEVELS = Seq("file", "rowgroup", "column", "page",
     "columnindex", "offsetindex", "bloomfilter", "sizestats", "stripe",
     "block", "snapshot", "rowindex")
@@ -93,6 +93,7 @@ object MetadataSource {
     case ("avro", "block") => MetaLevel.AvroBlock
     case ("any", "file") => MetaLevel.AnyFile
     case ("delta", "snapshot") => MetaLevel.DeltaSnapshot
+    case ("iceberg", "snapshot") => MetaLevel.IcebergSnapshot
     case (s, l) =>
       throw new IllegalArgumentException(s"Source '$s' does not support '$l' level")
   }
@@ -162,19 +163,25 @@ object MetaTable {
       require(SOURCES.contains(s),
         s"Invalid source: $s, expected one of ${SOURCES.mkString("[", ", ", "]")}")
     }
-    // Delta tables are detected STRUCTURALLY (a `_delta_log` child dir),
-    // not by file magic: the log — not the data files — is what the
-    // snapshot level lists, so the listing itself branches on it.
+    // Table formats are detected STRUCTURALLY (a `_delta_log` child
+    // dir; a `metadata/*.metadata.json`), not by file magic: the
+    // transaction log / metadata chain — not the data files — is what
+    // their snapshot levels list, so the listing itself branches.
     val isDelta = explicitSource.contains("delta") ||
       (explicitSource.isEmpty &&
         DeltaMeta.isDeltaTable(rootPath.getFileSystem(hadoopConf), rootPath))
+    val isIceberg = !isDelta && (explicitSource.contains("iceberg") ||
+      (explicitSource.isEmpty &&
+        IcebergMeta.isIcebergTable(rootPath.getFileSystem(hadoopConf), rootPath)))
 
     val files =
       if (isDelta) DeltaMeta.listLogSlices(rootPath, hadoopConf)
+      else if (isIceberg) IcebergMeta.listMetadataSlices(rootPath, hadoopConf)
       else listSlices(spark, rootPath, opts, fresh = false)
 
     val source =
       if (isDelta) "delta"
+      else if (isIceberg) "iceberg"
       else explicitSource.getOrElse {
         // Assume homogeneous input: sniff the first file's magic bytes
         // with one 4-byte read (PAR1/PARE → parquet, ORC → orc,
@@ -188,9 +195,10 @@ object MetaTable {
         }.getOrElse("file")
       }
 
-    // delta's only level is the snapshot; defaulting to it keeps
-    // `spark.read.format("metadata").load(table)` meaningful there
-    val level = opts.getOrElse(LEVEL, if (source == "delta") "snapshot" else "file")
+    // the table formats' only level is the snapshot; defaulting to it
+    // keeps `spark.read.format("metadata").load(table)` meaningful there
+    val level = opts.getOrElse(LEVEL,
+      if (source == "delta" || source == "iceberg") "snapshot" else "file")
       .toLowerCase(java.util.Locale.ROOT)
     require(LEVELS.contains(level),
       s"Invalid level: $level, expected one of ${LEVELS.mkString("[", ", ", "]")}")
