@@ -153,7 +153,7 @@ class MetadataSourceSpec extends SparkSpec {
     }
     val e1 = intercept[Exception](meta(lineitem, "source" -> "json").collect())
     assert(messageOf(e1).contains(
-      "Invalid source: json, expected one of [file, parquet, orc, avro, any, delta]"))
+      "Invalid source: json, expected one of [file, parquet, orc, avro, any, delta, iceberg]"))
     val e2 = intercept[Exception](meta(lineitem, "level" -> "pages").collect())
     assert(messageOf(e2).contains(
       "Invalid level: pages, expected one of " +
