@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.meta.{AvroMeta, DeltaMeta, FooterEdit, MetaPrune, MetaValues, OrcPrune}
+import graft.meta.{AvroMeta, DeltaMeta, FooterEdit, IcebergMeta, MetaPrune, MetaValues, OrcPrune}
 import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, MediaRecord, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, SubstrSearch, TemporalJoin, TextOps}
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -717,6 +717,57 @@ object SparkEntry {
             .cast("long").as("n_dead"),
           sum(when(col("abs_path").isNull, col("num_rows")))
             .cast("long").as("dead_rows"))
+    }),
+
+    // ICEBERG metadata tier, snapshot level: one row per snapshot of a
+    // hand-written (public-spec) filesystem table — two snapshots in one
+    // v1.metadata.json, the second current. The oracle is a REAL
+    // cross-engine check: DuckDB parses the same metadata JSON
+    // independently (read_json_auto + unnest of the snapshots list).
+    "meta_iceberg_snapshot" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      meta(s, out, "snapshot", Map("source" -> "iceberg"))
+        .select(col("snapshot_id"), col("timestamp_ms"), col("operation"),
+          col("is_current"), col("format_version"))
+    }),
+
+    // ICEBERG live-files audit: the distributed manifest walk (one task
+    // per manifest) of the CURRENT snapshot COMPOSED with the parquet
+    // metadata tier over the same data directory — live data files
+    // (status != DELETED, content = data), the format-v2 position-delete
+    // manifest (content=1, counted as deletions, never as data), and a
+    // deleted-but-present slice a raw census would overcount. The oracle
+    // reads the same data-file footers in DuckDB (parquet_file_metadata)
+    // and replays the fixture's manifest contract in closed form — the
+    // manifest record counts must equal the files' own footer rows.
+    "meta_iceberg_live" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val entries = IcebergMeta.currentFiles(s, out)
+      val live = entries
+        .filter(col("status") =!= 2 && col("content") === 0)
+        .select(col("abs_path"), col("record_count"))
+      val footers = meta(s, out + "/data", "file", Map("source" -> "parquet"))
+        .select(col("filepath"), col("num_rows"))
+      val deletes = entries.filter(col("content") =!= 0)
+        .agg(count(lit(1)).cast("long").as("n_delete_files"),
+          sum(col("record_count")).cast("long").as("deleted_positions"))
+      footers.join(live, footers("filepath") === live("abs_path"), "left")
+        .agg(
+          sum(when(col("abs_path").isNotNull, lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_live"),
+          sum(when(col("abs_path").isNotNull, col("record_count")))
+            .cast("long").as("live_rows"),
+          sum(when(col("abs_path").isNotNull, col("num_rows")))
+            .cast("long").as("footer_rows"),
+          count(lit(1)).cast("long").as("n_disk"))
+        .crossJoin(deletes) // 1×1: two single-row aggregates
+        .select(col("n_live"), col("live_rows"), col("footer_rows"),
+          (col("live_rows") - col("deleted_positions")).as("net_rows"),
+          col("n_delete_files"), col("deleted_positions"), col("n_disk"))
     }),
 
     // ORC stripe-skip report — the ORC sibling of the parquet page-skip
@@ -4851,6 +4902,40 @@ object SparkEntry {
         |    FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/*.parquet') m
         |    WHERE parse_filename(m.file_name) NOT IN (SELECT path FROM live)) AS dead_rows
         |FROM live""".stripMargin,
+
+    "meta_iceberg_snapshot" ->
+      """SELECT CAST(s."snapshot-id" AS BIGINT) AS snapshot_id,
+        |  CAST(s."timestamp-ms" AS BIGINT) AS timestamp_ms,
+        |  s.summary.operation AS operation,
+        |  s."snapshot-id" = cur AS is_current,
+        |  CAST(fv AS INTEGER) AS format_version
+        |FROM (
+        |  SELECT unnest(snapshots) AS s,
+        |    "current-snapshot-id" AS cur,
+        |    "format-version" AS fv
+        |  FROM read_json_auto(
+        |    '/tmp/graft_iceberg_sf0.01/metadata/*.metadata.json')
+        |)""".stripMargin,
+
+    "meta_iceberg_live" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_iceberg_sf0.01/data/*.parquet')
+        |)
+        |SELECT
+        |  CAST(5 AS BIGINT) AS n_live,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |    WHERE name LIKE 'f%' AND name <> 'f5.parquet') AS live_rows,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |    WHERE name LIKE 'f%' AND name <> 'f5.parquet') AS footer_rows,
+        |  (SELECT CAST(sum(num_rows)
+        |      - (SELECT num_rows FROM fm WHERE name = 'del0.parquet')
+        |      AS BIGINT) FROM fm
+        |    WHERE name LIKE 'f%' AND name <> 'f5.parquet') AS net_rows,
+        |  CAST(1 AS BIGINT) AS n_delete_files,
+        |  (SELECT CAST(num_rows AS BIGINT) FROM fm
+        |    WHERE name = 'del0.parquet') AS deleted_positions,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM fm) AS n_disk""".stripMargin,
 
     "meta_avro_file" ->
       """SELECT CAST(2 AS BIGINT) AS n_files,

@@ -22,18 +22,25 @@ case class IcebergTableInfo(
     currentSnapshotId: Option[Long],
     snapshots: Seq[IcebergSnapshotInfo])
 
-/** One manifest-list entry: a pointer to one manifest file. */
+/** One manifest-list entry: a pointer to one manifest file.
+  * `content`: 0 data manifest, 1 delete manifest (format v2; absent in
+  * v1 lists → 0). */
 case class IcebergManifestInfo(
     manifestPath: String,
     manifestLength: Long,
+    content: Int,
     addedFiles: Option[Long],
     existingFiles: Option[Long],
     deletedFiles: Option[Long])
 
-/** One manifest entry: one data file with its census numbers.
-  * `status`: 0 existing, 1 added, 2 deleted (the spec's enum). */
+/** One manifest entry: one data or delete file with its census numbers.
+  * `status`: 0 existing, 1 added, 2 deleted (the spec's enum).
+  * `content`: 0 data, 1 position deletes, 2 equality deletes (format
+  * v2; absent in v1 files → 0). A merge-on-read census that ignored
+  * `content` would count delete-file rows as data rows. */
 case class IcebergFileEntry(
     status: Int,
+    content: Int,
     filePath: String,
     fileFormat: String,
     recordCount: Long,
@@ -82,14 +89,28 @@ object IcebergMeta {
     }
     fs.listStatus(new Path(root, "metadata")).toSeq
       .filter(_.getPath.getName.endsWith(".metadata.json"))
-      .sortBy(_.getPath.getName)
+      .sortBy(st => (metadataVersion(st.getPath.getName), st.getPath.getName))
       .map(st => FileSlice(st.getPath.toString, st.getPath.getName,
         st.getLen, st.getModificationTime, Map.empty))
   }
 
+  private val VersionedName = "^v(\\d+)\\.metadata\\.json$".r
+  private val SequencedName = "^(\\d+)-.*\\.metadata\\.json$".r
+
+  /** Numeric version of a metadata-file name: filesystem-table
+    * `v12.metadata.json` → 12, catalog-style `00012-<uuid>.metadata.json`
+    * → 12, anything else → -1 (falls back to name order). A plain
+    * lexicographic sort would rank `v9` above `v10` and resolve every
+    * table with ≥10 commits to a STALE snapshot. */
+  def metadataVersion(name: String): Long = name match {
+    case VersionedName(n) => n.toLong
+    case SequencedName(n) => n.toLong
+    case _ => -1L
+  }
+
   /** The table's CURRENT metadata file: via `version-hint.text` when
     * present (the spec's filesystem-table pointer), else the
-    * lexicographically-latest `*.metadata.json`. */
+    * numerically-latest `*.metadata.json` (see [[metadataVersion]]). */
   def currentMetadataFile(fs: FileSystem, root: Path): Path = {
     val meta = new Path(root, "metadata")
     val hint = new Path(meta, "version-hint.text")
@@ -102,12 +123,27 @@ object IcebergMeta {
     }
     val candidates = fs.listStatus(meta)
       .filter(_.getPath.getName.endsWith(".metadata.json"))
-      .map(_.getPath).sortBy(_.getName)
+      .map(_.getPath)
+      .sortBy(p => (metadataVersion(p.getName), p.getName))
     if (candidates.isEmpty) {
       throw new IllegalArgumentException(
         s"$root is not an Iceberg table: no metadata/*.metadata.json")
     }
     candidates.last
+  }
+
+  /** A required JSON field, or a classified refusal naming the file and
+    * the field — the iceberg counterpart of the delta tier's
+    * malformed-commit-line contract (a foreign `*.metadata.json` must
+    * not surface as a bare NullPointerException). */
+  private def req(node: com.fasterxml.jackson.databind.JsonNode,
+      field: String, file: Path): com.fasterxml.jackson.databind.JsonNode = {
+    val n = node.get(field)
+    if (n == null || n.isNull) {
+      throw new RuntimeException(
+        s"Malformed Iceberg metadata $file: missing required field '$field'")
+    }
+    n
   }
 
   /** Decode one table-metadata JSON file. */
@@ -117,6 +153,10 @@ object IcebergMeta {
     val node =
       try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
       finally in.close()
+    if (node == null || !node.isObject) {
+      throw new RuntimeException(
+        s"Malformed Iceberg metadata $file: not a JSON object")
+    }
     val current =
       if (node.has("current-snapshot-id") &&
           node.get("current-snapshot-id").asLong() != -1L)
@@ -126,15 +166,15 @@ object IcebergMeta {
     val snaps = Option(node.get("snapshots")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty).map { s =>
         IcebergSnapshotInfo(
-          snapshotId = s.get("snapshot-id").asLong(),
-          timestampMs = s.get("timestamp-ms").asLong(),
-          manifestList = s.get("manifest-list").asText(),
+          snapshotId = req(s, "snapshot-id", file).asLong(),
+          timestampMs = req(s, "timestamp-ms", file).asLong(),
+          manifestList = req(s, "manifest-list", file).asText(),
           operation = Option(s.get("summary"))
             .flatMap(su => Option(su.get("operation"))).map(_.asText()),
           isCurrent = current.contains(s.get("snapshot-id").asLong()))
       }
     IcebergTableInfo(
-      formatVersion = node.get("format-version").asInt(),
+      formatVersion = req(node, "format-version", file).asInt(),
       tableUuid = Option(node.get("table-uuid")).map(_.asText()).getOrElse(""),
       location = Option(node.get("location")).map(_.asText()).getOrElse(""),
       currentSnapshotId = current,
@@ -166,6 +206,11 @@ object IcebergMeta {
     if (r.getSchema.getField(name) == null) None
     else Option(r.get(name)).map(_.asInstanceOf[Number].longValue())
 
+  /** `content` decode shared by both manifest layers: absent in format
+    * v1 (data by definition) → 0. */
+  private def contentOf(r: org.apache.avro.generic.GenericRecord): Int =
+    optLong(r, "content").map(_.toInt).getOrElse(0)
+
   /** Decode a manifest LIST (one entry per manifest of a snapshot). */
   def readManifestList(file: Path, conf: Configuration): Seq[IcebergManifestInfo] = {
     val reader = openAvro(file, conf)
@@ -176,6 +221,7 @@ object IcebergMeta {
         out += IcebergManifestInfo(
           manifestPath = str(r.get("manifest_path")),
           manifestLength = r.get("manifest_length").asInstanceOf[Number].longValue(),
+          content = contentOf(r),
           addedFiles = optLong(r, "added_files_count")
             .orElse(optLong(r, "added_data_files_count")),
           existingFiles = optLong(r, "existing_files_count")
@@ -199,6 +245,7 @@ object IcebergMeta {
         val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
         out += IcebergFileEntry(
           status = r.get("status").asInstanceOf[Number].intValue(),
+          content = contentOf(df),
           filePath = str(df.get("file_path")),
           fileFormat = str(df.get("file_format")),
           recordCount = df.get("record_count").asInstanceOf[Number].longValue(),
@@ -211,9 +258,12 @@ object IcebergMeta {
   }
 
   /**
-   * Data-file entries of the table's CURRENT snapshot as a DataFrame:
-   * `(status, file_path, file_format, record_count, file_size_bytes,
-   * manifest_path)`. Live files are `status != 2` (the spec's DELETED).
+   * File entries of the table's CURRENT snapshot as a DataFrame:
+   * `(status, content, file_path, file_format, record_count,
+   * file_size_bytes, abs_path, manifest_path)`. Live files are
+   * `status != 2` (the spec's DELETED); `content` distinguishes data
+   * files (0) from position/equality DELETE files (1/2) — a
+   * merge-on-read census must subtract delete-file rows, not add them.
    * Driver work: one metadata JSON + one manifest list (both small);
    * the per-manifest decode fans out as a typed flatMap over the
    * manifest paths — one task per manifest, the scale unit of a big
@@ -233,15 +283,17 @@ object IcebergMeta {
     val manifests = readManifestList(
       resolve(root, current.manifestList), hconf)
       .map(m => resolve(root, m.manifestPath).toString)
+    val rootStr = root.toString
     val conf = new SerializableHadoopConf(hconf)
     manifests.toDS()
       .flatMap { mp =>
         readManifest(new Path(mp), conf.value)
-          .map(e => (e.status, e.filePath, e.fileFormat, e.recordCount,
-            e.fileSizeBytes, mp))
+          .map(e => (e.status, e.content, e.filePath, e.fileFormat,
+            e.recordCount, e.fileSizeBytes,
+            resolve(new Path(rootStr), e.filePath).toString, mp))
       }
-      .toDF("status", "file_path", "file_format", "record_count",
-        "file_size_bytes", "manifest_path")
+      .toDF("status", "content", "file_path", "file_format",
+        "record_count", "file_size_bytes", "abs_path", "manifest_path")
   }
 
   /** Spec paths are absolute URIs of the writing environment; fixture
@@ -265,6 +317,7 @@ object IcebergMeta {
       |{"name":"manifest_path","type":"string"},
       |{"name":"manifest_length","type":"long"},
       |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int","default":0},
       |{"name":"added_files_count","type":"int"},
       |{"name":"existing_files_count","type":"int"},
       |{"name":"deleted_files_count","type":"int"},
@@ -275,6 +328,7 @@ object IcebergMeta {
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":["null","long"],"default":null},
       |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int","default":0},
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
@@ -298,11 +352,15 @@ object IcebergMeta {
    * Hand-write a filesystem Iceberg table against the PUBLIC spec:
    * six parquet slices of `docs` under `data/`, TWO snapshots —
    * snap 1 (append f0..f2) and the CURRENT snap 2 whose manifest list
-   * points at two manifests: m1 (f0..f2 existing) and m2 (f3,f4 added +
-   * f5 DELETED — written, then removed in snap 2, still on disk). The
-   * metadata JSON carries both snapshots + `current-snapshot-id`;
-   * `version-hint.text` points at it. Live at snap 2: f0..f4 (5 files).
-   * Returns the per-file row counts.
+   * points at three manifests: m1 (f0..f2 existing), m2 (f3,f4 added +
+   * f5 DELETED — written, then removed in snap 2, still on disk), and
+   * the DELETE manifest m3 (`content=1`) carrying one position-delete
+   * file `del0.parquet` (a real parquet of `(file_path, pos)` rows)
+   * that deletes the first 2 positions of f0 — the format-v2
+   * merge-on-read shape. The metadata JSON carries both snapshots +
+   * `current-snapshot-id`; `version-hint.text` points at it. Live data
+   * files at snap 2: f0..f4 (5 files), net rows = their sum minus the
+   * 2 deleted positions. Returns the per-data-file row counts.
    */
   def writeFixtureTable(spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
@@ -327,12 +385,31 @@ object IcebergMeta {
       s"f$i.parquet" -> slice.count()
     }.toMap
 
-    def entry(status: Int, f: String): org.apache.avro.generic.GenericRecord = {
+    // a REAL position-delete file (the spec's merge-on-read shape):
+    // (file_path, pos) rows deleting the first 2 positions of f0
+    val f0Abs = new java.io.File(dataDir, "f0.parquet").getAbsolutePath
+    val deletedPositions = 2L
+    locally {
+      import spark.implicits._
+      val tmp = dir + "_del"
+      Seq((f0Abs, 0L), (f0Abs, 1L)).toDF("file_path", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dataDir, "del0.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+
+    def entry(status: Int, f: String, content: Int = 0,
+        records: Option[Long] = None): org.apache.avro.generic.GenericRecord = {
       val df = new org.apache.avro.generic.GenericData.Record(
         manifestSchema.getField("data_file").schema())
+      df.put("content", content)
       df.put("file_path", s"data/$f")
       df.put("file_format", "PARQUET")
-      df.put("record_count", counts(f))
+      df.put("record_count", records.getOrElse(counts(f)))
       df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
       val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
       e.put("status", status)
@@ -343,18 +420,23 @@ object IcebergMeta {
     // snap 1: one manifest, f0..f2 added
     writeAvro(new java.io.File(metaDir, "m0.avro"), manifestSchema,
       Seq(entry(1, "f0.parquet"), entry(1, "f1.parquet"), entry(1, "f2.parquet")))
-    // snap 2: m1 carries f0..f2 as existing; m2 adds f3,f4 and DELETES f5
+    // snap 2: m1 carries f0..f2 as existing; m2 adds f3,f4 and DELETES f5;
+    // m3 is the DELETE manifest (content=1 at both layers)
     writeAvro(new java.io.File(metaDir, "m1.avro"), manifestSchema,
       Seq(entry(0, "f0.parquet"), entry(0, "f1.parquet"), entry(0, "f2.parquet")))
     writeAvro(new java.io.File(metaDir, "m2.avro"), manifestSchema,
       Seq(entry(1, "f3.parquet"), entry(1, "f4.parquet"), entry(2, "f5.parquet")))
+    writeAvro(new java.io.File(metaDir, "m3.avro"), manifestSchema,
+      Seq(entry(1, "del0.parquet", content = 1,
+        records = Some(deletedPositions))))
 
     def mlEntry(path: String, added: Int, existing: Int, deleted: Int,
-        rows: Long): org.apache.avro.generic.GenericRecord = {
+        rows: Long, content: Int = 0): org.apache.avro.generic.GenericRecord = {
       val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
       r.put("manifest_path", s"metadata/$path")
       r.put("manifest_length", new java.io.File(metaDir, path).length())
       r.put("partition_spec_id", 0)
+      r.put("content", content)
       r.put("added_files_count", added)
       r.put("existing_files_count", existing)
       r.put("deleted_files_count", deleted)
@@ -367,7 +449,8 @@ object IcebergMeta {
     writeAvro(new java.io.File(metaDir, "snap-2.avro"), manifestListSchema,
       Seq(mlEntry("m1.avro", 0, 3, 0, 0L),
         mlEntry("m2.avro", 2, 0, 1,
-          counts("f3.parquet") + counts("f4.parquet"))))
+          counts("f3.parquet") + counts("f4.parquet")),
+        mlEntry("m3.avro", 1, 0, 0, deletedPositions, content = 1)))
 
     val ts0 = 1700000000000L
     val metadataJson =

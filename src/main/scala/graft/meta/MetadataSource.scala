@@ -167,11 +167,18 @@ object MetaTable {
     // dir; a `metadata/*.metadata.json`), not by file magic: the
     // transaction log / metadata chain — not the data files — is what
     // their snapshot levels list, so the listing itself branches.
+    // Detection only runs when the requested level is unset or
+    // `snapshot`: a `level=rowgroup` load of a table directory must
+    // keep scanning the DATA files (the `source=parquet` behavior),
+    // and non-table loads with an explicit level skip the probe RPCs.
+    val requestedLevel = opts.get(LEVEL).map(_.toLowerCase(java.util.Locale.ROOT))
+    val mayAutoDetect = explicitSource.isEmpty &&
+      requestedLevel.forall(_ == "snapshot")
     val isDelta = explicitSource.contains("delta") ||
-      (explicitSource.isEmpty &&
+      (mayAutoDetect &&
         DeltaMeta.isDeltaTable(rootPath.getFileSystem(hadoopConf), rootPath))
     val isIceberg = !isDelta && (explicitSource.contains("iceberg") ||
-      (explicitSource.isEmpty &&
+      (mayAutoDetect &&
         IcebergMeta.isIcebergTable(rootPath.getFileSystem(hadoopConf), rootPath)))
 
     val files =

@@ -1,0 +1,186 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * The Iceberg metadata tier: the `source=iceberg` snapshot level over a
+ * hand-written (public-spec) table, the distributed current-snapshot
+ * file reconstruction incl. format-v2 delete manifests, the numeric
+ * version ordering a lexicographic sort would break at v10, the
+ * validation matrix, and the commit stream.
+ */
+class IcebergSourceSpec extends SparkSpec {
+
+  private def meta(path: String, opts: (String, String)*) = {
+    val r = spark.read.format("metadata")
+    opts.foreach { case (k, v) => r.option(k, v) }
+    r.load(path)
+  }
+
+  private lazy val docs = spark.range(0, 600)
+    .select(col("id").as("doc_id"), (col("id") % 5).cast("string").as("lang"))
+
+  private lazy val fixture: (String, Map[String, Long]) = {
+    val d = Files.createTempDirectory("graft_iceberg").toString + "/tbl"
+    val counts = IcebergMeta.writeFixtureTable(spark, d, docs)
+    (d, counts)
+  }
+  private def table: String = fixture._1
+  private def counts: Map[String, Long] = fixture._2
+
+  test("snapshot level: one row per snapshot, current flagged") {
+    val rows = meta(table, "source" -> "iceberg", "level" -> "snapshot")
+      .orderBy("snapshot_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("snapshot_id") === 1L)
+    assert(rows(0).getAs[String]("operation") === "append")
+    assert(!rows(0).getAs[Boolean]("is_current"))
+    assert(rows(1).getAs[Long]("snapshot_id") === 2L)
+    assert(rows(1).getAs[String]("operation") === "overwrite")
+    assert(rows(1).getAs[Boolean]("is_current"))
+    assert(rows.forall(_.getAs[Int]("format_version") === 2))
+    assert(rows.forall(_.getAs[String]("filename") === "v1.metadata.json"))
+    // an iceberg table INFERS (no source option) by its metadata dir
+    assert(meta(table).count() === 2L)
+  }
+
+  test("currentFiles: live data files, deleted-but-present, delete manifest") {
+    val entries = IcebergMeta.currentFiles(spark, table).collect()
+    // snap 2: f0..f2 existing + f3,f4 added + f5 deleted + del0 (deletes)
+    assert(entries.length === 7)
+    val byPath = entries.map(r => r.getAs[String]("file_path") -> r).toMap
+    val live = entries.filter(r => r.getAs[Int]("status") != 2 &&
+      r.getAs[Int]("content") == 0)
+    assert(live.map(_.getAs[String]("file_path")).sorted.toSeq ===
+      (0 to 4).map(i => s"data/f$i.parquet"))
+    // manifest record counts equal the data actually written
+    live.foreach { r =>
+      val name = new Path(r.getAs[String]("file_path")).getName
+      assert(r.getAs[Long]("record_count") === counts(name))
+    }
+    // f5: written, then removed in snap 2, still on disk
+    assert(byPath("data/f5.parquet").getAs[Int]("status") === 2)
+    // the position-delete file is classified, not counted as data
+    val del = byPath("data/del0.parquet")
+    assert(del.getAs[Int]("content") === 1)
+    assert(del.getAs[Long]("record_count") === 2L)
+    // net live rows = data rows minus merge-on-read deleted positions
+    val dataRows = live.map(_.getAs[Long]("record_count")).sum
+    assert(dataRows - 2L ===
+      (0 to 4).map(i => counts(s"f$i.parquet")).sum - 2L)
+    // the delete file is REAL: its positions point into a live file
+    val delRows = spark.read.parquet(table + "/data/del0.parquet").collect()
+    assert(delRows.length === 2)
+    assert(delRows.forall(_.getAs[String]("file_path").endsWith("f0.parquet")))
+  }
+
+  test("manifest census composes with the parquet footer tier") {
+    val live = IcebergMeta.currentFiles(spark, table)
+      .filter(col("status") =!= 2 && col("content") === 0)
+      .select(col("abs_path"), col("record_count"))
+    val footers = meta(table + "/data", "source" -> "parquet", "level" -> "file")
+      .select(col("filepath"), col("num_rows"))
+    // disk census: 6 data slices + 1 delete file
+    assert(footers.count() === 7L)
+    val joined = footers.join(live, footers("filepath") === live("abs_path"))
+    // every manifest record count matches the file's own footer
+    assert(joined.filter(col("num_rows") =!= col("record_count")).count() === 0L)
+    // exactly two disk files are NOT live data: f5 (deleted) + del0
+    assert(footers.join(live,
+      footers("filepath") === live("abs_path"), "left_anti").count() === 2L)
+  }
+
+  test("numeric version ordering survives v10 (lexicographic would not)") {
+    assert(IcebergMeta.metadataVersion("v9.metadata.json") === 9L)
+    assert(IcebergMeta.metadataVersion("v10.metadata.json") === 10L)
+    assert(IcebergMeta.metadataVersion("00012-abc-def.metadata.json") === 12L)
+    assert(IcebergMeta.metadataVersion("weird.metadata.json") === -1L)
+
+    val d = Files.createTempDirectory("graft_iceberg_v10").toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    val metaDir = new java.io.File(d, "metadata")
+    val v1 = new java.io.File(metaDir, "v1.metadata.json").toPath
+    // v2..v11 are copies of v1; v12 REWINDS current-snapshot-id to 1 so
+    // picking it is observable; no version hint → numeric-latest wins
+    (2 to 11).foreach { i =>
+      java.nio.file.Files.copy(v1,
+        new java.io.File(metaDir, s"v$i.metadata.json").toPath)
+    }
+    val v12 = new String(java.nio.file.Files.readAllBytes(v1), "UTF-8")
+      .replace("\"current-snapshot-id\":2", "\"current-snapshot-id\":1")
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v12.metadata.json").toPath,
+      v12.getBytes("UTF-8"))
+    new java.io.File(metaDir, "version-hint.text").delete()
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(d)
+    val fs = root.getFileSystem(hconf)
+    assert(IcebergMeta.currentMetadataFile(fs, root).getName ===
+      "v12.metadata.json")
+    // v12's current snapshot is snap 1 → only m0's three added files
+    val files = IcebergMeta.currentFiles(spark, d).collect()
+    assert(files.length === 3)
+    assert(files.map(_.getAs[String]("file_path")).sorted.toSeq ===
+      Seq("data/f0.parquet", "data/f1.parquet", "data/f2.parquet"))
+    // and the slice listing is in numeric order
+    val names = IcebergMeta.listMetadataSlices(root, hconf).map(_.name)
+    assert(names === (1 to 12).map(i => s"v$i.metadata.json"))
+  }
+
+  test("validation matrix, foreign-dir and malformed-metadata refusal") {
+    val e1 = intercept[Exception](
+      meta(table, "source" -> "iceberg", "level" -> "rowgroup").collect())
+    assert(causeMessages(e1).contains(
+      "Source 'iceberg' does not support 'rowgroup' level"))
+    // a non-iceberg directory refuses the iceberg source clearly
+    val plain = Files.createTempDirectory("graft_noticeberg").toString
+    spark.range(3).write.mode("overwrite").parquet(plain)
+    val e2 = intercept[Exception](meta(plain, "source" -> "iceberg").collect())
+    assert(causeMessages(e2).contains("not an Iceberg table"))
+    // a foreign *.metadata.json refuses with file + field, not an NPE
+    val bad = Files.createTempDirectory("graft_badiceberg").toString + "/tbl"
+    val badMeta = new java.io.File(bad, "metadata")
+    badMeta.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(badMeta, "v1.metadata.json").toPath,
+      """{"something":"else"}""".getBytes("UTF-8"))
+    val e3 = intercept[Exception](meta(bad, "source" -> "iceberg").collect())
+    assert(causeMessages(e3).contains("Malformed Iceberg metadata"))
+    assert(causeMessages(e3).contains("format-version"))
+  }
+
+  test("explicit non-snapshot level bypasses table auto-detection") {
+    // sourceless load with level=rowgroup must NOT branch to the
+    // iceberg listing: it scans the table's files as raw parquet
+    val df = meta(table + "/data", "level" -> "rowgroup")
+    assert(df.count() > 0L)
+    assert(df.columns.contains("num_rows"))
+  }
+
+  test("commit stream: new metadata versions arrive as micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Files.createTempDirectory("graft_iceberg_stream").toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    val ckpt = Files.createTempDirectory("graft_iceberg_ck").toString
+    val out = Files.createTempDirectory("graft_iceberg_out").toString
+    val src = spark.readStream.format("metadata")
+      .option("source", "iceberg").option("level", "snapshot")
+      .option("streamlagms", "0").load(d)
+    val q = src.select("snapshot_id", "operation", "is_current")
+      .writeStream.format("parquet").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt).option("path", out).start()
+    q.awaitTermination(60000)
+    q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 2L)
+    assert(got.filter(col("is_current")).count() === 1L)
+  }
+}
