@@ -719,6 +719,29 @@ object SparkEntry {
             .cast("long").as("dead_rows"))
     }),
 
+    // DELTA deletion vectors: the protocol-v3 DELETE-without-rewrite —
+    // a v5 commit removes f0 and re-adds the SAME file with a
+    // deletionVector descriptor (3 logically-deleted rows). The replay
+    // must (a) reconcile the same-version remove+add pair to the add
+    // (ordering key (version, is_add), not bare version), and (b) report
+    // physical vs net rows — a DV-blind audit overcounts by the DV
+    // cardinality. The oracle replays the same log in DuckDB with the
+    // same composite-rank arg_max.
+    "meta_delta_dv" -> ((s, dir) => {
+      val out = "/tmp/graft_deltadv_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeDvFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.snapshotFiles(s, out)
+        .agg(
+          count(lit(1)).cast("long").as("n_live"),
+          sum(col("num_records")).cast("long").as("physical_rows"),
+          sum(when(col("has_dv"), lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_dv_files"),
+          sum(col("dv_cardinality")).cast("long").as("dv_deleted"),
+          (sum(col("num_records")) - sum(col("dv_cardinality")))
+            .cast("long").as("net_rows"))
+    }),
+
     // ICEBERG metadata tier, snapshot level: one row per snapshot of a
     // hand-written (public-spec) filesystem table — two snapshots in one
     // v1.metadata.json, the second current. The oracle is a REAL
@@ -4901,6 +4924,48 @@ object SparkEntry {
         |  (SELECT CAST(sum(num_rows) AS BIGINT)
         |    FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/*.parquet') m
         |    WHERE parse_filename(m.file_name) NOT IN (SELECT path FROM live)) AS dead_rows
+        |FROM live""".stripMargin,
+
+    "meta_delta_dv" ->
+      """WITH tail AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    add.path AS apath, remove.path AS rpath, add.stats AS stats,
+        |    add.deletionVector.cardinality AS dv_card
+        |  FROM read_json_auto('/tmp/graft_deltadv_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |    AS BIGINT) > 2
+        |),
+        |ckpt AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, add.path AS apath,
+        |    remove.path AS rpath, add.stats AS stats, NULL AS dv_card
+        |  FROM read_parquet('/tmp/graft_deltadv_sf0.01/_delta_log/*.checkpoint.parquet')
+        |  WHERE add.path IS NOT NULL OR remove.path IS NOT NULL
+        |),
+        |actions AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    version * 2 + CAST(apath IS NOT NULL AS BIGINT) AS rank,
+        |    apath IS NOT NULL AS is_add, stats, dv_card
+        |  FROM (SELECT * FROM tail UNION ALL SELECT * FROM ckpt)
+        |),
+        |latest AS (
+        |  SELECT path,
+        |    arg_max({'is_add': is_add, 'stats': stats,
+        |      'dv': coalesce(CAST(dv_card AS BIGINT), 0)}, rank) AS w
+        |  FROM actions GROUP BY path
+        |),
+        |live AS (
+        |  SELECT path,
+        |    CAST(json_extract(w.stats, '$.numRecords') AS BIGINT) AS nrec,
+        |    w.dv AS dv
+        |  FROM latest WHERE w.is_add
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(sum(nrec) AS BIGINT) AS physical_rows,
+        |  CAST(count(*) FILTER (WHERE dv > 0) AS BIGINT) AS n_dv_files,
+        |  CAST(sum(dv) AS BIGINT) AS dv_deleted,
+        |  CAST(sum(nrec) - sum(dv) AS BIGINT) AS net_rows
         |FROM live""".stripMargin,
 
     "meta_iceberg_snapshot" ->

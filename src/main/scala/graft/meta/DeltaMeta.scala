@@ -3,7 +3,7 @@ package graft.meta
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -35,7 +35,7 @@ case class DeltaLogInfo(
  *  - [[snapshotFiles]] reconstructs the LIVE file list as a declarative
  *    plan: distributed parquet read of the latest checkpoint + JSON read
  *    of the commit tail, reconciled by a map-side-combinable
- *    `max_by(action, version)` per path — no window sort, no driver-side
+ *    `max_by(action, (version, is_add))` per path — no window sort, no driver-side
  *    log replay, so a checkpoint with millions of `add` entries scales
  *    like any parquet scan;
  *  - composing [[snapshotFiles]] with the parquet file level audits only
@@ -147,8 +147,12 @@ object DeltaMeta {
 
   /** Non-null leaf count for `leaf` from a parquet footer's own column
     * statistics: `num_values − null_count` summed over chunks. None when
-    * any chunk lacks a null count (no evidence ≠ zero). */
-  private def footerNonNull(footer: FooterInfo, leaf: String): Option[Long] = {
+    * any chunk lacks a null count (no evidence ≠ zero). The match is
+    * EXACT (`Option.contains` is element equality, not a substring
+    * test): a writer-specific column whose dotted path merely embeds the
+    * leaf (`stats_parsed.add.path…`) never matches, so it cannot
+    * double-count the action. */
+  private[meta] def footerNonNull(footer: FooterInfo, leaf: String): Option[Long] = {
     val chunks = footer.chunks.filter(_.path.contains(leaf))
     if (chunks.isEmpty) return Some(0L)
     val counts = chunks.map(c => c.stats.flatMap(_.nullCount).map(c.numValues - _))
@@ -175,6 +179,16 @@ object DeltaMeta {
   // Snapshot reconstruction (live files)
   // ---------------------------------------------------------------------
 
+  /** The protocol's deletion-vector descriptor (v3+ readers): a DELETE
+    * without rewrite attaches one to the `add` action; `cardinality` is
+    * the number of logically-deleted rows still physically present. */
+  private[meta] val dvType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
   /** The `add` struct subset the replay needs (a projection of the
     * protocol's add action; unknown writer fields are simply not read). */
   private val addType = StructType(Seq(
@@ -183,7 +197,8 @@ object DeltaMeta {
     StructField("size", LongType),
     StructField("modificationTime", LongType),
     StructField("dataChange", BooleanType),
-    StructField("stats", StringType)))
+    StructField("stats", StringType),
+    StructField("deletionVector", dvType)))
 
   private val removeType = StructType(Seq(
     StructField("path", StringType),
@@ -202,7 +217,7 @@ object DeltaMeta {
    * Plan shape: distributed parquet scan of the latest checkpoint parts
    * (tagged with the checkpoint version) unioned with a schema-pinned
    * JSON scan of the newer commits (each tagged with its version from
-   * the file name), reconciled per path by `max_by(action, version)` —
+   * the file name), reconciled per path by `max_by(action, (version, is_add))` —
    * an aggregate with map-side partial combine, NOT a window sort. Only
    * paths whose winning action is an `add` survive. Driver work is one
    * log listing; everything else is executors.
@@ -232,24 +247,58 @@ object DeltaMeta {
             regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long")))
       val ckpt =
         if (ckptPaths.isEmpty) None
-        else Some(spark.read.parquet(ckptPaths: _*)
+        else {
+          val raw = spark.read.parquet(ckptPaths: _*)
+          // V2 checkpoints park add/remove actions in _delta_log/_sidecars
+          // files; the top-level part carries only pointers. Reading it as
+          // the snapshot would silently reconstruct an near-empty live set
+          // — refuse rather than lie.
+          val top = raw.schema.fieldNames.toSet
+          if (top.contains("checkpointMetadata") || top.contains("sidecar")) {
+            throw new UnsupportedOperationException(
+              s"$table: V2 (sidecar) checkpoint at version $ckptVersion is " +
+                "not supported: its add/remove actions live in " +
+                "_delta_log/_sidecars files, not in the checkpoint itself")
+          }
+          val addStruct = raw.schema("add").dataType.asInstanceOf[StructType]
+          // deletionVector appears only on protocol-v3+ writers; absent →
+          // null (and each descriptor subfield is matched by name, so a
+          // writer with extra fields still decodes)
+          val dvCol =
+            if (!addStruct.fieldNames.contains("deletionVector")) {
+              lit(null).cast(dvType)
+            } else {
+              val sub = addStruct("deletionVector").dataType.asInstanceOf[StructType]
+              def f(name: String, t: DataType): Column =
+                (if (sub.fieldNames.contains(name)) {
+                  col(s"add.deletionVector.$name").cast(t)
+                } else lit(null).cast(t)).as(name)
+              when(col("add.deletionVector").isNotNull, struct(
+                f("storageType", StringType),
+                f("pathOrInlineDv", StringType),
+                f("offset", IntegerType),
+                f("sizeInBytes", IntegerType),
+                f("cardinality", LongType)))
+            }
           // re-project the pinned action subset field by field
           // (checkpoints carry protocol/metaData/txn columns and
           // writer-specific add fields the replay doesn't need; a struct
           // cast would demand exact arity)
-          .select(
+          Some(raw.select(
             when(col("add").isNotNull, struct(
               col("add.path").as("path"),
               col("add.partitionValues").as("partitionValues"),
               col("add.size").as("size"),
               col("add.modificationTime").as("modificationTime"),
               col("add.dataChange").as("dataChange"),
-              col("add.stats").as("stats"))).as("add"),
+              col("add.stats").as("stats"),
+              dvCol.as("deletionVector"))).as("add"),
             when(col("remove").isNotNull, struct(
               col("remove.path").as("path"),
               col("remove.deletionTimestamp").as("deletionTimestamp"),
               col("remove.dataChange").as("dataChange"))).as("remove"))
-          .withColumn("version", lit(ckptVersion)))
+            .withColumn("version", lit(ckptVersion)))
+        }
       (tail, ckpt) match {
         case (Some(t), Some(c)) => c.unionByName(t)
         case (Some(t), None) => t
@@ -264,18 +313,34 @@ object DeltaMeta {
         col("version"), col("add"))
       .filter(col("path").isNotNull)
       .groupBy(col("path"))
-      .agg(max_by(struct(col("add"), col("version")), col("version")).as("w"))
+      // ordering key is (version, is_add): a remove+add pair of the SAME
+      // path in the SAME commit (the deletion-vector / metadata-rewrite
+      // shape) reconciles to the add — a bare version key would break
+      // the tie arbitrarily
+      .agg(max_by(struct(col("add"), col("version")),
+        struct(col("version"), col("add").isNotNull)).as("w"))
       .filter(col("w.add").isNotNull) // latest action is an add → live
       .select(col("path"),
-        // protocol: `path` is a URI-encoded path relative to the root
-        concat(lit(root.toString + "/"), url_decode(col("path"))).as("abs_path"),
+        // protocol: `path` is a URI-encoded path relative to the root —
+        // OR an absolute URI (shallow clones, external files), which
+        // must not be root-prefixed into garbage
+        when(col("path").contains("://") || col("path").startsWith("/"),
+          url_decode(col("path")))
+          .otherwise(concat(lit(root.toString + "/"), url_decode(col("path"))))
+          .as("abs_path"),
         col("w.version").as("version"),
         col("w.add.size").as("size"),
         col("w.add.modificationTime").as("mod_time"),
         col("w.add.partitionValues").as("partition_values"),
+        // numRecords counts PHYSICAL rows; rows deleted via a deletion
+        // vector are still inside the file, so the net live count is
+        // num_records − dv_cardinality (see has_dv/dv_cardinality)
         get_json_object(col("w.add.stats"), "$.numRecords").cast("long")
           .as("num_records"),
-        col("w.add.stats").as("stats"))
+        col("w.add.stats").as("stats"),
+        col("w.add.deletionVector").isNotNull.as("has_dv"),
+        coalesce(col("w.add.deletionVector.cardinality"), lit(0L))
+          .as("dv_cardinality"))
   }
 
   // ---------------------------------------------------------------------
@@ -358,6 +423,10 @@ object DeltaMeta {
     // f1 remove tombstone + protocol + metaData rows, one action a row
     {
       import spark.implicits._
+      // the checkpoint keeps the PRE-deletion-vector add shape (no
+      // deletionVector field), exercising the reader's absent-column path
+      val ckptAddType = StructType(addType.fields.filterNot(
+        _.name == "deletionVector"))
       val adds = Seq("f0.parquet", "f2.parquet", "f3.parquet", "f4.parquet")
       val addRows = adds.map { f =>
         (f, Map.empty[String, String], new java.io.File(root, f).length(),
@@ -374,13 +443,13 @@ object DeltaMeta {
         .withColumn("metaData", lit(null).cast("struct<id:string>"))
       val removeDf = Seq(("f1.parquet", ts0 + 2000, true))
         .toDF("path", "deletionTimestamp", "dataChange")
-        .select(lit(null).cast(addType).as("add"),
+        .select(lit(null).cast(ckptAddType).as("add"),
           struct(col("path"), col("deletionTimestamp"), col("dataChange")).as("remove"))
         .withColumn("protocol", lit(null).cast(
           "struct<minReaderVersion:int,minWriterVersion:int>"))
         .withColumn("metaData", lit(null).cast("struct<id:string>"))
       val headerDf = spark.range(1)
-        .select(lit(null).cast(addType).as("add"),
+        .select(lit(null).cast(ckptAddType).as("add"),
           lit(null).cast(removeType).as("remove"),
           struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"),
           struct(lit("graft-fixture").as("id")).as("metaData"))
@@ -400,6 +469,35 @@ object DeltaMeta {
     writeCommit(3, Seq(commitInfo(3, "DELETE"),
       removeJson("f2.parquet", 3), addJson("f5.parquet", 3)))
     writeCommit(4, Seq(commitInfo(4, "WRITE"), addJson("f6.parquet", 4)))
+    counts
+  }
+
+  /**
+   * The base fixture plus a v5 DELETE-without-rewrite: the protocol's
+   * deletion-vector commit shape — `remove f0` + `add f0` with the SAME
+   * physical file and a `deletionVector` descriptor (3 logically-deleted
+   * rows, inline storage). `stats.numRecords` still counts the physical
+   * rows; the net live count of f0 drops by 3 without any file rewrite —
+   * the case a DV-blind audit silently overcounts.
+   */
+  def writeDvFixtureTable(spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeFixtureTable(spark, dir, docs)
+    val root = new java.io.File(dir)
+    val logDir = new java.io.File(root, "_delta_log")
+    val ts5 = 1700000005000L
+    val f0 = "f0.parquet"
+    val size = new java.io.File(root, f0).length()
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$ts5,"operation":"DELETE"}}""",
+      s"""{"remove":{"path":${jstr(f0)},"deletionTimestamp":$ts5,"dataChange":true}}""",
+      s"""{"add":{"path":${jstr(f0)},"partitionValues":{},"size":$size,""" +
+        s""""modificationTime":$ts5,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":${counts(f0)}}",""" +
+        """"deletionVector":{"storageType":"i","pathOrInlineDv":"graftDvFixture",""" +
+        """"offset":1,"sizeInBytes":40,"cardinality":3}}}""")
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${5L}%020d.json").toPath,
+      lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     counts
   }
 }

@@ -124,6 +124,66 @@ class DeltaSourceSpec extends SparkSpec {
     assert(!names.exists(_.startsWith("_")))
   }
 
+  test("deletion vectors: DELETE-without-rewrite surfaces, never overcounts") {
+    val d = Files.createTempDirectory("graft_delta_dv").toString + "/tbl"
+    DeltaMeta.writeDvFixtureTable(spark, d, docs)
+    val live = DeltaMeta.snapshotFiles(spark, d)
+      .select("path", "version", "num_records", "has_dv", "dv_cardinality")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // same live SET as the base fixture: the v5 DV commit re-adds f0
+    assert(live.keySet === Set("f0.parquet", "f3.parquet", "f4.parquet",
+      "f5.parquet", "f6.parquet"))
+    val f0 = live("f0.parquet")
+    assert(f0.getAs[Long]("version") === 5L)
+    assert(f0.getAs[Boolean]("has_dv"))
+    assert(f0.getAs[Long]("dv_cardinality") === 3L)
+    // numRecords still counts PHYSICAL rows; net = physical − cardinality
+    val expected = docs.filter(pmod(col("doc_id"), lit(7)) === 0).count()
+    assert(f0.getAs[Long]("num_records") === expected)
+    // all other files: no DV, cardinality 0 (never null — safe to sum)
+    (live - "f0.parquet").values.foreach { r =>
+      assert(!r.getAs[Boolean]("has_dv"))
+      assert(r.getAs[Long]("dv_cardinality") === 0L)
+    }
+  }
+
+  test("V2 sidecar checkpoint refuses instead of lying") {
+    val d = Files.createTempDirectory("graft_delta_v2ck").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    // overwrite v4 with a V2-shaped checkpoint part: checkpointMetadata +
+    // sidecar columns, no embedded actions
+    val log = new java.io.File(d, "_delta_log")
+    val v2ck = spark.range(1).select(
+      struct(lit(4L).as("version")).as("checkpointMetadata"),
+      struct(lit("sc.parquet").as("path")).as("sidecar"))
+    val tmp = Files.createTempDirectory("graft_v2ck_tmp").toString + "/p"
+    v2ck.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(log, f"${4L}%020d.checkpoint.parquet").toPath)
+    val e = intercept[Exception](DeltaMeta.snapshotFiles(spark, d).collect())
+    assert(causeMessages(e).contains("V2 (sidecar) checkpoint"))
+  }
+
+  test("footer action counts ignore embedded-leaf impostor columns") {
+    // a writer-specific column whose dotted path EMBEDS add.path must not
+    // double-count: the leaf match is exact, not substring
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_imp").toString
+    Seq(("f0", "x"), ("f1", "y")).toDF("p", "q")
+      .select(struct(col("p").as("path")).as("add"),
+        struct(struct(col("p").as("path")).as("add")).as("stats_parsed"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val footer = Footers.read(new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+      spark.sessionState.newHadoopConf(), None)
+    // both add.path and stats_parsed.add.path carry 2 non-null values;
+    // only the top-level action leaf may count
+    assert(DeltaMeta.footerNonNull(footer, "add.path") === Some(2L))
+  }
+
   test("commit stream: new log segments arrive as micro-batches") {
     import org.apache.spark.sql.streaming.Trigger
     val d = Files.createTempDirectory("graft_delta_stream").toString + "/tbl"
