@@ -9,7 +9,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /**
  * Decompress a parquet page payload (`page_content`) by its chunk's codec
  * name — the Thrift enum rendering the column level exposes
- * (`UNCOMPRESSED`, `SNAPPY`, `ZSTD`, `GZIP`, `LZ4_RAW`). In a v1 data
+ * (`UNCOMPRESSED`, `SNAPPY`, `ZSTD`, `GZIP`, `LZ4_RAW`; `BROTLI` when a
+ * decoder is on the classpath — see `brotliAvailable`). In a v1 data
  * page the whole payload (levels + values) is one compressed block, so
  * `page_inflate(content, codec, uncompressed_size)` is exactly the bytes
  * [[DictIndexes]] / [[PlainDictStrings]] / [[PlainInt64Sum]] decode — the
@@ -125,6 +126,15 @@ object PageInflate {
   private val ZSTD = UTF8String.fromString("ZSTD")
   private val GZIP = UTF8String.fromString("GZIP")
   private val LZ4_RAW = UTF8String.fromString("LZ4_RAW")
+  private val BROTLI = UTF8String.fromString("BROTLI")
+
+  /** Whether a Brotli decoder is actually on the classpath:
+    * commons-compress's route needs `org.brotli:dec`, which Spark does
+    * not ship — deployments that add it get real decode; elsewhere the
+    * route stays a clean null ("no evidence"), never a link error. */
+  lazy val brotliAvailable: Boolean =
+    try { Class.forName("org.brotli.dec.BrotliInputStream"); true }
+    catch { case _: Throwable => false }
 
   def compute(v: Any, codec: UTF8String, size: Int): Array[Byte] = {
     val bytes = DecodeBytes.of(v)
@@ -164,6 +174,25 @@ object PageInflate {
         } else if (codec.equals(LZ4_RAW)) {
           net.jpountz.lz4.LZ4Factory.fastestInstance()
             .safeDecompressor().decompress(bytes, size)
+        } else if (codec.equals(BROTLI)) {
+          if (!brotliAvailable) return null
+          // same size-bounded read discipline as GZIP: stop one chunk
+          // past the declared size at most, let the final length check
+          // reject the lie
+          val in = new org.apache.commons.compress.compressors.brotli.BrotliCompressorInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val buf = new java.io.ByteArrayOutputStream(size)
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            var total = 0
+            while (n > 0 && total <= size) {
+              buf.write(chunk, 0, n); total += n; n = in.read(chunk)
+            }
+            buf.toByteArray
+          } finally {
+            in.close()
+          }
         } else return null
       // the header's uncompressed size is a contract, not a hint
       if (out.length != size) null else out

@@ -67,8 +67,13 @@ class PageInflateSpec extends SparkSpec {
     assert(PageInflate.compute(good, u("SNAPPY"), 11) == null)
     // truncated compressed bytes
     assert(PageInflate.compute(good.take(3), u("SNAPPY"), 10) == null)
-    // unknown codec names (BROTLI unsupported, arbitrary junk)
+    // BROTLI is availability-gated: commons-compress's route needs
+    // org.brotli:dec, which Spark does not ship — here it must report
+    // unavailable and decode to a clean null (never a link error); a
+    // deployment that adds the decoder jar gets the real route
+    assert(!PageInflate.brotliAvailable)
     assert(PageInflate.compute(good, u("BROTLI"), 10) == null)
+    // arbitrary junk codec names
     assert(PageInflate.compute(good, u("nonsense"), 10) == null)
     // identity path
     assert(PageInflate.compute("abc".getBytes, u("UNCOMPRESSED"), 3).toSeq ===
