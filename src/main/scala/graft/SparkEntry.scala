@@ -719,6 +719,25 @@ object SparkEntry {
             .cast("long").as("dead_rows"))
     }),
 
+    // DELTA TIME TRAVEL at metadata cost: the live set reconstructed AS
+    // OF every version 0..4 — each from the newest checkpoint at or
+    // below the target plus its commit tail. The oracle replays the
+    // SAME versions in DuckDB from the JSON commits ALONE (a different
+    // evidence path than the checkpoint+tail plan), so checkpoint and
+    // log must tell the same story at every version.
+    "meta_delta_travel" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      (0L to 4L).map { v =>
+        DeltaMeta.snapshotFilesAt(s, out, Some(v))
+          .agg(
+            lit(v).as("version"),
+            count(lit(1)).cast("long").as("n_live"),
+            sum(col("num_records")).cast("long").as("live_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
     // DELTA deletion vectors: the protocol-v3 DELETE-without-rewrite —
     // a v5 commit removes f0 and re-adds the SAME file with a
     // deletionVector descriptor (3 logically-deleted rows). The replay
@@ -791,6 +810,26 @@ object SparkEntry {
         .select(col("n_live"), col("live_rows"), col("footer_rows"),
           (col("live_rows") - col("deleted_positions")).as("net_rows"),
           col("n_delete_files"), col("deleted_positions"), col("n_disk"))
+    }),
+
+    // ICEBERG TIME TRAVEL / snapshot diff at metadata cost: both listed
+    // snapshots resolve through their own manifest lists; the per-
+    // snapshot live-data census shows exactly what the overwrite
+    // changed. The oracle reads the same data-file footers in DuckDB —
+    // per-snapshot membership is the fixture contract, the row numbers
+    // are the cross-engine check on the manifest decode.
+    "meta_iceberg_travel" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      Seq(1L, 2L).map { id =>
+        IcebergMeta.filesAt(s, out, Some(id))
+          .filter(col("status") =!= 2 && col("content") === 0)
+          .agg(
+            lit(id).as("snapshot_id"),
+            count(lit(1)).cast("long").as("n_live"),
+            sum(col("record_count")).cast("long").as("data_rows"))
+      }.reduce(_ unionByName _)
     }),
 
     // ORC stripe-skip report — the ORC sibling of the parquet page-skip
@@ -4925,6 +4964,44 @@ object SparkEntry {
         |    FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/*.parquet') m
         |    WHERE parse_filename(m.file_name) NOT IN (SELECT path FROM live)) AS dead_rows
         |FROM live""".stripMargin,
+
+    "meta_delta_travel" ->
+      """WITH acts AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS cv,
+        |    add.path AS apath, remove.path AS rpath, add.stats AS stats
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |vs AS (SELECT unnest([0, 1, 2, 3, 4]) AS v),
+        |latest AS (
+        |  SELECT vs.v AS v, coalesce(apath, rpath) AS path,
+        |    arg_max(apath IS NOT NULL,
+        |      cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS live,
+        |    arg_max(stats, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS stats
+        |  FROM vs JOIN acts ON acts.cv <= vs.v
+        |  GROUP BY vs.v, coalesce(apath, rpath)
+        |)
+        |SELECT CAST(v AS BIGINT) AS version,
+        |  CAST(count(*) FILTER (WHERE live) AS BIGINT) AS n_live,
+        |  CAST(sum(CAST(json_extract(stats, '$.numRecords') AS BIGINT))
+        |    FILTER (WHERE live) AS BIGINT) AS live_rows
+        |FROM latest GROUP BY v""".stripMargin,
+
+    "meta_iceberg_travel" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_iceberg_sf0.01/data/*.parquet')
+        |)
+        |SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(3 AS BIGINT) AS n_live,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |    WHERE name IN ('f0.parquet', 'f1.parquet', 'f2.parquet'))
+        |    AS data_rows
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(5 AS BIGINT),
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |    WHERE name LIKE 'f%' AND name <> 'f5.parquet')""".stripMargin,
 
     "meta_delta_dv" ->
       """WITH tail AS (

@@ -222,16 +222,56 @@ object DeltaMeta {
    * paths whose winning action is an `add` survive. Driver work is one
    * log listing; everything else is executors.
    */
-  def snapshotFiles(spark: SparkSession, table: String): DataFrame = {
+  def snapshotFiles(spark: SparkSession, table: String): DataFrame =
+    snapshotFilesAt(spark, table, None)
+
+  /**
+   * TIME TRAVEL at metadata cost: [[snapshotFiles]] as of `asOfVersion`
+   * (inclusive; `None` = latest). The replay starts from the newest
+   * checkpoint AT OR BELOW the target and applies only commits up to it
+   * — the same log arithmetic Delta readers use, still fully
+   * declarative. Refuses when the target predates the oldest surviving
+   * segment (log-cleaned history cannot be reconstructed — no evidence,
+   * never a partial set) or when no segment at or below the target
+   * exists.
+   */
+  def snapshotFilesAt(
+      spark: SparkSession, table: String,
+      asOfVersion: Option[Long]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val root = {
       val p = new Path(table)
       p.getFileSystem(conf).makeQualified(p)
     }
-    val segments = listLogSlices(root, conf)
+    val allSegments = listLogSlices(root, conf)
       .flatMap(f => segmentVersion(f.name).map { case (v, k) => (v, k, f.path) })
+    val segments = asOfVersion match {
+      case None => allSegments
+      case Some(target) =>
+        val latest = allSegments.map(_._1).maxOption.getOrElse(-1L)
+        if (target > latest) {
+          throw new IllegalArgumentException(
+            s"$table: version $target is after the latest commit ($latest)")
+        }
+        val kept = allSegments.filter(_._1 <= target)
+        if (kept.isEmpty) {
+          throw new IllegalArgumentException(
+            s"$table: no log segment at or below version $target")
+        }
+        kept
+    }
     val ckptVersion = segments.collect { case (v, "checkpoint", _) => v }
       .maxOption.getOrElse(-1L)
+    // the replay base must be complete: with no usable checkpoint the
+    // commit chain has to reach back to version 0 (log cleanup deletes
+    // old commits once a checkpoint covers them)
+    if (ckptVersion < 0 &&
+        !segments.exists { case (v, k, _) => v == 0L && k == "commit" }) {
+      throw new IllegalArgumentException(
+        s"$table: cannot reconstruct version " +
+          s"${asOfVersion.map(_.toString).getOrElse("latest")}: commit 0 " +
+          "is gone and no checkpoint at or below the target survives")
+    }
     val ckptPaths = segments.collect {
       case (v, "checkpoint", p) if v == ckptVersion => p
     }

@@ -269,7 +269,19 @@ object IcebergMeta {
    * manifest paths — one task per manifest, the scale unit of a big
    * snapshot.
    */
-  def currentFiles(spark: SparkSession, table: String): DataFrame = {
+  def currentFiles(spark: SparkSession, table: String): DataFrame =
+    filesAt(spark, table, None)
+
+  /**
+   * TIME TRAVEL at metadata cost: [[currentFiles]] as of `snapshotId`
+   * (`None` = the current snapshot). Any snapshot still listed in the
+   * table metadata resolves through its own manifest list; an expired
+   * (metadata-removed) id refuses with the surviving ids named — no
+   * evidence, never a partial set.
+   */
+  def filesAt(
+      spark: SparkSession, table: String,
+      snapshotId: Option[Long]): DataFrame = {
     import spark.implicits._
     val hconf = spark.sessionState.newHadoopConf()
     val root = {
@@ -278,8 +290,14 @@ object IcebergMeta {
     }
     val fs = root.getFileSystem(hconf)
     val info = readTableMetadata(currentMetadataFile(fs, root), hconf)
-    val current = info.snapshots.find(_.isCurrent).getOrElse(
-      throw new IllegalArgumentException(s"$table: no current snapshot"))
+    val current = snapshotId match {
+      case None => info.snapshots.find(_.isCurrent).getOrElse(
+        throw new IllegalArgumentException(s"$table: no current snapshot"))
+      case Some(id) => info.snapshots.find(_.snapshotId == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table: no snapshot $id (surviving: " +
+            s"${info.snapshots.map(_.snapshotId).mkString(", ")})"))
+    }
     val manifests = readManifestList(
       resolve(root, current.manifestList), hconf)
       .map(m => resolve(root, m.manifestPath).toString)

@@ -124,6 +124,45 @@ class DeltaSourceSpec extends SparkSpec {
     assert(!names.exists(_.startsWith("_")))
   }
 
+  test("time travel reconstructs any surviving version, refuses the rest") {
+    def liveAt(v: Long): Set[String] =
+      DeltaMeta.snapshotFilesAt(spark, table, Some(v))
+        .select("path").collect().map(_.getString(0)).toSet
+    assert(liveAt(0) === Set("f0.parquet", "f1.parquet"))
+    assert(liveAt(1) === Set("f0.parquet", "f1.parquet", "f2.parquet", "f3.parquet"))
+    assert(liveAt(2) === Set("f0.parquet", "f2.parquet", "f3.parquet", "f4.parquet"))
+    assert(liveAt(3) === Set("f0.parquet", "f3.parquet", "f4.parquet", "f5.parquet"))
+    assert(liveAt(4) === Set("f0.parquet", "f3.parquet", "f4.parquet",
+      "f5.parquet", "f6.parquet"))
+    // beyond the latest commit: refuse, don't silently return latest
+    val e1 = intercept[IllegalArgumentException](
+      DeltaMeta.snapshotFilesAt(spark, table, Some(9L)))
+    assert(e1.getMessage.contains("after the latest commit"))
+    // log cleanup: with v0/v1 commits gone, versions below the
+    // checkpoint cannot be reconstructed — refuse, never partial
+    val d = java.nio.file.Files.createTempDirectory("graft_delta_clean")
+      .toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    val log = new java.io.File(d, "_delta_log")
+    log.listFiles().filter(f => f.getName.endsWith(".json") &&
+      DeltaMeta.segmentVersion(f.getName).exists(_._1 <= 1L))
+      .foreach(_.delete())
+    val e2 = intercept[IllegalArgumentException](
+      DeltaMeta.snapshotFilesAt(spark, d, Some(1L)))
+    assert(e2.getMessage.contains("no log segment at or below version 1"))
+    // but versions covered by the checkpoint still reconstruct
+    assert(DeltaMeta.snapshotFilesAt(spark, d, Some(2L))
+      .select("path").collect().map(_.getString(0)).toSet ===
+      Set("f0.parquet", "f2.parquet", "f3.parquet", "f4.parquet"))
+    // with the checkpoint ALSO gone the tail alone is incomplete
+    // (commit 0 missing) — refuse, never a partial replay
+    log.listFiles().filter(_.getName.contains("checkpoint"))
+      .foreach(_.delete())
+    val e3 = intercept[IllegalArgumentException](
+      DeltaMeta.snapshotFilesAt(spark, d, Some(3L)))
+    assert(e3.getMessage.contains("commit 0 is gone"))
+  }
+
   test("deletion vectors: DELETE-without-rewrite surfaces, never overcounts") {
     val d = Files.createTempDirectory("graft_delta_dv").toString + "/tbl"
     DeltaMeta.writeDvFixtureTable(spark, d, docs)

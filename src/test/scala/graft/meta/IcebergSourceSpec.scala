@@ -134,6 +134,32 @@ class IcebergSourceSpec extends SparkSpec {
     assert(names === (1 to 12).map(i => s"v$i.metadata.json"))
   }
 
+  test("time travel: any listed snapshot resolves, expired ids refuse") {
+    // snapshot 1 predates the overwrite: just m0's three added files
+    val snap1 = IcebergMeta.filesAt(spark, table, Some(1L)).collect()
+    assert(snap1.map(_.getAs[String]("file_path")).sorted.toSeq ===
+      Seq("data/f0.parquet", "data/f1.parquet", "data/f2.parquet"))
+    assert(snap1.forall(_.getAs[Int]("status") === 1))
+    // the explicit current id equals the default resolution
+    val cur = IcebergMeta.filesAt(spark, table, Some(2L))
+      .select("file_path").collect().map(_.getString(0)).toSet
+    val dflt = IcebergMeta.currentFiles(spark, table)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    assert(cur === dflt)
+    // snapshot diff at metadata cost: rows added between snap 1 and 2
+    val rowsAt1 = snap1.map(_.getAs[Long]("record_count")).sum
+    val rows2 = IcebergMeta.filesAt(spark, table, Some(2L))
+      .filter(col("status") =!= 2 && col("content") === 0)
+      .agg(sum("record_count")).collect()(0).getLong(0)
+    assert(rows2 - rowsAt1 ===
+      counts("f3.parquet") + counts("f4.parquet"))
+    // an id the metadata no longer lists refuses with the survivors
+    val e = intercept[IllegalArgumentException](
+      IcebergMeta.filesAt(spark, table, Some(99L)))
+    assert(e.getMessage.contains("no snapshot 99"))
+    assert(e.getMessage.contains("1, 2"))
+  }
+
   test("validation matrix, foreign-dir and malformed-metadata refusal") {
     val e1 = intercept[Exception](
       meta(table, "source" -> "iceberg", "level" -> "rowgroup").collect())
