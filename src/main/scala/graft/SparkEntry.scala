@@ -719,6 +719,33 @@ object SparkEntry {
             .cast("long").as("dead_rows"))
     }),
 
+    // DELTA PARTITION-PRUNED planning at metadata cost: a partitioned
+    // fixture (lang=<x>/ dirs, partitionValues in every add action);
+    // "which files serve lang='zh'" answers from the LOG alone, then the
+    // pruned path list (a bounded, partition-sized driver boundary —
+    // the MetaPrune surviving-paths idiom) drives a parquet-tier footer
+    // read that touches ONLY those files (pushed filepath IN-list; the
+    // spec pins files=2/10 in the plan). The oracle replays the same
+    // JSON partitionValues in DuckDB and reads the same pruned footers.
+    "meta_delta_partition_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_deltapart_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writePartitionedFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val live = DeltaMeta.snapshotFiles(s, out)
+      val pruned = live
+        .filter(element_at(col("partition_values"), "lang") === "zh")
+      val paths = pruned.select("abs_path").collect().map(_.getString(0))
+      val footers = meta(s, out, "file", Map("source" -> "parquet"))
+        .filter(col("filepath").isin(paths.toSeq: _*))
+      live.agg(count(lit(1)).cast("long").as("n_files"))
+        .crossJoin(pruned.agg( // 1x1: two single-row aggregates
+          count(lit(1)).cast("long").as("n_pruned"),
+          sum(col("num_records")).cast("long").as("pruned_rows")))
+        .crossJoin(footers.agg(
+          sum(col("num_rows")).cast("long").as("footer_rows")))
+    }),
+
     // DELTA TIME TRAVEL at metadata cost: the live set reconstructed AS
     // OF every version 0..4 — each from the newest checkpoint at or
     // below the target plus its commit tail. The oracle replays the
@@ -4964,6 +4991,25 @@ object SparkEntry {
         |    FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/*.parquet') m
         |    WHERE parse_filename(m.file_name) NOT IN (SELECT path FROM live)) AS dead_rows
         |FROM live""".stripMargin,
+
+    "meta_delta_partition_prune" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |    FROM read_json_auto('/tmp/graft_deltapart_sf0.01/_delta_log/*.json',
+        |      format='newline_delimited', union_by_name=true)
+        |    WHERE add.path IS NOT NULL) AS n_files,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |    FROM read_json_auto('/tmp/graft_deltapart_sf0.01/_delta_log/*.json',
+        |      format='newline_delimited', union_by_name=true)
+        |    WHERE add.partitionValues.lang = 'zh') AS n_pruned,
+        |  (SELECT CAST(sum(CAST(json_extract(add.stats, '$.numRecords')
+        |      AS BIGINT)) AS BIGINT)
+        |    FROM read_json_auto('/tmp/graft_deltapart_sf0.01/_delta_log/*.json',
+        |      format='newline_delimited', union_by_name=true)
+        |    WHERE add.partitionValues.lang = 'zh') AS pruned_rows,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT)
+        |    FROM parquet_file_metadata(
+        |      '/tmp/graft_deltapart_sf0.01/lang=zh/*.parquet')) AS footer_rows""".stripMargin,
 
     "meta_delta_travel" ->
       """WITH acts AS (

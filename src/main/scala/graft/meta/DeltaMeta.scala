@@ -513,6 +513,73 @@ object DeltaMeta {
   }
 
   /**
+   * A PARTITIONED Delta table against the public protocol: `docs` split
+   * by `lang` into `lang=<x>/` directories, two files per partition
+   * (doc_id parity), committed across three versions. Every add carries
+   * `partitionValues={"lang": x}` and a stats `numRecords`, so
+   * partition-pruned planning — "which files serve `lang = x`" — answers
+   * from the log alone, before any data I/O. Returns rows per
+   * (lang, parity) file.
+   */
+  def writePartitionedFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    root.mkdirs()
+    val logDir = new java.io.File(root, "_delta_log")
+    logDir.mkdirs()
+
+    val langs = docs.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (lang <- langs; parity <- 0 to 1) {
+      val slice = docs
+        .filter(col("lang") === lang && pmod(col("doc_id"), lit(2)) === parity)
+        .select(col("doc_id"), col("n_chars"))
+      val rel = s"lang=$lang/f$parity.parquet"
+      val tmp = dir + s"_slice_${lang}_$parity"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(root, rel)
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      counts(rel) = slice.count()
+    }
+
+    val ts0 = 1700000000000L
+    def addJson(rel: String, lang: String, v: Long): String = {
+      val size = new java.io.File(root, rel).length()
+      s"""{"add":{"path":${jstr(rel)},"partitionValues":{"lang":${jstr(lang)}},""" +
+        s""""size":$size,"modificationTime":${ts0 + v * 1000},"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":${counts(rel)}}"}}"""
+    }
+    def commitInfoLine(v: Long): String =
+      s"""{"commitInfo":{"timestamp":${ts0 + v * 1000},"operation":"WRITE"}}"""
+    def writeCommit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(logDir, f"$v%020d.json").toPath,
+        lines.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // v0: protocol + metaData (partitionColumns names lang) + first langs
+    val (head, tail2) = langs.splitAt(2)
+    writeCommit(0, Seq(
+      commitInfoLine(0),
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"graft-part-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"{}","partitionColumns":["lang"],"configuration":{},"createdTime":$ts0}}""") ++
+      head.flatMap(l => (0 to 1).map(p => addJson(s"lang=$l/f$p.parquet", l, 0))))
+    writeCommit(1, commitInfoLine(1) +:
+      tail2.dropRight(1).flatMap(l => (0 to 1).map(p => addJson(s"lang=$l/f$p.parquet", l, 1))))
+    writeCommit(2, commitInfoLine(2) +:
+      tail2.takeRight(1).flatMap(l => (0 to 1).map(p => addJson(s"lang=$l/f$p.parquet", l, 2))))
+    counts.toMap
+  }
+
+  /**
    * The base fixture plus a v5 DELETE-without-rewrite: the protocol's
    * deletion-vector commit shape — `remove f0` + `add f0` with the SAME
    * physical file and a `deletionVector` descriptor (3 logically-deleted

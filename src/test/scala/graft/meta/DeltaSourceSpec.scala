@@ -223,6 +223,34 @@ class DeltaSourceSpec extends SparkSpec {
     assert(DeltaMeta.footerNonNull(footer, "add.path") === Some(2L))
   }
 
+  test("partitioned table: partition-pruned file planning at metadata cost") {
+    val d = Files.createTempDirectory("graft_delta_part").toString + "/tbl"
+    val pdocs = docs.withColumn("n_chars", col("doc_id") * 7)
+    DeltaMeta.writePartitionedFixtureTable(spark, d, pdocs)
+    val live = DeltaMeta.snapshotFiles(spark, d)
+    assert(live.count() === 10L) // 5 langs x 2 parity files
+    // "which files serve lang = 3" answers from the LOG alone
+    val pruned = live.filter(element_at(col("partition_values"), "lang") === "3")
+    val prunedRows = pruned.agg(sum("num_records")).collect()(0).getLong(0)
+    assert(prunedRows === pdocs.filter(col("lang") === "3").count())
+    val paths = pruned.select("abs_path").collect().map(_.getString(0))
+    assert(paths.length === 2)
+    // composing with the parquet tier: the pushed filepath IN-list
+    // prunes 8 of 10 files BEFORE any footer I/O
+    val footers = spark.read.format("metadata")
+      .option("source", "parquet").option("level", "file").load(d)
+      .filter(col("filepath").isin(paths.toSeq: _*))
+    val plan = footers.queryExecution.executedPlan.toString
+    assert(plan.contains("files=2/10"), s"scan not pruned: $plan")
+    assert(footers.agg(sum("num_rows")).collect()(0).getLong(0) === prunedRows)
+    // the generic listing ALSO discovers lang as a hive partition —
+    // the two views of partitioning agree
+    val byPartition = spark.read.format("metadata")
+      .option("source", "parquet").option("level", "file").load(d)
+      .filter(element_at(col("partition"), "lang") === "3")
+    assert(byPartition.count() === 2L)
+  }
+
   test("commit stream: new log segments arrive as micro-batches") {
     import org.apache.spark.sql.streaming.Trigger
     val d = Files.createTempDirectory("graft_delta_stream").toString + "/tbl"
