@@ -839,6 +839,31 @@ object SparkEntry {
           col("n_delete_files"), col("deleted_positions"), col("n_disk"))
     }),
 
+    // ICEBERG PARTITION-PRUNED planning at metadata cost — the iceberg
+    // sibling of meta_delta_partition_prune: the manifest's typed
+    // partition records (spec r102) answer "which files serve lang='zh'"
+    // without touching data; the pruned path list drives a footer read
+    // of only those files. Oracle: DuckDB reads the same pruned
+    // partition directory's footers; membership is the fixture contract.
+    "meta_iceberg_partition_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_icepart_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writePartitionedFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val files = IcebergMeta.currentFiles(s, out)
+      val pruned = files
+        .filter(element_at(col("partition_values"), "lang") === "zh")
+      val paths = pruned.select("abs_path").collect().map(_.getString(0))
+      val footers = meta(s, out + "/data", "file", Map("source" -> "parquet"))
+        .filter(col("filepath").isin(paths.toSeq: _*))
+      files.agg(count(lit(1)).cast("long").as("n_files"))
+        .crossJoin(pruned.agg( // 1x1: two single-row aggregates
+          count(lit(1)).cast("long").as("n_pruned"),
+          sum(col("record_count")).cast("long").as("pruned_rows")))
+        .crossJoin(footers.agg(
+          sum(col("num_rows")).cast("long").as("footer_rows")))
+    }),
+
     // ICEBERG TIME TRAVEL / snapshot diff at metadata cost: both listed
     // snapshots resolve through their own manifest lists; the per-
     // snapshot live-data census shows exactly what the overwrite
@@ -5034,6 +5059,17 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract(stats, '$.numRecords') AS BIGINT))
         |    FILTER (WHERE live) AS BIGINT) AS live_rows
         |FROM latest GROUP BY v""".stripMargin,
+
+    "meta_iceberg_partition_prune" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_icepart_sf0.01/data/*/*.parquet')) AS n_files,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_icepart_sf0.01/data/lang=zh/*.parquet')) AS n_pruned,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_icepart_sf0.01/data/lang=zh/*.parquet')) AS pruned_rows,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_icepart_sf0.01/data/lang=zh/*.parquet')) AS footer_rows""".stripMargin,
 
     "meta_iceberg_travel" ->
       """WITH fm AS (

@@ -44,7 +44,8 @@ case class IcebergFileEntry(
     filePath: String,
     fileFormat: String,
     recordCount: Long,
-    fileSizeBytes: Long)
+    fileSizeBytes: Long,
+    partition: Map[String, String])
 
 /**
  * Iceberg metadata tier — the second table format above the raw-file
@@ -243,13 +244,30 @@ object IcebergMeta {
       while (reader.hasNext) {
         val r = reader.next()
         val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        // the partition struct (the spec's r102) is typed per partition
+        // spec; decode generically — field names from the manifest's own
+        // schema, values stringified the way the delta tier renders
+        // partitionValues (null stays null-marked absent)
+        val partition = df.getSchema.getField("partition") match {
+          case null => Map.empty[String, String]
+          case _ =>
+            df.get("partition") match {
+              case pr: org.apache.avro.generic.GenericRecord =>
+                import scala.jdk.CollectionConverters._
+                pr.getSchema.getFields.asScala.flatMap { pf =>
+                  Option(pr.get(pf.name())).map(v => pf.name() -> v.toString)
+                }.toMap
+              case _ => Map.empty[String, String]
+            }
+        }
         out += IcebergFileEntry(
           status = r.get("status").asInstanceOf[Number].intValue(),
           content = contentOf(df),
           filePath = str(df.get("file_path")),
           fileFormat = str(df.get("file_format")),
           recordCount = df.get("record_count").asInstanceOf[Number].longValue(),
-          fileSizeBytes = df.get("file_size_in_bytes").asInstanceOf[Number].longValue())
+          fileSizeBytes = df.get("file_size_in_bytes").asInstanceOf[Number].longValue(),
+          partition = partition)
       }
       out.toSeq
     } finally {
@@ -308,10 +326,12 @@ object IcebergMeta {
         readManifest(new Path(mp), conf.value)
           .map(e => (e.status, e.content, e.filePath, e.fileFormat,
             e.recordCount, e.fileSizeBytes,
-            resolve(new Path(rootStr), e.filePath).toString, mp))
+            resolve(new Path(rootStr), e.filePath).toString, mp,
+            e.partition))
       }
       .toDF("status", "content", "file_path", "file_format",
-        "record_count", "file_size_bytes", "abs_path", "manifest_path")
+        "record_count", "file_size_bytes", "abs_path", "manifest_path",
+        "partition_values")
   }
 
   /** Spec paths are absolute URIs of the writing environment; fixture
@@ -364,6 +384,107 @@ object IcebergMeta {
     } finally {
       w.close()
     }
+  }
+
+  private val partManifestSchema = avroSchema(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+      |    {"name":"lang","type":"string"}]}},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  /**
+   * A PARTITIONED filesystem Iceberg table against the public spec:
+   * `docs` split by `lang` into `data/lang=<x>/` (two files per
+   * partition, doc_id parity), ONE snapshot whose single manifest
+   * carries each file's typed `partition` record (the spec's r102) —
+   * so "which files serve lang = x" answers from the manifest chain
+   * alone. Returns rows per `lang=<x>/f<p>.parquet`.
+   */
+  def writePartitionedFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+
+    val langs = docs.select("lang").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (lang <- langs; parity <- 0 to 1) {
+      val slice = docs
+        .filter(col("lang") === lang && pmod(col("doc_id"), lit(2)) === parity)
+        .select(col("doc_id"), col("n_chars"))
+      val rel = s"lang=$lang/f$parity.parquet"
+      val tmp = dir + s"_slice_${lang}_$parity"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dataDir, rel)
+      dst.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      counts(rel) = slice.count()
+    }
+
+    def entry(rel: String, lang: String): org.apache.avro.generic.GenericRecord = {
+      val dfSchema = partManifestSchema.getField("data_file").schema()
+      val pr = new org.apache.avro.generic.GenericData.Record(
+        dfSchema.getField("partition").schema())
+      pr.put("lang", lang)
+      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", s"data/$rel")
+      df.put("file_format", "PARQUET")
+      df.put("partition", pr)
+      df.put("record_count", counts(rel))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, rel).length())
+      val e = new org.apache.avro.generic.GenericData.Record(partManifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), partManifestSchema,
+      langs.flatMap(l => (0 to 1).map(p => entry(s"lang=$l/f$p.parquet", l))))
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
+      Seq {
+        val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
+        r.put("manifest_path", "metadata/m0.avro")
+        r.put("manifest_length", new java.io.File(metaDir, "m0.avro").length())
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("added_files_count", langs.size * 2)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", counts.values.sum)
+        r
+      })
+    val ts0 = 1700000000000L
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-part-fixture",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":$ts0,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts.toMap
   }
 
   /**

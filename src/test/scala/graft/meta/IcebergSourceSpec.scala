@@ -160,6 +160,31 @@ class IcebergSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("1, 2"))
   }
 
+  test("partitioned table: manifest partition records prune file planning") {
+    val d = Files.createTempDirectory("graft_iceberg_part").toString + "/tbl"
+    val pdocs = docs.withColumn("n_chars", col("doc_id") * 7)
+    IcebergMeta.writePartitionedFixtureTable(spark, d, pdocs)
+    val files = IcebergMeta.currentFiles(spark, d)
+    assert(files.count() === 10L) // 5 langs x 2 parity files
+    // "which files serve lang = 3" answers from the MANIFEST alone
+    val pruned = files
+      .filter(element_at(col("partition_values"), "lang") === "3")
+    val prunedRows = pruned.agg(sum("record_count")).collect()(0).getLong(0)
+    assert(prunedRows === pdocs.filter(col("lang") === "3").count())
+    val paths = pruned.select("abs_path").collect().map(_.getString(0))
+    assert(paths.length === 2)
+    // composing with the parquet tier: footer I/O touches only those 2
+    val footers = meta(d + "/data", "source" -> "parquet", "level" -> "file")
+      .filter(col("filepath").isin(paths.toSeq: _*))
+    val plan = footers.queryExecution.executedPlan.toString
+    assert(plan.contains("files=2/10"), s"scan not pruned: $plan")
+    assert(footers.agg(sum("num_rows")).collect()(0).getLong(0) === prunedRows)
+    // the UNPARTITIONED fixture decodes an empty map, not a crash
+    val flat = IcebergMeta.currentFiles(spark, table)
+      .select("partition_values").collect()
+    assert(flat.forall(_.getAs[Map[String, String]](0).isEmpty))
+  }
+
   test("validation matrix, foreign-dir and malformed-metadata refusal") {
     val e1 = intercept[Exception](
       meta(table, "source" -> "iceberg", "level" -> "rowgroup").collect())
