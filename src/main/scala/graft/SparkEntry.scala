@@ -719,6 +719,21 @@ object SparkEntry {
             .cast("long").as("dead_rows"))
     }),
 
+    // UNIFIED TABLE CENSUS — one MetaValues.tableCensus call per root:
+    // the delta-DV fixture resolves through its log (net = physical −
+    // DV), the iceberg fixture through its manifests (delete files
+    // subtract), one uniform row each. The oracle recomputes the delta
+    // row by replaying the same JSON in DuckDB and both disk sides from
+    // the same footers.
+    "meta_table_census" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val d = "/tmp/graft_deltadv_" + sfx
+      val i = "/tmp/graft_iceberg_" + sfx
+      DeltaMeta.writeDvFixtureTable(s, d, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.writeFixtureTable(s, i, s.read.parquet(pq(dir, "documents")))
+      MetaValues.tableCensus(s, d).unionByName(MetaValues.tableCensus(s, i))
+    }),
+
     // DELTA PARTITION-PRUNED planning at metadata cost: a partitioned
     // fixture (lang=<x>/ dirs, partitionValues in every add action);
     // "which files serve lang='zh'" answers from the LOG alone, then the
@@ -5016,6 +5031,59 @@ object SparkEntry {
         |    FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/*.parquet') m
         |    WHERE parse_filename(m.file_name) NOT IN (SELECT path FROM live)) AS dead_rows
         |FROM live""".stripMargin,
+
+    "meta_table_census" ->
+      """WITH tail AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    add.path AS apath, remove.path AS rpath, add.stats AS stats,
+        |    add.deletionVector.cardinality AS dv_card
+        |  FROM read_json_auto('/tmp/graft_deltadv_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    arg_max({'is_add': apath IS NOT NULL, 'stats': stats,
+        |      'dv': coalesce(CAST(dv_card AS BIGINT), 0)},
+        |      version * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS w
+        |  FROM tail GROUP BY coalesce(apath, rpath)
+        |),
+        |dlive AS (
+        |  SELECT path,
+        |    CAST(json_extract(w.stats, '$.numRecords') AS BIGINT) AS nrec,
+        |    w.dv AS dv
+        |  FROM latest WHERE w.is_add
+        |),
+        |ddisk AS (
+        |  SELECT parse_filename(file_name) AS name, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_deltadv_sf0.01/*.parquet')
+        |),
+        |idisk AS (
+        |  SELECT parse_filename(file_name) AS name, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_iceberg_sf0.01/data/*.parquet')
+        |)
+        |SELECT 'delta' AS format,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM dlive) AS n_live,
+        |  (SELECT CAST(sum(nrec) - sum(dv) AS BIGINT) FROM dlive) AS live_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ddisk) AS n_disk,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM ddisk) AS disk_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ddisk
+        |    WHERE name NOT IN (SELECT path FROM dlive)) AS n_dead,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM ddisk
+        |    WHERE name NOT IN (SELECT path FROM dlive)) AS dead_rows
+        |UNION ALL
+        |SELECT 'iceberg',
+        |  CAST(6 AS BIGINT),
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM idisk
+        |    WHERE name LIKE 'f%' AND name <> 'f5.parquet')
+        |    - (SELECT CAST(num_rows AS BIGINT) FROM idisk
+        |       WHERE name = 'del0.parquet'),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM idisk),
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM idisk),
+        |  CAST(1 AS BIGINT),
+        |  (SELECT CAST(num_rows AS BIGINT) FROM idisk
+        |    WHERE name = 'f5.parquet')""".stripMargin,
 
     "meta_delta_partition_prune" ->
       """SELECT

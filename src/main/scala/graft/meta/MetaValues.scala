@@ -145,6 +145,74 @@ object MetaValues {
         sum(col("size")).cast("long").as("total_bytes"))
 
   /**
+   * UNIFIED table census — one call answering "what is actually LIVE
+   * here" for any directory: a Delta root resolves through its
+   * transaction log (deletion-vector aware: net = physical − DV
+   * cardinality), an Iceberg root through its manifest chain (delete
+   * files subtract, never add), and a plain directory through the raw
+   * footer census (everything on disk is live). One uniform row:
+   * `(format, n_live, live_rows, n_disk, disk_rows, n_dead, dead_rows)`
+   * where dead = on disk but not in the current snapshot
+   * (vacuum-pending / orphaned) — the files a raw scan would silently
+   * overcount. Disk side is the parquet footer tier under
+   * `ignorecorrupt` (foreign metadata files skip at their magic check).
+   */
+  def tableCensus(spark: SparkSession, path: String): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    def footers(p: String): DataFrame =
+      spark.read.format("metadata")
+        .option("source", "parquet").option("level", "file")
+        .option("ignorecorrupt", "true").load(p)
+        .select(col("filepath"), col("num_rows"))
+    def summarize(fmt: String, disk: DataFrame, live: DataFrame): DataFrame =
+      disk.join(live, disk("filepath") === live("abs_path"), "left")
+        .agg(
+          lit(fmt).as("format"),
+          sum(when(col("abs_path").isNotNull, lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_live"),
+          sum(when(col("abs_path").isNotNull, col("net_records")))
+            .cast("long").as("live_rows"),
+          count(lit(1)).cast("long").as("n_disk"),
+          sum(col("num_rows")).cast("long").as("disk_rows"),
+          sum(when(col("abs_path").isNull, lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_dead"),
+          coalesce(sum(when(col("abs_path").isNull, col("num_rows"))),
+            lit(0L)).cast("long").as("dead_rows"))
+    if (DeltaMeta.isDeltaTable(fs, root)) {
+      val live = DeltaMeta.snapshotFiles(spark, path)
+        .select(col("abs_path"),
+          (col("num_records") - col("dv_cardinality")).as("net_records"))
+      summarize("delta", footers(path), live)
+    } else if (IcebergMeta.isIcebergTable(fs, root)) {
+      // every file the snapshot REFERENCES is live — including its
+      // position/equality delete files, whose rows SUBTRACT from the
+      // net (the merge-on-read mirror of delta's DV arithmetic); dead
+      // is only what no manifest points at (status=DELETED on disk)
+      val live = IcebergMeta.currentFiles(spark, path)
+        .filter(col("status") =!= 2)
+        .select(col("abs_path"),
+          when(col("content") === 0, col("record_count"))
+            .otherwise(-col("record_count")).as("net_records"))
+      // the disk side is the DATA tree: listing the table root would mix
+      // `data/` and `metadata/` depths, which defeats the generic
+      // listing's partition discovery (and the metadata dir is not data)
+      val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+      val diskRoot = if (fs.exists(dataDir)) dataDir.toString else path
+      summarize("iceberg", footers(diskRoot), live)
+    } else {
+      val disk = footers(path)
+      summarize("raw", disk,
+        disk.select(col("filepath").as("abs_path"),
+          col("num_rows").as("net_records")))
+    }
+  }
+
+  /**
    * Every page of every column of `path`, decoded: the page level's rows
    * plus `path`, `type`, and a `decoded` struct
    * `(kind, n, lsum, lmn, lmx, dmn, dmx)` (see

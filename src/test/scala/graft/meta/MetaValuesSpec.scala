@@ -233,6 +233,51 @@ class MetaValuesSpec extends SparkSpec {
     assert(!plan.contains("Union"))
   }
 
+  test("tableCensus unifies delta, iceberg and raw directories") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 700)
+      .select(col("id").as("doc_id"), (col("id") % 5).cast("string").as("lang"))
+    def censusOf(path: String): org.apache.spark.sql.Row =
+      MetaValues.tableCensus(spark, path).collect()(0)
+
+    // DELTA (deletion-vector fixture): 5 live of 7 on disk; net rows
+    // subtract the DV cardinality; the 2 vacuum-pending files are dead
+    val d = java.nio.file.Files.createTempDirectory("graft_census_d")
+      .toString + "/tbl"
+    DeltaMeta.writeDvFixtureTable(spark, d, docs)
+    val cd = censusOf(d)
+    assert(cd.getAs[String]("format") === "delta")
+    assert(cd.getAs[Long]("n_live") === 5L)
+    assert(cd.getAs[Long]("n_disk") === 7L)
+    assert(cd.getAs[Long]("n_dead") === 2L)
+    val liveSlices = docs.filter(pmod(col("doc_id"), lit(7)).isin(0, 3, 4, 5, 6)).count()
+    assert(cd.getAs[Long]("live_rows") === liveSlices - 3L) // DV deletes 3
+    assert(cd.getAs[Long]("dead_rows") ===
+      docs.filter(pmod(col("doc_id"), lit(7)).isin(1, 2)).count())
+
+    // ICEBERG: the snapshot references f0..f4 AND its delete file (6);
+    // net rows subtract the 2 deleted positions; only f5 is dead
+    val i = java.nio.file.Files.createTempDirectory("graft_census_i")
+      .toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, i, docs)
+    val ci = censusOf(i)
+    assert(ci.getAs[String]("format") === "iceberg")
+    assert(ci.getAs[Long]("n_live") === 6L)
+    assert(ci.getAs[Long]("n_disk") === 7L)
+    assert(ci.getAs[Long]("n_dead") === 1L)
+    val dataRows = docs.filter(pmod(col("doc_id"), lit(6)) < 5).count()
+    assert(ci.getAs[Long]("live_rows") === dataRows - 2L)
+
+    // RAW directory: everything on disk is live, nothing dead
+    val r = java.nio.file.Files.createTempDirectory("graft_census_r").toString
+    docs.coalesce(2).write.mode("overwrite").parquet(r)
+    val cr = censusOf(r)
+    assert(cr.getAs[String]("format") === "raw")
+    assert(cr.getAs[Long]("n_live") === cr.getAs[Long]("n_disk"))
+    assert(cr.getAs[Long]("live_rows") === 700L)
+    assert(cr.getAs[Long]("n_dead") === 0L && cr.getAs[Long]("dead_rows") === 0L)
+  }
+
   test("schema drift across files resolves per file") {
     val d = Files.createTempDirectory("graft_metavalues_drift").toString
     // two files, DIFFERENT schemas in one directory
