@@ -719,6 +719,32 @@ object SparkEntry {
             .cast("long").as("dead_rows"))
     }),
 
+    // STREAMING delta live-store maintenance: the commit stream's
+    // AvailableNow pass reconciles the log segments into a compact
+    // per-path store (decode once per segment, never re-replay); the
+    // store's DV-aware numbers must equal DuckDB's independent replay
+    // of the same log — the streaming path and the cross-engine batch
+    // path answer identically.
+    "stream_delta_live" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = "/tmp/graft_deltastream_" + sfx
+      DeltaMeta.writeDvFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val store = "/tmp/graft_deltastore_" + sfx
+      val ckpt = "/tmp/graft_deltastoreck_" + sfx
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      DeltaMeta.maintainLiveStore(s, out, store, ckpt)
+      DeltaMeta.readLiveStore(s, store)
+        .agg(
+          count(lit(1)).cast("long").as("n_live"),
+          sum(col("num_records")).cast("long").as("physical_rows"),
+          sum(when(col("dv_cardinality") > 0, lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_dv_files"),
+          sum(col("dv_cardinality")).cast("long").as("dv_deleted"),
+          (sum(col("num_records")) - sum(col("dv_cardinality")))
+            .cast("long").as("net_rows"))
+    }),
+
     // UNIFIED TABLE CENSUS — one MetaValues.tableCensus call per root:
     // the delta-DV fixture resolves through its log (net = physical −
     // DV), the iceberg fixture through its manifests (delete files
@@ -5152,6 +5178,48 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), CAST(5 AS BIGINT),
         |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
         |    WHERE name LIKE 'f%' AND name <> 'f5.parquet')""".stripMargin,
+
+"stream_delta_live" ->
+      """WITH tail AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    add.path AS apath, remove.path AS rpath, add.stats AS stats,
+        |    add.deletionVector.cardinality AS dv_card
+        |  FROM read_json_auto('/tmp/graft_deltastream_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |    AS BIGINT) > 2
+        |),
+        |ckpt AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, add.path AS apath,
+        |    remove.path AS rpath, add.stats AS stats, NULL AS dv_card
+        |  FROM read_parquet('/tmp/graft_deltastream_sf0.01/_delta_log/*.checkpoint.parquet')
+        |  WHERE add.path IS NOT NULL OR remove.path IS NOT NULL
+        |),
+        |actions AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    version * 2 + CAST(apath IS NOT NULL AS BIGINT) AS rank,
+        |    apath IS NOT NULL AS is_add, stats, dv_card
+        |  FROM (SELECT * FROM tail UNION ALL SELECT * FROM ckpt)
+        |),
+        |latest AS (
+        |  SELECT path,
+        |    arg_max({'is_add': is_add, 'stats': stats,
+        |      'dv': coalesce(CAST(dv_card AS BIGINT), 0)}, rank) AS w
+        |  FROM actions GROUP BY path
+        |),
+        |live AS (
+        |  SELECT path,
+        |    CAST(json_extract(w.stats, '$.numRecords') AS BIGINT) AS nrec,
+        |    w.dv AS dv
+        |  FROM latest WHERE w.is_add
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(sum(nrec) AS BIGINT) AS physical_rows,
+        |  CAST(count(*) FILTER (WHERE dv > 0) AS BIGINT) AS n_dv_files,
+        |  CAST(sum(dv) AS BIGINT) AS dv_deleted,
+        |  CAST(sum(nrec) - sum(dv) AS BIGINT) AS net_rows
+        |FROM live""".stripMargin,
 
     "meta_delta_dv" ->
       """WITH tail AS (

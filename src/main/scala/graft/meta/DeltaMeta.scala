@@ -225,6 +225,83 @@ object DeltaMeta {
   def snapshotFiles(spark: SparkSession, table: String): DataFrame =
     snapshotFilesAt(spark, table, None)
 
+  /** The pinned `(add, remove, version)` action frame for a set of log
+    * segments: JSON commits through the schema-pinned read (version from
+    * the file name), checkpoint parts through the field-by-field
+    * re-projection (DV-aware, V2-sidecar refusing). Shared by the batch
+    * replay and the streaming live-store maintenance. */
+  private def decodeActions(
+      spark: SparkSession, table: String,
+      ckptPaths: Seq[String], ckptVersion: Long,
+      tailPaths: Seq[String]): DataFrame = {
+    val tail =
+      if (tailPaths.isEmpty) None
+      else Some(spark.read.schema(logSchema).json(tailPaths: _*)
+        .withColumn("version",
+          regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long")))
+    val ckpt =
+      if (ckptPaths.isEmpty) None
+      else {
+        val raw = spark.read.parquet(ckptPaths: _*)
+        // V2 checkpoints park add/remove actions in _delta_log/_sidecars
+        // files; the top-level part carries only pointers. Reading it as
+        // the snapshot would silently reconstruct an near-empty live set
+        // — refuse rather than lie.
+        val top = raw.schema.fieldNames.toSet
+        if (top.contains("checkpointMetadata") || top.contains("sidecar")) {
+          throw new UnsupportedOperationException(
+            s"$table: V2 (sidecar) checkpoint at version $ckptVersion is " +
+              "not supported: its add/remove actions live in " +
+              "_delta_log/_sidecars files, not in the checkpoint itself")
+        }
+        val addStruct = raw.schema("add").dataType.asInstanceOf[StructType]
+        // deletionVector appears only on protocol-v3+ writers; absent →
+        // null (and each descriptor subfield is matched by name, so a
+        // writer with extra fields still decodes)
+        val dvCol =
+          if (!addStruct.fieldNames.contains("deletionVector")) {
+            lit(null).cast(dvType)
+          } else {
+            val sub = addStruct("deletionVector").dataType.asInstanceOf[StructType]
+            def f(name: String, t: DataType): Column =
+              (if (sub.fieldNames.contains(name)) {
+                col(s"add.deletionVector.$name").cast(t)
+              } else lit(null).cast(t)).as(name)
+            when(col("add.deletionVector").isNotNull, struct(
+              f("storageType", StringType),
+              f("pathOrInlineDv", StringType),
+              f("offset", IntegerType),
+              f("sizeInBytes", IntegerType),
+              f("cardinality", LongType)))
+          }
+        // re-project the pinned action subset field by field
+        // (checkpoints carry protocol/metaData/txn columns and
+        // writer-specific add fields the replay doesn't need; a struct
+        // cast would demand exact arity)
+        Some(raw.select(
+          when(col("add").isNotNull, struct(
+            col("add.path").as("path"),
+            col("add.partitionValues").as("partitionValues"),
+            col("add.size").as("size"),
+            col("add.modificationTime").as("modificationTime"),
+            col("add.dataChange").as("dataChange"),
+            col("add.stats").as("stats"),
+            dvCol.as("deletionVector"))).as("add"),
+          when(col("remove").isNotNull, struct(
+            col("remove.path").as("path"),
+            col("remove.deletionTimestamp").as("deletionTimestamp"),
+            col("remove.dataChange").as("dataChange"))).as("remove"))
+          .withColumn("version", lit(ckptVersion)))
+      }
+    (tail, ckpt) match {
+      case (Some(t), Some(c)) => c.unionByName(t)
+      case (Some(t), None) => t
+      case (None, Some(c)) => c
+      case (None, None) =>
+        throw new IllegalArgumentException(s"$table: empty _delta_log")
+    }
+  }
+
   /**
    * TIME TRAVEL at metadata cost: [[snapshotFiles]] as of `asOfVersion`
    * (inclusive; `None` = latest). The replay starts from the newest
@@ -279,74 +356,7 @@ object DeltaMeta {
       case (v, "commit", p) if v > ckptVersion => p
     }
 
-    val acts = {
-      val tail =
-        if (tailPaths.isEmpty) None
-        else Some(spark.read.schema(logSchema).json(tailPaths: _*)
-          .withColumn("version",
-            regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long")))
-      val ckpt =
-        if (ckptPaths.isEmpty) None
-        else {
-          val raw = spark.read.parquet(ckptPaths: _*)
-          // V2 checkpoints park add/remove actions in _delta_log/_sidecars
-          // files; the top-level part carries only pointers. Reading it as
-          // the snapshot would silently reconstruct an near-empty live set
-          // — refuse rather than lie.
-          val top = raw.schema.fieldNames.toSet
-          if (top.contains("checkpointMetadata") || top.contains("sidecar")) {
-            throw new UnsupportedOperationException(
-              s"$table: V2 (sidecar) checkpoint at version $ckptVersion is " +
-                "not supported: its add/remove actions live in " +
-                "_delta_log/_sidecars files, not in the checkpoint itself")
-          }
-          val addStruct = raw.schema("add").dataType.asInstanceOf[StructType]
-          // deletionVector appears only on protocol-v3+ writers; absent →
-          // null (and each descriptor subfield is matched by name, so a
-          // writer with extra fields still decodes)
-          val dvCol =
-            if (!addStruct.fieldNames.contains("deletionVector")) {
-              lit(null).cast(dvType)
-            } else {
-              val sub = addStruct("deletionVector").dataType.asInstanceOf[StructType]
-              def f(name: String, t: DataType): Column =
-                (if (sub.fieldNames.contains(name)) {
-                  col(s"add.deletionVector.$name").cast(t)
-                } else lit(null).cast(t)).as(name)
-              when(col("add.deletionVector").isNotNull, struct(
-                f("storageType", StringType),
-                f("pathOrInlineDv", StringType),
-                f("offset", IntegerType),
-                f("sizeInBytes", IntegerType),
-                f("cardinality", LongType)))
-            }
-          // re-project the pinned action subset field by field
-          // (checkpoints carry protocol/metaData/txn columns and
-          // writer-specific add fields the replay doesn't need; a struct
-          // cast would demand exact arity)
-          Some(raw.select(
-            when(col("add").isNotNull, struct(
-              col("add.path").as("path"),
-              col("add.partitionValues").as("partitionValues"),
-              col("add.size").as("size"),
-              col("add.modificationTime").as("modificationTime"),
-              col("add.dataChange").as("dataChange"),
-              col("add.stats").as("stats"),
-              dvCol.as("deletionVector"))).as("add"),
-            when(col("remove").isNotNull, struct(
-              col("remove.path").as("path"),
-              col("remove.deletionTimestamp").as("deletionTimestamp"),
-              col("remove.dataChange").as("dataChange"))).as("remove"))
-            .withColumn("version", lit(ckptVersion)))
-        }
-      (tail, ckpt) match {
-        case (Some(t), Some(c)) => c.unionByName(t)
-        case (Some(t), None) => t
-        case (None, Some(c)) => c
-        case (None, None) =>
-          throw new IllegalArgumentException(s"$table: empty _delta_log")
-      }
-    }
+    val acts = decodeActions(spark, table, ckptPaths, ckptVersion, tailPaths)
 
     acts
       .select(coalesce(col("add.path"), col("remove.path")).as("path"),
@@ -382,6 +392,93 @@ object DeltaMeta {
         coalesce(col("w.add.deletionVector.cardinality"), lit(0L))
           .as("dv_cardinality"))
   }
+
+  // ---------------------------------------------------------------------
+  // Streaming live-state maintenance
+  // ---------------------------------------------------------------------
+
+  /**
+   * STREAMING live-state maintenance: one `Trigger.AvailableNow` pass of
+   * the delta COMMIT STREAM reconciles each micro-batch's newly arrived
+   * log segments into a compact per-path live store, so "what is live
+   * NOW" costs a store read instead of a log replay. Each batch decodes
+   * ONLY its own segments' actions (the stream's checkpoint admits a
+   * segment exactly once across restarts) and merges them with the
+   * previous store under the same `(version, is_add)` ordering the batch
+   * replay uses — re-merging the same actions is a no-op, so
+   * foreachBatch's at-least-once redelivery is safe. The store is
+   * path-keyed and metadata-sized (one row per ever-seen file); the
+   * local dir-swap publish would be a versioned prefix on an object
+   * store. Call again after more commits land; only the new segments
+   * replay. Live view: [[readLiveStore]].
+   */
+  def maintainLiveStore(
+      spark: SparkSession, table: String,
+      storeDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = spark.readStream.format("metadata")
+      .option("source", "delta").option("level", "snapshot")
+      .option("streamlagms", "0").load(table)
+    val q = src.select("filepath", "version", "kind")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // log-SEGMENT-sized driver boundary (file names, not actions)
+        val segs = batch.select("filepath", "version", "kind").collect()
+        if (segs.nonEmpty) {
+          val ckptV = segs.filter(_.getString(2) == "checkpoint")
+            .map(_.getLong(1)).maxOption.getOrElse(-1L)
+          val ckpts = segs.collect {
+            case r if r.getString(2) == "checkpoint" && r.getLong(1) == ckptV =>
+              r.getString(0)
+          }.toSeq
+          val tails = segs.collect {
+            case r if r.getString(2) == "commit" && r.getLong(1) > ckptV =>
+              r.getString(0)
+          }.toSeq
+          val acts = decodeActions(spark, table, ckpts, ckptV, tails)
+            .select(
+              coalesce(col("add.path"), col("remove.path")).as("path"),
+              col("version"),
+              col("add").isNotNull.as("live"),
+              get_json_object(col("add.stats"), "$.numRecords").cast("long")
+                .as("num_records"),
+              coalesce(col("add.deletionVector.cardinality"), lit(0L))
+                .as("dv_cardinality"))
+            .filter(col("path").isNotNull)
+          val store = new java.io.File(storeDir)
+          val merged = (if (store.exists()) {
+            spark.read.parquet(storeDir).unionByName(acts)
+          } else acts)
+            .groupBy(col("path"))
+            .agg(max_by(
+              struct(col("version"), col("live"), col("num_records"),
+                col("dv_cardinality")),
+              struct(col("version"), col("live"))).as("w"))
+            .select(col("path"), col("w.version").as("version"),
+              col("w.live").as("live"),
+              col("w.num_records").as("num_records"),
+              col("w.dv_cardinality").as("dv_cardinality"))
+          val next = new java.io.File(storeDir + "_next")
+          merged.coalesce(1).write.mode("overwrite").parquet(next.getPath)
+          org.apache.commons.io.FileUtils.deleteQuietly(store)
+          if (!next.renameTo(store)) {
+            throw new java.io.IOException(
+              s"could not publish live store $storeDir")
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The live rows of a [[maintainLiveStore]] store. */
+  def readLiveStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir).filter(col("live"))
+      .select(col("path"), col("version"), col("num_records"),
+        col("dv_cardinality"))
 
   // ---------------------------------------------------------------------
   // Deterministic fixture writer (tests + oracle queries)

@@ -251,6 +251,61 @@ class DeltaSourceSpec extends SparkSpec {
     assert(byPartition.count() === 2L)
   }
 
+  test("streaming live-store maintenance tracks the log incrementally") {
+    val d = Files.createTempDirectory("graft_delta_store").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    val log = new java.io.File(d, "_delta_log")
+    val held = Files.createTempDirectory("graft_delta_held").toString
+    // wave 1: hold back v3/v4 — the store must reflect v2 exactly
+    log.listFiles().filter(f => DeltaMeta.segmentVersion(f.getName)
+      .exists(s => s._1 >= 3L && s._2 == "commit")).foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(held, f.getName).toPath)
+    }
+    val store = Files.createTempDirectory("graft_delta_lsd").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_delta_lsc").toString
+    DeltaMeta.maintainLiveStore(spark, d, store, ckpt)
+    def liveMap(): Map[String, Long] =
+      DeltaMeta.readLiveStore(spark, store)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("version")).toMap
+    assert(liveMap().keySet ===
+      Set("f0.parquet", "f2.parquet", "f3.parquet", "f4.parquet"))
+    // wave 2: v3/v4 arrive; ONLY they replay (checkpointed offset), and
+    // the store converges to the batch replay's answer
+    new java.io.File(held).listFiles().foreach { f =>
+      val dst = new java.io.File(log, f.getName)
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis())
+    }
+    DeltaMeta.maintainLiveStore(spark, d, store, ckpt)
+    val batchAnswer = DeltaMeta.snapshotFiles(spark, d)
+      .select("path", "version").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(liveMap() === batchAnswer)
+    // wave 3: a DV commit (remove+add of f0, cardinality 3) — the tie
+    // reconciles to the add, the store carries the DV arithmetic
+    val ts5 = 1700000005000L
+    val v5 = Seq(
+      s"""{"commitInfo":{"timestamp":$ts5,"operation":"DELETE"}}""",
+      s"""{"remove":{"path":"f0.parquet","deletionTimestamp":$ts5,"dataChange":true}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,""" +
+        s""""modificationTime":$ts5,"dataChange":true,""" +
+        """"stats":"{\"numRecords\":100}",""" +
+        """"deletionVector":{"storageType":"i","pathOrInlineDv":"x",""" +
+        """"offset":1,"sizeInBytes":40,"cardinality":3}}}""")
+    val v5f = new java.io.File(log, f"${5L}%020d.json")
+    java.nio.file.Files.write(v5f.toPath,
+      v5.mkString("", "\n", "\n").getBytes("UTF-8"))
+    v5f.setLastModified(System.currentTimeMillis() + 1)
+    DeltaMeta.maintainLiveStore(spark, d, store, ckpt)
+    val rows = DeltaMeta.readLiveStore(spark, store).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === batchAnswer.keySet)
+    assert(rows("f0.parquet").getAs[Long]("version") === 5L)
+    assert(rows("f0.parquet").getAs[Long]("dv_cardinality") === 3L)
+    assert(rows("f3.parquet").getAs[Long]("dv_cardinality") === 0L)
+  }
+
   test("commit stream: new log segments arrive as micro-batches") {
     import org.apache.spark.sql.streaming.Trigger
     val d = Files.createTempDirectory("graft_delta_stream").toString + "/tbl"
