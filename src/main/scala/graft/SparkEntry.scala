@@ -719,6 +719,23 @@ object SparkEntry {
             .cast("long").as("dead_rows"))
     }),
 
+    // DELTA PROTOCOL compatibility report: the latest protocol action's
+    // versions + feature lists and the tier's own `supported` verdict
+    // (v3 tables are faithful iff every readerFeature is understood —
+    // v2Checkpoint is NOT, predicted up front instead of failing
+    // later). Oracle: DuckDB replays the same protocol actions and
+    // recomputes the same verdict with list_has_all.
+    "meta_delta_protocol" -> ((s, dir) => {
+      val out = "/tmp/graft_deltaproto_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeDvFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.protocolInfo(s, out)
+        .select(col("min_reader_version"), col("min_writer_version"),
+          array_join(col("reader_features"), ",").as("reader_features_csv"),
+          array_join(col("writer_features"), ",").as("writer_features_csv"),
+          col("supported"))
+    }),
+
     // STREAMING delta live-store maintenance: the commit stream's
     // AvailableNow pass reconciles the log segments into a compact
     // per-path store (decode once per segment, never re-replay); the
@@ -5220,6 +5237,28 @@ object SparkEntry {
         |  CAST(sum(dv) AS BIGINT) AS dv_deleted,
         |  CAST(sum(nrec) - sum(dv) AS BIGINT) AS net_rows
         |FROM live""".stripMargin,
+
+    "meta_delta_protocol" ->
+      """WITH protos AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version, protocol AS p
+        |  FROM read_json_auto('/tmp/graft_deltaproto_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE protocol.minReaderVersion IS NOT NULL
+        |),
+        |latest AS (SELECT arg_max(p, version) AS p FROM protos)
+        |SELECT CAST(p->>'$.minReaderVersion' AS INTEGER) AS min_reader_version,
+        |  CAST(p->>'$.minWriterVersion' AS INTEGER) AS min_writer_version,
+        |  array_to_string(CAST(p->'$.readerFeatures' AS VARCHAR[]), ',')
+        |    AS reader_features_csv,
+        |  array_to_string(CAST(p->'$.writerFeatures' AS VARCHAR[]), ',')
+        |    AS writer_features_csv,
+        |  (CAST(p->>'$.minReaderVersion' AS INTEGER) <= 2 OR list_has_all(
+        |    ['deletionVectors', 'columnMapping', 'timestampNtz',
+        |     'typeWidening', 'vacuumProtocolCheck'],
+        |    coalesce(CAST(p->'$.readerFeatures' AS VARCHAR[]),
+        |      CAST([] AS VARCHAR[])))) AS supported
+        |FROM latest""".stripMargin,
 
     "meta_delta_dv" ->
       """WITH tail AS (

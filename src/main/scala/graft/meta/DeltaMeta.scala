@@ -393,6 +393,65 @@ object DeltaMeta {
           .as("dv_cardinality"))
   }
 
+  private val protocolType = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType),
+    StructField("readerFeatures", ArrayType(StringType)),
+    StructField("writerFeatures", ArrayType(StringType))))
+
+  /** Reader features whose presence does NOT change what this metadata
+    * tier reports: deletionVectors (decoded, net-row aware),
+    * columnMapping / timestampNtz / typeWidening (data-plane concerns —
+    * the log's paths and numRecords are unaffected),
+    * vacuumProtocolCheck (vacuum-time only). Pointedly ABSENT:
+    * `v2Checkpoint` — sidecar checkpoints change where the actions live
+    * and [[snapshotFiles]] refuses them. */
+  val UnderstoodReaderFeatures: Set[String] = Set(
+    "deletionVectors", "columnMapping", "timestampNtz", "typeWidening",
+    "vacuumProtocolCheck")
+
+  /**
+   * The table's PROTOCOL posture, one row: the latest protocol action's
+   * versions and feature lists, plus `supported` — whether THIS
+   * metadata tier's answers (live set, row counts) remain faithful
+   * under that protocol. Reader versions 1/2 are always supported; the
+   * table-features version (3) is supported iff every readerFeature is
+   * in [[UnderstoodReaderFeatures]] — so a `v2Checkpoint` table reports
+   * `supported = false` instead of failing later. The compatibility
+   * check a user should run BEFORE trusting any census of a foreign
+   * table.
+   */
+  def protocolInfo(spark: SparkSession, table: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val segments = listLogSlices(root, conf)
+      .flatMap(f => segmentVersion(f.name).map { case (v, k) => (v, k, f.path) })
+    val commitPaths = segments.collect { case (_, "commit", p) => p }
+    if (commitPaths.isEmpty) {
+      throw new IllegalArgumentException(s"$table: no JSON commits to scan")
+    }
+    val protocols = spark.read
+      .schema(StructType(Seq(StructField("protocol", protocolType))))
+      .json(commitPaths: _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+      .filter(col("protocol").isNotNull)
+    protocols
+      .agg(max_by(col("protocol"), col("version")).as("p"))
+      .select(
+        col("p.minReaderVersion").as("min_reader_version"),
+        col("p.minWriterVersion").as("min_writer_version"),
+        col("p.readerFeatures").as("reader_features"),
+        col("p.writerFeatures").as("writer_features"),
+        (col("p.minReaderVersion") <= 2 ||
+          forall(coalesce(col("p.readerFeatures"), array()),
+            f => f.isin(UnderstoodReaderFeatures.toSeq: _*)))
+          .as("supported"))
+  }
+
   // ---------------------------------------------------------------------
   // Streaming live-state maintenance
   // ---------------------------------------------------------------------
@@ -693,6 +752,11 @@ object DeltaMeta {
     val size = new java.io.File(root, f0).length()
     val lines = Seq(
       s"""{"commitInfo":{"timestamp":$ts5,"operation":"DELETE"}}""",
+      // DVs require the table-features protocol (the spec's v3/v7 with
+      // the deletionVectors feature named on both sides)
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
       s"""{"remove":{"path":${jstr(f0)},"deletionTimestamp":$ts5,"dataChange":true}}""",
       s"""{"add":{"path":${jstr(f0)},"partitionValues":{},"size":$size,""" +
         s""""modificationTime":$ts5,"dataChange":true,""" +

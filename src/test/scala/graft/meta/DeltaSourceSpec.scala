@@ -251,6 +251,33 @@ class DeltaSourceSpec extends SparkSpec {
     assert(byPartition.count() === 2L)
   }
 
+  test("protocol report: versions, features, and the supported verdict") {
+    // base fixture: legacy protocol (1, 2) — always supported
+    val p0 = DeltaMeta.protocolInfo(spark, table).collect()(0)
+    assert(p0.getAs[Int]("min_reader_version") === 1)
+    assert(p0.getAs[Boolean]("supported"))
+    // DV fixture: table-features protocol, deletionVectors understood
+    val d = Files.createTempDirectory("graft_delta_proto").toString + "/tbl"
+    DeltaMeta.writeDvFixtureTable(spark, d, docs)
+    val p1 = DeltaMeta.protocolInfo(spark, d).collect()(0)
+    assert(p1.getAs[Int]("min_reader_version") === 3)
+    assert(p1.getAs[scala.collection.Seq[String]]("reader_features").toSeq === Seq("deletionVectors"))
+    assert(p1.getAs[Boolean]("supported"))
+    // an upgrade to a feature this tier does NOT understand flips the
+    // verdict — the v2Checkpoint refusal, predicted up front
+    val ts6 = 1700000006000L
+    java.nio.file.Files.write(
+      new java.io.File(d, "_delta_log/" + f"${6L}%020d.json").toPath,
+      (s"""{"commitInfo":{"timestamp":$ts6,"operation":"UPGRADE"}}""" + "\n" +
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","v2Checkpoint"],""" +
+        """"writerFeatures":["deletionVectors","v2Checkpoint"]}}""" + "\n")
+        .getBytes("UTF-8"))
+    val p2 = DeltaMeta.protocolInfo(spark, d).collect()(0)
+    assert(!p2.getAs[Boolean]("supported"))
+    assert(p2.getAs[scala.collection.Seq[String]]("reader_features").contains("v2Checkpoint"))
+  }
+
   test("streaming live-store maintenance tracks the log incrementally") {
     val d = Files.createTempDirectory("graft_delta_store").toString + "/tbl"
     DeltaMeta.writeFixtureTable(spark, d, docs)
