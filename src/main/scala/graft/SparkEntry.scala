@@ -719,6 +719,18 @@ object SparkEntry {
             .cast("long").as("dead_rows"))
     }),
 
+    // DELTA SCHEMA HISTORY: the table's schema evolution read from the
+    // log's metaData actions alone — one row per schema change with
+    // field names decoded from the action's own schemaString (the
+    // fixture evolves doc_id,lang -> +quality at v4). Oracle: DuckDB
+    // parses the same schemaString JSON independently.
+    "meta_delta_schema" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.schemaHistory(s, out)
+    }),
+
     // DELTA PROTOCOL compatibility report: the latest protocol action's
     // versions + feature lists and the tier's own `supported` verdict
     // (v3 tables are faithful iff every readerFeature is understood —
@@ -5237,6 +5249,20 @@ object SparkEntry {
         |  CAST(sum(dv) AS BIGINT) AS dv_deleted,
         |  CAST(sum(nrec) - sum(dv) AS BIGINT) AS net_rows
         |FROM live""".stripMargin,
+
+    "meta_delta_schema" ->
+      """SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |    AS BIGINT) AS version,
+        |  metaData.id AS schema_id,
+        |  CAST(json_array_length(metaData.schemaString, '$.fields')
+        |    AS INTEGER) AS n_fields,
+        |  array_to_string(CAST(metaData.schemaString->>'$.fields[*].name'
+        |    AS VARCHAR[]), ',') AS field_names_csv,
+        |  coalesce(array_to_string(CAST(metaData.partitionColumns
+        |    AS VARCHAR[]), ','), '') AS partition_columns_csv
+        |FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |  filename=true, format='newline_delimited', union_by_name=true)
+        |WHERE metaData.id IS NOT NULL""".stripMargin,
 
     "meta_delta_protocol" ->
       """WITH protos AS (

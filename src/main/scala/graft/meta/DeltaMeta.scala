@@ -452,6 +452,55 @@ object DeltaMeta {
           .as("supported"))
   }
 
+  private val metaDataType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType))))
+
+  /** Just the field names of a Spark StructType json — enough for a
+    * drift audit without interpreting types. */
+  private val schemaFieldsType =
+    StructType(Seq(StructField("fields", ArrayType(StructType(Seq(
+      StructField("name", StringType), StructField("type", StringType)))))))
+
+  /**
+   * SCHEMA HISTORY at metadata cost: one row per `metaData` action in
+   * the log — the table's schema evolution, read from the commits alone
+   * (no data file is opened). `n_fields`/`field_names_csv` decode from
+   * the action's own schemaString; a drift audit is
+   * `schemaHistory(...).orderBy("version")` diffed row to row.
+   */
+  def schemaHistory(spark: SparkSession, table: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val commitPaths = listLogSlices(root, conf)
+      .flatMap(f => segmentVersion(f.name).collect {
+        case (_, "commit") => f.path
+      })
+    if (commitPaths.isEmpty) {
+      throw new IllegalArgumentException(s"$table: no JSON commits to scan")
+    }
+    spark.read
+      .schema(StructType(Seq(StructField("metaData", metaDataType))))
+      .json(commitPaths: _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+      .filter(col("metaData").isNotNull)
+      .select(col("version"),
+        col("metaData.id").as("schema_id"),
+        from_json(col("metaData.schemaString"), schemaFieldsType)
+          .getField("fields").as("fields"),
+        col("metaData.partitionColumns").as("partition_columns"))
+      .select(col("version"), col("schema_id"),
+        size(col("fields")).as("n_fields"),
+        array_join(transform(col("fields"), f => f.getField("name")), ",")
+          .as("field_names_csv"),
+        array_join(col("partition_columns"), ",").as("partition_columns_csv"))
+  }
+
   // ---------------------------------------------------------------------
   // Streaming live-state maintenance
   // ---------------------------------------------------------------------
@@ -604,16 +653,30 @@ object DeltaMeta {
         new java.io.File(logDir, f"$v%020d.json").toPath,
         lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+    // real schemaStrings (Spark StructType json), with an EVOLUTION at
+    // v4 — the shape a schema-drift audit has to read from the log
+    val schemaV0 =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"doc_id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"lang\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    val schemaV4 =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"doc_id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"lang\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"quality\",\"type\":\"double\",\"nullable\":true,\"metadata\":{}}]}"""
     writeCommit(0, Seq(
       commitInfo(0, "WRITE"),
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{"id":"graft-fixture","format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":"{}","partitionColumns":[],"configuration":{},"createdTime":$ts0}}""",
+        s""""schemaString":"$schemaV0","partitionColumns":[],"configuration":{},"createdTime":$ts0}}""",
       addJson("f0.parquet", 0), addJson("f1.parquet", 0)))
     writeCommit(1, Seq(commitInfo(1, "WRITE"),
       addJson("f2.parquet", 1), addJson("f3.parquet", 1)))
     writeCommit(2, Seq(commitInfo(2, "MERGE"),
       removeJson("f1.parquet", 2), addJson("f4.parquet", 2)))
+    val metaDataV4 =
+      s"""{"metaData":{"id":"graft-fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schemaV4","partitionColumns":[],"configuration":{},"createdTime":$ts0}}"""
 
     // checkpoint at v2: reconciled state — live adds f0,f2,f3,f4 + the
     // f1 remove tombstone + protocol + metaData rows, one action a row
@@ -664,7 +727,8 @@ object DeltaMeta {
 
     writeCommit(3, Seq(commitInfo(3, "DELETE"),
       removeJson("f2.parquet", 3), addJson("f5.parquet", 3)))
-    writeCommit(4, Seq(commitInfo(4, "WRITE"), addJson("f6.parquet", 4)))
+    writeCommit(4, Seq(commitInfo(4, "WRITE"), metaDataV4,
+      addJson("f6.parquet", 4)))
     counts
   }
 

@@ -251,6 +251,19 @@ class DeltaSourceSpec extends SparkSpec {
     assert(byPartition.count() === 2L)
   }
 
+  test("schema history reads the evolution from the log alone") {
+    val rows = DeltaMeta.schemaHistory(spark, table)
+      .orderBy("version").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("version") === 0L)
+    assert(rows(0).getAs[Int]("n_fields") === 2)
+    assert(rows(0).getAs[String]("field_names_csv") === "doc_id,lang")
+    assert(rows(1).getAs[Long]("version") === 4L)
+    assert(rows(1).getAs[Int]("n_fields") === 3)
+    assert(rows(1).getAs[String]("field_names_csv") === "doc_id,lang,quality")
+    assert(rows.forall(_.getAs[String]("schema_id") === "graft-fixture"))
+  }
+
   test("protocol report: versions, features, and the supported verdict") {
     // base fixture: legacy protocol (1, 2) — always supported
     val p0 = DeltaMeta.protocolInfo(spark, table).collect()(0)
