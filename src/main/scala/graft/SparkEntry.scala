@@ -934,6 +934,17 @@ object SparkEntry {
           sum(col("num_rows")).cast("long").as("footer_rows")))
     }),
 
+    // ICEBERG SCHEMA HISTORY: every schema the table metadata still
+    // lists (superseded ones survive in `schemas`; `current-schema-id`
+    // flags the live one) — the iceberg counterpart of
+    // meta_delta_schema. Oracle: DuckDB unnests the same JSON.
+    "meta_iceberg_schema" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.schemaHistory(s, out)
+    }),
+
     // ICEBERG TIME TRAVEL / snapshot diff at metadata cost: both listed
     // snapshots resolve through their own manifest lists; the per-
     // snapshot live-data census shows exactly what the overwrite
@@ -5193,6 +5204,17 @@ object SparkEntry {
         |    '/tmp/graft_icepart_sf0.01/data/lang=zh/*.parquet')) AS pruned_rows,
         |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM parquet_file_metadata(
         |    '/tmp/graft_icepart_sf0.01/data/lang=zh/*.parquet')) AS footer_rows""".stripMargin,
+
+    "meta_iceberg_schema" ->
+      """SELECT CAST(s."schema-id" AS INTEGER) AS schema_id,
+        |  CAST(len(s.fields) AS INTEGER) AS n_fields,
+        |  array_to_string([f.name FOR f IN s.fields], ',') AS field_names_csv,
+        |  s."schema-id" = cur AS is_current
+        |FROM (
+        |  SELECT unnest(schemas) AS s, "current-schema-id" AS cur
+        |  FROM read_json_auto(
+        |    '/tmp/graft_iceberg_sf0.01/metadata/*.metadata.json')
+        |)""".stripMargin,
 
     "meta_iceberg_travel" ->
       """WITH fm AS (

@@ -182,6 +182,49 @@ object IcebergMeta {
       snapshots = snaps)
   }
 
+  /** One decoded schema of the table metadata's `schemas` list. */
+  case class IcebergSchemaInfo(
+      schemaId: Int,
+      nFields: Int,
+      fieldNames: Seq[String],
+      isCurrent: Boolean)
+
+  /**
+   * SCHEMA HISTORY at metadata cost: every schema the table metadata
+   * still lists (iceberg keeps superseded schemas in `schemas`, with
+   * `current-schema-id` naming the live one) — the iceberg counterpart
+   * of the delta tier's metaData history. Reads ONE small JSON file.
+   */
+  def schemaHistory(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    val file = currentMetadataFile(fs, root)
+    val in = fs.open(file)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    import scala.jdk.CollectionConverters._
+    val currentId = Option(node.get("current-schema-id")).map(_.asInt())
+    val schemas = Option(node.get("schemas"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { s =>
+        val id = req(s, "schema-id", file).asInt()
+        val names = Option(s.get("fields"))
+          .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+          .map(f => req(f, "name", file).asText())
+        IcebergSchemaInfo(id, names.size, names, currentId.contains(id))
+      }
+    schemas.toDS()
+      .select(col("schemaId").as("schema_id"),
+        col("nFields").as("n_fields"),
+        array_join(col("fieldNames"), ",").as("field_names_csv"),
+        col("isCurrent").as("is_current"))
+  }
+
   private def openAvro(file: Path, conf: Configuration): org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord] = {
     val fs = file.getFileSystem(conf)
     val len = fs.getFileStatus(file).getLen
@@ -596,6 +639,15 @@ object IcebergMeta {
       s"""{"format-version":2,"table-uuid":"graft-iceberg-fixture",
          |"location":"${root.getAbsolutePath}",
          |"current-snapshot-id":2,
+         |"current-schema-id":1,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"}]},
+         |{"schema-id":1,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"},
+         | {"id":3,"name":"n_chars","required":false,"type":"long"}]}],
          |"snapshots":[
          |{"snapshot-id":1,"timestamp-ms":$ts0,
          | "manifest-list":"metadata/snap-1.avro",

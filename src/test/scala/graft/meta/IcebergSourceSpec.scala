@@ -134,6 +134,19 @@ class IcebergSourceSpec extends SparkSpec {
     assert(names === (1 to 12).map(i => s"v$i.metadata.json"))
   }
 
+  test("schema history: superseded schemas survive, current flagged") {
+    val rows = IcebergMeta.schemaHistory(spark, table)
+      .orderBy("schema_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Int]("schema_id") === 0)
+    assert(rows(0).getAs[Int]("n_fields") === 2)
+    assert(rows(0).getAs[String]("field_names_csv") === "doc_id,lang")
+    assert(!rows(0).getAs[Boolean]("is_current"))
+    assert(rows(1).getAs[Int]("schema_id") === 1)
+    assert(rows(1).getAs[String]("field_names_csv") === "doc_id,lang,n_chars")
+    assert(rows(1).getAs[Boolean]("is_current"))
+  }
+
   test("time travel: any listed snapshot resolves, expired ids refuse") {
     // snapshot 1 predates the overwrite: just m0's three added files
     val snap1 = IcebergMeta.filesAt(spark, table, Some(1L)).collect()
