@@ -731,6 +731,20 @@ object SparkEntry {
       DeltaMeta.schemaHistory(s, out)
     }),
 
+    // DELTA SCHEMA CONFORMANCE: declared (log metaData) vs physical
+    // (footer) schema per LIVE file — the backfill audit a schema
+    // evolution leaves behind; every fixture file predates the v4
+    // +quality column. Oracle: DuckDB replays the live set, reads the
+    // same footers via parquet_schema, and diffs the same field lists.
+    "meta_delta_conformance" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.schemaConformance(s, out)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+          col("n_declared"), col("n_present"), col("missing_csv"))
+    }),
+
     // DELTA PROTOCOL compatibility report: the latest protocol action's
     // versions + feature lists and the tier's own `supported` verdict
     // (v3 tables are faithful iff every readerFeature is understood —
@@ -5271,6 +5285,43 @@ object SparkEntry {
         |  CAST(sum(dv) AS BIGINT) AS dv_deleted,
         |  CAST(sum(nrec) - sum(dv) AS BIGINT) AS net_rows
         |FROM live""".stripMargin,
+
+    "meta_delta_conformance" ->
+      """WITH tail AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    add.path AS apath, remove.path AS rpath
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    arg_max(apath IS NOT NULL,
+        |      version * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS live
+        |  FROM tail GROUP BY 1
+        |),
+        |live AS (SELECT path FROM latest WHERE live),
+        |decl AS (
+        |  SELECT CAST(arg_max(metaData.schemaString,
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT))->>'$.fields[*].name' AS VARCHAR[]) AS names
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE metaData.id IS NOT NULL
+        |),
+        |cols AS (
+        |  SELECT parse_filename(file_name) AS f, list(DISTINCT name) AS present
+        |  FROM parquet_schema('/tmp/graft_delta_sf0.01/*.parquet')
+        |  WHERE num_children IS NULL OR num_children = 0
+        |  GROUP BY 1
+        |)
+        |SELECT l.path AS path,
+        |  CAST(len(d.names) AS INTEGER) AS n_declared,
+        |  CAST(len(c.present) AS INTEGER) AS n_present,
+        |  array_to_string(list_sort(list_filter(d.names,
+        |    x -> NOT list_contains(c.present, x))), ',') AS missing_csv
+        |FROM live l, decl d JOIN cols c ON c.f = l.path""".stripMargin,
 
     "meta_delta_schema" ->
       """SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)

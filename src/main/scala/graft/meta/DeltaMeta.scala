@@ -501,6 +501,41 @@ object DeltaMeta {
         array_join(col("partition_columns"), ",").as("partition_columns_csv"))
   }
 
+  /**
+   * SCHEMA CONFORMANCE audit: the DECLARED schema (the log's latest
+   * metaData action) vs the PHYSICAL schema of every live file's own
+   * footer — the backfill question a schema evolution leaves behind
+   * ("which files predate the new column"). One row per live file:
+   * `(path, n_declared, n_present, missing_csv)`. Both sides are
+   * metadata reads; the plan is the live reconstruction joined with the
+   * footer schema-fact scan — no data page is touched.
+   */
+  def schemaConformance(spark: SparkSession, table: String): DataFrame = {
+    // latest declared field list — one tiny driver row
+    val latest = schemaHistory(spark, table)
+      .orderBy(col("version").desc).limit(1)
+      .select(col("field_names_csv")).collect()
+    if (latest.isEmpty) {
+      throw new IllegalArgumentException(s"$table: no metaData action in the log")
+    }
+    val declared = latest(0).getString(0).split(",").toSeq
+    val live = snapshotFiles(spark, table).select(col("abs_path"))
+    // physical TOP-LEVEL names: leaf paths' first dotted segment (nested
+    // columns conform if their root field is present)
+    val present = MetaValues.schemaFactsDf(spark, table)
+      .select(col("filepath"),
+        split(col("path"), "\\.").getItem(0).as("field"))
+      .distinct()
+    live.join(present, live("abs_path") === present("filepath"))
+      .groupBy(col("abs_path").as("path"))
+      .agg(collect_set(col("field")).as("present"))
+      .select(col("path"),
+        lit(declared.size).as("n_declared"),
+        size(col("present")).as("n_present"),
+        array_join(array_sort(array_except(
+          lit(declared.toArray), col("present"))), ",").as("missing_csv"))
+  }
+
   // ---------------------------------------------------------------------
   // Streaming live-state maintenance
   // ---------------------------------------------------------------------

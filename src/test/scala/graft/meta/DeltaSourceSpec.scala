@@ -264,6 +264,17 @@ class DeltaSourceSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("schema_id") === "graft-fixture"))
   }
 
+  test("schema conformance: files predating an added column surface") {
+    val rows = DeltaMeta.schemaConformance(spark, table).collect()
+    assert(rows.length === 5) // the live set
+    // every data file was written before the v4 +quality evolution
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_declared") === 3)
+      assert(r.getAs[Int]("n_present") === 2)
+      assert(r.getAs[String]("missing_csv") === "quality")
+    }
+  }
+
   test("protocol report: versions, features, and the supported verdict") {
     // base fixture: legacy protocol (1, 2) — always supported
     val p0 = DeltaMeta.protocolInfo(spark, table).collect()(0)
