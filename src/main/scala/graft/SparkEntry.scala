@@ -719,6 +719,19 @@ object SparkEntry {
             .cast("long").as("dead_rows"))
     }),
 
+    // DELTA VACUUM-candidate report: tombstones older than the
+    // retention window AND still on disk, with row-exact reclaim from
+    // their own footers — f1 (age 8000 > 7500) qualifies, f2 (7000)
+    // is protected by the window. Oracle: DuckDB replays the same
+    // tombstones and reads the same footers.
+    "meta_delta_vacuum" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.vacuumCandidates(s, out, 1700000010000L, 7500L)
+        .select(col("path"), col("deleted_at"), col("age_ms"), col("num_rows"))
+    }),
+
     // DELTA SCHEMA HISTORY: the table's schema evolution read from the
     // log's metaData actions alone — one row per schema change with
     // field names decoded from the action's own schemaString (the
@@ -5285,6 +5298,34 @@ object SparkEntry {
         |  CAST(sum(dv) AS BIGINT) AS dv_deleted,
         |  CAST(sum(nrec) - sum(dv) AS BIGINT) AS net_rows
         |FROM live""".stripMargin,
+
+    "meta_delta_vacuum" ->
+      """WITH tail AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    add.path AS apath, remove.path AS rpath,
+        |    remove.deletionTimestamp AS dts
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    arg_max({'is_add': apath IS NOT NULL, 'dts': dts},
+        |      version * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS w
+        |  FROM tail GROUP BY 1
+        |),
+        |tomb AS (
+        |  SELECT path, CAST(w.dts AS BIGINT) AS deleted_at FROM latest
+        |  WHERE NOT w.is_add AND CAST(w.dts AS BIGINT) <= 1700000010000 - 7500
+        |)
+        |SELECT t.path AS path, t.deleted_at AS deleted_at,
+        |  CAST(1700000010000 - t.deleted_at AS BIGINT) AS age_ms,
+        |  CAST(m.num_rows AS BIGINT) AS num_rows
+        |FROM tomb t JOIN (
+        |  SELECT parse_filename(file_name) AS f, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/*.parquet')) m
+        |  ON m.f = t.path""".stripMargin,
 
     "meta_delta_conformance" ->
       """WITH tail AS (

@@ -536,6 +536,62 @@ object DeltaMeta {
           lit(declared.toArray), col("present"))), ",").as("missing_csv"))
   }
 
+  /**
+   * VACUUM-candidate report: tombstoned files (latest action is a
+   * `remove`) whose `deletionTimestamp` is older than `retainMs` before
+   * `nowMs` AND are still on disk — exactly what `VACUUM RETAIN` would
+   * delete, with byte- and row-exact reclaim from each file's own
+   * footer. Younger tombstones are excluded (deleting them breaks
+   * readers of older snapshots — the reason VACUUM has a retention
+   * window at all). One row per candidate:
+   * `(path, deleted_at, age_ms, size, num_rows)`.
+   */
+  def vacuumCandidates(
+      spark: SparkSession, table: String,
+      nowMs: Long, retainMs: Long): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val segments = listLogSlices(root, conf)
+      .flatMap(f => segmentVersion(f.name).map { case (v, k) => (v, k, f.path) })
+    val ckptVersion = segments.collect { case (v, "checkpoint", _) => v }
+      .maxOption.getOrElse(-1L)
+    val ckptPaths = segments.collect {
+      case (v, "checkpoint", p) if v == ckptVersion => p
+    }
+    val tailPaths = segments.collect {
+      case (v, "commit", p) if v > ckptVersion => p
+    }
+    val cutoff = nowMs - retainMs
+    val tombstones = decodeActions(spark, table, ckptPaths, ckptVersion, tailPaths)
+      .select(coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("version"), col("add"),
+        col("remove.deletionTimestamp").as("deleted_at"))
+      .filter(col("path").isNotNull)
+      .groupBy(col("path"))
+      .agg(max_by(struct(col("add"), col("deleted_at"), col("version")),
+        struct(col("version"), col("add").isNotNull)).as("w"))
+      .filter(col("w.add").isNull && col("w.deleted_at") <= cutoff)
+      .select(
+        when(col("path").contains("://") || col("path").startsWith("/"),
+          url_decode(col("path")))
+          .otherwise(concat(lit(root.toString + "/"), url_decode(col("path"))))
+          .as("abs_path"),
+        col("path"), col("w.deleted_at").as("deleted_at"))
+    val footers = spark.read.format("metadata")
+      .option("source", "parquet").option("level", "file")
+      .option("ignorecorrupt", "true").load(table)
+      .select(col("filepath"), col("size"), col("num_rows"))
+    // inner join: already-vacuumed tombstones (no file on disk) are not
+    // candidates — nothing to reclaim
+    tombstones.join(footers, tombstones("abs_path") === footers("filepath"))
+      .select(col("path"), col("deleted_at"),
+        (lit(nowMs) - col("deleted_at")).as("age_ms"),
+        col("size"), col("num_rows"))
+  }
+
   // ---------------------------------------------------------------------
   // Streaming live-state maintenance
   // ---------------------------------------------------------------------

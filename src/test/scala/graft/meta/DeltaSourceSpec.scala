@@ -264,6 +264,32 @@ class DeltaSourceSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("schema_id") === "graft-fixture"))
   }
 
+  test("vacuum candidates: retention window + on-disk existence gate") {
+    val ts0 = 1700000000000L
+    // f1 removed at ts0+2000, f2 at ts0+3000 (both still on disk)
+    val all = DeltaMeta.vacuumCandidates(spark, table, ts0 + 10000, 0L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(all.keySet === Set("f1.parquet", "f2.parquet"))
+    assert(all("f1.parquet").getAs[Long]("age_ms") === 8000L)
+    // f1's reclaim numbers come from its own footer
+    val expected = docs.filter(pmod(col("doc_id"), lit(7)) === 1).count()
+    assert(all("f1.parquet").getAs[Long]("num_rows") === expected)
+    assert(all("f1.parquet").getAs[Long]("size") > 0L)
+    // a 7.5s retention keeps f2 (age 7000 < window) — deleting young
+    // tombstones breaks readers of older snapshots
+    val windowed = DeltaMeta.vacuumCandidates(spark, table, ts0 + 10000, 7500L)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(windowed === Set("f1.parquet"))
+    // an already-vacuumed tombstone (file gone from disk) is no longer
+    // a candidate — nothing to reclaim
+    val d = Files.createTempDirectory("graft_delta_vac").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    new java.io.File(d, "f1.parquet").delete()
+    val after = DeltaMeta.vacuumCandidates(spark, d, ts0 + 10000, 0L)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(after === Set("f2.parquet"))
+  }
+
   test("schema conformance: files predating an added column surface") {
     val rows = DeltaMeta.schemaConformance(spark, table).collect()
     assert(rows.length === 5) // the live set
