@@ -961,6 +961,33 @@ object SparkEntry {
           sum(col("num_rows")).cast("long").as("footer_rows")))
     }),
 
+    // ICEBERG ORPHAN-file report — remove_orphan_files' delete set at
+    // metadata cost: disk files under data/ that NO manifest of ANY
+    // listed snapshot references (a DELETED entry still counts);
+    // non-parquet debris surfaces via the source=any census. The query
+    // plants one stray parquet + one junk blob; the oracle reads the
+    // stray's footer in DuckDB, membership is the fixture contract.
+    "meta_iceberg_orphans" -> ((s, dir) => {
+      val out = "/tmp/graft_iceorph_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val tmp = out + "/data/stray_tmp"
+      s.read.parquet(pq(dir, "documents")).limit(7)
+        .select(col("doc_id")).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(out + "/data/stray.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      java.nio.file.Files.write(
+        new java.io.File(out + "/data/junk.bin").toPath,
+        Array[Byte](1, 2, 3, 4, 5))
+      IcebergMeta.orphanFiles(s, out)
+        .select(col("filename"), col("format"), col("num_rows"))
+    }),
+
     // ICEBERG SCHEMA HISTORY: every schema the table metadata still
     // lists (superseded ones survive in `schemas`; `current-schema-id`
     // flags the live one) — the iceberg counterpart of
@@ -5231,6 +5258,13 @@ object SparkEntry {
         |    '/tmp/graft_icepart_sf0.01/data/lang=zh/*.parquet')) AS pruned_rows,
         |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM parquet_file_metadata(
         |    '/tmp/graft_icepart_sf0.01/data/lang=zh/*.parquet')) AS footer_rows""".stripMargin,
+
+    "meta_iceberg_orphans" ->
+      """SELECT 'stray.parquet' AS filename, 'parquet' AS format,
+        |  (SELECT CAST(num_rows AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_iceorph_sf0.01/data/stray.parquet')) AS num_rows
+        |UNION ALL
+        |SELECT 'junk.bin', 'other', NULL""".stripMargin,
 
     "meta_iceberg_schema" ->
       """SELECT CAST(s."schema-id" AS INTEGER) AS schema_id,

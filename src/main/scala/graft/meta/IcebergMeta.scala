@@ -377,6 +377,48 @@ object IcebergMeta {
         "partition_values")
   }
 
+  /**
+   * ORPHAN-file report — iceberg's `remove_orphan_files` question at
+   * metadata cost: files under the table's data tree that NO manifest
+   * of ANY snapshot still listed in the table metadata references
+   * (a DELETED-status entry is still a reference — expiring it is
+   * `expire_snapshots`' job, not orphan cleanup). The reference set
+   * fans out one task per manifest across ALL snapshots; the disk side
+   * is the one-scan `source=any` census, so non-parquet debris
+   * (aborted-write temp files, foreign uploads) surfaces too. One row
+   * per orphan: `(abs_path, filename, format, size, num_rows)`.
+   */
+  def orphanFiles(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    val info = readTableMetadata(currentMetadataFile(fs, root), hconf)
+    val manifests = info.snapshots
+      .flatMap(s => readManifestList(resolve(root, s.manifestList), hconf))
+      .map(m => resolve(root, m.manifestPath).toString)
+      .distinct
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(hconf)
+    val referenced = manifests.toDS()
+      .flatMap(mp => readManifest(new Path(mp), conf.value)
+        .map(e => resolve(new Path(rootStr), e.filePath).toString))
+      .toDF("ref_path").distinct()
+    val disk = spark.read.format("metadata")
+      .option("source", "any").option("level", "file")
+      .option("ignorecorrupt", "true")
+      .load(new Path(root, "data").toString)
+      .select(col("filepath"), col("filename"), col("format"),
+        col("size"), col("num_rows"))
+    disk.join(referenced, disk("filepath") === referenced("ref_path"),
+      "left_anti")
+      .select(col("filepath").as("abs_path"), col("filename"),
+        col("format"), col("size"), col("num_rows"))
+  }
+
   /** Spec paths are absolute URIs of the writing environment; fixture
     * and relocated tables resolve relative to the table root. */
   private def resolve(root: Path, p: String): Path = {

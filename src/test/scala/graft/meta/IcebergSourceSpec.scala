@@ -134,6 +134,34 @@ class IcebergSourceSpec extends SparkSpec {
     assert(names === (1 to 12).map(i => s"v$i.metadata.json"))
   }
 
+  test("orphan files: unreferenced disk debris, deleted entries still count") {
+    val d = Files.createTempDirectory("graft_iceberg_orph").toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    // pristine table: every disk file (f0..f5 + del0) is referenced by
+    // SOME snapshot — f5's DELETED entry is still a reference
+    assert(IcebergMeta.orphanFiles(spark, d).count() === 0L)
+    // an aborted write leaves debris: one stray parquet + one junk file
+    docs.limit(7).coalesce(1).write.mode("overwrite")
+      .parquet(d + "/data/stray_tmp")
+    val part = new java.io.File(d + "/data/stray_tmp").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(d + "/data/stray.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(d + "/data/stray_tmp"))
+    java.nio.file.Files.write(
+      new java.io.File(d + "/data/junk.bin").toPath,
+      Array[Byte](1, 2, 3, 4, 5))
+    val orphans = IcebergMeta.orphanFiles(spark, d).collect()
+      .map(r => r.getAs[String]("filename") -> r).toMap
+    assert(orphans.keySet === Set("stray.parquet", "junk.bin"))
+    assert(orphans("stray.parquet").getAs[String]("format") === "parquet")
+    assert(orphans("stray.parquet").getAs[Long]("num_rows") === 7L)
+    assert(orphans("junk.bin").getAs[String]("format") === "other")
+    assert(orphans("junk.bin").isNullAt(
+      orphans("junk.bin").fieldIndex("num_rows")))
+  }
+
   test("schema history: superseded schemas survive, current flagged") {
     val rows = IcebergMeta.schemaHistory(spark, table)
       .orderBy("schema_id").collect()
