@@ -264,6 +264,44 @@ class DeltaSourceSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("schema_id") === "graft-fixture"))
   }
 
+  test("multi-part checkpoints replay all parts as one snapshot") {
+    val d = Files.createTempDirectory("graft_delta_mp").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    val log = new java.io.File(d, "_delta_log")
+    // split the single checkpoint into the spec's two-part layout
+    // (<v>.checkpoint.<part>.<of>.parquet) and delete the covered
+    // commits, so the replay MUST assemble both parts
+    val single = log.listFiles().filter(_.getName.endsWith(".checkpoint.parquet")).head
+    val ckpt = spark.read.parquet(single.getPath).cache()
+    val half1 = ckpt.filter(col("add").isNotNull)
+    val half2 = ckpt.filter(col("add").isNull)
+    def writePart(df: org.apache.spark.sql.DataFrame, part: Int): Unit = {
+      val tmp = d + s"_mp$part"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(log,
+        f"${2L}%020d.checkpoint.$part%010d.${2}%010d.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    writePart(half1, 1)
+    writePart(half2, 2)
+    ckpt.unpersist()
+    single.delete()
+    log.listFiles().filter(f => f.getName.endsWith(".json") &&
+      DeltaMeta.segmentVersion(f.getName).exists(_._1 <= 2L))
+      .foreach(_.delete())
+    val live = DeltaMeta.snapshotFiles(spark, d)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(live === Set("f0.parquet", "f3.parquet", "f4.parquet",
+      "f5.parquet", "f6.parquet"))
+    // and the snapshot level sees both parts as version-2 checkpoints
+    val segs = meta(d, "source" -> "delta")
+      .select("version", "kind").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(segs.count(_ == (2L, "checkpoint")) === 2)
+  }
+
   test("vacuum candidates: retention window + on-disk existence gate") {
     val ts0 = 1700000000000L
     // f1 removed at ts0+2000, f2 at ts0+3000 (both still on disk)
