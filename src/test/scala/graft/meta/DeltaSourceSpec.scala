@@ -264,6 +264,35 @@ class DeltaSourceSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("schema_id") === "graft-fixture"))
   }
 
+  test("URL-encoded add paths decode before the disk join") {
+    // the protocol URL-encodes add.path: a file named "f 8.parquet"
+    // logs as "f%208.parquet"; abs_path must decode or the footer join
+    // silently misses the file
+    val d = Files.createTempDirectory("graft_delta_enc").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    val src = new java.io.File(d, "f0.parquet")
+    val spaced = new java.io.File(d, "f 8.parquet")
+    java.nio.file.Files.copy(src.toPath, spaced.toPath)
+    val ts5 = 1700000005000L
+    java.nio.file.Files.write(
+      new java.io.File(d, "_delta_log/" + f"${5L}%020d.json").toPath,
+      (s"""{"commitInfo":{"timestamp":$ts5,"operation":"WRITE"}}""" + "\n" +
+        s"""{"add":{"path":"f%208.parquet","partitionValues":{},""" +
+        s""""size":${spaced.length()},"modificationTime":$ts5,""" +
+        """"dataChange":true,"stats":"{\"numRecords\":1}"}}""" + "\n")
+        .getBytes("UTF-8"))
+    val live = DeltaMeta.snapshotFiles(spark, d)
+    val row = live.filter(col("path") === "f%208.parquet").collect()
+    assert(row.length === 1)
+    assert(row(0).getAs[String]("abs_path").endsWith("/f 8.parquet"))
+    // the decoded abs_path joins against the real footer listing
+    val footers = spark.read.format("metadata")
+      .option("source", "parquet").option("level", "file").load(d)
+      .select(col("filepath"))
+    assert(live.join(footers,
+      live("abs_path") === footers("filepath")).count() === 6L)
+  }
+
   test("multi-part checkpoints replay all parts as one snapshot") {
     val d = Files.createTempDirectory("graft_delta_mp").toString + "/tbl"
     DeltaMeta.writeFixtureTable(spark, d, docs)

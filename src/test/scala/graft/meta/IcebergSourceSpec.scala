@@ -226,6 +226,21 @@ class IcebergSourceSpec extends SparkSpec {
     assert(flat.forall(_.getAs[Map[String, String]](0).isEmpty))
   }
 
+  test("stale version-hint falls back to the numeric-latest metadata") {
+    val d = Files.createTempDirectory("graft_iceberg_hint").toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    // a hint pointing at a version that no longer exists (compaction
+    // raced the pointer) must not fail — numeric-latest wins
+    java.nio.file.Files.write(
+      new java.io.File(d, "metadata/version-hint.text").toPath,
+      "99".getBytes("UTF-8"))
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(d)
+    assert(IcebergMeta.currentMetadataFile(
+      root.getFileSystem(hconf), root).getName === "v1.metadata.json")
+    assert(IcebergMeta.currentFiles(spark, d).count() === 7L)
+  }
+
   test("validation matrix, foreign-dir and malformed-metadata refusal") {
     val e1 = intercept[Exception](
       meta(table, "source" -> "iceberg", "level" -> "rowgroup").collect())
