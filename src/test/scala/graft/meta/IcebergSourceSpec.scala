@@ -277,17 +277,46 @@ class IcebergSourceSpec extends SparkSpec {
     IcebergMeta.writeFixtureTable(spark, d, docs)
     val ckpt = Files.createTempDirectory("graft_iceberg_ck").toString
     val out = Files.createTempDirectory("graft_iceberg_out").toString
-    val src = spark.readStream.format("metadata")
-      .option("source", "iceberg").option("level", "snapshot")
-      .option("streamlagms", "0").load(d)
-    val q = src.select("snapshot_id", "operation", "is_current")
-      .writeStream.format("parquet").outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt).option("path", out).start()
-    q.awaitTermination(60000)
-    q.stop()
-    val got = spark.read.parquet(out)
-    assert(got.count() === 2L)
-    assert(got.filter(col("is_current")).count() === 1L)
+    def runWave(): Unit = {
+      val src = spark.readStream.format("metadata")
+        .option("source", "iceberg").option("level", "snapshot")
+        .option("streamlagms", "0").load(d)
+      val q = src.select("snapshot_id", "operation", "is_current", "filename")
+        .writeStream.format("parquet").outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).option("path", out).start()
+      q.awaitTermination(60000)
+      q.stop()
+    }
+    runWave()
+    val got1 = spark.read.parquet(out)
+    assert(got1.count() === 2L)
+    assert(got1.filter(col("is_current")).count() === 1L)
+    // wave 2: a new metadata version lands (a third snapshot appended);
+    // the checkpointed restart admits ONLY the new file — v1's two
+    // snapshots are not re-emitted
+    val metaDir = new java.io.File(d, "metadata")
+    val v1 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(metaDir, "v1.metadata.json").toPath), "UTF-8")
+    val v2 = v1
+      .replace("\"current-snapshot-id\":2", "\"current-snapshot-id\":3")
+      .replace("""{"snapshot-id":1,""",
+        """{"snapshot-id":3,"timestamp-ms":1700000002000,
+          | "manifest-list":"metadata/snap-2.avro",
+          | "summary":{"operation":"append"}},
+          |{"snapshot-id":1,""".stripMargin)
+    val v2f = new java.io.File(metaDir, "v2.metadata.json")
+    java.nio.file.Files.write(v2f.toPath, v2.getBytes("UTF-8"))
+    v2f.setLastModified(System.currentTimeMillis() + 1)
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "2".getBytes("UTF-8"))
+    runWave()
+    val got2 = spark.read.parquet(out)
+    assert(got2.count() === 5L) // 2 (v1 wave) + 3 (v2's snapshot list)
+    assert(got2.filter(col("filename") === "v2.metadata.json").count() === 3L)
+    assert(got2.filter(col("is_current") &&
+      col("filename") === "v2.metadata.json")
+      .select("snapshot_id").collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 }
