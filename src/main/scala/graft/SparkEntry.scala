@@ -862,6 +862,27 @@ object SparkEntry {
       }.reduce(_ unionByName _)
     }),
 
+    // DELTA TIMESTAMP AS OF: three wall-clock probes, each resolved to
+    // a version via commitInfo timestamps and replayed — the oracle
+    // resolves the SAME probes from the same commitInfo in DuckDB, so
+    // the version RESOLUTION itself is cross-engine, not just the
+    // replay.
+    "meta_delta_time_travel" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val ts0 = 1700000000000L
+      Seq(500L, 2500L, 99999L).map { off =>
+        val v = DeltaMeta.versionAt(s, out, ts0 + off)
+        DeltaMeta.snapshotFilesAt(s, out, Some(v))
+          .agg(
+            lit(off).as("probe_off"),
+            lit(v).as("version"),
+            count(lit(1)).cast("long").as("n_live"),
+            sum(col("num_records")).cast("long").as("live_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
     // DELTA deletion vectors: the protocol-v3 DELETE-without-rewrite —
     // a v5 commit removes f0 and re-adds the SAME file with a
     // deletionVector descriptor (3 logically-deleted rows). The replay
@@ -997,6 +1018,27 @@ object SparkEntry {
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
       IcebergMeta.schemaHistory(s, out)
+    }),
+
+    // ICEBERG TIMESTAMP AS OF: wall-clock probes resolved from the
+    // snapshot list's timestamp-ms — the oracle resolves the SAME
+    // probes from the same JSON in DuckDB and cross-checks the rows
+    // against the data files' own footers.
+    "meta_iceberg_time_travel" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val ts0 = 1700000000000L
+      Seq(500L, 99999L).map { off =>
+        val id = IcebergMeta.snapshotIdAt(s, out, ts0 + off)
+        IcebergMeta.filesAt(s, out, Some(id))
+          .filter(col("status") =!= 2 && col("content") === 0)
+          .agg(
+            lit(off).as("probe_off"),
+            lit(id).as("snapshot_id"),
+            count(lit(1)).cast("long").as("n_live"),
+            sum(col("record_count")).cast("long").as("data_rows"))
+      }.reduce(_ unionByName _)
     }),
 
     // ICEBERG TIME TRAVEL / snapshot diff at metadata cost: both listed
@@ -5224,6 +5266,43 @@ object SparkEntry {
         |    FROM parquet_file_metadata(
         |      '/tmp/graft_deltapart_sf0.01/lang=zh/*.parquet')) AS footer_rows""".stripMargin,
 
+    "meta_delta_time_travel" ->
+      """WITH acts AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS cv,
+        |    add.path AS apath, remove.path AS rpath, add.stats AS stats
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |cis AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v,
+        |    max(CAST(commitInfo.timestamp AS BIGINT)) AS ts
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE commitInfo.timestamp IS NOT NULL GROUP BY 1
+        |),
+        |probes AS (SELECT unnest([500, 2500, 99999]) AS off),
+        |resolved AS (
+        |  SELECT p.off AS off, max(c.v) AS v
+        |  FROM probes p JOIN cis c ON c.ts <= 1700000000000 + p.off
+        |  GROUP BY p.off
+        |),
+        |latest AS (
+        |  SELECT r.off AS off, r.v AS v, coalesce(apath, rpath) AS path,
+        |    arg_max(apath IS NOT NULL,
+        |      cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS live,
+        |    arg_max(stats, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS stats
+        |  FROM resolved r JOIN acts a ON a.cv <= r.v
+        |  GROUP BY r.off, r.v, coalesce(apath, rpath)
+        |)
+        |SELECT CAST(off AS BIGINT) AS probe_off, CAST(v AS BIGINT) AS version,
+        |  CAST(count(*) FILTER (WHERE live) AS BIGINT) AS n_live,
+        |  CAST(sum(CAST(json_extract(stats, '$.numRecords') AS BIGINT))
+        |    FILTER (WHERE live) AS BIGINT) AS live_rows
+        |FROM latest GROUP BY off, v""".stripMargin,
+
     "meta_delta_travel" ->
       """WITH acts AS (
         |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
@@ -5276,6 +5355,31 @@ object SparkEntry {
         |  FROM read_json_auto(
         |    '/tmp/graft_iceberg_sf0.01/metadata/*.metadata.json')
         |)""".stripMargin,
+
+    "meta_iceberg_time_travel" ->
+      """WITH snaps AS (
+        |  SELECT CAST(s."snapshot-id" AS BIGINT) AS id,
+        |    CAST(s."timestamp-ms" AS BIGINT) AS ts
+        |  FROM (SELECT unnest(snapshots) AS s FROM read_json_auto(
+        |    '/tmp/graft_iceberg_sf0.01/metadata/*.metadata.json'))
+        |),
+        |probes AS (SELECT unnest([500, 99999]) AS off),
+        |resolved AS (
+        |  SELECT p.off AS off, arg_max(id, ts) AS id
+        |  FROM probes p JOIN snaps s ON s.ts <= 1700000000000 + p.off
+        |  GROUP BY p.off
+        |),
+        |fm AS (
+        |  SELECT parse_filename(file_name) AS name, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_iceberg_sf0.01/data/*.parquet')
+        |)
+        |SELECT CAST(off AS BIGINT) AS probe_off, id AS snapshot_id,
+        |  CAST(CASE WHEN id = 1 THEN 3 ELSE 5 END AS BIGINT) AS n_live,
+        |  CASE WHEN id = 1 THEN (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |      WHERE name IN ('f0.parquet', 'f1.parquet', 'f2.parquet'))
+        |    ELSE (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |      WHERE name LIKE 'f%' AND name <> 'f5.parquet') END AS data_rows
+        |FROM resolved""".stripMargin,
 
     "meta_iceberg_travel" ->
       """WITH fm AS (

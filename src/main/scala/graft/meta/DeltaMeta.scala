@@ -452,6 +452,51 @@ object DeltaMeta {
           .as("supported"))
   }
 
+  /**
+   * TIMESTAMP AS OF resolution: the latest version whose commit
+   * timestamp is at or before `tsMs` — `commitInfo.timestamp` when the
+   * commit carries one, the segment's file modification time otherwise
+   * (the same fallback order Delta readers use). Refuses a timestamp
+   * before the first surviving commit. The (version, ts) table is a
+   * bounded driver boundary (one pair per log segment).
+   */
+  def versionAt(spark: SparkSession, table: String, tsMs: Long): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val slices = listLogSlices(root, conf)
+    val commits = slices.flatMap(f =>
+      segmentVersion(f.name).collect { case (v, "commit") => (v, f) })
+    if (commits.isEmpty) {
+      throw new IllegalArgumentException(s"$table: no JSON commits to scan")
+    }
+    val opTs = spark.read
+      .schema(StructType(Seq(StructField("commitInfo", StructType(Seq(
+        StructField("timestamp", LongType)))))))
+      .json(commits.map(_._2.path): _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+      .filter(col("commitInfo.timestamp").isNotNull)
+      .groupBy(col("version"))
+      .agg(max(col("commitInfo.timestamp")).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val resolved = commits
+      .map { case (v, f) => (v, opTs.getOrElse(v, f.mtime)) }
+      .filter(_._2 <= tsMs)
+    if (resolved.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: timestamp $tsMs is before the first surviving commit")
+    }
+    resolved.maxBy(v => (v._2, v._1))._1
+  }
+
+  /** [[snapshotFilesAt]] resolved by TIMESTAMP (see [[versionAt]]). */
+  def snapshotFilesAtTime(
+      spark: SparkSession, table: String, tsMs: Long): DataFrame =
+    snapshotFilesAt(spark, table, Some(versionAt(spark, table, tsMs)))
+
   private val metaDataType = StructType(Seq(
     StructField("id", StringType),
     StructField("schemaString", StringType),

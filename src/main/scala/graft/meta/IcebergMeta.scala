@@ -378,6 +378,32 @@ object IcebergMeta {
   }
 
   /**
+   * TIMESTAMP AS OF resolution: the snapshot with the latest
+   * `timestamp-ms` at or before `tsMs` (iceberg snapshots carry their
+   * commit time in the table metadata — resolution is one small JSON
+   * read). Refuses a timestamp before the first listed snapshot.
+   */
+  def snapshotIdAt(spark: SparkSession, table: String, tsMs: Long): Long = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val info = readTableMetadata(
+      currentMetadataFile(root.getFileSystem(hconf), root), hconf)
+    val eligible = info.snapshots.filter(_.timestampMs <= tsMs)
+    if (eligible.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: timestamp $tsMs is before the first listed snapshot")
+    }
+    eligible.maxBy(s => (s.timestampMs, s.snapshotId)).snapshotId
+  }
+
+  /** [[filesAt]] resolved by TIMESTAMP (see [[snapshotIdAt]]). */
+  def filesAtTime(spark: SparkSession, table: String, tsMs: Long): DataFrame =
+    filesAt(spark, table, Some(snapshotIdAt(spark, table, tsMs)))
+
+  /**
    * ORPHAN-file report — iceberg's `remove_orphan_files` question at
    * metadata cost: files under the table's data tree that NO manifest
    * of ANY snapshot still listed in the table metadata references

@@ -163,6 +163,20 @@ class DeltaSourceSpec extends SparkSpec {
     assert(e3.getMessage.contains("commit 0 is gone"))
   }
 
+  test("timestamp travel resolves via commitInfo, refuses pre-history") {
+    val ts0 = 1700000000000L
+    // commits carry ts0 + v*1000; mid-interval probes resolve downward
+    assert(DeltaMeta.versionAt(spark, table, ts0 + 500) === 0L)
+    assert(DeltaMeta.versionAt(spark, table, ts0 + 2500) === 2L)
+    assert(DeltaMeta.versionAt(spark, table, ts0 + 99999) === 4L)
+    val live = DeltaMeta.snapshotFilesAtTime(spark, table, ts0 + 2500)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(live === Set("f0.parquet", "f2.parquet", "f3.parquet", "f4.parquet"))
+    val e = intercept[IllegalArgumentException](
+      DeltaMeta.versionAt(spark, table, ts0 - 1))
+    assert(e.getMessage.contains("before the first surviving commit"))
+  }
+
   test("deletion vectors: DELETE-without-rewrite surfaces, never overcounts") {
     val d = Files.createTempDirectory("graft_delta_dv").toString + "/tbl"
     DeltaMeta.writeDvFixtureTable(spark, d, docs)

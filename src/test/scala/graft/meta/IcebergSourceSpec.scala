@@ -226,6 +226,16 @@ class IcebergSourceSpec extends SparkSpec {
     assert(flat.forall(_.getAs[Map[String, String]](0).isEmpty))
   }
 
+  test("timestamp travel resolves from the snapshot list") {
+    val ts0 = 1700000000000L // snap 1; snap 2 at ts0 + 1000
+    assert(IcebergMeta.snapshotIdAt(spark, table, ts0 + 500) === 1L)
+    assert(IcebergMeta.snapshotIdAt(spark, table, ts0 + 99999) === 2L)
+    assert(IcebergMeta.filesAtTime(spark, table, ts0 + 500).count() === 3L)
+    val e = intercept[IllegalArgumentException](
+      IcebergMeta.snapshotIdAt(spark, table, ts0 - 1))
+    assert(e.getMessage.contains("before the first listed snapshot"))
+  }
+
   test("stale version-hint falls back to the numeric-latest metadata") {
     val d = Files.createTempDirectory("graft_iceberg_hint").toString + "/tbl"
     IcebergMeta.writeFixtureTable(spark, d, docs)
