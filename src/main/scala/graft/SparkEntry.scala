@@ -732,6 +732,18 @@ object SparkEntry {
         .select(col("path"), col("deleted_at"), col("age_ms"), col("num_rows"))
     }),
 
+    // DELTA setTransaction high-water marks: each streaming writer's
+    // latest txn version (later TABLE version wins per appId — the
+    // protocol's idempotent-writer resume rule; the fixture's ingest-a
+    // advances 10 -> 11 at v3). Oracle: DuckDB reads the same txn
+    // actions and applies the same rule.
+    "meta_delta_txn" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.latestTransactions(s, out)
+    }),
+
     // DELTA SCHEMA HISTORY: the table's schema evolution read from the
     // log's metaData actions alone — one row per schema change with
     // field names decoded from the action's own schemaString (the
@@ -5501,6 +5513,18 @@ object SparkEntry {
         |  array_to_string(list_sort(list_filter(d.names,
         |    x -> NOT list_contains(c.present, x))), ',') AS missing_csv
         |FROM live l, decl d JOIN cols c ON c.f = l.path""".stripMargin,
+
+    "meta_delta_txn" ->
+      """SELECT txn.appId AS app_id,
+        |  arg_max(CAST(txn.version AS BIGINT),
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT)) AS txn_version,
+        |  max(CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |    AS BIGINT)) AS table_version
+        |FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |  filename=true, format='newline_delimited', union_by_name=true)
+        |WHERE txn.appId IS NOT NULL
+        |GROUP BY txn.appId""".stripMargin,
 
     "meta_delta_schema" ->
       """SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)

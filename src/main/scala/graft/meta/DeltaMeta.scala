@@ -497,6 +497,43 @@ object DeltaMeta {
       spark: SparkSession, table: String, tsMs: Long): DataFrame =
     snapshotFilesAt(spark, table, Some(versionAt(spark, table, tsMs)))
 
+  /**
+   * LATEST TRANSACTION VERSIONS: each streaming writer's
+   * `setTransaction` high-water mark — `(app_id, txn_version,
+   * table_version)`, the latest `txn` action per appId across the
+   * commit log (later TABLE version wins, the protocol's idempotent-
+   * writer resume rule). The question a restarting exactly-once writer
+   * asks before its first commit.
+   */
+  def latestTransactions(spark: SparkSession, table: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val commitPaths = listLogSlices(root, conf)
+      .flatMap(f => segmentVersion(f.name).collect {
+        case (_, "commit") => f.path
+      })
+    if (commitPaths.isEmpty) {
+      throw new IllegalArgumentException(s"$table: no JSON commits to scan")
+    }
+    spark.read
+      .schema(StructType(Seq(StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType)))))))
+      .json(commitPaths: _*)
+      .withColumn("table_version",
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+      .filter(col("txn").isNotNull && col("txn.appId").isNotNull)
+      .groupBy(col("txn.appId").as("app_id"))
+      .agg(max_by(struct(col("txn.version").as("v"),
+        col("table_version").as("tv")), col("table_version")).as("w"))
+      .select(col("app_id"), col("w.v").as("txn_version"),
+        col("w.tv").as("table_version"))
+  }
+
   private val metaDataType = StructType(Seq(
     StructField("id", StringType),
     StructField("schemaString", StringType),
@@ -807,6 +844,8 @@ object DeltaMeta {
         s""""schemaString":"$schemaV0","partitionColumns":[],"configuration":{},"createdTime":$ts0}}""",
       addJson("f0.parquet", 0), addJson("f1.parquet", 0)))
     writeCommit(1, Seq(commitInfo(1, "WRITE"),
+      // a streaming writer's setTransaction marker (exactly-once resume)
+      """{"txn":{"appId":"ingest-a","version":10,"lastUpdated":1700000001000}}""",
       addJson("f2.parquet", 1), addJson("f3.parquet", 1)))
     writeCommit(2, Seq(commitInfo(2, "MERGE"),
       removeJson("f1.parquet", 2), addJson("f4.parquet", 2)))
@@ -862,6 +901,8 @@ object DeltaMeta {
     }
 
     writeCommit(3, Seq(commitInfo(3, "DELETE"),
+      """{"txn":{"appId":"ingest-a","version":11,"lastUpdated":1700000003000}}""",
+      """{"txn":{"appId":"ingest-b","version":7,"lastUpdated":1700000003000}}""",
       removeJson("f2.parquet", 3), addJson("f5.parquet", 3)))
     writeCommit(4, Seq(commitInfo(4, "WRITE"), metaDataV4,
       addJson("f6.parquet", 4)))

@@ -163,6 +163,17 @@ class DeltaSourceSpec extends SparkSpec {
     assert(e3.getMessage.contains("commit 0 is gone"))
   }
 
+  test("latest transaction versions: later table version wins per appId") {
+    val rows = DeltaMeta.latestTransactions(spark, table)
+      .orderBy("app_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("app_id") === "ingest-a")
+    assert(rows(0).getAs[Long]("txn_version") === 11L) // v3 supersedes v1
+    assert(rows(0).getAs[Long]("table_version") === 3L)
+    assert(rows(1).getAs[String]("app_id") === "ingest-b")
+    assert(rows(1).getAs[Long]("txn_version") === 7L)
+  }
+
   test("timestamp travel resolves via commitInfo, refuses pre-history") {
     val ts0 = 1700000000000L
     // commits carry ts0 + v*1000; mid-interval probes resolve downward
