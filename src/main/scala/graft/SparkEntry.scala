@@ -1032,6 +1032,30 @@ object SparkEntry {
       IcebergMeta.schemaHistory(s, out)
     }),
 
+    // STREAMING iceberg current-store maintenance: the metadata
+    // stream's AvailableNow pass refreshes a per-snapshot store only
+    // when a NEW metadata version arrives; the store's census must
+    // equal DuckDB's independent read of the same data-file footers.
+    "stream_iceberg_live" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = "/tmp/graft_icestream_" + sfx
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val store = "/tmp/graft_icestore_" + sfx
+      val ckpt = "/tmp/graft_icestoreck_" + sfx
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      IcebergMeta.maintainCurrentStore(s, out, store, ckpt)
+      val entries = IcebergMeta.readCurrentStore(s, store)
+      entries.filter(col("status") =!= 2 && col("content") === 0)
+        .agg(
+          count(lit(1)).cast("long").as("n_live"),
+          sum(col("record_count")).cast("long").as("live_rows"))
+        .crossJoin(entries.agg( // 1x1: two single-row aggregates
+          count(lit(1)).cast("long").as("n_entries"),
+          sum(when(col("content") =!= 0, col("record_count")))
+            .cast("long").as("deleted_positions")))
+    }),
+
     // ICEBERG TIMESTAMP AS OF: wall-clock probes resolved from the
     // snapshot list's timestamp-ms — the oracle resolves the SAME
     // probes from the same JSON in DuckDB and cross-checks the rows
@@ -5367,6 +5391,18 @@ object SparkEntry {
         |  FROM read_json_auto(
         |    '/tmp/graft_iceberg_sf0.01/metadata/*.metadata.json')
         |)""".stripMargin,
+
+    "stream_iceberg_live" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_icestream_sf0.01/data/*.parquet')
+        |)
+        |SELECT CAST(5 AS BIGINT) AS n_live,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |    WHERE name LIKE 'f%' AND name <> 'f5.parquet') AS live_rows,
+        |  CAST(7 AS BIGINT) AS n_entries,
+        |  (SELECT CAST(num_rows AS BIGINT) FROM fm
+        |    WHERE name = 'del0.parquet') AS deleted_positions""".stripMargin,
 
     "meta_iceberg_time_travel" ->
       """WITH snaps AS (

@@ -359,8 +359,17 @@ object IcebergMeta {
           s"$table: no snapshot $id (surviving: " +
             s"${info.snapshots.map(_.snapshotId).mkString(", ")})"))
     }
+    filesFromManifestList(spark, root, current.manifestList)
+  }
+
+  /** The one-task-per-manifest fan-out for one snapshot's manifest
+    * list — shared by [[filesAt]] and the streaming store refresh. */
+  private[meta] def filesFromManifestList(
+      spark: SparkSession, root: Path, manifestList: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
     val manifests = readManifestList(
-      resolve(root, current.manifestList), hconf)
+      resolve(root, manifestList), hconf)
       .map(m => resolve(root, m.manifestPath).toString)
     val rootStr = root.toString
     val conf = new SerializableHadoopConf(hconf)
@@ -376,6 +385,63 @@ object IcebergMeta {
         "record_count", "file_size_bytes", "abs_path", "manifest_path",
         "partition_values")
   }
+
+  /**
+   * STREAMING current-snapshot store maintenance — the iceberg sibling
+   * of the delta tier's live store: one `Trigger.AvailableNow` pass of
+   * the metadata stream; each micro-batch that carries NEW metadata
+   * versions refreshes the store from the NEWEST one's current
+   * snapshot (iceberg manifest lists are per-snapshot complete, so a
+   * refresh — not a merge — is the correct maintenance step; batches
+   * with no new metadata touch nothing). Checkpointed: already-seen
+   * metadata files never re-trigger a refresh. Live view:
+   * [[readCurrentStore]].
+   */
+  def maintainCurrentStore(
+      spark: SparkSession, table: String,
+      storeDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = {
+      val hconf = spark.sessionState.newHadoopConf()
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val src = spark.readStream.format("metadata")
+      .option("source", "iceberg").option("level", "snapshot")
+      .option("streamlagms", "0").load(table)
+    val q = src.select("filename", "manifest_list", "is_current")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // metadata-FILE-sized driver boundary (a few rows per version)
+        val rows = batch.select("filename", "manifest_list", "is_current")
+          .collect()
+        if (rows.nonEmpty) {
+          val newest = rows.maxBy(r => (metadataVersion(r.getString(0)),
+            r.getString(0)))
+          rows.filter(r => r.getString(0) == newest.getString(0) &&
+            r.getBoolean(2)).map(_.getString(1)).headOption.foreach { ml =>
+            val store = new java.io.File(storeDir)
+            val next = new java.io.File(storeDir + "_next")
+            filesFromManifestList(spark, root, ml)
+              .coalesce(1).write.mode("overwrite").parquet(next.getPath)
+            org.apache.commons.io.FileUtils.deleteQuietly(store)
+            if (!next.renameTo(store)) {
+              throw new java.io.IOException(
+                s"could not publish current store $storeDir")
+            }
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The current-snapshot rows of a [[maintainCurrentStore]] store. */
+  def readCurrentStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
 
   /**
    * TIMESTAMP AS OF resolution: the snapshot with the latest

@@ -281,6 +281,37 @@ class IcebergSourceSpec extends SparkSpec {
     assert(df.columns.contains("num_rows"))
   }
 
+  test("streaming current-store refreshes only on new metadata versions") {
+    val d = Files.createTempDirectory("graft_iceberg_cs").toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    val store = Files.createTempDirectory("graft_ice_csd").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_ice_csc").toString
+    IcebergMeta.maintainCurrentStore(spark, d, store, ckpt)
+    // wave 1: the store holds snapshot 2's full entry set
+    assert(IcebergMeta.readCurrentStore(spark, store).count() === 7L)
+    val mtimeAfter1 = new java.io.File(store).lastModified()
+    // a no-news wave must not republish the store
+    IcebergMeta.maintainCurrentStore(spark, d, store, ckpt)
+    assert(new java.io.File(store).lastModified() === mtimeAfter1)
+    // wave 2: v2 metadata REWINDS current to snapshot 1 — the store
+    // refreshes to its manifest set
+    val metaDir = new java.io.File(d, "metadata")
+    val v1 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(metaDir, "v1.metadata.json").toPath), "UTF-8")
+    val v2f = new java.io.File(metaDir, "v2.metadata.json")
+    java.nio.file.Files.write(v2f.toPath,
+      v1.replace("\"current-snapshot-id\":2", "\"current-snapshot-id\":1")
+        .getBytes("UTF-8"))
+    v2f.setLastModified(System.currentTimeMillis() + 1)
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "2".getBytes("UTF-8"))
+    IcebergMeta.maintainCurrentStore(spark, d, store, ckpt)
+    val got = IcebergMeta.readCurrentStore(spark, store)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    assert(got === Set("data/f0.parquet", "data/f1.parquet", "data/f2.parquet"))
+  }
+
   test("commit stream: new metadata versions arrive as micro-batches") {
     import org.apache.spark.sql.streaming.Trigger
     val d = Files.createTempDirectory("graft_iceberg_stream").toString + "/tbl"
