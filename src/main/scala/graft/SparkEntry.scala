@@ -5530,12 +5530,12 @@ object SparkEntry {
         |),
         |live AS (SELECT path FROM latest WHERE live),
         |decl AS (
-        |  SELECT CAST(arg_max(metaData.schemaString,
+        |  SELECT CAST(CAST(arg_max(metaData->>'$.schemaString',
         |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
-        |      AS BIGINT))->>'$.fields[*].name' AS VARCHAR[]) AS names
+        |      AS BIGINT)) AS VARCHAR)->>'$.fields[*].name' AS VARCHAR[]) AS names
         |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
         |    filename=true, format='newline_delimited', union_by_name=true)
-        |  WHERE metaData.id IS NOT NULL
+        |  WHERE metaData->>'$.id' IS NOT NULL
         |),
         |cols AS (
         |  SELECT parse_filename(file_name) AS f, list(DISTINCT name) AS present
@@ -5565,16 +5565,16 @@ object SparkEntry {
     "meta_delta_schema" ->
       """SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
         |    AS BIGINT) AS version,
-        |  metaData.id AS schema_id,
-        |  CAST(json_array_length(metaData.schemaString, '$.fields')
-        |    AS INTEGER) AS n_fields,
-        |  array_to_string(CAST(metaData.schemaString->>'$.fields[*].name'
-        |    AS VARCHAR[]), ',') AS field_names_csv,
-        |  coalesce(array_to_string(CAST(metaData.partitionColumns
+        |  metaData->>'$.id' AS schema_id,
+        |  CAST(json_array_length(CAST(metaData->>'$.schemaString' AS VARCHAR),
+        |    '$.fields') AS INTEGER) AS n_fields,
+        |  array_to_string(CAST(CAST(metaData->>'$.schemaString' AS VARCHAR)
+        |    ->>'$.fields[*].name' AS VARCHAR[]), ',') AS field_names_csv,
+        |  coalesce(array_to_string(CAST(metaData->'$.partitionColumns'
         |    AS VARCHAR[]), ','), '') AS partition_columns_csv
         |FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
         |  filename=true, format='newline_delimited', union_by_name=true)
-        |WHERE metaData.id IS NOT NULL""".stripMargin,
+        |WHERE metaData->>'$.id' IS NOT NULL""".stripMargin,
 
     "meta_delta_protocol" ->
       """WITH protos AS (
