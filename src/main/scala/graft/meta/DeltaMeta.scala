@@ -399,6 +399,43 @@ object DeltaMeta {
     StructField("readerFeatures", ArrayType(StringType)),
     StructField("writerFeatures", ArrayType(StringType))))
 
+  /** The surviving log, split around the LATEST checkpoint:
+    * `(root, segments as (version, kind, path), checkpoint version — or
+    * -1 with no checkpoint)`. The shared driver boundary of every
+    * log-derived report (one tuple per surviving segment). */
+  private def latestLogSplit(
+      spark: SparkSession, table: String): (Path, Seq[(Long, String, String)], Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val segments = listLogSlices(root, conf)
+      .flatMap(f => segmentVersion(f.name).map { case (v, k) => (v, k, f.path) })
+    val ckptVersion = segments.collect { case (v, "checkpoint", _) => v }
+      .maxOption.getOrElse(-1L)
+    (root, segments, ckptVersion)
+  }
+
+  /** Re-project a checkpoint action column to the pinned `target`
+    * struct FIELD BY FIELD: absent fields read null (older writers),
+    * extra writer fields are not read, an absent column is a typed
+    * null. The same absent-tolerant shape [[decodeActions]] uses for
+    * `add.deletionVector` — checkpoints written before a feature
+    * existed must still replay. */
+  private def ckptStruct(raw: DataFrame, colName: String, target: StructType): Column = {
+    if (!raw.schema.fieldNames.contains(colName)) lit(null).cast(target)
+    else {
+      val sub = raw.schema(colName).dataType.asInstanceOf[StructType]
+      val fields = target.fields.toSeq.map { f =>
+        (if (sub.fieldNames.contains(f.name)) {
+          col(s"$colName.${f.name}").cast(f.dataType)
+        } else lit(null).cast(f.dataType)).as(f.name)
+      }
+      when(col(colName).isNotNull, struct(fields: _*))
+    }
+  }
+
   /** Reader features whose presence does NOT change what this metadata
     * tier reports: deletionVectors (decoded, net-row aware),
     * columnMapping / timestampNtz / typeWidening (data-plane concerns —
@@ -422,23 +459,44 @@ object DeltaMeta {
    * table.
    */
   def protocolInfo(spark: SparkSession, table: String): DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
-    val root = {
-      val p = new Path(table)
-      p.getFileSystem(conf).makeQualified(p)
-    }
-    val segments = listLogSlices(root, conf)
-      .flatMap(f => segmentVersion(f.name).map { case (v, k) => (v, k, f.path) })
+    val (_, segments, ckptVersion) = latestLogSplit(spark, table)
     val commitPaths = segments.collect { case (_, "commit", p) => p }
-    if (commitPaths.isEmpty) {
-      throw new IllegalArgumentException(s"$table: no JSON commits to scan")
+    val ckptPaths = segments.collect {
+      case (v, "checkpoint", p) if v == ckptVersion => p
     }
-    val protocols = spark.read
-      .schema(StructType(Seq(StructField("protocol", protocolType))))
-      .json(commitPaths: _*)
-      .withColumn("version",
-        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+    if (commitPaths.isEmpty && ckptPaths.isEmpty) {
+      throw new IllegalArgumentException(s"$table: no log segments to scan")
+    }
+    // union the commit evidence with the latest checkpoint's protocol
+    // row (tagged with the checkpoint version): after log cleanup the
+    // protocol action can survive ONLY in the checkpoint, and an agg
+    // over zero rows would report an all-null posture instead of the
+    // real one
+    val fromCommits =
+      if (commitPaths.isEmpty) None
+      else Some(spark.read
+        .schema(StructType(Seq(StructField("protocol", protocolType))))
+        .json(commitPaths: _*)
+        .withColumn("version",
+          regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+        .select(col("protocol"), col("version")))
+    val fromCkpt =
+      if (ckptPaths.isEmpty) None
+      else {
+        val raw = spark.read.parquet(ckptPaths: _*)
+        Some(raw.select(ckptStruct(raw, "protocol", protocolType).as("protocol"),
+          lit(ckptVersion).as("version")))
+      }
+    val protocols = Seq(fromCommits, fromCkpt).flatten
+      .reduce(_ unionByName _)
       .filter(col("protocol").isNotNull)
+    // no evidence, never a guessed posture: a log whose surviving
+    // segments carry NO protocol action cannot be classified
+    if (protocols.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: no protocol action survives in the log " +
+          "(commits or checkpoint) — cannot report a protocol posture")
+    }
     protocols
       .agg(max_by(col("protocol"), col("version")).as("p"))
       .select(
@@ -453,12 +511,17 @@ object DeltaMeta {
   }
 
   /**
-   * TIMESTAMP AS OF resolution: the latest version whose commit
+   * TIMESTAMP AS OF resolution: the LATEST VERSION among commits whose
    * timestamp is at or before `tsMs` — `commitInfo.timestamp` when the
    * commit carries one, the segment's file modification time otherwise
-   * (the same fallback order Delta readers use). Refuses a timestamp
-   * before the first surviving commit. The (version, ts) table is a
-   * bounded driver boundary (one pair per log segment).
+   * (the same fallback order Delta readers use). The eligibility test
+   * is per commit but the winner is picked by VERSION, not by
+   * timestamp: with non-monotonic commit timestamps (writer clock
+   * skew) the max-timestamp commit can be an OLDER version, and
+   * resolving to it would time-travel forward past commits the caller
+   * asked to include. Refuses a timestamp before the first surviving
+   * commit. The (version, ts) table is a bounded driver boundary (one
+   * pair per log segment).
    */
   def versionAt(spark: SparkSession, table: String, tsMs: Long): Long = {
     val conf = spark.sessionState.newHadoopConf()
@@ -489,7 +552,7 @@ object DeltaMeta {
       throw new IllegalArgumentException(
         s"$table: timestamp $tsMs is before the first surviving commit")
     }
-    resolved.maxBy(v => (v._2, v._1))._1
+    resolved.maxBy(_._1)._1
   }
 
   /** [[snapshotFilesAt]] resolved by TIMESTAMP (see [[versionAt]]). */
@@ -505,27 +568,43 @@ object DeltaMeta {
    * writer resume rule). The question a restarting exactly-once writer
    * asks before its first commit.
    */
+  private val txnType = StructType(Seq(
+    StructField("appId", StringType),
+    StructField("version", LongType),
+    StructField("lastUpdated", LongType)))
+
   def latestTransactions(spark: SparkSession, table: String): DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
-    val root = {
-      val p = new Path(table)
-      p.getFileSystem(conf).makeQualified(p)
+    val (_, segments, ckptVersion) = latestLogSplit(spark, table)
+    val commitPaths = segments.collect { case (_, "commit", p) => p }
+    val ckptPaths = segments.collect {
+      case (v, "checkpoint", p) if v == ckptVersion => p
     }
-    val commitPaths = listLogSlices(root, conf)
-      .flatMap(f => segmentVersion(f.name).collect {
-        case (_, "commit") => f.path
-      })
-    if (commitPaths.isEmpty) {
-      throw new IllegalArgumentException(s"$table: no JSON commits to scan")
+    if (commitPaths.isEmpty && ckptPaths.isEmpty) {
+      throw new IllegalArgumentException(s"$table: no log segments to scan")
     }
-    spark.read
-      .schema(StructType(Seq(StructField("txn", StructType(Seq(
-        StructField("appId", StringType),
-        StructField("version", LongType),
-        StructField("lastUpdated", LongType)))))))
-      .json(commitPaths: _*)
-      .withColumn("table_version",
-        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+    // commits carry txn actions at their own version; the latest
+    // checkpoint preserves each appId's reconciled high-water mark for
+    // commits the log cleanup may have deleted — its rows are tagged
+    // with the CHECKPOINT version (the state is "as of" it). Without
+    // the checkpoint leg, a restarting writer whose last commit was
+    // cleaned would see no mark at all and double-commit.
+    val fromCommits =
+      if (commitPaths.isEmpty) None
+      else Some(spark.read
+        .schema(StructType(Seq(StructField("txn", txnType))))
+        .json(commitPaths: _*)
+        .withColumn("table_version",
+          regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+        .select(col("txn"), col("table_version")))
+    val fromCkpt =
+      if (ckptPaths.isEmpty) None
+      else {
+        val raw = spark.read.parquet(ckptPaths: _*)
+        Some(raw.select(ckptStruct(raw, "txn", txnType).as("txn"),
+          lit(ckptVersion).as("table_version")))
+      }
+    Seq(fromCommits, fromCkpt).flatten
+      .reduce(_ unionByName _)
       .filter(col("txn").isNotNull && col("txn.appId").isNotNull)
       .groupBy(col("txn.appId").as("app_id"))
       .agg(max_by(struct(col("txn.version").as("v"),
@@ -545,43 +624,68 @@ object DeltaMeta {
     StructType(Seq(StructField("fields", ArrayType(StructType(Seq(
       StructField("name", StringType), StructField("type", StringType)))))))
 
-  /**
-   * SCHEMA HISTORY at metadata cost: one row per `metaData` action in
-   * the log — the table's schema evolution, read from the commits alone
-   * (no data file is opened). `n_fields`/`field_names_csv` decode from
-   * the action's own schemaString; a drift audit is
-   * `schemaHistory(...).orderBy("version")` diffed row to row.
-   */
-  def schemaHistory(spark: SparkSession, table: String): DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
-    val root = {
-      val p = new Path(table)
-      p.getFileSystem(conf).makeQualified(p)
+  /** The decoded `metaData` action frame — `(version, schema_id,
+    * fields, partition_columns)`, field names carried as a REAL array
+    * (a comma inside a field name must not split it). One row per
+    * metaData action in the surviving commits; when log cleanup has
+    * deleted commit 0, the latest checkpoint's preserved metaData is
+    * prepended as the history BASELINE (tagged with the checkpoint
+    * version) — without it the pre-cleanup schema would silently
+    * vanish from the history. */
+  private def metaDataFrame(spark: SparkSession, table: String): DataFrame = {
+    val (_, segments, ckptVersion) = latestLogSplit(spark, table)
+    val commitPaths = segments.collect { case (_, "commit", p) => p }
+    val ckptPaths = segments.collect {
+      case (v, "checkpoint", p) if v == ckptVersion => p
     }
-    val commitPaths = listLogSlices(root, conf)
-      .flatMap(f => segmentVersion(f.name).collect {
-        case (_, "commit") => f.path
-      })
-    if (commitPaths.isEmpty) {
-      throw new IllegalArgumentException(s"$table: no JSON commits to scan")
+    if (commitPaths.isEmpty && ckptPaths.isEmpty) {
+      throw new IllegalArgumentException(s"$table: no log segments to scan")
     }
-    spark.read
-      .schema(StructType(Seq(StructField("metaData", metaDataType))))
-      .json(commitPaths: _*)
-      .withColumn("version",
-        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+    val fromCommits =
+      if (commitPaths.isEmpty) None
+      else Some(spark.read
+        .schema(StructType(Seq(StructField("metaData", metaDataType))))
+        .json(commitPaths: _*)
+        .withColumn("version",
+          regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+        .select(col("metaData"), col("version")))
+    // the checkpoint leg joins the history ONLY when commit 0 is gone:
+    // while the full commit chain survives, every metaData action is
+    // already in it and the checkpoint's copy would duplicate a row
+    val logCleaned =
+      !segments.exists { case (v, k, _) => v == 0L && k == "commit" }
+    val fromCkpt =
+      if (ckptPaths.isEmpty || !logCleaned) None
+      else {
+        val raw = spark.read.parquet(ckptPaths: _*)
+        Some(raw.select(ckptStruct(raw, "metaData", metaDataType).as("metaData"),
+          lit(ckptVersion).as("version")))
+      }
+    Seq(fromCommits, fromCkpt).flatten
+      .reduce(_ unionByName _)
       .filter(col("metaData").isNotNull)
       .select(col("version"),
         col("metaData.id").as("schema_id"),
         from_json(col("metaData.schemaString"), schemaFieldsType)
           .getField("fields").as("fields"),
         col("metaData.partitionColumns").as("partition_columns"))
+  }
+
+  /**
+   * SCHEMA HISTORY at metadata cost: one row per `metaData` action in
+   * the surviving log (commits, plus the checkpoint baseline once
+   * cleanup has eaten the early commits — see [[metaDataFrame]]); no
+   * data file is opened. `n_fields`/`field_names_csv` decode from the
+   * action's own schemaString; a drift audit is
+   * `schemaHistory(...).orderBy("version")` diffed row to row.
+   */
+  def schemaHistory(spark: SparkSession, table: String): DataFrame =
+    metaDataFrame(spark, table)
       .select(col("version"), col("schema_id"),
         size(col("fields")).as("n_fields"),
         array_join(transform(col("fields"), f => f.getField("name")), ",")
           .as("field_names_csv"),
         array_join(col("partition_columns"), ",").as("partition_columns_csv"))
-  }
 
   /**
    * SCHEMA CONFORMANCE audit: the DECLARED schema (the log's latest
@@ -589,18 +693,24 @@ object DeltaMeta {
    * footer — the backfill question a schema evolution leaves behind
    * ("which files predate the new column"). One row per live file:
    * `(path, n_declared, n_present, missing_csv)`. Both sides are
-   * metadata reads; the plan is the live reconstruction joined with the
-   * footer schema-fact scan — no data page is touched.
+   * metadata reads; the plan is the live reconstruction LEFT-joined
+   * with the footer schema-fact scan — no data page is touched. A live
+   * file with NO footer evidence (gone from disk, unreadable footer)
+   * still gets a row, with null `n_present`/`missing_csv`: no
+   * evidence is reported as no evidence, never as conformance and
+   * never by silently dropping the file from the audit.
    */
   def schemaConformance(spark: SparkSession, table: String): DataFrame = {
-    // latest declared field list — one tiny driver row
-    val latest = schemaHistory(spark, table)
+    // latest declared field list — one tiny driver row; names travel
+    // as a real array end to end (a comma INSIDE a field name is data)
+    val latest = metaDataFrame(spark, table)
       .orderBy(col("version").desc).limit(1)
-      .select(col("field_names_csv")).collect()
+      .select(transform(col("fields"), f => f.getField("name")).as("names"))
+      .collect()
     if (latest.isEmpty) {
       throw new IllegalArgumentException(s"$table: no metaData action in the log")
     }
-    val declared = latest(0).getString(0).split(",").toSeq
+    val declared = latest(0).getSeq[String](0)
     val live = snapshotFiles(spark, table).select(col("abs_path"))
     // physical TOP-LEVEL names: leaf paths' first dotted segment (nested
     // columns conform if their root field is present)
@@ -608,14 +718,18 @@ object DeltaMeta {
       .select(col("filepath"),
         split(col("path"), "\\.").getItem(0).as("field"))
       .distinct()
-    live.join(present, live("abs_path") === present("filepath"))
+    live.join(present, live("abs_path") === present("filepath"), "left")
       .groupBy(col("abs_path").as("path"))
       .agg(collect_set(col("field")).as("present"))
+      // any readable parquet footer has >= 1 field, so an EMPTY present
+      // set means the join found no footer at all — null, not zero
       .select(col("path"),
         lit(declared.size).as("n_declared"),
-        size(col("present")).as("n_present"),
-        array_join(array_sort(array_except(
-          lit(declared.toArray), col("present"))), ",").as("missing_csv"))
+        when(size(col("present")) === 0, lit(null))
+          .otherwise(size(col("present"))).cast("int").as("n_present"),
+        when(size(col("present")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(array_sort(array_except(
+            lit(declared.toArray), col("present"))), ",")).as("missing_csv"))
   }
 
   /**
@@ -743,16 +857,39 @@ object DeltaMeta {
               col("w.dv_cardinality").as("dv_cardinality"))
           val next = new java.io.File(storeDir + "_next")
           merged.coalesce(1).write.mode("overwrite").parquet(next.getPath)
-          org.apache.commons.io.FileUtils.deleteQuietly(store)
-          if (!next.renameTo(store)) {
-            throw new java.io.IOException(
-              s"could not publish live store $storeDir")
-          }
+          publishStore(storeDir)
         }
         ()
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** Crash-safe local-FS store publish: the fully-written `_next`
+    * directory replaces `storeDir` by renaming the PREVIOUS store
+    * aside first (`_old`), renaming `_next` into place, and deleting
+    * the aside copy LAST — a crash or rename failure at any step
+    * leaves either the old or the new store recoverable, never
+    * neither (a delete-then-rename publish loses the old store when
+    * the rename fails). On an object store this would be a versioned
+    * prefix plus a pointer swap instead of renames. */
+  private[meta] def publishStore(storeDir: String): Unit = {
+    val store = new java.io.File(storeDir)
+    val next = new java.io.File(storeDir + "_next")
+    val old = new java.io.File(storeDir + "_old")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    if (store.exists() && !store.renameTo(old)) {
+      throw new java.io.IOException(
+        s"could not stage previous store $storeDir aside for publish")
+    }
+    if (!next.renameTo(store)) {
+      val restored = !old.exists() || old.renameTo(store)
+      throw new java.io.IOException(
+        s"could not publish store $storeDir" +
+          (if (restored) " (previous store restored)"
+           else s" (previous store preserved at ${old.getPath})"))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
   }
 
   /** The live rows of a [[maintainLiveStore]] store. */
@@ -854,13 +991,21 @@ object DeltaMeta {
         s""""schemaString":"$schemaV4","partitionColumns":[],"configuration":{},"createdTime":$ts0}}"""
 
     // checkpoint at v2: reconciled state — live adds f0,f2,f3,f4 + the
-    // f1 remove tombstone + protocol + metaData rows, one action a row
+    // f1 remove tombstone + protocol + metaData + txn rows, one action
+    // a row (a REAL checkpoint preserves protocol/metaData/txn so log
+    // cleanup can delete the commits that carried them — the
+    // checkpoint-replay paths read them from here)
     {
       import spark.implicits._
       // the checkpoint keeps the PRE-deletion-vector add shape (no
       // deletionVector field), exercising the reader's absent-column path
       val ckptAddType = StructType(addType.fields.filterNot(
         _.name == "deletionVector"))
+      val ckptProtocolType = StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))
+      // the RAW schemaString (the JSON-line variants carry it escaped)
+      val schemaV0Raw = schemaV0.replace("\\\"", "\"")
       val adds = Seq("f0.parquet", "f2.parquet", "f3.parquet", "f4.parquet")
       val addRows = adds.map { f =>
         (f, Map.empty[String, String], new java.io.File(root, f).length(),
@@ -872,23 +1017,35 @@ object DeltaMeta {
         .select(struct(col("path"), col("partitionValues"), col("size"),
           col("modificationTime"), col("dataChange"), col("stats")).as("add"))
         .withColumn("remove", lit(null).cast(removeType))
-        .withColumn("protocol", lit(null).cast(
-          "struct<minReaderVersion:int,minWriterVersion:int>"))
-        .withColumn("metaData", lit(null).cast("struct<id:string>"))
+        .withColumn("protocol", lit(null).cast(ckptProtocolType))
+        .withColumn("metaData", lit(null).cast(metaDataType))
+        .withColumn("txn", lit(null).cast(txnType))
       val removeDf = Seq(("f1.parquet", ts0 + 2000, true))
         .toDF("path", "deletionTimestamp", "dataChange")
         .select(lit(null).cast(ckptAddType).as("add"),
           struct(col("path"), col("deletionTimestamp"), col("dataChange")).as("remove"))
-        .withColumn("protocol", lit(null).cast(
-          "struct<minReaderVersion:int,minWriterVersion:int>"))
-        .withColumn("metaData", lit(null).cast("struct<id:string>"))
+        .withColumn("protocol", lit(null).cast(ckptProtocolType))
+        .withColumn("metaData", lit(null).cast(metaDataType))
+        .withColumn("txn", lit(null).cast(txnType))
       val headerDf = spark.range(1)
         .select(lit(null).cast(ckptAddType).as("add"),
           lit(null).cast(removeType).as("remove"),
           struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"),
-          struct(lit("graft-fixture").as("id")).as("metaData"))
+          struct(lit("graft-fixture").as("id"),
+            lit(schemaV0Raw).as("schemaString"),
+            lit(Array.empty[String]).as("partitionColumns")).as("metaData"),
+          lit(null).cast(txnType).as("txn"))
+      // ingest-a's reconciled high-water mark as of v2 (its v1 commit
+      // is what log cleanup would delete first)
+      val txnDf = spark.range(1)
+        .select(lit(null).cast(ckptAddType).as("add"),
+          lit(null).cast(removeType).as("remove"),
+          lit(null).cast(ckptProtocolType).as("protocol"),
+          lit(null).cast(metaDataType).as("metaData"),
+          struct(lit("ingest-a").as("appId"), lit(10L).as("version"),
+            lit(ts0 + 1000).as("lastUpdated")).as("txn"))
       val tmp = dir + "_ckpt"
-      addDf.unionByName(removeDf).unionByName(headerDf)
+      addDf.unionByName(removeDf).unionByName(headerDf).unionByName(txnDf)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
@@ -897,7 +1054,7 @@ object DeltaMeta {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       java.nio.file.Files.write(new java.io.File(logDir, "_last_checkpoint").toPath,
-        """{"version":2,"size":6}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        """{"version":2,"size":7}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
 
     writeCommit(3, Seq(commitInfo(3, "DELETE"),

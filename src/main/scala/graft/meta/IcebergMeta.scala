@@ -422,15 +422,12 @@ object IcebergMeta {
             r.getString(0)))
           rows.filter(r => r.getString(0) == newest.getString(0) &&
             r.getBoolean(2)).map(_.getString(1)).headOption.foreach { ml =>
-            val store = new java.io.File(storeDir)
             val next = new java.io.File(storeDir + "_next")
             filesFromManifestList(spark, root, ml)
               .coalesce(1).write.mode("overwrite").parquet(next.getPath)
-            org.apache.commons.io.FileUtils.deleteQuietly(store)
-            if (!next.renameTo(store)) {
-              throw new java.io.IOException(
-                s"could not publish current store $storeDir")
-            }
+            // crash-safe rename-aside publish (shared with the delta
+            // live store): old or new store always survives
+            DeltaMeta.publishStore(storeDir)
           }
         }
         ()

@@ -494,4 +494,121 @@ class DeltaSourceSpec extends SparkSpec {
     assert(got.count() === 6L)
     assert(got.agg(sum("n_add")).collect()(0).getLong(0) === 11L)
   }
+
+  test("timestamp travel picks the max VERSION among eligible commits") {
+    // writer clock skew: v5's commitInfo timestamp is EARLIER than
+    // v4's. A probe after v4's timestamp must resolve to version 5
+    // (the latest version whose ts <= probe), not to the commit with
+    // the max timestamp — that would time-travel PAST v5's changes.
+    val d = Files.createTempDirectory("graft_delta_skew").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    val ts0 = 1700000000000L
+    val skewTs = ts0 + 3500 // between v3 (+3000) and v4 (+4000)
+    java.nio.file.Files.write(
+      new java.io.File(d, "_delta_log/" + f"${5L}%020d.json").toPath,
+      (s"""{"commitInfo":{"timestamp":$skewTs,"operation":"WRITE"}}""" + "\n" +
+        s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,""" +
+        s""""modificationTime":$skewTs,"dataChange":true,""" +
+        """"stats":"{\"numRecords\":1}"}}""" + "\n").getBytes("UTF-8"))
+    assert(DeltaMeta.versionAt(spark, d, ts0 + 99999) === 5L)
+    // a probe INSIDE the skew window still honours per-commit
+    // eligibility: at +3600 both v3 and v5 are eligible, v4 is not
+    assert(DeltaMeta.versionAt(spark, d, ts0 + 3600) === 5L)
+    assert(DeltaMeta.versionAt(spark, d, ts0 + 3499) === 3L)
+  }
+
+  test("log cleanup: txn/protocol/schema survive via the checkpoint") {
+    val d = Files.createTempDirectory("graft_delta_clean").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    val log = new java.io.File(d, "_delta_log")
+    // partial cleanup: commits 0..2 deleted (the checkpoint covers them)
+    log.listFiles().filter(f => f.getName.endsWith(".json") &&
+      DeltaMeta.segmentVersion(f.getName).exists(_._1 <= 2L))
+      .foreach(_.delete())
+    // schema history: the checkpoint's preserved metaData becomes the
+    // BASELINE row (tagged with the checkpoint version), the v4
+    // evolution still comes from its surviving commit
+    val hist = DeltaMeta.schemaHistory(spark, d).orderBy("version").collect()
+    assert(hist.map(_.getAs[Long]("version")).toSeq === Seq(2L, 4L))
+    assert(hist(0).getAs[String]("field_names_csv") === "doc_id,lang")
+    assert(hist(1).getAs[String]("field_names_csv") === "doc_id,lang,quality")
+    // txn and protocol still resolve (commit tail has the winners here)
+    val txns = DeltaMeta.latestTransactions(spark, d)
+      .orderBy("app_id").collect()
+    assert(txns.map(r => (r.getString(0), r.getAs[Long]("txn_version"))).toSeq
+      === Seq(("ingest-a", 11L), ("ingest-b", 7L)))
+    assert(DeltaMeta.protocolInfo(spark, d).collect()(0)
+      .getAs[Int]("min_reader_version") === 1)
+    // full cleanup: ONLY the checkpoint survives — every report must
+    // answer from its preserved actions alone
+    log.listFiles().filter(_.getName.endsWith(".json")).foreach(_.delete())
+    val ckptTxns = DeltaMeta.latestTransactions(spark, d).collect()
+    assert(ckptTxns.length === 1)
+    assert(ckptTxns(0).getString(0) === "ingest-a")
+    assert(ckptTxns(0).getAs[Long]("txn_version") === 10L)
+    assert(ckptTxns(0).getAs[Long]("table_version") === 2L)
+    val p = DeltaMeta.protocolInfo(spark, d).collect()(0)
+    assert(p.getAs[Int]("min_reader_version") === 1)
+    assert(p.getAs[Boolean]("supported"))
+    val baseline = DeltaMeta.schemaHistory(spark, d).collect()
+    assert(baseline.length === 1)
+    assert(baseline(0).getAs[Long]("version") === 2L)
+    assert(baseline(0).getAs[String]("field_names_csv") === "doc_id,lang")
+  }
+
+  test("protocol report refuses when no protocol action survives") {
+    val d = Files.createTempDirectory("graft_delta_noproto").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    val log = new java.io.File(d, "_delta_log")
+    // delete the checkpoint and commit 0 — the only protocol carriers
+    log.listFiles().filter(f => f.getName.contains("checkpoint") ||
+      f.getName == "_last_checkpoint" ||
+      DeltaMeta.segmentVersion(f.getName).exists(_._1 == 0L))
+      .foreach(_.delete())
+    val e = intercept[IllegalArgumentException](
+      DeltaMeta.protocolInfo(spark, d).collect())
+    assert(e.getMessage.contains("no protocol action"))
+  }
+
+  test("schema conformance surfaces live files with no footer evidence") {
+    val d = Files.createTempDirectory("graft_delta_conf").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    // a live file gone from disk (failed copy, manual delete): the
+    // audit must SURFACE it with null evidence, not drop the row
+    assert(new java.io.File(d, "f6.parquet").delete())
+    val rows = DeltaMeta.schemaConformance(spark, d).collect()
+    assert(rows.length === 5) // still the full live set
+    val f6 = rows.find(_.getString(0).endsWith("f6.parquet")).get
+    assert(f6.getAs[Int]("n_declared") === 3)
+    assert(f6.isNullAt(f6.fieldIndex("n_present")))
+    assert(f6.isNullAt(f6.fieldIndex("missing_csv")))
+    rows.filterNot(_.getString(0).endsWith("f6.parquet")).foreach { r =>
+      assert(r.getAs[Int]("n_present") === 2)
+      assert(r.getAs[String]("missing_csv") === "quality")
+    }
+  }
+
+  test("store publish keeps old or new store across rename failures") {
+    val base = Files.createTempDirectory("graft_publish").toString
+    val store = base + "/store"
+    def writeDir(dir: String, tag: String): Unit = {
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.write(new java.io.File(dir, "data").toPath,
+        tag.getBytes("UTF-8"))
+    }
+    def tagOf(dir: String): String = new String(java.nio.file.Files
+      .readAllBytes(new java.io.File(dir, "data").toPath), "UTF-8")
+    // normal publish: _next replaces the store, no _old residue
+    writeDir(store, "v1")
+    writeDir(store + "_next", "v2")
+    DeltaMeta.publishStore(store)
+    assert(tagOf(store) === "v2")
+    assert(!new java.io.File(store + "_old").exists())
+    assert(!new java.io.File(store + "_next").exists())
+    // failed publish (no _next staged): the PREVIOUS store survives —
+    // the delete-then-rename shape would have destroyed it first
+    val e = intercept[java.io.IOException](DeltaMeta.publishStore(store))
+    assert(e.getMessage.contains("could not publish"))
+    assert(tagOf(store) === "v2")
+  }
 }
