@@ -773,9 +773,10 @@ object SparkEntry {
     // DELTA PROTOCOL compatibility report: the latest protocol action's
     // versions + feature lists and the tier's own `supported` verdict
     // (v3 tables are faithful iff every readerFeature is understood —
-    // v2Checkpoint is NOT, predicted up front instead of failing
-    // later). Oracle: DuckDB replays the same protocol actions and
-    // recomputes the same verdict with list_has_all.
+    // deletionVectors and v2Checkpoint both are; an unknown future
+    // feature is predicted up front instead of failing later). Oracle:
+    // DuckDB replays the same protocol actions and recomputes the same
+    // verdict with list_has_all.
     "meta_delta_protocol" -> ((s, dir) => {
       val out = "/tmp/graft_deltaproto_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
@@ -916,6 +917,23 @@ object SparkEntry {
           sum(col("dv_cardinality")).cast("long").as("dv_deleted"),
           (sum(col("num_records")) - sum(col("dv_cardinality")))
             .cast("long").as("net_rows"))
+    }),
+
+    // DELTA V2 (sidecar) CHECKPOINT: the v2Checkpoint layout — the
+    // checkpoint MANIFEST carries only pointers + non-file actions;
+    // add/remove live in _delta_log/_sidecars parts. Commits 0..2 are
+    // log-cleaned, so the live set MUST replay through the sidecars
+    // (the manifest's pointer rows are the only route to the
+    // checkpointed adds). Oracle: DuckDB reads the SAME sidecar parquet
+    // + the surviving JSON tail and applies the same composite-rank
+    // arg_max replay.
+    "meta_delta_v2ckpt" -> ((s, dir) => {
+      val out = "/tmp/graft_deltav2_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeV2CheckpointFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.snapshotFiles(s, out)
+        .select(col("path"), col("version"), col("num_records"))
     }),
 
     // ICEBERG metadata tier, snapshot level: one row per snapshot of a
@@ -5363,6 +5381,34 @@ object SparkEntry {
         |    FILTER (WHERE live) AS BIGINT) AS live_rows
         |FROM latest GROUP BY v""".stripMargin,
 
+    "meta_delta_v2ckpt" ->
+      """WITH acts AS (
+        |  SELECT CAST(2 AS BIGINT) AS cv, add.path AS apath,
+        |    remove.path AS rpath, add.stats AS stats
+        |  FROM read_parquet(
+        |    '/tmp/graft_deltav2_sf0.01/_delta_log/_sidecars/*.parquet',
+        |    union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS cv,
+        |    add.path, remove.path, add.stats
+        |  FROM read_json_auto('/tmp/graft_deltav2_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    arg_max(apath IS NOT NULL,
+        |      cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS live,
+        |    arg_max(cv, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS v,
+        |    arg_max(stats, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS stats
+        |  FROM acts GROUP BY 1
+        |)
+        |SELECT path, CAST(v AS BIGINT) AS version,
+        |  CAST(json_extract(stats, '$.numRecords') AS BIGINT) AS num_records
+        |FROM latest WHERE live""".stripMargin,
+
     "meta_iceberg_partition_prune" ->
       """SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM parquet_file_metadata(
@@ -5592,8 +5638,8 @@ object SparkEntry {
         |  array_to_string(CAST(p->'$.writerFeatures' AS VARCHAR[]), ',')
         |    AS writer_features_csv,
         |  (CAST(p->>'$.minReaderVersion' AS INTEGER) <= 2 OR list_has_all(
-        |    ['deletionVectors', 'columnMapping', 'timestampNtz',
-        |     'typeWidening', 'vacuumProtocolCheck'],
+        |    ['deletionVectors', 'v2Checkpoint', 'columnMapping',
+        |     'timestampNtz', 'typeWidening', 'vacuumProtocolCheck'],
         |    coalesce(CAST(p->'$.readerFeatures' AS VARCHAR[]),
         |      CAST([] AS VARCHAR[])))) AS supported
         |FROM latest""".stripMargin,

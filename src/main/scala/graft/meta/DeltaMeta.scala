@@ -225,36 +225,20 @@ object DeltaMeta {
   def snapshotFiles(spark: SparkSession, table: String): DataFrame =
     snapshotFilesAt(spark, table, None)
 
-  /** The pinned `(add, remove, version)` action frame for a set of log
-    * segments: JSON commits through the schema-pinned read (version from
-    * the file name), checkpoint parts through the field-by-field
-    * re-projection (DV-aware, V2-sidecar refusing). Shared by the batch
-    * replay and the streaming live-store maintenance. */
-  private def decodeActions(
-      spark: SparkSession, table: String,
-      ckptPaths: Seq[String], ckptVersion: Long,
-      tailPaths: Seq[String]): DataFrame = {
-    val tail =
-      if (tailPaths.isEmpty) None
-      else Some(spark.read.schema(logSchema).json(tailPaths: _*)
-        .withColumn("version",
-          regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long")))
-    val ckpt =
-      if (ckptPaths.isEmpty) None
+  /** The pinned `(add, remove)` file-action re-projection of one
+    * checkpoint-shaped frame: `add`/`remove` re-built FIELD BY FIELD
+    * (checkpoints carry protocol/metaData/txn columns and
+    * writer-specific add fields the replay doesn't need; a struct cast
+    * would demand exact arity), `deletionVector` absent-tolerant
+    * (pre-v3 writers), a missing `add`/`remove` column a typed null
+    * (a V2 manifest whose file actions all live in sidecars has
+    * neither). */
+  private def fileActionProjection(df: DataFrame): DataFrame = {
+    val names = df.schema.fieldNames.toSet
+    val addCol: Column =
+      if (!names.contains("add")) lit(null).cast(addType)
       else {
-        val raw = spark.read.parquet(ckptPaths: _*)
-        // V2 checkpoints park add/remove actions in _delta_log/_sidecars
-        // files; the top-level part carries only pointers. Reading it as
-        // the snapshot would silently reconstruct an near-empty live set
-        // — refuse rather than lie.
-        val top = raw.schema.fieldNames.toSet
-        if (top.contains("checkpointMetadata") || top.contains("sidecar")) {
-          throw new UnsupportedOperationException(
-            s"$table: V2 (sidecar) checkpoint at version $ckptVersion is " +
-              "not supported: its add/remove actions live in " +
-              "_delta_log/_sidecars files, not in the checkpoint itself")
-        }
-        val addStruct = raw.schema("add").dataType.asInstanceOf[StructType]
+        val addStruct = df.schema("add").dataType.asInstanceOf[StructType]
         // deletionVector appears only on protocol-v3+ writers; absent →
         // null (and each descriptor subfield is matched by name, so a
         // writer with extra fields still decodes)
@@ -274,23 +258,102 @@ object DeltaMeta {
               f("sizeInBytes", IntegerType),
               f("cardinality", LongType)))
           }
-        // re-project the pinned action subset field by field
-        // (checkpoints carry protocol/metaData/txn columns and
-        // writer-specific add fields the replay doesn't need; a struct
-        // cast would demand exact arity)
-        Some(raw.select(
-          when(col("add").isNotNull, struct(
-            col("add.path").as("path"),
-            col("add.partitionValues").as("partitionValues"),
-            col("add.size").as("size"),
-            col("add.modificationTime").as("modificationTime"),
-            col("add.dataChange").as("dataChange"),
-            col("add.stats").as("stats"),
-            dvCol.as("deletionVector"))).as("add"),
-          when(col("remove").isNotNull, struct(
-            col("remove.path").as("path"),
-            col("remove.deletionTimestamp").as("deletionTimestamp"),
-            col("remove.dataChange").as("dataChange"))).as("remove"))
+        when(col("add").isNotNull, struct(
+          col("add.path").as("path"),
+          col("add.partitionValues").as("partitionValues"),
+          col("add.size").as("size"),
+          col("add.modificationTime").as("modificationTime"),
+          col("add.dataChange").as("dataChange"),
+          col("add.stats").as("stats"),
+          dvCol.as("deletionVector")))
+      }
+    val removeCol: Column =
+      if (!names.contains("remove")) lit(null).cast(removeType)
+      else when(col("remove").isNotNull, struct(
+        col("remove.path").as("path"),
+        col("remove.deletionTimestamp").as("deletionTimestamp"),
+        col("remove.dataChange").as("dataChange")))
+    df.select(addCol.as("add"), removeCol.as("remove"))
+  }
+
+  /** The pinned `(add, remove, version)` action frame for a set of log
+    * segments: JSON commits through the schema-pinned read (version from
+    * the file name), checkpoint parts through the field-by-field
+    * re-projection (DV-aware, V2-sidecar-following). Shared by the batch
+    * replay and the streaming live-store maintenance.
+    *
+    * V2 (sidecar) checkpoints — protocol feature `v2Checkpoint` — park
+    * their file actions in parquet parts under `_delta_log/_sidecars`; the
+    * checkpoint MANIFEST carries `checkpointMetadata` + one `sidecar`
+    * pointer row per part (or, sidecar-free, the file actions inline).
+    * The sidecar NAMES are a bounded driver boundary (one row per
+    * sidecar file); the sidecar CONTENTS stay a distributed parquet
+    * scan through the same re-projection as a V1 checkpoint — a
+    * checkpoint with millions of adds still scales like any parquet
+    * read. A manifest with neither sidecar pointers nor inline file
+    * actions is an unknown layout and refuses — no evidence, never an
+    * empty live set. */
+  private def decodeActions(
+      spark: SparkSession, table: String,
+      ckptPaths: Seq[String], ckptVersion: Long,
+      tailPaths: Seq[String]): DataFrame = {
+    val tail =
+      if (tailPaths.isEmpty) None
+      else Some(spark.read.schema(logSchema).json(tailPaths: _*)
+        .withColumn("version",
+          regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long")))
+    val ckpt =
+      if (ckptPaths.isEmpty) None
+      else {
+        val raw = spark.read.parquet(ckptPaths: _*)
+        val top = raw.schema.fieldNames.toSet
+        val actionFrames: Seq[DataFrame] =
+          if (top.contains("checkpointMetadata") || top.contains("sidecar")) {
+            // V2: collect the sidecar pointer rows (names only), resolve
+            // each against _delta_log/_sidecars, and read the parts as
+            // one distributed scan
+            val sidecarNames: Seq[String] =
+              if (!top.contains("sidecar")) Seq.empty
+              else raw.filter(col("sidecar").isNotNull)
+                .select(col("sidecar.path")).collect()
+                .map(_.getString(0)).toSeq
+            if (sidecarNames.isEmpty && !top.contains("add") &&
+                !top.contains("remove")) {
+              throw new UnsupportedOperationException(
+                s"$table: V2 checkpoint at version $ckptVersion has " +
+                  "neither sidecar pointers nor inline add/remove " +
+                  "actions — unknown layout, refusing to reconstruct " +
+                  "an empty snapshot from it")
+            }
+            val conf = spark.sessionState.newHadoopConf()
+            val scDir = new Path(new Path(table), "_delta_log/_sidecars")
+            val fs = scDir.getFileSystem(conf)
+            val scPaths = sidecarNames.map { n =>
+              // sidecar paths are URI-encoded names relative to
+              // _delta_log/_sidecars — or absolute URIs, like add.path
+              val decoded = java.net.URLDecoder.decode(n, "UTF-8")
+              val p =
+                if (decoded.contains("://") || decoded.startsWith("/")) {
+                  new Path(decoded)
+                } else new Path(scDir, decoded)
+              if (!fs.exists(p)) {
+                throw new IllegalArgumentException(
+                  s"$table: V2 checkpoint at version $ckptVersion names " +
+                    s"sidecar '$n' but it is missing from " +
+                    s"$scDir — cannot reconstruct a partial snapshot")
+              }
+              p.toString
+            }
+            // the manifest MAY also carry inline file actions next to
+            // its pointers; both legs go through the same re-projection
+            (if (top.contains("add") || top.contains("remove")) Seq(raw)
+             else Seq.empty) ++
+              (if (scPaths.nonEmpty) {
+                Seq(spark.read.parquet(scPaths: _*))
+              } else Seq.empty)
+          } else Seq(raw)
+        Some(actionFrames.map(fileActionProjection)
+          .reduce(_ unionByName _)
           .withColumn("version", lit(ckptVersion)))
       }
     (tail, ckpt) match {
@@ -438,14 +501,13 @@ object DeltaMeta {
 
   /** Reader features whose presence does NOT change what this metadata
     * tier reports: deletionVectors (decoded, net-row aware),
-    * columnMapping / timestampNtz / typeWidening (data-plane concerns —
-    * the log's paths and numRecords are unaffected),
-    * vacuumProtocolCheck (vacuum-time only). Pointedly ABSENT:
-    * `v2Checkpoint` — sidecar checkpoints change where the actions live
-    * and [[snapshotFiles]] refuses them. */
+    * v2Checkpoint (sidecar parts followed through the same re-projected
+    * replay — see [[decodeActions]]), columnMapping / timestampNtz /
+    * typeWidening (data-plane concerns — the log's paths and numRecords
+    * are unaffected), vacuumProtocolCheck (vacuum-time only). */
   val UnderstoodReaderFeatures: Set[String] = Set(
-    "deletionVectors", "columnMapping", "timestampNtz", "typeWidening",
-    "vacuumProtocolCheck")
+    "deletionVectors", "v2Checkpoint", "columnMapping", "timestampNtz",
+    "typeWidening", "vacuumProtocolCheck")
 
   /**
    * The table's PROTOCOL posture, one row: the latest protocol action's
@@ -1131,6 +1193,84 @@ object DeltaMeta {
     writeCommit(2, commitInfoLine(2) +:
       tail2.takeRight(1).flatMap(l => (0 to 1).map(p => addJson(s"lang=$l/f$p.parquet", l, 2))))
     counts.toMap
+  }
+
+  /**
+   * The base fixture RE-CHECKPOINTED in the V2 (sidecar) layout — the
+   * protocol's `v2Checkpoint` feature: the classic v2 checkpoint part
+   * is replaced by a MANIFEST (`<v>.checkpoint.graftv2.parquet`)
+   * holding `checkpointMetadata`, one `sidecar` pointer row per part,
+   * and the non-file actions (protocol/metaData/txn — the spec keeps
+   * them in the manifest), while the add/remove FILE actions move to
+   * `_delta_log/_sidecars/{sc1,sc2}.parquet` (adds and removes split
+   * across parts). Commits 0..2 are then DELETED (log cleanup, which
+   * v2Checkpoint tables rely on): the replay has no JSON fallback —
+   * it MUST follow the pointers through the sidecars.
+   */
+  def writeV2CheckpointFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeFixtureTable(spark, dir, docs)
+    val logDir = new java.io.File(dir, "_delta_log")
+    val classic = new java.io.File(logDir, f"${2L}%020d.checkpoint.parquet")
+    val ckpt = spark.read.parquet(classic.getPath)
+    val scDir = new java.io.File(logDir, "_sidecars")
+    scDir.mkdirs()
+    def writeOnePart(df: DataFrame, dst: java.io.File): Unit = {
+      val tmp = dir + "_v2tmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    // file actions out to the sidecars: adds in sc1, removes in sc2
+    writeOnePart(ckpt.filter(col("add").isNotNull).select("add", "remove"),
+      new java.io.File(scDir, "sc1.parquet"))
+    writeOnePart(
+      ckpt.filter(col("add").isNull && col("remove").isNotNull)
+        .select("add", "remove"),
+      new java.io.File(scDir, "sc2.parquet"))
+    // the manifest: non-file actions + checkpointMetadata + pointers,
+    // and NO add/remove columns at all
+    val protoT = ckpt.schema("protocol").dataType
+    val metaT = ckpt.schema("metaData").dataType
+    val txnT = ckpt.schema("txn").dataType
+    val cmT = StructType(Seq(StructField("version", LongType)))
+    val scT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val nonFile = ckpt.filter(col("add").isNull && col("remove").isNull)
+      .select(col("protocol"), col("metaData"), col("txn"),
+        lit(null).cast(cmT).as("checkpointMetadata"),
+        lit(null).cast(scT).as("sidecar"))
+    val cmRow = spark.range(1).select(
+      lit(null).cast(protoT).as("protocol"),
+      lit(null).cast(metaT).as("metaData"),
+      lit(null).cast(txnT).as("txn"),
+      struct(lit(2L).as("version")).as("checkpointMetadata"),
+      lit(null).cast(scT).as("sidecar"))
+    val scRows = {
+      import spark.implicits._
+      Seq("sc1.parquet", "sc2.parquet").map { n =>
+        val f = new java.io.File(scDir, n)
+        (n, f.length(), f.lastModified())
+      }.toDF("p", "s", "m").select(
+        lit(null).cast(protoT).as("protocol"),
+        lit(null).cast(metaT).as("metaData"),
+        lit(null).cast(txnT).as("txn"),
+        lit(null).cast(cmT).as("checkpointMetadata"),
+        struct(col("p").as("path"), col("s").as("sizeInBytes"),
+          col("m").as("modificationTime")).as("sidecar"))
+    }
+    writeOnePart(nonFile.unionByName(cmRow).unionByName(scRows),
+      new java.io.File(logDir, f"${2L}%020d.checkpoint.graftv2.parquet"))
+    classic.delete()
+    // log cleanup: the commits the checkpoint covers are gone
+    logDir.listFiles().filter(f => f.getName.endsWith(".json") &&
+      segmentVersion(f.getName).exists(_._1 <= 2L)).foreach(_.delete())
+    counts
   }
 
   /**

@@ -211,23 +211,60 @@ class DeltaSourceSpec extends SparkSpec {
     }
   }
 
-  test("V2 sidecar checkpoint refuses instead of lying") {
+  test("V2 sidecar checkpoint replays through its sidecar parts") {
     val d = Files.createTempDirectory("graft_delta_v2ck").toString + "/tbl"
-    DeltaMeta.writeFixtureTable(spark, d, docs)
-    // overwrite v4 with a V2-shaped checkpoint part: checkpointMetadata +
-    // sidecar columns, no embedded actions
-    val log = new java.io.File(d, "_delta_log")
-    val v2ck = spark.range(1).select(
-      struct(lit(4L).as("version")).as("checkpointMetadata"),
-      struct(lit("sc.parquet").as("path")).as("sidecar"))
-    val tmp = Files.createTempDirectory("graft_v2ck_tmp").toString + "/p"
-    v2ck.coalesce(1).write.mode("overwrite").parquet(tmp)
+    DeltaMeta.writeV2CheckpointFixtureTable(spark, d, docs)
+    // commits 0..2 are gone: the checkpointed state can ONLY come from
+    // the sidecar parts the manifest points at
+    val live = DeltaMeta.snapshotFiles(spark, d)
+      .select("path", "version", "num_records").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(live.keySet === Set("f0.parquet", "f3.parquet", "f4.parquet",
+      "f5.parquet", "f6.parquet"))
+    // sidecar-sourced files carry the checkpoint version; tail, theirs
+    assert(live("f0.parquet")._1 === 2L)
+    assert(live("f5.parquet")._1 === 3L)
+    assert(live("f6.parquet")._1 === 4L)
+    val expected = docs.filter(pmod(col("doc_id"), lit(7)).isin(0, 3, 4, 5, 6)).count()
+    assert(live.values.map(_._2).sum === expected)
+    // non-file actions stayed in the MANIFEST: protocol/schema/txn
+    // reports answer from it even with the covered commits deleted
+    assert(DeltaMeta.protocolInfo(spark, d).collect()(0)
+      .getAs[Int]("min_reader_version") === 1)
+    val hist = DeltaMeta.schemaHistory(spark, d).orderBy("version").collect()
+    assert(hist.map(_.getAs[Long]("version")).toSeq === Seq(2L, 4L))
+    val txns = DeltaMeta.latestTransactions(spark, d).orderBy("app_id")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("txn_version")))
+    assert(txns.toSeq === Seq(("ingest-a", 11L), ("ingest-b", 7L)))
+    // time travel INTO the checkpoint still works
+    val atCkpt = DeltaMeta.snapshotFilesAt(spark, d, Some(2L))
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(atCkpt === Set("f0.parquet", "f2.parquet", "f3.parquet", "f4.parquet"))
+  }
+
+  test("V2 checkpoint refusals: missing sidecar, unknown layout") {
+    // a manifest whose named sidecar is GONE: refusing beats silently
+    // reconstructing a partial snapshot from the surviving parts
+    val d = Files.createTempDirectory("graft_delta_v2miss").toString + "/tbl"
+    DeltaMeta.writeV2CheckpointFixtureTable(spark, d, docs)
+    assert(new java.io.File(d, "_delta_log/_sidecars/sc2.parquet").delete())
+    val e1 = intercept[Exception](DeltaMeta.snapshotFiles(spark, d).collect())
+    assert(causeMessages(e1).contains("missing from"))
+    // a checkpointMetadata-only manifest (no pointers, no inline
+    // actions): unknown layout — refuse, never an empty live set
+    val d2 = Files.createTempDirectory("graft_delta_v2bad").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d2, docs)
+    val log2 = new java.io.File(d2, "_delta_log")
+    val bad = spark.range(1).select(
+      struct(lit(4L).as("version")).as("checkpointMetadata"))
+    val tmp = Files.createTempDirectory("graft_v2bad_tmp").toString + "/p"
+    bad.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
     java.nio.file.Files.copy(part.toPath,
-      new java.io.File(log, f"${4L}%020d.checkpoint.parquet").toPath)
-    val e = intercept[Exception](DeltaMeta.snapshotFiles(spark, d).collect())
-    assert(causeMessages(e).contains("V2 (sidecar) checkpoint"))
+      new java.io.File(log2, f"${4L}%020d.checkpoint.parquet").toPath)
+    val e2 = intercept[Exception](DeltaMeta.snapshotFiles(spark, d2).collect())
+    assert(causeMessages(e2).contains("unknown layout"))
   }
 
   test("footer action counts ignore embedded-leaf impostor columns") {
@@ -406,18 +443,21 @@ class DeltaSourceSpec extends SparkSpec {
     assert(p1.getAs[scala.collection.Seq[String]]("reader_features").toSeq === Seq("deletionVectors"))
     assert(p1.getAs[Boolean]("supported"))
     // an upgrade to a feature this tier does NOT understand flips the
-    // verdict — the v2Checkpoint refusal, predicted up front
+    // verdict up front instead of failing later (v2Checkpoint is now
+    // understood — sidecars replay — so a future unknown stands in)
     val ts6 = 1700000006000L
     java.nio.file.Files.write(
       new java.io.File(d, "_delta_log/" + f"${6L}%020d.json").toPath,
       (s"""{"commitInfo":{"timestamp":$ts6,"operation":"UPGRADE"}}""" + "\n" +
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors","v2Checkpoint"],""" +
-        """"writerFeatures":["deletionVectors","v2Checkpoint"]}}""" + "\n")
+        """"readerFeatures":["deletionVectors","futureUnknownFeature"],""" +
+        """"writerFeatures":["deletionVectors","futureUnknownFeature"]}}""" + "\n")
         .getBytes("UTF-8"))
     val p2 = DeltaMeta.protocolInfo(spark, d).collect()(0)
     assert(!p2.getAs[Boolean]("supported"))
-    assert(p2.getAs[scala.collection.Seq[String]]("reader_features").contains("v2Checkpoint"))
+    assert(p2.getAs[scala.collection.Seq[String]]("reader_features").contains("futureUnknownFeature"))
+    // v2Checkpoint alone IS understood
+    assert(DeltaMeta.UnderstoodReaderFeatures.contains("v2Checkpoint"))
   }
 
   test("streaming live-store maintenance tracks the log incrementally") {
