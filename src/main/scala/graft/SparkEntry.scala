@@ -936,6 +936,45 @@ object SparkEntry {
         .select(col("path"), col("version"), col("num_records"))
     }),
 
+    // DELTA COLUMN MAPPING (name mode) conformance: data files carry
+    // PHYSICAL names (c1), the declared schema speaks LOGICAL names
+    // (doc_id/lang/quality -> c1/c2/c3 via each field's
+    // delta.columnMapping.physicalName). The audit joins footers by
+    // physical name, reports missing columns by logical name, and
+    // excludes the partition column (never inside data files). Oracle:
+    // DuckDB parses the same schemaString mapping and diffs the same
+    // parquet_schema footers.
+    "meta_delta_colmap" -> ((s, dir) => {
+      val out = "/tmp/graft_deltacm_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeColumnMappedFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.schemaConformance(s, out)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+          col("n_declared"), col("n_present"), col("missing_csv"))
+    }),
+
+    // DELTA COLUMN MAPPING partition prune: add.partitionValues is
+    // keyed by the PHYSICAL partition column name (c2) — the logical
+    // probe "lang = 'zh'" must translate through columnMappingInfo
+    // before the lookup (mapping-blind pruning silently matches
+    // NOTHING). Oracle: DuckDB derives the same physical name from the
+    // schemaString and probes the same add actions dynamically.
+    "meta_delta_colmap_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_deltacm_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeColumnMappedFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val (_, mapping) = DeltaMeta.columnMappingInfo(s, out)
+      val live = DeltaMeta.snapshotFiles(s, out)
+      val pruned = live.filter(
+        element_at(col("partition_values"), mapping("lang")) === "zh")
+      live.agg(count(lit(1)).cast("long").as("n_files"))
+        .crossJoin(pruned.agg( // 1x1: two single-row aggregates
+          count(lit(1)).cast("long").as("n_pruned"),
+          sum(col("num_records")).cast("long").as("pruned_rows")))
+    }),
+
     // ICEBERG metadata tier, snapshot level: one row per snapshot of a
     // hand-written (public-spec) filesystem table — two snapshots in one
     // v1.metadata.json, the second current. The oracle is a REAL
@@ -5408,6 +5447,76 @@ object SparkEntry {
         |SELECT path, CAST(v AS BIGINT) AS version,
         |  CAST(json_extract(stats, '$.numRecords') AS BIGINT) AS num_records
         |FROM latest WHERE live""".stripMargin,
+
+    "meta_delta_colmap" ->
+      """WITH metas AS (
+        |  SELECT CAST(metaData->>'$.schemaString' AS VARCHAR) AS ss,
+        |    CAST(metaData->'$.partitionColumns' AS VARCHAR[]) AS pcols,
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v
+        |  FROM read_json_auto('/tmp/graft_deltacm_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE metaData->>'$.id' IS NOT NULL
+        |),
+        |latest AS (SELECT arg_max(ss, v) AS ss, arg_max(pcols, v) AS pcols
+        |  FROM metas),
+        |nonpart AS (
+        |  SELECT f->>'$.name' AS logical,
+        |    f->>'$.metadata."delta.columnMapping.physicalName"' AS phys
+        |  FROM (SELECT unnest(CAST(ss->'$.fields' AS JSON[])) AS f
+        |    FROM latest)
+        |  WHERE NOT list_contains((SELECT pcols FROM latest), f->>'$.name')
+        |),
+        |live AS (
+        |  SELECT add.path AS p
+        |  FROM read_json_auto('/tmp/graft_deltacm_sf0.01/_delta_log/*.json',
+        |    format='newline_delimited', union_by_name=true)
+        |  WHERE add.path IS NOT NULL
+        |),
+        |cols AS (
+        |  SELECT parse_filename(file_name) AS f, list(DISTINCT name) AS present
+        |  FROM parquet_schema('/tmp/graft_deltacm_sf0.01/*.parquet')
+        |  WHERE num_children IS NULL OR num_children = 0
+        |  GROUP BY 1
+        |)
+        |SELECT l.p AS path,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM nonpart) AS n_declared,
+        |  CAST(len(c.present) AS INTEGER) AS n_present,
+        |  array_to_string(list_sort(list(n.logical)
+        |    FILTER (WHERE NOT list_contains(c.present, n.phys))), ',')
+        |    AS missing_csv
+        |FROM live l JOIN cols c ON c.f = l.p, nonpart n
+        |GROUP BY l.p, c.present""".stripMargin,
+
+    "meta_delta_colmap_prune" ->
+      """WITH metas AS (
+        |  SELECT CAST(metaData->>'$.schemaString' AS VARCHAR) AS ss,
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v
+        |  FROM read_json_auto('/tmp/graft_deltacm_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE metaData->>'$.id' IS NOT NULL
+        |),
+        |latest AS (SELECT arg_max(ss, v) AS ss FROM metas),
+        |phys AS (
+        |  SELECT f->>'$.metadata."delta.columnMapping.physicalName"' AS p
+        |  FROM (SELECT unnest(CAST(ss->'$.fields' AS JSON[])) AS f
+        |    FROM latest)
+        |  WHERE f->>'$.name' = 'lang'
+        |),
+        |adds AS (
+        |  SELECT json_extract_string(to_json(add.partitionValues),
+        |      '$.' || (SELECT p FROM phys)) AS lang,
+        |    CAST(json_extract(add.stats, '$.numRecords') AS BIGINT) AS nr
+        |  FROM read_json_auto('/tmp/graft_deltacm_sf0.01/_delta_log/*.json',
+        |    format='newline_delimited', union_by_name=true)
+        |  WHERE add.path IS NOT NULL
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM adds) AS n_files,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM adds WHERE lang = 'zh')
+        |    AS n_pruned,
+        |  (SELECT CAST(sum(nr) AS BIGINT) FROM adds WHERE lang = 'zh')
+        |    AS pruned_rows""".stripMargin,
 
     "meta_iceberg_partition_prune" ->
       """SELECT

@@ -678,13 +678,20 @@ object DeltaMeta {
   private val metaDataType = StructType(Seq(
     StructField("id", StringType),
     StructField("schemaString", StringType),
-    StructField("partitionColumns", ArrayType(StringType))))
+    StructField("partitionColumns", ArrayType(StringType)),
+    StructField("configuration", MapType(StringType, StringType))))
 
-  /** Just the field names of a Spark StructType json — enough for a
-    * drift audit without interpreting types. */
+  /** Field names + the column-mapping physical name of a Spark
+    * StructType json — enough for a drift audit and the
+    * logical→physical translation without interpreting types. (The
+    * mapping key is a literal dotted JSON key inside each field's
+    * `metadata`; access it with `getField`, never dotted-path
+    * resolution.) */
   private val schemaFieldsType =
     StructType(Seq(StructField("fields", ArrayType(StructType(Seq(
-      StructField("name", StringType), StructField("type", StringType)))))))
+      StructField("name", StringType), StructField("type", StringType),
+      StructField("metadata", StructType(Seq(StructField(
+        "delta.columnMapping.physicalName", StringType))))))))))
 
   /** The decoded `metaData` action frame — `(version, schema_id,
     * fields, partition_columns)`, field names carried as a REAL array
@@ -730,7 +737,39 @@ object DeltaMeta {
         col("metaData.id").as("schema_id"),
         from_json(col("metaData.schemaString"), schemaFieldsType)
           .getField("fields").as("fields"),
-        col("metaData.partitionColumns").as("partition_columns"))
+        col("metaData.partitionColumns").as("partition_columns"),
+        col("metaData.configuration").as("configuration"))
+  }
+
+  /** The table's COLUMN-MAPPING posture from the latest metaData
+    * action: `(mode, logical→physical)` — mode `"none"` when the
+    * `delta.columnMapping.mode` configuration is unset, the map empty
+    * for fields without a physicalName. Under mode `name` the PARQUET
+    * files carry the physical names (and `add.partitionValues` is
+    * keyed by them), so any audit that joins declared fields against
+    * footers must translate through this map first. A tiny driver
+    * boundary (one pair per declared column). */
+  def columnMappingInfo(
+      spark: SparkSession, table: String): (String, Map[String, String]) = {
+    val latest = metaDataFrame(spark, table)
+      .orderBy(col("version").desc).limit(1)
+      .select(
+        element_at(col("configuration"), "delta.columnMapping.mode").as("mode"),
+        transform(col("fields"), f => struct(
+          f.getField("name").as("l"),
+          f.getField("metadata")
+            .getField("delta.columnMapping.physicalName").as("p"))).as("fp"))
+      .collect()
+    if (latest.isEmpty) ("none", Map.empty)
+    else {
+      val r = latest(0)
+      val mode = Option(r.getString(0)).getOrElse("none")
+      val fp = Option(r.getSeq[org.apache.spark.sql.Row](1))
+        .getOrElse(Seq.empty)
+        .flatMap(x => Option(x.getString(1)).map(p => x.getString(0) -> p))
+        .toMap
+      (mode, fp)
+    }
   }
 
   /**
@@ -767,12 +806,33 @@ object DeltaMeta {
     // as a real array end to end (a comma INSIDE a field name is data)
     val latest = metaDataFrame(spark, table)
       .orderBy(col("version").desc).limit(1)
-      .select(transform(col("fields"), f => f.getField("name")).as("names"))
+      .select(transform(col("fields"), f => f.getField("name")).as("names"),
+        col("partition_columns"))
       .collect()
     if (latest.isEmpty) {
       throw new IllegalArgumentException(s"$table: no metaData action in the log")
     }
-    val declared = latest(0).getSeq[String](0)
+    // column mapping: under mode `name` the files carry PHYSICAL names;
+    // the footer join must compare against them, the report must speak
+    // in LOGICAL names. Mode `id` matches by parquet field id, which
+    // the footer facts do not carry — refuse, never misreport. Checked
+    // FIRST: an unsupported table must refuse even with an unreadable
+    // declared field list.
+    val (mode, mapping) = columnMappingInfo(spark, table)
+    if (mode != "none" && mode != "name") {
+      throw new UnsupportedOperationException(
+        s"$table: columnMapping mode '$mode' is not supported by the " +
+          "conformance audit (its physical matching is by parquet field " +
+          "id, not by name)")
+    }
+    // partition columns never live INSIDE the data files (Delta derives
+    // them from partitionValues) — auditing them as "missing" would
+    // flag every file of every partitioned table
+    val partitionCols =
+      Option(latest(0).getSeq[String](1)).getOrElse(Seq.empty).toSet
+    val declared = Option(latest(0).getSeq[String](0)).getOrElse(Seq.empty)
+      .filterNot(partitionCols.contains)
+    val physical = declared.map(l => mapping.getOrElse(l, l))
     val live = snapshotFiles(spark, table).select(col("abs_path"))
     // physical TOP-LEVEL names: leaf paths' first dotted segment (nested
     // columns conform if their root field is present)
@@ -790,8 +850,11 @@ object DeltaMeta {
         when(size(col("present")) === 0, lit(null))
           .otherwise(size(col("present"))).cast("int").as("n_present"),
         when(size(col("present")) === 0, lit(null).cast("string"))
-          .otherwise(array_join(array_sort(array_except(
-            lit(declared.toArray), col("present"))), ",")).as("missing_csv"))
+          .otherwise(array_join(array_sort(filter(
+            lit(declared.toArray),
+            (l, i) => !array_contains(col("present"),
+              element_at(lit(physical.toArray), i + 1)))), ","))
+          .as("missing_csv"))
   }
 
   /**
@@ -1095,7 +1158,9 @@ object DeltaMeta {
           struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"),
           struct(lit("graft-fixture").as("id"),
             lit(schemaV0Raw).as("schemaString"),
-            lit(Array.empty[String]).as("partitionColumns")).as("metaData"),
+            lit(Array.empty[String]).as("partitionColumns"),
+            lit(null).cast(MapType(StringType, StringType))
+              .as("configuration")).as("metaData"),
           lit(null).cast(txnType).as("txn"))
       // ingest-a's reconciled high-water mark as of v2 (its v1 commit
       // is what log cleanup would delete first)
@@ -1271,6 +1336,88 @@ object DeltaMeta {
     logDir.listFiles().filter(f => f.getName.endsWith(".json") &&
       segmentVersion(f.getName).exists(_._1 <= 2L)).foreach(_.delete())
     counts
+  }
+
+  /**
+   * A COLUMN-MAPPED partitioned table against the public protocol —
+   * `delta.columnMapping.mode = name`: data files carry PHYSICAL
+   * column names (`c1` for logical `doc_id`), the logical names live
+   * only in the metaData schemaString (each field's
+   * `metadata."delta.columnMapping.physicalName"`), partition values
+   * are keyed by the PHYSICAL partition column name (`c2` for
+   * `lang`), and a v2 evolution declares `quality` → `c3` that no
+   * file carries. The shape where a mapping-blind audit reports every
+   * logical column missing and a mapping-blind prune matches nothing.
+   * Two langs × two parity files; returns rows per `p<i>.parquet`.
+   */
+  def writeColumnMappedFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    root.mkdirs()
+    val logDir = new java.io.File(root, "_delta_log")
+    logDir.mkdirs()
+
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val partOf = scala.collection.mutable.Map.empty[String, String]
+    for (q <- 0 until 4) {
+      // quarter q of the docs; p0/p1 are the en partition, p2/p3 zh —
+      // and the FILE schema is the physical one: a single column c1
+      val slice = docs.filter(pmod(col("doc_id"), lit(4)) === q)
+        .select(col("doc_id").as("c1"))
+      val rel = s"p$q.parquet"
+      val tmp = dir + s"_slice$q"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(root, rel).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      counts(rel) = slice.count()
+      partOf(rel) = if (q < 2) "en" else "zh"
+    }
+
+    val ts0 = 1700000000000L
+    def field(logical: String, phys: String, tpe: String): String =
+      s"""{\\"name\\":\\"$logical\\",\\"type\\":\\"$tpe\\",\\"nullable\\":true,""" +
+        s"""\\"metadata\\":{\\"delta.columnMapping.id\\":${phys.drop(1)},""" +
+        s"""\\"delta.columnMapping.physicalName\\":\\"$phys\\"}}"""
+    val schemaV0 = """{\"type\":\"struct\",\"fields\":[""" +
+      field("doc_id", "c1", "long") + "," + field("lang", "c2", "string") + "]}"
+    val schemaV2 = """{\"type\":\"struct\",\"fields\":[""" +
+      field("doc_id", "c1", "long") + "," + field("lang", "c2", "string") +
+      "," + field("quality", "c3", "double") + "]}"
+    def metaJson(schema: String): String =
+      s"""{"metaData":{"id":"graft-colmap","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schema","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"3"},"createdTime":$ts0}}"""
+    def addJson(rel: String, v: Long): String = {
+      val size = new java.io.File(root, rel).length()
+      // partitionValues keys are the PHYSICAL partition column name
+      s"""{"add":{"path":${jstr(rel)},"partitionValues":{"c2":${jstr(partOf(rel))}},""" +
+        s""""size":$size,"modificationTime":${ts0 + v * 1000},"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":${counts(rel)}}"}}"""
+    }
+    def writeCommit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(logDir, f"$v%020d.json").toPath,
+        lines.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeCommit(0, Seq(
+      s"""{"commitInfo":{"timestamp":$ts0,"operation":"WRITE"}}""",
+      // columnMapping requires reader 2 / writer 5 (pre-table-features)
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaJson(schemaV0),
+      addJson("p0.parquet", 0), addJson("p1.parquet", 0)))
+    writeCommit(1, Seq(
+      s"""{"commitInfo":{"timestamp":${ts0 + 1000},"operation":"WRITE"}}""",
+      addJson("p2.parquet", 1), addJson("p3.parquet", 1)))
+    writeCommit(2, Seq(
+      s"""{"commitInfo":{"timestamp":${ts0 + 2000},"operation":"ADD COLUMNS"}}""",
+      metaJson(schemaV2)))
+    counts.toMap
   }
 
   /**

@@ -628,6 +628,46 @@ class DeltaSourceSpec extends SparkSpec {
     }
   }
 
+  test("column mapping (name mode): conformance and prune translate") {
+    val d = Files.createTempDirectory("graft_delta_cm").toString + "/tbl"
+    DeltaMeta.writeColumnMappedFixtureTable(spark, d, docs)
+    val (mode, mapping) = DeltaMeta.columnMappingInfo(spark, d)
+    assert(mode === "name")
+    assert(mapping === Map("doc_id" -> "c1", "lang" -> "c2", "quality" -> "c3"))
+    // conformance speaks LOGICAL but joins PHYSICAL: every file has c1
+    // (= doc_id), none has c3 (= quality); the partition column lang
+    // is excluded (it never lives inside data files)
+    val rows = DeltaMeta.schemaConformance(spark, d).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_declared") === 2)
+      assert(r.getAs[Int]("n_present") === 1)
+      assert(r.getAs[String]("missing_csv") === "quality")
+    }
+    // partition pruning translates lang -> c2 before the lookup (the
+    // add actions key partitionValues by the PHYSICAL name)
+    val live = DeltaMeta.snapshotFiles(spark, d)
+    assert(live.filter(element_at(col("partition_values"), "lang") === "zh")
+      .count() === 0L) // mapping-blind prune silently matches nothing
+    val pruned = live
+      .filter(element_at(col("partition_values"), mapping("lang")) === "zh")
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(pruned === Set("p2.parquet", "p3.parquet"))
+    // id-mode mapping: matching is by parquet field id, which the
+    // footer facts do not carry — conformance refuses, never misreports
+    val ts3 = 1700000003000L
+    java.nio.file.Files.write(
+      new java.io.File(d, "_delta_log/" + f"${3L}%020d.json").toPath,
+      (s"""{"commitInfo":{"timestamp":$ts3,"operation":"SET TBLPROPERTIES"}}""" + "\n" +
+        s"""{"metaData":{"id":"graft-colmap","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"{}","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id"},"createdTime":$ts3}}""" + "\n")
+        .getBytes("UTF-8"))
+    val e = intercept[UnsupportedOperationException](
+      DeltaMeta.schemaConformance(spark, d).collect())
+    assert(e.getMessage.contains("columnMapping mode 'id'"))
+  }
+
   test("store publish keeps old or new store across rename failures") {
     val base = Files.createTempDirectory("graft_publish").toString
     val store = base + "/store"
