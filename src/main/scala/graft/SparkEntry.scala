@@ -936,6 +936,29 @@ object SparkEntry {
         .select(col("path"), col("version"), col("num_records"))
     }),
 
+    // DELTA DV ROW-WISE decode: the roaring64 payloads (one inline Z85,
+    // one u-storage framed file) decode to actual row POSITIONS, which
+    // join each file's own rows by _metadata.row_index — the net-rows
+    // audit verified row by row, not by descriptor cardinality. The
+    // fixture's files are doc_id-sorted, so the oracle recomputes the
+    // SAME deleted doc_ids closed-form: DuckDB ranks rows by doc_id and
+    // picks the planted positions.
+    "meta_delta_dv_rows" -> ((s, dir) => {
+      val out = "/tmp/graft_deltadvb_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeDvBitmapFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val pos = DeltaMeta.deletedPositions(s, out)
+      val rows = s.read.parquet(out + "/f0.parquet", out + "/f1.parquet")
+        .select(col("doc_id"),
+          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1).as("file"),
+          col("_metadata.row_index").as("ridx"))
+      pos.join(rows, pos("path") === rows("file") && pos("pos") === rows("ridx"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).cast("long").as("n_deleted"),
+          sum(col("doc_id")).cast("long").as("deleted_docid_sum"))
+    }),
+
     // DELTA COLUMN MAPPING (name mode) conformance: data files carry
     // PHYSICAL names (c1), the declared schema speaks LOGICAL names
     // (doc_id/lang/quality -> c1/c2/c3 via each field's
@@ -5447,6 +5470,23 @@ object SparkEntry {
         |SELECT path, CAST(v AS BIGINT) AS version,
         |  CAST(json_extract(stats, '$.numRecords') AS BIGINT) AS num_records
         |FROM latest WHERE live""".stripMargin,
+
+    "meta_delta_dv_rows" ->
+      """WITH f0 AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        |  FROM read_parquet('/tmp/graft_deltadvb_sf0.01/f0.parquet')
+        |),
+        |f1 AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        |  FROM read_parquet('/tmp/graft_deltadvb_sf0.01/f1.parquet')
+        |)
+        |SELECT 'f0.parquet' AS path, CAST(3 AS BIGINT) AS n_deleted,
+        |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM f0
+        |    WHERE pos IN (1, 3, 5)) AS deleted_docid_sum
+        |UNION ALL
+        |SELECT 'f1.parquet', CAST(2 AS BIGINT),
+        |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM f1
+        |    WHERE pos IN (0, 2))""".stripMargin,
 
     "meta_delta_colmap" ->
       """WITH metas AS (

@@ -453,7 +453,48 @@ object DeltaMeta {
         col("w.add.stats").as("stats"),
         col("w.add.deletionVector").isNotNull.as("has_dv"),
         coalesce(col("w.add.deletionVector.cardinality"), lit(0L))
-          .as("dv_cardinality"))
+          .as("dv_cardinality"),
+        col("w.add.deletionVector").as("deletion_vector"))
+  }
+
+  /**
+   * PER-ROW deletion-vector decode: `(path, pos)` — one row per
+   * logically-deleted row position in every live file carrying a DV,
+   * decoded from the actual roaring64 payloads (inline, `u`-stub or
+   * absolute files) via [[DvCodec]]. Makes the net-rows audit
+   * verifiable ROW-WISE: positions join against the file's own rows
+   * (`_metadata.row_index`), not just a cardinality subtraction. The
+   * decode runs EXECUTOR-side (a flatMap over the descriptor rows —
+   * one task per DV, the protocol's own granularity: a vector never
+   * spans files); cardinality disagreement between descriptor and
+   * payload refuses rather than undercounting.
+   */
+  def deletedPositions(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val rootStr = {
+      val p = new Path(table)
+      p.getFileSystem(conf.value).makeQualified(p).toString
+    }
+    snapshotFiles(spark, table).filter(col("has_dv"))
+      .select(col("path"),
+        col("deletion_vector.storageType"),
+        col("deletion_vector.pathOrInlineDv"),
+        col("deletion_vector.offset"),
+        col("deletion_vector.sizeInBytes"),
+        col("deletion_vector.cardinality"))
+      .as[(String, String, String, Option[Int], Int, Long)]
+      .flatMap { case (p, st, stub, off, size, card) =>
+        val positions = DvCodec.decodeDescriptor(
+          st, stub, off, size, new Path(rootStr), conf.value)
+        if (positions.length != card) {
+          throw new IllegalArgumentException(
+            s"$p: deletion vector decodes ${positions.length} positions " +
+              s"but its descriptor claims $card — refusing to miscount")
+        }
+        positions.map(pos => (p, pos))
+      }
+      .toDF("path", "pos")
   }
 
   private val protocolType = StructType(Seq(
@@ -1418,6 +1459,101 @@ object DeltaMeta {
       s"""{"commitInfo":{"timestamp":${ts0 + 2000},"operation":"ADD COLUMNS"}}""",
       metaJson(schemaV2)))
     counts.toMap
+  }
+
+  /**
+   * A Delta table with REAL roaring64 deletion vectors, both storage
+   * kinds: two data files sorted by `doc_id` (so row POSITIONS are
+   * closed-form: position k holds the k-th smallest doc_id of the
+   * slice), then a DELETE-without-rewrite commit attaching
+   *
+   *  - to `f0`: an INLINE DV (`storageType=i`, Z85 payload) deleting
+   *    positions 1, 3, 5;
+   *  - to `f1`: an on-disk `u`-storage DV (`deletion_vector_<uuid>.bin`
+   *    with the version byte + BE length + bitmap + BE CRC framing)
+   *    deleting positions 0 and 2.
+   *
+   * Every byte of both payloads is produced by [[DvCodec.encodeBitmap]]
+   * against the PUBLIC format (magic 1681511377 + portable roaring),
+   * which the decode side re-reads independently of this writer's
+   * in-memory state. Returns rows per file.
+   */
+  def writeDvBitmapFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    root.mkdirs()
+    val logDir = new java.io.File(root, "_delta_log")
+    logDir.mkdirs()
+
+    val counts = (0 to 1).map { parity =>
+      val rel = s"f$parity.parquet"
+      val slice = docs.filter(pmod(col("doc_id"), lit(2)) === parity)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+      val tmp = dir + s"_slice$parity"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(root, rel).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      rel -> slice.count()
+    }.toMap
+
+    val ts0 = 1700000000000L
+    def addJson(f: String, dv: String): String = {
+      val size = new java.io.File(root, f).length()
+      s"""{"add":{"path":${jstr(f)},"partitionValues":{},"size":$size,""" +
+        s""""modificationTime":$ts0,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":${counts(f)}}"""" +
+        (if (dv.isEmpty) "}}" else s""","deletionVector":$dv}}""")
+    }
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${0L}%020d.json").toPath,
+      (Seq(
+        s"""{"commitInfo":{"timestamp":$ts0,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],""" +
+          """"writerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"graft-dvbitmap","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"{}","partitionColumns":[],"configuration":{},"createdTime":$ts0}}""") ++
+        Seq(addJson("f0.parquet", ""), addJson("f1.parquet", "")))
+        .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // v1: DELETE-without-rewrite — inline DV on f0, u-storage on f1
+    val ts1 = ts0 + 1000
+    val inlineData = DvCodec.encodeBitmap(Array(1L, 3L, 5L))
+    val padded = inlineData ++
+      Array.fill[Byte]((4 - inlineData.length % 4) % 4)(0)
+    val inlineDv =
+      s"""{"storageType":"i","pathOrInlineDv":${jstr(DvCodec.z85Encode(padded))},""" +
+        s""""sizeInBytes":${inlineData.length},"cardinality":3}"""
+    val uuid = new java.util.UUID(0x0123456789ABCDEFL, 0xFEDCBA9876543210L)
+    val uuidBytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits)
+      .putLong(uuid.getLeastSignificantBits).array()
+    val (dvOff, dvSize) = DvCodec.writeDvFile(
+      new java.io.File(root, s"deletion_vector_$uuid.bin"), Array(0L, 2L))
+    val uDv =
+      s"""{"storageType":"u","pathOrInlineDv":${jstr(DvCodec.z85Encode(uuidBytes))},""" +
+        s""""offset":$dvOff,"sizeInBytes":$dvSize,"cardinality":2}"""
+    def removeJson(f: String): String =
+      s"""{"remove":{"path":${jstr(f)},"deletionTimestamp":$ts1,"dataChange":true}}"""
+    def addDvJson(f: String, dv: String): String = {
+      val size = new java.io.File(root, f).length()
+      s"""{"add":{"path":${jstr(f)},"partitionValues":{},"size":$size,""" +
+        s""""modificationTime":$ts1,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":${counts(f)}}","deletionVector":$dv}}"""
+    }
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${1L}%020d.json").toPath,
+      Seq(
+        s"""{"commitInfo":{"timestamp":$ts1,"operation":"DELETE"}}""",
+        removeJson("f0.parquet"), addDvJson("f0.parquet", inlineDv),
+        removeJson("f1.parquet"), addDvJson("f1.parquet", uDv))
+        .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
   }
 
   /**

@@ -1,0 +1,348 @@
+package graft.meta
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/**
+ * Delta Lake DELETION-VECTOR codec — the byte-level formats the public
+ * Delta protocol specifies for `add.deletionVector`:
+ *
+ *  - **Z85** (ZeroMQ base-85): inline DV payloads and the UUID inside
+ *    `u`-storage path stubs are Z85-encoded (4 bytes → 5 chars).
+ *  - **Portable RoaringBitmapArray**: the serialized bitmap is a 4-byte
+ *    LE magic (1681511377) + an 8-byte LE bitmap count + one standard
+ *    portable 32-bit RoaringBitmap per entry (RoaringFormatSpec: cookie
+ *    12346/12347, descriptive header, optional offset header, then
+ *    array / bitmap / run containers). The 64-bit row position is
+ *    `(bitmapIndex << 32) | value32`.
+ *  - **DV file framing** (`u`/`p` storage): a 1-byte format version
+ *    (0x01) at file start; each vector at `offset` is a 4-byte
+ *    BIG-endian length, the serialized bitmap, then a 4-byte BE CRC-32
+ *    of the bitmap bytes.
+ *
+ * Decode REFUSES (classified) on any mismatch — wrong magic, bad
+ * cookie, truncated container, length or checksum disagreement —
+ * because a half-read deletion vector silently resurrects deleted rows
+ * in every downstream count. The reference engine has no table-format
+ * tier at all (its scope ends at the parquet footer, reference:
+ * src/main/scala/com/github/sadikovi/metadata/DefaultSource.scala);
+ * this codec exists so the Delta tier's net-row audits are verifiable
+ * ROW-WISE, not just by descriptor cardinality.
+ */
+object DvCodec {
+
+  /** The portable-format magic number the Delta spec pins. */
+  val Magic: Int = 1681511377
+
+  private val SerialCookieNoRun = 12346
+  private val SerialCookieRun = 12347
+  private val NoOffsetThreshold = 4
+
+  // -------------------------------------------------------------------
+  // Z85
+  // -------------------------------------------------------------------
+
+  private val Z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+  private val Z85Decode: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    Z85Alphabet.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  /** Z85-encode `bytes` (length must be a multiple of 4). */
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0,
+      s"Z85 encodes 4-byte groups; got ${bytes.length} bytes")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var v = 0L
+      var j = 0
+      while (j < 4) { v = v * 256 + (bytes(i + j) & 0xFF); j += 1 }
+      var div = 85L * 85 * 85 * 85
+      while (div >= 1) {
+        sb.append(Z85Alphabet(((v / div) % 85).toInt))
+        div /= 85
+      }
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Z85-decode `s` (length must be a multiple of 5); refuses foreign
+    * characters. */
+  def z85Decode(s: String): Array[Byte] = {
+    require(s.length % 5 == 0,
+      s"Z85 decodes 5-char groups; got ${s.length} chars")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    var o = 0
+    while (i < s.length) {
+      var v = 0L
+      var j = 0
+      while (j < 5) {
+        val c = s.charAt(i + j)
+        val d = if (c < 128) Z85Decode(c.toInt) else -1
+        if (d < 0) {
+          throw new IllegalArgumentException(
+            s"not a Z85 character: '$c' at ${i + j}")
+        }
+        v = v * 85 + d
+        j += 1
+      }
+      var k = 3
+      while (k >= 0) { out(o + k) = (v & 0xFF).toByte; v >>= 8; k -= 1 }
+      o += 4
+      i += 5
+    }
+    out
+  }
+
+  // -------------------------------------------------------------------
+  // Portable RoaringBitmapArray decode
+  // -------------------------------------------------------------------
+
+  /** Decode a serialized portable RoaringBitmapArray (with its magic
+    * prefix) to sorted 64-bit row positions. */
+  def decodeBitmap(bytes: Array[Byte]): Array[Long] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (buf.remaining() < 12) {
+      throw new IllegalArgumentException(
+        s"deletion vector too short: ${bytes.length} bytes")
+    }
+    val magic = buf.getInt
+    if (magic != Magic) {
+      throw new IllegalArgumentException(
+        s"deletion vector magic mismatch: got $magic, want $Magic")
+    }
+    val nBitmaps = buf.getLong
+    if (nBitmaps < 0 || nBitmaps > Int.MaxValue) {
+      throw new IllegalArgumentException(
+        s"deletion vector bitmap count out of range: $nBitmaps")
+    }
+    val out = Array.newBuilder[Long]
+    var b = 0L
+    while (b < nBitmaps) {
+      decodeOneRoaring(buf, b << 32, out)
+      b += 1
+    }
+    out.result()
+  }
+
+  /** One standard portable 32-bit RoaringBitmap, appending
+    * `high | value32` positions. */
+  private def decodeOneRoaring(
+      buf: ByteBuffer, high: Long, out: scala.collection.mutable.Builder[Long, Array[Long]]): Unit = {
+    val cookie = buf.getInt
+    val (nContainers, runFlags) =
+      if ((cookie & 0xFFFF) == SerialCookieRun) {
+        val n = (cookie >>> 16) + 1
+        val flags = new Array[Byte]((n + 7) / 8)
+        buf.get(flags)
+        (n, flags)
+      } else if (cookie == SerialCookieNoRun) {
+        (buf.getInt, null)
+      } else {
+        throw new IllegalArgumentException(
+          s"roaring cookie mismatch: got $cookie")
+      }
+    def isRun(i: Int): Boolean =
+      runFlags != null && (runFlags(i / 8) & (1 << (i % 8))) != 0
+    val keys = new Array[Int](nContainers)
+    val cards = new Array[Int](nContainers)
+    var i = 0
+    while (i < nContainers) {
+      keys(i) = buf.getShort & 0xFFFF
+      cards(i) = (buf.getShort & 0xFFFF) + 1
+      i += 1
+    }
+    // the offset header exists for the no-run cookie and for runful
+    // bitmaps with >= 4 containers; sequential reads don't need the
+    // offsets, but the bytes must be consumed
+    if (runFlags == null || nContainers >= NoOffsetThreshold) {
+      buf.position(buf.position() + 4 * nContainers)
+    }
+    i = 0
+    while (i < nContainers) {
+      val base = high | (keys(i).toLong << 16)
+      if (isRun(i)) {
+        val nRuns = buf.getShort & 0xFFFF
+        var r = 0
+        while (r < nRuns) {
+          val start = buf.getShort & 0xFFFF
+          val len = buf.getShort & 0xFFFF
+          var v = 0
+          while (v <= len) { out += (base | (start + v).toLong); v += 1 }
+          r += 1
+        }
+      } else if (cards(i) <= 4096) {
+        var v = 0
+        while (v < cards(i)) {
+          out += (base | (buf.getShort & 0xFFFF).toLong)
+          v += 1
+        }
+      } else {
+        // bitmap container: 1024 LE longs
+        var w = 0
+        while (w < 1024) {
+          var word = buf.getLong
+          val wordBase = base | (w.toLong << 6)
+          while (word != 0) {
+            out += (wordBase | java.lang.Long.numberOfTrailingZeros(word))
+            word &= word - 1
+          }
+          w += 1
+        }
+      }
+      i += 1
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Portable RoaringBitmapArray encode (fixtures + tests)
+  // -------------------------------------------------------------------
+
+  /** Serialize sorted 64-bit positions to the portable format (magic
+    * included). Array containers only — ample for fixture-scale
+    * vectors; the decoder handles all three container kinds. */
+  def encodeBitmap(positions: Array[Long]): Array[Byte] = {
+    require(positions.sameElements(positions.sorted), "positions must be sorted")
+    val byBitmap = positions.groupBy(_ >>> 32).toSeq.sortBy(_._1)
+    val nBitmaps = if (byBitmap.isEmpty) 0L else byBitmap.last._1 + 1
+    val parts = (0L until nBitmaps).map { b =>
+      val vals = byBitmap.find(_._1 == b).map(_._2).getOrElse(Array.empty[Long])
+        .map(v => (v & 0xFFFFFFFFL).toInt)
+      encodeOneRoaring(vals)
+    }
+    val total = 12 + parts.map(_.length).sum
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(Magic)
+    buf.putLong(nBitmaps)
+    parts.foreach(buf.put)
+    buf.array()
+  }
+
+  private def encodeOneRoaring(values: Array[Int]): Array[Byte] = {
+    val byKey = values.groupBy(v => (v >>> 16) & 0xFFFF).toSeq.sortBy(_._1)
+    val n = byKey.size
+    require(byKey.forall(_._2.length <= 4096),
+      "fixture encoder writes array containers only (<= 4096 values)")
+    val size = 8 + 4 * n + 4 * n + byKey.map(_._2.length * 2).sum
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(SerialCookieNoRun)
+    buf.putInt(n)
+    byKey.foreach { case (k, vs) =>
+      buf.putShort(k.toShort)
+      buf.putShort((vs.length - 1).toShort)
+    }
+    var off = 8 + 4 * n + 4 * n
+    byKey.foreach { case (_, vs) =>
+      buf.putInt(off)
+      off += vs.length * 2
+    }
+    byKey.foreach { case (_, vs) =>
+      vs.sorted.foreach(v => buf.putShort((v & 0xFFFF).toShort))
+    }
+    buf.array()
+  }
+
+  // -------------------------------------------------------------------
+  // Descriptor resolution + file framing
+  // -------------------------------------------------------------------
+
+  /** Resolve a `u`-storage path stub: `[<random prefix>]<20-char Z85
+    * UUID>` → `<root>/[prefix/]deletion_vector_<uuid>.bin`. */
+  def dvFilePath(root: Path, pathOrInlineDv: String): Path = {
+    if (pathOrInlineDv.length < 20) {
+      throw new IllegalArgumentException(
+        s"u-storage DV stub too short: '$pathOrInlineDv'")
+    }
+    val (prefix, z85uuid) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
+    val bytes = z85Decode(z85uuid)
+    val bb = ByteBuffer.wrap(bytes)
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    val name = s"deletion_vector_$uuid.bin"
+    if (prefix.isEmpty) new Path(root, name)
+    else new Path(new Path(root, prefix), name)
+  }
+
+  /** Read one framed vector from a DV file: BE length at `offset`
+    * (must equal the descriptor's `sizeInBytes`), the bitmap bytes,
+    * then a BE CRC-32 that must match. */
+  def readFromFile(
+      path: Path, conf: Configuration, offset: Int, sizeInBytes: Int): Array[Long] = {
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    try {
+      in.seek(offset.toLong)
+      val head = new Array[Byte](4)
+      in.readFully(head)
+      val storedLen = ByteBuffer.wrap(head).order(ByteOrder.BIG_ENDIAN).getInt
+      if (storedLen != sizeInBytes) {
+        throw new IllegalArgumentException(
+          s"$path: DV length mismatch at offset $offset: file says " +
+            s"$storedLen, descriptor says $sizeInBytes")
+      }
+      val data = new Array[Byte](sizeInBytes)
+      in.readFully(data)
+      val crcBytes = new Array[Byte](4)
+      in.readFully(crcBytes)
+      val storedCrc =
+        ByteBuffer.wrap(crcBytes).order(ByteOrder.BIG_ENDIAN).getInt
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      if (crc.getValue.toInt != storedCrc) {
+        throw new IllegalArgumentException(
+          s"$path: DV checksum mismatch at offset $offset")
+      }
+      decodeBitmap(data)
+    } finally {
+      in.close()
+    }
+  }
+
+  /** Write a single-vector DV file (version byte + frame) and return
+    * `(offset, sizeInBytes)` for its descriptor. Fixture-side twin of
+    * [[readFromFile]]. */
+  def writeDvFile(path: java.io.File, positions: Array[Long]): (Int, Int) = {
+    val data = encodeBitmap(positions)
+    val crc = new java.util.zip.CRC32
+    crc.update(data)
+    val buf = ByteBuffer.allocate(1 + 4 + data.length + 4)
+      .order(ByteOrder.BIG_ENDIAN)
+    buf.put(1.toByte) // format version
+    buf.putInt(data.length)
+    buf.put(data)
+    buf.putInt(crc.getValue.toInt)
+    java.nio.file.Files.write(path.toPath, buf.array())
+    (1, data.length)
+  }
+
+  /** Decode a descriptor to sorted row positions: `i` inline (Z85),
+    * `u` UUID-stub file, `p` absolute-path file. */
+  def decodeDescriptor(
+      storageType: String, pathOrInlineDv: String,
+      offset: Option[Int], sizeInBytes: Int,
+      tableRoot: Path, conf: Configuration): Array[Long] = storageType match {
+    case "i" =>
+      val bytes = z85Decode(pathOrInlineDv)
+      if (bytes.length < sizeInBytes) {
+        throw new IllegalArgumentException(
+          s"inline DV shorter than its descriptor: ${bytes.length} < $sizeInBytes")
+      }
+      decodeBitmap(bytes.take(sizeInBytes))
+    case "u" =>
+      readFromFile(dvFilePath(tableRoot, pathOrInlineDv), conf,
+        offset.getOrElse(1), sizeInBytes)
+    case "p" =>
+      readFromFile(new Path(pathOrInlineDv), conf,
+        offset.getOrElse(1), sizeInBytes)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown deletion-vector storageType '$other'")
+  }
+}

@@ -668,6 +668,40 @@ class DeltaSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("columnMapping mode 'id'"))
   }
 
+  test("deletion-vector payloads decode to per-row positions") {
+    val d = Files.createTempDirectory("graft_delta_dvb").toString + "/tbl"
+    DeltaMeta.writeDvBitmapFixtureTable(spark, d, docs)
+    val pos = DeltaMeta.deletedPositions(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // inline Z85 payload on f0, u-storage framed file on f1
+    assert(pos === Set(
+      ("f0.parquet", 1L), ("f0.parquet", 3L), ("f0.parquet", 5L),
+      ("f1.parquet", 0L), ("f1.parquet", 2L)))
+    // positions join the files' OWN rows: f0 is the even doc_ids
+    // sorted, so position k holds doc_id 2k — deleted {2, 6, 10};
+    // f1 odd sorted, position k holds 2k+1 — deleted {1, 5}
+    val rows = spark.read.parquet(d + "/f0.parquet", d + "/f1.parquet")
+      .select(col("doc_id"),
+        regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1).as("file"),
+        col("_metadata.row_index").as("ridx"))
+    val posDf = DeltaMeta.deletedPositions(spark, d)
+    val deleted = posDf
+      .join(rows, posDf("path") === rows("file") && posDf("pos") === rows("ridx"))
+      .select("path", "doc_id").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(deleted("f0.parquet") === Set(2L, 6L, 10L))
+    assert(deleted("f1.parquet") === Set(1L, 5L))
+    // descriptor-vs-payload cardinality disagreement refuses: corrupt
+    // the cardinality in the log
+    val log = new java.io.File(d, "_delta_log")
+    val v1 = new java.io.File(log, f"${1L}%020d.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(v1.toPath), "UTF-8")
+    java.nio.file.Files.write(v1.toPath,
+      txt.replace("\"cardinality\":3", "\"cardinality\":4").getBytes("UTF-8"))
+    val e = intercept[Exception](DeltaMeta.deletedPositions(spark, d).collect())
+    assert(causeMessages(e).contains("refusing to miscount"))
+  }
+
   test("store publish keeps old or new store across rename failures") {
     val base = Files.createTempDirectory("graft_publish").toString
     val store = base + "/store"
