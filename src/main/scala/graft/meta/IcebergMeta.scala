@@ -287,6 +287,21 @@ object IcebergMeta {
       while (reader.hasNext) {
         val r = reader.next()
         val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        // v3 deletion vectors surface as Puffin-format delete entries
+        // carrying referenced_data_file — row-level deletes this tier
+        // cannot subtract. Checked PER ENTRY (not just via the
+        // table's format-version) so a mislabeled v2 table still
+        // refuses instead of censusing DV-deleted rows as live.
+        val fmt = str(df.get("file_format"))
+        val refField = df.getSchema.getField("referenced_data_file")
+        if (fmt != null && fmt.equalsIgnoreCase("puffin") ||
+            (refField != null && df.get("referenced_data_file") != null)) {
+          throw new UnsupportedOperationException(
+            s"$file: manifest entry ${str(df.get("file_path"))} is an " +
+              "Iceberg v3 deletion vector (Puffin / referenced_data_file) " +
+              "— not supported; refusing rather than miscounting " +
+              "DV-deleted rows as live")
+        }
         // the partition struct (the spec's r102) is typed per partition
         // spec; decode generically — field names from the manifest's own
         // schema, values stringified the way the delta tier renders
@@ -351,6 +366,7 @@ object IcebergMeta {
     }
     val fs = root.getFileSystem(hconf)
     val info = readTableMetadata(currentMetadataFile(fs, root), hconf)
+    requireCensusableVersion(info, table)
     val current = snapshotId match {
       case None => info.snapshots.find(_.isCurrent).getOrElse(
         throw new IllegalArgumentException(s"$table: no current snapshot"))
@@ -360,6 +376,23 @@ object IcebergMeta {
             s"${info.snapshots.map(_.snapshotId).mkString(", ")})"))
     }
     filesFromManifestList(spark, root, current.manifestList)
+  }
+
+  /** Format versions 1 and 2 census faithfully; v3 introduces
+    * deletion vectors (Puffin) and row lineage, which change what
+    * "live rows" means — REFUSE up front with the version named,
+    * never count DV-deleted rows as live. (The per-entry Puffin check
+    * in [[readManifest]] backstops tables whose metadata lies about
+    * the version.) */
+  private def requireCensusableVersion(
+      info: IcebergTableInfo, where: String): Unit = {
+    if (info.formatVersion > 2) {
+      throw new UnsupportedOperationException(
+        s"$where: Iceberg format-version ${info.formatVersion} is not " +
+          "supported by the census tier: v3 deletion vectors (Puffin) " +
+          "subtract rows this tier cannot decode — refusing rather " +
+          "than censusing DV-deleted rows as live")
+    }
   }
 
   /** The one-task-per-manifest fan-out for one snapshot's manifest
@@ -422,6 +455,12 @@ object IcebergMeta {
             r.getString(0)))
           rows.filter(r => r.getString(0) == newest.getString(0) &&
             r.getBoolean(2)).map(_.getString(1)).headOption.foreach { ml =>
+            // same v3 refusal as the batch census path: the store must
+            // never be refreshed from a snapshot it would miscount
+            requireCensusableVersion(
+              readTableMetadata(new Path(new Path(root, "metadata"),
+                newest.getString(0)), spark.sessionState.newHadoopConf()),
+              table)
             val next = new java.io.File(storeDir + "_next")
             filesFromManifestList(spark, root, ml)
               .coalesce(1).write.mode("overwrite").parquet(next.getPath)
@@ -486,6 +525,8 @@ object IcebergMeta {
     }
     val fs = root.getFileSystem(hconf)
     val info = readTableMetadata(currentMetadataFile(fs, root), hconf)
+    // v3 DV files under the data tree would misreport as orphans
+    requireCensusableVersion(info, table)
     val manifests = info.snapshots
       .flatMap(s => readManifestList(resolve(root, s.manifestList), hconf))
       .map(m => resolve(root, m.manifestPath).toString)

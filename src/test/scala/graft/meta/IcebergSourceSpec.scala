@@ -360,4 +360,61 @@ class IcebergSourceSpec extends SparkSpec {
       col("filename") === "v2.metadata.json")
       .select("snapshot_id").collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
+
+  test("format-version 3 refuses the census tier, classified") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_v3")
+      .toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    // craft the v3 metadata: same table, format-version bumped
+    val metaDir = new java.io.File(d, "metadata")
+    val mf = metaDir.listFiles().filter(_.getName.endsWith(".metadata.json"))
+      .maxBy(_.getName)
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    assert(txt.contains("\"format-version\":2"))
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace("\"format-version\":2", "\"format-version\":3")
+        .getBytes("UTF-8"))
+    val e1 = intercept[UnsupportedOperationException](
+      IcebergMeta.currentFiles(spark, d).collect())
+    assert(e1.getMessage.contains("format-version 3"))
+    assert(e1.getMessage.contains("Puffin"))
+    val e2 = intercept[UnsupportedOperationException](
+      IcebergMeta.orphanFiles(spark, d).collect())
+    assert(e2.getMessage.contains("format-version 3"))
+    // the SNAPSHOT level (listing, no census) still reads v3 tables
+    assert(meta(d, "source" -> "iceberg", "level" -> "snapshot")
+      .count() >= 1L)
+  }
+
+  test("puffin DV manifest entries refuse even when the version lies") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_puffin")
+      .toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    // rewrite one manifest avro: flip an entry's file_format to PUFFIN
+    // (metadata still claims format-version 2 — the per-entry check
+    // must catch it anyway)
+    val metaDir = new java.io.File(d, "metadata")
+    val manifest = metaDir.listFiles()
+      .filter(f => f.getName.endsWith(".avro") && !f.getName.startsWith("snap-"))
+      .head
+    val reader = new org.apache.avro.file.DataFileReader(
+      manifest, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val schema = reader.getSchema
+    val records = new scala.collection.mutable.ArrayBuffer[
+      org.apache.avro.generic.GenericRecord]
+    while (reader.hasNext) records += reader.next()
+    reader.close()
+    records.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .put("file_format", new org.apache.avro.util.Utf8("PUFFIN"))
+    val writer = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    writer.create(schema, manifest)
+    records.foreach(writer.append)
+    writer.close()
+    val e = intercept[Exception](IcebergMeta.currentFiles(spark, d).collect())
+    assert(causeMessages(e).contains("Puffin"))
+  }
 }
