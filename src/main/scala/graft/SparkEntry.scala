@@ -1112,6 +1112,23 @@ object SparkEntry {
       IcebergMeta.schemaHistory(s, out)
     }),
 
+    // ICEBERG SCHEMA CONFORMANCE: the CURRENT declared schema (the
+    // schemas entry named by current-schema-id) vs each live data
+    // file's own footer — the same backfill audit as
+    // meta_delta_conformance, resolved through the manifest chain
+    // instead of a commit log (every fixture file predates the +n_chars
+    // evolution). Oracle: DuckDB unnests the same metadata JSON and
+    // diffs the same parquet_schema footers over the writer-contract
+    // live set.
+    "meta_iceberg_conformance" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.schemaConformance(s, out)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+          col("n_declared"), col("n_present"), col("missing_csv"))
+    }),
+
     // STREAMING iceberg current-store maintenance: the metadata
     // stream's AvailableNow pass refreshes a per-snapshot store only
     // when a NEW metadata version arrives; the store's census must
@@ -5586,6 +5603,31 @@ object SparkEntry {
         |  FROM read_json_auto(
         |    '/tmp/graft_iceberg_sf0.01/metadata/*.metadata.json')
         |)""".stripMargin,
+
+    "meta_iceberg_conformance" ->
+      """WITH decl AS (
+        |  SELECT [f.name FOR f IN s.fields] AS names
+        |  FROM (
+        |    SELECT unnest(schemas) AS s, "current-schema-id" AS cur
+        |    FROM read_json_auto(
+        |      '/tmp/graft_iceberg_sf0.01/metadata/*.metadata.json')
+        |  )
+        |  WHERE s."schema-id" = cur
+        |),
+        |cols AS (
+        |  SELECT parse_filename(file_name) AS f, list(DISTINCT name) AS present
+        |  FROM parquet_schema('/tmp/graft_iceberg_sf0.01/data/*.parquet')
+        |  WHERE num_children IS NULL OR num_children = 0
+        |  GROUP BY 1
+        |)
+        |SELECT c.f AS path,
+        |  (SELECT CAST(len(names) AS INTEGER) FROM decl) AS n_declared,
+        |  CAST(len(c.present) AS INTEGER) AS n_present,
+        |  array_to_string(list_sort(list_filter((SELECT names FROM decl),
+        |    x -> NOT list_contains(c.present, x))), ',') AS missing_csv
+        |FROM cols c
+        |WHERE c.f IN ('f0.parquet', 'f1.parquet', 'f2.parquet',
+        |  'f3.parquet', 'f4.parquet')""".stripMargin,
 
     "stream_iceberg_live" ->
       """WITH fm AS (

@@ -225,6 +225,64 @@ object IcebergMeta {
         col("isCurrent").as("is_current"))
   }
 
+  /**
+   * SCHEMA CONFORMANCE audit — the iceberg counterpart of the delta
+   * tier's: the CURRENT declared schema (the metadata's `schemas`
+   * entry named by `current-schema-id`) vs the PHYSICAL footer schema
+   * of every live DATA file of the current snapshot (manifest chain ⋈
+   * footer schema facts; no data page is touched). One row per live
+   * file: `(path, n_declared, n_present, missing_csv)` — the backfill
+   * question a schema evolution leaves behind. A live file with NO
+   * footer evidence surfaces with null `n_present`/`missing_csv`
+   * (LEFT join): no evidence is never conformance and never a
+   * silently-dropped row.
+   */
+  def schemaConformance(spark: SparkSession, table: String): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    val file = currentMetadataFile(fs, root)
+    val in = fs.open(file)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    import scala.jdk.CollectionConverters._
+    val currentId = Option(node.get("current-schema-id")).map(_.asInt())
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table: no current-schema-id in $file"))
+    val declared = Option(node.get("schemas"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .find(s => req(s, "schema-id", file).asInt() == currentId)
+      .map(s => Option(s.get("fields")).map(_.elements().asScala.toSeq)
+        .getOrElse(Seq.empty).map(f => req(f, "name", file).asText()))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table: current-schema-id $currentId has no schemas entry in $file"))
+    val live = currentFiles(spark, table)
+      .filter(col("status") =!= 2 && col("content") === 0)
+      .select(col("abs_path"))
+    // physical TOP-LEVEL names from each file's own footer; the data
+    // subtree is scanned directly (the mixed-depth table root defeats
+    // generic partition discovery)
+    val present = MetaValues.schemaFactsDf(spark,
+      new Path(root, "data").toString)
+      .select(col("filepath"),
+        split(col("path"), "\\.").getItem(0).as("field"))
+      .distinct()
+    live.join(present, live("abs_path") === present("filepath"), "left")
+      .groupBy(col("abs_path").as("path"))
+      .agg(collect_set(col("field")).as("present"))
+      .select(col("path"),
+        lit(declared.size).as("n_declared"),
+        when(size(col("present")) === 0, lit(null))
+          .otherwise(size(col("present"))).cast("int").as("n_present"),
+        when(size(col("present")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(array_sort(array_except(
+            lit(declared.toArray), col("present"))), ",")).as("missing_csv"))
+  }
+
   private def openAvro(file: Path, conf: Configuration): org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord] = {
     val fs = file.getFileSystem(conf)
     val len = fs.getFileStatus(file).getLen

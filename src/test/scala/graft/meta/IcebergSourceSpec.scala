@@ -361,6 +361,29 @@ class IcebergSourceSpec extends SparkSpec {
       .select("snapshot_id").collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("schema conformance: files predating the current schema surface") {
+    // every fixture file was written before the current schema (id 1)
+    // added n_chars — all five live data files miss exactly it
+    val rows = IcebergMeta.schemaConformance(spark, table).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_declared") === 3)
+      assert(r.getAs[Int]("n_present") === 2)
+      assert(r.getAs[String]("missing_csv") === "n_chars")
+    }
+    // a live file gone from disk surfaces with NULL evidence, not a
+    // dropped row
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_conf")
+      .toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    assert(new java.io.File(d, "data/f4.parquet").delete())
+    val rows2 = IcebergMeta.schemaConformance(spark, d).collect()
+    assert(rows2.length === 5)
+    val f4 = rows2.find(_.getString(0).endsWith("f4.parquet")).get
+    assert(f4.isNullAt(f4.fieldIndex("n_present")))
+    assert(f4.isNullAt(f4.fieldIndex("missing_csv")))
+  }
+
   test("format-version 3 refuses the census tier, classified") {
     val d = java.nio.file.Files.createTempDirectory("graft_ice_v3")
       .toString + "/tbl"
