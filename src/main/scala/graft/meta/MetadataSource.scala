@@ -68,6 +68,8 @@ object MetadataSource {
   val IGNORE_CORRUPT = "ignorecorrupt"
   val FOOTER_CACHE = "footercache"
   val COUNT_PUSHDOWN = "countpushdown"
+  val LIST_MODE = "listmode"
+  val LIST_MODES = Seq("index", "sharded")
 
   val SOURCES = Seq("file", "parquet", "orc", "avro", "any", "delta", "iceberg")
   val LEVELS = Seq("file", "rowgroup", "column", "page",
@@ -225,6 +227,14 @@ object MetaTable {
       rootPath: Path,
       opts: Map[String, String],
       fresh: Boolean): Seq[FileSlice] = {
+    val mode = opts.getOrElse(MetadataSource.LIST_MODE, "index")
+      .toLowerCase(java.util.Locale.ROOT)
+    require(MetadataSource.LIST_MODES.contains(mode),
+      s"Invalid listmode: $mode, expected one of " +
+        MetadataSource.LIST_MODES.mkString("[", ", ", "]"))
+    if (mode == "sharded") {
+      return listSlicesSharded(rootPath, spark.sessionState.newHadoopConf())
+    }
     val cache =
       if (fresh) org.apache.spark.sql.execution.datasources.NoopCache
       else FileStatusCache.getOrCreate(spark)
@@ -243,6 +253,100 @@ object MetaTable {
         FileSlice(st.getPath.toString, st.getPath.getName, st.getLen,
           st.getModificationTime, partMap)
       }
+    }
+  }
+
+  /**
+   * `listmode=sharded` — the MILLION-FILE listing posture: a
+   * depth-first walk that pages every directory through
+   * `listStatusIterator` (streaming RPC pages, one subtree at a time)
+   * and yields [[FileSlice]]s DIRECTLY. No `InMemoryFileIndex`, no
+   * session `FileStatusCache`: driver retention is one compact slice
+   * per file (~hundreds of bytes — path string, two longs, a shared
+   * partition map) instead of the index path's measured ~32 KB cache
+   * entry per file (BASELINE.md), so a 1M-file listing needs ~300 MB,
+   * not ~32 GB. Always fresh (there is no cache to go stale), which
+   * also makes it the natural streaming-relist mode.
+   *
+   * Hive-style `k=v` segments become partition values as URL-decoded
+   * RAW strings (one decode per DIRECTORY, the map shared by its
+   * files) — no whole-tree type-inference pass, which is exactly the
+   * step that cannot scale ahead of planning. The `index` mode's typed
+   * renderings (`2020-02-02 01:02:03.0`) remain the default; the two
+   * differ only for timestamp-typed partition values.
+   */
+  def listSlicesSharded(
+      rootPath: Path,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Seq[FileSlice] = {
+    val fs = rootPath.getFileSystem(hadoopConf)
+    val rootStatus = fs.getFileStatus(rootPath)
+    if (!rootStatus.isDirectory) {
+      return Seq(FileSlice(rootStatus.getPath.toString,
+        rootStatus.getPath.getName, rootStatus.getLen,
+        rootStatus.getModificationTime, Map.empty))
+    }
+    def hidden(name: String): Boolean =
+      name.startsWith("_") || name.startsWith(".")
+    def partOf(partition: Map[String, String], dirName: String): Map[String, String] = {
+      val eq = dirName.indexOf('=')
+      if (eq > 0) {
+        val raw = java.net.URLDecoder.decode(dirName.substring(eq + 1), "UTF-8")
+        // the hive null sentinel renders "null", like index mode
+        val v = if (raw == "__HIVE_DEFAULT_PARTITION__") "null" else raw
+        partition + (dirName.substring(0, eq) -> v)
+      } else partition
+    }
+    def walk(dir: Path, partition: Map[String, String],
+        out: scala.collection.mutable.Builder[FileSlice, Vector[FileSlice]]): Unit = {
+      val it = fs.listStatusIterator(dir)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (!hidden(name)) {
+          if (st.isDirectory) {
+            walk(st.getPath, partOf(partition, name), out)
+          } else {
+            out += FileSlice(st.getPath.toString, name, st.getLen,
+              st.getModificationTime, partition)
+          }
+        }
+      }
+    }
+    // the TOP-level shards walk in parallel (a high-latency store's
+    // listing cost is round trips, and the shard fan-out is the
+    // parallelism a partitioned tree naturally offers); each subtree
+    // stays a sequential depth-first iterator, so peak memory is the
+    // final slice vector plus one RPC page per in-flight shard
+    val rootFiles = Vector.newBuilder[FileSlice]
+    val shards = Vector.newBuilder[(Path, Map[String, String])]
+    val it = fs.listStatusIterator(rootPath)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!hidden(name)) {
+        if (st.isDirectory) shards += ((st.getPath, partOf(Map.empty, name)))
+        else rootFiles += FileSlice(st.getPath.toString, name, st.getLen,
+          st.getModificationTime, Map.empty)
+      }
+    }
+    val shardSeq = shards.result()
+    val parallelism = math.min(16, math.max(1, shardSeq.size))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = shardSeq.map { case (p, part) =>
+        new java.util.concurrent.Callable[Vector[FileSlice]] {
+          override def call(): Vector[FileSlice] = {
+            val b = Vector.newBuilder[FileSlice]
+            walk(p, part, b)
+            b.result()
+          }
+        }
+      }
+      val results = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+      rootFiles.result() ++ results.flatten
+    } finally {
+      pool.shutdown()
     }
   }
 }

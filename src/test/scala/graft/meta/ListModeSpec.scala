@@ -1,0 +1,52 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * `listmode=sharded` (the iterator walk with no InMemoryFileIndex and
+ * no status cache) must be a drop-in listing: same rows as the default
+ * index path over a partitioned tree, same scans, same hidden-file
+ * rules — only the driver-memory shape differs (see StressListing).
+ */
+class ListModeSpec extends SparkSpec {
+
+  test("sharded listing agrees with the index path row for row") {
+    val d = Files.createTempDirectory("graft_listmode").toString
+    spark.range(0, 200)
+      .select(col("id"), (col("id") % 4).cast("string").as("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(d)
+    // a hidden file and a hidden directory must stay invisible to both
+    Files.write(new java.io.File(d, "_hidden.bin").toPath, Array[Byte](1))
+    val hd = new java.io.File(d, ".staging"); hd.mkdirs()
+    Files.write(new java.io.File(hd, "tmp.bin").toPath, Array[Byte](1))
+
+    def rows(mode: String): Set[String] =
+      spark.read.format("metadata")
+        .option("level", "file").option("source", "parquet")
+        .option("listmode", mode).load(d)
+        .select(col("filepath"), col("size"), to_json(col("partition")))
+        .collect().map(_.mkString("|")).toSet
+
+    val idx = rows("index")
+    val sharded = rows("sharded")
+    assert(idx.nonEmpty)
+    assert(sharded === idx)
+    // and the sharded listing drives real pruned scans
+    val pruned = spark.read.format("metadata")
+      .option("level", "file").option("listmode", "sharded").load(d)
+      .filter(element_at(col("partition"), "lang") === "2")
+    assert(pruned.count() > 0)
+
+    val e = intercept[Exception](rows("bogus"))
+    def msgs(t: Throwable): String = {
+      var c: Throwable = t; var s = ""
+      while (c != null) { s += c.getMessage + " "; c = c.getCause }
+      s
+    }
+    assert(msgs(e).contains("Invalid listmode"))
+  }
+}
