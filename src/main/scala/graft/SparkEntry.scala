@@ -1129,6 +1129,29 @@ object SparkEntry {
           col("n_declared"), col("n_present"), col("missing_csv"))
     }),
 
+    // ICEBERG POSITION-DELETE row-wise audit: the live delete file's
+    // (file_path, pos) rows join f0's own rows by _metadata.row_index —
+    // merge-on-read deletion verified row by row (the iceberg sibling
+    // of meta_delta_dv_rows). Oracle: DuckDB reads the SAME delete
+    // parquet and joins the same file with file_row_number=true — no
+    // ordering assumption on either side.
+    "meta_iceberg_delete_rows" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val pos = IcebergMeta.positionDeleteRows(s, out)
+      val rows = s.read.parquet(out + "/data/f0.parquet")
+        .select(col("doc_id"),
+          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1).as("file"),
+          col("_metadata.row_index").as("ridx"))
+      pos.join(rows,
+        regexp_extract(pos("data_path"), "([^/]+)$", 1) === rows("file") &&
+          pos("pos") === rows("ridx"))
+        .groupBy(col("file").as("path"))
+        .agg(count(lit(1)).cast("long").as("n_deleted"),
+          sum(col("doc_id")).cast("long").as("deleted_docid_sum"))
+    }),
+
     // STREAMING iceberg current-store maintenance: the metadata
     // stream's AvailableNow pass refreshes a per-snapshot store only
     // when a NEW metadata version arrives; the store's census must
@@ -5628,6 +5651,22 @@ object SparkEntry {
         |FROM cols c
         |WHERE c.f IN ('f0.parquet', 'f1.parquet', 'f2.parquet',
         |  'f3.parquet', 'f4.parquet')""".stripMargin,
+
+    "meta_iceberg_delete_rows" ->
+      """WITH del AS (
+        |  SELECT parse_filename(file_path) AS f, pos
+        |  FROM read_parquet('/tmp/graft_iceberg_sf0.01/data/del0.parquet')
+        |),
+        |f0 AS (
+        |  SELECT doc_id, file_row_number AS pos
+        |  FROM read_parquet('/tmp/graft_iceberg_sf0.01/data/f0.parquet',
+        |    file_row_number=true)
+        |)
+        |SELECT 'f0.parquet' AS path,
+        |  CAST(count(*) AS BIGINT) AS n_deleted,
+        |  CAST(sum(f0.doc_id) AS BIGINT) AS deleted_docid_sum
+        |FROM del JOIN f0 USING (pos)
+        |WHERE del.f = 'f0.parquet'""".stripMargin,
 
     "stream_iceberg_live" ->
       """WITH fm AS (

@@ -162,14 +162,20 @@ object DeltaMeta {
   /** Checkpoint part: action counts AT FOOTER COST — the checkpoint is a
     * parquet file whose `add`/`remove`/... columns are null except on
     * their action's rows, so per-leaf null counts in the footer ARE the
-    * action counts. Zero data-page I/O. */
+    * action counts. Zero data-page I/O. A V2 (sidecar) MANIFEST parks
+    * its file actions elsewhere: its own footer holds NO evidence of
+    * them, so `n_add`/`n_remove` report null — never a confident zero
+    * for counts that live in the sidecars. */
   private def readCheckpoint(
       path: Path, conf: Configuration, version: Long,
       knownSize: Option[Long]): DeltaLogInfo = {
     val footer = Footers.read(path, conf, knownSize)
+    val isV2Manifest = footer.chunks.exists(c =>
+      c.path.contains("sidecar.path") ||
+        c.path.contains("checkpointMetadata.version"))
     DeltaLogInfo(version, "checkpoint",
-      footerNonNull(footer, "add.path"),
-      footerNonNull(footer, "remove.path"),
+      if (isV2Manifest) None else footerNonNull(footer, "add.path"),
+      if (isV2Manifest) None else footerNonNull(footer, "remove.path"),
       footerNonNull(footer, "protocol.minReaderVersion").exists(_ > 0),
       footerNonNull(footer, "metaData.id").exists(_ > 0),
       None, None)

@@ -478,6 +478,38 @@ object IcebergMeta {
   }
 
   /**
+   * POSITION-DELETE rows of the current snapshot: `(data_path, pos)` —
+   * one row per logically-deleted row position, read from the live
+   * position-delete files (`content=1`) THEMSELVES (the spec's
+   * `(file_path, pos)` parquet shape) — the iceberg sibling of the
+   * delta tier's roaring64 decode: the merge-on-read audit verified
+   * row-wise, not just by record_count subtraction. REFUSES when an
+   * EQUALITY delete file (`content=2`) is live: its deletes resolve
+   * only through a data scan, and silently ignoring it would
+   * undercount. The delete-FILE list is a manifest-scale driver
+   * boundary; the delete ROWS stay a distributed parquet scan.
+   */
+  def positionDeleteRows(spark: SparkSession, table: String): DataFrame = {
+    val live = currentFiles(spark, table).filter(col("status") =!= 2)
+    val dels = live.filter(col("content") =!= 0)
+      .select(col("abs_path"), col("content")).collect()
+    if (dels.exists(_.getInt(1) == 2)) {
+      throw new UnsupportedOperationException(
+        s"$table: equality delete files are live — their deleted rows " +
+          "resolve only through a data scan; refusing a partial " +
+          "position audit")
+    }
+    val posFiles = dels.filter(_.getInt(1) == 1).map(_.getString(0)).toSeq
+    if (posFiles.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(String, Long)].toDF("data_path", "pos")
+    }
+    spark.read.parquet(posFiles: _*)
+      .select(col("file_path").as("data_path"),
+        col("pos").cast("long").as("pos"))
+  }
+
+  /**
    * STREAMING current-snapshot store maintenance — the iceberg sibling
    * of the delta tier's live store: one `Trigger.AvailableNow` pass of
    * the metadata stream; each micro-batch that carries NEW metadata

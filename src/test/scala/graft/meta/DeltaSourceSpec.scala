@@ -240,6 +240,14 @@ class DeltaSourceSpec extends SparkSpec {
     val atCkpt = DeltaMeta.snapshotFilesAt(spark, d, Some(2L))
       .select("path").collect().map(_.getString(0)).toSet
     assert(atCkpt === Set("f0.parquet", "f2.parquet", "f3.parquet", "f4.parquet"))
+    // the snapshot LEVEL reports the manifest's action counts as NULL:
+    // its footer holds no evidence of actions that live in sidecars
+    val segs = meta(d, "source" -> "delta", "level" -> "snapshot")
+      .filter(col("kind") === "checkpoint").collect()
+    assert(segs.length === 1)
+    assert(segs(0).isNullAt(segs(0).fieldIndex("n_add")))
+    assert(segs(0).isNullAt(segs(0).fieldIndex("n_remove")))
+    assert(segs(0).getAs[Boolean]("has_protocol"))
   }
 
   test("V2 checkpoint refusals: missing sidecar, unknown layout") {

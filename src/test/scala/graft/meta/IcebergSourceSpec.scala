@@ -384,6 +384,49 @@ class IcebergSourceSpec extends SparkSpec {
     assert(f4.isNullAt(f4.fieldIndex("missing_csv")))
   }
 
+  test("position-delete rows decode row-wise; equality deletes refuse") {
+    // del0 deletes positions 0 and 1 of f0 — the deleted doc_ids are
+    // f0's first two FILE rows, joined via _metadata.row_index
+    val pos = IcebergMeta.positionDeleteRows(spark, table)
+    val got = pos.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.forall(_._1.endsWith("f0.parquet")))
+    assert(got.map(_._2).sorted.toSeq === Seq(0L, 1L))
+    val rows = spark.read.parquet(table + "/data/f0.parquet")
+      .select(col("doc_id"), col("_metadata.row_index").as("ridx"))
+    val firstTwo = rows.filter(col("ridx") < 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deleted = pos.join(rows, pos("pos") === rows("ridx"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deleted === firstTwo)
+    // a live EQUALITY delete (content=2) refuses the audit: rewrite
+    // the delete manifest's entry content
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_eq")
+      .toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    val manifest = new java.io.File(d, "metadata").listFiles()
+      .filter(_.getName == "m3.avro").head
+    val reader = new org.apache.avro.file.DataFileReader(
+      manifest, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val schema = reader.getSchema
+    val records = new scala.collection.mutable.ArrayBuffer[
+      org.apache.avro.generic.GenericRecord]
+    while (reader.hasNext) records += reader.next()
+    reader.close()
+    records.foreach(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .put("content", 2))
+    val writer = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    writer.create(schema, manifest)
+    records.foreach(writer.append)
+    writer.close()
+    val e = intercept[UnsupportedOperationException](
+      IcebergMeta.positionDeleteRows(spark, d))
+    assert(e.getMessage.contains("equality delete"))
+  }
+
   test("format-version 3 refuses the census tier, classified") {
     val d = java.nio.file.Files.createTempDirectory("graft_ice_v3")
       .toString + "/tbl"
