@@ -621,16 +621,21 @@ object DeltaMeta {
 
   /**
    * TIMESTAMP AS OF resolution: the LATEST VERSION among commits whose
-   * timestamp is at or before `tsMs` — `commitInfo.timestamp` when the
-   * commit carries one, the segment's file modification time otherwise
-   * (the same fallback order Delta readers use). The eligibility test
-   * is per commit but the winner is picked by VERSION, not by
-   * timestamp: with non-monotonic commit timestamps (writer clock
-   * skew) the max-timestamp commit can be an OLDER version, and
-   * resolving to it would time-travel forward past commits the caller
-   * asked to include. Refuses a timestamp before the first surviving
-   * commit. The (version, ts) table is a bounded driver boundary (one
-   * pair per log segment).
+   * MONOTONIZED timestamp is at or before `tsMs` — `commitInfo
+   * .timestamp` when the commit carries one, the segment's file
+   * modification time otherwise (the same fallback order Delta readers
+   * use), then adjusted the way Delta readers do: a commit whose raw
+   * timestamp is not strictly after its predecessor's takes
+   * `predecessor + 1 ms`, so writer clock skew can neither hide a
+   * commit behind an earlier probe nor time-travel a probe forward
+   * past unrequested commits. After adjustment the eligible set is a
+   * version PREFIX, so "latest eligible" is well-defined; the winner
+   * is picked by VERSION, never by max timestamp. Refuses a timestamp
+   * before the first surviving commit. The (version, ts) table is a
+   * bounded driver boundary (one pair per log segment). The DuckDB
+   * oracle's raw `max(version) where ts <= probe` formula agrees
+   * whenever timestamps are monotonic — which every fixture is; the
+   * adjustment only changes answers on skewed logs.
    */
   def versionAt(spark: SparkSession, table: String, tsMs: Long): Long = {
     val conf = spark.sessionState.newHadoopConf()
@@ -654,9 +659,15 @@ object DeltaMeta {
       .groupBy(col("version"))
       .agg(max(col("commitInfo.timestamp")).as("ts"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val resolved = commits
+    val raw = commits
       .map { case (v, f) => (v, opTs.getOrElse(v, f.mtime)) }
-      .filter(_._2 <= tsMs)
+      .sortBy(_._1)
+    // monotonic adjustment: in version order, each timestamp is at
+    // least its predecessor's + 1 ms
+    val adjusted = raw.scanLeft((-1L, Long.MinValue)) {
+      case ((_, prevTs), (v, ts)) => (v, math.max(ts, prevTs + 1))
+    }.drop(1)
+    val resolved = adjusted.filter(_._2 <= tsMs)
     if (resolved.isEmpty) {
       throw new IllegalArgumentException(
         s"$table: timestamp $tsMs is before the first surviving commit")

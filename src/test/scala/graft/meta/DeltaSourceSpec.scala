@@ -559,9 +559,13 @@ class DeltaSourceSpec extends SparkSpec {
         s""""modificationTime":$skewTs,"dataChange":true,""" +
         """"stats":"{\"numRecords\":1}"}}""" + "\n").getBytes("UTF-8"))
     assert(DeltaMeta.versionAt(spark, d, ts0 + 99999) === 5L)
-    // a probe INSIDE the skew window still honours per-commit
-    // eligibility: at +3600 both v3 and v5 are eligible, v4 is not
-    assert(DeltaMeta.versionAt(spark, d, ts0 + 3600) === 5L)
+    // monotonic adjustment (the Delta-reader rule): v5's skewed raw
+    // timestamp (+3500) adjusts to v4's + 1 ms (+4001), so a probe in
+    // the skew window resolves to v3 — the skewed commit can neither
+    // hide v4 nor claim a probe that predates its true commit order
+    assert(DeltaMeta.versionAt(spark, d, ts0 + 3600) === 3L)
+    assert(DeltaMeta.versionAt(spark, d, ts0 + 4000) === 4L)
+    assert(DeltaMeta.versionAt(spark, d, ts0 + 4001) === 5L)
     assert(DeltaMeta.versionAt(spark, d, ts0 + 3499) === 3L)
   }
 
