@@ -1152,6 +1152,31 @@ object SparkEntry {
           sum(col("doc_id")).cast("long").as("deleted_docid_sum"))
     }),
 
+    // ICEBERG v3 DELETION VECTORS row-wise: both DV blobs live in one
+    // Puffin file (the v3 writer layout), addressed by the manifest's
+    // content_offset/content_size_in_bytes; [[PuffinCodec]] verifies
+    // framing magic + CRC and decodes the roaring64 vectors to row
+    // POSITIONS, which join each file's own rows by
+    // _metadata.row_index. The fixture's files are doc_id-sorted, so
+    // the oracle recomputes the SAME deleted doc_ids closed-form from
+    // the planted positions.
+    "meta_iceberg_dv_rows" -> ((s, dir) => {
+      val out = "/tmp/graft_icedv_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeDvFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val pos = IcebergMeta.positionDeleteRows(s, out)
+      val rows = s.read.parquet(out + "/data/f0.parquet", out + "/data/f1.parquet")
+        .select(col("doc_id"),
+          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1).as("file"),
+          col("_metadata.row_index").as("ridx"))
+      pos.join(rows,
+        regexp_extract(pos("data_path"), "([^/]+)$", 1) === rows("file") &&
+          pos("pos") === rows("ridx"))
+        .groupBy(col("file").as("path"))
+        .agg(count(lit(1)).cast("long").as("n_deleted"),
+          sum(col("doc_id")).cast("long").as("deleted_docid_sum"))
+    }),
+
     // STREAMING iceberg current-store maintenance: the metadata
     // stream's AvailableNow pass refreshes a per-snapshot store only
     // when a NEW metadata version arrives; the store's census must
@@ -5667,6 +5692,25 @@ object SparkEntry {
         |  CAST(sum(f0.doc_id) AS BIGINT) AS deleted_docid_sum
         |FROM del JOIN f0 USING (pos)
         |WHERE del.f = 'f0.parquet'""".stripMargin,
+
+    "meta_iceberg_dv_rows" ->
+      """WITH f0 AS (
+        |  SELECT doc_id, file_row_number AS pos
+        |  FROM read_parquet('/tmp/graft_icedv_sf0.01/data/f0.parquet',
+        |    file_row_number=true)
+        |),
+        |f1 AS (
+        |  SELECT doc_id, file_row_number AS pos
+        |  FROM read_parquet('/tmp/graft_icedv_sf0.01/data/f1.parquet',
+        |    file_row_number=true)
+        |)
+        |SELECT 'f0.parquet' AS path, CAST(3 AS BIGINT) AS n_deleted,
+        |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM f0
+        |    WHERE pos IN (1, 3, 5)) AS deleted_docid_sum
+        |UNION ALL
+        |SELECT 'f1.parquet', CAST(2 AS BIGINT),
+        |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM f1
+        |    WHERE pos IN (0, 2))""".stripMargin,
 
     "stream_iceberg_live" ->
       """WITH fm AS (

@@ -127,15 +127,17 @@ object DvCodec {
     val out = Array.newBuilder[Long]
     var b = 0L
     while (b < nBitmaps) {
-      decodeOneRoaring(buf, b << 32, out)
+      decodeOnePortableRoaring(buf, b << 32, out)
       b += 1
     }
     out.result()
   }
 
   /** One standard portable 32-bit RoaringBitmap, appending
-    * `high | value32` positions. */
-  private def decodeOneRoaring(
+    * `high | value32` positions. Shared with [[PuffinCodec]]'s 64-bit
+    * sparse-bucket variant — the container walk is identical; only the
+    * bucket-key framing differs between the Delta and Iceberg forms. */
+  private[meta] def decodeOnePortableRoaring(
       buf: ByteBuffer, high: Long, out: scala.collection.mutable.Builder[Long, Array[Long]]): Unit = {
     val cookie = buf.getInt
     val (nContainers, runFlags) =
@@ -216,7 +218,7 @@ object DvCodec {
     val parts = (0L until nBitmaps).map { b =>
       val vals = byBitmap.find(_._1 == b).map(_._2).getOrElse(Array.empty[Long])
         .map(v => (v & 0xFFFFFFFFL).toInt)
-      encodeOneRoaring(vals)
+      encodeOnePortableRoaring(vals)
     }
     val total = 12 + parts.map(_.length).sum
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
@@ -226,7 +228,7 @@ object DvCodec {
     buf.array()
   }
 
-  private def encodeOneRoaring(values: Array[Int]): Array[Byte] = {
+  private[meta] def encodeOnePortableRoaring(values: Array[Int]): Array[Byte] = {
     val byKey = values.groupBy(v => (v >>> 16) & 0xFFFF).toSeq.sortBy(_._1)
     val n = byKey.size
     require(byKey.forall(_._2.length <= 4096),

@@ -45,7 +45,14 @@ case class IcebergFileEntry(
     fileFormat: String,
     recordCount: Long,
     fileSizeBytes: Long,
-    partition: Map[String, String])
+    partition: Map[String, String],
+    // format-v3 deletion-vector fields: the Puffin file named by
+    // filePath holds this entry's DV blob for referencedDataFile at
+    // (contentOffset, contentSizeInBytes); recordCount is the DV's
+    // cardinality
+    referencedDataFile: Option[String] = None,
+    contentOffset: Option[Long] = None,
+    contentSizeInBytes: Option[Long] = None)
 
 /**
  * Iceberg metadata tier — the second table format above the raw-file
@@ -345,20 +352,35 @@ object IcebergMeta {
       while (reader.hasNext) {
         val r = reader.next()
         val df = r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
-        // v3 deletion vectors surface as Puffin-format delete entries
-        // carrying referenced_data_file — row-level deletes this tier
-        // cannot subtract. Checked PER ENTRY (not just via the
-        // table's format-version) so a mislabeled v2 table still
-        // refuses instead of censusing DV-deleted rows as live.
+        // v3 deletion vectors are Puffin-format delete entries carrying
+        // referenced_data_file + a blob span; decoded by [[PuffinCodec]]
+        // so the census can subtract them. Checked PER ENTRY (not just
+        // via the table's format-version) so a mislabeled v2 table
+        // still classifies its DVs instead of censusing them as data;
+        // a Puffin entry that is NOT a well-formed DV (wrong content,
+        // no referenced file, no blob span) REFUSES — there is no
+        // faithful way to count it.
         val fmt = str(df.get("file_format"))
-        val refField = df.getSchema.getField("referenced_data_file")
-        if (fmt != null && fmt.equalsIgnoreCase("puffin") ||
-            (refField != null && df.get("referenced_data_file") != null)) {
+        def optStr(name: String): Option[String] = {
+          val f = df.getSchema.getField(name)
+          if (f == null) None else Option(df.get(name)).map(_.toString)
+        }
+        def optDfLong(name: String): Option[Long] = {
+          val f = df.getSchema.getField(name)
+          if (f == null) None
+          else Option(df.get(name)).map(_.asInstanceOf[Number].longValue())
+        }
+        val refFile = optStr("referenced_data_file")
+        val cOffset = optDfLong("content_offset")
+        val cSize = optDfLong("content_size_in_bytes")
+        if (fmt != null && fmt.equalsIgnoreCase("puffin") &&
+            (contentOf(df) != 1 || refFile.isEmpty ||
+              cOffset.isEmpty || cSize.isEmpty)) {
           throw new UnsupportedOperationException(
-            s"$file: manifest entry ${str(df.get("file_path"))} is an " +
-              "Iceberg v3 deletion vector (Puffin / referenced_data_file) " +
-              "— not supported; refusing rather than miscounting " +
-              "DV-deleted rows as live")
+            s"$file: manifest entry ${str(df.get("file_path"))} is " +
+              "Puffin-format but not a well-formed v3 deletion vector " +
+              "(content=1 with referenced_data_file + content_offset + " +
+              "content_size_in_bytes) — refusing rather than miscounting")
         }
         // the partition struct (the spec's r102) is typed per partition
         // spec; decode generically — field names from the manifest's own
@@ -383,7 +405,10 @@ object IcebergMeta {
           fileFormat = str(df.get("file_format")),
           recordCount = df.get("record_count").asInstanceOf[Number].longValue(),
           fileSizeBytes = df.get("file_size_in_bytes").asInstanceOf[Number].longValue(),
-          partition = partition)
+          partition = partition,
+          referencedDataFile = refFile,
+          contentOffset = cOffset,
+          contentSizeInBytes = cSize)
       }
       out.toSeq
     } finally {
@@ -436,20 +461,22 @@ object IcebergMeta {
     filesFromManifestList(spark, root, current.manifestList)
   }
 
-  /** Format versions 1 and 2 census faithfully; v3 introduces
-    * deletion vectors (Puffin) and row lineage, which change what
-    * "live rows" means — REFUSE up front with the version named,
-    * never count DV-deleted rows as live. (The per-entry Puffin check
-    * in [[readManifest]] backstops tables whose metadata lies about
-    * the version.) */
+  /** Format versions 1–3 census faithfully (v3 deletion vectors
+    * decode through [[PuffinCodec]]; their manifest `record_count` is
+    * the DV cardinality, so count subtraction stays exact and
+    * [[positionDeleteRows]] resolves them row-wise). Anything NEWER
+    * refuses up front with the version named — an unknown future
+    * format may change what "live rows" means in ways this tier
+    * cannot see. (The per-entry Puffin well-formedness check in
+    * [[readManifest]] backstops tables whose metadata lies about the
+    * version.) */
   private def requireCensusableVersion(
       info: IcebergTableInfo, where: String): Unit = {
-    if (info.formatVersion > 2) {
+    if (info.formatVersion > 3) {
       throw new UnsupportedOperationException(
-        s"$where: Iceberg format-version ${info.formatVersion} is not " +
-          "supported by the census tier: v3 deletion vectors (Puffin) " +
-          "subtract rows this tier cannot decode — refusing rather " +
-          "than censusing DV-deleted rows as live")
+        s"$where: Iceberg format-version ${info.formatVersion} is newer " +
+          "than this census tier understands (max 3) — refusing rather " +
+          "than miscounting under unknown semantics")
     }
   }
 
@@ -470,11 +497,13 @@ object IcebergMeta {
           .map(e => (e.status, e.content, e.filePath, e.fileFormat,
             e.recordCount, e.fileSizeBytes,
             resolve(new Path(rootStr), e.filePath).toString, mp,
-            e.partition))
+            e.partition, e.referencedDataFile, e.contentOffset,
+            e.contentSizeInBytes))
       }
       .toDF("status", "content", "file_path", "file_format",
         "record_count", "file_size_bytes", "abs_path", "manifest_path",
-        "partition_values")
+        "partition_values", "referenced_data_file", "content_offset",
+        "content_size")
   }
 
   /**
@@ -490,23 +519,61 @@ object IcebergMeta {
    * boundary; the delete ROWS stay a distributed parquet scan.
    */
   def positionDeleteRows(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
     val live = currentFiles(spark, table).filter(col("status") =!= 2)
     val dels = live.filter(col("content") =!= 0)
-      .select(col("abs_path"), col("content")).collect()
+      .select(col("abs_path"), col("content"), col("file_format"),
+        col("referenced_data_file"), col("content_offset"),
+        col("content_size"), col("record_count")).collect()
     if (dels.exists(_.getInt(1) == 2)) {
       throw new UnsupportedOperationException(
         s"$table: equality delete files are live — their deleted rows " +
           "resolve only through a data scan; refusing a partial " +
           "position audit")
     }
-    val posFiles = dels.filter(_.getInt(1) == 1).map(_.getString(0)).toSeq
-    if (posFiles.isEmpty) {
-      import spark.implicits._
-      return Seq.empty[(String, Long)].toDF("data_path", "pos")
-    }
-    spark.read.parquet(posFiles: _*)
-      .select(col("file_path").as("data_path"),
-        col("pos").cast("long").as("pos"))
+    val posDels = dels.filter(_.getInt(1) == 1)
+    val (dvEntries, posFiles) = posDels.partition(r =>
+      r.getString(2) != null && r.getString(2).equalsIgnoreCase("puffin"))
+    val empty = Seq.empty[(String, Long)].toDF("data_path", "pos")
+    // v2 shape: position-delete PARQUET files carry (file_path, pos)
+    // rows themselves — a distributed parquet scan
+    val fromFiles =
+      if (posFiles.isEmpty) empty
+      else spark.read.parquet(posFiles.map(_.getString(0)).toSeq: _*)
+        .select(col("file_path").as("data_path"),
+          col("pos").cast("long").as("pos"))
+    // v3 shape: PUFFIN deletion-vector blobs — one decode task per DV
+    // (the format's own granularity: a vector never spans data files);
+    // a cardinality disagreement between the manifest's record_count
+    // and the decoded payload refuses rather than undercounting
+    val fromDvs =
+      if (dvEntries.isEmpty) empty
+      else {
+        val hconf = spark.sessionState.newHadoopConf()
+        val root = {
+          val p = new Path(table)
+          p.getFileSystem(hconf).makeQualified(p)
+        }
+        val rootStr = root.toString
+        val conf = new SerializableHadoopConf(hconf)
+        dvEntries.toSeq.map(r => (r.getString(0), r.getString(3),
+            r.getLong(4), r.getLong(5), r.getLong(6)))
+          .toDS()
+          .flatMap { case (puffinPath, ref, off, size, card) =>
+            val positions = PuffinCodec.readDvBlob(
+              new Path(puffinPath), conf.value, off, size)
+            if (positions.length != card) {
+              throw new IllegalArgumentException(
+                s"$puffinPath: deletion vector for $ref decodes " +
+                  s"${positions.length} positions but its manifest entry " +
+                  s"claims $card — refusing to miscount")
+            }
+            val abs = resolve(new Path(rootStr), ref).toString
+            positions.map(p => (abs, p))
+          }
+          .toDF("data_path", "pos")
+      }
+    fromFiles.unionByName(fromDvs)
   }
 
   /**
@@ -920,6 +987,139 @@ object IcebergMeta {
     java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
       metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
+  /** The format-v3 manifest shape: `data_file` grows the DV span
+    * fields (`referenced_data_file`, `content_offset`,
+    * `content_size_in_bytes`), null on ordinary data entries. */
+  private val dvManifestSchema = avroSchema(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"referenced_data_file","type":["null","string"],"default":null},
+      |  {"name":"content_offset","type":["null","long"],"default":null},
+      |  {"name":"content_size_in_bytes","type":["null","long"],"default":null}]}}]}""".stripMargin)
+
+  /**
+   * A format-v3 filesystem table against the public spec: two
+   * doc_id-sorted parquet slices (`f0`, `f1`, doc_id parity) under
+   * `data/`, ONE snapshot whose manifest list carries a data manifest
+   * (both files added) plus a DELETE manifest (`content=1`) whose two
+   * entries are PUFFIN deletion vectors — both blobs live in the one
+   * `data/dv0.puffin` file (the v3 writer layout: DVs of a commit
+   * share a Puffin file, addressed by `content_offset` /
+   * `content_size_in_bytes`). The vectors delete positions 1,3,5 of
+   * f0 and 0,2 of f1; each entry's `record_count` is its DV
+   * cardinality. Returns per-data-file row counts.
+   */
+  def writeDvFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+
+    val counts = (0 to 1).map { parity =>
+      val rel = s"f$parity.parquet"
+      val slice = docs.filter(pmod(col("doc_id"), lit(2)) === parity)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+      val tmp = dir + s"_slice$parity"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dataDir, rel).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      rel -> slice.count()
+    }.toMap
+
+    // one Puffin file, two deletion-vector-v1 blobs (f0's and f1's)
+    val dv0 = Array(1L, 3L, 5L)
+    val dv1 = Array(0L, 2L)
+    val spans = PuffinCodec.writePuffinFile(
+      new java.io.File(dataDir, "dv0.puffin"),
+      Seq(dv0, dv1).map(p => (PuffinCodec.DeletionVectorV1,
+        Map("cardinality" -> p.length.toString),
+        PuffinCodec.encodeDvBlob(p))))
+
+    def dataEntry(f: String): org.apache.avro.generic.GenericRecord = {
+      val df = new org.apache.avro.generic.GenericData.Record(
+        dvManifestSchema.getField("data_file").schema())
+      df.put("content", 0)
+      df.put("file_path", s"data/$f")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(f))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
+      val e = new org.apache.avro.generic.GenericData.Record(dvManifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    def dvEntry(refFile: String, span: (Long, Long),
+        cardinality: Long): org.apache.avro.generic.GenericRecord = {
+      val df = new org.apache.avro.generic.GenericData.Record(
+        dvManifestSchema.getField("data_file").schema())
+      df.put("content", 1)
+      df.put("file_path", "data/dv0.puffin")
+      df.put("file_format", "PUFFIN")
+      df.put("record_count", cardinality)
+      df.put("file_size_in_bytes", new java.io.File(dataDir, "dv0.puffin").length())
+      df.put("referenced_data_file", s"data/$refFile")
+      df.put("content_offset", span._1)
+      df.put("content_size_in_bytes", span._2)
+      val e = new org.apache.avro.generic.GenericData.Record(dvManifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), dvManifestSchema,
+      Seq(dataEntry("f0.parquet"), dataEntry("f1.parquet")))
+    writeAvro(new java.io.File(metaDir, "m1.avro"), dvManifestSchema,
+      Seq(dvEntry("f0.parquet", spans(0), dv0.length.toLong),
+        dvEntry("f1.parquet", spans(1), dv1.length.toLong)))
+    def mlEntry(path: String, added: Int, rows: Long,
+        content: Int): org.apache.avro.generic.GenericRecord = {
+      val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
+      r.put("manifest_path", s"metadata/$path")
+      r.put("manifest_length", new java.io.File(metaDir, path).length())
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("added_files_count", added)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", rows)
+      r
+    }
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
+      Seq(mlEntry("m0.avro", 2, counts.values.sum, 0),
+        mlEntry("m1.avro", 2, dv0.length.toLong + dv1.length.toLong, 1)))
+    val ts0 = 1700000000000L
+    val metadataJson =
+      s"""{"format-version":3,"table-uuid":"graft-iceberg-dv-fixture",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":1,
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":$ts0,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"delete"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
       "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     counts
   }

@@ -1,0 +1,296 @@
+package graft.meta
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** One blob descriptor from a Puffin footer. Offsets are file-absolute;
+  * `length` is the blob's stored byte length (after compression, were
+  * any applied). */
+case class PuffinBlobInfo(
+    blobType: String,
+    fields: Seq[Int],
+    snapshotId: Option[Long],
+    sequenceNumber: Option[Long],
+    offset: Long,
+    length: Long,
+    compressionCodec: Option[String],
+    properties: Map[String, String])
+
+/**
+ * PUFFIN codec — the Iceberg auxiliary-file format (public Puffin spec)
+ * that format-v3 tables use to carry DELETION VECTORS (and statistics
+ * sketches). Structure:
+ *
+ *  - file: `Magic("PFA1")  Blob*  Footer`
+ *  - footer: `Magic  FooterPayload(JSON)  PayloadSize(4 LE)
+ *    Flags(4)  Magic` — flag bit 0 of byte 0 marks an LZ4-compressed
+ *    payload (REFUSED here, classified: a misread footer misplaces
+ *    every blob).
+ *  - `deletion-vector-v1` blob: `len(4 BE, = magic+vector bytes)
+ *    Magic(D1 D3 39 64)  vector  CRC-32(4 BE, over magic+vector)` —
+ *    the magic bytes are BY DESIGN the little-endian rendering of the
+ *    Delta RoaringBitmapArray magic (1681511377), so Delta-written DVs
+ *    are bit-compatible; the vector itself is the 64-bit roaring
+ *    "portable" serialization: `u64 LE bucket count`, then per bucket
+ *    `u32 LE high key` + one standard 32-bit roaring bitmap (decoded
+ *    by the same container walk [[DvCodec]] uses — Iceberg's buckets
+ *    carry EXPLICIT sparse keys where Delta's are dense/implicit,
+ *    which is the one structural difference between the two formats).
+ *
+ * Every mismatch REFUSES (wrong magic, compressed footer, truncated
+ * payload, CRC disagreement, foreign compression codec): a half-read
+ * deletion vector silently resurrects deleted rows in every downstream
+ * census. The reference engine stops at the parquet footer (reference:
+ * src/main/scala/com/github/sadikovi/metadata/DefaultSource.scala);
+ * this codec exists so the v3 Iceberg tier can subtract DV-deleted
+ * rows instead of refusing the whole table.
+ */
+object PuffinCodec {
+
+  val Magic: Array[Byte] = Array[Byte](0x50, 0x46, 0x41, 0x31) // "PFA1"
+
+  /** The DV blob framing magic — LE bytes of [[DvCodec.Magic]]. */
+  val DvMagic: Array[Byte] =
+    Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64)
+
+  val DeletionVectorV1 = "deletion-vector-v1"
+
+  private def jsonMapper = {
+    // Jackson rides in with Spark; the footer payload is plain JSON
+    new com.fasterxml.jackson.databind.ObjectMapper()
+  }
+
+  /** Read the footer: `(blobs, file properties)`. Verifies both file
+    * magics and the footer's own; refuses a compressed footer payload. */
+  def readFooter(path: Path, conf: Configuration): (Seq[PuffinBlobInfo], Map[String, String]) = {
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    if (len < 24) { // head magic + empty footer is already 4+4+0+4+4+4
+      throw new IllegalArgumentException(
+        s"$path: too short for a Puffin file ($len bytes)")
+    }
+    val in = fs.open(path)
+    try {
+      val head = new Array[Byte](4)
+      in.readFully(0L, head)
+      if (!head.sameElements(Magic)) {
+        throw new IllegalArgumentException(
+          s"$path: not a Puffin file (head magic mismatch)")
+      }
+      val tail = new Array[Byte](12)
+      in.readFully(len - 12, tail)
+      val tb = ByteBuffer.wrap(tail).order(ByteOrder.LITTLE_ENDIAN)
+      val payloadSize = tb.getInt
+      val flags = new Array[Byte](4)
+      tb.get(flags)
+      val trailMagic = new Array[Byte](4)
+      tb.get(trailMagic)
+      if (!trailMagic.sameElements(Magic)) {
+        throw new IllegalArgumentException(
+          s"$path: not a Puffin file (trailing magic mismatch)")
+      }
+      if ((flags(0) & 0x1) != 0) {
+        throw new UnsupportedOperationException(
+          s"$path: Puffin footer payload is compressed — not supported; " +
+            "refusing rather than misreading blob offsets")
+      }
+      if (payloadSize < 0 || 12L + 4L + payloadSize + 4L > len) {
+        throw new IllegalArgumentException(
+          s"$path: Puffin footer payload size $payloadSize out of range")
+      }
+      val payloadStart = len - 12 - payloadSize
+      val fmagic = new Array[Byte](4)
+      in.readFully(payloadStart - 4, fmagic)
+      if (!fmagic.sameElements(Magic)) {
+        throw new IllegalArgumentException(
+          s"$path: Puffin footer start magic mismatch")
+      }
+      val payload = new Array[Byte](payloadSize)
+      in.readFully(payloadStart, payload)
+      parseFooterPayload(path, new String(payload, StandardCharsets.UTF_8))
+    } finally {
+      in.close()
+    }
+  }
+
+  private def parseFooterPayload(
+      path: Path, json: String): (Seq[PuffinBlobInfo], Map[String, String]) = {
+    import scala.jdk.CollectionConverters._
+    val node = jsonMapper.readTree(json)
+    val blobsNode = node.get("blobs")
+    if (blobsNode == null || !blobsNode.isArray) {
+      throw new IllegalArgumentException(
+        s"$path: Puffin footer payload has no blobs array")
+    }
+    def propsOf(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      Option(n).filter(_.isObject).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty)
+    val blobs = blobsNode.elements().asScala.map { b =>
+      def reqField(name: String) = {
+        val v = b.get(name)
+        if (v == null) throw new IllegalArgumentException(
+          s"$path: Puffin blob missing required field '$name'")
+        v
+      }
+      PuffinBlobInfo(
+        blobType = reqField("type").asText(),
+        fields = Option(b.get("fields")).filter(_.isArray)
+          .map(_.elements().asScala.map(_.asInt()).toSeq).getOrElse(Nil),
+        snapshotId = Option(b.get("snapshot-id")).map(_.asLong()),
+        sequenceNumber = Option(b.get("sequence-number")).map(_.asLong()),
+        offset = reqField("offset").asLong(),
+        length = reqField("length").asLong(),
+        compressionCodec = Option(b.get("compression-codec")).map(_.asText()),
+        properties = propsOf(b.get("properties")))
+    }.toSeq
+    (blobs, propsOf(node.get("properties")))
+  }
+
+  /** Decode the 64-bit roaring "portable" serialization (sparse
+    * explicit buckets) to sorted row positions. */
+  def decodeRoaring64Portable(bytes: Array[Byte]): Array[Long] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (buf.remaining() < 8) {
+      throw new IllegalArgumentException(
+        s"roaring64 vector too short: ${bytes.length} bytes")
+    }
+    val nBuckets = buf.getLong
+    if (nBuckets < 0 || nBuckets > Int.MaxValue) {
+      throw new IllegalArgumentException(
+        s"roaring64 bucket count out of range: $nBuckets")
+    }
+    val out = Array.newBuilder[Long]
+    var prevKey = -1L
+    var i = 0L
+    while (i < nBuckets) {
+      if (buf.remaining() < 4) {
+        throw new IllegalArgumentException(
+          s"roaring64 vector truncated at bucket $i")
+      }
+      val key = buf.getInt.toLong & 0xFFFFFFFFL
+      if (key <= prevKey) {
+        throw new IllegalArgumentException(
+          s"roaring64 bucket keys not strictly increasing at bucket $i")
+      }
+      prevKey = key
+      DvCodec.decodeOnePortableRoaring(buf, key << 32, out)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Encode sorted positions to the 64-bit roaring portable form
+    * (fixture/test twin of [[decodeRoaring64Portable]]). */
+  def encodeRoaring64Portable(positions: Array[Long]): Array[Byte] = {
+    require(positions.sameElements(positions.sorted), "positions must be sorted")
+    val byBucket = positions.groupBy(_ >>> 32).toSeq.sortBy(_._1)
+    val parts = byBucket.map { case (key, vs) =>
+      key -> DvCodec.encodeOnePortableRoaring(
+        vs.map(v => (v & 0xFFFFFFFFL).toInt))
+    }
+    val total = 8 + parts.map(4 + _._2.length).sum
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(byBucket.size.toLong)
+    parts.foreach { case (key, body) =>
+      buf.putInt(key.toInt)
+      buf.put(body)
+    }
+    buf.array()
+  }
+
+  /** Read + decode one `deletion-vector-v1` blob at `(offset, length)`
+    * (the manifest entry's `content_offset` / `content_size_in_bytes`):
+    * verifies the BE length word, the DV magic, and the CRC-32 over
+    * magic+vector, then decodes to sorted row positions. */
+  def readDvBlob(
+      path: Path, conf: Configuration, offset: Long, length: Long): Array[Long] = {
+    if (length < 12 || length > Int.MaxValue) {
+      throw new IllegalArgumentException(
+        s"$path: DV blob length $length out of range")
+    }
+    val fs = path.getFileSystem(conf)
+    val blob = new Array[Byte](length.toInt)
+    val in = fs.open(path)
+    try in.readFully(offset, blob) finally in.close()
+    val buf = ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN)
+    val storedLen = buf.getInt
+    // the length word covers magic + vector (not itself, not the CRC)
+    if (storedLen != length - 8) {
+      throw new IllegalArgumentException(
+        s"$path: DV blob length word says $storedLen, " +
+          s"blob frame implies ${length - 8}")
+    }
+    val magicAndVector = new Array[Byte](storedLen)
+    buf.get(magicAndVector)
+    if (!magicAndVector.take(4).sameElements(DvMagic)) {
+      throw new IllegalArgumentException(
+        s"$path: DV blob magic mismatch at offset $offset")
+    }
+    val storedCrc = buf.getInt
+    val crc = new java.util.zip.CRC32
+    crc.update(magicAndVector)
+    if (crc.getValue.toInt != storedCrc) {
+      throw new IllegalArgumentException(
+        s"$path: DV blob checksum mismatch at offset $offset")
+    }
+    decodeRoaring64Portable(magicAndVector.drop(4))
+  }
+
+  /** Frame sorted positions as a `deletion-vector-v1` blob body
+    * (fixture twin of [[readDvBlob]]). */
+  def encodeDvBlob(positions: Array[Long]): Array[Byte] = {
+    val vector = encodeRoaring64Portable(positions)
+    val magicAndVector = DvMagic ++ vector
+    val crc = new java.util.zip.CRC32
+    crc.update(magicAndVector)
+    val buf = ByteBuffer.allocate(4 + magicAndVector.length + 4)
+      .order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(magicAndVector.length)
+    buf.put(magicAndVector)
+    buf.putInt(crc.getValue.toInt)
+    buf.array()
+  }
+
+  /** Write a Puffin file of `(blobType, properties, body)` blobs and
+    * return each blob's `(offset, length)` in order — the numbers a
+    * manifest DV entry carries as `content_offset` /
+    * `content_size_in_bytes`. */
+  def writePuffinFile(
+      file: java.io.File,
+      blobs: Seq[(String, Map[String, String], Array[Byte])]): Seq[(Long, Long)] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic)
+    val spans = blobs.map { case (_, _, body) =>
+      val off = out.size().toLong
+      out.write(body)
+      (off, body.length.toLong)
+    }
+    val blobJson = blobs.zip(spans).map { case ((tpe, props, _), (off, blen)) =>
+      val propJson = props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"""${q(k)}:${q(v)}""" }
+        .mkString("{", ",", "}")
+      s"""{"type":${q(tpe)},"fields":[],"snapshot-id":1,""" +
+        s""""sequence-number":1,"offset":$off,"length":$blen,""" +
+        s""""properties":$propJson}"""
+    }.mkString("[", ",", "]")
+    val payload =
+      s"""{"blobs":$blobJson,"properties":{"created-by":"graft-fixture"}}"""
+        .getBytes(StandardCharsets.UTF_8)
+    out.write(Magic)
+    out.write(payload)
+    val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(payload.length)
+    tail.put(Array[Byte](0, 0, 0, 0)) // flags: uncompressed footer
+    out.write(tail.array())
+    out.write(Magic)
+    java.nio.file.Files.write(file.toPath, out.toByteArray)
+    spans
+  }
+
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}

@@ -427,11 +427,14 @@ class IcebergSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("equality delete"))
   }
 
-  test("format-version 3 refuses the census tier, classified") {
+  test("format-version 3 censuses; anything newer refuses, classified") {
     val d = java.nio.file.Files.createTempDirectory("graft_ice_v3")
       .toString + "/tbl"
     IcebergMeta.writeFixtureTable(spark, d, docs)
-    // craft the v3 metadata: same table, format-version bumped
+    val before = IcebergMeta.currentFiles(spark, d).collect()
+    // craft the v3 metadata: same table, format-version bumped — the
+    // census must read it identically (v3 semantics only differ when
+    // DV entries are PRESENT, and this table has none)
     val metaDir = new java.io.File(d, "metadata")
     val mf = metaDir.listFiles().filter(_.getName.endsWith(".metadata.json"))
       .maxBy(_.getName)
@@ -440,16 +443,76 @@ class IcebergSourceSpec extends SparkSpec {
     java.nio.file.Files.write(mf.toPath,
       txt.replace("\"format-version\":2", "\"format-version\":3")
         .getBytes("UTF-8"))
+    val after = IcebergMeta.currentFiles(spark, d).collect()
+    assert(after.length === before.length)
+    // format-version 4 (unknown future semantics) refuses up front
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace("\"format-version\":2", "\"format-version\":4")
+        .getBytes("UTF-8"))
     val e1 = intercept[UnsupportedOperationException](
       IcebergMeta.currentFiles(spark, d).collect())
-    assert(e1.getMessage.contains("format-version 3"))
-    assert(e1.getMessage.contains("Puffin"))
+    assert(e1.getMessage.contains("format-version 4"))
+    assert(e1.getMessage.contains("newer"))
     val e2 = intercept[UnsupportedOperationException](
       IcebergMeta.orphanFiles(spark, d).collect())
-    assert(e2.getMessage.contains("format-version 3"))
-    // the SNAPSHOT level (listing, no census) still reads v3 tables
+    assert(e2.getMessage.contains("format-version 4"))
+    // the SNAPSHOT level (listing, no census) still reads v4 tables
     assert(meta(d, "source" -> "iceberg", "level" -> "snapshot")
       .count() >= 1L)
+  }
+
+  test("v3 deletion vectors: puffin blobs decode to exact row positions") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_dv")
+      .toString + "/tbl"
+    val counts = IcebergMeta.writeDvFixtureTable(spark, d, docs)
+    // the DV manifest entries census as deletes, not data
+    val entries = IcebergMeta.currentFiles(spark, d).collect()
+    val dataEntries = entries.filter(_.getAs[Int]("content") == 0)
+    val dvEntries = entries.filter(_.getAs[Int]("content") == 1)
+    assert(dataEntries.length === 2)
+    assert(dvEntries.length === 2)
+    assert(dvEntries.forall(_.getAs[String]("file_format") == "PUFFIN"))
+    assert(dvEntries.map(_.getAs[Long]("record_count")).sum === 5L)
+    // row-wise: the decoded positions are exactly the planted ones
+    val pos = IcebergMeta.positionDeleteRows(spark, d).collect()
+      .map(r => (r.getString(0).substring(
+        r.getString(0).lastIndexOf('/') + 1), r.getLong(1)))
+      .sorted
+    assert(pos.toSeq === Seq(
+      ("f0.parquet", 1L), ("f0.parquet", 3L), ("f0.parquet", 5L),
+      ("f1.parquet", 0L), ("f1.parquet", 2L)))
+    // net rows = physical minus DV cardinalities
+    val netRows = dataEntries.map(_.getAs[Long]("record_count")).sum - 5L
+    assert(netRows === counts.values.sum - 5L)
+  }
+
+  test("v3 DV cardinality disagreement refuses, classified") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_dvbad")
+      .toString + "/tbl"
+    IcebergMeta.writeDvFixtureTable(spark, d, docs)
+    // corrupt: rewrite the DELETE manifest's record_count (the claimed
+    // cardinality) so it disagrees with the decoded payload
+    val manifest = new java.io.File(d, "metadata/m1.avro")
+    val reader = new org.apache.avro.file.DataFileReader(
+      manifest, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val schema = reader.getSchema
+    val records = new scala.collection.mutable.ArrayBuffer[
+      org.apache.avro.generic.GenericRecord]
+    while (reader.hasNext) records += reader.next()
+    reader.close()
+    records.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .put("record_count", 99L)
+    val writer = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    writer.create(schema, manifest)
+    records.foreach(writer.append)
+    writer.close()
+    val e = intercept[Exception](
+      IcebergMeta.positionDeleteRows(spark, d).collect())
+    assert(causeMessages(e).contains("claims 99"))
   }
 
   test("puffin DV manifest entries refuse even when the version lies") {

@@ -1,0 +1,137 @@
+package graft.meta
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The Puffin codec against the PUBLIC spec: footer framing (magics,
+ * payload size, compression flag), the deletion-vector-v1 blob (BE
+ * length word + DV magic + roaring64 vector + CRC-32), and the 64-bit
+ * sparse-bucket roaring serialization. Every corruption class must
+ * REFUSE — a half-read deletion vector resurrects deleted rows.
+ */
+class PuffinCodecSpec extends AnyFunSuite {
+
+  private val conf = new Configuration()
+
+  private def tmpFile(name: String): java.io.File =
+    new java.io.File(Files.createTempDirectory("graft_puffin").toFile, name)
+
+  test("roaring64 portable roundtrip: sparse buckets, high positions") {
+    // three buckets: 0, 7, and a genuinely 64-bit one (pos >= 2^33) —
+    // the sparse-key framing Iceberg uses where Delta's is dense
+    val positions = Array(0L, 1L, 65535L, 65536L, 131072L,
+      (7L << 32) + 5L, (7L << 32) + 100000L,
+      (1L << 33) + 42L).sorted
+    val bytes = PuffinCodec.encodeRoaring64Portable(positions)
+    assert(PuffinCodec.decodeRoaring64Portable(bytes).toSeq === positions.toSeq)
+  }
+
+  test("roaring64 refuses non-increasing bucket keys and truncation") {
+    val bytes = PuffinCodec.encodeRoaring64Portable(
+      Array(1L, (1L << 32) + 2L))
+    // flip the second bucket key to equal the first (both 0 → not
+    // strictly increasing); the key of bucket 2 sits right after
+    // bucket 1's container bytes — easier: corrupt the count upward
+    val grown = ByteBuffer.wrap(bytes.clone()).order(ByteOrder.LITTLE_ENDIAN)
+    grown.putLong(0, 3L) // claims 3 buckets, payload has 2
+    val e1 = intercept[IllegalArgumentException](
+      PuffinCodec.decodeRoaring64Portable(grown.array()))
+    assert(e1.getMessage.contains("truncated"))
+    val e2 = intercept[IllegalArgumentException](
+      PuffinCodec.decodeRoaring64Portable(Array[Byte](1, 2, 3)))
+    assert(e2.getMessage.contains("too short"))
+  }
+
+  test("puffin file roundtrip: footer blobs, DV blob decode") {
+    val f = tmpFile("t.puffin")
+    val dv0 = Array(1L, 3L, 5L)
+    val dv1 = Array(0L, 2L, 65536L)
+    val spans = PuffinCodec.writePuffinFile(f, Seq(
+      (PuffinCodec.DeletionVectorV1, Map("cardinality" -> "3"),
+        PuffinCodec.encodeDvBlob(dv0)),
+      (PuffinCodec.DeletionVectorV1, Map("cardinality" -> "3"),
+        PuffinCodec.encodeDvBlob(dv1))))
+    assert(spans.length === 2)
+    val p = new Path(f.getAbsolutePath)
+    val (blobs, props) = PuffinCodec.readFooter(p, conf)
+    assert(blobs.length === 2)
+    assert(blobs.forall(_.blobType === PuffinCodec.DeletionVectorV1))
+    assert(blobs.map(b => (b.offset, b.length)) === spans)
+    assert(props.get("created-by").contains("graft-fixture"))
+    assert(PuffinCodec.readDvBlob(p, conf, spans(0)._1, spans(0)._2).toSeq
+      === dv0.toSeq)
+    assert(PuffinCodec.readDvBlob(p, conf, spans(1)._1, spans(1)._2).toSeq
+      === dv1.toSeq)
+  }
+
+  test("DV blob refuses CRC mismatch, magic mismatch, bad length word") {
+    val f = tmpFile("c.puffin")
+    val dv = Array(1L, 3L, 5L)
+    val spans = PuffinCodec.writePuffinFile(f, Seq(
+      (PuffinCodec.DeletionVectorV1, Map.empty[String, String],
+        PuffinCodec.encodeDvBlob(dv))))
+    val (off, len) = spans.head
+    val p = new Path(f.getAbsolutePath)
+    // corrupt one vector byte inside the blob → CRC disagreement
+    val bytes = Files.readAllBytes(f.toPath)
+    val corrupted = bytes.clone()
+    corrupted((off + 10).toInt) = (corrupted((off + 10).toInt) ^ 0x7F).toByte
+    Files.write(f.toPath, corrupted)
+    val e1 = intercept[IllegalArgumentException](
+      PuffinCodec.readDvBlob(p, conf, off, len))
+    assert(e1.getMessage.contains("checksum"))
+    // magic bytes corrupted
+    val badMagic = bytes.clone()
+    badMagic((off + 4).toInt) = 0x00
+    Files.write(f.toPath, badMagic)
+    val e2 = intercept[IllegalArgumentException](
+      PuffinCodec.readDvBlob(p, conf, off, len))
+    assert(e2.getMessage.contains("magic"))
+    // a wrong span length disagrees with the blob's own length word
+    Files.write(f.toPath, bytes)
+    val e3 = intercept[IllegalArgumentException](
+      PuffinCodec.readDvBlob(p, conf, off, len + 4))
+    assert(e3.getMessage.contains("length word"))
+  }
+
+  test("footer refuses compressed payload and foreign magics") {
+    val f = tmpFile("z.puffin")
+    PuffinCodec.writePuffinFile(f, Seq(
+      (PuffinCodec.DeletionVectorV1, Map.empty[String, String],
+        PuffinCodec.encodeDvBlob(Array(1L)))))
+    val bytes = Files.readAllBytes(f.toPath)
+    val p = new Path(f.getAbsolutePath)
+    // set footer flag bit 0 (LZ4-compressed payload) — classified refusal
+    val flagged = bytes.clone()
+    flagged(bytes.length - 8) = 0x1
+    Files.write(f.toPath, flagged)
+    val e1 = intercept[UnsupportedOperationException](
+      PuffinCodec.readFooter(p, conf))
+    assert(e1.getMessage.contains("compressed"))
+    // head magic broken
+    val badHead = bytes.clone()
+    badHead(0) = 0x00
+    Files.write(f.toPath, badHead)
+    val e2 = intercept[IllegalArgumentException](
+      PuffinCodec.readFooter(p, conf))
+    assert(e2.getMessage.contains("head magic"))
+    // trailing magic broken
+    val badTail = bytes.clone()
+    badTail(bytes.length - 1) = 0x00
+    Files.write(f.toPath, badTail)
+    val e3 = intercept[IllegalArgumentException](
+      PuffinCodec.readFooter(p, conf))
+    assert(e3.getMessage.contains("trailing magic"))
+    // too short to be a Puffin file at all
+    Files.write(f.toPath, Array[Byte](0x50, 0x46, 0x41, 0x31, 0, 0))
+    val e4 = intercept[IllegalArgumentException](
+      PuffinCodec.readFooter(p, conf))
+    assert(e4.getMessage.contains("too short"))
+  }
+}
