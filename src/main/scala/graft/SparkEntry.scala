@@ -936,6 +936,21 @@ object SparkEntry {
         .select(col("path"), col("version"), col("num_records"))
     }),
 
+    // DELTA MULTIPART V1 CHECKPOINT: the classic checkpoint split into
+    // .checkpoint.<n>.<m>.parquet parts (adds in part 1, everything
+    // else in part 2), commits ≤ 2 log-cleaned — the live set MUST
+    // replay through the COMPLETE part set (a partial set refuses).
+    // Oracle: DuckDB reads the same parts by glob + the surviving JSON
+    // tail and applies the same composite-rank arg_max replay.
+    "meta_delta_multickpt" -> ((s, dir) => {
+      val out = "/tmp/graft_deltamp_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeMultipartCheckpointFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.snapshotFiles(s, out)
+        .select(col("path"), col("version"), col("num_records"))
+    }),
+
     // DELTA DV ROW-WISE decode: the roaring64 payloads (one inline Z85,
     // one u-storage framed file) decode to actual row POSITIONS, which
     // join each file's own rows by _metadata.row_index — the net-rows
@@ -5521,6 +5536,34 @@ object SparkEntry {
         |      AS BIGINT) AS cv,
         |    add.path, remove.path, add.stats
         |  FROM read_json_auto('/tmp/graft_deltav2_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    arg_max(apath IS NOT NULL,
+        |      cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS live,
+        |    arg_max(cv, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS v,
+        |    arg_max(stats, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS stats
+        |  FROM acts GROUP BY 1
+        |)
+        |SELECT path, CAST(v AS BIGINT) AS version,
+        |  CAST(json_extract(stats, '$.numRecords') AS BIGINT) AS num_records
+        |FROM latest WHERE live""".stripMargin,
+
+    "meta_delta_multickpt" ->
+      """WITH acts AS (
+        |  SELECT CAST(2 AS BIGINT) AS cv, add.path AS apath,
+        |    remove.path AS rpath, add.stats AS stats
+        |  FROM read_parquet(
+        |    '/tmp/graft_deltamp_sf0.01/_delta_log/*.checkpoint.*.parquet',
+        |    union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS cv,
+        |    add.path, remove.path, add.stats
+        |  FROM read_json_auto('/tmp/graft_deltamp_sf0.01/_delta_log/*.json',
         |    filename=true, format='newline_delimited', union_by_name=true)
         |  WHERE coalesce(add.path, remove.path) IS NOT NULL
         |),

@@ -418,9 +418,8 @@ object DeltaMeta {
           s"${asOfVersion.map(_.toString).getOrElse("latest")}: commit 0 " +
           "is gone and no checkpoint at or below the target survives")
     }
-    val ckptPaths = segments.collect {
-      case (v, "checkpoint", p) if v == ckptVersion => p
-    }
+    val ckptPaths = selectCheckpointParts(table, ckptVersion,
+      segments.collect { case (v, "checkpoint", p) if v == ckptVersion => p })
     val tailPaths = segments.collect {
       case (v, "commit", p) if v > ckptVersion => p
     }
@@ -509,6 +508,42 @@ object DeltaMeta {
     StructField("readerFeatures", ArrayType(StringType)),
     StructField("writerFeatures", ArrayType(StringType))))
 
+  /** The protocol's multipart checkpoint part name:
+    * `<v>.checkpoint.<n>.<m>.parquet`, part n of m, 1-based. */
+  private val MultipartRe = "\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet$".r
+
+  /** Select a COMPLETE checkpoint from the parts surviving at one
+    * version. The single-file form stands alone; the multipart form
+    * (`.checkpoint.<n>.<m>.parquet`) must be the FULL 1..m set — a
+    * partial set silently reconstructs a partial snapshot, so it
+    * REFUSES unless a complete single-file sibling survives (writers
+    * may leave both forms; reading both would double-count actions, so
+    * exactly one form is chosen). */
+  private[meta] def selectCheckpointParts(
+      table: String, version: Long, paths: Seq[String]): Seq[String] = {
+    val (multi, single) = paths.partition(p =>
+      MultipartRe.findFirstIn(p).isDefined)
+    if (multi.isEmpty) single
+    else {
+      val parts = multi.map { p =>
+        val m = MultipartRe.findFirstMatchIn(p).get
+        (m.group(1).toLong, m.group(2).toLong, p)
+      }
+      val declaredTotals = parts.map(_._2).distinct
+      val have = parts.map(_._1).sorted
+      val complete = declaredTotals.size == 1 &&
+        have == (1L to declaredTotals.head)
+      if (single.nonEmpty) single // complete by construction; never both
+      else if (complete) parts.sortBy(_._1).map(_._3)
+      else throw new IllegalArgumentException(
+        s"$table: multipart checkpoint at version $version is " +
+          s"incomplete (parts ${have.mkString(",")} of " +
+          s"${declaredTotals.mkString("/")} present) and no single-file " +
+          "checkpoint survives — refusing to reconstruct a partial " +
+          "snapshot")
+    }
+  }
+
   /** The surviving log, split around the LATEST checkpoint:
     * `(root, segments as (version, kind, path), checkpoint version — or
     * -1 with no checkpoint)`. The shared driver boundary of every
@@ -562,17 +597,17 @@ object DeltaMeta {
    * metadata tier's answers (live set, row counts) remain faithful
    * under that protocol. Reader versions 1/2 are always supported; the
    * table-features version (3) is supported iff every readerFeature is
-   * in [[UnderstoodReaderFeatures]] — so a `v2Checkpoint` table reports
-   * `supported = false` instead of failing later. The compatibility
+   * in [[UnderstoodReaderFeatures]] — so a table carrying an unknown
+   * future feature reports `supported = false` instead of failing
+   * later. The compatibility
    * check a user should run BEFORE trusting any census of a foreign
    * table.
    */
   def protocolInfo(spark: SparkSession, table: String): DataFrame = {
     val (_, segments, ckptVersion) = latestLogSplit(spark, table)
     val commitPaths = segments.collect { case (_, "commit", p) => p }
-    val ckptPaths = segments.collect {
-      case (v, "checkpoint", p) if v == ckptVersion => p
-    }
+    val ckptPaths = selectCheckpointParts(table, ckptVersion,
+      segments.collect { case (v, "checkpoint", p) if v == ckptVersion => p })
     if (commitPaths.isEmpty && ckptPaths.isEmpty) {
       throw new IllegalArgumentException(s"$table: no log segments to scan")
     }
@@ -696,9 +731,8 @@ object DeltaMeta {
   def latestTransactions(spark: SparkSession, table: String): DataFrame = {
     val (_, segments, ckptVersion) = latestLogSplit(spark, table)
     val commitPaths = segments.collect { case (_, "commit", p) => p }
-    val ckptPaths = segments.collect {
-      case (v, "checkpoint", p) if v == ckptVersion => p
-    }
+    val ckptPaths = selectCheckpointParts(table, ckptVersion,
+      segments.collect { case (v, "checkpoint", p) if v == ckptVersion => p })
     if (commitPaths.isEmpty && ckptPaths.isEmpty) {
       throw new IllegalArgumentException(s"$table: no log segments to scan")
     }
@@ -762,9 +796,8 @@ object DeltaMeta {
   private def metaDataFrame(spark: SparkSession, table: String): DataFrame = {
     val (_, segments, ckptVersion) = latestLogSplit(spark, table)
     val commitPaths = segments.collect { case (_, "commit", p) => p }
-    val ckptPaths = segments.collect {
-      case (v, "checkpoint", p) if v == ckptVersion => p
-    }
+    val ckptPaths = selectCheckpointParts(table, ckptVersion,
+      segments.collect { case (v, "checkpoint", p) if v == ckptVersion => p })
     if (commitPaths.isEmpty && ckptPaths.isEmpty) {
       throw new IllegalArgumentException(s"$table: no log segments to scan")
     }
@@ -937,9 +970,8 @@ object DeltaMeta {
       .flatMap(f => segmentVersion(f.name).map { case (v, k) => (v, k, f.path) })
     val ckptVersion = segments.collect { case (v, "checkpoint", _) => v }
       .maxOption.getOrElse(-1L)
-    val ckptPaths = segments.collect {
-      case (v, "checkpoint", p) if v == ckptVersion => p
-    }
+    val ckptPaths = selectCheckpointParts(table, ckptVersion,
+      segments.collect { case (v, "checkpoint", p) if v == ckptVersion => p })
     val tailPaths = segments.collect {
       case (v, "commit", p) if v > ckptVersion => p
     }
@@ -1389,6 +1421,43 @@ object DeltaMeta {
     }
     writeOnePart(nonFile.unionByName(cmRow).unionByName(scRows),
       new java.io.File(logDir, f"${2L}%020d.checkpoint.graftv2.parquet"))
+    classic.delete()
+    // log cleanup: the commits the checkpoint covers are gone
+    logDir.listFiles().filter(f => f.getName.endsWith(".json") &&
+      segmentVersion(f.getName).exists(_._1 <= 2L)).foreach(_.delete())
+    counts
+  }
+
+  /**
+   * The base fixture re-checkpointed in the protocol's MULTIPART form:
+   * the classic `2.checkpoint.parquet` is split into two parts
+   * (`2.checkpoint.0000000001.0000000002.parquet` +
+   * `...0000000002.0000000002.parquet` — adds in part 1, everything
+   * else in part 2), the classic file deleted, and commits ≤ 2
+   * log-cleaned — so the live set MUST replay through the full part
+   * set. Returns the per-file row counts.
+   */
+  def writeMultipartCheckpointFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeFixtureTable(spark, dir, docs)
+    val logDir = new java.io.File(dir, "_delta_log")
+    val classic = new java.io.File(logDir, f"${2L}%020d.checkpoint.parquet")
+    val ckpt = spark.read.parquet(classic.getPath)
+    def writeOnePart(df: DataFrame, dst: java.io.File): Unit = {
+      val tmp = dir + "_mptmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    writeOnePart(ckpt.filter(col("add").isNotNull),
+      new java.io.File(logDir,
+        f"${2L}%020d.checkpoint.${1L}%010d.${2L}%010d.parquet"))
+    writeOnePart(ckpt.filter(col("add").isNull),
+      new java.io.File(logDir,
+        f"${2L}%020d.checkpoint.${2L}%010d.${2L}%010d.parquet"))
     classic.delete()
     // log cleanup: the commits the checkpoint covers are gone
     logDir.listFiles().filter(f => f.getName.endsWith(".json") &&

@@ -508,15 +508,17 @@ object IcebergMeta {
 
   /**
    * POSITION-DELETE rows of the current snapshot: `(data_path, pos)` —
-   * one row per logically-deleted row position, read from the live
-   * position-delete files (`content=1`) THEMSELVES (the spec's
-   * `(file_path, pos)` parquet shape) — the iceberg sibling of the
-   * delta tier's roaring64 decode: the merge-on-read audit verified
-   * row-wise, not just by record_count subtraction. REFUSES when an
-   * EQUALITY delete file (`content=2`) is live: its deletes resolve
-   * only through a data scan, and silently ignoring it would
-   * undercount. The delete-FILE list is a manifest-scale driver
-   * boundary; the delete ROWS stay a distributed parquet scan.
+   * one row per logically-deleted row position, from BOTH delete
+   * shapes: format-v2 position-delete parquet files (the spec's
+   * `(file_path, pos)` rows, a distributed parquet scan) and
+   * format-v3 PUFFIN deletion vectors (decoded distributed by
+   * [[PuffinCodec]], one unit per DV — the DV entries never visit the
+   * driver) — the merge-on-read audit verified row-wise, not just by
+   * record_count subtraction. REFUSES when an EQUALITY delete file
+   * (`content=2`) is live: its deletes resolve only through a data
+   * scan, and silently ignoring it would undercount. The only driver
+   * boundary is the v2 parquet PATH list (inherent to planning the
+   * read; manifest-entry scale).
    */
   def positionDeleteRows(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
@@ -524,55 +526,60 @@ object IcebergMeta {
     val dels = live.filter(col("content") =!= 0)
       .select(col("abs_path"), col("content"), col("file_format"),
         col("referenced_data_file"), col("content_offset"),
-        col("content_size"), col("record_count")).collect()
-    if (dels.exists(_.getInt(1) == 2)) {
+        col("content_size"), col("record_count"))
+    if (dels.filter(col("content") === 2).limit(1).count() > 0) {
       throw new UnsupportedOperationException(
         s"$table: equality delete files are live — their deleted rows " +
           "resolve only through a data scan; refusing a partial " +
           "position audit")
     }
-    val posDels = dels.filter(_.getInt(1) == 1)
-    val (dvEntries, posFiles) = posDels.partition(r =>
-      r.getString(2) != null && r.getString(2).equalsIgnoreCase("puffin"))
+    val isDv = col("file_format").isNotNull &&
+      upper(col("file_format")) === "PUFFIN"
     val empty = Seq.empty[(String, Long)].toDF("data_path", "pos")
     // v2 shape: position-delete PARQUET files carry (file_path, pos)
-    // rows themselves — a distributed parquet scan
+    // rows themselves — a distributed parquet scan. The source PATH
+    // list is the one driver boundary (inherent to planning a parquet
+    // read; delete-manifest-entry scale, not row scale).
+    val posFiles = dels.filter(col("content") === 1 && !isDv)
+      .select(col("abs_path")).distinct()
+      .collect().map(_.getString(0)).toSeq
     val fromFiles =
       if (posFiles.isEmpty) empty
-      else spark.read.parquet(posFiles.map(_.getString(0)).toSeq: _*)
+      else spark.read.parquet(posFiles: _*)
         .select(col("file_path").as("data_path"),
           col("pos").cast("long").as("pos"))
-    // v3 shape: PUFFIN deletion-vector blobs — one decode task per DV
-    // (the format's own granularity: a vector never spans data files);
-    // a cardinality disagreement between the manifest's record_count
-    // and the decoded payload refuses rather than undercounting
-    val fromDvs =
-      if (dvEntries.isEmpty) empty
-      else {
-        val hconf = spark.sessionState.newHadoopConf()
-        val root = {
-          val p = new Path(table)
-          p.getFileSystem(hconf).makeQualified(p)
-        }
-        val rootStr = root.toString
-        val conf = new SerializableHadoopConf(hconf)
-        dvEntries.toSeq.map(r => (r.getString(0), r.getString(3),
-            r.getLong(4), r.getLong(5), r.getLong(6)))
-          .toDS()
-          .flatMap { case (puffinPath, ref, off, size, card) =>
-            val positions = PuffinCodec.readDvBlob(
-              new Path(puffinPath), conf.value, off, size)
-            if (positions.length != card) {
-              throw new IllegalArgumentException(
-                s"$puffinPath: deletion vector for $ref decodes " +
-                  s"${positions.length} positions but its manifest entry " +
-                  s"claims $card — refusing to miscount")
-            }
-            val abs = resolve(new Path(rootStr), ref).toString
-            positions.map(p => (abs, p))
-          }
-          .toDF("data_path", "pos")
+    // v3 shape: PUFFIN deletion-vector blobs, decoded DISTRIBUTED —
+    // the DV entries never visit the driver (a 100 TB table can carry
+    // millions of them); one decode unit per DV, the format's own
+    // granularity (a vector never spans data files). A cardinality
+    // disagreement between the manifest's record_count and the decoded
+    // payload refuses rather than undercounting.
+    val fromDvs = {
+      val hconf = spark.sessionState.newHadoopConf()
+      val root = {
+        val p = new Path(table)
+        p.getFileSystem(hconf).makeQualified(p)
       }
+      val rootStr = root.toString
+      val conf = new SerializableHadoopConf(hconf)
+      dels.filter(col("content") === 1 && isDv)
+        .select(col("abs_path"), col("referenced_data_file"),
+          col("content_offset"), col("content_size"), col("record_count"))
+        .as[(String, String, Long, Long, Long)]
+        .flatMap { case (puffinPath, ref, off, size, card) =>
+          val positions = PuffinCodec.readDvBlob(
+            new Path(puffinPath), conf.value, off, size)
+          if (positions.length != card) {
+            throw new IllegalArgumentException(
+              s"$puffinPath: deletion vector for $ref decodes " +
+                s"${positions.length} positions but its manifest entry " +
+                s"claims $card — refusing to miscount")
+          }
+          val abs = resolve(new Path(rootStr), ref).toString
+          positions.map(p => (abs, p))
+        }
+        .toDF("data_path", "pos")
+    }
     fromFiles.unionByName(fromDvs)
   }
 

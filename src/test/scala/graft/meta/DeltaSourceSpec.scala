@@ -275,6 +275,45 @@ class DeltaSourceSpec extends SparkSpec {
     assert(causeMessages(e2).contains("unknown layout"))
   }
 
+  test("multipart V1 checkpoint replays the full part set; partial refuses") {
+    val d = Files.createTempDirectory("graft_delta_mp").toString + "/tbl"
+    DeltaMeta.writeMultipartCheckpointFixtureTable(spark, d, docs)
+    // commits ≤ 2 are gone: the checkpointed state can ONLY come from
+    // the two .checkpoint.<n>.<m>.parquet parts together (adds live in
+    // part 1, protocol/metaData/txn + removes in part 2)
+    val live = DeltaMeta.snapshotFiles(spark, d)
+      .select("path", "version", "num_records").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(live.keySet === Set("f0.parquet", "f3.parquet", "f4.parquet",
+      "f5.parquet", "f6.parquet"))
+    assert(live("f0.parquet")._1 === 2L)
+    assert(live("f6.parquet")._1 === 4L)
+    val expected = docs.filter(pmod(col("doc_id"), lit(7)).isin(0, 3, 4, 5, 6)).count()
+    assert(live.values.map(_._2).sum === expected)
+    // non-file actions replay from part 2
+    assert(DeltaMeta.protocolInfo(spark, d).collect()(0)
+      .getAs[Int]("min_reader_version") === 1)
+    val txns = DeltaMeta.latestTransactions(spark, d).orderBy("app_id")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("txn_version")))
+    assert(txns.toSeq === Seq(("ingest-a", 11L), ("ingest-b", 7L)))
+    // a writer may leave BOTH forms at one version: exactly one is
+    // chosen (the single file), never both — double-reading a
+    // checkpoint double-counts its actions
+    val singleForm = Seq(f"x/${2L}%020d.checkpoint.parquet")
+    val partForm = Seq(
+      f"x/${2L}%020d.checkpoint.${1L}%010d.${2L}%010d.parquet",
+      f"x/${2L}%020d.checkpoint.${2L}%010d.${2L}%010d.parquet")
+    assert(DeltaMeta.selectCheckpointParts("t", 2L, singleForm ++ partForm)
+      === singleForm)
+    assert(DeltaMeta.selectCheckpointParts("t", 2L, partForm) === partForm)
+    // part 2 deleted: a partial multipart set must REFUSE, not
+    // reconstruct a snapshot missing every non-add action
+    assert(new java.io.File(d,
+      f"_delta_log/${2L}%020d.checkpoint.${2L}%010d.${2L}%010d.parquet").delete())
+    val e = intercept[Exception](DeltaMeta.snapshotFiles(spark, d).collect())
+    assert(causeMessages(e).contains("incomplete"))
+  }
+
   test("footer action counts ignore embedded-leaf impostor columns") {
     // a writer-specific column whose dotted path EMBEDS add.path must not
     // double-count: the leaf match is exact, not substring
