@@ -1192,6 +1192,20 @@ object SparkEntry {
           sum(col("doc_id")).cast("long").as("deleted_docid_sum"))
     }),
 
+    // ICEBERG PUFFIN STATISTICS audit: the metadata JSON's statistics
+    // entries (Puffin sketch files + declared blob-metadata) verified
+    // against each Puffin file's OWN footer — one row per actual blob,
+    // declared_match flagging type/snapshot disagreement. The oracle is
+    // a REAL cross-engine check: DuckDB independently decodes the
+    // Puffin footer from raw bytes (read_blob → LE payload-size word →
+    // unhex → JSON) and joins the same metadata JSON's declarations.
+    "meta_iceberg_puffin_stats" -> ((s, dir) => {
+      val out = "/tmp/graft_icestats_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeStatsFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.statisticsReport(s, out)
+    }),
+
     // STREAMING iceberg current-store maintenance: the metadata
     // stream's AvailableNow pass refreshes a per-snapshot store only
     // when a NEW metadata version arrives; the store's census must
@@ -5754,6 +5768,57 @@ object SparkEntry {
         |SELECT 'f1.parquet', CAST(2 AS BIGINT),
         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM f1
         |    WHERE pos IN (0, 2))""".stripMargin,
+
+    "meta_iceberg_puffin_stats" ->
+      """WITH raw AS (
+        |  SELECT hex(content) AS h, octet_length(content) AS n,
+        |    parse_filename(filename) AS f
+        |  FROM read_blob('/tmp/graft_icestats_sf0.01/metadata/*.puffin')
+        |),
+        |sz AS (
+        |  SELECT f, h, n,
+        |    (strpos('0123456789ABCDEF', substr(h,(n-12)*2+1,1))-1)*16
+        |      + strpos('0123456789ABCDEF', substr(h,(n-12)*2+2,1))-1
+        |    + ((strpos('0123456789ABCDEF', substr(h,(n-11)*2+1,1))-1)*16
+        |      + strpos('0123456789ABCDEF', substr(h,(n-11)*2+2,1))-1) * 256
+        |    + ((strpos('0123456789ABCDEF', substr(h,(n-10)*2+1,1))-1)*16
+        |      + strpos('0123456789ABCDEF', substr(h,(n-10)*2+2,1))-1) * 65536
+        |    + ((strpos('0123456789ABCDEF', substr(h,(n-9)*2+1,1))-1)*16
+        |      + strpos('0123456789ABCDEF', substr(h,(n-9)*2+2,1))-1) * 16777216
+        |      AS psize
+        |  FROM raw
+        |),
+        |payload AS (
+        |  SELECT f,
+        |    decode(unhex(substr(h, (n-12-psize)*2+1, psize*2))) AS js
+        |  FROM sz
+        |),
+        |actual AS (
+        |  SELECT f,
+        |    CAST(unnest(range(len(CAST(js->'$.blobs' AS JSON[]))))
+        |      AS INTEGER) AS blob_idx,
+        |    unnest(CAST(js->'$.blobs' AS JSON[])) AS b
+        |  FROM payload
+        |),
+        |decl AS (
+        |  SELECT parse_filename(s."statistics-path") AS f,
+        |    CAST(s."snapshot-id" AS BIGINT) AS stats_snapshot_id,
+        |    s."blob-metadata" AS bm
+        |  FROM (SELECT unnest(statistics) AS s FROM read_json_auto(
+        |    '/tmp/graft_icestats_sf0.01/metadata/*.metadata.json'))
+        |)
+        |SELECT a.f AS filename, d.stats_snapshot_id, a.blob_idx,
+        |  a.b->>'$.type' AS blob_type,
+        |  CAST(a.b->'$."snapshot-id"' AS BIGINT) AS blob_snapshot_id,
+        |  CAST(a.b->'$."sequence-number"' AS BIGINT) AS sequence_number,
+        |  CAST(a.b->'$.offset' AS BIGINT) AS "offset",
+        |  CAST(a.b->'$.length' AS BIGINT) AS "length",
+        |  d.bm[a.blob_idx+1]."type" AS declared_type,
+        |  COALESCE(d.bm[a.blob_idx+1]."type" = (a.b->>'$.type') AND
+        |    CAST(d.bm[a.blob_idx+1]."snapshot-id" AS BIGINT) =
+        |      CAST(a.b->'$."snapshot-id"' AS BIGINT), false)
+        |    AS declared_match
+        |FROM actual a JOIN decl d USING (f)""".stripMargin,
 
     "stream_iceberg_live" ->
       """WITH fm AS (

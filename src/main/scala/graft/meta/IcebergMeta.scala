@@ -713,6 +713,61 @@ object IcebergMeta {
         col("format"), col("size"), col("num_rows"))
   }
 
+  /**
+   * PUFFIN STATISTICS audit — the table metadata's `statistics` list
+   * (format v2+: one entry per snapshot naming a Puffin file of sketch
+   * blobs with its declared `blob-metadata`) verified against the
+   * Puffin files' OWN footers: one row per ACTUAL footer blob,
+   * positionally joined with the declared entry —
+   * `declared_match` is false when the metadata's blob list and the
+   * file's footer disagree on type or snapshot (a stale or
+   * hand-edited statistics entry sends sketch consumers to the wrong
+   * blob). The entry list is a driver boundary at snapshot scale; the
+   * footer reads fan out one task per statistics file.
+   */
+  def statisticsReport(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    val mf = currentMetadataFile(fs, root)
+    val in = fs.open(mf)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    import scala.jdk.CollectionConverters._
+    val entries = Option(node.get("statistics"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { s =>
+        val declared = Option(s.get("blob-metadata"))
+          .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+          .map(b => (req(b, "type", mf).asText(),
+            Option(b.get("snapshot-id")).map(_.asLong()).getOrElse(-1L)))
+        (req(s, "snapshot-id", mf).asLong(),
+          req(s, "statistics-path", mf).asText(), declared)
+      }
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(hconf)
+    entries.toDS()
+      .flatMap { case (snapId, path, declared) =>
+        val abs = resolve(new Path(rootStr), path)
+        val (blobs, _) = PuffinCodec.readFooter(abs, conf.value)
+        blobs.zipWithIndex.map { case (b, i) =>
+          val decl = declared.lift(i)
+          (abs.getName, snapId, i, b.blobType,
+            b.snapshotId.getOrElse(-1L), b.sequenceNumber.getOrElse(-1L),
+            b.offset, b.length, decl.map(_._1).orNull,
+            decl.exists(d => d._1 == b.blobType &&
+              d._2 == b.snapshotId.getOrElse(-1L)))
+        }
+      }
+      .toDF("filename", "stats_snapshot_id", "blob_idx", "blob_type",
+        "blob_snapshot_id", "sequence_number", "offset", "length",
+        "declared_type", "declared_match")
+  }
+
   /** Spec paths are absolute URIs of the writing environment; fixture
     * and relocated tables resolve relative to the table root. */
   private def resolve(root: Path, p: String): Path = {
@@ -1128,6 +1183,47 @@ object IcebergMeta {
     java.nio.file.Files.write(
       new java.io.File(metaDir, "version-hint.text").toPath,
       "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
+  /**
+   * The base fixture plus a STATISTICS entry (the spec's Puffin sketch
+   * layout): `metadata/stats-2.puffin` carries two blobs — an
+   * `apache-datasketches-theta-v1` NDV sketch and a
+   * `deletion-vector-v1`-shaped placeholder — both stamped
+   * snapshot-id 2; the metadata JSON's `statistics` list declares the
+   * file with its `blob-metadata`. Returns per-data-file row counts.
+   */
+  def writeStatsFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeFixtureTable(spark, dir, docs)
+    val metaDir = new java.io.File(dir, "metadata")
+    val stats = new java.io.File(metaDir, "stats-2.puffin")
+    // blob bodies are opaque to the footer layer; deterministic bytes
+    val theta = Array.tabulate[Byte](64)(i => (i * 7 + 3).toByte)
+    val extra = PuffinCodec.encodeDvBlob(Array(0L))
+    PuffinCodec.writePuffinFile(stats, Seq(
+      ("apache-datasketches-theta-v1", Map("ndv" -> "42"), theta),
+      (PuffinCodec.DeletionVectorV1, Map.empty[String, String], extra)),
+      snapshotId = 2L, sequenceNumber = 2L)
+    val mf = new java.io.File(metaDir, "v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val marker = "\"current-snapshot-id\":2,"
+    require(txt.contains(marker), s"fixture metadata missing '$marker'")
+    val statsJson =
+      s""""statistics":[{"snapshot-id":2,
+         |"statistics-path":"metadata/stats-2.puffin",
+         |"file-size-in-bytes":${stats.length()},
+         |"blob-metadata":[
+         |{"type":"apache-datasketches-theta-v1","snapshot-id":2,
+         | "sequence-number":2,"fields":[],"properties":{"ndv":"42"}},
+         |{"type":"deletion-vector-v1","snapshot-id":2,
+         | "sequence-number":2,"fields":[],"properties":{}}]}],"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace(marker, marker + statsJson)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     counts
   }
 }

@@ -258,10 +258,14 @@ object PuffinCodec {
   /** Write a Puffin file of `(blobType, properties, body)` blobs and
     * return each blob's `(offset, length)` in order — the numbers a
     * manifest DV entry carries as `content_offset` /
-    * `content_size_in_bytes`. */
+    * `content_size_in_bytes`. `snapshotId`/`sequenceNumber` stamp every
+    * blob's footer entry (one Puffin file serves one snapshot in both
+    * the DV and the statistics layouts). */
   def writePuffinFile(
       file: java.io.File,
-      blobs: Seq[(String, Map[String, String], Array[Byte])]): Seq[(Long, Long)] = {
+      blobs: Seq[(String, Map[String, String], Array[Byte])],
+      snapshotId: Long = 1L,
+      sequenceNumber: Long = 1L): Seq[(Long, Long)] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic)
     val spans = blobs.map { case (_, _, body) =>
@@ -273,8 +277,8 @@ object PuffinCodec {
       val propJson = props.toSeq.sortBy(_._1)
         .map { case (k, v) => s"""${q(k)}:${q(v)}""" }
         .mkString("{", ",", "}")
-      s"""{"type":${q(tpe)},"fields":[],"snapshot-id":1,""" +
-        s""""sequence-number":1,"offset":$off,"length":$blen,""" +
+      s"""{"type":${q(tpe)},"fields":[],"snapshot-id":$snapshotId,""" +
+        s""""sequence-number":$sequenceNumber,"offset":$off,"length":$blen,""" +
         s""""properties":$propJson}"""
     }.mkString("[", ",", "]")
     val payload =

@@ -515,6 +515,45 @@ class IcebergSourceSpec extends SparkSpec {
     assert(causeMessages(e).contains("claims 99"))
   }
 
+  test("statistics audit: footer blobs vs declared blob-metadata") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_stats")
+      .toString + "/tbl"
+    IcebergMeta.writeStatsFixtureTable(spark, d, docs)
+    val rows = IcebergMeta.statisticsReport(spark, d)
+      .orderBy("blob_idx").collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[String]("filename") == "stats-2.puffin"))
+    assert(rows.forall(_.getAs[Long]("stats_snapshot_id") == 2L))
+    assert(rows(0).getAs[String]("blob_type") ===
+      "apache-datasketches-theta-v1")
+    assert(rows(1).getAs[String]("blob_type") === "deletion-vector-v1")
+    assert(rows.forall(_.getAs[Long]("blob_snapshot_id") == 2L))
+    assert(rows.forall(_.getAs[Boolean]("declared_match")))
+    // blob spans tile the file: first blob starts after the head magic
+    assert(rows(0).getAs[Long]("offset") === 4L)
+    assert(rows(1).getAs[Long]("offset") ===
+      4L + rows(0).getAs[Long]("length"))
+    // a LYING declaration (type edited in the metadata JSON) flags
+    // declared_match=false for exactly that blob — the footer wins
+    val mf = new java.io.File(d, "metadata/v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace("\"type\":\"apache-datasketches-theta-v1\"",
+        "\"type\":\"apache-datasketches-hll-v1\"").getBytes("UTF-8"))
+    val flagged = IcebergMeta.statisticsReport(spark, d)
+      .orderBy("blob_idx").collect()
+    assert(!flagged(0).getAs[Boolean]("declared_match"))
+    assert(flagged(0).getAs[String]("declared_type") ===
+      "apache-datasketches-hll-v1")
+    assert(flagged(1).getAs[Boolean]("declared_match"))
+    // a MISSING statistics file refuses (readFooter throws), never an
+    // empty report
+    assert(new java.io.File(d, "metadata/stats-2.puffin").delete())
+    val e = intercept[Exception](
+      IcebergMeta.statisticsReport(spark, d).collect())
+    assert(causeMessages(e).nonEmpty)
+  }
+
   test("puffin DV manifest entries refuse even when the version lies") {
     val d = java.nio.file.Files.createTempDirectory("graft_ice_puffin")
       .toString + "/tbl"
