@@ -951,6 +951,22 @@ object SparkEntry {
         .select(col("path"), col("version"), col("num_records"))
     }),
 
+    // DELTA VERSION-CHECKSUM audit: each surviving <v>.crc declares
+    // the post-commit numFiles/tableSizeBytes; the audit replays the
+    // log independently (ALL versions in one actions ⋈ broadcast-
+    // versions aggregation, no per-version job loop) and flags
+    // disagreement. The fixture's v1 crc LIES (numFiles 99) — both
+    // engines must flag exactly that row. Oracle: DuckDB reads the
+    // same .crc JSONs and replays the same commits with the same
+    // composite-rank arg_max.
+    "meta_delta_crc_audit" -> ((s, dir) => {
+      val out = "/tmp/graft_deltacrc_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeCrcFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.crcAudit(s, out)
+    }),
+
     // DELTA DV ROW-WISE decode: the roaring64 payloads (one inline Z85,
     // one u-storage framed file) decode to actual row POSITIONS, which
     // join each file's own rows by _metadata.row_index — the net-rows
@@ -5564,6 +5580,44 @@ object SparkEntry {
         |SELECT path, CAST(v AS BIGINT) AS version,
         |  CAST(json_extract(stats, '$.numRecords') AS BIGINT) AS num_records
         |FROM latest WHERE live""".stripMargin,
+
+    "meta_delta_crc_audit" ->
+      """WITH crc AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    CAST(numFiles AS BIGINT) AS declared_files,
+        |    CAST(tableSizeBytes AS BIGINT) AS declared_bytes
+        |  FROM read_json_auto('/tmp/graft_deltacrc_sf0.01/_delta_log/*.crc',
+        |    filename=true)
+        |),
+        |acts AS (
+        |  SELECT coalesce(add.path, remove.path) AS path,
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v,
+        |    add.path IS NOT NULL AS is_add,
+        |    CAST(add.size AS BIGINT) AS sz
+        |  FROM read_json_auto('/tmp/graft_deltacrc_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |per AS (
+        |  SELECT c.version, a.path,
+        |    arg_max(a.is_add, a.v * 2 + CAST(a.is_add AS BIGINT)) AS live,
+        |    arg_max(a.sz, a.v * 2 + CAST(a.is_add AS BIGINT)) AS sz
+        |  FROM crc c JOIN acts a ON a.v <= c.version
+        |  GROUP BY 1, 2
+        |),
+        |actuals AS (
+        |  SELECT version,
+        |    CAST(count(*) FILTER (WHERE live) AS BIGINT) AS actual_files,
+        |    CAST(sum(sz) FILTER (WHERE live) AS BIGINT) AS actual_bytes
+        |  FROM per GROUP BY 1
+        |)
+        |SELECT c.version, c.declared_files, c.declared_bytes,
+        |  a.actual_files, a.actual_bytes,
+        |  c.declared_files = a.actual_files AS files_match,
+        |  c.declared_bytes = a.actual_bytes AS bytes_match
+        |FROM crc c JOIN actuals a USING (version)""".stripMargin,
 
     "meta_delta_multickpt" ->
       """WITH acts AS (

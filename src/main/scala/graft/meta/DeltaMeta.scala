@@ -502,6 +502,92 @@ object DeltaMeta {
       .toDF("path", "pos")
   }
 
+  /**
+   * VERSION-CHECKSUM audit — Delta writers emit a `<v>.crc` JSON per
+   * commit declaring the post-commit table state (`numFiles`,
+   * `tableSizeBytes`); this report verifies every surviving one
+   * against an INDEPENDENT replay of the log itself: one row per
+   * `.crc` with declared vs actual and match flags (a disagreement
+   * means the writer's incremental bookkeeping and the log diverged —
+   * the first thing to check on a corrupted table). All versions
+   * replay in ONE pass (actions ⋈ broadcast version list, the same
+   * composite `(version, is_add)` rank per path) — no per-version job
+   * loop. A `.crc` older than the replay base (log-cleaned history
+   * under a checkpoint) reports null actuals rather than dropping the
+   * row or guessing.
+   */
+  def crcAudit(spark: SparkSession, table: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(conf)
+    val logDir = new Path(root, "_delta_log")
+    val crcFiles = fs.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(_.getName.matches("^\\d{20}\\.crc$")).sortBy(_.getName)
+    if (crcFiles.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: no version-checksum (.crc) files in the log")
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val declared = crcFiles.map { p =>
+      val in = fs.open(p)
+      val node = try mapper.readTree(in) finally in.close()
+      def reqLong(name: String): Long = {
+        val x = if (node == null) null else node.get(name)
+        if (x == null) throw new IllegalArgumentException(
+          s"$p: version-checksum missing '$name'")
+        x.asLong()
+      }
+      (p.getName.take(20).toLong, reqLong("numFiles"),
+        reqLong("tableSizeBytes"))
+    }
+    val (_, segments, ckptVersion) = latestLogSplit(spark, table)
+    val hasCommit0 = segments.exists { case (v, k, _) =>
+      v == 0L && k == "commit" }
+    // prefer the all-commits replay (audits every version); fall back
+    // to checkpoint base only when log cleanup forces it
+    val (ckptPaths, base) =
+      if (hasCommit0) (Seq.empty[String], -1L)
+      else if (ckptVersion >= 0) {
+        (selectCheckpointParts(table, ckptVersion, segments.collect {
+          case (v, "checkpoint", p) if v == ckptVersion => p }), ckptVersion)
+      } else {
+        throw new IllegalArgumentException(
+          s"$table: commit 0 is gone and no checkpoint survives — " +
+            "no version is reconstructable to audit against")
+      }
+    val tailPaths = segments.collect {
+      case (v, "commit", p) if v > base => p
+    }
+    val acts = decodeActions(spark, table, ckptPaths, base, tailPaths)
+      .select(coalesce(col("add.path"), col("remove.path")).as("path"),
+        col("version"), col("add").isNotNull.as("is_add"),
+        col("add.size").as("size"))
+      .filter(col("path").isNotNull)
+    import spark.implicits._
+    // the version list is log-bounded (one row per .crc): broadcast it
+    // and resolve EVERY version's live set in one aggregation
+    val versions = declared.map(_._1).filter(_ >= math.max(base, 0L))
+      .toDF("crc_version")
+    val actuals = acts
+      .join(broadcast(versions), col("version") <= col("crc_version"))
+      .groupBy(col("crc_version"), col("path"))
+      .agg(max_by(struct(col("is_add"), col("size")),
+        struct(col("version"), col("is_add"))).as("w"))
+      .filter(col("w.is_add"))
+      .groupBy(col("crc_version"))
+      .agg(count(lit(1)).cast("long").as("actual_files"),
+        sum(col("w.size")).cast("long").as("actual_bytes"))
+    declared.toDF("version", "declared_files", "declared_bytes")
+      .join(actuals, col("version") === col("crc_version"), "left")
+      .select(col("version"), col("declared_files"), col("declared_bytes"),
+        col("actual_files"), col("actual_bytes"),
+        (col("declared_files") === col("actual_files")).as("files_match"),
+        (col("declared_bytes") === col("actual_bytes")).as("bytes_match"))
+  }
+
   private val protocolType = StructType(Seq(
     StructField("minReaderVersion", IntegerType),
     StructField("minWriterVersion", IntegerType),
@@ -1280,6 +1366,38 @@ object DeltaMeta {
       removeJson("f2.parquet", 3), addJson("f5.parquet", 3)))
     writeCommit(4, Seq(commitInfo(4, "WRITE"), metaDataV4,
       addJson("f6.parquet", 4)))
+    counts
+  }
+
+  /**
+   * The base fixture plus per-version `.crc` version-checksum files,
+   * computed CLOSED-FORM from the fixture's own commit plan (v0: +f0
+   * +f1; v1: +f2 +f3; v2: −f1 +f4; v3: −f2 +f5; v4: +f6) — independent
+   * of any replay code. Version 1 LIES (`numFiles: 99`) so the audit's
+   * mismatch flag is exercised on a real disagreement. Returns per-file
+   * row counts.
+   */
+  def writeCrcFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeFixtureTable(spark, dir, docs)
+    val root = new java.io.File(dir)
+    val logDir = new java.io.File(root, "_delta_log")
+    def size(f: String): Long = new java.io.File(root, f).length()
+    val liveAt: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("f0", "f1"),
+      1L -> Seq("f0", "f1", "f2", "f3"),
+      2L -> Seq("f0", "f2", "f3", "f4"),
+      3L -> Seq("f0", "f3", "f4", "f5"),
+      4L -> Seq("f0", "f3", "f4", "f5", "f6"))
+    liveAt.foreach { case (v, files) =>
+      val nf = if (v == 1L) 99 else files.size
+      val tsb = files.map(f => size(s"$f.parquet")).sum
+      java.nio.file.Files.write(
+        new java.io.File(logDir, f"$v%020d.crc").toPath,
+        (s"""{"tableSizeBytes":$tsb,"numFiles":$nf,""" +
+          s""""numMetadata":1,"numProtocol":1}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     counts
   }
 

@@ -314,6 +314,44 @@ class DeltaSourceSpec extends SparkSpec {
     assert(causeMessages(e).contains("incomplete"))
   }
 
+  test("crc audit: declared vs replayed state, lying crc flagged") {
+    val d = Files.createTempDirectory("graft_delta_crc").toString + "/tbl"
+    DeltaMeta.writeCrcFixtureTable(spark, d, docs)
+    val rows = DeltaMeta.crcAudit(spark, d).orderBy("version").collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Long]("version")).toSeq === (0L to 4L))
+    // the actual side comes from the replay: closed-form live counts
+    assert(rows.map(_.getAs[Long]("actual_files")).toSeq ===
+      Seq(2L, 4L, 4L, 4L, 5L))
+    // only v1's crc lies (numFiles 99); every other row matches fully
+    rows.foreach { r =>
+      val v = r.getAs[Long]("version")
+      assert(r.getAs[Boolean]("files_match") === (v != 1L))
+      assert(r.getAs[Boolean]("bytes_match"))
+    }
+    assert(rows(1).getAs[Long]("declared_files") === 99L)
+    // log-cleaned history: delete commits 0..2 — the checkpoint at 2
+    // becomes the replay base, so v0/v1 report NULL actuals (not
+    // dropped, not guessed) while v2..v4 still audit
+    val logDir = new java.io.File(d, "_delta_log")
+    logDir.listFiles().filter(f => f.getName.endsWith(".json") &&
+      DeltaMeta.segmentVersion(f.getName).exists(_._1 <= 2L))
+      .foreach(f => assert(f.delete()))
+    val after = DeltaMeta.crcAudit(spark, d).orderBy("version").collect()
+    assert(after.length === 5)
+    assert(after.filter(_.getAs[Long]("version") < 2L)
+      .forall(r => r.isNullAt(r.fieldIndex("actual_files")) &&
+        r.isNullAt(r.fieldIndex("files_match"))))
+    assert(after.filter(_.getAs[Long]("version") >= 2L)
+      .forall(_.getAs[Boolean]("files_match")))
+    // a crc missing a required field refuses, classified
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${4L}%020d.crc").toPath,
+      """{"tableSizeBytes":1}""".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](DeltaMeta.crcAudit(spark, d))
+    assert(e.getMessage.contains("numFiles"))
+  }
+
   test("footer action counts ignore embedded-leaf impostor columns") {
     // a writer-specific column whose dotted path EMBEDS add.path must not
     // double-count: the leaf match is exact, not substring
