@@ -1208,6 +1208,22 @@ object SparkEntry {
           sum(col("doc_id")).cast("long").as("deleted_docid_sum"))
     }),
 
+    // ICEBERG PARTITION-STATISTICS audit: the current snapshot's
+    // declared per-partition rollups (a PARQUET stats file named by
+    // the metadata's partition-statistics list) vs the manifest
+    // chain's own per-partition aggregation; the fixture's first lang
+    // LIES about data_file_count — both engines must flag exactly that
+    // row. Oracle: DuckDB reads the SAME stats parquet and recomputes
+    // the actual side from the data files themselves
+    // (parquet_file_metadata rows + read_blob sizes).
+    "meta_iceberg_partition_stats" -> ((s, dir) => {
+      val out = "/tmp/graft_icepstats_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writePartitionStatsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.partitionStatsAudit(s, out)
+    }),
+
     // ICEBERG PUFFIN STATISTICS audit: the metadata JSON's statistics
     // entries (Puffin sketch files + declared blob-metadata) verified
     // against each Puffin file's OWN footer — one row per actual blob,
@@ -5822,6 +5838,39 @@ object SparkEntry {
         |SELECT 'f1.parquet', CAST(2 AS BIGINT),
         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM f1
         |    WHERE pos IN (0, 2))""".stripMargin,
+
+    "meta_iceberg_partition_stats" ->
+      """WITH decl AS (
+        |  SELECT 'lang=' || "partition".lang AS partition_key,
+        |    CAST(data_file_count AS BIGINT) AS declared_files,
+        |    CAST(data_record_count AS BIGINT) AS declared_rows,
+        |    CAST(total_data_file_size_in_bytes AS BIGINT) AS declared_bytes
+        |  FROM read_parquet(
+        |    '/tmp/graft_icepstats_sf0.01/metadata/partition-stats-1.parquet')
+        |),
+        |rowsfc AS (
+        |  SELECT regexp_extract(file_name, 'lang=([^/]+)/', 1) AS lang,
+        |    CAST(count(*) AS BIGINT) AS actual_files,
+        |    CAST(sum(num_rows) AS BIGINT) AS actual_rows
+        |  FROM parquet_file_metadata(
+        |    '/tmp/graft_icepstats_sf0.01/data/*/*.parquet')
+        |  GROUP BY 1
+        |),
+        |bytes AS (
+        |  SELECT regexp_extract(filename, 'lang=([^/]+)/', 1) AS lang,
+        |    CAST(sum(size) AS BIGINT) AS actual_bytes
+        |  FROM read_blob('/tmp/graft_icepstats_sf0.01/data/*/*.parquet')
+        |  GROUP BY 1
+        |)
+        |SELECT d.partition_key,
+        |  d.declared_files, d.declared_rows, d.declared_bytes,
+        |  r.actual_files, r.actual_rows, b.actual_bytes,
+        |  d.declared_files = r.actual_files AS files_match,
+        |  d.declared_rows = r.actual_rows AS rows_match,
+        |  d.declared_bytes = b.actual_bytes AS bytes_match
+        |FROM decl d
+        |JOIN rowsfc r ON 'lang=' || r.lang = d.partition_key
+        |JOIN bytes b ON b.lang = r.lang""".stripMargin,
 
     "meta_iceberg_puffin_stats" ->
       """WITH raw AS (

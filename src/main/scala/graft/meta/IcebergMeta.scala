@@ -768,6 +768,72 @@ object IcebergMeta {
         "declared_type", "declared_match")
   }
 
+  /**
+   * PARTITION-STATISTICS audit — the metadata JSON's
+   * `partition-statistics` entry for the CURRENT snapshot (a PARQUET
+   * file of per-partition rollups, spec v2+) verified against the
+   * manifest chain's own per-partition aggregation: one row per
+   * partition (FULL OUTER — a declared-but-dead or live-but-undeclared
+   * partition surfaces with nulls on the other side) with
+   * files/rows/bytes match flags. Both sides are distributed scans;
+   * the partition key is the sorted `k=v` CSV so any partition-spec
+   * shape compares. Refuses when no entry exists for the current
+   * snapshot.
+   */
+  def partitionStatsAudit(spark: SparkSession, table: String): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    val mf = currentMetadataFile(fs, root)
+    val in = fs.open(mf)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    import scala.jdk.CollectionConverters._
+    val currentSnap = Option(node.get("current-snapshot-id"))
+      .map(_.asLong()).getOrElse(
+        throw new IllegalArgumentException(s"$mf: no current-snapshot-id"))
+    val statsPath = Option(node.get("partition-statistics"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .find(e => req(e, "snapshot-id", mf).asLong() == currentSnap)
+      .map(e => req(e, "statistics-path", mf).asText())
+      .getOrElse(throw new UnsupportedOperationException(
+        s"$table: no partition-statistics entry for current snapshot " +
+          s"$currentSnap — nothing declared to audit"))
+    val declaredRaw = spark.read.parquet(
+      resolve(root, statsPath).toString)
+    val partFields = declaredRaw.schema("partition").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    val declared = declaredRaw.select(
+      array_join(array_sort(array(partFields.map(f =>
+        concat(lit(f + "="), col(s"partition.$f").cast("string"))): _*)),
+        ",").as("partition_key"),
+      col("data_file_count").cast("long").as("declared_files"),
+      col("data_record_count").cast("long").as("declared_rows"),
+      col("total_data_file_size_in_bytes").cast("long").as("declared_bytes"))
+    val actual = currentFiles(spark, table)
+      .filter(col("status") =!= 2 && col("content") === 0)
+      .select(
+        array_join(array_sort(transform(map_entries(col("partition_values")),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))),
+          ",").as("partition_key"),
+        col("record_count"), col("file_size_bytes"))
+      .groupBy(col("partition_key"))
+      .agg(count(lit(1)).cast("long").as("actual_files"),
+        sum(col("record_count")).cast("long").as("actual_rows"),
+        sum(col("file_size_bytes")).cast("long").as("actual_bytes"))
+    declared.join(actual, Seq("partition_key"), "full_outer")
+      .select(col("partition_key"),
+        col("declared_files"), col("declared_rows"), col("declared_bytes"),
+        col("actual_files"), col("actual_rows"), col("actual_bytes"),
+        (col("declared_files") === col("actual_files")).as("files_match"),
+        (col("declared_rows") === col("actual_rows")).as("rows_match"),
+        (col("declared_bytes") === col("actual_bytes")).as("bytes_match"))
+  }
+
   /** Spec paths are absolute URIs of the writing environment; fixture
     * and relocated tables resolve relative to the table root. */
   private def resolve(root: Path, p: String): Path = {
@@ -919,6 +985,62 @@ object IcebergMeta {
       new java.io.File(metaDir, "version-hint.text").toPath,
       "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     counts.toMap
+  }
+
+  /**
+   * The partitioned fixture plus a PARTITION-STATISTICS file (spec
+   * v2+): `metadata/partition-stats-1.parquet` carries one rollup row
+   * per `lang` partition — computed CLOSED-FORM from the writer's own
+   * per-file counts, except the first lang, which LIES about
+   * `data_file_count` (3 instead of 2) so the audit's mismatch flag is
+   * exercised. The metadata JSON's `partition-statistics` list names
+   * the file for snapshot 1. Returns rows per `lang=<x>/f<p>.parquet`.
+   */
+  def writePartitionStatsFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writePartitionedFixtureTable(spark, dir, docs)
+    val root = new java.io.File(dir)
+    val metaDir = new java.io.File(root, "metadata")
+    val langs = counts.keys.map(_.split("/")(0).stripPrefix("lang="))
+      .toSeq.distinct.sorted
+    val liar = langs.head
+    import spark.implicits._
+    val rollups = langs.map { lang =>
+      val files = counts.filter(_._1.startsWith(s"lang=$lang/")).toSeq
+      val bytes = files.map { case (rel, _) =>
+        new java.io.File(new java.io.File(root, "data"), rel).length()
+      }.sum
+      (lang, if (lang == liar) 3L else files.size.toLong,
+        files.map(_._2).sum, bytes)
+    }
+    val tmp = dir + "_pstats"
+    rollups.toDF("lang", "fc", "rc", "bytes")
+      .select(struct(col("lang")).as("partition"),
+        lit(0).as("spec_id"),
+        col("rc").as("data_record_count"),
+        col("fc").as("data_file_count"),
+        col("bytes").as("total_data_file_size_in_bytes"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(metaDir, "partition-stats-1.parquet")
+    java.nio.file.Files.copy(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    val mf = new java.io.File(metaDir, "v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val marker = "\"current-snapshot-id\":1,"
+    require(txt.contains(marker), s"fixture metadata missing '$marker'")
+    val entry =
+      s""""partition-statistics":[{"snapshot-id":1,
+         |"statistics-path":"metadata/partition-stats-1.parquet",
+         |"file-size-in-bytes":${dst.length()}}],"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace(marker, marker + entry)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
   }
 
   /**

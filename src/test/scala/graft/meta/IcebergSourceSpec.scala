@@ -554,6 +554,39 @@ class IcebergSourceSpec extends SparkSpec {
     assert(causeMessages(e).nonEmpty)
   }
 
+  test("partition-statistics audit: rollups vs manifest aggregation") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_pstats")
+      .toString + "/tbl"
+    // the partitioned fixture selects (doc_id, n_chars) per slice
+    val pdocs = docs.withColumn("n_chars", col("doc_id") % 97)
+    val counts = IcebergMeta.writePartitionStatsFixtureTable(spark, d, pdocs)
+    val langs = counts.keys.map(_.split("/")(0).stripPrefix("lang="))
+      .toSeq.distinct.sorted
+    val rows = IcebergMeta.partitionStatsAudit(spark, d)
+      .orderBy("partition_key").collect()
+    assert(rows.length === langs.length)
+    assert(rows.map(_.getAs[String]("partition_key")).toSeq ===
+      langs.map(l => s"lang=$l"))
+    // only the first lang's declaration lies about data_file_count
+    rows.zip(langs).foreach { case (r, lang) =>
+      assert(r.getAs[Long]("actual_files") === 2L)
+      assert(r.getAs[Boolean]("files_match") === (lang != langs.head))
+      assert(r.getAs[Boolean]("rows_match"))
+      assert(r.getAs[Boolean]("bytes_match"))
+      val expectRows = counts.filter(_._1.startsWith(s"lang=$lang/"))
+        .values.sum
+      assert(r.getAs[Long]("actual_rows") === expectRows)
+      assert(r.getAs[Long]("declared_rows") === expectRows)
+    }
+    // no partition-statistics entry for the current snapshot → refuse
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ice_pstats2")
+      .toString + "/tbl"
+    IcebergMeta.writePartitionedFixtureTable(spark, d2, pdocs)
+    val e = intercept[UnsupportedOperationException](
+      IcebergMeta.partitionStatsAudit(spark, d2))
+    assert(e.getMessage.contains("partition-statistics"))
+  }
+
   test("puffin DV manifest entries refuse even when the version lies") {
     val d = java.nio.file.Files.createTempDirectory("graft_ice_puffin")
       .toString + "/tbl"
