@@ -1208,6 +1208,33 @@ object SparkEntry {
           sum(col("doc_id")).cast("long").as("deleted_docid_sum"))
     }),
 
+    // DELTA _last_checkpoint POINTER audit: the reader hint file vs
+    // the log's actual contents — declared version/parts, surviving
+    // parts, completeness, stale-pointer detection (a newer checkpoint
+    // the pointer misses), and the commit count past the declared
+    // version. Oracle: DuckDB reads the same pointer JSON and
+    // recomputes everything from a glob listing of the same log.
+    "meta_delta_last_ckpt" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.lastCheckpointAudit(s, out)
+    }),
+
+    // ICEBERG REFS report: named branches/tags -> snapshot ids, with
+    // dangling detection (a ref to an expired snapshot breaks every
+    // reader that follows it) and current-snapshot flagging. The
+    // fixture plants main/branch, v1/tag, and a stale tag on an
+    // expired id. Oracle: DuckDB parses the same refs map (json_each)
+    // and the same snapshots list.
+    "meta_iceberg_refs" -> ((s, dir) => {
+      val out = "/tmp/graft_icerefs_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeRefsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.refsReport(s, out)
+    }),
+
     // ICEBERG PARTITION-STATISTICS audit: the current snapshot's
     // declared per-partition rollups (a PARQUET stats file named by
     // the metadata's partition-statistics list) vs the manifest
@@ -5838,6 +5865,64 @@ object SparkEntry {
         |SELECT 'f1.parquet', CAST(2 AS BIGINT),
         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM f1
         |    WHERE pos IN (0, 2))""".stripMargin,
+
+    "meta_delta_last_ckpt" ->
+      """WITH ptr AS (
+        |  SELECT CAST(version AS BIGINT) AS dv
+        |  FROM read_json_auto(
+        |    '/tmp/graft_delta_sf0.01/_delta_log/_last_checkpoint')
+        |),
+        |names AS (
+        |  SELECT parse_filename(file) AS f
+        |  FROM glob('/tmp/graft_delta_sf0.01/_delta_log/*')
+        |),
+        |cks AS (
+        |  SELECT CAST(regexp_extract(f, '^0*(\d+)', 1) AS BIGINT) AS v
+        |  FROM names
+        |  WHERE regexp_matches(f, '^\d{20}\.checkpoint(\..+)?\.parquet$')
+        |),
+        |commits AS (
+        |  SELECT CAST(regexp_extract(f, '^0*(\d+)', 1) AS BIGINT) AS v
+        |  FROM names WHERE regexp_matches(f, '^\d{20}\.json$')
+        |)
+        |SELECT p.dv AS declared_version,
+        |  CAST(NULL AS BIGINT) AS declared_parts,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cks WHERE v = p.dv)
+        |    AS parts_found,
+        |  (SELECT count(*) FROM cks WHERE v = p.dv) > 0
+        |    AS checkpoint_complete,
+        |  COALESCE((SELECT max(v) FROM cks), -1) > p.dv
+        |    AS newer_checkpoint_exists,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM commits WHERE v > p.dv)
+        |    AS commits_after
+        |FROM ptr p""".stripMargin,
+
+    "meta_iceberg_refs" ->
+      """WITH m AS (
+        |  SELECT refs, "current-snapshot-id" AS cur, snapshots
+        |  FROM read_json_auto(
+        |    '/tmp/graft_icerefs_sf0.01/metadata/*.metadata.json')
+        |),
+        |r AS (
+        |  SELECT k AS ref_name,
+        |    json_extract_string(j, '$.' || k || '.type') AS ref_type,
+        |    CAST(json_extract(j, '$.' || k || '."snapshot-id"') AS BIGINT)
+        |      AS snapshot_id,
+        |    cur
+        |  FROM (
+        |    SELECT unnest(json_keys(to_json(refs))) AS k,
+        |      to_json(refs) AS j, cur
+        |    FROM m
+        |  )
+        |),
+        |ids AS (
+        |  SELECT CAST(s."snapshot-id" AS BIGINT) AS id
+        |  FROM (SELECT unnest(snapshots) AS s FROM m)
+        |)
+        |SELECT ref_name, ref_type, snapshot_id,
+        |  snapshot_id IN (SELECT id FROM ids) AS resolves,
+        |  snapshot_id = cur AS is_current
+        |FROM r""".stripMargin,
 
     "meta_iceberg_partition_stats" ->
       """WITH decl AS (

@@ -588,6 +588,59 @@ object DeltaMeta {
         (col("declared_bytes") === col("actual_bytes")).as("bytes_match"))
   }
 
+  /**
+   * `_last_checkpoint` POINTER audit — the hint file Delta readers use
+   * to skip log listing, verified against the log's actual contents:
+   * one row with the pointer's declared version/parts vs what
+   * survives on disk (`parts_found`, a completeness verdict through
+   * [[selectCheckpointParts]]'s rules, whether a NEWER checkpoint
+   * exists that the pointer misses — the stale-pointer shape that
+   * makes readers replay more commits than needed — and the commit
+   * count past the declared version). Refuses when no
+   * `_last_checkpoint` exists; a malformed pointer refuses with the
+   * field named.
+   */
+  def lastCheckpointAudit(spark: SparkSession, table: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(conf)
+    val ptr = new Path(new Path(root, "_delta_log"), "_last_checkpoint")
+    if (!fs.exists(ptr)) {
+      throw new IllegalArgumentException(
+        s"$table: no _delta_log/_last_checkpoint pointer")
+    }
+    val in = fs.open(ptr)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val declaredVersion = {
+      val v = if (node == null) null else node.get("version")
+      if (v == null) throw new IllegalArgumentException(
+        s"$ptr: _last_checkpoint missing 'version'")
+      v.asLong()
+    }
+    val declaredParts = Option(node.get("parts")).map(_.asLong())
+    val (_, segments, _) = latestLogSplit(spark, table)
+    val atDeclared = segments.collect {
+      case (v, "checkpoint", p) if v == declaredVersion => p
+    }
+    val complete =
+      try { selectCheckpointParts(table, declaredVersion, atDeclared).nonEmpty }
+      catch { case _: IllegalArgumentException => false }
+    val newestCkpt = segments.collect { case (v, "checkpoint", _) => v }
+      .maxOption.getOrElse(-1L)
+    val commitsAfter = segments.count { case (v, k, _) =>
+      k == "commit" && v > declaredVersion }
+    import spark.implicits._
+    Seq((declaredVersion, declaredParts, atDeclared.size.toLong, complete,
+      newestCkpt > declaredVersion, commitsAfter.toLong))
+      .toDF("declared_version", "declared_parts", "parts_found",
+        "checkpoint_complete", "newer_checkpoint_exists", "commits_after")
+  }
+
   private val protocolType = StructType(Seq(
     StructField("minReaderVersion", IntegerType),
     StructField("minWriterVersion", IntegerType),

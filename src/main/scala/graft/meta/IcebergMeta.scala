@@ -834,6 +834,50 @@ object IcebergMeta {
         (col("declared_bytes") === col("actual_bytes")).as("bytes_match"))
   }
 
+  /**
+   * REFS report — the metadata JSON's `refs` map (named branches/tags
+   * → snapshot ids, spec v2+): one row per ref with `resolves` (the
+   * named snapshot is still in the `snapshots` list — a DANGLING ref
+   * after snapshot expiry breaks every reader that follows it) and
+   * `is_current` (the ref points at the current snapshot). Tables
+   * without refs report the implicit `main` branch on the current
+   * snapshot, the spec's default.
+   */
+  def refsReport(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    val mf = currentMetadataFile(fs, root)
+    val info = readTableMetadata(mf, hconf)
+    val in = fs.open(mf)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    import scala.jdk.CollectionConverters._
+    val listed = info.snapshots.map(_.snapshotId).toSet
+    val current = info.currentSnapshotId
+    val declared = Option(node.get("refs")).filter(_.isObject)
+      .map(_.properties().asScala.toSeq.map { e =>
+        val name = e.getKey
+        val v = e.getValue
+        (name,
+          Option(v.get("type")).map(_.asText()).getOrElse(
+            throw new IllegalArgumentException(
+              s"$mf: ref '$name' missing 'type'")),
+          req(v, "snapshot-id", mf).asLong())
+      })
+      .getOrElse(current.toSeq.map(c => ("main", "branch", c)))
+    declared.sortBy(_._1)
+      .map { case (name, tpe, snap) =>
+        (name, tpe, snap, listed.contains(snap), current.contains(snap))
+      }
+      .toDF("ref_name", "ref_type", "snapshot_id", "resolves", "is_current")
+  }
+
   /** Spec paths are absolute URIs of the writing environment; fixture
     * and relocated tables resolve relative to the table root. */
   private def resolve(root: Path, p: String): Path = {
@@ -1305,6 +1349,30 @@ object IcebergMeta {
     java.nio.file.Files.write(
       new java.io.File(metaDir, "version-hint.text").toPath,
       "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
+  /**
+   * The base fixture plus a `refs` map: the `main` branch on the
+   * current snapshot, a `v1` tag on the superseded one, and a `stale`
+   * tag on an EXPIRED snapshot id (99) — the dangling shape
+   * [[refsReport]] must surface. Returns per-data-file row counts.
+   */
+  def writeRefsFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeFixtureTable(spark, dir, docs)
+    val mf = new java.io.File(dir, "metadata/v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val marker = "\"current-snapshot-id\":2,"
+    require(txt.contains(marker), s"fixture metadata missing '$marker'")
+    val refs =
+      """"refs":{"main":{"snapshot-id":2,"type":"branch"},""" +
+        """"v1":{"snapshot-id":1,"type":"tag"},""" +
+        """"stale":{"snapshot-id":99,"type":"tag"}},"""
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace(marker, marker + refs)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     counts
   }
 

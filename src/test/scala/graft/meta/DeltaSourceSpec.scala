@@ -352,6 +352,41 @@ class DeltaSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("numFiles"))
   }
 
+  test("_last_checkpoint pointer audit: fresh, stale, broken pointers") {
+    val d = Files.createTempDirectory("graft_delta_ptr").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    val fresh = DeltaMeta.lastCheckpointAudit(spark, d).collect()(0)
+    assert(fresh.getAs[Long]("declared_version") === 2L)
+    assert(fresh.isNullAt(fresh.fieldIndex("declared_parts")))
+    assert(fresh.getAs[Long]("parts_found") === 1L)
+    assert(fresh.getAs[Boolean]("checkpoint_complete"))
+    assert(!fresh.getAs[Boolean]("newer_checkpoint_exists"))
+    assert(fresh.getAs[Long]("commits_after") === 2L)
+    // pointer naming a checkpoint that does NOT exist: incomplete
+    val ptr = new java.io.File(d, "_delta_log/_last_checkpoint")
+    java.nio.file.Files.write(ptr.toPath,
+      """{"version":9,"size":1}""".getBytes("UTF-8"))
+    val broken = DeltaMeta.lastCheckpointAudit(spark, d).collect()(0)
+    assert(broken.getAs[Long]("declared_version") === 9L)
+    assert(broken.getAs[Long]("parts_found") === 0L)
+    assert(!broken.getAs[Boolean]("checkpoint_complete"))
+    // STALE pointer: names version 0 while the v2 checkpoint exists
+    java.nio.file.Files.write(ptr.toPath,
+      """{"version":0,"size":1}""".getBytes("UTF-8"))
+    val stale = DeltaMeta.lastCheckpointAudit(spark, d).collect()(0)
+    assert(stale.getAs[Boolean]("newer_checkpoint_exists"))
+    assert(stale.getAs[Long]("commits_after") === 4L)
+    // malformed pointer refuses with the field named; missing refuses
+    java.nio.file.Files.write(ptr.toPath, """{"size":1}""".getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException](
+      DeltaMeta.lastCheckpointAudit(spark, d))
+    assert(e1.getMessage.contains("version"))
+    assert(ptr.delete())
+    val e2 = intercept[IllegalArgumentException](
+      DeltaMeta.lastCheckpointAudit(spark, d))
+    assert(e2.getMessage.contains("_last_checkpoint"))
+  }
+
   test("footer action counts ignore embedded-leaf impostor columns") {
     // a writer-specific column whose dotted path EMBEDS add.path must not
     // double-count: the leaf match is exact, not substring

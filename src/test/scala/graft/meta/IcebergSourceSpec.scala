@@ -587,6 +587,29 @@ class IcebergSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("partition-statistics"))
   }
 
+  test("refs report: branches, tags, dangling detection") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_refs")
+      .toString + "/tbl"
+    IcebergMeta.writeRefsFixtureTable(spark, d, docs)
+    val rows = IcebergMeta.refsReport(spark, d).orderBy("ref_name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.toSeq === Seq(
+      ("main", "branch", 2L, true, true),
+      ("stale", "tag", 99L, false, false), // dangling: snapshot expired
+      ("v1", "tag", 1L, true, false)))
+    // a table WITHOUT refs reports the implicit main branch (the
+    // spec's default) on the current snapshot
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ice_norefs")
+      .toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d2, docs)
+    val implied = IcebergMeta.refsReport(spark, d2).collect()
+    assert(implied.length === 1)
+    assert(implied(0).getString(0) === "main")
+    assert(implied(0).getLong(2) === 2L)
+    assert(implied(0).getBoolean(3) && implied(0).getBoolean(4))
+  }
+
   test("puffin DV manifest entries refuse even when the version lies") {
     val d = java.nio.file.Files.createTempDirectory("graft_ice_puffin")
       .toString + "/tbl"
