@@ -512,74 +512,78 @@ object IcebergMeta {
    * shapes: format-v2 position-delete parquet files (the spec's
    * `(file_path, pos)` rows, a distributed parquet scan) and
    * format-v3 PUFFIN deletion vectors (decoded distributed by
-   * [[PuffinCodec]], one unit per DV — the DV entries never visit the
-   * driver) — the merge-on-read audit verified row-wise, not just by
-   * record_count subtraction. REFUSES when an EQUALITY delete file
-   * (`content=2`) is live: its deletes resolve only through a data
-   * scan, and silently ignoring it would undercount. The only driver
-   * boundary is the v2 parquet PATH list (inherent to planning the
-   * read; manifest-entry scale).
+   * [[PuffinCodec]], one unit per DV — blob spans and payloads stay
+   * executor-side) — the merge-on-read audit verified row-wise, not
+   * just by record_count subtraction. REFUSES when an EQUALITY delete
+   * file (`content=2`) is live: its deletes resolve only through a
+   * data scan, and silently ignoring it would undercount. The one
+   * driver boundary is a 3-field classification row per delete ENTRY
+   * (manifest-entry scale — the v2 parquet path list needs it anyway),
+   * collected in a single manifest walk.
    */
   def positionDeleteRows(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val live = currentFiles(spark, table).filter(col("status") =!= 2)
     val dels = live.filter(col("content") =!= 0)
-      .select(col("abs_path"), col("content"), col("file_format"),
-        col("referenced_data_file"), col("content_offset"),
-        col("content_size"), col("record_count"))
-    if (dels.filter(col("content") === 2).limit(1).count() > 0) {
+    val isDv = col("file_format").isNotNull &&
+      upper(col("file_format")) === "PUFFIN"
+    // ONE manifest walk collects the delete-entry CLASSIFICATION
+    // (3 small fields per entry — manifest-entry scale, the same
+    // driver boundary the v2 parquet path list needs anyway); the DV
+    // PAYLOADS never visit the driver
+    val delMeta = dels
+      .select(col("content"), isDv.as("is_dv"), col("abs_path")).collect()
+    if (delMeta.exists(_.getInt(0) == 2)) {
       throw new UnsupportedOperationException(
         s"$table: equality delete files are live — their deleted rows " +
           "resolve only through a data scan; refusing a partial " +
           "position audit")
     }
-    val isDv = col("file_format").isNotNull &&
-      upper(col("file_format")) === "PUFFIN"
     val empty = Seq.empty[(String, Long)].toDF("data_path", "pos")
     // v2 shape: position-delete PARQUET files carry (file_path, pos)
-    // rows themselves — a distributed parquet scan. The source PATH
-    // list is the one driver boundary (inherent to planning a parquet
-    // read; delete-manifest-entry scale, not row scale).
-    val posFiles = dels.filter(col("content") === 1 && !isDv)
-      .select(col("abs_path")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // rows themselves — a distributed parquet scan
+    val posFiles = delMeta.filter(r => !r.getBoolean(1))
+      .map(_.getString(2)).distinct.toSeq
     val fromFiles =
       if (posFiles.isEmpty) empty
       else spark.read.parquet(posFiles: _*)
         .select(col("file_path").as("data_path"),
           col("pos").cast("long").as("pos"))
     // v3 shape: PUFFIN deletion-vector blobs, decoded DISTRIBUTED —
-    // the DV entries never visit the driver (a 100 TB table can carry
-    // millions of them); one decode unit per DV, the format's own
-    // granularity (a vector never spans data files). A cardinality
-    // disagreement between the manifest's record_count and the decoded
-    // payload refuses rather than undercounting.
-    val fromDvs = {
-      val hconf = spark.sessionState.newHadoopConf()
-      val root = {
-        val p = new Path(table)
-        p.getFileSystem(hconf).makeQualified(p)
-      }
-      val rootStr = root.toString
-      val conf = new SerializableHadoopConf(hconf)
-      dels.filter(col("content") === 1 && isDv)
-        .select(col("abs_path"), col("referenced_data_file"),
-          col("content_offset"), col("content_size"), col("record_count"))
-        .as[(String, String, Long, Long, Long)]
-        .flatMap { case (puffinPath, ref, off, size, card) =>
-          val positions = PuffinCodec.readDvBlob(
-            new Path(puffinPath), conf.value, off, size)
-          if (positions.length != card) {
-            throw new IllegalArgumentException(
-              s"$puffinPath: deletion vector for $ref decodes " +
-                s"${positions.length} positions but its manifest entry " +
-                s"claims $card — refusing to miscount")
-          }
-          val abs = resolve(new Path(rootStr), ref).toString
-          positions.map(p => (abs, p))
+    // one decode unit per DV, the format's own granularity (a vector
+    // never spans data files); the blob spans and payloads stay
+    // executor-side. A cardinality disagreement between the manifest's
+    // record_count and the decoded payload refuses rather than
+    // undercounting. Skipped entirely (no second manifest walk) when
+    // the classification found no DV entries.
+    val fromDvs =
+      if (!delMeta.exists(_.getBoolean(1))) empty
+      else {
+        val hconf = spark.sessionState.newHadoopConf()
+        val root = {
+          val p = new Path(table)
+          p.getFileSystem(hconf).makeQualified(p)
         }
-        .toDF("data_path", "pos")
-    }
+        val rootStr = root.toString
+        val conf = new SerializableHadoopConf(hconf)
+        dels.filter(isDv)
+          .select(col("abs_path"), col("referenced_data_file"),
+            col("content_offset"), col("content_size"), col("record_count"))
+          .as[(String, String, Long, Long, Long)]
+          .flatMap { case (puffinPath, ref, off, size, card) =>
+            val positions = PuffinCodec.readDvBlob(
+              new Path(puffinPath), conf.value, off, size)
+            if (positions.length != card) {
+              throw new IllegalArgumentException(
+                s"$puffinPath: deletion vector for $ref decodes " +
+                  s"${positions.length} positions but its manifest entry " +
+                  s"claims $card — refusing to miscount")
+            }
+            val abs = resolve(new Path(rootStr), ref).toString
+            positions.map(p => (abs, p))
+          }
+          .toDF("data_path", "pos")
+      }
     fromFiles.unionByName(fromDvs)
   }
 
