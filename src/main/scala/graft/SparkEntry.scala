@@ -1208,6 +1208,45 @@ object SparkEntry {
           sum(col("doc_id")).cast("long").as("deleted_docid_sum"))
     }),
 
+    // COMPACTION PLAN (delta): the OPTIMIZE planning question at
+    // metadata cost — bin-pack the snapshot's small files into rewrite
+    // groups (path order, group = floor(preceding-bytes/target), the
+    // deterministic bin-packing real compactors use), window
+    // PARTITIONED BY the table partition so no global sort exists.
+    // Oracle: DuckDB replays the same live set from the log and runs
+    // the same window arithmetic.
+    "compaction_plan_delta" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val files = DeltaMeta.snapshotFiles(s, out).select(
+        col("path"), col("size"),
+        array_join(array_sort(transform(map_entries(col("partition_values")),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))),
+          ",").as("partition_key"))
+      MetaValues.compactionPlan(files, 3000L)
+    }),
+
+    // COMPACTION PLAN (iceberg): same planner over the manifest
+    // chain's live data files, grouped within each lang partition.
+    // Oracle: DuckDB rebuilds the same file inventory from the data
+    // directory itself (read_blob sizes) and runs the same window.
+    "compaction_plan_iceberg" -> ((s, dir) => {
+      val out = "/tmp/graft_icepart_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writePartitionedFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val files = IcebergMeta.currentFiles(s, out)
+        .filter(col("status") =!= 2 && col("content") === 0)
+        .select(
+          regexp_extract(col("file_path"), "([^/]+)$", 1).as("path"),
+          col("file_size_bytes").as("size"),
+          array_join(array_sort(transform(map_entries(col("partition_values")),
+            e => concat(e.getField("key"), lit("="), e.getField("value")))),
+            ",").as("partition_key"))
+      MetaValues.compactionPlan(files, 4096L)
+    }),
+
     // DELTA _last_checkpoint POINTER audit: the reader hint file vs
     // the log's actual contents — declared version/parts, surviving
     // parts, completeness, stale-pointer detection (a newer checkpoint
@@ -5865,6 +5904,59 @@ object SparkEntry {
         |SELECT 'f1.parquet', CAST(2 AS BIGINT),
         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM f1
         |    WHERE pos IN (0, 2))""".stripMargin,
+
+    "compaction_plan_delta" ->
+      """WITH acts AS (
+        |  SELECT coalesce(add.path, remove.path) AS path,
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v,
+        |    add.path IS NOT NULL AS is_add,
+        |    CAST(add.size AS BIGINT) AS sz
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT path,
+        |    arg_max(is_add, v * 2 + CAST(is_add AS BIGINT)) AS live,
+        |    arg_max(sz, v * 2 + CAST(is_add AS BIGINT)) AS sz
+        |  FROM acts GROUP BY 1
+        |),
+        |small AS (
+        |  SELECT path, sz FROM latest WHERE live AND sz < 3000
+        |),
+        |g AS (
+        |  SELECT path, sz,
+        |    COALESCE(sum(sz) OVER (ORDER BY path
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM small
+        |)
+        |SELECT '' AS partition_key,
+        |  CAST(floor(bef / 3000) AS BIGINT) AS group_id,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(sz) AS BIGINT) AS group_bytes,
+        |  min(path) AS first_path, max(path) AS last_path
+        |FROM g GROUP BY 2 HAVING count(*) >= 2""".stripMargin,
+
+    "compaction_plan_iceberg" ->
+      """WITH f AS (
+        |  SELECT regexp_extract(filename, 'lang=([^/]+)/', 1) AS lang,
+        |    parse_filename(filename) AS path, CAST(size AS BIGINT) AS sz
+        |  FROM read_blob('/tmp/graft_icepart_sf0.01/data/*/*.parquet')
+        |),
+        |small AS (SELECT * FROM f WHERE sz < 4096),
+        |g AS (
+        |  SELECT lang, path, sz,
+        |    COALESCE(sum(sz) OVER (PARTITION BY lang ORDER BY path
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM small
+        |)
+        |SELECT 'lang=' || lang AS partition_key,
+        |  CAST(floor(bef / 4096) AS BIGINT) AS group_id,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(sz) AS BIGINT) AS group_bytes,
+        |  min(path) AS first_path, max(path) AS last_path
+        |FROM g GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "meta_delta_last_ckpt" ->
       """WITH ptr AS (

@@ -28,6 +28,40 @@ import org.apache.spark.sql.graft.ColumnBridge
  */
 object MetaValues {
 
+  /**
+   * COMPACTION plan at metadata cost — the `rewriteDataFiles` /
+   * `OPTIMIZE` planning question: bin-pack each partition's SMALL
+   * files (size < `targetBytes`) into rewrite groups, one row per
+   * group with file count, byte total and the path span. `files` needs
+   * `(path, size, partition_key)` — build it from
+   * [[DeltaMeta.snapshotFiles]] or [[IcebergMeta.currentFiles]];
+   * files at or above the target are already right-sized and never
+   * move. Grouping is deterministic (path order; group =
+   * ⌊preceding-bytes / target⌋, so a group may straddle the target by
+   * at most one file — the bin-packing real compactors use) and the
+   * window is PARTITIONED BY the table partition: compaction never
+   * merges across partitions, so no global sort exists at any scale —
+   * an unpartitioned table degenerates to one ordered pass over
+   * file-METADATA rows, never data. Groups below `minFiles` are not
+   * worth a rewrite and are dropped.
+   */
+  def compactionPlan(
+      files: DataFrame, targetBytes: Long, minFiles: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val w = Window.partitionBy(col("partition_key")).orderBy(col("path"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.filter(col("size") < targetBytes)
+      .withColumn("group_id",
+        floor(coalesce(sum(col("size")).over(w), lit(0L)) / targetBytes))
+      .groupBy(col("partition_key"), col("group_id"))
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum(col("size")).cast("long").as("group_bytes"),
+        min(col("path")).as("first_path"),
+        max(col("path")).as("last_path"))
+      .filter(col("n_files") >= minFiles)
+  }
+
   /** Schema facts for every LEAF column of a parquet schema string (the
     * `schema` field the parquet-file level surfaces): dot-joined path,
     * max repetition level, max definition level, physical type named as

@@ -14,6 +14,38 @@ import graft.SparkSpec
  */
 class MetaValuesSpec extends SparkSpec {
 
+  test("compactionPlan: deterministic bin-pack, partition isolation") {
+    import spark.implicits._
+    // partition A: five 100-byte files + one right-sized 1000-byte
+    // file (never moves); partition B: three 100-byte files
+    val files = (
+      (1 to 5).map(i => (s"a$i", 100L, "pk=A")) ++
+        Seq(("big", 1000L, "pk=A")) ++
+        (1 to 3).map(i => (s"b$i", 100L, "pk=B"))
+      ).toDF("path", "size", "partition_key")
+    // target 250: A packs [a1,a2,a3) by preceding-bytes — group 0 holds
+    // a1..a3 (bef 0,100,200), group 1 a4,a5 (bef 300,400); B holds all
+    // three (bef 0,100,200 < 250)
+    val plan = MetaValues.compactionPlan(files, 250L)
+      .orderBy("partition_key", "group_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(plan.toSeq === Seq(
+      ("pk=A", 0L, 3L, 300L, "a1", "a3"),
+      ("pk=A", 1L, 2L, 200L, "a4", "a5"),
+      ("pk=B", 0L, 3L, 300L, "b1", "b3")))
+    // the right-sized file appears in NO group
+    assert(!plan.exists(_._5 == "big") && !plan.exists(_._6 == "big"))
+    // minFiles drops singleton tail groups: with target 450, A packs
+    // a1..a5 (bef 0..400) into group 0 — no singleton survives
+    val tight = MetaValues.compactionPlan(files, 450L, minFiles = 2)
+      .filter(col("partition_key") === "pk=A").collect()
+    assert(tight.length === 1)
+    assert(tight(0).getAs[Long]("n_files") === 5L)
+    // a group may straddle the target by at most one file (300 > 250)
+    assert(plan(0)._4 === 300L)
+  }
+
   test("schemaFacts derives levels, physical types and FLBA widths") {
     val schema =
       """message spark_schema {
