@@ -1208,6 +1208,26 @@ object SparkEntry {
           sum(col("doc_id")).cast("long").as("deleted_docid_sum"))
     }),
 
+    // CLUSTERING-quality report: per-column chunk-stat spans vs the
+    // global span — span_sum/global_span IS the average overlap depth
+    // a stats-pruned scan pays (1 = perfectly clustered, n_chunks =
+    // unclustered). The fixture sorts by k (clustered) while r rides
+    // along uncorrelated (every chunk spans the whole r range): the
+    // report must show the contrast from footer stats alone. Oracle:
+    // DuckDB computes the same integers from parquet_metadata's own
+    // stats over the same files.
+    "clustering_report" -> ((s, dir) => {
+      val out = "/tmp/graft_cluster_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.read.parquet(pq(dir, "orders"))
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("r"))
+        .repartition(1).sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .option("parquet.block.size", "65536")
+        .parquet(out)
+      MetaPrune.clusteringReport(s, out, Seq("k", "r"))
+    }),
+
     // COMPACTION PLAN (delta): the OPTIMIZE planning question at
     // metadata cost — bin-pack the snapshot's small files into rewrite
     // groups (path order, group = floor(preceding-bytes/target), the
@@ -5904,6 +5924,23 @@ object SparkEntry {
         |SELECT 'f1.parquet', CAST(2 AS BIGINT),
         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM f1
         |    WHERE pos IN (0, 2))""".stripMargin,
+
+    "clustering_report" ->
+      """SELECT path_in_schema AS col_name,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN stats_min_value IS NULL
+        |      OR stats_max_value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unbounded,
+        |  CAST(min(CAST(stats_min_value AS BIGINT)) AS BIGINT) AS global_min,
+        |  CAST(max(CAST(stats_max_value AS BIGINT)) AS BIGINT) AS global_max,
+        |  CAST(sum(CAST(stats_max_value AS BIGINT)
+        |    - CAST(stats_min_value AS BIGINT)) AS BIGINT) AS span_sum,
+        |  CAST(max(CAST(stats_max_value AS BIGINT)) AS BIGINT)
+        |    - CAST(min(CAST(stats_min_value AS BIGINT)) AS BIGINT)
+        |    AS global_span
+        |FROM parquet_metadata('/tmp/graft_cluster_sf0.01/*.parquet')
+        |WHERE path_in_schema IN ('k', 'r')
+        |GROUP BY 1""".stripMargin,
 
     "compaction_plan_delta" ->
       """WITH acts AS (

@@ -818,6 +818,39 @@ object MetaPrune {
    * reported as sorted. The first row group of a file is vacuously TRUE
    * (when its own bounds decode).
    */
+  /**
+   * CLUSTERING-quality report — the "should I re-cluster / Z-order?"
+   * question at footer cost: per INT64 column, the chunk-stat value
+   * spans summed against the global span. `span_sum / global_span` is
+   * EXACTLY the average number of chunks a uniformly random point of
+   * the key range lands in (the overlap depth a stats-pruned scan
+   * pays): ~1 = perfectly clustered (disjoint chunk ranges, pruning
+   * skips all but one chunk), ~n_chunks = unclustered (every chunk
+   * spans the whole range, pruning skips nothing). Outputs stay
+   * integer-exact (the caller divides); chunks with missing stats are
+   * counted in `n_unbounded` — no evidence, never assumed clustered.
+   * One aggregate over footer stats, no joins, no data I/O.
+   */
+  def clusteringReport(
+      spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
+    val meta = spark.read.format("metadata")
+      .option("level", "column").option("footercache", "false").load(path)
+    val decode = (c: Column) => ColumnBridge.column(graft.functions.PlainStatLong(
+      ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    meta.filter(col("path").isin(columns: _*))
+      .select(col("path").as("col_name"),
+        decode(col("statistics.min_value")).as("mn"),
+        decode(col("statistics.max_value")).as("mx"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("mn").isNull || col("mx").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_unbounded"),
+        min(col("mn")).as("global_min"),
+        max(col("mx")).as("global_max"),
+        sum(col("mx") - col("mn")).cast("long").as("span_sum"))
+      .withColumn("global_span", col("global_max") - col("global_min"))
+  }
+
   def sortAudit(
       spark: SparkSession, path: String, column: String): DataFrame = {
     val meta = (level: String) => spark.read.format("metadata")

@@ -245,4 +245,34 @@ class MetaPruneSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got === full)
   }
+
+  test("clusteringReport: sorted column depth ~1, shuffled ~n_chunks") {
+    val d = Files.createTempDirectory("graft_cluster").toString
+    // k sorted across chunks (clustered); r = a bit-reversed permutation
+    // of k (every chunk spans nearly the whole r range — unclustered)
+    spark.range(0, 4096)
+      .select(col("id").as("k"),
+        expr("reverse(lpad(bin(id), 12, '0'))").as("rb"))
+      .select(col("k"), expr("conv(rb, 2, 10)").cast("long").as("r"))
+      .repartition(1).sortWithinPartitions("k")
+      .write.mode("overwrite")
+      .option("parquet.block.size", "4096")
+      .parquet(d)
+    val rep = MetaPrune.clusteringReport(spark, d, Seq("k", "r"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val k = rep("k"); val r = rep("r")
+    val n = k.getAs[Long]("n_chunks")
+    assert(n >= 3, s"fixture must split into several chunks, got $n")
+    assert(k.getAs[Long]("n_unbounded") === 0L)
+    assert(r.getAs[Long]("n_chunks") === n)
+    // sorted k: chunk spans tile the range — depth ≈ 1
+    val kDepth = k.getAs[Long]("span_sum").toDouble /
+      k.getAs[Long]("global_span")
+    assert(kDepth < 1.5, s"clustered depth should be ~1, got $kDepth")
+    // bit-reversed r: every chunk spans ~the whole range — depth ≈ n
+    val rDepth = r.getAs[Long]("span_sum").toDouble /
+      r.getAs[Long]("global_span")
+    assert(rDepth > n * 0.7,
+      s"unclustered depth should approach n_chunks=$n, got $rDepth")
+  }
 }
