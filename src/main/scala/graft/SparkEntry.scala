@@ -1228,6 +1228,36 @@ object SparkEntry {
       MetaPrune.clusteringReport(s, out, Seq("k", "r"))
     }),
 
+    // Z-ORDER vs LINEAR clustering, MEASURED: the same data written
+    // sorted by k alone and sorted by the z-interleave of (k, r); the
+    // clustering report must show the trade from footer stats alone —
+    // linear gives k depth ~1 but r depth ~n_chunks (pruning on r
+    // skips nothing), z-order gives BOTH columns intermediate depth
+    // (multi-dimension pruning works). Oracle: DuckDB aggregates the
+    // same integers from parquet_metadata over both layouts.
+    "zorder_clustering" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s.read.parquet(pq(dir, "orders"))
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("r"))
+      val lin = "/tmp/graft_zclin_" + sfx
+      val zo = "/tmp/graft_zczo_" + sfx
+      base.repartition(1).sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .option("parquet.block.size", "65536").parquet(lin)
+      // z-interleave needs BIT-ALIGNED domains: k (custkey, ~1.5k) is
+      // scaled into r's range (orderkey, ~15k) before interleaving —
+      // raw interleave of mismatched magnitudes degenerates to a sort
+      // by the wider column
+      base.withColumn("z", Layout.zvalue2(col("k") * lit(10L), col("r")))
+        .repartition(1).sortWithinPartitions("z").drop("z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", "65536").parquet(zo)
+      MetaPrune.clusteringReport(s, lin, Seq("k", "r"))
+        .withColumn("layout", lit("linear"))
+        .unionByName(MetaPrune.clusteringReport(s, zo, Seq("k", "r"))
+          .withColumn("layout", lit("zorder")))
+    }),
+
     // COMPACTION PLAN (delta): the OPTIMIZE planning question at
     // metadata cost — bin-pack the snapshot's small files into rewrite
     // groups (path order, group = floor(preceding-bytes/target), the
@@ -1265,6 +1295,20 @@ object SparkEntry {
             e => concat(e.getField("key"), lit("="), e.getField("value")))),
             ",").as("partition_key"))
       MetaValues.compactionPlan(files, 4096L)
+    }),
+
+    // DELTA STATS-based file skipping: which live files can hold
+    // doc_id in [100, 299], decided from each add's minValues/
+    // maxValues alone (log cost, zero data I/O); the no-bounds file
+    // (f4 carries numRecords only) must stay selected — no evidence,
+    // a sound pruner reads it. Oracle: DuckDB parses the same stats
+    // JSON from the same log and applies the same interval test.
+    "meta_delta_stats_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_deltasp_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeStatsPruneFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.statsPrune(s, out, "doc_id", 100L, 299L)
     }),
 
     // DELTA _last_checkpoint POINTER audit: the reader hint file vs
@@ -5942,6 +5986,29 @@ object SparkEntry {
         |WHERE path_in_schema IN ('k', 'r')
         |GROUP BY 1""".stripMargin,
 
+    "zorder_clustering" ->
+      """WITH layouts AS (
+        |  SELECT 'linear' AS layout, path_in_schema AS col_name,
+        |    stats_min_value AS mn, stats_max_value AS mx
+        |  FROM parquet_metadata('/tmp/graft_zclin_sf0.01/*.parquet')
+        |  WHERE path_in_schema IN ('k', 'r')
+        |  UNION ALL
+        |  SELECT 'zorder', path_in_schema, stats_min_value, stats_max_value
+        |  FROM parquet_metadata('/tmp/graft_zczo_sf0.01/*.parquet')
+        |  WHERE path_in_schema IN ('k', 'r')
+        |)
+        |SELECT col_name, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN mn IS NULL OR mx IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unbounded,
+        |  CAST(min(CAST(mn AS BIGINT)) AS BIGINT) AS global_min,
+        |  CAST(max(CAST(mx AS BIGINT)) AS BIGINT) AS global_max,
+        |  CAST(sum(CAST(mx AS BIGINT) - CAST(mn AS BIGINT)) AS BIGINT)
+        |    AS span_sum,
+        |  CAST(max(CAST(mx AS BIGINT)) AS BIGINT)
+        |    - CAST(min(CAST(mn AS BIGINT)) AS BIGINT) AS global_span,
+        |  layout
+        |FROM layouts GROUP BY layout, col_name""".stripMargin,
+
     "compaction_plan_delta" ->
       """WITH acts AS (
         |  SELECT coalesce(add.path, remove.path) AS path,
@@ -5994,6 +6061,27 @@ object SparkEntry {
         |  CAST(sum(sz) AS BIGINT) AS group_bytes,
         |  min(path) AS first_path, max(path) AS last_path
         |FROM g GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "meta_delta_stats_prune" ->
+      """SELECT add.path AS path,
+        |  CAST(json_extract(add.stats, '$.numRecords') AS BIGINT)
+        |    AS num_records,
+        |  CAST(json_extract(add.stats, '$.minValues.doc_id') AS BIGINT)
+        |    AS min_value,
+        |  CAST(json_extract(add.stats, '$.maxValues.doc_id') AS BIGINT)
+        |    AS max_value,
+        |  json_extract(add.stats, '$.minValues.doc_id') IS NOT NULL AND
+        |    json_extract(add.stats, '$.maxValues.doc_id') IS NOT NULL
+        |    AS has_bounds,
+        |  (json_extract(add.stats, '$.minValues.doc_id') IS NULL OR
+        |   json_extract(add.stats, '$.maxValues.doc_id') IS NULL) OR NOT
+        |    (CAST(json_extract(add.stats, '$.maxValues.doc_id') AS BIGINT)
+        |       < 100 OR
+        |     CAST(json_extract(add.stats, '$.minValues.doc_id') AS BIGINT)
+        |       > 299) AS selected
+        |FROM read_json_auto('/tmp/graft_deltasp_sf0.01/_delta_log/*.json',
+        |  format='newline_delimited', union_by_name=true)
+        |WHERE add.path IS NOT NULL""".stripMargin,
 
     "meta_delta_last_ckpt" ->
       """WITH ptr AS (

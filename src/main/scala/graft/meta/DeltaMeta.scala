@@ -1455,6 +1455,91 @@ object DeltaMeta {
   }
 
   /**
+   * A Delta table whose adds carry per-column `minValues`/`maxValues`
+   * stats (the protocol's data-skipping shape): five doc_id-RANGE
+   * slices written as `f0..f4`, each add declaring its slice's actual
+   * doc_id bounds — except f4, whose stats carry `numRecords` ONLY
+   * (the no-bounds file a sound pruner must always keep). One commit.
+   * Returns per-file row counts.
+   */
+  def writeStatsPruneFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    root.mkdirs()
+    val logDir = new java.io.File(root, "_delta_log")
+    logDir.mkdirs()
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val step = maxId / 5 + 1
+    val slices = (0 until 5).map { i =>
+      val slice = docs
+        .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+      val tmp = dir + s"_slice$i"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(root, s"f$i.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      val b = slice.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
+        .head()
+      (s"f$i.parquet", b.getLong(0), b.getLong(1), b.getLong(2))
+    }
+    val ts0 = 1700000000000L
+    def addJson(f: String, n: Long, bounds: Option[(Long, Long)]): String = {
+      val size = new java.io.File(root, f).length()
+      val stats = bounds match {
+        case Some((mn, mx)) =>
+          s"""{\\"numRecords\\":$n,\\"minValues\\":{\\"doc_id\\":$mn},""" +
+            s"""\\"maxValues\\":{\\"doc_id\\":$mx}}"""
+        case None => s"""{\\"numRecords\\":$n}"""
+      }
+      s"""{"add":{"path":${jstr(f)},"partitionValues":{},"size":$size,""" +
+        s""""modificationTime":$ts0,"dataChange":true,"stats":"$stats"}}"""
+    }
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$ts0,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"graft-statsprune","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"{}","partitionColumns":[],"configuration":{},"createdTime":$ts0}}""") ++
+      slices.map { case (f, n, mn, mx) =>
+        addJson(f, n, if (f == "f4.parquet") None else Some((mn, mx)))
+      }
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${0L}%020d.json").toPath,
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    slices.map(s => s._1 -> s._2).toMap
+  }
+
+  /**
+   * STATS-based file skipping — the lakehouse data-skipping question
+   * at LOG cost: which live files can hold `column` values in
+   * `[lo, hi]`, decided from each add's `minValues`/`maxValues` alone.
+   * One row per live file with its bounds, `has_bounds`, and
+   * `selected`; a file WITHOUT bounds stays selected (no evidence —
+   * a sound pruner must read it), never silently skipped.
+   */
+  def statsPrune(
+      spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val mn = get_json_object(col("stats"), s"$$.minValues.$column")
+      .cast("long")
+    val mx = get_json_object(col("stats"), s"$$.maxValues.$column")
+      .cast("long")
+    snapshotFiles(spark, table)
+      .select(col("path"), col("num_records"),
+        mn.as("min_value"), mx.as("max_value"))
+      .withColumn("has_bounds",
+        col("min_value").isNotNull && col("max_value").isNotNull)
+      .withColumn("selected",
+        !col("has_bounds") ||
+          !(col("max_value") < lo || col("min_value") > hi))
+  }
+
+  /**
    * A PARTITIONED Delta table against the public protocol: `docs` split
    * by `lang` into `lang=<x>/` directories, two files per partition
    * (doc_id parity), committed across three versions. Every add carries

@@ -387,6 +387,33 @@ class DeltaSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("_last_checkpoint"))
   }
 
+  test("stats prune: interval selection sound, boundless files kept") {
+    val d = Files.createTempDirectory("graft_delta_sp").toString + "/tbl"
+    DeltaMeta.writeStatsPruneFixtureTable(spark, d, docs)
+    // docs ids 0..699 → step 140: f0 [0,140) ... f4 [560,700) boundless
+    val rows = DeltaMeta.statsPrune(spark, d, "doc_id", 150L, 250L)
+      .orderBy("path").collect()
+    assert(rows.length === 5)
+    val byPath = rows.map(r => r.getString(0) -> r).toMap
+    // only f1 [140,280) overlaps [150,250]; f0/f2/f3 prune
+    assert(byPath("f0.parquet").getAs[Boolean]("selected") === false)
+    assert(byPath("f1.parquet").getAs[Boolean]("selected") === true)
+    assert(byPath("f2.parquet").getAs[Boolean]("selected") === false)
+    assert(byPath("f3.parquet").getAs[Boolean]("selected") === false)
+    // f4 has no bounds: kept — no evidence, a sound pruner reads it
+    assert(byPath("f4.parquet").getAs[Boolean]("has_bounds") === false)
+    assert(byPath("f4.parquet").getAs[Boolean]("selected") === true)
+    // SOUNDNESS: every row matching the predicate lives in a selected
+    // file — read the data back and check file membership
+    val selected = rows.filter(_.getAs[Boolean]("selected"))
+      .map(_.getString(0)).toSet
+    val matching = spark.read.parquet(d + "/*.parquet")
+      .filter(col("doc_id").between(150, 250))
+      .select(regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(matching.subsetOf(selected))
+  }
+
   test("footer action counts ignore embedded-leaf impostor columns") {
     // a writer-specific column whose dotted path EMBEDS add.path must not
     // double-count: the leaf match is exact, not substring
