@@ -1274,7 +1274,11 @@ object SparkEntry {
         array_join(array_sort(transform(map_entries(col("partition_values")),
           e => concat(e.getField("key"), lit("="), e.getField("value")))),
           ",").as("partition_key"))
-      MetaValues.compactionPlan(files, 3000L)
+      // target scales WITH the data (3x the smallest live file) so the
+      // plan stays non-trivial at every sf — a fixed byte target would
+      // declare everything right-sized the moment files grow past it
+      val target = 3L * files.agg(min(col("size"))).head().getLong(0)
+      MetaValues.compactionPlan(files, target)
     }),
 
     // COMPACTION PLAN (iceberg): same planner over the manifest
@@ -1294,7 +1298,8 @@ object SparkEntry {
           array_join(array_sort(transform(map_entries(col("partition_values")),
             e => concat(e.getField("key"), lit("="), e.getField("value")))),
             ",").as("partition_key"))
-      MetaValues.compactionPlan(files, 4096L)
+      val target = 3L * files.agg(min(col("size"))).head().getLong(0)
+      MetaValues.compactionPlan(files, target)
     }),
 
     // DELTA STATS-based file skipping: which live files can hold
@@ -6026,8 +6031,10 @@ object SparkEntry {
         |    arg_max(sz, v * 2 + CAST(is_add AS BIGINT)) AS sz
         |  FROM acts GROUP BY 1
         |),
+        |t AS (SELECT 3 * min(sz) AS tgt FROM latest WHERE live),
         |small AS (
-        |  SELECT path, sz FROM latest WHERE live AND sz < 3000
+        |  SELECT path, sz FROM latest
+        |  WHERE live AND sz < (SELECT tgt FROM t)
         |),
         |g AS (
         |  SELECT path, sz,
@@ -6036,7 +6043,7 @@ object SparkEntry {
         |  FROM small
         |)
         |SELECT '' AS partition_key,
-        |  CAST(floor(bef / 3000) AS BIGINT) AS group_id,
+        |  CAST(floor(bef / (SELECT tgt FROM t)) AS BIGINT) AS group_id,
         |  CAST(count(*) AS BIGINT) AS n_files,
         |  CAST(sum(sz) AS BIGINT) AS group_bytes,
         |  min(path) AS first_path, max(path) AS last_path
@@ -6048,7 +6055,8 @@ object SparkEntry {
         |    parse_filename(filename) AS path, CAST(size AS BIGINT) AS sz
         |  FROM read_blob('/tmp/graft_icepart_sf0.01/data/*/*.parquet')
         |),
-        |small AS (SELECT * FROM f WHERE sz < 4096),
+        |t AS (SELECT 3 * min(sz) AS tgt FROM f),
+        |small AS (SELECT * FROM f WHERE sz < (SELECT tgt FROM t)),
         |g AS (
         |  SELECT lang, path, sz,
         |    COALESCE(sum(sz) OVER (PARTITION BY lang ORDER BY path
@@ -6056,7 +6064,7 @@ object SparkEntry {
         |  FROM small
         |)
         |SELECT 'lang=' || lang AS partition_key,
-        |  CAST(floor(bef / 4096) AS BIGINT) AS group_id,
+        |  CAST(floor(bef / (SELECT tgt FROM t)) AS BIGINT) AS group_id,
         |  CAST(count(*) AS BIGINT) AS n_files,
         |  CAST(sum(sz) AS BIGINT) AS group_bytes,
         |  min(path) AS first_path, max(path) AS last_path
