@@ -1316,6 +1316,33 @@ object SparkEntry {
       DeltaMeta.statsPrune(s, out, "doc_id", 100L, 299L)
     }),
 
+    // DELTA DOMAIN METADATA: the protocol's connector-owned state
+    // domains, latest action per domain across commits + checkpoint;
+    // a tombstoned domain SURFACES with removed=true (v6 removes
+    // delta.clustering) rather than vanishing. Oracle: DuckDB replays
+    // the same actions with the same version arg_max.
+    "meta_delta_domains" -> ((s, dir) => {
+      val out = "/tmp/graft_deltadm_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeDomainMetadataFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.domainMetadataReport(s, out)
+    }),
+
+    // ICEBERG SNAPSHOT-SUMMARY audit: declared added-data-files /
+    // added-records per snapshot vs the snapshot's own manifest list
+    // (data manifests only); the fixture's snap-2 added-records LIES
+    // by one — both engines flag exactly that cell. Oracle: DuckDB
+    // parses the same summaries; actuals are the fixture's writer
+    // contract recomputed from the data files' own footers.
+    "meta_iceberg_summary_audit" -> ((s, dir) => {
+      val out = "/tmp/graft_icesum_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeSummaryFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.snapshotSummaryAudit(s, out)
+    }),
+
     // DELTA _last_checkpoint POINTER audit: the reader hint file vs
     // the log's actual contents — declared version/parts, surviving
     // parts, completeness, stale-pointer detection (a newer checkpoint
@@ -6090,6 +6117,56 @@ object SparkEntry {
         |FROM read_json_auto('/tmp/graft_deltasp_sf0.01/_delta_log/*.json',
         |  format='newline_delimited', union_by_name=true)
         |WHERE add.path IS NOT NULL""".stripMargin,
+
+    "meta_delta_domains" ->
+      """WITH dm AS (
+        |  SELECT domainMetadata.domain AS domain,
+        |    domainMetadata.configuration AS configuration,
+        |    domainMetadata.removed AS removed,
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v
+        |  FROM read_json_auto('/tmp/graft_deltadm_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE domainMetadata.domain IS NOT NULL
+        |)
+        |SELECT domain, arg_max(configuration, v) AS configuration,
+        |  arg_max(removed, v) AS removed,
+        |  CAST(max(v) AS BIGINT) AS version
+        |FROM dm GROUP BY 1""".stripMargin,
+
+    "meta_iceberg_summary_audit" ->
+      """WITH decl AS (
+        |  SELECT CAST(s."snapshot-id" AS BIGINT) AS snapshot_id,
+        |    CAST(s.summary."added-data-files" AS BIGINT)
+        |      AS declared_added_files,
+        |    CAST(s.summary."added-records" AS BIGINT)
+        |      AS declared_added_records
+        |  FROM (SELECT unnest(snapshots) AS s FROM read_json_auto(
+        |    '/tmp/graft_icesum_sf0.01/metadata/*.metadata.json'))
+        |),
+        |fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_icesum_sf0.01/data/*.parquet')
+        |),
+        |actual AS (
+        |  SELECT CAST(1 AS BIGINT) AS snapshot_id,
+        |    CAST(3 AS BIGINT) AS actual_added_files,
+        |    (SELECT sum(nr) FROM fm WHERE name IN
+        |      ('f0.parquet', 'f1.parquet', 'f2.parquet'))
+        |      AS actual_added_records
+        |  UNION ALL
+        |  SELECT 2, 2,
+        |    (SELECT sum(nr) FROM fm WHERE name IN
+        |      ('f3.parquet', 'f4.parquet'))
+        |)
+        |SELECT d.snapshot_id, d.declared_added_files,
+        |  d.declared_added_records, a.actual_added_files,
+        |  a.actual_added_records,
+        |  d.declared_added_files = a.actual_added_files AS files_match,
+        |  d.declared_added_records = a.actual_added_records
+        |    AS records_match
+        |FROM decl d JOIN actual a USING (snapshot_id)""".stripMargin,
 
     "meta_delta_last_ckpt" ->
       """WITH ptr AS (

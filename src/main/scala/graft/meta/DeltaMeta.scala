@@ -906,6 +906,97 @@ object DeltaMeta {
         col("w.tv").as("table_version"))
   }
 
+  private val domainMetadataType = StructType(Seq(
+    StructField("domain", StringType),
+    StructField("configuration", StringType),
+    StructField("removed", BooleanType)))
+
+  /**
+   * DOMAIN METADATA report — the protocol's `domainMetadata` actions
+   * (system- and connector-owned per-table state domains: clustering
+   * columns, row-tracking watermarks, ...): the LATEST action per
+   * domain across the commit log and the latest checkpoint (which
+   * preserves domains whose commits log cleanup deleted). A tombstoned
+   * domain SURFACES with `removed = true` rather than vanishing —
+   * dropped-silently is indistinguishable from never-existed, and
+   * "was removed at version v" is exactly what a connector debugging
+   * lost state needs.
+   */
+  def domainMetadataReport(spark: SparkSession, table: String): DataFrame = {
+    val (_, segments, ckptVersion) = latestLogSplit(spark, table)
+    val commitPaths = segments.collect { case (_, "commit", p) => p }
+    val ckptPaths = selectCheckpointParts(table, ckptVersion,
+      segments.collect { case (v, "checkpoint", p) if v == ckptVersion => p })
+    if (commitPaths.isEmpty && ckptPaths.isEmpty) {
+      throw new IllegalArgumentException(s"$table: no log segments to scan")
+    }
+    val fromCommits =
+      if (commitPaths.isEmpty) None
+      else Some(spark.read
+        .schema(StructType(Seq(
+          StructField("domainMetadata", domainMetadataType))))
+        .json(commitPaths: _*)
+        .withColumn("version",
+          regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+        .select(col("domainMetadata").as("dm"), col("version")))
+    val fromCkpt =
+      if (ckptPaths.isEmpty) None
+      else {
+        val raw = spark.read.parquet(ckptPaths: _*)
+        Some(raw.select(
+          ckptStruct(raw, "domainMetadata", domainMetadataType).as("dm"),
+          lit(ckptVersion).as("version")))
+      }
+    Seq(fromCommits, fromCkpt).flatten
+      .reduce(_ unionByName _)
+      .filter(col("dm").isNotNull && col("dm.domain").isNotNull)
+      .groupBy(col("dm.domain").as("domain"))
+      .agg(max_by(struct(col("dm.configuration").as("c"),
+        col("dm.removed").as("r")), col("version")).as("w"),
+        max(col("version")).as("version"))
+      .select(col("domain"), col("w.c").as("configuration"),
+        col("w.r").as("removed"), col("version"))
+  }
+
+  /**
+   * The base fixture plus two commits of `domainMetadata` actions:
+   * v5 creates `delta.clustering` and `graft.pipeline`; v6 updates
+   * `graft.pipeline` (stage 2) and TOMBSTONES `delta.clustering`
+   * (`removed: true`) — the report must surface the tombstone, not
+   * drop it. Returns per-file row counts.
+   */
+  def writeDomainMetadataFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeFixtureTable(spark, dir, docs)
+    val logDir = new java.io.File(dir, "_delta_log")
+    val ts5 = 1700000005000L
+    // configurations carry embedded JSON — escape the quotes (jstr is
+    // a bare wrapper for names that never contain them)
+    def esc(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def dm(domain: String, config: String, removed: Boolean): String =
+      s"""{"domainMetadata":{"domain":${jstr(domain)},""" +
+        s""""configuration":${esc(config)},"removed":$removed}}"""
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${5L}%020d.json").toPath,
+      Seq(
+        s"""{"commitInfo":{"timestamp":$ts5,"operation":"CLUSTER BY"}}""",
+        dm("delta.clustering", """{"clusteringColumns":["doc_id"]}""",
+          removed = false),
+        dm("graft.pipeline", """{"stage":1}""", removed = false))
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${6L}%020d.json").toPath,
+      Seq(
+        s"""{"commitInfo":{"timestamp":${ts5 + 1000},"operation":"ALTER"}}""",
+        dm("graft.pipeline", """{"stage":2}""", removed = false),
+        dm("delta.clustering", "", removed = true))
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
   private val metaDataType = StructType(Seq(
     StructField("id", StringType),
     StructField("schemaString", StringType),

@@ -31,7 +31,8 @@ case class IcebergManifestInfo(
     content: Int,
     addedFiles: Option[Long],
     existingFiles: Option[Long],
-    deletedFiles: Option[Long])
+    deletedFiles: Option[Long],
+    addedRows: Option[Long] = None)
 
 /** One manifest entry: one data or delete file with its census numbers.
   * `status`: 0 existing, 1 added, 2 deleted (the spec's enum).
@@ -336,7 +337,8 @@ object IcebergMeta {
           existingFiles = optLong(r, "existing_files_count")
             .orElse(optLong(r, "existing_data_files_count")),
           deletedFiles = optLong(r, "deleted_files_count")
-            .orElse(optLong(r, "deleted_data_files_count")))
+            .orElse(optLong(r, "deleted_data_files_count")),
+          addedRows = optLong(r, "added_rows_count"))
       }
       out.toSeq
     } finally {
@@ -882,6 +884,61 @@ object IcebergMeta {
       .toDF("ref_name", "ref_type", "snapshot_id", "resolves", "is_current")
   }
 
+  /**
+   * SNAPSHOT-SUMMARY audit — each snapshot's declared summary metrics
+   * (`added-data-files` / `added-records`, the numbers engines show in
+   * history views and planners trust for incremental reads) verified
+   * against the snapshot's OWN manifest list: the sums of
+   * `added_files_count` / `added_rows_count` over its DATA manifests
+   * (`content=0`; delete manifests never count as data). One row per
+   * snapshot with match flags; a snapshot declaring neither metric
+   * reports null declared (and null matches) rather than being
+   * dropped. The snapshot list is a driver boundary at snapshot scale;
+   * manifest-list reads fan out one task per snapshot.
+   */
+  def snapshotSummaryAudit(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    val mf = currentMetadataFile(fs, root)
+    val in = fs.open(mf)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    import scala.jdk.CollectionConverters._
+    val snaps = Option(node.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { s =>
+        def summaryLong(k: String): Option[Long] =
+          Option(s.get("summary")).flatMap(su => Option(su.get(k)))
+            .map(_.asLong())
+        (req(s, "snapshot-id", mf).asLong(),
+          req(s, "manifest-list", mf).asText(),
+          summaryLong("added-data-files"), summaryLong("added-records"))
+      }
+    if (snaps.isEmpty) {
+      throw new IllegalArgumentException(s"$table: no snapshots listed")
+    }
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(hconf)
+    snaps.toDS()
+      .map { case (snapId, mlPath, declFiles, declRecords) =>
+        val entries = readManifestList(
+          resolve(new Path(rootStr), mlPath), conf.value)
+        val data = entries.filter(_.content == 0)
+        val actFiles = data.flatMap(_.addedFiles).sum
+        val actRecords = data.flatMap(_.addedRows).sum
+        (snapId, declFiles, declRecords, actFiles, actRecords,
+          declFiles.map(_ == actFiles), declRecords.map(_ == actRecords))
+      }
+      .toDF("snapshot_id", "declared_added_files", "declared_added_records",
+        "actual_added_files", "actual_added_records",
+        "files_match", "records_match")
+  }
+
   /** Spec paths are absolute URIs of the writing environment; fixture
     * and relocated tables resolve relative to the table root. */
   private def resolve(root: Path, p: String): Path = {
@@ -1353,6 +1410,33 @@ object IcebergMeta {
     java.nio.file.Files.write(
       new java.io.File(metaDir, "version-hint.text").toPath,
       "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
+  /**
+   * The base fixture with SUMMARY METRICS on both snapshots (string
+   * values, the spec's rendering): snap 1 declares its true
+   * `added-data-files`/`added-records`; snap 2's `added-records` LIES
+   * by one — the audit must flag exactly that cell. Returns per-file
+   * row counts.
+   */
+  def writeSummaryFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeFixtureTable(spark, dir, docs)
+    val mf = new java.io.File(dir, "metadata/v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rows1 = counts("f0.parquet") + counts("f1.parquet") + counts("f2.parquet")
+    val rows2 = counts("f3.parquet") + counts("f4.parquet")
+    val m1 = "\"summary\":{\"operation\":\"append\"}"
+    val m2 = "\"summary\":{\"operation\":\"overwrite\"}"
+    require(txt.contains(m1) && txt.contains(m2), "fixture summaries changed")
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace(m1, "\"summary\":{\"operation\":\"append\"," +
+          s""""added-data-files":"3","added-records":"$rows1"}""")
+        .replace(m2, "\"summary\":{\"operation\":\"overwrite\"," +
+          s""""added-data-files":"2","added-records":"${rows2 + 1}"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     counts
   }
 

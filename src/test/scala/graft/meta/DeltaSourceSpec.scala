@@ -414,6 +414,25 @@ class DeltaSourceSpec extends SparkSpec {
     assert(matching.subsetOf(selected))
   }
 
+  test("domain metadata: latest per domain, tombstones surfaced") {
+    val d = Files.createTempDirectory("graft_delta_dm").toString + "/tbl"
+    DeltaMeta.writeDomainMetadataFixtureTable(spark, d, docs)
+    val rows = DeltaMeta.domainMetadataReport(spark, d).orderBy("domain")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      ("delta.clustering", "", true, 6L), // tombstoned, NOT dropped
+      ("graft.pipeline", """{"stage":2}""", false, 6L)))
+    // log cleanup: commits <= 2 deleted — domains (written at 5,6)
+    // still answer from the surviving tail + checkpoint split
+    val logDir = new java.io.File(d, "_delta_log")
+    logDir.listFiles().filter(f => f.getName.endsWith(".json") &&
+      DeltaMeta.segmentVersion(f.getName).exists(_._1 <= 2L))
+      .foreach(f => assert(f.delete()))
+    val after = DeltaMeta.domainMetadataReport(spark, d).collect()
+    assert(after.length === 2)
+  }
+
   test("footer action counts ignore embedded-leaf impostor columns") {
     // a writer-specific column whose dotted path EMBEDS add.path must not
     // double-count: the leaf match is exact, not substring

@@ -610,6 +610,37 @@ class IcebergSourceSpec extends SparkSpec {
     assert(implied(0).getBoolean(3) && implied(0).getBoolean(4))
   }
 
+  test("snapshot-summary audit: declared metrics vs manifest lists") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_sum")
+      .toString + "/tbl"
+    val counts = IcebergMeta.writeSummaryFixtureTable(spark, d, docs)
+    val rows = IcebergMeta.snapshotSummaryAudit(spark, d)
+      .orderBy("snapshot_id").collect()
+    assert(rows.length === 2)
+    val s1 = rows(0); val s2 = rows(1)
+    val rows1 = counts("f0.parquet") + counts("f1.parquet") + counts("f2.parquet")
+    val rows2 = counts("f3.parquet") + counts("f4.parquet")
+    assert(s1.getAs[Long]("actual_added_files") === 3L)
+    assert(s1.getAs[Long]("actual_added_records") === rows1)
+    assert(s1.getAs[Boolean]("files_match") && s1.getAs[Boolean]("records_match"))
+    // snap 2: the delete manifest (content=1) never counts as data,
+    // and the planted added-records lie is flagged
+    assert(s2.getAs[Long]("actual_added_files") === 2L)
+    assert(s2.getAs[Long]("actual_added_records") === rows2)
+    assert(s2.getAs[Boolean]("files_match"))
+    assert(!s2.getAs[Boolean]("records_match"))
+    assert(s2.getAs[Long]("declared_added_records") === rows2 + 1)
+    // a snapshot declaring NO metrics reports null declared/matches
+    // (the base fixture's summaries carry operation only)
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ice_sum2")
+      .toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d2, docs)
+    val bare = IcebergMeta.snapshotSummaryAudit(spark, d2).collect()
+    assert(bare.length === 2)
+    assert(bare.forall(r => r.isNullAt(r.fieldIndex("declared_added_files"))
+      && r.isNullAt(r.fieldIndex("files_match"))))
+  }
+
   test("puffin DV manifest entries refuse even when the version lies") {
     val d = java.nio.file.Files.createTempDirectory("graft_ice_puffin")
       .toString + "/tbl"
