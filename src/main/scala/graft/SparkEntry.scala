@@ -1316,6 +1316,30 @@ object SparkEntry {
       DeltaMeta.statsPrune(s, out, "doc_id", 100L, 299L)
     }),
 
+    // DELTA IN-COMMIT TIMESTAMPS: the inCommitTimestamps feature makes
+    // commitInfo.inCommitTimestamp the authoritative commit time — the
+    // fixture's WALL timestamps are all within 1 ms (writer clock
+    // skew), the ICTs 10 s apart; TIMESTAMP AS OF must resolve by ICT
+    // (a wall-clock reader sends every probe to the last version).
+    // Oracle: DuckDB applies the same coalesce(ict, ts) max-version
+    // rule and replays the resolved snapshots.
+    "meta_delta_ict" -> ((s, dir) => {
+      val out = "/tmp/graft_deltaict_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeIctFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val ts0 = 1700000000000L
+      Seq(5000L, 15000L, 99999L).map { off =>
+        val v = DeltaMeta.versionAt(s, out, ts0 + off)
+        DeltaMeta.snapshotFilesAt(s, out, Some(v))
+          .agg(
+            lit(off).as("probe_off"),
+            lit(v).as("version"),
+            count(lit(1)).cast("long").as("n_live"),
+            sum(col("num_records")).cast("long").as("live_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
     // DELTA DOMAIN METADATA: the protocol's connector-owned state
     // domains, latest action per domain across commits + checkpoint;
     // a tombstoned domain SURFACES with removed=true (v6 removes
@@ -6117,6 +6141,34 @@ object SparkEntry {
         |FROM read_json_auto('/tmp/graft_deltasp_sf0.01/_delta_log/*.json',
         |  format='newline_delimited', union_by_name=true)
         |WHERE add.path IS NOT NULL""".stripMargin,
+
+    "meta_delta_ict" ->
+      """WITH acts AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v,
+        |    add.path AS apath,
+        |    CAST(json_extract(add.stats, '$.numRecords') AS BIGINT) AS nr,
+        |    COALESCE(CAST(commitInfo.inCommitTimestamp AS BIGINT),
+        |      CAST(commitInfo.timestamp AS BIGINT)) AS cts
+        |  FROM read_json_auto('/tmp/graft_deltaict_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |),
+        |vts AS (
+        |  SELECT v, max(cts) AS ts FROM acts WHERE cts IS NOT NULL GROUP BY 1
+        |),
+        |probes AS (SELECT unnest([5000, 15000, 99999]) AS off),
+        |resolved AS (
+        |  SELECT p.off AS probe_off, max(t.v) AS version
+        |  FROM probes p JOIN vts t ON t.ts <= 1700000000000 + p.off
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(r.probe_off AS BIGINT) AS probe_off,
+        |  CAST(r.version AS BIGINT) AS version,
+        |  CAST(count(a.apath) AS BIGINT) AS n_live,
+        |  CAST(sum(a.nr) AS BIGINT) AS live_rows
+        |FROM resolved r JOIN acts a ON a.apath IS NOT NULL
+        |  AND a.v <= r.version
+        |GROUP BY 1, 2""".stripMargin,
 
     "meta_delta_domains" ->
       """WITH dm AS (

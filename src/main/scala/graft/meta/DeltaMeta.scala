@@ -823,15 +823,23 @@ object DeltaMeta {
     if (commits.isEmpty) {
       throw new IllegalArgumentException(s"$table: no JSON commits to scan")
     }
+    // the protocol's inCommitTimestamps feature makes commitInfo
+    // .inCommitTimestamp the AUTHORITATIVE commit time (monotonic by
+    // protocol; the wall-clock `timestamp` field and file mtimes are
+    // untrusted once the feature is on) — prefer it per commit, fall
+    // back to `timestamp`, then to the segment's mtime
     val opTs = spark.read
       .schema(StructType(Seq(StructField("commitInfo", StructType(Seq(
-        StructField("timestamp", LongType)))))))
+        StructField("timestamp", LongType),
+        StructField("inCommitTimestamp", LongType)))))))
       .json(commits.map(_._2.path): _*)
       .withColumn("version",
         regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
-      .filter(col("commitInfo.timestamp").isNotNull)
+      .withColumn("cts", coalesce(col("commitInfo.inCommitTimestamp"),
+        col("commitInfo.timestamp")))
+      .filter(col("cts").isNotNull)
       .groupBy(col("version"))
-      .agg(max(col("commitInfo.timestamp")).as("ts"))
+      .agg(max(col("cts")).as("ts"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val raw = commits
       .map { case (v, f) => (v, opTs.getOrElse(v, f.mtime)) }
@@ -847,6 +855,63 @@ object DeltaMeta {
         s"$table: timestamp $tsMs is before the first surviving commit")
     }
     resolved.maxBy(_._1)._1
+  }
+
+  /**
+   * A table written with the `inCommitTimestamps` feature's shape:
+   * three single-add commits whose WALL `timestamp` fields are
+   * useless (all within 1 ms — the clock-skew case the feature
+   * exists for) while `inCommitTimestamp` carries the true monotonic
+   * commit times 10 s apart. TIMESTAMP AS OF must resolve by ICT; a
+   * wall-timestamp reader would send every probe to the last version.
+   * Returns per-file row counts.
+   */
+  def writeIctFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    root.mkdirs()
+    val logDir = new java.io.File(root, "_delta_log")
+    logDir.mkdirs()
+    val counts = (0 until 3).map { i =>
+      val slice = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .select(col("doc_id"), col("lang"))
+      val tmp = dir + s"_slice$i"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(root, s"f$i.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      s"f$i.parquet" -> slice.count()
+    }.toMap
+    val ts0 = 1700000000000L
+    def addJson(f: String): String = {
+      val size = new java.io.File(root, f).length()
+      s"""{"add":{"path":${jstr(f)},"partitionValues":{},"size":$size,""" +
+        s""""modificationTime":$ts0,"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":${counts(f)}}"}}"""
+    }
+    (0 until 3).foreach { v =>
+      val lines = Seq(
+        // wall timestamps all within 1 ms; ICT carries the truth
+        s"""{"commitInfo":{"timestamp":${ts0 + v},""" +
+          s""""inCommitTimestamp":${ts0 + v * 10000L},""" +
+          s""""operation":"WRITE"}}""") ++
+        (if (v == 0) Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+            """"writerFeatures":["inCommitTimestamp"]}}""",
+          s"""{"metaData":{"id":"graft-ict","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":"{}","partitionColumns":[],"configuration":{},"createdTime":$ts0}}""")
+         else Seq.empty) ++
+        Seq(addJson(s"f$v.parquet"))
+      java.nio.file.Files.write(
+        new java.io.File(logDir, f"$v%020d.json").toPath,
+        lines.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    counts
   }
 
   /** [[snapshotFilesAt]] resolved by TIMESTAMP (see [[versionAt]]). */

@@ -433,6 +433,21 @@ class DeltaSourceSpec extends SparkSpec {
     assert(after.length === 2)
   }
 
+  test("in-commit timestamps override skewed wall clocks in versionAt") {
+    val d = Files.createTempDirectory("graft_delta_ict").toString + "/tbl"
+    DeltaMeta.writeIctFixtureTable(spark, d, docs)
+    val ts0 = 1700000000000L
+    // wall timestamps are ts0, ts0+1, ts0+2 — a wall-clock reader would
+    // resolve EVERY probe below to version 2; ICT (10 s apart) must win
+    assert(DeltaMeta.versionAt(spark, d, ts0 + 5000) === 0L)
+    assert(DeltaMeta.versionAt(spark, d, ts0 + 15000) === 1L)
+    assert(DeltaMeta.versionAt(spark, d, ts0 + 99999) === 2L)
+    // a probe before the first ICT refuses
+    val e = intercept[IllegalArgumentException](
+      DeltaMeta.versionAt(spark, d, ts0 - 1))
+    assert(e.getMessage.contains("before the first"))
+  }
+
   test("footer action counts ignore embedded-leaf impostor columns") {
     // a writer-specific column whose dotted path EMBEDS add.path must not
     // double-count: the leaf match is exact, not substring
