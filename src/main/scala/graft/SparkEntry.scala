@@ -1367,6 +1367,19 @@ object SparkEntry {
       IcebergMeta.snapshotSummaryAudit(s, out)
     }),
 
+    // ICEBERG METADATA-LOG audit: the current metadata's lineage of
+    // previous metadata files vs disk — the fixture's v2 lists the
+    // real v1 plus a v0 that never existed (the broken-lineage shape
+    // that fails rollback mid-walk). Oracle: DuckDB parses the same
+    // metadata-log and derives existence from a glob listing.
+    "meta_iceberg_metadata_log" -> ((s, dir) => {
+      val out = "/tmp/graft_icemlog_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeMetadataLogFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.metadataLogReport(s, out)
+    }),
+
     // DELTA _last_checkpoint POINTER audit: the reader hint file vs
     // the log's actual contents — declared version/parts, surviving
     // parts, completeness, stale-pointer detection (a newer checkpoint
@@ -6219,6 +6232,24 @@ object SparkEntry {
         |  d.declared_added_records = a.actual_added_records
         |    AS records_match
         |FROM decl d JOIN actual a USING (snapshot_id)""".stripMargin,
+
+    "meta_iceberg_metadata_log" ->
+      """WITH ml AS (
+        |  SELECT parse_filename(e."metadata-file") AS filename,
+        |    CAST(e."timestamp-ms" AS BIGINT) AS timestamp_ms
+        |  FROM (
+        |    SELECT unnest("metadata-log") AS e
+        |    FROM read_json_auto(
+        |      '/tmp/graft_icemlog_sf0.01/metadata/v2.metadata.json')
+        |  )
+        |),
+        |disk AS (
+        |  SELECT parse_filename(file) AS f
+        |  FROM glob('/tmp/graft_icemlog_sf0.01/metadata/*')
+        |)
+        |SELECT ml.filename, ml.timestamp_ms,
+        |  EXISTS (SELECT 1 FROM disk WHERE disk.f = ml.filename) AS "exists"
+        |FROM ml""".stripMargin,
 
     "meta_delta_last_ckpt" ->
       """WITH ptr AS (

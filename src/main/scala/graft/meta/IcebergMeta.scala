@@ -939,6 +939,76 @@ object IcebergMeta {
         "files_match", "records_match")
   }
 
+  /**
+   * METADATA-LOG audit — the current metadata's `metadata-log` lineage
+   * (previous metadata files with their commit times, the chain
+   * metadata time travel walks): one row per entry with `exists` on
+   * disk — a listed-but-deleted file breaks every rollback/time-travel
+   * that needs it, and surfacing the hole beats failing mid-walk.
+   * Refuses when the current metadata lists no lineage at all.
+   */
+  def metadataLogReport(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    val mf = currentMetadataFile(fs, root)
+    val in = fs.open(mf)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    import scala.jdk.CollectionConverters._
+    val entries = Option(node.get("metadata-log"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { e =>
+        (req(e, "timestamp-ms", mf).asLong(),
+          req(e, "metadata-file", mf).asText())
+      }
+    if (entries.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: current metadata ($mf) lists no metadata-log lineage")
+    }
+    entries.map { case (ts, file) =>
+      val p = resolve(root, file)
+      (p.getName, ts, fs.exists(p))
+    }.toDF("filename", "timestamp_ms", "exists")
+  }
+
+  /**
+   * The base fixture re-rooted under a SECOND metadata version:
+   * `v2.metadata.json` (same table state) whose `metadata-log` lists
+   * the real v1 file and a `v0.metadata.json` that never existed —
+   * the broken-lineage shape the audit must surface. `version-hint`
+   * moves to 2. Returns per-data-file row counts.
+   */
+  def writeMetadataLogFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeFixtureTable(spark, dir, docs)
+    val metaDir = new java.io.File(dir, "metadata")
+    val v1 = new java.io.File(metaDir, "v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(v1.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val marker = "\"current-snapshot-id\":2,"
+    require(txt.contains(marker), s"fixture metadata missing '$marker'")
+    val log =
+      """"metadata-log":[
+        |{"timestamp-ms":1699999999000,
+        | "metadata-file":"metadata/v0.metadata.json"},
+        |{"timestamp-ms":1700000000000,
+        | "metadata-file":"metadata/v1.metadata.json"}],"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v2.metadata.json").toPath,
+      txt.replace(marker, marker + log)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
   /** Spec paths are absolute URIs of the writing environment; fixture
     * and relocated tables resolve relative to the table root. */
   private def resolve(root: Path, p: String): Path = {

@@ -641,6 +641,27 @@ class IcebergSourceSpec extends SparkSpec {
       && r.isNullAt(r.fieldIndex("files_match"))))
   }
 
+  test("metadata-log audit: lineage entries vs disk, hole surfaced") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_mlog")
+      .toString + "/tbl"
+    IcebergMeta.writeMetadataLogFixtureTable(spark, d, docs)
+    val rows = IcebergMeta.metadataLogReport(spark, d)
+      .orderBy("timestamp_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.toSeq === Seq(
+      ("v0.metadata.json", 1699999999000L, false), // never existed
+      ("v1.metadata.json", 1700000000000L, true)))
+    // the numeric-version sort still picks v2 as current (census works)
+    assert(IcebergMeta.currentFiles(spark, d).count() === 7L)
+    // a table with NO lineage refuses, classified
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ice_mlog2")
+      .toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d2, docs)
+    val e = intercept[IllegalArgumentException](
+      IcebergMeta.metadataLogReport(spark, d2))
+    assert(e.getMessage.contains("metadata-log"))
+  }
+
   test("puffin DV manifest entries refuse even when the version lies") {
     val d = java.nio.file.Files.createTempDirectory("graft_ice_puffin")
       .toString + "/tbl"
