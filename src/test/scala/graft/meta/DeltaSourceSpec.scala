@@ -412,6 +412,12 @@ class DeltaSourceSpec extends SparkSpec {
       .select(regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
       .distinct().collect().map(_.getString(0)).toSet
     assert(matching.subsetOf(selected))
+    // plan shape: the selection is a narrow projection over the
+    // per-path replay — no exchange beyond the replay's own groupBy,
+    // and no join against anything data-scale
+    val plan = DeltaMeta.statsPrune(spark, d, "doc_id", 150L, 250L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in statsPrune:\n$plan")
   }
 
   test("domain metadata: latest per domain, tombstones surfaced") {

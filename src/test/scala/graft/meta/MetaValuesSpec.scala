@@ -46,6 +46,21 @@ class MetaValuesSpec extends SparkSpec {
     assert(plan(0)._4 === 300L)
   }
 
+  test("compactionPlan plan shape: one partition-keyed exchange, no global sort") {
+    import spark.implicits._
+    val files = (1 to 100).map(i => (f"f$i%03d", 100L, s"pk=${i % 10}"))
+      .toDF("path", "size", "partition_key")
+    val plan = MetaValues.compactionPlan(files, 250L)
+      .queryExecution.executedPlan.toString
+    // the window shuffles ON THE TABLE PARTITION — compaction never
+    // merges across partitions, so no single-partition global window
+    // (the scale-killer shape) may appear
+    assert(plan.contains("hashpartitioning(partition_key"),
+      s"expected a partition_key-keyed exchange:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"global single-partition stage found:\n$plan")
+  }
+
   test("schemaFacts derives levels, physical types and FLBA widths") {
     val schema =
       """message spark_schema {
