@@ -651,6 +651,9 @@ object DeltaMeta {
     * `<v>.checkpoint.<n>.<m>.parquet`, part n of m, 1-based. */
   private val MultipartRe = "\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet$".r
 
+  /** The classic single-file checkpoint name (no part/uuid suffix). */
+  private val ClassicCkptRe = "^\\d{20}\\.checkpoint\\.parquet$".r
+
   /** Select a COMPLETE checkpoint from the parts surviving at one
     * version. The single-file form stands alone; the multipart form
     * (`.checkpoint.<n>.<m>.parquet`) must be the FULL 1..m set — a
@@ -662,7 +665,20 @@ object DeltaMeta {
       table: String, version: Long, paths: Seq[String]): Seq[String] = {
     val (multi, single) = paths.partition(p =>
       MultipartRe.findFirstIn(p).isDefined)
-    if (multi.isEmpty) single
+    // each non-multipart file (classic `v.checkpoint.parquet` or a
+    // UUID-named V2 manifest) is COMPLETE alone, and the protocol
+    // allows several to coexist at one version (a classic compat
+    // checkpoint beside a V2 manifest; multiple UUID manifests) —
+    // reading more than one double-reads the snapshot and mixes
+    // incompatible schemas in one scan, so exactly ONE is chosen:
+    // the classic form when present (the most interoperable), else
+    // the lexicographically last (deterministic across runs)
+    val oneSingle: Seq[String] =
+      if (single.isEmpty) Seq.empty
+      else Seq(single.find(p =>
+        ClassicCkptRe.findFirstIn(new Path(p).getName).isDefined)
+        .getOrElse(single.max))
+    if (multi.isEmpty) oneSingle
     else {
       val parts = multi.map { p =>
         val m = MultipartRe.findFirstMatchIn(p).get
@@ -672,7 +688,7 @@ object DeltaMeta {
       val have = parts.map(_._1).sorted
       val complete = declaredTotals.size == 1 &&
         have == (1L to declaredTotals.head)
-      if (single.nonEmpty) single // complete by construction; never both
+      if (oneSingle.nonEmpty) oneSingle // complete alone; never both forms
       else if (complete) parts.sortBy(_._1).map(_._3)
       else throw new IllegalArgumentException(
         s"$table: multipart checkpoint at version $version is " +

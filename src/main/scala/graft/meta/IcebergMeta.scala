@@ -32,7 +32,8 @@ case class IcebergManifestInfo(
     addedFiles: Option[Long],
     existingFiles: Option[Long],
     deletedFiles: Option[Long],
-    addedRows: Option[Long] = None)
+    addedRows: Option[Long] = None,
+    addedSnapshotId: Option[Long] = None)
 
 /** One manifest entry: one data or delete file with its census numbers.
   * `status`: 0 existing, 1 added, 2 deleted (the spec's enum).
@@ -338,7 +339,8 @@ object IcebergMeta {
             .orElse(optLong(r, "existing_data_files_count")),
           deletedFiles = optLong(r, "deleted_files_count")
             .orElse(optLong(r, "deleted_data_files_count")),
-          addedRows = optLong(r, "added_rows_count"))
+          addedRows = optLong(r, "added_rows_count"),
+          addedSnapshotId = optLong(r, "added_snapshot_id"))
       }
       out.toSeq
     } finally {
@@ -571,6 +573,10 @@ object IcebergMeta {
         dels.filter(isDv)
           .select(col("abs_path"), col("referenced_data_file"),
             col("content_offset"), col("content_size"), col("record_count"))
+          // a DV entry carried by more than one manifest of the
+          // snapshot must decode ONCE (the v2 parquet leg gets the
+          // same guard via its path distinct)
+          .dropDuplicates("abs_path", "content_offset", "content_size")
           .as[(String, String, Long, Long, Long)]
           .flatMap { case (puffinPath, ref, off, size, card) =>
             val positions = PuffinCodec.readDvBlob(
@@ -719,6 +725,26 @@ object IcebergMeta {
         col("format"), col("size"), col("num_rows"))
   }
 
+  /** Qualified root + current metadata file + its parsed JSON — the
+    * shared driver boundary of every metadata-JSON report. */
+  private def currentMetadataNode(
+      spark: SparkSession, table: String):
+      (Path, org.apache.hadoop.fs.FileSystem, Path,
+        com.fasterxml.jackson.databind.JsonNode) = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    val mf = currentMetadataFile(fs, root)
+    val in = fs.open(mf)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    (root, fs, mf, node)
+  }
+
   /**
    * PUFFIN STATISTICS audit — the table metadata's `statistics` list
    * (format v2+: one entry per snapshot naming a Puffin file of sketch
@@ -733,17 +759,7 @@ object IcebergMeta {
    */
   def statisticsReport(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = {
-      val p = new Path(table)
-      p.getFileSystem(hconf).makeQualified(p)
-    }
-    val fs = root.getFileSystem(hconf)
-    val mf = currentMetadataFile(fs, root)
-    val in = fs.open(mf)
-    val node =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-      finally in.close()
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
     import scala.jdk.CollectionConverters._
     val entries = Option(node.get("statistics"))
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { s =>
@@ -755,7 +771,7 @@ object IcebergMeta {
           req(s, "statistics-path", mf).asText(), declared)
       }
     val rootStr = root.toString
-    val conf = new SerializableHadoopConf(hconf)
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     entries.toDS()
       .flatMap { case (snapId, path, declared) =>
         val abs = resolve(new Path(rootStr), path)
@@ -787,17 +803,7 @@ object IcebergMeta {
    * snapshot.
    */
   def partitionStatsAudit(spark: SparkSession, table: String): DataFrame = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = {
-      val p = new Path(table)
-      p.getFileSystem(hconf).makeQualified(p)
-    }
-    val fs = root.getFileSystem(hconf)
-    val mf = currentMetadataFile(fs, root)
-    val in = fs.open(mf)
-    val node =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-      finally in.close()
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
     import scala.jdk.CollectionConverters._
     val currentSnap = Option(node.get("current-snapshot-id"))
       .map(_.asLong()).getOrElse(
@@ -851,21 +857,15 @@ object IcebergMeta {
    */
   def refsReport(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = {
-      val p = new Path(table)
-      p.getFileSystem(hconf).makeQualified(p)
-    }
-    val fs = root.getFileSystem(hconf)
-    val mf = currentMetadataFile(fs, root)
-    val info = readTableMetadata(mf, hconf)
-    val in = fs.open(mf)
-    val node =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-      finally in.close()
+    val (_, _, mf, node) = currentMetadataNode(spark, table)
     import scala.jdk.CollectionConverters._
-    val listed = info.snapshots.map(_.snapshotId).toSet
-    val current = info.currentSnapshotId
+    // snapshots + current id from the SAME parsed node (one read, one
+    // parse — the previous shape parsed the file twice)
+    val listed = Option(node.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .map(s => req(s, "snapshot-id", mf).asLong()).toSet
+    val current = Option(node.get("current-snapshot-id"))
+      .map(_.asLong()).filter(_ != -1L)
     val declared = Option(node.get("refs")).filter(_.isObject)
       .map(_.properties().asScala.toSeq.map { e =>
         val name = e.getKey
@@ -898,17 +898,7 @@ object IcebergMeta {
    */
   def snapshotSummaryAudit(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = {
-      val p = new Path(table)
-      p.getFileSystem(hconf).makeQualified(p)
-    }
-    val fs = root.getFileSystem(hconf)
-    val mf = currentMetadataFile(fs, root)
-    val in = fs.open(mf)
-    val node =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-      finally in.close()
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
     import scala.jdk.CollectionConverters._
     val snaps = Option(node.get("snapshots"))
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { s =>
@@ -923,16 +913,30 @@ object IcebergMeta {
       throw new IllegalArgumentException(s"$table: no snapshots listed")
     }
     val rootStr = root.toString
-    val conf = new SerializableHadoopConf(hconf)
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     snaps.toDS()
       .map { case (snapId, mlPath, declFiles, declRecords) =>
         val entries = readManifestList(
           resolve(new Path(rootStr), mlPath), conf.value)
         val data = entries.filter(_.content == 0)
-        val actFiles = data.flatMap(_.addedFiles).sum
-        val actRecords = data.flatMap(_.addedRows).sum
+        // "added by THIS snapshot" needs added_snapshot_id: a snapshot's
+        // manifest list REUSES prior snapshots' manifests verbatim
+        // (their added counts intact), so summing all data manifests
+        // would inflate every snapshot after the first. Manifests
+        // lacking the field — or attributed manifests lacking counts —
+        // make the actual side unknowable: report NULL actuals, never
+        // a zero that flags a truthful declaration as a lie.
+        val attributable = data.forall(_.addedSnapshotId.isDefined)
+        val mine = data.filter(_.addedSnapshotId.contains(snapId))
+        val counted = attributable && mine.forall(m =>
+          m.addedFiles.isDefined && m.addedRows.isDefined)
+        val actFiles =
+          if (counted) Some(mine.flatMap(_.addedFiles).sum) else None
+        val actRecords =
+          if (counted) Some(mine.flatMap(_.addedRows).sum) else None
         (snapId, declFiles, declRecords, actFiles, actRecords,
-          declFiles.map(_ == actFiles), declRecords.map(_ == actRecords))
+          for { d <- declFiles; a <- actFiles } yield d == a,
+          for { d <- declRecords; a <- actRecords } yield d == a)
       }
       .toDF("snapshot_id", "declared_added_files", "declared_added_records",
         "actual_added_files", "actual_added_records",
@@ -949,17 +953,7 @@ object IcebergMeta {
    */
   def metadataLogReport(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = {
-      val p = new Path(table)
-      p.getFileSystem(hconf).makeQualified(p)
-    }
-    val fs = root.getFileSystem(hconf)
-    val mf = currentMetadataFile(fs, root)
-    val in = fs.open(mf)
-    val node =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-      finally in.close()
+    val (root, fs, mf, node) = currentMetadataNode(spark, table)
     import scala.jdk.CollectionConverters._
     val entries = Option(node.get("metadata-log"))
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { e =>
@@ -1031,6 +1025,7 @@ object IcebergMeta {
       |{"name":"manifest_length","type":"long"},
       |{"name":"partition_spec_id","type":"int"},
       |{"name":"content","type":"int","default":0},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null},
       |{"name":"added_files_count","type":"int"},
       |{"name":"existing_files_count","type":"int"},
       |{"name":"deleted_files_count","type":"int"},
@@ -1138,6 +1133,7 @@ object IcebergMeta {
         r.put("manifest_length", new java.io.File(metaDir, "m0.avro").length())
         r.put("partition_spec_id", 0)
         r.put("content", 0)
+        r.put("added_snapshot_id", 1L)
         r.put("added_files_count", langs.size * 2)
         r.put("existing_files_count", 0)
         r.put("deleted_files_count", 0)
@@ -1301,12 +1297,14 @@ object IcebergMeta {
         records = Some(deletedPositions))))
 
     def mlEntry(path: String, added: Int, existing: Int, deleted: Int,
-        rows: Long, content: Int = 0): org.apache.avro.generic.GenericRecord = {
+        rows: Long, content: Int = 0,
+        addedBySnap: Long = 1L): org.apache.avro.generic.GenericRecord = {
       val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
       r.put("manifest_path", s"metadata/$path")
       r.put("manifest_length", new java.io.File(metaDir, path).length())
       r.put("partition_spec_id", 0)
       r.put("content", content)
+      r.put("added_snapshot_id", addedBySnap)
       r.put("added_files_count", added)
       r.put("existing_files_count", existing)
       r.put("deleted_files_count", deleted)
@@ -1317,10 +1315,11 @@ object IcebergMeta {
       Seq(mlEntry("m0.avro", 3, 0, 0,
         counts("f0.parquet") + counts("f1.parquet") + counts("f2.parquet"))))
     writeAvro(new java.io.File(metaDir, "snap-2.avro"), manifestListSchema,
-      Seq(mlEntry("m1.avro", 0, 3, 0, 0L),
+      Seq(mlEntry("m1.avro", 0, 3, 0, 0L, addedBySnap = 2L),
         mlEntry("m2.avro", 2, 0, 1,
-          counts("f3.parquet") + counts("f4.parquet")),
-        mlEntry("m3.avro", 1, 0, 0, deletedPositions, content = 1)))
+          counts("f3.parquet") + counts("f4.parquet"), addedBySnap = 2L),
+        mlEntry("m3.avro", 1, 0, 0, deletedPositions, content = 1,
+          addedBySnap = 2L)))
 
     val ts0 = 1700000000000L
     val metadataJson =
@@ -1456,6 +1455,7 @@ object IcebergMeta {
       r.put("manifest_length", new java.io.File(metaDir, path).length())
       r.put("partition_spec_id", 0)
       r.put("content", content)
+      r.put("added_snapshot_id", 1L)
       r.put("added_files_count", added)
       r.put("existing_files_count", 0)
       r.put("deleted_files_count", 0)

@@ -97,6 +97,16 @@ object PuffinCodec {
           s"$path: Puffin footer payload is compressed — not supported; " +
             "refusing rather than misreading blob offsets")
       }
+      // every other flag bit is RESERVED: a future flag may change how
+      // the payload is framed, and ignoring it misplaces every blob —
+      // the exact hazard this codec exists to refuse
+      if ((flags(0) & 0xFE) != 0 || flags(1) != 0 || flags(2) != 0 ||
+          flags(3) != 0) {
+        throw new UnsupportedOperationException(
+          s"$path: Puffin footer sets reserved flag bits " +
+            flags.map(b => f"$b%02x").mkString("[", " ", "]") +
+            " — unknown semantics; refusing rather than misreading")
+      }
       if (payloadSize < 0 || 12L + 4L + payloadSize + 4L > len) {
         throw new IllegalArgumentException(
           s"$path: Puffin footer payload size $payloadSize out of range")

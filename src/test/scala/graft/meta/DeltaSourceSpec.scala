@@ -306,6 +306,17 @@ class DeltaSourceSpec extends SparkSpec {
     assert(DeltaMeta.selectCheckpointParts("t", 2L, singleForm ++ partForm)
       === singleForm)
     assert(DeltaMeta.selectCheckpointParts("t", 2L, partForm) === partForm)
+    // the protocol allows a classic compat checkpoint BESIDE a
+    // UUID-named V2 manifest (and several UUID manifests): each is
+    // complete alone, so exactly one is chosen — classic preferred,
+    // else a deterministic single pick — never both (double-read +
+    // mixed schemas in one scan)
+    val uuid1 = f"x/${2L}%020d.checkpoint.aaaa-bbbb.parquet"
+    val uuid2 = f"x/${2L}%020d.checkpoint.cccc-dddd.parquet"
+    assert(DeltaMeta.selectCheckpointParts("t", 2L,
+      Seq(uuid1) ++ singleForm) === singleForm)
+    assert(DeltaMeta.selectCheckpointParts("t", 2L, Seq(uuid1, uuid2))
+      === Seq(uuid2))
     // part 2 deleted: a partial multipart set must REFUSE, not
     // reconstruct a snapshot missing every non-add action
     assert(new java.io.File(d,

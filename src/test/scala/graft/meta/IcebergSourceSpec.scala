@@ -639,6 +639,33 @@ class IcebergSourceSpec extends SparkSpec {
     assert(bare.length === 2)
     assert(bare.forall(r => r.isNullAt(r.fieldIndex("declared_added_files"))
       && r.isNullAt(r.fieldIndex("files_match"))))
+    // attribution: snap 2's list REUSES snap 1's manifest; the actuals
+    // must count only manifests ADDED BY snap 2 (m1 rewritten existing
+    // + m2's two adds, never snap 1's 3) — pinned by the true-match
+    // assertion on files above. A list whose manifests LACK
+    // added_snapshot_id makes the actual side unknowable → null, never
+    // a zero flagged as a lie: strip the field from snap-1's list
+    val ml = new java.io.File(d, "metadata/snap-1.avro")
+    val reader = new org.apache.avro.file.DataFileReader(
+      ml, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val rows2b = new scala.collection.mutable.ArrayBuffer[
+      org.apache.avro.generic.GenericRecord]
+    while (reader.hasNext) rows2b += reader.next()
+    reader.close()
+    rows2b.foreach(_.put("added_snapshot_id", null))
+    val writer = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](reader.getSchema))
+    writer.create(reader.getSchema, ml)
+    rows2b.foreach(writer.append)
+    writer.close()
+    val stripped = IcebergMeta.snapshotSummaryAudit(spark, d)
+      .orderBy("snapshot_id").collect()
+    assert(stripped(0).isNullAt(stripped(0).fieldIndex("actual_added_files")))
+    assert(stripped(0).isNullAt(stripped(0).fieldIndex("files_match")))
+    // snap 2's own list is untouched and still audits
+    assert(stripped(1).getAs[Boolean]("files_match"))
   }
 
   test("metadata-log audit: lineage entries vs disk, hole surfaced") {

@@ -133,5 +133,13 @@ class PuffinCodecSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException](
       PuffinCodec.readFooter(p, conf))
     assert(e4.getMessage.contains("too short"))
+    // RESERVED flag bits (anything beyond byte0/bit0) refuse — a
+    // future flag may change the payload framing and misplace blobs
+    val reserved = bytes.clone()
+    reserved(bytes.length - 7) = 0x4 // flags byte 1
+    Files.write(f.toPath, reserved)
+    val e5 = intercept[UnsupportedOperationException](
+      PuffinCodec.readFooter(p, conf))
+    assert(e5.getMessage.contains("reserved flag bits"))
   }
 }
