@@ -19,6 +19,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // HERMETIC full sweeps: every fixture/store/checkpoint this run
+    // writes lives under /tmp/graft_*; state left by a run of an OLDER
+    // commit must never leak into this run's results or the DuckDB
+    // oracle reads that follow. Filtered runs keep /tmp (fast local
+    // iteration relies on it).
+    if (only.isEmpty) {
+      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_"))
+        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
@@ -26,6 +36,11 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a failure BEFORE the write action leaves the PREVIOUS run's
+          // result parquet in place — the compare would then hash stale
+          // output against a fresh oracle. No result beats a wrong one.
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$outDir/$name"))
         }
       }
     }

@@ -1218,8 +1218,11 @@ object IcebergMeta {
    * Hand-write a filesystem Iceberg table against the PUBLIC spec:
    * six parquet slices of `docs` under `data/`, TWO snapshots —
    * snap 1 (append f0..f2) and the CURRENT snap 2 whose manifest list
-   * points at three manifests: m1 (f0..f2 existing), m2 (f3,f4 added +
-   * f5 DELETED — written, then removed in snap 2, still on disk), and
+   * points at three manifests: m0 REUSED VERBATIM (the spec's append
+   * shape — `added_snapshot_id=1` with snap 1's original added counts
+   * intact, so attribution-blind summary sums are observably wrong),
+   * m2 (f3,f4 added + f5 DELETED — written, then removed in snap 2,
+   * still on disk), and
    * the DELETE manifest m3 (`content=1`) carrying one position-delete
    * file `del0.parquet` (a real parquet of `(file_path, pos)` rows)
    * that deletes the first 2 positions of f0 — the format-v2
@@ -1286,10 +1289,12 @@ object IcebergMeta {
     // snap 1: one manifest, f0..f2 added
     writeAvro(new java.io.File(metaDir, "m0.avro"), manifestSchema,
       Seq(entry(1, "f0.parquet"), entry(1, "f1.parquet"), entry(1, "f2.parquet")))
-    // snap 2: m1 carries f0..f2 as existing; m2 adds f3,f4 and DELETES f5;
-    // m3 is the DELETE manifest (content=1 at both layers)
-    writeAvro(new java.io.File(metaDir, "m1.avro"), manifestSchema,
-      Seq(entry(0, "f0.parquet"), entry(0, "f1.parquet"), entry(0, "f2.parquet")))
+    // snap 2 REUSES m0 verbatim (the spec's append shape: prior
+    // manifests ride along with added_snapshot_id=1 and their ORIGINAL
+    // added counts intact — the shape that makes summary attribution
+    // observable: summing every data manifest would inflate snap 2's
+    // actuals by snap 1's); m2 adds f3,f4 and DELETES f5; m3 is the
+    // DELETE manifest (content=1 at both layers)
     writeAvro(new java.io.File(metaDir, "m2.avro"), manifestSchema,
       Seq(entry(1, "f3.parquet"), entry(1, "f4.parquet"), entry(2, "f5.parquet")))
     writeAvro(new java.io.File(metaDir, "m3.avro"), manifestSchema,
@@ -1315,7 +1320,9 @@ object IcebergMeta {
       Seq(mlEntry("m0.avro", 3, 0, 0,
         counts("f0.parquet") + counts("f1.parquet") + counts("f2.parquet"))))
     writeAvro(new java.io.File(metaDir, "snap-2.avro"), manifestListSchema,
-      Seq(mlEntry("m1.avro", 0, 3, 0, 0L, addedBySnap = 2L),
+      Seq(mlEntry("m0.avro", 3, 0, 0,
+        counts("f0.parquet") + counts("f1.parquet") + counts("f2.parquet"),
+        addedBySnap = 1L),
         mlEntry("m2.avro", 2, 0, 1,
           counts("f3.parquet") + counts("f4.parquet"), addedBySnap = 2L),
         mlEntry("m3.avro", 1, 0, 0, deletedPositions, content = 1,

@@ -52,7 +52,7 @@ class IcebergSourceSpec extends SparkSpec {
 
   test("currentFiles: live data files, deleted-but-present, delete manifest") {
     val entries = IcebergMeta.currentFiles(spark, table).collect()
-    // snap 2: f0..f2 existing + f3,f4 added + f5 deleted + del0 (deletes)
+    // snap 2: f0..f2 via the reused m0 + f3,f4 added + f5 deleted + del0
     assert(entries.length === 7)
     val byPath = entries.map(r => r.getAs[String]("file_path") -> r).toMap
     val live = entries.filter(r => r.getAs[Int]("status") != 2 &&
@@ -639,9 +639,10 @@ class IcebergSourceSpec extends SparkSpec {
     assert(bare.length === 2)
     assert(bare.forall(r => r.isNullAt(r.fieldIndex("declared_added_files"))
       && r.isNullAt(r.fieldIndex("files_match"))))
-    // attribution: snap 2's list REUSES snap 1's manifest; the actuals
-    // must count only manifests ADDED BY snap 2 (m1 rewritten existing
-    // + m2's two adds, never snap 1's 3) — pinned by the true-match
+    // attribution: snap 2's list REUSES snap 1's manifest m0 VERBATIM
+    // (added_snapshot_id=1, original counts 3/rows1 intact); the actuals
+    // must count only manifests ADDED BY snap 2 (m2's two adds, never
+    // snap 1's 3) — pinned by the true-match
     // assertion on files above. A list whose manifests LACK
     // added_snapshot_id makes the actual side unknowable → null, never
     // a zero flagged as a lie: strip the field from snap-1's list
