@@ -333,7 +333,6 @@ object DeltaMeta {
             }
             val conf = spark.sessionState.newHadoopConf()
             val scDir = new Path(new Path(table), "_delta_log/_sidecars")
-            val fs = scDir.getFileSystem(conf)
             val scPaths = sidecarNames.map { n =>
               // sidecar paths are URI-encoded names relative to
               // _delta_log/_sidecars — or absolute URIs, like add.path
@@ -342,6 +341,10 @@ object DeltaMeta {
                 if (decoded.contains("://") || decoded.startsWith("/")) {
                   new Path(decoded)
                 } else new Path(scDir, decoded)
+              // the sidecar's OWN filesystem: an absolute URI on another
+              // scheme must resolve through its scheme's FS, not throw
+              // 'Wrong FS' out of the log directory's
+              val fs = p.getFileSystem(conf)
               if (!fs.exists(p)) {
                 throw new IllegalArgumentException(
                   s"$table: V2 checkpoint at version $ckptVersion names " +

@@ -544,6 +544,18 @@ object IcebergMeta {
           "position audit")
     }
     val empty = Seq.empty[(String, Long)].toDF("data_path", "pos")
+    // BOTH legs render data_path through the same resolve(root, _)
+    // rule: a relocated table's delete rows must join its live
+    // abs_path uniformly whether they came from a v2 parquet or a DV
+    val tableRoot = {
+      val hconf = spark.sessionState.newHadoopConf()
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val rootPrefix = tableRoot.toString
+    def resolved(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c.contains("://") || c.startsWith("/"), c)
+        .otherwise(concat(lit(rootPrefix + "/"), c))
     // v2 shape: position-delete PARQUET files carry (file_path, pos)
     // rows themselves — a distributed parquet scan
     val posFiles = delMeta.filter(r => !r.getBoolean(1))
@@ -551,7 +563,7 @@ object IcebergMeta {
     val fromFiles =
       if (posFiles.isEmpty) empty
       else spark.read.parquet(posFiles: _*)
-        .select(col("file_path").as("data_path"),
+        .select(resolved(col("file_path")).as("data_path"),
           col("pos").cast("long").as("pos"))
     // v3 shape: PUFFIN deletion-vector blobs, decoded DISTRIBUTED —
     // one decode unit per DV, the format's own granularity (a vector
@@ -749,13 +761,16 @@ object IcebergMeta {
    * PUFFIN STATISTICS audit — the table metadata's `statistics` list
    * (format v2+: one entry per snapshot naming a Puffin file of sketch
    * blobs with its declared `blob-metadata`) verified against the
-   * Puffin files' OWN footers: one row per ACTUAL footer blob,
-   * positionally joined with the declared entry —
-   * `declared_match` is false when the metadata's blob list and the
-   * file's footer disagree on type or snapshot (a stale or
-   * hand-edited statistics entry sends sketch consumers to the wrong
-   * blob). The entry list is a driver boundary at snapshot scale; the
-   * footer reads fan out one task per statistics file.
+   * Puffin files' OWN footers: one row per ACTUAL footer blob, matched
+   * to a declared entry by `(type, snapshot-id)` key (the spec does
+   * not pin the declaration to footer order, so a truthful reordered
+   * list still matches; each declared entry is consumable once) —
+   * `declared_match` is false when no declared entry carries the
+   * blob's key (a stale or hand-edited statistics entry sends sketch
+   * consumers to the wrong blob), and a declared entry matching NO
+   * footer blob surfaces as its own `blob_idx=-1` row. The entry list
+   * is a driver boundary at snapshot scale; the footer reads fan out
+   * one task per statistics file.
    */
   def statisticsReport(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
@@ -776,14 +791,28 @@ object IcebergMeta {
       .flatMap { case (snapId, path, declared) =>
         val abs = resolve(new Path(rootStr), path)
         val (blobs, _) = PuffinCodec.readFooter(abs, conf.value)
-        blobs.zipWithIndex.map { case (b, i) =>
-          val decl = declared.lift(i)
+        // the spec does not pin blob-metadata to footer order: match
+        // declared entries to footer blobs by (type, snapshot-id) keys,
+        // each declared entry consumable once — a truthful but
+        // reordered declaration matches; a surplus declared entry (a
+        // blob the file does not carry) surfaces as its own row
+        val remaining =
+          scala.collection.mutable.ArrayBuffer.from(declared)
+        val matchedRows = blobs.zipWithIndex.map { case (b, i) =>
+          val key = (b.blobType, b.snapshotId.getOrElse(-1L))
+          val at = remaining.indexOf(key)
+          if (at >= 0) remaining.remove(at)
           (abs.getName, snapId, i, b.blobType,
             b.snapshotId.getOrElse(-1L), b.sequenceNumber.getOrElse(-1L),
-            b.offset, b.length, decl.map(_._1).orNull,
-            decl.exists(d => d._1 == b.blobType &&
-              d._2 == b.snapshotId.getOrElse(-1L)))
+            b.offset, b.length,
+            if (at >= 0) key._1 else null,
+            at >= 0)
         }
+        val orphanRows = remaining.toSeq.map { case (t, sid) =>
+          (abs.getName, snapId, -1, null.asInstanceOf[String],
+            sid, -1L, -1L, -1L, t, false)
+        }
+        matchedRows ++ orphanRows
       }
       .toDF("filename", "stats_snapshot_id", "blob_idx", "blob_type",
         "blob_snapshot_id", "sequence_number", "offset", "length",

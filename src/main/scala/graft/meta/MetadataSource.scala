@@ -269,11 +269,18 @@ object MetaTable {
    * also makes it the natural streaming-relist mode.
    *
    * Hive-style `k=v` segments become partition values as URL-decoded
-   * RAW strings (one decode per DIRECTORY, the map shared by its
-   * files) — no whole-tree type-inference pass, which is exactly the
-   * step that cannot scale ahead of planning. The `index` mode's typed
-   * renderings (`2020-02-02 01:02:03.0`) remain the default; the two
-   * differ only for timestamp-typed partition values.
+   * strings (one decode per DIRECTORY, the map shared by its files) —
+   * no whole-tree type-inference pass, which is exactly the step that
+   * cannot scale ahead of planning. Rendering parity with index mode
+   * is spec-pinned (`ListModeSpec`) INCLUDING timestamp-shaped values:
+   * Spark 4's partition inference leaves `HH:mm:ss`-shaped strings as
+   * StringType (verified empirically against `InMemoryFileIndex` —
+   * `StructField(ts,StringType)`), so both modes render the raw
+   * URL-decoded form and no typed-rendering translation exists to
+   * diverge on. The one theoretical residue is a value index mode's
+   * inference WOULD type (e.g. a zero-padded integer `id=003`, typed
+   * rendering `3` vs raw `003`) — a shape Spark's own writers never
+   * produce.
    */
   def listSlicesSharded(
       rootPath: Path,

@@ -533,19 +533,47 @@ class IcebergSourceSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("offset") === 4L)
     assert(rows(1).getAs[Long]("offset") ===
       4L + rows(0).getAs[Long]("length"))
-    // a LYING declaration (type edited in the metadata JSON) flags
-    // declared_match=false for exactly that blob — the footer wins
+    // a REORDERED but truthful declaration still matches: the spec does
+    // not pin blob-metadata to footer order, so matching is by
+    // (type, snapshot-id) key, not position
     val mf = new java.io.File(d, "metadata/v1.metadata.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    locally {
+      val root = mapper.readTree(mf).asInstanceOf[
+        com.fasterxml.jackson.databind.node.ObjectNode]
+      val bm = root.get("statistics").get(0).get("blob-metadata")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val first = bm.remove(0)
+      bm.add(first) // [theta, dv] -> [dv, theta]
+      java.nio.file.Files.write(mf.toPath, mapper.writeValueAsBytes(root))
+    }
+    val reordered = IcebergMeta.statisticsReport(spark, d)
+      .orderBy("blob_idx").collect()
+    assert(reordered.length === 2)
+    assert(reordered.forall(_.getAs[Boolean]("declared_match")))
+    // a LYING declaration (type edited in the metadata JSON) flags
+    // declared_match=false for exactly that blob — the footer wins —
+    // and the surplus declared entry surfaces as its own blob_idx=-1 row
     val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
     java.nio.file.Files.write(mf.toPath,
       txt.replace("\"type\":\"apache-datasketches-theta-v1\"",
         "\"type\":\"apache-datasketches-hll-v1\"").getBytes("UTF-8"))
     val flagged = IcebergMeta.statisticsReport(spark, d)
       .orderBy("blob_idx").collect()
-    assert(!flagged(0).getAs[Boolean]("declared_match"))
-    assert(flagged(0).getAs[String]("declared_type") ===
+    assert(flagged.length === 3)
+    val orphan = flagged(0)
+    assert(orphan.getAs[Int]("blob_idx") === -1)
+    assert(orphan.isNullAt(orphan.fieldIndex("blob_type")))
+    assert(orphan.getAs[String]("declared_type") ===
       "apache-datasketches-hll-v1")
-    assert(flagged(1).getAs[Boolean]("declared_match"))
+    assert(!orphan.getAs[Boolean]("declared_match"))
+    val theta = flagged.find(_.getAs[String]("blob_type") ==
+      "apache-datasketches-theta-v1").get
+    assert(!theta.getAs[Boolean]("declared_match"))
+    assert(theta.isNullAt(theta.fieldIndex("declared_type")))
+    val dv = flagged.find(_.getAs[String]("blob_type") ==
+      "deletion-vector-v1").get
+    assert(dv.getAs[Boolean]("declared_match"))
     // a MISSING statistics file refuses (readFooter throws), never an
     // empty report
     assert(new java.io.File(d, "metadata/stats-2.puffin").delete())
