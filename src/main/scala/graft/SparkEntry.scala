@@ -1461,6 +1461,22 @@ object SparkEntry {
             .cast("long").as("deleted_positions")))
     }),
 
+    // ICEBERG EQUALITY-DELETE row-wise audit (format v2, the Flink
+    // merge-on-read shape): delete files carry VALUE rows matched on
+    // their equality_ids columns, null equals null — resolved as a
+    // null-safe semi join of the live data files against the delete
+    // files' distinct keys. Oracle: DuckDB reads the SAME delete
+    // parquets and data files and joins IS NOT DISTINCT FROM.
+    "meta_iceberg_eq_rows" -> ((s, dir) => {
+      val out = "/tmp/graft_iceeq_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeEqDeleteFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.equalityDeleteRows(s, out)
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("eq_cols"), col("key_csv"))
+    }),
+
     // ICEBERG TIMESTAMP AS OF: wall-clock probes resolved from the
     // snapshot list's timestamp-ms — the oracle resolves the SAME
     // probes from the same JSON in DuckDB and cross-checks the rows
@@ -6018,6 +6034,26 @@ object SparkEntry {
         |  CAST(sum(f0.doc_id) AS BIGINT) AS deleted_docid_sum
         |FROM del JOIN f0 USING (pos)
         |WHERE del.f = 'f0.parquet'""".stripMargin,
+
+    "meta_iceberg_eq_rows" ->
+      """WITH data AS (
+        |  SELECT parse_filename(filename) AS file, doc_id, lang
+        |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/f*.parquet',
+        |    filename=true)
+        |),
+        |e0 AS (SELECT DISTINCT doc_id
+        |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/eq0.parquet')),
+        |e1 AS (SELECT DISTINCT doc_id, lang
+        |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/eq1.parquet'))
+        |SELECT d.file, 'doc_id' AS eq_cols,
+        |  coalesce(CAST(d.doc_id AS VARCHAR), 'NULL') AS key_csv
+        |FROM data d JOIN e0 ON d.doc_id IS NOT DISTINCT FROM e0.doc_id
+        |UNION ALL
+        |SELECT d.file, 'doc_id,lang',
+        |  concat(coalesce(CAST(d.doc_id AS VARCHAR), 'NULL'), '|',
+        |    coalesce(d.lang, 'NULL'))
+        |FROM data d JOIN e1 ON d.doc_id IS NOT DISTINCT FROM e1.doc_id
+        |  AND d.lang IS NOT DISTINCT FROM e1.lang""".stripMargin,
 
     "meta_iceberg_dv_rows" ->
       """WITH f0 AS (

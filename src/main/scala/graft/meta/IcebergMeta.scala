@@ -54,7 +54,11 @@ case class IcebergFileEntry(
     // cardinality
     referencedDataFile: Option[String] = None,
     contentOffset: Option[Long] = None,
-    contentSizeInBytes: Option[Long] = None)
+    contentSizeInBytes: Option[Long] = None,
+    // format-v2 equality deletes (content=2): the schema field ids the
+    // delete file's rows match data rows BY VALUE on (spec r136
+    // equality_ids); None on data/position entries
+    equalityIds: Option[Seq[Int]] = None)
 
 /**
  * Iceberg metadata tier — the second table format above the raw-file
@@ -377,6 +381,18 @@ object IcebergMeta {
         val refFile = optStr("referenced_data_file")
         val cOffset = optDfLong("content_offset")
         val cSize = optDfLong("content_size_in_bytes")
+        val eqIds: Option[Seq[Int]] = {
+          val f = df.getSchema.getField("equality_ids")
+          if (f == null) None
+          else Option(df.get("equality_ids")).map {
+            case l: java.util.List[_] =>
+              import scala.jdk.CollectionConverters._
+              l.asScala.toSeq.map(_.asInstanceOf[Number].intValue())
+            case other => throw new IllegalArgumentException(
+              s"$file: equality_ids is ${other.getClass.getName}, " +
+                "expected an int array")
+          }
+        }
         if (fmt != null && fmt.equalsIgnoreCase("puffin") &&
             (contentOf(df) != 1 || refFile.isEmpty ||
               cOffset.isEmpty || cSize.isEmpty)) {
@@ -412,7 +428,8 @@ object IcebergMeta {
           partition = partition,
           referencedDataFile = refFile,
           contentOffset = cOffset,
-          contentSizeInBytes = cSize)
+          contentSizeInBytes = cSize,
+          equalityIds = eqIds)
       }
       out.toSeq
     } finally {
@@ -502,12 +519,12 @@ object IcebergMeta {
             e.recordCount, e.fileSizeBytes,
             resolve(new Path(rootStr), e.filePath).toString, mp,
             e.partition, e.referencedDataFile, e.contentOffset,
-            e.contentSizeInBytes))
+            e.contentSizeInBytes, e.equalityIds))
       }
       .toDF("status", "content", "file_path", "file_format",
         "record_count", "file_size_bytes", "abs_path", "manifest_path",
         "partition_values", "referenced_data_file", "content_offset",
-        "content_size")
+        "content_size", "equality_ids")
   }
 
   /**
@@ -540,8 +557,8 @@ object IcebergMeta {
     if (delMeta.exists(_.getInt(0) == 2)) {
       throw new UnsupportedOperationException(
         s"$table: equality delete files are live — their deleted rows " +
-          "resolve only through a data scan; refusing a partial " +
-          "position audit")
+          "resolve only through a data scan (equalityDeleteRows); " +
+          "refusing a partial position audit")
     }
     val empty = Seq.empty[(String, Long)].toDF("data_path", "pos")
     // BOTH legs render data_path through the same resolve(root, _)
@@ -605,6 +622,122 @@ object IcebergMeta {
           .toDF("data_path", "pos")
       }
     fromFiles.unionByName(fromDvs)
+  }
+
+  /** Field id → (name, type-as-text) of the table's CURRENT schema
+    * (the `schemas` entry named by `current-schema-id`; v1 fallback:
+    * the bare `schema` field). Nested types map to their JSON rendering
+    * — callers that can only match primitives refuse on those. */
+  private def currentSchemaFieldsById(
+      mf: Path, node: com.fasterxml.jackson.databind.JsonNode):
+      Map[Int, (String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val schemaNode = Option(node.get("current-schema-id")).flatMap { sid =>
+      Option(node.get("schemas")).flatMap(_.elements().asScala.toSeq
+        .find(s => Option(s.get("schema-id")).exists(_.asInt() == sid.asInt())))
+    }.orElse(Option(node.get("schema"))).getOrElse(
+      throw new IllegalArgumentException(
+        s"$mf: no current schema (neither schemas/current-schema-id nor schema)"))
+    Option(schemaNode.get("fields")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty)
+      .map { f =>
+        val t = f.get("type")
+        val tpe = if (t != null && t.isTextual) t.asText() else String.valueOf(t)
+        req(f, "id", mf).asInt() -> (req(f, "name", mf).asText(), tpe)
+      }.toMap
+  }
+
+  /**
+   * EQUALITY-DELETE rows of the current snapshot, resolved ROW-WISE
+   * (format v2 merge-on-read, the Flink-writer shape): each live
+   * equality-delete file (`content=2`) carries VALUE rows; a data row
+   * is deleted when it equals a delete row on the delete file's
+   * `equality_ids` columns (null matches null — the spec's
+   * IS-NOT-DISTINCT semantics). One output row per deleted data row:
+   * `(data_path, eq_cols, key_csv)` — the file it lives in, the
+   * matched column names (field-id order), and the matched values
+   * (`|`-joined, nulls as `NULL`). The resolution is a per-id-set
+   * null-safe LEFT SEMI join of the live data files (a distributed
+   * parquet scan with `_metadata.file_path`) against the delete files'
+   * distinct keys — Catalyst broadcasts the delete side when its file
+   * sizes are small (the overwhelmingly common shape; no hint is
+   * forced, so a pathological delete set can still shuffle-join).
+   *
+   * REFUSES — never a partial answer — when: no equality-delete file
+   * is live; a delete entry lacks `equality_ids` or is not parquet; an
+   * id is missing from the current schema; or an equality column is
+   * float/double (NaN != NaN under join equality while Iceberg pins
+   * NaN == NaN for delete matching — resolving through a join would
+   * silently miss those rows). Driver boundaries: the delete-entry
+   * classification (entry scale) and the live data path list (the
+   * MetaPrune surviving-paths idiom).
+   */
+  def equalityDeleteRows(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (_, _, mf, node) = currentMetadataNode(spark, table)
+    val fieldsById = currentSchemaFieldsById(mf, node)
+    val live = currentFiles(spark, table).filter(col("status") =!= 2)
+    val eqEntries = live.filter(col("content") === 2)
+      .select(col("abs_path"), col("file_format"), col("equality_ids"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getSeq[Int](2)).map(_.toSeq)))
+    if (eqEntries.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: no equality delete files are live — nothing to resolve")
+    }
+    eqEntries.foreach { case (p, fmt, ids) =>
+      if (fmt == null || !fmt.equalsIgnoreCase("parquet")) {
+        throw new UnsupportedOperationException(
+          s"$table: equality delete file $p is ${String.valueOf(fmt)}, " +
+            "only parquet delete files are supported")
+      }
+      if (ids.forall(_.isEmpty)) {
+        throw new IllegalArgumentException(
+          s"$table: equality delete file $p declares no equality_ids — " +
+            "its match columns are unknowable, refusing to guess")
+      }
+    }
+    val dataPaths = live
+      .filter(col("content") === 0 &&
+        upper(col("file_format")) === "PARQUET")
+      .select(col("abs_path")).as[String].collect().toSeq.distinct
+    if (dataPaths.isEmpty) {
+      return Seq.empty[(String, String, String)]
+        .toDF("data_path", "eq_cols", "key_csv")
+    }
+    val data = spark.read.parquet(dataPaths: _*)
+    val perIdSet = eqEntries.groupBy(_._3.get).toSeq.map {
+      case (ids, entries) =>
+        val cols = ids.map { id =>
+          fieldsById.getOrElse(id, throw new IllegalArgumentException(
+            s"$table: equality_ids references field id $id which the " +
+              s"current schema does not declare (known: " +
+              s"${fieldsById.keys.toSeq.sorted.mkString(", ")})"))
+        }
+        cols.foreach { case (name, tpe) =>
+          if (tpe == "float" || tpe == "double") {
+            throw new UnsupportedOperationException(
+              s"$table: equality column '$name' is $tpe — NaN equality " +
+                "under the spec differs from join equality; refusing a " +
+                "resolution that would silently miss NaN-keyed deletes")
+          }
+        }
+        val names = cols.map(_._1)
+        val delKeys = spark.read.parquet(entries.map(_._1).distinct: _*)
+          .select(names.map(col): _*).dropDuplicates().alias("k")
+        val scan = data
+          .select(col("_metadata.file_path").as("data_path") +:
+            names.map(col): _*).alias("d")
+        val cond = names.map(n => scan(n) <=> delKeys(n)).reduce(_ && _)
+        scan.join(delKeys, cond, "left_semi")
+          .select(col("data_path"),
+            lit(names.mkString(",")).as("eq_cols"),
+            array_join(array(names.map(n =>
+              coalesce(col(n).cast("string"), lit("NULL"))): _*), "|")
+              .as("key_csv"))
+    }
+    perIdSet.reduce(_ unionByName _)
   }
 
   /**
@@ -1510,6 +1643,148 @@ object IcebergMeta {
          |{"snapshot-id":1,"timestamp-ms":$ts0,
          | "manifest-list":"metadata/snap-1.avro",
          | "summary":{"operation":"delete"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
+  /** The format-v2 manifest shape for EQUALITY deletes: `data_file`
+    * grows `equality_ids` (the spec's field-id list), null on ordinary
+    * data entries. */
+  private val eqManifestSchema = avroSchema(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
+
+  /**
+   * A format-v2 filesystem table with EQUALITY deletes (the Flink
+   * merge-on-read shape) against the public spec: two parity slices of
+   * `docs` (`f0`, `f1`: doc_id, lang — lang NULLED for doc_ids 0 and 8
+   * so null-key matching is exercised), ONE snapshot whose manifest
+   * list carries the data manifest plus a DELETE manifest (`content=1`)
+   * of two equality-delete PARQUET files:
+   *
+   *  - `eq0.parquet`, `equality_ids=[1]` (doc_id): rows 0, 1, 2 and a
+   *    -1 that matches nothing;
+   *  - `eq1.parquet`, `equality_ids=[1,2]` (doc_id, lang): doc 4 with
+   *    its REAL lang (matches), doc 6 with a wrong lang (no match),
+   *    and doc 8 with NULL lang (matches — null equals null under the
+   *    spec's delete semantics).
+   *
+   * The schema declares field 3 `score` (double) that no file carries,
+   * so a test can plant `equality_ids=[3]` and pin the float/double
+   * refusal. Returns per-data-file row counts.
+   */
+  def writeEqDeleteFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+
+    def writeOne(df: DataFrame, rel: String): Long = {
+      val tmp = dir + "_eqtmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dataDir, rel).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      df.count()
+    }
+    val base = docs.select(col("doc_id"),
+      when(col("doc_id").isin(0L, 8L), lit(null).cast("string"))
+        .otherwise(col("lang")).as("lang"))
+    val counts = (0 to 1).map { parity =>
+      val rel = s"f$parity.parquet"
+      rel -> writeOne(
+        base.filter(pmod(col("doc_id"), lit(2)) === parity), rel)
+    }.toMap
+    val lang4 = docs.filter(col("doc_id") === 4L)
+      .select(col("lang")).head().getString(0)
+    locally {
+      import spark.implicits._
+      val eq0 = Seq(0L, 1L, 2L, -1L).toDF("doc_id")
+      val eq1 = Seq((4L, Option(lang4)), (6L, Some("xx-no-such")),
+        (8L, None: Option[String])).toDF("doc_id", "lang")
+      writeOne(eq0, "eq0.parquet")
+      writeOne(eq1, "eq1.parquet")
+    }
+
+    def entry(f: String, content: Int, records: Long,
+        eqIds: Seq[Int]): org.apache.avro.generic.GenericRecord = {
+      val dfSchema = eqManifestSchema.getField("data_file").schema()
+      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
+      df.put("content", content)
+      df.put("file_path", s"data/$f")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", records)
+      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
+      if (eqIds.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        df.put("equality_ids",
+          new org.apache.avro.generic.GenericData.Array[Integer](
+            dfSchema.getField("equality_ids").schema().getTypes.get(1),
+            eqIds.map(Integer.valueOf).asJava))
+      }
+      val e = new org.apache.avro.generic.GenericData.Record(eqManifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), eqManifestSchema,
+      Seq(entry("f0.parquet", 0, counts("f0.parquet"), Nil),
+        entry("f1.parquet", 0, counts("f1.parquet"), Nil)))
+    writeAvro(new java.io.File(metaDir, "m1.avro"), eqManifestSchema,
+      Seq(entry("eq0.parquet", 2, 4L, Seq(1)),
+        entry("eq1.parquet", 2, 3L, Seq(1, 2))))
+    def mlEntry(path: String, added: Int, rows: Long,
+        content: Int): org.apache.avro.generic.GenericRecord = {
+      val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
+      r.put("manifest_path", s"metadata/$path")
+      r.put("manifest_length", new java.io.File(metaDir, path).length())
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("added_snapshot_id", 1L)
+      r.put("added_files_count", added)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", rows)
+      r
+    }
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
+      Seq(mlEntry("m0.avro", 2, counts.values.sum, 0),
+        mlEntry("m1.avro", 2, 7L, 1)))
+    val ts0 = 1700000000000L
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-eq-fixture",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":1,
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"},
+         | {"id":3,"name":"score","required":false,"type":"double"}]}],
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":$ts0,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"overwrite"}}]}""".stripMargin
     java.nio.file.Files.write(
       new java.io.File(metaDir, "v1.metadata.json").toPath,
       metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

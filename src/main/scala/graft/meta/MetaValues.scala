@@ -224,13 +224,21 @@ object MetaValues {
       summarize("delta", footers(path), live)
     } else if (IcebergMeta.isIcebergTable(fs, root)) {
       // every file the snapshot REFERENCES is live — including its
-      // position/equality delete files, whose rows SUBTRACT from the
-      // net (the merge-on-read mirror of delta's DV arithmetic); dead
-      // is only what no manifest points at (status=DELETED on disk)
+      // position delete files, whose rows SUBTRACT from the net (the
+      // merge-on-read mirror of delta's DV arithmetic); dead is only
+      // what no manifest points at (status=DELETED on disk). EQUALITY
+      // deletes (content=2) refuse: their record_count is predicate
+      // rows, each deleting 0..N data rows — subtracting it would
+      // miscount, and the exact answer needs the data scan
+      // IcebergMeta.equalityDeleteRows performs.
       val live = IcebergMeta.currentFiles(spark, path)
         .filter(col("status") =!= 2)
         .select(col("abs_path"),
           when(col("content") === 0, col("record_count"))
+            .when(col("content") === 2, raise_error(lit(
+              s"$path: equality delete files are live — their net row " +
+                "effect is unknowable at metadata cost (use " +
+                "IcebergMeta.equalityDeleteRows); refusing to miscount")))
             .otherwise(-col("record_count")).as("net_records"))
       // the disk side is the DATA tree: listing the table root would mix
       // `data/` and `metadata/` depths, which defeats the generic

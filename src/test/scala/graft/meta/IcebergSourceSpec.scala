@@ -749,4 +749,83 @@ class IcebergSourceSpec extends SparkSpec {
     val e = intercept[Exception](IcebergMeta.currentFiles(spark, d).collect())
     assert(causeMessages(e).contains("Puffin"))
   }
+
+  /** Rewrite m1.avro's delete entries with a new equality_ids list. */
+  private def rewriteEqIds(d: String, ids: Seq[Int]): Unit = {
+    val manifest = new java.io.File(d, "metadata/m1.avro")
+    val reader = new org.apache.avro.file.DataFileReader(
+      manifest, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val schema = reader.getSchema
+    val records = new scala.collection.mutable.ArrayBuffer[
+      org.apache.avro.generic.GenericRecord]
+    while (reader.hasNext) records += reader.next()
+    reader.close()
+    import scala.jdk.CollectionConverters._
+    records.foreach { r =>
+      val df = r.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      df.put("equality_ids",
+        if (ids.isEmpty) null
+        else new org.apache.avro.generic.GenericData.Array[Integer](
+          df.getSchema.getField("equality_ids").schema().getTypes.get(1),
+          ids.map(Integer.valueOf).asJava))
+    }
+    val writer = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    writer.create(schema, manifest)
+    records.foreach(writer.append)
+    writer.close()
+  }
+
+  test("equality deletes: row-wise resolution, null keys, refusals") {
+    val d = Files.createTempDirectory("graft_ice_eq").toString + "/tbl"
+    IcebergMeta.writeEqDeleteFixtureTable(spark, d, docs)
+    val rows = IcebergMeta.equalityDeleteRows(spark, d).collect()
+      .map(r => (new Path(r.getString(0)).getName, r.getString(1),
+        r.getString(2)))
+    // eq0 (doc_id): 0, 1, 2 resolve (parity routes 0,2→f0 and 1→f1);
+    // the -1 key deletes nothing
+    val single = rows.filter(_._2 == "doc_id").toSet
+    assert(single === Set(
+      ("f0.parquet", "doc_id", "0"),
+      ("f1.parquet", "doc_id", "1"),
+      ("f0.parquet", "doc_id", "2")))
+    // eq1 (doc_id, lang): doc 4 matches its real lang; doc 8 matches
+    // with NULL lang (null equals null); doc 6's wrong lang matches
+    // nothing
+    val multi = rows.filter(_._2 == "doc_id,lang").toSet
+    assert(multi === Set(
+      ("f0.parquet", "doc_id,lang", "4|4"),
+      ("f0.parquet", "doc_id,lang", "8|NULL")))
+    // the position audit refuses on this table, pointing here
+    val ePos = intercept[Exception](
+      IcebergMeta.positionDeleteRows(spark, d).collect())
+    assert(causeMessages(ePos).contains("equality delete files are live"))
+    // the census refuses too: equality record_count is predicate rows,
+    // not deleted data rows — subtracting it would miscount
+    val eCensus = intercept[Exception](
+      MetaValues.tableCensus(spark, d).collect())
+    assert(causeMessages(eCensus).contains("equality delete files are live"))
+    // a table with NO live equality deletes refuses (nothing to resolve)
+    val eNone = intercept[Exception](
+      IcebergMeta.equalityDeleteRows(spark, table).collect())
+    assert(causeMessages(eNone).contains("no equality delete files"))
+    // an id the current schema does not declare refuses, ids named
+    rewriteEqIds(d, Seq(9))
+    val eUnknown = intercept[Exception](
+      IcebergMeta.equalityDeleteRows(spark, d).collect())
+    assert(causeMessages(eUnknown).contains("field id 9"))
+    // a float/double equality column refuses (NaN-equality hazard)
+    rewriteEqIds(d, Seq(3))
+    val eDouble = intercept[Exception](
+      IcebergMeta.equalityDeleteRows(spark, d).collect())
+    assert(causeMessages(eDouble).contains("'score' is double"))
+    // a delete entry with NO equality_ids refuses rather than guessing
+    rewriteEqIds(d, Nil)
+    val eNoIds = intercept[Exception](
+      IcebergMeta.equalityDeleteRows(spark, d).collect())
+    assert(causeMessages(eNoIds).contains("declares no equality_ids"))
+  }
 }
