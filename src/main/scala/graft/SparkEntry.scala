@@ -1008,6 +1008,22 @@ object SparkEntry {
           col("n_declared"), col("n_present"), col("missing_csv"))
     }),
 
+    // DELTA COLUMN MAPPING in ID mode: footers carry no logical names
+    // at all — each column's identity is its parquet FIELD ID (stamped
+    // by Spark's own parquet.field.id channel), matched against the
+    // schemaString's delta.columnMapping.id. The v2 evolution declares
+    // quality (id 3) no file carries. Oracle: DuckDB reads the SAME
+    // field ids from parquet_schema and diffs the same declarations.
+    "meta_delta_colmap_id" -> ((s, dir) => {
+      val out = "/tmp/graft_deltacmid_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeColumnMappedIdFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.schemaConformance(s, out)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+          col("n_declared"), col("n_present"), col("missing_csv"))
+    }),
+
     // DELTA COLUMN MAPPING partition prune: add.partitionValues is
     // keyed by the PHYSICAL partition column name (c2) — the logical
     // probe "lang = 'zh'" must translate through columnMappingInfo
@@ -1019,7 +1035,7 @@ object SparkEntry {
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       DeltaMeta.writeColumnMappedFixtureTable(
         s, out, s.read.parquet(pq(dir, "documents")))
-      val (_, mapping) = DeltaMeta.columnMappingInfo(s, out)
+      val (_, mapping, _) = DeltaMeta.columnMappingInfo(s, out)
       val live = DeltaMeta.snapshotFiles(s, out)
       val pruned = live.filter(
         element_at(col("partition_values"), mapping("lang")) === "zh")
@@ -5934,6 +5950,48 @@ object SparkEntry {
         |    AS missing_csv
         |FROM live l JOIN cols c ON c.f = l.p, nonpart n
         |GROUP BY l.p, c.present""".stripMargin,
+
+    "meta_delta_colmap_id" ->
+      """WITH metas AS (
+        |  SELECT CAST(metaData->>'$.schemaString' AS VARCHAR) AS ss,
+        |    CAST(metaData->'$.partitionColumns' AS VARCHAR[]) AS pcols,
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v
+        |  FROM read_json_auto('/tmp/graft_deltacmid_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE metaData->>'$.id' IS NOT NULL
+        |),
+        |latest AS (SELECT arg_max(ss, v) AS ss, arg_max(pcols, v) AS pcols
+        |  FROM metas),
+        |nonpart AS (
+        |  SELECT f->>'$.name' AS logical,
+        |    CAST(f->'$.metadata."delta.columnMapping.id"' AS BIGINT) AS fid
+        |  FROM (SELECT unnest(CAST(ss->'$.fields' AS JSON[])) AS f
+        |    FROM latest)
+        |  WHERE NOT list_contains((SELECT pcols FROM latest), f->>'$.name')
+        |),
+        |live AS (
+        |  SELECT add.path AS p
+        |  FROM read_json_auto('/tmp/graft_deltacmid_sf0.01/_delta_log/*.json',
+        |    format='newline_delimited', union_by_name=true)
+        |  WHERE add.path IS NOT NULL
+        |),
+        |cols AS (
+        |  SELECT parse_filename(file_name) AS f,
+        |    list(DISTINCT field_id) FILTER (WHERE field_id IS NOT NULL)
+        |      AS present_ids
+        |  FROM parquet_schema('/tmp/graft_deltacmid_sf0.01/*.parquet')
+        |  WHERE num_children IS NULL OR num_children = 0
+        |  GROUP BY 1
+        |)
+        |SELECT l.p AS path,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM nonpart) AS n_declared,
+        |  CAST(len(c.present_ids) AS INTEGER) AS n_present,
+        |  array_to_string(list_sort(list(n.logical)
+        |    FILTER (WHERE NOT list_contains(c.present_ids, n.fid))), ',')
+        |    AS missing_csv
+        |FROM live l JOIN cols c ON c.f = l.p, nonpart n
+        |GROUP BY l.p, c.present_ids""".stripMargin,
 
     "meta_delta_colmap_prune" ->
       """WITH metas AS (

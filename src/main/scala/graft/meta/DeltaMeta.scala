@@ -1096,8 +1096,9 @@ object DeltaMeta {
   private val schemaFieldsType =
     StructType(Seq(StructField("fields", ArrayType(StructType(Seq(
       StructField("name", StringType), StructField("type", StringType),
-      StructField("metadata", StructType(Seq(StructField(
-        "delta.columnMapping.physicalName", StringType))))))))))
+      StructField("metadata", StructType(Seq(
+        StructField("delta.columnMapping.physicalName", StringType),
+        StructField("delta.columnMapping.id", LongType))))))))))
 
   /** The decoded `metaData` action frame — `(version, schema_id,
     * fields, partition_columns)`, field names carried as a REAL array
@@ -1147,15 +1148,19 @@ object DeltaMeta {
   }
 
   /** The table's COLUMN-MAPPING posture from the latest metaData
-    * action: `(mode, logical→physical)` — mode `"none"` when the
-    * `delta.columnMapping.mode` configuration is unset, the map empty
-    * for fields without a physicalName. Under mode `name` the PARQUET
-    * files carry the physical names (and `add.partitionValues` is
-    * keyed by them), so any audit that joins declared fields against
-    * footers must translate through this map first. A tiny driver
-    * boundary (one pair per declared column). */
+    * action: `(mode, logical→physical, logical→field-id)` — mode
+    * `"none"` when the `delta.columnMapping.mode` configuration is
+    * unset, the maps empty for fields without a physicalName /
+    * columnMapping.id. Under mode `name` the PARQUET files carry the
+    * physical names (and `add.partitionValues` is keyed by them);
+    * under mode `id` they additionally stamp each column's
+    * `delta.columnMapping.id` as the parquet field id, and footers
+    * match by THAT — so any audit that joins declared fields against
+    * footers must translate through the mode's map first. A tiny
+    * driver boundary (one pair per declared column). */
   def columnMappingInfo(
-      spark: SparkSession, table: String): (String, Map[String, String]) = {
+      spark: SparkSession, table: String):
+      (String, Map[String, String], Map[String, Long]) = {
     val latest = metaDataFrame(spark, table)
       .orderBy(col("version").desc).limit(1)
       .select(
@@ -1163,17 +1168,24 @@ object DeltaMeta {
         transform(col("fields"), f => struct(
           f.getField("name").as("l"),
           f.getField("metadata")
-            .getField("delta.columnMapping.physicalName").as("p"))).as("fp"))
+            .getField("delta.columnMapping.physicalName").as("p"),
+          f.getField("metadata")
+            .getField("delta.columnMapping.id").as("i"))).as("fp"))
       .collect()
-    if (latest.isEmpty) ("none", Map.empty)
+    if (latest.isEmpty) ("none", Map.empty, Map.empty)
     else {
       val r = latest(0)
       val mode = Option(r.getString(0)).getOrElse("none")
-      val fp = Option(r.getSeq[org.apache.spark.sql.Row](1))
+      val rows = Option(r.getSeq[org.apache.spark.sql.Row](1))
         .getOrElse(Seq.empty)
+      val fp = rows
         .flatMap(x => Option(x.getString(1)).map(p => x.getString(0) -> p))
         .toMap
-      (mode, fp)
+      val fi = rows
+        .flatMap(x => if (x.isNullAt(2)) None
+          else Some(x.getString(0) -> x.getLong(2)))
+        .toMap
+      (mode, fp, fi)
     }
   }
 
@@ -1219,16 +1231,16 @@ object DeltaMeta {
     }
     // column mapping: under mode `name` the files carry PHYSICAL names;
     // the footer join must compare against them, the report must speak
-    // in LOGICAL names. Mode `id` matches by parquet field id, which
-    // the footer facts do not carry — refuse, never misreport. Checked
-    // FIRST: an unsupported table must refuse even with an unreadable
-    // declared field list.
-    val (mode, mapping) = columnMappingInfo(spark, table)
-    if (mode != "none" && mode != "name") {
+    // in LOGICAL names. Mode `id` matches by parquet FIELD ID (the
+    // footer facts carry it as top_field_id). Unknown modes refuse,
+    // never misreport. Checked FIRST: an unsupported table must refuse
+    // even with an unreadable declared field list.
+    val (mode, mapping, fieldIds) = columnMappingInfo(spark, table)
+    if (mode != "none" && mode != "name" && mode != "id") {
       throw new UnsupportedOperationException(
         s"$table: columnMapping mode '$mode' is not supported by the " +
-          "conformance audit (its physical matching is by parquet field " +
-          "id, not by name)")
+          "conformance audit — refusing rather than matching footers " +
+          "under unknown semantics")
     }
     // partition columns never live INSIDE the data files (Delta derives
     // them from partitionValues) — auditing them as "missing" would
@@ -1237,19 +1249,40 @@ object DeltaMeta {
       Option(latest(0).getSeq[String](1)).getOrElse(Seq.empty).toSet
     val declared = Option(latest(0).getSeq[String](0)).getOrElse(Seq.empty)
       .filterNot(partitionCols.contains)
-    val physical = declared.map(l => mapping.getOrElse(l, l))
+    // the per-declared-field match key the mode dictates: physical
+    // top-level NAME under none/name; stringified FIELD ID under id
+    // (footer side: top_field_id). Under id every declared field MUST
+    // carry delta.columnMapping.id — a field without one is a protocol
+    // violation whose footer identity is unknowable.
+    val matchKeys: Seq[String] = mode match {
+      case "id" => declared.map { l =>
+        fieldIds.getOrElse(l, throw new IllegalArgumentException(
+          s"$table: columnMapping mode is 'id' but declared field '$l' " +
+            "carries no delta.columnMapping.id — its footer identity " +
+            "is unknowable, refusing to misreport")).toString
+      }
+      case _ => declared.map(l => mapping.getOrElse(l, l))
+    }
     val live = snapshotFiles(spark, table).select(col("abs_path"))
-    // physical TOP-LEVEL names: leaf paths' first dotted segment (nested
-    // columns conform if their root field is present)
-    val present = MetaValues.schemaFactsDf(spark, table)
-      .select(col("filepath"),
+    // footer-side identity per TOP-LEVEL field: leaf paths' first
+    // dotted segment (nested columns conform if their root field is
+    // present), or the root's stamped field id under mode id
+    val facts = MetaValues.schemaFactsDf(spark, table)
+    val present = (mode match {
+      case "id" => facts.select(col("filepath"),
+        col("top_field_id").cast("string").as("field"))
+        .filter(col("field").isNotNull)
+      case _ => facts.select(col("filepath"),
         split(col("path"), "\\.").getItem(0).as("field"))
-      .distinct()
+    }).distinct()
     live.join(present, live("abs_path") === present("filepath"), "left")
       .groupBy(col("abs_path").as("path"))
       .agg(collect_set(col("field")).as("present"))
       // any readable parquet footer has >= 1 field, so an EMPTY present
-      // set means the join found no footer at all — null, not zero
+      // set means the join found no footer at all — null, not zero.
+      // (Under mode id an id-less footer also lands here: none of its
+      // fields carries the identity the mode matches by, so it has no
+      // usable evidence — null, never "everything missing".)
       .select(col("path"),
         lit(declared.size).as("n_declared"),
         when(size(col("present")) === 0, lit(null))
@@ -1258,7 +1291,7 @@ object DeltaMeta {
           .otherwise(array_join(array_sort(filter(
             lit(declared.toArray),
             (l, i) => !array_contains(col("present"),
-              element_at(lit(physical.toArray), i + 1)))), ","))
+              element_at(lit(matchKeys.toArray), i + 1)))), ","))
           .as("missing_csv"))
   }
 
@@ -1950,6 +1983,89 @@ object DeltaMeta {
       s"""{"metaData":{"id":"graft-colmap","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"$schema","partitionColumns":["lang"],""" +
         s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"3"},"createdTime":$ts0}}"""
+    def addJson(rel: String, v: Long): String = {
+      val size = new java.io.File(root, rel).length()
+      // partitionValues keys are the PHYSICAL partition column name
+      s"""{"add":{"path":${jstr(rel)},"partitionValues":{"c2":${jstr(partOf(rel))}},""" +
+        s""""size":$size,"modificationTime":${ts0 + v * 1000},"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":${counts(rel)}}"}}"""
+    }
+    def writeCommit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(logDir, f"$v%020d.json").toPath,
+        lines.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeCommit(0, Seq(
+      s"""{"commitInfo":{"timestamp":$ts0,"operation":"WRITE"}}""",
+      // columnMapping requires reader 2 / writer 5 (pre-table-features)
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaJson(schemaV0),
+      addJson("p0.parquet", 0), addJson("p1.parquet", 0)))
+    writeCommit(1, Seq(
+      s"""{"commitInfo":{"timestamp":${ts0 + 1000},"operation":"WRITE"}}""",
+      addJson("p2.parquet", 1), addJson("p3.parquet", 1)))
+    writeCommit(2, Seq(
+      s"""{"commitInfo":{"timestamp":${ts0 + 2000},"operation":"ADD COLUMNS"}}""",
+      metaJson(schemaV2)))
+    counts.toMap
+  }
+
+  /**
+   * The column-mapping fixture in `id` MODE: same partitioned shape as
+   * [[writeColumnMappedFixtureTable]] (p0/p1 en, p2/p3 zh; physical
+   * names c1/c2/c3), but `delta.columnMapping.mode = id` and every
+   * data file's parquet footer stamps `c1` with FIELD ID 1 (written
+   * through Spark's own `parquet.field.id` schema-metadata channel, so
+   * the Thrift `SchemaElement.field_id` is real) — footers match by
+   * that id, not by any name. The v2 evolution declares `quality`
+   * (id 3, physical c3) that no file carries. Returns rows per
+   * `p<i>.parquet`.
+   */
+  def writeColumnMappedIdFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    root.mkdirs()
+    val logDir = new java.io.File(root, "_delta_log")
+    logDir.mkdirs()
+
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val partOf = scala.collection.mutable.Map.empty[String, String]
+    val c1Meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 1L).build()
+    for (q <- 0 until 4) {
+      // the FILE schema is the physical one: a single column c1 whose
+      // footer SchemaElement carries field_id=1
+      val slice = docs.filter(pmod(col("doc_id"), lit(4)) === q)
+        .select(col("doc_id").as("c1", c1Meta))
+      val rel = s"p$q.parquet"
+      val tmp = dir + s"_slice$q"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(root, rel).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      counts(rel) = slice.count()
+      partOf(rel) = if (q < 2) "en" else "zh"
+    }
+
+    val ts0 = 1700000000000L
+    def field(logical: String, phys: String, tpe: String): String =
+      s"""{\\"name\\":\\"$logical\\",\\"type\\":\\"$tpe\\",\\"nullable\\":true,""" +
+        s"""\\"metadata\\":{\\"delta.columnMapping.id\\":${phys.drop(1)},""" +
+        s"""\\"delta.columnMapping.physicalName\\":\\"$phys\\"}}"""
+    val schemaV0 = """{\"type\":\"struct\",\"fields\":[""" +
+      field("doc_id", "c1", "long") + "," + field("lang", "c2", "string") + "]}"
+    val schemaV2 = """{\"type\":\"struct\",\"fields\":[""" +
+      field("doc_id", "c1", "long") + "," + field("lang", "c2", "string") +
+      "," + field("quality", "c3", "double") + "]}"
+    def metaJson(schema: String): String =
+      s"""{"metaData":{"id":"graft-colmap-id","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schema","partitionColumns":["lang"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id",""" +
         s""""delta.columnMapping.maxColumnId":"3"},"createdTime":$ts0}}"""
     def addJson(rel: String, v: Long): String = {
       val size = new java.io.File(root, rel).length()

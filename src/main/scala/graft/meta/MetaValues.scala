@@ -90,9 +90,30 @@ object MetaValues {
     }
   }
 
+  /** TOP-LEVEL field name → parquet field id of a schema string, for
+    * fields that carry one (parquet-mr's `message` rendering keeps
+    * Thrift `SchemaElement.field_id` as the ` = <id>` suffix, and the
+    * parser round-trips it). Column-mapping `id` mode matches files by
+    * these ids, not by name. Malformed schemas yield an empty map —
+    * the same refusal contract as [[schemaFacts]]. */
+  def schemaTopIds(schema: String): Map[String, Int] = {
+    if (schema == null) return Map.empty
+    try {
+      val mt = org.apache.parquet.schema.MessageTypeParser.parseMessageType(schema)
+      import scala.jdk.CollectionConverters._
+      mt.getFields.asScala.flatMap { f =>
+        Option(f.getId).map(id => f.getName -> id.intValue())
+      }.toMap
+    } catch {
+      case _: Exception => Map.empty
+    }
+  }
+
   /** One row per (file, leaf column) of schema facts, derived from each
     * file's OWN footer schema (executor-side; resilient to schema drift
-    * across the directory). */
+    * across the directory). `top_field_id` is the parquet field id of
+    * the leaf's TOP-LEVEL ancestor (null when the writer stamped none)
+    * — the join key column-mapping `id` mode audits by. */
   def schemaFactsDf(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     // level "file" over a parquet source IS the parquet-file level (the
@@ -102,9 +123,13 @@ object MetaValues {
       .select(col("filepath"), col("schema"))
       .as[(String, String)]
       .flatMap { case (fp, schema) =>
-        schemaFacts(schema).map { case (p, mr, md, t, tl) => (fp, p, mr, md, tl) }
+        val topIds = schemaTopIds(schema)
+        schemaFacts(schema).map { case (p, mr, md, t, tl) =>
+          (fp, p, mr, md, tl, topIds.get(p.split("\\.").head))
+        }
       }
-      .toDF("filepath", "path", "max_rep", "max_def", "type_len")
+      .toDF("filepath", "path", "max_rep", "max_def", "type_len",
+        "top_field_id")
   }
 
   /**

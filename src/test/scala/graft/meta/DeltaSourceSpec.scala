@@ -833,7 +833,7 @@ class DeltaSourceSpec extends SparkSpec {
   test("column mapping (name mode): conformance and prune translate") {
     val d = Files.createTempDirectory("graft_delta_cm").toString + "/tbl"
     DeltaMeta.writeColumnMappedFixtureTable(spark, d, docs)
-    val (mode, mapping) = DeltaMeta.columnMappingInfo(spark, d)
+    val (mode, mapping, _) = DeltaMeta.columnMappingInfo(spark, d)
     assert(mode === "name")
     assert(mapping === Map("doc_id" -> "c1", "lang" -> "c2", "quality" -> "c3"))
     // conformance speaks LOGICAL but joins PHYSICAL: every file has c1
@@ -855,19 +855,55 @@ class DeltaSourceSpec extends SparkSpec {
       .filter(element_at(col("partition_values"), mapping("lang")) === "zh")
       .select("path").collect().map(_.getString(0)).toSet
     assert(pruned === Set("p2.parquet", "p3.parquet"))
-    // id-mode mapping: matching is by parquet field id, which the
-    // footer facts do not carry — conformance refuses, never misreports
+    // an UNKNOWN mapping mode refuses, never misreports (id is now
+    // supported — see the id-mode test below)
     val ts3 = 1700000003000L
     java.nio.file.Files.write(
       new java.io.File(d, "_delta_log/" + f"${3L}%020d.json").toPath,
       (s"""{"commitInfo":{"timestamp":$ts3,"operation":"SET TBLPROPERTIES"}}""" + "\n" +
         s"""{"metaData":{"id":"graft-colmap","format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"{}","partitionColumns":["lang"],""" +
-        s""""configuration":{"delta.columnMapping.mode":"id"},"createdTime":$ts3}}""" + "\n")
+        s""""configuration":{"delta.columnMapping.mode":"banana"},"createdTime":$ts3}}""" + "\n")
         .getBytes("UTF-8"))
     val e = intercept[UnsupportedOperationException](
       DeltaMeta.schemaConformance(spark, d).collect())
-    assert(e.getMessage.contains("columnMapping mode 'id'"))
+    assert(e.getMessage.contains("columnMapping mode 'banana'"))
+  }
+
+  test("column mapping (id mode): conformance matches by parquet field id") {
+    val d = Files.createTempDirectory("graft_delta_cmid").toString + "/tbl"
+    DeltaMeta.writeColumnMappedIdFixtureTable(spark, d, docs)
+    val (mode, _, fieldIds) = DeltaMeta.columnMappingInfo(spark, d)
+    assert(mode === "id")
+    assert(fieldIds === Map("doc_id" -> 1L, "lang" -> 2L, "quality" -> 3L))
+    // the footers REALLY carry the id (Spark's parquet.field.id channel
+    // → Thrift SchemaElement.field_id → the reconstructed schema string)
+    val facts = MetaValues.schemaFactsDf(spark, d).collect()
+    assert(facts.nonEmpty)
+    assert(facts.forall(r => r.getAs[Int]("top_field_id") === 1))
+    // conformance: doc_id matches by id 1 in every file; quality (id 3)
+    // is missing everywhere; the partition column lang is excluded
+    val rows = DeltaMeta.schemaConformance(spark, d).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_declared") === 2)
+      assert(r.getAs[Int]("n_present") === 1)
+      assert(r.getAs[String]("missing_csv") === "quality")
+    }
+    // a declared field WITHOUT delta.columnMapping.id refuses under id
+    // mode (its footer identity is unknowable)
+    val logDir = new java.io.File(d, "_delta_log")
+    val ts3 = 1700000003000L
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${3L}%020d.json").toPath,
+      (s"""{"commitInfo":{"timestamp":$ts3,"operation":"ADD COLUMNS"}}""" + "\n" +
+        s"""{"metaData":{"id":"graft-colmap-id","format":{"provider":"parquet","options":{}},""" +
+        """"schemaString":"{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"doc_id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}",""" +
+        s""""partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":$ts3}}""" + "\n")
+        .getBytes("UTF-8"))
+    val e = intercept[Exception](DeltaMeta.schemaConformance(spark, d).collect())
+    assert(causeMessages(e).contains("carries no delta.columnMapping.id"))
   }
 
   test("deletion-vector payloads decode to per-row positions") {
