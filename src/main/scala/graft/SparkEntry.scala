@@ -936,6 +936,23 @@ object SparkEntry {
         .select(col("path"), col("version"), col("num_records"))
     }),
 
+    // DELTA V2 checkpoint with a JSON MANIFEST: the protocol's other
+    // manifest form — <v>.checkpoint.<uuid>.json, ndjson of non-file
+    // actions + checkpointMetadata + sidecar pointers; add/remove live
+    // in the same _delta_log/_sidecars parquet parts. Commits 0..2 are
+    // log-cleaned and NO parquet checkpoint survives: a reader blind
+    // to the form replays from nothing. Oracle: DuckDB reads the same
+    // sidecars + JSON tail (the manifest's lines carry no file actions
+    // and wash out of its replay) with the composite-rank arg_max.
+    "meta_delta_v2ckpt_json" -> ((s, dir) => {
+      val out = "/tmp/graft_deltav2j_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeV2JsonCheckpointFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.snapshotFiles(s, out)
+        .select(col("path"), col("version"), col("num_records"))
+    }),
+
     // DELTA MULTIPART V1 CHECKPOINT: the classic checkpoint split into
     // .checkpoint.<n>.<m>.parquet parts (adds in part 1, everything
     // else in part 2), commits ≤ 2 log-cleaned — the live set MUST
@@ -5815,6 +5832,40 @@ object SparkEntry {
         |  FROM read_json_auto('/tmp/graft_deltav2_sf0.01/_delta_log/*.json',
         |    filename=true, format='newline_delimited', union_by_name=true)
         |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    arg_max(apath IS NOT NULL,
+        |      cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS live,
+        |    arg_max(cv, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS v,
+        |    arg_max(stats, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS stats
+        |  FROM acts GROUP BY 1
+        |)
+        |SELECT path, CAST(v AS BIGINT) AS version,
+        |  CAST(json_extract(stats, '$.numRecords') AS BIGINT) AS num_records
+        |FROM latest WHERE live""".stripMargin,
+
+    "meta_delta_v2ckpt_json" ->
+      """WITH acts AS (
+        |  SELECT CAST(2 AS BIGINT) AS cv, add.path AS apath,
+        |    remove.path AS rpath, add.stats AS stats
+        |  FROM read_parquet(
+        |    '/tmp/graft_deltav2j_sf0.01/_delta_log/_sidecars/*.parquet',
+        |    union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |  UNION ALL
+        |  -- the glob also reads the JSON MANIFEST (its lines carry no
+        |  -- file actions and fall out below), whose extra action kinds
+        |  -- make union_by_name demote some structs to JSON — extract
+        |  -- through to_json(...)->> so both typings read identically
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS cv,
+        |    to_json(add)->>'$.path', to_json(remove)->>'$.path',
+        |    to_json(add)->>'$.stats'
+        |  FROM read_json_auto('/tmp/graft_deltav2j_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(to_json(add)->>'$.path',
+        |    to_json(remove)->>'$.path') IS NOT NULL
         |),
         |latest AS (
         |  SELECT coalesce(apath, rpath) AS path,

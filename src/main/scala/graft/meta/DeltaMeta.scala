@@ -52,6 +52,12 @@ object DeltaMeta {
 
   private val CommitRe = "^(\\d{20})\\.json$".r
   private val CkptRe = "^(\\d{20})\\.checkpoint(?:\\..+)?\\.parquet$".r
+  // the protocol's OTHER V2-manifest form: a UUID-named ndjson of
+  // actions (`<v>.checkpoint.<uuid>.json`). Left unclassified it would
+  // be INVISIBLE — a table whose only checkpoint is a JSON manifest
+  // would replay commits alone and, after log cleanup, reconstruct
+  // from an incomplete base without refusing.
+  private val CkptJsonRe = "^(\\d{20})\\.checkpoint\\.[^./]+\\.json$".r
 
   /** True if `root` has a `_delta_log` child directory. */
   def isDeltaTable(fs: FileSystem, root: Path): Boolean =
@@ -61,6 +67,7 @@ object DeltaMeta {
   /** Version encoded in a log segment's file name, or None for foreign
     * files (`_last_checkpoint`, `.crc` sidecars, temp files). */
   def segmentVersion(name: String): Option[(Long, String)] = name match {
+    case CkptJsonRe(v) => Some(v.toLong -> "checkpoint")
     case CommitRe(v) => Some(v.toLong -> "commit")
     case CkptRe(v) => Some(v.toLong -> "checkpoint")
     case _ => None
@@ -169,6 +176,15 @@ object DeltaMeta {
   private def readCheckpoint(
       path: Path, conf: Configuration, version: Long,
       knownSize: Option[Long]): DeltaLogInfo = {
+    // the V2 JSON-manifest form: ndjson of actions, no parquet footer.
+    // Like a parquet V2 manifest, its file-action counts live in the
+    // sidecars it names, so n_add/n_remove report null — never a
+    // confident zero; protocol/metaData presence reads from the lines.
+    if (path.getName.endsWith(".json")) {
+      val commitShaped = readCommit(path, conf, version)
+      return DeltaLogInfo(version, "checkpoint", None, None,
+        commitShaped.hasProtocol, commitShaped.hasMetadata, None, None)
+    }
     val footer = Footers.read(path, conf, knownSize)
     val isV2Manifest = footer.chunks.exists(c =>
       c.path.contains("sidecar.path") ||
@@ -214,6 +230,27 @@ object DeltaMeta {
   private val logSchema = StructType(Seq(
     StructField("add", addType),
     StructField("remove", removeType)))
+
+  private val sidecarType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("sizeInBytes", LongType),
+    StructField("modificationTime", LongType)))
+  private val ckptMetaActionType = StructType(Seq(
+    StructField("version", LongType)))
+
+  /** The chosen checkpoint parts as ONE raw action frame: parquet parts
+    * as a single parquet scan (schema from the files — consumers
+    * re-project via [[ckptStruct]]); a V2 JSON manifest
+    * (`<v>.checkpoint.<uuid>.json`, ndjson of actions) through the
+    * pinned `wanted` schema, so absent action kinds read as typed
+    * nulls. [[selectCheckpointParts]] never selects both forms at
+    * once (each single-file form is complete alone). */
+  private def readCheckpointRaw(
+      spark: SparkSession, ckptPaths: Seq[String],
+      wanted: StructType): DataFrame =
+    if (ckptPaths.exists(_.endsWith(".json"))) {
+      spark.read.schema(wanted).json(ckptPaths: _*)
+    } else spark.read.parquet(ckptPaths: _*)
 
   /**
    * The LIVE file list of a Delta table as a DataFrame:
@@ -311,7 +348,14 @@ object DeltaMeta {
     val ckpt =
       if (ckptPaths.isEmpty) None
       else {
-        val raw = spark.read.parquet(ckptPaths: _*)
+        // a JSON manifest reads through the pinned schema (its `top`
+        // then always carries the V2 columns, which is correct: the
+        // form IS a V2 manifest by name)
+        val isJsonManifest = ckptPaths.exists(_.endsWith(".json"))
+        val raw = readCheckpointRaw(spark, ckptPaths,
+          StructType(logSchema.fields ++ Seq(
+            StructField("checkpointMetadata", ckptMetaActionType),
+            StructField("sidecar", sidecarType))))
         val top = raw.schema.fieldNames.toSet
         val actionFrames: Seq[DataFrame] =
           if (top.contains("checkpointMetadata") || top.contains("sidecar")) {
@@ -323,8 +367,15 @@ object DeltaMeta {
               else raw.filter(col("sidecar").isNotNull)
                 .select(col("sidecar.path")).collect()
                 .map(_.getString(0)).toSeq
-            if (sidecarNames.isEmpty && !top.contains("add") &&
-                !top.contains("remove")) {
+            // a parquet manifest shows inline actions in its SCHEMA; a
+            // pinned-schema JSON read always has the columns, so the
+            // inline evidence there is non-null DATA (manifest-sized)
+            val hasInline =
+              if (isJsonManifest) {
+                sidecarNames.nonEmpty || !raw.filter(
+                  col("add").isNotNull || col("remove").isNotNull).isEmpty
+              } else top.contains("add") || top.contains("remove")
+            if (sidecarNames.isEmpty && !hasInline) {
               throw new UnsupportedOperationException(
                 s"$table: V2 checkpoint at version $ckptVersion has " +
                   "neither sidecar pointers nor inline add/remove " +
@@ -355,7 +406,11 @@ object DeltaMeta {
             }
             // the manifest MAY also carry inline file actions next to
             // its pointers; both legs go through the same re-projection
-            (if (top.contains("add") || top.contains("remove")) Seq(raw)
+            // (the JSON manifest is included as-is — rows of non-file
+            // actions are all-null under the pinned projection and wash
+            // out of the replay)
+            (if (isJsonManifest || top.contains("add") ||
+                top.contains("remove")) Seq(raw)
              else Seq.empty) ++
               (if (scPaths.nonEmpty) {
                 Seq(spark.read.parquet(scPaths: _*))
@@ -785,7 +840,8 @@ object DeltaMeta {
     val fromCkpt =
       if (ckptPaths.isEmpty) None
       else {
-        val raw = spark.read.parquet(ckptPaths: _*)
+        val raw = readCheckpointRaw(spark, ckptPaths,
+          StructType(Seq(StructField("protocol", protocolType))))
         Some(raw.select(ckptStruct(raw, "protocol", protocolType).as("protocol"),
           lit(ckptVersion).as("version")))
       }
@@ -976,7 +1032,8 @@ object DeltaMeta {
     val fromCkpt =
       if (ckptPaths.isEmpty) None
       else {
-        val raw = spark.read.parquet(ckptPaths: _*)
+        val raw = readCheckpointRaw(spark, ckptPaths,
+          StructType(Seq(StructField("txn", txnType))))
         Some(raw.select(ckptStruct(raw, "txn", txnType).as("txn"),
           lit(ckptVersion).as("table_version")))
       }
@@ -1026,7 +1083,8 @@ object DeltaMeta {
     val fromCkpt =
       if (ckptPaths.isEmpty) None
       else {
-        val raw = spark.read.parquet(ckptPaths: _*)
+        val raw = readCheckpointRaw(spark, ckptPaths,
+          StructType(Seq(StructField("domainMetadata", domainMetadataType))))
         Some(raw.select(
           ckptStruct(raw, "domainMetadata", domainMetadataType).as("dm"),
           lit(ckptVersion).as("version")))
@@ -1132,7 +1190,8 @@ object DeltaMeta {
     val fromCkpt =
       if (ckptPaths.isEmpty || !logCleaned) None
       else {
-        val raw = spark.read.parquet(ckptPaths: _*)
+        val raw = readCheckpointRaw(spark, ckptPaths,
+          StructType(Seq(StructField("metaData", metaDataType))))
         Some(raw.select(ckptStruct(raw, "metaData", metaDataType).as("metaData"),
           lit(ckptVersion).as("version")))
       }
@@ -1889,6 +1948,70 @@ object DeltaMeta {
     // log cleanup: the commits the checkpoint covers are gone
     logDir.listFiles().filter(f => f.getName.endsWith(".json") &&
       segmentVersion(f.getName).exists(_._1 <= 2L)).foreach(_.delete())
+    counts
+  }
+
+  /**
+   * The base fixture re-checkpointed through the protocol's V2
+   * JSON-MANIFEST form: the same `_delta_log/_sidecars` parquet parts
+   * as [[writeV2CheckpointFixtureTable]], but the manifest is
+   * `2.checkpoint.<uuid>.json` — ndjson of the non-file actions +
+   * `checkpointMetadata` + one `sidecar` pointer line per part — and
+   * NO parquet checkpoint survives. Commits ≤ 2 are log-cleaned, so
+   * the live set MUST reconstruct through the JSON manifest (a reader
+   * blind to the form would silently replay from nothing). Returns the
+   * per-file row counts.
+   */
+  def writeV2JsonCheckpointFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeFixtureTable(spark, dir, docs)
+    val logDir = new java.io.File(dir, "_delta_log")
+    val classic = new java.io.File(logDir, f"${2L}%020d.checkpoint.parquet")
+    val ckpt = spark.read.parquet(classic.getPath)
+    val scDir = new java.io.File(logDir, "_sidecars")
+    scDir.mkdirs()
+    def writeOnePart(df: DataFrame, dst: java.io.File): Unit = {
+      val tmp = dir + "_v2jtmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    // file actions out to the sidecars: adds in sc1, removes in sc2
+    writeOnePart(ckpt.filter(col("add").isNotNull).select("add", "remove"),
+      new java.io.File(scDir, "sc1.parquet"))
+    writeOnePart(
+      ckpt.filter(col("add").isNull && col("remove").isNotNull)
+        .select("add", "remove"),
+      new java.io.File(scDir, "sc2.parquet"))
+    // the manifest: ndjson — non-file actions from the classic
+    // checkpoint (toJSON drops null fields, giving the protocol's
+    // one-action-per-line shape), then checkpointMetadata + pointers
+    val nonFileLines = ckpt
+      .filter(col("add").isNull && col("remove").isNull)
+      .select(col("protocol"), col("metaData"), col("txn"))
+      .toJSON.collect().toSeq
+    val scLines = Seq("sc1.parquet", "sc2.parquet").map { n =>
+      val f = new java.io.File(scDir, n)
+      s"""{"sidecar":{"path":${jstr(n)},"sizeInBytes":${f.length()},""" +
+        s""""modificationTime":${f.lastModified()}}}"""
+    }
+    val lines = nonFileLines ++
+      Seq("""{"checkpointMetadata":{"version":2}}""") ++ scLines
+    java.nio.file.Files.write(
+      new java.io.File(logDir,
+        f"${2L}%020d.checkpoint.graftv2json.json").toPath,
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    classic.delete()
+    // log cleanup: the commits the checkpoint covers are gone (the
+    // JSON MANIFEST also ends in .json — segmentVersion classifies it
+    // "checkpoint", so the commit-only filter leaves it alone)
+    logDir.listFiles().filter(f =>
+      segmentVersion(f.getName).exists { case (v, k) =>
+        k == "commit" && v <= 2L }).foreach(_.delete())
     counts
   }
 

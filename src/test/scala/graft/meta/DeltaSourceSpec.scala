@@ -250,6 +250,51 @@ class DeltaSourceSpec extends SparkSpec {
     assert(segs(0).getAs[Boolean]("has_protocol"))
   }
 
+  test("V2 JSON-manifest checkpoint: classified, replayed, never invisible") {
+    val d = Files.createTempDirectory("graft_delta_v2j").toString + "/tbl"
+    DeltaMeta.writeV2JsonCheckpointFixtureTable(spark, d, docs)
+    // the manifest name classifies as a CHECKPOINT segment, not a
+    // commit (a blind reader would replay from nothing — commits <= 2
+    // are gone and no parquet checkpoint survives)
+    assert(DeltaMeta.segmentVersion("00000000000000000002.checkpoint.graftv2json.json")
+      === Some((2L, "checkpoint")))
+    val live = DeltaMeta.snapshotFiles(spark, d)
+      .select("path", "version", "num_records").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(live.keySet === Set("f0.parquet", "f3.parquet", "f4.parquet",
+      "f5.parquet", "f6.parquet"))
+    assert(live("f0.parquet")._1 === 2L)
+    assert(live("f6.parquet")._1 === 4L)
+    val expected = docs.filter(pmod(col("doc_id"), lit(7)).isin(0, 3, 4, 5, 6)).count()
+    assert(live.values.map(_._2).sum === expected)
+    // non-file actions read from the MANIFEST's ndjson lines
+    assert(DeltaMeta.protocolInfo(spark, d).collect()(0)
+      .getAs[Int]("min_reader_version") === 1)
+    val txns = DeltaMeta.latestTransactions(spark, d).orderBy("app_id")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("txn_version")))
+    assert(txns.toSeq === Seq(("ingest-a", 11L), ("ingest-b", 7L)))
+    // snapshot level: a JSON manifest has no parquet footer — action
+    // counts are null (they live in the sidecars), protocol flagged
+    val segs = meta(d, "source" -> "delta", "level" -> "snapshot")
+      .filter(col("kind") === "checkpoint").collect()
+    assert(segs.length === 1)
+    assert(segs(0).isNullAt(segs(0).fieldIndex("n_add")))
+    assert(segs(0).getAs[Boolean]("has_protocol"))
+    // a missing sidecar refuses, same as the parquet-manifest form
+    assert(new java.io.File(d, "_delta_log/_sidecars/sc1.parquet").delete())
+    val e = intercept[Exception](DeltaMeta.snapshotFiles(spark, d).collect())
+    assert(causeMessages(e).contains("missing from"))
+    // a JSON manifest with NEITHER pointers nor inline actions refuses
+    val d2 = Files.createTempDirectory("graft_delta_v2jbad").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d2, docs)
+    java.nio.file.Files.write(
+      new java.io.File(d2, "_delta_log/" +
+        f"${4L}%020d.checkpoint.deadbeef.json").toPath,
+      """{"checkpointMetadata":{"version":4}}""".getBytes("UTF-8"))
+    val e2 = intercept[Exception](DeltaMeta.snapshotFiles(spark, d2).collect())
+    assert(causeMessages(e2).contains("unknown layout"))
+  }
+
   test("V2 checkpoint refusals: missing sidecar, unknown layout") {
     // a manifest whose named sidecar is GONE: refusing beats silently
     // reconstructing a partial snapshot from the surviving parts
