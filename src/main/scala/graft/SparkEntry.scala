@@ -1400,6 +1400,23 @@ object SparkEntry {
       IcebergMeta.snapshotSummaryAudit(s, out)
     }),
 
+    // ICEBERG NDV audit: the statistics Puffin's theta sketches DECODED
+    // (compact-theta serial v3) vs each blob's declared ndv property —
+    // the fixture's lang blob declares a +3 LIE over a REAL sketch that
+    // encodes the true distinct count; the doc_id blob agrees. Oracle:
+    // DuckDB reads the same declarations from the metadata JSON and
+    // recomputes the sketch side from the DATA FILES themselves (the
+    // writer contract: each sketch encodes its column's exact distinct
+    // count over f0..f4) — a real cross-engine check of the binary
+    // sketch decode.
+    "meta_iceberg_ndv_audit" -> ((s, dir) => {
+      val out = "/tmp/graft_icendv_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeNdvFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.ndvAudit(s, out)
+    }),
+
     // ICEBERG METADATA-LOG audit: the current metadata's lineage of
     // previous metadata files vs disk — the fixture's v2 lists the
     // real v1 plus a v0 that never existed (the broken-lineage shape
@@ -6377,6 +6394,32 @@ object SparkEntry {
         |  d.declared_added_records = a.actual_added_records
         |    AS records_match
         |FROM decl d JOIN actual a USING (snapshot_id)""".stripMargin,
+
+    "meta_iceberg_ndv_audit" ->
+      """WITH decl AS (
+        |  SELECT unnest(s."blob-metadata") AS b,
+        |    CAST(s."snapshot-id" AS BIGINT) AS sid
+        |  FROM (SELECT unnest(statistics) AS s FROM read_json_auto(
+        |    '/tmp/graft_icendv_sf0.01/metadata/*.metadata.json'))
+        |),
+        |data AS (
+        |  SELECT doc_id, lang
+        |  FROM read_parquet('/tmp/graft_icendv_sf0.01/data/f[0-4].parquet')
+        |)
+        |SELECT 'ndv-2.puffin' AS filename, d.sid AS stats_snapshot_id,
+        |  CASE WHEN d.b.fields = [2] THEN 'lang' ELSE 'doc_id' END
+        |    AS fields_csv,
+        |  CAST(d.b.properties.ndv AS BIGINT) AS declared_ndv,
+        |  CAST(CASE WHEN d.b.fields = [2]
+        |    THEN (SELECT count(DISTINCT lang) FROM data)
+        |    ELSE (SELECT count(DISTINCT doc_id) FROM data) END AS BIGINT)
+        |    AS sketch_ndv,
+        |  CAST(d.b.properties.ndv AS BIGINT) =
+        |    CASE WHEN d.b.fields = [2]
+        |      THEN (SELECT count(DISTINCT lang) FROM data)
+        |      ELSE (SELECT count(DISTINCT doc_id) FROM data) END
+        |    AS ndv_match
+        |FROM decl d""".stripMargin,
 
     "meta_iceberg_metadata_log" ->
       """WITH ml AS (

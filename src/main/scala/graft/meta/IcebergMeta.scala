@@ -953,6 +953,57 @@ object IcebergMeta {
   }
 
   /**
+   * NDV audit — each statistics Puffin file's
+   * `apache-datasketches-theta-v1` blobs DECODED (compact-theta serial
+   * v3, [[PuffinCodec.thetaEstimate]]) and compared against the blob's
+   * own declared `ndv` property (the number query planners read
+   * without opening the sketch): one row per theta blob with
+   * `(fields_csv, declared_ndv, sketch_ndv, ndv_match)` — a stale or
+   * hand-edited `ndv` silently skews every join-order and
+   * aggregation-strategy decision downstream, and only the sketch body
+   * itself can contradict it. `sketch_ndv` is the rounded estimate
+   * (exact mode: the retained-entry count). Blobs declaring no `ndv`
+   * report null declared (and null match), never dropped. Refuses when
+   * the metadata declares no statistics at all; the footer + blob
+   * reads fan out one task per statistics file.
+   */
+  def ndvAudit(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    val fieldsById = currentSchemaFieldsById(mf, node)
+    import scala.jdk.CollectionConverters._
+    val entries = Option(node.get("statistics"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { s =>
+        (req(s, "snapshot-id", mf).asLong(),
+          req(s, "statistics-path", mf).asText())
+      }
+    if (entries.isEmpty) {
+      throw new UnsupportedOperationException(
+        s"$table: metadata declares no statistics files — nothing to audit")
+    }
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    entries.toDS()
+      .flatMap { case (snapId, path) =>
+        val abs = resolve(new Path(rootStr), path)
+        val (blobs, _) = PuffinCodec.readFooter(abs, conf.value)
+        blobs.filter(_.blobType == PuffinCodec.ThetaV1).map { b =>
+          val est = PuffinCodec.thetaEstimate(
+            PuffinCodec.readBlobBytes(abs, conf.value, b.offset, b.length))
+          val sketchNdv = math.round(est)
+          val declared = b.properties.get("ndv").map(_.trim.toLong)
+          val fieldsCsv = b.fields
+            .map(id => fieldsById.get(id).map(_._1).getOrElse(s"#$id"))
+            .mkString(",")
+          (abs.getName, snapId, fieldsCsv, declared, sketchNdv,
+            declared.map(_ == sketchNdv))
+        }
+      }
+      .toDF("filename", "stats_snapshot_id", "fields_csv",
+        "declared_ndv", "sketch_ndv", "ndv_match")
+  }
+
+  /**
    * PARTITION-STATISTICS audit — the metadata JSON's
    * `partition-statistics` entry for the CURRENT snapshot (a PARQUET
    * file of per-partition rollups, spec v2+) verified against the
@@ -1817,6 +1868,58 @@ object IcebergMeta {
           s""""added-data-files":"3","added-records":"$rows1"}""")
         .replace(m2, "\"summary\":{\"operation\":\"overwrite\"," +
           s""""added-data-files":"2","added-records":"${rows2 + 1}"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
+  /**
+   * The base fixture plus an NDV-bearing STATISTICS file: two REAL
+   * compact-theta sketches (exact mode, [[PuffinCodec
+   * .encodeThetaSketchExact]]) in `metadata/ndv-2.puffin` —
+   *
+   *  - fields=[2] (`lang`): the sketch encodes the TRUE distinct lang
+   *    count over the current snapshot's data files (f0..f4, the
+   *    writer contract), but the declared `ndv` property LIES by +3;
+   *  - fields=[1] (`doc_id`): sketch and declared `ndv` agree.
+   *
+   * The audit must flag exactly the lang row. Returns per-data-file
+   * row counts.
+   */
+  def writeNdvFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeFixtureTable(spark, dir, docs)
+    // the current snapshot's data rows: slices 0..4 of the pmod-6 split
+    val live = docs.filter(pmod(col("doc_id"), lit(6)) < 5)
+    val langNdv = live.select(col("lang")).distinct().count()
+    val docNdv = live.select(col("doc_id")).distinct().count()
+    val metaDir = new java.io.File(dir, "metadata")
+    val stats = new java.io.File(metaDir, "ndv-2.puffin")
+    PuffinCodec.writePuffinFile(stats, Seq(
+      (PuffinCodec.ThetaV1, Map("ndv" -> (langNdv + 3).toString),
+        PuffinCodec.encodeThetaSketchExact(langNdv)),
+      (PuffinCodec.ThetaV1, Map("ndv" -> docNdv.toString),
+        PuffinCodec.encodeThetaSketchExact(docNdv))),
+      snapshotId = 2L, sequenceNumber = 2L,
+      fieldsPerBlob = Seq(Seq(2), Seq(1)))
+    val mf = new java.io.File(metaDir, "v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val marker = "\"current-snapshot-id\":2,"
+    require(txt.contains(marker), s"fixture metadata missing '$marker'")
+    val statsJson =
+      s""""statistics":[{"snapshot-id":2,
+         |"statistics-path":"metadata/ndv-2.puffin",
+         |"file-size-in-bytes":${stats.length()},
+         |"blob-metadata":[
+         |{"type":"apache-datasketches-theta-v1","snapshot-id":2,
+         | "sequence-number":2,"fields":[2],
+         | "properties":{"ndv":"${langNdv + 3}"}},
+         |{"type":"apache-datasketches-theta-v1","snapshot-id":2,
+         | "sequence-number":2,"fields":[1],
+         | "properties":{"ndv":"$docNdv"}}]}],"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace(marker, marker + statsJson)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     counts
   }

@@ -250,6 +250,118 @@ object PuffinCodec {
     decodeRoaring64Portable(magicAndVector.drop(4))
   }
 
+  val ThetaV1 = "apache-datasketches-theta-v1"
+
+  /** Read one blob's stored bytes verbatim (type-agnostic span read;
+    * the typed decoders sit on top). */
+  def readBlobBytes(
+      path: Path, conf: Configuration, offset: Long, length: Long): Array[Byte] = {
+    if (length < 0 || length > Int.MaxValue) {
+      throw new IllegalArgumentException(
+        s"$path: blob length $length out of range")
+    }
+    val fs = path.getFileSystem(conf)
+    val blob = new Array[Byte](length.toInt)
+    val in = fs.open(path)
+    try in.readFully(offset, blob) finally in.close()
+    blob
+  }
+
+  // DataSketches compact-theta serialization, version 3 (the PUBLIC
+  // format `apache-datasketches-theta-v1` blobs carry; layout per the
+  // library's PreambleUtil): LITTLE-endian; byte 0 = preamble longs,
+  // 1 = serial version (3), 2 = family (3 COMPACT), 5 = flags
+  // (1 bigEndian, 2 readOnly, 4 empty, 8 compact, 16 ordered),
+  // 6-7 = seed hash; preLongs>=2 add curCount @8 + p @12; preLongs=3
+  // adds thetaLong @16; then curCount retained hash longs.
+  private val ThetaSerVer = 3
+  private val ThetaFamilyCompact = 3
+  private val ThetaFlagEmpty = 4
+  // the library's precomputed seed-hash of its default update seed
+  // 9001; the decoder deliberately does not validate it (cross-engine
+  // reads resolve the seed from the table, not the blob)
+  private val ThetaDefaultSeedHash: Short = 0x93CC.toShort
+
+  /** Encode an EXACT-mode (theta = 1.0) compact ordered theta sketch
+    * over `n` distinct items — the shape stats writers produce when
+    * the column's cardinality is below the sketch's nominal size. The
+    * retained "hashes" are synthetic increasing longs: the estimate
+    * depends only on the count in exact mode, and both codec ends here
+    * are span-faithful to the public layout, not to any hash seed. */
+  def encodeThetaSketchExact(n: Long): Array[Byte] = {
+    require(n >= 0 && n <= 100000, s"fixture-scale sketch only, got $n")
+    if (n == 0) {
+      val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put(1.toByte).put(ThetaSerVer.toByte)
+        .put(ThetaFamilyCompact.toByte).put(12.toByte).put(0.toByte)
+        .put((ThetaFlagEmpty | 2 | 8 | 16).toByte)
+        .putShort(ThetaDefaultSeedHash)
+      return buf.array()
+    }
+    val buf = ByteBuffer.allocate(16 + 8 * n.toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    // lgNomLongs 20 (nominal 1M): exact mode is legitimate for every
+    // fixture-scale cardinality
+    buf.put(2.toByte).put(ThetaSerVer.toByte)
+      .put(ThetaFamilyCompact.toByte).put(20.toByte).put(0.toByte)
+      .put((2 | 8 | 16).toByte) // readOnly | compact | ordered
+      .putShort(ThetaDefaultSeedHash)
+    buf.putInt(n.toInt)
+    buf.putFloat(1.0f)
+    var i = 0L
+    while (i < n) { buf.putLong(i + 1L); i += 1 }
+    buf.array()
+  }
+
+  /** The DISTINCT-count estimate of a serialized compact theta sketch
+    * (serial version 3): empty → 0; exact mode (preLongs 2) →
+    * curCount; estimation mode (preLongs 3) → curCount / theta with
+    * theta = thetaLong / 2^63. Wrong version/family or a truncated
+    * buffer REFUSES — a misread sketch silently corrupts every NDV
+    * downstream. */
+  def thetaEstimate(bytes: Array[Byte]): Double = {
+    if (bytes.length < 8) {
+      throw new IllegalArgumentException(
+        s"theta sketch truncated: ${bytes.length} bytes, need >= 8")
+    }
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val preLongs = buf.get(0) & 0x3F
+    val serVer = buf.get(1).toInt
+    val family = buf.get(2).toInt
+    val flags = buf.get(5).toInt
+    if (serVer != ThetaSerVer) {
+      throw new UnsupportedOperationException(
+        s"theta sketch serial version $serVer is not the supported $ThetaSerVer")
+    }
+    if (family != ThetaFamilyCompact) {
+      throw new UnsupportedOperationException(
+        s"theta sketch family $family is not COMPACT ($ThetaFamilyCompact)")
+    }
+    if ((flags & ThetaFlagEmpty) != 0) return 0.0
+    if (preLongs == 1) {
+      // the library's single-item form: one retained hash, theta = 1
+      if (bytes.length < 16) {
+        throw new IllegalArgumentException(
+          "theta sketch: preamble claims a single-item sketch but the " +
+            s"buffer is ${bytes.length} bytes, need 16")
+      }
+      return 1.0
+    }
+    if (bytes.length < preLongs * 8) {
+      throw new IllegalArgumentException(
+        s"theta sketch truncated: ${bytes.length} bytes, preamble " +
+          s"needs ${preLongs * 8}")
+    }
+    val curCount = buf.getInt(8).toLong
+    if (preLongs == 2) return curCount.toDouble
+    val thetaLong = buf.getLong(16)
+    if (thetaLong <= 0) {
+      throw new IllegalArgumentException(
+        s"theta sketch: non-positive thetaLong $thetaLong")
+    }
+    curCount.toDouble / (thetaLong.toDouble / math.pow(2.0, 63))
+  }
+
   /** Frame sorted positions as a `deletion-vector-v1` blob body
     * (fixture twin of [[readDvBlob]]). */
   def encodeDvBlob(positions: Array[Long]): Array[Byte] = {
@@ -275,7 +387,8 @@ object PuffinCodec {
       file: java.io.File,
       blobs: Seq[(String, Map[String, String], Array[Byte])],
       snapshotId: Long = 1L,
-      sequenceNumber: Long = 1L): Seq[(Long, Long)] = {
+      sequenceNumber: Long = 1L,
+      fieldsPerBlob: Seq[Seq[Int]] = Seq.empty): Seq[(Long, Long)] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic)
     val spans = blobs.map { case (_, _, body) =>
@@ -283,13 +396,16 @@ object PuffinCodec {
       out.write(body)
       (off, body.length.toLong)
     }
-    val blobJson = blobs.zip(spans).map { case ((tpe, props, _), (off, blen)) =>
-      val propJson = props.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"""${q(k)}:${q(v)}""" }
-        .mkString("{", ",", "}")
-      s"""{"type":${q(tpe)},"fields":[],"snapshot-id":$snapshotId,""" +
-        s""""sequence-number":$sequenceNumber,"offset":$off,"length":$blen,""" +
-        s""""properties":$propJson}"""
+    val blobJson = blobs.zip(spans).zipWithIndex.map {
+      case (((tpe, props, _), (off, blen)), i) =>
+        val propJson = props.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"""${q(k)}:${q(v)}""" }
+          .mkString("{", ",", "}")
+        val fieldsJson = fieldsPerBlob.lift(i).getOrElse(Seq.empty)
+          .mkString("[", ",", "]")
+        s"""{"type":${q(tpe)},"fields":$fieldsJson,"snapshot-id":$snapshotId,""" +
+          s""""sequence-number":$sequenceNumber,"offset":$off,"length":$blen,""" +
+          s""""properties":$propJson}"""
     }.mkString("[", ",", "]")
     val payload =
       s"""{"blobs":$blobJson,"properties":{"created-by":"graft-fixture"}}"""

@@ -779,6 +779,38 @@ class IcebergSourceSpec extends SparkSpec {
     writer.close()
   }
 
+  test("ndv audit: theta sketches decoded, lying declaration flagged") {
+    val d = Files.createTempDirectory("graft_ice_ndv").toString + "/tbl"
+    IcebergMeta.writeNdvFixtureTable(spark, d, docs)
+    val live = docs.filter(pmod(col("doc_id"), lit(6)) < 5)
+    val langNdv = live.select("lang").distinct().count()
+    val docNdv = live.select("doc_id").distinct().count()
+    val rows = IcebergMeta.ndvAudit(spark, d).orderBy("fields_csv").collect()
+    assert(rows.length === 2)
+    val byField = rows.map(r => r.getString(2) -> r).toMap
+    val langRow = byField("lang")
+    assert(langRow.getAs[Long]("sketch_ndv") === langNdv)
+    assert(langRow.getAs[Long]("declared_ndv") === langNdv + 3)
+    assert(!langRow.getAs[Boolean]("ndv_match"))
+    val docRow = byField("doc_id")
+    assert(docRow.getAs[Long]("sketch_ndv") === docNdv)
+    assert(docRow.getAs[Boolean]("ndv_match"))
+    // a blob declaring no ndv reports null declared/match, never dropped
+    val statsFile = new java.io.File(d, "metadata/ndv-2.puffin")
+    PuffinCodec.writePuffinFile(statsFile, Seq(
+      (PuffinCodec.ThetaV1, Map.empty[String, String],
+        PuffinCodec.encodeThetaSketchExact(7L))),
+      snapshotId = 2L, sequenceNumber = 2L, fieldsPerBlob = Seq(Seq(2)))
+    val bare = IcebergMeta.ndvAudit(spark, d).collect()
+    assert(bare.length === 1)
+    assert(bare(0).isNullAt(bare(0).fieldIndex("declared_ndv")))
+    assert(bare(0).isNullAt(bare(0).fieldIndex("ndv_match")))
+    assert(bare(0).getAs[Long]("sketch_ndv") === 7L)
+    // a table declaring NO statistics refuses — nothing to audit
+    val e = intercept[Exception](IcebergMeta.ndvAudit(spark, table).collect())
+    assert(causeMessages(e).contains("no statistics files"))
+  }
+
   test("equality deletes: row-wise resolution, null keys, refusals") {
     val d = Files.createTempDirectory("graft_ice_eq").toString + "/tbl"
     IcebergMeta.writeEqDeleteFixtureTable(spark, d, docs)

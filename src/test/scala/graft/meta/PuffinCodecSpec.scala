@@ -142,4 +142,45 @@ class PuffinCodecSpec extends AnyFunSuite {
       PuffinCodec.readFooter(p, conf))
     assert(e5.getMessage.contains("reserved flag bits"))
   }
+
+  test("compact-theta estimate: empty, exact, single-item, estimation, refusals") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // empty -> 0
+    assert(PuffinCodec.thetaEstimate(PuffinCodec.encodeThetaSketchExact(0L)) === 0.0)
+    // exact mode: estimate IS the retained count
+    assert(PuffinCodec.thetaEstimate(PuffinCodec.encodeThetaSketchExact(1L)) === 1.0)
+    assert(PuffinCodec.thetaEstimate(PuffinCodec.encodeThetaSketchExact(437L)) === 437.0)
+    // the library's single-item form: preLongs=1, not empty, 16 bytes
+    val single = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    single.put(1.toByte).put(3.toByte).put(3.toByte).put(20.toByte)
+      .put(0.toByte).put((2 | 8 | 16).toByte).putShort(0x93CC.toShort)
+    single.putLong(12345L)
+    assert(PuffinCodec.thetaEstimate(single.array()) === 1.0)
+    // estimation mode: preLongs=3, theta = 1/2 -> estimate doubles
+    val est = ByteBuffer.allocate(24 + 16).order(ByteOrder.LITTLE_ENDIAN)
+    est.put(3.toByte).put(3.toByte).put(3.toByte).put(12.toByte)
+      .put(0.toByte).put((2 | 8 | 16).toByte).putShort(0x93CC.toShort)
+    est.putInt(2).putFloat(1.0f)
+    est.putLong(Long.MaxValue / 2 + 1) // thetaLong = 2^62 -> theta 0.5
+    est.putLong(11L).putLong(22L)
+    assert(math.abs(PuffinCodec.thetaEstimate(est.array()) - 4.0) < 1e-9)
+    // wrong serial version / family / truncation refuse
+    val badVer = PuffinCodec.encodeThetaSketchExact(3L); badVer(1) = 2
+    val e1 = intercept[UnsupportedOperationException](
+      PuffinCodec.thetaEstimate(badVer))
+    assert(e1.getMessage.contains("serial version"))
+    val badFam = PuffinCodec.encodeThetaSketchExact(3L); badFam(2) = 2
+    val e2 = intercept[UnsupportedOperationException](
+      PuffinCodec.thetaEstimate(badFam))
+    assert(e2.getMessage.contains("family"))
+    val e3 = intercept[IllegalArgumentException](
+      PuffinCodec.thetaEstimate(Array[Byte](1, 3, 3)))
+    assert(e3.getMessage.contains("truncated"))
+    // non-positive theta refuses
+    val badTheta = est.array().clone()
+    ByteBuffer.wrap(badTheta).order(ByteOrder.LITTLE_ENDIAN).putLong(16, 0L)
+    val e4 = intercept[IllegalArgumentException](
+      PuffinCodec.thetaEstimate(badTheta))
+    assert(e4.getMessage.contains("thetaLong"))
+  }
 }
