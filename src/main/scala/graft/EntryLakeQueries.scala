@@ -1,0 +1,2263 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.meta.{AvroMeta, DeltaMeta, FooterEdit, IcebergMeta, MetaPrune, MetaValues, OrcPrune}
+import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, MediaRecord, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, SubstrSearch, TemporalJoin, TextOps}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/**
+ * Driver contract: the full query inventory with DuckDB oracles.
+ *
+ * Conventions that keep the oracle hash-compare deterministic:
+ *  - every computed column is aliased identically in Spark and SQL;
+ *  - integer outputs are cast to BIGINT on both sides;
+ *  - double aggregates go through exact DECIMAL sums (order-independent)
+ *    and only then cast to DOUBLE, so partition order cannot change a bit;
+ *  - ANN/similarity queries emit integer ranks, not raw float scores;
+ *  - all ratio-style doubles are exact small-integer rationals, identical
+ *    in any IEEE-754 engine.
+ *
+ * The oracle SQL for metadata queries uses DuckDB's
+ * `parquet_metadata`/`parquet_file_metadata`/`read_blob` table functions on
+ * the sf0.01 files (the scale the driver verifies at).
+ */
+/** Query + oracle inventory — table-format tiers (Delta + Iceberg): snapshots, replay,
+  * time travel, deletes, audits, live stores.
+  * Assembled (disjointly) into the driver contract by
+  * [[SparkEntry]]. */
+private[graft] object EntryLakeQueries {
+  import EntryHelpers._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // V2 data pages, integer half: the v2 writer's DEFAULT encoding for
+    // int columns is DELTA_BINARY_PACKED (block/miniblock bit-packed
+    // deltas — a different format from v1's PLAIN entirely), and v2
+    // pages compress ONLY the values region behind the uncompressed
+    // level block. PageValuesV2 (levels sliced by the header's byte
+    // lengths, codec applied per the is_compressed flag) + DeltaIntSum
+    // (bit-parity-pinned against parquet-mr's own delta writers,
+    // 32/64-bit modular arithmetic per physical type) roll per-page sums
+    // up to the engine-independent column sum.
+    "meta_delta_values" -> ((s, dir) => {
+      val out = "/tmp/graft_deltavals_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      s.range(0, 20000, 1, 1)
+        .write.mode("overwrite")
+        .option("parquet.writer.version", "v2")
+        .option("parquet.page.row.count.limit", "1000")
+        .parquet(out)
+      val pages = meta(s, out, "page", Map("pagecontent" -> "true"))
+      val codecs = meta(s, out, "column")
+        .select(col("filepath"), col("row_group_id"), col("column_id"),
+          col("compression"), col("type"))
+      val joined = pages.join(codecs,
+        Seq("filepath", "row_group_id", "column_id"))
+      val levelBytes = col("def_levels_byte_length") + col("rep_levels_byte_length")
+      val region = ColumnBridge.column(graft.functions.PageValuesV2(
+        ColumnBridge.expression(col("page_content")),
+        ColumnBridge.expression(levelBytes.cast("int")),
+        ColumnBridge.expression(when(col("values_compressed"),
+          col("compression")).otherwise(lit("UNCOMPRESSED"))),
+        ColumnBridge.expression(
+          (col("page_uncompressed_size") - levelBytes).cast("int"))))
+      val pageSum = ColumnBridge.column(graft.functions.DeltaIntSum(
+        ColumnBridge.expression(region), ColumnBridge.expression(col("type"))))
+      joined
+        .filter(col("page_type") === "DATA_PAGE_V2" &&
+          col("encoding") === "DELTA_BINARY_PACKED")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(pageSum).as("value_sum"),
+          sum(col("num_values")).cast("long").as("n_values"))
+    }),
+
+
+    // MIXED-DIRECTORY lake census: parquet + ORC + Avro files side by
+    // side in ONE directory — the case a homogeneity-sniffing scan
+    // cannot serve. Each format's scan runs under ignorecorrupt so
+    // foreign files skip at their 4-byte magic check; every file
+    // censuses under exactly the format that accepts it. Oracle
+    // recomputes the three (files, rows) pairs in closed form from the
+    // source data and the fixture's parity splits.
+    "meta_lake_census" -> ((s, dir) => {
+      val out = "/tmp/graft_lakecensus_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val outF = new java.io.File(out)
+      if (outF.exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(outF)
+      }
+      outF.mkdirs()
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), col("lang"))
+      // parquet third: doc_id % 3 == 0, one file copied into the mix
+      docs.filter(col("doc_id") % 3 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(out + "_pq")
+      // orc third: % 3 == 1
+      docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+        .write.mode("overwrite").orc(out + "_orc")
+      for ((src, name) <- Seq(out + "_pq" -> "part.parquet",
+          out + "_orc" -> "part.orc")) {
+        val part = new java.io.File(src).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".orc")).head
+        java.nio.file.Files.copy(part.toPath,
+          new java.io.File(outF, name).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      // avro third: % 3 == 2, via avro's own writer
+      val avroRows = docs.filter(col("doc_id") % 3 === 2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq.sortBy(_._1)
+      AvroMeta.writeFixture(new java.io.File(outF, "part.avro"), avroRows)
+      MetaValues.lakeCensus(s, out)
+        .select(col("format"), col("n_files"), col("total_rows"))
+    }),
+
+
+    // DELTA LAKE metadata tier, log level: one row per _delta_log
+    // segment of a hand-written (public-protocol) fixture table —
+    // 5 JSON commits + a parquet checkpoint at v2. Commit action counts
+    // come from the line-keyed JSON decode; checkpoint counts come AT
+    // FOOTER COST from the checkpoint parquet's own null-count
+    // statistics. The oracle is a REAL cross-engine check: DuckDB parses
+    // the same JSON (read_json_auto) and checkpoint (read_parquet)
+    // independently.
+    "meta_delta_snapshot" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      meta(s, out, "snapshot", Map("source" -> "delta"))
+        .select(col("version"), col("kind"), col("n_add"), col("n_remove"),
+          col("operation"), col("op_timestamp"))
+    }),
+
+
+    // DELTA LAKE live-files audit: snapshot reconstruction (checkpoint
+    // parquet + JSON tail, reconciled per path by max_by(action,
+    // version) — map-side combinable, no window sort) COMPOSED with the
+    // parquet metadata tier over the same directory. Only
+    // current-snapshot files audit as live; the two removed-but-present
+    // files (vacuum-pending) surface as dead with their footer rows — a
+    // raw directory census would silently count them as data. The
+    // oracle replays the same log in DuckDB SQL (arg_max over the
+    // unioned actions) and reads the same footers.
+    "meta_delta_live" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val live = DeltaMeta.snapshotFiles(s, out)
+        .select(col("abs_path"), col("num_records"))
+      val footers = meta(s, out, "file", Map("source" -> "parquet"))
+        .select(col("filepath"), col("num_rows"))
+      footers.join(live, footers("filepath") === live("abs_path"), "left")
+        .agg(
+          sum(when(col("abs_path").isNotNull, lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_live"),
+          sum(when(col("abs_path").isNotNull, col("num_records")))
+            .cast("long").as("live_rows"),
+          sum(when(col("abs_path").isNotNull, col("num_rows")))
+            .cast("long").as("footer_rows"),
+          sum(when(col("abs_path").isNull, lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_dead"),
+          sum(when(col("abs_path").isNull, col("num_rows")))
+            .cast("long").as("dead_rows"))
+    }),
+
+
+    // DELTA VACUUM-candidate report: tombstones older than the
+    // retention window AND still on disk, with row-exact reclaim from
+    // their own footers — f1 (age 8000 > 7500) qualifies, f2 (7000)
+    // is protected by the window. Oracle: DuckDB replays the same
+    // tombstones and reads the same footers.
+    "meta_delta_vacuum" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.vacuumCandidates(s, out, 1700000010000L, 7500L)
+        .select(col("path"), col("deleted_at"), col("age_ms"), col("num_rows"))
+    }),
+
+
+    // DELTA setTransaction high-water marks: each streaming writer's
+    // latest txn version (later TABLE version wins per appId — the
+    // protocol's idempotent-writer resume rule; the fixture's ingest-a
+    // advances 10 -> 11 at v3). Oracle: DuckDB reads the same txn
+    // actions and applies the same rule.
+    "meta_delta_txn" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.latestTransactions(s, out)
+    }),
+
+
+    // DELTA SCHEMA HISTORY: the table's schema evolution read from the
+    // log's metaData actions alone — one row per schema change with
+    // field names decoded from the action's own schemaString (the
+    // fixture evolves doc_id,lang -> +quality at v4). Oracle: DuckDB
+    // parses the same schemaString JSON independently.
+    "meta_delta_schema" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.schemaHistory(s, out)
+    }),
+
+
+    // DELTA SCHEMA CONFORMANCE: declared (log metaData) vs physical
+    // (footer) schema per LIVE file — the backfill audit a schema
+    // evolution leaves behind; every fixture file predates the v4
+    // +quality column. Oracle: DuckDB replays the live set, reads the
+    // same footers via parquet_schema, and diffs the same field lists.
+    "meta_delta_conformance" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.schemaConformance(s, out)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+          col("n_declared"), col("n_present"), col("missing_csv"))
+    }),
+
+
+    // DELTA PROTOCOL compatibility report: the latest protocol action's
+    // versions + feature lists and the tier's own `supported` verdict
+    // (v3 tables are faithful iff every readerFeature is understood —
+    // deletionVectors and v2Checkpoint both are; an unknown future
+    // feature is predicted up front instead of failing later). Oracle:
+    // DuckDB replays the same protocol actions and recomputes the same
+    // verdict with list_has_all.
+    "meta_delta_protocol" -> ((s, dir) => {
+      val out = "/tmp/graft_deltaproto_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeDvFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.protocolInfo(s, out)
+        .select(col("min_reader_version"), col("min_writer_version"),
+          array_join(col("reader_features"), ",").as("reader_features_csv"),
+          array_join(col("writer_features"), ",").as("writer_features_csv"),
+          col("supported"))
+    }),
+
+
+    // STREAMING delta live-store maintenance: the commit stream's
+    // AvailableNow pass reconciles the log segments into a compact
+    // per-path store (decode once per segment, never re-replay); the
+    // store's DV-aware numbers must equal DuckDB's independent replay
+    // of the same log — the streaming path and the cross-engine batch
+    // path answer identically.
+    "stream_delta_live" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = "/tmp/graft_deltastream_" + sfx
+      DeltaMeta.writeDvFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val store = "/tmp/graft_deltastore_" + sfx
+      val ckpt = "/tmp/graft_deltastoreck_" + sfx
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      DeltaMeta.maintainLiveStore(s, out, store, ckpt)
+      DeltaMeta.readLiveStore(s, store)
+        .agg(
+          count(lit(1)).cast("long").as("n_live"),
+          sum(col("num_records")).cast("long").as("physical_rows"),
+          sum(when(col("dv_cardinality") > 0, lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_dv_files"),
+          sum(col("dv_cardinality")).cast("long").as("dv_deleted"),
+          (sum(col("num_records")) - sum(col("dv_cardinality")))
+            .cast("long").as("net_rows"))
+    }),
+
+
+    // UNIFIED TABLE CENSUS — one MetaValues.tableCensus call per root:
+    // the delta-DV fixture resolves through its log (net = physical −
+    // DV), the iceberg fixture through its manifests (delete files
+    // subtract), one uniform row each. The oracle recomputes the delta
+    // row by replaying the same JSON in DuckDB and both disk sides from
+    // the same footers.
+    "meta_table_census" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val d = "/tmp/graft_deltadv_" + sfx
+      val i = "/tmp/graft_iceberg_" + sfx
+      DeltaMeta.writeDvFixtureTable(s, d, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.writeFixtureTable(s, i, s.read.parquet(pq(dir, "documents")))
+      MetaValues.tableCensus(s, d).unionByName(MetaValues.tableCensus(s, i))
+    }),
+
+
+    // DELTA PARTITION-PRUNED planning at metadata cost: a partitioned
+    // fixture (lang=<x>/ dirs, partitionValues in every add action);
+    // "which files serve lang='zh'" answers from the LOG alone, then the
+    // pruned path list (a bounded, partition-sized driver boundary —
+    // the MetaPrune surviving-paths idiom) drives a parquet-tier footer
+    // read that touches ONLY those files (pushed filepath IN-list; the
+    // spec pins files=2/10 in the plan). The oracle replays the same
+    // JSON partitionValues in DuckDB and reads the same pruned footers.
+    "meta_delta_partition_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_deltapart_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writePartitionedFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val live = DeltaMeta.snapshotFiles(s, out)
+      val pruned = live
+        .filter(element_at(col("partition_values"), "lang") === "zh")
+      val paths = pruned.select("abs_path").collect().map(_.getString(0))
+      val footers = meta(s, out, "file", Map("source" -> "parquet"))
+        .filter(col("filepath").isin(paths.toSeq: _*))
+      live.agg(count(lit(1)).cast("long").as("n_files"))
+        .crossJoin(pruned.agg( // 1x1: two single-row aggregates
+          count(lit(1)).cast("long").as("n_pruned"),
+          sum(col("num_records")).cast("long").as("pruned_rows")))
+        .crossJoin(footers.agg(
+          sum(col("num_rows")).cast("long").as("footer_rows")))
+    }),
+
+
+    // DELTA TIME TRAVEL at metadata cost: the live set reconstructed AS
+    // OF every version 0..4 — each from the newest checkpoint at or
+    // below the target plus its commit tail. The oracle replays the
+    // SAME versions in DuckDB from the JSON commits ALONE (a different
+    // evidence path than the checkpoint+tail plan), so checkpoint and
+    // log must tell the same story at every version.
+    "meta_delta_travel" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      (0L to 4L).map { v =>
+        DeltaMeta.snapshotFilesAt(s, out, Some(v))
+          .agg(
+            lit(v).as("version"),
+            count(lit(1)).cast("long").as("n_live"),
+            sum(col("num_records")).cast("long").as("live_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
+
+    // DELTA TIMESTAMP AS OF: three wall-clock probes, each resolved to
+    // a version via commitInfo timestamps and replayed — the oracle
+    // resolves the SAME probes from the same commitInfo in DuckDB, so
+    // the version RESOLUTION itself is cross-engine, not just the
+    // replay.
+    "meta_delta_time_travel" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val ts0 = 1700000000000L
+      Seq(500L, 2500L, 99999L).map { off =>
+        val v = DeltaMeta.versionAt(s, out, ts0 + off)
+        DeltaMeta.snapshotFilesAt(s, out, Some(v))
+          .agg(
+            lit(off).as("probe_off"),
+            lit(v).as("version"),
+            count(lit(1)).cast("long").as("n_live"),
+            sum(col("num_records")).cast("long").as("live_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
+
+    // DELTA deletion vectors: the protocol-v3 DELETE-without-rewrite —
+    // a v5 commit removes f0 and re-adds the SAME file with a
+    // deletionVector descriptor (3 logically-deleted rows). The replay
+    // must (a) reconcile the same-version remove+add pair to the add
+    // (ordering key (version, is_add), not bare version), and (b) report
+    // physical vs net rows — a DV-blind audit overcounts by the DV
+    // cardinality. The oracle replays the same log in DuckDB with the
+    // same composite-rank arg_max.
+    "meta_delta_dv" -> ((s, dir) => {
+      val out = "/tmp/graft_deltadv_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeDvFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.snapshotFiles(s, out)
+        .agg(
+          count(lit(1)).cast("long").as("n_live"),
+          sum(col("num_records")).cast("long").as("physical_rows"),
+          sum(when(col("has_dv"), lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_dv_files"),
+          sum(col("dv_cardinality")).cast("long").as("dv_deleted"),
+          (sum(col("num_records")) - sum(col("dv_cardinality")))
+            .cast("long").as("net_rows"))
+    }),
+
+
+    // DELTA V2 (sidecar) CHECKPOINT: the v2Checkpoint layout — the
+    // checkpoint MANIFEST carries only pointers + non-file actions;
+    // add/remove live in _delta_log/_sidecars parts. Commits 0..2 are
+    // log-cleaned, so the live set MUST replay through the sidecars
+    // (the manifest's pointer rows are the only route to the
+    // checkpointed adds). Oracle: DuckDB reads the SAME sidecar parquet
+    // + the surviving JSON tail and applies the same composite-rank
+    // arg_max replay.
+    "meta_delta_v2ckpt" -> ((s, dir) => {
+      val out = "/tmp/graft_deltav2_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeV2CheckpointFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.snapshotFiles(s, out)
+        .select(col("path"), col("version"), col("num_records"))
+    }),
+
+
+    // DELTA V2 checkpoint with a JSON MANIFEST: the protocol's other
+    // manifest form — <v>.checkpoint.<uuid>.json, ndjson of non-file
+    // actions + checkpointMetadata + sidecar pointers; add/remove live
+    // in the same _delta_log/_sidecars parquet parts. Commits 0..2 are
+    // log-cleaned and NO parquet checkpoint survives: a reader blind
+    // to the form replays from nothing. Oracle: DuckDB reads the same
+    // sidecars + JSON tail (the manifest's lines carry no file actions
+    // and wash out of its replay) with the composite-rank arg_max.
+    "meta_delta_v2ckpt_json" -> ((s, dir) => {
+      val out = "/tmp/graft_deltav2j_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeV2JsonCheckpointFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.snapshotFiles(s, out)
+        .select(col("path"), col("version"), col("num_records"))
+    }),
+
+
+    // DELTA MULTIPART V1 CHECKPOINT: the classic checkpoint split into
+    // .checkpoint.<n>.<m>.parquet parts (adds in part 1, everything
+    // else in part 2), commits ≤ 2 log-cleaned — the live set MUST
+    // replay through the COMPLETE part set (a partial set refuses).
+    // Oracle: DuckDB reads the same parts by glob + the surviving JSON
+    // tail and applies the same composite-rank arg_max replay.
+    "meta_delta_multickpt" -> ((s, dir) => {
+      val out = "/tmp/graft_deltamp_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeMultipartCheckpointFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.snapshotFiles(s, out)
+        .select(col("path"), col("version"), col("num_records"))
+    }),
+
+
+    // DELTA VERSION-CHECKSUM audit: each surviving <v>.crc declares
+    // the post-commit numFiles/tableSizeBytes; the audit replays the
+    // log independently (ALL versions in one actions ⋈ broadcast-
+    // versions aggregation, no per-version job loop) and flags
+    // disagreement. The fixture's v1 crc LIES (numFiles 99) — both
+    // engines must flag exactly that row. Oracle: DuckDB reads the
+    // same .crc JSONs and replays the same commits with the same
+    // composite-rank arg_max.
+    "meta_delta_crc_audit" -> ((s, dir) => {
+      val out = "/tmp/graft_deltacrc_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeCrcFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.crcAudit(s, out)
+    }),
+
+
+    // DELTA DV ROW-WISE decode: the roaring64 payloads (one inline Z85,
+    // one u-storage framed file) decode to actual row POSITIONS, which
+    // join each file's own rows by _metadata.row_index — the net-rows
+    // audit verified row by row, not by descriptor cardinality. The
+    // fixture's files are doc_id-sorted, so the oracle recomputes the
+    // SAME deleted doc_ids closed-form: DuckDB ranks rows by doc_id and
+    // picks the planted positions.
+    "meta_delta_dv_rows" -> ((s, dir) => {
+      val out = "/tmp/graft_deltadvb_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeDvBitmapFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val pos = DeltaMeta.deletedPositions(s, out)
+      val rows = s.read.parquet(out + "/f0.parquet", out + "/f1.parquet")
+        .select(col("doc_id"),
+          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1).as("file"),
+          col("_metadata.row_index").as("ridx"))
+      pos.join(rows, pos("path") === rows("file") && pos("pos") === rows("ridx"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).cast("long").as("n_deleted"),
+          sum(col("doc_id")).cast("long").as("deleted_docid_sum"))
+    }),
+
+
+    // DELTA COLUMN MAPPING (name mode) conformance: data files carry
+    // PHYSICAL names (c1), the declared schema speaks LOGICAL names
+    // (doc_id/lang/quality -> c1/c2/c3 via each field's
+    // delta.columnMapping.physicalName). The audit joins footers by
+    // physical name, reports missing columns by logical name, and
+    // excludes the partition column (never inside data files). Oracle:
+    // DuckDB parses the same schemaString mapping and diffs the same
+    // parquet_schema footers.
+    "meta_delta_colmap" -> ((s, dir) => {
+      val out = "/tmp/graft_deltacm_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeColumnMappedFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.schemaConformance(s, out)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+          col("n_declared"), col("n_present"), col("missing_csv"))
+    }),
+
+
+    // DELTA COLUMN MAPPING in ID mode: footers carry no logical names
+    // at all — each column's identity is its parquet FIELD ID (stamped
+    // by Spark's own parquet.field.id channel), matched against the
+    // schemaString's delta.columnMapping.id. The v2 evolution declares
+    // quality (id 3) no file carries. Oracle: DuckDB reads the SAME
+    // field ids from parquet_schema and diffs the same declarations.
+    "meta_delta_colmap_id" -> ((s, dir) => {
+      val out = "/tmp/graft_deltacmid_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeColumnMappedIdFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.schemaConformance(s, out)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+          col("n_declared"), col("n_present"), col("missing_csv"))
+    }),
+
+
+    // DELTA COLUMN MAPPING partition prune: add.partitionValues is
+    // keyed by the PHYSICAL partition column name (c2) — the logical
+    // probe "lang = 'zh'" must translate through columnMappingInfo
+    // before the lookup (mapping-blind pruning silently matches
+    // NOTHING). Oracle: DuckDB derives the same physical name from the
+    // schemaString and probes the same add actions dynamically.
+    "meta_delta_colmap_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_deltacm_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeColumnMappedFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val (_, mapping, _) = DeltaMeta.columnMappingInfo(s, out)
+      val live = DeltaMeta.snapshotFiles(s, out)
+      val pruned = live.filter(
+        element_at(col("partition_values"), mapping("lang")) === "zh")
+      live.agg(count(lit(1)).cast("long").as("n_files"))
+        .crossJoin(pruned.agg( // 1x1: two single-row aggregates
+          count(lit(1)).cast("long").as("n_pruned"),
+          sum(col("num_records")).cast("long").as("pruned_rows")))
+    }),
+
+
+    // ICEBERG metadata tier, snapshot level: one row per snapshot of a
+    // hand-written (public-spec) filesystem table — two snapshots in one
+    // v1.metadata.json, the second current. The oracle is a REAL
+    // cross-engine check: DuckDB parses the same metadata JSON
+    // independently (read_json_auto + unnest of the snapshots list).
+    "meta_iceberg_snapshot" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      meta(s, out, "snapshot", Map("source" -> "iceberg"))
+        .select(col("snapshot_id"), col("timestamp_ms"), col("operation"),
+          col("is_current"), col("format_version"))
+    }),
+
+
+    // ICEBERG live-files audit: the distributed manifest walk (one task
+    // per manifest) of the CURRENT snapshot COMPOSED with the parquet
+    // metadata tier over the same data directory — live data files
+    // (status != DELETED, content = data), the format-v2 position-delete
+    // manifest (content=1, counted as deletions, never as data), and a
+    // deleted-but-present slice a raw census would overcount. The oracle
+    // reads the same data-file footers in DuckDB (parquet_file_metadata)
+    // and replays the fixture's manifest contract in closed form — the
+    // manifest record counts must equal the files' own footer rows.
+    "meta_iceberg_live" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val entries = IcebergMeta.currentFiles(s, out)
+      val live = entries
+        .filter(col("status") =!= 2 && col("content") === 0)
+        .select(col("abs_path"), col("record_count"))
+      val footers = meta(s, out + "/data", "file", Map("source" -> "parquet"))
+        .select(col("filepath"), col("num_rows"))
+      val deletes = entries.filter(col("content") =!= 0)
+        .agg(count(lit(1)).cast("long").as("n_delete_files"),
+          sum(col("record_count")).cast("long").as("deleted_positions"))
+      footers.join(live, footers("filepath") === live("abs_path"), "left")
+        .agg(
+          sum(when(col("abs_path").isNotNull, lit(1)).otherwise(lit(0)))
+            .cast("long").as("n_live"),
+          sum(when(col("abs_path").isNotNull, col("record_count")))
+            .cast("long").as("live_rows"),
+          sum(when(col("abs_path").isNotNull, col("num_rows")))
+            .cast("long").as("footer_rows"),
+          count(lit(1)).cast("long").as("n_disk"))
+        .crossJoin(deletes) // 1×1: two single-row aggregates
+        .select(col("n_live"), col("live_rows"), col("footer_rows"),
+          (col("live_rows") - col("deleted_positions")).as("net_rows"),
+          col("n_delete_files"), col("deleted_positions"), col("n_disk"))
+    }),
+
+
+    // ICEBERG PARTITION-PRUNED planning at metadata cost — the iceberg
+    // sibling of meta_delta_partition_prune: the manifest's typed
+    // partition records (spec r102) answer "which files serve lang='zh'"
+    // without touching data; the pruned path list drives a footer read
+    // of only those files. Oracle: DuckDB reads the same pruned
+    // partition directory's footers; membership is the fixture contract.
+    "meta_iceberg_partition_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_icepart_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writePartitionedFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val files = IcebergMeta.currentFiles(s, out)
+      val pruned = files
+        .filter(element_at(col("partition_values"), "lang") === "zh")
+      val paths = pruned.select("abs_path").collect().map(_.getString(0))
+      val footers = meta(s, out + "/data", "file", Map("source" -> "parquet"))
+        .filter(col("filepath").isin(paths.toSeq: _*))
+      files.agg(count(lit(1)).cast("long").as("n_files"))
+        .crossJoin(pruned.agg( // 1x1: two single-row aggregates
+          count(lit(1)).cast("long").as("n_pruned"),
+          sum(col("record_count")).cast("long").as("pruned_rows")))
+        .crossJoin(footers.agg(
+          sum(col("num_rows")).cast("long").as("footer_rows")))
+    }),
+
+
+    // ICEBERG ORPHAN-file report — remove_orphan_files' delete set at
+    // metadata cost: disk files under data/ that NO manifest of ANY
+    // listed snapshot references (a DELETED entry still counts);
+    // non-parquet debris surfaces via the source=any census. The query
+    // plants one stray parquet + one junk blob; the oracle reads the
+    // stray's footer in DuckDB, membership is the fixture contract.
+    "meta_iceberg_orphans" -> ((s, dir) => {
+      val out = "/tmp/graft_iceorph_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val tmp = out + "/data/stray_tmp"
+      s.read.parquet(pq(dir, "documents")).limit(7)
+        .select(col("doc_id")).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(out + "/data/stray.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      java.nio.file.Files.write(
+        new java.io.File(out + "/data/junk.bin").toPath,
+        Array[Byte](1, 2, 3, 4, 5))
+      IcebergMeta.orphanFiles(s, out)
+        .select(col("filename"), col("format"), col("num_rows"))
+    }),
+
+
+    // ICEBERG SCHEMA HISTORY: every schema the table metadata still
+    // lists (superseded ones survive in `schemas`; `current-schema-id`
+    // flags the live one) — the iceberg counterpart of
+    // meta_delta_schema. Oracle: DuckDB unnests the same JSON.
+    "meta_iceberg_schema" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.schemaHistory(s, out)
+    }),
+
+
+    // ICEBERG SCHEMA CONFORMANCE: the CURRENT declared schema (the
+    // schemas entry named by current-schema-id) vs each live data
+    // file's own footer — the same backfill audit as
+    // meta_delta_conformance, resolved through the manifest chain
+    // instead of a commit log (every fixture file predates the +n_chars
+    // evolution). Oracle: DuckDB unnests the same metadata JSON and
+    // diffs the same parquet_schema footers over the writer-contract
+    // live set.
+    "meta_iceberg_conformance" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.schemaConformance(s, out)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+          col("n_declared"), col("n_present"), col("missing_csv"))
+    }),
+
+
+    // ICEBERG POSITION-DELETE row-wise audit: the live delete file's
+    // (file_path, pos) rows join f0's own rows by _metadata.row_index —
+    // merge-on-read deletion verified row by row (the iceberg sibling
+    // of meta_delta_dv_rows). Oracle: DuckDB reads the SAME delete
+    // parquet and joins the same file with file_row_number=true — no
+    // ordering assumption on either side.
+    "meta_iceberg_delete_rows" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val pos = IcebergMeta.positionDeleteRows(s, out)
+      val rows = s.read.parquet(out + "/data/f0.parquet")
+        .select(col("doc_id"),
+          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1).as("file"),
+          col("_metadata.row_index").as("ridx"))
+      pos.join(rows,
+        regexp_extract(pos("data_path"), "([^/]+)$", 1) === rows("file") &&
+          pos("pos") === rows("ridx"))
+        .groupBy(col("file").as("path"))
+        .agg(count(lit(1)).cast("long").as("n_deleted"),
+          sum(col("doc_id")).cast("long").as("deleted_docid_sum"))
+    }),
+
+
+    // ICEBERG v3 DELETION VECTORS row-wise: both DV blobs live in one
+    // Puffin file (the v3 writer layout), addressed by the manifest's
+    // content_offset/content_size_in_bytes; [[PuffinCodec]] verifies
+    // framing magic + CRC and decodes the roaring64 vectors to row
+    // POSITIONS, which join each file's own rows by
+    // _metadata.row_index. The fixture's files are doc_id-sorted, so
+    // the oracle recomputes the SAME deleted doc_ids closed-form from
+    // the planted positions.
+    "meta_iceberg_dv_rows" -> ((s, dir) => {
+      val out = "/tmp/graft_icedv_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeDvFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val pos = IcebergMeta.positionDeleteRows(s, out)
+      val rows = s.read.parquet(out + "/data/f0.parquet", out + "/data/f1.parquet")
+        .select(col("doc_id"),
+          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1).as("file"),
+          col("_metadata.row_index").as("ridx"))
+      pos.join(rows,
+        regexp_extract(pos("data_path"), "([^/]+)$", 1) === rows("file") &&
+          pos("pos") === rows("ridx"))
+        .groupBy(col("file").as("path"))
+        .agg(count(lit(1)).cast("long").as("n_deleted"),
+          sum(col("doc_id")).cast("long").as("deleted_docid_sum"))
+    }),
+
+
+    // COMPACTION PLAN (delta): the OPTIMIZE planning question at
+    // metadata cost — bin-pack the snapshot's small files into rewrite
+    // groups (path order, group = floor(preceding-bytes/target), the
+    // deterministic bin-packing real compactors use), window
+    // PARTITIONED BY the table partition so no global sort exists.
+    // Oracle: DuckDB replays the same live set from the log and runs
+    // the same window arithmetic.
+    "compaction_plan_delta" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val files = DeltaMeta.snapshotFiles(s, out).select(
+        col("path"), col("size"),
+        array_join(array_sort(transform(map_entries(col("partition_values")),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))),
+          ",").as("partition_key"))
+      // target scales WITH the data (3x the smallest live file) so the
+      // plan stays non-trivial at every sf — a fixed byte target would
+      // declare everything right-sized the moment files grow past it
+      val target = 3L * files.agg(min(col("size"))).head().getLong(0)
+      MetaValues.compactionPlan(files, target)
+    }),
+
+
+    // COMPACTION PLAN (iceberg): same planner over the manifest
+    // chain's live data files, grouped within each lang partition.
+    // Oracle: DuckDB rebuilds the same file inventory from the data
+    // directory itself (read_blob sizes) and runs the same window.
+    "compaction_plan_iceberg" -> ((s, dir) => {
+      val out = "/tmp/graft_icepart_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writePartitionedFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val files = IcebergMeta.currentFiles(s, out)
+        .filter(col("status") =!= 2 && col("content") === 0)
+        .select(
+          regexp_extract(col("file_path"), "([^/]+)$", 1).as("path"),
+          col("file_size_bytes").as("size"),
+          array_join(array_sort(transform(map_entries(col("partition_values")),
+            e => concat(e.getField("key"), lit("="), e.getField("value")))),
+            ",").as("partition_key"))
+      val target = 3L * files.agg(min(col("size"))).head().getLong(0)
+      MetaValues.compactionPlan(files, target)
+    }),
+
+
+    // DELTA STATS-based file skipping: which live files can hold
+    // doc_id in [100, 299], decided from each add's minValues/
+    // maxValues alone (log cost, zero data I/O); the no-bounds file
+    // (f4 carries numRecords only) must stay selected — no evidence,
+    // a sound pruner reads it. Oracle: DuckDB parses the same stats
+    // JSON from the same log and applies the same interval test.
+    "meta_delta_stats_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_deltasp_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeStatsPruneFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.statsPrune(s, out, "doc_id", 100L, 299L)
+    }),
+
+
+    // DELTA IN-COMMIT TIMESTAMPS: the inCommitTimestamps feature makes
+    // commitInfo.inCommitTimestamp the authoritative commit time — the
+    // fixture's WALL timestamps are all within 1 ms (writer clock
+    // skew), the ICTs 10 s apart; TIMESTAMP AS OF must resolve by ICT
+    // (a wall-clock reader sends every probe to the last version).
+    // Oracle: DuckDB applies the same coalesce(ict, ts) max-version
+    // rule and replays the resolved snapshots.
+    "meta_delta_ict" -> ((s, dir) => {
+      val out = "/tmp/graft_deltaict_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeIctFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val ts0 = 1700000000000L
+      Seq(5000L, 15000L, 99999L).map { off =>
+        val v = DeltaMeta.versionAt(s, out, ts0 + off)
+        DeltaMeta.snapshotFilesAt(s, out, Some(v))
+          .agg(
+            lit(off).as("probe_off"),
+            lit(v).as("version"),
+            count(lit(1)).cast("long").as("n_live"),
+            sum(col("num_records")).cast("long").as("live_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
+
+    // DELTA DOMAIN METADATA: the protocol's connector-owned state
+    // domains, latest action per domain across commits + checkpoint;
+    // a tombstoned domain SURFACES with removed=true (v6 removes
+    // delta.clustering) rather than vanishing. Oracle: DuckDB replays
+    // the same actions with the same version arg_max.
+    "meta_delta_domains" -> ((s, dir) => {
+      val out = "/tmp/graft_deltadm_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeDomainMetadataFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.domainMetadataReport(s, out)
+    }),
+
+
+    // ICEBERG SNAPSHOT-SUMMARY audit: declared added-data-files /
+    // added-records per snapshot vs the snapshot's own manifest list
+    // (data manifests only); the fixture's snap-2 added-records LIES
+    // by one — both engines flag exactly that cell. Oracle: DuckDB
+    // parses the same summaries; actuals are the fixture's writer
+    // contract recomputed from the data files' own footers.
+    "meta_iceberg_summary_audit" -> ((s, dir) => {
+      val out = "/tmp/graft_icesum_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeSummaryFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.snapshotSummaryAudit(s, out)
+    }),
+
+
+    // ICEBERG NDV audit: the statistics Puffin's theta sketches DECODED
+    // (compact-theta serial v3) vs each blob's declared ndv property —
+    // the fixture's lang blob declares a +3 LIE over a REAL sketch that
+    // encodes the true distinct count; the doc_id blob agrees. Oracle:
+    // DuckDB reads the same declarations from the metadata JSON and
+    // recomputes the sketch side from the DATA FILES themselves (the
+    // writer contract: each sketch encodes its column's exact distinct
+    // count over f0..f4) — a real cross-engine check of the binary
+    // sketch decode.
+    "meta_iceberg_ndv_audit" -> ((s, dir) => {
+      val out = "/tmp/graft_icendv_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeNdvFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.ndvAudit(s, out)
+    }),
+
+
+    // ICEBERG METADATA-LOG audit: the current metadata's lineage of
+    // previous metadata files vs disk — the fixture's v2 lists the
+    // real v1 plus a v0 that never existed (the broken-lineage shape
+    // that fails rollback mid-walk). Oracle: DuckDB parses the same
+    // metadata-log and derives existence from a glob listing.
+    "meta_iceberg_metadata_log" -> ((s, dir) => {
+      val out = "/tmp/graft_icemlog_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeMetadataLogFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.metadataLogReport(s, out)
+    }),
+
+
+    // DELTA _last_checkpoint POINTER audit: the reader hint file vs
+    // the log's actual contents — declared version/parts, surviving
+    // parts, completeness, stale-pointer detection (a newer checkpoint
+    // the pointer misses), and the commit count past the declared
+    // version. Oracle: DuckDB reads the same pointer JSON and
+    // recomputes everything from a glob listing of the same log.
+    "meta_delta_last_ckpt" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.lastCheckpointAudit(s, out)
+    }),
+
+
+    // ICEBERG REFS report: named branches/tags -> snapshot ids, with
+    // dangling detection (a ref to an expired snapshot breaks every
+    // reader that follows it) and current-snapshot flagging. The
+    // fixture plants main/branch, v1/tag, and a stale tag on an
+    // expired id. Oracle: DuckDB parses the same refs map (json_each)
+    // and the same snapshots list.
+    "meta_iceberg_refs" -> ((s, dir) => {
+      val out = "/tmp/graft_icerefs_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeRefsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.refsReport(s, out)
+    }),
+
+
+    // ICEBERG PARTITION-STATISTICS audit: the current snapshot's
+    // declared per-partition rollups (a PARQUET stats file named by
+    // the metadata's partition-statistics list) vs the manifest
+    // chain's own per-partition aggregation; the fixture's first lang
+    // LIES about data_file_count — both engines must flag exactly that
+    // row. Oracle: DuckDB reads the SAME stats parquet and recomputes
+    // the actual side from the data files themselves
+    // (parquet_file_metadata rows + read_blob sizes).
+    "meta_iceberg_partition_stats" -> ((s, dir) => {
+      val out = "/tmp/graft_icepstats_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writePartitionStatsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.partitionStatsAudit(s, out)
+    }),
+
+
+    // ICEBERG PUFFIN STATISTICS audit: the metadata JSON's statistics
+    // entries (Puffin sketch files + declared blob-metadata) verified
+    // against each Puffin file's OWN footer — one row per actual blob,
+    // declared_match flagging type/snapshot disagreement. The oracle is
+    // a REAL cross-engine check: DuckDB independently decodes the
+    // Puffin footer from raw bytes (read_blob → LE payload-size word →
+    // unhex → JSON) and joins the same metadata JSON's declarations.
+    "meta_iceberg_puffin_stats" -> ((s, dir) => {
+      val out = "/tmp/graft_icestats_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeStatsFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.statisticsReport(s, out)
+    }),
+
+
+    // STREAMING iceberg current-store maintenance: the metadata
+    // stream's AvailableNow pass refreshes a per-snapshot store only
+    // when a NEW metadata version arrives; the store's census must
+    // equal DuckDB's independent read of the same data-file footers.
+    "stream_iceberg_live" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = "/tmp/graft_icestream_" + sfx
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val store = "/tmp/graft_icestore_" + sfx
+      val ckpt = "/tmp/graft_icestoreck_" + sfx
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      IcebergMeta.maintainCurrentStore(s, out, store, ckpt)
+      val entries = IcebergMeta.readCurrentStore(s, store)
+      entries.filter(col("status") =!= 2 && col("content") === 0)
+        .agg(
+          count(lit(1)).cast("long").as("n_live"),
+          sum(col("record_count")).cast("long").as("live_rows"))
+        .crossJoin(entries.agg( // 1x1: two single-row aggregates
+          count(lit(1)).cast("long").as("n_entries"),
+          sum(when(col("content") =!= 0, col("record_count")))
+            .cast("long").as("deleted_positions")))
+    }),
+
+
+    // ICEBERG EQUALITY-DELETE row-wise audit (format v2, the Flink
+    // merge-on-read shape): delete files carry VALUE rows matched on
+    // their equality_ids columns, null equals null — resolved as a
+    // null-safe semi join of the live data files against the delete
+    // files' distinct keys. Oracle: DuckDB reads the SAME delete
+    // parquets and data files and joins IS NOT DISTINCT FROM.
+    "meta_iceberg_eq_rows" -> ((s, dir) => {
+      val out = "/tmp/graft_iceeq_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeEqDeleteFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.equalityDeleteRows(s, out)
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("eq_cols"), col("key_csv"))
+    }),
+
+
+    // ICEBERG TIMESTAMP AS OF: wall-clock probes resolved from the
+    // snapshot list's timestamp-ms — the oracle resolves the SAME
+    // probes from the same JSON in DuckDB and cross-checks the rows
+    // against the data files' own footers.
+    "meta_iceberg_time_travel" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val ts0 = 1700000000000L
+      Seq(500L, 99999L).map { off =>
+        val id = IcebergMeta.snapshotIdAt(s, out, ts0 + off)
+        IcebergMeta.filesAt(s, out, Some(id))
+          .filter(col("status") =!= 2 && col("content") === 0)
+          .agg(
+            lit(off).as("probe_off"),
+            lit(id).as("snapshot_id"),
+            count(lit(1)).cast("long").as("n_live"),
+            sum(col("record_count")).cast("long").as("data_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
+
+    // ICEBERG TIME TRAVEL / snapshot diff at metadata cost: both listed
+    // snapshots resolve through their own manifest lists; the per-
+    // snapshot live-data census shows exactly what the overwrite
+    // changed. The oracle reads the same data-file footers in DuckDB —
+    // per-snapshot membership is the fixture contract, the row numbers
+    // are the cross-engine check on the manifest decode.
+    "meta_iceberg_travel" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      Seq(1L, 2L).map { id =>
+        IcebergMeta.filesAt(s, out, Some(id))
+          .filter(col("status") =!= 2 && col("content") === 0)
+          .agg(
+            lit(id).as("snapshot_id"),
+            count(lit(1)).cast("long").as("n_live"),
+            sum(col("record_count")).cast("long").as("data_rows"))
+      }.reduce(_ unionByName _)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "meta_delta_values" ->
+      """SELECT CAST(count(DISTINCT id // 1000) AS BIGINT) AS n_pages,
+        |  CAST(sum(id) AS BIGINT) AS value_sum,
+        |  CAST(count(*) AS BIGINT) AS n_values
+        |FROM read_parquet('/tmp/graft_deltavals_sf0.01/*.parquet')""".stripMargin,
+
+
+    "meta_lake_census" ->
+      """SELECT 'parquet' AS format, CAST(1 AS BIGINT) AS n_files,
+        |  CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS total_rows
+        |FROM documents
+        |UNION ALL
+        |SELECT 'orc', CAST(1 AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE doc_id % 3 = 1) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'avro', CAST(1 AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE doc_id % 3 = 2) AS BIGINT)
+        |FROM documents""".stripMargin,
+
+
+    "meta_delta_snapshot" ->
+      """SELECT version, kind, n_add, n_remove, operation, op_timestamp FROM (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    'commit' AS kind,
+        |    CAST(count(add) AS BIGINT) AS n_add,
+        |    CAST(count(remove) AS BIGINT) AS n_remove,
+        |    max(commitInfo.operation) AS operation,
+        |    CAST(max(commitInfo.timestamp) AS BIGINT) AS op_timestamp
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  GROUP BY 1
+        |  UNION ALL
+        |  SELECT 2, 'checkpoint',
+        |    (SELECT CAST(count(add) AS BIGINT) FROM
+        |      read_parquet('/tmp/graft_delta_sf0.01/_delta_log/*.checkpoint.parquet')),
+        |    (SELECT CAST(count(remove) AS BIGINT) FROM
+        |      read_parquet('/tmp/graft_delta_sf0.01/_delta_log/*.checkpoint.parquet')),
+        |    NULL, NULL
+        |)""".stripMargin,
+
+
+    "meta_delta_live" ->
+      """WITH tail AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    add.path AS apath, remove.path AS rpath, add.stats AS stats
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |    AS BIGINT) > 2
+        |),
+        |ckpt AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, add.path AS apath,
+        |    remove.path AS rpath, add.stats AS stats
+        |  FROM read_parquet('/tmp/graft_delta_sf0.01/_delta_log/*.checkpoint.parquet')
+        |  WHERE add.path IS NOT NULL OR remove.path IS NOT NULL
+        |),
+        |actions AS (
+        |  SELECT coalesce(apath, rpath) AS path, version,
+        |    apath IS NOT NULL AS is_add, stats
+        |  FROM (SELECT * FROM tail UNION ALL SELECT * FROM ckpt)
+        |),
+        |latest AS (
+        |  SELECT path, arg_max(is_add, version) AS live,
+        |    arg_max(stats, version) AS stats
+        |  FROM actions GROUP BY path
+        |),
+        |live AS (
+        |  SELECT path, CAST(json_extract(stats, '$.numRecords') AS BIGINT) AS nrec
+        |  FROM latest WHERE live
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(sum(nrec) AS BIGINT) AS live_rows,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT)
+        |    FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/*.parquet') m
+        |    JOIN live l ON parse_filename(m.file_name) = l.path) AS footer_rows,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |    FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/*.parquet') m
+        |    WHERE parse_filename(m.file_name) NOT IN (SELECT path FROM live)) AS n_dead,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT)
+        |    FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/*.parquet') m
+        |    WHERE parse_filename(m.file_name) NOT IN (SELECT path FROM live)) AS dead_rows
+        |FROM live""".stripMargin,
+
+
+    "meta_table_census" ->
+      """WITH tail AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    add.path AS apath, remove.path AS rpath, add.stats AS stats,
+        |    add.deletionVector.cardinality AS dv_card
+        |  FROM read_json_auto('/tmp/graft_deltadv_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    arg_max({'is_add': apath IS NOT NULL, 'stats': stats,
+        |      'dv': coalesce(CAST(dv_card AS BIGINT), 0)},
+        |      version * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS w
+        |  FROM tail GROUP BY coalesce(apath, rpath)
+        |),
+        |dlive AS (
+        |  SELECT path,
+        |    CAST(json_extract(w.stats, '$.numRecords') AS BIGINT) AS nrec,
+        |    w.dv AS dv
+        |  FROM latest WHERE w.is_add
+        |),
+        |ddisk AS (
+        |  SELECT parse_filename(file_name) AS name, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_deltadv_sf0.01/*.parquet')
+        |),
+        |idisk AS (
+        |  SELECT parse_filename(file_name) AS name, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_iceberg_sf0.01/data/*.parquet')
+        |)
+        |SELECT 'delta' AS format,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM dlive) AS n_live,
+        |  (SELECT CAST(sum(nrec) - sum(dv) AS BIGINT) FROM dlive) AS live_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ddisk) AS n_disk,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM ddisk) AS disk_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ddisk
+        |    WHERE name NOT IN (SELECT path FROM dlive)) AS n_dead,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM ddisk
+        |    WHERE name NOT IN (SELECT path FROM dlive)) AS dead_rows
+        |UNION ALL
+        |SELECT 'iceberg',
+        |  CAST(6 AS BIGINT),
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM idisk
+        |    WHERE name LIKE 'f%' AND name <> 'f5.parquet')
+        |    - (SELECT CAST(num_rows AS BIGINT) FROM idisk
+        |       WHERE name = 'del0.parquet'),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM idisk),
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM idisk),
+        |  CAST(1 AS BIGINT),
+        |  (SELECT CAST(num_rows AS BIGINT) FROM idisk
+        |    WHERE name = 'f5.parquet')""".stripMargin,
+
+
+    "meta_delta_partition_prune" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |    FROM read_json_auto('/tmp/graft_deltapart_sf0.01/_delta_log/*.json',
+        |      format='newline_delimited', union_by_name=true)
+        |    WHERE add.path IS NOT NULL) AS n_files,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |    FROM read_json_auto('/tmp/graft_deltapart_sf0.01/_delta_log/*.json',
+        |      format='newline_delimited', union_by_name=true)
+        |    WHERE add.partitionValues.lang = 'zh') AS n_pruned,
+        |  (SELECT CAST(sum(CAST(json_extract(add.stats, '$.numRecords')
+        |      AS BIGINT)) AS BIGINT)
+        |    FROM read_json_auto('/tmp/graft_deltapart_sf0.01/_delta_log/*.json',
+        |      format='newline_delimited', union_by_name=true)
+        |    WHERE add.partitionValues.lang = 'zh') AS pruned_rows,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT)
+        |    FROM parquet_file_metadata(
+        |      '/tmp/graft_deltapart_sf0.01/lang=zh/*.parquet')) AS footer_rows""".stripMargin,
+
+
+    "meta_delta_time_travel" ->
+      """WITH acts AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS cv,
+        |    add.path AS apath, remove.path AS rpath, add.stats AS stats
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |cis AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v,
+        |    max(CAST(commitInfo.timestamp AS BIGINT)) AS ts
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE commitInfo.timestamp IS NOT NULL GROUP BY 1
+        |),
+        |probes AS (SELECT unnest([500, 2500, 99999]) AS off),
+        |resolved AS (
+        |  SELECT p.off AS off, max(c.v) AS v
+        |  FROM probes p JOIN cis c ON c.ts <= 1700000000000 + p.off
+        |  GROUP BY p.off
+        |),
+        |latest AS (
+        |  SELECT r.off AS off, r.v AS v, coalesce(apath, rpath) AS path,
+        |    arg_max(apath IS NOT NULL,
+        |      cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS live,
+        |    arg_max(stats, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS stats
+        |  FROM resolved r JOIN acts a ON a.cv <= r.v
+        |  GROUP BY r.off, r.v, coalesce(apath, rpath)
+        |)
+        |SELECT CAST(off AS BIGINT) AS probe_off, CAST(v AS BIGINT) AS version,
+        |  CAST(count(*) FILTER (WHERE live) AS BIGINT) AS n_live,
+        |  CAST(sum(CAST(json_extract(stats, '$.numRecords') AS BIGINT))
+        |    FILTER (WHERE live) AS BIGINT) AS live_rows
+        |FROM latest GROUP BY off, v""".stripMargin,
+
+
+    "meta_delta_travel" ->
+      """WITH acts AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS cv,
+        |    add.path AS apath, remove.path AS rpath, add.stats AS stats
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |vs AS (SELECT unnest([0, 1, 2, 3, 4]) AS v),
+        |latest AS (
+        |  SELECT vs.v AS v, coalesce(apath, rpath) AS path,
+        |    arg_max(apath IS NOT NULL,
+        |      cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS live,
+        |    arg_max(stats, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS stats
+        |  FROM vs JOIN acts ON acts.cv <= vs.v
+        |  GROUP BY vs.v, coalesce(apath, rpath)
+        |)
+        |SELECT CAST(v AS BIGINT) AS version,
+        |  CAST(count(*) FILTER (WHERE live) AS BIGINT) AS n_live,
+        |  CAST(sum(CAST(json_extract(stats, '$.numRecords') AS BIGINT))
+        |    FILTER (WHERE live) AS BIGINT) AS live_rows
+        |FROM latest GROUP BY v""".stripMargin,
+
+
+    "meta_delta_v2ckpt" ->
+      """WITH acts AS (
+        |  SELECT CAST(2 AS BIGINT) AS cv, add.path AS apath,
+        |    remove.path AS rpath, add.stats AS stats
+        |  FROM read_parquet(
+        |    '/tmp/graft_deltav2_sf0.01/_delta_log/_sidecars/*.parquet',
+        |    union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS cv,
+        |    add.path, remove.path, add.stats
+        |  FROM read_json_auto('/tmp/graft_deltav2_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    arg_max(apath IS NOT NULL,
+        |      cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS live,
+        |    arg_max(cv, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS v,
+        |    arg_max(stats, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS stats
+        |  FROM acts GROUP BY 1
+        |)
+        |SELECT path, CAST(v AS BIGINT) AS version,
+        |  CAST(json_extract(stats, '$.numRecords') AS BIGINT) AS num_records
+        |FROM latest WHERE live""".stripMargin,
+
+
+    "meta_delta_v2ckpt_json" ->
+      """WITH acts AS (
+        |  SELECT CAST(2 AS BIGINT) AS cv, add.path AS apath,
+        |    remove.path AS rpath, add.stats AS stats
+        |  FROM read_parquet(
+        |    '/tmp/graft_deltav2j_sf0.01/_delta_log/_sidecars/*.parquet',
+        |    union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |  UNION ALL
+        |  -- the glob also reads the JSON MANIFEST (its lines carry no
+        |  -- file actions and fall out below), whose extra action kinds
+        |  -- make union_by_name demote some structs to JSON — extract
+        |  -- through to_json(...)->> so both typings read identically
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS cv,
+        |    to_json(add)->>'$.path', to_json(remove)->>'$.path',
+        |    to_json(add)->>'$.stats'
+        |  FROM read_json_auto('/tmp/graft_deltav2j_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(to_json(add)->>'$.path',
+        |    to_json(remove)->>'$.path') IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    arg_max(apath IS NOT NULL,
+        |      cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS live,
+        |    arg_max(cv, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS v,
+        |    arg_max(stats, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS stats
+        |  FROM acts GROUP BY 1
+        |)
+        |SELECT path, CAST(v AS BIGINT) AS version,
+        |  CAST(json_extract(stats, '$.numRecords') AS BIGINT) AS num_records
+        |FROM latest WHERE live""".stripMargin,
+
+
+    "meta_delta_crc_audit" ->
+      """WITH crc AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    CAST(numFiles AS BIGINT) AS declared_files,
+        |    CAST(tableSizeBytes AS BIGINT) AS declared_bytes
+        |  FROM read_json_auto('/tmp/graft_deltacrc_sf0.01/_delta_log/*.crc',
+        |    filename=true)
+        |),
+        |acts AS (
+        |  SELECT coalesce(add.path, remove.path) AS path,
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v,
+        |    add.path IS NOT NULL AS is_add,
+        |    CAST(add.size AS BIGINT) AS sz
+        |  FROM read_json_auto('/tmp/graft_deltacrc_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |per AS (
+        |  SELECT c.version, a.path,
+        |    arg_max(a.is_add, a.v * 2 + CAST(a.is_add AS BIGINT)) AS live,
+        |    arg_max(a.sz, a.v * 2 + CAST(a.is_add AS BIGINT)) AS sz
+        |  FROM crc c JOIN acts a ON a.v <= c.version
+        |  GROUP BY 1, 2
+        |),
+        |actuals AS (
+        |  SELECT version,
+        |    CAST(count(*) FILTER (WHERE live) AS BIGINT) AS actual_files,
+        |    CAST(sum(sz) FILTER (WHERE live) AS BIGINT) AS actual_bytes
+        |  FROM per GROUP BY 1
+        |)
+        |SELECT c.version, c.declared_files, c.declared_bytes,
+        |  a.actual_files, a.actual_bytes,
+        |  c.declared_files = a.actual_files AS files_match,
+        |  c.declared_bytes = a.actual_bytes AS bytes_match
+        |FROM crc c JOIN actuals a USING (version)""".stripMargin,
+
+
+    "meta_delta_multickpt" ->
+      """WITH acts AS (
+        |  SELECT CAST(2 AS BIGINT) AS cv, add.path AS apath,
+        |    remove.path AS rpath, add.stats AS stats
+        |  FROM read_parquet(
+        |    '/tmp/graft_deltamp_sf0.01/_delta_log/*.checkpoint.*.parquet',
+        |    union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS cv,
+        |    add.path, remove.path, add.stats
+        |  FROM read_json_auto('/tmp/graft_deltamp_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    arg_max(apath IS NOT NULL,
+        |      cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS live,
+        |    arg_max(cv, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS v,
+        |    arg_max(stats, cv * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS stats
+        |  FROM acts GROUP BY 1
+        |)
+        |SELECT path, CAST(v AS BIGINT) AS version,
+        |  CAST(json_extract(stats, '$.numRecords') AS BIGINT) AS num_records
+        |FROM latest WHERE live""".stripMargin,
+
+
+    "meta_delta_dv_rows" ->
+      """WITH f0 AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        |  FROM read_parquet('/tmp/graft_deltadvb_sf0.01/f0.parquet')
+        |),
+        |f1 AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        |  FROM read_parquet('/tmp/graft_deltadvb_sf0.01/f1.parquet')
+        |)
+        |SELECT 'f0.parquet' AS path, CAST(3 AS BIGINT) AS n_deleted,
+        |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM f0
+        |    WHERE pos IN (1, 3, 5)) AS deleted_docid_sum
+        |UNION ALL
+        |SELECT 'f1.parquet', CAST(2 AS BIGINT),
+        |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM f1
+        |    WHERE pos IN (0, 2))""".stripMargin,
+
+
+    "meta_delta_colmap" ->
+      """WITH metas AS (
+        |  SELECT CAST(metaData->>'$.schemaString' AS VARCHAR) AS ss,
+        |    CAST(metaData->'$.partitionColumns' AS VARCHAR[]) AS pcols,
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v
+        |  FROM read_json_auto('/tmp/graft_deltacm_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE metaData->>'$.id' IS NOT NULL
+        |),
+        |latest AS (SELECT arg_max(ss, v) AS ss, arg_max(pcols, v) AS pcols
+        |  FROM metas),
+        |nonpart AS (
+        |  SELECT f->>'$.name' AS logical,
+        |    f->>'$.metadata."delta.columnMapping.physicalName"' AS phys
+        |  FROM (SELECT unnest(CAST(ss->'$.fields' AS JSON[])) AS f
+        |    FROM latest)
+        |  WHERE NOT list_contains((SELECT pcols FROM latest), f->>'$.name')
+        |),
+        |live AS (
+        |  SELECT add.path AS p
+        |  FROM read_json_auto('/tmp/graft_deltacm_sf0.01/_delta_log/*.json',
+        |    format='newline_delimited', union_by_name=true)
+        |  WHERE add.path IS NOT NULL
+        |),
+        |cols AS (
+        |  SELECT parse_filename(file_name) AS f, list(DISTINCT name) AS present
+        |  FROM parquet_schema('/tmp/graft_deltacm_sf0.01/*.parquet')
+        |  WHERE num_children IS NULL OR num_children = 0
+        |  GROUP BY 1
+        |)
+        |SELECT l.p AS path,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM nonpart) AS n_declared,
+        |  CAST(len(c.present) AS INTEGER) AS n_present,
+        |  array_to_string(list_sort(list(n.logical)
+        |    FILTER (WHERE NOT list_contains(c.present, n.phys))), ',')
+        |    AS missing_csv
+        |FROM live l JOIN cols c ON c.f = l.p, nonpart n
+        |GROUP BY l.p, c.present""".stripMargin,
+
+
+    "meta_delta_colmap_id" ->
+      """WITH metas AS (
+        |  SELECT CAST(metaData->>'$.schemaString' AS VARCHAR) AS ss,
+        |    CAST(metaData->'$.partitionColumns' AS VARCHAR[]) AS pcols,
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v
+        |  FROM read_json_auto('/tmp/graft_deltacmid_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE metaData->>'$.id' IS NOT NULL
+        |),
+        |latest AS (SELECT arg_max(ss, v) AS ss, arg_max(pcols, v) AS pcols
+        |  FROM metas),
+        |nonpart AS (
+        |  SELECT f->>'$.name' AS logical,
+        |    CAST(f->'$.metadata."delta.columnMapping.id"' AS BIGINT) AS fid
+        |  FROM (SELECT unnest(CAST(ss->'$.fields' AS JSON[])) AS f
+        |    FROM latest)
+        |  WHERE NOT list_contains((SELECT pcols FROM latest), f->>'$.name')
+        |),
+        |live AS (
+        |  SELECT add.path AS p
+        |  FROM read_json_auto('/tmp/graft_deltacmid_sf0.01/_delta_log/*.json',
+        |    format='newline_delimited', union_by_name=true)
+        |  WHERE add.path IS NOT NULL
+        |),
+        |cols AS (
+        |  SELECT parse_filename(file_name) AS f,
+        |    list(DISTINCT field_id) FILTER (WHERE field_id IS NOT NULL)
+        |      AS present_ids
+        |  FROM parquet_schema('/tmp/graft_deltacmid_sf0.01/*.parquet')
+        |  WHERE num_children IS NULL OR num_children = 0
+        |  GROUP BY 1
+        |)
+        |SELECT l.p AS path,
+        |  (SELECT CAST(count(*) AS INTEGER) FROM nonpart) AS n_declared,
+        |  CAST(len(c.present_ids) AS INTEGER) AS n_present,
+        |  array_to_string(list_sort(list(n.logical)
+        |    FILTER (WHERE NOT list_contains(c.present_ids, n.fid))), ',')
+        |    AS missing_csv
+        |FROM live l JOIN cols c ON c.f = l.p, nonpart n
+        |GROUP BY l.p, c.present_ids""".stripMargin,
+
+
+    "meta_delta_colmap_prune" ->
+      """WITH metas AS (
+        |  SELECT CAST(metaData->>'$.schemaString' AS VARCHAR) AS ss,
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v
+        |  FROM read_json_auto('/tmp/graft_deltacm_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE metaData->>'$.id' IS NOT NULL
+        |),
+        |latest AS (SELECT arg_max(ss, v) AS ss FROM metas),
+        |phys AS (
+        |  SELECT f->>'$.metadata."delta.columnMapping.physicalName"' AS p
+        |  FROM (SELECT unnest(CAST(ss->'$.fields' AS JSON[])) AS f
+        |    FROM latest)
+        |  WHERE f->>'$.name' = 'lang'
+        |),
+        |adds AS (
+        |  SELECT json_extract_string(to_json(add.partitionValues),
+        |      '$.' || (SELECT p FROM phys)) AS lang,
+        |    CAST(json_extract(add.stats, '$.numRecords') AS BIGINT) AS nr
+        |  FROM read_json_auto('/tmp/graft_deltacm_sf0.01/_delta_log/*.json',
+        |    format='newline_delimited', union_by_name=true)
+        |  WHERE add.path IS NOT NULL
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM adds) AS n_files,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM adds WHERE lang = 'zh')
+        |    AS n_pruned,
+        |  (SELECT CAST(sum(nr) AS BIGINT) FROM adds WHERE lang = 'zh')
+        |    AS pruned_rows""".stripMargin,
+
+
+    "meta_iceberg_partition_prune" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_icepart_sf0.01/data/*/*.parquet')) AS n_files,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_icepart_sf0.01/data/lang=zh/*.parquet')) AS n_pruned,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_icepart_sf0.01/data/lang=zh/*.parquet')) AS pruned_rows,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_icepart_sf0.01/data/lang=zh/*.parquet')) AS footer_rows""".stripMargin,
+
+
+    "meta_iceberg_orphans" ->
+      """SELECT 'stray.parquet' AS filename, 'parquet' AS format,
+        |  (SELECT CAST(num_rows AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_iceorph_sf0.01/data/stray.parquet')) AS num_rows
+        |UNION ALL
+        |SELECT 'junk.bin', 'other', NULL""".stripMargin,
+
+
+    "meta_iceberg_schema" ->
+      """SELECT CAST(s."schema-id" AS INTEGER) AS schema_id,
+        |  CAST(len(s.fields) AS INTEGER) AS n_fields,
+        |  array_to_string([f.name FOR f IN s.fields], ',') AS field_names_csv,
+        |  s."schema-id" = cur AS is_current
+        |FROM (
+        |  SELECT unnest(schemas) AS s, "current-schema-id" AS cur
+        |  FROM read_json_auto(
+        |    '/tmp/graft_iceberg_sf0.01/metadata/*.metadata.json')
+        |)""".stripMargin,
+
+
+    "meta_iceberg_conformance" ->
+      """WITH decl AS (
+        |  SELECT [f.name FOR f IN s.fields] AS names
+        |  FROM (
+        |    SELECT unnest(schemas) AS s, "current-schema-id" AS cur
+        |    FROM read_json_auto(
+        |      '/tmp/graft_iceberg_sf0.01/metadata/*.metadata.json')
+        |  )
+        |  WHERE s."schema-id" = cur
+        |),
+        |cols AS (
+        |  SELECT parse_filename(file_name) AS f, list(DISTINCT name) AS present
+        |  FROM parquet_schema('/tmp/graft_iceberg_sf0.01/data/*.parquet')
+        |  WHERE num_children IS NULL OR num_children = 0
+        |  GROUP BY 1
+        |)
+        |SELECT c.f AS path,
+        |  (SELECT CAST(len(names) AS INTEGER) FROM decl) AS n_declared,
+        |  CAST(len(c.present) AS INTEGER) AS n_present,
+        |  array_to_string(list_sort(list_filter((SELECT names FROM decl),
+        |    x -> NOT list_contains(c.present, x))), ',') AS missing_csv
+        |FROM cols c
+        |WHERE c.f IN ('f0.parquet', 'f1.parquet', 'f2.parquet',
+        |  'f3.parquet', 'f4.parquet')""".stripMargin,
+
+
+    "meta_iceberg_delete_rows" ->
+      """WITH del AS (
+        |  SELECT parse_filename(file_path) AS f, pos
+        |  FROM read_parquet('/tmp/graft_iceberg_sf0.01/data/del0.parquet')
+        |),
+        |f0 AS (
+        |  SELECT doc_id, file_row_number AS pos
+        |  FROM read_parquet('/tmp/graft_iceberg_sf0.01/data/f0.parquet',
+        |    file_row_number=true)
+        |)
+        |SELECT 'f0.parquet' AS path,
+        |  CAST(count(*) AS BIGINT) AS n_deleted,
+        |  CAST(sum(f0.doc_id) AS BIGINT) AS deleted_docid_sum
+        |FROM del JOIN f0 USING (pos)
+        |WHERE del.f = 'f0.parquet'""".stripMargin,
+
+
+    "meta_iceberg_eq_rows" ->
+      """WITH data AS (
+        |  SELECT parse_filename(filename) AS file, doc_id, lang
+        |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/f*.parquet',
+        |    filename=true)
+        |),
+        |e0 AS (SELECT DISTINCT doc_id
+        |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/eq0.parquet')),
+        |e1 AS (SELECT DISTINCT doc_id, lang
+        |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/eq1.parquet'))
+        |SELECT d.file, 'doc_id' AS eq_cols,
+        |  coalesce(CAST(d.doc_id AS VARCHAR), 'NULL') AS key_csv
+        |FROM data d JOIN e0 ON d.doc_id IS NOT DISTINCT FROM e0.doc_id
+        |UNION ALL
+        |SELECT d.file, 'doc_id,lang',
+        |  concat(coalesce(CAST(d.doc_id AS VARCHAR), 'NULL'), '|',
+        |    coalesce(d.lang, 'NULL'))
+        |FROM data d JOIN e1 ON d.doc_id IS NOT DISTINCT FROM e1.doc_id
+        |  AND d.lang IS NOT DISTINCT FROM e1.lang""".stripMargin,
+
+
+    "meta_iceberg_dv_rows" ->
+      """WITH f0 AS (
+        |  SELECT doc_id, file_row_number AS pos
+        |  FROM read_parquet('/tmp/graft_icedv_sf0.01/data/f0.parquet',
+        |    file_row_number=true)
+        |),
+        |f1 AS (
+        |  SELECT doc_id, file_row_number AS pos
+        |  FROM read_parquet('/tmp/graft_icedv_sf0.01/data/f1.parquet',
+        |    file_row_number=true)
+        |)
+        |SELECT 'f0.parquet' AS path, CAST(3 AS BIGINT) AS n_deleted,
+        |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM f0
+        |    WHERE pos IN (1, 3, 5)) AS deleted_docid_sum
+        |UNION ALL
+        |SELECT 'f1.parquet', CAST(2 AS BIGINT),
+        |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM f1
+        |    WHERE pos IN (0, 2))""".stripMargin,
+
+
+    "compaction_plan_delta" ->
+      """WITH acts AS (
+        |  SELECT coalesce(add.path, remove.path) AS path,
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v,
+        |    add.path IS NOT NULL AS is_add,
+        |    CAST(add.size AS BIGINT) AS sz
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT path,
+        |    arg_max(is_add, v * 2 + CAST(is_add AS BIGINT)) AS live,
+        |    arg_max(sz, v * 2 + CAST(is_add AS BIGINT)) AS sz
+        |  FROM acts GROUP BY 1
+        |),
+        |t AS (SELECT 3 * min(sz) AS tgt FROM latest WHERE live),
+        |small AS (
+        |  SELECT path, sz FROM latest
+        |  WHERE live AND sz < (SELECT tgt FROM t)
+        |),
+        |g AS (
+        |  SELECT path, sz,
+        |    COALESCE(sum(sz) OVER (ORDER BY path
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM small
+        |)
+        |SELECT '' AS partition_key,
+        |  CAST(floor(bef / (SELECT tgt FROM t)) AS BIGINT) AS group_id,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(sz) AS BIGINT) AS group_bytes,
+        |  min(path) AS first_path, max(path) AS last_path
+        |FROM g GROUP BY 2 HAVING count(*) >= 2""".stripMargin,
+
+
+    "compaction_plan_iceberg" ->
+      """WITH f AS (
+        |  SELECT regexp_extract(filename, 'lang=([^/]+)/', 1) AS lang,
+        |    parse_filename(filename) AS path, CAST(size AS BIGINT) AS sz
+        |  FROM read_blob('/tmp/graft_icepart_sf0.01/data/*/*.parquet')
+        |),
+        |t AS (SELECT 3 * min(sz) AS tgt FROM f),
+        |small AS (SELECT * FROM f WHERE sz < (SELECT tgt FROM t)),
+        |g AS (
+        |  SELECT lang, path, sz,
+        |    COALESCE(sum(sz) OVER (PARTITION BY lang ORDER BY path
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM small
+        |)
+        |SELECT 'lang=' || lang AS partition_key,
+        |  CAST(floor(bef / (SELECT tgt FROM t)) AS BIGINT) AS group_id,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(sz) AS BIGINT) AS group_bytes,
+        |  min(path) AS first_path, max(path) AS last_path
+        |FROM g GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+
+    "meta_delta_stats_prune" ->
+      """SELECT add.path AS path,
+        |  CAST(json_extract(add.stats, '$.numRecords') AS BIGINT)
+        |    AS num_records,
+        |  CAST(json_extract(add.stats, '$.minValues.doc_id') AS BIGINT)
+        |    AS min_value,
+        |  CAST(json_extract(add.stats, '$.maxValues.doc_id') AS BIGINT)
+        |    AS max_value,
+        |  json_extract(add.stats, '$.minValues.doc_id') IS NOT NULL AND
+        |    json_extract(add.stats, '$.maxValues.doc_id') IS NOT NULL
+        |    AS has_bounds,
+        |  (json_extract(add.stats, '$.minValues.doc_id') IS NULL OR
+        |   json_extract(add.stats, '$.maxValues.doc_id') IS NULL) OR NOT
+        |    (CAST(json_extract(add.stats, '$.maxValues.doc_id') AS BIGINT)
+        |       < 100 OR
+        |     CAST(json_extract(add.stats, '$.minValues.doc_id') AS BIGINT)
+        |       > 299) AS selected
+        |FROM read_json_auto('/tmp/graft_deltasp_sf0.01/_delta_log/*.json',
+        |  format='newline_delimited', union_by_name=true)
+        |WHERE add.path IS NOT NULL""".stripMargin,
+
+
+    "meta_delta_ict" ->
+      """WITH acts AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v,
+        |    add.path AS apath,
+        |    CAST(json_extract(add.stats, '$.numRecords') AS BIGINT) AS nr,
+        |    COALESCE(CAST(commitInfo.inCommitTimestamp AS BIGINT),
+        |      CAST(commitInfo.timestamp AS BIGINT)) AS cts
+        |  FROM read_json_auto('/tmp/graft_deltaict_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |),
+        |vts AS (
+        |  SELECT v, max(cts) AS ts FROM acts WHERE cts IS NOT NULL GROUP BY 1
+        |),
+        |probes AS (SELECT unnest([5000, 15000, 99999]) AS off),
+        |resolved AS (
+        |  SELECT p.off AS probe_off, max(t.v) AS version
+        |  FROM probes p JOIN vts t ON t.ts <= 1700000000000 + p.off
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(r.probe_off AS BIGINT) AS probe_off,
+        |  CAST(r.version AS BIGINT) AS version,
+        |  CAST(count(a.apath) AS BIGINT) AS n_live,
+        |  CAST(sum(a.nr) AS BIGINT) AS live_rows
+        |FROM resolved r JOIN acts a ON a.apath IS NOT NULL
+        |  AND a.v <= r.version
+        |GROUP BY 1, 2""".stripMargin,
+
+
+    "meta_delta_domains" ->
+      """WITH dm AS (
+        |  SELECT domainMetadata.domain AS domain,
+        |    domainMetadata.configuration AS configuration,
+        |    domainMetadata.removed AS removed,
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS v
+        |  FROM read_json_auto('/tmp/graft_deltadm_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE domainMetadata.domain IS NOT NULL
+        |)
+        |SELECT domain, arg_max(configuration, v) AS configuration,
+        |  arg_max(removed, v) AS removed,
+        |  CAST(max(v) AS BIGINT) AS version
+        |FROM dm GROUP BY 1""".stripMargin,
+
+
+    "meta_iceberg_summary_audit" ->
+      """WITH decl AS (
+        |  SELECT CAST(s."snapshot-id" AS BIGINT) AS snapshot_id,
+        |    CAST(s.summary."added-data-files" AS BIGINT)
+        |      AS declared_added_files,
+        |    CAST(s.summary."added-records" AS BIGINT)
+        |      AS declared_added_records
+        |  FROM (SELECT unnest(snapshots) AS s FROM read_json_auto(
+        |    '/tmp/graft_icesum_sf0.01/metadata/*.metadata.json'))
+        |),
+        |fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_icesum_sf0.01/data/*.parquet')
+        |),
+        |actual AS (
+        |  SELECT CAST(1 AS BIGINT) AS snapshot_id,
+        |    CAST(3 AS BIGINT) AS actual_added_files,
+        |    (SELECT sum(nr) FROM fm WHERE name IN
+        |      ('f0.parquet', 'f1.parquet', 'f2.parquet'))
+        |      AS actual_added_records
+        |  UNION ALL
+        |  SELECT 2, 2,
+        |    (SELECT sum(nr) FROM fm WHERE name IN
+        |      ('f3.parquet', 'f4.parquet'))
+        |)
+        |SELECT d.snapshot_id, d.declared_added_files,
+        |  d.declared_added_records, a.actual_added_files,
+        |  a.actual_added_records,
+        |  d.declared_added_files = a.actual_added_files AS files_match,
+        |  d.declared_added_records = a.actual_added_records
+        |    AS records_match
+        |FROM decl d JOIN actual a USING (snapshot_id)""".stripMargin,
+
+
+    "meta_iceberg_ndv_audit" ->
+      """WITH decl AS (
+        |  SELECT unnest(s."blob-metadata") AS b,
+        |    CAST(s."snapshot-id" AS BIGINT) AS sid
+        |  FROM (SELECT unnest(statistics) AS s FROM read_json_auto(
+        |    '/tmp/graft_icendv_sf0.01/metadata/*.metadata.json'))
+        |),
+        |data AS (
+        |  SELECT doc_id, lang
+        |  FROM read_parquet('/tmp/graft_icendv_sf0.01/data/f[0-4].parquet')
+        |)
+        |SELECT 'ndv-2.puffin' AS filename, d.sid AS stats_snapshot_id,
+        |  CASE WHEN d.b.fields = [2] THEN 'lang' ELSE 'doc_id' END
+        |    AS fields_csv,
+        |  CAST(d.b.properties.ndv AS BIGINT) AS declared_ndv,
+        |  CAST(CASE WHEN d.b.fields = [2]
+        |    THEN (SELECT count(DISTINCT lang) FROM data)
+        |    ELSE (SELECT count(DISTINCT doc_id) FROM data) END AS BIGINT)
+        |    AS sketch_ndv,
+        |  CAST(d.b.properties.ndv AS BIGINT) =
+        |    CASE WHEN d.b.fields = [2]
+        |      THEN (SELECT count(DISTINCT lang) FROM data)
+        |      ELSE (SELECT count(DISTINCT doc_id) FROM data) END
+        |    AS ndv_match
+        |FROM decl d""".stripMargin,
+
+
+    "meta_iceberg_metadata_log" ->
+      """WITH ml AS (
+        |  SELECT parse_filename(e."metadata-file") AS filename,
+        |    CAST(e."timestamp-ms" AS BIGINT) AS timestamp_ms
+        |  FROM (
+        |    SELECT unnest("metadata-log") AS e
+        |    FROM read_json_auto(
+        |      '/tmp/graft_icemlog_sf0.01/metadata/v2.metadata.json')
+        |  )
+        |),
+        |disk AS (
+        |  SELECT parse_filename(file) AS f
+        |  FROM glob('/tmp/graft_icemlog_sf0.01/metadata/*')
+        |)
+        |SELECT ml.filename, ml.timestamp_ms,
+        |  EXISTS (SELECT 1 FROM disk WHERE disk.f = ml.filename) AS "exists"
+        |FROM ml""".stripMargin,
+
+
+    "meta_delta_last_ckpt" ->
+      """WITH ptr AS (
+        |  SELECT CAST(version AS BIGINT) AS dv
+        |  FROM read_json_auto(
+        |    '/tmp/graft_delta_sf0.01/_delta_log/_last_checkpoint')
+        |),
+        |names AS (
+        |  SELECT parse_filename(file) AS f
+        |  FROM glob('/tmp/graft_delta_sf0.01/_delta_log/*')
+        |),
+        |cks AS (
+        |  SELECT CAST(regexp_extract(f, '^0*(\d+)', 1) AS BIGINT) AS v
+        |  FROM names
+        |  WHERE regexp_matches(f, '^\d{20}\.checkpoint(\..+)?\.parquet$')
+        |),
+        |commits AS (
+        |  SELECT CAST(regexp_extract(f, '^0*(\d+)', 1) AS BIGINT) AS v
+        |  FROM names WHERE regexp_matches(f, '^\d{20}\.json$')
+        |)
+        |SELECT p.dv AS declared_version,
+        |  CAST(NULL AS BIGINT) AS declared_parts,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cks WHERE v = p.dv)
+        |    AS parts_found,
+        |  (SELECT count(*) FROM cks WHERE v = p.dv) > 0
+        |    AS checkpoint_complete,
+        |  COALESCE((SELECT max(v) FROM cks), -1) > p.dv
+        |    AS newer_checkpoint_exists,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM commits WHERE v > p.dv)
+        |    AS commits_after
+        |FROM ptr p""".stripMargin,
+
+
+    "meta_iceberg_refs" ->
+      """WITH m AS (
+        |  SELECT refs, "current-snapshot-id" AS cur, snapshots
+        |  FROM read_json_auto(
+        |    '/tmp/graft_icerefs_sf0.01/metadata/*.metadata.json')
+        |),
+        |r AS (
+        |  SELECT k AS ref_name,
+        |    json_extract_string(j, '$.' || k || '.type') AS ref_type,
+        |    CAST(json_extract(j, '$.' || k || '."snapshot-id"') AS BIGINT)
+        |      AS snapshot_id,
+        |    cur
+        |  FROM (
+        |    SELECT unnest(json_keys(to_json(refs))) AS k,
+        |      to_json(refs) AS j, cur
+        |    FROM m
+        |  )
+        |),
+        |ids AS (
+        |  SELECT CAST(s."snapshot-id" AS BIGINT) AS id
+        |  FROM (SELECT unnest(snapshots) AS s FROM m)
+        |)
+        |SELECT ref_name, ref_type, snapshot_id,
+        |  snapshot_id IN (SELECT id FROM ids) AS resolves,
+        |  snapshot_id = cur AS is_current
+        |FROM r""".stripMargin,
+
+
+    "meta_iceberg_partition_stats" ->
+      """WITH decl AS (
+        |  SELECT 'lang=' || "partition".lang AS partition_key,
+        |    CAST(data_file_count AS BIGINT) AS declared_files,
+        |    CAST(data_record_count AS BIGINT) AS declared_rows,
+        |    CAST(total_data_file_size_in_bytes AS BIGINT) AS declared_bytes
+        |  FROM read_parquet(
+        |    '/tmp/graft_icepstats_sf0.01/metadata/partition-stats-1.parquet')
+        |),
+        |rowsfc AS (
+        |  SELECT regexp_extract(file_name, 'lang=([^/]+)/', 1) AS lang,
+        |    CAST(count(*) AS BIGINT) AS actual_files,
+        |    CAST(sum(num_rows) AS BIGINT) AS actual_rows
+        |  FROM parquet_file_metadata(
+        |    '/tmp/graft_icepstats_sf0.01/data/*/*.parquet')
+        |  GROUP BY 1
+        |),
+        |bytes AS (
+        |  SELECT regexp_extract(filename, 'lang=([^/]+)/', 1) AS lang,
+        |    CAST(sum(size) AS BIGINT) AS actual_bytes
+        |  FROM read_blob('/tmp/graft_icepstats_sf0.01/data/*/*.parquet')
+        |  GROUP BY 1
+        |)
+        |SELECT d.partition_key,
+        |  d.declared_files, d.declared_rows, d.declared_bytes,
+        |  r.actual_files, r.actual_rows, b.actual_bytes,
+        |  d.declared_files = r.actual_files AS files_match,
+        |  d.declared_rows = r.actual_rows AS rows_match,
+        |  d.declared_bytes = b.actual_bytes AS bytes_match
+        |FROM decl d
+        |JOIN rowsfc r ON 'lang=' || r.lang = d.partition_key
+        |JOIN bytes b ON b.lang = r.lang""".stripMargin,
+
+
+    "meta_iceberg_puffin_stats" ->
+      """WITH raw AS (
+        |  SELECT hex(content) AS h, octet_length(content) AS n,
+        |    parse_filename(filename) AS f
+        |  FROM read_blob('/tmp/graft_icestats_sf0.01/metadata/*.puffin')
+        |),
+        |sz AS (
+        |  SELECT f, h, n,
+        |    (strpos('0123456789ABCDEF', substr(h,(n-12)*2+1,1))-1)*16
+        |      + strpos('0123456789ABCDEF', substr(h,(n-12)*2+2,1))-1
+        |    + ((strpos('0123456789ABCDEF', substr(h,(n-11)*2+1,1))-1)*16
+        |      + strpos('0123456789ABCDEF', substr(h,(n-11)*2+2,1))-1) * 256
+        |    + ((strpos('0123456789ABCDEF', substr(h,(n-10)*2+1,1))-1)*16
+        |      + strpos('0123456789ABCDEF', substr(h,(n-10)*2+2,1))-1) * 65536
+        |    + ((strpos('0123456789ABCDEF', substr(h,(n-9)*2+1,1))-1)*16
+        |      + strpos('0123456789ABCDEF', substr(h,(n-9)*2+2,1))-1) * 16777216
+        |      AS psize
+        |  FROM raw
+        |),
+        |payload AS (
+        |  SELECT f,
+        |    decode(unhex(substr(h, (n-12-psize)*2+1, psize*2))) AS js
+        |  FROM sz
+        |),
+        |actual AS (
+        |  SELECT f,
+        |    CAST(unnest(range(len(CAST(js->'$.blobs' AS JSON[]))))
+        |      AS INTEGER) AS blob_idx,
+        |    unnest(CAST(js->'$.blobs' AS JSON[])) AS b
+        |  FROM payload
+        |),
+        |decl AS (
+        |  SELECT parse_filename(s."statistics-path") AS f,
+        |    CAST(s."snapshot-id" AS BIGINT) AS stats_snapshot_id,
+        |    s."blob-metadata" AS bm
+        |  FROM (SELECT unnest(statistics) AS s FROM read_json_auto(
+        |    '/tmp/graft_icestats_sf0.01/metadata/*.metadata.json'))
+        |)
+        |SELECT a.f AS filename, d.stats_snapshot_id, a.blob_idx,
+        |  a.b->>'$.type' AS blob_type,
+        |  CAST(a.b->'$."snapshot-id"' AS BIGINT) AS blob_snapshot_id,
+        |  CAST(a.b->'$."sequence-number"' AS BIGINT) AS sequence_number,
+        |  CAST(a.b->'$.offset' AS BIGINT) AS "offset",
+        |  CAST(a.b->'$.length' AS BIGINT) AS "length",
+        |  d.bm[a.blob_idx+1]."type" AS declared_type,
+        |  COALESCE(d.bm[a.blob_idx+1]."type" = (a.b->>'$.type') AND
+        |    CAST(d.bm[a.blob_idx+1]."snapshot-id" AS BIGINT) =
+        |      CAST(a.b->'$."snapshot-id"' AS BIGINT), false)
+        |    AS declared_match
+        |FROM actual a JOIN decl d USING (f)""".stripMargin,
+
+
+    "stream_iceberg_live" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_icestream_sf0.01/data/*.parquet')
+        |)
+        |SELECT CAST(5 AS BIGINT) AS n_live,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |    WHERE name LIKE 'f%' AND name <> 'f5.parquet') AS live_rows,
+        |  CAST(7 AS BIGINT) AS n_entries,
+        |  (SELECT CAST(num_rows AS BIGINT) FROM fm
+        |    WHERE name = 'del0.parquet') AS deleted_positions""".stripMargin,
+
+
+    "meta_iceberg_time_travel" ->
+      """WITH snaps AS (
+        |  SELECT CAST(s."snapshot-id" AS BIGINT) AS id,
+        |    CAST(s."timestamp-ms" AS BIGINT) AS ts
+        |  FROM (SELECT unnest(snapshots) AS s FROM read_json_auto(
+        |    '/tmp/graft_iceberg_sf0.01/metadata/*.metadata.json'))
+        |),
+        |probes AS (SELECT unnest([500, 99999]) AS off),
+        |resolved AS (
+        |  SELECT p.off AS off, arg_max(id, ts) AS id
+        |  FROM probes p JOIN snaps s ON s.ts <= 1700000000000 + p.off
+        |  GROUP BY p.off
+        |),
+        |fm AS (
+        |  SELECT parse_filename(file_name) AS name, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_iceberg_sf0.01/data/*.parquet')
+        |)
+        |SELECT CAST(off AS BIGINT) AS probe_off, id AS snapshot_id,
+        |  CAST(CASE WHEN id = 1 THEN 3 ELSE 5 END AS BIGINT) AS n_live,
+        |  CASE WHEN id = 1 THEN (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |      WHERE name IN ('f0.parquet', 'f1.parquet', 'f2.parquet'))
+        |    ELSE (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |      WHERE name LIKE 'f%' AND name <> 'f5.parquet') END AS data_rows
+        |FROM resolved""".stripMargin,
+
+
+    "meta_iceberg_travel" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_iceberg_sf0.01/data/*.parquet')
+        |)
+        |SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(3 AS BIGINT) AS n_live,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |    WHERE name IN ('f0.parquet', 'f1.parquet', 'f2.parquet'))
+        |    AS data_rows
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(5 AS BIGINT),
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |    WHERE name LIKE 'f%' AND name <> 'f5.parquet')""".stripMargin,
+
+
+"stream_delta_live" ->
+      """WITH tail AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    add.path AS apath, remove.path AS rpath, add.stats AS stats,
+        |    add.deletionVector.cardinality AS dv_card
+        |  FROM read_json_auto('/tmp/graft_deltastream_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |    AS BIGINT) > 2
+        |),
+        |ckpt AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, add.path AS apath,
+        |    remove.path AS rpath, add.stats AS stats, NULL AS dv_card
+        |  FROM read_parquet('/tmp/graft_deltastream_sf0.01/_delta_log/*.checkpoint.parquet')
+        |  WHERE add.path IS NOT NULL OR remove.path IS NOT NULL
+        |),
+        |actions AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    version * 2 + CAST(apath IS NOT NULL AS BIGINT) AS rank,
+        |    apath IS NOT NULL AS is_add, stats, dv_card
+        |  FROM (SELECT * FROM tail UNION ALL SELECT * FROM ckpt)
+        |),
+        |latest AS (
+        |  SELECT path,
+        |    arg_max({'is_add': is_add, 'stats': stats,
+        |      'dv': coalesce(CAST(dv_card AS BIGINT), 0)}, rank) AS w
+        |  FROM actions GROUP BY path
+        |),
+        |live AS (
+        |  SELECT path,
+        |    CAST(json_extract(w.stats, '$.numRecords') AS BIGINT) AS nrec,
+        |    w.dv AS dv
+        |  FROM latest WHERE w.is_add
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(sum(nrec) AS BIGINT) AS physical_rows,
+        |  CAST(count(*) FILTER (WHERE dv > 0) AS BIGINT) AS n_dv_files,
+        |  CAST(sum(dv) AS BIGINT) AS dv_deleted,
+        |  CAST(sum(nrec) - sum(dv) AS BIGINT) AS net_rows
+        |FROM live""".stripMargin,
+
+
+    "meta_delta_vacuum" ->
+      """WITH tail AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    add.path AS apath, remove.path AS rpath,
+        |    remove.deletionTimestamp AS dts
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    arg_max({'is_add': apath IS NOT NULL, 'dts': dts},
+        |      version * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS w
+        |  FROM tail GROUP BY 1
+        |),
+        |tomb AS (
+        |  SELECT path, CAST(w.dts AS BIGINT) AS deleted_at FROM latest
+        |  WHERE NOT w.is_add AND CAST(w.dts AS BIGINT) <= 1700000010000 - 7500
+        |)
+        |SELECT t.path AS path, t.deleted_at AS deleted_at,
+        |  CAST(1700000010000 - t.deleted_at AS BIGINT) AS age_ms,
+        |  CAST(m.num_rows AS BIGINT) AS num_rows
+        |FROM tomb t JOIN (
+        |  SELECT parse_filename(file_name) AS f, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/*.parquet')) m
+        |  ON m.f = t.path""".stripMargin,
+
+
+    "meta_delta_conformance" ->
+      """WITH tail AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    add.path AS apath, remove.path AS rpath
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |),
+        |latest AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    arg_max(apath IS NOT NULL,
+        |      version * 2 + CAST(apath IS NOT NULL AS BIGINT)) AS live
+        |  FROM tail GROUP BY 1
+        |),
+        |live AS (SELECT path FROM latest WHERE live),
+        |decl AS (
+        |  SELECT CAST(CAST(arg_max(metaData->>'$.schemaString',
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT)) AS VARCHAR)->>'$.fields[*].name' AS VARCHAR[]) AS names
+        |  FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE metaData->>'$.id' IS NOT NULL
+        |),
+        |cols AS (
+        |  SELECT parse_filename(file_name) AS f, list(DISTINCT name) AS present
+        |  FROM parquet_schema('/tmp/graft_delta_sf0.01/*.parquet')
+        |  WHERE num_children IS NULL OR num_children = 0
+        |  GROUP BY 1
+        |)
+        |SELECT l.path AS path,
+        |  CAST(len(d.names) AS INTEGER) AS n_declared,
+        |  CAST(len(c.present) AS INTEGER) AS n_present,
+        |  array_to_string(list_sort(list_filter(d.names,
+        |    x -> NOT list_contains(c.present, x))), ',') AS missing_csv
+        |FROM live l, decl d JOIN cols c ON c.f = l.path""".stripMargin,
+
+
+    "meta_delta_txn" ->
+      """SELECT txn.appId AS app_id,
+        |  arg_max(CAST(txn.version AS BIGINT),
+        |    CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT)) AS txn_version,
+        |  max(CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |    AS BIGINT)) AS table_version
+        |FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |  filename=true, format='newline_delimited', union_by_name=true)
+        |WHERE txn.appId IS NOT NULL
+        |GROUP BY txn.appId""".stripMargin,
+
+
+    "meta_delta_schema" ->
+      """SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |    AS BIGINT) AS version,
+        |  metaData->>'$.id' AS schema_id,
+        |  CAST(json_array_length(CAST(metaData->>'$.schemaString' AS VARCHAR),
+        |    '$.fields') AS INTEGER) AS n_fields,
+        |  array_to_string(CAST(CAST(metaData->>'$.schemaString' AS VARCHAR)
+        |    ->>'$.fields[*].name' AS VARCHAR[]), ',') AS field_names_csv,
+        |  coalesce(array_to_string(CAST(metaData->'$.partitionColumns'
+        |    AS VARCHAR[]), ','), '') AS partition_columns_csv
+        |FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |  filename=true, format='newline_delimited', union_by_name=true)
+        |WHERE metaData->>'$.id' IS NOT NULL""".stripMargin,
+
+
+    "meta_delta_protocol" ->
+      """WITH protos AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version, protocol AS p
+        |  FROM read_json_auto('/tmp/graft_deltaproto_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE protocol.minReaderVersion IS NOT NULL
+        |),
+        |latest AS (SELECT arg_max(p, version) AS p FROM protos)
+        |SELECT CAST(p->>'$.minReaderVersion' AS INTEGER) AS min_reader_version,
+        |  CAST(p->>'$.minWriterVersion' AS INTEGER) AS min_writer_version,
+        |  array_to_string(CAST(p->'$.readerFeatures' AS VARCHAR[]), ',')
+        |    AS reader_features_csv,
+        |  array_to_string(CAST(p->'$.writerFeatures' AS VARCHAR[]), ',')
+        |    AS writer_features_csv,
+        |  (CAST(p->>'$.minReaderVersion' AS INTEGER) <= 2 OR list_has_all(
+        |    ['deletionVectors', 'v2Checkpoint', 'columnMapping',
+        |     'timestampNtz', 'typeWidening', 'vacuumProtocolCheck'],
+        |    coalesce(CAST(p->'$.readerFeatures' AS VARCHAR[]),
+        |      CAST([] AS VARCHAR[])))) AS supported
+        |FROM latest""".stripMargin,
+
+
+    "meta_delta_dv" ->
+      """WITH tail AS (
+        |  SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |      AS BIGINT) AS version,
+        |    add.path AS apath, remove.path AS rpath, add.stats AS stats,
+        |    add.deletionVector.cardinality AS dv_card
+        |  FROM read_json_auto('/tmp/graft_deltadv_sf0.01/_delta_log/*.json',
+        |    filename=true, format='newline_delimited', union_by_name=true)
+        |  WHERE CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |    AS BIGINT) > 2
+        |),
+        |ckpt AS (
+        |  SELECT CAST(2 AS BIGINT) AS version, add.path AS apath,
+        |    remove.path AS rpath, add.stats AS stats, NULL AS dv_card
+        |  FROM read_parquet('/tmp/graft_deltadv_sf0.01/_delta_log/*.checkpoint.parquet')
+        |  WHERE add.path IS NOT NULL OR remove.path IS NOT NULL
+        |),
+        |actions AS (
+        |  SELECT coalesce(apath, rpath) AS path,
+        |    version * 2 + CAST(apath IS NOT NULL AS BIGINT) AS rank,
+        |    apath IS NOT NULL AS is_add, stats, dv_card
+        |  FROM (SELECT * FROM tail UNION ALL SELECT * FROM ckpt)
+        |),
+        |latest AS (
+        |  SELECT path,
+        |    arg_max({'is_add': is_add, 'stats': stats,
+        |      'dv': coalesce(CAST(dv_card AS BIGINT), 0)}, rank) AS w
+        |  FROM actions GROUP BY path
+        |),
+        |live AS (
+        |  SELECT path,
+        |    CAST(json_extract(w.stats, '$.numRecords') AS BIGINT) AS nrec,
+        |    w.dv AS dv
+        |  FROM latest WHERE w.is_add
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_live,
+        |  CAST(sum(nrec) AS BIGINT) AS physical_rows,
+        |  CAST(count(*) FILTER (WHERE dv > 0) AS BIGINT) AS n_dv_files,
+        |  CAST(sum(dv) AS BIGINT) AS dv_deleted,
+        |  CAST(sum(nrec) - sum(dv) AS BIGINT) AS net_rows
+        |FROM live""".stripMargin,
+
+
+    "meta_iceberg_snapshot" ->
+      """SELECT CAST(s."snapshot-id" AS BIGINT) AS snapshot_id,
+        |  CAST(s."timestamp-ms" AS BIGINT) AS timestamp_ms,
+        |  s.summary.operation AS operation,
+        |  s."snapshot-id" = cur AS is_current,
+        |  CAST(fv AS INTEGER) AS format_version
+        |FROM (
+        |  SELECT unnest(snapshots) AS s,
+        |    "current-snapshot-id" AS cur,
+        |    "format-version" AS fv
+        |  FROM read_json_auto(
+        |    '/tmp/graft_iceberg_sf0.01/metadata/*.metadata.json')
+        |)""".stripMargin,
+
+
+    "meta_iceberg_live" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name, num_rows
+        |  FROM parquet_file_metadata('/tmp/graft_iceberg_sf0.01/data/*.parquet')
+        |)
+        |SELECT
+        |  CAST(5 AS BIGINT) AS n_live,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |    WHERE name LIKE 'f%' AND name <> 'f5.parquet') AS live_rows,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM fm
+        |    WHERE name LIKE 'f%' AND name <> 'f5.parquet') AS footer_rows,
+        |  (SELECT CAST(sum(num_rows)
+        |      - (SELECT num_rows FROM fm WHERE name = 'del0.parquet')
+        |      AS BIGINT) FROM fm
+        |    WHERE name LIKE 'f%' AND name <> 'f5.parquet') AS net_rows,
+        |  CAST(1 AS BIGINT) AS n_delete_files,
+        |  (SELECT CAST(num_rows AS BIGINT) FROM fm
+        |    WHERE name = 'del0.parquet') AS deleted_positions,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM fm) AS n_disk""".stripMargin
+  )
+}
