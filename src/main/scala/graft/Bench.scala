@@ -33,7 +33,14 @@ object Bench {
     // so a pure-select query (fingerprints, quality scores, feature
     // extraction) would be timed with the very expression under benchmark
     // optimized away. toRdd executes the plan exactly as written.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset (comma-separated names): the suite-pressure bisect
+    // tool — run halves of the inventory in separate JVMs and compare
+    // against the same queries' full-suite times.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val outcome =
         try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
