@@ -1576,7 +1576,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_eq_rows" ->
       """WITH data AS (
         |  SELECT parse_filename(filename) AS file, doc_id, lang
-        |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/f*.parquet',
+        |  -- writer contract: the deletes (sequence 2) scope to the
+        |  -- sequence-1 data files f0/f1 only; f2 rides the deletes'
+        |  -- own commit and survives
+        |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/f[01].parquet',
         |    filename=true)
         |),
         |e0 AS (SELECT DISTINCT doc_id

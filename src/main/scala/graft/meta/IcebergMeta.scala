@@ -33,7 +33,10 @@ case class IcebergManifestInfo(
     existingFiles: Option[Long],
     deletedFiles: Option[Long],
     addedRows: Option[Long] = None,
-    addedSnapshotId: Option[Long] = None)
+    addedSnapshotId: Option[Long] = None,
+    // the manifest's data sequence number (v2+): entries with a null
+    // sequence_number and status ADDED inherit it
+    sequenceNumber: Option[Long] = None)
 
 /** One manifest entry: one data or delete file with its census numbers.
   * `status`: 0 existing, 1 added, 2 deleted (the spec's enum).
@@ -58,7 +61,12 @@ case class IcebergFileEntry(
     // format-v2 equality deletes (content=2): the schema field ids the
     // delete file's rows match data rows BY VALUE on (spec r136
     // equality_ids); None on data/position entries
-    equalityIds: Option[Seq[Int]] = None)
+    equalityIds: Option[Seq[Int]] = None,
+    // the entry's own data sequence number (v2+, spec r134
+    // sequence_number); null in the file means INHERIT the manifest's
+    // when the entry is ADDED — resolved by the caller that knows the
+    // manifest-list entry
+    sequenceNumber: Option[Long] = None)
 
 /**
  * Iceberg metadata tier — the second table format above the raw-file
@@ -344,7 +352,8 @@ object IcebergMeta {
           deletedFiles = optLong(r, "deleted_files_count")
             .orElse(optLong(r, "deleted_data_files_count")),
           addedRows = optLong(r, "added_rows_count"),
-          addedSnapshotId = optLong(r, "added_snapshot_id"))
+          addedSnapshotId = optLong(r, "added_snapshot_id"),
+          sequenceNumber = optLong(r, "sequence_number"))
       }
       out.toSeq
     } finally {
@@ -429,7 +438,8 @@ object IcebergMeta {
           referencedDataFile = refFile,
           contentOffset = cOffset,
           contentSizeInBytes = cSize,
-          equalityIds = eqIds)
+          equalityIds = eqIds,
+          sequenceNumber = optLong(r, "sequence_number"))
       }
       out.toSeq
     } finally {
@@ -509,22 +519,31 @@ object IcebergMeta {
     val hconf = spark.sessionState.newHadoopConf()
     val manifests = readManifestList(
       resolve(root, manifestList), hconf)
-      .map(m => resolve(root, m.manifestPath).toString)
+      .map(m => (resolve(root, m.manifestPath).toString, m.sequenceNumber))
     val rootStr = root.toString
     val conf = new SerializableHadoopConf(hconf)
     manifests.toDS()
-      .flatMap { mp =>
+      .flatMap { case (mp, mlSeq) =>
         readManifest(new Path(mp), conf.value)
-          .map(e => (e.status, e.content, e.filePath, e.fileFormat,
-            e.recordCount, e.fileSizeBytes,
-            resolve(new Path(rootStr), e.filePath).toString, mp,
-            e.partition, e.referencedDataFile, e.contentOffset,
-            e.contentSizeInBytes, e.equalityIds))
+          .map { e =>
+            // spec r134 inheritance: an entry writing NULL
+            // sequence_number inherits the manifest's data sequence
+            // number — but only for ADDED entries (existing/deleted
+            // entries must carry their own; a null there stays null,
+            // "no evidence")
+            val dataSeq = e.sequenceNumber
+              .orElse(if (e.status == 1) mlSeq else None)
+            (e.status, e.content, e.filePath, e.fileFormat,
+              e.recordCount, e.fileSizeBytes,
+              resolve(new Path(rootStr), e.filePath).toString, mp,
+              e.partition, e.referencedDataFile, e.contentOffset,
+              e.contentSizeInBytes, e.equalityIds, dataSeq)
+          }
       }
       .toDF("status", "content", "file_path", "file_format",
         "record_count", "file_size_bytes", "abs_path", "manifest_path",
         "partition_values", "referenced_data_file", "content_offset",
-        "content_size", "equality_ids")
+        "content_size", "equality_ids", "data_sequence_number")
   }
 
   /**
@@ -663,14 +682,23 @@ object IcebergMeta {
    * sizes are small (the overwhelmingly common shape; no hint is
    * forced, so a pathological delete set can still shuffle-join).
    *
+   * SEQUENCE SCOPING (spec r134): an equality delete applies only to
+   * data files whose DATA SEQUENCE NUMBER is STRICTLY LESS than the
+   * delete file's — rows appended after the delete must survive even
+   * when their keys match. When the table carries sequence numbers
+   * everywhere, the scope is enforced per delete group; when NOTHING
+   * carries one (the v1-compat shape), the delete applies to every
+   * live data file; MIXED evidence refuses — guessing either way
+   * over- or under-deletes.
+   *
    * REFUSES — never a partial answer — when: no equality-delete file
    * is live; a delete entry lacks `equality_ids` or is not parquet; an
-   * id is missing from the current schema; or an equality column is
+   * id is missing from the current schema; an equality column is
    * float/double (NaN != NaN under join equality while Iceberg pins
    * NaN == NaN for delete matching — resolving through a join would
-   * silently miss those rows). Driver boundaries: the delete-entry
-   * classification (entry scale) and the live data path list (the
-   * MetaPrune surviving-paths idiom).
+   * silently miss those rows); or sequence evidence is mixed. Driver
+   * boundaries: the delete-entry classification (entry scale) and the
+   * live data path list (the MetaPrune surviving-paths idiom).
    */
   def equalityDeleteRows(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
@@ -678,15 +706,17 @@ object IcebergMeta {
     val fieldsById = currentSchemaFieldsById(mf, node)
     val live = currentFiles(spark, table).filter(col("status") =!= 2)
     val eqEntries = live.filter(col("content") === 2)
-      .select(col("abs_path"), col("file_format"), col("equality_ids"))
+      .select(col("abs_path"), col("file_format"), col("equality_ids"),
+        col("data_sequence_number"))
       .collect()
       .map(r => (r.getString(0), r.getString(1),
-        Option(r.getSeq[Int](2)).map(_.toSeq)))
+        Option(r.getSeq[Int](2)).map(_.toSeq),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
     if (eqEntries.isEmpty) {
       throw new IllegalArgumentException(
         s"$table: no equality delete files are live — nothing to resolve")
     }
-    eqEntries.foreach { case (p, fmt, ids) =>
+    eqEntries.foreach { case (p, fmt, ids, _) =>
       if (fmt == null || !fmt.equalsIgnoreCase("parquet")) {
         throw new UnsupportedOperationException(
           s"$table: equality delete file $p is ${String.valueOf(fmt)}, " +
@@ -698,46 +728,74 @@ object IcebergMeta {
             "its match columns are unknowable, refusing to guess")
       }
     }
-    val dataPaths = live
+    val dataFiles = live
       .filter(col("content") === 0 &&
         upper(col("file_format")) === "PARQUET")
-      .select(col("abs_path")).as[String].collect().toSeq.distinct
-    if (dataPaths.isEmpty) {
+      .select(col("abs_path"), col("data_sequence_number"))
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .distinct.toSeq
+    if (dataFiles.isEmpty) {
       return Seq.empty[(String, String, String)]
         .toDF("data_path", "eq_cols", "key_csv")
     }
-    val data = spark.read.parquet(dataPaths: _*)
-    val perIdSet = eqEntries.groupBy(_._3.get).toSeq.map {
-      case (ids, entries) =>
-        val cols = ids.map { id =>
-          fieldsById.getOrElse(id, throw new IllegalArgumentException(
-            s"$table: equality_ids references field id $id which the " +
-              s"current schema does not declare (known: " +
-              s"${fieldsById.keys.toSeq.sorted.mkString(", ")})"))
+    // sequence posture: all-carry → strict scoping; none-carry → the
+    // v1-compat apply-to-all; mixed → unknowable, refuse
+    val seqs = eqEntries.map(_._4) ++ dataFiles.map(_._2)
+    val scoped = seqs.forall(_.isDefined)
+    if (!scoped && seqs.exists(_.isDefined)) {
+      throw new UnsupportedOperationException(
+        s"$table: sequence-number evidence is MIXED (some entries carry " +
+          "data_sequence_number, some do not) — the delete scope is " +
+          "unknowable, refusing rather than over- or under-deleting")
+    }
+    // group by (id set, delete sequence): one semi-join per group over
+    // exactly the data files the spec says the group applies to
+    val groups = eqEntries
+      .groupBy(e => (e._3.get, if (scoped) e._4 else None)).toSeq
+    val perGroup = groups.flatMap { case ((ids, delSeq), entries) =>
+      val cols = ids.map { id =>
+        fieldsById.getOrElse(id, throw new IllegalArgumentException(
+          s"$table: equality_ids references field id $id which the " +
+            s"current schema does not declare (known: " +
+            s"${fieldsById.keys.toSeq.sorted.mkString(", ")})"))
+      }
+      cols.foreach { case (name, tpe) =>
+        if (tpe == "float" || tpe == "double") {
+          throw new UnsupportedOperationException(
+            s"$table: equality column '$name' is $tpe — NaN equality " +
+              "under the spec differs from join equality; refusing a " +
+              "resolution that would silently miss NaN-keyed deletes")
         }
-        cols.foreach { case (name, tpe) =>
-          if (tpe == "float" || tpe == "double") {
-            throw new UnsupportedOperationException(
-              s"$table: equality column '$name' is $tpe — NaN equality " +
-                "under the spec differs from join equality; refusing a " +
-                "resolution that would silently miss NaN-keyed deletes")
-          }
+      }
+      val inScope = delSeq match {
+        case Some(ds) => dataFiles.collect {
+          case (p, Some(fs)) if fs < ds => p
         }
+        case None => dataFiles.map(_._1)
+      }
+      if (inScope.isEmpty) None
+      else {
         val names = cols.map(_._1)
         val delKeys = spark.read.parquet(entries.map(_._1).distinct: _*)
           .select(names.map(col): _*).dropDuplicates().alias("k")
-        val scan = data
+        val scan = spark.read.parquet(inScope: _*)
           .select(col("_metadata.file_path").as("data_path") +:
             names.map(col): _*).alias("d")
         val cond = names.map(n => scan(n) <=> delKeys(n)).reduce(_ && _)
-        scan.join(delKeys, cond, "left_semi")
+        Some(scan.join(delKeys, cond, "left_semi")
           .select(col("data_path"),
             lit(names.mkString(",")).as("eq_cols"),
             array_join(array(names.map(n =>
               coalesce(col(n).cast("string"), lit("NULL"))): _*), "|")
-              .as("key_csv"))
+              .as("key_csv")))
+      }
     }
-    perIdSet.reduce(_ unionByName _)
+    if (perGroup.isEmpty) {
+      Seq.empty[(String, String, String)]
+        .toDF("data_path", "eq_cols", "key_csv")
+    } else perGroup.reduce(_ unionByName _)
   }
 
   /**
@@ -1718,13 +1776,32 @@ object IcebergMeta {
       |  {"name":"file_size_in_bytes","type":"long"},
       |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
 
+  /** The v2 manifest-LIST shape with per-manifest data sequence
+    * numbers (spec: `sequence_number`), which entries inherit when
+    * ADDED with a null of their own. */
+  private val seqManifestListSchema = avroSchema(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+      |{"name":"added_files_count","type":"int"},
+      |{"name":"existing_files_count","type":"int"},
+      |{"name":"deleted_files_count","type":"int"},
+      |{"name":"added_rows_count","type":"long"}]}""".stripMargin)
+
   /**
    * A format-v2 filesystem table with EQUALITY deletes (the Flink
    * merge-on-read shape) against the public spec: two parity slices of
    * `docs` (`f0`, `f1`: doc_id, lang — lang NULLED for doc_ids 0 and 8
-   * so null-key matching is exercised), ONE snapshot whose manifest
-   * list carries the data manifest plus a DELETE manifest (`content=1`)
-   * of two equality-delete PARQUET files:
+   * so null-key matching is exercised) added at SEQUENCE 1, then a
+   * second snapshot at SEQUENCE 2 carrying BOTH a DELETE manifest
+   * (`content=1`) of two equality-delete PARQUET files and a new data
+   * file `f2.parquet` whose three rows all MATCH delete keys — the
+   * strictly-less sequence scope means every f2 row must SURVIVE (a
+   * commit's own data is never hit by its own deletes):
    *
    *  - `eq0.parquet`, `equality_ids=[1]` (doc_id): rows 0, 1, 2 and a
    *    -1 that matches nothing;
@@ -1774,6 +1851,12 @@ object IcebergMeta {
         (8L, None: Option[String])).toDF("doc_id", "lang")
       writeOne(eq0, "eq0.parquet")
       writeOne(eq1, "eq1.parquet")
+      // f2: LATE arrivals (sequence 2, same commit as the deletes) —
+      // every row re-uses a key the deletes match, and every row must
+      // survive the strictly-less sequence scope
+      val f2 = Seq((0L, None: Option[String]), (4L, Option(lang4)),
+        (8L, None: Option[String])).toDF("doc_id", "lang")
+      writeOne(f2, "f2.parquet")
     }
 
     def entry(f: String, content: Int, records: Long,
@@ -1804,28 +1887,39 @@ object IcebergMeta {
     writeAvro(new java.io.File(metaDir, "m1.avro"), eqManifestSchema,
       Seq(entry("eq0.parquet", 2, 4L, Seq(1)),
         entry("eq1.parquet", 2, 3L, Seq(1, 2))))
-    def mlEntry(path: String, added: Int, rows: Long,
-        content: Int): org.apache.avro.generic.GenericRecord = {
-      val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
+    writeAvro(new java.io.File(metaDir, "m2.avro"), eqManifestSchema,
+      Seq(entry("f2.parquet", 0, 3L, Nil)))
+    def mlEntry(path: String, added: Int, rows: Long, content: Int,
+        seq: Long, snap: Long): org.apache.avro.generic.GenericRecord = {
+      val r = new org.apache.avro.generic.GenericData.Record(seqManifestListSchema)
       r.put("manifest_path", s"metadata/$path")
       r.put("manifest_length", new java.io.File(metaDir, path).length())
       r.put("partition_spec_id", 0)
       r.put("content", content)
-      r.put("added_snapshot_id", 1L)
+      r.put("sequence_number", seq)
+      r.put("added_snapshot_id", snap)
       r.put("added_files_count", added)
       r.put("existing_files_count", 0)
       r.put("deleted_files_count", 0)
       r.put("added_rows_count", rows)
       r
     }
-    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
-      Seq(mlEntry("m0.avro", 2, counts.values.sum, 0),
-        mlEntry("m1.avro", 2, 7L, 1)))
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), seqManifestListSchema,
+      Seq(mlEntry("m0.avro", 2,
+        counts("f0.parquet") + counts("f1.parquet"), 0, 1L, 1L)))
+    // snap 2 (sequence 2): m0 reused verbatim, the delete manifest, and
+    // the same-commit data file f2 — both at sequence 2, so the deletes
+    // scope to sequence-1 files only
+    writeAvro(new java.io.File(metaDir, "snap-2.avro"), seqManifestListSchema,
+      Seq(mlEntry("m0.avro", 2,
+        counts("f0.parquet") + counts("f1.parquet"), 0, 1L, 1L),
+        mlEntry("m2.avro", 1, 3L, 0, 2L, 2L),
+        mlEntry("m1.avro", 2, 7L, 1, 2L, 2L)))
     val ts0 = 1700000000000L
     val metadataJson =
       s"""{"format-version":2,"table-uuid":"graft-iceberg-eq-fixture",
          |"location":"${root.getAbsolutePath}",
-         |"current-snapshot-id":1,
+         |"current-snapshot-id":2,
          |"current-schema-id":0,
          |"schemas":[
          |{"schema-id":0,"type":"struct","fields":[
@@ -1835,6 +1929,9 @@ object IcebergMeta {
          |"snapshots":[
          |{"snapshot-id":1,"timestamp-ms":$ts0,
          | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}},
+         |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
+         | "manifest-list":"metadata/snap-2.avro",
          | "summary":{"operation":"overwrite"}}]}""".stripMargin
     java.nio.file.Files.write(
       new java.io.File(metaDir, "v1.metadata.json").toPath,
@@ -1842,7 +1939,7 @@ object IcebergMeta {
     java.nio.file.Files.write(
       new java.io.File(metaDir, "version-hint.text").toPath,
       "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts
+    counts + ("f2.parquet" -> 3L)
   }
 
   /**

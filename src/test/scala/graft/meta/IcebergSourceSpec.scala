@@ -831,6 +831,10 @@ class IcebergSourceSpec extends SparkSpec {
     assert(multi === Set(
       ("f0.parquet", "doc_id,lang", "4|4"),
       ("f0.parquet", "doc_id,lang", "8|NULL")))
+    // SEQUENCE SCOPING: f2 (sequence 2, the deletes' own commit) holds
+    // three rows whose keys ALL match delete keys — none may appear
+    // (strictly-less scope: a commit's data survives its own deletes)
+    assert(!rows.exists(_._1 == "f2.parquet"))
     // the position audit refuses on this table, pointing here
     val ePos = intercept[Exception](
       IcebergMeta.positionDeleteRows(spark, d).collect())
@@ -859,5 +863,29 @@ class IcebergSourceSpec extends SparkSpec {
     val eNoIds = intercept[Exception](
       IcebergMeta.equalityDeleteRows(spark, d).collect())
     assert(causeMessages(eNoIds).contains("declares no equality_ids"))
+    // MIXED sequence evidence refuses: a fresh fixture with one
+    // manifest-list entry's sequence_number nulled out — the scope is
+    // unknowable either way
+    val d2 = Files.createTempDirectory("graft_ice_eqmix").toString + "/tbl"
+    IcebergMeta.writeEqDeleteFixtureTable(spark, d2, docs)
+    val ml = new java.io.File(d2, "metadata/snap-2.avro")
+    val reader = new org.apache.avro.file.DataFileReader(
+      ml, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val recs = new scala.collection.mutable.ArrayBuffer[
+      org.apache.avro.generic.GenericRecord]
+    while (reader.hasNext) recs += reader.next()
+    reader.close()
+    recs.find(_.get("manifest_path").toString.endsWith("m2.avro"))
+      .get.put("sequence_number", null)
+    val writer = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](reader.getSchema))
+    writer.create(reader.getSchema, ml)
+    recs.foreach(writer.append)
+    writer.close()
+    val eMix = intercept[Exception](
+      IcebergMeta.equalityDeleteRows(spark, d2).collect())
+    assert(causeMessages(eMix).contains("MIXED"))
   }
 }
