@@ -964,6 +964,23 @@ private[graft] object EntryLakeQueries {
     }),
 
 
+    // ICEBERG EQUALITY-delete EXACT NET CENSUS: the working path the
+    // metadata-cost census refuses into — per live data file, distinct
+    // equality-deleted positions subtracted from the manifest's
+    // record_count (a row matched by several delete groups counts
+    // once; f2 sits outside every delete's sequence scope and reports
+    // 0). Oracle: DuckDB resolves the same distinct row positions via
+    // file_row_number + IS NOT DISTINCT FROM joins.
+    "meta_iceberg_eq_census" -> ((s, dir) => {
+      val out = "/tmp/graft_iceeq_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeEqDeleteFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.equalityNetCensus(s, out)
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("record_count"), col("eq_deleted"), col("net_rows"))
+    }),
+
     // ICEBERG TIMESTAMP AS OF: wall-clock probes resolved from the
     // snapshot list's timestamp-ms — the oracle resolves the SAME
     // probes from the same JSON in DuckDB and cross-checks the rows
@@ -1572,6 +1589,40 @@ private[graft] object EntryLakeQueries {
         |FROM del JOIN f0 USING (pos)
         |WHERE del.f = 'f0.parquet'""".stripMargin,
 
+
+    "meta_iceberg_eq_census" ->
+      """WITH data AS (
+        |  SELECT parse_filename(filename) AS file,
+        |    file_row_number AS pos, doc_id, lang
+        |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/f[01].parquet',
+        |    filename=true, file_row_number=true)
+        |),
+        |e0 AS (SELECT DISTINCT doc_id
+        |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/eq0.parquet')),
+        |e1 AS (SELECT DISTINCT doc_id, lang
+        |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/eq1.parquet')),
+        |matched AS (
+        |  SELECT DISTINCT file, pos FROM data d
+        |  JOIN e0 ON d.doc_id IS NOT DISTINCT FROM e0.doc_id
+        |  UNION
+        |  SELECT DISTINCT file, pos FROM data d
+        |  JOIN e1 ON d.doc_id IS NOT DISTINCT FROM e1.doc_id
+        |    AND d.lang IS NOT DISTINCT FROM e1.lang
+        |),
+        |deleted AS (
+        |  SELECT file, CAST(count(*) AS BIGINT) AS eq_deleted
+        |  FROM matched GROUP BY 1
+        |),
+        |files AS (
+        |  SELECT parse_filename(file_name) AS file,
+        |    CAST(num_rows AS BIGINT) AS record_count
+        |  FROM parquet_file_metadata(
+        |    '/tmp/graft_iceeq_sf0.01/data/f[0-2].parquet')
+        |)
+        |SELECT f.file, f.record_count,
+        |  coalesce(d.eq_deleted, 0) AS eq_deleted,
+        |  f.record_count - coalesce(d.eq_deleted, 0) AS net_rows
+        |FROM files f LEFT JOIN deleted d ON d.file = f.file""".stripMargin,
 
     "meta_iceberg_eq_rows" ->
       """WITH data AS (

@@ -702,6 +702,38 @@ object IcebergMeta {
    */
   def equalityDeleteRows(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
+    val perGroup = eqDeleteGroups(spark, table).map {
+      case (names, delKeys, inScope) =>
+        val scan = spark.read.parquet(inScope: _*)
+          .select(col("_metadata.file_path").as("data_path") +:
+            names.map(col): _*).alias("d")
+        val cond = names.map(n => scan(n) <=> delKeys(n)).reduce(_ && _)
+        scan.join(delKeys, cond, "left_semi")
+          .select(col("data_path"),
+            lit(names.mkString(",")).as("eq_cols"),
+            array_join(array(names.map(n =>
+              coalesce(col(n).cast("string"), lit("NULL"))): _*), "|")
+              .as("key_csv"))
+    }
+    if (perGroup.isEmpty) {
+      Seq.empty[(String, String, String)]
+        .toDF("data_path", "eq_cols", "key_csv")
+    } else perGroup.reduce(_ unionByName _)
+  }
+
+  /**
+   * The validated, sequence-scoped delete GROUPS of the current
+   * snapshot — one `(equality column names, distinct delete keys,
+   * in-scope data paths)` triple per (id set, delete sequence). All of
+   * [[equalityDeleteRows]]'s refusals live here (shared with every
+   * consumer): no live equality delete, non-parquet delete file,
+   * missing equality_ids, unknown field id, float/double equality
+   * column, mixed sequence evidence. Groups whose scope is empty are
+   * dropped (nothing to delete from).
+   */
+  private def eqDeleteGroups(
+      spark: SparkSession, table: String):
+      Seq[(Seq[String], DataFrame, Seq[String])] = {
     val (_, _, mf, node) = currentMetadataNode(spark, table)
     val fieldsById = currentSchemaFieldsById(mf, node)
     val live = currentFiles(spark, table).filter(col("status") =!= 2)
@@ -736,10 +768,7 @@ object IcebergMeta {
       .map(r => (r.getString(0),
         if (r.isNullAt(1)) None else Some(r.getLong(1))))
       .distinct.toSeq
-    if (dataFiles.isEmpty) {
-      return Seq.empty[(String, String, String)]
-        .toDF("data_path", "eq_cols", "key_csv")
-    }
+    if (dataFiles.isEmpty) return Seq.empty
     // sequence posture: all-carry → strict scoping; none-carry → the
     // v1-compat apply-to-all; mixed → unknowable, refuse
     val seqs = eqEntries.map(_._4) ++ dataFiles.map(_._2)
@@ -752,50 +781,84 @@ object IcebergMeta {
     }
     // group by (id set, delete sequence): one semi-join per group over
     // exactly the data files the spec says the group applies to
-    val groups = eqEntries
-      .groupBy(e => (e._3.get, if (scoped) e._4 else None)).toSeq
-    val perGroup = groups.flatMap { case ((ids, delSeq), entries) =>
-      val cols = ids.map { id =>
-        fieldsById.getOrElse(id, throw new IllegalArgumentException(
-          s"$table: equality_ids references field id $id which the " +
-            s"current schema does not declare (known: " +
-            s"${fieldsById.keys.toSeq.sorted.mkString(", ")})"))
-      }
-      cols.foreach { case (name, tpe) =>
-        if (tpe == "float" || tpe == "double") {
-          throw new UnsupportedOperationException(
-            s"$table: equality column '$name' is $tpe — NaN equality " +
-              "under the spec differs from join equality; refusing a " +
-              "resolution that would silently miss NaN-keyed deletes")
+    eqEntries.groupBy(e => (e._3.get, if (scoped) e._4 else None)).toSeq
+      .flatMap { case ((ids, delSeq), entries) =>
+        val cols = ids.map { id =>
+          fieldsById.getOrElse(id, throw new IllegalArgumentException(
+            s"$table: equality_ids references field id $id which the " +
+              s"current schema does not declare (known: " +
+              s"${fieldsById.keys.toSeq.sorted.mkString(", ")})"))
+        }
+        cols.foreach { case (name, tpe) =>
+          if (tpe == "float" || tpe == "double") {
+            throw new UnsupportedOperationException(
+              s"$table: equality column '$name' is $tpe — NaN equality " +
+                "under the spec differs from join equality; refusing a " +
+                "resolution that would silently miss NaN-keyed deletes")
+          }
+        }
+        val inScope = delSeq match {
+          case Some(ds) => dataFiles.collect {
+            case (p, Some(fs)) if fs < ds => p
+          }
+          case None => dataFiles.map(_._1)
+        }
+        if (inScope.isEmpty) None
+        else {
+          val names = cols.map(_._1)
+          val delKeys = spark.read.parquet(entries.map(_._1).distinct: _*)
+            .select(names.map(col): _*).dropDuplicates().alias("k")
+          Some((names, delKeys, inScope))
         }
       }
-      val inScope = delSeq match {
-        case Some(ds) => dataFiles.collect {
-          case (p, Some(fs)) if fs < ds => p
-        }
-        case None => dataFiles.map(_._1)
-      }
-      if (inScope.isEmpty) None
-      else {
-        val names = cols.map(_._1)
-        val delKeys = spark.read.parquet(entries.map(_._1).distinct: _*)
-          .select(names.map(col): _*).dropDuplicates().alias("k")
+  }
+
+  /**
+   * Equality deletes resolved to POSITIONS — `(data_path, pos)`, the
+   * same shape as [[positionDeleteRows]]: each group's null-safe semi
+   * join carries `_metadata.row_index` through, and the union is
+   * DISTINCT so a row matched by several delete groups counts once.
+   * The building block of [[equalityNetCensus]].
+   */
+  def equalityDeletePositions(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val perGroup = eqDeleteGroups(spark, table).map {
+      case (names, delKeys, inScope) =>
         val scan = spark.read.parquet(inScope: _*)
           .select(col("_metadata.file_path").as("data_path") +:
+            col("_metadata.row_index").as("pos") +:
             names.map(col): _*).alias("d")
         val cond = names.map(n => scan(n) <=> delKeys(n)).reduce(_ && _)
-        Some(scan.join(delKeys, cond, "left_semi")
-          .select(col("data_path"),
-            lit(names.mkString(",")).as("eq_cols"),
-            array_join(array(names.map(n =>
-              coalesce(col(n).cast("string"), lit("NULL"))): _*), "|")
-              .as("key_csv")))
-      }
+        scan.join(delKeys, cond, "left_semi")
+          .select(col("data_path"), col("pos"))
     }
-    if (perGroup.isEmpty) {
-      Seq.empty[(String, String, String)]
-        .toDF("data_path", "eq_cols", "key_csv")
-    } else perGroup.reduce(_ unionByName _)
+    if (perGroup.isEmpty) Seq.empty[(String, Long)].toDF("data_path", "pos")
+    else perGroup.reduce(_ unionByName _).dropDuplicates("data_path", "pos")
+  }
+
+  /**
+   * The EXACT net census under equality deletes — the working path the
+   * metadata-cost census refuses into: one row per live data file with
+   * `(record_count, eq_deleted, net_rows)` where `eq_deleted` counts
+   * DISTINCT [[equalityDeletePositions]] rows (a row matched by
+   * several delete groups is subtracted once). Data files outside
+   * every delete's scope (or matching nothing) report `eq_deleted` 0.
+   * Position deletes (`content=1`) are NOT folded in here — compose
+   * with [[positionDeleteRows]] when a table carries both shapes.
+   */
+  def equalityNetCensus(spark: SparkSession, table: String): DataFrame = {
+    val deleted = equalityDeletePositions(spark, table)
+      .groupBy(col("data_path"))
+      .agg(count(lit(1)).cast("long").as("eq_deleted"))
+    currentFiles(spark, table)
+      .filter(col("status") =!= 2 && col("content") === 0)
+      .select(col("abs_path").as("data_path"),
+        col("record_count"))
+      .join(deleted, Seq("data_path"), "left")
+      .select(col("data_path"), col("record_count"),
+        coalesce(col("eq_deleted"), lit(0L)).as("eq_deleted"),
+        (col("record_count") - coalesce(col("eq_deleted"), lit(0L)))
+          .as("net_rows"))
   }
 
   /**
@@ -1847,8 +1910,12 @@ object IcebergMeta {
     locally {
       import spark.implicits._
       val eq0 = Seq(0L, 1L, 2L, -1L).toDF("doc_id")
+      // (0, NULL) ALSO matches doc 0 (already deleted by eq0): the
+      // row is reported under both id sets, but a net census must
+      // subtract it ONCE (distinct positions)
       val eq1 = Seq((4L, Option(lang4)), (6L, Some("xx-no-such")),
-        (8L, None: Option[String])).toDF("doc_id", "lang")
+        (8L, None: Option[String]), (0L, None: Option[String]))
+        .toDF("doc_id", "lang")
       writeOne(eq0, "eq0.parquet")
       writeOne(eq1, "eq1.parquet")
       // f2: LATE arrivals (sequence 2, same commit as the deletes) —

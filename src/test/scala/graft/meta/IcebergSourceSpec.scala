@@ -813,7 +813,7 @@ class IcebergSourceSpec extends SparkSpec {
 
   test("equality deletes: row-wise resolution, null keys, refusals") {
     val d = Files.createTempDirectory("graft_ice_eq").toString + "/tbl"
-    IcebergMeta.writeEqDeleteFixtureTable(spark, d, docs)
+    val counts = IcebergMeta.writeEqDeleteFixtureTable(spark, d, docs)
     val rows = IcebergMeta.equalityDeleteRows(spark, d).collect()
       .map(r => (new Path(r.getString(0)).getName, r.getString(1),
         r.getString(2)))
@@ -830,11 +830,22 @@ class IcebergSourceSpec extends SparkSpec {
     val multi = rows.filter(_._2 == "doc_id,lang").toSet
     assert(multi === Set(
       ("f0.parquet", "doc_id,lang", "4|4"),
-      ("f0.parquet", "doc_id,lang", "8|NULL")))
+      ("f0.parquet", "doc_id,lang", "8|NULL"),
+      ("f0.parquet", "doc_id,lang", "0|NULL"))) // doc 0: both id sets
     // SEQUENCE SCOPING: f2 (sequence 2, the deletes' own commit) holds
     // three rows whose keys ALL match delete keys — none may appear
     // (strictly-less scope: a commit's data survives its own deletes)
     assert(!rows.exists(_._1 == "f2.parquet"))
+    // exact net census: doc 0 is matched by BOTH id sets but counted
+    // ONCE (distinct positions); f2 is out of scope and reports 0
+    val census = IcebergMeta.equalityNetCensus(spark, d).collect()
+      .map(r => (new Path(r.getString(0)).getName,
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val c0 = counts("f0.parquet"); val c1 = counts("f1.parquet")
+    assert(census === Set(
+      ("f0.parquet", c0, 4L, c0 - 4L), // 0, 2 (eq0) + 4, 8 (eq1); 0 once
+      ("f1.parquet", c1, 1L, c1 - 1L), // doc 1
+      ("f2.parquet", 3L, 0L, 3L)))
     // the position audit refuses on this table, pointing here
     val ePos = intercept[Exception](
       IcebergMeta.positionDeleteRows(spark, d).collect())
