@@ -964,6 +964,33 @@ private[graft] object EntryLakeQueries {
     }),
 
 
+    // ICEBERG INCREMENTAL APPEND SCAN: files the snapshots in (1, 2]
+    // ADDED, from snap-2's own manifest list by added_snapshot_id
+    // attribution — the reused snap-1 manifest contributes nothing,
+    // the deleted f5 entry is not an append, and the new DELETE file
+    // surfaces too (content=1; an incremental consumer that missed it
+    // would resurrect rows). Oracle: closed-form from the writer
+    // contract, appended data files' rows from their own footers.
+    "meta_iceberg_incremental" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.appendedFiles(s, out, 1L, 2L)
+        .select(regexp_extract(col("file_path"), "([^/]+)$", 1).as("file"),
+          col("content").cast("int").as("content"), col("record_count"))
+    }),
+
+    // DELTA INCREMENTAL commit-range diff: every file action in
+    // commits (2, 4] of the base fixture — adds with their stats rows,
+    // removes with null num_records; gapped ranges refuse. Oracle:
+    // DuckDB reads the same commits filtered by the same version range.
+    "meta_delta_incremental" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.commitDiff(s, out, 2L, 4L)
+    }),
+
     // ICEBERG EQUALITY-delete EXACT NET CENSUS: the working path the
     // metadata-cost census refuses into — per live data file, distinct
     // equality-deleted positions subtracted from the manifest's
@@ -1589,6 +1616,32 @@ private[graft] object EntryLakeQueries {
         |FROM del JOIN f0 USING (pos)
         |WHERE del.f = 'f0.parquet'""".stripMargin,
 
+
+    "meta_iceberg_incremental" ->
+      """WITH appended AS (
+        |  SELECT parse_filename(file_name) AS file, 0 AS content,
+        |    CAST(num_rows AS BIGINT) AS record_count
+        |  FROM parquet_file_metadata(
+        |    '/tmp/graft_iceberg_sf0.01/data/f[34].parquet')
+        |)
+        |SELECT file, content, record_count FROM appended
+        |UNION ALL
+        |SELECT 'del0.parquet', 1, CAST(2 AS BIGINT)""".stripMargin,
+
+    "meta_delta_incremental" ->
+      """SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |    AS BIGINT) AS version,
+        |  CASE WHEN add.path IS NOT NULL THEN 'add' ELSE 'remove' END
+        |    AS change,
+        |  coalesce(add.path, remove.path) AS path,
+        |  CAST(json_extract(add.stats, '$.numRecords') AS BIGINT)
+        |    AS num_records,
+        |  CAST(add."size" AS BIGINT) AS "size"
+        |FROM read_json_auto('/tmp/graft_delta_sf0.01/_delta_log/*.json',
+        |  filename=true, format='newline_delimited', union_by_name=true)
+        |WHERE coalesce(add.path, remove.path) IS NOT NULL
+        |  AND CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)
+        |    AS BIGINT) BETWEEN 3 AND 4""".stripMargin,
 
     "meta_iceberg_eq_census" ->
       """WITH data AS (

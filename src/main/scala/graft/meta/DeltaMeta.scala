@@ -1355,6 +1355,62 @@ object DeltaMeta {
   }
 
   /**
+   * INCREMENTAL commit-range diff at metadata cost — the "what changed
+   * since version X" question an incremental consumer asks before
+   * touching data: one row per FILE ACTION in the commits of
+   * `(fromVersion, toVersion]` — `(version, change add|remove, path,
+   * num_records, size)`; `num_records` decodes from the add's own
+   * stats (null when the writer recorded none, and for removes).
+   * REFUSES — never a silent hole — when the range is empty or
+   * reversed, when `toVersion` is past the latest segment, or when any
+   * commit of the range has been log-cleaned (an incremental consumer
+   * fed a gapped diff silently diverges; checkpoints carry no
+   * per-version attribution to fill the gap with).
+   */
+  def commitDiff(
+      spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    if (fromVersion >= toVersion) {
+      throw new IllegalArgumentException(
+        s"$table: version range ($fromVersion, $toVersion] is empty or " +
+          "reversed — no increment to diff")
+    }
+    val segments = listLogSlices(root, conf)
+      .flatMap(f => segmentVersion(f.name).map { case (v, k) => (v, k, f.path) })
+    val latest = segments.map(_._1).maxOption.getOrElse(-1L)
+    if (toVersion > latest) {
+      throw new IllegalArgumentException(
+        s"$table: version $toVersion is after the latest segment ($latest)")
+    }
+    val commits = segments.collect {
+      case (v, "commit", p) if v > fromVersion && v <= toVersion => (v, p)
+    }
+    val missing = ((fromVersion + 1) to toVersion).toSet -- commits.map(_._1).toSet
+    if (missing.nonEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: commits ${missing.toSeq.sorted.mkString(", ")} of the " +
+          s"range ($fromVersion, $toVersion] are log-cleaned — a gapped " +
+          "diff silently diverges, refusing")
+    }
+    spark.read.schema(logSchema).json(commits.map(_._2): _*)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "(\\d{20})\\.json", 1).cast("long"))
+      .filter(col("add.path").isNotNull || col("remove.path").isNotNull)
+      .select(col("version"),
+        when(col("add.path").isNotNull, lit("add")).otherwise(lit("remove"))
+          .as("change"),
+        coalesce(col("add.path"), col("remove.path")).as("path"),
+        get_json_object(col("add.stats"), "$.numRecords").cast("long")
+          .as("num_records"),
+        col("add.size").as("size"))
+  }
+
+  /**
    * VACUUM-candidate report: tombstoned files (latest action is a
    * `remove`) whose `deletionTimestamp` is older than `retainMs` before
    * `nowMs` AND are still on disk — exactly what `VACUUM RETAIN` would

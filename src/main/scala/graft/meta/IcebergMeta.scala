@@ -66,7 +66,11 @@ case class IcebergFileEntry(
     // sequence_number); null in the file means INHERIT the manifest's
     // when the entry is ADDED — resolved by the caller that knows the
     // manifest-list entry
-    sequenceNumber: Option[Long] = None)
+    sequenceNumber: Option[Long] = None,
+    // the entry's own committing snapshot (spec r101 snapshot_id);
+    // null means INHERIT the manifest-list entry's added_snapshot_id —
+    // a compacted manifest keeps each entry's ORIGINAL committer here
+    snapshotId: Option[Long] = None)
 
 /**
  * Iceberg metadata tier — the second table format above the raw-file
@@ -439,7 +443,8 @@ object IcebergMeta {
           contentOffset = cOffset,
           contentSizeInBytes = cSize,
           equalityIds = eqIds,
-          sequenceNumber = optLong(r, "sequence_number"))
+          sequenceNumber = optLong(r, "sequence_number"),
+          snapshotId = optLong(r, "snapshot_id"))
       }
       out.toSeq
     } finally {
@@ -859,6 +864,88 @@ object IcebergMeta {
         coalesce(col("eq_deleted"), lit(0L)).as("eq_deleted"),
         (col("record_count") - coalesce(col("eq_deleted"), lit(0L)))
           .as("net_rows"))
+  }
+
+  /**
+   * INCREMENTAL APPEND SCAN at metadata cost — the "what arrived since
+   * snapshot X" question every incremental ingest asks: one row per
+   * file the snapshots in `(fromSnapshot, toSnapshot]` ADDED, resolved
+   * from `toSnapshot`'s OWN manifest list (per-snapshot complete) by
+   * manifest-list attribution — a manifest with
+   * `added_snapshot_id > fromSnapshot` contributes its ADDED entries
+   * (`status=1`); reused older manifests contribute nothing, exactly
+   * like the summary audit's attribution rule. Emits data AND delete
+   * files (`content` distinguishes them — an incremental consumer must
+   * see new deletes, or it resurrects rows). Refuses when either
+   * snapshot id is not in the metadata's snapshot list, when
+   * `fromSnapshot >= toSnapshot` by id order isn't checkable (ids are
+   * opaque — the TIMESTAMPS order them), or when any manifest of the
+   * range lacks `added_snapshot_id` (attribution unknowable — never a
+   * guessed increment).
+   */
+  def appendedFiles(
+      spark: SparkSession, table: String,
+      fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val info = readTableMetadata(
+      currentMetadataFile(root.getFileSystem(hconf), root), hconf)
+    requireCensusableVersion(info, table)
+    def snap(id: Long) = info.snapshots.find(_.snapshotId == id).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table: no snapshot $id (surviving: " +
+          s"${info.snapshots.map(_.snapshotId).mkString(", ")})"))
+    val from = snap(fromSnapshot)
+    val to = snap(toSnapshot)
+    if (from.timestampMs >= to.timestampMs) {
+      throw new IllegalArgumentException(
+        s"$table: snapshot $fromSnapshot (${from.timestampMs}) is not " +
+          s"strictly before $toSnapshot (${to.timestampMs}) — an empty " +
+          "or reversed range has no increment")
+    }
+    // snapshot ids committed in (from, to] — ids are opaque, so the
+    // range resolves by commit TIME (the lineage the metadata keeps)
+    val inRange = info.snapshots
+      .filter(s => s.timestampMs > from.timestampMs &&
+        s.timestampMs <= to.timestampMs)
+      .map(_.snapshotId).toSet
+    val manifests = readManifestList(resolve(root, to.manifestList), hconf)
+    manifests.foreach { m =>
+      if (m.addedSnapshotId.isEmpty) {
+        throw new UnsupportedOperationException(
+          s"$table: manifest ${m.manifestPath} carries no " +
+            "added_snapshot_id — increment attribution is unknowable, " +
+            "refusing rather than guessing")
+      }
+    }
+    // a manifest ADDED in range may still carry entries committed
+    // earlier (compaction rewrites merge manifests): the entry's own
+    // snapshot_id wins when present, the manifest attribution is the
+    // inheritance fallback — so only manifests attributed in-range
+    // need opening at all
+    val wanted = manifests
+      .filter(m => m.addedSnapshotId.exists(inRange.contains))
+      .map(m => (resolve(root, m.manifestPath).toString,
+        m.sequenceNumber, m.addedSnapshotId.get))
+    import spark.implicits._
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(hconf)
+    val inRangeB = inRange // serializable copy for the closure
+    wanted.toDS()
+      .flatMap { case (mp, mlSeq, mlSnap) =>
+        readManifest(new Path(mp), conf.value)
+          .filter(e => e.status == 1 &&
+            inRangeB.contains(e.snapshotId.getOrElse(mlSnap)))
+          .map(e => (e.filePath, e.content,
+            resolve(new Path(rootStr), e.filePath).toString,
+            e.recordCount, e.fileSizeBytes,
+            e.sequenceNumber.orElse(mlSeq)))
+      }
+      .toDF("file_path", "content", "abs_path", "record_count",
+        "file_size_bytes", "data_sequence_number")
   }
 
   /**

@@ -250,6 +250,36 @@ class DeltaSourceSpec extends SparkSpec {
     assert(segs(0).getAs[Boolean]("has_protocol"))
   }
 
+  test("incremental commit diff: actions per version, gapped range refuses") {
+    val d = Files.createTempDirectory("graft_delta_incr").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    val diff = DeltaMeta.commitDiff(spark, d, 2L, 4L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // the base fixture's commits 3 and 4: v3 removes f2 and adds f5;
+    // v4 adds f6 — nothing from v0..v2 may leak in
+    assert(diff.toSet === Set(
+      (3L, "remove", "f2.parquet"), (3L, "add", "f5.parquet"),
+      (4L, "add", "f6.parquet")))
+    // adds carry their stats rows, removes carry null num_records
+    val rows = DeltaMeta.commitDiff(spark, d, 2L, 4L).collect()
+    val rem = rows.find(_.getString(1) == "remove").get
+    assert(rem.isNullAt(rem.fieldIndex("num_records")))
+    rows.filter(_.getString(1) == "add").foreach { a =>
+      assert(a.getAs[Long]("num_records") > 0L)
+      assert(a.getAs[Long]("size") > 0L)
+    }
+    // refusals: reversed range, beyond-latest, log-cleaned gap
+    val eRev = intercept[Exception](DeltaMeta.commitDiff(spark, d, 4L, 2L))
+    assert(causeMessages(eRev).contains("empty or reversed"))
+    val eHigh = intercept[Exception](DeltaMeta.commitDiff(spark, d, 2L, 99L))
+    assert(causeMessages(eHigh).contains("after the latest"))
+    assert(new java.io.File(d, "_delta_log/" +
+      f"${3L}%020d.json").delete())
+    val eGap = intercept[Exception](
+      DeltaMeta.commitDiff(spark, d, 2L, 4L).collect())
+    assert(causeMessages(eGap).contains("log-cleaned"))
+  }
+
   test("V2 JSON-manifest checkpoint: classified, replayed, never invisible") {
     val d = Files.createTempDirectory("graft_delta_v2j").toString + "/tbl"
     DeltaMeta.writeV2JsonCheckpointFixtureTable(spark, d, docs)

@@ -779,6 +779,55 @@ class IcebergSourceSpec extends SparkSpec {
     writer.close()
   }
 
+  test("incremental append scan: attribution, entry-committer override, refusals") {
+    val d = Files.createTempDirectory("graft_ice_incr").toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    val rows = IcebergMeta.appendedFiles(spark, d, 1L, 2L).collect()
+      .map(r => (new Path(r.getString(0)).getName, r.getInt(1),
+        r.getLong(3))).toSet
+    // snap 2 added f3, f4 (data) and del0 (position deletes); the
+    // reused snap-1 manifest contributes nothing; f5's DELETED entry
+    // is not an append
+    assert(rows === Set(
+      ("f3.parquet", 0, counts2(d, "f3.parquet")),
+      ("f4.parquet", 0, counts2(d, "f4.parquet")),
+      ("del0.parquet", 1, 2L)))
+    // an entry's OWN snapshot_id overrides manifest attribution
+    // (compacted manifests keep original committers): stamp f3's entry
+    // with snapshot 1 → it drops out of the (1, 2] increment
+    val m2 = new java.io.File(d, "metadata/m2.avro")
+    val reader = new org.apache.avro.file.DataFileReader(
+      m2, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val recs = new scala.collection.mutable.ArrayBuffer[
+      org.apache.avro.generic.GenericRecord]
+    while (reader.hasNext) recs += reader.next()
+    reader.close()
+    recs.find(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("file_path").toString.endsWith("f3.parquet"))
+      .get.put("snapshot_id", 1L)
+    val writer = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](reader.getSchema))
+    writer.create(reader.getSchema, m2)
+    recs.foreach(writer.append)
+    writer.close()
+    val overridden = IcebergMeta.appendedFiles(spark, d, 1L, 2L).collect()
+      .map(r => new Path(r.getString(0)).getName).toSet
+    assert(overridden === Set("f4.parquet", "del0.parquet"))
+    // refusals: unknown snapshot, reversed range
+    val eUnknown = intercept[Exception](
+      IcebergMeta.appendedFiles(spark, d, 1L, 99L))
+    assert(causeMessages(eUnknown).contains("no snapshot 99"))
+    val eRev = intercept[Exception](
+      IcebergMeta.appendedFiles(spark, d, 2L, 1L))
+    assert(causeMessages(eRev).contains("not strictly before"))
+  }
+
+  private def counts2(d: String, f: String): Long =
+    spark.read.parquet(s"$d/data/$f").count()
+
   test("ndv audit: theta sketches decoded, lying declaration flagged") {
     val d = Files.createTempDirectory("graft_ice_ndv").toString + "/tbl"
     IcebergMeta.writeNdvFixtureTable(spark, d, docs)
