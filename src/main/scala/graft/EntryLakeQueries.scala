@@ -964,6 +964,24 @@ private[graft] object EntryLakeQueries {
     }),
 
 
+    // ICEBERG SNAPSHOT-EXPIRY plan: a compaction rewrite ages out —
+    // expiring snap 1 must free exactly its manifest list, the m0
+    // manifest only it references, and the pre-compaction data files
+    // f0/f1 (DELETED-status entries in the surviving rewrite manifest
+    // do not block: no survivor reads through them). c0 and m1 stay.
+    // Oracle: closed-form from the writer contract with real byte
+    // sizes via read_blob.
+    "meta_iceberg_expiry" -> ((s, dir) => {
+      val out = "/tmp/graft_icecomp_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeCompactedFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.expiryPlan(s, out, 1700000000500L)
+        .select(col("kind"),
+          regexp_extract(col("object"), "([^/]+)$", 1).as("object"),
+          col("bytes"))
+    }),
+
     // ICEBERG INCREMENTAL APPEND SCAN: files the snapshots in (1, 2]
     // ADDED, from snap-2's own manifest list by added_snapshot_id
     // attribution — the reused snap-1 manifest contributes nothing,
@@ -1616,6 +1634,18 @@ private[graft] object EntryLakeQueries {
         |FROM del JOIN f0 USING (pos)
         |WHERE del.f = 'f0.parquet'""".stripMargin,
 
+
+    "meta_iceberg_expiry" ->
+      """SELECT 'snapshot' AS kind, '1' AS object, CAST(-1 AS BIGINT) AS bytes
+        |UNION ALL
+        |SELECT 'manifest_list', 'snap-1.avro', CAST(size AS BIGINT)
+        |FROM read_blob('/tmp/graft_icecomp_sf0.01/metadata/snap-1.avro')
+        |UNION ALL
+        |SELECT 'manifest', 'm0.avro', CAST(size AS BIGINT)
+        |FROM read_blob('/tmp/graft_icecomp_sf0.01/metadata/m0.avro')
+        |UNION ALL
+        |SELECT 'data_file', parse_filename(filename), CAST(size AS BIGINT)
+        |FROM read_blob('/tmp/graft_icecomp_sf0.01/data/f[01].parquet')""".stripMargin,
 
     "meta_iceberg_incremental" ->
       """WITH appended AS (

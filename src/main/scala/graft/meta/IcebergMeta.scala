@@ -1045,6 +1045,87 @@ object IcebergMeta {
    * (aborted-write temp files, foreign uploads) surfaces too. One row
    * per orphan: `(abs_path, filename, format, size, num_rows)`.
    */
+  /**
+   * SNAPSHOT-EXPIRY plan at metadata cost — `expire_snapshots`'
+   * storage-reclaim question answered BEFORE deleting anything: which
+   * snapshots age out at `expireBeforeMs` (never the current one —
+   * expiring it orphans every reader), and exactly what their removal
+   * frees. One row per deletable object, `kind` ∈
+   * `snapshot | manifest_list | manifest | data_file`:
+   *
+   *  - expired snapshots and their manifest-list files;
+   *  - manifests referenced ONLY by expired snapshots (a manifest a
+   *    survivor reuses stays);
+   *  - files referenced ONLY by expired snapshots — the compaction
+   *    leftovers expiry exists to reclaim; computed as
+   *    `refs(expired) \ refs(surviving)` with one manifest-decode task
+   *    per manifest on each side, the [[orphanFiles]] fan-out.
+   *
+   * Refuses when nothing expires (an empty plan reads as "safe to run"
+   * when the real answer is "the cutoff matched nothing") and when the
+   * cutoff would expire EVERY snapshot.
+   */
+  def expiryPlan(
+      spark: SparkSession, table: String, expireBeforeMs: Long): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val info = readTableMetadata(currentMetadataFile(root.getFileSystem(hconf), root), hconf)
+    requireCensusableVersion(info, table)
+    val (expired, surviving) = info.snapshots.partition(s =>
+      s.timestampMs < expireBeforeMs && !s.isCurrent)
+    if (expired.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: no snapshot is older than $expireBeforeMs (current is " +
+          "never expired) — nothing to plan")
+    }
+    if (surviving.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: the cutoff would expire every snapshot — refusing a " +
+          "plan that deletes the table's entire history")
+    }
+    def manifestsOf(snaps: Seq[IcebergSnapshotInfo]): Map[String, Long] =
+      snaps.flatMap(s => readManifestList(resolve(root, s.manifestList), hconf)
+        .map(m => resolve(root, m.manifestPath).toString -> m.manifestLength))
+        .toMap
+    val expiredManifests = manifestsOf(expired)
+    val survivingManifests = manifestsOf(surviving)
+    val deadManifests = expiredManifests -- survivingManifests.keySet
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(hconf)
+    def refs(paths: Seq[String], liveOnly: Boolean): DataFrame =
+      paths.toDS().flatMap { mp =>
+        readManifest(new Path(mp), conf.value)
+          .filter(e => !liveOnly || e.status != 2)
+          .map(e => (resolve(new Path(rootStr), e.filePath).toString,
+            e.fileSizeBytes))
+      }.toDF("path", "bytes").dropDuplicates("path")
+    // a file is deletable only when NO surviving snapshot still READS
+    // it (ADDED/EXISTING in any surviving manifest). A DELETED-status
+    // entry in a survivor does NOT block — no survivor can read
+    // through it, and reclaiming exactly those compaction leftovers is
+    // what expiry is for. The candidate side takes every status: the
+    // expired chain is the last thing naming those files at all.
+    val deadFiles = refs(deadManifests.keys.toSeq, liveOnly = false)
+      .join(refs(survivingManifests.keys.toSeq, liveOnly = true)
+        .select(col("path")), Seq("path"), "left_anti")
+    val fs = root.getFileSystem(hconf)
+    val snapRows = expired.map { s =>
+      ("snapshot", s.snapshotId.toString, -1L)
+    } ++ expired.map { s =>
+      val ml = resolve(root, s.manifestList)
+      ("manifest_list", ml.toString,
+        try fs.getFileStatus(ml).getLen catch { case _: Exception => -1L })
+    } ++ deadManifests.toSeq.map { case (p, len) => ("manifest", p, len) }
+    snapRows.toDF("kind", "object", "bytes")
+      .unionByName(deadFiles
+        .select(lit("data_file").as("kind"), col("path").as("object"),
+          col("bytes")))
+  }
+
   def orphanFiles(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val hconf = spark.sessionState.newHadoopConf()
@@ -2094,6 +2175,105 @@ object IcebergMeta {
       new java.io.File(metaDir, "version-hint.text").toPath,
       "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     counts + ("f2.parquet" -> 3L)
+  }
+
+  /**
+   * A COMPACTED table — the shape snapshot expiry exists to reclaim:
+   * snap 1 (m0) adds two parity slices `f0`/`f1`; snap 2 (the current
+   * one, manifest list = `m1` ONLY, m0 not reused) is the compaction
+   * rewrite — `c0.parquet` (all rows) ADDED, f0/f1 carried as
+   * status=DELETED entries. Expiring snap 1 must free exactly
+   * `snap-1.avro` + `m0.avro` + `f0`/`f1` while `c0` (and `m1`,
+   * `snap-2.avro`) stay. Returns per-data-file row counts.
+   */
+  def writeCompactedFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    def writeOne(df: DataFrame, rel: String): Long = {
+      val tmp = dir + "_ctmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dataDir, rel).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      df.count()
+    }
+    val base = docs.select(col("doc_id"), col("lang"))
+    val counts = Map(
+      "f0.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "f0.parquet"),
+      "f1.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "f1.parquet"),
+      "c0.parquet" -> writeOne(base, "c0.parquet"))
+    def entry(status: Int, f: String): org.apache.avro.generic.GenericRecord = {
+      val df = new org.apache.avro.generic.GenericData.Record(
+        manifestSchema.getField("data_file").schema())
+      df.put("content", 0)
+      df.put("file_path", s"data/$f")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(f))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
+      val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
+      e.put("status", status)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), manifestSchema,
+      Seq(entry(1, "f0.parquet"), entry(1, "f1.parquet")))
+    writeAvro(new java.io.File(metaDir, "m1.avro"), manifestSchema,
+      Seq(entry(1, "c0.parquet"),
+        entry(2, "f0.parquet"), entry(2, "f1.parquet")))
+    def mlEntry(path: String, added: Int, deleted: Int, rows: Long,
+        snap: Long): org.apache.avro.generic.GenericRecord = {
+      val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
+      r.put("manifest_path", s"metadata/$path")
+      r.put("manifest_length", new java.io.File(metaDir, path).length())
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("added_snapshot_id", snap)
+      r.put("added_files_count", added)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", deleted)
+      r.put("added_rows_count", rows)
+      r
+    }
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
+      Seq(mlEntry("m0.avro", 2, 0,
+        counts("f0.parquet") + counts("f1.parquet"), 1L)))
+    writeAvro(new java.io.File(metaDir, "snap-2.avro"), manifestListSchema,
+      Seq(mlEntry("m1.avro", 1, 2, counts("c0.parquet"), 2L)))
+    val ts0 = 1700000000000L
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-compacted",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":2,
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":$ts0,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}},
+         |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
+         | "manifest-list":"metadata/snap-2.avro",
+         | "summary":{"operation":"replace"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
   }
 
   /**

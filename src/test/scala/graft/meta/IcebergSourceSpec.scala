@@ -779,6 +779,36 @@ class IcebergSourceSpec extends SparkSpec {
     writer.close()
   }
 
+  test("expiry plan: compaction leftovers freed, reused manifests blocked") {
+    val d = Files.createTempDirectory("graft_ice_exp").toString + "/tbl"
+    IcebergMeta.writeCompactedFixtureTable(spark, d, docs)
+    val plan = IcebergMeta.expiryPlan(spark, d, 1700000000500L).collect()
+      .map(r => (r.getString(0), new Path(r.getString(1)).getName)).toSet
+    assert(plan === Set(
+      ("snapshot", "1"), ("manifest_list", "snap-1.avro"),
+      ("manifest", "m0.avro"),
+      ("data_file", "f0.parquet"), ("data_file", "f1.parquet")))
+    // real byte sizes ride along for every on-disk object
+    IcebergMeta.expiryPlan(spark, d, 1700000000500L).collect()
+      .filter(_.getString(0) != "snapshot")
+      .foreach(r => assert(r.getLong(2) > 0L))
+    // on the base fixture snap 2 REUSES m0: expiring snap 1 frees only
+    // the snapshot row + its manifest list — the reused manifest and
+    // every file stay
+    val base = Files.createTempDirectory("graft_ice_exp2").toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, base, docs)
+    val reused = IcebergMeta.expiryPlan(spark, base, 1700000000500L)
+      .collect().map(r => (r.getString(0),
+        new Path(r.getString(1)).getName)).toSet
+    assert(reused === Set(
+      ("snapshot", "1"), ("manifest_list", "snap-1.avro")))
+    // nothing-to-expire refuses — an empty plan must never read as
+    // "safe to run"
+    val eNone = intercept[Exception](
+      IcebergMeta.expiryPlan(spark, d, 1699999999000L))
+    assert(causeMessages(eNone).contains("nothing to plan"))
+  }
+
   test("incremental append scan: attribution, entry-committer override, refusals") {
     val d = Files.createTempDirectory("graft_ice_incr").toString + "/tbl"
     IcebergMeta.writeFixtureTable(spark, d, docs)
