@@ -946,6 +946,46 @@ private[graft] object EntryLakeQueries {
             .cast("long").as("deleted_positions")))
     }),
 
+    // STREAMING INCREMENTAL INGEST: the appends store across TWO
+    // metadata arrivals — pass A sees a current-snapshot-1 metadata
+    // (baseline increment = snap 1's live set, f0..f2); pass B's new
+    // v2.metadata.json flips current to snap 2 and lands EXACTLY its
+    // appended files (f3, f4, del0) as increment 2 — the checkpointed
+    // stream never re-emits pass A's file, and an increment is keyed
+    // by its snapshot (idempotent overwrite). Oracle: closed-form per
+    // increment from the data files' own footers.
+    "stream_iceberg_appends" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = "/tmp/graft_iceapp_" + sfx
+      val store = "/tmp/graft_iceappstore_" + sfx
+      val ckpt = "/tmp/graft_iceappck_" + sfx
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      // pass A: rewind the table to current-snapshot 1 (v1 only)
+      val v1 = new java.io.File(out, "metadata/v1.metadata.json")
+      val full = new String(java.nio.file.Files.readAllBytes(v1.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(v1.toPath,
+        full.replace("\"current-snapshot-id\":2,", "\"current-snapshot-id\":1,")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      IcebergMeta.maintainAppendsStore(s, out, store, ckpt)
+      // pass B: v2.metadata.json arrives with current snapshot 2
+      java.nio.file.Files.write(
+        new java.io.File(out, "metadata/v2.metadata.json").toPath,
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        new java.io.File(out, "metadata/version-hint.text").toPath,
+        "2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      IcebergMeta.maintainAppendsStore(s, out, store, ckpt)
+      IcebergMeta.readAppendsStore(s, store)
+        .groupBy(col("snapshot_id"))
+        .agg(count(lit(1)).cast("long").as("n_files"),
+          sum(when(col("content") === 0, col("record_count")))
+            .cast("long").as("data_rows"),
+          sum(when(col("content") =!= 0, col("record_count")))
+            .cast("long").as("delete_rows"))
+    }),
 
     // ICEBERG EQUALITY-DELETE row-wise audit (format v2, the Flink
     // merge-on-read shape): delete files carry VALUE rows matched on
@@ -1634,6 +1674,17 @@ private[graft] object EntryLakeQueries {
         |FROM del JOIN f0 USING (pos)
         |WHERE del.f = 'f0.parquet'""".stripMargin,
 
+
+    "stream_iceberg_appends" ->
+      """SELECT CAST(1 AS BIGINT) AS snapshot_id, CAST(3 AS BIGINT) AS n_files,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_iceapp_sf0.01/data/f[0-2].parquet')) AS data_rows,
+        |  CAST(NULL AS BIGINT) AS delete_rows
+        |UNION ALL
+        |SELECT 2, 3,
+        |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_iceapp_sf0.01/data/f[34].parquet')),
+        |  CAST(2 AS BIGINT)""".stripMargin,
 
     "meta_iceberg_expiry" ->
       """SELECT 'snapshot' AS kind, '1' AS object, CAST(-1 AS BIGINT) AS bytes

@@ -1009,6 +1009,82 @@ object IcebergMeta {
     spark.read.parquet(storeDir)
 
   /**
+   * STREAMING INCREMENTAL-INGEST store — the streaming twin of
+   * [[appendedFiles]]: one `Trigger.AvailableNow` pass of the metadata
+   * stream; the FIRST current snapshot seen lands as the BASELINE
+   * increment (its full live file set — an ingester starting mid-life
+   * must bootstrap from somewhere), and each later batch that carries
+   * a NEW current snapshot appends exactly
+   * `appendedFiles(prevSeen, new)` as its own increment. Increments
+   * are parquet subdirs keyed `inc_<timestamp>_<snapshot>` — re-running
+   * a snapshot's increment overwrites its own subdir (idempotent), and
+   * already-seen metadata files never re-trigger (checkpointed). An
+   * ingester tails [[readAppendsStore]] and touches each arriving file
+   * once — no re-listing, no re-diffing.
+   */
+  def maintainAppendsStore(
+      spark: SparkSession, table: String,
+      storeDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = spark.readStream.format("metadata")
+      .option("source", "iceberg").option("level", "snapshot")
+      .option("streamlagms", "0").load(table)
+    val q = src.select("filename", "snapshot_id", "timestamp_ms", "is_current")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // metadata-FILE-sized driver boundary (a few rows per version)
+        val rows = batch.collect()
+        if (rows.nonEmpty) {
+          val newestFile = rows.map(_.getString(0))
+            .maxBy(n => (metadataVersion(n), n))
+          rows.filter(r => r.getString(0) == newestFile && r.getBoolean(3))
+            .headOption.foreach { cur =>
+              val curSnap = cur.getLong(1)
+              val curTs = cur.getLong(2)
+              val store = new java.io.File(storeDir)
+              store.mkdirs()
+              // previously ingested increments, keyed by commit time
+              // (snapshot ids are opaque; timestamps order the lineage)
+              val seen = Option(store.listFiles()).getOrElse(Array.empty)
+                .filter(_.getName.startsWith("inc_"))
+                .map { f =>
+                  val p = f.getName.split("_")
+                  (p(1).toLong, p(2).toLong) // (ts, snapshot)
+                }
+              val prev = seen.sortBy(_._1).lastOption
+              if (!prev.exists(_._1 >= curTs)) {
+                val inc = prev match {
+                  case None =>
+                    // bootstrap: the first seen snapshot's live set IS
+                    // the first increment
+                    filesAt(spark, table, Some(curSnap))
+                      .filter(col("status") =!= 2)
+                      .select(col("file_path"), col("content"),
+                        col("abs_path"), col("record_count"),
+                        col("file_size_bytes"), col("data_sequence_number"))
+                  case Some((_, prevSnap)) =>
+                    appendedFiles(spark, table, prevSnap, curSnap)
+                }
+                inc.withColumn("snapshot_id", lit(curSnap))
+                  .coalesce(1).write.mode("overwrite")
+                  .parquet(new java.io.File(store,
+                    s"inc_${curTs}_$curSnap").getPath)
+              }
+            }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Every increment row of a [[maintainAppendsStore]] store. */
+  def readAppendsStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir + "/inc_*")
+
+  /**
    * TIMESTAMP AS OF resolution: the snapshot with the latest
    * `timestamp-ms` at or before `tsMs` (iceberg snapshots carry their
    * commit time in the table metadata — resolution is one small JSON

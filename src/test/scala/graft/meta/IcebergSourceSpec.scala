@@ -779,6 +779,41 @@ class IcebergSourceSpec extends SparkSpec {
     writer.close()
   }
 
+  test("appends store: baseline, exact increment, no re-emission") {
+    val base = Files.createTempDirectory("graft_ice_app").toString
+    val d = base + "/tbl"
+    val store = base + "/store"
+    val ckpt = base + "/ckpt"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    val v1 = new java.io.File(d, "metadata/v1.metadata.json")
+    val full = new String(java.nio.file.Files.readAllBytes(v1.toPath), "UTF-8")
+    java.nio.file.Files.write(v1.toPath,
+      full.replace("\"current-snapshot-id\":2,", "\"current-snapshot-id\":1,")
+        .getBytes("UTF-8"))
+    IcebergMeta.maintainAppendsStore(spark, d, store, ckpt)
+    val afterA = IcebergMeta.readAppendsStore(spark, store).collect()
+      .map(r => (r.getLong(6), new Path(r.getString(0)).getName)).toSet
+    assert(afterA === Set((1L, "f0.parquet"), (1L, "f1.parquet"),
+      (1L, "f2.parquet")))
+    // pass B: snapshot 2 arrives; ONLY its appends land
+    java.nio.file.Files.write(
+      new java.io.File(d, "metadata/v2.metadata.json").toPath,
+      full.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(d, "metadata/version-hint.text").toPath,
+      "2".getBytes("UTF-8"))
+    IcebergMeta.maintainAppendsStore(spark, d, store, ckpt)
+    val afterB = IcebergMeta.readAppendsStore(spark, store).collect()
+      .map(r => (r.getLong(6), new Path(r.getString(0)).getName)).toSet
+    assert(afterB === afterA ++ Set((2L, "f3.parquet"), (2L, "f4.parquet"),
+      (2L, "del0.parquet")))
+    // pass C: nothing new — the store is untouched (no re-emission)
+    IcebergMeta.maintainAppendsStore(spark, d, store, ckpt)
+    val afterC = IcebergMeta.readAppendsStore(spark, store).collect()
+      .map(r => (r.getLong(6), new Path(r.getString(0)).getName)).toSet
+    assert(afterC === afterB)
+  }
+
   test("expiry plan: compaction leftovers freed, reused manifests blocked") {
     val d = Files.createTempDirectory("graft_ice_exp").toString + "/tbl"
     IcebergMeta.writeCompactedFixtureTable(spark, d, docs)
