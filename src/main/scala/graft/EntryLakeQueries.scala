@@ -1038,6 +1038,37 @@ private[graft] object EntryLakeQueries {
           col("content").cast("int").as("content"), col("record_count"))
     }),
 
+    // DELTA LOG-CLEANUP plan: which log segments delta.logRetention
+    // cleanup may delete — strictly before the covering checkpoint AND
+    // aged past retention. The fixture plants a superseded checkpoint
+    // at v1 (old → deletable), an old v0 commit (deletable), and a v1
+    // commit written late (young → the AGE gate keeps it). Oracle:
+    // closed-form ages from the planted mtimes + read_blob sizes.
+    "meta_delta_log_cleanup" -> ((s, dir) => {
+      val out = "/tmp/graft_deltaclean_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      val log = new java.io.File(out, "_delta_log")
+      val ts0 = 1700000000000L
+      val hour = 3600000L
+      java.nio.file.Files.copy(
+        new java.io.File(log, f"${2L}%020d.checkpoint.parquet").toPath,
+        new java.io.File(log, f"${1L}%020d.checkpoint.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      def touch(name: String, t: Long): Unit = {
+        val ok = new java.io.File(log, name).setLastModified(t)
+        require(ok, s"could not set mtime on $name")
+      }
+      touch(f"${0L}%020d.json", ts0)
+      touch(f"${1L}%020d.checkpoint.parquet", ts0 + hour)
+      touch(f"${1L}%020d.json", ts0 + 2 * hour) // written late: stays
+      Seq(f"${2L}%020d.json", f"${2L}%020d.checkpoint.parquet",
+        f"${3L}%020d.json", f"${4L}%020d.json")
+        .foreach(touch(_, ts0 + 9 * hour))
+      DeltaMeta.logCleanupPlan(s, out,
+        nowMs = ts0 + 10 * hour, retainMs = 8 * hour + hour / 2)
+    }),
+
     // DELTA INCREMENTAL commit-range diff: every file action in
     // commits (2, 4] of the base fixture — adds with their stats rows,
     // removes with null num_records; gapped ranges refuse. Oracle:
@@ -1708,6 +1739,20 @@ private[graft] object EntryLakeQueries {
         |SELECT file, content, record_count FROM appended
         |UNION ALL
         |SELECT 'del0.parquet', 1, CAST(2 AS BIGINT)""".stripMargin,
+
+    "meta_delta_log_cleanup" ->
+      """SELECT CAST(0 AS BIGINT) AS version, 'commit' AS kind,
+        |  '00000000000000000000.json' AS filename,
+        |  CAST(36000000 AS BIGINT) AS age_ms,
+        |  (SELECT CAST(size AS BIGINT) FROM read_blob(
+        |    '/tmp/graft_deltaclean_sf0.01/_delta_log/00000000000000000000.json'))
+        |    AS "size"
+        |UNION ALL
+        |SELECT 1, 'checkpoint',
+        |  '00000000000000000001.checkpoint.parquet',
+        |  CAST(32400000 AS BIGINT),
+        |  (SELECT CAST(size AS BIGINT) FROM read_blob(
+        |    '/tmp/graft_deltaclean_sf0.01/_delta_log/00000000000000000001.checkpoint.parquet'))""".stripMargin,
 
     "meta_delta_incremental" ->
       """SELECT CAST(regexp_extract(parse_filename(filename), '^0*(\d+)', 1)

@@ -1355,6 +1355,54 @@ object DeltaMeta {
   }
 
   /**
+   * LOG-CLEANUP plan — `delta.logRetentionDuration`'s deletion set
+   * answered BEFORE touching the log: segments (commits AND older
+   * checkpoints) that a NEWER checkpoint makes reconstructible-without
+   * and whose modification time has aged past `retainMs` at `nowMs`.
+   * One row per deletable segment `(version, kind, filename, age_ms,
+   * size)`. The covering checkpoint itself and everything at or after
+   * it always stay (deleting them breaks the only replay base);
+   * younger-than-retention segments stay (time travel inside the
+   * retention window is a published guarantee). REFUSES when the log
+   * has no checkpoint at all — with commits as the only history,
+   * nothing is coverable and an empty plan would read as "already
+   * clean".
+   */
+  def logCleanupPlan(
+      spark: SparkSession, table: String,
+      nowMs: Long, retainMs: Long): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val slices = listLogSlices(root, conf)
+    val withKind = slices.flatMap(f =>
+      segmentVersion(f.name).map { case (v, k) => (v, k, f) })
+    val ckptVersion = withKind.collect { case (v, "checkpoint", _) => v }
+      .maxOption.getOrElse(
+        throw new UnsupportedOperationException(
+          s"$table: the log has no checkpoint — no commit is coverable " +
+            "and cleanup would delete the only history; refusing to " +
+            "plan an empty-looking answer"))
+    val cutoff = nowMs - retainMs
+    withKind
+      .filter { case (v, _, f) =>
+        // deletable: strictly before the covering checkpoint (commits
+        // it replays for us, and superseded older checkpoints) AND
+        // aged out. The commit AT the checkpoint version stays too —
+        // it is the cheapest carrier of that version's commitInfo/ICT
+        // evidence and deleting it buys one file.
+        v < ckptVersion && f.mtime < cutoff
+      }
+      .map { case (v, k, f) =>
+        (v, k, f.name, nowMs - f.mtime, f.size)
+      }
+      .toDF("version", "kind", "filename", "age_ms", "size")
+  }
+
+  /**
    * INCREMENTAL commit-range diff at metadata cost — the "what changed
    * since version X" question an incremental consumer asks before
    * touching data: one row per FILE ACTION in the commits of

@@ -250,6 +250,30 @@ class DeltaSourceSpec extends SparkSpec {
     assert(segs(0).getAs[Boolean]("has_protocol"))
   }
 
+  test("log-cleanup plan: coverage + age gates, checkpoint-less refusal") {
+    val d = Files.createTempDirectory("graft_delta_clean").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    val log = new java.io.File(d, "_delta_log")
+    val ts0 = 1700000000000L
+    val hour = 3600000L
+    log.listFiles().foreach(_.setLastModified(ts0))
+    // everything aged, checkpoint at v2 → commits 0,1 deletable; the
+    // covering checkpoint and everything after it stay even when old
+    val plan = DeltaMeta.logCleanupPlan(spark, d, ts0 + 10 * hour, hour)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(plan === Set((0L, "commit"), (1L, "commit")))
+    // nothing aged → empty plan (the gates compose)
+    assert(DeltaMeta.logCleanupPlan(spark, d, ts0 + 10 * hour,
+      20 * hour).count() === 0L)
+    // a checkpoint-less log refuses: nothing is coverable and an empty
+    // plan would read as "already clean"
+    assert(new java.io.File(log,
+      f"${2L}%020d.checkpoint.parquet").delete())
+    val e = intercept[Exception](
+      DeltaMeta.logCleanupPlan(spark, d, ts0 + 10 * hour, hour).collect())
+    assert(causeMessages(e).contains("no checkpoint"))
+  }
+
   test("incremental commit diff: actions per version, gapped range refuses") {
     val d = Files.createTempDirectory("graft_delta_incr").toString + "/tbl"
     DeltaMeta.writeFixtureTable(spark, d, docs)

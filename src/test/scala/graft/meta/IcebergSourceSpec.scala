@@ -779,6 +779,19 @@ class IcebergSourceSpec extends SparkSpec {
     writer.close()
   }
 
+  test("equality-delete plan shape: broadcast null-safe semi, no sort-merge") {
+    val d = Files.createTempDirectory("graft_ice_eqplan").toString + "/tbl"
+    IcebergMeta.writeEqDeleteFixtureTable(spark, d, docs)
+    val plan = IcebergMeta.equalityDeleteRows(spark, d)
+      .queryExecution.executedPlan.toString
+    // the delete-key side must BROADCAST (it is delete-file-sized) and
+    // the join must be a null-safe LeftSemi hash join — a sort-merge
+    // here would shuffle the full data scan at 100 TB
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("appends store: baseline, exact increment, no re-emission") {
     val base = Files.createTempDirectory("graft_ice_app").toString
     val d = base + "/tbl"
