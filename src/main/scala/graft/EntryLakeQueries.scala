@@ -1004,6 +1004,19 @@ private[graft] object EntryLakeQueries {
     }),
 
 
+    // ICEBERG MANIFEST-HEALTH report: rewrite_manifests' planning
+    // question — per current-snapshot manifest, entry counts from the
+    // manifest's OWN rows (one decode task each) and the deterministic
+    // bin-packed rewrite_group for under-target manifests (data and
+    // delete manifests pack separately). Oracle: closed-form counts
+    // from the writer contract + read_blob manifest sizes.
+    "meta_iceberg_manifest_health" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.manifestHealthReport(s, out)
+    }),
+
     // ICEBERG SNAPSHOT-EXPIRY plan: a compaction rewrite ages out —
     // expiring snap 1 must free exactly its manifest list, the m0
     // manifest only it references, and the pre-compaction data files
@@ -1716,6 +1729,22 @@ private[graft] object EntryLakeQueries {
         |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM parquet_file_metadata(
         |    '/tmp/graft_iceapp_sf0.01/data/f[34].parquet')),
         |  CAST(2 AS BIGINT)""".stripMargin,
+
+    "meta_iceberg_manifest_health" ->
+      """WITH sizes AS (
+        |  SELECT parse_filename(filename) AS m, CAST(size AS BIGINT) AS len
+        |  FROM read_blob('/tmp/graft_iceberg_sf0.01/metadata/m[023].avro')
+        |)
+        |SELECT 'm0.avro' AS manifest, CAST(0 AS INT) AS content,
+        |  (SELECT len FROM sizes WHERE m = 'm0.avro') AS "length",
+        |  CAST(3 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_existing,
+        |  CAST(0 AS BIGINT) AS n_deleted, CAST(0 AS BIGINT) AS rewrite_group
+        |UNION ALL
+        |SELECT 'm2.avro', 0, (SELECT len FROM sizes WHERE m = 'm2.avro'),
+        |  2, 0, 1, 0
+        |UNION ALL
+        |SELECT 'm3.avro', 1, (SELECT len FROM sizes WHERE m = 'm3.avro'),
+        |  1, 0, 0, 0""".stripMargin,
 
     "meta_iceberg_expiry" ->
       """SELECT 'snapshot' AS kind, '1' AS object, CAST(-1 AS BIGINT) AS bytes

@@ -1122,6 +1122,67 @@ object IcebergMeta {
    * per orphan: `(abs_path, filename, format, size, num_rows)`.
    */
   /**
+   * MANIFEST-HEALTH report — `rewrite_manifests`' planning question:
+   * many small manifests make every planning pass open many files, and
+   * high deleted-entry ratios make each open mostly waste. One row per
+   * manifest of the CURRENT snapshot's list:
+   * `(manifest, content, length, n_added, n_existing, n_deleted,
+   * rewrite_group)` — entry counts from the manifest's OWN rows (one
+   * decode task per manifest, never trusting the list's declared
+   * counts, which [[snapshotSummaryAudit]] exists to doubt), and
+   * `rewrite_group` the deterministic bin-pack of UNDER-TARGET
+   * manifests (path order, group = ⌊preceding-small-bytes/target⌋ —
+   * the compactionPlan packing, applied to metadata files).
+   * Right-sized manifests never move (null group); data and delete
+   * manifests pack separately (the spec keeps them apart).
+   */
+  def manifestHealthReport(
+      spark: SparkSession, table: String,
+      targetBytes: Long = 8L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val info = readTableMetadata(
+      currentMetadataFile(root.getFileSystem(hconf), root), hconf)
+    requireCensusableVersion(info, table)
+    val current = info.snapshots.find(_.isCurrent).getOrElse(
+      throw new IllegalArgumentException(s"$table: no current snapshot"))
+    val manifests = readManifestList(
+      resolve(root, current.manifestList), hconf)
+      .map(m => (resolve(root, m.manifestPath).toString,
+        m.content, m.manifestLength))
+    // bin-pack per content kind, path order — a manifest-count-sized
+    // driver computation (the same boundary the list read already is)
+    val groups: Map[String, Long] = manifests
+      .groupBy(_._2).toSeq.flatMap { case (_, ms) =>
+        var acc = 0L
+        ms.sortBy(_._1).flatMap { case (p, _, len) =>
+          if (len >= targetBytes) None
+          else {
+            val g = acc / targetBytes
+            acc += len
+            Some(p -> g)
+          }
+        }
+      }.toMap
+    val conf = new SerializableHadoopConf(hconf)
+    manifests.toDS()
+      .map { case (mp, content, len) =>
+        val entries = readManifest(new Path(mp), conf.value)
+        (new Path(mp).getName, content, len,
+          entries.count(_.status == 1).toLong,
+          entries.count(_.status == 0).toLong,
+          entries.count(_.status == 2).toLong,
+          groups.get(mp))
+      }
+      .toDF("manifest", "content", "length",
+        "n_added", "n_existing", "n_deleted", "rewrite_group")
+  }
+
+  /**
    * SNAPSHOT-EXPIRY plan at metadata cost — `expire_snapshots`'
    * storage-reclaim question answered BEFORE deleting anything: which
    * snapshots age out at `expireBeforeMs` (never the current one —

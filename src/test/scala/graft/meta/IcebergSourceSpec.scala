@@ -779,6 +779,26 @@ class IcebergSourceSpec extends SparkSpec {
     writer.close()
   }
 
+  test("manifest health: own-row counts, right-sized exclusion, kind split") {
+    val rows = IcebergMeta.manifestHealthReport(spark, table).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("m0.avro", "m2.avro", "m3.avro"))
+    assert(rows("m0.avro").getAs[Long]("n_added") === 3L)
+    assert(rows("m2.avro").getAs[Long]("n_added") === 2L)
+    assert(rows("m2.avro").getAs[Long]("n_deleted") === 1L)
+    assert(rows("m3.avro").getAs[Int]("content") === 1)
+    // under the default 8 MB target every tiny manifest packs; data
+    // and delete manifests pack in SEPARATE group sequences (both 0)
+    assert(rows.values.forall(_.getAs[Long]("rewrite_group") === 0L))
+    // a RIGHT-SIZED manifest never moves: with a target below m0's
+    // size, m0 gets a null group while smaller ones still pack
+    val m0Len = rows("m0.avro").getAs[Long]("length")
+    val tiny = IcebergMeta.manifestHealthReport(spark, table, m0Len)
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(6)).map(_.asInstanceOf[Long])).toMap
+    assert(tiny("m0.avro").isEmpty)
+  }
+
   test("equality-delete plan shape: broadcast null-safe semi, no sort-merge") {
     val d = Files.createTempDirectory("graft_ice_eqplan").toString + "/tbl"
     IcebergMeta.writeEqDeleteFixtureTable(spark, d, docs)
