@@ -1004,6 +1004,23 @@ private[graft] object EntryLakeQueries {
     }),
 
 
+    // ICEBERG PARTITION-SPEC evolution audit: after ADD PARTITION
+    // FIELD, which live files were written under the OLD spec (they
+    // dodge partition pruning until rewritten)? Spec ids from each
+    // file's manifest, renderings from the metadata's partition-specs;
+    // the fixture evolves unpartitioned -> by-lang with default spec 1,
+    // so f0/f1 flag as backfill candidates. Oracle: DuckDB derives the
+    // default-spec-id and spec renderings from the SAME metadata JSON.
+    "meta_iceberg_spec_audit" -> ((s, dir) => {
+      val out = "/tmp/graft_icespec_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeSpecEvolutionFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.partitionSpecAudit(s, out)
+        .select(regexp_extract(col("file_path"), "([^/]+)$", 1).as("file"),
+          col("spec_id"), col("spec_csv"), col("is_default"))
+    }),
+
     // ICEBERG MANIFEST-HEALTH report: rewrite_manifests' planning
     // question — per current-snapshot manifest, entry counts from the
     // manifest's OWN rows (one decode task each) and the deterministic
@@ -1729,6 +1746,33 @@ private[graft] object EntryLakeQueries {
         |  (SELECT CAST(sum(num_rows) AS BIGINT) FROM parquet_file_metadata(
         |    '/tmp/graft_iceapp_sf0.01/data/f[34].parquet')),
         |  CAST(2 AS BIGINT)""".stripMargin,
+
+    "meta_iceberg_spec_audit" ->
+      """WITH meta AS (
+        |  SELECT "default-spec-id" AS def_id, "partition-specs" AS specs
+        |  FROM read_json_auto(
+        |    '/tmp/graft_icespec_sf0.01/metadata/*.metadata.json')
+        |),
+        |spec AS (
+        |  SELECT CAST(sp."spec-id" AS INT) AS spec_id,
+        |    CASE WHEN len(sp.fields) = 0 THEN 'unpartitioned'
+        |      ELSE array_to_string(list_transform(sp.fields, f ->
+        |        concat(f.name, '=', f.transform, '(',
+        |          CAST(f."source-id" AS VARCHAR), ')')), ',')
+        |    END AS spec_csv,
+        |    CAST(sp."spec-id" = (SELECT def_id FROM meta) AS BOOLEAN)
+        |      AS is_default
+        |  FROM (SELECT unnest(specs) AS sp FROM meta)
+        |),
+        |files AS (
+        |  SELECT unnest(['f0.parquet', 'f1.parquet']) AS file,
+        |    0 AS spec_id
+        |  UNION ALL
+        |  SELECT unnest(['p0.parquet', 'p1.parquet']), 1
+        |)
+        |SELECT f.file, CAST(f.spec_id AS INT) AS spec_id,
+        |  s.spec_csv, s.is_default
+        |FROM files f JOIN spec s ON s.spec_id = f.spec_id""".stripMargin,
 
     "meta_iceberg_manifest_health" ->
       """WITH sizes AS (

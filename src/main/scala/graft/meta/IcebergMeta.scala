@@ -36,7 +36,9 @@ case class IcebergManifestInfo(
     addedSnapshotId: Option[Long] = None,
     // the manifest's data sequence number (v2+): entries with a null
     // sequence_number and status ADDED inherit it
-    sequenceNumber: Option[Long] = None)
+    sequenceNumber: Option[Long] = None,
+    // which partition spec the manifest's entries were written under
+    partitionSpecId: Option[Int] = None)
 
 /** One manifest entry: one data or delete file with its census numbers.
   * `status`: 0 existing, 1 added, 2 deleted (the spec's enum).
@@ -357,7 +359,8 @@ object IcebergMeta {
             .orElse(optLong(r, "deleted_data_files_count")),
           addedRows = optLong(r, "added_rows_count"),
           addedSnapshotId = optLong(r, "added_snapshot_id"),
-          sequenceNumber = optLong(r, "sequence_number"))
+          sequenceNumber = optLong(r, "sequence_number"),
+          partitionSpecId = optLong(r, "partition_spec_id").map(_.toInt))
       }
       out.toSeq
     } finally {
@@ -1121,6 +1124,77 @@ object IcebergMeta {
    * (aborted-write temp files, foreign uploads) surfaces too. One row
    * per orphan: `(abs_path, filename, format, size, num_rows)`.
    */
+  /**
+   * PARTITION-SPEC evolution audit — iceberg's flagship feature leaves
+   * a backfill question behind, exactly like schema evolution does:
+   * after `ALTER TABLE ... ADD PARTITION FIELD`, which live files were
+   * written under an OLD spec (they answer partition-pruned queries
+   * only through full scans until rewritten)? One row per live data
+   * file: `(file_path, spec_id, spec_csv, is_default)` — the spec id
+   * comes from the file's MANIFEST (the list's `partition_spec_id`;
+   * entries inherit their manifest's spec by construction), the
+   * rendering from the metadata's `partition-specs` declarations
+   * (`name=transform(source-id)` CSV, empty → `unpartitioned`).
+   * Refuses when the metadata declares no `partition-specs` list (the
+   * v1 legacy single-spec field is not modeled), when a manifest
+   * carries no spec id, or when a manifest names a spec the metadata
+   * does not declare — a dangling spec id breaks every reader.
+   */
+  def partitionSpecAudit(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    import scala.jdk.CollectionConverters._
+    val specsNode = Option(node.get("partition-specs")).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$mf: no partition-specs list — the v1 legacy single-spec " +
+          "field is not modeled; refusing to attribute files to specs"))
+    val specs: Map[Int, String] = specsNode.elements().asScala.toSeq.map { sp =>
+      val id = req(sp, "spec-id", mf).asInt()
+      val fields = Option(sp.get("fields"))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+        .map(f => s"${req(f, "name", mf).asText()}=" +
+          s"${req(f, "transform", mf).asText()}(" +
+          s"${req(f, "source-id", mf).asInt()})")
+      id -> (if (fields.isEmpty) "unpartitioned" else fields.mkString(","))
+    }.toMap
+    val defaultSpec = Option(node.get("default-spec-id"))
+      .map(_.asInt()).getOrElse(0)
+    val current = Option(node.get("current-snapshot-id")).map(_.asLong())
+      .flatMap(id => Option(node.get("snapshots"))
+        .flatMap(_.elements().asScala.toSeq
+          .find(s => req(s, "snapshot-id", mf).asLong() == id)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table: no current snapshot"))
+    val hconf = spark.sessionState.newHadoopConf()
+    val manifests = readManifestList(
+      resolve(root, req(current, "manifest-list", mf).asText()), hconf)
+      .map { m =>
+        val sid = m.partitionSpecId.getOrElse(
+          throw new UnsupportedOperationException(
+            s"$table: manifest ${m.manifestPath} carries no " +
+              "partition_spec_id — spec attribution is unknowable"))
+        if (!specs.contains(sid)) {
+          throw new IllegalArgumentException(
+            s"$table: manifest ${m.manifestPath} names spec $sid which " +
+              s"the metadata does not declare (known: " +
+              s"${specs.keys.toSeq.sorted.mkString(", ")})")
+        }
+        (resolve(root, m.manifestPath).toString, sid)
+      }
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(hconf)
+    val specsB = specs
+    val defB = defaultSpec
+    manifests.toDS()
+      .flatMap { case (mp, sid) =>
+        readManifest(new Path(mp), conf.value)
+          .filter(e => e.status != 2 && e.content == 0)
+          .map(e => (resolve(new Path(rootStr), e.filePath).toString,
+            sid, specsB(sid), sid == defB))
+      }
+      .toDF("file_path", "spec_id", "spec_csv", "is_default")
+  }
+
   /**
    * MANIFEST-HEALTH report — `rewrite_manifests`' planning question:
    * many small manifests make every planning pass open many files, and
@@ -2404,6 +2478,115 @@ object IcebergMeta {
          |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
          | "manifest-list":"metadata/snap-2.avro",
          | "summary":{"operation":"replace"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
+  /**
+   * A table whose PARTITION SPEC EVOLVED: snap 1 (m0, spec 0 —
+   * unpartitioned) adds `f0`/`f1`; snap 2 (current) keeps m0 and adds
+   * m1 under spec 1 (`lang` identity) with `p0`/`p1`. The metadata
+   * declares both specs with `default-spec-id: 1` — so f0/f1 are the
+   * backfill candidates [[partitionSpecAudit]] must flag. Returns
+   * per-data-file row counts.
+   */
+  def writeSpecEvolutionFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    def writeOne(df: DataFrame, rel: String): Long = {
+      val tmp = dir + "_stmp"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dataDir, rel).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      df.count()
+    }
+    val base = docs.select(col("doc_id"), col("lang"))
+    val counts = Map(
+      "f0.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(4)) === 0),
+        "f0.parquet"),
+      "f1.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(4)) === 1),
+        "f1.parquet"),
+      "p0.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(4)) === 2),
+        "p0.parquet"),
+      "p1.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(4)) === 3),
+        "p1.parquet"))
+    def entry(f: String): org.apache.avro.generic.GenericRecord = {
+      val df = new org.apache.avro.generic.GenericData.Record(
+        manifestSchema.getField("data_file").schema())
+      df.put("content", 0)
+      df.put("file_path", s"data/$f")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(f))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
+      val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), manifestSchema,
+      Seq(entry("f0.parquet"), entry("f1.parquet")))
+    writeAvro(new java.io.File(metaDir, "m1.avro"), manifestSchema,
+      Seq(entry("p0.parquet"), entry("p1.parquet")))
+    def mlEntry(path: String, specId: Int, added: Int, rows: Long,
+        snap: Long): org.apache.avro.generic.GenericRecord = {
+      val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
+      r.put("manifest_path", s"metadata/$path")
+      r.put("manifest_length", new java.io.File(metaDir, path).length())
+      r.put("partition_spec_id", specId)
+      r.put("content", 0)
+      r.put("added_snapshot_id", snap)
+      r.put("added_files_count", added)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", rows)
+      r
+    }
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
+      Seq(mlEntry("m0.avro", 0, 2,
+        counts("f0.parquet") + counts("f1.parquet"), 1L)))
+    writeAvro(new java.io.File(metaDir, "snap-2.avro"), manifestListSchema,
+      Seq(mlEntry("m0.avro", 0, 2,
+        counts("f0.parquet") + counts("f1.parquet"), 1L),
+        mlEntry("m1.avro", 1, 2,
+          counts("p0.parquet") + counts("p1.parquet"), 2L)))
+    val ts0 = 1700000000000L
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-specs",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":2,
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
+         |"default-spec-id":1,
+         |"partition-specs":[
+         |{"spec-id":0,"fields":[]},
+         |{"spec-id":1,"fields":[
+         | {"name":"lang","transform":"identity","source-id":2,
+         |  "field-id":1000}]}],
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":$ts0,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}},
+         |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
+         | "manifest-list":"metadata/snap-2.avro",
+         | "summary":{"operation":"append"}}]}""".stripMargin
     java.nio.file.Files.write(
       new java.io.File(metaDir, "v1.metadata.json").toPath,
       metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -779,6 +779,32 @@ class IcebergSourceSpec extends SparkSpec {
     writer.close()
   }
 
+  test("partition-spec audit: old-spec files flagged, dangling spec refuses") {
+    val d = Files.createTempDirectory("graft_ice_spec").toString + "/tbl"
+    IcebergMeta.writeSpecEvolutionFixtureTable(spark, d, docs)
+    val rows = IcebergMeta.partitionSpecAudit(spark, d).collect()
+      .map(r => (new Path(r.getString(0)).getName, r.getInt(1),
+        r.getString(2), r.getBoolean(3))).toSet
+    assert(rows === Set(
+      ("f0.parquet", 0, "unpartitioned", false),
+      ("f1.parquet", 0, "unpartitioned", false),
+      ("p0.parquet", 1, "lang=identity(2)", true),
+      ("p1.parquet", 1, "lang=identity(2)", true)))
+    // a manifest naming an UNDECLARED spec refuses — a dangling spec
+    // id breaks every reader that needs the partition types
+    val mf = new java.io.File(d, "metadata/v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace("{\"spec-id\":1,", "{\"spec-id\":7,").getBytes("UTF-8"))
+    val eDangling = intercept[Exception](
+      IcebergMeta.partitionSpecAudit(spark, d).collect())
+    assert(causeMessages(eDangling).contains("does not declare"))
+    // a metadata with NO partition-specs list refuses (v1 legacy)
+    val eNone = intercept[Exception](
+      IcebergMeta.partitionSpecAudit(spark, table).collect())
+    assert(causeMessages(eNone).contains("no partition-specs"))
+  }
+
   test("manifest health: own-row counts, right-sized exclusion, kind split") {
     val rows = IcebergMeta.manifestHealthReport(spark, table).collect()
       .map(r => r.getString(0) -> r).toMap
