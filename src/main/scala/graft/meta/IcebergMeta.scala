@@ -1260,7 +1260,9 @@ object IcebergMeta {
    * SNAPSHOT-EXPIRY plan at metadata cost — `expire_snapshots`'
    * storage-reclaim question answered BEFORE deleting anything: which
    * snapshots age out at `expireBeforeMs` (never the current one —
-   * expiring it orphans every reader), and exactly what their removal
+   * expiring it orphans every reader — and never one a named REF
+   * holds: branches/tags retain their snapshots regardless of age),
+   * and exactly what their removal
    * frees. One row per deletable object, `kind` ∈
    * `snapshot | manifest_list | manifest | data_file`:
    *
@@ -1284,10 +1286,29 @@ object IcebergMeta {
       val p = new Path(table)
       p.getFileSystem(hconf).makeQualified(p)
     }
-    val info = readTableMetadata(currentMetadataFile(root.getFileSystem(hconf), root), hconf)
+    val fs = root.getFileSystem(hconf)
+    val mf = currentMetadataFile(fs, root)
+    val info = readTableMetadata(mf, hconf)
     requireCensusableVersion(info, table)
+    // a snapshot HELD BY A REF (branch/tag) is retained regardless of
+    // age — expiring it strands every reader following the ref; the
+    // spec's retention walks refs first. (Ref-specific max-age
+    // policies are a catalog concern; the filesystem plan protects
+    // every named ref.)
+    val refHeld: Set[Long] = {
+      val in = fs.open(mf)
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      import scala.jdk.CollectionConverters._
+      Option(node.get("refs")).filter(_.isObject).map { refs =>
+        refs.properties().asScala
+          .map(e => req(e.getValue, "snapshot-id", mf).asLong()).toSet
+      }.getOrElse(Set.empty)
+    }
     val (expired, surviving) = info.snapshots.partition(s =>
-      s.timestampMs < expireBeforeMs && !s.isCurrent)
+      s.timestampMs < expireBeforeMs && !s.isCurrent &&
+        !refHeld.contains(s.snapshotId))
     if (expired.isEmpty) {
       throw new IllegalArgumentException(
         s"$table: no snapshot is older than $expireBeforeMs (current is " +
@@ -1323,7 +1344,6 @@ object IcebergMeta {
     val deadFiles = refs(deadManifests.keys.toSeq, liveOnly = false)
       .join(refs(survivingManifests.keys.toSeq, liveOnly = true)
         .select(col("path")), Seq("path"), "left_anti")
-    val fs = root.getFileSystem(hconf)
     val snapRows = expired.map { s =>
       ("snapshot", s.snapshotId.toString, -1L)
     } ++ expired.map { s =>

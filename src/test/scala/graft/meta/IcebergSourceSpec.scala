@@ -901,6 +901,14 @@ class IcebergSourceSpec extends SparkSpec {
     val eNone = intercept[Exception](
       IcebergMeta.expiryPlan(spark, d, 1699999999000L))
     assert(causeMessages(eNone).contains("nothing to plan"))
+    // a snapshot HELD BY A REF survives any age: the refs fixture tags
+    // snap 1 as "v1", so the same cutoff that expired it above now
+    // finds nothing to expire
+    val refd = Files.createTempDirectory("graft_ice_exp3").toString + "/tbl"
+    IcebergMeta.writeRefsFixtureTable(spark, refd, docs)
+    val eHeld = intercept[Exception](
+      IcebergMeta.expiryPlan(spark, refd, 1700000000500L))
+    assert(causeMessages(eHeld).contains("nothing to plan"))
   }
 
   test("incremental append scan: attribution, entry-committer override, refusals") {
