@@ -35,9 +35,18 @@ object Bench {
     // optimized away. toRdd executes the plan exactly as written.
     // Optional subset (comma-separated names): the suite-pressure bisect
     // tool — run halves of the inventory in separate JVMs and compare
-    // against the same queries' full-suite times.
+    // against the same queries' full-suite times. Names are trimmed and
+    // validated: a typo must fail the run, not silently bench a
+    // different (or empty) set and read as a timing change.
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}" +
+          (if (names.isEmpty) " (empty set)" else ""))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -1380,25 +1380,74 @@ object DeltaMeta {
     val slices = listLogSlices(root, conf)
     val withKind = slices.flatMap(f =>
       segmentVersion(f.name).map { case (v, k) => (v, k, f) })
+    // the covering replay base must be COMPLETE: the highest
+    // checkpoint version whose part set selectCheckpointParts accepts
+    // (an interrupted multipart upload classifies as 'checkpoint' but
+    // can replay nothing — planning against it would direct deletion
+    // of the only reconstructible history)
     val ckptVersion = withKind.collect { case (v, "checkpoint", _) => v }
-      .maxOption.getOrElse(
+      .distinct.sorted(Ordering[Long].reverse)
+      .find { v =>
+        try {
+          selectCheckpointParts(table, v, withKind.collect {
+            case (`v`, "checkpoint", f) => f.path
+          }).nonEmpty
+        } catch { case _: IllegalArgumentException => false }
+      }
+      .getOrElse(
         throw new UnsupportedOperationException(
-          s"$table: the log has no checkpoint — no commit is coverable " +
-            "and cleanup would delete the only history; refusing to " +
-            "plan an empty-looking answer"))
+          s"$table: the log has no COMPLETE checkpoint — no commit is " +
+            "coverable and cleanup would delete the only history; " +
+            "refusing to plan an empty-looking answer"))
     val cutoff = nowMs - retainMs
-    withKind
-      .filter { case (v, _, f) =>
-        // deletable: strictly before the covering checkpoint (commits
-        // it replays for us, and superseded older checkpoints) AND
-        // aged out. The commit AT the checkpoint version stays too —
-        // it is the cheapest carrier of that version's commitInfo/ICT
-        // evidence and deleting it buys one file.
-        v < ckptVersion && f.mtime < cutoff
+    // sidecar accounting: a deletable V2 manifest is the only thing
+    // NAMING its _delta_log/_sidecars parts — once it goes, they leak
+    // forever. Plan them alongside, EXCEPT parts a KEPT V2 manifest
+    // also names (the protocol allows sharing).
+    def isV2ManifestName(n: String): Boolean =
+      CkptJsonRe.findFirstIn(n).isDefined ||
+        (CkptRe.findFirstIn(n).isDefined &&
+          ClassicCkptRe.findFirstIn(n).isEmpty &&
+          MultipartRe.findFirstIn(n).isEmpty)
+    def sidecarsOf(paths: Seq[String]): Set[String] =
+      if (paths.isEmpty) Set.empty
+      else {
+        val raw = readCheckpointRaw(spark, paths,
+          StructType(Seq(StructField("sidecar", sidecarType))))
+        // a parquet manifest written without pointer rows has no
+        // sidecar column at all — nothing to account for
+        if (!raw.schema.fieldNames.contains("sidecar")) Set.empty
+        else raw.select(col("sidecar.path"))
+          .filter(col("path").isNotNull)
+          .collect().map(_.getString(0)).toSet
       }
-      .map { case (v, k, f) =>
-        (v, k, f.name, nowMs - f.mtime, f.size)
-      }
+    val (delSegs, keptSegs) = withKind.partition { case (v, _, f) =>
+      v < ckptVersion && f.mtime < cutoff
+    }
+    val deadV2 = delSegs.collect {
+      case (_, "checkpoint", f) if isV2ManifestName(f.name) => f.path
+    }
+    val keptV2 = keptSegs.collect {
+      case (_, "checkpoint", f) if isV2ManifestName(f.name) => f.path
+    }
+    val deadSidecars = sidecarsOf(deadV2) -- sidecarsOf(keptV2)
+    val fs = root.getFileSystem(conf)
+    val scDir = new Path(new Path(table), "_delta_log/_sidecars")
+    val sidecarRows = deadSidecars.toSeq.sorted.map { n =>
+      val decoded = java.net.URLDecoder.decode(n, "UTF-8")
+      val p =
+        if (decoded.contains("://") || decoded.startsWith("/")) {
+          new Path(decoded)
+        } else new Path(scDir, decoded)
+      val st = try Some(p.getFileSystem(conf).getFileStatus(p))
+        catch { case _: Exception => None }
+      (-1L, "sidecar", p.getName,
+        st.map(nowMs - _.getModificationTime).getOrElse(-1L),
+        st.map(_.getLen).getOrElse(-1L))
+    }
+    (delSegs.map { case (v, k, f) =>
+      (v, k, f.name, nowMs - f.mtime, f.size)
+    } ++ sidecarRows)
       .toDF("version", "kind", "filename", "age_ms", "size")
   }
 
@@ -2074,15 +2123,8 @@ object DeltaMeta {
     val ckpt = spark.read.parquet(classic.getPath)
     val scDir = new java.io.File(logDir, "_sidecars")
     scDir.mkdirs()
-    def writeOnePart(df: DataFrame, dst: java.io.File): Unit = {
-      val tmp = dir + "_v2jtmp"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    }
+    def writeOnePart(df: DataFrame, dst: java.io.File): Unit =
+      FixtureIO.writeSingleParquet(df, dst, dir + "_v2jtmp")
     // file actions out to the sidecars: adds in sc1, removes in sc2
     writeOnePart(ckpt.filter(col("add").isNotNull).select("add", "remove"),
       new java.io.File(scDir, "sc1.parquet"))

@@ -768,11 +768,24 @@ object IcebergMeta {
             "its match columns are unknowable, refusing to guess")
       }
     }
-    val dataFiles = live
-      .filter(col("content") === 0 &&
-        upper(col("file_format")) === "PARQUET")
-      .select(col("abs_path"), col("data_sequence_number"))
+    val dataRaw = live
+      .filter(col("content") === 0)
+      .select(col("abs_path"), col("data_sequence_number"),
+        col("file_format"))
       .collect()
+    // a NON-parquet data file cannot be scanned by the semi join — and
+    // silently leaving it out of every delete's scope would hand the
+    // caller an answer missing its deleted rows. Refuse, like the
+    // delete-file side does.
+    dataRaw.find(r => r.getString(2) == null ||
+        !r.getString(2).equalsIgnoreCase("parquet")).foreach { r =>
+      throw new UnsupportedOperationException(
+        s"$table: data file ${r.getString(0)} is " +
+          s"${String.valueOf(r.getString(2))} — only parquet data files " +
+          "can be equality-resolved; a scope silently missing it would " +
+          "miscount")
+    }
+    val dataFiles = dataRaw
       .map(r => (r.getString(0),
         if (r.isNullAt(1)) None else Some(r.getLong(1))))
       .distinct.toSeq
@@ -903,14 +916,24 @@ object IcebergMeta {
           s"${info.snapshots.map(_.snapshotId).mkString(", ")})"))
     val from = snap(fromSnapshot)
     val to = snap(toSnapshot)
+    // ids are opaque: the range resolves by commit TIME, which is only
+    // a total order when no two snapshots share a millisecond — a tie
+    // makes the lineage ambiguous and any answer a guess
+    info.snapshots.groupBy(_.timestampMs).find(_._2.size > 1).foreach {
+      case (ts, snaps) =>
+        throw new UnsupportedOperationException(
+          s"$table: snapshots ${snaps.map(_.snapshotId).mkString(", ")} " +
+            s"share timestamp-ms $ts — the timestamp lineage is " +
+            "ambiguous, refusing an increment that could silently drop " +
+            "a same-millisecond commit")
+    }
     if (from.timestampMs >= to.timestampMs) {
       throw new IllegalArgumentException(
         s"$table: snapshot $fromSnapshot (${from.timestampMs}) is not " +
           s"strictly before $toSnapshot (${to.timestampMs}) — an empty " +
           "or reversed range has no increment")
     }
-    // snapshot ids committed in (from, to] — ids are opaque, so the
-    // range resolves by commit TIME (the lineage the metadata keeps)
+    // snapshot ids committed in (from, to]
     val inRange = info.snapshots
       .filter(s => s.timestampMs > from.timestampMs &&
         s.timestampMs <= to.timestampMs)
@@ -1057,7 +1080,13 @@ object IcebergMeta {
                   (p(1).toLong, p(2).toLong) // (ts, snapshot)
                 }
               val prev = seen.sortBy(_._1).lastOption
-              if (!prev.exists(_._1 >= curTs)) {
+              // emit when this SNAPSHOT is new and not older than the
+              // last increment: a same-millisecond NEW snapshot is not
+              // silently skipped — it reaches appendedFiles, whose
+              // ambiguity refusal fails the batch LOUDLY instead
+              val seenSnaps = seen.map(_._2).toSet
+              if (!seenSnaps.contains(curSnap) &&
+                  !prev.exists(_._1 > curTs)) {
                 val inc = prev match {
                   case None =>
                     // bootstrap: the first seen snapshot's live set IS
@@ -2285,17 +2314,9 @@ object IcebergMeta {
     dataDir.mkdirs()
     metaDir.mkdirs()
 
-    def writeOne(df: DataFrame, rel: String): Long = {
-      val tmp = dir + "_eqtmp"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(dataDir, rel).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      df.count()
-    }
+    def writeOne(df: DataFrame, rel: String): Long =
+      FixtureIO.writeSingleParquet(df, new java.io.File(dataDir, rel),
+        dir + "_eqtmp")
     val base = docs.select(col("doc_id"),
       when(col("doc_id").isin(0L, 8L), lit(null).cast("string"))
         .otherwise(col("lang")).as("lang"))
@@ -2425,17 +2446,9 @@ object IcebergMeta {
     val metaDir = new java.io.File(root, "metadata")
     dataDir.mkdirs()
     metaDir.mkdirs()
-    def writeOne(df: DataFrame, rel: String): Long = {
-      val tmp = dir + "_ctmp"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(dataDir, rel).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      df.count()
-    }
+    def writeOne(df: DataFrame, rel: String): Long =
+      FixtureIO.writeSingleParquet(df, new java.io.File(dataDir, rel),
+        dir + "_ctmp")
     val base = docs.select(col("doc_id"), col("lang"))
     val counts = Map(
       "f0.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(2)) === 0),
@@ -2523,17 +2536,9 @@ object IcebergMeta {
     val metaDir = new java.io.File(root, "metadata")
     dataDir.mkdirs()
     metaDir.mkdirs()
-    def writeOne(df: DataFrame, rel: String): Long = {
-      val tmp = dir + "_stmp"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(dataDir, rel).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      df.count()
-    }
+    def writeOne(df: DataFrame, rel: String): Long =
+      FixtureIO.writeSingleParquet(df, new java.io.File(dataDir, rel),
+        dir + "_stmp")
     val base = docs.select(col("doc_id"), col("lang"))
     val counts = Map(
       "f0.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(4)) === 0),

@@ -265,13 +265,52 @@ class DeltaSourceSpec extends SparkSpec {
     // nothing aged → empty plan (the gates compose)
     assert(DeltaMeta.logCleanupPlan(spark, d, ts0 + 10 * hour,
       20 * hour).count() === 0L)
+    // an INCOMPLETE multipart checkpoint at a higher version is NOT a
+    // covering base: the plan falls back to the complete v2 checkpoint
+    // (planning against the broken v4 would direct deletion of the
+    // only reconstructible history)
+    java.nio.file.Files.copy(
+      new java.io.File(log, f"${2L}%020d.checkpoint.parquet").toPath,
+      new java.io.File(log,
+        f"${4L}%020d.checkpoint.0000000001.0000000002.parquet").toPath)
+    new java.io.File(log,
+      f"${4L}%020d.checkpoint.0000000001.0000000002.parquet")
+      .setLastModified(ts0)
+    val planBroken = DeltaMeta.logCleanupPlan(spark, d, ts0 + 10 * hour,
+      hour).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(planBroken === Set((0L, "commit"), (1L, "commit")))
+    assert(new java.io.File(log,
+      f"${4L}%020d.checkpoint.0000000001.0000000002.parquet").delete())
+    // a superseded V2 JSON manifest's SIDECARS ride the plan — once the
+    // manifest (the only thing naming them) is gone they leak forever
+    val d2 = Files.createTempDirectory("graft_delta_cln2").toString + "/tbl"
+    DeltaMeta.writeV2JsonCheckpointFixtureTable(spark, d2, docs)
+    val log2 = new java.io.File(d2, "_delta_log")
+    // a newer complete classic checkpoint at v4 supersedes the JSON
+    // manifest (content correctness is irrelevant to the planner)
+    val manifest2 = log2.listFiles()
+      .filter(_.getName.endsWith("graftv2json.json")).head
+    docs.limit(1).coalesce(1).write.mode("overwrite")
+      .parquet(d2 + "_cktmp")
+    val ckPart = new java.io.File(d2 + "_cktmp").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(ckPart.toPath,
+      new java.io.File(log2, f"${4L}%020d.checkpoint.parquet").toPath)
+    log2.listFiles().foreach(_.setLastModified(ts0))
+    new java.io.File(log2, f"${4L}%020d.checkpoint.parquet")
+      .setLastModified(ts0 + 9 * hour)
+    val plan2 = DeltaMeta.logCleanupPlan(spark, d2, ts0 + 10 * hour, hour)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(plan2.contains(("checkpoint", manifest2.getName)))
+    assert(plan2.contains(("sidecar", "sc1.parquet")))
+    assert(plan2.contains(("sidecar", "sc2.parquet")))
     // a checkpoint-less log refuses: nothing is coverable and an empty
     // plan would read as "already clean"
     assert(new java.io.File(log,
       f"${2L}%020d.checkpoint.parquet").delete())
     val e = intercept[Exception](
       DeltaMeta.logCleanupPlan(spark, d, ts0 + 10 * hour, hour).collect())
-    assert(causeMessages(e).contains("no checkpoint"))
+    assert(causeMessages(e).contains("no COMPLETE checkpoint"))
   }
 
   test("incremental commit diff: actions per version, gapped range refuses") {
