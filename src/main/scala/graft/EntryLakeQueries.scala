@@ -820,12 +820,19 @@ private[graft] object EntryLakeQueries {
     // by one — both engines flag exactly that cell. Oracle: DuckDB
     // parses the same summaries; actuals are the fixture's writer
     // contract recomputed from the data files' own footers.
-    "meta_iceberg_summary_audit" -> ((s, dir) => {
-      val out = "/tmp/graft_icesum_" +
+    // Renamed from meta_iceberg_summary_audit (r15) with a fresh
+    // fixture path AND a fixture-epoch column (the fixture's total
+    // row count, which changes with each testdata generation) on BOTH
+    // engine sides: a result parquet surviving from a prior data
+    // generation now hash-mismatches on a column whose value names
+    // the stale epoch, instead of masquerading as engine wrongness.
+    "meta_iceberg_summary_audit2" -> ((s, dir) => {
+      val out = "/tmp/graft_icesum2_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeSummaryFixtureTable(
+      val counts = IcebergMeta.writeSummaryFixtureTable(
         s, out, s.read.parquet(pq(dir, "documents")))
       IcebergMeta.snapshotSummaryAudit(s, out)
+        .withColumn("fixture_rows", lit(counts.values.sum))
     }),
 
 
@@ -1121,6 +1128,37 @@ private[graft] object EntryLakeQueries {
       val out = "/tmp/graft_iceeq_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       IcebergMeta.writeEqDeleteFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.equalityNetCensus(s, out)
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("record_count"), col("eq_deleted"), col("net_rows"))
+    }),
+
+    // ICEBERG PARTITION-SCOPED equality deletes: a delete written
+    // under a partitioned spec applies ONLY within its partition —
+    // the fixture plants the SAME key values in two lang partitions,
+    // deletes keys 0-2 scoped to partition A and key 7 globally; the
+    // keys 0-2 rows in partition B are the cross-partition survivors
+    // a table-wide application would silently kill. Oracle: DuckDB
+    // joins the SAME delete parquets against each partition's data
+    // file per the spec's scope rule (no eq_part x fB join exists).
+    "meta_iceberg_eq_part_rows" -> ((s, dir) => {
+      val out = "/tmp/graft_iceeqp_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeEqDeletePartitionedFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.equalityDeleteRows(s, out)
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("eq_cols"), col("key_csv"))
+    }),
+
+    // The same partitioned fixture's EXACT NET CENSUS: per data file,
+    // distinct equality-deleted positions under BOTH scopes (partition
+    // A loses its 0-2 keys plus key 7; partition B loses ONLY key 7).
+    "meta_iceberg_eq_part_census" -> ((s, dir) => {
+      val out = "/tmp/graft_iceeqp_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeEqDeletePartitionedFixtureTable(
         s, out, s.read.parquet(pq(dir, "documents")))
       IcebergMeta.equalityNetCensus(s, out)
         .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
@@ -1899,6 +1937,60 @@ private[graft] object EntryLakeQueries {
         |FROM data d JOIN e1 ON d.doc_id IS NOT DISTINCT FROM e1.doc_id
         |  AND d.lang IS NOT DISTINCT FROM e1.lang""".stripMargin,
 
+    "meta_iceberg_eq_part_rows" ->
+      """WITH fa AS (SELECT key FROM
+        |  read_parquet('/tmp/graft_iceeqp_sf0.01/data/*/fA.parquet')),
+        |fb AS (SELECT key FROM
+        |  read_parquet('/tmp/graft_iceeqp_sf0.01/data/*/fB.parquet')),
+        |ep AS (SELECT DISTINCT key FROM
+        |  read_parquet('/tmp/graft_iceeqp_sf0.01/data/eq_part.parquet')),
+        |eg AS (SELECT DISTINCT key FROM
+        |  read_parquet('/tmp/graft_iceeqp_sf0.01/data/eq_glob.parquet'))
+        |-- writer contract: eq_part is partition-scoped to lang=A so it
+        |-- joins fA ONLY (the matching keys in fB must survive);
+        |-- eq_glob is a global delete and reaches both partitions
+        |SELECT 'fA.parquet' AS file, 'key' AS eq_cols,
+        |  coalesce(CAST(fa.key AS VARCHAR), 'NULL') AS key_csv
+        |FROM fa JOIN ep ON fa.key IS NOT DISTINCT FROM ep.key
+        |UNION ALL
+        |SELECT 'fA.parquet', 'key', coalesce(CAST(fa.key AS VARCHAR), 'NULL')
+        |FROM fa JOIN eg ON fa.key IS NOT DISTINCT FROM eg.key
+        |UNION ALL
+        |SELECT 'fB.parquet', 'key', coalesce(CAST(fb.key AS VARCHAR), 'NULL')
+        |FROM fb JOIN eg ON fb.key IS NOT DISTINCT FROM eg.key""".stripMargin,
+
+    "meta_iceberg_eq_part_census" ->
+      """WITH fa AS (SELECT key, file_row_number AS pos FROM read_parquet(
+        |  '/tmp/graft_iceeqp_sf0.01/data/*/fA.parquet', file_row_number=true)),
+        |fb AS (SELECT key, file_row_number AS pos FROM read_parquet(
+        |  '/tmp/graft_iceeqp_sf0.01/data/*/fB.parquet', file_row_number=true)),
+        |ep AS (SELECT DISTINCT key FROM
+        |  read_parquet('/tmp/graft_iceeqp_sf0.01/data/eq_part.parquet')),
+        |eg AS (SELECT DISTINCT key FROM
+        |  read_parquet('/tmp/graft_iceeqp_sf0.01/data/eq_glob.parquet')),
+        |da AS (
+        |  SELECT DISTINCT pos FROM fa
+        |  JOIN ep ON fa.key IS NOT DISTINCT FROM ep.key
+        |  UNION
+        |  SELECT DISTINCT pos FROM fa
+        |  JOIN eg ON fa.key IS NOT DISTINCT FROM eg.key
+        |),
+        |db AS (SELECT DISTINCT pos FROM fb
+        |  JOIN eg ON fb.key IS NOT DISTINCT FROM eg.key),
+        |files AS (
+        |  SELECT parse_filename(file_name) AS file,
+        |    CAST(num_rows AS BIGINT) AS record_count
+        |  FROM parquet_file_metadata(
+        |    '/tmp/graft_iceeqp_sf0.01/data/*/f*.parquet')
+        |)
+        |SELECT f.file, f.record_count,
+        |  CAST(CASE WHEN f.file = 'fA.parquet'
+        |    THEN (SELECT count(*) FROM da)
+        |    ELSE (SELECT count(*) FROM db) END AS BIGINT) AS eq_deleted,
+        |  f.record_count - CASE WHEN f.file = 'fA.parquet'
+        |    THEN (SELECT count(*) FROM da)
+        |    ELSE (SELECT count(*) FROM db) END AS net_rows
+        |FROM files f""".stripMargin,
 
     "meta_iceberg_dv_rows" ->
       """WITH f0 AS (
@@ -2046,7 +2138,7 @@ private[graft] object EntryLakeQueries {
         |FROM dm GROUP BY 1""".stripMargin,
 
 
-    "meta_iceberg_summary_audit" ->
+    "meta_iceberg_summary_audit2" ->
       """WITH decl AS (
         |  SELECT CAST(s."snapshot-id" AS BIGINT) AS snapshot_id,
         |    CAST(s.summary."added-data-files" AS BIGINT)
@@ -2054,12 +2146,12 @@ private[graft] object EntryLakeQueries {
         |    CAST(s.summary."added-records" AS BIGINT)
         |      AS declared_added_records
         |  FROM (SELECT unnest(snapshots) AS s FROM read_json_auto(
-        |    '/tmp/graft_icesum_sf0.01/metadata/*.metadata.json'))
+        |    '/tmp/graft_icesum2_sf0.01/metadata/*.metadata.json'))
         |),
         |fm AS (
         |  SELECT parse_filename(file_name) AS name,
         |    CAST(num_rows AS BIGINT) AS nr
-        |  FROM parquet_file_metadata('/tmp/graft_icesum_sf0.01/data/*.parquet')
+        |  FROM parquet_file_metadata('/tmp/graft_icesum2_sf0.01/data/f*.parquet')
         |),
         |actual AS (
         |  SELECT CAST(1 AS BIGINT) AS snapshot_id,
@@ -2077,7 +2169,8 @@ private[graft] object EntryLakeQueries {
         |  a.actual_added_records,
         |  d.declared_added_files = a.actual_added_files AS files_match,
         |  d.declared_added_records = a.actual_added_records
-        |    AS records_match
+        |    AS records_match,
+        |  CAST((SELECT sum(nr) FROM fm) AS BIGINT) AS fixture_rows
         |FROM decl d JOIN actual a USING (snapshot_id)""".stripMargin,
 
 

@@ -944,7 +944,7 @@ object DeltaMeta {
   def writeIctFixtureTable(
       spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    FixtureIO.freshDir(root)
     root.mkdirs()
     val logDir = new java.io.File(root, "_delta_log")
     logDir.mkdirs()
@@ -1700,7 +1700,7 @@ object DeltaMeta {
    */
   def writeFixtureTable(spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    FixtureIO.freshDir(root)
     root.mkdirs()
     val logDir = new java.io.File(root, "_delta_log")
     logDir.mkdirs()
@@ -1885,7 +1885,7 @@ object DeltaMeta {
   def writeStatsPruneFixtureTable(
       spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    FixtureIO.freshDir(root)
     root.mkdirs()
     val logDir = new java.io.File(root, "_delta_log")
     logDir.mkdirs()
@@ -1971,7 +1971,7 @@ object DeltaMeta {
   def writePartitionedFixtureTable(
       spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    FixtureIO.freshDir(root)
     root.mkdirs()
     val logDir = new java.io.File(root, "_delta_log")
     logDir.mkdirs()
@@ -2213,7 +2213,7 @@ object DeltaMeta {
   def writeColumnMappedFixtureTable(
       spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    FixtureIO.freshDir(root)
     root.mkdirs()
     val logDir = new java.io.File(root, "_delta_log")
     logDir.mkdirs()
@@ -2294,7 +2294,7 @@ object DeltaMeta {
   def writeColumnMappedIdFixtureTable(
       spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    FixtureIO.freshDir(root)
     root.mkdirs()
     val logDir = new java.io.File(root, "_delta_log")
     logDir.mkdirs()
@@ -2383,7 +2383,7 @@ object DeltaMeta {
   def writeDvBitmapFixtureTable(
       spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    FixtureIO.freshDir(root)
     root.mkdirs()
     val logDir = new java.io.File(root, "_delta_log")
     logDir.mkdirs()

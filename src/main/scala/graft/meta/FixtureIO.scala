@@ -21,4 +21,16 @@ private[meta] object FixtureIO {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir))
     df.count()
   }
+
+  /** Delete a fixture root if present and REFUSE loudly when residue
+    * survives: a fixture written over leftovers from a prior run can
+    * rows-match but hash-mismatch its oracle — the one failure shape
+    * indistinguishable from engine wrongness in the artifact. */
+  def freshDir(dir: java.io.File): Unit = {
+    if (dir.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      require(!dir.exists(),
+        s"fixture dir $dir survived cleanup; refusing to write over residue")
+    }
+  }
 }

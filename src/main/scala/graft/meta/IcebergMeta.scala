@@ -683,12 +683,12 @@ object IcebergMeta {
    * IS-NOT-DISTINCT semantics). One output row per deleted data row:
    * `(data_path, eq_cols, key_csv)` — the file it lives in, the
    * matched column names (field-id order), and the matched values
-   * (`|`-joined, nulls as `NULL`). The resolution is a per-id-set
-   * null-safe LEFT SEMI join of the live data files (a distributed
-   * parquet scan with `_metadata.file_path`) against the delete files'
-   * distinct keys — Catalyst broadcasts the delete side when its file
-   * sizes are small (the overwhelmingly common shape; no hint is
-   * forced, so a pathological delete set can still shuffle-join).
+   * (`|`-joined, nulls as `NULL`). The resolution reads the union of
+   * every group's in-scope data files ONCE ([[eqMatchedRows]]) and
+   * null-safe-joins against the delete files' distinct keys —
+   * Catalyst broadcasts the delete side when its file sizes are small
+   * (the overwhelmingly common shape; no hint is forced, so a
+   * pathological delete set can still shuffle-join).
    *
    * SEQUENCE SCOPING (spec r134): an equality delete applies only to
    * data files whose DATA SEQUENCE NUMBER is STRICTLY LESS than the
@@ -699,6 +699,15 @@ object IcebergMeta {
    * live data file; MIXED evidence refuses — guessing either way
    * over- or under-deletes.
    *
+   * PARTITION SCOPING (spec: delete-file scope): an equality delete
+   * written under a PARTITIONED spec (its manifest entry carries a
+   * non-empty partition tuple) applies only to data files of the SAME
+   * partition; one written under the unpartitioned spec (empty tuple)
+   * is a GLOBAL delete and applies to every sequence-in-scope data
+   * file. A key that recurs across partitions must survive everywhere
+   * except the delete's own partition — applying a partitioned delete
+   * table-wide silently over-deletes.
+   *
    * REFUSES — never a partial answer — when: no equality-delete file
    * is live; a delete entry lacks `equality_ids` or is not parquet; an
    * id is missing from the current schema; an equality column is
@@ -708,36 +717,19 @@ object IcebergMeta {
    * boundaries: the delete-entry classification (entry scale) and the
    * live data path list (the MetaPrune surviving-paths idiom).
    */
-  def equalityDeleteRows(spark: SparkSession, table: String): DataFrame = {
-    import spark.implicits._
-    val perGroup = eqDeleteGroups(spark, table).map {
-      case (names, delKeys, inScope) =>
-        val scan = spark.read.parquet(inScope: _*)
-          .select(col("_metadata.file_path").as("data_path") +:
-            names.map(col): _*).alias("d")
-        val cond = names.map(n => scan(n) <=> delKeys(n)).reduce(_ && _)
-        scan.join(delKeys, cond, "left_semi")
-          .select(col("data_path"),
-            lit(names.mkString(",")).as("eq_cols"),
-            array_join(array(names.map(n =>
-              coalesce(col(n).cast("string"), lit("NULL"))): _*), "|")
-              .as("key_csv"))
-    }
-    if (perGroup.isEmpty) {
-      Seq.empty[(String, String, String)]
-        .toDF("data_path", "eq_cols", "key_csv")
-    } else perGroup.reduce(_ unionByName _)
-  }
+  def equalityDeleteRows(spark: SparkSession, table: String): DataFrame =
+    eqMatchedRows(spark, table)
+      .select(col("data_path"), col("eq_cols"), col("key_csv"))
 
   /**
-   * The validated, sequence-scoped delete GROUPS of the current
-   * snapshot — one `(equality column names, distinct delete keys,
-   * in-scope data paths)` triple per (id set, delete sequence). All of
-   * [[equalityDeleteRows]]'s refusals live here (shared with every
-   * consumer): no live equality delete, non-parquet delete file,
-   * missing equality_ids, unknown field id, float/double equality
-   * column, mixed sequence evidence. Groups whose scope is empty are
-   * dropped (nothing to delete from).
+   * The validated, sequence- and partition-scoped delete GROUPS of the
+   * current snapshot — one `(equality column names, distinct delete
+   * keys, in-scope data paths)` triple per (id set, delete sequence,
+   * partition tuple). All of [[equalityDeleteRows]]'s refusals live
+   * here (shared with every consumer): no live equality delete,
+   * non-parquet delete file, missing equality_ids, unknown field id,
+   * float/double equality column, mixed sequence evidence. Groups
+   * whose scope is empty are dropped (nothing to delete from).
    */
   private def eqDeleteGroups(
       spark: SparkSession, table: String):
@@ -747,16 +739,17 @@ object IcebergMeta {
     val live = currentFiles(spark, table).filter(col("status") =!= 2)
     val eqEntries = live.filter(col("content") === 2)
       .select(col("abs_path"), col("file_format"), col("equality_ids"),
-        col("data_sequence_number"))
+        col("data_sequence_number"), col("partition_values"))
       .collect()
       .map(r => (r.getString(0), r.getString(1),
         Option(r.getSeq[Int](2)).map(_.toSeq),
-        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getMap[String, String](4).toSeq.sortBy(_._1)))
     if (eqEntries.isEmpty) {
       throw new IllegalArgumentException(
         s"$table: no equality delete files are live — nothing to resolve")
     }
-    eqEntries.foreach { case (p, fmt, ids, _) =>
+    eqEntries.foreach { case (p, fmt, ids, _, _) =>
       if (fmt == null || !fmt.equalsIgnoreCase("parquet")) {
         throw new UnsupportedOperationException(
           s"$table: equality delete file $p is ${String.valueOf(fmt)}, " +
@@ -771,7 +764,7 @@ object IcebergMeta {
     val dataRaw = live
       .filter(col("content") === 0)
       .select(col("abs_path"), col("data_sequence_number"),
-        col("file_format"))
+        col("file_format"), col("partition_values"))
       .collect()
     // a NON-parquet data file cannot be scanned by the semi join — and
     // silently leaving it out of every delete's scope would hand the
@@ -787,7 +780,8 @@ object IcebergMeta {
     }
     val dataFiles = dataRaw
       .map(r => (r.getString(0),
-        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getMap[String, String](3).toSeq.sortBy(_._1)))
       .distinct.toSeq
     if (dataFiles.isEmpty) return Seq.empty
     // sequence posture: all-carry → strict scoping; none-carry → the
@@ -800,10 +794,14 @@ object IcebergMeta {
           "data_sequence_number, some do not) — the delete scope is " +
           "unknowable, refusing rather than over- or under-deleting")
     }
-    // group by (id set, delete sequence): one semi-join per group over
-    // exactly the data files the spec says the group applies to
-    eqEntries.groupBy(e => (e._3.get, if (scoped) e._4 else None)).toSeq
-      .flatMap { case ((ids, delSeq), entries) =>
+    // group by (id set, delete sequence, partition tuple): exactly the
+    // data files the spec says the group applies to — a NON-empty
+    // partition tuple (a delete written under a partitioned spec)
+    // scopes the group to same-partition data files; an empty tuple
+    // (the unpartitioned-spec shape) is a global delete
+    eqEntries
+      .groupBy(e => (e._3.get, if (scoped) e._4 else None, e._5)).toSeq
+      .flatMap { case ((ids, delSeq, delPart), entries) =>
         val cols = ids.map { id =>
           fieldsById.getOrElse(id, throw new IllegalArgumentException(
             s"$table: equality_ids references field id $id which the " +
@@ -818,12 +816,15 @@ object IcebergMeta {
                 "resolution that would silently miss NaN-keyed deletes")
           }
         }
-        val inScope = delSeq match {
+        val seqScope = delSeq match {
           case Some(ds) => dataFiles.collect {
-            case (p, Some(fs)) if fs < ds => p
+            case (p, Some(fs), part) if fs < ds => (p, part)
           }
-          case None => dataFiles.map(_._1)
+          case None => dataFiles.map(d => (d._1, d._3))
         }
+        val inScope =
+          if (delPart.isEmpty) seqScope.map(_._1)
+          else seqScope.collect { case (p, part) if part == delPart => p }
         if (inScope.isEmpty) None
         else {
           val names = cols.map(_._1)
@@ -841,20 +842,69 @@ object IcebergMeta {
    * DISTINCT so a row matched by several delete groups counts once.
    * The building block of [[equalityNetCensus]].
    */
-  def equalityDeletePositions(spark: SparkSession, table: String): DataFrame = {
+  def equalityDeletePositions(spark: SparkSession, table: String): DataFrame =
+    eqMatchedRows(spark, table)
+      .select(col("data_path"), col("pos"))
+      .dropDuplicates("data_path", "pos")
+
+  /**
+   * The shared resolution behind [[equalityDeleteRows]] /
+   * [[equalityDeletePositions]]: ONE distributed scan over the union
+   * of every delete group's in-scope data files (instead of one
+   * `spark.read.parquet` per group — G groups over the same table must
+   * not read the data G times), tagged with the groups each file is in
+   * scope for via a broadcast `(gid, data_path)` membership join
+   * (manifest-entry scale, the same driver boundary the path list
+   * already is). Matching joins on `(gid, key)` where key is
+   * `to_json(struct(group columns))` — JSON escaping keeps string keys
+   * injective and null fields drop identically on both sides, so
+   * string equality of the rendered key IS the spec's null-safe
+   * column-wise equality (the delete side is cast to the scan side's
+   * column types first, so both render through the same types).
+   * Emits one row per (matched data row, matching group):
+   * `(data_path, pos, eq_cols, key_csv)`.
+   */
+  private def eqMatchedRows(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    val perGroup = eqDeleteGroups(spark, table).map {
-      case (names, delKeys, inScope) =>
-        val scan = spark.read.parquet(inScope: _*)
-          .select(col("_metadata.file_path").as("data_path") +:
-            col("_metadata.row_index").as("pos") +:
-            names.map(col): _*).alias("d")
-        val cond = names.map(n => scan(n) <=> delKeys(n)).reduce(_ && _)
-        scan.join(delKeys, cond, "left_semi")
-          .select(col("data_path"), col("pos"))
+    val groups = eqDeleteGroups(spark, table).zipWithIndex.map {
+      case ((names, delKeys, inScope), gid) => (gid, names, delKeys, inScope)
     }
-    if (perGroup.isEmpty) Seq.empty[(String, Long)].toDF("data_path", "pos")
-    else perGroup.reduce(_ unionByName _).dropDuplicates("data_path", "pos")
+    if (groups.isEmpty) {
+      return Seq.empty[(String, Long, String, String)]
+        .toDF("data_path", "pos", "eq_cols", "key_csv")
+    }
+    val allPaths = groups.flatMap(_._4).distinct
+    val allNames = groups.flatMap(_._2).distinct
+    val scan = spark.read.parquet(allPaths: _*)
+      .select(col("_metadata.file_path").as("data_path") +:
+        col("_metadata.row_index").as("pos") +:
+        allNames.map(col): _*)
+    val scanType = scan.schema.map(f => f.name -> f.dataType).toMap
+    def jsonKey(names: Seq[String]): org.apache.spark.sql.Column =
+      to_json(struct(names.map(col): _*))
+    val delKeysAll = groups.map { case (gid, names, delKeys, _) =>
+      delKeys
+        .select(names.map(n => delKeys(n).cast(scanType(n)).as(n)): _*)
+        .select(lit(gid).as("gid"), jsonKey(names).as("eq_key"))
+        .dropDuplicates()
+    }.reduce(_ unionByName _)
+    val membership = broadcast(
+      groups.flatMap { case (gid, _, _, paths) => paths.map((gid, _)) }
+        .toDF("gid", "data_path"))
+    def byGid(value: Int => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      groups.tail.foldLeft(
+        when(col("gid") === groups.head._1, value(groups.head._1))) {
+        case (acc, (gid, _, _, _)) => acc.when(col("gid") === gid, value(gid))
+      }
+    val namesOf = groups.map(g => g._1 -> g._2).toMap
+    scan.join(membership, Seq("data_path"))
+      .withColumn("eq_key", byGid(gid => jsonKey(namesOf(gid))))
+      .join(delKeysAll, Seq("gid", "eq_key"), "left_semi")
+      .select(col("data_path"), col("pos"),
+        byGid(gid => lit(namesOf(gid).mkString(","))).as("eq_cols"),
+        byGid(gid => array_join(array(namesOf(gid).map(n =>
+          coalesce(col(n).cast("string"), lit("NULL"))): _*), "|"))
+          .as("key_csv"))
   }
 
   /**
@@ -1842,7 +1892,7 @@ object IcebergMeta {
   def writePartitionedFixtureTable(
       spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    FixtureIO.freshDir(root)
     val dataDir = new java.io.File(root, "data")
     val metaDir = new java.io.File(root, "metadata")
     dataDir.mkdirs()
@@ -1995,7 +2045,7 @@ object IcebergMeta {
    */
   def writeFixtureTable(spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    FixtureIO.freshDir(root)
     val dataDir = new java.io.File(root, "data")
     val metaDir = new java.io.File(root, "metadata")
     dataDir.mkdirs()
@@ -2150,7 +2200,7 @@ object IcebergMeta {
   def writeDvFixtureTable(
       spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    FixtureIO.freshDir(root)
     val dataDir = new java.io.File(root, "data")
     val metaDir = new java.io.File(root, "metadata")
     dataDir.mkdirs()
@@ -2267,6 +2317,23 @@ object IcebergMeta {
       |  {"name":"file_size_in_bytes","type":"long"},
       |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
 
+  /** [[eqManifestSchema]] plus the typed `partition` record (r102) —
+    * the shape a PARTITIONED spec's writer produces for both its data
+    * files and its partition-scoped equality deletes. */
+  private val eqPartManifestSchema = avroSchema(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+      |    {"name":"lang","type":"string"}]}},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
+
   /** The v2 manifest-LIST shape with per-manifest data sequence
     * numbers (spec: `sequence_number`), which entries inherit when
     * ADDED with a null of their own. */
@@ -2308,7 +2375,7 @@ object IcebergMeta {
   def writeEqDeleteFixtureTable(
       spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    FixtureIO.freshDir(root)
     val dataDir = new java.io.File(root, "data")
     val metaDir = new java.io.File(root, "metadata")
     dataDir.mkdirs()
@@ -2430,6 +2497,145 @@ object IcebergMeta {
   }
 
   /**
+   * A PARTITIONED format-v2 table with BOTH equality-delete scopes —
+   * the over-deletion trap partition scoping exists to dodge: two
+   * `lang` partitions (the first two langs of `docs`, sorted) whose
+   * data files carry `(key, lang)` where `key = doc_id % 50` — so the
+   * SAME key values live in BOTH partitions — all at sequence 1, then
+   * a second snapshot (sequence 2) adding
+   *
+   *  - `eq_part.parquet` (keys 0, 1, 2), `equality_ids=[1]`, written
+   *    under the PARTITIONED spec with partition tuple `{lang=A}` —
+   *    it must delete those keys from `fA.parquet` ONLY; the same
+   *    keys in `fB.parquet` are the cross-partition survivors a
+   *    table-wide application would silently kill;
+   *  - `eq_glob.parquet` (key 7), `equality_ids=[1]`, written under
+   *    the UNPARTITIONED spec (its manifest entry carries no
+   *    partition field) — a GLOBAL delete that reaches both
+   *    partitions.
+   *
+   * Layout: `data/lang=<A>/fA.parquet`, `data/lang=<B>/fB.parquet`,
+   * deletes at `data/`. Returns per-data-file row counts keyed by
+   * basename.
+   */
+  def writeEqDeletePartitionedFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val langs = docs.filter(col("lang").isNotNull).select("lang")
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(langs.size >= 2,
+      s"partitioned eq fixture needs >= 2 langs, got ${langs.size}")
+    val (langA, langB) = (langs.head, langs(1))
+    def writeOne(df: DataFrame, rel: String): Long = {
+      val dst = new java.io.File(dataDir, rel)
+      dst.getParentFile.mkdirs()
+      FixtureIO.writeSingleParquet(df, dst,
+        dir + "_eqptmp_" + rel.replaceAll("[^A-Za-z0-9]", "_"))
+    }
+    val keyed = docs.select(
+      pmod(col("doc_id"), lit(50)).cast("long").as("key"), col("lang"))
+    val counts = Map(
+      "fA.parquet" -> writeOne(
+        keyed.filter(col("lang") === langA), s"lang=$langA/fA.parquet"),
+      "fB.parquet" -> writeOne(
+        keyed.filter(col("lang") === langB), s"lang=$langB/fB.parquet"))
+    locally {
+      import spark.implicits._
+      writeOne(Seq(0L, 1L, 2L).toDF("key"), "eq_part.parquet")
+      writeOne(Seq(7L).toDF("key"), "eq_glob.parquet")
+    }
+    def entry(schema: org.apache.avro.Schema, rel: String, content: Int,
+        records: Long, lang: Option[String],
+        eqIds: Seq[Int]): org.apache.avro.generic.GenericRecord = {
+      val dfSchema = schema.getField("data_file").schema()
+      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
+      df.put("content", content)
+      df.put("file_path", s"data/$rel")
+      df.put("file_format", "PARQUET")
+      lang.foreach { l =>
+        val pr = new org.apache.avro.generic.GenericData.Record(
+          dfSchema.getField("partition").schema())
+        pr.put("lang", l)
+        df.put("partition", pr)
+      }
+      df.put("record_count", records)
+      df.put("file_size_in_bytes", new java.io.File(dataDir, rel).length())
+      if (eqIds.nonEmpty) {
+        import scala.jdk.CollectionConverters._
+        df.put("equality_ids",
+          new org.apache.avro.generic.GenericData.Array[Integer](
+            dfSchema.getField("equality_ids").schema().getTypes.get(1),
+            eqIds.map(Integer.valueOf).asJava))
+      }
+      val e = new org.apache.avro.generic.GenericData.Record(schema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), eqPartManifestSchema,
+      Seq(entry(eqPartManifestSchema, s"lang=$langA/fA.parquet", 0,
+          counts("fA.parquet"), Some(langA), Nil),
+        entry(eqPartManifestSchema, s"lang=$langB/fB.parquet", 0,
+          counts("fB.parquet"), Some(langB), Nil)))
+    writeAvro(new java.io.File(metaDir, "m1.avro"), eqPartManifestSchema,
+      Seq(entry(eqPartManifestSchema, "eq_part.parquet", 2, 3L,
+        Some(langA), Seq(1))))
+    writeAvro(new java.io.File(metaDir, "m2.avro"), eqManifestSchema,
+      Seq(entry(eqManifestSchema, "eq_glob.parquet", 2, 1L, None, Seq(1))))
+    def mlEntry(path: String, added: Int, rows: Long, content: Int,
+        seq: Long, snap: Long): org.apache.avro.generic.GenericRecord = {
+      val r = new org.apache.avro.generic.GenericData.Record(seqManifestListSchema)
+      r.put("manifest_path", s"metadata/$path")
+      r.put("manifest_length", new java.io.File(metaDir, path).length())
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("added_snapshot_id", snap)
+      r.put("added_files_count", added)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", rows)
+      r
+    }
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), seqManifestListSchema,
+      Seq(mlEntry("m0.avro", 2, counts.values.sum, 0, 1L, 1L)))
+    writeAvro(new java.io.File(metaDir, "snap-2.avro"), seqManifestListSchema,
+      Seq(mlEntry("m0.avro", 2, counts.values.sum, 0, 1L, 1L),
+        mlEntry("m1.avro", 1, 3L, 1, 2L, 2L),
+        mlEntry("m2.avro", 1, 1L, 1, 2L, 2L)))
+    val ts0 = 1700000000000L
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-eqpart-fixture",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":2,
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"key","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":$ts0,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}},
+         |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
+         | "manifest-list":"metadata/snap-2.avro",
+         | "summary":{"operation":"overwrite"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
+  /**
    * A COMPACTED table — the shape snapshot expiry exists to reclaim:
    * snap 1 (m0) adds two parity slices `f0`/`f1`; snap 2 (the current
    * one, manifest list = `m1` ONLY, m0 not reused) is the compaction
@@ -2441,7 +2647,7 @@ object IcebergMeta {
   def writeCompactedFixtureTable(
       spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    FixtureIO.freshDir(root)
     val dataDir = new java.io.File(root, "data")
     val metaDir = new java.io.File(root, "metadata")
     dataDir.mkdirs()
@@ -2531,7 +2737,7 @@ object IcebergMeta {
   def writeSpecEvolutionFixtureTable(
       spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteQuietly(root)
+    FixtureIO.freshDir(root)
     val dataDir = new java.io.File(root, "data")
     val metaDir = new java.io.File(root, "metadata")
     dataDir.mkdirs()

@@ -1080,4 +1080,38 @@ class IcebergSourceSpec extends SparkSpec {
       IcebergMeta.equalityDeleteRows(spark, d2).collect())
     assert(causeMessages(eMix).contains("MIXED"))
   }
+
+  test("partitioned equality deletes: partition scope + one data scan") {
+    val d = Files.createTempDirectory("graft_ice_eqpart").toString + "/tbl"
+    // lang independent of key (key = doc_id % 50): every key value
+    // exists in BOTH partitions — the cross-partition recurrence the
+    // scope rule exists for
+    val pdocs = spark.range(0, 100).select(col("id").as("doc_id"),
+      when(col("id") < 50, lit("aa")).otherwise(lit("bb")).as("lang"))
+    val counts =
+      IcebergMeta.writeEqDeletePartitionedFixtureTable(spark, d, pdocs)
+    assert(counts === Map("fA.parquet" -> 50L, "fB.parquet" -> 50L))
+    val rows = IcebergMeta.equalityDeleteRows(spark, d).collect()
+      .map(r => (new Path(r.getString(0)).getName, r.getString(2))).toSet
+    // the partition-scoped delete (keys 0,1,2 @ lang=aa) hits fA only
+    assert(Set("0", "1", "2").forall(k => rows(("fA.parquet", k))))
+    // CROSS-PARTITION SURVIVORS: the same keys exist in fB and live on
+    // (a table-wide application would kill them)
+    assert(!rows.exists(r => r._1 == "fB.parquet" && Set("0", "1", "2")(r._2)))
+    // the GLOBAL delete (key 7, written under the unpartitioned spec)
+    // reaches both partitions
+    assert(rows(("fA.parquet", "7")) && rows(("fB.parquet", "7")))
+    val census = IcebergMeta.equalityNetCensus(spark, d).collect()
+      .map(r => (new Path(r.getString(0)).getName,
+        r.getLong(2), r.getLong(3))).toSet
+    assert(census === Set(("fA.parquet", 4L, 46L), ("fB.parquet", 1L, 49L)))
+    // ONE distributed scan serves every delete group — G groups over
+    // the same table must not read the data G times
+    val scans = IcebergMeta.equalityDeletePositions(spark, d)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.inputFiles.exists(_.contains("lang=")) => f
+      }
+    assert(scans.length === 1, scans.map(_.nodeName).mkString(", "))
+  }
 }
