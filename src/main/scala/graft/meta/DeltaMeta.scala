@@ -2309,15 +2309,8 @@ object DeltaMeta {
       val slice = docs.filter(pmod(col("doc_id"), lit(4)) === q)
         .select(col("doc_id").as("c1", c1Meta))
       val rel = s"p$q.parquet"
-      val tmp = dir + s"_slice$q"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(root, rel).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      counts(rel) = slice.count()
+      counts(rel) = FixtureIO.writeSingleParquet(
+        slice, new java.io.File(root, rel), dir + s"_slice$q")
       partOf(rel) = if (q < 2) "en" else "zh"
     }
 

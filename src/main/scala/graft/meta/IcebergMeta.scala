@@ -12,7 +12,10 @@ case class IcebergSnapshotInfo(
     timestampMs: Long,
     manifestList: String,
     operation: Option[String],
-    isCurrent: Boolean)
+    isCurrent: Boolean,
+    // the spec's ancestry pointer — the lineage authority for
+    // incremental ranges (wall-clock is only the no-pointer fallback)
+    parentSnapshotId: Option[Long] = None)
 
 /** Decoded Iceberg table-metadata JSON. */
 case class IcebergTableInfo(
@@ -199,7 +202,9 @@ object IcebergMeta {
           manifestList = req(s, "manifest-list", file).asText(),
           operation = Option(s.get("summary"))
             .flatMap(su => Option(su.get("operation"))).map(_.asText()),
-          isCurrent = current.contains(s.get("snapshot-id").asLong()))
+          isCurrent = current.contains(s.get("snapshot-id").asLong()),
+          parentSnapshotId =
+            Option(s.get("parent-snapshot-id")).map(_.asLong()))
       }
     IcebergTableInfo(
       formatVersion = req(node, "format-version", file).asInt(),
@@ -942,10 +947,14 @@ object IcebergMeta {
    * (`status=1`); reused older manifests contribute nothing, exactly
    * like the summary audit's attribution rule. Emits data AND delete
    * files (`content` distinguishes them — an incremental consumer must
-   * see new deletes, or it resurrects rows). Refuses when either
-   * snapshot id is not in the metadata's snapshot list, when
-   * `fromSnapshot >= toSnapshot` by id order isn't checkable (ids are
-   * opaque — the TIMESTAMPS order them), or when any manifest of the
+   * see new deletes, or it resurrects rows). The range resolves by the
+   * spec's `parent-snapshot-id` ancestry chain (to → from) when any
+   * snapshot carries one — same-millisecond commits resolve and
+   * retained non-ancestors are excluded; with NO parent pointers
+   * anywhere (old writers) it falls back to timestamp order. Refuses
+   * when either snapshot id is not in the metadata's snapshot list,
+   * when `from` is not an ancestor of `to` (or, in the fallback, not
+   * strictly older / timestamps tie), or when any manifest of the
    * range lacks `added_snapshot_id` (attribution unknowable — never a
    * guessed increment).
    */
@@ -966,28 +975,62 @@ object IcebergMeta {
           s"${info.snapshots.map(_.snapshotId).mkString(", ")})"))
     val from = snap(fromSnapshot)
     val to = snap(toSnapshot)
-    // ids are opaque: the range resolves by commit TIME, which is only
-    // a total order when no two snapshots share a millisecond — a tie
-    // makes the lineage ambiguous and any answer a guess
-    info.snapshots.groupBy(_.timestampMs).find(_._2.size > 1).foreach {
-      case (ts, snaps) =>
-        throw new UnsupportedOperationException(
-          s"$table: snapshots ${snaps.map(_.snapshotId).mkString(", ")} " +
-            s"share timestamp-ms $ts — the timestamp lineage is " +
-            "ambiguous, refusing an increment that could silently drop " +
-            "a same-millisecond commit")
-    }
-    if (from.timestampMs >= to.timestampMs) {
+    if (fromSnapshot == toSnapshot) {
       throw new IllegalArgumentException(
-        s"$table: snapshot $fromSnapshot (${from.timestampMs}) is not " +
-          s"strictly before $toSnapshot (${to.timestampMs}) — an empty " +
-          "or reversed range has no increment")
+        s"$table: snapshot $fromSnapshot equals $toSnapshot — an empty " +
+          "range has no increment")
     }
-    // snapshot ids committed in (from, to]
-    val inRange = info.snapshots
-      .filter(s => s.timestampMs > from.timestampMs &&
-        s.timestampMs <= to.timestampMs)
-      .map(_.snapshotId).toSet
+    // snapshot ids committed in (from, to]. The AUTHORITY is the
+    // spec's parent-snapshot-id ancestry chain, walked to → from: it
+    // resolves same-millisecond commits and excludes retained
+    // NON-ancestors (a rolled-back or branch snapshot whose timestamp
+    // falls inside the window must not attribute entries). Wall-clock
+    // ordering is only the fallback when NO snapshot carries a parent
+    // pointer (old writers) — and there a shared millisecond refuses,
+    // because timestamp lineage with a tie is a guess.
+    val inRange: Set[Long] =
+      if (info.snapshots.exists(_.parentSnapshotId.isDefined)) {
+        val byId = info.snapshots.map(s => s.snapshotId -> s).toMap
+        val walked = scala.collection.mutable.Set.empty[Long]
+        var cur = to
+        while (cur.snapshotId != fromSnapshot) {
+          walked += cur.snapshotId
+          cur = cur.parentSnapshotId match {
+            case None =>
+              throw new IllegalArgumentException(
+                s"$table: snapshot $fromSnapshot is not an ancestor of " +
+                  s"$toSnapshot (the parent chain ends at " +
+                  s"${cur.snapshotId}) — the range has no lineage, " +
+                  "refusing rather than guessing an increment")
+            case Some(p) => byId.getOrElse(p,
+              throw new IllegalArgumentException(
+                s"$table: snapshot ${cur.snapshotId} names parent $p " +
+                  "which the metadata no longer lists (expired " +
+                  "mid-chain) — lineage is broken, refusing"))
+          }
+        }
+        walked.toSet
+      } else {
+        info.snapshots.groupBy(_.timestampMs).find(_._2.size > 1).foreach {
+          case (ts, snaps) =>
+            throw new UnsupportedOperationException(
+              s"$table: snapshots ${snaps.map(_.snapshotId).mkString(", ")} " +
+                s"share timestamp-ms $ts — no parent-snapshot-id lineage " +
+                "exists and the timestamp lineage is ambiguous, refusing " +
+                "an increment that could silently drop a " +
+                "same-millisecond commit")
+        }
+        if (from.timestampMs >= to.timestampMs) {
+          throw new IllegalArgumentException(
+            s"$table: snapshot $fromSnapshot (${from.timestampMs}) is not " +
+              s"strictly before $toSnapshot (${to.timestampMs}) — an " +
+              "empty or reversed range has no increment")
+        }
+        info.snapshots
+          .filter(s => s.timestampMs > from.timestampMs &&
+            s.timestampMs <= to.timestampMs)
+          .map(_.snapshotId).toSet
+      }
     val manifests = readManifestList(resolve(root, to.manifestList), hconf)
     manifests.foreach { m =>
       if (m.addedSnapshotId.isEmpty) {

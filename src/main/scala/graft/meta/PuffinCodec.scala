@@ -277,6 +277,7 @@ object PuffinCodec {
   private val ThetaSerVer = 3
   private val ThetaFamilyCompact = 3
   private val ThetaFlagEmpty = 4
+  private val ThetaFlagSingleItem = 32
   // the library's precomputed seed-hash of its default update seed
   // 9001; the decoder deliberately does not validate it (cross-engine
   // reads resolve the seed from the table, not the blob)
@@ -339,7 +340,16 @@ object PuffinCodec {
     }
     if ((flags & ThetaFlagEmpty) != 0) return 0.0
     if (preLongs == 1) {
-      // the library's single-item form: one retained hash, theta = 1
+      // the library's single-item form: one retained hash, theta = 1 —
+      // but ONLY when the preamble's SINGLEITEM flag says so; any
+      // other non-empty preLongs-1 buffer is a misread, and guessing
+      // 1.0 would corrupt the NDV as silently as any other misdecode
+      if ((flags & ThetaFlagSingleItem) == 0) {
+        throw new UnsupportedOperationException(
+          s"theta sketch: preLongs 1, non-empty, but flags 0x" +
+            f"$flags%02x lack SINGLEITEM (0x20) — not a form this " +
+            "decoder understands, refusing")
+      }
       if (bytes.length < 16) {
         throw new IllegalArgumentException(
           "theta sketch: preamble claims a single-item sketch but the " +

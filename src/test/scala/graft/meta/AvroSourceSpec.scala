@@ -83,7 +83,7 @@ class AvroSourceSpec extends SparkSpec {
     AvroMeta.writeFixture(new java.io.File(d, "ok.avro"),
       (0L until 100L).map(i => i -> "x"))
     Files.write(java.nio.file.Paths.get(d, "bad.avro"),
-      ("Obj" + "" + "garbage-not-a-container").getBytes("ISO-8859-1"))
+      ("Obj" + "\u0001" + "garbage-not-a-container").getBytes("ISO-8859-1"))
     val strict = meta(d, "source" -> "avro", "level" -> "block")
     intercept[org.apache.spark.SparkException](strict.count())
     val lenient = meta(d, "source" -> "avro", "level" -> "block",

@@ -960,6 +960,37 @@ class IcebergSourceSpec extends SparkSpec {
   private def counts2(d: String, f: String): Long =
     spark.read.parquet(s"$d/data/$f").count()
 
+  test("incremental range walks parent-snapshot-id lineage over wall clock") {
+    val d = Files.createTempDirectory("graft_ice_lineage").toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    val mf = new java.io.File(d, "metadata/v1.metadata.json")
+    def rewrite(from: String, to: String): Unit = {
+      val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(txt.contains(from), from)
+      java.nio.file.Files.write(mf.toPath, txt.replace(from, to)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    // snap 2 gains a parent pointer AND shares snap 1's millisecond —
+    // the shape the timestamp fallback refuses; lineage must RESOLVE it
+    rewrite("""{"snapshot-id":2,"timestamp-ms":1700000001000,""",
+      """{"snapshot-id":2,"parent-snapshot-id":1,""" +
+        """"timestamp-ms":1700000000000,""")
+    val rows = IcebergMeta.appendedFiles(spark, d, 1L, 2L).collect()
+      .map(r => new Path(r.getString(0)).getName).toSet
+    assert(rows === Set("f3.parquet", "f4.parquet", "del0.parquet"))
+    // reversed: snap 1 is not a descendant of... anything — the walk
+    // from snap 1 never reaches snap 2 and refuses by lineage
+    val eRev = intercept[Exception](
+      IcebergMeta.appendedFiles(spark, d, 2L, 1L))
+    assert(causeMessages(eRev).contains("not an ancestor"))
+    // a parent the metadata no longer lists breaks the chain
+    rewrite(""""parent-snapshot-id":1,""", """"parent-snapshot-id":42,""")
+    val eBroken = intercept[Exception](
+      IcebergMeta.appendedFiles(spark, d, 1L, 2L))
+    assert(causeMessages(eBroken).contains("expired mid-chain"))
+  }
+
   test("ndv audit: theta sketches decoded, lying declaration flagged") {
     val d = Files.createTempDirectory("graft_ice_ndv").toString + "/tbl"
     IcebergMeta.writeNdvFixtureTable(spark, d, docs)

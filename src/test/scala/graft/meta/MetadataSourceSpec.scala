@@ -201,7 +201,8 @@ class MetadataSourceSpec extends SparkSpec {
     // synthetic encrypted-footer-mode file: PARE head + ciphertext + PARE
     // tail (real encrypted footers are thrift ciphertext — any bytes do)
     Files.write(java.nio.file.Paths.get(dir, "enc.parquet"),
-      ("PARE" + "x" * 64 + "   " + "PARE").getBytes("ISO-8859-1"))
+      ("PARE" + "x" * 64 + "\u0010\u0000\u0000\u0000" + "PARE")
+        .getBytes("ISO-8859-1"))
     // direct footer read: the dedicated classification, with a clear
     // message, not an opaque thrift decode failure
     val conf = spark.sessionState.newHadoopConf()

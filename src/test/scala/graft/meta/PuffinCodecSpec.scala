@@ -150,12 +150,20 @@ class PuffinCodecSpec extends AnyFunSuite {
     // exact mode: estimate IS the retained count
     assert(PuffinCodec.thetaEstimate(PuffinCodec.encodeThetaSketchExact(1L)) === 1.0)
     assert(PuffinCodec.thetaEstimate(PuffinCodec.encodeThetaSketchExact(437L)) === 437.0)
-    // the library's single-item form: preLongs=1, not empty, 16 bytes
+    // the library's single-item form: preLongs=1, not empty, the
+    // SINGLEITEM flag (0x20) set, 16 bytes
     val single = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
     single.put(1.toByte).put(3.toByte).put(3.toByte).put(20.toByte)
-      .put(0.toByte).put((2 | 8 | 16).toByte).putShort(0x93CC.toShort)
+      .put(0.toByte).put((2 | 8 | 16 | 32).toByte).putShort(0x93CC.toShort)
     single.putLong(12345L)
     assert(PuffinCodec.thetaEstimate(single.array()) === 1.0)
+    // a preLongs-1, non-empty buffer WITHOUT the SINGLEITEM flag is
+    // not a form this decoder knows — refuse, never guess 1.0
+    val notSingle = single.array().clone()
+    notSingle(5) = (2 | 8 | 16).toByte
+    val eSingle = intercept[UnsupportedOperationException](
+      PuffinCodec.thetaEstimate(notSingle))
+    assert(eSingle.getMessage.contains("SINGLEITEM"))
     // estimation mode: preLongs=3, theta = 1/2 -> estimate doubles
     val est = ByteBuffer.allocate(24 + 16).order(ByteOrder.LITTLE_ENDIAN)
     est.put(3.toByte).put(3.toByte).put(3.toByte).put(12.toByte)
