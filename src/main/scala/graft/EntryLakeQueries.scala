@@ -1165,6 +1165,24 @@ private[graft] object EntryLakeQueries {
           col("record_count"), col("eq_deleted"), col("net_rows"))
     }),
 
+    // ICEBERG SORT-ORDER audit: the declared write order (sort-orders
+    // + default-sort-order-id) vs what the data files' own footer
+    // min/max say — per live data file, the order's first key interval
+    // and an in_order verdict from the cumulative-max window (O(n log n),
+    // no pairwise self-join). The fixture plants the second-smallest
+    // doc in f2, so f2 (and the f1 it shadows) flag while f0/f3 stay
+    // clean. Oracle: DuckDB parses the SAME metadata JSON for the
+    // declared side (field name resolved through the schema, not
+    // hardcoded) and recomputes the measured side from parquet_metadata
+    // with the same window.
+    "meta_iceberg_sort_order" -> ((s, dir) => {
+      val out = "/tmp/graft_icesort_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeSortOrderFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.sortOrderAudit(s, out)
+    }),
+
     // ICEBERG TIMESTAMP AS OF: wall-clock probes resolved from the
     // snapshot list's timestamp-ms — the oracle resolves the SAME
     // probes from the same JSON in DuckDB and cross-checks the rows
@@ -1936,6 +1954,55 @@ private[graft] object EntryLakeQueries {
         |    coalesce(d.lang, 'NULL'))
         |FROM data d JOIN e1 ON d.doc_id IS NOT DISTINCT FROM e1.doc_id
         |  AND d.lang IS NOT DISTINCT FROM e1.lang""".stripMargin,
+
+    "meta_iceberg_sort_order" ->
+      """WITH m AS (SELECT * FROM read_json_auto(
+        |  '/tmp/graft_icesort_sf0.01/metadata/v1.metadata.json')),
+        |names AS (
+        |  SELECT f.id AS id, f.name AS name
+        |  FROM (SELECT unnest(s.fields) AS f
+        |    FROM (SELECT unnest(schemas) AS s FROM m) t
+        |    WHERE t.s."schema-id" =
+        |      (SELECT "current-schema-id" FROM m)) u
+        |),
+        |ord AS (
+        |  SELECT t.o."order-id" AS oid, t.o.fields AS fields
+        |  FROM (SELECT unnest("sort-orders") AS o FROM m) t
+        |  WHERE t.o."order-id" = (SELECT "default-sort-order-id" FROM m)
+        |),
+        |csv AS (
+        |  SELECT CAST((SELECT oid FROM ord) AS INTEGER) AS sort_order_id,
+        |    string_agg(jf.f.transform || '(' || n.name || ') ' ||
+        |      jf.f.direction || ' ' || jf.f."null-order", ',')
+        |      AS sort_csv
+        |  FROM (SELECT unnest(fields) AS f FROM ord) jf
+        |  JOIN names n ON jf.f."source-id" = n.id
+        |),
+        |stats AS (
+        |  SELECT parse_filename(file_name) AS file,
+        |    min(CAST(stats_min_value AS BIGINT)) AS fmin,
+        |    max(CAST(stats_max_value AS BIGINT)) AS fmax,
+        |    count(*) = count(stats_min_value) AND
+        |      count(*) = count(stats_max_value) AS bounded
+        |  FROM parquet_metadata('/tmp/graft_icesort_sf0.01/data/*.parquet')
+        |  WHERE path_in_schema = 'doc_id'
+        |  GROUP BY 1
+        |),
+        |win AS (
+        |  SELECT file, fmin, fmax, bounded,
+        |    max(CASE WHEN bounded THEN fmax END) OVER (
+        |      ORDER BY fmin, fmax, file
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_cummax
+        |  FROM stats
+        |)
+        |SELECT w.file, c.sort_order_id, c.sort_csv,
+        |  CASE WHEN w.bounded THEN w.fmin END AS file_min,
+        |  CASE WHEN w.bounded THEN w.fmax END AS file_max,
+        |  CASE WHEN NOT w.bounded THEN NULL
+        |    WHEN w.prev_cummax IS NULL THEN TRUE
+        |    ELSE w.fmin >= w.prev_cummax END AS in_order
+        |FROM win w CROSS JOIN csv c""".stripMargin,
 
     "meta_iceberg_eq_part_rows" ->
       """WITH fa AS (SELECT key FROM

@@ -1799,6 +1799,114 @@ object IcebergMeta {
   }
 
   /**
+   * SORT-ORDER audit — the table's DECLARED write order
+   * (`sort-orders` / `default-sort-order-id`, the metadata surface
+   * engines consult before skipping a re-sort) verified against what
+   * the data files' OWN footer statistics say: one row per live data
+   * file with the default order's rendering, the file's min/max on the
+   * order's first key, and `in_order` — whether the file's key
+   * interval stays clear of every earlier interval when files are laid
+   * out by ascending min (the cumulative-max window form: O(n log n),
+   * never a pairwise self-join — a 100k-file table must not pay n²;
+   * the comparison is non-strict, so duplicate keys spanning a file
+   * boundary still audit as sorted, matching [[MetaPrune.sortAudit]]).
+   * A table actually written in its declared order has disjoint file
+   * intervals whichever direction it sorts; an out-of-order file
+   * flags itself AND the files it collides with (honest interval
+   * math). Files whose stats are missing report NULL `in_order` — no
+   * evidence, never assumed sorted.
+   *
+   * Live data files are matched to footers by file NAME (iceberg
+   * writers name data files uniquely — UUID-suffixed); the footer walk
+   * covers the table's `data/` subtree. REFUSES when the metadata
+   * declares no sort-orders / default id, the default id dangles, the
+   * default order is the unsorted one (order-id 0, no fields), its
+   * first field is not an identity transform (a transform's order is
+   * not measurable from column stats), or the source-id is unknown.
+   */
+  def sortOrderAudit(spark: SparkSession, table: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    val fieldsById = currentSchemaFieldsById(mf, node)
+    val defaultId = Option(node.get("default-sort-order-id"))
+      .map(_.asInt()).getOrElse(
+        throw new IllegalArgumentException(
+          s"$mf: no default-sort-order-id — the table declares no " +
+            "write order to audit"))
+    val orders = Option(node.get("sort-orders"))
+      .map(_.elements().asScala.toSeq).getOrElse(
+        throw new IllegalArgumentException(
+          s"$mf: no sort-orders list — the table declares no write " +
+            "order to audit"))
+    val order = orders.find(o =>
+      req(o, "order-id", mf).asInt() == defaultId).getOrElse(
+      throw new IllegalArgumentException(
+        s"$mf: default-sort-order-id $defaultId names no declared " +
+          s"sort order (declared: ${orders.map(o =>
+            req(o, "order-id", mf).asInt()).mkString(", ")})"))
+    val fields = Option(order.get("fields"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .map { f =>
+        val sid = req(f, "source-id", mf).asInt()
+        val name = fieldsById.getOrElse(sid,
+          throw new IllegalArgumentException(
+            s"$mf: sort order $defaultId references field id $sid " +
+              "which the current schema does not declare"))._1
+        (req(f, "transform", mf).asText(), name,
+          req(f, "direction", mf).asText(),
+          req(f, "null-order", mf).asText())
+      }
+    if (fields.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$mf: default sort order $defaultId is the unsorted order — " +
+          "nothing to audit")
+    }
+    val (transform, keyName, _, _) = fields.head
+    if (transform != "identity") {
+      throw new UnsupportedOperationException(
+        s"$mf: sort order $defaultId leads with transform " +
+          s"'$transform' — only identity order is measurable from " +
+          "column statistics, refusing rather than mis-auditing")
+    }
+    val sortCsv = fields.map { case (t, n, d, no) => s"$t($n) $d $no" }
+      .mkString(",")
+    val liveNames = currentFiles(spark, table)
+      .filter(col("status") =!= 2 && col("content") === 0)
+      .select(element_at(split(col("abs_path"), "/"), -1).as("file"))
+      .distinct()
+    import org.apache.spark.sql.graft.ColumnBridge
+    val decode = (c: org.apache.spark.sql.Column) => ColumnBridge.column(
+      graft.functions.PlainStatLong(
+        ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val perFile = spark.read.format("metadata")
+      .option("level", "column").option("footercache", "false")
+      .load(new Path(root, "data").toString)
+      .filter(col("path") === keyName)
+      .select(element_at(split(col("filepath"), "/"), -1).as("file"),
+        decode(col("statistics.min_value")).as("mn"),
+        decode(col("statistics.max_value")).as("mx"))
+      .groupBy(col("file"))
+      .agg(min(col("mn")).as("file_min"), max(col("mx")).as("file_max"),
+        (count(lit(1)) === count(col("mn")) &&
+          count(lit(1)) === count(col("mx"))).as("bounded"))
+      .join(liveNames, Seq("file"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("file_min"), col("file_max"), col("file"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perFile
+      .withColumn("prev_cummax", max(when(col("bounded"), col("file_max")))
+        .over(w))
+      .select(col("file"),
+        lit(defaultId).as("sort_order_id"),
+        lit(sortCsv).as("sort_csv"),
+        when(col("bounded"), col("file_min")).as("file_min"),
+        when(col("bounded"), col("file_max")).as("file_max"),
+        when(!col("bounded"), lit(null).cast("boolean"))
+          .when(col("prev_cummax").isNull, lit(true))
+          .otherwise(col("file_min") >= col("prev_cummax")).as("in_order"))
+  }
+
+  /**
    * METADATA-LOG audit — the current metadata's `metadata-log` lineage
    * (previous metadata files with their commit times, the chain
    * metadata time travel walks): one row per entry with `exists` on
@@ -2860,6 +2968,100 @@ object IcebergMeta {
          | "summary":{"operation":"append"}},
          |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
          | "manifest-list":"metadata/snap-2.avro",
+         | "summary":{"operation":"append"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
+  /**
+   * A table DECLARING a write order (`sort-orders` order-id 1:
+   * identity(doc_id) asc nulls-first, named by
+   * `default-sort-order-id`; the unsorted order-id 0 is also listed,
+   * as real writers do) whose data MOSTLY honors it: four doc_id
+   * quartile files f0..f3 — except the SECOND-smallest doc is planted
+   * in f2, so f2's min dips into f0's range and the interval audit
+   * must flag f2 (and the f1 it now shadows) as out of order while f0
+   * and f3 stay clean. One snapshot, one manifest. Returns
+   * per-data-file row counts.
+   */
+  def writeSortOrderFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val n = docs.count()
+    require(n >= 8, s"sort-order fixture needs >= 8 docs, got $n")
+    // global rank at fixture scale (one-partition window is the cost
+    // of a deterministic quartile split)
+    val ranked = docs.select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    val assigned = ranked.withColumn("f",
+      when(col("rk") === 2, lit(2)) // the planted out-of-order straggler
+        .otherwise(floor((col("rk") - 1) * 4 / lit(n)).cast("int")))
+    val counts = (0 until 4).map { i =>
+      val rel = s"f$i.parquet"
+      rel -> FixtureIO.writeSingleParquet(
+        assigned.filter(col("f") === i).select("doc_id", "lang")
+          .sort("doc_id"),
+        new java.io.File(dataDir, rel), dir + s"_sotmp$i")
+    }.toMap
+    def entry(f: String): org.apache.avro.generic.GenericRecord = {
+      val dfSchema = manifestSchema.getField("data_file").schema()
+      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", s"data/$f")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(f))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
+      val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), manifestSchema,
+      (0 until 4).map(i => entry(s"f$i.parquet")))
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
+      Seq {
+        val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
+        r.put("manifest_path", "metadata/m0.avro")
+        r.put("manifest_length", new java.io.File(metaDir, "m0.avro").length())
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("added_snapshot_id", 1L)
+        r.put("added_files_count", 4)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", counts.values.sum)
+        r
+      })
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-sortorder-fixture",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":1,
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
+         |"default-sort-order-id":1,
+         |"sort-orders":[
+         |{"order-id":0,"fields":[]},
+         |{"order-id":1,"fields":[
+         | {"transform":"identity","source-id":1,
+         |  "direction":"asc","null-order":"nulls-first"}]}],
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":1700000000000,
+         | "manifest-list":"metadata/snap-1.avro",
          | "summary":{"operation":"append"}}]}""".stripMargin
     java.nio.file.Files.write(
       new java.io.File(metaDir, "v1.metadata.json").toPath,

@@ -1112,6 +1112,42 @@ class IcebergSourceSpec extends SparkSpec {
     assert(causeMessages(eMix).contains("MIXED"))
   }
 
+  test("sort-order audit: declared order vs footer intervals") {
+    val d = Files.createTempDirectory("graft_ice_sort").toString + "/tbl"
+    IcebergMeta.writeSortOrderFixtureTable(spark, d, docs)
+    val rows = IcebergMeta.sortOrderAudit(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getString(2), r.getBoolean(5))).toMap
+    assert(rows.keySet === Set("f0.parquet", "f1.parquet",
+      "f2.parquet", "f3.parquet"))
+    assert(rows.values.forall(_._1 == 1))
+    assert(rows.values.forall(
+      _._2 == "identity(doc_id) asc nulls-first"))
+    // the planted straggler makes f2 dip into f0's range; f2 also
+    // shadows f1 (its max spans q2) — f0 and f3 stay clean
+    assert(rows("f0.parquet")._3 && rows("f3.parquet")._3)
+    assert(!rows("f1.parquet")._3 && !rows("f2.parquet")._3)
+    // a table declaring no sort order refuses — nothing to audit
+    val eNone = intercept[Exception](IcebergMeta.sortOrderAudit(spark, table))
+    assert(causeMessages(eNone).contains("no default-sort-order-id"))
+    // a non-identity leading transform refuses (not measurable from
+    // column stats)
+    val mf = new java.io.File(d, "metadata/v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace("\"transform\":\"identity\"", "\"transform\":\"bucket[4]\"")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val eXform = intercept[Exception](IcebergMeta.sortOrderAudit(spark, d))
+    assert(causeMessages(eXform).contains("bucket[4]"))
+    // a default id naming the UNSORTED order refuses
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace("\"default-sort-order-id\":1", "\"default-sort-order-id\":0")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val eUnsorted = intercept[Exception](IcebergMeta.sortOrderAudit(spark, d))
+    assert(causeMessages(eUnsorted).contains("unsorted"))
+  }
+
   test("partitioned equality deletes: partition scope + one data scan") {
     val d = Files.createTempDirectory("graft_ice_eqpart").toString + "/tbl"
     // lang independent of key (key = doc_id % 50): every key value
