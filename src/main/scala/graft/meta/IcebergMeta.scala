@@ -97,7 +97,7 @@ case class IcebergFileEntry(
  * manifests scales like any other scan; only the (small) metadata JSON
  * and manifest list are read at the driver.
  */
-object IcebergMeta {
+object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
 
   /** True if `root` looks like a filesystem Iceberg table (a
     * version-hint pointer or any `*.metadata.json` under `metadata/`). */
@@ -125,8 +125,8 @@ object IcebergMeta {
         st.getLen, st.getModificationTime, Map.empty))
   }
 
-  private val VersionedName = "^v(\\d+)\\.metadata\\.json$".r
-  private val SequencedName = "^(\\d+)-.*\\.metadata\\.json$".r
+  private[meta] val VersionedName = "^v(\\d+)\\.metadata\\.json$".r
+  private[meta] val SequencedName = "^(\\d+)-.*\\.metadata\\.json$".r
 
   /** Numeric version of a metadata-file name: filesystem-table
     * `v12.metadata.json` → 12, catalog-style `00012-<uuid>.metadata.json`
@@ -167,7 +167,7 @@ object IcebergMeta {
     * the field — the iceberg counterpart of the delta tier's
     * malformed-commit-line contract (a foreign `*.metadata.json` must
     * not surface as a bare NullPointerException). */
-  private def req(node: com.fasterxml.jackson.databind.JsonNode,
+  private[meta] def req(node: com.fasterxml.jackson.databind.JsonNode,
       field: String, file: Path): com.fasterxml.jackson.databind.JsonNode = {
     val n = node.get(field)
     if (n == null || n.isNull) {
@@ -315,7 +315,7 @@ object IcebergMeta {
             lit(declared.toArray), col("present"))), ",")).as("missing_csv"))
   }
 
-  private def openAvro(file: Path, conf: Configuration): org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord] = {
+  private[meta] def openAvro(file: Path, conf: Configuration): org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord] = {
     val fs = file.getFileSystem(conf)
     val len = fs.getFileStatus(file).getLen
     val in = fs.open(file)
@@ -330,19 +330,19 @@ object IcebergMeta {
       new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
   }
 
-  private def str(v: AnyRef): String = v match {
+  private[meta] def str(v: AnyRef): String = v match {
     case null => null
     case u: org.apache.avro.util.Utf8 => u.toString
     case s => s.toString
   }
 
-  private def optLong(r: org.apache.avro.generic.GenericRecord, name: String): Option[Long] =
+  private[meta] def optLong(r: org.apache.avro.generic.GenericRecord, name: String): Option[Long] =
     if (r.getSchema.getField(name) == null) None
     else Option(r.get(name)).map(_.asInstanceOf[Number].longValue())
 
   /** `content` decode shared by both manifest layers: absent in format
     * v1 (data by definition) → 0. */
-  private def contentOf(r: org.apache.avro.generic.GenericRecord): Int =
+  private[meta] def contentOf(r: org.apache.avro.generic.GenericRecord): Int =
     optLong(r, "content").map(_.toInt).getOrElse(0)
 
   /** Decode a manifest LIST (one entry per manifest of a snapshot). */
@@ -514,7 +514,7 @@ object IcebergMeta {
     * cannot see. (The per-entry Puffin well-formedness check in
     * [[readManifest]] backstops tables whose metadata lies about the
     * version.) */
-  private def requireCensusableVersion(
+  private[meta] def requireCensusableVersion(
       info: IcebergTableInfo, where: String): Unit = {
     if (info.formatVersion > 3) {
       throw new UnsupportedOperationException(
@@ -660,7 +660,7 @@ object IcebergMeta {
     * (the `schemas` entry named by `current-schema-id`; v1 fallback:
     * the bare `schema` field). Nested types map to their JSON rendering
     * — callers that can only match primitives refuse on those. */
-  private def currentSchemaFieldsById(
+  private[meta] def currentSchemaFieldsById(
       mf: Path, node: com.fasterxml.jackson.databind.JsonNode):
       Map[Int, (String, String)] = {
     import scala.jdk.CollectionConverters._
@@ -1246,1973 +1246,13 @@ object IcebergMeta {
    * (aborted-write temp files, foreign uploads) surfaces too. One row
    * per orphan: `(abs_path, filename, format, size, num_rows)`.
    */
-  /**
-   * PARTITION-SPEC evolution audit — iceberg's flagship feature leaves
-   * a backfill question behind, exactly like schema evolution does:
-   * after `ALTER TABLE ... ADD PARTITION FIELD`, which live files were
-   * written under an OLD spec (they answer partition-pruned queries
-   * only through full scans until rewritten)? One row per live data
-   * file: `(file_path, spec_id, spec_csv, is_default)` — the spec id
-   * comes from the file's MANIFEST (the list's `partition_spec_id`;
-   * entries inherit their manifest's spec by construction), the
-   * rendering from the metadata's `partition-specs` declarations
-   * (`name=transform(source-id)` CSV, empty → `unpartitioned`).
-   * Refuses when the metadata declares no `partition-specs` list (the
-   * v1 legacy single-spec field is not modeled), when a manifest
-   * carries no spec id, or when a manifest names a spec the metadata
-   * does not declare — a dangling spec id breaks every reader.
-   */
-  def partitionSpecAudit(spark: SparkSession, table: String): DataFrame = {
-    import spark.implicits._
-    val (root, _, mf, node) = currentMetadataNode(spark, table)
-    import scala.jdk.CollectionConverters._
-    val specsNode = Option(node.get("partition-specs")).getOrElse(
-      throw new UnsupportedOperationException(
-        s"$mf: no partition-specs list — the v1 legacy single-spec " +
-          "field is not modeled; refusing to attribute files to specs"))
-    val specs: Map[Int, String] = specsNode.elements().asScala.toSeq.map { sp =>
-      val id = req(sp, "spec-id", mf).asInt()
-      val fields = Option(sp.get("fields"))
-        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-        .map(f => s"${req(f, "name", mf).asText()}=" +
-          s"${req(f, "transform", mf).asText()}(" +
-          s"${req(f, "source-id", mf).asInt()})")
-      id -> (if (fields.isEmpty) "unpartitioned" else fields.mkString(","))
-    }.toMap
-    val defaultSpec = Option(node.get("default-spec-id"))
-      .map(_.asInt()).getOrElse(0)
-    val current = Option(node.get("current-snapshot-id")).map(_.asLong())
-      .flatMap(id => Option(node.get("snapshots"))
-        .flatMap(_.elements().asScala.toSeq
-          .find(s => req(s, "snapshot-id", mf).asLong() == id)))
-      .getOrElse(throw new IllegalArgumentException(
-        s"$table: no current snapshot"))
-    val hconf = spark.sessionState.newHadoopConf()
-    val manifests = readManifestList(
-      resolve(root, req(current, "manifest-list", mf).asText()), hconf)
-      .map { m =>
-        val sid = m.partitionSpecId.getOrElse(
-          throw new UnsupportedOperationException(
-            s"$table: manifest ${m.manifestPath} carries no " +
-              "partition_spec_id — spec attribution is unknowable"))
-        if (!specs.contains(sid)) {
-          throw new IllegalArgumentException(
-            s"$table: manifest ${m.manifestPath} names spec $sid which " +
-              s"the metadata does not declare (known: " +
-              s"${specs.keys.toSeq.sorted.mkString(", ")})")
-        }
-        (resolve(root, m.manifestPath).toString, sid)
-      }
-    val rootStr = root.toString
-    val conf = new SerializableHadoopConf(hconf)
-    val specsB = specs
-    val defB = defaultSpec
-    manifests.toDS()
-      .flatMap { case (mp, sid) =>
-        readManifest(new Path(mp), conf.value)
-          .filter(e => e.status != 2 && e.content == 0)
-          .map(e => (resolve(new Path(rootStr), e.filePath).toString,
-            sid, specsB(sid), sid == defB))
-      }
-      .toDF("file_path", "spec_id", "spec_csv", "is_default")
-  }
-
-  /**
-   * MANIFEST-HEALTH report — `rewrite_manifests`' planning question:
-   * many small manifests make every planning pass open many files, and
-   * high deleted-entry ratios make each open mostly waste. One row per
-   * manifest of the CURRENT snapshot's list:
-   * `(manifest, content, length, n_added, n_existing, n_deleted,
-   * rewrite_group)` — entry counts from the manifest's OWN rows (one
-   * decode task per manifest, never trusting the list's declared
-   * counts, which [[snapshotSummaryAudit]] exists to doubt), and
-   * `rewrite_group` the deterministic bin-pack of UNDER-TARGET
-   * manifests (path order, group = ⌊preceding-small-bytes/target⌋ —
-   * the compactionPlan packing, applied to metadata files).
-   * Right-sized manifests never move (null group); data and delete
-   * manifests pack separately (the spec keeps them apart).
-   */
-  def manifestHealthReport(
-      spark: SparkSession, table: String,
-      targetBytes: Long = 8L * 1024 * 1024): DataFrame = {
-    import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = {
-      val p = new Path(table)
-      p.getFileSystem(hconf).makeQualified(p)
-    }
-    val info = readTableMetadata(
-      currentMetadataFile(root.getFileSystem(hconf), root), hconf)
-    requireCensusableVersion(info, table)
-    val current = info.snapshots.find(_.isCurrent).getOrElse(
-      throw new IllegalArgumentException(s"$table: no current snapshot"))
-    val manifests = readManifestList(
-      resolve(root, current.manifestList), hconf)
-      .map(m => (resolve(root, m.manifestPath).toString,
-        m.content, m.manifestLength))
-    // bin-pack per content kind, path order — a manifest-count-sized
-    // driver computation (the same boundary the list read already is)
-    val groups: Map[String, Long] = manifests
-      .groupBy(_._2).toSeq.flatMap { case (_, ms) =>
-        var acc = 0L
-        ms.sortBy(_._1).flatMap { case (p, _, len) =>
-          if (len >= targetBytes) None
-          else {
-            val g = acc / targetBytes
-            acc += len
-            Some(p -> g)
-          }
-        }
-      }.toMap
-    val conf = new SerializableHadoopConf(hconf)
-    manifests.toDS()
-      .map { case (mp, content, len) =>
-        val entries = readManifest(new Path(mp), conf.value)
-        (new Path(mp).getName, content, len,
-          entries.count(_.status == 1).toLong,
-          entries.count(_.status == 0).toLong,
-          entries.count(_.status == 2).toLong,
-          groups.get(mp))
-      }
-      .toDF("manifest", "content", "length",
-        "n_added", "n_existing", "n_deleted", "rewrite_group")
-  }
-
-  /**
-   * SNAPSHOT-EXPIRY plan at metadata cost — `expire_snapshots`'
-   * storage-reclaim question answered BEFORE deleting anything: which
-   * snapshots age out at `expireBeforeMs` (never the current one —
-   * expiring it orphans every reader — and never one a named REF
-   * holds: branches/tags retain their snapshots regardless of age),
-   * and exactly what their removal
-   * frees. One row per deletable object, `kind` ∈
-   * `snapshot | manifest_list | manifest | data_file`:
-   *
-   *  - expired snapshots and their manifest-list files;
-   *  - manifests referenced ONLY by expired snapshots (a manifest a
-   *    survivor reuses stays);
-   *  - files referenced ONLY by expired snapshots — the compaction
-   *    leftovers expiry exists to reclaim; computed as
-   *    `refs(expired) \ refs(surviving)` with one manifest-decode task
-   *    per manifest on each side, the [[orphanFiles]] fan-out.
-   *
-   * Refuses when nothing expires (an empty plan reads as "safe to run"
-   * when the real answer is "the cutoff matched nothing") and when the
-   * cutoff would expire EVERY snapshot.
-   */
-  def expiryPlan(
-      spark: SparkSession, table: String, expireBeforeMs: Long): DataFrame = {
-    import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = {
-      val p = new Path(table)
-      p.getFileSystem(hconf).makeQualified(p)
-    }
-    val fs = root.getFileSystem(hconf)
-    val mf = currentMetadataFile(fs, root)
-    val info = readTableMetadata(mf, hconf)
-    requireCensusableVersion(info, table)
-    // a snapshot HELD BY A REF (branch/tag) is retained regardless of
-    // age — expiring it strands every reader following the ref; the
-    // spec's retention walks refs first. (Ref-specific max-age
-    // policies are a catalog concern; the filesystem plan protects
-    // every named ref.)
-    val refHeld: Set[Long] = {
-      val in = fs.open(mf)
-      val node =
-        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-        finally in.close()
-      import scala.jdk.CollectionConverters._
-      Option(node.get("refs")).filter(_.isObject).map { refs =>
-        refs.properties().asScala
-          .map(e => req(e.getValue, "snapshot-id", mf).asLong()).toSet
-      }.getOrElse(Set.empty)
-    }
-    val (expired, surviving) = info.snapshots.partition(s =>
-      s.timestampMs < expireBeforeMs && !s.isCurrent &&
-        !refHeld.contains(s.snapshotId))
-    if (expired.isEmpty) {
-      throw new IllegalArgumentException(
-        s"$table: no snapshot is older than $expireBeforeMs (current is " +
-          "never expired) — nothing to plan")
-    }
-    if (surviving.isEmpty) {
-      throw new IllegalArgumentException(
-        s"$table: the cutoff would expire every snapshot — refusing a " +
-          "plan that deletes the table's entire history")
-    }
-    def manifestsOf(snaps: Seq[IcebergSnapshotInfo]): Map[String, Long] =
-      snaps.flatMap(s => readManifestList(resolve(root, s.manifestList), hconf)
-        .map(m => resolve(root, m.manifestPath).toString -> m.manifestLength))
-        .toMap
-    val expiredManifests = manifestsOf(expired)
-    val survivingManifests = manifestsOf(surviving)
-    val deadManifests = expiredManifests -- survivingManifests.keySet
-    val rootStr = root.toString
-    val conf = new SerializableHadoopConf(hconf)
-    def refs(paths: Seq[String], liveOnly: Boolean): DataFrame =
-      paths.toDS().flatMap { mp =>
-        readManifest(new Path(mp), conf.value)
-          .filter(e => !liveOnly || e.status != 2)
-          .map(e => (resolve(new Path(rootStr), e.filePath).toString,
-            e.fileSizeBytes))
-      }.toDF("path", "bytes").dropDuplicates("path")
-    // a file is deletable only when NO surviving snapshot still READS
-    // it (ADDED/EXISTING in any surviving manifest). A DELETED-status
-    // entry in a survivor does NOT block — no survivor can read
-    // through it, and reclaiming exactly those compaction leftovers is
-    // what expiry is for. The candidate side takes every status: the
-    // expired chain is the last thing naming those files at all.
-    val deadFiles = refs(deadManifests.keys.toSeq, liveOnly = false)
-      .join(refs(survivingManifests.keys.toSeq, liveOnly = true)
-        .select(col("path")), Seq("path"), "left_anti")
-    val snapRows = expired.map { s =>
-      ("snapshot", s.snapshotId.toString, -1L)
-    } ++ expired.map { s =>
-      val ml = resolve(root, s.manifestList)
-      ("manifest_list", ml.toString,
-        try fs.getFileStatus(ml).getLen catch { case _: Exception => -1L })
-    } ++ deadManifests.toSeq.map { case (p, len) => ("manifest", p, len) }
-    snapRows.toDF("kind", "object", "bytes")
-      .unionByName(deadFiles
-        .select(lit("data_file").as("kind"), col("path").as("object"),
-          col("bytes")))
-  }
-
-  def orphanFiles(spark: SparkSession, table: String): DataFrame = {
-    import spark.implicits._
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = {
-      val p = new Path(table)
-      p.getFileSystem(hconf).makeQualified(p)
-    }
-    val fs = root.getFileSystem(hconf)
-    val info = readTableMetadata(currentMetadataFile(fs, root), hconf)
-    // v3 DV files under the data tree would misreport as orphans
-    requireCensusableVersion(info, table)
-    val manifests = info.snapshots
-      .flatMap(s => readManifestList(resolve(root, s.manifestList), hconf))
-      .map(m => resolve(root, m.manifestPath).toString)
-      .distinct
-    val rootStr = root.toString
-    val conf = new SerializableHadoopConf(hconf)
-    val referenced = manifests.toDS()
-      .flatMap(mp => readManifest(new Path(mp), conf.value)
-        .map(e => resolve(new Path(rootStr), e.filePath).toString))
-      .toDF("ref_path").distinct()
-    val disk = spark.read.format("metadata")
-      .option("source", "any").option("level", "file")
-      .option("ignorecorrupt", "true")
-      .load(new Path(root, "data").toString)
-      .select(col("filepath"), col("filename"), col("format"),
-        col("size"), col("num_rows"))
-    disk.join(referenced, disk("filepath") === referenced("ref_path"),
-      "left_anti")
-      .select(col("filepath").as("abs_path"), col("filename"),
-        col("format"), col("size"), col("num_rows"))
-  }
-
-  /** Qualified root + current metadata file + its parsed JSON — the
-    * shared driver boundary of every metadata-JSON report. */
-  private def currentMetadataNode(
-      spark: SparkSession, table: String):
-      (Path, org.apache.hadoop.fs.FileSystem, Path,
-        com.fasterxml.jackson.databind.JsonNode) = {
-    val hconf = spark.sessionState.newHadoopConf()
-    val root = {
-      val p = new Path(table)
-      p.getFileSystem(hconf).makeQualified(p)
-    }
-    val fs = root.getFileSystem(hconf)
-    val mf = currentMetadataFile(fs, root)
-    val in = fs.open(mf)
-    val node =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-      finally in.close()
-    (root, fs, mf, node)
-  }
-
-  /**
-   * PUFFIN STATISTICS audit — the table metadata's `statistics` list
-   * (format v2+: one entry per snapshot naming a Puffin file of sketch
-   * blobs with its declared `blob-metadata`) verified against the
-   * Puffin files' OWN footers: one row per ACTUAL footer blob, matched
-   * to a declared entry by `(type, snapshot-id)` key (the spec does
-   * not pin the declaration to footer order, so a truthful reordered
-   * list still matches; each declared entry is consumable once) —
-   * `declared_match` is false when no declared entry carries the
-   * blob's key (a stale or hand-edited statistics entry sends sketch
-   * consumers to the wrong blob), and a declared entry matching NO
-   * footer blob surfaces as its own `blob_idx=-1` row. The entry list
-   * is a driver boundary at snapshot scale; the footer reads fan out
-   * one task per statistics file.
-   */
-  def statisticsReport(spark: SparkSession, table: String): DataFrame = {
-    import spark.implicits._
-    val (root, _, mf, node) = currentMetadataNode(spark, table)
-    import scala.jdk.CollectionConverters._
-    val entries = Option(node.get("statistics"))
-      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { s =>
-        val declared = Option(s.get("blob-metadata"))
-          .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-          .map(b => (req(b, "type", mf).asText(),
-            Option(b.get("snapshot-id")).map(_.asLong()).getOrElse(-1L)))
-        (req(s, "snapshot-id", mf).asLong(),
-          req(s, "statistics-path", mf).asText(), declared)
-      }
-    val rootStr = root.toString
-    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
-    entries.toDS()
-      .flatMap { case (snapId, path, declared) =>
-        val abs = resolve(new Path(rootStr), path)
-        val (blobs, _) = PuffinCodec.readFooter(abs, conf.value)
-        // the spec does not pin blob-metadata to footer order: match
-        // declared entries to footer blobs by (type, snapshot-id) keys,
-        // each declared entry consumable once — a truthful but
-        // reordered declaration matches; a surplus declared entry (a
-        // blob the file does not carry) surfaces as its own row
-        val remaining =
-          scala.collection.mutable.ArrayBuffer.from(declared)
-        val matchedRows = blobs.zipWithIndex.map { case (b, i) =>
-          val key = (b.blobType, b.snapshotId.getOrElse(-1L))
-          val at = remaining.indexOf(key)
-          if (at >= 0) remaining.remove(at)
-          (abs.getName, snapId, i, b.blobType,
-            b.snapshotId.getOrElse(-1L), b.sequenceNumber.getOrElse(-1L),
-            b.offset, b.length,
-            if (at >= 0) key._1 else null,
-            at >= 0)
-        }
-        val orphanRows = remaining.toSeq.map { case (t, sid) =>
-          (abs.getName, snapId, -1, null.asInstanceOf[String],
-            sid, -1L, -1L, -1L, t, false)
-        }
-        matchedRows ++ orphanRows
-      }
-      .toDF("filename", "stats_snapshot_id", "blob_idx", "blob_type",
-        "blob_snapshot_id", "sequence_number", "offset", "length",
-        "declared_type", "declared_match")
-  }
-
-  /**
-   * NDV audit — each statistics Puffin file's
-   * `apache-datasketches-theta-v1` blobs DECODED (compact-theta serial
-   * v3, [[PuffinCodec.thetaEstimate]]) and compared against the blob's
-   * own declared `ndv` property (the number query planners read
-   * without opening the sketch): one row per theta blob with
-   * `(fields_csv, declared_ndv, sketch_ndv, ndv_match)` — a stale or
-   * hand-edited `ndv` silently skews every join-order and
-   * aggregation-strategy decision downstream, and only the sketch body
-   * itself can contradict it. `sketch_ndv` is the rounded estimate
-   * (exact mode: the retained-entry count). Blobs declaring no `ndv`
-   * report null declared (and null match), never dropped. Refuses when
-   * the metadata declares no statistics at all; the footer + blob
-   * reads fan out one task per statistics file.
-   */
-  def ndvAudit(spark: SparkSession, table: String): DataFrame = {
-    import spark.implicits._
-    val (root, _, mf, node) = currentMetadataNode(spark, table)
-    val fieldsById = currentSchemaFieldsById(mf, node)
-    import scala.jdk.CollectionConverters._
-    val entries = Option(node.get("statistics"))
-      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { s =>
-        (req(s, "snapshot-id", mf).asLong(),
-          req(s, "statistics-path", mf).asText())
-      }
-    if (entries.isEmpty) {
-      throw new UnsupportedOperationException(
-        s"$table: metadata declares no statistics files — nothing to audit")
-    }
-    val rootStr = root.toString
-    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
-    entries.toDS()
-      .flatMap { case (snapId, path) =>
-        val abs = resolve(new Path(rootStr), path)
-        val (blobs, _) = PuffinCodec.readFooter(abs, conf.value)
-        blobs.filter(_.blobType == PuffinCodec.ThetaV1).map { b =>
-          val est = PuffinCodec.thetaEstimate(
-            PuffinCodec.readBlobBytes(abs, conf.value, b.offset, b.length))
-          val sketchNdv = math.round(est)
-          val declared = b.properties.get("ndv").map(_.trim.toLong)
-          val fieldsCsv = b.fields
-            .map(id => fieldsById.get(id).map(_._1).getOrElse(s"#$id"))
-            .mkString(",")
-          (abs.getName, snapId, fieldsCsv, declared, sketchNdv,
-            declared.map(_ == sketchNdv))
-        }
-      }
-      .toDF("filename", "stats_snapshot_id", "fields_csv",
-        "declared_ndv", "sketch_ndv", "ndv_match")
-  }
-
-  /**
-   * PARTITION-STATISTICS audit — the metadata JSON's
-   * `partition-statistics` entry for the CURRENT snapshot (a PARQUET
-   * file of per-partition rollups, spec v2+) verified against the
-   * manifest chain's own per-partition aggregation: one row per
-   * partition (FULL OUTER — a declared-but-dead or live-but-undeclared
-   * partition surfaces with nulls on the other side) with
-   * files/rows/bytes match flags. Both sides are distributed scans;
-   * the partition key is the sorted `k=v` CSV so any partition-spec
-   * shape compares. Refuses when no entry exists for the current
-   * snapshot.
-   */
-  def partitionStatsAudit(spark: SparkSession, table: String): DataFrame = {
-    val (root, _, mf, node) = currentMetadataNode(spark, table)
-    import scala.jdk.CollectionConverters._
-    val currentSnap = Option(node.get("current-snapshot-id"))
-      .map(_.asLong()).getOrElse(
-        throw new IllegalArgumentException(s"$mf: no current-snapshot-id"))
-    val statsPath = Option(node.get("partition-statistics"))
-      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-      .find(e => req(e, "snapshot-id", mf).asLong() == currentSnap)
-      .map(e => req(e, "statistics-path", mf).asText())
-      .getOrElse(throw new UnsupportedOperationException(
-        s"$table: no partition-statistics entry for current snapshot " +
-          s"$currentSnap — nothing declared to audit"))
-    val declaredRaw = spark.read.parquet(
-      resolve(root, statsPath).toString)
-    val partFields = declaredRaw.schema("partition").dataType
-      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
-    val declared = declaredRaw.select(
-      array_join(array_sort(array(partFields.map(f =>
-        concat(lit(f + "="), col(s"partition.$f").cast("string"))): _*)),
-        ",").as("partition_key"),
-      col("data_file_count").cast("long").as("declared_files"),
-      col("data_record_count").cast("long").as("declared_rows"),
-      col("total_data_file_size_in_bytes").cast("long").as("declared_bytes"))
-    val actual = currentFiles(spark, table)
-      .filter(col("status") =!= 2 && col("content") === 0)
-      .select(
-        array_join(array_sort(transform(map_entries(col("partition_values")),
-          e => concat(e.getField("key"), lit("="), e.getField("value")))),
-          ",").as("partition_key"),
-        col("record_count"), col("file_size_bytes"))
-      .groupBy(col("partition_key"))
-      .agg(count(lit(1)).cast("long").as("actual_files"),
-        sum(col("record_count")).cast("long").as("actual_rows"),
-        sum(col("file_size_bytes")).cast("long").as("actual_bytes"))
-    declared.join(actual, Seq("partition_key"), "full_outer")
-      .select(col("partition_key"),
-        col("declared_files"), col("declared_rows"), col("declared_bytes"),
-        col("actual_files"), col("actual_rows"), col("actual_bytes"),
-        (col("declared_files") === col("actual_files")).as("files_match"),
-        (col("declared_rows") === col("actual_rows")).as("rows_match"),
-        (col("declared_bytes") === col("actual_bytes")).as("bytes_match"))
-  }
-
-  /**
-   * REFS report — the metadata JSON's `refs` map (named branches/tags
-   * → snapshot ids, spec v2+): one row per ref with `resolves` (the
-   * named snapshot is still in the `snapshots` list — a DANGLING ref
-   * after snapshot expiry breaks every reader that follows it) and
-   * `is_current` (the ref points at the current snapshot). Tables
-   * without refs report the implicit `main` branch on the current
-   * snapshot, the spec's default.
-   */
-  def refsReport(spark: SparkSession, table: String): DataFrame = {
-    import spark.implicits._
-    val (_, _, mf, node) = currentMetadataNode(spark, table)
-    import scala.jdk.CollectionConverters._
-    // snapshots + current id from the SAME parsed node (one read, one
-    // parse — the previous shape parsed the file twice)
-    val listed = Option(node.get("snapshots"))
-      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-      .map(s => req(s, "snapshot-id", mf).asLong()).toSet
-    val current = Option(node.get("current-snapshot-id"))
-      .map(_.asLong()).filter(_ != -1L)
-    val declared = Option(node.get("refs")).filter(_.isObject)
-      .map(_.properties().asScala.toSeq.map { e =>
-        val name = e.getKey
-        val v = e.getValue
-        (name,
-          Option(v.get("type")).map(_.asText()).getOrElse(
-            throw new IllegalArgumentException(
-              s"$mf: ref '$name' missing 'type'")),
-          req(v, "snapshot-id", mf).asLong())
-      })
-      .getOrElse(current.toSeq.map(c => ("main", "branch", c)))
-    declared.sortBy(_._1)
-      .map { case (name, tpe, snap) =>
-        (name, tpe, snap, listed.contains(snap), current.contains(snap))
-      }
-      .toDF("ref_name", "ref_type", "snapshot_id", "resolves", "is_current")
-  }
-
-  /**
-   * SNAPSHOT-SUMMARY audit — each snapshot's declared summary metrics
-   * (`added-data-files` / `added-records`, the numbers engines show in
-   * history views and planners trust for incremental reads) verified
-   * against the snapshot's OWN manifest list: the sums of
-   * `added_files_count` / `added_rows_count` over its DATA manifests
-   * (`content=0`; delete manifests never count as data). One row per
-   * snapshot with match flags; a snapshot declaring neither metric
-   * reports null declared (and null matches) rather than being
-   * dropped. The snapshot list is a driver boundary at snapshot scale;
-   * manifest-list reads fan out one task per snapshot.
-   */
-  def snapshotSummaryAudit(spark: SparkSession, table: String): DataFrame = {
-    import spark.implicits._
-    val (root, _, mf, node) = currentMetadataNode(spark, table)
-    import scala.jdk.CollectionConverters._
-    val snaps = Option(node.get("snapshots"))
-      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { s =>
-        def summaryLong(k: String): Option[Long] =
-          Option(s.get("summary")).flatMap(su => Option(su.get(k)))
-            .map(_.asLong())
-        (req(s, "snapshot-id", mf).asLong(),
-          req(s, "manifest-list", mf).asText(),
-          summaryLong("added-data-files"), summaryLong("added-records"))
-      }
-    if (snaps.isEmpty) {
-      throw new IllegalArgumentException(s"$table: no snapshots listed")
-    }
-    val rootStr = root.toString
-    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
-    snaps.toDS()
-      .map { case (snapId, mlPath, declFiles, declRecords) =>
-        val entries = readManifestList(
-          resolve(new Path(rootStr), mlPath), conf.value)
-        val data = entries.filter(_.content == 0)
-        // "added by THIS snapshot" needs added_snapshot_id: a snapshot's
-        // manifest list REUSES prior snapshots' manifests verbatim
-        // (their added counts intact), so summing all data manifests
-        // would inflate every snapshot after the first. Manifests
-        // lacking the field — or attributed manifests lacking counts —
-        // make the actual side unknowable: report NULL actuals, never
-        // a zero that flags a truthful declaration as a lie.
-        val attributable = data.forall(_.addedSnapshotId.isDefined)
-        val mine = data.filter(_.addedSnapshotId.contains(snapId))
-        val counted = attributable && mine.forall(m =>
-          m.addedFiles.isDefined && m.addedRows.isDefined)
-        val actFiles =
-          if (counted) Some(mine.flatMap(_.addedFiles).sum) else None
-        val actRecords =
-          if (counted) Some(mine.flatMap(_.addedRows).sum) else None
-        (snapId, declFiles, declRecords, actFiles, actRecords,
-          for { d <- declFiles; a <- actFiles } yield d == a,
-          for { d <- declRecords; a <- actRecords } yield d == a)
-      }
-      .toDF("snapshot_id", "declared_added_files", "declared_added_records",
-        "actual_added_files", "actual_added_records",
-        "files_match", "records_match")
-  }
-
-  /**
-   * SORT-ORDER audit — the table's DECLARED write order
-   * (`sort-orders` / `default-sort-order-id`, the metadata surface
-   * engines consult before skipping a re-sort) verified against what
-   * the data files' OWN footer statistics say: one row per live data
-   * file with the default order's rendering, the file's min/max on the
-   * order's first key, and `in_order` — whether the file's key
-   * interval stays clear of every earlier interval when files are laid
-   * out by ascending min (the cumulative-max window form: O(n log n),
-   * never a pairwise self-join — a 100k-file table must not pay n²;
-   * the comparison is non-strict, so duplicate keys spanning a file
-   * boundary still audit as sorted, matching [[MetaPrune.sortAudit]]).
-   * A table actually written in its declared order has disjoint file
-   * intervals whichever direction it sorts; an out-of-order file
-   * flags itself AND the files it collides with (honest interval
-   * math). Files whose stats are missing report NULL `in_order` — no
-   * evidence, never assumed sorted.
-   *
-   * Live data files are matched to footers by file NAME (iceberg
-   * writers name data files uniquely — UUID-suffixed); the footer walk
-   * covers the table's `data/` subtree. REFUSES when the metadata
-   * declares no sort-orders / default id, the default id dangles, the
-   * default order is the unsorted one (order-id 0, no fields), its
-   * first field is not an identity transform (a transform's order is
-   * not measurable from column stats), or the source-id is unknown.
-   */
-  def sortOrderAudit(spark: SparkSession, table: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val (root, _, mf, node) = currentMetadataNode(spark, table)
-    val fieldsById = currentSchemaFieldsById(mf, node)
-    val defaultId = Option(node.get("default-sort-order-id"))
-      .map(_.asInt()).getOrElse(
-        throw new IllegalArgumentException(
-          s"$mf: no default-sort-order-id — the table declares no " +
-            "write order to audit"))
-    val orders = Option(node.get("sort-orders"))
-      .map(_.elements().asScala.toSeq).getOrElse(
-        throw new IllegalArgumentException(
-          s"$mf: no sort-orders list — the table declares no write " +
-            "order to audit"))
-    val order = orders.find(o =>
-      req(o, "order-id", mf).asInt() == defaultId).getOrElse(
-      throw new IllegalArgumentException(
-        s"$mf: default-sort-order-id $defaultId names no declared " +
-          s"sort order (declared: ${orders.map(o =>
-            req(o, "order-id", mf).asInt()).mkString(", ")})"))
-    val fields = Option(order.get("fields"))
-      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-      .map { f =>
-        val sid = req(f, "source-id", mf).asInt()
-        val name = fieldsById.getOrElse(sid,
-          throw new IllegalArgumentException(
-            s"$mf: sort order $defaultId references field id $sid " +
-              "which the current schema does not declare"))._1
-        (req(f, "transform", mf).asText(), name,
-          req(f, "direction", mf).asText(),
-          req(f, "null-order", mf).asText())
-      }
-    if (fields.isEmpty) {
-      throw new IllegalArgumentException(
-        s"$mf: default sort order $defaultId is the unsorted order — " +
-          "nothing to audit")
-    }
-    val (transform, keyName, _, _) = fields.head
-    if (transform != "identity") {
-      throw new UnsupportedOperationException(
-        s"$mf: sort order $defaultId leads with transform " +
-          s"'$transform' — only identity order is measurable from " +
-          "column statistics, refusing rather than mis-auditing")
-    }
-    val sortCsv = fields.map { case (t, n, d, no) => s"$t($n) $d $no" }
-      .mkString(",")
-    val liveNames = currentFiles(spark, table)
-      .filter(col("status") =!= 2 && col("content") === 0)
-      .select(element_at(split(col("abs_path"), "/"), -1).as("file"))
-      .distinct()
-    import org.apache.spark.sql.graft.ColumnBridge
-    val decode = (c: org.apache.spark.sql.Column) => ColumnBridge.column(
-      graft.functions.PlainStatLong(
-        ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
-    val perFile = spark.read.format("metadata")
-      .option("level", "column").option("footercache", "false")
-      .load(new Path(root, "data").toString)
-      .filter(col("path") === keyName)
-      .select(element_at(split(col("filepath"), "/"), -1).as("file"),
-        decode(col("statistics.min_value")).as("mn"),
-        decode(col("statistics.max_value")).as("mx"))
-      .groupBy(col("file"))
-      .agg(min(col("mn")).as("file_min"), max(col("mx")).as("file_max"),
-        (count(lit(1)) === count(col("mn")) &&
-          count(lit(1)) === count(col("mx"))).as("bounded"))
-      .join(liveNames, Seq("file"), "left_semi")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("file_min"), col("file_max"), col("file"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    perFile
-      .withColumn("prev_cummax", max(when(col("bounded"), col("file_max")))
-        .over(w))
-      .select(col("file"),
-        lit(defaultId).as("sort_order_id"),
-        lit(sortCsv).as("sort_csv"),
-        when(col("bounded"), col("file_min")).as("file_min"),
-        when(col("bounded"), col("file_max")).as("file_max"),
-        when(!col("bounded"), lit(null).cast("boolean"))
-          .when(col("prev_cummax").isNull, lit(true))
-          .otherwise(col("file_min") >= col("prev_cummax")).as("in_order"))
-  }
-
-  /**
-   * METADATA-LOG audit — the current metadata's `metadata-log` lineage
-   * (previous metadata files with their commit times, the chain
-   * metadata time travel walks): one row per entry with `exists` on
-   * disk — a listed-but-deleted file breaks every rollback/time-travel
-   * that needs it, and surfacing the hole beats failing mid-walk.
-   * Refuses when the current metadata lists no lineage at all.
-   */
-  def metadataLogReport(spark: SparkSession, table: String): DataFrame = {
-    import spark.implicits._
-    val (root, fs, mf, node) = currentMetadataNode(spark, table)
-    import scala.jdk.CollectionConverters._
-    val entries = Option(node.get("metadata-log"))
-      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { e =>
-        (req(e, "timestamp-ms", mf).asLong(),
-          req(e, "metadata-file", mf).asText())
-      }
-    if (entries.isEmpty) {
-      throw new IllegalArgumentException(
-        s"$table: current metadata ($mf) lists no metadata-log lineage")
-    }
-    entries.map { case (ts, file) =>
-      val p = resolve(root, file)
-      (p.getName, ts, fs.exists(p))
-    }.toDF("filename", "timestamp_ms", "exists")
-  }
-
-  /**
-   * The base fixture re-rooted under a SECOND metadata version:
-   * `v2.metadata.json` (same table state) whose `metadata-log` lists
-   * the real v1 file and a `v0.metadata.json` that never existed —
-   * the broken-lineage shape the audit must surface. `version-hint`
-   * moves to 2. Returns per-data-file row counts.
-   */
-  def writeMetadataLogFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val counts = writeFixtureTable(spark, dir, docs)
-    val metaDir = new java.io.File(dir, "metadata")
-    val v1 = new java.io.File(metaDir, "v1.metadata.json")
-    val txt = new String(java.nio.file.Files.readAllBytes(v1.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val marker = "\"current-snapshot-id\":2,"
-    require(txt.contains(marker), s"fixture metadata missing '$marker'")
-    val log =
-      """"metadata-log":[
-        |{"timestamp-ms":1699999999000,
-        | "metadata-file":"metadata/v0.metadata.json"},
-        |{"timestamp-ms":1700000000000,
-        | "metadata-file":"metadata/v1.metadata.json"}],"""
-        .stripMargin.replace("\n", "")
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "v2.metadata.json").toPath,
-      txt.replace(marker, marker + log)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "version-hint.text").toPath,
-      "2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts
-  }
-
   /** Spec paths are absolute URIs of the writing environment; fixture
     * and relocated tables resolve relative to the table root. */
-  private def resolve(root: Path, p: String): Path = {
+  private[meta] def resolve(root: Path, p: String): Path = {
     val raw = new Path(p)
     if (raw.isAbsolute && p.contains("://")) raw
     else if (p.startsWith("/")) raw
     else new Path(root, p)
   }
 
-  // ---------------------------------------------------------------------
-  // Deterministic fixture writer (tests + oracle queries)
-  // ---------------------------------------------------------------------
-
-  private def avroSchema(json: String): org.apache.avro.Schema =
-    new org.apache.avro.Schema.Parser().parse(json)
-
-  private val manifestListSchema = avroSchema(
-    """{"type":"record","name":"manifest_file","fields":[
-      |{"name":"manifest_path","type":"string"},
-      |{"name":"manifest_length","type":"long"},
-      |{"name":"partition_spec_id","type":"int"},
-      |{"name":"content","type":"int","default":0},
-      |{"name":"added_snapshot_id","type":["null","long"],"default":null},
-      |{"name":"added_files_count","type":"int"},
-      |{"name":"existing_files_count","type":"int"},
-      |{"name":"deleted_files_count","type":"int"},
-      |{"name":"added_rows_count","type":"long"}]}""".stripMargin)
-
-  private val manifestSchema = avroSchema(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"snapshot_id","type":["null","long"],"default":null},
-      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
-      |  {"name":"content","type":"int","default":0},
-      |  {"name":"file_path","type":"string"},
-      |  {"name":"file_format","type":"string"},
-      |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
-
-  private def writeAvro(
-      file: java.io.File, schema: org.apache.avro.Schema,
-      rows: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
-    val w = new org.apache.avro.file.DataFileWriter(
-      new org.apache.avro.generic.GenericDatumWriter[
-        org.apache.avro.generic.GenericRecord](schema))
-    try {
-      w.create(schema, file)
-      rows.foreach(w.append)
-    } finally {
-      w.close()
-    }
-  }
-
-  private val partManifestSchema = avroSchema(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"snapshot_id","type":["null","long"],"default":null},
-      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
-      |  {"name":"content","type":"int","default":0},
-      |  {"name":"file_path","type":"string"},
-      |  {"name":"file_format","type":"string"},
-      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
-      |    {"name":"lang","type":"string"}]}},
-      |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
-
-  /**
-   * A PARTITIONED filesystem Iceberg table against the public spec:
-   * `docs` split by `lang` into `data/lang=<x>/` (two files per
-   * partition, doc_id parity), ONE snapshot whose single manifest
-   * carries each file's typed `partition` record (the spec's r102) —
-   * so "which files serve lang = x" answers from the manifest chain
-   * alone. Returns rows per `lang=<x>/f<p>.parquet`.
-   */
-  def writePartitionedFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val root = new java.io.File(dir)
-    FixtureIO.freshDir(root)
-    val dataDir = new java.io.File(root, "data")
-    val metaDir = new java.io.File(root, "metadata")
-    dataDir.mkdirs()
-    metaDir.mkdirs()
-
-    val langs = docs.select("lang").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val counts = scala.collection.mutable.Map.empty[String, Long]
-    for (lang <- langs; parity <- 0 to 1) {
-      val slice = docs
-        .filter(col("lang") === lang && pmod(col("doc_id"), lit(2)) === parity)
-        .select(col("doc_id"), col("n_chars"))
-      val rel = s"lang=$lang/f$parity.parquet"
-      val tmp = dir + s"_slice_${lang}_$parity"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(dataDir, rel)
-      dst.getParentFile.mkdirs()
-      java.nio.file.Files.copy(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      counts(rel) = slice.count()
-    }
-
-    def entry(rel: String, lang: String): org.apache.avro.generic.GenericRecord = {
-      val dfSchema = partManifestSchema.getField("data_file").schema()
-      val pr = new org.apache.avro.generic.GenericData.Record(
-        dfSchema.getField("partition").schema())
-      pr.put("lang", lang)
-      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
-      df.put("content", 0)
-      df.put("file_path", s"data/$rel")
-      df.put("file_format", "PARQUET")
-      df.put("partition", pr)
-      df.put("record_count", counts(rel))
-      df.put("file_size_in_bytes", new java.io.File(dataDir, rel).length())
-      val e = new org.apache.avro.generic.GenericData.Record(partManifestSchema)
-      e.put("status", 1)
-      e.put("snapshot_id", null)
-      e.put("data_file", df)
-      e
-    }
-    writeAvro(new java.io.File(metaDir, "m0.avro"), partManifestSchema,
-      langs.flatMap(l => (0 to 1).map(p => entry(s"lang=$l/f$p.parquet", l))))
-    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
-      Seq {
-        val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
-        r.put("manifest_path", "metadata/m0.avro")
-        r.put("manifest_length", new java.io.File(metaDir, "m0.avro").length())
-        r.put("partition_spec_id", 0)
-        r.put("content", 0)
-        r.put("added_snapshot_id", 1L)
-        r.put("added_files_count", langs.size * 2)
-        r.put("existing_files_count", 0)
-        r.put("deleted_files_count", 0)
-        r.put("added_rows_count", counts.values.sum)
-        r
-      })
-    val ts0 = 1700000000000L
-    val metadataJson =
-      s"""{"format-version":2,"table-uuid":"graft-iceberg-part-fixture",
-         |"location":"${root.getAbsolutePath}",
-         |"current-snapshot-id":1,
-         |"snapshots":[
-         |{"snapshot-id":1,"timestamp-ms":$ts0,
-         | "manifest-list":"metadata/snap-1.avro",
-         | "summary":{"operation":"append"}}]}""".stripMargin
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "v1.metadata.json").toPath,
-      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "version-hint.text").toPath,
-      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts.toMap
-  }
-
-  /**
-   * The partitioned fixture plus a PARTITION-STATISTICS file (spec
-   * v2+): `metadata/partition-stats-1.parquet` carries one rollup row
-   * per `lang` partition — computed CLOSED-FORM from the writer's own
-   * per-file counts, except the first lang, which LIES about
-   * `data_file_count` (3 instead of 2) so the audit's mismatch flag is
-   * exercised. The metadata JSON's `partition-statistics` list names
-   * the file for snapshot 1. Returns rows per `lang=<x>/f<p>.parquet`.
-   */
-  def writePartitionStatsFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val counts = writePartitionedFixtureTable(spark, dir, docs)
-    val root = new java.io.File(dir)
-    val metaDir = new java.io.File(root, "metadata")
-    val langs = counts.keys.map(_.split("/")(0).stripPrefix("lang="))
-      .toSeq.distinct.sorted
-    val liar = langs.head
-    import spark.implicits._
-    val rollups = langs.map { lang =>
-      val files = counts.filter(_._1.startsWith(s"lang=$lang/")).toSeq
-      val bytes = files.map { case (rel, _) =>
-        new java.io.File(new java.io.File(root, "data"), rel).length()
-      }.sum
-      (lang, if (lang == liar) 3L else files.size.toLong,
-        files.map(_._2).sum, bytes)
-    }
-    val tmp = dir + "_pstats"
-    rollups.toDF("lang", "fc", "rc", "bytes")
-      .select(struct(col("lang")).as("partition"),
-        lit(0).as("spec_id"),
-        col("rc").as("data_record_count"),
-        col("fc").as("data_file_count"),
-        col("bytes").as("total_data_file_size_in_bytes"))
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    val dst = new java.io.File(metaDir, "partition-stats-1.parquet")
-    java.nio.file.Files.copy(part.toPath, dst.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    val mf = new java.io.File(metaDir, "v1.metadata.json")
-    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val marker = "\"current-snapshot-id\":1,"
-    require(txt.contains(marker), s"fixture metadata missing '$marker'")
-    val entry =
-      s""""partition-statistics":[{"snapshot-id":1,
-         |"statistics-path":"metadata/partition-stats-1.parquet",
-         |"file-size-in-bytes":${dst.length()}}],"""
-        .stripMargin.replace("\n", "")
-    java.nio.file.Files.write(mf.toPath,
-      txt.replace(marker, marker + entry)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts
-  }
-
-  /**
-   * Hand-write a filesystem Iceberg table against the PUBLIC spec:
-   * six parquet slices of `docs` under `data/`, TWO snapshots —
-   * snap 1 (append f0..f2) and the CURRENT snap 2 whose manifest list
-   * points at three manifests: m0 REUSED VERBATIM (the spec's append
-   * shape — `added_snapshot_id=1` with snap 1's original added counts
-   * intact, so attribution-blind summary sums are observably wrong),
-   * m2 (f3,f4 added + f5 DELETED — written, then removed in snap 2,
-   * still on disk), and
-   * the DELETE manifest m3 (`content=1`) carrying one position-delete
-   * file `del0.parquet` (a real parquet of `(file_path, pos)` rows)
-   * that deletes the first 2 positions of f0 — the format-v2
-   * merge-on-read shape. The metadata JSON carries both snapshots +
-   * `current-snapshot-id`; `version-hint.text` points at it. Live data
-   * files at snap 2: f0..f4 (5 files), net rows = their sum minus the
-   * 2 deleted positions. Returns the per-data-file row counts.
-   */
-  def writeFixtureTable(spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val root = new java.io.File(dir)
-    FixtureIO.freshDir(root)
-    val dataDir = new java.io.File(root, "data")
-    val metaDir = new java.io.File(root, "metadata")
-    dataDir.mkdirs()
-    metaDir.mkdirs()
-
-    val n = 6
-    val counts = (0 until n).map { i =>
-      val slice = docs.filter(pmod(col("doc_id"), lit(n)) === i)
-        .select(col("doc_id"), col("lang"))
-      val tmp = dir + s"_slice$i"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(dataDir, s"f$i.parquet").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      s"f$i.parquet" -> slice.count()
-    }.toMap
-
-    // a REAL position-delete file (the spec's merge-on-read shape):
-    // (file_path, pos) rows deleting the first 2 positions of f0
-    val f0Abs = new java.io.File(dataDir, "f0.parquet").getAbsolutePath
-    val deletedPositions = 2L
-    locally {
-      import spark.implicits._
-      val tmp = dir + "_del"
-      Seq((f0Abs, 0L), (f0Abs, 1L)).toDF("file_path", "pos")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(dataDir, "del0.parquet").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    }
-
-    def entry(status: Int, f: String, content: Int = 0,
-        records: Option[Long] = None): org.apache.avro.generic.GenericRecord = {
-      val df = new org.apache.avro.generic.GenericData.Record(
-        manifestSchema.getField("data_file").schema())
-      df.put("content", content)
-      df.put("file_path", s"data/$f")
-      df.put("file_format", "PARQUET")
-      df.put("record_count", records.getOrElse(counts(f)))
-      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
-      val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
-      e.put("status", status)
-      e.put("snapshot_id", null)
-      e.put("data_file", df)
-      e
-    }
-    // snap 1: one manifest, f0..f2 added
-    writeAvro(new java.io.File(metaDir, "m0.avro"), manifestSchema,
-      Seq(entry(1, "f0.parquet"), entry(1, "f1.parquet"), entry(1, "f2.parquet")))
-    // snap 2 REUSES m0 verbatim (the spec's append shape: prior
-    // manifests ride along with added_snapshot_id=1 and their ORIGINAL
-    // added counts intact — the shape that makes summary attribution
-    // observable: summing every data manifest would inflate snap 2's
-    // actuals by snap 1's); m2 adds f3,f4 and DELETES f5; m3 is the
-    // DELETE manifest (content=1 at both layers)
-    writeAvro(new java.io.File(metaDir, "m2.avro"), manifestSchema,
-      Seq(entry(1, "f3.parquet"), entry(1, "f4.parquet"), entry(2, "f5.parquet")))
-    writeAvro(new java.io.File(metaDir, "m3.avro"), manifestSchema,
-      Seq(entry(1, "del0.parquet", content = 1,
-        records = Some(deletedPositions))))
-
-    def mlEntry(path: String, added: Int, existing: Int, deleted: Int,
-        rows: Long, content: Int = 0,
-        addedBySnap: Long = 1L): org.apache.avro.generic.GenericRecord = {
-      val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
-      r.put("manifest_path", s"metadata/$path")
-      r.put("manifest_length", new java.io.File(metaDir, path).length())
-      r.put("partition_spec_id", 0)
-      r.put("content", content)
-      r.put("added_snapshot_id", addedBySnap)
-      r.put("added_files_count", added)
-      r.put("existing_files_count", existing)
-      r.put("deleted_files_count", deleted)
-      r.put("added_rows_count", rows)
-      r
-    }
-    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
-      Seq(mlEntry("m0.avro", 3, 0, 0,
-        counts("f0.parquet") + counts("f1.parquet") + counts("f2.parquet"))))
-    writeAvro(new java.io.File(metaDir, "snap-2.avro"), manifestListSchema,
-      Seq(mlEntry("m0.avro", 3, 0, 0,
-        counts("f0.parquet") + counts("f1.parquet") + counts("f2.parquet"),
-        addedBySnap = 1L),
-        mlEntry("m2.avro", 2, 0, 1,
-          counts("f3.parquet") + counts("f4.parquet"), addedBySnap = 2L),
-        mlEntry("m3.avro", 1, 0, 0, deletedPositions, content = 1,
-          addedBySnap = 2L)))
-
-    val ts0 = 1700000000000L
-    val metadataJson =
-      s"""{"format-version":2,"table-uuid":"graft-iceberg-fixture",
-         |"location":"${root.getAbsolutePath}",
-         |"current-snapshot-id":2,
-         |"current-schema-id":1,
-         |"schemas":[
-         |{"schema-id":0,"type":"struct","fields":[
-         | {"id":1,"name":"doc_id","required":false,"type":"long"},
-         | {"id":2,"name":"lang","required":false,"type":"string"}]},
-         |{"schema-id":1,"type":"struct","fields":[
-         | {"id":1,"name":"doc_id","required":false,"type":"long"},
-         | {"id":2,"name":"lang","required":false,"type":"string"},
-         | {"id":3,"name":"n_chars","required":false,"type":"long"}]}],
-         |"snapshots":[
-         |{"snapshot-id":1,"timestamp-ms":$ts0,
-         | "manifest-list":"metadata/snap-1.avro",
-         | "summary":{"operation":"append"}},
-         |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
-         | "manifest-list":"metadata/snap-2.avro",
-         | "summary":{"operation":"overwrite"}}]}""".stripMargin
-    java.nio.file.Files.write(new java.io.File(metaDir, "v1.metadata.json").toPath,
-      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(new java.io.File(metaDir, "version-hint.text").toPath,
-      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts
-  }
-
-  /** The format-v3 manifest shape: `data_file` grows the DV span
-    * fields (`referenced_data_file`, `content_offset`,
-    * `content_size_in_bytes`), null on ordinary data entries. */
-  private val dvManifestSchema = avroSchema(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"snapshot_id","type":["null","long"],"default":null},
-      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
-      |  {"name":"content","type":"int","default":0},
-      |  {"name":"file_path","type":"string"},
-      |  {"name":"file_format","type":"string"},
-      |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"},
-      |  {"name":"referenced_data_file","type":["null","string"],"default":null},
-      |  {"name":"content_offset","type":["null","long"],"default":null},
-      |  {"name":"content_size_in_bytes","type":["null","long"],"default":null}]}}]}""".stripMargin)
-
-  /**
-   * A format-v3 filesystem table against the public spec: two
-   * doc_id-sorted parquet slices (`f0`, `f1`, doc_id parity) under
-   * `data/`, ONE snapshot whose manifest list carries a data manifest
-   * (both files added) plus a DELETE manifest (`content=1`) whose two
-   * entries are PUFFIN deletion vectors — both blobs live in the one
-   * `data/dv0.puffin` file (the v3 writer layout: DVs of a commit
-   * share a Puffin file, addressed by `content_offset` /
-   * `content_size_in_bytes`). The vectors delete positions 1,3,5 of
-   * f0 and 0,2 of f1; each entry's `record_count` is its DV
-   * cardinality. Returns per-data-file row counts.
-   */
-  def writeDvFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val root = new java.io.File(dir)
-    FixtureIO.freshDir(root)
-    val dataDir = new java.io.File(root, "data")
-    val metaDir = new java.io.File(root, "metadata")
-    dataDir.mkdirs()
-    metaDir.mkdirs()
-
-    val counts = (0 to 1).map { parity =>
-      val rel = s"f$parity.parquet"
-      val slice = docs.filter(pmod(col("doc_id"), lit(2)) === parity)
-        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
-      val tmp = dir + s"_slice$parity"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(dataDir, rel).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      rel -> slice.count()
-    }.toMap
-
-    // one Puffin file, two deletion-vector-v1 blobs (f0's and f1's)
-    val dv0 = Array(1L, 3L, 5L)
-    val dv1 = Array(0L, 2L)
-    val spans = PuffinCodec.writePuffinFile(
-      new java.io.File(dataDir, "dv0.puffin"),
-      Seq(dv0, dv1).map(p => (PuffinCodec.DeletionVectorV1,
-        Map("cardinality" -> p.length.toString),
-        PuffinCodec.encodeDvBlob(p))))
-
-    def dataEntry(f: String): org.apache.avro.generic.GenericRecord = {
-      val df = new org.apache.avro.generic.GenericData.Record(
-        dvManifestSchema.getField("data_file").schema())
-      df.put("content", 0)
-      df.put("file_path", s"data/$f")
-      df.put("file_format", "PARQUET")
-      df.put("record_count", counts(f))
-      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
-      val e = new org.apache.avro.generic.GenericData.Record(dvManifestSchema)
-      e.put("status", 1)
-      e.put("snapshot_id", null)
-      e.put("data_file", df)
-      e
-    }
-    def dvEntry(refFile: String, span: (Long, Long),
-        cardinality: Long): org.apache.avro.generic.GenericRecord = {
-      val df = new org.apache.avro.generic.GenericData.Record(
-        dvManifestSchema.getField("data_file").schema())
-      df.put("content", 1)
-      df.put("file_path", "data/dv0.puffin")
-      df.put("file_format", "PUFFIN")
-      df.put("record_count", cardinality)
-      df.put("file_size_in_bytes", new java.io.File(dataDir, "dv0.puffin").length())
-      df.put("referenced_data_file", s"data/$refFile")
-      df.put("content_offset", span._1)
-      df.put("content_size_in_bytes", span._2)
-      val e = new org.apache.avro.generic.GenericData.Record(dvManifestSchema)
-      e.put("status", 1)
-      e.put("snapshot_id", null)
-      e.put("data_file", df)
-      e
-    }
-    writeAvro(new java.io.File(metaDir, "m0.avro"), dvManifestSchema,
-      Seq(dataEntry("f0.parquet"), dataEntry("f1.parquet")))
-    writeAvro(new java.io.File(metaDir, "m1.avro"), dvManifestSchema,
-      Seq(dvEntry("f0.parquet", spans(0), dv0.length.toLong),
-        dvEntry("f1.parquet", spans(1), dv1.length.toLong)))
-    def mlEntry(path: String, added: Int, rows: Long,
-        content: Int): org.apache.avro.generic.GenericRecord = {
-      val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
-      r.put("manifest_path", s"metadata/$path")
-      r.put("manifest_length", new java.io.File(metaDir, path).length())
-      r.put("partition_spec_id", 0)
-      r.put("content", content)
-      r.put("added_snapshot_id", 1L)
-      r.put("added_files_count", added)
-      r.put("existing_files_count", 0)
-      r.put("deleted_files_count", 0)
-      r.put("added_rows_count", rows)
-      r
-    }
-    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
-      Seq(mlEntry("m0.avro", 2, counts.values.sum, 0),
-        mlEntry("m1.avro", 2, dv0.length.toLong + dv1.length.toLong, 1)))
-    val ts0 = 1700000000000L
-    val metadataJson =
-      s"""{"format-version":3,"table-uuid":"graft-iceberg-dv-fixture",
-         |"location":"${root.getAbsolutePath}",
-         |"current-snapshot-id":1,
-         |"snapshots":[
-         |{"snapshot-id":1,"timestamp-ms":$ts0,
-         | "manifest-list":"metadata/snap-1.avro",
-         | "summary":{"operation":"delete"}}]}""".stripMargin
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "v1.metadata.json").toPath,
-      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "version-hint.text").toPath,
-      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts
-  }
-
-  /** The format-v2 manifest shape for EQUALITY deletes: `data_file`
-    * grows `equality_ids` (the spec's field-id list), null on ordinary
-    * data entries. */
-  private val eqManifestSchema = avroSchema(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"snapshot_id","type":["null","long"],"default":null},
-      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
-      |  {"name":"content","type":"int","default":0},
-      |  {"name":"file_path","type":"string"},
-      |  {"name":"file_format","type":"string"},
-      |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"},
-      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
-
-  /** [[eqManifestSchema]] plus the typed `partition` record (r102) —
-    * the shape a PARTITIONED spec's writer produces for both its data
-    * files and its partition-scoped equality deletes. */
-  private val eqPartManifestSchema = avroSchema(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"snapshot_id","type":["null","long"],"default":null},
-      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
-      |  {"name":"content","type":"int","default":0},
-      |  {"name":"file_path","type":"string"},
-      |  {"name":"file_format","type":"string"},
-      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
-      |    {"name":"lang","type":"string"}]}},
-      |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"},
-      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
-
-  /** The v2 manifest-LIST shape with per-manifest data sequence
-    * numbers (spec: `sequence_number`), which entries inherit when
-    * ADDED with a null of their own. */
-  private val seqManifestListSchema = avroSchema(
-    """{"type":"record","name":"manifest_file","fields":[
-      |{"name":"manifest_path","type":"string"},
-      |{"name":"manifest_length","type":"long"},
-      |{"name":"partition_spec_id","type":"int"},
-      |{"name":"content","type":"int"},
-      |{"name":"sequence_number","type":["null","long"],"default":null},
-      |{"name":"added_snapshot_id","type":["null","long"],"default":null},
-      |{"name":"added_files_count","type":"int"},
-      |{"name":"existing_files_count","type":"int"},
-      |{"name":"deleted_files_count","type":"int"},
-      |{"name":"added_rows_count","type":"long"}]}""".stripMargin)
-
-  /**
-   * A format-v2 filesystem table with EQUALITY deletes (the Flink
-   * merge-on-read shape) against the public spec: two parity slices of
-   * `docs` (`f0`, `f1`: doc_id, lang — lang NULLED for doc_ids 0 and 8
-   * so null-key matching is exercised) added at SEQUENCE 1, then a
-   * second snapshot at SEQUENCE 2 carrying BOTH a DELETE manifest
-   * (`content=1`) of two equality-delete PARQUET files and a new data
-   * file `f2.parquet` whose three rows all MATCH delete keys — the
-   * strictly-less sequence scope means every f2 row must SURVIVE (a
-   * commit's own data is never hit by its own deletes):
-   *
-   *  - `eq0.parquet`, `equality_ids=[1]` (doc_id): rows 0, 1, 2 and a
-   *    -1 that matches nothing;
-   *  - `eq1.parquet`, `equality_ids=[1,2]` (doc_id, lang): doc 4 with
-   *    its REAL lang (matches), doc 6 with a wrong lang (no match),
-   *    and doc 8 with NULL lang (matches — null equals null under the
-   *    spec's delete semantics).
-   *
-   * The schema declares field 3 `score` (double) that no file carries,
-   * so a test can plant `equality_ids=[3]` and pin the float/double
-   * refusal. Returns per-data-file row counts.
-   */
-  def writeEqDeleteFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val root = new java.io.File(dir)
-    FixtureIO.freshDir(root)
-    val dataDir = new java.io.File(root, "data")
-    val metaDir = new java.io.File(root, "metadata")
-    dataDir.mkdirs()
-    metaDir.mkdirs()
-
-    def writeOne(df: DataFrame, rel: String): Long =
-      FixtureIO.writeSingleParquet(df, new java.io.File(dataDir, rel),
-        dir + "_eqtmp")
-    val base = docs.select(col("doc_id"),
-      when(col("doc_id").isin(0L, 8L), lit(null).cast("string"))
-        .otherwise(col("lang")).as("lang"))
-    val counts = (0 to 1).map { parity =>
-      val rel = s"f$parity.parquet"
-      rel -> writeOne(
-        base.filter(pmod(col("doc_id"), lit(2)) === parity), rel)
-    }.toMap
-    val lang4 = docs.filter(col("doc_id") === 4L)
-      .select(col("lang")).head().getString(0)
-    locally {
-      import spark.implicits._
-      val eq0 = Seq(0L, 1L, 2L, -1L).toDF("doc_id")
-      // (0, NULL) ALSO matches doc 0 (already deleted by eq0): the
-      // row is reported under both id sets, but a net census must
-      // subtract it ONCE (distinct positions)
-      val eq1 = Seq((4L, Option(lang4)), (6L, Some("xx-no-such")),
-        (8L, None: Option[String]), (0L, None: Option[String]))
-        .toDF("doc_id", "lang")
-      writeOne(eq0, "eq0.parquet")
-      writeOne(eq1, "eq1.parquet")
-      // f2: LATE arrivals (sequence 2, same commit as the deletes) —
-      // every row re-uses a key the deletes match, and every row must
-      // survive the strictly-less sequence scope
-      val f2 = Seq((0L, None: Option[String]), (4L, Option(lang4)),
-        (8L, None: Option[String])).toDF("doc_id", "lang")
-      writeOne(f2, "f2.parquet")
-    }
-
-    def entry(f: String, content: Int, records: Long,
-        eqIds: Seq[Int]): org.apache.avro.generic.GenericRecord = {
-      val dfSchema = eqManifestSchema.getField("data_file").schema()
-      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
-      df.put("content", content)
-      df.put("file_path", s"data/$f")
-      df.put("file_format", "PARQUET")
-      df.put("record_count", records)
-      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
-      if (eqIds.nonEmpty) {
-        import scala.jdk.CollectionConverters._
-        df.put("equality_ids",
-          new org.apache.avro.generic.GenericData.Array[Integer](
-            dfSchema.getField("equality_ids").schema().getTypes.get(1),
-            eqIds.map(Integer.valueOf).asJava))
-      }
-      val e = new org.apache.avro.generic.GenericData.Record(eqManifestSchema)
-      e.put("status", 1)
-      e.put("snapshot_id", null)
-      e.put("data_file", df)
-      e
-    }
-    writeAvro(new java.io.File(metaDir, "m0.avro"), eqManifestSchema,
-      Seq(entry("f0.parquet", 0, counts("f0.parquet"), Nil),
-        entry("f1.parquet", 0, counts("f1.parquet"), Nil)))
-    writeAvro(new java.io.File(metaDir, "m1.avro"), eqManifestSchema,
-      Seq(entry("eq0.parquet", 2, 4L, Seq(1)),
-        entry("eq1.parquet", 2, 3L, Seq(1, 2))))
-    writeAvro(new java.io.File(metaDir, "m2.avro"), eqManifestSchema,
-      Seq(entry("f2.parquet", 0, 3L, Nil)))
-    def mlEntry(path: String, added: Int, rows: Long, content: Int,
-        seq: Long, snap: Long): org.apache.avro.generic.GenericRecord = {
-      val r = new org.apache.avro.generic.GenericData.Record(seqManifestListSchema)
-      r.put("manifest_path", s"metadata/$path")
-      r.put("manifest_length", new java.io.File(metaDir, path).length())
-      r.put("partition_spec_id", 0)
-      r.put("content", content)
-      r.put("sequence_number", seq)
-      r.put("added_snapshot_id", snap)
-      r.put("added_files_count", added)
-      r.put("existing_files_count", 0)
-      r.put("deleted_files_count", 0)
-      r.put("added_rows_count", rows)
-      r
-    }
-    writeAvro(new java.io.File(metaDir, "snap-1.avro"), seqManifestListSchema,
-      Seq(mlEntry("m0.avro", 2,
-        counts("f0.parquet") + counts("f1.parquet"), 0, 1L, 1L)))
-    // snap 2 (sequence 2): m0 reused verbatim, the delete manifest, and
-    // the same-commit data file f2 — both at sequence 2, so the deletes
-    // scope to sequence-1 files only
-    writeAvro(new java.io.File(metaDir, "snap-2.avro"), seqManifestListSchema,
-      Seq(mlEntry("m0.avro", 2,
-        counts("f0.parquet") + counts("f1.parquet"), 0, 1L, 1L),
-        mlEntry("m2.avro", 1, 3L, 0, 2L, 2L),
-        mlEntry("m1.avro", 2, 7L, 1, 2L, 2L)))
-    val ts0 = 1700000000000L
-    val metadataJson =
-      s"""{"format-version":2,"table-uuid":"graft-iceberg-eq-fixture",
-         |"location":"${root.getAbsolutePath}",
-         |"current-snapshot-id":2,
-         |"current-schema-id":0,
-         |"schemas":[
-         |{"schema-id":0,"type":"struct","fields":[
-         | {"id":1,"name":"doc_id","required":false,"type":"long"},
-         | {"id":2,"name":"lang","required":false,"type":"string"},
-         | {"id":3,"name":"score","required":false,"type":"double"}]}],
-         |"snapshots":[
-         |{"snapshot-id":1,"timestamp-ms":$ts0,
-         | "manifest-list":"metadata/snap-1.avro",
-         | "summary":{"operation":"append"}},
-         |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
-         | "manifest-list":"metadata/snap-2.avro",
-         | "summary":{"operation":"overwrite"}}]}""".stripMargin
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "v1.metadata.json").toPath,
-      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "version-hint.text").toPath,
-      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts + ("f2.parquet" -> 3L)
-  }
-
-  /**
-   * A PARTITIONED format-v2 table with BOTH equality-delete scopes —
-   * the over-deletion trap partition scoping exists to dodge: two
-   * `lang` partitions (the first two langs of `docs`, sorted) whose
-   * data files carry `(key, lang)` where `key = doc_id % 50` — so the
-   * SAME key values live in BOTH partitions — all at sequence 1, then
-   * a second snapshot (sequence 2) adding
-   *
-   *  - `eq_part.parquet` (keys 0, 1, 2), `equality_ids=[1]`, written
-   *    under the PARTITIONED spec with partition tuple `{lang=A}` —
-   *    it must delete those keys from `fA.parquet` ONLY; the same
-   *    keys in `fB.parquet` are the cross-partition survivors a
-   *    table-wide application would silently kill;
-   *  - `eq_glob.parquet` (key 7), `equality_ids=[1]`, written under
-   *    the UNPARTITIONED spec (its manifest entry carries no
-   *    partition field) — a GLOBAL delete that reaches both
-   *    partitions.
-   *
-   * Layout: `data/lang=<A>/fA.parquet`, `data/lang=<B>/fB.parquet`,
-   * deletes at `data/`. Returns per-data-file row counts keyed by
-   * basename.
-   */
-  def writeEqDeletePartitionedFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val root = new java.io.File(dir)
-    FixtureIO.freshDir(root)
-    val dataDir = new java.io.File(root, "data")
-    val metaDir = new java.io.File(root, "metadata")
-    dataDir.mkdirs()
-    metaDir.mkdirs()
-    val langs = docs.filter(col("lang").isNotNull).select("lang")
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
-    require(langs.size >= 2,
-      s"partitioned eq fixture needs >= 2 langs, got ${langs.size}")
-    val (langA, langB) = (langs.head, langs(1))
-    def writeOne(df: DataFrame, rel: String): Long = {
-      val dst = new java.io.File(dataDir, rel)
-      dst.getParentFile.mkdirs()
-      FixtureIO.writeSingleParquet(df, dst,
-        dir + "_eqptmp_" + rel.replaceAll("[^A-Za-z0-9]", "_"))
-    }
-    val keyed = docs.select(
-      pmod(col("doc_id"), lit(50)).cast("long").as("key"), col("lang"))
-    val counts = Map(
-      "fA.parquet" -> writeOne(
-        keyed.filter(col("lang") === langA), s"lang=$langA/fA.parquet"),
-      "fB.parquet" -> writeOne(
-        keyed.filter(col("lang") === langB), s"lang=$langB/fB.parquet"))
-    locally {
-      import spark.implicits._
-      writeOne(Seq(0L, 1L, 2L).toDF("key"), "eq_part.parquet")
-      writeOne(Seq(7L).toDF("key"), "eq_glob.parquet")
-    }
-    def entry(schema: org.apache.avro.Schema, rel: String, content: Int,
-        records: Long, lang: Option[String],
-        eqIds: Seq[Int]): org.apache.avro.generic.GenericRecord = {
-      val dfSchema = schema.getField("data_file").schema()
-      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
-      df.put("content", content)
-      df.put("file_path", s"data/$rel")
-      df.put("file_format", "PARQUET")
-      lang.foreach { l =>
-        val pr = new org.apache.avro.generic.GenericData.Record(
-          dfSchema.getField("partition").schema())
-        pr.put("lang", l)
-        df.put("partition", pr)
-      }
-      df.put("record_count", records)
-      df.put("file_size_in_bytes", new java.io.File(dataDir, rel).length())
-      if (eqIds.nonEmpty) {
-        import scala.jdk.CollectionConverters._
-        df.put("equality_ids",
-          new org.apache.avro.generic.GenericData.Array[Integer](
-            dfSchema.getField("equality_ids").schema().getTypes.get(1),
-            eqIds.map(Integer.valueOf).asJava))
-      }
-      val e = new org.apache.avro.generic.GenericData.Record(schema)
-      e.put("status", 1)
-      e.put("snapshot_id", null)
-      e.put("data_file", df)
-      e
-    }
-    writeAvro(new java.io.File(metaDir, "m0.avro"), eqPartManifestSchema,
-      Seq(entry(eqPartManifestSchema, s"lang=$langA/fA.parquet", 0,
-          counts("fA.parquet"), Some(langA), Nil),
-        entry(eqPartManifestSchema, s"lang=$langB/fB.parquet", 0,
-          counts("fB.parquet"), Some(langB), Nil)))
-    writeAvro(new java.io.File(metaDir, "m1.avro"), eqPartManifestSchema,
-      Seq(entry(eqPartManifestSchema, "eq_part.parquet", 2, 3L,
-        Some(langA), Seq(1))))
-    writeAvro(new java.io.File(metaDir, "m2.avro"), eqManifestSchema,
-      Seq(entry(eqManifestSchema, "eq_glob.parquet", 2, 1L, None, Seq(1))))
-    def mlEntry(path: String, added: Int, rows: Long, content: Int,
-        seq: Long, snap: Long): org.apache.avro.generic.GenericRecord = {
-      val r = new org.apache.avro.generic.GenericData.Record(seqManifestListSchema)
-      r.put("manifest_path", s"metadata/$path")
-      r.put("manifest_length", new java.io.File(metaDir, path).length())
-      r.put("partition_spec_id", 0)
-      r.put("content", content)
-      r.put("sequence_number", seq)
-      r.put("added_snapshot_id", snap)
-      r.put("added_files_count", added)
-      r.put("existing_files_count", 0)
-      r.put("deleted_files_count", 0)
-      r.put("added_rows_count", rows)
-      r
-    }
-    writeAvro(new java.io.File(metaDir, "snap-1.avro"), seqManifestListSchema,
-      Seq(mlEntry("m0.avro", 2, counts.values.sum, 0, 1L, 1L)))
-    writeAvro(new java.io.File(metaDir, "snap-2.avro"), seqManifestListSchema,
-      Seq(mlEntry("m0.avro", 2, counts.values.sum, 0, 1L, 1L),
-        mlEntry("m1.avro", 1, 3L, 1, 2L, 2L),
-        mlEntry("m2.avro", 1, 1L, 1, 2L, 2L)))
-    val ts0 = 1700000000000L
-    val metadataJson =
-      s"""{"format-version":2,"table-uuid":"graft-iceberg-eqpart-fixture",
-         |"location":"${root.getAbsolutePath}",
-         |"current-snapshot-id":2,
-         |"current-schema-id":0,
-         |"schemas":[
-         |{"schema-id":0,"type":"struct","fields":[
-         | {"id":1,"name":"key","required":false,"type":"long"},
-         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
-         |"snapshots":[
-         |{"snapshot-id":1,"timestamp-ms":$ts0,
-         | "manifest-list":"metadata/snap-1.avro",
-         | "summary":{"operation":"append"}},
-         |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
-         | "manifest-list":"metadata/snap-2.avro",
-         | "summary":{"operation":"overwrite"}}]}""".stripMargin
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "v1.metadata.json").toPath,
-      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "version-hint.text").toPath,
-      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts
-  }
-
-  /**
-   * A COMPACTED table — the shape snapshot expiry exists to reclaim:
-   * snap 1 (m0) adds two parity slices `f0`/`f1`; snap 2 (the current
-   * one, manifest list = `m1` ONLY, m0 not reused) is the compaction
-   * rewrite — `c0.parquet` (all rows) ADDED, f0/f1 carried as
-   * status=DELETED entries. Expiring snap 1 must free exactly
-   * `snap-1.avro` + `m0.avro` + `f0`/`f1` while `c0` (and `m1`,
-   * `snap-2.avro`) stay. Returns per-data-file row counts.
-   */
-  def writeCompactedFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val root = new java.io.File(dir)
-    FixtureIO.freshDir(root)
-    val dataDir = new java.io.File(root, "data")
-    val metaDir = new java.io.File(root, "metadata")
-    dataDir.mkdirs()
-    metaDir.mkdirs()
-    def writeOne(df: DataFrame, rel: String): Long =
-      FixtureIO.writeSingleParquet(df, new java.io.File(dataDir, rel),
-        dir + "_ctmp")
-    val base = docs.select(col("doc_id"), col("lang"))
-    val counts = Map(
-      "f0.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(2)) === 0),
-        "f0.parquet"),
-      "f1.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(2)) === 1),
-        "f1.parquet"),
-      "c0.parquet" -> writeOne(base, "c0.parquet"))
-    def entry(status: Int, f: String): org.apache.avro.generic.GenericRecord = {
-      val df = new org.apache.avro.generic.GenericData.Record(
-        manifestSchema.getField("data_file").schema())
-      df.put("content", 0)
-      df.put("file_path", s"data/$f")
-      df.put("file_format", "PARQUET")
-      df.put("record_count", counts(f))
-      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
-      val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
-      e.put("status", status)
-      e.put("snapshot_id", null)
-      e.put("data_file", df)
-      e
-    }
-    writeAvro(new java.io.File(metaDir, "m0.avro"), manifestSchema,
-      Seq(entry(1, "f0.parquet"), entry(1, "f1.parquet")))
-    writeAvro(new java.io.File(metaDir, "m1.avro"), manifestSchema,
-      Seq(entry(1, "c0.parquet"),
-        entry(2, "f0.parquet"), entry(2, "f1.parquet")))
-    def mlEntry(path: String, added: Int, deleted: Int, rows: Long,
-        snap: Long): org.apache.avro.generic.GenericRecord = {
-      val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
-      r.put("manifest_path", s"metadata/$path")
-      r.put("manifest_length", new java.io.File(metaDir, path).length())
-      r.put("partition_spec_id", 0)
-      r.put("content", 0)
-      r.put("added_snapshot_id", snap)
-      r.put("added_files_count", added)
-      r.put("existing_files_count", 0)
-      r.put("deleted_files_count", deleted)
-      r.put("added_rows_count", rows)
-      r
-    }
-    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
-      Seq(mlEntry("m0.avro", 2, 0,
-        counts("f0.parquet") + counts("f1.parquet"), 1L)))
-    writeAvro(new java.io.File(metaDir, "snap-2.avro"), manifestListSchema,
-      Seq(mlEntry("m1.avro", 1, 2, counts("c0.parquet"), 2L)))
-    val ts0 = 1700000000000L
-    val metadataJson =
-      s"""{"format-version":2,"table-uuid":"graft-iceberg-compacted",
-         |"location":"${root.getAbsolutePath}",
-         |"current-snapshot-id":2,
-         |"current-schema-id":0,
-         |"schemas":[
-         |{"schema-id":0,"type":"struct","fields":[
-         | {"id":1,"name":"doc_id","required":false,"type":"long"},
-         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
-         |"snapshots":[
-         |{"snapshot-id":1,"timestamp-ms":$ts0,
-         | "manifest-list":"metadata/snap-1.avro",
-         | "summary":{"operation":"append"}},
-         |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
-         | "manifest-list":"metadata/snap-2.avro",
-         | "summary":{"operation":"replace"}}]}""".stripMargin
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "v1.metadata.json").toPath,
-      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "version-hint.text").toPath,
-      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts
-  }
-
-  /**
-   * A table whose PARTITION SPEC EVOLVED: snap 1 (m0, spec 0 —
-   * unpartitioned) adds `f0`/`f1`; snap 2 (current) keeps m0 and adds
-   * m1 under spec 1 (`lang` identity) with `p0`/`p1`. The metadata
-   * declares both specs with `default-spec-id: 1` — so f0/f1 are the
-   * backfill candidates [[partitionSpecAudit]] must flag. Returns
-   * per-data-file row counts.
-   */
-  def writeSpecEvolutionFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val root = new java.io.File(dir)
-    FixtureIO.freshDir(root)
-    val dataDir = new java.io.File(root, "data")
-    val metaDir = new java.io.File(root, "metadata")
-    dataDir.mkdirs()
-    metaDir.mkdirs()
-    def writeOne(df: DataFrame, rel: String): Long =
-      FixtureIO.writeSingleParquet(df, new java.io.File(dataDir, rel),
-        dir + "_stmp")
-    val base = docs.select(col("doc_id"), col("lang"))
-    val counts = Map(
-      "f0.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(4)) === 0),
-        "f0.parquet"),
-      "f1.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(4)) === 1),
-        "f1.parquet"),
-      "p0.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(4)) === 2),
-        "p0.parquet"),
-      "p1.parquet" -> writeOne(base.filter(pmod(col("doc_id"), lit(4)) === 3),
-        "p1.parquet"))
-    def entry(f: String): org.apache.avro.generic.GenericRecord = {
-      val df = new org.apache.avro.generic.GenericData.Record(
-        manifestSchema.getField("data_file").schema())
-      df.put("content", 0)
-      df.put("file_path", s"data/$f")
-      df.put("file_format", "PARQUET")
-      df.put("record_count", counts(f))
-      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
-      val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
-      e.put("status", 1)
-      e.put("snapshot_id", null)
-      e.put("data_file", df)
-      e
-    }
-    writeAvro(new java.io.File(metaDir, "m0.avro"), manifestSchema,
-      Seq(entry("f0.parquet"), entry("f1.parquet")))
-    writeAvro(new java.io.File(metaDir, "m1.avro"), manifestSchema,
-      Seq(entry("p0.parquet"), entry("p1.parquet")))
-    def mlEntry(path: String, specId: Int, added: Int, rows: Long,
-        snap: Long): org.apache.avro.generic.GenericRecord = {
-      val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
-      r.put("manifest_path", s"metadata/$path")
-      r.put("manifest_length", new java.io.File(metaDir, path).length())
-      r.put("partition_spec_id", specId)
-      r.put("content", 0)
-      r.put("added_snapshot_id", snap)
-      r.put("added_files_count", added)
-      r.put("existing_files_count", 0)
-      r.put("deleted_files_count", 0)
-      r.put("added_rows_count", rows)
-      r
-    }
-    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
-      Seq(mlEntry("m0.avro", 0, 2,
-        counts("f0.parquet") + counts("f1.parquet"), 1L)))
-    writeAvro(new java.io.File(metaDir, "snap-2.avro"), manifestListSchema,
-      Seq(mlEntry("m0.avro", 0, 2,
-        counts("f0.parquet") + counts("f1.parquet"), 1L),
-        mlEntry("m1.avro", 1, 2,
-          counts("p0.parquet") + counts("p1.parquet"), 2L)))
-    val ts0 = 1700000000000L
-    val metadataJson =
-      s"""{"format-version":2,"table-uuid":"graft-iceberg-specs",
-         |"location":"${root.getAbsolutePath}",
-         |"current-snapshot-id":2,
-         |"current-schema-id":0,
-         |"schemas":[
-         |{"schema-id":0,"type":"struct","fields":[
-         | {"id":1,"name":"doc_id","required":false,"type":"long"},
-         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
-         |"default-spec-id":1,
-         |"partition-specs":[
-         |{"spec-id":0,"fields":[]},
-         |{"spec-id":1,"fields":[
-         | {"name":"lang","transform":"identity","source-id":2,
-         |  "field-id":1000}]}],
-         |"snapshots":[
-         |{"snapshot-id":1,"timestamp-ms":$ts0,
-         | "manifest-list":"metadata/snap-1.avro",
-         | "summary":{"operation":"append"}},
-         |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
-         | "manifest-list":"metadata/snap-2.avro",
-         | "summary":{"operation":"append"}}]}""".stripMargin
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "v1.metadata.json").toPath,
-      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "version-hint.text").toPath,
-      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts
-  }
-
-  /**
-   * A table DECLARING a write order (`sort-orders` order-id 1:
-   * identity(doc_id) asc nulls-first, named by
-   * `default-sort-order-id`; the unsorted order-id 0 is also listed,
-   * as real writers do) whose data MOSTLY honors it: four doc_id
-   * quartile files f0..f3 — except the SECOND-smallest doc is planted
-   * in f2, so f2's min dips into f0's range and the interval audit
-   * must flag f2 (and the f1 it now shadows) as out of order while f0
-   * and f3 stay clean. One snapshot, one manifest. Returns
-   * per-data-file row counts.
-   */
-  def writeSortOrderFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val root = new java.io.File(dir)
-    FixtureIO.freshDir(root)
-    val dataDir = new java.io.File(root, "data")
-    val metaDir = new java.io.File(root, "metadata")
-    dataDir.mkdirs()
-    metaDir.mkdirs()
-    val n = docs.count()
-    require(n >= 8, s"sort-order fixture needs >= 8 docs, got $n")
-    // global rank at fixture scale (one-partition window is the cost
-    // of a deterministic quartile split)
-    val ranked = docs.select(col("doc_id"), col("lang"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
-    val assigned = ranked.withColumn("f",
-      when(col("rk") === 2, lit(2)) // the planted out-of-order straggler
-        .otherwise(floor((col("rk") - 1) * 4 / lit(n)).cast("int")))
-    val counts = (0 until 4).map { i =>
-      val rel = s"f$i.parquet"
-      rel -> FixtureIO.writeSingleParquet(
-        assigned.filter(col("f") === i).select("doc_id", "lang")
-          .sort("doc_id"),
-        new java.io.File(dataDir, rel), dir + s"_sotmp$i")
-    }.toMap
-    def entry(f: String): org.apache.avro.generic.GenericRecord = {
-      val dfSchema = manifestSchema.getField("data_file").schema()
-      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
-      df.put("content", 0)
-      df.put("file_path", s"data/$f")
-      df.put("file_format", "PARQUET")
-      df.put("record_count", counts(f))
-      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
-      val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
-      e.put("status", 1)
-      e.put("snapshot_id", null)
-      e.put("data_file", df)
-      e
-    }
-    writeAvro(new java.io.File(metaDir, "m0.avro"), manifestSchema,
-      (0 until 4).map(i => entry(s"f$i.parquet")))
-    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
-      Seq {
-        val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
-        r.put("manifest_path", "metadata/m0.avro")
-        r.put("manifest_length", new java.io.File(metaDir, "m0.avro").length())
-        r.put("partition_spec_id", 0)
-        r.put("content", 0)
-        r.put("added_snapshot_id", 1L)
-        r.put("added_files_count", 4)
-        r.put("existing_files_count", 0)
-        r.put("deleted_files_count", 0)
-        r.put("added_rows_count", counts.values.sum)
-        r
-      })
-    val metadataJson =
-      s"""{"format-version":2,"table-uuid":"graft-iceberg-sortorder-fixture",
-         |"location":"${root.getAbsolutePath}",
-         |"current-snapshot-id":1,
-         |"current-schema-id":0,
-         |"schemas":[
-         |{"schema-id":0,"type":"struct","fields":[
-         | {"id":1,"name":"doc_id","required":false,"type":"long"},
-         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
-         |"default-sort-order-id":1,
-         |"sort-orders":[
-         |{"order-id":0,"fields":[]},
-         |{"order-id":1,"fields":[
-         | {"transform":"identity","source-id":1,
-         |  "direction":"asc","null-order":"nulls-first"}]}],
-         |"snapshots":[
-         |{"snapshot-id":1,"timestamp-ms":1700000000000,
-         | "manifest-list":"metadata/snap-1.avro",
-         | "summary":{"operation":"append"}}]}""".stripMargin
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "v1.metadata.json").toPath,
-      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "version-hint.text").toPath,
-      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts
-  }
-
-  /**
-   * The base fixture with SUMMARY METRICS on both snapshots (string
-   * values, the spec's rendering): snap 1 declares its true
-   * `added-data-files`/`added-records`; snap 2's `added-records` LIES
-   * by one — the audit must flag exactly that cell. Returns per-file
-   * row counts.
-   */
-  def writeSummaryFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val counts = writeFixtureTable(spark, dir, docs)
-    val mf = new java.io.File(dir, "metadata/v1.metadata.json")
-    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val rows1 = counts("f0.parquet") + counts("f1.parquet") + counts("f2.parquet")
-    val rows2 = counts("f3.parquet") + counts("f4.parquet")
-    val m1 = "\"summary\":{\"operation\":\"append\"}"
-    val m2 = "\"summary\":{\"operation\":\"overwrite\"}"
-    require(txt.contains(m1) && txt.contains(m2), "fixture summaries changed")
-    java.nio.file.Files.write(mf.toPath,
-      txt.replace(m1, "\"summary\":{\"operation\":\"append\"," +
-          s""""added-data-files":"3","added-records":"$rows1"}""")
-        .replace(m2, "\"summary\":{\"operation\":\"overwrite\"," +
-          s""""added-data-files":"2","added-records":"${rows2 + 1}"}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts
-  }
-
-  /**
-   * The base fixture plus an NDV-bearing STATISTICS file: two REAL
-   * compact-theta sketches (exact mode, [[PuffinCodec
-   * .encodeThetaSketchExact]]) in `metadata/ndv-2.puffin` —
-   *
-   *  - fields=[2] (`lang`): the sketch encodes the TRUE distinct lang
-   *    count over the current snapshot's data files (f0..f4, the
-   *    writer contract), but the declared `ndv` property LIES by +3;
-   *  - fields=[1] (`doc_id`): sketch and declared `ndv` agree.
-   *
-   * The audit must flag exactly the lang row. Returns per-data-file
-   * row counts.
-   */
-  def writeNdvFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val counts = writeFixtureTable(spark, dir, docs)
-    // the current snapshot's data rows: slices 0..4 of the pmod-6 split
-    val live = docs.filter(pmod(col("doc_id"), lit(6)) < 5)
-    val langNdv = live.select(col("lang")).distinct().count()
-    val docNdv = live.select(col("doc_id")).distinct().count()
-    val metaDir = new java.io.File(dir, "metadata")
-    val stats = new java.io.File(metaDir, "ndv-2.puffin")
-    PuffinCodec.writePuffinFile(stats, Seq(
-      (PuffinCodec.ThetaV1, Map("ndv" -> (langNdv + 3).toString),
-        PuffinCodec.encodeThetaSketchExact(langNdv)),
-      (PuffinCodec.ThetaV1, Map("ndv" -> docNdv.toString),
-        PuffinCodec.encodeThetaSketchExact(docNdv))),
-      snapshotId = 2L, sequenceNumber = 2L,
-      fieldsPerBlob = Seq(Seq(2), Seq(1)))
-    val mf = new java.io.File(metaDir, "v1.metadata.json")
-    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val marker = "\"current-snapshot-id\":2,"
-    require(txt.contains(marker), s"fixture metadata missing '$marker'")
-    val statsJson =
-      s""""statistics":[{"snapshot-id":2,
-         |"statistics-path":"metadata/ndv-2.puffin",
-         |"file-size-in-bytes":${stats.length()},
-         |"blob-metadata":[
-         |{"type":"apache-datasketches-theta-v1","snapshot-id":2,
-         | "sequence-number":2,"fields":[2],
-         | "properties":{"ndv":"${langNdv + 3}"}},
-         |{"type":"apache-datasketches-theta-v1","snapshot-id":2,
-         | "sequence-number":2,"fields":[1],
-         | "properties":{"ndv":"$docNdv"}}]}],"""
-        .stripMargin.replace("\n", "")
-    java.nio.file.Files.write(mf.toPath,
-      txt.replace(marker, marker + statsJson)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts
-  }
-
-  /**
-   * The base fixture plus a `refs` map: the `main` branch on the
-   * current snapshot, a `v1` tag on the superseded one, and a `stale`
-   * tag on an EXPIRED snapshot id (99) — the dangling shape
-   * [[refsReport]] must surface. Returns per-data-file row counts.
-   */
-  def writeRefsFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val counts = writeFixtureTable(spark, dir, docs)
-    val mf = new java.io.File(dir, "metadata/v1.metadata.json")
-    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val marker = "\"current-snapshot-id\":2,"
-    require(txt.contains(marker), s"fixture metadata missing '$marker'")
-    val refs =
-      """"refs":{"main":{"snapshot-id":2,"type":"branch"},""" +
-        """"v1":{"snapshot-id":1,"type":"tag"},""" +
-        """"stale":{"snapshot-id":99,"type":"tag"}},"""
-    java.nio.file.Files.write(mf.toPath,
-      txt.replace(marker, marker + refs)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts
-  }
-
-  /**
-   * The base fixture plus a STATISTICS entry (the spec's Puffin sketch
-   * layout): `metadata/stats-2.puffin` carries two blobs — an
-   * `apache-datasketches-theta-v1` NDV sketch and a
-   * `deletion-vector-v1`-shaped placeholder — both stamped
-   * snapshot-id 2; the metadata JSON's `statistics` list declares the
-   * file with its `blob-metadata`. Returns per-data-file row counts.
-   */
-  def writeStatsFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
-    val counts = writeFixtureTable(spark, dir, docs)
-    val metaDir = new java.io.File(dir, "metadata")
-    val stats = new java.io.File(metaDir, "stats-2.puffin")
-    // blob bodies are opaque to the footer layer; deterministic bytes
-    val theta = Array.tabulate[Byte](64)(i => (i * 7 + 3).toByte)
-    val extra = PuffinCodec.encodeDvBlob(Array(0L))
-    PuffinCodec.writePuffinFile(stats, Seq(
-      ("apache-datasketches-theta-v1", Map("ndv" -> "42"), theta),
-      (PuffinCodec.DeletionVectorV1, Map.empty[String, String], extra)),
-      snapshotId = 2L, sequenceNumber = 2L)
-    val mf = new java.io.File(metaDir, "v1.metadata.json")
-    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val marker = "\"current-snapshot-id\":2,"
-    require(txt.contains(marker), s"fixture metadata missing '$marker'")
-    val statsJson =
-      s""""statistics":[{"snapshot-id":2,
-         |"statistics-path":"metadata/stats-2.puffin",
-         |"file-size-in-bytes":${stats.length()},
-         |"blob-metadata":[
-         |{"type":"apache-datasketches-theta-v1","snapshot-id":2,
-         | "sequence-number":2,"fields":[],"properties":{"ndv":"42"}},
-         |{"type":"deletion-vector-v1","snapshot-id":2,
-         | "sequence-number":2,"fields":[],"properties":{}}]}],"""
-        .stripMargin.replace("\n", "")
-    java.nio.file.Files.write(mf.toPath,
-      txt.replace(marker, marker + statsJson)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    counts
-  }
 }

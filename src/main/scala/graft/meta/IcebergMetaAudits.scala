@@ -1,0 +1,699 @@
+package graft.meta
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The audit surface of [[IcebergMeta]] — declared-metadata-vs-evidence
+  * reports (specs, manifests, statistics, refs, summaries, sort order,
+  * metadata log). Pure move out of IcebergMeta.scala (r15, file-size
+  * split); the self-type keeps every call site `IcebergMeta.x` intact. */
+private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.type =>
+
+  /**
+   * PARTITION-SPEC evolution audit — iceberg's flagship feature leaves
+   * a backfill question behind, exactly like schema evolution does:
+   * after `ALTER TABLE ... ADD PARTITION FIELD`, which live files were
+   * written under an OLD spec (they answer partition-pruned queries
+   * only through full scans until rewritten)? One row per live data
+   * file: `(file_path, spec_id, spec_csv, is_default)` — the spec id
+   * comes from the file's MANIFEST (the list's `partition_spec_id`;
+   * entries inherit their manifest's spec by construction), the
+   * rendering from the metadata's `partition-specs` declarations
+   * (`name=transform(source-id)` CSV, empty → `unpartitioned`).
+   * Refuses when the metadata declares no `partition-specs` list (the
+   * v1 legacy single-spec field is not modeled), when a manifest
+   * carries no spec id, or when a manifest names a spec the metadata
+   * does not declare — a dangling spec id breaks every reader.
+   */
+  def partitionSpecAudit(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    import scala.jdk.CollectionConverters._
+    val specsNode = Option(node.get("partition-specs")).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$mf: no partition-specs list — the v1 legacy single-spec " +
+          "field is not modeled; refusing to attribute files to specs"))
+    val specs: Map[Int, String] = specsNode.elements().asScala.toSeq.map { sp =>
+      val id = req(sp, "spec-id", mf).asInt()
+      val fields = Option(sp.get("fields"))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+        .map(f => s"${req(f, "name", mf).asText()}=" +
+          s"${req(f, "transform", mf).asText()}(" +
+          s"${req(f, "source-id", mf).asInt()})")
+      id -> (if (fields.isEmpty) "unpartitioned" else fields.mkString(","))
+    }.toMap
+    val defaultSpec = Option(node.get("default-spec-id"))
+      .map(_.asInt()).getOrElse(0)
+    val current = Option(node.get("current-snapshot-id")).map(_.asLong())
+      .flatMap(id => Option(node.get("snapshots"))
+        .flatMap(_.elements().asScala.toSeq
+          .find(s => req(s, "snapshot-id", mf).asLong() == id)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table: no current snapshot"))
+    val hconf = spark.sessionState.newHadoopConf()
+    val manifests = readManifestList(
+      resolve(root, req(current, "manifest-list", mf).asText()), hconf)
+      .map { m =>
+        val sid = m.partitionSpecId.getOrElse(
+          throw new UnsupportedOperationException(
+            s"$table: manifest ${m.manifestPath} carries no " +
+              "partition_spec_id — spec attribution is unknowable"))
+        if (!specs.contains(sid)) {
+          throw new IllegalArgumentException(
+            s"$table: manifest ${m.manifestPath} names spec $sid which " +
+              s"the metadata does not declare (known: " +
+              s"${specs.keys.toSeq.sorted.mkString(", ")})")
+        }
+        (resolve(root, m.manifestPath).toString, sid)
+      }
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(hconf)
+    val specsB = specs
+    val defB = defaultSpec
+    manifests.toDS()
+      .flatMap { case (mp, sid) =>
+        readManifest(new Path(mp), conf.value)
+          .filter(e => e.status != 2 && e.content == 0)
+          .map(e => (resolve(new Path(rootStr), e.filePath).toString,
+            sid, specsB(sid), sid == defB))
+      }
+      .toDF("file_path", "spec_id", "spec_csv", "is_default")
+  }
+
+  /**
+   * MANIFEST-HEALTH report — `rewrite_manifests`' planning question:
+   * many small manifests make every planning pass open many files, and
+   * high deleted-entry ratios make each open mostly waste. One row per
+   * manifest of the CURRENT snapshot's list:
+   * `(manifest, content, length, n_added, n_existing, n_deleted,
+   * rewrite_group)` — entry counts from the manifest's OWN rows (one
+   * decode task per manifest, never trusting the list's declared
+   * counts, which [[snapshotSummaryAudit]] exists to doubt), and
+   * `rewrite_group` the deterministic bin-pack of UNDER-TARGET
+   * manifests (path order, group = ⌊preceding-small-bytes/target⌋ —
+   * the compactionPlan packing, applied to metadata files).
+   * Right-sized manifests never move (null group); data and delete
+   * manifests pack separately (the spec keeps them apart).
+   */
+  def manifestHealthReport(
+      spark: SparkSession, table: String,
+      targetBytes: Long = 8L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val info = readTableMetadata(
+      currentMetadataFile(root.getFileSystem(hconf), root), hconf)
+    requireCensusableVersion(info, table)
+    val current = info.snapshots.find(_.isCurrent).getOrElse(
+      throw new IllegalArgumentException(s"$table: no current snapshot"))
+    val manifests = readManifestList(
+      resolve(root, current.manifestList), hconf)
+      .map(m => (resolve(root, m.manifestPath).toString,
+        m.content, m.manifestLength))
+    // bin-pack per content kind, path order — a manifest-count-sized
+    // driver computation (the same boundary the list read already is)
+    val groups: Map[String, Long] = manifests
+      .groupBy(_._2).toSeq.flatMap { case (_, ms) =>
+        var acc = 0L
+        ms.sortBy(_._1).flatMap { case (p, _, len) =>
+          if (len >= targetBytes) None
+          else {
+            val g = acc / targetBytes
+            acc += len
+            Some(p -> g)
+          }
+        }
+      }.toMap
+    val conf = new SerializableHadoopConf(hconf)
+    manifests.toDS()
+      .map { case (mp, content, len) =>
+        val entries = readManifest(new Path(mp), conf.value)
+        (new Path(mp).getName, content, len,
+          entries.count(_.status == 1).toLong,
+          entries.count(_.status == 0).toLong,
+          entries.count(_.status == 2).toLong,
+          groups.get(mp))
+      }
+      .toDF("manifest", "content", "length",
+        "n_added", "n_existing", "n_deleted", "rewrite_group")
+  }
+
+  /**
+   * SNAPSHOT-EXPIRY plan at metadata cost — `expire_snapshots`'
+   * storage-reclaim question answered BEFORE deleting anything: which
+   * snapshots age out at `expireBeforeMs` (never the current one —
+   * expiring it orphans every reader — and never one a named REF
+   * holds: branches/tags retain their snapshots regardless of age),
+   * and exactly what their removal
+   * frees. One row per deletable object, `kind` ∈
+   * `snapshot | manifest_list | manifest | data_file`:
+   *
+   *  - expired snapshots and their manifest-list files;
+   *  - manifests referenced ONLY by expired snapshots (a manifest a
+   *    survivor reuses stays);
+   *  - files referenced ONLY by expired snapshots — the compaction
+   *    leftovers expiry exists to reclaim; computed as
+   *    `refs(expired) \ refs(surviving)` with one manifest-decode task
+   *    per manifest on each side, the [[orphanFiles]] fan-out.
+   *
+   * Refuses when nothing expires (an empty plan reads as "safe to run"
+   * when the real answer is "the cutoff matched nothing") and when the
+   * cutoff would expire EVERY snapshot.
+   */
+  def expiryPlan(
+      spark: SparkSession, table: String, expireBeforeMs: Long): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    val mf = currentMetadataFile(fs, root)
+    val info = readTableMetadata(mf, hconf)
+    requireCensusableVersion(info, table)
+    // a snapshot HELD BY A REF (branch/tag) is retained regardless of
+    // age — expiring it strands every reader following the ref; the
+    // spec's retention walks refs first. (Ref-specific max-age
+    // policies are a catalog concern; the filesystem plan protects
+    // every named ref.)
+    val refHeld: Set[Long] = {
+      val in = fs.open(mf)
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      import scala.jdk.CollectionConverters._
+      Option(node.get("refs")).filter(_.isObject).map { refs =>
+        refs.properties().asScala
+          .map(e => req(e.getValue, "snapshot-id", mf).asLong()).toSet
+      }.getOrElse(Set.empty)
+    }
+    val (expired, surviving) = info.snapshots.partition(s =>
+      s.timestampMs < expireBeforeMs && !s.isCurrent &&
+        !refHeld.contains(s.snapshotId))
+    if (expired.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: no snapshot is older than $expireBeforeMs (current is " +
+          "never expired) — nothing to plan")
+    }
+    if (surviving.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: the cutoff would expire every snapshot — refusing a " +
+          "plan that deletes the table's entire history")
+    }
+    def manifestsOf(snaps: Seq[IcebergSnapshotInfo]): Map[String, Long] =
+      snaps.flatMap(s => readManifestList(resolve(root, s.manifestList), hconf)
+        .map(m => resolve(root, m.manifestPath).toString -> m.manifestLength))
+        .toMap
+    val expiredManifests = manifestsOf(expired)
+    val survivingManifests = manifestsOf(surviving)
+    val deadManifests = expiredManifests -- survivingManifests.keySet
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(hconf)
+    def refs(paths: Seq[String], liveOnly: Boolean): DataFrame =
+      paths.toDS().flatMap { mp =>
+        readManifest(new Path(mp), conf.value)
+          .filter(e => !liveOnly || e.status != 2)
+          .map(e => (resolve(new Path(rootStr), e.filePath).toString,
+            e.fileSizeBytes))
+      }.toDF("path", "bytes").dropDuplicates("path")
+    // a file is deletable only when NO surviving snapshot still READS
+    // it (ADDED/EXISTING in any surviving manifest). A DELETED-status
+    // entry in a survivor does NOT block — no survivor can read
+    // through it, and reclaiming exactly those compaction leftovers is
+    // what expiry is for. The candidate side takes every status: the
+    // expired chain is the last thing naming those files at all.
+    val deadFiles = refs(deadManifests.keys.toSeq, liveOnly = false)
+      .join(refs(survivingManifests.keys.toSeq, liveOnly = true)
+        .select(col("path")), Seq("path"), "left_anti")
+    val snapRows = expired.map { s =>
+      ("snapshot", s.snapshotId.toString, -1L)
+    } ++ expired.map { s =>
+      val ml = resolve(root, s.manifestList)
+      ("manifest_list", ml.toString,
+        try fs.getFileStatus(ml).getLen catch { case _: Exception => -1L })
+    } ++ deadManifests.toSeq.map { case (p, len) => ("manifest", p, len) }
+    snapRows.toDF("kind", "object", "bytes")
+      .unionByName(deadFiles
+        .select(lit("data_file").as("kind"), col("path").as("object"),
+          col("bytes")))
+  }
+
+  def orphanFiles(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    val info = readTableMetadata(currentMetadataFile(fs, root), hconf)
+    // v3 DV files under the data tree would misreport as orphans
+    requireCensusableVersion(info, table)
+    val manifests = info.snapshots
+      .flatMap(s => readManifestList(resolve(root, s.manifestList), hconf))
+      .map(m => resolve(root, m.manifestPath).toString)
+      .distinct
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(hconf)
+    val referenced = manifests.toDS()
+      .flatMap(mp => readManifest(new Path(mp), conf.value)
+        .map(e => resolve(new Path(rootStr), e.filePath).toString))
+      .toDF("ref_path").distinct()
+    val disk = spark.read.format("metadata")
+      .option("source", "any").option("level", "file")
+      .option("ignorecorrupt", "true")
+      .load(new Path(root, "data").toString)
+      .select(col("filepath"), col("filename"), col("format"),
+        col("size"), col("num_rows"))
+    disk.join(referenced, disk("filepath") === referenced("ref_path"),
+      "left_anti")
+      .select(col("filepath").as("abs_path"), col("filename"),
+        col("format"), col("size"), col("num_rows"))
+  }
+
+  /** Qualified root + current metadata file + its parsed JSON — the
+    * shared driver boundary of every metadata-JSON report. */
+  private[meta] def currentMetadataNode(
+      spark: SparkSession, table: String):
+      (Path, org.apache.hadoop.fs.FileSystem, Path,
+        com.fasterxml.jackson.databind.JsonNode) = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val fs = root.getFileSystem(hconf)
+    val mf = currentMetadataFile(fs, root)
+    val in = fs.open(mf)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    (root, fs, mf, node)
+  }
+
+  /**
+   * PUFFIN STATISTICS audit — the table metadata's `statistics` list
+   * (format v2+: one entry per snapshot naming a Puffin file of sketch
+   * blobs with its declared `blob-metadata`) verified against the
+   * Puffin files' OWN footers: one row per ACTUAL footer blob, matched
+   * to a declared entry by `(type, snapshot-id)` key (the spec does
+   * not pin the declaration to footer order, so a truthful reordered
+   * list still matches; each declared entry is consumable once) —
+   * `declared_match` is false when no declared entry carries the
+   * blob's key (a stale or hand-edited statistics entry sends sketch
+   * consumers to the wrong blob), and a declared entry matching NO
+   * footer blob surfaces as its own `blob_idx=-1` row. The entry list
+   * is a driver boundary at snapshot scale; the footer reads fan out
+   * one task per statistics file.
+   */
+  def statisticsReport(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    import scala.jdk.CollectionConverters._
+    val entries = Option(node.get("statistics"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { s =>
+        val declared = Option(s.get("blob-metadata"))
+          .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+          .map(b => (req(b, "type", mf).asText(),
+            Option(b.get("snapshot-id")).map(_.asLong()).getOrElse(-1L)))
+        (req(s, "snapshot-id", mf).asLong(),
+          req(s, "statistics-path", mf).asText(), declared)
+      }
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    entries.toDS()
+      .flatMap { case (snapId, path, declared) =>
+        val abs = resolve(new Path(rootStr), path)
+        val (blobs, _) = PuffinCodec.readFooter(abs, conf.value)
+        // the spec does not pin blob-metadata to footer order: match
+        // declared entries to footer blobs by (type, snapshot-id) keys,
+        // each declared entry consumable once — a truthful but
+        // reordered declaration matches; a surplus declared entry (a
+        // blob the file does not carry) surfaces as its own row
+        val remaining =
+          scala.collection.mutable.ArrayBuffer.from(declared)
+        val matchedRows = blobs.zipWithIndex.map { case (b, i) =>
+          val key = (b.blobType, b.snapshotId.getOrElse(-1L))
+          val at = remaining.indexOf(key)
+          if (at >= 0) remaining.remove(at)
+          (abs.getName, snapId, i, b.blobType,
+            b.snapshotId.getOrElse(-1L), b.sequenceNumber.getOrElse(-1L),
+            b.offset, b.length,
+            if (at >= 0) key._1 else null,
+            at >= 0)
+        }
+        val orphanRows = remaining.toSeq.map { case (t, sid) =>
+          (abs.getName, snapId, -1, null.asInstanceOf[String],
+            sid, -1L, -1L, -1L, t, false)
+        }
+        matchedRows ++ orphanRows
+      }
+      .toDF("filename", "stats_snapshot_id", "blob_idx", "blob_type",
+        "blob_snapshot_id", "sequence_number", "offset", "length",
+        "declared_type", "declared_match")
+  }
+
+  /**
+   * NDV audit — each statistics Puffin file's
+   * `apache-datasketches-theta-v1` blobs DECODED (compact-theta serial
+   * v3, [[PuffinCodec.thetaEstimate]]) and compared against the blob's
+   * own declared `ndv` property (the number query planners read
+   * without opening the sketch): one row per theta blob with
+   * `(fields_csv, declared_ndv, sketch_ndv, ndv_match)` — a stale or
+   * hand-edited `ndv` silently skews every join-order and
+   * aggregation-strategy decision downstream, and only the sketch body
+   * itself can contradict it. `sketch_ndv` is the rounded estimate
+   * (exact mode: the retained-entry count). Blobs declaring no `ndv`
+   * report null declared (and null match), never dropped. Refuses when
+   * the metadata declares no statistics at all; the footer + blob
+   * reads fan out one task per statistics file.
+   */
+  def ndvAudit(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    val fieldsById = currentSchemaFieldsById(mf, node)
+    import scala.jdk.CollectionConverters._
+    val entries = Option(node.get("statistics"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { s =>
+        (req(s, "snapshot-id", mf).asLong(),
+          req(s, "statistics-path", mf).asText())
+      }
+    if (entries.isEmpty) {
+      throw new UnsupportedOperationException(
+        s"$table: metadata declares no statistics files — nothing to audit")
+    }
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    entries.toDS()
+      .flatMap { case (snapId, path) =>
+        val abs = resolve(new Path(rootStr), path)
+        val (blobs, _) = PuffinCodec.readFooter(abs, conf.value)
+        blobs.filter(_.blobType == PuffinCodec.ThetaV1).map { b =>
+          val est = PuffinCodec.thetaEstimate(
+            PuffinCodec.readBlobBytes(abs, conf.value, b.offset, b.length))
+          val sketchNdv = math.round(est)
+          val declared = b.properties.get("ndv").map(_.trim.toLong)
+          val fieldsCsv = b.fields
+            .map(id => fieldsById.get(id).map(_._1).getOrElse(s"#$id"))
+            .mkString(",")
+          (abs.getName, snapId, fieldsCsv, declared, sketchNdv,
+            declared.map(_ == sketchNdv))
+        }
+      }
+      .toDF("filename", "stats_snapshot_id", "fields_csv",
+        "declared_ndv", "sketch_ndv", "ndv_match")
+  }
+
+  /**
+   * PARTITION-STATISTICS audit — the metadata JSON's
+   * `partition-statistics` entry for the CURRENT snapshot (a PARQUET
+   * file of per-partition rollups, spec v2+) verified against the
+   * manifest chain's own per-partition aggregation: one row per
+   * partition (FULL OUTER — a declared-but-dead or live-but-undeclared
+   * partition surfaces with nulls on the other side) with
+   * files/rows/bytes match flags. Both sides are distributed scans;
+   * the partition key is the sorted `k=v` CSV so any partition-spec
+   * shape compares. Refuses when no entry exists for the current
+   * snapshot.
+   */
+  def partitionStatsAudit(spark: SparkSession, table: String): DataFrame = {
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    import scala.jdk.CollectionConverters._
+    val currentSnap = Option(node.get("current-snapshot-id"))
+      .map(_.asLong()).getOrElse(
+        throw new IllegalArgumentException(s"$mf: no current-snapshot-id"))
+    val statsPath = Option(node.get("partition-statistics"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .find(e => req(e, "snapshot-id", mf).asLong() == currentSnap)
+      .map(e => req(e, "statistics-path", mf).asText())
+      .getOrElse(throw new UnsupportedOperationException(
+        s"$table: no partition-statistics entry for current snapshot " +
+          s"$currentSnap — nothing declared to audit"))
+    val declaredRaw = spark.read.parquet(
+      resolve(root, statsPath).toString)
+    val partFields = declaredRaw.schema("partition").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    val declared = declaredRaw.select(
+      array_join(array_sort(array(partFields.map(f =>
+        concat(lit(f + "="), col(s"partition.$f").cast("string"))): _*)),
+        ",").as("partition_key"),
+      col("data_file_count").cast("long").as("declared_files"),
+      col("data_record_count").cast("long").as("declared_rows"),
+      col("total_data_file_size_in_bytes").cast("long").as("declared_bytes"))
+    val actual = currentFiles(spark, table)
+      .filter(col("status") =!= 2 && col("content") === 0)
+      .select(
+        array_join(array_sort(transform(map_entries(col("partition_values")),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))),
+          ",").as("partition_key"),
+        col("record_count"), col("file_size_bytes"))
+      .groupBy(col("partition_key"))
+      .agg(count(lit(1)).cast("long").as("actual_files"),
+        sum(col("record_count")).cast("long").as("actual_rows"),
+        sum(col("file_size_bytes")).cast("long").as("actual_bytes"))
+    declared.join(actual, Seq("partition_key"), "full_outer")
+      .select(col("partition_key"),
+        col("declared_files"), col("declared_rows"), col("declared_bytes"),
+        col("actual_files"), col("actual_rows"), col("actual_bytes"),
+        (col("declared_files") === col("actual_files")).as("files_match"),
+        (col("declared_rows") === col("actual_rows")).as("rows_match"),
+        (col("declared_bytes") === col("actual_bytes")).as("bytes_match"))
+  }
+
+  /**
+   * REFS report — the metadata JSON's `refs` map (named branches/tags
+   * → snapshot ids, spec v2+): one row per ref with `resolves` (the
+   * named snapshot is still in the `snapshots` list — a DANGLING ref
+   * after snapshot expiry breaks every reader that follows it) and
+   * `is_current` (the ref points at the current snapshot). Tables
+   * without refs report the implicit `main` branch on the current
+   * snapshot, the spec's default.
+   */
+  def refsReport(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (_, _, mf, node) = currentMetadataNode(spark, table)
+    import scala.jdk.CollectionConverters._
+    // snapshots + current id from the SAME parsed node (one read, one
+    // parse — the previous shape parsed the file twice)
+    val listed = Option(node.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .map(s => req(s, "snapshot-id", mf).asLong()).toSet
+    val current = Option(node.get("current-snapshot-id"))
+      .map(_.asLong()).filter(_ != -1L)
+    val declared = Option(node.get("refs")).filter(_.isObject)
+      .map(_.properties().asScala.toSeq.map { e =>
+        val name = e.getKey
+        val v = e.getValue
+        (name,
+          Option(v.get("type")).map(_.asText()).getOrElse(
+            throw new IllegalArgumentException(
+              s"$mf: ref '$name' missing 'type'")),
+          req(v, "snapshot-id", mf).asLong())
+      })
+      .getOrElse(current.toSeq.map(c => ("main", "branch", c)))
+    declared.sortBy(_._1)
+      .map { case (name, tpe, snap) =>
+        (name, tpe, snap, listed.contains(snap), current.contains(snap))
+      }
+      .toDF("ref_name", "ref_type", "snapshot_id", "resolves", "is_current")
+  }
+
+  /**
+   * SNAPSHOT-SUMMARY audit — each snapshot's declared summary metrics
+   * (`added-data-files` / `added-records`, the numbers engines show in
+   * history views and planners trust for incremental reads) verified
+   * against the snapshot's OWN manifest list: the sums of
+   * `added_files_count` / `added_rows_count` over its DATA manifests
+   * (`content=0`; delete manifests never count as data). One row per
+   * snapshot with match flags; a snapshot declaring neither metric
+   * reports null declared (and null matches) rather than being
+   * dropped. The snapshot list is a driver boundary at snapshot scale;
+   * manifest-list reads fan out one task per snapshot.
+   */
+  def snapshotSummaryAudit(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    import scala.jdk.CollectionConverters._
+    val snaps = Option(node.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { s =>
+        def summaryLong(k: String): Option[Long] =
+          Option(s.get("summary")).flatMap(su => Option(su.get(k)))
+            .map(_.asLong())
+        (req(s, "snapshot-id", mf).asLong(),
+          req(s, "manifest-list", mf).asText(),
+          summaryLong("added-data-files"), summaryLong("added-records"))
+      }
+    if (snaps.isEmpty) {
+      throw new IllegalArgumentException(s"$table: no snapshots listed")
+    }
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    snaps.toDS()
+      .map { case (snapId, mlPath, declFiles, declRecords) =>
+        val entries = readManifestList(
+          resolve(new Path(rootStr), mlPath), conf.value)
+        val data = entries.filter(_.content == 0)
+        // "added by THIS snapshot" needs added_snapshot_id: a snapshot's
+        // manifest list REUSES prior snapshots' manifests verbatim
+        // (their added counts intact), so summing all data manifests
+        // would inflate every snapshot after the first. Manifests
+        // lacking the field — or attributed manifests lacking counts —
+        // make the actual side unknowable: report NULL actuals, never
+        // a zero that flags a truthful declaration as a lie.
+        val attributable = data.forall(_.addedSnapshotId.isDefined)
+        val mine = data.filter(_.addedSnapshotId.contains(snapId))
+        val counted = attributable && mine.forall(m =>
+          m.addedFiles.isDefined && m.addedRows.isDefined)
+        val actFiles =
+          if (counted) Some(mine.flatMap(_.addedFiles).sum) else None
+        val actRecords =
+          if (counted) Some(mine.flatMap(_.addedRows).sum) else None
+        (snapId, declFiles, declRecords, actFiles, actRecords,
+          for { d <- declFiles; a <- actFiles } yield d == a,
+          for { d <- declRecords; a <- actRecords } yield d == a)
+      }
+      .toDF("snapshot_id", "declared_added_files", "declared_added_records",
+        "actual_added_files", "actual_added_records",
+        "files_match", "records_match")
+  }
+
+  /**
+   * SORT-ORDER audit — the table's DECLARED write order
+   * (`sort-orders` / `default-sort-order-id`, the metadata surface
+   * engines consult before skipping a re-sort) verified against what
+   * the data files' OWN footer statistics say: one row per live data
+   * file with the default order's rendering, the file's min/max on the
+   * order's first key, and `in_order` — whether the file's key
+   * interval stays clear of every earlier interval when files are laid
+   * out by ascending min (the cumulative-max window form: O(n log n),
+   * never a pairwise self-join — a 100k-file table must not pay n²;
+   * the comparison is non-strict, so duplicate keys spanning a file
+   * boundary still audit as sorted, matching [[MetaPrune.sortAudit]]).
+   * A table actually written in its declared order has disjoint file
+   * intervals whichever direction it sorts; an out-of-order file
+   * flags itself AND the files it collides with (honest interval
+   * math). Files whose stats are missing report NULL `in_order` — no
+   * evidence, never assumed sorted.
+   *
+   * Live data files are matched to footers by file NAME (iceberg
+   * writers name data files uniquely — UUID-suffixed); the footer walk
+   * covers the table's `data/` subtree. REFUSES when the metadata
+   * declares no sort-orders / default id, the default id dangles, the
+   * default order is the unsorted one (order-id 0, no fields), its
+   * first field is not an identity transform (a transform's order is
+   * not measurable from column stats), or the source-id is unknown.
+   */
+  def sortOrderAudit(spark: SparkSession, table: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    val fieldsById = currentSchemaFieldsById(mf, node)
+    val defaultId = Option(node.get("default-sort-order-id"))
+      .map(_.asInt()).getOrElse(
+        throw new IllegalArgumentException(
+          s"$mf: no default-sort-order-id — the table declares no " +
+            "write order to audit"))
+    val orders = Option(node.get("sort-orders"))
+      .map(_.elements().asScala.toSeq).getOrElse(
+        throw new IllegalArgumentException(
+          s"$mf: no sort-orders list — the table declares no write " +
+            "order to audit"))
+    val order = orders.find(o =>
+      req(o, "order-id", mf).asInt() == defaultId).getOrElse(
+      throw new IllegalArgumentException(
+        s"$mf: default-sort-order-id $defaultId names no declared " +
+          s"sort order (declared: ${orders.map(o =>
+            req(o, "order-id", mf).asInt()).mkString(", ")})"))
+    val fields = Option(order.get("fields"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .map { f =>
+        val sid = req(f, "source-id", mf).asInt()
+        val name = fieldsById.getOrElse(sid,
+          throw new IllegalArgumentException(
+            s"$mf: sort order $defaultId references field id $sid " +
+              "which the current schema does not declare"))._1
+        (req(f, "transform", mf).asText(), name,
+          req(f, "direction", mf).asText(),
+          req(f, "null-order", mf).asText())
+      }
+    if (fields.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$mf: default sort order $defaultId is the unsorted order — " +
+          "nothing to audit")
+    }
+    val (transform, keyName, _, _) = fields.head
+    if (transform != "identity") {
+      throw new UnsupportedOperationException(
+        s"$mf: sort order $defaultId leads with transform " +
+          s"'$transform' — only identity order is measurable from " +
+          "column statistics, refusing rather than mis-auditing")
+    }
+    val sortCsv = fields.map { case (t, n, d, no) => s"$t($n) $d $no" }
+      .mkString(",")
+    val liveNames = currentFiles(spark, table)
+      .filter(col("status") =!= 2 && col("content") === 0)
+      .select(element_at(split(col("abs_path"), "/"), -1).as("file"))
+      .distinct()
+    import org.apache.spark.sql.graft.ColumnBridge
+    val decode = (c: org.apache.spark.sql.Column) => ColumnBridge.column(
+      graft.functions.PlainStatLong(
+        ColumnBridge.expression(c), ColumnBridge.expression(col("type"))))
+    val perFile = spark.read.format("metadata")
+      .option("level", "column").option("footercache", "false")
+      .load(new Path(root, "data").toString)
+      .filter(col("path") === keyName)
+      .select(element_at(split(col("filepath"), "/"), -1).as("file"),
+        decode(col("statistics.min_value")).as("mn"),
+        decode(col("statistics.max_value")).as("mx"))
+      .groupBy(col("file"))
+      .agg(min(col("mn")).as("file_min"), max(col("mx")).as("file_max"),
+        (count(lit(1)) === count(col("mn")) &&
+          count(lit(1)) === count(col("mx"))).as("bounded"))
+      .join(liveNames, Seq("file"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("file_min"), col("file_max"), col("file"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perFile
+      .withColumn("prev_cummax", max(when(col("bounded"), col("file_max")))
+        .over(w))
+      .select(col("file"),
+        lit(defaultId).as("sort_order_id"),
+        lit(sortCsv).as("sort_csv"),
+        when(col("bounded"), col("file_min")).as("file_min"),
+        when(col("bounded"), col("file_max")).as("file_max"),
+        when(!col("bounded"), lit(null).cast("boolean"))
+          .when(col("prev_cummax").isNull, lit(true))
+          .otherwise(col("file_min") >= col("prev_cummax")).as("in_order"))
+  }
+
+  /**
+   * METADATA-LOG audit — the current metadata's `metadata-log` lineage
+   * (previous metadata files with their commit times, the chain
+   * metadata time travel walks): one row per entry with `exists` on
+   * disk — a listed-but-deleted file breaks every rollback/time-travel
+   * that needs it, and surfacing the hole beats failing mid-walk.
+   * Refuses when the current metadata lists no lineage at all.
+   */
+  def metadataLogReport(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (root, fs, mf, node) = currentMetadataNode(spark, table)
+    import scala.jdk.CollectionConverters._
+    val entries = Option(node.get("metadata-log"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { e =>
+        (req(e, "timestamp-ms", mf).asLong(),
+          req(e, "metadata-file", mf).asText())
+      }
+    if (entries.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: current metadata ($mf) lists no metadata-log lineage")
+    }
+    entries.map { case (ts, file) =>
+      val p = resolve(root, file)
+      (p.getName, ts, fs.exists(p))
+    }.toDF("filename", "timestamp_ms", "exists")
+  }
+}
