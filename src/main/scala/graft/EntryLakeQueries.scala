@@ -1059,6 +1059,54 @@ private[graft] object EntryLakeQueries {
           col("bytes"))
     }),
 
+    // EXPIRY + STATISTICS: expire_snapshots also deletes statistics /
+    // partition-statistics files keyed to expired snapshots — the
+    // fixture attaches a puffin + partition-stats parquet to the
+    // expired snap 1 (both must land in the plan, kind=statistics) and
+    // a puffin to the surviving snap 2 (must not). Oracle: the expiry
+    // closed form plus the declared stats entries from the same JSON.
+    "meta_iceberg_expiry_stats" -> ((s, dir) => {
+      val out = "/tmp/graft_icexps_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeExpiryStatsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.expiryPlan(s, out, 1700000000500L)
+        .select(col("kind"),
+          regexp_extract(col("object"), "([^/]+)$", 1).as("object"),
+          col("bytes"))
+    }),
+
+    // ICEBERG SNAPSHOT-LOG audit: the (timestamp, snapshot-id) history
+    // TIMESTAMP AS OF walks — the fixture plants a dangling entry
+    // (expired snapshot 99) whose timestamp also steps backward, so
+    // both listed=false and monotone=false must surface. Oracle:
+    // DuckDB parses the same snapshot-log with the same window.
+    "meta_iceberg_snapshot_log" -> ((s, dir) => {
+      val out = "/tmp/graft_icesnlog_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeSnapshotLogFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.snapshotLogReport(s, out)
+    }),
+
+    // ICEBERG READ AT A NAMED REF (VERSION AS OF branch/tag): the refs
+    // map resolves each name to its pinned snapshot; live data files
+    // census per ref — the v1 tag must see the PRE-overwrite file set.
+    // Oracle: writer-contract file sets per ref, rows from the files'
+    // own footers.
+    "meta_iceberg_ref_read" -> ((s, dir) => {
+      val out = "/tmp/graft_icerefrd_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeRefsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      def one(ref: String) = IcebergMeta.filesAtRef(s, out, ref)
+        .filter(col("status") =!= 2 && col("content") === 0)
+        .select(lit(ref).as("ref"),
+          regexp_extract(col("abs_path"), "([^/]+)$", 1).as("file"),
+          col("record_count"))
+      one("main").unionByName(one("v1"))
+    }),
+
     // ICEBERG INCREMENTAL APPEND SCAN: files the snapshots in (1, 2]
     // ADDED, from snap-2's own manifest list by added_snapshot_id
     // attribution — the reused snap-1 manifest contributes nothing,
@@ -1857,6 +1905,70 @@ private[graft] object EntryLakeQueries {
         |UNION ALL
         |SELECT 'data_file', parse_filename(filename), CAST(size AS BIGINT)
         |FROM read_blob('/tmp/graft_icecomp_sf0.01/data/f[01].parquet')""".stripMargin,
+
+    "meta_iceberg_expiry_stats" ->
+      """SELECT 'snapshot' AS kind, '1' AS object, CAST(-1 AS BIGINT) AS bytes
+        |UNION ALL
+        |SELECT 'manifest_list', 'snap-1.avro', CAST(size AS BIGINT)
+        |FROM read_blob('/tmp/graft_icexps_sf0.01/metadata/snap-1.avro')
+        |UNION ALL
+        |SELECT 'manifest', 'm0.avro', CAST(size AS BIGINT)
+        |FROM read_blob('/tmp/graft_icexps_sf0.01/metadata/m0.avro')
+        |UNION ALL
+        |SELECT 'data_file', parse_filename(filename), CAST(size AS BIGINT)
+        |FROM read_blob('/tmp/graft_icexps_sf0.01/data/f[01].parquet')
+        |UNION ALL
+        |-- the declared stats entries of EXPIRED snapshot 1 only (the
+        |-- snap-2 puffin survives with its snapshot); the two lists
+        |-- extract separately — their struct shapes differ
+        |SELECT 'statistics', parse_filename(s."statistics-path"),
+        |  CAST(s."file-size-in-bytes" AS BIGINT)
+        |FROM (SELECT unnest(statistics) AS s FROM read_json_auto(
+        |  '/tmp/graft_icexps_sf0.01/metadata/v1.metadata.json')) t
+        |WHERE CAST(t.s."snapshot-id" AS BIGINT) = 1
+        |UNION ALL
+        |SELECT 'statistics', parse_filename(p."statistics-path"),
+        |  CAST(p."file-size-in-bytes" AS BIGINT)
+        |FROM (SELECT unnest("partition-statistics") AS p FROM read_json_auto(
+        |  '/tmp/graft_icexps_sf0.01/metadata/v1.metadata.json')) t
+        |WHERE CAST(t.p."snapshot-id" AS BIGINT) = 1""".stripMargin,
+
+    "meta_iceberg_snapshot_log" ->
+      """WITH m AS (SELECT * FROM read_json_auto(
+        |  '/tmp/graft_icesnlog_sf0.01/metadata/v1.metadata.json')),
+        |log AS (
+        |  SELECT CAST(e."snapshot-id" AS BIGINT) AS snapshot_id,
+        |    CAST(e."timestamp-ms" AS BIGINT) AS timestamp_ms,
+        |    CAST(row_number() OVER () - 1 AS BIGINT) AS idx
+        |  FROM (SELECT unnest("snapshot-log") AS e FROM m) t
+        |),
+        |snaps AS (
+        |  SELECT CAST(s."snapshot-id" AS BIGINT) AS sid
+        |  FROM (SELECT unnest(snapshots) AS s FROM m) t
+        |)
+        |SELECT idx, snapshot_id, timestamp_ms,
+        |  snapshot_id IN (SELECT sid FROM snaps) AS listed,
+        |  snapshot_id = (SELECT CAST("current-snapshot-id" AS BIGINT)
+        |    FROM m) AS is_current,
+        |  coalesce(timestamp_ms >= lag(timestamp_ms) OVER (ORDER BY idx),
+        |    TRUE) AS monotone
+        |FROM log""".stripMargin,
+
+    "meta_iceberg_ref_read" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS file,
+        |    CAST(num_rows AS BIGINT) AS record_count
+        |  FROM parquet_file_metadata(
+        |    '/tmp/graft_icerefrd_sf0.01/data/f[0-5].parquet')
+        |)
+        |-- writer contract: the v1 tag pins snap 1 (m0: f0-f2); main
+        |-- pins the current snap 2 whose live data files are f0-f4
+        |SELECT 'v1' AS ref, file, record_count FROM fm
+        |WHERE file IN ('f0.parquet', 'f1.parquet', 'f2.parquet')
+        |UNION ALL
+        |SELECT 'main', file, record_count FROM fm
+        |WHERE file IN ('f0.parquet', 'f1.parquet', 'f2.parquet',
+        |  'f3.parquet', 'f4.parquet')""".stripMargin,
 
     "meta_iceberg_incremental" ->
       """WITH appended AS (

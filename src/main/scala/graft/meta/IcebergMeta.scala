@@ -505,6 +505,36 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
     filesFromManifestList(spark, root, current.manifestList)
   }
 
+  /**
+   * VERSION AS OF a NAMED REF — [[filesAt]] resolved through the
+   * metadata's `refs` map (branches and tags both pin a snapshot-id;
+   * the spec's implicit `main` of a refs-less table is the current
+   * snapshot). Refuses when the ref is unknown (declared refs named)
+   * and, via [[filesAt]], when the ref DANGLES on an expired snapshot
+   * (surviving ids named) — a dangling ref must never silently fall
+   * back to current.
+   */
+  def filesAtRef(
+      spark: SparkSession, table: String, ref: String): DataFrame = {
+    val (_, _, mf, node) = currentMetadataNode(spark, table)
+    import scala.jdk.CollectionConverters._
+    val refs: Map[String, Long] =
+      Option(node.get("refs")).filter(_.isObject).map { r =>
+        r.properties().asScala
+          .map(e => e.getKey -> req(e.getValue, "snapshot-id", mf).asLong())
+          .toMap
+      }.getOrElse(Map.empty)
+    val snapId = refs.get(ref).orElse {
+      if (ref == "main" && refs.isEmpty)
+        Option(node.get("current-snapshot-id")).map(_.asLong())
+      else None
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$table: no ref '$ref' (declared: " +
+        s"${(refs.keys.toSeq ++
+          (if (refs.isEmpty) Seq("main") else Nil)).sorted.mkString(", ")})"))
+    filesAt(spark, table, Some(snapId))
+  }
+
   /** Format versions 1–3 census faithfully (v3 deletion vectors
     * decode through [[PuffinCodec]]; their manifest `record_count` is
     * the DV cardinality, so count subtraction stays exact and

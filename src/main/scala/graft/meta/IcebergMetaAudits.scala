@@ -150,7 +150,7 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
    * holds: branches/tags retain their snapshots regardless of age),
    * and exactly what their removal
    * frees. One row per deletable object, `kind` ∈
-   * `snapshot | manifest_list | manifest | data_file`:
+   * `snapshot | manifest_list | manifest | data_file | statistics`:
    *
    *  - expired snapshots and their manifest-list files;
    *  - manifests referenced ONLY by expired snapshots (a manifest a
@@ -158,7 +158,10 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
    *  - files referenced ONLY by expired snapshots — the compaction
    *    leftovers expiry exists to reclaim; computed as
    *    `refs(expired) \ refs(surviving)` with one manifest-decode task
-   *    per manifest on each side, the [[orphanFiles]] fan-out.
+   *    per manifest on each side, the [[orphanFiles]] fan-out;
+   *  - `statistics` / `partition-statistics` files keyed to expired
+   *    snapshots (expire_snapshots deletes them too — left behind they
+   *    are sketches no surviving snapshot can reach).
    *
    * Refuses when nothing expires (an empty plan reads as "safe to run"
    * when the real answer is "the cutoff matched nothing") and when the
@@ -181,13 +184,14 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
     // spec's retention walks refs first. (Ref-specific max-age
     // policies are a catalog concern; the filesystem plan protects
     // every named ref.)
-    val refHeld: Set[Long] = {
+    val metaNode = {
       val in = fs.open(mf)
-      val node =
-        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-        finally in.close()
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    }
+    val refHeld: Set[Long] = {
       import scala.jdk.CollectionConverters._
-      Option(node.get("refs")).filter(_.isObject).map { refs =>
+      Option(metaNode.get("refs")).filter(_.isObject).map { refs =>
         refs.properties().asScala
           .map(e => req(e.getValue, "snapshot-id", mf).asLong()).toSet
       }.getOrElse(Set.empty)
@@ -230,13 +234,35 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
     val deadFiles = refs(deadManifests.keys.toSeq, liveOnly = false)
       .join(refs(survivingManifests.keys.toSeq, liveOnly = true)
         .select(col("path")), Seq("path"), "left_anti")
+    // expire_snapshots also deletes the STATISTICS files keyed to
+    // expired snapshots (`statistics` / `partition-statistics` entries
+    // carry a snapshot-id): leaving them behind strands Puffin
+    // sketches and partition rollups no surviving snapshot can reach.
+    // Declared file-size-in-bytes is authoritative when present.
+    val statsRows = {
+      import scala.jdk.CollectionConverters._
+      val expiredIds = expired.map(_.snapshotId).toSet
+      Seq("statistics", "partition-statistics").flatMap { key =>
+        Option(metaNode.get(key)).map(_.elements().asScala.toSeq)
+          .getOrElse(Seq.empty)
+          .filter(e => expiredIds.contains(req(e, "snapshot-id", mf).asLong()))
+          .map { e =>
+            val p = resolve(root, req(e, "statistics-path", mf).asText())
+            ("statistics", p.toString,
+              Option(e.get("file-size-in-bytes")).map(_.asLong()).getOrElse(
+                try fs.getFileStatus(p).getLen
+                catch { case _: Exception => -1L }))
+          }
+      }
+    }
     val snapRows = expired.map { s =>
       ("snapshot", s.snapshotId.toString, -1L)
     } ++ expired.map { s =>
       val ml = resolve(root, s.manifestList)
       ("manifest_list", ml.toString,
         try fs.getFileStatus(ml).getLen catch { case _: Exception => -1L })
-    } ++ deadManifests.toSeq.map { case (p, len) => ("manifest", p, len) }
+    } ++ deadManifests.toSeq.map { case (p, len) => ("manifest", p, len) } ++
+      statsRows
     snapRows.toDF("kind", "object", "bytes")
       .unionByName(deadFiles
         .select(lit("data_file").as("kind"), col("path").as("object"),
@@ -668,6 +694,42 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
         when(!col("bounded"), lit(null).cast("boolean"))
           .when(col("prev_cummax").isNull, lit(true))
           .otherwise(col("file_min") >= col("prev_cummax")).as("in_order"))
+  }
+
+  /**
+   * SNAPSHOT-LOG audit — the metadata's `snapshot-log` (the
+   * (timestamp, snapshot-id) history TIMESTAMP AS OF walks): one row
+   * per entry in log order with `listed` (the id still resolves in the
+   * snapshots list — expiry normally trims the log with the snapshot,
+   * so a DANGLING entry sends time travel to a snapshot that no longer
+   * exists) and `monotone` (timestamps non-decreasing — a clock-skewed
+   * entry makes the binary search engines run over this log return the
+   * wrong snapshot silently). First entry is vacuously monotone.
+   * Refuses when the metadata carries no snapshot-log.
+   */
+  def snapshotLogReport(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (_, _, mf, node) = currentMetadataNode(spark, table)
+    import scala.jdk.CollectionConverters._
+    val entries = Option(node.get("snapshot-log"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { e =>
+        (req(e, "timestamp-ms", mf).asLong(),
+          req(e, "snapshot-id", mf).asLong())
+      }
+    if (entries.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: current metadata ($mf) carries no snapshot-log — " +
+          "nothing to audit")
+    }
+    val listed = Option(node.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .map(s => req(s, "snapshot-id", mf).asLong()).toSet
+    val current = Option(node.get("current-snapshot-id")).map(_.asLong())
+    entries.zipWithIndex.map { case ((ts, id), i) =>
+      (i.toLong, id, ts, listed.contains(id), current.contains(id),
+        i == 0 || entries(i - 1)._1 <= ts)
+    }.toDF("idx", "snapshot_id", "timestamp_ms", "listed", "is_current",
+      "monotone")
   }
 
   /**

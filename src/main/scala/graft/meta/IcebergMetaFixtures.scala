@@ -945,6 +945,58 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
   }
 
   /**
+   * The compacted fixture plus STATISTICS files on both snapshots:
+   * `metadata/stats-1.puffin` + `metadata/partition-stats-1.parquet`
+   * keyed to the EXPIRED snap 1 (both must land in the expiry plan as
+   * `kind=statistics`) and `metadata/stats-2.puffin` keyed to the
+   * surviving snap 2 (must NOT). Declared `file-size-in-bytes` match
+   * the real files. Returns per-data-file row counts.
+   */
+  def writeExpiryStatsFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeCompactedFixtureTable(spark, dir, docs)
+    val metaDir = new java.io.File(dir, "metadata")
+    val s1 = new java.io.File(metaDir, "stats-1.puffin")
+    val s2 = new java.io.File(metaDir, "stats-2.puffin")
+    PuffinCodec.writePuffinFile(s1, Seq(
+      (PuffinCodec.ThetaV1, Map("ndv" -> "7"),
+        PuffinCodec.encodeThetaSketchExact(7L))),
+      snapshotId = 1L, sequenceNumber = 1L)
+    PuffinCodec.writePuffinFile(s2, Seq(
+      (PuffinCodec.ThetaV1, Map("ndv" -> "9"),
+        PuffinCodec.encodeThetaSketchExact(9L))),
+      snapshotId = 2L, sequenceNumber = 2L)
+    val ps1 = new java.io.File(metaDir, "partition-stats-1.parquet")
+    locally {
+      import spark.implicits._
+      FixtureIO.writeSingleParquet(
+        Seq((1L, counts("f0.parquet") + counts("f1.parquet")))
+          .toDF("snapshot_id", "row_count"),
+        ps1, dir + "_pstmp")
+    }
+    val mf = new java.io.File(metaDir, "v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val marker = "\"current-snapshot-id\":2,"
+    require(txt.contains(marker), s"fixture metadata missing '$marker'")
+    val statsJson =
+      s""""statistics":[
+         |{"snapshot-id":1,"statistics-path":"metadata/stats-1.puffin",
+         | "file-size-in-bytes":${s1.length()},"blob-metadata":[]},
+         |{"snapshot-id":2,"statistics-path":"metadata/stats-2.puffin",
+         | "file-size-in-bytes":${s2.length()},"blob-metadata":[]}],
+         |"partition-statistics":[
+         |{"snapshot-id":1,
+         | "statistics-path":"metadata/partition-stats-1.parquet",
+         | "file-size-in-bytes":${ps1.length()}}],"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace(marker, marker + statsJson)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
+  /**
    * A table whose PARTITION SPEC EVOLVED: snap 1 (m0, spec 0 —
    * unpartitioned) adds `f0`/`f1`; snap 2 (current) keeps m0 and adds
    * m1 under spec 1 (`lang` identity) with `p0`/`p1`. The metadata
@@ -1214,6 +1266,33 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
         .stripMargin.replace("\n", "")
     java.nio.file.Files.write(mf.toPath,
       txt.replace(marker, marker + statsJson)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
+  /**
+   * The base fixture plus a `snapshot-log`: the real snaps 1 and 2 in
+   * commit order, then a third entry pointing at EXPIRED snapshot 99
+   * whose timestamp also steps BACKWARD — the dangling + non-monotone
+   * shapes [[snapshotLogReport]] must surface. Returns per-data-file
+   * row counts.
+   */
+  def writeSnapshotLogFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeFixtureTable(spark, dir, docs)
+    val mf = new java.io.File(dir, "metadata/v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val marker = "\"current-snapshot-id\":2,"
+    require(txt.contains(marker), s"fixture metadata missing '$marker'")
+    val log =
+      """"snapshot-log":[
+        |{"timestamp-ms":1700000000000,"snapshot-id":1},
+        |{"timestamp-ms":1700000001000,"snapshot-id":2},
+        |{"timestamp-ms":1700000000500,"snapshot-id":99}],"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace(marker, marker + log)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     counts
   }

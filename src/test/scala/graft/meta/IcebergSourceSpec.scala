@@ -1112,6 +1112,62 @@ class IcebergSourceSpec extends SparkSpec {
     assert(causeMessages(eMix).contains("MIXED"))
   }
 
+  test("snapshot-log audit: dangling + non-monotone entries surface") {
+    val d = Files.createTempDirectory("graft_ice_snlog").toString + "/tbl"
+    IcebergMeta.writeSnapshotLogFixtureTable(spark, d, docs)
+    val rows = IcebergMeta.snapshotLogReport(spark, d).orderBy("idx")
+      .collect().map(r => (r.getLong(1), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.toSeq === Seq(
+      (1L, true, false, true),   // listed, not current, vacuously monotone
+      (2L, true, true, true),    // listed, current, forward in time
+      (99L, false, false, false))) // dangling AND clock-skewed
+    // a log-less table refuses — nothing to audit
+    val eNone = intercept[Exception](
+      IcebergMeta.snapshotLogReport(spark, table).collect())
+    assert(causeMessages(eNone).contains("no snapshot-log"))
+  }
+
+  test("expiry plan reclaims expired snapshots' statistics files") {
+    val d = Files.createTempDirectory("graft_ice_xps").toString + "/tbl"
+    IcebergMeta.writeExpiryStatsFixtureTable(spark, d, docs)
+    val stats = IcebergMeta.expiryPlan(spark, d, 1700000000500L).collect()
+      .filter(_.getString(0) == "statistics")
+      .map(r => new Path(r.getString(1)).getName -> r.getLong(2)).toMap
+    // snap 1's puffin AND partition-stats land with their declared
+    // sizes; snap 2's puffin survives with its snapshot
+    assert(stats.keySet === Set("stats-1.puffin",
+      "partition-stats-1.parquet"))
+    assert(stats.values.forall(_ > 0L))
+    assert(stats("stats-1.puffin") ===
+      new java.io.File(d, "metadata/stats-1.puffin").length())
+  }
+
+  test("filesAtRef: branch/tag reads, implicit main, refusals") {
+    val d = Files.createTempDirectory("graft_ice_refread").toString + "/tbl"
+    IcebergMeta.writeRefsFixtureTable(spark, d, docs)
+    def live(ref: String): Set[String] =
+      IcebergMeta.filesAtRef(spark, d, ref)
+        .filter(col("status") =!= 2 && col("content") === 0)
+        .collect().map(r => new Path(r.getAs[String]("abs_path")).getName)
+        .toSet
+    // the v1 tag sees the PRE-overwrite file set; main the current one
+    assert(live("v1") === Set("f0.parquet", "f1.parquet", "f2.parquet"))
+    assert(live("main") === Set("f0.parquet", "f1.parquet", "f2.parquet",
+      "f3.parquet", "f4.parquet"))
+    // a DANGLING ref (stale -> expired 99) refuses via filesAt, never
+    // silently falls back to current
+    val eStale = intercept[Exception](
+      IcebergMeta.filesAtRef(spark, d, "stale").collect())
+    assert(causeMessages(eStale).contains("no snapshot 99"))
+    // an unknown ref refuses with the declared names
+    val eRef = intercept[Exception](IcebergMeta.filesAtRef(spark, d, "dev"))
+    assert(causeMessages(eRef).contains("no ref 'dev'"))
+    // a refs-less table still serves the spec's implicit main
+    assert(IcebergMeta.filesAtRef(spark, table, "main")
+      .filter(col("status") =!= 2 && col("content") === 0).count() === 5L)
+  }
+
   test("sort-order audit: declared order vs footer intervals") {
     val d = Files.createTempDirectory("graft_ice_sort").toString + "/tbl"
     IcebergMeta.writeSortOrderFixtureTable(spark, d, docs)
