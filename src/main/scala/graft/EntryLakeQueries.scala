@@ -1182,6 +1182,22 @@ private[graft] object EntryLakeQueries {
           col("record_count"), col("eq_deleted"), col("net_rows"))
     }),
 
+    // ICEBERG MERGED census: BOTH v2 delete shapes live at once (the
+    // state positionDeleteRows refuses and equalityNetCensus ignores
+    // by contract) — distinct positions removed by EITHER shape,
+    // counted once on overlap: f0 loses eq keys AND positions {0,5}
+    // where 0 overlaps an eq match and 5 is position-only evidence.
+    // Oracle: DuckDB unions the same eq joins with the position rows.
+    "meta_iceberg_merged_census" -> ((s, dir) => {
+      val out = "/tmp/graft_icemrg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeMergedDeleteFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.mergedNetCensus(s, out)
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("record_count"), col("deleted"), col("net_rows"))
+    }),
+
     // ICEBERG PARTITION-SCOPED equality deletes: a delete written
     // under a partitioned spec applies ONLY within its partition —
     // the fixture plants the SAME key values in two lang partitions,
@@ -2066,6 +2082,44 @@ private[graft] object EntryLakeQueries {
         |    coalesce(d.lang, 'NULL'))
         |FROM data d JOIN e1 ON d.doc_id IS NOT DISTINCT FROM e1.doc_id
         |  AND d.lang IS NOT DISTINCT FROM e1.lang""".stripMargin,
+
+    "meta_iceberg_merged_census" ->
+      """WITH data AS (
+        |  SELECT parse_filename(filename) AS file,
+        |    file_row_number AS pos, doc_id, lang
+        |  FROM read_parquet('/tmp/graft_icemrg_sf0.01/data/f[01].parquet',
+        |    filename=true, file_row_number=true)
+        |),
+        |e0 AS (SELECT DISTINCT doc_id
+        |  FROM read_parquet('/tmp/graft_icemrg_sf0.01/data/eq0.parquet')),
+        |e1 AS (SELECT DISTINCT doc_id, lang
+        |  FROM read_parquet('/tmp/graft_icemrg_sf0.01/data/eq1.parquet')),
+        |pd AS (SELECT parse_filename(file_path) AS file, pos
+        |  FROM read_parquet('/tmp/graft_icemrg_sf0.01/data/pd0.parquet')),
+        |matched AS (
+        |  SELECT DISTINCT file, pos FROM data d
+        |  JOIN e0 ON d.doc_id IS NOT DISTINCT FROM e0.doc_id
+        |  UNION
+        |  SELECT DISTINCT file, pos FROM data d
+        |  JOIN e1 ON d.doc_id IS NOT DISTINCT FROM e1.doc_id
+        |    AND d.lang IS NOT DISTINCT FROM e1.lang
+        |  UNION
+        |  SELECT file, pos FROM pd
+        |),
+        |deleted AS (
+        |  SELECT file, CAST(count(*) AS BIGINT) AS deleted
+        |  FROM matched GROUP BY 1
+        |),
+        |files AS (
+        |  SELECT parse_filename(file_name) AS file,
+        |    CAST(num_rows AS BIGINT) AS record_count
+        |  FROM parquet_file_metadata(
+        |    '/tmp/graft_icemrg_sf0.01/data/f[0-2].parquet')
+        |)
+        |SELECT f.file, f.record_count,
+        |  coalesce(d.deleted, 0) AS deleted,
+        |  f.record_count - coalesce(d.deleted, 0) AS net_rows
+        |FROM files f LEFT JOIN deleted d ON d.file = f.file""".stripMargin,
 
     "meta_iceberg_sort_order" ->
       """WITH m AS (SELECT * FROM read_json_auto(

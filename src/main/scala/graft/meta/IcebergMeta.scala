@@ -604,7 +604,15 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
    * (manifest-entry scale — the v2 parquet path list needs it anyway),
    * collected in a single manifest walk.
    */
-  def positionDeleteRows(spark: SparkSession, table: String): DataFrame = {
+  def positionDeleteRows(spark: SparkSession, table: String): DataFrame =
+    positionDeleteRowsImpl(spark, table, allowEquality = false)
+
+  /** [[positionDeleteRows]] body; `allowEquality = true` is the
+    * [[mergedNetCensus]] composition path, where equality deletes are
+    * resolved by their own scan instead of refused. */
+  private def positionDeleteRowsImpl(
+      spark: SparkSession, table: String,
+      allowEquality: Boolean): DataFrame = {
     import spark.implicits._
     val live = currentFiles(spark, table).filter(col("status") =!= 2)
     val dels = live.filter(col("content") =!= 0)
@@ -614,14 +622,15 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
     // (3 small fields per entry — manifest-entry scale, the same
     // driver boundary the v2 parquet path list needs anyway); the DV
     // PAYLOADS never visit the driver
-    val delMeta = dels
+    val delMetaAll = dels
       .select(col("content"), isDv.as("is_dv"), col("abs_path")).collect()
-    if (delMeta.exists(_.getInt(0) == 2)) {
+    if (!allowEquality && delMetaAll.exists(_.getInt(0) == 2)) {
       throw new UnsupportedOperationException(
         s"$table: equality delete files are live — their deleted rows " +
           "resolve only through a data scan (equalityDeleteRows); " +
           "refusing a partial position audit")
     }
+    val delMeta = delMetaAll.filter(_.getInt(0) != 2)
     val empty = Seq.empty[(String, Long)].toDF("data_path", "pos")
     // BOTH legs render data_path through the same resolve(root, _)
     // rule: a relocated table's delete rows must join its live
@@ -632,8 +641,15 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
       p.getFileSystem(hconf).makeQualified(p)
     }
     val rootPrefix = tableRoot.toString
+    // a scheme-less absolute path (the shape local writers embed in v2
+    // position-delete rows) must gain the root's scheme, or it never
+    // joins the qualified abs_path/_metadata rendering and the delete
+    // silently stops subtracting
+    val scheme = rootPrefix.substring(0,
+      math.max(0, rootPrefix.indexOf(":/") + 1))
     def resolved(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(c.contains("://") || c.startsWith("/"), c)
+      when(c.contains(":/"), c) // already scheme-qualified (file:/, s3a://)
+        .when(c.startsWith("/"), concat(lit(scheme), c))
         .otherwise(concat(lit(rootPrefix + "/"), c))
     // v2 shape: position-delete PARQUET files carry (file_path, pos)
     // rows themselves — a distributed parquet scan
@@ -767,7 +783,7 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
    * whose scope is empty are dropped (nothing to delete from).
    */
   private def eqDeleteGroups(
-      spark: SparkSession, table: String):
+      spark: SparkSession, table: String, requireLive: Boolean = true):
       Seq[(Seq[String], DataFrame, Seq[String])] = {
     val (_, _, mf, node) = currentMetadataNode(spark, table)
     val fieldsById = currentSchemaFieldsById(mf, node)
@@ -781,6 +797,7 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
         if (r.isNullAt(3)) None else Some(r.getLong(3)),
         r.getMap[String, String](4).toSeq.sortBy(_._1)))
     if (eqEntries.isEmpty) {
+      if (!requireLive) return Seq.empty
       throw new IllegalArgumentException(
         s"$table: no equality delete files are live — nothing to resolve")
     }
@@ -899,9 +916,11 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
    * Emits one row per (matched data row, matching group):
    * `(data_path, pos, eq_cols, key_csv)`.
    */
-  private def eqMatchedRows(spark: SparkSession, table: String): DataFrame = {
+  private def eqMatchedRows(
+      spark: SparkSession, table: String,
+      requireLive: Boolean = true): DataFrame = {
     import spark.implicits._
-    val groups = eqDeleteGroups(spark, table).zipWithIndex.map {
+    val groups = eqDeleteGroups(spark, table, requireLive).zipWithIndex.map {
       case ((names, delKeys, inScope), gid) => (gid, names, delKeys, inScope)
     }
     if (groups.isEmpty) {
@@ -964,6 +983,44 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
       .select(col("data_path"), col("record_count"),
         coalesce(col("eq_deleted"), lit(0L)).as("eq_deleted"),
         (col("record_count") - coalesce(col("eq_deleted"), lit(0L)))
+          .as("net_rows"))
+  }
+
+  /**
+   * The MERGED net census — both v2 delete shapes at once, the table
+   * state neither single-shape path will touch ([[positionDeleteRows]]
+   * refuses live equality deletes; [[equalityNetCensus]] ignores
+   * position deletes by contract): one row per live data file with
+   * `record_count`, `deleted` = DISTINCT positions removed by EITHER
+   * shape (a row a position delete names AND an equality key matches
+   * is subtracted once), and `net_rows`. Position evidence comes from
+   * the position/DV legs ([[positionDeleteRowsImpl]]); equality
+   * evidence from the single tagged scan ([[eqMatchedRows]], empty
+   * when no equality delete is live). Refuses only when NO delete of
+   * either shape is live — an all-zero census reads as "verified
+   * clean" when the truth is "nothing to verify".
+   */
+  def mergedNetCensus(spark: SparkSession, table: String): DataFrame = {
+    val pos = positionDeleteRowsImpl(spark, table, allowEquality = true)
+    val eq = eqMatchedRows(spark, table, requireLive = false)
+      .select(col("data_path"), col("pos"))
+    val deleted = pos.unionByName(eq)
+      .dropDuplicates("data_path", "pos")
+      .groupBy(col("data_path"))
+      .agg(count(lit(1)).cast("long").as("deleted"))
+    val live = currentFiles(spark, table)
+      .filter(col("status") =!= 2)
+    if (live.filter(col("content") =!= 0).limit(1).count() == 0) {
+      throw new IllegalArgumentException(
+        s"$table: no delete files of either shape are live — nothing " +
+          "to merge; use the metadata-cost census instead")
+    }
+    live.filter(col("content") === 0)
+      .select(col("abs_path").as("data_path"), col("record_count"))
+      .join(deleted, Seq("data_path"), "left")
+      .select(col("data_path"), col("record_count"),
+        coalesce(col("deleted"), lit(0L)).as("deleted"),
+        (col("record_count") - coalesce(col("deleted"), lit(0L)))
           .as("net_rows"))
   }
 

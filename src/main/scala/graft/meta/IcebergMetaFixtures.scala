@@ -715,6 +715,69 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
   }
 
   /**
+   * The equality-delete fixture plus a POSITION delete in the same
+   * snapshot — the both-shapes table only [[mergedNetCensus]] serves:
+   * `pd0.parquet` (a real v2 position-delete parquet) removes f0's
+   * positions 0 and 5 — 0 ALSO dies to an equality key (the overlap a
+   * merged census must count once) while 5 dies to the position delete
+   * alone (the proof the merge adds evidence). Carried by a new delete
+   * manifest `m3.avro` appended to snap-2's manifest list at
+   * sequence 2. Returns per-data-file row counts.
+   */
+  def writeMergedDeleteFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val counts = writeEqDeleteFixtureTable(spark, dir, docs)
+    val dataDir = new java.io.File(dir, "data")
+    val metaDir = new java.io.File(dir, "metadata")
+    val f0Abs = new java.io.File(dataDir, "f0.parquet").getAbsolutePath
+    locally {
+      import spark.implicits._
+      FixtureIO.writeSingleParquet(
+        Seq((f0Abs, 0L), (f0Abs, 5L)).toDF("file_path", "pos"),
+        new java.io.File(dataDir, "pd0.parquet"), dir + "_pdtmp")
+    }
+    val m3 = new java.io.File(metaDir, "m3.avro")
+    locally {
+      val dfSchema = eqManifestSchema.getField("data_file").schema()
+      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
+      df.put("content", 1)
+      df.put("file_path", "data/pd0.parquet")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 2L)
+      df.put("file_size_in_bytes",
+        new java.io.File(dataDir, "pd0.parquet").length())
+      val e = new org.apache.avro.generic.GenericData.Record(eqManifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      writeAvro(m3, eqManifestSchema, Seq(e))
+    }
+    // append m3 to snap-2's manifest list (sequence 2, snapshot 2)
+    val ml = new java.io.File(metaDir, "snap-2.avro")
+    val reader = new org.apache.avro.file.DataFileReader(
+      ml, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val recs = new scala.collection.mutable.ArrayBuffer[
+      org.apache.avro.generic.GenericRecord]
+    while (reader.hasNext) recs += reader.next()
+    val mlSchema = reader.getSchema
+    reader.close()
+    val entry = new org.apache.avro.generic.GenericData.Record(mlSchema)
+    entry.put("manifest_path", "metadata/m3.avro")
+    entry.put("manifest_length", m3.length())
+    entry.put("partition_spec_id", 0)
+    entry.put("content", 1)
+    entry.put("sequence_number", 2L)
+    entry.put("added_snapshot_id", 2L)
+    entry.put("added_files_count", 1)
+    entry.put("existing_files_count", 0)
+    entry.put("deleted_files_count", 0)
+    entry.put("added_rows_count", 2L)
+    writeAvro(ml, mlSchema, recs.toSeq :+ entry)
+    counts
+  }
+
+  /**
    * A PARTITIONED format-v2 table with BOTH equality-delete scopes —
    * the over-deletion trap partition scoping exists to dodge: two
    * `lang` partitions (the first two langs of `docs`, sorted) whose

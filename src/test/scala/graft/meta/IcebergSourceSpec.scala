@@ -1112,6 +1112,31 @@ class IcebergSourceSpec extends SparkSpec {
     assert(causeMessages(eMix).contains("MIXED"))
   }
 
+  test("merged census: both delete shapes, overlap counted once") {
+    val d = Files.createTempDirectory("graft_ice_merged").toString + "/tbl"
+    IcebergMeta.writeMergedDeleteFixtureTable(spark, d, docs)
+    val rows = IcebergMeta.mergedNetCensus(spark, d).collect()
+      .map(r => new Path(r.getString(0)).getName ->
+        ((r.getLong(2), r.getLong(1) - r.getLong(3)))).toMap
+    // f0: eq positions {0,1,2,4} (docs 0,2 / 4,8) ∪ pd0's {0,5} — the
+    // overlap at 0 counts once, position-only 5 adds real evidence
+    assert(rows("f0.parquet") === (5L, 5L))
+    assert(rows("f1.parquet") === (1L, 1L)) // doc 1, eq only
+    assert(rows("f2.parquet") === (0L, 0L)) // out of every scope
+    // the single-shape paths keep their contracts on this table
+    val ePos = intercept[Exception](
+      IcebergMeta.positionDeleteRows(spark, d).collect())
+    assert(causeMessages(ePos).contains("equality delete files are live"))
+    assert(IcebergMeta.equalityNetCensus(spark, d).collect()
+      .map(r => r.getLong(2)).sum === 5L) // 4 + 1, no position evidence
+    // a table with NO deletes of either shape refuses
+    val d2 = Files.createTempDirectory("graft_ice_merged2").toString + "/tbl"
+    IcebergMeta.writeCompactedFixtureTable(spark, d2, docs)
+    val eNone = intercept[Exception](
+      IcebergMeta.mergedNetCensus(spark, d2).collect())
+    assert(causeMessages(eNone).contains("no delete files of either shape"))
+  }
+
   test("snapshot-log audit: dangling + non-monotone entries surface") {
     val d = Files.createTempDirectory("graft_ice_snlog").toString + "/tbl"
     IcebergMeta.writeSnapshotLogFixtureTable(spark, d, docs)
