@@ -1182,6 +1182,24 @@ private[graft] object EntryLakeQueries {
           col("record_count"), col("eq_deleted"), col("net_rows"))
     }),
 
+    // ICEBERG MANIFEST-BOUNDS pruning: the way iceberg engines plan
+    // scans — per-file lower/upper value bounds from the MANIFEST
+    // (single-value binary, decoded) answer a range predicate with
+    // zero footer reads; the bounds-less nb.parquet must survive (no
+    // evidence never prunes). Oracle: the fixture writes TRUTHFUL
+    // bounds, so DuckDB recomputes them from the files' own footer
+    // stats and applies the same interval rule — a real cross-engine
+    // check of the binary single-value decode.
+    "meta_iceberg_bounds_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_icebnd_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeBoundsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.manifestBoundsPrune(s, out, "doc_id", 100L, 200L)
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("lower"), col("upper"), col("survives"))
+    }),
+
     // ICEBERG MERGED census: BOTH v2 delete shapes live at once (the
     // state positionDeleteRows refuses and equalityNetCensus ignores
     // by contract) — distinct positions removed by EITHER shape,
@@ -2082,6 +2100,24 @@ private[graft] object EntryLakeQueries {
         |    coalesce(d.lang, 'NULL'))
         |FROM data d JOIN e1 ON d.doc_id IS NOT DISTINCT FROM e1.doc_id
         |  AND d.lang IS NOT DISTINCT FROM e1.lang""".stripMargin,
+
+    "meta_iceberg_bounds_prune" ->
+      """WITH st AS (
+        |  SELECT parse_filename(file_name) AS file,
+        |    min(CAST(stats_min_value AS BIGINT)) AS lower,
+        |    max(CAST(stats_max_value AS BIGINT)) AS upper
+        |  FROM parquet_metadata('/tmp/graft_icebnd_sf0.01/data/f[0-3].parquet')
+        |  WHERE path_in_schema = 'doc_id'
+        |  GROUP BY 1
+        |)
+        |-- writer contract: the manifest bounds equal the footer stats;
+        |-- nb.parquet carries no bounds and must survive any range
+        |SELECT file, lower, upper,
+        |  lower <= 200 AND upper >= 100 AS survives
+        |FROM st
+        |UNION ALL
+        |SELECT 'nb.parquet', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  TRUE""".stripMargin,
 
     "meta_iceberg_merged_census" ->
       """WITH data AS (

@@ -75,7 +75,12 @@ case class IcebergFileEntry(
     // the entry's own committing snapshot (spec r101 snapshot_id);
     // null means INHERIT the manifest-list entry's added_snapshot_id —
     // a compacted manifest keeps each entry's ORIGINAL committer here
-    snapshotId: Option[Long] = None)
+    snapshotId: Option[Long] = None,
+    // per-field value bounds (spec r126/r128 lower_bounds/upper_bounds,
+    // map<field id, single-value-serialized binary>) — the metrics
+    // iceberg scan planning prunes files BY, without opening a footer
+    lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+    upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
 /**
  * Iceberg metadata tier — the second table format above the raw-file
@@ -439,6 +444,37 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
               case _ => Map.empty[String, String]
             }
         }
+        // value bounds (r126/r128): avro renders map<int, binary> either
+        // as a true map (string keys) or the spec's array-of-(key,value)
+        // records — decode both; payloads stay raw single-value bytes
+        def boundsOf(name: String): Map[Int, Array[Byte]] = {
+          def toBytes(v: Any): Array[Byte] = v match {
+            case b: java.nio.ByteBuffer =>
+              val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+            case a: Array[Byte] => a
+            case other => throw new IllegalArgumentException(
+              s"$file: $name value is ${other.getClass.getName}, " +
+                "expected bytes")
+          }
+          if (df.getSchema.getField(name) == null) Map.empty
+          else Option(df.get(name)).map {
+            case l: java.util.List[_] =>
+              import scala.jdk.CollectionConverters._
+              l.asScala.map {
+                case kv: org.apache.avro.generic.GenericRecord =>
+                  kv.get("key").asInstanceOf[Number].intValue() ->
+                    toBytes(kv.get("value"))
+                case other => throw new IllegalArgumentException(
+                  s"$file: $name entry is ${other.getClass.getName}")
+              }.toMap
+            case m: java.util.Map[_, _] =>
+              import scala.jdk.CollectionConverters._
+              m.asScala.map { case (k, v) =>
+                k.toString.toInt -> toBytes(v)
+              }.toMap
+            case _ => Map.empty[Int, Array[Byte]]
+          }.getOrElse(Map.empty)
+        }
         out += IcebergFileEntry(
           status = r.get("status").asInstanceOf[Number].intValue(),
           content = contentOf(df),
@@ -452,7 +488,9 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
           contentSizeInBytes = cSize,
           equalityIds = eqIds,
           sequenceNumber = optLong(r, "sequence_number"),
-          snapshotId = optLong(r, "snapshot_id"))
+          snapshotId = optLong(r, "snapshot_id"),
+          lowerBounds = boundsOf("lower_bounds"),
+          upperBounds = boundsOf("upper_bounds"))
       }
       out.toSeq
     } finally {

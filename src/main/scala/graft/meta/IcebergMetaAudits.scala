@@ -696,6 +696,80 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
           .otherwise(col("file_min") >= col("prev_cummax")).as("in_order"))
   }
 
+  /** Decode a single-value-serialized bound (spec Appendix D) for an
+    * int/long field: 4 or 8 bytes little-endian. Any other width
+    * refuses — a misread bound silently prunes live data. */
+  private[meta] def boundLong(bytes: Array[Byte], where: String): Long =
+    bytes.length match {
+      case 8 => java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      case 4 => java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong
+      case n => throw new IllegalArgumentException(
+        s"$where: bound payload is $n bytes — not an int/long single " +
+          "value, refusing rather than mis-pruning")
+    }
+
+  /**
+   * MANIFEST-BOUNDS file pruning — the way iceberg engines actually
+   * plan scans: each manifest entry's `lower_bounds`/`upper_bounds`
+   * (map<field id, single-value binary>, spec r126/r128) answer "can
+   * this file hold `column` ∈ [lo, hi]?" WITHOUT opening a single
+   * footer. One row per live data file: the decoded bounds and
+   * `survives` — false only when the bounds PROVE disjointness; a file
+   * with no bounds for the field survives (no evidence never prunes,
+   * the spec's metrics contract). The manifest walk fans out one task
+   * per manifest; nothing data-sized visits the driver. Refuses when
+   * `column` is unknown or not an int/long (other single-value types
+   * need their own comparator — decoding them as integers would
+   * mis-prune).
+   */
+  def manifestBoundsPrune(
+      spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    import spark.implicits._
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    val byId = currentSchemaFieldsById(mf, node)
+    val fieldId = byId.collectFirst {
+      case (id, (n, _)) if n == column => id
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$table: no field '$column' in the current schema (known: " +
+        s"${byId.values.map(_._1).toSeq.sorted.mkString(", ")})"))
+    val tpe = byId(fieldId)._2
+    if (tpe != "long" && tpe != "int") {
+      throw new UnsupportedOperationException(
+        s"$table: field '$column' is $tpe — only int/long bounds " +
+          "decode here; comparing another type as integers would " +
+          "mis-prune")
+    }
+    val hconf = spark.sessionState.newHadoopConf()
+    val info = readTableMetadata(mf, hconf)
+    requireCensusableVersion(info, table)
+    val current = info.snapshots.find(_.isCurrent).getOrElse(
+      throw new IllegalArgumentException(s"$table: no current snapshot"))
+    val manifests = readManifestList(
+      resolve(root, current.manifestList), hconf)
+      .filter(_.content == 0)
+      .map(m => resolve(root, m.manifestPath).toString)
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(hconf)
+    manifests.toDS()
+      .flatMap { mp =>
+        readManifest(new Path(mp), conf.value)
+          .filter(e => e.status != 2 && e.content == 0)
+          .map { e =>
+            (resolve(new Path(rootStr), e.filePath).toString,
+              e.lowerBounds.get(fieldId).map(boundLong(_, e.filePath)),
+              e.upperBounds.get(fieldId).map(boundLong(_, e.filePath)))
+          }
+      }
+      .toDF("data_path", "lower", "upper")
+      .dropDuplicates("data_path")
+      .select(col("data_path"), col("lower"), col("upper"),
+        (col("lower").isNull || col("upper").isNull ||
+          (col("lower") <= hi && col("upper") >= lo)).as("survives"))
+  }
+
   /**
    * SNAPSHOT-LOG audit — the metadata's `snapshot-log` (the
    * (timestamp, snapshot-id) history TIMESTAMP AS OF walks): one row

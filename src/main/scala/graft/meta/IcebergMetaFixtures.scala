@@ -1333,6 +1333,140 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
     counts
   }
 
+  /** [[manifestSchema]] plus the spec's r126/r128 value-bounds maps in
+    * their array-of-(key,value) avro rendering. */
+  private[meta] val boundsManifestSchema = avroSchema(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"lower_bounds","type":["null",{"type":"array","items":
+      |    {"type":"record","name":"k126_v127","fields":[
+      |      {"name":"key","type":"int"},
+      |      {"name":"value","type":"bytes"}]}}],"default":null},
+      |  {"name":"upper_bounds","type":["null",{"type":"array","items":
+      |    {"type":"record","name":"k128_v129","fields":[
+      |      {"name":"key","type":"int"},
+      |      {"name":"value","type":"bytes"}]}}],"default":null}]}}]}"""
+      .stripMargin)
+
+  /**
+   * A table whose manifest carries TRUTHFUL per-file `doc_id` value
+   * bounds (single-value 8-byte little-endian, matching each file's
+   * own footer stats — the cross-engine check of the binary decode):
+   * four doc_id quartile files f0..f3 with bounds, plus `nb.parquet`
+   * (the smallest 8 docs re-written) with NO bounds — the no-evidence
+   * file pruning must never cut. One snapshot, one manifest. Returns
+   * per-data-file row counts.
+   */
+  def writeBoundsFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val n = docs.count()
+    require(n >= 8, s"bounds fixture needs >= 8 docs, got $n")
+    val ranked = docs.select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    val bounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (i <- 0 until 4) {
+      val rel = s"f$i.parquet"
+      val slice = ranked
+        .filter(floor((col("rk") - 1) * 4 / lit(n)).cast("int") === i)
+        .select("doc_id", "lang").sort("doc_id")
+      counts(rel) = FixtureIO.writeSingleParquet(
+        slice, new java.io.File(dataDir, rel), dir + s"_bndtmp$i")
+      val mm = slice.agg(min("doc_id"), max("doc_id")).head()
+      bounds(rel) = (mm.getLong(0), mm.getLong(1))
+    }
+    counts("nb.parquet") = FixtureIO.writeSingleParquet(
+      ranked.filter(col("rk") <= 8).select("doc_id", "lang").sort("doc_id"),
+      new java.io.File(dataDir, "nb.parquet"), dir + "_bndtmpnb")
+    def le8(v: Long): java.nio.ByteBuffer = {
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putLong(v); b.flip(); b
+    }
+    def entry(rel: String): org.apache.avro.generic.GenericRecord = {
+      val dfSchema = boundsManifestSchema.getField("data_file").schema()
+      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", s"data/$rel")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(rel))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, rel).length())
+      bounds.get(rel).foreach { case (lo, hi) =>
+        def kvArr(name: String, v: Long) = {
+          val arrSchema = dfSchema.getField(name).schema().getTypes.get(1)
+          val kv: org.apache.avro.generic.GenericRecord =
+            new org.apache.avro.generic.GenericData.Record(
+              arrSchema.getElementType)
+          kv.put("key", 1) // doc_id's field id
+          kv.put("value", le8(v))
+          new org.apache.avro.generic.GenericData.Array[
+            org.apache.avro.generic.GenericRecord](arrSchema,
+            java.util.List.of(kv))
+        }
+        df.put("lower_bounds", kvArr("lower_bounds", lo))
+        df.put("upper_bounds", kvArr("upper_bounds", hi))
+      }
+      val e = new org.apache.avro.generic.GenericData.Record(
+        boundsManifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    val rels = (0 until 4).map(i => s"f$i.parquet") :+ "nb.parquet"
+    writeAvro(new java.io.File(metaDir, "m0.avro"), boundsManifestSchema,
+      rels.map(entry))
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
+      Seq {
+        val r = new org.apache.avro.generic.GenericData.Record(
+          manifestListSchema)
+        r.put("manifest_path", "metadata/m0.avro")
+        r.put("manifest_length", new java.io.File(metaDir, "m0.avro").length())
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("added_snapshot_id", 1L)
+        r.put("added_files_count", rels.size)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", counts.values.sum)
+        r
+      })
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-bounds-fixture",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":1,
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":1700000000000,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts.toMap
+  }
+
   /**
    * The base fixture plus a `snapshot-log`: the real snaps 1 and 2 in
    * commit order, then a third entry pointing at EXPIRED snapshot 99

@@ -1112,6 +1112,30 @@ class IcebergSourceSpec extends SparkSpec {
     assert(causeMessages(eMix).contains("MIXED"))
   }
 
+  test("manifest-bounds pruning: bounds decode, no-evidence survival") {
+    val d = Files.createTempDirectory("graft_ice_bounds").toString + "/tbl"
+    // docs 0..599 -> quartile files [0,149][150,299][300,449][450,599]
+    IcebergMeta.writeBoundsFixtureTable(spark, d, docs)
+    val rows = IcebergMeta
+      .manifestBoundsPrune(spark, d, "doc_id", 100L, 200L).collect()
+      .map(r => new Path(r.getString(0)).getName ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(rows("f0.parquet") === ((Some(0L), Some(149L), true)))
+    assert(rows("f1.parquet") === ((Some(150L), Some(299L), true)))
+    // f2/f3 are PROVABLY disjoint from [100, 200] — pruned
+    assert(rows("f2.parquet") === ((Some(300L), Some(449L), false)))
+    assert(rows("f3.parquet") === ((Some(450L), Some(599L), false)))
+    // the bounds-less file survives any range: no evidence never prunes
+    assert(rows("nb.parquet") === ((None, None, true)))
+    // unknown column and non-integer column refuse
+    val eCol = intercept[Exception](
+      IcebergMeta.manifestBoundsPrune(spark, d, "nope", 0L, 1L))
+    assert(causeMessages(eCol).contains("no field 'nope'"))
+    val eStr = intercept[Exception](
+      IcebergMeta.manifestBoundsPrune(spark, d, "lang", 0L, 1L))
+    assert(causeMessages(eStr).contains("'lang' is string"))
+  }
+
   test("merged census: both delete shapes, overlap counted once") {
     val d = Files.createTempDirectory("graft_ice_merged").toString + "/tbl"
     IcebergMeta.writeMergedDeleteFixtureTable(spark, d, docs)
