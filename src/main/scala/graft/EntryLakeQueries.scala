@@ -1200,6 +1200,17 @@ private[graft] object EntryLakeQueries {
           col("lower"), col("upper"), col("survives"))
     }),
 
+    // The same manifest bounds aggregated into the clustering
+    // overlap-depth integers (span_sum/global_span at MANIFEST cost,
+    // zero footer reads); the bounds-less file counts unbounded.
+    "meta_iceberg_bounds_clustering" -> ((s, dir) => {
+      val out = "/tmp/graft_icebnd_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeBoundsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.boundsClusteringReport(s, out, "doc_id")
+    }),
+
     // ICEBERG MERGED census: BOTH v2 delete shapes live at once (the
     // state positionDeleteRows refuses and equalityNetCensus ignores
     // by contract) — distinct positions removed by EITHER shape,
@@ -2118,6 +2129,23 @@ private[graft] object EntryLakeQueries {
         |UNION ALL
         |SELECT 'nb.parquet', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
         |  TRUE""".stripMargin,
+
+    "meta_iceberg_bounds_clustering" ->
+      """WITH st AS (
+        |  SELECT parse_filename(file_name) AS file,
+        |    min(CAST(stats_min_value AS BIGINT)) AS lower,
+        |    max(CAST(stats_max_value AS BIGINT)) AS upper
+        |  FROM parquet_metadata('/tmp/graft_icebnd_sf0.01/data/f[0-3].parquet')
+        |  WHERE path_in_schema = 'doc_id'
+        |  GROUP BY 1
+        |)
+        |SELECT 'doc_id' AS col_name,
+        |  CAST((SELECT count(*) FROM st) + 1 AS BIGINT) AS n_files,
+        |  CAST(1 AS BIGINT) AS n_unbounded,
+        |  (SELECT min(lower) FROM st) AS global_min,
+        |  (SELECT max(upper) FROM st) AS global_max,
+        |  (SELECT CAST(sum(upper - lower) AS BIGINT) FROM st) AS span_sum,
+        |  (SELECT max(upper) - min(lower) FROM st) AS global_span""".stripMargin,
 
     "meta_iceberg_merged_census" ->
       """WITH data AS (

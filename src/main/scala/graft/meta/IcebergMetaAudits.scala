@@ -726,7 +726,43 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
    */
   def manifestBoundsPrune(
       spark: SparkSession, table: String, column: String,
-      lo: Long, hi: Long): DataFrame = {
+      lo: Long, hi: Long): DataFrame =
+    boundsByFile(spark, table, column)
+      .select(col("data_path"), col("lower"), col("upper"),
+        (col("lower").isNull || col("upper").isNull ||
+          (col("lower") <= hi && col("upper") >= lo)).as("survives"))
+
+  /**
+   * CLUSTERING quality from MANIFEST bounds — [[MetaPrune
+   * .clusteringReport]]'s overlap-depth math (`span_sum /
+   * global_span` = the average number of files a random point of the
+   * key range lands in) computed from the manifests' r126/r128 value
+   * bounds instead of footer stats: the "should I re-cluster?" answer
+   * at MANIFEST cost, zero data or footer I/O. Integer-exact outputs
+   * (the caller divides); bounds-less files count in `n_unbounded` —
+   * no evidence, never assumed clustered. One aggregate row.
+   */
+  def boundsClusteringReport(
+      spark: SparkSession, table: String, column: String): DataFrame =
+    boundsByFile(spark, table, column)
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum(when(col("lower").isNull || col("upper").isNull, 1L)
+          .otherwise(0L)).cast("long").as("n_unbounded"),
+        min(col("lower")).as("global_min"),
+        max(col("upper")).as("global_max"),
+        sum(col("upper") - col("lower")).cast("long").as("span_sum"))
+      .select(lit(column).as("col_name"), col("n_files"),
+        col("n_unbounded"), col("global_min"), col("global_max"),
+        col("span_sum"),
+        (col("global_max") - col("global_min")).as("global_span"))
+
+  /** The shared manifest walk behind [[manifestBoundsPrune]] /
+    * [[boundsClusteringReport]]: one `(data_path, lower, upper)` row
+    * per live data file of the current snapshot, bounds decoded for
+    * `column` (null when the entry carries none). Shares the
+    * validation refusals: unknown column, non-int/long type. */
+  private def boundsByFile(
+      spark: SparkSession, table: String, column: String): DataFrame = {
     import spark.implicits._
     val (root, _, mf, node) = currentMetadataNode(spark, table)
     val byId = currentSchemaFieldsById(mf, node)
@@ -765,9 +801,6 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
       }
       .toDF("data_path", "lower", "upper")
       .dropDuplicates("data_path")
-      .select(col("data_path"), col("lower"), col("upper"),
-        (col("lower").isNull || col("upper").isNull ||
-          (col("lower") <= hi && col("upper") >= lo)).as("survives"))
   }
 
   /**
