@@ -1211,6 +1211,23 @@ private[graft] object EntryLakeQueries {
       IcebergMeta.boundsClusteringReport(s, out, "doc_id")
     }),
 
+    // STRING equality-probe pruning from manifest bounds (raw UTF-8):
+    // the probe is the first lang half's LAST value, so s0 survives
+    // and s1 is provably disjoint — pruned with zero footer reads.
+    // Oracle: DuckDB recomputes both files' lang min/max from the data
+    // and derives the SAME probe from s0 itself.
+    "meta_iceberg_bounds_prune_str" -> ((s, dir) => {
+      val out = "/tmp/graft_icesbnd_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeStringBoundsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val probe = s.read.parquet(out + "/data/s0.parquet")
+        .agg(max("lang")).head().getString(0)
+      IcebergMeta.manifestBoundsPruneString(s, out, "lang", probe)
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("lower"), col("upper"), col("survives"))
+    }),
+
     // ICEBERG MERGED census: BOTH v2 delete shapes live at once (the
     // state positionDeleteRows refuses and equalityNetCensus ignores
     // by contract) — distinct positions removed by EITHER shape,
@@ -2146,6 +2163,21 @@ private[graft] object EntryLakeQueries {
         |  (SELECT max(upper) FROM st) AS global_max,
         |  (SELECT CAST(sum(upper - lower) AS BIGINT) FROM st) AS span_sum,
         |  (SELECT max(upper) - min(lower) FROM st) AS global_span""".stripMargin,
+
+    "meta_iceberg_bounds_prune_str" ->
+      """WITH st AS (
+        |  SELECT parse_filename(filename) AS file,
+        |    min(lang) AS lower, max(lang) AS upper
+        |  FROM read_parquet('/tmp/graft_icesbnd_sf0.01/data/s[01].parquet',
+        |    filename=true)
+        |  GROUP BY 1
+        |),
+        |probe AS (SELECT max(lang) AS v FROM
+        |  read_parquet('/tmp/graft_icesbnd_sf0.01/data/s0.parquet'))
+        |SELECT st.file, st.lower, st.upper,
+        |  st.lower <= (SELECT v FROM probe) AND
+        |  st.upper >= (SELECT v FROM probe) AS survives
+        |FROM st""".stripMargin,
 
     "meta_iceberg_merged_census" ->
       """WITH data AS (

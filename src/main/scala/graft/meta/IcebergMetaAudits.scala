@@ -756,13 +756,39 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
         col("span_sum"),
         (col("global_max") - col("global_min")).as("global_span"))
 
-  /** The shared manifest walk behind [[manifestBoundsPrune]] /
-    * [[boundsClusteringReport]]: one `(data_path, lower, upper)` row
-    * per live data file of the current snapshot, bounds decoded for
-    * `column` (null when the entry carries none). Shares the
-    * validation refusals: unknown column, non-int/long type. */
+  /**
+   * EQUALITY-point pruning on a STRING column from manifest bounds —
+   * "which files can hold `column` = value" at manifest cost: string
+   * bounds are raw UTF-8 (the spec allows them TRUNCATED — a truncated
+   * lower bound only lowers, a truncated-and-incremented upper only
+   * raises, so containment stays conservative and never mis-prunes).
+   * Bounds-less files survive; non-string columns refuse.
+   */
+  def manifestBoundsPruneString(
+      spark: SparkSession, table: String, column: String,
+      value: String): DataFrame =
+    boundsWalk[String](spark, table, column, Set("string"),
+      (b, _) => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      .select(col("data_path"), col("lower"), col("upper"),
+        (col("lower").isNull || col("upper").isNull ||
+          (col("lower") <= value && col("upper") >= value)).as("survives"))
+
+  /** The int/long instantiation of [[boundsWalk]] shared by
+    * [[manifestBoundsPrune]] / [[boundsClusteringReport]]. */
   private def boundsByFile(
-      spark: SparkSession, table: String, column: String): DataFrame = {
+      spark: SparkSession, table: String, column: String): DataFrame =
+    boundsWalk[Long](spark, table, column, Set("int", "long"), boundLong)
+
+  /** The shared manifest walk behind every bounds consumer: one
+    * `(data_path, lower, upper)` row per live data file of the current
+    * snapshot, bounds decoded for `column` via `decode` (null when the
+    * entry carries none). Validation refusals live here: unknown
+    * column, column type outside `wantTypes` (decoding a bound under
+    * the wrong type mis-prunes). */
+  private def boundsWalk[T: scala.reflect.runtime.universe.TypeTag](
+      spark: SparkSession, table: String, column: String,
+      wantTypes: Set[String],
+      decode: (Array[Byte], String) => T): DataFrame = {
     import spark.implicits._
     val (root, _, mf, node) = currentMetadataNode(spark, table)
     val byId = currentSchemaFieldsById(mf, node)
@@ -772,11 +798,11 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
       s"$table: no field '$column' in the current schema (known: " +
         s"${byId.values.map(_._1).toSeq.sorted.mkString(", ")})"))
     val tpe = byId(fieldId)._2
-    if (tpe != "long" && tpe != "int") {
+    if (!wantTypes.contains(tpe)) {
       throw new UnsupportedOperationException(
-        s"$table: field '$column' is $tpe — only int/long bounds " +
-          "decode here; comparing another type as integers would " +
-          "mis-prune")
+        s"$table: field '$column' is $tpe — only " +
+          s"${wantTypes.toSeq.sorted.mkString("/")} bounds decode here; " +
+          "comparing another type's payload would mis-prune")
     }
     val hconf = spark.sessionState.newHadoopConf()
     val info = readTableMetadata(mf, hconf)
@@ -795,8 +821,8 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
           .filter(e => e.status != 2 && e.content == 0)
           .map { e =>
             (resolve(new Path(rootStr), e.filePath).toString,
-              e.lowerBounds.get(fieldId).map(boundLong(_, e.filePath)),
-              e.upperBounds.get(fieldId).map(boundLong(_, e.filePath)))
+              e.lowerBounds.get(fieldId).map(decode(_, e.filePath)),
+              e.upperBounds.get(fieldId).map(decode(_, e.filePath)))
           }
       }
       .toDF("data_path", "lower", "upper")

@@ -1468,6 +1468,110 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
   }
 
   /**
+   * A table whose manifest carries TRUTHFUL `lang` STRING bounds
+   * (raw UTF-8): the sorted lang set splits in half — `s0.parquet`
+   * holds the first half, `s1.parquet` the rest — so an equality
+   * probe on the first half's LAST lang keeps s0 and PRUNES s1 from
+   * the manifest alone. One snapshot, one manifest. Returns
+   * per-data-file row counts.
+   */
+  def writeStringBoundsFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val langs = docs.filter(col("lang").isNotNull).select("lang")
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    require(langs.size >= 2,
+      s"string-bounds fixture needs >= 2 langs, got ${langs.size}")
+    val firstHalf = langs.take((langs.size + 1) / 2).toSet
+    val slices = Seq(
+      "s0.parquet" -> docs.filter(col("lang").isin(firstHalf.toSeq: _*)),
+      "s1.parquet" -> docs.filter(col("lang").isNotNull &&
+        !col("lang").isin(firstHalf.toSeq: _*)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val bounds = scala.collection.mutable.Map.empty[String, (String, String)]
+    for ((rel, df) <- slices) {
+      val slice = df.select(col("doc_id"), col("lang")).sort("lang")
+      counts(rel) = FixtureIO.writeSingleParquet(
+        slice, new java.io.File(dataDir, rel),
+        dir + "_sbtmp_" + rel.replaceAll("[^A-Za-z0-9]", "_"))
+      val mm = slice.agg(min("lang"), max("lang")).head()
+      bounds(rel) = (mm.getString(0), mm.getString(1))
+    }
+    def entry(rel: String): org.apache.avro.generic.GenericRecord = {
+      val dfSchema = boundsManifestSchema.getField("data_file").schema()
+      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", s"data/$rel")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(rel))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, rel).length())
+      def kvArr(name: String, v: String) = {
+        val arrSchema = dfSchema.getField(name).schema().getTypes.get(1)
+        val kv: org.apache.avro.generic.GenericRecord =
+          new org.apache.avro.generic.GenericData.Record(
+            arrSchema.getElementType)
+        kv.put("key", 2) // lang's field id
+        kv.put("value", java.nio.ByteBuffer.wrap(
+          v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        new org.apache.avro.generic.GenericData.Array[
+          org.apache.avro.generic.GenericRecord](arrSchema,
+          java.util.List.of(kv))
+      }
+      val (lo, hi) = bounds(rel)
+      df.put("lower_bounds", kvArr("lower_bounds", lo))
+      df.put("upper_bounds", kvArr("upper_bounds", hi))
+      val e = new org.apache.avro.generic.GenericData.Record(
+        boundsManifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), boundsManifestSchema,
+      Seq(entry("s0.parquet"), entry("s1.parquet")))
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
+      Seq {
+        val r = new org.apache.avro.generic.GenericData.Record(
+          manifestListSchema)
+        r.put("manifest_path", "metadata/m0.avro")
+        r.put("manifest_length", new java.io.File(metaDir, "m0.avro").length())
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("added_snapshot_id", 1L)
+        r.put("added_files_count", 2)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", counts.values.sum)
+        r
+      })
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-strbounds",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":1,
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":1700000000000,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts.toMap
+  }
+
+  /**
    * The base fixture plus a `snapshot-log`: the real snaps 1 and 2 in
    * commit order, then a third entry pointing at EXPIRED snapshot 99
    * whose timestamp also steps BACKWARD — the dangling + non-monotone

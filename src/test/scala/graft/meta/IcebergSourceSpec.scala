@@ -1136,6 +1136,24 @@ class IcebergSourceSpec extends SparkSpec {
     assert(causeMessages(eStr).contains("'lang' is string"))
   }
 
+  test("string manifest bounds: equality probe prunes by UTF-8 range") {
+    val d = Files.createTempDirectory("graft_ice_sbounds").toString + "/tbl"
+    // langs "0".."4" -> s0 holds {0,1,2}, s1 holds {3,4}
+    IcebergMeta.writeStringBoundsFixtureTable(spark, d, docs)
+    def verdicts(v: String): Map[String, Boolean] =
+      IcebergMeta.manifestBoundsPruneString(spark, d, "lang", v).collect()
+        .map(r => new Path(r.getString(0)).getName -> r.getBoolean(3)).toMap
+    assert(verdicts("2") === Map("s0.parquet" -> true, "s1.parquet" -> false))
+    assert(verdicts("3") === Map("s0.parquet" -> false, "s1.parquet" -> true))
+    // a probe between the halves prunes BOTH; one outside prunes both
+    assert(verdicts("2a").values.forall(_ == false))
+    assert(verdicts("9").values.forall(_ == false))
+    // an integer column refuses the string comparator
+    val eInt = intercept[Exception](
+      IcebergMeta.manifestBoundsPruneString(spark, d, "doc_id", "0"))
+    assert(causeMessages(eInt).contains("'doc_id' is long"))
+  }
+
   test("merged census: both delete shapes, overlap counted once") {
     val d = Files.createTempDirectory("graft_ice_merged").toString + "/tbl"
     IcebergMeta.writeMergedDeleteFixtureTable(spark, d, docs)
