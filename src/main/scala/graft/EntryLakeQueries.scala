@@ -1228,6 +1228,20 @@ private[graft] object EntryLakeQueries {
           col("lower"), col("upper"), col("survives"))
     }),
 
+    // ICEBERG MANIFEST-METRICS audit: declared value_counts /
+    // null_value_counts (the numbers NOT-NULL pruning trusts) vs the
+    // footers' own num_values + null_count — f1's declared null count
+    // LIES by one, f2 declares nothing and surfaces with nulls.
+    // Oracle: DuckDB derives the declared side from the writer
+    // contract and the actual side from the same data files.
+    "meta_iceberg_metrics_audit" -> ((s, dir) => {
+      val out = "/tmp/graft_icemet_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeMetricsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.metricsAudit(s, out, "lang")
+    }),
+
     // ICEBERG MERGED census: BOTH v2 delete shapes live at once (the
     // state positionDeleteRows refuses and equalityNetCensus ignores
     // by contract) — distinct positions removed by EITHER shape,
@@ -2178,6 +2192,27 @@ private[graft] object EntryLakeQueries {
         |  st.lower <= (SELECT v FROM probe) AND
         |  st.upper >= (SELECT v FROM probe) AS survives
         |FROM st""".stripMargin,
+
+    "meta_iceberg_metrics_audit" ->
+      """WITH nulls AS (
+        |  SELECT parse_filename(filename) AS file,
+        |    CAST(count(*) AS BIGINT) AS nr,
+        |    CAST(count(*) - count(lang) AS BIGINT) AS nn
+        |  FROM read_parquet('/tmp/graft_icemet_sf0.01/data/f[0-2].parquet',
+        |    filename=true)
+        |  GROUP BY 1
+        |)
+        |-- writer contract: f0 declares the truth, f1's null count lies
+        |-- by +1, f2 declares nothing (null declared, null matches)
+        |SELECT file,
+        |  CASE WHEN file <> 'f2.parquet' THEN nr END AS declared_values,
+        |  CASE WHEN file = 'f0.parquet' THEN nn
+        |       WHEN file = 'f1.parquet' THEN nn + 1 END AS declared_nulls,
+        |  nr AS actual_values, nn AS actual_nulls,
+        |  CASE WHEN file <> 'f2.parquet' THEN TRUE END AS values_match,
+        |  CASE WHEN file = 'f0.parquet' THEN TRUE
+        |       WHEN file = 'f1.parquet' THEN FALSE END AS nulls_match
+        |FROM nulls""".stripMargin,
 
     "meta_iceberg_merged_census" ->
       """WITH data AS (

@@ -80,7 +80,12 @@ case class IcebergFileEntry(
     // map<field id, single-value-serialized binary>) — the metrics
     // iceberg scan planning prunes files BY, without opening a footer
     lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-    upperBounds: Map[Int, Array[Byte]] = Map.empty)
+    upperBounds: Map[Int, Array[Byte]] = Map.empty,
+    // per-field counts (spec r109/r110 value_counts/null_value_counts)
+    // — total values INCLUDING nulls, and nulls; the numbers NOT NULL
+    // pruning and planner cardinalities trust without a footer read
+    valueCounts: Map[Int, Long] = Map.empty,
+    nullValueCounts: Map[Int, Long] = Map.empty)
 
 /**
  * Iceberg metadata tier — the second table format above the raw-file
@@ -475,6 +480,33 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
             case _ => Map.empty[Int, Array[Byte]]
           }.getOrElse(Map.empty)
         }
+        // count maps (r109/r110): same dual avro rendering, long values
+        def countsOf(name: String): Map[Int, Long] = {
+          def toLong(v: Any): Long = v match {
+            case n: Number => n.longValue()
+            case other => throw new IllegalArgumentException(
+              s"$file: $name value is ${other.getClass.getName}, " +
+                "expected a long")
+          }
+          if (df.getSchema.getField(name) == null) Map.empty
+          else Option(df.get(name)).map {
+            case l: java.util.List[_] =>
+              import scala.jdk.CollectionConverters._
+              l.asScala.map {
+                case kv: org.apache.avro.generic.GenericRecord =>
+                  kv.get("key").asInstanceOf[Number].intValue() ->
+                    toLong(kv.get("value"))
+                case other => throw new IllegalArgumentException(
+                  s"$file: $name entry is ${other.getClass.getName}")
+              }.toMap
+            case m: java.util.Map[_, _] =>
+              import scala.jdk.CollectionConverters._
+              m.asScala.map { case (k, v) =>
+                k.toString.toInt -> toLong(v)
+              }.toMap
+            case _ => Map.empty[Int, Long]
+          }.getOrElse(Map.empty)
+        }
         out += IcebergFileEntry(
           status = r.get("status").asInstanceOf[Number].intValue(),
           content = contentOf(df),
@@ -490,7 +522,9 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
           sequenceNumber = optLong(r, "sequence_number"),
           snapshotId = optLong(r, "snapshot_id"),
           lowerBounds = boundsOf("lower_bounds"),
-          upperBounds = boundsOf("upper_bounds"))
+          upperBounds = boundsOf("upper_bounds"),
+          valueCounts = countsOf("value_counts"),
+          nullValueCounts = countsOf("null_value_counts"))
       }
       out.toSeq
     } finally {

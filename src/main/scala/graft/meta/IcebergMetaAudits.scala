@@ -773,6 +773,75 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
         (col("lower").isNull || col("upper").isNull ||
           (col("lower") <= value && col("upper") >= value)).as("survives"))
 
+  /**
+   * MANIFEST-METRICS audit — the per-field `value_counts` /
+   * `null_value_counts` (spec r109/r110: total values INCLUDING
+   * nulls, and nulls — the numbers NOT-NULL pruning and planner
+   * cardinalities trust without opening a footer) verified against
+   * the data files' OWN footers: per live data file, declared counts
+   * for `column` vs the footer's summed chunk `num_values` and
+   * statistics `null_count`. Files declaring nothing report null
+   * declared (and null matches) — surfaced, never dropped; footer
+   * sides missing statistics report null actuals (no evidence is not
+   * agreement). Footer reads fan out per file; manifest rows stay
+   * manifest-sized. Refuses when NO live data file declares metrics
+   * for the column — an all-null audit reads as "verified" when the
+   * truth is "nothing to verify". Live files match footers by name
+   * (iceberg data-file names are unique by writer contract).
+   */
+  def metricsAudit(
+      spark: SparkSession, table: String, column: String): DataFrame = {
+    import spark.implicits._
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    val byId = currentSchemaFieldsById(mf, node)
+    val fieldId = byId.collectFirst {
+      case (id, (n, _)) if n == column => id
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$table: no field '$column' in the current schema (known: " +
+        s"${byId.values.map(_._1).toSeq.sorted.mkString(", ")})"))
+    val hconf = spark.sessionState.newHadoopConf()
+    val info = readTableMetadata(mf, hconf)
+    requireCensusableVersion(info, table)
+    val current = info.snapshots.find(_.isCurrent).getOrElse(
+      throw new IllegalArgumentException(s"$table: no current snapshot"))
+    val manifests = readManifestList(
+      resolve(root, current.manifestList), hconf)
+      .filter(_.content == 0)
+      .map(m => resolve(root, m.manifestPath).toString)
+    val conf = new SerializableHadoopConf(hconf)
+    val declared = manifests.toDS()
+      .flatMap { mp =>
+        readManifest(new Path(mp), conf.value)
+          .filter(e => e.status != 2 && e.content == 0)
+          .map(e => (new Path(e.filePath).getName,
+            e.valueCounts.get(fieldId), e.nullValueCounts.get(fieldId)))
+      }
+      .toDF("file", "declared_values", "declared_nulls")
+      .dropDuplicates("file")
+    if (declared.filter(col("declared_values").isNotNull ||
+        col("declared_nulls").isNotNull).limit(1).count() == 0) {
+      throw new IllegalArgumentException(
+        s"$table: no live data file declares value_counts/" +
+          s"null_value_counts for '$column' — nothing to audit")
+    }
+    val actual = spark.read.format("metadata")
+      .option("level", "column").option("footercache", "false")
+      .load(new Path(root, "data").toString)
+      .filter(col("path") === column)
+      .select(element_at(split(col("filepath"), "/"), -1).as("file"),
+        col("num_values"), col("statistics.null_count").as("nc"))
+      .groupBy(col("file"))
+      .agg(sum(col("num_values")).cast("long").as("actual_values"),
+        when(count(lit(1)) === count(col("nc")),
+          sum(col("nc")).cast("long")).as("actual_nulls"))
+    declared.join(actual, Seq("file"), "left")
+      .select(col("file"), col("declared_values"), col("declared_nulls"),
+        col("actual_values"), col("actual_nulls"),
+        (col("declared_values") === col("actual_values"))
+          .as("values_match"),
+        (col("declared_nulls") === col("actual_nulls")).as("nulls_match"))
+  }
+
   /** The int/long instantiation of [[boundsWalk]] shared by
     * [[manifestBoundsPrune]] / [[boundsClusteringReport]]. */
   private def boundsByFile(

@@ -1467,6 +1467,130 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
     counts.toMap
   }
 
+  /** [[manifestSchema]] plus the spec's r109/r110 count maps. */
+  private[meta] val metricsManifestSchema = avroSchema(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"value_counts","type":["null",{"type":"array","items":
+      |    {"type":"record","name":"k119_v120","fields":[
+      |      {"name":"key","type":"int"},
+      |      {"name":"value","type":"long"}]}}],"default":null},
+      |  {"name":"null_value_counts","type":["null",{"type":"array","items":
+      |    {"type":"record","name":"k121_v122","fields":[
+      |      {"name":"key","type":"int"},
+      |      {"name":"value","type":"long"}]}}],"default":null}]}}]}"""
+      .stripMargin)
+
+  /**
+   * A table whose manifest declares per-field COUNT metrics
+   * (`value_counts`/`null_value_counts` for `lang`, field 2): three
+   * pmod-3 slices of `docs` with `lang` NULLED every 7th doc —
+   * f0 declares the TRUTH, f1's null count LIES by +1 (the audit must
+   * flag exactly that cell), f2 declares NOTHING (surfaces with null
+   * declared, never dropped). Returns per-data-file row counts.
+   */
+  def writeMetricsFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val base = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit(null).cast("string"))
+        .otherwise(col("lang")).as("lang"))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val nulls = scala.collection.mutable.Map.empty[String, Long]
+    for (i <- 0 until 3) {
+      val rel = s"f$i.parquet"
+      val slice = base.filter(pmod(col("doc_id"), lit(3)) === i)
+      counts(rel) = FixtureIO.writeSingleParquet(
+        slice, new java.io.File(dataDir, rel), dir + s"_mettmp$i")
+      nulls(rel) = slice.filter(col("lang").isNull).count()
+    }
+    def entry(rel: String,
+        metrics: Option[(Long, Long)]): org.apache.avro.generic.GenericRecord = {
+      val dfSchema = metricsManifestSchema.getField("data_file").schema()
+      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", s"data/$rel")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(rel))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, rel).length())
+      metrics.foreach { case (values, nullValues) =>
+        def kvArr(name: String, v: Long) = {
+          val arrSchema = dfSchema.getField(name).schema().getTypes.get(1)
+          val kv: org.apache.avro.generic.GenericRecord =
+            new org.apache.avro.generic.GenericData.Record(
+              arrSchema.getElementType)
+          kv.put("key", 2) // lang's field id
+          kv.put("value", v)
+          new org.apache.avro.generic.GenericData.Array[
+            org.apache.avro.generic.GenericRecord](arrSchema,
+            java.util.List.of(kv))
+        }
+        df.put("value_counts", kvArr("value_counts", values))
+        df.put("null_value_counts", kvArr("null_value_counts", nullValues))
+      }
+      val e = new org.apache.avro.generic.GenericData.Record(
+        metricsManifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), metricsManifestSchema,
+      Seq(
+        entry("f0.parquet",
+          Some((counts("f0.parquet"), nulls("f0.parquet")))),
+        entry("f1.parquet", // the planted LIE: one extra null declared
+          Some((counts("f1.parquet"), nulls("f1.parquet") + 1))),
+        entry("f2.parquet", None)))
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
+      Seq {
+        val r = new org.apache.avro.generic.GenericData.Record(
+          manifestListSchema)
+        r.put("manifest_path", "metadata/m0.avro")
+        r.put("manifest_length", new java.io.File(metaDir, "m0.avro").length())
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("added_snapshot_id", 1L)
+        r.put("added_files_count", 3)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", counts.values.sum)
+        r
+      })
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-metrics",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":1,
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":1700000000000,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts.toMap
+  }
+
   /**
    * A table whose manifest carries TRUTHFUL `lang` STRING bounds
    * (raw UTF-8): the sorted lang set splits in half — `s0.parquet`

@@ -1136,6 +1136,27 @@ class IcebergSourceSpec extends SparkSpec {
     assert(causeMessages(eStr).contains("'lang' is string"))
   }
 
+  test("manifest-metrics audit: declared counts vs footers, lie flagged") {
+    val d = Files.createTempDirectory("graft_ice_metrics").toString + "/tbl"
+    IcebergMeta.writeMetricsFixtureTable(spark, d, docs)
+    val rows = IcebergMeta.metricsAudit(spark, d, "lang").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // f0 declares the truth: both metrics match
+    assert(rows("f0.parquet").getBoolean(5) &&
+      rows("f0.parquet").getBoolean(6))
+    // f1's declared null count lies by one — exactly nulls_match flips
+    assert(rows("f1.parquet").getBoolean(5) &&
+      !rows("f1.parquet").getBoolean(6))
+    assert(rows("f1.parquet").getLong(2) ===
+      rows("f1.parquet").getLong(4) + 1)
+    // f2 declares nothing: surfaced with null declared and null matches
+    assert(rows("f2.parquet").isNullAt(1) && rows("f2.parquet").isNullAt(5))
+    // a column nothing declares metrics for refuses
+    val eNone = intercept[Exception](
+      IcebergMeta.metricsAudit(spark, d, "doc_id").collect())
+    assert(causeMessages(eNone).contains("nothing to audit"))
+  }
+
   test("string manifest bounds: equality probe prunes by UTF-8 range") {
     val d = Files.createTempDirectory("graft_ice_sbounds").toString + "/tbl"
     // langs "0".."4" -> s0 holds {0,1,2}, s1 holds {3,4}
