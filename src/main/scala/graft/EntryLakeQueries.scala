@@ -1228,6 +1228,31 @@ private[graft] object EntryLakeQueries {
           col("lower"), col("upper"), col("survives"))
     }),
 
+    // DELTA RESTORE plan: RESTORE TO VERSION AS OF 1 planned before
+    // writing anything — re_add what version 1 served and later
+    // commits removed (f1, f2), remove what arrived after (f4-f6).
+    // Oracle: writer-contract file sets, rows from the files' footers.
+    "meta_delta_restore" -> ((s, dir) => {
+      val out = "/tmp/graft_delta_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.restorePlan(s, out, 1L)
+        .select(col("action"), col("path"), col("num_records"))
+    }),
+
+    // DELTA ROW-TRACKING audit: baseRowId ranges of the live files
+    // must be disjoint (two files sharing a row id silently corrupt
+    // CDC and materialized row ids) — the fixture's f2 overlaps f1's
+    // range by three ids. Oracle: writer-contract bases + footer rows
+    // with the same strict window rule.
+    "meta_delta_row_tracking" -> ((s, dir) => {
+      val out = "/tmp/graft_deltart_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeRowTrackingFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.rowTrackingAudit(s, out)
+    }),
+
     // ICEBERG MANIFEST-METRICS audit: declared value_counts /
     // null_value_counts (the numbers NOT-NULL pruning trusts) vs the
     // footers' own num_values + null_count — f1's declared null count
@@ -2192,6 +2217,41 @@ private[graft] object EntryLakeQueries {
         |  st.lower <= (SELECT v FROM probe) AND
         |  st.upper >= (SELECT v FROM probe) AS survives
         |FROM st""".stripMargin,
+
+    "meta_delta_restore" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS path,
+        |    CAST(num_rows AS BIGINT) AS num_records
+        |  FROM parquet_file_metadata('/tmp/graft_delta_sf0.01/f[0-6].parquet')
+        |)
+        |-- writer contract: live(1) = f0-f3; live(latest 4) = f0,f3-f6
+        |SELECT 're_add' AS action, path, num_records FROM fm
+        |WHERE path IN ('f1.parquet', 'f2.parquet')
+        |UNION ALL
+        |SELECT 'remove', path, num_records FROM fm
+        |WHERE path IN ('f4.parquet', 'f5.parquet', 'f6.parquet')""".stripMargin,
+
+    "meta_delta_row_tracking" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS path,
+        |    CAST(num_rows AS BIGINT) AS num_records
+        |  FROM parquet_file_metadata('/tmp/graft_deltart_sf0.01/f[0-2].parquet')
+        |),
+        |n AS (SELECT
+        |  (SELECT num_records FROM fm WHERE path = 'f0.parquet') AS n0,
+        |  (SELECT num_records FROM fm WHERE path = 'f1.parquet') AS n1)
+        |SELECT 'f0.parquet' AS path, CAST(0 AS BIGINT) AS base_row_id,
+        |  CAST(0 AS BIGINT) AS row_commit_version,
+        |  (SELECT num_records FROM fm WHERE path = 'f0.parquet')
+        |    AS num_records, TRUE AS disjoint
+        |UNION ALL
+        |SELECT 'f1.parquet', (SELECT n0 FROM n), 0,
+        |  (SELECT num_records FROM fm WHERE path = 'f1.parquet'), TRUE
+        |UNION ALL
+        |-- the planted overlap: f2's base dips 3 ids into f1's range
+        |SELECT 'f2.parquet', (SELECT n0 + n1 - 3 FROM n), 1,
+        |  (SELECT num_records FROM fm WHERE path = 'f2.parquet'), FALSE"""
+        .stripMargin,
 
     "meta_iceberg_metrics_audit" ->
       """WITH nulls AS (

@@ -13,6 +13,105 @@ import org.apache.spark.sql.types._
 private[meta] trait DeltaMetaAudits extends Serializable { this: DeltaMeta.type =>
 
   /**
+   * RESTORE plan at metadata cost — `RESTORE TABLE ... TO VERSION AS
+   * OF v` answered BEFORE writing anything: the file-action diff
+   * between the live set THEN and NOW. One row per planned action:
+   * `re_add` (live at `toVersion`, gone or CHANGED since — a same-path
+   * file whose size or deletion-vector state moved needs its add
+   * rewritten too) and `remove` (live now, absent then). Version
+   * resolution and out-of-range refusals ride [[snapshotFilesAt]];
+   * restoring to the current state refuses — an empty plan reads as
+   * "safe no-op" when the caller almost certainly named the wrong
+   * version.
+   */
+  def restorePlan(
+      spark: SparkSession, table: String, toVersion: Long): DataFrame = {
+    val cols = Seq("path", "num_records", "size", "dv_cardinality")
+    val thenDf = snapshotFilesAt(spark, table, Some(toVersion))
+      .select(cols.map(col): _*).alias("t")
+    val nowDf = snapshotFiles(spark, table)
+      .select(cols.map(col): _*).alias("n")
+    val reAdd = thenDf.join(nowDf.select("path"), Seq("path"), "left_anti")
+      .select(lit("re_add").as("action"), col("path"), col("num_records"))
+    val changed = thenDf.join(nowDf, Seq("path"))
+      .filter(!(col("t.size") <=> col("n.size")) ||
+        !(col("t.dv_cardinality") <=> col("n.dv_cardinality")))
+      .select(lit("re_add").as("action"), col("path"),
+        col("t.num_records").as("num_records"))
+    val remove = nowDf.join(thenDf.select("path"), Seq("path"), "left_anti")
+      .select(lit("remove").as("action"), col("path"), col("num_records"))
+    val plan = reAdd.unionByName(changed).unionByName(remove)
+    if (plan.limit(1).count() == 0) {
+      throw new IllegalArgumentException(
+        s"$table: version $toVersion IS the current state — an empty " +
+          "restore plan is refused, nothing to do")
+    }
+    plan
+  }
+
+  /**
+   * ROW-TRACKING audit — the `rowTracking` writer feature's
+   * `baseRowId` / `defaultRowCommitVersion` on add actions (the fresh
+   * row-id ranges engines hand out for CDC and materialized row ids)
+   * verified for DISJOINTNESS across the LIVE files: each file owns
+   * `[baseRowId, baseRowId + numRecords)`; two live files whose ranges
+   * overlap hand the same row id to two rows — the silent corruption
+   * this audit exists to catch. `in_order` comes from the cumulative-
+   * max window over baseRowId-sorted ranges (strict — row ids are
+   * unique, a shared boundary IS a collision); files declaring no
+   * baseRowId report null. Refuses when NO add action carries
+   * row-tracking fields — nothing to audit.
+   */
+  def rowTrackingAudit(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (_, segments, _) = latestLogSplit(spark, table)
+    val commitPaths = segments.collect { case (_, "commit", p) => p }
+    if (commitPaths.isEmpty) {
+      throw new IllegalArgumentException(s"$table: no commit segments")
+    }
+    val trackAdd = StructType(Seq(
+      StructField("path", StringType),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))
+    val declared = spark.read
+      .schema(StructType(Seq(StructField("add", trackAdd))))
+      .json(commitPaths: _*)
+      .filter(col("add.path").isNotNull)
+      .select(col("add.path").as("path"),
+        col("add.baseRowId").as("base_row_id"),
+        col("add.defaultRowCommitVersion").as("row_commit_version"),
+        regexp_extract(element_at(split(col("_metadata.file_path"), "/"),
+          -1), "^0*(\\d+)", 1).cast("long").as("v"))
+      .groupBy(col("path"))
+      .agg(max_by(struct(col("base_row_id"), col("row_commit_version")),
+        col("v")).as("w"))
+      .select(col("path"), col("w.base_row_id"),
+        col("w.row_commit_version"))
+    if (declared.filter(col("base_row_id").isNotNull)
+        .limit(1).count() == 0) {
+      throw new IllegalArgumentException(
+        s"$table: no add action carries baseRowId — row tracking is " +
+          "not in evidence, nothing to audit")
+    }
+    val live = snapshotFiles(spark, table)
+      .select(col("path"), col("num_records"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("base_row_id"), col("path"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    live.join(declared, Seq("path"), "left")
+      .withColumn("range_end",
+        col("base_row_id") + col("num_records") - 1)
+      .withColumn("prev_cummax", max(col("range_end")).over(w))
+      .select(col("path"), col("base_row_id"),
+        col("row_commit_version"), col("num_records"),
+        when(col("base_row_id").isNull, lit(null).cast("boolean"))
+          .when(col("prev_cummax").isNull, lit(true))
+          .otherwise(col("base_row_id") > col("prev_cummax"))
+          .as("disjoint"))
+  }
+
+  /**
    * VERSION-CHECKSUM audit — Delta writers emit a `<v>.crc` JSON per
    * commit declaring the post-commit table state (`numFiles`,
    * `tableSizeBytes`); this report verifies every surviving one

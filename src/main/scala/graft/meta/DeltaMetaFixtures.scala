@@ -276,6 +276,64 @@ private[meta] trait DeltaMetaFixtures extends Serializable { this: DeltaMeta.typ
   }
 
   /**
+   * A ROW-TRACKING table (writer feature `rowTracking`, protocol
+   * minWriterVersion 7): three pmod-3 slices whose add actions carry
+   * `baseRowId`/`defaultRowCommitVersion` — f0 owns [0, n0), f1 owns
+   * [n0, n0+n1), and f2's base LIES at n0+n1-3, overlapping f1's range
+   * by three row ids (the same-id-twice corruption
+   * [[DeltaMeta.rowTrackingAudit]] must flag). Returns per-file row
+   * counts.
+   */
+  def writeRowTrackingFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    root.mkdirs()
+    val logDir = new java.io.File(root, "_delta_log")
+    logDir.mkdirs()
+    val counts = (0 until 3).map { i =>
+      val rel = s"f$i.parquet"
+      rel -> FixtureIO.writeSingleParquet(
+        docs.filter(pmod(col("doc_id"), lit(3)) === i)
+          .select(col("doc_id"), col("lang")),
+        new java.io.File(root, rel), dir + s"_rttmp$i")
+    }.toMap
+    require(counts.values.forall(_ > 3),
+      s"row-tracking fixture needs >3 rows per slice, got $counts")
+    val ts0 = 1700000000000L
+    def addJson(f: String, v: Long, base: Long): String = {
+      val size = new java.io.File(root, f).length()
+      s"""{"add":{"path":${jstr(f)},"partitionValues":{},"size":$size,""" +
+        s""""modificationTime":${ts0 + v * 1000},"dataChange":true,""" +
+        s""""baseRowId":$base,"defaultRowCommitVersion":$v,""" +
+        s""""stats":"{\\"numRecords\\":${counts(f)}}"}}"""
+    }
+    def writeCommit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(logDir, f"$v%020d.json").toPath,
+        lines.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"doc_id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"lang\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    val (n0, n1) = (counts("f0.parquet"), counts("f1.parquet"))
+    writeCommit(0, Seq(
+      s"""{"commitInfo":{"timestamp":$ts0,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["rowTracking","domainMetadata"]}}""",
+      s"""{"metaData":{"id":"graft-rowtracking","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schema","partitionColumns":[],"configuration":{},"createdTime":$ts0}}""",
+      addJson("f0.parquet", 0, 0L),
+      addJson("f1.parquet", 0, n0)))
+    writeCommit(1, Seq(
+      s"""{"commitInfo":{"timestamp":${ts0 + 1000},"operation":"WRITE"}}""",
+      // the planted LIE: f2's base overlaps f1's range by 3 ids
+      addJson("f2.parquet", 1, n0 + n1 - 3)))
+    counts
+  }
+
+  /**
    * The base fixture plus per-version `.crc` version-checksum files,
    * computed CLOSED-FORM from the fixture's own commit plan (v0: +f0
    * +f1; v1: +f2 +f3; v2: −f1 +f4; v3: −f2 +f5; v4: +f6) — independent

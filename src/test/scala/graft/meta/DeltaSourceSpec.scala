@@ -1101,4 +1101,40 @@ class DeltaSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("could not publish"))
     assert(tagOf(store) === "v2")
   }
+
+  test("restore plan: re-add what left, remove what arrived, no-op refuses") {
+    val d = Files.createTempDirectory("graft_delta_restore").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    val plan = DeltaMeta.restorePlan(spark, d, 1L).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // live(1) = f0-f3; live(4) = f0,f3,f4,f5,f6
+    assert(plan === Set(
+      ("re_add", "f1.parquet"), ("re_add", "f2.parquet"),
+      ("remove", "f4.parquet"), ("remove", "f5.parquet"),
+      ("remove", "f6.parquet")))
+    // restoring to the current version is an empty plan — refused
+    val eNoop = intercept[Exception](DeltaMeta.restorePlan(spark, d, 4L))
+    assert(causeMessages(eNoop).contains("IS the current state"))
+    // beyond-latest rides snapshotFilesAt's refusal
+    val eHigh = intercept[Exception](DeltaMeta.restorePlan(spark, d, 99L))
+    assert(causeMessages(eHigh).contains("after the latest"))
+  }
+
+  test("row-tracking audit: overlapping baseRowId ranges flagged") {
+    val d = Files.createTempDirectory("graft_delta_rt").toString + "/tbl"
+    val counts = DeltaMeta.writeRowTrackingFixtureTable(spark, d, docs)
+    val rows = DeltaMeta.rowTrackingAudit(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(4)))).toMap
+    val (n0, n1) = (counts("f0.parquet"), counts("f1.parquet"))
+    assert(rows("f0.parquet") === ((0L, true)))
+    assert(rows("f1.parquet") === ((n0, true)))
+    // f2's base dips 3 ids into f1's range — the collision flags
+    assert(rows("f2.parquet") === ((n0 + n1 - 3, false)))
+    // a table with no row-tracking evidence refuses
+    val d2 = Files.createTempDirectory("graft_delta_rt2").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d2, docs)
+    val eNone = intercept[Exception](
+      DeltaMeta.rowTrackingAudit(spark, d2).collect())
+    assert(causeMessages(eNone).contains("not in evidence"))
+  }
 }
