@@ -1228,6 +1228,20 @@ private[graft] object EntryLakeQueries {
           col("lower"), col("upper"), col("survives"))
     }),
 
+    // ICEBERG ROLLBACK plan: rollback_to_snapshot 1 planned at
+    // metadata cost — the current snapshot's f3/f4 would be removed;
+    // nothing needs re-adding (snap 2 reuses snap 1's manifest).
+    // Oracle: writer-contract file sets, rows from the footers.
+    "meta_iceberg_rollback" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.rollbackPlan(s, out, 1L)
+        .select(col("action"),
+          regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("record_count"))
+    }),
+
     // DELTA RESTORE plan: RESTORE TO VERSION AS OF 1 planned before
     // writing anything — re_add what version 1 served and later
     // commits removed (f1, f2), remove what arrived after (f4-f6).
@@ -2217,6 +2231,12 @@ private[graft] object EntryLakeQueries {
         |  st.lower <= (SELECT v FROM probe) AND
         |  st.upper >= (SELECT v FROM probe) AS survives
         |FROM st""".stripMargin,
+
+    "meta_iceberg_rollback" ->
+      """SELECT 'remove' AS action, parse_filename(file_name) AS file,
+        |  CAST(num_rows AS BIGINT) AS record_count
+        |FROM parquet_file_metadata(
+        |  '/tmp/graft_iceberg_sf0.01/data/f[34].parquet')""".stripMargin,
 
     "meta_delta_restore" ->
       """WITH fm AS (

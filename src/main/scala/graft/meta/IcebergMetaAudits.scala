@@ -774,6 +774,40 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
           (col("lower") <= value && col("upper") >= value)).as("survives"))
 
   /**
+   * ROLLBACK plan at metadata cost — `rollback_to_snapshot` answered
+   * BEFORE touching the table: the live-data-file diff between
+   * `toSnapshot` and the current snapshot (both resolved through
+   * their own manifest lists, per-snapshot complete). One row per
+   * planned change: `re_add` (live then, not now — files a later
+   * overwrite dropped) and `remove` (live now, absent then). Unknown
+   * snapshot ids refuse via [[IcebergMeta.filesAt]]; rolling back to
+   * the current snapshot refuses — an empty plan reads as "safe
+   * no-op" when the caller almost certainly named the wrong snapshot.
+   */
+  def rollbackPlan(
+      spark: SparkSession, table: String, toSnapshot: Long): DataFrame = {
+    def live(snap: Option[Long]): DataFrame =
+      filesAt(spark, table, snap)
+        .filter(col("status") =!= 2 && col("content") === 0)
+        .select(col("abs_path").as("path"), col("record_count"))
+        .dropDuplicates("path")
+    val thenDf = live(Some(toSnapshot))
+    val nowDf = live(None)
+    val plan = thenDf.join(nowDf.select("path"), Seq("path"), "left_anti")
+      .select(lit("re_add").as("action"), col("path"), col("record_count"))
+      .unionByName(
+        nowDf.join(thenDf.select("path"), Seq("path"), "left_anti")
+          .select(lit("remove").as("action"), col("path"),
+            col("record_count")))
+    if (plan.limit(1).count() == 0) {
+      throw new IllegalArgumentException(
+        s"$table: snapshot $toSnapshot serves the SAME live data files " +
+          "as the current snapshot — an empty rollback plan is refused")
+    }
+    plan
+  }
+
+  /**
    * MANIFEST-METRICS audit — the per-field `value_counts` /
    * `null_value_counts` (spec r109/r110: total values INCLUDING
    * nulls, and nulls — the numbers NOT-NULL pruning and planner

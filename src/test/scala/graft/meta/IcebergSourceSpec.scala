@@ -1136,6 +1136,20 @@ class IcebergSourceSpec extends SparkSpec {
     assert(causeMessages(eStr).contains("'lang' is string"))
   }
 
+  test("rollback plan: later-added files removed, no-op refuses") {
+    val plan = IcebergMeta.rollbackPlan(spark, table, 1L).collect()
+      .map(r => (r.getString(0), new Path(r.getString(1)).getName)).toSet
+    // snap 2 added f3/f4 on top of the reused snap-1 manifest; snap 1
+    // needs nothing re-added
+    assert(plan === Set(("remove", "f3.parquet"), ("remove", "f4.parquet")))
+    // rolling back to the current snapshot is an empty plan — refused
+    val eNoop = intercept[Exception](IcebergMeta.rollbackPlan(spark, table, 2L))
+    assert(causeMessages(eNoop).contains("SAME live data files"))
+    // an unknown snapshot rides filesAt's refusal
+    val eBad = intercept[Exception](IcebergMeta.rollbackPlan(spark, table, 9L))
+    assert(causeMessages(eBad).contains("no snapshot 9"))
+  }
+
   test("manifest-metrics audit: declared counts vs footers, lie flagged") {
     val d = Files.createTempDirectory("graft_ice_metrics").toString + "/tbl"
     IcebergMeta.writeMetricsFixtureTable(spark, d, docs)
