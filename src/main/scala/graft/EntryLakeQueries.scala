@@ -1200,6 +1200,22 @@ private[graft] object EntryLakeQueries {
           col("lower"), col("upper"), col("survives"))
     }),
 
+    // The EXECUTABLE form: plan from manifests, scan only the
+    // surviving files, let Catalyst push the residual predicate into
+    // their row groups — the answer must equal a full-scan filter.
+    // Oracle: DuckDB filters ALL the data (its planner prunes with
+    // the same footer stats the fixture's bounds mirror).
+    "meta_iceberg_pruned_read" -> ((s, dir) => {
+      val out = "/tmp/graft_icebnd_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeBoundsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.readBoundsPruned(s, out, "doc_id", 100L, 200L)
+        .filter(col("doc_id").between(100L, 200L))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("doc_id")).cast("long").as("sum_id"))
+    }),
+
     // The same manifest bounds aggregated into the clustering
     // overlap-depth integers (span_sum/global_span at MANIFEST cost,
     // zero footer reads); the bounds-less file counts unbounded.
@@ -2199,6 +2215,12 @@ private[graft] object EntryLakeQueries {
         |UNION ALL
         |SELECT 'nb.parquet', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
         |  TRUE""".stripMargin,
+
+    "meta_iceberg_pruned_read" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM read_parquet('/tmp/graft_icebnd_sf0.01/data/*.parquet')
+        |WHERE doc_id BETWEEN 100 AND 200""".stripMargin,
 
     "meta_iceberg_bounds_clustering" ->
       """WITH st AS (

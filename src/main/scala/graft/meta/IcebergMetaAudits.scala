@@ -876,6 +876,31 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
         (col("declared_nulls") === col("actual_nulls")).as("nulls_match"))
   }
 
+  /**
+   * READ only the files a range predicate on `column` can touch, per
+   * the manifests' value bounds — the EXECUTABLE form of
+   * [[manifestBoundsPrune]] (planning at manifest cost, then one
+   * distributed scan of exactly the surviving files). The predicate
+   * itself is NOT applied: callers compose it, and Catalyst pushes it
+   * into the surviving files' row groups — the same contract as
+   * [[MetaPrune.readPruned]]. The surviving-path list is the MetaPrune
+   * driver boundary (file-count-sized). An empty survivor set returns
+   * an empty frame that keeps the table's schema.
+   */
+  def readBoundsPruned(
+      spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val all = manifestBoundsPrune(spark, table, column, lo, hi)
+      .select(col("data_path"), col("survives")).collect()
+    val surviving = all.filter(_.getBoolean(1)).map(_.getString(0)).toSeq
+    if (surviving.isEmpty) {
+      // preserve schema with an empty relation over the full file set
+      spark.read.parquet(all.map(_.getString(0)).toSeq: _*).limit(0)
+    } else {
+      spark.read.parquet(surviving: _*)
+    }
+  }
+
   /** The int/long instantiation of [[boundsWalk]] shared by
     * [[manifestBoundsPrune]] / [[boundsClusteringReport]]. */
   private def boundsByFile(

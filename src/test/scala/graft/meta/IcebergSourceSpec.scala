@@ -1134,6 +1134,24 @@ class IcebergSourceSpec extends SparkSpec {
     val eStr = intercept[Exception](
       IcebergMeta.manifestBoundsPrune(spark, d, "lang", 0L, 1L))
     assert(causeMessages(eStr).contains("'lang' is string"))
+    // the EXECUTABLE form scans ONLY the surviving files (f0, f1, nb)
+    // and, composed with the predicate, equals the full-scan answer
+    val pruned = IcebergMeta.readBoundsPruned(spark, d, "doc_id", 100L, 200L)
+    val scanned = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.map(p => new Path(p).getName).toSet
+    }.flatten.toSet
+    assert(scanned === Set("f0.parquet", "f1.parquet", "nb.parquet"))
+    assert(pruned.filter(col("doc_id").between(100L, 200L)).count() ===
+      spark.read.parquet(s"$d/data/f0.parquet", s"$d/data/f1.parquet",
+        s"$d/data/f2.parquet", s"$d/data/f3.parquet")
+        .filter(col("doc_id").between(100L, 200L)).count())
+    // a range outside every bounded file still scans nb (no bounds =
+    // always survives) and ONLY nb
+    val none = IcebergMeta.readBoundsPruned(spark, d, "doc_id", -99L, -90L)
+    assert(none.columns.toSeq === Seq("doc_id", "lang"))
+    assert(none.count() ===
+      spark.read.parquet(s"$d/data/nb.parquet").count())
   }
 
   test("rollback plan: later-added files removed, no-op refuses") {
