@@ -1258,6 +1258,21 @@ private[graft] object EntryLakeQueries {
           col("record_count"))
     }),
 
+    // DELTA CHANGE DATA FEED over [0, 2]: cdc files are the authority
+    // for their commit (v1's pre/post images supersede its add/remove);
+    // cdc-less commits derive file-granularity inserts (v0) and
+    // deletes (v2). Three scans total regardless of range width.
+    // Oracle: DuckDB reads the same files per the same rule.
+    "meta_delta_cdf" -> ((s, dir) => {
+      val out = "/tmp/graft_deltacdf_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeCdfFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.changeFeed(s, out, 0L, 2L)
+        .select(col("doc_id"), col("lang"), col("_change_type"),
+          col("_commit_version"))
+    }),
+
     // DELTA RESTORE plan: RESTORE TO VERSION AS OF 1 planned before
     // writing anything — re_add what version 1 served and later
     // commits removed (f1, f2), remove what arrived after (f4-f6).
@@ -2259,6 +2274,21 @@ private[graft] object EntryLakeQueries {
         |  CAST(num_rows AS BIGINT) AS record_count
         |FROM parquet_file_metadata(
         |  '/tmp/graft_iceberg_sf0.01/data/f[34].parquet')""".stripMargin,
+
+    "meta_delta_cdf" ->
+      """SELECT doc_id, lang, 'insert' AS _change_type,
+        |  CAST(0 AS BIGINT) AS _commit_version
+        |FROM read_parquet('/tmp/graft_deltacdf_sf0.01/f[01].parquet')
+        |UNION ALL
+        |-- v1 carries a cdc file: ITS rows are the commit's feed (the
+        |-- add/remove pair is superseded)
+        |SELECT doc_id, lang, _change_type, CAST(1 AS BIGINT)
+        |FROM read_parquet(
+        |  '/tmp/graft_deltacdf_sf0.01/_change_data/c1.parquet')
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete', CAST(2 AS BIGINT)
+        |FROM read_parquet('/tmp/graft_deltacdf_sf0.01/f1.parquet')"""
+        .stripMargin,
 
     "meta_delta_restore" ->
       """WITH fm AS (

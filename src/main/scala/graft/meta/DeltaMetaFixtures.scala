@@ -276,6 +276,74 @@ private[meta] trait DeltaMetaFixtures extends Serializable { this: DeltaMeta.typ
   }
 
   /**
+   * A CHANGE-DATA-FEED table: v0 adds `f0`/`f1` (cdc-less — file-
+   * granularity inserts), v1 is an UPDATE carrying a real
+   * `_change_data/c1.parquet` cdc file (three docs' pre/post images
+   * with their own `_change_type`) PLUS the superseded add/remove
+   * pair (f2 added, f0 removed — the cdc file is the authority for
+   * that commit), v2 removes `f1` cdc-less (file-granularity
+   * deletes). Returns per-data-file row counts.
+   */
+  def writeCdfFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    root.mkdirs()
+    val logDir = new java.io.File(root, "_delta_log")
+    logDir.mkdirs()
+    val cdDir = new java.io.File(root, "_change_data")
+    cdDir.mkdirs()
+    val base = docs.select(col("doc_id"), col("lang"))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (i <- 0 until 3) {
+      val rel = s"f$i.parquet"
+      counts(rel) = FixtureIO.writeSingleParquet(
+        base.filter(pmod(col("doc_id"), lit(3)) === i),
+        new java.io.File(root, rel), dir + s"_cdftmp$i")
+    }
+    // the UPDATE's change file: pre/post images of three docs
+    val updated = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .orderBy("doc_id").limit(3)
+    val c1 = updated.withColumn("_change_type", lit("update_preimage"))
+      .unionByName(updated.withColumn("lang", lit("zz"))
+        .withColumn("_change_type", lit("update_postimage")))
+    counts("c1.parquet") = FixtureIO.writeSingleParquet(
+      c1, new java.io.File(cdDir, "c1.parquet"), dir + "_cdftmpc")
+    val ts0 = 1700000000000L
+    def size(rel: String): Long = new java.io.File(root, rel).length()
+    def writeCommit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(logDir, f"$v%020d.json").toPath,
+        lines.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"doc_id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"lang\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    def addJson(f: String, v: Long): String =
+      s"""{"add":{"path":${jstr(f)},"partitionValues":{},"size":${size(f)},""" +
+        s""""modificationTime":${ts0 + v * 1000},"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":${counts(f)}}"}}"""
+    writeCommit(0, Seq(
+      s"""{"commitInfo":{"timestamp":$ts0,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"id":"graft-cdf","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schema","partitionColumns":[],""" +
+        s""""configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":$ts0}}""",
+      addJson("f0.parquet", 0), addJson("f1.parquet", 0)))
+    writeCommit(1, Seq(
+      s"""{"commitInfo":{"timestamp":${ts0 + 1000},"operation":"UPDATE"}}""",
+      s"""{"cdc":{"path":"_change_data/c1.parquet","partitionValues":{},""" +
+        s""""size":${size("_change_data/c1.parquet")},"dataChange":false}}""",
+      addJson("f2.parquet", 1),
+      s"""{"remove":{"path":"f0.parquet","deletionTimestamp":${ts0 + 1000},"dataChange":true}}"""))
+    writeCommit(2, Seq(
+      s"""{"commitInfo":{"timestamp":${ts0 + 2000},"operation":"DELETE"}}""",
+      s"""{"remove":{"path":"f1.parquet","deletionTimestamp":${ts0 + 2000},"dataChange":true}}"""))
+    counts.toMap
+  }
+
+  /**
    * A ROW-TRACKING table (writer feature `rowTracking`, protocol
    * minWriterVersion 7): three pmod-3 slices whose add actions carry
    * `baseRowId`/`defaultRowCommitVersion` — f0 owns [0, n0), f1 owns

@@ -1120,6 +1120,32 @@ class DeltaSourceSpec extends SparkSpec {
     assert(causeMessages(eHigh).contains("after the latest"))
   }
 
+  test("change feed: cdc authority, derived inserts/deletes, refusals") {
+    val d = Files.createTempDirectory("graft_delta_cdf").toString + "/tbl"
+    val counts = DeltaMeta.writeCdfFixtureTable(spark, d, docs)
+    val feed = DeltaMeta.changeFeed(spark, d, 0L, 2L)
+      .groupBy("_commit_version", "_change_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // v0: file-granularity inserts from both adds
+    assert(feed((0L, "insert")) ===
+      counts("f0.parquet") + counts("f1.parquet"))
+    // v1: ONLY the cdc file's rows — the add/remove pair is superseded
+    assert(feed((1L, "update_preimage")) === 3L)
+    assert(feed((1L, "update_postimage")) === 3L)
+    assert(!feed.contains((1L, "insert")) && !feed.contains((1L, "delete")))
+    // v2: file-granularity deletes from the cdc-less remove
+    assert(feed((2L, "delete")) === counts("f1.parquet"))
+    // a single-commit window narrows to that commit's changes
+    assert(DeltaMeta.changeFeed(spark, d, 2L, 2L)
+      .select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("delete"))
+    // reversed and beyond-latest ranges refuse
+    val eRev = intercept[Exception](DeltaMeta.changeFeed(spark, d, 2L, 1L))
+    assert(causeMessages(eRev).contains("reversed"))
+    val eHigh = intercept[Exception](DeltaMeta.changeFeed(spark, d, 0L, 9L))
+    assert(causeMessages(eHigh).contains("after the latest"))
+  }
+
   test("row-tracking audit: overlapping baseRowId ranges flagged") {
     val d = Files.createTempDirectory("graft_delta_rt").toString + "/tbl"
     val counts = DeltaMeta.writeRowTrackingFixtureTable(spark, d, docs)
