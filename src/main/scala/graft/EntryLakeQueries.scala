@@ -1107,6 +1107,19 @@ private[graft] object EntryLakeQueries {
       one("main").unionByName(one("v1"))
     }),
 
+    // ICEBERG ROW-LEVEL CHANGELOG over (1, 2]: inserts are the
+    // appended data files' rows; deletes are the rows the appended
+    // position-delete file removes, resolved against the target
+    // file's own row indexes. Oracle: DuckDB reads the same files
+    // (deletes = f0's positions 0,1 per the writer contract).
+    "meta_iceberg_changelog" -> ((s, dir) => {
+      val out = "/tmp/graft_iceberg_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.changelogScan(s, out, 1L, 2L)
+        .select(col("doc_id"), col("lang"), col("_change_type"))
+    }),
+
     // ICEBERG INCREMENTAL APPEND SCAN: files the snapshots in (1, 2]
     // ADDED, from snap-2's own manifest list by added_snapshot_id
     // attribution — the reused snap-1 manifest contributes nothing,
@@ -2115,6 +2128,15 @@ private[graft] object EntryLakeQueries {
         |SELECT 'main', file, record_count FROM fm
         |WHERE file IN ('f0.parquet', 'f1.parquet', 'f2.parquet',
         |  'f3.parquet', 'f4.parquet')""".stripMargin,
+
+    "meta_iceberg_changelog" ->
+      """SELECT doc_id, lang, 'insert' AS _change_type
+        |FROM read_parquet('/tmp/graft_iceberg_sf0.01/data/f[34].parquet')
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete'
+        |FROM read_parquet('/tmp/graft_iceberg_sf0.01/data/f0.parquet',
+        |  file_row_number=true)
+        |WHERE file_row_number IN (0, 1)""".stripMargin,
 
     "meta_iceberg_incremental" ->
       """WITH appended AS (

@@ -1220,10 +1220,91 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
           .map(e => (e.filePath, e.content,
             resolve(new Path(rootStr), e.filePath).toString,
             e.recordCount, e.fileSizeBytes,
-            e.sequenceNumber.orElse(mlSeq)))
+            e.sequenceNumber.orElse(mlSeq), e.fileFormat))
       }
       .toDF("file_path", "content", "abs_path", "record_count",
-        "file_size_bytes", "data_sequence_number")
+        "file_size_bytes", "data_sequence_number", "file_format")
+  }
+
+  /**
+   * INCREMENTAL CHANGELOG at row level — the CDF sibling of
+   * [[appendedFiles]]: the rows the snapshots in `(from, to]` changed.
+   * `insert` rows are the appended DATA files' own contents; `delete`
+   * rows are the rows the appended POSITION-delete files remove,
+   * resolved by reading exactly the referenced target files and
+   * semi-joining `(path, pos)` against `_metadata.row_index` — real
+   * rows, not file paths. Emits the data columns plus `_change_type`.
+   * Range resolution, lineage and attribution refusals ride
+   * [[appendedFiles]]; appended EQUALITY deletes refuse (their rows
+   * resolve through [[equalityDeleteRows]]'s scan semantics, and
+   * silently dropping them resurrects rows), as do appended Puffin
+   * DVs and non-parquet files. Driver boundaries: the appended-entry
+   * classification and the referenced-target path list (both
+   * manifest-entry-sized, the MetaPrune idiom).
+   */
+  def changelogScan(
+      spark: SparkSession, table: String,
+      fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    val appended = appendedFiles(spark, table, fromSnapshot, toSnapshot)
+      .select(col("abs_path"), col("content"), col("file_format"))
+      .collect()
+    appended.foreach { r =>
+      val fmt = r.getString(2)
+      if (r.getInt(1) == 2) {
+        throw new UnsupportedOperationException(
+          s"$table: the range appended an EQUALITY delete file " +
+            s"(${r.getString(0)}) — its deleted rows resolve only " +
+            "through a data scan (equalityDeleteRows); refusing a " +
+            "changelog that would silently resurrect them")
+      }
+      if (fmt == null || !fmt.equalsIgnoreCase("parquet")) {
+        throw new UnsupportedOperationException(
+          s"$table: appended file ${r.getString(0)} is " +
+            s"${String.valueOf(fmt)} — only parquet appends resolve to " +
+            "changelog rows, refusing a partial feed")
+      }
+    }
+    val insertPaths = appended.filter(_.getInt(1) == 0)
+      .map(_.getString(0)).distinct.toSeq
+    val deletePaths = appended.filter(_.getInt(1) == 1)
+      .map(_.getString(0)).distinct.toSeq
+    val rootStr = {
+      val hconf = spark.sessionState.newHadoopConf()
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p).toString
+    }
+    val scheme = rootStr.substring(0,
+      math.max(0, rootStr.indexOf(":/") + 1))
+    def resolved(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c.contains(":/"), c)
+        .when(c.startsWith("/"), concat(lit(scheme), c))
+        .otherwise(concat(lit(rootStr + "/"), c))
+    val inserts =
+      if (insertPaths.isEmpty) None
+      else Some(spark.read.parquet(insertPaths: _*)
+        .withColumn("_change_type", lit("insert")))
+    val deletes =
+      if (deletePaths.isEmpty) None
+      else {
+        val delRows = spark.read.parquet(deletePaths: _*)
+          .select(resolved(col("file_path")).as("p"),
+            col("pos").cast("long").as("pos"))
+        // referenced targets: a path list at delete-entry scale
+        val targets = delRows.select("p").distinct()
+          .collect().map(_.getString(0)).toSeq
+        val targetRows = spark.read.parquet(targets: _*)
+        val dataCols = targetRows.columns.toSeq
+        Some(targetRows
+          .withColumn("p", col("_metadata.file_path"))
+          .withColumn("pos", col("_metadata.row_index"))
+          .join(delRows, Seq("p", "pos"), "left_semi")
+          .select(dataCols.map(col): _*)
+          .withColumn("_change_type", lit("delete")))
+      }
+    (inserts.toSeq ++ deletes.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table: snapshots ($fromSnapshot, $toSnapshot] appended no " +
+          "files — the range carries no changelog"))
   }
 
   /**
@@ -1347,7 +1428,8 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
                       .filter(col("status") =!= 2)
                       .select(col("file_path"), col("content"),
                         col("abs_path"), col("record_count"),
-                        col("file_size_bytes"), col("data_sequence_number"))
+                        col("file_size_bytes"), col("data_sequence_number"),
+                        col("file_format"))
                   case Some((_, prevSnap)) =>
                     appendedFiles(spark, table, prevSnap, curSnap)
                 }

@@ -851,7 +851,8 @@ class IcebergSourceSpec extends SparkSpec {
         .getBytes("UTF-8"))
     IcebergMeta.maintainAppendsStore(spark, d, store, ckpt)
     val afterA = IcebergMeta.readAppendsStore(spark, store).collect()
-      .map(r => (r.getLong(6), new Path(r.getString(0)).getName)).toSet
+      .map(r => (r.getAs[Long]("snapshot_id"),
+        new Path(r.getAs[String]("file_path")).getName)).toSet
     assert(afterA === Set((1L, "f0.parquet"), (1L, "f1.parquet"),
       (1L, "f2.parquet")))
     // pass B: snapshot 2 arrives; ONLY its appends land
@@ -863,13 +864,15 @@ class IcebergSourceSpec extends SparkSpec {
       "2".getBytes("UTF-8"))
     IcebergMeta.maintainAppendsStore(spark, d, store, ckpt)
     val afterB = IcebergMeta.readAppendsStore(spark, store).collect()
-      .map(r => (r.getLong(6), new Path(r.getString(0)).getName)).toSet
+      .map(r => (r.getAs[Long]("snapshot_id"),
+        new Path(r.getAs[String]("file_path")).getName)).toSet
     assert(afterB === afterA ++ Set((2L, "f3.parquet"), (2L, "f4.parquet"),
       (2L, "del0.parquet")))
     // pass C: nothing new — the store is untouched (no re-emission)
     IcebergMeta.maintainAppendsStore(spark, d, store, ckpt)
     val afterC = IcebergMeta.readAppendsStore(spark, store).collect()
-      .map(r => (r.getLong(6), new Path(r.getString(0)).getName)).toSet
+      .map(r => (r.getAs[Long]("snapshot_id"),
+        new Path(r.getAs[String]("file_path")).getName)).toSet
     assert(afterC === afterB)
   }
 
@@ -959,6 +962,32 @@ class IcebergSourceSpec extends SparkSpec {
 
   private def counts2(d: String, f: String): Long =
     spark.read.parquet(s"$d/data/$f").count()
+
+  test("changelog scan: row-level inserts + resolved deletes") {
+    val d = Files.createTempDirectory("graft_ice_changelog").toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    val feed = IcebergMeta.changelogScan(spark, d, 1L, 2L)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // inserts = f3+f4 rows; deletes = del0's two positions of f0,
+    // resolved to REAL rows
+    assert(feed("insert") ===
+      counts2(d, "f3.parquet") + counts2(d, "f4.parquet"))
+    assert(feed("delete") === 2L)
+    // the deleted rows are f0's first two physical rows, not stubs
+    val deleted = IcebergMeta.changelogScan(spark, d, 1L, 2L)
+      .filter(col("_change_type") === "delete")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = spark.read.parquet(s"$d/data/f0.parquet")
+      .limit(2).collect().map(_.getLong(0)).toSet
+    assert(deleted === expect)
+    // an appended EQUALITY delete refuses the changelog
+    val d2 = Files.createTempDirectory("graft_ice_changelog2").toString + "/tbl"
+    IcebergMeta.writeEqDeleteFixtureTable(spark, d2, docs)
+    val eEq = intercept[Exception](
+      IcebergMeta.changelogScan(spark, d2, 1L, 2L).collect())
+    assert(causeMessages(eEq).contains("EQUALITY delete"))
+  }
 
   test("incremental range walks parent-snapshot-id lineage over wall clock") {
     val d = Files.createTempDirectory("graft_ice_lineage").toString + "/tbl"
