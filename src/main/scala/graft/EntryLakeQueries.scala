@@ -820,19 +820,38 @@ private[graft] object EntryLakeQueries {
     // by one — both engines flag exactly that cell. Oracle: DuckDB
     // parses the same summaries; actuals are the fixture's writer
     // contract recomputed from the data files' own footers.
-    // Renamed from meta_iceberg_summary_audit (r15) with a fresh
-    // fixture path AND a fixture-epoch column (the fixture's total
-    // row count, which changes with each testdata generation) on BOTH
-    // engine sides: a result parquet surviving from a prior data
-    // generation now hash-mismatches on a column whose value names
-    // the stale epoch, instead of masquerading as engine wrongness.
+    // r16: LONG format — one row per audited CELL (snapshot × metric),
+    // so a cross-engine divergence names the cell as a row-level diff
+    // instead of an opaque wide-row hash mismatch (this query has been
+    // hash-red in the driver environment while deterministic-green
+    // locally for three rounds; the r15 rename disproved staleness).
+    // The raw inputs both engines read are a sibling query,
+    // meta_iceberg_summary_inputs.
     "meta_iceberg_summary_audit2" -> ((s, dir) => {
       val out = "/tmp/graft_icesum2_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      val counts = IcebergMeta.writeSummaryFixtureTable(
+      IcebergMeta.writeSummaryFixtureTable(
         s, out, s.read.parquet(pq(dir, "documents")))
-      IcebergMeta.snapshotSummaryAudit(s, out)
-        .withColumn("fixture_rows", lit(counts.values.sum))
+      IcebergMeta.snapshotSummaryAuditCells(s, out)
+    }),
+
+
+    // ICEBERG SNAPSHOT-SUMMARY raw inputs: every fact the summary
+    // audit consumes, one row each — per-file footer row counts,
+    // per-snapshot declared summary metrics (JSON parse), and
+    // per-manifest-list-entry attribution fields (avro decode).
+    // Triangulates the audit: if this is cross-engine green while
+    // audit2 is red, the divergence is in the audit arithmetic; a red
+    // file:/snap:/list: row names footer decode / JSON parse / avro
+    // decode respectively. Oracle: DuckDB reads the same footers and
+    // the same metadata JSON; the avro manifest-list side is the
+    // fixture's writer contract (DuckDB cannot read avro).
+    "meta_iceberg_summary_inputs" -> ((s, dir) => {
+      val out = "/tmp/graft_icesum2_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeSummaryFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.summaryInputsReport(s, out)
     }),
 
 
@@ -2681,15 +2700,67 @@ private[graft] object EntryLakeQueries {
         |  SELECT 2, 2,
         |    (SELECT sum(nr) FROM fm WHERE name IN
         |      ('f3.parquet', 'f4.parquet'))
+        |),
+        |wide AS (
+        |  SELECT d.snapshot_id, d.declared_added_files,
+        |    d.declared_added_records, a.actual_added_files,
+        |    a.actual_added_records
+        |  FROM decl d JOIN actual a USING (snapshot_id)
         |)
-        |SELECT d.snapshot_id, d.declared_added_files,
-        |  d.declared_added_records, a.actual_added_files,
-        |  a.actual_added_records,
-        |  d.declared_added_files = a.actual_added_files AS files_match,
-        |  d.declared_added_records = a.actual_added_records
-        |    AS records_match,
-        |  CAST((SELECT sum(nr) FROM fm) AS BIGINT) AS fixture_rows
-        |FROM decl d JOIN actual a USING (snapshot_id)""".stripMargin,
+        |SELECT snapshot_id, 'added_files' AS metric,
+        |  declared_added_files AS declared,
+        |  actual_added_files AS actual,
+        |  declared_added_files = actual_added_files AS is_match
+        |FROM wide
+        |UNION ALL
+        |SELECT snapshot_id, 'added_records',
+        |  declared_added_records, actual_added_records,
+        |  declared_added_records = actual_added_records
+        |FROM wide""".stripMargin,
+
+
+    "meta_iceberg_summary_inputs" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_icesum2_sf0.01/data/f*.parquet')
+        |),
+        |decl AS (
+        |  SELECT CAST(s."snapshot-id" AS BIGINT) AS sid,
+        |    CAST(s.summary."added-data-files" AS BIGINT) AS df,
+        |    CAST(s.summary."added-records" AS BIGINT) AS dr
+        |  FROM (SELECT unnest(snapshots) AS s FROM read_json_auto(
+        |    '/tmp/graft_icesum2_sf0.01/metadata/*.metadata.json'))
+        |),
+        |r1 AS (SELECT CAST(sum(nr) AS BIGINT) AS v FROM fm WHERE name IN
+        |  ('f0.parquet', 'f1.parquet', 'f2.parquet')),
+        |r2 AS (SELECT CAST(sum(nr) AS BIGINT) AS v FROM fm WHERE name IN
+        |  ('f3.parquet', 'f4.parquet')),
+        |ml(item, metric, value) AS (VALUES
+        |  ('list:1/m0.avro', 'added_files_count', CAST(3 AS BIGINT)),
+        |  ('list:1/m0.avro', 'added_rows_count', (SELECT v FROM r1)),
+        |  ('list:1/m0.avro', 'added_snapshot_id', 1),
+        |  ('list:1/m0.avro', 'content', 0),
+        |  ('list:2/m0.avro', 'added_files_count', 3),
+        |  ('list:2/m0.avro', 'added_rows_count', (SELECT v FROM r1)),
+        |  ('list:2/m0.avro', 'added_snapshot_id', 1),
+        |  ('list:2/m0.avro', 'content', 0),
+        |  ('list:2/m2.avro', 'added_files_count', 2),
+        |  ('list:2/m2.avro', 'added_rows_count', (SELECT v FROM r2)),
+        |  ('list:2/m2.avro', 'added_snapshot_id', 2),
+        |  ('list:2/m2.avro', 'content', 0),
+        |  ('list:2/m3.avro', 'added_files_count', 1),
+        |  ('list:2/m3.avro', 'added_rows_count', 2),
+        |  ('list:2/m3.avro', 'added_snapshot_id', 2),
+        |  ('list:2/m3.avro', 'content', 1))
+        |SELECT 'file:' || name AS item, 'footer_rows' AS metric,
+        |  nr AS value FROM fm
+        |UNION ALL
+        |SELECT 'snap:' || sid, 'declared_added_files', df FROM decl
+        |UNION ALL
+        |SELECT 'snap:' || sid, 'declared_added_records', dr FROM decl
+        |UNION ALL
+        |SELECT item, metric, value FROM ml""".stripMargin,
 
 
     "meta_iceberg_ndv_audit" ->

@@ -589,6 +589,109 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
   }
 
   /**
+   * [[snapshotSummaryAudit]] in LONG form — one row per audited CELL:
+   * `(snapshot_id, metric ∈ {added_files, added_records}, declared,
+   * actual, is_match)`. A wide-row hash mismatch in a cross-engine
+   * compare says nothing about WHICH number diverged; the long form
+   * makes a single divergent cell visible as a row-level difference.
+   */
+  def snapshotSummaryAuditCells(
+      spark: SparkSession, table: String): DataFrame = {
+    val wide = snapshotSummaryAudit(spark, table)
+    val files = wide.select(
+      col("snapshot_id"), lit("added_files").as("metric"),
+      col("declared_added_files").as("declared"),
+      col("actual_added_files").as("actual"),
+      col("files_match").as("is_match"))
+    val records = wide.select(
+      col("snapshot_id"), lit("added_records").as("metric"),
+      col("declared_added_records").as("declared"),
+      col("actual_added_records").as("actual"),
+      col("records_match").as("is_match"))
+    files.unionByName(records)
+  }
+
+  /**
+   * The RAW INPUTS behind [[snapshotSummaryAudit]], one row per fact:
+   * `(item, metric, value)` —
+   *
+   *  - `file:<name>` / `footer_rows`: each live-or-ever-referenced
+   *    data file's parquet-footer row count (what a recompute-from-
+   *    evidence side reads);
+   *  - `snap:<id>` / `declared_added_files|declared_added_records`:
+   *    the snapshot summary's declared metrics (the JSON-parse side);
+   *  - `list:<id>/<manifest>` / `added_files_count|added_rows_count|
+   *    added_snapshot_id|content`: each snapshot's manifest-list
+   *    entries (the attribution side the audit sums).
+   *
+   * Exists so a cross-engine divergence in the summary audit
+   * localizes: if this query agrees across engines while the audit
+   * does not, the divergence is in the audit's arithmetic; if a
+   * `file:` row diverges it is footer decode; a `snap:` row, JSON
+   * parse; a `list:` row, avro manifest-list decode.
+   */
+  def summaryInputsReport(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    import scala.jdk.CollectionConverters._
+    val snaps = Option(node.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { s =>
+        def summaryLong(k: String): Option[Long] =
+          Option(s.get("summary")).flatMap(su => Option(su.get(k)))
+            .map(_.asLong())
+        (req(s, "snapshot-id", mf).asLong(),
+          req(s, "manifest-list", mf).asText(),
+          summaryLong("added-data-files"), summaryLong("added-records"))
+      }
+    if (snaps.isEmpty) {
+      throw new IllegalArgumentException(s"$table: no snapshots listed")
+    }
+    val declRows = snaps.flatMap { case (id, _, df, dr) =>
+      df.map(v => (s"snap:$id", "declared_added_files", v)).toSeq ++
+        dr.map(v => (s"snap:$id", "declared_added_records", v)).toSeq
+    }
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val listRows = snaps.map { case (id, ml, _, _) => (id, ml) }.toDS()
+      .flatMap { case (id, ml) =>
+        readManifestList(resolve(new Path(rootStr), ml), conf.value)
+          .flatMap { e =>
+            val name = new Path(e.manifestPath).getName
+            val item = s"list:$id/$name"
+            Seq(
+              e.addedFiles.map(v => (item, "added_files_count", v)),
+              e.addedRows.map(v => (item, "added_rows_count", v)),
+              e.addedSnapshotId.map(v => (item, "added_snapshot_id", v)),
+              Some((item, "content", e.content.toLong))).flatten
+          }
+      }
+    // every DATA file any manifest has ever referenced (added, existing
+    // or deleted — content=0 entries), footer-counted; manifests fan
+    // out one task each, deduped by path (a manifest reused across
+    // snapshots repeats its entries verbatim)
+    val manifestPaths = snaps.map { case (id, ml, _, _) => (id, ml) }.toDS()
+      .flatMap { case (_, ml) =>
+        readManifestList(resolve(new Path(rootStr), ml), conf.value)
+          .filter(_.content == 0).map(_.manifestPath)
+      }
+      .distinct()
+    val fileRows = manifestPaths
+      .flatMap { mp =>
+        readManifest(resolve(new Path(rootStr), mp), conf.value)
+          .filter(_.content == 0).map(_.filePath)
+      }
+      .distinct()
+      .map { fp =>
+        val p = resolve(new Path(rootStr), fp)
+        val n = Footers.read(p, conf.value).numRows
+        (s"file:${p.getName}", "footer_rows", n)
+      }
+    fileRows.toDF("item", "metric", "value")
+      .unionByName(listRows.toDF("item", "metric", "value"))
+      .unionByName(declRows.toDF("item", "metric", "value"))
+  }
+
+  /**
    * SORT-ORDER audit — the table's DECLARED write order
    * (`sort-orders` / `default-sort-order-id`, the metadata surface
    * engines consult before skipping a re-sort) verified against what
