@@ -481,6 +481,21 @@ private[meta] trait DeltaMetaAudits extends Serializable { this: DeltaMeta.type 
    * read loop. Refuses on reversed/beyond-latest ranges and on a gap
    * in the commit sequence (a cleaned-up commit silently missing
    * would hand back a feed with holes).
+   *
+   * Three more REFUSALS guard the silent-wrong-answer shapes of
+   * file-granularity derivation (r16):
+   *
+   *  - an in-range add/remove carrying a `deletionVector` is a
+   *    ROW-level change; deriving it as whole-file insert+delete
+   *    would report every unchanged row of the file as changed;
+   *  - a cdc-less commit with BOTH dataChange adds and removes is an
+   *    ambiguous update-rewrite — upstream Delta only derives pure
+   *    inserts / pure deletes without cdc;
+   *  - `delta.enableChangeDataFeed` must be in effect at EVERY
+   *    version of the range (established by replaying the log's
+   *    metaData actions); delta-spark refuses such ranges for the
+   *    same reason. A range whose enablement cannot be established
+   *    (no metaData action survives at or before it) also refuses.
    */
   def changeFeed(
       spark: SparkSession, table: String,
@@ -514,21 +529,90 @@ private[meta] trait DeltaMetaAudits extends Serializable { this: DeltaMeta.type 
           "missing from the log (cleaned up?) — a feed with holes " +
           "silently diverges, refusing")
     }
+    // CDF enablement must hold at every version of the range: replay
+    // the log's metaData actions (driver: commit-count-sized) and
+    // resolve each range version's effective configuration
+    val verExpr = regexp_extract(
+      element_at(split(col("_metadata.file_path"), "/"), -1),
+      "^0*(\\d+)", 1).cast("long").as("v")
+    val metaCommitPaths = segments.collect {
+      case (v, "commit", p) if v <= toVersion => p
+    }
+    val cfgs = spark.read
+      .schema(StructType(Seq(StructField("metaData", StructType(Seq(
+        StructField("configuration", MapType(StringType, StringType))))))))
+      .json(metaCommitPaths: _*)
+      .select(col("metaData.configuration").as("c"), verExpr)
+      .where(col("c").isNotNull)
+      .collect()
+      .map(r => (r.getLong(1), r.getMap[String, String](0)))
+      .sortBy(_._1)
+    (fromVersion to toVersion).foreach { v =>
+      val eff = cfgs.takeWhile(_._1 <= v).lastOption.getOrElse(
+        throw new UnsupportedOperationException(
+          s"$table: no metaData action survives at or before version " +
+            s"$v — cannot establish delta.enableChangeDataFeed for the " +
+            "range (checkpoint-held metadata is not replayed here), " +
+            "refusing rather than derive a feed that may be wrong"))
+      if (!eff._2.get("delta.enableChangeDataFeed").contains("true")) {
+        throw new UnsupportedOperationException(
+          s"$table: delta.enableChangeDataFeed was not in effect at " +
+            s"version $v — commits written with CDF off record " +
+            "update-rewrites as bare add+remove pairs, and deriving " +
+            "them at file granularity mislabels unchanged rows; " +
+            "refusing, as upstream Delta does for such ranges")
+      }
+    }
     // classify each commit's file actions (driver: action-count-sized,
     // the commitDiff boundary): cdc files win their commit
     val actType = StructType(Seq(
       StructField("path", StringType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("cardinality", LongType))))))
     val acts = spark.read
       .schema(StructType(Seq(
         StructField("add", actType), StructField("remove", actType),
         StructField("cdc", actType))))
       .json(commits.map(_._2): _*)
-      .select(col("add"), col("remove"), col("cdc"),
-        regexp_extract(element_at(split(col("_metadata.file_path"), "/"),
-          -1), "^0*(\\d+)", 1).cast("long").as("v"))
+      .select(col("add"), col("remove"), col("cdc"), verExpr)
       .collect()
     val cdcVersions = acts.filter(!_.isNullAt(2)).map(_.getLong(3)).toSet
+    // a deletionVector on any in-range add/remove is a ROW-level
+    // change this file-granularity derivation cannot represent
+    val dvVersions = acts.toSeq.flatMap { r =>
+      Seq(0, 1).collect {
+        case k if !r.isNullAt(k) && !r.getStruct(k).isNullAt(2) =>
+          r.getLong(3)
+      }
+    }.distinct.sorted
+    if (dvVersions.nonEmpty) {
+      throw new UnsupportedOperationException(
+        s"$table: versions ${dvVersions.mkString(", ")} carry " +
+          "deletionVector actions — a row-level delete derived at " +
+          "file granularity would report every unchanged row of the " +
+          "file as changed, refusing")
+    }
+    // a cdc-less commit with BOTH dataChange adds and removes is an
+    // ambiguous update-rewrite: the pairing of old to new rows is
+    // unknowable without the cdc files CDF would have written
+    def hasDataChange(r: org.apache.spark.sql.Row, k: Int): Boolean =
+      !r.isNullAt(k) && {
+        val a = r.getStruct(k)
+        !a.isNullAt(1) && a.getBoolean(1)
+      }
+    val mixed = acts.toSeq.groupBy(_.getLong(3)).collect {
+      case (v, rs) if !cdcVersions.contains(v) &&
+        rs.exists(hasDataChange(_, 0)) && rs.exists(hasDataChange(_, 1)) => v
+    }.toSeq.sorted
+    if (mixed.nonEmpty) {
+      throw new UnsupportedOperationException(
+        s"$table: cdc-less versions ${mixed.mkString(", ")} mix " +
+          "dataChange adds AND removes — an update-rewrite without " +
+          "cdc files cannot be attributed row-wise, refusing")
+    }
     def abs(rel: String): String = {
       val d = java.net.URLDecoder.decode(rel, "UTF-8")
       if (d.contains("://") || d.startsWith("/")) d

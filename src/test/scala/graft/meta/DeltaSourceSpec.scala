@@ -1146,6 +1146,44 @@ class DeltaSourceSpec extends SparkSpec {
     assert(causeMessages(eHigh).contains("after the latest"))
   }
 
+  test("change feed: DV, cdc-less mixed, and CDF-off ranges refuse") {
+    val d = Files.createTempDirectory("graft_delta_cdf2").toString + "/tbl"
+    DeltaMeta.writeCdfFixtureTable(spark, d, docs)
+    val logDir = new java.io.File(d, "_delta_log")
+    def writeCommit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(logDir, f"$v%020d.json").toPath,
+        lines.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // v3: a remove carrying a deletionVector — a ROW-level delete;
+    // file-granularity derivation would report the whole file
+    writeCommit(3, Seq(
+      """{"commitInfo":{"timestamp":1700000003000,"operation":"DELETE"}}""",
+      """{"remove":{"path":"f2.parquet","deletionTimestamp":1700000003000,""" +
+        """"dataChange":true,"deletionVector":{"storageType":"u",""" +
+        """"pathOrInlineDv":"ab*cdef","offset":1,"sizeInBytes":36,""" +
+        """"cardinality":2}}}"""))
+    // v4: cdc-less commit mixing dataChange adds AND removes — an
+    // update-rewrite whose row pairing is unknowable without cdc
+    writeCommit(4, Seq(
+      """{"commitInfo":{"timestamp":1700000004000,"operation":"MERGE"}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":10,""" +
+        """"modificationTime":1700000004000,"dataChange":true}}""",
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":1700000004000,""" +
+        """"dataChange":true}}"""))
+    val eDv = intercept[Exception](DeltaMeta.changeFeed(spark, d, 0L, 3L))
+    assert(causeMessages(eDv).contains("deletionVector"))
+    val eMix = intercept[Exception](DeltaMeta.changeFeed(spark, d, 4L, 4L))
+    assert(causeMessages(eMix).contains("mix"))
+    // the untouched prefix still reads
+    assert(DeltaMeta.changeFeed(spark, d, 0L, 2L).count() > 0)
+    // a table whose metaData never enabled CDF refuses outright
+    val off = Files.createTempDirectory("graft_delta_cdfoff").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, off, docs)
+    val eOff = intercept[Exception](DeltaMeta.changeFeed(spark, off, 1L, 2L))
+    assert(causeMessages(eOff).contains("enableChangeDataFeed"))
+  }
+
   test("row-tracking audit: overlapping baseRowId ranges flagged") {
     val d = Files.createTempDirectory("graft_delta_rt").toString + "/tbl"
     val counts = DeltaMeta.writeRowTrackingFixtureTable(spark, d, docs)
