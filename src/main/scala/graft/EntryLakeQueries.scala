@@ -1128,9 +1128,12 @@ private[graft] object EntryLakeQueries {
 
     // ICEBERG ROW-LEVEL CHANGELOG over (1, 2]: inserts are the
     // appended data files' rows; deletes are the rows the appended
-    // position-delete file removes, resolved against the target
-    // file's own row indexes. Oracle: DuckDB reads the same files
-    // (deletes = f0's positions 0,1 per the writer contract).
+    // position-delete file removes (resolved against the target
+    // file's own row indexes) PLUS every row of the REMOVED f5 — the
+    // range's status=2 copy-on-write whole-file delete (r16; dropping
+    // it silently resurrected those rows). Oracle: DuckDB reads the
+    // same files (position deletes = f0's positions 0,1 per the
+    // writer contract; removal deletes = all of f5).
     "meta_iceberg_changelog" -> ((s, dir) => {
       val out = "/tmp/graft_iceberg_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
@@ -2155,7 +2158,11 @@ private[graft] object EntryLakeQueries {
         |SELECT doc_id, lang, 'delete'
         |FROM read_parquet('/tmp/graft_iceberg_sf0.01/data/f0.parquet',
         |  file_row_number=true)
-        |WHERE file_row_number IN (0, 1)""".stripMargin,
+        |WHERE file_row_number IN (0, 1)
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete'
+        |FROM read_parquet('/tmp/graft_iceberg_sf0.01/data/f5.parquet')"""
+        .stripMargin,
 
     "meta_iceberg_incremental" ->
       """WITH appended AS (

@@ -1119,7 +1119,19 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
    */
   def appendedFiles(
       spark: SparkSession, table: String,
-      fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+      fromSnapshot: Long, toSnapshot: Long): DataFrame =
+    rangeEntries(spark, table, fromSnapshot, toSnapshot, Set(1))
+      .select("file_path", "content", "abs_path", "record_count",
+        "file_size_bytes", "data_sequence_number", "file_format")
+
+  /** [[appendedFiles]] generalized over entry STATUS — also exposes
+    * each entry's status and attributed snapshot id, so the changelog
+    * can see the range's `status=2` removals (a copy-on-write DELETE/
+    * OVERWRITE records whole-file removals that ARE row changes). */
+  private[meta] def rangeEntries(
+      spark: SparkSession, table: String,
+      fromSnapshot: Long, toSnapshot: Long,
+      statuses: Set[Int]): DataFrame = {
     val hconf = spark.sessionState.newHadoopConf()
     val root = {
       val p = new Path(table)
@@ -1212,42 +1224,72 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
     val rootStr = root.toString
     val conf = new SerializableHadoopConf(hconf)
     val inRangeB = inRange // serializable copy for the closure
+    val statusesB = statuses
     wanted.toDS()
       .flatMap { case (mp, mlSeq, mlSnap) =>
         readManifest(new Path(mp), conf.value)
-          .filter(e => e.status == 1 &&
+          .filter(e => statusesB.contains(e.status) &&
             inRangeB.contains(e.snapshotId.getOrElse(mlSnap)))
           .map(e => (e.filePath, e.content,
             resolve(new Path(rootStr), e.filePath).toString,
             e.recordCount, e.fileSizeBytes,
-            e.sequenceNumber.orElse(mlSeq), e.fileFormat))
+            // ADDED entries inherit the manifest's sequence number;
+            // a DELETED entry must carry its own (spec r134)
+            e.sequenceNumber.orElse(if (e.status == 1) mlSeq else None),
+            e.fileFormat, e.status, e.snapshotId.getOrElse(mlSnap)))
       }
       .toDF("file_path", "content", "abs_path", "record_count",
-        "file_size_bytes", "data_sequence_number", "file_format")
+        "file_size_bytes", "data_sequence_number", "file_format",
+        "status", "snapshot_id")
   }
 
   /**
    * INCREMENTAL CHANGELOG at row level — the CDF sibling of
    * [[appendedFiles]]: the rows the snapshots in `(from, to]` changed.
    * `insert` rows are the appended DATA files' own contents; `delete`
-   * rows are the rows the appended POSITION-delete files remove,
-   * resolved by reading exactly the referenced target files and
-   * semi-joining `(path, pos)` against `_metadata.row_index` — real
-   * rows, not file paths. Emits the data columns plus `_change_type`.
-   * Range resolution, lineage and attribution refusals ride
-   * [[appendedFiles]]; appended EQUALITY deletes refuse (their rows
+   * rows come from TWO shapes — the rows the appended POSITION-delete
+   * files remove (resolved by reading exactly the referenced target
+   * files and semi-joining `(path, pos)` against
+   * `_metadata.row_index`) and the full contents of DATA files the
+   * range REMOVED (`status=2`, the copy-on-write DELETE/OVERWRITE
+   * shape — dropping them would silently resurrect every row of a
+   * whole-file delete). Emits the data columns plus `_change_type`.
+   * Entries of `replace` snapshots are skipped entirely — a compaction
+   * rewrite changes no logical rows, exactly as Iceberg's own
+   * incremental changelog scan skips REPLACE operations. Range
+   * resolution, lineage and attribution refusals ride
+   * [[rangeEntries]]; appended EQUALITY deletes refuse (their rows
    * resolve through [[equalityDeleteRows]]'s scan semantics, and
    * silently dropping them resurrects rows), as do appended Puffin
-   * DVs and non-parquet files. Driver boundaries: the appended-entry
-   * classification and the referenced-target path list (both
-   * manifest-entry-sized, the MetaPrune idiom).
+   * DVs and non-parquet files. A removed DELETE file outside a
+   * replace snapshot refuses too (its suppressed rows logically
+   * RESURRECT — unrepresentable at file granularity), as does a
+   * removed data file that a live position-delete file references or
+   * that coexists with any equality delete (some of its rows were
+   * already dead, so whole-file delete rows would over-report).
+   * Driver boundaries: the range-entry classification and the
+   * referenced-target path lists (both manifest-entry-sized, the
+   * MetaPrune idiom).
    */
   def changelogScan(
       spark: SparkSession, table: String,
       fromSnapshot: Long, toSnapshot: Long): DataFrame = {
-    val appended = appendedFiles(spark, table, fromSnapshot, toSnapshot)
-      .select(col("abs_path"), col("content"), col("file_format"))
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = {
+      val p = new Path(table)
+      p.getFileSystem(hconf).makeQualified(p)
+    }
+    val info = readTableMetadata(
+      currentMetadataFile(root.getFileSystem(hconf), root), hconf)
+    val opById = info.snapshots.map(s => s.snapshotId -> s.operation).toMap
+    val entries = rangeEntries(spark, table, fromSnapshot, toSnapshot,
+      Set(1, 2))
+      .select(col("abs_path"), col("content"), col("file_format"),
+        col("status"), col("snapshot_id"))
       .collect()
+      // replace snapshots rewrite files without changing logical rows
+      .filterNot(r => opById.get(r.getLong(4)).flatten.contains("replace"))
+    val appended = entries.filter(_.getInt(3) == 1)
     appended.foreach { r =>
       val fmt = r.getString(2)
       if (r.getInt(1) == 2) {
@@ -1264,21 +1306,75 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
             "changelog rows, refusing a partial feed")
       }
     }
+    val removed = entries.filter(_.getInt(3) == 2)
+    removed.foreach { r =>
+      if (r.getInt(1) != 0) {
+        throw new UnsupportedOperationException(
+          s"$table: the range REMOVED a delete file " +
+            s"(${r.getString(0)}, content=${r.getInt(1)}) outside a " +
+            "replace snapshot — the rows it suppressed logically " +
+            "resurrect, which a file-granularity changelog cannot " +
+            "represent; refusing")
+      }
+      val fmt = r.getString(2)
+      if (fmt == null || !fmt.equalsIgnoreCase("parquet")) {
+        throw new UnsupportedOperationException(
+          s"$table: removed file ${r.getString(0)} is " +
+            s"${String.valueOf(fmt)} — only parquet removals resolve " +
+            "to changelog rows, refusing a partial feed")
+      }
+    }
+    val removedPaths = removed.map(_.getString(0)).distinct.toSeq
     val insertPaths = appended.filter(_.getInt(1) == 0)
       .map(_.getString(0)).distinct.toSeq
     val deletePaths = appended.filter(_.getInt(1) == 1)
       .map(_.getString(0)).distinct.toSeq
-    val rootStr = {
-      val hconf = spark.sessionState.newHadoopConf()
-      val p = new Path(table)
-      p.getFileSystem(hconf).makeQualified(p).toString
-    }
+    val rootStr = root.toString
     val scheme = rootStr.substring(0,
       math.max(0, rootStr.indexOf(":/") + 1))
     def resolved(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(c.contains(":/"), c)
         .when(c.startsWith("/"), concat(lit(scheme), c))
         .otherwise(concat(lit(rootStr + "/"), c))
+    if (removedPaths.nonEmpty) {
+      // a removed file some of whose rows were ALREADY dead must not
+      // emit its whole contents as deletes: check every delete file
+      // in to's manifest list (manifest-entry-sized driver boundary)
+      val toSnap = info.snapshots.find(_.snapshotId == toSnapshot).get
+      val allAtTo = filesFromManifestList(spark, root, toSnap.manifestList)
+      if (allAtTo.filter(col("content") === 2).limit(1).count() > 0) {
+        throw new UnsupportedOperationException(
+          s"$table: the range removes data files while EQUALITY " +
+            "delete files exist — whether their keys matched the " +
+            "removed files' rows resolves only through a data scan, " +
+            "so whole-file delete rows could over-report; refusing")
+      }
+      val posDeleteEntries = allAtTo
+        .filter(col("content") === 1 && col("status") =!= 2)
+        .select("abs_path", "file_format").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      posDeleteEntries.find(e =>
+        e._2 == null || !e._2.equalsIgnoreCase("parquet")).foreach { e =>
+        throw new UnsupportedOperationException(
+          s"$table: position-delete file ${e._1} is " +
+            s"${String.valueOf(e._2)} — cannot verify it does not " +
+            "reference the range's removed data files, refusing")
+      }
+      val posDeleteFiles = posDeleteEntries.map(_._1).toSeq
+      if (posDeleteFiles.nonEmpty) {
+        val referenced = spark.read.parquet(posDeleteFiles: _*)
+          .select(resolved(col("file_path")).as("p")).distinct()
+          .filter(col("p").isin(removedPaths: _*))
+          .limit(1).collect()
+        referenced.headOption.foreach { hit =>
+          throw new UnsupportedOperationException(
+            s"$table: removed data file ${hit.getString(0)} is " +
+              "referenced by a live position-delete file — some of " +
+              "its rows were already dead, so emitting the whole " +
+              "file as delete rows would over-report; refusing")
+        }
+      }
+    }
     val inserts =
       if (insertPaths.isEmpty) None
       else Some(spark.read.parquet(insertPaths: _*)
@@ -1301,10 +1397,15 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
           .select(dataCols.map(col): _*)
           .withColumn("_change_type", lit("delete")))
       }
-    (inserts.toSeq ++ deletes.toSeq).reduceOption(_ unionByName _)
+    val removedRows =
+      if (removedPaths.isEmpty) None
+      else Some(spark.read.parquet(removedPaths: _*)
+        .withColumn("_change_type", lit("delete")))
+    (inserts.toSeq ++ deletes.toSeq ++ removedRows.toSeq)
+      .reduceOption(_ unionByName _)
       .getOrElse(throw new IllegalArgumentException(
-        s"$table: snapshots ($fromSnapshot, $toSnapshot] appended no " +
-          "files — the range carries no changelog"))
+        s"$table: snapshots ($fromSnapshot, $toSnapshot] appended or " +
+          "removed no files — the range carries no changelog"))
   }
 
   /**

@@ -969,17 +969,20 @@ class IcebergSourceSpec extends SparkSpec {
     val feed = IcebergMeta.changelogScan(spark, d, 1L, 2L)
       .groupBy("_change_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // inserts = f3+f4 rows; deletes = del0's two positions of f0,
-    // resolved to REAL rows
+    // inserts = f3+f4 rows; deletes = del0's two positions of f0
+    // resolved to REAL rows, PLUS every row of the REMOVED f5 (the
+    // copy-on-write whole-file delete the range's status=2 entry
+    // records — dropping it would resurrect those rows)
     assert(feed("insert") ===
       counts2(d, "f3.parquet") + counts2(d, "f4.parquet"))
-    assert(feed("delete") === 2L)
-    // the deleted rows are f0's first two physical rows, not stubs
+    assert(feed("delete") === 2L + counts2(d, "f5.parquet"))
     val deleted = IcebergMeta.changelogScan(spark, d, 1L, 2L)
       .filter(col("_change_type") === "delete")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val expect = spark.read.parquet(s"$d/data/f0.parquet")
-      .limit(2).collect().map(_.getLong(0)).toSet
+      .limit(2).collect().map(_.getLong(0)).toSet ++
+      spark.read.parquet(s"$d/data/f5.parquet")
+        .collect().map(_.getLong(0)).toSet
     assert(deleted === expect)
     // an appended EQUALITY delete refuses the changelog
     val d2 = Files.createTempDirectory("graft_ice_changelog2").toString + "/tbl"
@@ -987,6 +990,41 @@ class IcebergSourceSpec extends SparkSpec {
     val eEq = intercept[Exception](
       IcebergMeta.changelogScan(spark, d2, 1L, 2L).collect())
     assert(causeMessages(eEq).contains("EQUALITY delete"))
+  }
+
+  test("changelog scan: replace skipped, referenced removal refuses") {
+    // a REPLACE (compaction) snapshot changes no logical rows: its
+    // adds and removals contribute nothing, and an all-replace range
+    // refuses as empty rather than emitting phantom changes
+    val d = Files.createTempDirectory("graft_ice_changelog3").toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d, docs)
+    val mf = new java.io.File(d, "metadata/v1.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    java.nio.file.Files.write(mf.toPath,
+      txt.replace("\"operation\":\"overwrite\"", "\"operation\":\"replace\"")
+        .getBytes("UTF-8"))
+    val eEmpty = intercept[Exception](
+      IcebergMeta.changelogScan(spark, d, 1L, 2L))
+    assert(causeMessages(eEmpty).contains("no changelog"))
+    // a removed data file that a live position-delete file references
+    // had dead rows already — whole-file delete rows would over-report
+    val d4 = Files.createTempDirectory("graft_ice_changelog4").toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d4, docs)
+    val f5Abs = new java.io.File(d4, "data/f5.parquet").getAbsolutePath
+    val tmp = d4 + "_refdel"
+    locally {
+      import spark.implicits._
+      Seq((f5Abs, 0L)).toDF("file_path", "pos")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(d4, "data/del0.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val eRef = intercept[Exception](
+      IcebergMeta.changelogScan(spark, d4, 1L, 2L))
+    assert(causeMessages(eRef).contains("already dead"))
   }
 
   test("incremental range walks parent-snapshot-id lineage over wall clock") {
