@@ -1142,6 +1142,22 @@ private[graft] object EntryLakeQueries {
         .select(col("doc_id"), col("lang"), col("_change_type"))
     }),
 
+    // ICEBERG ROW-LEVEL CHANGELOG over a range that appends EQUALITY
+    // deletes (r16): the appended eq0/eq1 delete files resolve
+    // row-wise through the shared tagged-scan machinery — deletes are
+    // the sequence-1 f0/f1 rows their keys match (null-safe; a row
+    // two delete files both match reports ONCE), the same-sequence f2
+    // survives the strictly-less scope and its rows are the inserts.
+    // Oracle: DuckDB applies the same keys with IS NOT DISTINCT FROM.
+    "meta_iceberg_changelog_eq" -> ((s, dir) => {
+      val out = "/tmp/graft_iceeq_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeEqDeleteFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.changelogScan(s, out, 1L, 2L)
+        .select(col("doc_id"), col("lang"), col("_change_type"))
+    }),
+
     // ICEBERG INCREMENTAL APPEND SCAN: files the snapshots in (1, 2]
     // ADDED, from snap-2's own manifest list by added_snapshot_id
     // attribution — the reused snap-1 manifest contributes nothing,
@@ -2163,6 +2179,22 @@ private[graft] object EntryLakeQueries {
         |SELECT doc_id, lang, 'delete'
         |FROM read_parquet('/tmp/graft_iceberg_sf0.01/data/f5.parquet')"""
         .stripMargin,
+
+    "meta_iceberg_changelog_eq" ->
+      """WITH e0 AS (SELECT DISTINCT doc_id
+        |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/eq0.parquet')),
+        |e1 AS (SELECT DISTINCT doc_id, lang
+        |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/eq1.parquet'))
+        |SELECT doc_id, lang, 'insert' AS _change_type
+        |FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/f2.parquet')
+        |UNION ALL
+        |SELECT d.doc_id, d.lang, 'delete'
+        |FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/f[01].parquet') d
+        |WHERE EXISTS (SELECT 1 FROM e0
+        |    WHERE e0.doc_id IS NOT DISTINCT FROM d.doc_id)
+        |  OR EXISTS (SELECT 1 FROM e1
+        |    WHERE e1.doc_id IS NOT DISTINCT FROM d.doc_id
+        |      AND e1.lang IS NOT DISTINCT FROM d.lang)""".stripMargin,
 
     "meta_iceberg_incremental" ->
       """WITH appended AS (

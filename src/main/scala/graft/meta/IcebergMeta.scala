@@ -855,11 +855,13 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
    * whose scope is empty are dropped (nothing to delete from).
    */
   private def eqDeleteGroups(
-      spark: SparkSession, table: String, requireLive: Boolean = true):
+      spark: SparkSession, table: String, requireLive: Boolean = true,
+      atSnapshot: Option[Long] = None,
+      onlyDeletePaths: Option[Set[String]] = None):
       Seq[(Seq[String], DataFrame, Seq[String])] = {
     val (_, _, mf, node) = currentMetadataNode(spark, table)
     val fieldsById = currentSchemaFieldsById(mf, node)
-    val live = currentFiles(spark, table).filter(col("status") =!= 2)
+    val live = filesAt(spark, table, atSnapshot).filter(col("status") =!= 2)
     val eqEntries = live.filter(col("content") === 2)
       .select(col("abs_path"), col("file_format"), col("equality_ids"),
         col("data_sequence_number"), col("partition_values"))
@@ -868,6 +870,9 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
         Option(r.getSeq[Int](2)).map(_.toSeq),
         if (r.isNullAt(3)) None else Some(r.getLong(3)),
         r.getMap[String, String](4).toSeq.sortBy(_._1)))
+      // a caller resolving a SUBSET (the changelog's range-appended
+      // deletes) scopes here; sequence/partition semantics are shared
+      .filter(e => onlyDeletePaths.forall(_.contains(e._1)))
     if (eqEntries.isEmpty) {
       if (!requireLive) return Seq.empty
       throw new IllegalArgumentException(
@@ -988,11 +993,14 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
    * Emits one row per (matched data row, matching group):
    * `(data_path, pos, eq_cols, key_csv)`.
    */
-  private def eqMatchedRows(
+  private[meta] def eqMatchedRows(
       spark: SparkSession, table: String,
-      requireLive: Boolean = true): DataFrame = {
+      requireLive: Boolean = true,
+      atSnapshot: Option[Long] = None,
+      onlyDeletePaths: Option[Set[String]] = None): DataFrame = {
     import spark.implicits._
-    val groups = eqDeleteGroups(spark, table, requireLive).zipWithIndex.map {
+    val groups = eqDeleteGroups(spark, table, requireLive, atSnapshot,
+      onlyDeletePaths).zipWithIndex.map {
       case ((names, delKeys, inScope), gid) => (gid, names, delKeys, inScope)
     }
     if (groups.isEmpty) {
@@ -1256,12 +1264,15 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
    * whole-file delete). Emits the data columns plus `_change_type`.
    * Entries of `replace` snapshots are skipped entirely — a compaction
    * rewrite changes no logical rows, exactly as Iceberg's own
-   * incremental changelog scan skips REPLACE operations. Range
-   * resolution, lineage and attribution refusals ride
-   * [[rangeEntries]]; appended EQUALITY deletes refuse (their rows
-   * resolve through [[equalityDeleteRows]]'s scan semantics, and
-   * silently dropping them resurrects rows), as do appended Puffin
-   * DVs and non-parquet files. A removed DELETE file outside a
+   * incremental changelog scan skips REPLACE operations. Appended
+   * EQUALITY deletes RESOLVE row-wise (r16) through the shared
+   * tagged-scan machinery ([[eqMatchedRows]] scoped to the appended
+   * delete files against `to`'s file state — sequence and partition
+   * scoping included), minus rows pre-existing deletes had already
+   * killed (every delete at `to` outside the appended set was
+   * committed at or before `from`, by lineage construction). Appended
+   * Puffin DVs and non-parquet files refuse. A removed DELETE file
+   * outside a
    * replace snapshot refuses too (its suppressed rows logically
    * RESURRECT — unrepresentable at file granularity), as does a
    * removed data file that a live position-delete file references or
@@ -1292,13 +1303,6 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
     val appended = entries.filter(_.getInt(3) == 1)
     appended.foreach { r =>
       val fmt = r.getString(2)
-      if (r.getInt(1) == 2) {
-        throw new UnsupportedOperationException(
-          s"$table: the range appended an EQUALITY delete file " +
-            s"(${r.getString(0)}) — its deleted rows resolve only " +
-            "through a data scan (equalityDeleteRows); refusing a " +
-            "changelog that would silently resurrect them")
-      }
       if (fmt == null || !fmt.equalsIgnoreCase("parquet")) {
         throw new UnsupportedOperationException(
           s"$table: appended file ${r.getString(0)} is " +
@@ -1329,6 +1333,12 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
       .map(_.getString(0)).distinct.toSeq
     val deletePaths = appended.filter(_.getInt(1) == 1)
       .map(_.getString(0)).distinct.toSeq
+    val eqDeletePaths = appended.filter(_.getInt(1) == 2)
+      .map(_.getString(0)).distinct.toSeq
+    lazy val allAtTo = {
+      val toSnap = info.snapshots.find(_.snapshotId == toSnapshot).get
+      filesFromManifestList(spark, root, toSnap.manifestList)
+    }
     val rootStr = root.toString
     val scheme = rootStr.substring(0,
       math.max(0, rootStr.indexOf(":/") + 1))
@@ -1340,8 +1350,6 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
       // a removed file some of whose rows were ALREADY dead must not
       // emit its whole contents as deletes: check every delete file
       // in to's manifest list (manifest-entry-sized driver boundary)
-      val toSnap = info.snapshots.find(_.snapshotId == toSnapshot).get
-      val allAtTo = filesFromManifestList(spark, root, toSnap.manifestList)
       if (allAtTo.filter(col("content") === 2).limit(1).count() > 0) {
         throw new UnsupportedOperationException(
           s"$table: the range removes data files while EQUALITY " +
@@ -1379,23 +1387,74 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
       if (insertPaths.isEmpty) None
       else Some(spark.read.parquet(insertPaths: _*)
         .withColumn("_change_type", lit("insert")))
-    val deletes =
+    // position-delete pairs: the appended position-delete files' own
+    // (path, pos) rows
+    val posPairs =
       if (deletePaths.isEmpty) None
+      else Some(spark.read.parquet(deletePaths: _*)
+        .select(resolved(col("file_path")).as("p"),
+          col("pos").cast("long").as("pos")))
+    // equality-delete pairs: the appended equality deletes RESOLVED to
+    // (path, pos) through the shared tagged-scan machinery, scoped to
+    // to's file state — minus rows that were ALREADY dead before the
+    // range (pre-existing position or equality deletes at to were all
+    // committed at or before from, by lineage construction)
+    val eqPairs =
+      if (eqDeletePaths.isEmpty) None
       else {
-        val delRows = spark.read.parquet(deletePaths: _*)
-          .select(resolved(col("file_path")).as("p"),
-            col("pos").cast("long").as("pos"))
+        val newKills = eqMatchedRows(spark, table, requireLive = false,
+          atSnapshot = Some(toSnapshot),
+          onlyDeletePaths = Some(eqDeletePaths.toSet))
+          .select(col("data_path").as("p"), col("pos"))
+          .dropDuplicates("p", "pos")
+        val preDeletes = allAtTo
+          .filter(col("content") =!= 0 && col("status") =!= 2)
+          .select(col("abs_path"), col("content"), col("file_format"))
+          .collect()
+          .filter(r => !eqDeletePaths.contains(r.getString(0)) &&
+            !deletePaths.contains(r.getString(0)))
+        preDeletes.find(r => r.getString(2) == null ||
+            !r.getString(2).equalsIgnoreCase("parquet")).foreach { r =>
+          throw new UnsupportedOperationException(
+            s"$table: pre-existing delete file ${r.getString(0)} is " +
+              s"${String.valueOf(r.getString(2))} — cannot subtract its " +
+              "already-dead rows from the equality resolution, refusing")
+        }
+        val prePosPaths = preDeletes.filter(_.getInt(1) == 1)
+          .map(_.getString(0)).distinct.toSeq
+        val preEqPaths = preDeletes.filter(_.getInt(1) == 2)
+          .map(_.getString(0)).distinct.toSeq
+        val oldKills = Seq(
+          if (prePosPaths.isEmpty) None
+          else Some(spark.read.parquet(prePosPaths: _*)
+            .select(resolved(col("file_path")).as("p"),
+              col("pos").cast("long").as("pos"))),
+          if (preEqPaths.isEmpty) None
+          else Some(eqMatchedRows(spark, table, requireLive = false,
+            atSnapshot = Some(toSnapshot),
+            onlyDeletePaths = Some(preEqPaths.toSet))
+            .select(col("data_path").as("p"), col("pos")))
+        ).flatten.reduceOption(_ unionByName _)
+        Some(oldKills match {
+          case Some(dead) => newKills.join(dead, Seq("p", "pos"),
+            "left_anti")
+          case None => newKills
+        })
+      }
+    val deletes = (posPairs.toSeq ++ eqPairs.toSeq)
+      .reduceOption(_ unionByName _)
+      .map { pairs =>
         // referenced targets: a path list at delete-entry scale
-        val targets = delRows.select("p").distinct()
+        val targets = pairs.select("p").distinct()
           .collect().map(_.getString(0)).toSeq
         val targetRows = spark.read.parquet(targets: _*)
         val dataCols = targetRows.columns.toSeq
-        Some(targetRows
+        targetRows
           .withColumn("p", col("_metadata.file_path"))
           .withColumn("pos", col("_metadata.row_index"))
-          .join(delRows, Seq("p", "pos"), "left_semi")
+          .join(pairs, Seq("p", "pos"), "left_semi")
           .select(dataCols.map(col): _*)
-          .withColumn("_change_type", lit("delete")))
+          .withColumn("_change_type", lit("delete"))
       }
     val removedRows =
       if (removedPaths.isEmpty) None

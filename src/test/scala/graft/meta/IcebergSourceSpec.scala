@@ -984,12 +984,20 @@ class IcebergSourceSpec extends SparkSpec {
       spark.read.parquet(s"$d/data/f5.parquet")
         .collect().map(_.getLong(0)).toSet
     assert(deleted === expect)
-    // an appended EQUALITY delete refuses the changelog
+    // an appended EQUALITY delete RESOLVES row-wise: deletes are the
+    // sequence-scoped f0/f1 rows its keys match — doc 0,1,2 (eq0),
+    // doc 4 and 8 (eq1; null-safe lang match) — each ONCE (doc 0
+    // matches both delete files); the same-sequence f2 rows that
+    // reuse matched keys all survive, and f2's rows are the inserts
     val d2 = Files.createTempDirectory("graft_ice_changelog2").toString + "/tbl"
     IcebergMeta.writeEqDeleteFixtureTable(spark, d2, docs)
-    val eEq = intercept[Exception](
-      IcebergMeta.changelogScan(spark, d2, 1L, 2L).collect())
-    assert(causeMessages(eEq).contains("EQUALITY delete"))
+    val eqFeed = IcebergMeta.changelogScan(spark, d2, 1L, 2L)
+      .select("doc_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(eqFeed.filter(_._2 == "insert").map(_._1).sorted.toSeq ===
+      Seq(0L, 4L, 8L))
+    assert(eqFeed.filter(_._2 == "delete").map(_._1).sorted.toSeq ===
+      Seq(0L, 1L, 2L, 4L, 8L))
   }
 
   test("changelog scan: replace skipped, referenced removal refuses") {
