@@ -1278,6 +1278,21 @@ private[graft] object EntryLakeQueries {
       IcebergMeta.boundsClusteringReport(s, out, "doc_id")
     }),
 
+    // MANIFEST-LIST partition-summary pruning (r16): the prune real
+    // planners apply BEFORE opening any manifest — the list's
+    // per-partition-field summaries prove m1 (parts [2,3]) disjoint
+    // from part ∈ [0,1], so the bounds tier never opens it (one row
+    // per manifest: bounds, survives, attributed rows). Oracle:
+    // closed-form from the fixture's writer contract; row counts
+    // recomputed from the data files' own footers.
+    "meta_iceberg_manifest_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_icesumprune_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeSummaryPruneFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.manifestSummaryPrune(s, out, "part", 0L, 1L)
+    }),
+
     // STRING equality-probe pruning from manifest bounds (raw UTF-8):
     // the probe is the first lang half's LAST value, so s0 survives
     // and s1 is provably disjoint — pruned with zero footer reads.
@@ -2333,6 +2348,24 @@ private[graft] object EntryLakeQueries {
         |  (SELECT max(upper) FROM st) AS global_max,
         |  (SELECT CAST(sum(upper - lower) AS BIGINT) FROM st) AS span_sum,
         |  (SELECT max(upper) - min(lower) FROM st) AS global_span""".stripMargin,
+
+    "meta_iceberg_manifest_prune" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata(
+        |    '/tmp/graft_icesumprune_sf0.01/data/f*.parquet')
+        |)
+        |SELECT 'm0.avro' AS manifest, 0 AS spec_id,
+        |  false AS contains_null,
+        |  CAST(0 AS BIGINT) AS lower, CAST(1 AS BIGINT) AS upper,
+        |  true AS survives,
+        |  (SELECT sum(nr) FROM fm WHERE name IN
+        |    ('f0.parquet', 'f1.parquet')) AS added_rows_count
+        |UNION ALL
+        |SELECT 'm1.avro', 0, false, 2, 3, false,
+        |  (SELECT sum(nr) FROM fm WHERE name IN
+        |    ('f2.parquet', 'f3.parquet'))""".stripMargin,
 
     "meta_iceberg_bounds_prune_str" ->
       """WITH st AS (

@@ -28,6 +28,15 @@ case class IcebergTableInfo(
 /** One manifest-list entry: a pointer to one manifest file.
   * `content`: 0 data manifest, 1 delete manifest (format v2; absent in
   * v1 lists → 0). */
+/** One manifest-list `partitions` field summary (spec r508-r511):
+  * the range of ONE partition field across every file of the
+  * manifest — the prune engines apply before opening the manifest. */
+case class IcebergFieldSummary(
+    containsNull: Boolean,
+    containsNan: Option[Boolean],
+    lowerBound: Option[Array[Byte]],
+    upperBound: Option[Array[Byte]])
+
 case class IcebergManifestInfo(
     manifestPath: String,
     manifestLength: Long,
@@ -41,7 +50,10 @@ case class IcebergManifestInfo(
     // sequence_number and status ADDED inherit it
     sequenceNumber: Option[Long] = None,
     // which partition spec the manifest's entries were written under
-    partitionSpecId: Option[Int] = None)
+    partitionSpecId: Option[Int] = None,
+    // the list's per-partition-field summaries (spec field 507), in
+    // the spec's field order; None when the writer recorded none
+    partitionSummaries: Option[Seq[IcebergFieldSummary]] = None)
 
 /** One manifest entry: one data or delete file with its census numbers.
   * `status`: 0 existing, 1 added, 2 deleted (the spec's enum).
@@ -355,6 +367,46 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
   private[meta] def contentOf(r: org.apache.avro.generic.GenericRecord): Int =
     optLong(r, "content").map(_.toInt).getOrElse(0)
 
+  /** Decode a manifest-list entry's `partitions` field summaries
+    * (spec 507: one record per partition field of the manifest's
+    * spec, in field order) — the whole-manifest prune evidence.
+    * Absent field or null value → None (writers may omit them). */
+  private def fieldSummariesOf(
+      r: org.apache.avro.generic.GenericRecord,
+      file: Path): Option[Seq[IcebergFieldSummary]] = {
+    def bytes(v: Any): Array[Byte] = v match {
+      case b: java.nio.ByteBuffer =>
+        val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+      case a: Array[Byte] => a
+      case other => throw new IllegalArgumentException(
+        s"$file: partitions bound is ${other.getClass.getName}, " +
+          "expected bytes")
+    }
+    if (r.getSchema.getField("partitions") == null) None
+    else Option(r.get("partitions")).map {
+      case l: java.util.List[_] =>
+        import scala.jdk.CollectionConverters._
+        l.asScala.toSeq.map {
+          case s: org.apache.avro.generic.GenericRecord =>
+            IcebergFieldSummary(
+              containsNull = Option(s.get("contains_null"))
+                .exists(_.asInstanceOf[Boolean]),
+              containsNan =
+                if (s.getSchema.getField("contains_nan") == null) None
+                else Option(s.get("contains_nan"))
+                  .map(_.asInstanceOf[Boolean]),
+              lowerBound = Option(s.get("lower_bound")).map(bytes),
+              upperBound = Option(s.get("upper_bound")).map(bytes))
+          case other => throw new IllegalArgumentException(
+            s"$file: partitions element is ${other.getClass.getName}, " +
+              "expected a field_summary record")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$file: partitions is ${other.getClass.getName}, expected " +
+          "an array of field_summary records")
+    }
+  }
+
   /** Decode a manifest LIST (one entry per manifest of a snapshot). */
   def readManifestList(file: Path, conf: Configuration): Seq[IcebergManifestInfo] = {
     val reader = openAvro(file, conf)
@@ -375,7 +427,8 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
           addedRows = optLong(r, "added_rows_count"),
           addedSnapshotId = optLong(r, "added_snapshot_id"),
           sequenceNumber = optLong(r, "sequence_number"),
-          partitionSpecId = optLong(r, "partition_spec_id").map(_.toInt))
+          partitionSpecId = optLong(r, "partition_spec_id").map(_.toInt),
+          partitionSummaries = fieldSummariesOf(r, file))
       }
       out.toSeq
     } finally {

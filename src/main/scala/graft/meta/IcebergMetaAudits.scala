@@ -822,15 +822,19 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
    * `survives` — false only when the bounds PROVE disjointness; a file
    * with no bounds for the field survives (no evidence never prunes,
    * the spec's metrics contract). The manifest walk fans out one task
-   * per manifest; nothing data-sized visits the driver. Refuses when
-   * `column` is unknown or not an int/long (other single-value types
-   * need their own comparator — decoding them as integers would
-   * mis-prune).
+   * per manifest; nothing data-sized visits the driver — and when
+   * `column` is an identity PARTITION field, whole manifests whose
+   * manifest-LIST partition summaries prove disjointness are never
+   * even opened (r16; see [[manifestSummaryPrune]] — their files
+   * cannot survive, so they are absent from the output entirely).
+   * Refuses when `column` is unknown or not an int/long (other
+   * single-value types need their own comparator — decoding them as
+   * integers would mis-prune).
    */
   def manifestBoundsPrune(
       spark: SparkSession, table: String, column: String,
       lo: Long, hi: Long): DataFrame =
-    boundsByFile(spark, table, column)
+    boundsByFile(spark, table, column, partitionRange = Some((lo, hi)))
       .select(col("data_path"), col("lower"), col("upper"),
         (col("lower").isNull || col("upper").isNull ||
           (col("lower") <= hi && col("upper") >= lo)).as("survives"))
@@ -996,19 +1000,140 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
     val all = manifestBoundsPrune(spark, table, column, lo, hi)
       .select(col("data_path"), col("survives")).collect()
     val surviving = all.filter(_.getBoolean(1)).map(_.getString(0)).toSeq
-    if (surviving.isEmpty) {
-      // preserve schema with an empty relation over the full file set
-      spark.read.parquet(all.map(_.getString(0)).toSeq: _*).limit(0)
-    } else {
+    if (surviving.nonEmpty) {
       spark.read.parquet(surviving: _*)
+    } else {
+      // preserve schema with an empty relation over the full file set;
+      // when manifest-summary pruning dropped every manifest, fall
+      // back to the unpruned walk for a schema donor
+      val donors =
+        if (all.nonEmpty) all.map(_.getString(0)).toSeq
+        else boundsByFile(spark, table, column)
+          .select("data_path").collect().map(_.getString(0)).toSeq
+      if (donors.isEmpty) {
+        throw new IllegalArgumentException(
+          s"$table: no live data files — nothing to read, and no " +
+            "schema to preserve an empty result with")
+      }
+      spark.read.parquet(donors: _*).limit(0)
     }
   }
 
   /** The int/long instantiation of [[boundsWalk]] shared by
     * [[manifestBoundsPrune]] / [[boundsClusteringReport]]. */
   private def boundsByFile(
-      spark: SparkSession, table: String, column: String): DataFrame =
-    boundsWalk[Long](spark, table, column, Set("int", "long"), boundLong)
+      spark: SparkSession, table: String, column: String,
+      partitionRange: Option[(Long, Long)] = None): DataFrame =
+    boundsWalk[Long](spark, table, column, Set("int", "long"), boundLong,
+      partitionRange)
+
+  /** For each declared partition spec: the POSITION of the identity
+    * field over schema field `fieldId` within the spec's field list —
+    * the manifest list's `partitions` summaries are in exactly this
+    * order. Specs not partitioning by the field are absent. */
+  private def identitySummaryIndex(
+      node: com.fasterxml.jackson.databind.JsonNode,
+      mf: Path, fieldId: Int): Map[Int, Int] = {
+    import scala.jdk.CollectionConverters._
+    Option(node.get("partition-specs"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .flatMap { sp =>
+        val id = req(sp, "spec-id", mf).asInt()
+        Option(sp.get("fields"))
+          .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+          .zipWithIndex.collectFirst {
+            case (f, i) if req(f, "source-id", mf).asInt() == fieldId &&
+              req(f, "transform", mf).asText() == "identity" => id -> i
+          }
+      }.toMap
+  }
+
+  /** Whole-manifest keep decision from the list's partition summaries:
+    * false ONLY when the summary PROVES every file's `column` value is
+    * outside `[lo, hi]` (identity partition: each file's rows share
+    * one value, and a null partition value never satisfies a range
+    * predicate — SQL semantics — so `contains_null` cannot rescue a
+    * bounds-disjoint manifest). Any missing evidence keeps. */
+  private def summaryKeep(specIdx: Map[Int, Int], lo: Long, hi: Long)(
+      m: IcebergManifestInfo): Boolean = {
+    val disjoint = for {
+      specId <- m.partitionSpecId
+      idx <- specIdx.get(specId)
+      sums <- m.partitionSummaries
+      s <- sums.lift(idx)
+      l <- s.lowerBound
+      u <- s.upperBound
+    } yield boundLong(l, m.manifestPath) > hi ||
+      boundLong(u, m.manifestPath) < lo
+    !disjoint.getOrElse(false)
+  }
+
+  /**
+   * MANIFEST-LIST partition-summary pruning report — the FIRST prune
+   * real planners apply at scale: before opening ANY manifest, the
+   * manifest list's per-partition-field summaries (`partitions`, spec
+   * field 507: contains_null + lower/upper bound per field of the
+   * manifest's spec) already prove whole manifests disjoint from
+   * `column ∈ [lo, hi]`. One row per DATA manifest of the current
+   * snapshot: `(manifest, spec_id, contains_null, lower, upper,
+   * survives, added_rows_count)` — `survives=false` means the bounds
+   * tier never opens it (a thousand-manifest table answers a
+   * partition-ranged plan with ONE manifest-list read). Manifests
+   * with no summary for the field survive (no evidence never
+   * prunes). Refuses when `column` is unknown, not int/long, or not
+   * an identity partition field in ANY declared spec — with nothing
+   * to prune on, an all-survives report reads as evidence when it is
+   * vacuous.
+   */
+  def manifestSummaryPrune(
+      spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    import spark.implicits._
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    val byId = currentSchemaFieldsById(mf, node)
+    val fieldId = byId.collectFirst {
+      case (id, (n, _)) if n == column => id
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$table: no field '$column' in the current schema (known: " +
+        s"${byId.values.map(_._1).toSeq.sorted.mkString(", ")})"))
+    val tpe = byId(fieldId)._2
+    if (!Set("int", "long").contains(tpe)) {
+      throw new UnsupportedOperationException(
+        s"$table: field '$column' is $tpe — only int/long partition " +
+          "summaries decode here; comparing another type's payload " +
+          "would mis-prune")
+    }
+    val specIdx = identitySummaryIndex(node, mf, fieldId)
+    if (specIdx.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: no partition spec declares identity($column) — the " +
+          "manifest list carries no summary to prune on")
+    }
+    val hconf = spark.sessionState.newHadoopConf()
+    val info = readTableMetadata(mf, hconf)
+    requireCensusableVersion(info, table)
+    val current = info.snapshots.find(_.isCurrent).getOrElse(
+      throw new IllegalArgumentException(s"$table: no current snapshot"))
+    // manifest-list-entry scale: the same driver boundary every
+    // manifest-list consumer has
+    readManifestList(resolve(root, current.manifestList), hconf)
+      .filter(_.content == 0)
+      .map { m =>
+        val s = for {
+          specId <- m.partitionSpecId
+          idx <- specIdx.get(specId)
+          sums <- m.partitionSummaries
+          s <- sums.lift(idx)
+        } yield s
+        (new Path(m.manifestPath).getName, m.partitionSpecId,
+          s.map(_.containsNull),
+          s.flatMap(_.lowerBound).map(boundLong(_, m.manifestPath)),
+          s.flatMap(_.upperBound).map(boundLong(_, m.manifestPath)),
+          summaryKeep(specIdx, lo, hi)(m), m.addedRows)
+      }
+      .toDF("manifest", "spec_id", "contains_null", "lower", "upper",
+        "survives", "added_rows_count")
+  }
 
   /** The shared manifest walk behind every bounds consumer: one
     * `(data_path, lower, upper)` row per live data file of the current
@@ -1019,7 +1144,8 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
   private def boundsWalk[T: scala.reflect.runtime.universe.TypeTag](
       spark: SparkSession, table: String, column: String,
       wantTypes: Set[String],
-      decode: (Array[Byte], String) => T): DataFrame = {
+      decode: (Array[Byte], String) => T,
+      partitionRange: Option[(Long, Long)] = None): DataFrame = {
     import spark.implicits._
     val (root, _, mf, node) = currentMetadataNode(spark, table)
     val byId = currentSchemaFieldsById(mf, node)
@@ -1040,10 +1166,20 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
     requireCensusableVersion(info, table)
     val current = info.snapshots.find(_.isCurrent).getOrElse(
       throw new IllegalArgumentException(s"$table: no current snapshot"))
-    val manifests = readManifestList(
+    val dataManifests = readManifestList(
       resolve(root, current.manifestList), hconf)
       .filter(_.content == 0)
-      .map(m => resolve(root, m.manifestPath).toString)
+    // manifest-LIST partition-summary prune (r16): when the column is
+    // an identity partition field and the caller carries a range,
+    // provably-disjoint manifests are never opened at all — the prune
+    // real planners apply before any manifest I/O
+    val kept = partitionRange match {
+      case None => dataManifests
+      case Some((lo, hi)) =>
+        val specIdx = identitySummaryIndex(node, mf, fieldId)
+        dataManifests.filter(summaryKeep(specIdx, lo, hi))
+    }
+    val manifests = kept.map(m => resolve(root, m.manifestPath).toString)
     val rootStr = root.toString
     val conf = new SerializableHadoopConf(hconf)
     manifests.toDS()
@@ -1057,7 +1193,14 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
           }
       }
       .toDF("data_path", "lower", "upper")
-      .dropDuplicates("data_path")
+      // a file can appear in several manifests (added in one, existing
+      // in a rewritten one) with differing bounds PRESENCE: aggregate
+      // deterministically — min/max ignore nulls, so a bounded entry
+      // always beats an unbounded duplicate, and two bounded entries
+      // widen conservatively (never a run-to-run coin flip, which
+      // dropDuplicates was)
+      .groupBy(col("data_path"))
+      .agg(min(col("lower")).as("lower"), max(col("upper")).as("upper"))
   }
 
   /**

@@ -1467,6 +1467,150 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
     counts.toMap
   }
 
+  /** [[manifestListSchema]] plus the spec's `partitions` field
+    * summaries (507-511) — the whole-manifest prune evidence. */
+  private[meta] val summaryManifestListSchema = avroSchema(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int","default":0},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+      |{"name":"added_files_count","type":"int"},
+      |{"name":"existing_files_count","type":"int"},
+      |{"name":"deleted_files_count","type":"int"},
+      |{"name":"added_rows_count","type":"long"},
+      |{"name":"partitions","type":["null",{"type":"array","items":
+      |  {"type":"record","name":"field_summary","fields":[
+      |    {"name":"contains_null","type":"boolean"},
+      |    {"name":"contains_nan","type":["null","boolean"],"default":null},
+      |    {"name":"lower_bound","type":["null","bytes"],"default":null},
+      |    {"name":"upper_bound","type":["null","bytes"],"default":null}
+      |  ]}}],"default":null}]}""".stripMargin)
+
+  /**
+   * A PARTITIONED table whose manifest list carries `partitions`
+   * field summaries — the [[IcebergMeta.manifestSummaryPrune]] /
+   * bounds-tier whole-manifest prune fixture: four pmod-4 slices with
+   * a constant `part` column (identity partition, spec-id 0), split
+   * across TWO manifests — m0 holds parts {0,1} (summary [0,1]), m1
+   * holds parts {2,3} (summary [2,3]) — so a `part ∈ [0,1]` plan must
+   * skip m1 without opening it. Entries also carry per-file `part`
+   * value bounds (int32 LE). Returns per-data-file row counts.
+   */
+  def writeSummaryPruneFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val counts = (0 until 4).map { i =>
+      val rel = s"f$i.parquet"
+      rel -> FixtureIO.writeSingleParquet(
+        docs.filter(pmod(col("doc_id"), lit(4)) === i)
+          .select(col("doc_id"), col("lang"),
+            lit(i).cast("int").as("part")),
+        new java.io.File(dataDir, rel), dir + s"_sumtmp$i")
+    }.toMap
+    def le4(v: Int): java.nio.ByteBuffer = {
+      val b = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(v); b.flip(); b
+    }
+    def entry(rel: String, part: Int): org.apache.avro.generic.GenericRecord = {
+      val dfSchema = boundsManifestSchema.getField("data_file").schema()
+      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", s"data/$rel")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(rel))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, rel).length())
+      def kvArr(name: String) = {
+        val arrSchema = dfSchema.getField(name).schema().getTypes.get(1)
+        val kv: org.apache.avro.generic.GenericRecord =
+          new org.apache.avro.generic.GenericData.Record(
+            arrSchema.getElementType)
+        kv.put("key", 3) // part's field id
+        kv.put("value", le4(part))
+        new org.apache.avro.generic.GenericData.Array[
+          org.apache.avro.generic.GenericRecord](arrSchema,
+          java.util.List.of(kv))
+      }
+      df.put("lower_bounds", kvArr("lower_bounds"))
+      df.put("upper_bounds", kvArr("upper_bounds"))
+      val e = new org.apache.avro.generic.GenericData.Record(
+        boundsManifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), boundsManifestSchema,
+      Seq(entry("f0.parquet", 0), entry("f1.parquet", 1)))
+    writeAvro(new java.io.File(metaDir, "m1.avro"), boundsManifestSchema,
+      Seq(entry("f2.parquet", 2), entry("f3.parquet", 3)))
+    def mlEntry(path: String, rows: Long, lo: Int, hi: Int):
+        org.apache.avro.generic.GenericRecord = {
+      val r = new org.apache.avro.generic.GenericData.Record(
+        summaryManifestListSchema)
+      r.put("manifest_path", s"metadata/$path")
+      r.put("manifest_length", new java.io.File(metaDir, path).length())
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("added_snapshot_id", 1L)
+      r.put("added_files_count", 2)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", rows)
+      val sumSchema = summaryManifestListSchema.getField("partitions")
+        .schema().getTypes.get(1)
+      val s: org.apache.avro.generic.GenericRecord =
+        new org.apache.avro.generic.GenericData.Record(
+          sumSchema.getElementType)
+      s.put("contains_null", false)
+      s.put("lower_bound", le4(lo))
+      s.put("upper_bound", le4(hi))
+      r.put("partitions", new org.apache.avro.generic.GenericData.Array[
+        org.apache.avro.generic.GenericRecord](sumSchema,
+        java.util.List.of(s)))
+      r
+    }
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"),
+      summaryManifestListSchema,
+      Seq(mlEntry("m0.avro",
+        counts("f0.parquet") + counts("f1.parquet"), 0, 1),
+        mlEntry("m1.avro",
+          counts("f2.parquet") + counts("f3.parquet"), 2, 3)))
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-sumprune-fixture",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":1,
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"},
+         | {"id":3,"name":"part","required":false,"type":"int"}]}],
+         |"default-spec-id":0,
+         |"partition-specs":[
+         |{"spec-id":0,"fields":[
+         | {"name":"part","transform":"identity",
+         |  "source-id":3,"field-id":1000}]}],
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":1700000000000,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
   /** [[manifestSchema]] plus the spec's r109/r110 count maps. */
   private[meta] val metricsManifestSchema = avroSchema(
     """{"type":"record","name":"manifest_entry","fields":[

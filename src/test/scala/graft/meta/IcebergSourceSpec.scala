@@ -1229,6 +1229,35 @@ class IcebergSourceSpec extends SparkSpec {
       spark.read.parquet(s"$d/data/nb.parquet").count())
   }
 
+  test("manifest-list partition summaries prune whole manifests") {
+    val d = Files.createTempDirectory("graft_ice_sumprune").toString + "/tbl"
+    val counts = IcebergMeta.writeSummaryPruneFixtureTable(spark, d, docs)
+    val rep = IcebergMeta.manifestSummaryPrune(spark, d, "part", 0L, 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(rep("m0.avro") === ((0L, 1L, true)))
+    assert(rep("m1.avro") === ((2L, 3L, false)))
+    // refusals: a non-partition column has nothing to prune on
+    val eNoSpec = intercept[Exception](
+      IcebergMeta.manifestSummaryPrune(spark, d, "doc_id", 0L, 1L))
+    assert(causeMessages(eNoSpec).contains("identity(doc_id)"))
+    // the bounds tier NEVER OPENS the pruned manifest: corrupt m1 on
+    // disk — the partition-ranged walk still answers from m0 alone...
+    java.nio.file.Files.write(
+      new java.io.File(d, "metadata/m1.avro").toPath,
+      "not avro at all".getBytes("UTF-8"))
+    val pruned = IcebergMeta.manifestBoundsPrune(spark, d, "part", 0L, 1L)
+      .collect().map(r => new Path(r.getString(0)).getName).toSet
+    assert(pruned === Set("f0.parquet", "f1.parquet"))
+    val rows = IcebergMeta.readBoundsPruned(spark, d, "part", 0L, 1L)
+    assert(rows.count() === counts("f0.parquet") + counts("f1.parquet"))
+    // ...while an unranged walk must open every manifest and fail on
+    // the corruption — proof the file is genuinely unreadable
+    val eCorrupt = intercept[Exception](
+      IcebergMeta.boundsClusteringReport(spark, d, "part").collect())
+    assert(eCorrupt != null)
+  }
+
   test("rollback plan: later-added files removed, no-op refuses") {
     val plan = IcebergMeta.rollbackPlan(spark, table, 1L).collect()
       .map(r => (r.getString(0), new Path(r.getString(1)).getName)).toSet
