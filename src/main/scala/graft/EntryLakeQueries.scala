@@ -1310,6 +1310,59 @@ private[graft] object EntryLakeQueries {
           col("lower"), col("upper"), col("survives"))
     }),
 
+    // STRING RANGE pruning from manifest bounds (r16): the probe
+    // range is exactly the second lang half's [min, max], so s1
+    // survives and s0 (whose upper sits strictly below) is provably
+    // disjoint — truncation conservatism keeps the test sound.
+    // Oracle: DuckDB recomputes both files' lang min/max from the
+    // data and derives the SAME probes from s1 itself.
+    "meta_iceberg_bounds_prune_str_range" -> ((s, dir) => {
+      val out = "/tmp/graft_icesbnd_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeStringBoundsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val mm = s.read.parquet(out + "/data/s1.parquet")
+        .agg(min("lang"), max("lang")).head()
+      IcebergMeta.manifestBoundsPruneStringRange(
+        s, out, "lang", mm.getString(0), mm.getString(1))
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("lower"), col("upper"), col("survives"))
+    }),
+
+    // DATE RANGE pruning from manifest bounds (r16): dates ride the
+    // spec's 4-byte LE int epoch-days serialization; the fixture's
+    // date-ranked quartiles make early files survive a Feb-Mar probe
+    // and late files provably disjoint. Oracle: DuckDB recomputes
+    // each file's date min/max from the data itself.
+    "meta_iceberg_bounds_prune_date" -> ((s, dir) => {
+      val out = "/tmp/graft_icetbnd_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeTypedBoundsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.manifestBoundsPruneDate(
+        s, out, "d", "2020-02-01", "2020-03-15")
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("lower").cast("string").as("lower"),
+          col("upper").cast("string").as("upper"), col("survives"))
+    }),
+
+    // DECIMAL RANGE pruning from manifest bounds (r16): decimals ride
+    // the spec's minimal big-endian two's-complement unscaled bytes
+    // (the endianness flip vs int/long is exactly what a naive
+    // decoder gets wrong). Oracle: DuckDB recomputes each file's
+    // amount min/max from the data itself.
+    "meta_iceberg_bounds_prune_dec" -> ((s, dir) => {
+      val out = "/tmp/graft_icetbnd_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeTypedBoundsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.manifestBoundsPruneDecimal(
+        s, out, "amount", BigDecimal("10.00"), BigDecimal("17.25"))
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("lower").cast("double").as("lower"),
+          col("upper").cast("double").as("upper"), col("survives"))
+    }),
+
     // ICEBERG ROLLBACK plan: rollback_to_snapshot 1 planned at
     // metadata cost — the current snapshot's f3/f4 would be removed;
     // nothing needs re-adding (snap 2 reuses snap 1's manifest).
@@ -2381,6 +2434,40 @@ private[graft] object EntryLakeQueries {
         |  st.lower <= (SELECT v FROM probe) AND
         |  st.upper >= (SELECT v FROM probe) AS survives
         |FROM st""".stripMargin,
+
+    "meta_iceberg_bounds_prune_str_range" ->
+      """WITH st AS (
+        |  SELECT parse_filename(filename) AS file,
+        |    min(lang) AS lower, max(lang) AS upper
+        |  FROM read_parquet('/tmp/graft_icesbnd_sf0.01/data/s[01].parquet',
+        |    filename=true)
+        |  GROUP BY 1
+        |),
+        |probe AS (SELECT min(lang) AS lo, max(lang) AS hi FROM
+        |  read_parquet('/tmp/graft_icesbnd_sf0.01/data/s1.parquet'))
+        |SELECT st.file, st.lower, st.upper,
+        |  st.lower <= (SELECT hi FROM probe) AND
+        |  st.upper >= (SELECT lo FROM probe) AS survives
+        |FROM st""".stripMargin,
+
+    "meta_iceberg_bounds_prune_date" ->
+      """SELECT parse_filename(filename) AS file,
+        |  CAST(min(d) AS VARCHAR) AS lower,
+        |  CAST(max(d) AS VARCHAR) AS upper,
+        |  min(d) <= DATE '2020-03-15' AND max(d) >= DATE '2020-02-01'
+        |    AS survives
+        |FROM read_parquet('/tmp/graft_icetbnd_sf0.01/data/t[0-3].parquet',
+        |  filename=true)
+        |GROUP BY 1""".stripMargin,
+
+    "meta_iceberg_bounds_prune_dec" ->
+      """SELECT parse_filename(filename) AS file,
+        |  CAST(min(amount) AS DOUBLE) AS lower,
+        |  CAST(max(amount) AS DOUBLE) AS upper,
+        |  min(amount) <= 17.25 AND max(amount) >= 10.00 AS survives
+        |FROM read_parquet('/tmp/graft_icetbnd_sf0.01/data/t[0-3].parquet',
+        |  filename=true)
+        |GROUP BY 1""".stripMargin,
 
     "meta_iceberg_rollback" ->
       """SELECT 'remove' AS action, parse_filename(file_name) AS file,

@@ -881,6 +881,93 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
           (col("lower") <= value && col("upper") >= value)).as("survives"))
 
   /**
+   * RANGE pruning on a STRING column from manifest bounds (r16) —
+   * `column ∈ [lo, hi]` decided per file at manifest cost. The spec
+   * allows string bounds TRUNCATED: a truncated lower bound only
+   * LOWERS and a truncated-then-incremented upper only RAISES, so the
+   * containment test `lower <= hi && upper >= lo` stays conservative
+   * under truncation — it may keep a file it could have pruned, it
+   * never prunes a file that could match. Bounds-less files survive;
+   * non-string columns refuse.
+   */
+  def manifestBoundsPruneStringRange(
+      spark: SparkSession, table: String, column: String,
+      lo: String, hi: String): DataFrame =
+    boundsWalk[String](spark, table, column, Set("string"),
+      (b, _) => new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      .select(col("data_path"), col("lower"), col("upper"),
+        (col("lower").isNull || col("upper").isNull ||
+          (col("lower") <= hi && col("upper") >= lo)).as("survives"))
+
+  /**
+   * RANGE pruning on a DATE column from manifest bounds (r16) — dates
+   * single-value-serialize as 4-byte little-endian int EPOCH-DAYS
+   * (spec Appendix D), so the integer comparator is exact; `lo`/`hi`
+   * are ISO dates and the decoded bounds surface as real DATEs. A
+   * payload of any other width refuses (a misread bound silently
+   * prunes live data). Bounds-less files survive.
+   */
+  def manifestBoundsPruneDate(
+      spark: SparkSession, table: String, column: String,
+      lo: String, hi: String): DataFrame = {
+    val loD = java.time.LocalDate.parse(lo).toEpochDay
+    val hiD = java.time.LocalDate.parse(hi).toEpochDay
+    boundsWalk[Long](spark, table, column, Set("date"), (b, w) => {
+      if (b.length != 4) {
+        throw new IllegalArgumentException(
+          s"$w: date bound payload is ${b.length} bytes — dates " +
+            "serialize as 4-byte int epoch-days, refusing rather " +
+            "than mis-pruning")
+      }
+      boundLong(b, w)
+    })
+      .select(col("data_path"),
+        date_from_unix_date(col("lower").cast("int")).as("lower"),
+        date_from_unix_date(col("upper").cast("int")).as("upper"),
+        (col("lower").isNull || col("upper").isNull ||
+          (col("lower") <= hiD && col("upper") >= loD)).as("survives"))
+  }
+
+  /**
+   * RANGE pruning on a DECIMAL column from manifest bounds (r16) —
+   * decimals single-value-serialize as the UNSCALED value's minimal
+   * two's-complement BIG-endian bytes (spec Appendix D; note the
+   * endianness flip vs int/long), rescaled by the column's declared
+   * scale. Payloads past 16 bytes (decimal's max precision) refuse.
+   * Bounds-less files survive; non-decimal columns refuse.
+   */
+  def manifestBoundsPruneDecimal(
+      spark: SparkSession, table: String, column: String,
+      lo: BigDecimal, hi: BigDecimal): DataFrame = {
+    val (_, _, mf, node) = currentMetadataNode(spark, table)
+    val tpe = currentSchemaFieldsById(mf, node).collectFirst {
+      case (_, (n, t)) if n == column => t
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$table: no field '$column' in the current schema"))
+    val decimalRe = """decimal\((\d+),\s*(\d+)\)""".r
+    val scale = tpe match {
+      case decimalRe(_, s) => s.toInt
+      case other => throw new UnsupportedOperationException(
+        s"$table: field '$column' is $other — only decimal bounds " +
+          "decode here; comparing another type's payload would " +
+          "mis-prune")
+    }
+    boundsWalk[BigDecimal](spark, table, column, Set(tpe), (b, w) => {
+      if (b.isEmpty || b.length > 16) {
+        throw new IllegalArgumentException(
+          s"$w: decimal bound payload is ${b.length} bytes — not a " +
+            "minimal two's-complement unscaled value, refusing " +
+            "rather than mis-pruning")
+      }
+      BigDecimal(new java.math.BigInteger(b), scale)
+    })
+      .select(col("data_path"), col("lower"), col("upper"),
+        (col("lower").isNull || col("upper").isNull ||
+          (col("lower") <= lit(hi) && col("upper") >= lit(lo)))
+          .as("survives"))
+  }
+
+  /**
    * ROLLBACK plan at metadata cost — `rollback_to_snapshot` answered
    * BEFORE touching the table: the live-data-file diff between
    * `toSnapshot` and the current snapshot (both resolved through

@@ -1467,6 +1467,136 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
     counts.toMap
   }
 
+  /**
+   * A table with DATE and DECIMAL columns whose manifest carries
+   * TRUTHFUL per-file value bounds in the spec's typed single-value
+   * serializations — the typed bounds-prune fixture: four date-ranked
+   * quartile slices `t0..t3` of `(doc_id, d date, amount
+   * decimal(10,2))` (d and amount both derive from doc_id, so the
+   * quartiles cluster both columns); bounds are planted as 4-byte LE
+   * int epoch-days (field 2) and minimal big-endian two's-complement
+   * unscaled bytes (field 3), recomputed from each slice's own data.
+   * Returns per-data-file row counts.
+   */
+  def writeTypedBoundsFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val n = docs.count()
+    require(n >= 8, s"typed-bounds fixture needs >= 8 docs, got $n")
+    val base = docs.select(col("doc_id"),
+      date_add(lit("2020-01-01").cast("date"),
+        pmod(col("doc_id"), lit(300)).cast("int")).as("d"),
+      (pmod(col("doc_id"), lit(300)).cast("decimal(8,0)") * 25 / 100)
+        .cast("decimal(10,2)").as("amount"))
+    val ranked = base.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(
+        col("d"), col("doc_id"))))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val dayBounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val amtBounds = scala.collection.mutable.Map
+      .empty[String, (java.math.BigDecimal, java.math.BigDecimal)]
+    for (i <- 0 until 4) {
+      val rel = s"t$i.parquet"
+      val slice = ranked
+        .filter(floor((col("rk") - 1) * 4 / lit(n)).cast("int") === i)
+        .select("doc_id", "d", "amount").sort("d", "doc_id")
+      counts(rel) = FixtureIO.writeSingleParquet(
+        slice, new java.io.File(dataDir, rel), dir + s"_tbndtmp$i")
+      val mm = slice.agg(min("d"), max("d"), min("amount"), max("amount"))
+        .head()
+      dayBounds(rel) = (mm.getDate(0).toLocalDate.toEpochDay,
+        mm.getDate(1).toLocalDate.toEpochDay)
+      amtBounds(rel) = (mm.getDecimal(2).setScale(2),
+        mm.getDecimal(3).setScale(2))
+    }
+    def le4(v: Long): java.nio.ByteBuffer = {
+      val b = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(v.toInt); b.flip(); b
+    }
+    def entry(rel: String): org.apache.avro.generic.GenericRecord = {
+      val dfSchema = boundsManifestSchema.getField("data_file").schema()
+      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", s"data/$rel")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(rel))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, rel).length())
+      def kvArr(name: String, dayV: Long, amtV: java.math.BigDecimal) = {
+        val arrSchema = dfSchema.getField(name).schema().getTypes.get(1)
+        def kv(key: Int, bytes: java.nio.ByteBuffer) = {
+          val r: org.apache.avro.generic.GenericRecord =
+            new org.apache.avro.generic.GenericData.Record(
+              arrSchema.getElementType)
+          r.put("key", key)
+          r.put("value", bytes)
+          r
+        }
+        new org.apache.avro.generic.GenericData.Array[
+          org.apache.avro.generic.GenericRecord](arrSchema,
+          java.util.List.of(
+            kv(2, le4(dayV)), // d: int32 LE epoch-days
+            kv(3, java.nio.ByteBuffer.wrap( // amount: BE unscaled
+              amtV.unscaledValue().toByteArray))))
+      }
+      df.put("lower_bounds",
+        kvArr("lower_bounds", dayBounds(rel)._1, amtBounds(rel)._1))
+      df.put("upper_bounds",
+        kvArr("upper_bounds", dayBounds(rel)._2, amtBounds(rel)._2))
+      val e = new org.apache.avro.generic.GenericData.Record(
+        boundsManifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    val rels = (0 until 4).map(i => s"t$i.parquet")
+    writeAvro(new java.io.File(metaDir, "m0.avro"), boundsManifestSchema,
+      rels.map(entry))
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
+      Seq {
+        val r = new org.apache.avro.generic.GenericData.Record(
+          manifestListSchema)
+        r.put("manifest_path", "metadata/m0.avro")
+        r.put("manifest_length", new java.io.File(metaDir, "m0.avro").length())
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("added_snapshot_id", 1L)
+        r.put("added_files_count", rels.size)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", counts.values.sum)
+        r
+      })
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-typedbounds",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":1,
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"d","required":false,"type":"date"},
+         | {"id":3,"name":"amount","required":false,
+         |  "type":"decimal(10,2)"}]}],
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":1700000000000,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts.toMap
+  }
+
   /** [[manifestListSchema]] plus the spec's `partitions` field
     * summaries (507-511) — the whole-manifest prune evidence. */
   private[meta] val summaryManifestListSchema = avroSchema(

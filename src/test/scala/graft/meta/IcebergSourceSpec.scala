@@ -1229,6 +1229,58 @@ class IcebergSourceSpec extends SparkSpec {
       spark.read.parquet(s"$d/data/nb.parquet").count())
   }
 
+  test("typed manifest bounds: date, decimal, string range prune") {
+    val d = Files.createTempDirectory("graft_ice_tbounds").toString + "/tbl"
+    IcebergMeta.writeTypedBoundsFixtureTable(spark, d, docs)
+    val data = spark.read.parquet(s"$d/data")
+      .withColumn("file", element_at(
+        split(col("_metadata.file_path"), "/"), -1))
+    // conservatism is THE property: a pruned file must provably hold
+    // zero in-range rows, and surviving files must hold every one
+    def check(rep: Array[org.apache.spark.sql.Row],
+        inRange: org.apache.spark.sql.Column): Unit = {
+      val survives = rep.map(r =>
+        new Path(r.getString(0)).getName -> r.getBoolean(3)).toMap
+      assert(survives.values.exists(identity) &&
+        survives.values.exists(!_), s"undiscriminating probe: $survives")
+      val counts = data.groupBy("file")
+        .agg(sum(when(inRange, 1L).otherwise(0L)).as("hits"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      survives.foreach { case (f, s) =>
+        if (!s) assert(counts(f) === 0L, s"pruned $f holds in-range rows")
+      }
+      assert(survives.collect { case (f, true) => counts(f) }.sum ===
+        counts.values.sum)
+    }
+    check(IcebergMeta.manifestBoundsPruneDate(
+      spark, d, "d", "2020-02-01", "2020-03-15").collect(),
+      col("d").between("2020-02-01", "2020-03-15"))
+    check(IcebergMeta.manifestBoundsPruneDecimal(
+      spark, d, "amount", BigDecimal("10.00"), BigDecimal("17.25"))
+      .collect(),
+      col("amount").between(BigDecimal("10.00"), BigDecimal("17.25")))
+    // wrong-type refusals
+    val eDate = intercept[Exception](
+      IcebergMeta.manifestBoundsPruneDate(spark, d, "amount",
+        "2020-01-01", "2020-01-02"))
+    assert(causeMessages(eDate).contains("only date bounds"))
+    val eDec = intercept[Exception](
+      IcebergMeta.manifestBoundsPruneDecimal(spark, d, "d",
+        BigDecimal(0), BigDecimal(1)))
+    assert(causeMessages(eDec).contains("only decimal bounds"))
+    // string RANGE: probing exactly s1's [min, max] keeps s1, prunes
+    // s0 (its upper sits strictly below s1's lower)
+    val d2 = Files.createTempDirectory("graft_ice_sbrange").toString + "/tbl"
+    IcebergMeta.writeStringBoundsFixtureTable(spark, d2, docs)
+    val mm = spark.read.parquet(s"$d2/data/s1.parquet")
+      .agg(min("lang"), max("lang")).head()
+    val sr = IcebergMeta.manifestBoundsPruneStringRange(
+      spark, d2, "lang", mm.getString(0), mm.getString(1))
+      .collect().map(r =>
+        new Path(r.getString(0)).getName -> r.getBoolean(3)).toMap
+    assert(sr === Map("s0.parquet" -> false, "s1.parquet" -> true))
+  }
+
   test("manifest-list partition summaries prune whole manifests") {
     val d = Files.createTempDirectory("graft_ice_sumprune").toString + "/tbl"
     val counts = IcebergMeta.writeSummaryPruneFixtureTable(spark, d, docs)
