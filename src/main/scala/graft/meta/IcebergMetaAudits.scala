@@ -783,12 +783,41 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
         (count(lit(1)) === count(col("mn")) &&
           count(lit(1)) === count(col("mx"))).as("bounded"))
       .join(liveNames, Seq("file"), "left_semi")
+    // cumulative max WITHOUT a single-task global window (r16): range-
+    // partition by the window's own sort key (RangePartitioner is
+    // order-preserving, so partition ids follow key order), run the
+    // cumulative max per partition, and carry each partition's
+    // boundary max across via a bucket-count-sized broadcast prefix —
+    // a million files stay spread over every core
+    val bucketed = perFile
+      .repartitionByRange(col("file_min"), col("file_max"), col("file"))
+      .withColumn("bucket", spark_partition_id())
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
       .orderBy(col("file_min"), col("file_max"), col("file"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    perFile
-      .withColumn("prev_cummax", max(when(col("bounded"), col("file_max")))
+    // per-bucket boundary maxima: one row per partition, prefix-folded
+    // on the driver (bucket-count-sized, not file-count-sized)
+    val bucketMax = bucketed.groupBy(col("bucket"))
+      .agg(max(when(col("bounded"), col("file_max"))).as("bmax"))
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    var acc: Option[Long] = None
+    val carrySeq = bucketMax.map { case (b, bmax) =>
+      val out = (b, acc) // strictly-earlier buckets' max
+      acc = (acc.toSeq ++ bmax.toSeq).maxOption
+      out
+    }
+    import spark.implicits._
+    val carryDf = broadcast(carrySeq.toSeq.toDF("bucket", "carry"))
+    bucketed
+      .withColumn("local_cummax", max(when(col("bounded"), col("file_max")))
         .over(w))
+      .join(carryDf, Seq("bucket"))
+      .withColumn("prev_cummax",
+        greatest(col("local_cummax"), col("carry")))
       .select(col("file"),
         lit(defaultId).as("sort_order_id"),
         lit(sortCsv).as("sort_csv"),

@@ -1185,7 +1185,12 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
     // of a deterministic quartile split)
     val ranked = docs.select(col("doc_id"), col("lang"))
       .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+        org.apache.spark.sql.expressions.Window
+          // constant-valued but NON-foldable key: one partition (the
+          // global rank needs it; fixture scale) without the
+          // WindowExec no-partition warning a folded literal trips
+          .partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("doc_id"))))
     val assigned = ranked.withColumn("f",
       when(col("rk") === 2, lit(2)) // the planted out-of-order straggler
         .otherwise(floor((col("rk") - 1) * 4 / lit(n)).cast("int")))
@@ -1376,7 +1381,12 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
     require(n >= 8, s"bounds fixture needs >= 8 docs, got $n")
     val ranked = docs.select(col("doc_id"), col("lang"))
       .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+        org.apache.spark.sql.expressions.Window
+          // constant-valued but NON-foldable key: one partition (the
+          // global rank needs it; fixture scale) without the
+          // WindowExec no-partition warning a folded literal trips
+          .partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("doc_id"))))
     val bounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val counts = scala.collection.mutable.Map.empty[String, Long]
     for (i <- 0 until 4) {
@@ -1494,8 +1504,9 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
       (pmod(col("doc_id"), lit(300)).cast("decimal(8,0)") * 25 / 100)
         .cast("decimal(10,2)").as("amount"))
     val ranked = base.withColumn("rk", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy(
-        col("d"), col("doc_id"))))
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("doc_id"), lit(1)))
+        .orderBy(col("d"), col("doc_id"))))
     val counts = scala.collection.mutable.Map.empty[String, Long]
     val dayBounds = scala.collection.mutable.Map.empty[String, (Long, Long)]
     val amtBounds = scala.collection.mutable.Map
