@@ -1078,6 +1078,24 @@ private[graft] object EntryLakeQueries {
           col("bytes"))
     }),
 
+    // EXPIRY with PER-REF retention (r16): the keep2 branch's
+    // min-snapshots-to-keep=2 HOLDS its ancestor snap 2 past the
+    // cutoff, while oldtag's max-ref-age-ms=500 has expired the ref
+    // itself — so snap 1 expires DESPITE being tagged and snap 2
+    // survives despite aging out: exactly snap 1's lineage slice
+    // (manifest list, manifest, data file) is reclaimed. Oracle:
+    // closed-form from the writer contract with read_blob sizes.
+    "meta_iceberg_expiry_refs" -> ((s, dir) => {
+      val out = "/tmp/graft_icexpr_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeExpiryRefsFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.expiryPlan(s, out, 1700000002500L)
+        .select(col("kind"),
+          regexp_extract(col("object"), "([^/]+)$", 1).as("object"),
+          col("bytes"))
+    }),
+
     // EXPIRY + STATISTICS: expire_snapshots also deletes statistics /
     // partition-statistics files keyed to expired snapshots — the
     // fixture attaches a puffin + partition-stats parquet to the
@@ -2170,6 +2188,19 @@ private[graft] object EntryLakeQueries {
         |UNION ALL
         |SELECT 'data_file', parse_filename(filename), CAST(size AS BIGINT)
         |FROM read_blob('/tmp/graft_icecomp_sf0.01/data/f[01].parquet')""".stripMargin,
+
+    "meta_iceberg_expiry_refs" ->
+      """SELECT 'snapshot' AS kind, '1' AS object, CAST(-1 AS BIGINT) AS bytes
+        |UNION ALL
+        |SELECT 'manifest_list', 'snap-1.avro', CAST(size AS BIGINT)
+        |FROM read_blob('/tmp/graft_icexpr_sf0.01/metadata/snap-1.avro')
+        |UNION ALL
+        |SELECT 'manifest', 'm1.avro', CAST(size AS BIGINT)
+        |FROM read_blob('/tmp/graft_icexpr_sf0.01/metadata/m1.avro')
+        |UNION ALL
+        |SELECT 'data_file', 'f1.parquet', CAST(size AS BIGINT)
+        |FROM read_blob('/tmp/graft_icexpr_sf0.01/data/f1.parquet')"""
+        .stripMargin,
 
     "meta_iceberg_expiry_stats" ->
       """SELECT 'snapshot' AS kind, '1' AS object, CAST(-1 AS BIGINT) AS bytes

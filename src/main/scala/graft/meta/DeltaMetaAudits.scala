@@ -1,7 +1,7 @@
 package graft.meta
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -56,15 +56,18 @@ private[meta] trait DeltaMetaAudits extends Serializable { this: DeltaMeta.type 
    * verified for DISJOINTNESS across the LIVE files: each file owns
    * `[baseRowId, baseRowId + numRecords)`; two live files whose ranges
    * overlap hand the same row id to two rows — the silent corruption
-   * this audit exists to catch. `in_order` comes from the cumulative-
-   * max window over baseRowId-sorted ranges (strict — row ids are
-   * unique, a shared boundary IS a collision); files declaring no
-   * baseRowId report null. Refuses when NO add action carries
-   * row-tracking fields — nothing to audit.
+   * this audit exists to catch. `disjoint` comes from a range-
+   * partitioned cumulative max over baseRowId-sorted ranges
+   * ([[ScanWindows.withPrevCummax]]; strict — row ids are unique, a
+   * shared boundary IS a collision); files declaring no baseRowId
+   * report null. On a LOG-CLEANED table the declared side folds in
+   * the checkpoint's add rows (r16 — early adds live only there;
+   * commit re-adds outrank the checkpoint base). Refuses when NO add
+   * action carries row-tracking fields — nothing to audit — and when
+   * a sidecar-layout checkpoint manifest hides its adds entirely.
    */
   def rowTrackingAudit(spark: SparkSession, table: String): DataFrame = {
-    import spark.implicits._
-    val (_, segments, _) = latestLogSplit(spark, table)
+    val (_, segments, ckptVersion) = latestLogSplit(spark, table)
     val commitPaths = segments.collect { case (_, "commit", p) => p }
     if (commitPaths.isEmpty) {
       throw new IllegalArgumentException(s"$table: no commit segments")
@@ -73,18 +76,57 @@ private[meta] trait DeltaMetaAudits extends Serializable { this: DeltaMeta.type 
       StructField("path", StringType),
       StructField("baseRowId", LongType),
       StructField("defaultRowCommitVersion", LongType)))
-    val declared = spark.read
+    // ranked (v*2+1 for commits, v*2 for the checkpoint base) so a
+    // commit's re-add at the checkpoint version beats the checkpoint
+    val commitDecl = spark.read
       .schema(StructType(Seq(StructField("add", trackAdd))))
       .json(commitPaths: _*)
       .filter(col("add.path").isNotNull)
       .select(col("add.path").as("path"),
         col("add.baseRowId").as("base_row_id"),
         col("add.defaultRowCommitVersion").as("row_commit_version"),
-        regexp_extract(element_at(split(col("_metadata.file_path"), "/"),
-          -1), "^0*(\\d+)", 1).cast("long").as("v"))
+        (regexp_extract(element_at(split(col("_metadata.file_path"), "/"),
+          -1), "^0*(\\d+)", 1).cast("long") * 2 + 1).as("rank"))
+    // on a LOG-CLEANED table the early adds live only in the
+    // checkpoint (the trackAdd fields exist in checkpoint add
+    // structs): fold them in, absent fields tolerated as nulls — but
+    // a checkpoint manifest with NO add column at all (V2 sidecar
+    // layout) HIDES the adds, and that refuses rather than report
+    // null base ids as "no evidence"
+    val hasCommit0 = segments.exists { case (v, k, _) =>
+      v == 0L && k == "commit" }
+    val ckptDecl =
+      if (hasCommit0 || ckptVersion < 0) None
+      else {
+        val parts = selectCheckpointParts(table, ckptVersion,
+          segments.collect {
+            case (v, "checkpoint", p) if v == ckptVersion => p })
+        val raw = readCheckpointRaw(spark, parts,
+          StructType(Seq(StructField("add", trackAdd))))
+        if (!raw.columns.contains("add")) {
+          throw new UnsupportedOperationException(
+            s"$table: the checkpoint base at version $ckptVersion " +
+              "carries no inline add column (sidecar layout) — its " +
+              "row-tracking fields are hidden from this audit, " +
+              "refusing rather than reporting null base ids")
+        }
+        val addStruct = raw.schema("add").dataType
+          .asInstanceOf[StructType]
+        def f(n: String): Column =
+          if (addStruct.fieldNames.contains(n)) {
+            col(s"add.$n").cast(LongType)
+          } else lit(null).cast(LongType)
+        Some(raw.filter(col("add.path").isNotNull)
+          .select(col("add.path").as("path"),
+            f("baseRowId").as("base_row_id"),
+            f("defaultRowCommitVersion").as("row_commit_version"),
+            lit(ckptVersion * 2).as("rank")))
+      }
+    val declared = (Seq(commitDecl) ++ ckptDecl.toSeq)
+      .reduce(_ unionByName _)
       .groupBy(col("path"))
       .agg(max_by(struct(col("base_row_id"), col("row_commit_version")),
-        col("v")).as("w"))
+        col("rank")).as("w"))
       .select(col("path"), col("w.base_row_id"),
         col("w.row_commit_version"))
     if (declared.filter(col("base_row_id").isNotNull)
@@ -95,14 +137,11 @@ private[meta] trait DeltaMetaAudits extends Serializable { this: DeltaMeta.type 
     }
     val live = snapshotFiles(spark, table)
       .select(col("path"), col("num_records"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("base_row_id"), col("path"))
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    live.join(declared, Seq("path"), "left")
+    val joined = live.join(declared, Seq("path"), "left")
       .withColumn("range_end",
         col("base_row_id") + col("num_records") - 1)
-      .withColumn("prev_cummax", max(col("range_end")).over(w))
+    ScanWindows.withPrevCummax(joined,
+      Seq(col("base_row_id"), col("path")), col("range_end"))
       .select(col("path"), col("base_row_id"),
         col("row_commit_version"), col("num_records"),
         when(col("base_row_id").isNull, lit(null).cast("boolean"))

@@ -147,7 +147,10 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
    * storage-reclaim question answered BEFORE deleting anything: which
    * snapshots age out at `expireBeforeMs` (never the current one —
    * expiring it orphans every reader — and never one a named REF
-   * holds: branches/tags retain their snapshots regardless of age),
+   * holds under the ref's OWN retention policy: tags hold their
+   * snapshot, branches hold head + ancestors per
+   * `min-snapshots-to-keep`/`max-snapshot-age-ms`, and a non-main ref
+   * past its `max-ref-age-ms` is itself expired and holds nothing),
    * and exactly what their removal
    * frees. One row per deletable object, `kind` ∈
    * `snapshot | manifest_list | manifest | data_file | statistics`:
@@ -179,21 +182,58 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
     val mf = currentMetadataFile(fs, root)
     val info = readTableMetadata(mf, hconf)
     requireCensusableVersion(info, table)
-    // a snapshot HELD BY A REF (branch/tag) is retained regardless of
-    // age — expiring it strands every reader following the ref; the
-    // spec's retention walks refs first. (Ref-specific max-age
-    // policies are a catalog concern; the filesystem plan protects
-    // every named ref.)
+    // a snapshot HELD BY A REF (branch/tag) is retained per the REF'S
+    // OWN retention policy (r16), matching expire_snapshots:
+    //  - a non-main ref older than its `max-ref-age-ms` (age evaluated
+    //    at the cutoff instant: expireBeforeMs minus the referenced
+    //    snapshot's timestamp) is itself expired and holds NOTHING;
+    //  - a live TAG holds exactly its snapshot;
+    //  - a live BRANCH holds its head plus parent-chain ancestors per
+    //    `min-snapshots-to-keep` (default 1: the head) and
+    //    `max-snapshot-age-ms` (ancestors younger than the branch's
+    //    own cutoff);
+    //  - a ref whose snapshot the metadata no longer lists holds
+    //    nothing (there is nothing left to hold).
     val metaNode = {
       val in = fs.open(mf)
       try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
       finally in.close()
     }
+    val byId = info.snapshots.map(s => s.snapshotId -> s).toMap
     val refHeld: Set[Long] = {
       import scala.jdk.CollectionConverters._
       Option(metaNode.get("refs")).filter(_.isObject).map { refs =>
-        refs.properties().asScala
-          .map(e => req(e.getValue, "snapshot-id", mf).asLong()).toSet
+        refs.properties().asScala.toSeq.flatMap { e =>
+          val name = e.getKey
+          val node = e.getValue
+          val snapId = req(node, "snapshot-id", mf).asLong()
+          def prop(k: String): Option[Long] =
+            Option(node.get(k)).map(_.asLong())
+          byId.get(snapId) match {
+            case None => Seq.empty // dangling ref holds nothing
+            case Some(head) =>
+              val refLive = name == "main" || prop("max-ref-age-ms")
+                .forall(a => expireBeforeMs - head.timestampMs <= a)
+              val isTag = Option(node.get("type"))
+                .exists(_.asText() == "tag")
+              if (!refLive) Seq.empty
+              else if (isTag) Seq(snapId)
+              else {
+                val minKeep = prop("min-snapshots-to-keep")
+                  .map(_.toInt).getOrElse(1)
+                val maxAge = prop("max-snapshot-age-ms")
+                // head-to-root ancestry walk, cycle-bounded
+                val chain = Iterator.iterate(Option(head))(
+                  _.flatMap(_.parentSnapshotId.flatMap(byId.get)))
+                  .takeWhile(_.isDefined).take(byId.size).map(_.get)
+                  .toSeq
+                chain.zipWithIndex.collect {
+                  case (s, i) if i < minKeep || maxAge.exists(a =>
+                    expireBeforeMs - s.timestampMs <= a) => s.snapshotId
+                }
+              }
+          }
+        }.toSet
       }.getOrElse(Set.empty)
     }
     val (expired, surviving) = info.snapshots.partition(s =>
@@ -783,41 +823,12 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
         (count(lit(1)) === count(col("mn")) &&
           count(lit(1)) === count(col("mx"))).as("bounded"))
       .join(liveNames, Seq("file"), "left_semi")
-    // cumulative max WITHOUT a single-task global window (r16): range-
-    // partition by the window's own sort key (RangePartitioner is
-    // order-preserving, so partition ids follow key order), run the
-    // cumulative max per partition, and carry each partition's
-    // boundary max across via a bucket-count-sized broadcast prefix —
-    // a million files stay spread over every core
-    val bucketed = perFile
-      .repartitionByRange(col("file_min"), col("file_max"), col("file"))
-      .withColumn("bucket", spark_partition_id())
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket"))
-      .orderBy(col("file_min"), col("file_max"), col("file"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    // per-bucket boundary maxima: one row per partition, prefix-folded
-    // on the driver (bucket-count-sized, not file-count-sized)
-    val bucketMax = bucketed.groupBy(col("bucket"))
-      .agg(max(when(col("bounded"), col("file_max"))).as("bmax"))
-      .collect()
-      .map(r => (r.getInt(0),
-        if (r.isNullAt(1)) None else Some(r.getLong(1))))
-      .sortBy(_._1)
-    var acc: Option[Long] = None
-    val carrySeq = bucketMax.map { case (b, bmax) =>
-      val out = (b, acc) // strictly-earlier buckets' max
-      acc = (acc.toSeq ++ bmax.toSeq).maxOption
-      out
-    }
-    import spark.implicits._
-    val carryDf = broadcast(carrySeq.toSeq.toDF("bucket", "carry"))
-    bucketed
-      .withColumn("local_cummax", max(when(col("bounded"), col("file_max")))
-        .over(w))
-      .join(carryDf, Seq("bucket"))
-      .withColumn("prev_cummax",
-        greatest(col("local_cummax"), col("carry")))
+    // cumulative max WITHOUT a single-task global window (r16):
+    // [[ScanWindows.withPrevCummax]] — range-partitioned, boundary
+    // maxima carried by a bucket-count-sized broadcast prefix
+    ScanWindows.withPrevCummax(perFile,
+      Seq(col("file_min"), col("file_max"), col("file")),
+      when(col("bounded"), col("file_max")))
       .select(col("file"),
         lit(defaultId).as("sort_order_id"),
         lit(sortCsv).as("sort_csv"),

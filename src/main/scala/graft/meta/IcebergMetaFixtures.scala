@@ -1608,6 +1608,101 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
     counts.toMap
   }
 
+  /**
+   * A four-snapshot OVERWRITE chain (1←2←3←4 by parent-snapshot-id,
+   * each snapshot's list holding only its own one-file manifest, so
+   * expiring a snapshot frees its whole lineage slice) with refs that
+   * carry RETENTION OVERRIDES — the per-ref expiry fixture:
+   *
+   *  - `main` branch → 4 (the current snapshot);
+   *  - `keep2` branch → 3 with `min-snapshots-to-keep: 2`, so its
+   *    ancestor 2 is HELD even though it ages out by the cutoff;
+   *  - `oldtag` tag → 1 with `max-ref-age-ms: 500`, so at any cutoff
+   *    past ts0+500 the ref is itself expired and holds NOTHING — 1
+   *    expires despite being tagged.
+   *
+   * Returns per-data-file row counts.
+   */
+  def writeExpiryRefsFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val counts = (1 to 4).map { i =>
+      val rel = s"f$i.parquet"
+      rel -> FixtureIO.writeSingleParquet(
+        docs.filter(pmod(col("doc_id"), lit(4)) === (i - 1))
+          .select(col("doc_id"), col("lang")),
+        new java.io.File(dataDir, rel), dir + s"_exrtmp$i")
+    }.toMap
+    def entry(f: String): org.apache.avro.generic.GenericRecord = {
+      val dfSchema = manifestSchema.getField("data_file").schema()
+      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", s"data/$f")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(f))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
+      val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    for (i <- 1 to 4) {
+      writeAvro(new java.io.File(metaDir, s"m$i.avro"), manifestSchema,
+        Seq(entry(s"f$i.parquet")))
+      val r = new org.apache.avro.generic.GenericData.Record(
+        manifestListSchema)
+      r.put("manifest_path", s"metadata/m$i.avro")
+      r.put("manifest_length",
+        new java.io.File(metaDir, s"m$i.avro").length())
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("added_snapshot_id", i.toLong)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", counts(s"f$i.parquet"))
+      writeAvro(new java.io.File(metaDir, s"snap-$i.avro"),
+        manifestListSchema, Seq(r))
+    }
+    val ts0 = 1700000000000L
+    val snapsJson = (1 to 4).map { i =>
+      val parent =
+        if (i == 1) "" else s""""parent-snapshot-id":${i - 1},"""
+      s"""{"snapshot-id":$i,"timestamp-ms":${ts0 + (i - 1) * 1000},$parent
+         |"manifest-list":"metadata/snap-$i.avro",
+         |"summary":{"operation":"overwrite"}}""".stripMargin
+        .replace("\n", "")
+    }.mkString(",")
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-expiryrefs",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":4,
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
+         |"refs":{
+         | "main":{"snapshot-id":4,"type":"branch"},
+         | "keep2":{"snapshot-id":3,"type":"branch",
+         |  "min-snapshots-to-keep":2},
+         | "oldtag":{"snapshot-id":1,"type":"tag","max-ref-age-ms":500}},
+         |"snapshots":[$snapsJson]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
   /** [[manifestListSchema]] plus the spec's `partitions` field
     * summaries (507-511) — the whole-manifest prune evidence. */
   private[meta] val summaryManifestListSchema = avroSchema(

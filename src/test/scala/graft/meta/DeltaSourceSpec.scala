@@ -1200,5 +1200,38 @@ class DeltaSourceSpec extends SparkSpec {
     val eNone = intercept[Exception](
       DeltaMeta.rowTrackingAudit(spark, d2).collect())
     assert(causeMessages(eNone).contains("not in evidence"))
+    // LOG-CLEANED table: commit 0's adds survive only in a checkpoint
+    // — the audit folds the checkpoint's trackAdd fields in and the
+    // answers are identical to the un-cleaned table
+    locally {
+      import spark.implicits._
+      val logDir = new java.io.File(d, "_delta_log")
+      val adds = Seq("f0.parquet" -> 0L, "f1.parquet" -> n0).map {
+        case (f, base) =>
+          (f, new java.io.File(d, f).length(), 1700000000000L, base, 0L,
+            s"""{"numRecords":${counts(f)}}""")
+      }
+      val ckpt = adds
+        .toDF("p", "sz", "mt", "base", "rcv", "st")
+        .select(struct(col("p").as("path"),
+          typedLit(Map.empty[String, String]).as("partitionValues"),
+          col("sz").as("size"), col("mt").as("modificationTime"),
+          lit(true).as("dataChange"), col("st").as("stats"),
+          col("base").as("baseRowId"),
+          col("rcv").as("defaultRowCommitVersion")).as("add"))
+      val tmp = d + "_ckpttmp"
+      ckpt.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(logDir,
+          "00000000000000000000.checkpoint.parquet").toPath)
+      java.nio.file.Files.delete(
+        new java.io.File(logDir, "00000000000000000000.json").toPath)
+      val cleaned = DeltaMeta.rowTrackingAudit(spark, d).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(4))))
+        .toMap
+      assert(cleaned === rows)
+    }
   }
 }

@@ -914,6 +914,24 @@ class IcebergSourceSpec extends SparkSpec {
     assert(causeMessages(eHeld).contains("nothing to plan"))
   }
 
+  test("expiry plan: per-ref retention overrides") {
+    val d = Files.createTempDirectory("graft_ice_expref").toString + "/tbl"
+    IcebergMeta.writeExpiryRefsFixtureTable(spark, d, docs)
+    // cutoff ages out 1, 2, 3 — but keep2's min-snapshots-to-keep=2
+    // HOLDS its ancestor 2, and oldtag's max-ref-age-ms=500 has
+    // expired the ref itself, so the tagged snap 1 still goes
+    val plan = IcebergMeta.expiryPlan(spark, d, 1700000002500L).collect()
+      .map(r => (r.getString(0), new Path(r.getString(1)).getName)).toSet
+    assert(plan === Set(
+      ("snapshot", "1"), ("manifest_list", "snap-1.avro"),
+      ("manifest", "m1.avro"), ("data_file", "f1.parquet")))
+    // a younger cutoff keeps oldtag ALIVE (age <= 500): it holds snap
+    // 1, and nothing else ages out — nothing to plan
+    val eNone = intercept[Exception](
+      IcebergMeta.expiryPlan(spark, d, 1700000000400L))
+    assert(causeMessages(eNone).contains("nothing to plan"))
+  }
+
   test("incremental append scan: attribution, entry-committer override, refusals") {
     val d = Files.createTempDirectory("graft_ice_incr").toString + "/tbl"
     IcebergMeta.writeFixtureTable(spark, d, docs)
