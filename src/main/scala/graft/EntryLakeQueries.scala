@@ -1410,6 +1410,24 @@ private[graft] object EntryLakeQueries {
           col("_commit_version"))
     }),
 
+    // DELTA CHANGE FEED over DELETION-VECTOR commits (r16): v1's
+    // inline DV kills f0 positions {1,3}; v2 widens it to a u-storage
+    // vector {1,3,5} and the feed emits ONLY the newly-dead position
+    // 5; v3 removes f1 outright carrying a DV over {0}, so its live
+    // REMAINDER dies. Row-level resolution through DvCodec — never
+    // whole-file over-reporting. Oracle: DuckDB selects the same
+    // file positions (the fixture's planted vectors are the
+    // contract).
+    "meta_delta_cdf_dv" -> ((s, dir) => {
+      val out = "/tmp/graft_deltacdfdv_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      DeltaMeta.writeCdfDvFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      DeltaMeta.changeFeed(s, out, 0L, 3L)
+        .select(col("doc_id"), col("lang"), col("_change_type"),
+          col("_commit_version"))
+    }),
+
     // DELTA RESTORE plan: RESTORE TO VERSION AS OF 1 planned before
     // writing anything — re_add what version 1 served and later
     // commits removed (f1, f2), remove what arrived after (f4-f6).
@@ -2519,6 +2537,29 @@ private[graft] object EntryLakeQueries {
         |UNION ALL
         |SELECT doc_id, lang, 'delete', CAST(2 AS BIGINT)
         |FROM read_parquet('/tmp/graft_deltacdf_sf0.01/f1.parquet')"""
+        .stripMargin,
+
+    "meta_delta_cdf_dv" ->
+      """WITH f0 AS (
+        |  SELECT doc_id, lang, file_row_number AS pos
+        |  FROM read_parquet('/tmp/graft_deltacdfdv_sf0.01/f0.parquet',
+        |    file_row_number=true)
+        |),
+        |f1 AS (
+        |  SELECT doc_id, lang, file_row_number AS pos
+        |  FROM read_parquet('/tmp/graft_deltacdfdv_sf0.01/f1.parquet',
+        |    file_row_number=true)
+        |)
+        |SELECT doc_id, lang, 'insert' AS _change_type,
+        |  CAST(0 AS BIGINT) AS _commit_version FROM f0
+        |UNION ALL
+        |SELECT doc_id, lang, 'insert', 0 FROM f1
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete', 1 FROM f0 WHERE pos IN (1, 3)
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete', 2 FROM f0 WHERE pos = 5
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete', 3 FROM f1 WHERE pos <> 0"""
         .stripMargin,
 
     "meta_delta_restore" ->

@@ -521,15 +521,24 @@ private[meta] trait DeltaMetaAudits extends Serializable { this: DeltaMeta.type 
    * in the commit sequence (a cleaned-up commit silently missing
    * would hand back a feed with holes).
    *
-   * Three more REFUSALS guard the silent-wrong-answer shapes of
-   * file-granularity derivation (r16):
+   * DELETION-VECTOR commits RESOLVE row-wise (r16): in a cdc-less
+   * commit, dataChange adds and removes pair BY PATH — a same-path
+   * pair whose add carries a `deletionVector` is the protocol's DV
+   * delete, and the feed emits exactly the rows at (new DV \ old DV)
+   * positions, decoded executor-side by [[DvCodec]] (one task per
+   * vector); an unpaired remove carrying a DV emits its live
+   * REMAINDER (every position the vector does not mark); an unpaired
+   * DV-bearing add inserts its unmarked rows.
    *
-   *  - an in-range add/remove carrying a `deletionVector` is a
-   *    ROW-level change; deriving it as whole-file insert+delete
-   *    would report every unchanged row of the file as changed;
-   *  - a cdc-less commit with BOTH dataChange adds and removes is an
-   *    ambiguous update-rewrite — upstream Delta only derives pure
-   *    inserts / pure deletes without cdc;
+   * REFUSALS guard the genuinely underivable shapes:
+   *
+   *  - a cdc-less commit with unpaired dataChange adds AND removes of
+   *    different files is an ambiguous update-rewrite — upstream
+   *    Delta only derives pure inserts / pure deletes without cdc;
+   *  - a same-path pair with NO deletion vectors is an in-place
+   *    rewrite whose row changes are unknowable;
+   *  - a pair whose OLD vector marks positions the new one drops
+   *    UN-deletes rows — resurrection has no feed representation;
    *  - `delta.enableChangeDataFeed` must be in effect at EVERY
    *    version of the range (established by replaying the log's
    *    metaData actions); delta-spark refuses such ranges for the
@@ -610,6 +619,8 @@ private[meta] trait DeltaMetaAudits extends Serializable { this: DeltaMeta.type 
       StructField("deletionVector", StructType(Seq(
         StructField("storageType", StringType),
         StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
         StructField("cardinality", LongType))))))
     val acts = spark.read
       .schema(StructType(Seq(
@@ -619,59 +630,129 @@ private[meta] trait DeltaMetaAudits extends Serializable { this: DeltaMeta.type 
       .select(col("add"), col("remove"), col("cdc"), verExpr)
       .collect()
     val cdcVersions = acts.filter(!_.isNullAt(2)).map(_.getLong(3)).toSet
-    // a deletionVector on any in-range add/remove is a ROW-level
-    // change this file-granularity derivation cannot represent
-    val dvVersions = acts.toSeq.flatMap { r =>
-      Seq(0, 1).collect {
-        case k if !r.isNullAt(k) && !r.getStruct(k).isNullAt(2) =>
-          r.getLong(3)
-      }
-    }.distinct.sorted
-    if (dvVersions.nonEmpty) {
-      throw new UnsupportedOperationException(
-        s"$table: versions ${dvVersions.mkString(", ")} carry " +
-          "deletionVector actions — a row-level delete derived at " +
-          "file granularity would report every unchanged row of the " +
-          "file as changed, refusing")
-    }
-    // a cdc-less commit with BOTH dataChange adds and removes is an
-    // ambiguous update-rewrite: the pairing of old to new rows is
-    // unknowable without the cdc files CDF would have written
-    def hasDataChange(r: org.apache.spark.sql.Row, k: Int): Boolean =
-      !r.isNullAt(k) && {
-        val a = r.getStruct(k)
-        !a.isNullAt(1) && a.getBoolean(1)
-      }
-    val mixed = acts.toSeq.groupBy(_.getLong(3)).collect {
-      case (v, rs) if !cdcVersions.contains(v) &&
-        rs.exists(hasDataChange(_, 0)) && rs.exists(hasDataChange(_, 1)) => v
-    }.toSeq.sorted
-    if (mixed.nonEmpty) {
-      throw new UnsupportedOperationException(
-        s"$table: cdc-less versions ${mixed.mkString(", ")} mix " +
-          "dataChange adds AND removes — an update-rewrite without " +
-          "cdc files cannot be attributed row-wise, refusing")
-    }
     def abs(rel: String): String = {
       val d = java.net.URLDecoder.decode(rel, "UTF-8")
       if (d.contains("://") || d.startsWith("/")) d
       else root.toString + "/" + d
     }
-    def files(kind: Int, wantCdc: Boolean): Seq[(String, Long)] =
-      acts.toSeq.flatMap { r =>
-        val v = r.getLong(3)
-        if (r.isNullAt(kind) || cdcVersions.contains(v) != wantCdc) None
+    // (storageType, pathOrInlineDv, offset, sizeInBytes) — enough to
+    // decode the roaring payload executor-side via DvCodec
+    def actOf(r: org.apache.spark.sql.Row, k: Int):
+        Option[(String, Option[(String, String, Option[Int], Int)])] =
+      if (r.isNullAt(k)) None
+      else {
+        val a = r.getStruct(k)
+        if (a.isNullAt(1) || !a.getBoolean(1)) None // dataChange only
         else {
-          val a = r.getStruct(kind)
-          val dc = !a.isNullAt(1) && a.getBoolean(1)
-          if (wantCdc || dc) Some((abs(a.getString(0)), v)) else None
+          val dv =
+            if (a.isNullAt(2)) None
+            else {
+              val d = a.getStruct(2)
+              Some((d.getString(0), d.getString(1),
+                if (d.isNullAt(2)) None else Some(d.getInt(2)),
+                d.getInt(3)))
+            }
+          Some((abs(a.getString(0)), dv))
         }
       }
-    val legs = Seq(
-      (files(2, wantCdc = true), None),
-      (files(0, wantCdc = false), Some("insert")),
-      (files(1, wantCdc = false), Some("delete")))
-    val read = legs.flatMap { case (fs, tpe) =>
+    // per cdc-less commit: pair dataChange adds/removes BY PATH — a
+    // same-path pair whose only difference is the deletionVector is a
+    // DV delete (rows at newDV \ oldDV died), fully resolvable; what
+    // refuses is the genuinely ambiguous residue
+    val wholeInserts = Seq.newBuilder[(String, Long)]
+    val dvInserts =
+      Seq.newBuilder[(String, Long, (String, String, Option[Int], Int))]
+    val wholeDeletes = Seq.newBuilder[(String, Long)]
+    val dvRemainderDeletes =
+      Seq.newBuilder[(String, Long, (String, String, Option[Int], Int))]
+    val dvPairDeletes = Seq.newBuilder[(String, Long,
+      (String, String, Option[Int], Int),
+      Option[(String, String, Option[Int], Int)])]
+    acts.toSeq.filterNot(r => cdcVersions.contains(r.getLong(3)))
+      .groupBy(_.getLong(3)).toSeq.sortBy(_._1).foreach { case (v, rs) =>
+        val adds = rs.flatMap(actOf(_, 0)).toMap
+        val removes = rs.flatMap(actOf(_, 1)).toMap
+        val paired = adds.keySet intersect removes.keySet
+        val soloAdds = adds -- paired
+        val soloRemoves = removes -- paired
+        if (soloAdds.nonEmpty && soloRemoves.nonEmpty) {
+          throw new UnsupportedOperationException(
+            s"$table: cdc-less version $v mixes dataChange adds AND " +
+              "removes of different files — an update-rewrite without " +
+              "cdc files cannot be attributed row-wise, refusing")
+        }
+        paired.toSeq.sorted.foreach { p =>
+          (adds(p), removes(p)) match {
+            case (Some(newDv), oldDv) =>
+              dvPairDeletes += ((p, v, newDv, oldDv))
+            case (None, Some(_)) =>
+              throw new UnsupportedOperationException(
+                s"$table: version $v re-adds $p WITHOUT the remove " +
+                  "side's deletionVector — previously-deleted rows " +
+                  "resurrect, which a change feed cannot represent; " +
+                  "refusing")
+            case (None, None) =>
+              throw new UnsupportedOperationException(
+                s"$table: cdc-less version $v rewrites $p in place " +
+                  "(same-path dataChange add+remove, no deletion " +
+                  "vectors) — its row-level changes are unknowable, " +
+                  "refusing")
+          }
+        }
+        soloAdds.toSeq.sortBy(_._1).foreach {
+          case (p, None) => wholeInserts += ((p, v))
+          case (p, Some(dv)) => dvInserts += ((p, v, dv))
+        }
+        soloRemoves.toSeq.sortBy(_._1).foreach {
+          case (p, None) => wholeDeletes += ((p, v))
+          case (p, Some(dv)) => dvRemainderDeletes += ((p, v, dv))
+        }
+      }
+    val cdcFiles = acts.toSeq.flatMap { r =>
+      val v = r.getLong(3)
+      if (r.isNullAt(2) || !cdcVersions.contains(v)) None
+      else Some((abs(r.getStruct(2).getString(0)), v))
+    }
+    val (wIns, dvIns, wDel, dvRemDel, dvPairs) =
+      (wholeInserts.result(), dvInserts.result(), wholeDeletes.result(),
+        dvRemainderDeletes.result(), dvPairDeletes.result())
+    // roaring payloads decode EXECUTOR-side (one task per DV, the
+    // protocol's own granularity); a pair whose old DV marks a
+    // position the new one does not REFUSES — those rows resurrect
+    val sconf = new SerializableHadoopConf(conf)
+    val rootStr = root.toString
+    def decodedPositions(
+        xs: Seq[(String, Long, (String, String, Option[Int], Int))]):
+        DataFrame =
+      xs.toDS().flatMap { case (p, v, (st, stub, off, size)) =>
+        DvCodec.decodeDescriptor(st, stub, off, size,
+          new Path(rootStr), sconf.value)
+          .map(pos => (p, pos, v))
+      }.toDF("p", "pos", "_commit_version")
+    val pairPositions =
+      if (dvPairs.isEmpty) None
+      else Some(dvPairs.toDS().flatMap {
+        case (p, v, (st, stub, off, size), oldDv) =>
+          val newPos = DvCodec.decodeDescriptor(st, stub, off, size,
+            new Path(rootStr), sconf.value)
+          val oldPos = oldDv.map { case (ost, ostub, ooff, osize) =>
+            DvCodec.decodeDescriptor(ost, ostub, ooff, osize,
+              new Path(rootStr), sconf.value)
+          }.getOrElse(Array.empty[Long])
+          val newSet = newPos.toSet
+          val resurrected = oldPos.filterNot(newSet)
+          if (resurrected.nonEmpty) {
+            throw new UnsupportedOperationException(
+              s"$p: version $v UN-deletes positions " +
+                s"${resurrected.take(5).mkString(", ")}… — resurrected " +
+                "rows have no change-feed representation, refusing")
+          }
+          val oldSet = oldPos.toSet
+          newPos.filterNot(oldSet).map(pos => (p, pos, v))
+      }.toDF("p", "pos", "_commit_version"))
+    // whole-file legs: version attached by broadcast path join
+    def wholeLeg(fs: Seq[(String, Long)], tpe: Option[String]):
+        Option[DataFrame] =
       if (fs.isEmpty) None
       else {
         val versions = broadcast(fs.toDF("p", "_commit_version"))
@@ -685,7 +766,44 @@ private[meta] trait DeltaMetaAudits extends Serializable { this: DeltaMeta.type 
           .join(versions, Seq("p"))
           .drop("p"))
       }
-    }
+    // positional legs: rows selected (semi) or excluded (anti) by the
+    // decoded (path, pos) sets against _metadata.row_index
+    def posLeg(
+        xs: Seq[(String, Long, (String, String, Option[Int], Int))],
+        positions: Option[DataFrame],
+        keep: Boolean, tpe: String): Option[DataFrame] =
+      if (xs.isEmpty && positions.isEmpty) None
+      else {
+        val pos = positions.getOrElse(decodedPositions(xs))
+        val paths = (xs.map(_._1) ++ Seq.empty).distinct
+        val scanPaths =
+          if (paths.nonEmpty) paths
+          else pos.select("p").distinct().collect().map(_.getString(0))
+            .toSeq
+        val scan = spark.read.parquet(scanPaths: _*)
+          .withColumn("p", col("_metadata.file_path"))
+          .withColumn("pos", col("_metadata.row_index"))
+        val joined =
+          if (keep) {
+            scan.join(pos, Seq("p", "pos"))
+          } else {
+            val versions = broadcast(xs.map(x => (x._1, x._2))
+              .toDF("p", "_commit_version"))
+            scan.join(pos.select("p", "pos"), Seq("p", "pos"),
+              "left_anti").join(versions, Seq("p"))
+          }
+        Some(joined.drop("p", "pos")
+          .withColumn("_change_type", lit(tpe)))
+      }
+    val read = Seq(
+      wholeLeg(cdcFiles, None),
+      wholeLeg(wIns, Some("insert")),
+      wholeLeg(wDel, Some("delete")),
+      posLeg(dvIns, None, keep = false, "insert"),
+      posLeg(dvRemDel, None, keep = false, "delete"),
+      pairPositions.flatMap(pp =>
+        posLeg(Seq.empty, Some(pp), keep = true, "delete"))
+    ).flatten
     if (read.isEmpty) {
       throw new IllegalArgumentException(
         s"$table: no dataChange or cdc actions in [$fromVersion, " +

@@ -344,6 +344,105 @@ private[meta] trait DeltaMetaFixtures extends Serializable { this: DeltaMeta.typ
   }
 
   /**
+   * A CDF-enabled table whose changes arrive as DELETION-VECTOR
+   * commits — the row-level shapes [[DeltaMeta.changeFeed]] resolves
+   * through [[DvCodec]] (r16):
+   *
+   *  - v0: adds `f0`/`f1` (pmod-2 doc slices), CDF on;
+   *  - v1: DV delete — `remove f0` + `add f0` with an INLINE vector
+   *    marking positions {1,3};
+   *  - v2: widening DV delete — the pair again, old inline {1,3} →
+   *    new U-STORAGE vector {1,3,5} (the feed must emit ONLY the
+   *    newly-dead position 5);
+   *  - v3: whole-file remove of `f1` CARRYING a DV ({0}) — the live
+   *    remainder (every position but 0) dies.
+   *
+   * Returns per-data-file row counts.
+   */
+  def writeCdfDvFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    root.mkdirs()
+    val logDir = new java.io.File(root, "_delta_log")
+    logDir.mkdirs()
+    val base = docs.select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+    val counts = (0 until 2).map { i =>
+      val rel = s"f$i.parquet"
+      rel -> FixtureIO.writeSingleParquet(
+        base.filter(pmod(col("doc_id"), lit(2)) === i),
+        new java.io.File(root, rel), dir + s"_cdfdvtmp$i")
+    }.toMap
+    require(counts.values.forall(_ > 6),
+      s"cdf-dv fixture needs >6 rows per slice, got $counts")
+    val ts0 = 1700000000000L
+    def size(rel: String): Long = new java.io.File(root, rel).length()
+    def writeCommit(v: Long, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(logDir, f"$v%020d.json").toPath,
+        lines.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def inlineDv(positions: Array[Long]): String = {
+      val data = DvCodec.encodeBitmap(positions)
+      val padded = data ++
+        Array.fill[Byte]((4 - data.length % 4) % 4)(0)
+      s"""{"storageType":"i","pathOrInlineDv":${jstr(
+        DvCodec.z85Encode(padded))},""" +
+        s""""sizeInBytes":${data.length},""" +
+        s""""cardinality":${positions.length}}"""
+    }
+    def uDv(positions: Array[Long], lsb: Long): String = {
+      val uuid = new java.util.UUID(0x1122334455667788L, lsb)
+      val bytes = java.nio.ByteBuffer.allocate(16)
+        .putLong(uuid.getMostSignificantBits)
+        .putLong(uuid.getLeastSignificantBits).array()
+      val (off, sz) = DvCodec.writeDvFile(
+        new java.io.File(root, s"deletion_vector_$uuid.bin"), positions)
+      s"""{"storageType":"u","pathOrInlineDv":${jstr(
+        DvCodec.z85Encode(bytes))},""" +
+        s""""offset":$off,"sizeInBytes":$sz,""" +
+        s""""cardinality":${positions.length}}"""
+    }
+    val schema =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"doc_id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"lang\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    def addJson(f: String, v: Long, dv: Option[String]): String =
+      s"""{"add":{"path":${jstr(f)},"partitionValues":{},"size":${size(f)},""" +
+        s""""modificationTime":${ts0 + v * 1000},"dataChange":true,""" +
+        dv.map(d => s""""deletionVector":$d,""").getOrElse("") +
+        s""""stats":"{\\"numRecords\\":${counts(f)}}"}}"""
+    def removeJson(f: String, v: Long, dv: Option[String]): String =
+      s"""{"remove":{"path":${jstr(f)},"deletionTimestamp":${ts0 + v * 1000},""" +
+        dv.map(d => s""""deletionVector":$d,""").getOrElse("") +
+        s""""dataChange":true}}"""
+    writeCommit(0, Seq(
+      s"""{"commitInfo":{"timestamp":$ts0,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors","changeDataFeed"]}}""",
+      s"""{"metaData":{"id":"graft-cdf-dv","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"$schema","partitionColumns":[],""" +
+        s""""configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":$ts0}}""",
+      addJson("f0.parquet", 0, None), addJson("f1.parquet", 0, None)))
+    val d13 = inlineDv(Array(1L, 3L))
+    writeCommit(1, Seq(
+      s"""{"commitInfo":{"timestamp":${ts0 + 1000},"operation":"DELETE"}}""",
+      removeJson("f0.parquet", 1, None),
+      addJson("f0.parquet", 1, Some(d13))))
+    writeCommit(2, Seq(
+      s"""{"commitInfo":{"timestamp":${ts0 + 2000},"operation":"DELETE"}}""",
+      removeJson("f0.parquet", 2, Some(d13)),
+      addJson("f0.parquet", 2,
+        Some(uDv(Array(1L, 3L, 5L), 0x99AABBCCDDEEFF00L)))))
+    writeCommit(3, Seq(
+      s"""{"commitInfo":{"timestamp":${ts0 + 3000},"operation":"DELETE"}}""",
+      removeJson("f1.parquet", 3, Some(inlineDv(Array(0L))))))
+    counts
+  }
+
+  /**
    * A ROW-TRACKING table (writer feature `rowTracking`, protocol
    * minWriterVersion 7): three pmod-3 slices whose add actions carry
    * `baseRowId`/`defaultRowCommitVersion` — f0 owns [0, n0), f1 owns

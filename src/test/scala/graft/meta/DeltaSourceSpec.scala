@@ -1146,7 +1146,7 @@ class DeltaSourceSpec extends SparkSpec {
     assert(causeMessages(eHigh).contains("after the latest"))
   }
 
-  test("change feed: DV, cdc-less mixed, and CDF-off ranges refuse") {
+  test("change feed: ambiguous cdc-less shapes and CDF-off ranges refuse") {
     val d = Files.createTempDirectory("graft_delta_cdf2").toString + "/tbl"
     DeltaMeta.writeCdfFixtureTable(spark, d, docs)
     val logDir = new java.io.File(d, "_delta_log")
@@ -1155,26 +1155,27 @@ class DeltaSourceSpec extends SparkSpec {
         new java.io.File(logDir, f"$v%020d.json").toPath,
         lines.mkString("", "\n", "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // v3: a remove carrying a deletionVector — a ROW-level delete;
-    // file-granularity derivation would report the whole file
+    // v3: cdc-less commit mixing dataChange adds AND removes of
+    // DIFFERENT files — an update-rewrite whose row pairing is
+    // unknowable without cdc
     writeCommit(3, Seq(
-      """{"commitInfo":{"timestamp":1700000003000,"operation":"DELETE"}}""",
-      """{"remove":{"path":"f2.parquet","deletionTimestamp":1700000003000,""" +
-        """"dataChange":true,"deletionVector":{"storageType":"u",""" +
-        """"pathOrInlineDv":"ab*cdef","offset":1,"sizeInBytes":36,""" +
-        """"cardinality":2}}}"""))
-    // v4: cdc-less commit mixing dataChange adds AND removes — an
-    // update-rewrite whose row pairing is unknowable without cdc
-    writeCommit(4, Seq(
-      """{"commitInfo":{"timestamp":1700000004000,"operation":"MERGE"}}""",
+      """{"commitInfo":{"timestamp":1700000003000,"operation":"MERGE"}}""",
       """{"add":{"path":"f0.parquet","partitionValues":{},"size":10,""" +
-        """"modificationTime":1700000004000,"dataChange":true}}""",
-      """{"remove":{"path":"f1.parquet","deletionTimestamp":1700000004000,""" +
+        """"modificationTime":1700000003000,"dataChange":true}}""",
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":1700000003000,""" +
         """"dataChange":true}}"""))
-    val eDv = intercept[Exception](DeltaMeta.changeFeed(spark, d, 0L, 3L))
-    assert(causeMessages(eDv).contains("deletionVector"))
-    val eMix = intercept[Exception](DeltaMeta.changeFeed(spark, d, 4L, 4L))
-    assert(causeMessages(eMix).contains("mix"))
+    // v4: same-path dataChange add+remove with NO deletion vectors —
+    // an in-place rewrite whose row-level changes are unknowable
+    writeCommit(4, Seq(
+      """{"commitInfo":{"timestamp":1700000004000,"operation":"OPTIMIZE?"}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"size":10,""" +
+        """"modificationTime":1700000004000,"dataChange":true}}""",
+      """{"remove":{"path":"f2.parquet","deletionTimestamp":1700000004000,""" +
+        """"dataChange":true}}"""))
+    val eMix = intercept[Exception](DeltaMeta.changeFeed(spark, d, 3L, 3L))
+    assert(causeMessages(eMix).contains("mixes"))
+    val eRw = intercept[Exception](DeltaMeta.changeFeed(spark, d, 4L, 4L))
+    assert(causeMessages(eRw).contains("rewrites"))
     // the untouched prefix still reads
     assert(DeltaMeta.changeFeed(spark, d, 0L, 2L).count() > 0)
     // a table whose metaData never enabled CDF refuses outright
@@ -1182,6 +1183,55 @@ class DeltaSourceSpec extends SparkSpec {
     DeltaMeta.writeFixtureTable(spark, off, docs)
     val eOff = intercept[Exception](DeltaMeta.changeFeed(spark, off, 1L, 2L))
     assert(causeMessages(eOff).contains("enableChangeDataFeed"))
+  }
+
+  test("change feed: deletion-vector commits resolve row-wise") {
+    val d = Files.createTempDirectory("graft_delta_cdfdv").toString + "/tbl"
+    val counts = DeltaMeta.writeCdfDvFixtureTable(spark, d, docs)
+    def posOf(f: String, ps: Seq[Long]): Set[Long] =
+      spark.read.parquet(s"$d/$f")
+        .withColumn("pos", col("_metadata.row_index"))
+        .filter(col("pos").isin(ps: _*))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val feed = DeltaMeta.changeFeed(spark, d, 0L, 3L)
+      .select("doc_id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // v0: whole-file inserts
+    assert(feed.count(x => x._2 == "insert" && x._3 == 0L) ===
+      counts("f0.parquet") + counts("f1.parquet"))
+    // v1: the inline DV's positions {1,3} of f0 die — exactly those
+    val v1 = feed.filter(x => x._2 == "delete" && x._3 == 1L)
+      .map(_._1).toSet
+    assert(v1 === posOf("f0.parquet", Seq(1L, 3L)))
+    // v2: the widened u-storage DV kills ONLY the new position 5
+    val v2 = feed.filter(x => x._2 == "delete" && x._3 == 2L)
+      .map(_._1).toSet
+    assert(v2 === posOf("f0.parquet", Seq(5L)))
+    // v3: f1 removed carrying a DV over {0} — the live REMAINDER dies
+    val v3 = feed.filter(x => x._2 == "delete" && x._3 == 3L)
+      .map(_._1).toSet
+    assert(v3.size === counts("f1.parquet") - 1)
+    assert(!v3.contains(posOf("f1.parquet", Seq(0L)).head))
+    // an UN-delete (old DV marks a position the new one drops) refuses:
+    // v4 pairs remove(wide u-DV from v2's add) + add(narrow inline DV
+    // from v2's remove) — position 5 would resurrect
+    val logDir = new java.io.File(d, "_delta_log")
+    val v2Json = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(logDir, f"${2L}%020d.json").toPath), "UTF-8")
+    val narrow = v2Json.linesIterator.find(_.contains("\"remove\""))
+      .get.replace("\"remove\"", "\"add\"")
+      .replace("\"deletionTimestamp\":1700000002000,",
+        "\"partitionValues\":{},\"size\":10," +
+          "\"modificationTime\":1700000004000,")
+    val wide = v2Json.linesIterator.find(_.contains("\"add\""))
+      .get.replace("\"add\"", "\"remove\"")
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${4L}%020d.json").toPath,
+      Seq("""{"commitInfo":{"timestamp":1700000004000,"operation":"RESTORE"}}""",
+        wide, narrow).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val eUndel = intercept[Exception](
+      DeltaMeta.changeFeed(spark, d, 4L, 4L).collect())
+    assert(causeMessages(eUndel).contains("UN-deletes"))
   }
 
   test("row-tracking audit: overlapping baseRowId ranges flagged") {
