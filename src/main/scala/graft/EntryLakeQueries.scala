@@ -1176,6 +1176,27 @@ private[graft] object EntryLakeQueries {
         .select(col("doc_id"), col("lang"), col("_change_type"))
     }),
 
+    // ICEBERG ROW-LEVEL CHANGELOG over DELETION-VECTOR snapshots
+    // (r16): range (1,2] emits the appended vectors' positions as
+    // deletes (f0 {1,3,5} + f1 {0,2}); range (2,3] crosses a
+    // SUPERSESSION (the old f0 vector rides as an in-range status=2
+    // removal, live at from) and emits ONLY the newly-dead position
+    // {7}. Both decoded row-wise through PuffinCodec. Oracle: DuckDB
+    // selects the same file positions (the planted vectors are the
+    // writer contract).
+    "meta_iceberg_changelog_dv" -> ((s, dir) => {
+      val out = "/tmp/graft_icedvcl_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeDvChangelogFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.changelogScan(s, out, 1L, 2L)
+        .withColumn("rng", lit("1-2"))
+        .unionByName(IcebergMeta.changelogScan(s, out, 2L, 3L)
+          .withColumn("rng", lit("2-3")))
+        .select(col("doc_id"), col("lang"), col("_change_type"),
+          col("rng"))
+    }),
+
     // ICEBERG INCREMENTAL APPEND SCAN: files the snapshots in (1, 2]
     // ADDED, from snap-2's own manifest list by added_snapshot_id
     // attribution — the reused snap-1 manifest contributes nothing,
@@ -2312,6 +2333,25 @@ private[graft] object EntryLakeQueries {
         |  OR EXISTS (SELECT 1 FROM e1
         |    WHERE e1.doc_id IS NOT DISTINCT FROM d.doc_id
         |      AND e1.lang IS NOT DISTINCT FROM d.lang)""".stripMargin,
+
+    "meta_iceberg_changelog_dv" ->
+      """WITH f0 AS (
+        |  SELECT doc_id, lang, file_row_number AS pos
+        |  FROM read_parquet('/tmp/graft_icedvcl_sf0.01/data/f0.parquet',
+        |    file_row_number=true)
+        |),
+        |f1 AS (
+        |  SELECT doc_id, lang, file_row_number AS pos
+        |  FROM read_parquet('/tmp/graft_icedvcl_sf0.01/data/f1.parquet',
+        |    file_row_number=true)
+        |)
+        |SELECT doc_id, lang, 'delete' AS _change_type, '1-2' AS rng
+        |FROM f0 WHERE pos IN (1, 3, 5)
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete', '1-2' FROM f1 WHERE pos IN (0, 2)
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete', '2-3' FROM f0 WHERE pos = 7"""
+        .stripMargin,
 
     "meta_iceberg_incremental" ->
       """WITH appended AS (

@@ -1289,19 +1289,39 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
     wanted.toDS()
       .flatMap { case (mp, mlSeq, mlSnap) =>
         readManifest(new Path(mp), conf.value)
-          .filter(e => statusesB.contains(e.status) &&
-            inRangeB.contains(e.snapshotId.getOrElse(mlSnap)))
+          .filter { e =>
+            // a manifest REWRITE (delete-manifest compaction) turns
+            // ADDED entries into EXISTING ones carrying their original
+            // snapshot_id — they still mean "appended by that
+            // snapshot", so EXISTING counts as an append when its OWN
+            // id is in range. Inheritance from the manifest only ever
+            // applies to ADDED (spec) — the one legacy exception kept
+            // from r15 is DELETED-with-null, which inherits the
+            // deleting manifest's id; a null-id EXISTING entry
+            // attributes to nothing (inheriting would misattribute
+            // the rewrite itself).
+            val attributed: Option[Long] =
+              if (e.status == 1) Some(e.snapshotId.getOrElse(mlSnap))
+              else if (e.status == 2) Some(e.snapshotId.getOrElse(mlSnap))
+              else e.snapshotId
+            val effStatus = if (e.status == 0) 1 else e.status
+            statusesB.contains(effStatus) &&
+              attributed.exists(inRangeB.contains)
+          }
           .map(e => (e.filePath, e.content,
             resolve(new Path(rootStr), e.filePath).toString,
             e.recordCount, e.fileSizeBytes,
             // ADDED entries inherit the manifest's sequence number;
             // a DELETED entry must carry its own (spec r134)
             e.sequenceNumber.orElse(if (e.status == 1) mlSeq else None),
-            e.fileFormat, e.status, e.snapshotId.getOrElse(mlSnap)))
+            e.fileFormat, if (e.status == 0) 1 else e.status,
+            e.snapshotId.getOrElse(mlSnap),
+            e.referencedDataFile, e.contentOffset, e.contentSizeInBytes))
       }
       .toDF("file_path", "content", "abs_path", "record_count",
         "file_size_bytes", "data_sequence_number", "file_format",
-        "status", "snapshot_id")
+        "status", "snapshot_id", "referenced_data_file",
+        "content_offset", "content_size")
   }
 
   /**
@@ -1324,7 +1344,12 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
    * scoping included), minus rows pre-existing deletes had already
    * killed (every delete at `to` outside the appended set was
    * committed at or before `from`, by lineage construction). Appended
-   * Puffin DVs and non-parquet files refuse. A removed DELETE file
+   * v3 Puffin DELETION VECTORS resolve row-wise too (r16): the feed
+   * emits the referenced file's rows at positions(new vector) minus
+   * positions(old superseded vector) — the supersession pair being an
+   * in-range status=2 DV removal for the same referenced file;
+   * decoding runs executor-side through [[PuffinCodec]]. Other
+   * non-parquet files refuse. A removed DELETE file
    * outside a
    * replace snapshot refuses too (its suppressed rows logically
    * RESURRECT — unrepresentable at file granularity), as does a
@@ -1349,42 +1374,115 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
     val entries = rangeEntries(spark, table, fromSnapshot, toSnapshot,
       Set(1, 2))
       .select(col("abs_path"), col("content"), col("file_format"),
-        col("status"), col("snapshot_id"))
+        col("status"), col("snapshot_id"), col("referenced_data_file"),
+        col("content_offset"), col("content_size"), col("record_count"))
       .collect()
       // replace snapshots rewrite files without changing logical rows
       .filterNot(r => opById.get(r.getLong(4)).flatten.contains("replace"))
+    val rootStr0 = root.toString
+    // a v3 Puffin deletion vector: content=1, a referenced data file
+    // and a blob span — resolvable to exact positions by PuffinCodec
+    def isDvEntry(r: org.apache.spark.sql.Row): Boolean =
+      r.getInt(1) == 1 && r.getString(2) != null &&
+        r.getString(2).equalsIgnoreCase("puffin") &&
+        !r.isNullAt(5) && !r.isNullAt(6) && !r.isNullAt(7)
+    // (puffin abs path, referenced data abs path, offset, size, card)
+    def dvOf(r: org.apache.spark.sql.Row):
+        (String, String, Long, Long, Long) =
+      (r.getString(0),
+        resolve(new Path(rootStr0), r.getString(5)).toString,
+        r.getLong(6), r.getLong(7), r.getLong(8))
     val appended = entries.filter(_.getInt(3) == 1)
     appended.foreach { r =>
       val fmt = r.getString(2)
-      if (fmt == null || !fmt.equalsIgnoreCase("parquet")) {
+      if (!isDvEntry(r) &&
+          (fmt == null || !fmt.equalsIgnoreCase("parquet"))) {
         throw new UnsupportedOperationException(
           s"$table: appended file ${r.getString(0)} is " +
-            s"${String.valueOf(fmt)} — only parquet appends resolve to " +
-            "changelog rows, refusing a partial feed")
+            s"${String.valueOf(fmt)} — only parquet appends and " +
+            "well-formed Puffin deletion vectors resolve to changelog " +
+            "rows, refusing a partial feed")
       }
     }
+    val dvAppendsAll = appended.filter(isDvEntry).map(dvOf).toSeq
     val removed = entries.filter(_.getInt(3) == 2)
+    val removedDvsAll = removed.filter(isDvEntry).map(dvOf).toSeq
+    def dvKey(dv: (String, String, Long, Long, Long)) =
+      (dv._1, dv._3, dv._4)
+    // the FINAL vector per file: an appended vector that is itself
+    // removed in-range was superseded mid-range and is not final
+    val removedKeys = removedDvsAll.map(dvKey).toSet
+    val dvAppends = dvAppendsAll.filterNot(dv =>
+      removedKeys.contains(dvKey(dv)))
+    dvAppends.groupBy(_._2).foreach { case (ref, dvs) =>
+      if (dvs.size > 1) {
+        throw new UnsupportedOperationException(
+          s"$table: the range ends with ${dvs.size} deletion vectors " +
+            s"for $ref — the spec allows at most one live DV per data " +
+            "file, refusing an ambiguous resolution")
+      }
+    }
+    val dvAppendRefs = dvAppends.map(_._2).toSet
+    // split removed vectors by whether they were LIVE AT from (read
+    // from's own manifest list — a from-state-file-list driver
+    // boundary, only paid when DV removals exist): a from-live
+    // vector's kills were already dead and SUBTRACT; a mid-range
+    // vector (added then superseded inside the range, or invisible in
+    // to's list) must be CONTAINED in the final vector (verified at
+    // decode) and never subtracts. Either way the ref needs a final
+    // vector, or its suppressed rows resurrect — refused below.
+    val fromDvKeys: Set[(String, Long, Long)] =
+      if (removedDvsAll.isEmpty) Set.empty
+      else {
+        val fromSnap = info.snapshots.find(_.snapshotId == fromSnapshot).get
+        filesFromManifestList(spark, root, fromSnap.manifestList)
+          .filter(col("status") =!= 2 && col("content") === 1 &&
+            upper(col("file_format")) === "PUFFIN")
+          .select("abs_path", "content_offset", "content_size")
+          .collect()
+          .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      }
+    val removedDvs = removedDvsAll
+      .filter(dv => fromDvKeys.contains(dvKey(dv)))
+      .filter(dv => dvAppendRefs.contains(dv._2))
+    val cancelledDvs = removedDvsAll
+      .filterNot(dv => fromDvKeys.contains(dvKey(dv)))
+      .filter(dv => dvAppendRefs.contains(dv._2))
+    val removedDvPuffins = removedDvsAll
+      .filter(dv => dvAppendRefs.contains(dv._2)).map(dvKey).toSet
     removed.foreach { r =>
-      if (r.getInt(1) != 0) {
+      if (r.getInt(1) != 0 &&
+          !(isDvEntry(r) && removedDvPuffins.contains(
+            (r.getString(0), r.getLong(6), r.getLong(7))))) {
         throw new UnsupportedOperationException(
           s"$table: the range REMOVED a delete file " +
             s"(${r.getString(0)}, content=${r.getInt(1)}) outside a " +
-            "replace snapshot — the rows it suppressed logically " +
-            "resurrect, which a file-granularity changelog cannot " +
-            "represent; refusing")
+            "replace snapshot with no superseding deletion vector — " +
+            "the rows it suppressed logically resurrect, which a " +
+            "changelog cannot represent; refusing")
       }
       val fmt = r.getString(2)
-      if (fmt == null || !fmt.equalsIgnoreCase("parquet")) {
+      if (r.getInt(1) == 0 &&
+          (fmt == null || !fmt.equalsIgnoreCase("parquet"))) {
         throw new UnsupportedOperationException(
           s"$table: removed file ${r.getString(0)} is " +
             s"${String.valueOf(fmt)} — only parquet removals resolve " +
             "to changelog rows, refusing a partial feed")
       }
     }
-    val removedPaths = removed.map(_.getString(0)).distinct.toSeq
+    val removedPaths = removed.filter(_.getInt(1) == 0)
+      .map(_.getString(0)).distinct.toSeq
+    dvAppends.find(dv => removedPaths.contains(dv._2)).foreach { dv =>
+      throw new UnsupportedOperationException(
+        s"$table: the range appends a deletion vector for ${dv._2} " +
+          "AND removes that file — the two delete shapes would " +
+          "double-report its rows, refusing")
+    }
     val insertPaths = appended.filter(_.getInt(1) == 0)
       .map(_.getString(0)).distinct.toSeq
-    val deletePaths = appended.filter(_.getInt(1) == 1)
+    val deletePaths = appended
+      .filter(r => r.getInt(1) == 1 && !isDvEntry(r)) // DVs have a leg
       .map(_.getString(0)).distinct.toSeq
     val eqDeletePaths = appended.filter(_.getInt(1) == 2)
       .map(_.getString(0)).distinct.toSeq
@@ -1494,7 +1592,69 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
           case None => newKills
         })
       }
-    val deletes = (posPairs.toSeq ++ eqPairs.toSeq)
+    // appended Puffin DV pairs: positions(new) \ positions(old
+    // superseded vector, empty when none), decoded EXECUTOR-side by
+    // PuffinCodec (one task per vector); an old vector marking a
+    // position the new one drops UN-deletes a row — refused
+    val dvPairs =
+      if (dvAppends.isEmpty) None
+      else {
+        import spark.implicits._
+        val oldByRef = removedDvs
+          .map(dv => dv._2 -> ((dv._1, dv._3, dv._4, dv._5))).toMap
+        val cancelledByRef = cancelledDvs
+          .groupBy(_._2)
+          .view.mapValues(_.map(dv => (dv._1, dv._3, dv._4, dv._5)))
+          .toMap
+        val sconf = new SerializableHadoopConf(
+          spark.sessionState.newHadoopConf())
+        Some(dvAppends.map { case (pf, ref, off, size, card) =>
+          (pf, ref, off, size, card, oldByRef.get(ref),
+            cancelledByRef.getOrElse(ref,
+              Seq.empty[(String, Long, Long, Long)]))
+        }.toDS().flatMap {
+          case (pf, ref, off, size, card, oldDv, cancelled) =>
+            def decode(p: String, o: Long, s: Long, c: Long): Array[Long] = {
+              val pos = PuffinCodec.readDvBlob(
+                new Path(p), sconf.value, o, s)
+              if (pos.length != c) {
+                throw new IllegalArgumentException(
+                  s"$p: deletion vector for $ref decodes ${pos.length} " +
+                    s"positions but its manifest entry claims $c — " +
+                    "refusing to miscount")
+              }
+              pos
+            }
+            val newPos = decode(pf, off, size, card)
+            val newSet = newPos.toSet
+            // a mid-range superseded (cancelled) vector's kills must
+            // ride the final one — otherwise rows it deleted resurrect
+            cancelled.foreach { case (cp, co, cs, cc) =>
+              val lost = decode(cp, co, cs, cc).filterNot(newSet)
+              if (lost.nonEmpty) {
+                throw new UnsupportedOperationException(
+                  s"$ref: a mid-range superseded deletion vector marks " +
+                    s"positions ${lost.take(5).mkString(", ")}… the " +
+                    "final vector drops — resurrected rows have no " +
+                    "changelog representation, refusing")
+              }
+            }
+            val oldPos = oldDv.map { case (op, oo, os, oc) =>
+              decode(op, oo, os, oc)
+            }.getOrElse(Array.empty[Long])
+            val resurrected = oldPos.filterNot(newSet)
+            if (resurrected.nonEmpty) {
+              throw new UnsupportedOperationException(
+                s"$ref: the range's new deletion vector UN-deletes " +
+                  s"positions ${resurrected.take(5).mkString(", ")}… — " +
+                  "resurrected rows have no changelog representation, " +
+                  "refusing")
+            }
+            val oldSet = oldPos.toSet
+            newPos.filterNot(oldSet).map(pos => (ref, pos))
+        }.toDF("p", "pos"))
+      }
+    val deletes = (posPairs.toSeq ++ eqPairs.toSeq ++ dvPairs.toSeq)
       .reduceOption(_ unionByName _)
       .map { pairs =>
         // referenced targets: a path list at delete-entry scale

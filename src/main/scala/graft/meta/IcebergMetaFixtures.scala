@@ -520,6 +520,152 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
     counts
   }
 
+  /**
+   * A three-snapshot format-v3 chain for the ROW-LEVEL changelog's
+   * deletion-vector resolution:
+   *
+   *  - snap 1: `m0` adds data files f0/f1 (doc_id parity slices);
+   *  - snap 2 (parent 1): `m1` appends Puffin DVs — f0 loses
+   *    positions {1,3,5}, f1 loses {0,2} (both blobs in
+   *    `data/dv0.puffin`);
+   *  - snap 3 (parent 2): `m2` SUPERSEDES f0's vector — the old entry
+   *    rides as status=2 and a new `data/dv1.puffin` blob widens the
+   *    deletes to {1,3,5,7}, so the (2,3] changelog must emit ONLY
+   *    position 7.
+   *
+   * Returns per-data-file row counts.
+   */
+  def writeDvChangelogFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val counts = (0 to 1).map { parity =>
+      val rel = s"f$parity.parquet"
+      rel -> FixtureIO.writeSingleParquet(
+        docs.filter(pmod(col("doc_id"), lit(2)) === parity)
+          .select(col("doc_id"), col("lang")).orderBy(col("doc_id")),
+        new java.io.File(dataDir, rel), dir + s"_dvcltmp$parity")
+    }.toMap
+    require(counts.values.forall(_ > 8),
+      s"dv-changelog fixture needs >8 rows per slice, got $counts")
+    val dv0f0 = Array(1L, 3L, 5L)
+    val dv0f1 = Array(0L, 2L)
+    val dv1f0 = Array(1L, 3L, 5L, 7L)
+    val spans0 = PuffinCodec.writePuffinFile(
+      new java.io.File(dataDir, "dv0.puffin"),
+      Seq(dv0f0, dv0f1).map(p => (PuffinCodec.DeletionVectorV1,
+        Map("cardinality" -> p.length.toString),
+        PuffinCodec.encodeDvBlob(p))))
+    val spans1 = PuffinCodec.writePuffinFile(
+      new java.io.File(dataDir, "dv1.puffin"),
+      Seq((PuffinCodec.DeletionVectorV1,
+        Map("cardinality" -> dv1f0.length.toString),
+        PuffinCodec.encodeDvBlob(dv1f0))))
+    def dataEntry(f: String): org.apache.avro.generic.GenericRecord = {
+      val df = new org.apache.avro.generic.GenericData.Record(
+        dvManifestSchema.getField("data_file").schema())
+      df.put("content", 0)
+      df.put("file_path", s"data/$f")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(f))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
+      val e = new org.apache.avro.generic.GenericData.Record(dvManifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    def dvEntry(status: Int, puffin: String, refFile: String,
+        span: (Long, Long), cardinality: Long, snap: Long):
+        org.apache.avro.generic.GenericRecord = {
+      val df = new org.apache.avro.generic.GenericData.Record(
+        dvManifestSchema.getField("data_file").schema())
+      df.put("content", 1)
+      df.put("file_path", s"data/$puffin")
+      df.put("file_format", "PUFFIN")
+      df.put("record_count", cardinality)
+      df.put("file_size_in_bytes",
+        new java.io.File(dataDir, puffin).length())
+      df.put("referenced_data_file", s"data/$refFile")
+      df.put("content_offset", span._1)
+      df.put("content_size_in_bytes", span._2)
+      val e = new org.apache.avro.generic.GenericData.Record(dvManifestSchema)
+      e.put("status", status)
+      e.put("snapshot_id", snap)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), dvManifestSchema,
+      Seq(dataEntry("f0.parquet"), dataEntry("f1.parquet")))
+    writeAvro(new java.io.File(metaDir, "m1.avro"), dvManifestSchema,
+      Seq(dvEntry(1, "dv0.puffin", "f0.parquet", spans0(0),
+        dv0f0.length.toLong, 2L),
+        dvEntry(1, "dv0.puffin", "f1.parquet", spans0(1),
+          dv0f1.length.toLong, 2L)))
+    // snap 3's delete manifest: f0's OLD vector removed (status 2,
+    // deleted by snap 3), the widened one added; f1's rides as
+    // existing (status 0, still owned by snap 2)
+    writeAvro(new java.io.File(metaDir, "m2.avro"), dvManifestSchema,
+      Seq(dvEntry(2, "dv0.puffin", "f0.parquet", spans0(0),
+        dv0f0.length.toLong, 3L),
+        dvEntry(1, "dv1.puffin", "f0.parquet", spans1(0),
+          dv1f0.length.toLong, 3L),
+        dvEntry(0, "dv0.puffin", "f1.parquet", spans0(1),
+          dv0f1.length.toLong, 2L)))
+    def mlEntry(path: String, added: Int, rows: Long, content: Int,
+        addedBy: Long): org.apache.avro.generic.GenericRecord = {
+      val r = new org.apache.avro.generic.GenericData.Record(
+        manifestListSchema)
+      r.put("manifest_path", s"metadata/$path")
+      r.put("manifest_length", new java.io.File(metaDir, path).length())
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("added_snapshot_id", addedBy)
+      r.put("added_files_count", added)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", rows)
+      r
+    }
+    val m0Rows = counts.values.sum
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
+      Seq(mlEntry("m0.avro", 2, m0Rows, 0, 1L)))
+    writeAvro(new java.io.File(metaDir, "snap-2.avro"), manifestListSchema,
+      Seq(mlEntry("m0.avro", 2, m0Rows, 0, 1L),
+        mlEntry("m1.avro", 2, 5L, 1, 2L)))
+    writeAvro(new java.io.File(metaDir, "snap-3.avro"), manifestListSchema,
+      Seq(mlEntry("m0.avro", 2, m0Rows, 0, 1L),
+        mlEntry("m2.avro", 1, 4L, 1, 3L)))
+    val ts0 = 1700000000000L
+    val metadataJson =
+      s"""{"format-version":3,"table-uuid":"graft-iceberg-dv-changelog",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":3,
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":$ts0,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}},
+         |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
+         | "parent-snapshot-id":1,
+         | "manifest-list":"metadata/snap-2.avro",
+         | "summary":{"operation":"delete"}},
+         |{"snapshot-id":3,"timestamp-ms":${ts0 + 2000},
+         | "parent-snapshot-id":2,
+         | "manifest-list":"metadata/snap-3.avro",
+         | "summary":{"operation":"delete"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
   /** The format-v2 manifest shape for EQUALITY deletes: `data_file`
     * grows `equality_ids` (the spec's field-id list), null on ordinary
     * data entries. */

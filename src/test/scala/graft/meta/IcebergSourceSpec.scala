@@ -1018,6 +1018,38 @@ class IcebergSourceSpec extends SparkSpec {
       Seq(0L, 1L, 2L, 4L, 8L))
   }
 
+  test("changelog scan: deletion vectors resolve, supersession subtracts") {
+    val d = Files.createTempDirectory("graft_ice_dvcl").toString + "/tbl"
+    IcebergMeta.writeDvChangelogFixtureTable(spark, d, docs)
+    def posDocs(f: String, ps: Seq[Long]): Set[Long] =
+      spark.read.parquet(s"$d/data/$f")
+        .withColumn("pos", col("_metadata.row_index"))
+        .filter(col("pos").isin(ps: _*))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // (1,2]: the appended vectors' positions die — exactly those rows
+    val feed12 = IcebergMeta.changelogScan(spark, d, 1L, 2L)
+      .select("doc_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(feed12.forall(_._2 == "delete"))
+    assert(feed12.map(_._1).toSet ===
+      posDocs("f0.parquet", Seq(1L, 3L, 5L)) ++
+        posDocs("f1.parquet", Seq(0L, 2L)))
+    // (2,3]: the superseding vector widens {1,3,5} → {1,3,5,7}; only
+    // the NEWLY-dead position 7 reports
+    val feed23 = IcebergMeta.changelogScan(spark, d, 2L, 3L)
+      .select("doc_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(feed23.map(_._1).toSet === posDocs("f0.parquet", Seq(7L)))
+    // the full range (1,3]: the mid-range vector is CANCELLED by its
+    // in-range supersession, so the net effect is the FINAL vectors'
+    // positions once each — f0 {1,3,5,7} + f1 {0,2}
+    val feed13 = IcebergMeta.changelogScan(spark, d, 1L, 3L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(feed13 ===
+      posDocs("f0.parquet", Seq(1L, 3L, 5L, 7L)) ++
+        posDocs("f1.parquet", Seq(0L, 2L)))
+  }
+
   test("changelog scan: replace skipped, referenced removal refuses") {
     // a REPLACE (compaction) snapshot changes no logical rows: its
     // adds and removals contribute nothing, and an all-replace range
