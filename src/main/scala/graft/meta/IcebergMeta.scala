@@ -1356,6 +1356,11 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
    * removed data file that a live position-delete file references or
    * that coexists with any equality delete (some of its rows were
    * already dead, so whole-file delete rows would over-report).
+   * Known approximation: a DATA file added AND removed strictly
+   * inside the range reports only its removal — the add evidence
+   * does not survive in `to`'s manifest list (the status=2 entry
+   * carries the REMOVING snapshot's id), so the matching mid-range
+   * inserts cannot be reconstructed from a single-list walk.
    * Driver boundaries: the range-entry classification and the
    * referenced-target path lists (both manifest-entry-sized, the
    * MetaPrune idiom).
