@@ -26,7 +26,12 @@ private[meta] object ScanWindows {
       df: DataFrame, sortCols: Seq[Column], value: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bucketed = df.repartitionByRange(sortCols: _*)
+    // the input subtree would otherwise run THREE times (the range
+    // partitioner's sampling pass, the boundary-max aggregation, and
+    // the final window) — snapshot it once; the relation is
+    // metadata-sized (one row per file) by every caller's contract
+    val snapped = df.localCheckpoint()
+    val bucketed = snapped.repartitionByRange(sortCols: _*)
       .withColumn("__bucket", spark_partition_id())
       .withColumn("__val", value)
     val w = Window.partitionBy(col("__bucket")).orderBy(sortCols: _*)
