@@ -1593,6 +1593,67 @@ private[graft] object EntryLakeQueries {
             count(lit(1)).cast("long").as("n_live"),
             sum(col("record_count")).cast("long").as("data_rows"))
       }.reduce(_ unionByName _)
+    }),
+
+    // TRANSFORM-aware partition pruning (r16), bucket[4](doc_id): the
+    // probe's bucket is recomputed driver-side with the spec's
+    // Appendix-B murmur3 (vector-pinned in IcebergTransformSpec); a
+    // file survives iff its manifest partition tuple carries that
+    // bucket — zero footer or data I/O. Oracle: the data files CARRY
+    // the bucket column the fixture computed, so DuckDB derives each
+    // file's tuple value AND the probe's expected bucket from the
+    // data alone — cross-checking the prune logic, while the hash
+    // itself is pinned to the spec's published vectors.
+    "meta_iceberg_bucket_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_icebkt_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeBucketFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.bucketPrune(s, out, "doc_id", 7L)
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("part_bucket"), col("survives"))
+    }),
+
+    // The EXECUTABLE form: plan survivors from the bucket tuples,
+    // scan ONLY them, push the residual equality — must equal a
+    // full-scan filter (DuckDB reads all the data).
+    "meta_iceberg_bucket_read" -> ((s, dir) => {
+      val out = "/tmp/graft_icebkt_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeBucketFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.readBucketPruned(s, out, "doc_id", 7L)
+        .filter(col("doc_id") === 7L)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
+    // truncate[100] range pruning: truncate is monotone, so the file
+    // tuple `t` answers `k ∈ [120, 250]` via `truncate(120) <= t <=
+    // truncate(250)`. Oracle: DuckDB recomputes every tuple value AND
+    // the truncated probe range in plain SQL — fully independent.
+    "meta_iceberg_truncate_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_icetrn_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeTruncateFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.truncatePrune(s, out, "k", 120L, 250L)
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("part_trunc"), col("survives"))
+    }),
+
+    // day(ts) range pruning over the events table (30 day partitions
+    // at every scale factor): tuple values are the spec's epoch-days
+    // int, surfaced as real DATEs. Oracle: DuckDB recomputes each
+    // file's day from its own `ts` values.
+    "meta_iceberg_days_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_icedays_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeDaysFixtureTable(
+        s, out, s.read.parquet(pq(dir, "events")))
+      IcebergMeta.daysPrune(s, out, "ts", "2024-01-10", "2024-01-14")
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("part_day"), col("survives"))
     })
   )
 
@@ -3517,6 +3578,52 @@ private[graft] object EntryLakeQueries {
         |  CAST(1 AS BIGINT) AS n_delete_files,
         |  (SELECT CAST(num_rows AS BIGINT) FROM fm
         |    WHERE name = 'del0.parquet') AS deleted_positions,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM fm) AS n_disk""".stripMargin
+        |  (SELECT CAST(count(*) AS BIGINT) FROM fm) AS n_disk""".stripMargin,
+
+    "meta_iceberg_bucket_prune" ->
+      """WITH d AS (
+        |  SELECT parse_filename(filename) AS file,
+        |    CAST(min(bucket) AS INT) AS part_bucket
+        |  FROM read_parquet('/tmp/graft_icebkt_sf0.01/data/b*.parquet',
+        |    filename=true)
+        |  GROUP BY 1
+        |)
+        |SELECT file, part_bucket,
+        |  part_bucket = (SELECT min(bucket)
+        |    FROM read_parquet('/tmp/graft_icebkt_sf0.01/data/b*.parquet')
+        |    WHERE doc_id = 7) AS survives
+        |FROM d""".stripMargin,
+
+    "meta_iceberg_bucket_read" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM read_parquet('/tmp/graft_icebkt_sf0.01/data/b*.parquet')
+        |WHERE doc_id = 7""".stripMargin,
+
+    "meta_iceberg_truncate_prune" ->
+      """WITH d AS (
+        |  SELECT parse_filename(filename) AS file,
+        |    CAST(min(k - (k % 100)) AS BIGINT) AS part_trunc
+        |  FROM read_parquet('/tmp/graft_icetrn_sf0.01/data/t*.parquet',
+        |    filename=true)
+        |  GROUP BY 1
+        |)
+        |SELECT file, part_trunc,
+        |  part_trunc BETWEEN (120 - (120 % 100)) AND (250 - (250 % 100))
+        |    AS survives
+        |FROM d""".stripMargin,
+
+    "meta_iceberg_days_prune" ->
+      """WITH d AS (
+        |  SELECT parse_filename(filename) AS file,
+        |    min(CAST(ts AS DATE)) AS part_day
+        |  FROM read_parquet('/tmp/graft_icedays_sf0.01/data/d*.parquet',
+        |    filename=true)
+        |  GROUP BY 1
+        |)
+        |SELECT file, part_day,
+        |  part_day BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+        |    AS survives
+        |FROM d""".stripMargin
   )
 }

@@ -177,6 +177,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[graft.functions.BytesCrc32], "bytes_crc32"),
       unary("bytes_crc32")(graft.functions.BytesCrc32)))
     ext.injectFunction((
+      FunctionIdentifier("iceberg_bucket"),
+      info(classOf[graft.functions.IcebergBucketF], "iceberg_bucket"),
+      withIntLit("iceberg_bucket")(graft.functions.IcebergBucketF)))
+    ext.injectFunction((
       FunctionIdentifier("plain_stat_long"),
       info(classOf[graft.functions.PlainStatLong], "plain_stat_long"),
       binary("plain_stat_long")(graft.functions.PlainStatLong)))

@@ -119,7 +119,8 @@ case class IcebergFileEntry(
  * manifests scales like any other scan; only the (small) metadata JSON
  * and manifest list are read at the driver.
  */
-object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures {
+object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
+    with IcebergMetaTransformPrune with IcebergMetaTransformFixtures {
 
   /** True if `root` looks like a filesystem Iceberg table (a
     * version-hint pointer or any `*.metadata.json` under `metadata/`). */
