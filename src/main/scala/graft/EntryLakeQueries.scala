@@ -1431,6 +1431,35 @@ private[graft] object EntryLakeQueries {
           col("_commit_version"))
     }),
 
+    // STREAMING CHANGE-DATA-FEED: the checkpointed feed store across
+    // TWO commit arrivals — pass A sees commits 0..1 and feeds them;
+    // pass B's newly-landed commit 2 feeds EXACTLY [2,2] (seen
+    // segments never re-trigger). The union of split-range increments
+    // must equal the one-shot batch feed over [0,2] — the oracle is
+    // meta_delta_cdf's, on this fixture's own path.
+    "stream_delta_cdf" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = "/tmp/graft_deltacdfstream_" + sfx
+      val store = "/tmp/graft_deltacdfstore_" + sfx
+      val ckpt = "/tmp/graft_deltacdfck_" + sfx
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      DeltaMeta.writeCdfFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      // pass A: commit 2 has not arrived yet (staged OUTSIDE the log)
+      val v2 = new java.io.File(out,
+        "_delta_log/00000000000000000002.json")
+      val aside = new java.io.File(out, "aside_2.json")
+      require(v2.renameTo(aside), s"could not stage $v2 aside")
+      DeltaMeta.maintainChangeFeedStore(s, out, store, ckpt)
+      // pass B: commit 2 lands
+      require(aside.renameTo(v2), s"could not land $aside")
+      DeltaMeta.maintainChangeFeedStore(s, out, store, ckpt)
+      DeltaMeta.readChangeFeedStore(s, store)
+        .select(col("doc_id"), col("lang"), col("_change_type"),
+          col("_commit_version"))
+    }),
+
     // DELTA CHANGE FEED over DELETION-VECTOR commits (r16): v1's
     // inline DV kills f0 positions {1,3}; v2 widens it to a u-storage
     // vector {1,3,5} and the feed emits ONLY the newly-dead position
@@ -2638,6 +2667,19 @@ private[graft] object EntryLakeQueries {
         |UNION ALL
         |SELECT doc_id, lang, 'delete', CAST(2 AS BIGINT)
         |FROM read_parquet('/tmp/graft_deltacdf_sf0.01/f1.parquet')"""
+        .stripMargin,
+
+    "stream_delta_cdf" ->
+      """SELECT doc_id, lang, 'insert' AS _change_type,
+        |  CAST(0 AS BIGINT) AS _commit_version
+        |FROM read_parquet('/tmp/graft_deltacdfstream_sf0.01/f[01].parquet')
+        |UNION ALL
+        |SELECT doc_id, lang, _change_type, CAST(1 AS BIGINT)
+        |FROM read_parquet(
+        |  '/tmp/graft_deltacdfstream_sf0.01/_change_data/c1.parquet')
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete', CAST(2 AS BIGINT)
+        |FROM read_parquet('/tmp/graft_deltacdfstream_sf0.01/f1.parquet')"""
         .stripMargin,
 
     "meta_delta_cdf_dv" ->

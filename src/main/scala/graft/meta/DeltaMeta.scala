@@ -1124,6 +1124,61 @@ object DeltaMeta extends DeltaMetaAudits with DeltaMetaFixtures {
         col("dv_cardinality"))
 
   /**
+   * STREAMING CHANGE-DATA-FEED maintenance — the streaming twin of
+   * [[changeFeed]]: one `Trigger.AvailableNow` pass of the delta
+   * commit stream; each micro-batch that reveals NEW commit versions
+   * appends exactly `changeFeed(next_unfed, latest)` as its own
+   * increment (`feed_<from>_<to>` parquet subdirs — re-running a
+   * range overwrites its own subdir, idempotent under foreachBatch's
+   * at-least-once redelivery; already-seen log segments never
+   * re-trigger, checkpointed). Because the feed attributes every row
+   * to its own commit, the union of increments over split ranges
+   * equals the one-shot feed over the full range — a CDC consumer
+   * tails [[readChangeFeedStore]] and sees each change row exactly
+   * once. Every [[changeFeed]] refusal (underivable cdc-less commits,
+   * CDF not enabled across the range) fails the batch LOUDLY instead
+   * of feeding wrong rows.
+   */
+  def maintainChangeFeedStore(
+      spark: SparkSession, table: String,
+      storeDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = spark.readStream.format("metadata")
+      .option("source", "delta").option("level", "snapshot")
+      .option("streamlagms", "0").load(table)
+    val q = src.select("version", "kind")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // log-SEGMENT-sized driver boundary (versions, not actions)
+        val segs = batch.collect()
+        segs.filter(_.getString(1) == "commit")
+          .map(_.getLong(0)).maxOption.foreach { to =>
+            val store = new java.io.File(storeDir)
+            store.mkdirs()
+            // ranges already fed, keyed by their inclusive upper bound
+            val fedTo = Option(store.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.startsWith("feed_"))
+              .map(_.getName.split("_")(2).toLong).maxOption
+            val from = fedTo.map(_ + 1L).getOrElse(0L)
+            if (to >= from) {
+              changeFeed(spark, table, from, to)
+                .coalesce(1).write.mode("overwrite")
+                .parquet(new java.io.File(store, s"feed_${from}_$to").getPath)
+            }
+          }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Every change row of a [[maintainChangeFeedStore]] store. */
+  def readChangeFeedStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir + "/feed_*")
+
+  /**
    * STATS-based file skipping — the lakehouse data-skipping question
    * at LOG cost: which live files can hold `column` values in
    * `[lo, hi]`, decided from each add's `minValues`/`maxValues` alone.

@@ -1234,6 +1234,39 @@ class DeltaSourceSpec extends SparkSpec {
     assert(causeMessages(eUndel).contains("UN-deletes"))
   }
 
+  test("streaming change-feed store: split ranges equal the one-shot feed") {
+    val d = Files.createTempDirectory("graft_delta_cdfs").toString + "/tbl"
+    DeltaMeta.writeCdfFixtureTable(spark, d, docs)
+    val store = Files.createTempDirectory("graft_delta_cdfsd").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_delta_cdfsc").toString
+    // pass A: commit 2 staged OUTSIDE the log — only [0,1] feeds
+    val v2 = new java.io.File(d, "_delta_log/00000000000000000002.json")
+    val aside = new java.io.File(d, "aside_2.json")
+    require(v2.renameTo(aside))
+    DeltaMeta.maintainChangeFeedStore(spark, d, store, ckpt)
+    val incA = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("feed_")).toSet
+    assert(incA === Set("feed_0_1"))
+    // pass B: commit 2 lands; EXACTLY [2,2] feeds (seen segments
+    // never re-trigger)
+    require(aside.renameTo(v2))
+    val mt = System.currentTimeMillis()
+    v2.setLastModified(mt + 1)
+    DeltaMeta.maintainChangeFeedStore(spark, d, store, ckpt)
+    val incB = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("feed_")).toSet
+    assert(incB === Set("feed_0_1", "feed_2_2"))
+    // the union of split-range increments equals the one-shot feed
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.select("doc_id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = canon(DeltaMeta.readChangeFeedStore(spark, store))
+    assert(streamed === canon(DeltaMeta.changeFeed(spark, d, 0L, 2L)))
+    // a third pass with nothing new is a no-op (idempotent store)
+    DeltaMeta.maintainChangeFeedStore(spark, d, store, ckpt)
+    assert(canon(DeltaMeta.readChangeFeedStore(spark, store)) === streamed)
+  }
+
   test("row-tracking audit: overlapping baseRowId ranges flagged") {
     val d = Files.createTempDirectory("graft_delta_rt").toString + "/tbl"
     val counts = DeltaMeta.writeRowTrackingFixtureTable(spark, d, docs)
