@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.meta.{AvroMeta, DeltaMeta, FooterEdit, IcebergMeta, MetaPrune, MetaValues, OrcPrune}
+import graft.meta.{AvroMeta, DeltaMeta, FooterEdit, HudiMeta, IcebergMeta, MetaPrune, MetaValues, OrcPrune}
 import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, MediaRecord, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, SubstrSearch, TemporalJoin, TextOps}
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -1671,6 +1671,53 @@ private[graft] object EntryLakeQueries {
           col("part_trunc"), col("survives"))
     }),
 
+    // HUDI timeline (the third lake format's commit log): one row per
+    // instant file of the hand-written COW fixture — two completed
+    // commits with their requested/inflight markers plus a DANGLING
+    // incomplete instant. Oracle: closed-form writer contract.
+    "meta_hudi_timeline" -> ((s, dir) => {
+      val out = "/tmp/graft_hudi_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      HudiMeta.writeHudiFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      HudiMeta.timelineReport(s, out)
+    }),
+
+    // HUDI live census with footer conformance: per FILE GROUP the
+    // latest completed slice (c2's rewrite of fid0 supersedes c1's;
+    // the orphan base file and the dangling instant never surface),
+    // declared numWrites vs each live footer's own row count — c1's
+    // fid1 stat LIES by +1 and must flag. Oracle: DuckDB reads the
+    // same footers; membership is the writer contract.
+    "meta_hudi_live" -> ((s, dir) => {
+      val out = "/tmp/graft_hudi_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      HudiMeta.writeHudiFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      HudiMeta.liveCensus(s, out)
+        .select(col("file_id"), col("partition_path"), col("path"),
+          col("instant_time"), col("declared_rows"), col("footer_rows"),
+          col("is_match"))
+    }),
+
+    // HUDI time travel at metadata cost: the live view AS OF each
+    // completed instant — c1 serves fid0@c1 + fid1, c2 swaps in
+    // fid0's rewrite and adds fid2. Rows from the footers (the
+    // declared side carries the planted lie). Oracle: same footers,
+    // writer-contract membership.
+    "meta_hudi_travel" -> ((s, dir) => {
+      val out = "/tmp/graft_hudi_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      HudiMeta.writeHudiFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      Seq("20240101000000000", "20240102000000000").map { i =>
+        HudiMeta.liveCensus(s, out, Some(i))
+          .agg(lit(i).as("instant_time"),
+            count(lit(1)).cast("long").as("n_live"),
+            sum(col("footer_rows")).cast("long").as("data_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
     // day(ts) range pruning over the events table (30 day partitions
     // at every scale factor): tuple values are the spec's epoch-days
     // int, surfaced as real DATEs. Oracle: DuckDB recomputes each
@@ -2668,6 +2715,69 @@ private[graft] object EntryLakeQueries {
         |SELECT doc_id, lang, 'delete', CAST(2 AS BIGINT)
         |FROM read_parquet('/tmp/graft_deltacdf_sf0.01/f1.parquet')"""
         .stripMargin,
+
+    "meta_hudi_timeline" ->
+      """SELECT * FROM (VALUES
+        |  ('20240101000000000', 'commit', 'completed'),
+        |  ('20240101000000000', 'commit', 'inflight'),
+        |  ('20240101000000000', 'commit', 'requested'),
+        |  ('20240102000000000', 'commit', 'completed'),
+        |  ('20240102000000000', 'commit', 'inflight'),
+        |  ('20240102000000000', 'commit', 'requested'),
+        |  ('20240103000000000', 'commit', 'requested'))
+        |  AS t(instant_time, action, state)""".stripMargin,
+
+    "meta_hudi_live" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_hudi_sf0.01/p=*/*.parquet')
+        |)
+        |SELECT 'fid0' AS file_id, 'p=0' AS partition_path,
+        |  'p=0/fid0_0-0-0_20240102000000000.parquet' AS path,
+        |  '20240102000000000' AS instant_time,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid0_0-0-0_20240102000000000.parquet')
+        |    AS declared_rows,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid0_0-0-0_20240102000000000.parquet')
+        |    AS footer_rows,
+        |  true AS is_match
+        |UNION ALL
+        |-- fid1's c1 stat lies by +1 (writer contract) — must flag
+        |SELECT 'fid1', 'p=0', 'p=0/fid1_0-0-0_20240101000000000.parquet',
+        |  '20240101000000000',
+        |  (SELECT nr + 1 FROM fm
+        |    WHERE name = 'fid1_0-0-0_20240101000000000.parquet'),
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid1_0-0-0_20240101000000000.parquet'),
+        |  false
+        |UNION ALL
+        |SELECT 'fid2', 'p=1', 'p=1/fid2_0-0-0_20240102000000000.parquet',
+        |  '20240102000000000',
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
+        |  true""".stripMargin,
+
+    "meta_hudi_travel" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_hudi_sf0.01/p=*/*.parquet')
+        |)
+        |SELECT '20240101000000000' AS instant_time,
+        |  CAST(2 AS BIGINT) AS n_live,
+        |  (SELECT sum(nr) FROM fm WHERE name IN (
+        |    'fid0_0-0-0_20240101000000000.parquet',
+        |    'fid1_0-0-0_20240101000000000.parquet')) AS data_rows
+        |UNION ALL
+        |SELECT '20240102000000000', 3,
+        |  (SELECT sum(nr) FROM fm WHERE name IN (
+        |    'fid0_0-0-0_20240102000000000.parquet',
+        |    'fid1_0-0-0_20240101000000000.parquet',
+        |    'fid2_0-0-0_20240102000000000.parquet'))""".stripMargin,
 
     "stream_delta_cdf" ->
       """SELECT doc_id, lang, 'insert' AS _change_type,

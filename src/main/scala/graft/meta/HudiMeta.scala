@@ -1,0 +1,302 @@
+package graft.meta
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Apache Hudi COPY-ON-WRITE metadata tier (the public table spec:
+ * hudi.apache.org/tech-specs) — the same lake-planning surface the
+ * Delta/Iceberg tiers expose, for Hudi's timeline layout: a `.hoodie/`
+ * directory of INSTANT files (`<instant>.<action>[.<state>]`; a bare
+ * `<instant>.commit` is the COMPLETED state) and base parquet files
+ * named `<fileId>_<writeToken>_<instant>.parquet` grouped into FILE
+ * GROUPS by fileId, where each commit's JSON metadata declares the
+ * file slices it wrote (`partitionToWriteStats`). Resolution here is
+ * COMMIT-METADATA-driven, never a directory listing: the live view at
+ * an instant is, per file group, the latest declared slice whose
+ * commit completed at or before it — so orphaned base files from
+ * failed writes are invisible by construction, exactly as Hudi's own
+ * timeline-filtered readers guarantee.
+ *
+ * Reference scope note: the reference explores parquet file metadata
+ * only (`/root/reference/src/main/scala/com/github/sadikovi/metadata/
+ * DefaultSource.scala:20-60`); this tier extends the repo's
+ * lake-format family (Delta/Iceberg) with Hudi along the same
+ * metadata-cost axes.
+ *
+ * Scale posture: the timeline is a driver-bounded file listing (one
+ * name per instant, the same boundary every timeline consumer has);
+ * commit-metadata JSON decodes fan out one task per completed commit;
+ * nothing data-sized visits the driver.
+ */
+object HudiMeta extends Serializable {
+
+  /** True if `root` looks like a Hudi table (a `.hoodie/
+    * hoodie.properties` marker). */
+  def isHudiTable(root: Path, conf: Configuration): Boolean = {
+    val fs = root.getFileSystem(conf)
+    fs.exists(new Path(new Path(root, ".hoodie"), "hoodie.properties"))
+  }
+
+  /** One timeline instant: time, action, state. */
+  private[meta] case class HudiInstant(
+      instant: String, action: String, state: String)
+
+  private val instantRe =
+    """^(\d+)\.([a-z]+)(?:\.(requested|inflight))?$""".r
+
+  /** The parsed `.hoodie` timeline, instant-ordered. Non-instant
+    * files (hoodie.properties, metadata dirs) are skipped; an
+    * unparseable instant-LIKE name refuses (a misread timeline
+    * silently changes what "live" means). */
+  private[meta] def timeline(
+      root: Path, conf: Configuration): Seq[HudiInstant] = {
+    val hoodie = new Path(root, ".hoodie")
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(new Path(hoodie, "hoodie.properties"))) {
+      throw new IllegalArgumentException(
+        s"$root: no .hoodie/hoodie.properties — not a Hudi table")
+    }
+    fs.listStatus(hoodie).filter(_.isFile).map(_.getPath.getName)
+      .filterNot(_ == "hoodie.properties")
+      .flatMap {
+        case instantRe(t, action, state) =>
+          Some(HudiInstant(t, action,
+            Option(state).getOrElse("completed")))
+        case other if other.headOption.exists(_.isDigit) =>
+          throw new IllegalArgumentException(
+            s"$root: unparseable timeline file '$other' — refusing " +
+              "rather than mis-reading the timeline")
+        case _ => None
+      }
+      .sortBy(i => (i.instant, i.action, i.state))
+      .toSeq
+  }
+
+  /** Completed visibility-affecting instants at or before `asOf`
+    * (all, when None). COW file visibility here is defined by
+    * `commit` actions; a completed `replacecommit` (clustering /
+    * insert-overwrite REPLACES file groups) or `restore` changes
+    * visibility in ways this tier does not model — refuse, never a
+    * silent wrong census. Table-service actions that cannot grow or
+    * shrink the live set (`clean`, `rollback`) pass through. */
+  private def completedCommits(
+      root: Path, tl: Seq[HudiInstant], asOf: Option[String]): Seq[String] = {
+    val completed = tl.filter(_.state == "completed")
+    completed.find(i => Set("replacecommit", "restore").contains(i.action))
+      .foreach { i =>
+        throw new UnsupportedOperationException(
+          s"$root: timeline carries a completed ${i.action} " +
+            s"(${i.instant}) — file-group replacement is not modeled " +
+            "here; refusing rather than resurrecting replaced files")
+      }
+    val commits = completed.filter(_.action == "commit").map(_.instant)
+    asOf match {
+      case None => commits
+      case Some(t) =>
+        if (!commits.contains(t)) {
+          throw new IllegalArgumentException(
+            s"$root: no completed commit at instant $t (completed: " +
+              s"${commits.mkString(", ")})")
+        }
+        commits.filter(_ <= t)
+    }
+  }
+
+  /** The TIMELINE report: one row per instant file —
+    * `(instant_time, action, state)`. */
+  def timelineReport(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    timeline(root, conf).map(i => (i.instant, i.action, i.state))
+      .toDF("instant_time", "action", "state")
+  }
+
+  private def qualified(table: String, conf: Configuration): Path = {
+    val p = new Path(table)
+    p.getFileSystem(conf).makeQualified(p)
+  }
+
+  /** Every file slice DECLARED by the completed commits at or before
+    * `asOf`: `(instant_time, partition_path, file_id, path, abs_path,
+    * declared_rows)` — one task per commit JSON, decoded with the
+    * spec's `partitionToWriteStats` shape. */
+  private[meta] def declaredSlices(
+      spark: SparkSession, table: String,
+      asOf: Option[String]): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    val commits = completedCommits(root, timeline(root, conf), asOf)
+    if (commits.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: no completed commits — nothing is live")
+    }
+    val rootStr = root.toString
+    val sconf = new SerializableHadoopConf(conf)
+    commits.toDS().flatMap { instant =>
+      val r = new Path(rootStr)
+      val fs = r.getFileSystem(sconf.value)
+      val f = new Path(new Path(r, ".hoodie"), s"$instant.commit")
+      val in = fs.open(f)
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      val stats = Option(node.get("partitionToWriteStats")).getOrElse(
+        throw new IllegalArgumentException(
+          s"$f: commit metadata carries no partitionToWriteStats — " +
+            "refusing rather than treating the commit as empty"))
+      import scala.jdk.CollectionConverters._
+      stats.properties().asScala.flatMap { e =>
+        e.getValue.elements().asScala.map { ws =>
+          def str(n: String): String = Option(ws.get(n)).map(_.asText())
+            .getOrElse(throw new IllegalArgumentException(
+              s"$f: write stat missing '$n'"))
+          val rel = str("path")
+          (instant, e.getKey, str("fileId"), rel,
+            new Path(r, rel).toString,
+            Option(ws.get("numWrites")).map(_.asLong()).getOrElse(
+              throw new IllegalArgumentException(
+                s"$f: write stat for $rel missing numWrites")))
+        }
+      }
+    }.toDF("instant_time", "partition_path", "file_id", "path",
+      "abs_path", "declared_rows")
+  }
+
+  /**
+   * The LIVE file slices at `asOf` (None = the latest completed
+   * commit): per FILE GROUP, the latest declared slice — copy-on-write
+   * supersession, resolved from commit metadata alone (zero footer or
+   * data I/O, orphaned base files invisible by construction). One row
+   * per live base file.
+   */
+  def liveFiles(
+      spark: SparkSession, table: String,
+      asOf: Option[String] = None): DataFrame =
+    declaredSlices(spark, table, asOf)
+      .groupBy(col("file_id"))
+      .agg(max_by(
+        struct(col("instant_time"), col("partition_path"), col("path"),
+          col("abs_path"), col("declared_rows")),
+        col("instant_time")).as("w"))
+      .select(col("file_id"), col("w.instant_time").as("instant_time"),
+        col("w.partition_path").as("partition_path"),
+        col("w.path").as("path"), col("w.abs_path").as("abs_path"),
+        col("w.declared_rows").as("declared_rows"))
+
+  /**
+   * LIVE CENSUS with footer conformance — the numbers a COW reader
+   * plans by, cross-checked: each live slice's DECLARED `numWrites`
+   * against its parquet footer's own row count (one footer read per
+   * live file, distributed). `is_match=false` names a commit that lied
+   * about what it wrote. One row per live base file.
+   */
+  def liveCensus(
+      spark: SparkSession, table: String,
+      asOf: Option[String] = None): DataFrame = {
+    val live = liveFiles(spark, table, asOf)
+    val conf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    val footer = live.select(col("abs_path")).as[String]
+      .map { p =>
+        (p, Footers.read(new Path(p), conf.value).numRows)
+      }.toDF("abs_path", "footer_rows")
+    live.join(footer, "abs_path")
+      .select(col("file_id"), col("partition_path"), col("path"),
+        col("instant_time"), col("declared_rows"), col("footer_rows"),
+        (col("declared_rows") === col("footer_rows")).as("is_match"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic fixture writer (tests + oracle queries)
+  // ---------------------------------------------------------------------
+
+  /**
+   * Hand-write a filesystem Hudi COW table against the public spec:
+   * two completed commits — c1 (20240101...) inserts file groups
+   * `fid0`/`fid1` under `p=0`, c2 (20240102...) REWRITES fid0 (a new
+   * slice of the same group — copy-on-write supersession) and inserts
+   * `fid2` under `p=1`. Each instant leaves its `requested`/`inflight`
+   * markers; a DANGLING incomplete instant (20240103....requested)
+   * and an ORPHAN base file (`fid3_...` declared by no commit) are
+   * both planted — neither may reach the live view. c1's stats for
+   * fid1 LIE about `numWrites` by +1, so the census conformance flag
+   * is exercised. Returns rows per relative base-file path.
+   */
+  def writeHudiFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val hoodie = new java.io.File(root, ".hoodie")
+    hoodie.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, "hoodie.properties").toPath,
+      ("hoodie.table.name=graft_hudi_fixture\n" +
+        "hoodie.table.type=COPY_ON_WRITE\n" +
+        "hoodie.table.version=6\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (c1, c2) = ("20240101000000000", "20240102000000000")
+    def writeSlice(part: String, fid: String, instant: String,
+        slice: DataFrame): (String, Long) = {
+      val rel = s"$part/${fid}_0-0-0_$instant.parquet"
+      val dst = new java.io.File(root, rel)
+      dst.getParentFile.mkdirs()
+      rel -> FixtureIO.writeSingleParquet(slice, dst,
+        dir + s"_hudi_${fid}_$instant")
+    }
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val s0 = writeSlice("p=0", "fid0", c1,
+      base.filter(pmod(col("doc_id"), lit(3)) === 0))
+    val s1 = writeSlice("p=0", "fid1", c1,
+      base.filter(pmod(col("doc_id"), lit(3)) === 1))
+    // c2 rewrites fid0: the same group's rows with n_chars bumped (an
+    // update), superseding s0
+    val s0b = writeSlice("p=0", "fid0", c2,
+      base.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("n_chars", col("n_chars") + 1L))
+    val s2 = writeSlice("p=1", "fid2", c2,
+      base.filter(pmod(col("doc_id"), lit(3)) === 2))
+    // the orphan: a base file no commit declares (a failed write's
+    // leftover) — must never surface
+    writeSlice("p=1", "fid3", "20240103000000000",
+      base.filter(pmod(col("doc_id"), lit(3)) === 2).limit(5))
+    def stat(part: String, fid: String, rel: String, rows: Long): String =
+      s"""{"fileId":"$fid","path":"$rel","numWrites":$rows,
+         |"numDeletes":0,"numInserts":$rows,
+         |"totalWriteBytes":${new java.io.File(root, rel).length()},
+         |"partitionPath":"$part"}""".stripMargin.replace("\n", "")
+    def commit(instant: String, op: String,
+        byPart: Map[String, Seq[String]]): Unit = {
+      val stats = byPart.toSeq.sortBy(_._1).map { case (p, ss) =>
+        s""""$p":[${ss.mkString(",")}]"""
+      }.mkString(",")
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.commit").toPath,
+        s"""{"partitionToWriteStats":{$stats},"operationType":"$op"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.commit.requested").toPath,
+        Array.empty[Byte])
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.commit.inflight").toPath,
+        Array.empty[Byte])
+    }
+    commit(c1, "upsert", Map("p=0" -> Seq(
+      stat("p=0", "fid0", s0._1, s0._2),
+      // the planted lie: one more row than fid1's file holds
+      stat("p=0", "fid1", s1._1, s1._2 + 1))))
+    commit(c2, "upsert", Map(
+      "p=0" -> Seq(stat("p=0", "fid0", s0b._1, s0b._2)),
+      "p=1" -> Seq(stat("p=1", "fid2", s2._1, s2._2))))
+    // the dangling incomplete instant
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, "20240103000000000.commit.requested").toPath,
+      Array.empty[Byte])
+    Map(s0._1 -> s0._2, s1._1 -> s1._2, s0b._1 -> s0b._2, s2._1 -> s2._2)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The Hudi COW metadata tier on the hand-written fixture: timeline
+  * parse, commit-metadata-driven live resolution (supersession, orphan
+  * and dangling-instant invisibility), footer conformance, time
+  * travel, and the refusal posture. */
+class HudiSourceSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet(sf("0.001") + "/documents.parquet")
+
+  private def fresh(): (String, Map[String, Long]) = {
+    val d = Files.createTempDirectory("graft_hudi").toString + "/tbl"
+    (d, HudiMeta.writeHudiFixtureTable(spark, d, docs))
+  }
+
+  test("timeline report lists every instant with action and state") {
+    val (d, _) = fresh()
+    val rows = HudiMeta.timelineReport(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows === Set(
+      ("20240101000000000", "commit", "completed"),
+      ("20240101000000000", "commit", "inflight"),
+      ("20240101000000000", "commit", "requested"),
+      ("20240102000000000", "commit", "completed"),
+      ("20240102000000000", "commit", "inflight"),
+      ("20240102000000000", "commit", "requested"),
+      ("20240103000000000", "commit", "requested")))
+  }
+
+  test("live view: latest slice per file group; orphans invisible") {
+    val (d, counts) = fresh()
+    val live = HudiMeta.liveFiles(spark, d).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(live === Map(
+      "fid0" -> "p=0/fid0_0-0-0_20240102000000000.parquet",
+      "fid1" -> "p=0/fid1_0-0-0_20240101000000000.parquet",
+      "fid2" -> "p=1/fid2_0-0-0_20240102000000000.parquet"))
+    // the orphan base file exists on disk but never surfaces
+    assert(new java.io.File(d,
+      "p=1/fid3_0-0-0_20240103000000000.parquet").exists())
+    // census conformance: the planted fid1 lie flags, others match
+    val census = HudiMeta.liveCensus(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    val n1 = counts("p=0/fid1_0-0-0_20240101000000000.parquet")
+    assert(census("fid1") === ((n1 + 1, n1, false)))
+    assert(census("fid0")._3 && census("fid2")._3)
+  }
+
+  test("time travel: the live view as of each completed instant") {
+    val (d, counts) = fresh()
+    val atC1 = HudiMeta.liveFiles(spark, d, Some("20240101000000000"))
+      .collect().map(_.getString(3)).toSet
+    assert(atC1 === Set(
+      "p=0/fid0_0-0-0_20240101000000000.parquet",
+      "p=0/fid1_0-0-0_20240101000000000.parquet"))
+    val atC2 = HudiMeta.liveCensus(spark, d, Some("20240102000000000"))
+      .agg(sum(col("footer_rows"))).head().getLong(0)
+    assert(atC2 ===
+      counts("p=0/fid0_0-0-0_20240102000000000.parquet") +
+        counts("p=0/fid1_0-0-0_20240101000000000.parquet") +
+        counts("p=1/fid2_0-0-0_20240102000000000.parquet"))
+    // an instant with no completed commit refuses
+    val eBad = intercept[IllegalArgumentException] {
+      HudiMeta.liveFiles(spark, d, Some("20240103000000000")).collect()
+    }
+    assert(eBad.getMessage.contains("no completed commit"))
+  }
+
+  test("refusals: replacecommit, non-table, unparseable timeline names") {
+    val (d, _) = fresh()
+    // a completed replacecommit changes file-group visibility — refuse
+    java.nio.file.Files.write(
+      new java.io.File(d, ".hoodie/20240104000000000.replacecommit").toPath,
+      "{}".getBytes("UTF-8"))
+    val eRc = intercept[UnsupportedOperationException] {
+      HudiMeta.liveFiles(spark, d).collect()
+    }
+    assert(eRc.getMessage.contains("replacecommit"))
+    // timeline still LISTS it (reporting is not resolution)
+    assert(HudiMeta.timelineReport(spark, d)
+      .filter(col("action") === "replacecommit").count() === 1L)
+    // not a hudi table
+    val e2 = intercept[IllegalArgumentException] {
+      HudiMeta.timelineReport(spark, sf("0.001"))
+    }
+    assert(e2.getMessage.contains("hoodie.properties"))
+    // an instant-like name that does not parse refuses loudly
+    val (d3, _) = fresh()
+    java.nio.file.Files.write(
+      new java.io.File(d3, ".hoodie/20240105000000000.commit.bogus").toPath,
+      Array.empty[Byte])
+    val e3 = intercept[IllegalArgumentException] {
+      HudiMeta.timelineReport(spark, d3)
+    }
+    assert(e3.getMessage.contains("unparseable"))
+  }
+}
