@@ -1718,6 +1718,39 @@ private[graft] object EntryLakeQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // HUDI INCREMENTAL PULL: the files written by commits in
+    // (from, to] — pull ("0", c1] bootstraps c1's two inserts, pull
+    // (c1, c2] lands EXACTLY c2's rewrite + insert. Rows as declared
+    // (fid1's +1 lie included — the pull reports what the commit
+    // claimed; conformance is the census's job). Oracle: footers +
+    // the writer contract.
+    "meta_hudi_incremental" -> ((s, dir) => {
+      val out = "/tmp/graft_hudi_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      HudiMeta.writeHudiFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      val (c1, c2) = ("20240101000000000", "20240102000000000")
+      Seq(("0", c1), (c1, c2)).map { case (f, t) =>
+        HudiMeta.incrementalPull(s, out, f, t)
+          .agg(lit(t).as("instant_time"),
+            count(lit(1)).cast("long").as("n_files"),
+            sum(col("declared_rows")).cast("long").as("declared_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // HUDI row in the UNIFORM table census: live = latest declared
+    // slice per file group (rows as declared — the delta-stats
+    // analog), dead = the superseded c1 slice + the orphan. Oracle:
+    // the same footers, membership and the +1 lie from the writer
+    // contract.
+    "meta_hudi_census" -> ((s, dir) => {
+      val out = "/tmp/graft_hudi_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      HudiMeta.writeHudiFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      MetaValues.tableCensus(s, out)
+    }),
+
     // day(ts) range pruning over the events table (30 day partitions
     // at every scale factor): tuple values are the spec's epoch-days
     // int, surfaced as real DATEs. Oracle: DuckDB recomputes each
@@ -2778,6 +2811,44 @@ private[graft] object EntryLakeQueries {
         |    'fid0_0-0-0_20240102000000000.parquet',
         |    'fid1_0-0-0_20240101000000000.parquet',
         |    'fid2_0-0-0_20240102000000000.parquet'))""".stripMargin,
+
+    "meta_hudi_incremental" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_hudi_sf0.01/p=*/*.parquet')
+        |)
+        |-- fid1's declared numWrites lies by +1 (writer contract)
+        |SELECT '20240101000000000' AS instant_time,
+        |  CAST(2 AS BIGINT) AS n_files,
+        |  (SELECT sum(nr) + 1 FROM fm WHERE name IN (
+        |    'fid0_0-0-0_20240101000000000.parquet',
+        |    'fid1_0-0-0_20240101000000000.parquet')) AS declared_rows
+        |UNION ALL
+        |SELECT '20240102000000000', 2,
+        |  (SELECT sum(nr) FROM fm WHERE name IN (
+        |    'fid0_0-0-0_20240102000000000.parquet',
+        |    'fid2_0-0-0_20240102000000000.parquet'))""".stripMargin,
+
+    "meta_hudi_census" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_hudi_sf0.01/p=*/*.parquet')
+        |)
+        |SELECT 'hudi' AS format,
+        |  CAST(3 AS BIGINT) AS n_live,
+        |  (SELECT sum(nr) + 1 FROM fm WHERE name IN (
+        |    'fid0_0-0-0_20240102000000000.parquet',
+        |    'fid1_0-0-0_20240101000000000.parquet',
+        |    'fid2_0-0-0_20240102000000000.parquet')) AS live_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM fm) AS n_disk,
+        |  (SELECT sum(nr) FROM fm) AS disk_rows,
+        |  CAST(2 AS BIGINT) AS n_dead,
+        |  (SELECT sum(nr) FROM fm WHERE name IN (
+        |    'fid0_0-0-0_20240101000000000.parquet',
+        |    'fid3_0-0-0_20240103000000000.parquet')) AS dead_rows"""
+        .stripMargin,
 
     "stream_delta_cdf" ->
       """SELECT doc_id, lang, 'insert' AS _change_type,

@@ -85,12 +85,19 @@ object HudiMeta extends Serializable {
   private def completedCommits(
       root: Path, tl: Seq[HudiInstant], asOf: Option[String]): Seq[String] = {
     val completed = tl.filter(_.state == "completed")
-    completed.find(i => Set("replacecommit", "restore").contains(i.action))
+    completed.find(i =>
+      Set("replacecommit", "restore", "deltacommit").contains(i.action))
       .foreach { i =>
         throw new UnsupportedOperationException(
           s"$root: timeline carries a completed ${i.action} " +
-            s"(${i.instant}) — file-group replacement is not modeled " +
-            "here; refusing rather than resurrecting replaced files")
+            s"(${i.instant}) — " +
+            (if (i.action == "deltacommit")
+              "merge-on-read log files are not modeled here; refusing " +
+                "rather than reading a base file whose rows a log " +
+                "supersedes"
+             else
+               "file-group replacement is not modeled here; refusing " +
+                 "rather than resurrecting replaced files"))
       }
     val commits = completed.filter(_.action == "commit").map(_.instant)
     asOf match {
@@ -124,12 +131,32 @@ object HudiMeta extends Serializable {
     * `asOf`: `(instant_time, partition_path, file_id, path, abs_path,
     * declared_rows)` — one task per commit JSON, decoded with the
     * spec's `partitionToWriteStats` shape. */
+  /** Refuse any declared table type except COPY_ON_WRITE: a MOR
+    * table's base files are superseded row-wise by its log files —
+    * reading them as the truth silently resurrects updated rows. */
+  private def requireCowTable(root: Path, conf: Configuration): Unit = {
+    val fs = root.getFileSystem(conf)
+    val props = new java.util.Properties()
+    val in = fs.open(
+      new Path(new Path(root, ".hoodie"), "hoodie.properties"))
+    try props.load(in) finally in.close()
+    val tpe = Option(props.getProperty("hoodie.table.type"))
+      .getOrElse("COPY_ON_WRITE")
+    if (tpe != "COPY_ON_WRITE") {
+      throw new UnsupportedOperationException(
+        s"$root: hoodie.table.type is $tpe — only COPY_ON_WRITE " +
+          "resolves from base files alone; refusing rather than " +
+          "resurrecting log-superseded rows")
+    }
+  }
+
   private[meta] def declaredSlices(
       spark: SparkSession, table: String,
       asOf: Option[String]): DataFrame = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val root = qualified(table, conf)
+    requireCowTable(root, conf)
     val commits = completedCommits(root, timeline(root, conf), asOf)
     if (commits.isEmpty) {
       throw new IllegalArgumentException(
@@ -210,6 +237,40 @@ object HudiMeta extends Serializable {
       .select(col("file_id"), col("partition_path"), col("path"),
         col("instant_time"), col("declared_rows"), col("footer_rows"),
         (col("declared_rows") === col("footer_rows")).as("is_match"))
+  }
+
+  /**
+   * INCREMENTAL PULL at metadata cost — Hudi's incremental-query
+   * contract: every file slice written by the completed commits in
+   * `(fromExclusive, toInclusive]`, one row per slice with its commit
+   * attribution. `fromExclusive = "0"` pulls from the beginning (the
+   * ingester bootstrap); otherwise BOTH endpoints must be completed
+   * commits — a pull anchored on an instant the timeline never
+   * completed would silently mis-window. A consumer then reads
+   * exactly the returned base files — no re-listing, no re-diffing.
+   */
+  def incrementalPull(
+      spark: SparkSession, table: String,
+      fromExclusive: String, toInclusive: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    requireCowTable(root, conf)
+    val commits = completedCommits(root, timeline(root, conf), None)
+    def requireCommit(t: String, which: String): Unit =
+      if (!commits.contains(t)) {
+        throw new IllegalArgumentException(
+          s"$table: $which instant $t is not a completed commit " +
+            s"(completed: ${commits.mkString(", ")})")
+      }
+    if (fromExclusive != "0") requireCommit(fromExclusive, "from")
+    requireCommit(toInclusive, "to")
+    if (fromExclusive >= toInclusive) {
+      throw new IllegalArgumentException(
+        s"$table: pull window ($fromExclusive, $toInclusive] is empty " +
+          "or reversed — no increment to read")
+    }
+    declaredSlices(spark, table, Some(toInclusive))
+      .filter(col("instant_time") > fromExclusive)
   }
 
   // ---------------------------------------------------------------------

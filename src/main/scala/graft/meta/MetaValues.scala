@@ -271,6 +271,16 @@ object MetaValues {
       val dataDir = new org.apache.hadoop.fs.Path(root, "data")
       val diskRoot = if (fs.exists(dataDir)) dataDir.toString else path
       summarize("iceberg", footers(diskRoot), live)
+    } else if (HudiMeta.isHudiTable(root, hconf)) {
+      // live = the commit-metadata-resolved latest slice per file
+      // group; net rows are what the commits DECLARED (the delta-stats
+      // analog — the census trusts declared metadata, the conformance
+      // audit is HudiMeta.liveCensus). Superseded slices and orphaned
+      // base files on disk count dead. The `.hoodie` dir is hidden, so
+      // the generic parquet listing never sees the timeline files.
+      val live = HudiMeta.liveFiles(spark, path)
+        .select(col("abs_path"), col("declared_rows").as("net_records"))
+      summarize("hudi", footers(path), live)
     } else {
       val disk = footers(path)
       summarize("raw", disk,

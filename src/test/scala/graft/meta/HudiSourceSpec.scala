@@ -74,6 +74,69 @@ class HudiSourceSpec extends SparkSpec {
     assert(eBad.getMessage.contains("no completed commit"))
   }
 
+  test("incremental pull windows commits exactly; bad anchors refuse") {
+    val (d, counts) = fresh()
+    val (c1, c2) = ("20240101000000000", "20240102000000000")
+    // bootstrap pull lands c1's two inserts
+    val boot = HudiMeta.incrementalPull(spark, d, "0", c1)
+      .collect().map(_.getString(3)).toSet
+    assert(boot === Set(
+      "p=0/fid0_0-0-0_20240101000000000.parquet",
+      "p=0/fid1_0-0-0_20240101000000000.parquet"))
+    // (c1, c2] lands exactly c2's rewrite + insert
+    val inc = HudiMeta.incrementalPull(spark, d, c1, c2)
+      .collect().map(r => r.getString(3) -> r.getLong(5)).toMap
+    assert(inc === Map(
+      "p=0/fid0_0-0-0_20240102000000000.parquet" ->
+        counts("p=0/fid0_0-0-0_20240102000000000.parquet"),
+      "p=1/fid2_0-0-0_20240102000000000.parquet" ->
+        counts("p=1/fid2_0-0-0_20240102000000000.parquet")))
+    // anchors that never completed, and empty windows, refuse
+    val eAnchor = intercept[IllegalArgumentException] {
+      HudiMeta.incrementalPull(spark, d, "20240103000000000", c2)
+    }
+    assert(eAnchor.getMessage.contains("not a completed commit"))
+    val eEmpty = intercept[IllegalArgumentException] {
+      HudiMeta.incrementalPull(spark, d, c2, c2)
+    }
+    assert(eEmpty.getMessage.contains("empty or reversed"))
+  }
+
+  test("uniform table census resolves the hudi root") {
+    val (d, counts) = fresh()
+    val r = MetaValues.tableCensus(spark, d).head()
+    assert(r.getString(0) === "hudi")
+    assert(r.getLong(1) === 3L) // live slices
+    val liveDeclared =
+      counts("p=0/fid0_0-0-0_20240102000000000.parquet") +
+        counts("p=0/fid1_0-0-0_20240101000000000.parquet") + 1 +
+        counts("p=1/fid2_0-0-0_20240102000000000.parquet")
+    assert(r.getLong(2) === liveDeclared)
+    assert(r.getLong(3) === 5L) // on disk: 4 slices + orphan
+    assert(r.getLong(5) === 2L) // dead: superseded c1 slice + orphan
+  }
+
+  test("merge-on-read tables refuse up front") {
+    val (d, _) = fresh()
+    val props = new java.io.File(d, ".hoodie/hoodie.properties")
+    java.nio.file.Files.write(props.toPath,
+      ("hoodie.table.name=graft_hudi_fixture\n" +
+        "hoodie.table.type=MERGE_ON_READ\n").getBytes("UTF-8"))
+    val eMor = intercept[UnsupportedOperationException] {
+      HudiMeta.liveFiles(spark, d).collect()
+    }
+    assert(eMor.getMessage.contains("MERGE_ON_READ"))
+    // a deltacommit in an otherwise-COW timeline also refuses
+    val (d2, _) = fresh()
+    java.nio.file.Files.write(
+      new java.io.File(d2, ".hoodie/20240104000000000.deltacommit").toPath,
+      "{}".getBytes("UTF-8"))
+    val eDc = intercept[UnsupportedOperationException] {
+      HudiMeta.liveFiles(spark, d2).collect()
+    }
+    assert(eDc.getMessage.contains("deltacommit"))
+  }
+
   test("refusals: replacecommit, non-table, unparseable timeline names") {
     val (d, _) = fresh()
     // a completed replacecommit changes file-group visibility — refuse
