@@ -1751,6 +1751,31 @@ private[graft] object EntryLakeQueries {
       MetaValues.tableCensus(s, out)
     }),
 
+    // HUDI CLEAN plan (the GC planning family): KEEP_LATEST 1 version
+    // per file group reclaims exactly the superseded c1 slice of fid0
+    // — never the live slices, never the undeclared orphan. Oracle:
+    // writer contract + the reclaimed file's own footer.
+    "meta_hudi_clean" -> ((s, dir) => {
+      val out = "/tmp/graft_hudi_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      HudiMeta.writeHudiFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      HudiMeta.cleanPlan(s, out, 1)
+        .select(col("file_id"), col("path"), col("instant_time"),
+          col("declared_rows"))
+    }),
+
+    // HUDI ORPHANS: on-disk base files no completed commit declares —
+    // the planted fid3 leftover, surfaced with its footer rows.
+    // Oracle: the same anti-join over DuckDB's footer listing.
+    "meta_hudi_orphans" -> ((s, dir) => {
+      val out = "/tmp/graft_hudi_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      HudiMeta.writeHudiFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      HudiMeta.orphanReport(s, out)
+    }),
+
     // day(ts) range pruning over the events table (30 day partitions
     // at every scale factor): tuple values are the spec's epoch-days
     // int, surfaced as real DATEs. Oracle: DuckDB recomputes each
@@ -2849,6 +2874,20 @@ private[graft] object EntryLakeQueries {
         |    'fid0_0-0-0_20240101000000000.parquet',
         |    'fid3_0-0-0_20240103000000000.parquet')) AS dead_rows"""
         .stripMargin,
+
+    "meta_hudi_clean" ->
+      """SELECT 'fid0' AS file_id,
+        |  'p=0/fid0_0-0-0_20240101000000000.parquet' AS path,
+        |  '20240101000000000' AS instant_time,
+        |  (SELECT CAST(num_rows AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_hudi_sf0.01/p=0/fid0_0-0-0_20240101000000000.parquet'))
+        |    AS declared_rows""".stripMargin,
+
+    "meta_hudi_orphans" ->
+      """SELECT 'fid3_0-0-0_20240103000000000.parquet' AS filename,
+        |  (SELECT CAST(num_rows AS BIGINT) FROM parquet_file_metadata(
+        |    '/tmp/graft_hudi_sf0.01/p=1/fid3_0-0-0_20240103000000000.parquet'))
+        |    AS num_rows""".stripMargin,
 
     "stream_delta_cdf" ->
       """SELECT doc_id, lang, 'insert' AS _change_type,

@@ -273,6 +273,56 @@ object HudiMeta extends Serializable {
       .filter(col("instant_time") > fromExclusive)
   }
 
+  /**
+   * CLEAN plan at metadata cost — Hudi's KEEP_LATEST_FILE_VERSIONS
+   * cleaner policy answered BEFORE deleting anything: per file group,
+   * every declared slice past the newest `retainVersions` is
+   * reclaimable (a COW rewrite supersedes the group's older slices;
+   * readers time-traveling further back than the retained window lose
+   * those instants — exactly the cleaner's documented trade). One row
+   * per reclaimable slice. `retainVersions < 1` refuses (a plan that
+   * reclaims the LIVE slice destroys the table). Undeclared files are
+   * never planned here — the cleaner only touches what commits wrote
+   * ([[orphanReport]] is the undeclared-file surface).
+   */
+  def cleanPlan(
+      spark: SparkSession, table: String, retainVersions: Int): DataFrame = {
+    if (retainVersions < 1) {
+      throw new IllegalArgumentException(
+        s"$table: retainVersions=$retainVersions would reclaim live " +
+          "slices — refusing")
+    }
+    import org.apache.spark.sql.expressions.Window
+    declaredSlices(spark, table, None)
+      .withColumn("newer",
+        row_number().over(Window.partitionBy(col("file_id"))
+          .orderBy(col("instant_time").desc)))
+      .filter(col("newer") > retainVersions)
+      .select(col("file_id"), col("partition_path"), col("path"),
+        col("instant_time"), col("declared_rows"))
+  }
+
+  /**
+   * ORPHAN report — base files ON DISK that no completed commit
+   * declares (failed-write leftovers; the timeline-filtered live view
+   * never reads them, but they cost storage until removed): the
+   * distributed footer listing of the table's partition dirs
+   * anti-joined against every declared slice. One row per orphan with
+   * its footer row count. The `.hoodie` dir is hidden from the
+   * listing by name, so timeline files never appear.
+   */
+  def orphanReport(spark: SparkSession, table: String): DataFrame = {
+    val declared = declaredSlices(spark, table, None)
+      .select(col("abs_path")).distinct()
+    val disk = spark.read.format("metadata")
+      .option("source", "parquet").option("level", "file")
+      .load(table)
+      .select(col("filepath"), col("filename"), col("num_rows"))
+    disk.join(declared, disk("filepath") === declared("abs_path"),
+        "left_anti")
+      .select(col("filename"), col("num_rows"))
+  }
+
   // ---------------------------------------------------------------------
   // Deterministic fixture writer (tests + oracle queries)
   // ---------------------------------------------------------------------

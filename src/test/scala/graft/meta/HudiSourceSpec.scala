@@ -116,6 +116,26 @@ class HudiSourceSpec extends SparkSpec {
     assert(r.getLong(5) === 2L) // dead: superseded c1 slice + orphan
   }
 
+  test("clean plan reclaims only superseded slices; orphans report") {
+    val (d, counts) = fresh()
+    val plan = HudiMeta.cleanPlan(spark, d, 1).collect()
+      .map(r => r.getString(2) -> r.getLong(4))
+    assert(plan.toSeq === Seq(
+      "p=0/fid0_0-0-0_20240101000000000.parquet" ->
+        counts("p=0/fid0_0-0-0_20240101000000000.parquet")))
+    // retaining two versions reclaims nothing; retaining zero refuses
+    assert(HudiMeta.cleanPlan(spark, d, 2).count() === 0L)
+    val eZero = intercept[IllegalArgumentException] {
+      HudiMeta.cleanPlan(spark, d, 0)
+    }
+    assert(eZero.getMessage.contains("live"))
+    // the orphan report names exactly the undeclared leftover
+    val orphans = HudiMeta.orphanReport(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(orphans.length === 1)
+    assert(orphans.head._1 === "fid3_0-0-0_20240103000000000.parquet")
+  }
+
   test("merge-on-read tables refuse up front") {
     val (d, _) = fresh()
     val props = new java.io.File(d, ".hoodie/hoodie.properties")
