@@ -1776,6 +1776,49 @@ private[graft] object EntryLakeQueries {
       HudiMeta.orphanReport(s, out)
     }),
 
+    // HUDI through the DATASOURCE surface: a bare load of the table
+    // root auto-detects the `.hoodie` marker structurally and lists
+    // the TIMELINE (one row per instant file, facts decoded from the
+    // NAME — zero I/O per row). Oracle: the same writer contract as
+    // meta_hudi_timeline.
+    "meta_hudi_source" -> ((s, dir) => {
+      val out = "/tmp/graft_hudi_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      HudiMeta.writeHudiFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      s.read.format("metadata").load(out)
+        .select(col("instant_time"), col("action"), col("state"))
+    }),
+
+    // STREAMING HUDI INGEST: the checkpointed increments store across
+    // TWO commit arrivals — pass A sees c1 completed and lands its
+    // slices; pass B's newly-landed c2.commit lands EXACTLY c2's
+    // increment (seen timeline files never re-trigger). Same numbers
+    // as the batch incremental pull. Oracle: footers + writer
+    // contract (fid1's declared +1 lie included).
+    "stream_hudi_appends" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = "/tmp/graft_hudistream_" + sfx
+      val store = "/tmp/graft_hudistore_" + sfx
+      val ckpt = "/tmp/graft_hudick_" + sfx
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      HudiMeta.writeHudiFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      // pass A: c2's completion marker has not arrived yet
+      val c2 = new java.io.File(out, ".hoodie/20240102000000000.commit")
+      val aside = new java.io.File(out, "aside_c2.commit")
+      require(c2.renameTo(aside), s"could not stage $c2 aside")
+      HudiMeta.maintainIncrementsStore(s, out, store, ckpt)
+      require(aside.renameTo(c2), s"could not land $aside")
+      c2.setLastModified(System.currentTimeMillis() + 1)
+      HudiMeta.maintainIncrementsStore(s, out, store, ckpt)
+      HudiMeta.readIncrementsStore(s, store)
+        .groupBy(col("instant_time"))
+        .agg(count(lit(1)).cast("long").as("n_files"),
+          sum(col("declared_rows")).cast("long").as("declared_rows"))
+    }),
+
     // day(ts) range pruning over the events table (30 day partitions
     // at every scale factor): tuple values are the spec's epoch-days
     // int, surfaced as real DATEs. Oracle: DuckDB recomputes each
@@ -2888,6 +2931,36 @@ private[graft] object EntryLakeQueries {
         |  (SELECT CAST(num_rows AS BIGINT) FROM parquet_file_metadata(
         |    '/tmp/graft_hudi_sf0.01/p=1/fid3_0-0-0_20240103000000000.parquet'))
         |    AS num_rows""".stripMargin,
+
+    "meta_hudi_source" ->
+      """SELECT * FROM (VALUES
+        |  ('20240101000000000', 'commit', 'completed'),
+        |  ('20240101000000000', 'commit', 'inflight'),
+        |  ('20240101000000000', 'commit', 'requested'),
+        |  ('20240102000000000', 'commit', 'completed'),
+        |  ('20240102000000000', 'commit', 'inflight'),
+        |  ('20240102000000000', 'commit', 'requested'),
+        |  ('20240103000000000', 'commit', 'requested'))
+        |  AS t(instant_time, action, state)""".stripMargin,
+
+    "stream_hudi_appends" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata(
+        |    '/tmp/graft_hudistream_sf0.01/p=*/*.parquet')
+        |)
+        |-- fid1's declared numWrites lies by +1 (writer contract)
+        |SELECT '20240101000000000' AS instant_time,
+        |  CAST(2 AS BIGINT) AS n_files,
+        |  (SELECT sum(nr) + 1 FROM fm WHERE name IN (
+        |    'fid0_0-0-0_20240101000000000.parquet',
+        |    'fid1_0-0-0_20240101000000000.parquet')) AS declared_rows
+        |UNION ALL
+        |SELECT '20240102000000000', 2,
+        |  (SELECT sum(nr) FROM fm WHERE name IN (
+        |    'fid0_0-0-0_20240102000000000.parquet',
+        |    'fid2_0-0-0_20240102000000000.parquet'))""".stripMargin,
 
     "stream_delta_cdf" ->
       """SELECT doc_id, lang, 'insert' AS _change_type,

@@ -21,7 +21,7 @@ object FilePruning {
     * attributes; deeper levels only carry `filepath`. */
   def evaluableAttrs(level: MetaLevel): Set[String] = level match {
     case MetaLevel.FsFile | MetaLevel.ParquetFile | MetaLevel.AnyFile |
-        MetaLevel.DeltaSnapshot =>
+        MetaLevel.DeltaSnapshot | MetaLevel.HudiTimeline =>
       Set("filepath", "filename", "size", "mtime")
     case _ => Set("filepath")
   }

@@ -112,6 +112,39 @@ object HudiMeta extends Serializable {
     }
   }
 
+  /** Parse one timeline file NAME into `(instant, action, state)` —
+    * the `source=hudi, level=timeline` row producer (zero I/O: the
+    * timeline encodes its facts in names). Refuses unparseable
+    * instant-like names. */
+  private[meta] def parseInstantName(
+      name: String, where: String): (String, String, String) = name match {
+    case instantRe(t, action, state) =>
+      (t, action, Option(state).getOrElse("completed"))
+    case other => throw new IllegalArgumentException(
+      s"$where: unparseable timeline file '$other' — refusing rather " +
+        "than mis-reading the timeline")
+  }
+
+  /** The `.hoodie` timeline as [[FileSlice]]s for the metadata
+    * datasource (batch and streaming): every instant file, named
+    * facts decoded by the reader. `hoodie.properties` and nested
+    * dirs are not timeline entries. */
+  private[meta] def listTimelineSlices(
+      root: Path, conf: Configuration): Seq[FileSlice] = {
+    val hoodie = new Path(root, ".hoodie")
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(new Path(hoodie, "hoodie.properties"))) {
+      throw new IllegalArgumentException(
+        s"$root: no .hoodie/hoodie.properties — not a Hudi table")
+    }
+    fs.listStatus(hoodie).filter(_.isFile)
+      .filter(st => st.getPath.getName.headOption.exists(_.isDigit))
+      .sortBy(_.getPath.getName)
+      .map(st => FileSlice(st.getPath.toString, st.getPath.getName,
+        st.getLen, st.getModificationTime, Map.empty))
+      .toSeq
+  }
+
   /** The TIMELINE report: one row per instant file —
     * `(instant_time, action, state)`. */
   def timelineReport(spark: SparkSession, table: String): DataFrame = {
@@ -322,6 +355,56 @@ object HudiMeta extends Serializable {
         "left_anti")
       .select(col("filename"), col("num_rows"))
   }
+
+  /**
+   * STREAMING INCREMENTAL-INGEST store — the streaming twin of
+   * [[incrementalPull]]: one `Trigger.AvailableNow` pass of the
+   * TIMELINE stream (`source=hudi, level=timeline`); each micro-batch
+   * carries exactly the newly arrived instant files, and every new
+   * COMPLETED commit lands its own declared slices as an idempotent
+   * `inc_<instant>` increment (re-delivery overwrites the same
+   * subdir; already-seen timeline files never re-trigger,
+   * checkpointed). An ingester tails [[readIncrementsStore]] and
+   * touches each arriving base file once.
+   */
+  def maintainIncrementsStore(
+      spark: SparkSession, table: String,
+      storeDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = spark.readStream.format("metadata")
+      .option("source", "hudi").option("level", "timeline")
+      .option("streamlagms", "0").load(table)
+    val q = src.select("instant_time", "action", "state")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // timeline-sized driver boundary (instant names, not slices)
+        val completed = batch.collect()
+          .filter(r => r.getString(1) == "commit" &&
+            r.getString(2) == "completed")
+          .map(_.getString(0)).sorted
+        if (completed.nonEmpty) {
+          val store = new java.io.File(storeDir)
+          store.mkdirs()
+          val seen = Option(store.listFiles()).getOrElse(Array.empty)
+            .map(_.getName).toSet
+          completed.filterNot(c => seen.contains(s"inc_$c")).foreach { c =>
+            declaredSlices(spark, table, Some(c))
+              .filter(col("instant_time") === c)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(new java.io.File(store, s"inc_$c").getPath)
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Every increment row of a [[maintainIncrementsStore]] store. */
+  def readIncrementsStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir + "/inc_*")
 
   // ---------------------------------------------------------------------
   // Deterministic fixture writer (tests + oracle queries)

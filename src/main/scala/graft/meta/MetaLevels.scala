@@ -336,6 +336,26 @@ object MetaLevel {
   }
 
   /**
+   * Hudi TIMELINE level (`source=hudi`, `level=timeline`): one row per
+   * `.hoodie` instant file — instant time, action, and state
+   * (`completed` for the bare `<instant>.<action>` form), decoded from
+   * the NAME alone (the timeline encodes its facts in names; zero
+   * file I/O per row). The listing is the timeline directory, not the
+   * data files; slice-level resolution runs through
+   * [[HudiMeta.liveFiles]].
+   */
+  case object HudiTimeline extends MetaLevel("hudi-timeline") {
+    override val schema: StructType = StructType(Seq(
+      StructField("instant_time", StringType),
+      StructField("action", StringType),
+      StructField("state", StringType),
+      StructField("size", LongType),
+      StructField("mtime", LongType),
+      StructField("filename", StringType),
+      StructField("filepath", StringType)))
+  }
+
+  /**
    * Mixed-lake file level (`source=any`): one row per file, classified
    * by ONE magic-byte probe — `format` is `parquet`/`orc`/`avro`/`other`
    * — with `num_rows` decoded through the matching format's reader

@@ -71,6 +71,11 @@ class MetaMicroBatchStream(table: MetaTable, required: StructType)
     } else if (table.level == MetaLevel.IcebergSnapshot) {
       IcebergMeta.listMetadataSlices(table.rootPath,
         table.spark.sessionState.newHadoopConf())
+    } else if (table.level == MetaLevel.HudiTimeline) {
+      // a hudi TIMELINE stream: each micro-batch is the newly arrived
+      // instant files (the timeline is append-only by protocol)
+      HudiMeta.listTimelineSlices(table.rootPath,
+        table.spark.sessionState.newHadoopConf())
     } else {
       MetaTable.listSlices(table.spark, table.rootPath, table.options, fresh = true)
     }

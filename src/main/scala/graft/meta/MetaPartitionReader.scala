@@ -386,6 +386,18 @@ class MetaPartitionReader(
       case "filepath" => (f, _) => f.path
     }
 
+  /** (instant, action, state) decoded from the timeline file NAME. */
+  private lazy val hudiTimelineEx: Array[Ex[(String, String, String)]] =
+    fieldNames.map[Ex[(String, String, String)]] {
+      case "instant_time" => (_, t) => t._1
+      case "action" => (_, t) => t._2
+      case "state" => (_, t) => t._3
+      case "size" => (f, _) => f.size
+      case "mtime" => (f, _) => f.mtime
+      case "filename" => (f, _) => f.name
+      case "filepath" => (f, _) => f.path
+    }
+
   private lazy val icebergSnapshotEx: Array[Ex[(IcebergTableInfo, IcebergSnapshotInfo)]] =
     fieldNames.map[Ex[(IcebergTableInfo, IcebergSnapshotInfo)]] {
       case "snapshot_id" => (_, t) => t._2.snapshotId
@@ -506,6 +518,10 @@ class MetaPartitionReader(
       case MetaLevel.IcebergSnapshot =>
         val info = IcebergMeta.readTableMetadata(new Path(f.path), conf)
         info.snapshots.iterator.map(s => toInternal(icebergSnapshotEx, f, (info, s)))
+
+      case MetaLevel.HudiTimeline =>
+        Iterator.single(toInternal(hudiTimelineEx, f,
+          HudiMeta.parseInstantName(f.name, f.path)))
 
       case MetaLevel.AnyFile =>
         val path = new Path(f.path)

@@ -71,10 +71,10 @@ object MetadataSource {
   val LIST_MODE = "listmode"
   val LIST_MODES = Seq("index", "sharded")
 
-  val SOURCES = Seq("file", "parquet", "orc", "avro", "any", "delta", "iceberg")
+  val SOURCES = Seq("file", "parquet", "orc", "avro", "any", "delta", "iceberg", "hudi")
   val LEVELS = Seq("file", "rowgroup", "column", "page",
     "columnindex", "offsetindex", "bloomfilter", "sizestats", "stripe",
-    "block", "snapshot", "rowindex")
+    "block", "snapshot", "rowindex", "timeline")
 
   /** Map a validated (source, level) pair onto a [[MetaLevel]]. */
   def levelFor(source: String, level: String): MetaLevel = (source, level) match {
@@ -96,6 +96,7 @@ object MetadataSource {
     case ("any", "file") => MetaLevel.AnyFile
     case ("delta", "snapshot") => MetaLevel.DeltaSnapshot
     case ("iceberg", "snapshot") => MetaLevel.IcebergSnapshot
+    case ("hudi", "timeline") => MetaLevel.HudiTimeline
     case (s, l) =>
       throw new IllegalArgumentException(s"Source '$s' does not support '$l' level")
   }
@@ -175,22 +176,26 @@ object MetaTable {
     // and non-table loads with an explicit level skip the probe RPCs.
     val requestedLevel = opts.get(LEVEL).map(_.toLowerCase(java.util.Locale.ROOT))
     val mayAutoDetect = explicitSource.isEmpty &&
-      requestedLevel.forall(_ == "snapshot")
+      requestedLevel.forall(l => l == "snapshot" || l == "timeline")
     val isDelta = explicitSource.contains("delta") ||
       (mayAutoDetect &&
         DeltaMeta.isDeltaTable(rootPath.getFileSystem(hadoopConf), rootPath))
     val isIceberg = !isDelta && (explicitSource.contains("iceberg") ||
       (mayAutoDetect &&
         IcebergMeta.isIcebergTable(rootPath.getFileSystem(hadoopConf), rootPath)))
+    val isHudi = !isDelta && !isIceberg && (explicitSource.contains("hudi") ||
+      (mayAutoDetect && HudiMeta.isHudiTable(rootPath, hadoopConf)))
 
     val files =
       if (isDelta) DeltaMeta.listLogSlices(rootPath, hadoopConf)
       else if (isIceberg) IcebergMeta.listMetadataSlices(rootPath, hadoopConf)
+      else if (isHudi) HudiMeta.listTimelineSlices(rootPath, hadoopConf)
       else listSlices(spark, rootPath, opts, fresh = false)
 
     val source =
       if (isDelta) "delta"
       else if (isIceberg) "iceberg"
+      else if (isHudi) "hudi"
       else explicitSource.getOrElse {
         // Assume homogeneous input: sniff the first file's magic bytes
         // with one 4-byte read (PAR1/PARE → parquet, ORC → orc,
@@ -207,7 +212,8 @@ object MetaTable {
     // the table formats' only level is the snapshot; defaulting to it
     // keeps `spark.read.format("metadata").load(table)` meaningful there
     val level = opts.getOrElse(LEVEL,
-      if (source == "delta" || source == "iceberg") "snapshot" else "file")
+      if (source == "delta" || source == "iceberg") "snapshot"
+      else if (source == "hudi") "timeline" else "file")
       .toLowerCase(java.util.Locale.ROOT)
     require(LEVELS.contains(level),
       s"Invalid level: $level, expected one of ${LEVELS.mkString("[", ", ", "]")}")
@@ -419,7 +425,8 @@ class MetaScanBuilder(table: MetaTable)
       limit = Some(n)
       false // keep Spark's limit on top (pruning is still exact, this is belt+braces)
     case MetaLevel.ParquetFile | MetaLevel.OrcFile | MetaLevel.AvroFile |
-        MetaLevel.AnyFile | MetaLevel.DeltaSnapshot if !table.ignoreCorrupt =>
+        MetaLevel.AnyFile | MetaLevel.DeltaSnapshot | MetaLevel.HudiTimeline
+        if !table.ignoreCorrupt =>
       limit = Some(n)
       false
     case _ => false
@@ -453,7 +460,8 @@ class MetaScanBuilder(table: MetaTable)
           table.level == MetaLevel.OrcFile ||
           table.level == MetaLevel.AvroFile ||
           table.level == MetaLevel.AnyFile ||
-          table.level == MetaLevel.DeltaSnapshot) && !table.ignoreCorrupt)) &&
+          table.level == MetaLevel.DeltaSnapshot ||
+          table.level == MetaLevel.HudiTimeline) && !table.ignoreCorrupt)) &&
       limit.isEmpty
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = countPushable(agg)
@@ -541,7 +549,8 @@ class MetaScan(
   override def estimateStatistics(): Statistics = new Statistics {
     private val known = table.level match {
       case MetaLevel.FsFile | MetaLevel.ParquetFile | MetaLevel.OrcFile |
-          MetaLevel.AvroFile | MetaLevel.AnyFile | MetaLevel.DeltaSnapshot =>
+          MetaLevel.AvroFile | MetaLevel.AnyFile | MetaLevel.DeltaSnapshot |
+          MetaLevel.HudiTimeline =>
         Some(prunedFiles.length.toLong)
       case _ => None
     }

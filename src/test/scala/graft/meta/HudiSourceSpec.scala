@@ -157,6 +157,59 @@ class HudiSourceSpec extends SparkSpec {
     assert(eDc.getMessage.contains("deltacommit"))
   }
 
+  test("datasource surface: auto-detected timeline level, validation") {
+    val (d, _) = fresh()
+    // a bare load auto-detects the .hoodie marker and lists the timeline
+    val rows = spark.read.format("metadata").load(d)
+      .select("instant_time", "action", "state").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.length === 7)
+    assert(rows.count(_._3 == "completed") === 2)
+    // explicit source+level agrees; filename filters prune at the driver
+    val explicit = spark.read.format("metadata")
+      .option("source", "hudi").option("level", "timeline").load(d)
+    assert(explicit.count() === 7L)
+    assert(explicit.filter(col("filename").startsWith("20240101")).count() === 3L)
+    // the source×level matrix refuses mismatches with the shared text
+    val e = intercept[Exception] {
+      spark.read.format("metadata")
+        .option("source", "hudi").option("level", "file").load(d).collect()
+    }
+    assert(causeMessages(e).contains("Source 'hudi' does not support 'file' level"))
+  }
+
+  test("streaming increments store: each commit lands exactly once") {
+    val (d, counts) = fresh()
+    val store = Files.createTempDirectory("graft_hudi_sd").toString + "/store"
+    val ckpt = Files.createTempDirectory("graft_hudi_sc").toString
+    // pass A: c2's completion marker staged aside — only c1 lands
+    val c2 = new java.io.File(d, ".hoodie/20240102000000000.commit")
+    val aside = new java.io.File(d, "aside_c2.commit")
+    require(c2.renameTo(aside))
+    HudiMeta.maintainIncrementsStore(spark, d, store, ckpt)
+    assert(new java.io.File(store).listFiles().map(_.getName).toSet ===
+      Set("inc_20240101000000000"))
+    // pass B: c2 completes; EXACTLY its increment lands
+    require(aside.renameTo(c2))
+    c2.setLastModified(System.currentTimeMillis() + 1)
+    HudiMeta.maintainIncrementsStore(spark, d, store, ckpt)
+    val incs = HudiMeta.readIncrementsStore(spark, store)
+      .select("instant_time", "path", "declared_rows").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(incs === Set(
+      ("20240101000000000", "p=0/fid0_0-0-0_20240101000000000.parquet",
+        counts("p=0/fid0_0-0-0_20240101000000000.parquet")),
+      ("20240101000000000", "p=0/fid1_0-0-0_20240101000000000.parquet",
+        counts("p=0/fid1_0-0-0_20240101000000000.parquet") + 1),
+      ("20240102000000000", "p=0/fid0_0-0-0_20240102000000000.parquet",
+        counts("p=0/fid0_0-0-0_20240102000000000.parquet")),
+      ("20240102000000000", "p=1/fid2_0-0-0_20240102000000000.parquet",
+        counts("p=1/fid2_0-0-0_20240102000000000.parquet"))))
+    // a third pass with nothing new is a no-op
+    HudiMeta.maintainIncrementsStore(spark, d, store, ckpt)
+    assert(HudiMeta.readIncrementsStore(spark, store).count() === 4L)
+  }
+
   test("refusals: replacecommit, non-table, unparseable timeline names") {
     val (d, _) = fresh()
     // a completed replacecommit changes file-group visibility — refuse

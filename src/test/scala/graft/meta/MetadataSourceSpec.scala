@@ -153,12 +153,13 @@ class MetadataSourceSpec extends SparkSpec {
     }
     val e1 = intercept[Exception](meta(lineitem, "source" -> "json").collect())
     assert(messageOf(e1).contains(
-      "Invalid source: json, expected one of [file, parquet, orc, avro, any, delta, iceberg]"))
+      "Invalid source: json, expected one of [file, parquet, orc, avro, any, delta, iceberg, hudi]"))
     val e2 = intercept[Exception](meta(lineitem, "level" -> "pages").collect())
     assert(messageOf(e2).contains(
       "Invalid level: pages, expected one of " +
         "[file, rowgroup, column, page, columnindex, offsetindex, " +
-        "bloomfilter, sizestats, stripe, block, snapshot, rowindex]"))
+        "bloomfilter, sizestats, stripe, block, snapshot, rowindex, " +
+        "timeline]"))
     val e3 = intercept[Exception](
       meta(lineitem, "source" -> "file", "level" -> "rowgroup").collect())
     assert(messageOf(e3).contains("Source 'file' does not support 'rowgroup' level"))
