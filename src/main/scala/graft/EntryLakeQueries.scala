@@ -1790,6 +1790,20 @@ private[graft] object EntryLakeQueries {
         .select(col("instant_time"), col("action"), col("state"))
     }),
 
+    // HUDI PARTITION-PRUNED planning: "which live files serve p=1"
+    // answers from the commits' declared partitionPath alone, then the
+    // read touches ONLY fid2's base file (plan-asserted in the spec).
+    // Oracle: DuckDB reads the same single file.
+    "meta_hudi_partition_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_hudi_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      HudiMeta.writeHudiFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      HudiMeta.readPartitionPruned(s, out, "p=1")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("doc_id")).cast("long").as("sum_id"))
+    }),
+
     // STREAMING HUDI INGEST: the checkpointed increments store across
     // TWO commit arrivals — pass A sees c1 completed and lands its
     // slices; pass B's newly-landed c2.commit lands EXACTLY c2's
@@ -2942,6 +2956,13 @@ private[graft] object EntryLakeQueries {
         |  ('20240102000000000', 'commit', 'requested'),
         |  ('20240103000000000', 'commit', 'requested'))
         |  AS t(instant_time, action, state)""".stripMargin,
+
+    "meta_hudi_partition_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM read_parquet(
+        |  '/tmp/graft_hudi_sf0.01/p=1/fid2_0-0-0_20240102000000000.parquet')"""
+        .stripMargin,
 
     "stream_hudi_appends" ->
       """WITH fm AS (

@@ -357,6 +357,37 @@ object HudiMeta extends Serializable {
   }
 
   /**
+   * PARTITION-pruned planning at metadata cost: "which live files
+   * serve partition X" answered from the commits' declared
+   * `partitionPath` alone, then (via [[readPartitionPruned]]) a read
+   * that touches ONLY those files. Refuses a partition no commit ever
+   * wrote (a typo'd partition must not read as a legitimately-empty
+   * one). The surviving-path collect is the bounded,
+   * partition-sized driver boundary every pruned-read path here has.
+   */
+  def partitionPrunedFiles(
+      spark: SparkSession, table: String, partition: String): DataFrame = {
+    val live = liveFiles(spark, table)
+    val known = live.select(col("partition_path")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (!known.contains(partition)) {
+      throw new IllegalArgumentException(
+        s"$table: no live partition '$partition' (declared: " +
+          s"${known.mkString(", ")})")
+    }
+    live.filter(col("partition_path") === partition)
+  }
+
+  /** The executable form of [[partitionPrunedFiles]]: scan exactly
+    * the surviving base files. */
+  def readPartitionPruned(
+      spark: SparkSession, table: String, partition: String): DataFrame = {
+    val paths = partitionPrunedFiles(spark, table, partition)
+      .select(col("abs_path")).collect().map(_.getString(0)).toSeq
+    spark.read.parquet(paths: _*)
+  }
+
+  /**
    * STREAMING INCREMENTAL-INGEST store — the streaming twin of
    * [[incrementalPull]]: one `Trigger.AvailableNow` pass of the
    * TIMELINE stream (`source=hudi, level=timeline`); each micro-batch

@@ -210,6 +210,23 @@ class HudiSourceSpec extends SparkSpec {
     assert(HudiMeta.readIncrementsStore(spark, store).count() === 4L)
   }
 
+  test("partition-pruned read scans exactly the declared partition") {
+    val (d, counts) = fresh()
+    val pruned = HudiMeta.readPartitionPruned(spark, d, "p=1")
+    // plan-assert: the scan's input is ONLY fid2's base file — the
+    // superseded slice, the other partition, and the orphan are absent
+    assert(pruned.inputFiles.map(_.replaceAll(".*/", "")).toSet ===
+      Set("fid2_0-0-0_20240102000000000.parquet"))
+    assert(pruned.count() ===
+      counts("p=1/fid2_0-0-0_20240102000000000.parquet"))
+    // a partition no commit wrote refuses, naming the declared ones
+    val e = intercept[IllegalArgumentException] {
+      HudiMeta.readPartitionPruned(spark, d, "p=9")
+    }
+    assert(e.getMessage.contains("no live partition") &&
+      e.getMessage.contains("p=0, p=1"))
+  }
+
   test("refusals: replacecommit, non-table, unparseable timeline names") {
     val (d, _) = fresh()
     // a completed replacecommit changes file-group visibility — refuse
