@@ -1790,6 +1790,24 @@ private[graft] object EntryLakeQueries {
         .select(col("instant_time"), col("action"), col("state"))
     }),
 
+    // ICEBERG v3 ROW-LINEAGE audit (the delta row-tracking mirror):
+    // first_row_id ranges resolved per the spec — f0 explicit, f1/f2
+    // INHERITED positionally from the manifest's own first_row_id —
+    // must be disjoint and under next-row-id; the planted f3 dips 3
+    // ids into f2's range AND ends past the headroom, flagging both.
+    // Oracle: footers give every range width; bases are the spec's
+    // closed-form inheritance.
+    "meta_iceberg_row_lineage" -> ((s, dir) => {
+      val out = "/tmp/graft_icerl_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeRowLineageFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      IcebergMeta.rowLineageAudit(s, out)
+        .select(regexp_extract(col("file_path"), "([^/]+)$", 1).as("file"),
+          col("first_row_id"), col("record_count"), col("disjoint"),
+          col("within_next"))
+    }),
+
     // HUDI PARTITION-PRUNED planning: "which live files serve p=1"
     // answers from the commits' declared partitionPath alone, then the
     // read touches ONLY fid2's base file (plan-asserted in the spec).
@@ -2956,6 +2974,30 @@ private[graft] object EntryLakeQueries {
         |  ('20240102000000000', 'commit', 'requested'),
         |  ('20240103000000000', 'commit', 'requested'))
         |  AS t(instant_time, action, state)""".stripMargin,
+
+    "meta_iceberg_row_lineage" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_icerl_sf0.01/data/f*.parquet')
+        |),
+        |n AS (SELECT
+        |  (SELECT nr FROM fm WHERE name = 'f0.parquet') AS n0,
+        |  (SELECT nr FROM fm WHERE name = 'f1.parquet') AS n1,
+        |  (SELECT nr FROM fm WHERE name = 'f2.parquet') AS n2,
+        |  (SELECT nr FROM fm WHERE name = 'f3.parquet') AS n3)
+        |-- writer contract: f0 explicit 0; f1/f2 inherit from the
+        |-- manifest's first_row_id (n0); f3 dips 3 into f2's range and
+        |-- ends past next-row-id
+        |SELECT 'f0.parquet' AS file, CAST(0 AS BIGINT) AS first_row_id,
+        |  n0 AS record_count, true AS disjoint, true AS within_next FROM n
+        |UNION ALL
+        |SELECT 'f1.parquet', n0, n1, true, true FROM n
+        |UNION ALL
+        |SELECT 'f2.parquet', n0 + n1, n2, true, true FROM n
+        |UNION ALL
+        |SELECT 'f3.parquet', n0 + n1 + n2 - 3, n3, false, false FROM n"""
+        .stripMargin,
 
     "meta_hudi_partition_prune" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

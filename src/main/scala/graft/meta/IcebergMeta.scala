@@ -53,7 +53,11 @@ case class IcebergManifestInfo(
     partitionSpecId: Option[Int] = None,
     // the list's per-partition-field summaries (spec field 507), in
     // the spec's field order; None when the writer recorded none
-    partitionSummaries: Option[Seq[IcebergFieldSummary]] = None)
+    partitionSummaries: Option[Seq[IcebergFieldSummary]] = None,
+    // v3 row lineage (spec field 520): the first row id assigned to
+    // this manifest's ADDED data files — entries with a null
+    // first_row_id inherit from it positionally
+    firstRowId: Option[Long] = None)
 
 /** One manifest entry: one data or delete file with its census numbers.
   * `status`: 0 existing, 1 added, 2 deleted (the spec's enum).
@@ -97,7 +101,11 @@ case class IcebergFileEntry(
     // — total values INCLUDING nulls, and nulls; the numbers NOT NULL
     // pruning and planner cardinalities trust without a footer read
     valueCounts: Map[Int, Long] = Map.empty,
-    nullValueCounts: Map[Int, Long] = Map.empty)
+    nullValueCounts: Map[Int, Long] = Map.empty,
+    // v3 row lineage (spec field 142 first_row_id): the first row id
+    // of this data file's range; null on an ADDED entry means INHERIT
+    // positionally from the manifest's firstRowId
+    firstRowId: Option[Long] = None)
 
 /**
  * Iceberg metadata tier — the second table format above the raw-file
@@ -429,7 +437,8 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
           addedSnapshotId = optLong(r, "added_snapshot_id"),
           sequenceNumber = optLong(r, "sequence_number"),
           partitionSpecId = optLong(r, "partition_spec_id").map(_.toInt),
-          partitionSummaries = fieldSummariesOf(r, file))
+          partitionSummaries = fieldSummariesOf(r, file),
+          firstRowId = optLong(r, "first_row_id"))
       }
       out.toSeq
     } finally {
@@ -578,7 +587,8 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
           lowerBounds = boundsOf("lower_bounds"),
           upperBounds = boundsOf("upper_bounds"),
           valueCounts = countsOf("value_counts"),
-          nullValueCounts = countsOf("null_value_counts"))
+          nullValueCounts = countsOf("null_value_counts"),
+          firstRowId = optLong(df, "first_row_id"))
       }
       out.toSeq
     } finally {

@@ -1392,4 +1392,87 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
       (p.getName, ts, fs.exists(p))
     }.toDF("filename", "timestamp_ms", "exists")
   }
+
+  /**
+   * ROW-LINEAGE audit (format v3) — the Iceberg mirror of
+   * [[DeltaMetaAudits.rowTrackingAudit]]: v3 assigns every data file a
+   * `first_row_id` range of width `record_count` (explicit on the
+   * entry, spec field 142, or INHERITED positionally — the manifest's
+   * own `first_row_id`, field 520, plus the accumulated record counts
+   * of the preceding added entries that also inherited). Live files'
+   * ranges must be DISJOINT and live BELOW the metadata's declared
+   * `next-row-id` — two files sharing a row id silently corrupt CDC
+   * and materialized lineage columns. One row per live data file:
+   * `(file_path, first_row_id, record_count, disjoint, within_next)`.
+   * Refuses on non-v3 tables, a missing `next-row-id`, an inheriting
+   * entry under a manifest that declares no `first_row_id`, and an
+   * EXISTING entry with no explicit value (an existing file was
+   * assigned before — null there is missing evidence, not
+   * inheritance). Scale: one task per manifest (inheritance is a
+   * per-manifest ordered fold, executor-side); the disjointness check
+   * is the range-partitioned cumulative max, never a single-task
+   * window.
+   */
+  def rowLineageAudit(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (root, _, mf, node) = currentMetadataNode(spark, table)
+    val hconf = spark.sessionState.newHadoopConf()
+    val info = readTableMetadata(mf, hconf)
+    if (info.formatVersion < 3) {
+      throw new UnsupportedOperationException(
+        s"$table: row lineage is a format-v3 feature; this table is " +
+          s"v${info.formatVersion} — nothing to audit")
+    }
+    val nextRowId = Option(node.get("next-row-id")).map(_.asLong())
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table: v3 metadata carries no next-row-id — row lineage is " +
+          "not in evidence, nothing to audit"))
+    val current = info.snapshots.find(_.isCurrent).getOrElse(
+      throw new IllegalArgumentException(s"$table: no current snapshot"))
+    val manifests = readManifestList(resolve(root, current.manifestList), hconf)
+      .filter(_.content == 0)
+      .map(m => (resolve(root, m.manifestPath).toString, m.firstRowId))
+    val rootStr = root.toString
+    val conf = new SerializableHadoopConf(hconf)
+    val resolved = manifests.toDS().flatMap { case (mp, mFirst) =>
+      var acc = 0L
+      readManifest(new Path(mp), conf.value)
+        .filter(e => e.status != 2 && e.content == 0)
+        .map { e =>
+          val first = e.firstRowId match {
+            case Some(v) => v
+            case None if e.status == 1 =>
+              val base = mFirst.getOrElse(
+                throw new IllegalArgumentException(
+                  s"$mp: added entry ${e.filePath} inherits first_row_id " +
+                    "but the manifest declares none — refusing rather " +
+                    "than inventing a range"))
+              val v = base + acc
+              acc += e.recordCount
+              v
+            case None =>
+              throw new IllegalArgumentException(
+                s"$mp: existing entry ${e.filePath} carries no " +
+                  "first_row_id — an existing file was assigned before; " +
+                  "null is missing evidence, not inheritance")
+          }
+          (resolve(new Path(rootStr), e.filePath).toString,
+            first, e.recordCount)
+        }
+    }.toDF("file_path", "first_row_id", "record_count")
+      // a file in several manifests carries the same assigned range;
+      // min/max keep the aggregate deterministic either way
+      .groupBy(col("file_path"))
+      .agg(min(col("first_row_id")).as("first_row_id"),
+        max(col("record_count")).as("record_count"))
+      .withColumn("range_end",
+        col("first_row_id") + col("record_count") - 1)
+    ScanWindows.withPrevCummax(resolved,
+      Seq(col("first_row_id"), col("file_path")), col("range_end"))
+      .select(col("file_path"), col("first_row_id"), col("record_count"),
+        when(col("prev_cummax").isNull, lit(true))
+          .otherwise(col("first_row_id") > col("prev_cummax"))
+          .as("disjoint"),
+        (col("range_end") < nextRowId).as("within_next"))
+  }
 }

@@ -2312,4 +2312,119 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     counts
   }
+
+  /**
+   * A format-v3 table with ROW LINEAGE: four doc slices whose
+   * `first_row_id` ranges exercise every resolution path — f0 EXPLICIT
+   * at 0, f1/f2 INHERITED positionally from the manifest's own
+   * `first_row_id` (n0, so f1 lands at n0 and f2 at n0+n1), and f3
+   * explicit but dipping 3 ids into f2's range AND ending past the
+   * metadata's `next-row-id` — the audit must flag exactly f3 on both
+   * counts. Returns per-file row counts.
+   */
+  def writeRowLineageFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val base = docs.select(col("doc_id"), col("lang"))
+    val counts = (0 until 4).map { i =>
+      val rel = s"f$i.parquet"
+      rel -> FixtureIO.writeSingleParquet(
+        base.filter(pmod(col("doc_id"), lit(4)) === i),
+        new java.io.File(dataDir, rel), dir + s"_rltmp$i")
+    }.toMap
+    val (n0, n1, n2, n3) = (counts("f0.parquet"), counts("f1.parquet"),
+      counts("f2.parquet"), counts("f3.parquet"))
+    val lineageManifestSchema = avroSchema(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |  {"name":"content","type":"int","default":0},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"first_row_id","type":["null","long"],"default":null}]}}]}"""
+        .stripMargin)
+    def entry(rel: String, first: Option[Long]): org.apache.avro.generic.GenericRecord = {
+      val dfSchema = lineageManifestSchema.getField("data_file").schema()
+      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", s"data/$rel")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(rel))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, rel).length())
+      df.put("first_row_id", first.map(java.lang.Long.valueOf).orNull)
+      val e = new org.apache.avro.generic.GenericData.Record(
+        lineageManifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), lineageManifestSchema,
+      Seq(entry("f0.parquet", Some(0L)),
+        entry("f1.parquet", None),
+        entry("f2.parquet", None),
+        // the planted anomaly: dips 3 ids into f2's inherited range
+        // and (with next-row-id below) ends past the declared headroom
+        entry("f3.parquet", Some(n0 + n1 + n2 - 3))))
+    val lineageListSchema = avroSchema(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int","default":0},
+        |{"name":"added_snapshot_id","type":["null","long"],"default":null},
+        |{"name":"added_files_count","type":"int"},
+        |{"name":"existing_files_count","type":"int"},
+        |{"name":"deleted_files_count","type":"int"},
+        |{"name":"added_rows_count","type":"long"},
+        |{"name":"first_row_id","type":["null","long"],"default":null}]}"""
+        .stripMargin)
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), lineageListSchema,
+      Seq {
+        val r = new org.apache.avro.generic.GenericData.Record(
+          lineageListSchema)
+        r.put("manifest_path", "metadata/m0.avro")
+        r.put("manifest_length",
+          new java.io.File(metaDir, "m0.avro").length())
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("added_snapshot_id", 1L)
+        r.put("added_files_count", 4)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", counts.values.sum)
+        // inherited assignments start AFTER f0's explicit range
+        r.put("first_row_id", java.lang.Long.valueOf(n0))
+        r
+      })
+    val metadataJson =
+      s"""{"format-version":3,"table-uuid":"graft-iceberg-rowlineage-fixture",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":1,
+         |"next-row-id":${n0 + n1 + n2 + n3 - 4},
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":1700000000000,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
 }

@@ -1563,4 +1563,31 @@ class IcebergSourceSpec extends SparkSpec {
       }
     assert(scans.length === 1, scans.map(_.nodeName).mkString(", "))
   }
+
+  test("v3 row-lineage audit: inheritance, overlap and headroom flags") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_rl")
+      .toString + "/tbl"
+    val counts = IcebergMeta.writeRowLineageFixtureTable(spark, d, docs)
+    val (n0, n1, n2) = (counts("f0.parquet"), counts("f1.parquet"),
+      counts("f2.parquet"))
+    val rows = IcebergMeta.rowLineageAudit(spark, d).collect()
+      .map(r => r.getString(0).replaceAll(".*/", "") ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    // explicit, then the two positionally-inherited assignments
+    assert(rows("f0.parquet") === ((0L, n0, true, true)))
+    assert(rows("f1.parquet") === ((n0, n1, true, true)))
+    assert(rows("f2.parquet") === ((n0 + n1, n2, true, true)))
+    // the planted anomaly flags BOTH overlap and headroom
+    assert(rows("f3.parquet")._1 === n0 + n1 + n2 - 3)
+    assert(!rows("f3.parquet")._3 && !rows("f3.parquet")._4)
+    // a v2 table refuses by version
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ice_rl2")
+      .toString + "/tbl"
+    IcebergMeta.writeFixtureTable(spark, d2, docs)
+    val e = intercept[UnsupportedOperationException] {
+      IcebergMeta.rowLineageAudit(spark, d2)
+    }
+    assert(e.getMessage.contains("format-v3 feature"))
+  }
 }
