@@ -1808,6 +1808,25 @@ private[graft] object EntryLakeQueries {
           col("within_next"))
     }),
 
+    // The v3 row-lineage READ path: materialized _row_id = file base +
+    // row position, bases broadcast against _metadata.file_path (one
+    // scan, no shuffle of the data). On the clean fixture the ids are
+    // exactly 0..N-1 — count, distinct count, min, max, and the exact
+    // arithmetic-series sum all pin the per-row assignment. Oracle:
+    // closed form from the footers' row counts.
+    "meta_iceberg_row_ids" -> ((s, dir) => {
+      val out = "/tmp/graft_icerlc_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeRowLineageFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")), plantAnomaly = false)
+      IcebergMeta.readWithRowIds(s, out)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          countDistinct(col("_row_id")).cast("long").as("n_distinct_ids"),
+          min(col("_row_id")).cast("long").as("min_id"),
+          max(col("_row_id")).cast("long").as("max_id"),
+          sum(col("_row_id")).cast("long").as("sum_ids"))
+    }),
+
     // HUDI PARTITION-PRUNED planning: "which live files serve p=1"
     // answers from the commits' declared partitionPath alone, then the
     // read touches ONLY fid2's base file (plan-asserted in the spec).
@@ -2998,6 +3017,16 @@ private[graft] object EntryLakeQueries {
         |UNION ALL
         |SELECT 'f3.parquet', n0 + n1 + n2 - 3, n3, false, false FROM n"""
         .stripMargin,
+
+    "meta_iceberg_row_ids" ->
+      """WITH t AS (
+        |  SELECT CAST(sum(num_rows) AS BIGINT) AS n
+        |  FROM parquet_file_metadata('/tmp/graft_icerlc_sf0.01/data/f*.parquet')
+        |)
+        |SELECT n AS n_rows, n AS n_distinct_ids,
+        |  CAST(0 AS BIGINT) AS min_id, n - 1 AS max_id,
+        |  CAST(n * (n - 1) // 2 AS BIGINT) AS sum_ids
+        |FROM t""".stripMargin,
 
     "meta_hudi_partition_prune" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -1475,4 +1475,41 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
           .as("disjoint"),
         (col("range_end") < nextRowId).as("within_next"))
   }
+
+  /**
+   * The v3 row-lineage READ path: the current snapshot's live data
+   * rows with their MATERIALIZED `_row_id` — each file's
+   * `first_row_id` (resolved exactly as [[rowLineageAudit]] does,
+   * inheritance included) plus the row's position in its file. ONE
+   * scan of the live files; the (file → first_row_id) map rides a
+   * broadcast join against `_metadata.file_path`, so the data never
+   * shuffles. Refuses — via [[rowLineageAudit]] — before reading a
+   * single data byte when the lineage itself is not auditable, and
+   * refuses here when any live range OVERLAPS (materialized ids would
+   * silently collide) — `within_next` stays report-only (a stale
+   * next-row-id mis-plans future assignments but does not corrupt
+   * existing ids).
+   */
+  def readWithRowIds(spark: SparkSession, table: String): DataFrame = {
+    val lineage = rowLineageAudit(spark, table)
+    val overlapping = lineage.filter(!col("disjoint"))
+      .select(col("file_path")).collect().map(_.getString(0))
+    if (overlapping.nonEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: live first_row_id ranges overlap " +
+          s"(${overlapping.sorted.mkString(", ")}) — materialized row " +
+          "ids would collide; refusing rather than emitting duplicates")
+    }
+    val paths = lineage.select(col("file_path"))
+      .collect().map(_.getString(0)).toSeq
+    spark.read.parquet(paths: _*)
+      // the _metadata pseudo-column resolves only on the scan relation
+      // — capture both fields as real columns before joining
+      .withColumn("__fp", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(broadcast(lineage.select(col("file_path").as("__fp"),
+        col("first_row_id"))), Seq("__fp"))
+      .withColumn("_row_id", col("first_row_id") + col("__pos"))
+      .drop("__fp", "__pos", "first_row_id")
+  }
 }

@@ -2323,7 +2323,8 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
    * counts. Returns per-file row counts.
    */
   def writeRowLineageFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+      spark: SparkSession, dir: String, docs: DataFrame,
+      plantAnomaly: Boolean = true): Map[String, Long] = {
     val root = new java.io.File(dir)
     FixtureIO.freshDir(root)
     val dataDir = new java.io.File(root, "data")
@@ -2372,8 +2373,10 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
         entry("f1.parquet", None),
         entry("f2.parquet", None),
         // the planted anomaly: dips 3 ids into f2's inherited range
-        // and (with next-row-id below) ends past the declared headroom
-        entry("f3.parquet", Some(n0 + n1 + n2 - 3))))
+        // and (with next-row-id below) ends past the declared headroom;
+        // the clean variant (plantAnomaly=false) assigns f3 its true base
+        entry("f3.parquet",
+          Some(n0 + n1 + n2 - (if (plantAnomaly) 3 else 0)))))
     val lineageListSchema = avroSchema(
       """{"type":"record","name":"manifest_file","fields":[
         |{"name":"manifest_path","type":"string"},
@@ -2409,7 +2412,7 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
       s"""{"format-version":3,"table-uuid":"graft-iceberg-rowlineage-fixture",
          |"location":"${root.getAbsolutePath}",
          |"current-snapshot-id":1,
-         |"next-row-id":${n0 + n1 + n2 + n3 - 4},
+         |"next-row-id":${n0 + n1 + n2 + n3 - (if (plantAnomaly) 4 else 0)},
          |"current-schema-id":0,
          |"schemas":[
          |{"schema-id":0,"type":"struct","fields":[

@@ -1590,4 +1590,38 @@ class IcebergSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("format-v3 feature"))
   }
+
+  test("v3 row-id materialization: contiguous ids, overlap refusal") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_rl3")
+      .toString + "/tbl"
+    val counts = IcebergMeta.writeRowLineageFixtureTable(
+      spark, d, docs, plantAnomaly = false)
+    val n = counts.values.sum
+    val got = IcebergMeta.readWithRowIds(spark, d)
+    // ids are exactly 0..N-1, each exactly once, and each row's id is
+    // its file base + its position (spot-checked per file)
+    val ids = got.select("_row_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until n).toSeq)
+    // per-file bases: the fixture routes pmod(doc_id,4)==i to f<i>,
+    // so each slice's ids must be exactly its file's assigned range
+    import org.apache.spark.sql.functions.{col, count, lit, min, pmod}
+    val perFile = got
+      .groupBy(pmod(col("doc_id"), lit(4)).as("slice"))
+      .agg(min("_row_id"), count(lit(1)))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (n0, n1, n2) = (counts("f0.parquet"), counts("f1.parquet"),
+      counts("f2.parquet"))
+    assert(perFile(0L) === ((0L, n0)))
+    assert(perFile(1L) === ((n0, n1)))
+    assert(perFile(2L) === ((n0 + n1, n2)))
+    // overlapping lineage refuses the read outright
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ice_rl4")
+      .toString + "/tbl"
+    IcebergMeta.writeRowLineageFixtureTable(spark, d2, docs)
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.readWithRowIds(spark, d2)
+    }
+    assert(e.getMessage.contains("would collide"))
+  }
 }
