@@ -1808,6 +1808,34 @@ private[graft] object EntryLakeQueries {
           col("within_next"))
     }),
 
+    // month(ts) range pruning: tuple values are the spec's
+    // months-since-epoch int (ten month partitions across a year
+    // boundary at any scale factor), surfaced as the month's first
+    // day. Oracle: DuckDB recomputes each file's month from its own
+    // ts values and applies the same month-window rule.
+    "meta_iceberg_months_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_icemon_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeTimeTransformFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")), "month")
+      IcebergMeta.monthsPrune(s, out, "ts", "2023-08-15", "2023-11-02")
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("part_month"), col("survives"))
+    }),
+
+    // year(ts) range pruning: tuple values are years-since-epoch; the
+    // fixture spans 2023-2024, the probe keeps 2024 only. Oracle:
+    // DuckDB recomputes each file's year from its own ts values.
+    "meta_iceberg_years_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_iceyr_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeTimeTransformFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")), "year")
+      IcebergMeta.yearsPrune(s, out, "ts", 2024, 2024)
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("part_year"), col("survives"))
+    }),
+
     // The v3 row-lineage READ path: materialized _row_id = file base +
     // row position, bases broadcast against _metadata.file_path (one
     // scan, no shuffle of the data). On the clean fixture the ids are
@@ -3017,6 +3045,30 @@ private[graft] object EntryLakeQueries {
         |UNION ALL
         |SELECT 'f3.parquet', n0 + n1 + n2 - 3, n3, false, false FROM n"""
         .stripMargin,
+
+    "meta_iceberg_months_prune" ->
+      """WITH d AS (
+        |  SELECT parse_filename(filename) AS file,
+        |    CAST(date_trunc('month', min(ts)) AS DATE) AS part_month
+        |  FROM read_parquet('/tmp/graft_icemon_sf0.01/data/u*.parquet',
+        |    filename=true)
+        |  GROUP BY 1
+        |)
+        |SELECT file, part_month,
+        |  part_month BETWEEN date_trunc('month', DATE '2023-08-15')
+        |    AND date_trunc('month', DATE '2023-11-02') AS survives
+        |FROM d""".stripMargin,
+
+    "meta_iceberg_years_prune" ->
+      """WITH d AS (
+        |  SELECT parse_filename(filename) AS file,
+        |    CAST(year(min(ts)) AS INT) AS part_year
+        |  FROM read_parquet('/tmp/graft_iceyr_sf0.01/data/u*.parquet',
+        |    filename=true)
+        |  GROUP BY 1
+        |)
+        |SELECT file, part_year, part_year = 2024 AS survives
+        |FROM d""".stripMargin,
 
     "meta_iceberg_row_ids" ->
       """WITH t AS (

@@ -193,6 +193,73 @@ private[meta] trait IcebergMetaTransformFixtures extends Serializable {
   }
 
   /**
+   * A table partitioned by `month(ts)` or `year(ts)`: each doc gets a
+   * deterministic synthetic timestamp (2023-06-01 + pmod(doc_id, 300)
+   * days — ten months across a year boundary at ANY scale factor),
+   * one ONE-PASS `partitionBy` write fans rows into per-unit files,
+   * and tuples carry the spec's months- or years-since-epoch int. The
+   * unit is derivable from each file's own `ts` values, so the oracle
+   * recomputes it. Returns rows per relative file.
+   */
+  def writeTimeTransformFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame,
+      unit: String): Map[String, Long] = {
+    require(unit == "month" || unit == "year", s"unsupported unit $unit")
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val withTs = docs.select(col("doc_id"),
+      date_add(lit("2023-06-01").cast("date"),
+        pmod(col("doc_id"), lit(300L)).cast("int"))
+        .cast("timestamp").as("ts"))
+    val pv =
+      if (unit == "month") (year(col("ts")) - 1970) * 12 + month(col("ts")) - 1
+      else year(col("ts")) - 1970
+    val tmp = dir + "_ttftmp"
+    withTs.withColumn("pv", pv.cast("int"))
+      .repartition(col("pv"))
+      .write.mode("overwrite").partitionBy("pv").parquet(tmp)
+    val counts = scala.collection.mutable.Map.empty[String, (Int, Long)]
+    new java.io.File(tmp).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pv="))
+      .sortBy(_.getName).foreach { d =>
+        val v = d.getName.stripPrefix("pv=").toInt
+        val part = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        require(part.length == 1,
+          s"fixture unit dir $d has ${part.length} part files, expected 1")
+        val rel = s"u$v.parquet"
+        java.nio.file.Files.copy(part.head.toPath,
+          new java.io.File(dataDir, rel).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        counts(rel) = (v, 0L)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    spark.read.parquet(dataDir.getAbsolutePath)
+      .groupBy(input_file_name().as("f")).count().collect()
+      .foreach { r =>
+        val rel = r.getString(0).replaceAll(".*/", "")
+        counts(rel) = (counts(rel)._1, r.getLong(1))
+      }
+    val field = s"ts_$unit"
+    val schema = transformManifestSchema(field, "int")
+    val entries = counts.toSeq.sortBy(_._1).map { case (rel, (v, c)) =>
+      transformEntry(schema, dataDir, rel, c, field, Integer.valueOf(v))
+    }
+    writeTransformTable(dir, metaDir, schema, entries,
+      counts.values.map(_._2).sum, counts.size,
+      """ {"id":1,"name":"doc_id","required":false,"type":"long"},
+        | {"id":2,"name":"ts","required":false,"type":"timestamp"}"""
+        .stripMargin.replace("\n", ""),
+      s"""{"name":"$field","transform":"$unit",
+         |"source-id":2,"field-id":1000}""".stripMargin.replace("\n", ""),
+      s"graft-iceberg-$unit-fixture")
+    counts.map { case (rel, (_, c)) => rel -> c }.toMap
+  }
+
+  /**
    * A table partitioned by `day(ts)` over the events table (30
    * distinct days at every scale factor): ONE `partitionBy` write
    * fans the rows into per-day files (never a per-day job loop), each

@@ -170,6 +170,56 @@ private[meta] trait IcebergMetaTransformPrune extends Serializable {
   }
 
   /**
+   * `month` range pruning on a timestamp source: tuple values are the
+   * spec's months-since-epoch int (`(year-1970)*12 + month-1`).
+   * Accepts `month`/`months` spellings. One row per live data file:
+   * `(data_path, part_month, survives)` with the month surfaced as
+   * the range's first day.
+   */
+  def monthsPrune(
+      spark: SparkSession, table: String, column: String,
+      lo: String, hi: String): DataFrame = {
+    val (field, _, _) = transformField(
+      spark, table, column, """^months?$""".r,
+      Set("timestamp", "timestamptz", "date"), "month")
+    def monthsOf(iso: String): Long = {
+      val d = java.time.LocalDate.parse(iso)
+      (d.getYear - 1970).toLong * 12 + (d.getMonthValue - 1)
+    }
+    val (loM, hiM) = (monthsOf(lo), monthsOf(hi))
+    partitionValueByFile(spark, table, field)
+      .select(col("data_path"),
+        to_date(concat(
+          (floor(col("part_value").cast("long") / 12) + 1970)
+            .cast("int").cast("string"), lit("-"),
+          lpad((pmod(col("part_value").cast("long"), lit(12L)) + 1)
+            .cast("string"), 2, "0"), lit("-01"))).as("part_month"),
+        (col("part_value").isNull ||
+          col("part_value").cast("long").between(loM, hiM))
+          .as("survives"))
+  }
+
+  /**
+   * `year` range pruning on a timestamp/date source: tuple values are
+   * the spec's years-since-epoch int. Accepts `year`/`years`. One row
+   * per live data file: `(data_path, part_year, survives)` with the
+   * tuple surfaced as the calendar year.
+   */
+  def yearsPrune(
+      spark: SparkSession, table: String, column: String,
+      loYear: Int, hiYear: Int): DataFrame = {
+    val (field, _, _) = transformField(
+      spark, table, column, """^years?$""".r,
+      Set("timestamp", "timestamptz", "date"), "year")
+    partitionValueByFile(spark, table, field)
+      .select(col("data_path"),
+        (col("part_value").cast("long") + 1970).cast("int").as("part_year"),
+        (col("part_value").isNull ||
+          col("part_value").cast("long")
+            .between(loYear - 1970L, hiYear - 1970L)).as("survives"))
+  }
+
+  /**
    * The EXECUTABLE form of [[bucketPrune]]: plan the survivors from
    * manifests, scan ONLY them, and let Catalyst push the residual
    * equality into their row groups — the answer must equal a

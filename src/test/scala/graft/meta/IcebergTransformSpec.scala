@@ -124,6 +124,30 @@ class IcebergTransformSpec extends SparkSpec {
     }
   }
 
+  test("monthsPrune and yearsPrune window by calendar unit") {
+    val dm = "/tmp/graft_test_icemon"
+    IcebergMeta.writeTimeTransformFixtureTable(spark, dm, docs, "month")
+    val months = IcebergMeta.monthsPrune(
+      spark, dm, "ts", "2023-08-15", "2023-11-02").collect()
+    assert(months.length === 10) // 2023-06 .. 2024-03
+    val kept = months.filter(_.getBoolean(2))
+      .map(_.getDate(1).toLocalDate.toString).sorted
+    assert(kept.toSeq === Seq(
+      "2023-08-01", "2023-09-01", "2023-10-01", "2023-11-01"))
+    // conservatism: every pruned file holds zero rows in the window
+    months.filterNot(_.getBoolean(2)).foreach { r =>
+      val n = spark.read.parquet(r.getString(0))
+        .filter(col("ts").between("2023-08-15", "2023-11-02 23:59:59"))
+        .count()
+      assert(n === 0L, s"pruned ${r.getString(0)} held $n in-window rows")
+    }
+    val dy = "/tmp/graft_test_iceyr"
+    IcebergMeta.writeTimeTransformFixtureTable(spark, dy, docs, "year")
+    val years = IcebergMeta.yearsPrune(spark, dy, "ts", 2024, 2024)
+      .collect().map(r => r.getInt(1) -> r.getBoolean(2)).toMap
+    assert(years === Map(2023 -> false, 2024 -> true))
+  }
+
   test("transform pruning refuses vacuous and mistyped probes") {
     val dir = "/tmp/graft_test_icebkt"
     IcebergMeta.writeBucketFixtureTable(spark, dir, docs)
