@@ -1160,6 +1160,41 @@ private[graft] object EntryLakeQueries {
         .select(col("doc_id"), col("lang"), col("_change_type"))
     }),
 
+    // STREAMING ROW-LEVEL CHANGELOG: the checkpointed store across TWO
+    // metadata arrivals — pass A bootstraps snapshot 1's net state as
+    // inserts (f0..f2, no live deletes yet); pass B's v2 metadata
+    // lands EXACTLY changelogScan(1,2)'s rows (f3/f4 inserts, del0's
+    // two positions + all of the removed f5 as deletes). Oracle:
+    // the batch changelog rule, per snapshot, on this fixture's path.
+    "stream_iceberg_changelog" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = "/tmp/graft_icecl_" + sfx
+      val store = "/tmp/graft_iceclstore_" + sfx
+      val ckpt = "/tmp/graft_iceclck_" + sfx
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      // pass A: rewind the table to current-snapshot 1 (v1 only)
+      val v1 = new java.io.File(out, "metadata/v1.metadata.json")
+      val full = new String(java.nio.file.Files.readAllBytes(v1.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(v1.toPath,
+        full.replace("\"current-snapshot-id\":2,", "\"current-snapshot-id\":1,")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      IcebergMeta.maintainChangelogStore(s, out, store, ckpt)
+      // pass B: v2.metadata.json arrives with current snapshot 2
+      java.nio.file.Files.write(
+        new java.io.File(out, "metadata/v2.metadata.json").toPath,
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        new java.io.File(out, "metadata/version-hint.text").toPath,
+        "2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      IcebergMeta.maintainChangelogStore(s, out, store, ckpt)
+      IcebergMeta.readChangelogStore(s, store)
+        .select(col("doc_id"), col("lang"), col("_change_type"),
+          col("snapshot_id"))
+    }),
+
     // ICEBERG ROW-LEVEL CHANGELOG over a range that appends EQUALITY
     // deletes (r16): the appended eq0/eq1 delete files resolve
     // row-wise through the shared tagged-scan machinery — deletes are
@@ -2633,6 +2668,23 @@ private[graft] object EntryLakeQueries {
         |UNION ALL
         |SELECT doc_id, lang, 'delete'
         |FROM read_parquet('/tmp/graft_iceberg_sf0.01/data/f5.parquet')"""
+        .stripMargin,
+
+    "stream_iceberg_changelog" ->
+      """SELECT doc_id, lang, 'insert' AS _change_type,
+        |  CAST(1 AS BIGINT) AS snapshot_id
+        |FROM read_parquet('/tmp/graft_icecl_sf0.01/data/f[0-2].parquet')
+        |UNION ALL
+        |SELECT doc_id, lang, 'insert', 2
+        |FROM read_parquet('/tmp/graft_icecl_sf0.01/data/f[34].parquet')
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete', 2
+        |FROM read_parquet('/tmp/graft_icecl_sf0.01/data/f0.parquet',
+        |  file_row_number=true)
+        |WHERE file_row_number IN (0, 1)
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete', 2
+        |FROM read_parquet('/tmp/graft_icecl_sf0.01/data/f5.parquet')"""
         .stripMargin,
 
     "meta_iceberg_changelog_eq" ->

@@ -1840,6 +1840,97 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
     spark.read.parquet(storeDir + "/inc_*")
 
   /**
+   * STREAMING ROW-LEVEL CHANGELOG store — the streaming twin of
+   * [[changelogScan]] (and the iceberg mirror of
+   * [[DeltaMeta.maintainChangeFeedStore]]): one `Trigger.AvailableNow`
+   * pass of the metadata stream; the FIRST current snapshot seen
+   * lands its NET live rows as the bootstrap insert increment (a
+   * row-level consumer starting mid-life must materialize the state
+   * once — that read is the table, by definition), and each later
+   * batch with a NEW current snapshot appends exactly
+   * `changelogScan(prevSeen, new)`'s rows as its own increment
+   * (idempotent `inc_<ts>_<snapshot>` subdirs; seen metadata never
+   * re-triggers). Bootstrap refuses when the first snapshot carries
+   * live DELETE files — materializing inserts that ignored them would
+   * resurrect rows; every [[changelogScan]] refusal likewise fails
+   * the batch loudly.
+   */
+  def maintainChangelogStore(
+      spark: SparkSession, table: String,
+      storeDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = spark.readStream.format("metadata")
+      .option("source", "iceberg").option("level", "snapshot")
+      .option("streamlagms", "0").load(table)
+    val q = src.select("filename", "snapshot_id", "timestamp_ms", "is_current")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // metadata-FILE-sized driver boundary (a few rows per version)
+        val rows = batch.collect()
+        if (rows.nonEmpty) {
+          val newestFile = rows.map(_.getString(0))
+            .maxBy(n => (metadataVersion(n), n))
+          rows.filter(r => r.getString(0) == newestFile && r.getBoolean(3))
+            .headOption.foreach { cur =>
+              val curSnap = cur.getLong(1)
+              val curTs = cur.getLong(2)
+              val store = new java.io.File(storeDir)
+              store.mkdirs()
+              val seen = Option(store.listFiles()).getOrElse(Array.empty)
+                .filter(_.getName.startsWith("inc_"))
+                .map { f =>
+                  val p = f.getName.split("_")
+                  (p(1).toLong, p(2).toLong)
+                }
+              val prev = seen.sortBy(_._1).lastOption
+              val seenSnaps = seen.map(_._2).toSet
+              if (!seenSnaps.contains(curSnap) &&
+                  !prev.exists(_._1 > curTs)) {
+                val inc = prev match {
+                  case None =>
+                    val files = filesAt(spark, table, Some(curSnap))
+                      .filter(col("status") =!= 2)
+                    if (files.filter(col("content") =!= 0)
+                        .limit(1).count() > 0) {
+                      throw new UnsupportedOperationException(
+                        s"$table: the bootstrap snapshot $curSnap " +
+                          "carries live delete files — materializing " +
+                          "its rows as plain inserts would resurrect " +
+                          "deleted rows; bootstrap from a compacted " +
+                          "snapshot instead")
+                    }
+                    val paths = files.select(col("abs_path"))
+                      .collect().map(_.getString(0)).toSeq
+                    if (paths.isEmpty) {
+                      throw new IllegalArgumentException(
+                        s"$table: bootstrap snapshot $curSnap has no " +
+                          "live data files — nothing to materialize")
+                    }
+                    spark.read.parquet(paths: _*)
+                      .withColumn("_change_type", lit("insert"))
+                  case Some((_, prevSnap)) =>
+                    changelogScan(spark, table, prevSnap, curSnap)
+                }
+                inc.withColumn("snapshot_id", lit(curSnap))
+                  .coalesce(1).write.mode("overwrite")
+                  .parquet(new java.io.File(store,
+                    s"inc_${curTs}_$curSnap").getPath)
+              }
+            }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Every change row of a [[maintainChangelogStore]] store. */
+  def readChangelogStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir + "/inc_*")
+
+  /**
    * TIMESTAMP AS OF resolution: the snapshot with the latest
    * `timestamp-ms` at or before `tsMs` (iceberg snapshots carry their
    * commit time in the table metadata — resolution is one small JSON

@@ -1624,4 +1624,46 @@ class IcebergSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("would collide"))
   }
+
+  test("streaming changelog store: bootstrap then exact range increments") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_clst")
+      .toString + "/tbl"
+    val counts = IcebergMeta.writeFixtureTable(spark, d, docs)
+    val store = java.nio.file.Files.createTempDirectory("graft_ice_clsd")
+      .toString + "/store"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ice_clsc")
+      .toString
+    // pass A: rewind to snapshot 1 — the bootstrap increment is its
+    // net live state (no deletes yet) as inserts
+    val v1 = new java.io.File(d, "metadata/v1.metadata.json")
+    val full = new String(java.nio.file.Files.readAllBytes(v1.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(v1.toPath,
+      full.replace("\"current-snapshot-id\":2,",
+        "\"current-snapshot-id\":1,").getBytes("UTF-8"))
+    IcebergMeta.maintainChangelogStore(spark, d, store, ckpt)
+    val boot = IcebergMeta.readChangelogStore(spark, store)
+      .groupBy("snapshot_id", "_change_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(boot === Map((1L, "insert") ->
+      (counts("f0.parquet") + counts("f1.parquet") + counts("f2.parquet"))))
+    // pass B: snapshot 2 arrives; EXACTLY changelogScan(1,2) lands
+    java.nio.file.Files.write(
+      new java.io.File(d, "metadata/v2.metadata.json").toPath,
+      full.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(d, "metadata/version-hint.text").toPath,
+      "2".getBytes("UTF-8"))
+    IcebergMeta.maintainChangelogStore(spark, d, store, ckpt)
+    val all = IcebergMeta.readChangelogStore(spark, store)
+      .groupBy("snapshot_id", "_change_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(all((2L, "insert")) ===
+      counts("f3.parquet") + counts("f4.parquet"))
+    assert(all((2L, "delete")) === 2L + counts("f5.parquet"))
+    // a third pass with nothing new is a no-op
+    IcebergMeta.maintainChangelogStore(spark, d, store, ckpt)
+    assert(IcebergMeta.readChangelogStore(spark, store).count() ===
+      all.values.sum)
+  }
 }
