@@ -1904,6 +1904,34 @@ private[graft] object EntryLakeQueries {
           sum(col("doc_id")).cast("long").as("sum_id"))
     }),
 
+    // HUDI SCHEMA HISTORY from each commit's own extraMetadata.schema
+    // (the avro writer schema hudi stamps per commit): c2 evolves the
+    // declared schema (+quality). Oracle: DuckDB parses the same
+    // escaped avro JSON out of the commit files independently.
+    "meta_hudi_schema" -> ((s, dir) => {
+      val out = "/tmp/graft_hudi_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      HudiMeta.writeHudiFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      HudiMeta.schemaHistory(s, out)
+    }),
+
+    // HUDI SCHEMA CONFORMANCE: the latest declared schema vs each live
+    // base file's own footer fields — every live slice predates the
+    // +quality evolution, so all three report it missing (the backfill
+    // question evolution leaves behind). Oracle: DuckDB reads the same
+    // footers via parquet_schema and the declared side from the
+    // commit's own JSON.
+    "meta_hudi_conformance" -> ((s, dir) => {
+      val out = "/tmp/graft_hudi_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      HudiMeta.writeHudiFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      HudiMeta.schemaConformance(s, out)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+          col("n_declared"), col("n_present"), col("missing_csv"))
+    }),
+
     // STREAMING HUDI INGEST: the checkpointed increments store across
     // TWO commit arrivals — pass A sees c1 completed and lands its
     // slices; pass B's newly-landed c2.commit lands EXACTLY c2's
@@ -3138,6 +3166,40 @@ private[graft] object EntryLakeQueries {
         |FROM read_parquet(
         |  '/tmp/graft_hudi_sf0.01/p=1/fid2_0-0-0_20240102000000000.parquet')"""
         .stripMargin,
+
+    "meta_hudi_schema" ->
+      """SELECT regexp_extract(parse_filename(filename),
+        |    '^(\d+)', 1) AS instant_time,
+        |  CAST(len(CAST(CAST(extraMetadata->>'$.schema' AS VARCHAR)
+        |    ->>'$.fields[*].name' AS VARCHAR[])) AS INTEGER) AS n_fields,
+        |  array_to_string(CAST(CAST(extraMetadata->>'$.schema' AS VARCHAR)
+        |    ->>'$.fields[*].name' AS VARCHAR[]), ',') AS fields_csv
+        |FROM read_json_auto('/tmp/graft_hudi_sf0.01/.hoodie/*.commit',
+        |  filename=true)""".stripMargin,
+
+    "meta_hudi_conformance" ->
+      """WITH decl AS (
+        |  SELECT CAST(CAST(arg_max(extraMetadata->>'$.schema',
+        |      parse_filename(filename)) AS VARCHAR)
+        |    ->>'$.fields[*].name' AS VARCHAR[]) AS names
+        |  FROM read_json_auto('/tmp/graft_hudi_sf0.01/.hoodie/*.commit',
+        |    filename=true)
+        |),
+        |cols AS (
+        |  SELECT parse_filename(file_name) AS f, list(DISTINCT name) AS present
+        |  FROM parquet_schema('/tmp/graft_hudi_sf0.01/p=*/*.parquet')
+        |  WHERE num_children IS NULL OR num_children = 0
+        |  GROUP BY 1
+        |)
+        |SELECT c.f AS path,
+        |  CAST(len(d.names) AS INTEGER) AS n_declared,
+        |  CAST(len(c.present) AS INTEGER) AS n_present,
+        |  array_to_string(list_sort(list_filter(d.names,
+        |    x -> NOT list_contains(c.present, x))), ',') AS missing_csv
+        |FROM decl d, cols c
+        |WHERE c.f IN ('fid0_0-0-0_20240102000000000.parquet',
+        |  'fid1_0-0-0_20240101000000000.parquet',
+        |  'fid2_0-0-0_20240102000000000.parquet')""".stripMargin,
 
     "stream_hudi_appends" ->
       """WITH fm AS (

@@ -387,6 +387,90 @@ object HudiMeta extends Serializable {
     spark.read.parquet(paths: _*)
   }
 
+  /** The avro writer schema a commit declared in its
+    * `extraMetadata.schema`, as top-level field names. None when the
+    * commit carries no schema. */
+  private def declaredFields(
+      node: com.fasterxml.jackson.databind.JsonNode): Option[Seq[String]] =
+    Option(node.get("extraMetadata")).flatMap(m => Option(m.get("schema")))
+      .map { s =>
+        import scala.jdk.CollectionConverters._
+        new org.apache.avro.Schema.Parser().parse(s.asText())
+          .getFields.asScala.map(_.name()).toSeq
+      }
+
+  private def commitNode(
+      root: Path, conf: Configuration,
+      instant: String): com.fasterxml.jackson.databind.JsonNode = {
+    val fs = root.getFileSystem(conf)
+    val in = fs.open(
+      new Path(new Path(root, ".hoodie"), s"$instant.commit"))
+    try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+    finally in.close()
+  }
+
+  /**
+   * SCHEMA HISTORY from the commits' own `extraMetadata.schema` (the
+   * avro writer schema Hudi stamps into each commit): one row per
+   * completed commit — `(instant_time, n_fields, fields_csv)`; a
+   * commit without a declared schema surfaces with nulls (no
+   * evidence), never dropped. Timeline-sized driver work.
+   */
+  def schemaHistory(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    val commits = completedCommits(root, timeline(root, conf), None)
+    if (commits.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: no completed commits — no schema history")
+    }
+    commits.map { c =>
+      val fields = declaredFields(commitNode(root, conf, c))
+      (c, fields.map(_.size), fields.map(_.mkString(",")))
+    }.toDF("instant_time", "n_fields", "fields_csv")
+  }
+
+  /**
+   * SCHEMA CONFORMANCE — the [[IcebergMeta.schemaConformance]] /
+   * DeltaMeta analog for Hudi: the LATEST completed commit's declared
+   * avro fields vs each LIVE base file's own footer fields (one
+   * footer-facts pass over the data tree, live membership by the
+   * commit-metadata resolution). Old slices predating a schema
+   * evolution surface with the new fields in `missing_csv` — the
+   * backfill question evolution leaves behind. Refuses when the
+   * latest commit declares no schema (nothing to conform to).
+   */
+  def schemaConformance(spark: SparkSession, table: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    val commits = completedCommits(root, timeline(root, conf), None)
+    if (commits.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: no completed commits — nothing live to audit")
+    }
+    val declared = declaredFields(commitNode(root, conf, commits.max))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table: commit ${commits.max} declares no " +
+          "extraMetadata.schema — nothing to conform to"))
+    val live = liveFiles(spark, table).select(col("abs_path"))
+    val present = MetaValues.schemaFactsDf(spark, root.toString)
+      .select(col("filepath"),
+        split(col("path"), "\\.").getItem(0).as("field"))
+      .distinct()
+    live.join(present, live("abs_path") === present("filepath"), "left")
+      .groupBy(col("abs_path").as("path"))
+      .agg(collect_set(col("field")).as("present"))
+      .select(col("path"),
+        lit(declared.size).as("n_declared"),
+        when(size(col("present")) === 0, lit(null))
+          .otherwise(size(col("present"))).cast("int").as("n_present"),
+        when(size(col("present")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(array_sort(array_except(
+            lit(declared.toArray), col("present"))), ","))
+          .as("missing_csv"))
+  }
+
   /**
    * STREAMING INCREMENTAL-INGEST store — the streaming twin of
    * [[incrementalPull]]: one `Trigger.AvailableNow` pass of the
@@ -495,14 +579,25 @@ object HudiMeta extends Serializable {
          |"numDeletes":0,"numInserts":$rows,
          |"totalWriteBytes":${new java.io.File(root, rel).length()},
          |"partitionPath":"$part"}""".stripMargin.replace("\n", "")
+    def avroFieldsJson(names: Seq[String]): String =
+      names.map { n =>
+        val t = if (n == "doc_id" || n == "n_chars") "long" else "string"
+        s"""{\\"name\\":\\"$n\\",\\"type\\":[\\"null\\",\\"$t\\"]}"""
+      }.mkString(",")
     def commit(instant: String, op: String,
-        byPart: Map[String, Seq[String]]): Unit = {
+        byPart: Map[String, Seq[String]],
+        schemaFields: Seq[String]): Unit = {
       val stats = byPart.toSeq.sortBy(_._1).map { case (p, ss) =>
         s""""$p":[${ss.mkString(",")}]"""
       }.mkString(",")
+      // the commit stamps its avro writer schema (escaped JSON-in-JSON,
+      // the way hudi's own commit metadata carries it)
+      val schema = "{\\\"type\\\":\\\"record\\\",\\\"name\\\":\\\"graft\\\"," +
+        "\\\"fields\\\":[" + avroFieldsJson(schemaFields) + "]}"
       java.nio.file.Files.write(
         new java.io.File(hoodie, s"$instant.commit").toPath,
-        s"""{"partitionToWriteStats":{$stats},"operationType":"$op"}"""
+        (s"""{"partitionToWriteStats":{$stats},"operationType":"$op",""" +
+          s""""extraMetadata":{"schema":"$schema"}}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.write(
         new java.io.File(hoodie, s"$instant.commit.requested").toPath,
@@ -514,10 +609,14 @@ object HudiMeta extends Serializable {
     commit(c1, "upsert", Map("p=0" -> Seq(
       stat("p=0", "fid0", s0._1, s0._2),
       // the planted lie: one more row than fid1's file holds
-      stat("p=0", "fid1", s1._1, s1._2 + 1))))
+      stat("p=0", "fid1", s1._1, s1._2 + 1))),
+      Seq("doc_id", "lang", "n_chars"))
+    // c2 EVOLVES the declared schema (+quality) — no base file carries
+    // the new field yet, the classic backfill gap conformance flags
     commit(c2, "upsert", Map(
       "p=0" -> Seq(stat("p=0", "fid0", s0b._1, s0b._2)),
-      "p=1" -> Seq(stat("p=1", "fid2", s2._1, s2._2))))
+      "p=1" -> Seq(stat("p=1", "fid2", s2._1, s2._2))),
+      Seq("doc_id", "lang", "n_chars", "quality"))
     // the dangling incomplete instant
     java.nio.file.Files.write(
       new java.io.File(hoodie, "20240103000000000.commit.requested").toPath,

@@ -136,6 +136,32 @@ class HudiSourceSpec extends SparkSpec {
     assert(orphans.head._1 === "fid3_0-0-0_20240103000000000.parquet")
   }
 
+  test("schema history and conformance track the declared evolution") {
+    val (d, _) = fresh()
+    val hist = HudiMeta.schemaHistory(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(hist("20240101000000000") === ((3, "doc_id,lang,n_chars")))
+    assert(hist("20240102000000000") ===
+      ((4, "doc_id,lang,n_chars,quality")))
+    // every live slice predates +quality — all three report it missing
+    val conf = HudiMeta.schemaConformance(spark, d).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(conf.length === 3)
+    assert(conf.forall(_ === ((4, 3, "quality"))))
+    // a commit without a declared schema refuses conformance loudly
+    val (d2, _) = fresh()
+    val c2 = new java.io.File(d2, ".hoodie/20240102000000000.commit")
+    val txt = new String(java.nio.file.Files.readAllBytes(c2.toPath), "UTF-8")
+    require(txt.contains(""","extraMetadata""""))
+    java.nio.file.Files.write(c2.toPath,
+      (txt.substring(0, txt.indexOf(""","extraMetadata"""")) + "}")
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      HudiMeta.schemaConformance(spark, d2)
+    }
+    assert(e.getMessage.contains("declares no"))
+  }
+
   test("merge-on-read tables refuse up front") {
     val (d, _) = fresh()
     val props = new java.io.File(d, ".hoodie/hoodie.properties")
