@@ -32,6 +32,25 @@ private[graft] object EntryHelpers {
   /** sf dir the driver's DuckDB verification runs at. */
   private[graft] val OracleSf = "/root/testdata/sf0.01"
 
+  /**
+   * Write-once-per-JVM memoization for PURE shared fixtures: a dozen
+   * queries each rebuild the same deterministic /tmp fixture from the
+   * same writer; within one Verify/Bench JVM the first build stands
+   * and later queries skip straight to reading it. Only used for
+   * fixtures no query mutates after writing — mutating queries
+   * (metadata rewinds, planted mtimes, corruption edits) use their own
+   * dirs by convention, audited per call site. A missing dir (the
+   * hermetic pre-clean, a manual delete) naturally rebuilds.
+   */
+  private val builtFixtures =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def fixtureOnce(dir: String)(write: => Unit): Unit = {
+    if (!builtFixtures.contains(dir) || !new java.io.File(dir).exists()) {
+      write
+      builtFixtures.add(dir)
+    }
+  }
+
   private[graft] def pq(dir: String, table: String): String = s"$dir/$table.parquet"
 
   /**

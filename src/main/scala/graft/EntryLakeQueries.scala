@@ -126,7 +126,9 @@ private[graft] object EntryLakeQueries {
     "meta_delta_snapshot" -> ((s, dir) => {
       val out = "/tmp/graft_delta_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       meta(s, out, "snapshot", Map("source" -> "delta"))
         .select(col("version"), col("kind"), col("n_add"), col("n_remove"),
           col("operation"), col("op_timestamp"))
@@ -145,7 +147,9 @@ private[graft] object EntryLakeQueries {
     "meta_delta_live" -> ((s, dir) => {
       val out = "/tmp/graft_delta_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       val live = DeltaMeta.snapshotFiles(s, out)
         .select(col("abs_path"), col("num_records"))
       val footers = meta(s, out, "file", Map("source" -> "parquet"))
@@ -173,7 +177,9 @@ private[graft] object EntryLakeQueries {
     "meta_delta_vacuum" -> ((s, dir) => {
       val out = "/tmp/graft_delta_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       DeltaMeta.vacuumCandidates(s, out, 1700000010000L, 7500L)
         .select(col("path"), col("deleted_at"), col("age_ms"), col("num_rows"))
     }),
@@ -187,7 +193,9 @@ private[graft] object EntryLakeQueries {
     "meta_delta_txn" -> ((s, dir) => {
       val out = "/tmp/graft_delta_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       DeltaMeta.latestTransactions(s, out)
     }),
 
@@ -200,7 +208,9 @@ private[graft] object EntryLakeQueries {
     "meta_delta_schema" -> ((s, dir) => {
       val out = "/tmp/graft_delta_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       DeltaMeta.schemaHistory(s, out)
     }),
 
@@ -213,7 +223,9 @@ private[graft] object EntryLakeQueries {
     "meta_delta_conformance" -> ((s, dir) => {
       val out = "/tmp/graft_delta_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       DeltaMeta.schemaConformance(s, out)
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
           col("n_declared"), col("n_present"), col("missing_csv"))
@@ -277,7 +289,9 @@ private[graft] object EntryLakeQueries {
       val d = "/tmp/graft_deltadv_" + sfx
       val i = "/tmp/graft_iceberg_" + sfx
       DeltaMeta.writeDvFixtureTable(s, d, s.read.parquet(pq(dir, "documents")))
-      IcebergMeta.writeFixtureTable(s, i, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(i) {
+        IcebergMeta.writeFixtureTable(s, i, s.read.parquet(pq(dir, "documents")))
+      }
       MetaValues.tableCensus(s, d).unionByName(MetaValues.tableCensus(s, i))
     }),
 
@@ -319,7 +333,9 @@ private[graft] object EntryLakeQueries {
     "meta_delta_travel" -> ((s, dir) => {
       val out = "/tmp/graft_delta_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       (0L to 4L).map { v =>
         DeltaMeta.snapshotFilesAt(s, out, Some(v))
           .agg(
@@ -338,7 +354,9 @@ private[graft] object EntryLakeQueries {
     "meta_delta_time_travel" -> ((s, dir) => {
       val out = "/tmp/graft_delta_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       val ts0 = 1700000000000L
       Seq(500L, 2500L, 99999L).map { off =>
         val v = DeltaMeta.versionAt(s, out, ts0 + off)
@@ -535,7 +553,9 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_snapshot" -> ((s, dir) => {
       val out = "/tmp/graft_iceberg_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       meta(s, out, "snapshot", Map("source" -> "iceberg"))
         .select(col("snapshot_id"), col("timestamp_ms"), col("operation"),
           col("is_current"), col("format_version"))
@@ -554,7 +574,9 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_live" -> ((s, dir) => {
       val out = "/tmp/graft_iceberg_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       val entries = IcebergMeta.currentFiles(s, out)
       val live = entries
         .filter(col("status") =!= 2 && col("content") === 0)
@@ -641,7 +663,9 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_schema" -> ((s, dir) => {
       val out = "/tmp/graft_iceberg_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.schemaHistory(s, out)
     }),
 
@@ -657,7 +681,9 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_conformance" -> ((s, dir) => {
       val out = "/tmp/graft_iceberg_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.schemaConformance(s, out)
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
           col("n_declared"), col("n_present"), col("missing_csv"))
@@ -673,7 +699,9 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_delete_rows" -> ((s, dir) => {
       val out = "/tmp/graft_iceberg_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       val pos = IcebergMeta.positionDeleteRows(s, out)
       val rows = s.read.parquet(out + "/data/f0.parquet")
         .select(col("doc_id"),
@@ -724,7 +752,9 @@ private[graft] object EntryLakeQueries {
     "compaction_plan_delta" -> ((s, dir) => {
       val out = "/tmp/graft_delta_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       val files = DeltaMeta.snapshotFiles(s, out).select(
         col("path"), col("size"),
         array_join(array_sort(transform(map_entries(col("partition_values")),
@@ -896,7 +926,9 @@ private[graft] object EntryLakeQueries {
     "meta_delta_last_ckpt" -> ((s, dir) => {
       val out = "/tmp/graft_delta_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       DeltaMeta.lastCheckpointAudit(s, out)
     }),
 
@@ -1056,7 +1088,9 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_manifest_health" -> ((s, dir) => {
       val out = "/tmp/graft_iceberg_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.manifestHealthReport(s, out)
     }),
 
@@ -1155,7 +1189,9 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_changelog" -> ((s, dir) => {
       val out = "/tmp/graft_iceberg_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.changelogScan(s, out, 1L, 2L)
         .select(col("doc_id"), col("lang"), col("_change_type"))
     }),
@@ -1242,7 +1278,9 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_incremental" -> ((s, dir) => {
       val out = "/tmp/graft_iceberg_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.appendedFiles(s, out, 1L, 2L)
         .select(regexp_extract(col("file_path"), "([^/]+)$", 1).as("file"),
           col("content").cast("int").as("content"), col("record_count"))
@@ -1286,7 +1324,9 @@ private[graft] object EntryLakeQueries {
     "meta_delta_incremental" -> ((s, dir) => {
       val out = "/tmp/graft_delta_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       DeltaMeta.commitDiff(s, out, 2L, 4L)
     }),
 
@@ -1444,7 +1484,9 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_rollback" -> ((s, dir) => {
       val out = "/tmp/graft_iceberg_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.rollbackPlan(s, out, 1L)
         .select(col("action"),
           regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
@@ -1520,7 +1562,9 @@ private[graft] object EntryLakeQueries {
     "meta_delta_restore" -> ((s, dir) => {
       val out = "/tmp/graft_delta_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       DeltaMeta.restorePlan(s, out, 1L)
         .select(col("action"), col("path"), col("num_records"))
     }),
@@ -1624,7 +1668,9 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_time_travel" -> ((s, dir) => {
       val out = "/tmp/graft_iceberg_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       val ts0 = 1700000000000L
       Seq(500L, 99999L).map { off =>
         val id = IcebergMeta.snapshotIdAt(s, out, ts0 + off)
@@ -1648,7 +1694,9 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_travel" -> ((s, dir) => {
       val out = "/tmp/graft_iceberg_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       Seq(1L, 2L).map { id =>
         IcebergMeta.filesAt(s, out, Some(id))
           .filter(col("status") =!= 2 && col("content") === 0)
@@ -1713,8 +1761,10 @@ private[graft] object EntryLakeQueries {
     "meta_hudi_timeline" -> ((s, dir) => {
       val out = "/tmp/graft_hudi_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      HudiMeta.writeHudiFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        HudiMeta.writeHudiFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       HudiMeta.timelineReport(s, out)
     }),
 
@@ -1727,8 +1777,10 @@ private[graft] object EntryLakeQueries {
     "meta_hudi_live" -> ((s, dir) => {
       val out = "/tmp/graft_hudi_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      HudiMeta.writeHudiFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        HudiMeta.writeHudiFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       HudiMeta.liveCensus(s, out)
         .select(col("file_id"), col("partition_path"), col("path"),
           col("instant_time"), col("declared_rows"), col("footer_rows"),
@@ -1743,8 +1795,10 @@ private[graft] object EntryLakeQueries {
     "meta_hudi_travel" -> ((s, dir) => {
       val out = "/tmp/graft_hudi_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      HudiMeta.writeHudiFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        HudiMeta.writeHudiFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       Seq("20240101000000000", "20240102000000000").map { i =>
         HudiMeta.liveCensus(s, out, Some(i))
           .agg(lit(i).as("instant_time"),
@@ -1762,8 +1816,10 @@ private[graft] object EntryLakeQueries {
     "meta_hudi_incremental" -> ((s, dir) => {
       val out = "/tmp/graft_hudi_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      HudiMeta.writeHudiFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        HudiMeta.writeHudiFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       val (c1, c2) = ("20240101000000000", "20240102000000000")
       Seq(("0", c1), (c1, c2)).map { case (f, t) =>
         HudiMeta.incrementalPull(s, out, f, t)
@@ -1781,8 +1837,10 @@ private[graft] object EntryLakeQueries {
     "meta_hudi_census" -> ((s, dir) => {
       val out = "/tmp/graft_hudi_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      HudiMeta.writeHudiFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        HudiMeta.writeHudiFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       MetaValues.tableCensus(s, out)
     }),
 
@@ -1793,8 +1851,10 @@ private[graft] object EntryLakeQueries {
     "meta_hudi_clean" -> ((s, dir) => {
       val out = "/tmp/graft_hudi_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      HudiMeta.writeHudiFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        HudiMeta.writeHudiFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       HudiMeta.cleanPlan(s, out, 1)
         .select(col("file_id"), col("path"), col("instant_time"),
           col("declared_rows"))
@@ -1806,8 +1866,10 @@ private[graft] object EntryLakeQueries {
     "meta_hudi_orphans" -> ((s, dir) => {
       val out = "/tmp/graft_hudi_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      HudiMeta.writeHudiFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        HudiMeta.writeHudiFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       HudiMeta.orphanReport(s, out)
     }),
 
@@ -1819,8 +1881,10 @@ private[graft] object EntryLakeQueries {
     "meta_hudi_source" -> ((s, dir) => {
       val out = "/tmp/graft_hudi_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      HudiMeta.writeHudiFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        HudiMeta.writeHudiFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       s.read.format("metadata").load(out)
         .select(col("instant_time"), col("action"), col("state"))
     }),
@@ -1897,8 +1961,10 @@ private[graft] object EntryLakeQueries {
     "meta_hudi_partition_prune" -> ((s, dir) => {
       val out = "/tmp/graft_hudi_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      HudiMeta.writeHudiFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        HudiMeta.writeHudiFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       HudiMeta.readPartitionPruned(s, out, "p=1")
         .agg(count(lit(1)).cast("long").as("n_rows"),
           sum(col("doc_id")).cast("long").as("sum_id"))
@@ -1911,8 +1977,10 @@ private[graft] object EntryLakeQueries {
     "meta_hudi_schema" -> ((s, dir) => {
       val out = "/tmp/graft_hudi_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      HudiMeta.writeHudiFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        HudiMeta.writeHudiFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       HudiMeta.schemaHistory(s, out)
     }),
 
@@ -1925,8 +1993,10 @@ private[graft] object EntryLakeQueries {
     "meta_hudi_conformance" -> ((s, dir) => {
       val out = "/tmp/graft_hudi_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      HudiMeta.writeHudiFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        HudiMeta.writeHudiFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       HudiMeta.schemaConformance(s, out)
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
           col("n_declared"), col("n_present"), col("missing_csv"))
