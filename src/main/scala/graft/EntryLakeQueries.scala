@@ -381,7 +381,9 @@ private[graft] object EntryLakeQueries {
     "meta_delta_dv" -> ((s, dir) => {
       val out = "/tmp/graft_deltadv_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeDvFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeDvFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       DeltaMeta.snapshotFiles(s, out)
         .agg(
           count(lit(1)).cast("long").as("n_live"),
@@ -498,8 +500,10 @@ private[graft] object EntryLakeQueries {
     "meta_delta_colmap" -> ((s, dir) => {
       val out = "/tmp/graft_deltacm_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeColumnMappedFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeColumnMappedFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       DeltaMeta.schemaConformance(s, out)
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
           col("n_declared"), col("n_present"), col("missing_csv"))
@@ -532,8 +536,10 @@ private[graft] object EntryLakeQueries {
     "meta_delta_colmap_prune" -> ((s, dir) => {
       val out = "/tmp/graft_deltacm_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      DeltaMeta.writeColumnMappedFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        DeltaMeta.writeColumnMappedFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       val (_, mapping, _) = DeltaMeta.columnMappingInfo(s, out)
       val live = DeltaMeta.snapshotFiles(s, out)
       val pruned = live.filter(
@@ -611,8 +617,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_partition_prune" -> ((s, dir) => {
       val out = "/tmp/graft_icepart_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writePartitionedFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writePartitionedFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       val files = IcebergMeta.currentFiles(s, out)
       val pruned = files
         .filter(element_at(col("partition_values"), "lang") === "zh")
@@ -775,8 +783,10 @@ private[graft] object EntryLakeQueries {
     "compaction_plan_iceberg" -> ((s, dir) => {
       val out = "/tmp/graft_icepart_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writePartitionedFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writePartitionedFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       val files = IcebergMeta.currentFiles(s, out)
         .filter(col("status") =!= 2 && col("content") === 0)
         .select(
@@ -860,8 +870,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_summary_audit2" -> ((s, dir) => {
       val out = "/tmp/graft_icesum2_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeSummaryFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeSummaryFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.snapshotSummaryAuditCells(s, out)
     }),
 
@@ -879,8 +891,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_summary_inputs" -> ((s, dir) => {
       val out = "/tmp/graft_icesum2_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeSummaryFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeSummaryFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.summaryInputsReport(s, out)
     }),
 
@@ -1054,8 +1068,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_eq_rows" -> ((s, dir) => {
       val out = "/tmp/graft_iceeq_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeEqDeleteFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeEqDeleteFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.equalityDeleteRows(s, out)
         .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
           col("eq_cols"), col("key_csv"))
@@ -1241,8 +1257,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_changelog_eq" -> ((s, dir) => {
       val out = "/tmp/graft_iceeq_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeEqDeleteFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeEqDeleteFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.changelogScan(s, out, 1L, 2L)
         .select(col("doc_id"), col("lang"), col("_change_type"))
     }),
@@ -1340,8 +1358,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_eq_census" -> ((s, dir) => {
       val out = "/tmp/graft_iceeq_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeEqDeleteFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeEqDeleteFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.equalityNetCensus(s, out)
         .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
           col("record_count"), col("eq_deleted"), col("net_rows"))
@@ -1358,8 +1378,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_bounds_prune" -> ((s, dir) => {
       val out = "/tmp/graft_icebnd_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeBoundsFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeBoundsFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.manifestBoundsPrune(s, out, "doc_id", 100L, 200L)
         .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
           col("lower"), col("upper"), col("survives"))
@@ -1373,8 +1395,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_pruned_read" -> ((s, dir) => {
       val out = "/tmp/graft_icebnd_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeBoundsFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeBoundsFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.readBoundsPruned(s, out, "doc_id", 100L, 200L)
         .filter(col("doc_id").between(100L, 200L))
         .agg(count(lit(1)).cast("long").as("n_rows"),
@@ -1387,8 +1411,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_bounds_clustering" -> ((s, dir) => {
       val out = "/tmp/graft_icebnd_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeBoundsFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeBoundsFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.boundsClusteringReport(s, out, "doc_id")
     }),
 
@@ -1415,8 +1441,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_bounds_prune_str" -> ((s, dir) => {
       val out = "/tmp/graft_icesbnd_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeStringBoundsFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeStringBoundsFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       val probe = s.read.parquet(out + "/data/s0.parquet")
         .agg(max("lang")).head().getString(0)
       IcebergMeta.manifestBoundsPruneString(s, out, "lang", probe)
@@ -1433,8 +1461,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_bounds_prune_str_range" -> ((s, dir) => {
       val out = "/tmp/graft_icesbnd_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeStringBoundsFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeStringBoundsFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       val mm = s.read.parquet(out + "/data/s1.parquet")
         .agg(min("lang"), max("lang")).head()
       IcebergMeta.manifestBoundsPruneStringRange(
@@ -1451,8 +1481,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_bounds_prune_date" -> ((s, dir) => {
       val out = "/tmp/graft_icetbnd_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeTypedBoundsFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeTypedBoundsFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.manifestBoundsPruneDate(
         s, out, "d", "2020-02-01", "2020-03-15")
         .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
@@ -1468,8 +1500,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_bounds_prune_dec" -> ((s, dir) => {
       val out = "/tmp/graft_icetbnd_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeTypedBoundsFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeTypedBoundsFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.manifestBoundsPruneDecimal(
         s, out, "amount", BigDecimal("10.00"), BigDecimal("17.25"))
         .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
@@ -1623,8 +1657,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_eq_part_rows" -> ((s, dir) => {
       val out = "/tmp/graft_iceeqp_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeEqDeletePartitionedFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeEqDeletePartitionedFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.equalityDeleteRows(s, out)
         .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
           col("eq_cols"), col("key_csv"))
@@ -1636,8 +1672,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_eq_part_census" -> ((s, dir) => {
       val out = "/tmp/graft_iceeqp_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeEqDeletePartitionedFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeEqDeletePartitionedFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.equalityNetCensus(s, out)
         .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
           col("record_count"), col("eq_deleted"), col("net_rows"))
@@ -1719,8 +1757,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_bucket_prune" -> ((s, dir) => {
       val out = "/tmp/graft_icebkt_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeBucketFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeBucketFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.bucketPrune(s, out, "doc_id", 7L)
         .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
           col("part_bucket"), col("survives"))
@@ -1732,8 +1772,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_bucket_read" -> ((s, dir) => {
       val out = "/tmp/graft_icebkt_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeBucketFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) {
+        IcebergMeta.writeBucketFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.readBucketPruned(s, out, "doc_id", 7L)
         .filter(col("doc_id") === 7L)
         .agg(count(lit(1)).cast("long").as("n_rows"),
