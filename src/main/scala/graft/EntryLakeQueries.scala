@@ -2012,6 +2012,28 @@ private[graft] object EntryLakeQueries {
           sum(col("doc_id")).cast("long").as("sum_id"))
     }),
 
+    // COMPACTION PLAN (hudi): the same small-file planner the delta and
+    // iceberg tiers run, over the commit-declared live slices — sizes
+    // come from the commits' own totalWriteBytes, zero file I/O at
+    // planning time. p=0's two small slices bin together; p=1's lone
+    // slice never forms a group. Oracle: read_blob sizes of the same
+    // live files (the fixture declares truthful bytes) + the same
+    // window rule.
+    "compaction_plan_hudi" -> ((s, dir) => {
+      val out = "/tmp/graft_hudi_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      val files = HudiMeta.liveFiles(s, out).select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+        col("file_size").as("size"),
+        col("partition_path").as("partition_key"))
+      val target = 3L * files.agg(min(col("size"))).head().getLong(0)
+      MetaValues.compactionPlan(files, target)
+    }),
+
     // HUDI SCHEMA HISTORY from each commit's own extraMetadata.schema
     // (the avro writer schema hudi stamps per commit): c2 evolves the
     // declared schema (+quality). Oracle: DuckDB parses the same
@@ -3278,6 +3300,31 @@ private[graft] object EntryLakeQueries {
         |FROM read_parquet(
         |  '/tmp/graft_hudi_sf0.01/p=1/fid2_0-0-0_20240102000000000.parquet')"""
         .stripMargin,
+
+    "compaction_plan_hudi" ->
+      """WITH f AS (
+        |  SELECT regexp_extract(filename, '(p=[^/]+)/', 1) AS part,
+        |    parse_filename(filename) AS path, CAST(size AS BIGINT) AS sz
+        |  FROM read_blob('/tmp/graft_hudi_sf0.01/p=*/*.parquet')
+        |  WHERE parse_filename(filename) IN (
+        |    'fid0_0-0-0_20240102000000000.parquet',
+        |    'fid1_0-0-0_20240101000000000.parquet',
+        |    'fid2_0-0-0_20240102000000000.parquet')
+        |),
+        |t AS (SELECT 3 * min(sz) AS tgt FROM f),
+        |small AS (SELECT * FROM f WHERE sz < (SELECT tgt FROM t)),
+        |g AS (
+        |  SELECT part, path, sz,
+        |    COALESCE(sum(sz) OVER (PARTITION BY part ORDER BY path
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM small
+        |)
+        |SELECT part AS partition_key,
+        |  CAST(floor(bef / (SELECT tgt FROM t)) AS BIGINT) AS group_id,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(sz) AS BIGINT) AS group_bytes,
+        |  min(path) AS first_path, max(path) AS last_path
+        |FROM g GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "meta_hudi_schema" ->
       """SELECT regexp_extract(parse_filename(filename),

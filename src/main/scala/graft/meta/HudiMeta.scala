@@ -216,15 +216,16 @@ object HudiMeta extends Serializable {
             .getOrElse(throw new IllegalArgumentException(
               s"$f: write stat missing '$n'"))
           val rel = str("path")
+          def lng(n: String): Long = Option(ws.get(n)).map(_.asLong())
+            .getOrElse(throw new IllegalArgumentException(
+              s"$f: write stat for $rel missing $n"))
           (instant, e.getKey, str("fileId"), rel,
-            new Path(r, rel).toString,
-            Option(ws.get("numWrites")).map(_.asLong()).getOrElse(
-              throw new IllegalArgumentException(
-                s"$f: write stat for $rel missing numWrites")))
+            new Path(r, rel).toString, lng("numWrites"),
+            lng("totalWriteBytes"))
         }
       }
     }.toDF("instant_time", "partition_path", "file_id", "path",
-      "abs_path", "declared_rows")
+      "abs_path", "declared_rows", "file_size")
   }
 
   /**
@@ -241,12 +242,13 @@ object HudiMeta extends Serializable {
       .groupBy(col("file_id"))
       .agg(max_by(
         struct(col("instant_time"), col("partition_path"), col("path"),
-          col("abs_path"), col("declared_rows")),
+          col("abs_path"), col("declared_rows"), col("file_size")),
         col("instant_time")).as("w"))
       .select(col("file_id"), col("w.instant_time").as("instant_time"),
         col("w.partition_path").as("partition_path"),
         col("w.path").as("path"), col("w.abs_path").as("abs_path"),
-        col("w.declared_rows").as("declared_rows"))
+        col("w.declared_rows").as("declared_rows"),
+        col("w.file_size").as("file_size"))
 
   /**
    * LIVE CENSUS with footer conformance — the numbers a COW reader
