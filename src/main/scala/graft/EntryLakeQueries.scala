@@ -3033,11 +3033,11 @@ private[graft] object EntryLakeQueries {
         |  false AS contains_null,
         |  CAST(0 AS BIGINT) AS lower, CAST(1 AS BIGINT) AS upper,
         |  true AS survives,
-        |  (SELECT sum(nr) FROM fm WHERE name IN
+        |  (SELECT CAST(sum(nr) AS BIGINT) FROM fm WHERE name IN
         |    ('f0.parquet', 'f1.parquet')) AS added_rows_count
         |UNION ALL
         |SELECT 'm1.avro', 0, false, 2, 3, false,
-        |  (SELECT sum(nr) FROM fm WHERE name IN
+        |  (SELECT CAST(sum(nr) AS BIGINT) FROM fm WHERE name IN
         |    ('f2.parquet', 'f3.parquet'))""".stripMargin,
 
     "meta_iceberg_bounds_prune_str" ->
@@ -3163,12 +3163,12 @@ private[graft] object EntryLakeQueries {
         |)
         |SELECT '20240101000000000' AS instant_time,
         |  CAST(2 AS BIGINT) AS n_live,
-        |  (SELECT sum(nr) FROM fm WHERE name IN (
+        |  (SELECT CAST(sum(nr) AS BIGINT) FROM fm WHERE name IN (
         |    'fid0_0-0-0_20240101000000000.parquet',
         |    'fid1_0-0-0_20240101000000000.parquet')) AS data_rows
         |UNION ALL
         |SELECT '20240102000000000', 3,
-        |  (SELECT sum(nr) FROM fm WHERE name IN (
+        |  (SELECT CAST(sum(nr) AS BIGINT) FROM fm WHERE name IN (
         |    'fid0_0-0-0_20240102000000000.parquet',
         |    'fid1_0-0-0_20240101000000000.parquet',
         |    'fid2_0-0-0_20240102000000000.parquet'))""".stripMargin,
@@ -3182,12 +3182,12 @@ private[graft] object EntryLakeQueries {
         |-- fid1's declared numWrites lies by +1 (writer contract)
         |SELECT '20240101000000000' AS instant_time,
         |  CAST(2 AS BIGINT) AS n_files,
-        |  (SELECT sum(nr) + 1 FROM fm WHERE name IN (
+        |  (SELECT CAST(sum(nr) + 1 AS BIGINT) FROM fm WHERE name IN (
         |    'fid0_0-0-0_20240101000000000.parquet',
         |    'fid1_0-0-0_20240101000000000.parquet')) AS declared_rows
         |UNION ALL
         |SELECT '20240102000000000', 2,
-        |  (SELECT sum(nr) FROM fm WHERE name IN (
+        |  (SELECT CAST(sum(nr) AS BIGINT) FROM fm WHERE name IN (
         |    'fid0_0-0-0_20240102000000000.parquet',
         |    'fid2_0-0-0_20240102000000000.parquet'))""".stripMargin,
 
@@ -3199,14 +3199,14 @@ private[graft] object EntryLakeQueries {
         |)
         |SELECT 'hudi' AS format,
         |  CAST(3 AS BIGINT) AS n_live,
-        |  (SELECT sum(nr) + 1 FROM fm WHERE name IN (
+        |  (SELECT CAST(sum(nr) + 1 AS BIGINT) FROM fm WHERE name IN (
         |    'fid0_0-0-0_20240102000000000.parquet',
         |    'fid1_0-0-0_20240101000000000.parquet',
         |    'fid2_0-0-0_20240102000000000.parquet')) AS live_rows,
         |  (SELECT CAST(count(*) AS BIGINT) FROM fm) AS n_disk,
-        |  (SELECT sum(nr) FROM fm) AS disk_rows,
+        |  (SELECT CAST(sum(nr) AS BIGINT) FROM fm) AS disk_rows,
         |  CAST(2 AS BIGINT) AS n_dead,
-        |  (SELECT sum(nr) FROM fm WHERE name IN (
+        |  (SELECT CAST(sum(nr) AS BIGINT) FROM fm WHERE name IN (
         |    'fid0_0-0-0_20240101000000000.parquet',
         |    'fid3_0-0-0_20240103000000000.parquet')) AS dead_rows"""
         .stripMargin,
@@ -3370,12 +3370,12 @@ private[graft] object EntryLakeQueries {
         |-- fid1's declared numWrites lies by +1 (writer contract)
         |SELECT '20240101000000000' AS instant_time,
         |  CAST(2 AS BIGINT) AS n_files,
-        |  (SELECT sum(nr) + 1 FROM fm WHERE name IN (
+        |  (SELECT CAST(sum(nr) + 1 AS BIGINT) FROM fm WHERE name IN (
         |    'fid0_0-0-0_20240101000000000.parquet',
         |    'fid1_0-0-0_20240101000000000.parquet')) AS declared_rows
         |UNION ALL
         |SELECT '20240102000000000', 2,
-        |  (SELECT sum(nr) FROM fm WHERE name IN (
+        |  (SELECT CAST(sum(nr) AS BIGINT) FROM fm WHERE name IN (
         |    'fid0_0-0-0_20240102000000000.parquet',
         |    'fid2_0-0-0_20240102000000000.parquet'))""".stripMargin,
 
@@ -3777,12 +3777,12 @@ private[graft] object EntryLakeQueries {
         |actual AS (
         |  SELECT CAST(1 AS BIGINT) AS snapshot_id,
         |    CAST(3 AS BIGINT) AS actual_added_files,
-        |    (SELECT sum(nr) FROM fm WHERE name IN
+        |    (SELECT CAST(sum(nr) AS BIGINT) FROM fm WHERE name IN
         |      ('f0.parquet', 'f1.parquet', 'f2.parquet'))
         |      AS actual_added_records
         |  UNION ALL
         |  SELECT 2, 2,
-        |    (SELECT sum(nr) FROM fm WHERE name IN
+        |    (SELECT CAST(sum(nr) AS BIGINT) FROM fm WHERE name IN
         |      ('f3.parquet', 'f4.parquet'))
         |),
         |wide AS (
