@@ -2066,6 +2066,56 @@ private[graft] object EntryLakeQueries {
           col("n_declared"), col("n_present"), col("missing_csv"))
     }),
 
+    // HUDI MERGE-ON-READ timeline: the deltacommit-shaped timeline of
+    // the hand-written MOR fixture — three completed deltacommits with
+    // their markers, a dangling requested deltacommit, and the bare
+    // `<instant>.inflight` COMMIT marker real Hudi writes (must parse
+    // as commit/inflight, never as a completed 'inflight' action).
+    // Oracle: closed-form writer contract.
+    "meta_hudi_mor_timeline" -> ((s, dir) => {
+      val out = "/tmp/graft_hudimor_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMorFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.timelineReport(s, out)
+    }),
+
+    // HUDI MOR FILE GROUPS: per file group the latest base slice plus
+    // its declared log chain — fid0 carries the two-log chain in
+    // version order, fid1/fid2 are log-free; the merge itself is
+    // explicitly NOT performed (declared counts reported as declared).
+    // Oracle: writer contract + the base footers.
+    "meta_hudi_mor_groups" -> ((s, dir) => {
+      val out = "/tmp/graft_hudimor_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMorFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.morFileGroups(s, out)
+        .select(col("file_id"), col("partition_path"), col("base_instant"),
+          col("base_path"), col("declared_base_rows"), col("n_logs"),
+          col("declared_log_rows"), col("log_paths_csv"))
+    }),
+
+    // HUDI MOR CENSUS with base-footer conformance: declared base rows
+    // vs each live base footer (dc1's fid1 stat LIES by +1 and must
+    // flag), log files at DECLARED depth only — the census must never
+    // open a .log file (HoodieLogFormat blocks are not modeled).
+    // Oracle: DuckDB reads the same base footers; log numbers are the
+    // writer contract.
+    "meta_hudi_mor_census" -> ((s, dir) => {
+      val out = "/tmp/graft_hudimor_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMorFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.morCensus(s, out)
+    }),
+
     // STREAMING HUDI INGEST: the checkpointed increments store across
     // TWO commit arrivals — pass A sees c1 completed and lands its
     // slices; pass B's newly-landed c2.commit lands EXACTLY c2's
@@ -3359,6 +3409,84 @@ private[graft] object EntryLakeQueries {
         |WHERE c.f IN ('fid0_0-0-0_20240102000000000.parquet',
         |  'fid1_0-0-0_20240101000000000.parquet',
         |  'fid2_0-0-0_20240102000000000.parquet')""".stripMargin,
+
+    "meta_hudi_mor_timeline" ->
+      """SELECT * FROM (VALUES
+        |  ('20240101000000000', 'deltacommit', 'completed'),
+        |  ('20240101000000000', 'deltacommit', 'inflight'),
+        |  ('20240101000000000', 'deltacommit', 'requested'),
+        |  ('20240102000000000', 'deltacommit', 'completed'),
+        |  ('20240102000000000', 'deltacommit', 'inflight'),
+        |  ('20240102000000000', 'deltacommit', 'requested'),
+        |  ('20240103000000000', 'deltacommit', 'completed'),
+        |  ('20240103000000000', 'deltacommit', 'inflight'),
+        |  ('20240103000000000', 'deltacommit', 'requested'),
+        |  ('20240104000000000', 'deltacommit', 'requested'),
+        |  ('20240105000000000', 'commit', 'inflight'))
+        |AS t(instant_time, action, state)""".stripMargin,
+
+    "meta_hudi_mor_groups" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_hudimor_sf0.01/p=*/*.parquet')
+        |)
+        |-- fid1's declared numWrites lies by +1 (writer contract)
+        |SELECT 'fid0' AS file_id, 'p=0' AS partition_path,
+        |  '20240101000000000' AS base_instant,
+        |  'p=0/fid0_0-0-0_20240101000000000.parquet' AS base_path,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid0_0-0-0_20240101000000000.parquet')
+        |    AS declared_base_rows,
+        |  CAST(2 AS BIGINT) AS n_logs, CAST(5 AS BIGINT) AS declared_log_rows,
+        |  'p=0/.fid0_20240101000000000.log.1_0-0-0,' ||
+        |    'p=0/.fid0_20240101000000000.log.2_0-0-0' AS log_paths_csv
+        |UNION ALL
+        |SELECT 'fid1', 'p=0', '20240101000000000',
+        |  'p=0/fid1_0-0-0_20240101000000000.parquet',
+        |  (SELECT CAST(nr + 1 AS BIGINT) FROM fm
+        |    WHERE name = 'fid1_0-0-0_20240101000000000.parquet'),
+        |  0, 0, ''
+        |UNION ALL
+        |SELECT 'fid2', 'p=1', '20240102000000000',
+        |  'p=1/fid2_0-0-0_20240102000000000.parquet',
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
+        |  0, 0, ''""".stripMargin,
+
+    "meta_hudi_mor_census" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_hudimor_sf0.01/p=*/*.parquet')
+        |)
+        |SELECT 'fid0' AS file_id, 'p=0' AS partition_path,
+        |  '20240101000000000' AS base_instant,
+        |  'p=0/fid0_0-0-0_20240101000000000.parquet' AS base_path,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid0_0-0-0_20240101000000000.parquet')
+        |    AS declared_base_rows,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid0_0-0-0_20240101000000000.parquet')
+        |    AS footer_base_rows,
+        |  true AS base_match,
+        |  CAST(2 AS BIGINT) AS n_logs, CAST(5 AS BIGINT) AS declared_log_rows
+        |UNION ALL
+        |SELECT 'fid1', 'p=0', '20240101000000000',
+        |  'p=0/fid1_0-0-0_20240101000000000.parquet',
+        |  (SELECT CAST(nr + 1 AS BIGINT) FROM fm
+        |    WHERE name = 'fid1_0-0-0_20240101000000000.parquet'),
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid1_0-0-0_20240101000000000.parquet'),
+        |  false, 0, 0
+        |UNION ALL
+        |SELECT 'fid2', 'p=1', '20240102000000000',
+        |  'p=1/fid2_0-0-0_20240102000000000.parquet',
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
+        |  true, 0, 0""".stripMargin,
 
     "stream_hudi_appends" ->
       """WITH fm AS (

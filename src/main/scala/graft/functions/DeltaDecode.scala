@@ -96,7 +96,8 @@ object DeltaBp {
       while (m < widths.length && decoded < n) {
         val w = widths(m)
         val miniBytes = perMini * w / 8
-        if (pos + miniBytes > bytes.length) return null
+        // subtraction form: additive bounds can wrap near Int.MaxValue
+        if (miniBytes > bytes.length - pos) return null
         var i = 0
         while (i < perMini && decoded < n) {
           var delta = 0L

@@ -62,7 +62,11 @@ object PlainDictStrings {
         (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
         ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
       i += 4
-      if (len < 0 || i + len > bytes.length) return null // length overrun
+      // overflow-safe overrun check: `i + len` wraps negative for len
+      // near Int.MaxValue, sneaking a ~2 GB copyOfRange allocation past
+      // an additive bound (found by DecodeFuzzSpec seed 777023 — OOM
+      // "Requested array size exceeds VM limit")
+      if (len < 0 || len > bytes.length - i) return null // length overrun
       out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, i, i + len))
       i += len
     }

@@ -142,7 +142,8 @@ object LevelWalk {
     val len =
       (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
       ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
-    if (len < 0 || pos + 4 + len > bytes.length) return -1
+    // subtraction form: `pos + 4 + len` wraps negative near Int.MaxValue
+    if (len < 0 || len > bytes.length - pos - 4) return -1
     pos + 4 + len
   }
 

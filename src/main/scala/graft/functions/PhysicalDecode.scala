@@ -82,7 +82,8 @@ object BoolTrueCount {
       val len =
         (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
         ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
-      if (len < 0 || pos + 4 + len > bytes.length) return null
+      // subtraction form: `pos + 4 + len` wraps negative near Int.MaxValue
+      if (len < 0 || len > bytes.length - pos - 4) return null
       val vals = RleBp.decode(bytes, pos + 4, pos + 4 + len, 1, nonNull)
       if (vals == null) return null
       var c = 0L

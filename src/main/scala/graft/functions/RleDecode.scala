@@ -188,7 +188,8 @@ object DictIndexes {
       (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8) |
       ((bytes(pos + 2) & 0xff) << 16) | ((bytes(pos + 3) & 0xff) << 24)
     pos += 4
-    if (defLen < 0 || pos + defLen > bytes.length) return null
+    // subtraction form: `pos + defLen` wraps negative near Int.MaxValue
+    if (defLen < 0 || defLen > bytes.length - pos) return null
     val defs = RleBp.decode(bytes, pos, pos + defLen,
       levelWidth(maxDef), numValues)
     if (defs == null) return null

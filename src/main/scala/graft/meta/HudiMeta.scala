@@ -47,6 +47,12 @@ object HudiMeta extends Serializable {
   private val instantRe =
     """^(\d+)\.([a-z]+)(?:\.(requested|inflight))?$""".r
 
+  /** Hudi writes COMMIT-inflight markers as a bare `<instant>.inflight`
+    * (no action token) — without this case the generic parse would
+    * read action='inflight', state='completed': a wrong COMPLETED row
+    * in the timeline. */
+  private val bareInflightRe = """^(\d+)\.inflight$""".r
+
   /** The parsed `.hoodie` timeline, instant-ordered. Non-instant
     * files (hoodie.properties, metadata dirs) are skipped; an
     * unparseable instant-LIKE name refuses (a misread timeline
@@ -62,13 +68,15 @@ object HudiMeta extends Serializable {
     fs.listStatus(hoodie).filter(_.isFile).map(_.getPath.getName)
       .filterNot(_ == "hoodie.properties")
       .flatMap {
+        case bareInflightRe(t) => Some(HudiInstant(t, "commit", "inflight"))
         case instantRe(t, action, state) =>
           Some(HudiInstant(t, action,
             Option(state).getOrElse("completed")))
         case other if other.headOption.exists(_.isDigit) =>
           throw new IllegalArgumentException(
             s"$root: unparseable timeline file '$other' — refusing " +
-              "rather than mis-reading the timeline")
+              "rather than mis-reading the timeline (known-unsupported: " +
+              "Hudi 1.x completion-time names like <begin>_<end>.commit)")
         case _ => None
       }
       .sortBy(i => (i.instant, i.action, i.state))
@@ -108,6 +116,17 @@ object HudiMeta extends Serializable {
             s"$root: no completed commit at instant $t (completed: " +
               s"${commits.mkString(", ")})")
         }
+        // A completed clean DELETED superseded slices from disk; a view
+        // older than the newest clean may reference files that no
+        // longer exist — refuse up front, never a mid-scan
+        // missing-file task failure.
+        completed.filter(_.action == "clean").map(_.instant)
+          .filter(_ > t).sorted.lastOption.foreach { c =>
+            throw new UnsupportedOperationException(
+              s"$root: time travel to $t crosses completed clean $c — " +
+                "cleaned slices are gone from disk; refusing rather " +
+                "than failing on a missing base file")
+          }
         commits.filter(_ <= t)
     }
   }
@@ -118,11 +137,13 @@ object HudiMeta extends Serializable {
     * instant-like names. */
   private[meta] def parseInstantName(
       name: String, where: String): (String, String, String) = name match {
+    case bareInflightRe(t) => (t, "commit", "inflight")
     case instantRe(t, action, state) =>
       (t, action, Option(state).getOrElse("completed"))
     case other => throw new IllegalArgumentException(
       s"$where: unparseable timeline file '$other' — refusing rather " +
-        "than mis-reading the timeline")
+        "than mis-reading the timeline (known-unsupported: Hudi 1.x " +
+        "completion-time names like <begin>_<end>.commit)")
   }
 
   /** The `.hoodie` timeline as [[FileSlice]]s for the metadata
@@ -524,6 +545,210 @@ object HudiMeta extends Serializable {
     spark.read.parquet(storeDir + "/inc_*")
 
   // ---------------------------------------------------------------------
+  // MERGE-ON-READ tier — declared-stats depth (HoodieDeltaWriteStat).
+  //
+  // A MOR table's writes are DELTACOMMITs: each file group is a base
+  // parquet plus a chain of log files (`.{fileId}_{baseInstant}.log.
+  // {version}_{writeToken}` — hidden dot-files); a COMPACTION `commit`
+  // rewrites the base merging its logs. What this tier models is the
+  // PLANNING surface Hudi's own timeline resolution gives a reader:
+  // per file group the latest base slice and the log files attached to
+  // it, with the deltacommits' DECLARED row counts
+  // (HoodieDeltaWriteStat.numWrites). Per-row merge — resolving which
+  // base rows a log block supersedes — needs the HoodieLogFormat block
+  // walk and is EXPLICITLY not offered: declared counts are reported
+  // as declared, never presented as merged row counts.
+  //
+  // Scale posture: same as the COW tier — timeline-sized driver
+  // listing, one task per completed instant JSON, file-group-keyed
+  // metadata-scale shuffles, one footer read per live BASE file.
+  // ---------------------------------------------------------------------
+
+  /** Log-file NAME shape: `.{fileId}_{baseInstant}.log.{ver}_{token}`
+    * — the base instant the log attaches to is IN the name. */
+  private val logNameRe = """^\.(.+)_(\d+)\.log\.(\d+)_(.+)$""".r
+
+  /** Completed visibility-affecting instants of a MOR (or COW) table:
+    * `deltacommit` (MOR writes) and `commit` (inserts / compaction).
+    * `replacecommit`/`restore` still refuse (file-group replacement
+    * is not modeled); clean/rollback pass through. */
+  private def completedMorInstants(
+      root: Path, tl: Seq[HudiInstant],
+      asOf: Option[String]): Seq[HudiInstant] = {
+    val completed = tl.filter(_.state == "completed")
+    completed.find(i => Set("replacecommit", "restore").contains(i.action))
+      .foreach { i =>
+        throw new UnsupportedOperationException(
+          s"$root: timeline carries a completed ${i.action} " +
+            s"(${i.instant}) — file-group replacement is not modeled " +
+            "here; refusing rather than resurrecting replaced files")
+      }
+    val writes = completed
+      .filter(i => i.action == "commit" || i.action == "deltacommit")
+    asOf match {
+      case None => writes
+      case Some(t) =>
+        if (!writes.exists(_.instant == t)) {
+          throw new IllegalArgumentException(
+            s"$root: no completed commit/deltacommit at instant $t " +
+              s"(completed: ${writes.map(_.instant).mkString(", ")})")
+        }
+        completed.filter(_.action == "clean").map(_.instant)
+          .filter(_ > t).sorted.lastOption.foreach { c =>
+            throw new UnsupportedOperationException(
+              s"$root: time travel to $t crosses completed clean $c — " +
+                "cleaned slices are gone from disk; refusing rather " +
+                "than failing on a missing base file")
+          }
+        writes.filter(_.instant <= t)
+    }
+  }
+
+  /** Every write DECLARED by the completed commits/deltacommits at or
+    * before `asOf`, base and log files both: `(instant_time, action,
+    * partition_path, file_id, path, abs_path, is_log, base_instant,
+    * declared_rows, file_size)`. One task per instant JSON. A log
+    * write stat whose base attachment cannot be resolved (neither the
+    * log name nor a declared `baseFile` carries the base instant)
+    * refuses — a log silently attached to the wrong slice corrupts
+    * the census. */
+  private[meta] def morDeclaredWrites(
+      spark: SparkSession, table: String,
+      asOf: Option[String]): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    val instants = completedMorInstants(root, timeline(root, conf), asOf)
+      .map(i => (i.instant, i.action))
+    if (instants.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: no completed commits/deltacommits — nothing is live")
+    }
+    val rootStr = root.toString
+    val sconf = new SerializableHadoopConf(conf)
+    instants.toDS().flatMap { case (instant, action) =>
+      val r = new Path(rootStr)
+      val fs = r.getFileSystem(sconf.value)
+      val f = new Path(new Path(r, ".hoodie"), s"$instant.$action")
+      val in = fs.open(f)
+      val node =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+        finally in.close()
+      val stats = Option(node.get("partitionToWriteStats")).getOrElse(
+        throw new IllegalArgumentException(
+          s"$f: commit metadata carries no partitionToWriteStats — " +
+            "refusing rather than treating the commit as empty"))
+      import scala.jdk.CollectionConverters._
+      stats.properties().asScala.flatMap { e =>
+        e.getValue.elements().asScala.map { ws =>
+          def str(n: String): Option[String] =
+            Option(ws.get(n)).map(_.asText()).filter(_.nonEmpty)
+          val rel = str("path").getOrElse(
+            throw new IllegalArgumentException(
+              s"$f: write stat missing 'path'"))
+          def lng(n: String): Long = Option(ws.get(n)).map(_.asLong())
+            .getOrElse(throw new IllegalArgumentException(
+              s"$f: write stat for $rel missing $n"))
+          val name = rel.substring(rel.lastIndexOf('/') + 1)
+          val isLog = name.contains(".log.")
+          val baseInstant =
+            if (!isLog) instant
+            else name match {
+              case logNameRe(_, bi, _, _) => bi
+              case _ => str("baseFile") match {
+                // base file name: <fileId>_<token>_<instant>.parquet
+                case Some(bf) if bf.endsWith(".parquet") &&
+                    bf.lastIndexOf('_') >= 0 =>
+                  bf.substring(bf.lastIndexOf('_') + 1,
+                    bf.length - ".parquet".length)
+                case _ => throw new IllegalArgumentException(
+                  s"$f: log write '$rel' resolves to no base instant " +
+                    "(unparseable name, no baseFile) — refusing rather " +
+                    "than attaching the log to the wrong slice")
+              }
+            }
+          (instant, action, e.getKey,
+            str("fileId").getOrElse(throw new IllegalArgumentException(
+              s"$f: write stat for $rel missing fileId")),
+            rel, new Path(r, rel).toString, isLog, baseInstant,
+            lng("numWrites"), lng("totalWriteBytes"))
+        }
+      }
+    }.toDF("instant_time", "action", "partition_path", "file_id", "path",
+      "abs_path", "is_log", "base_instant", "declared_rows", "file_size")
+  }
+
+  /**
+   * MOR FILE GROUPS at `asOf` (None = latest): per file group the
+   * latest BASE slice plus the log chain attached to exactly that
+   * slice by later completed deltacommits — the file-slice view a MOR
+   * snapshot reader plans from. Logs attached to a SUPERSEDED base
+   * (compacted away) drop out by the base-instant join, exactly as
+   * Hudi's own file-system view resolves slices. One row per live
+   * file group; `declared_log_rows` is the deltacommits' own claim
+   * (merge not performed — see the tier note).
+   */
+  def morFileGroups(
+      spark: SparkSession, table: String,
+      asOf: Option[String] = None): DataFrame = {
+    val w = morDeclaredWrites(spark, table, asOf)
+    val bases = w.filter(!col("is_log"))
+      .groupBy(col("file_id"))
+      .agg(max_by(
+        struct(col("instant_time"), col("partition_path"), col("path"),
+          col("abs_path"), col("declared_rows"), col("file_size")),
+        col("instant_time")).as("b"))
+      .select(col("file_id"), col("b.instant_time").as("base_instant"),
+        col("b.partition_path").as("partition_path"),
+        col("b.path").as("base_path"),
+        col("b.abs_path").as("base_abs_path"),
+        col("b.declared_rows").as("declared_base_rows"),
+        col("b.file_size").as("base_file_size"))
+    val logs = w.filter(col("is_log"))
+      .groupBy(col("file_id"), col("base_instant"))
+      .agg(count(lit(1)).as("n_logs"),
+        sum(col("declared_rows")).cast("long").as("declared_log_rows"),
+        array_join(array_sort(collect_list(col("path"))), ",")
+          .as("log_paths_csv"))
+    bases.join(logs, Seq("file_id", "base_instant"), "left")
+      .select(col("file_id"), col("partition_path"), col("base_instant"),
+        col("base_path"), col("base_abs_path"),
+        col("declared_base_rows"), col("base_file_size"),
+        coalesce(col("n_logs"), lit(0L)).as("n_logs"),
+        coalesce(col("declared_log_rows"), lit(0L))
+          .as("declared_log_rows"),
+        coalesce(col("log_paths_csv"), lit("")).as("log_paths_csv"))
+  }
+
+  /**
+   * MOR CENSUS with base-footer conformance: [[morFileGroups]] plus
+   * each live BASE file's own parquet row count (one footer read per
+   * group, distributed) — `base_match=false` names a deltacommit that
+   * lied about its base write. Log files are reported at DECLARED
+   * depth only (`n_logs`, `declared_log_rows`): their row-level truth
+   * lives behind the HoodieLogFormat block walk this tier explicitly
+   * does not perform. One row per live file group.
+   */
+  def morCensus(
+      spark: SparkSession, table: String,
+      asOf: Option[String] = None): DataFrame = {
+    val fg = morFileGroups(spark, table, asOf)
+    val conf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    val footer = fg.select(col("base_abs_path")).as[String]
+      .map(p => (p, Footers.read(new Path(p), conf.value).numRows))
+      .toDF("base_abs_path", "footer_base_rows")
+    fg.join(footer, "base_abs_path")
+      .select(col("file_id"), col("partition_path"), col("base_instant"),
+        col("base_path"), col("declared_base_rows"),
+        col("footer_base_rows"),
+        (col("declared_base_rows") === col("footer_base_rows"))
+          .as("base_match"),
+        col("n_logs"), col("declared_log_rows"))
+  }
+
+  // ---------------------------------------------------------------------
   // Deterministic fixture writer (tests + oracle queries)
   // ---------------------------------------------------------------------
 
@@ -624,5 +849,115 @@ object HudiMeta extends Serializable {
       new java.io.File(hoodie, "20240103000000000.commit.requested").toPath,
       Array.empty[Byte])
     Map(s0._1 -> s0._2, s1._1 -> s1._2, s0b._1 -> s0b._2, s2._1 -> s2._2)
+  }
+
+  /**
+   * Hand-write a filesystem Hudi MERGE-ON-READ table against the
+   * public spec: three completed DELTACOMMITs — dc1 inserts base
+   * files `fid0`/`fid1` under `p=0` (fid1's declared `numWrites` LIES
+   * by +1, exercising base conformance); dc2 appends LOG file v1 to
+   * fid0's slice (3 declared update rows, HoodieDeltaWriteStat shape
+   * with `baseFile`/`logVersion`) and inserts base `fid2` under
+   * `p=1`; dc3 appends log v2 to the same slice (2 declared rows) —
+   * a real on-disk `.log` chain. Log files carry the HoodieLogFormat
+   * magic (`#HUDI#`) plus opaque payload: this tier reads DECLARED
+   * stats, never log blocks, and the census must not touch them. A
+   * dangling requested deltacommit and a bare `<instant>.inflight`
+   * COMMIT marker (the no-action-token layout real Hudi writes) are
+   * planted — neither may surface as completed. Returns rows per
+   * relative base-file path.
+   */
+  def writeHudiMorFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val hoodie = new java.io.File(root, ".hoodie")
+    hoodie.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, "hoodie.properties").toPath,
+      ("hoodie.table.name=graft_hudi_mor_fixture\n" +
+        "hoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.version=6\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (dc1, dc2, dc3) =
+      ("20240101000000000", "20240102000000000", "20240103000000000")
+    def writeBase(part: String, fid: String, instant: String,
+        slice: DataFrame): (String, Long) = {
+      val rel = s"$part/${fid}_0-0-0_$instant.parquet"
+      val dst = new java.io.File(root, rel)
+      dst.getParentFile.mkdirs()
+      rel -> FixtureIO.writeSingleParquet(slice, dst,
+        dir + s"_hudimor_${fid}_$instant")
+    }
+    def writeLog(part: String, fid: String, baseInstant: String,
+        version: Int, payload: Int): String = {
+      val rel = s"$part/.${fid}_$baseInstant.log.${version}_0-0-0"
+      val dst = new java.io.File(root, rel)
+      dst.getParentFile.mkdirs()
+      // HoodieLogFormat magic + opaque bytes: declared stats are the
+      // source of truth here, the block payload is never parsed
+      java.nio.file.Files.write(dst.toPath,
+        "#HUDI#".getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
+          Array.fill[Byte](payload)(0x5A))
+      rel
+    }
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val s0 = writeBase("p=0", "fid0", dc1,
+      base.filter(pmod(col("doc_id"), lit(3)) === 0))
+    val s1 = writeBase("p=0", "fid1", dc1,
+      base.filter(pmod(col("doc_id"), lit(3)) === 1))
+    val s2 = writeBase("p=1", "fid2", dc2,
+      base.filter(pmod(col("doc_id"), lit(3)) === 2))
+    val log1 = writeLog("p=0", "fid0", dc1, 1, 64)
+    val log2 = writeLog("p=0", "fid0", dc1, 2, 48)
+    def baseStat(part: String, fid: String, rel: String,
+        rows: Long): String =
+      s"""{"fileId":"$fid","path":"$rel","numWrites":$rows,
+         |"numDeletes":0,"numInserts":$rows,
+         |"totalWriteBytes":${new java.io.File(root, rel).length()},
+         |"partitionPath":"$part"}""".stripMargin.replace("\n", "")
+    def logStat(part: String, fid: String, rel: String, baseRel: String,
+        version: Int, rows: Long): String = {
+      val baseName = baseRel.substring(baseRel.lastIndexOf('/') + 1)
+      s"""{"fileId":"$fid","path":"$rel","numWrites":$rows,
+         |"numDeletes":0,"numInserts":0,"numUpdateWrites":$rows,
+         |"baseFile":"$baseName","logVersion":$version,
+         |"totalWriteBytes":${new java.io.File(root, rel).length()},
+         |"partitionPath":"$part"}""".stripMargin.replace("\n", "")
+    }
+    def deltacommit(instant: String,
+        byPart: Map[String, Seq[String]]): Unit = {
+      val stats = byPart.toSeq.sortBy(_._1).map { case (p, ss) =>
+        s""""$p":[${ss.mkString(",")}]"""
+      }.mkString(",")
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.deltacommit").toPath,
+        s"""{"partitionToWriteStats":{$stats},"operationType":"upsert"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.deltacommit.requested").toPath,
+        Array.empty[Byte])
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.deltacommit.inflight").toPath,
+        Array.empty[Byte])
+    }
+    deltacommit(dc1, Map("p=0" -> Seq(
+      baseStat("p=0", "fid0", s0._1, s0._2),
+      // the planted lie: one more row than fid1's base file holds
+      baseStat("p=0", "fid1", s1._1, s1._2 + 1))))
+    deltacommit(dc2, Map(
+      "p=0" -> Seq(logStat("p=0", "fid0", log1, s0._1, 1, 3L)),
+      "p=1" -> Seq(baseStat("p=1", "fid2", s2._1, s2._2))))
+    deltacommit(dc3, Map(
+      "p=0" -> Seq(logStat("p=0", "fid0", log2, s0._1, 2, 2L))))
+    // dangling incomplete deltacommit + the bare .inflight COMMIT marker
+    java.nio.file.Files.write(
+      new java.io.File(hoodie,
+        "20240104000000000.deltacommit.requested").toPath,
+      Array.empty[Byte])
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, "20240105000000000.inflight").toPath,
+      Array.empty[Byte])
+    Map(s0._1 -> s0._2, s1._1 -> s1._2, s2._1 -> s2._2)
   }
 }

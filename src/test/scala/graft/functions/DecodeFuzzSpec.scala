@@ -16,9 +16,30 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 class DecodeFuzzSpec extends AnyFunSuite {
 
+  // Seeds are PINNED and LOGGED: an unseeded ScalaCheck failure loses its
+  // counterexample forever (a full-suite run failed exactly once on
+  // 2026-08-16 and the input was unrecoverable). Every property runs over
+  // `nSeeds` fixed seeds; a failure names the seed that found it, so
+  // `GRAFT_FUZZ_SEED=<seed> GRAFT_FUZZ_SEEDS=1` reproduces it exactly.
+  // GRAFT_FUZZ_CASES raises the per-property case count for deep runs.
+  private val baseSeed: Long =
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260816L)
+  private val nSeeds: Int =
+    sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(5)
+  private val totalCases: Int =
+    sys.env.get("GRAFT_FUZZ_CASES").map(_.toInt).getOrElse(500)
+
   private def check(p: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
-    assert(res.passed, res.status.toString)
+    val perSeed = math.max(1, totalCases / nSeeds)
+    (0 until nSeeds).foreach { i =>
+      val seed = baseSeed + i
+      val params = SCTest.Parameters.default
+        .withMinSuccessfulTests(perSeed)
+        .withInitialSeed(org.scalacheck.rng.Seed(seed))
+      val res = SCTest.check(params, p)
+      assert(res.passed,
+        s"seed=$seed cases=$perSeed: ${res.status.toString}")
+    }
   }
 
   private val genBytes: Gen[Array[Byte]] =

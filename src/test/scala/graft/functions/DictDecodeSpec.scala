@@ -38,6 +38,14 @@ class DictDecodeSpec extends SparkSpec {
     assert(PlainDictStrings.compute(Array[Byte](5, 0, 0, 0, 'a')) == null)
     // negative length
     assert(PlainDictStrings.compute(Array[Byte](-1, -1, -1, -1)) == null)
+    // REGRESSION (DecodeFuzzSpec seed 777023): a length prefix near
+    // Int.MaxValue made `i + len` wrap negative, sneaking a ~2 GB
+    // copyOfRange allocation past the additive bounds check — the
+    // decode must refuse, never allocate from an untrusted length
+    assert(PlainDictStrings.compute(
+      Array[Byte](-1, -1, -1, 0x7F)) == null) // len = Int.MaxValue
+    assert(PlainDictStrings.compute(
+      Array[Byte](0x7A, -1, -1, 0x7F, 1, 2, 3)) == null)
   }
 
   test("plain int64 payload sum: round trip, wrap-around, malformed") {
