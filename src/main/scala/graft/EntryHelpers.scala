@@ -42,12 +42,22 @@ private[graft] object EntryHelpers {
    * dirs by convention, audited per call site. A missing dir (the
    * hermetic pre-clean, a manual delete) naturally rebuilds.
    */
+  private val fixtureLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private val builtFixtures =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def fixtureOnce(dir: String)(write: => Unit): Unit = {
-    if (!builtFixtures.contains(dir) || !new java.io.File(dir).exists()) {
-      write
-      builtFixtures.add(dir)
+    // per-dir lock: two concurrent queries sharing a fixture must not
+    // both enter the build (freshDir deletes while the other reads) —
+    // the check-then-act below is only safe under the dir's monitor.
+    // Rebuild rule unchanged: once per JVM (a dir left by an OLDER
+    // commit must not be trusted), and again if the dir vanished.
+    val lock = fixtureLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      if (!builtFixtures.contains(dir) || !new java.io.File(dir).exists()) {
+        write
+        builtFixtures.add(dir)
+      }
     }
   }
 

@@ -1286,6 +1286,24 @@ private[graft] object EntryLakeQueries {
           col("rng"))
     }),
 
+    // ICEBERG ROW-LEVEL CHANGELOG across a TRANSIENT file (r17): fT
+    // was added at snap 2 AND removed at snap 3 — its add evidence is
+    // gone from snap 3's manifest list, so the (1,3] feed recovers it
+    // from snap 2's own list and emits fT's rows BOTH as insert and
+    // as delete (plus f2's plain insert), exactly as Iceberg's own
+    // per-snapshot incremental changelog would. Oracle: DuckDB reads
+    // the same files per the writer contract.
+    "meta_iceberg_changelog_transient" -> ((s, dir) => {
+      val out = "/tmp/graft_icetrans_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        IcebergMeta.writeTransientFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      IcebergMeta.changelogScan(s, out, 1L, 3L)
+        .select(col("doc_id"), col("lang"), col("_change_type"))
+    }),
+
     // ICEBERG INCREMENTAL APPEND SCAN: files the snapshots in (1, 2]
     // ADDED, from snap-2's own manifest list by added_snapshot_id
     // attribution — the reused snap-1 manifest contributes nothing,
@@ -1962,6 +1980,22 @@ private[graft] object EntryLakeQueries {
       IcebergMeta.monthsPrune(s, out, "ts", "2023-08-15", "2023-11-02")
         .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
           col("part_month"), col("survives"))
+    }),
+
+    // hour(ts) range pruning: tuple values are the spec's
+    // hours-since-epoch int (48 exact-hour partitions across two
+    // days); the probe window keeps hours 06Z..03Z of the next day.
+    // Oracle: DuckDB recomputes each file's hour from its own ts
+    // values (exact-hour by construction, so min(ts) IS the hour).
+    "meta_iceberg_hours_prune" -> ((s, dir) => {
+      val out = "/tmp/graft_icehr_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeTimeTransformFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")), "hour")
+      IcebergMeta.hoursPrune(s, out, "ts",
+        "2024-03-01T06:00:00", "2024-03-02T03:00:00")
+        .select(regexp_extract(col("data_path"), "([^/]+)$", 1).as("file"),
+          col("part_hour"), col("survives"))
     }),
 
     // year(ts) range pruning: tuple values are years-since-epoch; the
@@ -2899,6 +2933,17 @@ private[graft] object EntryLakeQueries {
         |FROM read_parquet('/tmp/graft_icecl_sf0.01/data/f5.parquet')"""
         .stripMargin,
 
+    "meta_iceberg_changelog_transient" ->
+      """SELECT doc_id, lang, 'insert' AS _change_type
+        |FROM read_parquet('/tmp/graft_icetrans_sf0.01/data/fT.parquet')
+        |UNION ALL
+        |SELECT doc_id, lang, 'insert'
+        |FROM read_parquet('/tmp/graft_icetrans_sf0.01/data/f2.parquet')
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete'
+        |FROM read_parquet('/tmp/graft_icetrans_sf0.01/data/fT.parquet')"""
+        .stripMargin,
+
     "meta_iceberg_changelog_eq" ->
       """WITH e0 AS (SELECT DISTINCT doc_id
         |  FROM read_parquet('/tmp/graft_iceeq_sf0.01/data/eq0.parquet')),
@@ -3321,6 +3366,19 @@ private[graft] object EntryLakeQueries {
         |SELECT file, part_month,
         |  part_month BETWEEN date_trunc('month', DATE '2023-08-15')
         |    AND date_trunc('month', DATE '2023-11-02') AS survives
+        |FROM d""".stripMargin,
+
+    "meta_iceberg_hours_prune" ->
+      """WITH d AS (
+        |  SELECT parse_filename(filename) AS file,
+        |    min(ts) AS part_hour
+        |  FROM read_parquet('/tmp/graft_icehr_sf0.01/data/u*.parquet',
+        |    filename=true)
+        |  GROUP BY 1
+        |)
+        |SELECT file, part_hour,
+        |  part_hour BETWEEN TIMESTAMPTZ '2024-03-01 06:00:00+00'
+        |    AND TIMESTAMPTZ '2024-03-02 03:00:00+00' AS survives
         |FROM d""".stripMargin,
 
     "meta_iceberg_years_prune" ->

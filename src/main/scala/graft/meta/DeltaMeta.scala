@@ -1157,15 +1157,17 @@ object DeltaMeta extends DeltaMetaAudits with DeltaMetaFixtures {
           .map(_.getLong(0)).maxOption.foreach { to =>
             val store = new java.io.File(storeDir)
             store.mkdirs()
-            // ranges already fed, keyed by their inclusive upper bound
-            val fedTo = Option(store.listFiles()).getOrElse(Array.empty)
-              .filter(_.getName.startsWith("feed_"))
-              .map(_.getName.split("_")(2).toLong).maxOption
+            StoreIO.sweepTemp(store)
+            // ranges already fed, keyed by their inclusive upper
+            // bound — only COMPLETED (renamed-into-place) increments
+            // count; a crashed attempt left a temp dir, never a
+            // feed_* name claiming rows it does not hold
+            val fedTo = StoreIO.parsePairs(store, "feed")
+              .map(_._2).maxOption
             val from = fedTo.map(_ + 1L).getOrElse(0L)
             if (to >= from) {
-              changeFeed(spark, table, from, to)
-                .coalesce(1).write.mode("overwrite")
-                .parquet(new java.io.File(store, s"feed_${from}_$to").getPath)
+              StoreIO.publishIncrement(changeFeed(spark, table, from, to),
+                store, s"feed_${from}_$to")
             }
           }
         ()

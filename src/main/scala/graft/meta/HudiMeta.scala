@@ -525,13 +525,15 @@ object HudiMeta extends Serializable {
         if (completed.nonEmpty) {
           val store = new java.io.File(storeDir)
           store.mkdirs()
-          val seen = Option(store.listFiles()).getOrElse(Array.empty)
-            .map(_.getName).toSet
-          completed.filterNot(c => seen.contains(s"inc_$c")).foreach { c =>
-            declaredSlices(spark, table, Some(c))
-              .filter(col("instant_time") === c)
-              .coalesce(1).write.mode("overwrite")
-              .parquet(new java.io.File(store, s"inc_$c").getPath)
+          StoreIO.sweepTemp(store)
+          // only COMPLETED (renamed-into-place) increments count; a
+          // foreign inc_* name refuses rather than mis-reading state
+          val seen = StoreIO.parseIds(store, "inc").toSet
+          completed.filterNot(seen.contains).foreach { c =>
+            StoreIO.publishIncrement(
+              declaredSlices(spark, table, Some(c))
+                .filter(col("instant_time") === c),
+              store, s"inc_$c")
           }
         }
         ()

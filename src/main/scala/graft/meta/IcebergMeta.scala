@@ -1196,6 +1196,74 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
       .select("file_path", "content", "abs_path", "record_count",
         "file_size_bytes", "data_sequence_number", "file_format")
 
+  /** Snapshot ids committed in `(from, to]`. The AUTHORITY is the
+    * spec's parent-snapshot-id ancestry chain, walked to → from: it
+    * resolves same-millisecond commits and excludes retained
+    * NON-ancestors (a rolled-back or branch snapshot whose timestamp
+    * falls inside the window must not attribute entries). Wall-clock
+    * ordering is only the fallback when NO snapshot carries a parent
+    * pointer (old writers) — and there a shared millisecond refuses,
+    * because timestamp lineage with a tie is a guess. Refuses when
+    * either snapshot is unknown, the range is empty, or `from` is not
+    * an ancestor of `to`. */
+  private[meta] def inRangeSnapshotIds(
+      info: IcebergTableInfo, table: String,
+      fromSnapshot: Long, toSnapshot: Long): Set[Long] = {
+    def snap(id: Long) = info.snapshots.find(_.snapshotId == id).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table: no snapshot $id (surviving: " +
+          s"${info.snapshots.map(_.snapshotId).mkString(", ")})"))
+    val from = snap(fromSnapshot)
+    val to = snap(toSnapshot)
+    if (fromSnapshot == toSnapshot) {
+      throw new IllegalArgumentException(
+        s"$table: snapshot $fromSnapshot equals $toSnapshot — an empty " +
+          "range has no increment")
+    }
+    if (info.snapshots.exists(_.parentSnapshotId.isDefined)) {
+      val byId = info.snapshots.map(s => s.snapshotId -> s).toMap
+      val walked = scala.collection.mutable.Set.empty[Long]
+      var cur = to
+      while (cur.snapshotId != fromSnapshot) {
+        walked += cur.snapshotId
+        cur = cur.parentSnapshotId match {
+          case None =>
+            throw new IllegalArgumentException(
+              s"$table: snapshot $fromSnapshot is not an ancestor of " +
+                s"$toSnapshot (the parent chain ends at " +
+                s"${cur.snapshotId}) — the range has no lineage, " +
+                "refusing rather than guessing an increment")
+          case Some(p) => byId.getOrElse(p,
+            throw new IllegalArgumentException(
+              s"$table: snapshot ${cur.snapshotId} names parent $p " +
+                "which the metadata no longer lists (expired " +
+                "mid-chain) — lineage is broken, refusing"))
+        }
+      }
+      walked.toSet
+    } else {
+      info.snapshots.groupBy(_.timestampMs).find(_._2.size > 1).foreach {
+        case (ts, snaps) =>
+          throw new UnsupportedOperationException(
+            s"$table: snapshots ${snaps.map(_.snapshotId).mkString(", ")} " +
+              s"share timestamp-ms $ts — no parent-snapshot-id lineage " +
+              "exists and the timestamp lineage is ambiguous, refusing " +
+              "an increment that could silently drop a " +
+              "same-millisecond commit")
+      }
+      if (from.timestampMs >= to.timestampMs) {
+        throw new IllegalArgumentException(
+          s"$table: snapshot $fromSnapshot (${from.timestampMs}) is not " +
+            s"strictly before $toSnapshot (${to.timestampMs}) — an " +
+            "empty or reversed range has no increment")
+      }
+      info.snapshots
+        .filter(s => s.timestampMs > from.timestampMs &&
+          s.timestampMs <= to.timestampMs)
+        .map(_.snapshotId).toSet
+    }
+  }
+
   /** [[appendedFiles]] generalized over entry STATUS — also exposes
     * each entry's status and attributed snapshot id, so the changelog
     * can see the range's `status=2` removals (a copy-on-write DELETE/
@@ -1212,68 +1280,12 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
     val info = readTableMetadata(
       currentMetadataFile(root.getFileSystem(hconf), root), hconf)
     requireCensusableVersion(info, table)
-    def snap(id: Long) = info.snapshots.find(_.snapshotId == id).getOrElse(
+    val to = info.snapshots.find(_.snapshotId == toSnapshot).getOrElse(
       throw new IllegalArgumentException(
-        s"$table: no snapshot $id (surviving: " +
+        s"$table: no snapshot $toSnapshot (surviving: " +
           s"${info.snapshots.map(_.snapshotId).mkString(", ")})"))
-    val from = snap(fromSnapshot)
-    val to = snap(toSnapshot)
-    if (fromSnapshot == toSnapshot) {
-      throw new IllegalArgumentException(
-        s"$table: snapshot $fromSnapshot equals $toSnapshot — an empty " +
-          "range has no increment")
-    }
-    // snapshot ids committed in (from, to]. The AUTHORITY is the
-    // spec's parent-snapshot-id ancestry chain, walked to → from: it
-    // resolves same-millisecond commits and excludes retained
-    // NON-ancestors (a rolled-back or branch snapshot whose timestamp
-    // falls inside the window must not attribute entries). Wall-clock
-    // ordering is only the fallback when NO snapshot carries a parent
-    // pointer (old writers) — and there a shared millisecond refuses,
-    // because timestamp lineage with a tie is a guess.
     val inRange: Set[Long] =
-      if (info.snapshots.exists(_.parentSnapshotId.isDefined)) {
-        val byId = info.snapshots.map(s => s.snapshotId -> s).toMap
-        val walked = scala.collection.mutable.Set.empty[Long]
-        var cur = to
-        while (cur.snapshotId != fromSnapshot) {
-          walked += cur.snapshotId
-          cur = cur.parentSnapshotId match {
-            case None =>
-              throw new IllegalArgumentException(
-                s"$table: snapshot $fromSnapshot is not an ancestor of " +
-                  s"$toSnapshot (the parent chain ends at " +
-                  s"${cur.snapshotId}) — the range has no lineage, " +
-                  "refusing rather than guessing an increment")
-            case Some(p) => byId.getOrElse(p,
-              throw new IllegalArgumentException(
-                s"$table: snapshot ${cur.snapshotId} names parent $p " +
-                  "which the metadata no longer lists (expired " +
-                  "mid-chain) — lineage is broken, refusing"))
-          }
-        }
-        walked.toSet
-      } else {
-        info.snapshots.groupBy(_.timestampMs).find(_._2.size > 1).foreach {
-          case (ts, snaps) =>
-            throw new UnsupportedOperationException(
-              s"$table: snapshots ${snaps.map(_.snapshotId).mkString(", ")} " +
-                s"share timestamp-ms $ts — no parent-snapshot-id lineage " +
-                "exists and the timestamp lineage is ambiguous, refusing " +
-                "an increment that could silently drop a " +
-                "same-millisecond commit")
-        }
-        if (from.timestampMs >= to.timestampMs) {
-          throw new IllegalArgumentException(
-            s"$table: snapshot $fromSnapshot (${from.timestampMs}) is not " +
-              s"strictly before $toSnapshot (${to.timestampMs}) — an " +
-              "empty or reversed range has no increment")
-        }
-        info.snapshots
-          .filter(s => s.timestampMs > from.timestampMs &&
-            s.timestampMs <= to.timestampMs)
-          .map(_.snapshotId).toSet
-      }
+      inRangeSnapshotIds(info, table, fromSnapshot, toSnapshot)
     val manifests = readManifestList(resolve(root, to.manifestList), hconf)
     manifests.foreach { m =>
       if (m.addedSnapshotId.isEmpty) {
@@ -1367,11 +1379,12 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
    * removed data file that a live position-delete file references or
    * that coexists with any equality delete (some of its rows were
    * already dead, so whole-file delete rows would over-report).
-   * Known approximation: a DATA file added AND removed strictly
-   * inside the range reports only its removal — the add evidence
-   * does not survive in `to`'s manifest list (the status=2 entry
-   * carries the REMOVING snapshot's id), so the matching mid-range
-   * inserts cannot be reconstructed from a single-list walk.
+   * TRANSIENT files resolve (r17): a DATA file added AND removed
+   * strictly inside the range emits its insert+delete pair — the add
+   * evidence, absent from `to`'s list, is recovered from the
+   * intermediate snapshots' own manifest lists (one list read per
+   * in-range snapshot, paid only on multi-snapshot ranges), exactly
+   * as Iceberg's own per-snapshot incremental changelog sees it.
    * Driver boundaries: the range-entry classification and the
    * referenced-target path lists (both manifest-entry-sized, the
    * MetaPrune idiom).
@@ -1497,6 +1510,44 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
     }
     val insertPaths = appended.filter(_.getInt(1) == 0)
       .map(_.getString(0)).distinct.toSeq
+    // TRANSIENT-file correctness: a data file added AND removed
+    // strictly inside the range leaves no add evidence in `to`'s
+    // manifest list (its status=2 entry carries the REMOVING
+    // snapshot's id), so the single-list walk above reports its
+    // removal only — but the add evidence DOES survive in the
+    // INTERMEDIATE snapshots' own per-snapshot-complete lists. Walk
+    // them (one manifest-list read per in-range snapshot before `to`,
+    // paid only on multi-snapshot ranges) and emit the vanished adds'
+    // insert rows too, exactly as Iceberg's own incremental changelog
+    // emits the insert+delete pair. A vanished add whose removal was
+    // a REPLACE snapshot gets an insert with no delete leg — the
+    // compaction moved its rows, it removed none.
+    val interSnapIds =
+      inRangeSnapshotIds(info, table, fromSnapshot, toSnapshot) - toSnapshot
+    val vanishedAdds: Seq[String] =
+      if (interSnapIds.isEmpty) Seq.empty
+      else {
+        val visible = insertPaths.toSet
+        interSnapIds.toSeq.sorted.flatMap { sid =>
+          rangeEntries(spark, table, fromSnapshot, sid, Set(1))
+            .select(col("abs_path"), col("content"), col("file_format"),
+              col("snapshot_id"))
+            .collect()
+            .filterNot(r =>
+              opById.get(r.getLong(3)).flatten.contains("replace"))
+            .filter(r => r.getInt(1) == 0)
+            .map { r =>
+              val fmt = r.getString(2)
+              if (fmt == null || !fmt.equalsIgnoreCase("parquet")) {
+                throw new UnsupportedOperationException(
+                  s"$table: mid-range appended file ${r.getString(0)} " +
+                    s"is ${String.valueOf(fmt)} — only parquet appends " +
+                    "resolve to changelog rows, refusing a partial feed")
+              }
+              r.getString(0)
+            }
+        }.distinct.filterNot(visible)
+      }
     val deletePaths = appended
       .filter(r => r.getInt(1) == 1 && !isDvEntry(r)) // DVs have a leg
       .map(_.getString(0)).distinct.toSeq
@@ -1550,9 +1601,10 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
         }
       }
     }
+    val allInsertPaths = insertPaths ++ vanishedAdds
     val inserts =
-      if (insertPaths.isEmpty) None
-      else Some(spark.read.parquet(insertPaths: _*)
+      if (allInsertPaths.isEmpty) None
+      else Some(spark.read.parquet(allInsertPaths: _*)
         .withColumn("_change_type", lit("insert")))
     // position-delete pairs: the appended position-delete files' own
     // (path, pos) rows
@@ -1793,14 +1845,12 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
               val curTs = cur.getLong(2)
               val store = new java.io.File(storeDir)
               store.mkdirs()
+              StoreIO.sweepTemp(store)
               // previously ingested increments, keyed by commit time
-              // (snapshot ids are opaque; timestamps order the lineage)
-              val seen = Option(store.listFiles()).getOrElse(Array.empty)
-                .filter(_.getName.startsWith("inc_"))
-                .map { f =>
-                  val p = f.getName.split("_")
-                  (p(1).toLong, p(2).toLong) // (ts, snapshot)
-                }
+              // (snapshot ids are opaque; timestamps order the
+              // lineage) — only COMPLETED (renamed-into-place)
+              // increments count
+              val seen = StoreIO.parsePairs(store, "inc")
               val prev = seen.sortBy(_._1).lastOption
               // emit when this SNAPSHOT is new and not older than the
               // last increment: a same-millisecond NEW snapshot is not
@@ -1822,10 +1872,9 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
                   case Some((_, prevSnap)) =>
                     appendedFiles(spark, table, prevSnap, curSnap)
                 }
-                inc.withColumn("snapshot_id", lit(curSnap))
-                  .coalesce(1).write.mode("overwrite")
-                  .parquet(new java.io.File(store,
-                    s"inc_${curTs}_$curSnap").getPath)
+                StoreIO.publishIncrement(
+                  inc.withColumn("snapshot_id", lit(curSnap)),
+                  store, s"inc_${curTs}_$curSnap")
               }
             }
         }
@@ -1847,13 +1896,19 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
    * lands its NET live rows as the bootstrap insert increment (a
    * row-level consumer starting mid-life must materialize the state
    * once — that read is the table, by definition), and each later
-   * batch with a NEW current snapshot appends exactly
-   * `changelogScan(prevSeen, new)`'s rows as its own increment
-   * (idempotent `inc_<ts>_<snapshot>` subdirs; seen metadata never
-   * re-triggers). Bootstrap refuses when the first snapshot carries
-   * live DELETE files — materializing inserts that ignored them would
-   * resurrect rows; every [[changelogScan]] refusal likewise fails
-   * the batch loudly.
+   * batch walks the snapshot chain from the last landed snapshot and
+   * lands ONE `changelogScan` increment PER SNAPSHOT, each stamped
+   * with its own id (r17: a batch that jumps several snapshots never
+   * attributes earlier snapshots' changes to the final one; a
+   * replace-only snapshot lands nothing and the walk advances past
+   * it). Increments publish via temp-dir + rename
+   * ([[StoreIO.publishIncrement]]) so a crash mid-write never leaves
+   * an `inc_<ts>_<snapshot>` name claiming rows it does not hold, and
+   * a crashed multi-snapshot walk resumes from the last PUBLISHED
+   * snapshot on redelivery. Bootstrap refuses when the first snapshot
+   * carries live DELETE files — materializing inserts that ignored
+   * them would resurrect rows; every [[changelogScan]] refusal
+   * likewise fails the batch loudly.
    */
   def maintainChangelogStore(
       spark: SparkSession, table: String,
@@ -1878,17 +1933,14 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
               val curTs = cur.getLong(2)
               val store = new java.io.File(storeDir)
               store.mkdirs()
-              val seen = Option(store.listFiles()).getOrElse(Array.empty)
-                .filter(_.getName.startsWith("inc_"))
-                .map { f =>
-                  val p = f.getName.split("_")
-                  (p(1).toLong, p(2).toLong)
-                }
+              StoreIO.sweepTemp(store)
+              // only COMPLETED (renamed-into-place) increments count
+              val seen = StoreIO.parsePairs(store, "inc")
               val prev = seen.sortBy(_._1).lastOption
               val seenSnaps = seen.map(_._2).toSet
               if (!seenSnaps.contains(curSnap) &&
                   !prev.exists(_._1 > curTs)) {
-                val inc = prev match {
+                prev match {
                   case None =>
                     val files = filesAt(spark, table, Some(curSnap))
                       .filter(col("status") =!= 2)
@@ -1908,15 +1960,72 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
                         s"$table: bootstrap snapshot $curSnap has no " +
                           "live data files — nothing to materialize")
                     }
-                    spark.read.parquet(paths: _*)
-                      .withColumn("_change_type", lit("insert"))
+                    StoreIO.publishIncrement(
+                      spark.read.parquet(paths: _*)
+                        .withColumn("_change_type", lit("insert"))
+                        .withColumn("snapshot_id", lit(curSnap)),
+                      store, s"inc_${curTs}_$curSnap")
                   case Some((_, prevSnap)) =>
-                    changelogScan(spark, table, prevSnap, curSnap)
+                    // PER-SNAPSHOT attribution: a micro-batch that
+                    // jumps several snapshots (cold start, lagging
+                    // consumer) lands ONE increment per intermediate
+                    // snapshot, each stamped with ITS OWN id — never
+                    // attributing earlier snapshots' changes to the
+                    // final one. Order is the parent-chain walk
+                    // (timestamp sort is the no-parents fallback; a
+                    // wrong fallback order makes changelogScan refuse
+                    // loudly, never misattribute).
+                    val hconf = spark.sessionState.newHadoopConf()
+                    val root = {
+                      val p = new Path(table)
+                      p.getFileSystem(hconf).makeQualified(p)
+                    }
+                    val info = readTableMetadata(
+                      currentMetadataFile(root.getFileSystem(hconf), root),
+                      hconf)
+                    val ids =
+                      inRangeSnapshotIds(info, table, prevSnap, curSnap)
+                    val byId =
+                      info.snapshots.map(s => s.snapshotId -> s).toMap
+                    val ordered: Seq[Long] =
+                      if (info.snapshots.exists(
+                          _.parentSnapshotId.isDefined)) {
+                        val buf =
+                          scala.collection.mutable.ArrayBuffer.empty[Long]
+                        var c = curSnap
+                        while (c != prevSnap) {
+                          buf += c
+                          c = byId(c).parentSnapshotId.getOrElse(
+                            throw new IllegalStateException(
+                              s"$table: snapshot $c lost its parent " +
+                                "between range validation and the walk"))
+                        }
+                        buf.reverse.toSeq
+                      } else {
+                        ids.toSeq.sortBy(id => (byId(id).timestampMs, id))
+                      }
+                    ordered.foldLeft(prevSnap) { (p0, sid) =>
+                      // idempotent redelivery: an increment a crashed
+                      // pass already published is skipped, the walk
+                      // continues from it
+                      if (!seenSnaps.contains(sid)) {
+                        try StoreIO.publishIncrement(
+                          changelogScan(spark, table, p0, sid)
+                            .withColumn("snapshot_id", lit(sid)),
+                          store, s"inc_${byId(sid).timestampMs}_$sid")
+                        catch {
+                          // a snapshot that changed no logical rows
+                          // (replace-only) has no increment to land —
+                          // the walk advances past it
+                          case e: IllegalArgumentException
+                              if e.getMessage != null &&
+                                e.getMessage.contains("no changelog") => ()
+                        }
+                      }
+                      sid
+                    }
+                    ()
                 }
-                inc.withColumn("snapshot_id", lit(curSnap))
-                  .coalesce(1).write.mode("overwrite")
-                  .parquet(new java.io.File(store,
-                    s"inc_${curTs}_$curSnap").getPath)
               }
             }
         }

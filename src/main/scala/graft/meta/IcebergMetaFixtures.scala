@@ -386,6 +386,107 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
     counts
   }
 
+  /**
+   * A three-snapshot chain planting a TRANSIENT data file — the
+   * changelog's hardest attribution case: snap 1 adds `f0`, snap 2
+   * adds `fT`, snap 3 REMOVES fT (its status=2 entry rides the new
+   * manifest, and the manifest that recorded the ADD is dropped from
+   * snap 3's list — the vanishing-evidence shape a real delete
+   * leaves) and adds `f2`. A (1,3] changelog must emit fT's rows
+   * BOTH as insert and as delete; the add evidence survives only in
+   * snap 2's own manifest list. parent-snapshot-id chain 1←2←3.
+   * Returns rows per relative file.
+   */
+  def writeTransientFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val slices = Seq("f0.parquet" -> 0, "fT.parquet" -> 1, "f2.parquet" -> 2)
+    val counts = slices.map { case (rel, i) =>
+      val slice = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .select(col("doc_id"), col("lang"))
+      rel -> FixtureIO.writeSingleParquet(slice,
+        new java.io.File(dataDir, rel), dir + s"_trslice$i")
+    }.toMap
+    def entry(status: Int, f: String): org.apache.avro.generic.GenericRecord = {
+      val df = new org.apache.avro.generic.GenericData.Record(
+        manifestSchema.getField("data_file").schema())
+      df.put("content", 0)
+      df.put("file_path", s"data/$f")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(f))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
+      val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
+      e.put("status", status)
+      e.put("snapshot_id", null) // inherits the manifest's snapshot
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), manifestSchema,
+      Seq(entry(1, "f0.parquet")))
+    writeAvro(new java.io.File(metaDir, "m1.avro"), manifestSchema,
+      Seq(entry(1, "fT.parquet")))
+    // snap 3's manifest: the new add plus fT's DELETED entry (the
+    // delete rewrote m1 away — fT's ADD evidence is gone from this list)
+    writeAvro(new java.io.File(metaDir, "m2.avro"), manifestSchema,
+      Seq(entry(1, "f2.parquet"), entry(2, "fT.parquet")))
+    def mlEntry(path: String, added: Int, deleted: Int, rows: Long,
+        addedBySnap: Long): org.apache.avro.generic.GenericRecord = {
+      val r = new org.apache.avro.generic.GenericData.Record(manifestListSchema)
+      r.put("manifest_path", s"metadata/$path")
+      r.put("manifest_length", new java.io.File(metaDir, path).length())
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("added_snapshot_id", addedBySnap)
+      r.put("added_files_count", added)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", deleted)
+      r.put("added_rows_count", rows)
+      r
+    }
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"), manifestListSchema,
+      Seq(mlEntry("m0.avro", 1, 0, counts("f0.parquet"), 1L)))
+    writeAvro(new java.io.File(metaDir, "snap-2.avro"), manifestListSchema,
+      Seq(mlEntry("m0.avro", 1, 0, counts("f0.parquet"), 1L),
+        mlEntry("m1.avro", 1, 0, counts("fT.parquet"), 2L)))
+    writeAvro(new java.io.File(metaDir, "snap-3.avro"), manifestListSchema,
+      Seq(mlEntry("m0.avro", 1, 0, counts("f0.parquet"), 1L),
+        mlEntry("m2.avro", 1, 1, counts("f2.parquet"), 3L)))
+    val ts0 = 1700000000000L
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-transient",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":3,
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":$ts0,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}},
+         |{"snapshot-id":2,"timestamp-ms":${ts0 + 1000},
+         | "parent-snapshot-id":1,
+         | "manifest-list":"metadata/snap-2.avro",
+         | "summary":{"operation":"append"}},
+         |{"snapshot-id":3,"timestamp-ms":${ts0 + 2000},
+         | "parent-snapshot-id":2,
+         | "manifest-list":"metadata/snap-3.avro",
+         | "summary":{"operation":"overwrite"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
+
   /** The format-v3 manifest shape: `data_file` grows the DV span
     * fields (`referenced_data_file`, `content_offset`,
     * `content_size_in_bytes`), null on ordinary data entries. */

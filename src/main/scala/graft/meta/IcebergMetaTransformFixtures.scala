@@ -204,20 +204,30 @@ private[meta] trait IcebergMetaTransformFixtures extends Serializable {
   def writeTimeTransformFixtureTable(
       spark: SparkSession, dir: String, docs: DataFrame,
       unit: String): Map[String, Long] = {
-    require(unit == "month" || unit == "year", s"unsupported unit $unit")
+    require(unit == "month" || unit == "year" || unit == "hour",
+      s"unsupported unit $unit")
     val root = new java.io.File(dir)
     FixtureIO.freshDir(root)
     val dataDir = new java.io.File(root, "data")
     val metaDir = new java.io.File(root, "metadata")
     dataDir.mkdirs()
     metaDir.mkdirs()
-    val withTs = docs.select(col("doc_id"),
-      date_add(lit("2023-06-01").cast("date"),
-        pmod(col("doc_id"), lit(300L)).cast("int"))
-        .cast("timestamp").as("ts"))
-    val pv =
-      if (unit == "month") (year(col("ts")) - 1970) * 12 + month(col("ts")) - 1
-      else year(col("ts")) - 1970
+    val withTs =
+      if (unit == "hour")
+        // exact-hour timestamps across two days (48 hour partitions at
+        // ANY scale factor): 2024-03-01T00Z (epoch 1709251200) + h hours
+        docs.select(col("doc_id"),
+          timestamp_seconds(lit(1709251200L) +
+            pmod(col("doc_id"), lit(48L)) * 3600L).as("ts"))
+      else docs.select(col("doc_id"),
+        date_add(lit("2023-06-01").cast("date"),
+          pmod(col("doc_id"), lit(300L)).cast("int"))
+          .cast("timestamp").as("ts"))
+    val pv = unit match {
+      case "month" => (year(col("ts")) - 1970) * 12 + month(col("ts")) - 1
+      case "year" => year(col("ts")) - 1970
+      case "hour" => floor(unix_timestamp(col("ts")) / 3600L)
+    }
     val tmp = dir + "_ttftmp"
     withTs.withColumn("pv", pv.cast("int"))
       .repartition(col("pv"))

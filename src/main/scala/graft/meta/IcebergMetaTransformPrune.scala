@@ -170,6 +170,35 @@ private[meta] trait IcebergMetaTransformPrune extends Serializable {
   }
 
   /**
+   * `hour` range pruning on a timestamp source — the transform
+   * hour-partitioned event/CDC tables actually use: tuple values are
+   * the spec's hours-since-epoch int (Appendix A), the same epoch
+   * arithmetic as `day` one unit down. Probes are ISO local
+   * date-times read as UTC (the spec's `hour` is defined on the UTC
+   * epoch). Accepts `hour`/`hours` spellings. One row per live data
+   * file: `(data_path, part_hour, survives)` with the tuple surfaced
+   * as a real timestamp.
+   */
+  def hoursPrune(
+      spark: SparkSession, table: String, column: String,
+      lo: String, hi: String): DataFrame = {
+    val (field, _, _) = transformField(
+      spark, table, column, """^hours?$""".r,
+      Set("timestamp", "timestamptz"), "hour")
+    def hoursOf(iso: String): Long =
+      java.time.LocalDateTime.parse(iso)
+        .toEpochSecond(java.time.ZoneOffset.UTC) / 3600
+    val (loH, hiH) = (hoursOf(lo), hoursOf(hi))
+    partitionValueByFile(spark, table, field)
+      .select(col("data_path"),
+        timestamp_seconds(col("part_value").cast("long") * 3600L)
+          .as("part_hour"),
+        (col("part_value").isNull ||
+          col("part_value").cast("long").between(loH, hiH))
+          .as("survives"))
+  }
+
+  /**
    * `month` range pruning on a timestamp source: tuple values are the
    * spec's months-since-epoch int (`(year-1970)*12 + month-1`).
    * Accepts `month`/`months` spellings. One row per live data file:

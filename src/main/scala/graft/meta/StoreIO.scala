@@ -1,0 +1,81 @@
+package graft.meta
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Crash-safe increment publishing for the streaming row-level stores
+ * (delta change feed, iceberg changelog, hudi increments). The stores
+ * derive their progress from directory NAMES (`feed_<from>_<to>`,
+ * `inc_<ts>_<snap>`, `inc_<instant>`), so a crash mid-write must never
+ * leave a directory whose name claims a completed increment — the
+ * reader and the next maintenance pass both trust names, and a
+ * partially-written increment would silently drop change rows forever.
+ * Increments therefore write to a dot-prefixed temp dir and RENAME
+ * into place; stale temp dirs from crashed attempts are swept on the
+ * next pass. Rename atomicity is the store contract: a local or
+ * HDFS-like rename-capable filesystem (object stores without atomic
+ * rename need a manifest-commit layer instead).
+ */
+object StoreIO {
+
+  /** Write `df` as one parquet increment under `store/name`, via a
+    * temp dir + rename. Idempotent: a re-delivered increment replaces
+    * the prior same-named one whole. */
+  def publishIncrement(df: DataFrame, store: File, name: String): Unit = {
+    store.mkdirs()
+    val tmp = new File(store, s".tmp_$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val dst = new File(store, name)
+    org.apache.commons.io.FileUtils.deleteQuietly(dst)
+    if (!tmp.renameTo(dst)) {
+      throw new IllegalStateException(
+        s"$store: could not publish increment '$name' — rename failed; " +
+          "the store filesystem must support atomic rename")
+    }
+  }
+
+  /** Remove crashed-attempt temp dirs (safe concurrently with reads:
+    * dot-prefixed names are invisible to the `feed_*`/`inc_*` globs). */
+  def sweepTemp(store: File): Unit =
+    Option(store.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(".tmp_"))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+
+  /** The `(a, b)` pairs of every `<prefix>_<a>_<b>` increment dir.
+    * STRICT: a dir that starts with the prefix but does not parse
+    * refuses loudly — a foreign or garbled name must not silently
+    * change what "already fed" means (and must not crash an unguarded
+    * split either). Hidden (dot-prefixed) names are skipped. */
+  def parsePairs(store: File, prefix: String): Seq[(Long, Long)] = {
+    val re = ("^" + java.util.regex.Pattern.quote(prefix) +
+      "_(\\d+)_(\\d+)$").r
+    names(store, prefix).map {
+      case re(a, b) => (a.toLong, b.toLong)
+      case other => throw new IllegalStateException(
+        s"$store: unparseable increment dir '$other' — refusing " +
+          "rather than mis-reading the feed state")
+    }
+  }
+
+  /** The single-value ids of every `<prefix>_<id>` increment dir,
+    * same strictness as [[parsePairs]]. */
+  def parseIds(store: File, prefix: String): Seq[String] = {
+    val re = ("^" + java.util.regex.Pattern.quote(prefix) + "_(\\d+)$").r
+    names(store, prefix).map {
+      case re(id) => id
+      case other => throw new IllegalStateException(
+        s"$store: unparseable increment dir '$other' — refusing " +
+          "rather than mis-reading the feed state")
+    }
+  }
+
+  private def names(store: File, prefix: String): Seq[String] =
+    Option(store.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(_.getName)
+      .filter(n => !n.startsWith(".") && n.startsWith(prefix + "_"))
+      .toSeq
+}

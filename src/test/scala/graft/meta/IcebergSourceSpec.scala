@@ -1050,6 +1050,38 @@ class IcebergSourceSpec extends SparkSpec {
         posDocs("f1.parquet", Seq(0L, 2L)))
   }
 
+  test("changelog scan: a transient file emits its insert+delete pair") {
+    val d = Files.createTempDirectory("graft_ice_transient").toString + "/tbl"
+    IcebergMeta.writeTransientFixtureTable(spark, d, docs)
+    def docsOf(f: String): Set[Long] =
+      spark.read.parquet(s"$d/data/$f")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (fT, f2) = (docsOf("fT.parquet"), docsOf("f2.parquet"))
+    // (1,3]: fT was added at snap 2 AND removed at snap 3 — both legs
+    // must report, plus f2's plain insert; the add evidence lives only
+    // in snap 2's own manifest list
+    val feed13 = IcebergMeta.changelogScan(spark, d, 1L, 3L)
+      .select("doc_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ins13 = feed13.filter(_._2 == "insert").map(_._1).toSet
+    val del13 = feed13.filter(_._2 == "delete").map(_._1).toSet
+    assert(ins13 === fT ++ f2)
+    assert(del13 === fT)
+    // (1,2]: just fT's insert — no phantom delete
+    val feed12 = IcebergMeta.changelogScan(spark, d, 1L, 2L)
+      .select("doc_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(feed12.forall(_._2 == "insert"))
+    assert(feed12.map(_._1).toSet === fT)
+    // (2,3]: fT was LIVE at from, so its removal alone is the truth —
+    // no phantom insert; f2's insert rides along
+    val feed23 = IcebergMeta.changelogScan(spark, d, 2L, 3L)
+      .select("doc_id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(feed23.filter(_._2 == "insert").map(_._1).toSet === f2)
+    assert(feed23.filter(_._2 == "delete").map(_._1).toSet === fT)
+  }
+
   test("changelog scan: replace skipped, referenced removal refuses") {
     // a REPLACE (compaction) snapshot changes no logical rows: its
     // adds and removals contribute nothing, and an all-replace range

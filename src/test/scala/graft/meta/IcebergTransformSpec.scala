@@ -148,6 +148,31 @@ class IcebergTransformSpec extends SparkSpec {
     assert(years === Map(2023 -> false, 2024 -> true))
   }
 
+  test("hoursPrune windows by epoch hour, conservative on pruned files") {
+    val dh = "/tmp/graft_test_icehr"
+    IcebergMeta.writeTimeTransformFixtureTable(spark, dh, docs, "hour")
+    val hours = IcebergMeta.hoursPrune(
+      spark, dh, "ts", "2024-03-01T06:00:00", "2024-03-02T03:00:00")
+      .collect()
+    assert(hours.length === 48) // two full days of exact-hour partitions
+    // the window keeps hours 06Z..23Z day one + 00Z..03Z day two = 22
+    assert(hours.count(_.getBoolean(2)) === 22)
+    val kept = hours.filter(_.getBoolean(2))
+      .map(_.getTimestamp(1).toInstant.toString).sorted
+    assert(kept.head === "2024-03-01T06:00:00Z")
+    assert(kept.last === "2024-03-02T03:00:00Z")
+    // conservatism: every pruned file holds zero rows in the window
+    val (lo, hi) = (java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-01T06:00:00Z")),
+      java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-02T03:59:59Z")))
+    hours.filterNot(_.getBoolean(2)).foreach { r =>
+      val n = spark.read.parquet(r.getString(0))
+        .filter(col("ts").between(lit(lo), lit(hi))).count()
+      assert(n === 0L, s"pruned ${r.getString(0)} held $n in-window rows")
+    }
+  }
+
   test("transform pruning refuses vacuous and mistyped probes") {
     val dir = "/tmp/graft_test_icebkt"
     IcebergMeta.writeBucketFixtureTable(spark, dir, docs)
