@@ -917,6 +917,22 @@ private[graft] object EntryLakeQueries {
     }),
 
 
+    // ICEBERG NDV audit over a COMPRESSED statistics file (r17): the
+    // same sketches and declarations, but every theta blob is
+    // zstd-compressed AND the Puffin footer itself is lz4-frame
+    // compressed (the two codecs the spec allows) — stats files other
+    // engines write arrive this way. Same answers as the uncompressed
+    // audit; the codec layer must be invisible to the result. Oracle:
+    // identical rule on the compressed fixture's path.
+    "meta_iceberg_ndv_zstd" -> ((s, dir) => {
+      val out = "/tmp/graft_icendvz_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      IcebergMeta.writeNdvFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")),
+        blobCodec = Some("zstd"), lz4Footer = true)
+      IcebergMeta.ndvAudit(s, out)
+    }),
+
     // ICEBERG METADATA-LOG audit: the current metadata's lineage of
     // previous metadata files vs disk — the fixture's v2 lists the
     // real v1 plus a v0 that never existed (the broken-lineage shape
@@ -4059,6 +4075,32 @@ private[graft] object EntryLakeQueries {
         |    AS ndv_match
         |FROM decl d""".stripMargin,
 
+
+    "meta_iceberg_ndv_zstd" ->
+      """WITH decl AS (
+        |  SELECT unnest(s."blob-metadata") AS b,
+        |    CAST(s."snapshot-id" AS BIGINT) AS sid
+        |  FROM (SELECT unnest(statistics) AS s FROM read_json_auto(
+        |    '/tmp/graft_icendvz_sf0.01/metadata/*.metadata.json'))
+        |),
+        |data AS (
+        |  SELECT doc_id, lang
+        |  FROM read_parquet('/tmp/graft_icendvz_sf0.01/data/f[0-4].parquet')
+        |)
+        |SELECT 'ndv-2.puffin' AS filename, d.sid AS stats_snapshot_id,
+        |  CASE WHEN d.b.fields = [2] THEN 'lang' ELSE 'doc_id' END
+        |    AS fields_csv,
+        |  CAST(d.b.properties.ndv AS BIGINT) AS declared_ndv,
+        |  CAST(CASE WHEN d.b.fields = [2]
+        |    THEN (SELECT count(DISTINCT lang) FROM data)
+        |    ELSE (SELECT count(DISTINCT doc_id) FROM data) END AS BIGINT)
+        |    AS sketch_ndv,
+        |  CAST(d.b.properties.ndv AS BIGINT) =
+        |    CASE WHEN d.b.fields = [2]
+        |      THEN (SELECT count(DISTINCT lang) FROM data)
+        |      ELSE (SELECT count(DISTINCT doc_id) FROM data) END
+        |    AS ndv_match
+        |FROM decl d""".stripMargin,
 
     "meta_iceberg_metadata_log" ->
       """WITH ml AS (

@@ -461,7 +461,8 @@ private[meta] trait IcebergMetaAudits extends Serializable { this: IcebergMeta.t
         val (blobs, _) = PuffinCodec.readFooter(abs, conf.value)
         blobs.filter(_.blobType == PuffinCodec.ThetaV1).map { b =>
           val est = PuffinCodec.thetaEstimate(
-            PuffinCodec.readBlobBytes(abs, conf.value, b.offset, b.length))
+            PuffinCodec.decompressBlob(abs, b.compressionCodec,
+              PuffinCodec.readBlobBytes(abs, conf.value, b.offset, b.length)))
           val sketchNdv = math.round(est)
           val declared = b.properties.get("ndv").map(_.trim.toLong)
           val fieldsCsv = b.fields

@@ -1547,7 +1547,9 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
    * row counts.
    */
   def writeNdvFixtureTable(
-      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+      spark: SparkSession, dir: String, docs: DataFrame,
+      blobCodec: Option[String] = None,
+      lz4Footer: Boolean = false): Map[String, Long] = {
     val counts = writeFixtureTable(spark, dir, docs)
     // the current snapshot's data rows: slices 0..4 of the pmod-6 split
     val live = docs.filter(pmod(col("doc_id"), lit(6)) < 5)
@@ -1561,7 +1563,9 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
       (PuffinCodec.ThetaV1, Map("ndv" -> docNdv.toString),
         PuffinCodec.encodeThetaSketchExact(docNdv))),
       snapshotId = 2L, sequenceNumber = 2L,
-      fieldsPerBlob = Seq(Seq(2), Seq(1)))
+      fieldsPerBlob = Seq(Seq(2), Seq(1)),
+      codecPerBlob = Seq(blobCodec, blobCodec),
+      lz4Footer = lz4Footer)
     val mf = new java.io.File(metaDir, "v1.metadata.json")
     val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
       java.nio.charset.StandardCharsets.UTF_8)

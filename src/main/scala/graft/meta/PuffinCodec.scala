@@ -26,9 +26,12 @@ case class PuffinBlobInfo(
  *
  *  - file: `Magic("PFA1")  Blob*  Footer`
  *  - footer: `Magic  FooterPayload(JSON)  PayloadSize(4 LE)
- *    Flags(4)  Magic` — flag bit 0 of byte 0 marks an LZ4-compressed
- *    payload (REFUSED here, classified: a misread footer misplaces
- *    every blob).
+ *    Flags(4)  Magic` — flag bit 0 of byte 0 marks an LZ4-FRAME
+ *    compressed payload (decoded here, r17; `PayloadSize` counts the
+ *    STORED bytes). Blob bodies may carry the spec's `lz4`/`zstd`
+ *    `compression-codec` — [[decompressBlob]] undoes it with a
+ *    size-capped streaming read (a crafted frame must refuse, not
+ *    OOM).
  *  - `deletion-vector-v1` blob: `len(4 BE, = magic+vector bytes)
  *    Magic(D1 D3 39 64)  vector  CRC-32(4 BE, over magic+vector)` —
  *    the magic bytes are BY DESIGN the little-endian rendering of the
@@ -92,11 +95,9 @@ object PuffinCodec {
         throw new IllegalArgumentException(
           s"$path: not a Puffin file (trailing magic mismatch)")
       }
-      if ((flags(0) & 0x1) != 0) {
-        throw new UnsupportedOperationException(
-          s"$path: Puffin footer payload is compressed — not supported; " +
-            "refusing rather than misreading blob offsets")
-      }
+      // flag bit 0 of byte 0: LZ4-FRAME-compressed footer payload (the
+      // one codec the spec allows for footers) — decoded below
+      val footerLz4 = (flags(0) & 0x1) != 0
       // every other flag bit is RESERVED: a future flag may change how
       // the payload is framed, and ignoring it misplaces every blob —
       // the exact hazard this codec exists to refuse
@@ -118,8 +119,11 @@ object PuffinCodec {
         throw new IllegalArgumentException(
           s"$path: Puffin footer start magic mismatch")
       }
-      val payload = new Array[Byte](payloadSize)
-      in.readFully(payloadStart, payload)
+      val stored = new Array[Byte](payloadSize)
+      in.readFully(payloadStart, stored)
+      val payload =
+        if (footerLz4) decompressBlob(path, Some("lz4"), stored)
+        else stored
       parseFooterPayload(path, new String(payload, StandardCharsets.UTF_8))
     } finally {
       in.close()
@@ -251,6 +255,73 @@ object PuffinCodec {
   }
 
   val ThetaV1 = "apache-datasketches-theta-v1"
+
+  /** The largest DECOMPRESSED blob this codec will materialize —
+    * statistics-sketch scale, far above any real theta/DV payload; a
+    * zstd/lz4 bomb must refuse here, never OOM the executor. */
+  private val MaxBlobBytes: Int = 64 << 20
+
+  /**
+   * Undo a blob's `compression-codec` (Puffin spec: `lz4` = LZ4 frame,
+   * `zstd` = Zstandard frame; absent = stored verbatim). Decoding
+   * STREAMS with a size cap — the decompressed size is not declared in
+   * the footer, so the cap is what stands between a crafted frame and
+   * an executor OOM. Unknown codecs and malformed frames REFUSE
+   * (classified): a misread sketch corrupts every NDV downstream.
+   */
+  def decompressBlob(
+      path: Path, codec: Option[String], bytes: Array[Byte]): Array[Byte] =
+    codec.map(_.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty) match {
+      case None => bytes
+      case Some("zstd") =>
+        bounded(path, "zstd", new com.github.luben.zstd.ZstdInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      case Some("lz4") =>
+        bounded(path, "lz4", new net.jpountz.lz4.LZ4FrameInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      case Some(other) =>
+        throw new UnsupportedOperationException(
+          s"$path: Puffin compression-codec '$other' is not a spec " +
+            "codec (lz4, zstd) — refusing rather than misreading")
+    }
+
+  private def bounded(
+      path: Path, codec: String, in: java.io.InputStream): Array[Byte] =
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](65536)
+      var n = in.read(chunk)
+      while (n > 0) {
+        buf.write(chunk, 0, n)
+        if (buf.size() > MaxBlobBytes) {
+          throw new IllegalArgumentException(
+            s"$path: $codec blob decompresses past the $MaxBlobBytes-byte " +
+              "cap — refusing a decompression bomb")
+        }
+        n = in.read(chunk)
+      }
+      buf.toByteArray
+    } catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"$path: malformed $codec frame — ${e.getMessage}")
+    } finally in.close()
+
+  /** Compress a blob body for [[writePuffinFile]] (fixture twin of
+    * [[decompressBlob]]). */
+  def compressBlob(codec: Option[String], bytes: Array[Byte]): Array[Byte] =
+    codec.map(_.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty) match {
+      case None => bytes
+      case Some("zstd") => com.github.luben.zstd.Zstd.compress(bytes)
+      case Some("lz4") =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        out.write(bytes)
+        out.close()
+        bos.toByteArray
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unknown codec '$other'")
+    }
 
   /** Read one blob's stored bytes verbatim (type-agnostic span read;
     * the typed decoders sit on top). */
@@ -398,13 +469,16 @@ object PuffinCodec {
       blobs: Seq[(String, Map[String, String], Array[Byte])],
       snapshotId: Long = 1L,
       sequenceNumber: Long = 1L,
-      fieldsPerBlob: Seq[Seq[Int]] = Seq.empty): Seq[(Long, Long)] = {
+      fieldsPerBlob: Seq[Seq[Int]] = Seq.empty,
+      codecPerBlob: Seq[Option[String]] = Seq.empty,
+      lz4Footer: Boolean = false): Seq[(Long, Long)] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic)
-    val spans = blobs.map { case (_, _, body) =>
+    val spans = blobs.zipWithIndex.map { case ((_, _, body), i) =>
+      val stored = compressBlob(codecPerBlob.lift(i).flatten, body)
       val off = out.size().toLong
-      out.write(body)
-      (off, body.length.toLong)
+      out.write(stored)
+      (off, stored.length.toLong)
     }
     val blobJson = blobs.zip(spans).zipWithIndex.map {
       case (((tpe, props, _), (off, blen)), i) =>
@@ -413,18 +487,22 @@ object PuffinCodec {
           .mkString("{", ",", "}")
         val fieldsJson = fieldsPerBlob.lift(i).getOrElse(Seq.empty)
           .mkString("[", ",", "]")
+        val codecJson = codecPerBlob.lift(i).flatten
+          .map(c => s""","compression-codec":${q(c)}""").getOrElse("")
         s"""{"type":${q(tpe)},"fields":$fieldsJson,"snapshot-id":$snapshotId,""" +
-          s""""sequence-number":$sequenceNumber,"offset":$off,"length":$blen,""" +
-          s""""properties":$propJson}"""
+          s""""sequence-number":$sequenceNumber,"offset":$off,"length":$blen""" +
+          codecJson + s""","properties":$propJson}"""
     }.mkString("[", ",", "]")
-    val payload =
+    val payload0 =
       s"""{"blobs":$blobJson,"properties":{"created-by":"graft-fixture"}}"""
         .getBytes(StandardCharsets.UTF_8)
+    val payload =
+      if (lz4Footer) compressBlob(Some("lz4"), payload0) else payload0
     out.write(Magic)
     out.write(payload)
     val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
     tail.putInt(payload.length)
-    tail.put(Array[Byte](0, 0, 0, 0)) // flags: uncompressed footer
+    tail.put(Array[Byte](if (lz4Footer) 1 else 0, 0, 0, 0))
     out.write(tail.array())
     out.write(Magic)
     java.nio.file.Files.write(file.toPath, out.toByteArray)

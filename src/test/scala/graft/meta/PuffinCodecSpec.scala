@@ -100,20 +100,21 @@ class PuffinCodecSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("length word"))
   }
 
-  test("footer refuses compressed payload and foreign magics") {
+  test("footer refuses malformed frames and foreign magics") {
     val f = tmpFile("z.puffin")
     PuffinCodec.writePuffinFile(f, Seq(
       (PuffinCodec.DeletionVectorV1, Map.empty[String, String],
         PuffinCodec.encodeDvBlob(Array(1L)))))
     val bytes = Files.readAllBytes(f.toPath)
     val p = new Path(f.getAbsolutePath)
-    // set footer flag bit 0 (LZ4-compressed payload) — classified refusal
+    // footer flag bit 0 claims an LZ4 payload over plain JSON bytes —
+    // the decode must refuse the malformed frame, never misread offsets
     val flagged = bytes.clone()
     flagged(bytes.length - 8) = 0x1
     Files.write(f.toPath, flagged)
-    val e1 = intercept[UnsupportedOperationException](
+    val e1 = intercept[IllegalArgumentException](
       PuffinCodec.readFooter(p, conf))
-    assert(e1.getMessage.contains("compressed"))
+    assert(e1.getMessage.contains("malformed lz4"))
     // head magic broken
     val badHead = bytes.clone()
     badHead(0) = 0x00
@@ -141,6 +142,47 @@ class PuffinCodecSpec extends AnyFunSuite {
     val e5 = intercept[UnsupportedOperationException](
       PuffinCodec.readFooter(p, conf))
     assert(e5.getMessage.contains("reserved flag bits"))
+  }
+
+  test("compressed blobs and lz4 footers decode; bombs and junk refuse") {
+    val p = new Path("/x")
+    val body = PuffinCodec.encodeThetaSketchExact(123L)
+    // zstd + lz4 blob roundtrip through the public codec names
+    Seq("zstd", "lz4").foreach { c =>
+      val stored = PuffinCodec.compressBlob(Some(c), body)
+      assert(!stored.sameElements(body))
+      assert(PuffinCodec.decompressBlob(p, Some(c), stored)
+        .sameElements(body))
+    }
+    // absent codec = verbatim; unknown codec refuses
+    assert(PuffinCodec.decompressBlob(p, None, body).sameElements(body))
+    val eUnk = intercept[UnsupportedOperationException](
+      PuffinCodec.decompressBlob(p, Some("brotli"), body))
+    assert(eUnk.getMessage.contains("not a spec codec"))
+    // junk bytes under a real codec name refuse as malformed
+    intercept[IllegalArgumentException](
+      PuffinCodec.decompressBlob(p, Some("zstd"), Array[Byte](1, 2, 3)))
+    // a decompression bomb (256 MB of zeros) hits the size cap
+    val bomb = PuffinCodec.compressBlob(
+      Some("zstd"), Array.fill[Byte](256 << 20)(0))
+    assert(bomb.length < (1 << 20)) // it really is a bomb
+    val eBomb = intercept[IllegalArgumentException](
+      PuffinCodec.decompressBlob(p, Some("zstd"), bomb))
+    assert(eBomb.getMessage.contains("bomb"))
+    // full-file roundtrip: zstd blobs + lz4-frame footer
+    val f = tmpFile("zc.puffin")
+    val spans = PuffinCodec.writePuffinFile(f, Seq(
+      (PuffinCodec.ThetaV1, Map("ndv" -> "123"), body)),
+      codecPerBlob = Seq(Some("zstd")), lz4Footer = true)
+    val (blobs, _) = PuffinCodec.readFooter(new Path(f.getAbsolutePath), conf)
+    assert(blobs.head.compressionCodec === Some("zstd"))
+    assert(blobs.head.length === spans.head._2)
+    val est = PuffinCodec.thetaEstimate(
+      PuffinCodec.decompressBlob(new Path(f.getAbsolutePath),
+        blobs.head.compressionCodec,
+        PuffinCodec.readBlobBytes(new Path(f.getAbsolutePath), conf,
+          blobs.head.offset, blobs.head.length)))
+    assert(math.round(est) === 123L)
   }
 
   test("compact-theta estimate: empty, exact, single-item, estimation, refusals") {
