@@ -2166,6 +2166,30 @@ private[graft] object EntryLakeQueries {
       HudiMeta.morCensus(s, out)
     }),
 
+    // HUDI MOR INCREMENTAL PULL: the writes (base or log) the
+    // deltacommits in (from, to] declared — pull ("0", dc1] is the
+    // two base inserts (fid1's declared +1 lie included, as declared);
+    // pull (dc1, dc3] is fid0's two log appends + fid2's base insert.
+    // Merging logs is the consumer's job; the declared counts are the
+    // planning surface. Oracle: base footers + the writer contract.
+    "meta_hudi_mor_incremental" -> ((s, dir) => {
+      val out = "/tmp/graft_hudimor_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMorFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      val (dc1, dc3) = ("20240101000000000", "20240103000000000")
+      Seq(("0", dc1), (dc1, dc3)).map { case (f, t) =>
+        HudiMeta.morIncrementalPull(s, out, f, t)
+          .agg(lit(t).as("to_instant"),
+            count(lit(1)).cast("long").as("n_writes"),
+            sum(when(col("is_log"), 1L).otherwise(0L)).cast("long")
+              .as("n_logs"),
+            sum(col("declared_rows")).cast("long").as("declared_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
     // STREAMING HUDI INGEST: the checkpointed increments store across
     // TWO commit arrivals — pass A sees c1 completed and lands its
     // slices; pass B's newly-landed c2.commit lands EXACTLY c2's
@@ -3527,6 +3551,25 @@ private[graft] object EntryLakeQueries {
         |  (SELECT nr FROM fm
         |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
         |  0, 0, ''""".stripMargin,
+
+    "meta_hudi_mor_incremental" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_hudimor_sf0.01/p=*/*.parquet')
+        |)
+        |-- fid1's declared numWrites lies by +1 (writer contract)
+        |SELECT '20240101000000000' AS to_instant,
+        |  CAST(2 AS BIGINT) AS n_writes, CAST(0 AS BIGINT) AS n_logs,
+        |  (SELECT CAST(sum(nr) + 1 AS BIGINT) FROM fm WHERE name IN (
+        |    'fid0_0-0-0_20240101000000000.parquet',
+        |    'fid1_0-0-0_20240101000000000.parquet')) AS declared_rows
+        |UNION ALL
+        |-- (dc1, dc3]: two fid0 log appends (3 + 2 declared rows) plus
+        |-- fid2's base insert
+        |SELECT '20240103000000000', 3, 2,
+        |  (SELECT CAST(sum(nr) + 5 AS BIGINT) FROM fm WHERE name IN (
+        |    'fid2_0-0-0_20240102000000000.parquet'))""".stripMargin,
 
     "meta_hudi_mor_census" ->
       """WITH fm AS (

@@ -723,6 +723,44 @@ object HudiMeta extends Serializable {
   }
 
   /**
+   * MOR INCREMENTAL PULL at metadata cost — the merge-on-read twin of
+   * [[incrementalPull]]: every write (base parquet or log file) the
+   * completed commits/deltacommits in `(fromExclusive, toInclusive]`
+   * declared, one row per write with its commit attribution and
+   * `is_log` shape. An incremental MOR consumer reads exactly the
+   * returned base files plus log files (merging the latter is its
+   * job — the declared counts are the planning surface, per the tier
+   * note). `fromExclusive = "0"` bootstraps; otherwise both endpoints
+   * must be completed write instants.
+   */
+  def morIncrementalPull(
+      spark: SparkSession, table: String,
+      fromExclusive: String, toInclusive: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    val writes = completedMorInstants(root, timeline(root, conf), None)
+      .map(_.instant)
+    def requireWrite(t: String, which: String): Unit =
+      if (!writes.contains(t)) {
+        throw new IllegalArgumentException(
+          s"$table: $which instant $t is not a completed " +
+            s"commit/deltacommit (completed: ${writes.mkString(", ")})")
+      }
+    if (fromExclusive != "0") requireWrite(fromExclusive, "from")
+    requireWrite(toInclusive, "to")
+    if (fromExclusive >= toInclusive) {
+      throw new IllegalArgumentException(
+        s"$table: pull window ($fromExclusive, $toInclusive] is empty " +
+          "or reversed — no increment to read")
+    }
+    morDeclaredWrites(spark, table, Some(toInclusive))
+      .filter(col("instant_time") > fromExclusive)
+      .select(col("instant_time"), col("partition_path"), col("file_id"),
+        col("path"), col("is_log"), col("base_instant"),
+        col("declared_rows"), col("file_size"))
+  }
+
+  /**
    * MOR CENSUS with base-footer conformance: [[morFileGroups]] plus
    * each live BASE file's own parquet row count (one footer read per
    * group, distributed) — `base_match=false` names a deltacommit that

@@ -112,6 +112,33 @@ class HudiMorSpec extends SparkSpec {
     assert(f0.getAs[String]("log_paths_csv") === "")
   }
 
+  test("incremental pull windows deltacommits exactly, logs included") {
+    val (d, counts) = fresh()
+    // bootstrap: dc1's two base inserts
+    val boot = HudiMeta.morIncrementalPull(spark, d, "0", dc1).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Boolean]("is_log")))
+    assert(boot.toSet === Set(
+      (s"p=0/fid0_0-0-0_$dc1.parquet", false),
+      (s"p=0/fid1_0-0-0_$dc1.parquet", false)))
+    // (dc1, dc3]: the two log appends + fid2's base
+    val inc = HudiMeta.morIncrementalPull(spark, d, dc1, dc3).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Boolean]("is_log"),
+        r.getAs[Long]("declared_rows")))
+    assert(inc.toSet === Set(
+      (s"p=0/.fid0_$dc1.log.1_0-0-0", true, 3L),
+      (s"p=0/.fid0_$dc1.log.2_0-0-0", true, 2L),
+      (s"p=1/fid2_0-0-0_$dc2.parquet", false,
+        counts(s"p=1/fid2_0-0-0_$dc2.parquet"))))
+    // bad anchors refuse
+    val e = intercept[IllegalArgumentException] {
+      HudiMeta.morIncrementalPull(spark, d, "0", "20240104000000000")
+    }
+    assert(e.getMessage.contains("not a completed"))
+    intercept[IllegalArgumentException] {
+      HudiMeta.morIncrementalPull(spark, d, dc3, dc1)
+    }
+  }
+
   test("refusals: replacecommit, COW surfaces on MOR, clean time travel") {
     val (d, _) = fresh()
     Files.write(
