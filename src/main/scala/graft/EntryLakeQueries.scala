@@ -2219,6 +2219,38 @@ private[graft] object EntryLakeQueries {
           sum(col("declared_rows")).cast("long").as("declared_rows"))
     }),
 
+    // STREAMING HUDI MOR INGEST (r17): the crash-safe increments store
+    // across TWO deltacommit arrivals — pass A sees dc1+dc2 completed
+    // and lands their declared writes (bases AND the first log); pass
+    // B's newly-landed dc3.deltacommit lands EXACTLY the second log
+    // append (seen timeline files never re-trigger). Same numbers as
+    // the batch morIncrementalPull. Oracle: base footers + the writer
+    // contract (fid1's +1 lie and the declared log rows included).
+    "stream_hudi_mor_appends" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = "/tmp/graft_hudimorstream_" + sfx
+      val store = "/tmp/graft_hudimorstore_" + sfx
+      val ckpt = "/tmp/graft_hudimorck_" + sfx
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      HudiMeta.writeHudiMorFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      // pass A: dc3's completion marker has not arrived yet
+      val dc3 = new java.io.File(out, ".hoodie/20240103000000000.deltacommit")
+      val aside = new java.io.File(out, "aside_dc3.deltacommit")
+      require(dc3.renameTo(aside), s"could not stage $dc3 aside")
+      HudiMeta.maintainMorIncrementsStore(s, out, store, ckpt)
+      require(aside.renameTo(dc3), s"could not land $aside")
+      dc3.setLastModified(System.currentTimeMillis() + 1)
+      HudiMeta.maintainMorIncrementsStore(s, out, store, ckpt)
+      HudiMeta.readMorIncrementsStore(s, store)
+        .groupBy(col("instant_time"))
+        .agg(count(lit(1)).cast("long").as("n_writes"),
+          sum(when(col("is_log"), 1L).otherwise(0L)).cast("long")
+            .as("n_logs"),
+          sum(col("declared_rows")).cast("long").as("declared_rows"))
+    }),
+
     // day(ts) range pruning over the events table (30 day partitions
     // at every scale factor): tuple values are the spec's epoch-days
     // int, surfaced as real DATEs. Oracle: DuckDB recomputes each
@@ -3551,6 +3583,28 @@ private[graft] object EntryLakeQueries {
         |  (SELECT nr FROM fm
         |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
         |  0, 0, ''""".stripMargin,
+
+    "stream_hudi_mor_appends" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata(
+        |    '/tmp/graft_hudimorstream_sf0.01/p=*/*.parquet')
+        |)
+        |-- fid1's declared numWrites lies by +1 (writer contract)
+        |SELECT '20240101000000000' AS instant_time,
+        |  CAST(2 AS BIGINT) AS n_writes, CAST(0 AS BIGINT) AS n_logs,
+        |  (SELECT CAST(sum(nr) + 1 AS BIGINT) FROM fm WHERE name IN (
+        |    'fid0_0-0-0_20240101000000000.parquet',
+        |    'fid1_0-0-0_20240101000000000.parquet')) AS declared_rows
+        |UNION ALL
+        |-- dc2: fid0's first log append (3 declared) + fid2's base
+        |SELECT '20240102000000000', 2, 1,
+        |  (SELECT CAST(nr + 3 AS BIGINT) FROM fm
+        |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet')
+        |UNION ALL
+        |-- dc3: the second log append alone
+        |SELECT '20240103000000000', 1, 1, CAST(2 AS BIGINT)""".stripMargin,
 
     "meta_hudi_mor_incremental" ->
       """WITH fm AS (

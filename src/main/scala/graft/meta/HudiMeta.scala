@@ -391,14 +391,18 @@ object HudiMeta extends Serializable {
   def partitionPrunedFiles(
       spark: SparkSession, table: String, partition: String): DataFrame = {
     val live = liveFiles(spark, table)
-    val known = live.select(col("partition_path")).distinct()
-      .collect().map(_.getString(0)).sorted
-    if (!known.contains(partition)) {
+    val matching = live.filter(col("partition_path") === partition)
+    // the happy path collects NOTHING (at 100k partitions the known
+    // list is a 100k-string driver array); the full declared list is
+    // only materialized to name the refusal
+    if (matching.limit(1).count() == 0) {
+      val known = live.select(col("partition_path")).distinct()
+        .collect().map(_.getString(0)).sorted
       throw new IllegalArgumentException(
         s"$table: no live partition '$partition' (declared: " +
           s"${known.mkString(", ")})")
     }
-    live.filter(col("partition_path") === partition)
+    matching
   }
 
   /** The executable form of [[partitionPrunedFiles]]: scan exactly
@@ -544,6 +548,62 @@ object HudiMeta extends Serializable {
 
   /** Every increment row of a [[maintainIncrementsStore]] store. */
   def readIncrementsStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir + "/inc_*")
+
+  /**
+   * STREAMING MOR INCREMENTAL-INGEST store — the merge-on-read twin of
+   * [[maintainIncrementsStore]]: each newly COMPLETED write instant
+   * (`deltacommit` or `commit`) lands its declared writes — base
+   * parquet AND log files, the [[morIncrementalPull]] row shape — as
+   * an idempotent crash-safe `inc_<instant>` increment
+   * ([[StoreIO.publishIncrement]]). A MOR ingester tails
+   * [[readMorIncrementsStore]], reads each arriving base file once and
+   * merges arriving logs itself (declared counts are the planning
+   * surface, per the tier note).
+   */
+  def maintainMorIncrementsStore(
+      spark: SparkSession, table: String,
+      storeDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = spark.readStream.format("metadata")
+      .option("source", "hudi").option("level", "timeline")
+      .option("streamlagms", "0").load(table)
+    val q = src.select("instant_time", "action", "state")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // timeline-sized driver boundary (instant names, not slices)
+        val completed = batch.collect()
+          .filter(r => (r.getString(1) == "commit" ||
+            r.getString(1) == "deltacommit") &&
+            r.getString(2) == "completed")
+          .map(_.getString(0)).sorted
+        if (completed.nonEmpty) {
+          val store = new java.io.File(storeDir)
+          store.mkdirs()
+          StoreIO.sweepTemp(store)
+          val seen = StoreIO.parseIds(store, "inc").toSet
+          completed.filterNot(seen.contains).foreach { c =>
+            StoreIO.publishIncrement(
+              morDeclaredWrites(spark, table, Some(c))
+                .filter(col("instant_time") === c)
+                .select(col("instant_time"), col("partition_path"),
+                  col("file_id"), col("path"), col("is_log"),
+                  col("base_instant"), col("declared_rows"),
+                  col("file_size")),
+              store, s"inc_$c")
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Every increment row of a [[maintainMorIncrementsStore]] store. */
+  def readMorIncrementsStore(
+      spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(storeDir + "/inc_*")
 
   // ---------------------------------------------------------------------

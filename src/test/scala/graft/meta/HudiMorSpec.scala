@@ -139,6 +139,38 @@ class HudiMorSpec extends SparkSpec {
     }
   }
 
+  test("streaming MOR increments: each deltacommit lands exactly once") {
+    val (d, counts) = fresh()
+    val store = Files.createTempDirectory("graft_hudimor_st").toString + "/s"
+    val ckpt = Files.createTempDirectory("graft_hudimor_ck").toString
+    // pass A: dc3's completion marker has not arrived yet
+    val f3 = new java.io.File(d, s".hoodie/$dc3.deltacommit")
+    val aside = new java.io.File(d, "aside.deltacommit")
+    assert(f3.renameTo(aside))
+    HudiMeta.maintainMorIncrementsStore(spark, d, store, ckpt)
+    val passA = HudiMeta.readMorIncrementsStore(spark, store).collect()
+      .map(r => (r.getAs[String]("instant_time"), r.getAs[Boolean]("is_log")))
+    assert(passA.toSet === Set((dc1, false), (dc2, false), (dc2, true)))
+    assert(passA.length === 4) // dc1's two bases + dc2's base + log
+    // pass B: dc3 completes; EXACTLY its log append lands
+    assert(aside.renameTo(f3))
+    f3.setLastModified(System.currentTimeMillis() + 1)
+    HudiMeta.maintainMorIncrementsStore(spark, d, store, ckpt)
+    val all = HudiMeta.readMorIncrementsStore(spark, store).collect()
+    assert(all.length === 5)
+    val dc3Rows = all.filter(_.getAs[String]("instant_time") == dc3)
+    assert(dc3Rows.length === 1 && dc3Rows.head.getAs[Boolean]("is_log") &&
+      dc3Rows.head.getAs[Long]("declared_rows") === 2L)
+    // declared rows ride as declared (fid1's +1 lie)
+    val dc1Rows = all.filter(_.getAs[String]("instant_time") == dc1)
+    assert(dc1Rows.map(_.getAs[Long]("declared_rows")).sum ===
+      counts(s"p=0/fid0_0-0-0_$dc1.parquet") +
+        counts(s"p=0/fid1_0-0-0_$dc1.parquet") + 1)
+    // a third pass with nothing new is a no-op
+    HudiMeta.maintainMorIncrementsStore(spark, d, store, ckpt)
+    assert(HudiMeta.readMorIncrementsStore(spark, store).count() === 5L)
+  }
+
   test("refusals: replacecommit, COW surfaces on MOR, clean time travel") {
     val (d, _) = fresh()
     Files.write(
