@@ -2116,6 +2116,45 @@ private[graft] object EntryLakeQueries {
           col("n_declared"), col("n_present"), col("missing_csv"))
     }),
 
+    // HUDI CLUSTERING (replacecommit, r17): the live view after rc3
+    // clusters fid0+fid1 into fid3 — the replaced groups die at the
+    // replacing instant (still on disk, cleaner's job), the clustered
+    // base serves with footer conformance proving it holds exactly
+    // the union of the replaced groups' rows. Oracle: DuckDB reads
+    // the same footers; membership is the HoodieReplaceCommitMetadata
+    // writer contract.
+    "meta_hudi_clustered_census" -> ((s, dir) => {
+      val out = "/tmp/graft_hudicl_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiClusteredFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.liveCensus(s, out)
+        .select(col("file_id"), col("partition_path"), col("path"),
+          col("instant_time"), col("declared_rows"), col("footer_rows"),
+          col("is_match"))
+    }),
+
+    // HUDI CLUSTERING time travel: asOf c2 still serves the three
+    // pre-clustering groups; asOf rc3 serves the clustered pair —
+    // replacement is instant-scoped, never retroactive. Oracle: the
+    // same footers, writer-contract membership.
+    "meta_hudi_clustered_travel" -> ((s, dir) => {
+      val out = "/tmp/graft_hudicl_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiClusteredFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      Seq("20240102000000000", "20240103000000000").map { i =>
+        HudiMeta.liveCensus(s, out, Some(i))
+          .agg(lit(i).as("instant_time"),
+            count(lit(1)).cast("long").as("n_live"),
+            sum(col("footer_rows")).cast("long").as("data_rows"))
+      }.reduce(_ unionByName _)
+    }),
+
     // HUDI MERGE-ON-READ timeline: the deltacommit-shaped timeline of
     // the hand-written MOR fixture — three completed deltacommits with
     // their markers, a dangling requested deltacommit, and the bare
@@ -3539,6 +3578,49 @@ private[graft] object EntryLakeQueries {
         |WHERE c.f IN ('fid0_0-0-0_20240102000000000.parquet',
         |  'fid1_0-0-0_20240101000000000.parquet',
         |  'fid2_0-0-0_20240102000000000.parquet')""".stripMargin,
+
+    "meta_hudi_clustered_census" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_hudicl_sf0.01/p=*/*.parquet')
+        |)
+        |SELECT 'fid3' AS file_id, 'p=0' AS partition_path,
+        |  'p=0/fid3_0-0-0_20240103000000000.parquet' AS path,
+        |  '20240103000000000' AS instant_time,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid3_0-0-0_20240103000000000.parquet')
+        |    AS declared_rows,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid3_0-0-0_20240103000000000.parquet')
+        |    AS footer_rows,
+        |  true AS is_match
+        |UNION ALL
+        |SELECT 'fid2', 'p=1', 'p=1/fid2_0-0-0_20240102000000000.parquet',
+        |  '20240102000000000',
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
+        |  true""".stripMargin,
+
+    "meta_hudi_clustered_travel" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_hudicl_sf0.01/p=*/*.parquet')
+        |)
+        |SELECT '20240102000000000' AS instant_time,
+        |  CAST(3 AS BIGINT) AS n_live,
+        |  (SELECT CAST(sum(nr) AS BIGINT) FROM fm WHERE name IN (
+        |    'fid0_0-0-0_20240101000000000.parquet',
+        |    'fid1_0-0-0_20240101000000000.parquet',
+        |    'fid2_0-0-0_20240102000000000.parquet')) AS data_rows
+        |UNION ALL
+        |SELECT '20240103000000000', 2,
+        |  (SELECT CAST(sum(nr) AS BIGINT) FROM fm WHERE name IN (
+        |    'fid3_0-0-0_20240103000000000.parquet',
+        |    'fid2_0-0-0_20240102000000000.parquet'))""".stripMargin,
 
     "meta_hudi_mor_timeline" ->
       """SELECT * FROM (VALUES

@@ -83,18 +83,19 @@ object HudiMeta extends Serializable {
       .toSeq
   }
 
-  /** Completed visibility-affecting instants at or before `asOf`
-    * (all, when None). COW file visibility here is defined by
-    * `commit` actions; a completed `replacecommit` (clustering /
-    * insert-overwrite REPLACES file groups) or `restore` changes
-    * visibility in ways this tier does not model — refuse, never a
-    * silent wrong census. Table-service actions that cannot grow or
-    * shrink the live set (`clean`, `rollback`) pass through. */
+  /** Completed visibility-affecting write instants at or before
+    * `asOf` (all, when None), as `(instant, action)`: `commit` writes
+    * and `replacecommit` replacements (clustering / insert-overwrite,
+    * modeled r17 — see [[replacedGroups]]). `restore` and (on the
+    * COW-only surfaces) `deltacommit` refuse; table-service actions
+    * that cannot grow or shrink the live set (`clean`, `rollback`)
+    * pass through, but time travel behind a completed clean refuses
+    * (cleaned slices are gone from disk). */
   private def completedCommits(
-      root: Path, tl: Seq[HudiInstant], asOf: Option[String]): Seq[String] = {
+      root: Path, tl: Seq[HudiInstant],
+      asOf: Option[String]): Seq[(String, String)] = {
     val completed = tl.filter(_.state == "completed")
-    completed.find(i =>
-      Set("replacecommit", "restore", "deltacommit").contains(i.action))
+    completed.find(i => Set("restore", "deltacommit").contains(i.action))
       .foreach { i =>
         throw new UnsupportedOperationException(
           s"$root: timeline carries a completed ${i.action} " +
@@ -102,19 +103,25 @@ object HudiMeta extends Serializable {
             (if (i.action == "deltacommit")
               "merge-on-read log files are not modeled here; refusing " +
                 "rather than reading a base file whose rows a log " +
-                "supersedes"
+                "supersedes (use the MOR tier: morFileGroups/morCensus)"
              else
-               "file-group replacement is not modeled here; refusing " +
-                 "rather than resurrecting replaced files"))
+               "restore rewrites visibility in ways this tier does " +
+                 "not model; refusing rather than resurrecting files"))
       }
-    val commits = completed.filter(_.action == "commit").map(_.instant)
+    // `replacecommit` (clustering / insert-overwrite) is MODELED (r17):
+    // its write stats declare the new base files and its
+    // partitionToReplaceFileIds kills the replaced groups — see
+    // [[replacedGroups]].
+    val writes = completed
+      .filter(i => i.action == "commit" || i.action == "replacecommit")
+      .map(i => (i.instant, i.action))
     asOf match {
-      case None => commits
+      case None => writes
       case Some(t) =>
-        if (!commits.contains(t)) {
+        if (!writes.exists(_._1 == t)) {
           throw new IllegalArgumentException(
             s"$root: no completed commit at instant $t (completed: " +
-              s"${commits.mkString(", ")})")
+              s"${writes.map(_._1).mkString(", ")})")
         }
         // A completed clean DELETED superseded slices from disk; a view
         // older than the newest clean may reference files that no
@@ -127,8 +134,34 @@ object HudiMeta extends Serializable {
                 "cleaned slices are gone from disk; refusing rather " +
                 "than failing on a missing base file")
           }
-        commits.filter(_ <= t)
+        writes.filter(_._1 <= t)
     }
+  }
+
+  /** FileIds killed by the completed `replacecommit`s among `writes`
+    * (clustering / insert-overwrite): fileId → the earliest replacing
+    * instant. Each replacecommit's JSON must declare
+    * `partitionToReplaceFileIds` (the spec's
+    * HoodieReplaceCommitMetadata shape) — a replacecommit that hides
+    * what it replaced refuses, never a census that resurrects replaced
+    * groups. Driver work is commit-count-bounded (one small JSON per
+    * replacecommit), the same boundary class as the timeline itself. */
+  private def replacedGroups(
+      root: Path, conf: Configuration,
+      writes: Seq[(String, String)]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    writes.filter(_._2 == "replacecommit").sortBy(_._1).flatMap {
+      case (instant, action) =>
+        val node = actionNode(root, conf, instant, action)
+        val replaced = Option(node.get("partitionToReplaceFileIds"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$root: replacecommit $instant declares no " +
+              "partitionToReplaceFileIds — refusing rather than " +
+              "resurrecting replaced file groups"))
+        replaced.properties().asScala.flatMap { e =>
+          e.getValue.elements().asScala.map(_.asText() -> instant)
+        }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
   }
 
   /** Parse one timeline file NAME into `(instant, action, state)` —
@@ -218,10 +251,10 @@ object HudiMeta extends Serializable {
     }
     val rootStr = root.toString
     val sconf = new SerializableHadoopConf(conf)
-    commits.toDS().flatMap { instant =>
+    commits.toDS().flatMap { case (instant, action) =>
       val r = new Path(rootStr)
       val fs = r.getFileSystem(sconf.value)
-      val f = new Path(new Path(r, ".hoodie"), s"$instant.commit")
+      val f = new Path(new Path(r, ".hoodie"), s"$instant.$action")
       val in = fs.open(f)
       val node =
         try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
@@ -240,12 +273,12 @@ object HudiMeta extends Serializable {
           def lng(n: String): Long = Option(ws.get(n)).map(_.asLong())
             .getOrElse(throw new IllegalArgumentException(
               s"$f: write stat for $rel missing $n"))
-          (instant, e.getKey, str("fileId"), rel,
+          (instant, action, e.getKey, str("fileId"), rel,
             new Path(r, rel).toString, lng("numWrites"),
             lng("totalWriteBytes"))
         }
       }
-    }.toDF("instant_time", "partition_path", "file_id", "path",
+    }.toDF("instant_time", "action", "partition_path", "file_id", "path",
       "abs_path", "declared_rows", "file_size")
   }
 
@@ -253,13 +286,21 @@ object HudiMeta extends Serializable {
    * The LIVE file slices at `asOf` (None = the latest completed
    * commit): per FILE GROUP, the latest declared slice — copy-on-write
    * supersession, resolved from commit metadata alone (zero footer or
-   * data I/O, orphaned base files invisible by construction). One row
-   * per live base file.
+   * data I/O, orphaned base files invisible by construction) — MINUS
+   * the file groups a completed `replacecommit` at or before `asOf`
+   * REPLACED (clustering / insert-overwrite, r17: the replaced-ids
+   * set is commit-declared, driver-bounded at file-group scale — the
+   * same boundary every Hudi reader's replaced-groups filter has).
+   * One row per live base file.
    */
   def liveFiles(
       spark: SparkSession, table: String,
-      asOf: Option[String] = None): DataFrame =
-    declaredSlices(spark, table, asOf)
+      asOf: Option[String] = None): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    val writes = completedCommits(root, timeline(root, conf), asOf)
+    val replaced = replacedGroups(root, conf, writes).keySet.toSeq
+    val latest = declaredSlices(spark, table, asOf)
       .groupBy(col("file_id"))
       .agg(max_by(
         struct(col("instant_time"), col("partition_path"), col("path"),
@@ -270,6 +311,9 @@ object HudiMeta extends Serializable {
         col("w.path").as("path"), col("w.abs_path").as("abs_path"),
         col("w.declared_rows").as("declared_rows"),
         col("w.file_size").as("file_size"))
+    if (replaced.isEmpty) latest
+    else latest.filter(!col("file_id").isInCollection(replaced))
+  }
 
   /**
    * LIVE CENSUS with footer conformance — the numbers a COW reader
@@ -312,6 +356,7 @@ object HudiMeta extends Serializable {
     val root = qualified(table, conf)
     requireCowTable(root, conf)
     val commits = completedCommits(root, timeline(root, conf), None)
+      .map(_._1)
     def requireCommit(t: String, which: String): Unit =
       if (!commits.contains(t)) {
         throw new IllegalArgumentException(
@@ -325,8 +370,14 @@ object HudiMeta extends Serializable {
         s"$table: pull window ($fromExclusive, $toInclusive] is empty " +
           "or reversed — no increment to read")
     }
+    // a replacecommit in the window changed NO logical rows
+    // (clustering rewrites what earlier commits inserted) — its
+    // outputs are not increments, exactly as the iceberg changelog
+    // skips replace snapshots
     declaredSlices(spark, table, Some(toInclusive))
-      .filter(col("instant_time") > fromExclusive)
+      .filter(col("instant_time") > fromExclusive &&
+        col("action") =!= "replacecommit")
+      .drop("action")
   }
 
   /**
@@ -426,12 +477,14 @@ object HudiMeta extends Serializable {
           .getFields.asScala.map(_.name()).toSeq
       }
 
-  private def commitNode(
+  /** The JSON body of one completed instant's metadata file
+    * (`<instant>.<action>`). */
+  private def actionNode(
       root: Path, conf: Configuration,
-      instant: String): com.fasterxml.jackson.databind.JsonNode = {
+      instant: String, action: String): com.fasterxml.jackson.databind.JsonNode = {
     val fs = root.getFileSystem(conf)
     val in = fs.open(
-      new Path(new Path(root, ".hoodie"), s"$instant.commit"))
+      new Path(new Path(root, ".hoodie"), s"$instant.$action"))
     try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
     finally in.close()
   }
@@ -452,8 +505,8 @@ object HudiMeta extends Serializable {
       throw new IllegalArgumentException(
         s"$table: no completed commits — no schema history")
     }
-    commits.map { c =>
-      val fields = declaredFields(commitNode(root, conf, c))
+    commits.map { case (c, action) =>
+      val fields = declaredFields(actionNode(root, conf, c, action))
       (c, fields.map(_.size), fields.map(_.mkString(",")))
     }.toDF("instant_time", "n_fields", "fields_csv")
   }
@@ -476,9 +529,10 @@ object HudiMeta extends Serializable {
       throw new IllegalArgumentException(
         s"$table: no completed commits — nothing live to audit")
     }
-    val declared = declaredFields(commitNode(root, conf, commits.max))
+    val (newest, newestAction) = commits.maxBy(_._1)
+    val declared = declaredFields(actionNode(root, conf, newest, newestAction))
       .getOrElse(throw new IllegalArgumentException(
-        s"$table: commit ${commits.max} declares no " +
+        s"$table: commit $newest declares no " +
           "extraMetadata.schema — nothing to conform to"))
     val live = liveFiles(spark, table).select(col("abs_path"))
     val present = MetaValues.schemaFactsDf(spark, root.toString)
@@ -536,7 +590,7 @@ object HudiMeta extends Serializable {
           completed.filterNot(seen.contains).foreach { c =>
             StoreIO.publishIncrement(
               declaredSlices(spark, table, Some(c))
-                .filter(col("instant_time") === c),
+                .filter(col("instant_time") === c).drop("action"),
               store, s"inc_$c")
           }
         }
@@ -631,22 +685,24 @@ object HudiMeta extends Serializable {
   private val logNameRe = """^\.(.+)_(\d+)\.log\.(\d+)_(.+)$""".r
 
   /** Completed visibility-affecting instants of a MOR (or COW) table:
-    * `deltacommit` (MOR writes) and `commit` (inserts / compaction).
-    * `replacecommit`/`restore` still refuse (file-group replacement
-    * is not modeled); clean/rollback pass through. */
+    * `deltacommit` (MOR writes), `commit` (inserts / compaction), and
+    * `replacecommit` (clustering / insert-overwrite, modeled r17 via
+    * [[replacedGroups]] exactly as on the COW side). `restore`
+    * refuses; clean/rollback pass through. */
   private def completedMorInstants(
       root: Path, tl: Seq[HudiInstant],
       asOf: Option[String]): Seq[HudiInstant] = {
     val completed = tl.filter(_.state == "completed")
-    completed.find(i => Set("replacecommit", "restore").contains(i.action))
+    completed.find(_.action == "restore")
       .foreach { i =>
         throw new UnsupportedOperationException(
           s"$root: timeline carries a completed ${i.action} " +
-            s"(${i.instant}) — file-group replacement is not modeled " +
-            "here; refusing rather than resurrecting replaced files")
+            s"(${i.instant}) — restore rewrites visibility in ways " +
+            "this tier does not model; refusing")
       }
     val writes = completed
-      .filter(i => i.action == "commit" || i.action == "deltacommit")
+      .filter(i => i.action == "commit" || i.action == "deltacommit" ||
+        i.action == "replacecommit")
     asOf match {
       case None => writes
       case Some(t) =>
@@ -753,7 +809,19 @@ object HudiMeta extends Serializable {
   def morFileGroups(
       spark: SparkSession, table: String,
       asOf: Option[String] = None): DataFrame = {
-    val w = morDeclaredWrites(spark, table, asOf)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    val replaced = replacedGroups(root, conf,
+      completedMorInstants(root, timeline(root, conf), asOf)
+        .filter(_.action == "replacecommit")
+        .map(i => (i.instant, i.action))).keySet.toSeq
+    val w0 = morDeclaredWrites(spark, table, asOf)
+    // clustering / insert-overwrite (r17): groups a completed
+    // replacecommit at or before asOf replaced are dead — their logs
+    // drop with them
+    val w =
+      if (replaced.isEmpty) w0
+      else w0.filter(!col("file_id").isInCollection(replaced))
     val bases = w.filter(!col("is_log"))
       .groupBy(col("file_id"))
       .agg(max_by(
@@ -813,8 +881,13 @@ object HudiMeta extends Serializable {
         s"$table: pull window ($fromExclusive, $toInclusive] is empty " +
           "or reversed — no increment to read")
     }
+    // a replacecommit in the window changed NO logical rows — its
+    // outputs are not increments (same rule as the COW pull); a MOR
+    // compaction `commit` DOES ride (the consumer switches to the new
+    // base and stops reading its logs — the file-level contract)
     morDeclaredWrites(spark, table, Some(toInclusive))
-      .filter(col("instant_time") > fromExclusive)
+      .filter(col("instant_time") > fromExclusive &&
+        col("action") =!= "replacecommit")
       .select(col("instant_time"), col("partition_path"), col("file_id"),
         col("path"), col("is_log"), col("base_instant"),
         col("declared_rows"), col("file_size"))
@@ -949,6 +1022,83 @@ object HudiMeta extends Serializable {
       new java.io.File(hoodie, "20240103000000000.commit.requested").toPath,
       Array.empty[Byte])
     Map(s0._1 -> s0._2, s1._1 -> s1._2, s0b._1 -> s0b._2, s2._1 -> s2._2)
+  }
+
+  /**
+   * Hand-write a filesystem Hudi COW table with a CLUSTERING
+   * replacecommit against the public spec: c1 inserts file groups
+   * `fid0`/`fid1` under `p=0`, c2 inserts `fid2` under `p=1`, and rc3
+   * (a completed `replacecommit`, HoodieReplaceCommitMetadata shape)
+   * clusters fid0+fid1 into the single `fid3` — its
+   * `partitionToWriteStats` declares the new base and its
+   * `partitionToReplaceFileIds` kills the two old groups. The live
+   * view after rc3 is {fid3, fid2}; time travel to c2 still serves
+   * {fid0, fid1, fid2}; an incremental pull never reports rc3's
+   * output (clustering changed no logical rows). Returns rows per
+   * relative base-file path.
+   */
+  def writeHudiClusteredFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val hoodie = new java.io.File(root, ".hoodie")
+    hoodie.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, "hoodie.properties").toPath,
+      ("hoodie.table.name=graft_hudi_clustered_fixture\n" +
+        "hoodie.table.type=COPY_ON_WRITE\n" +
+        "hoodie.table.version=6\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (c1, c2, rc3) =
+      ("20240101000000000", "20240102000000000", "20240103000000000")
+    def writeBase(part: String, fid: String, instant: String,
+        slice: DataFrame): (String, Long) = {
+      val rel = s"$part/${fid}_0-0-0_$instant.parquet"
+      val dst = new java.io.File(root, rel)
+      dst.getParentFile.mkdirs()
+      rel -> FixtureIO.writeSingleParquet(slice, dst,
+        dir + s"_hudicl_${fid}_$instant")
+    }
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val s0 = writeBase("p=0", "fid0", c1,
+      base.filter(pmod(col("doc_id"), lit(3)) === 0))
+    val s1 = writeBase("p=0", "fid1", c1,
+      base.filter(pmod(col("doc_id"), lit(3)) === 1))
+    val s2 = writeBase("p=1", "fid2", c2,
+      base.filter(pmod(col("doc_id"), lit(3)) === 2))
+    // the clustered output: fid0's and fid1's rows in one base file
+    val s3 = writeBase("p=0", "fid3", rc3,
+      base.filter(pmod(col("doc_id"), lit(3)) < 2))
+    def stat(part: String, fid: String, rel: String, rows: Long): String =
+      s"""{"fileId":"$fid","path":"$rel","numWrites":$rows,
+         |"numDeletes":0,"numInserts":$rows,
+         |"totalWriteBytes":${new java.io.File(root, rel).length()},
+         |"partitionPath":"$part"}""".stripMargin.replace("\n", "")
+    def marker(name: String): Unit =
+      java.nio.file.Files.write(new java.io.File(hoodie, name).toPath,
+        Array.empty[Byte])
+    def commit(instant: String, action: String, body: String): Unit = {
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.$action").toPath,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      marker(s"$instant.$action.requested")
+      marker(s"$instant.$action.inflight")
+    }
+    commit(c1, "commit",
+      s"""{"partitionToWriteStats":{"p=0":[
+         |${stat("p=0", "fid0", s0._1, s0._2)},
+         |${stat("p=0", "fid1", s1._1, s1._2)}]},
+         |"operationType":"upsert"}""".stripMargin.replace("\n", ""))
+    commit(c2, "commit",
+      s"""{"partitionToWriteStats":{"p=1":[
+         |${stat("p=1", "fid2", s2._1, s2._2)}]},
+         |"operationType":"upsert"}""".stripMargin.replace("\n", ""))
+    commit(rc3, "replacecommit",
+      s"""{"partitionToWriteStats":{"p=0":[
+         |${stat("p=0", "fid3", s3._1, s3._2)}]},
+         |"partitionToReplaceFileIds":{"p=0":["fid0","fid1"]},
+         |"operationType":"cluster"}""".stripMargin.replace("\n", ""))
+    Map(s0._1 -> s0._2, s1._1 -> s1._2, s2._1 -> s2._2, s3._1 -> s3._2)
   }
 
   /**

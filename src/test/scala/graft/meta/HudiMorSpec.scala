@@ -171,15 +171,17 @@ class HudiMorSpec extends SparkSpec {
     assert(HudiMeta.readMorIncrementsStore(spark, store).count() === 5L)
   }
 
-  test("refusals: replacecommit, COW surfaces on MOR, clean time travel") {
+  test("refusals: opaque replacecommit, COW surfaces on MOR, clean travel") {
     val (d, _) = fresh()
+    // a replacecommit hiding what it replaced refuses (same contract
+    // as the COW side — modeling replacement needs the declared ids)
     Files.write(
       new java.io.File(d, ".hoodie/20240106000000000.replacecommit").toPath,
       "{}".getBytes("UTF-8"))
-    val eRc = intercept[UnsupportedOperationException] {
+    val eRc = intercept[IllegalArgumentException] {
       HudiMeta.morFileGroups(spark, d).collect()
     }
-    assert(eRc.getMessage.contains("replacecommit"))
+    assert(eRc.getMessage.contains("partitionToReplaceFileIds"))
     // the COW-only surfaces still refuse a MOR table up front
     val (d2, _) = fresh()
     val eCow = intercept[UnsupportedOperationException] {

@@ -253,16 +253,18 @@ class HudiSourceSpec extends SparkSpec {
       e.getMessage.contains("p=0, p=1"))
   }
 
-  test("refusals: replacecommit, non-table, unparseable timeline names") {
+  test("refusals: opaque replacecommit, non-table, unparseable names") {
     val (d, _) = fresh()
-    // a completed replacecommit changes file-group visibility — refuse
+    // a completed replacecommit that HIDES what it replaced (no
+    // partitionToReplaceFileIds) refuses — resolution must never
+    // guess which groups died
     java.nio.file.Files.write(
       new java.io.File(d, ".hoodie/20240104000000000.replacecommit").toPath,
       "{}".getBytes("UTF-8"))
-    val eRc = intercept[UnsupportedOperationException] {
+    val eRc = intercept[IllegalArgumentException] {
       HudiMeta.liveFiles(spark, d).collect()
     }
-    assert(eRc.getMessage.contains("replacecommit"))
+    assert(eRc.getMessage.contains("partitionToReplaceFileIds"))
     // timeline still LISTS it (reporting is not resolution)
     assert(HudiMeta.timelineReport(spark, d)
       .filter(col("action") === "replacecommit").count() === 1L)
