@@ -978,6 +978,23 @@ private[graft] object EntryLakeQueries {
     }),
 
 
+    // ICEBERG REF-SCOPED CHANGELOG (r17): "what changed between tag
+    // v1 and main", asked exactly as users ask it — both named refs
+    // resolve through the metadata's refs map and the ordinary
+    // ancestry-validated row-level changelog runs. Same rows as the
+    // id-anchored (1,2] feed on this fixture. Oracle: DuckDB reads
+    // the same files per the writer contract.
+    "meta_iceberg_ref_changelog" -> ((s, dir) => {
+      val out = "/tmp/graft_icerefs_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        IcebergMeta.writeRefsFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      IcebergMeta.changelogScanRef(s, out, "v1", "main")
+        .select(col("doc_id"), col("lang"), col("_change_type"))
+    }),
+
     // ICEBERG PARTITION-STATISTICS audit: the current snapshot's
     // declared per-partition rollups (a PARQUET stats file named by
     // the metadata's partition-statistics list) vs the manifest
@@ -3025,6 +3042,19 @@ private[graft] object EntryLakeQueries {
         |UNION ALL
         |SELECT doc_id, lang, 'delete'
         |FROM read_parquet('/tmp/graft_iceberg_sf0.01/data/f5.parquet')"""
+        .stripMargin,
+
+    "meta_iceberg_ref_changelog" ->
+      """SELECT doc_id, lang, 'insert' AS _change_type
+        |FROM read_parquet('/tmp/graft_icerefs_sf0.01/data/f[34].parquet')
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete'
+        |FROM read_parquet('/tmp/graft_icerefs_sf0.01/data/f0.parquet',
+        |  file_row_number=true)
+        |WHERE file_row_number IN (0, 1)
+        |UNION ALL
+        |SELECT doc_id, lang, 'delete'
+        |FROM read_parquet('/tmp/graft_icerefs_sf0.01/data/f5.parquet')"""
         .stripMargin,
 
     "stream_iceberg_changelog" ->

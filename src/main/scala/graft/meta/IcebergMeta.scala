@@ -651,7 +651,15 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
    * back to current.
    */
   def filesAtRef(
-      spark: SparkSession, table: String, ref: String): DataFrame = {
+      spark: SparkSession, table: String, ref: String): DataFrame =
+    filesAt(spark, table, Some(resolveRef(spark, table, ref)))
+
+  /** Resolve a named ref (branch/tag) to its snapshot id from the
+    * metadata's `refs` map; a ref-less table resolves `main` to the
+    * current snapshot (the spec's implicit main branch). Unknown refs
+    * refuse with the declared names. */
+  private[meta] def resolveRef(
+      spark: SparkSession, table: String, ref: String): Long = {
     val (_, _, mf, node) = currentMetadataNode(spark, table)
     import scala.jdk.CollectionConverters._
     val refs: Map[String, Long] =
@@ -660,7 +668,7 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
           .map(e => e.getKey -> req(e.getValue, "snapshot-id", mf).asLong())
           .toMap
       }.getOrElse(Map.empty)
-    val snapId = refs.get(ref).orElse {
+    refs.get(ref).orElse {
       if (ref == "main" && refs.isEmpty)
         Option(node.get("current-snapshot-id")).map(_.asLong())
       else None
@@ -668,8 +676,20 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
       s"$table: no ref '$ref' (declared: " +
         s"${(refs.keys.toSeq ++
           (if (refs.isEmpty) Seq("main") else Nil)).sorted.mkString(", ")})"))
-    filesAt(spark, table, Some(snapId))
   }
+
+  /** [[changelogScan]] with NAMED endpoints — the "what changed
+    * between tag v1 and main" question asked exactly as users ask it:
+    * both refs resolve through the metadata's refs map, then the
+    * ordinary ancestry-validated row-level changelog runs — a ref on
+    * a divergent branch (from not an ancestor of to) refuses through
+    * the same lineage check, and a dangling ref refuses at snapshot
+    * resolution. */
+  def changelogScanRef(
+      spark: SparkSession, table: String,
+      fromRef: String, toRef: String): DataFrame =
+    changelogScan(spark, table,
+      resolveRef(spark, table, fromRef), resolveRef(spark, table, toRef))
 
   /** Format versions 1–3 census faithfully (v3 deletion vectors
     * decode through [[PuffinCodec]]; their manifest `record_count` is

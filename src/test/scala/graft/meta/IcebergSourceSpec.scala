@@ -1050,6 +1050,31 @@ class IcebergSourceSpec extends SparkSpec {
         posDocs("f1.parquet", Seq(0L, 2L)))
   }
 
+  test("changelog scan by NAMED refs: tag-to-branch resolves, bad refs refuse") {
+    val d = Files.createTempDirectory("graft_ice_refcl").toString + "/tbl"
+    IcebergMeta.writeRefsFixtureTable(spark, d, docs)
+    // (v1 tag → main branch) = the id-anchored (1, 2] feed
+    val byRef = IcebergMeta.changelogScanRef(spark, d, "v1", "main")
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byId = IcebergMeta.changelogScan(spark, d, 1L, 2L)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRef === byId)
+    // a dangling ref refuses at snapshot resolution
+    val eStale = intercept[Exception](
+      IcebergMeta.changelogScanRef(spark, d, "stale", "main"))
+    assert(causeMessages(eStale).contains("no snapshot 99"))
+    // an unknown ref refuses with the declared names
+    val eUnknown = intercept[IllegalArgumentException](
+      IcebergMeta.changelogScanRef(spark, d, "nope", "main"))
+    assert(eUnknown.getMessage.contains("no ref 'nope'"))
+    // same ref both ends = an empty range
+    val eSame = intercept[IllegalArgumentException](
+      IcebergMeta.changelogScanRef(spark, d, "main", "main"))
+    assert(eSame.getMessage.contains("equals"))
+  }
+
   test("changelog scan: a transient file emits its insert+delete pair") {
     val d = Files.createTempDirectory("graft_ice_transient").toString + "/tbl"
     IcebergMeta.writeTransientFixtureTable(spark, d, docs)
