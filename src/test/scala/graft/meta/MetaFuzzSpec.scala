@@ -1,0 +1,103 @@
+package graft.meta
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Adversarial-input property for the LAKE-METADATA decoders — the
+ * same contract [[graft.functions.DecodeFuzzSpec]] pins for page
+ * bytes: Puffin footers/blobs, deletion-vector payloads, roaring
+ * bitmaps, theta sketches, compressed frames, and timeline names are
+ * UNTRUSTED input the moment a table written by another engine is
+ * opened. Every decoder must REFUSE garbage with a CLASSIFIED
+ * exception (IllegalArgument / UnsupportedOperation) — never an
+ * index/NPE/negative-size crash and never an allocation driven by an
+ * unvalidated length field. Seeds are pinned and logged exactly as in
+ * DecodeFuzzSpec (GRAFT_FUZZ_SEED/SEEDS/CASES).
+ */
+class MetaFuzzSpec extends AnyFunSuite {
+
+  private val baseSeed: Long =
+    sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260816L)
+  private val nSeeds: Int =
+    sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(5)
+  private val totalCases: Int =
+    sys.env.get("GRAFT_FUZZ_CASES").map(_.toInt).getOrElse(500)
+
+  private def check(p: Prop): Unit = {
+    val perSeed = math.max(1, totalCases / nSeeds)
+    (0 until nSeeds).foreach { i =>
+      val seed = baseSeed + i
+      val params = SCTest.Parameters.default
+        .withMinSuccessfulTests(perSeed)
+        .withInitialSeed(org.scalacheck.rng.Seed(seed))
+      val res = SCTest.check(params, p)
+      assert(res.passed,
+        s"seed=$seed cases=$perSeed: ${res.status.toString}")
+    }
+  }
+
+  private val genBytes: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 512).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127))
+      .map(_.map(_.toByte).toArray))
+
+  /** A refusal is CLASSIFIED; anything else is the crash class this
+    * spec exists to exclude. */
+  private def classified(f: => Any): Boolean =
+    try { f; true } catch {
+      case _: IllegalArgumentException => true
+      case _: UnsupportedOperationException => true
+    }
+
+  test("roaring/DV/theta decoders refuse arbitrary bytes, classified") {
+    check(Prop.forAll(genBytes) { b =>
+      classified(PuffinCodec.decodeRoaring64Portable(b)) &&
+        classified(PuffinCodec.thetaEstimate(b)) &&
+        classified(DvCodec.decodeBitmap(b))
+    })
+  }
+
+  test("compressed-frame decoders refuse garbage and never over-allocate") {
+    val p = new Path("/fuzz")
+    check(Prop.forAll(genBytes) { b =>
+      classified(PuffinCodec.decompressBlob(p, Some("zstd"), b)) &&
+        classified(PuffinCodec.decompressBlob(p, Some("lz4"), b)) &&
+        classified(PuffinCodec.decompressBlob(p, Some("junk"), b))
+    })
+  }
+
+  test("puffin footer and DV blob reads refuse arbitrary file bytes") {
+    val conf = new Configuration()
+    val magic = PuffinCodec.Magic
+    check(Prop.forAll(genBytes) { b =>
+      val tmp = java.io.File.createTempFile("fuzz_puffin", ".puffin")
+      try {
+        // magic-prefixed garbage is the adversarial case (the footer
+        // walk actually runs); readDvBlob probes an arbitrary span
+        java.nio.file.Files.write(tmp.toPath, magic ++ b ++ magic)
+        val path = new Path(tmp.getAbsolutePath)
+        classified(PuffinCodec.readFooter(path, conf)) &&
+          classified(PuffinCodec.readDvBlob(path, conf, 0L,
+            math.min(12L + (b.length % 64), tmp.length()))) &&
+          classified({
+            // EOF-truncated spans must refuse too, never loop
+            PuffinCodec.readBlobBytes(path, conf, tmp.length() - 2,
+              4L)
+          })
+      } catch {
+        case _: java.io.IOException => true // EOF refusal class
+      } finally { tmp.delete(); () }
+    })
+  }
+
+  test("z85 and timeline-name parses refuse garbage, classified") {
+    val genStr = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))
+    check(Prop.forAll(genStr) { s =>
+      classified(DvCodec.z85Decode(s)) &&
+        classified(HudiMeta.parseInstantName(s, "/fuzz"))
+    })
+  }
+}
