@@ -47,6 +47,21 @@ object Bench {
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}" +
           (if (names.isEmpty) " (empty set)" else ""))
     }
+    // ambient context AT START: same-day full-suite runs have measured
+    // 1.0-1.3x apart with pairwise-DISJOINT riser sets purely from
+    // page-cache reclaim between runs (r17, BASELINE.md) — the
+    // artifact carries the numbers that adjudicate that, so a riser
+    // analysis never has to reconstruct the box state forensically
+    def loadNow: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def cachedMb: Long =
+      try {
+        scala.io.Source.fromFile("/proc/meminfo").getLines()
+          .collectFirst { case l if l.startsWith("Cached:") =>
+            l.split("\\s+")(1).toLong / 1024 }
+          .getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
+    val (loadStart, cachedStartMb) = (loadNow, cachedMb)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -64,10 +79,12 @@ object Bench {
     val total = results.map(_._2).sum
     // 1-minute system load average: totals on a shared box are only
     // comparable load-for-load, so the artifact carries its own context
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val load = loadNow
+    val ambient =
+      s""""load":$load,"load_start":$loadStart,""" +
+        s""""cached_mb_start":$cachedStartMb,"cached_mb_end":$cachedMb"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","load":$load,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$ambient,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // The per-round artifact keeps only the TAIL of this process's output,
     // so anything that must survive truncation has to print LAST. Two
     // measures: (1) the complete per-query record is also written to a
