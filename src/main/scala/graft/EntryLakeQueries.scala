@@ -972,8 +972,10 @@ private[graft] object EntryLakeQueries {
     "meta_iceberg_refs" -> ((s, dir) => {
       val out = "/tmp/graft_icerefs_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      IcebergMeta.writeRefsFixtureTable(
-        s, out, s.read.parquet(pq(dir, "documents")))
+      fixtureOnce(out) { // shared with meta_iceberg_ref_changelog
+        IcebergMeta.writeRefsFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
       IcebergMeta.refsReport(s, out)
     }),
 
