@@ -56,7 +56,9 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     def cachedMb: Long =
       try {
-        scala.io.Source.fromFile("/proc/meminfo").getLines()
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get("/proc/meminfo")).asScala
           .collectFirst { case l if l.startsWith("Cached:") =>
             l.split("\\s+")(1).toLong / 1024 }
           .getOrElse(-1L)

@@ -53,6 +53,39 @@ object HudiMeta extends Serializable {
     * in the timeline. */
   private val bareInflightRe = """^(\d+)\.inflight$""".r
 
+  /** Open and parse one instant's commit-metadata JSON body, refusing
+    * garbage CLASSIFIED with the file named (r17 VERDICT): commit
+    * bodies are untrusted input the moment a table written by another
+    * engine is opened, and a corrupt `<instant>.commit` must surface
+    * as the repo's standard refusal — never a raw Jackson exception
+    * escaping an executor task. Runs wherever the decode runs (driver
+    * or executor fan-out). */
+  private[meta] def readCommitNode(
+      fs: org.apache.hadoop.fs.FileSystem,
+      f: Path): com.fasterxml.jackson.databind.JsonNode = {
+    val in = fs.open(f)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      catch {
+        // CharConversionException: jackson's encoding sniffer throws
+        // it (a plain java.io exception, NOT a JacksonException) on
+        // garbage that looks like a UCS-4 BOM — fuzz-found, same
+        // refusal class
+        case e @ (_: com.fasterxml.jackson.core.JacksonException |
+            _: java.io.CharConversionException) =>
+          throw new IllegalArgumentException(
+            s"$f: unparseable commit metadata JSON — refusing rather " +
+              s"than mis-reading the timeline (${String.valueOf(e.getMessage)
+                .linesIterator.nextOption().getOrElse("")})")
+      } finally in.close()
+    if (node == null || !node.isObject) {
+      throw new IllegalArgumentException(
+        s"$f: commit metadata is empty or not a JSON object — refusing " +
+          "rather than treating the commit as empty")
+    }
+    node
+  }
+
   /** The parsed `.hoodie` timeline, instant-ordered. Non-instant
     * files (hoodie.properties, metadata dirs) are skipped; an
     * unparseable instant-LIKE name refuses (a misread timeline
@@ -255,10 +288,7 @@ object HudiMeta extends Serializable {
       val r = new Path(rootStr)
       val fs = r.getFileSystem(sconf.value)
       val f = new Path(new Path(r, ".hoodie"), s"$instant.$action")
-      val in = fs.open(f)
-      val node =
-        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-        finally in.close()
+      val node = readCommitNode(fs, f)
       val stats = Option(node.get("partitionToWriteStats")).getOrElse(
         throw new IllegalArgumentException(
           s"$f: commit metadata carries no partitionToWriteStats — " +
@@ -481,13 +511,9 @@ object HudiMeta extends Serializable {
     * (`<instant>.<action>`). */
   private def actionNode(
       root: Path, conf: Configuration,
-      instant: String, action: String): com.fasterxml.jackson.databind.JsonNode = {
-    val fs = root.getFileSystem(conf)
-    val in = fs.open(
+      instant: String, action: String): com.fasterxml.jackson.databind.JsonNode =
+    readCommitNode(root.getFileSystem(conf),
       new Path(new Path(root, ".hoodie"), s"$instant.$action"))
-    try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-    finally in.close()
-  }
 
   /**
    * SCHEMA HISTORY from the commits' own `extraMetadata.schema` (the
@@ -748,10 +774,7 @@ object HudiMeta extends Serializable {
       val r = new Path(rootStr)
       val fs = r.getFileSystem(sconf.value)
       val f = new Path(new Path(r, ".hoodie"), s"$instant.$action")
-      val in = fs.open(f)
-      val node =
-        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
-        finally in.close()
+      val node = readCommitNode(fs, f)
       val stats = Option(node.get("partitionToWriteStats")).getOrElse(
         throw new IllegalArgumentException(
           s"$f: commit metadata carries no partitionToWriteStats — " +

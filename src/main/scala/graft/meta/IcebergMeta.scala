@@ -127,6 +127,13 @@ case class IcebergFileEntry(
  * manifests scales like any other scan; only the (small) metadata JSON
  * and manifest list are read at the driver.
  */
+/** The CLASSIFIED no-rows-changed refusal of [[IcebergMeta.changelogScan]]
+  * — a dedicated type (r17 ADVICE) so callers that legitimately skip
+  * empty/replace-only ranges (the changelog store walk) match on the
+  * TYPE, never on message text a future refactor could collide with. */
+class EmptyChangelogException(msg: String)
+  extends IllegalArgumentException(msg)
+
 object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
     with IcebergMetaTransformPrune with IcebergMetaTransformFixtures {
 
@@ -1420,13 +1427,20 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
     val info = readTableMetadata(
       currentMetadataFile(root.getFileSystem(hconf), root), hconf)
     val opById = info.snapshots.map(s => s.snapshotId -> s.operation).toMap
-    val entries = rangeEntries(spark, table, fromSnapshot, toSnapshot,
+    val entriesAll = rangeEntries(spark, table, fromSnapshot, toSnapshot,
       Set(1, 2))
       .select(col("abs_path"), col("content"), col("file_format"),
         col("status"), col("snapshot_id"), col("referenced_data_file"),
         col("content_offset"), col("content_size"), col("record_count"))
       .collect()
-      // replace snapshots rewrite files without changing logical rows
+    // a transient add needs an in-range DATA-file removal somewhere —
+    // checked BEFORE the replace filter (a replace snapshot's removal
+    // can be the vanishing leg); append-only ranges skip the O(k)
+    // intermediate-list walk entirely (r17 ADVICE)
+    val hasInRangeDataRemoval =
+      entriesAll.exists(r => r.getInt(3) == 2 && r.getInt(1) == 0)
+    // replace snapshots rewrite files without changing logical rows
+    val entries = entriesAll
       .filterNot(r => opById.get(r.getLong(4)).flatten.contains("replace"))
     val rootStr0 = root.toString
     // a v3 Puffin deletion vector: content=1, a referenced data file
@@ -1545,7 +1559,7 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
     val interSnapIds =
       inRangeSnapshotIds(info, table, fromSnapshot, toSnapshot) - toSnapshot
     val vanishedAdds: Seq[String] =
-      if (interSnapIds.isEmpty) Seq.empty
+      if (interSnapIds.isEmpty || !hasInRangeDataRemoval) Seq.empty
       else {
         val visible = insertPaths.toSet
         interSnapIds.toSeq.sorted.flatMap { sid =>
@@ -1763,7 +1777,7 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
         .withColumn("_change_type", lit("delete")))
     (inserts.toSeq ++ deletes.toSeq ++ removedRows.toSeq)
       .reduceOption(_ unionByName _)
-      .getOrElse(throw new IllegalArgumentException(
+      .getOrElse(throw new EmptyChangelogException(
         s"$table: snapshots ($fromSnapshot, $toSnapshot] appended or " +
           "removed no files — the range carries no changelog"))
   }
@@ -2036,10 +2050,9 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
                         catch {
                           // a snapshot that changed no logical rows
                           // (replace-only) has no increment to land —
-                          // the walk advances past it
-                          case e: IllegalArgumentException
-                              if e.getMessage != null &&
-                                e.getMessage.contains("no changelog") => ()
+                          // the walk advances past it; matched by
+                          // TYPE, never by message text (r17 ADVICE)
+                          case _: EmptyChangelogException => ()
                         }
                       }
                       sid

@@ -185,9 +185,12 @@ private[meta] trait IcebergMetaTransformPrune extends Serializable {
     val (field, _, _) = transformField(
       spark, table, column, """^hours?$""".r,
       Set("timestamp", "timestamptz"), "hour")
+    // floorDiv, not /: the spec's hour transform floors toward
+    // negative infinity, and truncating division would round a
+    // pre-1970 non-aligned probe boundary UP one hour (r17 ADVICE)
     def hoursOf(iso: String): Long =
-      java.time.LocalDateTime.parse(iso)
-        .toEpochSecond(java.time.ZoneOffset.UTC) / 3600
+      Math.floorDiv(java.time.LocalDateTime.parse(iso)
+        .toEpochSecond(java.time.ZoneOffset.UTC), 3600L)
     val (loH, hiH) = (hoursOf(lo), hoursOf(hi))
     partitionValueByFile(spark, table, field)
       .select(col("data_path"),

@@ -22,27 +22,58 @@ object StoreIO {
 
   /** Write `df` as one parquet increment under `store/name`, via a
     * temp dir + rename. Idempotent: a re-delivered increment replaces
-    * the prior same-named one whole. */
+    * the prior same-named one whole — and crash-safe even ON
+    * redelivery (r17 ADVICE): the existing destination is renamed
+    * ASIDE (a dot-prefixed `.old_` name, invisible to the `inc_*`
+    * globs and swept later), not deleted, before the new rename — so
+    * no crash point leaves the already-published increment name
+    * missing; a crash between the two renames is repaired by
+    * [[sweepTemp]] on the next pass, which restores the aside when no
+    * replacement landed. */
   def publishIncrement(df: DataFrame, store: File, name: String): Unit = {
     store.mkdirs()
     val tmp = new File(store, s".tmp_$name")
     org.apache.commons.io.FileUtils.deleteQuietly(tmp)
     df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
     val dst = new File(store, name)
-    org.apache.commons.io.FileUtils.deleteQuietly(dst)
+    val aside = new File(store, s".old_$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(aside)
+    if (dst.exists() && !dst.renameTo(aside)) {
+      throw new IllegalStateException(
+        s"$store: could not stage prior increment '$name' aside — " +
+          "rename failed; the store filesystem must support atomic rename")
+    }
     if (!tmp.renameTo(dst)) {
+      // restore the prior increment rather than leaving a gap
+      if (aside.exists()) aside.renameTo(dst)
       throw new IllegalStateException(
         s"$store: could not publish increment '$name' — rename failed; " +
           "the store filesystem must support atomic rename")
     }
+    org.apache.commons.io.FileUtils.deleteQuietly(aside)
   }
 
-  /** Remove crashed-attempt temp dirs (safe concurrently with reads:
-    * dot-prefixed names are invisible to the `feed_*`/`inc_*` globs). */
-  def sweepTemp(store: File): Unit =
-    Option(store.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(".tmp_"))
+  /** Remove crashed-attempt temp dirs, and REPAIR a crash that fell
+    * between [[publishIncrement]]'s two renames: a `.old_<name>`
+    * aside whose `<name>` is missing is the still-valid prior
+    * increment — restore it; an aside whose replacement landed is
+    * garbage — drop it. (Safe concurrently with reads: dot-prefixed
+    * names are invisible to the `feed_*`/`inc_*` globs.) */
+  def sweepTemp(store: File): Unit = {
+    val all = Option(store.listFiles()).getOrElse(Array.empty)
+    all.filter(f => f.isDirectory && f.getName.startsWith(".tmp_"))
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    all.filter(f => f.isDirectory && f.getName.startsWith(".old_"))
+      .foreach { aside =>
+        val dst = new File(store, aside.getName.stripPrefix(".old_"))
+        if (dst.exists()) org.apache.commons.io.FileUtils.deleteQuietly(aside)
+        else if (!aside.renameTo(dst)) {
+          throw new IllegalStateException(
+            s"$store: could not restore increment '${dst.getName}' from " +
+              "its crash-staged aside — rename failed")
+        }
+      }
+  }
 
   /** The `(a, b)` pairs of every `<prefix>_<a>_<b>` increment dir.
     * STRICT: a dir that starts with the prefix but does not parse

@@ -92,6 +92,30 @@ class MetaFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("hudi commit-metadata BODIES refuse arbitrary bytes, classified") {
+    // the r17 gap: timeline NAMES were fuzzed but commit JSON bodies
+    // were not — a corrupt <instant>.commit must refuse with the file
+    // named, never escape as a raw Jackson exception
+    val conf = new Configuration()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    check(Prop.forAll(genBytes) { b =>
+      val tmp = java.io.File.createTempFile("fuzz_commit", ".commit")
+      try {
+        java.nio.file.Files.write(tmp.toPath, b)
+        try {
+          val node = HudiMeta.readCommitNode(
+            fs, new Path(tmp.getAbsolutePath))
+          // bytes that happen to parse as a JSON object are fine —
+          // the stats-shape refusals downstream are already classified
+          node.isObject
+        } catch {
+          case _: IllegalArgumentException => true
+          case _: UnsupportedOperationException => true
+        }
+      } finally { tmp.delete(); () }
+    })
+  }
+
   test("z85 and timeline-name parses refuse garbage, classified") {
     val genStr = Gen.chooseNum(0, 64).flatMap(n =>
       Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))

@@ -34,6 +34,34 @@ class StoreIOSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("redelivery is crash-safe: the published name never vanishes, " +
+      "and a crash between the two renames repairs on sweep") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_storeio_r").toFile
+    StoreIO.publishIncrement(
+      Seq((1L, "a")).toDF("v", "s"), store, "inc_1")
+    // redelivery replaces in place — and no .old_ garbage stays behind
+    StoreIO.publishIncrement(
+      Seq((2L, "b"), (3L, "c")).toDF("v", "s"), store, "inc_1")
+    assert(spark.read.parquet(new java.io.File(store, "inc_1").getPath)
+      .count() === 2L)
+    assert(!new java.io.File(store, ".old_inc_1").exists())
+    // simulate the crash window: prior increment staged aside, the
+    // replacement never renamed in — the next pass's sweep RESTORES it
+    val dst = new java.io.File(store, "inc_1")
+    val aside = new java.io.File(store, ".old_inc_1")
+    assert(dst.renameTo(aside))
+    assert(StoreIO.parseIds(store, "inc") === Seq.empty) // the gap
+    StoreIO.sweepTemp(store)
+    assert(StoreIO.parseIds(store, "inc") === Seq("1"))
+    assert(spark.read.parquet(dst.getPath).count() === 2L)
+    // and when the replacement DID land, a leftover aside is dropped
+    val aside2 = new java.io.File(store, ".old_inc_1")
+    aside2.mkdirs()
+    StoreIO.sweepTemp(store)
+    assert(!aside2.exists() && dst.exists())
+  }
+
   test("garbled increment names refuse loudly, never mis-read as state") {
     val store = Files.createTempDirectory("graft_storeio2").toFile
     new java.io.File(store, "feed_7_9").mkdirs()
