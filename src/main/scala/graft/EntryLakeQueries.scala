@@ -2248,6 +2248,39 @@ private[graft] object EntryLakeQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // HUDI MOR PER-ROW MERGE (r18): the LIVE ROWS of a MOR table whose
+    // log files carry real HoodieLogFormat blocks — avro data blocks
+    // (updates + inserts) decoded with their commits' own writer
+    // schemas, a delete block, delete-then-update resurrection (last
+    // event wins), a rolled-back block, an uncommitted in-flight
+    // block, a mid-file corrupt region and a truncated tail — all
+    // resolved per the spec's reader rules. Oracle: DuckDB recomputes
+    // the merge relationally from the same deterministic event rules
+    // over the documents table.
+    "meta_hudi_mor_rows" -> ((s, dir) => {
+      val out = "/tmp/graft_hudimorlog_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMorLogFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.morMergedRows(s, out)
+    }),
+
+    // HUDI MOR MERGED CENSUS (r18): per live file group, the commits'
+    // DECLARED claims next to the row count the log merge actually
+    // resolves to — the census depth the r17 tier refused. Oracle:
+    // closed-form event arithmetic over the documents table.
+    "meta_hudi_mor_merged_census" -> ((s, dir) => {
+      val out = "/tmp/graft_hudimorlog_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMorLogFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.morMergedCensus(s, out)
+    }),
+
     // STREAMING HUDI INGEST: the checkpointed increments store across
     // TWO commit arrivals — pass A sees c1 completed and lands its
     // slices; pass B's newly-landed c2.commit lands EXACTLY c2's
@@ -3772,6 +3805,56 @@ private[graft] object EntryLakeQueries {
         |  (SELECT nr FROM fm
         |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
         |  true, 0, 0""".stripMargin,
+
+    "meta_hudi_mor_rows" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+        |)
+        |-- fid0's merge: U2 (%60 -> 'zz'/-5) over U1 (%30 -> +100)
+        |-- over base; %15 deletes unless resurrected by U2; 4 inserts
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 60 = 0 THEN 'zz' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 60 = 0 THEN CAST(-5 AS BIGINT)
+        |       WHEN doc_id % 30 = 0 THEN n_chars + 100
+        |       ELSE n_chars END AS n_chars
+        |FROM g WHERE doc_id % 15 <> 0 OR doc_id % 60 = 0
+        |UNION ALL
+        |SELECT doc_id + 9000000, 'xx', CAST(7 AS BIGINT)
+        |FROM g WHERE doc_id % 150 = 0
+        |UNION ALL
+        |-- fid1/fid2 are log-free: their base rows pass through
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 3 <> 0""".stripMargin,
+
+    "meta_hudi_mor_merged_census" ->
+      """WITH g AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+        |SELECT 'fid0' AS file_id, 'p=0' AS partition_path,
+        |  '20240101000000000' AS base_instant,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM g) AS declared_base_rows,
+        |  CAST(2 AS BIGINT) AS n_logs,
+        |  (SELECT CAST(count(*) FILTER (WHERE doc_id % 30 = 0)
+        |     + count(*) FILTER (WHERE doc_id % 150 = 0)
+        |     + count(*) FILTER (WHERE doc_id % 15 = 0)
+        |     + count(*) FILTER (WHERE doc_id % 60 = 0) AS BIGINT)
+        |   FROM g) AS declared_log_rows,
+        |  (SELECT CAST(count(*)
+        |     - count(*) FILTER (WHERE doc_id % 15 = 0 AND doc_id % 60 <> 0)
+        |     + count(*) FILTER (WHERE doc_id % 150 = 0) AS BIGINT)
+        |   FROM g) AS merged_rows
+        |UNION ALL
+        |SELECT 'fid1', 'p=0', '20240101000000000',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 3 = 1),
+        |  0, 0,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 3 = 1)
+        |UNION ALL
+        |SELECT 'fid2', 'p=1', '20240102000000000',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 3 = 2),
+        |  0, 0,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 3 = 2)""".stripMargin,
 
     "stream_hudi_appends" ->
       """WITH fm AS (

@@ -116,6 +116,23 @@ class MetaFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("hudi log-format walk never crashes on arbitrary bytes: blocks " +
+      "frame or collapse to corrupt; block decodes refuse classified") {
+    check(Prop.forAll(genBytes) { b =>
+      // the walk itself must TOLERATE garbage (killed-mid-append logs
+      // are expected input) — corrupt regions, never crashes
+      val blocks = HudiLogFormat.walkBlocks(b, "/fuzz")
+      // magic-prefixed garbage is the adversarial framing case
+      val blocks2 = HudiLogFormat.walkBlocks(
+        HudiLogFormat.Magic ++ b, "/fuzz")
+      // any block that framed must decode classified-or-fine
+      (blocks ++ blocks2).filterNot(_.corrupt).forall { blk =>
+        classified(HudiLogFormat.dataRecords(blk, "/fuzz")) &&
+          classified(HudiLogFormat.deleteKeys(blk, "/fuzz"))
+      }
+    })
+  }
+
   test("z85 and timeline-name parses refuse garbage, classified") {
     val genStr = Gen.chooseNum(0, 64).flatMap(n =>
       Gen.listOfN(n, Gen.choose(32.toChar, 126.toChar)).map(_.mkString))
