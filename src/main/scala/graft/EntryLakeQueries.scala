@@ -2248,6 +2248,39 @@ private[graft] object EntryLakeQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // HUDI 1.x TIMELINE (r18): table version 8 — the active timeline
+    // under .hoodie/timeline/ with completion-time instant names
+    // (<begin>_<end>.commit), the archived-LSM history/ subdirectory
+    // skipped, requested/inflight markers unchanged. Oracle:
+    // closed-form writer contract.
+    "meta_hudi_v1x_timeline" -> ((s, dir) => {
+      val out = "/tmp/graft_hudiv1x_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiV1xFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.timelineReportFull(s, out)
+    }),
+
+    // HUDI 1.x LIVE CENSUS (r18): the COW surfaces resolving on the
+    // v8 layout — identical numbers to the 0.x census (fid1's +1 lie
+    // flagged, the orphan invisible), proving instant ids stay the
+    // REQUEST times file slices embed while completion times order
+    // only visibility. Oracle: the same base footers.
+    "meta_hudi_v1x_census" -> ((s, dir) => {
+      val out = "/tmp/graft_hudiv1x_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiV1xFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.liveCensus(s, out)
+        .select(col("file_id"), col("partition_path"), col("path"),
+          col("instant_time"), col("declared_rows"), col("footer_rows"),
+          col("is_match"))
+    }),
+
     // HUDI MOR PER-ROW MERGE (r18): the LIVE ROWS of a MOR table whose
     // log files carry real HoodieLogFormat blocks — avro data blocks
     // (updates + inserts) decoded with their commits' own writer
@@ -3805,6 +3838,51 @@ private[graft] object EntryLakeQueries {
         |  (SELECT nr FROM fm
         |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
         |  true, 0, 0""".stripMargin,
+
+    "meta_hudi_v1x_timeline" ->
+      """SELECT * FROM (VALUES
+        |  ('20240101000000000', '20240101000000500', 'commit', 'completed'),
+        |  ('20240101000000000', NULL, 'commit', 'inflight'),
+        |  ('20240101000000000', NULL, 'commit', 'requested'),
+        |  ('20240102000000000', '20240102000000500', 'commit', 'completed'),
+        |  ('20240102000000000', NULL, 'commit', 'inflight'),
+        |  ('20240102000000000', NULL, 'commit', 'requested'),
+        |  ('20240103000000000', NULL, 'commit', 'requested'))
+        |AS t(instant_time, completion_time, action, state)""".stripMargin,
+
+    "meta_hudi_v1x_census" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_hudiv1x_sf0.01/p=*/*.parquet')
+        |)
+        |SELECT 'fid0' AS file_id, 'p=0' AS partition_path,
+        |  'p=0/fid0_0-0-0_20240102000000000.parquet' AS path,
+        |  '20240102000000000' AS instant_time,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid0_0-0-0_20240102000000000.parquet')
+        |    AS declared_rows,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid0_0-0-0_20240102000000000.parquet')
+        |    AS footer_rows,
+        |  true AS is_match
+        |UNION ALL
+        |-- fid1's c1 stat lies by +1 (writer contract) — must flag
+        |SELECT 'fid1', 'p=0', 'p=0/fid1_0-0-0_20240101000000000.parquet',
+        |  '20240101000000000',
+        |  (SELECT nr + 1 FROM fm
+        |    WHERE name = 'fid1_0-0-0_20240101000000000.parquet'),
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid1_0-0-0_20240101000000000.parquet'),
+        |  false
+        |UNION ALL
+        |SELECT 'fid2', 'p=1', 'p=1/fid2_0-0-0_20240102000000000.parquet',
+        |  '20240102000000000',
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
+        |  true""".stripMargin,
 
     "meta_hudi_mor_rows" ->
       """WITH g AS (

@@ -40,18 +40,40 @@ object HudiMeta extends Serializable {
     fs.exists(new Path(new Path(root, ".hoodie"), "hoodie.properties"))
   }
 
-  /** One timeline instant: time, action, state. */
+  /** One timeline instant: time (the REQUEST time — the id file
+    * slices embed), action, state, the 1.x completion time when the
+    * name carries one, and the instant file's path relative to
+    * `.hoodie/` (0.x: `<instant>.<action>`; 1.x:
+    * `timeline/<begin>_<end>.<action>`). */
   private[meta] case class HudiInstant(
-      instant: String, action: String, state: String)
+      instant: String, action: String, state: String,
+      completionTime: Option[String] = None, relFile: String = "")
 
   private val instantRe =
     """^(\d+)\.([a-z]+)(?:\.(requested|inflight))?$""".r
+
+  /** Hudi 1.x (table version 8) names COMPLETED instants with their
+    * completion time: `<beginTime>_<endTime>.<action>` — begin is the
+    * request time (the slice id), end orders visibility. */
+  private val v1xCompletedRe = """^(\d+)_(\d+)\.([a-z]+)$""".r
 
   /** Hudi writes COMMIT-inflight markers as a bare `<instant>.inflight`
     * (no action token) — without this case the generic parse would
     * read action='inflight', state='completed': a wrong COMPLETED row
     * in the timeline. */
   private val bareInflightRe = """^(\d+)\.inflight$""".r
+
+  /** Where the ACTIVE timeline lives: `.hoodie/timeline/` when the
+    * 1.x layout directory exists (table version 8 moved the active
+    * timeline there; `.hoodie/timeline/history/` is the archived LSM,
+    * a subdirectory the file-only listing never reads), else
+    * `.hoodie/` (0.x). Returns the subpath prefix for relFile. */
+  private def timelinePrefix(root: Path, conf: Configuration): String = {
+    val fs = root.getFileSystem(conf)
+    val tdir = new Path(new Path(root, ".hoodie"), "timeline")
+    if (fs.exists(tdir) && fs.getFileStatus(tdir).isDirectory) "timeline/"
+    else ""
+  }
 
   /** Open and parse one instant's commit-metadata JSON body, refusing
     * garbage CLASSIFIED with the file named (r17 VERDICT): commit
@@ -98,22 +120,50 @@ object HudiMeta extends Serializable {
       throw new IllegalArgumentException(
         s"$root: no .hoodie/hoodie.properties — not a Hudi table")
     }
-    fs.listStatus(hoodie).filter(_.isFile).map(_.getPath.getName)
+    val prefix = timelinePrefix(root, conf)
+    val dir = if (prefix.isEmpty) hoodie else new Path(hoodie, "timeline")
+    fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName)
       .filterNot(_ == "hoodie.properties")
-      .flatMap {
-        case bareInflightRe(t) => Some(HudiInstant(t, "commit", "inflight"))
-        case instantRe(t, action, state) =>
-          Some(HudiInstant(t, action,
-            Option(state).getOrElse("completed")))
-        case other if other.headOption.exists(_.isDigit) =>
-          throw new IllegalArgumentException(
-            s"$root: unparseable timeline file '$other' — refusing " +
-              "rather than mis-reading the timeline (known-unsupported: " +
-              "Hudi 1.x completion-time names like <begin>_<end>.commit)")
-        case _ => None
+      .flatMap { name =>
+        (name match {
+          case bareInflightRe(t) =>
+            Some(HudiInstant(t, "commit", "inflight"))
+          case v1xCompletedRe(begin, end, action) =>
+            Some(HudiInstant(begin, action, "completed", Some(end)))
+          case instantRe(t, action, state) =>
+            Some(HudiInstant(t, action,
+              Option(state).getOrElse("completed")))
+          case other if other.headOption.exists(_.isDigit) =>
+            throw new IllegalArgumentException(
+              s"$root: unparseable timeline file '$other' — refusing " +
+                "rather than mis-reading the timeline")
+          case _ => None
+        }).map(_.copy(relFile = prefix + name))
       }
       .sortBy(i => (i.instant, i.action, i.state))
       .toSeq
+  }
+
+  /** Refuse a 1.x timeline whose completions are out of REQUEST
+    * order: two overlapping writers completed inversely (non-blocking
+    * concurrency control), and this tier's request-time slice
+    * supersession would resolve their file groups wrongly. Linear
+    * histories — completion order equal to request order — resolve
+    * exactly as 0.x. */
+  private def requireLinearCompletions(
+      root: Path, writes: Seq[HudiInstant]): Unit = {
+    val timed = writes.filter(_.completionTime.isDefined)
+      .sortBy(_.instant)
+    timed.sliding(2).foreach {
+      case Seq(a, b) if a.completionTime.get > b.completionTime.get =>
+        throw new UnsupportedOperationException(
+          s"$root: instants ${a.instant} and ${b.instant} completed out " +
+            "of request order (non-blocking concurrency control) — " +
+            "completion-time slice resolution is not modeled; refusing " +
+            "rather than resolving overlapping writers' file groups " +
+            "wrongly")
+      case _ => ()
+    }
   }
 
   /** Completed visibility-affecting write instants at or before
@@ -126,7 +176,7 @@ object HudiMeta extends Serializable {
     * (cleaned slices are gone from disk). */
   private def completedCommits(
       root: Path, tl: Seq[HudiInstant],
-      asOf: Option[String]): Seq[(String, String)] = {
+      asOf: Option[String]): Seq[HudiInstant] = {
     val completed = tl.filter(_.state == "completed")
     completed.find(i => Set("restore", "deltacommit").contains(i.action))
       .foreach { i =>
@@ -147,14 +197,14 @@ object HudiMeta extends Serializable {
     // [[replacedGroups]].
     val writes = completed
       .filter(i => i.action == "commit" || i.action == "replacecommit")
-      .map(i => (i.instant, i.action))
+    requireLinearCompletions(root, writes)
     asOf match {
       case None => writes
       case Some(t) =>
-        if (!writes.exists(_._1 == t)) {
+        if (!writes.exists(_.instant == t)) {
           throw new IllegalArgumentException(
             s"$root: no completed commit at instant $t (completed: " +
-              s"${writes.map(_._1).mkString(", ")})")
+              s"${writes.map(_.instant).mkString(", ")})")
         }
         // A completed clean DELETED superseded slices from disk; a view
         // older than the newest clean may reference files that no
@@ -167,7 +217,7 @@ object HudiMeta extends Serializable {
                 "cleaned slices are gone from disk; refusing rather " +
                 "than failing on a missing base file")
           }
-        writes.filter(_._1 <= t)
+        writes.filter(_.instant <= t)
     }
   }
 
@@ -181,18 +231,18 @@ object HudiMeta extends Serializable {
     * replacecommit), the same boundary class as the timeline itself. */
   private def replacedGroups(
       root: Path, conf: Configuration,
-      writes: Seq[(String, String)]): Map[String, String] = {
+      writes: Seq[HudiInstant]): Map[String, String] = {
     import scala.jdk.CollectionConverters._
-    writes.filter(_._2 == "replacecommit").sortBy(_._1).flatMap {
-      case (instant, action) =>
-        val node = actionNode(root, conf, instant, action)
+    writes.filter(_.action == "replacecommit").sortBy(_.instant).flatMap {
+      i =>
+        val node = actionNode(root, conf, i.relFile)
         val replaced = Option(node.get("partitionToReplaceFileIds"))
           .getOrElse(throw new IllegalArgumentException(
-            s"$root: replacecommit $instant declares no " +
+            s"$root: replacecommit ${i.instant} declares no " +
               "partitionToReplaceFileIds — refusing rather than " +
               "resurrecting replaced file groups"))
         replaced.properties().asScala.flatMap { e =>
-          e.getValue.elements().asScala.map(_.asText() -> instant)
+          e.getValue.elements().asScala.map(_.asText() -> i.instant)
         }
     }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
   }
@@ -204,12 +254,12 @@ object HudiMeta extends Serializable {
   private[meta] def parseInstantName(
       name: String, where: String): (String, String, String) = name match {
     case bareInflightRe(t) => (t, "commit", "inflight")
+    case v1xCompletedRe(begin, _, action) => (begin, action, "completed")
     case instantRe(t, action, state) =>
       (t, action, Option(state).getOrElse("completed"))
     case other => throw new IllegalArgumentException(
       s"$where: unparseable timeline file '$other' — refusing rather " +
-        "than mis-reading the timeline (known-unsupported: Hudi 1.x " +
-        "completion-time names like <begin>_<end>.commit)")
+        "than mis-reading the timeline")
   }
 
   /** The `.hoodie` timeline as [[FileSlice]]s for the metadata
@@ -224,7 +274,10 @@ object HudiMeta extends Serializable {
       throw new IllegalArgumentException(
         s"$root: no .hoodie/hoodie.properties — not a Hudi table")
     }
-    fs.listStatus(hoodie).filter(_.isFile)
+    val dir =
+      if (timelinePrefix(root, conf).isEmpty) hoodie
+      else new Path(hoodie, "timeline")
+    fs.listStatus(dir).filter(_.isFile)
       .filter(st => st.getPath.getName.headOption.exists(_.isDigit))
       .sortBy(_.getPath.getName)
       .map(st => FileSlice(st.getPath.toString, st.getPath.getName,
@@ -240,6 +293,19 @@ object HudiMeta extends Serializable {
     val root = qualified(table, conf)
     timeline(root, conf).map(i => (i.instant, i.action, i.state))
       .toDF("instant_time", "action", "state")
+  }
+
+  /** The 1.x-aware timeline report: [[timelineReport]] plus the
+    * completion time a version-8 name carries (`<begin>_<end>.
+    * <action>`; null on requested/inflight files and 0.x names) —
+    * completion time is what orders VISIBILITY on a 1.x timeline. */
+  def timelineReportFull(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    timeline(root, conf)
+      .map(i => (i.instant, i.completionTime, i.action, i.state))
+      .toDF("instant_time", "completion_time", "action", "state")
   }
 
   private def qualified(table: String, conf: Configuration): Path = {
@@ -278,16 +344,17 @@ object HudiMeta extends Serializable {
     val root = qualified(table, conf)
     requireCowTable(root, conf)
     val commits = completedCommits(root, timeline(root, conf), asOf)
+      .map(i => (i.instant, i.action, i.relFile))
     if (commits.isEmpty) {
       throw new IllegalArgumentException(
         s"$table: no completed commits — nothing is live")
     }
     val rootStr = root.toString
     val sconf = new SerializableHadoopConf(conf)
-    commits.toDS().flatMap { case (instant, action) =>
+    commits.toDS().flatMap { case (instant, action, relFile) =>
       val r = new Path(rootStr)
       val fs = r.getFileSystem(sconf.value)
-      val f = new Path(new Path(r, ".hoodie"), s"$instant.$action")
+      val f = new Path(new Path(r, ".hoodie"), relFile)
       val node = readCommitNode(fs, f)
       val stats = Option(node.get("partitionToWriteStats")).getOrElse(
         throw new IllegalArgumentException(
@@ -386,7 +453,7 @@ object HudiMeta extends Serializable {
     val root = qualified(table, conf)
     requireCowTable(root, conf)
     val commits = completedCommits(root, timeline(root, conf), None)
-      .map(_._1)
+      .map(_.instant)
     def requireCommit(t: String, which: String): Unit =
       if (!commits.contains(t)) {
         throw new IllegalArgumentException(
@@ -511,9 +578,9 @@ object HudiMeta extends Serializable {
     * (`<instant>.<action>`). */
   private def actionNode(
       root: Path, conf: Configuration,
-      instant: String, action: String): com.fasterxml.jackson.databind.JsonNode =
+      relFile: String): com.fasterxml.jackson.databind.JsonNode =
     readCommitNode(root.getFileSystem(conf),
-      new Path(new Path(root, ".hoodie"), s"$instant.$action"))
+      new Path(new Path(root, ".hoodie"), relFile))
 
   /**
    * SCHEMA HISTORY from the commits' own `extraMetadata.schema` (the
@@ -531,9 +598,9 @@ object HudiMeta extends Serializable {
       throw new IllegalArgumentException(
         s"$table: no completed commits — no schema history")
     }
-    commits.map { case (c, action) =>
-      val fields = declaredFields(actionNode(root, conf, c, action))
-      (c, fields.map(_.size), fields.map(_.mkString(",")))
+    commits.map { i =>
+      val fields = declaredFields(actionNode(root, conf, i.relFile))
+      (i.instant, fields.map(_.size), fields.map(_.mkString(",")))
     }.toDF("instant_time", "n_fields", "fields_csv")
   }
 
@@ -555,10 +622,10 @@ object HudiMeta extends Serializable {
       throw new IllegalArgumentException(
         s"$table: no completed commits — nothing live to audit")
     }
-    val (newest, newestAction) = commits.maxBy(_._1)
-    val declared = declaredFields(actionNode(root, conf, newest, newestAction))
+    val newest = commits.maxBy(_.instant)
+    val declared = declaredFields(actionNode(root, conf, newest.relFile))
       .getOrElse(throw new IllegalArgumentException(
-        s"$table: commit $newest declares no " +
+        s"$table: commit ${newest.instant} declares no " +
           "extraMetadata.schema — nothing to conform to"))
     val live = liveFiles(spark, table).select(col("abs_path"))
     val present = MetaValues.schemaFactsDf(spark, root.toString)
@@ -729,6 +796,7 @@ object HudiMeta extends Serializable {
     val writes = completed
       .filter(i => i.action == "commit" || i.action == "deltacommit" ||
         i.action == "replacecommit")
+    requireLinearCompletions(root, writes)
     asOf match {
       case None => writes
       case Some(t) =>
@@ -763,17 +831,17 @@ object HudiMeta extends Serializable {
     val conf = spark.sessionState.newHadoopConf()
     val root = qualified(table, conf)
     val instants = completedMorInstants(root, timeline(root, conf), asOf)
-      .map(i => (i.instant, i.action))
+      .map(i => (i.instant, i.action, i.relFile))
     if (instants.isEmpty) {
       throw new IllegalArgumentException(
         s"$table: no completed commits/deltacommits — nothing is live")
     }
     val rootStr = root.toString
     val sconf = new SerializableHadoopConf(conf)
-    instants.toDS().flatMap { case (instant, action) =>
+    instants.toDS().flatMap { case (instant, action, relFile) =>
       val r = new Path(rootStr)
       val fs = r.getFileSystem(sconf.value)
-      val f = new Path(new Path(r, ".hoodie"), s"$instant.$action")
+      val f = new Path(new Path(r, ".hoodie"), relFile)
       val node = readCommitNode(fs, f)
       val stats = Option(node.get("partitionToWriteStats")).getOrElse(
         throw new IllegalArgumentException(
@@ -836,8 +904,7 @@ object HudiMeta extends Serializable {
     val root = qualified(table, conf)
     val replaced = replacedGroups(root, conf,
       completedMorInstants(root, timeline(root, conf), asOf)
-        .filter(_.action == "replacecommit")
-        .map(i => (i.instant, i.action))).keySet.toSeq
+        .filter(_.action == "replacecommit")).keySet.toSeq
     val w0 = morDeclaredWrites(spark, table, asOf)
     // clustering / insert-overwrite (r17): groups a completed
     // replacecommit at or before asOf replaced are dead — their logs
@@ -1297,6 +1364,110 @@ object HudiMeta extends Serializable {
     // the dangling incomplete instant
     java.nio.file.Files.write(
       new java.io.File(hoodie, "20240103000000000.commit.requested").toPath,
+      Array.empty[Byte])
+    Map(s0._1 -> s0._2, s1._1 -> s1._2, s0b._1 -> s0b._2, s2._1 -> s2._2)
+  }
+
+  /**
+   * Hand-write a filesystem Hudi 1.x (table version 8) COW table: the
+   * ACTIVE timeline lives under `.hoodie/timeline/`, COMPLETED
+   * instants are named `<beginTime>_<endTime>.<action>` (begin = the
+   * request time file slices embed, end = the completion time that
+   * orders visibility), requested/inflight markers keep the 0.x
+   * shape, and `.hoodie/timeline/history/` holds the archived-LSM
+   * subdirectory the active listing must skip. Content mirrors
+   * [[writeHudiFixtureTable]] exactly — c1 inserts fid0/fid1 under
+   * `p=0` (fid1's declared numWrites LIES by +1), c2 rewrites fid0
+   * and inserts fid2 under `p=1` with an evolved declared schema, an
+   * ORPHAN base file and a dangling requested instant are planted —
+   * so the 0.x oracles' numbers carry over verbatim. Returns rows per
+   * relative base-file path.
+   */
+  def writeHudiV1xFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val hoodie = new java.io.File(root, ".hoodie")
+    val tdir = new java.io.File(hoodie, "timeline")
+    tdir.mkdirs()
+    // the archived-LSM subdirectory: present, never listed as active
+    val history = new java.io.File(tdir, "history")
+    history.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(history, "00000001.parquet").toPath,
+      Array.fill[Byte](8)(0x11))
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, "hoodie.properties").toPath,
+      ("hoodie.table.name=graft_hudi_v1x_fixture\n" +
+        "hoodie.table.type=COPY_ON_WRITE\n" +
+        "hoodie.table.version=8\n" +
+        "hoodie.timeline.layout.version=2\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (c1, c2) = ("20240101000000000", "20240102000000000")
+    val (c1End, c2End) = ("20240101000000500", "20240102000000500")
+    def writeSlice(part: String, fid: String, instant: String,
+        slice: DataFrame): (String, Long) = {
+      val rel = s"$part/${fid}_0-0-0_$instant.parquet"
+      val dst = new java.io.File(root, rel)
+      dst.getParentFile.mkdirs()
+      rel -> FixtureIO.writeSingleParquet(slice, dst,
+        dir + s"_hudiv1x_${fid}_$instant")
+    }
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val s0 = writeSlice("p=0", "fid0", c1,
+      base.filter(pmod(col("doc_id"), lit(3)) === 0))
+    val s1 = writeSlice("p=0", "fid1", c1,
+      base.filter(pmod(col("doc_id"), lit(3)) === 1))
+    val s0b = writeSlice("p=0", "fid0", c2,
+      base.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("n_chars", col("n_chars") + 1L))
+    val s2 = writeSlice("p=1", "fid2", c2,
+      base.filter(pmod(col("doc_id"), lit(3)) === 2))
+    // the orphan: a base file no commit declares
+    writeSlice("p=1", "fid3", "20240103000000000",
+      base.filter(pmod(col("doc_id"), lit(3)) === 2).limit(5))
+    def stat(part: String, fid: String, rel: String, rows: Long): String =
+      s"""{"fileId":"$fid","path":"$rel","numWrites":$rows,
+         |"numDeletes":0,"numInserts":$rows,
+         |"totalWriteBytes":${new java.io.File(root, rel).length()},
+         |"partitionPath":"$part"}""".stripMargin.replace("\n", "")
+    def avroFieldsJson(names: Seq[String]): String =
+      names.map { n =>
+        val t = if (n == "doc_id" || n == "n_chars") "long" else "string"
+        s"""{\\"name\\":\\"$n\\",\\"type\\":[\\"null\\",\\"$t\\"]}"""
+      }.mkString(",")
+    def commit(begin: String, end: String, op: String,
+        byPart: Map[String, Seq[String]],
+        schemaFields: Seq[String]): Unit = {
+      val stats = byPart.toSeq.sortBy(_._1).map { case (p, ss) =>
+        s""""$p":[${ss.mkString(",")}]"""
+      }.mkString(",")
+      val schema = "{\\\"type\\\":\\\"record\\\",\\\"name\\\":\\\"graft\\\"," +
+        "\\\"fields\\\":[" + avroFieldsJson(schemaFields) + "]}"
+      java.nio.file.Files.write(
+        new java.io.File(tdir, s"${begin}_$end.commit").toPath,
+        (s"""{"partitionToWriteStats":{$stats},"operationType":"$op",""" +
+          s""""extraMetadata":{"schema":"$schema"}}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        new java.io.File(tdir, s"$begin.commit.requested").toPath,
+        Array.empty[Byte])
+      java.nio.file.Files.write(
+        new java.io.File(tdir, s"$begin.commit.inflight").toPath,
+        Array.empty[Byte])
+    }
+    commit(c1, c1End, "upsert", Map("p=0" -> Seq(
+      stat("p=0", "fid0", s0._1, s0._2),
+      // the planted lie: one more row than fid1's file holds
+      stat("p=0", "fid1", s1._1, s1._2 + 1))),
+      Seq("doc_id", "lang", "n_chars"))
+    commit(c2, c2End, "upsert", Map(
+      "p=0" -> Seq(stat("p=0", "fid0", s0b._1, s0b._2)),
+      "p=1" -> Seq(stat("p=1", "fid2", s2._1, s2._2))),
+      Seq("doc_id", "lang", "n_chars", "quality"))
+    // the dangling incomplete instant
+    java.nio.file.Files.write(
+      new java.io.File(tdir, "20240103000000000.commit.requested").toPath,
       Array.empty[Byte])
     Map(s0._1 -> s0._2, s1._1 -> s1._2, s0b._1 -> s0b._2, s2._1 -> s2._2)
   }
