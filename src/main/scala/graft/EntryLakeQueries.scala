@@ -2248,6 +2248,23 @@ private[graft] object EntryLakeQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // HUDI METADATA-TABLE FILES AUDIT (r18): the .hoodie/metadata
+    // index's files partition (HoodieMetadataPayload records, parquet
+    // base) cross-checked against the commit-declared live view — a
+    // planted STALE entry (superseded slice still listed) and a
+    // LAGGING index (live file unlisted) both flag declared_match=
+    // false; deleted entries and the type-1 partitions record are
+    // filtered. Oracle: closed-form writer contract + base footers.
+    "meta_hudi_metadata_files" -> ((s, dir) => {
+      val out = "/tmp/graft_hudimd_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMetadataFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.metadataFilesAudit(s, out)
+    }),
+
     // HUDI 1.x TIMELINE (r18): table version 8 — the active timeline
     // under .hoodie/timeline/ with completion-time instant names
     // (<begin>_<end>.commit), the archived-LSM history/ subdirectory
@@ -3838,6 +3855,33 @@ private[graft] object EntryLakeQueries {
         |  (SELECT nr FROM fm
         |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
         |  true, 0, 0""".stripMargin,
+
+    "meta_hudi_metadata_files" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_hudimd_sf0.01/p=*/*.parquet')
+        |)
+        |SELECT 'p=0' AS partition_path,
+        |  'fid0_0-0-0_20240102000000000.parquet' AS file_name,
+        |  true AS is_listed,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid0_0-0-0_20240102000000000.parquet')
+        |    AS listed_size,
+        |  true AS is_declared, true AS declared_match
+        |UNION ALL
+        |SELECT 'p=0', 'fid1_0-0-0_20240101000000000.parquet', true,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid1_0-0-0_20240101000000000.parquet'),
+        |  true, true
+        |UNION ALL
+        |-- stale: the superseded c1 slice still listed (size 77)
+        |SELECT 'p=0', 'fid0_0-0-0_20240101000000000.parquet', true,
+        |  CAST(77 AS BIGINT), false, false
+        |UNION ALL
+        |-- lagging: fid2 declared live but unlisted
+        |SELECT 'p=1', 'fid2_0-0-0_20240102000000000.parquet', false,
+        |  CAST(NULL AS BIGINT), true, false""".stripMargin,
 
     "meta_hudi_v1x_timeline" ->
       """SELECT * FROM (VALUES

@@ -1265,6 +1265,109 @@ object HudiMeta extends Serializable {
         coalesce(col("merged_rows"), lit(0L)).as("merged_rows"))
   }
 
+  /** The declared table type from `hoodie.properties` (defaults to
+    * COPY_ON_WRITE, the property's own default). */
+  private def tableType(root: Path, conf: Configuration): String = {
+    val fs = root.getFileSystem(conf)
+    val props = new java.util.Properties()
+    val in = fs.open(
+      new Path(new Path(root, ".hoodie"), "hoodie.properties"))
+    try props.load(in) finally in.close()
+    Option(props.getProperty("hoodie.table.type"))
+      .getOrElse("COPY_ON_WRITE")
+  }
+
+  /**
+   * METADATA-TABLE `files` partition AUDIT (r18) — Hudi's own file
+   * listing (`.hoodie/metadata/`, itself a Hudi table whose `files`
+   * partition holds one record per data partition with a
+   * `filesystemMetadata` map of file → (size, isDeleted), the spec's
+   * HoodieMetadataPayload shape) cross-checked against the
+   * COMMIT-DECLARED live view this tier derives from the timeline:
+   * one row per (partition, file) seen on either side —
+   * `(partition_path, file_name, is_listed, listed_size, is_declared,
+   * declared_match)`. At 100k+ partitions Hudi's readers list from
+   * the metadata table instead of replaying commits; this audit is
+   * the drift detector between the two views (a stale entry or a
+   * lagging index surfaces as `declared_match=false`).
+   *
+   * Scope gates (each a named refusal, never a wrong audit): the
+   * metadata table must exist; its `files` partition must have no
+   * un-compacted log files (their blocks are HFile-encoded — another
+   * engine's encoding); its base files must be parquet (the HFile
+   * base format is not modeled). Deleted entries and the
+   * `__all_partitions__` record (type 1) are filtered per the spec.
+   */
+  def metadataFilesAudit(spark: SparkSession, table: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    val fs = root.getFileSystem(conf)
+    val mdRoot = new Path(new Path(root, ".hoodie"), "metadata")
+    if (!fs.exists(new Path(new Path(mdRoot, ".hoodie"),
+        "hoodie.properties"))) {
+      throw new IllegalArgumentException(
+        s"$table: no .hoodie/metadata table — nothing to audit " +
+          "(the table was written with the metadata index disabled)")
+    }
+    val mdGroups = morFileGroups(spark, mdRoot.toString)
+      .filter(col("partition_path") === "files")
+    if (mdGroups.filter(col("n_logs") > 0).limit(1).count() > 0) {
+      throw new UnsupportedOperationException(
+        s"$table: the metadata table's files partition carries " +
+          "un-compacted log files — their blocks are HFile-encoded, " +
+          "which this tier does not decode; compact the metadata " +
+          "table first")
+    }
+    // file-group-count-sized driver boundary, same as every pruned read
+    val basePaths = mdGroups.select(col("base_abs_path"))
+      .collect().map(_.getString(0)).toSeq
+    if (basePaths.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: the metadata table declares no files partition — " +
+          "nothing to audit")
+    }
+    basePaths.find(!_.endsWith(".parquet")).foreach { p =>
+      throw new UnsupportedOperationException(
+        s"$table: metadata-table base file $p is not parquet — the " +
+          "HFile base format is not modeled; refusing")
+    }
+    val records = spark.read.parquet(basePaths: _*)
+    Seq("key", "type", "filesystemMetadata").foreach { c =>
+      if (!records.columns.contains(c)) {
+        throw new IllegalArgumentException(
+          s"$table: metadata-table files records carry no '$c' column " +
+            s"(got ${records.columns.mkString(", ")}) — not the " +
+            "HoodieMetadataPayload shape; refusing")
+      }
+    }
+    val listed = records.filter(col("type") === 2)
+      .select(col("key").as("partition_path"),
+        explode(col("filesystemMetadata")).as(Seq("file_name", "info")))
+      .filter(!col("info.isDeleted"))
+      .select(col("partition_path"), col("file_name"),
+        col("info.size").as("listed_size"),
+        lit(true).as("is_listed"))
+    val declared0 =
+      if (tableType(root, conf) == "MERGE_ON_READ") {
+        morFileGroups(spark, table)
+          .select(col("partition_path"), col("base_path").as("path"))
+      } else {
+        liveFiles(spark, table).select(col("partition_path"), col("path"))
+      }
+    val declared = declared0
+      .select(col("partition_path"),
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        lit(true).as("is_declared"))
+    listed.join(declared, Seq("partition_path", "file_name"),
+        "full_outer")
+      .select(col("partition_path"), col("file_name"),
+        coalesce(col("is_listed"), lit(false)).as("is_listed"),
+        col("listed_size"),
+        coalesce(col("is_declared"), lit(false)).as("is_declared"),
+        (coalesce(col("is_listed"), lit(false)) &&
+          coalesce(col("is_declared"), lit(false))).as("declared_match"))
+  }
+
   // ---------------------------------------------------------------------
   // Deterministic fixture writer (tests + oracle queries)
   // ---------------------------------------------------------------------
@@ -1470,6 +1573,78 @@ object HudiMeta extends Serializable {
       new java.io.File(tdir, "20240103000000000.commit.requested").toPath,
       Array.empty[Byte])
     Map(s0._1 -> s0._2, s1._1 -> s1._2, s0b._1 -> s0b._2, s2._1 -> s2._2)
+  }
+
+  /**
+   * Extend [[writeHudiFixtureTable]] with a `.hoodie/metadata/` table
+   * (the spec's metadata index, itself a Hudi MOR table) whose `files`
+   * partition carries parquet-base HoodieMetadataPayload records —
+   * with two PLANTED divergences for [[metadataFilesAudit]]: the
+   * index still lists fid0's SUPERSEDED c1 slice (a stale entry,
+   * size 77) and MISSES fid2 (a lagging index); a `__all_partitions__`
+   * type-1 record and an `isDeleted=true` entry (the orphan) are
+   * planted too — both must be filtered, never audited. Returns the
+   * data table's rows per relative base-file path.
+   */
+  def writeHudiMetadataFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = writeHudiFixtureTable(spark, dir, docs)
+    val (c1, c2) = ("20240101000000000", "20240102000000000")
+    val mdRoot = new java.io.File(dir, ".hoodie/metadata")
+    val mdHoodie = new java.io.File(mdRoot, ".hoodie")
+    mdHoodie.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(mdHoodie, "hoodie.properties").toPath,
+      ("hoodie.table.name=graft_hudi_md_fixture\n" +
+        "hoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.version=6\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val infoType = StructType(Seq(
+      StructField("size", LongType, nullable = false),
+      StructField("isDeleted", BooleanType, nullable = false)))
+    val mdSchema = StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("type", IntegerType, nullable = false),
+      StructField("filesystemMetadata",
+        MapType(StringType, infoType, valueContainsNull = false))))
+    def name(rel: String): String = rel.substring(rel.lastIndexOf('/') + 1)
+    val fid0c1 = s"p=0/fid0_0-0-0_$c1.parquet"
+    val fid0c2 = s"p=0/fid0_0-0-0_$c2.parquet"
+    val fid1c1 = s"p=0/fid1_0-0-0_$c1.parquet"
+    val recs = Seq(
+      Row("__all_partitions__", 1,
+        Map("p=0" -> Row(0L, false), "p=1" -> Row(0L, false))),
+      Row("p=0", 2, Map(
+        name(fid0c2) -> Row(rows(fid0c2), false),
+        name(fid1c1) -> Row(rows(fid1c1), false),
+        // STALE: the superseded c1 slice still listed as live
+        name(fid0c1) -> Row(77L, false))),
+      // LAGGING: fid2 missing; the orphan present but isDeleted
+      Row("p=1", 2, Map(
+        "fid3_0-0-0_20240103000000000.parquet" -> Row(5L, true))))
+    val mdDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(recs, 1), mdSchema)
+    val mdInstant = "20240102000001000"
+    val baseRel = s"files/files-0000_0-0-0_$mdInstant.parquet"
+    val dst = new java.io.File(mdRoot, baseRel)
+    dst.getParentFile.mkdirs()
+    val nRecs = FixtureIO.writeSingleParquet(mdDf, dst, dir + "_hudimd")
+    java.nio.file.Files.write(
+      new java.io.File(mdHoodie, s"$mdInstant.deltacommit").toPath,
+      (s"""{"partitionToWriteStats":{"files":[{"fileId":"files-0000",""" +
+        s""""path":"$baseRel","numWrites":$nRecs,"numDeletes":0,""" +
+        s""""numInserts":$nRecs,"totalWriteBytes":${dst.length()},""" +
+        s""""partitionPath":"files"}]},"operationType":"upsert"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(mdHoodie, s"$mdInstant.deltacommit.requested").toPath,
+      Array.empty[Byte])
+    java.nio.file.Files.write(
+      new java.io.File(mdHoodie, s"$mdInstant.deltacommit.inflight").toPath,
+      Array.empty[Byte])
+    rows
   }
 
   /**
