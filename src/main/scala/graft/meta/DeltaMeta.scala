@@ -88,6 +88,27 @@ object DeltaMeta extends DeltaMetaAudits with DeltaMetaFixtures {
       throw new IllegalArgumentException(
         s"$root is not a Delta table: no _delta_log directory")
     }
+    // COORDINATED / CATALOG-MANAGED commits (r18): a commit
+    // coordinator ratifies commits into `_delta_log/_staged_commits/`
+    // (UUID-named json) and backfills them into `<v>.json` later — a
+    // reader replaying only the published log while staged commits
+    // exist reads a STALE or GAPPED table. Classified refusal with the
+    // feature named, on every surface (this listing is the shared
+    // entry); an EMPTY staged dir means everything ratified so far is
+    // backfilled, and the published log is complete as of this read.
+    val staged = new Path(logDir, "_staged_commits")
+    if (fs.exists(staged)) {
+      val n = fs.listStatus(staged)
+        .count(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      if (n > 0) {
+        throw new UnsupportedOperationException(
+          s"$root: _delta_log/_staged_commits holds $n ratified-but-" +
+            "unbackfilled commit(s) — the coordinatedCommits/" +
+            "catalogOwned table feature routes commits through a " +
+            "coordinator this tier cannot consult; replaying only the " +
+            "published log would read a stale or gapped table, refusing")
+      }
+    }
     fs.listStatus(logDir).toSeq
       .flatMap { st =>
         segmentVersion(st.getPath.getName).map { case (v, _) =>
@@ -665,6 +686,17 @@ object DeltaMeta extends DeltaMetaAudits with DeltaMetaFixtures {
     "deletionVectors", "v2Checkpoint", "columnMapping", "timestampNtz",
     "typeWidening", "vacuumProtocolCheck")
 
+  /** Writer features that change log COMPLETENESS, not just its
+    * decode: a commit coordinator / owning catalog may hold ratified
+    * commits the published `_delta_log` does not yet show, so a
+    * metadata census replayed from the published log alone can be
+    * stale — [[protocolInfo]] reports `supported=false` when any is
+    * declared (the staged-commits DIRECTORY gate in [[listLogSlices]]
+    * catches the concrete unbackfilled case on every surface). */
+  val CompletenessWriterFeatures: Set[String] = Set(
+    "coordinatedCommits", "coordinatedCommits-preview",
+    "catalogManaged", "catalogOwned-preview")
+
   /**
    * The table's PROTOCOL posture, one row: the latest protocol action's
    * versions and feature lists, plus `supported` — whether THIS
@@ -723,9 +755,11 @@ object DeltaMeta extends DeltaMetaAudits with DeltaMetaFixtures {
         col("p.minWriterVersion").as("min_writer_version"),
         col("p.readerFeatures").as("reader_features"),
         col("p.writerFeatures").as("writer_features"),
-        (col("p.minReaderVersion") <= 2 ||
+        ((col("p.minReaderVersion") <= 2 ||
           forall(coalesce(col("p.readerFeatures"), array()),
-            f => f.isin(UnderstoodReaderFeatures.toSeq: _*)))
+            f => f.isin(UnderstoodReaderFeatures.toSeq: _*))) &&
+          !exists(coalesce(col("p.writerFeatures"), array()),
+            f => f.isin(CompletenessWriterFeatures.toSeq: _*)))
           .as("supported"))
   }
 
