@@ -397,6 +397,143 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
    * snap 2's own manifest list. parent-snapshot-id chain 1←2←3.
    * Returns rows per relative file.
    */
+  /**
+   * WIDE-RANGE transient stress fixture (r18): `2 + nAppends*2 + 2`
+   * snapshots — f0 at snap 1, the transient `fT` added at snap 2,
+   * `nAppends` single-file appends, a REPLACE snapshot compacting fT
+   * into `fC`, `nAppends` more appends, and a final overwrite DELETING
+   * fC. A changelog over the whole range must emit fT's rows exactly
+   * once as inserts (the vanished-add recovery across 50+ intermediate
+   * per-snapshot-complete lists) and exactly once as deletes (fC's
+   * whole-file removal) — the compact-then-re-delete pair — plus the
+   * plain appends; the intermediate walk stays one manifest-list read
+   * per in-range snapshot, gated on the range's data removal. All
+   * appended files are byte-copies of one slice (fixture cost stays
+   * flat in snapshot count). Returns (counts per logical file,
+   * total snapshot count).
+   */
+  def writeWideTransientFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame,
+      nAppends: Int): (Map[String, Long], Long) = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val sliceA = docs.orderBy(col("doc_id")).limit(5)
+      .select(col("doc_id"), col("lang"))
+    val sliceB = docs.orderBy(col("doc_id").desc).limit(5)
+      .select(col("doc_id"), col("lang"))
+    val rowsA = FixtureIO.writeSingleParquet(sliceA,
+      new java.io.File(dataDir, "f0.parquet"), dir + "_wtrA")
+    val rowsB = FixtureIO.writeSingleParquet(sliceB,
+      new java.io.File(dataDir, "fT.parquet"), dir + "_wtrB")
+    def copy(from: String, to: String): Unit =
+      java.nio.file.Files.copy(
+        new java.io.File(dataDir, from).toPath,
+        new java.io.File(dataDir, to).toPath)
+    copy("fT.parquet", "fC.parquet")
+    val replaceSnap = 2L + nAppends + 1
+    val lastSnap = replaceSnap + nAppends + 1
+    val appendSnaps =
+      (3L to (replaceSnap - 1)) ++ ((replaceSnap + 1) to (lastSnap - 1))
+    appendSnaps.foreach(i => copy("f0.parquet", s"f$i.parquet"))
+    def entry(status: Int, f: String,
+        rows: Long): org.apache.avro.generic.GenericRecord = {
+      val df = new org.apache.avro.generic.GenericData.Record(
+        manifestSchema.getField("data_file").schema())
+      df.put("content", 0)
+      df.put("file_path", s"data/$f")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", rows)
+      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
+      val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
+      e.put("status", status)
+      e.put("snapshot_id", null) // inherits the manifest's snapshot
+      e.put("data_file", df)
+      e
+    }
+    def mlEntry(path: String, added: Int, deleted: Int, rows: Long,
+        addedBySnap: Long): org.apache.avro.generic.GenericRecord = {
+      val r = new org.apache.avro.generic.GenericData.Record(
+        manifestListSchema)
+      r.put("manifest_path", s"metadata/$path")
+      r.put("manifest_length", new java.io.File(metaDir, path).length())
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("added_snapshot_id", addedBySnap)
+      r.put("added_files_count", added)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", deleted)
+      r.put("added_rows_count", rows)
+      r
+    }
+    // one manifest per write; the replace manifest carries fC's add +
+    // fT's aged-out delete entry; the final delete manifest carries
+    // fC's delete entry only
+    writeAvro(new java.io.File(metaDir, "m0.avro"), manifestSchema,
+      Seq(entry(1, "f0.parquet", rowsA)))
+    writeAvro(new java.io.File(metaDir, "mT.avro"), manifestSchema,
+      Seq(entry(1, "fT.parquet", rowsB)))
+    appendSnaps.foreach { i =>
+      writeAvro(new java.io.File(metaDir, s"m$i.avro"), manifestSchema,
+        Seq(entry(1, s"f$i.parquet", rowsA)))
+    }
+    writeAvro(new java.io.File(metaDir, "mC.avro"), manifestSchema,
+      Seq(entry(1, "fC.parquet", rowsB), entry(2, "fT.parquet", rowsB)))
+    writeAvro(new java.io.File(metaDir, "mDel.avro"), manifestSchema,
+      Seq(entry(2, "fC.parquet", rowsB)))
+    // per-snapshot-complete manifest lists
+    def listAt(snap: Long): Seq[org.apache.avro.generic.GenericRecord] = {
+      val base = Seq(mlEntry("m0.avro", 1, 0, rowsA, 1L)) ++
+        (if (snap >= 2 && snap < replaceSnap)
+          Seq(mlEntry("mT.avro", 1, 0, rowsB, 2L)) else Seq.empty) ++
+        appendSnaps.filter(_ <= snap).map(i =>
+          mlEntry(s"m$i.avro", 1, 0, rowsA, i)) ++
+        (if (snap >= replaceSnap && snap < lastSnap)
+          Seq(mlEntry("mC.avro", 1, 1, rowsB, replaceSnap)) else Seq.empty) ++
+        (if (snap == lastSnap)
+          Seq(mlEntry("mDel.avro", 0, 1, 0L, lastSnap)) else Seq.empty)
+      base
+    }
+    (1L to lastSnap).foreach { s =>
+      writeAvro(new java.io.File(metaDir, s"snap-$s.avro"),
+        manifestListSchema, listAt(s))
+    }
+    val ts0 = 1700000000000L
+    val snapsJson = (1L to lastSnap).map { s =>
+      val op =
+        if (s == replaceSnap) "replace"
+        else if (s == lastSnap) "overwrite"
+        else "append"
+      val parent =
+        if (s == 1L) "" else s""""parent-snapshot-id":${s - 1},"""
+      s"""{"snapshot-id":$s,"timestamp-ms":${ts0 + s * 1000},$parent
+         |"manifest-list":"metadata/snap-$s.avro",
+         |"summary":{"operation":"$op"}}""".stripMargin.replace("\n", "")
+    }.mkString(",")
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"graft-iceberg-widetransient",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":$lastSnap,
+         |"current-schema-id":0,
+         |"schemas":[
+         |{"schema-id":0,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"}]}],
+         |"snapshots":[$snapsJson]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (Map("f0.parquet" -> rowsA, "fT.parquet" -> rowsB,
+      "fC.parquet" -> rowsB, "appends" -> rowsA * appendSnaps.size),
+      lastSnap)
+  }
+
   def writeTransientFixtureTable(
       spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
     val root = new java.io.File(dir)
