@@ -930,6 +930,21 @@ object HudiMeta extends Serializable {
         sum(col("declared_rows")).cast("long").as("declared_log_rows"),
         array_join(array_sort(collect_list(col("path"))), ",")
           .as("log_paths_csv"))
+    // a LOG-ONLY file group (inserts landed in logs before any base
+    // slice exists — some Hudi index types write these) has no base
+    // row to attach to: silently omitting it would undercount every
+    // census and the merge, so it refuses by name (r18). Logs on a
+    // SUPERSEDED base instant still drop legitimately — their file
+    // group has a newer base.
+    val baseFids = bases.select(col("file_id"))
+    logs.join(baseFids, Seq("file_id"), "left_anti")
+      .select(col("file_id")).limit(1).collect().headOption.foreach { r =>
+        throw new UnsupportedOperationException(
+          s"$table: file group ${r.getString(0)} is LOG-ONLY (declared " +
+            "log writes with no base slice) — base-less groups are not " +
+            "modeled; refusing rather than omitting a live group from " +
+            "the census/merge")
+      }
     bases.join(logs, Seq("file_id", "base_instant"), "left")
       .select(col("file_id"), col("partition_path"), col("base_instant"),
         col("base_path"), col("base_abs_path"),
@@ -1101,8 +1116,9 @@ object HudiMeta extends Serializable {
       StructField("__del", BooleanType)) ++ dataSchema.fields)
     val fields = dataSchema.fields.toSeq
     groups.filter(col("n_logs") > 0)
-      .select(col("file_id"), col("log_paths_csv")).as[(String, String)]
-      .flatMap { case (fid, csv) =>
+      .select(col("file_id"), col("log_paths_csv"),
+        col("declared_log_rows")).as[(String, String, Long)]
+      .flatMap { case (fid, csv, declaredLogRows) =>
         val conf = sconf.value
         val root = new Path(rootStr)
         val where = s"$rootStr (file group $fid)"
@@ -1119,6 +1135,18 @@ object HudiMeta extends Serializable {
         val chain = ordered.flatMap(rel =>
           HudiLogFormat.walkFile(new Path(root, rel), conf))
         val valid = HudiLogFormat.validBlocks(chain, completed, where)
+        // a WHOLLY-corrupt declared chain is a data-loss signal, not a
+        // skippable partial append: the deltacommits claim rows this
+        // walk cannot reach anywhere — refusing beats silently merging
+        // to base-only rows (partial tail corruption still skips, per
+        // the spec's reader rule)
+        if (valid.isEmpty && declaredLogRows > 0 && chain.exists(_.corrupt)) {
+          throw new IllegalArgumentException(
+            s"$where: the deltacommits declare $declaredLogRows log " +
+              "rows but the log chain yields no valid block (all " +
+              "corrupt) — refusing rather than silently dropping " +
+              "declared updates")
+        }
         var seq = 0L
         valid.iterator.flatMap { b =>
           b.typeOrd match {

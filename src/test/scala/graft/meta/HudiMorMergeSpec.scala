@@ -160,6 +160,54 @@ class HudiMorMergeSpec extends SparkSpec {
         x.isInstanceOf[UnsupportedOperationException]))
   }
 
+  test("a wholly-corrupt declared log chain refuses — declared rows " +
+      "must never silently drop") {
+    val d = fresh()
+    // zero out BOTH log files: nothing but corrupt regions remain,
+    // while the deltacommits still declare their log rows
+    Seq(s"p=0/.fid0_$dc1.log.1_0-0-0", s"p=0/.fid0_$dc1.log.2_0-0-0")
+      .foreach { rel =>
+        java.nio.file.Files.write(new java.io.File(d, rel).toPath,
+          Array.fill[Byte](64)(0x2A))
+      }
+    val e = intercept[Exception] {
+      HudiMeta.morMergedRows(spark, d).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no valid block")))
+  }
+
+  test("a LOG-ONLY file group refuses by name — never silently " +
+      "omitted from census or merge") {
+    val d = fresh()
+    // dc7 declares a log write for a brand-new file group with no base
+    val dc7 = "20240107000000000"
+    val rel = s"p=0/.fidX_$dc7.log.1_0-0-0"
+    val logFile = new java.io.File(d, rel)
+    java.nio.file.Files.write(logFile.toPath,
+      "#HUDI#".getBytes("UTF-8"))
+    val hoodie = new java.io.File(d, ".hoodie")
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, s"$dc7.deltacommit").toPath,
+      (s"""{"partitionToWriteStats":{"p=0":[{"fileId":"fidX",""" +
+        s""""path":"$rel","numWrites":3,"numDeletes":0,"numInserts":3,""" +
+        s""""totalWriteBytes":6,"partitionPath":"p=0"}]},""" +
+        """"operationType":"upsert"}""").getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, s"$dc7.deltacommit.requested").toPath,
+      Array.empty[Byte])
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, s"$dc7.deltacommit.inflight").toPath,
+      Array.empty[Byte])
+    val e = intercept[UnsupportedOperationException] {
+      HudiMeta.morFileGroups(spark, d).collect()
+    }
+    assert(e.getMessage.contains("LOG-ONLY") &&
+      e.getMessage.contains("fidX"))
+  }
+
   test("plan posture: base rows never shuffle — the touched-key " +
       "anti-join broadcasts") {
     val d = fresh()
