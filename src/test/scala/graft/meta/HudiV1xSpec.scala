@@ -97,6 +97,48 @@ class HudiV1xSpec extends SparkSpec {
     assert(e.getMessage.contains("non-blocking concurrency control"))
   }
 
+  test("cross-layout invariance: the MOR per-row merge resolves " +
+      "identically after converting the table to the v8 layout") {
+    // build the real-log MOR fixture, merge on the 0.x layout...
+    val d = Files.createTempDirectory("graft_v1xmor").toString + "/tbl"
+    HudiMeta.writeHudiMorLogFixtureTable(spark, d, docs)
+    val before = HudiMeta.morMergedRows(spark, d).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null
+        else java.lang.Long.valueOf(r.getLong(2)))).toSet
+    // ...then CONVERT in place: timeline files move to
+    // .hoodie/timeline/, completed instants gain completion-time
+    // names, table version bumps to 8 (what Hudi's own upgrade does)
+    val hoodie = new java.io.File(d, ".hoodie")
+    val tdir = new java.io.File(hoodie, "timeline")
+    tdir.mkdirs()
+    hoodie.listFiles().filter(_.isFile)
+      .filter(_.getName.headOption.exists(_.isDigit)).foreach { f =>
+        val n = f.getName
+        val renamed = n match {
+          case s if s.endsWith(".requested") || s.endsWith(".inflight") => s
+          case s =>
+            val dot = s.indexOf('.')
+            s"${s.substring(0, dot)}_${s.substring(0, dot).toLong + 500}" +
+              s.substring(dot)
+        }
+        assert(f.renameTo(new java.io.File(tdir, renamed)))
+      }
+    val props = new java.io.File(hoodie, "hoodie.properties")
+    val ptxt = new String(java.nio.file.Files.readAllBytes(props.toPath),
+      "UTF-8")
+    java.nio.file.Files.write(props.toPath,
+      ptxt.replace("hoodie.table.version=6", "hoodie.table.version=8")
+        .getBytes("UTF-8"))
+    val after = HudiMeta.morMergedRows(spark, d).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null
+        else java.lang.Long.valueOf(r.getLong(2)))).toSet
+    assert(after === before)
+  }
+
   test("a v1x completed name parses in the datasource timeline level") {
     assert(HudiMeta.parseInstantName(
       "20240101000000000_20240101000000500.commit", "/t") ===
