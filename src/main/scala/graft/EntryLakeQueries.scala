@@ -2331,6 +2331,24 @@ private[graft] object EntryLakeQueries {
       HudiMeta.morMergedCensus(s, out)
     }),
 
+    // HUDI MOR ROW-LEVEL CHANGE FEED (r18): the delta-CDF/iceberg-
+    // changelog counterpart for Hudi — rows whose latest write lands
+    // in (dc1, dc3], at their merged values as of dc3: fid2's new base
+    // rows, the delete-then-update resurrections and log inserts as
+    // upserts, and final-event deletes as key-only delete rows.
+    // Oracle: DuckDB recomputes the window classification relationally
+    // from the same deterministic event rules.
+    "meta_hudi_mor_changes" -> ((s, dir) => {
+      val out = "/tmp/graft_hudimorlog_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMorLogFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.morIncrementalRows(s, out,
+        "20240101000000000", "20240103000000000")
+    }),
+
     // STREAMING HUDI INGEST: the checkpointed increments store across
     // TWO commit arrivals — pass A sees c1 completed and lands its
     // slices; pass B's newly-landed c2.commit lands EXACTLY c2's
@@ -3927,6 +3945,27 @@ private[graft] object EntryLakeQueries {
         |  (SELECT nr FROM fm
         |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
         |  true""".stripMargin,
+
+    "meta_hudi_mor_changes" ->
+      """SELECT 'upsert' AS change_type,
+        |  CAST(doc_id AS VARCHAR) AS record_key,
+        |  doc_id, lang, n_chars
+        |FROM documents WHERE doc_id % 3 = 2
+        |UNION ALL
+        |-- resurrected by the dc3 update (final event wins)
+        |SELECT 'upsert', CAST(doc_id AS VARCHAR), doc_id, 'zz',
+        |  CAST(-5 AS BIGINT)
+        |FROM documents WHERE doc_id % 60 = 0
+        |UNION ALL
+        |SELECT 'upsert', CAST(doc_id + 9000000 AS VARCHAR),
+        |  doc_id + 9000000, 'xx', CAST(7 AS BIGINT)
+        |FROM documents WHERE doc_id % 150 = 0
+        |UNION ALL
+        |-- final-event deletes: key-only rows
+        |SELECT 'delete', CAST(doc_id AS VARCHAR), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 15 = 0 AND doc_id % 60 <> 0"""
+        .stripMargin,
 
     "meta_hudi_mor_rows" ->
       """WITH g AS (

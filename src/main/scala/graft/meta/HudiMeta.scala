@@ -1113,7 +1113,8 @@ object HudiMeta extends Serializable {
       StructField("file_id", StringType),
       StructField("__seq", LongType),
       StructField("__key", StringType),
-      StructField("__del", BooleanType)) ++ dataSchema.fields)
+      StructField("__del", BooleanType),
+      StructField("__instant", StringType)) ++ dataSchema.fields)
     val fields = dataSchema.fields.toSeq
     groups.filter(col("n_logs") > 0)
       .select(col("file_id"), col("log_paths_csv"),
@@ -1149,6 +1150,7 @@ object HudiMeta extends Serializable {
         }
         var seq = 0L
         valid.iterator.flatMap { b =>
+          val instant = b.header(HudiLogFormat.InstantTime)
           b.typeOrd match {
             case HudiLogFormat.AvroDataBlock =>
               HudiLogFormat.dataRecords(b, where).map { r =>
@@ -1171,13 +1173,13 @@ object HudiMeta extends Serializable {
                   }
                 }
                 org.apache.spark.sql.Row.fromSeq(
-                  Seq(fid, seq, key, false) ++ data)
+                  Seq(fid, seq, key, false, instant) ++ data)
               }
             case HudiLogFormat.DeleteBlock =>
               HudiLogFormat.deleteKeys(b, where).map { k =>
                 seq += 1
                 org.apache.spark.sql.Row.fromSeq(
-                  Seq(fid, seq, k, true) ++ fields.map(_ => null))
+                  Seq(fid, seq, k, true, instant) ++ fields.map(_ => null))
               }
             case other => throw new UnsupportedOperationException(
               s"$where: ${HudiLogFormat.blockTypeName(other)} log block " +
@@ -1189,11 +1191,13 @@ object HudiMeta extends Serializable {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
-  /** Live groups + merged rows tagged with their file group — the
-    * shared core of [[morMergedRows]] and [[morMergedCensus]]. */
+  /** Live groups, merged rows tagged with (file group, record key),
+    * the decoded log events, and the data columns — the shared core of
+    * [[morMergedRows]], [[morMergedCensus]] and
+    * [[morIncrementalRows]]. */
   private def morMerged(
       spark: SparkSession, table: String,
-      asOf: Option[String]): (DataFrame, DataFrame, Seq[String]) = {
+      asOf: Option[String]): (DataFrame, DataFrame, DataFrame, Seq[String]) = {
     val conf = spark.sessionState.newHadoopConf()
     val root = qualified(table, conf)
     val completed = completedMorInstants(root, timeline(root, conf), asOf)
@@ -1246,10 +1250,10 @@ object HudiMeta extends Serializable {
     val untouched = base
       .join(broadcast(latest.select(col("file_id"), col("__key"))),
         Seq("file_id", "__key"), "left_anti")
-      .select(Seq(col("file_id")) ++ dataCols.map(col): _*)
+      .select(Seq(col("file_id"), col("__key")) ++ dataCols.map(col): _*)
     val survivors = latest.filter(!col("__del"))
-      .select(Seq(col("file_id")) ++ dataCols.map(col): _*)
-    (groups, untouched.unionByName(survivors), dataCols)
+      .select(Seq(col("file_id"), col("__key")) ++ dataCols.map(col): _*)
+    (groups, untouched.unionByName(survivors), events, dataCols)
   }
 
   /**
@@ -1267,7 +1271,7 @@ object HudiMeta extends Serializable {
   def morMergedRows(
       spark: SparkSession, table: String,
       asOf: Option[String] = None): DataFrame = {
-    val (_, merged, dataCols) = morMerged(spark, table, asOf)
+    val (_, merged, _, dataCols) = morMerged(spark, table, asOf)
     merged.select(dataCols.map(col): _*)
   }
 
@@ -1283,7 +1287,7 @@ object HudiMeta extends Serializable {
   def morMergedCensus(
       spark: SparkSession, table: String,
       asOf: Option[String] = None): DataFrame = {
-    val (groups, merged, _) = morMerged(spark, table, asOf)
+    val (groups, merged, _, _) = morMerged(spark, table, asOf)
     val counts = merged.groupBy(col("file_id"))
       .agg(count(lit(1)).as("merged_rows"))
     groups.join(counts, Seq("file_id"), "left")
@@ -1394,6 +1398,87 @@ object HudiMeta extends Serializable {
         coalesce(col("is_declared"), lit(false)).as("is_declared"),
         (coalesce(col("is_listed"), lit(false)) &&
           coalesce(col("is_declared"), lit(false))).as("declared_match"))
+  }
+
+  /**
+   * ROW-LEVEL MOR INCREMENTAL FEED (r18) — the Hudi counterpart of the
+   * delta change feed / iceberg changelog: every row whose latest
+   * write lands in `(fromExclusive, toInclusive]`, AT ITS MERGED VALUE
+   * as of `toInclusive` — `(change_type, record_key, <data columns>)`
+   * with `change_type` `upsert` (rows of base files added in the
+   * window, log upserts, delete-then-update resurrections) or `delete`
+   * (keys whose final event in the window is a delete; data columns
+   * null — the delete payload carries only the key, per the log
+   * format). `fromExclusive = "0"` bootstraps (everything live at
+   * `to`, no deletes). A delete of a key that never existed surfaces
+   * as a delete row — the same contract Hudi's own delete payloads
+   * have. Attribution is by adding instant for base files (the
+   * linear-history guard makes request order = completion order).
+   *
+   * Scale posture: window keys, survivor keys and the delete
+   * difference are all LOG-sized; the only base-side work is one
+   * broadcast semi-join scan selecting the touched rows — the base
+   * never shuffles, exactly like the merge itself.
+   */
+  def morIncrementalRows(
+      spark: SparkSession, table: String,
+      fromExclusive: String, toInclusive: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    val writes = completedMorInstants(root, timeline(root, conf), None)
+      .map(_.instant)
+    def requireWrite(t: String, which: String): Unit =
+      if (!writes.contains(t)) {
+        throw new IllegalArgumentException(
+          s"$table: $which instant $t is not a completed " +
+            s"commit/deltacommit (completed: ${writes.mkString(", ")})")
+      }
+    if (fromExclusive != "0") requireWrite(fromExclusive, "from")
+    requireWrite(toInclusive, "to")
+    if (fromExclusive >= toInclusive) {
+      throw new IllegalArgumentException(
+        s"$table: pull window ($fromExclusive, $toInclusive] is empty " +
+          "or reversed — no increment to read")
+    }
+    val (groups, merged, events, dataCols) =
+      morMerged(spark, table, Some(toInclusive))
+    val windowKeys = events
+      .filter(col("__instant") > fromExclusive &&
+        col("__instant") <= toInclusive)
+      .select(col("file_id"), col("__key")).distinct()
+    // merged rows of window-touched keys (log-sized result; the base
+    // scan streams against the broadcast key set)
+    val upsertsFromEvents = merged
+      .join(broadcast(windowKeys), Seq("file_id", "__key"), "left_semi")
+    // rows living in base files ADDED in the window (inserts /
+    // compaction outputs), at their merged values
+    val newBaseFids = groups
+      .filter(col("base_instant") > fromExclusive &&
+        col("base_instant") <= toInclusive)
+      .select(col("file_id"))
+    val baseRows = merged
+      .join(broadcast(newBaseFids), Seq("file_id"), "left_semi")
+    val dataFields = merged.schema.fields
+      .filter(f => dataCols.contains(f.name)).toSeq
+    val upserts = upsertsFromEvents.unionByName(baseRows)
+      .dropDuplicates("file_id", "__key")
+      .select(Seq(lit("upsert").as("change_type"),
+        col("__key").as("record_key")) ++ dataCols.map(col): _*)
+    // a window key with no merged row at `to` was deleted last — the
+    // difference is log-sized on both sides. A BOOTSTRAP carries no
+    // deletes: the consumer starts from nothing, so a key that died
+    // before `to` never existed for it (the delta-CDF/iceberg
+    // bootstrap contract).
+    if (fromExclusive == "0") upserts
+    else {
+      val deletes = windowKeys
+        .join(broadcast(upsertsFromEvents.select(col("file_id"),
+          col("__key"))), Seq("file_id", "__key"), "left_anti")
+        .select(Seq(lit("delete").as("change_type"),
+          col("__key").as("record_key")) ++
+          dataFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      upserts.unionByName(deletes)
+    }
   }
 
   // ---------------------------------------------------------------------

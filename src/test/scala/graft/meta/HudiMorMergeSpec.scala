@@ -179,6 +179,42 @@ class HudiMorMergeSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("no valid block")))
   }
 
+  test("row-level incremental feed: merged values of window-touched " +
+      "keys, new-base rows, and final-event deletes") {
+    val d = fresh()
+    val got = HudiMeta.morIncrementalRows(spark, d, dc1, dc3).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)),
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) null
+        else java.lang.Long.valueOf(r.getLong(4)))).toSet
+    val g = baseRows.filter(_._1 % 3 == 0)
+    val expected: Set[(String, String, java.lang.Long, String,
+        java.lang.Long)] =
+      (baseRows.filter(_._1 % 3 == 2).map { case (id, l, n) =>
+        ("upsert", id.toString, java.lang.Long.valueOf(id), l, n)
+      } ++
+        g.filter(_._1 % 60 == 0).map { case (id, _, _) =>
+          ("upsert", id.toString, java.lang.Long.valueOf(id), "zz",
+            java.lang.Long.valueOf(-5L))
+        } ++
+        g.filter(_._1 % 150 == 0).map { case (id, _, _) =>
+          ("upsert", (id + 9000000L).toString,
+            java.lang.Long.valueOf(id + 9000000L), "xx",
+            java.lang.Long.valueOf(7L))
+        } ++
+        g.filter(k => k._1 % 15 == 0 && k._1 % 60 != 0).map {
+          case (id, _, _) =>
+            ("delete", id.toString, null, null, null)
+        }).toSet
+    assert(got === expected)
+    // bootstrap window ("0", dc3] = the full merged view as upserts
+    val boot = HudiMeta.morIncrementalRows(spark, d, "0", dc3)
+    assert(boot.filter(col("change_type") === "delete").count() === 0)
+    assert(boot.count() ===
+      HudiMeta.morMergedRows(spark, d).count())
+  }
+
   test("a LOG-ONLY file group refuses by name — never silently " +
       "omitted from census or merge") {
     val d = fresh()
