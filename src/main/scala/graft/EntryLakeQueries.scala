@@ -2410,6 +2410,35 @@ private[graft] object EntryLakeQueries {
           sum(col("declared_rows")).cast("long").as("declared_rows"))
     }),
 
+    // STREAMING HUDI MOR ROW-LEVEL CHANGE FEED (r18): the
+    // checkpointed per-instant change store across TWO arrivals —
+    // pass A lands dc1's bootstrap (the merged view then, no deletes)
+    // and dc2's window changes; pass B's newly-landed dc3 lands
+    // EXACTLY its own window (the resurrection upserts + final-event
+    // deletes), with per-instant attribution. Oracle: the same window
+    // classification recomputed relationally.
+    "stream_hudi_mor_changes" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = "/tmp/graft_hudimorchg_" + sfx
+      val store = "/tmp/graft_hudimorchgstore_" + sfx
+      val ckpt = "/tmp/graft_hudimorchgck_" + sfx
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      HudiMeta.writeHudiMorLogFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      // pass A: dc3's completion marker has not arrived yet
+      val dc3 = new java.io.File(out, ".hoodie/20240103000000000.deltacommit")
+      val aside = new java.io.File(out, "aside_dc3.deltacommit")
+      require(dc3.renameTo(aside), s"could not stage $dc3 aside")
+      HudiMeta.maintainMorChangesStore(s, out, store, ckpt)
+      require(aside.renameTo(dc3), s"could not land $aside")
+      dc3.setLastModified(System.currentTimeMillis() + 1)
+      HudiMeta.maintainMorChangesStore(s, out, store, ckpt)
+      HudiMeta.readMorChangesStore(s, store)
+        .groupBy(col("instant_time"), col("change_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+    }),
+
     // day(ts) range pruning over the events table (30 day partitions
     // at every scale factor): tuple values are the spec's epoch-days
     // int, surfaced as real DATEs. Oracle: DuckDB recomputes each
@@ -3966,6 +3995,28 @@ private[graft] object EntryLakeQueries {
         |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
         |FROM documents WHERE doc_id % 15 = 0 AND doc_id % 60 <> 0"""
         .stripMargin,
+
+    "stream_hudi_mor_changes" ->
+      """SELECT '20240101000000000' AS instant_time,
+        |  'upsert' AS change_type,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 3 < 2) AS n
+        |UNION ALL
+        |-- dc2: the n_chars+100 updates, the log inserts, fid2's base
+        |SELECT '20240102000000000', 'upsert',
+        |  (SELECT CAST(count(*) FILTER (WHERE doc_id % 30 = 0)
+        |     + count(*) FILTER (WHERE doc_id % 150 = 0)
+        |     + count(*) FILTER (WHERE doc_id % 3 = 2) AS BIGINT)
+        |   FROM documents)
+        |UNION ALL
+        |-- dc3: resurrections + final-event deletes
+        |SELECT '20240103000000000', 'upsert',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 60 = 0)
+        |UNION ALL
+        |SELECT '20240103000000000', 'delete',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 15 = 0 AND doc_id % 60 <> 0)""".stripMargin,
 
     "meta_hudi_mor_rows" ->
       """WITH g AS (

@@ -753,6 +753,68 @@ object HudiMeta extends Serializable {
       spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(storeDir + "/inc_*")
 
+  /**
+   * STREAMING ROW-LEVEL MOR CHANGE-FEED store — the streaming twin of
+   * [[morIncrementalRows]] (and the Hudi sibling of the iceberg
+   * changelog store): one `Trigger.AvailableNow` pass of the timeline
+   * stream; each newly COMPLETED write instant lands ITS OWN
+   * row-level change increment (`inc_<instant>`, crash-safe via
+   * [[StoreIO.publishIncrement]]) computed over the single-instant
+   * window `(previous write, instant]` — so per-instant attribution
+   * survives multi-instant micro-batch jumps, exactly like the
+   * iceberg store's per-snapshot walk. The FIRST write instant lands
+   * as the bootstrap (`from="0"`: the merged view then, no deletes).
+   * Re-delivered instants never re-land (names are the ledger).
+   */
+  def maintainMorChangesStore(
+      spark: SparkSession, table: String,
+      storeDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = spark.readStream.format("metadata")
+      .option("source", "hudi").option("level", "timeline")
+      .option("streamlagms", "0").load(table)
+    val q = src.select("instant_time", "action", "state")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // timeline-sized driver boundary (instant names, not rows)
+        val arrived = batch.collect()
+          .filter(r => (r.getString(1) == "commit" ||
+            r.getString(1) == "deltacommit") &&
+            r.getString(2) == "completed")
+          .map(_.getString(0)).sorted
+        if (arrived.nonEmpty) {
+          val store = new java.io.File(storeDir)
+          store.mkdirs()
+          StoreIO.sweepTemp(store)
+          val seen = StoreIO.parseIds(store, "inc").toSet
+          // the table's FULL completed write order gives each arrived
+          // instant its true predecessor, even across batch jumps
+          val conf = spark.sessionState.newHadoopConf()
+          val root = qualified(table, conf)
+          val allWrites = completedMorInstants(root, timeline(root, conf),
+            None).map(_.instant).sorted
+          arrived.filterNot(seen.contains).foreach { inst =>
+            val prev = allWrites.takeWhile(_ < inst).lastOption
+              .getOrElse("0")
+            StoreIO.publishIncrement(
+              morIncrementalRows(spark, table, prev, inst)
+                .withColumn("instant_time", lit(inst)),
+              store, s"inc_$inst")
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Every change row of a [[maintainMorChangesStore]] store. */
+  def readMorChangesStore(
+      spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir + "/inc_*")
+
   // ---------------------------------------------------------------------
   // MERGE-ON-READ tier — declared-stats depth (HoodieDeltaWriteStat).
   //

@@ -215,6 +215,32 @@ class HudiMorMergeSpec extends SparkSpec {
       HudiMeta.morMergedRows(spark, d).count())
   }
 
+  test("streaming change store: per-instant attribution across a " +
+      "batch jump, and redelivery re-lands nothing") {
+    val d = fresh()
+    val store = Files.createTempDirectory("graft_morchg_s").toString +
+      "/store"
+    val ckpt = Files.createTempDirectory("graft_morchg_c").toString
+    // one pass sees ALL THREE instants in a single micro-batch — each
+    // still lands its own increment with its own window
+    HudiMeta.maintainMorChangesStore(spark, d, store, ckpt)
+    val byInstant = HudiMeta.readMorChangesStore(spark, store)
+      .groupBy(col("instant_time"), col("change_type")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val g = baseRows.filter(_._1 % 3 == 0)
+    assert(byInstant === Map(
+      (dc1, "upsert") -> baseRows.count(_._1 % 3 < 2).toLong,
+      (dc2, "upsert") -> (g.count(_._1 % 30 == 0).toLong +
+        g.count(_._1 % 150 == 0) + baseRows.count(_._1 % 3 == 2)),
+      (dc3, "upsert") -> g.count(_._1 % 60 == 0).toLong,
+      (dc3, "delete") ->
+        g.count(k => k._1 % 15 == 0 && k._1 % 60 != 0).toLong))
+    // redelivery: a second pass re-lands nothing
+    val total = HudiMeta.readMorChangesStore(spark, store).count()
+    HudiMeta.maintainMorChangesStore(spark, d, store, ckpt)
+    assert(HudiMeta.readMorChangesStore(spark, store).count() === total)
+  }
+
   test("a LOG-ONLY file group refuses by name — never silently " +
       "omitted from census or merge") {
     val d = fresh()
