@@ -1477,10 +1477,15 @@ object HudiMeta extends Serializable {
    * have. Attribution is by adding instant for base files (the
    * linear-history guard makes request order = completion order).
    *
-   * Scale posture: window keys, survivor keys and the delete
-   * difference are all LOG-sized; the only base-side work is one
-   * broadcast semi-join scan selecting the touched rows — the base
-   * never shuffles, exactly like the merge itself.
+   * Scale posture: EVENTS-ONLY plus the window's own base files — a
+   * touched key's merged value at `to` IS its latest event payload
+   * (log payloads are full rows, the partial-update refusal
+   * guarantees it), so the feed never scans bases outside the window:
+   * per-increment cost = the window-added base files + the touched
+   * groups' log chains, with log-sized shuffles throughout. The
+   * streaming store ([[maintainMorChangesStore]]) therefore pays per
+   * instant exactly what that instant wrote — never a full-table
+   * merge per increment.
    */
   def morIncrementalRows(
       spark: SparkSession, table: String,
@@ -1502,43 +1507,83 @@ object HudiMeta extends Serializable {
         s"$table: pull window ($fromExclusive, $toInclusive] is empty " +
           "or reversed — no increment to read")
     }
-    val (groups, merged, events, dataCols) =
-      morMerged(spark, table, Some(toInclusive))
+    val completed = completedMorInstants(root, timeline(root, conf),
+      Some(toInclusive)).map(_.instant).toSet
+    val keyField = recordKeyField(root, conf)
+    val groups = morFileGroups(spark, table, Some(toInclusive))
+    // the window's own base files (inserts / compaction outputs) — the
+    // ONLY base files this feed ever reads
+    val newBases = groups
+      .filter(col("base_instant") > fromExclusive &&
+        col("base_instant") <= toInclusive)
+      .select(col("file_id"), col("base_path"), col("base_abs_path"))
+    val newBasePaths = newBases.select(col("base_abs_path"))
+      .collect().map(_.getString(0)).toSeq
+    // the data schema comes from any live base footer (one read)
+    val anyBase = groups.select(col("base_abs_path")).limit(1)
+      .collect().map(_.getString(0)).toSeq
+    if (anyBase.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: no live base files at $toInclusive — nothing to feed")
+    }
+    val dataSchema = spark.read.parquet(anyBase: _*).schema
+    if (!dataSchema.fieldNames.contains(keyField)) {
+      throw new IllegalArgumentException(
+        s"$table: record key field '$keyField' is not a base column " +
+          s"(${dataSchema.fieldNames.mkString(", ")})")
+    }
+    val dataCols = dataSchema.fieldNames.toSeq
+    val events = morLogEvents(spark, root.toString, groups, completed,
+      keyField, dataSchema)
+    // latest event per touched key at `to` — merged truth for every
+    // key any log ever wrote (full-row payloads)
+    val latest = events.groupBy(col("file_id"), col("__key"))
+      .agg(max_by(
+        struct((Seq(col("__del"), col("__instant")) ++
+          dataCols.map(col)): _*), col("__seq")).as("e"))
+      .select(Seq(col("file_id"), col("__key"),
+        col("e.__del").as("__del"),
+        col("e.__instant").as("__instant")) ++
+        dataCols.map(n => col(s"e.$n").as(n)): _*)
     val windowKeys = events
       .filter(col("__instant") > fromExclusive &&
         col("__instant") <= toInclusive)
       .select(col("file_id"), col("__key")).distinct()
-    // merged rows of window-touched keys (log-sized result; the base
-    // scan streams against the broadcast key set)
-    val upsertsFromEvents = merged
-      .join(broadcast(windowKeys), Seq("file_id", "__key"), "left_semi")
-    // rows living in base files ADDED in the window (inserts /
-    // compaction outputs), at their merged values
-    val newBaseFids = groups
-      .filter(col("base_instant") > fromExclusive &&
-        col("base_instant") <= toInclusive)
-      .select(col("file_id"))
-    val baseRows = merged
-      .join(broadcast(newBaseFids), Seq("file_id"), "left_semi")
-    val dataFields = merged.schema.fields
-      .filter(f => dataCols.contains(f.name)).toSeq
-    val upserts = upsertsFromEvents.unionByName(baseRows)
-      .dropDuplicates("file_id", "__key")
+    val touchedLatest = latest
+      .join(windowKeys, Seq("file_id", "__key"), "left_semi")
+    val eventUpserts = touchedLatest.filter(!col("__del"))
+      .select(Seq(col("file_id"), col("__key")) ++ dataCols.map(col): _*)
+    // window-added base rows whose keys no event ever touched (a
+    // touched key's truth lives in eventUpserts/deletes instead); the
+    // anti join broadcasts the log-sized key set
+    val newBaseRows =
+      if (newBasePaths.isEmpty) None
+      else Some(spark.read.parquet(newBasePaths: _*)
+        .withColumn("__name",
+          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
+        .join(broadcast(newBases.select(
+          regexp_extract(col("base_path"), "([^/]+)$", 1).as("__name"),
+          col("file_id"))), "__name")
+        .withColumn("__key", col(keyField).cast("string"))
+        .join(broadcast(latest.select(col("file_id"), col("__key"))),
+          Seq("file_id", "__key"), "left_anti")
+        .select(Seq(col("file_id"), col("__key")) ++
+          dataCols.map(col): _*))
+    val upserts = (Seq(eventUpserts) ++ newBaseRows.toSeq)
+      .reduce(_ unionByName _)
       .select(Seq(lit("upsert").as("change_type"),
         col("__key").as("record_key")) ++ dataCols.map(col): _*)
-    // a window key with no merged row at `to` was deleted last — the
-    // difference is log-sized on both sides. A BOOTSTRAP carries no
-    // deletes: the consumer starts from nothing, so a key that died
-    // before `to` never existed for it (the delta-CDF/iceberg
-    // bootstrap contract).
+    // a window key whose latest event is a delete died last. A
+    // BOOTSTRAP carries no deletes: the consumer starts from nothing,
+    // so a key that died before `to` never existed for it (the
+    // delta-CDF/iceberg bootstrap contract).
     if (fromExclusive == "0") upserts
     else {
-      val deletes = windowKeys
-        .join(broadcast(upsertsFromEvents.select(col("file_id"),
-          col("__key"))), Seq("file_id", "__key"), "left_anti")
+      val deletes = touchedLatest.filter(col("__del"))
         .select(Seq(lit("delete").as("change_type"),
           col("__key").as("record_key")) ++
-          dataFields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+          dataSchema.fields.toSeq.map(f =>
+            lit(null).cast(f.dataType).as(f.name)): _*)
       upserts.unionByName(deletes)
     }
   }
