@@ -2331,6 +2331,25 @@ private[graft] object EntryLakeQueries {
       HudiMeta.morMergedCensus(s, out)
     }),
 
+    // HUDI COW ROW-LEVEL CHANGE FEED by SLICE DIFF (r18): copy-on-
+    // write rewrites whole files and this table has no per-row
+    // commit-time metadata — the feed derives row changes from
+    // CONTENT, diffing each rewritten slice against its predecessor
+    // by record key: updates emit new values, vanished keys emit
+    // deletes WITH their old values, byte-identical rows emit
+    // nothing, untouched groups are never read. Oracle: the same
+    // classification recomputed relationally.
+    "meta_hudi_cow_changes" -> ((s, dir) => {
+      val out = "/tmp/graft_hudicd_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiCowDiffFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.cowIncrementalRows(s, out,
+        "20240101000000000", "20240102000000000")
+    }),
+
     // HUDI MOR ROW-LEVEL CHANGE FEED (r18): the delta-CDF/iceberg-
     // changelog counterpart for Hudi — rows whose latest write lands
     // in (dc1, dc3], at their merged values as of dc3: fid2's new base
@@ -3974,6 +3993,21 @@ private[graft] object EntryLakeQueries {
         |  (SELECT nr FROM fm
         |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
         |  true""".stripMargin,
+
+    "meta_hudi_cow_changes" ->
+      """-- updated survivors: new values
+        |SELECT 'upsert' AS change_type,
+        |  CAST(doc_id AS VARCHAR) AS record_key,
+        |  doc_id, lang, n_chars + 100 AS n_chars
+        |FROM documents WHERE doc_id % 12 = 0 AND doc_id % 15 <> 0
+        |UNION ALL
+        |-- the new file group's rows
+        |SELECT 'upsert', CAST(doc_id AS VARCHAR), doc_id, lang, n_chars
+        |FROM documents WHERE doc_id % 3 = 2
+        |UNION ALL
+        |-- dropped keys: deletes carry their OLD values
+        |SELECT 'delete', CAST(doc_id AS VARCHAR), doc_id, lang, n_chars
+        |FROM documents WHERE doc_id % 15 = 0""".stripMargin,
 
     "meta_hudi_mor_changes" ->
       """SELECT 'upsert' AS change_type,

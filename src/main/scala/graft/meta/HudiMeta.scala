@@ -478,6 +478,135 @@ object HudiMeta extends Serializable {
   }
 
   /**
+   * ROW-LEVEL COW CHANGE FEED by SLICE DIFF (r18) — a copy-on-write
+   * commit rewrites whole base files, so "which rows changed" is not
+   * recorded anywhere at row granularity (Hudi's own incremental
+   * queries lean on the `_hoodie_commit_time` meta column, which
+   * foreign-written or meta-stripped tables lack). This feed derives
+   * it from CONTENT: for every file group whose live slice was written
+   * in `(fromExclusive, toInclusive]`, full-outer join the new slice
+   * against the group's prior slice by record key — value changes and
+   * new keys emit `upsert` rows (new values), vanished keys emit
+   * `delete` rows (old values — the slice diff knows them, unlike the
+   * MOR log's key-only deletes), unchanged rows emit NOTHING. Brand
+   * new groups emit all rows as upserts.
+   *
+   * Refusals: a completed `replacecommit` in the window refuses (a
+   * clustering rewrite changes no logical rows — diffing its output
+   * against nothing would fabricate inserts); a prior slice already
+   * cleaned from disk refuses up front (the diff's baseline is gone).
+   *
+   * Scale posture: reads exactly the window's rewritten slices plus
+   * their immediate predecessors; the diff is one equi-join keyed by
+   * (group, record key) over touched-slice rows only — change volume,
+   * never table volume.
+   */
+  def cowIncrementalRows(
+      spark: SparkSession, table: String,
+      fromExclusive: String, toInclusive: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    requireCowTable(root, conf)
+    val keyField = recordKeyField(root, conf)
+    val writes = completedCommits(root, timeline(root, conf), None)
+    def requireCommit(t: String, which: String): Unit =
+      if (!writes.exists(_.instant == t)) {
+        throw new IllegalArgumentException(
+          s"$table: $which instant $t is not a completed commit " +
+            s"(completed: ${writes.map(_.instant).mkString(", ")})")
+      }
+    if (fromExclusive != "0") requireCommit(fromExclusive, "from")
+    requireCommit(toInclusive, "to")
+    if (fromExclusive >= toInclusive) {
+      throw new IllegalArgumentException(
+        s"$table: pull window ($fromExclusive, $toInclusive] is empty " +
+          "or reversed — no increment to read")
+    }
+    writes.find(w => w.action == "replacecommit" &&
+        w.instant > fromExclusive && w.instant <= toInclusive)
+      .foreach { w =>
+        throw new UnsupportedOperationException(
+          s"$table: completed replacecommit ${w.instant} in the window " +
+            "— clustering rewrites change no logical rows, and a slice " +
+            "diff across one would fabricate changes; refusing")
+      }
+    // per group: the live slice at `to`, and the prior slice at `from`
+    val newSlices = liveFiles(spark, table, Some(toInclusive))
+      .filter(col("instant_time") > fromExclusive)
+      .select(col("file_id"), col("path"), col("abs_path"))
+    // driver boundary: touched-group path lists (file-group-sized)
+    val newList = newSlices.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    if (newList.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: no file group was rewritten in ($fromExclusive, " +
+          s"$toInclusive] — the window carries no changes")
+    }
+    val priorAll =
+      if (fromExclusive == "0") Array.empty[(String, String, String)]
+      else liveFiles(spark, table, Some(fromExclusive))
+        .select(col("file_id"), col("path"), col("abs_path"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getString(2)))
+    val touched = newList.map(_._1).toSet
+    val priorList = priorAll.filter(t => touched.contains(t._1))
+    val fs = root.getFileSystem(conf)
+    priorList.find(t => !fs.exists(new Path(t._3))).foreach { t =>
+      throw new UnsupportedOperationException(
+        s"$table: prior slice ${t._2} of rewritten group ${t._1} is " +
+          "gone from disk (cleaned) — the diff's baseline is missing; " +
+          "refusing rather than reporting its rows as inserts")
+    }
+    def readSlices(list: Seq[(String, String, String)]): DataFrame = {
+      val byName = list.map { case (fid, rel, _) =>
+        (rel.substring(rel.lastIndexOf('/') + 1), fid)
+      }
+      import spark.implicits._
+      spark.read.parquet(list.map(_._3): _*)
+        .withColumn("__name",
+          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
+        .join(broadcast(byName.toDF("__name", "file_id")), "__name")
+        .withColumn("__key", col(keyField).cast("string"))
+        .drop("__name")
+    }
+    val newRows = readSlices(newList.toSeq)
+    val dataCols = newRows.columns.toSeq
+      .filterNot(Set("file_id", "__key"))
+    val dataFields = newRows.schema.fields
+      .filter(f => dataCols.contains(f.name)).toSeq
+    if (!dataCols.contains(keyField)) {
+      throw new IllegalArgumentException(
+        s"$table: record key field '$keyField' is not a base column " +
+          s"(${dataCols.mkString(", ")})")
+    }
+    val n = newRows.select(Seq(col("file_id"), col("__key"),
+      struct(dataCols.map(col): _*).as("__new")): _*)
+    val diffed =
+      if (priorList.isEmpty) {
+        n.select(Seq(lit("upsert").as("change_type"),
+          col("__key").as("record_key")) ++
+          dataCols.map(c => col(s"__new.$c").as(c)): _*)
+      } else {
+        val o = readSlices(priorList.toSeq)
+          .select(Seq(col("file_id"), col("__key"),
+            struct(dataCols.map(col): _*).as("__old")): _*)
+        val j = n.join(o, Seq("file_id", "__key"), "full_outer")
+        val upserts = j
+          .filter(col("__new").isNotNull &&
+            !(col("__new") <=> col("__old")))
+          .select(Seq(lit("upsert").as("change_type"),
+            col("__key").as("record_key")) ++
+            dataCols.map(c => col(s"__new.$c").as(c)): _*)
+        val deletes = j.filter(col("__new").isNull)
+          .select(Seq(lit("delete").as("change_type"),
+            col("__key").as("record_key")) ++
+            dataCols.map(c => col(s"__old.$c").as(c)): _*)
+        upserts.unionByName(deletes)
+      }
+    diffed
+  }
+
+  /**
    * CLEAN plan at metadata cost — Hudi's KEEP_LATEST_FILE_VERSIONS
    * cleaner policy answered BEFORE deleting anything: per file group,
    * every declared slice past the newest `retainVersions` is
@@ -1688,6 +1817,82 @@ object HudiMeta extends Serializable {
     java.nio.file.Files.write(
       new java.io.File(hoodie, "20240103000000000.commit.requested").toPath,
       Array.empty[Byte])
+    Map(s0._1 -> s0._2, s1._1 -> s1._2, s0b._1 -> s0b._2, s2._1 -> s2._2)
+  }
+
+  /**
+   * Hand-write a filesystem Hudi COW table shaped for the SLICE-DIFF
+   * change feed ([[cowIncrementalRows]]): c1 inserts `fid0`
+   * (doc_id%3==0) and `fid1` (%3==1) under `p=0`; c2 REWRITES fid0 —
+   * the %15==0 keys DROPPED (deletes), the %12==0-but-not-%15==0 keys
+   * updated (n_chars+100), the rest byte-identical (must emit
+   * nothing) — and inserts `fid2` (%3==2) under `p=1`. fid1 is
+   * untouched (must never be read, let alone emitted).
+   * `hoodie.table.recordkey.fields=doc_id`. Returns rows per relative
+   * base-file path.
+   */
+  def writeHudiCowDiffFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val hoodie = new java.io.File(root, ".hoodie")
+    hoodie.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, "hoodie.properties").toPath,
+      ("hoodie.table.name=graft_hudi_cowdiff_fixture\n" +
+        "hoodie.table.type=COPY_ON_WRITE\n" +
+        "hoodie.table.version=6\n" +
+        "hoodie.table.recordkey.fields=doc_id\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (c1, c2) = ("20240101000000000", "20240102000000000")
+    def writeSlice(part: String, fid: String, instant: String,
+        slice: DataFrame): (String, Long) = {
+      val rel = s"$part/${fid}_0-0-0_$instant.parquet"
+      val dst = new java.io.File(root, rel)
+      dst.getParentFile.mkdirs()
+      rel -> FixtureIO.writeSingleParquet(slice, dst,
+        dir + s"_hudicd_${fid}_$instant")
+    }
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val g0 = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val s0 = writeSlice("p=0", "fid0", c1, g0)
+    val s1 = writeSlice("p=0", "fid1", c1,
+      base.filter(pmod(col("doc_id"), lit(3)) === 1))
+    // the rewrite: drop %15==0, bump %12==0 survivors, keep the rest
+    val s0b = writeSlice("p=0", "fid0", c2,
+      g0.filter(pmod(col("doc_id"), lit(15)) =!= 0)
+        .withColumn("n_chars",
+          when(pmod(col("doc_id"), lit(12)) === 0,
+            col("n_chars") + 100L).otherwise(col("n_chars"))))
+    val s2 = writeSlice("p=1", "fid2", c2,
+      base.filter(pmod(col("doc_id"), lit(3)) === 2))
+    def stat(part: String, fid: String, rel: String, rows: Long): String =
+      s"""{"fileId":"$fid","path":"$rel","numWrites":$rows,
+         |"numDeletes":0,"numInserts":$rows,
+         |"totalWriteBytes":${new java.io.File(root, rel).length()},
+         |"partitionPath":"$part"}""".stripMargin.replace("\n", "")
+    def commit(instant: String, byPart: Map[String, Seq[String]]): Unit = {
+      val stats = byPart.toSeq.sortBy(_._1).map { case (p, ss) =>
+        s""""$p":[${ss.mkString(",")}]"""
+      }.mkString(",")
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.commit").toPath,
+        (s"""{"partitionToWriteStats":{$stats},""" +
+          """"operationType":"upsert"}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.commit.requested").toPath,
+        Array.empty[Byte])
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.commit.inflight").toPath,
+        Array.empty[Byte])
+    }
+    commit(c1, Map("p=0" -> Seq(
+      stat("p=0", "fid0", s0._1, s0._2),
+      stat("p=0", "fid1", s1._1, s1._2))))
+    commit(c2, Map(
+      "p=0" -> Seq(stat("p=0", "fid0", s0b._1, s0b._2)),
+      "p=1" -> Seq(stat("p=1", "fid2", s2._1, s2._2))))
     Map(s0._1 -> s0._2, s1._1 -> s1._2, s0b._1 -> s0b._2, s2._1 -> s2._2)
   }
 
