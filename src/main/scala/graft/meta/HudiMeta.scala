@@ -1639,23 +1639,38 @@ object HudiMeta extends Serializable {
     val completed = completedMorInstants(root, timeline(root, conf),
       Some(toInclusive)).map(_.instant).toSet
     val keyField = recordKeyField(root, conf)
-    val groups = morFileGroups(spark, table, Some(toInclusive))
+    // ONE action over the (file-group-sized) groups relation; every
+    // driver-side derivation below reads this local array instead of
+    // firing its own job — the feed's per-increment job count matters
+    // in the streaming store, which calls this once per instant
+    val groupRows = morFileGroups(spark, table, Some(toInclusive))
+      .select(col("file_id"), col("base_instant"), col("base_path"),
+        col("base_abs_path"), col("n_logs"), col("log_paths_csv"),
+        col("declared_log_rows"))
+      .collect()
+    if (groupRows.isEmpty) {
+      throw new IllegalArgumentException(
+        s"$table: no live base files at $toInclusive — nothing to feed")
+    }
+    import spark.implicits._
+    val groups = groupRows.map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3), r.getLong(4), r.getString(5),
+      r.getLong(6))).toSeq
+      .toDF("file_id", "base_instant", "base_path", "base_abs_path",
+        "n_logs", "log_paths_csv", "declared_log_rows")
     // the window's own base files (inserts / compaction outputs) — the
     // ONLY base files this feed ever reads
     val newBases = groups
       .filter(col("base_instant") > fromExclusive &&
         col("base_instant") <= toInclusive)
       .select(col("file_id"), col("base_path"), col("base_abs_path"))
-    val newBasePaths = newBases.select(col("base_abs_path"))
-      .collect().map(_.getString(0)).toSeq
+    val newBasePaths = groupRows
+      .filter(r => r.getString(1) > fromExclusive &&
+        r.getString(1) <= toInclusive)
+      .map(_.getString(3)).toSeq
     // the data schema comes from any live base footer (one read)
-    val anyBase = groups.select(col("base_abs_path")).limit(1)
-      .collect().map(_.getString(0)).toSeq
-    if (anyBase.isEmpty) {
-      throw new IllegalArgumentException(
-        s"$table: no live base files at $toInclusive — nothing to feed")
-    }
-    val dataSchema = spark.read.parquet(anyBase: _*).schema
+    val dataSchema =
+      spark.read.parquet(groupRows.head.getString(3)).schema
     if (!dataSchema.fieldNames.contains(keyField)) {
       throw new IllegalArgumentException(
         s"$table: record key field '$keyField' is not a base column " +
