@@ -2458,6 +2458,34 @@ private[graft] object EntryLakeQueries {
         .agg(count(lit(1)).cast("long").as("n"))
     }),
 
+    // STREAMING HUDI COW CHANGE FEED by slice diff (r18): the
+    // checkpointed per-commit change store across TWO arrivals —
+    // pass A lands c1's bootstrap; pass B's newly-landed c2 lands
+    // EXACTLY its own diff window (updates, new-group inserts,
+    // old-value deletes). Oracle: the diff classification recomputed
+    // relationally.
+    "stream_hudi_cow_changes" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = "/tmp/graft_hudicowchg_" + sfx
+      val store = "/tmp/graft_hudicowchgstore_" + sfx
+      val ckpt = "/tmp/graft_hudicowchgck_" + sfx
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      HudiMeta.writeHudiCowDiffFixtureTable(
+        s, out, s.read.parquet(pq(dir, "documents")))
+      // pass A: c2's completion marker has not arrived yet
+      val c2 = new java.io.File(out, ".hoodie/20240102000000000.commit")
+      val aside = new java.io.File(out, "aside_c2.commit")
+      require(c2.renameTo(aside), s"could not stage $c2 aside")
+      HudiMeta.maintainCowChangesStore(s, out, store, ckpt)
+      require(aside.renameTo(c2), s"could not land $aside")
+      c2.setLastModified(System.currentTimeMillis() + 1)
+      HudiMeta.maintainCowChangesStore(s, out, store, ckpt)
+      HudiMeta.readCowChangesStore(s, store)
+        .groupBy(col("instant_time"), col("change_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+    }),
+
     // day(ts) range pruning over the events table (30 day partitions
     // at every scale factor): tuple values are the spec's epoch-days
     // int, surfaced as real DATEs. Oracle: DuckDB recomputes each
@@ -4008,6 +4036,24 @@ private[graft] object EntryLakeQueries {
         |-- dropped keys: deletes carry their OLD values
         |SELECT 'delete', CAST(doc_id AS VARCHAR), doc_id, lang, n_chars
         |FROM documents WHERE doc_id % 15 = 0""".stripMargin,
+
+    "stream_hudi_cow_changes" ->
+      """-- c1 bootstrap: fid0 (%3==0) + fid1 (%3==1) rows as upserts
+        |SELECT '20240101000000000' AS instant_time,
+        |  'upsert' AS change_type,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 3 < 2) AS n
+        |UNION ALL
+        |-- c2: updated survivors + fid2's new rows
+        |SELECT '20240102000000000', 'upsert',
+        |  (SELECT CAST(count(*) FILTER
+        |      (WHERE doc_id % 12 = 0 AND doc_id % 15 <> 0)
+        |     + count(*) FILTER (WHERE doc_id % 3 = 2) AS BIGINT)
+        |   FROM documents)
+        |UNION ALL
+        |SELECT '20240102000000000', 'delete',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 15 = 0)""".stripMargin,
 
     "meta_hudi_mor_changes" ->
       """SELECT 'upsert' AS change_type,

@@ -944,6 +944,62 @@ object HudiMeta extends Serializable {
       spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(storeDir + "/inc_*")
 
+  /**
+   * STREAMING COW CHANGE-FEED store — the copy-on-write twin of
+   * [[maintainMorChangesStore]], backed by the SLICE DIFF
+   * ([[cowIncrementalRows]]): each newly COMPLETED commit lands its
+   * own row-level change increment over the single-commit window
+   * `(previous commit, commit]` (per-instant attribution across batch
+   * jumps; the first commit lands as the bootstrap). The store must
+   * be maintained BEFORE the cleaner reclaims prior slices — a
+   * cleaned diff baseline refuses rather than fabricating inserts
+   * (the [[cowIncrementalRows]] contract).
+   */
+  def maintainCowChangesStore(
+      spark: SparkSession, table: String,
+      storeDir: String, checkpointDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = spark.readStream.format("metadata")
+      .option("source", "hudi").option("level", "timeline")
+      .option("streamlagms", "0").load(table)
+    val q = src.select("instant_time", "action", "state")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val arrived = batch.collect()
+          .filter(r => r.getString(1) == "commit" &&
+            r.getString(2) == "completed")
+          .map(_.getString(0)).sorted
+        if (arrived.nonEmpty) {
+          val store = new java.io.File(storeDir)
+          store.mkdirs()
+          StoreIO.sweepTemp(store)
+          val seen = StoreIO.parseIds(store, "inc").toSet
+          val conf = spark.sessionState.newHadoopConf()
+          val root = qualified(table, conf)
+          val allWrites = completedCommits(root, timeline(root, conf),
+            None).map(_.instant).sorted
+          arrived.filterNot(seen.contains).foreach { inst =>
+            val prev = allWrites.takeWhile(_ < inst).lastOption
+              .getOrElse("0")
+            StoreIO.publishIncrement(
+              cowIncrementalRows(spark, table, prev, inst)
+                .withColumn("instant_time", lit(inst)),
+              store, s"inc_$inst")
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Every change row of a [[maintainCowChangesStore]] store. */
+  def readCowChangesStore(
+      spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir + "/inc_*")
+
   // ---------------------------------------------------------------------
   // MERGE-ON-READ tier — declared-stats depth (HoodieDeltaWriteStat).
   //
