@@ -557,6 +557,8 @@ object HudiMeta extends Serializable {
           "gone from disk (cleaned) — the diff's baseline is missing; " +
           "refusing rather than reporting its rows as inserts")
     }
+    requireNoReservedColumns(table,
+      spark.read.parquet(newList.head._3).schema)
     def readSlices(list: Seq[(String, String, String)]): DataFrame = {
       val byName = list.map { case (fid, rel, _) =>
         (rel.substring(rel.lastIndexOf('/') + 1), fid)
@@ -1344,6 +1346,23 @@ object HudiMeta extends Serializable {
     }
   }
 
+  /** The attribution/bookkeeping column names the merge machinery
+    * claims — a base table carrying one of them would make the
+    * internal joins ambiguous; refuse classified up front rather than
+    * surfacing a planner error (r18 self-review). */
+  private def requireNoReservedColumns(
+      table: String,
+      dataSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val reserved = Set("file_id", "__key", "__name", "__seq", "__del",
+      "__instant", "__new", "__old")
+    dataSchema.fieldNames.find(reserved.contains).foreach { c =>
+      throw new UnsupportedOperationException(
+        s"$table: base column '$c' collides with the merge machinery's " +
+          "internal attribution columns — refusing rather than " +
+          "mis-joining rows")
+    }
+  }
+
   /** Decoded, VALID log events of every live file group with logs:
     * `(file_id, __seq, __key, __del, <data columns>)` — one walk task
     * per file group, blocks validated/rolled-back/filtered by
@@ -1461,6 +1480,7 @@ object HudiMeta extends Serializable {
     }
     val base0 = spark.read.parquet(basePaths: _*)
     val dataSchema = base0.schema
+    requireNoReservedColumns(table, dataSchema)
     if (!dataSchema.fieldNames.contains(keyField)) {
       throw new IllegalArgumentException(
         s"$table: record key field '$keyField' is not a base column " +
@@ -1727,6 +1747,7 @@ object HudiMeta extends Serializable {
     // the data schema comes from any live base footer (one read)
     val dataSchema =
       spark.read.parquet(groupRows.head.getString(3)).schema
+    requireNoReservedColumns(table, dataSchema)
     if (!dataSchema.fieldNames.contains(keyField)) {
       throw new IllegalArgumentException(
         s"$table: record key field '$keyField' is not a base column " +

@@ -61,6 +61,26 @@ class HudiCowDiffSpec extends SparkSpec {
     assert(boot.count() === rows.count(_._1 % 3 < 2).toLong)
   }
 
+  test("a base column colliding with the machinery's internals " +
+      "refuses classified, never an ambiguous-plan error") {
+    val d = fresh()
+    // rewrite the window's slices with a conflicting 'file_id' column
+    Seq(("p=0/fid0_0-0-0_", 0), ("p=1/fid2_0-0-0_", 2)).foreach {
+      case (prefix, m) =>
+        val slice = docs.select(col("doc_id"), col("lang"),
+            col("n_chars"))
+          .filter(pmod(col("doc_id"), lit(3)) === m)
+          .withColumn("file_id", lit(1L))
+        FixtureIO.writeSingleParquet(slice,
+          new java.io.File(d, s"$prefix$c2.parquet"),
+          d + s"_colfix$m")
+    }
+    val e = intercept[UnsupportedOperationException] {
+      HudiMeta.cowIncrementalRows(spark, d, c1, c2)
+    }
+    assert(e.getMessage.contains("file_id"))
+  }
+
   test("refusals: clustering in window; cleaned diff baseline") {
     val d = fresh()
     // a completed replacecommit inside the window
