@@ -686,6 +686,25 @@ private[graft] object EntryLakeQueries {
     // evolution). Oracle: DuckDB unnests the same metadata JSON and
     // diffs the same parquet_schema footers over the writer-contract
     // live set.
+    // ICEBERG V3 DEFAULT VALUES (r19): a column added with
+    // initial-default is FILLED AT READ for pre-existing rows — its
+    // physical absence is not a backfill gap; a write-default-only
+    // column still gaps (old rows read null). The fixture declares
+    // both kinds; only 'tag' may surface in missing_csv. Oracle:
+    // DuckDB unnests the same metadata JSON, filtering the gap set by
+    // the same initial-default rule.
+    "meta_iceberg_defaults" -> ((s, dir) => {
+      val out = "/tmp/graft_icebergv3d_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        IcebergMeta.writeV3DefaultsFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      IcebergMeta.schemaConformance(s, out)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+          col("n_declared"), col("n_present"), col("missing_csv"))
+    }),
+
     "meta_iceberg_conformance" -> ((s, dir) => {
       val out = "/tmp/graft_iceberg_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
@@ -2265,6 +2284,22 @@ private[graft] object EntryLakeQueries {
       HudiMeta.metadataFilesAudit(s, out)
     }),
 
+    // HUDI METADATA TABLE, HFILE BASE (r19): the same files-partition
+    // audit when the index's base file is a real HFILE (the format
+    // Hudi's metadata writer defaults to) — trailer, root index,
+    // CRC32C-verified data blocks and avro HoodieMetadataRecord cells
+    // all decoded by the scan-only HFile reader; same planted stale
+    // and lagging divergences. Oracle: footers + the writer contract.
+    "meta_hudi_metadata_hfile" -> ((s, dir) => {
+      val out = "/tmp/graft_hudimdh_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMetadataHFileFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.metadataFilesAudit(s, out)
+    }),
+
     // HUDI 1.x TIMELINE (r18): table version 8 — the active timeline
     // under .hoodie/timeline/ with completion-time instant names
     // (<begin>_<end>.commit), the archived-LSM history/ subdirectory
@@ -2366,6 +2401,61 @@ private[graft] object EntryLakeQueries {
       }
       HudiMeta.morIncrementalRows(s, out,
         "20240101000000000", "20240103000000000")
+    }),
+
+    // HUDI MOR COMPOSITE RECORD KEY (r19): the row-level change feed
+    // on a TWO-FIELD record key (hoodie.table.recordkey.fields=
+    // doc_id,lang — the complex key generator's production config):
+    // base rows and log events meet on the public
+    // `doc_id:<v>,lang:<v>` rendering (null lang -> __null__), log
+    // updates resolve by key, and the delete block's composite-
+    // rendered keys kill exactly their rows (update-then-delete keys
+    // die — last event wins). Oracle: DuckDB concatenates the same
+    // rendering over the documents table.
+    "meta_hudi_mor_composite" -> ((s, dir) => {
+      val out = "/tmp/graft_hudimorck_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMorCompositeFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.morIncrementalRows(s, out,
+        "20240101000000000", "20240102000000000")
+    }),
+
+    // HUDI MOR PRECOMBINE RESOLUTION (r19): a table declaring
+    // hoodie.table.precombine.field resolves same-key events by
+    // (ordering value, arrival) instead of arrival alone — the
+    // fixture's event arrival order DISAGREES with its ordering
+    // values, so this answer must differ from last-wins: the
+    // high-ordering update beats both the later low-ordering update
+    // and the delete (null ordering sorts lowest). Oracle: the same
+    // resolution in closed form over the documents table.
+    "meta_hudi_mor_precombine" -> ((s, dir) => {
+      val out = "/tmp/graft_hudimorpc_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMorPrecombineFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.morMergedRows(s, out)
+    }),
+
+    // HUDI CDC LOG BLOCKS (r19): a cdc-enabled writer appends cdc-data
+    // blocks with its own before/after images next to the payload
+    // blocks — the change feed resolves cdc-instrumented groups from
+    // those NATIVE images (fid0: u/i/d) and plain groups from the
+    // derived path (fid1), in one answer. Oracle: the images
+    // recomputed from the fixture's event plan.
+    "meta_hudi_cdc_changes" -> ((s, dir) => {
+      val out = "/tmp/graft_hudicdc_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMorCdcFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.morIncrementalRows(s, out,
+        "20240101000000000", "20240102000000000")
     }),
 
     // STREAMING HUDI INGEST: the checkpointed increments store across
@@ -3023,6 +3113,31 @@ private[graft] object EntryLakeQueries {
         |    '/tmp/graft_iceberg_sf0.01/metadata/*.metadata.json')
         |)""".stripMargin,
 
+
+    "meta_iceberg_defaults" ->
+      """WITH decl AS (
+        |  SELECT [f.name FOR f IN s.fields] AS names,
+        |    [f.name FOR f IN list_filter(s.fields,
+        |       x -> x."initial-default" IS NULL)] AS gaps
+        |  FROM (
+        |    SELECT unnest(schemas) AS s, "current-schema-id" AS cur
+        |    FROM read_json_auto(
+        |      '/tmp/graft_icebergv3d_sf0.01/metadata/*.metadata.json')
+        |  )
+        |  WHERE s."schema-id" = cur
+        |),
+        |cols AS (
+        |  SELECT parse_filename(file_name) AS f, list(DISTINCT name) AS present
+        |  FROM parquet_schema('/tmp/graft_icebergv3d_sf0.01/data/*.parquet')
+        |  WHERE num_children IS NULL OR num_children = 0
+        |  GROUP BY 1
+        |)
+        |SELECT c.f AS path,
+        |  (SELECT CAST(len(names) AS INTEGER) FROM decl) AS n_declared,
+        |  CAST(len(c.present) AS INTEGER) AS n_present,
+        |  array_to_string(list_sort(list_filter((SELECT gaps FROM decl),
+        |    x -> NOT list_contains(c.present, x))), ',') AS missing_csv
+        |FROM cols c""".stripMargin,
 
     "meta_iceberg_conformance" ->
       """WITH decl AS (
@@ -3977,6 +4092,33 @@ private[graft] object EntryLakeQueries {
         |SELECT 'p=1', 'fid2_0-0-0_20240102000000000.parquet', false,
         |  CAST(NULL AS BIGINT), true, false""".stripMargin,
 
+    "meta_hudi_metadata_hfile" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_hudimdh_sf0.01/p=*/*.parquet')
+        |)
+        |SELECT 'p=0' AS partition_path,
+        |  'fid0_0-0-0_20240102000000000.parquet' AS file_name,
+        |  true AS is_listed,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid0_0-0-0_20240102000000000.parquet')
+        |    AS listed_size,
+        |  true AS is_declared, true AS declared_match
+        |UNION ALL
+        |SELECT 'p=0', 'fid1_0-0-0_20240101000000000.parquet', true,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid1_0-0-0_20240101000000000.parquet'),
+        |  true, true
+        |UNION ALL
+        |-- stale: the superseded c1 slice still listed (size 77)
+        |SELECT 'p=0', 'fid0_0-0-0_20240101000000000.parquet', true,
+        |  CAST(77 AS BIGINT), false, false
+        |UNION ALL
+        |-- lagging: fid2 declared live but unlisted
+        |SELECT 'p=1', 'fid2_0-0-0_20240102000000000.parquet', false,
+        |  CAST(NULL AS BIGINT), true, false""".stripMargin,
+
     "meta_hudi_v1x_timeline" ->
       """SELECT * FROM (VALUES
         |  ('20240101000000000', '20240101000000500', 'commit', 'completed'),
@@ -4075,6 +4217,59 @@ private[graft] object EntryLakeQueries {
         |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
         |FROM documents WHERE doc_id % 15 = 0 AND doc_id % 60 <> 0"""
         .stripMargin,
+
+    "meta_hudi_mor_composite" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+        |)
+        |-- update survivors: %20 keys not killed by the %50 deletes
+        |SELECT 'upsert' AS change_type,
+        |  concat('doc_id:', CAST(doc_id AS VARCHAR), ',lang:',
+        |    CASE WHEN lang IS NULL THEN '__null__'
+        |         WHEN lang = '' THEN '__empty__'
+        |         ELSE lang END) AS record_key,
+        |  doc_id, lang, CAST(n_chars + 1000 AS BIGINT) AS n_chars
+        |FROM g WHERE doc_id % 20 = 0 AND doc_id % 50 <> 0
+        |UNION ALL
+        |-- final-event deletes: composite-rendered key-only rows
+        |SELECT 'delete',
+        |  concat('doc_id:', CAST(doc_id AS VARCHAR), ',lang:',
+        |    CASE WHEN lang IS NULL THEN '__null__'
+        |         WHEN lang = '' THEN '__empty__'
+        |         ELSE lang END),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS BIGINT)
+        |FROM g WHERE doc_id % 50 = 0""".stripMargin,
+
+    "meta_hudi_cdc_changes" ->
+      """-- fid0 resolves from the cdc images: u on %20==0, i on the
+        |-- %100==0 inserts, d on %20==10; fid1 from the derived path
+        |SELECT 'upsert' AS change_type,
+        |  CAST(doc_id AS VARCHAR) AS record_key,
+        |  doc_id, lang, CAST(n_chars + 7 AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 20 = 0
+        |UNION ALL
+        |SELECT 'upsert', CAST(doc_id + 7000000 AS VARCHAR),
+        |  doc_id + 7000000, 'cc', CAST(9 AS BIGINT)
+        |FROM documents WHERE doc_id % 100 = 0
+        |UNION ALL
+        |SELECT 'delete', CAST(doc_id AS VARCHAR), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 20 = 10
+        |UNION ALL
+        |SELECT 'upsert', CAST(doc_id AS VARCHAR), doc_id, 'dv',
+        |  CAST(n_chars + 3 AS BIGINT)
+        |FROM documents WHERE doc_id % 10 = 5""".stripMargin,
+
+    "meta_hudi_mor_precombine" ->
+      """-- precombine: the %10 keys hold the HIGH-ordering update
+        |-- ('hi'/500, arrived first); delete-only keys (%25 ∧ ¬%50) die
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'hi' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 10 = 0 THEN CAST(500 AS BIGINT)
+        |       ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id % 25 <> 0 OR doc_id % 50 = 0""".stripMargin,
 
     "stream_hudi_mor_changes" ->
       """SELECT '20240101000000000' AS instant_time,

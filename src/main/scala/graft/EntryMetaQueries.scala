@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.meta.{AvroMeta, DeltaMeta, FooterEdit, IcebergMeta, MetaPrune, MetaValues, OrcPrune}
+import graft.meta.{AvroMeta, DeltaMeta, FooterEdit, Fp16Fixture, IcebergMeta, MetaPrune, MetaValues, OrcPrune}
 import graft.ops.{Bpe, Bucketing, Clustering, ConnectedComponents, Decontam, Dedup, Drift, Layout, Lines, MediaRecord, Multimodal, Packing, PageRank, Profile, RangeJoin, Relevance, Sampling, Similarity, Sketches, Skew, SparseSim, SubstrSearch, TemporalJoin, TextOps}
 import org.apache.spark.sql.graft.ColumnBridge
 
@@ -656,6 +656,28 @@ private[graft] object EntryMetaQueries {
           sum(col("n_leaf_values")).cast("long").as("n_tokens"))
     }),
 
+
+    // PARQUET FLOAT16 (r19): a 2-byte FLBA column annotated FLOAT16
+    // (parquet-format 2.10) — written through parquet-java's example
+    // API (Spark cannot write the type), decoded by the dispatcher's
+    // half-float arm (kind PLAIN_FP16, routed by the footer schema's
+    // own logical annotation). n_undecoded pins that every data page
+    // actually took the arm. Oracle: the planted value plan in closed
+    // form (DuckDB 1.0.0 surfaces FLOAT16 as BLOB, so re-reading the
+    // file would verify nothing).
+    "meta_fp16_values" -> ((s, dir) => {
+      val out = "/tmp/graft_fp16_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      Fp16Fixture.writeFp16Table(s, out, s.read.parquet(pq(dir, "documents")))
+      MetaValues.decodePages(s, out)
+        .filter(col("path") === "h" &&
+          col("page_type").startsWith("DATA_PAGE"))
+        .agg(sum(col("decoded.n")).cast("long").as("n_vals"),
+          min(col("decoded.dmn")).cast("double").as("mn"),
+          max(col("decoded.dmx")).cast("double").as("mx"),
+          count(when(col("decoded").isNull, 1)).cast("long")
+            .as("n_undecoded"))
+    }),
 
     // ZERO-KNOWLEDGE whole-table decode: MetaValues.decodePages derives
     // every schema fact (max rep/def levels, physical types, FLBA
@@ -2001,6 +2023,17 @@ private[graft] object EntryMetaQueries {
         |    AS BIGINT) AS n_tokens
         |FROM read_parquet('/tmp/graft_tokacct_sf0.01/*.parquet')""".stripMargin,
 
+
+    "meta_fp16_values" ->
+      """-- closed form over the fixture's value plan (h = doc_id%512
+        |-- + 0.5, null on %7==0; every value exact in binary16) —
+        |-- DuckDB 1.0.0 surfaces FLOAT16 as BLOB, so the oracle
+        |-- recomputes the planted values instead of re-reading them
+        |SELECT CAST(count(*) AS BIGINT) AS n_vals,
+        |  CAST(min(doc_id % 512) + 0.5 AS DOUBLE) AS mn,
+        |  CAST(max(doc_id % 512) + 0.5 AS DOUBLE) AS mx,
+        |  CAST(0 AS BIGINT) AS n_undecoded
+        |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
 
     "meta_decode_table" ->
       """SELECT CAST(count(k) AS BIGINT) AS k_n,

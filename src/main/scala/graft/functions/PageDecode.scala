@@ -52,9 +52,10 @@ case class PageDecodeExpr(children: Seq[Expression]) extends Expression {
   override def foldable: Boolean = children.forall(_.foldable)
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    if (children.length != 12) {
+    if (children.length != 12 && children.length != 13) {
       return TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires exactly 12 arguments, got ${children.length}")
+        s"$prettyName requires 12 arguments (plus an optional logical-" +
+          s"type string), got ${children.length}")
     }
     val kinds = children.map(_.dataType)
     val ok =
@@ -63,11 +64,12 @@ case class PageDecodeExpr(children: Seq[Expression]) extends Expression {
         case _ => false
       }) &&
       Seq(1, 2, 3, 10).forall(i => kinds(i) == StringType) &&
-      Seq(4, 5, 6, 7, 8, 9, 11).forall(i => kinds(i) == IntegerType)
+      Seq(4, 5, 6, 7, 8, 9, 11).forall(i => kinds(i) == IntegerType) &&
+      (children.length == 12 || kinds(12) == StringType)
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (binary, string, string, string, int, int, " +
-        s"int, int, int, int, string, int) arguments, got " +
+        s"int, int, int, int, string, int[, string]) arguments, got " +
         kinds.map(_.simpleString(10)).mkString("(", ", ", ")"))
   }
 
@@ -79,7 +81,7 @@ case class PageDecodeExpr(children: Seq[Expression]) extends Expression {
       case x: Int => java.lang.Integer.valueOf(x)
     }
     PageDecode.compute(v(0), s(1), s(2), s(3), j(4), j(5), j(6), j(7),
-      j(8), j(9), s(10), j(11))
+      j(8), j(9), s(10), j(11), if (v.length > 12) s(12) else null)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -96,13 +98,15 @@ case class PageDecodeExpr(children: Seq[Expression]) extends Expression {
     }
     val tmp = ctx.freshName("pd")
     val javaType = CodeGenerator.javaType(dataType)
+    val logicalArg = if (children.length > 12) obj(12) else "null"
     ev.copy(code = code"""
       ${evals.map(_.code).mkString("\n")}
       boolean ${ev.isNull} = true;
       $javaType ${ev.value} = null;
       InternalRow $tmp = graft.functions.PageDecode.compute(
         ${obj(0)}, ${obj(1)}, ${obj(2)}, ${obj(3)}, ${obj(4)}, ${obj(5)},
-        ${obj(6)}, ${obj(7)}, ${obj(8)}, ${obj(9)}, ${obj(10)}, ${obj(11)});
+        ${obj(6)}, ${obj(7)}, ${obj(8)}, ${obj(9)}, ${obj(10)}, ${obj(11)},
+        $logicalArg);
       if ($tmp != null) { ${ev.isNull} = false; ${ev.value} = $tmp; }
     """)
   }
@@ -188,10 +192,15 @@ object PageDecode {
     java.lang.Long.valueOf(s)
   }
 
+  private val FLOAT16 = UTF8String.fromString("FLOAT16")
+
   /** Dispatch on a PLAIN/BYTE_STREAM_SPLIT values region (no level
-    * block; `nn` non-null values). */
+    * block; `nn` non-null values). `logical` refines the FLBA route:
+    * a FLOAT16-annotated fixed(2) decodes to FP extrema (r19) instead
+    * of the generic byte-mass stats. */
   private def decodeValues(region: Array[Byte], physType: UTF8String,
-      nn: Int, typeLen: Int, bss: Boolean, kindPrefix: String): InternalRow = {
+      nn: Int, typeLen: Int, bss: Boolean, kindPrefix: String,
+      logical: UTF8String = null): InternalRow = {
     if (bss) {
       if (physType.equals(FLOAT) || physType.equals(DOUBLE)) {
         val st = BssFpStats.compute(region, 0, nn, physType)
@@ -234,6 +243,15 @@ object PageDecode {
         if (st.isNullAt(1)) null else java.lang.Long.valueOf(st.getLong(1)),
         if (st.isNullAt(2)) null else java.lang.Long.valueOf(st.getLong(2)))
     } else if (physType.equals(FLBA)) {
+      if (logical != null && logical.equals(FLOAT16) && typeLen == 2) {
+        val st = Fp16.stats(region, nn)
+        if (st == null) return null
+        return new GenericInternalRow(Array[Any](
+          UTF8String.fromString(kindPrefix + "FP16"), st.getLong(0),
+          null, null, null,
+          if (st.isNullAt(1)) null else st.getDouble(1),
+          if (st.isNullAt(2)) null else st.getDouble(2)))
+      }
       val st = PlainFlbaSum.compute(region, 0, nn, typeLen)
       if (st == null) return null
       row(kindPrefix + "FLBA", st.getLong(0), st.getLong(1))
@@ -249,7 +267,8 @@ object PageDecode {
       repLenB: java.lang.Integer, defLenB: java.lang.Integer,
       maxRepB: java.lang.Integer, maxDefB: java.lang.Integer,
       numValuesB: java.lang.Integer, physType: UTF8String,
-      typeLenB: java.lang.Integer): InternalRow = {
+      typeLenB: java.lang.Integer,
+      logical: UTF8String = null): InternalRow = {
     val bytes = DecodeBytes.of(content)
     if (bytes == null || pageType == null || encoding == null ||
         codec == null || usizeB == null || maxRepB == null ||
@@ -267,7 +286,7 @@ object PageDecode {
       // the dictionary cardinality
       val infl = PageInflate.compute(bytes, codec, usize)
       if (infl == null) return null
-      decodeValues(infl, physType, numValues, typeLen, bss = false, "DICT_")
+      decodeValues(infl, physType, numValues, typeLen, bss = false, "DICT_", logical)
     } else if (pageType.equals(DATA_PAGE)) {
       val infl = PageInflate.compute(bytes, codec, usize)
       if (infl == null) return null
@@ -281,9 +300,9 @@ object PageDecode {
         if (idx == null) return null
         row("DICT_IDX", idx.numElements().toLong)
       } else if (encoding.equals(PLAIN)) {
-        decodeValues(region, physType, nn.toInt, typeLen, bss = false, "PLAIN_")
+        decodeValues(region, physType, nn.toInt, typeLen, bss = false, "PLAIN_", logical)
       } else if (encoding.equals(BYTE_STREAM_SPLIT)) {
-        decodeValues(region, physType, nn.toInt, typeLen, bss = true, "")
+        decodeValues(region, physType, nn.toInt, typeLen, bss = true, "", logical)
       } else if (encoding.equals(RLE) && physType.equals(BOOLEAN)) {
         // RLE-encoded booleans (u32-length-prefixed hybrid runs)
         val c = BoolTrueCount.compute(region, 0, nn.toInt, encoding)
@@ -313,9 +332,9 @@ object PageDecode {
         if (arr == null || arr.numElements() != nn) return null
         stringStats(arr, "DELTA_STRINGS")
       } else if (encoding.equals(PLAIN)) {
-        decodeValues(region, physType, nn.toInt, typeLen, bss = false, "PLAIN_")
+        decodeValues(region, physType, nn.toInt, typeLen, bss = false, "PLAIN_", logical)
       } else if (encoding.equals(BYTE_STREAM_SPLIT)) {
-        decodeValues(region, physType, nn.toInt, typeLen, bss = true, "")
+        decodeValues(region, physType, nn.toInt, typeLen, bss = true, "", logical)
       } else if (encoding.equals(RLE) && physType.equals(BOOLEAN)) {
         // the v2 writer's boolean encoding: u32-length-prefixed hybrid
         // runs in the (extracted) values region

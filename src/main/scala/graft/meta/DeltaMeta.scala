@@ -88,28 +88,52 @@ object DeltaMeta extends DeltaMetaAudits with DeltaMetaFixtures {
       throw new IllegalArgumentException(
         s"$root is not a Delta table: no _delta_log directory")
     }
-    // COORDINATED / CATALOG-MANAGED commits (r18): a commit
-    // coordinator ratifies commits into `_delta_log/_staged_commits/`
-    // (UUID-named json) and backfills them into `<v>.json` later — a
-    // reader replaying only the published log while staged commits
-    // exist reads a STALE or GAPPED table. Classified refusal with the
-    // feature named, on every surface (this listing is the shared
-    // entry); an EMPTY staged dir means everything ratified so far is
-    // backfilled, and the published log is complete as of this read.
+    val listed = fs.listStatus(logDir).toSeq
+    // COORDINATED / CATALOG-MANAGED commits (r18, refined r19): a
+    // commit coordinator ratifies commits into
+    // `_delta_log/_staged_commits/` (`<version>.<uuid>.json`) and
+    // backfills them into `<v>.json` later — BACKFILLED staged files
+    // linger until log cleanup, so their mere presence proves nothing.
+    // Refuse only a staged commit whose version EXCEEDS the highest
+    // published `<v>.json` (genuinely unbackfilled — replaying only
+    // the published log would read a stale or gapped table), or whose
+    // name this tier cannot parse (unknown coordinator layout).
     val staged = new Path(logDir, "_staged_commits")
     if (fs.exists(staged)) {
-      val n = fs.listStatus(staged)
-        .count(st => st.isFile && st.getPath.getName.endsWith(".json"))
-      if (n > 0) {
-        throw new UnsupportedOperationException(
-          s"$root: _delta_log/_staged_commits holds $n ratified-but-" +
-            "unbackfilled commit(s) — the coordinatedCommits/" +
-            "catalogOwned table feature routes commits through a " +
-            "coordinator this tier cannot consult; replaying only the " +
-            "published log would read a stale or gapped table, refusing")
+      val stagedJson = fs.listStatus(staged).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      if (stagedJson.nonEmpty) {
+        val maxPublished = listed
+          .flatMap(st => segmentVersion(st.getPath.getName))
+          .collect { case (v, "commit") => v }
+          .foldLeft(-1L)(math.max)
+        val stagedVersionRe = """^(\d+)\..*\.json$""".r
+        val unbackfilled = stagedJson.flatMap { st =>
+          st.getPath.getName match {
+            case stagedVersionRe(v) =>
+              if (v.toLong > maxPublished) Some(st.getPath.getName)
+              else None
+            case other => throw new UnsupportedOperationException(
+              s"$root: _delta_log/_staged_commits entry '$other' does " +
+                "not parse as <version>.<uuid>.json — an unknown " +
+                "commit-coordinator layout this tier cannot judge " +
+                "backfilled; refusing")
+          }
+        }
+        if (unbackfilled.nonEmpty) {
+          throw new UnsupportedOperationException(
+            s"$root: _delta_log/_staged_commits holds " +
+              s"${unbackfilled.size} ratified-but-unbackfilled " +
+              s"commit(s) past published version $maxPublished (e.g. " +
+              s"${unbackfilled.min}) — the coordinatedCommits/" +
+              "catalogOwned table feature routes commits through a " +
+              "coordinator this tier cannot consult; replaying only " +
+              "the published log would read a stale or gapped table, " +
+              "refusing")
+        }
       }
     }
-    fs.listStatus(logDir).toSeq
+    listed
       .flatMap { st =>
         segmentVersion(st.getPath.getName).map { case (v, _) =>
           (v, FileSlice(st.getPath.toString, st.getPath.getName, st.getLen,

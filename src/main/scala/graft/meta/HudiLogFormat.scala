@@ -248,8 +248,12 @@ object HudiLogFormat extends Serializable {
             val c = new Cursor(bytes, where)
             c.pos = start + Magic.length
             val size = c.i64()
-            // size spans version..trailer; bounds first, then trailer
-            if (size < 24 || size > c.remaining) None
+            // size spans version..trailer; bounds first, then trailer.
+            // The minimum well-formed block is 32 bytes: version (4) +
+            // type (4) + empty header map (4) + contentLen (8) + empty
+            // footer map (4) + trailer (8) — anything shorter cannot
+            // frame, so it is corrupt here rather than downstream (r19).
+            if (size < 32 || size > c.remaining) None
             else {
               val blockEnd = c.pos + size.toInt
               val version = c.i32()

@@ -507,7 +507,7 @@ object HudiMeta extends Serializable {
     val conf = spark.sessionState.newHadoopConf()
     val root = qualified(table, conf)
     requireCowTable(root, conf)
-    val keyField = recordKeyField(root, conf)
+    val keyFields = recordKeyFields(root, conf)
     val writes = completedCommits(root, timeline(root, conf), None)
     def requireCommit(t: String, which: String): Unit =
       if (!writes.exists(_.instant == t)) {
@@ -551,14 +551,43 @@ object HudiMeta extends Serializable {
     val touched = newList.map(_._1).toSet
     val priorList = priorAll.filter(t => touched.contains(t._1))
     val fs = root.getFileSystem(conf)
-    priorList.find(t => !fs.exists(new Path(t._3))).foreach { t =>
-      throw new UnsupportedOperationException(
-        s"$table: prior slice ${t._2} of rewritten group ${t._1} is " +
-          "gone from disk (cleaned) — the diff's baseline is missing; " +
-          "refusing rather than reporting its rows as inserts")
+    firstMissingFromDisk(fs, priorList.map(t => new Path(t._3)).toSeq)
+      .foreach { p =>
+        val t = priorList.find(x => new Path(x._3) == p).get
+        throw new UnsupportedOperationException(
+          s"$table: prior slice ${t._2} of rewritten group ${t._1} is " +
+            "gone from disk (cleaned) — the diff's baseline is missing; " +
+            "refusing rather than reporting its rows as inserts")
+      }
+    val newSchema = spark.read.parquet(newList.head._3).schema
+    requireNoReservedColumns(table, newSchema)
+    // a SCHEMA-EVOLVED window (column added/dropped/retyped between
+    // `from` and `to`) cannot diff: the prior slices lack the new
+    // column (or carry a dropped one the diff would silently ignore).
+    // Classified refusal up front instead of a raw planner error
+    // (r19, ADVICE).
+    if (priorList.nonEmpty) {
+      val priorSchema =
+        spark.read.parquet(priorList.map(_._3): _*).schema
+      val pr = priorSchema.fields
+        .map(f => f.name -> f.dataType.simpleString).toMap
+      val nw = newSchema.fields
+        .map(f => f.name -> f.dataType.simpleString).toMap
+      if (pr != nw) {
+        val added = (nw.keySet -- pr.keySet).toSeq.sorted
+        val dropped = (pr.keySet -- nw.keySet).toSeq.sorted
+        val retyped = nw.keySet.intersect(pr.keySet).toSeq.sorted
+          .filter(k => nw(k) != pr(k))
+          .map(k => s"$k: ${pr(k)} -> ${nw(k)}")
+        throw new UnsupportedOperationException(
+          s"$table: the pull window ($fromExclusive, $toInclusive] " +
+            "crosses a schema change (added: [" +
+            added.mkString(", ") + "], dropped: [" +
+            dropped.mkString(", ") + "], retyped: [" +
+            retyped.mkString(", ") + "]) — a slice diff across " +
+            "evolved schemas cannot classify row changes; refusing")
+      }
     }
-    requireNoReservedColumns(table,
-      spark.read.parquet(newList.head._3).schema)
     def readSlices(list: Seq[(String, String, String)]): DataFrame = {
       val byName = list.map { case (fid, rel, _) =>
         (rel.substring(rel.lastIndexOf('/') + 1), fid)
@@ -568,7 +597,7 @@ object HudiMeta extends Serializable {
         .withColumn("__name",
           regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
         .join(broadcast(byName.toDF("__name", "file_id")), "__name")
-        .withColumn("__key", col(keyField).cast("string"))
+        .withColumn("__key", keyColumn(keyFields))
         .drop("__name")
     }
     val newRows = readSlices(newList.toSeq)
@@ -576,11 +605,7 @@ object HudiMeta extends Serializable {
       .filterNot(Set("file_id", "__key"))
     val dataFields = newRows.schema.fields
       .filter(f => dataCols.contains(f.name)).toSeq
-    if (!dataCols.contains(keyField)) {
-      throw new IllegalArgumentException(
-        s"$table: record key field '$keyField' is not a base column " +
-          s"(${dataCols.mkString(", ")})")
-    }
+    requireKeyFields(table, keyFields, dataCols)
     val n = newRows.select(Seq(col("file_id"), col("__key"),
       struct(dataCols.map(col): _*).as("__new")): _*)
     val diffed =
@@ -1295,10 +1320,18 @@ object HudiMeta extends Serializable {
   // spillable merge has).
   // ---------------------------------------------------------------------
 
-  /** The table's record-key field from `hoodie.properties` — the merge
-    * key. Composite keys and key-generator-derived keys refuse (a
-    * merge on the wrong key corrupts rows silently). */
-  private[meta] def recordKeyField(root: Path, conf: Configuration): String = {
+  /** The public KeyGenUtils placeholders composite key parts render
+    * null / empty values to. */
+  private[meta] val NullKeyPart = "__null__"
+  private[meta] val EmptyKeyPart = "__empty__"
+
+  /** The table's record-key FIELDS from `hoodie.properties` — the
+    * merge key. A single field merges on its plain stringified value
+    * (the simple key generator's rendering); multiple fields merge on
+    * the complex key generator's `f1:v1,f2:v2` rendering (r19 — the
+    * r18 composite refusal lifted). */
+  private[meta] def recordKeyFields(
+      root: Path, conf: Configuration): Seq[String] = {
     val fs = root.getFileSystem(conf)
     val props = new java.util.Properties()
     val in = fs.open(
@@ -1310,13 +1343,99 @@ object HudiMeta extends Serializable {
         s"$root: hoodie.properties declares no " +
           "hoodie.table.recordkey.fields — cannot merge log records " +
           "onto base rows without the record key"))
-    if (k.contains(",")) {
+    val fields = k.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (fields.isEmpty) {
       throw new UnsupportedOperationException(
-        s"$root: composite record key '$k' — multi-field key " +
-          "extraction is not modeled; refusing rather than merging on " +
-          "the wrong key")
+        s"$root: hoodie.table.recordkey.fields '$k' names no fields — " +
+          "cannot merge without a record key")
     }
-    k
+    fields
+  }
+
+  /** `__key` as a Spark column: the plain stringified value for a
+    * single-field key; the complex key generator's public
+    * `field1:val1,field2:val2` rendering for composite keys (null →
+    * `__null__`, empty string → `__empty__`, the KeyGenUtils
+    * placeholders) — the SAME rendering [[avroRecordKey]] applies to
+    * log events, so base rows and log events meet on one key space. */
+  private def keyColumn(fields: Seq[String]): org.apache.spark.sql.Column =
+    if (fields.size == 1) col(fields.head).cast("string")
+    else concat_ws(",", fields.map { f =>
+      val s = col(f).cast("string")
+      concat(lit(f + ":"),
+        coalesce(when(s === "", lit(EmptyKeyPart)).otherwise(s),
+          lit(NullKeyPart)))
+    }: _*)
+
+  /** One log record's record key under `fields` — the avro twin of
+    * [[keyColumn]]. A key field missing from the writer schema
+    * refuses (rows unmergeable). */
+  private def avroRecordKey(
+      r: org.apache.avro.generic.GenericRecord, fields: Seq[String],
+      where: String): String = {
+    def valueOf(f: String): Any = r.getSchema.getField(f) match {
+      case null => throw new IllegalArgumentException(
+        s"$where: log record schema lacks the record key " +
+          s"field '$f' — rows unmergeable")
+      case fld => r.get(fld.pos())
+    }
+    if (fields.size == 1) String.valueOf(valueOf(fields.head))
+    else fields.map { f =>
+      f + ":" + (valueOf(f) match {
+        case null => NullKeyPart
+        case x =>
+          val s = x.toString
+          if (s.isEmpty) EmptyKeyPart else s
+      })
+    }.mkString(",")
+  }
+
+  /** Every `fields` member must be a base column — refuse by name
+    * otherwise (a merge on a missing key field corrupts rows). */
+  private def requireKeyFields(
+      table: String, fields: Seq[String], cols: Seq[String]): Unit =
+    fields.filterNot(cols.contains).headOption.foreach { f =>
+      throw new IllegalArgumentException(
+        s"$table: record key field '$f' is not a base column " +
+          s"(${cols.mkString(", ")})")
+    }
+
+  /** The table's declared precombine (ordering) field, if any. */
+  private[meta] def precombineField(
+      root: Path, conf: Configuration): Option[String] = {
+    val fs = root.getFileSystem(conf)
+    val props = new java.util.Properties()
+    val in = fs.open(
+      new Path(new Path(root, ".hoodie"), "hoodie.properties"))
+    try props.load(in) finally in.close()
+    Option(props.getProperty("hoodie.table.precombine.field"))
+      .map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** LATEST-EVENT RESOLUTION per (file group, record key) — the
+    * payload contract (r19): without a declared precombine field,
+    * the last ARRIVED event wins (`__seq`, the overwrite-with-latest
+    * default). With `hoodie.table.precombine.field` set, same-key
+    * events resolve by (precombine value, sequence) — the higher
+    * ordering value wins and arrival order only breaks ties, per the
+    * default payload's preCombine contract. A NULL ordering value
+    * sorts lowest: a delete event carries no payload (its ordering is
+    * the DeleteRecord default), so an ordered update beats a
+    * same-key delete regardless of arrival — the documented
+    * late-unordered-delete behavior. `carryCols` ride through
+    * unchanged. The aggregate keys LOG events only (log-sized
+    * shuffle), same posture at any precombine setting. */
+  private[meta] def resolveLatestEvents(
+      events: DataFrame, carryCols: Seq[String],
+      pcField: Option[String]): DataFrame = {
+    val ord = pcField match {
+      case Some(f) => struct(col(f), col("__seq"))
+      case None => struct(col("__seq"))
+    }
+    events.groupBy(col("file_id"), col("__key"))
+      .agg(max_by(struct(carryCols.map(col): _*), ord).as("e"))
+      .select(Seq(col("file_id"), col("__key")) ++
+        carryCols.map(n => col(s"e.$n").as(n)): _*)
   }
 
   /** One avro value as the Spark-typed value `dt` expects; anything
@@ -1364,12 +1483,20 @@ object HudiMeta extends Serializable {
   }
 
   /** Decoded, VALID log events of every live file group with logs:
-    * `(file_id, __seq, __key, __del, <data columns>)` — one walk task
-    * per file group, blocks validated/rolled-back/filtered by
-    * [[HudiLogFormat.validBlocks]] against the completed instants. */
+    * `(file_id, __seq, __key, __del, __instant, __cdc,
+    * <data columns>)` — one walk task per file group, blocks
+    * validated/rolled-back/filtered by [[HudiLogFormat.validBlocks]]
+    * against the completed instants. `__cdc=false` rows are MERGE
+    * PAYLOAD (avro data / delete blocks); `__cdc=true` rows are the
+    * cdc-data blocks' NATIVE CHANGE EVIDENCE (r19) — op `i`/`u`
+    * records surface their full-row AFTER image in the data columns,
+    * op `d` records surface nulls with `__del=true`. A cdc record
+    * whose op is unknown, or whose `i`/`u` after image is missing or
+    * partial, refuses by name (key-only supplemental logging is not
+    * modeled). */
   private def morLogEvents(
       spark: SparkSession, rootStr: String, groups: DataFrame,
-      completed: Set[String], keyField: String,
+      completed: Set[String], keyFields: Seq[String],
       dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.types._
     import spark.implicits._
@@ -1380,7 +1507,8 @@ object HudiMeta extends Serializable {
       StructField("__seq", LongType),
       StructField("__key", StringType),
       StructField("__del", BooleanType),
-      StructField("__instant", StringType)) ++ dataSchema.fields)
+      StructField("__instant", StringType),
+      StructField("__cdc", BooleanType)) ++ dataSchema.fields)
     val fields = dataSchema.fields.toSeq
     groups.filter(col("n_logs") > 0)
       .select(col("file_id"), col("log_paths_csv"),
@@ -1421,12 +1549,7 @@ object HudiMeta extends Serializable {
             case HudiLogFormat.AvroDataBlock =>
               HudiLogFormat.dataRecords(b, where).map { r =>
                 seq += 1
-                val key = r.getSchema.getField(keyField) match {
-                  case null => throw new IllegalArgumentException(
-                    s"$where: log record schema lacks the record key " +
-                      s"field '$keyField' — rows unmergeable")
-                  case f => String.valueOf(r.get(f.pos()))
-                }
+                val key = avroRecordKey(r, keyFields, where)
                 val data = fields.map { sf =>
                   r.getSchema.getField(sf.name) match {
                     case null => throw new UnsupportedOperationException(
@@ -1439,18 +1562,73 @@ object HudiMeta extends Serializable {
                   }
                 }
                 org.apache.spark.sql.Row.fromSeq(
-                  Seq(fid, seq, key, false, instant) ++ data)
+                  Seq(fid, seq, key, false, instant, false) ++ data)
               }
             case HudiLogFormat.DeleteBlock =>
               HudiLogFormat.deleteKeys(b, where).map { k =>
                 seq += 1
                 org.apache.spark.sql.Row.fromSeq(
-                  Seq(fid, seq, k, true, instant) ++ fields.map(_ => null))
+                  Seq(fid, seq, k, true, instant, false) ++
+                    fields.map(_ => null))
+              }
+            case HudiLogFormat.CdcDataBlock =>
+              // cdc records: {op, key, before, after} with full-row
+              // images — the writer's own post-merge change evidence
+              HudiLogFormat.dataRecords(b, where).map { r =>
+                seq += 1
+                def strField(n: String): String =
+                  r.getSchema.getField(n) match {
+                    case null => throw new IllegalArgumentException(
+                      s"$where: cdc record at offset ${b.offset} " +
+                        s"carries no '$n' field — not the " +
+                        "{op, key, before, after} change shape")
+                    case f => Option(r.get(f.pos())).map(_.toString)
+                      .getOrElse(throw new IllegalArgumentException(
+                        s"$where: cdc record at offset ${b.offset} " +
+                          s"has a null '$n' — changes unattributable"))
+                  }
+                val op = strField("op")
+                val key = strField("key")
+                val after = r.getSchema.getField("after") match {
+                  case null => throw new IllegalArgumentException(
+                    s"$where: cdc record at offset ${b.offset} " +
+                      "carries no 'after' field — key-only " +
+                      "supplemental logging is not modeled")
+                  case f => r.get(f.pos())
+                    .asInstanceOf[org.apache.avro.generic.GenericRecord]
+                }
+                val data = op match {
+                  case "i" | "u" =>
+                    if (after == null) {
+                      throw new IllegalArgumentException(
+                        s"$where: cdc '$op' record at offset " +
+                          s"${b.offset} has no after image — the " +
+                          "change's row value is unrecoverable")
+                    }
+                    fields.map { sf =>
+                      after.getSchema.getField(sf.name) match {
+                        case null =>
+                          throw new UnsupportedOperationException(
+                            s"$where: cdc after image lacks base " +
+                              s"column '${sf.name}' — partial images " +
+                              "are not modeled; refusing rather than " +
+                              "nulling the column")
+                        case f => avroToSpark(after.get(f.pos()),
+                          sf.dataType, sf.name, where)
+                      }
+                    }
+                  case "d" => fields.map(_ => null)
+                  case other => throw new IllegalArgumentException(
+                    s"$where: cdc record at offset ${b.offset} " +
+                      s"declares unknown op '$other' (i/u/d expected)")
+                }
+                org.apache.spark.sql.Row.fromSeq(
+                  Seq(fid, seq, key, op == "d", instant, true) ++ data)
               }
             case other => throw new UnsupportedOperationException(
               s"$where: ${HudiLogFormat.blockTypeName(other)} log block " +
                 "at offset " + b.offset + " — only avro data and delete " +
-                "blocks are modeled (hfile/parquet/cdc blocks are other " +
+                "blocks are modeled (hfile/parquet blocks are other " +
                 "engines' encodings); refusing a partial merge")
           }
         }
@@ -1468,7 +1646,7 @@ object HudiMeta extends Serializable {
     val root = qualified(table, conf)
     val completed = completedMorInstants(root, timeline(root, conf), asOf)
       .map(_.instant).toSet
-    val keyField = recordKeyField(root, conf)
+    val keyFields = recordKeyFields(root, conf)
     val groups = morFileGroups(spark, table, asOf)
     // driver boundary: the base-path list (file-group-sized, the same
     // class as readPartitionPruned's surviving paths)
@@ -1481,11 +1659,7 @@ object HudiMeta extends Serializable {
     val base0 = spark.read.parquet(basePaths: _*)
     val dataSchema = base0.schema
     requireNoReservedColumns(table, dataSchema)
-    if (!dataSchema.fieldNames.contains(keyField)) {
-      throw new IllegalArgumentException(
-        s"$table: record key field '$keyField' is not a base column " +
-          s"(${dataSchema.fieldNames.mkString(", ")})")
-    }
+    requireKeyFields(table, keyFields, dataSchema.fieldNames.toSeq)
     val dataCols = dataSchema.fieldNames.toSeq
     // file-group attribution by base FILENAME (unique by construction:
     // <fileId>_<token>_<instant>.parquet), broadcast — never a shuffle
@@ -1497,20 +1671,25 @@ object HudiMeta extends Serializable {
       .withColumn("__name",
         regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
       .join(broadcast(fidByName), "__name")
-      .withColumn("__key", col(keyField).cast("string"))
+      .withColumn("__key", keyColumn(keyFields))
       .drop("__name")
+    // the SNAPSHOT merge resolves from payload blocks only — cdc rows
+    // are change evidence for the feed, exactly as Hudi's own merged
+    // scanner ignores them (r19)
     val events = morLogEvents(spark, root.toString, groups, completed,
-      keyField, dataSchema)
-    // last event wins per (group, key) — the spec's default
-    // overwrite-with-latest payload resolution; the aggregate keys LOG
+      keyFields, dataSchema).filter(!col("__cdc"))
+    // event resolution per (group, key): arrival order, or
+    // (precombine value, arrival) when the table declares an ordering
+    // field ([[resolveLatestEvents]], r19); the aggregate keys LOG
     // events only (log-sized shuffle)
-    val latest = events.groupBy(col("file_id"), col("__key"))
-      .agg(max_by(
-        struct((Seq(col("__del")) ++ dataCols.map(col)): _*),
-        col("__seq")).as("e"))
-      .select(Seq(col("file_id"), col("__key"),
-        col("e.__del").as("__del")) ++
-        dataCols.map(n => col(s"e.$n").as(n)): _*)
+    val pcField = precombineField(root, conf)
+    pcField.filterNot(dataCols.contains).foreach { f =>
+      throw new IllegalArgumentException(
+        s"$table: precombine field '$f' is not a base column " +
+          s"(${dataCols.mkString(", ")})")
+    }
+    val latest = resolveLatestEvents(events,
+      "__del" +: dataCols, pcField)
     // untouched base rows survive via a BROADCAST left-anti join on
     // the touched keys — zero base-side shuffle; touched keys resolve
     // from their latest log payload (insert/update) or drop (delete)
@@ -1564,6 +1743,25 @@ object HudiMeta extends Serializable {
         coalesce(col("merged_rows"), lit(0L)).as("merged_rows"))
   }
 
+  /** First of `paths` missing from disk, probed with ONE `listStatus`
+    * per DISTINCT PARENT DIRECTORY — never a per-file exists RPC
+    * (r19, ADVICE #8): object stores price LIST and HEAD alike, and
+    * slices cluster under few partition directories, so the probe
+    * count is dir-bounded. A missing parent marks all its children
+    * missing. */
+  private[meta] def firstMissingFromDisk(
+      fs: org.apache.hadoop.fs.FileSystem,
+      paths: Seq[Path]): Option[Path] = {
+    val onDisk: Set[String] = paths.map(_.getParent).distinct
+      .flatMap { d =>
+        try fs.listStatus(d).toSeq.map(_.getPath.toUri.getPath)
+        catch {
+          case _: java.io.FileNotFoundException => Seq.empty[String]
+        }
+      }.toSet
+    paths.find(p => !onDisk.contains(p.toUri.getPath))
+  }
+
   /** The declared table type from `hoodie.properties` (defaults to
     * COPY_ON_WRITE, the property's own default). */
   private def tableType(root: Path, conf: Configuration): String = {
@@ -1574,6 +1772,95 @@ object HudiMeta extends Serializable {
     try props.load(in) finally in.close()
     Option(props.getProperty("hoodie.table.type"))
       .getOrElse("COPY_ON_WRITE")
+  }
+
+  /** The HoodieMetadataRecord avro shape this tier reads out of (and
+    * its fixtures write into) HFile metadata-table cells: the public
+    * `files` partition payload — record key, payload type, and the
+    * file → (size, isDeleted) map. */
+  private[meta] val MetadataPayloadAvroSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"HoodieMetadataRecord","fields":[
+        |{"name":"key","type":"string"},
+        |{"name":"type","type":"int"},
+        |{"name":"filesystemMetadata","type":["null",{"type":"map",
+        |  "values":{"type":"record","name":"HoodieMetadataFileInfo",
+        |    "fields":[{"name":"size","type":"long"},
+        |      {"name":"isDeleted","type":"boolean"}]}}],
+        |  "default":null}]}""".stripMargin.replace("\n", ""))
+
+  /** `(key, type, filesystemMetadata)` rows decoded from HFILE base
+    * files of the metadata table's `files` partition: one scan task
+    * per file ([[HFile.scanCells]] — trailer → root index →
+    * checksum-verified data blocks → cells), each cell's value an
+    * avro [[MetadataPayloadAvroSchema]] record. A cell whose payload
+    * key disagrees with its HFile row key refuses (index drift inside
+    * the index itself); malformed cells refuse classified. */
+  private def metadataHFileRecords(
+      spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val sconf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val outSchema = StructType(Seq(
+      StructField("key", StringType),
+      StructField("type", IntegerType),
+      StructField("filesystemMetadata", MapType(StringType,
+        StructType(Seq(StructField("size", LongType),
+          StructField("isDeleted", BooleanType)))))))
+    val schemaJson = MetadataPayloadAvroSchema.toString
+    paths.toDS().flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(sconf.value)
+      val len = fs.getFileStatus(path).getLen
+      if (len > (1L << 30)) {
+        throw new UnsupportedOperationException(
+          s"$p: ${len}B metadata-table HFile — not index-sized; " +
+            "refusing a driver-memory-scale read")
+      }
+      val bytes = new Array[Byte](len.toInt)
+      val in = fs.open(path)
+      try in.readFully(0, bytes) finally in.close()
+      val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      val reader = new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord](schema)
+      HFile.scanCells(bytes, p).map { case (row, value) =>
+        val dec = org.apache.avro.io.DecoderFactory.get()
+          .binaryDecoder(value, null)
+        val r =
+          try reader.read(null, dec)
+          catch {
+            case e @ (_: java.io.IOException | _: RuntimeException) =>
+              throw new IllegalArgumentException(
+                s"$p: cell '$row' does not decode as a " +
+                  s"HoodieMetadataRecord (${e.getMessage}) — refusing")
+          }
+        val key = String.valueOf(r.get("key"))
+        if (key != row) {
+          throw new IllegalArgumentException(
+            s"$p: cell row '$row' carries payload key '$key' — the " +
+              "index disagrees with itself; refusing")
+        }
+        val fsm = r.get("filesystemMetadata") match {
+          case null => null
+          case m: java.util.Map[_, _] =>
+            import scala.jdk.CollectionConverters._
+            m.asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala.map {
+              case (k, v) =>
+                val vr = v.asInstanceOf[
+                  org.apache.avro.generic.GenericRecord]
+                String.valueOf(k) -> org.apache.spark.sql.Row(
+                  vr.get("size").asInstanceOf[Long],
+                  vr.get("isDeleted").asInstanceOf[Boolean])
+            }.toMap
+          case other => throw new IllegalArgumentException(
+            s"$p: cell '$row' filesystemMetadata is " +
+              s"${other.getClass.getSimpleName} — not the map shape")
+        }
+        org.apache.spark.sql.Row(key,
+          r.get("type").asInstanceOf[Int], fsm)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /**
@@ -1592,9 +1879,10 @@ object HudiMeta extends Serializable {
    *
    * Scope gates (each a named refusal, never a wrong audit): the
    * metadata table must exist; its `files` partition must have no
-   * un-compacted log files (their blocks are HFile-encoded — another
-   * engine's encoding); its base files must be parquet (the HFile
-   * base format is not modeled). Deleted entries and the
+   * un-compacted log files (their embedded hfile-data blocks are not
+   * walked — compact first); its base files must be parquet or HFILE
+   * (r19 — the scan-only [[HFile]] reader lifts the r18 refusal; any
+   * other base format refuses by name). Deleted entries and the
    * `__all_partitions__` record (type 1) are filtered per the spec.
    */
   def metadataFilesAudit(spark: SparkSession, table: String): DataFrame = {
@@ -1625,20 +1913,35 @@ object HudiMeta extends Serializable {
         s"$table: the metadata table declares no files partition — " +
           "nothing to audit")
     }
-    basePaths.find(!_.endsWith(".parquet")).foreach { p =>
+    // the metadata table's base files are parquet OR HFile (the
+    // format Hudi's metadata writer actually defaults to) — r19
+    // lifts the r18 HFile refusal via the scan-only [[HFile]] reader
+    val (hfilePaths, parquetPaths) =
+      basePaths.partition(_.endsWith(".hfile"))
+    parquetPaths.find(!_.endsWith(".parquet")).foreach { p =>
       throw new UnsupportedOperationException(
-        s"$table: metadata-table base file $p is not parquet — the " +
-          "HFile base format is not modeled; refusing")
+        s"$table: metadata-table base file $p is neither parquet nor " +
+          "HFile — an unknown base format; refusing")
     }
-    val records = spark.read.parquet(basePaths: _*)
-    Seq("key", "type", "filesystemMetadata").foreach { c =>
-      if (!records.columns.contains(c)) {
-        throw new IllegalArgumentException(
-          s"$table: metadata-table files records carry no '$c' column " +
-            s"(got ${records.columns.mkString(", ")}) — not the " +
-            "HoodieMetadataPayload shape; refusing")
+    val fromParquet =
+      if (parquetPaths.isEmpty) None
+      else {
+        val r = spark.read.parquet(parquetPaths: _*)
+        Seq("key", "type", "filesystemMetadata").foreach { c =>
+          if (!r.columns.contains(c)) {
+            throw new IllegalArgumentException(
+              s"$table: metadata-table files records carry no '$c' " +
+                s"column (got ${r.columns.mkString(", ")}) — not the " +
+                "HoodieMetadataPayload shape; refusing")
+          }
+        }
+        Some(r.select(col("key"), col("type"), col("filesystemMetadata")))
       }
-    }
+    val fromHfile =
+      if (hfilePaths.isEmpty) None
+      else Some(metadataHFileRecords(spark, hfilePaths))
+    val records = (fromParquet.toSeq ++ fromHfile.toSeq)
+      .reduce(_ unionByName _)
     val listed = records.filter(col("type") === 2)
       .select(col("key").as("partition_path"),
         explode(col("filesystemMetadata")).as(Seq("file_name", "info")))
@@ -1648,8 +1951,16 @@ object HudiMeta extends Serializable {
         lit(true).as("is_listed"))
     val declared0 =
       if (tableType(root, conf) == "MERGE_ON_READ") {
-        morFileGroups(spark, table)
-          .select(col("partition_path"), col("base_path").as("path"))
+        // Hudi's metadata `files` partition lists LOG files alongside
+        // base files — a base-only declared side would flag every live
+        // log file as undeclared drift (r19, ADVICE). Declared = each
+        // live group's base slice plus its attached log chain.
+        val groups = morFileGroups(spark, table)
+        groups.select(col("partition_path"),
+            col("base_path").as("path"))
+          .unionByName(groups.filter(col("n_logs") > 0)
+            .select(col("partition_path"),
+              explode(split(col("log_paths_csv"), ",")).as("path")))
       } else {
         liveFiles(spark, table).select(col("partition_path"), col("path"))
       }
@@ -1697,8 +2008,9 @@ object HudiMeta extends Serializable {
       fromExclusive: String, toInclusive: String): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val root = qualified(table, conf)
-    val writes = completedMorInstants(root, timeline(root, conf), None)
-      .map(_.instant)
+    val writeInstants = completedMorInstants(root, timeline(root, conf),
+      None)
+    val writes = writeInstants.map(_.instant)
     def requireWrite(t: String, which: String): Unit =
       if (!writes.contains(t)) {
         throw new IllegalArgumentException(
@@ -1712,9 +2024,22 @@ object HudiMeta extends Serializable {
         s"$table: pull window ($fromExclusive, $toInclusive] is empty " +
           "or reversed — no increment to read")
     }
+    // a replacecommit (clustering / insert-overwrite) in the window
+    // changed NO logical rows, but its outputs land as window-new base
+    // files — left in, every clustered row would surface as a
+    // fabricated 'upsert'. Same refusal as cowIncrementalRows and the
+    // same exclusion rule morIncrementalPull applies (r19, ADVICE).
+    writeInstants.find(w => w.action == "replacecommit" &&
+        w.instant > fromExclusive && w.instant <= toInclusive)
+      .foreach { w =>
+        throw new UnsupportedOperationException(
+          s"$table: completed replacecommit ${w.instant} in the window " +
+            "— clustering rewrites change no logical rows, and feeding " +
+            "its outputs as changes would fabricate upserts; refusing")
+      }
     val completed = completedMorInstants(root, timeline(root, conf),
       Some(toInclusive)).map(_.instant).toSet
-    val keyField = recordKeyField(root, conf)
+    val keyFields = recordKeyFields(root, conf)
     // ONE action over the (file-group-sized) groups relation; every
     // driver-side derivation below reads this local array instead of
     // firing its own job — the feed's per-increment job count matters
@@ -1748,30 +2073,45 @@ object HudiMeta extends Serializable {
     val dataSchema =
       spark.read.parquet(groupRows.head.getString(3)).schema
     requireNoReservedColumns(table, dataSchema)
-    if (!dataSchema.fieldNames.contains(keyField)) {
-      throw new IllegalArgumentException(
-        s"$table: record key field '$keyField' is not a base column " +
-          s"(${dataSchema.fieldNames.mkString(", ")})")
-    }
+    requireKeyFields(table, keyFields, dataSchema.fieldNames.toSeq)
     val dataCols = dataSchema.fieldNames.toSeq
-    val events = morLogEvents(spark, root.toString, groups, completed,
-      keyField, dataSchema)
+    val allEvents = morLogEvents(spark, root.toString, groups, completed,
+      keyFields, dataSchema)
+    val events = allEvents.filter(!col("__cdc"))
+    // NATIVE CDC EVIDENCE (r19): a file group whose chain carries
+    // cdc-data blocks resolves its changes from the writer's own
+    // before/after images — no payload re-derivation; groups without
+    // cdc keep the DERIVED path (per-group autonomy, the fallback the
+    // non-cdc world stays on byte-for-byte). Cdc images are written
+    // POST-resolution by the writer, so they order by arrival alone.
+    val cdcEvents = allEvents.filter(col("__cdc"))
+    val cdcGroups = cdcEvents.select(col("file_id")).distinct()
     // latest event per touched key at `to` — merged truth for every
-    // key any log ever wrote (full-row payloads)
-    val latest = events.groupBy(col("file_id"), col("__key"))
-      .agg(max_by(
-        struct((Seq(col("__del"), col("__instant")) ++
-          dataCols.map(col)): _*), col("__seq")).as("e"))
-      .select(Seq(col("file_id"), col("__key"),
-        col("e.__del").as("__del"),
-        col("e.__instant").as("__instant")) ++
-        dataCols.map(n => col(s"e.$n").as(n)): _*)
+    // key any log ever wrote (full-row payloads), resolved by the
+    // same payload contract as the merge ([[resolveLatestEvents]])
+    val pcField = precombineField(root, conf)
+    pcField.filterNot(dataCols.contains).foreach { f =>
+      throw new IllegalArgumentException(
+        s"$table: precombine field '$f' is not a base column " +
+          s"(${dataCols.mkString(", ")})")
+    }
+    val latest = resolveLatestEvents(events,
+      Seq("__del", "__instant") ++ dataCols, pcField)
     val windowKeys = events
       .filter(col("__instant") > fromExclusive &&
         col("__instant") <= toInclusive)
       .select(col("file_id"), col("__key")).distinct()
-    val touchedLatest = latest
+    val derivedTouched = latest
       .join(windowKeys, Seq("file_id", "__key"), "left_semi")
+      .join(broadcast(cdcGroups), Seq("file_id"), "left_anti")
+    val cdcLatest = resolveLatestEvents(cdcEvents,
+      Seq("__del", "__instant") ++ dataCols, None)
+    val cdcTouched = cdcLatest.join(
+      cdcEvents.filter(col("__instant") > fromExclusive &&
+          col("__instant") <= toInclusive)
+        .select(col("file_id"), col("__key")).distinct(),
+      Seq("file_id", "__key"), "left_semi")
+    val touchedLatest = derivedTouched.unionByName(cdcTouched)
     val eventUpserts = touchedLatest.filter(!col("__del"))
       .select(Seq(col("file_id"), col("__key")) ++ dataCols.map(col): _*)
     // window-added base rows whose keys no event ever touched (a
@@ -1785,8 +2125,9 @@ object HudiMeta extends Serializable {
         .join(broadcast(newBases.select(
           regexp_extract(col("base_path"), "([^/]+)$", 1).as("__name"),
           col("file_id"))), "__name")
-        .withColumn("__key", col(keyField).cast("string"))
-        .join(broadcast(latest.select(col("file_id"), col("__key"))),
+        .withColumn("__key", keyColumn(keyFields))
+        .join(broadcast(latest.select(col("file_id"), col("__key"))
+            .unionByName(cdcLatest.select(col("file_id"), col("__key")))),
           Seq("file_id", "__key"), "left_anti")
         .select(Seq(col("file_id"), col("__key")) ++
           dataCols.map(col): _*))
@@ -2165,6 +2506,93 @@ object HudiMeta extends Serializable {
   }
 
   /**
+   * [[writeHudiMetadataFixtureTable]]'s HFILE twin (r19): the same
+   * data table and the same planted divergences (stale fid0-c1 entry
+   * size 77, lagging fid2, a type-1 `__all_partitions__` record, an
+   * `isDeleted` orphan), but the metadata `files` partition's base
+   * file is a real HFILE — CRC32C-checksummed blocks, a root index
+   * (two cells per block, so the index carries several entries), and
+   * avro [[MetadataPayloadAvroSchema]] cell values — written at HFile
+   * major version `hfileMajor` (2 or 3). Returns the data table's
+   * rows per relative base-file path.
+   */
+  def writeHudiMetadataHFileFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame,
+      hfileMajor: Int = 2): Map[String, Long] = {
+    val rows = writeHudiFixtureTable(spark, dir, docs)
+    val (c1, c2) = ("20240101000000000", "20240102000000000")
+    val mdRoot = new java.io.File(dir, ".hoodie/metadata")
+    val mdHoodie = new java.io.File(mdRoot, ".hoodie")
+    mdHoodie.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(mdHoodie, "hoodie.properties").toPath,
+      ("hoodie.table.name=graft_hudi_mdh_fixture\n" +
+        "hoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.version=6\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def name(rel: String): String = rel.substring(rel.lastIndexOf('/') + 1)
+    val fid0c1 = s"p=0/fid0_0-0-0_$c1.parquet"
+    val fid0c2 = s"p=0/fid0_0-0-0_$c2.parquet"
+    val fid1c1 = s"p=0/fid1_0-0-0_$c1.parquet"
+    def payload(key: String, tpe: Int,
+        files: Seq[(String, Long, Boolean)]): Array[Byte] = {
+      val r = new org.apache.avro.generic.GenericData.Record(
+        MetadataPayloadAvroSchema)
+      r.put("key", key)
+      r.put("type", tpe)
+      val m = new java.util.HashMap[String, AnyRef]()
+      val infoSchema = MetadataPayloadAvroSchema
+        .getField("filesystemMetadata").schema().getTypes.get(1)
+        .getValueType
+      files.foreach { case (n, size, deleted) =>
+        val fr = new org.apache.avro.generic.GenericData.Record(infoSchema)
+        fr.put("size", java.lang.Long.valueOf(size))
+        fr.put("isDeleted", java.lang.Boolean.valueOf(deleted))
+        m.put(n, fr)
+      }
+      r.put("filesystemMetadata", m)
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get()
+        .binaryEncoder(bos, null)
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](MetadataPayloadAvroSchema)
+        .write(r, enc)
+      enc.flush()
+      bos.toByteArray
+    }
+    // cells in row-key order, the HFile invariant
+    val cells = Seq(
+      "__all_partitions__" -> payload("__all_partitions__", 1,
+        Seq(("p=0", 0L, false), ("p=1", 0L, false))),
+      "p=0" -> payload("p=0", 2, Seq(
+        (name(fid0c2), rows(fid0c2), false),
+        (name(fid1c1), rows(fid1c1), false),
+        (name(fid0c1), 77L, false))),
+      "p=1" -> payload("p=1", 2, Seq(
+        ("fid3_0-0-0_20240103000000000.parquet", 5L, true))))
+    val bytes = HFile.write(cells, perBlock = 2, majorVersion = hfileMajor)
+    val mdInstant = "20240102000001000"
+    val baseRel = s"files/files-0000_0-0-0_$mdInstant.hfile"
+    val dst = new java.io.File(mdRoot, baseRel)
+    dst.getParentFile.mkdirs()
+    java.nio.file.Files.write(dst.toPath, bytes)
+    java.nio.file.Files.write(
+      new java.io.File(mdHoodie, s"$mdInstant.deltacommit").toPath,
+      (s"""{"partitionToWriteStats":{"files":[{"fileId":"files-0000",""" +
+        s""""path":"$baseRel","numWrites":${cells.size},"numDeletes":0,""" +
+        s""""numInserts":${cells.size},"totalWriteBytes":${dst.length()},""" +
+        s""""partitionPath":"files"}]},"operationType":"upsert"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(mdHoodie, s"$mdInstant.deltacommit.requested").toPath,
+      Array.empty[Byte])
+    java.nio.file.Files.write(
+      new java.io.File(mdHoodie, s"$mdInstant.deltacommit.inflight").toPath,
+      Array.empty[Byte])
+    rows
+  }
+
+  /**
    * Hand-write a filesystem Hudi COW table with a CLUSTERING
    * replacecommit against the public spec: c1 inserts file groups
    * `fid0`/`fid1` under `p=0`, c2 inserts `fid2` under `p=1`, and rc3
@@ -2390,11 +2818,13 @@ object HudiMeta extends Serializable {
     hoodie.mkdirs()
     java.nio.file.Files.write(
       new java.io.File(hoodie, "hoodie.properties").toPath,
+      // NO precombine field: this fixture pins the OVERWRITE-WITH-
+      // LATEST (arrival-order) contract; the precombine fixture
+      // ([[writeHudiMorPrecombineFixtureTable]]) pins the ordered one
       ("hoodie.table.name=graft_hudi_morlog_fixture\n" +
         "hoodie.table.type=MERGE_ON_READ\n" +
         "hoodie.table.version=6\n" +
-        "hoodie.table.recordkey.fields=doc_id\n" +
-        "hoodie.table.precombine.field=n_chars\n")
+        "hoodie.table.recordkey.fields=doc_id\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val (dc1, dc2, dc3, dc4, rb5, dc6) =
       ("20240101000000000", "20240102000000000", "20240103000000000",
@@ -2526,5 +2956,387 @@ object HudiMeta extends Serializable {
     marker(s"$dc6.deltacommit.requested")
     marker(s"$dc6.deltacommit.inflight")
     Map(s0._1 -> s0._2, s1._1 -> s1._2, s2._1 -> s2._2)
+  }
+
+  /**
+   * Hand-write a Hudi MOR table keyed by a COMPOSITE record key
+   * (`hoodie.table.recordkey.fields=doc_id,lang` — the complex key
+   * generator's production config) with real HoodieLogFormat blocks.
+   * Deterministic from `docs`:
+   *
+   *  - dc1 inserts base `fid0` (doc_id%2==0) and `fid1` (%2==1) under
+   *    `p=0`;
+   *  - dc2 appends LOG v1 to fid0's slice: an avro data block UPDATING
+   *    the %20==0 keys (n_chars+1000, same doc_id+lang → same
+   *    composite key), then a DELETE block whose keys are the
+   *    `doc_id:<v>,lang:<v>` renderings of the %50==0 rows (null lang
+   *    → `__null__`, the public KeyGenUtils placeholder).
+   *
+   * Merged live view: fid0's rows minus the %50==0 deletes (the
+   * %100==0 update-then-delete keys die — last event wins), with
+   * %20==0 survivors at n_chars+1000; fid1 untouched. Returns rows
+   * per relative base-file path.
+   */
+  def writeHudiMorCompositeFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val hoodie = new java.io.File(root, ".hoodie")
+    hoodie.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, "hoodie.properties").toPath,
+      ("hoodie.table.name=graft_hudi_morck_fixture\n" +
+        "hoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.version=6\n" +
+        "hoodie.table.recordkey.fields=doc_id,lang\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (dc1, dc2) = ("20240101000000000", "20240102000000000")
+    def writeBase(fid: String, instant: String,
+        slice: DataFrame): (String, Long) = {
+      val rel = s"p=0/${fid}_0-0-0_$instant.parquet"
+      val dst = new java.io.File(root, rel)
+      dst.getParentFile.mkdirs()
+      rel -> FixtureIO.writeSingleParquet(slice, dst,
+        dir + s"_hudimck_${fid}_$instant")
+    }
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val s0 = writeBase("fid0", dc1,
+      base.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val s1 = writeBase("fid1", dc1,
+      base.filter(pmod(col("doc_id"), lit(2)) === 1))
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"graft_morck","fields":[
+        |{"name":"doc_id","type":"long"},
+        |{"name":"lang","type":["null","string"],"default":null},
+        |{"name":"n_chars","type":["null","long"],"default":null}]}"""
+        .stripMargin.replace("\n", ""))
+    val g = base.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.toString),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val updates = g.filter(_._1 % 20 == 0).map { case (id, l, n) =>
+      val r = new org.apache.avro.generic.GenericData.Record(avroSchema)
+      r.put("doc_id", id)
+      r.put("lang", l.orNull)
+      r.put("n_chars",
+        n.map(v => java.lang.Long.valueOf(v + 1000L)).orNull)
+      r
+    }
+    // the complex key generator's rendering, delete-block side
+    val delKeys = g.filter(_._1 % 50 == 0).map { case (id, l, _) =>
+      s"doc_id:$id,lang:${l.filter(_.nonEmpty).getOrElse(
+        l.fold(NullKeyPart)(_ => EmptyKeyPart))}"
+    }.toSeq
+    import HudiLogFormat._
+    val logRel = s"p=0/.fid0_$dc1.log.1_0-0-0"
+    val logBytes = frameBlock(AvroDataBlock,
+        Map(InstantTime -> dc2, Schema -> avroSchema.toString),
+        avroDataContent(avroSchema, updates.toSeq)) ++
+      frameBlock(DeleteBlock, Map(InstantTime -> dc2),
+        deleteContent(delKeys))
+    val logDst = new java.io.File(root, logRel)
+    logDst.getParentFile.mkdirs()
+    java.nio.file.Files.write(logDst.toPath, logBytes)
+    def baseStat(fid: String, rel: String, rows: Long): String =
+      s"""{"fileId":"$fid","path":"$rel","numWrites":$rows,
+         |"numDeletes":0,"numInserts":$rows,
+         |"totalWriteBytes":${new java.io.File(root, rel).length()},
+         |"partitionPath":"p=0"}""".stripMargin.replace("\n", "")
+    def deltacommit(instant: String, stats: Seq[String]): Unit = {
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.deltacommit").toPath,
+        (s"""{"partitionToWriteStats":{"p=0":[${stats.mkString(",")}]},""" +
+          s""""operationType":"upsert"}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.deltacommit.requested").toPath,
+        Array.empty[Byte])
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.deltacommit.inflight").toPath,
+        Array.empty[Byte])
+    }
+    deltacommit(dc1, Seq(
+      baseStat("fid0", s0._1, s0._2), baseStat("fid1", s1._1, s1._2)))
+    deltacommit(dc2, Seq(
+      s"""{"fileId":"fid0","path":"$logRel",""" +
+        s""""numWrites":${updates.length + delKeys.size},""" +
+        s""""numDeletes":${delKeys.size},"numInserts":0,""" +
+        s""""numUpdateWrites":${updates.length},""" +
+        s""""totalWriteBytes":${logDst.length()},""" +
+        s""""partitionPath":"p=0"}"""))
+    Map(s0._1 -> s0._2, s1._1 -> s1._2)
+  }
+
+  /**
+   * Hand-write a Hudi MOR table with a PRECOMBINE (ordering) field
+   * (`hoodie.table.precombine.field=n_chars`) whose log events arrive
+   * in an order that DISAGREES with their ordering values — the
+   * resolution must differ from last-wins. Deterministic from `docs`:
+   *
+   *  - dc1 inserts base `fid0` (all rows) under `p=0`;
+   *  - dc2 appends LOG v1: data block A updates the %10==0 keys to
+   *    (lang='hi', n_chars=500) — arrives FIRST, HIGH ordering; then
+   *    a DELETE block for the %25==0 keys; then data block B updates
+   *    the %10==0 keys to (lang='lo', n_chars=100) — arrives LAST,
+   *    LOW ordering.
+   *
+   * Precombine-resolved view: every %10==0 key holds ('hi', 500) — A
+   * beats B on ordering (last-wins would say 'lo'/100) and beats the
+   * delete (null ordering sorts lowest), so the %50==0
+   * update-and-deleted keys SURVIVE; the delete-only keys
+   * (%25==0 ∧ ¬%50==0) die. Returns rows per relative base path.
+   */
+  def writeHudiMorPrecombineFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val hoodie = new java.io.File(root, ".hoodie")
+    hoodie.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, "hoodie.properties").toPath,
+      ("hoodie.table.name=graft_hudi_morpc_fixture\n" +
+        "hoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.version=6\n" +
+        "hoodie.table.recordkey.fields=doc_id\n" +
+        "hoodie.table.precombine.field=n_chars\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (dc1, dc2) = ("20240101000000000", "20240102000000000")
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val baseRel = s"p=0/fid0_0-0-0_$dc1.parquet"
+    val baseDst = new java.io.File(root, baseRel)
+    baseDst.getParentFile.mkdirs()
+    val baseRows = FixtureIO.writeSingleParquet(base, baseDst,
+      dir + "_hudimpc_fid0")
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"graft_morpc","fields":[
+        |{"name":"doc_id","type":"long"},
+        |{"name":"lang","type":["null","string"],"default":null},
+        |{"name":"n_chars","type":["null","long"],"default":null}]}"""
+        .stripMargin.replace("\n", ""))
+    def rec(id: Long, lang: String, n: Long):
+        org.apache.avro.generic.GenericRecord = {
+      val r = new org.apache.avro.generic.GenericData.Record(avroSchema)
+      r.put("doc_id", id)
+      r.put("lang", lang)
+      r.put("n_chars", java.lang.Long.valueOf(n))
+      r
+    }
+    val ids = base.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val hi = ids.filter(_ % 10 == 0).map(rec(_, "hi", 500L))
+    val lo = ids.filter(_ % 10 == 0).map(rec(_, "lo", 100L))
+    val delKeys = ids.filter(_ % 25 == 0).map(_.toString).toSeq
+    import HudiLogFormat._
+    def dataBlock(
+        rs: Seq[org.apache.avro.generic.GenericRecord]): Array[Byte] =
+      frameBlock(AvroDataBlock,
+        Map(InstantTime -> dc2, Schema -> avroSchema.toString),
+        avroDataContent(avroSchema, rs))
+    val logRel = s"p=0/.fid0_$dc1.log.1_0-0-0"
+    val logBytes = dataBlock(hi.toSeq) ++
+      frameBlock(DeleteBlock, Map(InstantTime -> dc2),
+        deleteContent(delKeys)) ++
+      dataBlock(lo.toSeq)
+    val logDst = new java.io.File(root, logRel)
+    java.nio.file.Files.write(logDst.toPath, logBytes)
+    def deltacommit(instant: String, stats: Seq[String]): Unit = {
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.deltacommit").toPath,
+        (s"""{"partitionToWriteStats":{"p=0":[${stats.mkString(",")}]},""" +
+          s""""operationType":"upsert"}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.deltacommit.requested").toPath,
+        Array.empty[Byte])
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.deltacommit.inflight").toPath,
+        Array.empty[Byte])
+    }
+    deltacommit(dc1, Seq(
+      s"""{"fileId":"fid0","path":"$baseRel","numWrites":$baseRows,""" +
+        s""""numDeletes":0,"numInserts":$baseRows,""" +
+        s""""totalWriteBytes":${baseDst.length()},""" +
+        s""""partitionPath":"p=0"}"""))
+    deltacommit(dc2, Seq(
+      s"""{"fileId":"fid0","path":"$logRel",""" +
+        s""""numWrites":${hi.length + lo.length + delKeys.size},""" +
+        s""""numDeletes":${delKeys.size},"numInserts":0,""" +
+        s""""numUpdateWrites":${hi.length + lo.length},""" +
+        s""""totalWriteBytes":${logDst.length()},""" +
+        s""""partitionPath":"p=0"}"""))
+    Map(baseRel -> baseRows)
+  }
+
+  /** The cdc record schema the cdc fixture writes:
+    * `{op, key, before: [null, img], after: [null, img]}` with
+    * full-row images. */
+  private[meta] val CdcAvroSchema: org.apache.avro.Schema =
+    new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"graft_cdc","fields":[
+        |{"name":"op","type":"string"},
+        |{"name":"key","type":"string"},
+        |{"name":"before","type":["null",
+        |  {"type":"record","name":"graft_cdc_img","fields":[
+        |    {"name":"doc_id","type":"long"},
+        |    {"name":"lang","type":["null","string"],"default":null},
+        |    {"name":"n_chars","type":["null","long"],"default":null}]}],
+        |  "default":null},
+        |{"name":"after","type":["null","graft_cdc_img"],"default":null}]}"""
+        .stripMargin.replace("\n", ""))
+
+  /** One cdc fixture record. `before`/`after` are
+    * (doc_id, lang, n_chars) images or None. */
+  private[meta] def cdcRec(
+      op: String, key: String,
+      before: Option[(Long, String, java.lang.Long)],
+      after: Option[(Long, String, java.lang.Long)])
+      : org.apache.avro.generic.GenericRecord = {
+    val imgSchema = CdcAvroSchema.getField("before").schema().getTypes.get(1)
+    def img(v: (Long, String, java.lang.Long)) = {
+      val r = new org.apache.avro.generic.GenericData.Record(imgSchema)
+      r.put("doc_id", v._1); r.put("lang", v._2); r.put("n_chars", v._3)
+      r
+    }
+    val r = new org.apache.avro.generic.GenericData.Record(CdcAvroSchema)
+    r.put("op", op)
+    r.put("key", key)
+    r.put("before", before.map(img).orNull)
+    r.put("after", after.map(img).orNull)
+    r
+  }
+
+  /**
+   * Hand-write a Hudi MOR table with CHANGE-DATA-CAPTURE log blocks
+   * (`hoodie.table.cdc.enabled=true`, supplemental logging
+   * `data_before_after`): fid0's log chain carries a cdc-data block
+   * with the writer's own before/after images NEXT TO its payload
+   * data/delete blocks, while fid1's chain is plain (derived-path
+   * fallback). Deterministic from `docs`:
+   *
+   *  - dc1 inserts base `fid0` (doc_id%2==0) and `fid1` (%2==1);
+   *  - dc2, fid0 (cdc-instrumented): payload data block updates the
+   *    %20==0 keys (n_chars+7) and inserts doc_id+7000000
+   *    (lang='cc', n_chars=9) for the %100==0 keys; a delete block
+   *    kills the doc_id%20==10 keys; the cdc block carries the
+   *    matching `u`/`i`/`d` images;
+   *  - dc2, fid1 (NO cdc): a payload data block updates the
+   *    doc_id%10==5 keys (lang='dv', n_chars+3).
+   *
+   * The feed must resolve fid0 from the cdc images (native evidence)
+   * and fid1 from the derived path, in one answer. Returns rows per
+   * relative base path.
+   */
+  def writeHudiMorCdcFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val hoodie = new java.io.File(root, ".hoodie")
+    hoodie.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(hoodie, "hoodie.properties").toPath,
+      ("hoodie.table.name=graft_hudi_morcdc_fixture\n" +
+        "hoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.version=6\n" +
+        "hoodie.table.recordkey.fields=doc_id\n" +
+        "hoodie.table.cdc.enabled=true\n" +
+        "hoodie.table.cdc.supplemental.logging.mode=data_before_after\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (dc1, dc2) = ("20240101000000000", "20240102000000000")
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    def writeBase(fid: String, slice: DataFrame): (String, Long) = {
+      val rel = s"p=0/${fid}_0-0-0_$dc1.parquet"
+      val dst = new java.io.File(root, rel)
+      dst.getParentFile.mkdirs()
+      rel -> FixtureIO.writeSingleParquet(slice, dst,
+        dir + s"_hudicdc_$fid")
+    }
+    val s0 = writeBase("fid0", base.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val s1 = writeBase("fid1", base.filter(pmod(col("doc_id"), lit(2)) === 1))
+    val dataSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"graft_morcdc","fields":[
+        |{"name":"doc_id","type":"long"},
+        |{"name":"lang","type":["null","string"],"default":null},
+        |{"name":"n_chars","type":["null","long"],"default":null}]}"""
+        .stripMargin.replace("\n", ""))
+    def rec(id: Long, lang: String, n: java.lang.Long):
+        org.apache.avro.generic.GenericRecord = {
+      val r = new org.apache.avro.generic.GenericData.Record(dataSchema)
+      r.put("doc_id", id); r.put("lang", lang); r.put("n_chars", n)
+      r
+    }
+    val rows = base.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null
+        else java.lang.Long.valueOf(r.getLong(2))))
+    val even = rows.filter(_._1 % 2 == 0)
+    val odd = rows.filter(_._1 % 2 == 1)
+    def plus(n: java.lang.Long, d: Long): java.lang.Long =
+      if (n == null) null else java.lang.Long.valueOf(n + d)
+    val updates = even.filter(_._1 % 20 == 0)
+    val inserts = even.filter(_._1 % 100 == 0)
+      .map(k => (k._1 + 7000000L, "cc", java.lang.Long.valueOf(9L)))
+    val deletes = even.filter(_._1 % 20 == 10)
+    val payloadRecs =
+      updates.map { case (id, l, n) => rec(id, l, plus(n, 7L)) } ++
+        inserts.map { case (id, l, n) => rec(id, l, n) }
+    val cdcRecs =
+      updates.map { case (id, l, n) =>
+        cdcRec("u", id.toString, Some((id, l, n)),
+          Some((id, l, plus(n, 7L)))) } ++
+      inserts.map { case (id, l, n) =>
+        cdcRec("i", id.toString, None, Some((id, l, n))) } ++
+      deletes.map { case (id, l, n) =>
+        cdcRec("d", id.toString, Some((id, l, n)), None) }
+    import HudiLogFormat._
+    val log0Rel = s"p=0/.fid0_$dc1.log.1_0-0-0"
+    val log0 = frameBlock(AvroDataBlock,
+        Map(InstantTime -> dc2, Schema -> dataSchema.toString),
+        avroDataContent(dataSchema, payloadRecs.toSeq)) ++
+      frameBlock(DeleteBlock, Map(InstantTime -> dc2),
+        deleteContent(deletes.map(_._1.toString).toSeq)) ++
+      frameBlock(CdcDataBlock,
+        Map(InstantTime -> dc2, Schema -> CdcAvroSchema.toString),
+        avroDataContent(CdcAvroSchema, cdcRecs.toSeq))
+    val plainUpdates = odd.filter(_._1 % 10 == 5)
+      .map { case (id, _, n) => rec(id, "dv", plus(n, 3L)) }
+    val log1Rel = s"p=0/.fid1_$dc1.log.1_0-0-0"
+    val log1 = frameBlock(AvroDataBlock,
+      Map(InstantTime -> dc2, Schema -> dataSchema.toString),
+      avroDataContent(dataSchema, plainUpdates.toSeq))
+    Seq((log0Rel, log0), (log1Rel, log1)).foreach { case (rel, bytes) =>
+      java.nio.file.Files.write(new java.io.File(root, rel).toPath, bytes)
+    }
+    def deltacommit(instant: String, stats: Seq[String]): Unit = {
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.deltacommit").toPath,
+        (s"""{"partitionToWriteStats":{"p=0":[${stats.mkString(",")}]},""" +
+          s""""operationType":"upsert"}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.deltacommit.requested").toPath,
+        Array.empty[Byte])
+      java.nio.file.Files.write(
+        new java.io.File(hoodie, s"$instant.deltacommit.inflight").toPath,
+        Array.empty[Byte])
+    }
+    def baseStat(fid: String, rel: String, n: Long): String =
+      s"""{"fileId":"$fid","path":"$rel","numWrites":$n,""" +
+        s""""numDeletes":0,"numInserts":$n,""" +
+        s""""totalWriteBytes":${new java.io.File(root, rel).length()},""" +
+        s""""partitionPath":"p=0"}"""
+    def logStat(fid: String, rel: String, n: Long, nDel: Long): String =
+      s"""{"fileId":"$fid","path":"$rel","numWrites":$n,""" +
+        s""""numDeletes":$nDel,"numInserts":0,"numUpdateWrites":$n,""" +
+        s""""totalWriteBytes":${new java.io.File(root, rel).length()},""" +
+        s""""partitionPath":"p=0"}"""
+    deltacommit(dc1, Seq(
+      baseStat("fid0", s0._1, s0._2), baseStat("fid1", s1._1, s1._2)))
+    deltacommit(dc2, Seq(
+      logStat("fid0", log0Rel,
+        (payloadRecs.length + deletes.length).toLong, deletes.length.toLong),
+      logStat("fid1", log1Rel, plainUpdates.length.toLong, 0L)))
+    Map(s0._1 -> s0._2, s1._1 -> s1._2)
   }
 }

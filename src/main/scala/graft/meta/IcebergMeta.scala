@@ -305,7 +305,10 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
    * question a schema evolution leaves behind. A live file with NO
    * footer evidence surfaces with null `n_present`/`missing_csv`
    * (LEFT join): no evidence is never conformance and never a
-   * silently-dropped row.
+   * silently-dropped row. V3 DEFAULT VALUES (r19): a field declared
+   * with `initial-default` is filled at read for pre-existing rows —
+   * it never shows in `missing_csv`; a field with only
+   * `write-default` still gaps (old rows read null until backfilled).
    */
   def schemaConformance(spark: SparkSession, table: String): DataFrame = {
     val hconf = spark.sessionState.newHadoopConf()
@@ -323,13 +326,22 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
     val currentId = Option(node.get("current-schema-id")).map(_.asInt())
       .getOrElse(throw new IllegalArgumentException(
         s"$table: no current-schema-id in $file"))
-    val declared = Option(node.get("schemas"))
+    // (name, read-filled): a v3 field carrying `initial-default` is
+    // FILLED AT READ for rows that predate it (the spec's default-
+    // value contract) — its physical absence is never a backfill gap.
+    // A field with only `write-default` still gaps: old rows read
+    // null until backfilled (write-default governs new writes only).
+    val declaredFields = Option(node.get("schemas"))
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
       .find(s => req(s, "schema-id", file).asInt() == currentId)
       .map(s => Option(s.get("fields")).map(_.elements().asScala.toSeq)
-        .getOrElse(Seq.empty).map(f => req(f, "name", file).asText()))
+        .getOrElse(Seq.empty).map(f => (req(f, "name", file).asText(),
+          f.get("initial-default") != null &&
+            !f.get("initial-default").isNull)))
       .getOrElse(throw new IllegalArgumentException(
         s"$table: current-schema-id $currentId has no schemas entry in $file"))
+    val declared = declaredFields.map(_._1)
+    val gapFields = declaredFields.filterNot(_._2).map(_._1)
     val live = currentFiles(spark, table)
       .filter(col("status") =!= 2 && col("content") === 0)
       .select(col("abs_path"))
@@ -350,7 +362,7 @@ object IcebergMeta extends IcebergMetaAudits with IcebergMetaFixtures
           .otherwise(size(col("present"))).cast("int").as("n_present"),
         when(size(col("present")) === 0, lit(null).cast("string"))
           .otherwise(array_join(array_sort(array_except(
-            lit(declared.toArray), col("present"))), ",")).as("missing_csv"))
+            lit(gapFields.toArray), col("present"))), ",")).as("missing_csv"))
   }
 
   private[meta] def openAvro(file: Path, conf: Configuration): org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord] = {

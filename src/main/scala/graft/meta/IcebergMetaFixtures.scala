@@ -2672,4 +2672,93 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
       "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     counts
   }
+
+  /**
+   * A FORMAT-VERSION 3 table with DEFAULT VALUES (r19): one snapshot,
+   * two data files carrying only `(doc_id, lang)`, and a current
+   * schema that ALSO declares `score` (long, `initial-default` 5 +
+   * `write-default` 5 — added-with-default, read-filled) and `tag`
+   * (long, `write-default` 9 only — new writes get 9, old rows read
+   * null). [[IcebergMeta.schemaConformance]] must flag `tag` as the
+   * only backfill gap: `score`'s physical absence is filled at read
+   * per the v3 default-value contract. Returns rows per relative
+   * data file.
+   */
+  def writeV3DefaultsFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    FixtureIO.freshDir(root)
+    val dataDir = new java.io.File(root, "data")
+    val metaDir = new java.io.File(root, "metadata")
+    dataDir.mkdirs()
+    metaDir.mkdirs()
+    val counts = (0 until 2).map { i =>
+      val slice = docs.filter(pmod(col("doc_id"), lit(2)) === i)
+        .select(col("doc_id"), col("lang"))
+      val tmp = dir + s"_slice$i"
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dataDir, s"f$i.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      s"f$i.parquet" -> slice.count()
+    }.toMap
+    def entry(f: String): org.apache.avro.generic.GenericRecord = {
+      val df = new org.apache.avro.generic.GenericData.Record(
+        manifestSchema.getField("data_file").schema())
+      df.put("content", 0)
+      df.put("file_path", s"data/$f")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", counts(f))
+      df.put("file_size_in_bytes", new java.io.File(dataDir, f).length())
+      val e = new org.apache.avro.generic.GenericData.Record(manifestSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", null)
+      e.put("data_file", df)
+      e
+    }
+    writeAvro(new java.io.File(metaDir, "m0.avro"), manifestSchema,
+      Seq(entry("f0.parquet"), entry("f1.parquet")))
+    val ml = new org.apache.avro.generic.GenericData.Record(
+      manifestListSchema)
+    ml.put("manifest_path", "metadata/m0.avro")
+    ml.put("manifest_length",
+      new java.io.File(metaDir, "m0.avro").length())
+    ml.put("partition_spec_id", 0)
+    ml.put("content", 0)
+    ml.put("added_snapshot_id", 1L)
+    ml.put("added_files_count", 2)
+    ml.put("existing_files_count", 0)
+    ml.put("deleted_files_count", 0)
+    ml.put("added_rows_count",
+      counts("f0.parquet") + counts("f1.parquet"))
+    writeAvro(new java.io.File(metaDir, "snap-1.avro"),
+      manifestListSchema, Seq(ml))
+    val metadataJson =
+      s"""{"format-version":3,"table-uuid":"graft-iceberg-v3d-fixture",
+         |"location":"${root.getAbsolutePath}",
+         |"current-snapshot-id":1,
+         |"current-schema-id":1,
+         |"schemas":[
+         |{"schema-id":1,"type":"struct","fields":[
+         | {"id":1,"name":"doc_id","required":false,"type":"long"},
+         | {"id":2,"name":"lang","required":false,"type":"string"},
+         | {"id":3,"name":"score","required":false,"type":"long",
+         |  "initial-default":5,"write-default":5},
+         | {"id":4,"name":"tag","required":false,"type":"long",
+         |  "write-default":9}]}],
+         |"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":1700000000000,
+         | "manifest-list":"metadata/snap-1.avro",
+         | "summary":{"operation":"append"}}]}""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "v1.metadata.json").toPath,
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(metaDir, "version-hint.text").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    counts
+  }
 }

@@ -65,11 +65,14 @@ object MetaValues {
   /** Schema facts for every LEAF column of a parquet schema string (the
     * `schema` field the parquet-file level surfaces): dot-joined path,
     * max repetition level, max definition level, physical type named as
-    * the Thrift enum (BYTE_ARRAY, not parquet-mr's BINARY), and the
-    * FLBA type length (0 otherwise). Malformed schema strings yield an
-    * empty list — their files' pages stay undecoded (null result), the
-    * same refusal contract as the dispatcher itself. */
-  def schemaFacts(schema: String): Seq[(String, Int, Int, String, Int)] = {
+    * the Thrift enum (BYTE_ARRAY, not parquet-mr's BINARY), the FLBA
+    * type length (0 otherwise), and the LOGICAL TYPE annotation
+    * rendering (null when unannotated; "FLOAT16" routes the
+    * dispatcher's half-float arm, r19). Malformed schema strings yield
+    * an empty list — their files' pages stay undecoded (null result),
+    * the same refusal contract as the dispatcher itself. */
+  def schemaFacts(
+      schema: String): Seq[(String, Int, Int, String, Int, String)] = {
     if (schema == null) return Seq.empty
     try {
       val mt = org.apache.parquet.schema.MessageTypeParser.parseMessageType(schema)
@@ -82,8 +85,10 @@ object MetaValues {
         }
         val typeLen =
           if (name == "FIXED_LEN_BYTE_ARRAY") pt.getTypeLength else 0
+        val logical = Option(pt.getLogicalTypeAnnotation)
+          .map(_.toString).orNull
         (cd.getPath.mkString("."), cd.getMaxRepetitionLevel,
-          cd.getMaxDefinitionLevel, name, typeLen)
+          cd.getMaxDefinitionLevel, name, typeLen, logical)
       }
     } catch {
       case _: Exception => Seq.empty
@@ -124,12 +129,12 @@ object MetaValues {
       .as[(String, String)]
       .flatMap { case (fp, schema) =>
         val topIds = schemaTopIds(schema)
-        schemaFacts(schema).map { case (p, mr, md, t, tl) =>
-          (fp, p, mr, md, tl, topIds.get(p.split("\\.").head))
+        schemaFacts(schema).map { case (p, mr, md, t, tl, lg) =>
+          (fp, p, mr, md, tl, topIds.get(p.split("\\.").head), lg)
         }
       }
       .toDF("filepath", "path", "max_rep", "max_def", "type_len",
-        "top_field_id")
+        "top_field_id", "logical")
   }
 
   /**
@@ -325,7 +330,8 @@ object MetaValues {
       ColumnBridge.expression(col("max_def")),
       ColumnBridge.expression(col("num_values")),
       ColumnBridge.expression(col("type")),
-      ColumnBridge.expression(col("type_len")))))
+      ColumnBridge.expression(col("type_len")),
+      ColumnBridge.expression(col("logical")))))
     // integrity for free: the header CRC (parquet-mr writes it by
     // default) recomputed over the stored page bytes; null when the
     // writer omitted the field ("no evidence"), boolean otherwise

@@ -50,6 +50,36 @@ class DeltaCoordinatedSpec extends SparkSpec {
     assert(DeltaMeta.snapshotFiles(spark, d).count() > 0)
   }
 
+  test("a BACKFILLED staged commit (version <= newest published json) " +
+      "lingers until log cleanup and must resolve, not refuse") {
+    val d = Files.createTempDirectory("graft_delta_cc4").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs) // publishes v0..v4
+    val staged = new java.io.File(d, "_delta_log/_staged_commits")
+    staged.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(staged,
+        "00000000000000000003.3a1f0e2d-aaaa-bbbb-cccc-000000000002.json")
+        .toPath,
+      """{"commitInfo":{"operation":"WRITE","timestamp":1}}"""
+        .getBytes("UTF-8"))
+    assert(DeltaMeta.snapshotFiles(spark, d).count() > 0)
+  }
+
+  test("a staged entry that does not parse as <version>.<uuid>.json " +
+      "refuses by name (unknown coordinator layout)") {
+    val d = Files.createTempDirectory("graft_delta_cc5").toString + "/tbl"
+    DeltaMeta.writeFixtureTable(spark, d, docs)
+    val staged = new java.io.File(d, "_delta_log/_staged_commits")
+    staged.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(staged, "ratified-commit.json").toPath,
+      """{"commitInfo":{}}""".getBytes("UTF-8"))
+    val e = intercept[UnsupportedOperationException] {
+      DeltaMeta.snapshotFiles(spark, d).collect()
+    }
+    assert(e.getMessage.contains("ratified-commit.json"))
+  }
+
   test("the protocol posture names coordination writer features " +
       "unsupported even when nothing is currently staged") {
     val d = Files.createTempDirectory("graft_delta_cc3").toString + "/tbl"

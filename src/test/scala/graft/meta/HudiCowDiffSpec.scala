@@ -6,6 +6,20 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** A filesystem wrapper that counts `listStatus` calls — the
+  * probe-count arbiter for [[HudiMeta.firstMissingFromDisk]]. */
+class CountingFs(underlying: org.apache.hadoop.fs.FileSystem)
+    extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
+  override def listStatus(p: org.apache.hadoop.fs.Path):
+      Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingFs.listCalls.incrementAndGet()
+    super.listStatus(p)
+  }
+}
+object CountingFs {
+  val listCalls = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 /** COW row-level changes by slice diff ([[HudiMeta.cowIncrementalRows]]):
   * update/insert/delete classification from content, unchanged rows
   * silent, untouched groups unread, bootstrap semantics, and the
@@ -79,6 +93,64 @@ class HudiCowDiffSpec extends SparkSpec {
       HudiMeta.cowIncrementalRows(spark, d, c1, c2)
     }
     assert(e.getMessage.contains("file_id"))
+  }
+
+  test("a schema-evolved window (column added between from and to) " +
+      "refuses classified, never a raw AnalysisException") {
+    val d = fresh()
+    // rewrite the window's new slices with an ADDED 'quality' column
+    // the prior slices lack — the r19 ADVICE shape
+    Seq(("p=0/fid0_0-0-0_", 0), ("p=1/fid2_0-0-0_", 2)).foreach {
+      case (prefix, m) =>
+        val slice = docs.select(col("doc_id"), col("lang"),
+            col("n_chars"))
+          .filter(pmod(col("doc_id"), lit(3)) === m)
+          .withColumn("quality", lit(0.5))
+        FixtureIO.writeSingleParquet(slice,
+          new java.io.File(d, s"$prefix$c2.parquet"),
+          d + s"_evofix$m")
+    }
+    val e = intercept[UnsupportedOperationException] {
+      HudiMeta.cowIncrementalRows(spark, d, c1, c2)
+    }
+    assert(e.getMessage.contains("schema change") &&
+      e.getMessage.contains("quality"))
+  }
+
+  test("prior-slice existence probes batch to one listStatus per " +
+      "distinct parent directory") {
+    val dir = Files.createTempDirectory("graft_probe").toFile
+    val (a, b) = (new java.io.File(dir, "p=0"), new java.io.File(dir, "p=1"))
+    a.mkdirs(); b.mkdirs()
+    Seq(new java.io.File(a, "x.parquet"), new java.io.File(a, "y.parquet"),
+      new java.io.File(b, "z.parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, Array[Byte](1))
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new CountingFs(
+      new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
+        .getFileSystem(conf))
+    def p(f: java.io.File) =
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+    CountingFs.listCalls.set(0)
+    // five probes across two parents -> exactly two listStatus calls
+    assert(HudiMeta.firstMissingFromDisk(fs, Seq(
+      p(new java.io.File(a, "x.parquet")),
+      p(new java.io.File(a, "y.parquet")),
+      p(new java.io.File(b, "z.parquet")),
+      p(new java.io.File(a, "x.parquet")),
+      p(new java.io.File(b, "z.parquet")))).isEmpty)
+    assert(CountingFs.listCalls.get() === 2)
+    // a missing file in a present dir, and a file under a MISSING dir
+    CountingFs.listCalls.set(0)
+    assert(HudiMeta.firstMissingFromDisk(fs, Seq(
+      p(new java.io.File(a, "x.parquet")),
+      p(new java.io.File(a, "gone.parquet")))).map(_.getName)
+      === Some("gone.parquet"))
+    assert(CountingFs.listCalls.get() === 1)
+    assert(HudiMeta.firstMissingFromDisk(fs, Seq(
+      p(new java.io.File(new java.io.File(dir, "p=9"), "w.parquet"))))
+      .map(_.getName) === Some("w.parquet"))
   }
 
   test("refusals: clustering in window; cleaned diff baseline") {

@@ -45,6 +45,75 @@ class HudiMetadataTableSpec extends SparkSpec {
         ((false, null, true, false))))
   }
 
+  test("MOR declared side includes live LOG files — a listed log is " +
+      "a match, never spurious drift") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // a real MOR table (two log files on fid0's c1 slice) ...
+    val d = Files.createTempDirectory("graft_hudimdmor").toString + "/tbl"
+    val rows = HudiMeta.writeHudiMorLogFixtureTable(spark, d, docs)
+    // ... with a hand-attached metadata `files` partition listing the
+    // bases AND the logs, the shape Hudi's own index maintains
+    val mdRoot = new java.io.File(d, ".hoodie/metadata")
+    val mdHoodie = new java.io.File(mdRoot, ".hoodie")
+    mdHoodie.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(mdHoodie, "hoodie.properties").toPath,
+      ("hoodie.table.name=graft_hudi_mdmor_fixture\n" +
+        "hoodie.table.type=MERGE_ON_READ\n" +
+        "hoodie.table.version=6\n").getBytes("UTF-8"))
+    val infoType = StructType(Seq(
+      StructField("size", LongType, nullable = false),
+      StructField("isDeleted", BooleanType, nullable = false)))
+    val mdSchema = StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("type", IntegerType, nullable = false),
+      StructField("filesystemMetadata",
+        MapType(StringType, infoType, valueContainsNull = false))))
+    val c1 = "20240101000000000"
+    val c2 = "20240102000000000"
+    def len(rel: String): Long = new java.io.File(d, rel).length()
+    val recs = Seq(
+      Row("p=0", 2, Map(
+        s"fid0_0-0-0_$c1.parquet" ->
+          Row(len(s"p=0/fid0_0-0-0_$c1.parquet"), false),
+        s"fid1_0-0-0_$c1.parquet" ->
+          Row(len(s"p=0/fid1_0-0-0_$c1.parquet"), false),
+        s".fid0_$c1.log.1_0-0-0" ->
+          Row(len(s"p=0/.fid0_$c1.log.1_0-0-0"), false),
+        s".fid0_$c1.log.2_0-0-0" ->
+          Row(len(s"p=0/.fid0_$c1.log.2_0-0-0"), false))),
+      Row("p=1", 2, Map(
+        s"fid2_0-0-0_$c2.parquet" ->
+          Row(len(s"p=1/fid2_0-0-0_$c2.parquet"), false))))
+    val mdDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(recs, 1), mdSchema)
+    val mdInstant = "20240106000001000"
+    val baseRel = s"files/files-0000_0-0-0_$mdInstant.parquet"
+    val dst = new java.io.File(mdRoot, baseRel)
+    dst.getParentFile.mkdirs()
+    val nRecs = FixtureIO.writeSingleParquet(mdDf, dst, d + "_mdmor")
+    java.nio.file.Files.write(
+      new java.io.File(mdHoodie, s"$mdInstant.deltacommit").toPath,
+      (s"""{"partitionToWriteStats":{"files":[{"fileId":"files-0000",""" +
+        s""""path":"$baseRel","numWrites":$nRecs,"numDeletes":0,""" +
+        s""""numInserts":$nRecs,"totalWriteBytes":${dst.length()},""" +
+        s""""partitionPath":"files"}]},"operationType":"upsert"}""")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(mdHoodie,
+      s"$mdInstant.deltacommit.requested").toPath, Array.empty[Byte])
+    java.nio.file.Files.write(new java.io.File(mdHoodie,
+      s"$mdInstant.deltacommit.inflight").toPath, Array.empty[Byte])
+    val got = HudiMeta.metadataFilesAudit(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getBoolean(2), r.getBoolean(4), r.getBoolean(5)))).toMap
+    // every file — bases AND logs — is listed, declared, and matched
+    assert(got.size === 5)
+    assert(got.values.forall(_ == ((true, true, true))), got.toString)
+    assert(got.contains(("p=0", s".fid0_$c1.log.1_0-0-0")) &&
+      got.contains(("p=0", s".fid0_$c1.log.2_0-0-0")))
+  }
+
   test("refusals: no metadata table; un-compacted metadata logs; " +
       "non-parquet base") {
     // a plain fixture has no metadata table
@@ -71,21 +140,43 @@ class HudiMetadataTableSpec extends SparkSpec {
     val e1 = intercept[UnsupportedOperationException](
       HudiMeta.metadataFilesAudit(spark, d1))
     assert(e1.getMessage.contains("HFile"))
-    // a non-parquet base refuses by format name
+    // an UNKNOWN base format refuses by name (hfile is supported
+    // since r19, so the unknown-format probe uses .orc)
     val (d2, _) = fresh()
     val mdHoodie2 = new java.io.File(d2, ".hoodie/metadata/.hoodie")
     val dc2 = mdHoodie2.listFiles()
       .find(_.getName.endsWith(".deltacommit")).get
     java.nio.file.Files.write(dc2.toPath,
       new String(java.nio.file.Files.readAllBytes(dc2.toPath), "UTF-8")
-        .replace(".parquet", ".hfile").getBytes("UTF-8"))
+        .replace(".parquet", ".orc").getBytes("UTF-8"))
     val src = new java.io.File(d2,
       ".hoodie/metadata/files").listFiles()
       .find(_.getName.endsWith(".parquet")).get
     assert(src.renameTo(new java.io.File(src.getParentFile,
-      src.getName.replace(".parquet", ".hfile"))))
+      src.getName.replace(".parquet", ".orc"))))
     val e2 = intercept[UnsupportedOperationException](
       HudiMeta.metadataFilesAudit(spark, d2))
-    assert(e2.getMessage.contains("not parquet"))
+    assert(e2.getMessage.contains("neither parquet nor HFile"))
+    // a base claiming .hfile whose bytes are NOT an HFile refuses
+    // classified at the trailer, never a crash
+    val (d3, _) = fresh()
+    val mdHoodie3 = new java.io.File(d3, ".hoodie/metadata/.hoodie")
+    val dc3 = mdHoodie3.listFiles()
+      .find(_.getName.endsWith(".deltacommit")).get
+    java.nio.file.Files.write(dc3.toPath,
+      new String(java.nio.file.Files.readAllBytes(dc3.toPath), "UTF-8")
+        .replace(".parquet", ".hfile").getBytes("UTF-8"))
+    val src3 = new java.io.File(d3,
+      ".hoodie/metadata/files").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    assert(src3.renameTo(new java.io.File(src3.getParentFile,
+      src3.getName.replace(".parquet", ".hfile"))))
+    val e3 = intercept[Exception](
+      HudiMeta.metadataFilesAudit(spark, d3).collect())
+    var root3: Throwable = e3
+    while (root3.getCause != null) root3 = root3.getCause
+    assert((root3.isInstanceOf[IllegalArgumentException] ||
+      root3.isInstanceOf[UnsupportedOperationException]) &&
+      root3.getMessage.contains("HFile"), root3.toString)
   }
 }

@@ -300,4 +300,34 @@ class HudiMorMergeSpec extends SparkSpec {
       walked.find(!_.corrupt).get, "/t")
     assert(recs.map(_.get("k")) === Seq(7L))
   }
+
+  test("a declared size below the 32-byte framing minimum is corrupt " +
+      "at the gate, never re-classified downstream") {
+    // magic + size=31: one byte short of version+type+empty header+
+    // contentLen+empty footer+trailer — the r19 ADVICE floor
+    def sized(n: Long): Array[Byte] =
+      HudiLogFormat.Magic ++
+        java.nio.ByteBuffer.allocate(8).putLong(n).array() ++
+        Array.fill[Byte](40)(0)
+    Seq(24L, 31L).foreach { n =>
+      val walked = HudiLogFormat.walkBlocks(sized(n), "/t")
+      assert(walked.nonEmpty && walked.forall(_.corrupt),
+        s"size=$n must be corrupt at the framing gate")
+    }
+  }
+
+  test("a completed replacecommit inside the feed window refuses — " +
+      "clustering outputs are not row changes") {
+    val d = fresh()
+    java.nio.file.Files.write(
+      new java.io.File(d,
+        ".hoodie/20240107000000000.replacecommit").toPath,
+      "{}".getBytes("UTF-8"))
+    val e = intercept[UnsupportedOperationException] {
+      HudiMeta.morIncrementalRows(spark, d, dc1, "20240107000000000")
+    }
+    assert(e.getMessage.contains("replacecommit"))
+    // a window that CLOSES before the replacecommit still feeds
+    assert(HudiMeta.morIncrementalRows(spark, d, dc1, dc3).count() > 0)
+  }
 }

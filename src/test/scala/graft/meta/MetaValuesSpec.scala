@@ -61,7 +61,8 @@ class MetaValuesSpec extends SparkSpec {
       s"global single-partition stage found:\n$plan")
   }
 
-  test("schemaFacts derives levels, physical types and FLBA widths") {
+  test("schemaFacts derives levels, physical types, FLBA widths and " +
+      "logical annotations") {
     val schema =
       """message spark_schema {
         |  required int64 k;
@@ -73,13 +74,18 @@ class MetaValuesSpec extends SparkSpec {
         |    }
         |  }
         |  optional int96 ts;
+        |  optional fixed_len_byte_array(2) h (FLOAT16);
         |}""".stripMargin
     val facts = MetaValues.schemaFacts(schema).map(f => f._1 -> f).toMap
-    assert(facts("k") === ("k", 0, 0, "INT64", 0))
-    assert(facts("s") === ("s", 0, 1, "BYTE_ARRAY", 0)) // thrift name, not BINARY
-    assert(facts("price") === ("price", 0, 1, "FIXED_LEN_BYTE_ARRAY", 9))
-    assert(facts("vals.list.element") === ("vals.list.element", 1, 3, "INT64", 0))
-    assert(facts("ts") === ("ts", 0, 1, "INT96", 0))
+    assert(facts("k") === ("k", 0, 0, "INT64", 0, null))
+    assert(facts("s") === ("s", 0, 1, "BYTE_ARRAY", 0, "STRING")) // thrift name, not BINARY
+    assert(facts("price") ===
+      ("price", 0, 1, "FIXED_LEN_BYTE_ARRAY", 9, "DECIMAL(20,2)"))
+    assert(facts("vals.list.element") ===
+      ("vals.list.element", 1, 3, "INT64", 0, null))
+    assert(facts("ts") === ("ts", 0, 1, "INT96", 0, null))
+    // the r19 half-float annotation routes the dispatcher's FP16 arm
+    assert(facts("h") === ("h", 0, 1, "FIXED_LEN_BYTE_ARRAY", 2, "FLOAT16"))
     // malformed schema refuses into emptiness, not an exception
     assert(MetaValues.schemaFacts("message {").isEmpty)
     assert(MetaValues.schemaFacts(null).isEmpty)
