@@ -2300,6 +2300,25 @@ private[graft] object EntryLakeQueries {
       HudiMeta.metadataFilesAudit(s, out)
     }),
 
+    // HUDI METADATA TABLE, UN-COMPACTED LOGS (r19): the index's
+    // newest listings live in HoodieLogFormat hfile-data blocks whose
+    // content is a complete HFile image — walked with the metadata
+    // table's own timeline rules, decoded by the same HFile reader,
+    // and merged over the base newest-wins per (partition, file).
+    // The fixture's log CATCHES THE INDEX UP (tombstones the stale
+    // entry, adds the lagging one), so the audit comes back fully
+    // clean — an answer only the log merge can produce. Oracle:
+    // footers + the writer contract.
+    "meta_hudi_metadata_hfile_log" -> ((s, dir) => {
+      val out = "/tmp/graft_hudimdhl_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMetadataHFileLogFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+      }
+      HudiMeta.metadataFilesAudit(s, out)
+    }),
+
     // HUDI 1.x TIMELINE (r18): table version 8 — the active timeline
     // under .hoodie/timeline/ with completion-time instant names
     // (<begin>_<end>.commit), the archived-LSM history/ subdirectory
@@ -4118,6 +4137,33 @@ private[graft] object EntryLakeQueries {
         |-- lagging: fid2 declared live but unlisted
         |SELECT 'p=1', 'fid2_0-0-0_20240102000000000.parquet', false,
         |  CAST(NULL AS BIGINT), true, false""".stripMargin,
+
+    "meta_hudi_metadata_hfile_log" ->
+      """WITH fm AS (
+        |  SELECT parse_filename(file_name) AS name,
+        |    CAST(num_rows AS BIGINT) AS nr
+        |  FROM parquet_file_metadata('/tmp/graft_hudimdhl_sf0.01/p=*/*.parquet')
+        |)
+        |-- the log catches the index up: stale entry tombstoned (row
+        |-- gone entirely), lagging fid2 added — all three live files
+        |-- fully matched
+        |SELECT 'p=0' AS partition_path,
+        |  'fid0_0-0-0_20240102000000000.parquet' AS file_name,
+        |  true AS is_listed,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid0_0-0-0_20240102000000000.parquet')
+        |    AS listed_size,
+        |  true AS is_declared, true AS declared_match
+        |UNION ALL
+        |SELECT 'p=0', 'fid1_0-0-0_20240101000000000.parquet', true,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid1_0-0-0_20240101000000000.parquet'),
+        |  true, true
+        |UNION ALL
+        |SELECT 'p=1', 'fid2_0-0-0_20240102000000000.parquet', true,
+        |  (SELECT nr FROM fm
+        |    WHERE name = 'fid2_0-0-0_20240102000000000.parquet'),
+        |  true, true""".stripMargin,
 
     "meta_hudi_v1x_timeline" ->
       """SELECT * FROM (VALUES

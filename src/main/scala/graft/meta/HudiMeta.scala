@@ -1806,26 +1806,75 @@ object HudiMeta extends Serializable {
         |      {"name":"isDeleted","type":"boolean"}]}}],
         |  "default":null}]}""".stripMargin.replace("\n", ""))
 
-  /** `(key, type, filesystemMetadata)` rows decoded from HFILE base
-    * files of the metadata table's `files` partition: one scan task
-    * per file ([[HFile.scanCells]] — trailer → root index →
-    * checksum-verified data blocks → cells), each cell's value an
-    * avro [[MetadataPayloadAvroSchema]] record. A cell whose payload
-    * key disagrees with its HFile row key refuses (index drift inside
-    * the index itself); malformed cells refuse classified. */
-  private def metadataHFileRecords(
-      spark: SparkSession, paths: Seq[String]): DataFrame = {
+  /** The `(key, type, filesystemMetadata)` Spark row shape metadata
+    * records resolve to, base and log sides alike. */
+  private val MetadataRecordSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    import spark.implicits._
-    val sconf = new SerializableHadoopConf(
-      spark.sessionState.newHadoopConf())
-    val outSchema = StructType(Seq(
+    StructType(Seq(
       StructField("key", StringType),
       StructField("type", IntegerType),
       StructField("filesystemMetadata", MapType(StringType,
         StructType(Seq(StructField("size", LongType),
           StructField("isDeleted", BooleanType)))))))
-    val schemaJson = MetadataPayloadAvroSchema.toString
+  }
+
+  /** Decode one HFile image's metadata cells into
+    * `(key, type, filesystemMetadata)` rows: [[HFile.scanCells]] then
+    * an avro [[MetadataPayloadAvroSchema]] decode per value. A cell
+    * whose payload key disagrees with its HFile row key refuses (the
+    * index disagrees with itself); malformed cells refuse
+    * classified. */
+  private def decodeMetadataCells(
+      bytes: Array[Byte], where: String): Seq[org.apache.spark.sql.Row] = {
+    val reader = new org.apache.avro.generic.GenericDatumReader[
+      org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.Schema.Parser()
+        .parse(MetadataPayloadAvroSchema.toString))
+    HFile.scanCells(bytes, where).map { case (row, value) =>
+      val dec = org.apache.avro.io.DecoderFactory.get()
+        .binaryDecoder(value, null)
+      val r =
+        try reader.read(null, dec)
+        catch {
+          case e @ (_: java.io.IOException | _: RuntimeException) =>
+            throw new IllegalArgumentException(
+              s"$where: cell '$row' does not decode as a " +
+                s"HoodieMetadataRecord (${e.getMessage}) — refusing")
+        }
+      val key = String.valueOf(r.get("key"))
+      if (key != row) {
+        throw new IllegalArgumentException(
+          s"$where: cell row '$row' carries payload key '$key' — the " +
+            "index disagrees with itself; refusing")
+      }
+      val fsm = r.get("filesystemMetadata") match {
+        case null => null
+        case m: java.util.Map[_, _] =>
+          import scala.jdk.CollectionConverters._
+          m.asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala.map {
+            case (k, v) =>
+              val vr = v.asInstanceOf[
+                org.apache.avro.generic.GenericRecord]
+              String.valueOf(k) -> org.apache.spark.sql.Row(
+                vr.get("size").asInstanceOf[Long],
+                vr.get("isDeleted").asInstanceOf[Boolean])
+          }.toMap
+        case other => throw new IllegalArgumentException(
+          s"$where: cell '$row' filesystemMetadata is " +
+            s"${other.getClass.getSimpleName} — not the map shape")
+      }
+      org.apache.spark.sql.Row(key, r.get("type").asInstanceOf[Int], fsm)
+    }
+  }
+
+  /** `(key, type, filesystemMetadata)` rows decoded from HFILE base
+    * files of the metadata table's `files` partition — one scan task
+    * per file. */
+  private def metadataHFileRecords(
+      spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val sconf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
     paths.toDS().flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(sconf.value)
@@ -1838,46 +1887,74 @@ object HudiMeta extends Serializable {
       val bytes = new Array[Byte](len.toInt)
       val in = fs.open(path)
       try in.readFully(0, bytes) finally in.close()
-      val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
-      val reader = new org.apache.avro.generic.GenericDatumReader[
-        org.apache.avro.generic.GenericRecord](schema)
-      HFile.scanCells(bytes, p).map { case (row, value) =>
-        val dec = org.apache.avro.io.DecoderFactory.get()
-          .binaryDecoder(value, null)
-        val r =
-          try reader.read(null, dec)
-          catch {
-            case e @ (_: java.io.IOException | _: RuntimeException) =>
-              throw new IllegalArgumentException(
-                s"$p: cell '$row' does not decode as a " +
-                  s"HoodieMetadataRecord (${e.getMessage}) — refusing")
+      decodeMetadataCells(bytes, p)
+    }(org.apache.spark.sql.Encoders.row(MetadataRecordSchema))
+  }
+
+  /** `(key, type, filesystemMetadata, __seq)` rows decoded from the
+    * metadata table's UN-COMPACTED log chains (r19): per file group,
+    * the valid blocks of the version-ordered chain
+    * ([[HudiLogFormat.validBlocks]] against the METADATA table's own
+    * completed deltacommits — rollbacks/uncommitted/corrupt blocks
+    * invisible), each `hfile-data` block's content a complete HFile
+    * image whose cells decode like the base. `__seq` is the chain
+    * position (per-key/per-file resolution is newest-wins, the
+    * HoodieMetadataPayload merge). Avro-data and delete blocks are
+    * not the metadata writer's `files` encoding — refuse by name. */
+  private def metadataHFileLogRecords(
+      spark: SparkSession, mdRootStr: String, groups: DataFrame,
+      completed: Set[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val sconf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val outSchema = StructType(
+      MetadataRecordSchema.fields :+ StructField("__seq", LongType))
+    groups.filter(col("n_logs") > 0)
+      .select(col("file_id"), col("log_paths_csv"),
+        col("declared_log_rows")).as[(String, String, Long)]
+      .flatMap { case (fid, csv, declaredLogRows) =>
+        val conf = sconf.value
+        val root = new Path(mdRootStr)
+        val where = s"$mdRootStr (file group $fid)"
+        val ordered = csv.split(",").filter(_.nonEmpty).toSeq.map { rel =>
+          val name = rel.substring(rel.lastIndexOf('/') + 1)
+          name match {
+            case logNameRe(_, _, ver, _) => (ver.toInt, rel)
+            case _ => throw new IllegalArgumentException(
+              s"$where: unparseable log file name '$name'")
           }
-        val key = String.valueOf(r.get("key"))
-        if (key != row) {
+        }.sortBy(_._1).map(_._2)
+        val chain = ordered.flatMap(rel =>
+          HudiLogFormat.walkFile(new Path(root, rel), conf))
+        val valid = HudiLogFormat.validBlocks(chain, completed, where)
+        // the data-table merge's data-loss rule, restated here: a
+        // wholly-corrupt declared chain means the index's newest
+        // listings are unreachable — refusing beats auditing against
+        // a silently-stale index
+        if (valid.isEmpty && declaredLogRows > 0 &&
+            chain.exists(_.corrupt)) {
           throw new IllegalArgumentException(
-            s"$p: cell row '$row' carries payload key '$key' — the " +
-              "index disagrees with itself; refusing")
+            s"$where: the deltacommits declare $declaredLogRows index " +
+              "records in logs but the chain yields no valid block " +
+              "(all corrupt) — refusing a stale audit")
         }
-        val fsm = r.get("filesystemMetadata") match {
-          case null => null
-          case m: java.util.Map[_, _] =>
-            import scala.jdk.CollectionConverters._
-            m.asInstanceOf[java.util.Map[AnyRef, AnyRef]].asScala.map {
-              case (k, v) =>
-                val vr = v.asInstanceOf[
-                  org.apache.avro.generic.GenericRecord]
-                String.valueOf(k) -> org.apache.spark.sql.Row(
-                  vr.get("size").asInstanceOf[Long],
-                  vr.get("isDeleted").asInstanceOf[Boolean])
-            }.toMap
-          case other => throw new IllegalArgumentException(
-            s"$p: cell '$row' filesystemMetadata is " +
-              s"${other.getClass.getSimpleName} — not the map shape")
+        var seq = 0L
+        valid.flatMap { b =>
+          b.typeOrd match {
+            case HudiLogFormat.HfileDataBlock =>
+              decodeMetadataCells(b.content, where).map { r =>
+                seq += 1
+                org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), seq)
+              }
+            case other => throw new UnsupportedOperationException(
+              s"$where: ${HudiLogFormat.blockTypeName(other)} log " +
+                s"block at offset ${b.offset} — the metadata table's " +
+                "files partition is hfile-data encoded; refusing a " +
+                "partial index merge")
+          }
         }
-        org.apache.spark.sql.Row(key,
-          r.get("type").asInstanceOf[Int], fsm)
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /**
@@ -1895,11 +1972,15 @@ object HudiMeta extends Serializable {
    * lagging index surfaces as `declared_match=false`).
    *
    * Scope gates (each a named refusal, never a wrong audit): the
-   * metadata table must exist; its `files` partition must have no
-   * un-compacted log files (their embedded hfile-data blocks are not
-   * walked — compact first); its base files must be parquet or HFILE
-   * (r19 — the scan-only [[HFile]] reader lifts the r18 refusal; any
-   * other base format refuses by name). Deleted entries and the
+   * metadata table must exist; its base files must be parquet or
+   * HFILE (r19 — the scan-only [[HFile]] reader lifts the r18
+   * refusal; any other base format refuses by name). UN-COMPACTED
+   * LOG CHAINS are walked too (r19): their `hfile-data` blocks'
+   * embedded HFile images decode like the base, merged newest-wins
+   * per (partition, file) — the HoodieMetadataPayload merge — with
+   * rollback/uncommitted/corrupt invisibility from the metadata
+   * table's own timeline; non-hfile log blocks and wholly-corrupt
+   * declared chains refuse by name. Deleted entries and the
    * `__all_partitions__` record (type 1) are filtered per the spec.
    */
   def metadataFilesAudit(spark: SparkSession, table: String): DataFrame = {
@@ -1915,16 +1996,12 @@ object HudiMeta extends Serializable {
     }
     val mdGroups = morFileGroups(spark, mdRoot.toString)
       .filter(col("partition_path") === "files")
-    if (mdGroups.filter(col("n_logs") > 0).limit(1).count() > 0) {
-      throw new UnsupportedOperationException(
-        s"$table: the metadata table's files partition carries " +
-          "un-compacted log files — their blocks are HFile-encoded, " +
-          "which this tier does not decode; compact the metadata " +
-          "table first")
-    }
     // file-group-count-sized driver boundary, same as every pruned read
-    val basePaths = mdGroups.select(col("base_abs_path"))
-      .collect().map(_.getString(0)).toSeq
+    val groupRows = mdGroups
+      .select(col("base_abs_path"), col("n_logs"))
+      .collect()
+    val basePaths = groupRows.map(_.getString(0)).toSeq
+    val hasLogs = groupRows.exists(_.getLong(1) > 0)
     if (basePaths.isEmpty) {
       throw new IllegalArgumentException(
         s"$table: the metadata table declares no files partition — " +
@@ -1959,9 +2036,23 @@ object HudiMeta extends Serializable {
       else Some(metadataHFileRecords(spark, hfilePaths))
     val records = (fromParquet.toSeq ++ fromHfile.toSeq)
       .reduce(_ unionByName _)
-    val listed = records.filter(col("type") === 2)
-      .select(col("key").as("partition_path"),
+      .withColumn("__seq", lit(0L))
+    // UN-COMPACTED metadata logs (r19): the chains' hfile-data blocks
+    // carry the index's newest listings — merged over the base
+    // newest-wins PER (partition, file), the HoodieMetadataPayload
+    // merge (a log record's map combines into the base record's, it
+    // never erases other files' entries)
+    val withLogs =
+      if (!hasLogs) records
+      else records.unionByName(metadataHFileLogRecords(spark,
+        mdRoot.toString, mdGroups,
+        completedMorInstants(mdRoot, timeline(mdRoot, conf), None)
+          .map(_.instant).toSet))
+    val listed = withLogs.filter(col("type") === 2)
+      .select(col("key").as("partition_path"), col("__seq"),
         explode(col("filesystemMetadata")).as(Seq("file_name", "info")))
+      .groupBy(col("partition_path"), col("file_name"))
+      .agg(max_by(col("info"), col("__seq")).as("info"))
       .filter(!col("info.isDeleted"))
       .select(col("partition_path"), col("file_name"),
         col("info.size").as("listed_size"),
@@ -2616,6 +2707,81 @@ object HudiMeta extends Serializable {
     java.nio.file.Files.write(
       new java.io.File(mdHoodie, s"$mdInstant.deltacommit.inflight").toPath,
       Array.empty[Byte])
+    rows
+  }
+
+  /**
+   * [[writeHudiMetadataHFileFixtureTable]] plus an UN-COMPACTED
+   * metadata LOG (r19): a second metadata deltacommit appends a log
+   * file to the files-0000 slice whose single `hfile-data` block
+   * carries the index CATCHING UP — a p=0 record tombstoning the
+   * stale fid0-c1 entry (isDeleted) and a p=1 record adding the
+   * previously-lagging fid2 — followed by a garbage tail (a failed
+   * append the walk must skip). The merged audit is therefore fully
+   * clean: three rows, all matched; the stale row disappears
+   * entirely (tombstoned AND undeclared). Returns the data table's
+   * rows per relative base-file path.
+   */
+  def writeHudiMetadataHFileLogFixtureTable(
+      spark: SparkSession, dir: String, docs: DataFrame): Map[String, Long] = {
+    val rows = writeHudiMetadataHFileFixtureTable(spark, dir, docs)
+    val (c1, c2) = ("20240101000000000", "20240102000000000")
+    val mdRoot = new java.io.File(dir, ".hoodie/metadata")
+    val mdHoodie = new java.io.File(mdRoot, ".hoodie")
+    val baseInstant = "20240102000001000"
+    val mdInstant2 = "20240102000002000"
+    def payload(key: String,
+        files: Seq[(String, Long, Boolean)]): Array[Byte] = {
+      val r = new org.apache.avro.generic.GenericData.Record(
+        MetadataPayloadAvroSchema)
+      r.put("key", key)
+      r.put("type", 2)
+      val m = new java.util.HashMap[String, AnyRef]()
+      val infoSchema = MetadataPayloadAvroSchema
+        .getField("filesystemMetadata").schema().getTypes.get(1)
+        .getValueType
+      files.foreach { case (n, size, deleted) =>
+        val fr = new org.apache.avro.generic.GenericData.Record(infoSchema)
+        fr.put("size", java.lang.Long.valueOf(size))
+        fr.put("isDeleted", java.lang.Boolean.valueOf(deleted))
+        m.put(n, fr)
+      }
+      r.put("filesystemMetadata", m)
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get()
+        .binaryEncoder(bos, null)
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](MetadataPayloadAvroSchema)
+        .write(r, enc)
+      enc.flush()
+      bos.toByteArray
+    }
+    val img = HFile.write(Seq(
+      "p=0" -> payload("p=0",
+        Seq((s"fid0_0-0-0_$c1.parquet", 77L, true))),
+      "p=1" -> payload("p=1",
+        Seq((s"fid2_0-0-0_$c2.parquet",
+          rows(s"p=1/fid2_0-0-0_$c2.parquet"), false)))),
+      perBlock = 2)
+    import HudiLogFormat._
+    val logRel = s"files/.files-0000_$baseInstant.log.1_0-0-0"
+    val logBytes = frameBlock(HfileDataBlock,
+        Map(InstantTime -> mdInstant2), img) ++
+      Array.tabulate[Byte](17)(i => (i % 5 + 1).toByte)
+    val dst = new java.io.File(mdRoot, logRel)
+    java.nio.file.Files.write(dst.toPath, logBytes)
+    java.nio.file.Files.write(
+      new java.io.File(mdHoodie, s"$mdInstant2.deltacommit").toPath,
+      (s"""{"partitionToWriteStats":{"files":[{"fileId":"files-0000",""" +
+        s""""path":"$logRel","numWrites":2,"numDeletes":1,""" +
+        s""""numInserts":0,"numUpdateWrites":2,""" +
+        s""""totalWriteBytes":${dst.length()},""" +
+        s""""partitionPath":"files"}]},"operationType":"upsert"}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(new java.io.File(mdHoodie,
+      s"$mdInstant2.deltacommit.requested").toPath, Array.empty[Byte])
+    java.nio.file.Files.write(new java.io.File(mdHoodie,
+      s"$mdInstant2.deltacommit.inflight").toPath, Array.empty[Byte])
     rows
   }
 

@@ -93,6 +93,63 @@ class HFileSpec extends SparkSpec {
     assert(refused > 0)
   }
 
+  test("un-compacted metadata logs MERGE: the hfile-data block's " +
+      "image tombstones the stale entry and adds the lagging one") {
+    val docs = spark.read.parquet(sf("0.001") + "/documents.parquet")
+    val d = Files.createTempDirectory("graft_hudimdhlog").toString + "/tbl"
+    val rows = HudiMeta.writeHudiMetadataHFileLogFixtureTable(
+      spark, d, docs)
+    val (c1, c2) = ("20240101000000000", "20240102000000000")
+    val got = HudiMeta.metadataFilesAudit(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getBoolean(2),
+          if (r.isNullAt(3)) null
+          else java.lang.Long.valueOf(r.getLong(3)),
+          r.getBoolean(4), r.getBoolean(5)))).toMap
+    // fully clean: the stale fid0-c1 row is GONE (tombstoned and
+    // undeclared), fid2 now listed — three matched rows
+    assert(got === Map(
+      ("p=0", s"fid0_0-0-0_$c2.parquet") ->
+        ((true,
+          java.lang.Long.valueOf(rows(s"p=0/fid0_0-0-0_$c2.parquet")),
+          true, true)),
+      ("p=0", s"fid1_0-0-0_$c1.parquet") ->
+        ((true,
+          java.lang.Long.valueOf(rows(s"p=0/fid1_0-0-0_$c1.parquet")),
+          true, true)),
+      ("p=1", s"fid2_0-0-0_$c2.parquet") ->
+        ((true,
+          java.lang.Long.valueOf(rows(s"p=1/fid2_0-0-0_$c2.parquet")),
+          true, true))), got.toString)
+    // a non-hfile log block refuses by name (the metadata table's
+    // files partition is hfile-data encoded)
+    val logRel = "files/.files-0000_20240102000001000.log.2_0-0-0"
+    import HudiLogFormat._
+    java.nio.file.Files.write(
+      new java.io.File(d, ".hoodie/metadata/" + logRel).toPath,
+      frameBlock(DeleteBlock,
+        Map(InstantTime -> "20240102000003000"),
+        deleteContent(Seq("p=0"))))
+    val mdHoodie = new java.io.File(d, ".hoodie/metadata/.hoodie")
+    Seq("20240102000003000.deltacommit.requested",
+      "20240102000003000.deltacommit.inflight").foreach { n =>
+      java.nio.file.Files.write(new java.io.File(mdHoodie, n).toPath,
+        Array.empty[Byte])
+    }
+    java.nio.file.Files.write(
+      new java.io.File(mdHoodie, "20240102000003000.deltacommit").toPath,
+      (s"""{"partitionToWriteStats":{"files":[{"fileId":"files-0000",""" +
+        s""""path":"$logRel","numWrites":1,"numDeletes":1,""" +
+        s""""numInserts":0,"totalWriteBytes":1,""" +
+        s""""partitionPath":"files"}]},"operationType":"upsert"}""")
+        .getBytes("UTF-8"))
+    val e = intercept[Exception](
+      HudiMeta.metadataFilesAudit(spark, d).collect())
+    var root: Throwable = e
+    while (root.getCause != null) root = root.getCause
+    assert(root.getMessage.contains("hfile-data encoded"), root.toString)
+  }
+
   test("the metadata-table audit reads an HFILE files partition: " +
       "matches, the stale entry and the lagging index flagged") {
     val docs = spark.read.parquet(sf("0.001") + "/documents.parquet")

@@ -122,7 +122,9 @@ class HudiMetadataTableSpec extends SparkSpec {
     val e0 = intercept[IllegalArgumentException](
       HudiMeta.metadataFilesAudit(spark, d0))
     assert(e0.getMessage.contains("no .hoodie/metadata"))
-    // a declared log on the files partition refuses by encoding name
+    // a declared metadata log whose chain is WHOLLY CORRUPT refuses
+    // (r19: valid hfile-data logs MERGE instead — see HFileSpec; a
+    // declared-but-unreachable chain means a silently-stale index)
     val (d1, _) = fresh()
     val mdHoodie = new java.io.File(d1, ".hoodie/metadata/.hoodie")
     val dc = mdHoodie.listFiles().find(_.getName.endsWith(".deltacommit")).get
@@ -137,9 +139,11 @@ class HudiMetadataTableSpec extends SparkSpec {
         s""""path":"$logRel","numWrites":1,"numDeletes":0,""" +
         s""""numInserts":0,"totalWriteBytes":6,"partitionPath":"files"},""")
       .getBytes("UTF-8"))
-    val e1 = intercept[UnsupportedOperationException](
-      HudiMeta.metadataFilesAudit(spark, d1))
-    assert(e1.getMessage.contains("HFile"))
+    val e1 = intercept[Exception](
+      HudiMeta.metadataFilesAudit(spark, d1).collect())
+    var root1: Throwable = e1
+    while (root1.getCause != null) root1 = root1.getCause
+    assert(root1.getMessage.contains("no valid block"), root1.toString)
     // an UNKNOWN base format refuses by name (hfile is supported
     // since r19, so the unknown-format probe uses .orc)
     val (d2, _) = fresh()
