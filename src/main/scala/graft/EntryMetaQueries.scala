@@ -669,6 +669,17 @@ private[graft] object EntryMetaQueries {
       val out = "/tmp/graft_fp16_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       Fp16Fixture.writeFp16Table(s, out, s.read.parquet(pq(dir, "documents")))
+      val statF16 = (c: Column) => ColumnBridge.column(
+        graft.functions.PlainStatDouble(ColumnBridge.expression(c),
+          ColumnBridge.expression(lit("FLOAT16"))))
+      // the FOOTER's own fixed(2) statistics, decoded by the same
+      // half-float arithmetic — they must agree with the page walk
+      val stats = meta(s, out, "column")
+        .filter(col("path") === "h")
+        .agg(min(statF16(col("statistics.min_value")))
+            .cast("double").as("smn"),
+          max(statF16(col("statistics.max_value")))
+            .cast("double").as("smx"))
       MetaValues.decodePages(s, out)
         .filter(col("path") === "h" &&
           col("page_type").startsWith("DATA_PAGE"))
@@ -677,6 +688,7 @@ private[graft] object EntryMetaQueries {
           max(col("decoded.dmx")).cast("double").as("mx"),
           count(when(col("decoded").isNull, 1)).cast("long")
             .as("n_undecoded"))
+        .crossJoin(stats)
     }),
 
     // ZERO-KNOWLEDGE whole-table decode: MetaValues.decodePages derives
@@ -2032,7 +2044,9 @@ private[graft] object EntryMetaQueries {
         |SELECT CAST(count(*) AS BIGINT) AS n_vals,
         |  CAST(min(doc_id % 512) + 0.5 AS DOUBLE) AS mn,
         |  CAST(max(doc_id % 512) + 0.5 AS DOUBLE) AS mx,
-        |  CAST(0 AS BIGINT) AS n_undecoded
+        |  CAST(0 AS BIGINT) AS n_undecoded,
+        |  CAST(min(doc_id % 512) + 0.5 AS DOUBLE) AS smn,
+        |  CAST(max(doc_id % 512) + 0.5 AS DOUBLE) AS smx
         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
 
     "meta_decode_table" ->

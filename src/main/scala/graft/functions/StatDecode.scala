@@ -114,6 +114,7 @@ case class PlainStatDouble(left: Expression, right: Expression)
 object PlainStatDouble {
   private val FLOAT = UTF8String.fromString("FLOAT")
   private val DOUBLE = UTF8String.fromString("DOUBLE")
+  private val FLOAT16 = UTF8String.fromString("FLOAT16")
 
   def compute(bytes: Array[Byte], tpe: UTF8String): java.lang.Double =
     if (tpe.equals(DOUBLE) && bytes.length >= 8) {
@@ -122,6 +123,12 @@ object PlainStatDouble {
     } else if (tpe.equals(FLOAT) && bytes.length >= 4) {
       java.lang.Double.valueOf(
         ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getFloat.toDouble)
+    } else if (tpe.equals(FLOAT16) && bytes.length >= 2) {
+      // the FLOAT16 logical type's fixed(2) statistic, little-endian
+      // binary16 (r19) — callers name it by the LOGICAL type (the
+      // physical FIXED_LEN_BYTE_ARRAY bytes are ambiguous alone)
+      java.lang.Double.valueOf(Fp16.halfToFloat(
+        (bytes(0) & 0xff) | ((bytes(1) & 0xff) << 8)).toDouble)
     } else null
 }
 

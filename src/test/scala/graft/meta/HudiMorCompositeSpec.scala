@@ -88,6 +88,36 @@ class HudiMorCompositeSpec extends SparkSpec {
       "fid1" -> baseRows.count(_._1 % 2 == 1).toLong))
   }
 
+  test("composite keys COMPOSE with precombine ordering: the ordered " +
+      "update beats the later delete on the same composite key") {
+    val d = fresh()
+    val props = new java.io.File(d, ".hoodie/hoodie.properties")
+    java.nio.file.Files.write(props.toPath,
+      (new String(java.nio.file.Files.readAllBytes(props.toPath),
+        "UTF-8") + "hoodie.table.precombine.field=n_chars\n")
+        .getBytes("UTF-8"))
+    val got = HudiMeta.morMergedRows(spark, d).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null
+        else java.lang.Long.valueOf(r.getLong(2)))).toSet
+    val expected = baseRows.flatMap { case (id, l, n) =>
+      if (id % 2 == 1) Some((id, l, n))
+      else if (id % 20 == 0) {
+        // the update's ordering value is n+1000 (null stays null);
+        // a non-null ordering beats the delete's null one even on
+        // the %100 overlap keys — they RESURRECT under precombine
+        if (n != null) {
+          Some((id, l, java.lang.Long.valueOf(n + 1000L)))
+        } else if (id % 50 == 0) None // null-vs-null: later delete wins
+        else Some((id, l, null: java.lang.Long))
+      }
+      else if (id % 50 == 0) None
+      else Some((id, l, n))
+    }.toSet
+    assert(got === expected)
+  }
+
   test("a key field missing from the base columns refuses by name") {
     val d = fresh()
     val props = new java.io.File(d, ".hoodie/hoodie.properties")
