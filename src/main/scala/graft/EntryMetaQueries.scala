@@ -691,6 +691,33 @@ private[graft] object EntryMetaQueries {
         .crossJoin(stats)
     }),
 
+    // VARIANT SHRED CENSUS (r19): per shredded-variant field, how the
+    // writer actually routed rows — typed leaf vs residual value leaf
+    // vs missing — from column-chunk footer facts alone (zero page
+    // I/O). The fixture's 'n' is always a number (fully typed), 'm'
+    // is mixed number/string (no typed leaf — all residual) and
+    // missing on the %5 rows. Oracle: the same routing in closed form
+    // over the documents table.
+    "meta_variant_shred" -> ((s, dir) => {
+      val out = "/tmp/graft_varshred_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      val js = when(col("doc_id") % 5 === 0,
+          concat(lit("{\"n\":"), col("doc_id").cast("string"), lit("}")))
+        .otherwise(when(col("doc_id") % 3 === 0,
+          concat(lit("{\"n\":"), col("doc_id").cast("string"),
+            lit(",\"m\":"), col("doc_id").cast("string"), lit("}")))
+        .otherwise(concat(lit("{\"n\":"), col("doc_id").cast("string"),
+          lit(",\"m\":\"s\"}"))))
+      s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), parse_json(js).as("v"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(out)
+      MetaValues.variantShredCensus(s, out)
+        .select(col("variant_path"), col("field"), col("shape"),
+          col("n_rows"), col("n_typed"), col("n_residual"),
+          col("n_missing"))
+    }),
+
     // ZERO-KNOWLEDGE whole-table decode: MetaValues.decodePages derives
     // every schema fact (max rep/def levels, physical types, FLBA
     // widths) from each file's OWN footer schema string via parquet's
@@ -2048,6 +2075,27 @@ private[graft] object EntryMetaQueries {
         |  CAST(min(doc_id % 512) + 0.5 AS DOUBLE) AS smn,
         |  CAST(max(doc_id % 512) + 0.5 AS DOUBLE) AS smx
         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+
+    "meta_variant_shred" ->
+      """SELECT 'v' AS variant_path, '' AS field, 'root' AS shape,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(NULL AS BIGINT) AS n_typed,
+        |  CAST(0 AS BIGINT) AS n_residual,
+        |  CAST(NULL AS BIGINT) AS n_missing
+        |FROM documents
+        |UNION ALL
+        |-- m: mixed number/string -> no typed leaf, residual where
+        |-- present, missing on the %5 rows
+        |SELECT 'v', 'm', 'scalar', CAST(count(*) AS BIGINT),
+        |  CAST(NULL AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE doc_id % 5 <> 0) AS BIGINT),
+        |  CAST(count(*) FILTER (WHERE doc_id % 5 = 0) AS BIGINT)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'v', 'n', 'scalar', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |FROM documents""".stripMargin,
 
     "meta_decode_table" ->
       """SELECT CAST(count(k) AS BIGINT) AS k_n,

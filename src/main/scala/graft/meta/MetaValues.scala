@@ -294,6 +294,118 @@ object MetaValues {
     }
   }
 
+  /** Dot paths of VARIANT-annotated groups in a parquet schema string
+    * — the shredded variant roots (Spark 4 writes
+    * `group v (VARIANT(1)) { metadata, value, typed_value {...} }`).
+    * Malformed schemas yield empty, the [[schemaFacts]] contract. */
+  def variantRoots(schema: String): Seq[String] = {
+    if (schema == null) return Seq.empty
+    try {
+      val mt =
+        org.apache.parquet.schema.MessageTypeParser.parseMessageType(schema)
+      def walk(g: org.apache.parquet.schema.GroupType,
+          prefix: Seq[String]): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        g.getFields.asScala.toSeq.flatMap {
+          case sub: org.apache.parquet.schema.GroupType =>
+            val p = prefix :+ sub.getName
+            val here = sub.getLogicalTypeAnnotation match {
+              case _: org.apache.parquet.schema.LogicalTypeAnnotation.VariantLogicalTypeAnnotation =>
+                Seq(p.mkString("."))
+              case _ => Seq.empty
+            }
+            here ++ walk(sub, p)
+          case _ => Seq.empty
+        }
+      }
+      walk(mt, Seq.empty)
+    } catch {
+      case _: Exception => Seq.empty
+    }
+  }
+
+  /**
+   * VARIANT SHRED CENSUS at footer cost (r19): for every shredded
+   * VARIANT column, how the writer actually routed each row — per
+   * DIRECT field of the shred tree, `n_typed` (rows in the field's
+   * typed leaf), `n_residual` (rows falling back to the field's
+   * binary `value` leaf — type didn't match the shred schema), and
+   * `n_missing` (field absent from the row); plus one root row
+   * (`field = ''`) whose `n_residual` counts rows the OBJECT
+   * STRUCTURE itself failed to shred. All from column-chunk
+   * `num_values`/`null_count` footer facts — ZERO page I/O: on a
+   * 100 TB corpus of variant-typed metadata this answers "is the
+   * shred schema still matching the data" from footers alone, the
+   * drift signal that decides a re-shred. Fields with NESTED shred
+   * subtrees report `shape='nested'` with null counts (their
+   * accounting lives a level down); a field with no typed leaf
+   * (mixed-type data — the writer shredded nothing) reports null
+   * `n_typed`. Missing statistics propagate null ("no evidence"),
+   * never zeros. One row per (file, variant column, field).
+   */
+  def variantShredCensus(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val roots = spark.read.format("metadata")
+      .option("level", "file").option("source", "parquet").load(path)
+      .select(col("filepath"), col("schema")).as[(String, String)]
+      .flatMap { case (fp, sch) => variantRoots(sch).map(r => (fp, r)) }
+      .toDF("filepath", "variant_path")
+    val cols = spark.read.format("metadata")
+      .option("level", "column").load(path)
+      .select(col("filepath"), col("path"), col("num_values"),
+        col("statistics.null_count").as("nulls"))
+    val joined = cols.join(broadcast(roots), Seq("filepath"))
+      .filter(col("path").startsWith(concat(col("variant_path"), lit("."))))
+      .withColumn("rem",
+        expr("substring(path, length(variant_path) + 2)"))
+      .withColumn("nonnull", col("num_values") - col("nulls"))
+    val nRows = joined.filter(col("rem") === "metadata")
+      .groupBy(col("filepath"), col("variant_path"))
+      .agg(sum(col("num_values")).as("n_rows"))
+    val rootRows = joined.filter(col("rem") === "value")
+      .groupBy(col("filepath"), col("variant_path"))
+      .agg(sum(col("nonnull")).as("n_residual"))
+      .select(col("filepath"), col("variant_path"), lit("").as("field"),
+        lit("root").as("shape"), lit(null).cast("long").as("n_typed"),
+        col("n_residual"))
+    val fieldLeaves = joined.filter(col("rem").startsWith("typed_value."))
+      .withColumn("rest", expr("substring(rem, 13)"))
+      .withColumn("parts", split(col("rest"), "\\."))
+      .withColumn("field", element_at(col("parts"), 1))
+    val scalar = fieldLeaves.filter(size(col("parts")) === 2 &&
+      (element_at(col("parts"), 2) === "value" ||
+        element_at(col("parts"), 2) === "typed_value"))
+    val nested = fieldLeaves.filter(size(col("parts")) =!= 2)
+      .select(col("filepath"), col("variant_path"), col("field"))
+      .distinct()
+      .withColumn("nested", lit(true))
+    val fieldRows = scalar
+      .groupBy(col("filepath"), col("variant_path"), col("field"))
+      .agg(
+        sum(when(element_at(col("parts"), 2) === "typed_value",
+          col("nonnull"))).as("n_typed"),
+        sum(when(element_at(col("parts"), 2) === "value",
+          col("nonnull"))).as("n_residual"))
+      .join(nested, Seq("filepath", "variant_path", "field"),
+        "full_outer")
+      .select(col("filepath"), col("variant_path"), col("field"),
+        when(coalesce(col("nested"), lit(false)), lit("nested"))
+          .otherwise(lit("scalar")).as("shape"),
+        when(coalesce(col("nested"), lit(false)),
+          lit(null).cast("long")).otherwise(col("n_typed")).as("n_typed"),
+        when(coalesce(col("nested"), lit(false)),
+          lit(null).cast("long")).otherwise(col("n_residual"))
+          .as("n_residual"))
+    rootRows.unionByName(fieldRows)
+      .join(nRows, Seq("filepath", "variant_path"))
+      .select(col("filepath"), col("variant_path"), col("field"),
+        col("shape"), col("n_rows"), col("n_typed"), col("n_residual"),
+        when(col("shape") === "scalar",
+          col("n_rows") - coalesce(col("n_typed"), lit(0L)) -
+            coalesce(col("n_residual"), lit(0L)))
+          .otherwise(lit(null).cast("long")).as("n_missing"))
+  }
+
   /**
    * Every page of every column of `path`, decoded: the page level's rows
    * plus `path`, `type`, and a `decoded` struct
