@@ -153,6 +153,33 @@ class HudiCowDiffSpec extends SparkSpec {
       .map(_.getName) === Some("w.parquet"))
   }
 
+  test("the slice diff COMPOSES with composite record keys: " +
+      "record_key carries the two-field rendering") {
+    val d = fresh()
+    val props = new java.io.File(d, ".hoodie/hoodie.properties")
+    val body = new String(
+      java.nio.file.Files.readAllBytes(props.toPath), "UTF-8")
+    java.nio.file.Files.write(props.toPath,
+      body.replace("recordkey.fields=doc_id",
+        "recordkey.fields=doc_id,lang").getBytes("UTF-8"))
+    val got = HudiMeta.cowIncrementalRows(spark, d, c1, c2)
+      .select(col("change_type"), col("record_key")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    def render(id: Long, lang: String): String =
+      s"doc_id:$id,lang:${
+        if (lang == null) "__null__"
+        else if (lang.isEmpty) "__empty__" else lang}"
+    val expected = (rows.filter(r =>
+        r._1 % 12 == 0 && r._1 % 15 != 0).map { case (id, l, _) =>
+        ("upsert", render(id, l))
+      } ++ rows.filter(_._1 % 3 == 2).map { case (id, l, _) =>
+        ("upsert", render(id, l))
+      } ++ rows.filter(_._1 % 15 == 0).map { case (id, l, _) =>
+        ("delete", render(id, l))
+      }).toSet
+    assert(got === expected)
+  }
+
   test("refusals: clustering in window; cleaned diff baseline") {
     val d = fresh()
     // a completed replacecommit inside the window
