@@ -93,6 +93,32 @@ class HFileSpec extends SparkSpec {
     assert(refused > 0)
   }
 
+  test("corruption fuzz, v3 protobuf trailer: 400 seeded flips in the " +
+      "trailer region refuse classified or scan clean") {
+    val bytes = HFile.write(cells(6), perBlock = 2, majorVersion = 3)
+    val rnd = new scala.util.Random(23L)
+    var refused = 0
+    (1 to 400).foreach { i =>
+      val bad = bytes.clone()
+      // bias the flips into the trailer region (the PB parser's
+      // attack surface), but let a third land anywhere
+      val pos =
+        if (i % 3 == 0) rnd.nextInt(bad.length)
+        else bad.length - HFile.V3TrailerSize + rnd.nextInt(
+          HFile.V3TrailerSize)
+      bad(pos) = (bad(pos) ^ (1 + rnd.nextInt(255))).toByte
+      try {
+        HFile.scanCells(bad, s"/fuzz3-$i")
+      } catch {
+        case _: IllegalArgumentException |
+            _: UnsupportedOperationException => refused += 1
+        case e: Throwable =>
+          fail(s"flip at $pos escaped the classified contract: $e")
+      }
+    }
+    assert(refused > 0)
+  }
+
   test("un-compacted metadata logs MERGE: the hfile-data block's " +
       "image tombstones the stale entry and adds the lagging one") {
     val docs = spark.read.parquet(sf("0.001") + "/documents.parquet")
