@@ -2284,6 +2284,34 @@ private[graft] object EntryLakeQueries {
       HudiMeta.metadataFilesAudit(s, out)
     }),
 
+    // HUDI MOR CLEAN PLAN (r19): the cleaner question for merge-on-
+    // read — a compaction's new base supersedes fid0's old slice, and
+    // the reclaim plan takes the slice's ATTACHED LOG CHAIN with it
+    // (a log whose base is reclaimed serves no reader); single-slice
+    // groups are untouched. Oracle: the writer contract in closed
+    // form.
+    "meta_hudi_mor_clean" -> ((s, dir) => {
+      val out = "/tmp/graft_hudimorclean_" +
+        new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+      fixtureOnce(out) {
+        HudiMeta.writeHudiMorFixtureTable(
+          s, out, s.read.parquet(pq(dir, "documents")))
+        val dc1 = "20240101000000000"
+        val dc4 = "20240104010000000"
+        val newRel = s"p=0/fid0_0-0-0_$dc4.parquet"
+        java.nio.file.Files.copy(
+          new java.io.File(out, s"p=0/fid0_0-0-0_$dc1.parquet").toPath,
+          new java.io.File(out, newRel).toPath)
+        java.nio.file.Files.write(
+          new java.io.File(out, s".hoodie/$dc4.commit").toPath,
+          (s"""{"partitionToWriteStats":{"p=0":[{"fileId":"fid0",""" +
+            s""""path":"$newRel","numWrites":7,"totalWriteBytes":1,""" +
+            s""""partitionPath":"p=0"}]},"operationType":"compact"}""")
+            .getBytes("UTF-8"))
+      }
+      HudiMeta.morCleanPlan(s, out, 1)
+    }),
+
     // HUDI METADATA TABLE, HFILE BASE (r19): the same files-partition
     // audit when the index's base file is a real HFILE (the format
     // Hudi's metadata writer defaults to) — trailer, root index,
@@ -4110,6 +4138,21 @@ private[graft] object EntryLakeQueries {
         |-- lagging: fid2 declared live but unlisted
         |SELECT 'p=1', 'fid2_0-0-0_20240102000000000.parquet', false,
         |  CAST(NULL AS BIGINT), true, false""".stripMargin,
+
+    "meta_hudi_mor_clean" ->
+      """SELECT 'fid0' AS file_id, 'p=0' AS partition_path,
+        |  'p=0/fid0_0-0-0_20240101000000000.parquet' AS path,
+        |  false AS is_log, '20240101000000000' AS base_instant,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |    WHERE doc_id % 3 = 0) AS declared_rows,
+        |  'superseded' AS reason
+        |UNION ALL
+        |SELECT 'fid0', 'p=0', 'p=0/.fid0_20240101000000000.log.1_0-0-0',
+        |  true, '20240101000000000', CAST(3 AS BIGINT), 'superseded'
+        |UNION ALL
+        |SELECT 'fid0', 'p=0', 'p=0/.fid0_20240101000000000.log.2_0-0-0',
+        |  true, '20240101000000000', CAST(2 AS BIGINT), 'superseded'"""
+        .stripMargin,
 
     "meta_hudi_metadata_hfile" ->
       """WITH fm AS (

@@ -663,6 +663,67 @@ object HudiMeta extends Serializable {
   }
 
   /**
+   * MOR CLEAN PLAN at metadata cost (r19) — the cleaner question for
+   * MERGE-ON-READ: per file group, every declared BASE slice past the
+   * newest `retainVersions` is reclaimable ('superseded' — a
+   * compaction's new base supersedes it) AND TAKES ITS ATTACHED LOG
+   * CHAIN WITH IT (logs join their base slice by `(file_id,
+   * base_instant)` — a log whose base is reclaimed serves no reader);
+   * every slice of a group a completed `replacecommit` killed is
+   * reclaimable outright ('replaced' — clustering's own cleanup
+   * class). One row per reclaimable file, base or log:
+   * `(file_id, partition_path, path, is_log, base_instant,
+   * declared_rows, reason)`. `retainVersions < 1` refuses (a plan
+   * reclaiming the LIVE slice destroys the table). Undeclared files
+   * are never planned — the cleaner only touches what commits wrote
+   * ([[orphanReport]] owns the rest).
+   */
+  def morCleanPlan(
+      spark: SparkSession, table: String,
+      retainVersions: Int): DataFrame = {
+    if (retainVersions < 1) {
+      throw new IllegalArgumentException(
+        s"$table: retainVersions=$retainVersions would reclaim live " +
+          "slices — refusing")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val conf = spark.sessionState.newHadoopConf()
+    val root = qualified(table, conf)
+    val replaced = replacedGroups(root, conf,
+      completedMorInstants(root, timeline(root, conf), None)
+        .filter(_.action == "replacecommit")).keySet.toSeq
+    val w = morDeclaredWrites(spark, table, None)
+    val (replacedWrites, liveGroupWrites) =
+      if (replaced.isEmpty) (None, w)
+      else (Some(w.filter(col("file_id").isInCollection(replaced))),
+        w.filter(!col("file_id").isInCollection(replaced)))
+    val bases = liveGroupWrites.filter(!col("is_log"))
+      .withColumn("newer",
+        row_number().over(Window.partitionBy(col("file_id"))
+          .orderBy(col("instant_time").desc)))
+    val reclaimBases = bases.filter(col("newer") > retainVersions)
+      .select(col("file_id"), col("partition_path"), col("path"),
+        col("is_log"), col("base_instant"), col("declared_rows"))
+    // the reclaimed slices' log chains ride along — the semi join's
+    // build side is (reclaimed-slice)-sized, broadcast
+    val reclaimLogs = liveGroupWrites.filter(col("is_log"))
+      .join(broadcast(reclaimBases
+          .select(col("file_id"), col("base_instant"))),
+        Seq("file_id", "base_instant"), "left_semi")
+      .select(col("file_id"), col("partition_path"), col("path"),
+        col("is_log"), col("base_instant"), col("declared_rows"))
+    val superseded = reclaimBases.unionByName(reclaimLogs)
+      .withColumn("reason", lit("superseded"))
+    replacedWrites match {
+      case None => superseded
+      case Some(rw) => superseded.unionByName(
+        rw.select(col("file_id"), col("partition_path"), col("path"),
+          col("is_log"), col("base_instant"), col("declared_rows"))
+          .withColumn("reason", lit("replaced")))
+    }
+  }
+
+  /**
    * ORPHAN report — base files ON DISK that no completed commit
    * declares (failed-write leftovers; the timeline-filtered live view
    * never reads them, but they cost storage until removed): the

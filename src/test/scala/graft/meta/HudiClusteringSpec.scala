@@ -73,4 +73,19 @@ class HudiClusteringSpec extends SparkSpec {
     val (d, _) = fresh()
     assert(HudiMeta.orphanReport(spark, d).count() === 0L)
   }
+
+  test("morCleanPlan: replaced groups reclaim outright; live groups " +
+      "only past the retained versions; retain<1 refuses") {
+    val (d, _) = fresh()
+    val got = HudiMeta.morCleanPlan(spark, d, 1).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(6))).toSet
+    // fid0+fid1 died to rc3's clustering — every slice reclaims as
+    // 'replaced'; fid2 (single live slice) and fid3 (the clustering
+    // output, newest of its group) are untouched
+    assert(got.map(_._1) === Set("fid0", "fid1"))
+    assert(got.forall(_._3 == "replaced"))
+    intercept[IllegalArgumentException] {
+      HudiMeta.morCleanPlan(spark, d, 0)
+    }
+  }
 }

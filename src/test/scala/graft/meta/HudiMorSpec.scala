@@ -110,6 +110,14 @@ class HudiMorSpec extends SparkSpec {
     // logs attached to the dc1 slice drop out with it
     assert(f0.getAs[Long]("n_logs") === 0L)
     assert(f0.getAs[String]("log_paths_csv") === "")
+    // ... and the MOR clean plan reclaims exactly the superseded
+    // slice PLUS its stranded log chain (r19)
+    val plan = HudiMeta.morCleanPlan(spark, d, 1).collect()
+      .map(r => (r.getString(2), r.getBoolean(3), r.getString(6))).toSet
+    assert(plan === Set(
+      (s"p=0/fid0_0-0-0_$dc1.parquet", false, "superseded"),
+      (s"p=0/.fid0_$dc1.log.1_0-0-0", true, "superseded"),
+      (s"p=0/.fid0_$dc1.log.2_0-0-0", true, "superseded")))
   }
 
   test("incremental pull windows deltacommits exactly, logs included") {
