@@ -653,6 +653,9 @@ object HudiMeta extends Serializable {
           "slices — refusing")
     }
     import org.apache.spark.sql.expressions.Window
+    requireNoSavepoints(
+      qualified(table, spark.sessionState.newHadoopConf()),
+      spark.sessionState.newHadoopConf(), "a clean plan")
     declaredSlices(spark, table, None)
       .withColumn("newer",
         row_number().over(Window.partitionBy(col("file_id"))
@@ -689,6 +692,7 @@ object HudiMeta extends Serializable {
     import org.apache.spark.sql.expressions.Window
     val conf = spark.sessionState.newHadoopConf()
     val root = qualified(table, conf)
+    requireNoSavepoints(root, conf, "a clean plan")
     val replaced = replacedGroups(root, conf,
       completedMorInstants(root, timeline(root, conf), None)
         .filter(_.action == "replacecommit")).keySet.toSeq
@@ -722,6 +726,23 @@ object HudiMeta extends Serializable {
           .withColumn("reason", lit("replaced")))
     }
   }
+
+  /** A completed SAVEPOINT pins its instant's files against cleaning
+    * (the public savepoint contract) — its protection set lives in
+    * the savepoint JSON this tier does not decode, so any reclaim
+    * plan over a savepointed table REFUSES by name rather than
+    * planning a reclaim that may violate the pin (r19). */
+  private def requireNoSavepoints(
+      root: Path, conf: Configuration, what: String): Unit =
+    timeline(root, conf)
+      .find(i => i.action == "savepoint" && i.state == "completed")
+      .foreach { i =>
+        throw new UnsupportedOperationException(
+          s"$root: completed savepoint ${i.instant} pins files " +
+            s"against cleaning, and its protection set (the savepoint " +
+            "JSON) is not modeled — refusing " + what +
+            " that could violate the pin")
+      }
 
   /**
    * ORPHAN report — base files ON DISK that no completed commit

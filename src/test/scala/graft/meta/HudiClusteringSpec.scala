@@ -87,5 +87,18 @@ class HudiClusteringSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       HudiMeta.morCleanPlan(spark, d, 0)
     }
+    // a completed savepoint pins files this tier cannot enumerate —
+    // BOTH clean planners refuse by name rather than violate the pin
+    java.nio.file.Files.write(
+      new java.io.File(d, ".hoodie/20240106000000000.savepoint").toPath,
+      "{}".getBytes("UTF-8"))
+    val e1 = intercept[UnsupportedOperationException] {
+      HudiMeta.morCleanPlan(spark, d, 1)
+    }
+    assert(e1.getMessage.contains("savepoint"))
+    val e2 = intercept[UnsupportedOperationException] {
+      HudiMeta.cleanPlan(spark, d, 1)
+    }
+    assert(e2.getMessage.contains("savepoint"))
   }
 }
