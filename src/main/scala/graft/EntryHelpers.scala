@@ -64,6 +64,51 @@ private[graft] object EntryHelpers {
   private[graft] def pq(dir: String, table: String): String = s"$dir/$table.parquet"
 
   /**
+   * Fast scratch for EPHEMERAL, engine-only state: streaming checkpoints
+   * (WAL/offset/state-store commits fsync once per trigger per partition),
+   * stream staging dirs, and shuffle local dirs. tmpfs when the box has
+   * one — these files exist only within a single query run, so durability
+   * buys nothing and every fsync is pure latency (guide §6: put
+   * intermediates on the fastest local storage; checkpoints that must
+   * survive a machine loss go to durable storage instead — that is a
+   * DEPLOYMENT choice, which is why the base is an env knob). Paths the
+   * DuckDB oracle reads stay under /tmp untouched: this helper is only
+   * for state no oracle ever opens. Measured (Floors, idle, sf0.1):
+   * stream_running_totals 3.60→2.68, stream_sessions_final 4.69→3.26,
+   * stream_budget_gate 3.97→3.19, stream_ingest 8.94→8.03.
+   */
+  private[graft] val scratchBase: String =
+    sys.env.get("SPARK_GRAFT_SCRATCH").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir", "/tmp")
+    }
+
+  /** An ephemeral engine-only dir (no oracle reads it) under the fast
+    * scratch base. Callers keep their existing delete/overwrite
+    * discipline — this only relocates the bytes. */
+  private[graft] def scratch(name: String): String = s"$scratchBase/$name"
+
+  /** Fresh private temp dir under the fast scratch base (streaming
+    * checkpoints): same contract as `Files.createTempDirectory`, faster
+    * medium. */
+  private[graft] def scratchTempDir(prefix: String): java.io.File = {
+    val base = java.nio.file.Paths.get(scratchBase)
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, prefix).toFile
+  }
+
+  /** Shuffle/spill local dir for the harness sessions — same fast-scratch
+    * rationale as [[scratchTempDir]] (shuffle files are per-job ephemeral;
+    * on a cluster this is the NVMe `spark.local.dir`, here the env knob
+    * `SPARK_GRAFT_LOCAL_DIR` overrides). */
+  private[graft] def sparkLocalDir: String = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", scratch("graft_spark_local"))
+    new java.io.File(d).mkdirs()
+    d
+  }
+
+  /**
    * The events table with `ts` normalized to epoch NANOSECONDS as a long,
    * whichever way the generator wrote it:
    *  - parquet TIMESTAMP(NANOS) is unreadable by Spark except as raw int64

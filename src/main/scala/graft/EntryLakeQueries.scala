@@ -262,7 +262,7 @@ private[graft] object EntryLakeQueries {
       val out = "/tmp/graft_deltastream_" + sfx
       DeltaMeta.writeDvFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
       val store = "/tmp/graft_deltastore_" + sfx
-      val ckpt = "/tmp/graft_deltastoreck_" + sfx
+      val ckpt = scratch("graft_deltastoreck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       DeltaMeta.maintainLiveStore(s, out, store, ckpt)
@@ -1057,7 +1057,7 @@ private[graft] object EntryLakeQueries {
       val out = "/tmp/graft_icestream_" + sfx
       IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
       val store = "/tmp/graft_icestore_" + sfx
-      val ckpt = "/tmp/graft_icestoreck_" + sfx
+      val ckpt = scratch("graft_icestoreck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       IcebergMeta.maintainCurrentStore(s, out, store, ckpt)
@@ -1084,7 +1084,7 @@ private[graft] object EntryLakeQueries {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_iceapp_" + sfx
       val store = "/tmp/graft_iceappstore_" + sfx
-      val ckpt = "/tmp/graft_iceappck_" + sfx
+      val ckpt = scratch("graft_iceappck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
@@ -1276,7 +1276,7 @@ private[graft] object EntryLakeQueries {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_icecl_" + sfx
       val store = "/tmp/graft_iceclstore_" + sfx
-      val ckpt = "/tmp/graft_iceclck_" + sfx
+      val ckpt = scratch("graft_iceclck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
@@ -1624,7 +1624,7 @@ private[graft] object EntryLakeQueries {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_deltacdfstream_" + sfx
       val store = "/tmp/graft_deltacdfstore_" + sfx
-      val ckpt = "/tmp/graft_deltacdfck_" + sfx
+      val ckpt = scratch("graft_deltacdfck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       DeltaMeta.writeCdfFixtureTable(
@@ -2515,7 +2515,7 @@ private[graft] object EntryLakeQueries {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_hudistream_" + sfx
       val store = "/tmp/graft_hudistore_" + sfx
-      val ckpt = "/tmp/graft_hudick_" + sfx
+      val ckpt = scratch("graft_hudick_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       HudiMeta.writeHudiFixtureTable(
@@ -2545,7 +2545,7 @@ private[graft] object EntryLakeQueries {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_hudimorstream_" + sfx
       val store = "/tmp/graft_hudimorstore_" + sfx
-      val ckpt = "/tmp/graft_hudimorck_" + sfx
+      val ckpt = scratch("graft_hudimorck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       HudiMeta.writeHudiMorFixtureTable(
@@ -2577,7 +2577,7 @@ private[graft] object EntryLakeQueries {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_hudimorchg_" + sfx
       val store = "/tmp/graft_hudimorchgstore_" + sfx
-      val ckpt = "/tmp/graft_hudimorchgck_" + sfx
+      val ckpt = scratch("graft_hudimorchgck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       HudiMeta.writeHudiMorLogFixtureTable(
@@ -2605,7 +2605,7 @@ private[graft] object EntryLakeQueries {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_hudicowchg_" + sfx
       val store = "/tmp/graft_hudicowchgstore_" + sfx
-      val ckpt = "/tmp/graft_hudicowchgck_" + sfx
+      val ckpt = scratch("graft_hudicowchgck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       HudiMeta.writeHudiCowDiffFixtureTable(

@@ -44,8 +44,8 @@ private[graft] object EntryStreamQueries {
     "stream_token_accounting" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val src = "/tmp/graft_stracct_src_" + suffix
-      val out = "/tmp/graft_stracct_out_" + suffix
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_stracct_ckpt").toFile
+      val out = scratch("graft_stracct_out_" + suffix)
+      val ckpt = scratchTempDir("graft_stracct_ckpt")
       for (p <- Seq(src, out)) {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
       }
@@ -125,7 +125,7 @@ private[graft] object EntryStreamQueries {
     "stream_heavy_hitters" -> ((s, dir) => withStreamShuffle(s) {
       import s.implicits._
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val staging = "/tmp/graft_stream_hh_" + suffix
+      val staging = scratch("graft_stream_hh_" + suffix)
       s.read.parquet(pq(dir, "documents"))
         .select(col("lang").as("group"), explode(TextOps.tokens(col("text"))).as("item"))
         .write.mode("overwrite").parquet(staging)
@@ -135,7 +135,7 @@ private[graft] object EntryStreamQueries {
       // private per-run checkpoint (no cross-process sharing to race on),
       // deleted after the replay completes: the memory-sink contents
       // outlive it, and the next run replays from scratch anyway
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_hh_ckpt").toFile
+      val ckpt = scratchTempDir("graft_hh_ckpt")
       try {
         graft.streaming.StreamOps.streamingHeavyHitters(events, capacity = 64)
           .writeStream.format("memory").queryName(sink).outputMode("update")
@@ -158,7 +158,7 @@ private[graft] object EntryStreamQueries {
     // semantics — the streaming enrich never drops events).
     "stream_asof_enrich" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val staging = "/tmp/graft_stream_asof_" + suffix
+      val staging = scratch("graft_stream_asof_" + suffix)
       eventsNs(s, dir)
         .filter(col("user_id") < 30)
         .select(col("user_id"), expr("ts div 1000").as("e_ts"), col("event_id"))
@@ -173,7 +173,7 @@ private[graft] object EntryStreamQueries {
         .agg(max(col("o_orderkey")).as("o_key"))
       val stream = s.readStream.schema(s.read.parquet(staging).schema).parquet(staging)
       val sink = "graft_stream_asof_sink_" + suffix
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt").toFile
+      val ckpt = scratchTempDir("graft_asof_ckpt")
       try {
         graft.streaming.StreamOps.enrichAsOf(stream, ord,
             Seq("user_id"), "e_ts", "o_ts")
@@ -198,7 +198,7 @@ private[graft] object EntryStreamQueries {
     // the double session sums are bit-stable on both engines.
     "stream_sessions" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val staging = "/tmp/graft_stream_sess_" + suffix
+      val staging = scratch("graft_stream_sess_" + suffix)
       eventsNs(s, dir)
         .filter(col("user_id") < 20)
         .select(col("user_id"),
@@ -206,7 +206,7 @@ private[graft] object EntryStreamQueries {
           floor(col("value") * 100).cast("double").as("value"))
         .coalesce(1).write.mode("overwrite").parquet(staging)
       val sink = "graft_stream_sess_sink_" + suffix
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toFile
+      val ckpt = scratchTempDir("graft_sess_ckpt")
       try {
         import s.implicits._
         graft.streaming.StreamOps.closedSessions(
@@ -237,8 +237,8 @@ private[graft] object EntryStreamQueries {
     // sink: the memory sink cannot resume from a checkpoint.
     "stream_sessions_final" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val staging = "/tmp/graft_stream_sessf_" + suffix
-      val outDir = "/tmp/graft_stream_sessf_out_" + suffix
+      val staging = scratch("graft_stream_sessf_" + suffix)
+      val outDir = scratch("graft_stream_sessf_out_" + suffix)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
       val ev = eventsNs(s, dir).filter(col("user_id") < 20)
@@ -252,7 +252,7 @@ private[graft] object EntryStreamQueries {
       // (the watermark only moves at batch end)
       ev.unionByName(sentinel(far)).coalesce(1)
         .write.mode("append").parquet(staging)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_sessf_ckpt").toFile
+      val ckpt = scratchTempDir("graft_sessf_ckpt")
       def runOnce(): Unit = {
         import s.implicits._
         graft.streaming.StreamOps.closedSessions(
@@ -294,7 +294,7 @@ private[graft] object EntryStreamQueries {
     // bit-stable double accumulation.
     "stream_running_totals" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val staging = "/tmp/graft_stream_rt_" + suffix
+      val staging = scratch("graft_stream_rt_" + suffix)
       eventsNs(s, dir)
         .filter(col("user_id") < 20)
         .select(col("user_id"),
@@ -302,7 +302,7 @@ private[graft] object EntryStreamQueries {
           floor(col("value") * 100).cast("double").as("value"))
         .repartition(4).write.mode("overwrite").parquet(staging)
       val sink = "graft_stream_rt_sink_" + suffix
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_rt_ckpt").toFile
+      val ckpt = scratchTempDir("graft_rt_ckpt")
       try {
         import s.implicits._
         graft.streaming.StreamOps.runningTotals(
@@ -329,12 +329,12 @@ private[graft] object EntryStreamQueries {
     // containing windows (window = 3 x slide, epoch-aligned).
     "stream_window_counts" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val staging = "/tmp/graft_stream_win_" + suffix
+      val staging = scratch("graft_stream_win_" + suffix)
       eventsNs(s, dir)
         .select(timestamp_millis(expr("ts div 1000000")).as("ts"))
         .coalesce(1).write.mode("overwrite").parquet(staging)
       val sink = "graft_stream_win_sink_" + suffix
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_win_ckpt").toFile
+      val ckpt = scratchTempDir("graft_win_ckpt")
       try {
         graft.streaming.StreamOps.windowedCounts(
             s.readStream.schema(s.read.parquet(staging).schema).parquet(staging),
@@ -355,13 +355,13 @@ private[graft] object EntryStreamQueries {
     // arrival-order-dependent and deliberately not part of the contract).
     "stream_dedup" -> ((s, dir) => withStreamShuffle(s) {
       val suffix = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
-      val staging = "/tmp/graft_stream_dedup_" + suffix
+      val staging = scratch("graft_stream_dedup_" + suffix)
       eventsNs(s, dir)
         .select(col("user_id"), col("event_type"),
           timestamp_millis(expr("ts div 1000000")).as("ts"))
         .coalesce(1).write.mode("overwrite").parquet(staging)
       val sink = "graft_stream_dedup_sink_" + suffix
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toFile
+      val ckpt = scratchTempDir("graft_dedup_ckpt")
       try {
         graft.streaming.StreamOps.dedupStream(
             s.readStream.schema(s.read.parquet(staging).schema).parquet(staging),
@@ -404,11 +404,11 @@ private[graft] object EntryStreamQueries {
         .agg(min(col("doc_id")).as("doc_id"),
           min_by(col("text"), col("doc_id")).as("text"))
         .select(col("doc_id"), col("text"))
-      val staging = "/tmp/graft_stream_ingest_" + suffix
+      val staging = scratch("graft_stream_ingest_" + suffix)
       inc.repartition(4).write.mode("overwrite").parquet(staging)
       val stream = s.readStream.schema(s.read.parquet(staging).schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toFile
+      val ckpt = scratchTempDir("graft_ingest_ckpt")
       try {
         graft.streaming.StreamOps.ingestIncrements(stream,
           col("doc_id"), TextOps.tokenSet(col("text")),

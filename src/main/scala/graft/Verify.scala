@@ -16,6 +16,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.local.dir", EntryHelpers.sparkLocalDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -25,9 +26,15 @@ object Verify {
     // oracle reads that follow. Filtered runs keep /tmp (fast local
     // iteration relies on it).
     if (only.isEmpty) {
-      Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("graft_"))
-        .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      // fast-scratch state (checkpoints, stream staging) lives under
+      // EntryHelpers.scratchBase — clean both roots
+      Seq("/tmp", EntryHelpers.scratchBase).distinct.foreach { root =>
+        Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("graft_") &&
+            // never the LIVE session's own shuffle dir
+            f.getName != "graft_spark_local")
+          .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      }
     }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
