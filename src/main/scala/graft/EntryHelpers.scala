@@ -108,6 +108,14 @@ private[graft] object EntryHelpers {
     d
   }
 
+  /** Managed-table warehouse for the harness sessions. Store tables
+    * (band/doc stores, budget-gate ledgers) are rebuilt fresh by every
+    * run (freshTable) — per-run ephemeral state with many small commits,
+    * same fast-scratch rationale. Env knob `SPARK_GRAFT_WAREHOUSE`
+    * overrides (a deployment would point this at durable storage). */
+  private[graft] def warehouseDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", scratch("graft_warehouse"))
+
   /**
    * The events table with `ts` normalized to epoch NANOSECONDS as a long,
    * whichever way the generator wrote it:

@@ -30,6 +30,7 @@ object Floors {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.local.dir", EntryHelpers.sparkLocalDir)
+      .config("spark.sql.warehouse.dir", EntryHelpers.warehouseDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

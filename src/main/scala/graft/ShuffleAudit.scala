@@ -31,6 +31,7 @@ object ShuffleAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.local.dir", EntryHelpers.sparkLocalDir)
+      .config("spark.sql.warehouse.dir", EntryHelpers.warehouseDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
