@@ -744,6 +744,16 @@ object MetaPrune {
     val rgs = meta("rowgroup")
       .select(col("filepath"), col("row_group_id"), col("num_rows"))
     val perPred = preds.zipWithIndex.map { case ((c, lo, hi), i) =>
+      // One index walk per predicate: the spans frame feeds THREE views
+      // (ranges, the unspanned-page widening, row-group presence), and
+      // each unpersisted reference would re-run the whole
+      // columnindex ⋈ column ⋈ offsetindex ⋈ rowgroup subtree — measured
+      // at 3 subtree executions per predicate (78-Exchange plan on the
+      // two-predicate query). persist() makes the single physical plan
+      // share one computation; the frame is page-index-sized (pages per
+      // touched chunk), never data-sized.
+      val spans = neededPageSpans(spark, path, c, lo, hi)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // a needed page WITHOUT an offset-index span (column index present,
       // offset index absent — spec-legal) must widen this predicate's
       // contribution for its row group to the FULL span: a null range
@@ -751,7 +761,7 @@ object MetaPrune {
       // one direction a sound report cannot err. The substitution is one
       // full range per affected row group (distinct), preserving the
       // per-predicate disjointness the event sweep relies on.
-      val needed = neededPageSpans(spark, path, c, lo, hi).filter(col("needed"))
+      val needed = spans.filter(col("needed"))
       val unspanned = needed.filter(col("first_row_index").isNull)
         .select(col("filepath"), col("row_group_id")).distinct()
         .withColumn("full_span", lit(true))
@@ -766,7 +776,7 @@ object MetaPrune {
         .distinct()
       // a row group this predicate has NO index rows for: full span
       // (missing evidence keeps every row needed — sound)
-      val present = neededPageSpans(spark, path, c, lo, hi)
+      val present = spans
         .select(col("filepath"), col("row_group_id")).distinct()
       val absent = rgs.join(present, Seq("filepath", "row_group_id"), "left_anti")
         .select(col("filepath"), col("row_group_id"),
