@@ -261,7 +261,7 @@ private[graft] object EntryLakeQueries {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_deltastream_" + sfx
       DeltaMeta.writeDvFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
-      val store = "/tmp/graft_deltastore_" + sfx
+      val store = scratch("graft_deltastore_" + sfx)
       val ckpt = scratch("graft_deltastoreck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -1056,7 +1056,7 @@ private[graft] object EntryLakeQueries {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_icestream_" + sfx
       IcebergMeta.writeFixtureTable(s, out, s.read.parquet(pq(dir, "documents")))
-      val store = "/tmp/graft_icestore_" + sfx
+      val store = scratch("graft_icestore_" + sfx)
       val ckpt = scratch("graft_icestoreck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -1083,7 +1083,7 @@ private[graft] object EntryLakeQueries {
     "stream_iceberg_appends" -> ((s, dir) => {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_iceapp_" + sfx
-      val store = "/tmp/graft_iceappstore_" + sfx
+      val store = scratch("graft_iceappstore_" + sfx)
       val ckpt = scratch("graft_iceappck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -1275,7 +1275,7 @@ private[graft] object EntryLakeQueries {
     "stream_iceberg_changelog" -> ((s, dir) => {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_icecl_" + sfx
-      val store = "/tmp/graft_iceclstore_" + sfx
+      val store = scratch("graft_iceclstore_" + sfx)
       val ckpt = scratch("graft_iceclck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -1623,7 +1623,7 @@ private[graft] object EntryLakeQueries {
     "stream_delta_cdf" -> ((s, dir) => {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_deltacdfstream_" + sfx
-      val store = "/tmp/graft_deltacdfstore_" + sfx
+      val store = scratch("graft_deltacdfstore_" + sfx)
       val ckpt = scratch("graft_deltacdfck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -2514,7 +2514,7 @@ private[graft] object EntryLakeQueries {
     "stream_hudi_appends" -> ((s, dir) => {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_hudistream_" + sfx
-      val store = "/tmp/graft_hudistore_" + sfx
+      val store = scratch("graft_hudistore_" + sfx)
       val ckpt = scratch("graft_hudick_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -2544,7 +2544,7 @@ private[graft] object EntryLakeQueries {
     "stream_hudi_mor_appends" -> ((s, dir) => {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_hudimorstream_" + sfx
-      val store = "/tmp/graft_hudimorstore_" + sfx
+      val store = scratch("graft_hudimorstore_" + sfx)
       val ckpt = scratch("graft_hudimorck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -2576,7 +2576,7 @@ private[graft] object EntryLakeQueries {
     "stream_hudi_mor_changes" -> ((s, dir) => {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_hudimorchg_" + sfx
-      val store = "/tmp/graft_hudimorchgstore_" + sfx
+      val store = scratch("graft_hudimorchgstore_" + sfx)
       val ckpt = scratch("graft_hudimorchgck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -2604,7 +2604,7 @@ private[graft] object EntryLakeQueries {
     "stream_hudi_cow_changes" -> ((s, dir) => {
       val sfx = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
       val out = "/tmp/graft_hudicowchg_" + sfx
-      val store = "/tmp/graft_hudicowchgstore_" + sfx
+      val store = scratch("graft_hudicowchgstore_" + sfx)
       val ckpt = scratch("graft_hudicowchgck_" + sfx)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))

@@ -668,7 +668,11 @@ private[graft] object EntryMetaQueries {
     "meta_fp16_values" -> ((s, dir) => {
       val out = "/tmp/graft_fp16_" +
         new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9.]", "_")
-      Fp16Fixture.writeFp16Table(s, out, s.read.parquet(pq(dir, "documents")))
+      // pure deterministic fixture, never mutated after the write — the
+      // same once-per-JVM memoization every other pure fixture uses
+      fixtureOnce(out) {
+        Fp16Fixture.writeFp16Table(s, out, s.read.parquet(pq(dir, "documents")))
+      }
       val statF16 = (c: Column) => ColumnBridge.column(
         graft.functions.PlainStatDouble(ColumnBridge.expression(c),
           ColumnBridge.expression(lit("FLOAT16"))))
