@@ -36,7 +36,8 @@ private[meta] trait DeltaMetaFixtures extends Serializable { this: DeltaMeta.typ
         new java.io.File(root, s"f$i.parquet").toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      s"f$i.parquet" -> slice.count()
+      s"f$i.parquet" -> FixtureIO.parquetRowCount(
+        new java.io.File(root, s"f$i.parquet"))
     }.toMap
     val ts0 = 1700000000000L
     def addJson(f: String): String = {
@@ -151,7 +152,8 @@ private[meta] trait DeltaMetaFixtures extends Serializable { this: DeltaMeta.typ
         new java.io.File(root, s"f$i.parquet").toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      s"f$i.parquet" -> slice.count()
+      s"f$i.parquet" -> FixtureIO.parquetRowCount(
+        new java.io.File(root, s"f$i.parquet"))
     }.toMap
 
     val ts0 = 1700000000000L
@@ -626,7 +628,7 @@ private[meta] trait DeltaMetaFixtures extends Serializable { this: DeltaMeta.typ
       java.nio.file.Files.copy(part.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      counts(rel) = slice.count()
+      counts(rel) = FixtureIO.parquetRowCount(dst)
     }
 
     val ts0 = 1700000000000L
@@ -867,7 +869,7 @@ private[meta] trait DeltaMetaFixtures extends Serializable { this: DeltaMeta.typ
         new java.io.File(root, rel).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      counts(rel) = slice.count()
+      counts(rel) = FixtureIO.parquetRowCount(new java.io.File(root, rel))
       partOf(rel) = if (q < 2) "en" else "zh"
     }
 
@@ -1026,7 +1028,7 @@ private[meta] trait DeltaMetaFixtures extends Serializable { this: DeltaMeta.typ
         new java.io.File(root, rel).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      rel -> slice.count()
+      rel -> FixtureIO.parquetRowCount(new java.io.File(root, rel))
     }.toMap
 
     val ts0 = 1700000000000L

@@ -10,7 +10,13 @@ private[meta] object FixtureIO {
 
   /** Write `df` as exactly ONE parquet file at `dst`; returns the row
     * count. `tmpDir` must be caller-unique (fixture dirs derive it from
-    * their own root so concurrent fixtures never collide). */
+    * their own root so concurrent fixtures never collide).
+    *
+    * The count comes from the written file's own footer, not a second
+    * `df.count()` job: the count action re-ran the slice's whole plan
+    * from source — one extra Spark job per fixture slice, ~40 call
+    * sites across the lake builders — for a number the footer already
+    * states about exactly the bytes the fixture will serve. */
   def writeSingleParquet(
       df: DataFrame, dst: java.io.File, tmpDir: String): Long = {
     df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
@@ -19,7 +25,17 @@ private[meta] object FixtureIO {
     java.nio.file.Files.copy(part.toPath, dst.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir))
-    df.count()
+    parquetRowCount(dst)
+  }
+
+  /** Total row count from a local parquet file's footer (driver-side,
+    * no Spark job). */
+  def parquetRowCount(file: java.io.File): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.getPath),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** Delete a fixture root if present and REFUSE loudly when residue

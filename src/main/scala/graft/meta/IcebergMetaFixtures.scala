@@ -133,7 +133,7 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
       java.nio.file.Files.copy(part.toPath, dst.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      counts(rel) = slice.count()
+      counts(rel) = FixtureIO.parquetRowCount(dst)
     }
 
     def entry(rel: String, lang: String): org.apache.avro.generic.GenericRecord = {
@@ -281,7 +281,8 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
         new java.io.File(dataDir, s"f$i.parquet").toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      s"f$i.parquet" -> slice.count()
+      s"f$i.parquet" -> FixtureIO.parquetRowCount(
+        new java.io.File(dataDir, s"f$i.parquet"))
     }.toMap
 
     // a REAL position-delete file (the spec's merge-on-read shape):
@@ -674,7 +675,7 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
         new java.io.File(dataDir, rel).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      rel -> slice.count()
+      rel -> FixtureIO.parquetRowCount(new java.io.File(dataDir, rel))
     }.toMap
 
     // one Puffin file, two deletion-vector-v1 blobs (f0's and f1's)
@@ -2703,7 +2704,8 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
         new java.io.File(dataDir, s"f$i.parquet").toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      s"f$i.parquet" -> slice.count()
+      s"f$i.parquet" -> FixtureIO.parquetRowCount(
+        new java.io.File(dataDir, s"f$i.parquet"))
     }.toMap
     def entry(f: String): org.apache.avro.generic.GenericRecord = {
       val df = new org.apache.avro.generic.GenericData.Record(
