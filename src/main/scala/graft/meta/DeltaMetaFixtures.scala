@@ -139,22 +139,21 @@ private[meta] trait DeltaMetaFixtures extends Serializable { this: DeltaMeta.typ
     val logDir = new java.io.File(root, "_delta_log")
     logDir.mkdirs()
 
-    // seven disjoint slices of the docs table, written as f0..f6.parquet
+    // seven disjoint slices of the docs table, written as f0..f6.parquet.
+    // ONE Spark job for all seven (this builder runs once per v2ckpt/
+    // multickpt/crc/restore/log-cleanup query invocation — seven
+    // sequential single-slice writes were seven jobs of scheduling
+    // floor each): partitionBy emits every slice in one pass, each
+    // slice in exactly one file because the repartition keys the full
+    // slice to one task. sortWithinPartitions(doc_id) reproduces the
+    // ascending order the per-slice coalesce(1) writes produced (the
+    // generator's documents table is doc_id-ordered).
     val n = 7
-    val counts = (0 until n).map { i =>
-      val slice = docs.filter(pmod(col("doc_id"), lit(n)) === i)
-        .select(col("doc_id"), col("lang"))
-      val tmp = dir + s"_slice$i"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(root, s"f$i.parquet").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      s"f$i.parquet" -> FixtureIO.parquetRowCount(
-        new java.io.File(root, s"f$i.parquet"))
-    }.toMap
+    val counts = FixtureIO.writeSlices(
+      docs.select(col("doc_id"), col("lang")),
+      pmod(col("doc_id"), lit(n)), n, dir,
+      i => new java.io.File(root, s"f$i.parquet"))
+      .map { case (i, c) => s"f$i.parquet" -> c }
 
     val ts0 = 1700000000000L
     def addJson(f: String, v: Long): String = {

@@ -28,6 +28,37 @@ private[meta] object FixtureIO {
     parquetRowCount(dst)
   }
 
+  /** Write `sliceExpr`-keyed slices 0..n-1 of `df` in ONE Spark job —
+    * each slice exactly one parquet file, moved to `dst(i)` — and
+    * return (i -> row count) from the written footers. Rows within a
+    * slice come out ascending by the frame's FIRST column (the
+    * builders' slice key order); `partitionBy` requires the slice id
+    * as a column, `repartition(n, key)` pins each slice to one task
+    * so each slice directory holds exactly one part file. */
+  def writeSlices(
+      df: DataFrame, sliceExpr: org.apache.spark.sql.Column, n: Int,
+      tmpBase: String, dst: Int => java.io.File): Map[Int, Long] = {
+    import org.apache.spark.sql.functions.col
+    val tmp = tmpBase + "_slices"
+    val firstCol = df.columns.head
+    df.withColumn("__slice", sliceExpr)
+      .repartition(n, col("__slice"))
+      .sortWithinPartitions(col(firstCol))
+      .write.partitionBy("__slice").mode("overwrite").parquet(tmp)
+    val counts = (0 until n).map { i =>
+      val sliceDir = new java.io.File(tmp, s"__slice=$i")
+      val parts = Option(sliceDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"slice $i: expected exactly one part file, got ${parts.length}")
+      java.nio.file.Files.copy(parts.head.toPath, dst(i).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      i -> parquetRowCount(dst(i))
+    }.toMap
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    counts
+  }
+
   /** Total row count from a local parquet file's footer (driver-side,
     * no Spark job). */
   def parquetRowCount(file: java.io.File): Long = {
