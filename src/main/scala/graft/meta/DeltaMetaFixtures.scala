@@ -550,21 +550,20 @@ private[meta] trait DeltaMetaFixtures extends Serializable { this: DeltaMeta.typ
     logDir.mkdirs()
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val step = maxId / 5 + 1
+    // one write job for all five range slices + one aggregate for the
+    // per-slice bounds (was one write + one agg job PER slice)
+    val sliceId = expr(s"doc_id div ${step}L").cast("int")
+    FixtureIO.writeSlices(
+      docs.select(col("doc_id"), col("lang")), sliceId, 5, dir,
+      i => new java.io.File(root, s"f$i.parquet"))
+    val boundRows = docs.groupBy(sliceId.as("i"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     val slices = (0 until 5).map { i =>
-      val slice = docs
-        .filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
-        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
-      val tmp = dir + s"_slice$i"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(root, s"f$i.parquet").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      val b = slice.agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
-        .head()
-      (s"f$i.parquet", b.getLong(0), b.getLong(1), b.getLong(2))
+      val (n, mn, mx) = boundRows(i)
+      (s"f$i.parquet", n, mn, mx)
     }
     val ts0 = 1700000000000L
     def addJson(f: String, n: Long, bounds: Option[(Long, Long)]): String = {
@@ -612,23 +611,21 @@ private[meta] trait DeltaMetaFixtures extends Serializable { this: DeltaMeta.typ
 
     val langs = docs.select("lang").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    val counts = scala.collection.mutable.Map.empty[String, Long]
-    for (lang <- langs; parity <- 0 to 1) {
-      val slice = docs
-        .filter(col("lang") === lang && pmod(col("doc_id"), lit(2)) === parity)
-        .select(col("doc_id"), col("n_chars"))
-      val rel = s"lang=$lang/f$parity.parquet"
-      val tmp = dir + s"_slice_${lang}_$parity"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(root, rel)
-      dst.getParentFile.mkdirs()
-      java.nio.file.Files.copy(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      counts(rel) = FixtureIO.parquetRowCount(dst)
-    }
+    // one write job for all (lang, parity) slices — was one per slice;
+    // slice id = langIndex * 2 + parity (array_position is 1-based)
+    val sliceId = ((array_position(
+        lit(langs.toArray), col("lang")) - 1L) * 2L +
+      pmod(col("doc_id"), lit(2))).cast("int")
+    def relOf(i: Int) = s"lang=${langs(i / 2)}/f${i % 2}.parquet"
+    val counts = FixtureIO.writeSlices(
+      docs.select(col("doc_id"), col("n_chars"), col("lang")), sliceId,
+      langs.size * 2, dir,
+      { i =>
+        val dst = new java.io.File(root, relOf(i))
+        dst.getParentFile.mkdirs()
+        dst
+      }, dropCols = Seq("lang"))
+      .map { case (i, c) => relOf(i) -> c }
 
     val ts0 = 1700000000000L
     def addJson(rel: String, lang: String, v: Long): String = {

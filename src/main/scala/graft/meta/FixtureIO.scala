@@ -37,18 +37,23 @@ private[meta] object FixtureIO {
     * so each slice directory holds exactly one part file. */
   def writeSlices(
       df: DataFrame, sliceExpr: org.apache.spark.sql.Column, n: Int,
-      tmpBase: String, dst: Int => java.io.File): Map[Int, Long] = {
+      tmpBase: String, dst: Int => java.io.File,
+      dropCols: Seq[String] = Nil): Map[Int, Long] = {
     import org.apache.spark.sql.functions.col
     val tmp = tmpBase + "_slices"
     val firstCol = df.columns.head
     df.withColumn("__slice", sliceExpr)
       .repartition(n, col("__slice"))
       .sortWithinPartitions(col(firstCol))
-      .write.partitionBy("__slice").mode("overwrite").parquet(tmp)
+      .write.partitionBy("__slice" +: dropCols: _*)
+      .mode("overwrite").parquet(tmp)
+    def partsUnder(d: java.io.File): Array[java.io.File] = {
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+      fs.filter(f => f.isFile && f.getName.endsWith(".parquet")) ++
+        fs.filter(_.isDirectory).flatMap(partsUnder)
+    }
     val counts = (0 until n).map { i =>
-      val sliceDir = new java.io.File(tmp, s"__slice=$i")
-      val parts = Option(sliceDir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
+      val parts = partsUnder(new java.io.File(tmp, s"__slice=$i"))
       require(parts.length == 1,
         s"slice $i: expected exactly one part file, got ${parts.length}")
       java.nio.file.Files.copy(parts.head.toPath, dst(i).toPath,

@@ -118,23 +118,19 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
 
     val langs = docs.select("lang").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    val counts = scala.collection.mutable.Map.empty[String, Long]
-    for (lang <- langs; parity <- 0 to 1) {
-      val slice = docs
-        .filter(col("lang") === lang && pmod(col("doc_id"), lit(2)) === parity)
-        .select(col("doc_id"), col("n_chars"))
-      val rel = s"lang=$lang/f$parity.parquet"
-      val tmp = dir + s"_slice_${lang}_$parity"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(dataDir, rel)
-      dst.getParentFile.mkdirs()
-      java.nio.file.Files.copy(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      counts(rel) = FixtureIO.parquetRowCount(dst)
-    }
+    val sliceId = ((array_position(
+        lit(langs.toArray), col("lang")) - 1L) * 2L +
+      pmod(col("doc_id"), lit(2))).cast("int")
+    def relOf(i: Int) = s"lang=${langs(i / 2)}/f${i % 2}.parquet"
+    val counts = FixtureIO.writeSlices(
+      docs.select(col("doc_id"), col("n_chars"), col("lang")), sliceId,
+      langs.size * 2, dir,
+      { i =>
+        val dst = new java.io.File(dataDir, relOf(i))
+        dst.getParentFile.mkdirs()
+        dst
+      }, dropCols = Seq("lang"))
+      .map { case (i, c) => relOf(i) -> c }
 
     def entry(rel: String, lang: String): org.apache.avro.generic.GenericRecord = {
       val dfSchema = partManifestSchema.getField("data_file").schema()
@@ -269,21 +265,16 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
     dataDir.mkdirs()
     metaDir.mkdirs()
 
+    // one Spark job for all six slices (was one write job per slice);
+    // sortWithinPartitions(doc_id) reproduces the old per-slice
+    // coalesce(1) ascending order — POSITION-critical for f0, whose
+    // first two row positions the position-delete file below names
     val n = 6
-    val counts = (0 until n).map { i =>
-      val slice = docs.filter(pmod(col("doc_id"), lit(n)) === i)
-        .select(col("doc_id"), col("lang"))
-      val tmp = dir + s"_slice$i"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(dataDir, s"f$i.parquet").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      s"f$i.parquet" -> FixtureIO.parquetRowCount(
-        new java.io.File(dataDir, s"f$i.parquet"))
-    }.toMap
+    val counts = FixtureIO.writeSlices(
+      docs.select(col("doc_id"), col("lang")),
+      pmod(col("doc_id"), lit(n)), n, dir,
+      i => new java.io.File(dataDir, s"f$i.parquet"))
+      .map { case (i, c) => s"f$i.parquet" -> c }
 
     // a REAL position-delete file (the spec's merge-on-read shape):
     // (file_path, pos) rows deleting the first 2 positions of f0
@@ -2693,20 +2684,11 @@ private[meta] trait IcebergMetaFixtures extends Serializable { this: IcebergMeta
     val metaDir = new java.io.File(root, "metadata")
     dataDir.mkdirs()
     metaDir.mkdirs()
-    val counts = (0 until 2).map { i =>
-      val slice = docs.filter(pmod(col("doc_id"), lit(2)) === i)
-        .select(col("doc_id"), col("lang"))
-      val tmp = dir + s"_slice$i"
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(dataDir, s"f$i.parquet").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-      s"f$i.parquet" -> FixtureIO.parquetRowCount(
-        new java.io.File(dataDir, s"f$i.parquet"))
-    }.toMap
+    val counts = FixtureIO.writeSlices(
+      docs.select(col("doc_id"), col("lang")),
+      pmod(col("doc_id"), lit(2)), 2, dir,
+      i => new java.io.File(dataDir, s"f$i.parquet"))
+      .map { case (i, c) => s"f$i.parquet" -> c }
     def entry(f: String): org.apache.avro.generic.GenericRecord = {
       val df = new org.apache.avro.generic.GenericData.Record(
         manifestSchema.getField("data_file").schema())
