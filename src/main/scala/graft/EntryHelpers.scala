@@ -64,25 +64,28 @@ private[graft] object EntryHelpers {
   private[graft] def pq(dir: String, table: String): String = s"$dir/$table.parquet"
 
   /**
-   * Fast scratch for EPHEMERAL, engine-only state: streaming checkpoints
+   * Scratch for EPHEMERAL, engine-only state: streaming checkpoints
    * (WAL/offset/state-store commits fsync once per trigger per partition),
-   * stream staging dirs, and shuffle local dirs. tmpfs when the box has
-   * one — these files exist only within a single query run, so durability
-   * buys nothing and every fsync is pure latency (guide §6: put
-   * intermediates on the fastest local storage; checkpoints that must
-   * survive a machine loss go to durable storage instead — that is a
-   * DEPLOYMENT choice, which is why the base is an env knob). Paths the
-   * DuckDB oracle reads stay under /tmp untouched: this helper is only
-   * for state no oracle ever opens. Measured (Floors, idle, sf0.1):
-   * stream_running_totals 3.60→2.68, stream_sessions_final 4.69→3.26,
-   * stream_budget_gate 3.97→3.19, stream_ingest 8.94→8.03.
+   * stream staging dirs, and shuffle local dirs. These files exist only
+   * within a single query run, so the base is an env knob (on a cluster
+   * `spark.local.dir` is the NVMe array; checkpoints that must survive a
+   * machine loss go to durable storage — both DEPLOYMENT choices). Paths
+   * the DuckDB oracle reads stay under /tmp untouched: this helper is
+   * only for state no oracle ever opens.
+   *
+   * The default is the DISK-backed java.io.tmpdir, deliberately NOT
+   * tmpfs: the r20 driver bench showed a /dev/shm default anti-scaling
+   * at local[32] — eight streaming queries ran 5–23x slower on a cold
+   * 32-core run (stream_hudi_cow_changes 3.4→79.8 s) while the same
+   * binary at 8 cores matched the disk-era numbers; tmpfs pages compete
+   * with wide execution memory, and shuffle spill capped at tmpfs size
+   * converts spill headroom into OOM at scale (guide §5). tmpfs remains
+   * opt-in via SPARK_GRAFT_SCRATCH for boxes where a cold wide-core A/B
+   * shows it winning.
    */
   private[graft] val scratchBase: String =
-    sys.env.get("SPARK_GRAFT_SCRATCH").getOrElse {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) "/dev/shm"
-      else System.getProperty("java.io.tmpdir", "/tmp")
-    }
+    sys.env.get("SPARK_GRAFT_SCRATCH")
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
 
   /** An ephemeral engine-only dir (no oracle reads it) under the fast
     * scratch base. Callers keep their existing delete/overwrite
@@ -98,15 +101,34 @@ private[graft] object EntryHelpers {
     java.nio.file.Files.createTempDirectory(base, prefix).toFile
   }
 
-  /** Shuffle/spill local dir for the harness sessions — same fast-scratch
+  /** Shuffle/spill local dir for the harness sessions — same scratch
     * rationale as [[scratchTempDir]] (shuffle files are per-job ephemeral;
     * on a cluster this is the NVMe `spark.local.dir`, here the env knob
-    * `SPARK_GRAFT_LOCAL_DIR` overrides). */
-  private[graft] def sparkLocalDir: String = {
-    val d = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", scratch("graft_spark_local"))
-    new java.io.File(d).mkdirs()
-    d
-  }
+    * `SPARK_GRAFT_LOCAL_DIR` overrides). Each JVM writes under a
+    * pid-named subdir: a killed/crashed JVM's shuffle files otherwise
+    * accumulate forever (nothing else prunes the shared dir — Verify's
+    * pre-clean deliberately skips the live session's own shuffle dir),
+    * which on a tmpfs scratch is permanent RAM loss until reboot. The
+    * next session sweeps sibling subdirs whose owning pid is dead; a
+    * normal exit also removes its own subdir via shutdown hook. */
+  private[graft] lazy val sparkLocalDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+      val root = new java.io.File(scratch("graft_spark_local"))
+      root.mkdirs()
+      def ownerAlive(name: String): Boolean = {
+        val h = ProcessHandle.of(name.toLong)
+        h.isPresent && h.get.isAlive
+      }
+      for (f <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+           if f.isDirectory && f.getName.nonEmpty &&
+             f.getName.forall(_.isDigit) && !ownerAlive(f.getName))
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
+      val mine = new java.io.File(root, ProcessHandle.current().pid().toString)
+      mine.mkdirs()
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(mine)))
+      mine.getPath
+    })
 
   /** Managed-table warehouse for the harness sessions. Store tables
     * (band/doc stores, budget-gate ledgers) are rebuilt fresh by every
@@ -163,6 +185,24 @@ private[graft] object EntryHelpers {
     * surfaced as DOUBLE. */
   private[graft] def dsum(c: Column): Column =
     sum(c.cast("decimal(28,6)")).cast("double")
+
+  /**
+   * Run INDEPENDENT Spark actions concurrently (guide §2.6): actions are
+   * only sequential because the driver thread calls them sequentially,
+   * so overlapping lets one job's tasks back-fill another's straggler
+   * tail. First job runs on the calling thread, the rest on the global
+   * pool; every failure propagates. Only for actions with no ordering
+   * requirement between them (e.g. building the two halves of a store
+   * pair from the same immutable input).
+   */
+  private[graft] def parJobs(jobs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val fs = jobs.tail.map(j =>
+      Future(j())(scala.concurrent.ExecutionContext.global))
+    jobs.head()
+    fs.foreach(Await.result(_, Duration.Inf))
+  }
 
   /**
    * Run a STREAMING replay under a small `spark.sql.shuffle.partitions`

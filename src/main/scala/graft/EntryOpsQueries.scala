@@ -1381,9 +1381,13 @@ private[graft] object EntryOpsQueries {
       val docs = freshTable(s, band + "_docs")
       val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
       val ref = d.filter(col("doc_id") >= 50)
-      Dedup.writeBandStore(ref, col("doc_id"), TextOps.tokenSet(col("text")),
-        band, buckets = 8)
-      Dedup.writeDocStore(ref, col("doc_id"), TextOps.tokenSet(col("text")), docs)
+      // independent store-pair builds over the same source — overlap
+      // them (guide §2.6)
+      parJobs(
+        () => Dedup.writeDocStore(ref, col("doc_id"),
+          TextOps.tokenSet(col("text")), docs),
+        () => Dedup.writeBandStore(ref, col("doc_id"),
+          TextOps.tokenSet(col("text")), band, buckets = 8))
       val inc = d.filter(col("doc_id") < 70)
         .select((col("doc_id") + 850000L).as("doc_id"), col("text"))
       Dedup.dupProvenance(s, band, docs, inc,
@@ -1410,11 +1414,16 @@ private[graft] object EntryOpsQueries {
       val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
       val e = s.read.parquet(pq(dir, "embeddings")).select(col("vec_id"), col("embedding"))
       val ref = d.filter(col("doc_id") >= 50)
-      Dedup.writeBandStore(ref, col("doc_id"), TextOps.tokenSet(col("text")),
-        band, buckets = 8)
-      Dedup.writeDocStore(ref, col("doc_id"), TextOps.tokenSet(col("text")), docs)
-      Similarity.writeIvfStore(e.filter(col("vec_id") >= 50), "vec_id", "embedding",
-        ivf, k = 16, iters = 1, scale = 64, buckets = 8)
+      // the three reference stores (band/doc/IVF) build from independent
+      // inputs — overlap all three (guide §2.6)
+      parJobs(
+        () => Similarity.writeIvfStore(e.filter(col("vec_id") >= 50),
+          "vec_id", "embedding", ivf, k = 16, iters = 1, scale = 64,
+          buckets = 8),
+        () => Dedup.writeBandStore(ref, col("doc_id"),
+          TextOps.tokenSet(col("text")), band, buckets = 8),
+        () => Dedup.writeDocStore(ref, col("doc_id"),
+          TextOps.tokenSet(col("text")), docs))
       val inc = d.filter(col("doc_id") < 70)
         .select((col("doc_id") + 950000L).as("doc_id"), col("text"))
       val incE = e.filter(col("vec_id") < 70)

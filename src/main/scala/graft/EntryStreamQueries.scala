@@ -391,9 +391,13 @@ private[graft] object EntryStreamQueries {
       val log = freshTable(s, "graft_si_log_" + suffix)
       val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
       val ref = d.filter(col("doc_id") >= 50)
-      Dedup.writeBandStore(ref, col("doc_id"), TextOps.tokenSet(col("text")),
-        band, buckets = 8)
-      Dedup.writeDocStore(ref, col("doc_id"), TextOps.tokenSet(col("text")), docs)
+      // the two reference-store builds are independent jobs over the same
+      // source — overlap them (guide §2.6)
+      parJobs(
+        () => Dedup.writeDocStore(ref, col("doc_id"),
+          TextOps.tokenSet(col("text")), docs),
+        () => Dedup.writeBandStore(ref, col("doc_id"),
+          TextOps.tokenSet(col("text")), band, buckets = 8))
       // increment: docs <70 relabeled, PRE-DEDUPED on token set (smallest
       // id wins; min_by carries a representative text) per the
       // split-invariance contract

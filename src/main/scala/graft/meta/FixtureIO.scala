@@ -42,9 +42,18 @@ private[meta] object FixtureIO {
     import org.apache.spark.sql.functions.col
     val tmp = tmpBase + "_slices"
     val firstCol = df.columns.head
+    // Sort by the FULL required ordering of the dynamic-partition write
+    // (partition columns first): sorting by firstCol alone does not
+    // satisfy it, so Spark would insert its own sort by __slice(+dropCols)
+    // on top, and within-slice firstCol order would then rest on that
+    // sort staying in-memory/stable — it can scramble on spill. With the
+    // partition columns leading, this sort IS the required ordering and
+    // within-slice firstCol order is guaranteed (POSITION-critical for
+    // the iceberg MOR fixture's f0).
     df.withColumn("__slice", sliceExpr)
       .repartition(n, col("__slice"))
-      .sortWithinPartitions(col(firstCol))
+      .sortWithinPartitions(
+        (col("__slice") +: dropCols.map(col)) :+ col(firstCol): _*)
       .write.partitionBy("__slice" +: dropCols: _*)
       .mode("overwrite").parquet(tmp)
     def partsUnder(d: java.io.File): Array[java.io.File] = {
@@ -54,11 +63,20 @@ private[meta] object FixtureIO {
     }
     val counts = (0 until n).map { i =>
       val parts = partsUnder(new java.io.File(tmp, s"__slice=$i"))
-      require(parts.length == 1,
-        s"slice $i: expected exactly one part file, got ${parts.length}")
-      java.nio.file.Files.copy(parts.head.toPath, dst(i).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      i -> parquetRowCount(dst(i))
+      if (parts.isEmpty) {
+        // an empty slice emits NO __slice=i directory under partitionBy;
+        // the old per-slice path wrote a valid empty parquet file — keep
+        // that contract instead of crashing on sparse slice keys
+        val empty = df.filter(org.apache.spark.sql.functions.lit(false))
+          .drop(dropCols: _*)
+        i -> writeSingleParquet(empty, dst(i), tmpBase + s"_empty$i")
+      } else {
+        require(parts.length == 1,
+          s"slice $i: expected exactly one part file, got ${parts.length}")
+        java.nio.file.Files.copy(parts.head.toPath, dst(i).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        i -> parquetRowCount(dst(i))
+      }
     }.toMap
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     counts

@@ -746,14 +746,19 @@ object MetaPrune {
     val perPred = preds.zipWithIndex.map { case ((c, lo, hi), i) =>
       // One index walk per predicate: the spans frame feeds THREE views
       // (ranges, the unspanned-page widening, row-group presence), and
-      // each unpersisted reference would re-run the whole
+      // each unmaterialized reference would re-run the whole
       // columnindex ⋈ column ⋈ offsetindex ⋈ rowgroup subtree — measured
       // at 3 subtree executions per predicate (78-Exchange plan on the
-      // two-predicate query). persist() makes the single physical plan
-      // share one computation; the frame is page-index-sized (pages per
-      // touched chunk), never data-sized.
-      val spans = neededPageSpans(spark, path, c, lo, hi)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // two-predicate query). localCheckpoint (same MEMORY_AND_DISK
+      // blocks) rather than persist(): a persisted frame is pinned by the
+      // session's CacheManager with nobody positioned to unpersist it (the
+      // result leaves this function lazily), so one cached frame per
+      // predicate per invocation would accumulate for the JVM lifetime of
+      // a long Bench/Verify session; localCheckpoint blocks are owned by
+      // the RDD and reclaimed by the ContextCleaner once unreferenced.
+      // The frame is page-index-sized (pages per touched chunk), never
+      // data-sized.
+      val spans = neededPageSpans(spark, path, c, lo, hi).localCheckpoint()
       // a needed page WITHOUT an offset-index span (column index present,
       // offset index absent — spec-legal) must widen this predicate's
       // contribution for its row group to the FULL span: a null range

@@ -314,9 +314,20 @@ object Dedup {
     // instead of once per write. Callers that read the survivors again
     // AFTER absorbing need their own pin for the same reason.
     val pinned = docs.select(id.as("doc_id"), tokenSet.as("ws")).localCheckpoint()
-    appendToBandStore(pinned, col("doc_id"), col("ws"), bandStore,
-      buckets, numPerms, bands)
+    // The two halves are independent sinks of the same pinned increment:
+    // run them as CONCURRENT jobs so the doc append back-fills the band
+    // append's task tail instead of waiting for it (the scheduler happily
+    // interleaves independent jobs; actions were only sequential because
+    // this thread called them sequentially). Ordering between the two
+    // never mattered — the absorb is durable only once BOTH complete, and
+    // a failure of either leaves the same half-absorbed state the old
+    // sequential order could.
+    val fBand = scala.concurrent.Future {
+      appendToBandStore(pinned, col("doc_id"), col("ws"), bandStore,
+        buckets, numPerms, bands)
+    }(scala.concurrent.ExecutionContext.global)
     pinned.write.mode("append").format("parquet").saveAsTable(docStore)
+    scala.concurrent.Await.result(fBand, scala.concurrent.duration.Duration.Inf)
   }
 
   /**

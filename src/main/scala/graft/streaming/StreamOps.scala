@@ -432,8 +432,15 @@ object StreamOps {
           .budgetCarvePerGroup(batch, group, key, cost, active)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          kept.withColumn("batch_id", lit(batchId))
-            .write.mode("append").format("parquet").saveAsTable(outTable)
+          // the out append and the state rewrite both read only `kept`
+          // and target different sinks — run the append concurrently with
+          // the drank-collect + state write (guide §2.6). The commit
+          // ordering that matters is unchanged: the log append below
+          // still happens only after BOTH out and state are durable.
+          val fOut = scala.concurrent.Future {
+            kept.withColumn("batch_id", lit(batchId))
+              .write.mode("append").format("parquet").saveAsTable(outTable)
+          }(scala.concurrent.ExecutionContext.global)
           val drank = kept.groupBy(group.as("g"))
             .agg(sum(cost.cast("long")).as("c")).collect()
             .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -441,6 +448,8 @@ object StreamOps {
             .map(g => (g, consumed.getOrElse(g, 0L) + drank.getOrElse(g, 0L)))
           s.createDataFrame(newState).toDF("g", "consumed")
             .write.mode("overwrite").format("parquet").saveAsTable(stateTable)
+          scala.concurrent.Await.result(fOut,
+            scala.concurrent.duration.Duration.Inf)
         } finally kept.unpersist()
       }
       s.createDataFrame(Seq(Tuple1(batchId))).toDF("batch_id")
