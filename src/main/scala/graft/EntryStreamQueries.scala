@@ -102,11 +102,14 @@ private[graft] object EntryStreamQueries {
         .select(col("doc_id"), col("source"), col("n_chars"))
       val budgets = Map("src0" -> 5000L, "src1" -> 3000L,
         "src2" -> 100000L, "src3" -> 9000L)
+      // run-scoped control-table mirror: one load replaces the per-batch
+      // log/state Spark reads (tables stay the durable truth)
+      val run = graft.streaming.StreamOps.loadBudgetGateRun(s, log, state)
       for (b <- 0 until 3)
         graft.streaming.StreamOps.budgetGateBatch(
           d.filter(pmod(col("doc_id"), lit(3)) === b),
           col("source"), col("doc_id"), col("n_chars"), budgets,
-          out, state, log, b.toLong)
+          out, state, log, b.toLong, Some(run))
       s.table(out).groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
           sum(col("n_chars")).as("chars_kept"))
@@ -391,13 +394,6 @@ private[graft] object EntryStreamQueries {
       val log = freshTable(s, "graft_si_log_" + suffix)
       val d = s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
       val ref = d.filter(col("doc_id") >= 50)
-      // the two reference-store builds are independent jobs over the same
-      // source — overlap them (guide §2.6)
-      parJobs(
-        () => Dedup.writeDocStore(ref, col("doc_id"),
-          TextOps.tokenSet(col("text")), docs),
-        () => Dedup.writeBandStore(ref, col("doc_id"),
-          TextOps.tokenSet(col("text")), band, buckets = 8))
       // increment: docs <70 relabeled, PRE-DEDUPED on token set (smallest
       // id wins; min_by carries a representative text) per the
       // split-invariance contract
@@ -409,7 +405,14 @@ private[graft] object EntryStreamQueries {
           min_by(col("text"), col("doc_id")).as("text"))
         .select(col("doc_id"), col("text"))
       val staging = scratch("graft_stream_ingest_" + suffix)
-      inc.repartition(4).write.mode("overwrite").parquet(staging)
+      // the two reference-store builds and the increment staging write
+      // are three independent jobs — overlap them (guide §2.6)
+      parJobs(
+        () => Dedup.writeDocStore(ref, col("doc_id"),
+          TextOps.tokenSet(col("text")), docs),
+        () => Dedup.writeBandStore(ref, col("doc_id"),
+          TextOps.tokenSet(col("text")), band, buckets = 8),
+        () => inc.repartition(4).write.mode("overwrite").parquet(staging))
       val stream = s.readStream.schema(s.read.parquet(staging).schema)
         .option("maxFilesPerTrigger", "1").parquet(staging)
       val ckpt = scratchTempDir("graft_ingest_ckpt")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -339,15 +339,25 @@ object StreamOps {
       bandStore: String, docStore: String, logTable: String,
       buckets: Int, checkpoint: String,
       numPerms: Int = 64, bands: Int = 16)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Read the committed-batch log ONCE per run instead of once per
+    // trigger: the log is counter-scale and this stream is its only
+    // writer, so a driver-held mirror answers the replay guard without
+    // a Spark job per batch. The table stays the durable truth — a
+    // restarted stream reloads it here.
+    val s = stream.sparkSession
+    val committed = scala.collection.mutable.Set.empty[Long]
+    if (s.catalog.tableExists(logTable))
+      committed ++= s.table(logTable).collect().map(_.getLong(0))
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         ingestBatch(batch.toDF(), id, tokenSet, bandStore, docStore,
-          logTable, buckets, batchId, numPerms, bands)
+          logTable, buckets, batchId, numPerms, bands, Some(committed))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /**
    * Streaming budget gate — the streaming form of
@@ -388,15 +398,43 @@ object StreamOps {
       budgets: Map[String, Long],
       outTable: String, stateTable: String, logTable: String,
       checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val run = loadBudgetGateRun(stream.sparkSession, logTable, stateTable)
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         budgetGateBatch(batch.toDF(), group, key, cost, budgets,
-          outTable, stateTable, logTable, batchId)
+          outTable, stateTable, logTable, batchId, Some(run))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
+
+  /**
+   * Driver-held, run-scoped mirror of the budget gate's two control
+   * tables (committed-batch log; per-source consumed state) — both are
+   * counter-scale and the gate loop is their only writer, so loading
+   * them ONCE per run replaces two Spark reads per batch with driver
+   * lookups. The tables remain the durable truth: a restarted stream
+   * (or a fresh direct loop) reloads them here, and every batch still
+   * writes them before its log commit.
+   */
+  final class BudgetGateRun private[streaming] (
+      private[streaming] val committed: scala.collection.mutable.Set[Long],
+      private[streaming] var consumed: Map[String, Long])
+
+  def loadBudgetGateRun(s: SparkSession, logTable: String,
+      stateTable: String): BudgetGateRun = {
+    val committed = scala.collection.mutable.Set.empty[Long]
+    if (s.catalog.tableExists(logTable))
+      committed ++= s.table(logTable).collect().map(_.getLong(0))
+    val consumed: Map[String, Long] =
+      if (s.catalog.tableExists(stateTable))
+        s.table(stateTable).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      else Map.empty
+    new BudgetGateRun(committed, consumed)
+  }
 
   /**
    * One budget-gate step — the `foreachBatch` body, exposed for direct
@@ -408,19 +446,29 @@ object StreamOps {
       batch: DataFrame, group: Column, key: Column, cost: Column,
       budgets: Map[String, Long],
       outTable: String, stateTable: String, logTable: String,
-      batchId: Long): Unit = {
+      batchId: Long,
+      run: Option[BudgetGateRun] = None): Unit = {
     val s = batch.sparkSession
-    if (!s.catalog.tableExists(logTable))
-      s.createDataFrame(Seq.empty[Tuple1[Long]]).toDF("batch_id")
-        .write.format("parquet").saveAsTable(logTable)
-    if (s.table(logTable).filter(col("batch_id") === batchId).isEmpty) {
+    // replay guard + consumed state: with a run-scoped mirror
+    // ([[loadBudgetGateRun]]) both are driver lookups; without one, the
+    // original per-call table reads stand.
+    val alreadyCommitted = run match {
+      case Some(r) => r.committed.contains(batchId)
+      case None =>
+        if (!s.catalog.tableExists(logTable))
+          s.createDataFrame(Seq.empty[Tuple1[Long]]).toDF("batch_id")
+            .write.format("parquet").saveAsTable(logTable)
+        !s.table(logTable).filter(col("batch_id") === batchId).isEmpty
+    }
+    if (!alreadyCommitted) {
       // per-source consumed state: counter scale, held on the driver for
       // the duration of the batch
-      val consumed: Map[String, Long] =
+      val consumed: Map[String, Long] = run.map(_.consumed).getOrElse {
         if (s.catalog.tableExists(stateTable))
           s.table(stateTable).collect()
             .map(r => r.getString(0) -> r.getLong(1)).toMap
         else Map.empty
+      }
       val remaining = budgets.map { case (g, b) =>
         g -> math.max(0L, b - consumed.getOrElse(g, 0L))
       }
@@ -448,12 +496,14 @@ object StreamOps {
             .map(g => (g, consumed.getOrElse(g, 0L) + drank.getOrElse(g, 0L)))
           s.createDataFrame(newState).toDF("g", "consumed")
             .write.mode("overwrite").format("parquet").saveAsTable(stateTable)
+          run.foreach(_.consumed = newState.toMap)
           scala.concurrent.Await.result(fOut,
             scala.concurrent.duration.Duration.Inf)
         } finally kept.unpersist()
       }
       s.createDataFrame(Seq(Tuple1(batchId))).toDF("batch_id")
         .write.mode("append").format("parquet").saveAsTable(logTable)
+      run.foreach(_.committed += batchId)
     }
   }
 
@@ -467,12 +517,23 @@ object StreamOps {
       batch: DataFrame, id: Column, tokenSet: Column,
       bandStore: String, docStore: String, logTable: String,
       buckets: Int, batchId: Long,
-      numPerms: Int = 64, bands: Int = 16): Unit = {
+      numPerms: Int = 64, bands: Int = 16,
+      committed: Option[scala.collection.mutable.Set[Long]] = None): Unit = {
     val s = batch.sparkSession
-    if (!s.catalog.tableExists(logTable))
-      s.createDataFrame(Seq.empty[Tuple1[Long]]).toDF("batch_id")
-        .write.format("parquet").saveAsTable(logTable)
-    if (s.table(logTable).filter(col("batch_id") === batchId).isEmpty) {
+    // replay guard: a batch id already in the log is skipped wholesale.
+    // With a run-scoped `committed` mirror (ingestIncrements loads the
+    // log once at stream start) the probe is a driver set lookup instead
+    // of a Spark read of the log table per trigger; without one, the
+    // original per-call table probe stands.
+    val alreadyCommitted = committed match {
+      case Some(set) => set.contains(batchId)
+      case None =>
+        if (!s.catalog.tableExists(logTable))
+          s.createDataFrame(Seq.empty[Tuple1[Long]]).toDF("batch_id")
+            .write.format("parquet").saveAsTable(logTable)
+        !s.table(logTable).filter(col("batch_id") === batchId).isEmpty
+    }
+    if (!alreadyCommitted) {
       // tokenize once: the set column feeds the scrub's signature build,
       // the exact verify, and the absorb append
       val b = batch.select(id.as("doc_id"), tokenSet.as("ws"))
@@ -486,8 +547,11 @@ object StreamOps {
         graft.ops.Dedup.absorbIntoStore(survivors, col("doc_id"), col("ws"),
           bandStore, docStore, buckets, numPerms, bands)
       } finally b.unpersist()
+      // append-mode saveAsTable creates a missing log table, so the
+      // mirror path needs no separate create job
       s.createDataFrame(Seq(Tuple1(batchId))).toDF("batch_id")
         .write.mode("append").format("parquet").saveAsTable(logTable)
+      committed.foreach(_ += batchId)
     }
   }
 }

@@ -88,6 +88,29 @@ class StreamBudgetGateSpec extends SparkSpec {
     assert(spark.table(out).select("id").as[Long].collect().toSet === after1)
   }
 
+  test("run-state mirror path equals the per-batch table-read path") {
+    val (out1, state1, log1) =
+      (freshTable("bg_out_m1"), freshTable("bg_state_m1"), freshTable("bg_log_m1"))
+    val (out2, state2, log2) =
+      (freshTable("bg_out_m2"), freshTable("bg_state_m2"), freshTable("bg_log_m2"))
+    for (b <- 0 until 3)
+      StreamOps.budgetGateBatch(inc(b), col("src"), col("id"), col("cost"),
+        budgets, out1, state1, log1, b.toLong)
+    val run = StreamOps.loadBudgetGateRun(spark, log2, state2)
+    for (b <- 0 until 3)
+      StreamOps.budgetGateBatch(inc(b), col("src"), col("id"), col("cost"),
+        budgets, out2, state2, log2, b.toLong, Some(run))
+    assert(spark.table(out2).select("id").as[Long].collect().toSet ===
+      spark.table(out1).select("id").as[Long].collect().toSet)
+    assert(spark.table(state2).as[(String, Long)].collect().toMap ===
+      spark.table(state1).as[(String, Long)].collect().toMap)
+    // mirror replay: a re-fed batch id is a no-op
+    val before = spark.table(out2).count()
+    StreamOps.budgetGateBatch(inc(1), col("src"), col("id"), col("cost"),
+      budgets, out2, state2, log2, 1L, Some(run))
+    assert(spark.table(out2).count() === before)
+  }
+
   test("readStream end-to-end equals the direct batch loop") {
     val (out, state, log) =
       (freshTable("bg_out_c"), freshTable("bg_state_c"), freshTable("bg_log_c"))

@@ -121,4 +121,32 @@ class StreamIngestSpec extends SparkSpec {
       assert(spark.table(doc).count() === afterFirst)
     } finally names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
   }
+
+  test("run-scoped committed mirror: replay no-op in-run and after reload") {
+    val names @ Seq(band, doc, log) =
+      Seq("graft_si_band4", "graft_si_docs4", "graft_si_log4").map(freshTable)
+    try {
+      writePair(band, doc)
+      val a = docs.filter(col("doc_id") === 3)
+        .select(lit(840003L).as("doc_id"),
+          concat(col("text"), lit(" mirrorbatch")).as("text"))
+      val committed = scala.collection.mutable.Set.empty[Long]
+      StreamOps.ingestBatch(a, col("doc_id"), TextOps.tokenSet(col("text")),
+        band, doc, log, buckets = 4, batchId = 0L, committed = Some(committed))
+      assert(committed === Set(0L))
+      // the log TABLE was still written (the durable truth)
+      assert(spark.table(log).as[Long].collect().toSet === Set(0L))
+      val afterFirst = spark.table(doc).count()
+      // in-run replay: skipped via the mirror
+      StreamOps.ingestBatch(a, col("doc_id"), TextOps.tokenSet(col("text")),
+        band, doc, log, buckets = 4, batchId = 0L, committed = Some(committed))
+      assert(spark.table(doc).count() === afterFirst)
+      // restart shape: a mirror RELOADED from the log table also skips
+      val reloaded = scala.collection.mutable.Set(
+        spark.table(log).as[Long].collect().toSeq: _*)
+      StreamOps.ingestBatch(a, col("doc_id"), TextOps.tokenSet(col("text")),
+        band, doc, log, buckets = 4, batchId = 0L, committed = Some(reloaded))
+      assert(spark.table(doc).count() === afterFirst)
+    } finally names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+  }
 }
