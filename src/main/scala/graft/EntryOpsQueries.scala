@@ -1439,12 +1439,17 @@ private[graft] object EntryOpsQueries {
       val survivors = inc.join(broadcast(dups),
         col("doc_id") === col("dup_id"), "left_anti")
         .localCheckpoint()
-      Dedup.absorbIntoStore(survivors, col("doc_id"), TextOps.tokenSet(col("text")),
-        band, docs, buckets = 8)
       val survE = incE.join(
         broadcast(survivors.select(col("doc_id").as("vec_id"))),
         Seq("vec_id"), "left_semi")
-      Similarity.appendToIvfStore(s, ivf, survE, "vec_id", "embedding", buckets = 8)
+      // both absorbs read only the pinned survivor set and target disjoint
+      // stores (band/doc pair vs IVF) — overlap them (guide §2.6); the
+      // retrieval probe below waits on both
+      parJobs(
+        () => Dedup.absorbIntoStore(survivors, col("doc_id"),
+          TextOps.tokenSet(col("text")), band, docs, buckets = 8),
+        () => Similarity.appendToIvfStore(s, ivf, survE, "vec_id",
+          "embedding", buckets = 8))
       val queries = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val hits = Similarity.searchIvfStore(s, ivf, queries, "q_id", "q_vec",

@@ -30,6 +30,28 @@ object StoreIO {
     * missing; a crash between the two renames is repaired by
     * [[sweepTemp]] on the next pass, which restores the aside when no
     * replacement landed. */
+  /** Run the given per-increment publishes CONCURRENTLY (independent
+    * Spark jobs overlap instead of queuing behind each other's task
+    * tails). Only for increments whose content derives from the TABLE
+    * alone (the hudi windowed increments): each lands in its own keyed
+    * subdir via temp+rename, and a crash that published a later instant
+    * before an earlier one is repaired by the store-side seen-filter on
+    * redelivery — the missing instant's window does not depend on the
+    * store. NOT for walks whose resume point is the last PUBLISHED
+    * increment (the iceberg changelog walk stays sequential). */
+  def publishConcurrently[T](items: Seq[T])(publish: T => Unit): Unit =
+    items match {
+      case Seq() => ()
+      case Seq(one) => publish(one)
+      case many =>
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val fs = many.tail.map(i =>
+          Future(publish(i))(scala.concurrent.ExecutionContext.global))
+        publish(many.head)
+        fs.foreach(Await.result(_, Duration.Inf))
+    }
+
   def publishIncrement(df: DataFrame, store: File, name: String): Unit = {
     store.mkdirs()
     val tmp = new File(store, s".tmp_$name")
