@@ -2592,16 +2592,18 @@ object HudiMeta extends Serializable {
         dir + s"_hudiv1x_${fid}_$instant")
     }
     val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
-    val s0 = writeSlice("p=0", "fid0", c1,
-      base.filter(pmod(col("doc_id"), lit(3)) === 0))
-    val s1 = writeSlice("p=0", "fid1", c1,
-      base.filter(pmod(col("doc_id"), lit(3)) === 1))
-    val s0b = writeSlice("p=0", "fid0", c2,
-      base.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .withColumn("n_chars", col("n_chars") + 1L))
-    val s2 = writeSlice("p=1", "fid2", c2,
-      base.filter(pmod(col("doc_id"), lit(3)) === 2))
-    // the orphan: a base file no commit declares
+    val g0v = base.filter(pmod(col("doc_id"), lit(3)) === 0)
+    // all four declared base files in ONE job (see writeBaseSlices)
+    val Seq(s0, s1, s0b, s2) = writeBaseSlices(root, dir + "_hudiv1x", Seq(
+      s"p=0/fid0_0-0-0_$c1.parquet" -> g0v,
+      s"p=0/fid1_0-0-0_$c1.parquet" ->
+        base.filter(pmod(col("doc_id"), lit(3)) === 1),
+      s"p=0/fid0_0-0-0_$c2.parquet" ->
+        g0v.withColumn("n_chars", col("n_chars") + 1L),
+      s"p=1/fid2_0-0-0_$c2.parquet" ->
+        base.filter(pmod(col("doc_id"), lit(3)) === 2)))
+    // the orphan: a base file no commit declares. Own tiny write — the
+    // un-ordered limit must not ride a union exchange
     writeSlice("p=1", "fid3", "20240103000000000",
       base.filter(pmod(col("doc_id"), lit(3)) === 2).limit(5))
     def stat(part: String, fid: String, rel: String, rows: Long): String =
@@ -2911,24 +2913,18 @@ object HudiMeta extends Serializable {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val (c1, c2, rc3) =
       ("20240101000000000", "20240102000000000", "20240103000000000")
-    def writeBase(part: String, fid: String, instant: String,
-        slice: DataFrame): (String, Long) = {
-      val rel = s"$part/${fid}_0-0-0_$instant.parquet"
-      val dst = new java.io.File(root, rel)
-      dst.getParentFile.mkdirs()
-      rel -> FixtureIO.writeSingleParquet(slice, dst,
-        dir + s"_hudicl_${fid}_$instant")
-    }
     val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
-    val s0 = writeBase("p=0", "fid0", c1,
-      base.filter(pmod(col("doc_id"), lit(3)) === 0))
-    val s1 = writeBase("p=0", "fid1", c1,
-      base.filter(pmod(col("doc_id"), lit(3)) === 1))
-    val s2 = writeBase("p=1", "fid2", c2,
-      base.filter(pmod(col("doc_id"), lit(3)) === 2))
+    // all four base files in ONE job (see writeBaseSlices); the last is
     // the clustered output: fid0's and fid1's rows in one base file
-    val s3 = writeBase("p=0", "fid3", rc3,
-      base.filter(pmod(col("doc_id"), lit(3)) < 2))
+    val Seq(s0, s1, s2, s3) = writeBaseSlices(root, dir + "_hudicl", Seq(
+      s"p=0/fid0_0-0-0_$c1.parquet" ->
+        base.filter(pmod(col("doc_id"), lit(3)) === 0),
+      s"p=0/fid1_0-0-0_$c1.parquet" ->
+        base.filter(pmod(col("doc_id"), lit(3)) === 1),
+      s"p=1/fid2_0-0-0_$c2.parquet" ->
+        base.filter(pmod(col("doc_id"), lit(3)) === 2),
+      s"p=0/fid3_0-0-0_$rc3.parquet" ->
+        base.filter(pmod(col("doc_id"), lit(3)) < 2)))
     def stat(part: String, fid: String, rel: String, rows: Long): String =
       s"""{"fileId":"$fid","path":"$rel","numWrites":$rows,
          |"numDeletes":0,"numInserts":$rows,
@@ -3271,19 +3267,13 @@ object HudiMeta extends Serializable {
         "hoodie.table.recordkey.fields=doc_id,lang\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val (dc1, dc2) = ("20240101000000000", "20240102000000000")
-    def writeBase(fid: String, instant: String,
-        slice: DataFrame): (String, Long) = {
-      val rel = s"p=0/${fid}_0-0-0_$instant.parquet"
-      val dst = new java.io.File(root, rel)
-      dst.getParentFile.mkdirs()
-      rel -> FixtureIO.writeSingleParquet(slice, dst,
-        dir + s"_hudimck_${fid}_$instant")
-    }
     val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
-    val s0 = writeBase("fid0", dc1,
-      base.filter(pmod(col("doc_id"), lit(2)) === 0))
-    val s1 = writeBase("fid1", dc1,
-      base.filter(pmod(col("doc_id"), lit(2)) === 1))
+    // both base files in ONE job (see writeBaseSlices)
+    val Seq(s0, s1) = writeBaseSlices(root, dir + "_hudimck", Seq(
+      s"p=0/fid0_0-0-0_$dc1.parquet" ->
+        base.filter(pmod(col("doc_id"), lit(2)) === 0),
+      s"p=0/fid1_0-0-0_$dc1.parquet" ->
+        base.filter(pmod(col("doc_id"), lit(2)) === 1)))
     val avroSchema = new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"graft_morck","fields":[
         |{"name":"doc_id","type":"long"},
@@ -3524,15 +3514,12 @@ object HudiMeta extends Serializable {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val (dc1, dc2) = ("20240101000000000", "20240102000000000")
     val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
-    def writeBase(fid: String, slice: DataFrame): (String, Long) = {
-      val rel = s"p=0/${fid}_0-0-0_$dc1.parquet"
-      val dst = new java.io.File(root, rel)
-      dst.getParentFile.mkdirs()
-      rel -> FixtureIO.writeSingleParquet(slice, dst,
-        dir + s"_hudicdc_$fid")
-    }
-    val s0 = writeBase("fid0", base.filter(pmod(col("doc_id"), lit(2)) === 0))
-    val s1 = writeBase("fid1", base.filter(pmod(col("doc_id"), lit(2)) === 1))
+    // both base files in ONE job (see writeBaseSlices)
+    val Seq(s0, s1) = writeBaseSlices(root, dir + "_hudicdc", Seq(
+      s"p=0/fid0_0-0-0_$dc1.parquet" ->
+        base.filter(pmod(col("doc_id"), lit(2)) === 0),
+      s"p=0/fid1_0-0-0_$dc1.parquet" ->
+        base.filter(pmod(col("doc_id"), lit(2)) === 1)))
     val dataSchema = new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"graft_morcdc","fields":[
         |{"name":"doc_id","type":"long"},
