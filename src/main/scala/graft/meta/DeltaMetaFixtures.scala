@@ -296,12 +296,12 @@ private[meta] trait DeltaMetaFixtures extends Serializable { this: DeltaMeta.typ
     cdDir.mkdirs()
     val base = docs.select(col("doc_id"), col("lang"))
     val counts = scala.collection.mutable.Map.empty[String, Long]
-    for (i <- 0 until 3) {
-      val rel = s"f$i.parquet"
-      counts(rel) = FixtureIO.writeSingleParquet(
-        base.filter(pmod(col("doc_id"), lit(3)) === i),
-        new java.io.File(root, rel), dir + s"_cdftmp$i")
-    }
+    // all three base files in ONE Spark job (the change file below keeps
+    // its own write: its pre/post-image row pairing must not ride a sort
+    // whose doc_id ties could reorder them)
+    counts ++= FixtureIO.writeSlices(base, pmod(col("doc_id"), lit(3)), 3,
+      dir + "_cdftmp", i => new java.io.File(root, s"f$i.parquet"))
+      .map { case (i, c) => s"f$i.parquet" -> c }
     // the UPDATE's change file: pre/post images of three docs
     val updated = base.filter(pmod(col("doc_id"), lit(3)) === 0)
       .orderBy("doc_id").limit(3)

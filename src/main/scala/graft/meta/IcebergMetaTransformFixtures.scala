@@ -121,16 +121,18 @@ private[meta] trait IcebergMetaTransformFixtures extends Serializable {
     val withB = docs.select(col("doc_id"), col("lang"), col("n_chars"),
       ColumnBridge.column(IcebergBucketF(
         ColumnBridge.expression(col("doc_id")), 4)).as("bucket"))
-    val counts = (0 until 4).flatMap { i =>
-      val rel = s"b$i.parquet"
-      val c = FixtureIO.writeSingleParquet(
-        withB.filter(col("bucket") === i),
-        new java.io.File(dataDir, rel), dir + s"_bkttmp$i")
-      if (c == 0L) {
-        new java.io.File(dataDir, rel).delete()
-        None
-      } else Some(rel -> (i, c))
-    }.toMap
+    // all four bucket files in ONE job; a bucket that attracted no rows
+    // keeps the old contract (its file is deleted — a fixture must never
+    // plant an empty parquet the oracle cannot see)
+    val counts = FixtureIO.writeSlices(withB, col("bucket"), 4,
+      dir + "_bkt", i => new java.io.File(dataDir, s"b$i.parquet"))
+      .flatMap { case (i, c) =>
+        val rel = s"b$i.parquet"
+        if (c == 0L) {
+          new java.io.File(dataDir, rel).delete()
+          None
+        } else Some(rel -> (i, c))
+      }.toMap
     val schema = transformManifestSchema("doc_id_bucket", "int")
     val entries = counts.toSeq.sortBy(_._1).map { case (rel, (i, c)) =>
       transformEntry(schema, dataDir, rel, c, "doc_id_bucket",
@@ -166,16 +168,18 @@ private[meta] trait IcebergMetaTransformFixtures extends Serializable {
     metaDir.mkdirs()
     val withK = docs.select(col("doc_id"),
       pmod(col("doc_id"), lit(400L)).as("k"))
-    val counts = (0 until 4).flatMap { i =>
-      val rel = s"t$i.parquet"
-      val c = FixtureIO.writeSingleParquet(
-        withK.filter(col("k") >= i * 100L && col("k") < (i + 1) * 100L),
-        new java.io.File(dataDir, rel), dir + s"_trntmp$i")
-      if (c == 0L) {
-        new java.io.File(dataDir, rel).delete()
-        None
-      } else Some(rel -> (i * 100L, c))
-    }.toMap
+    // all four truncation-range files in ONE job; empty ranges keep the
+    // old absent-file contract
+    val counts = FixtureIO.writeSlices(withK,
+      (col("k") / 100L).cast("int"), 4,
+      dir + "_trn", i => new java.io.File(dataDir, s"t$i.parquet"))
+      .flatMap { case (i, c) =>
+        val rel = s"t$i.parquet"
+        if (c == 0L) {
+          new java.io.File(dataDir, rel).delete()
+          None
+        } else Some(rel -> (i * 100L, c))
+      }.toMap
     val schema = transformManifestSchema("k_trunc", "long")
     val entries = counts.toSeq.sortBy(_._1).map { case (rel, (t, c)) =>
       transformEntry(schema, dataDir, rel, c, "k_trunc",
@@ -241,18 +245,14 @@ private[meta] trait IcebergMetaTransformFixtures extends Serializable {
         require(part.length == 1,
           s"fixture unit dir $d has ${part.length} part files, expected 1")
         val rel = s"u$v.parquet"
-        java.nio.file.Files.copy(part.head.toPath,
-          new java.io.File(dataDir, rel).toPath,
+        val dst = new java.io.File(dataDir, rel)
+        java.nio.file.Files.copy(part.head.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        counts(rel) = (v, 0L)
+        // row count from the moved file's own footer — not a second
+        // Spark read of the whole written table
+        counts(rel) = (v, FixtureIO.parquetRowCount(dst))
       }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    spark.read.parquet(dataDir.getAbsolutePath)
-      .groupBy(input_file_name().as("f")).count().collect()
-      .foreach { r =>
-        val rel = r.getString(0).replaceAll(".*/", "")
-        counts(rel) = (counts(rel)._1, r.getLong(1))
-      }
     val field = s"ts_$unit"
     val schema = transformManifestSchema(field, "int")
     val entries = counts.toSeq.sortBy(_._1).map { case (rel, (v, c)) =>
@@ -301,20 +301,14 @@ private[meta] trait IcebergMetaTransformFixtures extends Serializable {
         require(part.length == 1,
           s"fixture day dir $d has ${part.length} part files, expected 1")
         val rel = s"d$day.parquet"
-        java.nio.file.Files.copy(part.head.toPath,
-          new java.io.File(dataDir, rel).toPath,
+        val dst = new java.io.File(dataDir, rel)
+        java.nio.file.Files.copy(part.head.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        counts(rel) = (day, 0L)
+        // row count from the moved file's own footer — not a second
+        // Spark read of the whole written table
+        counts(rel) = (day, FixtureIO.parquetRowCount(dst))
       }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    // row counts from the moved files' own footers (one metadata scan,
-    // no re-read of the source)
-    spark.read.parquet(dataDir.getAbsolutePath)
-      .groupBy(input_file_name().as("f")).count().collect()
-      .foreach { r =>
-        val rel = r.getString(0).replaceAll(".*/", "")
-        counts(rel) = (counts(rel)._1, r.getLong(1))
-      }
     val schema = transformManifestSchema("ts_day", "int")
     val entries = counts.toSeq.sortBy(_._1).map { case (rel, (day, c)) =>
       transformEntry(schema, dataDir, rel, c, "ts_day",
